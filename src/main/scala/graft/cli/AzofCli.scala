@@ -1,0 +1,88 @@
+package graft.cli
+
+import graft.format._
+import graft.operators.AzofScan
+import graft.sources.CsvGen
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import org.apache.spark.sql.SparkSession
+
+/** CLI parity with the reference's azof-cli (reference:
+  * crates/azof-cli/src/main.rs:21-155):
+  *
+  *   scan --path <lakehouse> --table <name> [--as-of YYYY-MM-DDTHH:mm:ss]
+  *   gen  --path <lakehouse> --table <name> --source <csv> --target <file.parquet>
+  *
+  * plus writer commands beyond the reference (its unchecked writer
+  * roadmap, README.md:152-155):
+  *
+  *   create --path L --table T --schema "name:Type,name:Type" --start <ts>
+  *   commit-base  --path L --table T --source <csv>
+  *   commit-delta --path L --table T --source <csv> --start <ts> --end <ts>
+  *
+  * `scan` prints the table as of the given event time (appending
+  * sub-second/UTC like the reference, main.rs:106-119); `gen` converts a
+  * headerless CSV to a parquet data file per the table's declared schema.
+  */
+object AzofCli {
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: AzofCli <scan|gen> --path P --table T [...]")
+      sys.exit(2)
+    }
+    val opts = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("azof-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try args(0) match {
+      case "scan" =>
+        val asOf = opts.get("as-of") match {
+          case None => AsOf.Current
+          // reference accepts second-precision local time and appends
+          // `.000Z` (main.rs:106-119); full RFC3339 also accepted
+          case Some(s) if s.endsWith("Z") => AsOf.EventTime(Instant.parse(s))
+          case Some(s) =>
+            AsOf.EventTime(LocalDateTime.parse(s).toInstant(ZoneOffset.UTC))
+        }
+        AzofScan.scan(spark, opts("path"), opts("table"), asOf)
+          .show(numRows = 1000, truncate = false)
+      case "gen" =>
+        val table = AzofTable(spark, opts("path"), opts("table"))
+        CsvGen.gen(spark, table.currentSnapshot.schema, opts("source"),
+          table.tableDir.toString, opts("target"))
+        println(s"wrote ${opts("target")}")
+      case "create" =>
+        val schema = TableSchema(opts("schema").split(",").toSeq.map { s =>
+          val Array(n, t) = s.split(":")
+          ColumnDef(n, ColumnType.fromJsonName(t), nullable = false)
+        })
+        graft.sources.AzofWriter.createTable(spark, opts("path"),
+          opts("table"), schema, Instant.parse(opts("start")))
+        println(s"created ${opts("table")} at snapshot 1")
+      case "commit-base" =>
+        val table = AzofTable(spark, opts("path"), opts("table"))
+        val df = CsvGen.readCsv(spark, table.currentSnapshot.schema, opts("source"))
+        graft.sources.AzofWriter.commitBase(spark, opts("path"), opts("table"), df)
+        println(s"committed base; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+      case "commit-delta" =>
+        val table = AzofTable(spark, opts("path"), opts("table"))
+        val df = CsvGen.readCsv(spark, table.currentSnapshot.schema, opts("source"))
+        graft.sources.AzofWriter.commitDelta(spark, opts("path"), opts("table"),
+          df, Instant.parse(opts("start")), Instant.parse(opts("end")))
+        println(s"committed delta; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+      case other =>
+        System.err.println(s"unknown command: $other")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,45 @@
+package graft.format
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Table/version resolution over any Hadoop-supported filesystem (local,
+  * HDFS, S3A, ...) — the Spark-side equivalent of the reference's
+  * `object_store`-backed Table (reference: crates/azof/src/table.rs:6-41):
+  * a table is a directory holding `version.txt` (bare current snapshot
+  * id), `s{id}.json` snapshot documents, and parquet data files addressed
+  * relative to the directory.
+  */
+final class AzofTable(val tableDir: Path, conf: Configuration) {
+  private def fs: FileSystem = tableDir.getFileSystem(conf)
+
+  private def readUtf8(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** `version.txt` → current snapshot id (reference: table.rs:35-41). */
+  def currentVersion: String = readUtf8(new Path(tableDir, "version.txt")).trim
+
+  /** `s{id}.json` → parsed snapshot (reference: table.rs:21-33). */
+  def snapshot(id: String): Snapshot =
+    SnapshotCodec.parse(readUtf8(new Path(tableDir, s"s$id.json")))
+
+  def currentSnapshot: Snapshot = snapshot(currentVersion)
+
+  /** Absolute paths of the pruned data-file set for `asOf`, in merge
+    * precedence order (first file wins per key).
+    */
+  def dataFilePaths(asOf: AsOf): Seq[Path] =
+    currentSnapshot.dataFiles(asOf).map(f => new Path(tableDir, f))
+}
+
+object AzofTable {
+  def apply(spark: SparkSession, lakehousePath: String, name: String): AzofTable =
+    new AzofTable(
+      new Path(lakehousePath, name),
+      spark.sessionState.newHadoopConf())
+}

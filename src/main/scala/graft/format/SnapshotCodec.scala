@@ -1,0 +1,106 @@
+package graft.format
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, OffsetDateTime, ZoneOffset}
+import scala.jdk.CollectionConverters._
+
+/** JSON (de)serialization of snapshot documents, byte-compatible with the
+  * reference's serde encoding (reference: crates/azof/src/metadata.rs:9-45,
+  * 107-162): enum types as bare strings ("String"|"Int"|"Boolean"|
+  * "DateTime"), timestamps RFC3339 with milliseconds
+  * ("%Y-%m-%dT%H:%M:%S%.3fZ"), and optional fields *omitted* (not null).
+  * Uses Jackson's tree model (Jackson ships with Spark).
+  */
+object SnapshotCodec {
+  private val mapper = new ObjectMapper()
+
+  private val writeFmt: DateTimeFormatter =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(ZoneOffset.UTC)
+
+  /** RFC3339 parse accepting offsets, normalized to UTC
+    * (reference parses with chrono's parse_from_rfc3339, metadata.rs:124-129).
+    */
+  def parseTimestamp(s: String): Instant = OffsetDateTime.parse(s).toInstant
+
+  def formatTimestamp(t: Instant): String = writeFmt.format(t)
+
+  def parse(json: String): Snapshot = {
+    val root = mapper.readTree(json)
+    val schema = parseSchema(root.get("schema"))
+    val segments = arr(root.get("segments")).map(parseSegment)
+    Snapshot(schema, segments)
+  }
+
+  private def arr(n: JsonNode): Seq[JsonNode] =
+    if (n == null || n.isNull) Seq.empty else n.elements().asScala.toSeq
+
+  private def optText(n: JsonNode, field: String): Option[String] = {
+    val v = n.get(field)
+    if (v == null || v.isNull) None else Some(v.asText())
+  }
+
+  private def parseSchema(n: JsonNode): TableSchema =
+    TableSchema(arr(n.get("columns")).map { c =>
+      ColumnDef(
+        c.get("name").asText(),
+        ColumnType.fromJsonName(c.get("data_type").asText()),
+        c.get("nullable").asBoolean())
+    })
+
+  private def parseSegment(n: JsonNode): Segment = Segment(
+    id = n.get("id").asText(),
+    start = parseTimestamp(n.get("start").asText()),
+    end = optText(n, "end").map(parseTimestamp),
+    file = optText(n, "file"),
+    segments = arr(n.get("segments")).map(parseSegment),
+    delta = arr(n.get("delta")).map(parseDelta))
+
+  private def parseDelta(n: JsonNode): Delta = Delta(
+    file = n.get("file").asText(),
+    start = parseTimestamp(n.get("start").asText()),
+    end = parseTimestamp(n.get("end").asText()))
+
+  def render(s: Snapshot): String = {
+    val root = mapper.createObjectNode()
+    val schemaNode = root.putObject("schema")
+    val cols = schemaNode.putArray("columns")
+    s.schema.columns.foreach { c =>
+      val cn = cols.addObject()
+      cn.put("name", c.name)
+      cn.put("data_type", c.dataType.jsonName)
+      cn.put("nullable", c.nullable)
+    }
+    val segs = root.putArray("segments")
+    s.segments.foreach(seg => renderSegment(segs.addObject(), seg))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private def renderSegment(node: ObjectNode, seg: Segment): Unit = {
+    node.put("id", seg.id)
+    node.put("start", formatTimestamp(seg.start))
+    seg.end.foreach(e => node.put("end", formatTimestamp(e)))
+    seg.file.foreach(f => node.put("file", f))
+    if (seg.segments.nonEmpty) {
+      val children: ArrayNode = node.putArray("segments")
+      seg.segments.foreach(c => renderSegment(children.addObject(), c))
+    } else if (seg.end.isEmpty && seg.file.isEmpty && seg.delta.isEmpty) {
+      // open segment explicitly listing no children (financials-style
+      // `"segments": []`) — keep an empty array so an empty open segment
+      // round-trips as written.
+      node.putArray("segments")
+      ()
+    }
+    if (seg.delta.nonEmpty) {
+      val deltas = node.putArray("delta")
+      seg.delta.foreach { d =>
+        val dn = deltas.addObject()
+        dn.put("file", d.file)
+        dn.put("start", formatTimestamp(d.start))
+        dn.put("end", formatTimestamp(d.end))
+      }
+    }
+  }
+}

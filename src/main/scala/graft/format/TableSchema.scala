@@ -1,0 +1,66 @@
+package graft.format
+
+import org.apache.spark.sql.types._
+
+/** azof value-column type system — exactly four types (reference:
+  * crates/azof/src/schema.rs:15-21), mapped to Spark SQL types the way the
+  * reference maps them to Arrow (crates/azof/src/schema.rs:190-197):
+  * String→Utf8→StringType, Int→Int64→LongType, Boolean→BooleanType,
+  * DateTime→Timestamp(ms, UTC)→TimestampType (session TZ pinned UTC;
+  * millisecond values fit Spark's microsecond timestamps losslessly).
+  */
+sealed abstract class ColumnType(val jsonName: String, val sparkType: DataType)
+object ColumnType {
+  case object AzString extends ColumnType("String", StringType)
+  case object AzInt extends ColumnType("Int", LongType)
+  case object AzBoolean extends ColumnType("Boolean", BooleanType)
+  case object AzDateTime extends ColumnType("DateTime", TimestampType)
+
+  val all: Seq[ColumnType] = Seq(AzString, AzInt, AzBoolean, AzDateTime)
+
+  def fromJsonName(s: String): ColumnType =
+    all.find(_.jsonName == s).getOrElse(
+      throw new IllegalArgumentException(s"unknown azof column type: $s"))
+}
+
+/** One declared value column (reference: crates/azof/src/schema.rs:24-28). */
+final case class ColumnDef(name: String, dataType: ColumnType, nullable: Boolean)
+
+/** Declared schema of the value columns of a table. Two system columns —
+  * `key: String` (record identity / dedup key) and `event_time:
+  * Timestamp` (version timestamp) — are always present, always first, and
+  * non-nullable (reference: crates/azof/src/schema.rs:12-13,173-203).
+  */
+final case class TableSchema(columns: Seq[ColumnDef]) {
+
+  /** Full physical Spark schema: `key, event_time, values...` in declared
+    * order — the column order of every azof parquet file.
+    */
+  def toStruct: StructType = StructType(
+    TableSchema.systemFields ++ columns.map(c =>
+      StructField(c.name, c.dataType.sparkType, c.nullable)))
+
+  /** Names in physical order, system columns first. */
+  def allColumnNames: Seq[String] =
+    Seq(TableSchema.KeyName, TableSchema.EventTimeName) ++ columns.map(_.name)
+
+  /** Output schema under a projection: only the requested columns survive,
+    * in physical order — system columns included only when requested
+    * (reference: crates/azof/src/schema.rs:148-203).
+    */
+  def projectedStruct(projection: Option[Set[String]]): StructType =
+    projection match {
+      case None => toStruct
+      case Some(cols) =>
+        StructType(toStruct.fields.filter(f => cols.contains(f.name)))
+    }
+}
+
+object TableSchema {
+  val KeyName = "key"
+  val EventTimeName = "event_time"
+
+  val systemFields: Seq[StructField] = Seq(
+    StructField(KeyName, StringType, nullable = false),
+    StructField(EventTimeName, TimestampType, nullable = false))
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.format._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The core azof operator: the event-time as-of merge-dedup scan,
+  * expressed declaratively on Catalyst instead of the reference's
+  * row-at-a-time loop (reference: crates/azof/src/lakehouse.rs:29-86).
+  *
+  * Semantics (SURVEY.md §2.1): among rows with `event_time <= asOf`, the
+  * newest `event_time` per `key` wins; ties/overlaps resolve by file
+  * precedence (the pruned-file ordering from the segment tree — children,
+  * then deltas newest-start-first, then base). A row filtered out by the
+  * as-of predicate never claims its key (lakehouse.rs:64-68).
+  *
+  * Spark plan shape: per-file parquet scans unioned with a literal
+  * `_prec` column (the pruned set is already the *minimal* file set for
+  * the as-of, so the union is small; each file still splits into
+  * parallel tasks), one hash shuffle on `key` for the window dedup, then
+  * projection. Filters/projections above this compose in Catalyst and
+  * push into the parquet scans.
+  */
+object AzofScan {
+  private val Prec = "_azof_prec"
+  private val Rn = "_azof_rn"
+
+  def scan(
+      spark: SparkSession,
+      lakehousePath: String,
+      table: String,
+      asOf: AsOf = AsOf.Current,
+      projection: Option[Set[String]] = None): DataFrame = {
+    val t = AzofTable(spark, lakehousePath, table)
+    val snapshot = t.currentSnapshot
+    scanSnapshot(spark, t, snapshot, asOf, projection)
+  }
+
+  /** Scan a specific (already-loaded) snapshot — used by time travel over
+    * explicit snapshot ids as well as the current view.
+    */
+  def scanSnapshot(
+      spark: SparkSession,
+      table: AzofTable,
+      snapshot: Snapshot,
+      asOf: AsOf,
+      projection: Option[Set[String]] = None): DataFrame = {
+    val schema = snapshot.schema
+    val outCols = schema
+      .projectedStruct(projection)
+      .fields.map(f => col(f.name)).toSeq
+
+    val files = snapshot.dataFiles(asOf)
+    if (files.isEmpty) {
+      // As-of before every segment, or Current on a fully-closed table
+      // (reference: metadata.rs:359-389 tests) — empty result, real schema.
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.projectedStruct(projection))
+    }
+
+    val reads = files.zipWithIndex.map { case (f, i) =>
+      spark.read
+        .schema(schema.toStruct)
+        .parquet(new org.apache.hadoop.fs.Path(table.tableDir, f).toString)
+        .withColumn(Prec, lit(i))
+    }
+    val unioned = reads.reduce(_ unionAll _)
+
+    val inRange = asOf match {
+      case AsOf.Current => unioned
+      case AsOf.EventTime(ts) =>
+        unioned.where(col(TableSchema.EventTimeName) <=
+          lit(java.sql.Timestamp.from(ts)))
+    }
+
+    val w = Window
+      .partitionBy(TableSchema.KeyName)
+      .orderBy(col(TableSchema.EventTimeName).desc, col(Prec).asc)
+
+    inRange
+      .withColumn(Rn, row_number().over(w))
+      .where(col(Rn) === 1)
+      .select(outCols: _*)
+  }
+
+  /** Register an as-of view so full Spark SQL composes on top — the
+    * Catalyst counterpart of the reference's DataFusion table registration
+    * (reference: crates/azof-datafusion/src/context.rs:26-47).
+    */
+  def registerView(
+      spark: SparkSession,
+      lakehousePath: String,
+      table: String,
+      viewName: String,
+      asOf: AsOf = AsOf.Current): Unit =
+    scan(spark, lakehousePath, table, asOf).createOrReplaceTempView(viewName)
+}

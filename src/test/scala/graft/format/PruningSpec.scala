@@ -1,0 +1,98 @@
+package graft.format
+
+import java.time.Instant
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Segment-tree pruning parity — ports the reference's metadata tests
+  * (reference: crates/azof/src/metadata.rs:341-618), asserting exact file
+  * sets AND precedence order.
+  */
+class PruningSpec extends AnyFunSuite {
+
+  private def ts(s: String): Instant = Instant.parse(s)
+  private def at(s: String): AsOf = AsOf.EventTime(ts(s))
+
+  test("reads base file of current segment") {
+    val snap = SnapshotCodec.parse(
+      """{"schema":{"columns":[]},"segments":[
+        {"id":"10","start":"2024-01-01T00:00:00.000Z","file":"base.parquet"}]}""")
+    assert(snap.dataFiles(AsOf.Current) == Seq("base.parquet"))
+    assert(snap.dataFiles(at("2023-12-01T00:00:00Z")).isEmpty)
+  }
+
+  test("reads base file of historical segment") {
+    val snap = SnapshotCodec.parse(
+      """{"schema":{"columns":[]},"segments":[
+        {"id":"10","start":"2024-01-01T00:00:00.000Z",
+         "end":"2024-03-01T00:00:00.000Z","file":"base.parquet"}]}""")
+    assert(snap.dataFiles(at("2024-01-01T00:00:00Z")) == Seq("base.parquet"))
+    assert(snap.dataFiles(at("2024-02-01T00:00:00Z")) == Seq("base.parquet"))
+    assert(snap.dataFiles(AsOf.Current).isEmpty)
+    assert(snap.dataFiles(at("2023-02-01T00:00:00Z")).isEmpty)
+    assert(snap.dataFiles(at("2024-04-01T00:00:00Z")).isEmpty)
+  }
+
+  private val nestedHistorical = SnapshotCodec.parse(
+    """{"schema":{"columns":[]},"segments":[
+      {"id":"10","start":"2010-01-01T00:00:00.000Z","end":"2020-01-01T00:00:00.000Z",
+       "file":"base10.parquet","segments":[
+        {"id":"11","start":"2013-01-01T00:00:00.000Z","end":"2016-01-01T00:00:00.000Z",
+         "file":"base11.parquet"},
+        {"id":"12","start":"2018-01-01T00:00:00.000Z","end":"2019-01-01T00:00:00.000Z",
+         "file":"base12.parquet","segments":[
+          {"id":"121","start":"2018-03-01T00:00:00.000Z","end":"2018-06-01T00:00:00.000Z",
+           "file":"base121.parquet"},
+          {"id":"122","start":"2018-07-01T00:00:00.000Z","end":"2019-01-01T00:00:00.000Z",
+           "file":"base112.parquet"}]}]}]}""")
+
+  test("reads base file of nested segments in historical segments") {
+    assert(nestedHistorical.dataFiles(at("2018-04-01T00:00:00Z")) ==
+      Seq("base121.parquet", "base12.parquet", "base10.parquet"))
+    assert(nestedHistorical.dataFiles(at("2022-04-01T00:00:00Z")).isEmpty)
+    assert(nestedHistorical.dataFiles(at("2011-04-01T00:00:00Z")) == Seq("base10.parquet"))
+    assert(nestedHistorical.dataFiles(at("2017-04-01T00:00:00Z")) == Seq("base10.parquet"))
+    assert(nestedHistorical.dataFiles(AsOf.Current).isEmpty)
+  }
+
+  private val nestedCurrent = SnapshotCodec.parse(
+    """{"schema":{"columns":[]},"segments":[
+      {"id":"10","start":"2010-01-01T00:00:00.000Z","file":"base10.parquet","segments":[
+        {"id":"11","start":"2013-01-01T00:00:00.000Z","end":"2016-01-01T00:00:00.000Z",
+         "file":"base11.parquet"},
+        {"id":"12","start":"2018-01-01T00:00:00.000Z","file":"base12.parquet","segments":[
+          {"id":"121","start":"2018-03-01T00:00:00.000Z","end":"2018-06-01T00:00:00.000Z",
+           "file":"base121.parquet"},
+          {"id":"122","start":"2018-07-01T00:00:00.000Z","file":"base122.parquet"}]}]}]}""")
+
+  test("reads base file of nested segments in current segments") {
+    assert(nestedCurrent.dataFiles(at("2018-04-01T00:00:00Z")) ==
+      Seq("base121.parquet", "base12.parquet", "base10.parquet"))
+    assert(nestedCurrent.dataFiles(at("2022-04-01T00:00:00Z")) ==
+      Seq("base122.parquet", "base12.parquet", "base10.parquet"))
+    assert(nestedCurrent.dataFiles(at("2011-04-01T00:00:00Z")) == Seq("base10.parquet"))
+    assert(nestedCurrent.dataFiles(at("2017-04-01T00:00:00Z")) == Seq("base10.parquet"))
+    assert(nestedCurrent.dataFiles(AsOf.Current) ==
+      Seq("base122.parquet", "base12.parquet", "base10.parquet"))
+  }
+
+  test("reads delta files of current segment, newest-start-first") {
+    val snap = SnapshotCodec.parse(
+      """{"schema":{"columns":[]},"segments":[
+        {"id":"10","start":"2024-01-01T00:00:00.000Z","file":"base10.parquet",
+         "delta":[
+          {"file":"delta_100.parquet","start":"2024-02-01T00:00:00.000Z","end":"2024-06-01T00:00:00.0Z"},
+          {"file":"delta_101.parquet","start":"2024-10-01T00:00:00.000Z","end":"2024-11-30T23:59:59.999Z"},
+          {"file":"delta_102.parquet","start":"2024-07-01T00:00:00.000Z","end":"2024-09-30T23:59:59.999Z"}],
+         "segments":[
+          {"id":"211","start":"2024-11-01T00:00:00.000Z","file":"base211.parquet"}]}]}""")
+    assert(snap.dataFiles(AsOf.Current) ==
+      Seq("base211.parquet", "delta_101.parquet", "delta_102.parquet",
+        "delta_100.parquet", "base10.parquet"))
+    assert(snap.dataFiles(at("2024-08-01T00:00:00Z")) ==
+      Seq("delta_102.parquet", "delta_100.parquet", "base10.parquet"))
+    assert(snap.dataFiles(at("2024-07-01T00:00:00Z")) ==
+      Seq("delta_102.parquet", "delta_100.parquet", "base10.parquet"))
+    assert(snap.dataFiles(at("2024-06-01T00:00:00Z")) ==
+      Seq("delta_100.parquet", "base10.parquet"))
+  }
+}

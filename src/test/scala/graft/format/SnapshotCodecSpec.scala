@@ -1,0 +1,65 @@
+package graft.format
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+import org.scalatest.funsuite.AnyFunSuite
+
+class SnapshotCodecSpec extends AnyFunSuite {
+
+  private def readRef(rel: String): String =
+    new String(Files.readAllBytes(Paths.get("/root/reference/test-data", rel)))
+
+  test("parses reference table2 snapshot: schema + segment + delta") {
+    val snap = SnapshotCodec.parse(readRef("table2/s1.json"))
+    assert(snap.schema.columns.map(_.name) ==
+      Seq("value1", "value2", "is_active", "created"))
+    assert(snap.schema.columns.map(_.dataType) == Seq(
+      ColumnType.AzString, ColumnType.AzInt, ColumnType.AzBoolean, ColumnType.AzDateTime))
+    assert(snap.schema.columns.forall(!_.nullable))
+    val seg = snap.segments.head
+    assert(seg.id == "10")
+    assert(seg.start == Instant.parse("2024-01-01T00:00:00Z"))
+    assert(seg.end.isEmpty)
+    assert(seg.file.contains("base.parquet"))
+    val d = seg.delta.head
+    assert(d.file == "delta1.parquet")
+    assert(d.start == Instant.parse("2024-02-01T00:00:00Z"))
+    assert(d.end == Instant.parse("2024-04-01T00:00:00Z"))
+  }
+
+  test("parses reference financials snapshot: deep tree") {
+    val snap = SnapshotCodec.parse(readRef("financials/s1.json"))
+    assert(snap.schema.columns.map(_.name) ==
+      Seq("industry", "revenue", "shares_diluted", "net_income"))
+    assert(snap.segments.length == 22) // years 2000..2021
+    val open = snap.segments.filter(_.end.isEmpty)
+    assert(open.map(_.id) == Seq("year_2021"))
+    // closed years carry 4 quarter children
+    val y2019 = snap.segments.find(_.id == "year_2019").get
+    assert(y2019.segments.length == 4)
+  }
+
+  test("round-trips semantically: parse(render(s)) == s") {
+    for (rel <- Seq("table0/s1.json", "table1/s1.json", "table2/s1.json",
+        "financials/s1.json")) {
+      val snap = SnapshotCodec.parse(readRef(rel))
+      assert(SnapshotCodec.parse(SnapshotCodec.render(snap)) == snap, s"in $rel")
+    }
+  }
+
+  test("timestamps render RFC3339 with milliseconds, optional fields omitted") {
+    val snap = Snapshot(
+      TableSchema(Seq(ColumnDef("value", ColumnType.AzString, nullable = false))),
+      Seq(Segment("10", Instant.parse("2024-01-01T00:00:00Z"), None,
+        Some("base.parquet"), Seq.empty, Seq.empty)))
+    val json = SnapshotCodec.render(snap)
+    assert(json.contains("\"2024-01-01T00:00:00.000Z\""))
+    assert(!json.contains("\"end\""))
+    assert(!json.contains(": null") && !json.contains(":null"))
+  }
+
+  test("accepts offset timestamps, normalizes to UTC") {
+    assert(SnapshotCodec.parseTimestamp("2024-01-01T02:00:00.000+02:00") ==
+      Instant.parse("2024-01-01T00:00:00Z"))
+  }
+}
