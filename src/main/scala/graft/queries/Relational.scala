@@ -1,0 +1,333 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational capability surface the reference exposes through
+  * DataFusion (SURVEY.md §2.2-2.3) — filters, projections, joins (inner/
+  * semi/anti/broadcast), aggregations, windows, set ops, rollup/cube,
+  * sorts/limits, scalar functions — expressed as Catalyst DataFrame plans
+  * over the driver corpus, each with a DuckDB oracle.
+  *
+  * Float-determinism convention: every SUM over a double column routes
+  * through an exact DECIMAL(18,4) accumulation and is cast to DOUBLE once
+  * at the end, so Spark and DuckDB produce bit-identical doubles
+  * regardless of partitioning/addition order. Computed integers are cast
+  * to BIGINT on both sides.
+  */
+object Relational {
+  private val D = DecimalType(18, 4)
+  // Final downcast before surfacing as double: the accumulated values all
+  // have <= 4 decimal digits, so DECIMAL(38,4) holds them exactly with a
+  // mantissa < 2^53 — both engines then perform ONE exact-operand IEEE
+  // division to double and agree bit-for-bit. (Casting a scale-8 decimal
+  // straight to double diverges: DuckDB double-rounds via int128/1e8.)
+  private val DOut = DecimalType(38, 4)
+  /** Exact decimal sum of a double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast(DOut).cast("double")
+  /** Exact revenue-style sum: Σ price·(1-disc), decimal-exact. */
+  private def revSum(price: Column, disc: Column): Column =
+    sum(price.cast(D) * (lit(1) - disc).cast(D)).cast(DOut).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_groupby_agg" -> q01,
+    "q02_filter_project" -> q02,
+    "q03_join_topk" -> q03,
+    "q04_semi_join" -> q04,
+    "q05_multi_join_agg" -> q05,
+    "q06_selective_agg" -> q06,
+    "q07_window_rank" -> q07,
+    "q08_distinct_agg" -> q08,
+    "q09_set_ops" -> q09,
+    "q10_rollup" -> q10,
+    "q11_cube" -> q11,
+    "q12_anti_join" -> q12,
+    "q13_scalar_funcs" -> q13,
+    "q14_date_case_agg" -> q14,
+    "q15_events_tumbling" -> q15,
+    "q16_events_sessions" -> q16,
+    "q17_events_asof_latest" -> q17)
+
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        revSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        (sum(col("l_quantity").cast(D)).cast(DOut).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast(D)).cast(DOut).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = Tables(s, dir, "orders")
+    val l = Tables(s, dir, "lineitem")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val big = Tables(s, dir, "lineitem")
+      .where(col("l_quantity") >= 45).select("l_orderkey")
+    o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables(s, dir, "region")
+    val n = Tables(s, dir, "nation")
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val l = Tables(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 25)
+      .agg(sum(col("l_extendedprice").cast(D) * col("l_discount").cast(D))
+        .cast(DOut).cast("double").as("revenue"))
+
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+  }
+
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val rich = c.where(col("c_acctbal") > 500).select(col("c_custkey").as("k"))
+    val active = o.select(col("o_custkey").as("k"))
+    val finished = o.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    val poor = c.where(col("c_acctbal") < 0).select(col("c_custkey").as("k"))
+    rich.intersect(active).except(finished).union(poor).distinct()
+  }
+
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val big = Tables(s, dir, "orders").where(col("o_totalprice") > 300000)
+    c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_lonely"), dsum(col("c_acctbal")).as("bal"))
+  }
+
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      length(col("p_name")).cast("long").as("name_len"),
+      substring(col("p_name"), 1, 8).as("name_pfx"),
+      (col("p_size") % 7).cast("long").as("size_mod"),
+      abs(col("p_size") - 25).cast("long").as("size_dist"),
+      floor(col("p_retailprice")).cast("long").as("price_floor"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("o_totalprice") < 50000, "small")
+      .when(col("o_totalprice") < 150000, "mid")
+      .otherwise("big")
+    Tables(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+  }
+
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("total_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("prev").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev"))) > 1800000000L, 1L)
+          .otherwise(0L)).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(s, dir, "events")
+      .where(col("ts") <= expr("TIMESTAMP '2024-01-15 00:00:00'"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+  }
+
+  /** DuckDB equivalents. Column aliases match the Spark plans exactly;
+    * every double aggregate uses the same DECIMAL(18,4) accumulation.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(*) AS avg_qty,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(*) AS avg_price,
+         COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_quantity > 45""",
+    "q03_join_topk" ->
+      """SELECT l_orderkey, o_orderdate,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+         GROUP BY o_orderpriority""",
+    "q05_multi_join_agg" ->
+      """SELECT r_name, n_name,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       JOIN customer ON o_custkey = c_custkey
+                       JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q06_selective_agg" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25""",
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) WHERE rn <= 3""",
+    "q08_distinct_agg" ->
+      """SELECT c_mktsegment,
+         COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment""",
+    "q09_set_ops" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 500
+         INTERSECT SELECT o_custkey AS k FROM orders
+         EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+         UNION SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0""",
+    "q10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q11_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q12_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_lonely,
+         CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS bal
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         GROUP BY c_mktsegment""",
+    "q13_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         substr(p_name, 1, 8) AS name_pfx,
+         CAST(p_size % 7 AS BIGINT) AS size_mod,
+         CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+         CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+         concat(p_brand, '-', p_type) AS brand_type
+         FROM part""",
+    "q14_date_case_agg" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CASE WHEN o_totalprice < 50000 THEN 'small'
+              WHEN o_totalprice < 150000 THEN 'mid' ELSE 'big' END AS bucket,
+         COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2, 3""",
+    "q15_events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value,
+         MIN(value) AS min_value, MAX(value) AS max_value
+         FROM events GROUP BY 1, 2""",
+    "q16_events_sessions" ->
+      """SELECT user_id,
+         CAST(SUM(CASE WHEN prev IS NULL
+               OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+         COUNT(*) AS n_events
+         FROM (SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events) GROUP BY user_id""",
+    "q17_events_asof_latest" ->
+      """SELECT user_id, event_id, event_type, value, ts
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+         WHERE rn = 1""")
+}
