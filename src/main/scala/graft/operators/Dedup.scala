@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all expressed as
+  * shuffle-conscious DataFrame plans:
+  *
+  *  - exact: one hash-partitioned groupBy on a content fingerprint.
+  *  - MinHash+LSH: shingle → k minhashes → banded signatures →
+  *    per-band self-equi-join. The joins are hash joins on band
+  *    signatures (never an all-pairs product), which is the property
+  *    that survives a 100× scale-up.
+  *  - n-gram Jaccard: exact verification on the LSH candidate pairs only.
+  *  - SimHash: bit-majority signature via one groupBy over exploded
+  *    tokens.
+  *
+  * Hash functions are md5-based so any engine (and the DuckDB oracle)
+  * reproduces them byte-for-byte; a production deployment would swap in
+  * xxhash64 for speed without changing plan shapes.
+  */
+object Dedup {
+
+  /** Exact dedup: annotate each row with its duplicate group's canonical
+    * id and size via a window over the content fingerprint.
+    */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    df.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .select(col("doc_id"), col("canonical_id"), col("dup_count"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
+  /** Distinct word-3-gram shingles per document (docs with <3 words are
+    * dropped — they have no 3-gram).
+    */
+  def shingles(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val w = TextAnalysis.words(text)
+    df.select(id.as("doc_id"), w.as("_w"))
+      .where(size(col("_w")) >= 3)
+      .select(col("doc_id"), explode(
+        array_distinct(transform(sequence(lit(0), size(col("_w")) - 3),
+          i => concat_ws(" ", slice(col("_w"), i + 1, lit(3)))))).as("sh"))
+  }
+
+  /** k md5 minhashes per doc, banded `bandSize` hashes per band. Returns
+    * (doc_id, band_0..band_{k/bandSize-1}).
+    */
+  def minhashSignatures(sh: DataFrame, k: Int, bandSize: Int): DataFrame = {
+    val hashes = (0 until k).map(i =>
+      min(md5(concat(col("sh"), lit(s"#$i")))).as(s"h$i"))
+    val mh = sh.groupBy("doc_id").agg(hashes.head, hashes.tail: _*)
+    val bands = (0 until k / bandSize).map(b =>
+      concat((0 until bandSize).map(j => col(s"h${b * bandSize + j}")): _*)
+        .as(s"band_$b"))
+    mh.select(col("doc_id") +: bands: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band signature.
+    * One hash self-join per band, unioned and de-duplicated.
+    */
+  def lshCandidates(sig: DataFrame, nBands: Int): DataFrame = {
+    val perBand = (0 until nBands).map { b =>
+      val a = sig.select(col("doc_id").as("doc_a"), col(s"band_$b").as("bb"))
+      val c = sig.select(col("doc_id").as("doc_b"), col(s"band_$b").as("bb"))
+      a.join(c, Seq("bb")).where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }
+    perBand.reduce(_ unionAll _).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs, computed
+    * by joining the pairs against the shingle sets (shuffles scale with
+    * |candidates|·avg-shingles, not |docs|²).
+    */
+  def ngramJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .where(col("sh") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    cands
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** SimHash per-token ±1 contribution for bit `b`, as SQL that
+    * evaluates identically in Spark and DuckDB (md5 hex digit `b/4`,
+    * mask `8 >> b%4`).
+    */
+  def simhashTermSql(b: Int): String = {
+    val j = b / 4
+    val m = 8 >> (b % 4)
+    s"CASE WHEN ((instr('0123456789abcdef', substr(md5(w), ${j + 1}, 1)) - 1) & $m) > 0 THEN 1 ELSE -1 END"
+  }
+
+  /** 16-bit SimHash from the first 4 md5 hex digits of each distinct
+    * token: per bit, majority vote of +-1 contributions.
+    */
+  def simhash16(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val tokens = df
+      .select(id.as("doc_id"), explode(array_distinct(TextAnalysis.words(text))).as("w"))
+    val sums = (0 until 16).map(b => sum(expr(simhashTermSql(b))).as(s"s$b"))
+    val agg = tokens.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    agg.select(col("doc_id"),
+      concat((0 until 16).map(b =>
+        when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold within a
+    * blocking key (the label column here; a production pipeline blocks on
+    * LSH buckets from [[Similarity.signBuckets]] instead). The self-join
+    * is a hash join on the blocking key, never a full cross product.
+    */
+  def embeddingNearDups(
+      emb: DataFrame, id: String, vec: String, blockKey: String,
+      threshold: Double): DataFrame = {
+    val vd = transform(col(vec), x => x.cast("double"))
+    val e = emb.select(col(id).as("_id"), col(blockKey).as("_bk"), vd.as("_v"))
+      .withColumn("_norm", sqrt(aggregate(col("_v"), lit(0.0d),
+        (acc, x) => acc + x * x)))
+    val a = e.select(col("_id").as("vec_a"), col("_bk"),
+      col("_v").as("_va"), col("_norm").as("_na"))
+    val b = e.select(col("_id").as("vec_b"), col("_bk"),
+      col("_v").as("_vb"), col("_norm").as("_nb"))
+    a.join(b, Seq("_bk")).where(col("vec_a") < col("vec_b"))
+      .withColumn("_cos",
+        aggregate(zip_with(col("_va"), col("_vb"), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x) / (col("_na") * col("_nb")))
+      .where(col("_cos") >= threshold)
+      .select("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language-ID heuristics, document
+  * fingerprinting. All pure narrow transformations (no shuffle): they
+  * scale linearly with partitions, and every function is codegen'd
+  * `functions._` composition — no UDFs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Marker stopword sets per language for the n-gram/stopword langid
+    * heuristic. Tiny on purpose: langid on real corpora swaps in real
+    * frequency tables; the operator shape (set-intersection scoring +
+    * deterministic argmax) is what scales.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ein", "ist"),
+    "fr" -> Seq("le", "la", "et", "un", "est"),
+    "es" -> Seq("el", "y", "los", "un", "es"))
+
+  /** Token statistics: whitespace tokens plus a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenStats(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(
+      id,
+      size(words(text)).cast("long").as("n_words"),
+      length(text).cast("long").as("n_chars_m"),
+      regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+        .as("n_bpe_tokens"))
+
+  /** Quality signals: word counts, mean word length, stopword ratio,
+    * digit ratio, and a composite score. The score formula is plain
+    * double arithmetic in a fixed operation order.
+    */
+  def quality(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val w = words(text)
+    val nWords = size(w).cast("long")
+    val sumLen = aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("long")
+    val stop = size(array_intersect(w,
+      typedLit(langMarkers.flatMap(_._2).distinct))).cast("long")
+    val df2 = df.select(
+      id,
+      nWords.as("n_words"),
+      sumLen.as("sum_word_len"),
+      stop.as("n_stopwords"),
+      regexp_count(text, lit("[0-9]")).cast("long").as("n_digits"),
+      length(text).cast("long").as("n_chars_m"))
+    df2.withColumn("avg_word_len",
+        col("sum_word_len").cast("double") / col("n_words"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_words"))
+      .withColumn("digit_ratio",
+        col("n_digits").cast("double") / col("n_chars_m"))
+      .withColumn("quality_score",
+        least(col("avg_word_len") / lit(10.0), lit(1.0)) * lit(0.5) +
+          col("stopword_ratio") * lit(0.3) +
+          (lit(1.0) - col("digit_ratio")) * lit(0.2))
+  }
+
+  /** Stopword-set language scores + deterministic fixed-priority argmax. */
+  def langId(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val w = words(text)
+    val scored = langMarkers.foldLeft(df.select(id, w.as("_w"))) {
+      case (acc, (lang, markers)) =>
+        acc.withColumn(s"s_$lang",
+          size(array_intersect(col("_w"), typedLit(markers))).cast("long"))
+    }
+    val Seq(en, de, fr, es) = langMarkers.map { case (l, _) => col(s"s_$l") }
+    scored.withColumn("predicted",
+        when(en > 0 && en >= greatest(de, fr, es), "en")
+          .when(de > 0 && de >= greatest(fr, es), "de")
+          .when(fr > 0 && fr >= es, "fr")
+          .when(es > 0, "es")
+          .otherwise("unknown"))
+      .drop("_w")
+  }
+
+  /** Normalized-content fingerprint: md5 over lowercased,
+    * whitespace-collapsed, trimmed text.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators as driver-checkable queries:
+  * deduplication (exact / MinHash+LSH / n-gram Jaccard / SimHash /
+  * embedding-cosine), similarity search (brute-force top-k + sign-LSH
+  * buckets), text analysis, and the multimodal metadata stub — each with
+  * a DuckDB oracle reproducing the md5-based hashes byte-for-byte.
+  */
+object Pipeline {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> d01,
+    "d02_minhash_lsh" -> d02,
+    "d03_ngram_jaccard" -> d03,
+    "d04_simhash" -> d04,
+    "d05_embedding_neardup" -> d05,
+    "s01_ann_topk" -> s01,
+    "s02_ann_lsh_buckets" -> s02,
+    "t01_text_tokens" -> t01,
+    "t02_text_quality" -> t02,
+    "t03_text_langid" -> t03,
+    "t04_text_fingerprint" -> t04,
+    "m01_multimodal_meta" -> m01)
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
+
+  private def d01(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), col("text"), col("doc_id"))
+
+  private def d02(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(docs(s, dir), col("text"), col("doc_id"))
+    Dedup.lshCandidates(Dedup.minhashSignatures(sh, k = 8, bandSize = 2), 4)
+  }
+
+  private def d03(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(docs(s, dir), col("text"), col("doc_id"))
+    Dedup.ngramJaccard(d02(s, dir), sh)
+  }
+
+  private def d04(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(docs(s, dir), col("text"), col("doc_id"))
+
+  private def d05(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", "label", 0.4)
+
+  private def s01(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
+      col("vec_id") < 3, k = 10)
+      .withColumnRenamed("rank", "rnk")
+
+  private def s02(s: SparkSession, dir: String): DataFrame =
+    Similarity.signBuckets(emb(s, dir), "vec_id", "embedding", 8, 64)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+
+  private def t01(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(docs(s, dir), col("text"), col("doc_id"))
+
+  private def t02(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(docs(s, dir), col("text"), col("doc_id"))
+
+  private def t03(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir), col("text"), col("doc_id"))
+
+  private def t04(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  private def m01(s: SparkSession, dir: String): DataFrame =
+    Multimodal.documentMedia(s, docs(s, dir))
+
+  // ---------------------------------------------------------------- SQL
+
+  private val wordsSql = """string_split_regex(lower(text), '\s+')"""
+
+  /** Shared CTE prefix: distinct word-3-gram shingles per doc. */
+  private val shinglesCte =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        u AS (SELECT DISTINCT doc_id, sh FROM
+          (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+             i -> array_to_string(ws[i:i+2], ' '))) AS sh
+           FROM w WHERE len(ws) >= 3)),"""
+
+  private val minhashCtes =
+    s"""$shinglesCte
+        mh AS (SELECT doc_id,
+          ${(0 until 8).map(i => s"min(md5(sh||'#$i')) AS h$i").mkString(", ")}
+          FROM u GROUP BY doc_id),
+        b AS (SELECT doc_id, ${(0 until 4).map(i =>
+            s"h${2 * i}||h${2 * i + 1} AS b$i").mkString(", ")} FROM mh),
+        cand AS (${(0 until 4).map(i =>
+            s"""SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+                FROM b a JOIN b c ON a.b$i = c.b$i AND a.doc_id < c.doc_id""")
+          .mkString(" UNION ")})"""
+
+  private val fingerprintSql =
+    """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))))"""
+
+  private def simhashTermSql(b: Int): String = Dedup.simhashTermSql(b)
+
+  /** Sign-LSH plane direction list for plane p, as DuckDB SQL — must
+    * reproduce [[Similarity.planeDirections]] exactly.
+    */
+  private def planeSql(p: Int): String =
+    s"""list_transform(range(0, 64), j -> CASE WHEN
+        instr('0123456789abcdef',
+          substr(md5('plane#$p#' || CAST(j // 32 AS VARCHAR)), CAST(j % 32 AS INT) + 1, 1)) - 1 < 8
+        THEN -1.0 ELSE 1.0 END)"""
+
+  private def stopListSql: String =
+    TextAnalysis.langMarkers.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def markerListSql(lang: String): String =
+    TextAnalysis.langMarkers.toMap.apply(lang).map(w => s"'$w'")
+      .mkString("[", ",", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      s"""SELECT doc_id, canonical_id, dup_count, doc_id <> canonical_id AS is_dup
+          FROM (SELECT doc_id,
+                  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+                  count(*) OVER (PARTITION BY fp) AS dup_count
+                FROM (SELECT doc_id, $fingerprintSql AS fp FROM documents))""",
+    "d02_minhash_lsh" ->
+      s"""$minhashCtes SELECT doc_a, doc_b FROM cand""",
+    "d03_ngram_jaccard" ->
+      s"""$minhashCtes,
+          sizes AS (SELECT doc_id, count(*) AS n FROM u GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                    FROM cand c
+                    JOIN u ua ON ua.doc_id = c.doc_a
+                    JOIN u ub ON ub.doc_id = c.doc_b AND ua.sh = ub.sh
+                    GROUP BY c.doc_a, c.doc_b)
+          SELECT c.doc_a, c.doc_b,
+            CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard
+          FROM cand c
+          LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN sizes sa ON sa.doc_id = c.doc_a
+          JOIN sizes sb ON sb.doc_id = c.doc_b""",
+    "d04_simhash" ->
+      s"""WITH t AS (SELECT DISTINCT doc_id, w FROM
+            (SELECT doc_id, unnest($wordsSql) AS w FROM documents)),
+          a AS (SELECT doc_id,
+            ${(0 until 16).map(b => s"SUM(${simhashTermSql(b)}) AS s$b").mkString(", ")}
+            FROM t GROUP BY doc_id)
+          SELECT doc_id, ${(0 until 16).map(b =>
+            s"(CASE WHEN s$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
+          FROM a""",
+    "d05_embedding_neardup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a", "b")} >= 0.4""",
+    "s01_ann_topk" ->
+      s"""SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM
+            (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rn
+             FROM embeddings q JOIN embeddings c
+               ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
+          WHERE rn <= 10""",
+    "s02_ann_lsh_buckets" ->
+      s"""SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec FROM
+            (SELECT vec_id, ${(0 until 8).map(p =>
+              s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN '1' ELSE '0' END)")
+              .mkString(" || ")} AS bucket
+             FROM embeddings)
+          GROUP BY bucket""",
+    "t01_text_tokens" ->
+      s"""SELECT doc_id,
+          CAST(len($wordsSql) AS BIGINT) AS n_words,
+          CAST(length(text) AS BIGINT) AS n_chars_m,
+          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+          FROM documents""",
+    "t02_text_quality" ->
+      s"""SELECT doc_id, n_words, sum_word_len, n_stopwords, n_digits, n_chars_m,
+            CAST(sum_word_len AS DOUBLE) / n_words AS avg_word_len,
+            CAST(n_stopwords AS DOUBLE) / n_words AS stopword_ratio,
+            CAST(n_digits AS DOUBLE) / n_chars_m AS digit_ratio,
+            LEAST(CAST(sum_word_len AS DOUBLE) / n_words / 10.0, 1.0) * 0.5
+              + CAST(n_stopwords AS DOUBLE) / n_words * 0.3
+              + (1.0 - CAST(n_digits AS DOUBLE) / n_chars_m) * 0.2 AS quality_score
+          FROM (SELECT doc_id,
+                  CAST(len(ws) AS BIGINT) AS n_words,
+                  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_word_len,
+                  CAST(len(list_intersect(ws, $stopListSql)) AS BIGINT) AS n_stopwords,
+                  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                  CAST(length(text) AS BIGINT) AS n_chars_m
+                FROM (SELECT doc_id, text, $wordsSql AS ws FROM documents))""",
+    "t03_text_langid" ->
+      s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
+            CASE WHEN s_en > 0 AND s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de > 0 AND s_de >= GREATEST(s_fr, s_es) THEN 'de'
+                 WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                 WHEN s_es > 0 THEN 'es'
+                 ELSE 'unknown' END AS predicted
+          FROM (SELECT doc_id,
+                  ${TextAnalysis.langMarkers.map { case (l, _) =>
+                    s"CAST(len(list_intersect(ws, ${markerListSql(l)})) AS BIGINT) AS s_$l"
+                  }.mkString(", ")}
+                FROM (SELECT doc_id, $wordsSql AS ws FROM documents))""",
+    "t04_text_fingerprint" ->
+      s"""SELECT doc_id, $fingerprintSql AS fp FROM documents""",
+    "m01_multimodal_meta" ->
+      s"""SELECT doc_id, octets,
+            64 + octets % 576 AS width,
+            64 + (octets * 7) % 448 AS height,
+            1 + first % 8 AS n_frames,
+            (octets * 31 + first) % 997 AS checksum
+          FROM (SELECT doc_id,
+                  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS octets,
+                  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first
+                FROM documents)""")
+}
