@@ -60,16 +60,26 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing at least one band signature.
-    * One hash self-join per band, unioned and de-duplicated.
+    * Bands unpivot to (band_idx, band_val) rows, ONE shuffle groups each
+    * bucket's doc ids, and pairs are emitted per bucket — the expensive
+    * shingle→minhash pipeline executes exactly once (a self-join would
+    * run it once per side). LSH buckets are tiny by construction, so the
+    * per-bucket pair expansion is bounded; a pathological bucket (e.g.
+    * thousands of identical docs) should be exact-deduped first.
     */
   def lshCandidates(sig: DataFrame, nBands: Int): DataFrame = {
-    val perBand = (0 until nBands).map { b =>
-      val a = sig.select(col("doc_id").as("doc_a"), col(s"band_$b").as("bb"))
-      val c = sig.select(col("doc_id").as("doc_b"), col(s"band_$b").as("bb"))
-      a.join(c, Seq("bb")).where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-    }
-    perBand.reduce(_ unionAll _).distinct()
+    val unpivoted = sig.select(col("doc_id"), posexplode(
+      array((0 until nBands).map(b => col(s"band_$b")): _*)))
+      .toDF("doc_id", "bidx", "bval")
+    val buckets = unpivoted.groupBy("bidx", "bval")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    buckets.select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            y => struct(element_at(col("ids"), i + 1).as("doc_a"),
+              y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs, computed
@@ -93,14 +103,15 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
-  /** SimHash per-token ±1 contribution for bit `b`, as SQL that
-    * evaluates identically in Spark and DuckDB (md5 hex digit `b/4`,
-    * mask `8 >> b%4`).
+  /** SimHash per-token ±1 contribution for bit `b` over a precomputed
+    * md5-hex column `h`, as SQL that evaluates identically in Spark and
+    * DuckDB (hex digit `b/4`, mask `8 >> b%4`). The md5 is hoisted into
+    * `h` so it is computed once per token, not once per bit.
     */
   def simhashTermSql(b: Int): String = {
     val j = b / 4
     val m = 8 >> (b % 4)
-    s"CASE WHEN ((instr('0123456789abcdef', substr(md5(w), ${j + 1}, 1)) - 1) & $m) > 0 THEN 1 ELSE -1 END"
+    s"CASE WHEN ((instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) & $m) > 0 THEN 1 ELSE -1 END"
   }
 
   /** 16-bit SimHash from the first 4 md5 hex digits of each distinct
@@ -109,6 +120,7 @@ object Dedup {
   def simhash16(df: DataFrame, text: Column, id: Column): DataFrame = {
     val tokens = df
       .select(id.as("doc_id"), explode(array_distinct(TextAnalysis.words(text))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
     val sums = (0 until 16).map(b => sum(expr(simhashTermSql(b))).as(s"s$b"))
     val agg = tokens.groupBy("doc_id").agg(sums.head, sums.tail: _*)
     agg.select(col("doc_id"),

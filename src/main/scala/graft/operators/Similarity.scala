@@ -69,15 +69,44 @@ object Similarity {
     }
   }
 
-  /** Sign-LSH bucket id (a string of nPlanes 0/1 chars) per vector. */
+  /** Sign-LSH bucket id (a string of nPlanes 0/1 chars) per vector.
+    *
+    * The per-vector kernel runs as a typed `mapPartitions` JVM loop
+    * rather than Catalyst expressions: a dense ±-sum over 64 floats × 8
+    * planes is pure numeric work where HOF expressions pay per-element
+    * interpreted-lambda overhead and a fully unrolled expression tree
+    * pays seconds of codegen compilation. The operator stays narrow (no
+    * shuffle) and partition-parallel, so it scales with the table. The
+    * accumulation order (ascending dimension, double accumulator) matches
+    * the DuckDB oracle's list_dot_product.
+    */
   def signBuckets(
       emb: DataFrame, id: String, vec: String,
       nPlanes: Int, dims: Int): DataFrame = {
-    val dirs = planeDirections(nPlanes, dims)
-    val vd = asDouble(col(vec))
-    val bits = (0 until nPlanes).map { p =>
-      when(dot(vd, typedlit(dirs(p))) > 0, "1").otherwise("0")
-    }
-    emb.select(col(id).as("vec_id"), concat(bits: _*).as("bucket"))
+    val dirs = planeDirections(nPlanes, dims).map(_.toArray).toArray
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (vid, v) =>
+          val chars = new Array[Char](dirs.length)
+          var p = 0
+          while (p < dirs.length) {
+            val dir = dirs(p)
+            var acc = 0.0
+            var j = 0
+            while (j < dir.length) {
+              val x = v(j).toDouble
+              acc += (if (dir(j) < 0) -x else x)
+              j += 1
+            }
+            chars(p) = if (acc > 0) '1' else '0'
+            p += 1
+          }
+          (vid, new String(chars))
+        }
+      }
+      .toDF("vec_id", "bucket")
   }
 }

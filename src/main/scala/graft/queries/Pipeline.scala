@@ -153,9 +153,10 @@ object Pipeline {
     "d04_simhash" ->
       s"""WITH t AS (SELECT DISTINCT doc_id, w FROM
             (SELECT doc_id, unnest($wordsSql) AS w FROM documents)),
+          th AS (SELECT doc_id, md5(w) AS h FROM t),
           a AS (SELECT doc_id,
             ${(0 until 16).map(b => s"SUM(${simhashTermSql(b)}) AS s$b").mkString(", ")}
-            FROM t GROUP BY doc_id)
+            FROM th GROUP BY doc_id)
           SELECT doc_id, ${(0 until 16).map(b =>
             s"(CASE WHEN s$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
           FROM a""",

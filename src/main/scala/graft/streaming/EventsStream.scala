@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table — the streaming
+  * counterpart the reference lists as unimplemented roadmap ("Streaming
+  * in scan", reference: README.md:158-159), expressed the Spark way:
+  * `readStream` file source → event-time watermark → windowed
+  * aggregation / streaming dedup → any sink. The same transforms run in
+  * batch mode, which is how the tests pin stream-equals-batch semantics.
+  */
+object EventsStream {
+
+  /** Physical schema of events.parquet with nanos-as-long (Spark's
+    * parquet reader rejects TIMESTAMP(NANOS) otherwise; values are
+    * µs-aligned so the conversion to TimestampType is exact).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Stream of events from a directory of parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize(spark.readStream.schema(rawSchema).parquet(dir))
+  }
+
+  /** Batch twin of [[readEvents]] for stream-equals-batch assertions. */
+  def readEventsBatch(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize(spark.read.schema(rawSchema).parquet(dir))
+  }
+
+  /** Tumbling event-time window aggregation with a watermark: per
+    * (window, event_type) counts and an exact decimal value sum. Works
+    * identically on streaming and batch inputs.
+    */
+  def tumblingAgg(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(38, 4))
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming exact dedup on event identity within the watermark
+    * horizon — the streaming arm of the dedup family.
+    */
+  def dedupStream(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+}
