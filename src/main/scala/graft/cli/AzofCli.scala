@@ -19,6 +19,11 @@ import org.apache.spark.sql.SparkSession
   *   commit-base  --path L --table T --source <csv>
   *   commit-delta --path L --table T --source <csv> --start <ts> --end <ts>
   *
+  * and full SQL with native time travel over the lakehouse (the
+  * reference's ExecutionContext::sql, crates/azof-datafusion/src/context.rs:26-47):
+  *
+  *   sql --path L --query "SELECT ... FROM azof.tbl TIMESTAMP AS OF '...' ..."
+  *
   * `scan` prints the table as of the given event time (appending
   * sub-second/UTC like the reference, main.rs:106-119); `gen` converts a
   * headerless CSV to a parquet data file per the table's declared schema.
@@ -38,6 +43,7 @@ object AzofCli {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("azof-cli")
+      .withExtensions(new graft.plans.AzofExtensions)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -80,6 +86,9 @@ object AzofCli {
         graft.sources.AzofWriter.commitDelta(spark, opts("path"), opts("table"),
           df, Instant.parse(opts("start")), Instant.parse(opts("end")))
         println(s"committed delta; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+      case "sql" =>
+        spark.conf.set("spark.azof.path", opts("path"))
+        spark.sql(opts("query")).show(numRows = 1000, truncate = false)
       case other =>
         System.err.println(s"unknown command: $other")
         sys.exit(2)

@@ -1,0 +1,94 @@
+package graft.plans
+
+import graft.format.{AsOf, AzofTable}
+import graft.operators.AzofScan
+import java.time.Instant
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.TimestampType
+
+/** Native Spark SQL surface for azof tables — the Catalyst counterpart of
+  * the reference's DataFusion `AT(...)` / `FOR SYSTEM_TIME AS OF` dialect
+  * rewrite (reference: crates/azof-datafusion/src/parse.rs:17-118,
+  * context.rs:26-47). Register via
+  * `spark.sql.extensions=graft.plans.AzofExtensions` (or
+  * `.withExtensions`), point `spark.azof.path` at a lakehouse root, and:
+  *
+  *   SELECT ... FROM azof.financials TIMESTAMP AS OF '2019-01-17T00:00:00Z'
+  *   SELECT ... FROM azof.tbl VERSION AS OF 2     -- snapshot id
+  *   SELECT ... FROM azof.tbl                     -- current
+  *
+  * Where the reference mutates the sqlparser AST and registers one
+  * provider per (table, asOf) pair, here Spark's parser already yields
+  * `RelationTimeTravel`/`UnresolvedRelation` nodes and a resolution rule
+  * swaps in the analyzed as-of scan plan, so the full Catalyst optimizer
+  * (pushdown, join planning, AQE) composes above it untouched.
+  */
+class AzofExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectResolutionRule(session => AzofSqlRule(session))
+    ()
+  }
+}
+
+final case class AzofSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val catalogName = "azof"
+
+  private def lakehousePath: Option[String] =
+    spark.conf.getOption("spark.azof.path")
+
+  private def azofTableName(u: UnresolvedRelation): Option[(String, String)] =
+    (u.multipartIdentifier, lakehousePath) match {
+      case (Seq(c, t), Some(root)) if c.equalsIgnoreCase(catalogName) =>
+        Some((root, t))
+      case _ => None
+    }
+
+  private def exists(root: String, table: String): Boolean = {
+    val dir = new Path(new Path(root, table), "version.txt")
+    dir.getFileSystem(spark.sessionState.newHadoopConf()).exists(dir)
+  }
+
+  /** Evaluate the (foldable) time-travel timestamp to an Instant, in the
+    * session time zone — mirrors Spark's own time-travel spec handling.
+    */
+  private def toInstant(e: Expression): Option[Instant] =
+    if (!e.foldable) None
+    else Option(Cast(e, TimestampType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+      .map(micros => Instant.ofEpochSecond(
+        Math.floorDiv(micros.asInstanceOf[Long], 1000000L),
+        Math.floorMod(micros.asInstanceOf[Long], 1000000L) * 1000L))
+
+  private def scanPlan(root: String, table: String, asOf: AsOf): LogicalPlan =
+    AzofScan.scan(spark, root, table, asOf).queryExecution.analyzed
+
+  private def snapshotPlan(root: String, table: String, version: String): LogicalPlan = {
+    val t = AzofTable(spark, root, table)
+    AzofScan.scanSnapshot(spark, t, t.snapshot(version), AsOf.Current)
+      .queryExecution.analyzed
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case RelationTimeTravel(u: UnresolvedRelation, Some(ts), None) if {
+        azofTableName(u).exists { case (r, t) => exists(r, t) } &&
+          toInstant(ts).isDefined } =>
+      val (root, table) = azofTableName(u).get
+      scanPlan(root, table, AsOf.EventTime(toInstant(ts).get))
+
+    case RelationTimeTravel(u: UnresolvedRelation, None, Some(version)) if
+        azofTableName(u).exists { case (r, t) => exists(r, t) } =>
+      val (root, table) = azofTableName(u).get
+      snapshotPlan(root, table, version)
+
+    case u: UnresolvedRelation if
+        azofTableName(u).exists { case (r, t) => exists(r, t) } =>
+      val (root, table) = azofTableName(u).get
+      scanPlan(root, table, AsOf.Current)
+  }
+}

@@ -8,6 +8,9 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // harmless without spark.azof.path; lets any suite exercise SQL
+      // time travel on the one shared session
+      .withExtensions(new graft.plans.AzofExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
