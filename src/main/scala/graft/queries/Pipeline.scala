@@ -19,6 +19,8 @@ object Pipeline {
     "d03_ngram_jaccard" -> d03,
     "d04_simhash" -> d04,
     "d05_embedding_neardup" -> d05,
+    "d06_simhash_near_pairs" -> d06,
+    "x01_approx_distinct" -> x01,
     "s01_ann_topk" -> s01,
     "s02_ann_lsh_buckets" -> s02,
     "t01_text_tokens" -> t01,
@@ -48,6 +50,33 @@ object Pipeline {
 
   private def d05(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", "label", 0.4)
+
+  /** Simhash near-duplicate pairs: block on the signature's first 8 bits,
+    * then filter by Hamming distance via the native codegen expression
+    * [[graft.functions.HammingDistance]].
+    */
+  private def d06(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HammingDistance.register(s)
+    val sig = d04(s, dir)
+    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      substring(col("simhash"), 1, 8).as("pfx"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      substring(col("simhash"), 1, 8).as("pfx"))
+    a.join(b, Seq("pfx")).where(col("doc_a") < col("doc_b"))
+      .withColumn("dist", expr("hamming(sig_a, sig_b)"))
+      .where(col("dist") <= 3)
+      .select("doc_a", "doc_b", "dist")
+  }
+
+  /** Approximate distinct (HyperLogLog++ sketch) next to the exact count.
+    * No oracle: sketch estimates are implementation-specific, so the
+    * driver records the weaker rows-only check by design.
+    */
+  private def x01(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
 
   private def s01(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
@@ -109,6 +138,20 @@ object Pipeline {
 
   private def simhashTermSql(b: Int): String = Dedup.simhashTermSql(b)
 
+  /** Shared CTE chain ending in `sig(doc_id, simhash)` — the SQL twin of
+    * [[Dedup.simhash16]].
+    */
+  private val simhashCtes =
+    s"""WITH t AS (SELECT DISTINCT doc_id, w FROM
+          (SELECT doc_id, unnest($wordsSql) AS w FROM documents)),
+        th AS (SELECT doc_id, md5(w) AS h FROM t),
+        a AS (SELECT doc_id,
+          ${(0 until 16).map(b => s"SUM(${simhashTermSql(b)}) AS s$b").mkString(", ")}
+          FROM th GROUP BY doc_id),
+        sig AS (SELECT doc_id, ${(0 until 16).map(b =>
+          s"(CASE WHEN s$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
+          FROM a)"""
+
   /** Sign-LSH plane direction list for plane p, as DuckDB SQL — must
     * reproduce [[Similarity.planeDirections]] exactly.
     */
@@ -151,15 +194,15 @@ object Pipeline {
           JOIN sizes sa ON sa.doc_id = c.doc_a
           JOIN sizes sb ON sb.doc_id = c.doc_b""",
     "d04_simhash" ->
-      s"""WITH t AS (SELECT DISTINCT doc_id, w FROM
-            (SELECT doc_id, unnest($wordsSql) AS w FROM documents)),
-          th AS (SELECT doc_id, md5(w) AS h FROM t),
-          a AS (SELECT doc_id,
-            ${(0 until 16).map(b => s"SUM(${simhashTermSql(b)}) AS s$b").mkString(", ")}
-            FROM th GROUP BY doc_id)
-          SELECT doc_id, ${(0 until 16).map(b =>
-            s"(CASE WHEN s$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
-          FROM a""",
+      s"""$simhashCtes SELECT doc_id, simhash FROM sig""",
+    "d06_simhash_near_pairs" ->
+      s"""$simhashCtes
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+            CAST(hamming(x.simhash, y.simhash) AS BIGINT) AS dist
+          FROM sig x JOIN sig y
+            ON substr(x.simhash, 1, 8) = substr(y.simhash, 1, 8)
+           AND x.doc_id < y.doc_id
+          WHERE hamming(x.simhash, y.simhash) <= 3""",
     "d05_embedding_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
           FROM embeddings a JOIN embeddings b

@@ -49,7 +49,10 @@ object Relational {
     "q14_date_case_agg" -> q14,
     "q15_events_tumbling" -> q15,
     "q16_events_sessions" -> q16,
-    "q17_events_asof_latest" -> q17)
+    "q17_events_asof_latest" -> q17,
+    "q19_json_extract" -> q19,
+    "q20_string_funcs" -> q20,
+    "q21_math_funcs" -> q21)
 
   private def q01(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
@@ -217,6 +220,38 @@ object Relational {
       .select("user_id", "event_id", "event_type", "value", "ts")
   }
 
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+        max(col("k")).as("max_k"), min(col("k")).as("min_k"))
+
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part").select(
+      col("p_partkey"),
+      expr("replace(p_name, ' ', '_')").as("name_u"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+      translate(col("p_brand"), "#", "-").as("brand_t"),
+      expr("split_part(p_brand, '#', 2)").as("brand_num_s"),
+      regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+      levenshtein(col("p_type"), lit("ECONOMY")).cast("long").as("lev"),
+      reverse(col("p_name")).as("name_rev"),
+      expr("left(p_name, 3)").as("pfx3"))
+
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part").select(
+      col("p_partkey"),
+      sqrt(col("p_retailprice")).as("sqrt_price"),
+      ceil(col("p_retailprice")).cast("long").as("ceil_price"),
+      floor(col("p_retailprice")).cast("long").as("floor_price"),
+      signum(col("p_size") - 25).cast("long").as("size_sign"),
+      expr("mod(p_partkey, 7)").cast("long").as("key_mod"),
+      greatest(col("p_size"), lit(10)).cast("long").as("size_hi"),
+      least(col("p_size"), lit(40)).cast("long").as("size_lo"),
+      (col("p_size") * col("p_size")).cast("long").as("size_sq"))
+
   /** DuckDB equivalents. Column aliases match the Spark plans exactly;
     * every double aggregate uses the same DECIMAL(18,4) accumulation.
     */
@@ -329,5 +364,32 @@ object Relational {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS rn
                FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
-         WHERE rn = 1""")
+         WHERE rn = 1""",
+    "q19_json_extract" ->
+      """SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n,
+         MAX(k) AS max_k, MIN(k) AS min_k
+         FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+         GROUP BY event_type""",
+    "q20_string_funcs" ->
+      """SELECT p_partkey,
+         replace(p_name, ' ', '_') AS name_u,
+         lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+         translate(p_brand, '#', '-') AS brand_t,
+         split_part(p_brand, '#', 2) AS brand_num_s,
+         regexp_extract(p_brand, '[0-9]+') AS brand_num,
+         CAST(levenshtein(p_type, 'ECONOMY') AS BIGINT) AS lev,
+         reverse(p_name) AS name_rev,
+         left(p_name, 3) AS pfx3
+         FROM part""",
+    "q21_math_funcs" ->
+      """SELECT p_partkey,
+         sqrt(p_retailprice) AS sqrt_price,
+         CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+         CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+         CAST(sign(p_size - 25) AS BIGINT) AS size_sign,
+         CAST(mod(p_partkey, 7) AS BIGINT) AS key_mod,
+         CAST(greatest(p_size, 10) AS BIGINT) AS size_hi,
+         CAST(least(p_size, 40) AS BIGINT) AS size_lo,
+         CAST(p_size * p_size AS BIGINT) AS size_sq
+         FROM part""")
 }
