@@ -86,6 +86,16 @@ object AzofCli {
         graft.sources.AzofWriter.commitDelta(spark, opts("path"), opts("table"),
           df, Instant.parse(opts("start")), Instant.parse(opts("end")))
         println(s"committed delta; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+      case "compact" =>
+        graft.sources.AzofWriter.compact(spark, opts("path"), opts("table"),
+          Instant.parse(opts("at")))
+        println(s"compacted; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+      case "changes" =>
+        graft.sources.AzofChangeFeed.between(spark, opts("path"), opts("table"),
+          opts("from").toLong,
+          opts.get("to").map(_.toLong).getOrElse(
+            AzofTable(spark, opts("path"), opts("table")).currentVersion.toLong))
+          .show(numRows = 1000, truncate = false)
       case "sql" =>
         spark.conf.set("spark.azof.path", opts("path"))
         spark.sql(opts("query")).show(numRows = 1000, truncate = false)

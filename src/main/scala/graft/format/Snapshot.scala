@@ -60,7 +60,23 @@ final case class Segment(
   * *all* root segments unconditionally — only child segments are
   * range-filtered; a root segment out of range simply contributes no base
   * file (its deltas with `start <= asOf` still would).
+  *
+  * `op` is this engine's extension: the operation that produced the
+  * snapshot ("create" | "commit-base" | "commit-delta" | "compact"),
+  * used by the change feed to tell data-adding commits from rewrites.
+  * Serialized as an extra JSON field, which the reference's serde parser
+  * ignores (no deny_unknown_fields) — format compatibility holds.
   */
-final case class Snapshot(schema: TableSchema, segments: Seq[Segment]) {
+final case class Snapshot(
+    schema: TableSchema,
+    segments: Seq[Segment],
+    op: Option[String] = None) {
   def dataFiles(asOf: AsOf): Seq[String] = segments.flatMap(_.dataFiles(asOf))
+
+  /** Every data file referenced anywhere in the tree. */
+  def allFiles: Set[String] = {
+    def walk(s: Segment): Seq[String] =
+      s.file.toSeq ++ s.delta.map(_.file) ++ s.segments.flatMap(walk)
+    segments.flatMap(walk).toSet
+  }
 }

@@ -31,7 +31,7 @@ object SnapshotCodec {
     val root = mapper.readTree(json)
     val schema = parseSchema(root.get("schema"))
     val segments = arr(root.get("segments")).map(parseSegment)
-    Snapshot(schema, segments)
+    Snapshot(schema, segments, optText(root, "op"))
   }
 
   private def arr(n: JsonNode): Seq[JsonNode] =
@@ -75,6 +75,7 @@ object SnapshotCodec {
     }
     val segs = root.putArray("segments")
     s.segments.foreach(seg => renderSegment(segs.addObject(), seg))
+    s.op.foreach(o => root.put("op", o))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 

@@ -83,7 +83,8 @@ object AzofWriter {
       segmentStart: Instant): Unit = {
     val dir = new Path(lakehousePath, name).toString
     val snap = Snapshot(schema,
-      Seq(Segment("1", segmentStart, None, None, Seq.empty, Seq.empty)))
+      Seq(Segment("1", segmentStart, None, None, Seq.empty, Seq.empty)),
+      op = Some("create"))
     writeSnapshot(spark, dir, "1", snap)
     writeVersion(spark, dir, "1")
   }
@@ -99,7 +100,7 @@ object AzofWriter {
     commit(spark, lakehousePath, name) { (nextId, snap) =>
       val fileName = s"base_s$nextId.parquet"
       val segs = mapOpenRoot(snap.segments)(s => s.copy(file = Some(fileName)))
-      (fileName, snap.copy(segments = segs))
+      (fileName, snap.copy(segments = segs, op = Some("commit-base")))
     } (df)
 
   /** Commit `df` as a delta file `[start, end]` on the open root segment:
@@ -116,8 +117,66 @@ object AzofWriter {
       val fileName = s"delta_s$nextId.parquet"
       val segs = mapOpenRoot(snap.segments)(s =>
         s.copy(delta = s.delta :+ Delta(fileName, start, end)))
-      (fileName, snap.copy(segments = segs))
+      (fileName, snap.copy(segments = segs, op = Some("commit-delta")))
     } (df)
+
+  /** Compaction — the reference's unchecked "Compaction" roadmap item.
+    *
+    * Closes the open root segment at `at` and opens a fresh segment whose
+    * base file is the merged state (latest version ≤ `at` per key,
+    * produced by the production as-of scan). Afterwards a `Current` scan
+    * reads ONE base file instead of base+N deltas, while every
+    * historical as-of still resolves through the (now closed) segment's
+    * original files.
+    *
+    * Subtlety honored from the reference's pruning semantics
+    * (crates/azof/src/metadata.rs:48-73): root segments are walked
+    * unconditionally and root-level deltas pass only an `is_before`
+    * check, so a closed segment that *kept* its deltas at root level
+    * would leak them into `Current` scans forever. The closed state is
+    * therefore wrapped as a range-checked CHILD segment (the convention
+    * the reference's financials tree follows: deltas live in closed
+    * leaves, never on closed roots).
+    */
+  def compact(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      at: Instant): Unit = {
+    val table = AzofTable(spark, lakehousePath, name)
+    val cur = table.currentVersion
+    val nextId = (cur.toLong + 1).toString
+    val snap = table.currentSnapshot
+    val openIdx = snap.segments.indexWhere(_.end.isEmpty)
+    require(openIdx >= 0, "table has no open segment to compact")
+    val open = snap.segments(openIdx)
+    require(at.isAfter(open.start), s"compaction point $at must be after segment start ${open.start}")
+
+    // merged state as of `at`, via the production scan path
+    val merged = graft.operators.AzofScan.scanSnapshot(
+      spark, table, snap, graft.format.AsOf.EventTime(at))
+    val baseFile = s"base_s$nextId.parquet"
+    val dir = table.tableDir.toString
+    writeDataFile(spark, merged.select(snap.schema.allColumnNames.map(col): _*),
+      dir, baseFile)
+
+    val closedEnd = at.minusMillis(1)
+    val closedRoot = Segment(
+      id = s"${open.id}_closed",
+      start = open.start,
+      end = Some(closedEnd),
+      file = None,
+      segments = Seq(open.copy(end = Some(closedEnd))),
+      delta = Seq.empty)
+    val newOpen = Segment(
+      id = nextId, start = at, end = None,
+      file = Some(baseFile), segments = Seq.empty, delta = Seq.empty)
+    val newSnap = snap.copy(
+      segments = snap.segments.updated(openIdx, closedRoot) :+ newOpen,
+      op = Some("compact"))
+    writeSnapshot(spark, dir, nextId, newSnap)
+    writeVersion(spark, dir, nextId)
+  }
 
   private def mapOpenRoot(segments: Seq[Segment])(f: Segment => Segment): Seq[Segment] = {
     val openIdx = segments.indexWhere(_.end.isEmpty)

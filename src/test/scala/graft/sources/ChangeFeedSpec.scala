@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format._
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChangeFeedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = TableSchema(Seq(
+    ColumnDef("value", ColumnType.AzString, nullable = false)))
+
+  private def df(rows: (String, String, String)*) = {
+    val data = rows.map { case (k, t, v) =>
+      Row(k, Timestamp.from(Instant.parse(t)), v)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq), schema.toStruct)
+  }
+
+  private def ts(s: String) = Instant.parse(s)
+
+  test("change feed returns per-commit rows and skips compaction rewrites") {
+    val lake = Files.createTempDirectory("azof-cdf").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    AzofWriter.compact(spark, lake, "t", ts("2024-03-01T00:00:00Z")) // v4
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("1", "2024-03-05T00:00:00Z", "a2")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v5
+
+    val feed = AzofChangeFeed.since(spark, lake, "t", 1L)
+      .select("key", "value", "_commit_version")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    // v4 (compact) contributes nothing even though it added a base file
+    assert(feed == Seq(("1", "a1", 2L), ("2", "b1", 3L), ("1", "a2", 5L)))
+
+    val window = AzofChangeFeed.between(spark, lake, "t", 2L, 3L)
+    assert(window.count() == 1)
+
+    val empty = AzofChangeFeed.between(spark, lake, "t", 3L, 4L)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("_commit_version"))
+  }
+}
