@@ -86,6 +86,11 @@ object AzofCli {
         graft.sources.AzofWriter.commitDelta(spark, opts("path"), opts("table"),
           df, Instant.parse(opts("start")), Instant.parse(opts("end")))
         println(s"committed delta; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+      case "add-column" =>
+        val Array(n, t) = opts("column").split(":")
+        graft.sources.AzofWriter.addColumn(spark, opts("path"), opts("table"),
+          ColumnDef(n, ColumnType.fromJsonName(t), nullable = true))
+        println(s"added column $n; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
       case "compact" =>
         graft.sources.AzofWriter.compact(spark, opts("path"), opts("table"),
           Instant.parse(opts("at")))

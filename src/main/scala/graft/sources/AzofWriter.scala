@@ -178,6 +178,36 @@ object AzofWriter {
     writeVersion(spark, dir, nextId)
   }
 
+  /** Schema evolution — the reference's unchecked "Schema evolution"
+    * roadmap item: append a value column to the declared schema in a new
+    * snapshot (metadata-only commit; no data files touched). The column
+    * must be nullable: files written before this snapshot simply lack it,
+    * and the scan's explicit read schema makes Spark's parquet reader
+    * surface NULL for the missing column — exactly the
+    * columns-absent-are-null convention other lakehouse formats use.
+    */
+  def addColumn(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      column: ColumnDef): Unit = {
+    require(column.nullable,
+      s"added column '${column.name}' must be nullable: existing data files do not contain it")
+    val table = AzofTable(spark, lakehousePath, name)
+    val cur = table.currentVersion
+    val nextId = (cur.toLong + 1).toString
+    val snap = table.currentSnapshot
+    require(!snap.schema.columns.exists(_.name == column.name) &&
+      !Seq(TableSchema.KeyName, TableSchema.EventTimeName).contains(column.name),
+      s"column '${column.name}' already exists")
+    val newSnap = snap.copy(
+      schema = TableSchema(snap.schema.columns :+ column),
+      op = Some("add-column"))
+    val dir = table.tableDir.toString
+    writeSnapshot(spark, dir, nextId, newSnap)
+    writeVersion(spark, dir, nextId)
+  }
+
   private def mapOpenRoot(segments: Seq[Segment])(f: Segment => Segment): Seq[Segment] = {
     val openIdx = segments.indexWhere(_.end.isEmpty)
     require(openIdx >= 0, "table has no open segment to commit into")
