@@ -78,8 +78,17 @@ object Relational {
     val c = Tables(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
     val o = Tables(s, dir, "orders")
     val l = Tables(s, dir, "lineitem")
-    c.join(o, col("c_custkey") === col("o_custkey"))
-      .join(l, col("o_orderkey") === col("l_orderkey"))
+    // Build side must be the filtered customer⋈orders result, never the
+    // lineitem fact table: statically its 3-column pruned scan estimate
+    // fits under autoBroadcastJoinThreshold at bench SF, and Catalyst
+    // would broadcast it — a plan that OOMs once lineitem outgrows the
+    // driver. shuffle_hash on the co side pins SHJ-build-on-dimension;
+    // lineitem streams, partitioned by orderkey, and the downstream
+    // groupBy(l_orderkey, …) reuses that partitioning (no extra shuffle).
+    val co = c.join(o, col("c_custkey") === col("o_custkey"))
+      .select("o_orderkey", "o_orderdate")
+      .hint("shuffle_hash")
+    l.join(co, col("o_orderkey") === col("l_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
