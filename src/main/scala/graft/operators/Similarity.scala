@@ -51,6 +51,61 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path next to [[bruteForceTopK]]:
+    *
+    *  1. centroids: a deterministic sample of the data itself
+    *    (`centroidFilter`), small enough to broadcast;
+    *  2. assignment: every vector joins the broadcast centroid set and
+    *    keeps its best centroid — a narrow, partition-parallel map over
+    *    the table (cost N·C, no shuffle of the vectors);
+    *  3. probe: each query ranks the same broadcast centroid set and
+    *    keeps `nprobe` lists;
+    *  4. search: a hash join on centroid id restricts exact cosine
+    *    re-ranking to the probed inverted lists — the only shuffle in the
+    *    plan, and it scales with |queries|·avg-list-size, not N².
+    *
+    * Ties (equal cosine) break toward the lower id at every step, so the
+    * result is engine-portable. Output: (query_id, neighbor_id, rnk).
+    */
+  def ivfTopK(
+      emb: DataFrame, id: String, vec: String,
+      centroidFilter: Column, queryFilter: Column,
+      nprobe: Int, k: Int): DataFrame = {
+    val e = emb.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
+      .withColumn("_n", l2norm(col("_v")))
+    val cents = broadcast(e.where(centroidFilter.as("_cf"))
+      .select(col("_id").as("_cid"), col("_v").as("_cv"), col("_n").as("_cn")))
+    val wAssign = Window.partitionBy(col("_id"))
+      .orderBy(col("_cos").desc, col("_cid"))
+    val assign = e.join(cents)
+      .withColumn("_cos", dot(col("_v"), col("_cv")) / (col("_n") * col("_cn")))
+      .withColumn("_rn", row_number().over(wAssign))
+      .where(col("_rn") === 1)
+      .select(col("_id").as("_cand_id"), col("_cid").as("_acid"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("_cid"))
+    val probe = e.where(queryFilter.as("_qf"))
+      .select(col("_id").as("query_id"), col("_v").as("_qv"), col("_n").as("_qn"))
+      .join(cents)
+      .withColumn("_cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      .withColumn("_rn", row_number().over(wProbe))
+      .where(col("_rn") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_cid"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    probe.join(assign, col("_acid") === col("_cid") &&
+        col("_cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("_qv"), col("_qn"),
+        col("_cand_id").as("neighbor_id"))
+      .join(e.select(col("_id").as("neighbor_id"), col("_v").as("_cv2"),
+        col("_n").as("_cn2")), Seq("neighbor_id"))
+      .withColumn("_cos", dot(col("_qv"), col("_cv2")) / (col("_qn") * col("_cn2")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** Deterministic random-hyperplane directions: plane `p`, dimension `j`
     * takes -1.0 or +1.0 from hex digit `j mod 32` of
     * md5("plane#p#{j/32}"). Reproducible in any engine with md5.

@@ -23,6 +23,7 @@ object Pipeline {
     "x01_approx_distinct" -> x01,
     "s01_ann_topk" -> s01,
     "s02_ann_lsh_buckets" -> s02,
+    "s03_ann_ivf" -> s03,
     "t01_text_tokens" -> t01,
     "t02_text_quality" -> t02,
     "t03_text_langid" -> t03,
@@ -87,6 +88,14 @@ object Pipeline {
     Similarity.signBuckets(emb(s, dir), "vec_id", "embedding", 8, 64)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+
+  /** IVF top-k with the same queries/k as the s01 brute-force baseline, so
+    * recall is directly comparable. Centroids: every 37th vector (≈N/37
+    * lists, broadcastable); nprobe=3.
+    */
+  private def s03(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
+      col("vec_id") % 37 === 0, col("vec_id") < 3, nprobe = 3, k = 10)
 
   private def t01(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir), col("text"), col("doc_id"))
@@ -215,6 +224,29 @@ object Pipeline {
                  ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rn
              FROM embeddings q JOIN embeddings c
                ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
+          WHERE rn <= 10""",
+    "s03_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                     FROM embeddings),
+          cents AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id % 37 = 0),
+          assign AS (SELECT vec_id, cid FROM
+            (SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+          probe AS (SELECT query_id, cid FROM
+            (SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${cosSql("q", "c")} DESC, c.cid) AS rn
+             FROM e q CROSS JOIN cents c WHERE q.vec_id < 3) WHERE rn <= 3)
+          SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM
+            (SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY ${cosSql("q", "c")} DESC, a.vec_id) AS rn
+             FROM probe p
+             JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+             JOIN e q ON q.vec_id = p.query_id
+             JOIN e c ON c.vec_id = a.vec_id)
           WHERE rn <= 10""",
     "s02_ann_lsh_buckets" ->
       s"""SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec FROM

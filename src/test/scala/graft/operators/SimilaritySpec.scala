@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the ANN operators: IVF must search only the probed
+  * inverted lists, and brute force must rank by exact cosine.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Two well-separated clusters: ids 0-4 near e1, ids 5-9 near e2.
+    * Small per-id jitter keeps cosines distinct so ranks are stable.
+    */
+  private lazy val emb = (0 until 10).map { i =>
+    val base = if (i < 5) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+    base(2) = 0.01f * i  // deterministic jitter, preserves cluster order
+    (i.toLong, base)
+  }.toDF("vec_id", "embedding")
+
+  test("ivfTopK searches only the probed inverted lists") {
+    // centroids 0 (cluster A) and 5 (cluster B); query 1 probes 1 list
+    val res = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 5 === 0, col("vec_id") === 1, nprobe = 1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.map(_._1).toSet == Set(1L))
+    // cluster B (ids 5-9) must be invisible at nprobe=1
+    assert(res.map(_._2).toSet == Set(0L, 2L, 3L, 4L))
+    assert(res.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("ivfTopK with nprobe covering all lists matches brute force") {
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 5 === 0, col("vec_id") === 1, nprobe = 2, k = 10)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") === 1, k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ivf.toSeq == bf.toSeq)
+  }
+
+  test("bruteForceTopK ranks the query's own cluster first") {
+    val res = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") === 7, k = 4)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(res.toSet == Set(5L, 6L, 8L, 9L))
+  }
+}
