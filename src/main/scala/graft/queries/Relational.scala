@@ -52,7 +52,8 @@ object Relational {
     "q17_events_asof_latest" -> q17,
     "q19_json_extract" -> q19,
     "q20_string_funcs" -> q20,
-    "q21_math_funcs" -> q21)
+    "q21_math_funcs" -> q21,
+    "q22_array_map_funcs" -> q22)
 
   private def q01(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
@@ -261,6 +262,31 @@ object Relational {
       least(col("p_size"), lit(40)).cast("long").as("size_lo"),
       (col("p_size") * col("p_size")).cast("long").as("size_sq"))
 
+  /** Array + map scalar functions over the embedding column, surfaced as
+    * scalars so the oracle comparison is type-stable. All arithmetic on
+    * lossless float→double casts; the head_sum accumulates in declared
+    * (ascending-index) order in both engines.
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("_v"))
+      .withColumn("_m", map(
+        lit("max"), array_max(col("_v")), lit("min"), array_min(col("_v"))))
+      .select(
+        col("vec_id"),
+        size(col("_v")).cast("long").as("n_dims"),
+        array_max(col("_v")).as("vmax"),
+        array_min(col("_v")).as("vmin"),
+        element_at(col("_v"), 1).as("first_val"),
+        aggregate(slice(col("_v"), 1, 8), lit(0.0d), (a, x) => a + x)
+          .as("head_sum"),
+        expr("CAST(array_position(_v, array_max(_v)) AS BIGINT)").as("argmax1"),
+        size(filter(col("_v"), x => x > 0)).cast("long").as("n_pos"),
+        (element_at(col("_m"), lit("max")) - element_at(col("_m"), lit("min")))
+          .as("spread"),
+        size(map_keys(col("_m"))).cast("long").as("n_keys"))
+
   /** DuckDB equivalents. Column aliases match the Spark plans exactly;
     * every double aggregate uses the same DECIMAL(18,4) accumulation.
     */
@@ -400,5 +426,17 @@ object Relational {
          CAST(greatest(p_size, 10) AS BIGINT) AS size_hi,
          CAST(least(p_size, 40) AS BIGINT) AS size_lo,
          CAST(p_size * p_size AS BIGINT) AS size_sq
-         FROM part""")
+         FROM part""",
+    "q22_array_map_funcs" ->
+      """SELECT vec_id,
+         CAST(len(v) AS BIGINT) AS n_dims,
+         list_max(v) AS vmax,
+         list_min(v) AS vmin,
+         v[1] AS first_val,
+         v[1]+v[2]+v[3]+v[4]+v[5]+v[6]+v[7]+v[8] AS head_sum,
+         CAST(list_position(v, list_max(v)) AS BIGINT) AS argmax1,
+         CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+         list_max(v) - list_min(v) AS spread,
+         CAST(2 AS BIGINT) AS n_keys
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""")
 }
