@@ -53,7 +53,8 @@ object Relational {
     "q19_json_extract" -> q19,
     "q20_string_funcs" -> q20,
     "q21_math_funcs" -> q21,
-    "q22_array_map_funcs" -> q22)
+    "q22_array_map_funcs" -> q22,
+    "q23_asof_join" -> q23)
 
   private def q01(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
@@ -287,6 +288,25 @@ object Relational {
           .as("spread"),
         size(map_keys(col("_m"))).cast("long").as("n_keys"))
 
+  /** As-of join: each purchase picks up the id and value of the same
+    * user's most recent click at-or-before the purchase timestamp (null
+    * if the user never clicked before buying).
+    */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("purchase_value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOfJoin.leftAsOf(
+        purchases, clicks, key = "user_id", ts = "ts",
+        tieBreak = "event_id", payload = Seq("event_id", "value"))
+      .withColumnRenamed("event_id", "purchase_id")
+      .withColumnRenamed("asof_event_id", "click_id")
+      .withColumnRenamed("asof_value", "click_value")
+  }
+
   /** DuckDB equivalents. Column aliases match the Spark plans exactly;
     * every double aggregate uses the same DECIMAL(18,4) accumulation.
     */
@@ -438,5 +458,25 @@ object Relational {
          CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
          list_max(v) - list_min(v) AS spread,
          CAST(2 AS BIGINT) AS n_keys
-         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""")
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+    "q23_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id AS tie, 1 AS side,
+                  event_id, value AS purchase_value,
+                  NULL::BIGINT AS c_id, NULL::DOUBLE AS c_val
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, event_id AS tie, 0 AS side,
+                  NULL, NULL, event_id, value
+           FROM events WHERE event_type = 'click'),
+         w AS (
+           SELECT *,
+             last_value(c_id IGNORE NULLS) OVER win AS click_id,
+             last_value(c_val IGNORE NULLS) OVER win AS click_value
+           FROM u
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, ts, event_id AS purchase_id, purchase_value,
+                click_id, click_value
+         FROM w WHERE side = 1""")
 }
