@@ -54,7 +54,9 @@ object Relational {
     "q20_string_funcs" -> q20,
     "q21_math_funcs" -> q21,
     "q22_array_map_funcs" -> q22,
-    "q23_asof_join" -> q23)
+    "q23_asof_join" -> q23,
+    "q24_pivot" -> q24,
+    "q25_percentiles" -> q25)
 
   private def q01(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
@@ -307,6 +309,32 @@ object Relational {
       .withColumnRenamed("asof_value", "click_value")
   }
 
+  /** Pivot: order counts and totals per priority, spread across the three
+    * order statuses as columns. Explicit pivot values keep the plan a
+    * single pass (no distinct-values pre-query) — the form that scales.
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      // empty pivot cells: count is 0 (as in SQL FILTER), sum stays null
+      .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+
+  /** Exact percentiles (interpolating, QUANTILE_CONT semantics). Exact on
+    * integer-valued l_quantity: lo + (hi-lo)·f is representable for
+    * f ∈ {.25,.5,.75}, so Spark and DuckDB agree bit-for-bit.
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("percentile(l_quantity, 0.75)").as("p75_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"))
+
   /** DuckDB equivalents. Column aliases match the Spark plans exactly;
     * every double aggregate uses the same DECIMAL(18,4) accumulation.
     */
@@ -478,5 +506,22 @@ object Relational {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT user_id, ts, event_id AS purchase_id, purchase_value,
                 click_id, click_value
-         FROM w WHERE side = 1""")
+         FROM w WHERE side = 1""",
+    "q24_pivot" ->
+      """SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(38,4)) AS DOUBLE) AS F_total,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'O') AS DECIMAL(38,4)) AS DOUBLE) AS O_total,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P_n,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'P') AS DECIMAL(38,4)) AS DOUBLE) AS P_total
+         FROM orders GROUP BY o_orderpriority""",
+    "q25_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS p25_qty,
+         quantile_cont(l_quantity, 0.5) AS med_qty,
+         quantile_cont(l_quantity, 0.75) AS p75_qty,
+         MAX(l_quantity) AS max_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag""")
 }
