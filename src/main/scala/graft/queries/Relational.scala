@@ -56,7 +56,9 @@ object Relational {
     "q22_array_map_funcs" -> q22,
     "q23_asof_join" -> q23,
     "q24_pivot" -> q24,
-    "q25_percentiles" -> q25)
+    "q25_percentiles" -> q25,
+    "q26_salted_agg" -> q26,
+    "q27_grouping_sets" -> q27)
 
   private def q01(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
@@ -335,6 +337,36 @@ object Relational {
         max(col("l_quantity")).as("max_qty"),
         count(lit(1)).as("n"))
 
+  /** Salted two-phase aggregation over event_type — a 5-value key is the
+    * canonical aggregation-skew shape (every row funnels into 5 reducers
+    * no matter how wide the cluster). The salt splits each hot group 16
+    * ways; the result is identical to a plain groupBy, which is exactly
+    * what the oracle checks. Decimal partials keep the merge exact.
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    graft.operators.Skew.saltedSumCount(
+        ev, "event_type", col("value").cast(D), "value",
+        graft.operators.Skew.saltFrom(16, col("event_id")))
+      .withColumn("sum_value", col("sum_value").cast(DOut).cast("double"))
+  }
+
+  /** GROUPING SETS with grouping_id — the generalization of rollup/cube
+    * (q10/q11): per-returnflag totals, per-linestatus totals, and the
+    * grand total in one pass, disambiguated by the grouping bitmask.
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val view = s"lineitem_gs_${math.abs(dir.hashCode)}"
+    Tables(s, dir, "lineitem").createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+            CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+            COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
+          FROM $view
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+  }
+
   /** DuckDB equivalents. Column aliases match the Spark plans exactly;
     * every double aggregate uses the same DECIMAL(18,4) accumulation.
     */
@@ -523,5 +555,17 @@ object Relational {
          quantile_cont(l_quantity, 0.75) AS p75_qty,
          MAX(l_quantity) AS max_qty,
          COUNT(*) AS n
-         FROM lineitem GROUP BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag""",
+    "q26_salted_agg" ->
+      """SELECT event_type,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value,
+         COUNT(*) AS n
+         FROM events GROUP BY event_type""",
+    "q27_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
 }
