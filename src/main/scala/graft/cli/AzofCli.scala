@@ -101,6 +101,15 @@ object AzofCli {
           opts.get("to").map(_.toLong).getOrElse(
             AzofTable(spark, opts("path"), opts("table")).currentVersion.toLong))
           .show(numRows = 1000, truncate = false)
+      case "vacuum" =>
+        val rep = graft.sources.AzofVacuum.vacuum(spark, opts("path"),
+          opts("table"), opts.getOrElse("keep", "1").toInt,
+          dryRun = opts.get("dry-run").exists(_.toBoolean))
+        val verb = if (opts.get("dry-run").exists(_.toBoolean)) "would delete"
+          else "deleted"
+        println(s"$verb data files: ${rep.deletedDataFiles.mkString(", ")}")
+        println(s"$verb snapshots: ${rep.deletedSnapshots.map("s" + _).mkString(", ")}")
+        println(s"retained snapshots: ${rep.retainedSnapshots.map("s" + _).mkString(", ")}")
       case "sql" =>
         spark.conf.set("spark.azof.path", opts("path"))
         spark.sql(opts("query")).show(numRows = 1000, truncate = false)

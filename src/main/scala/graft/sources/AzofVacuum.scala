@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import graft.format.AzofTable
+
+/** VACUUM for azof tables: expire old snapshot documents and delete data
+  * files no retained snapshot references — the lakehouse maintenance
+  * operation (Delta-VACUUM analogue) the reference leaves unimplemented.
+  *
+  * azof nuance: a snapshot's segment tree carries the table's FULL
+  * history, so expiring old `s{N}.json` documents does NOT lose event-time
+  * travel — `TIMESTAMP AS OF` resolves entirely inside the current
+  * snapshot. What expires is `VERSION AS OF n` for dropped n. Data files
+  * become deletable only when no retained tree references them: orphans
+  * from crashed commits, and files superseded by rewrites whose
+  * referencing snapshots have all expired.
+  *
+  * All work is metadata + file listing on the driver — O(files in one
+  * table directory), no Spark job; safe at any table size because a
+  * table's file count is bounded by its commit history, not its rows.
+  */
+object AzofVacuum {
+
+  final case class Report(
+      deletedDataFiles: Seq[String],
+      deletedSnapshots: Seq[Int],
+      retainedSnapshots: Seq[Int])
+
+  /** @param keepLast how many trailing snapshot versions to retain
+    *                 (>=1; the current version is always retained)
+    * @param dryRun   report what would be deleted without deleting
+    */
+  def vacuum(
+      spark: SparkSession, lakehousePath: String, table: String,
+      keepLast: Int, dryRun: Boolean = false): Report = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val tableDir = new Path(lakehousePath, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = tableDir.getFileSystem(conf)
+    val t = new AzofTable(tableDir, conf)
+    val current = t.currentVersion.toInt
+    val keepFrom = math.max(1, current - keepLast + 1)
+
+    val snapshotIds = fs.listStatus(tableDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("s") && s.endsWith(".json") =>
+        s.stripPrefix("s").stripSuffix(".json")
+      }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .sorted
+    // ids beyond version.txt are debris from a crashed commit (snapshot
+    // written, version bump lost) — expire them with the old ones
+    val (retained, expired) =
+      snapshotIds.partition(id => id >= keepFrom && id <= current)
+    require(retained.contains(current),
+      s"current snapshot s$current.json is missing")
+
+    val referenced = retained
+      .flatMap(id => t.snapshot(id.toString).allFiles)
+      .toSet
+    val dataFiles = fs.listStatus(tableDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+    val garbage = dataFiles.filterNot(referenced.contains)
+
+    if (!dryRun) {
+      garbage.foreach(f => fs.delete(new Path(tableDir, f), false))
+      expired.foreach(id => fs.delete(new Path(tableDir, s"s$id.json"), false))
+    }
+    Report(garbage.sorted, expired, retained)
+  }
+}
