@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   * then deltas newest-start-first, then base). A row filtered out by the
   * as-of predicate never claims its key (lakehouse.rs:64-68).
   *
-  * Spark plan shape: per-file parquet scans unioned with a literal
-  * `_prec` column (the pruned set is already the *minimal* file set for
-  * the as-of, so the union is small; each file still splits into
-  * parallel tasks), one hash shuffle on `key` for the window dedup, then
-  * projection. Filters/projections above this compose in Catalyst and
-  * push into the parquet scans.
+  * Spark plan shape: ONE parquet scan over the pruned file list — not a
+  * union of per-file scans, whose plan size would grow with the file
+  * count (a delta-heavy table can resolve to thousands of files) — with
+  * the merge precedence recovered per row by looking the file's basename
+  * up in a literal map over `input_file_name()`; then one hash shuffle
+  * on `key` for the window dedup, then projection. Filters/projections
+  * above this compose in Catalyst and push into the single scan node.
   */
 object AzofScan {
   private val Prec = "_azof_prec"
@@ -60,13 +61,31 @@ object AzofScan {
         schema.projectedStruct(projection))
     }
 
-    val reads = files.zipWithIndex.map { case (f, i) =>
+    // Basenames are unique within a flat table directory, so the file →
+    // precedence map keys on them; input_file_name() yields the full URI.
+    // Snapshots MAY name files in subdirectories with colliding basenames
+    // — then fall back to per-file reads (plan size grows with the file
+    // count, acceptable for the rare nested layout).
+    val paths = files.map(f =>
+      new org.apache.hadoop.fs.Path(table.tableDir, f).toString)
+    val basenames = files.map(f => new org.apache.hadoop.fs.Path(f).getName)
+    val unioned = if (basenames.distinct.size == basenames.size) {
+      val precEntries = basenames.zipWithIndex.flatMap { case (n, i) =>
+        Seq(lit(n), lit(i))
+      }
       spark.read
         .schema(schema.toStruct)
-        .parquet(new org.apache.hadoop.fs.Path(table.tableDir, f).toString)
-        .withColumn(Prec, lit(i))
+        .parquet(paths: _*)
+        .withColumn(Prec, element_at(
+          map(precEntries: _*),
+          regexp_extract(input_file_name(), "[^/]+$", 0)))
+    } else {
+      paths.zipWithIndex
+        .map { case (p, i) =>
+          spark.read.schema(schema.toStruct).parquet(p).withColumn(Prec, lit(i))
+        }
+        .reduce(_ unionAll _)
     }
-    val unioned = reads.reduce(_ unionAll _)
 
     val inRange = asOf match {
       case AsOf.Current => unioned
