@@ -101,6 +101,25 @@ object AzofCli {
           opts.get("to").map(_.toLong).getOrElse(
             AzofTable(spark, opts("path"), opts("table")).currentVersion.toLong))
           .show(numRows = 1000, truncate = false)
+      case "tail" =>
+        // one AvailableNow pass over the append feed: processes commits
+        // not yet seen by this checkpoint, prints them, exits. Re-running
+        // with the same --checkpoint continues where it left off.
+        val ckpt = opts.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory("azof-tail").toString)
+        // foreachBatch, not the memory sink: memory cannot recover from a
+        // checkpoint, and resumability is the point of --checkpoint
+        val q = graft.streaming.AzofStream.appends(spark, opts("path"), opts("table"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            println(s"batch $id: ${batch.count()} new rows")
+            batch.show(numRows = 1000, truncate = false)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        println(s"checkpoint: $ckpt")
       case "vacuum" =>
         val rep = graft.sources.AzofVacuum.vacuum(spark, opts("path"),
           opts("table"), opts.getOrElse("keep", "1").toInt,

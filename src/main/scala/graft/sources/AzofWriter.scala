@@ -155,7 +155,9 @@ object AzofWriter {
     // merged state as of `at`, via the production scan path
     val merged = graft.operators.AzofScan.scanSnapshot(
       spark, table, snap, graft.format.AsOf.EventTime(at))
-    val baseFile = s"base_s$nextId.parquet"
+    // distinct prefix: compaction REWRITES rows; the streaming append
+    // feed (AzofStream) tails only base_/delta_ commit files by name
+    val baseFile = s"compact_s$nextId.parquet"
     val dir = table.tableDir.toString
     writeDataFile(spark, merged.select(snap.schema.allColumnNames.map(col): _*),
       dir, baseFile)

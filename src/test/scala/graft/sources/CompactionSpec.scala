@@ -62,7 +62,7 @@ class CompactionSpec extends AnyFunSuite {
 
     // Current now resolves to exactly the one compacted base file
     val files = AzofTable(spark, lake, "t").currentSnapshot.dataFiles(AsOf.Current)
-    assert(files == Seq("base_s5.parquet"))
+    assert(files == Seq("compact_s5.parquet"))
     assert(AzofTable(spark, lake, "t").currentVersion == "5")
 
     // and the old version still resolves multiple files for history
