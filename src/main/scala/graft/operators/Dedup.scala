@@ -46,15 +46,49 @@ object Dedup {
           i => concat_ws(" ", slice(col("_w"), i + 1, lit(3)))))).as("sh"))
   }
 
-  /** k md5 minhashes per doc, banded `bandSize` hashes per band. Returns
-    * (doc_id, band_0..band_{k/bandSize-1}).
+  /** Minhash prime modulus (< 2^30, so a·x stays under 2^60 — inside
+    * int64 for DuckDB's overflow-checked arithmetic).
+    */
+  val MinhashP: Long = 999999937L
+
+  /** Fixed affine coefficients (a_i, b_i) for the universal-hash minhash
+    * family, derived deterministically from md5 so any engine can inline
+    * them as literals.
+    */
+  def minhashCoefs(k: Int): Seq[(Long, Long)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    (0 until k).map { i =>
+      val a = java.lang.Long.parseLong(md5hex(s"minhash-a#$i").take(14), 16)
+      val b = java.lang.Long.parseLong(md5hex(s"minhash-b#$i").take(14), 16)
+      (a % (MinhashP - 1) + 1, b % MinhashP)
+    }
+  }
+
+  /** Numeric base hash of a shingle: first 14 hex digits of md5 mod p.
+    * Engine-portable: `CAST('0x'||substr(md5(x),1,14) AS BIGINT) % p`.
+    */
+  private def baseHash(c: Column): Column =
+    pmod(conv(substring(md5(c), 1, 14), 16, 10).cast("long"), lit(MinhashP))
+
+  /** k minhashes per doc via the standard universal-hash construction
+    * `h_i = (a_i·x + b_i) mod p` over ONE md5 per shingle (the MLlib
+    * MinHashLSH scheme) — the per-i multiplies are permutations mod p, so
+    * minima are independent-enough across i, unlike `a + i·b` whose
+    * minima correlate and flood the bands with false positives. Banded
+    * `bandSize` hashes per band; returns (doc_id, band_0..band_{k/bs-1}).
     */
   def minhashSignatures(sh: DataFrame, k: Int, bandSize: Int): DataFrame = {
-    val hashes = (0 until k).map(i =>
-      min(md5(concat(col("sh"), lit(s"#$i")))).as(s"h$i"))
-    val mh = sh.groupBy("doc_id").agg(hashes.head, hashes.tail: _*)
+    val withX = sh.select(col("doc_id"), baseHash(col("sh")).as("_x"))
+    val hashes = minhashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("_x") + lit(b)) % lit(MinhashP)).as(s"h$i")
+    }
+    val mh = withX.groupBy("doc_id").agg(hashes.head, hashes.tail: _*)
     val bands = (0 until k / bandSize).map(b =>
-      concat((0 until bandSize).map(j => col(s"h${b * bandSize + j}")): _*)
+      concat_ws("|",
+        (0 until bandSize).map(j => col(s"h${b * bandSize + j}")): _*)
         .as(s"band_$b"))
     mh.select(col("doc_id") +: bands: _*)
   }

@@ -125,13 +125,21 @@ object Pipeline {
              i -> array_to_string(ws[i:i+2], ' '))) AS sh
            FROM w WHERE len(ws) >= 3)),"""
 
-  private val minhashCtes =
+  private val minhashCtes = {
+    val p = Dedup.MinhashP
+    val coefs = Dedup.minhashCoefs(8)
     s"""$shinglesCte
+        xh AS (SELECT doc_id,
+          CAST('0x' || substr(md5(sh), 1, 14) AS BIGINT) % $p AS x
+          FROM u),
         mh AS (SELECT doc_id,
-          ${(0 until 8).map(i => s"min(md5(sh||'#$i')) AS h$i").mkString(", ")}
-          FROM u GROUP BY doc_id),
+          ${coefs.zipWithIndex.map { case ((a, b), i) =>
+            s"min((${a} * x + ${b}) % $p) AS h$i" }.mkString(", ")}
+          FROM xh GROUP BY doc_id),"""
+  } +
+    s"""
         b AS (SELECT doc_id, ${(0 until 4).map(i =>
-            s"h${2 * i}||h${2 * i + 1} AS b$i").mkString(", ")} FROM mh),
+            s"h${2 * i}||'|'||h${2 * i + 1} AS b$i").mkString(", ")} FROM mh),
         cand AS (${(0 until 4).map(i =>
             s"""SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
                 FROM b a JOIN b c ON a.b$i = c.b$i AND a.doc_id < c.doc_id""")
