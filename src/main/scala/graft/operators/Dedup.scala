@@ -162,10 +162,50 @@ object Dedup {
         when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** Embedding near-duplicate pairs blocked on BANDED sign-LSH buckets —
+    * the production-scale variant of [[embeddingNearDups]]. An
+    * AND-over-all-planes block is too strict for moderate similarity, so
+    * the planes split into bands (OR-construction, same shape as minhash
+    * LSH): vectors colliding in ANY band become candidates, and exact
+    * cosine verifies them. Bucketing is a narrow map
+    * ([[Similarity.signBuckets]]); candidate generation is one shuffle on
+    * (band, sub-bucket); cosine runs only on candidates. Recall rises
+    * with band count at linear cost — never an all-pairs product.
+    */
+  def embeddingNearDupsLsh(
+      emb: DataFrame, id: String, vec: String,
+      nPlanes: Int, bandSize: Int, dims: Int, threshold: Double): DataFrame = {
+    require(nPlanes % bandSize == 0, "nPlanes must be a multiple of bandSize")
+    val nBands = nPlanes / bandSize
+    val buckets = Similarity.signBuckets(emb, id, vec, nPlanes, dims)
+    val bands = buckets.select(col("vec_id"), posexplode(
+        array((0 until nBands).map(b =>
+          substring(col("bucket"), b * bandSize + 1, bandSize)): _*)))
+      .toDF("vec_id", "bidx", "bval")
+    val cands = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val vd = Similarity.asDouble(col(vec))
+    val e = emb.select(col(id).cast("long").as("_id"), vd.as("_v"))
+      .withColumn("_n", Similarity.l2norm(col("_v")))
+    cands
+      .join(e.select(col("_id").as("vec_a"), col("_v").as("_va"),
+        col("_n").as("_na")), Seq("vec_a"))
+      .join(e.select(col("_id").as("vec_b"), col("_v").as("_vb"),
+        col("_n").as("_nb")), Seq("vec_b"))
+      .withColumn("_cos",
+        Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      .where(col("_cos") >= threshold)
+      .select("vec_a", "vec_b")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within a
-    * blocking key (the label column here; a production pipeline blocks on
-    * LSH buckets from [[Similarity.signBuckets]] instead). The self-join
-    * is a hash join on the blocking key, never a full cross product.
+    * blocking key (the label column here; [[embeddingNearDupsLsh]] blocks
+    * on LSH buckets for the production path). The self-join is a hash
+    * join on the blocking key, never a full cross product.
     */
   def embeddingNearDups(
       emb: DataFrame, id: String, vec: String, blockKey: String,

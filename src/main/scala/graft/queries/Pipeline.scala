@@ -20,6 +20,7 @@ object Pipeline {
     "d04_simhash" -> d04,
     "d05_embedding_neardup" -> d05,
     "d06_simhash_near_pairs" -> d06,
+    "d07_embedding_neardup_lsh" -> d07,
     "x01_approx_distinct" -> x01,
     "s01_ann_topk" -> s01,
     "s02_ann_lsh_buckets" -> s02,
@@ -68,6 +69,10 @@ object Pipeline {
       .where(col("dist") <= 3)
       .select("doc_a", "doc_b", "dist")
   }
+
+  private def d07(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsLsh(emb(s, dir), "vec_id", "embedding",
+      nPlanes = 8, bandSize = 4, dims = 64, threshold = 0.4)
 
   /** Approximate distinct (HyperLogLog++ sketch) next to the exact count.
     * No oracle: sketch estimates are implementation-specific, so the
@@ -220,6 +225,22 @@ object Pipeline {
             ON substr(x.simhash, 1, 8) = substr(y.simhash, 1, 8)
            AND x.doc_id < y.doc_id
           WHERE hamming(x.simhash, y.simhash) <= 3""",
+    "d07_embedding_neardup_lsh" ->
+      s"""WITH bk AS (SELECT vec_id, ${(0 until 8).map(p =>
+            s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN '1' ELSE '0' END)")
+            .mkString(" || ")} AS bucket
+          FROM embeddings),
+          bands AS (SELECT vec_id, bidx, substr(bucket, bidx * 4 + 1, 4) AS bval
+                    FROM bk, (SELECT unnest([0, 1]) AS bidx)),
+          cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                   FROM bands x JOIN bands y
+                     ON x.bidx = y.bidx AND x.bval = y.bval
+                    AND x.vec_id < y.vec_id)
+          SELECT c.vec_a, c.vec_b
+          FROM cand c
+          JOIN embeddings a ON a.vec_id = c.vec_a
+          JOIN embeddings b ON b.vec_id = c.vec_b
+          WHERE ${cosSql("a", "b")} >= 0.4""",
     "d05_embedding_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
           FROM embeddings a JOIN embeddings b
