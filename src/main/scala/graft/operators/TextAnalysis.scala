@@ -88,4 +88,24 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Rolling-hash parameters: polynomial base and a sub-2^30 prime so
+    * `acc·B + x` never exceeds int64 under DuckDB's checked arithmetic.
+    */
+  val RollP: Long = 999999937L
+  val RollB: Long = 100003L
+
+  /** Polynomial rolling-hash fingerprint over the token stream:
+    * `acc_i = (acc_{i-1}·B + h(w_i)) mod p` with `h` the portable
+    * 14-hex-digit md5 base hash. Token-order-sensitive (unlike set-based
+    * md5 fingerprints) and incrementally extendable, which is what makes
+    * rolling hashes the tool for shift-tolerant chunk fingerprinting. A
+    * narrow per-row fold — no shuffle.
+    */
+  def rollingFingerprint(tokens: Column): Column = {
+    val hashed = transform(tokens, w =>
+      pmod(conv(substring(md5(w), 1, 14), 16, 10).cast("long"), lit(RollP)))
+    aggregate(hashed, lit(0L),
+      (acc, x) => (acc * lit(RollB) + x) % lit(RollP))
+  }
 }

@@ -29,6 +29,7 @@ object Pipeline {
     "t02_text_quality" -> t02,
     "t03_text_langid" -> t03,
     "t04_text_fingerprint" -> t04,
+    "t05_rolling_fingerprint" -> t05,
     "m01_multimodal_meta" -> m01)
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
@@ -114,6 +115,16 @@ object Pipeline {
   private def t04(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  /** Order-sensitive rolling-hash fingerprints: whole document plus the
+    * first-16-token prefix (the chunk-fingerprint building block).
+    */
+  private def t05(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.rollingFingerprint(ws).as("rh"),
+      TextAnalysis.rollingFingerprint(slice(ws, 1, 16)).as("rh_prefix"))
+  }
 
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
@@ -319,6 +330,17 @@ object Pipeline {
                 FROM (SELECT doc_id, $wordsSql AS ws FROM documents))""",
     "t04_text_fingerprint" ->
       s"""SELECT doc_id, $fingerprintSql AS fp FROM documents""",
+    "t05_rolling_fingerprint" -> {
+      val p = graft.operators.TextAnalysis.RollP
+      val bb = graft.operators.TextAnalysis.RollB
+      def roll(listExpr: String) =
+        s"""CASE WHEN len($listExpr) = 0 THEN 0 ELSE list_reduce(
+            list_transform($listExpr,
+              w -> CAST('0x' || substr(md5(w), 1, 14) AS BIGINT) % $p),
+            (acc, x) -> (acc * $bb + x) % $p) END"""
+      s"""SELECT doc_id, ${roll("ws")} AS rh, ${roll("ws[1:16]")} AS rh_prefix
+          FROM (SELECT doc_id, $wordsSql AS ws FROM documents)"""
+    },
     "m01_multimodal_meta" ->
       s"""SELECT doc_id, octets,
             64 + octets % 576 AS width,
