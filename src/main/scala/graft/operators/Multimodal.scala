@@ -58,4 +58,41 @@ object Multimodal {
   def documentMedia(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(spark, docs.select(col("doc_id"),
       col("text").cast("binary").as("payload"))).toDF()
+
+  /** Sampled frame row: byte-range coordinates into the payload plus the
+    * extracted slice. A real video path replaces the slice arithmetic
+    * with codec seeks; the 1→N row-expansion shape, the binary column
+    * riding along, and the sampling predicate are the Spark-side contract.
+    */
+  final case class Frame(
+      doc_id: Long, frame_idx: Long, frame_off: Long, frame_len: Long,
+      frame_payload: Array[Byte])
+
+  /** Frame sampling over "video" payloads: each payload splits into its
+    * decoded frame count (STUB: [[fakeDecode]]'s n_frames), every
+    * `everyN`-th frame is kept, and the frame's byte range is sliced out.
+    * Narrow row expansion — no shuffle; downstream feature extraction
+    * (resize, embed) maps over `frame_payload` with the same
+    * `mapPartitions` shape as [[decodeMeta]].
+    */
+  def frameSample(
+      spark: SparkSession, payloads: DataFrame, everyN: Int): Dataset[Frame] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val meta = fakeDecode(id, bytes)
+          val flen = meta.octets / meta.n_frames
+          (0L until meta.n_frames).iterator
+            .filter(_ % everyN == 0)
+            .map { k =>
+              val off = k * flen
+              Frame(id, k, off, flen,
+                java.util.Arrays.copyOfRange(bytes, off.toInt,
+                  math.min(off + flen, meta.octets).toInt))
+            }
+        }
+      }
+  }
 }

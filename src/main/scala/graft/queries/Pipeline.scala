@@ -30,7 +30,8 @@ object Pipeline {
     "t03_text_langid" -> t03,
     "t04_text_fingerprint" -> t04,
     "t05_rolling_fingerprint" -> t05,
-    "m01_multimodal_meta" -> m01)
+    "m01_multimodal_meta" -> m01,
+    "m02_frame_sample" -> m02)
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
@@ -128,6 +129,17 @@ object Pipeline {
 
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
+
+  /** Every-2nd-frame sample; the binary frame slice stays inside the
+    * operator (binary columns don't hash-compare across engines), the
+    * byte-range coordinates are the checkable surface.
+    */
+  private def m02(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(s,
+        docs(s, dir).select(col("doc_id"),
+          col("text").cast("binary").as("payload")), everyN = 2)
+      .toDF()
+      .select("doc_id", "frame_idx", "frame_off", "frame_len")
 
   // ---------------------------------------------------------------- SQL
 
@@ -341,6 +353,18 @@ object Pipeline {
       s"""SELECT doc_id, ${roll("ws")} AS rh, ${roll("ws[1:16]")} AS rh_prefix
           FROM (SELECT doc_id, $wordsSql AS ws FROM documents)"""
     },
+    "m02_frame_sample" ->
+      s"""WITH meta AS (SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS octets,
+             1 + CAST(ascii(substr(text, 1, 1)) AS BIGINT) % 8 AS n_frames
+           FROM documents),
+          f AS (SELECT doc_id, octets, n_frames,
+             CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_idx
+           FROM meta)
+          SELECT doc_id, frame_idx,
+            (octets // n_frames) * frame_idx AS frame_off,
+            octets // n_frames AS frame_len
+          FROM f WHERE frame_idx % 2 = 0""",
     "m01_multimodal_meta" ->
       s"""SELECT doc_id, octets,
             64 + octets % 576 AS width,
