@@ -58,7 +58,8 @@ object Relational {
     "q24_pivot" -> q24,
     "q25_percentiles" -> q25,
     "q26_salted_agg" -> q26,
-    "q27_grouping_sets" -> q27)
+    "q27_grouping_sets" -> q27,
+    "q28_range_join" -> q28)
 
   private def q01(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
@@ -367,6 +368,38 @@ object Relational {
           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
   }
 
+  /** Range (band) join: clicks within ±15 min of each purchase by the
+    * same user. Naively this is an inequality join — Catalyst would plan
+    * a nested loop. The scalable shape is bucket-equi-join: quantize time
+    * into 30-min buckets, explode each purchase to its 3 candidate
+    * buckets (a bounded ×3 expansion), hash-join on (user, bucket), then
+    * apply the exact band predicate. Join cost becomes hash-join cost;
+    * the residual filter runs only on same-bucket-neighborhood pairs.
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val bucketLen = 1800000000L // 30 min in micros
+    val ev = Tables(s, dir, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pt"))
+      .withColumn("_b", explode(array(
+        (unix_micros_bucket(col("pt"), bucketLen) - 1),
+        unix_micros_bucket(col("pt"), bucketLen),
+        (unix_micros_bucket(col("pt"), bucketLen) + 1))))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ct"))
+      .withColumn("_b", unix_micros_bucket(col("ct"), bucketLen))
+    p.join(c, Seq("user_id", "_b"), "left")
+      .withColumn("_hit",
+        when(abs(col("pt") - col("ct")) <= 900000000L, 1L).otherwise(0L))
+      .groupBy("user_id", "purchase_id")
+      .agg(sum(col("_hit")).as("n_near_clicks"))
+      .na.fill(0L, Seq("n_near_clicks"))
+  }
+
+  private def unix_micros_bucket(us: Column, len: Long): Column =
+    floor(us / len).cast("long")
+
   /** DuckDB equivalents. Column aliases match the Spark plans exactly;
     * every double aggregate uses the same DECIMAL(18,4) accumulation.
     */
@@ -567,5 +600,13 @@ object Relational {
          COUNT(*) AS n,
          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
          FROM lineitem
-         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q28_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+         CAST(COALESCE(SUM(CASE WHEN abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 900000000
+                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_clicks
+         FROM events p
+         LEFT JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+         WHERE p.event_type = 'purchase'
+         GROUP BY 1, 2""")
 }
