@@ -191,15 +191,13 @@ object Dedup {
     val vd = Similarity.asDouble(col(vec))
     val e = emb.select(col(id).cast("long").as("_id"), vd.as("_v"))
       .withColumn("_n", Similarity.l2norm(col("_v")))
-    cands
-      .join(e.select(col("_id").as("vec_a"), col("_v").as("_va"),
-        col("_n").as("_na")), Seq("vec_a"))
-      .join(e.select(col("_id").as("vec_b"), col("_v").as("_vb"),
-        col("_n").as("_nb")), Seq("vec_b"))
-      .withColumn("_cos",
-        Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
-      .where(col("_cos") >= threshold)
-      .select("vec_a", "vec_b")
+    Similarity.cosineFilterPairs(
+      cands
+        .join(e.select(col("_id").as("vec_a"), col("_v").as("_va"),
+          col("_n").as("_na")), Seq("vec_a"))
+        .join(e.select(col("_id").as("vec_b"), col("_v").as("_vb"),
+          col("_n").as("_nb")), Seq("vec_b")),
+      threshold)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold within a
@@ -218,11 +216,8 @@ object Dedup {
       col("_v").as("_va"), col("_norm").as("_na"))
     val b = e.select(col("_id").as("vec_b"), col("_bk"),
       col("_v").as("_vb"), col("_norm").as("_nb"))
-    a.join(b, Seq("_bk")).where(col("vec_a") < col("vec_b"))
-      .withColumn("_cos",
-        aggregate(zip_with(col("_va"), col("_vb"), (x, y) => x * y),
-          lit(0.0d), (acc, x) => acc + x) / (col("_na") * col("_nb")))
-      .where(col("_cos") >= threshold)
-      .select("vec_a", "vec_b")
+    Similarity.cosineFilterPairs(
+      a.join(b, Seq("_bk")).where(col("vec_a") < col("vec_b")),
+      threshold)
   }
 }

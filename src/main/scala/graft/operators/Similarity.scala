@@ -29,6 +29,34 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
+  /** Filter candidate pairs by exact cosine >= threshold with a typed
+    * JVM kernel: the per-pair dense dot product is pure numeric work
+    * where HOF expressions (`zip_with` + `aggregate`) pay per-element
+    * interpreted-lambda overhead — the same finding as [[signBuckets]].
+    * Input columns: vec_a, vec_b, _va, _vb (double arrays), _na, _nb
+    * (norms). Ascending-index double accumulation matches the DuckDB
+    * oracle's list_dot_product exactly. Narrow — no shuffle.
+    */
+  def cosineFilterPairs(pairs: DataFrame, threshold: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .select(col("vec_a").cast("long"), col("vec_b").cast("long"),
+        col("_va"), col("_vb"), col("_na"), col("_nb"))
+      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (a, b, va, vb, na, nb) =>
+          var acc = 0.0
+          var j = 0
+          val n = va.length
+          while (j < n) { acc += va(j) * vb(j); j += 1 }
+          if (acc / (na * nb) >= threshold) Iterator.single((a, b))
+          else Iterator.empty
+        }
+      }
+      .toDF("vec_a", "vec_b")
+  }
+
   /** Brute-force cosine top-k of each query vector (small set, broadcast)
     * against all candidates. Output: (query_id, neighbor_id, rank).
     */
