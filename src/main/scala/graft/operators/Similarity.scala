@@ -100,17 +100,43 @@ object Similarity {
       emb: DataFrame, id: String, vec: String,
       centroidFilter: Column, queryFilter: Column,
       nprobe: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = emb.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
       .withColumn("_n", l2norm(col("_v")))
     val cents = broadcast(e.where(centroidFilter.as("_cf"))
       .select(col("_id").as("_cid"), col("_v").as("_cv"), col("_n").as("_cn")))
-    val wAssign = Window.partitionBy(col("_id"))
-      .orderBy(col("_cos").desc, col("_cid"))
-    val assign = e.join(cents)
-      .withColumn("_cos", dot(col("_v"), col("_cv")) / (col("_n") * col("_cn")))
-      .withColumn("_rn", row_number().over(wAssign))
-      .where(col("_rn") === 1)
-      .select(col("_id").as("_cand_id"), col("_cid").as("_acid"))
+    // Assignment as a typed kernel over broadcast centroids: a narrow
+    // N·C argmax with ZERO shuffle, instead of materializing N·C rows
+    // through a window sort. Ascending-cid iteration with strict-greater
+    // comparison reproduces the (cos DESC, cid ASC) tie rule exactly.
+    val centArr = cents
+      .select(col("_cid").cast("long"), col("_cv"), col("_cn"))
+      .as[(Long, Array[Double], Double)]
+      .collect()
+      .sortBy(_._1)
+    val centB = spark.sparkContext.broadcast(centArr)
+    val assign = e.select(col("_id").cast("long"), col("_v"), col("_n"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cs = centB.value
+        it.map { case (vid, v, n) =>
+          var bestCid = -1L
+          var bestCos = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val (cid, cv, cn) = cs(c)
+            var acc = 0.0
+            var j = 0
+            while (j < v.length) { acc += v(j) * cv(j); j += 1 }
+            val cos = acc / (n * cn)
+            if (cos > bestCos) { bestCos = cos; bestCid = cid }
+            c += 1
+          }
+          (vid, bestCid)
+        }
+      }
+      .toDF("_cand_id", "_acid")
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("_cid"))
     val probe = e.where(queryFilter.as("_qf"))
