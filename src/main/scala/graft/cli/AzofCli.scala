@@ -29,10 +29,23 @@ import org.apache.spark.sql.SparkSession
   * headerless CSV to a parquet data file per the table's declared schema.
   */
 object AzofCli {
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.drop(1).sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap
+  /** `--key value` pairs plus bare `--flag`s (mapped to "true"). A flag
+    * is any `--x` followed by another `--` option or end-of-args, so
+    * `vacuum --path L --table T --dry-run` parses as dry-run=true
+    * instead of silently dropping the flag.
+    */
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 1
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"expected --option, got '$a'")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        out += a.stripPrefix("--") -> args(i + 1); i += 2
+      } else { out += a.stripPrefix("--") -> "true"; i += 1 }
+    }
+    out.result()
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
@@ -123,7 +136,9 @@ object AzofCli {
       case "vacuum" =>
         val rep = graft.sources.AzofVacuum.vacuum(spark, opts("path"),
           opts("table"), opts.getOrElse("keep", "1").toInt,
-          dryRun = opts.get("dry-run").exists(_.toBoolean))
+          dryRun = opts.get("dry-run").exists(_.toBoolean),
+          minAgeMs = opts.getOrElse("min-age-hours", "1").toDouble
+            .*(3600000L).toLong)
         val verb = if (opts.get("dry-run").exists(_.toBoolean)) "would delete"
           else "deleted"
         println(s"$verb data files: ${rep.deletedDataFiles.mkString(", ")}")

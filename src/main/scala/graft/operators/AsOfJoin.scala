@@ -33,21 +33,29 @@ object AsOfJoin {
       key: String, ts: String, tieBreak: String,
       payload: Seq[String]): DataFrame = {
     val leftOther = left.columns.filterNot(Set(key, ts)).toSeq
+    // The payload travels as ONE struct so the window's last() picks a
+    // whole right ROW atomically. Per-column last(ignoreNulls) would
+    // stitch values from different rows whenever the most recent right
+    // row carries a NULL in one payload column.
+    val payloadType =
+      right.select(struct(payload.map(col): _*)).schema.head.dataType
     val l = left.select(
       Seq(col(key), col(ts), col(tieBreak).as("_tie"), lit(1).as("_side")) ++
-        leftOther.map(col) ++
-        payload.map(p => lit(null).as(s"asof_$p")): _*)
+        leftOther.map(col) :+
+        lit(null).cast(payloadType).as("_payload"): _*)
     val r = right.select(
       Seq(col(key), col(ts), col(tieBreak).as("_tie"), lit(0).as("_side")) ++
-        leftOther.map(c => lit(null).as(c)) ++
-        payload.map(p => col(p).as(s"asof_$p")): _*)
+        leftOther.map(c => lit(null).as(c)) :+
+        struct(payload.map(col): _*).as("_payload"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(s"asof_$p", last(col(s"asof_$p"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r, allowMissingColumns = false)
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .drop("_side", "_tie")
+    payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(s"asof_$p", col("_payload").getField(p))
+    }
+      .drop("_side", "_tie", "_payload")
   }
 }

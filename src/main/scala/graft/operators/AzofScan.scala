@@ -63,13 +63,19 @@ object AzofScan {
 
     // Basenames are unique within a flat table directory, so the file →
     // precedence map keys on them; input_file_name() yields the full URI.
-    // Snapshots MAY name files in subdirectories with colliding basenames
-    // — then fall back to per-file reads (plan size grows with the file
-    // count, acceptable for the rare nested layout).
+    // Snapshots MAY name files in subdirectories with colliding basenames,
+    // or with characters that URI-encoding rewrites (input_file_name
+    // would then disagree with the raw name and the lookup would return
+    // null — silently the HIGHEST precedence under nulls-first) — in
+    // either case fall back to per-file reads (plan size grows with the
+    // file count, acceptable for these rare layouts).
     val paths = files.map(f =>
       new org.apache.hadoop.fs.Path(table.tableDir, f).toString)
     val basenames = files.map(f => new org.apache.hadoop.fs.Path(f).getName)
-    val unioned = if (basenames.distinct.size == basenames.size) {
+    def uriSafe(n: String): Boolean =
+      new java.net.URI(null, null, n, null).getRawPath == n
+    val unioned = if (basenames.distinct.size == basenames.size &&
+        basenames.forall(uriSafe)) {
       val precEntries = basenames.zipWithIndex.flatMap { case (n, i) =>
         Seq(lit(n), lit(i))
       }

@@ -88,9 +88,12 @@ object Multimodal {
             .filter(_ % everyN == 0)
             .map { k =>
               val off = k * flen
-              Frame(id, k, off, flen,
-                java.util.Arrays.copyOfRange(bytes, off.toInt,
-                  math.min(off + flen, meta.octets).toInt))
+              // the LAST frame absorbs the octets % n_frames remainder so
+              // the frames partition the payload with no dropped bytes
+              val len =
+                if (k == meta.n_frames - 1) meta.octets - off else flen
+              Frame(id, k, off, len,
+                java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt))
             }
         }
       }

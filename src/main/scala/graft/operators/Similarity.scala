@@ -104,17 +104,22 @@ object Similarity {
     import spark.implicits._
     val e = emb.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
       .withColumn("_n", l2norm(col("_v")))
-    val cents = broadcast(e.where(centroidFilter.as("_cf"))
-      .select(col("_id").as("_cid"), col("_v").as("_cv"), col("_n").as("_cn")))
+    // Centroids are collected ONCE (they are small by contract — this is
+    // the same data movement a broadcast performs) and reused both by the
+    // assignment kernel and, as a local DataFrame, by the probe join —
+    // re-deriving them from `e` would scan the table a second time.
+    val centArr = e.where(centroidFilter.as("_cf"))
+      .select(col("_id").cast("long").as("_cid"), col("_v").as("_cv"),
+        col("_n").as("_cn"))
+      .as[(Long, Array[Double], Double)]
+      .collect()
+      .sortBy(_._1)
+    val cents = broadcast(
+      spark.createDataFrame(centArr.toSeq).toDF("_cid", "_cv", "_cn"))
     // Assignment as a typed kernel over broadcast centroids: a narrow
     // N·C argmax with ZERO shuffle, instead of materializing N·C rows
     // through a window sort. Ascending-cid iteration with strict-greater
     // comparison reproduces the (cos DESC, cid ASC) tie rule exactly.
-    val centArr = cents
-      .select(col("_cid").cast("long"), col("_cv"), col("_cn"))
-      .as[(Long, Array[Double], Double)]
-      .collect()
-      .sortBy(_._1)
     val centB = spark.sparkContext.broadcast(centArr)
     val assign = e.select(col("_id").cast("long"), col("_v"), col("_n"))
       .as[(Long, Array[Double], Double)]

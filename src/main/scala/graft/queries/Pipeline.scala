@@ -363,7 +363,9 @@ object Pipeline {
            FROM meta)
           SELECT doc_id, frame_idx,
             (octets // n_frames) * frame_idx AS frame_off,
-            octets // n_frames AS frame_len
+            CASE WHEN frame_idx = n_frames - 1
+                 THEN octets - (octets // n_frames) * frame_idx
+                 ELSE octets // n_frames END AS frame_len
           FROM f WHERE frame_idx % 2 = 0""",
     "m01_multimodal_meta" ->
       s"""SELECT doc_id, octets,

@@ -30,10 +30,17 @@ object AzofVacuum {
   /** @param keepLast how many trailing snapshot versions to retain
     *                 (>=1; the current version is always retained)
     * @param dryRun   report what would be deleted without deleting
+    * @param minAgeMs only delete files/snapshots last modified at least
+    *                 this long ago. This is the Delta-style retention
+    *                 guard against racing an in-flight commit: the writer
+    *                 lands the data file BEFORE s{N}.json and the version
+    *                 bump, so with minAgeMs=0 a concurrent vacuum could
+    *                 classify a mid-commit file as orphan debris and
+    *                 corrupt the commit. The CLI defaults to 1 hour.
     */
   def vacuum(
       spark: SparkSession, lakehousePath: String, table: String,
-      keepLast: Int, dryRun: Boolean = false): Report = {
+      keepLast: Int, dryRun: Boolean = false, minAgeMs: Long = 0L): Report = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val tableDir = new Path(lakehousePath, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -42,7 +49,13 @@ object AzofVacuum {
     val current = t.currentVersion.toInt
     val keepFrom = math.max(1, current - keepLast + 1)
 
-    val snapshotIds = fs.listStatus(tableDir).toSeq
+    val statuses = fs.listStatus(tableDir).toSeq
+    val now = System.currentTimeMillis()
+    def oldEnough(name: String): Boolean = statuses
+      .find(_.getPath.getName == name)
+      .forall(now - _.getModificationTime >= minAgeMs)
+
+    val snapshotIds = statuses
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("s") && s.endsWith(".json") =>
         s.stripPrefix("s").stripSuffix(".json")
@@ -50,19 +63,21 @@ object AzofVacuum {
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .sorted
     // ids beyond version.txt are debris from a crashed commit (snapshot
-    // written, version bump lost) — expire them with the old ones
-    val (retained, expired) =
+    // written, version bump lost) — expire them with the old ones, but
+    // only past the retention age (they may be a commit IN FLIGHT)
+    val (retained, expiredAll) =
       snapshotIds.partition(id => id >= keepFrom && id <= current)
+    val expired = expiredAll.filter(id => oldEnough(s"s$id.json"))
     require(retained.contains(current),
       s"current snapshot s$current.json is missing")
 
     val referenced = retained
       .flatMap(id => t.snapshot(id.toString).allFiles)
       .toSet
-    val dataFiles = fs.listStatus(tableDir).toSeq
+    val dataFiles = statuses
       .map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
-    val garbage = dataFiles.filterNot(referenced.contains)
+    val garbage = dataFiles.filterNot(referenced.contains).filter(oldEnough)
 
     if (!dryRun) {
       garbage.foreach(f => fs.delete(new Path(tableDir, f), false))

@@ -23,6 +23,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The schema is pinned at stream start from the current snapshot; files
   * written before a column was added surface NULL for it (same rule as
   * the batch scan after schema evolution).
+  *
+  * Caveat — at-least-once w.r.t. table commits: the writer lands the
+  * data file BEFORE s{N}.json and the version bump, so a micro-batch can
+  * emit a file whose commit is still in flight; if that writer crashes
+  * before the version bump, the stream has emitted rows the table never
+  * committed (and vacuum may later delete the orphan). Consumers that
+  * must align exactly with committed versions should poll the batch
+  * change feed ([[graft.sources.AzofChangeFeed]]) instead.
   */
 object AzofStream {
 

@@ -30,6 +30,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(res(200L) == None)       // nothing at-or-before
   }
 
+  test("payload is atomic: a null field in the winning right row stays null") {
+    // right@10:00 has v=5.0; right@11:00 (the as-of winner) has v=NULL.
+    // Per-column carry-forward would stitch (501, 5.0) — a row that never
+    // existed; the winner's fields must arrive together: (501, null).
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 100L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 500L, Some(5.0)),
+      (1L, ts("2024-01-01 11:00:00"), 501L, None)
+    ).toDF("k", "ts", "lid", "v")
+    val r = AsOfJoin.leftAsOf(left, right, "k", "ts", "lid", Seq("lid", "v"))
+      .collect().head
+    assert(r.getAs[Long]("asof_lid") == 501L)
+    assert(r.isNullAt(r.fieldIndex("asof_v")))
+  }
+
   test("right row at exactly left.ts is visible; equal-ts ties take larger tieBreak") {
     val t = ts("2024-01-01 10:00:00")
     val left = Seq((1L, t, 100L)).toDF("k", "ts", "lid")

@@ -26,6 +26,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(1L).head.frame_payload.toSeq == payload.toSeq)
   }
 
+  test("last frame absorbs the remainder of a non-divisible payload") {
+    val p = ("a" * 91).getBytes("UTF-8") // 'a'=97 -> n_frames=2, 45+46
+    val df = Seq((1L, p)).toDF("doc_id", "payload")
+    val fs = Multimodal.frameSample(spark, df, everyN = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(fs.map(f => (f.frame_off, f.frame_len)).toSeq ==
+      Seq((0L, 45L), (45L, 46L)))
+    assert(fs.flatMap(_.frame_payload).toSeq == p.toSeq)
+  }
+
   test("frameSample everyN=2 keeps even frame indices only") {
     val p = ("g" * 80).getBytes("UTF-8") // 'g'=103 -> n_frames=1+103%8=8
     val df = Seq((1L, p)).toDF("doc_id", "payload")
