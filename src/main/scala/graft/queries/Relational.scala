@@ -59,7 +59,8 @@ object Relational {
     "q25_percentiles" -> q25,
     "q26_salted_agg" -> q26,
     "q27_grouping_sets" -> q27,
-    "q28_range_join" -> q28)
+    "q28_range_join" -> q28,
+    "q29_set_ops_all" -> q29)
 
   private def q01(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
@@ -400,6 +401,23 @@ object Relational {
   private def unix_micros_bucket(us: Column, len: Long): Column =
     floor(us / len).cast("long")
 
+  /** Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) — distinct
+    * Catalyst operators from q09's distinct-semantics trio: duplicates
+    * are preserved per multiset arithmetic. Custkeys of orders: all
+    * orders minus one per urgent order, intersected with the
+    * high-priority multiset.
+    */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val all = o.select(col("o_custkey").as("k"))
+    val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    val high = o.where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey").as("k"))
+    all.exceptAll(urgent).intersectAll(high)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+  }
+
   /** DuckDB equivalents. Column aliases match the Spark plans exactly;
     * every double aggregate uses the same DECIMAL(18,4) accumulation.
     */
@@ -608,5 +626,15 @@ object Relational {
          FROM events p
          LEFT JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
          WHERE p.event_type = 'purchase'
-         GROUP BY 1, 2""")
+         GROUP BY 1, 2""",
+    "q29_set_ops_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+           SELECT k FROM (
+             SELECT o_custkey AS k FROM orders
+             EXCEPT ALL
+             SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+           INTERSECT ALL
+           SELECT o_custkey AS k FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         GROUP BY k""")
 }
