@@ -60,7 +60,8 @@ object Relational {
     "q26_salted_agg" -> q26,
     "q27_grouping_sets" -> q27,
     "q28_range_join" -> q28,
-    "q29_set_ops_all" -> q29)
+    "q29_set_ops_all" -> q29,
+    "q30_scalar_subquery" -> q30)
 
   private def q01(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
@@ -418,6 +419,23 @@ object Relational {
       .groupBy("k").agg(count(lit(1)).as("n"))
   }
 
+  /** Scalar subqueries (above-average orders per priority). The
+    * above-average predicate is division-free — `price·count > sum` in
+    * exact decimals — because decimal division scale/rounding rules
+    * differ across engines and the comparison boundary must be exact.
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val view = s"orders_sq_${math.abs(dir.hashCode)}"
+    Tables(s, dir, "orders").createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS n
+          FROM $view
+          WHERE CAST(o_totalprice AS DECIMAL(18,4))
+                  * (SELECT COUNT(*) FROM $view)
+                > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM $view)
+          GROUP BY o_orderpriority""")
+  }
+
   /** DuckDB equivalents. Column aliases match the Spark plans exactly;
     * every double aggregate uses the same DECIMAL(18,4) accumulation.
     */
@@ -636,5 +654,12 @@ object Relational {
            INTERSECT ALL
            SELECT o_custkey AS k FROM orders
            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
-         GROUP BY k""")
+         GROUP BY k""",
+    "q30_scalar_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+         FROM orders
+         WHERE CAST(o_totalprice AS DECIMAL(18,4))
+                 * (SELECT COUNT(*) FROM orders)
+               > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
+         GROUP BY o_orderpriority""")
 }
