@@ -162,6 +162,39 @@ object AzofWriter {
     writeDataFile(spark, merged.select(snap.schema.allColumnNames.map(col): _*),
       dir, baseFile)
 
+    // Rows with event_time > `at` already committed into the open segment
+    // (a delta whose window extends past the compaction point, or base
+    // rows beyond it) would be invisible through both the closed child
+    // (range-capped at `at`) and the new base (state AS OF `at`) — they
+    // must carry forward as a delta on the new open segment. Every future
+    // VERSION is kept; per (key, event_time) duplicates across files
+    // resolve by the original file precedence, preserving scan results.
+    val futFiles = open.dataFiles(graft.format.AsOf.Current)
+    val atTs = java.sql.Timestamp.from(at)
+    val future = if (futFiles.isEmpty) None else {
+      val reads = futFiles.zipWithIndex.map { case (f, i) =>
+        spark.read.schema(snap.schema.toStruct)
+          .parquet(new Path(dir, f).toString)
+          .withColumn("_prec", lit(i))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(TableSchema.KeyName, TableSchema.EventTimeName)
+        .orderBy(col("_prec"))
+      val fut = reads.reduce(_ unionAll _)
+        .where(col(TableSchema.EventTimeName) > lit(atTs))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(snap.schema.allColumnNames.map(col): _*)
+      val maxTs = fut.agg(max(col(TableSchema.EventTimeName))).collect()(0)
+      if (maxTs.isNullAt(0)) None
+      else Some((fut, maxTs.getTimestamp(0).toInstant))
+    }
+    val futureDelta = future.map { case (fut, maxEt) =>
+      val f = s"compact_s${nextId}_future.parquet"
+      writeDataFile(spark, fut, dir, f)
+      Delta(f, at, maxEt)
+    }
+
     val closedEnd = at.minusMillis(1)
     val closedRoot = Segment(
       id = s"${open.id}_closed",
@@ -172,7 +205,8 @@ object AzofWriter {
       delta = Seq.empty)
     val newOpen = Segment(
       id = nextId, start = at, end = None,
-      file = Some(baseFile), segments = Seq.empty, delta = Seq.empty)
+      file = Some(baseFile), segments = Seq.empty,
+      delta = futureDelta.toSeq)
     val newSnap = snap.copy(
       segments = snap.segments.updated(openIdx, closedRoot) :+ newOpen,
       op = Some("compact"))
