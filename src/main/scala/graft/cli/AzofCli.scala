@@ -49,7 +49,9 @@ object AzofCli {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: AzofCli <scan|gen> --path P --table T [...]")
+      System.err.println(
+        "usage: AzofCli <scan|gen|create|commit-base|commit-delta|add-column|" +
+          "compact|changes|vacuum|tail|sql> --path P --table T [...]")
       sys.exit(2)
     }
     val opts = parseArgs(args)
