@@ -59,6 +59,37 @@ object Multimodal {
     decodeMeta(spark, docs.select(col("doc_id"),
       col("text").cast("binary").as("payload"))).toDF()
 
+  /** Resized media row: target dims plus the resized payload. */
+  final case class Resized(
+      doc_id: Long, out_width: Long, out_height: Long, out_octets: Long,
+      resized_payload: Array[Byte])
+
+  /** "Resize" media payloads to target dimensions — the STUB keeps one
+    * byte per `stride = ceil(octets / (w·h))` input bytes (a deterministic
+    * stand-in for pixel resampling); a real build swaps the loop body for
+    * a codec call. Same partition-parallel batch shape as [[decodeMeta]]:
+    * binary in, binary out, no shuffle, decoder init amortized per
+    * partition.
+    */
+  def resize(
+      spark: SparkSession, payloads: DataFrame, w: Int, h: Int): Dataset[Resized] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val target = w.toLong * h
+        it.map { case (id, bytes) =>
+          val n = bytes.length.toLong
+          val stride = math.max(1L, (n + target - 1) / target)
+          val outLen = ((n + stride - 1) / stride).toInt
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) { out(i) = bytes((i * stride).toInt); i += 1 }
+          Resized(id, w.toLong, h.toLong, outLen.toLong, out)
+        }
+      }
+  }
+
   /** Sampled frame row: byte-range coordinates into the payload plus the
     * extracted slice. A real video path replaces the slice arithmetic
     * with codec seeks; the 1→N row-expansion shape, the binary column

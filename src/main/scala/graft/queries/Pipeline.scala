@@ -31,7 +31,8 @@ object Pipeline {
     "t04_text_fingerprint" -> t04,
     "t05_rolling_fingerprint" -> t05,
     "m01_multimodal_meta" -> m01,
-    "m02_frame_sample" -> m02)
+    "m02_frame_sample" -> m02,
+    "m03_resize" -> m03)
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
@@ -140,6 +141,16 @@ object Pipeline {
           col("text").cast("binary").as("payload")), everyN = 2)
       .toDF()
       .select("doc_id", "frame_idx", "frame_off", "frame_len")
+
+  /** Resize to a 16×16 "thumbnail"; the resized bytes stay inside the
+    * operator, the dimension/size arithmetic is the checkable surface.
+    */
+  private def m03(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resize(s,
+        docs(s, dir).select(col("doc_id"),
+          col("text").cast("binary").as("payload")), w = 16, h = 16)
+      .toDF()
+      .select("doc_id", "out_width", "out_height", "out_octets")
 
   // ---------------------------------------------------------------- SQL
 
@@ -367,6 +378,16 @@ object Pipeline {
                  THEN octets - (octets // n_frames) * frame_idx
                  ELSE octets // n_frames END AS frame_len
           FROM f WHERE frame_idx % 2 = 0""",
+    "m03_resize" ->
+      s"""SELECT doc_id,
+            CAST(16 AS BIGINT) AS out_width,
+            CAST(16 AS BIGINT) AS out_height,
+            (octets + stride - 1) // stride AS out_octets
+          FROM (SELECT doc_id, octets,
+                  GREATEST(1, (octets + 255) // 256) AS stride
+                FROM (SELECT doc_id,
+                        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS octets
+                      FROM documents))""",
     "m01_multimodal_meta" ->
       s"""SELECT doc_id, octets,
             64 + octets % 576 AS width,
