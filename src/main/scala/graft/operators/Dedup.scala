@@ -93,27 +93,61 @@ object Dedup {
     mh.select(col("doc_id") +: bands: _*)
   }
 
-  /** LSH candidate pairs: docs sharing at least one band signature.
-    * Bands unpivot to (band_idx, band_val) rows, ONE shuffle groups each
-    * bucket's doc ids, and pairs are emitted per bucket — the expensive
-    * shingle→minhash pipeline executes exactly once (a self-join would
-    * run it once per side). LSH buckets are tiny by construction, so the
-    * per-bucket pair expansion is bounded; a pathological bucket (e.g.
-    * thousands of identical docs) should be exact-deduped first.
+  /** Default per-bucket cap for [[bucketPairs]]. A bucket of size s emits
+    * s·(s-1)/2 pairs, so the candidate count is Σ_buckets s² — bounded by
+    * cap·Σ s = cap·N·nBands once each bucket is clipped to `cap` ids.
+    * Pathological buckets (mass near-duplicate floods) should be
+    * exact-deduped first; the cap is the backstop that keeps the plan
+    * linear when they are not.
     */
-  def lshCandidates(sig: DataFrame, nBands: Int): DataFrame = {
-    val unpivoted = sig.select(col("doc_id"), posexplode(
-      array((0 until nBands).map(b => col(s"band_$b")): _*)))
-      .toDF("doc_id", "bidx", "bval")
-    val buckets = unpivoted.groupBy("bidx", "bval")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+  val DefaultBucketCap: Int = 1024
+
+  /** Bucket-grouped candidate-pair emit — the one shape every LSH-style
+    * blocker here shares. Input: (bidx, bval, id) rows, one per
+    * (band, element). ONE shuffle groups each bucket, ids sort, each
+    * bucket is clipped to `cap` smallest ids (Σ bucket² → ≤ cap·N·nBands
+    * pairs), and pairs emit bucket-locally before a distinct. The
+    * upstream signature pipeline executes exactly once — a self-join
+    * would run it once per side AND shuffle both sides.
+    *
+    * Clipped volume is observable without a second job via the Spark
+    * `observe` metric `observeName` (dropped_ids, max_bucket) when a
+    * name is given.
+    */
+  def bucketPairs(
+      unpivoted: DataFrame, cap: Int = DefaultBucketCap,
+      observeName: String = ""): DataFrame = {
+    val grouped = unpivoted.groupBy("bidx", "bval")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
-    buckets.select(explode(flatten(
+    val observed =
+      if (observeName.isEmpty) grouped
+      else grouped.observe(observeName,
+        sum(greatest(size(col("ids")) - cap, lit(0))).as("dropped_ids"),
+        max(size(col("ids"))).as("max_bucket"))
+    observed
+      .withColumn("ids", slice(col("ids"), 1, cap))
+      .select(explode(flatten(
         transform(sequence(lit(0), size(col("ids")) - 2), i =>
           transform(slice(col("ids"), i + 2, size(col("ids"))),
-            y => struct(element_at(col("ids"), i + 1).as("doc_a"),
-              y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+            y => struct(element_at(col("ids"), i + 1).as("id_a"),
+              y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band signature.
+    * Bands unpivot to (band_idx, band_val) rows and route through
+    * [[bucketPairs]] (one shuffle, bucket-grouped sorted-id pair emit,
+    * per-bucket cap).
+    */
+  def lshCandidates(
+      sig: DataFrame, nBands: Int,
+      cap: Int = DefaultBucketCap): DataFrame = {
+    val unpivoted = sig.select(col("doc_id"), posexplode(
+      array((0 until nBands).map(b => col(s"band_$b")): _*)))
+      .toDF("id", "bidx", "bval")
+    bucketPairs(unpivoted, cap, "d02_minhash_bucket_cap")
+      .toDF("doc_a", "doc_b")
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs, computed
@@ -148,18 +182,62 @@ object Dedup {
     s"CASE WHEN ((instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) & $m) > 0 THEN 1 ELSE -1 END"
   }
 
-  /** 16-bit SimHash from the first 4 md5 hex digits of each distinct
-    * token: per bit, majority vote of +-1 contributions.
+  /** `bits`-bit SimHash (bits ≤ 128, 4 | bits) from the first bits/4 md5
+    * hex digits of each distinct token: per bit, majority vote of ±1
+    * contributions. One groupBy over exploded tokens — the bit width only
+    * widens the aggregation row, not the shuffle count.
     */
-  def simhash16(df: DataFrame, text: Column, id: Column): DataFrame = {
+  def simhashBits(df: DataFrame, text: Column, id: Column, bits: Int): DataFrame = {
+    require(bits > 0 && bits <= 128 && bits % 4 == 0, s"bad simhash width $bits")
     val tokens = df
       .select(id.as("doc_id"), explode(array_distinct(TextAnalysis.words(text))).as("w"))
       .select(col("doc_id"), md5(col("w")).as("h"))
-    val sums = (0 until 16).map(b => sum(expr(simhashTermSql(b))).as(s"s$b"))
+    val sums = (0 until bits).map(b => sum(expr(simhashTermSql(b))).as(s"s$b"))
     val agg = tokens.groupBy("doc_id").agg(sums.head, sums.tail: _*)
     agg.select(col("doc_id"),
-      concat((0 until 16).map(b =>
+      concat((0 until bits).map(b =>
         when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** 16-bit SimHash (kept for the compact signature surface; the
+    * near-pair blocker uses 64 bits via [[simhashBits]]).
+    */
+  def simhash16(df: DataFrame, text: Column, id: Column): DataFrame =
+    simhashBits(df, text, id, 16)
+
+  /** Simhash near-duplicate pairs from a precomputed `sig(doc_id,
+    * simhash)` frame: band blocking + exact Hamming verify.
+    *
+    * The signature splits into `nBands` equal bands and docs sharing ANY
+    * band become candidates — by pigeonhole this is *complete* for
+    * Hamming distance ≤ nBands - 1 (a distance-d pair differs in at most
+    * d bands, so with d < nBands at least one band matches exactly), so
+    * 4 bands give recall 1.0 for the dist ≤ 3 predicate. The signature
+    * string rides through the bucket shuffle as the pair payload, so the
+    * simhash aggregation runs exactly once and no join back to `sig` (an
+    * aggregation subtree Catalyst would recompute per side) is needed.
+    * Per-bucket caps bound pathological floods exactly as in
+    * [[bucketPairs]].
+    *
+    * Requires [[graft.functions.HammingDistance]] registered for the
+    * codegen'd verify. Output: (doc_a, doc_b, dist), dist ≤ maxDist.
+    */
+  def simhashNearPairsFromSig(
+      sig: DataFrame, bits: Int, nBands: Int, maxDist: Int,
+      cap: Int = DefaultBucketCap): DataFrame = {
+    require(bits % nBands == 0, "nBands must divide bits")
+    require(maxDist < nBands,
+      s"band blocking is only complete for dist < nBands (got $maxDist >= $nBands)")
+    val bandBits = bits / nBands
+    val unpivoted = sig.select(
+        struct(col("doc_id"), col("simhash")).as("id"), posexplode(
+          array((0 until nBands).map(b =>
+            substring(col("simhash"), b * bandBits + 1, bandBits)): _*)))
+      .toDF("id", "bidx", "bval")
+    bucketPairs(unpivoted, cap, "d06_band_cap")
+      .select(col("id_a.doc_id").as("doc_a"), col("id_b.doc_id").as("doc_b"),
+        expr("hamming(id_a.simhash, id_b.simhash)").cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
   }
 
   /** Embedding near-duplicate pairs blocked on BANDED sign-LSH buckets —
@@ -168,26 +246,30 @@ object Dedup {
     * the planes split into bands (OR-construction, same shape as minhash
     * LSH): vectors colliding in ANY band become candidates, and exact
     * cosine verifies them. Bucketing is a narrow map
-    * ([[Similarity.signBuckets]]); candidate generation is one shuffle on
-    * (band, sub-bucket); cosine runs only on candidates. Recall rises
-    * with band count at linear cost — never an all-pairs product.
+    * ([[Similarity.signBuckets]]) that runs EXACTLY once — candidates
+    * come from the bucket-grouped pair emit of [[bucketPairs]] (one
+    * shuffle, per-bucket cap), not a bands self-join that would
+    * recompute the bucketing kernel per side. Band width must scale with
+    * the corpus: expected bucket occupancy is N/2^bandSize per band, so
+    * candidates ≈ nBands·N²/2^bandSize — pick bandSize ≈ log₂N (8 bits →
+    * 256 buckets/band holds the expansion linear-ish at test scale; a
+    * 100-TB corpus sizes up to 16-24 bits), and the cap clips what the
+    * geometry misses. Cosine runs only on surviving candidates via two
+    * hash joins back to the (narrow, cheap-to-rescan) vector projection.
     */
   def embeddingNearDupsLsh(
       emb: DataFrame, id: String, vec: String,
-      nPlanes: Int, bandSize: Int, dims: Int, threshold: Double): DataFrame = {
+      nPlanes: Int, bandSize: Int, dims: Int, threshold: Double,
+      cap: Int = DefaultBucketCap): DataFrame = {
     require(nPlanes % bandSize == 0, "nPlanes must be a multiple of bandSize")
     val nBands = nPlanes / bandSize
     val buckets = Similarity.signBuckets(emb, id, vec, nPlanes, dims)
     val bands = buckets.select(col("vec_id"), posexplode(
         array((0 until nBands).map(b =>
           substring(col("bucket"), b * bandSize + 1, bandSize)): _*)))
-      .toDF("vec_id", "bidx", "bval")
-    val cands = bands.alias("x")
-      .join(bands.alias("y"),
-        col("x.bidx") === col("y.bidx") && col("x.bval") === col("y.bval") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
+      .toDF("id", "bidx", "bval")
+    val cands = bucketPairs(bands, cap, "d07_bucket_cap")
+      .toDF("vec_a", "vec_b")
     val vd = Similarity.asDouble(col(vec))
     val e = emb.select(col(id).cast("long").as("_id"), vd.as("_v"))
       .withColumn("_n", Similarity.l2norm(col("_v")))

@@ -100,10 +100,8 @@ object Similarity {
       emb: DataFrame, id: String, vec: String,
       centroidFilter: Column, queryFilter: Column,
       nprobe: Int, k: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val e = emb.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
-      .withColumn("_n", l2norm(col("_v")))
+    import emb.sparkSession.implicits._
+    val e = prepVectors(emb, id, vec)
     // Centroids are collected ONCE (they are small by contract — this is
     // the same data movement a broadcast performs) and reused both by the
     // assignment kernel and, as a local DataFrame, by the probe join —
@@ -114,6 +112,45 @@ object Similarity {
       .as[(Long, Array[Double], Double)]
       .collect()
       .sortBy(_._1)
+    ivfCore(e, centArr, queryFilter, nprobe, k)
+  }
+
+  /** IVF top-k with a FIXED centroid budget, decoupled from table size —
+    * the 100-TB-safe entry point. Centroids are the `numCentroids`
+    * vectors ranking smallest by md5("cent#" || id): a deterministic,
+    * engine-portable uniform sample whose selection runs as a
+    * per-partition top-K (`TakeOrderedAndProject` — one scan, a K-element
+    * heap per partition, never a global sort), so the driver collect and
+    * the broadcast stay O(numCentroids) no matter how large the table
+    * grows. Probe cost per query is numCentroids dot products; list
+    * search scales with nprobe/numCentroids of the data.
+    */
+  def ivfTopKFixedK(
+      emb: DataFrame, id: String, vec: String,
+      numCentroids: Int, queryFilter: Column,
+      nprobe: Int, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val e = prepVectors(emb, id, vec)
+    val centArr = e
+      .orderBy(md5(concat(lit("cent#"), col("_id"))), col("_id"))
+      .limit(numCentroids)
+      .select(col("_id").cast("long").as("_cid"), col("_v").as("_cv"),
+        col("_n").as("_cn"))
+      .as[(Long, Array[Double], Double)]
+      .collect()
+      .sortBy(_._1)
+    ivfCore(e, centArr, queryFilter, nprobe, k)
+  }
+
+  private def prepVectors(emb: DataFrame, id: String, vec: String): DataFrame =
+    emb.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
+      .withColumn("_n", l2norm(col("_v")))
+
+  private def ivfCore(
+      e: DataFrame, centArr: Array[(Long, Array[Double], Double)],
+      queryFilter: Column, nprobe: Int, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val cents = broadcast(
       spark.createDataFrame(centArr.toSeq).toDF("_cid", "_cv", "_cn"))
     // Assignment as a typed kernel over broadcast centroids: a narrow

@@ -22,6 +22,7 @@ object Pipeline {
     "d06_simhash_near_pairs" -> d06,
     "d07_embedding_neardup_lsh" -> d07,
     "x01_approx_distinct" -> x01,
+    "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
     "s02_ann_lsh_buckets" -> s02,
     "s03_ann_ivf" -> s03,
@@ -56,36 +57,42 @@ object Pipeline {
   private def d05(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", "label", 0.4)
 
-  /** Simhash near-duplicate pairs: block on the signature's first 8 bits,
-    * then filter by Hamming distance via the native codegen expression
+  /** Simhash near-duplicate pairs: 64-bit simhash, 4 × 16-bit band
+    * blocking (pigeonhole-complete for dist ≤ 3 — every distance-3 pair
+    * shares at least one whole band), per-bucket caps, exact Hamming
+    * verify via the native codegen expression
     * [[graft.functions.HammingDistance]].
     */
   private def d06(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HammingDistance.register(s)
-    val sig = d04(s, dir)
-    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
-      substring(col("simhash"), 1, 8).as("pfx"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
-      substring(col("simhash"), 1, 8).as("pfx"))
-    a.join(b, Seq("pfx")).where(col("doc_a") < col("doc_b"))
-      .withColumn("dist", expr("hamming(sig_a, sig_b)"))
-      .where(col("dist") <= 3)
-      .select("doc_a", "doc_b", "dist")
+    Dedup.simhashNearPairsFromSig(
+      Dedup.simhashBits(docs(s, dir), col("text"), col("doc_id"), bits = 64),
+      bits = 64, nBands = 4, maxDist = 3)
   }
 
+  /** 32 planes → 4 bands × 8 bits (256 buckets/band): expected candidate
+    * volume ≈ 4·N²/256, and the per-bucket cap clips floods the geometry
+    * misses. See [[Dedup.embeddingNearDupsLsh]] for the scaling rule.
+    */
   private def d07(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsLsh(emb(s, dir), "vec_id", "embedding",
-      nPlanes = 8, bandSize = 4, dims = 64, threshold = 0.4)
+      nPlanes = 32, bandSize = 8, dims = 64, threshold = 0.4)
 
-  /** Approximate distinct (HyperLogLog++ sketch) next to the exact count.
-    * No oracle: sketch estimates are implementation-specific, so the
-    * driver records the weaker rows-only check by design.
+  /** Approximate distinct (HyperLogLog++ sketch). No oracle: sketch
+    * estimates are implementation-specific, so the driver records the
+    * weaker rows-only check by design; [[x02]] carries the
+    * hash-checkable exact twin.
     */
   private def x01(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** Exact distinct-count twin of [[x01]], oracle-checked. */
+  private def x02(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
 
   private def s01(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
@@ -98,12 +105,16 @@ object Pipeline {
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
 
   /** IVF top-k with the same queries/k as the s01 brute-force baseline, so
-    * recall is directly comparable. Centroids: every 37th vector (≈N/37
-    * lists, broadcastable); nprobe=3.
+    * recall is directly comparable. Centroids: a FIXED deterministic
+    * sample of 32 (md5-ranked TakeOrdered — bounded at any table size,
+    * unlike a modulus filter whose centroid count grows with N);
+    * nprobe=12 (recall 0.60 vs s01 on this corpus — the synthetic
+    * embeddings are near-uniform, so IVF recall tracks the probed
+    * fraction; clustered production data needs far fewer probes).
     */
   private def s03(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
-      col("vec_id") % 37 === 0, col("vec_id") < 3, nprobe = 3, k = 10)
+    Similarity.ivfTopKFixedK(emb(s, dir), "vec_id", "embedding",
+      numCentroids = 32, col("vec_id") < 3, nprobe = 12, k = 10)
 
   private def t01(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir), col("text"), col("doc_id"))
@@ -195,16 +206,16 @@ object Pipeline {
   private def simhashTermSql(b: Int): String = Dedup.simhashTermSql(b)
 
   /** Shared CTE chain ending in `sig(doc_id, simhash)` — the SQL twin of
-    * [[Dedup.simhash16]].
+    * [[Dedup.simhashBits]] at the given width.
     */
-  private val simhashCtes =
+  private def simhashCtes(bits: Int) =
     s"""WITH t AS (SELECT DISTINCT doc_id, w FROM
           (SELECT doc_id, unnest($wordsSql) AS w FROM documents)),
         th AS (SELECT doc_id, md5(w) AS h FROM t),
         a AS (SELECT doc_id,
-          ${(0 until 16).map(b => s"SUM(${simhashTermSql(b)}) AS s$b").mkString(", ")}
+          ${(0 until bits).map(b => s"SUM(${simhashTermSql(b)}) AS s$b").mkString(", ")}
           FROM th GROUP BY doc_id),
-        sig AS (SELECT doc_id, ${(0 until 16).map(b =>
+        sig AS (SELECT doc_id, ${(0 until bits).map(b =>
           s"(CASE WHEN s$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
           FROM a)"""
 
@@ -250,26 +261,43 @@ object Pipeline {
           JOIN sizes sa ON sa.doc_id = c.doc_a
           JOIN sizes sb ON sb.doc_id = c.doc_b""",
     "d04_simhash" ->
-      s"""$simhashCtes SELECT doc_id, simhash FROM sig""",
+      s"""${simhashCtes(16)} SELECT doc_id, simhash FROM sig""",
     "d06_simhash_near_pairs" ->
-      s"""$simhashCtes
-          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-            CAST(hamming(x.simhash, y.simhash) AS BIGINT) AS dist
-          FROM sig x JOIN sig y
-            ON substr(x.simhash, 1, 8) = substr(y.simhash, 1, 8)
-           AND x.doc_id < y.doc_id
-          WHERE hamming(x.simhash, y.simhash) <= 3""",
+      s"""${simhashCtes(64)},
+          bands AS (SELECT doc_id, simhash, bidx,
+                      substr(simhash, bidx * 16 + 1, 16) AS bval,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY bidx, substr(simhash, bidx * 16 + 1, 16)
+                        ORDER BY doc_id) AS rn
+                    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS bidx)),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM bands x JOIN bands y
+                     ON x.bidx = y.bidx AND x.bval = y.bval
+                    AND x.doc_id < y.doc_id
+                  WHERE x.rn <= ${Dedup.DefaultBucketCap}
+                    AND y.rn <= ${Dedup.DefaultBucketCap})
+          SELECT c.doc_a, c.doc_b,
+            CAST(hamming(sx.simhash, sy.simhash) AS BIGINT) AS dist
+          FROM cand c
+          JOIN sig sx ON sx.doc_id = c.doc_a
+          JOIN sig sy ON sy.doc_id = c.doc_b
+          WHERE hamming(sx.simhash, sy.simhash) <= 3""",
     "d07_embedding_neardup_lsh" ->
-      s"""WITH bk AS (SELECT vec_id, ${(0 until 8).map(p =>
+      s"""WITH bk AS (SELECT vec_id, ${(0 until 32).map(p =>
             s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN '1' ELSE '0' END)")
             .mkString(" || ")} AS bucket
           FROM embeddings),
-          bands AS (SELECT vec_id, bidx, substr(bucket, bidx * 4 + 1, 4) AS bval
-                    FROM bk, (SELECT unnest([0, 1]) AS bidx)),
+          bands AS (SELECT vec_id, bidx, substr(bucket, bidx * 8 + 1, 8) AS bval,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY bidx, substr(bucket, bidx * 8 + 1, 8)
+                        ORDER BY vec_id) AS rn
+                    FROM bk, (SELECT unnest([0, 1, 2, 3]) AS bidx)),
           cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
                    FROM bands x JOIN bands y
                      ON x.bidx = y.bidx AND x.bval = y.bval
-                    AND x.vec_id < y.vec_id)
+                    AND x.vec_id < y.vec_id
+                  WHERE x.rn <= ${Dedup.DefaultBucketCap}
+                    AND y.rn <= ${Dedup.DefaultBucketCap})
           SELECT c.vec_a, c.vec_b
           FROM cand c
           JOIN embeddings a ON a.vec_id = c.vec_a
@@ -288,10 +316,15 @@ object Pipeline {
              FROM embeddings q JOIN embeddings c
                ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
           WHERE rn <= 10""",
+    "x02_exact_distinct" ->
+      s"""SELECT event_type, count(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY event_type""",
     "s03_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
                      FROM embeddings),
-          cents AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id % 37 = 0),
+          cents AS (SELECT vec_id AS cid, embedding FROM e
+                    ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+                    LIMIT 32),
           assign AS (SELECT vec_id, cid FROM
             (SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -301,7 +334,7 @@ object Pipeline {
             (SELECT q.vec_id AS query_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                  ORDER BY ${cosSql("q", "c")} DESC, c.cid) AS rn
-             FROM e q CROSS JOIN cents c WHERE q.vec_id < 3) WHERE rn <= 3)
+             FROM e q CROSS JOIN cents c WHERE q.vec_id < 3) WHERE rn <= 12)
           SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM
             (SELECT p.query_id, a.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY p.query_id

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Behavioral pins for the dedup blockers:
+  *
+  *  - simhash band blocking must be pigeonhole-COMPLETE for
+  *    dist < nBands (recall 1.0 vs brute force), randomized;
+  *  - the per-bucket cap must clip pair expansion to the cap's smallest
+  *    ids and never invent pairs;
+  *  - banded sign-LSH candidates must be verified pairs only (subset of
+  *    the brute-force cosine pairs) and catch every identical vector.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def randomSig(rnd: Random): String =
+    Array.fill(64)(if (rnd.nextBoolean()) '1' else '0').mkString
+
+  private def flip(sig: String, n: Int, rnd: Random): String = {
+    val a = sig.toCharArray
+    rnd.shuffle((0 until 64).toList).take(n).foreach { i =>
+      a(i) = if (a(i) == '1') '0' else '1'
+    }
+    new String(a)
+  }
+
+  private def hamming(a: String, b: String): Int =
+    a.zip(b).count { case (x, y) => x != y }
+
+  test("simhash band blocking has recall 1.0 for dist <= nBands-1 (randomized)") {
+    graft.functions.HammingDistance.register(spark)
+    val rnd = new Random(42)
+    // 40 base sigs; each spawns variants at controlled distances 0..6 so
+    // both sides of the dist<=3 predicate are populated.
+    val sigs = (0 until 40).flatMap { g =>
+      val base = randomSig(rnd)
+      val variants = (0 until rnd.nextInt(4)).map { v =>
+        flip(base, rnd.nextInt(7), rnd)
+      }
+      (base +: variants).zipWithIndex.map { case (s0, i) =>
+        (g * 100L + i, s0)
+      }
+    }
+    val sig = sigs.toDF("doc_id", "simhash")
+    val got = Dedup.simhashNearPairsFromSig(sig, bits = 64, nBands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      d = hamming(sa, sb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(brute.nonEmpty, "test corpus must exercise the predicate")
+    assert(got == brute) // completeness AND no false positives post-verify
+  }
+
+  test("bucket cap clips each bucket to its cap smallest ids") {
+    // one bucket of 5 ids, cap 3: pairs only among the 3 smallest
+    val unpiv = Seq(5L, 3L, 9L, 1L, 7L).map(i => (i, 0, "b"))
+      .toDF("id", "bidx", "bval")
+    val got = Dedup.bucketPairs(unpiv, cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (1L, 5L), (3L, 5L)))
+    val uncapped = Dedup.bucketPairs(unpiv)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 10 && got.subsetOf(uncapped))
+  }
+
+  test("banded sign-LSH near-dups: subset of brute force, all exact dups found") {
+    val rnd = new Random(7)
+    val emb = (0 until 60).map { i =>
+      // 20 groups of 3: one base vector, one identical copy, one noisy
+      val g = i / 3
+      val base = Array.tabulate(64)(j =>
+        math.sin(g * 64 + j).toFloat)
+      val v = i % 3 match {
+        case 2 => base.map(x => x + 0.8f * rnd.nextFloat())
+        case _ => base
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding",
+        nPlanes = 32, bandSize = 8, dims = 64, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical copies (3g, 3g+1) MUST collide in every band
+    (0 until 20).foreach { g =>
+      assert(got.contains((3L * g, 3L * g + 1)),
+        s"identical pair of group $g missed")
+    }
+    // verification step: everything reported really is cosine >= 0.9
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { case (a, b) =>
+      assert(cos(vecs(a), vecs(b)) >= 0.9)
+    }
+  }
+}

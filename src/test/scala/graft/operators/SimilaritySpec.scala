@@ -41,6 +41,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.toSeq == bf.toSeq)
   }
 
+  test("ivfTopKFixedK probing every list matches brute force; K bounded") {
+    // numCentroids = nprobe = 4: all lists probed => exact result,
+    // regardless of which 4 vectors the md5 ranking selects.
+    val ivf = Similarity.ivfTopKFixedK(emb, "vec_id", "embedding",
+      numCentroids = 4, col("vec_id") === 1, nprobe = 4, k = 10)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") === 1, k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ivf.toSeq == bf.toSeq)
+  }
+
   test("bruteForceTopK ranks the query's own cluster first") {
     val res = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       col("vec_id") === 7, k = 4)
