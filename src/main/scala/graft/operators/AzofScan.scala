@@ -12,8 +12,26 @@ import org.apache.spark.sql.functions._
   * Semantics (SURVEY.md §2.1): among rows with `event_time <= asOf`, the
   * newest `event_time` per `key` wins; ties/overlaps resolve by file
   * precedence (the pruned-file ordering from the segment tree — children,
-  * then deltas newest-start-first, then base). A row filtered out by the
-  * as-of predicate never claims its key (lakehouse.rs:64-68).
+  * then deltas newest-start-first, then base), and remaining full ties
+  * (duplicate (key, event_time) within ONE file) by a hash of the value
+  * columns, so the scan is deterministic under any partitioning or task
+  * retry (the reference keeps the file's FIRST row here — row order
+  * inside a file is not a contract this engine preserves through a
+  * distributed scan, so a content hash is the portable tiebreak). A row
+  * filtered out by the as-of predicate never claims its key
+  * (lakehouse.rs:64-68).
+  *
+  * Known divergence (documented, intentional): for OVERLAPPING delta
+  * windows the reference resolves per-key winners purely by file
+  * precedence — a higher-precedence file's OLDER row beats a
+  * lower-precedence file's newer row (lakehouse.rs row loop claims a key
+  * on first sight). This scan keeps the globally newest event_time and
+  * uses precedence only for exact event-time ties: the event-time-
+  * consistent reading. The two agree on every layout the writer here or
+  * the reference's tooling produces (delta windows partition time);
+  * they differ only if an external writer commits overlapping windows
+  * where a later-window file also carries older in-window rows for a
+  * key it updates.
   *
   * Spark plan shape: ONE parquet scan over the pruned file list — not a
   * union of per-file scans, whose plan size would grow with the file
@@ -100,9 +118,17 @@ object AzofScan {
           lit(java.sql.Timestamp.from(ts)))
     }
 
+    // Final tiebreak: xxhash64 of the full row content makes the pick
+    // among COMPLETE duplicates of (key, event_time, precedence) — i.e.
+    // duplicate keyed rows within one file — deterministic across runs,
+    // partitionings, and task retries (row_number alone would pick
+    // whichever row the shuffle happened to deliver first). Identical
+    // rows still tie, but then every choice is the same row.
+    val allCols = schema.allColumnNames.map(col)
     val w = Window
       .partitionBy(TableSchema.KeyName)
-      .orderBy(col(TableSchema.EventTimeName).desc, col(Prec).asc)
+      .orderBy(col(TableSchema.EventTimeName).desc, col(Prec).asc,
+        xxhash64(allCols: _*).asc)
 
     inRange
       .withColumn(Rn, row_number().over(w))

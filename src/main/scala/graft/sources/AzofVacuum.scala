@@ -27,20 +27,28 @@ object AzofVacuum {
       deletedSnapshots: Seq[Int],
       retainedSnapshots: Seq[Int])
 
+  /** Default retention age (1 hour) — matches the CLI default, and is
+    * deliberately the PROGRAMMATIC default too: the writer lands the data
+    * file BEFORE s{N}.json and the version bump, so a minAge of 0 lets a
+    * concurrent vacuum classify a mid-commit file as orphan debris and
+    * corrupt the commit. Callers that KNOW no commit is in flight (tests,
+    * single-writer offline maintenance) opt into `minAgeMs = 0`
+    * explicitly.
+    */
+  val DefaultMinAgeMs: Long = 60L * 60 * 1000
+
   /** @param keepLast how many trailing snapshot versions to retain
     *                 (>=1; the current version is always retained)
     * @param dryRun   report what would be deleted without deleting
     * @param minAgeMs only delete files/snapshots last modified at least
-    *                 this long ago. This is the Delta-style retention
-    *                 guard against racing an in-flight commit: the writer
-    *                 lands the data file BEFORE s{N}.json and the version
-    *                 bump, so with minAgeMs=0 a concurrent vacuum could
-    *                 classify a mid-commit file as orphan debris and
-    *                 corrupt the commit. The CLI defaults to 1 hour.
+    *                 this long ago — the Delta-style retention guard
+    *                 against racing an in-flight commit (see
+    *                 [[DefaultMinAgeMs]]).
     */
   def vacuum(
       spark: SparkSession, lakehousePath: String, table: String,
-      keepLast: Int, dryRun: Boolean = false, minAgeMs: Long = 0L): Report = {
+      keepLast: Int, dryRun: Boolean = false,
+      minAgeMs: Long = DefaultMinAgeMs): Report = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val tableDir = new Path(lakehousePath, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -71,7 +79,13 @@ object AzofVacuum {
     require(retained.contains(current),
       s"current snapshot s$current.json is missing")
 
-    val referenced = retained
+    // The referenced set is computed from EVERY snapshot JSON that will
+    // remain on disk after THIS vacuum — retained ones plus expired-but-
+    // too-young ones — not just the retained range: deleting a data file
+    // still referenced by a kept-for-now s{N}.json would leave that
+    // VERSION AS OF dangling until the next vacuum finally expired it.
+    val remaining = snapshotIds.filterNot(expired.contains)
+    val referenced = remaining
       .flatMap(id => t.snapshot(id.toString).allFiles)
       .toSet
     val dataFiles = statuses

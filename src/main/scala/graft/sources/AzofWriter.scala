@@ -90,7 +90,11 @@ object AzofWriter {
   }
 
   /** Commit `df` (schema `key, event_time, values...`) as the base file of
-    * the open root segment: new snapshot id = current + 1.
+    * the open root segment: new snapshot id = current + 1. The open
+    * segment must not already have a base — a second commitBase would
+    * silently REPLACE it, dropping every prior base row from Current and
+    * event-time views (recoverable only via VERSION AS OF); incremental
+    * writes go through [[commitDelta]], rewrites through [[compact]].
     */
   def commitBase(
       spark: SparkSession,
@@ -99,7 +103,12 @@ object AzofWriter {
       df: DataFrame): Unit =
     commit(spark, lakehousePath, name) { (nextId, snap) =>
       val fileName = s"base_s$nextId.parquet"
-      val segs = mapOpenRoot(snap.segments)(s => s.copy(file = Some(fileName)))
+      val segs = mapOpenRoot(snap.segments) { s =>
+        require(s.file.isEmpty,
+          s"open segment ${s.id} already has base '${s.file.get}': " +
+            "use commitDelta for incremental writes or compact to rewrite")
+        s.copy(file = Some(fileName))
+      }
       (fileName, snap.copy(segments = segs, op = Some("commit-base")))
     } (df)
 
@@ -177,9 +186,15 @@ object AzofWriter {
           .parquet(new Path(dir, f).toString)
           .withColumn("_prec", lit(i))
       }
+      // Tiebreak mirrors the scan exactly (precedence, then content
+      // hash): the carry-forward collapses (key, event_time) duplicates
+      // to one row, so it must crown the SAME row the merge-dedup scan
+      // would — otherwise compaction silently changes which duplicate
+      // survives.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(TableSchema.KeyName, TableSchema.EventTimeName)
-        .orderBy(col("_prec"))
+        .orderBy(col("_prec"),
+          xxhash64(snap.schema.allColumnNames.map(col): _*))
       val fut = reads.reduce(_ unionAll _)
         .where(col(TableSchema.EventTimeName) > lit(atTs))
         .withColumn("_rn", row_number().over(w))
@@ -195,7 +210,16 @@ object AzofWriter {
       Delta(f, at, maxEt)
     }
 
-    val closedEnd = at.minusMillis(1)
+    // The closed child ends AT the compaction point (inclusive): segment
+    // ranges are start <= t <= end, so an as-of exactly at `at` resolves
+    // BOTH the closed child and the new base — safe, because the new base
+    // is precisely the merged state AS OF `at` and the merge-dedup scan
+    // yields identical results at the shared boundary. An exclusive end
+    // (`at - 1ms`) would instead leave sub-millisecond instants inside
+    // (at-1ms, at) covered by neither segment (Spark timestamps are
+    // microsecond-precision), returning an empty scan after compaction
+    // for a point that had data before it.
+    val closedEnd = at
     val closedRoot = Segment(
       id = s"${open.id}_closed",
       start = open.start,

@@ -112,6 +112,35 @@ class AzofScanSpec extends AnyFunSuite {
     assert(top.map(_._2) == top.map(_._2).sorted.reverse)
   }
 
+  test("duplicate (key, event_time) within one file resolves deterministically") {
+    // Two rows for the same key at the same instant in the SAME file tie
+    // on (event_time, precedence); the content-hash tiebreak must pick
+    // the same winner on every run and under any partitioning — without
+    // it, row_number crowns whichever row the shuffle delivers first.
+    val lake2 = java.nio.file.Files.createTempDirectory("azof-dup").toString
+    val schema = TableSchema(Seq(
+      graft.format.ColumnDef("value", graft.format.ColumnType.AzString,
+        nullable = false)))
+    graft.sources.AzofWriter.createTable(spark, lake2, "t", schema,
+      Instant.parse("2024-01-01T00:00:00Z"))
+    val t0 = java.sql.Timestamp.from(Instant.parse("2024-01-02T00:00:00Z"))
+    val dup = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("1", t0, "left"), Row("1", t0, "right"),
+        Row("2", t0, "only"))),
+      schema.toStruct)
+    graft.sources.AzofWriter.commitBase(spark, lake2, "t", dup)
+    val picks = (1 to 3).map { i =>
+      spark.conf.set("spark.sql.shuffle.partitions", (i * 3).toString)
+      try AzofScan.scan(spark, lake2, "t", AsOf.Current)
+        .select("key", "value").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(picks.distinct.size == 1, s"non-deterministic picks: $picks")
+    assert(picks.head.map(_._1) == Seq("1", "2"))
+  }
+
   test("scan output drops helper columns and keeps physical order") {
     val df = AzofScan.scan(spark, lake, "table0", AsOf.Current)
     assert(df.columns.toSeq == Seq("key", "event_time", "value"))

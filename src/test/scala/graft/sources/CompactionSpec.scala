@@ -70,6 +70,41 @@ class CompactionSpec extends AnyFunSuite {
     assert(old.dataFiles(AsOf.Current).size == 3)
   }
 
+  test("no as-of gap at the compaction boundary (sub-millisecond instants)") {
+    val lake = build()
+    val at = ts("2024-04-01T00:00:00Z")
+    // probes straddling the boundary at microsecond precision — Spark
+    // timestamps are micros, so a closed-child end of `at - 1ms` would
+    // leave (at-1ms, at) covered by NO segment and these would go empty
+    val gapProbes = Seq(
+      at.minusMillis(1),                  // old exclusive end
+      at.minusMillis(1).plusNanos(1000),  // strictly inside the old gap
+      at.minusNanos(1000),                // 1µs before the boundary
+      at,                                 // the boundary itself
+      at.plusNanos(1000))                 // just after
+    val before = gapProbes.map(t => vals(lake, AsOf.EventTime(t)))
+    assert(before.forall(_.nonEmpty))
+    AzofWriter.compact(spark, lake, "t", at)
+    val after = gapProbes.map(t => vals(lake, AsOf.EventTime(t)))
+    assert(after == before)
+  }
+
+  test("second commitBase is rejected (base replace would lose data silently)") {
+    val lake = build()
+    val err = intercept[IllegalArgumentException] {
+      AzofWriter.commitBase(spark, lake, "t", df(
+        ("9", "2024-03-20T00:00:00Z", "z1")))
+    }
+    assert(err.getMessage.contains("commitDelta"))
+    // compaction opens a fresh (file-bearing) segment; a commitBase after
+    // it must still be rejected
+    AzofWriter.compact(spark, lake, "t", ts("2024-04-01T00:00:00Z"))
+    intercept[IllegalArgumentException] {
+      AzofWriter.commitBase(spark, lake, "t", df(
+        ("9", "2024-04-20T00:00:00Z", "z1")))
+    }
+  }
+
   test("commits after compaction layer onto the new open segment") {
     val lake = build()
     AzofWriter.compact(spark, lake, "t", ts("2024-04-01T00:00:00Z"))

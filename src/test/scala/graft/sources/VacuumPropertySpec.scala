@@ -64,7 +64,7 @@ class VacuumPropertySpec extends AnyFunSuite {
         java.nio.file.Paths.get(lake, "t", s"orphan_$i.parquet"), Array[Byte](1))
 
       val before = views(lake)
-      val rep = AzofVacuum.vacuum(spark, lake, "t", keepLast = 1)
+      val rep = AzofVacuum.vacuum(spark, lake, "t", keepLast = 1, minAgeMs = 0)
       assert(rep.deletedDataFiles == Seq(s"orphan_$i.parquet"),
         s"case $i: deleted ${rep.deletedDataFiles}")
       assert(views(lake) == before, s"case $i: views diverged after vacuum")

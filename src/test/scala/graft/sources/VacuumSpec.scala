@@ -47,7 +47,7 @@ class VacuumSpec extends AnyFunSuite {
     val before = AzofScan.scan(spark, lake, "t", AsOf.Current)
       .select("key", "value").collect().map(r => (r.getString(0), r.getString(1))).toSet
 
-    val rep = AzofVacuum.vacuum(spark, lake, "t", keepLast = 1)
+    val rep = AzofVacuum.vacuum(spark, lake, "t", keepLast = 1, minAgeMs = 0)
 
     assert(rep.deletedDataFiles == Seq("orphan_abc.parquet"))
     assert(rep.deletedSnapshots == Seq(1, 2)) // current is s3
@@ -69,7 +69,7 @@ class VacuumSpec extends AnyFunSuite {
   test("dry run reports but deletes nothing") {
     val lake = build()
     Files.write(Paths.get(lake, "t", "orphan_xyz.parquet"), Array[Byte](3))
-    val rep = AzofVacuum.vacuum(spark, lake, "t", keepLast = 1, dryRun = true)
+    val rep = AzofVacuum.vacuum(spark, lake, "t", keepLast = 1, dryRun = true, minAgeMs = 0)
     assert(rep.deletedDataFiles == Seq("orphan_xyz.parquet"))
     val files = listTable(lake)
     assert(files.contains("orphan_xyz.parquet") && files.contains("s1.json"))
@@ -77,7 +77,7 @@ class VacuumSpec extends AnyFunSuite {
 
   test("keepLast larger than history retains everything") {
     val lake = build()
-    val rep = AzofVacuum.vacuum(spark, lake, "t", keepLast = 10)
+    val rep = AzofVacuum.vacuum(spark, lake, "t", keepLast = 10, minAgeMs = 0)
     assert(rep.deletedSnapshots.isEmpty && rep.deletedDataFiles.isEmpty)
     assert(rep.retainedSnapshots == Seq(1, 2, 3))
   }
