@@ -50,7 +50,7 @@ object AzofCli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: AzofCli <scan|gen|create|commit-base|commit-delta|add-column|" +
+        "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|add-column|" +
           "compact|changes|vacuum|tail|sql> --path P --table T [...]")
       sys.exit(2)
     }
@@ -149,6 +149,13 @@ object AzofCli {
       case "sql" =>
         spark.conf.set("spark.azof.path", opts("path"))
         spark.sql(opts("query")).show(numRows = 1000, truncate = false)
+      case "read" =>
+        // the DataFrameReader surface (works in vanilla sessions too):
+        //   read --path L --table T [--as-of TS | --version N]
+        val r0 = spark.read.format("azof").option("table", opts("table"))
+        val r1 = opts.get("as-of").fold(r0)(r0.option("asOf", _))
+        val r2 = opts.get("version").fold(r1)(r1.option("versionAsOf", _))
+        r2.load(opts("path")).show(numRows = 1000, truncate = false)
       case other =>
         System.err.println(s"unknown command: $other")
         sys.exit(2)

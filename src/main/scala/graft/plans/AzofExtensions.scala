@@ -30,9 +30,50 @@ import org.apache.spark.sql.types.TimestampType
   */
 class AzofExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // The rewrite runs at PARSE time (like the reference's sqlparser AST
+    // mutation), not only as a resolution rule: "azof" is also the
+    // registered DataFrameReader short name, and Spark's built-in
+    // ResolveSQLOnFile claims any unresolved 2-part `azof.<t>` identifier
+    // for direct-file-query resolution — and rejects it (the source is
+    // not a FileFormat) — BEFORE injected resolution rules get a look.
+    e.injectParser((session, delegate) => new AzofSqlParser(session, delegate))
+    // Safety net for UnresolvedRelation nodes that bypass the parser
+    // (e.g. plans assembled programmatically) — inert when the parser
+    // already rewrote the relation.
     e.injectResolutionRule(session => AzofSqlRule(session))
     ()
   }
+}
+
+/** Delegating parser that applies [[AzofSqlRule]] to every freshly parsed
+  * plan, so `azof.<table>` (with optional TIMESTAMP/VERSION AS OF)
+  * becomes the analyzed as-of scan before the analyzer ever sees it.
+  */
+final class AzofSqlParser(
+    spark: SparkSession,
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+  extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    AzofSqlRule(spark)(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    AzofSqlRule(spark)(delegate.parseQuery(sqlText))
+
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
 }
 
 final case class AzofSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {

@@ -62,11 +62,44 @@ class AzofExtensionsSpec extends AnyFunSuite {
     assert(diff == Seq(("1", "abc3", "abc4"), ("2", "xyz2", "xyz3")))
   }
 
+  test("mixed as-of self-composition: same table at two explicit timestamps") {
+    // The reference registers one provider per (table, asOf) exactly so
+    // `t AT('ts1') JOIN t AT('ts2')` works (reference:
+    // crates/azof-datafusion/src/context.rs:30-43); here each
+    // RelationTimeTravel resolves independently, no subquery wrapping.
+    // table1 at 2024-02-01: {1->abc2}; at 2024-06-01: {1->abc3, 2->xyz2}.
+    val got = spark.sql(
+      """SELECT a.key, a.value AS v_feb, b.value AS v_jun
+         FROM azof.table1 TIMESTAMP AS OF '2024-02-01T00:00:00Z' a
+         JOIN azof.table1 TIMESTAMP AS OF '2024-06-01T00:00:00Z' b
+           ON a.key = b.key
+         ORDER BY a.key""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("1", "abc2", "abc3")))
+    // and both snapshots' values survive in a full outer composition
+    val full = spark.sql(
+      """SELECT coalesce(a.key, b.key) AS key, a.value AS v_feb, b.value AS v_jun
+         FROM azof.table1 TIMESTAMP AS OF '2024-02-01T00:00:00Z' a
+         FULL OUTER JOIN azof.table1 TIMESTAMP AS OF '2024-06-01T00:00:00Z' b
+           ON a.key = b.key
+         ORDER BY key""")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2)))).toSeq
+    assert(full == Seq(
+      ("1", Some("abc2"), Some("abc3")),
+      ("2", None, Some("xyz2"))))
+  }
+
   test("non-azof identifiers are left alone") {
+    // A nonexistent azof.<t> is NOT rewritten (no version.txt) and falls
+    // through to standard analysis, which fails: either as an unknown
+    // table, or — because "azof" is also the registered DataFrameReader
+    // short name — as Spark's own direct-query-on-files rejection.
     val err = intercept[Exception] {
       spark.sql("SELECT * FROM azof.no_such_table").collect()
     }
     assert(err.getMessage.toLowerCase.contains("table or view not found") ||
-      err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+      err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      err.getMessage.contains("UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY"))
   }
 }
