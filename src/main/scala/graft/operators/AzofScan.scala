@@ -43,7 +43,16 @@ import org.apache.spark.sql.functions._
   */
 object AzofScan {
   private val Prec = "_azof_prec"
+  private val PrecFile = "_azof_file"
   private val Rn = "_azof_rn"
+
+  /** Above this pruned-file count the precedence lookup switches from an
+    * inline literal map to a broadcast join (override with
+    * `spark.azof.precedenceJoinThreshold`).
+    */
+  private def precJoinThreshold(spark: SparkSession): Int =
+    spark.conf.getOption("spark.azof.precedenceJoinThreshold")
+      .map(_.toInt).getOrElse(64)
 
   def scan(
       spark: SparkSession,
@@ -94,15 +103,28 @@ object AzofScan {
       new java.net.URI(null, null, n, null).getRawPath == n
     val unioned = if (basenames.distinct.size == basenames.size &&
         basenames.forall(uriSafe)) {
-      val precEntries = basenames.zipWithIndex.flatMap { case (n, i) =>
-        Seq(lit(n), lit(i))
+      val single = spark.read.schema(schema.toStruct).parquet(paths: _*)
+      val baseName = regexp_extract(input_file_name(), "[^/]+$", 0)
+      if (files.size <= precJoinThreshold(spark)) {
+        // Few files: an inline literal map keeps the plan join-free.
+        val precEntries = basenames.zipWithIndex.flatMap { case (n, i) =>
+          Seq(lit(n), lit(i))
+        }
+        single.withColumn(Prec, element_at(map(precEntries: _*), baseName))
+      } else {
+        // Delta-heavy tables (thousands of pruned files): a literal map
+        // would bloat the expression tree and codegen linearly with the
+        // file count. A broadcast hash join against the tiny
+        // (basename → precedence) table keeps the SINGLE scan node and
+        // O(1) expression size; every row's file is in the map, so the
+        // inner join drops nothing.
+        val precDf = broadcast(
+          spark.createDataFrame(basenames.zipWithIndex.toSeq)
+            .toDF(PrecFile, Prec))
+        single.withColumn(PrecFile, baseName)
+          .join(precDf, PrecFile)
+          .drop(PrecFile)
       }
-      spark.read
-        .schema(schema.toStruct)
-        .parquet(paths: _*)
-        .withColumn(Prec, element_at(
-          map(precEntries: _*),
-          regexp_extract(input_file_name(), "[^/]+$", 0)))
     } else {
       paths.zipWithIndex
         .map { case (p, i) =>
