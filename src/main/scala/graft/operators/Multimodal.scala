@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media (image/audio/video) ride through the
   * pipeline as opaque `binary` payload columns with typed metadata
   * alongside. The Spark-side contract — schema, partition-parallel batch
-  * decode via `mapPartitions`, typed output — is real and tested; the
-  * actual codec call is STUBBED (this container ships no image/audio
-  * libraries) behind [[fakeDecode]], a deterministic stand-in keyed on
-  * payload bytes. A production build replaces `fakeDecode`'s body with
-  * e.g. a JNI image decoder; nothing else changes.
+  * decode via `mapPartitions`, typed output — is real and tested.
+  *
+  * The decode itself is two-tier: payloads carrying a known image magic
+  * number (PNG/JPEG/GIF/BMP) go through a REAL pure-JVM codec
+  * ([[imageDecode]], `javax.imageio` — ships in the JDK, no native
+  * deps), everything else falls back to [[fakeDecode]], a deterministic
+  * stand-in keyed on payload bytes (audio/video codecs are not in this
+  * container; a production build adds decoders to the same slot).
   */
 object Multimodal {
 
@@ -23,8 +26,10 @@ object Multimodal {
       n_frames: Long,
       checksum: Long)
 
-  /** STUB decoder: deterministic pseudo-metadata from payload size and
-    * first byte. Replace with a real codec (??? in spirit) in production.
+  /** STUB decoder — the fallback for payloads no real codec claims:
+    * deterministic pseudo-metadata from payload size and first byte.
+    * A production build adds audio/video codecs ahead of this fallback
+    * the way [[imageDecode]] sits ahead of it for images.
     */
   def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
     val octets = payload.length.toLong
@@ -38,17 +43,70 @@ object Multimodal {
       checksum = (octets * 31L + first) % 997L)
   }
 
-  /** Partition-parallel "decode": binary payloads in, typed metadata out.
+  /** True iff the payload starts with a magic number one of the JDK's
+    * imageio readers owns (PNG / JPEG / GIF / BMP). Gating on the magic —
+    * rather than letting ImageIO sniff arbitrary bytes — keeps decode
+    * behavior a pure function of the leading bytes: no text payload can
+    * accidentally engage a lenient codec.
+    */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    (b.length >= 8 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+    (b.length >= 3 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) ||
+    (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') ||
+    (b.length >= 14 && b(0) == 'B' && b(1) == 'M')
+
+  /** REAL image decode via `javax.imageio`: width/height/frame-count from
+    * the actual codec, checksum = CRC-32 of the payload. Returns None if
+    * no installed reader claims the bytes or the codec rejects them —
+    * callers then fall back to the [[fakeDecode]] stub, so corrupt or
+    * non-image payloads degrade instead of failing the partition.
+    */
+  def imageDecode(docId: Long, payload: Array[Byte]): Option[MediaMeta] =
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val nFrames =
+              try math.max(1, r.getNumImages(true))
+              catch { case _: Exception => 1 }
+            val crc = new java.util.zip.CRC32()
+            crc.update(payload)
+            Some(MediaMeta(
+              doc_id = docId,
+              octets = payload.length.toLong,
+              width = r.getWidth(0).toLong,
+              height = r.getHeight(0).toLong,
+              n_frames = nFrames.toLong,
+              checksum = crc.getValue))
+          } finally r.dispose()
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Partition-parallel decode: binary payloads in, typed metadata out.
     * One decoder instantiation per partition (the mapPartitions shape
-    * that amortizes codec setup at scale), no shuffle.
+    * that amortizes codec setup at scale), no shuffle. Image-magic
+    * payloads take the real [[imageDecode]] path; everything else the
+    * deterministic stub.
     */
   def decodeMeta(spark: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder init would go here
-        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+        it.map { case (id, bytes) =>
+          (if (looksLikeImage(bytes)) imageDecode(id, bytes) else None)
+            .getOrElse(fakeDecode(id, bytes))
+        }
       }
   }
 

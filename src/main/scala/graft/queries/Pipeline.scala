@@ -208,16 +208,20 @@ object Pipeline {
   /** Shared CTE chain ending in `sig(doc_id, simhash)` — the SQL twin of
     * [[Dedup.simhashBits]] at the given width.
     */
-  private def simhashCtes(bits: Int) =
+  private def simhashCtes(bits: Int) = {
+    val nWords = (bits + 31) / 32
     s"""WITH t AS (SELECT DISTINCT doc_id, w FROM
           (SELECT doc_id, unnest($wordsSql) AS w FROM documents)),
-        th AS (SELECT doc_id, md5(w) AS h FROM t),
+        th AS (SELECT doc_id, ${(0 until nWords).map(w =>
+          s"CAST('0x' || substr(md5(w), ${w * 8 + 1}, 8) AS BIGINT) AS h$w")
+          .mkString(", ")} FROM t),
         a AS (SELECT doc_id,
           ${(0 until bits).map(b => s"SUM(${simhashTermSql(b)}) AS s$b").mkString(", ")}
           FROM th GROUP BY doc_id),
         sig AS (SELECT doc_id, ${(0 until bits).map(b =>
           s"(CASE WHEN s$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
           FROM a)"""
+  }
 
   /** Sign-LSH plane direction list for plane p, as DuckDB SQL — must
     * reproduce [[Similarity.planeDirections]] exactly.

@@ -43,4 +43,60 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.frame_idx).sorted.toSeq
     assert(idx == Seq(0L, 2L, 4L, 6L))
   }
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("real decode: PNG and JPEG payloads yield true dimensions") {
+    val png = pngBytes(20, 14)
+    val jpg = jpegBytes(33, 9)
+    val txt = "just some text payload".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, jpg), (3L, txt)).toDF("doc_id", "payload")
+    val metas = Multimodal.decodeMeta(spark, df).collect()
+      .map(m => m.doc_id -> m).toMap
+
+    assert(metas(1L).width == 20 && metas(1L).height == 14)
+    assert(metas(1L).n_frames == 1)
+    assert(metas(1L).octets == png.length)
+    val crc = new java.util.zip.CRC32(); crc.update(png)
+    assert(metas(1L).checksum == crc.getValue)
+
+    assert(metas(2L).width == 33 && metas(2L).height == 9)
+
+    // non-image payload falls back to the deterministic stub
+    assert(metas(3L) == Multimodal.fakeDecode(3L, txt))
+  }
+
+  test("real decode: corrupt image magic degrades to the stub, not a crash") {
+    val broken = pngBytes(8, 8).take(20) // valid PNG magic, truncated body
+    val df = Seq((1L, broken)).toDF("doc_id", "payload")
+    val m = Multimodal.decodeMeta(spark, df).collect().head
+    // either the codec still reads the header dims or the stub answers;
+    // both are fine — the contract is no task failure and determinism
+    val again = Multimodal.decodeMeta(spark, df).collect().head
+    assert(m == again)
+  }
+
+  test("magic sniffing never claims text payloads") {
+    Seq("plain text", "BM-prefixed but short", "GIF8 not quite").foreach { s =>
+      val b = s.getBytes("UTF-8")
+      if (Multimodal.looksLikeImage(b))
+        assert(Multimodal.imageDecode(1L, b).isEmpty)
+    }
+  }
 }
