@@ -249,6 +249,47 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** Train/eval decontamination — the benchmark-leak check every
+    * training-data pipeline runs before a corpus ships: find
+    * (train doc, eval doc) pairs sharing at least `minShared` distinct
+    * word-3-gram shingles, ignoring boilerplate shingles present in more
+    * than `maxDf` documents (common n-grams are noise, not contamination
+    * signal — and they are exactly the hot keys that would skew the
+    * shingle shuffle at scale).
+    *
+    * Plan shape: ONE shuffle groups each shingle's (eval ids, train ids)
+    * lists — the shingle pipeline runs once, the df-guard is a size
+    * filter on the grouped lists (no second aggregation), and pair emit
+    * is bucket-local and bounded by maxDf² per shingle — then one hash
+    * aggregation counts shared shingles per pair. Never an all-pairs
+    * product; cost scales with Σ |eval∩bucket|·|train∩bucket|.
+    *
+    * Output: (train_id, eval_id, n_shared), n_shared >= minShared.
+    */
+  def decontaminate(
+      df: DataFrame, text: Column, id: Column, isEval: Column,
+      minShared: Int, maxDf: Int): DataFrame = {
+    val w = TextAnalysis.words(text)
+    val sh = df
+      .select(id.as("doc_id"), isEval.as("is_eval"), w.as("_w"))
+      .where(size(col("_w")) >= 3)
+      .select(col("doc_id"), col("is_eval"), explode(
+        array_distinct(transform(sequence(lit(0), size(col("_w")) - 3),
+          i => concat_ws(" ", slice(col("_w"), i + 1, lit(3)))))).as("sh"))
+    sh.groupBy("sh")
+      .agg(
+        sort_array(collect_list(when(col("is_eval"), col("doc_id")))).as("ev"),
+        sort_array(collect_list(when(!col("is_eval"), col("doc_id")))).as("tr"))
+      .where(size(col("ev")) > 0 && size(col("tr")) > 0 &&
+        size(col("ev")) + size(col("tr")) <= maxDf)
+      .select(explode(flatten(transform(col("tr"), t =>
+        transform(col("ev"), e =>
+          struct(t.as("train_id"), e.as("eval_id")))))).as("p"))
+      .groupBy(col("p.train_id").as("train_id"), col("p.eval_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Embedding near-duplicate pairs blocked on BANDED sign-LSH buckets —
     * the production-scale variant of [[embeddingNearDups]]. An
     * AND-over-all-planes block is too strict for moderate similarity, so

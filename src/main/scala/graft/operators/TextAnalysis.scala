@@ -83,6 +83,55 @@ object TextAnalysis {
       .drop("_w")
   }
 
+  /** PII / link patterns — deliberately expressible in both Java regex
+    * (Spark codegen) and RE2 (DuckDB oracle): email, URL, IPv4.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass a training corpus gets before
+    * tokenization: emails → `<EMAIL>`, URLs → `<URL>`, IPv4 → `<IP>`,
+    * with per-category match counts from the ORIGINAL text (audit
+    * metrics). Replacement order matters and is fixed: emails first
+    * (their dots must not be eaten by a URL match), then URLs (which may
+    * contain IPs), then bare IPs. A pure narrow projection of codegen'd
+    * regexp expressions — no shuffle, no UDF.
+    */
+  def piiScrub(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(
+      id,
+      regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(text, lit(UrlPattern)).cast("long").as("n_urls"),
+      regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          UrlPattern, "<URL>"),
+        Ipv4Pattern, "<IP>").as("scrubbed"))
+
+  /** Within-document repetition score (the C4/Gopher-style quality
+    * signal): fraction of word-3-grams that are repeats of an earlier
+    * 3-gram in the same document. 0 for documents with fewer than 3
+    * words. Narrow (no shuffle): the n-gram list never leaves the row.
+    */
+  def repetition(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val w = words(text)
+    val ngs = when(size(w) >= 3,
+        transform(sequence(lit(0), size(w) - 3),
+          i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(id, ngs.as("_n"))
+      .select(
+        id,
+        size(col("_n")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("_n"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Normalized-content fingerprint: md5 over lowercased,
     * whitespace-collapsed, trimmed text.
     */

@@ -21,6 +21,7 @@ object Pipeline {
     "d05_embedding_neardup" -> d05,
     "d06_simhash_near_pairs" -> d06,
     "d07_embedding_neardup_lsh" -> d07,
+    "d08_decontaminate" -> d08,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -31,6 +32,8 @@ object Pipeline {
     "t03_text_langid" -> t03,
     "t04_text_fingerprint" -> t04,
     "t05_rolling_fingerprint" -> t05,
+    "t06_pii_scrub" -> t06,
+    "t07_repetition" -> t07,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
     "m03_resize" -> m03)
@@ -77,6 +80,14 @@ object Pipeline {
   private def d07(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsLsh(emb(s, dir), "vec_id", "embedding",
       nPlanes = 32, bandSize = 8, dims = 64, threshold = 0.4)
+
+  /** Train/eval decontamination: docs with doc_id % 10 == 0 stand in for
+    * the eval set; contamination = ≥ 3 shared rare (df ≤ 20) 3-gram
+    * shingles. One shingle shuffle, bucket-grouped pair emit.
+    */
+  private def d08(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminate(docs(s, dir), col("text"), col("doc_id"),
+      col("doc_id") % 10 === 0, minShared = 3, maxDf = 20)
 
   /** Approximate distinct (HyperLogLog++ sketch). No oracle: sketch
     * estimates are implementation-specific, so the driver records the
@@ -138,6 +149,12 @@ object Pipeline {
       TextAnalysis.rollingFingerprint(ws).as("rh"),
       TextAnalysis.rollingFingerprint(slice(ws, 1, 16)).as("rh_prefix"))
   }
+
+  private def t06(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiScrub(docs(s, dir), col("text"), col("doc_id"))
+
+  private def t07(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(docs(s, dir), col("text"), col("doc_id"))
 
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
@@ -323,6 +340,41 @@ object Pipeline {
     "x02_exact_distinct" ->
       s"""SELECT event_type, count(DISTINCT user_id) AS exact_users
           FROM events GROUP BY event_type""",
+    "d08_decontaminate" ->
+      s"""$shinglesCte
+          f AS (SELECT sh FROM u GROUP BY sh HAVING count(*) <= 20),
+          uf AS (SELECT u.doc_id, u.sh FROM u JOIN f USING (sh))
+          SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+                 count(*) AS n_shared
+          FROM uf t JOIN uf e
+            ON t.sh = e.sh AND t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+          GROUP BY 1, 2 HAVING count(*) >= 3""",
+    "t06_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^\\s]+"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+            CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
+              '$ip', '<IP>', 'g') AS scrubbed
+          FROM documents"""
+    },
+    "t07_repetition" ->
+      s"""SELECT doc_id,
+            CAST(len(ngs) AS BIGINT) AS n_ngrams,
+            CAST(len(list_distinct(ngs)) AS BIGINT) AS n_distinct,
+            CASE WHEN len(ngs) > 0
+                 THEN 1.0 - CAST(len(list_distinct(ngs)) AS DOUBLE) / len(ngs)
+                 ELSE 0.0 END AS rep_ratio
+          FROM (SELECT doc_id,
+                  CASE WHEN len(ws) >= 3
+                       THEN list_transform(range(1, len(ws) - 1),
+                              i -> array_to_string(ws[i:i+2], ' '))
+                       ELSE [] END AS ngs
+                FROM (SELECT doc_id, $wordsSql AS ws FROM documents))""",
     "s03_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
                      FROM embeddings),

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the text-pipeline operators the corpus can't
+  * exercise (no real PII in the synthetic documents) plus the
+  * decontamination cross-set semantics.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("piiScrub redacts emails, urls, ips — in that order — and counts them") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk or visit https://ex.com/a?b=1 now"),
+      (2L, "server 10.0.0.1 and http://192.168.1.1/admin both answered"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(df, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1)
+
+    assert(got(0) == ((1L, 1L, 1L, 0L,
+      "mail me at <EMAIL> or visit <URL> now")))
+    // the URL containing an IP is scrubbed as a URL, not as an IP; the
+    // bare IP is scrubbed as an IP
+    assert(got(1) == ((2L, 0L, 1L, 2L, "server <IP> and <URL> both answered")))
+    assert(got(2) == ((3L, 0L, 0L, 0L, "no pii here at all")))
+  }
+
+  test("repetition: duplicated 3-grams raise the ratio; short docs score 0") {
+    val df = Seq(
+      (1L, "a b c a b c"),        // 4 ngrams: "a b c","b c a","c a b","a b c" -> 1 dup
+      (2L, "w x y z"),            // 2 ngrams, no dup
+      (3L, "one two")).toDF("doc_id", "text") // < 3 words
+    val got = TextAnalysis.repetition(df, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got(0) == ((1L, 4L, 3L, 0.25)))
+    assert(got(1) == ((2L, 2L, 2L, 0.0)))
+    assert(got(2) == ((3L, 0L, 0L, 0.0)))
+  }
+
+  test("decontaminate: only cross-set pairs, boilerplate df guard applies") {
+    // eval = ids 10, 20; train = 1..4. Docs 1 and 10 share a rare
+    // 4-shingle run; docs 2 and 20 share exactly 2 shingles (below
+    // minShared=3); "common words here" appears in EVERY doc (df=6 >
+    // maxDf=5) so it never counts; 3 and 4 share text but are both
+    // train, so no pair.
+    val common = "common words here"
+    val df = Seq(
+      (1L, s"alpha beta gamma delta epsilon $common"),
+      (2L, s"one two three four $common"),
+      (3L, s"same train text twin $common"),
+      (4L, s"same train text twin $common"),
+      (10L, s"alpha beta gamma delta epsilon $common"),
+      (20L, s"zz one two three yy $common")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(df, col("text"), col("doc_id"),
+        col("doc_id") >= 10, minShared = 3, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only (1, 10) qualifies: shares "alpha beta gamma","beta gamma
+    // delta","gamma delta epsilon","delta epsilon common" (4 rare
+    // shingles >= 3); (2, 20) shares only "one two three" (+ nothing
+    // else rare) -> below threshold; (3,4) same-set.
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 10L)))
+    assert(got.head._3 >= 3)
+  }
+}
