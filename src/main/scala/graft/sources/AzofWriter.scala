@@ -129,6 +129,79 @@ object AzofWriter {
       (fileName, snap.copy(segments = segs, op = Some("commit-delta")))
     } (df)
 
+  /** Commit a LARGE DataFrame as `numFiles` range-partitioned delta
+    * files in ONE distributed write — the cluster-scale commit path.
+    * [[commitBase]]/[[commitDelta]] funnel through a single-file
+    * `coalesce(1)` write (correct for the reference's fixture-sized
+    * tables, a non-starter for a 1000-executor ingest): here the rows
+    * land via `repartitionByRange(event_time)` so every executor writes
+    * its own slice in parallel, each file's delta window is derived from
+    * the data it actually holds (min/max event_time per file, read back
+    * from the written parquet — a columnar stats-only scan), and ONE
+    * snapshot commit registers all files atomically. Delta-only tables
+    * are reference precedent (test-data/table1), so the layout stays
+    * format-compatible; windows are disjoint by construction, and the
+    * files are named `delta_s{N}_p{K}.parquet` so the streaming append
+    * feed tails them like any other commit.
+    */
+  def commitPartitioned(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      df: DataFrame,
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val table = AzofTable(spark, lakehousePath, name)
+    val cur = table.currentVersion
+    val nextId = (cur.toLong + 1).toString
+    val snap = table.currentSnapshot
+    val dir = table.tableDir
+    val ordered = df.select(snap.schema.allColumnNames.map(col): _*)
+    val tmp = new Path(dir, s"_tmp_part_${UUID.randomUUID().toString}")
+    val conf = spark.conf
+    val prevTsType = conf.get("spark.sql.parquet.outputTimestampType")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      ordered
+        .repartitionByRange(numFiles, col(TableSchema.EventTimeName))
+        .sortWithinPartitions(col(TableSchema.EventTimeName).desc)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val f = fs(spark, dir)
+      val parts = f.listStatus(tmp).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      // event-time window per written file (empty partitions produce
+      // row-less part files that never appear here and are dropped)
+      val stats = spark.read.parquet(tmp.toString)
+        .groupBy(input_file_name().as("_f"))
+        .agg(min(col(TableSchema.EventTimeName)).as("_mn"),
+          max(col(TableSchema.EventTimeName)).as("_mx"))
+        .collect()
+        .map(r => (new Path(r.getString(0)).getName,
+          (r.getTimestamp(1).toInstant, r.getTimestamp(2).toInstant)))
+        .toMap
+      val deltas = parts.zipWithIndex.flatMap { case (p, i) =>
+        stats.get(p.getName).map { case (mn, mx) =>
+          val target = s"delta_s${nextId}_p$i.parquet"
+          if (!f.rename(p, new Path(dir, target)))
+            throw new IllegalStateException(s"rename $p -> $target failed")
+          Delta(target, mn, mx)
+        }
+      }
+      require(deltas.nonEmpty, "commitPartitioned of an empty DataFrame")
+      val segs = mapOpenRoot(snap.segments)(s =>
+        s.copy(delta = s.delta ++ deltas))
+      writeSnapshot(spark, dir.toString, nextId,
+        snap.copy(segments = segs, op = Some("commit-delta")))
+      writeVersion(spark, dir.toString, nextId)
+    } finally {
+      conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+      val f = fs(spark, dir)
+      if (f.exists(tmp)) { f.delete(tmp, true); () }
+    }
+  }
+
   /** Compaction — the reference's unchecked "Compaction" roadmap item.
     *
     * Closes the open root segment at `at` and opens a fresh segment whose
