@@ -61,7 +61,8 @@ object Relational {
     "q27_grouping_sets" -> q27,
     "q28_range_join" -> q28,
     "q29_set_ops_all" -> q29,
-    "q30_scalar_subquery" -> q30)
+    "q30_scalar_subquery" -> q30,
+    "q31_moving_avg" -> q31)
 
   private def q01(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
@@ -436,6 +437,30 @@ object Relational {
           GROUP BY o_orderpriority""")
   }
 
+  /** Range-frame window: 7-day moving average of daily revenue per order
+    * priority — `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the
+    * integer day number, the window-frame class (value-range, not
+    * row-count) the rest of the corpus doesn't touch. Daily sums are
+    * decimal-exact; the average divides once in double (sum/count), so
+    * both engines agree bit-for-bit. Plan: one shuffle for the daily
+    * aggregate, one for the window partition — the frame itself is a
+    * running in-partition computation, no self-join row explosion.
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("order_day"))
+      .agg(sum(col("o_totalprice").cast(D)).as("_rev"))
+      .withColumn("_dayn", datediff(col("order_day"),
+        lit(java.sql.Date.valueOf("1970-01-01"))))
+    val w = Window.partitionBy(col("priority")).orderBy(col("_dayn"))
+      .rangeBetween(-6, Window.currentRow)
+    daily.select(col("priority"), col("order_day"),
+      col("_rev").cast(DOut).cast("double").as("daily_rev"),
+      (sum(col("_rev")).over(w).cast(DOut).cast("double") /
+        count(lit(1)).over(w)).as("ma7_rev"))
+  }
+
   /** DuckDB equivalents. Column aliases match the Spark plans exactly;
     * every double aggregate uses the same DECIMAL(18,4) accumulation.
     */
@@ -661,5 +686,18 @@ object Relational {
          WHERE CAST(o_totalprice AS DECIMAL(18,4))
                  * (SELECT COUNT(*) FROM orders)
                > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
-         GROUP BY o_orderpriority""")
+         GROUP BY o_orderpriority""",
+    "q31_moving_avg" ->
+      """SELECT priority, order_day,
+           CAST(CAST(rev AS DECIMAL(38,4)) AS DOUBLE) AS daily_rev,
+           CAST(CAST(SUM(rev) OVER w AS DECIMAL(38,4)) AS DOUBLE)
+             / COUNT(*) OVER w AS ma7_rev
+         FROM (SELECT o_orderpriority AS priority,
+                 CAST(o_orderdate AS DATE) AS order_day,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+                 date_diff('day', DATE '1970-01-01',
+                   CAST(o_orderdate AS DATE)) AS dayn
+               FROM orders GROUP BY 1, 2, 4)
+         WINDOW w AS (PARTITION BY priority ORDER BY dayn
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""")
 }
