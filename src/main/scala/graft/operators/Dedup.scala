@@ -116,16 +116,35 @@ object Dedup {
     */
   def bucketPairs(
       unpivoted: DataFrame, cap: Int = DefaultBucketCap,
-      observeName: String = ""): DataFrame = {
+      observeName: String = ""): DataFrame =
+    bucketPairsCore(unpivoted, cap, grouped =>
+      if (observeName.isEmpty) grouped
+      else grouped.observe(observeName,
+        capMetrics(cap).head, capMetrics(cap).tail: _*))
+
+  /** [[bucketPairs]] with a blocking-readable [[Observation]]: after the
+    * first action on the result, `observation.get` yields
+    * `dropped_ids` (ids clipped by the cap) and `max_bucket` (largest
+    * bucket seen) — the production knob for "did the cap actually bite,
+    * and how hot is the hottest bucket".
+    */
+  def bucketPairsObserved(
+      unpivoted: DataFrame, cap: Int,
+      observation: org.apache.spark.sql.Observation): DataFrame =
+    bucketPairsCore(unpivoted, cap,
+      _.observe(observation, capMetrics(cap).head, capMetrics(cap).tail: _*))
+
+  private def capMetrics(cap: Int): Seq[Column] = Seq(
+    sum(greatest(size(col("ids")) - cap, lit(0))).as("dropped_ids"),
+    max(size(col("ids"))).as("max_bucket"))
+
+  private def bucketPairsCore(
+      unpivoted: DataFrame, cap: Int,
+      attach: DataFrame => DataFrame): DataFrame = {
     val grouped = unpivoted.groupBy("bidx", "bval")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
-    val observed =
-      if (observeName.isEmpty) grouped
-      else grouped.observe(observeName,
-        sum(greatest(size(col("ids")) - cap, lit(0))).as("dropped_ids"),
-        max(size(col("ids"))).as("max_bucket"))
-    observed
+    attach(grouped)
       .withColumn("ids", slice(col("ids"), 1, cap))
       .select(explode(flatten(
         transform(sequence(lit(0), size(col("ids")) - 2), i =>

@@ -69,6 +69,17 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.size == 10 && got.subsetOf(uncapped))
   }
 
+  test("cap clip volume is observable via Observation metrics") {
+    val unpiv = (1L to 7L).map(i => (i, 0, "hot"))
+      .toDF("id", "bidx", "bval")
+    val obs = new org.apache.spark.sql.Observation("capProbe")
+    val pairs = Dedup.bucketPairsObserved(unpiv, cap = 3, obs)
+    assert(pairs.count() == 3) // C(3,2) among the 3 smallest ids
+    val row = obs.get
+    assert(row("dropped_ids") == 4L) // 7 ids - cap 3
+    assert(row("max_bucket") == 7)
+  }
+
   test("banded sign-LSH near-dups: subset of brute force, all exact dups found") {
     val rnd = new Random(7)
     val emb = (0 until 60).map { i =>
