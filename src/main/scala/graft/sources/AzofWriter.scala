@@ -113,7 +113,9 @@ object AzofWriter {
     } (df)
 
   /** Commit `df` as a delta file `[start, end]` on the open root segment:
-    * new snapshot id = current + 1, `version.txt` bumped.
+    * new snapshot id = current + 1, `version.txt` bumped. `op` overrides
+    * the snapshot's operation stamp (default "commit-delta") — the
+    * streaming sink uses it to make micro-batch commits idempotent.
     */
   def commitDelta(
       spark: SparkSession,
@@ -121,12 +123,14 @@ object AzofWriter {
       name: String,
       df: DataFrame,
       start: Instant,
-      end: Instant): Unit =
+      end: Instant,
+      op: Option[String] = None): Unit =
     commit(spark, lakehousePath, name) { (nextId, snap) =>
       val fileName = s"delta_s$nextId.parquet"
       val segs = mapOpenRoot(snap.segments)(s =>
         s.copy(delta = s.delta :+ Delta(fileName, start, end)))
-      (fileName, snap.copy(segments = segs, op = Some("commit-delta")))
+      (fileName, snap.copy(segments = segs,
+        op = Some(op.getOrElse("commit-delta"))))
     } (df)
 
   /** Commit a LARGE DataFrame as `numFiles` range-partitioned delta
