@@ -140,6 +140,14 @@ object Dedup {
 
   private def bucketPairsCore(
       unpivoted: DataFrame, cap: Int,
+      attach: DataFrame => DataFrame): DataFrame =
+    rawBucketPairs(unpivoted, cap, attach).distinct()
+
+  /** Pair emit WITHOUT the final distinct — for callers that shrink the
+    * rows first (verify + project) so the dedup shuffle moves less.
+    */
+  private def rawBucketPairs(
+      unpivoted: DataFrame, cap: Int,
       attach: DataFrame => DataFrame): DataFrame = {
     val grouped = unpivoted.groupBy("bidx", "bval")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -151,7 +159,7 @@ object Dedup {
           transform(slice(col("ids"), i + 2, size(col("ids"))),
             y => struct(element_at(col("ids"), i + 1).as("id_a"),
               y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+      .select(col("p.id_a"), col("p.id_b"))
   }
 
   /** LSH candidate pairs: docs sharing at least one band signature.
@@ -262,10 +270,17 @@ object Dedup {
           array((0 until nBands).map(b =>
             substring(col("simhash"), b * bandBits + 1, bandBits)): _*)))
       .toDF("id", "bidx", "bval")
-    bucketPairs(unpivoted, cap, "d06_band_cap")
+    // Hamming verify BEFORE the pair distinct: the codegen'd distance is
+    // cheap per emit (≤ nBands emits per pair), and dropping the
+    // signature payloads first means the distinct shuffles ~30-byte
+    // (id, id, dist) rows instead of ~2·bits of signature per row.
+    rawBucketPairs(unpivoted, cap, grouped =>
+        grouped.observe("d06_band_cap",
+          capMetrics(cap).head, capMetrics(cap).tail: _*))
       .select(col("id_a.doc_id").as("doc_a"), col("id_b.doc_id").as("doc_b"),
         expr("hamming(id_a.simhash, id_b.simhash)").cast("long").as("dist"))
       .where(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Train/eval decontamination — the benchmark-leak check every
