@@ -50,8 +50,9 @@ object AzofCli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
-        "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|add-column|" +
-          "compact|changes|vacuum|tail|sql> --path P --table T [...]")
+        "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
+          "commit-partitioned|add-column|compact|changes|vacuum|tail|sql> " +
+          "--path P --table T [...]")
       sys.exit(2)
     }
     val opts = parseArgs(args)
@@ -101,6 +102,12 @@ object AzofCli {
         graft.sources.AzofWriter.commitDelta(spark, opts("path"), opts("table"),
           df, Instant.parse(opts("start")), Instant.parse(opts("end")))
         println(s"committed delta; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+      case "commit-partitioned" =>
+        val table = AzofTable(spark, opts("path"), opts("table"))
+        val df = CsvGen.readCsv(spark, table.currentSnapshot.schema, opts("source"))
+        graft.sources.AzofWriter.commitPartitioned(spark, opts("path"),
+          opts("table"), df, opts.getOrElse("files", "4").toInt)
+        println(s"committed partitioned; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
       case "add-column" =>
         val Array(n, t) = opts("column").split(":")
         graft.sources.AzofWriter.addColumn(spark, opts("path"), opts("table"),
