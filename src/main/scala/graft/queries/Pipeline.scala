@@ -206,10 +206,15 @@ object Pipeline {
   } +
     s"""
         b AS (SELECT doc_id, ${(0 until 4).map(i =>
-            s"h${2 * i}||'|'||h${2 * i + 1} AS b$i").mkString(", ")} FROM mh),
+            s"h${2 * i}||'|'||h${2 * i + 1} AS b$i").mkString(", ")},
+          ${(0 until 4).map(i =>
+            s"""ROW_NUMBER() OVER (PARTITION BY h${2 * i}||'|'||h${2 * i + 1}
+                ORDER BY doc_id) AS rn$i""").mkString(", ")} FROM mh),
         cand AS (${(0 until 4).map(i =>
             s"""SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
-                FROM b a JOIN b c ON a.b$i = c.b$i AND a.doc_id < c.doc_id""")
+                FROM b a JOIN b c ON a.b$i = c.b$i AND a.doc_id < c.doc_id
+                WHERE a.rn$i <= ${Dedup.DefaultBucketCap}
+                  AND c.rn$i <= ${Dedup.DefaultBucketCap}""")
           .mkString(" UNION ")})"""
 
   private val fingerprintSql =
