@@ -202,6 +202,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** ANN top-k via banded sign-LSH — the bucketed scale path for SEARCH
+    * (s02 exposes the buckets themselves; this probes them): a query's
+    * candidates are all vectors sharing ANY band of its bucket signature
+    * (same OR-construction as the near-dup blocker), re-ranked by exact
+    * cosine, top-k per query. The bucketing kernel is narrow; candidate
+    * generation is a broadcast hash join of the (small) query band set
+    * against the table's bands — no shuffle of the table, never an
+    * all-pairs product; exact cosine touches candidates only. Recall
+    * rises with band count at linear cost. Output: (query_id,
+    * neighbor_id, rnk) with ties broken toward the lower id.
+    */
+  def lshTopK(
+      emb: DataFrame, id: String, vec: String,
+      queryFilter: Column, nPlanes: Int, bandSize: Int, dims: Int,
+      k: Int): DataFrame = {
+    require(nPlanes % bandSize == 0, "nPlanes must be a multiple of bandSize")
+    val nBands = nPlanes / bandSize
+    val buckets = signBuckets(emb, id, vec, nPlanes, dims)
+    def bandsOf(b: DataFrame): DataFrame = b.select(col("vec_id"), posexplode(
+        array((0 until nBands).map(i =>
+          substring(col("bucket"), i * bandSize + 1, bandSize)): _*)))
+      .toDF("vec_id", "bidx", "bval")
+    val e = emb.select(col(id).cast("long").as("_id"),
+      asDouble(col(vec)).as("_v"))
+      .withColumn("_n", l2norm(col("_v")))
+    val qIds = e.where(queryFilter.as("_qf")).select(col("_id").as("vec_id"))
+    val qBands = bandsOf(buckets.join(broadcast(qIds), "vec_id"))
+      .toDF("query_id", "bidx", "bval")
+    val cands = bandsOf(buckets).join(broadcast(qBands), Seq("bidx", "bval"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    cands
+      .join(e.select(col("_id").as("query_id"), col("_v").as("_qv"),
+        col("_n").as("_qn")), Seq("query_id"))
+      .join(e.select(col("_id").as("neighbor_id"), col("_v").as("_cv"),
+        col("_n").as("_cn")), Seq("neighbor_id"))
+      .withColumn("_cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** Deterministic random-hyperplane directions: plane `p`, dimension `j`
     * takes -1.0 or +1.0 from hex digit `j mod 32` of
     * md5("plane#p#{j/32}"). Reproducible in any engine with md5.

@@ -27,6 +27,7 @@ object Pipeline {
     "s01_ann_topk" -> s01,
     "s02_ann_lsh_buckets" -> s02,
     "s03_ann_ivf" -> s03,
+    "s04_ann_lsh_topk" -> s04,
     "t01_text_tokens" -> t01,
     "t02_text_quality" -> t02,
     "t03_text_langid" -> t03,
@@ -126,6 +127,19 @@ object Pipeline {
   private def s03(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKFixedK(emb(s, dir), "vec_id", "embedding",
       numCentroids = 32, col("vec_id") < 3, nprobe = 12, k = 10)
+
+  /** LSH-probed ANN top-k with s01's queries/k for direct recall
+    * comparison. Search wants much narrower bands than dedup: a probe's
+    * candidate cost is per-QUERY linear (nBands·N/2^bits), so 4 bands ×
+    * 3 bits probes ~45% of this near-uniform corpus for recall 0.77 —
+    * versus d07's 8-bit bands whose collisions are calibrated for the
+    * cosine ≥ 0.4 near-dup threshold, not top-k of near-orthogonal
+    * vectors. Clustered production embeddings reach the same recall at a
+    * far smaller probed fraction.
+    */
+  private def s04(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(emb(s, dir), "vec_id", "embedding",
+      col("vec_id") < 3, nPlanes = 12, bandSize = 3, dims = 64, k = 10)
 
   private def t01(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir), col("text"), col("doc_id"))
@@ -404,6 +418,25 @@ object Pipeline {
              JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
              JOIN e q ON q.vec_id = p.query_id
              JOIN e c ON c.vec_id = a.vec_id)
+          WHERE rn <= 10""",
+    "s04_ann_lsh_topk" ->
+      s"""WITH bk AS (SELECT vec_id, ${(0 until 12).map(p =>
+            s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN '1' ELSE '0' END)")
+            .mkString(" || ")} AS bucket
+          FROM embeddings),
+          bands AS (SELECT vec_id, bidx, substr(bucket, bidx * 3 + 1, 3) AS bval
+                    FROM bk, (SELECT unnest([0, 1, 2, 3]) AS bidx)),
+          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                   FROM bands q JOIN bands c
+                     ON q.bidx = c.bidx AND q.bval = c.bval
+                  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
+          SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM
+            (SELECT cd.query_id, cd.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY cd.query_id
+                 ORDER BY ${cosSql("q", "c")} DESC, cd.neighbor_id) AS rn
+             FROM cand cd
+             JOIN embeddings q ON q.vec_id = cd.query_id
+             JOIN embeddings c ON c.vec_id = cd.neighbor_id)
           WHERE rn <= 10""",
     "s02_ann_lsh_buckets" ->
       s"""SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec FROM

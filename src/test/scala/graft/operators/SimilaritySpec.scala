@@ -53,6 +53,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.toSeq == bf.toSeq)
   }
 
+  test("lshTopK: an identical vector always surfaces as the top neighbor") {
+    // identical vectors share every band, so recall for exact copies is
+    // 1.0 by construction regardless of geometry
+    val withDup = emb.union(Seq((100L, Array(1f, 0f, 0.01f, 0f)))
+      .toDF("vec_id", "embedding")) // copy of vec 1
+    val res = Similarity.lshTopK(withDup, "vec_id", "embedding",
+      col("vec_id") === 1, nPlanes = 12, bandSize = 3, dims = 4, k = 3)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(res.head == ((100L, 1L)))
+  }
+
   test("bruteForceTopK ranks the query's own cluster first") {
     val res = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       col("vec_id") === 7, k = 4)
