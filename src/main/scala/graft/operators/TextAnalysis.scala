@@ -132,6 +132,41 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Deterministic train/val/test split assignment: bucket =
+    * md5("split#" || id) mod 100, so membership is a pure function of the
+    * document id — stable across runs, clusters, and engines, joinable
+    * from anywhere, and never resampled when the corpus grows (the
+    * property that matters for decontamination audits). Narrow, no
+    * shuffle. Thresholds are percentages (train < t1 <= val < t2 <= test).
+    */
+  def splitAssign(
+      df: DataFrame, id: Column,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("split#"), id)), 1, 14), 16, 10)
+        .cast("long"), lit(100)).cast("long")
+    df.select(id.as("doc_id"), bucket.as("split_bucket"))
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, "train")
+          .when(col("split_bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Corpus length histogram: fixed-width buckets over the word count
+    * (last bucket open-ended) — the shape/shard-balance diagnostic every
+    * corpus build reports. One partial-aggregated shuffle on ≤ nBuckets
+    * keys.
+    */
+  def lengthHistogram(
+      df: DataFrame, text: Column, width: Int, nBuckets: Int): DataFrame =
+    df.select(size(words(text)).cast("long").as("_n"))
+      .select(least(floor(col("_n") / width), lit(nBuckets - 1))
+        .cast("long").as("bucket"), col("_n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("_n")).as("min_words"), max(col("_n")).as("max_words"))
+
   /** Normalized-content fingerprint: md5 over lowercased,
     * whitespace-collapsed, trimmed text.
     */

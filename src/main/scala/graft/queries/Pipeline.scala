@@ -35,6 +35,8 @@ object Pipeline {
     "t05_rolling_fingerprint" -> t05,
     "t06_pii_scrub" -> t06,
     "t07_repetition" -> t07,
+    "t08_split_assign" -> t08,
+    "t09_length_histogram" -> t09,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
     "m03_resize" -> m03)
@@ -169,6 +171,13 @@ object Pipeline {
 
   private def t07(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(s, dir), col("text"), col("doc_id"))
+
+  private def t08(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.splitAssign(docs(s, dir), col("doc_id"))
+
+  private def t09(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthHistogram(docs(s, dir), col("text"),
+      width = 25, nBuckets = 10)
 
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
@@ -480,6 +489,21 @@ object Pipeline {
                 FROM (SELECT doc_id, $wordsSql AS ws FROM documents))""",
     "t04_text_fingerprint" ->
       s"""SELECT doc_id, $fingerprintSql AS fp FROM documents""",
+    "t08_split_assign" ->
+      s"""SELECT doc_id, split_bucket,
+            CASE WHEN split_bucket < 80 THEN 'train'
+                 WHEN split_bucket < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                  CAST('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 14)
+                    AS BIGINT) % 100 AS split_bucket
+                FROM documents)""",
+    "t09_length_histogram" ->
+      s"""SELECT CAST(LEAST(n // 25, 9) AS BIGINT) AS bucket,
+            count(*) AS n_docs,
+            MIN(n) AS min_words, MAX(n) AS max_words
+          FROM (SELECT CAST(len($wordsSql) AS BIGINT) AS n FROM documents)
+          GROUP BY 1""",
     "t05_rolling_fingerprint" -> {
       val p = graft.operators.TextAnalysis.RollP
       val bb = graft.operators.TextAnalysis.RollB
