@@ -21,8 +21,10 @@ object AzofWriter {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def writeUtf8(spark: SparkSession, p: Path, content: String): Unit = {
-    val out = fs(spark, p).create(p, true)
+  private def writeUtf8(
+      spark: SparkSession, p: Path, content: String,
+      overwrite: Boolean = true): Unit = {
+    val out = fs(spark, p).create(p, overwrite)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -64,12 +66,20 @@ object AzofWriter {
     } finally conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
   }
 
+  /** Write snapshot `id` — REFUSES to overwrite an existing s{id}.json
+    * (`FileAlreadyExistsException` on local/HDFS): snapshot documents
+    * are immutable once written, so create-if-absent makes concurrent
+    * committers first-writer-wins instead of silently clobbering each
+    * other's snapshot (optimistic concurrency, Delta-log style). The
+    * loser retries from the new current version.
+    */
   def writeSnapshot(
       spark: SparkSession,
       tableDir: String,
       id: String,
       snapshot: Snapshot): Unit =
-    writeUtf8(spark, new Path(tableDir, s"s$id.json"), SnapshotCodec.render(snapshot))
+    writeUtf8(spark, new Path(tableDir, s"s$id.json"),
+      SnapshotCodec.render(snapshot), overwrite = false)
 
   def writeVersion(spark: SparkSession, tableDir: String, id: String): Unit =
     writeUtf8(spark, new Path(tableDir, "version.txt"), id)

@@ -105,6 +105,22 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent commit loses cleanly: existing s{N}.json is never clobbered") {
+    val lake = build()
+    // simulate a racing writer that already landed the next snapshot id
+    val next = AzofTable(spark, lake, "t").currentVersion.toLong + 1
+    val f = new java.io.File(new java.io.File(lake, "t"), s"s$next.json")
+    java.nio.file.Files.writeString(f.toPath, "{\"racer\": true}")
+    val before = java.nio.file.Files.readString(f.toPath)
+    intercept[Exception] {
+      AzofWriter.commitDelta(spark, lake, "t", df(
+        ("9", "2024-03-20T00:00:00Z", "z1")),
+        ts("2024-03-15T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
+    }
+    // the racer's snapshot survives untouched
+    assert(java.nio.file.Files.readString(f.toPath) == before)
+  }
+
   test("commits after compaction layer onto the new open segment") {
     val lake = build()
     AzofWriter.compact(spark, lake, "t", ts("2024-04-01T00:00:00Z"))
