@@ -117,6 +117,34 @@ object Multimodal {
     decodeMeta(spark, docs.select(col("doc_id"),
       col("text").cast("binary").as("payload"))).toDF()
 
+  /** Feature extraction: binary payload → fixed-dim float vector — the
+    * model-inference slot of the pipeline (image/audio embedding models
+    * are not in this container, so the kernel is a deterministic
+    * arithmetic stand-in over the payload's size and leading byte; a
+    * production build loads the model once per partition exactly where
+    * the comment marks it). The Spark-side contract is the real part:
+    * binary in, `array<float>` out, partition-parallel `mapPartitions`
+    * with per-partition model init, no shuffle — and the output column
+    * feeds [[Similarity]]'s ANN operators directly (embedding-shaped).
+    */
+  def featureExtract(
+      spark: SparkSession, payloads: DataFrame, dims: Int): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition model load would go here
+        it.map { case (id, bytes) =>
+          val octets = bytes.length.toLong
+          val first = if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else 0L
+          val v = Array.tabulate(dims)(d =>
+            (((octets * (d + 1) + first * (d + 3)) % 97L).toFloat / 97.0f))
+          (id, v)
+        }
+      }
+      .toDF("doc_id", "feature")
+  }
+
   /** Resized media row: target dims plus the resized payload. */
   final case class Resized(
       doc_id: Long, out_width: Long, out_height: Long, out_octets: Long,

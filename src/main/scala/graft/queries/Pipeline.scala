@@ -39,7 +39,8 @@ object Pipeline {
     "t09_length_histogram" -> t09,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
-    "m03_resize" -> m03)
+    "m03_resize" -> m03,
+    "m04_feature_extract" -> m04)
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
@@ -202,6 +203,21 @@ object Pipeline {
           col("text").cast("binary").as("payload")), w = 16, h = 16)
       .toDF()
       .select("doc_id", "out_width", "out_height", "out_octets")
+
+  /** Feature extraction to a 16-dim vector; the checkable surface is
+    * four leading components plus the L2 norm (the full vector feeds the
+    * ANN operators — MultimodalSpec composes it with bruteForceTopK).
+    */
+  private def m04(s: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.featureExtract(s,
+      docs(s, dir).select(col("doc_id"),
+        col("text").cast("binary").as("payload")), dims = 16)
+    val fd = Similarity.asDouble(col("feature"))
+    feats.select(col("doc_id"),
+      element_at(fd, 1).as("f0"), element_at(fd, 2).as("f1"),
+      element_at(fd, 3).as("f2"), element_at(fd, 4).as("f3"),
+      Similarity.l2norm(fd).as("norm"))
+  }
 
   // ---------------------------------------------------------------- SQL
 
@@ -538,6 +554,16 @@ object Pipeline {
                   GREATEST(1, (octets + 255) // 256) AS stride
                 FROM (SELECT doc_id,
                         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS octets
+                      FROM documents))""",
+    "m04_feature_extract" ->
+      s"""SELECT doc_id, fv[1] AS f0, fv[2] AS f1, fv[3] AS f2, fv[4] AS f3,
+            sqrt(list_dot_product(fv, fv)) AS norm
+          FROM (SELECT doc_id, list_transform(range(0, 16), d ->
+                  CAST(CAST((octets * (d + 1) + first * (d + 3)) % 97 AS FLOAT)
+                    / CAST(97 AS FLOAT) AS DOUBLE)) AS fv
+                FROM (SELECT doc_id,
+                        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS octets,
+                        CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first
                       FROM documents))""",
     "m01_multimodal_meta" ->
       s"""SELECT doc_id, octets,

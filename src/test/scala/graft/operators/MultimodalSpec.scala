@@ -92,6 +92,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m == again)
   }
 
+  test("featureExtract vectors feed the ANN operators directly") {
+    val docs = Seq(
+      (1L, "alpha beta gamma".getBytes("UTF-8")),
+      (2L, "alpha beta gamma".getBytes("UTF-8")), // identical payload
+      (3L, "totally different content here".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.featureExtract(spark, docs, dims = 16)
+      .withColumnRenamed("feature", "embedding")
+    // identical payloads -> identical vectors -> cosine 1.0 top neighbor
+    val top = Similarity.bruteForceTopK(feats, "doc_id", "embedding",
+      col("doc_id") === 1, k = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(top.head == 2L)
+    val vecs = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs(1L) == vecs(2L) && vecs(1L) != vecs(3L))
+    assert(vecs(1L).length == 16)
+  }
+
   test("magic sniffing never claims text payloads") {
     Seq("plain text", "BM-prefixed but short", "GIF8 not quite").foreach { s =>
       val b = s.getBytes("UTF-8")
