@@ -115,7 +115,7 @@ object AzofCli {
         println(s"added column $n; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
       case "compact" =>
         graft.sources.AzofWriter.compact(spark, opts("path"), opts("table"),
-          Instant.parse(opts("at")))
+          Instant.parse(opts("at")), opts.getOrElse("files", "1").toInt)
         println(s"compacted; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
       case "changes" =>
         graft.sources.AzofChangeFeed.between(spark, opts("path"), opts("table"),

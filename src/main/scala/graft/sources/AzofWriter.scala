@@ -171,6 +171,27 @@ object AzofWriter {
     val snap = table.currentSnapshot
     val dir = table.tableDir
     val ordered = df.select(snap.schema.allColumnNames.map(col): _*)
+    val deltas = writePartitionedFiles(spark, dir, ordered, numFiles,
+      s"delta_s${nextId}_p")
+    require(deltas.nonEmpty, "commitPartitioned of an empty DataFrame")
+    val segs = mapOpenRoot(snap.segments)(s =>
+      s.copy(delta = s.delta ++ deltas))
+    writeSnapshot(spark, dir.toString, nextId,
+      snap.copy(segments = segs, op = Some("commit-delta")))
+    writeVersion(spark, dir.toString, nextId)
+  }
+
+  /** Land `df` as up to `numFiles` range-partitioned parquet files named
+    * `{filePrefix}{K}.parquet`, one distributed write; returns one
+    * [[Delta]] per non-empty file with its data-derived event-time
+    * window. Shared by the partitioned commit and multi-file compaction.
+    */
+  private def writePartitionedFiles(
+      spark: SparkSession,
+      dir: Path,
+      ordered: DataFrame,
+      numFiles: Int,
+      filePrefix: String): Seq[Delta] = {
     val tmp = new Path(dir, s"_tmp_part_${UUID.randomUUID().toString}")
     val conf = spark.conf
     val prevTsType = conf.get("spark.sql.parquet.outputTimestampType")
@@ -195,20 +216,14 @@ object AzofWriter {
         .map(r => (new Path(r.getString(0)).getName,
           (r.getTimestamp(1).toInstant, r.getTimestamp(2).toInstant)))
         .toMap
-      val deltas = parts.zipWithIndex.flatMap { case (p, i) =>
+      parts.zipWithIndex.flatMap { case (p, i) =>
         stats.get(p.getName).map { case (mn, mx) =>
-          val target = s"delta_s${nextId}_p$i.parquet"
+          val target = s"$filePrefix$i.parquet"
           if (!f.rename(p, new Path(dir, target)))
             throw new IllegalStateException(s"rename $p -> $target failed")
           Delta(target, mn, mx)
         }
-      }
-      require(deltas.nonEmpty, "commitPartitioned of an empty DataFrame")
-      val segs = mapOpenRoot(snap.segments)(s =>
-        s.copy(delta = s.delta ++ deltas))
-      writeSnapshot(spark, dir.toString, nextId,
-        snap.copy(segments = segs, op = Some("commit-delta")))
-      writeVersion(spark, dir.toString, nextId)
+      }.toSeq
     } finally {
       conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
       val f = fs(spark, dir)
@@ -234,11 +249,21 @@ object AzofWriter {
     * the reference's financials tree follows: deltas live in closed
     * leaves, never on closed roots).
     */
+  /** @param numFiles with 1 (default) the merged state lands as one base
+    *                  file via the single-file write; with N > 1 it lands
+    *                  as N range-partitioned `compact_s{V}_p{K}` files in
+    *                  one distributed write, registered as deltas of the
+    *                  new open segment (file-less) — the cluster-scale
+    *                  compaction shape where no single-file write sits on
+    *                  the critical path. Same scan results either way.
+    */
   def compact(
       spark: SparkSession,
       lakehousePath: String,
       name: String,
-      at: Instant): Unit = {
+      at: Instant,
+      numFiles: Int = 1): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
     val table = AzofTable(spark, lakehousePath, name)
     val cur = table.currentVersion
     val nextId = (cur.toLong + 1).toString
@@ -251,12 +276,25 @@ object AzofWriter {
     // merged state as of `at`, via the production scan path
     val merged = graft.operators.AzofScan.scanSnapshot(
       spark, table, snap, graft.format.AsOf.EventTime(at))
+      .select(snap.schema.allColumnNames.map(col): _*)
     // distinct prefix: compaction REWRITES rows; the streaming append
     // feed (AzofStream) tails only base_/delta_ commit files by name
-    val baseFile = s"compact_s$nextId.parquet"
     val dir = table.tableDir.toString
-    writeDataFile(spark, merged.select(snap.schema.allColumnNames.map(col): _*),
-      dir, baseFile)
+    val (newBase, mergedDeltas) =
+      if (numFiles == 1) {
+        val baseFile = s"compact_s$nextId.parquet"
+        writeDataFile(spark, merged, dir, baseFile)
+        (Some(baseFile), Seq.empty[Delta])
+      } else {
+        // Merged-state deltas on the new OPEN segment are read for any
+        // as-of >= their windows; for historic instants t < `at` they
+        // also pass the root-delta is_before check, harmlessly: each
+        // merged row duplicates the closed child's winning row for its
+        // key byte-for-byte, so the per-key dedup picks identical values
+        // whichever file wins precedence.
+        (None, writePartitionedFiles(spark, table.tableDir, merged,
+          numFiles, s"compact_s${nextId}_p"))
+      }
 
     // Rows with event_time > `at` already committed into the open segment
     // (a delta whose window extends past the compaction point, or base
@@ -316,8 +354,8 @@ object AzofWriter {
       delta = Seq.empty)
     val newOpen = Segment(
       id = nextId, start = at, end = None,
-      file = Some(baseFile), segments = Seq.empty,
-      delta = futureDelta.toSeq)
+      file = newBase, segments = Seq.empty,
+      delta = mergedDeltas ++ futureDelta.toSeq)
     val newSnap = snap.copy(
       segments = snap.segments.updated(openIdx, closedRoot) :+ newOpen,
       op = Some("compact"))

@@ -43,7 +43,8 @@ class CompactionPropertySpec extends AnyFunSuite {
     rows <- Gen.listOfN(n, rowGen)
     cut <- Gen.chooseNum(1, 95)     // base/delta split hour
     compactAt <- Gen.chooseNum(1, 97)
-  } yield (rows, cut, compactAt)
+    numFiles <- Gen.oneOf(1, 3)     // single-file base vs distributed
+  } yield (rows, cut, compactAt, numFiles)
 
   private def scanVals(lake: String, asOf: AsOf): Seq[(String, String)] =
     AzofScan.scan(spark, lake, "t", asOf).select("key", "value")
@@ -51,7 +52,7 @@ class CompactionPropertySpec extends AnyFunSuite {
 
   test("compaction at a random point preserves every as-of view") {
     (1 to 5).foreach { i =>
-      val (rows, cut, compactAt) =
+      val (rows, cut, compactAt, numFiles) =
         caseGen(Gen.Parameters.default, Seed(i.toLong * 7)).get
       val lake = Files.createTempDirectory(s"azof-cprop$i").toString
       AzofWriter.createTable(spark, lake, "t", schema, t0)
@@ -67,11 +68,12 @@ class CompactionPropertySpec extends AnyFunSuite {
           AsOf.EventTime(hourTs(h)))
       val before = probes.map(scanVals(lake, _))
 
-      AzofWriter.compact(spark, lake, "t", hourTs(compactAt))
+      AzofWriter.compact(spark, lake, "t", hourTs(compactAt),
+        numFiles = numFiles)
 
       val after = probes.map(scanVals(lake, _))
       assert(after == before,
-        s"case $i (cut=$cut, compactAt=$compactAt): views diverged")
+        s"case $i (cut=$cut, compactAt=$compactAt, files=$numFiles): views diverged")
     }
   }
 }
