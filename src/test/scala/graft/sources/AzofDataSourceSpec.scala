@@ -74,6 +74,26 @@ class AzofDataSourceSpec extends AnyFunSuite {
     assert(kv(v2) == Seq("1" -> "v1"))
   }
 
+  test("schema evolution through the reader: old version, old schema") {
+    val tmp = Files.createTempDirectory("azof-dsevo").toString
+    val schema = TableSchema(Seq(
+      ColumnDef("value", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, tmp, "t", schema,
+      Instant.parse("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, tmp, "t", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("1",
+        Timestamp.from(Instant.parse("2024-01-02T00:00:00Z")), "v1"))),
+      schema.toStruct))
+    AzofWriter.addColumn(spark, tmp, "t",
+      ColumnDef("note", ColumnType.AzString, nullable = true))
+
+    val cur = spark.read.format("azof").load(s"$tmp/t")
+    assert(cur.columns.toSeq == Seq("key", "event_time", "value", "note"))
+    assert(cur.select("note").collect().head.isNullAt(0)) // pre-evolution file
+    val old = spark.read.format("azof").option("versionAsOf", "2").load(s"$tmp/t")
+    assert(old.columns.toSeq == Seq("key", "event_time", "value"))
+  }
+
   test("column pruning and filters compose (and filters stay correct)") {
     val df = spark.read.format("azof").load(s"$lake/table0")
       .where(col("key") =!= "2").select("value")
