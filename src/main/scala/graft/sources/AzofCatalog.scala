@@ -119,7 +119,10 @@ final class AzofV2Table(
     lakehousePath: String, tableName: String,
     asOf: AsOf, version: Option[String]) extends Table with SupportsRead {
 
-  private def relation: AzofRelation =
+  // lazy val: a loaded Table represents ONE resolved version — planning
+  // may ask for the schema repeatedly and must not re-read (or observe a
+  // concurrently bumped) snapshot mid-query
+  private lazy val relation: AzofRelation =
     new AzofRelation(SparkSession.active.sqlContext, lakehousePath,
       tableName, asOf, version)
 

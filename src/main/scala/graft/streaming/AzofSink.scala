@@ -28,15 +28,33 @@ object AzofSink {
   /** Commit one micro-batch as a delta; idempotent on `batchId`.
     * Returns true iff a commit happened (false: empty batch or replay).
     */
+  /** How many commits back to scan for the last stream batch stamp: a
+    * replayed batch stays detectable even when other writers (CLI
+    * commits, compaction) landed between the batch's commit and its
+    * checkpoint acknowledgement. Structured Streaming replays at most
+    * ONE batch, so the stamp can only be this far from the head if that
+    * many foreign commits raced in during one micro-batch window.
+    */
+  private val ReplayLookback = 50L
+
+  private def lastBatchId(t: AzofTable): Option[Long] = {
+    val cur = t.currentVersion.toLong
+    (cur to math.max(1L, cur - ReplayLookback) by -1).iterator
+      .flatMap(v => scala.util.Try(t.snapshot(v.toString)).toOption)
+      .flatMap(_.op)
+      .collectFirst {
+        case op if op.startsWith(OpPrefix) &&
+          op.stripPrefix(OpPrefix).toLongOption.isDefined =>
+          op.stripPrefix(OpPrefix).toLong
+      }
+  }
+
   def commitBatch(
       lakehousePath: String, table: String,
       batch: DataFrame, batchId: Long): Boolean = {
     val spark = batch.sparkSession
     val t = AzofTable(spark, lakehousePath, table)
-    val replayed = t.currentSnapshot.op.exists { op =>
-      op.startsWith(OpPrefix) &&
-        op.stripPrefix(OpPrefix).toLongOption.exists(_ >= batchId)
-    }
+    val replayed = lastBatchId(t).exists(_ >= batchId)
     if (replayed) false
     else {
       val rows = batch.persist()

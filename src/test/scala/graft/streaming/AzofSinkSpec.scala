@@ -64,6 +64,16 @@ class AzofSinkSpec extends AnyFunSuite {
 
     // empty batch: no commit
     assert(!AzofSink.commitBatch(lake, "t", batchDf(), batchId = 2))
+
+    // a foreign commit between batch and checkpoint ack must not defeat
+    // replay detection (the stamp is found behind the head commit)
+    AzofWriter.commitDelta(spark, lake, "t",
+      batchDf(("7", "2024-03-01T00:00:00Z", "g1")),
+      ts("2024-02-20T00:00:00Z"), ts("2024-03-10T00:00:00Z"))
+    val v2 = AzofTable(spark, lake, "t").currentVersion
+    assert(!AzofSink.commitBatch(lake, "t",
+      batchDf(("1", "2024-02-05T00:00:00Z", "a2")), batchId = 1))
+    assert(AzofTable(spark, lake, "t").currentVersion == v2)
   }
 
   test("end-to-end: memory stream -> sink -> scan, resumable checkpoint") {
