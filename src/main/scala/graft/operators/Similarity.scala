@@ -227,8 +227,12 @@ object Similarity {
     val e = emb.select(col(id).cast("long").as("_id"),
       asDouble(col(vec)).as("_v"))
       .withColumn("_n", l2norm(col("_v")))
-    val qIds = e.where(queryFilter.as("_qf")).select(col("_id").as("vec_id"))
-    val qBands = bandsOf(buckets.join(broadcast(qIds), "vec_id"))
+    // Query-side signatures come from a kernel over the FILTERED query
+    // rows (|Q| dot-product evaluations) — bucketing the whole table and
+    // then joining down to the query ids would run the nPlanes·N kernel
+    // a second time just to discard all but |Q| rows.
+    val qBands = bandsOf(
+        signBuckets(emb.where(queryFilter), id, vec, nPlanes, dims))
       .toDF("query_id", "bidx", "bval")
     val cands = bandsOf(buckets).join(broadcast(qBands), Seq("bidx", "bval"))
       .where(col("vec_id") =!= col("query_id"))

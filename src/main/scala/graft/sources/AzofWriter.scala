@@ -21,6 +21,19 @@ object AzofWriter {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Version-keyed data-file name with a unique suffix. Snapshot JSONs
+    * address files by exact name, so names need not be predictable —
+    * and they must NOT be: two committers racing at the same next
+    * version would otherwise write the SAME target, letting the race
+    * loser silently replace the winner's just-landed bytes before the
+    * winner's create-if-absent snapshot commit (the snapshot-level
+    * first-writer-wins guard protects metadata only). Unique names also
+    * unwedge retries after a crashed commit: the orphan from the failed
+    * attempt never collides with the retry, and vacuum ages it out.
+    */
+  private def uniqueFileName(prefix: String): String =
+    s"${prefix}_${UUID.randomUUID().toString.take(8)}.parquet"
+
   private def writeUtf8(
       spark: SparkSession, p: Path, content: String,
       overwrite: Boolean = true): Unit = {
@@ -112,10 +125,15 @@ object AzofWriter {
       name: String,
       df: DataFrame): Unit =
     commit(spark, lakehousePath, name) { (nextId, snap) =>
-      val fileName = s"base_s$nextId.parquet"
+      val fileName = uniqueFileName(s"base_s$nextId")
       val segs = mapOpenRoot(snap.segments) { s =>
-        require(s.file.isEmpty,
-          s"open segment ${s.id} already has base '${s.file.get}': " +
+        // file OR deltas: a multi-file compaction leaves file=None with
+        // the merged state in deltas — a base committed under those
+        // deltas would be silently shadowed for every key they carry,
+        // the same hazard as replacing an existing base.
+        require(s.file.isEmpty && s.delta.isEmpty,
+          s"open segment ${s.id} already carries data " +
+            s"(file=${s.file}, deltas=${s.delta.size}): " +
             "use commitDelta for incremental writes or compact to rewrite")
         s.copy(file = Some(fileName))
       }
@@ -136,7 +154,7 @@ object AzofWriter {
       end: Instant,
       op: Option[String] = None): Unit =
     commit(spark, lakehousePath, name) { (nextId, snap) =>
-      val fileName = s"delta_s$nextId.parquet"
+      val fileName = uniqueFileName(s"delta_s$nextId")
       val segs = mapOpenRoot(snap.segments)(s =>
         s.copy(delta = s.delta :+ Delta(fileName, start, end)))
       (fileName, snap.copy(segments = segs,
@@ -172,7 +190,7 @@ object AzofWriter {
     val dir = table.tableDir
     val ordered = df.select(snap.schema.allColumnNames.map(col): _*)
     val deltas = writePartitionedFiles(spark, dir, ordered, numFiles,
-      s"delta_s${nextId}_p")
+      s"delta_s${nextId}_${UUID.randomUUID().toString.take(8)}_p")
     require(deltas.nonEmpty, "commitPartitioned of an empty DataFrame")
     val segs = mapOpenRoot(snap.segments)(s =>
       s.copy(delta = s.delta ++ deltas))
@@ -282,7 +300,7 @@ object AzofWriter {
     val dir = table.tableDir.toString
     val (newBase, mergedDeltas) =
       if (numFiles == 1) {
-        val baseFile = s"compact_s$nextId.parquet"
+        val baseFile = uniqueFileName(s"compact_s$nextId")
         writeDataFile(spark, merged, dir, baseFile)
         (Some(baseFile), Seq.empty[Delta])
       } else {
@@ -293,7 +311,8 @@ object AzofWriter {
         // key byte-for-byte, so the per-key dedup picks identical values
         // whichever file wins precedence.
         (None, writePartitionedFiles(spark, table.tableDir, merged,
-          numFiles, s"compact_s${nextId}_p"))
+          numFiles,
+          s"compact_s${nextId}_${UUID.randomUUID().toString.take(8)}_p"))
       }
 
     // Rows with event_time > `at` already committed into the open segment
@@ -330,7 +349,7 @@ object AzofWriter {
       else Some((fut, maxTs.getTimestamp(0).toInstant))
     }
     val futureDelta = future.map { case (fut, maxEt) =>
-      val f = s"compact_s${nextId}_future.parquet"
+      val f = uniqueFileName(s"compact_s${nextId}_future")
       writeDataFile(spark, fut, dir, f)
       Delta(f, at, maxEt)
     }

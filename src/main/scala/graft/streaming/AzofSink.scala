@@ -25,6 +25,18 @@ object AzofSink {
 
   private val OpPrefix = "stream-delta#"
 
+  /** Idempotence scope: batch ids restart at 0 for every NEW checkpoint,
+    * so the stamp must carry the stream's identity (Delta's txn appId
+    * pattern) — a fresh backfill into a previously stream-fed table must
+    * not see the old stream's batch 37 and silently drop its own
+    * batches 0..37. The appId derives deterministically from the
+    * checkpoint location, which IS the batch-id namespace.
+    */
+  def appIdFor(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+
   /** Commit one micro-batch as a delta; idempotent on `batchId`.
     * Returns true iff a commit happened (false: empty batch or replay).
     */
@@ -35,26 +47,35 @@ object AzofSink {
     * ONE batch, so the stamp can only be this far from the head if that
     * many foreign commits raced in during one micro-batch window.
     */
+  /** How many commits back to scan for this stream's last batch stamp.
+    * If MORE foreign commits than this land inside one micro-batch
+    * window AND that exact batch replays, the batch re-commits — a
+    * bounded storage-level duplication, not a correctness loss: the
+    * replayed rows are byte-identical, so the merge-dedup scan elects
+    * the same winner per key either way (only the raw append feed sees
+    * the duplicate).
+    */
   private val ReplayLookback = 50L
 
-  private def lastBatchId(t: AzofTable): Option[Long] = {
+  private def lastBatchId(t: AzofTable, appId: String): Option[Long] = {
+    val prefix = s"$OpPrefix$appId#"
     val cur = t.currentVersion.toLong
     (cur to math.max(1L, cur - ReplayLookback) by -1).iterator
       .flatMap(v => scala.util.Try(t.snapshot(v.toString)).toOption)
       .flatMap(_.op)
       .collectFirst {
-        case op if op.startsWith(OpPrefix) &&
-          op.stripPrefix(OpPrefix).toLongOption.isDefined =>
-          op.stripPrefix(OpPrefix).toLong
+        case op if op.startsWith(prefix) &&
+          op.stripPrefix(prefix).toLongOption.isDefined =>
+          op.stripPrefix(prefix).toLong
       }
   }
 
   def commitBatch(
       lakehousePath: String, table: String,
-      batch: DataFrame, batchId: Long): Boolean = {
+      batch: DataFrame, batchId: Long, appId: String = "default"): Boolean = {
     val spark = batch.sparkSession
     val t = AzofTable(spark, lakehousePath, table)
-    val replayed = lastBatchId(t).exists(_ >= batchId)
+    val replayed = lastBatchId(t, appId).exists(_ >= batchId)
     if (replayed) false
     else {
       val rows = batch.persist()
@@ -67,7 +88,7 @@ object AzofSink {
         else {
           AzofWriter.commitDelta(spark, lakehousePath, table, rows,
             mm.getTimestamp(0).toInstant, mm.getTimestamp(1).toInstant,
-            op = Some(s"$OpPrefix$batchId"))
+            op = Some(s"$OpPrefix$appId#$batchId"))
           true
         }
       } finally { rows.unpersist(); () }
@@ -82,14 +103,16 @@ object AzofSink {
   def append(
       stream: DataFrame, lakehousePath: String, table: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val appId = appIdFor(checkpoint)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        commitBatch(lakehousePath, table, batch.toDF(), id)
+        commitBatch(lakehousePath, table, batch.toDF(), id, appId)
         ()
       }
       .trigger(trigger)
       .start()
+  }
 }

@@ -57,7 +57,7 @@ class AzofSinkSpec extends AnyFunSuite {
       batchDf(("1", "2024-02-05T00:00:00Z", "a2")), batchId = 1))
     assert(currentKv(lake) == Seq("1" -> "a2", "2" -> "b1"))
     val snap = AzofTable(spark, lake, "t").currentSnapshot
-    assert(snap.op.contains("stream-delta#1"))
+    assert(snap.op.contains("stream-delta#default#1"))
     val d = snap.segments.flatMap(_.delta).last
     assert(d.start == ts("2024-02-05T00:00:00Z") &&
       d.end == ts("2024-02-05T00:00:00Z"))
@@ -74,6 +74,13 @@ class AzofSinkSpec extends AnyFunSuite {
     assert(!AzofSink.commitBatch(lake, "t",
       batchDf(("1", "2024-02-05T00:00:00Z", "a2")), batchId = 1))
     assert(AzofTable(spark, lake, "t").currentVersion == v2)
+
+    // a NEW stream (different appId / fresh checkpoint) restarts its
+    // batch ids at 0 and must NOT be mistaken for a replay of this one
+    assert(AzofSink.commitBatch(lake, "t",
+      batchDf(("8", "2024-03-05T00:00:00Z", "h1")), batchId = 0,
+      appId = "other-stream"))
+    assert(currentKv(lake).contains("8" -> "h1"))
   }
 
   test("end-to-end: memory stream -> sink -> scan, resumable checkpoint") {
