@@ -60,4 +60,34 @@ object EventsStream {
   def dedupStream(events: DataFrame, watermark: String): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /** Stream-stream interval join — attribution: each `attribEvent` is
+    * joined to the SAME user's `sourceEvent`s that happened in the
+    * preceding `horizonSec` seconds. Both sides carry watermarks and the
+    * join condition carries the event-time interval bound, which is what
+    * lets Spark expire join state — unbounded state otherwise. Works
+    * identically on streaming and batch inputs (the spec's gate).
+    *
+    * Output: (user_id, src_id, src_ts, att_id, att_ts, lag_sec).
+    */
+  def attributionJoin(
+      events: DataFrame, sourceEvent: String, attribEvent: String,
+      watermark: String, horizonSec: Long): DataFrame = {
+    val src = events.where(col("event_type") === sourceEvent)
+      .select(col("user_id"), col("event_id").as("src_id"),
+        col("ts").as("src_ts"))
+      .withWatermark("src_ts", watermark)
+    val att = events.where(col("event_type") === attribEvent)
+      .select(col("user_id"), col("event_id").as("att_id"),
+        col("ts").as("att_ts"))
+      .withWatermark("att_ts", watermark)
+    src.join(att,
+        src("user_id") === att("user_id") &&
+          col("att_ts") >= col("src_ts") &&
+          col("att_ts") <= col("src_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(src("user_id"), col("src_id"), col("src_ts"),
+        col("att_id"), col("att_ts"),
+        (unix_micros(col("att_ts")) - unix_micros(col("src_ts")))
+          .cast("double").divide(1e6).as("lag_sec"))
+  }
 }

@@ -52,4 +52,33 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(n == 2 * got)
     assert(got == spark.table("stream_dedup").select("event_id").distinct().count())
   }
+
+  test("stream-stream attribution join equals its batch twin") {
+    val dir = stage(1)
+    def collect(rows: Array[Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(5)))
+      .sortBy(identity).toSeq
+
+    // purchases attributed to same-user views within the prior 2 hours
+    val streamed = EventsStream.attributionJoin(
+      EventsStream.readEvents(spark, dir),
+      sourceEvent = "view", attribEvent = "purchase",
+      watermark = "4 hours", horizonSec = 7200)
+    runToMemory(streamed, "stream_attr", "append")
+    val got = collect(spark.table("stream_attr").collect())
+
+    val expected = collect(EventsStream.attributionJoin(
+        EventsStream.readEventsBatch(spark, dir),
+        sourceEvent = "view", attribEvent = "purchase",
+        watermark = "4 hours", horizonSec = 7200)
+      .collect())
+
+    assert(got.nonEmpty, "corpus must produce attributed pairs")
+    assert(got == expected)
+    // interval bound actually holds
+    spark.table("stream_attr").collect().foreach { r =>
+      val lag = r.getDouble(5)
+      assert(lag >= 0 && lag <= 7200, s"lag $lag outside horizon")
+    }
+  }
 }
