@@ -31,8 +31,10 @@ object AzofWriter {
     * unwedge retries after a crashed commit: the orphan from the failed
     * attempt never collides with the retry, and vacuum ages it out.
     */
+  private def uniqueSuffix(): String = UUID.randomUUID().toString.take(8)
+
   private def uniqueFileName(prefix: String): String =
-    s"${prefix}_${UUID.randomUUID().toString.take(8)}.parquet"
+    s"${prefix}_${uniqueSuffix()}.parquet"
 
   private def writeUtf8(
       spark: SparkSession, p: Path, content: String,
@@ -173,8 +175,9 @@ object AzofWriter {
     * snapshot commit registers all files atomically. Delta-only tables
     * are reference precedent (test-data/table1), so the layout stays
     * format-compatible; windows are disjoint by construction, and the
-    * files are named `delta_s{N}_p{K}.parquet` so the streaming append
-    * feed tails them like any other commit.
+    * files are named `delta_s{N}_{uuid8}_p{K}.parquet` (version-keyed +
+    * unique, see [[uniqueFileName]]) so the streaming append feed tails
+    * them like any other commit.
     */
   def commitPartitioned(
       spark: SparkSession,
@@ -190,7 +193,7 @@ object AzofWriter {
     val dir = table.tableDir
     val ordered = df.select(snap.schema.allColumnNames.map(col): _*)
     val deltas = writePartitionedFiles(spark, dir, ordered, numFiles,
-      s"delta_s${nextId}_${UUID.randomUUID().toString.take(8)}_p")
+      s"delta_s${nextId}_${uniqueSuffix()}_p")
     require(deltas.nonEmpty, "commitPartitioned of an empty DataFrame")
     val segs = mapOpenRoot(snap.segments)(s =>
       s.copy(delta = s.delta ++ deltas))
@@ -269,11 +272,12 @@ object AzofWriter {
     */
   /** @param numFiles with 1 (default) the merged state lands as one base
     *                  file via the single-file write; with N > 1 it lands
-    *                  as N range-partitioned `compact_s{V}_p{K}` files in
-    *                  one distributed write, registered as deltas of the
-    *                  new open segment (file-less) — the cluster-scale
-    *                  compaction shape where no single-file write sits on
-    *                  the critical path. Same scan results either way.
+    *                  as N range-partitioned `compact_s{V}_{uuid8}_p{K}`
+    *                  files in one distributed write, registered as
+    *                  deltas of the new open segment (file-less) — the
+    *                  cluster-scale compaction shape where no single-file
+    *                  write sits on the critical path. Same scan results
+    *                  either way.
     */
   def compact(
       spark: SparkSession,
@@ -311,8 +315,7 @@ object AzofWriter {
         // key byte-for-byte, so the per-key dedup picks identical values
         // whichever file wins precedence.
         (None, writePartitionedFiles(spark, table.tableDir, merged,
-          numFiles,
-          s"compact_s${nextId}_${UUID.randomUUID().toString.take(8)}_p"))
+          numFiles, s"compact_s${nextId}_${uniqueSuffix()}_p"))
       }
 
     // Rows with event_time > `at` already committed into the open segment

@@ -15,38 +15,35 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Exactly-once across restarts: Structured Streaming re-runs at most
   * the LAST micro-batch after a crash, so [[commitBatch]] is idempotent
-  * on the batch id — each commit stamps `op = "stream-delta#<id>"` into
-  * its snapshot, and a replayed batch whose id is already the head
-  * commit's stamp is skipped. The delta window is derived from the
-  * batch's actual min/max event_time (the format contract: a delta's
-  * window bounds what the file contains).
+  * on (appId, batchId) — each commit stamps
+  * `op = "stream-delta#<appId>#<batchId>"` into its snapshot (Delta's
+  * txn-appId pattern), and a replayed batch whose id is at or below its
+  * OWN stream's latest stamp is skipped. The delta window is derived
+  * from the batch's actual min/max event_time (the format contract: a
+  * delta's window bounds what the file contains).
   */
 object AzofSink {
 
   private val OpPrefix = "stream-delta#"
 
   /** Idempotence scope: batch ids restart at 0 for every NEW checkpoint,
-    * so the stamp must carry the stream's identity (Delta's txn appId
-    * pattern) — a fresh backfill into a previously stream-fed table must
-    * not see the old stream's batch 37 and silently drop its own
-    * batches 0..37. The appId derives deterministically from the
-    * checkpoint location, which IS the batch-id namespace.
+    * so the stamp must carry the stream's identity — a fresh backfill
+    * into a previously stream-fed table must not see the old stream's
+    * batch 37 and silently drop its own batches 0..37. The appId derives
+    * deterministically from the NORMALIZED checkpoint location (the
+    * batch-id namespace): '/ck', '/ck/', and 'file:/ck' hash alike, so a
+    * restart with an equivalent spelling of the same checkpoint keeps
+    * its replay protection.
     */
-  def appIdFor(checkpoint: String): String =
+  def appIdFor(checkpoint: String): String = {
+    val normalized =
+      new org.apache.hadoop.fs.Path(checkpoint).toUri.normalize.toString
+        .stripSuffix("/")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(8)
+  }
 
-  /** Commit one micro-batch as a delta; idempotent on `batchId`.
-    * Returns true iff a commit happened (false: empty batch or replay).
-    */
-  /** How many commits back to scan for the last stream batch stamp: a
-    * replayed batch stays detectable even when other writers (CLI
-    * commits, compaction) landed between the batch's commit and its
-    * checkpoint acknowledgement. Structured Streaming replays at most
-    * ONE batch, so the stamp can only be this far from the head if that
-    * many foreign commits raced in during one micro-batch window.
-    */
   /** How many commits back to scan for this stream's last batch stamp.
     * If MORE foreign commits than this land inside one micro-batch
     * window AND that exact batch replays, the batch re-commits — a
@@ -70,9 +67,16 @@ object AzofSink {
       }
   }
 
+  /** Commit one micro-batch as a delta; idempotent on (appId, batchId).
+    * `appId` is REQUIRED — every independent caller (each its own
+    * batch-id sequence) must use a distinct id, or a second job's
+    * batches would be mistaken for replays of the first's and silently
+    * dropped; streams get it from [[appIdFor]] on their checkpoint.
+    * Returns true iff a commit happened (false: empty batch or replay).
+    */
   def commitBatch(
       lakehousePath: String, table: String,
-      batch: DataFrame, batchId: Long, appId: String = "default"): Boolean = {
+      batch: DataFrame, batchId: Long, appId: String): Boolean = {
     val spark = batch.sparkSession
     val t = AzofTable(spark, lakehousePath, table)
     val replayed = lastBatchId(t, appId).exists(_ >= batchId)

@@ -44,26 +44,26 @@ class AzofSinkSpec extends AnyFunSuite {
     val lake = mkTable()
     val b0 = batchDf(("1", "2024-01-02T00:00:00Z", "a1"),
       ("2", "2024-01-03T00:00:00Z", "b1"))
-    assert(AzofSink.commitBatch(lake, "t", b0, batchId = 0))
+    assert(AzofSink.commitBatch(lake, "t", b0, batchId = 0, appId = "specA"))
     assert(currentKv(lake) == Seq("1" -> "a1", "2" -> "b1"))
     val v1 = AzofTable(spark, lake, "t").currentVersion
 
     // crash-replay of batch 0: must not double-commit
-    assert(!AzofSink.commitBatch(lake, "t", b0, batchId = 0))
+    assert(!AzofSink.commitBatch(lake, "t", b0, batchId = 0, appId = "specA"))
     assert(AzofTable(spark, lake, "t").currentVersion == v1)
 
     // next batch commits, and its delta window is the batch's min/max
     assert(AzofSink.commitBatch(lake, "t",
-      batchDf(("1", "2024-02-05T00:00:00Z", "a2")), batchId = 1))
+      batchDf(("1", "2024-02-05T00:00:00Z", "a2")), batchId = 1, appId = "specA"))
     assert(currentKv(lake) == Seq("1" -> "a2", "2" -> "b1"))
     val snap = AzofTable(spark, lake, "t").currentSnapshot
-    assert(snap.op.contains("stream-delta#default#1"))
+    assert(snap.op.contains("stream-delta#specA#1"))
     val d = snap.segments.flatMap(_.delta).last
     assert(d.start == ts("2024-02-05T00:00:00Z") &&
       d.end == ts("2024-02-05T00:00:00Z"))
 
     // empty batch: no commit
-    assert(!AzofSink.commitBatch(lake, "t", batchDf(), batchId = 2))
+    assert(!AzofSink.commitBatch(lake, "t", batchDf(), batchId = 2, appId = "specA"))
 
     // a foreign commit between batch and checkpoint ack must not defeat
     // replay detection (the stamp is found behind the head commit)
@@ -72,7 +72,7 @@ class AzofSinkSpec extends AnyFunSuite {
       ts("2024-02-20T00:00:00Z"), ts("2024-03-10T00:00:00Z"))
     val v2 = AzofTable(spark, lake, "t").currentVersion
     assert(!AzofSink.commitBatch(lake, "t",
-      batchDf(("1", "2024-02-05T00:00:00Z", "a2")), batchId = 1))
+      batchDf(("1", "2024-02-05T00:00:00Z", "a2")), batchId = 1, appId = "specA"))
     assert(AzofTable(spark, lake, "t").currentVersion == v2)
 
     // a NEW stream (different appId / fresh checkpoint) restarts its
