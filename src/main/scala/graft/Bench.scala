@@ -28,7 +28,11 @@ object Bench {
     // is the standard way to report the query's actual plan cost rather
     // than the noise; the settle keeps one query's GC/compilation tail
     // from landing in the next query's window.
-    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // malformed / non-positive values fall back to 3 runs instead of
+    // crashing the bench or folding min over an empty run set
+    val runsPerQuery = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").trim.toInt)
+      .getOrElse(3).max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { i =>
         if (i > 1) { System.gc(); Thread.sleep(150) }
@@ -36,12 +40,17 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // spread (max - min across runs) makes contention self-evident in
+      // the output: a noisy box shows large spreads, a clean run small
+      // ones, so a future inflated total can be diagnosed from the JSON
+      name -> ((times.min, times.max - times.min))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, (_, s)) => s"\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -158,11 +158,18 @@ object AzofCli {
         spark.sql(opts("query")).show(numRows = 1000, truncate = false)
       case "read" =>
         // the DataFrameReader surface (works in vanilla sessions too):
-        //   read --path L --table T [--as-of TS | --version N]
+        //   read --path L --table T [--as-of TS | --version N] [--key K[,K...]]
+        // --key is a point lookup: the WHERE flows through the relation's
+        // pushdown into stats-based file skipping (KV engines answer
+        // point lookups without scanning every time-pruned file)
         val r0 = spark.read.format("azof").option("table", opts("table"))
         val r1 = opts.get("as-of").fold(r0)(r0.option("asOf", _))
         val r2 = opts.get("version").fold(r1)(r1.option("versionAsOf", _))
-        r2.load(opts("path")).show(numRows = 1000, truncate = false)
+        val df = r2.load(opts("path"))
+        val looked = opts.get("key").fold(df)(ks =>
+          df.where(org.apache.spark.sql.functions.col("key")
+            .isin(ks.split(",").toSeq: _*)))
+        looked.show(numRows = 1000, truncate = false)
       case other =>
         System.err.println(s"unknown command: $other")
         sys.exit(2)

@@ -2,12 +2,50 @@ package graft.format
 
 import java.time.Instant
 
+/** Per-data-file key statistics for data skipping — this engine's
+  * extension to the snapshot format (the reference prunes on time only,
+  * crates/azof/src/metadata.rs:48-86; a KV engine whose point lookups
+  * scan every time-pruned file leaves the biggest lakehouse win on the
+  * table). `keyMin`/`keyMax` are the file's inclusive key range; keys
+  * are Strings by the format contract, so bounds compare lexically.
+  * Serialized as an extra `stats` JSON field, which the reference's
+  * serde parser ignores (same ext-field pattern as `op`).
+  *
+  * Deliberately key-only: per-file VALUE-column min/max cannot prune an
+  * as-of merge-dedup scan — a value predicate applies AFTER per-key
+  * dedup, and dropping a file on a value range can change which row wins
+  * a key (the pruned file's winner would have been filtered, but it
+  * still claims the key). Key predicates are the sound class: every row
+  * of key k lives in a file whose key range covers k, and removing other
+  * keys' rows never changes k's winner. Event-time stats would duplicate
+  * the delta window, which already IS the file's data-derived time range.
+  */
+final case class FileStats(keyMin: String, keyMax: String) {
+  /** Could this file contain any of `keys`? */
+  def mayContainAny(keys: Iterable[String]): Boolean =
+    keys.exists(k => keyMin <= k && k <= keyMax)
+
+  /** Could this file contain a key in [lower, upper] (inclusive,
+    * unbounded side = None)?
+    */
+  def mayOverlap(lower: Option[String], upper: Option[String]): Boolean =
+    lower.forall(_ <= keyMax) && upper.forall(_ >= keyMin)
+}
+
+/** One pruned data file with its optional skipping stats, in merge
+  * precedence order position.
+  */
+final case class FileEntry(file: String, stats: Option[FileStats])
+
 /** A delta file: updates/inserts covering an event-time window
   * (reference: crates/azof/src/metadata.rs:89-96). A delta participates in
   * a scan whenever `start <= asOf` — its `end` bounds what the file
   * *contains*, not whether it is read (crates/azof/src/metadata.rs:99-104).
+  * `stats` is this engine's optional key-range extension ([[FileStats]]).
   */
-final case class Delta(file: String, start: Instant, end: Instant) {
+final case class Delta(
+    file: String, start: Instant, end: Instant,
+    stats: Option[FileStats] = None) {
   def isBefore(asOf: AsOf): Boolean = asOf match {
     case AsOf.Current      => true
     case AsOf.EventTime(t) => !start.isAfter(t) // start <= t
@@ -25,7 +63,8 @@ final case class Segment(
     end: Option[Instant],
     file: Option[String],
     segments: Seq[Segment],
-    delta: Seq[Delta]) {
+    delta: Seq[Delta],
+    fileStats: Option[FileStats] = None) {
 
   /** Range test (reference: crates/azof/src/metadata.rs:75-86): `Current`
     * matches only open-ended segments; `EventTime(t)` matches
@@ -43,14 +82,22 @@ final case class Segment(
     * sorted newest-start-first, then this segment's own base file if the
     * segment is in range. Earlier files win the per-key dedup.
     */
-  def dataFiles(asOf: AsOf): Seq[String] = {
+  def dataFiles(asOf: AsOf): Seq[String] =
+    dataFilesWithStats(asOf).map(_.file)
+
+  /** [[dataFiles]] with each file's optional key stats — same pruning,
+    * same precedence order.
+    */
+  def dataFilesWithStats(asOf: AsOf): Seq[FileEntry] = {
     val fromChildren =
-      segments.filter(_.isInRange(asOf)).flatMap(_.dataFiles(asOf))
+      segments.filter(_.isInRange(asOf)).flatMap(_.dataFilesWithStats(asOf))
     val fromDeltas = delta
       .filter(_.isBefore(asOf))
       .sortBy(_.start)(Ordering[Instant].reverse)
-      .map(_.file)
-    val own = if (isInRange(asOf)) file.toSeq else Seq.empty
+      .map(d => FileEntry(d.file, d.stats))
+    val own =
+      if (isInRange(asOf)) file.map(f => FileEntry(f, fileStats)).toSeq
+      else Seq.empty
     fromChildren ++ fromDeltas ++ own
   }
 }
@@ -72,6 +119,10 @@ final case class Snapshot(
     segments: Seq[Segment],
     op: Option[String] = None) {
   def dataFiles(asOf: AsOf): Seq[String] = segments.flatMap(_.dataFiles(asOf))
+
+  /** [[dataFiles]] with per-file key stats for data skipping. */
+  def dataFilesWithStats(asOf: AsOf): Seq[FileEntry] =
+    segments.flatMap(_.dataFilesWithStats(asOf))
 
   /** Every data file referenced anywhere in the tree. */
   def allFiles: Set[String] = {

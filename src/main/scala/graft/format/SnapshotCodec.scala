@@ -56,12 +56,25 @@ object SnapshotCodec {
     end = optText(n, "end").map(parseTimestamp),
     file = optText(n, "file"),
     segments = arr(n.get("segments")).map(parseSegment),
-    delta = arr(n.get("delta")).map(parseDelta))
+    delta = arr(n.get("delta")).map(parseDelta),
+    fileStats = parseStats(n.get("file_stats")))
 
   private def parseDelta(n: JsonNode): Delta = Delta(
     file = n.get("file").asText(),
     start = parseTimestamp(n.get("start").asText()),
-    end = parseTimestamp(n.get("end").asText()))
+    end = parseTimestamp(n.get("end").asText()),
+    stats = parseStats(n.get("stats")))
+
+  /** Key-range stats ext field ([[FileStats]]): absent, null, or partial
+    * objects (a foreign writer's different stats shape) all degrade to
+    * None — skipping is an optimization, never a parse requirement.
+    */
+  private def parseStats(n: JsonNode): Option[FileStats] =
+    for {
+      node <- Option(n) if !node.isNull
+      mn <- optText(node, "key_min")
+      mx <- optText(node, "key_max")
+    } yield FileStats(mn, mx)
 
   def render(s: Snapshot): String = {
     val root = mapper.createObjectNode()
@@ -79,11 +92,19 @@ object SnapshotCodec {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
+  private def renderStats(node: ObjectNode, field: String, st: FileStats): Unit = {
+    val sn = node.putObject(field)
+    sn.put("key_min", st.keyMin)
+    sn.put("key_max", st.keyMax)
+    ()
+  }
+
   private def renderSegment(node: ObjectNode, seg: Segment): Unit = {
     node.put("id", seg.id)
     node.put("start", formatTimestamp(seg.start))
     seg.end.foreach(e => node.put("end", formatTimestamp(e)))
     seg.file.foreach(f => node.put("file", f))
+    seg.fileStats.foreach(st => renderStats(node, "file_stats", st))
     if (seg.segments.nonEmpty) {
       val children: ArrayNode = node.putArray("segments")
       seg.segments.foreach(c => renderSegment(children.addObject(), c))
@@ -101,6 +122,7 @@ object SnapshotCodec {
         dn.put("file", d.file)
         dn.put("start", formatTimestamp(d.start))
         dn.put("end", formatTimestamp(d.end))
+        d.stats.foreach(st => renderStats(dn, "stats", st))
       }
     }
   }

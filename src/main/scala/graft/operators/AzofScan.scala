@@ -59,10 +59,42 @@ object AzofScan {
       lakehousePath: String,
       table: String,
       asOf: AsOf = AsOf.Current,
-      projection: Option[Set[String]] = None): DataFrame = {
+      projection: Option[Set[String]] = None,
+      keyFilter: Option[KeyFilter] = None): DataFrame = {
     val t = AzofTable(spark, lakehousePath, table)
     val snapshot = t.currentSnapshot
-    scanSnapshot(spark, t, snapshot, asOf, projection)
+    scanSnapshot(spark, t, snapshot, asOf, projection, keyFilter)
+  }
+
+  /** The pruned-file list a scan with `keyFilter` actually reads: the
+    * segment tree's time pruning, then key-range data skipping against
+    * each file's stats (files without stats are conservatively kept).
+    * Pure — specs and operators can assert skipping without running the
+    * scan.
+    */
+  def prunedFiles(
+      snapshot: Snapshot,
+      asOf: AsOf,
+      keyFilter: Option[KeyFilter] = None): Seq[String] =
+    snapshot.dataFilesWithStats(asOf)
+      .filter(e => keyFilter.forall(kf => e.stats.forall(kf.mayMatch)))
+      .map(_.file)
+
+  /** Residual column predicate for a [[KeyFilter]] — ALWAYS applied by
+    * the scan (before the dedup window, where it is equivalent to
+    * applying it after: key predicates drop whole key groups), so scan
+    * results are exact even when stats are missing or conservative.
+    */
+  private def keyFilterColumn(kf: KeyFilter): org.apache.spark.sql.Column = {
+    val k = col(TableSchema.KeyName)
+    kf match {
+      case KeyFilter.Keys(ks) => k.isin(ks.toSeq: _*)
+      case KeyFilter.Range(lo, up) =>
+        (lo.map(v => k >= lit(v)).toSeq ++ up.map(v => k <= lit(v)).toSeq)
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case KeyFilter.AllOf(fs) =>
+        fs.map(keyFilterColumn).reduceOption(_ && _).getOrElse(lit(true))
+    }
   }
 
   /** Scan a specific (already-loaded) snapshot — used by time travel over
@@ -73,16 +105,21 @@ object AzofScan {
       table: AzofTable,
       snapshot: Snapshot,
       asOf: AsOf,
-      projection: Option[Set[String]] = None): DataFrame = {
+      projection: Option[Set[String]] = None,
+      keyFilter: Option[KeyFilter] = None): DataFrame = {
     val schema = snapshot.schema
     val outCols = schema
       .projectedStruct(projection)
       .fields.map(f => col(f.name)).toSeq
 
-    val files = snapshot.dataFiles(asOf)
+    // time pruning (segment tree) then key-range data skipping (per-file
+    // stats); a key point-lookup on a key-partitioned layout reads one
+    // file instead of every time-pruned file
+    val files = prunedFiles(snapshot, asOf, keyFilter)
     if (files.isEmpty) {
-      // As-of before every segment, or Current on a fully-closed table
-      // (reference: metadata.rs:359-389 tests) — empty result, real schema.
+      // As-of before every segment, Current on a fully-closed table
+      // (reference: metadata.rs:359-389 tests), or every file skipped by
+      // key stats — empty result, real schema.
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.projectedStruct(projection))
@@ -133,12 +170,18 @@ object AzofScan {
         .reduce(_ unionAll _)
     }
 
-    val inRange = asOf match {
+    val timed = asOf match {
       case AsOf.Current => unioned
       case AsOf.EventTime(ts) =>
         unioned.where(col(TableSchema.EventTimeName) <=
           lit(java.sql.Timestamp.from(ts)))
     }
+    // residual key predicate: exactness never depends on the stats (a
+    // stats-less file passes pruning but its non-matching keys drop
+    // here), and pre-dedup placement is sound for key predicates only —
+    // they remove whole window groups
+    val inRange = keyFilter.map(kf => timed.where(keyFilterColumn(kf)))
+      .getOrElse(timed)
 
     // Final tiebreak: xxhash64 of the full row content makes the pick
     // among COMPLETE duplicates of (key, event_time, precedence) — i.e.

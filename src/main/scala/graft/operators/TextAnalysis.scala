@@ -91,24 +91,27 @@ object TextAnalysis {
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** PII scrubbing — the redaction pass a training corpus gets before
-    * tokenization: emails → `<EMAIL>`, URLs → `<URL>`, IPv4 → `<IP>`,
-    * with per-category match counts from the ORIGINAL text (audit
-    * metrics). Replacement order matters and is fixed: emails first
-    * (their dots must not be eaten by a URL match), then URLs (which may
-    * contain IPs), then bare IPs. A pure narrow projection of codegen'd
-    * regexp expressions — no shuffle, no UDF.
+    * tokenization: URLs → `<URL>`, emails → `<EMAIL>`, IPv4 → `<IP>`.
+    * Replacement order is fixed URL → email → IP, and each category is
+    * COUNTED on the text as it stands when that category is replaced, so
+    * the audit counts equal the replacements actually made: a URL with
+    * userinfo (`https://user@host.com/x`) scrubs — and counts — as one
+    * URL, not as an email-then-mangled-URL, and an IP inside a URL
+    * counts as part of the URL only. (Plain emails never match the URL
+    * pattern — it requires an `https?://` prefix — so nothing is lost by
+    * running URLs first.) A pure narrow projection of codegen'd regexp
+    * expressions — no shuffle, no UDF.
     */
-  def piiScrub(df: DataFrame, text: Column, id: Column): DataFrame =
+  def piiScrub(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val afterUrl = regexp_replace(text, UrlPattern, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailPattern, "<EMAIL>")
     df.select(
       id,
-      regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(afterUrl, lit(EmailPattern)).cast("long").as("n_emails"),
       regexp_count(text, lit(UrlPattern)).cast("long").as("n_urls"),
-      regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ips"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, EmailPattern, "<EMAIL>"),
-          UrlPattern, "<URL>"),
-        Ipv4Pattern, "<IP>").as("scrubbed"))
+      regexp_count(afterEmail, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_replace(afterEmail, Ipv4Pattern, "<IP>").as("scrubbed"))
+  }
 
   /** Within-document repetition score (the C4/Gopher-style quality
     * signal): fraction of word-3-grams that are repeats of an earlier

@@ -19,25 +19,26 @@ import org.apache.spark.sql.functions._
 object AzofQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q18_azof_roundtrip" -> roundtrip)
+    "q18_azof_roundtrip" -> roundtrip,
+    "q32_key_lookup" -> keyLookup)
 
-  private def roundtrip(s: SparkSession, dir: String): DataFrame = {
-    // The committed azof table is a deterministic function of the input
-    // events, so cache it per scale-factor dir and rebuild only when the
-    // _COMMITTED marker is absent (fresh temp dir per attempt, atomic
-    // rename into place).
+  /** Build (or reuse) the events_kv azof lakehouse for `dir` and return
+    * its path. The committed table is a deterministic function of the
+    * input events, so it is cached per scale-factor dir and rebuilt only
+    * when the `_COMMITTED` marker is absent (fresh temp dir per attempt,
+    * atomic rename into place). The cache name carries a format
+    * generation ("v2": key-range stats in the snapshot) so a cache from
+    * an older build never masks new snapshot metadata.
+    */
+  private def ensureLake(s: SparkSession, dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     // cachedLake is a lakehouse dir holding the one table "events_kv"
     val cachedLake = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-azof-rt-$key")
+      sys.props("java.io.tmpdir"), s"graft-azof-rt-v2-$key")
     val marker = new java.io.File(new java.io.File(cachedLake, "events_kv"),
       "_COMMITTED")
-    if (marker.isFile) {
-      return AzofScan.scan(s, cachedLake.toString, "events_kv",
-          AsOf.EventTime(Instant.parse("2024-01-25T00:00:00Z")))
-        .select("key", "event_time", "event_type")
-    }
+    if (marker.isFile) return cachedLake.toString
 
     // azof stores ms timestamps; truncate up front so engine and oracle
     // agree on the event_time values and the as-of cut.
@@ -69,14 +70,32 @@ object AzofQueries {
       Instant.parse("2024-01-20T00:00:00Z"), Instant.parse("2024-02-01T00:00:00Z"))
 
     Files.createFile(java.nio.file.Paths.get(lake, "events_kv", "_COMMITTED"))
-    val fromLake =
-      if (new java.io.File(lake).renameTo(cachedLake) || marker.isFile)
-        cachedLake.toString
-      else lake // lost a race or cross-device rename failed; use as built
-    AzofScan.scan(s, fromLake, "events_kv",
+    if (new java.io.File(lake).renameTo(cachedLake) || marker.isFile)
+      cachedLake.toString
+    else lake // lost a race or cross-device rename failed; use as built
+  }
+
+  private def roundtrip(s: SparkSession, dir: String): DataFrame =
+    AzofScan.scan(s, ensureLake(s, dir), "events_kv",
         AsOf.EventTime(Instant.parse("2024-01-25T00:00:00Z")))
       .select("key", "event_time", "event_type")
-  }
+
+  /** Key point-lookup through the PUBLIC reader surface with a WHERE on
+    * `key`: the filter flows through the relation's pushdown into
+    * stats-based file skipping ([[graft.format.FileStats]]) and the
+    * residual predicate, so this gates both the skip logic and its
+    * exactness against DuckDB. (This layout partitions files by time,
+    * not key — numeric-string user ids spread across every file — so the
+    * query exercises the conservative keep-everything path end to end;
+    * DataSkippingSpec pins the actually-skips-files cases on
+    * key-partitioned layouts.)
+    */
+  private def keyLookup(s: SparkSession, dir: String): DataFrame =
+    s.read.format("azof").option("table", "events_kv")
+      .option("asOf", "2024-01-25T00:00:00Z")
+      .load(ensureLake(s, dir))
+      .where(col("key").isin("7", "23", "41"))
+      .select("key", "event_time", "event_type")
 
   def oracleSql: Map[String, String] = Map(
     "q18_azof_roundtrip" ->
@@ -86,5 +105,16 @@ object AzofQueries {
                  ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
                FROM events
                WHERE date_trunc('milliseconds', ts) <= TIMESTAMP '2024-01-25 00:00:00')
+         WHERE rn = 1""",
+    // key predicates commute with the per-key dedup, so the oracle is
+    // q18's latest-row-per-key query restricted to the looked-up keys
+    "q32_key_lookup" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+         date_trunc('milliseconds', ts) AS event_time, event_type
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+               FROM events
+               WHERE date_trunc('milliseconds', ts) <= TIMESTAMP '2024-01-25 00:00:00'
+                 AND CAST(user_id AS VARCHAR) IN ('7', '23', '41'))
          WHERE rn = 1""")
 }

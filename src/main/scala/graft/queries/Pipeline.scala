@@ -398,13 +398,15 @@ object Pipeline {
       val url = "https?://[^\\s]+"
       val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
       s"""SELECT doc_id,
-            CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(t1, '$email')) AS BIGINT) AS n_emails,
             CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
-            CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
-            regexp_replace(regexp_replace(regexp_replace(text,
-              '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
-              '$ip', '<IP>', 'g') AS scrubbed
-          FROM documents"""
+            CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ips,
+            regexp_replace(t2, '$ip', '<IP>', 'g') AS scrubbed
+          FROM (SELECT doc_id, text, t1,
+                  regexp_replace(t1, '$email', '<EMAIL>', 'g') AS t2
+                FROM (SELECT doc_id, text,
+                        regexp_replace(text, '$url', '<URL>', 'g') AS t1
+                      FROM documents))"""
     },
     "t07_repetition" ->
       s"""SELECT doc_id,

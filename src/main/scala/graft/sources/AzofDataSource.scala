@@ -102,7 +102,8 @@ final class AzofRelation(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val projection =
       if (requiredColumns.isEmpty) None else Some(requiredColumns.toSet)
-    val base = AzofScan.scanSnapshot(spark, table, snap, asOf, projection)
+    val base = AzofScan.scanSnapshot(spark, table, snap, asOf, projection,
+      AzofRelation.extractKeyFilter(filters))
     val filtered = filters.flatMap(translate)
       .foldLeft(base)((df, c) => df.where(c))
     val ordered: DataFrame =
@@ -131,6 +132,57 @@ final class AzofRelation(
     case Or(l, r) =>
       for { lc <- translate(l); rc <- translate(r) } yield lc || rc
     case Not(c) => translate(c).map(not)
+    case _ => None
+  }
+}
+
+object AzofRelation {
+  import graft.format.{KeyFilter, TableSchema}
+
+  /** Extract a [[KeyFilter]] for stats-based file skipping from pushed
+    * filters (implicitly a conjunction). Only shapes that are PROVABLY
+    * key-restricting prune: equality/IN/range on the `key` column, and
+    * conjunctions thereof. Anything else — Or, Not, other columns,
+    * non-string values — contributes nothing (conservative: the scan
+    * reads more, never less, and its residual predicate keeps results
+    * exact regardless).
+    */
+  def extractKeyFilter(filters: Array[Filter]): Option[KeyFilter] = {
+    val parts = filters.toSeq.flatMap(extractOne)
+    parts match {
+      case Seq()  => None
+      case Seq(f) => Some(f)
+      case many   => Some(KeyFilter.AllOf(many))
+    }
+  }
+
+  private def extractOne(f: Filter): Option[KeyFilter] = f match {
+    case EqualTo(TableSchema.KeyName, v: String) =>
+      Some(KeyFilter.Keys(Set(v)))
+    case EqualNullSafe(TableSchema.KeyName, v: String) =>
+      Some(KeyFilter.Keys(Set(v)))
+    case In(TableSchema.KeyName, vs)
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      Some(KeyFilter.Keys(vs.map(_.asInstanceOf[String]).toSet))
+    // strict bounds widen to inclusive — pruning may only over-keep
+    case GreaterThan(TableSchema.KeyName, v: String) =>
+      Some(KeyFilter.Range(Some(v), None))
+    case GreaterThanOrEqual(TableSchema.KeyName, v: String) =>
+      Some(KeyFilter.Range(Some(v), None))
+    case LessThan(TableSchema.KeyName, v: String) =>
+      Some(KeyFilter.Range(None, Some(v)))
+    case LessThanOrEqual(TableSchema.KeyName, v: String) =>
+      Some(KeyFilter.Range(None, Some(v)))
+    case StringStartsWith(TableSchema.KeyName, p) if p.nonEmpty =>
+      // every key with prefix p is >= p; the upper side stays open (a
+      // tight bound needs prefix-increment logic, not worth the edge
+      // cases) — half-range pruning still skips everything below p
+      Some(KeyFilter.Range(Some(p), None))
+    case And(l, r) =>
+      (extractOne(l), extractOne(r)) match {
+        case (Some(a), Some(b)) => Some(KeyFilter.AllOf(Seq(a, b)))
+        case (a, b)             => a.orElse(b) // AND: either side alone is a valid widening
+      }
     case _ => None
   }
 }

@@ -50,12 +50,16 @@ object AzofWriter {
     * event_time-descending and timestamps written as TIMESTAMP_MILLIS for
     * byte-level format parity. Fixture/commit-sized writes only — large
     * tables should land as multiple base files across segments.
+    *
+    * Returns the file's key-range stats for the snapshot's data-skipping
+    * ext field (None for an empty file) — a stats-only columnar read of
+    * the just-written parquet (footer min/max, no row materialization).
     */
   def writeDataFile(
       spark: SparkSession,
       df: DataFrame,
       tableDir: String,
-      fileName: String): Unit = {
+      fileName: String): Option[FileStats] = {
     val dir = new Path(tableDir)
     val target = new Path(dir, fileName)
     val tmp = new Path(dir, s"_tmp_${UUID.randomUUID().toString}")
@@ -77,7 +81,11 @@ object AzofWriter {
       if (!f.rename(part, target))
         throw new IllegalStateException(s"rename $part -> $target failed")
       f.delete(tmp, true)
-      ()
+      val mm = spark.read.parquet(target.toString)
+        .agg(min(col(TableSchema.KeyName)), max(col(TableSchema.KeyName)))
+        .collect()(0)
+      if (mm.isNullAt(0)) None
+      else Some(FileStats(mm.getString(0), mm.getString(1)))
     } finally conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
   }
 
@@ -87,6 +95,16 @@ object AzofWriter {
     * committers first-writer-wins instead of silently clobbering each
     * other's snapshot (optimistic concurrency, Delta-log style). The
     * loser retries from the new current version.
+    *
+    * Store requirement: the guard is exactly as strong as the store's
+    * create-if-absent. HDFS and ABFS make `create(overwrite=false)`
+    * atomic; Hadoop's local filesystem and plain S3A check-then-act, so
+    * two same-instant committers can in principle both pass (S3
+    * conditional writes / a DynamoDB-style LogStore close that gap on
+    * object stores — out of scope here; single-writer or HDFS/ABFS
+    * deployments are unaffected). The data files themselves are immune
+    * either way: they are uniquely named, so a metadata race never
+    * cross-links another writer's bytes.
     */
   def writeSnapshot(
       spark: SparkSession,
@@ -125,9 +143,10 @@ object AzofWriter {
       spark: SparkSession,
       lakehousePath: String,
       name: String,
-      df: DataFrame): Unit =
-    commit(spark, lakehousePath, name) { (nextId, snap) =>
-      val fileName = uniqueFileName(s"base_s$nextId")
+      df: DataFrame): Unit = {
+    val (dir, fileName, stats) =
+      landCommitFile(spark, lakehousePath, name, df, "base")
+    commitMeta(spark, dir) { snap =>
       val segs = mapOpenRoot(snap.segments) { s =>
         // file OR deltas: a multi-file compaction leaves file=None with
         // the merged state in deltas — a base committed under those
@@ -137,10 +156,11 @@ object AzofWriter {
           s"open segment ${s.id} already carries data " +
             s"(file=${s.file}, deltas=${s.delta.size}): " +
             "use commitDelta for incremental writes or compact to rewrite")
-        s.copy(file = Some(fileName))
+        s.copy(file = Some(fileName), fileStats = stats)
       }
-      (fileName, snap.copy(segments = segs, op = Some("commit-base")))
-    } (df)
+      snap.copy(segments = segs, op = Some("commit-base"))
+    }
+  }
 
   /** Commit `df` as a delta file `[start, end]` on the open root segment:
     * new snapshot id = current + 1, `version.txt` bumped. `op` overrides
@@ -154,14 +174,38 @@ object AzofWriter {
       df: DataFrame,
       start: Instant,
       end: Instant,
-      op: Option[String] = None): Unit =
-    commit(spark, lakehousePath, name) { (nextId, snap) =>
-      val fileName = uniqueFileName(s"delta_s$nextId")
+      op: Option[String] = None): Unit = {
+    val (dir, fileName, stats) =
+      landCommitFile(spark, lakehousePath, name, df, "delta")
+    commitMeta(spark, dir) { snap =>
       val segs = mapOpenRoot(snap.segments)(s =>
-        s.copy(delta = s.delta :+ Delta(fileName, start, end)))
-      (fileName, snap.copy(segments = segs,
-        op = Some(op.getOrElse("commit-delta"))))
-    } (df)
+        s.copy(delta = s.delta :+ Delta(fileName, start, end, stats)))
+      snap.copy(segments = segs, op = Some(op.getOrElse("commit-delta")))
+    }
+  }
+
+  /** Phase 1 of a single-file commit: land the data file (uniquely
+    * named, so racing committers never collide on bytes) and return the
+    * table dir, file name, and key stats for the metadata phase.
+    */
+  private def landCommitFile(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      df: DataFrame,
+      kind: String): (String, String, Option[FileStats]) = {
+    val table = AzofTable(spark, lakehousePath, name)
+    val dir = table.tableDir.toString
+    // the version in the name is provisional (a retried metadata commit
+    // may land at a later id) — names are unique and opaque, the
+    // prefix is a human/debug hint only
+    val fileName =
+      uniqueFileName(s"${kind}_s${table.currentVersion.toLong + 1}")
+    val ordered =
+      df.select(table.currentSnapshot.schema.allColumnNames.map(col): _*)
+    val stats = writeDataFile(spark, ordered, dir, fileName)
+    (dir, fileName, stats)
+  }
 
   /** Commit a LARGE DataFrame as `numFiles` range-partitioned delta
     * files in ONE distributed write — the cluster-scale commit path.
@@ -187,19 +231,23 @@ object AzofWriter {
       numFiles: Int): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val table = AzofTable(spark, lakehousePath, name)
-    val cur = table.currentVersion
-    val nextId = (cur.toLong + 1).toString
+    val nextId = (table.currentVersion.toLong + 1).toString
     val snap = table.currentSnapshot
     val dir = table.tableDir
     val ordered = df.select(snap.schema.allColumnNames.map(col): _*)
     val deltas = writePartitionedFiles(spark, dir, ordered, numFiles,
       s"delta_s${nextId}_${uniqueSuffix()}_p")
     require(deltas.nonEmpty, "commitPartitioned of an empty DataFrame")
-    val segs = mapOpenRoot(snap.segments)(s =>
-      s.copy(delta = s.delta ++ deltas))
-    writeSnapshot(spark, dir.toString, nextId,
-      snap.copy(segments = segs, op = Some("commit-delta")))
-    writeVersion(spark, dir.toString, nextId)
+    // files are down; register them all in ONE snapshot commit. A
+    // version conflict here retries the (cheap) metadata step against
+    // the fresh snapshot instead of orphaning the whole distributed
+    // write (files are uniquely named, so only this step needs redoing).
+    commitMeta(spark, dir.toString) { cur =>
+      cur.copy(
+        segments = mapOpenRoot(cur.segments)(s =>
+          s.copy(delta = s.delta ++ deltas)),
+        op = Some("commit-delta"))
+    }
   }
 
   /** Land `df` as up to `numFiles` range-partitioned parquet files named
@@ -227,22 +275,26 @@ object AzofWriter {
         .filter(p => p.getName.startsWith("part-") &&
           p.getName.endsWith(".parquet"))
         .sortBy(_.getName)
-      // event-time window per written file (empty partitions produce
-      // row-less part files that never appear here and are dropped)
+      // event-time window + key range per written file, one stats-only
+      // columnar pass (empty partitions produce row-less part files that
+      // never appear here and are dropped)
       val stats = spark.read.parquet(tmp.toString)
         .groupBy(input_file_name().as("_f"))
         .agg(min(col(TableSchema.EventTimeName)).as("_mn"),
-          max(col(TableSchema.EventTimeName)).as("_mx"))
+          max(col(TableSchema.EventTimeName)).as("_mx"),
+          min(col(TableSchema.KeyName)).as("_kmn"),
+          max(col(TableSchema.KeyName)).as("_kmx"))
         .collect()
         .map(r => (new Path(r.getString(0)).getName,
-          (r.getTimestamp(1).toInstant, r.getTimestamp(2).toInstant)))
+          (r.getTimestamp(1).toInstant, r.getTimestamp(2).toInstant,
+            FileStats(r.getString(3), r.getString(4)))))
         .toMap
       parts.zipWithIndex.flatMap { case (p, i) =>
-        stats.get(p.getName).map { case (mn, mx) =>
+        stats.get(p.getName).map { case (mn, mx, ks) =>
           val target = s"$filePrefix$i.parquet"
           if (!f.rename(p, new Path(dir, target)))
             throw new IllegalStateException(s"rename $p -> $target failed")
-          Delta(target, mn, mx)
+          Delta(target, mn, mx, Some(ks))
         }
       }.toSeq
     } finally {
@@ -302,11 +354,11 @@ object AzofWriter {
     // distinct prefix: compaction REWRITES rows; the streaming append
     // feed (AzofStream) tails only base_/delta_ commit files by name
     val dir = table.tableDir.toString
-    val (newBase, mergedDeltas) =
+    val (newBase, newBaseStats, mergedDeltas) =
       if (numFiles == 1) {
         val baseFile = uniqueFileName(s"compact_s$nextId")
-        writeDataFile(spark, merged, dir, baseFile)
-        (Some(baseFile), Seq.empty[Delta])
+        val st = writeDataFile(spark, merged, dir, baseFile)
+        (Some(baseFile), st, Seq.empty[Delta])
       } else {
         // Merged-state deltas on the new OPEN segment are read for any
         // as-of >= their windows; for historic instants t < `at` they
@@ -314,7 +366,7 @@ object AzofWriter {
         // merged row duplicates the closed child's winning row for its
         // key byte-for-byte, so the per-key dedup picks identical values
         // whichever file wins precedence.
-        (None, writePartitionedFiles(spark, table.tableDir, merged,
+        (None, None, writePartitionedFiles(spark, table.tableDir, merged,
           numFiles, s"compact_s${nextId}_${uniqueSuffix()}_p"))
       }
 
@@ -353,8 +405,8 @@ object AzofWriter {
     }
     val futureDelta = future.map { case (fut, maxEt) =>
       val f = uniqueFileName(s"compact_s${nextId}_future")
-      writeDataFile(spark, fut, dir, f)
-      Delta(f, at, maxEt)
+      val st = writeDataFile(spark, fut, dir, f)
+      Delta(f, at, maxEt, st)
     }
 
     // The closed child ends AT the compaction point (inclusive): segment
@@ -377,7 +429,8 @@ object AzofWriter {
     val newOpen = Segment(
       id = nextId, start = at, end = None,
       file = newBase, segments = Seq.empty,
-      delta = mergedDeltas ++ futureDelta.toSeq)
+      delta = mergedDeltas ++ futureDelta.toSeq,
+      fileStats = newBaseStats)
     val newSnap = snap.copy(
       segments = snap.segments.updated(openIdx, closedRoot) :+ newOpen,
       op = Some("compact"))
@@ -401,18 +454,14 @@ object AzofWriter {
     require(column.nullable,
       s"added column '${column.name}' must be nullable: existing data files do not contain it")
     val table = AzofTable(spark, lakehousePath, name)
-    val cur = table.currentVersion
-    val nextId = (cur.toLong + 1).toString
-    val snap = table.currentSnapshot
-    require(!snap.schema.columns.exists(_.name == column.name) &&
-      !Seq(TableSchema.KeyName, TableSchema.EventTimeName).contains(column.name),
-      s"column '${column.name}' already exists")
-    val newSnap = snap.copy(
-      schema = TableSchema(snap.schema.columns :+ column),
-      op = Some("add-column"))
-    val dir = table.tableDir.toString
-    writeSnapshot(spark, dir, nextId, newSnap)
-    writeVersion(spark, dir, nextId)
+    commitMeta(spark, table.tableDir.toString) { snap =>
+      require(!snap.schema.columns.exists(_.name == column.name) &&
+        !Seq(TableSchema.KeyName, TableSchema.EventTimeName).contains(column.name),
+        s"column '${column.name}' already exists")
+      snap.copy(
+        schema = TableSchema(snap.schema.columns :+ column),
+        op = Some("add-column"))
+    }
   }
 
   private def mapOpenRoot(segments: Seq[Segment])(f: Segment => Segment): Seq[Segment] = {
@@ -421,20 +470,51 @@ object AzofWriter {
     segments.updated(openIdx, f(segments(openIdx)))
   }
 
-  private def commit(
+  /** Metadata phase of a commit: apply `update` to the latest snapshot
+    * and register the result as the next version, with bounded optimistic
+    * retry. On a version conflict (another writer landed the id first —
+    * create-if-absent refused the write) the step is RE-READ and
+    * RE-APPLIED against the winner's snapshot instead of throwing: the
+    * expensive part of every commit (the data files) is already down
+    * under collision-free unique names, so only this cheap step needs
+    * redoing — without it, a partitioned commit losing a race orphans
+    * the whole distributed write until vacuum.
+    *
+    * Two hardening details beyond the plain loop:
+    *   - next id = one past the HIGHEST existing snapshot, not
+    *     version.txt + 1 — a racing writer's s{N}.json may exist before
+    *     its version.txt write lands, and building on version.txt alone
+    *     would (a) conflict forever and (b) base the update on stale
+    *     state, silently dropping the racer's commit from the chain;
+    *   - version.txt only ever moves FORWARD here, so a slow loser's
+    *     pointer write cannot regress the current version below a
+    *     faster winner's.
+    */
+  private def commitMeta(
       spark: SparkSession,
-      lakehousePath: String,
-      name: String)(
-      update: (String, Snapshot) => (String, Snapshot))(
-      df: DataFrame): Unit = {
-    val table = AzofTable(spark, lakehousePath, name)
-    val cur = table.currentVersion
-    val nextId = (cur.toLong + 1).toString
-    val (fileName, newSnap) = update(nextId, table.currentSnapshot)
-    val dir = table.tableDir.toString
-    val ordered = df.select(newSnap.schema.allColumnNames.map(col): _*)
-    writeDataFile(spark, ordered, dir, fileName)
-    writeSnapshot(spark, dir, nextId, newSnap)
-    writeVersion(spark, dir, nextId)
+      dir: String,
+      maxRetries: Int = 5)(
+      update: Snapshot => Snapshot): Unit = {
+    val tableDir = new Path(dir)
+    val f = fs(spark, tableDir)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val t = new AzofTable(tableDir, spark.sessionState.newHadoopConf())
+      var nextId = t.currentVersion.toLong + 1
+      while (f.exists(new Path(tableDir, s"s$nextId.json"))) nextId += 1
+      val newSnap = update(t.snapshot((nextId - 1).toString))
+      try {
+        writeSnapshot(spark, dir, nextId.toString, newSnap)
+        if (scala.util.Try(t.currentVersion.toLong).getOrElse(0L) < nextId)
+          writeVersion(spark, dir, nextId.toString)
+        committed = true
+      } catch {
+        case e: java.io.IOException
+            if attempt < maxRetries &&
+              f.exists(new Path(tableDir, s"s$nextId.json")) =>
+          attempt += 1 // lost the race at nextId: re-read, re-apply
+      }
+    }
   }
 }

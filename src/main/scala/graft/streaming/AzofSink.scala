@@ -30,15 +30,20 @@ object AzofSink {
     * so the stamp must carry the stream's identity — a fresh backfill
     * into a previously stream-fed table must not see the old stream's
     * batch 37 and silently drop its own batches 0..37. The appId derives
-    * deterministically from the NORMALIZED checkpoint location (the
-    * batch-id namespace): '/ck', '/ck/', and 'file:/ck' hash alike, so a
-    * restart with an equivalent spelling of the same checkpoint keeps
-    * its replay protection.
+    * deterministically from the FULLY-QUALIFIED checkpoint location (the
+    * batch-id namespace): the path is qualified against its filesystem
+    * (`fs.makeQualified`) before hashing, so '/ck', '/ck/', 'file:/ck'
+    * and 'file:///ck' all resolve to the same scheme+authority+path and
+    * hash alike — a restart that spells the same checkpoint with or
+    * without a scheme qualifier keeps its replay protection.
     */
   def appIdFor(checkpoint: String): String = {
-    val normalized =
-      new org.apache.hadoop.fs.Path(checkpoint).toUri.normalize.toString
-        .stripSuffix("/")
+    val p = new org.apache.hadoop.fs.Path(checkpoint)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val normalized = p.getFileSystem(conf).makeQualified(p)
+      .toUri.normalize.toString.stripSuffix("/")
     java.security.MessageDigest.getInstance("MD5")
       .digest(normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(8)

@@ -12,21 +12,26 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("piiScrub redacts emails, urls, ips — in that order — and counts them") {
+  test("piiScrub redacts urls, emails, ips — in that order — and counts " +
+    "exactly the replacements made") {
     val df = Seq(
       (1L, "mail me at jane.doe+x@example.co.uk or visit https://ex.com/a?b=1 now"),
       (2L, "server 10.0.0.1 and http://192.168.1.1/admin both answered"),
-      (3L, "no pii here at all")).toDF("doc_id", "text")
+      (3L, "no pii here at all"),
+      (4L, "fetch https://user@host.com/x for details")).toDF("doc_id", "text")
     val got = TextAnalysis.piiScrub(df, col("text"), col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getString(4))).sortBy(_._1)
 
     assert(got(0) == ((1L, 1L, 1L, 0L,
       "mail me at <EMAIL> or visit <URL> now")))
-    // the URL containing an IP is scrubbed as a URL, not as an IP; the
-    // bare IP is scrubbed as an IP
-    assert(got(1) == ((2L, 0L, 1L, 2L, "server <IP> and <URL> both answered")))
+    // the URL containing an IP is scrubbed — and counted — as a URL, not
+    // as an IP; only the bare IP counts as an IP
+    assert(got(1) == ((2L, 0L, 1L, 1L, "server <IP> and <URL> both answered")))
     assert(got(2) == ((3L, 0L, 0L, 0L, "no pii here at all")))
+    // userinfo URL: the whole authority scrubs as ONE URL; the embedded
+    // user@host.com is part of it and never counts as an email
+    assert(got(3) == ((4L, 0L, 1L, 0L, "fetch <URL> for details")))
   }
 
   test("repetition: duplicated 3-grams raise the ratio; short docs score 0") {

@@ -1,0 +1,228 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format._
+import graft.operators.AzofScan
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-level key statistics + data skipping: the writer stamps each data
+  * file's key range into the snapshot (`stats` / `file_stats` ext fields,
+  * same reference-ignored-extra-field pattern as `op`), and the scan
+  * prunes files whose range cannot match a key predicate — so a point
+  * lookup on a key-partitioned layout reads one file, not every
+  * time-pruned file. Exactness never depends on the stats: the scan
+  * always applies the residual key predicate, and files without stats
+  * are conservatively kept.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = TableSchema(Seq(
+    ColumnDef("value", ColumnType.AzString, nullable = false)))
+
+  private def df(rows: Seq[(String, String, String)]) = {
+    val data = rows.map { case (k, t, v) =>
+      Row(k, Timestamp.from(Instant.parse(t)), v)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data), schema.toStruct)
+  }
+
+  private def ts(s: String) = Instant.parse(s)
+
+  /** base: keys a..d; delta1: keys e..h; delta2: keys p..t. */
+  private def buildKeyPartitioned(): String = {
+    val lake = Files.createTempDirectory("azof-skip").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t", df(Seq(
+      ("a", "2024-01-01T00:00:00Z", "a1"),
+      ("b", "2024-01-02T00:00:00Z", "b1"),
+      ("d", "2024-01-03T00:00:00Z", "d1"))))
+    AzofWriter.commitDelta(spark, lake, "t", df(Seq(
+      ("e", "2024-02-01T00:00:00Z", "e1"),
+      ("h", "2024-02-02T00:00:00Z", "h1"))),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+    AzofWriter.commitDelta(spark, lake, "t", df(Seq(
+      ("p", "2024-03-01T00:00:00Z", "p1"),
+      ("t", "2024-03-02T00:00:00Z", "t1"))),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
+    lake
+  }
+
+  test("writer stamps key-range stats; snapshot JSON round-trips them") {
+    val lake = buildKeyPartitioned()
+    val snap = AzofTable(spark, lake, "t").currentSnapshot
+    val seg = snap.segments.head
+    assert(seg.fileStats.contains(FileStats("a", "d")))
+    assert(seg.delta.map(_.stats) ==
+      Seq(Some(FileStats("e", "h")), Some(FileStats("p", "t"))))
+    assert(SnapshotCodec.parse(SnapshotCodec.render(snap)) == snap)
+    // the raw JSON carries the ext fields in snake_case
+    val json = SnapshotCodec.render(snap)
+    assert(json.contains("\"file_stats\"") && json.contains("\"key_min\""))
+  }
+
+  test("stats-less / foreign-shaped stats parse as None (never a failure)") {
+    val snap = SnapshotCodec.parse(
+      """{"schema":{"columns":[]},"segments":[
+        {"id":"1","start":"2024-01-01T00:00:00.000Z","file":"b.parquet",
+         "delta":[
+          {"file":"d1.parquet","start":"2024-02-01T00:00:00.000Z",
+           "end":"2024-03-01T00:00:00.000Z"},
+          {"file":"d2.parquet","start":"2024-03-01T00:00:00.000Z",
+           "end":"2024-04-01T00:00:00.000Z","stats":{"rows":5}}]}]}""")
+    assert(snap.segments.head.fileStats.isEmpty)
+    assert(snap.segments.head.delta.forall(_.stats.isEmpty))
+    // no stats -> nothing skippable, everything kept
+    assert(AzofScan.prunedFiles(snap, AsOf.Current,
+      Some(KeyFilter.Keys(Set("zzz")))).size == 3)
+  }
+
+  test("point lookup prunes to the one file whose range covers the key") {
+    val lake = buildKeyPartitioned()
+    val snap = AzofTable(spark, lake, "t").currentSnapshot
+    val all = AzofScan.prunedFiles(snap, AsOf.Current)
+    assert(all.size == 3)
+
+    val onlyBase = AzofScan.prunedFiles(snap, AsOf.Current,
+      Some(KeyFilter.Keys(Set("b"))))
+    assert(onlyBase.size == 1 && onlyBase.head.startsWith("base_"))
+
+    val onlyD2 = AzofScan.prunedFiles(snap, AsOf.Current,
+      Some(KeyFilter.Keys(Set("q"))))
+    assert(onlyD2.size == 1 && onlyD2.head.startsWith("delta_s4"))
+
+    // key between ranges ("j" in the d..e gap? no: between h and p):
+    // nothing can contain it
+    assert(AzofScan.prunedFiles(snap, AsOf.Current,
+      Some(KeyFilter.Keys(Set("j")))).isEmpty)
+
+    // range [e, h] hits only delta1; range [c, f] spans base + delta1
+    assert(AzofScan.prunedFiles(snap, AsOf.Current,
+      Some(KeyFilter.Range(Some("e"), Some("h")))).size == 1)
+    assert(AzofScan.prunedFiles(snap, AsOf.Current,
+      Some(KeyFilter.Range(Some("c"), Some("f")))).size == 2)
+
+    // conjunction intersects: [a, z] AND key in {p} -> one file
+    assert(AzofScan.prunedFiles(snap, AsOf.Current,
+      Some(KeyFilter.AllOf(Seq(
+        KeyFilter.Range(Some("a"), Some("z")),
+        KeyFilter.Keys(Set("p")))))).size == 1)
+  }
+
+  test("skipped scan ≡ unskipped scan + filter; all-skipped is empty with schema") {
+    val lake = buildKeyPartitioned()
+    def rows(kf: Option[KeyFilter]) =
+      AzofScan.scan(spark, lake, "t", AsOf.Current, keyFilter = kf)
+        .select("key", "value").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+
+    val brute = AzofScan.scan(spark, lake, "t")
+      .where(col("key").isin("b", "p", "j"))
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows(Some(KeyFilter.Keys(Set("b", "p", "j")))) == brute)
+    assert(brute == Seq("b" -> "b1", "p" -> "p1"))
+
+    val empty = AzofScan.scan(spark, lake, "t", AsOf.Current,
+      keyFilter = Some(KeyFilter.Keys(Set("j"))))
+    assert(empty.columns.toSeq == Seq("key", "event_time", "value"))
+    assert(empty.count() == 0)
+  }
+
+  test("residual filter keeps results exact when stats are conservative") {
+    // two deltas with OVERLAPPING key ranges updating the same key: the
+    // winner must come from the newest event_time regardless of which
+    // files survive pruning
+    val lake = Files.createTempDirectory("azof-skip-ov").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t", df(Seq(
+      ("k", "2024-01-01T00:00:00Z", "v0"),
+      ("m", "2024-01-01T00:00:00Z", "m0"))))
+    AzofWriter.commitDelta(spark, lake, "t", df(Seq(
+      ("k", "2024-02-01T00:00:00Z", "v1"))),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+    AzofWriter.commitDelta(spark, lake, "t", df(Seq(
+      ("k", "2024-03-01T00:00:00Z", "v2"))),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
+    val got = AzofScan.scan(spark, lake, "t", AsOf.Current,
+        keyFilter = Some(KeyFilter.Keys(Set("k"))))
+      .select("key", "value").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq("k" -> "v2"))
+  }
+
+  test("reader surface: WHERE key = … flows into file skipping and stays exact") {
+    val lake = buildKeyPartitioned()
+    val got = spark.read.format("azof").option("table", "t").load(lake)
+      .where(col("key") === "t")
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq("t" -> "t1"))
+    // and a non-key predicate alone still returns everything it should
+    val all = spark.read.format("azof").option("table", "t").load(lake)
+      .where(col("value").startsWith("a") || col("key") === "p")
+      .select("key").collect().map(_.getString(0)).sorted
+    assert(all.toSeq == Seq("a", "p"))
+  }
+
+  test("extractKeyFilter: only provably key-restricting shapes prune") {
+    import org.apache.spark.sql.sources._
+    def x(fs: Filter*) = AzofRelation.extractKeyFilter(fs.toArray)
+    assert(x(EqualTo("key", "a")) == Some(KeyFilter.Keys(Set("a"))))
+    assert(x(In("key", Array[Any]("a", "b"))) ==
+      Some(KeyFilter.Keys(Set("a", "b"))))
+    assert(x(GreaterThan("key", "m")) ==
+      Some(KeyFilter.Range(Some("m"), None)))
+    assert(x(LessThanOrEqual("key", "m")) ==
+      Some(KeyFilter.Range(None, Some("m"))))
+    assert(x(StringStartsWith("key", "user_")) ==
+      Some(KeyFilter.Range(Some("user_"), None)))
+    // conjunction composes; a non-key side is just dropped
+    assert(x(And(GreaterThan("key", "a"), EqualTo("value", "v"))) ==
+      Some(KeyFilter.Range(Some("a"), None)))
+    // Or / Not / other columns: no pruning
+    assert(x(Or(EqualTo("key", "a"), EqualTo("key", "b"))).isEmpty)
+    assert(x(Not(EqualTo("key", "a"))).isEmpty)
+    assert(x(EqualTo("value", "a")).isEmpty)
+    // non-string IN values: no pruning
+    assert(x(In("key", Array[Any](1, 2))).isEmpty)
+  }
+
+  test("property: random layouts — skipped scan ≡ brute-force filter") {
+    val rnd = new scala.util.Random(20260812L)
+    val keys = (0 until 40).map(i => f"k$i%02d")
+    for (round <- 0 until 5) {
+      val lake = Files.createTempDirectory(s"azof-skip-prop$round").toString
+      AzofWriter.createTable(spark, lake, "t", schema,
+        ts("2024-01-01T00:00:00Z"))
+      // base over a random key subset, then 3 deltas over random subsets
+      // with random (possibly duplicate-key) updates
+      var month = 1
+      def someRows(n: Int) = (0 until n).map { _ =>
+        val k = keys(rnd.nextInt(keys.size))
+        val t = f"2024-$month%02d-${1 + rnd.nextInt(27)}%02dT00:00:00Z"
+        (k, t, s"v${rnd.nextInt(1000)}")
+      }
+      AzofWriter.commitBase(spark, lake, "t", df(someRows(12)))
+      for (_ <- 0 until 3) {
+        month += 1
+        AzofWriter.commitDelta(spark, lake, "t", df(someRows(8)),
+          ts(f"2024-$month%02d-01T00:00:00Z"),
+          ts(f"2024-${month + 1}%02d-01T00:00:00Z"))
+      }
+      val wanted = (0 until 5).map(_ => keys(rnd.nextInt(keys.size))).toSet
+      val skipped = AzofScan.scan(spark, lake, "t", AsOf.Current,
+          keyFilter = Some(KeyFilter.Keys(wanted)))
+        .collect().map(_.toSeq).toSet
+      val brute = AzofScan.scan(spark, lake, "t", AsOf.Current)
+        .where(col("key").isin(wanted.toSeq: _*))
+        .collect().map(_.toSeq).toSet
+      assert(skipped == brute, s"round $round keys $wanted")
+    }
+  }
+}
