@@ -154,7 +154,15 @@ object AzofCli {
         println(s"$verb snapshots: ${rep.deletedSnapshots.map("s" + _).mkString(", ")}")
         println(s"retained snapshots: ${rep.retainedSnapshots.map("s" + _).mkString(", ")}")
       case "sql" =>
+        // --catalog NAME additionally registers the DSv2 catalog over
+        // --path, enabling DDL/DML: CREATE TABLE NAME.t ... USING azof,
+        // INSERT INTO NAME.t VALUES ..., ALTER TABLE NAME.t ADD COLUMN
         spark.conf.set("spark.azof.path", opts("path"))
+        opts.get("catalog").foreach { c =>
+          spark.conf.set(s"spark.sql.catalog.$c",
+            classOf[graft.sources.AzofCatalog].getName)
+          spark.conf.set(s"spark.sql.catalog.$c.path", opts("path"))
+        }
         spark.sql(opts("query")).show(numRows = 1000, truncate = false)
       case "read" =>
         // the DataFrameReader surface (works in vanilla sessions too):

@@ -111,13 +111,19 @@ final case class Segment(
   * `op` is this engine's extension: the operation that produced the
   * snapshot ("create" | "commit-base" | "commit-delta" | "compact"),
   * used by the change feed to tell data-adding commits from rewrites.
-  * Serialized as an extra JSON field, which the reference's serde parser
-  * ignores (no deny_unknown_fields) — format compatibility holds.
+  * `streamBatches` is the streaming sink's exact replay index: the last
+  * committed micro-batch id per stream appId, carried FORWARD by every
+  * commit (each snapshot copy preserves it), so replay detection is an
+  * O(1) map lookup on the current snapshot — no bounded history scan
+  * that interleaved foreign commits could outrun. Both serialize as
+  * extra JSON fields, which the reference's serde parser ignores (no
+  * deny_unknown_fields) — format compatibility holds.
   */
 final case class Snapshot(
     schema: TableSchema,
     segments: Seq[Segment],
-    op: Option[String] = None) {
+    op: Option[String] = None,
+    streamBatches: Map[String, Long] = Map.empty) {
   def dataFiles(asOf: AsOf): Seq[String] = segments.flatMap(_.dataFiles(asOf))
 
   /** [[dataFiles]] with per-file key stats for data skipping. */

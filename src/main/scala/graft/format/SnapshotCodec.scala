@@ -31,7 +31,12 @@ object SnapshotCodec {
     val root = mapper.readTree(json)
     val schema = parseSchema(root.get("schema"))
     val segments = arr(root.get("segments")).map(parseSegment)
-    Snapshot(schema, segments, optText(root, "op"))
+    val batches = Option(root.get("stream_batches"))
+      .filter(n => !n.isNull && n.isObject)
+      .map(_.fields().asScala.toSeq
+        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+      .getOrElse(Map.empty[String, Long])
+    Snapshot(schema, segments, optText(root, "op"), batches)
   }
 
   private def arr(n: JsonNode): Seq[JsonNode] =
@@ -89,6 +94,14 @@ object SnapshotCodec {
     val segs = root.putArray("segments")
     s.segments.foreach(seg => renderSegment(segs.addObject(), seg))
     s.op.foreach(o => root.put("op", o))
+    if (s.streamBatches.nonEmpty) {
+      val bn = root.putObject("stream_batches")
+      // sorted for deterministic bytes (snapshot docs are content-compared
+      // in specs and by humans)
+      s.streamBatches.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        bn.put(k, v)
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 

@@ -20,7 +20,8 @@ object AzofQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_azof_roundtrip" -> roundtrip,
-    "q32_key_lookup" -> keyLookup)
+    "q32_key_lookup" -> keyLookup,
+    "q33_sql_insert" -> sqlInsert)
 
   /** Build (or reuse) the events_kv azof lakehouse for `dir` and return
     * its path. The committed table is a deterministic function of the
@@ -97,6 +98,48 @@ object AzofQueries {
       .where(col("key").isin("7", "23", "41"))
       .select("key", "event_time", "event_type")
 
+  /** The SQL WRITE surface under the oracle gate: CREATE TABLE + INSERT
+    * INTO through the DSv2 catalog (→ partitioned delta commit), read
+    * back through catalog SQL. The catalog name carries the sf-dir hash
+    * because Spark caches catalog instances per name — one session
+    * touching two scale factors (the bench's warmup) must not alias
+    * their lakehouses.
+    */
+  private def sqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val lake = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-azof-sqlins-v2-$key")
+    val cat = s"azsql_$key"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.AzofCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.path", lake.toString)
+    val marker = new java.io.File(new java.io.File(lake, "events_sql"),
+      "_COMMITTED")
+    if (!marker.isFile) {
+      // partial build from a crashed attempt: start clean
+      if (lake.isDirectory) {
+        import scala.reflect.io.Directory
+        new Directory(lake).deleteRecursively()
+      }
+      lake.mkdirs()
+      s.sql(
+        s"""CREATE TABLE $cat.events_sql
+            (key STRING, event_time TIMESTAMP, event_type STRING, props STRING)
+            USING azof TBLPROPERTIES ('start'='2024-01-01T00:00:00Z')""")
+      Tables(s, dir, "events").createOrReplaceTempView(s"ev_src_$key")
+      s.sql(
+        s"""INSERT INTO $cat.events_sql
+            SELECT CAST(user_id AS STRING), date_trunc('millisecond', ts),
+                   event_type, props
+            FROM ev_src_$key
+            WHERE date_trunc('millisecond', ts) < TIMESTAMP'2024-01-10 00:00:00'""")
+      Files.createFile(marker.toPath)
+      ()
+    }
+    s.sql(s"SELECT key, event_time, event_type FROM $cat.events_sql")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q18_azof_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
@@ -116,5 +159,15 @@ object AzofQueries {
                FROM events
                WHERE date_trunc('milliseconds', ts) <= TIMESTAMP '2024-01-25 00:00:00'
                  AND CAST(user_id AS VARCHAR) IN ('7', '23', '41'))
+         WHERE rn = 1""",
+    // the SQL-inserted table holds ms-truncated events before Jan 10;
+    // its Current scan is latest-row-per-key over exactly that set
+    "q33_sql_insert" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+         date_trunc('milliseconds', ts) AS event_time, event_type
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+               FROM events
+               WHERE date_trunc('milliseconds', ts) < TIMESTAMP '2024-01-10 00:00:00')
          WHERE rn = 1""")
 }

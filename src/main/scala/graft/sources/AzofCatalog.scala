@@ -1,16 +1,18 @@
 package graft.sources
 
-import graft.format.AsOf
+import graft.format.{AsOf, ColumnDef, ColumnType, TableSchema}
 import java.time.Instant
 import java.util
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{StructType, StringType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DSv2 `TableCatalog` over an azof lakehouse — the catalog-native
@@ -94,30 +96,125 @@ class AzofCatalog extends TableCatalog {
 
   override def invalidateTable(ident: Identifier): Unit = ()
 
+  /** `CREATE TABLE lake.t (key STRING, event_time TIMESTAMP, ...) USING
+    * azof [TBLPROPERTIES ('start'='<instant>')]` — routed through the
+    * SAME commit protocol as the library path
+    * ([[AzofWriter.createTable]]): snapshot 1 with one open segment. The
+    * declared schema must lead with the two system columns; value
+    * columns must use the format's four types.
+    */
   override def createTable(
       ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "azof catalog is read-only: create tables via AzofWriter.createTable")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "azof tables have no partition transforms: files partition by " +
+        "event-time segments/deltas (and carry key stats for skipping)")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val start = Option(properties.get("start"))
+      .map(AzofDataSource.parseInstant).getOrElse(Instant.EPOCH)
+    AzofWriter.createTable(spark, tableDir(ident).getParent.toString,
+      ident.name, AzofCatalog.toAzofSchema(schema), start)
+    loadTable(ident)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "azof catalog is read-only: evolve schemas via AzofWriter.addColumn")
+  /** `ALTER TABLE lake.t ADD COLUMN c <type>` — schema evolution through
+    * the commit protocol ([[AzofWriter.addColumn]]): metadata-only
+    * snapshot; added columns must be nullable (old files lack them and
+    * scan as NULL).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"azof columns are flat: cannot add nested ${add.fieldNames.mkString(".")}")
+        require(add.isNullable,
+          s"added column '${add.fieldNames.head}' must be nullable: " +
+            "existing data files do not contain it")
+        AzofWriter.addColumn(spark, tableDir(ident).getParent.toString,
+          ident.name,
+          ColumnDef(add.fieldNames.head,
+            AzofCatalog.toColumnType(add.fieldNames.head, add.dataType()),
+            nullable = true))
+      case other => throw new UnsupportedOperationException(
+        s"azof supports only ADD COLUMN; got ${other.getClass.getSimpleName}")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
-      "azof catalog is read-only: expire data via AzofVacuum")
+      "azof tables are append-only with full version history: " +
+        "expire data via AzofVacuum")
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("azof catalog is read-only")
+    throw new UnsupportedOperationException(
+      "azof tables are addressed by directory: rename is not supported")
+}
+
+object AzofCatalog {
+  private[sources] def toColumnType(
+      name: String, dt: org.apache.spark.sql.types.DataType): ColumnType =
+    ColumnType.all.find(_.sparkType == dt).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$name': unsupported type ${dt.sql}; azof value columns " +
+          "are STRING, BIGINT, BOOLEAN, or TIMESTAMP"))
+
+  /** Declared SQL schema → azof table schema: `key STRING, event_time
+    * TIMESTAMP` system columns first (declared nullability is ignored —
+    * the format makes them non-null), then value columns in the format's
+    * four types.
+    */
+  private[sources] def toAzofSchema(schema: StructType): TableSchema = {
+    val fs = schema.fields
+    require(fs.length >= 2 &&
+      fs(0).name == TableSchema.KeyName && fs(0).dataType == StringType &&
+      fs(1).name == TableSchema.EventTimeName && fs(1).dataType == TimestampType,
+      "azof tables lead with system columns `key STRING, event_time " +
+        s"TIMESTAMP`; got ${schema.simpleString}")
+    TableSchema(fs.drop(2).toSeq.map(f =>
+      ColumnDef(f.name, toColumnType(f.name, f.dataType), f.nullable)))
+  }
+
+  /** Append `data` as one partitioned delta commit — the `INSERT INTO`
+    * path. One validation pass (row count + system-column null check),
+    * then [[AzofWriter.commitPartitioned]]: rows land range-partitioned
+    * by event_time across `spark.azof.insert.files` files (default
+    * min(32, parallelism)) in one distributed write, and ONE snapshot
+    * commit — with conflict retry — registers them, so SQL inserts
+    * inherit the library path's first-writer-wins semantics.
+    */
+  private[sources] def append(
+      lakehousePath: String, tableName: String, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val rows = data.persist()
+    try {
+      val c = rows.agg(count(lit(1)), count(col(TableSchema.KeyName)),
+        count(col(TableSchema.EventTimeName))).collect()(0)
+      val n = c.getLong(0)
+      if (n == 0) return // empty INSERT is a legal no-op, not a failed commit
+      require(c.getLong(1) == n && c.getLong(2) == n,
+        "azof system columns key/event_time must be non-null")
+      val numFiles = spark.conf.getOption("spark.azof.insert.files")
+        .map(_.toInt)
+        .getOrElse(math.min(32, math.max(1,
+          spark.sparkContext.defaultParallelism)))
+      AzofWriter.commitPartitioned(spark, lakehousePath, tableName, rows,
+        numFiles)
+    } finally { rows.unpersist(); () }
+  }
 }
 
 /** One (table, asOf, version) view as a DSv2 Table; reads bridge to the
-  * V1 [[AzofRelation]] so the merge-dedup plan exists exactly once.
+  * V1 [[AzofRelation]] so the merge-dedup plan exists exactly once, and
+  * writes (`INSERT INTO` / `df.writeTo(...).append()`) bridge through
+  * `V1Write` into the partitioned commit protocol.
   */
 final class AzofV2Table(
     lakehousePath: String, tableName: String,
-    asOf: AsOf, version: Option[String]) extends Table with SupportsRead {
+    asOf: AsOf, version: Option[String])
+  extends Table with SupportsRead with SupportsWrite {
 
   // lazy val: a loaded Table represents ONE resolved version — planning
   // may ask for the schema repeatedly and must not re-read (or observe a
@@ -129,10 +226,31 @@ final class AzofV2Table(
   override def name(): String = tableName
   override def schema(): StructType = relation.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AzofScanBuilder(relation)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // a loaded time-travel view is a historical read surface, never a
+    // write target — appends go to the table's current head
+    if (asOf != AsOf.Current || version.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot write to a time-travel view of azof table $tableName")
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                "azof is append-only: INSERT OVERWRITE is not supported " +
+                  "(rewrite via compaction, expire via vacuum)")
+              AzofCatalog.append(lakehousePath, tableName, data)
+            }
+          }
+      }
+    }
+  }
 }
 
 private final class AzofScanBuilder(relation: AzofRelation)

@@ -164,8 +164,10 @@ object AzofWriter {
 
   /** Commit `df` as a delta file `[start, end]` on the open root segment:
     * new snapshot id = current + 1, `version.txt` bumped. `op` overrides
-    * the snapshot's operation stamp (default "commit-delta") — the
-    * streaming sink uses it to make micro-batch commits idempotent.
+    * the snapshot's operation stamp (default "commit-delta");
+    * `streamBatch` records `appId -> batchId` in the snapshot's
+    * `stream_batches` replay index — the streaming sink passes both to
+    * make micro-batch commits idempotent.
     */
   def commitDelta(
       spark: SparkSession,
@@ -174,13 +176,15 @@ object AzofWriter {
       df: DataFrame,
       start: Instant,
       end: Instant,
-      op: Option[String] = None): Unit = {
+      op: Option[String] = None,
+      streamBatch: Option[(String, Long)] = None): Unit = {
     val (dir, fileName, stats) =
       landCommitFile(spark, lakehousePath, name, df, "delta")
     commitMeta(spark, dir) { snap =>
       val segs = mapOpenRoot(snap.segments)(s =>
         s.copy(delta = s.delta :+ Delta(fileName, start, end, stats)))
-      snap.copy(segments = segs, op = Some(op.getOrElse("commit-delta")))
+      snap.copy(segments = segs, op = Some(op.getOrElse("commit-delta")),
+        streamBatches = snap.streamBatches ++ streamBatch)
     }
   }
 

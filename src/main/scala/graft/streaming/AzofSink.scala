@@ -49,27 +49,29 @@ object AzofSink {
       .map("%02x".format(_)).mkString.take(8)
   }
 
-  /** How many commits back to scan for this stream's last batch stamp.
-    * If MORE foreign commits than this land inside one micro-batch
-    * window AND that exact batch replays, the batch re-commits — a
-    * bounded storage-level duplication, not a correctness loss: the
-    * replayed rows are byte-identical, so the merge-dedup scan elects
-    * the same winner per key either way (only the raw append feed sees
-    * the duplicate).
+  /** Legacy fallback only: tables written by sinks that predate the
+    * snapshot's `stream_batches` replay index carry their last batch id
+    * solely in historical `op` stamps, so scan a bounded window of
+    * commits for it. New commits always populate the index, which is
+    * exact at any interleaving depth; this scan's 50-commit bound only
+    * matters for the FIRST replayed batch after upgrading such a table.
     */
   private val ReplayLookback = 50L
 
   private def lastBatchId(t: AzofTable, appId: String): Option[Long] = {
-    val prefix = s"$OpPrefix$appId#"
-    val cur = t.currentVersion.toLong
-    (cur to math.max(1L, cur - ReplayLookback) by -1).iterator
-      .flatMap(v => scala.util.Try(t.snapshot(v.toString)).toOption)
-      .flatMap(_.op)
-      .collectFirst {
-        case op if op.startsWith(prefix) &&
-          op.stripPrefix(prefix).toLongOption.isDefined =>
-          op.stripPrefix(prefix).toLong
-      }
+    val cur = t.currentSnapshot
+    cur.streamBatches.get(appId).orElse {
+      val prefix = s"$OpPrefix$appId#"
+      val v = t.currentVersion.toLong
+      (v to math.max(1L, v - ReplayLookback) by -1).iterator
+        .flatMap(v => scala.util.Try(t.snapshot(v.toString)).toOption)
+        .flatMap(_.op)
+        .collectFirst {
+          case op if op.startsWith(prefix) &&
+            op.stripPrefix(prefix).toLongOption.isDefined =>
+            op.stripPrefix(prefix).toLong
+        }
+    }
   }
 
   /** Commit one micro-batch as a delta; idempotent on (appId, batchId).
@@ -97,7 +99,8 @@ object AzofSink {
         else {
           AzofWriter.commitDelta(spark, lakehousePath, table, rows,
             mm.getTimestamp(0).toInstant, mm.getTimestamp(1).toInstant,
-            op = Some(s"$OpPrefix$appId#$batchId"))
+            op = Some(s"$OpPrefix$appId#$batchId"),
+            streamBatch = Some(appId -> batchId))
           true
         }
       } finally { rows.unpersist(); () }

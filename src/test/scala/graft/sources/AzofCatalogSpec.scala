@@ -60,7 +60,7 @@ class AzofCatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("nope"))
   }
 
-  test("writes are rejected: the catalog is read-only") {
+  test("destructive DDL is rejected: azof tables are append-only") {
     intercept[UnsupportedOperationException] {
       spark.sql("DROP TABLE lakecat.table0")
     }

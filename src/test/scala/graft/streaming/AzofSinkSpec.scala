@@ -83,6 +83,37 @@ class AzofSinkSpec extends AnyFunSuite {
     assert(currentKv(lake).contains("8" -> "h1"))
   }
 
+  test("replay stays skipped behind ANY number of interleaved foreign commits") {
+    // the snapshot's stream_batches index is carried forward by every
+    // commit, so replay detection is exact — no bounded history scan
+    // that a burst of foreign commits could outrun
+    val lake = mkTable()
+    assert(AzofSink.commitBatch(lake, "t",
+      batchDf(("1", "2024-01-02T00:00:00Z", "a1")), batchId = 0, appId = "deep"))
+    val snap0 = AzofTable(spark, lake, "t").currentSnapshot
+    assert(snap0.streamBatches == Map("deep" -> 0L))
+
+    for (i <- 1 to 100)
+      AzofWriter.commitDelta(spark, lake, "t",
+        batchDf((s"f$i", "2024-02-01T00:00:00Z", s"v$i")),
+        ts("2024-02-01T00:00:00Z"), ts("2024-02-02T00:00:00Z"))
+
+    // the index survived 100 foreign commits; the replayed batch is
+    // still recognized and skipped
+    val v = AzofTable(spark, lake, "t").currentVersion
+    assert(AzofTable(spark, lake, "t").currentSnapshot.streamBatches ==
+      Map("deep" -> 0L))
+    assert(!AzofSink.commitBatch(lake, "t",
+      batchDf(("1", "2024-01-02T00:00:00Z", "a1")), batchId = 0, appId = "deep"))
+    assert(AzofTable(spark, lake, "t").currentVersion == v)
+
+    // and a genuinely new batch still commits, extending the index
+    assert(AzofSink.commitBatch(lake, "t",
+      batchDf(("2", "2024-03-01T00:00:00Z", "b1")), batchId = 1, appId = "deep"))
+    assert(AzofTable(spark, lake, "t").currentSnapshot.streamBatches ==
+      Map("deep" -> 1L))
+  }
+
   test("end-to-end: memory stream -> sink -> scan, resumable checkpoint") {
     val lake = mkTable()
     val ckpt = Files.createTempDirectory("azof-sink-ck").toString
