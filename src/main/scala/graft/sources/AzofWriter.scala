@@ -436,10 +436,67 @@ object AzofWriter {
       delta = mergedDeltas ++ futureDelta.toSeq,
       fileStats = newBaseStats)
     val newSnap = snap.copy(
-      segments = snap.segments.updated(openIdx, closedRoot) :+ newOpen,
+      segments =
+        refoldClosed(snap.segments.updated(openIdx, closedRoot)) :+ newOpen,
       op = Some("compact"))
     writeSnapshot(spark, dir, nextId, newSnap)
     writeVersion(spark, dir, nextId)
+  }
+
+  /** Hierarchical re-segmentation: how many consecutive same-generation
+    * closed roots fold into one parent (the financials-style year →
+    * quarter nesting, reference test-data/financials/s1.json).
+    */
+  private val FoldFanout = 4
+  private val FoldIdRe = "^fold(\\d+)_.*$".r
+
+  private def foldGen(s: Segment): Int = s.id match {
+    case FoldIdRe(g) => g.toInt
+    case _           => 0
+  }
+
+  /** Fold runs of [[FoldFanout]] consecutive closed roots of the same
+    * fold generation into one range-spanning parent, repeatedly — a
+    * base-F counter, so after k compactions the root list holds
+    * O(F·log_F k) segments and the tree is O(log_F k) deep instead of k
+    * flat closed roots (snapshot size, parse time, and tree walk all
+    * follow; the pruned FILE set for any as-of was already leaf-local
+    * because closed roots carry no root-level files or deltas).
+    *
+    * Soundness: a fresh parent has `file = None`, `delta = ∅`, and a
+    * range exactly spanning its children, and the scan walks roots
+    * unconditionally while range-filtering children — a closed root
+    * contributes files only when in range, and any in-range child
+    * implies its covering parent is in range, so wrapping children in a
+    * parent never changes the contributed file set OR its precedence
+    * order (the parent stands at the position of its oldest child).
+    * Generations live in segment ids (`fold<g>_<suffix>`); foreign ids
+    * count as generation 0.
+    */
+  private def refoldClosed(segments: Seq[Segment]): Seq[Segment] = {
+    var segs = segments
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i + FoldFanout <= segs.length && !changed) {
+        val run = segs.slice(i, i + FoldFanout)
+        if (run.forall(_.end.isDefined) &&
+            run.map(foldGen).distinct.size == 1) {
+          val parent = Segment(
+            id = s"fold${foldGen(run.head) + 1}_${uniqueSuffix()}",
+            start = run.map(_.start).min,
+            end = Some(run.flatMap(_.end).max),
+            file = None,
+            segments = run,
+            delta = Seq.empty)
+          segs = segs.patch(i, Seq(parent), FoldFanout)
+          changed = true
+        }
+        i += 1
+      }
+    }
+    segs
   }
 
   /** Schema evolution — the reference's unchecked "Schema evolution"

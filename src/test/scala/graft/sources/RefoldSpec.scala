@@ -1,0 +1,96 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format._
+import graft.operators.AzofScan
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hierarchical re-segmentation: repeated compactions must fold closed
+  * segments into a financials-style tree instead of accumulating k flat
+  * closed roots — snapshot metadata stays O(log k) while every historic
+  * as-of view is bit-identical and its pruned file set stays leaf-local.
+  */
+class RefoldSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = TableSchema(Seq(
+    ColumnDef("value", ColumnType.AzString, nullable = false)))
+
+  private val t0 = Instant.parse("2024-01-01T00:00:00Z")
+  private def hourTs(h: Int) = t0.plusSeconds(h * 3600L)
+
+  private def df(rows: Seq[(String, Int, String)]) = {
+    val data = rows.map { case (k, h, v) =>
+      Row(k, Timestamp.from(hourTs(h)), v)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data), schema.toStruct)
+  }
+
+  private def depth(s: Segment): Int =
+    1 + (if (s.segments.isEmpty) 0 else s.segments.map(depth).max)
+
+  test("k compactions: log-size tree, unchanged views, leaf-local pruning") {
+    val k = 13
+    val lake = Files.createTempDirectory("azof-refold").toString
+    AzofWriter.createTable(spark, lake, "t", schema, t0)
+    AzofWriter.commitBase(spark, lake, "t",
+      df(Seq(("1", 0, "v0"), ("2", 0, "w0"))))
+
+    val probes = (0 to 2 * k + 2).map(hourTs)
+    def view(a: AsOf): Seq[(String, String)] =
+      AzofScan.scan(spark, lake, "t", a).select("key", "value")
+        .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    def views(as: Seq[AsOf]): Seq[Seq[(String, String)]] = as.map(view)
+
+    for (i <- 1 to k) {
+      val h = 2 * i - 1
+      AzofWriter.commitDelta(spark, lake, "t",
+        df(Seq(("1", h, s"v$i"), ((i % 5 + 2).toString, h, s"x$i"))),
+        hourTs(h), hourTs(h + 1))
+      // cheap probe set every round (fold boundaries + current); the
+      // full historic sweep at the rounds where a fold fires (4, 8, 12)
+      val as =
+        if (i % 4 == 0 || i == k)
+          AsOf.Current +: probes.map(AsOf.EventTime)
+        else
+          Seq(AsOf.Current, AsOf.EventTime(hourTs(1)),
+            AsOf.EventTime(hourTs(2 * i - 2)), AsOf.EventTime(hourTs(h)))
+      val before = views(as)
+      AzofWriter.compact(spark, lake, "t", hourTs(2 * i))
+      assert(views(as) == before, s"compaction $i changed a view")
+    }
+
+    val snap = AzofTable(spark, lake, "t").currentSnapshot
+    // folded: 13 closed + 1 open would be 14 flat roots; the base-4
+    // counter leaves 3·fold1 + 1 closed + 1 open = at most 8, with one
+    // generation-2-capable structure at larger k
+    assert(snap.segments.length <= 8,
+      s"expected folded roots, got ${snap.segments.length}")
+    assert(snap.segments.exists(s => s.id.startsWith("fold")),
+      "no fold parent present")
+    assert(snap.segments.map(depth).max >= 3, "fold parents should nest")
+
+    // every as-of prunes to a leaf-local file set, never O(k)
+    (AsOf.Current +: probes.map(AsOf.EventTime)).foreach { a =>
+      val files = snap.dataFiles(a)
+      assert(files.size <= 6, s"$a reads ${files.size} files: $files")
+    }
+
+    // the folded snapshot round-trips through the codec byte-stably
+    assert(SnapshotCodec.parse(SnapshotCodec.render(snap)) == snap)
+
+    // and version history is intact: an as-of through an OLD snapshot
+    // (pre-folding) equals the same as-of through the folded head
+    val t = AzofTable(spark, lake, "t")
+    val oldSnap = t.snapshot((t.currentVersion.toLong - 4).toString)
+    val a = AsOf.EventTime(hourTs(5))
+    val viaOld = AzofScan.scanSnapshot(spark, t, oldSnap, a)
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(viaOld == view(a))
+  }
+}
