@@ -150,12 +150,42 @@ object Multimodal {
       doc_id: Long, out_width: Long, out_height: Long, out_octets: Long,
       resized_payload: Array[Byte])
 
-  /** "Resize" media payloads to target dimensions — the STUB keeps one
-    * byte per `stride = ceil(octets / (w·h))` input bytes (a deterministic
-    * stand-in for pixel resampling); a real build swaps the loop body for
-    * a codec call. Same partition-parallel batch shape as [[decodeMeta]]:
-    * binary in, binary out, no shuffle, decoder init amortized per
-    * partition.
+  /** REAL image resize, pure JDK: decode via `javax.imageio`, scale with
+    * an offscreen `Graphics2D` (bilinear; headless-safe — BufferedImage
+    * rasters never touch a display), re-encode as PNG. None when no
+    * codec claims the bytes or decode fails — callers fall back to the
+    * byte-sampling stub, so corrupt images degrade instead of failing
+    * the partition.
+    */
+  def imageResize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Resize media payloads to target dimensions. Two-tier like
+    * [[decodeMeta]]: payloads with an image magic go through the REAL
+    * codec path ([[imageResize]] — actual pixel resampling, PNG out);
+    * everything else keeps one byte per `stride = ceil(octets / (w·h))`
+    * input bytes (the deterministic stand-in; audio/video resampling
+    * slots in the same way). Same partition-parallel batch shape
+    * either way: binary in, binary out, no shuffle, codec init amortized
+    * per partition.
     */
   def resize(
       spark: SparkSession, payloads: DataFrame, w: Int, h: Int): Dataset[Resized] = {
@@ -165,13 +195,20 @@ object Multimodal {
       .mapPartitions { it =>
         val target = w.toLong * h
         it.map { case (id, bytes) =>
-          val n = bytes.length.toLong
-          val stride = math.max(1L, (n + target - 1) / target)
-          val outLen = ((n + stride - 1) / stride).toInt
-          val out = new Array[Byte](outLen)
-          var i = 0
-          while (i < outLen) { out(i) = bytes((i * stride).toInt); i += 1 }
-          Resized(id, w.toLong, h.toLong, outLen.toLong, out)
+          val real =
+            if (looksLikeImage(bytes)) imageResize(bytes, w, h) else None
+          real match {
+            case Some(out) =>
+              Resized(id, w.toLong, h.toLong, out.length.toLong, out)
+            case None =>
+              val n = bytes.length.toLong
+              val stride = math.max(1L, (n + target - 1) / target)
+              val outLen = ((n + stride - 1) / stride).toInt
+              val out = new Array[Byte](outLen)
+              var i = 0
+              while (i < outLen) { out(i) = bytes((i * stride).toInt); i += 1 }
+              Resized(id, w.toLong, h.toLong, outLen.toLong, out)
+          }
         }
       }
   }

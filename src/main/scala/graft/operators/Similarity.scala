@@ -125,13 +125,23 @@ object Similarity {
     * grows. Probe cost per query is numCentroids dot products; list
     * search scales with nprobe/numCentroids of the data.
     */
+  /** @param lloydIters Lloyd (spherical k-means) refinement passes over
+    *                    the seed sample (default 1). The md5 sample is
+    *                    uniform — fine when the data is too, but real
+    *                    embedding corpora cluster, and centroids that
+    *                    ignore the cluster structure force high nprobe
+    *                    for recall. Each pass is one narrow N·K argmax
+    *                    kernel with per-partition partial sums (the
+    *                    shuffle moves K·partitions tiny rows, never the
+    *                    vectors) and an O(K·dims) driver reduce.
+    */
   def ivfTopKFixedK(
       emb: DataFrame, id: String, vec: String,
       numCentroids: Int, queryFilter: Column,
-      nprobe: Int, k: Int): DataFrame = {
+      nprobe: Int, k: Int, lloydIters: Int = 1): DataFrame = {
     import emb.sparkSession.implicits._
     val e = prepVectors(emb, id, vec)
-    val centArr = e
+    var centArr = e
       .orderBy(md5(concat(lit("cent#"), col("_id"))), col("_id"))
       .limit(numCentroids)
       .select(col("_id").cast("long").as("_cid"), col("_v").as("_cv"),
@@ -139,7 +149,71 @@ object Similarity {
       .as[(Long, Array[Double], Double)]
       .collect()
       .sortBy(_._1)
+    for (_ <- 0 until lloydIters) centArr = lloydStep(e, centArr)
     ivfCore(e, centArr, queryFilter, nprobe, k)
+  }
+
+  /** One spherical-k-means step: assign every vector to its best current
+    * centroid (same argmax kernel and tie rule as [[ivfCore]]), then
+    * replace each centroid with its cluster's element-wise mean (cosine
+    * is scale-invariant, so the unnormalized mean is the spherical
+    * update). Seeds that capture no vectors drop out (each seed captures
+    * at least itself unless an earlier duplicate absorbs it). Mean
+    * coordinates are floor-quantized at 1e-6 — cross-row float
+    * aggregation is order-sensitive, and the quantized value is what
+    * both this kernel and the DuckDB oracle can agree on exactly.
+    */
+  private def lloydStep(
+      e: DataFrame,
+      centArr: Array[(Long, Array[Double], Double)]): Array[(Long, Array[Double], Double)] = {
+    if (centArr.isEmpty) return centArr
+    val spark = e.sparkSession
+    import spark.implicits._
+    val centB = spark.sparkContext.broadcast(centArr)
+    e.select(col("_id").cast("long"), col("_v"), col("_n"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cs = centB.value
+        val sums = scala.collection.mutable.HashMap
+          .empty[Long, (Array[Double], Long)]
+        it.foreach { case (_, v, n) =>
+          var bestCid = -1L
+          var bestCos = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val (cid, cv, cn) = cs(c)
+            var acc = 0.0
+            var j = 0
+            while (j < v.length) { acc += v(j) * cv(j); j += 1 }
+            val cos = acc / (n * cn)
+            if (cos > bestCos) { bestCos = cos; bestCid = cid }
+            c += 1
+          }
+          val (s, cnt) = sums.getOrElseUpdate(bestCid,
+            (new Array[Double](v.length), 0L))
+          var j = 0
+          while (j < v.length) { s(j) += v(j); j += 1 }
+          sums(bestCid) = (s, cnt + 1)
+        }
+        sums.iterator.map { case (cid, (s, n)) => (cid, s, n) }
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val s = a._2.clone()
+        var j = 0
+        while (j < s.length) { s(j) += b._2(j); j += 1 }
+        (a._1, s, a._3 + b._3)
+      }
+      .map(_._2)
+      .collect()
+      .map { case (cid, s, n) =>
+        val m = s.map(x => math.floor(x / n * 1e6) / 1e6)
+        var acc = 0.0
+        var j = 0
+        while (j < m.length) { acc += m(j) * m(j); j += 1 }
+        (cid, m, math.sqrt(acc))
+      }
+      .sortBy(_._1)
   }
 
   private def prepVectors(emb: DataFrame, id: String, vec: String): DataFrame =

@@ -122,14 +122,16 @@ object Pipeline {
   /** IVF top-k with the same queries/k as the s01 brute-force baseline, so
     * recall is directly comparable. Centroids: a FIXED deterministic
     * sample of 32 (md5-ranked TakeOrdered — bounded at any table size,
-    * unlike a modulus filter whose centroid count grows with N);
-    * nprobe=12 (recall 0.60 vs s01 on this corpus — the synthetic
-    * embeddings are near-uniform, so IVF recall tracks the probed
-    * fraction; clustered production data needs far fewer probes).
+    * unlike a modulus filter whose centroid count grows with N) refined
+    * by one Lloyd pass; nprobe=12 gives recall 0.80 vs s01 on this
+    * near-uniform synthetic corpus (0.60 before the Lloyd pass — and on
+    * genuinely clustered data the refined centroids recover the cluster
+    * structure, see SimilaritySpec's 10-cluster recall pin).
     */
   private def s03(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKFixedK(emb(s, dir), "vec_id", "embedding",
-      numCentroids = 32, col("vec_id") < 3, nprobe = 12, k = 10)
+      numCentroids = 32, col("vec_id") < 3, nprobe = 12, k = 10,
+      lloydIters = 1)
 
   /** LSH-probed ANN top-k with s01's queries/k for direct recall
     * comparison. Search wants much narrower bands than dedup: a probe's
@@ -424,9 +426,21 @@ object Pipeline {
     "s03_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
                      FROM embeddings),
-          cents AS (SELECT vec_id AS cid, embedding FROM e
-                    ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
-                    LIMIT 32),
+          cents0 AS (SELECT vec_id AS cid, embedding FROM e
+                     ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+                     LIMIT 32),
+          assign0 AS (SELECT vec_id, cid FROM
+            (SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+             FROM e CROSS JOIN cents0 c) WHERE rn = 1),
+          cents AS (SELECT cid, list(m ORDER BY d) AS embedding FROM
+            (SELECT a.cid, t.i AS d,
+               floor(avg(e.embedding[CAST(t.i AS INT)]) * 1000000) / 1000000 AS m
+             FROM assign0 a JOIN e ON e.vec_id = a.vec_id
+             CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+             GROUP BY a.cid, t.i)
+            GROUP BY cid),
           assign AS (SELECT vec_id, cid FROM
             (SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id

@@ -110,6 +110,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(vecs(1L).length == 16)
   }
 
+  test("real resize: a PNG scales to true 16x16 pixel data; text keeps the stub") {
+    // constant-color image: every resampled pixel must keep the color —
+    // pins that the path is real pixel interpolation, not byte sampling
+    val w0 = 32; val h0 = 24
+    val img = new java.awt.image.BufferedImage(
+      w0, h0, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w0).foreach(x => (0 until h0).foreach(y =>
+      img.setRGB(x, y, 0x336699)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val txt = "not an image at all, just text".getBytes("UTF-8")
+
+    val out = Multimodal.resize(spark,
+      Seq((1L, png), (2L, txt)).toDF("doc_id", "payload"), 16, 16)
+      .collect().map(r => r.doc_id -> r).toMap
+
+    // image path: output is a REAL 16x16 PNG whose pixels kept the color
+    val r1 = out(1L)
+    assert(r1.out_width == 16 && r1.out_height == 16)
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r1.resized_payload))
+    assert(decoded.getWidth == 16 && decoded.getHeight == 16)
+    assert((decoded.getRGB(0, 0) & 0xffffff) == 0x336699)
+    assert((decoded.getRGB(8, 8) & 0xffffff) == 0x336699)
+    assert((decoded.getRGB(15, 15) & 0xffffff) == 0x336699)
+    assert(r1.out_octets == r1.resized_payload.length.toLong)
+
+    // gradient image: resize is deterministic across invocations
+    val g1 = Multimodal.resize(spark,
+      Seq((9L, pngBytes(40, 30))).toDF("doc_id", "payload"), 16, 16)
+      .collect().head.resized_payload.toSeq
+    val g2 = Multimodal.resize(spark,
+      Seq((9L, pngBytes(40, 30))).toDF("doc_id", "payload"), 16, 16)
+      .collect().head.resized_payload.toSeq
+    assert(g1 == g2)
+
+    // non-image payload keeps the deterministic byte-sampling stub
+    val r2 = out(2L)
+    assert(r2.resized_payload.toSeq ==
+      txt.toSeq) // stride 1: 30 bytes < 256 target keeps every byte
+  }
+
   test("magic sniffing never claims text payloads") {
     Seq("plain text", "BM-prefixed but short", "GIF8 not quite").foreach { s =>
       val b = s.getBytes("UTF-8")

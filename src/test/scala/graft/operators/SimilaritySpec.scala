@@ -53,6 +53,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.toSeq == bf.toSeq)
   }
 
+  test("Lloyd refinement recovers cluster structure: recall >= 0.8 at nprobe <= 12") {
+    // 10 well-separated clusters x 40 members in 64 dims. The md5 seed
+    // sample is uniform over MEMBERS, so seed centroids land inside
+    // clusters at random; one spherical-k-means pass pulls each
+    // surviving centroid to its cluster's mean, so probing 12 of 32
+    // lists covers the query's true neighborhood.
+    val rnd = new scala.util.Random(42)
+    val dims = 64
+    val centers = Array.fill(10)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      val v = Array.tabulate(dims)(d => c(d) + 0.15f * rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val queries = col("vec_id") < 3
+    val k = 10
+    val bf = Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
+      queries, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopKFixedK(clustered, "vec_id", "embedding",
+      numCentroids = 32, queries, nprobe = 12, k = k, lloydIters = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall $mean (per-query ${recalls.toSeq})")
+  }
+
   test("lshTopK: an identical vector always surfaces as the top neighbor") {
     // identical vectors share every band, so recall for exact copies is
     // 1.0 by construction regardless of geometry
