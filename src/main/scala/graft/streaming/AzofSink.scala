@@ -42,8 +42,12 @@ object AzofSink {
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val normalized = p.getFileSystem(conf).makeQualified(p)
-      .toUri.normalize.toString.stripSuffix("/")
+    val q = p.getFileSystem(conf).makeQualified(p).toUri.normalize
+    // rebuild scheme://authority/path explicitly: 'file:/x', 'file:///x'
+    // and a bare '/x' qualify to URIs whose authority is null vs empty —
+    // toString would keep that spelling difference alive
+    val auth = Option(q.getAuthority).getOrElse("")
+    val normalized = s"${q.getScheme}://$auth${q.getPath}".stripSuffix("/")
     java.security.MessageDigest.getInstance("MD5")
       .digest(normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(8)
