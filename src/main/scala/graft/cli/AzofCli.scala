@@ -106,7 +106,8 @@ object AzofCli {
         val table = AzofTable(spark, opts("path"), opts("table"))
         val df = CsvGen.readCsv(spark, table.currentSnapshot.schema, opts("source"))
         graft.sources.AzofWriter.commitPartitioned(spark, opts("path"),
-          opts("table"), df, opts.getOrElse("files", "4").toInt)
+          opts("table"), df, opts.getOrElse("files", "4").toInt,
+          byKey = opts.get("by-key").exists(_.toBoolean))
         println(s"committed partitioned; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
       case "add-column" =>
         val Array(n, t) = opts("column").split(":")

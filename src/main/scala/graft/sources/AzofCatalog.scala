@@ -180,10 +180,12 @@ object AzofCatalog {
   /** Append `data` as one partitioned delta commit — the `INSERT INTO`
     * path. One validation pass (row count + system-column null check),
     * then [[AzofWriter.commitPartitioned]]: rows land range-partitioned
-    * by event_time across `spark.azof.insert.files` files (default
-    * min(32, parallelism)) in one distributed write, and ONE snapshot
-    * commit — with conflict retry — registers them, so SQL inserts
-    * inherit the library path's first-writer-wins semantics.
+    * across `spark.azof.insert.files` files (default min(32,
+    * parallelism)) in one distributed write — by event_time, or by KEY
+    * when `spark.azof.insert.byKey = true` (the point-lookup-friendly
+    * layout) — and ONE snapshot commit with conflict retry registers
+    * them, so SQL inserts inherit the library path's first-writer-wins
+    * semantics.
     */
   private[sources] def append(
       lakehousePath: String, tableName: String, data: DataFrame): Unit = {
@@ -201,7 +203,9 @@ object AzofCatalog {
         .getOrElse(math.min(32, math.max(1,
           spark.sparkContext.defaultParallelism)))
       AzofWriter.commitPartitioned(spark, lakehousePath, tableName, rows,
-        numFiles)
+        numFiles,
+        byKey = spark.conf.getOption("spark.azof.insert.byKey")
+          .exists(_.toBoolean))
     } finally { rows.unpersist(); () }
   }
 }

@@ -227,12 +227,24 @@ object AzofWriter {
     * unique, see [[uniqueFileName]]) so the streaming append feed tails
     * them like any other commit.
     */
+  /** @param byKey range-partition the files by KEY instead of
+    *               event_time. Each file then covers a narrow key slice
+    *               (its snapshot stats make point lookups read ~1/numFiles
+    *               of the commit) at the cost of wide, overlapping
+    *               event-time windows (time pruning degrades to
+    *               commit granularity). Sound under the documented
+    *               overlapping-window divergence: one commit's files
+    *               partition the KEYS, so no key spans two of them. The
+    *               right layout for point-lookup-heavy KV tables; keep
+    *               the default for time-travel-heavy ones.
+    */
   def commitPartitioned(
       spark: SparkSession,
       lakehousePath: String,
       name: String,
       df: DataFrame,
-      numFiles: Int): Unit = {
+      numFiles: Int,
+      byKey: Boolean = false): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val table = AzofTable(spark, lakehousePath, name)
     val nextId = (table.currentVersion.toLong + 1).toString
@@ -240,7 +252,8 @@ object AzofWriter {
     val dir = table.tableDir
     val ordered = df.select(snap.schema.allColumnNames.map(col): _*)
     val deltas = writePartitionedFiles(spark, dir, ordered, numFiles,
-      s"delta_s${nextId}_${uniqueSuffix()}_p")
+      s"delta_s${nextId}_${uniqueSuffix()}_p",
+      rangeCol = if (byKey) TableSchema.KeyName else TableSchema.EventTimeName)
     require(deltas.nonEmpty, "commitPartitioned of an empty DataFrame")
     // files are down; register them all in ONE snapshot commit. A
     // version conflict here retries the (cheap) metadata step against
@@ -264,14 +277,15 @@ object AzofWriter {
       dir: Path,
       ordered: DataFrame,
       numFiles: Int,
-      filePrefix: String): Seq[Delta] = {
+      filePrefix: String,
+      rangeCol: String = TableSchema.EventTimeName): Seq[Delta] = {
     val tmp = new Path(dir, s"_tmp_part_${UUID.randomUUID().toString}")
     val conf = spark.conf
     val prevTsType = conf.get("spark.sql.parquet.outputTimestampType")
     conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
     try {
       ordered
-        .repartitionByRange(numFiles, col(TableSchema.EventTimeName))
+        .repartitionByRange(numFiles, col(rangeCol))
         .sortWithinPartitions(col(TableSchema.EventTimeName).desc)
         .write.mode("overwrite").parquet(tmp.toString)
       val f = fs(spark, dir)

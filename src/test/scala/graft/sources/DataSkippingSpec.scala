@@ -193,6 +193,43 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(x(In("key", Array[Any](1, 2))).isEmpty)
   }
 
+  test("by-key partitioned commit: point lookups read ~1/numFiles of the commit") {
+    val lake = Files.createTempDirectory("azof-skip-bykey").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    val rows2 = (0 until 200).map { i =>
+      (f"k$i%03d", f"2024-01-${1 + i % 27}%02dT00:00:00Z", s"v$i")
+    }
+    AzofWriter.commitPartitioned(spark, lake, "t", df(rows2), numFiles = 8,
+      byKey = true)
+    val snap = AzofTable(spark, lake, "t").currentSnapshot
+    val deltas = snap.segments.head.delta
+    assert(deltas.size >= 6, s"expected ~8 files, got ${deltas.size}")
+    // files partition the key space: stats ranges are disjoint and a
+    // point lookup prunes to exactly one file
+    val ranges = deltas.flatMap(_.stats).map(s => (s.keyMin, s.keyMax))
+      .sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax < bMin
+      case _ => true
+    }, s"overlapping key ranges: $ranges")
+    val hit = graft.operators.AzofScan.prunedFiles(snap, AsOf.Current,
+      Some(KeyFilter.Keys(Set("k117"))))
+    assert(hit.size == 1, s"expected 1 file for point lookup, got $hit")
+    // and the lookup is exact
+    val got = graft.operators.AzofScan.scan(spark, lake, "t", AsOf.Current,
+        keyFilter = Some(KeyFilter.Keys(Set("k117"))))
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq("k117" -> "v117"))
+    // scan results are IDENTICAL to a by-time layout of the same rows
+    val lake2 = Files.createTempDirectory("azof-skip-bytime").toString
+    AzofWriter.createTable(spark, lake2, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitPartitioned(spark, lake2, "t", df(rows2), numFiles = 8)
+    def all(l: String) = graft.operators.AzofScan.scan(spark, l, "t")
+      .collect().map(_.toSeq).toSet
+    assert(all(lake) == all(lake2))
+  }
+
   test("property: random layouts — skipped scan ≡ brute-force filter") {
     val rnd = new scala.util.Random(20260812L)
     val keys = (0 until 40).map(i => f"k$i%02d")
