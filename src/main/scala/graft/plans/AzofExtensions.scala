@@ -1,7 +1,6 @@
 package graft.plans
 
-import graft.format.{AsOf, AzofTable}
-import graft.operators.AzofScan
+import graft.format.AsOf
 import java.time.Instant
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -106,14 +105,27 @@ final case class AzofSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Math.floorDiv(micros.asInstanceOf[Long], 1000000L),
         Math.floorMod(micros.asInstanceOf[Long], 1000000L) * 1000L))
 
-  private def scanPlan(root: String, table: String, asOf: AsOf): LogicalPlan =
-    AzofScan.scan(spark, root, table, asOf).queryExecution.analyzed
-
-  private def snapshotPlan(root: String, table: String, version: String): LogicalPlan = {
-    val t = AzofTable(spark, root, table)
-    AzofScan.scanSnapshot(spark, t, t.snapshot(version), AsOf.Current)
-      .queryExecution.analyzed
+  /** Rewritten relations route through the V1 `azof` DataFrameReader
+    * relation — the SAME `PrunedFilteredScan` every surface shares — so
+    * WHERE predicates reach `AzofRelation.buildScan` and key predicates
+    * prune files via the snapshot's stats (data skipping), exactly as
+    * they do for `spark.read.format("azof")` and the DSv2 catalog.
+    * (Inlining the scan plan here would fix the file list before any
+    * filter is known.)
+    */
+  private def scanPlan(root: String, table: String, asOf: AsOf): LogicalPlan = {
+    val r0 = spark.read.format("azof").option("table", table)
+    val r1 = asOf match {
+      case AsOf.Current      => r0
+      case AsOf.EventTime(t) => r0.option("asOf", t.toString)
+    }
+    r1.load(root).queryExecution.analyzed
   }
+
+  private def snapshotPlan(root: String, table: String, version: String): LogicalPlan =
+    spark.read.format("azof").option("table", table)
+      .option("versionAsOf", version)
+      .load(root).queryExecution.analyzed
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case RelationTimeTravel(u: UnresolvedRelation, Some(ts), None) if {

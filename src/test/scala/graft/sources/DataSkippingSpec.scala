@@ -170,6 +170,19 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(all.toSeq == Seq("a", "p"))
   }
 
+  test("extensions SQL surface shares the pushdown: WHERE key = … stays exact") {
+    val lake = buildKeyPartitioned()
+    spark.conf.set("spark.azof.path", lake)
+    val got = spark.sql("SELECT key, value FROM azof.t WHERE key = 'h'")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq("h" -> "h1"))
+    val asOf = spark.sql(
+      """SELECT key, value FROM azof.t TIMESTAMP AS OF '2024-02-15T00:00:00Z'
+         WHERE key >= 'e' ORDER BY key""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(asOf == Seq("e" -> "e1", "h" -> "h1"))
+  }
+
   test("extractKeyFilter: only provably key-restricting shapes prune") {
     import org.apache.spark.sql.sources._
     def x(fs: Filter*) = AzofRelation.extractKeyFilter(fs.toArray)
