@@ -56,12 +56,43 @@ final class AzofDataSource extends RelationProvider with DataSourceRegister {
               "pass .option(\"table\", <name>) explicitly"))
         (parent.toString, p.getName)
     }
-    val asOf = parameters.get("asOf").orElse(parameters.get("timestampAsOf"))
-      .map(s => AsOf.EventTime(AzofDataSource.parseInstant(s)): AsOf)
-      .getOrElse(AsOf.Current)
-    new AzofRelation(sqlContext, lake, table, asOf,
-      parameters.get("versionAsOf"))
+    // CDC read: .option("changesFrom", v)[.option("changesTo", w)] —
+    // rows added by commits in (v, w] tagged _commit_version, the
+    // DataFrameReader face of AzofChangeFeed
+    parameters.get("changesFrom") match {
+      case Some(fromV) =>
+        new AzofChangesRelation(sqlContext, lake, table, fromV.toLong,
+          parameters.get("changesTo").map(_.toLong))
+      case None =>
+        val asOf = parameters.get("asOf").orElse(parameters.get("timestampAsOf"))
+          .map(s => AsOf.EventTime(AzofDataSource.parseInstant(s)): AsOf)
+          .getOrElse(AsOf.Current)
+        new AzofRelation(sqlContext, lake, table, asOf,
+          parameters.get("versionAsOf"))
+    }
   }
+}
+
+/** Change-feed relation: the batch CDC surface as a plain table scan
+  * (Spark applies filters/projection above; the feed itself is a union
+  * of the new files of each data-adding commit — metadata-pruned, never
+  * a full-table diff).
+  */
+final class AzofChangesRelation(
+    override val sqlContext: SQLContext,
+    lakehousePath: String, tableName: String,
+    fromVersion: Long, toVersion: Option[Long])
+  extends BaseRelation with TableScan {
+
+  private val spark = sqlContext.sparkSession
+  private val df = toVersion match {
+    case Some(v) =>
+      AzofChangeFeed.between(spark, lakehousePath, tableName, fromVersion, v)
+    case None =>
+      AzofChangeFeed.since(spark, lakehousePath, tableName, fromVersion)
+  }
+  override val schema: StructType = df.schema
+  override def buildScan(): RDD[Row] = df.rdd
 }
 
 object AzofDataSource {

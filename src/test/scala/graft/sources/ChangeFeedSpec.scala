@@ -49,5 +49,19 @@ class ChangeFeedSpec extends AnyFunSuite {
     val empty = AzofChangeFeed.between(spark, lake, "t", 3L, 4L)
     assert(empty.count() == 0)
     assert(empty.columns.contains("_commit_version"))
+
+    // the DataFrameReader face returns the same feed, and filters
+    // compose above it
+    val viaReader = spark.read.format("azof")
+      .option("table", "t").option("changesFrom", "1").load(lake)
+      .select("key", "value", "_commit_version")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    assert(viaReader == feed)
+    val bounded = spark.read.format("azof")
+      .option("table", "t")
+      .option("changesFrom", "2").option("changesTo", "3").load(lake)
+      .where("key = '2'")
+    assert(bounded.count() == 1)
   }
 }
