@@ -579,16 +579,22 @@ object AzofWriter {
       var nextId = t.currentVersion.toLong + 1
       while (f.exists(new Path(tableDir, s"s$nextId.json"))) nextId += 1
       val newSnap = update(t.snapshot((nextId - 1).toString))
-      try {
-        writeSnapshot(spark, dir, nextId.toString, newSnap)
+      val won =
+        try { writeSnapshot(spark, dir, nextId.toString, newSnap); true }
+        catch {
+          case e: java.io.IOException
+              if attempt < maxRetries &&
+                f.exists(new Path(tableDir, s"s$nextId.json")) =>
+            attempt += 1 // lost the race at nextId: re-read, re-apply
+            false
+        }
+      if (won) {
+        // outside the conflict guard: a failure HERE must propagate, not
+        // re-enter the retry (the snapshot is already durably placed —
+        // retrying would commit the same change twice at a new id)
         if (scala.util.Try(t.currentVersion.toLong).getOrElse(0L) < nextId)
           writeVersion(spark, dir, nextId.toString)
         committed = true
-      } catch {
-        case e: java.io.IOException
-            if attempt < maxRetries &&
-              f.exists(new Path(tableDir, s"s$nextId.json")) =>
-          attempt += 1 // lost the race at nextId: re-read, re-apply
       }
     }
   }
