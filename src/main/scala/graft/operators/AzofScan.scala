@@ -27,11 +27,16 @@ import org.apache.spark.sql.functions._
   * lower-precedence file's newer row (lakehouse.rs row loop claims a key
   * on first sight). This scan keeps the globally newest event_time and
   * uses precedence only for exact event-time ties: the event-time-
-  * consistent reading. The two agree on every layout the writer here or
-  * the reference's tooling produces (delta windows partition time);
-  * they differ only if an external writer commits overlapping windows
-  * where a later-window file also carries older in-window rows for a
-  * key it updates.
+  * consistent reading. The two agree on every layout this writer's
+  * by-time paths or the reference's tooling produce (delta windows
+  * partition time); they differ only when delta windows OVERLAP and a
+  * later-window file carries older in-window rows for a key another
+  * file updates. Note that `commitPartitioned(byKey = true)` layouts
+  * have overlapping windows ACROSS commits by design — this scan reads
+  * them correctly (newest event_time wins regardless of file), but a
+  * pure-precedence reference reader may surface a stale row from the
+  * later-starting file; use by-key layouts only for tables read by this
+  * engine.
   *
   * Spark plan shape: ONE parquet scan over the pruned file list — not a
   * union of per-file scans, whose plan size would grow with the file

@@ -189,11 +189,18 @@ object Similarity {
             if (cos > bestCos) { bestCos = cos; bestCid = cid }
             c += 1
           }
-          val (s, cnt) = sums.getOrElseUpdate(bestCid,
-            (new Array[Double](v.length), 0L))
-          var j = 0
-          while (j < v.length) { s(j) += v(j); j += 1 }
-          sums(bestCid) = (s, cnt + 1)
+          // zero-norm vectors (NaN cosine everywhere) claim no centroid:
+          // accumulating them under the -1 sentinel would MINT a phantom
+          // centroid that ivfCore then probes with NaN cosines (ranked
+          // first under desc NaN ordering) — skip them, matching how
+          // ivfCore's assignment already leaves them in no inverted list
+          if (bestCid >= 0) {
+            val (s, cnt) = sums.getOrElseUpdate(bestCid,
+              (new Array[Double](v.length), 0L))
+            var j = 0
+            while (j < v.length) { s(j) += v(j); j += 1 }
+            sums(bestCid) = (s, cnt + 1)
+          }
         }
         sums.iterator.map { case (cid, (s, n)) => (cid, s, n) }
       }

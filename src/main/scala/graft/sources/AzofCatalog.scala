@@ -199,7 +199,10 @@ object AzofCatalog {
       require(c.getLong(1) == n && c.getLong(2) == n,
         "azof system columns key/event_time must be non-null")
       val numFiles = spark.conf.getOption("spark.azof.insert.files")
-        .map(_.toInt)
+        .map(s => scala.util.Try(s.trim.toInt).toOption
+          .filter(_ >= 1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"spark.azof.insert.files must be a positive integer, got '$s'")))
         .getOrElse(math.min(32, math.max(1,
           spark.sparkContext.defaultParallelism)))
       AzofWriter.commitPartitioned(spark, lakehousePath, tableName, rows,

@@ -59,10 +59,14 @@ final class AzofDataSource extends RelationProvider with DataSourceRegister {
     // CDC read: .option("changesFrom", v)[.option("changesTo", w)] —
     // rows added by commits in (v, w] tagged _commit_version, the
     // DataFrameReader face of AzofChangeFeed
+    def version(opt: String, v: String): Long =
+      v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"azof reader option '$opt' must be a snapshot version number, got '$v'"))
     parameters.get("changesFrom") match {
       case Some(fromV) =>
-        new AzofChangesRelation(sqlContext, lake, table, fromV.toLong,
-          parameters.get("changesTo").map(_.toLong))
+        new AzofChangesRelation(sqlContext, lake, table,
+          version("changesFrom", fromV),
+          parameters.get("changesTo").map(version("changesTo", _)))
       case None =>
         val asOf = parameters.get("asOf").orElse(parameters.get("timestampAsOf"))
           .map(s => AsOf.EventTime(AzofDataSource.parseInstant(s)): AsOf)

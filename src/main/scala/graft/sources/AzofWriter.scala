@@ -52,8 +52,11 @@ object AzofWriter {
     * tables should land as multiple base files across segments.
     *
     * Returns the file's key-range stats for the snapshot's data-skipping
-    * ext field (None for an empty file) — a stats-only columnar read of
-    * the just-written parquet (footer min/max, no row materialization).
+    * ext field (None for an empty file) — a second small min/max
+    * aggregation over the single just-written file. This path is the
+    * fixture-scale commit; the distributed path
+    * ([[writePartitionedFiles]]) folds its stats into the one read-back
+    * pass it already makes.
     */
   def writeDataFile(
       spark: SparkSession,
@@ -232,11 +235,15 @@ object AzofWriter {
     *               (its snapshot stats make point lookups read ~1/numFiles
     *               of the commit) at the cost of wide, overlapping
     *               event-time windows (time pruning degrades to
-    *               commit granularity). Sound under the documented
-    *               overlapping-window divergence: one commit's files
-    *               partition the KEYS, so no key spans two of them. The
-    *               right layout for point-lookup-heavy KV tables; keep
-    *               the default for time-travel-heavy ones.
+    *               commit granularity). Within one commit the files
+    *               partition the KEYS, so no key spans two of them —
+    *               but windows of SUCCESSIVE by-key commits overlap,
+    *               which this engine's event-time dedup reads correctly
+    *               while a pure-precedence reference reader may surface
+    *               a stale row (see the divergence note on AzofScan).
+    *               The right layout for point-lookup-heavy KV tables
+    *               read by this engine; keep the default for
+    *               time-travel-heavy or reference-shared ones.
     */
   def commitPartitioned(
       spark: SparkSession,
@@ -479,13 +486,21 @@ object AzofWriter {
     *
     * Soundness: a fresh parent has `file = None`, `delta = ∅`, and a
     * range exactly spanning its children, and the scan walks roots
-    * unconditionally while range-filtering children — a closed root
-    * contributes files only when in range, and any in-range child
-    * implies its covering parent is in range, so wrapping children in a
-    * parent never changes the contributed file set OR its precedence
-    * order (the parent stands at the position of its oldest child).
-    * Generations live in segment ids (`fold<g>_<suffix>`); foreign ids
-    * count as generation 0.
+    * unconditionally while range-filtering children — a closed root's
+    * own file and child segments are range-checked either way, and any
+    * in-range child implies its covering parent is in range, so
+    * wrapping them in a parent never changes the contributed file set
+    * OR its precedence order (the parent stands at the position of its
+    * oldest child). The ONE root feature that is NOT range-checked at
+    * root level is root-attached deltas (`is_before` passes for any
+    * `start <= asOf`, even past the root's end — metadata.rs:99-104), so
+    * a root still carrying deltas must NEVER be folded: demoting it to a
+    * range-filtered child would hide those deltas from Current and
+    * late-as-of scans. This engine's compaction always wraps closed
+    * state delta-free, so its own roots fold; a foreign writer's
+    * delta-bearing closed root simply stays at top level. Generations
+    * live in segment ids (`fold<g>_<suffix>`); foreign ids count as
+    * generation 0.
     */
   private def refoldClosed(segments: Seq[Segment]): Seq[Segment] = {
     var segs = segments
@@ -495,7 +510,7 @@ object AzofWriter {
       var i = 0
       while (i + FoldFanout <= segs.length && !changed) {
         val run = segs.slice(i, i + FoldFanout)
-        if (run.forall(_.end.isDefined) &&
+        if (run.forall(s => s.end.isDefined && s.delta.isEmpty) &&
             run.map(foldGen).distinct.size == 1) {
           val parent = Segment(
             id = s"fold${foldGen(run.head) + 1}_${uniqueSuffix()}",
@@ -561,9 +576,14 @@ object AzofWriter {
     *     its version.txt write lands, and building on version.txt alone
     *     would (a) conflict forever and (b) base the update on stale
     *     state, silently dropping the racer's commit from the chain;
-    *   - version.txt only ever moves FORWARD here, so a slow loser's
-    *     pointer write cannot regress the current version below a
-    *     faster winner's.
+    *   - version.txt is re-read immediately before the pointer write
+    *     and only moved FORWARD. This narrows — but, being
+    *     check-then-act, cannot fully close — the window where a slow
+    *     winner's pointer write lands after a faster retrier's and
+    *     briefly regresses the pointer; the fork is bounded (both
+    *     snapshots exist, the next commit's forward probe re-converges
+    *     past both) and absent entirely on single-writer deployments.
+    *     A compare-and-swap pointer store would close it exactly.
     */
   private def commitMeta(
       spark: SparkSession,
@@ -591,8 +611,11 @@ object AzofWriter {
       if (won) {
         // outside the conflict guard: a failure HERE must propagate, not
         // re-enter the retry (the snapshot is already durably placed —
-        // retrying would commit the same change twice at a new id)
-        if (scala.util.Try(t.currentVersion.toLong).getOrElse(0L) < nextId)
+        // retrying would commit the same change twice at a new id). The
+        // pointer check re-reads version.txt as late as possible; see
+        // the doc note on the residual check-then-act window.
+        val fresh = new AzofTable(tableDir, spark.sessionState.newHadoopConf())
+        if (scala.util.Try(fresh.currentVersion.toLong).getOrElse(0L) < nextId)
           writeVersion(spark, dir, nextId.toString)
         committed = true
       }

@@ -47,11 +47,26 @@ object AzofSink {
     // and a bare '/x' qualify to URIs whose authority is null vs empty —
     // toString would keep that spelling difference alive
     val auth = Option(q.getAuthority).getOrElse("")
-    val normalized = s"${q.getScheme}://$auth${q.getPath}".stripSuffix("/")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(8)
+    md5id(s"${q.getScheme}://$auth${q.getPath}".stripSuffix("/"))
   }
+
+  /** appIds this checkpoint hashed to under EARLIER derivations of
+    * [[appIdFor]] (pre-qualification: the raw path URI with/without
+    * scheme). Replay detection checks these too, so a stream whose table
+    * carries stamps from an older build keeps its protection across the
+    * derivation change instead of double-committing its first replayed
+    * batch.
+    */
+  private[streaming] def legacyAppIdsFor(checkpoint: String): Seq[String] = {
+    val raw = new org.apache.hadoop.fs.Path(checkpoint)
+      .toUri.normalize.toString.stripSuffix("/")
+    Seq(md5id(raw)).distinct
+  }
+
+  private def md5id(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
 
   /** Legacy fallback only: tables written by sinks that predate the
     * snapshot's `stream_batches` replay index carry their last batch id
@@ -83,14 +98,18 @@ object AzofSink {
     * batch-id sequence) must use a distinct id, or a second job's
     * batches would be mistaken for replays of the first's and silently
     * dropped; streams get it from [[appIdFor]] on their checkpoint.
+    * `legacyAppIds` are additional ids the same stream may have stamped
+    * under older appId derivations — checked for replay, never written.
     * Returns true iff a commit happened (false: empty batch or replay).
     */
   def commitBatch(
       lakehousePath: String, table: String,
-      batch: DataFrame, batchId: Long, appId: String): Boolean = {
+      batch: DataFrame, batchId: Long, appId: String,
+      legacyAppIds: Seq[String] = Nil): Boolean = {
     val spark = batch.sparkSession
     val t = AzofTable(spark, lakehousePath, table)
-    val replayed = lastBatchId(t, appId).exists(_ >= batchId)
+    val replayed = (appId +: legacyAppIds)
+      .exists(id => lastBatchId(t, id).exists(_ >= batchId))
     if (replayed) false
     else {
       val rows = batch.persist()
@@ -121,11 +140,12 @@ object AzofSink {
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val appId = appIdFor(checkpoint)
+    val legacy = legacyAppIdsFor(checkpoint).filterNot(_ == appId)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        commitBatch(lakehousePath, table, batch.toDF(), id, appId)
+        commitBatch(lakehousePath, table, batch.toDF(), id, appId, legacy)
         ()
       }
       .trigger(trigger)

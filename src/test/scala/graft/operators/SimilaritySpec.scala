@@ -86,6 +86,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall $mean (per-query ${recalls.toSeq})")
   }
 
+  test("zero-norm vectors never mint a phantom Lloyd centroid") {
+    // an all-zero embedding has NaN cosine to every centroid: it must
+    // claim no inverted list and contribute to no refined centroid —
+    // results with the zero row present equal results without it
+    val base = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(d => (1.0f + i % 5) * (d + 1) / 8.0f)
+      v(i % 8) += 2.0f
+      (i.toLong, v)
+    }
+    val clean = base.toDF("vec_id", "embedding")
+    val withZero = (base :+ ((999L, Array.fill(8)(0.0f))))
+      .toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKFixedK(df, "vec_id", "embedding",
+        numCentroids = 8, col("vec_id") < 2, nprobe = 4, k = 5,
+        lloydIters = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(withZero) == run(clean))
+    assert(!run(withZero).exists(_._2 == 999L))
+  }
+
   test("lshTopK: an identical vector always surfaces as the top neighbor") {
     // identical vectors share every band, so recall for exact copies is
     // 1.0 by construction regardless of geometry

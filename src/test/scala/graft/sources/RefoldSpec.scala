@@ -93,4 +93,64 @@ class RefoldSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
     assert(viaOld == view(a))
   }
+
+  test("a foreign delta-bearing closed root is never folded (its deltas " +
+    "would vanish behind the parent's range check)") {
+    // root-level deltas pass only is_before at root level — they
+    // contribute to Current and any asOf >= start even when the root's
+    // range is long past. Folding such a root under a range-capped
+    // parent would hide them. Build that foreign layout by hand.
+    val lake = Files.createTempDirectory("azof-refold-foreign").toString
+    val dir = s"$lake/t"
+    def iso(s: String) = Instant.parse(s)
+    AzofWriter.writeDataFile(spark,
+      df(Seq(("a", 4, "a1"))), dir, "fileA.parquet")
+    AzofWriter.writeDataFile(spark,
+      df(Seq(("b", 800, "b1"))), dir, "fileAd.parquet") // ~Feb 3
+    AzofWriter.writeDataFile(spark,
+      df(Seq(("c", 900, "c1"))), dir, "fileB.parquet")
+    AzofWriter.writeDataFile(spark,
+      df(Seq(("d", 1600, "d1"))), dir, "fileC.parquet")
+    AzofWriter.writeDataFile(spark,
+      df(Seq(("e", 2300, "e1"))), dir, "fileD.parquet")
+    val segs = Seq(
+      // closed root A with a ROOT-LEVEL delta whose window extends past
+      // A's end — the foreign shape this engine's compaction never makes
+      Segment("A", iso("2024-01-01T00:00:00Z"), Some(iso("2024-01-31T00:00:00Z")),
+        Some("fileA.parquet"), Seq.empty,
+        Seq(Delta("fileAd.parquet", iso("2024-02-01T00:00:00Z"),
+          iso("2024-03-01T00:00:00Z")))),
+      Segment("B", iso("2024-02-01T00:00:00Z"), Some(iso("2024-02-28T00:00:00Z")),
+        Some("fileB.parquet"), Seq.empty, Seq.empty),
+      Segment("C", iso("2024-03-01T00:00:00Z"), Some(iso("2024-03-31T00:00:00Z")),
+        Some("fileC.parquet"), Seq.empty, Seq.empty),
+      Segment("D", iso("2024-04-01T00:00:00Z"), Some(iso("2024-04-30T00:00:00Z")),
+        Some("fileD.parquet"), Seq.empty, Seq.empty),
+      Segment("E", iso("2024-05-01T00:00:00Z"), None, None, Seq.empty, Seq.empty))
+    AzofWriter.writeSnapshot(spark, dir, "1",
+      Snapshot(schema, segs, op = Some("create")))
+    AzofWriter.writeVersion(spark, dir, "1")
+
+    def view(a: AsOf): Seq[(String, String)] =
+      AzofScan.scan(spark, lake, "t", a).select("key", "value")
+        .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    val probes = Seq(AsOf.Current,
+      AsOf.EventTime(iso("2024-01-15T00:00:00Z")),
+      AsOf.EventTime(iso("2024-02-15T00:00:00Z")),
+      AsOf.EventTime(iso("2024-03-15T00:00:00Z")),
+      AsOf.EventTime(iso("2024-05-15T00:00:00Z")))
+    val before = probes.map(view)
+    // the root delta's row is visible in Current pre-compaction
+    assert(before.head.contains("b" -> "b1"))
+
+    AzofWriter.compact(spark, lake, "t", iso("2024-05-20T00:00:00Z"))
+    assert(probes.map(view) == before,
+      "compaction with refold changed a view of the foreign layout")
+    val snap = AzofTable(spark, lake, "t").currentSnapshot
+    val rootA = snap.segments.find(_.id == "A")
+    assert(rootA.nonEmpty && rootA.get.delta.nonEmpty,
+      s"delta-bearing root A must stay at top level; roots: ${snap.segments.map(_.id)}")
+    // the delta-free closed roots behind it still folded
+    assert(snap.segments.exists(_.id.startsWith("fold")))
+  }
 }
