@@ -156,6 +156,35 @@ object TextAnalysis {
           .otherwise("test"))
   }
 
+  /** Deterministic stratified sampling: keep a row iff its hash bucket
+    * `md5("sample#" || salt || "#" || id) mod 1e6` falls under the
+    * stratum's rate — the quality-weighted subsampling pass a corpus
+    * build runs (keep all high-quality strata, thin the rest).
+    * Membership is a pure function of (id, salt): stable across runs,
+    * partitionings, and engines, never resampled as the corpus grows,
+    * and a different salt draws an independent sample. Narrow — no
+    * shuffle, no RNG state.
+    */
+  def stratifiedSample(
+      df: DataFrame, id: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "s1"): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "sampling rates must be in [0, 1]")
+    val denom = 1000000L
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(s"sample#$salt#"), id.cast("string"))),
+        1, 14), 16, 10).cast("long"), lit(denom))
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(r)).otherwise(acc)
+    }
+    // filter in the ORIGINAL column scope (bucket/rate reference the
+    // caller's id/stratum expressions), then project the output names
+    df.where(bucket < (rateCol * denom).cast("long"))
+      .select(id.as("doc_id"), stratum.as("stratum"),
+        bucket.cast("long").as("sample_bucket"))
+  }
+
   /** Corpus length histogram: fixed-width buckets over the word count
     * (last bucket open-ended) — the shape/shard-balance diagnostic every
     * corpus build reports. One partial-aggregated shuffle on ≤ nBuckets

@@ -21,7 +21,8 @@ object AzofQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_azof_roundtrip" -> roundtrip,
     "q32_key_lookup" -> keyLookup,
-    "q33_sql_insert" -> sqlInsert)
+    "q33_sql_insert" -> sqlInsert,
+    "q34_bykey_lookup" -> byKeyLookup)
 
   /** Build (or reuse) the events_kv azof lakehouse for `dir` and return
     * its path. The committed table is a deterministic function of the
@@ -98,6 +99,48 @@ object AzofQueries {
       .where(col("key").isin("7", "23", "41"))
       .select("key", "event_time", "event_type")
 
+  /** The by-key distributed commit under the oracle gate: all events
+    * land in ONE `commitPartitioned(byKey = true)` commit (files
+    * range-partitioned by key, disjoint per-file key stats), then a
+    * point lookup through the public reader — which prunes to the one
+    * file whose range covers each key — must still match the brute
+    * latest-row-per-key oracle.
+    */
+  private def byKeyLookup(s: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val cachedLake = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-azof-bk-v1-$key")
+    val marker = new java.io.File(new java.io.File(cachedLake, "events_bk"),
+      "_COMMITTED")
+    val lake =
+      if (marker.isFile) cachedLake.toString
+      else {
+        val ev = Tables(s, dir, "events")
+          .withColumn("ts", date_trunc("millisecond", col("ts")))
+        val kv = ev.select(
+          col("user_id").cast("string").as("key"),
+          col("ts").as("event_time"),
+          col("event_type"),
+          col("props"))
+        val tmp = Files.createTempDirectory("azof-bk").toString
+        val schema = TableSchema(Seq(
+          ColumnDef("event_type", ColumnType.AzString, nullable = false),
+          ColumnDef("props", ColumnType.AzString, nullable = false)))
+        AzofWriter.createTable(s, tmp, "events_bk", schema,
+          Instant.parse("2024-01-01T00:00:00Z"))
+        AzofWriter.commitPartitioned(s, tmp, "events_bk", kv,
+          numFiles = 8, byKey = true)
+        Files.createFile(java.nio.file.Paths.get(tmp, "events_bk", "_COMMITTED"))
+        if (new java.io.File(tmp).renameTo(cachedLake) || marker.isFile)
+          cachedLake.toString
+        else tmp
+      }
+    s.read.format("azof").option("table", "events_bk").load(lake)
+      .where(col("key").isin("7", "23", "41", "103"))
+      .select("key", "event_time", "event_type")
+  }
+
   /** The SQL WRITE surface under the oracle gate: CREATE TABLE + INSERT
     * INTO through the DSv2 catalog (→ partitioned delta commit), read
     * back through catalog SQL. The catalog name carries the sf-dir hash
@@ -169,5 +212,15 @@ object AzofQueries {
                  ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
                FROM events
                WHERE date_trunc('milliseconds', ts) < TIMESTAMP '2024-01-10 00:00:00')
+         WHERE rn = 1""",
+    // one by-key commit holds ALL events, so Current is plain
+    // latest-row-per-key restricted to the looked-up keys
+    "q34_bykey_lookup" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+         date_trunc('milliseconds', ts) AS event_time, event_type
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+               FROM events
+               WHERE CAST(user_id AS VARCHAR) IN ('7', '23', '41', '103'))
          WHERE rn = 1""")
 }

@@ -37,6 +37,7 @@ object Pipeline {
     "t07_repetition" -> t07,
     "t08_split_assign" -> t08,
     "t09_length_histogram" -> t09,
+    "t10_stratified_sample" -> t10,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
     "m03_resize" -> m03,
@@ -181,6 +182,16 @@ object Pipeline {
   private def t09(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lengthHistogram(docs(s, dir), col("text"),
       width = 25, nBuckets = 10)
+
+  /** Stratified subsample: synthetic strata from doc_id mod 4, rates
+    * chosen exactly representable in binary so both engines' double
+    * arithmetic lands on the same integer cutoffs.
+    */
+  private def t10(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSample(docs(s, dir), col("doc_id"),
+      pmod(col("doc_id"), lit(4)).cast("string"),
+      rates = Map("0" -> 1.0, "1" -> 0.5, "2" -> 0.25),
+      defaultRate = 0.125, salt = "r3")
 
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
@@ -530,6 +541,16 @@ object Pipeline {
                   CAST('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 14)
                     AS BIGINT) % 100 AS split_bucket
                 FROM documents)""",
+    "t10_stratified_sample" ->
+      s"""SELECT doc_id, stratum, sample_bucket
+          FROM (SELECT doc_id,
+                  CAST(doc_id % 4 AS VARCHAR) AS stratum,
+                  CAST('0x' || substr(md5('sample#r3#' || CAST(doc_id AS VARCHAR)), 1, 14)
+                    AS BIGINT) % 1000000 AS sample_bucket
+                FROM documents)
+          WHERE sample_bucket < CAST(
+            (CASE stratum WHEN '0' THEN 1.0 WHEN '1' THEN 0.5
+                          WHEN '2' THEN 0.25 ELSE 0.125 END) * 1000000 AS BIGINT)""",
     "t09_length_histogram" ->
       s"""SELECT CAST(LEAST(n // 25, 9) AS BIGINT) AS bucket,
             count(*) AS n_docs,

@@ -47,6 +47,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 0L, 0L, 0.0)))
   }
 
+  test("stratifiedSample: per-stratum rates, deterministic, salt-independent draws") {
+    val df = (0L until 4000L).map(i => (i, (i % 2).toString)).toDF("id", "s")
+    def run(salt: String) = TextAnalysis.stratifiedSample(df, col("id"),
+      col("s"), rates = Map("0" -> 1.0), defaultRate = 0.25, salt = salt)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = run("x")
+    // stratum 0: rate 1.0 keeps every row
+    assert(a.count(_._2 == "0") == 2000)
+    // stratum 1: ~25% with hash-uniform tolerance
+    val kept1 = a.count(_._2 == "1")
+    assert(kept1 > 380 && kept1 < 620, s"kept $kept1 of 2000 at rate 0.25")
+    // pure function of (id, salt): identical reruns, different salt draws
+    // a different (but same-sized-ish) sample
+    assert(run("x") == a)
+    val b = run("y")
+    assert(b != a && math.abs(b.size - a.size) < 300)
+  }
+
   test("decontaminate: only cross-set pairs, boilerplate df guard applies") {
     // eval = ids 10, 20; train = 1..4. Docs 1 and 10 share a rare
     // 4-shingle run; docs 2 and 20 share exactly 2 shingles (below
