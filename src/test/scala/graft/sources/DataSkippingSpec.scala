@@ -135,6 +135,17 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("key filter composes with a projection that drops the key column") {
+    // the residual key predicate applies BEFORE the output projection,
+    // so looking up by key while selecting only value columns works
+    val lake = buildKeyPartitioned()
+    val got = graft.operators.AzofScan.scan(spark, lake, "t", AsOf.Current,
+        projection = Some(Set("value")),
+        keyFilter = Some(KeyFilter.Keys(Set("e"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("e1"))
+  }
+
   test("residual filter keeps results exact when stats are conservative") {
     // two deltas with OVERLAPPING key ranges updating the same key: the
     // winner must come from the newest event_time regardless of which
