@@ -51,8 +51,8 @@ object AzofCli {
     if (args.isEmpty) {
       System.err.println(
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
-          "commit-partitioned|add-column|compact|changes|vacuum|tail|sql> " +
-          "--path P --table T [...]")
+          "commit-partitioned|add-column|compact|changes|vacuum|tail|" +
+          "follow|sql> --path P --table T [...]")
       sys.exit(2)
     }
     val opts = parseArgs(args)
@@ -139,6 +139,23 @@ object AzofCli {
             batch.show(numRows = 1000, truncate = false)
           }
           .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        println(s"checkpoint: $ckpt")
+      case "follow" =>
+        // latest-per-key view maintenance: one AvailableNow pass prints
+        // winner UPDATES since the checkpoint (first run: every key).
+        // Re-running with the same --checkpoint continues incrementally.
+        val ckpt = opts.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory("azof-follow").toString)
+        val q = graft.streaming.LatestView.latest(spark, opts("path"), opts("table"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            println(s"batch $id: ${batch.count()} winner updates")
+            batch.show(numRows = 1000, truncate = false)
+          }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
