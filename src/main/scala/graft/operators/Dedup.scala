@@ -34,6 +34,23 @@ object Dedup {
         (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
 
+  /** EXACT train/eval decontamination — the strict companion of the
+    * fuzzy shingle-overlap [[decontaminate]]: every (train, eval) pair
+    * whose normalized content fingerprints match byte-for-byte. One
+    * hash join on the fingerprint (shuffle keyed by fp, never all
+    * pairs); duplicate-heavy fingerprints cost |train-dups|·|eval-dups|
+    * per fp, which is the true output size.
+    */
+  def exactOverlap(
+      df: DataFrame, text: Column, id: Column, isEval: Column): DataFrame = {
+    val t = df.select(id.as("doc_id"),
+      TextAnalysis.fingerprint(text).as("fp"), isEval.as("_e"))
+    t.where(!col("_e")).select(col("doc_id").as("train_id"), col("fp"))
+      .join(t.where(col("_e")).select(col("doc_id").as("eval_id"), col("fp")),
+        "fp")
+      .select("train_id", "eval_id")
+  }
+
   /** Distinct word-3-gram shingles per document (docs with <3 words are
     * dropped — they have no 3-gram).
     */

@@ -94,6 +94,12 @@ object Pipeline {
     Dedup.decontaminate(docs(s, dir), col("text"), col("doc_id"),
       col("doc_id") % 10 === 0, minShared = 3, maxDf = 20)
 
+  // Dedup.exactOverlap (exact-match decontamination, the strict
+  // companion of d08) is spec-gated only: the synthetic corpus contains
+  // zero exact duplicates at every scale factor, so an oracle row for it
+  // would be a structurally-empty check (TextAnalysisSpec carries the
+  // behavioral gate instead).
+
   /** Approximate distinct (HyperLogLog++ sketch). No oracle: sketch
     * estimates are implementation-specific, so the driver records the
     * weaker rows-only check by design; [[x02]] carries the

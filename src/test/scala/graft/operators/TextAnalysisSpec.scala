@@ -65,6 +65,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(b != a && math.abs(b.size - a.size) < 300)
   }
 
+  test("exactOverlap: only identical-content cross-set pairs, normalized") {
+    val df = Seq(
+      (1L, "Same  Text here"),   // train; matches 10 after normalization
+      (2L, "other content"),     // train
+      (3L, "shared dup"),        // train
+      (4L, "shared dup"),        // train duplicate — both pair with 30
+      (10L, "same text HERE"),   // eval (case/space-insensitive match of 1)
+      (20L, "nothing like it"),  // eval
+      (30L, "shared dup")).toDF("doc_id", "text")
+    val got = Dedup.exactOverlap(df, col("text"), col("doc_id"),
+        col("doc_id") >= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (3L, 30L), (4L, 30L)))
+  }
+
   test("decontaminate: only cross-set pairs, boilerplate df guard applies") {
     // eval = ids 10, 20; train = 1..4. Docs 1 and 10 share a rare
     // 4-shingle run; docs 2 and 20 share exactly 2 shingles (below
