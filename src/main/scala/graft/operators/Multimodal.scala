@@ -117,15 +117,58 @@ object Multimodal {
     decodeMeta(spark, docs.select(col("doc_id"),
       col("text").cast("binary").as("payload"))).toDF()
 
+  /** REAL image feature: decode, scale to an s×s luminance grid with the
+    * same offscreen-Graphics2D path as [[imageResize]], and emit the
+    * pooled pixel intensities in [0,1] — average-pool features from
+    * actual decoded pixels (the classic pre-CNN baseline), pure JDK.
+    * `dims` must be a square (s²). None when no codec claims the bytes.
+    */
+  def imageFeature(payload: Array[Byte], dims: Int): Option[Array[Float]] = {
+    val side = math.sqrt(dims.toDouble).toInt
+    if (side * side != dims) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, side, side, null)
+        } finally g.dispose()
+        val v = new Array[Float](dims)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val rgb = out.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            v(y * side + x) = (lum / 255.0).toFloat
+            x += 1
+          }
+          y += 1
+        }
+        Some(v)
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Feature extraction: binary payload → fixed-dim float vector — the
-    * model-inference slot of the pipeline (image/audio embedding models
-    * are not in this container, so the kernel is a deterministic
-    * arithmetic stand-in over the payload's size and leading byte; a
-    * production build loads the model once per partition exactly where
-    * the comment marks it). The Spark-side contract is the real part:
-    * binary in, `array<float>` out, partition-parallel `mapPartitions`
-    * with per-partition model init, no shuffle — and the output column
-    * feeds [[Similarity]]'s ANN operators directly (embedding-shaped).
+    * model-inference slot of the pipeline. Two-tier like [[decodeMeta]]:
+    * payloads with an image magic get a REAL vector ([[imageFeature]] —
+    * pooled luminance of the actual decoded pixels); everything else a
+    * deterministic arithmetic stand-in (audio/video embedding models are
+    * not in this container; a production build loads its model once per
+    * partition exactly where the image branch sits). The Spark-side
+    * contract is identical either way: binary in, `array<float>` out,
+    * partition-parallel `mapPartitions` with per-partition codec/model
+    * init, no shuffle — and the output column feeds [[Similarity]]'s
+    * ANN operators directly (embedding-shaped).
     */
   def featureExtract(
       spark: SparkSession, payloads: DataFrame, dims: Int): DataFrame = {
@@ -133,12 +176,15 @@ object Multimodal {
     payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition model load would go here
         it.map { case (id, bytes) =>
-          val octets = bytes.length.toLong
-          val first = if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else 0L
-          val v = Array.tabulate(dims)(d =>
-            (((octets * (d + 1) + first * (d + 3)) % 97L).toFloat / 97.0f))
+          val real =
+            if (looksLikeImage(bytes)) imageFeature(bytes, dims) else None
+          val v = real.getOrElse {
+            val octets = bytes.length.toLong
+            val first = if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else 0L
+            Array.tabulate(dims)(d =>
+              (((octets * (d + 1) + first * (d + 3)) % 97L).toFloat / 97.0f))
+          }
           (id, v)
         }
       }

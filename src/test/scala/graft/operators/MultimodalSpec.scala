@@ -153,6 +153,39 @@ class MultimodalSpec extends AnyFunSuite {
       txt.toSeq) // stride 1: 30 bytes < 256 target keeps every byte
   }
 
+  test("real image features: pooled luminance of actual pixels, ANN-ready") {
+    // black and white constant images must map to ~0 and ~1 vectors;
+    // a mid-gray sits between — i.e. the vector reflects real pixel
+    // content, not payload arithmetic
+    def flat(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        24, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 24).foreach(x => (0 until 24).foreach(y => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, flat(0x000000)), (2L, flat(0xffffff)), (3L, flat(0x808080)),
+      (4L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val vecs = Multimodal.featureExtract(spark, df, dims = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs(1L).forall(_ < 0.05f))
+    assert(vecs(2L).forall(_ > 0.95f))
+    assert(vecs(3L).forall(v => v > 0.4f && v < 0.6f))
+    assert(vecs.values.forall(_.length == 16))
+    // non-image payloads keep the deterministic stand-in
+    assert(vecs(4L).toSeq ==
+      Multimodal.featureExtract(spark,
+        Seq((4L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+        16).collect().head.getSeq[Float](1).toSeq)
+    // non-square dims fall back cleanly even for images
+    val ns = Multimodal.featureExtract(spark,
+      Seq((9L, flat(0x123456))).toDF("doc_id", "payload"), dims = 12)
+      .collect().head.getSeq[Float](1)
+    assert(ns.length == 12)
+  }
+
   test("magic sniffing never claims text payloads") {
     Seq("plain text", "BM-prefixed but short", "GIF8 not quite").foreach { s =>
       val b = s.getBytes("UTF-8")
