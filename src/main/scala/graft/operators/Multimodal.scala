@@ -268,12 +268,46 @@ object Multimodal {
       doc_id: Long, frame_idx: Long, frame_off: Long, frame_len: Long,
       frame_payload: Array[Byte])
 
-  /** Frame sampling over "video" payloads: each payload splits into its
-    * decoded frame count (STUB: [[fakeDecode]]'s n_frames), every
-    * `everyN`-th frame is kept, and the frame's byte range is sliced out.
-    * Narrow row expansion — no shuffle; downstream feature extraction
-    * (resize, embed) maps over `frame_payload` with the same
-    * `mapPartitions` shape as [[decodeMeta]].
+  /** REAL frame extraction for the one multi-frame format the JDK can
+    * decode — animated GIF: every `everyN`-th frame is read by the
+    * actual codec and re-encoded as a standalone PNG. Returned frames
+    * carry `frame_off = -1` (a DECODED frame is not a byte range of the
+    * container) and `frame_len` = the PNG's size. None when the reader
+    * rejects the bytes — callers fall back to the byte-slicing stub.
+    */
+  def gifFrames(
+      docId: Long, payload: Array[Byte], everyN: Int): Option[Seq[Frame]] =
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val n = math.max(1, r.getNumImages(true))
+            Some((0 until n).filter(_ % everyN == 0).map { k =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(r.read(k), "png", bos)
+              val png = bos.toByteArray
+              Frame(docId, k.toLong, -1L, png.length.toLong, png)
+            })
+          } finally r.dispose()
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Frame sampling over video-like payloads. Two-tier like
+    * [[decodeMeta]]: GIF payloads (the JDK's one multi-frame codec) go
+    * through REAL per-frame decode ([[gifFrames]] — each sampled frame
+    * a standalone PNG); other payloads split into [[fakeDecode]]'s
+    * n_frames equal byte ranges (the stand-in shape a production build
+    * replaces with its video codec's seeks). Narrow row expansion — no
+    * shuffle; downstream feature extraction (resize, embed) maps over
+    * `frame_payload` with the same `mapPartitions` shape as
+    * [[decodeMeta]].
     */
   def frameSample(
       spark: SparkSession, payloads: DataFrame, everyN: Int): Dataset[Frame] = {
@@ -282,19 +316,27 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val meta = fakeDecode(id, bytes)
-          val flen = meta.octets / meta.n_frames
-          (0L until meta.n_frames).iterator
-            .filter(_ % everyN == 0)
-            .map { k =>
-              val off = k * flen
-              // the LAST frame absorbs the octets % n_frames remainder so
-              // the frames partition the payload with no dropped bytes
-              val len =
-                if (k == meta.n_frames - 1) meta.octets - off else flen
-              Frame(id, k, off, len,
-                java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt))
-            }
+          val isGif = bytes.length >= 6 && bytes(0) == 'G' &&
+            bytes(1) == 'I' && bytes(2) == 'F'
+          val real = if (isGif) gifFrames(id, bytes, everyN) else None
+          real match {
+            case Some(frames) => frames.iterator
+            case None =>
+              val meta = fakeDecode(id, bytes)
+              val flen = meta.octets / meta.n_frames
+              (0L until meta.n_frames).iterator
+                .filter(_ % everyN == 0)
+                .map { k =>
+                  val off = k * flen
+                  // the LAST frame absorbs the octets % n_frames
+                  // remainder so the frames partition the payload with
+                  // no dropped bytes
+                  val len =
+                    if (k == meta.n_frames - 1) meta.octets - off else flen
+                  Frame(id, k, off, len, java.util.Arrays.copyOfRange(
+                    bytes, off.toInt, (off + len).toInt))
+                }
+          }
         }
       }
   }

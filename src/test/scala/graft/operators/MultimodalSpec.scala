@@ -186,6 +186,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ns.length == 12)
   }
 
+  test("real frame sampling: animated GIF frames decode via the actual codec") {
+    // 4-frame animated GIF (constant-color frames), everyN=2 -> frames
+    // 0 and 2, each re-encoded as a standalone PNG of the TRUE pixels
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(
+        10, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 10).foreach(x => (0 until 10).foreach(y => img.setRGB(x, y, c)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    assert(Multimodal.looksLikeImage(gif))
+
+    val frames = Multimodal.frameSample(spark,
+      Seq((1L, gif)).toDF("doc_id", "payload"), everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(frames.forall(_.frame_off == -1L), "decoded frames are not byte ranges")
+    frames.zip(Seq(0xff0000, 0x0000ff)).foreach { case (f, expected) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame_payload))
+      assert(img.getWidth == 10 && img.getHeight == 10)
+      assert((img.getRGB(5, 5) & 0xffffff) == expected,
+        f"frame ${f.frame_idx} color ${img.getRGB(5, 5) & 0xffffff}%06x")
+      assert(f.frame_len == f.frame_payload.length.toLong)
+    }
+
+    // non-GIF payloads keep the byte-slicing stub contract
+    val txt = ("a" * 90).getBytes("UTF-8")
+    val stub = Multimodal.frameSample(spark,
+      Seq((2L, txt)).toDF("doc_id", "payload"), everyN = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(stub.flatMap(_.frame_payload).toSeq == txt.toSeq)
+  }
+
   test("magic sniffing never claims text payloads") {
     Seq("plain text", "BM-prefixed but short", "GIF8 not quite").foreach { s =>
       val b = s.getBytes("UTF-8")
