@@ -65,6 +65,13 @@ class RefoldSpec extends AnyFunSuite {
     }
 
     val snap = AzofTable(spark, lake, "t").currentSnapshot
+    // key-range data skipping keeps working through the folded tree:
+    // stats live on the leaves and the fold never drops them
+    val hit = AzofScan.scan(spark, lake, "t", AsOf.Current,
+        keyFilter = Some(graft.format.KeyFilter.Keys(Set("1"))))
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(hit == Seq("1" -> s"v$k"))
     // folded: 13 closed + 1 open would be 14 flat roots; the base-4
     // counter leaves 3·fold1 + 1 closed + 1 open = at most 8, with one
     // generation-2-capable structure at larger k
