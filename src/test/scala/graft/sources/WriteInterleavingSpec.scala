@@ -110,6 +110,29 @@ class WriteInterleavingSpec extends AnyFunSuite {
         assert(scanned() == model.toMap,
           s"seed $seed step $step: scan diverged from model")
       }
+
+      // and the STREAMING latest-per-key view converges to the same
+      // model over whatever file layout the interleaving produced
+      val winners = scala.collection.concurrent.TrieMap
+        .empty[String, (Int, String)]
+      val q = graft.streaming.LatestView.latest(spark, lake, "t")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"azof-ilv-ck$seed").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            batch.collect().foreach { r =>
+              winners(r.getString(0)) =
+                (((r.getTimestamp(1).getTime - t0.toEpochMilli) / 3600000L).toInt,
+                  r.getString(2))
+            }
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(winners.toMap == model.toMap,
+        s"seed $seed: streaming view diverged from model")
     }
   }
 
