@@ -66,6 +66,11 @@ object AzofCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // --bloom-bits N on any write command: per-file key Bloom filters in
+    // the snapshot stats (point-lookup skipping on time-partitioned
+    // layouts; see spark.azof.stats.bloomBits)
+    opts.get("bloom-bits").foreach(v =>
+      spark.conf.set("spark.azof.stats.bloomBits", v))
     try args(0) match {
       case "scan" =>
         val asOf = opts.get("as-of") match {

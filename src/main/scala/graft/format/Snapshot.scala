@@ -20,13 +20,18 @@ import java.time.Instant
   * keys' rows never changes k's winner. Event-time stats would duplicate
   * the delta window, which already IS the file's data-derived time range.
   */
-final case class FileStats(keyMin: String, keyMax: String) {
-  /** Could this file contain any of `keys`? */
+final case class FileStats(
+    keyMin: String, keyMax: String, bloom: Option[KeyBloom] = None) {
+  /** Could this file contain any of `keys`? Range check first (free),
+    * then the optional Bloom filter — which also prunes point lookups
+    * on layouts whose every file spans the full key range.
+    */
   def mayContainAny(keys: Iterable[String]): Boolean =
-    keys.exists(k => keyMin <= k && k <= keyMax)
+    keys.exists(k => keyMin <= k && k <= keyMax &&
+      bloom.forall(_.mightContain(k)))
 
   /** Could this file contain a key in [lower, upper] (inclusive,
-    * unbounded side = None)?
+    * unbounded side = None)? Ranges cannot consult the bloom.
     */
   def mayOverlap(lower: Option[String], upper: Option[String]): Boolean =
     lower.forall(_ <= keyMax) && upper.forall(_ >= keyMin)

@@ -72,14 +72,24 @@ object SnapshotCodec {
 
   /** Key-range stats ext field ([[FileStats]]): absent, null, or partial
     * objects (a foreign writer's different stats shape) all degrade to
-    * None — skipping is an optimization, never a parse requirement.
+    * None — skipping is an optimization, never a parse requirement. The
+    * optional `key_bloom` sub-object degrades independently.
     */
   private def parseStats(n: JsonNode): Option[FileStats] =
     for {
       node <- Option(n) if !node.isNull
       mn <- optText(node, "key_min")
       mx <- optText(node, "key_max")
-    } yield FileStats(mn, mx)
+    } yield FileStats(mn, mx, parseBloom(node.get("key_bloom")))
+
+  private def parseBloom(n: JsonNode): Option[KeyBloom] =
+    for {
+      node <- Option(n) if !node.isNull && node.isObject
+      bits <- Option(node.get("bits")).filter(_.isInt).map(_.asInt())
+      k <- Option(node.get("k")).filter(_.isInt).map(_.asInt())
+      b64 <- optText(node, "b64")
+      if bits > 0 && bits % 8 == 0 && k > 0
+    } yield KeyBloom(bits, k, b64)
 
   def render(s: Snapshot): String = {
     val root = mapper.createObjectNode()
@@ -109,6 +119,12 @@ object SnapshotCodec {
     val sn = node.putObject(field)
     sn.put("key_min", st.keyMin)
     sn.put("key_max", st.keyMax)
+    st.bloom.foreach { b =>
+      val bn = sn.putObject("key_bloom")
+      bn.put("bits", b.bits)
+      bn.put("k", b.k)
+      bn.put("b64", b.b64)
+    }
     ()
   }
 

@@ -33,6 +33,56 @@ object AzofWriter {
     */
   private def uniqueSuffix(): String = UUID.randomUUID().toString.take(8)
 
+  /** Opt-in per-file key Bloom filters in the snapshot stats
+    * (`spark.azof.stats.bloomBits`, 0/unset = off; rounded down to a
+    * byte multiple; `spark.azof.stats.bloomK` hashes, default 4).
+    * Opt-in because the filter's base64 rides in every snapshot
+    * document: bits should be ~10× the expected distinct keys per file
+    * (e.g. 65536 bits = 8 KB/file for ~6k keys at ~1% FPR), which an
+    * operator sizes for lookup-heavy tables and leaves off for tables
+    * whose layouts min/max ranges already prune.
+    */
+  private def bloomConf(spark: SparkSession): Option[(Int, Int)] =
+    spark.conf.getOption("spark.azof.stats.bloomBits")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .map(_ / 8 * 8)
+      .filter(_ >= 64)
+      .map { bits =>
+        (bits, spark.conf.getOption("spark.azof.stats.bloomK")
+          .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+          .filter(_ >= 1).getOrElse(4))
+      }
+
+  /** OR-accumulating Bloom aggregator over the key column — partial
+    * aggregation per partition, byte-wise OR merge, so building the
+    * filter costs one pass and shuffles only bitset-sized buffers.
+    */
+  private class BloomAgg(bits: Int, k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[String, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](bits / 8)
+    override def reduce(buf: Array[Byte], key: String): Array[Byte] = {
+      KeyBloom.put(buf, key, bits, k); buf
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  private def bloomColumn(
+      spark: SparkSession, conf: Option[(Int, Int)]): Seq[org.apache.spark.sql.Column] =
+    conf.toSeq.map { case (bits, k) =>
+      org.apache.spark.sql.functions
+        .udaf(new BloomAgg(bits, k), org.apache.spark.sql.Encoders.STRING)
+        .apply(col(TableSchema.KeyName))
+    }
+
   private def uniqueFileName(prefix: String): String =
     s"${prefix}_${uniqueSuffix()}.parquet"
 
@@ -84,11 +134,17 @@ object AzofWriter {
       if (!f.rename(part, target))
         throw new IllegalStateException(s"rename $part -> $target failed")
       f.delete(tmp, true)
+      val bc = bloomConf(spark)
+      val aggs = Seq(min(col(TableSchema.KeyName)),
+        max(col(TableSchema.KeyName))) ++ bloomColumn(spark, bc)
       val mm = spark.read.parquet(target.toString)
-        .agg(min(col(TableSchema.KeyName)), max(col(TableSchema.KeyName)))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()(0)
       if (mm.isNullAt(0)) None
-      else Some(FileStats(mm.getString(0), mm.getString(1)))
+      else Some(FileStats(mm.getString(0), mm.getString(1),
+        bc.map { case (bits, k) =>
+          KeyBloom.fromBytes(mm.getAs[Array[Byte]](2), bits, k)
+        }))
     } finally conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
   }
 
@@ -300,19 +356,25 @@ object AzofWriter {
         .filter(p => p.getName.startsWith("part-") &&
           p.getName.endsWith(".parquet"))
         .sortBy(_.getName)
-      // event-time window + key range per written file, one stats-only
-      // columnar pass (empty partitions produce row-less part files that
-      // never appear here and are dropped)
+      // event-time window + key range (+ optional key bloom) per written
+      // file, one stats pass (empty partitions produce row-less part
+      // files that never appear here and are dropped)
+      val bc = bloomConf(spark)
+      val aggs = Seq(min(col(TableSchema.EventTimeName)).as("_mn"),
+        max(col(TableSchema.EventTimeName)).as("_mx"),
+        min(col(TableSchema.KeyName)).as("_kmn"),
+        max(col(TableSchema.KeyName)).as("_kmx")) ++
+        bloomColumn(spark, bc)
       val stats = spark.read.parquet(tmp.toString)
         .groupBy(input_file_name().as("_f"))
-        .agg(min(col(TableSchema.EventTimeName)).as("_mn"),
-          max(col(TableSchema.EventTimeName)).as("_mx"),
-          min(col(TableSchema.KeyName)).as("_kmn"),
-          max(col(TableSchema.KeyName)).as("_kmx"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map(r => (new Path(r.getString(0)).getName,
           (r.getTimestamp(1).toInstant, r.getTimestamp(2).toInstant,
-            FileStats(r.getString(3), r.getString(4)))))
+            FileStats(r.getString(3), r.getString(4),
+              bc.map { case (bits, k) =>
+                KeyBloom.fromBytes(r.getAs[Array[Byte]](5), bits, k)
+              }))))
         .toMap
       parts.zipWithIndex.flatMap { case (p, i) =>
         stats.get(p.getName).map { case (mn, mx, ks) =>

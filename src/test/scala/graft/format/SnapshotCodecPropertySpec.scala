@@ -20,10 +20,21 @@ class SnapshotCodecPropertySpec extends AnyFunSuite {
   private val nameGen: Gen[String] =
     Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(12).mkString)
 
+  private val bloomGen: Gen[Option[KeyBloom]] =
+    Gen.option(for {
+      keys <- Gen.listOf(nameGen).map(_.take(8))
+      bits <- Gen.oneOf(64, 256, 1024)
+      k <- Gen.chooseNum(1, 5)
+    } yield {
+      val bytes = new Array[Byte](bits / 8)
+      keys.foreach(kk => KeyBloom.put(bytes, kk, bits, k))
+      KeyBloom.fromBytes(bytes, bits, k)
+    })
+
   private val statsGen: Gen[Option[FileStats]] =
     Gen.option(for {
-      a <- nameGen; b <- nameGen
-    } yield if (a <= b) FileStats(a, b) else FileStats(b, a))
+      a <- nameGen; b <- nameGen; bl <- bloomGen
+    } yield if (a <= b) FileStats(a, b, bl) else FileStats(b, a, bl))
 
   private val deltaGen: Gen[Delta] = for {
     f <- nameGen.map(_ + ".parquet")

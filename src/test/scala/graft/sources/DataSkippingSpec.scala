@@ -254,6 +254,63 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(all(lake) == all(lake2))
   }
 
+  test("key blooms: point lookups prune TIME-partitioned layouts too") {
+    // by-time files all span the full key space, so min/max ranges
+    // prune nothing for a point lookup — the opt-in per-file bloom does
+    val lake = Files.createTempDirectory("azof-bloom").toString
+    spark.conf.set("spark.azof.stats.bloomBits", "8192")
+    try {
+      AzofWriter.createTable(spark, lake, "t", schema,
+        ts("2024-01-01T00:00:00Z"))
+      // 3 time-window commits, keys DISJOINT per commit but spanning
+      // [a..z] in every file's (min,max) — range pruning is useless
+      AzofWriter.commitBase(spark, lake, "t", df(Seq(
+        ("aa", "2024-01-02T00:00:00Z", "v1"), ("zz", "2024-01-03T00:00:00Z", "v2"))))
+      AzofWriter.commitDelta(spark, lake, "t", df(Seq(
+        ("ab", "2024-02-02T00:00:00Z", "v3"), ("zy", "2024-02-03T00:00:00Z", "v4"))),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      AzofWriter.commitDelta(spark, lake, "t", df(Seq(
+        ("ac", "2024-03-02T00:00:00Z", "v5"), ("zz2", "2024-03-03T00:00:00Z", "v6"))),
+        ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
+
+      val snap = AzofTable(spark, lake, "t").currentSnapshot
+      val entries = snap.dataFilesWithStats(AsOf.Current)
+      assert(entries.forall(_.stats.exists(_.bloom.nonEmpty)))
+      // every file's RANGE covers 'zy' (aa..zz) — only the bloom prunes
+      assert(entries.forall(_.stats.exists(s =>
+        s.keyMin <= "zy" && "zy" <= s.keyMax)))
+      val hit = graft.operators.AzofScan.prunedFiles(snap, AsOf.Current,
+        Some(KeyFilter.Keys(Set("zy"))))
+      assert(hit.size == 1, s"bloom should prune to 1 file, got $hit")
+      // and results stay exact
+      val got = graft.operators.AzofScan.scan(spark, lake, "t", AsOf.Current,
+          keyFilter = Some(KeyFilter.Keys(Set("zy"))))
+        .select("key", "value").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got == Seq("zy" -> "v4"))
+      // blooms survive the snapshot JSON round-trip
+      assert(SnapshotCodec.parse(SnapshotCodec.render(snap)) == snap)
+      assert(SnapshotCodec.render(snap).contains("\"key_bloom\""))
+    } finally spark.conf.unset("spark.azof.stats.bloomBits")
+  }
+
+  test("key blooms: membership is complete; absent keys mostly rejected") {
+    val keys = (0 until 500).map(i => s"key-$i")
+    val bytes = new Array[Byte](8192 / 8)
+    keys.foreach(k => KeyBloom.put(bytes, k, 8192, 4))
+    val bloom = KeyBloom.fromBytes(bytes, 8192, 4)
+    assert(keys.forall(bloom.mightContain)) // no false negatives, ever
+    val falsePos = (0 until 1000).count(i => bloom.mightContain(s"other-$i"))
+    assert(falsePos < 100, s"FPR too high: $falsePos/1000")
+  }
+
+  test("key blooms are off by default (snapshot size is an explicit choice)") {
+    val lake = buildKeyPartitioned()
+    val snap = AzofTable(spark, lake, "t").currentSnapshot
+    assert(snap.dataFilesWithStats(AsOf.Current)
+      .forall(_.stats.forall(_.bloom.isEmpty)))
+  }
+
   test("property: random layouts — skipped scan ≡ brute-force filter") {
     val rnd = new scala.util.Random(20260812L)
     val keys = (0 until 40).map(i => f"k$i%02d")
