@@ -316,6 +316,11 @@ class DataSkippingSpec extends AnyFunSuite {
     val keys = (0 until 40).map(i => f"k$i%02d")
     for (round <- 0 until 5) {
       val lake = Files.createTempDirectory(s"azof-skip-prop$round").toString
+      // alternate rounds write per-file key blooms so the randomized
+      // equivalence also covers bloom-based pruning
+      if (round % 2 == 1)
+        spark.conf.set("spark.azof.stats.bloomBits", "4096")
+      else spark.conf.unset("spark.azof.stats.bloomBits")
       AzofWriter.createTable(spark, lake, "t", schema,
         ts("2024-01-01T00:00:00Z"))
       // base over a random key subset, then 3 deltas over random subsets
@@ -342,5 +347,6 @@ class DataSkippingSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet
       assert(skipped == brute, s"round $round keys $wanted")
     }
+    spark.conf.unset("spark.azof.stats.bloomBits")
   }
 }
