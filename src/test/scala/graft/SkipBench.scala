@@ -61,6 +61,46 @@ object SkipBench {
       AzofScan.scan(spark, lake, "t", AsOf.Current)
         .where(col("key") === lookupKey).count()
     }
+
+    // scenario 2: TIME-partitioned layout (ranges useless for point
+    // lookups) with per-file key blooms — nFiles commits, disjoint key
+    // slices per commit but each file's range spans the key space
+    val lake2 = java.nio.file.Files.createTempDirectory("azof-skipbench2").toString
+    spark.conf.set("spark.azof.stats.bloomBits",
+      (8 * (nRows / nFiles)).toString)
+    AzofWriter.createTable(spark, lake2, "t", schema,
+      Instant.parse("2024-01-01T00:00:00Z"))
+    val slice = nRows / nFiles
+    (0 until nFiles).foreach { i =>
+      val part = spark.range(i.toLong * slice, (i + 1).toLong * slice).select(
+        format_string("k%08d", col("id")).as("key"),
+        (lit(t0) + lit(i * 86400000L) + pmod(col("id") * 2654435761L,
+          lit(86400000L))).cast("timestamp").as("event_time"),
+        concat(lit("v"), col("id")).as("value"))
+      // every commit also carries the global min and max key, so every
+      // file's RANGE spans the whole key space
+      val edges = spark.range(2).select(
+        when(col("id") === 0, "k00000000")
+          .otherwise(f"k${nRows - 1}%08d").as("key"),
+        (lit(t0) + lit(i * 86400000L)).cast("timestamp").as("event_time"),
+        lit("edge").as("value"))
+      AzofWriter.commitDelta(spark, lake2, "t", part.union(edges),
+        Instant.ofEpochMilli(t0 + i * 86400000L),
+        Instant.ofEpochMilli(t0 + (i + 1) * 86400000L))
+    }
+    val snap2 = AzofTable(spark, lake2, "t").currentSnapshot
+    println(s"bytime files=${snap2.dataFiles(AsOf.Current).size} " +
+      s"bloomPruned=${AzofScan.prunedFiles(snap2, AsOf.Current,
+        Some(KeyFilter.Keys(Set(lookupKey)))).size}")
+    time("bloom") {
+      AzofScan.scan(spark, lake2, "t", AsOf.Current,
+        keyFilter = Some(KeyFilter.Keys(Set(lookupKey)))).count()
+    }
+    spark.conf.unset("spark.azof.stats.bloomBits")
+    time("no-bloom") {
+      AzofScan.scan(spark, lake2, "t", AsOf.Current)
+        .where(col("key") === lookupKey).count()
+    }
     spark.stop()
   }
 }
