@@ -158,8 +158,12 @@ object AzofCli {
           .writeStream.outputMode("update")
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-            println(s"batch $id: ${batch.count()} winner updates")
-            batch.show(numRows = 1000, truncate = false)
+            // one action: foreachBatch datasets recompute per action, and
+            // this plan reloads the state store — count()+show() would
+            // run the stateful batch twice
+            val rows = batch.collect()
+            println(s"batch $id: ${rows.length} winner updates")
+            rows.take(1000).foreach(r => println(r.mkString("| ", " | ", " |")))
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

@@ -89,6 +89,12 @@ object SnapshotCodec {
       k <- Option(node.get("k")).filter(_.isInt).map(_.asInt())
       b64 <- optText(node, "b64")
       if bits > 0 && bits % 8 == 0 && k > 0
+      // the payload must actually decode to exactly bits/8 bytes NOW —
+      // a corrupt/truncated filter discovered lazily inside a scan's
+      // membership test would fail the query instead of degrading
+      decoded <- scala.util.Try(
+        java.util.Base64.getDecoder.decode(b64)).toOption
+      if decoded.length == bits / 8
     } yield KeyBloom(bits, k, b64)
 
   def render(s: Snapshot): String = {

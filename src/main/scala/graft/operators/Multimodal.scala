@@ -316,8 +316,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
+          // full GIF87a/GIF89a signature, same rigor as looksLikeImage:
+          // a text payload starting with "GIF" must never engage the
+          // (lenient) codec path
           val isGif = bytes.length >= 6 && bytes(0) == 'G' &&
-            bytes(1) == 'I' && bytes(2) == 'F'
+            bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
+            (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
           val real = if (isGif) gifFrames(id, bytes, everyN) else None
           real match {
             case Some(frames) => frames.iterator

@@ -24,58 +24,89 @@ object AzofQueries {
     "q33_sql_insert" -> sqlInsert,
     "q34_bykey_lookup" -> byKeyLookup)
 
-  /** Build (or reuse) the events_kv azof lakehouse for `dir` and return
-    * its path. The committed table is a deterministic function of the
-    * input events, so it is cached per scale-factor dir and rebuilt only
-    * when the `_COMMITTED` marker is absent (fresh temp dir per attempt,
-    * atomic rename into place). The cache name carries a format
-    * generation ("v2": key-range stats in the snapshot) so a cache from
-    * an older build never masks new snapshot metadata.
-    */
-  private def ensureLake(s: SparkSession, dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
+  /** Cache-key hash of a scale-factor dir. */
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    // cachedLake is a lakehouse dir holding the one table "events_kv"
-    val cachedLake = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-azof-rt-v2-$key")
-    val marker = new java.io.File(new java.io.File(cachedLake, "events_kv"),
-      "_COMMITTED")
-    if (marker.isFile) return cachedLake.toString
 
-    // azof stores ms timestamps; truncate up front so engine and oracle
-    // agree on the event_time values and the as-of cut.
-    val ev = Tables(s, dir, "events")
-      .withColumn("ts", date_trunc("millisecond", col("ts")))
-    val kv = ev.select(
-      col("user_id").cast("string").as("key"),
-      col("ts").as("event_time"),
-      col("event_type"),
-      col("props"))
-
-    val lake = Files.createTempDirectory("azof-rt").toString
-    val schema = TableSchema(Seq(
-      ColumnDef("event_type", ColumnType.AzString, nullable = false),
-      ColumnDef("props", ColumnType.AzString, nullable = false)))
-    AzofWriter.createTable(s, lake, "events_kv", schema,
-      Instant.parse("2024-01-01T00:00:00Z"))
-
-    val d10 = "2024-01-10 00:00:00"
-    val d20 = "2024-01-20 00:00:00"
-    AzofWriter.commitBase(s, lake, "events_kv",
-      kv.where(col("event_time") < expr(s"TIMESTAMP '$d10'")))
-    AzofWriter.commitDelta(s, lake, "events_kv",
-      kv.where(col("event_time") >= expr(s"TIMESTAMP '$d10'") &&
-        col("event_time") < expr(s"TIMESTAMP '$d20'")),
-      Instant.parse("2024-01-10T00:00:00Z"), Instant.parse("2024-01-20T00:00:00Z"))
-    AzofWriter.commitDelta(s, lake, "events_kv",
-      kv.where(col("event_time") >= expr(s"TIMESTAMP '$d20'")),
-      Instant.parse("2024-01-20T00:00:00Z"), Instant.parse("2024-02-01T00:00:00Z"))
-
-    Files.createFile(java.nio.file.Paths.get(lake, "events_kv", "_COMMITTED"))
-    if (new java.io.File(lake).renameTo(cachedLake) || marker.isFile)
-      cachedLake.toString
-    else lake // lost a race or cross-device rename failed; use as built
+  /** Build-once lakehouse cache under java.io.tmpdir: resolve (or build)
+    * the lakehouse tagged `tag` for scale-factor `dir` and return its
+    * path. Each committed table is a deterministic function of its
+    * inputs, so it is cached per dir and rebuilt only when the
+    * `_COMMITTED` marker under `table` is absent. Tags carry a format
+    * generation (e.g. "rt-v2": key stats in the snapshot) so a cache
+    * from an older build never masks newer snapshot metadata.
+    *
+    * `build` receives the lakehouse path to populate. With
+    * `inPlace = false` it runs against a fresh temp dir that is
+    * atomically renamed into the cache slot (losing the rename race
+    * falls back to the winner's or the just-built copy). Builders that
+    * must know the FINAL path up front (a registered catalog points at
+    * it) pass `inPlace = true`: any partial previous attempt is cleared
+    * and the cache dir is built directly.
+    */
+  private def cachedLake(
+      dir: String, tag: String, table: String, inPlace: Boolean = false)(
+      build: String => Unit): String = {
+    val cached = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-azof-$tag-${dirKey(dir)}")
+    val marker = new java.io.File(new java.io.File(cached, table), "_COMMITTED")
+    if (marker.isFile) return cached.toString
+    if (inPlace) {
+      if (cached.isDirectory) {
+        import scala.reflect.io.Directory
+        new Directory(cached).deleteRecursively()
+        ()
+      }
+      cached.mkdirs()
+      build(cached.toString)
+      Files.createFile(marker.toPath)
+      cached.toString
+    } else {
+      val tmp = Files.createTempDirectory("azof-build").toString
+      build(tmp)
+      Files.createFile(java.nio.file.Paths.get(tmp, table, "_COMMITTED"))
+      if (new java.io.File(tmp).renameTo(cached) || marker.isFile)
+        cached.toString
+      else tmp // lost a race or cross-device rename failed; use as built
+    }
   }
+
+  /** events as azof rows: ms-truncated timestamps up front so engine and
+    * oracle agree on event_time values and as-of cuts.
+    */
+  private def eventsKv(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .withColumn("ts", date_trunc("millisecond", col("ts")))
+      .select(
+        col("user_id").cast("string").as("key"),
+        col("ts").as("event_time"),
+        col("event_type"),
+        col("props"))
+
+  private val eventsSchema = TableSchema(Seq(
+    ColumnDef("event_type", ColumnType.AzString, nullable = false),
+    ColumnDef("props", ColumnType.AzString, nullable = false)))
+
+  /** The events_kv lakehouse (base + two deltas split by time). */
+  private def ensureLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "rt-v2", "events_kv") { lake =>
+      val kv = eventsKv(s, dir)
+      AzofWriter.createTable(s, lake, "events_kv", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+
+      val d10 = "2024-01-10 00:00:00"
+      val d20 = "2024-01-20 00:00:00"
+      AzofWriter.commitBase(s, lake, "events_kv",
+        kv.where(col("event_time") < expr(s"TIMESTAMP '$d10'")))
+      AzofWriter.commitDelta(s, lake, "events_kv",
+        kv.where(col("event_time") >= expr(s"TIMESTAMP '$d10'") &&
+          col("event_time") < expr(s"TIMESTAMP '$d20'")),
+        Instant.parse("2024-01-10T00:00:00Z"), Instant.parse("2024-01-20T00:00:00Z"))
+      AzofWriter.commitDelta(s, lake, "events_kv",
+        kv.where(col("event_time") >= expr(s"TIMESTAMP '$d20'")),
+        Instant.parse("2024-01-20T00:00:00Z"), Instant.parse("2024-02-01T00:00:00Z"))
+    }
 
   private def roundtrip(s: SparkSession, dir: String): DataFrame =
     AzofScan.scan(s, ensureLake(s, dir), "events_kv",
@@ -107,35 +138,12 @@ object AzofQueries {
     * latest-row-per-key oracle.
     */
   private def byKeyLookup(s: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val cachedLake = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-azof-bk-v1-$key")
-    val marker = new java.io.File(new java.io.File(cachedLake, "events_bk"),
-      "_COMMITTED")
-    val lake =
-      if (marker.isFile) cachedLake.toString
-      else {
-        val ev = Tables(s, dir, "events")
-          .withColumn("ts", date_trunc("millisecond", col("ts")))
-        val kv = ev.select(
-          col("user_id").cast("string").as("key"),
-          col("ts").as("event_time"),
-          col("event_type"),
-          col("props"))
-        val tmp = Files.createTempDirectory("azof-bk").toString
-        val schema = TableSchema(Seq(
-          ColumnDef("event_type", ColumnType.AzString, nullable = false),
-          ColumnDef("props", ColumnType.AzString, nullable = false)))
-        AzofWriter.createTable(s, tmp, "events_bk", schema,
-          Instant.parse("2024-01-01T00:00:00Z"))
-        AzofWriter.commitPartitioned(s, tmp, "events_bk", kv,
-          numFiles = 8, byKey = true)
-        Files.createFile(java.nio.file.Paths.get(tmp, "events_bk", "_COMMITTED"))
-        if (new java.io.File(tmp).renameTo(cachedLake) || marker.isFile)
-          cachedLake.toString
-        else tmp
-      }
+    val lake = cachedLake(dir, "bk-v1", "events_bk") { tmp =>
+      AzofWriter.createTable(s, tmp, "events_bk", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.commitPartitioned(s, tmp, "events_bk", eventsKv(s, dir),
+        numFiles = 8, byKey = true)
+    }
     s.read.format("azof").option("table", "events_bk").load(lake)
       .where(col("key").isin("7", "23", "41", "103"))
       .select("key", "event_time", "event_type")
@@ -149,23 +157,14 @@ object AzofQueries {
     * their lakehouses.
     */
   private def sqlInsert(s: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val lake = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-azof-sqlins-v2-$key")
+    val key = dirKey(dir)
     val cat = s"azsql_$key"
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.sources.AzofCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.path", lake.toString)
-    val marker = new java.io.File(new java.io.File(lake, "events_sql"),
-      "_COMMITTED")
-    if (!marker.isFile) {
-      // partial build from a crashed attempt: start clean
-      if (lake.isDirectory) {
-        import scala.reflect.io.Directory
-        new Directory(lake).deleteRecursively()
-      }
-      lake.mkdirs()
+    // inPlace: the registered catalog must point at the FINAL path
+    // before the CREATE/INSERT statements run against it
+    val lake = cachedLake(dir, "sqlins-v2", "events_sql", inPlace = true) { l =>
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.AzofCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", l)
       s.sql(
         s"""CREATE TABLE $cat.events_sql
             (key STRING, event_time TIMESTAMP, event_type STRING, props STRING)
@@ -177,9 +176,12 @@ object AzofQueries {
                    event_type, props
             FROM ev_src_$key
             WHERE date_trunc('millisecond', ts) < TIMESTAMP'2024-01-10 00:00:00'""")
-      Files.createFile(marker.toPath)
       ()
     }
+    // idempotent re-registration covers the cache-hit path
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.AzofCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.path", lake)
     s.sql(s"SELECT key, event_time, event_type FROM $cat.events_sql")
   }
 

@@ -26,6 +26,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * file precedence first and hash second, while the stream — which has
   * no file-precedence notion — uses the hash rule alone.
   *
+  * Inherited caveat (see [[AzofStream]]): the append feed is
+  * at-least-once w.r.t. table COMMITS — a data file landed by a writer
+  * that crashes before its snapshot commit can be ingested into state
+  * and is never retracted, so the view can briefly (or, for such
+  * orphans, permanently) hold a row the committed table never had.
+  * Views that must align exactly with committed versions should be
+  * rebuilt from the change feed instead.
+  *
   * Value columns ride through state as JSON (schema-dynamic payloads
   * can't be a Scala case class); the output re-expands them to typed
   * columns via the table schema.

@@ -81,6 +81,22 @@ class DataSkippingSpec extends AnyFunSuite {
     // no stats -> nothing skippable, everything kept
     assert(AzofScan.prunedFiles(snap, AsOf.Current,
       Some(KeyFilter.Keys(Set("zzz")))).size == 3)
+
+    // corrupt/truncated blooms degrade at PARSE time (range stats kept,
+    // filter dropped) — never a lazy crash inside a scan's membership test
+    val corrupt = SnapshotCodec.parse(
+      """{"schema":{"columns":[]},"segments":[
+        {"id":"1","start":"2024-01-01T00:00:00.000Z","file":"b.parquet",
+         "file_stats":{"key_min":"a","key_max":"z",
+           "key_bloom":{"bits":1024,"k":4,"b64":"AAAA"}}}]}""")
+    val st = corrupt.segments.head.fileStats
+    assert(st.exists(_.bloom.isEmpty) && st.exists(_.keyMin == "a"))
+    assert(SnapshotCodec.parse(
+      """{"schema":{"columns":[]},"segments":[
+        {"id":"1","start":"2024-01-01T00:00:00.000Z","file":"b.parquet",
+         "file_stats":{"key_min":"a","key_max":"z",
+           "key_bloom":{"bits":1024,"k":4,"b64":"!!not-base64!!"}}}]}""")
+      .segments.head.fileStats.exists(_.bloom.isEmpty))
   }
 
   test("point lookup prunes to the one file whose range covers the key") {

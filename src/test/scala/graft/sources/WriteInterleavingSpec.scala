@@ -19,11 +19,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * and that replayed sink batches stay no-ops mid-stream.
   */
 class WriteInterleavingSpec extends AnyFunSuite {
-  private lazy val spark = {
-    val s = TestSpark.spark
-    s.conf.set("spark.sql.catalog.ilv", classOf[AzofCatalog].getName)
-    s
-  }
+  private lazy val spark = TestSpark.spark
 
   private val schema = TableSchema(Seq(
     ColumnDef("value", ColumnType.AzString, nullable = false)))
