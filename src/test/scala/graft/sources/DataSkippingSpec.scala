@@ -307,6 +307,18 @@ class DataSkippingSpec extends AnyFunSuite {
       // blooms survive the snapshot JSON round-trip
       assert(SnapshotCodec.parse(SnapshotCodec.render(snap)) == snap)
       assert(SnapshotCodec.render(snap).contains("\"key_bloom\""))
+      // bloom composes with TIME pruning: as-of Feb 15 already drops the
+      // March delta, and the bloom drops the base too — 1 of 2 remaining
+      val asOfHit = graft.operators.AzofScan.prunedFiles(snap,
+        AsOf.EventTime(ts("2024-02-15T00:00:00Z")),
+        Some(KeyFilter.Keys(Set("zy"))))
+      assert(asOfHit.size == 1, s"time+bloom should leave 1 file, got $asOfHit")
+      val asOfRow = graft.operators.AzofScan.scan(spark, lake, "t",
+          AsOf.EventTime(ts("2024-02-15T00:00:00Z")),
+          keyFilter = Some(KeyFilter.Keys(Set("zy"))))
+        .select("key", "value").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(asOfRow == Seq("zy" -> "v4"))
     } finally spark.conf.unset("spark.azof.stats.bloomBits")
   }
 
