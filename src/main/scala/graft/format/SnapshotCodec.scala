@@ -31,9 +31,15 @@ object SnapshotCodec {
     val root = mapper.readTree(json)
     val schema = parseSchema(root.get("schema"))
     val segments = arr(root.get("segments")).map(parseSegment)
+    // Keep only entries whose value is actually integral: asLong() maps a
+    // corrupt/foreign non-numeric value to 0, and a spurious appId -> 0
+    // entry would make commitBatch treat that stream's batch 0 as a
+    // replay and silently drop it. Malformed entries degrade away, the
+    // same contract as parseStats/parseBloom.
     val batches = Option(root.get("stream_batches"))
       .filter(n => !n.isNull && n.isObject)
       .map(_.fields().asScala.toSeq
+        .filter(e => e.getValue.isIntegralNumber && e.getValue.canConvertToLong)
         .map(e => e.getKey -> e.getValue.asLong()).toMap)
       .getOrElse(Map.empty[String, Long])
     Snapshot(schema, segments, optText(root, "op"), batches)

@@ -58,6 +58,44 @@ object Multimodal {
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') ||
     (b.length >= 14 && b(0) == 'B' && b(1) == 'M')
 
+  /** Pixel-count cap for FULL decodes (feature/resize/frame paths):
+    * `ImageIO.read` allocates the raster from header-CLAIMED dimensions,
+    * so a decompression-bomb payload (tiny bytes, huge declared size)
+    * would throw `OutOfMemoryError` — which no `NonFatal` handler
+    * intercepts; the task, and with it the executor slot, dies instead
+    * of degrading to the stub as documented. 4096×4096 (≈64 MB ARGB
+    * raster) comfortably covers real pipeline images while bounding the
+    * worst-case allocation; dimensions are read header-only FIRST and
+    * oversized payloads degrade to `None` before any raster exists.
+    */
+  private[operators] val MaxDecodePixels: Long = 4096L * 4096L
+
+  /** Full decode behind the dimension guard: header dims via the
+    * ImageReader, bail above [[MaxDecodePixels]], only then `read(0)`.
+    * `NonFatal` (not bare `Exception`) so deliberate codec failures
+    * degrade while genuinely fatal errors still surface.
+    */
+  private def guardedRead(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** REAL image decode via `javax.imageio`: width/height/frame-count from
     * the actual codec, checksum = CRC-32 of the payload. Returns None if
     * no installed reader claims the bytes or the codec rejects them —
@@ -90,7 +128,7 @@ object Multimodal {
           } finally r.dispose()
         }
       } finally in.close()
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Partition-parallel decode: binary payloads in, typed metadata out.
     * One decoder instantiation per partition (the mapPartitions shape
@@ -127,10 +165,7 @@ object Multimodal {
     val side = math.sqrt(dims.toDouble).toInt
     if (side * side != dims) return None
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
+      guardedRead(payload).map { img =>
         val out = new java.awt.image.BufferedImage(
           side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = out.createGraphics()
@@ -153,9 +188,9 @@ object Multimodal {
           }
           y += 1
         }
-        Some(v)
+        v
       }
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Feature extraction: binary payload → fixed-dim float vector — the
@@ -205,10 +240,7 @@ object Multimodal {
     */
   def imageResize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
+      guardedRead(payload).map { img =>
         val out = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = out.createGraphics()
@@ -220,9 +252,9 @@ object Multimodal {
         } finally g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, "png", bos)
-        Some(bos.toByteArray)
+        bos.toByteArray
       }
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Resize media payloads to target dimensions. Two-tier like
     * [[decodeMeta]]: payloads with an image magic go through the REAL
@@ -288,7 +320,17 @@ object Multimodal {
           try {
             r.setInput(in)
             val n = math.max(1, r.getNumImages(true))
-            Some((0 until n).filter(_ % everyN == 0).map { k =>
+            val sampled = (0 until n).filter(_ % everyN == 0)
+            // per-frame dimension guard BEFORE any full frame decode —
+            // same decompression-bomb rationale as [[MaxDecodePixels]]:
+            // one oversized frame degrades the whole payload to the stub
+            val safe = sampled.forall { k =>
+              val w = r.getWidth(k).toLong
+              val h = r.getHeight(k).toLong
+              w > 0 && h > 0 && w * h <= MaxDecodePixels
+            }
+            if (!safe) None
+            else Some(sampled.map { k =>
               val bos = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(r.read(k), "png", bos)
               val png = bos.toByteArray
@@ -297,7 +339,7 @@ object Multimodal {
           } finally r.dispose()
         }
       } finally in.close()
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Frame sampling over video-like payloads. Two-tier like
     * [[decodeMeta]]: GIF payloads (the JDK's one multi-frame codec) go

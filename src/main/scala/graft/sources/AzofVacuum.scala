@@ -72,9 +72,20 @@ object AzofVacuum {
       .sorted
     // ids beyond version.txt are debris from a crashed commit (snapshot
     // written, version bump lost) — expire them with the old ones, but
-    // only past the retention age (they may be a commit IN FLIGHT)
-    val (retained, expiredAll) =
-      snapshotIds.partition(id => id >= keepFrom && id <= current)
+    // only past the retention age (they may be a commit IN FLIGHT).
+    // A snapshot document that fails to PARSE is the same debris one
+    // notch worse (a pre-temp+rename writer died mid-write): it was
+    // never committed — version.txt only ever names fully-written
+    // documents — so it is expireable regardless of the retention range
+    // and contributes nothing to the referenced set. The current
+    // snapshot must still parse; that failing is real corruption.
+    val corrupt = snapshotIds
+      .filter(id => scala.util.Try(t.snapshot(id.toString)).isFailure)
+      .toSet
+    require(!corrupt.contains(current),
+      s"current snapshot s$current.json is unreadable")
+    val (retained, expiredAll) = snapshotIds.partition(id =>
+      id >= keepFrom && id <= current && !corrupt.contains(id))
     val expired = expiredAll.filter(id => oldEnough(s"s$id.json"))
     require(retained.contains(current),
       s"current snapshot s$current.json is missing")
@@ -86,17 +97,25 @@ object AzofVacuum {
     // VERSION AS OF dangling until the next vacuum finally expired it.
     val remaining = snapshotIds.filterNot(expired.contains)
     val referenced = remaining
+      .filterNot(corrupt.contains)
       .flatMap(id => t.snapshot(id.toString).allFiles)
       .toSet
     val dataFiles = statuses
       .map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
     val garbage = dataFiles.filterNot(referenced.contains).filter(oldEnough)
+    // `_tmp_*` entries (staged snapshot docs / parquet staging dirs) are
+    // pure write-side scratch: anything past the retention age belongs
+    // to a crashed attempt, never to live data.
+    val tmpDebris = statuses
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_tmp_") && oldEnough(n))
 
     if (!dryRun) {
       garbage.foreach(f => fs.delete(new Path(tableDir, f), false))
+      tmpDebris.foreach(f => fs.delete(new Path(tableDir, f), true))
       expired.foreach(id => fs.delete(new Path(tableDir, s"s$id.json"), false))
     }
-    Report(garbage.sorted, expired, retained)
+    Report((garbage ++ tmpDebris).sorted, expired, retained)
   }
 }

@@ -149,29 +149,52 @@ object AzofWriter {
   }
 
   /** Write snapshot `id` — REFUSES to overwrite an existing s{id}.json
-    * (`FileAlreadyExistsException` on local/HDFS): snapshot documents
-    * are immutable once written, so create-if-absent makes concurrent
-    * committers first-writer-wins instead of silently clobbering each
-    * other's snapshot (optimistic concurrency, Delta-log style). The
-    * loser retries from the new current version.
+    * (`FileAlreadyExistsException`): snapshot documents are immutable
+    * once written, so first-writer-wins makes concurrent committers
+    * lose-and-retry instead of silently clobbering each other's snapshot
+    * (optimistic concurrency, Delta-log style).
     *
-    * Store requirement: the guard is exactly as strong as the store's
-    * create-if-absent. HDFS and ABFS make `create(overwrite=false)`
-    * atomic; Hadoop's local filesystem and plain S3A check-then-act, so
-    * two same-instant committers can in principle both pass (S3
-    * conditional writes / a DynamoDB-style LogStore close that gap on
-    * object stores — out of scope here; single-writer or HDFS/ABFS
-    * deployments are unaffected). The data files themselves are immune
-    * either way: they are uniquely named, so a metadata race never
-    * cross-links another writer's bytes.
+    * The content lands via temp file + rename, never by writing the
+    * final name directly: a writer that crashes or errors mid-write must
+    * not leave a TRUNCATED s{id}.json, because the commit path selects
+    * the highest existing s{N}.json as its parse base — a half-written
+    * document there would wedge every subsequent commit on this table.
+    * A crash can only orphan a `_tmp_snap_*` file, which nothing ever
+    * parses and vacuum ages out.
+    *
+    * Store requirement: the exists-check + rename guard is exactly as
+    * strong as the store's rename semantics. HDFS refuses a rename onto
+    * an existing file atomically; Hadoop's local filesystem and plain
+    * S3A check-then-act, so two same-instant committers can in principle
+    * both pass (S3 conditional writes / a DynamoDB-style LogStore close
+    * that gap on object stores — out of scope here; single-writer or
+    * HDFS deployments are unaffected). The data files themselves are
+    * immune either way: they are uniquely named, so a metadata race
+    * never cross-links another writer's bytes.
     */
   def writeSnapshot(
       spark: SparkSession,
       tableDir: String,
       id: String,
-      snapshot: Snapshot): Unit =
-    writeUtf8(spark, new Path(tableDir, s"s$id.json"),
-      SnapshotCodec.render(snapshot), overwrite = false)
+      snapshot: Snapshot): Unit = {
+    val dir = new Path(tableDir)
+    val target = new Path(dir, s"s$id.json")
+    val tmp = new Path(dir, s"_tmp_snap_${UUID.randomUUID().toString}.json")
+    val f = fs(spark, target)
+    writeUtf8(spark, tmp, SnapshotCodec.render(snapshot))
+    val renamed =
+      try {
+        if (f.exists(target)) false else f.rename(tmp, target)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          scala.util.Try(f.delete(tmp, false)); throw e
+      }
+    if (!renamed) {
+      scala.util.Try(f.delete(tmp, false))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"snapshot $target already exists (lost commit race)")
+    }
+  }
 
   def writeVersion(spark: SparkSession, tableDir: String, id: String): Unit =
     writeUtf8(spark, new Path(tableDir, "version.txt"), id)
@@ -660,7 +683,19 @@ object AzofWriter {
       val t = new AzofTable(tableDir, spark.sessionState.newHadoopConf())
       var nextId = t.currentVersion.toLong + 1
       while (f.exists(new Path(tableDir, s"s$nextId.json"))) nextId += 1
-      val newSnap = update(t.snapshot((nextId - 1).toString))
+      // Parse base = highest existing snapshot; if that document is
+      // corrupt (a pre-temp+rename writer died mid-write, or the store
+      // lost bytes), fall back DOWNWARD to the highest parseable one, at
+      // worst version.txt's — the pointer only ever names fully-committed
+      // snapshots. nextId stays past the corrupt name so the retry never
+      // collides with it; the unreachable document is dead weight vacuum
+      // expires like any superseded snapshot.
+      val baseSnap = ((nextId - 1) to t.currentVersion.toLong by -1)
+        .view
+        .flatMap(id => scala.util.Try(t.snapshot(id.toString)).toOption)
+        .headOption
+        .getOrElse(t.currentSnapshot)
+      val newSnap = update(baseSnap)
       val won =
         try { writeSnapshot(spark, dir, nextId.toString, newSnap); true }
         catch {

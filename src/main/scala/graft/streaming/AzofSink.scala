@@ -108,8 +108,16 @@ object AzofSink {
       legacyAppIds: Seq[String] = Nil): Boolean = {
     val spark = batch.sparkSession
     val t = AzofTable(spark, lakehousePath, table)
-    val replayed = (appId +: legacyAppIds)
-      .exists(id => lastBatchId(t, id).exists(_ >= batchId))
+    // Legacy ids are consulted ONLY while the current appId has no stamp
+    // at all: any new-derivation stamp supersedes legacy ones (the first
+    // post-upgrade commit writes it), and legacy ids are never in
+    // `stream_batches`, so probing them unconditionally would pay the
+    // 50-snapshot lookback on EVERY micro-batch forever.
+    val replayed = lastBatchId(t, appId) match {
+      case Some(last) => last >= batchId
+      case None =>
+        legacyAppIds.exists(id => lastBatchId(t, id).exists(_ >= batchId))
+    }
     if (replayed) false
     else {
       val rows = batch.persist()

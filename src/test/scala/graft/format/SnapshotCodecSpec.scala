@@ -62,4 +62,19 @@ class SnapshotCodecSpec extends AnyFunSuite {
     assert(SnapshotCodec.parseTimestamp("2024-01-01T02:00:00.000+02:00") ==
       Instant.parse("2024-01-01T00:00:00Z"))
   }
+
+  test("stream_batches drops non-integral entries instead of mapping to 0") {
+    // asLong() would turn "oops" into 0, and a spurious appId -> 0 entry
+    // makes commitBatch treat that stream's batch 0 as a replay — the
+    // malformed entry must degrade away like every other ext field
+    val json =
+      """{"schema": {"columns": [
+        |  {"name": "value", "data_type": "String", "nullable": false}]},
+        | "segments": [{"id": "1", "start": "2024-01-01T00:00:00.000Z",
+        |               "segments": []}],
+        | "stream_batches": {"good": 7, "corrupt": "oops",
+        |                    "fractional": 3.5, "nully": null}}""".stripMargin
+    val snap = SnapshotCodec.parse(json)
+    assert(snap.streamBatches == Map("good" -> 7L))
+  }
 }

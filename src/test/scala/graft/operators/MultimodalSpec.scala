@@ -235,4 +235,46 @@ class MultimodalSpec extends AnyFunSuite {
         assert(Multimodal.imageDecode(1L, b).isEmpty)
     }
   }
+
+  /** A syntactically valid PNG whose IHDR CLAIMS w×h but carries no
+    * pixel data — the decompression-bomb shape: tiny payload, raster
+    * allocation driven entirely by the header.
+    */
+  private def bombPng(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val typed = "IHDR".getBytes("US-ASCII") ++ ihdr
+    val crc = new java.util.zip.CRC32(); crc.update(typed)
+    java.nio.ByteBuffer.allocate(sig.length + 4 + typed.length + 4)
+      .put(sig).putInt(13).put(typed).putInt(crc.getValue.toInt)
+      .array()
+  }
+
+  test("decompression-bomb headers degrade to the stub, never allocate") {
+    // 100k × 100k claimed = a 40 GB raster if decoded; the dimension
+    // guard must bail header-only, well before any allocation
+    val bomb = bombPng(100000, 100000)
+    assert(Multimodal.looksLikeImage(bomb))
+    assert(Multimodal.imageResize(bomb, 4, 4).isEmpty)
+    assert(Multimodal.imageFeature(bomb, 16).isEmpty)
+
+    // metadata decode is header-only by construction and still reports
+    // the claimed dimensions — no raster involved
+    val meta = Multimodal.imageDecode(9L, bomb)
+    assert(meta.exists(m => m.width == 100000L && m.height == 100000L))
+
+    // the full pipeline degrades to the byte-sampling stub instead of
+    // killing the task
+    import spark.implicits._
+    val out = Multimodal.resize(spark,
+      Seq((9L, bomb)).toDF("doc_id", "payload"), 4, 4).collect()
+    assert(out.length == 1 && out(0).out_octets <= bomb.length.toLong)
+
+    // an in-cap image still takes the real path
+    assert(Multimodal.imageResize(pngBytes(20, 20), 4, 4).nonEmpty)
+  }
 }
