@@ -178,6 +178,7 @@ object AzofCli {
         val verb = if (opts.get("dry-run").exists(_.toBoolean)) "would delete"
           else "deleted"
         println(s"$verb data files: ${rep.deletedDataFiles.mkString(", ")}")
+        println(s"$verb staging debris: ${rep.deletedTmpFiles.mkString(", ")}")
         println(s"$verb snapshots: ${rep.deletedSnapshots.map("s" + _).mkString(", ")}")
         println(s"retained snapshots: ${rep.retainedSnapshots.map("s" + _).mkString(", ")}")
       case "sql" =>

@@ -28,6 +28,15 @@ final class AzofTable(val tableDir: Path, conf: Configuration) {
   def snapshot(id: String): Snapshot =
     SnapshotCodec.parse(readUtf8(new Path(tableDir, s"s$id.json")))
 
+  /** Read + classify `s{id}.json` ([[SnapshotCodec.classify]]). Read
+    * failures (missing file, transient store errors) propagate as
+    * IOExceptions — they are NOT corruption, and conflating them would
+    * let a commit silently fork past (or a vacuum delete) a live
+    * snapshot that merely failed one read.
+    */
+  def classifySnapshot(id: String): SnapshotCodec.DocClass =
+    SnapshotCodec.classify(readUtf8(new Path(tableDir, s"s$id.json")))
+
   def currentSnapshot: Snapshot = snapshot(currentVersion)
 
   /** Absolute paths of the pruned data-file set for `asOf`, in merge

@@ -16,6 +16,50 @@ import scala.jdk.CollectionConverters._
 object SnapshotCodec {
   private val mapper = new ObjectMapper()
 
+  /** Three-way classification of a snapshot document, for readers that
+    * must decide whether an unreadable `s{N}.json` is crash debris or a
+    * committed document they merely cannot understand:
+    *
+    *   - [[DocClass.Valid]] — parses as a snapshot; honor it.
+    *   - [[DocClass.WellFormedUnknown]] — a well-formed top-level JSON
+    *     object that does NOT parse as a snapshot. This is NOT crash
+    *     debris: a temp+rename writer never lands partial bytes, and a
+    *     crashed pre-staging writer leaves truncated (invalid) JSON —
+    *     a complete object this codec rejects is most plausibly a
+    *     NEWER engine's committed document. Skipping it would silently
+    *     fork its commit out of the chain; deleting it would destroy a
+    *     commit. Callers must fail loudly (the reference's contract:
+    *     serde errors are loud, never skipped —
+    *     crates/azof/src/metadata.rs:16-18).
+    *   - [[DocClass.Malformed]] — invalid/truncated JSON (or a bare
+    *     non-object scalar no engine generation would ever write): a
+    *     writer died mid-write. Never committed — `version.txt` only
+    *     ever names fully-written documents — so commit paths may skip
+    *     past it and vacuum may expire it.
+    *
+    * Read errors are out of scope by design: classification takes the
+    * document's BYTES, so a transient store/read failure surfaces as an
+    * IOException at the read site and is never conflated with
+    * corruption.
+    */
+  sealed trait DocClass
+  object DocClass {
+    final case class Valid(snapshot: Snapshot) extends DocClass
+    final case class WellFormedUnknown(error: Throwable) extends DocClass
+    final case class Malformed(error: Throwable) extends DocClass
+  }
+
+  def classify(json: String): DocClass =
+    scala.util.Try(parse(json)) match {
+      case scala.util.Success(s) => DocClass.Valid(s)
+      case scala.util.Failure(parseErr) =>
+        scala.util.Try(mapper.readTree(json)) match {
+          case scala.util.Success(n) if n != null && n.isObject =>
+            DocClass.WellFormedUnknown(parseErr)
+          case _ => DocClass.Malformed(parseErr)
+        }
+    }
+
   private val writeFmt: DateTimeFormatter =
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
       .withZone(ZoneOffset.UTC)

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import graft.format.AzofTable
+import graft.format.{AzofTable, SnapshotCodec}
 
 /** VACUUM for azof tables: expire old snapshot documents and delete data
   * files no retained snapshot references — the lakehouse maintenance
@@ -22,10 +22,16 @@ import graft.format.AzofTable
   */
 object AzofVacuum {
 
+  /** `deletedDataFiles` holds parquet data-file names only; swept
+    * `_tmp_*` staging debris (snapshot temps, parquet staging dirs) is
+    * reported separately in `deletedTmpFiles` so consumers that treat
+    * the data-file list as parquet names never see staging entries.
+    */
   final case class Report(
       deletedDataFiles: Seq[String],
       deletedSnapshots: Seq[Int],
-      retainedSnapshots: Seq[Int])
+      retainedSnapshots: Seq[Int],
+      deletedTmpFiles: Seq[String] = Seq.empty)
 
   /** Default retention age (1 hour) — matches the CLI default, and is
     * deliberately the PROGRAMMATIC default too: the writer lands the data
@@ -70,18 +76,44 @@ object AzofVacuum {
       }
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .sorted
+    // ONE parse pass: every snapshot document is read and classified
+    // exactly once (SnapshotCodec.classify); the corrupt set, the
+    // loud-abort check, and the referenced-file union below all derive
+    // from this map — on a 1000-commit table that's 1000 document reads
+    // per vacuum, not 2000. Read IOExceptions propagate: a transient
+    // read failure must never classify a live snapshot as debris (that
+    // would let vacuum delete its document and the data files only it
+    // references).
+    val docs: Map[Int, SnapshotCodec.DocClass] =
+      snapshotIds.map(id => id -> t.classifySnapshot(id.toString)).toMap
+
+    // A well-formed JSON object this codec cannot read is NOT crash
+    // debris — it may be a NEWER engine's committed document, and its
+    // referenced data files are unknowable here. Deleting it (or
+    // computing a referenced set without it) risks destroying a commit,
+    // so vacuum refuses the whole table loudly.
+    val unknown = docs.collect {
+      case (id, _: SnapshotCodec.DocClass.WellFormedUnknown) => id
+    }.toSeq.sorted
+    require(unknown.isEmpty,
+      s"snapshot${if (unknown.size > 1) "s" else ""} " +
+        unknown.map(i => s"s$i.json").mkString(", ") +
+        " parse as JSON but not as snapshots this engine can read " +
+        "(possibly committed by a newer engine version) — refusing to " +
+        "vacuum: their referenced data files are unknown")
+
     // ids beyond version.txt are debris from a crashed commit (snapshot
     // written, version bump lost) — expire them with the old ones, but
     // only past the retention age (they may be a commit IN FLIGHT).
-    // A snapshot document that fails to PARSE is the same debris one
-    // notch worse (a pre-temp+rename writer died mid-write): it was
-    // never committed — version.txt only ever names fully-written
-    // documents — so it is expireable regardless of the retention range
-    // and contributes nothing to the referenced set. The current
-    // snapshot must still parse; that failing is real corruption.
-    val corrupt = snapshotIds
-      .filter(id => scala.util.Try(t.snapshot(id.toString)).isFailure)
-      .toSet
+    // A MALFORMED document (truncated JSON — a pre-temp+rename writer
+    // died mid-write) is the same debris one notch worse: it was never
+    // committed — version.txt only ever names fully-written documents —
+    // so it is expireable regardless of the retention range and
+    // contributes nothing to the referenced set. The current snapshot
+    // must still parse; that failing is real corruption.
+    val corrupt = docs.collect {
+      case (id, _: SnapshotCodec.DocClass.Malformed) => id
+    }.toSet
     require(!corrupt.contains(current),
       s"current snapshot s$current.json is unreadable")
     val (retained, expiredAll) = snapshotIds.partition(id =>
@@ -97,8 +129,10 @@ object AzofVacuum {
     // VERSION AS OF dangling until the next vacuum finally expired it.
     val remaining = snapshotIds.filterNot(expired.contains)
     val referenced = remaining
-      .filterNot(corrupt.contains)
-      .flatMap(id => t.snapshot(id.toString).allFiles)
+      .flatMap(id => docs.get(id).toSeq.collect {
+        case SnapshotCodec.DocClass.Valid(s) => s
+      })
+      .flatMap(_.allFiles)
       .toSet
     val dataFiles = statuses
       .map(_.getPath.getName)
@@ -116,6 +150,6 @@ object AzofVacuum {
       tmpDebris.foreach(f => fs.delete(new Path(tableDir, f), true))
       expired.foreach(id => fs.delete(new Path(tableDir, s"s$id.json"), false))
     }
-    Report((garbage ++ tmpDebris).sorted, expired, retained)
+    Report(garbage.sorted, expired, retained, tmpDebris.sorted)
   }
 }

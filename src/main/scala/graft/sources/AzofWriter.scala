@@ -191,8 +191,18 @@ object AzofWriter {
       }
     if (!renamed) {
       scala.util.Try(f.delete(tmp, false))
-      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-        s"snapshot $target already exists (lost commit race)")
+      // A false rename does not always mean the target exists — some
+      // Hadoop FS implementations return false on transient failure.
+      // Re-check: only a present target is a lost commit race (which
+      // commitMeta's retry guard keys on); an absent one is a store
+      // fault that must surface as a plain IOException, not retry as a
+      // phantom conflict.
+      if (f.exists(target))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"snapshot $target already exists (lost commit race)")
+      else
+        throw new java.io.IOException(
+          s"rename $tmp -> $target returned false with no existing target (store fault, not a commit race)")
     }
   }
 
@@ -683,18 +693,33 @@ object AzofWriter {
       val t = new AzofTable(tableDir, spark.sessionState.newHadoopConf())
       var nextId = t.currentVersion.toLong + 1
       while (f.exists(new Path(tableDir, s"s$nextId.json"))) nextId += 1
-      // Parse base = highest existing snapshot; if that document is
-      // corrupt (a pre-temp+rename writer died mid-write, or the store
-      // lost bytes), fall back DOWNWARD to the highest parseable one, at
-      // worst version.txt's — the pointer only ever names fully-committed
-      // snapshots. nextId stays past the corrupt name so the retry never
-      // collides with it; the unreachable document is dead weight vacuum
-      // expires like any superseded snapshot.
-      val baseSnap = ((nextId - 1) to t.currentVersion.toLong by -1)
-        .view
-        .flatMap(id => scala.util.Try(t.snapshot(id.toString)).toOption)
-        .headOption
-        .getOrElse(t.currentSnapshot)
+      // Parse base = highest existing snapshot. The downward fallback is
+      // deliberately narrow (SnapshotCodec.classify): only MALFORMED
+      // documents (truncated JSON — a pre-temp+rename writer died
+      // mid-write; never committed) are skipped. A well-formed JSON
+      // object this codec cannot read may be a NEWER engine's committed
+      // document — skipping it would fork its commit out of the chain
+      // silently, so the commit refuses loudly instead. Read IOExceptions
+      // propagate: a transient read failure on a racer's committed
+      // snapshot must abort this commit, not base it on stale state.
+      // nextId stays past any skipped name so the retry never collides
+      // with it; malformed debris is dead weight vacuum expires.
+      val baseSnap = {
+        var id = nextId - 1
+        var found: Option[Snapshot] = None
+        while (found.isEmpty && id >= t.currentVersion.toLong) {
+          t.classifySnapshot(id.toString) match {
+            case SnapshotCodec.DocClass.Valid(s) => found = Some(s)
+            case SnapshotCodec.DocClass.WellFormedUnknown(e) =>
+              throw new IllegalStateException(
+                s"snapshot s$id.json is well-formed JSON but not a " +
+                  "snapshot this engine can read (possibly committed by " +
+                  "a newer engine version) — refusing to commit past it", e)
+            case SnapshotCodec.DocClass.Malformed(_) => id -= 1
+          }
+        }
+        found.getOrElse(t.currentSnapshot)
+      }
       val newSnap = update(baseSnap)
       val won =
         try { writeSnapshot(spark, dir, nextId.toString, newSnap); true }

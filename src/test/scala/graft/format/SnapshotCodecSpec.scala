@@ -77,4 +77,24 @@ class SnapshotCodecSpec extends AnyFunSuite {
     val snap = SnapshotCodec.parse(json)
     assert(snap.streamBatches == Map("good" -> 7L))
   }
+
+  test("classify: valid / well-formed-unknown / malformed three-way split") {
+    import SnapshotCodec.DocClass._
+    // every reference fixture classifies Valid
+    assert(SnapshotCodec.classify(readRef("financials/s1.json"))
+      .isInstanceOf[Valid])
+    // complete JSON objects this codec cannot read are NOT debris —
+    // plausibly a newer engine's committed document
+    assert(SnapshotCodec.classify("{\"racer\": true}")
+      .isInstanceOf[WellFormedUnknown])
+    assert(SnapshotCodec.classify(
+      "{\"format_version\": 99, \"segments_v2\": []}")
+      .isInstanceOf[WellFormedUnknown])
+    // truncated / invalid JSON and non-object scalars are crash debris
+    assert(SnapshotCodec.classify("{\"schema\": {\"col")
+      .isInstanceOf[Malformed])
+    assert(SnapshotCodec.classify("").isInstanceOf[Malformed])
+    assert(SnapshotCodec.classify("5").isInstanceOf[Malformed])
+    assert(SnapshotCodec.classify("[1, 2]").isInstanceOf[Malformed])
+  }
 }

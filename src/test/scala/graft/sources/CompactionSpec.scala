@@ -106,20 +106,53 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
-  test("concurrent commit loses cleanly: existing s{N}.json is never clobbered") {
+  test("a well-formed foreign snapshot blocks the commit loudly and is never clobbered") {
     val lake = build()
-    // simulate a racing writer that already landed the next snapshot id
+    // a COMPLETE JSON object at the next id that this engine cannot read
+    // as a snapshot — possibly a newer engine's committed document, NOT
+    // crash debris (that would be truncated JSON, see CrashRecoverySpec):
+    // the commit must refuse rather than fork history past it
     val next = AzofTable(spark, lake, "t").currentVersion.toLong + 1
     val f = new java.io.File(new java.io.File(lake, "t"), s"s$next.json")
     java.nio.file.Files.writeString(f.toPath, "{\"racer\": true}")
     val before = java.nio.file.Files.readString(f.toPath)
-    intercept[Exception] {
+    val err = intercept[IllegalStateException] {
       AzofWriter.commitDelta(spark, lake, "t", df(
         ("9", "2024-03-20T00:00:00Z", "z1")),
         ts("2024-03-15T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
     }
-    // the racer's snapshot survives untouched
+    assert(err.getMessage.contains("newer engine"))
+    // the foreign snapshot survives untouched
     assert(java.nio.file.Files.readString(f.toPath) == before)
+  }
+
+  test("a VALID racing snapshot is honored as parse base: loser retries to N+1") {
+    val lake = build()
+    val t = AzofTable(spark, lake, "t")
+    val next = t.currentVersion.toLong + 1
+    // simulate a racing writer whose s{next}.json landed but whose
+    // version.txt bump hasn't: a valid snapshot carrying a marker entry
+    // this commit does not write itself
+    val racerSnap = t.currentSnapshot.copy(
+      streamBatches =
+        t.currentSnapshot.streamBatches + ("racer-app" -> 7L),
+      op = Some("racer"))
+    AzofWriter.writeSnapshot(spark, s"$lake/t", next.toString, racerSnap)
+    val racerPath = java.nio.file.Paths.get(lake, "t", s"s$next.json")
+    val racerBytes = java.nio.file.Files.readString(racerPath)
+
+    AzofWriter.commitDelta(spark, lake, "t", df(
+      ("9", "2024-03-20T00:00:00Z", "z1")),
+      ts("2024-03-15T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
+
+    // the racer's snapshot is never clobbered; the loser lands one past
+    // it, and its update is applied ON the racer's state (the marker
+    // carries through) — the Delta-log-style optimistic contract
+    assert(java.nio.file.Files.readString(racerPath) == racerBytes)
+    val after = AzofTable(spark, lake, "t")
+    assert(after.currentVersion.toLong == next + 1)
+    assert(after.currentSnapshot.streamBatches.get("racer-app").contains(7L))
+    assert(vals(lake, AsOf.Current).contains("9" -> "z1"))
   }
 
   test("commits after compaction layer onto the new open segment") {

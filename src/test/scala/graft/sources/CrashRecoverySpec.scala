@@ -71,6 +71,37 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(kv(lake, "t") == Seq("1" -> "a1", "2" -> "b1", "3" -> "c1"))
   }
 
+  test("a well-formed-unknown snapshot is NOT debris: commit and vacuum refuse loudly") {
+    val lake = Files.createTempDirectory("azof-crash4").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))
+
+    // a COMPLETE JSON object past version.txt that this codec cannot
+    // read as a snapshot: plausibly a newer engine's committed document.
+    // Unlike the truncated case above, skipping it would fork its commit
+    // away and deleting it would destroy a commit — both must refuse.
+    val foreign = Paths.get(lake, "t", "s3.json")
+    Files.write(foreign,
+      "{\"format_version\": 99, \"segments_v2\": []}".getBytes("UTF-8"))
+
+    val commitErr = intercept[IllegalStateException] {
+      AzofWriter.commitDelta(spark, lake, "t",
+        df(("2", "2024-02-05T00:00:00Z", "b1")),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+    }
+    assert(commitErr.getMessage.contains("newer engine"))
+
+    val vacuumErr = intercept[IllegalArgumentException] {
+      AzofVacuum.vacuum(spark, lake, "t", keepLast = 10, minAgeMs = 0L)
+    }
+    assert(vacuumErr.getMessage.contains("s3.json"))
+    // the document survives both refusals
+    assert(Files.exists(foreign))
+    // and the table itself still reads fine at its committed version
+    assert(kv(lake, "t") == Seq("1" -> "a1"))
+  }
+
   test("snapshot writes are staged: no partial final file, no tmp residue") {
     val lake = Files.createTempDirectory("azof-crash2").toString
     AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
@@ -104,7 +135,11 @@ class CrashRecoverySpec extends AnyFunSuite {
       Array[Byte](1, 2, 3))
 
     val rep = AzofVacuum.vacuum(spark, lake, "t", keepLast = 10, minAgeMs = 0L)
-    assert(rep.deletedDataFiles.exists(_.startsWith("_tmp_")))
+    // staging debris is reported in its own field — deletedDataFiles
+    // stays parquet-data-file names only
+    assert(rep.deletedTmpFiles.nonEmpty)
+    assert(rep.deletedTmpFiles.forall(_.startsWith("_tmp_")))
+    assert(!rep.deletedDataFiles.exists(_.startsWith("_tmp_")))
     assert(!Files.exists(Paths.get(lake, "t", "_tmp_snap_dead.json")))
     assert(!Files.exists(Paths.get(lake, "t", "_tmp_deaddir")))
     assert(kv(lake, "t") == Seq("1" -> "a1"))
