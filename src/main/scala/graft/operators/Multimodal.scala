@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * alongside. The Spark-side contract — schema, partition-parallel batch
   * decode via `mapPartitions`, typed output — is real and tested.
   *
-  * The decode itself is two-tier: payloads carrying a known image magic
+  * The decode itself is tiered: payloads carrying a known image magic
   * number (PNG/JPEG/GIF/BMP) go through a REAL pure-JVM codec
-  * ([[imageDecode]], `javax.imageio` — ships in the JDK, no native
-  * deps), everything else falls back to [[fakeDecode]], a deterministic
-  * stand-in keyed on payload bytes (audio/video codecs are not in this
-  * container; a production build adds decoders to the same slot).
+  * ([[imageDecode]], `javax.imageio`), WAV/AIFF audio goes through the
+  * JDK's real `javax.sound.sampled` header parser ([[audioDecode]]) —
+  * both ship in the JDK, no native deps — and everything else falls
+  * back to [[fakeDecode]], a deterministic stand-in keyed on payload
+  * bytes (compressed-audio/video codecs are not in this container; a
+  * production build adds decoders to the same slots).
   */
 object Multimodal {
 
@@ -57,6 +59,53 @@ object Multimodal {
     (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') ||
     (b.length >= 14 && b(0) == 'B' && b(1) == 'M')
+
+  /** True iff the payload starts with a RIFF/WAVE or FORM/AIFF container
+    * magic — the two audio families the JDK's `javax.sound.sampled`
+    * parses out of the box. Same gating rationale as [[looksLikeImage]]:
+    * decode engagement is a pure function of the leading bytes, so no
+    * text payload can accidentally reach a lenient parser.
+    */
+  def looksLikeAudio(b: Array[Byte]): Boolean =
+    (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E') ||
+    (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+      b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
+      (b(11) == 'F' || b(11) == 'C'))
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF) —
+    * header-only: `AudioSystem.getAudioFileFormat` parses the container
+    * header without decoding samples, so nothing is allocated from
+    * header-claimed sizes (no decompression-bomb surface, unlike the
+    * image raster path that needs [[MaxDecodePixels]]). [[MediaMeta]]
+    * reuses its image-named fields for the audio axes: `width` = sample
+    * rate (Hz), `height` = channel count, `n_frames` = sample-frame
+    * count — duration in seconds follows as `n_frames / width`.
+    * `checksum` = CRC-32 of the payload, as for images. None when the
+    * parser rejects the bytes — callers fall back to [[fakeDecode]].
+    */
+  def audioDecode(docId: Long, payload: Array[Byte]): Option[MediaMeta] =
+    try {
+      val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ff.getFormat
+      val rate = fmt.getSampleRate
+      val channels = fmt.getChannels
+      val frames = ff.getFrameLength
+      if (rate <= 0 || channels <= 0 || frames < 0) None
+      else {
+        val crc = new java.util.zip.CRC32()
+        crc.update(payload)
+        Some(MediaMeta(
+          doc_id = docId,
+          octets = payload.length.toLong,
+          width = rate.toLong,
+          height = channels.toLong,
+          n_frames = frames.toLong,
+          checksum = crc.getValue))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Pixel-count cap for FULL decodes (feature/resize/frame paths):
     * `ImageIO.read` allocates the raster from header-CLAIMED dimensions,
@@ -142,7 +191,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          (if (looksLikeImage(bytes)) imageDecode(id, bytes) else None)
+          (if (looksLikeImage(bytes)) imageDecode(id, bytes)
+           else if (looksLikeAudio(bytes)) audioDecode(id, bytes)
+           else None)
             .getOrElse(fakeDecode(id, bytes))
         }
       }

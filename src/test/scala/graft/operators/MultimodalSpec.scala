@@ -228,6 +228,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stub.flatMap(_.frame_payload).toSeq == txt.toSeq)
   }
 
+  /** A real PCM WAV/AIFF container built by the JDK's own encoder. */
+  private def audioBytes(
+      tpe: javax.sound.sampled.AudioFileFormat.Type,
+      rate: Float, channels: Int, seconds: Double): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate, 16, channels, true, tpe.toString == "AIFF")
+    val frames = (rate * seconds).toLong
+    val pcm = new Array[Byte]((frames * channels * 2).toInt)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode: WAV/AIFF headers yield true rate/channels/frames") {
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+    val wav = audioBytes(wave, rate = 8000f, channels = 2, seconds = 1.5)
+    val aif = audioBytes(aiff, rate = 11025f, channels = 1, seconds = 0.5)
+    assert(Multimodal.looksLikeAudio(wav) && Multimodal.looksLikeAudio(aif))
+    assert(!Multimodal.looksLikeImage(wav))
+
+    val df = Seq((1L, wav), (2L, aif),
+      (3L, "RIFF but not really audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val metas = Multimodal.decodeMeta(spark, df).collect()
+      .map(m => m.doc_id -> m).toMap
+
+    // width = sample rate, height = channels, n_frames = sample frames;
+    // duration reconstructs from the REAL header: frames / rate
+    assert(metas(1L).width == 8000L && metas(1L).height == 2L)
+    assert(metas(1L).n_frames == 12000L) // 1.5 s at 8 kHz
+    assert(metas(1L).n_frames.toDouble / metas(1L).width == 1.5)
+    val crc = new java.util.zip.CRC32(); crc.update(wav)
+    assert(metas(1L).checksum == crc.getValue)
+
+    assert(metas(2L).width == 11025L && metas(2L).height == 1L)
+    assert(metas(2L).n_frames == 5512L) // 0.5 s at 11.025 kHz
+
+    // "RIFF" text without the WAVE tag never engages the parser
+    assert(metas(3L) ==
+      Multimodal.fakeDecode(3L, "RIFF but not really audio".getBytes("UTF-8")))
+  }
+
+  test("corrupt audio magic degrades to the stub, not a crash") {
+    // valid RIFF/WAVE magic, truncated body — the parser must reject it
+    // and the pipeline must fall back deterministically
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val broken = audioBytes(wave, 8000f, 1, 0.25).take(16)
+    assert(Multimodal.looksLikeAudio(broken))
+    assert(Multimodal.audioDecode(1L, broken).isEmpty)
+    val df = Seq((1L, broken)).toDF("doc_id", "payload")
+    val m = Multimodal.decodeMeta(spark, df).collect().head
+    assert(m == Multimodal.fakeDecode(1L, broken))
+  }
+
   test("magic sniffing never claims text payloads") {
     Seq("plain text", "BM-prefixed but short", "GIF8 not quite").foreach { s =>
       val b = s.getBytes("UTF-8")
