@@ -21,8 +21,39 @@ final class AzofTable(val tableDir: Path, conf: Configuration) {
     finally in.close()
   }
 
-  /** `version.txt` → current snapshot id (reference: table.rs:35-41). */
-  def currentVersion: String = readUtf8(new Path(tableDir, "version.txt")).trim
+  /** `version.txt` → current snapshot id (reference: table.rs:35-41).
+    *
+    * Bounded retry on a missing/empty pointer: the writer replaces the
+    * pointer by atomic rename where the store supports it, but on
+    * rename-refusing stores (HDFS) the replace is delete+rename with a
+    * brief pointer-ABSENT window; a reader landing inside it would
+    * otherwise fail a healthy table. Five backoff probes (~300 ms
+    * total) cover that window; a pointer still absent afterwards is a
+    * real error (not an azof table, or a dead store).
+    */
+  def currentVersion: String = {
+    var attempt = 0
+    var result: Option[String] = None
+    while (result.isEmpty) {
+      val raw =
+        try Some(readUtf8(new Path(tableDir, "version.txt")))
+        catch {
+          case e: java.io.FileNotFoundException =>
+            if (attempt >= 5) throw e
+            None
+        }
+      raw.map(_.trim).filter(_.nonEmpty) match {
+        case some @ Some(_) => result = some
+        case None =>
+          if (attempt >= 5)
+            throw new java.io.IOException(
+              s"version.txt in $tableDir is empty after retries")
+          attempt += 1
+          Thread.sleep(10L << attempt)
+      }
+    }
+    result.get
+  }
 
   /** `s{id}.json` → parsed snapshot (reference: table.rs:21-33). */
   def snapshot(id: String): Snapshot =

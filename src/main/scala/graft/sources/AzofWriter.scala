@@ -162,15 +162,15 @@ object AzofWriter {
     * A crash can only orphan a `_tmp_snap_*` file, which nothing ever
     * parses and vacuum ages out.
     *
-    * Store requirement: the exists-check + rename guard is exactly as
-    * strong as the store's rename semantics. HDFS refuses a rename onto
-    * an existing file atomically; Hadoop's local filesystem and plain
-    * S3A check-then-act, so two same-instant committers can in principle
-    * both pass (S3 conditional writes / a DynamoDB-style LogStore close
-    * that gap on object stores — out of scope here; single-writer or
-    * HDFS deployments are unaffected). The data files themselves are
-    * immune either way: they are uniquely named, so a metadata race
-    * never cross-links another writer's bytes.
+    * The publish step goes through the pluggable [[CommitGuard]]: the
+    * default exists-check + rename is exactly as strong as the store's
+    * rename semantics (HDFS refuses a rename onto an existing file
+    * atomically; Hadoop's local filesystem and plain S3A check-then-act,
+    * so two same-instant committers can in principle both pass). On
+    * object stores, registering a conditional-put guard under
+    * `spark.azof.commitGuard.<scheme>` closes that window exactly. The
+    * data files themselves are immune either way: they are uniquely
+    * named, so a metadata race never cross-links another writer's bytes.
     */
   def writeSnapshot(
       spark: SparkSession,
@@ -182,32 +182,52 @@ object AzofWriter {
     val tmp = new Path(dir, s"_tmp_snap_${UUID.randomUUID().toString}.json")
     val f = fs(spark, target)
     writeUtf8(spark, tmp, SnapshotCodec.render(snapshot))
-    val renamed =
-      try {
-        if (f.exists(target)) false else f.rename(tmp, target)
-      } catch {
+    val won =
+      try CommitGuard.forPath(spark, target).publish(f, tmp, target)
+      catch {
         case scala.util.control.NonFatal(e) =>
           scala.util.Try(f.delete(tmp, false)); throw e
       }
-    if (!renamed) {
+    if (!won) {
       scala.util.Try(f.delete(tmp, false))
-      // A false rename does not always mean the target exists — some
-      // Hadoop FS implementations return false on transient failure.
-      // Re-check: only a present target is a lost commit race (which
-      // commitMeta's retry guard keys on); an absent one is a store
-      // fault that must surface as a plain IOException, not retry as a
-      // phantom conflict.
-      if (f.exists(target))
-        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-          s"snapshot $target already exists (lost commit race)")
-      else
-        throw new java.io.IOException(
-          s"rename $tmp -> $target returned false with no existing target (store fault, not a commit race)")
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"snapshot $target already exists (lost commit race)")
     }
+    // a winning guard may consume tmp (rename) or leave it (copy-based
+    // conditional put) — either way nothing may linger
+    scala.util.Try(if (f.exists(tmp)) f.delete(tmp, false))
+    ()
   }
 
-  def writeVersion(spark: SparkSession, tableDir: String, id: String): Unit =
-    writeUtf8(spark, new Path(tableDir, "version.txt"), id)
+  /** Move the version pointer — atomically where the store allows it.
+    * The pointer is the ONE mutable object in the format, so it is
+    * staged and renamed over the old value (atomic replace under POSIX
+    * rename semantics): a direct create-truncate-write exposes any
+    * concurrent reader to an EMPTY pointer mid-write — observed as a
+    * `NumberFormatException: ""` under racing committers. Stores that
+    * refuse rename-onto-existing (HDFS) fall back to delete+rename,
+    * whose brief pointer-ABSENT window is covered by the bounded
+    * reader-side retry in [[graft.format.AzofTable.currentVersion]].
+    */
+  def writeVersion(spark: SparkSession, tableDir: String, id: String): Unit = {
+    val dir = new Path(tableDir)
+    val target = new Path(dir, "version.txt")
+    val tmp = new Path(dir, s"_tmp_ver_${UUID.randomUUID().toString}")
+    val f = fs(spark, dir)
+    writeUtf8(spark, tmp, id)
+    if (!f.rename(tmp, target)) {
+      if (f.exists(target)) { f.delete(target, false); () }
+      if (!f.rename(tmp, target)) {
+        scala.util.Try(f.delete(tmp, false))
+        // a racing writer may have just replaced the pointer — the
+        // pointer is forward-only on every writer, so that is fine;
+        // a still-absent target is a real store fault
+        if (!f.exists(target))
+          throw new java.io.IOException(
+            s"failed to move version pointer $target")
+      }
+    }
+  }
 
   /** Create a table with one open segment and no data (snapshot 1). */
   def createTable(

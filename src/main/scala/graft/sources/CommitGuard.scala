@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Pluggable atomic-publish hook for snapshot documents — the seam that
+  * closes [[AzofWriter.writeSnapshot]]'s check-then-act window on stores
+  * whose rename is not create-if-absent-atomic.
+  *
+  * The default [[CommitGuard.Rename]] keeps the existing behavior:
+  * exists-check + rename, exactly as strong as the store's rename
+  * semantics (HDFS refuses a rename onto an existing file atomically;
+  * Hadoop's local filesystem and plain S3A check-then-act). An S3-class
+  * deployment registers a guard backed by its store's conditional
+  * primitive — S3 `If-None-Match` PUT, a DynamoDB-style LogStore, GCS
+  * `ifGenerationMatch: 0` — under
+  * `spark.azof.commitGuard.<scheme> = <fully.qualified.ClassName>`
+  * (zero-arg constructor, one instance cached per class); every azof
+  * commit on paths of that scheme then publishes through it.
+  */
+trait CommitGuard {
+
+  /** Publish the fully-staged document at `tmp` as `target` iff `target`
+    * does not exist. Returns true when this writer won (target now holds
+    * the staged bytes), false when the target already exists — a lost
+    * commit race, which [[AzofWriter]] turns into a re-read-and-retry.
+    * Any other failure (store fault) must THROW, never return false:
+    * a false return tells the committer a competing snapshot exists at
+    * this id, and it will silently retry at the next one.
+    *
+    * `tmp` cleanup on the false/throw paths is the caller's job; on the
+    * true path the implementation consumes `tmp` (rename) or may leave
+    * it for the caller to delete.
+    */
+  def publish(fs: FileSystem, tmp: Path, target: Path): Boolean
+}
+
+object CommitGuard {
+
+  /** Default guard: exists-check + rename. A false rename re-checks the
+    * target so a store fault surfaces as an IOException instead of a
+    * phantom lost race (some Hadoop FS implementations return false on
+    * transient failure).
+    */
+  object Rename extends CommitGuard {
+    override def publish(fs: FileSystem, tmp: Path, target: Path): Boolean =
+      if (fs.exists(target)) false
+      else if (fs.rename(tmp, target)) true
+      else if (fs.exists(target)) false
+      else throw new java.io.IOException(
+        s"rename $tmp -> $target returned false with no existing target (store fault, not a commit race)")
+  }
+
+  private val cache = new ConcurrentHashMap[String, CommitGuard]()
+
+  /** Resolve the guard for `target`'s URI scheme:
+    * `spark.azof.commitGuard.<scheme>` names a [[CommitGuard]] class, or
+    * [[Rename]] when unset. Scheme-less paths resolve as `file`.
+    */
+  def forPath(spark: SparkSession, target: Path): CommitGuard = {
+    val scheme = Option(target.toUri.getScheme).getOrElse("file")
+    spark.conf.getOption(s"spark.azof.commitGuard.$scheme") match {
+      case None => Rename
+      case Some(cls) =>
+        cache.computeIfAbsent(cls, c =>
+          Class.forName(c).getDeclaredConstructor()
+            .newInstance().asInstanceOf[CommitGuard])
+    }
+  }
+}

@@ -1,0 +1,144 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format._
+import graft.operators.AzofScan
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A CommitGuard backed by an ATOMIC create-if-absent claim
+  * (`java.nio.file.Files.createFile` — POSIX O_CREAT|O_EXCL), the test
+  * stand-in for an object store's conditional primitive (S3
+  * `If-None-Match` PUT, GCS `ifGenerationMatch: 0`): the claim either
+  * wins or observes the competing snapshot, with no exists-then-rename
+  * window at all. A real conditional PUT lands claim+content in one op;
+  * here the winner copies the staged bytes into its claimed slot.
+  */
+class ConditionalCreateGuard extends CommitGuard {
+  override def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+    val local = java.nio.file.Paths.get(target.toUri.getPath)
+    val claimed =
+      try { java.nio.file.Files.createFile(local); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (claimed) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(tmp.toUri.getPath), local,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ConditionalCreateGuard.publishes.incrementAndGet()
+      true
+    } else false
+  }
+}
+
+object ConditionalCreateGuard {
+  /** Observability hook: proves the guard (not the default rename path)
+    * carried the commits in the racing spec.
+    */
+  val publishes = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Concurrent committers through the pluggable [[CommitGuard]]: on a
+  * scheme with a conditional-put guard registered, racing writers must
+  * ALL survive — each lost race re-reads and retries at the next id —
+  * and the resulting history must be strictly serialized: one snapshot
+  * per commit, each based on its predecessor, no update lost.
+  */
+class CommitGuardSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.sparkContext.hadoopConfiguration.set(
+      "fs.testdfs.impl", classOf[TestDfsFileSystem].getName)
+    s.conf.set("spark.hadoop.fs.testdfs.impl",
+      classOf[TestDfsFileSystem].getName)
+    s.conf.set("spark.azof.commitGuard.testdfs",
+      classOf[ConditionalCreateGuard].getName)
+    s
+  }
+
+  private val schema = TableSchema(Seq(
+    ColumnDef("value", ColumnType.AzString, nullable = false)))
+
+  private def ts(s: String) = Instant.parse(s)
+
+  private def df(rows: (String, String, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, t, v) =>
+        Row(k, Timestamp.from(ts(t)), v) }),
+      schema.toStruct)
+
+  test("racing writers all survive with serialized history on the guarded scheme") {
+    val lake = "testdfs:" + Files.createTempDirectory("azof-guard").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("0", "2024-01-02T00:00:00Z", "base")))
+    val baseVersion = AzofTable(spark, lake, "t").currentVersion.toLong
+    val guardCallsBefore = ConditionalCreateGuard.publishes.get()
+
+    // 4 writers race one commit each (commitMeta's bounded retry covers
+    // up to maxRetries lost races per writer)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() =>
+        try {
+          AzofWriter.commitDelta(spark, lake, "t",
+            df((i.toString, s"2024-02-0${i}T00:00:00Z", s"v$i")),
+            ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+        } catch { case e: Throwable => failures.add(e); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(failures.isEmpty,
+      s"racing writer died: ${Option(failures.peek()).map(_.toString)}")
+
+    // one more serial commit re-converges the (bounded, documented)
+    // pointer race window before asserting on version.txt
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("9", "2024-02-09T00:00:00Z", "v9")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+
+    val t = AzofTable(spark, lake, "t")
+    // serialized history: exactly one snapshot per commit, all parseable
+    assert(t.currentVersion.toLong == baseVersion + 5)
+    (1L to 5L).foreach { d =>
+      assert(SnapshotCodec.parse(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          new Path(lake, "t").toUri.getPath, s"s${baseVersion + d}.json")),
+          "UTF-8")) != null)
+    }
+    // no lost update: the head snapshot carries every writer's delta...
+    val deltas = t.currentSnapshot.segments.find(_.end.isEmpty).get.delta
+    assert(deltas.size == 5, s"lost update: ${deltas.size} of 5 deltas survive")
+    // ...and every row is visible
+    val kv = AzofScan.scan(spark, lake, "t", AsOf.Current)
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(kv == Seq("0" -> "base", "1" -> "v1", "2" -> "v2",
+      "3" -> "v3", "4" -> "v4", "9" -> "v9"))
+    // the guard, not the default rename path, carried the racing commits
+    assert(ConditionalCreateGuard.publishes.get() - guardCallsBefore >= 5)
+    // no staging residue from any lost race
+    val stray = java.nio.file.Files.list(
+        java.nio.file.Paths.get(new Path(lake, "t").toUri.getPath))
+      .toArray.map(_.toString).filter(_.contains("_tmp_snap_"))
+    assert(stray.isEmpty, s"staging residue: ${stray.mkString(",")}")
+  }
+
+  test("guard resolution is per-scheme; unguarded schemes keep the rename path") {
+    // local (file) paths have no guard registered -> Rename default
+    val lake = Files.createTempDirectory("azof-guard-local").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    val before = ConditionalCreateGuard.publishes.get()
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))
+    assert(ConditionalCreateGuard.publishes.get() == before)
+    // and first-writer-wins still holds on the default path
+    val snap = AzofTable(spark, lake, "t").currentSnapshot
+    intercept[java.io.IOException] {
+      AzofWriter.writeSnapshot(spark, s"$lake/t", "2", snap)
+    }
+  }
+}
