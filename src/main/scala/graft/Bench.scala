@@ -45,12 +45,36 @@ object Bench {
       // ones, so a future inflated total can be diagnosed from the JSON
       name -> ((times.min, times.max - times.min))
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, s)) => s"\"" + k + "\":" + s }
-      .mkString("{", ",", "}")
+    // One compact JSON line: per query [min, max-min], millisecond
+    // precision. The driver records only the LAST 2000 chars of this
+    // output, so full-precision doubles would push the head of the
+    // query map out of the visible window — rounding keeps every
+    // query's time AND spread inside it (spread separates box
+    // contention from a real regression without a rerun).
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // ascending by time: if the line still overruns the window, the
+    // clipped head holds only the cheapest queries — every expensive or
+    // high-spread entry stays visible at the tail end
+    val qs = results.toSeq.sortBy(_._2._1).map { case (k, (v, s)) =>
+      "\"" + k + "\":[" + r3(v) + "," + r3(s) + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // full precision for offline analysis, refreshed on every run
+    scala.util.Try {
+      val out = java.nio.file.Paths.get("docs", "BENCH_LATEST.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      val full = results.map { case (k, (v, s)) =>
+        s"""  "$k": {"t": $v, "spread": $s}"""
+      }.mkString(
+        s"""{\n  "_total_sec": $total,\n  "_sf": "$sfDir",\n""",
+        ",\n", "\n}\n")
+      java.nio.file.Files.write(out,
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -38,6 +38,15 @@ import org.apache.spark.sql.functions._
   * later-starting file; use by-key layouts only for tables read by this
   * engine.
   *
+  * Compatibility mode: `spark.azof.strictPrecedence = true` (off by
+  * default) orders the dedup window by `(precedence asc, event_time
+  * desc)` instead — per-key winners resolve by file precedence FIRST,
+  * bit-for-bit the reference's first-seen-wins semantics on files
+  * following its event-time-descending row convention
+  * (lakehouse.rs:57-79). Opt in when a table is shared with a reference
+  * reader/writer and its layout may carry overlapping delta windows, so
+  * both engines surface identical rows in both directions.
+  *
   * Spark plan shape: ONE parquet scan over the pruned file list — not a
   * union of per-file scans, whose plan size would grow with the file
   * count (a delta-heavy table can resolve to thousands of files) — with
@@ -195,10 +204,19 @@ object AzofScan {
     // whichever row the shuffle happened to deliver first). Identical
     // rows still tie, but then every choice is the same row.
     val allCols = schema.allColumnNames.map(col)
+    // default: newest event_time wins, precedence breaks exact ties;
+    // strict mode (see the divergence note above): precedence wins
+    // outright, matching the reference's first-seen-wins row loop on
+    // overlapping delta windows
+    val strict = spark.conf.getOption("spark.azof.strictPrecedence")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val ordering =
+      (if (strict) Seq(col(Prec).asc, col(TableSchema.EventTimeName).desc)
+       else Seq(col(TableSchema.EventTimeName).desc, col(Prec).asc)) :+
+        xxhash64(allCols: _*).asc
     val w = Window
       .partitionBy(TableSchema.KeyName)
-      .orderBy(col(TableSchema.EventTimeName).desc, col(Prec).asc,
-        xxhash64(allCols: _*).asc)
+      .orderBy(ordering: _*)
 
     inRange
       .withColumn(Rn, row_number().over(w))

@@ -146,4 +146,57 @@ class AzofScanSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("key", "event_time", "value"))
     assert(df.schema(TableSchema.KeyName).dataType.typeName == "string")
   }
+
+  test("strictPrecedence mode reproduces reference first-seen-wins on overlapping windows") {
+    // The ONE layout where the engines diverge: delta windows OVERLAP
+    // and the higher-precedence file (newest window start) carries an
+    // OLDER in-window row for a key the other file updates. Default
+    // mode keeps the globally newest event_time; strict mode resolves
+    // by file precedence first — the reference's row loop
+    // (lakehouse.rs:57-79) on its event-time-descending file convention.
+    val lake2 = java.nio.file.Files.createTempDirectory("azof-strict").toString
+    val schema = TableSchema(Seq(
+      graft.format.ColumnDef("value", graft.format.ColumnType.AzString,
+        nullable = false)))
+    graft.sources.AzofWriter.createTable(spark, lake2, "t", schema,
+      Instant.parse("2024-01-01T00:00:00Z"))
+    def row(k: String, t: String, v: String) =
+      Row(k, java.sql.Timestamp.from(Instant.parse(t)), v)
+    def commit(rows: Seq[Row], start: String, end: String): Unit =
+      graft.sources.AzofWriter.commitDelta(spark, lake2, "t",
+        spark.createDataFrame(spark.sparkContext.parallelize(rows),
+          schema.toStruct),
+        Instant.parse(start), Instant.parse(end))
+    // lower precedence (older window start): key 1's NEWER row
+    commit(Seq(row("1", "2024-01-20T00:00:00Z", "newer-low-prec"),
+      row("2", "2024-01-05T00:00:00Z", "b1")),
+      "2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z")
+    // higher precedence (newest window start), overlapping window:
+    // key 1's OLDER row
+    commit(Seq(row("1", "2024-01-15T00:00:00Z", "older-high-prec")),
+      "2024-01-10T00:00:00Z", "2024-02-01T00:00:00Z")
+
+    def kv(): Seq[(String, String)] =
+      AzofScan.scan(spark, lake2, "t", AsOf.Current)
+        .select("key", "value").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+
+    // default: event-time-consistent — globally newest row wins
+    assert(kv() == Seq("1" -> "newer-low-prec", "2" -> "b1"))
+    // strict: reference parity — precedence wins outright
+    spark.conf.set("spark.azof.strictPrecedence", "true")
+    try assert(kv() == Seq("1" -> "older-high-prec", "2" -> "b1"))
+    finally spark.conf.unset("spark.azof.strictPrecedence")
+    // and the modes AGREE on every reference fixture (windows there
+    // partition time): strict mode changes nothing on table0/1/2
+    spark.conf.set("spark.azof.strictPrecedence", "true")
+    try {
+      assert(keyValues(AsOf.Current, "table0") ==
+        Seq("1" -> "abc2", "2" -> "xyz2", "3" -> "www2"))
+      assert(keyValues(at("2024-02-17T00:00:00Z"), "table0") ==
+        Seq("1" -> "abc2", "2" -> "xyz"))
+      assert(keyValues(AsOf.Current, "table1") ==
+        Seq("1" -> "abc4", "2" -> "xyz3"))
+    } finally spark.conf.unset("spark.azof.strictPrecedence")
+  }
 }
