@@ -107,6 +107,93 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Byte cap for FULL PCM decodes (audio feature/frame paths): the
+    * frame count is header-CLAIMED, so a hostile container could demand
+    * an arbitrarily large sample buffer — the audio analogue of
+    * [[MaxDecodePixels]]. 64 MB covers ~6 min of 44.1 kHz stereo 16-bit.
+    */
+  private[operators] val MaxAudioBytes: Long = 64L * 1024 * 1024
+
+  /** Decode a WAV/AIFF payload's FULL PCM to channel-averaged samples in
+    * [-1, 1]. Real decode via `AudioSystem.getAudioInputStream`; bounded
+    * by [[MaxAudioBytes]] BEFORE any buffer exists. None for non-PCM
+    * encodings (compressed audio needs codecs this container lacks),
+    * unusual sample layouts, or oversized claims.
+    */
+  private def pcmSamples(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val frames = in.getFrameLength
+        val frameSize = fmt.getFrameSize
+        val signed =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned8 = bits == 8 &&
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val supported = (signed || unsigned8) &&
+          (bits == 8 || bits == 16) && ch > 0 && frames > 0 &&
+          frameSize == ch * (bits / 8) &&
+          frames * frameSize <= MaxAudioBytes
+        if (!supported) None
+        else {
+          val raw = in.readNBytes((frames * frameSize).toInt)
+          val n = raw.length / frameSize
+          val out = new Array[Float](n)
+          val big = fmt.isBigEndian
+          var i = 0
+          while (i < n) {
+            var acc = 0.0f
+            var c = 0
+            while (c < ch) {
+              val off = i * frameSize + c * (bits / 8)
+              val v =
+                if (bits == 8) {
+                  if (signed) raw(off) / 128.0f
+                  else ((raw(off) & 0xff) - 128) / 128.0f
+                } else {
+                  val (hi, lo) =
+                    if (big) (raw(off), raw(off + 1))
+                    else (raw(off + 1), raw(off))
+                  ((hi << 8) | (lo & 0xff)).toShort / 32768.0f
+                }
+              acc += v
+              c += 1
+            }
+            out(i) = acc / ch
+            i += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL audio feature for WAV/AIFF: RMS energy over `dims` equal
+    * windows of the channel-averaged waveform — the classic
+    * energy-envelope baseline, values in [0, 1], ANN-ready like
+    * [[imageFeature]]'s pooled luminance. None when [[pcmSamples]]
+    * refuses the payload.
+    */
+  def audioFeature(payload: Array[Byte], dims: Int): Option[Array[Float]] =
+    pcmSamples(payload).filter(_.nonEmpty).map { s =>
+      val out = new Array[Float](dims)
+      var d = 0
+      while (d < dims) {
+        val lo = (s.length.toLong * d / dims).toInt
+        val hi = math.max(lo + 1, (s.length.toLong * (d + 1) / dims).toInt)
+        var acc = 0.0
+        var i = lo
+        while (i < hi && i < s.length) { acc += s(i) * s(i); i += 1 }
+        out(d) = math.sqrt(acc / math.max(1, math.min(hi, s.length) - lo)).toFloat
+        d += 1
+      }
+      out
+    }
+
   /** Pixel-count cap for FULL decodes (feature/resize/frame paths):
     * `ImageIO.read` allocates the raster from header-CLAIMED dimensions,
     * so a decompression-bomb payload (tiny bytes, huge declared size)
@@ -245,12 +332,14 @@ object Multimodal {
   }
 
   /** Feature extraction: binary payload → fixed-dim float vector — the
-    * model-inference slot of the pipeline. Two-tier like [[decodeMeta]]:
+    * model-inference slot of the pipeline. Tiered like [[decodeMeta]]:
     * payloads with an image magic get a REAL vector ([[imageFeature]] —
-    * pooled luminance of the actual decoded pixels); everything else a
-    * deterministic arithmetic stand-in (audio/video embedding models are
-    * not in this container; a production build loads its model once per
-    * partition exactly where the image branch sits). The Spark-side
+    * pooled luminance of the actual decoded pixels), WAV/AIFF a REAL
+    * energy envelope ([[audioFeature]] — RMS over the decoded PCM);
+    * everything else a deterministic arithmetic stand-in (video
+    * embedding models are not in this container; a production build
+    * loads its model once per partition exactly where these branches
+    * sit). The Spark-side
     * contract is identical either way: binary in, `array<float>` out,
     * partition-parallel `mapPartitions` with per-partition codec/model
     * init, no shuffle — and the output column feeds [[Similarity]]'s
@@ -264,7 +353,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val real =
-            if (looksLikeImage(bytes)) imageFeature(bytes, dims) else None
+            if (looksLikeImage(bytes)) imageFeature(bytes, dims)
+            else if (looksLikeAudio(bytes)) audioFeature(bytes, dims)
+            else None
           val v = real.getOrElse {
             val octets = bytes.length.toLong
             val first = if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else 0L
@@ -392,10 +483,55 @@ object Multimodal {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Frame sampling over video-like payloads. Two-tier like
+  /** REAL frame extraction for RIFF/WAVE audio: the payload's PCM is
+    * split into one-SECOND windows (the natural audio frame unit —
+    * sample-rate frames each), every `everyN`-th window re-encoded as a
+    * standalone WAV via the JDK's own writer. Mirrors [[gifFrames]]:
+    * `frame_off = -1` (a re-encoded window is not a byte range of the
+    * container), `frame_len` = the WAV's size. WAV only — AIFF carries
+    * big-endian PCM the WAVE writer would misencode. None when the
+    * parser rejects the bytes or the claimed PCM exceeds
+    * [[MaxAudioBytes]]; callers fall back to the byte-slicing stub.
+    */
+  def audioFrames(
+      docId: Long, payload: Array[Byte], everyN: Int): Option[Seq[Frame]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val frameSize = fmt.getFrameSize
+        val rate = math.round(fmt.getFrameRate).toLong
+        if (frames <= 0 || frameSize <= 0 || rate <= 0 ||
+            frames * frameSize > MaxAudioBytes) None
+        else {
+          val raw = in.readNBytes((frames * frameSize).toInt)
+          val total = raw.length / frameSize
+          val nWin = ((total + rate - 1) / rate).toInt
+          Some((0 until nWin).filter(_ % everyN == 0).map { k =>
+            val lo = (k.toLong * rate).toInt
+            val hi = math.min(total, (k + 1L) * rate).toInt
+            val slice = java.util.Arrays.copyOfRange(
+              raw, lo * frameSize, hi * frameSize)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(slice), fmt, (hi - lo).toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            val wav = bos.toByteArray
+            Frame(docId, k.toLong, -1L, wav.length.toLong, wav)
+          })
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Frame sampling over video-like payloads. Tiered like
     * [[decodeMeta]]: GIF payloads (the JDK's one multi-frame codec) go
     * through REAL per-frame decode ([[gifFrames]] — each sampled frame
-    * a standalone PNG); other payloads split into [[fakeDecode]]'s
+    * a standalone PNG), WAV audio through REAL one-second PCM windows
+    * ([[audioFrames]] — each a standalone WAV); other payloads split
+    * into [[fakeDecode]]'s
     * n_frames equal byte ranges (the stand-in shape a production build
     * replaces with its video codec's seeks). Narrow row expansion — no
     * shuffle; downstream feature extraction (resize, embed) maps over
@@ -415,7 +551,16 @@ object Multimodal {
           val isGif = bytes.length >= 6 && bytes(0) == 'G' &&
             bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
             (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
-          val real = if (isGif) gifFrames(id, bytes, everyN) else None
+          // RIFF/WAVE only: AIFF's big-endian PCM has no lossless WAVE
+          // re-encode through the JDK writer, so it keeps the stub
+          val isWav = bytes.length >= 12 && bytes(0) == 'R' &&
+            bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+            bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
+            bytes(11) == 'E'
+          val real =
+            if (isGif) gifFrames(id, bytes, everyN)
+            else if (isWav) audioFrames(id, bytes, everyN)
+            else None
           real match {
             case Some(frames) => frames.iterator
             case None =>

@@ -114,6 +114,58 @@ class MultimodalBombPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- adversarial WAV: valid RIFF/WAVE + fmt chunk, data chunk
+  // CLAIMING a hostile byte count with little or no actual PCM ----
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def wavHeader(
+      claimedDataBytes: Long, actualBytes: Int, rate: Int,
+      channels: Int, bits: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val blockAlign = math.max(1, channels * (bits / 8))
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(le32(36L + claimedDataBytes), 0, 4)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII"))
+    bos.write(le32(16), 0, 4)
+    bos.write(Array(1.toByte, 0.toByte)) // PCM
+    bos.write(le32(channels.toLong & 0xffff).take(2), 0, 2)
+    bos.write(le32(rate.toLong), 0, 4)
+    bos.write(le32(rate.toLong * blockAlign), 0, 4)
+    bos.write(le32(blockAlign.toLong).take(2), 0, 2)
+    bos.write(le32(bits.toLong).take(2), 0, 2)
+    bos.write("data".getBytes("US-ASCII"))
+    bos.write(le32(claimedDataBytes), 0, 4)
+    bos.write(new Array[Byte](actualBytes))
+    bos.toByteArray
+  }
+
+  private val wavGen: Gen[Array[Byte]] = for {
+    claimed <- Gen.oneOf(0L, 2L, 0x7fffffffL, 0xfffffff0L,
+      Multimodal.MaxAudioBytes + 2, 1L << 40)
+    actual <- Gen.chooseNum(0, 64)
+    rate <- Gen.oneOf(0, 1, 8000, Int.MaxValue)
+    channels <- Gen.oneOf(0, 1, 2, 0xffff)
+    bits <- Gen.oneOf(0, 8, 16, 24, 255)
+  } yield wavHeader(claimed, actual, rate, channels, bits)
+
+  test("adversarial WAV headers: audio paths degrade, none throws or allocates") {
+    cases(wavGen, 120).zipWithIndex.foreach { case (w, i) =>
+      // header-only metadata returns (claimed numbers or stub — fine)
+      Multimodal.audioDecode(1L, w)
+      // full-PCM paths: a claim past MaxAudioBytes (or any hostile
+      // layout) must refuse before any sample buffer exists
+      val feat = Multimodal.audioFeature(w, 8)
+      assert(feat.forall(_.length == 8), s"case $i: bad feature shape")
+      assert(Multimodal.audioFrames(1L, w, 1).forall(_.forall(f =>
+        f.frame_len == f.frame_payload.length.toLong)),
+        s"case $i: inconsistent audio frame")
+    }
+  }
+
   test("the full pipeline over a hostile batch completes deterministically") {
     import spark.implicits._
     val payloads = (cases(pngGen, 40) ++ cases(gifGen, 40))
