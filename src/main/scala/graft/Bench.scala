@@ -53,26 +53,37 @@ object Bench {
     // contention from a real regression without a rerun).
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
     // ascending by time: if the line still overruns the window, the
     // clipped head holds only the cheapest queries — every expensive or
     // high-spread entry stays visible at the tail end
     val qs = results.toSeq.sortBy(_._2._1).map { case (k, (v, s)) =>
-      "\"" + k + "\":[" + r3(v) + "," + r3(s) + "]"
+      "\"" + esc(k) + "\":[" + r3(v) + "," + r3(s) + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // full precision for offline analysis, refreshed on every run
-    scala.util.Try {
-      val out = java.nio.file.Paths.get("docs", "BENCH_LATEST.json")
-      java.nio.file.Files.createDirectories(out.getParent)
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}"}"""
+    // Full precision for offline analysis, refreshed on every run.
+    // Anchored via SPARK_GRAFT_BENCH_OUT (default: docs/BENCH_LATEST.json
+    // under the cwd); a failed write warns on stderr rather than
+    // silently leaving a stale file to be mistaken for this run's data.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      java.nio.file.Paths.get("docs", "BENCH_LATEST.json").toString)
+    try {
+      val out = java.nio.file.Paths.get(outPath)
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       val full = results.map { case (k, (v, s)) =>
-        s"""  "$k": {"t": $v, "spread": $s}"""
+        s"""  "${esc(k)}": {"t": $v, "spread": $s}"""
       }.mkString(
-        s"""{\n  "_total_sec": $total,\n  "_sf": "$sfDir",\n""",
+        s"""{\n  "_total_sec": $total,\n  "_sf": "${esc(sfDir)}",\n""",
         ",\n", "\n}\n")
       java.nio.file.Files.write(out,
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARN: could not write $outPath: $e")
     }
     println(line)
     spark.stop()

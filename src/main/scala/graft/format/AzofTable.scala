@@ -27,9 +27,12 @@ final class AzofTable(val tableDir: Path, conf: Configuration) {
     * pointer by atomic rename where the store supports it, but on
     * rename-refusing stores (HDFS) the replace is delete+rename with a
     * brief pointer-ABSENT window; a reader landing inside it would
-    * otherwise fail a healthy table. Five backoff probes (~300 ms
-    * total) cover that window; a pointer still absent afterwards is a
-    * real error (not an azof table, or a dead store).
+    * otherwise fail a healthy table. Five backoff probes (10+20+40+80+
+    * 160 ≈ 300 ms total) cover that window; a pointer still absent
+    * afterwards is a real error. A MISSING pointer under a missing
+    * table directory fails immediately — that is a wrong path, not a
+    * replace window, and a typo'd CLI invocation should not burn the
+    * full backoff before erroring.
     */
   def currentVersion: String = {
     var attempt = 0
@@ -39,7 +42,7 @@ final class AzofTable(val tableDir: Path, conf: Configuration) {
         try Some(readUtf8(new Path(tableDir, "version.txt")))
         catch {
           case e: java.io.FileNotFoundException =>
-            if (attempt >= 5) throw e
+            if (attempt >= 5 || !fs.exists(tableDir)) throw e
             None
         }
       raw.map(_.trim).filter(_.nonEmpty) match {
@@ -48,8 +51,8 @@ final class AzofTable(val tableDir: Path, conf: Configuration) {
           if (attempt >= 5)
             throw new java.io.IOException(
               s"version.txt in $tableDir is empty after retries")
-          attempt += 1
           Thread.sleep(10L << attempt)
+          attempt += 1
       }
     }
     result.get

@@ -67,12 +67,19 @@ object Multimodal {
     * text payload can accidentally reach a lenient parser.
     */
   def looksLikeAudio(b: Array[Byte]): Boolean =
-    (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
-      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
-      b(11) == 'E') ||
+    looksLikeWav(b) ||
     (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
       b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
       (b(11) == 'F' || b(11) == 'C'))
+
+  /** RIFF/WAVE container magic alone — the subset of [[looksLikeAudio]]
+    * whose PCM the JDK's WAVE writer can re-encode losslessly; shared by
+    * every WAV-gated path so the sniff can never drift between them.
+    */
+  def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E'
 
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF) —
     * header-only: `AudioSystem.getAudioFileFormat` parses the container
@@ -509,7 +516,12 @@ object Multimodal {
           val raw = in.readNBytes((frames * frameSize).toInt)
           val total = raw.length / frameSize
           val nWin = ((total + rate - 1) / rate).toInt
-          Some((0 until nWin).filter(_ % everyN == 0).map { k =>
+          // a header claiming frames over a truncated/absent body reads
+          // zero windows — that is a REJECTED payload (None -> stub),
+          // not a silent zero-row document (every other frameSample
+          // path emits >= 1 row per payload)
+          if (nWin == 0) None
+          else Some((0 until nWin).filter(_ % everyN == 0).map { k =>
             val lo = (k.toLong * rate).toInt
             val hi = math.min(total, (k + 1L) * rate).toInt
             val slice = java.util.Arrays.copyOfRange(
@@ -553,13 +565,9 @@ object Multimodal {
             (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
           // RIFF/WAVE only: AIFF's big-endian PCM has no lossless WAVE
           // re-encode through the JDK writer, so it keeps the stub
-          val isWav = bytes.length >= 12 && bytes(0) == 'R' &&
-            bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
-            bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
-            bytes(11) == 'E'
           val real =
             if (isGif) gifFrames(id, bytes, everyN)
-            else if (isWav) audioFrames(id, bytes, everyN)
+            else if (looksLikeWav(bytes)) audioFrames(id, bytes, everyN)
             else None
           real match {
             case Some(frames) => frames.iterator

@@ -219,12 +219,14 @@ object AzofWriter {
       if (f.exists(target)) { f.delete(target, false); () }
       if (!f.rename(tmp, target)) {
         scala.util.Try(f.delete(tmp, false))
-        // a racing writer may have just replaced the pointer — the
-        // pointer is forward-only on every writer, so that is fine;
-        // a still-absent target is a real store fault
-        if (!f.exists(target))
-          throw new java.io.IOException(
-            s"failed to move version pointer $target")
+        // The old pointer may already be DELETED here; a bare failure
+        // would leave the table with no pointer at all (bricked until
+        // manual repair). A racing writer may legitimately have
+        // replaced the pointer concurrently (forward-only on every
+        // writer) — otherwise fall back to a last-resort direct write,
+        // which restores the pointer with at worst the pre-staging
+        // truncate window.
+        if (!f.exists(target)) writeUtf8(spark, target, id)
       }
     }
   }
@@ -711,7 +713,10 @@ object AzofWriter {
     var committed = false
     while (!committed) {
       val t = new AzofTable(tableDir, spark.sessionState.newHadoopConf())
-      var nextId = t.currentVersion.toLong + 1
+      // read the pointer ONCE per attempt: currentVersion is a remote
+      // read (with retry probes), and this loop may walk many ids
+      val floor = t.currentVersion.toLong
+      var nextId = floor + 1
       while (f.exists(new Path(tableDir, s"s$nextId.json"))) nextId += 1
       // Parse base = highest existing snapshot. The downward fallback is
       // deliberately narrow (SnapshotCodec.classify): only MALFORMED
@@ -727,7 +732,7 @@ object AzofWriter {
       val baseSnap = {
         var id = nextId - 1
         var found: Option[Snapshot] = None
-        while (found.isEmpty && id >= t.currentVersion.toLong) {
+        while (found.isEmpty && id >= floor) {
           t.classifySnapshot(id.toString) match {
             case SnapshotCodec.DocClass.Valid(s) => found = Some(s)
             case SnapshotCodec.DocClass.WellFormedUnknown(e) =>
@@ -738,7 +743,9 @@ object AzofWriter {
             case SnapshotCodec.DocClass.Malformed(_) => id -= 1
           }
         }
-        found.getOrElse(t.currentSnapshot)
+        // reaching here with nothing found means even the pointer's own
+        // document failed to classify Valid — parse it loudly
+        found.getOrElse(t.snapshot(floor.toString))
       }
       val newSnap = update(baseSnap)
       val won =

@@ -29,6 +29,19 @@ trait CommitGuard {
     * a false return tells the committer a competing snapshot exists at
     * this id, and it will silently retry at the next one.
     *
+    * ATOMICITY REQUIREMENT: `target` must appear with its COMPLETE
+    * content in one operation (rename, hard link, conditional PUT with
+    * body) — claim-then-write publication (create an empty marker, copy
+    * bytes after) is FORBIDDEN. The whole classification machinery
+    * ([[graft.format.SnapshotCodec.classify]]) rests on the invariant
+    * that a malformed `s{N}.json` was never committed: a guard that
+    * exposes an empty/partial target between claim and content would
+    * let a concurrent committer classify the winner's in-flight
+    * snapshot as crash debris and fork its commit out of the chain, and
+    * let a zero-retention vacuum delete it. Every real conditional
+    * primitive (S3 `If-None-Match` PUT, GCS `ifGenerationMatch: 0`)
+    * already carries the body with the claim.
+    *
     * `tmp` cleanup on the false/throw paths is the caller's job; on the
     * true path the implementation consumes `tmp` (rename) or may leave
     * it for the caller to delete.
@@ -63,9 +76,15 @@ object CommitGuard {
     spark.conf.getOption(s"spark.azof.commitGuard.$scheme") match {
       case None => Rename
       case Some(cls) =>
-        cache.computeIfAbsent(cls, c =>
-          Class.forName(c).getDeclaredConstructor()
-            .newInstance().asInstanceOf[CommitGuard])
+        cache.computeIfAbsent(cls, c => {
+          // context classloader first: guards typically ship in user
+          // jars (--jars), visible to Spark's session classloader but
+          // not to this class's defining loader
+          val loader = Option(Thread.currentThread().getContextClassLoader)
+            .getOrElse(getClass.getClassLoader)
+          Class.forName(c, true, loader).getDeclaredConstructor()
+            .newInstance().asInstanceOf[CommitGuard]
+        })
     }
   }
 }

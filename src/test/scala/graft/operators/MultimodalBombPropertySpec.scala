@@ -168,7 +168,8 @@ class MultimodalBombPropertySpec extends AnyFunSuite {
 
   test("the full pipeline over a hostile batch completes deterministically") {
     import spark.implicits._
-    val payloads = (cases(pngGen, 40) ++ cases(gifGen, 40))
+    val payloads = (cases(pngGen, 40) ++ cases(gifGen, 40) ++
+      cases(wavGen, 40))
       .zipWithIndex.map { case (p, i) => (i.toLong, p) }
     val df = payloads.toDF("doc_id", "payload")
 
@@ -186,6 +187,11 @@ class MultimodalBombPropertySpec extends AnyFunSuite {
     // one metadata row per payload — nothing dropped, nothing crashed
     assert(a._1.size == payloads.size)
     assert(a._4.forall(_._2.size == 16))
+    // frameSample never silently drops a document: every payload emits
+    // at least one frame (a rejected real path falls to the stub, which
+    // always produces >= 1) — pins the truncated-WAV zero-window case
+    assert(a._3.map(_._1).distinct.size == payloads.size,
+      "frameSample dropped a document")
     // byte-identical across runs: degradation is deterministic
     assert(a == b)
   }

@@ -10,28 +10,26 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 
-/** A CommitGuard backed by an ATOMIC create-if-absent claim
-  * (`java.nio.file.Files.createFile` — POSIX O_CREAT|O_EXCL), the test
-  * stand-in for an object store's conditional primitive (S3
-  * `If-None-Match` PUT, GCS `ifGenerationMatch: 0`): the claim either
-  * wins or observes the competing snapshot, with no exists-then-rename
-  * window at all. A real conditional PUT lands claim+content in one op;
-  * here the winner copies the staged bytes into its claimed slot.
+/** A CommitGuard backed by an ATOMIC create-if-absent-WITH-CONTENT
+  * primitive — `java.nio.file.Files.createLink` (POSIX `link(2)`): the
+  * target either appears holding the staged document's full bytes or
+  * the call fails because a competing snapshot exists, with no
+  * exists-then-rename window and no claim-then-copy partial-content
+  * window (the CommitGuard contract forbids the latter: a partial
+  * target would read as crash debris to a concurrent committer). This
+  * is the test stand-in for an object store's conditional primitive
+  * (S3 `If-None-Match` PUT, GCS `ifGenerationMatch: 0`), which carries
+  * the body with the claim in exactly the same way.
   */
 class ConditionalCreateGuard extends CommitGuard {
-  override def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
-    val local = java.nio.file.Paths.get(target.toUri.getPath)
-    val claimed =
-      try { java.nio.file.Files.createFile(local); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (claimed) {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(tmp.toUri.getPath), local,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  override def publish(fs: FileSystem, tmp: Path, target: Path): Boolean =
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
       ConditionalCreateGuard.publishes.incrementAndGet()
       true
-    } else false
-  }
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
 }
 
 object ConditionalCreateGuard {
