@@ -709,6 +709,15 @@ object AzofWriter {
       update: Snapshot => Snapshot): Unit = {
     val tableDir = new Path(dir)
     val f = fs(spark, tableDir)
+    // retry budget scales with writer concurrency: every lost race costs
+    // one retry, so N writers racing one table need ~N retries for the
+    // last to land. `spark.azof.commitRetries` overrides the default 5
+    // for high-fan-in deployments (many streaming sinks / ingest jobs
+    // sharing a table).
+    val retryLimit = spark.conf.getOption("spark.azof.commitRetries")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 0)
+      .getOrElse(maxRetries)
     var attempt = 0
     var committed = false
     while (!committed) {
@@ -752,7 +761,7 @@ object AzofWriter {
         try { writeSnapshot(spark, dir, nextId.toString, newSnap); true }
         catch {
           case e: java.io.IOException
-              if attempt < maxRetries &&
+              if attempt < retryLimit &&
                 f.exists(new Path(tableDir, s"s$nextId.json")) =>
             attempt += 1 // lost the race at nextId: re-read, re-apply
             false

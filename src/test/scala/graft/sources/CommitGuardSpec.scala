@@ -39,6 +39,14 @@ object ConditionalCreateGuard {
   val publishes = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
+/** A guard that always fails with a store fault — pins the contract's
+  * throw-don't-return-false rule end to end.
+  */
+class FaultingGuard extends CommitGuard {
+  override def publish(fs: FileSystem, tmp: Path, target: Path): Boolean =
+    throw new java.io.IOException("injected store fault")
+}
+
 /** Concurrent committers through the pluggable [[CommitGuard]]: on a
   * scheme with a conditional-put guard registered, racing writers must
   * ALL survive — each lost race re-reads and retries at the next id —
@@ -123,6 +131,66 @@ class CommitGuardSpec extends AnyFunSuite {
         java.nio.file.Paths.get(new Path(lake, "t").toUri.getPath))
       .toArray.map(_.toString).filter(_.contains("_tmp_snap_"))
     assert(stray.isEmpty, s"staging residue: ${stray.mkString(",")}")
+  }
+
+  test("16 racing commits serialize with a raised retry budget") {
+    // 8 writers x 2 sequential commits each: contention per id can
+    // exceed the default 5-retry budget, which spark.azof.commitRetries
+    // raises for high-fan-in deployments
+    val lake = "testdfs:" + Files.createTempDirectory("azof-guard16").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("0", "2024-01-02T00:00:00Z", "base")))
+    val baseVersion = AzofTable(spark, lake, "t").currentVersion.toLong
+    spark.conf.set("spark.azof.commitRetries", "32")
+    try {
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 8).map { i =>
+        new Thread(() =>
+          try (1 to 2).foreach { j =>
+            AzofWriter.commitDelta(spark, lake, "t",
+              df((s"$i-$j", s"2024-02-0${i % 9 + 1}T00:00:00Z", s"v$i-$j")),
+              ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+          } catch { case e: Throwable => failures.add(e); () })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(240000))
+      assert(failures.isEmpty,
+        s"racing writer died: ${Option(failures.peek()).map(_.toString)}")
+      // serial convergence commit, then: 16 + 1 commits, all deltas kept
+      AzofWriter.commitDelta(spark, lake, "t",
+        df(("z", "2024-02-09T00:00:00Z", "tail")),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      val t = AzofTable(spark, lake, "t")
+      assert(t.currentVersion.toLong == baseVersion + 17)
+      val deltas = t.currentSnapshot.segments.find(_.end.isEmpty).get.delta
+      assert(deltas.size == 17, s"lost update: ${deltas.size} of 17 deltas")
+      assert(AzofScan.scan(spark, lake, "t", AsOf.Current).count() == 18)
+    } finally spark.conf.unset("spark.azof.commitRetries")
+  }
+
+  test("a guard store fault propagates; a lost race is never misreported") {
+    // contract: publish must THROW on store faults (never return false,
+    // which means 'competing snapshot exists') — and the committer must
+    // surface that fault, not retry it as a phantom conflict
+    val lake = "testdfs:" + Files.createTempDirectory("azof-guardfault").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    spark.conf.set("spark.azof.commitGuard.testdfs",
+      classOf[FaultingGuard].getName)
+    try {
+      val err = intercept[java.io.IOException] {
+        AzofWriter.commitBase(spark, lake, "t",
+          df(("1", "2024-01-02T00:00:00Z", "a1")))
+      }
+      assert(err.getMessage.contains("injected store fault"))
+      // the failed commit left no snapshot and no staging residue
+      val names = java.nio.file.Files.list(
+          java.nio.file.Paths.get(new Path(lake, "t").toUri.getPath))
+        .toArray.map(_.toString.split('/').last)
+      assert(!names.exists(_.contains("_tmp_snap_")))
+      assert(!names.contains("s2.json"))
+    } finally spark.conf.set("spark.azof.commitGuard.testdfs",
+      classOf[ConditionalCreateGuard].getName)
   }
 
   test("guard resolution is per-scheme; unguarded schemes keep the rename path") {
