@@ -52,7 +52,7 @@ object AzofCli {
       System.err.println(
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
           "commit-partitioned|add-column|compact|changes|vacuum|tail|" +
-          "follow|sql> --path P --table T [...]")
+          "tail-commits|follow|sql> --path P --table T [...]")
       sys.exit(2)
     }
     val opts = parseArgs(args)
@@ -129,6 +129,23 @@ object AzofCli {
           opts.get("to").map(_.toLong).getOrElse(
             AzofTable(spark, opts("path"), opts("table")).currentVersion.toLong))
           .show(numRows = 1000, truncate = false)
+      case "tail-commits" =>
+        // one COMMIT-EXACT poll of the change feed: processes versions
+        // committed since this checkpoint's offset, prints them,
+        // advances the offset, exits. Re-running continues. Unlike
+        // `tail` (file-level append feed), a crashed writer's orphan
+        // data file is never delivered — only committed snapshots feed.
+        val ckpt = opts.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory("azof-tailc").toString)
+        val (from, to) = graft.sources.AzofChangeFeed.followOnce(
+          spark, opts("path"), opts("table"), ckpt,
+          startVersion = opts.getOrElse("from", "1").toLong) {
+          (df, lo, hi) =>
+            println(s"commits $lo..$hi:")
+            df.orderBy("_commit_version").show(numRows = 1000, truncate = false)
+        }
+        if (from > to) println("no new commits")
+        println(s"checkpoint: $ckpt")
       case "tail" =>
         // one AvailableNow pass over the append feed: processes commits
         // not yet seen by this checkpoint, prints them, exits. Re-running

@@ -56,4 +56,90 @@ object AzofChangeFeed {
     val t = AzofTable(spark, lakehousePath, table)
     between(spark, lakehousePath, table, fromVersion, t.currentVersion.toLong)
   }
+
+  /** One poll of a resumable, COMMIT-EXACT tail over the change feed:
+    * read the consumer's last processed version from `checkpointDir`,
+    * hand `fn` every row committed in `(last, current]` (tagged with
+    * `_commit_version`), then advance the checkpoint — deliver-then-
+    * advance, so a crash mid-`fn` re-delivers the unacknowledged
+    * versions on resume (plus any newly committed ones): at-least-once,
+    * with every row carrying its `_commit_version` — an idempotent or
+    * version-keyed sink (e.g. [[graft.streaming.AzofSink]] with its
+    * `stream_batches` replay index) gets effectively-once.
+    *
+    * Commit-exactness is the property the file-tailing stream
+    * ([[graft.streaming.AzofStream.appends]]) cannot give: that feed
+    * surfaces data FILES as they land, so a crashed writer's orphan
+    * (file written, snapshot commit never finalized) enters downstream
+    * state and is never retracted. This feed reads only files a
+    * COMMITTED snapshot references, so orphans are invisible by
+    * construction; the trade-off is commit-granularity latency instead
+    * of file-granularity.
+    *
+    * Returns the `(from, to)` version range delivered (`from > to`
+    * means no new commits). A consumer that lags past snapshot
+    * retention fails with a clear out-of-range error (the Kafka
+    * earliest-offset analogue) instead of a bare missing-file read.
+    *
+    * @param startVersion first poll's base when no checkpoint exists:
+    *                     process `(startVersion, current]`; defaults to
+    *                     1 — everything after table creation (version 1
+    *                     is the data-less create snapshot, the earliest
+    *                     valid feed base).
+    */
+  def followOnce(
+      spark: SparkSession,
+      lakehousePath: String,
+      table: String,
+      checkpointDir: String,
+      startVersion: Long = 1L)(
+      fn: (DataFrame, Long, Long) => Unit): (Long, Long) = {
+    val ckDir = new Path(checkpointDir)
+    val ck = new Path(ckDir, "azof-commit-offset")
+    val fs = ck.getFileSystem(spark.sessionState.newHadoopConf())
+    val last =
+      if (!fs.exists(ck)) startVersion
+      else {
+        val in = fs.open(ck)
+        val s = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+        s.toLong
+      }
+    val t = AzofTable(spark, lakehousePath, table)
+    val cur = t.currentVersion.toLong
+    if (cur <= last) (last + 1, cur)
+    else {
+      val df =
+        try between(spark, lakehousePath, table, last, cur)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"change-feed consumer at version $last lags past snapshot " +
+                s"retention for $table (current $cur): a snapshot in range " +
+                "was vacuumed. Re-seed from a full scan and a fresh " +
+                "checkpoint.", e)
+        }
+      fn(df, last + 1, cur)
+      // advance AFTER delivery, atomically (staged rename-replace like
+      // version.txt): a torn checkpoint would otherwise wedge the next
+      // poll's parse
+      if (!fs.exists(ckDir)) { fs.mkdirs(ckDir); () }
+      val tmp = new Path(ckDir,
+        s"_tmp_offset_${java.util.UUID.randomUUID().toString}")
+      val out = fs.create(tmp, true)
+      try out.write(cur.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, ck)) {
+        if (fs.exists(ck)) { fs.delete(ck, false); () }
+        if (!fs.rename(tmp, ck)) {
+          scala.util.Try(fs.delete(tmp, false))
+          if (!fs.exists(ck))
+            throw new java.io.IOException(s"failed to advance offset $ck")
+        }
+      }
+      (last + 1, cur)
+    }
+  }
 }

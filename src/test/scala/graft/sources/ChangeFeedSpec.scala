@@ -64,4 +64,56 @@ class ChangeFeedSpec extends AnyFunSuite {
       .where("key = '2'")
     assert(bounded.count() == 1)
   }
+
+  test("followOnce: resumable commit-exact tail — no orphans, crash redelivery, retention error") {
+    val lake = Files.createTempDirectory("azof-cdf-follow").toString
+    val ckpt = Files.createTempDirectory("azof-cdf-ck").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    // a crashed writer's ORPHAN: well-named data file, never committed —
+    // the file-level append feed would surface it; this feed must not
+    Files.write(java.nio.file.Paths.get(lake, "t",
+      "delta_s9_deadbeef.parquet"), Array[Byte](1, 2, 3))
+
+    def poll(): Seq[(String, String, Long)] = {
+      var got = Seq.empty[(String, String, Long)]
+      AzofChangeFeed.followOnce(spark, lake, "t", ckpt) { (feed, _, _) =>
+        got = feed.select("key", "value", "_commit_version")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .sortBy(x => (x._3, x._1)).toSeq
+      }
+      got
+    }
+
+    // first poll: full history, orphan invisible
+    assert(poll() == Seq(("1", "a1", 2L), ("2", "b1", 3L)))
+    // nothing new -> fn not called, offset stays
+    assert(poll() == Seq.empty)
+
+    // crash mid-delivery: fn throws, offset must NOT advance
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("3", "2024-02-06T00:00:00Z", "c1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v4
+    intercept[RuntimeException] {
+      AzofChangeFeed.followOnce(spark, lake, "t", ckpt) { (_, _, _) =>
+        throw new RuntimeException("consumer crash")
+      }
+    }
+    // resume re-delivers the unacknowledged version
+    assert(poll() == Seq(("3", "c1", 4L)))
+
+    // lagging past retention fails loudly, not with a bare missing file
+    val ckpt2 = Files.createTempDirectory("azof-cdf-ck2").toString
+    AzofVacuum.vacuum(spark, lake, "t", keepLast = 1, minAgeMs = 0L)
+    val err = intercept[IllegalStateException] {
+      AzofChangeFeed.followOnce(spark, lake, "t", ckpt2) { (df, _, _) =>
+        df.count(); ()
+      }
+    }
+    assert(err.getMessage.contains("retention"))
+  }
 }
