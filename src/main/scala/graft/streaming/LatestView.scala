@@ -31,8 +31,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * that crashes before its snapshot commit can be ingested into state
   * and is never retracted, so the view can briefly (or, for such
   * orphans, permanently) hold a row the committed table never had.
-  * Views that must align exactly with committed versions should be
-  * rebuilt from the change feed instead.
+  * Views that must align exactly with committed versions should
+  * consume the commit-exact change-feed tail
+  * ([[graft.sources.AzofChangeFeed.followOnce]]) instead, which reads
+  * only snapshot-referenced files.
   *
   * Value columns ride through state as JSON (schema-dynamic payloads
   * can't be a Scala case class); the output re-expands them to typed
