@@ -139,7 +139,11 @@ object AzofCli {
           java.nio.file.Files.createTempDirectory("azof-tailc").toString)
         val (from, to) = graft.sources.AzofChangeFeed.followOnce(
           spark, opts("path"), opts("table"), ckpt,
-          startVersion = opts.getOrElse("from", "1").toLong) {
+          startVersion = opts.getOrElse("from", "1") match {
+            case "earliest" => graft.sources.AzofChangeFeed
+              .earliestFeedBase(spark, opts("path"), opts("table"))
+            case v => v.toLong
+          }) {
           (df, lo, hi) =>
             println(s"commits $lo..$hi:")
             df.orderBy("_commit_version").show(numRows = 1000, truncate = false)

@@ -97,15 +97,29 @@ object AzofChangeFeed {
     val ckDir = new Path(checkpointDir)
     val ck = new Path(ckDir, "azof-commit-offset")
     val fs = ck.getFileSystem(spark.sessionState.newHadoopConf())
-    val last =
-      if (!fs.exists(ck)) startVersion
+    // seed the offset on the FIRST poll even when there is nothing to
+    // deliver yet: an explicit startVersion must survive into later
+    // polls, not silently revert to the default base once commits land
+    def advance(to: Long): Unit = {
+      if (!fs.exists(ckDir)) { fs.mkdirs(ckDir); () }
+      // a single-consumer checkpoint has no legitimate concurrent
+      // writers, so a survived foreign file is a stale offset — the
+      // consumer would silently re-deliver forever if this passed
+      if (!AtomicReplace.replace(fs, ckDir, ck, to.toString))
+        throw new java.io.IOException(
+          s"failed to advance offset $ck: a stale offset file survived " +
+            "(concurrent consumer on the same checkpoint?)")
+    }
+    val existing =
+      if (!fs.exists(ck)) None
       else {
         val in = fs.open(ck)
         val s = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
-        s.toLong
+        Some(s.toLong)
       }
+    val last = existing.getOrElse { advance(startVersion); startVersion }
     val t = AzofTable(spark, lakehousePath, table)
     val cur = t.currentVersion.toLong
     if (cur <= last) (last + 1, cur)
@@ -117,29 +131,35 @@ object AzofChangeFeed {
             throw new IllegalStateException(
               s"change-feed consumer at version $last lags past snapshot " +
                 s"retention for $table (current $cur): a snapshot in range " +
-                "was vacuumed. Re-seed from a full scan and a fresh " +
-                "checkpoint.", e)
+                s"was vacuumed. Re-seed from a full scan, then start a " +
+                s"fresh checkpoint at the retained floor — " +
+                s"startVersion = earliestFeedBase(...) = " +
+                s"${scala.util.Try(earliestFeedBase(spark, lakehousePath, table))
+                  .getOrElse("?")} (CLI: --from that version).", e)
         }
       fn(df, last + 1, cur)
-      // advance AFTER delivery, atomically (staged rename-replace like
-      // version.txt): a torn checkpoint would otherwise wedge the next
-      // poll's parse
-      if (!fs.exists(ckDir)) { fs.mkdirs(ckDir); () }
-      val tmp = new Path(ckDir,
-        s"_tmp_offset_${java.util.UUID.randomUUID().toString}")
-      val out = fs.create(tmp, true)
-      try out.write(cur.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!fs.rename(tmp, ck)) {
-        if (fs.exists(ck)) { fs.delete(ck, false); () }
-        if (!fs.rename(tmp, ck)) {
-          scala.util.Try(fs.delete(tmp, false))
-          if (!fs.exists(ck))
-            throw new java.io.IOException(s"failed to advance offset $ck")
-        }
-      }
+      // advance AFTER delivery: a crash mid-fn re-delivers on resume
+      advance(cur)
       (last + 1, cur)
     }
+  }
+
+  /** The lowest version a change-feed consumer can currently use as its
+    * base: the oldest snapshot document still on disk. Rows committed
+    * before it are only reachable via a full scan — the Kafka
+    * earliest-offset analogue for re-seeding a consumer that lagged
+    * past vacuum retention.
+    */
+  def earliestFeedBase(
+      spark: SparkSession, lakehousePath: String, table: String): Long = {
+    val dir = new Path(lakehousePath, table)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val ids = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case s if s.startsWith("s") && s.endsWith(".json") =>
+        s.stripPrefix("s").stripSuffix(".json")
+      }
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    require(ids.nonEmpty, s"no snapshot documents under $dir")
+    ids.min
   }
 }

@@ -200,35 +200,22 @@ object AzofWriter {
   }
 
   /** Move the version pointer — atomically where the store allows it.
-    * The pointer is the ONE mutable object in the format, so it is
-    * staged and renamed over the old value (atomic replace under POSIX
-    * rename semantics): a direct create-truncate-write exposes any
-    * concurrent reader to an EMPTY pointer mid-write — observed as a
-    * `NumberFormatException: ""` under racing committers. Stores that
-    * refuse rename-onto-existing (HDFS) fall back to delete+rename,
-    * whose brief pointer-ABSENT window is covered by the bounded
-    * reader-side retry in [[graft.format.AzofTable.currentVersion]].
+    * The pointer is the ONE mutable object in the format, so it goes
+    * through [[AtomicReplace]] (staged rename, never truncate-in-place:
+    * a direct create-truncate-write exposes any concurrent reader to an
+    * EMPTY pointer mid-write — observed as a `NumberFormatException:
+    * ""` under racing committers). Stores that refuse
+    * rename-onto-existing (HDFS) fall back to delete+rename, whose
+    * brief pointer-ABSENT window is covered by the bounded reader-side
+    * retry in [[graft.format.AzofTable.currentVersion]]. A false return
+    * (a concurrent writer's pointer survived the fallback window) is
+    * benign here: pointers are forward-only on every writer and the
+    * next commit's forward probe re-converges past both.
     */
   def writeVersion(spark: SparkSession, tableDir: String, id: String): Unit = {
     val dir = new Path(tableDir)
-    val target = new Path(dir, "version.txt")
-    val tmp = new Path(dir, s"_tmp_ver_${UUID.randomUUID().toString}")
-    val f = fs(spark, dir)
-    writeUtf8(spark, tmp, id)
-    if (!f.rename(tmp, target)) {
-      if (f.exists(target)) { f.delete(target, false); () }
-      if (!f.rename(tmp, target)) {
-        scala.util.Try(f.delete(tmp, false))
-        // The old pointer may already be DELETED here; a bare failure
-        // would leave the table with no pointer at all (bricked until
-        // manual repair). A racing writer may legitimately have
-        // replaced the pointer concurrently (forward-only on every
-        // writer) — otherwise fall back to a last-resort direct write,
-        // which restores the pointer with at worst the pre-staging
-        // truncate window.
-        if (!f.exists(target)) writeUtf8(spark, target, id)
-      }
-    }
+    AtomicReplace.replace(fs(spark, dir), dir, new Path(dir, "version.txt"), id)
+    ()
   }
 
   /** Create a table with one open segment and no data (snapshot 1). */

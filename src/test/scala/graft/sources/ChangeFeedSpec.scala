@@ -115,5 +115,50 @@ class ChangeFeedSpec extends AnyFunSuite {
       }
     }
     assert(err.getMessage.contains("retention"))
+    // ...and names the usable re-seed base: the retained floor, from
+    // which a fresh consumer CAN bootstrap
+    val floor = AzofChangeFeed.earliestFeedBase(spark, lake, "t")
+    assert(err.getMessage.contains(floor.toString))
+    val ckpt3 = Files.createTempDirectory("azof-cdf-ck3").toString
+    var n = -1L
+    // from the floor, the poll completes without error: with keepLast=1
+    // the floor IS the current version, so there is nothing to deliver
+    // yet — and the next commit flows normally
+    val (ff, tf) = AzofChangeFeed.followOnce(spark, lake, "t", ckpt3,
+      startVersion = floor) { (feed, _, _) => n = feed.count() }
+    assert(ff > tf && n == -1L)
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("4", "2024-02-07T00:00:00Z", "d1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+    AzofChangeFeed.followOnce(spark, lake, "t", ckpt3) { (feed, _, _) =>
+      n = feed.count()
+    }
+    assert(n == 1L)
+  }
+
+  test("followOnce seeds an explicit startVersion on a no-new-commits poll") {
+    val lake = Files.createTempDirectory("azof-cdf-seed").toString
+    val ckpt = Files.createTempDirectory("azof-cdf-seedck").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+
+    // first poll with an explicit base AT the current version: nothing
+    // to deliver, but the offset must be recorded
+    val (f0, t0) = AzofChangeFeed.followOnce(spark, lake, "t", ckpt,
+      startVersion = 2L) { (_, _, _) => fail("nothing to deliver") }
+    assert(f0 > t0)
+
+    // later commits, then a poll WITHOUT startVersion: must continue
+    // from the seeded offset (only v3), not replay from the default base
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    var got = Seq.empty[Long]
+    AzofChangeFeed.followOnce(spark, lake, "t", ckpt) { (feed, _, _) =>
+      got = feed.select("_commit_version").collect().map(_.getLong(0))
+        .sorted.toSeq
+    }
+    assert(got == Seq(3L))
   }
 }
