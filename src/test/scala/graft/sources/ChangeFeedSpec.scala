@@ -136,6 +136,52 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(n == 1L)
   }
 
+  test("followOnce property: random commit/poll/crash interleavings deliver every version exactly once") {
+    // the consumer contract: across any interleaving of commits,
+    // successful polls, and crashed polls (fn throws after observing
+    // the batch), the ACKNOWLEDGED stream of _commit_versions is
+    // gap-free and duplicate-free, and re-delivery after a crash covers
+    // exactly the unacknowledged prefix plus new commits
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 104729L)
+      val lake = Files.createTempDirectory(s"azof-cdf-prop$seed").toString
+      val ckpt = Files.createTempDirectory(s"azof-cdf-propck$seed").toString
+      AzofWriter.createTable(spark, lake, "t", schema,
+        ts("2024-01-01T00:00:00Z"))
+      AzofWriter.commitBase(spark, lake, "t",
+        df(("0", "2024-01-02T00:00:00Z", "base")))
+      var committed = 2L // versions with data so far (v2 = base)
+      val acked = scala.collection.mutable.ArrayBuffer[Long]()
+      for (step <- 0 until 12) {
+        rnd.nextInt(3) match {
+          case 0 => // commit
+            AzofWriter.commitDelta(spark, lake, "t",
+              df((s"k$step", "2024-02-05T00:00:00Z", s"v$step")),
+              ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+            committed += 1
+          case 1 => // successful poll
+            AzofChangeFeed.followOnce(spark, lake, "t", ckpt) { (feed, _, _) =>
+              acked ++= feed.select("_commit_version").collect()
+                .map(_.getLong(0)).distinct.sorted
+            }
+          case 2 => // crashed poll: observed but not acknowledged
+            scala.util.Try {
+              AzofChangeFeed.followOnce(spark, lake, "t", ckpt) { (_, _, _) =>
+                throw new RuntimeException("crash")
+              }
+            }
+        }
+      }
+      // drain
+      AzofChangeFeed.followOnce(spark, lake, "t", ckpt) { (feed, _, _) =>
+        acked ++= feed.select("_commit_version").collect()
+          .map(_.getLong(0)).distinct.sorted
+      }
+      assert(acked.toSeq == (2L to committed).toSeq,
+        s"seed $seed: acked ${acked.toSeq}, committed 2..$committed")
+    }
+  }
+
   test("followOnce seeds an explicit startVersion on a no-new-commits poll") {
     val lake = Files.createTempDirectory("azof-cdf-seed").toString
     val ckpt = Files.createTempDirectory("azof-cdf-seedck").toString
