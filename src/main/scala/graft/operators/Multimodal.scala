@@ -70,7 +70,36 @@ object Multimodal {
     looksLikeWav(b) ||
     (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
       b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
-      (b(11) == 'F' || b(11) == 'C'))
+      (b(11) == 'F' || b(11) == 'C')) ||
+    (b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' &&
+      b(3) == 'd') // Sun AU — the JDK's third built-in audio parser
+
+  /** Standard MIDI File magic (`MThd`) — parsed by the JDK's
+    * `javax.sound.midi`, the one remaining built-in media parser.
+    */
+  def looksLikeMidi(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'M' && b(1) == 'T' && b(2) == 'h' &&
+      b(3) == 'd'
+
+  /** REAL MIDI metadata via `javax.sound.midi` (header+track parse, no
+    * synthesis): [[MediaMeta]] axes are `width` = microsecond duration,
+    * `height` = track count, `n_frames` = tick length. None when the
+    * parser rejects the bytes — callers fall back to [[fakeDecode]].
+    */
+  def midiDecode(docId: Long, payload: Array[Byte]): Option[MediaMeta] =
+    try {
+      val seq = javax.sound.midi.MidiSystem.getSequence(
+        new java.io.ByteArrayInputStream(payload))
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload)
+      Some(MediaMeta(
+        doc_id = docId,
+        octets = payload.length.toLong,
+        width = seq.getMicrosecondLength,
+        height = seq.getTracks.length.toLong,
+        n_frames = seq.getTickLength,
+        checksum = crc.getValue))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** RIFF/WAVE container magic alone — the subset of [[looksLikeAudio]]
     * whose PCM the JDK's WAVE writer can re-encode losslessly; shared by
@@ -287,6 +316,7 @@ object Multimodal {
         it.map { case (id, bytes) =>
           (if (looksLikeImage(bytes)) imageDecode(id, bytes)
            else if (looksLikeAudio(bytes)) audioDecode(id, bytes)
+           else if (looksLikeMidi(bytes)) midiDecode(id, bytes)
            else None)
             .getOrElse(fakeDecode(id, bytes))
         }

@@ -342,6 +342,50 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real AU and MIDI decode: the JDK's remaining built-in parsers engage") {
+    // AU: third javax.sound.sampled container, same header-only path
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcm = new Array[Byte](8000 * 2) // 1 s mono
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8000L)
+    val auBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AU, auBos)
+    val au = auBos.toByteArray
+    assert(Multimodal.looksLikeAudio(au))
+
+    // MIDI: two tracks, explicit tick extent via end-of-track placement
+    val seq = new javax.sound.midi.Sequence(javax.sound.midi.Sequence.PPQ, 24)
+    val tr1 = seq.createTrack(); val tr2 = seq.createTrack()
+    val on = new javax.sound.midi.ShortMessage(
+      javax.sound.midi.ShortMessage.NOTE_ON, 0, 60, 93)
+    val off = new javax.sound.midi.ShortMessage(
+      javax.sound.midi.ShortMessage.NOTE_OFF, 0, 60, 0)
+    tr1.add(new javax.sound.midi.MidiEvent(on, 0))
+    tr1.add(new javax.sound.midi.MidiEvent(off, 96))
+    tr2.add(new javax.sound.midi.MidiEvent(on, 48))
+    val midiBos = new java.io.ByteArrayOutputStream()
+    javax.sound.midi.MidiSystem.write(seq, 1, midiBos)
+    val midi = midiBos.toByteArray
+    assert(Multimodal.looksLikeMidi(midi))
+
+    val df = Seq((1L, au), (2L, midi),
+      (3L, "MThd but not really midi".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val metas = Multimodal.decodeMeta(spark, df).collect()
+      .map(m => m.doc_id -> m).toMap
+    // AU: real rate/channels/frames from the header
+    assert(metas(1L).width == 8000L && metas(1L).height == 1L)
+    assert(metas(1L).n_frames == 8000L)
+    // MIDI: 2 tracks, tick length from the real event extents (>= 96)
+    assert(metas(2L).height == 2L)
+    assert(metas(2L).n_frames >= 96L)
+    assert(metas(2L).width > 0L) // microsecond duration
+    // a text payload wearing the magic degrades to the stub
+    assert(metas(3L) == Multimodal.fakeDecode(3L,
+      "MThd but not really midi".getBytes("UTF-8")))
+  }
+
   test("corrupt audio magic degrades to the stub, not a crash") {
     // valid RIFF/WAVE magic, truncated body — the parser must reject it
     // and the pipeline must fall back deterministically
