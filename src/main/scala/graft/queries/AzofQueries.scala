@@ -22,7 +22,8 @@ object AzofQueries {
     "q18_azof_roundtrip" -> roundtrip,
     "q32_key_lookup" -> keyLookup,
     "q33_sql_insert" -> sqlInsert,
-    "q34_bykey_lookup" -> byKeyLookup)
+    "q34_bykey_lookup" -> byKeyLookup,
+    "q35_change_feed" -> changeFeed)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -149,6 +150,19 @@ object AzofQueries {
       .select("key", "event_time", "event_type")
   }
 
+  /** The batch CDC surface under the oracle gate: the change feed over
+    * `(base commit, current]` of the events_kv lakehouse is exactly the
+    * two delta commits' raw rows — every event at or after the first
+    * cut, tagged with the version that committed it (delta windows
+    * partition time, so the tag is a pure function of event_time). No
+    * dedup: the feed is commit contents, not table state.
+    */
+  private def changeFeed(s: SparkSession, dir: String): DataFrame =
+    graft.sources.AzofChangeFeed
+      .between(s, ensureLake(s, dir), "events_kv", 2L, 4L)
+      .select(col("key"), col("event_time"), col("event_type"),
+        col("_commit_version"))
+
   /** The SQL WRITE surface under the oracle gate: CREATE TABLE + INSERT
     * INTO through the DSv2 catalog (→ partitioned delta commit), read
     * back through catalog SQL. The catalog name carries the sf-dir hash
@@ -215,6 +229,16 @@ object AzofQueries {
                FROM events
                WHERE date_trunc('milliseconds', ts) < TIMESTAMP '2024-01-10 00:00:00')
          WHERE rn = 1""",
+    // the feed is the raw rows of the two delta commits (no dedup);
+    // delta windows partition time, so the committing version is a
+    // function of event_time alone
+    "q35_change_feed" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+         date_trunc('milliseconds', ts) AS event_time, event_type,
+         CASE WHEN date_trunc('milliseconds', ts) < TIMESTAMP '2024-01-20 00:00:00'
+              THEN CAST(3 AS BIGINT) ELSE CAST(4 AS BIGINT) END AS _commit_version
+         FROM events
+         WHERE date_trunc('milliseconds', ts) >= TIMESTAMP '2024-01-10 00:00:00'""",
     // one by-key commit holds ALL events, so Current is plain
     // latest-row-per-key restricted to the looked-up keys
     "q34_bykey_lookup" ->
