@@ -85,4 +85,18 @@ object AzofTable {
     new AzofTable(
       new Path(lakehousePath, name),
       spark.sessionState.newHadoopConf())
+
+  /** Numeric ids of every `s{N}.json` in `tableDir`, sorted — the ONE
+    * directory-listing pipeline shared by vacuum and the change feed
+    * (parseability of the documents is NOT checked here; callers that
+    * care classify via [[SnapshotCodec.classify]]).
+    */
+  def snapshotIdsOnDisk(fs: FileSystem, tableDir: Path): Seq[Long] =
+    fs.listStatus(tableDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("s") && s.endsWith(".json") =>
+        s.stripPrefix("s").stripSuffix(".json")
+      }
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .sorted
 }

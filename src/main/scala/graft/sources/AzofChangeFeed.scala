@@ -25,26 +25,58 @@ object AzofChangeFeed {
     val t = AzofTable(spark, lakehousePath, table)
     val schema = t.snapshot(toVersion.toString).schema
 
-    val batches = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val snap = t.snapshot(v.toString)
-      if (snap.op.contains("compact")) Seq.empty
-      else {
-        val prev = t.snapshot((v - 1).toString)
-        val newFiles = (snap.allFiles -- prev.allFiles).toSeq.sorted
-        newFiles.map { f =>
-          spark.read
-            .schema(schema.toStruct)
-            .parquet(new Path(t.tableDir, f).toString)
-            .withColumn("_commit_version", lit(v))
+    // (file, committing version) for every data-adding commit in range.
+    // Snapshot JSONs are walked pairwise on the driver (metadata-sized);
+    // the ROWS come from ONE parquet scan below.
+    val fileVersions: Seq[(String, Long)] =
+      ((fromVersion + 1) to toVersion).flatMap { v =>
+        val snap = t.snapshot(v.toString)
+        if (snap.op.contains("compact")) Seq.empty
+        else {
+          val prev = t.snapshot((v - 1).toString)
+          (snap.allFiles -- prev.allFiles).toSeq.sorted.map(_ -> v)
         }
       }
-    }
 
-    if (batches.isEmpty)
+    if (fileVersions.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.toStruct.add("_commit_version", "long"))
-    else batches.reduce(_ unionAll _)
+    else {
+      // ONE scan over all new files with the committing version
+      // recovered per row from the file's basename — the AzofScan
+      // precedence-map pattern. The old shape (one DataFrame per file
+      // reduced with nested unionAll) grew the plan linearly with
+      // commit count and blew up driver planning on long-history
+      // tables; this plan is O(1) in the number of commits. Basenames
+      // are unique within a table directory (all files live flat), and
+      // a literal map caps expression size at few files, a broadcast
+      // join beyond that.
+      val paths = fileVersions.map { case (f, _) =>
+        new Path(t.tableDir, f).toString
+      }
+      val single = spark.read.schema(schema.toStruct).parquet(paths: _*)
+      val baseName = regexp_extract(input_file_name(), "[^/]+$", 0)
+      val threshold = spark.conf
+        .getOption("spark.azof.precedenceJoinThreshold")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .getOrElse(64)
+      if (fileVersions.size <= threshold) {
+        val entries = fileVersions.flatMap { case (f, v) =>
+          Seq(lit(new Path(f).getName), lit(v))
+        }
+        single.withColumn("_commit_version",
+          element_at(map(entries: _*), baseName))
+      } else {
+        val lookup = broadcast(
+          spark.createDataFrame(fileVersions.map { case (f, v) =>
+            (new Path(f).getName, v)
+          }).toDF("_cf_file", "_commit_version"))
+        single.withColumn("_cf_file", baseName)
+          .join(lookup, "_cf_file")
+          .drop("_cf_file")
+      }
+    }
   }
 
   /** Feed from a version up to the current snapshot. */
@@ -79,7 +111,11 @@ object AzofChangeFeed {
     * Returns the `(from, to)` version range delivered (`from > to`
     * means no new commits). A consumer that lags past snapshot
     * retention fails with a clear out-of-range error (the Kafka
-    * earliest-offset analogue) instead of a bare missing-file read.
+    * earliest-offset analogue) instead of a bare missing-file read —
+    * detected at feed CONSTRUCTION (snapshot walk); a vacuum racing
+    * the delivery itself can still surface as a task-level missing
+    * -file failure inside `fn`, in which case the offset correctly
+    * does not advance and the retry hits the loud path.
     *
     * @param startVersion first poll's base when no checkpoint exists:
     *                     process `(startVersion, current]`; defaults to
@@ -108,20 +144,57 @@ object AzofChangeFeed {
       if (!AtomicReplace.replace(fs, ckDir, ck, to.toString))
         throw new java.io.IOException(
           s"failed to advance offset $ck: a stale offset file survived " +
-            "(concurrent consumer on the same checkpoint?)")
+            "the replace (store fault mid-replace, or a concurrent " +
+            "consumer sharing this checkpoint)")
     }
     val existing =
-      if (!fs.exists(ck)) None
-      else {
+      if (!fs.exists(ck)) {
+        // an ABSENT offset beside _tmp_ptr_ staging residue is not a
+        // fresh checkpoint — it is an offset write interrupted inside
+        // the delete+rename fallback window (rename-refusing stores).
+        // Seeding startVersion here would silently replay history past
+        // the lost offset; refuse and make the operator decide.
+        val residue =
+          if (!fs.exists(ckDir)) Array.empty[String]
+          else fs.listStatus(ckDir).map(_.getPath.getName)
+            .filter(_.startsWith("_tmp_ptr_"))
+        if (residue.nonEmpty)
+          throw new IllegalStateException(
+            s"checkpoint $checkpointDir has no offset but carries " +
+              s"staging residue (${residue.mkString(", ")}) from an " +
+              "interrupted offset write — the previous offset may be " +
+              "lost. Re-seed explicitly: delete the residue and pass " +
+              "startVersion, or start a fresh checkpoint.")
+        None
+      } else {
         val in = fs.open(ck)
         val s = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
         Some(s.toLong)
       }
-    val last = existing.getOrElse { advance(startVersion); startVersion }
+    existing.filter(_ != startVersion).foreach { off =>
+      if (startVersion != 1L)
+        System.err.println(
+          s"WARN: checkpoint $checkpointDir already holds offset $off; " +
+            s"startVersion $startVersion is ignored (re-seed with a " +
+            "fresh checkpoint to change the base)")
+    }
     val t = AzofTable(spark, lakehousePath, table)
     val cur = t.currentVersion.toLong
+    // an offset AHEAD of the table is never a caught-up consumer — it
+    // is a stale checkpoint from a deleted-and-recreated table or a
+    // typo'd base; silently waiting here would skip every version up
+    // to the stale offset once the table catches up. Checked BEFORE
+    // seeding so a bad explicit base never pollutes the checkpoint.
+    if (existing.getOrElse(startVersion) > cur)
+      throw new IllegalStateException(
+        s"${existing.map(o => s"checkpoint offset $o")
+          .getOrElse(s"startVersion $startVersion")} is ahead of " +
+          s"$table's current version $cur: stale checkpoint (table " +
+          "recreated?) or a bad base — use a fresh checkpoint with an " +
+          "in-range base")
+    val last = existing.getOrElse { advance(startVersion); startVersion }
     if (cur <= last) (last + 1, cur)
     else {
       val df =
@@ -154,11 +227,7 @@ object AzofChangeFeed {
       spark: SparkSession, lakehousePath: String, table: String): Long = {
     val dir = new Path(lakehousePath, table)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val ids = fs.listStatus(dir).map(_.getPath.getName)
-      .collect { case s if s.startsWith("s") && s.endsWith(".json") =>
-        s.stripPrefix("s").stripSuffix(".json")
-      }
-      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    val ids = AzofTable.snapshotIdsOnDisk(fs, dir)
     require(ids.nonEmpty, s"no snapshot documents under $dir")
     ids.min
   }

@@ -69,13 +69,8 @@ object AzofVacuum {
       .find(_.getPath.getName == name)
       .forall(now - _.getModificationTime >= minAgeMs)
 
-    val snapshotIds = statuses
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("s") && s.endsWith(".json") =>
-        s.stripPrefix("s").stripSuffix(".json")
-      }
-      .flatMap(s => scala.util.Try(s.toInt).toOption)
-      .sorted
+    val snapshotIds =
+      AzofTable.snapshotIdsOnDisk(fs, tableDir).map(_.toInt)
     // ONE parse pass: every snapshot document is read and classified
     // exactly once (SnapshotCodec.classify); the corrupt set, the
     // loud-abort check, and the referenced-file union below all derive

@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.TestSpark
 import graft.format._
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 import java.time.Instant
 import org.apache.spark.sql.Row
@@ -180,6 +180,46 @@ class ChangeFeedSpec extends AnyFunSuite {
       assert(acked.toSeq == (2L to committed).toSeq,
         s"seed $seed: acked ${acked.toSeq}, committed 2..$committed")
     }
+  }
+
+  test("followOnce refuses ahead-of-table offsets and interrupted-offset residue") {
+    val lake = Files.createTempDirectory("azof-cdf-guard").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+
+    // a typo'd base ahead of the table throws BEFORE polluting the
+    // checkpoint — the dir stays usable with a correct base
+    val ck1 = Files.createTempDirectory("azof-cdf-g1").toString
+    val badBase = intercept[IllegalStateException] {
+      AzofChangeFeed.followOnce(spark, lake, "t", ck1,
+        startVersion = 100L) { (_, _, _) => () }
+    }
+    assert(badBase.getMessage.contains("ahead of"))
+    assert(!Files.exists(Paths.get(ck1, "azof-commit-offset")))
+    var n = 0L
+    AzofChangeFeed.followOnce(spark, lake, "t", ck1) { (feed, _, _) =>
+      n = feed.count()
+    }
+    assert(n == 1L)
+
+    // a STORED offset ahead of the table (deleted-and-recreated table)
+    // is a stale checkpoint, never a silently-waiting consumer
+    val ck2 = Files.createTempDirectory("azof-cdf-g2").toString
+    Files.writeString(Paths.get(ck2, "azof-commit-offset"), "100")
+    val stale = intercept[IllegalStateException] {
+      AzofChangeFeed.followOnce(spark, lake, "t", ck2) { (_, _, _) => () }
+    }
+    assert(stale.getMessage.contains("stale checkpoint"))
+
+    // offset absent + _tmp_ptr_ staging residue = an interrupted offset
+    // write, NOT a fresh checkpoint: seeding would silently replay
+    val ck3 = Files.createTempDirectory("azof-cdf-g3").toString
+    Files.writeString(Paths.get(ck3, "_tmp_ptr_dead"), "2")
+    val residue = intercept[IllegalStateException] {
+      AzofChangeFeed.followOnce(spark, lake, "t", ck3) { (_, _, _) => () }
+    }
+    assert(residue.getMessage.contains("staging residue"))
   }
 
   test("followOnce seeds an explicit startVersion on a no-new-commits poll") {
