@@ -23,8 +23,44 @@ private[sources] object AtomicReplace {
     * checkpoint: nothing else may write it). Throws IOException when
     * the protocol leaves `target` absent entirely (store fault) and a
     * create-if-absent restore also fails.
+    *
+    * Local filesystems take a pure-NIO `ATOMIC_MOVE` path instead of
+    * the Hadoop protocol: Hadoop's checksummed `LocalFileSystem.rename`
+    * can return false AFTER the data file already moved (the crc
+    * sidecar rename loses a race under concurrent replacers), which
+    * cascades through the delete+rename fallback into the
+    * create-if-absent restore and exposes readers to a truncated EMPTY
+    * pointer — caught by AtomicReplaceSpec's contention hammer. POSIX
+    * rename(2) replaces atomically with no sidecars to race.
     */
   def replace(
+      fs: FileSystem, dir: Path, target: Path, content: String): Boolean =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val t = java.nio.file.Paths.get(target.toUri.getPath)
+        val tmp = t.resolveSibling(s"_tmp_ptr_${UUID.randomUUID().toString}")
+        Option(t.getParent).foreach(p =>
+          java.nio.file.Files.createDirectories(p))
+        java.nio.file.Files.write(tmp,
+          content.getBytes(StandardCharsets.UTF_8))
+        try {
+          java.nio.file.Files.move(tmp, t,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // a checksum sidecar from a pre-NIO writer would fail future
+          // checksummed reads of the new content — drop it
+          scala.util.Try(java.nio.file.Files.deleteIfExists(
+            t.resolveSibling("." + t.getFileName.toString + ".crc")))
+          true
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            scala.util.Try(java.nio.file.Files.deleteIfExists(tmp))
+            throw new java.io.IOException(s"atomic move to $t failed", e)
+        }
+      case _ => hadoopReplace(fs, dir, target, content)
+    }
+
+  private def hadoopReplace(
       fs: FileSystem, dir: Path, target: Path, content: String): Boolean = {
     val tmp = new Path(dir, s"_tmp_ptr_${UUID.randomUUID().toString}")
     val out = fs.create(tmp, true)
