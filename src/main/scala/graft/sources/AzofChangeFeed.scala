@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object AzofChangeFeed {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def between(
       spark: SparkSession,
       lakehousePath: String,
@@ -23,19 +25,22 @@ object AzofChangeFeed {
       toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
     val t = AzofTable(spark, lakehousePath, table)
-    val schema = t.snapshot(toVersion.toString).schema
+    // ONE parse per snapshot document, memoized over [from, to] — the
+    // pairwise walk used to re-parse every interior document as both
+    // the `v` and the `v - 1` of adjacent iterations, doubling driver
+    // JSON work on long histories (same O(2N)-reads shape the vacuum
+    // fix removed, AzofVacuum.scala).
+    val snaps: Map[Long, Snapshot] =
+      (fromVersion to toVersion).map(v => v -> t.snapshot(v.toString)).toMap
+    val schema = snaps(toVersion).schema
 
-    // (file, committing version) for every data-adding commit in range.
-    // Snapshot JSONs are walked pairwise on the driver (metadata-sized);
+    // (file, committing version) for every data-adding commit in range;
     // the ROWS come from ONE parquet scan below.
     val fileVersions: Seq[(String, Long)] =
       ((fromVersion + 1) to toVersion).flatMap { v =>
-        val snap = t.snapshot(v.toString)
+        val snap = snaps(v)
         if (snap.op.contains("compact")) Seq.empty
-        else {
-          val prev = t.snapshot((v - 1).toString)
-          (snap.allFiles -- prev.allFiles).toSeq.sorted.map(_ -> v)
-        }
+        else (snap.allFiles -- snaps(v - 1).allFiles).toSeq.sorted.map(_ -> v)
       }
 
     if (fileVersions.isEmpty)
@@ -43,38 +48,66 @@ object AzofChangeFeed {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.toStruct.add("_commit_version", "long"))
     else {
-      // ONE scan over all new files with the committing version
-      // recovered per row from the file's basename — the AzofScan
-      // precedence-map pattern. The old shape (one DataFrame per file
-      // reduced with nested unionAll) grew the plan linearly with
-      // commit count and blew up driver planning on long-history
-      // tables; this plan is O(1) in the number of commits. Basenames
-      // are unique within a table directory (all files live flat), and
-      // a literal map caps expression size at few files, a broadcast
-      // join beyond that.
       val paths = fileVersions.map { case (f, _) =>
         new Path(t.tableDir, f).toString
       }
-      val single = spark.read.schema(schema.toStruct).parquet(paths: _*)
-      val baseName = regexp_extract(input_file_name(), "[^/]+$", 0)
-      val threshold = spark.conf
-        .getOption("spark.azof.precedenceJoinThreshold")
-        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
-        .getOrElse(64)
-      if (fileVersions.size <= threshold) {
-        val entries = fileVersions.flatMap { case (f, v) =>
-          Seq(lit(new Path(f).getName), lit(v))
+      val basenames = fileVersions.map { case (f, _) => new Path(f).getName }
+      // input_file_name() yields the URI-ESCAPED path: a file name that
+      // URI-encoding rewrites (or a duplicate basename across
+      // subdirectories) would make the lookup disagree with the raw
+      // snapshot names. Engine-generated names are safe; for foreign
+      // layouts fall back to per-file reads (plan grows with the file
+      // count — acceptable for these rare layouts), mirroring AzofScan.
+      def uriSafe(n: String): Boolean =
+        new java.net.URI(null, null, n, null).getRawPath == n
+      if (basenames.distinct.size == basenames.size &&
+          basenames.forall(uriSafe)) {
+        // ONE scan over all new files with the committing version
+        // recovered per row from the file's basename — the AzofScan
+        // precedence-map pattern. The old shape (one DataFrame per file
+        // reduced with nested unionAll) grew the plan linearly with
+        // commit count and blew up driver planning on long-history
+        // tables; this plan is O(1) in the number of commits. Basenames
+        // are unique within a table directory (all files live flat), and
+        // a literal map caps expression size at few files, a broadcast
+        // join beyond that.
+        val single = spark.read.schema(schema.toStruct).parquet(paths: _*)
+        val baseName = regexp_extract(input_file_name(), "[^/]+$", 0)
+        val threshold = spark.conf
+          .getOption("spark.azof.precedenceJoinThreshold")
+          .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+          .getOrElse(64)
+        val tagged = if (fileVersions.size <= threshold) {
+          val entries = fileVersions.flatMap { case (f, v) =>
+            Seq(lit(new Path(f).getName), lit(v))
+          }
+          single
+            .withColumn("_cf_file", baseName)
+            .withColumn("_commit_version",
+              element_at(map(entries: _*), col("_cf_file")))
+        } else {
+          val lookup = broadcast(
+            spark.createDataFrame(fileVersions.map { case (f, v) =>
+              (new Path(f).getName, v)
+            }).toDF("_cf_file", "_commit_version"))
+          single.withColumn("_cf_file", baseName)
+            .join(lookup, Seq("_cf_file"), "left")
         }
-        single.withColumn("_commit_version",
-          element_at(map(entries: _*), baseName))
-      } else {
-        val lookup = broadcast(
-          spark.createDataFrame(fileVersions.map { case (f, v) =>
-            (new Path(f).getName, v)
-          }).toDF("_cf_file", "_commit_version"))
-        single.withColumn("_cf_file", baseName)
-          .join(lookup, "_cf_file")
+        // a null tag means input_file_name() disagreed with the literal
+        // file list despite the safety gate — fail LOUDLY instead of
+        // silently mistagging (map path) or dropping rows (join path)
+        tagged
+          .withColumn("_commit_version",
+            coalesce(col("_commit_version"), raise_error(concat(
+              lit(s"azof change feed on $table: data file not in the " +
+                "commit map (URI-escaped name mismatch?): "),
+              col("_cf_file")))))
           .drop("_cf_file")
+      } else {
+        fileVersions.zip(paths).map { case ((_, v), p) =>
+          spark.read.schema(schema.toStruct).parquet(p)
+            .withColumn("_commit_version", lit(v))
+        }.reduce(_ unionAll _)
       }
     }
   }
@@ -166,17 +199,11 @@ object AzofChangeFeed {
               "lost. Re-seed explicitly: delete the residue and pass " +
               "startVersion, or start a fresh checkpoint.")
         None
-      } else {
-        val in = fs.open(ck)
-        val s = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-        Some(s.toLong)
-      }
+      } else Some(readOffset(fs, ck))
     existing.filter(_ != startVersion).foreach { off =>
       if (startVersion != 1L)
-        System.err.println(
-          s"WARN: checkpoint $checkpointDir already holds offset $off; " +
+        log.warn(
+          s"checkpoint $checkpointDir already holds offset $off; " +
             s"startVersion $startVersion is ignored (re-seed with a " +
             "fresh checkpoint to change the base)")
     }
@@ -215,6 +242,39 @@ object AzofChangeFeed {
       advance(cur)
       (last + 1, cur)
     }
+  }
+
+  /** Read the checkpoint offset, tolerating the brief EMPTY window an
+    * interrupted create-if-absent restore can expose on rename-refusing
+    * stores (AtomicReplace's restore path publishes create → write →
+    * close; a reader landing between create and close sees a present-
+    * but-empty file). Bounded backoff mirrors
+    * [[graft.format.AzofTable.currentVersion]]; an offset still empty
+    * afterwards — or holding non-numeric bytes — fails with a
+    * descriptive error instead of a bare NumberFormatException.
+    */
+  private def readOffset(
+      fs: org.apache.hadoop.fs.FileSystem, ck: Path): Long = {
+    var attempt = 0
+    while (true) {
+      val in = fs.open(ck)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      if (s.nonEmpty)
+        return s.toLongOption.getOrElse(throw new IllegalStateException(
+          s"offset file $ck holds '$s', not a snapshot version — " +
+            "corrupted checkpoint; re-seed with a fresh checkpoint"))
+      if (attempt >= 5)
+        throw new IllegalStateException(
+          s"offset file $ck is empty after retries: an offset write was " +
+            "interrupted mid-restore and the previous offset may be " +
+            "lost — re-seed explicitly with a fresh checkpoint and an " +
+            "appropriate startVersion")
+      Thread.sleep(10L << attempt)
+      attempt += 1
+    }
+    0L // unreachable
   }
 
   /** The lowest version a change-feed consumer can currently use as its

@@ -8,6 +8,29 @@ import java.time.Instant
 import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 
+/** RawLocalFileSystem that counts `open` calls per snapshot document —
+  * pins the change feed's one-parse-per-document contract on long
+  * histories (the pairwise walk used to read interior documents twice).
+  */
+class CountingSnapshotFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "countfs"
+  override def getUri: java.net.URI = java.net.URI.create("countfs:///")
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    CountingSnapshotFs.record(f.getName)
+    super.open(f, bufferSize)
+  }
+}
+
+object CountingSnapshotFs {
+  val opens = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def record(name: String): Unit =
+    if (name.startsWith("s") && name.endsWith(".json")) {
+      opens.merge(name, 1, (a, b) => a + b); ()
+    }
+  def reset(): Unit = opens.clear()
+}
+
 class ChangeFeedSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -246,5 +269,33 @@ class ChangeFeedSpec extends AnyFunSuite {
         .sorted.toSeq
     }
     assert(got == Seq(3L))
+  }
+
+  test("between parses each snapshot document exactly once on a long history") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.countfs.impl", classOf[CountingSnapshotFs].getName)
+    spark.conf.set("spark.hadoop.fs.countfs.impl",
+      classOf[CountingSnapshotFs].getName)
+    val local = Files.createTempDirectory("azof-cdf-count").toString
+    val lake = s"countfs:$local"
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    (1 to 10).foreach { i =>                                         // v3..v12
+      AzofWriter.commitDelta(spark, lake, "t",
+        df((s"k$i", f"2024-02-${i}%02dT00:00:00Z", s"v$i")),
+        ts(f"2024-02-${i}%02dT00:00:00Z"), ts(f"2024-02-${i + 1}%02dT00:00:00Z"))
+    }
+
+    CountingSnapshotFs.reset()
+    val feed = AzofChangeFeed.between(spark, lake, "t", 1L, 12L)
+    // construction (the snapshot walk) reads [1, 12] once each; the
+    // pairwise shape read interior documents twice
+    import scala.jdk.CollectionConverters._
+    val constructionOpens = CountingSnapshotFs.opens.asScala.toMap
+    assert(constructionOpens.keySet == (1 to 12).map(v => s"s$v.json").toSet)
+    assert(constructionOpens.values.forall(_ == 1),
+      s"documents parsed more than once at construction: $constructionOpens")
+    assert(feed.count() == 11)
   }
 }
