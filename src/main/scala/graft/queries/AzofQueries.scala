@@ -23,7 +23,8 @@ object AzofQueries {
     "q32_key_lookup" -> keyLookup,
     "q33_sql_insert" -> sqlInsert,
     "q34_bykey_lookup" -> byKeyLookup,
-    "q35_change_feed" -> changeFeed)
+    "q35_change_feed" -> changeFeed,
+    "q36_strict_precedence" -> strictPrecedence)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -199,6 +200,48 @@ object AzofQueries {
     s.sql(s"SELECT key, event_time, event_type FROM $cat.events_sql")
   }
 
+  /** The strict-precedence compatibility mode under the oracle gate
+    * (reference semantics: lakehouse.rs:57-79 — per-key winners resolve
+    * by file PRECEDENCE first, the row loop's first-seen-wins). The lake
+    * is built so the two modes PROVABLY diverge: delta1 (window = the
+    * full event range, committed first) holds every event; delta2
+    * (window [Jan 5, Jan 15), LATER start -> higher merge precedence)
+    * re-commits that inner window's events with a `_d2`-tagged
+    * event_type. For every key with an event inside the inner window AND
+    * a later event outside it, default mode surfaces delta1's newest
+    * untagged row while strict mode surfaces delta2's tagged (older)
+    * row — first-seen-wins by precedence. The DuckDB oracle expresses
+    * exactly that: rank by (file precedence, event_time DESC).
+    */
+  private def strictPrecedence(s: SparkSession, dir: String): DataFrame = {
+    val lake = cachedLake(dir, "strict-v1", "events_ov") { l =>
+      val kv = eventsKv(s, dir)
+      AzofWriter.createTable(s, l, "events_ov", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.commitDelta(s, l, "events_ov", kv,
+        Instant.parse("2024-01-01T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"))
+      val d5 = "2024-01-05 00:00:00"
+      val d15 = "2024-01-15 00:00:00"
+      AzofWriter.commitDelta(s, l, "events_ov",
+        kv.where(col("event_time") >= expr(s"TIMESTAMP '$d5'") &&
+            col("event_time") < expr(s"TIMESTAMP '$d15'"))
+          .withColumn("event_type", concat(col("event_type"), lit("_d2"))),
+        Instant.parse("2024-01-05T00:00:00Z"),
+        Instant.parse("2024-01-15T00:00:00Z"))
+    }
+    // the mode flag is read at PLAN-CONSTRUCTION time, so scope it to
+    // the scan() call and restore — the session is shared across queries
+    val prev = s.conf.getOption("spark.azof.strictPrecedence")
+    s.conf.set("spark.azof.strictPrecedence", "true")
+    try AzofScan.scan(s, lake, "events_ov")
+      .select("key", "event_time", "event_type")
+    finally prev match {
+      case Some(v) => s.conf.set("spark.azof.strictPrecedence", v)
+      case None    => s.conf.unset("spark.azof.strictPrecedence")
+    }
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q18_azof_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
@@ -239,6 +282,25 @@ object AzofQueries {
               THEN CAST(3 AS BIGINT) ELSE CAST(4 AS BIGINT) END AS _commit_version
          FROM events
          WHERE date_trunc('milliseconds', ts) >= TIMESTAMP '2024-01-10 00:00:00'""",
+    // strict mode ranks by (file precedence, event_time DESC): the
+    // tagged inner-window delta (later start) outranks the full delta,
+    // so any key with an inner-window event surfaces its newest TAGGED
+    // row even when an untagged later row exists — first-seen-wins
+    "q36_strict_precedence" ->
+      """WITH kv AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                date_trunc('milliseconds', ts) AS event_time, event_type
+              FROM events),
+         u AS (SELECT key, event_time, event_type || '_d2' AS event_type,
+                      0 AS prec
+               FROM kv
+               WHERE event_time >= TIMESTAMP '2024-01-05 00:00:00'
+                 AND event_time <  TIMESTAMP '2024-01-15 00:00:00'
+               UNION ALL
+               SELECT key, event_time, event_type, 1 AS prec FROM kv)
+         SELECT key, event_time, event_type
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                 ORDER BY prec, event_time DESC) AS rn FROM u)
+         WHERE rn = 1""",
     // one by-key commit holds ALL events, so Current is plain
     // latest-row-per-key restricted to the looked-up keys
     "q34_bykey_lookup" ->
