@@ -16,8 +16,11 @@ import org.apache.spark.sql.SparkSession
   * primitive — S3 `If-None-Match` PUT, a DynamoDB-style LogStore, GCS
   * `ifGenerationMatch: 0` — under
   * `spark.azof.commitGuard.<scheme> = <fully.qualified.ClassName>`
-  * (zero-arg constructor, one instance cached per class); every azof
-  * commit on paths of that scheme then publishes through it.
+  * (zero-arg constructor, one instance cached per (classloader, class));
+  * every azof commit on paths of that scheme then publishes through it.
+  * [[ConditionalPutGuard]] is the shipped conditional-put
+  * implementation; [[SimStoreFileSystem]] the simulated store to run it
+  * against.
   */
 trait CommitGuard {
 
@@ -65,7 +68,13 @@ object CommitGuard {
         s"rename $tmp -> $target returned false with no existing target (store fault, not a commit race)")
   }
 
-  private val cache = new ConcurrentHashMap[String, CommitGuard]()
+  // keyed by (resolving classloader, class name), NOT class name alone:
+  // in a long-lived multi-session server a later session can ship a
+  // DIFFERENT version of the guard class through its own classloader,
+  // and a name-only cache would silently reuse the first loader's
+  // instance for every subsequent session
+  private val cache =
+    new ConcurrentHashMap[(ClassLoader, String), CommitGuard]()
 
   /** Resolve the guard for `target`'s URI scheme:
     * `spark.azof.commitGuard.<scheme>` names a [[CommitGuard]] class, or
@@ -76,13 +85,13 @@ object CommitGuard {
     spark.conf.getOption(s"spark.azof.commitGuard.$scheme") match {
       case None => Rename
       case Some(cls) =>
-        cache.computeIfAbsent(cls, c => {
-          // context classloader first: guards typically ship in user
-          // jars (--jars), visible to Spark's session classloader but
-          // not to this class's defining loader
-          val loader = Option(Thread.currentThread().getContextClassLoader)
-            .getOrElse(getClass.getClassLoader)
-          Class.forName(c, true, loader).getDeclaredConstructor()
+        // context classloader first: guards typically ship in user
+        // jars (--jars), visible to Spark's session classloader but
+        // not to this class's defining loader
+        val loader = Option(Thread.currentThread().getContextClassLoader)
+          .getOrElse(getClass.getClassLoader)
+        cache.computeIfAbsent((loader, cls), { case (l, c) =>
+          Class.forName(c, true, l).getDeclaredConstructor()
             .newInstance().asInstanceOf[CommitGuard]
         })
     }

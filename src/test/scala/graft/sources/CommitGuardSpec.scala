@@ -47,6 +47,21 @@ class FaultingGuard extends CommitGuard {
     throw new java.io.IOException("injected store fault")
 }
 
+/** The PRODUCTION conditional-put guard with an observability counter —
+  * proves the guard (not the default rename path) carried the racing
+  * commits on the simulated conditional store.
+  */
+class CountingCondPutGuard extends ConditionalPutGuard {
+  override def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+    CountingCondPutGuard.calls.incrementAndGet()
+    super.publish(fs, tmp, target)
+  }
+}
+
+object CountingCondPutGuard {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Concurrent committers through the pluggable [[CommitGuard]]: on a
   * scheme with a conditional-put guard registered, racing writers must
   * ALL survive — each lost race re-reads and retries at the next id —
@@ -62,6 +77,12 @@ class CommitGuardSpec extends AnyFunSuite {
       classOf[TestDfsFileSystem].getName)
     s.conf.set("spark.azof.commitGuard.testdfs",
       classOf[ConditionalCreateGuard].getName)
+    s.sparkContext.hadoopConfiguration.set(
+      "fs.simstore.impl", classOf[SimStoreFileSystem].getName)
+    s.conf.set("spark.hadoop.fs.simstore.impl",
+      classOf[SimStoreFileSystem].getName)
+    s.conf.set("spark.azof.commitGuard.simstore",
+      classOf[CountingCondPutGuard].getName)
     s
   }
 
@@ -191,6 +212,91 @@ class CommitGuardSpec extends AnyFunSuite {
       assert(!names.contains("s2.json"))
     } finally spark.conf.set("spark.azof.commitGuard.testdfs",
       classOf[ConditionalCreateGuard].getName)
+  }
+
+  test("simstore rename is last-writer-wins: the default guard's refusal assumption does not hold") {
+    // the scheme's single-file rename silently REPLACES an existing
+    // target and returns true — so an exists-check + rename commit on
+    // this store is check-then-act, and two same-instant committers
+    // could both "succeed" with one snapshot clobbered. This is the
+    // store shape the conditional-put guard exists for.
+    val dir = Files.createTempDirectory("azof-simstore-rename").toString
+    val fs = new Path(s"simstore:$dir")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.isInstanceOf[SimStoreFileSystem])
+    def put(name: String, content: String): Path = {
+      val p = new Path(s"simstore:$dir/$name")
+      val o = fs.create(p, true)
+      try o.write(content.getBytes("UTF-8")) finally o.close()
+      p
+    }
+    val incoming = put("incoming", "RACER")
+    val committed = put("committed", "WINNER")
+    assert(fs.rename(incoming, committed),
+      "simstore rename must succeed onto an existing target")
+    val in = fs.open(committed)
+    val survived = try new String(in.readAllBytes(), "UTF-8")
+    finally in.close()
+    assert(survived == "RACER", "last writer wins: the earlier commit was clobbered")
+
+    // create(overwrite = false) is the conditional primitive instead:
+    // complete-content-or-refuse, checked at close
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      val o = fs.create(committed, false)
+      try o.write("LOSER".getBytes("UTF-8")) finally o.close()
+    }
+  }
+
+  test("racing writers serialize through ConditionalPutGuard on the non-atomic-rename store") {
+    // the round-5 gap: the only conditional-put guard was test-local.
+    // This is the SHIPPED graft.sources.ConditionalPutGuard carrying a
+    // full racing-commit workload on a scheme whose rename provably
+    // gives no first-writer-wins (previous test) — commits may only
+    // serialize through the store's conditional create.
+    val lake = "simstore:" + Files.createTempDirectory("azof-condput").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("0", "2024-01-02T00:00:00Z", "base")))
+    val baseVersion = AzofTable(spark, lake, "t").currentVersion.toLong
+    val callsBefore = CountingCondPutGuard.calls.get()
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() =>
+        try {
+          AzofWriter.commitDelta(spark, lake, "t",
+            df((i.toString, s"2024-02-0${i}T00:00:00Z", s"v$i")),
+            ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+        } catch { case e: Throwable => failures.add(e); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(failures.isEmpty,
+      s"racing writer died: ${Option(failures.peek()).map(_.toString)}")
+
+    // serial convergence commit, then assert the serialized history
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("9", "2024-02-09T00:00:00Z", "v9")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+    val t = AzofTable(spark, lake, "t")
+    assert(t.currentVersion.toLong == baseVersion + 5)
+    val deltas = t.currentSnapshot.segments.find(_.end.isEmpty).get.delta
+    assert(deltas.size == 5, s"lost update: ${deltas.size} of 5 deltas survive")
+    val kv = AzofScan.scan(spark, lake, "t", AsOf.Current)
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(kv == Seq("0" -> "base", "1" -> "v1", "2" -> "v2",
+      "3" -> "v3", "4" -> "v4", "9" -> "v9"))
+    // the production guard, not the rename path, carried the commits
+    assert(CountingCondPutGuard.calls.get() - callsBefore >= 5)
+    // no snapshot staging or conditional-put staging residue
+    val names = java.nio.file.Files.list(
+        java.nio.file.Paths.get(new Path(lake, "t").toUri.getPath))
+      .toArray.map(_.toString.split('/').last)
+    assert(!names.exists(_.contains("_tmp_snap_")),
+      s"snapshot staging residue among: ${names.mkString(",")}")
+    assert(!names.exists(_.startsWith(".simstore_put_")),
+      s"conditional-put staging residue among: ${names.mkString(",")}")
   }
 
   test("guard resolution is per-scheme; unguarded schemes keep the rename path") {
