@@ -52,7 +52,7 @@ object AzofCli {
       System.err.println(
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
           "commit-partitioned|add-column|compact|changes|vacuum|tail|" +
-          "tail-commits|follow|sql> --path P --table T [...]")
+          "tail-commits|stream-commits|follow|sql> --path P --table T [...]")
       sys.exit(2)
     }
     val opts = parseArgs(args)
@@ -149,6 +149,27 @@ object AzofCli {
             df.orderBy("_commit_version").show(numRows = 1000, truncate = false)
         }
         if (from > to) println("no new commits")
+        println(s"checkpoint: $ckpt")
+      case "stream-commits" =>
+        // one AvailableNow pass over the COMMIT-EXACT streaming source
+        // (azof-commits): versions as offsets in the Spark checkpoint,
+        // orphan files never delivered. Re-running with the same
+        // --checkpoint resumes at the committed version.
+        val ckpt = opts.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory("azof-scommits").toString)
+        val reader = spark.readStream.format("azof-commits")
+          .option("table", opts("table"))
+        val q = opts.get("from").fold(reader)(reader.option("startVersion", _))
+          .load(opts("path"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            println(s"batch $id: ${batch.count()} rows")
+            batch.show(numRows = 1000, truncate = false)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
         println(s"checkpoint: $ckpt")
       case "tail" =>
         // one AvailableNow pass over the append feed: processes commits

@@ -1,0 +1,216 @@
+package graft.streaming
+
+import graft.format.AzofTable
+import graft.sources.AzofChangeFeed
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("azof-commits")` — the COMMIT-EXACT
+  * Structured Streaming source over the change feed, finishing the
+  * reference's "Streaming in scan" roadmap item (reference:
+  * README.md:158-159) with Spark-native exactly-once semantics:
+  *
+  *   - '''Offsets are snapshot versions.''' Each micro-batch covers the
+  *     half-open version range `(lastCommitted, current]`; Spark's
+  *     checkpoint WAL persists the version watermark, so a restarted
+  *     query resumes at exactly the commit boundary it left — the
+  *     change feed is a pure function of the version range, so replayed
+  *     ranges reconstruct bit-identical batches.
+  *   - '''Orphan-free by construction.''' The file-tailing stream
+  *     ([[AzofStream.appends]]) surfaces data files as they LAND, so a
+  *     crashed writer's orphan (file written, snapshot commit never
+  *     finalized) enters downstream state and is never retracted. This
+  *     source reads only files a COMMITTED snapshot references —
+  *     orphans are invisible, compaction rewrites are skipped via the
+  *     snapshot `op` marker, and every row carries `_commit_version`.
+  *   - '''Plan shape.''' `getBatch` returns the change feed's single
+  *     parquet scan over the range's new files (one scan node
+  *     regardless of commit count), re-tagged as a streaming frame —
+  *     the same declarative-plan-over-connector-API choice as the batch
+  *     [[graft.sources.AzofDataSource]]: a DSv2 `MicroBatchStream`
+  *     would need the parquet read re-implemented row-at-a-time inside
+  *     a `PartitionReader`, a second slower copy of the scan.
+  *
+  * Options: `path` (lakehouse dir, or table dir when `table` is
+  * absent), `table`, `startVersion` (first batch covers
+  * `(startVersion, current]`; default 1 = everything after table
+  * creation). The schema is pinned at stream start from the current
+  * snapshot (same rule as [[AzofStream]] after schema evolution).
+  *
+  * A consumer lagging past vacuum retention fails loudly at planning
+  * with the retained floor (the Kafka earliest-offset analogue), never
+  * with a bare missing-file read.
+  *
+  * {{{
+  * spark.readStream.format("azof-commits")
+  *   .option("table", "events_kv").load("/lake")
+  *   .writeStream.option("checkpointLocation", ck)
+  *   .foreachBatch(...)   // or any sink; AzofSink gives end-to-end
+  *   .start()             // exactly-once table-to-table
+  * }}}
+  */
+class AzofCommitStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "azof-commits"
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (lake, table, _) = AzofCommitStreamProvider.resolve(parameters)
+    (shortName(),
+      AzofCommitStreamProvider.feedSchema(sqlContext.sparkSession, lake, table))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (lake, table, startVersion) =
+      AzofCommitStreamProvider.resolve(parameters)
+    new AzofCommitSource(sqlContext.sparkSession, lake, table, startVersion)
+  }
+}
+
+object AzofCommitStreamProvider {
+
+  /** Same path/table resolution as the batch reader
+    * ([[graft.sources.AzofDataSource]]): `path` is the lakehouse dir
+    * with an explicit `table` option, or the table dir itself.
+    */
+  private[streaming] def resolve(
+      parameters: Map[String, String]): (String, String, Long) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "azof-commits stream needs a path: spark.readStream" +
+          ".format(\"azof-commits\").load(<tableDir>) or " +
+          ".option(\"table\", <name>).load(<lakehouseDir>)"))
+    val (lake, table) = parameters.get("table") match {
+      case Some(t) => (path, t)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val parent = Option(p.getParent).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot split '$path' into lakehouse dir + table name; " +
+              "pass .option(\"table\", <name>) explicitly"))
+        (parent.toString, p.getName)
+    }
+    val startVersion = parameters.get("startVersion")
+      .map(s => s.trim.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"azof-commits option 'startVersion' must be a snapshot " +
+            s"version number, got '$s'")))
+      .getOrElse(1L)
+    (lake, table, startVersion)
+  }
+
+  private[streaming] def feedSchema(
+      spark: SparkSession, lake: String, table: String): StructType =
+    AzofTable(spark, lake, table).currentSnapshot.schema.toStruct
+      .add("_commit_version", "long")
+}
+
+/** One streaming query's version cursor over a table — see
+  * [[AzofCommitStreamProvider]] for semantics.
+  *
+  * Implements [[SupportsTriggerAvailableNow]] natively: at
+  * `Trigger.AvailableNow` start the current snapshot version is
+  * captured as the run's fixed point, so the query drains exactly the
+  * commits that existed at start and stops — commits landing mid-run
+  * wait for the next invocation (the contract the engine otherwise
+  * approximates with a fallback warning for plain V1 sources).
+  */
+class AzofCommitSource(
+    spark: SparkSession,
+    lakehousePath: String,
+    table: String,
+    startVersion: Long)
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit}
+
+  private val t = AzofTable(spark, lakehousePath, table)
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(t.currentVersion.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control face of [[getOffset]]: versions carry no useful
+    * row-count granularity (a commit is the atomic delivery unit), so
+    * every limit maps to all-available-up-to-cap.
+    */
+  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
+    val cur0 = t.currentVersion.toLong
+    val cur = availableNowCap.fold(cur0)(math.min(cur0, _))
+    val base = Option(start).map(asAnyVersion).getOrElse(startVersion)
+    if (cur <= math.max(base, startVersion)) null else LongOffset(cur)
+  }
+
+  override def reportLatestOffset(): ConnOffset =
+    LongOffset(t.currentVersion.toLong)
+
+  override val schema: StructType =
+    AzofCommitStreamProvider.feedSchema(spark, lakehousePath, table)
+
+  /** Latest available offset = the table's current snapshot version
+    * (None until it moves past the stream's base — nothing to deliver).
+    */
+  override def getOffset: Option[V1Offset] = {
+    val cur = t.currentVersion.toLong
+    if (cur <= startVersion) None else Some(LongOffset(cur))
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(asVersion).getOrElse(startVersion)
+    val to = asVersion(end)
+    val feed =
+      try AzofChangeFeed.between(spark, lakehousePath, table, from, to)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"azof-commits stream at version $from lags past snapshot " +
+              s"retention for $table (current $to): a snapshot in range " +
+              "was vacuumed. Re-seed from a full scan, then restart with " +
+              "a fresh checkpoint and startVersion = " +
+              s"${scala.util.Try(AzofChangeFeed.earliestFeedBase(
+                spark, lakehousePath, table)).getOrElse("?")}.", e)
+      }
+    org.apache.spark.sql.graft.StreamingBridge.asStreaming(feed)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"AzofCommitSource[$lakehousePath/$table, start=$startVersion]"
+
+  /** Offsets come back from the checkpoint WAL as [[SerializedOffset]]
+    * (raw JSON), live from [[getOffset]]/[[latestOffset]] as
+    * [[LongOffset]].
+    */
+  private def asVersion(o: V1Offset): Long = o match {
+    case l: LongOffset       => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => throw new IllegalStateException(
+      s"unexpected offset type ${other.getClass.getName}: ${other.json}")
+  }
+
+  /** The admission-control API hands back whatever Offset subtype the
+    * WAL deserialized — a LongOffset's json IS the bare version number,
+    * so the json round-trip covers every case.
+    */
+  private def asAnyVersion(o: ConnOffset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLongOption.getOrElse(
+      throw new IllegalStateException(
+        s"unexpected offset json from ${other.getClass.getName}: ${other.json}"))
+  }
+}

@@ -1,0 +1,177 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.format._
+import graft.sources.{AzofChangeFeed, AzofWriter}
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The commit-exact streaming source: versions as offsets, stream ≡
+  * batch change feed, orphans invisible, checkpointed resume without
+  * re-delivery into the stream_batches-indexed sink.
+  */
+class AzofCommitStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = TableSchema(Seq(
+    ColumnDef("value", ColumnType.AzString, nullable = false)))
+
+  private def df(rows: (String, String, String)*) = {
+    val data = rows.map { case (k, t, v) =>
+      Row(k, Timestamp.from(Instant.parse(t)), v)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toSeq), schema.toStruct)
+  }
+
+  private def ts(s: String) = Instant.parse(s)
+
+  test("stream ≡ batch change feed; compaction rewrites and orphans invisible") {
+    val lake = Files.createTempDirectory("azof-cstream").toString
+    val ck = Files.createTempDirectory("azof-cstream-ck").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1"),
+         ("2", "2024-01-03T00:00:00Z", "b1")))                       // v2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("1", "2024-02-05T00:00:00Z", "a2")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    AzofWriter.compact(spark, lake, "t", ts("2024-03-01T00:00:00Z")) // v4
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("3", "2024-03-05T00:00:00Z", "c1")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v5
+    // a crashed writer's ORPHAN: well-named data file, never committed —
+    // AzofStream.appends would surface it; this source must not
+    Files.write(java.nio.file.Paths.get(lake, "t",
+      "delta_s9_deadbeef.parquet"), Array[Byte](1, 2, 3))
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+    val q = spark.readStream.format("azof-commits")
+      .option("table", "t").load(lake)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.select("key", "value", "_commit_version").collect()
+          .foreach(r => got.add((r.getString(0), r.getString(1), r.getLong(2))))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = got.toArray(Array.empty[(String, String, Long)])
+      .sortBy(t => (t._3, t._1)).toSeq
+    val batch = AzofChangeFeed.since(spark, lake, "t", 1L)
+      .select("key", "value", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    assert(streamed == batch, "stream must equal the batch change feed")
+    assert(streamed == Seq(("1", "a1", 2L), ("2", "b1", 2L),
+      ("1", "a2", 3L), ("3", "c1", 5L)),
+      "compaction (v4) contributes nothing; the orphan never appears")
+  }
+
+  test("checkpointed resume continues at the committed version — no re-delivery through AzofSink") {
+    val lake = Files.createTempDirectory("azof-cstream-src").toString
+    val outLake = Files.createTempDirectory("azof-cstream-dst").toString
+    val ck = Files.createTempDirectory("azof-cstream-ck2").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, outLake, "mirror", schema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+
+    // run 1: deliver (1, 3] table-to-table through the replay-indexed sink
+    def runOnce(): Unit = {
+      val q = AzofSink.append(
+        spark.readStream.format("azof-commits")
+          .option("table", "t").load(lake)
+          .drop("_commit_version"),
+        outLake, "mirror", ck)
+      q.awaitTermination(120000)
+      ()
+    }
+    runOnce()
+    val after1 = graft.operators.AzofScan
+      .scan(spark, outLake, "mirror", AsOf.Current).count()
+    assert(after1 == 2, s"first run must mirror both rows, got $after1")
+
+    // run 2 on the SAME checkpoint with nothing new: no re-delivery —
+    // the mirror's version must not move
+    val vBefore = AzofTable(spark, outLake, "mirror").currentVersion
+    runOnce()
+    assert(AzofTable(spark, outLake, "mirror").currentVersion == vBefore,
+      "an idle resume must not commit anything to the mirror")
+
+    // new source commits, then run 3 resumes at the checkpointed version:
+    // ONLY the new rows land; earlier rows are not re-delivered
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("3", "2024-03-05T00:00:00Z", "c1")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v4
+    runOnce()
+    val mirrored = graft.operators.AzofScan
+      .scan(spark, outLake, "mirror", AsOf.Current)
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(mirrored == Seq("1" -> "a1", "2" -> "b1", "3" -> "c1"))
+    // exactly once per row across all three runs: the mirror's change
+    // feed (raw committed rows, no dedup) carries no duplicates
+    val allRows = AzofChangeFeed.since(spark, outLake, "mirror", 1L)
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(allRows.sorted == allRows.distinct.sorted,
+      s"re-delivered rows reached the mirror: $allRows")
+  }
+
+  test("startVersion bounds the first batch; lagging past retention fails loudly") {
+    val lake = Files.createTempDirectory("azof-cstream-sv").toString
+    val ck = Files.createTempDirectory("azof-cstream-sv-ck").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = spark.readStream.format("azof-commits")
+      .option("table", "t").option("startVersion", "2").load(lake)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.select("_commit_version").collect().foreach(r => got.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq == Seq(3L),
+      "startVersion=2 must deliver only (2, current]")
+
+    // a source whose range was vacuumed away fails with the retained
+    // floor, not a bare missing-file read
+    val t = AzofTable(spark, lake, "t")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      t.tableDir.toUri.getPath, "s2.json"))
+    val ck2 = Files.createTempDirectory("azof-cstream-sv-ck3").toString
+    val q2 = spark.readStream.format("azof-commits")
+      .option("table", "t").option("startVersion", "1").load(lake)
+      .writeStream.option("checkpointLocation", ck2)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[Row], _: Long) => () }
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(60000)
+      ()
+    }
+    q2.stop()
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("retention")),
+      s"expected a retention error, got: ${messages(err)}")
+  }
+}
