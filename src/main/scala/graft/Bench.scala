@@ -33,6 +33,15 @@ object Bench {
     val runsPerQuery = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").trim.toInt)
       .getOrElse(3).max(1)
+    // isolated-run marker: the box's 1-min load average at bench start
+    // (and again at the end) makes a contended run machine-detectable
+    // from the artifact alone — round 5's inflated driver tail was only
+    // spread-inferable. local[N] wants load ≈ 0 at start; a start load
+    // of N+ means every wall time below includes scheduler contention.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { i =>
         if (i > 1) { System.gc(); Thread.sleep(150) }
@@ -62,8 +71,12 @@ object Bench {
       "\"" + esc(k) + "\":[" + r3(v) + "," + r3(s) + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val loadEnd = loadAvg()
+    // load rides AFTER the query map: the driver records only the LAST
+    // 2000 chars of this line, so tail placement keeps the marker
+    // visible even when the head of the query map gets clipped
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"load":[${r3(loadStart)},${r3(loadEnd)}],"sf":"${esc(sfDir)}"}"""
     // Full precision for offline analysis, refreshed on every run.
     // Anchored via SPARK_GRAFT_BENCH_OUT (default: docs/BENCH_LATEST.json
     // under the cwd); a failed write warns on stderr rather than
@@ -76,7 +89,8 @@ object Bench {
       val full = results.map { case (k, (v, s)) =>
         s"""  "${esc(k)}": {"t": $v, "spread": $s}"""
       }.mkString(
-        s"""{\n  "_total_sec": $total,\n  "_sf": "${esc(sfDir)}",\n""",
+        s"""{\n  "_total_sec": $total,\n  "_sf": "${esc(sfDir)}",\n""" +
+          s"""  "_load_start": $loadStart,\n  "_load_end": $loadEnd,\n""",
         ",\n", "\n}\n")
       java.nio.file.Files.write(out,
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -51,8 +51,8 @@ object AzofCli {
     if (args.isEmpty) {
       System.err.println(
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
-          "commit-partitioned|add-column|compact|changes|vacuum|tail|" +
-          "tail-commits|stream-commits|follow|sql> --path P --table T [...]")
+          "commit-partitioned|add-column|compact|delete|changes|vacuum|" +
+          "tail|tail-commits|stream-commits|follow|sql> --path P --table T [...]")
       sys.exit(2)
     }
     val opts = parseArgs(args)
@@ -123,6 +123,15 @@ object AzofCli {
         graft.sources.AzofWriter.compact(spark, opts("path"), opts("table"),
           Instant.parse(opts("at")), opts.getOrElse("files", "1").toInt)
         println(s"compacted; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+      case "delete" =>
+        // tombstone delete: --keys k1,k2,... --at TS (the deletion
+        // event time; omit for "now" = suppress everything current)
+        val keys = opts("keys").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val at = opts.get("at").map(Instant.parse).getOrElse(Instant.now())
+        graft.sources.AzofWriter.commitDelete(
+          spark, opts("path"), opts("table"), keys, at)
+        println(s"deleted ${keys.size} key(s) as of $at; version now " +
+          AzofTable(spark, opts("path"), opts("table")).currentVersion)
       case "changes" =>
         graft.sources.AzofChangeFeed.between(spark, opts("path"), opts("table"),
           opts("from").toLong,

@@ -38,19 +38,27 @@ final case class FileStats(
 }
 
 /** One pruned data file with its optional skipping stats, in merge
-  * precedence order position.
+  * precedence order position. `tombstone` marks files carrying the
+  * `_azof_deleted` marker column (delete commits and their compaction
+  * carry-forwards) — a read-schema hint, not a "rows are all deletes"
+  * claim (a carry-forward file can mix tombstone and data rows).
   */
-final case class FileEntry(file: String, stats: Option[FileStats])
+final case class FileEntry(
+    file: String, stats: Option[FileStats], tombstone: Boolean = false)
 
 /** A delta file: updates/inserts covering an event-time window
   * (reference: crates/azof/src/metadata.rs:89-96). A delta participates in
   * a scan whenever `start <= asOf` — its `end` bounds what the file
   * *contains*, not whether it is read (crates/azof/src/metadata.rs:99-104).
-  * `stats` is this engine's optional key-range extension ([[FileStats]]).
+  * `stats` is this engine's optional key-range extension ([[FileStats]]);
+  * `tombstone` marks files carrying the `_azof_deleted` marker column
+  * (this engine's delete extension — serialized as an extra JSON field
+  * the reference's serde parser ignores, like `stats` and `op`).
   */
 final case class Delta(
     file: String, start: Instant, end: Instant,
-    stats: Option[FileStats] = None) {
+    stats: Option[FileStats] = None,
+    tombstone: Boolean = false) {
   def isBefore(asOf: AsOf): Boolean = asOf match {
     case AsOf.Current      => true
     case AsOf.EventTime(t) => !start.isAfter(t) // start <= t
@@ -99,7 +107,7 @@ final case class Segment(
     val fromDeltas = delta
       .filter(_.isBefore(asOf))
       .sortBy(_.start)(Ordering[Instant].reverse)
-      .map(d => FileEntry(d.file, d.stats))
+      .map(d => FileEntry(d.file, d.stats, d.tombstone))
     val own =
       if (isInRange(asOf)) file.map(f => FileEntry(f, fileStats)).toSeq
       else Seq.empty
@@ -139,6 +147,15 @@ final case class Snapshot(
   def allFiles: Set[String] = {
     def walk(s: Segment): Seq[String] =
       s.file.toSeq ++ s.delta.map(_.file) ++ s.segments.flatMap(walk)
+    segments.flatMap(walk).toSet
+  }
+
+  /** Files flagged as carrying the `_azof_deleted` marker column,
+    * anywhere in the tree.
+    */
+  def tombstoneFiles: Set[String] = {
+    def walk(s: Segment): Seq[String] =
+      s.delta.filter(_.tombstone).map(_.file) ++ s.segments.flatMap(walk)
     segments.flatMap(walk).toSet
   }
 }

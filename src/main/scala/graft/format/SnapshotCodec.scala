@@ -118,7 +118,12 @@ object SnapshotCodec {
     file = n.get("file").asText(),
     start = parseTimestamp(n.get("start").asText()),
     end = parseTimestamp(n.get("end").asText()),
-    stats = parseStats(n.get("stats")))
+    stats = parseStats(n.get("stats")),
+    // strictly-boolean true only: a foreign writer's non-boolean value
+    // degrades to false (the file reads as plain data; its marker
+    // column, if any, is simply not consulted)
+    tombstone = Option(n.get("tombstone")).exists(v =>
+      v.isBoolean && v.asBoolean()))
 
   /** Key-range stats ext field ([[FileStats]]): absent, null, or partial
     * objects (a foreign writer's different stats shape) all degrade to
@@ -208,6 +213,7 @@ object SnapshotCodec {
         dn.put("start", formatTimestamp(d.start))
         dn.put("end", formatTimestamp(d.end))
         d.stats.foreach(st => renderStats(dn, "stats", st))
+        if (d.tombstone) { dn.put("tombstone", true); () }
       }
     }
   }

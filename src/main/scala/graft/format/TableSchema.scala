@@ -60,6 +60,12 @@ object TableSchema {
   val KeyName = "key"
   val EventTimeName = "event_time"
 
+  /** Row-level tombstone marker column (this engine's delete extension):
+    * present only in files whose snapshot delta entry carries
+    * `tombstone: true`; absent reads as null → not deleted.
+    */
+  val DeletedName = "_azof_deleted"
+
   val systemFields: Seq[StructField] = Seq(
     StructField(KeyName, StringType, nullable = false),
     StructField(EventTimeName, TimestampType, nullable = false))

@@ -90,9 +90,18 @@ object AzofScan {
       snapshot: Snapshot,
       asOf: AsOf,
       keyFilter: Option[KeyFilter] = None): Seq[String] =
+    prunedEntries(snapshot, asOf, keyFilter).map(_.file)
+
+  /** [[prunedFiles]] with each file's stats and tombstone flag — the
+    * scan's actual input (the flag decides whether the `_azof_deleted`
+    * marker column joins the read schema).
+    */
+  def prunedEntries(
+      snapshot: Snapshot,
+      asOf: AsOf,
+      keyFilter: Option[KeyFilter] = None): Seq[FileEntry] =
     snapshot.dataFilesWithStats(asOf)
       .filter(e => keyFilter.forall(kf => e.stats.forall(kf.mayMatch)))
-      .map(_.file)
 
   /** Residual column predicate for a [[KeyFilter]] — ALWAYS applied by
     * the scan (before the dedup window, where it is equivalent to
@@ -129,7 +138,8 @@ object AzofScan {
     // time pruning (segment tree) then key-range data skipping (per-file
     // stats); a key point-lookup on a key-partitioned layout reads one
     // file instead of every time-pruned file
-    val files = prunedFiles(snapshot, asOf, keyFilter)
+    val entries = prunedEntries(snapshot, asOf, keyFilter)
+    val files = entries.map(_.file)
     if (files.isEmpty) {
       // As-of before every segment, Current on a fully-closed table
       // (reference: metadata.rs:359-389 tests), or every file skipped by
@@ -138,6 +148,14 @@ object AzofScan {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.projectedStruct(projection))
     }
+    // tables with delete commits in range read the row-level tombstone
+    // marker too (absent in plain data files -> null -> not deleted);
+    // tombstone-free tables pay nothing
+    val hasTombstones = entries.exists(_.tombstone)
+    val readSchema =
+      if (hasTombstones)
+        schema.toStruct.add(TableSchema.DeletedName, "boolean")
+      else schema.toStruct
 
     // Basenames are unique within a flat table directory, so the file →
     // precedence map keys on them; input_file_name() yields the full URI.
@@ -154,7 +172,7 @@ object AzofScan {
       new java.net.URI(null, null, n, null).getRawPath == n
     val unioned = if (basenames.distinct.size == basenames.size &&
         basenames.forall(uriSafe)) {
-      val single = spark.read.schema(schema.toStruct).parquet(paths: _*)
+      val single = spark.read.schema(readSchema).parquet(paths: _*)
       val baseName = regexp_extract(input_file_name(), "[^/]+$", 0)
       if (files.size <= precJoinThreshold(spark)) {
         // Few files: an inline literal map keeps the plan join-free.
@@ -179,7 +197,7 @@ object AzofScan {
     } else {
       paths.zipWithIndex
         .map { case (p, i) =>
-          spark.read.schema(schema.toStruct).parquet(p).withColumn(Prec, lit(i))
+          spark.read.schema(readSchema).parquet(p).withColumn(Prec, lit(i))
         }
         .reduce(_ unionAll _)
     }
@@ -218,10 +236,20 @@ object AzofScan {
       .partitionBy(TableSchema.KeyName)
       .orderBy(ordering: _*)
 
-    inRange
+    val winners = inRange
       .withColumn(Rn, row_number().over(w))
       .where(col(Rn) === 1)
-      .select(outCols: _*)
+    // tombstone suppression AFTER crowning the per-key winner: a delete
+    // is an event at its event_time — it beats every row at-or-before it
+    // (precedence breaks the exact tie in the tombstone's favor: the
+    // tombstone delta's later window start outranks earlier deltas) and
+    // LOSES to newer rows, so history before the tombstone still
+    // time-travels and a later upsert resurrects the key naturally
+    val alive =
+      if (hasTombstones)
+        winners.where(!coalesce(col(TableSchema.DeletedName), lit(false)))
+      else winners
+    alive.select(outCols: _*)
   }
 
   /** Register an as-of view so full Spark SQL composes on top — the

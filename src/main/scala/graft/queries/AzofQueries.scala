@@ -24,7 +24,8 @@ object AzofQueries {
     "q33_sql_insert" -> sqlInsert,
     "q34_bykey_lookup" -> byKeyLookup,
     "q35_change_feed" -> changeFeed,
-    "q36_strict_precedence" -> strictPrecedence)
+    "q36_strict_precedence" -> strictPrecedence,
+    "q37_tombstone_delete" -> tombstoneDelete)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -242,6 +243,42 @@ object AzofQueries {
     }
   }
 
+  /** Tombstone deletes under the oracle gate: the full events history
+    * lands (base + two deltas, the ensureLake layout), then two delete
+    * commits — keys 7/23 at Jan 25 (mid-history: a key whose NEWEST
+    * event is later survives, the event-time delete semantics) and keys
+    * 41/103 at Feb 1 (past every event: unconditionally suppressed).
+    * The DuckDB oracle states the rule directly: the per-key winner is
+    * dropped iff its key is deleted and its event_time is at-or-before
+    * that key's tombstone.
+    */
+  private def tombstoneDelete(s: SparkSession, dir: String): DataFrame = {
+    val lake = cachedLake(dir, "del-v1", "events_del") { l =>
+      val kv = eventsKv(s, dir)
+      AzofWriter.createTable(s, l, "events_del", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val d10 = "2024-01-10 00:00:00"
+      val d20 = "2024-01-20 00:00:00"
+      AzofWriter.commitBase(s, l, "events_del",
+        kv.where(col("event_time") < expr(s"TIMESTAMP '$d10'")))
+      AzofWriter.commitDelta(s, l, "events_del",
+        kv.where(col("event_time") >= expr(s"TIMESTAMP '$d10'") &&
+          col("event_time") < expr(s"TIMESTAMP '$d20'")),
+        Instant.parse("2024-01-10T00:00:00Z"),
+        Instant.parse("2024-01-20T00:00:00Z"))
+      AzofWriter.commitDelta(s, l, "events_del",
+        kv.where(col("event_time") >= expr(s"TIMESTAMP '$d20'")),
+        Instant.parse("2024-01-20T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"))
+      AzofWriter.commitDelete(s, l, "events_del", Seq("7", "23"),
+        Instant.parse("2024-01-25T00:00:00Z"))
+      AzofWriter.commitDelete(s, l, "events_del", Seq("41", "103"),
+        Instant.parse("2024-02-01T00:00:00Z"))
+    }
+    AzofScan.scan(s, lake, "events_del")
+      .select("key", "event_time", "event_type")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q18_azof_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
@@ -301,6 +338,22 @@ object AzofQueries {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
                  ORDER BY prec, event_time DESC) AS rn FROM u)
          WHERE rn = 1""",
+    // the per-key winner is dropped iff its key is deleted AND its
+    // event_time is at-or-before that key's tombstone (the tombstone
+    // outranks an exact event-time tie by file precedence; newer rows
+    // beat it)
+    "q37_tombstone_delete" ->
+      """SELECT key, event_time, event_type FROM
+           (SELECT CAST(user_id AS VARCHAR) AS key,
+              date_trunc('milliseconds', ts) AS event_time, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+            FROM events)
+         WHERE rn = 1
+           AND NOT (key IN ('7', '23')
+                    AND event_time <= TIMESTAMP '2024-01-25 00:00:00')
+           AND NOT (key IN ('41', '103')
+                    AND event_time <= TIMESTAMP '2024-02-01 00:00:00')""",
     // one by-key commit holds ALL events, so Current is plain
     // latest-row-per-key restricted to the looked-up keys
     "q34_bykey_lookup" ->

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
 /** Change feed between two snapshot versions — the batch form of the
   * reference's "Streaming in scan" roadmap item (reference:
   * README.md:158-159): every row added by commits in `(fromVersion,
-  * toVersion]`, tagged with `_commit_version`. Azof is insert/upsert-only
-  * (no deletes), so the feed is exactly the new data files of each
-  * data-adding commit; `compact` snapshots rewrite existing rows and are
-  * skipped via the snapshot `op` marker.
+  * toVersion]`, tagged with `_commit_version` plus a `_deleted` flag
+  * (the Delta-CDF-style change-type column: false for inserts/upserts,
+  * true for tombstone rows from `commitDelete`, whose values are NULL).
+  * The feed is exactly the new data files of each data-adding commit;
+  * `compact` snapshots rewrite existing rows and are skipped via the
+  * snapshot `op` marker.
   */
 object AzofChangeFeed {
 
@@ -43,10 +45,29 @@ object AzofChangeFeed {
         else (snap.allFiles -- snaps(v - 1).allFiles).toSeq.sorted.map(_ -> v)
       }
 
+    // delete commits surface as rows tagged `_deleted = true` (values
+    // NULL) — the Delta-CDF-style change-type column, always present so
+    // the feed's schema is stable whether or not the range has deletes
+    val tombstoneNames = snaps.valuesIterator
+      .flatMap(_.tombstoneFiles).toSet
+    val hasTombstones =
+      fileVersions.exists { case (f, _) => tombstoneNames(f) }
+    val readSchema =
+      if (hasTombstones)
+        schema.toStruct.add(TableSchema.DeletedName, "boolean")
+      else schema.toStruct
+    def withDeleted(df: DataFrame): DataFrame =
+      if (hasTombstones)
+        df.withColumn("_deleted",
+            coalesce(col(TableSchema.DeletedName), lit(false)))
+          .drop(TableSchema.DeletedName)
+      else df.withColumn("_deleted", lit(false))
+
     if (fileVersions.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.toStruct.add("_commit_version", "long"))
+        schema.toStruct.add("_commit_version", "long")
+          .add("_deleted", "boolean", nullable = false))
     else {
       val paths = fileVersions.map { case (f, _) =>
         new Path(t.tableDir, f).toString
@@ -71,7 +92,7 @@ object AzofChangeFeed {
         // are unique within a table directory (all files live flat), and
         // a literal map caps expression size at few files, a broadcast
         // join beyond that.
-        val single = spark.read.schema(schema.toStruct).parquet(paths: _*)
+        val single = spark.read.schema(readSchema).parquet(paths: _*)
         val baseName = regexp_extract(input_file_name(), "[^/]+$", 0)
         val threshold = spark.conf
           .getOption("spark.azof.precedenceJoinThreshold")
@@ -96,18 +117,18 @@ object AzofChangeFeed {
         // a null tag means input_file_name() disagreed with the literal
         // file list despite the safety gate — fail LOUDLY instead of
         // silently mistagging (map path) or dropping rows (join path)
-        tagged
+        withDeleted(tagged
           .withColumn("_commit_version",
             coalesce(col("_commit_version"), raise_error(concat(
               lit(s"azof change feed on $table: data file not in the " +
                 "commit map (URI-escaped name mismatch?): "),
               col("_cf_file")))))
-          .drop("_cf_file")
+          .drop("_cf_file"))
       } else {
-        fileVersions.zip(paths).map { case ((_, v), p) =>
-          spark.read.schema(schema.toStruct).parquet(p)
+        withDeleted(fileVersions.zip(paths).map { case ((_, v), p) =>
+          spark.read.schema(readSchema).parquet(p)
             .withColumn("_commit_version", lit(v))
-        }.reduce(_ unionAll _)
+        }.reduce(_ unionAll _))
       }
     }
   }

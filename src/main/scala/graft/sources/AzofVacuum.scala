@@ -86,7 +86,13 @@ object AzofVacuum {
     // debris — it may be a NEWER engine's committed document, and its
     // referenced data files are unknowable here. Deleting it (or
     // computing a referenced set without it) risks destroying a commit,
-    // so vacuum refuses the whole table loudly.
+    // so vacuum refuses the whole table loudly. The refusal cannot be
+    // soundly scoped to the retained id range: data-file GC keys on the
+    // UNION of every remaining snapshot's referenced files, and an
+    // unknown document's references are unknowable wherever its id
+    // sits — even an out-of-range unknown could reference a file GC
+    // would otherwise sweep. The error therefore names the operator
+    // remedy instead of offering an unsafe override.
     val unknown = docs.collect {
       case (id, _: SnapshotCodec.DocClass.WellFormedUnknown) => id
     }.toSeq.sorted
@@ -95,7 +101,11 @@ object AzofVacuum {
         unknown.map(i => s"s$i.json").mkString(", ") +
         " parse as JSON but not as snapshots this engine can read " +
         "(possibly committed by a newer engine version) — refusing to " +
-        "vacuum: their referenced data files are unknown")
+        "vacuum: their referenced data files are unknown. Nothing was " +
+        "deleted. Remedy: if the table is shared with a newer engine, " +
+        "upgrade this engine and re-run; if the document is foreign " +
+        "debris that never belonged to this table, inspect and remove " +
+        "it by hand, then re-run")
 
     // ids beyond version.txt are debris from a crashed commit (snapshot
     // written, version bump lost) — expire them with the old ones, but

@@ -289,6 +289,81 @@ object AzofWriter {
     }
   }
 
+  /** Tombstone delete — the takedown primitive neither engine ships
+    * (beyond-reference; a training-data lakehouse at scale eventually
+    * needs key deletion). Commits one delta file of TOMBSTONE rows
+    * `(key, event_time = at, values = NULL, _azof_deleted = true)`,
+    * registered with `tombstone: true` in the snapshot (an ext field
+    * the reference's serde ignores) and `op = "commit-delete"`.
+    *
+    * Semantics — the delete is an EVENT at `at`, resolved by the same
+    * per-key dedup as every other row: it suppresses the key from any
+    * scan whose winner is at-or-before `at` (Current included, when no
+    * newer row exists), loses to rows with newer event_time (so a
+    * later upsert resurrects the key, and pre-existing newer rows
+    * survive a backdated delete), and leaves history strictly before
+    * `at` fully time-travelable. Compaction at `c >= at` drops the
+    * deleted key's data from the merged state WITHOUT resurrecting it;
+    * physical removal of the historical bytes additionally requires
+    * the closed segment's files to age out of retention (vacuum) —
+    * documented, not silent.
+    *
+    * The file-tailing append feed (AzofStream) ignores `tombstone_*`
+    * files by name pattern; the commit-exact feeds (AzofChangeFeed /
+    * azof-commits) deliver tombstone rows tagged `_deleted = true`.
+    */
+  def commitDelete(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      keys: Seq[String],
+      at: Instant): Unit = {
+    require(keys.nonEmpty, "commitDelete with no keys")
+    commitDelete(spark, lakehousePath, name,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          keys.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            TableSchema.KeyName,
+            org.apache.spark.sql.types.StringType)))),
+      at)
+  }
+
+  /** DataFrame variant of [[commitDelete]] for large key sets (e.g. "all
+    * keys matching a takedown predicate"): the first column of `keysDf`
+    * is the key set; distinct is applied here.
+    */
+  def commitDelete(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      keysDf: DataFrame,
+      at: Instant): Unit = {
+    val table = AzofTable(spark, lakehousePath, name)
+    val dir = table.tableDir.toString
+    val snap = table.currentSnapshot
+    val valueCols = snap.schema.columns.map(c =>
+      lit(null).cast(c.dataType.sparkType).as(c.name))
+    val rows = keysDf
+      .select(col(keysDf.columns.head).cast("string").as(TableSchema.KeyName))
+      .where(col(TableSchema.KeyName).isNotNull)
+      .distinct()
+      .select(Seq(col(TableSchema.KeyName),
+        lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName)) ++
+        valueCols :+ lit(true).as(TableSchema.DeletedName): _*)
+    val fileName =
+      uniqueFileName(s"tombstone_s${table.currentVersion.toLong + 1}")
+    val stats = writeDataFile(spark, rows, dir, fileName)
+    require(stats.nonEmpty, "commitDelete resolved to an empty key set")
+    commitMeta(spark, dir) { cur =>
+      val segs = mapOpenRoot(cur.segments)(s =>
+        s.copy(delta = s.delta :+
+          Delta(fileName, at, at, stats, tombstone = true)))
+      cur.copy(segments = segs, op = Some("commit-delete"))
+    }
+  }
+
   /** Phase 1 of a single-file commit: land the data file (uniquely
     * named, so racing committers never collide on bytes) and return the
     * table dir, file name, and key stats for the metadata phase.
@@ -506,11 +581,24 @@ object AzofWriter {
     // must carry forward as a delta on the new open segment. Every future
     // VERSION is kept; per (key, event_time) duplicates across files
     // resolve by the original file precedence, preserving scan results.
-    val futFiles = open.dataFiles(graft.format.AsOf.Current)
+    val futEntries = open.dataFilesWithStats(graft.format.AsOf.Current)
+    val futFiles = futEntries.map(_.file)
+    // a tombstone with event_time > `at` (a delete "ahead of" the
+    // compaction point) must survive the carry-forward WITH its marker,
+    // or compaction would resurrect the key as a null-valued row; the
+    // carried file can mix tombstone and data rows, so the marker rides
+    // per-row and the new delta entry is flagged
+    val futHasTombstones = futEntries.exists(_.tombstone)
+    val futSchema =
+      if (futHasTombstones)
+        snap.schema.toStruct.add(TableSchema.DeletedName, "boolean")
+      else snap.schema.toStruct
+    val futCols = snap.schema.allColumnNames ++
+      (if (futHasTombstones) Seq(TableSchema.DeletedName) else Seq.empty)
     val atTs = java.sql.Timestamp.from(at)
     val future = if (futFiles.isEmpty) None else {
       val reads = futFiles.zipWithIndex.map { case (f, i) =>
-        spark.read.schema(snap.schema.toStruct)
+        spark.read.schema(futSchema)
           .parquet(new Path(dir, f).toString)
           .withColumn("_prec", lit(i))
       }
@@ -527,7 +615,7 @@ object AzofWriter {
         .where(col(TableSchema.EventTimeName) > lit(atTs))
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
-        .select(snap.schema.allColumnNames.map(col): _*)
+        .select(futCols.map(col): _*)
       val maxTs = fut.agg(max(col(TableSchema.EventTimeName))).collect()(0)
       if (maxTs.isNullAt(0)) None
       else Some((fut, maxTs.getTimestamp(0).toInstant))
@@ -535,7 +623,7 @@ object AzofWriter {
     val futureDelta = future.map { case (fut, maxEt) =>
       val f = uniqueFileName(s"compact_s${nextId}_future")
       val st = writeDataFile(spark, fut, dir, f)
-      Delta(f, at, maxEt, st)
+      Delta(f, at, maxEt, st, tombstone = futHasTombstones)
     }
 
     // The closed child ends AT the compaction point (inclusive): segment

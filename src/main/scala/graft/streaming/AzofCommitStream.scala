@@ -113,6 +113,7 @@ object AzofCommitStreamProvider {
       spark: SparkSession, lake: String, table: String): StructType =
     AzofTable(spark, lake, table).currentSnapshot.schema.toStruct
       .add("_commit_version", "long")
+      .add("_deleted", "boolean", nullable = false)
 }
 
 /** One streaming query's version cursor over a table — see

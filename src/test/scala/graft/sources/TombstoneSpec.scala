@@ -1,0 +1,170 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format._
+import graft.operators.AzofScan
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tombstone deletes: the delete is an EVENT at its timestamp, resolved
+  * by the same per-key dedup as every row — suppression, time travel,
+  * resurrection, compaction no-resurrection, and the CDC surface.
+  */
+class TombstoneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = TableSchema(Seq(
+    ColumnDef("value", ColumnType.AzString, nullable = false)))
+
+  private def df(rows: (String, String, String)*) = {
+    val data = rows.map { case (k, t, v) =>
+      Row(k, Timestamp.from(Instant.parse(t)), v)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toSeq), schema.toStruct)
+  }
+
+  private def ts(s: String) = Instant.parse(s)
+
+  private def current(lake: String): Seq[(String, String)] =
+    AzofScan.scan(spark, lake, "t", AsOf.Current)
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+
+  private def asOf(lake: String, t: String): Seq[(String, String)] =
+    AzofScan.scan(spark, lake, "t", AsOf.EventTime(ts(t)))
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+
+  test("delete suppresses the key from Current and as-of-after; history before still travels") {
+    val lake = Files.createTempDirectory("azof-tomb").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+    AzofWriter.commitDelete(spark, lake, "t", Seq("1"),
+      ts("2024-02-01T00:00:00Z"))                                    // v3
+
+    assert(current(lake) == Seq("2" -> "b1"), "deleted key gone from Current")
+    assert(asOf(lake, "2024-01-15T00:00:00Z") ==
+      Seq("1" -> "a1", "2" -> "b1"), "history before the tombstone travels")
+    assert(asOf(lake, "2024-02-01T00:00:00Z") == Seq("2" -> "b1"),
+      "as-of exactly at the tombstone is suppressed (precedence tie)")
+    // the snapshot records the delete commit + flags its file
+    val t = AzofTable(spark, lake, "t")
+    assert(t.currentSnapshot.op.contains("commit-delete"))
+    assert(t.currentSnapshot.tombstoneFiles.nonEmpty)
+    // round-trip: the flag survives render -> parse
+    val reparsed = SnapshotCodec.parse(SnapshotCodec.render(t.currentSnapshot))
+    assert(reparsed.tombstoneFiles == t.currentSnapshot.tombstoneFiles)
+  }
+
+  test("a newer row beats the tombstone: backdated deletes and re-inserts") {
+    val lake = Files.createTempDirectory("azof-tomb-res").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t", df(
+      ("1", "2024-03-01T00:00:00Z", "a-future"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+    // backdated delete: key 1 already has a NEWER row -> survives;
+    // key 2's newest row is older -> suppressed
+    AzofWriter.commitDelete(spark, lake, "t", Seq("1", "2"),
+      ts("2024-02-01T00:00:00Z"))                                    // v3
+    assert(current(lake) == Seq("1" -> "a-future"))
+
+    // re-insert after a delete resurrects the key
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-10T00:00:00Z", "b-back")),
+      ts("2024-02-05T00:00:00Z"), ts("2024-02-15T00:00:00Z"))        // v4
+    assert(current(lake) == Seq("1" -> "a-future", "2" -> "b-back"))
+    // the deleted window still reads as deleted
+    assert(asOf(lake, "2024-02-03T00:00:00Z") == Seq.empty,
+      "between delete and re-insert: key 2 deleted, key 1's row is later")
+  }
+
+  test("compaction does not resurrect deleted keys, in any direction") {
+    val lake = Files.createTempDirectory("azof-tomb-compact").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1"),
+      ("3", "2024-01-04T00:00:00Z", "c1")))                          // v2
+    AzofWriter.commitDelete(spark, lake, "t", Seq("1"),
+      ts("2024-02-01T00:00:00Z"))                                    // v3
+    // a delete AHEAD of the compaction point — must carry forward with
+    // its marker through the future-rows path
+    AzofWriter.commitDelete(spark, lake, "t", Seq("2"),
+      ts("2024-04-01T00:00:00Z"))                                    // v4
+
+    // compact between the two tombstones
+    AzofWriter.compact(spark, lake, "t", ts("2024-03-01T00:00:00Z")) // v5
+
+    assert(current(lake) == Seq("3" -> "c1"),
+      "neither the compacted-away (key 1) nor the carried (key 2) delete resurrects")
+    assert(asOf(lake, "2024-01-15T00:00:00Z") ==
+      Seq("1" -> "a1", "2" -> "b1", "3" -> "c1"),
+      "pre-delete history still travels through the closed segment")
+    assert(asOf(lake, "2024-02-15T00:00:00Z") ==
+      Seq("2" -> "b1", "3" -> "c1"),
+      "between the deletes: key 1 gone, key 2 alive")
+    assert(asOf(lake, "2024-03-15T00:00:00Z") ==
+      Seq("2" -> "b1", "3" -> "c1"),
+      "after compaction, before the carried delete")
+
+    // compact again PAST the carried tombstone: still no resurrection
+    AzofWriter.compact(spark, lake, "t", ts("2024-05-01T00:00:00Z")) // v6
+    assert(current(lake) == Seq("3" -> "c1"))
+    // and the twice-compacted state scans identically at every cut
+    assert(asOf(lake, "2024-02-15T00:00:00Z") ==
+      Seq("2" -> "b1", "3" -> "c1"))
+  }
+
+  test("change feed and streaming source surface deletes as _deleted = true") {
+    val lake = Files.createTempDirectory("azof-tomb-cdc").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.commitDelete(spark, lake, "t", Seq("1"),
+      ts("2024-02-01T00:00:00Z"))                                    // v3
+
+    val feed = AzofChangeFeed.since(spark, lake, "t", 1L)
+      .select("key", "value", "_commit_version", "_deleted").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+        r.getBoolean(3)))
+      .sortBy(_._3).toSeq
+    assert(feed == Seq(
+      ("1", Some("a1"), 2L, false),
+      ("1", None, 3L, true)),
+      "the tombstone row rides the feed with _deleted = true and NULL values")
+
+    // a tombstone-free range keeps the stable schema with _deleted=false
+    val clean = AzofChangeFeed.between(spark, lake, "t", 1L, 2L)
+    assert(clean.columns.toSeq.takeRight(2) == Seq("_commit_version", "_deleted"))
+    assert(clean.where("_deleted").count() == 0)
+
+    // streaming source declares the same schema
+    val stream = spark.readStream.format("azof-commits")
+      .option("table", "t").load(lake)
+    assert(stream.schema.fieldNames.toSeq.takeRight(2) ==
+      Seq("_commit_version", "_deleted"))
+  }
+
+  test("scan pushdown composes: key filter + projection over a table with deletes") {
+    val lake = Files.createTempDirectory("azof-tomb-proj").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+    AzofWriter.commitDelete(spark, lake, "t", Seq("2"),
+      ts("2024-02-01T00:00:00Z"))                                    // v3
+
+    // public reader with a key predicate: the deleted key yields nothing,
+    // the surviving key exactly its row, under projection
+    val out = spark.read.format("azof").option("table", "t").load(lake)
+      .where("key in ('1', '2')").select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq("1" -> "a1"))
+  }
+}
