@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   * The decode itself is tiered: payloads carrying a known image magic
   * number (PNG/JPEG/GIF/BMP) go through a REAL pure-JVM codec
   * ([[imageDecode]], `javax.imageio`), WAV/AIFF audio goes through the
-  * JDK's real `javax.sound.sampled` header parser ([[audioDecode]]) —
-  * both ship in the JDK, no native deps — and everything else falls
-  * back to [[fakeDecode]], a deterministic stand-in keyed on payload
-  * bytes (compressed-audio/video codecs are not in this container; a
-  * production build adds decoders to the same slots).
+  * JDK's real `javax.sound.sampled` header parser ([[audioDecode]]),
+  * MIDI through `javax.sound.midi`, and MP3 / Ogg(Vorbis|Opus) through
+  * this file's own pure-Scala frame/page header parsers
+  * ([[mp3Decode]], [[oggDecode]]) — no native deps, no dependencies.
+  * Everything else falls back to [[fakeDecode]], a deterministic
+  * stand-in keyed on payload bytes. The remaining stand-in surface is
+  * SAMPLE-level decode of compressed codecs (MP3/Vorbis/Opus PCM, MP4
+  * video): no codec ships in this container, so feature/frame paths
+  * for those formats stub while their METADATA is real; a production
+  * build adds decoders to the same slots.
   */
 object Multimodal {
 
@@ -99,6 +104,187 @@ object Multimodal {
         height = seq.getTracks.length.toLong,
         n_frames = seq.getTickLength,
         checksum = crc.getValue))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ------------------------------------------------------------------
+  // MPEG audio (MP3) + Ogg container METADATA — pure-JVM frame/page
+  // header parsers, no dependency, no sample decode. The container has
+  // no MP3/Vorbis/Opus PCM codec, so sample-level paths (features,
+  // frame windows) still fall back to the stub for these formats; the
+  // METADATA tier, however, is real: rate/channels/duration come from
+  // the actual bitstream headers (public format knowledge: MPEG-1/2
+  // audio frame headers, Ogg page + Vorbis/Opus id headers).
+  // ------------------------------------------------------------------
+
+  /** ID3v2 tag size (header + syncsafe body) when the payload starts
+    * with one, else 0 — MP3 files commonly lead with the tag.
+    */
+  private def id3v2Size(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' &&
+        (b(6) & 0x80) == 0 && (b(7) & 0x80) == 0 &&
+        (b(8) & 0x80) == 0 && (b(9) & 0x80) == 0)
+      10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+    else 0
+
+  private val Mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3SampleRateV1 = Array(44100, 48000, 32000)
+
+  /** Parse one MPEG-audio Layer III frame header at `off`:
+    * (frameBytes, samplesPerFrame, sampleRate, channels), or None when
+    * the four bytes are not a valid header.
+    */
+  private def mp3FrameAt(
+      b: Array[Byte], off: Int): Option[(Int, Int, Int, Int)] = {
+    if (off < 0 || off + 4 > b.length) return None
+    val h = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    if ((h & 0xffe00000) != 0xffe00000) return None
+    val verBits = (h >>> 19) & 3 // 0 = MPEG-2.5, 2 = MPEG-2, 3 = MPEG-1
+    val layerBits = (h >>> 17) & 3 // 1 = Layer III
+    if (verBits == 1 || layerBits != 1) return None
+    val brIdx = (h >>> 12) & 0xf
+    val srIdx = (h >>> 10) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val padding = (h >>> 9) & 1
+    val channels = if (((h >>> 6) & 3) == 3) 1 else 2
+    val v1 = verBits == 3
+    val div = if (v1) 1 else if (verBits == 2) 2 else 4
+    val sampleRate = Mp3SampleRateV1(srIdx) / div
+    val bitrate =
+      (if (v1) Mp3BitrateV1L3 else Mp3BitrateV2L3)(brIdx) * 1000
+    val samplesPerFrame = if (v1) 1152 else 576
+    val frameBytes = samplesPerFrame / 8 * bitrate / sampleRate + padding
+    if (frameBytes <= 4) None
+    else Some((frameBytes, samplesPerFrame, sampleRate, channels))
+  }
+
+  /** True iff the payload is plausibly an MP3: optional ID3v2 tag, then
+    * a COMPLETE valid Layer III frame followed by either end-of-payload
+    * or a second valid header. The 11-bit sync pattern alone fires on
+    * arbitrary binary, so one full frame + continuation is required —
+    * the gate stays a pure function of the bytes, like every other
+    * magic here.
+    */
+  def looksLikeMp3(b: Array[Byte]): Boolean = {
+    val off = id3v2Size(b)
+    mp3FrameAt(b, off).exists { case (len, _, _, _) =>
+      off + len <= b.length &&
+        (off + len == b.length || mp3FrameAt(b, off + len).isDefined)
+    }
+  }
+
+  /** REAL MP3 metadata via a frame-header walk (VBR-correct: every
+    * frame's own header contributes its sample count) — zero
+    * allocation, no sample decode. [[MediaMeta]] axes as for
+    * [[audioDecode]]: `width` = sample rate, `height` = channels,
+    * `n_frames` = total sample frames (duration = n_frames / width).
+    * The walk stops at the first non-frame byte (trailing ID3v1 tags
+    * and truncation degrade to the frames actually present).
+    */
+  def mp3Decode(docId: Long, payload: Array[Byte]): Option[MediaMeta] = {
+    val start = id3v2Size(payload)
+    mp3FrameAt(payload, start).flatMap { case (_, _, rate, channels) =>
+      var off = start
+      var frames = 0L
+      var samples = 0L
+      var continue = true
+      while (continue) {
+        mp3FrameAt(payload, off) match {
+          case Some((len, spf, _, _)) if off + len <= payload.length =>
+            frames += 1; samples += spf; off += len
+          case _ => continue = false
+        }
+      }
+      if (frames == 0) None
+      else {
+        val crc = new java.util.zip.CRC32()
+        crc.update(payload)
+        Some(MediaMeta(
+          doc_id = docId,
+          octets = payload.length.toLong,
+          width = rate.toLong,
+          height = channels.toLong,
+          n_frames = samples,
+          checksum = crc.getValue))
+      }
+    }
+  }
+
+  /** Ogg capture pattern + stream-structure version 0. */
+  def looksLikeOgg(b: Array[Byte]): Boolean =
+    b.length >= 28 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+      b(3) == 'S' && b(4) == 0
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le64(b: Array[Byte], off: Int): Long =
+    (le32(b, off).toLong & 0xffffffffL) |
+      ((le32(b, off + 4).toLong & 0xffffffffL) << 32)
+
+  private def bytesAt(b: Array[Byte], off: Int, pat: Array[Byte]): Boolean =
+    off >= 0 && off + pat.length <= b.length &&
+      pat.indices.forall(i => b(off + i) == pat(i))
+
+  /** REAL Ogg (Vorbis/Opus) metadata from the container itself: the
+    * codec id header in the first page gives channels and the rate;
+    * the LAST page's granule position is the total sample count.
+    * `width` = the rate granules are counted at (the Vorbis sample
+    * rate; 48000 for Opus regardless of the input rate — the Opus
+    * spec's granule clock), so duration = n_frames / width holds for
+    * both. None for non-audio Ogg streams (the id header is neither
+    * Vorbis nor OpusHead) or a stream with no finished page.
+    */
+  def oggDecode(docId: Long, payload: Array[Byte]): Option[MediaMeta] =
+    try {
+      if (!looksLikeOgg(payload)) return None
+      val segCount = payload(26) & 0xff
+      val dataOff = 27 + segCount
+      val vorbisMagic =
+        Array[Byte](1, 'v'.toByte, 'o'.toByte, 'r'.toByte, 'b'.toByte,
+          'i'.toByte, 's'.toByte)
+      val opusMagic = "OpusHead".getBytes("US-ASCII")
+      val idInfo: Option[(Int, Int)] = // (channels, granule rate)
+        if (bytesAt(payload, dataOff, vorbisMagic) &&
+            dataOff + 16 <= payload.length)
+          Some((payload(dataOff + 11) & 0xff, le32(payload, dataOff + 12)))
+        else if (bytesAt(payload, dataOff, opusMagic) &&
+            dataOff + 10 <= payload.length)
+          Some((payload(dataOff + 9) & 0xff, 48000))
+        else None
+      idInfo.flatMap { case (channels, granuleRate) =>
+        if (channels <= 0 || granuleRate <= 0) None
+        else {
+          // total samples: granule position of the LAST page — scan
+          // backward for the final capture pattern (bounded, no alloc)
+          var i = payload.length - 27
+          var granule = -1L
+          while (granule < 0 && i >= 0) {
+            if (payload(i) == 'O' && payload(i + 1) == 'g' &&
+                payload(i + 2) == 'g' && payload(i + 3) == 'S' &&
+                payload(i + 4) == 0 && i + 14 <= payload.length)
+              granule = le64(payload, i + 6)
+            i -= 1
+          }
+          if (granule < 0) None
+          else {
+            val crc = new java.util.zip.CRC32()
+            crc.update(payload)
+            Some(MediaMeta(
+              doc_id = docId,
+              octets = payload.length.toLong,
+              width = granuleRate.toLong,
+              height = channels.toLong,
+              n_frames = granule,
+              checksum = crc.getValue))
+          }
+        }
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** RIFF/WAVE container magic alone — the subset of [[looksLikeAudio]]
@@ -317,6 +503,8 @@ object Multimodal {
           (if (looksLikeImage(bytes)) imageDecode(id, bytes)
            else if (looksLikeAudio(bytes)) audioDecode(id, bytes)
            else if (looksLikeMidi(bytes)) midiDecode(id, bytes)
+           else if (looksLikeMp3(bytes)) mp3Decode(id, bytes)
+           else if (looksLikeOgg(bytes)) oggDecode(id, bytes)
            else None)
             .getOrElse(fakeDecode(id, bytes))
         }

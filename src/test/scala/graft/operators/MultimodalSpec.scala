@@ -398,6 +398,85 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m == Multimodal.fakeDecode(1L, broken))
   }
 
+  /** Synthesize a CBR MPEG-1 Layer III stream: `n` frames of 44.1 kHz
+    * stereo at 128 kbps (frame length = 1152/8*128000/44100 = 417
+    * bytes, no padding), headers real, audio payload zeroed — the
+    * metadata walk reads headers only.
+    */
+  private def mp3Bytes(n: Int, id3: Boolean = false): Array[Byte] = {
+    val frame = new Array[Byte](417)
+    frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte // sync, MPEG-1 L3 no-CRC
+    frame(2) = 0x90.toByte // bitrate idx 9 (128k), rate idx 0 (44100)
+    frame(3) = 0x00        // stereo
+    val tag =
+      if (id3) Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 20) ++
+        new Array[Byte](20)
+      else Array.empty[Byte]
+    tag ++ Array.fill(n)(frame).flatten
+  }
+
+  test("real MP3 metadata: frame-header walk yields rate/channels/samples") {
+    val clean = mp3Bytes(5)
+    assert(Multimodal.looksLikeMp3(clean))
+    val m = Multimodal.mp3Decode(7L, clean).get
+    assert((m.width, m.height, m.n_frames) == (44100L, 2L, 5L * 1152))
+
+    // an ID3v2 tag ahead of the frames is skipped, not mistaken for data
+    val tagged = mp3Bytes(3, id3 = true)
+    assert(Multimodal.looksLikeMp3(tagged))
+    assert(Multimodal.mp3Decode(8L, tagged).get.n_frames == 3L * 1152)
+
+    // the pipeline tier engages end-to-end
+    val df = Seq((7L, clean)).toDF("doc_id", "payload")
+    val row = Multimodal.decodeMeta(spark, df).collect().head
+    assert(row.width == 44100L && row.n_frames == 5L * 1152)
+
+    // a lone sync byte in random binary is NOT claimed (needs one full
+    // frame + continuation), so arbitrary payloads keep the stub
+    val junk = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0) ++
+      Array.fill(40)('x'.toByte)
+    assert(!Multimodal.looksLikeMp3(junk))
+  }
+
+  /** Minimal two-page Ogg Vorbis stream: a BOS page whose single packet
+    * is the Vorbis id header (channels=2, rate=44100), then an EOS page
+    * with granule position 88200 (= 2 s of samples).
+    */
+  private def oggBytes(granule: Long): Array[Byte] = {
+    def page(tpe: Byte, gran: Long, segLens: Seq[Int],
+        body: Array[Byte]): Array[Byte] = {
+      val head = java.nio.ByteBuffer.allocate(27 + segLens.size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      head.put("OggS".getBytes("US-ASCII")).put(0: Byte).put(tpe)
+        .putLong(gran).putInt(1).putInt(0).putInt(0)
+        .put(segLens.size.toByte)
+      segLens.foreach(l => head.put(l.toByte))
+      head.array() ++ body
+    }
+    val id = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    id.put(1: Byte).put("vorbis".getBytes("US-ASCII"))
+      .putInt(0).put(2: Byte).putInt(44100)
+    page(2, 0L, Seq(30), id.array()) ++
+      page(4, granule, Seq(0), Array.empty)
+  }
+
+  test("real Ogg metadata: id header + last-page granule yield rate/channels/duration") {
+    val ogg = oggBytes(88200L)
+    assert(Multimodal.looksLikeOgg(ogg))
+    val m = Multimodal.oggDecode(9L, ogg).get
+    assert((m.width, m.height, m.n_frames) == (44100L, 2L, 88200L))
+    // duration = n_frames / width = 2 s
+
+    // a non-audio Ogg stream (unknown id header) degrades to the stub
+    val alien = ogg.clone()
+    alien(28) = 'X'.toByte // corrupt the id magic inside the first page
+    assert(Multimodal.oggDecode(9L, alien).isEmpty)
+    val df = Seq((9L, alien)).toDF("doc_id", "payload")
+    assert(Multimodal.decodeMeta(spark, df).collect().head ==
+      Multimodal.fakeDecode(9L, alien))
+  }
+
   test("magic sniffing never claims text payloads") {
     Seq("plain text", "BM-prefixed but short", "GIF8 not quite").foreach { s =>
       val b = s.getBytes("UTF-8")
