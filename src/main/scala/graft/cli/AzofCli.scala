@@ -52,7 +52,8 @@ object AzofCli {
       System.err.println(
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
           "commit-partitioned|add-column|compact|delete|changes|vacuum|" +
-          "tail|tail-commits|stream-commits|follow|sql> --path P --table T [...]")
+          "tail|tail-commits|stream-commits|mirror|follow|sql> " +
+          "--path P --table T [...]")
       sys.exit(2)
     }
     val opts = parseArgs(args)
@@ -179,6 +180,21 @@ object AzofCli {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        println(s"checkpoint: $ckpt")
+      case "mirror" =>
+        // one AvailableNow replication pass: source commits (upserts AND
+        // tombstone deletes) land in the target table exactly once.
+        // Re-running with the same --checkpoint continues incrementally.
+        val ckpt = opts.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory("azof-mirror").toString)
+        val q = graft.streaming.AzofMirror.replicate(spark,
+          opts("path"), opts("table"),
+          opts("target-path"), opts("target-table"), ckpt,
+          maxVersionsPerBatch = opts.get("max-versions").map(_.toLong))
+        q.awaitTermination()
+        println(s"mirrored ${opts("table")} -> ${opts("target-table")}; " +
+          s"target version now ${AzofTable(spark,
+            opts("target-path"), opts("target-table")).currentVersion}")
         println(s"checkpoint: $ckpt")
       case "tail" =>
         // one AvailableNow pass over the append feed: processes commits

@@ -45,7 +45,12 @@ import org.apache.spark.sql.functions._
   * following its event-time-descending row convention
   * (lakehouse.rs:57-79). Opt in when a table is shared with a reference
   * reader/writer and its layout may carry overlapping delta windows, so
-  * both engines surface identical rows in both directions.
+  * both engines surface identical rows in both directions. With
+  * TOMBSTONES (this engine's extension — never on reference-shared
+  * tables) strict mode is precedence-consistent: the tombstone delta's
+  * later window start outranks every earlier file, so the delete
+  * suppresses its keys outright, even past newer data rows
+  * (TombstoneSpec pins the divergence from default mode).
   *
   * Spark plan shape: ONE parquet scan over the pruned file list — not a
   * union of per-file scans, whose plan size would grow with the file

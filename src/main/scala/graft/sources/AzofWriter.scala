@@ -245,6 +245,12 @@ object AzofWriter {
       lakehousePath: String,
       name: String,
       df: DataFrame): Unit = {
+    // tombstones are DELTAS by design: only delta entries carry the
+    // tombstone flag, so marker rows in a base file would read back as
+    // null-valued data rows — refuse rather than silently corrupt
+    require(!df.columns.contains(TableSchema.DeletedName),
+      s"commitBase with a ${TableSchema.DeletedName} column: tombstone " +
+        "rows commit through commitDelta/commitDelete, never into a base file")
     val (dir, fileName, stats) =
       landCommitFile(spark, lakehousePath, name, df, "base")
     commitMeta(spark, dir) { snap =>
@@ -269,6 +275,11 @@ object AzofWriter {
     * `streamBatch` records `appId -> batchId` in the snapshot's
     * `stream_batches` replay index — the streaming sink passes both to
     * make micro-batch commits idempotent.
+    *
+    * A `df` carrying the `_azof_deleted` marker column commits as a
+    * MIXED data+tombstone file (the replication shape: one micro-batch
+    * holds a source commit range's upserts AND deletes) — the marker
+    * rides per-row and the delta entry is flagged so scans read it.
     */
   def commitDelta(
       spark: SparkSession,
@@ -279,11 +290,13 @@ object AzofWriter {
       end: Instant,
       op: Option[String] = None,
       streamBatch: Option[(String, Long)] = None): Unit = {
+    val hasMarker = df.columns.contains(TableSchema.DeletedName)
     val (dir, fileName, stats) =
       landCommitFile(spark, lakehousePath, name, df, "delta")
     commitMeta(spark, dir) { snap =>
       val segs = mapOpenRoot(snap.segments)(s =>
-        s.copy(delta = s.delta :+ Delta(fileName, start, end, stats)))
+        s.copy(delta = s.delta :+
+          Delta(fileName, start, end, stats, tombstone = hasMarker)))
       snap.copy(segments = segs, op = Some(op.getOrElse("commit-delta")),
         streamBatches = snap.streamBatches ++ streamBatch)
     }
@@ -381,8 +394,14 @@ object AzofWriter {
     // prefix is a human/debug hint only
     val fileName =
       uniqueFileName(s"${kind}_s${table.currentVersion.toLong + 1}")
-    val ordered =
-      df.select(table.currentSnapshot.schema.allColumnNames.map(col): _*)
+    // the tombstone marker column, when present, survives the landing
+    // projection (mixed data+tombstone commits); everything else not in
+    // the declared schema is dropped
+    val landCols = table.currentSnapshot.schema.allColumnNames ++
+      (if (df.columns.contains(TableSchema.DeletedName))
+        Seq(TableSchema.DeletedName)
+      else Seq.empty)
+    val ordered = df.select(landCols.map(col): _*)
     val stats = writeDataFile(spark, ordered, dir, fileName)
     (dir, fileName, stats)
   }
@@ -426,6 +445,10 @@ object AzofWriter {
       numFiles: Int,
       byKey: Boolean = false): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
+    require(!df.columns.contains(TableSchema.DeletedName),
+      s"commitPartitioned drops columns outside the declared schema — " +
+        s"route ${TableSchema.DeletedName}-carrying frames through " +
+        "commitDelta (mixed) or commitDelete (pure tombstones) instead")
     val table = AzofTable(spark, lakehousePath, name)
     val nextId = (table.currentVersion.toLong + 1).toString
     val snap = table.currentSnapshot

@@ -37,8 +37,11 @@ import org.apache.spark.sql.types.StructType
   * Options: `path` (lakehouse dir, or table dir when `table` is
   * absent), `table`, `startVersion` (first batch covers
   * `(startVersion, current]`; default 1 = everything after table
-  * creation). The schema is pinned at stream start from the current
-  * snapshot (same rule as [[AzofStream]] after schema evolution).
+  * creation), `maxVersionsPerBatch` (bound how many commits one
+  * micro-batch spans — long catch-ups proceed in bounded checkpointed
+  * steps; default unbounded). The schema is pinned at stream start
+  * from the current snapshot (same rule as [[AzofStream]] after
+  * schema evolution).
   *
   * A consumer lagging past vacuum retention fails loudly at planning
   * with the retained floor (the Kafka earliest-offset analogue), never
@@ -60,7 +63,7 @@ class AzofCommitStreamProvider extends StreamSourceProvider with DataSourceRegis
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (lake, table, _) = AzofCommitStreamProvider.resolve(parameters)
+    val (lake, table, _, _) = AzofCommitStreamProvider.resolve(parameters)
     (shortName(),
       AzofCommitStreamProvider.feedSchema(sqlContext.sparkSession, lake, table))
   }
@@ -71,9 +74,10 @@ class AzofCommitStreamProvider extends StreamSourceProvider with DataSourceRegis
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source = {
-    val (lake, table, startVersion) =
+    val (lake, table, startVersion, maxVersions) =
       AzofCommitStreamProvider.resolve(parameters)
-    new AzofCommitSource(sqlContext.sparkSession, lake, table, startVersion)
+    new AzofCommitSource(
+      sqlContext.sparkSession, lake, table, startVersion, maxVersions)
   }
 }
 
@@ -84,7 +88,7 @@ object AzofCommitStreamProvider {
     * with an explicit `table` option, or the table dir itself.
     */
   private[streaming] def resolve(
-      parameters: Map[String, String]): (String, String, Long) = {
+      parameters: Map[String, String]): (String, String, Long, Long) = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "azof-commits stream needs a path: spark.readStream" +
@@ -100,13 +104,15 @@ object AzofCommitStreamProvider {
               "pass .option(\"table\", <name>) explicitly"))
         (parent.toString, p.getName)
     }
-    val startVersion = parameters.get("startVersion")
-      .map(s => s.trim.toLongOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"azof-commits option 'startVersion' must be a snapshot " +
-            s"version number, got '$s'")))
-      .getOrElse(1L)
-    (lake, table, startVersion)
+    def longOpt(name: String, default: Long, min: Long): Long =
+      parameters.get(name)
+        .map(s => s.trim.toLongOption.filter(_ >= min).getOrElse(
+          throw new IllegalArgumentException(
+            s"azof-commits option '$name' must be a number >= $min, " +
+              s"got '$s'")))
+        .getOrElse(default)
+    (lake, table, longOpt("startVersion", 1L, 0L),
+      longOpt("maxVersionsPerBatch", Long.MaxValue, 1L))
   }
 
   private[streaming] def feedSchema(
@@ -130,7 +136,8 @@ class AzofCommitSource(
     spark: SparkSession,
     lakehousePath: String,
     table: String,
-    startVersion: Long)
+    startVersion: Long,
+    maxVersionsPerBatch: Long = Long.MaxValue)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -147,13 +154,23 @@ class AzofCommitSource(
 
   /** Admission-control face of [[getOffset]]: versions carry no useful
     * row-count granularity (a commit is the atomic delivery unit), so
-    * every limit maps to all-available-up-to-cap.
+    * engine `ReadLimit`s map to all-available-up-to-cap — the
+    * source-level bound is `maxVersionsPerBatch`, which clips how many
+    * COMMITS one micro-batch may span: a consumer resuming after a
+    * long gap catches up in bounded, checkpointed steps instead of one
+    * giant batch (the Kafka `maxOffsetsPerTrigger` analogue at commit
+    * granularity). AvailableNow still drains to the fixed point — in
+    * several batches.
     */
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
     val cur0 = t.currentVersion.toLong
     val cur = availableNowCap.fold(cur0)(math.min(cur0, _))
-    val base = Option(start).map(asAnyVersion).getOrElse(startVersion)
-    if (cur <= math.max(base, startVersion)) null else LongOffset(cur)
+    val base = math.max(Option(start).map(asAnyVersion)
+      .getOrElse(startVersion), startVersion)
+    val capped =
+      if (cur - base > maxVersionsPerBatch) base + maxVersionsPerBatch
+      else cur
+    if (capped <= base) null else LongOffset(capped)
   }
 
   override def reportLatestOffset(): ConnOffset =

@@ -122,13 +122,28 @@ object AzofSink {
     else {
       val rows = batch.persist()
       try {
-        val mm = rows.agg(
-            min(col(TableSchema.EventTimeName)),
-            max(col(TableSchema.EventTimeName)))
-          .collect()(0)
+        // a batch carrying the tombstone marker column commits as a
+        // MIXED data+tombstone delta (the replication shape) — unless
+        // no row is actually deleted, in which case the column is
+        // stripped so delete-free batches keep the target's scans
+        // marker-free; the deletes probe rides the one stats pass the
+        // commit already makes
+        val hasMarkerCol = batch.columns.contains(TableSchema.DeletedName)
+        val aggs = Seq(
+          min(col(TableSchema.EventTimeName)),
+          max(col(TableSchema.EventTimeName))) ++
+          (if (hasMarkerCol)
+            Seq(max(coalesce(col(TableSchema.DeletedName), lit(false))))
+          else Seq.empty)
+        val mm = rows.agg(aggs.head, aggs.tail: _*).collect()(0)
         if (mm.isNullAt(0)) false
         else {
-          AzofWriter.commitDelta(spark, lakehousePath, table, rows,
+          val anyDeletes = hasMarkerCol && mm.getBoolean(2)
+          val toCommit =
+            if (hasMarkerCol && !anyDeletes)
+              rows.drop(TableSchema.DeletedName)
+            else rows
+          AzofWriter.commitDelta(spark, lakehousePath, table, toCommit,
             mm.getTimestamp(0).toInstant, mm.getTimestamp(1).toInstant,
             op = Some(s"$OpPrefix$appId#$batchId"),
             streamBatch = Some(appId -> batchId))

