@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, count, lit}
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, EqualNullSafe, EqualTo, Filter, In, InsertableRelation, Or, TableScan}
 import org.apache.spark.sql.types.{StructType, StringType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -221,7 +221,8 @@ object AzofCatalog {
 final class AzofV2Table(
     lakehousePath: String, tableName: String,
     asOf: AsOf, version: Option[String])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   // lazy val: a loaded Table represents ONE resolved version — planning
   // may ask for the schema repeatedly and must not re-read (or observe a
@@ -237,6 +238,35 @@ final class AzofV2Table(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AzofScanBuilder(relation)
+
+  /** `DELETE FROM cat.t WHERE <key predicate>` — SQL face of the
+    * tombstone delete ([[AzofWriter.commitDelete]]): the predicate must
+    * resolve to an EXPLICIT key set (`key = 'k'`, `key IN (...)`, or OR
+    * combinations thereof), because an azof delete is a new EVENT (rows
+    * `(key, now, _azof_deleted)`) — not a rewrite — and value-predicate
+    * deletes would need a scan-then-delete the caller can compose
+    * explicitly (`commitDelete(keysDf, at)` takes any DataFrame of
+    * keys). Everything else reports non-deletable and Spark raises its
+    * standard cannot-delete error. The deletion event time is `now`:
+    * history before it still time-travels (append-only contract).
+    */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOf == AsOf.Current && version.isEmpty &&
+      AzofV2Table.deletableKeys(filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (asOf != AsOf.Current || version.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot DELETE from a time-travel view of azof table $tableName")
+    val keys = AzofV2Table.deletableKeys(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"azof DELETE needs an explicit key predicate (key = ... / " +
+          s"key IN (...) / OR of those); got: ${filters.mkString(", ")}"))
+    AzofWriter.commitDelete(SparkSession.active, lakehousePath, tableName,
+      keys.toSeq, java.time.Instant.now())
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // a loaded time-travel view is a historical read surface, never a
@@ -295,4 +325,32 @@ private final class AzofV1ScanBridge(
       override def buildScan(): RDD[Row] =
         relation.buildScan(required.fieldNames, filters)
     }.asInstanceOf[T]
+}
+
+object AzofV2Table {
+
+  /** The exact key set a conjunction of pushed DELETE filters denotes:
+    * each conjunct must be `key = v` / `key <=> v` / `key IN (...)` or
+    * an OR of those; conjuncts intersect. None when any conjunct is
+    * not a pure key-set predicate (value predicates, ranges, NOT, a
+    * bare DELETE-without-WHERE truncate) — the caller then refuses.
+    */
+  private[sources] def deletableKeys(
+      filters: Array[Filter]): Option[Set[String]] = {
+    def keysOf(f: Filter): Option[Set[String]] = f match {
+      case EqualTo(TableSchema.KeyName, v: String)       => Some(Set(v))
+      case EqualNullSafe(TableSchema.KeyName, v: String) => Some(Set(v))
+      case In(TableSchema.KeyName, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.map(_.asInstanceOf[String]).toSet)
+      case Or(l, r) => for { a <- keysOf(l); b <- keysOf(r) } yield a ++ b
+      case _ => None
+    }
+    if (filters.isEmpty) None
+    else {
+      val sets = filters.toSeq.map(keysOf)
+      if (sets.exists(_.isEmpty)) None
+      else Some(sets.flatten.reduce(_ intersect _)).filter(_.nonEmpty)
+    }
+  }
 }

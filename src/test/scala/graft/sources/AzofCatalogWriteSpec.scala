@@ -105,6 +105,40 @@ class AzofCatalogWriteSpec extends AnyFunSuite {
     assert(got == Seq(("1", "x", -1L), ("2", "y", 7L)))
   }
 
+  test("DELETE FROM with key predicates commits a tombstone; others refuse") {
+    spark.sql(
+      """CREATE TABLE wcat.del (key STRING, event_time TIMESTAMP, value STRING)
+         USING azof TBLPROPERTIES ('start'='2024-01-01T00:00:00Z')""")
+    AzofWriter.commitBase(spark, lake, "del", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1"),
+      ("3", "2024-01-04T00:00:00Z", "c1"),
+      ("4", "2024-01-05T00:00:00Z", "d1")))
+
+    spark.sql("DELETE FROM wcat.del WHERE key = '1'")
+    assert(scanAll("del") == Seq("2" -> "b1", "3" -> "c1", "4" -> "d1"))
+    spark.sql("DELETE FROM wcat.del WHERE key IN ('2', '3')")
+    assert(scanAll("del") == Seq("4" -> "d1"))
+    // the deletes are EVENTS: history still travels
+    assert(scanAll("del",
+      "TIMESTAMP AS OF '2024-01-10T00:00:00Z'").size == 4)
+    // snapshot records them as tombstone commits
+    val t = AzofTable(spark, lake, "del")
+    assert(t.currentSnapshot.op.contains("commit-delete"))
+    assert(t.currentSnapshot.tombstoneFiles.size == 2)
+
+    // a value predicate is NOT a key set: an azof delete is an event,
+    // not a rewrite — Spark surfaces its standard cannot-delete error
+    intercept[Exception] {
+      spark.sql("DELETE FROM wcat.del WHERE value = 'd1'")
+    }
+    // DELETE without WHERE (truncate) refuses too
+    intercept[Exception] {
+      spark.sql("DELETE FROM wcat.del")
+    }
+    assert(scanAll("del") == Seq("4" -> "d1"), "refused deletes changed nothing")
+  }
+
   test("rejected writes: overwrite, bad schemas, duplicates, null keys") {
     spark.sql(
       """CREATE TABLE wcat.t_rej (key STRING, event_time TIMESTAMP, value STRING)
