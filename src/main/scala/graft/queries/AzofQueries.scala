@@ -25,7 +25,8 @@ object AzofQueries {
     "q34_bykey_lookup" -> byKeyLookup,
     "q35_change_feed" -> changeFeed,
     "q36_strict_precedence" -> strictPrecedence,
-    "q37_tombstone_delete" -> tombstoneDelete)
+    "q37_tombstone_delete" -> tombstoneDelete,
+    "q38_mirror_delete" -> mirrorDelete)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -252,8 +253,8 @@ object AzofQueries {
     * dropped iff its key is deleted and its event_time is at-or-before
     * that key's tombstone.
     */
-  private def tombstoneDelete(s: SparkSession, dir: String): DataFrame = {
-    val lake = cachedLake(dir, "del-v1", "events_del") { l =>
+  private def ensureDelLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "del-v1", "events_del") { l =>
       val kv = eventsKv(s, dir)
       AzofWriter.createTable(s, l, "events_del", eventsSchema,
         Instant.parse("2024-01-01T00:00:00Z"))
@@ -275,7 +276,31 @@ object AzofQueries {
       AzofWriter.commitDelete(s, l, "events_del", Seq("41", "103"),
         Instant.parse("2024-02-01T00:00:00Z"))
     }
-    AzofScan.scan(s, lake, "events_del")
+
+  private def tombstoneDelete(s: SparkSession, dir: String): DataFrame =
+    AzofScan.scan(s, ensureDelLake(s, dir), "events_del")
+      .select("key", "event_time", "event_type")
+
+  /** The whole replication pipeline under the oracle gate: the q37 lake
+    * (full history + two delete commits) mirrors TABLE-TO-TABLE through
+    * the `azof-commits` streaming source and the mixed data+tombstone
+    * sink ([[graft.streaming.AzofMirror]]), and the MIRROR's Current
+    * scan must hash-match the same latest-row-per-key-minus-deletes
+    * oracle as the source's — replication preserved every upsert, every
+    * tombstone, and the event-time delete semantics at scale.
+    */
+  private def mirrorDelete(s: SparkSession, dir: String): DataFrame = {
+    val src = ensureDelLake(s, dir)
+    val lake = cachedLake(dir, "mir-v1", "events_mirror") { l =>
+      AzofWriter.createTable(s, l, "events_mirror", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val q = graft.streaming.AzofMirror.replicate(s,
+        src, "events_del", l, "events_mirror",
+        new java.io.File(l, "_mirror_ck").toString)
+      q.awaitTermination(300000)
+      ()
+    }
+    AzofScan.scan(s, lake, "events_mirror")
       .select("key", "event_time", "event_type")
   }
 
@@ -343,6 +368,20 @@ object AzofQueries {
     // outranks an exact event-time tie by file precedence; newer rows
     // beat it)
     "q37_tombstone_delete" ->
+      """SELECT key, event_time, event_type FROM
+           (SELECT CAST(user_id AS VARCHAR) AS key,
+              date_trunc('milliseconds', ts) AS event_time, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+            FROM events)
+         WHERE rn = 1
+           AND NOT (key IN ('7', '23')
+                    AND event_time <= TIMESTAMP '2024-01-25 00:00:00')
+           AND NOT (key IN ('41', '103')
+                    AND event_time <= TIMESTAMP '2024-02-01 00:00:00')""",
+    // the mirror must surface exactly the source's Current state: same
+    // winners, same tombstone suppression — q37's oracle verbatim
+    "q38_mirror_delete" ->
       """SELECT key, event_time, event_type FROM
            (SELECT CAST(user_id AS VARCHAR) AS key,
               date_trunc('milliseconds', ts) AS event_time, event_type,
