@@ -215,6 +215,34 @@ class TombstoneSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.azof.strictPrecedence")
   }
 
+  test("racing delete and upsert commits both survive the optimistic retry") {
+    val lake = Files.createTempDirectory("azof-tomb-race").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val del = new Thread(() =>
+      try AzofWriter.commitDelete(spark, lake, "t", Seq("1"),
+        ts("2024-02-01T00:00:00Z"))
+      catch { case e: Throwable => failures.add(e); () })
+    val ups = new Thread(() =>
+      try AzofWriter.commitDelta(spark, lake, "t",
+        df(("2", "2024-02-05T00:00:00Z", "b2")),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      catch { case e: Throwable => failures.add(e); () })
+    del.start(); ups.start(); del.join(120000); ups.join(120000)
+    assert(failures.isEmpty,
+      s"racing writer died: ${Option(failures.peek()).map(_.toString)}")
+    // whoever lost the race re-applied onto the winner: both commits in
+    // the head snapshot, scan reflects both
+    val t = AzofTable(spark, lake, "t")
+    assert(t.currentVersion.toLong == 4)
+    val deltas = t.currentSnapshot.segments.find(_.end.isEmpty).get.delta
+    assert(deltas.size == 2 && deltas.count(_.tombstone) == 1)
+    assert(current(lake) == Seq("2" -> "b2"))
+  }
+
   test("scan pushdown composes: key filter + projection over a table with deletes") {
     val lake = Files.createTempDirectory("azof-tomb-proj").toString
     AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))

@@ -95,6 +95,41 @@ class AzofMirrorSpec extends AnyFunSuite {
     assert(all.count(_._3) == 2)
   }
 
+  test("source compaction mid-mirror delivers nothing; post-compaction commits still flow") {
+    val src = Files.createTempDirectory("azof-mirror3-src").toString
+    val dst = Files.createTempDirectory("azof-mirror3-dst").toString
+    val ck = Files.createTempDirectory("azof-mirror3-ck").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, src, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+    AzofWriter.commitDelete(spark, src, "t", Seq("1"),
+      ts("2024-02-01T00:00:00Z"))                                    // v3
+    def sync(): Unit = {
+      val q = AzofMirror.replicate(spark, src, "t", dst, "m", ck)
+      q.awaitTermination(120000); ()
+    }
+    sync()
+    assert(scanSorted(dst, "m") == Seq("2" -> "b1"))
+
+    // source compacts: a full rewrite of its live rows — the feed must
+    // NOT re-deliver them into the mirror as fresh commits
+    AzofWriter.compact(spark, src, "t", ts("2024-03-01T00:00:00Z"))  // v4
+    val vBefore = AzofTable(spark, dst, "m").currentVersion
+    sync()
+    assert(AzofTable(spark, dst, "m").currentVersion == vBefore,
+      "a compaction-only range must not commit anything to the mirror")
+
+    // post-compaction source commits flow normally and equivalence holds
+    AzofWriter.commitDelta(spark, src, "t",
+      df(("3", "2024-03-05T00:00:00Z", "c1")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v5
+    sync()
+    assert(scanSorted(dst, "m") == scanSorted(src, "t"))
+    assert(scanSorted(dst, "m") == Seq("2" -> "b1", "3" -> "c1"))
+  }
+
   test("a delete-free mirror stays marker-free") {
     val src = Files.createTempDirectory("azof-mirror2-src").toString
     val dst = Files.createTempDirectory("azof-mirror2-dst").toString
