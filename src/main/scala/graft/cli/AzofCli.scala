@@ -52,8 +52,8 @@ object AzofCli {
       System.err.println(
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
           "commit-partitioned|add-column|compact|delete|changes|vacuum|" +
-          "tail|tail-commits|stream-commits|mirror|follow|sql> " +
-          "--path P --table T [...]")
+          "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
+          "sql> --path P --table T [...]")
       sys.exit(2)
     }
     val opts = parseArgs(args)
@@ -211,6 +211,25 @@ object AzofCli {
             batch.show(numRows = 1000, truncate = false)
           }
           .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        println(s"checkpoint: $ckpt")
+      case "follow-commits" =>
+        // commit-exact, DELETE-AWARE latest-per-key view: one
+        // AvailableNow pass prints winner updates since the checkpoint,
+        // with _deleted=true rows for tombstoned keys.
+        val ckpt = opts.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory("azof-followc").toString)
+        val q = graft.streaming.LatestView
+          .latestCommitted(spark, opts("path"), opts("table"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val rows = batch.collect()
+            println(s"batch $id: ${rows.length} winner updates")
+            rows.take(1000).foreach(r => println(r.mkString("| ", " | ", " |")))
+          }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()

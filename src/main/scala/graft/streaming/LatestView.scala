@@ -31,10 +31,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * that crashes before its snapshot commit can be ingested into state
   * and is never retracted, so the view can briefly (or, for such
   * orphans, permanently) hold a row the committed table never had.
-  * Views that must align exactly with committed versions should
-  * consume the commit-exact change-feed tail
-  * ([[graft.sources.AzofChangeFeed.followOnce]]) instead, which reads
-  * only snapshot-referenced files.
+  * Views that must align exactly with committed versions — or must
+  * observe tombstone DELETES, which the append feed's name filter
+  * never surfaces — use [[latestCommitted]], the same state machine
+  * over the commit-exact `azof-commits` source.
   *
   * Value columns ride through state as JSON (schema-dynamic payloads
   * can't be a Scala case class); the output re-expands them to typed
@@ -91,5 +91,70 @@ object LatestView {
       .select(col(TableSchema.KeyName) +:
         col(TableSchema.EventTimeName) +:
         schema.columns.map(c => col(s"_v.${c.name}").as(c.name)): _*)
+  }
+
+  /** The COMMIT-EXACT, DELETE-AWARE variant of [[latest]]: same
+    * one-winner-per-key state machine, fed by the `azof-commits`
+    * streaming source instead of the file-level append feed — so it
+    * inherits none of the append feed's caveats (orphan files never
+    * enter state; compaction rewrites never re-emit) and it SEES
+    * tombstones: a delete whose event wins a key emits one update row
+    * with `_deleted = true` and NULL values (the Delta-CDF shape), and
+    * a later re-insert emits the resurrected winner. Output schema:
+    * `key, event_time, values..., _deleted`. The winner rule is the
+    * same total order as [[latest]] (event_time, then hash), so the
+    * view converges to the batch Current scan's row set with deleted
+    * keys flagged — the serving-layer view a replicated KV table with
+    * takedowns actually needs. Run with `outputMode("update")`.
+    */
+  def latestCommitted(
+      spark: SparkSession, lakehousePath: String, table: String): DataFrame = {
+    import spark.implicits._
+    val t = AzofTable(spark, lakehousePath, table)
+    val schema = t.currentSnapshot.schema
+    val allCols = schema.allColumnNames.map(col)
+    val valueStruct = org.apache.spark.sql.types.StructType(
+      schema.toStruct.fields.drop(2))
+    val valueCols = schema.columns.map(c => col(c.name))
+
+    val keyed = spark.readStream.format("azof-commits")
+      .option("table", table).load(lakehousePath)
+      .select(
+        col(TableSchema.KeyName).as("_k"),
+        unix_micros(col(TableSchema.EventTimeName)).as("_et"),
+        xxhash64(allCols: _*).as("_h"),
+        to_json(struct(valueCols: _*)).as("_js"),
+        coalesce(col("_deleted"), lit(false)).as("_d"))
+      .as[(String, Long, Long, String, Boolean)]
+      .groupByKey(_._1)
+
+    val updates = keyed.flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      (key: String, rows: Iterator[(String, Long, Long, String, Boolean)],
+       state: GroupState[(Long, Long, String, Boolean)]) => {
+        var cur = state.getOption
+        var changed = false
+        rows.foreach { case (_, et, h, js, d) =>
+          val better = cur.forall { case (cet, ch, _, _) =>
+            et > cet || (et == cet && h < ch)
+          }
+          if (better) { cur = Some((et, h, js, d)); changed = true }
+        }
+        if (changed) {
+          state.update(cur.get)
+          Iterator.single((key, cur.get._1, cur.get._3, cur.get._4))
+        } else Iterator.empty
+      })
+
+    updates.toDF("_k", "_et", "_js", "_d")
+      .select(
+        col("_k").as(TableSchema.KeyName),
+        timestamp_micros(col("_et")).as(TableSchema.EventTimeName),
+        from_json(col("_js"), valueStruct).as("_v"),
+        col("_d"))
+      .select(col(TableSchema.KeyName) +:
+        col(TableSchema.EventTimeName) +:
+        schema.columns.map(c => col(s"_v.${c.name}").as(c.name)) :+
+        col("_d").as("_deleted"): _*)
   }
 }
