@@ -111,7 +111,10 @@ object AzofCommitStreamProvider {
             s"azof-commits option '$name' must be a number >= $min, " +
               s"got '$s'")))
         .getOrElse(default)
-    (lake, table, longOpt("startVersion", 1L, 0L),
+    // startVersion floor is 1 (the data-less create snapshot): the feed
+    // walk parses s{startVersion}.json as its base, and 0 names a
+    // document that never exists
+    (lake, table, longOpt("startVersion", 1L, 1L),
       longOpt("maxVersionsPerBatch", Long.MaxValue, 1L))
   }
 
