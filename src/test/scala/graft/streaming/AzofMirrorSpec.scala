@@ -130,6 +130,31 @@ class AzofMirrorSpec extends AnyFunSuite {
     assert(scanSorted(dst, "m") == Seq("2" -> "b1", "3" -> "c1"))
   }
 
+  test("by-key layouts mirror correctly (overlapping delta windows)") {
+    // commitPartitioned(byKey = true) produces files whose event-time
+    // windows OVERLAP across commits — the layout the default scan
+    // reads event-time-first; the mirror must reproduce the same rows
+    val src = Files.createTempDirectory("azof-mirror4-src").toString
+    val dst = Files.createTempDirectory("azof-mirror4-dst").toString
+    val ck = Files.createTempDirectory("azof-mirror4-ck").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitPartitioned(spark, src, "t", df(
+      ("a", "2024-01-10T00:00:00Z", "a1"),
+      ("b", "2024-01-20T00:00:00Z", "b1"),
+      ("c", "2024-01-15T00:00:00Z", "c1"),
+      ("d", "2024-01-05T00:00:00Z", "d1")), numFiles = 2, byKey = true)
+    AzofWriter.commitPartitioned(spark, src, "t", df(
+      ("a", "2024-01-12T00:00:00Z", "a2"),   // newer -> wins
+      ("b", "2024-01-08T00:00:00Z", "b0"),   // older -> loses
+      ("e", "2024-01-18T00:00:00Z", "e1")), numFiles = 2, byKey = true)
+    val q = AzofMirror.replicate(spark, src, "t", dst, "m", ck)
+    q.awaitTermination(120000)
+    assert(scanSorted(dst, "m") == scanSorted(src, "t"))
+    assert(scanSorted(dst, "m") == Seq("a" -> "a2", "b" -> "b1",
+      "c" -> "c1", "d" -> "d1", "e" -> "e1"))
+  }
+
   test("a delete-free mirror stays marker-free") {
     val src = Files.createTempDirectory("azof-mirror2-src").toString
     val dst = Files.createTempDirectory("azof-mirror2-dst").toString
