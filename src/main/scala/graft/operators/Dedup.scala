@@ -383,6 +383,52 @@ object Dedup {
       threshold)
   }
 
+  /** LINE-level deduplication — the C4/MassiveText cleanup: drop every
+    * line whose normalized form (trim + lowercase) appears in MORE than
+    * `maxDf` distinct documents (boilerplate: navigation chrome, cookie
+    * banners, license headers), and reassemble each document's
+    * surviving lines in their original order. Empty lines never count
+    * against the threshold and are preserved.
+    *
+    * Output: `(doc_id, clean_text, n_kept, n_dropped)`.
+    *
+    * Scale shape: one `posexplode` (narrow), one hash aggregation over
+    * distinct normalized lines for the document-frequency table, one
+    * shuffle join back on the line hash (cost scales with total LINES,
+    * never docs²), and an order-preserving reassembly via
+    * `array_sort(collect_list(struct(pos, line)))` — the per-doc group
+    * is bounded by document size. The df join keys on `xxhash64` of the
+    * normalized line, so shuffled rows carry an 8-byte key instead of
+    * the line text.
+    */
+  def lineDedup(
+      df: DataFrame, text: Column, id: Column, maxDf: Int): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val lines = df.select(id.as("doc_id"), text.as("_t"))
+      .select(col("doc_id"), posexplode(split(col("_t"), "\n")).as(Seq("pos", "line")))
+      .withColumn("_norm", trim(lower(col("line"))))
+      .withColumn("_lh",
+        when(length(col("_norm")) > 0, xxhash64(col("_norm"))))
+    val dfTable = lines
+      .where(col("_lh").isNotNull)
+      .groupBy("_lh")
+      .agg(countDistinct(col("doc_id")).as("_line_df"))
+      .where(col("_line_df") > maxDf) // ship only the drop set
+    lines
+      .join(dfTable, Seq("_lh"), "left")
+      .withColumn("_keep", col("_line_df").isNull)
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_keep"), struct(col("pos"), col("line"))))),
+            x => x("line")),
+          "\n").as("clean_text"),
+        count(when(col("_keep"), 1)).as("n_kept"),
+        count(when(!col("_keep"), 1)).as("n_dropped"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within a
     * blocking key (the label column here; [[embeddingNearDupsLsh]] blocks
     * on LSH buckets for the production path). The self-join is a hash

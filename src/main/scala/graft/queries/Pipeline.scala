@@ -98,7 +98,12 @@ object Pipeline {
   // companion of d08) is spec-gated only: the synthetic corpus contains
   // zero exact duplicates at every scale factor, so an oracle row for it
   // would be a structurally-empty check (TextAnalysisSpec carries the
-  // behavioral gate instead).
+  // behavioral gate instead). Dedup.lineDedup (C4/MassiveText line-level
+  // boilerplate removal) is spec-gated for the same reason: the corpus
+  // has single-line documents with zero cross-document repeated lines
+  // or sentences (verified by direct count), so its oracle would drop
+  // nothing — DedupSpec pins normalization, order-preserving
+  // reassembly, empty-line handling, and the df threshold instead.
 
   /** Approximate distinct (HyperLogLog++ sketch). No oracle: sketch
     * estimates are implementation-specific, so the driver records the

@@ -113,4 +113,37 @@ class DedupSpec extends AnyFunSuite {
       assert(cos(vecs(a), vecs(b)) >= 0.9)
     }
   }
+
+  test("lineDedup drops cross-doc boilerplate lines, preserves order, keeps empties") {
+    // "cookie notice" appears in 3 docs (boilerplate, df > 2);
+    // "unique …" lines are per-doc; the empty line must survive
+    val docs = Seq(
+      (1L, "unique alpha\nCookie Notice\n\nunique beta"),
+      (2L, "cookie notice\nunique gamma"),
+      (3L, "unique delta\n  COOKIE NOTICE  "),
+      (4L, "unique epsilon only")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .lineDedup(docs, col("text"), col("doc_id"), maxDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // normalization (trim+lower) unifies all three spellings -> df 3 > 2
+    assert(out(1L) == (("unique alpha\n\nunique beta", 3L, 1L)))
+    assert(out(2L) == (("unique gamma", 1L, 1L)))
+    assert(out(3L) == (("unique delta", 1L, 1L)))
+    assert(out(4L) == (("unique epsilon only", 1L, 0L)))
+
+    // at maxDf = 3 the boilerplate is within tolerance: nothing dropped
+    val lax = graft.operators.Dedup
+      .lineDedup(docs, col("text"), col("doc_id"), maxDf = 3)
+      .agg(sum(col("n_dropped"))).collect()(0).getLong(0)
+    assert(lax == 0L)
+
+    // a doc whose EVERY line is boilerplate reassembles to empty text
+    val all = Seq(
+      (1L, "same"), (2L, "same"), (3L, "same")).toDF("doc_id", "text")
+    val wiped = graft.operators.Dedup
+      .lineDedup(all, col("text"), col("doc_id"), maxDf = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(wiped.forall { case (_, t, d) => t == "" && d == 1L })
+  }
 }
