@@ -167,9 +167,23 @@ class AzofCommitSource(
     */
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
     val cur0 = t.currentVersion.toLong
-    val cur = availableNowCap.fold(cur0)(math.min(cur0, _))
     val base = math.max(Option(start).map(asAnyVersion)
       .getOrElse(startVersion), startVersion)
+    // a committed offset AHEAD of the table is never a caught-up
+    // consumer — it is a stale checkpoint from a deleted-and-recreated
+    // table; waiting silently would skip every version up to the stale
+    // offset once the table catches up (followOnce's contract, applied
+    // here). One re-read guards against a transiently-torn pointer on
+    // exotic stores spuriously killing the query.
+    if (base > cur0) {
+      Thread.sleep(50)
+      if (base > t.currentVersion.toLong)
+        throw new IllegalStateException(
+          s"checkpoint offset $base is ahead of $table's current " +
+            s"version $cur0: stale checkpoint (table recreated?) — " +
+            "start a fresh checkpoint with an in-range startVersion")
+    }
+    val cur = availableNowCap.fold(cur0)(math.min(cur0, _))
     val capped =
       if (cur - base > maxVersionsPerBatch) base + maxVersionsPerBatch
       else cur

@@ -160,6 +160,48 @@ class AzofCommitStreamSpec extends AnyFunSuite {
       s"catch-up must slice (1, 8] into (1,4], (4,7], (7,8]; got $got")
   }
 
+  test("a stale checkpoint (offset ahead of a recreated table) fails loudly, never idles") {
+    val lakeDir = Files.createTempDirectory("azof-cstream-stale")
+    val lake = lakeDir.toString
+    val ck = Files.createTempDirectory("azof-cstream-stale-ck").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    (1 to 4).foreach { i =>                                          // v2..v5
+      AzofWriter.commitDelta(spark, lake, "t",
+        df((s"k$i", f"2024-02-${i}%02dT00:00:00Z", s"v$i")),
+        ts(f"2024-02-${i}%02dT00:00:00Z"), ts(f"2024-02-${i + 1}%02dT00:00:00Z"))
+    }
+    def run(): Unit = {
+      val q = spark.readStream.format("azof-commits")
+        .option("table", "t").load(lake)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[Row], _: Long) => () }
+        .start()
+      try { q.processAllAvailable(); q.awaitTermination(60000); () }
+      finally q.stop()
+    }
+    run() // checkpoint now holds offset 5
+
+    // the table is deleted and recreated: current version regresses to 1
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(lake, "t")).deleteRecursively()
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // two loud paths, depending on how far the WAL got before the stop:
+    // an uncommitted planned batch reconstructs through getBatch and
+    // hits the retention error; a fully-committed WAL reaches
+    // latestOffset's stale-checkpoint guard. Both name the remedy
+    // (fresh checkpoint); neither may idle silently.
+    assert(messages(err).exists(m =>
+      m.contains("stale checkpoint") || m.contains("fresh checkpoint")),
+      s"expected a loud stale/retention error, got: ${messages(err)}")
+  }
+
   test("startVersion bounds the first batch; lagging past retention fails loudly") {
     val lake = Files.createTempDirectory("azof-cstream-sv").toString
     val ck = Files.createTempDirectory("azof-cstream-sv-ck").toString
