@@ -42,16 +42,32 @@ class ConditionalPutGuard extends CommitGuard {
     val bytes = try in.readAllBytes() finally in.close()
     try {
       val out = fs.create(target, false)
-      try { out.write(bytes); out.close() }
-      catch {
-        case e: Throwable => scala.util.Try(out.close()); throw e
-      }
+      try out.write(bytes)
+      catch { case e: Throwable => abortQuietly(out); throw e }
+      out.close() // the authoritative conditional commit
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.nio.file.FileAlreadyExistsException        => false
     }
   }
+
+  /** Discard a failed write WITHOUT closing. On a conditional-put
+    * stream `close()` IS the commit (S3A completes the upload;
+    * [[SimStoreFileSystem]] links the staging file), so closing after a
+    * mid-write failure would publish the partial buffer as a TORN
+    * snapshot document that permanently occupies the version slot:
+    * every retry of that version would then lose the create race to
+    * the torn debris and the table could wedge. Hadoop's [[Abortable]]
+    * is the discard primitive — S3A's conditional streams abort the
+    * multipart upload, SimStore's wrapper unlinks its staging file. A
+    * stream without abort support is deliberately left UNCLOSED:
+    * leaking one handle on an already-failing store call beats
+    * committing torn bytes. Exceptions from the abort itself are
+    * swallowed so the original write failure propagates.
+    */
+  private def abortQuietly(out: FSDataOutputStream): Unit =
+    try { out.abort(); () } catch { case _: Throwable => () }
 }
 
 /** A simulated S3-class object store over local disk — the deployment
@@ -118,7 +134,12 @@ class SimStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
     * nothing in between). The early existence check is a fast-path
     * courtesy only — the close-time link is the authoritative
     * conditional, exactly as a real conditional PUT checks at object
-    * completion, not upload start.
+    * completion, not upload start. The stream is [[Abortable]]
+    * (matching S3A's conditional-write streams): `abort()` discards
+    * the staging bytes WITHOUT linking, so a committer whose write
+    * failed mid-stream can release the slot instead of publishing a
+    * torn document; a `close()` after `abort()` is a no-op, never a
+    * commit, per the Abortable contract.
     */
   private def conditionalCreate(f: Path): FSDataOutputStream = {
     val target = pathToFile(f)
@@ -129,12 +150,33 @@ class SimStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
     val staging = new java.io.File(target.getParentFile,
       s".simstore_put_${UUID.randomUUID().toString}")
     val out = new java.io.FileOutputStream(staging)
-    val wrapped = new java.io.FilterOutputStream(out) {
+    val wrapped = new java.io.FilterOutputStream(out)
+        with org.apache.hadoop.fs.Abortable
+        with org.apache.hadoop.fs.StreamCapabilities {
       private var closed = false
+      private var aborted = false
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
         out.write(b, off, len)
+      override def abort(): org.apache.hadoop.fs.Abortable.AbortableResult = {
+        val already = closed || aborted
+        aborted = true
+        var cleanup: java.io.IOException = null
+        if (!already) {
+          try out.close()
+          catch { case e: java.io.IOException => cleanup = e }
+          staging.delete()
+        }
+        val c = cleanup
+        new org.apache.hadoop.fs.Abortable.AbortableResult {
+          override def alreadyClosed(): Boolean = already
+          override def anyCleanupException(): java.io.IOException = c
+        }
+      }
+      override def hasCapability(capability: String): Boolean =
+        capability.equalsIgnoreCase(
+          org.apache.hadoop.fs.StreamCapabilities.ABORTABLE_STREAM)
       override def close(): Unit = {
-        if (closed) return
+        if (closed || aborted) return
         closed = true
         out.close()
         try java.nio.file.Files.createLink(target.toPath, staging.toPath)

@@ -6,7 +6,9 @@ import graft.operators.AzofScan
 import java.nio.file.Files
 import java.sql.Timestamp
 import java.time.Instant
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileSystem, FSDataOutputStream, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
 import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -60,6 +62,52 @@ class CountingCondPutGuard extends ConditionalPutGuard {
 
 object CountingCondPutGuard {
   val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** A simstore variant whose conditional stream fails MID-WRITE once
+  * when armed: half the document's bytes land in the staging buffer,
+  * then the store faults before the commit-at-close — the torn-document
+  * scenario. The wrapper stays [[org.apache.hadoop.fs.Abortable]] by
+  * delegating to the inner conditional stream, so the guard's abort
+  * path (not its close path) decides whether the partial bytes publish.
+  */
+class FlakyWriteSimStore extends SimStoreFileSystem {
+  override def getScheme: String = "flakystore"
+  override def getUri: java.net.URI = java.net.URI.create("flakystore:///")
+
+  private def flaky(inner: FSDataOutputStream): FSDataOutputStream =
+    new FSDataOutputStream(new java.io.FilterOutputStream(inner)
+        with org.apache.hadoop.fs.Abortable {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        if (FlakyWriteSimStore.failNext.getAndSet(false)) {
+          inner.write(b, off, math.max(1, len / 2)) // torn: half the doc buffers
+          throw new java.io.IOException("injected mid-write store fault")
+        } else inner.write(b, off, len)
+      override def abort(): org.apache.hadoop.fs.Abortable.AbortableResult =
+        inner.abort()
+      override def close(): Unit = inner.close()
+    }, null)
+
+  override def create(
+      f: Path, overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: Progressable): FSDataOutputStream = {
+    val inner =
+      super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+    if (overwrite) inner else flaky(inner)
+  }
+
+  override def create(
+      f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    val inner = super.create(f, permission, overwrite, bufferSize,
+      replication, blockSize, progress)
+    if (overwrite) inner else flaky(inner)
+  }
+}
+
+object FlakyWriteSimStore {
+  val failNext = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
 /** Concurrent committers through the pluggable [[CommitGuard]]: on a
@@ -297,6 +345,68 @@ class CommitGuardSpec extends AnyFunSuite {
       s"snapshot staging residue among: ${names.mkString(",")}")
     assert(!names.exists(_.startsWith(".simstore_put_")),
       s"conditional-put staging residue among: ${names.mkString(",")}")
+  }
+
+  test("a mid-write failure ABORTS: the version slot stays empty and the retry succeeds") {
+    // the round-6 defect: the rescue path used to close() the stream,
+    // and on a conditional-put store close IS the commit — a truncated
+    // s{N}.json would occupy the slot while the caller saw a failure,
+    // wedging every retry of that version behind its own torn debris.
+    val dir = Files.createTempDirectory("azof-flaky").toString
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("fs.flakystore.impl", classOf[FlakyWriteSimStore].getName)
+    val fs = new Path(s"flakystore:$dir").getFileSystem(conf)
+    assert(fs.isInstanceOf[FlakyWriteSimStore])
+
+    // stage the full snapshot document
+    val tmp = new Path(s"flakystore:$dir/_tmp_snap_x")
+    val body = """{"version":2,"doc":"the full snapshot body"}"""
+    val o = fs.create(tmp, true)
+    try o.write(body.getBytes("UTF-8")) finally o.close()
+    val target = new Path(s"flakystore:$dir/s2.json")
+
+    val guard = new ConditionalPutGuard
+    FlakyWriteSimStore.failNext.set(true)
+    val err = intercept[java.io.IOException] { guard.publish(fs, tmp, target) }
+    assert(err.getMessage.contains("injected mid-write store fault"))
+
+    // (a) the slot is EMPTY — the abort discarded the partial bytes
+    assert(!fs.exists(target),
+      "a torn snapshot document occupies the committed version slot")
+    // ...and the conditional-put staging file was unlinked, not leaked
+    val names = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString.split('/').last)
+    assert(!names.exists(_.startsWith(".simstore_put_")),
+      s"conditional-put staging residue among: ${names.mkString(",")}")
+
+    // (b) a retry of the SAME version succeeds with the full content
+    assert(guard.publish(fs, tmp, target),
+      "retry after an aborted write must win the (uncontended) slot")
+    val in = fs.open(target)
+    val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(got == body)
+  }
+
+  test("abort-then-close never commits; close-then-abort reports alreadyClosed") {
+    // the Abortable contract on the simstore conditional stream itself
+    val dir = Files.createTempDirectory("azof-abortable").toString
+    val fs = new Path(s"simstore:$dir")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(s"simstore:$dir/obj")
+    val out = fs.create(p, false)
+    out.write("partial".getBytes("UTF-8"))
+    val res = out.abort()
+    assert(!res.alreadyClosed() && res.anyCleanupException() == null)
+    out.close() // must be a no-op, not a commit of the partial bytes
+    assert(!fs.exists(p), "close() after abort() must not publish")
+
+    val out2 = fs.create(p, false)
+    out2.write("full".getBytes("UTF-8"))
+    out2.close()
+    assert(out2.abort().alreadyClosed(), "abort after close is alreadyClosed")
+    val in = fs.open(p)
+    val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(got == "full")
   }
 
   test("guard resolution is per-scheme; unguarded schemes keep the rename path") {
