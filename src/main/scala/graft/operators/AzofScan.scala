@@ -233,10 +233,20 @@ object AzofScan {
     // overlapping delta windows
     val strict = spark.conf.getOption("spark.azof.strictPrecedence")
       .exists(_.trim.equalsIgnoreCase("true"))
+    // In a MIXED data+tombstone file (the mirror/AzofSink shape) a
+    // tombstone and a data row can share (key, event_time, precedence);
+    // the content hash must not decide that tie or the key would
+    // nondeterministically survive or vanish. Deleted-first ahead of
+    // the hash keeps tombstone-wins-exact-tie deterministic regardless
+    // of which file carried the marker.
+    val deletedFirst =
+      if (hasTombstones)
+        Seq(coalesce(col(TableSchema.DeletedName), lit(false)).desc)
+      else Seq.empty
     val ordering =
       (if (strict) Seq(col(Prec).asc, col(TableSchema.EventTimeName).desc)
-       else Seq(col(TableSchema.EventTimeName).desc, col(Prec).asc)) :+
-        xxhash64(allCols: _*).asc
+       else Seq(col(TableSchema.EventTimeName).desc, col(Prec).asc)) ++
+        deletedFirst :+ xxhash64(allCols: _*).asc
     val w = Window
       .partitionBy(TableSchema.KeyName)
       .orderBy(ordering: _*)

@@ -297,7 +297,13 @@ object AzofQueries {
       val q = graft.streaming.AzofMirror.replicate(s,
         src, "events_del", l, "events_mirror",
         new java.io.File(l, "_mirror_ck").toString)
-      q.awaitTermination(300000)
+      // a timed-out (still-running) replication must THROW: cachedLake
+      // would otherwise cache the half-replicated mirror as complete
+      // and q38 would fail its oracle forever with no hint why
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "mirror replication did not terminate within 300s — " +
+            "refusing to cache an incomplete mirror lake")
       ()
     }
     AzofScan.scan(s, lake, "events_mirror")

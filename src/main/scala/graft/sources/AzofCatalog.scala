@@ -264,8 +264,11 @@ final class AzofV2Table(
       throw new UnsupportedOperationException(
         s"azof DELETE needs an explicit key predicate (key = ... / " +
           s"key IN (...) / OR of those); got: ${filters.mkString(", ")}"))
-    AzofWriter.commitDelete(SparkSession.active, lakehousePath, tableName,
-      keys.toSeq, java.time.Instant.now())
+    // empty resolved set (contradictory conjunction): a 0-row no-op
+    // delete per SQL semantics — no tombstone commit, no new version
+    if (keys.nonEmpty)
+      AzofWriter.commitDelete(SparkSession.active, lakehousePath, tableName,
+        keys.toSeq, java.time.Instant.now())
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -350,7 +353,11 @@ object AzofV2Table {
     else {
       val sets = filters.toSeq.map(keysOf)
       if (sets.exists(_.isEmpty)) None
-      else Some(sets.flatten.reduce(_ intersect _)).filter(_.nonEmpty)
+      // a contradictory-but-valid conjunction (key='a' AND key='b')
+      // intersects to the EMPTY set — that is a legal 0-row delete
+      // (SQL no-op), not a non-deletable predicate, so keep Some(∅)
+      // and let deleteWhere skip the commit
+      else Some(sets.flatten.reduce(_ intersect _))
     }
   }
 }

@@ -625,15 +625,22 @@ object AzofWriter {
           .parquet(new Path(dir, f).toString)
           .withColumn("_prec", lit(i))
       }
-      // Tiebreak mirrors the scan exactly (precedence, then content
-      // hash): the carry-forward collapses (key, event_time) duplicates
-      // to one row, so it must crown the SAME row the merge-dedup scan
-      // would — otherwise compaction silently changes which duplicate
-      // survives.
+      // Tiebreak mirrors the scan exactly (precedence, then
+      // deleted-first, then content hash): the carry-forward collapses
+      // (key, event_time) duplicates to one row, so it must crown the
+      // SAME row the merge-dedup scan would — otherwise compaction
+      // silently changes which duplicate survives. Deleted-first
+      // matters in MIXED data+tombstone files, where a tombstone and a
+      // data row can share (key, event_time, precedence) and the
+      // content hash must not decide whether the key stays deleted.
+      val deletedFirst =
+        if (futHasTombstones)
+          Seq(coalesce(col(TableSchema.DeletedName), lit(false)).desc)
+        else Seq.empty
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(TableSchema.KeyName, TableSchema.EventTimeName)
-        .orderBy(col("_prec"),
-          xxhash64(snap.schema.allColumnNames.map(col): _*))
+        .orderBy(Seq(col("_prec")) ++ deletedFirst :+
+          xxhash64(snap.schema.allColumnNames.map(col): _*): _*)
       val fut = reads.reduce(_ unionAll _)
         .where(col(TableSchema.EventTimeName) > lit(atTs))
         .withColumn("_rn", row_number().over(w))

@@ -72,9 +72,17 @@ object CommitGuard {
   // in a long-lived multi-session server a later session can ship a
   // DIFFERENT version of the guard class through its own classloader,
   // and a name-only cache would silently reuse the first loader's
-  // instance for every subsequent session
-  private val cache =
-    new ConcurrentHashMap[(ClassLoader, String), CommitGuard]()
+  // instance for every subsequent session. Both the loader key AND the
+  // cached instance are held weakly — a guard instance strongly refs
+  // its Class, which refs its defining loader, so a strong value would
+  // pin the (weak) key forever and leak every session classloader in
+  // exactly the long-lived server scenario the cache exists for.
+  // Guards are stateless zero-arg singletons, so an occasionally
+  // collected instance just re-instantiates on the next commit; a
+  // racing double-instantiation is equally harmless (last put wins).
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[ClassLoader,
+      ConcurrentHashMap[String, java.lang.ref.WeakReference[CommitGuard]]]())
 
   /** Resolve the guard for `target`'s URI scheme:
     * `spark.azof.commitGuard.<scheme>` names a [[CommitGuard]] class, or
@@ -90,10 +98,15 @@ object CommitGuard {
         // not to this class's defining loader
         val loader = Option(Thread.currentThread().getContextClassLoader)
           .getOrElse(getClass.getClassLoader)
-        cache.computeIfAbsent((loader, cls), { case (l, c) =>
-          Class.forName(c, true, l).getDeclaredConstructor()
+        val byName = cache.computeIfAbsent(loader,
+          _ => new ConcurrentHashMap[String,
+            java.lang.ref.WeakReference[CommitGuard]]())
+        Option(byName.get(cls)).flatMap(r => Option(r.get())).getOrElse {
+          val g = Class.forName(cls, true, loader).getDeclaredConstructor()
             .newInstance().asInstanceOf[CommitGuard]
-        })
+          byName.put(cls, new java.lang.ref.WeakReference(g))
+          g
+        }
     }
   }
 }

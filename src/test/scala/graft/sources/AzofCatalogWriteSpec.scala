@@ -127,6 +127,15 @@ class AzofCatalogWriteSpec extends AnyFunSuite {
     assert(t.currentSnapshot.op.contains("commit-delete"))
     assert(t.currentSnapshot.tombstoneFiles.size == 2)
 
+    // a contradictory-but-valid key conjunction intersects to the
+    // EMPTY set: per SQL semantics that is a legal 0-row delete, not a
+    // cannot-delete error — and a 0-row delete commits NO version
+    val vBefore = AzofTable(spark, lake, "del").currentVersion
+    spark.sql("DELETE FROM wcat.del WHERE key = '4' AND key = '9'")
+    assert(AzofTable(spark, lake, "del").currentVersion == vBefore,
+      "a 0-row delete must not commit a tombstone version")
+    assert(scanAll("del") == Seq("4" -> "d1"))
+
     // a value predicate is NOT a key set: an azof delete is an event,
     // not a rewrite — Spark surfaces its standard cannot-delete error
     intercept[Exception] {

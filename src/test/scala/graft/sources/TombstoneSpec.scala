@@ -121,6 +121,47 @@ class TombstoneSpec extends AnyFunSuite {
       Seq("2" -> "b1", "3" -> "c1"))
   }
 
+  test("mixed-file exact tie: the tombstone beats a same-(key,event_time) data row, incl. carry-forward") {
+    // In a MIXED data+tombstone file (the mirror/AzofSink shape) a
+    // tombstone and a data row can share (key, event_time, precedence);
+    // the deleted-first tie-break — not the content hash — must decide,
+    // or the key would nondeterministically survive or vanish. 8 keys
+    // pin it: a lucky hash could hide a wrong ordering for one.
+    val lake = Files.createTempDirectory("azof-tomb-tie").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    val keys = (1 to 8).map(_.toString)
+    AzofWriter.commitBase(spark, lake, "t",
+      df(keys.map(k => (k, "2024-01-02T00:00:00Z", s"base$k")): _*)) // v2
+    // ONE mixed file: for every key an upsert AND a tombstone at the
+    // SAME event_time
+    val data = df(keys.map(k => (k, "2024-02-01T00:00:00Z", s"ghost$k")): _*)
+    val mixed = data
+      .withColumn(TableSchema.DeletedName, org.apache.spark.sql.functions.lit(false))
+      .unionAll(data.select(
+        org.apache.spark.sql.functions.col("key"),
+        org.apache.spark.sql.functions.col("event_time"),
+        org.apache.spark.sql.functions.lit(null).cast("string").as("value"),
+        org.apache.spark.sql.functions.lit(true).as(TableSchema.DeletedName)))
+    AzofWriter.commitDelta(spark, lake, "t", mixed,
+      ts("2024-02-01T00:00:00Z"), ts("2024-02-02T00:00:00Z"))        // v3
+
+    assert(current(lake).isEmpty,
+      "every key's exact tie must resolve to the tombstone")
+    assert(asOf(lake, "2024-01-15T00:00:00Z") ==
+      keys.sorted.map(k => k -> s"base$k"),
+      "history before the mixed commit still travels")
+
+    // compaction BEFORE the mixed rows: the whole mixed file carries
+    // forward through the (key, event_time) collapse, which must crown
+    // the tombstone too (same deleted-first ordering), or compaction
+    // would resurrect the keys
+    AzofWriter.compact(spark, lake, "t", ts("2024-01-15T00:00:00Z"))  // v4
+    assert(current(lake).isEmpty,
+      "carry-forward must keep the tombstone side of the exact tie")
+    assert(asOf(lake, "2024-01-15T00:00:00Z") ==
+      keys.sorted.map(k => k -> s"base$k"))
+  }
+
   test("change feed and streaming source surface deletes as _deleted = true") {
     val lake = Files.createTempDirectory("azof-tomb-cdc").toString
     AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
