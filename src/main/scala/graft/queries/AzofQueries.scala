@@ -26,7 +26,8 @@ object AzofQueries {
     "q35_change_feed" -> changeFeed,
     "q36_strict_precedence" -> strictPrecedence,
     "q37_tombstone_delete" -> tombstoneDelete,
-    "q38_mirror_delete" -> mirrorDelete)
+    "q38_mirror_delete" -> mirrorDelete,
+    "q39_predicate_delete" -> predicateDelete)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -310,6 +311,34 @@ object AzofQueries {
       .select("key", "event_time", "event_type")
   }
 
+  /** The SQL predicate-delete (takedown) shape under the oracle gate:
+    * the full events history lands in one base commit, then
+    * `DELETE FROM cat.events_pd WHERE event_type = 'error'` through the
+    * DSv2 catalog — a VALUE predicate, so the keys resolve through the
+    * Current merge-dedup scan (a key is deleted iff its current winner
+    * matches) and commit as one tombstone delta. The DuckDB oracle
+    * states the semantics directly: the surviving rows are exactly the
+    * per-key winners whose event_type is NOT 'error'.
+    */
+  private def predicateDelete(s: SparkSession, dir: String): DataFrame = {
+    val key = dirKey(dir)
+    val cat = s"azpd_$key"
+    // inPlace: the registered catalog must point at the FINAL path
+    // before the DELETE statement runs against it
+    val lake = cachedLake(dir, "pd-v1", "events_pd", inPlace = true) { l =>
+      AzofWriter.createTable(s, l, "events_pd", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.commitBase(s, l, "events_pd", eventsKv(s, dir))
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.AzofCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", l)
+      s.sql(s"DELETE FROM $cat.events_pd WHERE event_type = 'error'")
+      ()
+    }
+    AzofScan.scan(s, lake, "events_pd")
+      .select("key", "event_time", "event_type")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q18_azof_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
@@ -399,6 +428,17 @@ object AzofQueries {
                     AND event_time <= TIMESTAMP '2024-01-25 00:00:00')
            AND NOT (key IN ('41', '103')
                     AND event_time <= TIMESTAMP '2024-02-01 00:00:00')""",
+    // a key is deleted iff its per-key winner matched the predicate,
+    // and the tombstone (at `now`, after every event) suppresses it
+    // unconditionally — survivors are the winners that did NOT match
+    "q39_predicate_delete" ->
+      """SELECT key, event_time, event_type FROM
+           (SELECT CAST(user_id AS VARCHAR) AS key,
+              date_trunc('milliseconds', ts) AS event_time, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+            FROM events)
+         WHERE rn = 1 AND event_type <> 'error'""",
     // one by-key commit holds ALL events, so Current is plain
     // latest-row-per-key restricted to the looked-up keys
     "q34_bykey_lookup" ->

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, count, lit}
-import org.apache.spark.sql.sources.{BaseRelation, EqualNullSafe, EqualTo, Filter, In, InsertableRelation, Or, TableScan}
+import org.apache.spark.sql.sources.{AlwaysFalse, And, BaseRelation, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith, TableScan}
 import org.apache.spark.sql.types.{StructType, StringType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -239,36 +239,69 @@ final class AzofV2Table(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AzofScanBuilder(relation)
 
-  /** `DELETE FROM cat.t WHERE <key predicate>` — SQL face of the
-    * tombstone delete ([[AzofWriter.commitDelete]]): the predicate must
-    * resolve to an EXPLICIT key set (`key = 'k'`, `key IN (...)`, or OR
-    * combinations thereof), because an azof delete is a new EVENT (rows
-    * `(key, now, _azof_deleted)`) — not a rewrite — and value-predicate
-    * deletes would need a scan-then-delete the caller can compose
-    * explicitly (`commitDelete(keysDf, at)` takes any DataFrame of
-    * keys). Everything else reports non-deletable and Spark raises its
-    * standard cannot-delete error. The deletion event time is `now`:
-    * history before it still time-travels (append-only contract).
+  /** `DELETE FROM cat.t WHERE <predicate>` — SQL face of the tombstone
+    * delete ([[AzofWriter.commitDelete]]). Two shapes:
+    *
+    *   - '''key-set predicates''' (`key = 'k'`, `key IN (...)`, OR/AND
+    *     combinations thereof) resolve to an explicit key set with NO
+    *     table scan — metadata-only cost, the fast path.
+    *   - '''value predicates''' (`event_type = 'spam'`, ranges, string
+    *     matches, conjunctions with key predicates — the takedown shape
+    *     a training-data lake actually runs) resolve keys through the
+    *     Current merge-dedup scan: a key is deleted iff its CURRENT
+    *     winner row matches the predicate. One scan + one distinct on
+    *     `key`, then the same [[AzofWriter.commitDelete]] DataFrame
+    *     path — never a rewrite.
+    *
+    * Either way the delete is a new EVENT at `now`: history before it
+    * still time-travels (append-only contract). `DELETE` without a
+    * WHERE (truncate) and predicates outside the translatable filter
+    * algebra report non-deletable and Spark raises its standard
+    * cannot-delete error.
     */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    asOf == AsOf.Current && version.isEmpty &&
-      AzofV2Table.deletableKeys(filters).isDefined
+    asOf == AsOf.Current && version.isEmpty && filters.nonEmpty &&
+      (AzofV2Table.deletableKeys(filters).isDefined ||
+        filters.forall(f => AzofV2Table.filterToColumn(f).isDefined))
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     if (asOf != AsOf.Current || version.nonEmpty)
       throw new UnsupportedOperationException(
         s"cannot DELETE from a time-travel view of azof table $tableName")
-    val keys = AzofV2Table.deletableKeys(filters).getOrElse(
+    if (filters.isEmpty)
       throw new UnsupportedOperationException(
-        s"azof DELETE needs an explicit key predicate (key = ... / " +
-          s"key IN (...) / OR of those); got: ${filters.mkString(", ")}"))
-    // empty resolved set (contradictory conjunction): a 0-row no-op
-    // delete per SQL semantics — no tombstone commit, no new version
-    if (keys.nonEmpty)
-      AzofWriter.commitDelete(SparkSession.active, lakehousePath, tableName,
-        keys.toSeq, java.time.Instant.now())
+        s"azof DELETE without WHERE (truncate) is not supported on " +
+          s"$tableName: the engine is append-only")
+    val spark = SparkSession.active
+    AzofV2Table.deletableKeys(filters) match {
+      // empty resolved set (contradictory conjunction): a 0-row no-op
+      // delete per SQL semantics — no tombstone commit, no new version
+      case Some(keys) =>
+        if (keys.nonEmpty)
+          AzofWriter.commitDelete(spark, lakehousePath, tableName,
+            keys.toSeq, java.time.Instant.now())
+      case None =>
+        val pred = filters.map(f => AzofV2Table.filterToColumn(f).getOrElse(
+            throw new UnsupportedOperationException(
+              s"azof DELETE cannot translate predicate $f on $tableName")))
+          .reduce(_ && _)
+        val keysDf = graft.operators.AzofScan
+          .scan(spark, lakehousePath, tableName, AsOf.Current)
+          .where(pred)
+          .select(org.apache.spark.sql.functions
+            .col(TableSchema.KeyName))
+          .distinct()
+          .persist()
+        try {
+          // commitDelete refuses an empty key set; a predicate matching
+          // no current winner is a legal 0-row no-op
+          if (keysDf.take(1).nonEmpty)
+            AzofWriter.commitDelete(spark, lakehousePath, tableName,
+              keysDf, java.time.Instant.now())
+        } finally { keysDf.unpersist(); () }
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -359,5 +392,34 @@ object AzofV2Table {
       // and let deleteWhere skip the commit
       else Some(sets.flatten.reduce(_ intersect _))
     }
+  }
+
+  /** Translate one pushed DELETE filter to a Column over the Current
+    * scan — the value-predicate delete path. None for filters outside
+    * the algebra (the caller then refuses). `AlwaysTrue` is
+    * deliberately untranslatable: it is Spark's truncate shape, and a
+    * predicate delete must never silently become a full-table delete.
+    */
+  private[sources] def filterToColumn(
+      f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case AlwaysFalse()            => Some(lit(false))
+    case And(l, r) =>
+      for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a && b
+    case Or(l, r) =>
+      for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
+    case Not(c) => filterToColumn(c).map(!_)
+    case _      => None
   }
 }

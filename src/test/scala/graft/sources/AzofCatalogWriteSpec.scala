@@ -105,7 +105,7 @@ class AzofCatalogWriteSpec extends AnyFunSuite {
     assert(got == Seq(("1", "x", -1L), ("2", "y", 7L)))
   }
 
-  test("DELETE FROM with key predicates commits a tombstone; others refuse") {
+  test("DELETE FROM: key predicates are metadata-only; value predicates resolve via scan; truncate refuses") {
     spark.sql(
       """CREATE TABLE wcat.del (key STRING, event_time TIMESTAMP, value STRING)
          USING azof TBLPROPERTIES ('start'='2024-01-01T00:00:00Z')""")
@@ -136,16 +136,27 @@ class AzofCatalogWriteSpec extends AnyFunSuite {
       "a 0-row delete must not commit a tombstone version")
     assert(scanAll("del") == Seq("4" -> "d1"))
 
-    // a value predicate is NOT a key set: an azof delete is an event,
-    // not a rewrite — Spark surfaces its standard cannot-delete error
-    intercept[Exception] {
-      spark.sql("DELETE FROM wcat.del WHERE value = 'd1'")
-    }
-    // DELETE without WHERE (truncate) refuses too
+    // a VALUE predicate resolves keys through the Current scan: a key
+    // is deleted iff its CURRENT winner row matches (the takedown
+    // shape: DELETE WHERE event_type = 'spam') — still an event, never
+    // a rewrite
+    spark.sql("DELETE FROM wcat.del WHERE value = 'd1'")
+    assert(scanAll("del").isEmpty, "value-predicate delete missed key 4")
+    assert(scanAll("del",
+      "TIMESTAMP AS OF '2024-01-10T00:00:00Z'").size == 4,
+      "value-predicate delete is an event: history still travels")
+
+    // a predicate matching NO current winner: legal 0-row no-op
+    val vNoHit = AzofTable(spark, lake, "del").currentVersion
+    spark.sql("DELETE FROM wcat.del WHERE value = 'never-was'")
+    assert(AzofTable(spark, lake, "del").currentVersion == vNoHit,
+      "a 0-row value-predicate delete must not commit a version")
+
+    // DELETE without WHERE (truncate) still refuses
     intercept[Exception] {
       spark.sql("DELETE FROM wcat.del")
     }
-    assert(scanAll("del") == Seq("4" -> "d1"), "refused deletes changed nothing")
+    assert(scanAll("del").isEmpty, "refused truncate changed nothing")
   }
 
   test("rejected writes: overwrite, bad schemas, duplicates, null keys") {
