@@ -22,6 +22,8 @@ object Pipeline {
     "d06_simhash_near_pairs" -> d06,
     "d07_embedding_neardup_lsh" -> d07,
     "d08_decontaminate" -> d08,
+    "d09_line_dedup" -> d09,
+    "d10_exact_overlap" -> d10,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -94,16 +96,51 @@ object Pipeline {
     Dedup.decontaminate(docs(s, dir), col("text"), col("doc_id"),
       col("doc_id") % 10 === 0, minShared = 3, maxDf = 20)
 
-  // Dedup.exactOverlap (exact-match decontamination, the strict
-  // companion of d08) is spec-gated only: the synthetic corpus contains
-  // zero exact duplicates at every scale factor, so an oracle row for it
-  // would be a structurally-empty check (TextAnalysisSpec carries the
-  // behavioral gate instead). Dedup.lineDedup (C4/MassiveText line-level
-  // boilerplate removal) is spec-gated for the same reason: the corpus
-  // has single-line documents with zero cross-document repeated lines
-  // or sentences (verified by direct count), so its oracle would drop
-  // nothing — DedupSpec pins normalization, order-preserving
-  // reassembly, empty-line handling, and the df threshold instead.
+  /** Line-level boilerplate dedup (C4/MassiveText) under the oracle
+    * gate. The shipped corpus is single-line documents with zero
+    * cross-document repeated lines, so — the q36/q37 derived-lake
+    * move — the query manufactures the semantics it gates: every doc
+    * is wrapped in injected boilerplate (a copyright header on all
+    * docs, a case/whitespace VARIANT sponsor line so the oracle must
+    * express the trim+lower normalization, an empty line that must be
+    * preserved and never counted, a newsletter line on every 3rd doc,
+    * a per-doc unique line on the rest, a footer on all docs), then
+    * [[Dedup.lineDedup]] with `maxDf = 5` must drop exactly the
+    * above-threshold lines and reassemble survivors in original order.
+    */
+  private def d09(s: SparkSession, dir: String): DataFrame = {
+    val derived = docs(s, dir).select(col("doc_id"),
+      concat(
+        lit("Copyright 2024 Example Corp"), lit("\n"),
+        when(col("doc_id") % 2 === 0, lit("Visit Our Sponsor"))
+          .otherwise(lit("  visit our sponsor  ")), lit("\n"),
+        col("text"), lit("\n"),
+        lit(""), lit("\n"),
+        when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter!"))
+          .otherwise(concat(lit("unique-"), col("doc_id").cast("string"))),
+        lit("\n"),
+        lit("All Rights Reserved")).as("text"))
+    Dedup.lineDedup(derived, col("text"), col("doc_id"), maxDf = 5)
+  }
+
+  /** Exact-match decontamination ([[Dedup.exactOverlap]], the strict
+    * companion of d08) under the oracle gate, on a derived corpus (the
+    * shipped one has zero exact duplicates): every 7th doc gains an
+    * eval twin at `doc_id + 1000000` whose text differs only by
+    * leading whitespace — fingerprint-equal but not byte-equal, so the
+    * match must flow through the normalizing fingerprint, and the
+    * expected pairs are exactly the (doc, twin) rows.
+    */
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    val derived = base
+      .select(col("doc_id"), col("text"), lit(false).as("is_eval"))
+      .unionAll(base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("  "), col("text")).as("text"),
+          lit(true).as("is_eval")))
+    Dedup.exactOverlap(derived, col("text"), col("doc_id"), col("is_eval"))
+  }
 
   /** Approximate distinct (HyperLogLog++ sketch). No oracle: sketch
     * estimates are implementation-specific, so the driver records the
@@ -417,6 +454,51 @@ object Pipeline {
           FROM uf t JOIN uf e
             ON t.sh = e.sh AND t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
           GROUP BY 1, 2 HAVING count(*) >= 3""",
+    // d09: derived corpus (boilerplate wrapped around every doc; the
+    // sponsor line varies in case/whitespace so the df-count must
+    // normalize), df-threshold drop, order-preserving reassembly
+    "d09_line_dedup" ->
+      """WITH derived AS (
+           SELECT doc_id,
+             'Copyright 2024 Example Corp' || chr(10) ||
+             CASE WHEN doc_id % 2 = 0 THEN 'Visit Our Sponsor'
+                  ELSE '  visit our sponsor  ' END || chr(10) ||
+             text || chr(10) || '' || chr(10) ||
+             CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter!'
+                  ELSE 'unique-' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+             'All Rights Reserved' AS t
+           FROM documents),
+         lines AS (
+           SELECT doc_id,
+                  unnest(string_split(t, chr(10))) AS line,
+                  generate_subscripts(string_split(t, chr(10)), 1) AS pos
+           FROM derived),
+         drops AS (
+           SELECT trim(lower(line)) AS norm
+           FROM lines
+           WHERE length(trim(lower(line))) > 0
+           GROUP BY 1
+           HAVING count(DISTINCT doc_id) > 5)
+         SELECT l.doc_id,
+           coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+             FILTER (WHERE d.norm IS NULL), '') AS clean_text,
+           count(*) FILTER (WHERE d.norm IS NULL) AS n_kept,
+           count(*) FILTER (WHERE d.norm IS NOT NULL) AS n_dropped
+         FROM lines l
+         LEFT JOIN drops d ON trim(lower(l.line)) = d.norm
+         GROUP BY l.doc_id""",
+    // d10: fingerprint equality ⟺ normalized-text equality, so the
+    // oracle joins train to eval twins on the same md5 fingerprint
+    "d10_exact_overlap" ->
+      s"""WITH derived AS (
+            SELECT doc_id, text, false AS is_eval FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, '  ' || text, true
+            FROM documents WHERE doc_id % 7 = 0),
+          fp AS (SELECT doc_id, $fingerprintSql AS fp, is_eval FROM derived)
+          SELECT t.doc_id AS train_id, e.doc_id AS eval_id
+          FROM fp t JOIN fp e ON t.fp = e.fp
+          WHERE NOT t.is_eval AND e.is_eval""",
     "t06_pii_scrub" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val url = "https?://[^\\s]+"
