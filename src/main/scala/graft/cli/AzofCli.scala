@@ -51,7 +51,7 @@ object AzofCli {
     if (args.isEmpty) {
       System.err.println(
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
-          "commit-partitioned|add-column|compact|delete|changes|vacuum|" +
+          "commit-partitioned|add-column|compact|delete|purge|changes|vacuum|" +
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
@@ -132,6 +132,19 @@ object AzofCli {
         graft.sources.AzofWriter.commitDelete(
           spark, opts("path"), opts("table"), keys, at)
         println(s"deleted ${keys.size} key(s) as of $at; version now " +
+          AzofTable(spark, opts("path"), opts("table")).currentVersion)
+      case "purge" =>
+        // physical GDPR erase: rewrite deleted keys (newest tombstone
+        // at-or-before --before; default "now" = every settled delete)
+        // out of every file; old bytes leave disk after vacuum expires
+        // the pre-purge snapshots
+        val before = opts.get("before").map(Instant.parse)
+          .getOrElse(Instant.now())
+        val rep = graft.sources.AzofWriter.purgeDeleted(
+          spark, opts("path"), opts("table"), before)
+        println(s"purged ${rep.purgedKeys} key(s); rewrote " +
+          s"${rep.rewrittenFiles.size} file(s), dropped " +
+          s"${rep.droppedFiles.size} emptied file(s); version now " +
           AzofTable(spark, opts("path"), opts("table")).currentVersion)
       case "changes" =>
         graft.sources.AzofChangeFeed.between(spark, opts("path"), opts("table"),

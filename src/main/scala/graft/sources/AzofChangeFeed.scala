@@ -41,7 +41,9 @@ object AzofChangeFeed {
     val fileVersions: Seq[(String, Long)] =
       ((fromVersion + 1) to toVersion).flatMap { v =>
         val snap = snaps(v)
-        if (snap.op.contains("compact")) Seq.empty
+        // compact REWRITES rows, purge REMOVES them — neither adds data,
+        // so neither's new file names enter the feed
+        if (snap.op.exists(o => o == "compact" || o == "purge")) Seq.empty
         else (snap.allFiles -- snaps(v - 1).allFiles).toSeq.sorted.map(_ -> v)
       }
 

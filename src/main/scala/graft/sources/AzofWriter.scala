@@ -686,6 +686,158 @@ object AzofWriter {
     writeVersion(spark, dir, nextId)
   }
 
+  /** What [[purgeDeleted]] did: how many keys it erased, which files it
+    * rewrote (old → new name), and which entries it dropped entirely
+    * (every row purged). Old files stay on disk until vacuum expires
+    * the pre-purge snapshots that still reference them.
+    */
+  final case class PurgeReport(
+      purgedKeys: Long,
+      rewrittenFiles: Map[String, String],
+      droppedFiles: Seq[String])
+
+  /** Physical purge of deleted history — the GDPR-erase companion of
+    * the logical tombstone delete ([[commitDelete]]). A key purges iff
+    * (a) it is NOT alive in the Current scan and (b) its NEWEST
+    * tombstone row anywhere in the tree has `event_time <= before`.
+    * Every qualifying key is rewritten OUT of every file that may
+    * contain it — data rows and the tombstone rows themselves — and
+    * the new snapshot references only the rewritten files
+    * (`op = "purge"`, skipped by the change feed like compaction).
+    * The tombstone-row criterion (not "current winner is a tombstone")
+    * matters after compaction: a compacted tree drops a deleted key
+    * from the merged base entirely, so it has NO current winner, but
+    * its historical rows and tombstone still sit in the closed
+    * children — exactly the bytes a takedown must reach.
+    *
+    * Chosen post-purge semantics (documented, pinned by
+    * PurgePropertySpec): event-time travel through the NEW snapshot
+    * returns the POST-PURGE view — live keys are identical at every
+    * as-of, purged keys are simply absent from all history, as if they
+    * never existed. `VERSION AS OF` a pre-purge snapshot still reads
+    * the old files until [[AzofVacuum.vacuum]] expires those
+    * snapshots — physical byte removal is complete only after
+    * `purgeDeleted` + a vacuum that drops every pre-purge version (the
+    * takedown runbook, and the vacuum-interplay spec case).
+    *
+    * A key deleted and later re-upserted is ALIVE (its winner is the
+    * newer data row) and is never touched. A tombstone newer than
+    * `before` is retained untouched — the retention window for
+    * undo-able recent deletes.
+    *
+    * Scale shape: candidate keys come from ONE scan of the
+    * tombstone-flagged files; the alive set from the production
+    * merge-dedup scan; the purge key set is bounded by `spark.azof.purgeMaxKeys`
+    * (default 1,000,000 — beyond that, purge in key-range batches) and
+    * broadcast to one left-anti join per rewritten file; files whose
+    * key-range/bloom stats exclude every purge key are NOT rewritten.
+    * No driver materialization beyond the capped key set.
+    */
+  def purgeDeleted(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      before: Instant): PurgeReport = {
+    val table = AzofTable(spark, lakehousePath, name)
+    val snap = table.currentSnapshot
+    val dir = table.tableDir.toString
+    if (snap.tombstoneFiles.isEmpty)
+      return PurgeReport(0L, Map.empty, Seq.empty)
+
+    // 1. the purge key set: newest tombstone row (across the WHOLE
+    // tree, closed children included) at-or-before `before`, minus
+    // keys alive in Current (a resurrected key's tombstones stay)
+    val maxKeys = spark.conf.getOption("spark.azof.purgeMaxKeys")
+      .map(_.toInt).getOrElse(1000000)
+    val readSchema =
+      snap.schema.toStruct.add(TableSchema.DeletedName, "boolean")
+    val tombRows = spark.read.schema(readSchema)
+      .parquet(snap.tombstoneFiles.toSeq.sorted
+        .map(f => new Path(dir, f).toString): _*)
+      .where(coalesce(col(TableSchema.DeletedName), lit(false)))
+    val alive = graft.operators.AzofScan.scanSnapshot(
+        spark, table, snap, graft.format.AsOf.Current)
+      .select(col(TableSchema.KeyName))
+    val purgeKeys = tombRows
+      .groupBy(col(TableSchema.KeyName))
+      .agg(max(col(TableSchema.EventTimeName)).as("_tomb_at"))
+      .where(col("_tomb_at") <= lit(java.sql.Timestamp.from(before)))
+      .join(alive, Seq(TableSchema.KeyName), "left_anti")
+      .select(col(TableSchema.KeyName))
+      .limit(maxKeys + 1)
+      .collect().map(_.getString(0)).toSet
+    require(purgeKeys.size <= maxKeys,
+      s"purge key set exceeds spark.azof.purgeMaxKeys=$maxKeys — " +
+        "purge in key-range batches (commitDelete + purgeDeleted per range)")
+    if (purgeKeys.isEmpty) return PurgeReport(0L, Map.empty, Seq.empty)
+
+    // 2. candidate files: stats that may contain any purge key, or no
+    // stats (conservative)
+    final case class Cand(file: String, stats: Option[FileStats])
+    def cands(s: Segment): Seq[Cand] =
+      s.file.map(f => Cand(f, s.fileStats)).toSeq ++
+        s.delta.map(d => Cand(d.file, d.stats)) ++ s.segments.flatMap(cands)
+    val candidates = snap.segments.flatMap(cands)
+      .filter(c => c.stats.forall(_.mayContainAny(purgeKeys)))
+
+    // 3. rewrite each candidate without the purged keys' rows
+    val keysDf = broadcast(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          purgeKeys.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            TableSchema.KeyName,
+            org.apache.spark.sql.types.StringType)))))
+    val nextId = table.currentVersion.toLong + 1
+    // old name -> Some((new name, new stats)) = rewritten,
+    //             None                        = emptied, entry dropped
+    val mapping: Map[String, Option[(String, Option[FileStats])]] =
+      candidates.map { c =>
+        val kept = spark.read
+          .parquet(new Path(dir, c.file).toString)
+          .join(keysDf, Seq(TableSchema.KeyName), "left_anti")
+        val newName = uniqueFileName(s"purge_s$nextId")
+        val stats = writeDataFile(spark, kept, dir, newName)
+        if (stats.isEmpty) {
+          // every row purged: drop the entry (and the empty parquet)
+          val f = fs(spark, new Path(dir))
+          scala.util.Try(f.delete(new Path(dir, newName), false))
+          c.file -> None
+        } else c.file -> Some((newName, stats))
+      }.toMap
+
+    // 4. swap the references — applied to the snapshot commitMeta hands
+    // us, so files committed concurrently (not in `mapping`) pass
+    // through untouched and relative precedence order is preserved
+    def rewrite(s: Segment): Segment = {
+      val (newFile, newFileStats) = s.file match {
+        case Some(f) => mapping.get(f) match {
+          case Some(Some((n, st))) => (Some(n), st)
+          case Some(None)          => (None, None)
+          case None                => (Some(f), s.fileStats)
+        }
+        case None => (None, s.fileStats)
+      }
+      s.copy(
+        file = newFile,
+        fileStats = newFileStats,
+        delta = s.delta.flatMap(d => mapping.get(d.file) match {
+          case Some(Some((n, st))) => Some(d.copy(file = n, stats = st))
+          case Some(None)          => None
+          case None                => Some(d)
+        }),
+        segments = s.segments.map(rewrite))
+    }
+    commitMeta(spark, dir) { cur =>
+      cur.copy(segments = cur.segments.map(rewrite), op = Some("purge"))
+    }
+    PurgeReport(
+      purgeKeys.size.toLong,
+      mapping.collect { case (o, Some((n, _))) => o -> n },
+      mapping.collect { case (o, None) => o }.toSeq.sorted)
+  }
+
   /** Hierarchical re-segmentation: how many consecutive same-generation
     * closed roots fold into one parent (the financials-style year →
     * quarter nesting, reference test-data/financials/s1.json).
