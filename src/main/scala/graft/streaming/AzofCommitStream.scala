@@ -37,7 +37,10 @@ import org.apache.spark.sql.types.StructType
   * Options: `path` (lakehouse dir, or table dir when `table` is
   * absent), `table`, `startVersion` (first batch covers
   * `(startVersion, current]`; default 1 = everything after table
-  * creation), `maxVersionsPerBatch` (bound how many commits one
+  * creation; the sentinel `earliest` auto-seeds from the retained
+  * snapshot floor — [[AzofChangeFeed.earliestFeedBase]] — so a fresh
+  * consumer of a VACUUMED table needs no manual probe),
+  * `maxVersionsPerBatch` (bound how many commits one
   * micro-batch spans — long catch-ups proceed in bounded checkpointed
   * steps; default unbounded). The schema is pinned at stream start
   * from the current snapshot (same rule as [[AzofStream]] after
@@ -76,8 +79,12 @@ class AzofCommitStreamProvider extends StreamSourceProvider with DataSourceRegis
       parameters: Map[String, String]): Source = {
     val (lake, table, startVersion, maxVersions) =
       AzofCommitStreamProvider.resolve(parameters)
+    val start =
+      if (startVersion == AzofCommitStreamProvider.Earliest)
+        AzofChangeFeed.earliestFeedBase(sqlContext.sparkSession, lake, table)
+      else startVersion
     new AzofCommitSource(
-      sqlContext.sparkSession, lake, table, startVersion, maxVersions)
+      sqlContext.sparkSession, lake, table, start, maxVersions)
   }
 }
 
@@ -113,10 +120,22 @@ object AzofCommitStreamProvider {
         .getOrElse(default)
     // startVersion floor is 1 (the data-less create snapshot): the feed
     // walk parses s{startVersion}.json as its base, and 0 names a
-    // document that never exists
-    (lake, table, longOpt("startVersion", 1L, 1L),
-      longOpt("maxVersionsPerBatch", Long.MaxValue, 1L))
+    // document that never exists. The `earliest` sentinel (Kafka's
+    // earliest-offset analogue) resolves to the retained snapshot floor
+    // at source creation — a fresh mirror of a VACUUMED table needs no
+    // manual earliestFeedBase probe.
+    val start = parameters.get("startVersion").map(_.trim) match {
+      case Some(s) if s.equalsIgnoreCase("earliest") => Earliest
+      case _ => longOpt("startVersion", 1L, 1L)
+    }
+    (lake, table, start, longOpt("maxVersionsPerBatch", Long.MaxValue, 1L))
   }
+
+  /** Marker for `startVersion=earliest`, resolved against the table's
+    * retained snapshot floor when the source is created (never a legal
+    * version: real offsets are >= 1).
+    */
+  private[streaming] val Earliest: Long = -1L
 
   private[streaming] def feedSchema(
       spark: SparkSession, lake: String, table: String): StructType =
@@ -173,16 +192,16 @@ class AzofCommitSource(
     // consumer — it is a stale checkpoint from a deleted-and-recreated
     // table; waiting silently would skip every version up to the stale
     // offset once the table catches up (followOnce's contract, applied
-    // here). One re-read guards against a transiently-torn pointer on
-    // exotic stores spuriously killing the query.
-    if (base > cur0) {
-      Thread.sleep(50)
-      if (base > t.currentVersion.toLong)
-        throw new IllegalStateException(
-          s"checkpoint offset $base is ahead of $table's current " +
-            s"version $cur0: stale checkpoint (table recreated?) — " +
-            "start a fresh checkpoint with an in-range startVersion")
-    }
+    // here). One immediate re-read (no sleep — this runs on the
+    // micro-batch planning thread) guards against a transiently-torn
+    // pointer spuriously killing the query: the pointer write is
+    // staged-rename, so a second read observes either the old or the
+    // new value, never a torn one, making sleep-and-poll unnecessary.
+    if (base > cur0 && base > t.currentVersion.toLong)
+      throw new IllegalStateException(
+        s"checkpoint offset $base is ahead of $table's current " +
+          s"version $cur0: stale checkpoint (table recreated?) — " +
+          "start a fresh checkpoint with an in-range startVersion")
     val cur = availableNowCap.fold(cur0)(math.min(cur0, _))
     val capped =
       if (cur - base > maxVersionsPerBatch) base + maxVersionsPerBatch

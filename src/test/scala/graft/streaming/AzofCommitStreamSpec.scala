@@ -248,4 +248,46 @@ class AzofCommitStreamSpec extends AnyFunSuite {
     assert(messages(err).exists(_.contains("retention")),
       s"expected a retention error, got: ${messages(err)}")
   }
+
+  test("startVersion=earliest auto-seeds a fresh consumer of a vacuumed table") {
+    val lake = Files.createTempDirectory("azof-cstream-early").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("3", "2024-02-10T00:00:00Z", "c1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v4
+    // vacuum drops s1/s2: the retained floor is 3, so default
+    // startVersion=1 would fail loudly (previous test's shape) — the
+    // `earliest` sentinel must seed at the floor with NO manual probe
+    graft.sources.AzofVacuum.vacuum(spark, lake, "t", keepLast = 2,
+      minAgeMs = 0)
+    assert(graft.sources.AzofChangeFeed
+      .earliestFeedBase(spark, lake, "t") == 3L)
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val ck = Files.createTempDirectory("azof-cstream-early-ck").toString
+    val q = spark.readStream.format("azof-commits")
+      .option("table", "t").option("startVersion", "earliest").load(lake)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.select("_commit_version").collect().foreach(r => got.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+      == Seq(4L),
+      "earliest must deliver exactly (retained floor, current] = (3, 4]")
+
+    // a malformed startVersion is still rejected (the sentinel does not
+    // widen the accepted grammar)
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("azof-commits")
+        .option("table", "t").option("startVersion", "latest").load(lake)
+    }
+  }
 }
