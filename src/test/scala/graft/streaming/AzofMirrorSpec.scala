@@ -130,6 +130,77 @@ class AzofMirrorSpec extends AnyFunSuite {
     assert(scanSorted(dst, "m") == Seq("2" -> "b1", "3" -> "c1"))
   }
 
+  test("live follower soak: processing-time trigger converges under concurrent commits + compaction; every observed state is a commit boundary") {
+    val src = Files.createTempDirectory("azof-mirror-live-src").toString
+    val dst = Files.createTempDirectory("azof-mirror-live-dst").toString
+    val ck = Files.createTempDirectory("azof-mirror-live-ck").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, src, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1"),
+      ("3", "2024-01-04T00:00:00Z", "c1")))                          // v2
+
+    // each source commit range applies atomically to the mirror, so a
+    // mirror scan at ANY instant must equal the source's state at SOME
+    // commit boundary — never a half-applied range
+    val allowed = scala.collection.mutable.ArrayBuffer[Seq[(String, String)]]()
+    allowed += Seq.empty          // before the first range lands
+    allowed += scanSorted(src, "t")
+    def observe(): Unit = {
+      val got = scanSorted(dst, "m")
+      assert(allowed.contains(got),
+        s"mirror state $got matches no source commit boundary:\n$allowed")
+    }
+
+    val q = AzofMirror.replicate(spark, src, "t", dst, "m", ck,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("250 milliseconds"),
+      maxVersionsPerBatch = Some(2))
+    try {
+      val steps: Seq[() => Unit] = Seq(
+        () => AzofWriter.commitDelta(spark, src, "t",
+          df(("1", "2024-02-05T00:00:00Z", "a2")),
+          ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z")),   // v3
+        () => AzofWriter.commitDelete(spark, src, "t", Seq("2"),
+          ts("2024-03-01T00:00:00Z")),                               // v4
+        () => AzofWriter.commitDelta(spark, src, "t",
+          df(("4", "2024-03-05T00:00:00Z", "d1")),
+          ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z")),   // v5
+        // compaction mid-stream: rewrites everything, changes nothing
+        () => AzofWriter.compact(spark, src, "t",
+          ts("2024-04-01T00:00:00Z")),                               // v6
+        () => AzofWriter.commitDelete(spark, src, "t", Seq("3"),
+          ts("2024-04-02T00:00:00Z")),                               // v7
+        () => AzofWriter.commitDelta(spark, src, "t",
+          df(("2", "2024-04-10T00:00:00Z", "b2")),                   // resurrect
+          ts("2024-04-05T00:00:00Z"), ts("2024-05-01T00:00:00Z")))   // v8
+      steps.foreach { step =>
+        step()
+        allowed += scanSorted(src, "t")
+        observe()
+        Thread.sleep(300)
+        observe()
+      }
+
+      // convergence: the live follower reaches the source's Current
+      // within the trigger cadence (bounded catch-up: 2 versions/batch)
+      val want = scanSorted(src, "t")
+      assert(want == Seq("1" -> "a2", "2" -> "b2", "4" -> "d1"))
+      val deadline = System.currentTimeMillis() + 120000
+      var got = scanSorted(dst, "m")
+      while (got != want && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        got = scanSorted(dst, "m")
+      }
+      assert(got == want, s"mirror failed to converge: $got != $want")
+
+      // event-time agreement at a mid-history cut too
+      val cut = AsOf.EventTime(ts("2024-03-02T00:00:00Z"))
+      assert(scanSorted(dst, "m", cut) == scanSorted(src, "t", cut))
+    } finally q.stop()
+  }
+
   test("by-key layouts mirror correctly (overlapping delta windows)") {
     // commitPartitioned(byKey = true) produces files whose event-time
     // windows OVERLAP across commits — the layout the default scan
