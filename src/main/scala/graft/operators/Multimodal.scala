@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   * Everything else falls back to [[fakeDecode]], a deterministic
   * stand-in keyed on payload bytes. The remaining stand-in surface is
   * SAMPLE-level decode of compressed codecs (MP3/Vorbis/Opus PCM, MP4
-  * video): no codec ships in this container, so feature/frame paths
-  * for those formats stub while their METADATA is real; a production
-  * build adds decoders to the same slots.
+  * video) — a PERMANENT, documented dependency decision for this
+  * build (docs/COVERAGE.md "Closed boundary"): the JDK ships no codec
+  * for these formats and the dependency set is pinned, so their
+  * feature/frame paths stub while their METADATA is real. The stub
+  * tier is the extension slot: a production deployment adds a
+  * pure-JVM decoder (a `javax.sound` SPI jar, or a direct decoder
+  * ahead of [[fakeDecode]] the way [[imageDecode]] sits ahead of it)
+  * with no schema, plan, or operator changes.
   */
 object Multimodal {
 
