@@ -725,6 +725,13 @@ object AzofWriter {
     * `before` is retained untouched — the retention window for
     * undo-able recent deletes.
     *
+    * Replication: a purge does NOT propagate through
+    * [[graft.streaming.AzofMirror]] — `op = "purge"` ranges deliver
+    * nothing, by design (a rewrite is not data). Each mirror runs its
+    * OWN `purgeDeleted` with the same cutoff, which reaches the same
+    * keys because the tombstones DID replicate (AzofMirrorSpec pins
+    * the full source-purge → mirror-purge parity runbook).
+    *
     * Scale shape: candidate keys come from ONE scan of the
     * tombstone-flagged files; the alive set from the production
     * merge-dedup scan; the purge key set is bounded by `spark.azof.purgeMaxKeys`

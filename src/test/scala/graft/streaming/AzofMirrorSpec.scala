@@ -201,6 +201,69 @@ class AzofMirrorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a source purge does not propagate; the mirror purges itself to parity") {
+    // GDPR across replicas: op="purge" ranges deliver nothing (a
+    // rewrite is not data), so after a source purge the mirror still
+    // holds the erased key's bytes — the runbook is purgeDeleted on
+    // EVERY replica, which reaches the same keys because the
+    // tombstones replicated
+    val src = Files.createTempDirectory("azof-mirror-purge-src").toString
+    val dst = Files.createTempDirectory("azof-mirror-purge-dst").toString
+    val ck = Files.createTempDirectory("azof-mirror-purge-ck").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, src, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+    AzofWriter.commitDelete(spark, src, "t", Seq("1"),
+      ts("2024-02-01T00:00:00Z"))                                    // v3
+    def sync(): Unit = {
+      val q = AzofMirror.replicate(spark, src, "t", dst, "m", ck)
+      q.awaitTermination(120000); ()
+    }
+    sync()
+    assert(scanSorted(dst, "m") == Seq("2" -> "b1"))
+
+    def keysInFiles(lake: String, table: String): Set[String] = {
+      val t = AzofTable(spark, lake, table)
+      t.currentSnapshot.allFiles.flatMap { f =>
+        spark.read.parquet(
+            new org.apache.hadoop.fs.Path(t.tableDir, f).toString)
+          .select(TableSchema.KeyName).collect().map(_.getString(0))
+      }
+    }
+
+    // source purge erases key 1 there...
+    AzofWriter.purgeDeleted(spark, src, "t", ts("2024-03-01T00:00:00Z"))
+    assert(!keysInFiles(src, "t").contains("1"))
+    // ...but the purge range delivers NOTHING to the mirror: the
+    // mirror's history (incl. the erased key's bytes) is unchanged
+    val vBefore = AzofTable(spark, dst, "m").currentVersion
+    sync()
+    assert(AzofTable(spark, dst, "m").currentVersion == vBefore,
+      "a purge-only range must not commit anything to the mirror")
+    assert(keysInFiles(dst, "m").contains("1"),
+      "mirror still holds the purged key until it purges itself")
+
+    // the mirror's own purge reaches the same key (its tombstone
+    // replicated) and restores parity
+    val r = AzofWriter.purgeDeleted(spark, dst, "m",
+      ts("2024-03-01T00:00:00Z"))
+    assert(r.purgedKeys == 1L)
+    assert(!keysInFiles(dst, "m").contains("1"))
+    assert(scanSorted(dst, "m") == scanSorted(src, "t"))
+    assert(scanSorted(dst, "m", AsOf.EventTime(ts("2024-01-15T00:00:00Z"))) ==
+      scanSorted(src, "t", AsOf.EventTime(ts("2024-01-15T00:00:00Z"))))
+
+    // and the mirror stream still works after both purges: a fresh
+    // source commit flows normally
+    AzofWriter.commitDelta(spark, src, "t",
+      df(("3", "2024-03-05T00:00:00Z", "c1")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
+    sync()
+    assert(scanSorted(dst, "m") == Seq("2" -> "b1", "3" -> "c1"))
+  }
+
   test("by-key layouts mirror correctly (overlapping delta windows)") {
     // commitPartitioned(byKey = true) produces files whose event-time
     // windows OVERLAP across commits — the layout the default scan
