@@ -198,12 +198,23 @@ object AzofCli {
         // one AvailableNow replication pass: source commits (upserts AND
         // tombstone deletes) land in the target table exactly once.
         // Re-running with the same --checkpoint continues incrementally.
+        // --seed: fresh mirror of a source whose early history was
+        // vacuumed (Current-scan base commit, then follow from the seed
+        // version pinned in the checkpoint sidecar)
         val ckpt = opts.getOrElse("checkpoint",
           java.nio.file.Files.createTempDirectory("azof-mirror").toString)
-        val q = graft.streaming.AzofMirror.replicate(spark,
-          opts("path"), opts("table"),
-          opts("target-path"), opts("target-table"), ckpt,
-          maxVersionsPerBatch = opts.get("max-versions").map(_.toLong))
+        val seed = opts.get("seed").exists(_ != "false")
+        val q =
+          if (seed)
+            graft.streaming.AzofMirror.seedAndReplicate(spark,
+              opts("path"), opts("table"),
+              opts("target-path"), opts("target-table"), ckpt,
+              maxVersionsPerBatch = opts.get("max-versions").map(_.toLong))
+          else
+            graft.streaming.AzofMirror.replicate(spark,
+              opts("path"), opts("table"),
+              opts("target-path"), opts("target-table"), ckpt,
+              maxVersionsPerBatch = opts.get("max-versions").map(_.toLong))
         q.awaitTermination()
         println(s"mirrored ${opts("table")} -> ${opts("target-table")}; " +
           s"target version now ${AzofTable(spark,

@@ -36,13 +36,16 @@ object AzofMirror {
       dstLake: String, dstTable: String,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxVersionsPerBatch: Option[Long] = None): StreamingQuery = {
+      maxVersionsPerBatch: Option[Long] = None,
+      startVersion: Option[Long] = None): StreamingQuery = {
     val appId = AzofSink.appIdFor(checkpoint)
     val reader = spark.readStream.format("azof-commits")
       .option("table", srcTable)
     val bounded = maxVersionsPerBatch
       .fold(reader)(n => reader.option("maxVersionsPerBatch", n.toString))
-    bounded.load(srcLake)
+    val seeded = startVersion
+      .fold(bounded)(v => bounded.option("startVersion", v.toString))
+    seeded.load(srcLake)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -59,5 +62,65 @@ object AzofMirror {
       }
       .trigger(trigger)
       .start()
+  }
+
+  /** Fresh-mirror runbook for a source whose EARLY HISTORY was
+    * vacuumed: plain [[replicate]] starts the feed at version 1, which
+    * lags past retention and fails loudly with the retained floor.
+    * This variant SEEDS the empty mirror with one base commit of the
+    * source's Current scan (delete-aware winners with their original
+    * event_times), records the seed version in a checkpoint sidecar
+    * (`_azof_seed_version`), and follows from there — so restarts
+    * re-read the SAME seed version (never a freshly-probed one, which
+    * would skip the commits between the checkpoint watermark and
+    * "now").
+    *
+    * Post-seed semantics, documented: the mirror agrees with the
+    * source at Current and at every as-of from the seed point on;
+    * as-of travel BEFORE the seed resolves against the seeded winners
+    * only (superseded pre-seed history was unreachable through the
+    * vacuumed feed in the first place). Rows that land in both the
+    * seed and the first followed range dedup harmlessly (identical
+    * rows tie to themselves in the merge-dedup scan).
+    *
+    * A non-empty mirror WITHOUT a seed sidecar refuses loudly: the
+    * seed version is unrecoverable, so resuming could silently skip a
+    * range — use [[replicate]] (full-history mirror) or a fresh
+    * checkpoint + target instead.
+    */
+  def seedAndReplicate(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      dstLake: String, dstTable: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxVersionsPerBatch: Option[Long] = None): StreamingQuery = {
+    val ckDir = new java.io.File(checkpoint)
+    ckDir.mkdirs()
+    val sidecar = new java.io.File(ckDir, "_azof_seed_version")
+    val seedV: Long =
+      if (sidecar.isFile)
+        new String(java.nio.file.Files.readAllBytes(sidecar.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else {
+        val dst = graft.format.AzofTable(spark, dstLake, dstTable)
+        require(dst.currentVersion.toLong == 1L,
+          s"mirror $dstTable already has commits but checkpoint " +
+            s"$checkpoint carries no seed marker — its seed version is " +
+            "unrecoverable; use replicate() for a full-history mirror " +
+            "or start over with a fresh checkpoint and empty target")
+        // capture the version BEFORE scanning: commits landing between
+        // the two re-deliver through the feed and dedup harmlessly
+        val v = graft.format.AzofTable(spark, srcLake, srcTable)
+          .currentVersion.toLong
+        val cur = graft.operators.AzofScan.scan(spark, srcLake, srcTable)
+        if (!cur.isEmpty)
+          graft.sources.AzofWriter.commitBase(spark, dstLake, dstTable, cur)
+        java.nio.file.Files.write(sidecar.toPath,
+          v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        v
+      }
+    replicate(spark, srcLake, srcTable, dstLake, dstTable, checkpoint,
+      trigger, maxVersionsPerBatch, startVersion = Some(seedV))
   }
 }

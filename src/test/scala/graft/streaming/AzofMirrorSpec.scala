@@ -289,6 +289,76 @@ class AzofMirrorSpec extends AnyFunSuite {
       "c" -> "c1", "d" -> "d1", "e" -> "e1"))
   }
 
+  test("fresh mirror of a vacuumed source: replicate fails loudly, seedAndReplicate reaches parity and resumes") {
+    val src = Files.createTempDirectory("azof-mirror-seed-src").toString
+    val dst = Files.createTempDirectory("azof-mirror-seed-dst").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, src, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1"),
+      ("3", "2024-01-04T00:00:00Z", "c1")))                          // v2
+    AzofWriter.commitDelete(spark, src, "t", Seq("2"),
+      ts("2024-02-01T00:00:00Z"))                                    // v3
+    AzofWriter.commitDelta(spark, src, "t",
+      df(("4", "2024-02-05T00:00:00Z", "d1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v4
+    // vacuum the early history: retained snapshot floor = 3
+    graft.sources.AzofVacuum.vacuum(spark, src, "t", keepLast = 2,
+      minAgeMs = 0)
+
+    // a FULL-history mirror of this source is impossible — and must
+    // say so, not idle or mis-copy
+    AzofWriter.createTable(spark, dst, "m0", schema, ts("2024-01-01T00:00:00Z"))
+    val ck0 = Files.createTempDirectory("azof-mirror-seed-ck0").toString
+    val q0 = AzofMirror.replicate(spark, src, "t", dst, "m0", ck0)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q0.processAllAvailable(); q0.awaitTermination(60000); ()
+    }
+    q0.stop()
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("retention")))
+
+    // seedAndReplicate: one Current-scan base commit + follow from the
+    // seed version
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    val ck = Files.createTempDirectory("azof-mirror-seed-ck").toString
+    def sync(): Unit = {
+      val q = AzofMirror.seedAndReplicate(spark, src, "t", dst, "m", ck)
+      q.awaitTermination(120000); ()
+    }
+    sync()
+    assert(scanSorted(dst, "m") == Seq("1" -> "a1", "3" -> "c1", "4" -> "d1"))
+    assert(new java.io.File(ck, "_azof_seed_version").isFile)
+
+    // subsequent source commits (incl. a delete of a SEEDED key) flow
+    // through the same checkpoint — the sidecar pins the seed version,
+    // so the restart must not re-seed or skip
+    AzofWriter.commitDelta(spark, src, "t",
+      df(("5", "2024-03-05T00:00:00Z", "e1")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v5
+    AzofWriter.commitDelete(spark, src, "t", Seq("3"),
+      ts("2024-04-01T00:00:00Z"))                                    // v6
+    val mVersionAfterSeed = AzofTable(spark, dst, "m").currentVersion.toLong
+    sync()
+    assert(scanSorted(dst, "m") == scanSorted(src, "t"))
+    assert(scanSorted(dst, "m") == Seq("1" -> "a1", "4" -> "d1", "5" -> "e1"))
+    // exactly one mixed commit for the (4, 6] range — no re-seed
+    assert(AzofTable(spark, dst, "m").currentVersion.toLong ==
+      mVersionAfterSeed + 1)
+    // as-of from the seed point on agrees with the source
+    val cut = AsOf.EventTime(ts("2024-03-10T00:00:00Z"))
+    assert(scanSorted(dst, "m", cut) == scanSorted(src, "t", cut))
+
+    // a non-empty mirror with NO seed sidecar refuses loudly
+    val ckLost = Files.createTempDirectory("azof-mirror-seed-lost").toString
+    val e2 = intercept[IllegalArgumentException] {
+      AzofMirror.seedAndReplicate(spark, src, "t", dst, "m", ckLost)
+    }
+    assert(e2.getMessage.contains("seed"))
+  }
+
   test("a delete-free mirror stays marker-free") {
     val src = Files.createTempDirectory("azof-mirror2-src").toString
     val dst = Files.createTempDirectory("azof-mirror2-dst").toString
