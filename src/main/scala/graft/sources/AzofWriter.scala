@@ -732,6 +732,16 @@ object AzofWriter {
     * keys because the tombstones DID replicate (AzofMirrorSpec pins
     * the full source-purge → mirror-purge parity runbook).
     *
+    * Concurrency: the metadata swap goes through the optimistic
+    * [[commitMeta]] retry, and the name-keyed rewrite re-applies
+    * cleanly against a RACING writer's snapshot (its new files pass
+    * through untouched; PurgeSpec races a concurrent delta). One
+    * documented race needs a second pass: a compaction committing
+    * DURING the purge can copy a purged key's rows into its new
+    * base/carry files (built from the pre-purge state), which the
+    * purge's file mapping doesn't know — re-run `purgeDeleted` (it is
+    * idempotent) after a concurrent compaction to finish the erase.
+    *
     * Scale shape: candidate keys come from ONE scan of the
     * tombstone-flagged files; the alive set from the production
     * merge-dedup scan; the purge key set is bounded by `spark.azof.purgeMaxKeys`

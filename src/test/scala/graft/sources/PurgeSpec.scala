@@ -169,6 +169,39 @@ class PurgeSpec extends AnyFunSuite {
       "3" -> "c1", "4" -> "d1"))
   }
 
+  test("purge races a concurrent delta commit: both land, neither is lost") {
+    // the subtle bit: purge builds its file mapping from one snapshot
+    // but commitMeta may re-apply it against a RACING writer's — the
+    // racer's new files must pass through untouched while every
+    // purge-known file still swaps
+    val lake = build()
+    val vBefore = AzofTable(spark, lake, "t").currentVersion.toLong
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val purger = new Thread(() =>
+      try { AzofWriter.purgeDeleted(spark, lake, "t",
+        ts("2024-04-01T00:00:00Z")); () }
+      catch { case e: Throwable => failures.add(e); () })
+    val writer = new Thread(() =>
+      try AzofWriter.commitDelta(spark, lake, "t",
+        df(("9", "2024-03-10T00:00:00Z", "z1")),
+        ts("2024-03-05T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
+      catch { case e: Throwable => failures.add(e); () })
+    purger.start(); writer.start()
+    purger.join(120000); writer.join(120000)
+    assert(failures.isEmpty,
+      s"racer died: ${Option(failures.peek()).map(_.toString)}")
+
+    // both commits landed
+    assert(AzofTable(spark, lake, "t").currentVersion.toLong == vBefore + 2)
+    // the racer's row is visible, the purged keys are gone everywhere
+    assert(current(lake) == Seq("1" -> "a3", "3" -> "c1", "4" -> "d1",
+      "9" -> "z1"))
+    assert(keysInReferencedFiles(lake).intersect(Set("2", "5")).isEmpty,
+      "purge lost files to the race")
+    assert(asOf(lake, "2024-01-15T00:00:00Z") == Seq("1" -> "a2",
+      "3" -> "c1", "4" -> "d1"))
+  }
+
   // ---- randomized property: purge ≡ model-minus-purged at every probe
 
   private val t0 = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
