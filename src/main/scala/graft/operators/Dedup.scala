@@ -194,6 +194,60 @@ object Dedup {
       .toDF("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected near-duplicate pair graph
+    * — the clustering step production dedup runs AFTER pair generation
+    * (keep ONE doc per component, drop the rest; pairwise drops
+    * over-delete when clusters overlap). Every vertex maps to the
+    * smallest doc id reachable from it: `(doc_id, component_id)`.
+    *
+    * Spark-first shape: iterative min-label propagation. Each round is
+    * one shuffle join (current labels into the edge list) + one
+    * min-aggregate, and the loop runs until a round changes nothing —
+    * at most the graph diameter rounds, and near-dup clusters are
+    * shallow in practice. The per-round driver action is an aggregate
+    * count, never a collect of vertices; lineage is cut with an eager
+    * `localCheckpoint` per round so the plan stays O(1) across rounds
+    * instead of nesting. For graphs with adversarially long chains,
+    * swap in large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the same join
+    * primitives in O(log n) rounds; the label-propagation loop is the
+    * right default for the shallow clusters LSH emits.
+    */
+  def connectedComponents(
+      pairs: DataFrame, a: String, b: String,
+      maxIter: Int = 64): DataFrame = {
+    val e0 = pairs.select(
+      col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+    val edges = e0.unionAll(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("component_id"))
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min("component_id").as("component_id"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .where(col("n.component_id") =!= col("o.component_id"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "pathological chain graph; use star-contraction for this input")
+    labels.select(col("id").as("doc_id"), col("component_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs, computed
     * by joining the pairs against the shingle sets (shuffles scale with
     * |candidates|·avg-shingles, not |docs|²).

@@ -24,6 +24,7 @@ object Pipeline {
     "d08_decontaminate" -> d08,
     "d09_line_dedup" -> d09,
     "d10_exact_overlap" -> d10,
+    "d11_dedup_components" -> d11,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -141,6 +142,18 @@ object Pipeline {
           lit(true).as("is_eval")))
     Dedup.exactOverlap(derived, col("text"), col("doc_id"), col("is_eval"))
   }
+
+  /** Duplicate-CLUSTER assignment — the step after pair generation that
+    * production dedup actually keys on (keep one doc per component):
+    * connected components over the verified near-dup pairs (d03's
+    * candidates at Jaccard >= 0.5), every clustered doc labeled with
+    * the smallest doc id reachable from it. The DuckDB oracle computes
+    * the same fixpoint via a recursive CTE over the symmetrized edge
+    * list.
+    */
+  private def d11(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      d03(s, dir).where(col("jaccard") >= 0.5), "doc_a", "doc_b")
 
   /** Approximate distinct (HyperLogLog++ sketch). No oracle: sketch
     * estimates are implementation-specific, so the driver records the
@@ -487,6 +500,31 @@ object Pipeline {
          FROM lines l
          LEFT JOIN drops d ON trim(lower(l.line)) = d.norm
          GROUP BY l.doc_id""",
+    // d11: the d03 pair query (inlined, thresholded) feeds a recursive
+    // min-label fixpoint — WITH RECURSIVE reach = transitive closure
+    // over the symmetrized edges, component = min reachable id
+    "d11_dedup_components" ->
+      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          sizes AS (SELECT doc_id, count(*) AS n FROM u GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                    FROM cand c
+                    JOIN u ua ON ua.doc_id = c.doc_a
+                    JOIN u ub ON ub.doc_id = c.doc_b AND ua.sh = ub.sh
+                    GROUP BY c.doc_a, c.doc_b),
+          pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+                    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+                    JOIN sizes sa ON sa.doc_id = c.doc_a
+                    JOIN sizes sb ON sb.doc_id = c.doc_b
+                    WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                          / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach AS (SELECT src, src AS dst FROM edges
+                    UNION
+                    SELECT r.src, e.dst FROM reach r
+                    JOIN edges e ON r.dst = e.src)
+          SELECT src AS doc_id, min(dst) AS component_id
+          FROM reach GROUP BY src""",
     // d10: fingerprint equality ⟺ normalized-text equality, so the
     // oracle joins train to eval twins on the same md5 fingerprint
     "d10_exact_overlap" ->

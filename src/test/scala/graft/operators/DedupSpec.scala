@@ -146,4 +146,25 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
     assert(wiped.forall { case (_, t, d) => t == "" && d == 1L })
   }
+
+  test("connectedComponents: transitive clusters, chains converge, order-independent") {
+    def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.operators.Dedup.connectedComponents(
+          pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // two clusters joined only transitively + an isolated pair
+    val got = cc(Seq((2L, 3L), (1L, 2L), (10L, 11L), (3L, 7L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L))
+
+    // a 12-vertex chain presented worst-case (high ids first): the min
+    // label must walk the full diameter, not just one hop
+    val chain = (1L to 11L).map(i => (i + 1, i)).reverse
+    val gotChain = cc(chain)
+    assert(gotChain == (1L to 12L).map(_ -> 1L).toMap)
+
+    // duplicate and reversed edges collapse (symmetrize + distinct)
+    assert(cc(Seq((5L, 6L), (6L, 5L), (5L, 6L))) == Map(5L -> 5L, 6L -> 5L))
+  }
 }
