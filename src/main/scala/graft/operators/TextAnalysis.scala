@@ -165,6 +165,30 @@ object TextAnalysis {
     * and a different salt draws an independent sample. Narrow — no
     * shuffle, no RNG state.
     */
+  /** Per-source hard cap — the C4/RefinedWeb "domain cap" curation
+    * step: keep at most `cap` docs per source, chosen DETERMINISTICALLY
+    * by the portable salted-md5 order (reruns, task retries, and other
+    * engines pick the same survivors), doc id as the total-order
+    * tiebreak. One window over the source partition; a pathologically
+    * hot source costs one partition's sort — at extreme skew,
+    * pre-filter with a cheap per-source count and only window the
+    * sources above cap (the filter is the same salted rank, so the
+    * survivor set is unchanged).
+    */
+  def sourceCap(
+      df: DataFrame, id: Column, source: Column, cap: Int,
+      salt: String = "c1"): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val rank = conv(
+      substring(md5(concat(lit(s"cap#$salt#"), id.cast("string"))), 1, 14),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(source)
+      .orderBy(rank.asc, id.cast("string").asc)
+    df.select(id.as("doc_id"), source.as("source"),
+        row_number().over(w).cast("long").as("cap_rank"))
+      .where(col("cap_rank") <= cap)
+  }
+
   def stratifiedSample(
       df: DataFrame, id: Column, stratum: Column,
       rates: Map[String, Double], defaultRate: Double,

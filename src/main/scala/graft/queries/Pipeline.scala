@@ -41,6 +41,7 @@ object Pipeline {
     "t08_split_assign" -> t08,
     "t09_length_histogram" -> t09,
     "t10_stratified_sample" -> t10,
+    "t11_source_cap" -> t11,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
     "m03_resize" -> m03,
@@ -253,6 +254,14 @@ object Pipeline {
       pmod(col("doc_id"), lit(4)).cast("string"),
       rates = Map("0" -> 1.0, "1" -> 0.5, "2" -> 0.25),
       defaultRate = 0.125, salt = "r3")
+
+  /** Per-source hard cap (the C4-style domain cap): at most 10 docs
+    * per source, survivors picked by the portable salted-md5 order so
+    * the DuckDB oracle selects the identical set.
+    */
+  private def t11(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceCap(docs(s, dir), col("doc_id"), col("source"),
+      cap = 10, salt = "r7")
 
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
@@ -682,6 +691,15 @@ object Pipeline {
           WHERE sample_bucket < CAST(
             (CASE stratum WHEN '0' THEN 1.0 WHEN '1' THEN 0.5
                           WHEN '2' THEN 0.25 ELSE 0.125 END) * 1000000 AS BIGINT)""",
+    "t11_source_cap" ->
+      s"""SELECT doc_id, source, cap_rank FROM
+            (SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY CAST('0x' || substr(md5('cap#r7#' || CAST(doc_id AS VARCHAR)), 1, 14)
+                   AS BIGINT),
+                 CAST(doc_id AS VARCHAR)) AS BIGINT) AS cap_rank
+             FROM documents)
+          WHERE cap_rank <= 10""",
     "t09_length_histogram" ->
       s"""SELECT CAST(LEAST(n // 25, 9) AS BIGINT) AS bucket,
             count(*) AS n_docs,

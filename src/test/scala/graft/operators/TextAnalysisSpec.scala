@@ -104,4 +104,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.map(p => (p._1, p._2)) == Set((1L, 10L)))
     assert(got.head._3 >= 3)
   }
+
+  test("sourceCap: deterministic per-source cap, salt selects different survivors") {
+    val df = (0L until 30L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val capped = TextAnalysis
+      .sourceCap(df, col("doc_id"), col("source"), cap = 4, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exactly cap survivors per source, ranks 1..cap
+    assert(capped.length == 12)
+    capped.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.length == 4)
+      assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    }
+    // deterministic: the same call picks the same survivors
+    val again = TextAnalysis
+      .sourceCap(df, col("doc_id"), col("source"), cap = 4, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(capped.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different salt reshuffles the draw (not id-order truncation)
+    val other = TextAnalysis
+      .sourceCap(df, col("doc_id"), col("source"), cap = 4, salt = "u")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != capped.map(_._1).toSet)
+    // cap >= group size keeps everything
+    assert(TextAnalysis.sourceCap(df, col("doc_id"), col("source"),
+      cap = 10).count() == 30)
+  }
 }
