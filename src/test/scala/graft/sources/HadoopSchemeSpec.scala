@@ -83,6 +83,20 @@ class HadoopSchemeSpec extends AnyFunSuite {
       .select("key", "value").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(hit == Seq("4" -> "d1"), s"$lake: key lookup broke")
+    // delete + physical purge run over this scheme too — and since the
+    // table was compacted AND schema-evolved above, this also crosses
+    // purge with both (per-file rewrite preserves each file's own
+    // schema; the purge reaches rows inside the closed child)
+    AzofWriter.commitDelete(spark, lake, "t", Seq("1"),
+      ts("2024-04-01T00:00:00Z"))
+    val purged = AzofWriter.purgeDeleted(spark, lake, "t",
+      ts("2024-05-01T00:00:00Z"))
+    assert(purged.purgedKeys == 1L, s"$lake: purge missed the deleted key")
+    val afterPurge = probes.map(view)
+    assert(afterPurge == before.map(_.filterNot(_._1 == "1")),
+      s"$lake: purge must remove exactly key 1 from every as-of")
+    AzofVacuum.vacuum(spark, lake, "t", keepLast = 1, minAgeMs = 0)
+    assert(probes.map(view) == afterPurge, s"$lake: post-purge vacuum changed a view")
     before
   }
 
@@ -101,7 +115,7 @@ class HadoopSchemeSpec extends AnyFunSuite {
       .option("table", "t").load(dfsRoot)
       .select("key", "value").collect()
       .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
-    assert(viaReader == localViews.head)
+    assert(viaReader == localViews.head.filterNot(_._1 == "1"))
   }
 
   test("streaming sink appId is stable across scheme respellings") {
