@@ -332,6 +332,233 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Product-quantization (PQ) approximate top-k — the MEMORY-COMPRESSED
+    * ANN scale path next to [[ivfTopKFixedK]]'s coarse quantizer (the
+    * asymmetric-distance scheme of Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): each vector compresses
+    * to `numSub` byte codes (64 floats → 8 bytes at the defaults, 32×
+    * smaller), and queries scan CODES with a per-query lookup table
+    * instead of raw vectors — the shape that keeps a 100-TB embedding
+    * corpus's search working set in memory.
+    *
+    *  1. '''codebooks''': per subspace, `2^codebookBits` sub-centroids
+    *     seeded from the md5-deterministic sample (same seeding rule as
+    *     [[ivfTopKFixedK]]) and refined by `lloydIters` L2 Lloyd passes
+    *     — driver state is O(numSub · 2^bits · subDim) doubles, tiny and
+    *     broadcast; each pass is ONE narrow pass over the data with
+    *     per-partition partial sums (the shuffle moves subspace-count ×
+    *     codebook-size tiny rows, never vectors);
+    *  2. '''encode''': one narrow argmin kernel (no shuffle) → codes;
+    *  3. '''search''' (ADC): per query a `numSub × 2^bits` table of
+    *     squared-L2 partials against the codebooks, broadcast; each
+    *     candidate's approximate distance is `numSub` array lookups over
+    *     its codes — a narrow map, then one per-query top-k window (the
+    *     only shuffle).
+    *
+    * Metric is squared L2, the PQ standard (rank-equal to cosine on
+    * normalized inputs). APPROXIMATE by construction — quantization
+    * error depends on float iteration order of the k-means refinement,
+    * which no cross-engine oracle can pin bit-exactly, so the gate is a
+    * recall property against exact top-k (SimilaritySpec; the same
+    * reasoning as the x01 sketch gate, while s01–s04 carry the ANN
+    * oracle rows). Output: (query_id, neighbor_id, rnk) by ascending
+    * approximate distance, ties toward the lower id; the query's own
+    * row is excluded.
+    *
+    * `rerank > 0` adds the standard refine step (the FAISS
+    * IndexRefineFlat composition): the ADC pass keeps a SHORTLIST of
+    * `max(k, rerank)` candidates per query, exact squared-L2 re-ranks
+    * the shortlist against the raw vectors, and the top-k of THAT is
+    * returned. Codes cannot separate vectors that quantize identically
+    * (within-cluster fine structure), so bare ADC top-k has low recall
+    * exactly there — the shortlist recovers it at the cost of
+    * |queries| · rerank exact distances (one broadcast semi-join to
+    * fetch the shortlist's raw vectors; the table is never re-scanned
+    * per query).
+    */
+  def pqTopK(
+      emb: DataFrame, id: String, vec: String,
+      numSub: Int, codebookBits: Int,
+      queryFilter: Column, k: Int, lloydIters: Int = 2,
+      rerank: Int = 0): DataFrame = {
+    require(numSub >= 1, "numSub must be >= 1")
+    require(codebookBits >= 1 && codebookBits <= 8,
+      "codebookBits must be in [1, 8] (codes are bytes)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ksize = 1 << codebookBits
+    val e = emb.select(col(id).cast("long").as("_id"),
+      asDouble(col(vec)).as("_v"))
+    val dims = e.select(size(col("_v"))).head().getInt(0)
+    require(dims % numSub == 0, s"dims $dims not divisible by numSub $numSub")
+    val subDim = dims / numSub
+
+    // 1. codebooks: md5-deterministic seed sample, Lloyd-refined per
+    // subspace (empty sub-clusters keep their previous centroid)
+    val seed = e
+      .orderBy(md5(concat(lit("pq#"), col("_id"))), col("_id"))
+      .limit(ksize)
+      .select(col("_v")).as[Array[Double]].collect()
+    require(seed.nonEmpty, "pqTopK on an empty table")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(numSub)(s =>
+      seed.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)))
+    for (_ <- 0 until lloydIters)
+      books = pqLloydStep(e, books, subDim)
+    val booksB = spark.sparkContext.broadcast(books)
+
+    // 2. encode: per-subspace argmin over the broadcast codebooks
+    val codes = e.as[(Long, Array[Double])].mapPartitions { it =>
+      val bs = booksB.value
+      val sd = bs(0)(0).length
+      it.map { case (vid, v) =>
+        val cs = new Array[Byte](bs.length)
+        var s = 0
+        while (s < bs.length) {
+          val book = bs(s)
+          val off = s * sd
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < book.length) {
+            val cv = book(c)
+            var d = 0.0
+            var j = 0
+            while (j < cv.length) { val t = v(off + j) - cv(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          cs(s) = best.toByte
+          s += 1
+        }
+        (vid, cs)
+      }
+    }.toDF("_id", "_codes")
+
+    // 3. ADC: per-query distance tables (tiny), broadcast; one narrow
+    // pass over the codes emits (query, candidate, approx distance)
+    val queries = e.where(queryFilter).as[(Long, Array[Double])].collect()
+    val tables: Array[(Long, Array[Array[Double]])] = queries.map {
+      case (qid, qv) =>
+        val t = Array.tabulate(books.length) { s =>
+          val off = s * subDim
+          books(s).map { cv =>
+            var d = 0.0
+            var j = 0
+            while (j < cv.length) { val t0 = qv(off + j) - cv(j); d += t0 * t0; j += 1 }
+            d
+          }
+        }
+        (qid, t)
+    }
+    val tablesB = spark.sparkContext.broadcast(tables)
+    val shortlistK = math.max(k, rerank)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_ad").asc, col("neighbor_id"))
+    val adcTop = codes.as[(Long, Array[Byte])].mapPartitions { it =>
+        val ts = tablesB.value
+        it.flatMap { case (vid, cs) =>
+          ts.iterator.filter(_._1 != vid).map { case (qid, t) =>
+            var d = 0.0
+            var s = 0
+            while (s < cs.length) { d += t(s)(cs(s) & 0xff); s += 1 }
+            (qid, vid, d)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "_ad")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= shortlistK)
+    if (rerank <= 0) adcTop.select("query_id", "neighbor_id", "rnk")
+    else {
+      // refine: exact squared L2 on the shortlist only — fetch the
+      // shortlist's raw vectors with one broadcast join into the table
+      // scan, never a per-query re-scan
+      val qB = spark.sparkContext.broadcast(queries.toMap)
+      val short = adcTop.select(col("query_id"),
+        col("neighbor_id").as("_id"))
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("_xd").asc, col("neighbor_id"))
+      e.join(broadcast(short), Seq("_id"))
+        .select(col("query_id"), col("_id"), col("_v"))
+        .as[(Long, Long, Array[Double])]
+        .mapPartitions { it =>
+          val qs = qB.value
+          it.map { case (qid, vid, v) =>
+            val qv = qs(qid)
+            var d = 0.0
+            var j = 0
+            while (j < v.length) { val t = qv(j) - v(j); d += t * t; j += 1 }
+            (qid, vid, d)
+          }
+        }
+        .toDF("query_id", "neighbor_id", "_xd")
+        .withColumn("rnk", row_number().over(wx).cast("long"))
+        .where(col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    }
+  }
+
+  /** One L2 Lloyd pass over every subspace at once: a single narrow scan
+    * accumulates per-(subspace, code) partial sums; the shuffle carries
+    * only those tiny partials, and the driver reduce is
+    * O(numSub · 2^bits · subDim). Empty sub-clusters keep their previous
+    * centroid (the codebook never shrinks).
+    */
+  private def pqLloydStep(
+      e: DataFrame,
+      books: Array[Array[Array[Double]]],
+      subDim: Int): Array[Array[Array[Double]]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val booksB = spark.sparkContext.broadcast(books)
+    val parts = e.select(col("_v")).as[Array[Double]]
+      .mapPartitions { it =>
+        val bs = booksB.value
+        val sums = scala.collection.mutable.HashMap
+          .empty[(Int, Int), (Array[Double], Long)]
+        it.foreach { v =>
+          var s = 0
+          while (s < bs.length) {
+            val book = bs(s)
+            val off = s * subDim
+            var best = 0
+            var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < book.length) {
+              val cv = book(c)
+              var d = 0.0
+              var j = 0
+              while (j < cv.length) { val t = v(off + j) - cv(j); d += t * t; j += 1 }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            val key = (s, best)
+            val (acc, n) = sums.getOrElseUpdate(key,
+              (new Array[Double](subDim), 0L))
+            var j = 0
+            while (j < subDim) { acc(j) += v(off + j); j += 1 }
+            sums(key) = (acc, n + 1)
+            s += 1
+          }
+        }
+        sums.iterator.map { case ((s, c), (acc, n)) => ((s, c), acc, n) }
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val acc = a._2.clone()
+        var j = 0
+        while (j < acc.length) { acc(j) += b._2(j); j += 1 }
+        (a._1, acc, a._3 + b._3)
+      }
+      .map(_._2)
+      .collect()
+    val next = books.map(_.clone())
+    parts.foreach { case ((s, c), acc, n) =>
+      next(s)(c) = acc.map(_ / n)
+    }
+    next
+  }
+
   /** Deterministic random-hyperplane directions: plane `p`, dimension `j`
     * takes -1.0 or +1.0 from hex digit `j mod 32` of
     * md5("plane#p#{j/32}"). Reproducible in any engine with md5.

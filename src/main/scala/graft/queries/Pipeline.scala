@@ -31,6 +31,7 @@ object Pipeline {
     "s02_ann_lsh_buckets" -> s02,
     "s03_ann_ivf" -> s03,
     "s04_ann_lsh_topk" -> s04,
+    "s05_ann_pq_exact" -> s05,
     "t01_text_tokens" -> t01,
     "t02_text_quality" -> t02,
     "t03_text_langid" -> t03,
@@ -208,6 +209,21 @@ object Pipeline {
   private def s04(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(emb(s, dir), "vec_id", "embedding",
       col("vec_id") < 3, nPlanes = 12, bandSize = 3, dims = 64, k = 10)
+
+  /** The product-quantization path's EXACT twin under the oracle gate
+    * (the x02 move): with an exhaustive shortlist (`rerank` larger than
+    * the table) the ADC pass keeps every candidate and the refine stage
+    * exact-re-ranks them all, so the output IS exact L2 top-k — which
+    * DuckDB states directly — while the query still drives the full PQ
+    * machinery end to end (codebook training, encoding, ADC tables,
+    * shortlist, refine join). Approximation QUALITY at bounded rerank
+    * is spec-gated (SimilaritySpec recall ≥ 0.9), the same split as
+    * x01 (sketch, rows-only) vs x02 (exact twin, hash-matched).
+    */
+  private def s05(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(emb(s, dir), "vec_id", "embedding",
+      numSub = 8, codebookBits = 4, col("vec_id") < 3, k = 10,
+      rerank = 1000000)
 
   private def t01(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir), col("text"), col("doc_id"))
@@ -611,6 +627,21 @@ object Pipeline {
              JOIN e q ON q.vec_id = p.query_id
              JOIN e c ON c.vec_id = a.vec_id)
           WHERE rn <= 10""",
+    // s05: exhaustive-shortlist PQ ≡ exact L2 top-k; the L2 expression
+    // sums ascending-index like the Spark refine kernel, so FP results
+    // agree bit-for-bit
+    "s05_ann_pq_exact" ->
+      """SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM
+           (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY list_sum(list_transform(
+                  list_zip(CAST(q.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])),
+                  x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+                c.vec_id) AS rn
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
+         WHERE rn <= 10""",
     "s04_ann_lsh_topk" ->
       s"""WITH bk AS (SELECT vec_id, ${(0 until 12).map(p =>
             s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN '1' ELSE '0' END)")

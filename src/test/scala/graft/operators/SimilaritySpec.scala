@@ -118,6 +118,89 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.head == ((100L, 1L)))
   }
 
+  test("pqTopK: ADC shortlist + refine reaches recall >= 0.9 vs exact L2, deterministic") {
+    // same clustered generator as the Lloyd test: 10 clusters x 40
+    // members in 64 dims; PQ at 8 subspaces x 16 codes (8 bytes per
+    // vector, 32x compression) must put the query's true L2 top-10
+    // almost entirely in its approximate top-10
+    val rnd = new scala.util.Random(42)
+    val dims = 64
+    val centers = Array.fill(10)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      val v = Array.tabulate(dims)(d => c(d) + 0.15f * rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val k = 10
+
+    // exact L2 top-k per query, computed locally (test-scale)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var j = 0
+      while (j < a.length) { val t = a(j).toDouble - b(j); d += t * t; j += 1 }
+      d
+    }
+    val byId = rows.toMap
+    val truth = (0L until 3L).map { q =>
+      q -> rows.filter(_._1 != q)
+        .map { case (i, v) => (l2(byId(q), v), i) }
+        .sorted.take(k).map(_._2).toSet
+    }.toMap
+
+    // bare ADC top-k: codes collapse within-cluster fine structure, so
+    // recall against exact top-10 INSIDE a 40-member cluster is near
+    // the 10/39 random floor — the documented reason rerank exists
+    val bare = Similarity.pqTopK(clustered, "vec_id", "embedding",
+      numSub = 8, codebookBits = 4, col("vec_id") < 3, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bareMean = truth.map { case (q, t) =>
+      bare.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    // the ADC shortlist still lands in the right CLUSTER — with the
+    // refine step over a 40-deep shortlist, exact re-ranking recovers
+    // the true neighbors
+    val pq = Similarity.pqTopK(clustered, "vec_id", "embedding",
+      numSub = 8, codebookBits = 4, col("vec_id") < 3, k = k, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      pq.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean PQ+refine recall $mean (per-query ${recalls.toSeq})")
+    assert(mean > bareMean,
+      s"refine ($mean) must beat bare ADC ($bareMean) on within-cluster queries")
+
+    // deterministic: a second run returns the identical ranking
+    val again = Similarity.pqTopK(clustered, "vec_id", "embedding",
+      numSub = 8, codebookBits = 4, col("vec_id") < 3, k = k, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = Similarity.pqTopK(clustered, "vec_id", "embedding",
+      numSub = 8, codebookBits = 4, col("vec_id") < 3, k = k, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == first)
+
+    // ranks are 1..k per query and the query never ranks itself
+    val full = Similarity.pqTopK(clustered, "vec_id", "embedding",
+      numSub = 8, codebookBits = 4, col("vec_id") === 0, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.map(_._3).sorted.toSeq == (1L to k).toSeq)
+    assert(!full.exists(r => r._2 == r._1))
+  }
+
+  test("pqTopK: an exact duplicate of the query codes identically and ranks first") {
+    // a byte-identical vector quantizes to the same codes, so its ADC
+    // distance equals the query's own-code distance — the minimum — and
+    // the duplicate must surface at rank 1
+    val withDup = emb.union(Seq((100L, Array(1f, 0f, 0.01f, 0f)))
+      .toDF("vec_id", "embedding")) // copy of vec 1
+    val res = Similarity.pqTopK(withDup, "vec_id", "embedding",
+      numSub = 2, codebookBits = 3, col("vec_id") === 1, k = 3)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(res.head == ((100L, 1L)))
+  }
+
   test("bruteForceTopK ranks the query's own cluster first") {
     val res = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       col("vec_id") === 7, k = 4)
