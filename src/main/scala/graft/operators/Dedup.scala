@@ -221,6 +221,14 @@ object Dedup {
     val edges = e0.unionAll(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // Per-round storage is BOUNDED: each round persists its label table,
+    // materializes it through the convergence count, then unpersists the
+    // previous round's (the GraphX-Pregel pattern) — so at most two
+    // copies live at once. Lineage is cut with an eager localCheckpoint
+    // every few rounds (its blocks free via the context cleaner once
+    // unreferenced); between cuts the plan nests at most
+    // checkpointInterval joins.
+    val checkpointInterval = 4
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component_id"))
       .localCheckpoint(true)
@@ -230,13 +238,17 @@ object Dedup {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component_id"))
-      val next = labels.unionAll(prop)
+      val agg = labels.unionAll(prop)
         .groupBy("id").agg(min("component_id").as("component_id"))
-        .localCheckpoint(true)
+      val next =
+        if (i % checkpointInterval == checkpointInterval - 1)
+          agg.localCheckpoint(true)
+        else agg.persist()
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("id"))
         .where(col("n.component_id") =!= col("o.component_id"))
-        .count()
+        .count() // materializes `next`; `labels` is no longer needed
+      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1

@@ -389,7 +389,9 @@ object Similarity {
     val ksize = 1 << codebookBits
     val e = emb.select(col(id).cast("long").as("_id"),
       asDouble(col(vec)).as("_v"))
-    val dims = e.select(size(col("_v"))).head().getInt(0)
+    val dimsRow = e.select(size(col("_v"))).limit(1).collect()
+    require(dimsRow.nonEmpty, "pqTopK on an empty table")
+    val dims = dimsRow(0).getInt(0)
     require(dims % numSub == 0, s"dims $dims not divisible by numSub $numSub")
     val subDim = dims / numSub
 
@@ -399,7 +401,6 @@ object Similarity {
       .orderBy(md5(concat(lit("pq#"), col("_id"))), col("_id"))
       .limit(ksize)
       .select(col("_v")).as[Array[Double]].collect()
-    require(seed.nonEmpty, "pqTopK on an empty table")
     var books: Array[Array[Array[Double]]] = Array.tabulate(numSub)(s =>
       seed.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)))
     for (_ <- 0 until lloydIters)
@@ -435,8 +436,17 @@ object Similarity {
     }.toDF("_id", "_codes")
 
     // 3. ADC: per-query distance tables (tiny), broadcast; one narrow
-    // pass over the codes emits (query, candidate, approx distance)
-    val queries = e.where(queryFilter).as[(Long, Array[Double])].collect()
+    // pass over the codes emits (query, candidate, approx distance).
+    // The query set is the SMALL side by contract (every ANN entry
+    // point here broadcasts it); the cap turns an accidentally-broad
+    // filter into a loud error instead of a driver OOM — batch the
+    // queries to go wider.
+    val maxQ = 10000
+    val queries = e.where(queryFilter).as[(Long, Array[Double])]
+      .limit(maxQ + 1).collect()
+    require(queries.length <= maxQ,
+      s"pqTopK query set exceeds $maxQ vectors — the per-query ADC " +
+        "tables are driver/broadcast state; run the queries in batches")
     val tables: Array[(Long, Array[Array[Double]])] = queries.map {
       case (qid, qv) =>
         val t = Array.tabulate(books.length) { s =>

@@ -258,6 +258,15 @@ final class AzofV2Table(
     * WHERE (truncate) and predicates outside the translatable filter
     * algebra report non-deletable and Spark raises its standard
     * cannot-delete error.
+    *
+    * Deliberate asymmetry on 0-row deletes: a key-set delete is
+    * metadata-only — it does NOT scan to verify existence, so deleting
+    * an absent key still commits its (harmless) tombstone, exactly the
+    * Kafka-tombstone publish semantics; the shapes the engine can
+    * prove empty without any work (a contradictory key conjunction, a
+    * value predicate matching no current winner) commit NO version.
+    * Verifying key existence cheaply would need the scan the fast path
+    * exists to avoid.
     */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =

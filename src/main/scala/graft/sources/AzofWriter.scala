@@ -765,7 +765,10 @@ object AzofWriter {
     // tree, closed children included) at-or-before `before`, minus
     // keys alive in Current (a resurrected key's tombstones stay)
     val maxKeys = spark.conf.getOption("spark.azof.purgeMaxKeys")
-      .map(_.toInt).getOrElse(1000000)
+      .map(s => s.trim.toIntOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"spark.azof.purgeMaxKeys must be a positive integer, got '$s'")))
+      .getOrElse(1000000)
     val readSchema =
       snap.schema.toStruct.add(TableSchema.DeletedName, "boolean")
     val tombRows = spark.read.schema(readSchema)

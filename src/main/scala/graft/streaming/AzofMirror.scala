@@ -95,14 +95,21 @@ object AzofMirror {
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxVersionsPerBatch: Option[Long] = None): StreamingQuery = {
-    val ckDir = new java.io.File(checkpoint)
-    ckDir.mkdirs()
-    val sidecar = new java.io.File(ckDir, "_azof_seed_version")
+    // the sidecar rides IN the checkpoint, through the Hadoop FS like
+    // the checkpoint itself — a java.io.File here would write a bogus
+    // local path for hdfs://s3a:// checkpoint URIs and a restart from
+    // another node would see a non-empty mirror with no seed marker
+    val ckPath = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = ckPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(ckPath)) { fs.mkdirs(ckPath); () }
+    val sidecar = new org.apache.hadoop.fs.Path(ckPath, "_azof_seed_version")
     val seedV: Long =
-      if (sidecar.isFile)
-        new String(java.nio.file.Files.readAllBytes(sidecar.toPath),
+      if (fs.exists(sidecar)) {
+        val in = fs.open(sidecar)
+        try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      else {
+        finally in.close()
+      } else {
         val dst = graft.format.AzofTable(spark, dstLake, dstTable)
         require(dst.currentVersion.toLong == 1L,
           s"mirror $dstTable already has commits but checkpoint " +
@@ -116,8 +123,10 @@ object AzofMirror {
         val cur = graft.operators.AzofScan.scan(spark, srcLake, srcTable)
         if (!cur.isEmpty)
           graft.sources.AzofWriter.commitBase(spark, dstLake, dstTable, cur)
-        java.nio.file.Files.write(sidecar.toPath,
+        val out = fs.create(sidecar, false)
+        try out.write(
           v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
         v
       }
     replicate(spark, srcLake, srcTable, dstLake, dstTable, checkpoint,
