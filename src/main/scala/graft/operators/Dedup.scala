@@ -200,41 +200,55 @@ object Dedup {
     * over-delete when clusters overlap). Every vertex maps to the
     * smallest doc id reachable from it: `(doc_id, component_id)`.
     *
-    * Spark-first shape: iterative min-label propagation. Each round is
-    * one shuffle join (current labels into the edge list) + one
-    * min-aggregate, and the loop runs until a round changes nothing —
-    * at most the graph diameter rounds, and near-dup clusters are
-    * shallow in practice. The per-round driver action is an aggregate
-    * count, never a collect of vertices; lineage is cut with an eager
-    * `localCheckpoint` per round so the plan stays O(1) across rounds
-    * instead of nesting. For graphs with adversarially long chains,
-    * swap in large-star/small-star contraction (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") — the same join
-    * primitives in O(log n) rounds; the label-propagation loop is the
-    * right default for the shallow clusters LSH emits.
+    * Spark-first shape, two-phase:
+    *
+    *  1. '''min-label propagation''' for up to `propagationRounds`
+    *     rounds — one shuffle join (current labels into the edge list)
+    *     + one min-aggregate per round, converging in diameter rounds.
+    *     The per-round driver action is a single (count, sum) aggregate
+    *     over the new labels: labels only ever DECREASE (min of a set
+    *     containing the old label), so an unchanged label sum over the
+    *     fixed vertex set ⟺ a fixpoint — no join-against-previous
+    *     convergence pass. This phase is the right shape for the
+    *     shallow clusters LSH emits (diameter ≤ a handful).
+    *  2. if propagation has not converged, the residual graph is
+    *     CONTRACTED by current labels (|labels| ≤ |vertices| and
+    *     shrinking) and handed to
+    *     [[connectedComponentsContraction]] — large-star/small-star in
+    *     O(log n) rounds finishes any adversarially deep chain instead
+    *     of burning diameter rounds (or, as before round 8, throwing).
+    *     Propagation labels are ids within their own component and the
+    *     component's min id always keeps itself as label, so the
+    *     contracted graph's min-rooted stars compose exactly:
+    *     final(v) = root(label(v)).
+    *
+    * Per-round storage is bounded to two label copies (the
+    * GraphX-Pregel pattern) and lineage is cut with eager
+    * `localCheckpoint`s, so the plan never nests with round count.
     */
   def connectedComponents(
       pairs: DataFrame, a: String, b: String,
-      maxIter: Int = 64): DataFrame = {
+      maxIter: Int = 64, propagationRounds: Int = 4): DataFrame = {
     val e0 = pairs.select(
       col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
     val edges = e0.unionAll(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    // Per-round storage is BOUNDED: each round persists its label table,
-    // materializes it through the convergence count, then unpersists the
-    // previous round's (the GraphX-Pregel pattern) — so at most two
-    // copies live at once. Lineage is cut with an eager localCheckpoint
-    // every few rounds (its blocks free via the context cleaner once
-    // unreferenced); between cuts the plan nests at most
-    // checkpointInterval joins.
     val checkpointInterval = 4
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component_id"))
       .localCheckpoint(true)
-    var converged = false
+    // (vertex count, label sum) — sum as decimal so arbitrary long ids
+    // cannot overflow the convergence accumulator
+    def labelSum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("component_id").cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var (nVerts, prevSum) = labelSum(labels)
+    var converged = nVerts == 0L
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < propagationRounds) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component_id"))
@@ -244,20 +258,122 @@ object Dedup {
         if (i % checkpointInterval == checkpointInterval - 1)
           agg.localCheckpoint(true)
         else agg.persist()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .where(col("n.component_id") =!= col("o.component_id"))
-        .count() // materializes `next`; `labels` is no longer needed
+      val (_, nextSum) = labelSum(next) // materializes `next`
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
-    edges.unpersist()
+    if (converged) {
+      edges.unpersist()
+      labels.select(col("id").as("doc_id"), col("component_id"))
+    } else {
+      // degrade: contract the graph by the partially-propagated labels
+      // (every vertex within `propagationRounds` hops of its component
+      // min already collapsed) and finish in O(log n) contraction
+      // rounds. Checkpoint the contracted edge list eagerly so the big
+      // edge cache can be dropped before the contraction loop runs.
+      val byLabel = edges
+        .join(labels.withColumnRenamed("id", "src")
+          .withColumnRenamed("component_id", "_ls"), Seq("src"))
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component_id", "_ld"), Seq("dst"))
+        .where(col("_ls") =!= col("_ld"))
+        .select(col("_ls"), col("_ld"))
+        .distinct()
+        .localCheckpoint(true)
+      edges.unpersist()
+      val roots = connectedComponentsContraction(
+        byLabel, "_ls", "_ld", maxIter)
+      val out = labels
+        .join(roots.select(col("doc_id").as("component_id"),
+          col("component_id").as("_root")), Seq("component_id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("_root"), col("component_id")).as("component_id"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      out
+    }
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SOCC 2014) — O(log n) rounds regardless of graph
+    * diameter, the scale path a 100-TB corpus with one viral
+    * boilerplate chain needs. Output: `(doc_id, component_id)` with
+    * `component_id` = the smallest id in the component, identical to
+    * [[connectedComponents]].
+    *
+    * Each round is two edge-set rewrites over the same join/min-agg
+    * primitives as label propagation:
+    *
+    *  - '''large-star''': per vertex u, connect every strictly-larger
+    *    neighbor to `m = min(Γ(u) ∪ u)` — one groupBy-min over the
+    *    symmetrized edges + one join back;
+    *  - '''small-star''': orient edges larger→smaller; per vertex u,
+    *    connect every smaller neighbor AND u itself to `m = min(Γ⁻(u))`
+    *    — same shape.
+    *
+    * Both preserve connectivity and keep edges oriented larger→smaller,
+    * so the fixpoint is a star forest whose centers are component
+    * minima. Convergence is detected STRUCTURALLY (deterministic, no
+    * hash-of-edge-set comparison): the edge set is a star forest iff no
+    * edge's target is another edge's source (no chains) and every
+    * source carries exactly one target (no leaf in two stars) — both
+    * operators are no-ops exactly there. Per-round storage is one
+    * checkpointed edge set; the driver never collects vertices.
+    */
+  def connectedComponentsContraction(
+      pairs: DataFrame, a: String, b: String,
+      maxIter: Int = 64): DataFrame = {
+    val e0 = pairs.select(
+      col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+    var edges = e0
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    def isStarForest(e: DataFrame): Boolean =
+      e.alias("x").join(e.alias("y"),
+          col("x.dst") === col("y.src"), "left_semi").isEmpty &&
+        e.groupBy("src").agg(count(lit(1)).as("n"))
+          .where(col("n") > 1).isEmpty
+    var converged = isStarForest(edges)
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: m = min over the full neighborhood (incl. self)
+      val sym = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val minsL = sym.groupBy("src")
+        .agg(min(col("dst")).as("_mn"))
+        .select(col("src"), least(col("_mn"), col("src")).as("_m"))
+      val large = sym.join(minsL, Seq("src"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .distinct()
+      // small-star on the larger→smaller orientation (`large` already
+      // emits (v, m) with v > m): every smaller neighbor and u itself
+      // re-point at u's min neighbor
+      val minsS = large.groupBy("src").agg(min(col("dst")).as("_m"))
+      val small = large.join(minsS, Seq("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .unionAll(minsS.select(col("src"), col("_m").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+      edges.unpersist()
+      edges = small
+      converged = isStarForest(edges)
+      i += 1
+    }
     require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "pathological chain graph; use star-contraction for this input")
-    labels.select(col("id").as("doc_id"), col("component_id"))
+      s"star contraction did not converge in $maxIter rounds — " +
+        "this exceeds the O(log n) bound on any real input; " +
+        "raise maxIter only after checking the input for corruption")
+    edges.select(col("src").as("doc_id"), col("dst").as("component_id"))
+      .unionAll(edges.select(col("dst"), col("dst")).distinct())
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs, computed
