@@ -735,12 +735,21 @@ object AzofWriter {
     * Concurrency: the metadata swap goes through the optimistic
     * [[commitMeta]] retry, and the name-keyed rewrite re-applies
     * cleanly against a RACING writer's snapshot (its new files pass
-    * through untouched; PurgeSpec races a concurrent delta). One
-    * documented race needs a second pass: a compaction committing
-    * DURING the purge can copy a purged key's rows into its new
-    * base/carry files (built from the pre-purge state), which the
-    * purge's file mapping doesn't know — re-run `purgeDeleted` (it is
-    * idempotent) after a concurrent compaction to finish the erase.
+    * through untouched; PurgeSpec races a concurrent delta). A
+    * compaction committing DURING the purge can copy a purged key's
+    * rows into its new base/carry files (built from the pre-purge
+    * state), which the purge pass's file mapping doesn't know —
+    * `purgeDeleted` therefore runs to FIXPOINT: after its commit lands
+    * it scans the log for `op = "compact"` snapshots inside the
+    * (read version, committed version] window and re-runs the
+    * (idempotent) pass until a pass's window is compaction-free. The
+    * carried tombstone rows keep their marker through compaction's
+    * carry-forward, so the follow-up pass reaches every copied byte;
+    * a compaction still in flight when the purge commits loses its
+    * snapshot slot and fails loudly (compact does not retry), so it
+    * can never land stale state OUTSIDE a pass's detection window. No
+    * operator-driven second pass exists anymore (PurgeSpec pins the
+    * injected-race case end to end).
     *
     * Scale shape: candidate keys come from ONE scan of the
     * tombstone-flagged files; the alive set from the production
@@ -755,11 +764,71 @@ object AzofWriter {
       lakehousePath: String,
       name: String,
       before: Instant): PurgeReport = {
+    val maxPasses = 10
+    val keys = scala.collection.mutable.Set.empty[String]
+    var rewritten = Map.empty[String, String]
+    var dropped = Seq.empty[String]
+    var pass = 0
+    var clean = false
+    while (!clean) {
+      pass += 1
+      require(pass <= maxPasses,
+        s"purgeDeleted did not reach a compaction-free fixpoint in " +
+          s"$maxPasses passes — a compactor is committing continuously " +
+          "against this table; pause it and re-run the purge")
+      val (passKeys, rep, window) = purgePass(spark, lakehousePath, name, before)
+      keys ++= passKeys
+      rewritten ++= rep.rewrittenFiles
+      dropped ++= rep.droppedFiles
+      clean = window match {
+        case None => true // nothing committed — nothing could have raced
+        case Some((readV, committedV)) =>
+          !compactCommittedBetween(spark, lakehousePath, name,
+            readV, committedV)
+      }
+    }
+    PurgeReport(keys.size.toLong, rewritten, dropped)
+  }
+
+  /** True iff any snapshot in `(readV, committedV)` (exclusive both
+    * ends — `committedV` is the purge's own commit) carries
+    * `op = "compact"`. Malformed documents in the window are crash
+    * debris (never committed) and cannot be a compaction.
+    */
+  private def compactCommittedBetween(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      readV: Long,
+      committedV: Long): Boolean = {
     val table = AzofTable(spark, lakehousePath, name)
-    val snap = table.currentSnapshot
+    ((readV + 1) until committedV).exists { v =>
+      table.classifySnapshot(v.toString) match {
+        case SnapshotCodec.DocClass.Valid(s) => s.op.contains("compact")
+        case _                               => false
+      }
+    }
+  }
+
+  /** One purge pass (see [[purgeDeleted]]): returns its key set and
+    * report plus, when a snapshot was committed, the
+    * `(read version, committed version)` race-detection window. Key
+    * sets can overlap across passes in the raced case (a key's carried
+    * bytes purge again), so the driver unions them for the final count.
+    */
+  private def purgePass(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      before: Instant): (Set[String], PurgeReport, Option[(Long, Long)]) = {
+    val table = AzofTable(spark, lakehousePath, name)
+    // pin version + snapshot together: the window below must start at
+    // the version the candidate files actually came from
+    val readVersion = table.currentVersion.toLong
+    val snap = table.snapshot(readVersion.toString)
     val dir = table.tableDir.toString
     if (snap.tombstoneFiles.isEmpty)
-      return PurgeReport(0L, Map.empty, Seq.empty)
+      return (Set.empty, PurgeReport(0L, Map.empty, Seq.empty), None)
 
     // 1. the purge key set: newest tombstone row (across the WHOLE
     // tree, closed children included) at-or-before `before`, minus
@@ -789,7 +858,8 @@ object AzofWriter {
     require(purgeKeys.size <= maxKeys,
       s"purge key set exceeds spark.azof.purgeMaxKeys=$maxKeys — " +
         "purge in key-range batches (commitDelete + purgeDeleted per range)")
-    if (purgeKeys.isEmpty) return PurgeReport(0L, Map.empty, Seq.empty)
+    if (purgeKeys.isEmpty)
+      return (Set.empty, PurgeReport(0L, Map.empty, Seq.empty), None)
 
     // 2. candidate files: stats that may contain any purge key, or no
     // stats (conservative)
@@ -849,13 +919,15 @@ object AzofWriter {
         }),
         segments = s.segments.map(rewrite))
     }
-    commitMeta(spark, dir) { cur =>
+    val committedV = commitMeta(spark, dir) { cur =>
       cur.copy(segments = cur.segments.map(rewrite), op = Some("purge"))
     }
-    PurgeReport(
-      purgeKeys.size.toLong,
-      mapping.collect { case (o, Some((n, _))) => o -> n },
-      mapping.collect { case (o, None) => o }.toSeq.sorted)
+    (purgeKeys,
+      PurgeReport(
+        purgeKeys.size.toLong,
+        mapping.collect { case (o, Some((n, _))) => o -> n },
+        mapping.collect { case (o, None) => o }.toSeq.sorted),
+      Some((readVersion, committedV)))
   }
 
   /** Hierarchical re-segmentation: how many consecutive same-generation
@@ -979,11 +1051,16 @@ object AzofWriter {
     *     past both) and absent entirely on single-writer deployments.
     *     A compare-and-swap pointer store would close it exactly.
     */
+  /** Optimistic-retry snapshot commit; returns the VERSION the update
+    * landed at (callers that need to reason about what happened
+    * concurrently — e.g. [[purgeDeleted]]'s compaction-race fixpoint —
+    * scan the log between their read version and this one).
+    */
   private def commitMeta(
       spark: SparkSession,
       dir: String,
       maxRetries: Int = 5)(
-      update: Snapshot => Snapshot): Unit = {
+      update: Snapshot => Snapshot): Long = {
     val tableDir = new Path(dir)
     val f = fs(spark, tableDir)
     // retry budget scales with writer concurrency: every lost race costs
@@ -997,6 +1074,7 @@ object AzofWriter {
       .getOrElse(maxRetries)
     var attempt = 0
     var committed = false
+    var committedAt = 0L
     while (!committed) {
       val t = new AzofTable(tableDir, spark.sessionState.newHadoopConf())
       // read the pointer ONCE per attempt: currentVersion is a remote
@@ -1053,7 +1131,9 @@ object AzofWriter {
         if (scala.util.Try(fresh.currentVersion.toLong).getOrElse(0L) < nextId)
           writeVersion(spark, dir, nextId.toString)
         committed = true
+        committedAt = nextId
       }
     }
+    committedAt
   }
 }

@@ -202,6 +202,48 @@ class PurgeSpec extends AnyFunSuite {
       "3" -> "c1", "4" -> "d1"))
   }
 
+  test("purge reaches fixpoint through an injected concurrent compaction") {
+    // deterministic injection of the one documented race: a compaction
+    // committing BETWEEN the purge's read snapshot and its commit
+    // copies purged keys into new base/carry files the purge's mapping
+    // does not cover. The hook guard runs a compaction at Jan 15 right
+    // before the purge snapshot publishes — key 2's tombstone (Feb 1)
+    // is AFTER the compaction point, so the merged base carries 2's
+    // data and the carry-forward delta carries its tombstone: exactly
+    // the bytes a single pass would leave behind. purgeDeleted must
+    // detect the compaction in its window and erase them with no
+    // operator second pass.
+    val lake = build()
+    PurgeRaceHook.arm(lake, "t", ts("2024-01-15T00:00:00Z"))
+    val prev = spark.conf.getOption("spark.azof.commitGuard.file")
+    spark.conf.set("spark.azof.commitGuard.file",
+      classOf[CompactInjectingGuard].getName)
+    try {
+      val r = AzofWriter.purgeDeleted(spark, lake, "t",
+        ts("2024-02-15T00:00:00Z"))
+      assert(PurgeRaceHook.fired, "the race hook never fired — test is vacuous")
+      assert(r.purgedKeys == 1L) // key 2, counted once across passes
+      // the compaction-carried copies are gone too — the single-pass
+      // failure mode this fixpoint exists for
+      assert(!keysInReferencedFiles(lake).contains("2"),
+        "compaction-carried bytes of key 2 survived the purge fixpoint")
+      // both the compaction and the purge history landed
+      val t = AzofTable(spark, lake, "t")
+      assert(t.currentSnapshot.op.contains("purge"))
+      // live keys unaffected at every probe; purged key absent from all
+      // history (same pins as the unraced case)
+      assert(current(lake) == Seq("1" -> "a3", "3" -> "c1", "4" -> "d1"))
+      assert(asOf(lake, "2024-01-15T00:00:00Z") == Seq("1" -> "a2",
+        "3" -> "c1", "4" -> "d1", "5" -> "e1"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.azof.commitGuard.file", v)
+        case None    => spark.conf.unset("spark.azof.commitGuard.file")
+      }
+      PurgeRaceHook.disarm()
+    }
+  }
+
   // ---- randomized property: purge ≡ model-minus-purged at every probe
 
   private val t0 = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
@@ -293,5 +335,44 @@ class PurgeSpec extends AnyFunSuite {
         assert(leaked.isEmpty, s"seed $seed: purged keys $leaked still on file")
       }
     }
+  }
+}
+
+/** Arming state for [[CompactInjectingGuard]] (static because the guard
+  * is instantiated reflectively by scheme config).
+  */
+object PurgeRaceHook {
+  @volatile var lake: String = _
+  @volatile var table: String = _
+  @volatile var compactAt: Instant = _
+  @volatile var fired = false
+  def arm(l: String, t: String, at: Instant): Unit = {
+    lake = l; table = t; compactAt = at; fired = false
+  }
+  def disarm(): Unit = { lake = null; fired = false }
+}
+
+/** Test guard: on the FIRST snapshot publish to the armed table after
+  * arming (the purge's commit — the test sequences no other commit),
+  * runs a compaction against the same table and only then lets the
+  * publish proceed — deterministically recreating "compaction committed
+  * between the purge's read snapshot and its commit". The inner
+  * compaction's own publishes pass straight through (fired flag).
+  */
+class CompactInjectingGuard extends CommitGuard {
+  override def publish(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path): Boolean = {
+    val armed = Option(PurgeRaceHook.lake).exists(l =>
+      target.toString.contains(
+        new org.apache.hadoop.fs.Path(l, PurgeRaceHook.table).toString))
+    if (armed && !PurgeRaceHook.fired) {
+      PurgeRaceHook.fired = true
+      AzofWriter.compact(
+        org.apache.spark.sql.SparkSession.active,
+        PurgeRaceHook.lake, PurgeRaceHook.table, PurgeRaceHook.compactAt)
+    }
+    CommitGuard.Rename.publish(fs, tmp, target)
   }
 }
