@@ -15,9 +15,17 @@ import org.apache.spark.sql.SparkSession
   * deployment registers a guard backed by its store's conditional
   * primitive — S3 `If-None-Match` PUT, a DynamoDB-style LogStore, GCS
   * `ifGenerationMatch: 0` — under
-  * `spark.azof.commitGuard.<scheme> = <fully.qualified.ClassName>`
-  * (zero-arg constructor, one instance cached per (classloader, class));
+  * `spark.azof.commitGuard.<scheme> = <fully.qualified.ClassName>`;
   * every azof commit on paths of that scheme then publishes through it.
+  *
+  * IMPLEMENTATION CONTRACT: guards must have a zero-arg constructor and
+  * be STATELESS and cheap to construct. Instances are cached per
+  * (classloader, class) only as a weak best-effort — any GC may evict
+  * one, and the next commit re-instantiates it — so a guard must not
+  * carry state it cannot afford to lose (an open connection pool, a
+  * rate limiter's counters, accumulated metrics). Keep per-deployment
+  * resources in statics or an external registry the constructor merely
+  * looks up.
   * [[ConditionalPutGuard]] is the shipped conditional-put
   * implementation; [[SimStoreFileSystem]] the simulated store to run it
   * against.

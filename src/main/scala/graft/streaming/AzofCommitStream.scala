@@ -167,7 +167,23 @@ class AzofCommitSource(
 
   private val t = AzofTable(spark, lakehousePath, table)
 
+  /** Schema pin: version and BASE schema (without the feed's meta
+    * columns) captured together at source creation. A source commit
+    * that changes the table schema mid-stream fails [[getBatch]]
+    * LOUDLY (see there) instead of letting the range's files read
+    * under a stale struct and silently drop the new column.
+    */
+  private val pinnedVersion: Long = t.currentVersion.toLong
+  private val pinnedStruct: StructType =
+    t.snapshot(pinnedVersion.toString).schema.toStruct
+
   @volatile private var availableNowCap: Option[Long] = None
+
+  /** Planning cycles a behind-the-checkpoint pointer read is tolerated
+    * before the stale-checkpoint error (see [[latestOffset]]).
+    */
+  private val StaleGrace = 2
+  @volatile private var staleStrikes = 0
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(t.currentVersion.toLong)
@@ -190,18 +206,32 @@ class AzofCommitSource(
       .getOrElse(startVersion), startVersion)
     // a committed offset AHEAD of the table is never a caught-up
     // consumer — it is a stale checkpoint from a deleted-and-recreated
-    // table; waiting silently would skip every version up to the stale
-    // offset once the table catches up (followOnce's contract, applied
-    // here). One immediate re-read (no sleep — this runs on the
-    // micro-batch planning thread) guards against a transiently-torn
-    // pointer spuriously killing the query: the pointer write is
-    // staged-rename, so a second read observes either the old or the
-    // new value, never a torn one, making sleep-and-poll unnecessary.
-    if (base > cur0 && base > t.currentVersion.toLong)
+    // table; waiting silently forever would skip every version up to
+    // the stale offset once the table catches up (followOnce's
+    // contract, applied here). But commitMeta's pointer is allowed a
+    // bounded TRANSIENT regression (a slow winner's version.txt write
+    // landing after a faster retrier already moved it forward), during
+    // which an immediate re-read can legitimately observe the regressed
+    // value twice — so under a CONTINUOUS trigger the first few
+    // observations plan a NO-PROGRESS batch (return null; the next
+    // cycle re-reads a healed pointer) and only a PERSISTENT regression
+    // kills the query. An AvailableNow run gets NO grace: it is
+    // one-shot, so "no progress" would be a silent successful
+    // completion — for a genuinely stale checkpoint exactly the silent
+    // skip this guard exists to prevent; the operator retries a
+    // spuriously-failed sync, but nobody retries a sync that "worked".
+    // No sleep ever runs on this micro-batch planning thread.
+    if (base > cur0 && base > t.currentVersion.toLong) {
+      val oneShot = availableNowCap.isDefined
+      staleStrikes += 1
+      if (!oneShot && staleStrikes <= StaleGrace) return null
       throw new IllegalStateException(
         s"checkpoint offset $base is ahead of $table's current " +
-          s"version $cur0: stale checkpoint (table recreated?) — " +
-          "start a fresh checkpoint with an in-range startVersion")
+          s"version $cur0 (observed $staleStrikes time(s)): stale " +
+          "checkpoint (table recreated?) — start a fresh checkpoint " +
+          "with an in-range startVersion")
+    }
+    staleStrikes = 0
     val cur = availableNowCap.fold(cur0)(math.min(cur0, _))
     val capped =
       if (cur - base > maxVersionsPerBatch) base + maxVersionsPerBatch
@@ -212,8 +242,9 @@ class AzofCommitSource(
   override def reportLatestOffset(): ConnOffset =
     LongOffset(t.currentVersion.toLong)
 
-  override val schema: StructType =
-    AzofCommitStreamProvider.feedSchema(spark, lakehousePath, table)
+  override val schema: StructType = pinnedStruct
+    .add("_commit_version", "long")
+    .add("_deleted", "boolean", nullable = false)
 
   /** Latest available offset = the table's current snapshot version
     * (None until it moves past the stream's base — nothing to deliver).
@@ -226,6 +257,32 @@ class AzofCommitSource(
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(asVersion).getOrElse(startVersion)
     val to = asVersion(end)
+    // schema-evolution guard: the stream's schema is pinned at start,
+    // so a range ending past a schema-changing commit must fail LOUDLY
+    // (silently reading the range's files under the pinned struct
+    // would drop the added column from every downstream consumer).
+    // The restart runbook is complete: on restart the source re-pins
+    // the CURRENT schema and the checkpoint resumes at the same
+    // version boundary — pre-evolution files read with nulls in the
+    // later-added (always-nullable) columns, and AzofMirror widens its
+    // target table at start (see AzofMirror.replicate).
+    // an unreadable end snapshot is NOT this guard's case — fall
+    // through to the established loud paths (stale checkpoint in
+    // latestOffset, vacuumed-range retention error below)
+    val endStruct =
+      try t.snapshot(to.toString).schema.toStruct
+      catch { case _: java.io.FileNotFoundException => pinnedStruct }
+    if (endStruct != pinnedStruct)
+      throw new IllegalStateException(
+        s"$table's schema changed while this stream was running: " +
+          s"pinned ${pinnedStruct.map(_.name).mkString("[", ",", "]")} " +
+          s"at version $pinnedVersion, but version $to has " +
+          s"${endStruct.map(_.name).mkString("[", ",", "]")}. " +
+          "Restart the streaming query: the source re-pins the current " +
+          "schema at start and resumes from the checkpointed version " +
+          "boundary (rows from pre-evolution commits read with nulls " +
+          "in added columns); AzofMirror.replicate additionally widens " +
+          "its target table's schema at start.")
     val feed =
       try AzofChangeFeed.between(spark, lakehousePath, table, from, to)
       catch {

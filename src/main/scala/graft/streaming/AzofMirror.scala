@@ -38,6 +38,15 @@ object AzofMirror {
       trigger: Trigger = Trigger.AvailableNow(),
       maxVersionsPerBatch: Option[Long] = None,
       startVersion: Option[Long] = None): StreamingQuery = {
+    // Source schema evolution, pinned behavior (round-8 contract):
+    // mid-stream evolution fails the query LOUDLY inside the
+    // azof-commits source (schema is pinned at stream start — see
+    // AzofCommitSource.getBatch), and a RESTART heals it: here, at
+    // start, the mirror widens its target with every source column the
+    // target lacks (added columns are nullable by the addColumn
+    // contract), so the re-pinned feed's new columns land in the
+    // mirror instead of silently vanishing one layer down.
+    reconcileSchema(spark, srcLake, srcTable, dstLake, dstTable)
     val appId = AzofSink.appIdFor(checkpoint)
     val reader = spark.readStream.format("azof-commits")
       .option("table", srcTable)
@@ -62,6 +71,28 @@ object AzofMirror {
       }
       .trigger(trigger)
       .start()
+  }
+
+  /** Start-time schema reconciliation: commit an `add-column` on the
+    * target for every source column it lacks. Column ORDER may differ
+    * between source and mirror after evolution (each table appends in
+    * its own history); scans select by name, so order is cosmetic. A
+    * source column the target lacks that is NOT nullable fails loudly
+    * in [[graft.sources.AzofWriter.addColumn]] — that is a
+    * differently-created target, not an evolved source, and silent
+    * data invention would be worse than the error.
+    */
+  private def reconcileSchema(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      dstLake: String, dstTable: String): Unit = {
+    val srcCols = graft.format.AzofTable(spark, srcLake, srcTable)
+      .currentSnapshot.schema.columns
+    val dstCols = graft.format.AzofTable(spark, dstLake, dstTable)
+      .currentSnapshot.schema.columns.map(_.name).toSet
+    srcCols.filterNot(c => dstCols.contains(c.name)).foreach { c =>
+      graft.sources.AzofWriter.addColumn(spark, dstLake, dstTable, c)
+    }
   }
 
   /** Fresh-mirror runbook for a source whose EARLY HISTORY was
@@ -95,6 +126,10 @@ object AzofMirror {
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxVersionsPerBatch: Option[Long] = None): StreamingQuery = {
+    // widen the target BEFORE the seed commit, not only in replicate():
+    // a fresh mirror created against a pre-evolution schema would
+    // otherwise seed rows whose new column the target schema hides
+    reconcileSchema(spark, srcLake, srcTable, dstLake, dstTable)
     // the sidecar rides IN the checkpoint, through the Hadoop FS like
     // the checkpoint itself — a java.io.File here would write a bogus
     // local path for hdfs://s3a:// checkpoint URIs and a restart from

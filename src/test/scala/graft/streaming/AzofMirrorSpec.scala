@@ -374,4 +374,86 @@ class AzofMirrorSpec extends AnyFunSuite {
     // the commit, so the mirror's scans read the plain schema
     assert(AzofTable(spark, dst, "m").currentSnapshot.tombstoneFiles.isEmpty)
   }
+
+  test("source schema evolution: mid-stream fails loudly; restart widens the mirror") {
+    val src = Files.createTempDirectory("azof-mirror-evo-src").toString
+    val dst = Files.createTempDirectory("azof-mirror-evo-dst").toString
+    val ck = Files.createTempDirectory("azof-mirror-evo-ck").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, src, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+
+    // live follower catches up on the pre-evolution schema
+    val q = AzofMirror.replicate(spark, src, "t", dst, "m", ck,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (scanSorted(dst, "m").isEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(scanSorted(dst, "m") == Seq("1" -> "a1", "2" -> "b1"))
+
+      // evolve the source mid-stream and commit data with the column
+      val evolved = TableSchema(Seq(
+        ColumnDef("value", ColumnType.AzString, nullable = false),
+        ColumnDef("note", ColumnType.AzString, nullable = true)))
+      AzofWriter.addColumn(spark, src, "t",
+        ColumnDef("note", ColumnType.AzString, nullable = true))     // v3
+      AzofWriter.commitDelta(spark, src, "t",
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row("3",
+            Timestamp.from(ts("2024-02-05T00:00:00Z")), "c1", "n1"))),
+          evolved.toStruct),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))      // v4
+
+      // PINNED BEHAVIOR 1: the running stream must die LOUDLY, naming
+      // both schema versions and the restart runbook — never silently
+      // drop the added column
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000); ()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      val msg = causes(ex).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString("\n")
+      assert(msg.contains("schema changed while this stream was running"))
+      // the failing range ends at whichever evolved version the planner
+      // saw first (v3 add-column or v4 data) — both name the pin
+      assert(msg.contains("at version 2"))
+      assert(msg.contains("[key,event_time,value,note]"))
+      assert(msg.contains("Restart"))
+    } finally scala.util.Try(q.stop())
+
+    // PINNED BEHAVIOR 2: a restart on the SAME checkpoint re-pins the
+    // widened schema, widens the mirror table, and resumes at the
+    // checkpointed boundary — no rows lost, no column dropped
+    val q2 = AzofMirror.replicate(spark, src, "t", dst, "m", ck)
+    q2.awaitTermination(120000)
+    assert(AzofTable(spark, dst, "m").currentSnapshot.schema.columns
+      .map(_.name) == Seq("value", "note"))
+    val got = AzofScan.scan(spark, dst, "m")
+      .select("key", "value", "note").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("1", "a1", None), ("2", "b1", None),
+      ("3", "c1", Some("n1"))),
+      "pre-evolution rows read with null note; the new row carries it")
+    // and the mirror keeps following on the new schema
+    AzofWriter.commitDelta(spark, src, "t",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("1",
+          Timestamp.from(ts("2024-03-05T00:00:00Z")), "a2", "n2"))),
+        AzofTable(spark, src, "t").currentSnapshot.schema.toStruct),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v5
+    val q3 = AzofMirror.replicate(spark, src, "t", dst, "m", ck)
+    q3.awaitTermination(120000)
+    val cur = AzofScan.scan(spark, dst, "m")
+      .select("key", "value", "note").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(cur == Seq(("1", "a2", Some("n2")), ("2", "b1", None),
+      ("3", "c1", Some("n1"))))
+  }
 }
