@@ -375,28 +375,91 @@ object Similarity {
     * |queries| · rerank exact distances (one broadcast semi-join to
     * fetch the shortlist's raw vectors; the table is never re-scanned
     * per query).
+    *
+    * Input-scan discipline: the projected input is persisted for the
+    * call's driver-side actions (seed sample, Lloyd passes, query
+    * collects) and the codes are eagerly checkpointed, so one call
+    * scans the raw input ONCE for those stages no matter how many
+    * query batches run; only the lazy refine join in the returned plan
+    * re-reads it (once, at action time).
+    *
+    * Query sets LARGER than the per-batch broadcast budget (10k) run
+    * automatically in id-range batches — each batch broadcasts its own
+    * ADC tables and scans the checkpointed codes once, and the batch
+    * results union (query sets are disjoint, so per-query top-k is
+    * unaffected). The TOTAL query-id collect is capped at 1M ids
+    * (driver memory), loudly.
+    */
+  /** @param batchSize per-batch query cap (default [[PqQueryBatch]]);
+    *                    smaller values trade broadcast size for more
+    *                    passes over the (checkpointed) codes
     */
   def pqTopK(
       emb: DataFrame, id: String, vec: String,
       numSub: Int, codebookBits: Int,
       queryFilter: Column, k: Int, lloydIters: Int = 2,
-      rerank: Int = 0): DataFrame = {
+      rerank: Int = 0, batchSize: Int = PqQueryBatch): DataFrame = {
+    require(batchSize >= 1 && batchSize <= PqQueryBatch,
+      s"batchSize must be in [1, $PqQueryBatch]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col(id).cast("long").as("_id"),
+      asDouble(col(vec)).as("_v")).persist()
+    try {
+      val model = pqTrain(e, numSub, codebookBits, lloydIters)
+      val codes = pqEncode(e, model).localCheckpoint(true)
+      val eq = e.where(queryFilter)
+      val maxTotalQ = 1000000
+      val qids = eq.select(col("_id")).as[Long]
+        .limit(maxTotalQ + 1).collect().sorted
+      require(qids.length <= maxTotalQ,
+        s"pqTopK query set exceeds $maxTotalQ vectors — even the " +
+          "query-ID collect is driver state at that size; shard the " +
+          "query filter externally")
+      if (qids.isEmpty)
+        Seq.empty[(Long, Long, Long)].toDF("query_id", "neighbor_id", "rnk")
+      else {
+        val batches = qids.grouped(batchSize).map(g => (g.head, g.last))
+        batches.map { case (lo, hi) =>
+          val queries = eq.where(col("_id").between(lo, hi))
+            .as[(Long, Array[Double])].collect()
+          pqSearchBatch(e, codes, model, queries, k, rerank)
+        }.reduce(_ unionAll _)
+      }
+    } finally { e.unpersist(); () }
+  }
+
+  /** Per-batch query cap for [[pqTopK]]: each batch's ADC tables are
+    * `|batch| · numSub · 2^bits` doubles of driver/broadcast state.
+    */
+  val PqQueryBatch: Int = 10000
+
+  /** Trained PQ codebooks: `books(s)(c)` is sub-centroid `c` of
+    * subspace `s` (`subDim` doubles each).
+    */
+  final case class PqModel(
+      numSub: Int, subDim: Int, books: Array[Array[Array[Double]]])
+
+  /** Train PQ codebooks on `e` (`_id`, `_v` double-array): the
+    * md5-deterministic seed sample (same rule as [[ivfTopKFixedK]])
+    * refined by `lloydIters` L2 Lloyd passes; with `lloydIters = 0`
+    * the codebooks ARE the seed sample — fully deterministic and
+    * engine-replayable, the variant a persisted index pins.
+    */
+  def pqTrain(
+      e: DataFrame, numSub: Int, codebookBits: Int,
+      lloydIters: Int): PqModel = {
     require(numSub >= 1, "numSub must be >= 1")
     require(codebookBits >= 1 && codebookBits <= 8,
       "codebookBits must be in [1, 8] (codes are bytes)")
-    val spark = emb.sparkSession
+    val spark = e.sparkSession
     import spark.implicits._
     val ksize = 1 << codebookBits
-    val e = emb.select(col(id).cast("long").as("_id"),
-      asDouble(col(vec)).as("_v"))
     val dimsRow = e.select(size(col("_v"))).limit(1).collect()
-    require(dimsRow.nonEmpty, "pqTopK on an empty table")
+    require(dimsRow.nonEmpty, "pqTrain on an empty table")
     val dims = dimsRow(0).getInt(0)
     require(dims % numSub == 0, s"dims $dims not divisible by numSub $numSub")
     val subDim = dims / numSub
-
-    // 1. codebooks: md5-deterministic seed sample, Lloyd-refined per
-    // subspace (empty sub-clusters keep their previous centroid)
     val seed = e
       .orderBy(md5(concat(lit("pq#"), col("_id"))), col("_id"))
       .limit(ksize)
@@ -405,48 +468,61 @@ object Similarity {
       seed.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)))
     for (_ <- 0 until lloydIters)
       books = pqLloydStep(e, books, subDim)
-    val booksB = spark.sparkContext.broadcast(books)
+    PqModel(numSub, subDim, books)
+  }
 
-    // 2. encode: per-subspace argmin over the broadcast codebooks
-    val codes = e.as[(Long, Array[Double])].mapPartitions { it =>
-      val bs = booksB.value
-      val sd = bs(0)(0).length
-      it.map { case (vid, v) =>
-        val cs = new Array[Byte](bs.length)
-        var s = 0
-        while (s < bs.length) {
-          val book = bs(s)
-          val off = s * sd
-          var best = 0
-          var bestD = Double.PositiveInfinity
-          var c = 0
-          while (c < book.length) {
-            val cv = book(c)
-            var d = 0.0
-            var j = 0
-            while (j < cv.length) { val t = v(off + j) - cv(j); d += t * t; j += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
+  /** Encode `e` (`_id`, `_v`) against the model: per-subspace argmin
+    * over the broadcast codebooks — one narrow kernel, no shuffle.
+    * Output: `(_id, _codes array<byte>)`, ties toward the lower code.
+    */
+  def pqEncode(e: DataFrame, model: PqModel): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val booksB = spark.sparkContext.broadcast(model.books)
+    e.select(col("_id"), col("_v")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val bs = booksB.value
+        val sd = bs(0)(0).length
+        it.map { case (vid, v) =>
+          val cs = new Array[Byte](bs.length)
+          var s = 0
+          while (s < bs.length) {
+            val book = bs(s)
+            val off = s * sd
+            var best = 0
+            var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < book.length) {
+              val cv = book(c)
+              var d = 0.0
+              var j = 0
+              while (j < cv.length) { val t = v(off + j) - cv(j); d += t * t; j += 1 }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            cs(s) = best.toByte
+            s += 1
           }
-          cs(s) = best.toByte
-          s += 1
+          (vid, cs)
         }
-        (vid, cs)
-      }
-    }.toDF("_id", "_codes")
+      }.toDF("_id", "_codes")
+  }
 
-    // 3. ADC: per-query distance tables (tiny), broadcast; one narrow
-    // pass over the codes emits (query, candidate, approx distance).
-    // The query set is the SMALL side by contract (every ANN entry
-    // point here broadcasts it); the cap turns an accidentally-broad
-    // filter into a loud error instead of a driver OOM — batch the
-    // queries to go wider.
-    val maxQ = 10000
-    val queries = e.where(queryFilter).as[(Long, Array[Double])]
-      .limit(maxQ + 1).collect()
-    require(queries.length <= maxQ,
-      s"pqTopK query set exceeds $maxQ vectors — the per-query ADC " +
-        "tables are driver/broadcast state; run the queries in batches")
+  /** ADC search (+ optional exact refine) for ONE query batch over a
+    * precomputed codes frame — the reusable kernel [[pqTopK]] batches
+    * over and a persisted codes index answers s05-shaped queries with
+    * directly (see [[graft.sources.PqIndex]]).
+    */
+  def pqSearchBatch(
+      e: DataFrame, codes: DataFrame, model: PqModel,
+      queries: Array[(Long, Array[Double])], k: Int,
+      rerank: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    require(queries.length <= PqQueryBatch,
+      s"pqSearchBatch got ${queries.length} queries — cap is $PqQueryBatch")
+    val subDim = model.subDim
+    val books = model.books
     val tables: Array[(Long, Array[Array[Double]])] = queries.map {
       case (qid, qv) =>
         val t = Array.tabulate(books.length) { s =>
@@ -464,7 +540,8 @@ object Similarity {
     val shortlistK = math.max(k, rerank)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_ad").asc, col("neighbor_id"))
-    val adcTop = codes.as[(Long, Array[Byte])].mapPartitions { it =>
+    val adcTop = codes.select(col("_id"), col("_codes"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
         val ts = tablesB.value
         it.flatMap { case (vid, cs) =>
           ts.iterator.filter(_._1 != vid).map { case (qid, t) =>

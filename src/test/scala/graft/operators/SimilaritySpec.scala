@@ -189,6 +189,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!full.exists(r => r._2 == r._1))
   }
 
+  test("pqTopK: query batching is invisible — batched ≡ single-batch, with and without refine") {
+    // 10 vectors, ALL of them queries, batchSize 3 → 4 id-range
+    // batches, each broadcasting its own ADC tables over the same
+    // checkpointed codes; the union must equal the one-batch run
+    // row-for-row (query sets are disjoint, top-k is per-query)
+    for (rr <- Seq(0, 5)) {
+      val one = Similarity.pqTopK(emb, "vec_id", "embedding",
+        numSub = 2, codebookBits = 3, lit(true), k = 3, rerank = rr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batched = Similarity.pqTopK(emb, "vec_id", "embedding",
+        numSub = 2, codebookBits = 3, lit(true), k = 3, rerank = rr,
+        batchSize = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batched == one, s"rerank=$rr: batched run diverged")
+      assert(one.map(_._1) == (0L until 10L).toSet)
+    }
+  }
+
   test("pqTopK: an exact duplicate of the query codes identically and ranks first") {
     // a byte-identical vector quantizes to the same codes, so its ADC
     // distance equals the query's own-code distance — the minimum — and
