@@ -32,6 +32,7 @@ object Pipeline {
     "s03_ann_ivf" -> s03,
     "s04_ann_lsh_topk" -> s04,
     "s05_ann_pq_exact" -> s05,
+    "s06_ann_pq_adc" -> s06,
     "t01_text_tokens" -> t01,
     "t02_text_quality" -> t02,
     "t03_text_langid" -> t03,
@@ -224,6 +225,21 @@ object Pipeline {
     Similarity.pqTopK(emb(s, dir), "vec_id", "embedding",
       numSub = 8, codebookBits = 4, col("vec_id") < 3, k = 10,
       rerank = 1000000)
+
+  /** The BARE-ADC ranking under the oracle gate — the part of PQ users
+    * actually run at scale, closing the r7 split where only the refine
+    * composition (s05) was hash-checked: with `lloydIters = 0` the
+    * codebooks ARE the md5-deterministic seed sample and every encode
+    * argmin and ADC sum is a fixed-order float fold, so DuckDB replays
+    * seed → books → encode → per-query tables → ascending-subspace sum
+    * bit-for-bit (the d09 derived-corpus move applied to ANN). Lloyd
+    * REFINEMENT quality stays spec-gated (SimilaritySpec recall) —
+    * cross-engine float reduction order still defies pinning there.
+    */
+  private def s06(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(emb(s, dir), "vec_id", "embedding",
+      numSub = 8, codebookBits = 4, col("vec_id") < 3, k = 10,
+      lloydIters = 0, rerank = 0)
 
   private def t01(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir), col("text"), col("doc_id"))
@@ -642,6 +658,43 @@ object Pipeline {
             FROM embeddings q CROSS JOIN embeddings c
             WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
          WHERE rn <= 10""",
+    // s06: full PQ-ADC replay with seed codebooks (lloydIters = 0) —
+    // seed rank, per-subspace encode argmin (ties to the lower code),
+    // per-query tables, and the ascending-subspace left-fold sum all
+    // match the Spark kernels' float operation order exactly
+    "s06_ann_pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+          seed AS (SELECT c, v FROM (
+              SELECT v, ROW_NUMBER() OVER (
+                  ORDER BY md5('pq#' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+              FROM e) WHERE c < 16),
+          books AS (SELECT s.s, seed.c, seed.v[s.s*8+1 : s.s*8+8] AS cv
+                    FROM seed, (SELECT unnest(range(0, 8)) AS s) s),
+          encd AS (SELECT e.vec_id, b.s, b.c,
+                     list_sum(list_transform(
+                       list_zip(e.v[b.s*8+1 : b.s*8+8], b.cv),
+                       x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+                   FROM e CROSS JOIN books b),
+          enc AS (SELECT vec_id, s, c FROM (
+              SELECT vec_id, s, c, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id, s ORDER BY d ASC, c) AS rn
+              FROM encd) WHERE rn = 1),
+          qt AS (SELECT e.vec_id AS query_id, b.s, b.c,
+                   list_sum(list_transform(
+                     list_zip(e.v[b.s*8+1 : b.s*8+8], b.cv),
+                     x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+                 FROM e CROSS JOIN books b WHERE e.vec_id < 3),
+          ad AS (SELECT t.query_id, n.vec_id AS neighbor_id,
+                   list_sum(list(t.d ORDER BY t.s)) AS adist
+                 FROM enc n JOIN qt t ON t.s = n.s AND t.c = n.c
+                 WHERE n.vec_id <> t.query_id
+                 GROUP BY t.query_id, n.vec_id)
+          SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rnk FROM
+            (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rn
+             FROM ad)
+          WHERE rn <= 10""",
     "s04_ann_lsh_topk" ->
       s"""WITH bk AS (SELECT vec_id, ${(0 until 12).map(p =>
             s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN '1' ELSE '0' END)")
