@@ -27,7 +27,8 @@ object AzofQueries {
     "q36_strict_precedence" -> strictPrecedence,
     "q37_tombstone_delete" -> tombstoneDelete,
     "q38_mirror_delete" -> mirrorDelete,
-    "q39_predicate_delete" -> predicateDelete)
+    "q39_predicate_delete" -> predicateDelete,
+    "s07_pq_codes_index" -> pqCodesIndex)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -339,6 +340,61 @@ object AzofQueries {
       .select("key", "event_time", "event_type")
   }
 
+  /** The PERSISTED PQ-code index under the oracle gate: the embeddings
+    * table lands as an azof source (vectors as exact-double JSON), the
+    * index trains its FROZEN seed codebooks on the INITIAL slice
+    * (vec_id % 5 != 0, lloydIters = 0 — engine-replayable), and then
+    * follows the source's change feed through real churn: the
+    * remaining vectors arrive as a delta, one key deletes and
+    * resurrects with its original vector. The final Current scan of
+    * the CODES TABLE must equal DuckDB's direct replay of
+    * seed → books → encode over the full embeddings table — a broken
+    * incremental refresh (missed delta, stale code after resurrect,
+    * undeleted tombstone) breaks the hash.
+    */
+  private def pqCodesIndex(s: SparkSession, dir: String): DataFrame = {
+    val lake = cachedLake(dir, "pqidx-v1", "emb_codes") { l =>
+      val vecSchema = TableSchema(Seq(
+        ColumnDef("vec", ColumnType.AzString, nullable = false)))
+      val emb = Tables(s, dir, "embeddings")
+      def rows(filter: org.apache.spark.sql.Column, at: String) =
+        emb.where(filter).select(
+          col("vec_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          to_json(transform(col("embedding"), x => x.cast("double")))
+            .as("vec"))
+      AzofWriter.createTable(s, l, "emb_kv", vecSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.commitBase(s, l, "emb_kv",
+        rows(col("vec_id") % 5 =!= 0, "2024-01-02T00:00:00Z"))       // v2
+      graft.sources.PqIndex.create(s, l, "emb_kv", "vec",
+        l, "emb_codes", numSub = 8, codebookBits = 4, lloydIters = 0)
+      val ck = new java.io.File(l, "_idx_ck").toString
+      def refresh(): Unit = {
+        val q = graft.sources.PqIndex.refresh(
+          s, l, "emb_kv", "vec", l, "emb_codes", ck)
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(
+            "index refresh did not terminate within 300s — refusing " +
+              "to cache a half-refreshed index lake")
+      }
+      refresh()
+      AzofWriter.commitDelta(s, l, "emb_kv",
+        rows(col("vec_id") % 5 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))                       // v3
+      AzofWriter.commitDelete(s, l, "emb_kv", Seq("7"),
+        Instant.parse("2024-03-02T00:00:00Z"))                       // v4
+      AzofWriter.commitDelta(s, l, "emb_kv",
+        rows(col("vec_id") === 7, "2024-04-05T00:00:00Z"),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))                       // v5
+      refresh()
+    }
+    AzofScan.scan(s, lake, "emb_codes")
+      .select(col("key").cast("long").as("vec_id"), col("codes"))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q18_azof_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
@@ -439,6 +495,30 @@ object AzofQueries {
                 ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
             FROM events)
          WHERE rn = 1 AND event_type <> 'error'""",
+    // s07: the persisted index's final Current == direct PQ encode of
+    // the FULL embeddings table under the seed codebooks frozen on the
+    // initial slice (vec_id % 5 <> 0) — same replay CTEs as s06, codes
+    // joined to a string (the index's portable storage format)
+    "s07_pq_codes_index" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+          seed AS (SELECT c, v FROM (
+              SELECT v, ROW_NUMBER() OVER (
+                  ORDER BY md5('pq#' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+              FROM e WHERE vec_id % 5 <> 0) WHERE c < 16),
+          books AS (SELECT s.s, seed.c, seed.v[s.s*8+1 : s.s*8+8] AS cv
+                    FROM seed, (SELECT unnest(range(0, 8)) AS s) s),
+          encd AS (SELECT e.vec_id, b.s, b.c,
+                     list_sum(list_transform(
+                       list_zip(e.v[b.s*8+1 : b.s*8+8], b.cv),
+                       x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+                   FROM e CROSS JOIN books b),
+          enc AS (SELECT vec_id, s, c FROM (
+              SELECT vec_id, s, c, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id, s ORDER BY d ASC, c) AS rn
+              FROM encd) WHERE rn = 1)
+          SELECT vec_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY s) AS codes
+          FROM enc GROUP BY vec_id""",
     // one by-key commit holds ALL events, so Current is plain
     // latest-row-per-key restricted to the looked-up keys
     "q34_bykey_lookup" ->
