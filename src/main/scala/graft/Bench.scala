@@ -21,6 +21,28 @@ object Bench {
         try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
       }
     }
+    // Prebuild pass at the TARGET SF: the lake-building queries
+    // (q33/q36-q39/s07 and friends) construct their derived azof lakes
+    // on first touch, cached per (sf, recipe version) — running that
+    // build inside the timed section doesn't distort their own min-of-N
+    // (later runs hit the cache) but its load DOES pollute neighboring
+    // queries' wall times and the contention marker below. Build it all
+    // once, untimed.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    // Settle before timing: the warmup/prebuild burst decays with the
+    // 1-min loadavg time constant, so a bounded wait lets the
+    // contention marker describe the TIMED section instead of the
+    // untimed tail (round-7 artifact read as "load phase doubled" —
+    // that was warmup residue in the marker).
+    val settleDeadline = System.currentTimeMillis() + 90000
+    System.gc()
+    while (loadAvg() > 2.0 && System.currentTimeMillis() < settleDeadline)
+      Thread.sleep(3000)
     // min of three timed runs per query, with a short settle between
     // runs: this box shows multi-second scheduler-noise spikes on ~1s
     // queries, and round 1 proved min-of-2 under sustained contention
@@ -38,9 +60,6 @@ object Bench {
     // from the artifact alone — round 5's inflated driver tail was only
     // spread-inferable. local[N] wants load ≈ 0 at start; a start load
     // of N+ means every wall time below includes scheduler contention.
-    def loadAvg(): Double =
-      java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { i =>

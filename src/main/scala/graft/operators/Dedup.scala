@@ -235,9 +235,20 @@ object Dedup {
         e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     val checkpointInterval = 4
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component_id"))
-      .localCheckpoint(true)
+    // Round 1 needs no join: propagating IDENTITY labels along edges is
+    // the edge list itself, so labels₁ = min(self, min neighbor) in one
+    // aggregate over the symmetrized edges. (With propagationRounds = 0
+    // the caller asked for pure contraction — identity labels then.)
+    var labels = (
+      if (propagationRounds == 0)
+        edges.select(col("src").as("id"), col("src").as("component_id"))
+          .distinct()
+      else
+        edges.select(col("dst").as("id"), col("src").as("component_id"))
+          .unionAll(edges.select(col("src").as("id"),
+            col("src").as("component_id")))
+          .groupBy("id").agg(min("component_id").as("component_id"))
+      ).localCheckpoint(true)
     // (vertex count, label sum) — sum as decimal so arbitrary long ids
     // cannot overflow the convergence accumulator
     def labelSum(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -247,7 +258,7 @@ object Dedup {
     }
     var (nVerts, prevSum) = labelSum(labels)
     var converged = nVerts == 0L
-    var i = 0
+    var i = math.min(1, propagationRounds)
     while (!converged && i < propagationRounds) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
