@@ -53,6 +53,7 @@ object AzofCli {
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
           "commit-partitioned|add-column|compact|delete|purge|changes|vacuum|" +
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
+          "pq-create|pq-refresh|pq-search|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
     }
@@ -291,6 +292,60 @@ object AzofCli {
         println(s"$verb staging debris: ${rep.deletedTmpFiles.mkString(", ")}")
         println(s"$verb snapshots: ${rep.deletedSnapshots.map("s" + _).mkString(", ")}")
         println(s"retained snapshots: ${rep.retainedSnapshots.map("s" + _).mkString(", ")}")
+      case "pq-create" =>
+        // frozen-model PQ index over an azof vector table (vectors as
+        // JSON double arrays in --vec-col):
+        //   pq-create --path L --table SRC --index-table IDX
+        //     [--index-path L2] [--vec-col vec] [--num-sub 8] [--bits 4]
+        //     [--lloyd 0]   (0 = seed codebooks, engine-replayable)
+        val model = graft.sources.PqIndex.create(spark,
+          opts("path"), opts("table"), opts.getOrElse("vec-col", "vec"),
+          opts.getOrElse("index-path", opts("path")), opts("index-table"),
+          numSub = opts.getOrElse("num-sub", "8").toInt,
+          codebookBits = opts.getOrElse("bits", "4").toInt,
+          lloydIters = opts.getOrElse("lloyd", "0").toInt)
+        println(s"created PQ index ${opts("index-table")} " +
+          s"(numSub=${model.numSub}, subDim=${model.subDim}, frozen " +
+          "model in _pq_model.json); run pq-refresh to backfill")
+      case "pq-refresh" =>
+        // one AvailableNow catch-up: encode the source commits since
+        // this checkpoint against the frozen model, exactly once.
+        val ckpt = opts.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory("azof-pqidx").toString)
+        graft.sources.PqIndex.refresh(spark,
+            opts("path"), opts("table"), opts.getOrElse("vec-col", "vec"),
+            opts.getOrElse("index-path", opts("path")), opts("index-table"),
+            ckpt)
+          .awaitTermination()
+        println(s"refreshed ${opts("index-table")}; version now " +
+          AzofTable(spark, opts.getOrElse("index-path", opts("path")),
+            opts("index-table")).currentVersion)
+        println(s"checkpoint: $ckpt")
+      case "pq-search" =>
+        // ADC top-k FROM the persisted codes; query vectors come from
+        // the source rows named by --query-keys. --rerank R adds the
+        // exact refine over the source vectors.
+        //   pq-search --path L --table SRC --index-table IDX
+        //     --query-keys k1,k2 [--k 10] [--rerank 0] [--vec-col vec]
+        import org.apache.spark.sql.functions.{col, from_json}
+        import spark.implicits._
+        val e = AzofScan.scan(spark, opts("path"), opts("table"))
+          .select(col(TableSchema.KeyName).cast("long").as("_id"),
+            from_json(col(opts.getOrElse("vec-col", "vec")),
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)).as("_v"))
+        val keys = opts("query-keys").split(',').map(_.trim.toLong).toSeq
+        val queries = e.where(col("_id").isin(keys: _*))
+          .as[(Long, Array[Double])].collect()
+        require(queries.nonEmpty, "no source rows match --query-keys")
+        val rerank = opts.getOrElse("rerank", "0").toInt
+        graft.sources.PqIndex.topK(spark,
+            opts.getOrElse("index-path", opts("path")), opts("index-table"),
+            queries, k = opts.getOrElse("k", "10").toInt,
+            rerank = rerank,
+            rawVectors = if (rerank > 0) Some(e) else None)
+          .orderBy("query_id", "rnk")
+          .show(numRows = 1000, truncate = false)
       case "sql" =>
         // --catalog NAME additionally registers the DSv2 catalog over
         // --path, enabling DDL/DML: CREATE TABLE NAME.t ... USING azof,
