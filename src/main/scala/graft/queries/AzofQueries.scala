@@ -28,7 +28,8 @@ object AzofQueries {
     "q37_tombstone_delete" -> tombstoneDelete,
     "q38_mirror_delete" -> mirrorDelete,
     "q39_predicate_delete" -> predicateDelete,
-    "s07_pq_codes_index" -> pqCodesIndex)
+    "s07_pq_codes_index" -> pqCodesIndex,
+    "s08_minhash_sig_index" -> minhashSigIndex)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -395,7 +396,60 @@ object AzofQueries {
       .select(col("key").cast("long").as("vec_id"), col("codes"))
   }
 
+  /** The PERSISTED MinHash signature index under the oracle gate — the
+    * signatures companion of s07: documents land as an azof source,
+    * the index backfills from the change feed, then follows churn (the
+    * remaining docs as a delta, one key deleted and resurrected with
+    * its original text), and d02-shaped LSH candidates answered FROM
+    * the persisted signatures must hash-match d02's own oracle over
+    * the raw documents table — a stale, missed, or undeleted signature
+    * changes the pair set.
+    */
+  private def minhashSigIndex(s: SparkSession, dir: String): DataFrame = {
+    val lake = cachedLake(dir, "mhidx-v1", "doc_sigs") { l =>
+      val docSchema = TableSchema(Seq(
+        ColumnDef("text", ColumnType.AzString, nullable = false)))
+      val docs = Tables(s, dir, "documents")
+      def rows(filter: org.apache.spark.sql.Column, at: String) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          col("text"))
+      AzofWriter.createTable(s, l, "docs_kv", docSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.commitBase(s, l, "docs_kv",
+        rows(col("doc_id") % 4 =!= 0, "2024-01-02T00:00:00Z"))       // v2
+      graft.sources.MinHashIndex.create(s, l, "doc_sigs")
+      val ck = new java.io.File(l, "_sig_ck").toString
+      def refresh(): Unit = {
+        val q = graft.sources.MinHashIndex.refresh(
+          s, l, "docs_kv", "text", l, "doc_sigs", ck)
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(
+            "signature refresh did not terminate within 300s — refusing " +
+              "to cache a half-refreshed index lake")
+      }
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_kv",
+        rows(col("doc_id") % 4 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))                       // v3
+      AzofWriter.commitDelete(s, l, "docs_kv", Seq("6"),
+        Instant.parse("2024-03-02T00:00:00Z"))                       // v4
+      AzofWriter.commitDelta(s, l, "docs_kv",
+        rows(col("doc_id") === 6, "2024-04-05T00:00:00Z"),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))                       // v5
+      refresh()
+    }
+    graft.sources.MinHashIndex.candidates(s, lake, "doc_sigs")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // s08: candidates from the persisted signatures ≡ d02's own oracle
+    // over the raw documents (final source state = the full table)
+    "s08_minhash_sig_index" ->
+      graft.queries.Pipeline.oracleSql("d02_minhash_lsh"),
     "q18_azof_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
          date_trunc('milliseconds', ts) AS event_time, event_type

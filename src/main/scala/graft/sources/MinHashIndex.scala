@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.format.{AzofTable, ColumnDef, ColumnType, TableSchema}
+import graft.operators.Dedup
+import graft.streaming.AzofSink
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** PERSISTED MinHash-LSH signature index over an azof-tabled document
+  * corpus — the signatures companion of [[PqIndex]]: a 100-TB dedup
+  * pipeline re-runs candidate generation on every ingest batch, and
+  * the expensive half (shingle → k minhashes → banded signatures, a
+  * full-corpus scan + aggregation) is a pure per-document function —
+  * so it amortizes as an azof table keyed by doc id, refreshed
+  * INCREMENTALLY from the source's commit-exact change feed. Candidate
+  * pairs for the WHOLE corpus then come from one scan of the (tiny)
+  * signature table through the same bucket-grouped pair emit as d02
+  * ([[candidates]]), never from re-shingling the documents.
+  *
+  * No frozen model is needed: the minhash family
+  * ([[Dedup.minhashCoefs]]) is a fixed md5-derived constant, so
+  * signatures are comparable across engines and index versions by
+  * construction (the property the s08 oracle row checks end to end).
+  *
+  * Documents with fewer than 3 words have NO 3-gram shingle and thus
+  * no signature (d02 drops them identically). A refresh handles the
+  * shrinking-document edge: an upserted doc that no longer yields a
+  * signature gets an index TOMBSTONE, so its stale signature cannot
+  * keep generating candidates. Source deletes propagate as tombstones
+  * the same way.
+  */
+object MinHashIndex {
+
+  val K = 8
+  val BandSize = 2
+  val NBands: Int = K / BandSize
+
+  /** Index-table value schema: the four band signatures (the only part
+    * candidate generation needs), engine-portable strings.
+    */
+  val SigSchema: TableSchema = TableSchema(
+    (0 until NBands).map(b =>
+      ColumnDef(s"band_$b", ColumnType.AzString, nullable = false)))
+
+  def create(
+      spark: SparkSession,
+      idxLake: String, idxTable: String,
+      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit =
+    AzofWriter.createTable(spark, idxLake, idxTable, SigSchema, segmentStart)
+
+  /** Incrementally refresh from the source's commit feed (AvailableNow
+    * by default). `textCol` names the source's document-text column.
+    */
+  def refresh(
+      spark: SparkSession,
+      srcLake: String, srcTable: String, textCol: String,
+      idxLake: String, idxTable: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val appId = AzofSink.appIdFor(checkpoint)
+    spark.readStream.format("azof-commits")
+      .option("table", srcTable).load(srcLake)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        AzofSink.commitBatch(idxLake, idxTable,
+          signBatch(batch, textCol), id, appId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One feed micro-batch → signature upserts + tombstones. The
+    * signature pipeline is EXACTLY d02's ([[Dedup.shingles]] →
+    * [[Dedup.minhashSignatures]]), run over the batch's rows only —
+    * per-document work, so the aggregation shuffles batch-sized data.
+    * Tombstones: source deletes AND upserted docs that no longer
+    * yield a signature (< 3 words).
+    */
+  private def signBatch(batch: Dataset[Row], textCol: String): DataFrame = {
+    // one feed batch can carry SEVERAL versions of a key (several
+    // commits in range), so the signature pipeline keys on
+    // (key, event_time) — grouping on the key alone would merge the
+    // versions' shingle sets into one bogus signature
+    val kv = struct(col(TableSchema.KeyName), col(TableSchema.EventTimeName))
+    val data = batch.where(!col("_deleted"))
+      .select(kv.as("_kv"), col(textCol))
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shingles(data, col(textCol), col("_kv")), K, BandSize)
+    def unpack(c: String) = Seq(
+      col(s"$c.${TableSchema.KeyName}").as(TableSchema.KeyName),
+      col(s"$c.${TableSchema.EventTimeName}").as(TableSchema.EventTimeName))
+    val signed = sigs.select(unpack("doc_id") ++
+      (0 until NBands).map(b => col(s"band_$b")) :+
+      lit(null).cast("boolean").as(TableSchema.DeletedName): _*)
+    def tombs(rows: DataFrame, c: String) = rows
+      .select(unpack(c) ++
+        (0 until NBands).map(b => lit(null).cast("string").as(s"band_$b")) :+
+        lit(true).as(TableSchema.DeletedName): _*)
+    val unsignable = tombs(
+      data.join(sigs.withColumnRenamed("doc_id", "_kv"), Seq("_kv"),
+        "left_anti"), "_kv")
+    val deleted = tombs(batch.where(col("_deleted"))
+      .select(kv.as("_kv")), "_kv")
+    signed.unionAll(unsignable).unionAll(deleted)
+  }
+
+  /** The index's current signatures as the `(doc_id, band_0..)` frame
+    * the LSH blockers consume.
+    */
+  def signatures(
+      spark: SparkSession, idxLake: String, idxTable: String): DataFrame =
+    graft.operators.AzofScan.scan(spark, idxLake, idxTable)
+      .select(col(TableSchema.KeyName).cast("long").as("doc_id") +:
+        (0 until NBands).map(b => col(s"band_$b")): _*)
+
+  /** d02-shaped LSH candidate pairs for the WHOLE corpus, answered
+    * FROM the persisted signatures — one scan of the signature table,
+    * no document re-shingling.
+    */
+  def candidates(
+      spark: SparkSession, idxLake: String, idxTable: String,
+      cap: Int = Dedup.DefaultBucketCap): DataFrame =
+    Dedup.lshCandidates(signatures(spark, idxLake, idxTable), NBands, cap)
+}
