@@ -91,11 +91,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val loadEnd = loadAvg()
-    // load rides AFTER the query map: the driver records only the LAST
-    // 2000 chars of this line, so tail placement keeps the marker
-    // visible even when the head of the query map gets clipped
+    // load AND a duplicate of the total ride AFTER the query map: the
+    // driver records only the LAST 2000 chars of this line, and at 75
+    // queries the head (where "value" lives) clips — tail placement
+    // keeps both markers visible in the recorded artifact
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"load":[${r3(loadStart)},${r3(loadEnd)}],"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"total":${r3(total)},"n_queries":${results.size},"load":[${r3(loadStart)},${r3(loadEnd)}],"sf":"${esc(sfDir)}"}"""
     // Full precision for offline analysis, refreshed on every run.
     // Anchored via SPARK_GRAFT_BENCH_OUT (default: docs/BENCH_LATEST.json
     // under the cwd); a failed write warns on stderr rather than
