@@ -340,6 +340,12 @@ object Dedup {
       maxIter: Int = 64): DataFrame = {
     val e0 = pairs.select(
       col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+    // EVERY input vertex gets a label — including one whose only pair
+    // is a self-loop, which the edge canonicalization below drops
+    val vertices = e0.select(col("src").as("doc_id"))
+      .unionAll(e0.select(col("dst").as("doc_id")))
+      .distinct()
+      .localCheckpoint(true)
     var edges = e0
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
@@ -383,8 +389,12 @@ object Dedup {
       s"star contraction did not converge in $maxIter rounds — " +
         "this exceeds the O(log n) bound on any real input; " +
         "raise maxIter only after checking the input for corruption")
+    // star leaves point at their center (= component min); centers and
+    // self-loop-only vertices fall back to themselves via the min over
+    // the full vertex set (center ≤ every leaf, so min picks it)
     edges.select(col("src").as("doc_id"), col("dst").as("component_id"))
-      .unionAll(edges.select(col("dst"), col("dst")).distinct())
+      .unionAll(vertices.select(col("doc_id"), col("doc_id")))
+      .groupBy("doc_id").agg(min("component_id").as("component_id"))
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs, computed

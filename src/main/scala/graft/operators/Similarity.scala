@@ -410,7 +410,10 @@ object Similarity {
       val codes = pqEncode(e, model).localCheckpoint(true)
       val eq = e.where(queryFilter)
       val maxTotalQ = 1000000
-      val qids = eq.select(col("_id")).as[Long]
+      // DISTINCT ids: duplicate `_id` rows must not become duplicate
+      // query entries (double top-k rows) nor straddle two id-range
+      // batches (double-collected) — one deterministic query per id
+      val qids = eq.select(col("_id")).distinct().as[Long]
         .limit(maxTotalQ + 1).collect().sorted
       require(qids.length <= maxTotalQ,
         s"pqTopK query set exceeds $maxTotalQ vectors — even the " +
@@ -420,11 +423,24 @@ object Similarity {
         Seq.empty[(Long, Long, Long)].toDF("query_id", "neighbor_id", "rnk")
       else {
         val batches = qids.grouped(batchSize).map(g => (g.head, g.last))
-        batches.map { case (lo, hi) =>
+        val results = batches.map { case (lo, hi) =>
+          // dedupe collected rows by id (a duplicated id contributes
+          // ONE query vector — the min-ordinal row, deterministic)
           val queries = eq.where(col("_id").between(lo, hi))
             .as[(Long, Array[Double])].collect()
-          pqSearchBatch(e, codes, model, queries, k, rerank)
-        }.reduce(_ unionAll _)
+            .groupBy(_._1).toArray.sortBy(_._1)
+            .map { case (id, rows) =>
+              (id, rows.map(_._2.toSeq).min(
+                Ordering.Implicits.seqOrdering[Seq, Double]).toArray)
+            }
+          val res = pqSearchBatch(e, codes, model, queries, k, rerank)
+          // multi-batch calls materialize each batch eagerly while the
+          // input/codes caches are hot: a lazy union of B refine plans
+          // would re-scan the raw input B times at action time, after
+          // the finally block dropped the cache
+          if (qids.length > batchSize) res.localCheckpoint(true) else res
+        }
+        results.reduce(_ unionAll _)
       }
     } finally { e.unpersist(); () }
   }
@@ -482,30 +498,39 @@ object Similarity {
     e.select(col("_id"), col("_v")).as[(Long, Array[Double])]
       .mapPartitions { it =>
         val bs = booksB.value
-        val sd = bs(0)(0).length
-        it.map { case (vid, v) =>
-          val cs = new Array[Byte](bs.length)
-          var s = 0
-          while (s < bs.length) {
-            val book = bs(s)
-            val off = s * sd
-            var best = 0
-            var bestD = Double.PositiveInfinity
-            var c = 0
-            while (c < book.length) {
-              val cv = book(c)
-              var d = 0.0
-              var j = 0
-              while (j < cv.length) { val t = v(off + j) - cv(j); d += t * t; j += 1 }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            cs(s) = best.toByte
-            s += 1
-          }
-          (vid, cs)
-        }
+        it.map { case (vid, v) => (vid, encodeOne(bs, v)) }
       }.toDF("_id", "_codes")
+  }
+
+  /** The per-vector encode kernel — the ONE implementation every
+    * encoder shares ([[pqEncode]], the persisted index's refresh), so
+    * a kernel change can never diverge persisted codes from
+    * recomputed ones. Per subspace: argmin of ascending-index squared
+    * L2 against the codebook, ties toward the lower code.
+    */
+  private[graft] def encodeOne(
+      bs: Array[Array[Array[Double]]], v: Array[Double]): Array[Byte] = {
+    val sd = bs(0)(0).length
+    val cs = new Array[Byte](bs.length)
+    var s = 0
+    while (s < bs.length) {
+      val book = bs(s)
+      val off = s * sd
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cv = book(c)
+        var d = 0.0
+        var j = 0
+        while (j < cv.length) { val t = v(off + j) - cv(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      cs(s) = best.toByte
+      s += 1
+    }
+    cs
   }
 
   /** ADC search (+ optional exact refine) for ONE query batch over a

@@ -67,7 +67,7 @@ object MinHashIndex {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         AzofSink.commitBatch(idxLake, idxTable,
-          signBatch(batch, textCol), id, appId)
+          signBatch(spark, batch, textCol, idxLake, idxTable), id, appId)
         ()
       }
       .trigger(trigger)
@@ -81,7 +81,9 @@ object MinHashIndex {
     * Tombstones: source deletes AND upserted docs that no longer
     * yield a signature (< 3 words).
     */
-  private def signBatch(batch: Dataset[Row], textCol: String): DataFrame = {
+  private def signBatch(
+      spark: SparkSession, batch: Dataset[Row], textCol: String,
+      idxLake: String, idxTable: String): DataFrame = {
     // one feed batch can carry SEVERAL versions of a key (several
     // commits in range), so the signature pipeline keys on
     // (key, event_time) — grouping on the key alone would merge the
@@ -101,12 +103,24 @@ object MinHashIndex {
       .select(unpack(c) ++
         (0 until NBands).map(b => lit(null).cast("string").as(s"band_$b")) :+
         lit(true).as(TableSchema.DeletedName): _*)
+    // a tombstone only matters for keys the index could actually be
+    // holding: ones in its Current scan, or ones SIGNED EARLIER IN
+    // THIS BATCH (an upsert-then-shrink pair in one range — Current
+    // cannot see those yet). Without this filter, a corpus full of
+    // <3-word docs floods the index with tombstones for keys that
+    // never had a signature, flipping every scan into the
+    // marker-resolution path for nothing.
+    val knownKeys = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
+      .select(col(TableSchema.KeyName))
+      .unionAll(signed.select(col(TableSchema.KeyName)))
     val unsignable = tombs(
       data.join(sigs.withColumnRenamed("doc_id", "_kv"), Seq("_kv"),
         "left_anti"), "_kv")
     val deleted = tombs(batch.where(col("_deleted"))
       .select(kv.as("_kv")), "_kv")
-    signed.unionAll(unsignable).unionAll(deleted)
+    signed.unionAll(
+      unsignable.unionAll(deleted)
+        .join(knownKeys, Seq(TableSchema.KeyName), "left_semi"))
   }
 
   /** The index's current signatures as the `(doc_id, band_0..)` frame

@@ -113,9 +113,10 @@ object PqIndex {
       .start()
   }
 
-  /** Encode one feed micro-batch: data rows → code strings (same float
-    * operation order as [[Similarity.pqEncode]], so persisted codes ≡
-    * recomputed codes bit-for-bit), tombstone rows → index tombstones.
+  /** Encode one feed micro-batch: data rows → code strings through the
+    * SHARED kernel ([[Similarity.encodeOne]] — the same object code
+    * [[Similarity.pqEncode]] runs, so persisted codes ≡ recomputed
+    * codes by construction), tombstone rows → index tombstones.
     */
   private def encodeBatch(
       batch: Dataset[Row], vecCol: String, model: PqModel): DataFrame = {
@@ -128,28 +129,9 @@ object PqIndex {
       .as[(String, java.sql.Timestamp, Array[Double])]
       .mapPartitions { it =>
         val bs = booksB.value
-        val sd = bs(0)(0).length
         it.map { case (key, ts, v) =>
-          val parts = new Array[String](bs.length)
-          var s = 0
-          while (s < bs.length) {
-            val book = bs(s)
-            val off = s * sd
-            var best = 0
-            var bestD = Double.PositiveInfinity
-            var c = 0
-            while (c < book.length) {
-              val cv = book(c)
-              var d = 0.0
-              var j = 0
-              while (j < cv.length) { val t = v(off + j) - cv(j); d += t * t; j += 1 }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            parts(s) = best.toString
-            s += 1
-          }
-          (key, ts, parts.mkString(","))
+          (key, ts, Similarity.encodeOne(bs, v)
+            .map(b => (b & 0xff).toString).mkString(","))
         }
       }
       .toDF(TableSchema.KeyName, TableSchema.EventTimeName, "codes")

@@ -257,22 +257,35 @@ class AzofCommitSource(
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(asVersion).getOrElse(startVersion)
     val to = asVersion(end)
-    // schema-evolution guard: the stream's schema is pinned at start,
-    // so a range ending past a schema-changing commit must fail LOUDLY
-    // (silently reading the range's files under the pinned struct
-    // would drop the added column from every downstream consumer).
-    // The restart runbook is complete: on restart the source re-pins
-    // the CURRENT schema and the checkpoint resumes at the same
-    // version boundary — pre-evolution files read with nulls in the
+    // Schema-evolution guard: the stream's schema is pinned at start.
+    // A range ending past a schema-changing commit (end schema WIDER
+    // than the pin — the mid-stream evolution case) must fail LOUDLY:
+    // silently reading the range's files under the pinned struct would
+    // drop the added column from every downstream consumer. The
+    // restart runbook is complete: on restart the source re-pins the
+    // CURRENT schema and the checkpoint resumes at the same version
+    // boundary — pre-evolution files read with nulls in the
     // later-added (always-nullable) columns, and AzofMirror widens its
     // target table at start (see AzofMirror.replicate).
-    // an unreadable end snapshot is NOT this guard's case — fall
+    //
+    // The OTHER direction — pin WIDER than the range's end schema —
+    // is the restart itself (a WAL-recovered batch whose end version
+    // predates the latest evolution, e.g. a SECOND add-column landed
+    // before the operator restarted): throwing there would wedge the
+    // checkpoint permanently, so the range widens to the pin instead,
+    // added columns reading null — exactly the promised restart
+    // semantics. Columns only ever APPEND (addColumn), so "pin extends
+    // end schema" is the full compatible case.
+    //
+    // An unreadable end snapshot is NOT this guard's case — fall
     // through to the established loud paths (stale checkpoint in
-    // latestOffset, vacuumed-range retention error below)
+    // latestOffset, vacuumed-range retention error below).
     val endStruct =
       try t.snapshot(to.toString).schema.toStruct
       catch { case _: java.io.FileNotFoundException => pinnedStruct }
-    if (endStruct != pinnedStruct)
+    val pinExtendsEnd = endStruct.fields.length <= pinnedStruct.fields.length &&
+      pinnedStruct.fields.take(endStruct.fields.length).sameElements(endStruct.fields)
+    if (endStruct != pinnedStruct && !pinExtendsEnd)
       throw new IllegalStateException(
         s"$table's schema changed while this stream was running: " +
           s"pinned ${pinnedStruct.map(_.name).mkString("[", ",", "]")} " +
@@ -295,7 +308,18 @@ class AzofCommitSource(
               s"${scala.util.Try(AzofChangeFeed.earliestFeedBase(
                 spark, lakehousePath, table)).getOrElse("?")}.", e)
       }
-    org.apache.spark.sql.graft.StreamingBridge.asStreaming(feed)
+    val widened =
+      if (endStruct == pinnedStruct) feed
+      else {
+        import org.apache.spark.sql.functions.{col, lit}
+        // the WAL-replay widening case: append the pin's extra columns
+        // as typed nulls and order to the stream schema
+        val extra = pinnedStruct.fields.drop(endStruct.fields.length)
+        extra.foldLeft(feed)((df, f) =>
+            df.withColumn(f.name, lit(null).cast(f.dataType)))
+          .select(schema.fieldNames.map(col).toSeq: _*)
+      }
+    org.apache.spark.sql.graft.StreamingBridge.asStreaming(widened)
   }
 
   override def stop(): Unit = ()

@@ -88,9 +88,22 @@ object AzofMirror {
       dstLake: String, dstTable: String): Unit = {
     val srcCols = graft.format.AzofTable(spark, srcLake, srcTable)
       .currentSnapshot.schema.columns
-    val dstCols = graft.format.AzofTable(spark, dstLake, dstTable)
-      .currentSnapshot.schema.columns.map(_.name).toSet
-    srcCols.filterNot(c => dstCols.contains(c.name)).foreach { c =>
+    val dstByName = graft.format.AzofTable(spark, dstLake, dstTable)
+      .currentSnapshot.schema.columns.map(c => c.name -> c).toMap
+    // shared names must agree on TYPE: a same-named column of a
+    // different azof type is a differently-created target, and
+    // replicating into it would commit mismatched-typed data — the
+    // silent corruption this check turns into an error
+    srcCols.foreach { c =>
+      dstByName.get(c.name).foreach { d =>
+        require(d.dataType == c.dataType,
+          s"mirror $dstTable column '${c.name}' is ${d.dataType} but " +
+            s"source $srcTable has ${c.dataType} — the target was " +
+            "created with a different schema; replicate into a " +
+            "type-compatible (or fresh) target instead")
+      }
+    }
+    srcCols.filterNot(c => dstByName.contains(c.name)).foreach { c =>
       graft.sources.AzofWriter.addColumn(spark, dstLake, dstTable, c)
     }
   }

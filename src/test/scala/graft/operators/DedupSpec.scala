@@ -206,6 +206,23 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("self-loop-only vertices keep their label on every CC path") {
+    // a pair (a,a) with no other edge: the contraction's edge
+    // canonicalization drops the loop, but the vertex must still label
+    // itself — the doc promises output identical to propagation's
+    val pairs = Seq((9L, 9L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 9L -> 9L)
+    assert(graft.operators.Dedup.connectedComponentsContraction(
+        pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    assert(graft.operators.Dedup.connectedComponents(
+        pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    assert(graft.operators.Dedup.connectedComponents(
+        pairs, "doc_a", "doc_b", propagationRounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+  }
+
   test("random graphs: propagation, contraction, and the hybrid all match union-find") {
     // the d11 oracle-twin property check (VERDICT r7 #7): the Spark
     // loop vs the recursive-CTE fixpoint semantics (= union-find) on

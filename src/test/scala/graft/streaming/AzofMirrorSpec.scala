@@ -426,34 +426,41 @@ class AzofMirrorSpec extends AnyFunSuite {
       assert(msg.contains("Restart"))
     } finally scala.util.Try(q.stop())
 
+    // a SECOND evolution lands BEFORE the operator restarts: the WAL
+    // batch recovered on restart ends at a version whose schema is
+    // NARROWER than the new pin — the source must WIDEN that range to
+    // the pin (nulls in the newer columns) instead of throwing forever
+    // and wedging the checkpoint
+    AzofWriter.addColumn(spark, src, "t",
+      ColumnDef("note2", ColumnType.AzString, nullable = true))      // v5
+
     // PINNED BEHAVIOR 2: a restart on the SAME checkpoint re-pins the
-    // widened schema, widens the mirror table, and resumes at the
-    // checkpointed boundary — no rows lost, no column dropped
+    // (twice-)widened schema, widens the mirror table, and resumes at
+    // the checkpointed boundary — no rows lost, no column dropped
     val q2 = AzofMirror.replicate(spark, src, "t", dst, "m", ck)
     q2.awaitTermination(120000)
     assert(AzofTable(spark, dst, "m").currentSnapshot.schema.columns
-      .map(_.name) == Seq("value", "note"))
-    val got = AzofScan.scan(spark, dst, "m")
-      .select("key", "value", "note").collect()
-      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
-      .sortBy(_._1).toSeq
-    assert(got == Seq(("1", "a1", None), ("2", "b1", None),
-      ("3", "c1", Some("n1"))),
-      "pre-evolution rows read with null note; the new row carries it")
-    // and the mirror keeps following on the new schema
+      .map(_.name) == Seq("value", "note", "note2"))
+    def state(): Seq[(String, String, Option[String], Option[String])] =
+      AzofScan.scan(spark, dst, "m")
+        .select("key", "value", "note", "note2").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          Option(r.getString(2)), Option(r.getString(3))))
+        .sortBy(_._1).toSeq
+    assert(state() == Seq(("1", "a1", None, None), ("2", "b1", None, None),
+      ("3", "c1", Some("n1"), None)),
+      "pre-evolution rows read with null added columns; the new row " +
+        "carries its note through the widened replay")
+    // and the mirror keeps following on the full new schema
     AzofWriter.commitDelta(spark, src, "t",
       spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(Row("1",
-          Timestamp.from(ts("2024-03-05T00:00:00Z")), "a2", "n2"))),
+          Timestamp.from(ts("2024-03-05T00:00:00Z")), "a2", "n2", "x2"))),
         AzofTable(spark, src, "t").currentSnapshot.schema.toStruct),
-      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v5
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v6
     val q3 = AzofMirror.replicate(spark, src, "t", dst, "m", ck)
     q3.awaitTermination(120000)
-    val cur = AzofScan.scan(spark, dst, "m")
-      .select("key", "value", "note").collect()
-      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
-      .sortBy(_._1).toSeq
-    assert(cur == Seq(("1", "a2", Some("n2")), ("2", "b1", None),
-      ("3", "c1", Some("n1"))))
+    assert(state() == Seq(("1", "a2", Some("n2"), Some("x2")),
+      ("2", "b1", None, None), ("3", "c1", Some("n1"), None)))
   }
 }
