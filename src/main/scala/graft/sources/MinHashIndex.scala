@@ -91,8 +91,13 @@ object MinHashIndex {
     val kv = struct(col(TableSchema.KeyName), col(TableSchema.EventTimeName))
     val data = batch.where(!col("_deleted"))
       .select(kv.as("_kv"), col(textCol))
+    // the signature aggregation feeds THREE consumers below (signed,
+    // the unsignable anti-join, the knownKeys union) — checkpoint it
+    // eagerly so the shingle→minhash work runs once per micro-batch,
+    // not once per consumer (the Similarity.pqTopK codes pattern)
     val sigs = Dedup.minhashSignatures(
       Dedup.shingles(data, col(textCol), col("_kv")), K, BandSize)
+      .localCheckpoint(true)
     def unpack(c: String) = Seq(
       col(s"$c.${TableSchema.KeyName}").as(TableSchema.KeyName),
       col(s"$c.${TableSchema.EventTimeName}").as(TableSchema.EventTimeName))
@@ -124,12 +129,20 @@ object MinHashIndex {
   }
 
   /** The index's current signatures as the `(doc_id, band_0..)` frame
-    * the LSH blockers consume.
+    * the LSH blockers consume. The blocker surface addresses docs by
+    * NUMERIC id, so keys must cast to long — a non-numeric key fails
+    * LOUDLY here (a silent null doc_id would vanish from the pair
+    * emit and read as "no candidates"); string-keyed corpora can
+    * still store/refresh signatures and run their own blocking over
+    * the band columns.
     */
   def signatures(
       spark: SparkSession, idxLake: String, idxTable: String): DataFrame =
     graft.operators.AzofScan.scan(spark, idxLake, idxTable)
-      .select(col(TableSchema.KeyName).cast("long").as("doc_id") +:
+      .select(coalesce(col(TableSchema.KeyName).cast("long"),
+        raise_error(concat(
+          lit("MinHashIndex.signatures needs long-castable keys; got '"),
+          col(TableSchema.KeyName), lit("'"))).cast("long")).as("doc_id") +:
         (0 until NBands).map(b => col(s"band_$b")): _*)
 
   /** d02-shaped LSH candidate pairs for the WHOLE corpus, answered

@@ -153,7 +153,11 @@ object PqIndex {
       spark: SparkSession, idxLake: String, idxTable: String): DataFrame = {
     import spark.implicits._
     graft.operators.AzofScan.scan(spark, idxLake, idxTable)
-      .select(col(TableSchema.KeyName).cast("long").as("_id"), col("codes"))
+      .select(coalesce(col(TableSchema.KeyName).cast("long"),
+        raise_error(concat(
+          lit("PqIndex search needs long-castable keys; got '"),
+          col(TableSchema.KeyName), lit("'"))).cast("long")).as("_id"),
+        col("codes"))
       .as[(Long, String)]
       .map { case (id, cs) => (id, cs.split(",").map(_.toInt.toByte)) }
       .toDF("_id", "_codes")

@@ -275,7 +275,12 @@ class AzofCommitSource(
     // checkpoint permanently, so the range widens to the pin instead,
     // added columns reading null — exactly the promised restart
     // semantics. Columns only ever APPEND (addColumn), so "pin extends
-    // end schema" is the full compatible case.
+    // end schema" is the compatible shape — and ONLY for ranges ending
+    // at-or-before the pinned version: a recovered WAL batch always
+    // ends at a version the pin already saw, while a NARROWER schema
+    // at a version PAST the pin is impossible in-format (no column
+    // drop exists) and therefore a deleted-and-recreated source —
+    // loud, never silently null-padded.
     //
     // An unreadable end snapshot is NOT this guard's case — fall
     // through to the established loud paths (stale checkpoint in
@@ -283,7 +288,8 @@ class AzofCommitSource(
     val endStruct =
       try t.snapshot(to.toString).schema.toStruct
       catch { case _: java.io.FileNotFoundException => pinnedStruct }
-    val pinExtendsEnd = endStruct.fields.length <= pinnedStruct.fields.length &&
+    val pinExtendsEnd = to <= pinnedVersion &&
+      endStruct.fields.length <= pinnedStruct.fields.length &&
       pinnedStruct.fields.take(endStruct.fields.length).sameElements(endStruct.fields)
     if (endStruct != pinnedStruct && !pinExtendsEnd)
       throw new IllegalStateException(

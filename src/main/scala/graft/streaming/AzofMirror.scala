@@ -101,6 +101,10 @@ object AzofMirror {
             s"source $srcTable has ${c.dataType} — the target was " +
             "created with a different schema; replicate into a " +
             "type-compatible (or fresh) target instead")
+        require(d.nullable || !c.nullable,
+          s"mirror $dstTable column '${c.name}' is non-nullable but " +
+            s"source $srcTable allows nulls there — replicating would " +
+            "commit nulls into a column whose schema forbids them")
       }
     }
     srcCols.filterNot(c => dstByName.contains(c.name)).foreach { c =>
