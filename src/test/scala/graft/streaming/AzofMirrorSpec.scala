@@ -375,6 +375,40 @@ class AzofMirrorSpec extends AnyFunSuite {
     assert(AzofTable(spark, dst, "m").currentSnapshot.tombstoneFiles.isEmpty)
   }
 
+  test("bounded catch-up crosses a schema-evolution boundary by widening pre-evolution ranges") {
+    // a long-lagged mirror with maxVersionsPerBatch starts AFTER the
+    // source evolved: its pin is the new schema, but the first
+    // catch-up batches end at pre-evolution versions whose schema is
+    // narrower — those ranges must widen to the pin (nulls in the
+    // added column), not kill a perfectly healthy catch-up
+    val src = Files.createTempDirectory("azof-mirror-bevo-src").toString
+    val dst = Files.createTempDirectory("azof-mirror-bevo-dst").toString
+    val ck = Files.createTempDirectory("azof-mirror-bevo-ck").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, src, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+    AzofWriter.addColumn(spark, src, "t",
+      ColumnDef("note", ColumnType.AzString, nullable = true))       // v3
+    val evolved = AzofTable(spark, src, "t").currentSnapshot.schema.toStruct
+    AzofWriter.commitDelta(spark, src, "t",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("3",
+          Timestamp.from(ts("2024-02-05T00:00:00Z")), "c1", "n1"))),
+        evolved),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v4
+    val q = AzofMirror.replicate(spark, src, "t", dst, "m", ck,
+      maxVersionsPerBatch = Some(1))
+    q.awaitTermination(120000)
+    val got = AzofScan.scan(spark, dst, "m")
+      .select("key", "value", "note").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("1", "a1", None), ("2", "b1", None),
+      ("3", "c1", Some("n1"))))
+  }
+
   test("source schema evolution: mid-stream fails loudly; restart widens the mirror") {
     val src = Files.createTempDirectory("azof-mirror-evo-src").toString
     val dst = Files.createTempDirectory("azof-mirror-evo-dst").toString
