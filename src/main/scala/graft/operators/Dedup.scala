@@ -436,23 +436,61 @@ object Dedup {
 
   /** `bits`-bit SimHash (bits ≤ 128, 4 | bits) from the first bits/4 md5
     * hex digits of each distinct token: per bit, majority vote of ±1
-    * contributions. One groupBy over exploded tokens — the bit width only
-    * widens the aggregation row, not the shuffle count.
+    * contributions.
+    *
+    * SimHash is embarrassingly PER-DOCUMENT, so this runs as a narrow
+    * typed kernel — tokenize, md5, bit-count inside one JVM loop per
+    * row — with ZERO shuffle. The pre-round-8 shape (explode every
+    * token + a 64-column groupBy aggregation) shuffled the whole
+    * exploded token stream just to bring each document's tokens back
+    * together; at corpus scale that shuffle IS the operator's cost,
+    * and it buys nothing (the signature kernel is the same
+    * interpreted-HOF-vs-JVM-loop finding as [[Similarity.signBuckets]]).
+    * Token semantics are bit-identical to the expression pipeline
+    * (`lower` → `split("\\s+", -1)` keeping empty trailing tokens →
+    * first-occurrence distinct → md5 over UTF-8 bytes; a DedupSpec
+    * property pins kernel ≡ expression on randomized unicode), so the
+    * d04/d06 DuckDB oracles are unchanged.
     */
   def simhashBits(df: DataFrame, text: Column, id: Column, bits: Int): DataFrame = {
     require(bits > 0 && bits <= 128 && bits % 4 == 0, s"bad simhash width $bits")
-    val nWords = (bits + 31) / 32
-    val words = (0 until nWords).map(w =>
-      conv(substring(col("h"), w * 8 + 1, 8), 16, 10).cast("long").as(s"h$w"))
-    val tokens = df
-      .select(id.as("doc_id"), explode(array_distinct(TextAnalysis.words(text))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-      .select(col("doc_id") +: words: _*)
-    val sums = (0 until bits).map(b => sum(expr(simhashTermSql(b))).as(s"s$b"))
-    val agg = tokens.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    agg.select(col("doc_id"),
-      concat((0 until bits).map(b =>
-        when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("simhash"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("_id"), text.as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (did, t) =>
+          // Spark's split(lower(t), "\s+") = Java split(regex, -1):
+          // trailing empty tokens KEPT, Locale.ROOT lowercase
+          val toks = t.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+", -1).distinct
+          val counts = new Array[Int](bits)
+          var i = 0
+          while (i < toks.length) {
+            md.reset()
+            val dg = md.digest(
+              toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // bit b reads MSB-first bit (b%32) of 32-bit md5 word b/32
+            // = bit (7 - b%8) of digest byte 4*(b/32) + (b%32)/8
+            var b = 0
+            while (b < bits) {
+              val j = b % 32
+              val v = (dg(4 * (b / 32) + j / 8) >> (7 - j % 8)) & 1
+              counts(b) += 2 * v - 1
+              b += 1
+            }
+            i += 1
+          }
+          val chars = new Array[Char](bits)
+          var b = 0
+          while (b < bits) {
+            chars(b) = if (counts(b) > 0) '1' else '0'
+            b += 1
+          }
+          (did, new String(chars))
+        }
+      }.toDF("doc_id", "simhash")
   }
 
   /** 16-bit SimHash (kept for the compact signature surface; the

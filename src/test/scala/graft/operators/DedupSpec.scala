@@ -206,6 +206,49 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("simhash kernel ≡ the expression pipeline on randomized unicode") {
+    // the round-8 narrow kernel must reproduce the original
+    // explode+groupBy expression formula bit-for-bit — same tokenizer
+    // (lower, split keeping trailing empties, first-occurrence
+    // distinct), same md5 bit extraction, same majority vote — since
+    // the d04/d06 DuckDB oracles still state THAT formula
+    def viaExpressions(df: org.apache.spark.sql.DataFrame, bits: Int): Map[Long, String] = {
+      val nW = (bits + 31) / 32
+      val words = (0 until nW).map(w =>
+        conv(substring(col("h"), w * 8 + 1, 8), 16, 10).cast("long").as(s"h$w"))
+      val tokens = df
+        .select(col("doc_id"), explode(array_distinct(
+          graft.operators.TextAnalysis.words(col("text")))).as("w"))
+        .select(col("doc_id"), md5(col("w")).as("h"))
+        .select(col("doc_id") +: words: _*)
+      val sums = (0 until bits).map(b =>
+        sum(expr(graft.operators.Dedup.simhashTermSql(b))).as(s"s$b"))
+      tokens.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), concat((0 until bits).map(b =>
+          when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val rnd = new Random(11)
+    val vocab = Seq("the", "Quick", "BROWN", "fox", "über", "straße",
+      "ΣΙΓΜΑ", "σίγμα", "İstanbul", "naïve", "日本語", "a1", "{}", "@@")
+    val texts = (0L until 40L).map { i =>
+      val n = rnd.nextInt(12)
+      val sep = () => Seq(" ", "  ", "\t", "\n", " \n ")(rnd.nextInt(5))
+      val body = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(sep())
+      val padded = (if (rnd.nextBoolean()) " " else "") + body +
+        (if (rnd.nextBoolean()) "  " else "")
+      (i, padded)
+    } ++ Seq((100L, ""), (101L, "   "), (102L, "one"))
+    val df = texts.toDF("doc_id", "text")
+    for (bits <- Seq(16, 64)) {
+      val kernel = graft.operators.Dedup
+        .simhashBits(df, col("text"), col("doc_id"), bits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(kernel == viaExpressions(df, bits), s"bits=$bits diverged")
+    }
+  }
+
   test("self-loop-only vertices keep their label on every CC path") {
     // a pair (a,a) with no other edge: the contraction's edge
     // canonicalization drops the loop, but the vertex must still label
