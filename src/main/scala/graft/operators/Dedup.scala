@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,75 @@ object Dedup {
         (0 until bandSize).map(j => col(s"h${b * bandSize + j}")): _*)
         .as(s"band_$b"))
     mh.select(col("doc_id") +: bands: _*)
+  }
+
+  /** Banded minhash signatures as a NARROW per-document kernel — the
+    * zero-shuffle production path next to [[minhashSignatures]]'s
+    * expression pipeline (same round-8 finding as the simhash kernel:
+    * a per-document signature does not need the whole exploded shingle
+    * stream shuffled through a groupBy just to regroup by document).
+    * Token/shingle/hash semantics are bit-identical — `lower` →
+    * `split("\\s+", -1)`, docs with < 3 words dropped, distinct word
+    * 3-grams, first-14-hex-md5 base hash mod p, `(a·x + b) mod p`
+    * minima, bandSize hashes joined with `|` — pinned by a DedupSpec
+    * property against the expression pipeline, so the d02-family
+    * DuckDB oracles state the same formula. Output:
+    * `(doc_id, band_0..band_{k/bandSize-1})`.
+    */
+  def minhashBands(
+      df: DataFrame, text: Column, id: Column,
+      k: Int, bandSize: Int): DataFrame = {
+    require(k % bandSize == 0, "bandSize must divide k")
+    val coefs = minhashCoefs(k).toArray
+    val p = MinhashP
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBands = k / bandSize
+    df.select(id.cast("long").as("_id"), text.as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (did, t) =>
+          val toks = t.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+", -1)
+          if (toks.length < 3) Iterator.empty
+          else {
+            val mins = Array.fill(coefs.length)(Long.MaxValue)
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            while (i <= toks.length - 3) {
+              val sh = s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"
+              if (seen.add(sh)) {
+                md.reset()
+                val dg = md.digest(
+                  sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                // first 14 hex digits = first 7 bytes, big-endian
+                var x = 0L
+                var bI = 0
+                while (bI < 7) { x = (x << 8) | (dg(bI) & 0xffL); bI += 1 }
+                x %= p
+                var c = 0
+                while (c < coefs.length) {
+                  val (a, b) = coefs(c)
+                  val h = (a * x + b) % p
+                  if (h < mins(c)) mins(c) = h
+                  c += 1
+                }
+              }
+              i += 1
+            }
+            val bands = Array.tabulate(nBands)(bd =>
+              (0 until bandSize).map(j => mins(bd * bandSize + j))
+                .mkString("|"))
+            Iterator.single(Row.fromSeq(did +: bands.toSeq))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType) +:
+            (0 until nBands).map(b => org.apache.spark.sql.types.StructField(
+              s"band_$b", org.apache.spark.sql.types.StringType)))))
   }
 
   /** Default per-bucket cap for [[bucketPairs]]. A bucket of size s emits

@@ -55,10 +55,14 @@ object Pipeline {
   private def d01(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir), col("text"), col("doc_id"))
 
-  private def d02(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(docs(s, dir), col("text"), col("doc_id"))
-    Dedup.lshCandidates(Dedup.minhashSignatures(sh, k = 8, bandSize = 2), 4)
-  }
+  /** Signatures come from the zero-shuffle per-document kernel
+    * ([[Dedup.minhashBands]]); the only shuffle left in candidate
+    * generation is the bucket-grouped pair emit itself.
+    */
+  private def d02(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidates(
+      Dedup.minhashBands(docs(s, dir), col("text"), col("doc_id"),
+        k = 8, bandSize = 2), 4)
 
   private def d03(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(docs(s, dir), col("text"), col("doc_id"))
@@ -364,12 +368,17 @@ object Pipeline {
           ${(0 until 4).map(i =>
             s"""ROW_NUMBER() OVER (PARTITION BY h${2 * i}||'|'||h${2 * i + 1}
                 ORDER BY doc_id) AS rn$i""").mkString(", ")} FROM mh),
-        cand AS (${(0 until 4).map(i =>
+        cand AS (SELECT DISTINCT doc_a, doc_b FROM (${(0 until 4).map(i =>
             s"""SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
                 FROM b a JOIN b c ON a.b$i = c.b$i AND a.doc_id < c.doc_id
                 WHERE a.rn$i <= ${Dedup.DefaultBucketCap}
                   AND c.rn$i <= ${Dedup.DefaultBucketCap}""")
-          .mkString(" UNION ")})"""
+          .mkString(" UNION ALL ")}))"""
+          // explicit DISTINCT wrapper, not bare UNION dedup: DuckDB
+          // 1.0 stops deduplicating a UNION inside a WITH RECURSIVE
+          // chain (observed at sf0.1 — duplicated cand rows double
+          // n_inter, identical docs divide by zero, and their pair
+          // silently drops from the d11 fixpoint)
 
   private val fingerprintSql =
     """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""

@@ -249,6 +249,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash kernel ≡ the shingle-explode expression pipeline on randomized unicode") {
+    // same contract as the simhash kernel pin: the zero-shuffle
+    // per-document path must reproduce shingles→minhashSignatures
+    // bit-for-bit (same tokenizer, <3-word drop, distinct 3-grams,
+    // 14-hex md5 base hash, affine minima, banded join)
+    val rnd = new Random(23)
+    val vocab = Seq("the", "Quick", "BROWN", "fox", "über", "straße",
+      "ΣΙΓΜΑ", "σίγμα", "İstanbul", "naïve", "日本語", "a1", "{}", "@@")
+    val texts = (0L until 50L).map { i =>
+      val n = rnd.nextInt(14)
+      val sep = () => Seq(" ", "  ", "\t", "\n")(rnd.nextInt(4))
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(sep()) +
+        (if (rnd.nextBoolean()) " " else ""))
+    } ++ Seq((100L, ""), (101L, "one two"), (102L, "a b c"))
+    val df = texts.toDF("doc_id", "text")
+    val viaKernel = graft.operators.Dedup
+      .minhashBands(df, col("text"), col("doc_id"), k = 8, bandSize = 2)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    val viaExpr = graft.operators.Dedup.minhashSignatures(
+        graft.operators.Dedup.shingles(df, col("text"), col("doc_id")),
+        k = 8, bandSize = 2)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    assert(viaKernel == viaExpr)
+    assert(!viaKernel.contains(100L) && !viaKernel.contains(101L),
+      "docs without a 3-gram must drop on both paths")
+    assert(viaKernel.contains(102L))
+  }
+
   test("self-loop-only vertices keep their label on every CC path") {
     // a pair (a,a) with no other edge: the contraction's edge
     // canonicalization drops the loop, but the vertex must still label
