@@ -90,6 +90,19 @@ object Dedup {
   private def baseHash(c: Column): Column =
     pmod(conv(substring(md5(c), 1, 14), 16, 10).cast("long"), lit(MinhashP))
 
+  /** Doc-id projection for the typed signature kernels: the kernel
+    * surface addresses docs by NUMERIC id, so the id must cast to long
+    * — loudly. A silent null would crash the encoder cryptically, and
+    * numeric-STRING ids that collide after the cast ('007' vs '7')
+    * would merge documents; corpora with non-numeric keys use the
+    * expression pipelines, which keep the id column type-generic.
+    */
+  private def kernelId(id: Column): Column =
+    coalesce(id.cast("long"),
+      raise_error(concat(lit("signature kernels need long-castable doc " +
+        "ids; got '"), id.cast("string"), lit("'"))).cast("long"))
+      .as("_id")
+
   /** k minhashes per doc via the standard universal-hash construction
     * `h_i = (a_i·x + b_i) mod p` over ONE md5 per shingle (the MLlib
     * MinHashLSH scheme) — the per-i multiplies are permutations mod p, so
@@ -132,13 +145,13 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val nBands = k / bandSize
-    df.select(id.cast("long").as("_id"), text.as("_t"))
+    df.select(kernelId(id), text.as("_t"))
+      .where(col("_t").isNotNull) // expression paths drop null-text docs
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (did, t) =>
-          val toks = t.toLowerCase(java.util.Locale.ROOT)
-            .split("\\s+", -1)
+          val toks = TextAnalysis.tokenize(t)
           if (toks.length < 3) Iterator.empty
           else {
             val mins = Array.fill(coefs.length)(Long.MaxValue)
@@ -525,15 +538,13 @@ object Dedup {
     require(bits > 0 && bits <= 128 && bits % 4 == 0, s"bad simhash width $bits")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(id.cast("long").as("_id"), text.as("_t"))
+    df.select(kernelId(id), text.as("_t"))
+      .where(col("_t").isNotNull) // expression paths drop null-text docs
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (did, t) =>
-          // Spark's split(lower(t), "\s+") = Java split(regex, -1):
-          // trailing empty tokens KEPT, Locale.ROOT lowercase
-          val toks = t.toLowerCase(java.util.Locale.ROOT)
-            .split("\\s+", -1).distinct
+          val toks = TextAnalysis.tokenize(t).distinct
           val counts = new Array[Int](bits)
           var i = 0
           while (i < toks.length) {

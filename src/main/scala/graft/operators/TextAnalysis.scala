@@ -14,6 +14,24 @@ object TextAnalysis {
   /** Whitespace tokens of the lowercased text. */
   def words(text: Column): Column = split(lower(text), "\\s+")
 
+  /** JVM-side twin of [[words]] for the per-document signature kernels
+    * (simhash/minhash) — THE one tokenizer both share, so a future
+    * tokenization change lands in exactly one kernel-side place (plus
+    * [[words]] and the oracle SQL builder).
+    *
+    * Lowercasing pins `Locale.ROOT` DELIBERATELY: the DuckDB oracles'
+    * `lower()` is locale-independent, and Spark's `lower` expression
+    * inherits the JVM default locale — identical to ROOT everywhere
+    * except tr/az-locale JVMs, where the EXPRESSION path (not this
+    * kernel) is the one that would diverge from the oracle ('I' → 'ı').
+    * Run driver and executors with a ROOT-equivalent default locale
+    * (every test/bench environment here does) and all three agree.
+    * `split(regex, -1)` keeps trailing empty tokens, matching Spark's
+    * `split`.
+    */
+  private[operators] def tokenize(t: String): Array[String] =
+    t.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+
   /** Marker stopword sets per language for the n-gram/stopword langid
     * heuristic. Tiny on purpose: langid on real corpora swaps in real
     * frequency tables; the operator shape (set-intersection scoring +

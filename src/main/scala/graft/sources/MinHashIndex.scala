@@ -75,11 +75,15 @@ object MinHashIndex {
   }
 
   /** One feed micro-batch → signature upserts + tombstones. The
-    * signature pipeline is EXACTLY d02's ([[Dedup.shingles]] →
-    * [[Dedup.minhashSignatures]]), run over the batch's rows only —
-    * per-document work, so the aggregation shuffles batch-sized data.
-    * Tombstones: source deletes AND upserted docs that no longer
-    * yield a signature (< 3 words).
+    * signature pipeline is the EXPRESSION form ([[Dedup.shingles]] →
+    * [[Dedup.minhashSignatures]]) because the batch keys on a
+    * (key, event_time) STRUCT; live d02 runs the per-document kernel
+    * ([[Dedup.minhashBands]]), and the two are pinned bit-identical by
+    * DedupSpec's randomized kernel ≡ expression property — the s08
+    * oracle row then holds the persisted-index ≡ d02 equivalence end
+    * to end. Run over the batch's rows only, so the aggregation
+    * shuffles batch-sized data. Tombstones: source deletes AND
+    * upserted docs that no longer yield a signature (< 3 words).
     */
   private def signBatch(
       spark: SparkSession, batch: Dataset[Row], textCol: String,
