@@ -750,6 +750,68 @@ object Dedup {
         count(when(!col("_keep"), 1)).as("n_dropped"))
   }
 
+  /** SUBSTRING-level (span) deduplication — the sequence-level pass from
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022): any run of `spanLen` consecutive tokens that
+    * appears in MORE than one document is a duplicated span; every
+    * occurrence outside its canonical document (the smallest doc id
+    * containing the span) is cut, and each document's surviving tokens
+    * reassemble in original order. Document-level dedup ([[exact]],
+    * MinHash) misses exactly this: near-identical boilerplate PARAGRAPHS
+    * embedded in otherwise-distinct pages.
+    *
+    * Semantics on the normalized token stream (`lower` + whitespace
+    * split — the engine's shared tokenizer): a token is dropped iff some
+    * `spanLen`-token window covering it is (a) content-identical to a
+    * window in ≥ 2 distinct documents and (b) this document is not that
+    * window's canonical (min-doc-id) home. Canonical documents keep
+    * their text unchanged; reassembly is single-space joined. Documents
+    * with fewer than `spanLen` tokens have no windows and pass through.
+    *
+    * Scale shape (the suffix-array build of the paper is single-node;
+    * this is the distributed rolling-window equivalent): window
+    * generation is NARROW (one per-row transform; windows key by
+    * `xxhash64` so shuffled rows carry 8-byte keys, the [[lineDedup]]
+    * move); ONE hash aggregation computes each window's doc frequency
+    * and canonical home, SHIPPING ONLY the duplicated windows back; the
+    * coverage join keys on window hash (cost scales with duplicated
+    * occurrences, never docs²); and per-doc dropped-position sets ride
+    * one keyed join back to the document row — token arrays never
+    * explode into a corpus-wide token table. Output:
+    * `(doc_id, clean_text, n_kept, n_dropped)`.
+    */
+  def spanDedup(
+      df: DataFrame, text: Column, id: Column, spanLen: Int): DataFrame = {
+    require(spanLen >= 2, "spanLen must be >= 2")
+    val docs = df.select(id.as("doc_id"), TextAnalysis.words(text).as("_w"))
+    val wins = docs.where(size(col("_w")) >= spanLen)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("_w")) - spanLen),
+          i => struct(i.cast("long").as("pos"),
+            xxhash64(concat_ws(" ", slice(col("_w"), i + 1, lit(spanLen))))
+              .as("wh")))).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.wh").as("wh"))
+    val dups = wins.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("_nd"),
+        min(col("doc_id")).as("_canon"))
+      .where(col("_nd") >= 2)
+      .select("wh", "_canon")
+    val dropped = wins.join(dups, Seq("wh"))
+      .where(col("doc_id") =!= col("_canon"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + spanLen - 1)).as("tp"))
+      .groupBy("doc_id").agg(collect_set(col("tp")).as("_drop"))
+    docs.join(dropped, Seq("doc_id"), "left")
+      .withColumn("_drop",
+        coalesce(col("_drop"), array().cast("array<long>")))
+      .withColumn("_kept", filter(col("_w"),
+        (t, i) => !array_contains(col("_drop"), i.cast("long"))))
+      .select(col("doc_id"),
+        array_join(col("_kept"), " ").as("clean_text"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        (size(col("_w")) - size(col("_kept"))).cast("long").as("n_dropped"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within a
     * blocking key (the label column here; [[embeddingNearDupsLsh]] blocks
     * on LSH buckets for the production path). The self-join is a hash

@@ -207,6 +207,47 @@ object TextAnalysis {
       .where(col("cap_rank") <= cap)
   }
 
+  /** Temperature-based source mixing at α = 0.5 — the rebalancing pass a
+    * multi-source corpus gets before export (Pile/ROOTS-style): source s
+    * keeps docs at rate `sqrt(c_ref / c_s)` with `c_ref` the smallest
+    * source's count, so over-represented sources thin toward the
+    * uniform mix while the smallest keeps everything (α = 0.5 between
+    * natural α = 1 and uniform α = 0). Membership is the deterministic
+    * salted-hash bucket under a per-source cutoff.
+    *
+    * α is fixed at 0.5 DELIBERATELY: `sqrt`, double division, multiply,
+    * and `floor` are all exactly-rounded IEEE-754 ops, so any engine
+    * lands on the identical integer cutoff — a general `pow(x, α)` has
+    * no cross-engine rounding guarantee (the same reproducibility
+    * reasoning as the md5 hashes). Plan: one tiny per-source count
+    * aggregate, a broadcast of |sources| cutoff rows, and a narrow
+    * filter — no wide shuffle of the corpus itself.
+    *
+    * Output (survivors only): `(doc_id, source, n_source, mix_cutoff,
+    * mix_bucket)`.
+    */
+  def sourceMix(
+      df: DataFrame, id: Column, source: Column,
+      salt: String = "m1"): DataFrame = {
+    val denom = 1000000L
+    val base = df.select(id.as("doc_id"), source.as("source"))
+    val counts = base.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val cref = counts.agg(min(col("n_source")).as("_cref"))
+    val cutoffs = counts.crossJoin(broadcast(cref))
+      .withColumn("mix_cutoff",
+        floor(sqrt(col("_cref").cast("double") / col("n_source").cast("double"))
+          * denom).cast("long"))
+      .drop("_cref")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(s"mix#$salt#"),
+        col("doc_id").cast("string"))), 1, 14), 16, 10).cast("long"),
+      lit(denom))
+    base.join(broadcast(cutoffs), Seq("source"))
+      .withColumn("mix_bucket", bucket)
+      .where(col("mix_bucket") < col("mix_cutoff"))
+      .select("doc_id", "source", "n_source", "mix_cutoff", "mix_bucket")
+  }
+
   def stratifiedSample(
       df: DataFrame, id: Column, stratum: Column,
       rates: Map[String, Double], defaultRate: Double,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,7 @@ object Pipeline {
     "d09_line_dedup" -> d09,
     "d10_exact_overlap" -> d10,
     "d11_dedup_components" -> d11,
+    "d12_span_dedup" -> d12,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -44,6 +45,9 @@ object Pipeline {
     "t09_length_histogram" -> t09,
     "t10_stratified_sample" -> t10,
     "t11_source_cap" -> t11,
+    "t12_seq_packing" -> t12,
+    "t13_source_mix" -> t13,
+    "t14_shard_assign" -> t14,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
     "m03_resize" -> m03,
@@ -161,6 +165,30 @@ object Pipeline {
   private def d11(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
       d03(s, dir).where(col("jaccard") >= 0.5), "doc_a", "doc_b")
+
+  /** The shared duplicated span for [[d12]]'s derived corpus: 13 tokens,
+    * so with spanLen = 8 its six interior windows are shared by every
+    * doc carrying the span and cover all 13 injected tokens, while the
+    * windows straddling the span/text boundary stay doc-unique.
+    */
+  private val D12Span = "shared boilerplate segment alpha beta gamma " +
+    "delta epsilon zeta eta theta iota kappa"
+
+  /** Substring (span) dedup under the oracle gate, on a derived corpus
+    * (the d09 move — the shipped corpus has no cross-doc duplicated
+    * 8-gram): every doc_id % 3 == 0 doc APPENDS the 13-token
+    * [[D12Span]], every % 3 == 1 doc PREPENDS it (so dropped positions
+    * land at both ends), and [[Dedup.spanDedup]] must cut exactly the
+    * injected tokens from every carrier except the canonical
+    * (smallest-id) one, reassembling survivors in order.
+    */
+  private def d12(s: SparkSession, dir: String): DataFrame = {
+    val derived = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + D12Span)))
+        .when(col("doc_id") % 3 === 1, concat(lit(D12Span + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    Dedup.spanDedup(derived, col("text"), col("doc_id"), spanLen = 8)
+  }
 
   /** Approximate distinct (HyperLogLog++ sketch). No oracle: sketch
     * estimates are implementation-specific, so the driver records the
@@ -298,6 +326,32 @@ object Pipeline {
   private def t11(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.sourceCap(docs(s, dir), col("doc_id"), col("source"),
       cap = 10, salt = "r7")
+
+  /** Concat-and-chunk sequence packing: 256-token training sequences
+    * over the salted-hash global order, via the distributed prefix sum
+    * (never a single-partition window — [[Packing.prefixSum]]).
+    */
+  private def t12(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(docs(s, dir), col("text"), col("doc_id"),
+      budget = 256L, salt = "r9")
+
+  /** Temperature source mixing (α = 0.5) on a manufactured skewed
+    * source class (the shipped `source` column is uniform — 25 docs
+    * each — so the real column would make every rate 1.0 and gate
+    * nothing): web 60% / books 30% / wiki 10% by doc_id mod 10, giving
+    * cutoffs sqrt(1/6), sqrt(1/3), 1.0.
+    */
+  private def t13(s: SparkSession, dir: String): DataFrame = {
+    val cls = when(pmod(col("doc_id"), lit(10)) < 6, "web")
+      .when(pmod(col("doc_id"), lit(10)) < 9, "books")
+      .otherwise("wiki")
+    TextAnalysis.sourceMix(docs(s, dir), col("doc_id"), cls, salt = "r9")
+  }
+
+  /** Deterministic global shuffle + 64-doc shard assignment. */
+  private def t14(s: SparkSession, dir: String): DataFrame =
+    Packing.shardAssign(docs(s, dir), col("doc_id"), shardSize = 64L,
+      salt = "r9")
 
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
@@ -587,6 +641,94 @@ object Pipeline {
           SELECT t.doc_id AS train_id, e.doc_id AS eval_id
           FROM fp t JOIN fp e ON t.fp = e.fp
           WHERE NOT t.is_eval AND e.is_eval""",
+    // d12: derived corpus injects D12Span at the tail (doc_id%3==0) or
+    // head (%3==1); windows = 8-token runs of the normalized stream,
+    // duplicated iff in ≥2 docs, canonical home = min doc_id; tokens
+    // covered by a non-canonical duplicated window drop, survivors
+    // reassemble in order
+    "d12_span_dedup" ->
+      s"""WITH derived AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN text || ' ${D12Span}'
+                   WHEN doc_id % 3 = 1 THEN '${D12Span} ' || text
+                   ELSE text END AS text
+            FROM documents),
+          w AS (SELECT doc_id, $wordsSql AS ws FROM derived),
+          wins AS (SELECT doc_id,
+              CAST(generate_subscripts(wl, 1) - 1 AS BIGINT) AS pos,
+              unnest(wl) AS win
+            FROM (SELECT doc_id,
+                    list_transform(range(0, len(ws) - 7),
+                      i -> array_to_string(ws[i+1:i+8], ' ')) AS wl
+                  FROM w WHERE len(ws) >= 8)),
+          dup AS (SELECT win, min(doc_id) AS canon FROM wins
+                  GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+          drops AS (SELECT w2.doc_id, w2.pos FROM wins w2
+                    JOIN dup d ON w2.win = d.win AND w2.doc_id <> d.canon),
+          cov AS (SELECT DISTINCT doc_id, tp FROM
+                    (SELECT doc_id, unnest(range(pos, pos + 8)) AS tp
+                     FROM drops)),
+          toks AS (SELECT doc_id,
+              CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS tp,
+              unnest(ws) AS tok
+            FROM w)
+          SELECT t.doc_id,
+            coalesce(string_agg(t.tok, ' ' ORDER BY t.tp)
+              FILTER (WHERE c.tp IS NULL), '') AS clean_text,
+            count(*) FILTER (WHERE c.tp IS NULL) AS n_kept,
+            count(*) FILTER (WHERE c.tp IS NOT NULL) AS n_dropped
+          FROM toks t
+          LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tp = t.tp
+          GROUP BY t.doc_id""",
+    // t12: the packing assignment is a pure window cumsum in the oracle
+    // (fine at sf scale; the ENGINE uses the two-phase distributed scan)
+    "t12_seq_packing" ->
+      s"""WITH d AS (SELECT doc_id,
+              CAST(len($wordsSql) AS BIGINT) AS n_tokens,
+              CAST('0x' || substr(md5('pack#r9#' || CAST(doc_id AS VARCHAR)), 1, 14)
+                AS BIGINT) AS h
+            FROM documents WHERE text IS NOT NULL),
+          o AS (SELECT doc_id, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS tok_offset
+            FROM d)
+          SELECT doc_id, n_tokens, tok_offset,
+            tok_offset // 256 AS start_seq,
+            (tok_offset + n_tokens - 1) // 256 AS end_seq,
+            (tok_offset + n_tokens - 1) // 256 - tok_offset // 256 + 1
+              AS n_seqs
+          FROM o""",
+    // t13: α=0.5 temperature mix over the manufactured source classes;
+    // sqrt/divide/multiply/floor are exactly-rounded IEEE ops, so the
+    // integer cutoffs match the engine bit-for-bit
+    "t13_source_mix" ->
+      """WITH b AS (SELECT doc_id,
+              CASE WHEN doc_id % 10 < 6 THEN 'web'
+                   WHEN doc_id % 10 < 9 THEN 'books'
+                   ELSE 'wiki' END AS source
+            FROM documents),
+          c AS (SELECT source, count(*) AS n_source FROM b GROUP BY source),
+          r AS (SELECT source, n_source,
+              CAST(floor(sqrt(CAST((SELECT min(n_source) FROM c) AS DOUBLE)
+                / CAST(n_source AS DOUBLE)) * 1000000) AS BIGINT)
+                AS mix_cutoff
+            FROM c)
+          SELECT doc_id, source, n_source, mix_cutoff, mix_bucket FROM
+            (SELECT b.doc_id, b.source, r.n_source, r.mix_cutoff,
+               CAST('0x' || substr(md5('mix#r9#' || CAST(b.doc_id AS VARCHAR)), 1, 14)
+                 AS BIGINT) % 1000000 AS mix_bucket
+             FROM b JOIN r USING (source))
+          WHERE mix_bucket < mix_cutoff""",
+    "t14_shard_assign" ->
+      """SELECT doc_id, shuffle_rank,
+            shuffle_rank // 64 AS shard_id,
+            shuffle_rank % 64 AS shard_pos
+          FROM (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY
+                    CAST('0x' || substr(md5('shard#r9#' || CAST(doc_id AS VARCHAR)), 1, 14)
+                      AS BIGINT), doc_id) - 1 AS shuffle_rank
+                FROM documents)""",
     "t06_pii_scrub" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val url = "https?://[^\\s]+"

@@ -147,6 +147,61 @@ class DedupSpec extends AnyFunSuite {
     assert(wiped.forall { case (_, t, d) => t == "" && d == 1L })
   }
 
+  test("spanDedup: canonical doc keeps, others lose exactly the span, short docs pass") {
+    // span = 5 tokens, spanLen = 3: its three interior windows are
+    // shared by docs 1, 2, 3; doc 1 (min id) is canonical and keeps
+    val span = "v w x y z"
+    val docs = Seq(
+      (1L, s"alpha beta $span"),             // canonical: untouched
+      (2L, s"$span gamma delta epsilon"),    // drops the 5 span tokens
+      (3L, s"k1 k2 k3 $span k4 k5"),         // drops mid-doc occurrence
+      (4L, "zeta eta theta iota"),           // no span: untouched
+      (5L, "v w")                            // < spanLen tokens: no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, col("text"), col("doc_id"), spanLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((s"alpha beta $span", 7L, 0L)))
+    assert(out(2L) === (("gamma delta epsilon", 3L, 5L)))
+    assert(out(3L) === (("k1 k2 k3 k4 k5", 5L, 5L)))
+    assert(out(4L) === (("zeta eta theta iota", 4L, 0L)))
+    assert(out(5L) === (("v w", 2L, 0L)))
+  }
+
+  test("spanDedup: within-doc-only repeats survive; repeated foreign spans cut everywhere") {
+    val docs = Seq(
+      // "r s t" twice in ONE doc only: df counts distinct docs, kept
+      (1L, "r s t m r s t"),
+      // shared span in docs 2 and 3; doc 3 carries it TWICE — both cut
+      (2L, "p q u p2"),
+      (3L, "p q u mid1 mid2 p q u")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, col("text"), col("doc_id"), spanLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("r s t m r s t", 7L, 0L)))
+    assert(out(2L) === (("p q u p2", 4L, 0L)))
+    assert(out(3L) === (("mid1 mid2", 2L, 6L)))
+  }
+
+  test("spanDedup: overlapping duplicated spans merge their coverage") {
+    // docs 1/2 share "a b c"; docs 1/3 share "b c d" — in doc 1 the two
+    // foreign... no: doc 1 is canonical for neither? ids: min doc for
+    // "a b c" is 1, for "b c d" is 1 → doc 1 canonical for both, keeps
+    // all; doc 2 drops a b c; doc 3 drops b c d
+    val docs = Seq(
+      (1L, "a b c d x1"),
+      (2L, "a b c x2 x3"),
+      (3L, "x4 x5 b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, col("text"), col("doc_id"), spanLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c d x1", 5L, 0L)))
+    assert(out(2L) === (("x2 x3", 2L, 3L)))
+    assert(out(3L) === (("x4 x5", 2L, 3L)))
+  }
+
   test("connectedComponents: transitive clusters, chains converge, order-independent") {
     def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
       graft.operators.Dedup.connectedComponents(

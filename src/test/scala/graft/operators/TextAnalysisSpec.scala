@@ -131,4 +131,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.sourceCap(df, col("doc_id"), col("source"),
       cap = 10).count() == 30)
   }
+
+  test("sourceMix: sqrt(cref/c) cutoffs, smallest source keeps all, deterministic") {
+    // 4:1 skew: big has 160 docs, small 10 → rate_big = sqrt(10/160) = 0.25
+    val df = (0L until 170L).map(i =>
+      (i, if (i < 160) "big" else "small")).toDF("doc_id", "source")
+    val out = TextAnalysis.sourceMix(df, col("doc_id"), col("source"),
+      salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // cutoffs are the exactly-representable sqrt ratios
+    val cut = out.map(r => (r._2, r._4)).toMap
+    assert(cut("big") === 250000L)   // floor(sqrt(10/160) * 1e6)
+    assert(cut("small") === 1000000L)
+    // the smallest source survives whole; survivors all under cutoff
+    assert(out.count(_._2 == "small") === 10)
+    assert(out.forall { case (_, _, _, c, b) => b < c })
+    // the per-doc bucket is the salted md5 hash — recompute via Spark
+    val expect = df.select(col("doc_id"),
+        pmod(conv(substring(md5(concat(lit("mix#t#"),
+          col("doc_id").cast("string"))), 1, 14), 16, 10).cast("long"),
+          lit(1000000L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.forall { case (id, _, _, _, b) => expect(id) === b })
+    // ... and the surviving set is exactly the under-cutoff set
+    val wantIds = expect.filter { case (id, b) =>
+      b < (if (id < 160) 250000L else 1000000L)
+    }.keySet
+    assert(out.map(_._1).toSet === wantIds)
+    // deterministic rerun; different salt draws a different big-side set
+    val again = TextAnalysis.sourceMix(df, col("doc_id"), col("source"),
+      salt = "t").collect().map(_.getLong(0)).toSet
+    assert(again === out.map(_._1).toSet)
+    val other = TextAnalysis.sourceMix(df, col("doc_id"), col("source"),
+      salt = "u").collect().map(_.getLong(0)).toSet
+    assert(other !== out.map(_._1).toSet)
+  }
 }
