@@ -104,6 +104,40 @@ object Packing {
         "start_seq", "end_seq", "n_seqs")
   }
 
+  /** The EMITTER for [[packSequences]] — materializes the actual
+    * training sequences: every document's tokens land at their absolute
+    * positions in the concatenated stream and group into `budget`-token
+    * sequences, docs split mid-sequence exactly where the assignment
+    * says. Output: `(seq_id, seq_text, n_tokens)` with `n_tokens =
+    * budget` for every sequence but the last.
+    *
+    * This step necessarily materializes the token stream (it IS the
+    * export); the shapes keep it linear: the assignment join is a hash
+    * join on doc_id, the explode is narrow with position arithmetic,
+    * and the one shuffle groups by seq_id with group size bounded at
+    * `budget` tokens (plus the ≤ 2 docs straddling each boundary).
+    */
+  def emitSequences(
+      df: DataFrame, text: Column, id: Column, budget: Long,
+      salt: String = "p1", bucketBits: Int = 8): DataFrame = {
+    val assign = packSequences(df, text, id, budget, salt, bucketBits)
+      .select(col("doc_id"), col("tok_offset"))
+    val toks = df.where(text.isNotNull)
+      .select(id.cast("long").as("doc_id"), TextAnalysis.words(text).as("_w"))
+      .join(assign, Seq("doc_id"))
+      .select(col("doc_id"), col("tok_offset"),
+        posexplode(col("_w")).as(Seq("_p", "_tok")))
+      .withColumn("_tp", col("tok_offset") + col("_p"))
+    toks
+      .withColumn("seq_id", expr(s"_tp div ${budget}L"))
+      .groupBy("seq_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_tp"), col("_tok")))),
+          x => x("_tok")), " ").as("seq_text"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Deterministic global shuffle + fixed-size shard assignment: every
     * document gets its rank in the salted-hash permutation and the
     * `(shard_id, shard_pos)` cell of a `shardSize`-row shard layout —

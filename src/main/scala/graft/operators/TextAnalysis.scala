@@ -268,6 +268,40 @@ object TextAnalysis {
         bucket.cast("long").as("sample_bucket"))
   }
 
+  /** Corpus-frequency rarity score — the unigram-LM-shaped quality
+    * signal (docs dominated by rare tokens are OCR junk / codey noise;
+    * docs of only ultra-common tokens are boilerplate): each token's
+    * corpus-wide occurrence count reduces to its MAGNITUDE
+    * `length(bin(count))` = floor(log2) + 1, and a document scores the
+    * occurrence-weighted mean magnitude of its tokens. Magnitude
+    * instead of `-log p` DELIBERATELY: `bin()` is pure integer/string
+    * in both engines, where a float `log` carries no cross-engine
+    * rounding guarantee (the α = 0.5 reasoning from [[sourceMix]]). A
+    * production pipeline swaps a real LM (KenLM perplexity) into the
+    * same shape — per-token statistic, corpus aggregate, join back,
+    * weighted per-doc mean.
+    *
+    * Scale shape: one pre-aggregation to distinct `(doc, token,
+    * n_occ)` (bounds the join volume at distinct pairs, not token
+    * occurrences), one vocab aggregate, one join back keyed by token —
+    * stop-word-grade hot keys pre-shrunk by the pair aggregation, AQE
+    * skew-join handles the rest — and one per-doc sum. Output:
+    * `(doc_id, n_tokens, sum_mag, avg_mag)`.
+    */
+  def rarityScore(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val pairs = df.select(id.as("doc_id"), explode(words(text)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n_occ"))
+    val vocab = pairs.groupBy("tok")
+      .agg(sum(col("n_occ")).as("_c"))
+      .select(col("tok"), length(bin(col("_c"))).cast("long").as("_mag"))
+    pairs.join(vocab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ")).as("n_tokens"),
+        sum(col("n_occ") * col("_mag")).as("sum_mag"))
+      .withColumn("avg_mag",
+        col("sum_mag").cast("double") / col("n_tokens"))
+  }
+
   /** Corpus length histogram: fixed-width buckets over the word count
     * (last bucket open-ended) — the shape/shard-balance diagnostic every
     * corpus build reports. One partial-aggregated shuffle on ≤ nBuckets

@@ -48,6 +48,8 @@ object Pipeline {
     "t12_seq_packing" -> t12,
     "t13_source_mix" -> t13,
     "t14_shard_assign" -> t14,
+    "t15_seq_emit" -> t15,
+    "t16_rarity_score" -> t16,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
     "m03_resize" -> m03,
@@ -352,6 +354,19 @@ object Pipeline {
   private def t14(s: SparkSession, dir: String): DataFrame =
     Packing.shardAssign(docs(s, dir), col("doc_id"), shardSize = 64L,
       salt = "r9")
+
+  /** The packed sequences themselves — t12's assignment materialized,
+    * docs split mid-sequence at exactly the 256-token boundaries.
+    */
+  private def t15(s: SparkSession, dir: String): DataFrame =
+    Packing.emitSequences(docs(s, dir), col("text"), col("doc_id"),
+      budget = 256L, salt = "r9")
+
+  /** Occurrence-weighted corpus-frequency magnitude per doc (the
+    * integer-portable unigram-rarity signal).
+    */
+  private def t16(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rarityScore(docs(s, dir), col("text"), col("doc_id"))
 
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
@@ -720,6 +735,42 @@ object Pipeline {
                  AS BIGINT) % 1000000 AS mix_bucket
              FROM b JOIN r USING (source))
           WHERE mix_bucket < mix_cutoff""",
+    // t15: t12's offset CTE feeds the token stream; global position =
+    // doc offset + local position, sequence = position // budget
+    "t15_seq_emit" ->
+      s"""WITH d AS (SELECT doc_id, $wordsSql AS ws,
+              CAST('0x' || substr(md5('pack#r9#' || CAST(doc_id AS VARCHAR)), 1, 14)
+                AS BIGINT) AS h
+            FROM documents WHERE text IS NOT NULL),
+          o AS (SELECT doc_id, ws,
+              CAST(COALESCE(SUM(CAST(len(ws) AS BIGINT)) OVER (
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS tok_offset
+            FROM d),
+          toks AS (SELECT doc_id,
+              tok_offset + CAST(generate_subscripts(ws, 1) - 1 AS BIGINT)
+                AS tp,
+              unnest(ws) AS tok
+            FROM o)
+          SELECT tp // 256 AS seq_id,
+            string_agg(tok, ' ' ORDER BY tp) AS seq_text,
+            count(*) AS n_tokens
+          FROM toks GROUP BY 1""",
+    "t16_rarity_score" ->
+      s"""WITH pairs AS (SELECT doc_id, tok, count(*) AS n_occ FROM
+              (SELECT doc_id, unnest($wordsSql) AS tok FROM documents)
+            GROUP BY doc_id, tok),
+          vocab AS (SELECT tok,
+              CAST(length(bin(sum(n_occ))) AS BIGINT) AS mag
+            FROM pairs GROUP BY tok)
+          SELECT doc_id,
+            CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+            CAST(sum(n_occ * mag) AS BIGINT) AS sum_mag,
+            CAST(sum(n_occ * mag) AS DOUBLE) / CAST(sum(n_occ) AS BIGINT)
+              AS avg_mag
+          FROM pairs JOIN vocab USING (tok)
+          GROUP BY doc_id""",
     "t14_shard_assign" ->
       """SELECT doc_id, shuffle_rank,
             shuffle_rank // 64 AS shard_id,

@@ -67,6 +67,31 @@ class PackingSpec extends AnyFunSuite {
     assert(chain.last._3 + chain.last._2 === out.map(_._2).sum)
   }
 
+  test("emitSequences: budget-exact chunks, stream order, mid-doc splits") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "e f g"), (3L, "h i j k l"), (4L, "m n"))
+      .toDF("doc_id", "text")
+    val budget = 4L
+    val seqs = Packing.emitSequences(docs, col("text"), col("doc_id"),
+      budget, salt = "e")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    // every sequence but the last is exactly `budget` tokens
+    seqs.dropRight(1).foreach { case (_, _, n) => assert(n === budget) }
+    assert(seqs.map(_._3).sum === 14L)
+    assert(seqs.map(_._1).toSeq === seqs.indices.map(_.toLong))
+    // reassembling the sequences in order reproduces the concatenated
+    // stream in the packSequences global order — docs split mid-seq
+    // exactly where the assignment's offsets say
+    val assign = Packing.packSequences(docs, col("text"), col("doc_id"),
+      budget, salt = "e")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._2)
+    val byId = Map(1L -> "a b c d", 2L -> "e f g", 3L -> "h i j k l",
+      4L -> "m n")
+    val stream = assign.map { case (id, _) => byId(id) }.mkString(" ")
+    assert(seqs.map(_._2).mkString(" ") === stream)
+  }
+
   test("shardAssign: exact permutation, full shards, salt reshuffles") {
     val docs = (0 until 130).map(i => Tuple1(i.toLong)).toDF("doc_id")
     val out = Packing.shardAssign(docs, col("doc_id"), shardSize = 16L,

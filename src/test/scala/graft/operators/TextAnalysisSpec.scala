@@ -132,6 +132,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       cap = 10).count() == 30)
   }
 
+  test("rarityScore: occurrence-weighted magnitude of corpus counts") {
+    // corpus counts: "the" x4 -> bin 100, mag 3; "rare" x1 -> mag 1;
+    // "word" x2 -> mag 2; "mid" x1 -> mag 1
+    val docs = Seq(
+      (1L, "the the rare"), (2L, "the word"), (3L, "the word mid"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rarityScore(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 2 * 3 + 1L, (2 * 3 + 1) / 3.0)))
+    assert(out(2L) === ((2L, 3 + 2L, (3 + 2) / 2.0)))
+    assert(out(3L) === ((3L, 3 + 2 + 1L, (3 + 2 + 1) / 3.0)))
+  }
+
   test("sourceMix: sqrt(cref/c) cutoffs, smallest source keeps all, deterministic") {
     // 4:1 skew: big has 160 docs, small 10 → rate_big = sqrt(10/160) = 0.25
     val df = (0L until 170L).map(i =>
