@@ -58,7 +58,13 @@ object Packing {
     require(bucketBits >= 1 && bucketBits <= 20, s"bad bucketBits $bucketBits")
     val bucketed = rows.withColumn("_bk", shiftright(col("_h"), 56 - bucketBits))
     val totals = bucketed.groupBy("_bk").agg(sum(col("_w")).as("_bt"))
-    val wBase = Window.orderBy(col("_bk"))
+    // constant-valued partition key: this frame IS meant to run in one
+    // task (it is ≤ 2^bucketBits aggregated rows); the key says so
+    // explicitly instead of tripping Spark's no-partition-defined WARN
+    // on every run. `pmod(_bk, 1)` not `lit(0)` — a foldable key is
+    // optimized out of the partition spec and the WARN returns.
+    val wBase = Window.partitionBy(pmod(col("_bk"), lit(1)))
+      .orderBy(col("_bk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bases = totals
       .withColumn("_base", coalesce(sum(col("_bt")).over(wBase), lit(0L)))
@@ -120,15 +126,22 @@ object Packing {
   def emitSequences(
       df: DataFrame, text: Column, id: Column, budget: Long,
       salt: String = "p1", bucketBits: Int = 8): DataFrame = {
-    val assign = packSequences(df, text, id, budget, salt, bucketBits)
-      .select(col("doc_id"), col("tok_offset"))
-    val toks = df.where(text.isNotNull)
-      .select(id.cast("long").as("doc_id"), TextAnalysis.words(text).as("_w"))
-      .join(assign, Seq("doc_id"))
-      .select(col("doc_id"), col("tok_offset"),
-        posexplode(col("_w")).as(Seq("_p", "_tok")))
-      .withColumn("_tp", col("tok_offset") + col("_p"))
-    toks
+    require(budget >= 1, "budget must be >= 1")
+    // the token arrays ride THROUGH the prefix sum instead of joining
+    // the assignment back to a second read of the input: one scan of
+    // the corpus, not two (the offsets are a function of sizes only,
+    // but recomputing them on a re-read doubles the dominant cost —
+    // the text scan)
+    val rows = df.where(text.isNotNull).select(
+      id.cast("long").as("doc_id"),
+      TextAnalysis.words(text).as("_toks"),
+      orderHash(s"pack#$salt#", id).as("_h"),
+      id.cast("string").as("_tid"))
+      .withColumn("_w", size(col("_toks")).cast("long"))
+    prefixSum(rows, bucketBits)
+      .select(col("doc_id"), col("_prefix").as("_off"),
+        posexplode(col("_toks")).as(Seq("_p", "_tok")))
+      .withColumn("_tp", col("_off") + col("_p"))
       .withColumn("seq_id", expr(s"_tp div ${budget}L"))
       .groupBy("seq_id")
       .agg(

@@ -119,19 +119,22 @@ class PackingSpec extends AnyFunSuite {
     val rows = (0 until 100).map(i => (i.toLong, 1L)).toDF("id", "w")
       .select(col("id"), Packing.orderHash("plan#", col("id")).as("_h"),
         col("id").cast("string").as("_tid"), col("w").as("_w"))
+    import org.apache.spark.sql.catalyst.expressions.Attribute
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val optimized = Packing.prefixSum(rows).queryExecution.optimizedPlan
     val windows = optimized.collect { case w: LWindow => w }
     assert(windows.size === 2, s"expected 2 windows, got:\n$optimized")
-    // the only window with an EMPTY partition spec (single-partition
-    // execution) must sit above the per-bucket Aggregate — a frame
-    // bounded at 2^bucketBits rows — never above the corpus itself
-    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
-      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
-        s"unpartitioned window over a non-aggregated (corpus-sized) child:\n$w")
-    }
+    // a window whose partition spec carries no real column (empty or
+    // constant-keyed) executes in ONE task — it must sit above the
+    // per-bucket Aggregate (a frame bounded at 2^bucketBits rows),
+    // never above the corpus itself
+    windows.filterNot(_.partitionSpec.exists(_.isInstanceOf[Attribute]))
+      .foreach { w =>
+        assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"single-task window over a non-aggregated (corpus-sized) child:\n$w")
+      }
     // and the corpus-side window must be hash-partitioned by bucket
-    assert(windows.exists(_.partitionSpec.nonEmpty),
-      s"no partitioned window found:\n$optimized")
+    assert(windows.exists(_.partitionSpec.exists(_.isInstanceOf[Attribute])),
+      s"no column-partitioned window found:\n$optimized")
   }
 }
