@@ -53,7 +53,7 @@ object AzofCli {
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
           "commit-partitioned|add-column|compact|delete|purge|changes|vacuum|" +
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
-          "pq-create|pq-refresh|pq-search|" +
+          "pq-create|pq-refresh|pq-search|export|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
     }
@@ -371,6 +371,45 @@ object AzofCli {
           df.where(org.apache.spark.sql.functions.col("key")
             .isin(ks.split(",").toSeq: _*)))
         looked.show(numRows = 1000, truncate = false)
+      case "export" =>
+        // training-data export over a FROZEN table version (the ranks
+        // are snapshot-scoped — see operators.Packing):
+        //   export --path L --table T --mode <shards|sequences|pack>
+        //     --out DIR [--as-of TS | --version N] [--text-col value]
+        //     [--shard-size 1024 | --budget 2048] [--salt p1]
+        // shards: one directory per shard_id, every shard full but the
+        // last; sequences: budget-exact token chunks; pack: the
+        // per-doc assignment table.
+        import org.apache.spark.sql.functions.col
+        val r0 = spark.read.format("azof").option("table", opts("table"))
+        val r1 = opts.get("as-of").fold(r0)(r0.option("asOf", _))
+        val r2 = opts.get("version").fold(r1)(r1.option("versionAsOf", _))
+        val df = r2.load(opts("path"))
+        val salt = opts.getOrElse("salt", "p1")
+        val textCol = col(opts.getOrElse("text-col", "value"))
+        val out = opts("out")
+        opts.getOrElse("mode", "shards") match {
+          case "shards" =>
+            val n = opts.getOrElse("shard-size", "1024").toLong
+            graft.operators.Packing.shardAssign(df, col("key"), n, salt)
+              .join(df, col("doc_id") === col("key"))
+              .drop("doc_id")
+              .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+            println(s"exported shards of $n to $out (salt=$salt)")
+          case "sequences" =>
+            val b = opts.getOrElse("budget", "2048").toLong
+            graft.operators.Packing.emitSequences(df, textCol, col("key"),
+                b, salt)
+              .write.mode("overwrite").parquet(out)
+            println(s"exported $b-token sequences to $out (salt=$salt)")
+          case "pack" =>
+            val b = opts.getOrElse("budget", "2048").toLong
+            graft.operators.Packing.packSequences(df, textCol, col("key"),
+                b, salt)
+              .write.mode("overwrite").parquet(out)
+            println(s"exported packing assignment to $out (salt=$salt)")
+          case m => System.err.println(s"unknown export mode: $m"); sys.exit(2)
+        }
       case other =>
         System.err.println(s"unknown command: $other")
         sys.exit(2)

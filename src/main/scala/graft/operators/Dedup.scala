@@ -479,6 +479,29 @@ object Dedup {
       .groupBy("doc_id").agg(min("component_id").as("component_id"))
   }
 
+  /** The KEEP-ONE verdict — the step every dedup pipeline actually ends
+    * on: given the corpus and a `(doc_id, component_id)` clustering
+    * (from [[connectedComponents]]), keep each cluster's canonical
+    * (minimum-id) document and every unclustered document, drop the
+    * rest. Pairwise drop lists over-delete when clusters overlap;
+    * keying the verdict on components is what makes the deletion set
+    * exactly `|clustered| - |clusters|`.
+    *
+    * One left join keyed by doc id (clusters are a small fraction of
+    * the corpus, so Spark broadcasts the component side when it fits);
+    * survivors = `component_id IS NULL OR component_id = doc_id`.
+    * Output: `(doc_id, component_id NULL for unclustered, is_canonical)`
+    * — survivors only.
+    */
+  def keepCanonical(
+      df: DataFrame, id: Column, components: DataFrame): DataFrame =
+    df.select(id.as("doc_id"))
+      .join(components, Seq("doc_id"), "left")
+      .where(col("component_id").isNull ||
+        col("component_id") === col("doc_id"))
+      .select(col("doc_id"), col("component_id"),
+        (col("component_id").isNotNull).as("is_canonical"))
+
   /** Exact n-gram Jaccard similarity for given candidate pairs, computed
     * by joining the pairs against the shingle sets (shuffles scale with
     * |candidates|·avg-shingles, not |docs|²).

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * classic distributed scan. Order keys are salted portable md5 hashes,
   * so the "shuffle" is reproducible across runs, task retries, and
   * engines — and a different salt draws an independent permutation.
+  *
+  * SNAPSHOT-SCOPED by design, unlike [[TextAnalysis.splitAssign]]'s
+  * grow-stable membership: ranks and offsets are COMPACT, so adding or
+  * removing one document shifts every later rank — inherent to any
+  * gapless packing/sharding, not an implementation choice. Run the
+  * export against a frozen corpus version (an azof as-of scan gives
+  * exactly that coordinate) and record (version, salt) with the
+  * artifacts; an incremental re-export is a new (version, salt) pair,
+  * not an in-place patch.
   */
 object Packing {
 
@@ -34,8 +43,11 @@ object Packing {
 
   /** Exclusive prefix sum of `_w` over the global order `(_h asc, _tid
     * asc)`, without a single-partition window. Input must carry columns
-    * `_h` (long order hash, < 2^56), `_tid` (unique string tiebreak) and
-    * `_w` (long weight); the result adds `_prefix`.
+    * `_h` (long order hash, < 2^56), `_tid` (a unique tiebreak of any
+    * orderable type — callers pass the id column UNCAST, so a numeric
+    * id breaks 56-bit hash ties numerically exactly like an oracle's
+    * `ORDER BY h, id`, and azof string keys order lexicographically)
+    * and `_w` (long weight); the result adds `_prefix`.
     *
     * Two-phase distributed scan:
     *
@@ -95,10 +107,10 @@ object Packing {
       salt: String = "p1", bucketBits: Int = 8): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     val rows = df.where(text.isNotNull).select(
-      id.cast("long").as("doc_id"),
+      id.as("doc_id"),
       size(TextAnalysis.words(text)).cast("long").as("n_tokens"),
       orderHash(s"pack#$salt#", id).as("_h"),
-      id.cast("string").as("_tid"))
+      id.as("_tid"))
       .withColumn("_w", col("n_tokens"))
     prefixSum(rows, bucketBits)
       .withColumn("tok_offset", col("_prefix"))
@@ -133,10 +145,10 @@ object Packing {
     // but recomputing them on a re-read doubles the dominant cost —
     // the text scan)
     val rows = df.where(text.isNotNull).select(
-      id.cast("long").as("doc_id"),
+      id.as("doc_id"),
       TextAnalysis.words(text).as("_toks"),
       orderHash(s"pack#$salt#", id).as("_h"),
-      id.cast("string").as("_tid"))
+      id.as("_tid"))
       .withColumn("_w", size(col("_toks")).cast("long"))
     prefixSum(rows, bucketBits)
       .select(col("doc_id"), col("_prefix").as("_off"),
@@ -164,9 +176,9 @@ object Packing {
       salt: String = "p1", bucketBits: Int = 8): DataFrame = {
     require(shardSize >= 1, "shardSize must be >= 1")
     val rows = df.select(
-      id.cast("long").as("doc_id"),
+      id.as("doc_id"),
       orderHash(s"shard#$salt#", id).as("_h"),
-      id.cast("string").as("_tid"))
+      id.as("_tid"))
       .withColumn("_w", lit(1L))
     prefixSum(rows, bucketBits)
       .withColumn("shuffle_rank", col("_prefix"))

@@ -302,6 +302,41 @@ object TextAnalysis {
         col("sum_mag").cast("double") / col("n_tokens"))
   }
 
+  /** Hash-feature LINEAR classifier margin — the fasttext-shaped
+    * model-based quality filter (the DCLM/FineWeb-Edu curation step):
+    * every token hashes into a weight in [-1, 1] and the document's
+    * margin is the left-fold sum in token order plus a bias; positive
+    * margin = keep. The weights here are the deterministic md5 stub —
+    * a PRODUCTION deployment swaps learned weights in by replacing
+    * `weight` with a lookup against a broadcast vocabulary table, and
+    * the shape (per-token weight → fixed-order fold → threshold) is
+    * unchanged.
+    *
+    * Portability, stated precisely: the fold is LEFT-ASSOCIATED in
+    * token order in both engines (Spark `aggregate(.., 0.0, +)` and
+    * DuckDB `list_reduce(+)` produce the identical IEEE rounding
+    * sequence — float addition is not associative, so the ORDER is the
+    * contract), the weight `((h mod 2001) - 1000) / 1000.0` is one
+    * exactly-rounded division, and no transcendental (sigmoid) enters:
+    * the margin is the decision surface, monotone with the
+    * probability. Narrow, no shuffle. Output:
+    * `(doc_id, n_tokens, margin, keep)`.
+    */
+  def hashClassifier(
+      df: DataFrame, text: Column, id: Column,
+      bias: Double = 0.0, salt: String = "q1"): DataFrame = {
+    val w = words(text)
+    val weights = transform(w, t =>
+      ((pmod(conv(substring(md5(concat(lit(s"w#$salt#"), t)), 1, 14),
+        16, 10).cast("long"), lit(2001L)) - 1000L).cast("double")
+        / lit(1000.0)))
+    df.select(id.as("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        (aggregate(weights, lit(0.0d), (acc, x) => acc + x) + bias)
+          .as("margin"))
+      .withColumn("keep", col("margin") > 0.0d)
+  }
+
   /** Corpus length histogram: fixed-width buckets over the word count
     * (last bucket open-ended) — the shape/shard-balance diagnostic every
     * corpus build reports. One partial-aggregated shuffle on ≤ nBuckets

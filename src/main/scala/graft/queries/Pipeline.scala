@@ -26,6 +26,7 @@ object Pipeline {
     "d10_exact_overlap" -> d10,
     "d11_dedup_components" -> d11,
     "d12_span_dedup" -> d12,
+    "d13_dedup_survivors" -> d13,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -50,6 +51,7 @@ object Pipeline {
     "t14_shard_assign" -> t14,
     "t15_seq_emit" -> t15,
     "t16_rarity_score" -> t16,
+    "t17_hash_classifier" -> t17,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
     "m03_resize" -> m03,
@@ -191,6 +193,13 @@ object Pipeline {
         .otherwise(col("text")).as("text"))
     Dedup.spanDedup(derived, col("text"), col("doc_id"), spanLen = 8)
   }
+
+  /** The keep-one verdict over d11's clusters: each near-dup
+    * component's minimum-id doc plus every unclustered doc — the
+    * filtered corpus a dedup pipeline actually ships.
+    */
+  private def d13(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepCanonical(docs(s, dir), col("doc_id"), d11(s, dir))
 
   /** Approximate distinct (HyperLogLog++ sketch). No oracle: sketch
     * estimates are implementation-specific, so the driver records the
@@ -368,6 +377,13 @@ object Pipeline {
   private def t16(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.rarityScore(docs(s, dir), col("text"), col("doc_id"))
 
+  /** Hash-feature linear classifier margin (deterministic stub weights;
+    * the operator shape is the fasttext-style curation filter).
+    */
+  private def t17(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashClassifier(docs(s, dir), col("text"), col("doc_id"),
+      bias = 0.0, salt = "r9")
+
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
 
@@ -451,6 +467,32 @@ object Pipeline {
 
   private val fingerprintSql =
     """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
+
+  /** Shared CTE chain for d11/d13: the d03 pair query (inlined,
+    * thresholded at Jaccard ≥ 0.5) feeding a recursive min-label
+    * fixpoint — `reach` = transitive closure over the symmetrized
+    * edges; `min(dst) GROUP BY src` yields the component labels.
+    */
+  private lazy val componentCtes =
+    s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        sizes AS (SELECT doc_id, count(*) AS n FROM u GROUP BY doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                  FROM cand c
+                  JOIN u ua ON ua.doc_id = c.doc_a
+                  JOIN u ub ON ub.doc_id = c.doc_b AND ua.sh = ub.sh
+                  GROUP BY c.doc_a, c.doc_b),
+        pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+                  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+                  JOIN sizes sa ON sa.doc_id = c.doc_a
+                  JOIN sizes sb ON sb.doc_id = c.doc_b
+                  WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                        / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT src, src AS dst FROM edges
+                  UNION
+                  SELECT r.src, e.dst FROM reach r
+                  JOIN edges e ON r.dst = e.src)"""
 
   private def cosSql(a: String, b: String): String =
     s"""list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))
@@ -623,27 +665,19 @@ object Pipeline {
     // min-label fixpoint — WITH RECURSIVE reach = transitive closure
     // over the symmetrized edges, component = min reachable id
     "d11_dedup_components" ->
-      s"""${minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-          sizes AS (SELECT doc_id, count(*) AS n FROM u GROUP BY doc_id),
-          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-                    FROM cand c
-                    JOIN u ua ON ua.doc_id = c.doc_a
-                    JOIN u ub ON ub.doc_id = c.doc_b AND ua.sh = ub.sh
-                    GROUP BY c.doc_a, c.doc_b),
-          pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
-                    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-                    JOIN sizes sa ON sa.doc_id = c.doc_a
-                    JOIN sizes sb ON sb.doc_id = c.doc_b
-                    WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-                          / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5),
-          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                    UNION SELECT doc_b, doc_a FROM pairs),
-          reach AS (SELECT src, src AS dst FROM edges
-                    UNION
-                    SELECT r.src, e.dst FROM reach r
-                    JOIN edges e ON r.dst = e.src)
+      s"""$componentCtes
           SELECT src AS doc_id, min(dst) AS component_id
           FROM reach GROUP BY src""",
+    // d13: the keep-one verdict over d11's clusters — canonical doc per
+    // component + every unclustered doc
+    "d13_dedup_survivors" ->
+      s"""$componentCtes,
+          comp AS (SELECT src AS doc_id, min(dst) AS component_id
+                   FROM reach GROUP BY src)
+          SELECT d.doc_id, c.component_id,
+            c.component_id IS NOT NULL AS is_canonical
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+          WHERE c.component_id IS NULL OR c.component_id = d.doc_id""",
     // d10: fingerprint equality ⟺ normalized-text equality, so the
     // oracle joins train to eval twins on the same md5 fingerprint
     "d10_exact_overlap" ->
@@ -757,6 +791,21 @@ object Pipeline {
             string_agg(tok, ' ' ORDER BY tp) AS seq_text,
             count(*) AS n_tokens
           FROM toks GROUP BY 1""",
+    // t17: left-fold in token order on both sides — float addition is
+    // not associative, so the fold ORDER is the cross-engine contract
+    // (list_reduce seeds with the first element; (0.0 + w1) ≡ w1)
+    "t17_hash_classifier" ->
+      s"""SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_tokens,
+            list_reduce(list_transform(ws,
+              t -> (CAST('0x' || substr(md5('w#r9#' || t), 1, 14) AS BIGINT)
+                    % 2001 - 1000) / 1000.0),
+              (acc, x) -> acc + x) + 0.0 AS margin,
+            list_reduce(list_transform(ws,
+              t -> (CAST('0x' || substr(md5('w#r9#' || t), 1, 14) AS BIGINT)
+                    % 2001 - 1000) / 1000.0),
+              (acc, x) -> acc + x) + 0.0 > 0.0 AS keep
+          FROM (SELECT doc_id, $wordsSql AS ws FROM documents)""",
     "t16_rarity_score" ->
       s"""WITH pairs AS (SELECT doc_id, tok, count(*) AS n_occ FROM
               (SELECT doc_id, unnest($wordsSql) AS tok FROM documents)

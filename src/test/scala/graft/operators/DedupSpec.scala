@@ -202,6 +202,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) === (("x4 x5", 2L, 3L)))
   }
 
+  test("keepCanonical: one survivor per cluster, unclustered pass, exact deletion count") {
+    val docs = (1L to 10L).map(Tuple1(_)).toDF("doc_id")
+    // clusters {1,2,3} and {5,7}; 4,6,8,9,10 unclustered
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (7L, 5L))
+      .toDF("doc_id", "component_id")
+    val out = Dedup.keepCanonical(docs, col("doc_id"), comps)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 4L, 5L, 6L, 8L, 9L, 10L))
+    assert(out.filter(_._3).map(_._1).toSeq === Seq(1L, 5L))
+    assert(out.filterNot(_._3).forall(_._2.isEmpty))
+    // deletion count = |clustered| - |clusters|
+    assert(docs.count() - out.length === 5 - 2)
+  }
+
   test("connectedComponents: transitive clusters, chains converge, order-independent") {
     def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
       graft.operators.Dedup.connectedComponents(

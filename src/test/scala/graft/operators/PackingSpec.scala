@@ -115,6 +115,48 @@ class PackingSpec extends AnyFunSuite {
     assert(out.exists { case (id, rank, _, _) => other(id) !== rank })
   }
 
+  test("export over a frozen azof version is reproducible as the table grows") {
+    import graft.format.{ColumnDef, ColumnType, TableSchema}
+    import graft.sources.AzofWriter
+    import java.sql.Timestamp
+    import java.time.Instant
+    val lake = java.nio.file.Files.createTempDirectory("azof-export").toString
+    val schema = TableSchema(Seq(
+      ColumnDef("value", ColumnType.AzString, nullable = false)))
+    def rows(rs: (String, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rs.map { case (k, v) =>
+        org.apache.spark.sql.Row(k,
+          Timestamp.from(Instant.parse("2024-01-01T00:00:00Z")), v)
+      }), schema.toStruct)
+    AzofWriter.createTable(spark, lake, "corpus", schema,
+      Instant.parse("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "corpus", rows(
+      (1 to 40).map(i => (s"d$i", s"tok$i alpha beta gamma")): _*))
+    val frozen = graft.format.AzofTable(spark, lake, "corpus")
+      .currentVersion
+    def readAt(v: String) = spark.read.format("azof")
+      .option("table", "corpus").option("versionAsOf", v).load(lake)
+    def export(df: org.apache.spark.sql.DataFrame) =
+      Packing.shardAssign(df, col("key"), shardSize = 8L, salt = "x")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val first = export(readAt(frozen))
+    // the corpus grows…
+    AzofWriter.commitDelta(spark, lake, "corpus", rows(
+      (41 to 60).map(i => (s"d$i", s"tok$i delta")): _*),
+      Instant.parse("2024-01-02T00:00:00Z"),
+      Instant.parse("2024-02-01T00:00:00Z"))
+    // …the frozen-version export replays bit-for-bit
+    assert(export(readAt(frozen)) === first)
+    // while the Current export re-ranks (compact ranks shift — the
+    // documented snapshot-scoped semantics): same 40 old docs, but at
+    // least one sits at a different rank now
+    val grown = export(spark.read.format("azof")
+      .option("table", "corpus").load(lake))
+    assert(grown.size === 60)
+    val grownMap = grown.toMap
+    assert(first.exists { case (k, r) => grownMap(k) !== r })
+  }
+
   test("prefixSum plan: corpus window is partitioned, only the tiny base frame is not") {
     val rows = (0 until 100).map(i => (i.toLong, 1L)).toDF("id", "w")
       .select(col("id"), Packing.orderHash("plan#", col("id")).as("_h"),

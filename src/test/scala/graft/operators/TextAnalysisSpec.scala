@@ -146,6 +146,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 3 + 2 + 1L, (3 + 2 + 1) / 3.0)))
   }
 
+  test("hashClassifier: margin = ordered fold of per-token weights, bias shifts it") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha")).toDF("doc_id", "text")
+    // recompute the expected margins with the same md5 stub, folding in
+    // token order like the operator
+    def weight(t: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dg = md.digest(s"w#t#$t".getBytes("UTF-8"))
+      var x = 0L
+      (0 until 7).foreach(i => x = (x << 8) | (dg(i) & 0xffL))
+      ((x % 2001L) - 1000L).toDouble / 1000.0
+    }
+    def margin(ts: String*): Double =
+      ts.foldLeft(0.0)((acc, t) => acc + weight(t))
+    val out = TextAnalysis.hashClassifier(docs, col("text"), col("doc_id"),
+      bias = 0.0, salt = "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val m1 = margin("alpha", "beta", "gamma")
+    val m2 = margin("alpha")
+    assert(out(1L) === ((3L, m1, m1 > 0)))
+    assert(out(2L) === ((1L, m2, m2 > 0)))
+    // a large positive bias keeps everything
+    val kept = TextAnalysis.hashClassifier(docs, col("text"), col("doc_id"),
+      bias = 1000.0, salt = "t").where(col("keep")).count()
+    assert(kept === 2L)
+  }
+
   test("sourceMix: sqrt(cref/c) cutoffs, smallest source keeps all, deterministic") {
     // 4:1 skew: big has 160 docs, small 10 → rate_big = sqrt(10/160) = 0.25
     val df = (0L until 170L).map(i =>
