@@ -835,6 +835,95 @@ object Dedup {
         (size(col("_w")) - size(col("_kept"))).cast("long").as("n_dropped"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic dedup of an
+    * embedding corpus by k-means clustering + within-cluster cosine
+    * pruning — the pass LAION/DataComp-style pipelines run where exact
+    * and MinHash dedup ([[exact]], [[lshCandidates]]) cannot see
+    * paraphrases. Two-stage shape:
+    *
+    *   1. cluster: every vector is assigned to its nearest of `k`
+    *      centroids (squared L2, the k-means metric) by a narrow
+    *      broadcast kernel — zero shuffle, same shape as IVF
+    *      assignment.
+    *   2. prune: within each cluster, a doc is dropped iff a LOWER-id
+    *      doc in the same cluster has cosine >= `threshold`. This is
+    *      the paper's released triangular-max rule (drop x_i when
+    *      max_{j<i} sim(x_i, x_j) > eps) with the arbitrary tensor
+    *      order replaced by id order, this engine's portable canon
+    *      (same rule as [[keepCanonical]]).
+    *
+    * Deterministic variant, the s06 move: centroids are the
+    * md5-ordered seed sample (`lloydIters = 0` — the k-means++ of a
+    * frozen pipeline), so the whole pass (seed, assignment, pairing,
+    * verdict) replays bit-for-bit cross-engine and the oracle gates
+    * all of it. A production run swaps Lloyd-refined centroids into
+    * the same shape, exactly as [[Similarity.pqTrain]] does.
+    *
+    * Scale: the within-cluster self-join is SemDeDup's real design —
+    * quadratic per cluster, linear overall because `k` SCALES WITH N
+    * (the paper uses k = 50k on LAION-440M, keeping expected cluster
+    * size ~N/k constant). The join is a hash join on the cluster id,
+    * never a cross product; the verify kernel touches only same-cluster
+    * pairs. Output: (vec_id, cluster_id, kept).
+    */
+  def semDedup(
+      emb: DataFrame, id: String, vec: String, k: Int,
+      threshold: Double, salt: String = "sem"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vd = transform(col(vec), x => x.cast("double"))
+    val e = emb.select(col(id).cast("long").as("_id"), vd.as("_v"))
+      .withColumn("_n", sqrt(aggregate(col("_v"), lit(0.0d),
+        (acc, x) => acc + x * x)))
+    // Seed centroids: k rows in salted-md5 order (ties toward the lower
+    // id) — O(k) driver state, the same contract as pqTrain's seed.
+    val cents: Array[Array[Double]] = e
+      .orderBy(md5(concat(lit(salt + "#"), col("_id").cast("string"))),
+        col("_id"))
+      .limit(k)
+      .select(col("_v")).as[Array[Double]].collect()
+    val centB = spark.sparkContext.broadcast(cents)
+    // Assignment: ascending-index squared-L2 accumulation with a strict
+    // less-than compare — ties toward the lower centroid index, matching
+    // the oracle's ORDER BY d ASC, c. Narrow, no shuffle.
+    val assign = e.select(col("_id"), col("_v"), col("_n"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val cs = centB.value
+        it.map { case (vid, v, n) =>
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c)
+            var acc = 0.0
+            var j = 0
+            while (j < v.length) {
+              val d = v(j) - cv(j); acc += d * d; j += 1
+            }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          (vid, best.toLong, v, n)
+        }
+      }
+      .toDF("_id", "_cid", "_v", "_n")
+    val a = assign.select(col("_id").as("vec_a"), col("_cid"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val b = assign.select(col("_id").as("vec_b"), col("_cid"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    val dropped = Similarity.cosineFilterPairs(
+        a.join(b, Seq("_cid")).where(col("vec_a") < col("vec_b")),
+        threshold)
+      .select(col("vec_b").as("_id")).distinct()
+    assign.join(dropped.withColumn("_dropped", lit(true)),
+        Seq("_id"), "left")
+      .select(col("_id").as("vec_id"), col("_cid").as("cluster_id"),
+        coalesce(!col("_dropped"), lit(true)).as("kept"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within a
     * blocking key (the label column here; [[embeddingNearDupsLsh]] blocks
     * on LSH buckets for the production path). The self-join is a hash

@@ -27,6 +27,7 @@ object Pipeline {
     "d11_dedup_components" -> d11,
     "d12_span_dedup" -> d12,
     "d13_dedup_survivors" -> d13,
+    "d14_semdedup" -> d14,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -283,6 +284,16 @@ object Pipeline {
     Similarity.pqTopK(emb(s, dir), "vec_id", "embedding",
       numSub = 8, codebookBits = 4, col("vec_id") < 3, k = 10,
       lloydIters = 0, rerank = 0)
+
+  /** SemDeDup over the embedding corpus: 16 deterministic seed
+    * centroids (k scales with N in production — the paper's 50k on
+    * LAION-440M), cosine 0.4 within-cluster pruning, min-id survivor.
+    * The oracle replays seed → L2 assignment → triangular cosine
+    * verdict bit-for-bit (the s06 move).
+    */
+  private def d14(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(emb(s, dir), "vec_id", "embedding", k = 16,
+      threshold = 0.4)
 
   private def t01(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir), col("text"), col("doc_id"))
@@ -946,6 +957,35 @@ object Pipeline {
                 PARTITION BY query_id ORDER BY adist ASC, neighbor_id) AS rn
              FROM ad)
           WHERE rn <= 10""",
+    // d14: full SemDeDup replay — seed rank, L2 assignment argmin
+    // (ties to the lower centroid index), triangular within-cluster
+    // cosine verdict; every float fold matches the Spark kernels'
+    // operation order (seed/assignment = the s06 machinery, cosine =
+    // the d05 machinery)
+    "d14_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+          seed AS (SELECT c, v FROM (
+              SELECT v, ROW_NUMBER() OVER (
+                  ORDER BY md5('sem#' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+              FROM e) WHERE c < 16),
+          asgd AS (SELECT e.vec_id, s.c,
+                     list_sum(list_transform(list_zip(e.v, s.v),
+                       x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+                   FROM e CROSS JOIN seed s),
+          asg AS (SELECT vec_id, c FROM (
+              SELECT vec_id, c, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY d ASC, c) AS rn
+              FROM asgd) WHERE rn = 1),
+          drp AS (SELECT DISTINCT bb.vec_id AS vec_id
+                  FROM asg aa
+                  JOIN asg bb ON aa.c = bb.c AND aa.vec_id < bb.vec_id
+                  JOIN embeddings a ON a.vec_id = aa.vec_id
+                  JOIN embeddings b ON b.vec_id = bb.vec_id
+                  WHERE ${cosSql("a", "b")} >= 0.4)
+          SELECT asg.vec_id, CAST(asg.c AS BIGINT) AS cluster_id,
+                 drp.vec_id IS NULL AS kept
+          FROM asg LEFT JOIN drp USING (vec_id)""",
     "s04_ann_lsh_topk" ->
       s"""WITH bk AS (SELECT vec_id, ${(0 until 12).map(p =>
             s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN '1' ELSE '0' END)")

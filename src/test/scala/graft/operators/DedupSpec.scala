@@ -398,4 +398,51 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("semDedup: triangular min-id rule within clusters, brute-force checked") {
+    // Random 8-dim corpus with planted duplicate groups: identical
+    // vectors must collapse to the min id; every verdict must satisfy
+    // the paper's triangular rule (dropped iff a lower-id same-cluster
+    // doc has cosine >= threshold), checked against a local brute force
+    // of the operator's own cluster assignment.
+    val rnd = new Random(11)
+    val base = (0 until 20).map(_ => Array.fill(8)(rnd.nextDouble() * 2 - 1))
+    val rows = (0 until 40).map { i =>
+      val v = if (i < 20) base(i) else base(i - 20) // ids 20.. duplicate 0..
+      (i.toLong, v.toSeq.map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", k = 6,
+      threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 40)
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    // identical vectors always share a cluster (distance 0 ties to the
+    // same lowest centroid index) and the higher id never survives
+    for (i <- 0L until 20L) {
+      assert(cluster(i) == cluster(i + 20), s"dup pair $i split")
+      assert(!out.find(_._1 == i + 20).get._3, s"${i + 20} should drop")
+    }
+    // triangular rule against brute force over the operator's clusters
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    out.foreach { case (id, cid, kept) =>
+      val lowerSim = out.exists { case (j, cj, _) =>
+        j < id && cj == cid && cos(vecs(id), vecs(j)) >= 0.95
+      }
+      assert(kept == !lowerSim, s"verdict for $id")
+    }
+    // determinism and salt sensitivity
+    val again = Dedup.semDedup(df, "vec_id", "embedding", k = 6,
+      threshold = 0.95).collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
+    val salted = Dedup.semDedup(df, "vec_id", "embedding", k = 6,
+      threshold = 0.95, salt = "other")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the dup-collapse invariant holds under any seed
+    for (i <- 0L until 20L) assert(salted(i) == salted(i + 20))
+  }
 }
