@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,7 @@ object Pipeline {
     "t15_seq_emit" -> t15,
     "t16_rarity_score" -> t16,
     "t17_hash_classifier" -> t17,
+    "p01_filter_funnel" -> p01,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
     "m03_resize" -> m03,
@@ -284,6 +285,29 @@ object Pipeline {
     Similarity.pqTopK(emb(s, dir), "vec_id", "embedding",
       numSub = 8, codebookBits = 4, col("vec_id") < 3, k = 10,
       lloydIters = 0, rerank = 0)
+
+  /** The composed filter funnel over a duplicate-injected derived
+    * corpus (the shipped table is 100% fingerprint-distinct, so — the
+    * d09 move — docs with `doc_id % 11 == 7` take the text of
+    * `doc_id − 7`, manufacturing exact-dup groups the stage-3 gate must
+    * catch AMONG stage-1/2 survivors). Stage thresholds chosen so every
+    * funnel stage drops a non-empty set at sf0.01: en-only, quality
+    * ≥ 0.42, per-source cap 12, margin > 0 under a −8.5 bias (the
+    * corpus's median margin under this salt, so the classifier's
+    * verdict actually splits its entrants).
+    */
+  private def p01(s: SparkSession, dir: String): DataFrame = {
+    val d0 = docs(s, dir)
+    val src = d0.select(col("doc_id").as("_sid"), col("text").as("_stext"))
+    val derived = d0.join(src, d0("doc_id") - 7 === col("_sid"), "left")
+      .select(d0("doc_id"),
+        when(d0("doc_id") % 11 === 7 && col("_stext").isNotNull,
+          col("_stext")).otherwise(d0("text")).as("text"),
+        d0("source"))
+    Funnel.verdicts(derived, col("text"), col("doc_id"), col("source"),
+      keepLang = "en", qualityMin = 0.42, cap = 12, salt = "p1",
+      clsBias = -8.5)
+  }
 
   /** SemDeDup over the embedding corpus: 16 deterministic seed
     * centroids (k scales with N in production — the paper's 50k on
@@ -986,6 +1010,62 @@ object Pipeline {
           SELECT asg.vec_id, CAST(asg.c AS BIGINT) AS cluster_id,
                  drp.vec_id IS NULL AS kept
           FROM asg LEFT JOIN drp USING (vec_id)""",
+    // p01: the composed funnel on the duplicate-injected derived corpus.
+    // Stage formulas are the t03/t02/d01/t11/t17 oracles verbatim; the
+    // composition is the same two conditional windows the Spark plan
+    // uses (min-over-fp for the survivor canonical, conditional running
+    // count over the salted cap order for the survivor rank).
+    "p01_filter_funnel" ->
+      """WITH srcd AS (SELECT doc_id AS sid, text AS stext FROM documents),
+          d AS (SELECT d.doc_id,
+                  CASE WHEN d.doc_id % 11 = 7 AND s.stext IS NOT NULL
+                       THEN s.stext ELSE d.text END AS text,
+                  d.source
+                FROM documents d LEFT JOIN srcd s ON d.doc_id - 7 = s.sid),
+          feat AS (SELECT doc_id, source,
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+              CAST('0x' || substr(md5('cap#p1#' || CAST(doc_id AS VARCHAR)), 1, 14)
+                AS BIGINT) AS ck,
+              CASE WHEN s_en > 0 AND s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_de > 0 AND s_de >= GREATEST(s_fr, s_es) THEN 'de'
+                   WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                   WHEN s_es > 0 THEN 'es'
+                   ELSE 'unknown' END AS predicted,
+              LEAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                  / len(ws) / 10.0, 1.0) * 0.5
+                + CAST(len(list_intersect(ws, ['the','a','of','and','is','der','die','und','ein','ist','le','la','et','un','est','el','y','los','es'])) AS DOUBLE)
+                  / len(ws) * 0.3
+                + (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                  / length(text)) * 0.2 AS qs,
+              list_reduce(list_transform(ws,
+                t -> (CAST('0x' || substr(md5('w#p1#' || t), 1, 14) AS BIGINT)
+                      % 2001 - 1000) / 1000.0),
+                (acc, x) -> acc + x) + -8.5 AS margin
+            FROM (SELECT doc_id, source, text,
+                    string_split_regex(lower(text), '\s+') AS ws,
+                    len(list_intersect(string_split_regex(lower(text), '\s+'), ['the','a','of','and','is'])) AS s_en,
+                    len(list_intersect(string_split_regex(lower(text), '\s+'), ['der','die','und','ein','ist'])) AS s_de,
+                    len(list_intersect(string_split_regex(lower(text), '\s+'), ['le','la','et','un','est'])) AS s_fr,
+                    len(list_intersect(string_split_regex(lower(text), '\s+'), ['el','y','los','un','es'])) AS s_es
+                  FROM d)),
+          st AS (SELECT *,
+              min(CASE WHEN predicted = 'en' AND qs >= 0.42 THEN doc_id END)
+                OVER (PARTITION BY fp) AS canon
+            FROM feat),
+          st2 AS (SELECT *,
+              sum(CASE WHEN predicted = 'en' AND qs >= 0.42 AND doc_id = canon
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY source ORDER BY ck, CAST(doc_id AS VARCHAR)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cap_rank
+            FROM st)
+          SELECT doc_id, source,
+            CASE WHEN predicted <> 'en' THEN '1_lang'
+                 WHEN qs < 0.42 THEN '2_quality'
+                 WHEN doc_id <> canon THEN '3_exact_dup'
+                 WHEN cap_rank > 12 THEN '4_domain_cap'
+                 WHEN margin <= 0.0 THEN '5_classifier'
+                 ELSE 'kept' END AS verdict
+          FROM st2""",
     "s04_ann_lsh_topk" ->
       s"""WITH bk AS (SELECT vec_id, ${(0 until 12).map(p =>
             s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN '1' ELSE '0' END)")
