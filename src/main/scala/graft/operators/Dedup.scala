@@ -910,6 +910,11 @@ object Dedup {
         }
       }
       .toDF("_id", "_cid", "_v", "_n")
+      // materialize the assignment ONCE: three consumers read it (both
+      // pair-join branches and the final verdict join), and without
+      // this the N·k argmin kernel re-runs per branch — the uncached
+      // multi-scan pattern pqTopK was called out for (ADVICE r7)
+      .localCheckpoint()
     val a = assign.select(col("_id").as("vec_a"), col("_cid"),
       col("_v").as("_va"), col("_n").as("_na"))
     val b = assign.select(col("_id").as("vec_b"), col("_cid"),
