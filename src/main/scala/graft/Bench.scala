@@ -83,20 +83,36 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    // ascending by time: if the line still overruns the window, the
-    // clipped head holds only the cheapest queries — every expensive or
-    // high-spread entry stays visible at the tail end
-    val qs = results.toSeq.sortBy(_._2._1).map { case (k, (v, s)) =>
-      "\"" + esc(k) + "\":[" + r3(v) + "," + r3(s) + "]"
+    // The driver records only the LAST ~2000 chars of this output (with
+    // sbt's "[success] …" line after ours) and json-parses what it
+    // finds; rounds 7-8 proved that full query names + [min,spread]
+    // pairs overrun that window at 75+ queries, clipping the head of
+    // the line and leaving the driver's parse null. So the stdout line
+    // uses each query's unique short prefix ("q03", "d06", …) and the
+    // bare min seconds — ~13 chars/query keeps 85+ queries, head and
+    // all, inside the window. Full names + spreads live in
+    // BENCH_LATEST.json (written below) for offline analysis.
+    val shortNames = {
+      val pref = results.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
+      val collides = pref.values.groupBy(identity).collect {
+        case (p, g) if g.size > 1 => p
+      }.toSet
+      pref.map { case (k, p) => k -> (if (collides(p)) k else p) }
+    }
+    val qs = results.toSeq.sortBy(_._2._1).map { case (k, (v, _)) =>
+      "\"" + esc(shortNames(k)) + "\":" + r3(v)
     }.mkString("{", ",", "}")
+    // spreads (max-min across the N runs) separate box contention from
+    // real regressions without a rerun; only the noisy ones matter, so
+    // report the top few above a floor rather than all 85
+    val spreads = results.toSeq.filter(_._2._2 > 0.25)
+      .sortBy(-_._2._2).take(8).map { case (k, (_, s)) =>
+        "\"" + esc(shortNames(k)) + "\":" + r3(s)
+      }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val loadEnd = loadAvg()
-    // load AND a duplicate of the total ride AFTER the query map: the
-    // driver records only the LAST 2000 chars of this line, and at 75
-    // queries the head (where "value" lives) clips — tail placement
-    // keeps both markers visible in the recorded artifact
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"total":${r3(total)},"n_queries":${results.size},"load":[${r3(loadStart)},${r3(loadEnd)}],"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spreads":$spreads,"n_queries":${results.size},"load":[${r3(loadStart)},${r3(loadEnd)}],"sf":"${esc(sfDir)}"}"""
     // Full precision for offline analysis, refreshed on every run.
     // Anchored via SPARK_GRAFT_BENCH_OUT (default: docs/BENCH_LATEST.json
     // under the cwd); a failed write warns on stderr rather than

@@ -52,7 +52,7 @@ object AzofQueries {
     * it) pass `inPlace = true`: any partial previous attempt is cleared
     * and the cache dir is built directly.
     */
-  private def cachedLake(
+  private[queries] def cachedLake(
       dir: String, tag: String, table: String, inPlace: Boolean = false)(
       build: String => Unit): String = {
     val cached = new java.io.File(

@@ -28,6 +28,7 @@ object Pipeline {
     "d12_span_dedup" -> d12,
     "d13_dedup_survivors" -> d13,
     "d14_semdedup" -> d14,
+    "d15_cc_incremental" -> d15,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -196,12 +197,54 @@ object Pipeline {
     Dedup.spanDedup(derived, col("text"), col("doc_id"), spanLen = 8)
   }
 
-  /** The keep-one verdict over d11's clusters: each near-dup
-    * component's minimum-id doc plus every unclustered doc — the
-    * filtered corpus a dedup pipeline actually ships.
+  /** The persisted components index ([[graft.sources.CcIndex]]) for
+    * this corpus, built INCREMENTALLY the way a crawl pipeline would:
+    * the d11 pair graph arrives in two batches — first every pair
+    * staying among `doc_id % 5 != 0` docs, then every pair touching a
+    * `% 5 == 0` doc — and each batch merges into the assignment via
+    * [[graft.sources.CcIndex.refreshWithPairs]] (so the second refresh
+    * must MERGE previously-separate components and relabel their
+    * members, the case a naive append-only index gets wrong).
+    * Build-once cached per sf dir; deterministic, so cache ≡ rebuild.
+    */
+  private[queries] def componentsLake(s: SparkSession, dir: String): String =
+    AzofQueries.cachedLake(dir, "ccidx-v1", "components") { l =>
+      graft.sources.CcIndex.create(s, l, "components")
+      val pairs = d03(s, dir).where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")).persist()
+      pairs.count()
+      val touchesHoldout =
+        col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0
+      graft.sources.CcIndex.refreshWithPairs(s, l, "components",
+        pairs.where(!touchesHoldout), "doc_a", "doc_b",
+        java.time.Instant.parse("2024-02-01T00:00:00Z"))
+      graft.sources.CcIndex.refreshWithPairs(s, l, "components",
+        pairs.where(touchesHoldout), "doc_a", "doc_b",
+        java.time.Instant.parse("2024-03-01T00:00:00Z"))
+      pairs.unpersist()
+      ()
+    }
+
+  /** The incrementally-built persisted assignment, read back whole: must
+    * hash-match the one-shot d11 clustering (the oracle recomputes the
+    * full recursive fixpoint), proving the two-batch
+    * [[graft.sources.CcIndex]] merge path ≡ batch connected components.
+    */
+  private def d15(s: SparkSession, dir: String): DataFrame =
+    graft.sources.CcIndex.assignment(s, componentsLake(s, dir), "components")
+
+  /** The keep-one verdict over the near-dup clusters: each component's
+    * minimum-id doc plus every unclustered doc — the filtered corpus a
+    * dedup pipeline actually ships. Serves from the PERSISTED
+    * [[graft.sources.CcIndex]] assignment (one azof scan + one
+    * broadcast-sized join), the production shape: the clustering is
+    * amortized in the index (d11 measures the algorithm itself; d15
+    * gates the index build), and the ship step does not re-cluster.
     */
   private def d13(s: SparkSession, dir: String): DataFrame =
-    Dedup.keepCanonical(docs(s, dir), col("doc_id"), d11(s, dir))
+    Dedup.keepCanonical(docs(s, dir), col("doc_id"),
+      graft.sources.CcIndex.assignment(s, componentsLake(s, dir),
+        "components"))
 
   /** Approximate distinct (HyperLogLog++ sketch). No oracle: sketch
     * estimates are implementation-specific, so the driver records the
@@ -700,6 +743,13 @@ object Pipeline {
     // min-label fixpoint — WITH RECURSIVE reach = transitive closure
     // over the symmetrized edges, component = min reachable id
     "d11_dedup_components" ->
+      s"""$componentCtes
+          SELECT src AS doc_id, min(dst) AS component_id
+          FROM reach GROUP BY src""",
+    // d15: the persisted CcIndex, built in two incremental refreshes,
+    // must equal the one-shot fixpoint over the full pair graph — the
+    // oracle is d11's recursive CTE verbatim
+    "d15_cc_incremental" ->
       s"""$componentCtes
           SELECT src AS doc_id, min(dst) AS component_id
           FROM reach GROUP BY src""",

@@ -13,31 +13,46 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Physical schema of events.parquet with nanos-as-long (Spark's
-    * parquet reader rejects TIMESTAMP(NANOS) otherwise; values are
-    * µs-aligned so the conversion to TimestampType is exact).
+  /** Physical schema of events.parquet. `ts` has varied across driver
+    * testdata generations — INT64 TIMESTAMP(NANOS) (Spark reads it only
+    * as long via nanosAsLong; values are µs-aligned so conversion is
+    * exact) or TIMESTAMP(MICROS) without timezone (TIMESTAMP_NTZ) — so
+    * the streaming schema is probed from the footer of whatever file is
+    * present and `normalize` converts either to session-UTC timestamps.
     */
-  val rawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  private def probeTsType(spark: SparkSession, dir: String): DataType =
+    scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
+
   private def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Stream of events from a directory of parquet files. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.readStream.schema(rawSchema).parquet(dir))
+    normalize(spark.readStream
+      .schema(rawSchema(probeTsType(spark, dir))).parquet(dir))
   }
 
   /** Batch twin of [[readEvents]] for stream-equals-batch assertions. */
   def readEventsBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.read.schema(rawSchema).parquet(dir))
+    normalize(spark.read
+      .schema(rawSchema(probeTsType(spark, dir))).parquet(dir))
   }
 
   /** Tumbling event-time window aggregation with a watermark: per
