@@ -482,25 +482,34 @@ object Dedup {
   /** The KEEP-ONE verdict — the step every dedup pipeline actually ends
     * on: given the corpus and a `(doc_id, component_id)` clustering
     * (from [[connectedComponents]]), keep each cluster's canonical
-    * (minimum-id) document and every unclustered document, drop the
-    * rest. Pairwise drop lists over-delete when clusters overlap;
-    * keying the verdict on components is what makes the deletion set
-    * exactly `|clustered| - |clusters|`.
+    * document and every unclustered document, drop the rest. Pairwise
+    * drop lists over-delete when clusters overlap; keying the verdict
+    * on components is what makes the deletion set exactly
+    * `|clustered| - |clusters|` (over clusters with a live member).
     *
-    * One left join keyed by doc id (clusters are a small fraction of
-    * the corpus, so Spark broadcasts the component side when it fits);
-    * survivors = `component_id IS NULL OR component_id = doc_id`.
+    * The canonical is ELECTED: the minimum doc id among the cluster's
+    * members PRESENT IN `df`. On a corpus that contains every clustered
+    * doc this is exactly `component_id` (the component label is the min
+    * member id), but when the clustering is a PERSISTED index
+    * ([[graft.sources.CcIndex]]) the corpus can have moved on — a
+    * deleted canonical must not silently drop its whole cluster, the
+    * next-smallest live member takes over. Election costs one
+    * aggregate over the CLUSTERED docs only (a small fraction of the
+    * corpus) and the canon frame joins back broadcast-sized.
     * Output: `(doc_id, component_id NULL for unclustered, is_canonical)`
     * — survivors only.
     */
   def keepCanonical(
-      df: DataFrame, id: Column, components: DataFrame): DataFrame =
-    df.select(id.as("doc_id"))
+      df: DataFrame, id: Column, components: DataFrame): DataFrame = {
+    val labeled = df.select(id.as("doc_id"))
       .join(components, Seq("doc_id"), "left")
-      .where(col("component_id").isNull ||
-        col("component_id") === col("doc_id"))
+    val canon = labeled.where(col("component_id").isNotNull)
+      .groupBy("component_id").agg(min("doc_id").as("_canon"))
+    labeled.join(canon, Seq("component_id"), "left")
+      .where(col("component_id").isNull || col("doc_id") === col("_canon"))
       .select(col("doc_id"), col("component_id"),
         (col("component_id").isNotNull).as("is_canonical"))
+  }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs, computed
     * by joining the pairs against the shingle sets (shuffles scale with

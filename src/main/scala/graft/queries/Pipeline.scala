@@ -29,6 +29,7 @@ object Pipeline {
     "d13_dedup_survivors" -> d13,
     "d14_semdedup" -> d14,
     "d15_cc_incremental" -> d15,
+    "d16_dedup_ingest" -> d16,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -224,6 +225,59 @@ object Pipeline {
       pairs.unpersist()
       ()
     }
+
+  /** The FULL incremental pipeline ([[graft.sources.DedupFlow]]) run
+    * the way production would: the documents corpus lands as an azof
+    * SOURCE TABLE in two crawl batches (`doc_id % 5 != 0`, then the
+    * `% 5 == 0` holdout), and each batch is INGESTED end to end — CDC
+    * churn keys → MinHash signature catch-up (streaming, exactly-once)
+    * → churn-confined LSH candidates answered from the persisted
+    * signature index → n-gram Jaccard verify ≥ 0.5 → component merge
+    * with changed-labels-only commits. Unlike [[componentsLake]] (which
+    * feeds PRECOMPUTED d03 pairs to the index), nothing here sees the
+    * one-shot pair graph: every pair is rediscovered incrementally
+    * from the indexes. Deterministic, so cache ≡ rebuild.
+    */
+  private[queries] def dedupFlowLake(s: SparkSession, dir: String): String =
+    AzofQueries.cachedLake(dir, "ddflow-v1", "components") { l =>
+      import graft.format.{ColumnDef, ColumnType, TableSchema}
+      import graft.sources.{AzofWriter, DedupFlow}
+      import java.time.Instant
+      val srcSchema = graft.format.TableSchema(Seq(
+        ColumnDef("text", ColumnType.AzString, nullable = true)))
+      AzofWriter.createTable(s, l, "docs_src", srcSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      DedupFlow.create(s, l)
+      def batch(holdout: Boolean, at: String) =
+        docs(s, dir)
+          .where((col("doc_id") % 5 === 0) === holdout)
+          .select(col("doc_id").cast("string").as(TableSchema.KeyName),
+            lit(java.sql.Timestamp.from(Instant.parse(at)))
+              .as(TableSchema.EventTimeName),
+            col("text"))
+      AzofWriter.commitBase(s, l, "docs_src",
+        batch(holdout = false, "2024-01-15T00:00:00Z"))
+      DedupFlow.ingest(s, l, "docs_src", "text", l,
+        s"$l/_ddf_ck", Instant.parse("2024-02-01T00:00:00Z"))
+      AzofWriter.commitDelta(s, l, "docs_src",
+        batch(holdout = true, "2024-02-15T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      DedupFlow.ingest(s, l, "docs_src", "text", l,
+        s"$l/_ddf_ck", Instant.parse("2024-03-01T00:00:00Z"))
+      ()
+    }
+
+  /** The survivors served from the end-to-end incrementally-ingested
+    * indexes ([[dedupFlowLake]]): must hash-match the one-shot d13
+    * oracle (LSH candidates → Jaccard ≥ 0.5 → recursive components →
+    * keep-one) over the full corpus — the every-stage-incremental ≡
+    * one-shot equivalence, end to end.
+    */
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    val l = dedupFlowLake(s, dir)
+    graft.sources.DedupFlow.survivors(s, l, "docs_src", l)
+  }
 
   /** The incrementally-built persisted assignment, read back whole: must
     * hash-match the one-shot d11 clustering (the oracle recomputes the
@@ -753,6 +807,18 @@ object Pipeline {
       s"""$componentCtes
           SELECT src AS doc_id, min(dst) AS component_id
           FROM reach GROUP BY src""",
+    // d16: the end-to-end incrementally-ingested flow (azof source in
+    // two crawl batches, MinHash index catch-up, churn-confined
+    // candidates, Jaccard verify, component merges) must serve exactly
+    // the one-shot keep-one verdict — d13's oracle verbatim
+    "d16_dedup_ingest" ->
+      s"""$componentCtes,
+          comp AS (SELECT src AS doc_id, min(dst) AS component_id
+                   FROM reach GROUP BY src)
+          SELECT d.doc_id, c.component_id,
+            c.component_id IS NOT NULL AS is_canonical
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+          WHERE c.component_id IS NULL OR c.component_id = d.doc_id""",
     // d13: the keep-one verdict over d11's clusters — canonical doc per
     // component + every unclustered doc
     "d13_dedup_survivors" ->

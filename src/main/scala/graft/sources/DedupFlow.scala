@@ -1,0 +1,212 @@
+package graft.sources
+
+import graft.format.{AzofTable, TableSchema}
+import graft.operators.{AzofScan, Dedup}
+import java.time.Instant
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END incremental near-duplicate pipeline over an azof
+  * document table — the production crawl-batch flow that composes the
+  * three persisted indexes:
+  *
+  * {{{
+  *   source commits since last ingest          (azof batch CDC read)
+  *     → signature catch-up                    (MinHashIndex.refresh)
+  *     → churn-confined LSH candidate pairs    (candidatesTouching)
+  *     → n-gram Jaccard verify ≥ threshold     (shingles of INVOLVED
+  *                                              docs only)
+  *     → component merge, changed labels only  (CcIndex.refreshWithPairs)
+  * }}}
+  *
+  * Each [[ingest]] costs work proportional to the BATCH's neighborhood
+  * — signatures for churned docs, pairs in churn-touched buckets,
+  * shingles for pair-involved docs, component merges confined to
+  * touched clusters — never a corpus-wide recompute. At 100 TB this is
+  * the difference between "a crawl batch lands in minutes" and
+  * "re-cluster five billion documents nightly".
+  *
+  * '''Cursor.''' The last-ingested source version rides as a one-line
+  * sidecar (`_dedup_cursor.json`) in the components table dir, through
+  * the Hadoop FS like every other table artifact. An ingest that finds
+  * no new versions touches nothing and reports a no-op. The signature
+  * catch-up is separately exactly-once through its own streaming
+  * checkpoint, so a crash between the signature catch-up and the
+  * component merge replays the CDC range idempotently: re-verified
+  * pairs re-derive the same labels and [[CcIndex.refreshWithPairs]]
+  * commits nothing when nothing changed.
+  *
+  * '''Monotonicity contract.''' Pair evidence accumulates: a doc
+  * REVISION that breaks an old similarity does not split its
+  * component (union-find-style dedup is merge-only — the standard
+  * production posture), and a DELETE tombstones the doc's signature
+  * (no future pairs) while its past merges stand. Serving handles
+  * both: [[survivors]] elects each cluster's minimum LIVE doc, so
+  * deleted canonicals hand off to the next member instead of dropping
+  * their cluster. A corpus that needs splits re-clusters into a fresh
+  * components table (an epoch rebuild) — cheap to run beside the live
+  * one and swap.
+  */
+object DedupFlow {
+
+  val CursorFileName = "_dedup_cursor.json"
+
+  /** What one [[ingest]] did: the CDC range consumed, and the funnel
+    * row counts (churned keys → candidate pairs → verified pairs →
+    * relabeled docs) — the observability a pipeline run reports.
+    */
+  final case class IngestReport(
+      fromVersion: Long, toVersion: Long,
+      churned: Long, candidates: Long, verified: Long, relabeled: Long) {
+    def noop: Boolean = toVersion == fromVersion
+  }
+
+  /** Create the signature and components index tables a flow needs
+    * (idempotent companions; `idxLake` holds both).
+    */
+  def create(
+      spark: SparkSession, idxLake: String,
+      sigTable: String = "minhash_sig",
+      ccTable: String = "components",
+      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
+    MinHashIndex.create(spark, idxLake, sigTable, segmentStart)
+    CcIndex.create(spark, idxLake, ccTable, segmentStart)
+  }
+
+  /** Ingest every source commit since the last ingest into the dedup
+    * indexes: signature catch-up, churn-confined candidate generation,
+    * Jaccard verification at `minJaccard`, component merge at event
+    * time `at`. Returns the funnel report (a no-op report when the
+    * source has no new versions).
+    */
+  def ingest(
+      spark: SparkSession,
+      srcLake: String, srcTable: String, textCol: String,
+      idxLake: String,
+      checkpoint: String,
+      at: Instant,
+      sigTable: String = "minhash_sig",
+      ccTable: String = "components",
+      minJaccard: Double = 0.5,
+      cap: Int = Dedup.DefaultBucketCap): IngestReport = {
+    val toVersion = AzofTable(spark, srcLake, srcTable).currentVersion.toLong
+    // first ingest starts at the source's retained feed floor (the
+    // `startVersion=earliest` resolution); afterwards the cursor is the
+    // exclusive lower bound of the next CDC range
+    val fromVersion = readCursor(spark, idxLake, ccTable).getOrElse(
+      AzofChangeFeed.earliestFeedBase(spark, srcLake, srcTable))
+    if (toVersion <= fromVersion)
+      return IngestReport(fromVersion, fromVersion, 0L, 0L, 0L, 0L)
+
+    // 1. signatures catch up (exactly-once via the streaming checkpoint)
+    MinHashIndex.refresh(spark, srcLake, srcTable, textCol,
+      idxLake, sigTable, checkpoint).awaitTermination()
+
+    // 2. the batch's churn keys: every key in the CDC range — upserts
+    // gain/lose/change signatures, deletes tombstone them; all three
+    // can only create or retire pairs TOUCHING the key. changesFrom is
+    // EXCLUSIVE (commits in (from, to]), so the cursor value itself is
+    // the right lower bound.
+    val churn = spark.read.format("azof")
+      .option("table", srcTable)
+      .option("changesFrom", fromVersion)
+      .option("changesTo", toVersion)
+      .load(srcLake)
+      .select(coalesce(col(TableSchema.KeyName).cast("long"),
+        raise_error(concat(
+          lit("DedupFlow.ingest needs long-castable keys; got '"),
+          col(TableSchema.KeyName), lit("'"))).cast("long")).as("id"))
+      .distinct()
+      // eager localCheckpoint, not persist: every stage below reuses
+      // its predecessor SEVERAL times (pair emit × touch filter ×
+      // jaccard join × CC edge symmetrization), so an uncut lineage
+      // compounds multiplicatively and the plan itself becomes the
+      // bottleneck (AQE renders plan strings per reoptimization)
+      .localCheckpoint(true)
+    val nChurn = churn.count()
+
+    // 3. candidate pairs confined to churn-touched buckets, answered
+    // from the persisted signatures (deleted docs' signatures are
+    // tombstoned by step 1, so they emit no pairs)
+    val cands = MinHashIndex.candidatesTouching(
+      spark, idxLake, sigTable, churn, cap).localCheckpoint(true)
+    val nCands = cands.count()
+
+    // 4. exact n-gram Jaccard over the candidates: re-shingle ONLY the
+    // docs a candidate pair involves (semi-join narrows the source
+    // scan before the shingle explode)
+    val involved = cands.select(col("doc_a").as("doc_id"))
+      .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val docs = AzofScan.scan(spark, srcLake, srcTable)
+      .select(col(TableSchema.KeyName).cast("long").as("doc_id"),
+        col(textCol))
+      .join(broadcast(involved), Seq("doc_id"), "left_semi")
+    val verified = Dedup.ngramJaccard(
+        cands, Dedup.shingles(docs, col(textCol), col("doc_id")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val nVerified = verified.count()
+
+    // 5. merge into the components index; advance the cursor only
+    // after the merge committed (a crash in between replays this CDC
+    // range, and the replayed merge is a no-op)
+    val relabeled =
+      if (nVerified == 0) 0L
+      else CcIndex.refreshWithPairs(
+        spark, idxLake, ccTable, verified, "doc_a", "doc_b", at)
+    writeCursor(spark, idxLake, ccTable, toVersion)
+
+    churn.unpersist()
+    cands.unpersist()
+    verified.unpersist()
+    IngestReport(fromVersion, toVersion, nChurn, nCands, nVerified, relabeled)
+  }
+
+  /** The deduplicated corpus as of the index's last ingest: the
+    * source's live docs with each cluster's minimum LIVE member as the
+    * survivor ([[Dedup.keepCanonical]]'s election). One Current scan +
+    * one join against the persisted assignment.
+    */
+  def survivors(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String, ccTable: String = "components"): DataFrame =
+    Dedup.keepCanonical(
+      AzofScan.scan(spark, srcLake, srcTable)
+        .select(col(TableSchema.KeyName).cast("long").as("doc_id")),
+      col("doc_id"),
+      CcIndex.assignment(spark, idxLake, ccTable))
+
+  // ------------------------------------------------------ cursor sidecar
+
+  private def cursorPath(
+      spark: SparkSession, idxLake: String, ccTable: String): Path =
+    new Path(AzofTable(spark, idxLake, ccTable).tableDir, CursorFileName)
+
+  def readCursor(
+      spark: SparkSession, idxLake: String, ccTable: String): Option[Long] = {
+    val p = cursorPath(spark, idxLake, ccTable)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      Some(root.get("sourceVersion").asLong)
+    }
+  }
+
+  private def writeCursor(
+      spark: SparkSession, idxLake: String, ccTable: String,
+      version: Long): Unit = {
+    val p = cursorPath(spark, idxLake, ccTable)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true) // overwrite: the cursor only advances
+    try out.write(s"""{"sourceVersion":$version}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

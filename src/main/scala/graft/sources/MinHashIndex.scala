@@ -157,4 +157,50 @@ object MinHashIndex {
       spark: SparkSession, idxLake: String, idxTable: String,
       cap: Int = Dedup.DefaultBucketCap): DataFrame =
     Dedup.lshCandidates(signatures(spark, idxLake, idxTable), NBands, cap)
+
+  /** Candidate pairs TOUCHING a churn set, answered from the persisted
+    * signatures — the incremental-ingest shape: after a crawl batch
+    * lands, only pairs with a churned endpoint can be NEW, so pair
+    * generation is confined to the buckets a churned doc occupies.
+    * `churn` is a one-column frame of numeric doc ids (broadcast-sized
+    * by construction — it is one batch's key set, not the corpus).
+    *
+    * Two prunes against the full bucket build: (1) the signature scan
+    * keeps only buckets CONTAINING a churned doc (semi-join on the
+    * band cell), so the sort/collect shuffle moves churn-neighborhood
+    * rows, not the corpus; (2) the pair emit keeps only pairs with a
+    * churned endpoint — within-bucket pairs among old members were
+    * emitted by earlier ingests.
+    *
+    * Boundary (by cap design): the per-bucket cap keeps the SMALLEST
+    * `cap` ids, so a capped bucket's pair set can differ between
+    * one-shot and incremental builds when more than `cap` docs share a
+    * bucket; [[Dedup.bucketPairsObserved]]'s `dropped_ids` is the
+    * production signal that the cap actually bit.
+    */
+  def candidatesTouching(
+      spark: SparkSession, idxLake: String, idxTable: String,
+      churn: DataFrame,
+      cap: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val churnIds = churn.select(churn.columns.head).toDF("id")
+    val unpivoted = signatures(spark, idxLake, idxTable)
+      .select(col("doc_id"), posexplode(
+        array((0 until NBands).map(b => col(s"band_$b")): _*)))
+      .toDF("id", "bidx", "bval")
+    val hotBuckets = unpivoted
+      .join(broadcast(churnIds), Seq("id"), "left_semi")
+      .select(col("bidx"), col("bval")).distinct()
+    val confined = unpivoted
+      .join(broadcast(hotBuckets), Seq("bidx", "bval"), "left_semi")
+    val pairs = Dedup.bucketPairs(confined, cap, "dedup_ingest_bucket_cap")
+      .toDF("doc_a", "doc_b")
+    pairs
+      .join(broadcast(churnIds.select(col("id").as("doc_a"))),
+        Seq("doc_a"), "left_semi")
+      .unionAll(pairs
+        .join(broadcast(churnIds.select(col("id").as("doc_b"))),
+          Seq("doc_b"), "left_semi")
+        .select(col("doc_a"), col("doc_b")))
+      .distinct()
+  }
 }

@@ -1,0 +1,173 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format.{AzofTable, TableSchema}
+import graft.operators.Dedup
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end incremental dedup ([[DedupFlow]]): each crawl-batch
+  * ingest (CDC churn → signature catch-up → churn-confined candidates
+  * → Jaccard verify → component merge) keeps the persisted assignment
+  * ≡ the one-shot pipeline recomputed over the evolved corpus, and
+  * serving elects live canonicals under deletes.
+  *
+  * Doc families are chosen so LSH banding is KNOWN under the real
+  * MinHash coefficients (probed, not assumed): `wfam`/`vfam` members
+  * (7 shared words + a variant tail, Jaccard 5/7) band pairwise;
+  * `mwin` sliding windows over m1..m16 band all three pairs while only
+  * the adjacent ones verify at ≥ 0.5 (8/12 = 0.67) — the far pair
+  * (6/14 = 0.43) is the candidate the verifier must REJECT.
+  */
+class DedupFlowSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Instant.parse(s)
+
+  private val srcSchema = graft.format.TableSchema(Seq(
+    graft.format.ColumnDef("text", graft.format.ColumnType.AzString,
+      nullable = false)))
+
+  private def rows(docs: Seq[(Long, String)], at: String) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (i, t) =>
+        Row(i.toString, Timestamp.from(ts(at)), t) }),
+      srcSchema.toStruct)
+
+  private def fam(prefix: String, last: String) =
+    ((1 to 7).map(w => s"$prefix$w") :+ last).mkString(" ")
+  private def mwin(from: Int) =
+    (from until from + 12).map(w => s"m$w").mkString(" ")
+
+  /** One-shot recompute of the whole pipeline over the CURRENT corpus:
+    * d02-shaped LSH candidates → n-gram Jaccard ≥ 0.5 → connected
+    * components.
+    */
+  private def oneShot(lake: String): Map[Long, Long] = {
+    val cur = graft.operators.AzofScan.scan(spark, lake, "docs")
+      .select(col(TableSchema.KeyName).cast("long").as("doc_id"),
+        col("text"))
+    val cands = Dedup.lshCandidates(
+      Dedup.minhashBands(cur, col("text"), col("doc_id"),
+        k = MinHashIndex.K, bandSize = MinHashIndex.BandSize),
+      MinHashIndex.NBands)
+    val sh = Dedup.shingles(cur, col("text"), col("doc_id"))
+    val pairs = Dedup.ngramJaccard(cands, sh)
+      .where(col("jaccard") >= 0.5)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def assignment(idxLake: String): Map[Long, Long] =
+    CcIndex.assignment(spark, idxLake, "components")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incremental ingests ≡ one-shot pipeline; cross-batch cluster merge; no-op") {
+    val srcLake = Files.createTempDirectory("azof-ddf-src").toString
+    val idxLake = Files.createTempDirectory("azof-ddf-idx").toString
+    val ck = Files.createTempDirectory("azof-ddf-ck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))                                    // v1
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      2L -> fam("w", "beta"),
+      3L -> fam("v", "alpha"),
+      4L -> "completely different text entirely",
+      11L -> mwin(1),    // m1..m12
+      13L -> mwin(5)),   // m5..m16: candidate with 11, Jaccard 0.43
+      "2024-01-02T00:00:00Z"))                                       // v2
+    DedupFlow.create(spark, idxLake)
+
+    val r1 = DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-02-01T00:00:00Z"))
+    assert(!r1.noop && r1.fromVersion == 1 && r1.toVersion == 2)
+    assert(r1.churned == 6)
+    assert(r1.candidates >= 2,
+      s"(1,2) and the to-reject (11,13) must both be candidates: $r1")
+    val a1 = assignment(idxLake)
+    assert(a1 == oneShot(srcLake), s"ingest 1 diverged: $a1")
+    assert(a1(1L) == 1L && a1(2L) == 1L, "wfam pair should cluster")
+    assert(!a1.contains(11L) && !a1.contains(13L),
+      "the 0.43-Jaccard candidate must be rejected by verification")
+
+    // batch 2: doc 12 = m3..m14 bridges 11 and 13 (0.67 with each) —
+    // the ingest must MERGE the two singletons into one component
+    // rooted at 11; doc 6 joins 3's vfam
+    AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+      12L -> mwin(3),
+      6L -> fam("v", "beta")),
+      "2024-02-05T00:00:00Z"),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+
+    val r2 = DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-03-01T00:00:00Z"))
+    assert(r2.fromVersion == 2 && r2.toVersion == 3 && r2.churned == 2)
+    val a2 = assignment(idxLake)
+    assert(a2 == oneShot(srcLake), s"ingest 2 diverged: $a2")
+    assert(a2(11L) == 11L && a2(12L) == 11L && a2(13L) == 11L,
+      "doc 12 must merge 11 and 13 into one component")
+    assert(a2(3L) == 3L && a2(6L) == 3L)
+
+    // no-op ingest: nothing new — no index version, cursor unchanged
+    val ccVerBefore =
+      AzofTable(spark, idxLake, "components").currentVersion.toLong
+    val r3 = DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-04-01T00:00:00Z"))
+    assert(r3.noop && r3.relabeled == 0)
+    assert(AzofTable(spark, idxLake, "components")
+      .currentVersion.toLong == ccVerBefore)
+    assert(DedupFlow.readCursor(spark, idxLake, "components")
+      .contains(3L))
+  }
+
+  test("deleted canonical hands off to the next live member; revision joins a cluster") {
+    val srcLake = Files.createTempDirectory("azof-ddf2-src").toString
+    val idxLake = Files.createTempDirectory("azof-ddf2-idx").toString
+    val ck = Files.createTempDirectory("azof-ddf2-ck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      2L -> fam("w", "beta"),
+      3L -> fam("w", "gamma"),
+      7L -> "some totally unrelated filler words"),
+      "2024-01-02T00:00:00Z"))                                       // v2
+    DedupFlow.create(spark, idxLake)
+    DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-02-01T00:00:00Z"))
+    assert(assignment(idxLake) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    def survivorIds(): Set[Long] =
+      DedupFlow.survivors(spark, srcLake, "docs", idxLake)
+        .collect().map(_.getLong(0)).toSet
+    assert(survivorIds() == Set(1L, 7L))
+
+    // delete the canonical: serving must elect 2, the next live member
+    AzofWriter.commitDelete(spark, srcLake, "docs", Seq("1"),
+      ts("2024-02-02T00:00:00Z"))                                    // v3
+    val r2 = DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-03-01T00:00:00Z"))
+    assert(r2.churned == 1 && r2.verified == 0,
+      "a delete churns its key but verifies no pairs")
+    assert(survivorIds() == Set(2L, 7L),
+      "cluster must survive through its next live member")
+
+    // doc 7 revised into the wfam: next ingest clusters it; the
+    // monotone assignment keeps 1's old label row, serving ignores it
+    AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+      7L -> fam("w", "delta")),
+      "2024-03-05T00:00:00Z"),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v4
+    val r3 = DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-04-01T00:00:00Z"))
+    assert(r3.churned == 1 && r3.verified > 0)
+    val a = assignment(idxLake)
+    assert(a(7L) == 1L, "revised doc joins the component (label = min ever)")
+    assert(survivorIds() == Set(2L),
+      "one live survivor for the merged family")
+  }
+}
