@@ -54,6 +54,7 @@ object AzofCli {
           "commit-partitioned|add-column|compact|delete|purge|changes|vacuum|" +
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
           "pq-create|pq-refresh|pq-search|export|" +
+          "dedup-create|dedup-ingest|dedup-survivors|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
     }
@@ -321,6 +322,53 @@ object AzofCli {
           AzofTable(spark, opts.getOrElse("index-path", opts("path")),
             opts("index-table")).currentVersion)
         println(s"checkpoint: $ckpt")
+      case "dedup-create" =>
+        // companion signature + components index tables for the
+        // incremental dedup flow:
+        //   dedup-create --index-path L [--sig-table minhash_sig]
+        //     [--cc-table components]
+        graft.sources.DedupFlow.create(spark, opts("index-path"),
+          opts.getOrElse("sig-table", "minhash_sig"),
+          opts.getOrElse("cc-table", "components"))
+        println(s"created dedup indexes in ${opts("index-path")}: " +
+          s"${opts.getOrElse("sig-table", "minhash_sig")} + " +
+          opts.getOrElse("cc-table", "components"))
+      case "dedup-ingest" =>
+        // one end-to-end incremental ingest of every source commit
+        // since the cursor: CDC churn -> signature catch-up ->
+        // churn-confined candidates -> Jaccard verify -> component
+        // merge.
+        //   dedup-ingest --path L --table SRC --index-path L2
+        //     [--text-col text] [--min-jaccard 0.5] [--at TS]
+        //     [--checkpoint DIR]
+        val ckpt = opts.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory("azof-ddf").toString)
+        val at = opts.get("at")
+          .map(graft.sources.AzofDataSource.parseInstant)
+          .getOrElse(java.time.Instant.ofEpochMilli(
+            System.currentTimeMillis()))
+        val r = graft.sources.DedupFlow.ingest(spark,
+          opts("path"), opts("table"),
+          opts.getOrElse("text-col", "text"),
+          opts("index-path"), ckpt, at,
+          sigTable = opts.getOrElse("sig-table", "minhash_sig"),
+          ccTable = opts.getOrElse("cc-table", "components"),
+          minJaccard = opts.getOrElse("min-jaccard", "0.5").toDouble)
+        println(
+          if (r.noop) s"no new commits (cursor at v${r.fromVersion})"
+          else s"ingested v${r.fromVersion + 1}..v${r.toVersion}: " +
+            s"${r.churned} churned keys -> ${r.candidates} candidates " +
+            s"-> ${r.verified} verified pairs -> ${r.relabeled} " +
+            "relabeled docs")
+        println(s"checkpoint: $ckpt")
+      case "dedup-survivors" =>
+        // the deduplicated corpus served from the persisted indexes:
+        //   dedup-survivors --path L --table SRC --index-path L2
+        graft.sources.DedupFlow.survivors(spark,
+            opts("path"), opts("table"), opts("index-path"),
+            opts.getOrElse("cc-table", "components"))
+          .orderBy("doc_id")
+          .show(numRows = 10000, truncate = false)
       case "pq-search" =>
         // ADC top-k FROM the persisted codes; query vectors come from
         // the source rows named by --query-keys. --rerank R adds the
