@@ -54,7 +54,7 @@ object AzofCli {
           "commit-partitioned|add-column|compact|delete|purge|changes|vacuum|" +
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
           "pq-create|pq-refresh|pq-search|export|" +
-          "dedup-create|dedup-ingest|dedup-survivors|" +
+          "dedup-create|dedup-ingest|dedup-rebuild|dedup-survivors|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
     }
@@ -361,6 +361,30 @@ object AzofCli {
             s"-> ${r.verified} verified pairs -> ${r.relabeled} " +
             "relabeled docs")
         println(s"checkpoint: $ckpt")
+      case "dedup-rebuild" =>
+        // epoch rebuild: re-cluster the current corpus from the
+        // persisted signatures into a FRESH components table (the
+        // reconciliation for similarity-breaking revisions/deletes,
+        // which the monotone ingest merge never splits):
+        //   dedup-rebuild --path L --table SRC --index-path L2
+        //     [--new-cc-table components_next] [--text-col text]
+        //     [--min-jaccard 0.5] [--at TS] [--checkpoint DIR]
+        val ckpt = opts.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory("azof-ddf").toString)
+        val at = opts.get("at")
+          .map(graft.sources.AzofDataSource.parseInstant)
+          .getOrElse(java.time.Instant.ofEpochMilli(
+            System.currentTimeMillis()))
+        val newTable = opts.getOrElse("new-cc-table", "components_next")
+        val n = graft.sources.DedupFlow.rebuildEpoch(spark,
+          opts("path"), opts("table"),
+          opts.getOrElse("text-col", "text"),
+          opts("index-path"), ckpt, at,
+          sigTable = opts.getOrElse("sig-table", "minhash_sig"),
+          newCcTable = newTable,
+          minJaccard = opts.getOrElse("min-jaccard", "0.5").toDouble)
+        println(s"rebuilt epoch into $newTable: $n labeled docs; " +
+          "serve with dedup-survivors --cc-table " + newTable)
       case "dedup-survivors" =>
         // the deduplicated corpus served from the persisted indexes:
         //   dedup-survivors --path L --table SRC --index-path L2

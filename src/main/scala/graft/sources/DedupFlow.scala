@@ -164,6 +164,56 @@ object DedupFlow {
     IngestReport(fromVersion, toVersion, nChurn, nCands, nVerified, relabeled)
   }
 
+  /** EPOCH REBUILD — the escape hatch from the monotone-merge
+    * contract: pair evidence only accumulates under [[ingest]], so a
+    * revision that BREAKS an old similarity (or a delete that empties
+    * a cluster) never splits a component. Production systems reconcile
+    * periodically; this re-clusters the CURRENT corpus from scratch —
+    * candidates answered corpus-wide from the persisted signature
+    * index (no re-shingling for signatures), Jaccard re-verified,
+    * components recomputed — into a FRESH components table
+    * (`newCcTable`), cursor seeded at the source version the rebuild
+    * saw. The old epoch's table stays queryable (its own time travel
+    * included) until vacuumed; serving swaps by table name. Labels
+    * restart from the true current fixpoint, so post-rebuild ingests
+    * merge against reconciled state.
+    */
+  def rebuildEpoch(
+      spark: SparkSession,
+      srcLake: String, srcTable: String, textCol: String,
+      idxLake: String,
+      checkpoint: String,
+      at: Instant,
+      sigTable: String = "minhash_sig",
+      newCcTable: String = "components_next",
+      minJaccard: Double = 0.5,
+      cap: Int = Dedup.DefaultBucketCap): Long = {
+    val srcVersion = AzofTable(spark, srcLake, srcTable).currentVersion.toLong
+    // signatures first: the rebuild must not cluster from signatures
+    // older than the source version its cursor will claim (same
+    // checkpoint as ingest — the catch-up is exactly-once either way)
+    MinHashIndex.refresh(spark, srcLake, srcTable, textCol,
+      idxLake, sigTable, checkpoint).awaitTermination()
+    val cands = MinHashIndex.candidates(spark, idxLake, sigTable, cap)
+      .localCheckpoint(true)
+    val involved = cands.select(col("doc_a").as("doc_id"))
+      .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val docs = AzofScan.scan(spark, srcLake, srcTable)
+      .select(col(TableSchema.KeyName).cast("long").as("doc_id"),
+        col(textCol))
+      .join(involved, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.ngramJaccard(
+        cands, Dedup.shingles(docs, col(textCol), col("doc_id")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    CcIndex.create(spark, idxLake, newCcTable)
+    val n = CcIndex.refreshWithPairs(
+      spark, idxLake, newCcTable, pairs, "doc_a", "doc_b", at)
+    writeCursor(spark, idxLake, newCcTable, srcVersion)
+    n
+  }
+
   /** The deduplicated corpus as of the index's last ingest: the
     * source's live docs with each cluster's minimum LIVE member as the
     * survivor ([[Dedup.keepCanonical]]'s election). One Current scan +

@@ -170,4 +170,64 @@ class DedupFlowSpec extends AnyFunSuite {
     assert(survivorIds() == Set(2L),
       "one live survivor for the merged family")
   }
+
+  test("epoch rebuild reconciles similarity-breaking revisions the monotone merge cannot") {
+    val srcLake = Files.createTempDirectory("azof-ddf3-src").toString
+    val idxLake = Files.createTempDirectory("azof-ddf3-idx").toString
+    val ck = Files.createTempDirectory("azof-ddf3-ck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      2L -> fam("w", "beta"),
+      3L -> fam("w", "gamma")),
+      "2024-01-02T00:00:00Z"))                                       // v2
+    DedupFlow.create(spark, idxLake)
+    DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-02-01T00:00:00Z"))
+    assert(assignment(idxLake) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    // doc 2's revision BREAKS its similarity; the monotone merge keeps
+    // the stale cluster membership by contract
+    AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+      2L -> "entirely rewritten unrelated content now present here"),
+      "2024-02-05T00:00:00Z"),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    val r2 = DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-03-01T00:00:00Z"))
+    assert(r2.relabeled == 0 && assignment(idxLake)(2L) == 1L,
+      "monotone: the broken pair must NOT split the component")
+
+    // the rebuild re-clusters the current corpus into a fresh epoch:
+    // doc 2 leaves the cluster, the old epoch stays intact
+    DedupFlow.rebuildEpoch(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-04-01T00:00:00Z"))
+    val next = CcIndex.assignment(spark, idxLake, "components_next")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(next == Map(1L -> 1L, 3L -> 1L),
+      s"rebuilt epoch must drop the revised doc from the cluster: $next")
+    assert(next == oneShot(srcLake), "rebuilt epoch ≡ one-shot recompute")
+    assert(assignment(idxLake)(2L) == 1L, "old epoch untouched")
+    assert(DedupFlow.readCursor(spark, idxLake, "components_next")
+      .contains(3L), "new epoch's cursor seeds at the rebuilt version")
+
+    // serving from the new epoch elects 1 and ships the reconciled 2
+    val surv = DedupFlow.survivors(spark, srcLake, "docs", idxLake,
+      "components_next").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 2L),
+      "reconciled doc 2 ships as its own document again")
+
+    // post-rebuild ingests continue against the NEW epoch: doc 4 joins
+    // the w-family through the rebuilt table's cursor
+    AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+      4L -> fam("w", "delta")),
+      "2024-04-05T00:00:00Z"),
+      ts("2024-04-01T00:00:00Z"), ts("2024-05-01T00:00:00Z"))        // v4
+    val r3 = DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-05-01T00:00:00Z"), ccTable = "components_next")
+    assert(r3.churned == 1 && r3.verified >= 2)
+    val next2 = CcIndex.assignment(spark, idxLake, "components_next")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(next2 == Map(1L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }
