@@ -171,6 +171,79 @@ class DedupFlowSpec extends AnyFunSuite {
       "one live survivor for the merged family")
   }
 
+  test("ingest batching invariance: per-commit ≡ single catch-up ≡ one-shot (add-only)") {
+    // the cadence property an operator needs to be schedulable: HOW
+    // OFTEN a pipeline ingests must not change what it computes. Holds
+    // for add-only histories (each doc's text is the text every ingest
+    // sees); revisions break it by design — intermediate versions
+    // contribute pair evidence a coarser ingest never observes — which
+    // is exactly the monotone-merge contract rebuildEpoch reconciles.
+    val srcLake = Files.createTempDirectory("azof-ddf4-src").toString
+    val fineIdx = Files.createTempDirectory("azof-ddf4-fine").toString
+    val coarseIdx = Files.createTempDirectory("azof-ddf4-coarse").toString
+    val fineCk = Files.createTempDirectory("azof-ddf4-fck").toString
+    val coarseCk = Files.createTempDirectory("azof-ddf4-cck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    DedupFlow.create(spark, fineIdx)
+    DedupFlow.create(spark, coarseIdx)
+
+    def fineIngest(at: String): Unit = {
+      DedupFlow.ingest(spark, srcLake, "docs", "text", fineIdx,
+        fineCk, ts(at)); ()
+    }
+
+    // batch 1: two families + the far m-window pair (candidate, but
+    // Jaccard-rejected) + filler
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      5L -> fam("v", "alpha"),
+      11L -> mwin(1),
+      13L -> mwin(5),
+      20L -> "completely unrelated filler document text"),
+      "2024-01-10T00:00:00Z"))                                       // v2
+    fineIngest("2024-02-01T00:00:00Z")
+    // batch 2: grow the w family
+    AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+      2L -> fam("w", "beta"),
+      3L -> fam("w", "gamma")),
+      "2024-02-10T00:00:00Z"),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    fineIngest("2024-03-01T00:00:00Z")
+    // batch 3: the m-window bridge lands late -> cross-ingest merge
+    AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+      12L -> mwin(3),
+      6L -> fam("v", "beta")),
+      "2024-03-10T00:00:00Z"),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v4
+    fineIngest("2024-04-01T00:00:00Z")
+    // batch 4: one more straggler into each family
+    AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+      4L -> fam("w", "delta"),
+      14L -> mwin(5)),  // exact duplicate text of 13
+      "2024-04-10T00:00:00Z"),
+      ts("2024-04-01T00:00:00Z"), ts("2024-05-01T00:00:00Z"))        // v5
+    fineIngest("2024-05-01T00:00:00Z")
+
+    // the coarse flow sees the whole history in ONE catch-up
+    val rc = DedupFlow.ingest(spark, srcLake, "docs", "text", coarseIdx,
+      coarseCk, ts("2024-05-01T00:00:00Z"))
+    assert(rc.fromVersion == 1 && rc.toVersion == 5)
+
+    val fine = CcIndex.assignment(spark, fineIdx, "components")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coarse = CcIndex.assignment(spark, coarseIdx, "components")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = oneShot(srcLake)
+    assert(fine == coarse,
+      s"ingest cadence changed the result:\nfine   $fine\ncoarse $coarse")
+    assert(fine == batch, s"flow diverged from one-shot:\n$fine\n$batch")
+    assert(fine(12L) == 11L && fine(13L) == 11L && fine(14L) == 11L,
+      "late bridge + exact twin must fold into the 11-rooted component")
+    assert(Set(1L, 2L, 3L, 4L).forall(fine(_) == 1L))
+    assert(!fine.contains(20L))
+  }
+
   test("epoch rebuild reconciles similarity-breaking revisions the monotone merge cannot") {
     val srcLake = Files.createTempDirectory("azof-ddf3-src").toString
     val idxLake = Files.createTempDirectory("azof-ddf3-idx").toString
