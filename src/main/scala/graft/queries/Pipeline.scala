@@ -30,6 +30,7 @@ object Pipeline {
     "d14_semdedup" -> d14,
     "d15_cc_incremental" -> d15,
     "d16_dedup_ingest" -> d16,
+    "d17_semdedup_incremental" -> d17,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -278,6 +279,63 @@ object Pipeline {
     val l = dedupFlowLake(s, dir)
     graft.sources.DedupFlow.survivors(s, l, "docs_src", l)
   }
+
+  /** The persisted SemDeDup index ([[graft.sources.SemDedupIndex]])
+    * built INCREMENTALLY over the embeddings corpus: two crawl batches
+    * split so the d14 seed docs all land in batch 1 (the index freezes
+    * centroids at create, so batch-1 seeding ≡ full-corpus seeding by
+    * construction — the frozen-model contract made oracle-checkable),
+    * each followed by a change-feed refresh. The holdout batch carries
+    * LOW ids too, so the second refresh must exercise the verdict
+    * FLIP: existing keeps dominated by a late-arriving lower id.
+    */
+  private[queries] def semIndexLake(s: SparkSession, dir: String): String =
+    AzofQueries.cachedLake(dir, "semidx-v1", "sem") { l =>
+      import graft.format.{ColumnDef, ColumnType, TableSchema}
+      import graft.sources.{AzofWriter, SemDedupIndex}
+      import java.time.Instant
+      val srcSchema = graft.format.TableSchema(Seq(
+        ColumnDef("vec", ColumnType.AzString, nullable = false)))
+      AzofWriter.createTable(s, l, "emb_src", srcSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val e = emb(s, dir).select(col("vec_id"),
+        concat(lit("["), concat_ws(",",
+          transform(col("embedding"), x => x.cast("double").cast("string"))),
+          lit("]")).as("vec"))
+      val seedIds = e
+        .orderBy(md5(concat(lit("sem#"), col("vec_id").cast("string"))),
+          col("vec_id"))
+        .limit(16).select(col("vec_id").cast("long"))
+        .collect().map(_.getLong(0)).toSet
+      def batch(holdout: Boolean, at: String) = e
+        .where(((col("vec_id") % 5 === 0) &&
+          !col("vec_id").isin(seedIds.toSeq: _*)) === holdout)
+        .select(col("vec_id").cast("string").as(TableSchema.KeyName),
+          lit(java.sql.Timestamp.from(Instant.parse(at)))
+            .as(TableSchema.EventTimeName),
+          col("vec"))
+      AzofWriter.commitBase(s, l, "emb_src",
+        batch(holdout = false, "2024-01-15T00:00:00Z"))
+      SemDedupIndex.create(s, l, "emb_src", "vec", l, "sem",
+        k = 16, threshold = 0.4)
+      SemDedupIndex.refresh(s, l, "emb_src", "vec", l, "sem",
+        s"$l/_sem_ck").awaitTermination()
+      AzofWriter.commitDelta(s, l, "emb_src",
+        batch(holdout = true, "2024-02-15T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      SemDedupIndex.refresh(s, l, "emb_src", "vec", l, "sem",
+        s"$l/_sem_ck").awaitTermination()
+      ()
+    }
+
+  /** The incrementally-built persisted verdicts, read back whole: must
+    * hash-match the one-shot d14 oracle (full-corpus seed → assignment
+    * → triangular verdict) — frozen-model increments ≡ one-shot
+    * SemDeDup, flips included.
+    */
+  private def d17(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SemDedupIndex.verdicts(s, semIndexLake(s, dir), "sem")
 
   /** The incrementally-built persisted assignment, read back whole: must
     * hash-match the one-shot d11 clustering (the oracle recomputes the
@@ -1102,6 +1160,35 @@ object Pipeline {
     // cosine verdict; every float fold matches the Spark kernels'
     // operation order (seed/assignment = the s06 machinery, cosine =
     // the d05 machinery)
+    // d17: the persisted SemDeDup index, built in two incremental
+    // change-feed refreshes over a seed-preserving batch split, must
+    // equal the one-shot frozen-model pass — the oracle is d14's SQL
+    // verbatim (the split keeps every seed doc in batch 1, so the
+    // frozen centroids ARE the full-corpus seeds)
+    "d17_semdedup_incremental" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+          seed AS (SELECT c, v FROM (
+              SELECT v, ROW_NUMBER() OVER (
+                  ORDER BY md5('sem#' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+              FROM e) WHERE c < 16),
+          asgd AS (SELECT e.vec_id, s.c,
+                     list_sum(list_transform(list_zip(e.v, s.v),
+                       x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+                   FROM e CROSS JOIN seed s),
+          asg AS (SELECT vec_id, c FROM (
+              SELECT vec_id, c, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY d ASC, c) AS rn
+              FROM asgd) WHERE rn = 1),
+          drp AS (SELECT DISTINCT bb.vec_id AS vec_id
+                  FROM asg aa
+                  JOIN asg bb ON aa.c = bb.c AND aa.vec_id < bb.vec_id
+                  JOIN embeddings a ON a.vec_id = aa.vec_id
+                  JOIN embeddings b ON b.vec_id = bb.vec_id
+                  WHERE ${cosSql("a", "b")} >= 0.4)
+          SELECT asg.vec_id, CAST(asg.c AS BIGINT) AS cluster_id,
+                 drp.vec_id IS NULL AS kept
+          FROM asg LEFT JOIN drp USING (vec_id)""",
     "d14_semdedup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),

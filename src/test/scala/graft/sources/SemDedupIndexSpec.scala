@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format.TableSchema
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted SemDeDup verdict index ([[SemDedupIndex]]): incremental
+  * refreshes keep the index ≡ a frozen-model brute force over the
+  * evolved corpus — including the VERDICT FLIP, where a late-arriving
+  * lower-id doc turns an existing keep into a drop — and deletes
+  * tombstone without resurrecting anything.
+  */
+class SemDedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Instant.parse(s)
+
+  private val srcSchema = graft.format.TableSchema(Seq(
+    graft.format.ColumnDef("vec", graft.format.ColumnType.AzString,
+      nullable = false)))
+
+  // two obvious clusters on the axes; within-cluster cosine is high
+  // (small angular jitter), across ~0
+  private def vec(i: Long): Array[Double] = {
+    val (bx, by) = if (i < 20) (1.0, 0.0) else (0.0, 1.0)
+    val j = (i % 7).toDouble / 100.0
+    Array(bx + j * by - j * bx * 0.0, by + j * bx) // unit-ish, jittered
+  }
+
+  private def rows(ids: Seq[Long], at: String) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(i => Row(
+        i.toString, Timestamp.from(ts(at)),
+        vec(i).mkString("[", ",", "]")))),
+      srcSchema.toStruct)
+
+  /** Frozen-model brute force over the source's CURRENT corpus: assign
+    * to the index's frozen centroids, drop iff a lower-id same-cluster
+    * doc has cosine ≥ threshold. Plain Scala — the independent twin.
+    */
+  private def brute(
+      srcLake: String, idxLake: String): Map[Long, (Long, Boolean)] = {
+    val m = SemDedupIndex.readModel(spark, idxLake, "sem")
+    val cur = graft.operators.AzofScan.scan(spark, srcLake, "emb")
+      .select(col(TableSchema.KeyName).cast("long"), col("vec"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).stripPrefix("[").stripSuffix("]")
+          .split(',').map(_.trim.toDouble))
+      .sortBy(_._1)
+    def cluster(v: Array[Double]): Long = {
+      var best = 0; var bestD = Double.PositiveInfinity
+      for (c <- m.cents.indices) {
+        val d = m.cents(c).zip(v).map { case (a, b) =>
+          (a - b) * (a - b) }.sum
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best.toLong
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val assigned = cur.map { case (i, v) => (i, cluster(v), v) }
+    assigned.map { case (i, c, v) =>
+      val dropped = assigned.exists { case (j, cj, vj) =>
+        j < i && cj == c && cos(v, vj) >= m.threshold
+      }
+      i -> (c, !dropped)
+    }.toMap
+  }
+
+  private def persisted(idxLake: String): Map[Long, (Long, Boolean)] =
+    SemDedupIndex.verdicts(spark, idxLake, "sem")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+
+  test("index ≡ frozen-model brute force across churn; late lower-id arrival flips a keep; deletes tombstone") {
+    val lake = Files.createTempDirectory("azof-semidx").toString
+    val ck = Files.createTempDirectory("azof-semidx-ck").toString
+    AzofWriter.createTable(spark, lake, "emb", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "emb",
+      rows(Seq(10L, 11L, 20L), "2024-01-02T00:00:00Z"))              // v2
+
+    SemDedupIndex.create(spark, lake, "emb", "vec", lake, "sem",
+      k = 2, threshold = 0.9)
+    def sync(): Unit = {
+      SemDedupIndex.refresh(spark, lake, "emb", "vec", lake, "sem", ck)
+        .awaitTermination(120000); ()
+    }
+    sync()
+
+    val p1 = persisted(lake)
+    assert(p1 == brute(lake, lake), s"backfill diverged: $p1")
+    assert(p1(10L)._2 && !p1(11L)._2 && p1(20L)._2,
+      "min id of the x-cluster keeps, its near-twin drops, y-cluster keeps")
+    assert(p1(10L)._1 == p1(11L)._1 && p1(10L)._1 != p1(20L)._1)
+
+    // batch 2: higher-id members join both clusters — verdicts against
+    // the INDEX (no re-verdicting of existing rows expected)
+    AzofWriter.commitDelta(spark, lake, "emb",
+      rows(Seq(12L, 21L), "2024-02-05T00:00:00Z"),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    sync()
+    val p2 = persisted(lake)
+    assert(p2 == brute(lake, lake), s"batch 2 diverged: $p2")
+    assert(!p2(12L)._2 && !p2(21L)._2,
+      "both newcomers are dominated by their clusters' lower ids")
+
+    // batch 3, the FLIP: id 5 lands in the x-cluster BELOW 10 — 5
+    // keeps, 10 must flip kept -> dropped, 11/12 stay dropped
+    AzofWriter.commitDelta(spark, lake, "emb",
+      rows(Seq(5L), "2024-03-05T00:00:00Z"),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v4
+    sync()
+    val p3 = persisted(lake)
+    assert(p3 == brute(lake, lake), s"flip batch diverged: $p3")
+    assert(p3(5L)._2, "the new minimum keeps")
+    assert(!p3(10L)._2, "the old canonical must FLIP to dropped")
+    assert(!p3(11L)._2 && !p3(12L)._2)
+
+    // delete 20: tombstoned out of the verdicts; 21 stays dropped (the
+    // monotone contract — no resurrect; an epoch re-create reconciles)
+    AzofWriter.commitDelete(spark, lake, "emb", Seq("20"),
+      ts("2024-04-02T00:00:00Z"))                                    // v5
+    sync()
+    val p4 = persisted(lake)
+    assert(!p4.contains(20L), "deleted doc's verdict row survived")
+    assert(!p4(21L)._2, "no resurrect under the monotone contract")
+
+    // a second sync with nothing new: index version unchanged
+    val verBefore = graft.format.AzofTable(spark, lake, "sem")
+      .currentVersion.toLong
+    sync()
+    assert(graft.format.AzofTable(spark, lake, "sem")
+      .currentVersion.toLong == verBefore)
+  }
+}
