@@ -55,6 +55,7 @@ object AzofCli {
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
           "pq-create|pq-refresh|pq-search|export|" +
           "dedup-create|dedup-ingest|dedup-rebuild|dedup-survivors|" +
+          "sem-create|sem-refresh|sem-verdicts|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
     }
@@ -361,6 +362,42 @@ object AzofCli {
             s"-> ${r.verified} verified pairs -> ${r.relabeled} " +
             "relabeled docs")
         println(s"checkpoint: $ckpt")
+      case "sem-create" =>
+        // frozen-model SemDeDup index over an azof embedding table
+        // (vectors as JSON double arrays in --vec-col):
+        //   sem-create --path L --table SRC --index-table IDX
+        //     [--index-path L2] [--vec-col vec] [--k 16]
+        //     [--threshold 0.4] [--salt sem]
+        val m = graft.sources.SemDedupIndex.create(spark,
+          opts("path"), opts("table"), opts.getOrElse("vec-col", "vec"),
+          opts.getOrElse("index-path", opts("path")), opts("index-table"),
+          k = opts.getOrElse("k", "16").toInt,
+          threshold = opts.getOrElse("threshold", "0.4").toDouble,
+          salt = opts.getOrElse("salt", "sem"))
+        println(s"created SemDeDup index ${opts("index-table")} " +
+          s"(k=${m.k}, threshold=${m.threshold}, frozen centroids in " +
+          "_sem_model.json); run sem-refresh to backfill")
+      case "sem-refresh" =>
+        // one AvailableNow catch-up: verdict the source commits since
+        // this checkpoint against the frozen model (flips included).
+        val ckpt = opts.getOrElse("checkpoint",
+          java.nio.file.Files.createTempDirectory("azof-semidx").toString)
+        graft.sources.SemDedupIndex.refresh(spark,
+            opts("path"), opts("table"), opts.getOrElse("vec-col", "vec"),
+            opts.getOrElse("index-path", opts("path")), opts("index-table"),
+            ckpt)
+          .awaitTermination()
+        println(s"refreshed ${opts("index-table")}; version now " +
+          AzofTable(spark, opts.getOrElse("index-path", opts("path")),
+            opts("index-table")).currentVersion)
+        println(s"checkpoint: $ckpt")
+      case "sem-verdicts" =>
+        // the persisted verdicts: (vec_id, cluster_id, kept)
+        graft.sources.SemDedupIndex.verdicts(spark,
+            opts.getOrElse("index-path", opts("path")),
+            opts("index-table"))
+          .orderBy("vec_id")
+          .show(numRows = 10000, truncate = false)
       case "dedup-rebuild" =>
         // epoch rebuild: re-cluster the current corpus from the
         // persisted signatures into a FRESH components table (the
