@@ -135,10 +135,18 @@ object DedupFlow {
 
     // 4. exact n-gram Jaccard over the candidates: re-shingle ONLY the
     // docs a candidate pair involves (semi-join narrows the source
-    // scan before the shingle explode)
+    // scan before the shingle explode). The scan is pinned AS OF
+    // `toVersion` — a writer racing past the cursor must not leak
+    // future text into THIS ingest's verdicts (the next ingest owns
+    // those commits); racing docs whose signatures already landed drop
+    // out here via the inner sizes join and re-candidate as churn next
+    // time.
     val involved = cands.select(col("doc_a").as("doc_id"))
       .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val docs = AzofScan.scan(spark, srcLake, srcTable)
+    val docs = spark.read.format("azof")
+      .option("table", srcTable)
+      .option("versionAsOf", toVersion.toString)
+      .load(srcLake)
       .select(col(TableSchema.KeyName).cast("long").as("doc_id"),
         col(textCol))
       .join(broadcast(involved), Seq("doc_id"), "left_semi")
@@ -198,7 +206,12 @@ object DedupFlow {
       .localCheckpoint(true)
     val involved = cands.select(col("doc_a").as("doc_id"))
       .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val docs = AzofScan.scan(spark, srcLake, srcTable)
+    // pinned AS OF the version the new epoch's cursor will claim — a
+    // racing writer must not leak post-cursor text into the rebuild
+    val docs = spark.read.format("azof")
+      .option("table", srcTable)
+      .option("versionAsOf", srcVersion.toString)
+      .load(srcLake)
       .select(col(TableSchema.KeyName).cast("long").as("doc_id"),
         col(textCol))
       .join(involved, Seq("doc_id"), "left_semi")
