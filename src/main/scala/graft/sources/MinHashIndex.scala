@@ -192,8 +192,11 @@ object MinHashIndex {
       .select(col("bidx"), col("bval")).distinct()
     val confined = unpivoted
       .join(broadcast(hotBuckets), Seq("bidx", "bval"), "left_semi")
+    // both touch-side filters read the same pair frame — materialize
+    // the bucket-group shuffle once instead of per side
     val pairs = Dedup.bucketPairs(confined, cap, "dedup_ingest_bucket_cap")
       .toDF("doc_a", "doc_b")
+      .localCheckpoint(true)
     pairs
       .join(broadcast(churnIds.select(col("id").as("doc_a"))),
         Seq("doc_a"), "left_semi")

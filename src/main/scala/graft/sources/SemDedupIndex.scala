@@ -155,30 +155,37 @@ object SemDedupIndex {
     if (batch.isEmpty) return emptyRows(spark)
     val assigned = assign(spark, newest, model).localCheckpoint(true)
 
+    // one driver action for both batch markers (max commit version for
+    // the as-of pin, max event_time for flip rows)
+    val marks = batch.agg(max(col("_commit_version")),
+      max(col(TableSchema.EventTimeName))).collect()(0)
+
     // commit-exact comparison state: the source AS OF the batch's max
     // version, restricted to the batch's touched clusters, with
     // clusters taken from the INDEX (assignments are frozen-model
     // deterministic, but reading them back avoids re-assigning the
     // whole corpus per batch)
-    val maxV = batch.agg(max(col("_commit_version"))).collect()(0)
     val existing: DataFrame =
-      if (maxV.isNullAt(0)) emptyAssigned(spark)
-      else {
-        val srcAsOf = spark.read.format("azof")
-          .option("table", srcTable)
-          .option("versionAsOf", maxV.getLong(0).toString)
-          .load(srcLake)
-        val idxCur = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
-          .select(col(TableSchema.KeyName).cast("long").as("_id"),
-            col(TableSchema.EventTimeName).as("_its"),
-            col("cluster_id").as("_cid"), col("kept"))
-        val touched = assigned.select(col("_cid")).distinct()
-        embFrame(srcAsOf, vecCol)
-          .join(idxCur, Seq("_id"))
-          .join(broadcast(touched), Seq("_cid"), "left_semi")
-          // the batch's own keys compare through their BATCH vectors
-          .join(assigned.select(col("_id")), Seq("_id"), "left_anti")
-      }
+      (if (marks.isNullAt(0)) emptyAssigned(spark)
+       else {
+         val srcAsOf = spark.read.format("azof")
+           .option("table", srcTable)
+           .option("versionAsOf", marks.getLong(0).toString)
+           .load(srcLake)
+         val idxCur = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
+           .select(col(TableSchema.KeyName).cast("long").as("_id"),
+             col(TableSchema.EventTimeName).as("_its"),
+             col("cluster_id").as("_cid"), col("kept"))
+         val touched = assigned.select(col("_cid")).distinct()
+         embFrame(srcAsOf, vecCol)
+           .join(idxCur, Seq("_id"))
+           .join(broadcast(touched), Seq("_cid"), "left_semi")
+           // the batch's own keys compare through their BATCH vectors
+           .join(assigned.select(col("_id")), Seq("_id"), "left_anti")
+       })
+      // three consumers below (batch-verdict pairs, flip pairs, the
+      // flip join-back) — cut the scan+3-join subtree once
+      .localCheckpoint(true)
 
     // verdicts for the batch's docs: dropped iff a lower-id
     // same-cluster doc (existing or earlier in this batch) has
@@ -209,8 +216,6 @@ object SemDedupIndex {
     // row it replaces, whatever that row carried — greatest(old ts,
     // batch max ts); at equal ts the later commit's file precedence
     // breaks the tie toward the flip.
-    val maxTs = data
-      .agg(max(col(TableSchema.EventTimeName))).collect()(0)
     val flipPairs = assigned
       .select(col("_id").as("vec_a"), col("_cid"),
         col("_v").as("_va"), col("_n").as("_na"))
@@ -219,13 +224,13 @@ object SemDedupIndex {
           col("_v").as("_vb"), col("_n").as("_nb")), Seq("_cid"))
       .where(col("vec_a") < col("vec_b"))
     val flips =
-      if (maxTs.isNullAt(0)) emptyRows(spark)
+      if (marks.isNullAt(1)) emptyRows(spark)
       else Similarity.cosineFilterPairs(flipPairs, model.threshold)
         .select(col("vec_b").as("_id")).distinct()
         .join(existing.select(col("_id"), col("_its"), col("_cid")),
           Seq("_id"))
         .select(col("_id").cast("string").as(TableSchema.KeyName),
-          greatest(col("_its"), lit(maxTs.getTimestamp(0)))
+          greatest(col("_its"), lit(marks.getTimestamp(1)))
             .as(TableSchema.EventTimeName),
           col("_cid").as("cluster_id"),
           lit(false).as("kept"),
