@@ -342,8 +342,15 @@ object AzofCli {
         //   dedup-ingest --path L --table SRC --index-path L2
         //     [--text-col text] [--min-jaccard 0.5] [--at TS]
         //     [--checkpoint DIR]
+        // the checkpoint DEFAULT is a stable location derived from the
+        // signature table it feeds — a fresh temp dir per run would be a
+        // new streaming appId, so every invocation would replay the
+        // whole commit feed (O(corpus) signature recompute + an index
+        // version per run) instead of catching up from last time
         val ckpt = opts.getOrElse("checkpoint",
-          java.nio.file.Files.createTempDirectory("azof-ddf").toString)
+          new org.apache.hadoop.fs.Path(opts("index-path"),
+            opts.getOrElse("sig-table", "minhash_sig") +
+              "/_refresh_checkpoint").toString)
         val at = opts.get("at")
           .map(graft.sources.AzofDataSource.parseInstant)
           .getOrElse(java.time.Instant.ofEpochMilli(
@@ -380,8 +387,11 @@ object AzofCli {
       case "sem-refresh" =>
         // one AvailableNow catch-up: verdict the source commits since
         // this checkpoint against the frozen model (flips included).
+        // Stable default checkpoint, same reason as dedup-ingest.
         val ckpt = opts.getOrElse("checkpoint",
-          java.nio.file.Files.createTempDirectory("azof-semidx").toString)
+          new org.apache.hadoop.fs.Path(
+            opts.getOrElse("index-path", opts("path")),
+            opts("index-table") + "/_refresh_checkpoint").toString)
         graft.sources.SemDedupIndex.refresh(spark,
             opts("path"), opts("table"), opts.getOrElse("vec-col", "vec"),
             opts.getOrElse("index-path", opts("path")), opts("index-table"),
@@ -406,8 +416,13 @@ object AzofCli {
         //   dedup-rebuild --path L --table SRC --index-path L2
         //     [--new-cc-table components_next] [--text-col text]
         //     [--min-jaccard 0.5] [--at TS] [--checkpoint DIR]
+        // same stable checkpoint as dedup-ingest: the rebuild shares the
+        // signature catch-up, so sharing its checkpoint is what keeps
+        // that catch-up exactly-once across ingest and rebuild runs
         val ckpt = opts.getOrElse("checkpoint",
-          java.nio.file.Files.createTempDirectory("azof-ddf").toString)
+          new org.apache.hadoop.fs.Path(opts("index-path"),
+            opts.getOrElse("sig-table", "minhash_sig") +
+              "/_refresh_checkpoint").toString)
         val at = opts.get("at")
           .map(graft.sources.AzofDataSource.parseInstant)
           .getOrElse(java.time.Instant.ofEpochMilli(

@@ -233,6 +233,40 @@ object AzofWriter {
     writeVersion(spark, dir, "1")
   }
 
+  /** Whether a table exists under the lakehouse: a version pointer, or a
+    * first snapshot from a create that crashed before the pointer write.
+    */
+  def tableExists(
+      spark: SparkSession, lakehousePath: String, name: String): Boolean = {
+    val dir = new Path(lakehousePath, name)
+    val f = fs(spark, dir)
+    f.exists(new Path(dir, "version.txt")) || f.exists(new Path(dir, "s1.json"))
+  }
+
+  /** [[createTable]] unless the table already exists — the idempotent
+    * form the index companions use (re-running a flow's `create` must be
+    * a no-op, not a `FileAlreadyExistsException`). A create that crashed
+    * between the snapshot and the pointer is repaired by re-pointing at
+    * snapshot 1. Returns true iff this call created the table.
+    */
+  def createTableIfAbsent(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      schema: TableSchema,
+      segmentStart: Instant): Boolean = {
+    val dir = new Path(lakehousePath, name)
+    val f = fs(spark, dir)
+    if (f.exists(new Path(dir, "version.txt"))) false
+    else if (f.exists(new Path(dir, "s1.json"))) {
+      writeVersion(spark, dir.toString, "1")
+      false
+    } else {
+      createTable(spark, lakehousePath, name, schema, segmentStart)
+      true
+    }
+  }
+
   /** Commit `df` (schema `key, event_time, values...`) as the base file of
     * the open root segment: new snapshot id = current + 1. The open
     * segment must not already have a base — a second commitBase would

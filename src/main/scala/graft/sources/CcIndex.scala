@@ -53,9 +53,11 @@ object CcIndex {
   def create(
       spark: SparkSession,
       idxLake: String, idxTable: String,
-      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit =
-    AzofWriter.createTable(spark, idxLake, idxTable, AssignSchema,
+      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
+    AzofWriter.createTableIfAbsent(spark, idxLake, idxTable, AssignSchema,
       segmentStart)
+    ()
+  }
 
   /** The index's current labeling as the `(doc_id, component_id)` frame
     * [[Dedup.keepCanonical]] consumes. Only ever CLUSTERED docs are
@@ -76,27 +78,35 @@ object CcIndex {
     * assignment and commit the changed labels at event time `at`.
     * Returns the number of rows committed (0 = the batch taught the
     * index nothing; no version is written then).
+    *
+    * `hintBroadcast` forces the batch-derived join sides (endpoints,
+    * touched roots) to broadcast — right for a crawl-sized pair batch,
+    * wrong for a bootstrap merge whose batch IS the corpus; callers
+    * that measured the batch (e.g. [[DedupFlow.ingest]]'s `nVerified`)
+    * pass `false` past their threshold and the semi-joins shuffle
+    * instead (AQE still broadcasts what it measures to be small).
     */
   def refreshWithPairs(
       spark: SparkSession,
       idxLake: String, idxTable: String,
       pairs: DataFrame, a: String, b: String,
-      at: Instant): Long = {
+      at: Instant,
+      hintBroadcast: Boolean = true): Long = {
+    def hinted(df: DataFrame) = if (hintBroadcast) broadcast(df) else df
     val current = assignment(spark, idxLake, idxTable)
       .persist()
     val newEdges = pairs
       .select(col(a).cast("long").as("_ia"), col(b).cast("long").as("_ib"))
       .persist()
     // components touched by the batch: endpoints → their current roots
-    // (an endpoint can also BE a root), then roots → their members.
-    // Both join sides derived from the batch are broadcast-sized.
+    // (an endpoint can also BE a root), then roots → their members
     val batchVerts = newEdges.select(col("_ia").as("doc_id"))
       .unionAll(newEdges.select(col("_ib").as("doc_id"))).distinct()
     val touchedRoots = current
-      .join(broadcast(batchVerts), Seq("doc_id"), "left_semi")
+      .join(hinted(batchVerts), Seq("doc_id"), "left_semi")
       .select(col("component_id")).distinct()
     val affected = current
-      .join(broadcast(touchedRoots), Seq("component_id"), "left_semi")
+      .join(hinted(touchedRoots), Seq("component_id"), "left_semi")
     // affected components re-expressed as their star edges: root
     // members carry label == id and contribute no edge; they re-enter
     // the union as the dst of their leaves (a root with no leaves has

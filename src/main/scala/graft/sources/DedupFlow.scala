@@ -52,6 +52,19 @@ object DedupFlow {
 
   val CursorFileName = "_dedup_cursor.json"
 
+  /** Churn/pair-count ceiling up to which [[ingest]] FORCES its
+    * batch-derived join sides (churn ids, hot buckets, pair-involved
+    * docs, CC batch vertices) to broadcast. 4M long keys ≈ 32 MB on the
+    * driver — comfortably a broadcast. Past it the hints are withdrawn
+    * and every batch-side join is a plain shuffle semi-join (AQE still
+    * broadcasts what it MEASURES to be small): a steady-state crawl
+    * batch keeps the fast path, while a BOOTSTRAP ingest over an
+    * existing corpus — where the CDC range is the whole corpus and
+    * `broadcast()` would be obeyed right into a driver OOM — degrades
+    * to the shuffle shape that scales.
+    */
+  val DefaultBroadcastKeyMax: Long = 4L * 1000 * 1000
+
   /** What one [[ingest]] did: the CDC range consumed, and the funnel
     * row counts (churned keys → candidate pairs → verified pairs →
     * relabeled docs) — the observability a pipeline run reports.
@@ -63,7 +76,8 @@ object DedupFlow {
   }
 
   /** Create the signature and components index tables a flow needs
-    * (idempotent companions; `idxLake` holds both).
+    * (idempotent — a re-run against existing tables is a no-op, via
+    * [[AzofWriter.createTableIfAbsent]]; `idxLake` holds both).
     */
   def create(
       spark: SparkSession, idxLake: String,
@@ -89,7 +103,8 @@ object DedupFlow {
       sigTable: String = "minhash_sig",
       ccTable: String = "components",
       minJaccard: Double = 0.5,
-      cap: Int = Dedup.DefaultBucketCap): IngestReport = {
+      cap: Int = Dedup.DefaultBucketCap,
+      broadcastKeyMax: Long = DefaultBroadcastKeyMax): IngestReport = {
     val toVersion = AzofTable(spark, srcLake, srcTable).currentVersion.toLong
     // first ingest starts at the source's retained feed floor (the
     // `startVersion=earliest` resolution); afterwards the cursor is the
@@ -128,9 +143,12 @@ object DedupFlow {
 
     // 3. candidate pairs confined to churn-touched buckets, answered
     // from the persisted signatures (deleted docs' signatures are
-    // tombstoned by step 1, so they emit no pairs)
+    // tombstoned by step 1, so they emit no pairs). Broadcast hints are
+    // gated on the MEASURED churn: a bootstrap ingest (churn = the
+    // whole corpus) must not force corpus-sized broadcasts.
     val cands = MinHashIndex.candidatesTouching(
-      spark, idxLake, sigTable, churn, cap).localCheckpoint(true)
+      spark, idxLake, sigTable, churn, cap,
+      hintBroadcast = nChurn <= broadcastKeyMax).localCheckpoint(true)
     val nCands = cands.count()
 
     // 4. exact n-gram Jaccard over the candidates: re-shingle ONLY the
@@ -149,7 +167,11 @@ object DedupFlow {
       .load(srcLake)
       .select(col(TableSchema.KeyName).cast("long").as("doc_id"),
         col(textCol))
-      .join(broadcast(involved), Seq("doc_id"), "left_semi")
+      // involved ≤ 2·nCands ids — hint only when that bound is measured
+      // small (bootstrap candidates can be corpus-scale)
+      .join(if (nCands * 2 <= broadcastKeyMax) broadcast(involved)
+            else involved,
+        Seq("doc_id"), "left_semi")
     val verified = Dedup.ngramJaccard(
         cands, Dedup.shingles(docs, col(textCol), col("doc_id")))
       .where(col("jaccard") >= minJaccard)
@@ -163,7 +185,8 @@ object DedupFlow {
     val relabeled =
       if (nVerified == 0) 0L
       else CcIndex.refreshWithPairs(
-        spark, idxLake, ccTable, verified, "doc_a", "doc_b", at)
+        spark, idxLake, ccTable, verified, "doc_a", "doc_b", at,
+        hintBroadcast = nVerified * 2 <= broadcastKeyMax)
     writeCursor(spark, idxLake, ccTable, toVersion)
 
     churn.unpersist()
@@ -196,6 +219,13 @@ object DedupFlow {
       newCcTable: String = "components_next",
       minJaccard: Double = 0.5,
       cap: Int = Dedup.DefaultBucketCap): Long = {
+    // a rebuild clusters into a FRESH table: merging into a previous
+    // epoch's assignment would re-apply exactly the monotone history the
+    // rebuild exists to drop — so an existing target is refused loudly
+    // (before the expensive signature catch-up), not silently reused
+    require(!AzofWriter.tableExists(spark, idxLake, newCcTable),
+      s"epoch table '$newCcTable' already exists in $idxLake — pick an " +
+        "unused epoch name (or remove the stale epoch) and re-run")
     val srcVersion = AzofTable(spark, srcLake, srcTable).currentVersion.toLong
     // signatures first: the rebuild must not cluster from signatures
     // older than the source version its cursor will claim (same
@@ -221,8 +251,11 @@ object DedupFlow {
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     CcIndex.create(spark, idxLake, newCcTable)
+    // a rebuild's pair batch IS the corpus's full pair graph — never
+    // force it to broadcast; AQE broadcasts what it measures small
     val n = CcIndex.refreshWithPairs(
-      spark, idxLake, newCcTable, pairs, "doc_a", "doc_b", at)
+      spark, idxLake, newCcTable, pairs, "doc_a", "doc_b", at,
+      hintBroadcast = false)
     writeCursor(spark, idxLake, newCcTable, srcVersion)
     n
   }

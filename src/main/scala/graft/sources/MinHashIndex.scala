@@ -47,8 +47,11 @@ object MinHashIndex {
   def create(
       spark: SparkSession,
       idxLake: String, idxTable: String,
-      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit =
-    AzofWriter.createTable(spark, idxLake, idxTable, SigSchema, segmentStart)
+      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
+    AzofWriter.createTableIfAbsent(
+      spark, idxLake, idxTable, SigSchema, segmentStart)
+    ()
+  }
 
   /** Incrementally refresh from the source's commit feed (AvailableNow
     * by default). `textCol` names the source's document-text column.
@@ -162,8 +165,7 @@ object MinHashIndex {
     * signatures — the incremental-ingest shape: after a crawl batch
     * lands, only pairs with a churned endpoint can be NEW, so pair
     * generation is confined to the buckets a churned doc occupies.
-    * `churn` is a one-column frame of numeric doc ids (broadcast-sized
-    * by construction — it is one batch's key set, not the corpus).
+    * `churn` is a one-column frame of numeric doc ids.
     *
     * Two prunes against the full bucket build: (1) the signature scan
     * keeps only buckets CONTAINING a churned doc (semi-join on the
@@ -171,6 +173,17 @@ object MinHashIndex {
     * rows, not the corpus; (2) the pair emit keeps only pairs with a
     * churned endpoint — within-bucket pairs among old members were
     * emitted by earlier ingests.
+    *
+    * '''`hintBroadcast`''' — whether to FORCE the churn/hot-bucket
+    * sides to broadcast. A steady-state crawl batch is genuinely small
+    * and the hint skips three shuffles; but `broadcast()` is obeyed
+    * regardless of size, and on a BOOTSTRAP ingest (first run against a
+    * populated source, where churn = the whole corpus) a forced
+    * broadcast is a driver/executor OOM at scale. Callers that measured
+    * the churn (e.g. [[DedupFlow.ingest]]'s `nChurn` action) pass
+    * `false` past their threshold and the joins fall back to plain
+    * shuffle semi-joins, with AQE still free to broadcast what it
+    * MEASURES to be small.
     *
     * Boundary (by cap design): the per-bucket cap keeps the SMALLEST
     * `cap` ids, so a capped bucket's pair set can differ between
@@ -181,27 +194,41 @@ object MinHashIndex {
   def candidatesTouching(
       spark: SparkSession, idxLake: String, idxTable: String,
       churn: DataFrame,
-      cap: Int = Dedup.DefaultBucketCap): DataFrame = {
+      cap: Int = Dedup.DefaultBucketCap,
+      hintBroadcast: Boolean = true): DataFrame =
+    candidatesTouchingFrom(
+      signatures(spark, idxLake, idxTable), churn, cap, hintBroadcast)
+
+  /** [[candidatesTouching]] over a caller-supplied `(doc_id, band_*)`
+    * signatures frame — the seam the surrogate-keyed flow uses (its
+    * doc ids come from a key-map join, not a cast).
+    */
+  def candidatesTouchingFrom(
+      sigs: DataFrame,
+      churn: DataFrame,
+      cap: Int = Dedup.DefaultBucketCap,
+      hintBroadcast: Boolean = true): DataFrame = {
+    def hinted(df: DataFrame) = if (hintBroadcast) broadcast(df) else df
     val churnIds = churn.select(churn.columns.head).toDF("id")
-    val unpivoted = signatures(spark, idxLake, idxTable)
+    val unpivoted = sigs
       .select(col("doc_id"), posexplode(
         array((0 until NBands).map(b => col(s"band_$b")): _*)))
       .toDF("id", "bidx", "bval")
     val hotBuckets = unpivoted
-      .join(broadcast(churnIds), Seq("id"), "left_semi")
+      .join(hinted(churnIds), Seq("id"), "left_semi")
       .select(col("bidx"), col("bval")).distinct()
     val confined = unpivoted
-      .join(broadcast(hotBuckets), Seq("bidx", "bval"), "left_semi")
+      .join(hinted(hotBuckets), Seq("bidx", "bval"), "left_semi")
     // both touch-side filters read the same pair frame — materialize
     // the bucket-group shuffle once instead of per side
     val pairs = Dedup.bucketPairs(confined, cap, "dedup_ingest_bucket_cap")
       .toDF("doc_a", "doc_b")
       .localCheckpoint(true)
     pairs
-      .join(broadcast(churnIds.select(col("id").as("doc_a"))),
+      .join(hinted(churnIds.select(col("id").as("doc_a"))),
         Seq("doc_a"), "left_semi")
       .unionAll(pairs
-        .join(broadcast(churnIds.select(col("id").as("doc_b"))),
+        .join(hinted(churnIds.select(col("id").as("doc_b"))),
           Seq("doc_b"), "left_semi")
         .select(col("doc_a"), col("doc_b")))
       .distinct()

@@ -30,7 +30,14 @@ object EventsStream {
 
   private def probeTsType(spark: SparkSession, dir: String): DataType =
     scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
-      .getOrElse(TimestampNTZType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"EventsStream: no readable events parquet under $dir to probe " +
+          "the ts physical type. The events schema has shipped as both " +
+          "INT64 TIMESTAMP(NANOS) and TIMESTAMP_NTZ, and a streaming " +
+          "schema is FIXED at start — a guessed type fails (or misreads) " +
+          "once real files arrive, so the probe refuses to guess. Start " +
+          "the stream against a directory holding at least one events " +
+          "file."))
 
   private def normalize(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {

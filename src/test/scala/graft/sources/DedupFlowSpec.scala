@@ -244,6 +244,72 @@ class DedupFlowSpec extends AnyFunSuite {
     assert(!fine.contains(20L))
   }
 
+  test("bootstrap ingest over a populated source: hints withdrawn past the threshold, result identical") {
+    // the scale trap the guard closes: the FIRST ingest against an
+    // already-populated source consumes the entire CDC history, so
+    // churn = every key in the corpus — and broadcast() is obeyed
+    // regardless of size. Past broadcastKeyMax the flow must run the
+    // same computation WITHOUT forced broadcasts (AQE may still choose
+    // them from measured sizes — that's fine; the forced hint is not).
+    val srcLake = Files.createTempDirectory("azof-ddf5-src").toString
+    val idxA = Files.createTempDirectory("azof-ddf5-a").toString
+    val idxB = Files.createTempDirectory("azof-ddf5-b").toString
+    val ckA = Files.createTempDirectory("azof-ddf5-cka").toString
+    val ckB = Files.createTempDirectory("azof-ddf5-ckb").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      2L -> fam("w", "beta"),
+      3L -> fam("v", "alpha"),
+      6L -> fam("v", "beta"),
+      11L -> mwin(1),
+      12L -> mwin(3),
+      13L -> mwin(5),
+      20L -> "completely unrelated filler document text"),
+      "2024-01-02T00:00:00Z"))                                       // v2
+
+    // the churn-side joins carry NO broadcast hint when the caller's
+    // measured churn is past the threshold…
+    DedupFlow.create(spark, idxA)
+    MinHashIndex.refresh(spark, srcLake, "docs", "text", idxA,
+      "minhash_sig", ckA).awaitTermination()
+    val churn = spark.range(1, 21).toDF("id")
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    val unhinted = MinHashIndex.candidatesTouching(
+      spark, idxA, "minhash_sig", churn, hintBroadcast = false)
+    assert(hints(unhinted) == 0,
+      "bootstrap shape must not force any broadcast")
+    // …and the hinted shape really is the hinted shape: the two
+    // endpoint-filter hints are visible on the returned frame (the
+    // hot-bucket hints sit behind the pair emit's localCheckpoint cut)
+    val hinted = MinHashIndex.candidatesTouching(
+      spark, idxA, "minhash_sig", churn, hintBroadcast = true)
+    assert(hints(hinted) == 2, s"expected 2 forced broadcasts on the " +
+      s"endpoint filters, got ${hints(hinted)}")
+    // the two shapes agree on the pairs
+    assert(unhinted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == hinted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+
+    // a full bootstrap ingest with the threshold at 0 (every hint
+    // withdrawn, CC merge included) lands the same assignment as the
+    // hinted steady-state path and the one-shot recompute
+    val rA = DedupFlow.ingest(spark, srcLake, "docs", "text", idxA,
+      ckA, ts("2024-02-01T00:00:00Z"), broadcastKeyMax = 0L)
+    assert(rA.churned == 8)
+    DedupFlow.create(spark, idxB)
+    DedupFlow.ingest(spark, srcLake, "docs", "text", idxB,
+      ckB, ts("2024-02-01T00:00:00Z"))
+    val a = assignment(idxA)
+    assert(a == CcIndex.assignment(spark, idxB, "components")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "guarded bootstrap diverged from the hinted path")
+    assert(a == oneShot(srcLake), "guarded bootstrap diverged from one-shot")
+  }
+
   test("epoch rebuild reconciles similarity-breaking revisions the monotone merge cannot") {
     val srcLake = Files.createTempDirectory("azof-ddf3-src").toString
     val idxLake = Files.createTempDirectory("azof-ddf3-idx").toString
