@@ -395,12 +395,38 @@ object AzofCli {
         graft.sources.SemDedupIndex.refresh(spark,
             opts("path"), opts("table"), opts.getOrElse("vec-col", "vec"),
             opts.getOrElse("index-path", opts("path")), opts("index-table"),
-            ckpt)
+            ckpt,
+            onStats = s => println(
+              s"batch: ${s.batchDocs} docs across ${s.touchedClusters} " +
+                s"touched clusters (max ${s.maxTouchedCluster}, " +
+                s"${s.pairComparisons} comparisons)"))
           .awaitTermination()
         println(s"refreshed ${opts("index-table")}; version now " +
           AzofTable(spark, opts.getOrElse("index-path", opts("path")),
             opts("index-table")).currentVersion)
         println(s"checkpoint: $ckpt")
+      case "sem-rebuild" =>
+        // epoch rebuild: freeze a NEW model from the current corpus
+        // into a FRESH verdict table, verdict the pinned corpus
+        // one-shot, seed the refresh cursor (the reconciliation for
+        // everything the monotone contract refuses):
+        //   sem-rebuild --path L --table SRC --new-index-table IDX2
+        //     [--index-path L2] [--vec-col vec] [--k 16]
+        //     [--threshold 0.4] [--salt sem]
+        val m = graft.sources.SemDedupIndex.rebuildEpoch(spark,
+          opts("path"), opts("table"), opts.getOrElse("vec-col", "vec"),
+          opts.getOrElse("index-path", opts("path")),
+          opts("new-index-table"),
+          k = opts.getOrElse("k", "16").toInt,
+          threshold = opts.getOrElse("threshold", "0.4").toDouble,
+          salt = opts.getOrElse("salt", "sem"),
+          onStats = s => println(
+            s"rebuild verdicted ${s.batchDocs} docs across " +
+              s"${s.touchedClusters} clusters (max ${s.maxTouchedCluster}, " +
+              s"${s.pairComparisons} comparisons)"))
+        println(s"rebuilt epoch into ${opts("new-index-table")} " +
+          s"(k=${m.k}, threshold=${m.threshold}); serve with " +
+          "sem-verdicts --index-table " + opts("new-index-table"))
       case "sem-verdicts" =>
         // the persisted verdicts: (vec_id, cluster_id, kept)
         graft.sources.SemDedupIndex.verdicts(spark,

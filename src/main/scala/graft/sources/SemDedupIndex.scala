@@ -44,16 +44,33 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * quadratic (linear overall when k scales with N).
   *
   * Monotone contract (same as [[DedupFlow]]): revisions and deletes
-  * never resurrect a dropped verdict; reconcile by re-creating the
-  * index (a fresh epoch with newly frozen centroids) when drift
-  * warrants.
+  * never resurrect a dropped verdict — a batch verdict is ANDed with
+  * the key's existing one, so a revised doc whose new vector escapes
+  * its old dominator stays dropped. Reconcile with [[rebuildEpoch]]: a
+  * fresh epoch (newly frozen centroids, one-shot verdicts over the
+  * CURRENT corpus, refresh cursor seeded at the rebuild's source
+  * version) beside the old one; serving swaps by table name.
   */
 object SemDedupIndex {
 
   val ModelFileName = "_sem_model.json"
+  val CursorFileName = "_sem_cursor.json"
 
   final case class SemModel(
       k: Int, threshold: Double, cents: Array[Array[Double]])
+
+  /** Per-refresh-batch quadratic-risk signal — the [[graft.operators
+    * .Dedup.bucketPairsObserved]] analogue for the within-cluster
+    * compare: SemDeDup's per-cluster cost is quadratic BY DEFINITION
+    * (linear overall only when k scales with N — see docs/SCALE.md), so
+    * a k frozen too small for a grown corpus surfaces here as a mega
+    * touched-cluster long before it surfaces as a runaway refresh.
+    * `pairComparisons` is the pair-join input volume
+    * Σ,,touched c,, |comparison docs in c| · |batch docs in c|.
+    */
+  final case class RefreshStats(
+      batchDocs: Long, touchedClusters: Long, maxTouchedCluster: Long,
+      pairComparisons: Long)
 
   val VerdictSchema: TableSchema = TableSchema(Seq(
     ColumnDef("cluster_id", ColumnType.AzInt, nullable = false),
@@ -89,25 +106,34 @@ object SemDedupIndex {
   /** Incrementally refresh verdicts from the source's commit feed
     * (AvailableNow by default). Exactly-once via the (appId, batchId)
     * replay index; a redelivered batch recomputes identical rows and
-    * the commit is skipped.
+    * the commit is skipped. An index built by [[rebuildEpoch]] carries a
+    * cursor sidecar naming the source version the rebuild verdicted —
+    * a FRESH checkpoint then starts the feed there instead of replaying
+    * pre-rebuild history (an existing checkpoint's offsets always win).
+    * `onStats` fires once per micro-batch with the quadratic-risk
+    * signal ([[RefreshStats]]).
     */
   def refresh(
       spark: SparkSession,
       srcLake: String, srcTable: String, vecCol: String,
       idxLake: String, idxTable: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      onStats: RefreshStats => Unit = _ => ()): StreamingQuery = {
     val model = readModel(spark, idxLake, idxTable)
     val appId = AzofSink.appIdFor(checkpoint)
-    spark.readStream.format("azof-commits")
-      .option("table", srcTable).load(srcLake)
+    val reader = spark.readStream.format("azof-commits")
+      .option("table", srcTable)
+    val seeded = readCursor(spark, idxLake, idxTable)
+      .fold(reader)(v => reader.option("startVersion", v.toString))
+    seeded.load(srcLake)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         AzofSink.commitBatch(idxLake, idxTable,
           verdictBatch(spark, batch, vecCol, model,
-            srcLake, srcTable, idxLake, idxTable), id, appId)
+            srcLake, srcTable, idxLake, idxTable, onStats), id, appId)
         ()
       }
       .trigger(trigger)
@@ -136,7 +162,8 @@ object SemDedupIndex {
       spark: SparkSession, batch: Dataset[Row], vecCol: String,
       model: SemModel,
       srcLake: String, srcTable: String,
-      idxLake: String, idxTable: String): DataFrame = {
+      idxLake: String, idxTable: String,
+      onStats: RefreshStats => Unit = _ => ()): DataFrame = {
     import spark.implicits._
     val data = batch.where(!col("_deleted"))
     // batch rows: per key keep the LAST version in the range (a key
@@ -160,6 +187,13 @@ object SemDedupIndex {
     val marks = batch.agg(max(col("_commit_version")),
       max(col(TableSchema.EventTimeName))).collect()(0)
 
+    // the index's current rows, read once: comparison state for
+    // `existing` below, and the old verdicts the monotone AND consults
+    val idxCur = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
+      .select(col(TableSchema.KeyName).cast("long").as("_id"),
+        col(TableSchema.EventTimeName).as("_its"),
+        col("cluster_id").as("_cid"), col("kept"))
+
     // commit-exact comparison state: the source AS OF the batch's max
     // version, restricted to the batch's touched clusters, with
     // clusters taken from the INDEX (assignments are frozen-model
@@ -172,10 +206,6 @@ object SemDedupIndex {
            .option("table", srcTable)
            .option("versionAsOf", marks.getLong(0).toString)
            .load(srcLake)
-         val idxCur = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
-           .select(col(TableSchema.KeyName).cast("long").as("_id"),
-             col(TableSchema.EventTimeName).as("_its"),
-             col("cluster_id").as("_cid"), col("kept"))
          val touched = assigned.select(col("_cid")).distinct()
          embFrame(srcAsOf, vecCol)
            .join(idxCur, Seq("_id"))
@@ -194,6 +224,23 @@ object SemDedupIndex {
       .select(col("_id"), col("_cid"), col("_v"), col("_n"))
       .unionByName(assigned
         .select(col("_id"), col("_cid"), col("_v"), col("_n")))
+
+    // quadratic-risk observability, BEFORE the expensive joins run: one
+    // tiny aggregation over the two already-checkpointed inputs (no
+    // recompute) reports the batch's touched-cluster sizes and the pair
+    // volume the compare joins are about to move — the signal that k
+    // was frozen too small for the corpus (see [[RefreshStats]])
+    val st = lowers.groupBy("_cid").agg(count(lit(1)).as("_n"))
+      .join(assigned.groupBy("_cid").agg(count(lit(1)).as("_bn")),
+        Seq("_cid"))
+      .agg(coalesce(sum(col("_bn")), lit(0L)).as("batch_docs"),
+        count(lit(1)).as("touched_clusters"),
+        coalesce(max(col("_n")), lit(0L)).as("max_touched_cluster"),
+        coalesce(sum(col("_n") * col("_bn")), lit(0L)).as("comparisons"))
+      .collect()(0)
+    onStats(RefreshStats(st.getLong(0), st.getLong(1), st.getLong(2),
+      st.getLong(3)))
+
     val newPairs = lowers
       .select(col("_id").as("vec_a"), col("_cid"),
         col("_v").as("_va"), col("_n").as("_na"))
@@ -201,14 +248,24 @@ object SemDedupIndex {
         .select(col("_id").as("vec_b"), col("_cid"),
           col("_v").as("_vb"), col("_n").as("_nb")), Seq("_cid"))
       .where(col("vec_a") < col("vec_b"))
+      // listener-visible exact comparison count (the bucketPairs
+      // observe-metric pattern) — rides the commit action, no extra job
+      .observe("sem_cmp_new", count(lit(1)).as("comparisons"))
     val droppedNew = Similarity.cosineFilterPairs(newPairs, model.threshold)
       .select(col("vec_b").as("_id")).distinct()
     val verdictRows = assigned
       .join(droppedNew.withColumn("_dropped", lit(true)), Seq("_id"), "left")
+      // the monotone contract made revision-proof: the fresh verdict is
+      // ANDed with the key's existing one, so a revised doc whose new
+      // vector escapes its old dominator cannot resurrect kept=true —
+      // only rebuildEpoch reconciles
+      .join(idxCur.select(col("_id"), col("kept").as("_old_kept")),
+        Seq("_id"), "left")
       .select(col("_id").cast("string").as(TableSchema.KeyName),
         col("_ts").as(TableSchema.EventTimeName),
         col("_cid").as("cluster_id"),
-        coalesce(!col("_dropped"), lit(true)).as("kept"),
+        (coalesce(!col("_dropped"), lit(true)) &&
+          coalesce(col("_old_kept"), lit(true))).as("kept"),
         lit(null).cast("boolean").as(TableSchema.DeletedName))
 
     // flips: existing KEPT docs now dominated by a lower-id batch doc.
@@ -223,6 +280,7 @@ object SemDedupIndex {
         .select(col("_id").as("vec_b"), col("_cid"),
           col("_v").as("_vb"), col("_n").as("_nb")), Seq("_cid"))
       .where(col("vec_a") < col("vec_b"))
+      .observe("sem_cmp_flip", count(lit(1)).as("comparisons"))
     val flips =
       if (marks.isNullAt(1)) emptyRows(spark)
       else Similarity.cosineFilterPairs(flipPairs, model.threshold)
@@ -306,6 +364,84 @@ object SemDedupIndex {
     spark.emptyDataset[(Long, java.sql.Timestamp, Long, Array[Double],
         Double, Boolean)]
       .toDF("_id", "_its", "_cid", "_v", "_n", "kept")
+  }
+
+  /** EPOCH REBUILD — the [[DedupFlow.rebuildEpoch]] counterpart for the
+    * verdict index, and the one reconciliation for everything the
+    * monotone contract refuses: dropped verdicts whose dominator was
+    * deleted or drifted away, and a `k` frozen too small for the grown
+    * corpus ([[RefreshStats]]'s signal). One call: freeze a NEW model
+    * from the source's CURRENT vectors into a FRESH index table,
+    * verdict that corpus one-shot against it (the per-batch kernel run
+    * once with the whole pinned corpus as the batch and an empty
+    * index), and seed the refresh cursor at the source version the
+    * rebuild saw — a follow-up [[refresh]] with a fresh checkpoint
+    * continues from there instead of replaying pre-rebuild history.
+    * The old epoch stays fully queryable (its time travel included)
+    * until vacuumed; serving swaps by table name. Returns the new
+    * frozen model.
+    */
+  def rebuildEpoch(
+      spark: SparkSession,
+      srcLake: String, srcTable: String, vecCol: String,
+      idxLake: String, newIdxTable: String,
+      k: Int, threshold: Double, salt: String = "sem",
+      onStats: RefreshStats => Unit = _ => ()): SemModel = {
+    require(!AzofWriter.tableExists(spark, idxLake, newIdxTable),
+      s"epoch table '$newIdxTable' already exists in $idxLake — pick an " +
+        "unused epoch name (or remove the stale epoch) and re-run")
+    val model = create(spark, srcLake, srcTable, vecCol,
+      idxLake, newIdxTable, k, threshold, salt)
+    // pin AFTER create: the pinned corpus is ≥ what seeding saw (seeds
+    // are a model, not a verdict), and everything past the pin belongs
+    // to the first post-rebuild refresh
+    val srcVersion = AzofTable(spark, srcLake, srcTable).currentVersion.toLong
+    val snap = spark.read.format("azof")
+      .option("table", srcTable)
+      .option("versionAsOf", srcVersion.toString)
+      .load(srcLake)
+      .withColumn("_deleted", lit(false))
+      .withColumn("_commit_version", lit(srcVersion))
+    AzofSink.commitBatch(idxLake, newIdxTable,
+      verdictBatch(spark, snap, vecCol, model,
+        srcLake, srcTable, idxLake, newIdxTable, onStats),
+      batchId = 0L, appId = s"sem-rebuild-$newIdxTable")
+    writeCursor(spark, idxLake, newIdxTable, srcVersion)
+    model
+  }
+
+  // ------------------------------------------------------ cursor sidecar
+
+  private def cursorPath(
+      spark: SparkSession, idxLake: String, idxTable: String): Path =
+    new Path(AzofTable(spark, idxLake, idxTable).tableDir, CursorFileName)
+
+  /** The source version a [[rebuildEpoch]] verdicted up to (absent on
+    * indexes built by create+refresh alone).
+    */
+  def readCursor(
+      spark: SparkSession, idxLake: String, idxTable: String): Option[Long] = {
+    val p = cursorPath(spark, idxLake, idxTable)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      Some(root.get("sourceVersion").asLong)
+    }
+  }
+
+  private def writeCursor(
+      spark: SparkSession, idxLake: String, idxTable: String,
+      version: Long): Unit = {
+    val p = cursorPath(spark, idxLake, idxTable)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"""{"sourceVersion":$version}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   // ------------------------------------------------------- model sidecar

@@ -44,8 +44,9 @@ class SemDedupIndexSpec extends AnyFunSuite {
     * doc has cosine ≥ threshold. Plain Scala — the independent twin.
     */
   private def brute(
-      srcLake: String, idxLake: String): Map[Long, (Long, Boolean)] = {
-    val m = SemDedupIndex.readModel(spark, idxLake, "sem")
+      srcLake: String, idxLake: String,
+      idxTable: String = "sem"): Map[Long, (Long, Boolean)] = {
+    val m = SemDedupIndex.readModel(spark, idxLake, idxTable)
     val cur = graft.operators.AzofScan.scan(spark, srcLake, "emb")
       .select(col(TableSchema.KeyName).cast("long"), col("vec"))
       .collect()
@@ -77,8 +78,10 @@ class SemDedupIndexSpec extends AnyFunSuite {
     }.toMap
   }
 
-  private def persisted(idxLake: String): Map[Long, (Long, Boolean)] =
-    SemDedupIndex.verdicts(spark, idxLake, "sem")
+  private def persisted(
+      idxLake: String,
+      idxTable: String = "sem"): Map[Long, (Long, Boolean)] =
+    SemDedupIndex.verdicts(spark, idxLake, idxTable)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
       .toMap
 
@@ -142,5 +145,107 @@ class SemDedupIndexSpec extends AnyFunSuite {
     sync()
     assert(graft.format.AzofTable(spark, lake, "sem")
       .currentVersion.toLong == verBefore)
+  }
+
+  private def rowsV(docs: Seq[(Long, Array[Double])], at: String) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (i, v) => Row(
+        i.toString, Timestamp.from(ts(at)),
+        v.mkString("[", ",", "]")) }),
+      srcSchema.toStruct)
+
+  test("monotone under revision: a drifted dropped doc stays dropped; rebuildEpoch reconciles") {
+    val lake = Files.createTempDirectory("azof-semrev").toString
+    val ck = Files.createTempDirectory("azof-semrev-ck").toString
+    AzofWriter.createTable(spark, lake, "emb", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "emb",
+      rows(Seq(10L, 11L, 20L), "2024-01-02T00:00:00Z"))              // v2
+    SemDedupIndex.create(spark, lake, "emb", "vec", lake, "sem",
+      k = 2, threshold = 0.9)
+    SemDedupIndex.refresh(spark, lake, "emb", "vec", lake, "sem", ck)
+      .awaitTermination(120000)
+    assert(!persisted(lake)(11L)._2, "11 starts dominated by 10")
+
+    // 11's REVISION drifts to 60° off both axes: under a fresh
+    // recompute no lower-id doc dominates it anymore — but the
+    // documented contract is that revisions never resurrect a dropped
+    // verdict, so the index must keep it dropped where the brute-force
+    // twin (by design) disagrees
+    AzofWriter.commitDelta(spark, lake, "emb",
+      rowsV(Seq(11L -> Array(0.5, 0.866)), "2024-02-05T00:00:00Z"),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    SemDedupIndex.refresh(spark, lake, "emb", "vec", lake, "sem", ck)
+      .awaitTermination(120000)
+    val p = persisted(lake)
+    assert(!p(11L)._2,
+      "revision must NOT resurrect the dropped verdict (monotone)")
+    assert(brute(lake, lake)(11L)._2,
+      "sanity: a fresh recompute WOULD keep the drifted doc — the " +
+        "divergence is exactly what the contract pins")
+
+    // rebuildEpoch reconciles: fresh model over the current corpus,
+    // one-shot verdicts ≡ the brute-force twin, drifted doc kept again
+    var stats = List.empty[SemDedupIndex.RefreshStats]
+    SemDedupIndex.rebuildEpoch(spark, lake, "emb", "vec", lake, "sem2",
+      k = 2, threshold = 0.9, onStats = s => stats ::= s)
+    val p2 = persisted(lake, "sem2")
+    assert(p2 == brute(lake, lake, "sem2"),
+      s"rebuilt epoch diverged from one-shot: $p2")
+    assert(p2(11L)._2, "the rebuild ships the reconciled doc again")
+    assert(stats.nonEmpty && stats.head.batchDocs == 3)
+    assert(persisted(lake)(11L)._2 == false, "old epoch untouched")
+
+    // the rebuilt epoch's cursor hands post-rebuild commits to refresh:
+    // a FRESH checkpoint starts at the rebuild version, not at v1
+    assert(SemDedupIndex.readCursor(spark, lake, "sem2").contains(3L))
+    AzofWriter.commitDelta(spark, lake, "emb",
+      rows(Seq(12L), "2024-03-05T00:00:00Z"),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // v4
+    val ck2 = Files.createTempDirectory("azof-semrev-ck2").toString
+    SemDedupIndex.refresh(spark, lake, "emb", "vec", lake, "sem2", ck2)
+      .awaitTermination(120000)
+    val p3 = persisted(lake, "sem2")
+    assert(p3 == brute(lake, lake, "sem2"),
+      s"post-rebuild refresh diverged: $p3")
+    assert(p3.contains(12L) && !p3(12L)._2,
+      "newcomer lands through the seeded cursor, dominated by 10")
+  }
+
+  test("refresh stats surface the mega-cluster signal (k frozen too small)") {
+    val lake = Files.createTempDirectory("azof-semstat").toString
+    val ck = Files.createTempDirectory("azof-semstat-ck").toString
+    AzofWriter.createTable(spark, lake, "emb", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "emb",
+      rows(1L to 10L, "2024-01-02T00:00:00Z"))                       // v2
+    // k = 1: every doc lands in ONE cluster — the shape the signal is for
+    SemDedupIndex.create(spark, lake, "emb", "vec", lake, "sem",
+      k = 1, threshold = 0.9)
+    var stats = List.empty[SemDedupIndex.RefreshStats]
+    def sync(): Unit = {
+      SemDedupIndex.refresh(spark, lake, "emb", "vec", lake, "sem", ck,
+        onStats = s => stats ::= s).awaitTermination(120000); ()
+    }
+    sync()
+    assert(stats.nonEmpty, "backfill batch must report stats")
+    val backfill = stats.head
+    assert(backfill.batchDocs == 10 && backfill.touchedClusters == 1)
+    assert(backfill.maxTouchedCluster == 10,
+      s"the whole corpus is one touched cluster: $backfill")
+    assert(backfill.pairComparisons == 100,
+      s"|cluster| x |batch| = 10*10: $backfill")
+
+    // one newcomer: comparisons confined to the batch (11 = 10 existing
+    // + the newcomer itself), but the mega-cluster size keeps growing —
+    // the signal that k was frozen too small for the corpus
+    AzofWriter.commitDelta(spark, lake, "emb",
+      rows(Seq(15L), "2024-02-05T00:00:00Z"),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    sync()
+    val inc = stats.head
+    assert(inc.batchDocs == 1 && inc.touchedClusters == 1)
+    assert(inc.maxTouchedCluster == 11, s"mega-cluster grows: $inc")
+    assert(inc.pairComparisons == 11, s"cost ∝ cluster, not corpus²: $inc")
   }
 }
