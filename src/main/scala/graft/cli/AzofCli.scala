@@ -361,7 +361,11 @@ object AzofCli {
           opts("index-path"), ckpt, at,
           sigTable = opts.getOrElse("sig-table", "minhash_sig"),
           ccTable = opts.getOrElse("cc-table", "components"),
-          minJaccard = opts.getOrElse("min-jaccard", "0.5").toDouble)
+          minJaccard = opts.getOrElse("min-jaccard", "0.5").toDouble,
+          retain = opts.getOrElse("retain", "0").toInt,
+          retainMinAgeMs = opts.get("retain-min-age-hours")
+            .map(h => (h.toDouble * 3600 * 1000).toLong)
+            .getOrElse(graft.sources.AzofVacuum.DefaultMinAgeMs))
         println(
           if (r.noop) s"no new commits (cursor at v${r.fromVersion})"
           else s"ingested v${r.fromVersion + 1}..v${r.toVersion}: " +
@@ -399,7 +403,11 @@ object AzofCli {
             onStats = s => println(
               s"batch: ${s.batchDocs} docs across ${s.touchedClusters} " +
                 s"touched clusters (max ${s.maxTouchedCluster}, " +
-                s"${s.pairComparisons} comparisons)"))
+                s"${s.pairComparisons} comparisons)"),
+            retain = opts.getOrElse("retain", "0").toInt,
+            retainMinAgeMs = opts.get("retain-min-age-hours")
+              .map(h => (h.toDouble * 3600 * 1000).toLong)
+              .getOrElse(graft.sources.AzofVacuum.DefaultMinAgeMs))
           .awaitTermination()
         println(s"refreshed ${opts("index-table")}; version now " +
           AzofTable(spark, opts.getOrElse("index-path", opts("path")),

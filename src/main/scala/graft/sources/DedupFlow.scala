@@ -92,7 +92,8 @@ object DedupFlow {
     * indexes: signature catch-up, churn-confined candidate generation,
     * Jaccard verification at `minJaccard`, component merge at event
     * time `at`. Returns the funnel report (a no-op report when the
-    * source has no new versions).
+    * source has no new versions). `retain >= 1` bounds the index
+    * tables' version history after each ingest ([[vacuumIndexes]]).
     */
   def ingest(
       spark: SparkSession,
@@ -104,7 +105,9 @@ object DedupFlow {
       ccTable: String = "components",
       minJaccard: Double = 0.5,
       cap: Int = Dedup.DefaultBucketCap,
-      broadcastKeyMax: Long = DefaultBroadcastKeyMax): IngestReport = {
+      broadcastKeyMax: Long = DefaultBroadcastKeyMax,
+      retain: Int = 0,
+      retainMinAgeMs: Long = AzofVacuum.DefaultMinAgeMs): IngestReport = {
     val toVersion = AzofTable(spark, srcLake, srcTable).currentVersion.toLong
     // first ingest starts at the source's retained feed floor (the
     // `startVersion=earliest` resolution); afterwards the cursor is the
@@ -188,6 +191,9 @@ object DedupFlow {
         spark, idxLake, ccTable, verified, "doc_a", "doc_b", at,
         hintBroadcast = nVerified * 2 <= broadcastKeyMax)
     writeCursor(spark, idxLake, ccTable, toVersion)
+    if (retain >= 1)
+      vacuumIndexes(spark, idxLake, retain, sigTable, ccTable,
+        retainMinAgeMs)
 
     churn.unpersist()
     cands.unpersist()
@@ -258,6 +264,30 @@ object DedupFlow {
       hintBroadcast = false)
     writeCursor(spark, idxLake, newCcTable, srcVersion)
     n
+  }
+
+  /** RETENTION for continuously-refreshed index tables: every ingest
+    * commits a version to the signature and components tables, which at
+    * hourly crawl cadence is ~9k snapshots/year/table — vacuum both
+    * down to the `keepLast` trailing versions in one call. Wire it into
+    * the flow with [[ingest]]'s `retain` knob (each committing ingest
+    * then self-vacuums), or run it stand-alone on an operator's
+    * maintenance cadence. Time travel over clustering generations
+    * shrinks to the retained window — that is the point; epochs that
+    * must stay auditable belong in a rebuilt table, not in an unbounded
+    * version history. `minAgeMs` keeps the Delta-style in-flight-commit
+    * guard (see [[AzofVacuum.DefaultMinAgeMs]]).
+    */
+  def vacuumIndexes(
+      spark: SparkSession, idxLake: String, keepLast: Int,
+      sigTable: String = "minhash_sig",
+      ccTable: String = "components",
+      minAgeMs: Long = AzofVacuum.DefaultMinAgeMs): Unit = {
+    AzofVacuum.vacuum(spark, idxLake, sigTable, keepLast,
+      minAgeMs = minAgeMs)
+    AzofVacuum.vacuum(spark, idxLake, ccTable, keepLast,
+      minAgeMs = minAgeMs)
+    ()
   }
 
   /** The deduplicated corpus as of the index's last ingest: the

@@ -119,7 +119,9 @@ object SemDedupIndex {
       idxLake: String, idxTable: String,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      onStats: RefreshStats => Unit = _ => ()): StreamingQuery = {
+      onStats: RefreshStats => Unit = _ => (),
+      retain: Int = 0,
+      retainMinAgeMs: Long = AzofVacuum.DefaultMinAgeMs): StreamingQuery = {
     val model = readModel(spark, idxLake, idxTable)
     val appId = AzofSink.appIdFor(checkpoint)
     val reader = spark.readStream.format("azof-commits")
@@ -131,9 +133,15 @@ object SemDedupIndex {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        AzofSink.commitBatch(idxLake, idxTable,
+        val committed = AzofSink.commitBatch(idxLake, idxTable,
           verdictBatch(spark, batch, vecCol, model,
             srcLake, srcTable, idxLake, idxTable, onStats), id, appId)
+        // retention: a continuously-refreshed verdict table otherwise
+        // accretes one snapshot per batch forever ([[DedupFlow
+        // .vacuumIndexes]] is the flow-level twin)
+        if (committed && retain >= 1)
+          AzofVacuum.vacuum(spark, idxLake, idxTable, retain,
+            minAgeMs = retainMinAgeMs)
         ()
       }
       .trigger(trigger)

@@ -310,6 +310,47 @@ class DedupFlowSpec extends AnyFunSuite {
     assert(a == oneShot(srcLake), "guarded bootstrap diverged from one-shot")
   }
 
+  test("retention: 20 ingests with retain=3 keep both index tables' histories bounded") {
+    // without retention a continuously-refreshed flow accretes one
+    // snapshot per table per ingest forever (~9k/year/table at hourly
+    // cadence); the retain knob self-vacuums after each ingest and must
+    // not change what the index computes
+    val srcLake = Files.createTempDirectory("azof-ddf6-src").toString
+    val idxLake = Files.createTempDirectory("azof-ddf6-idx").toString
+    val ck = Files.createTempDirectory("azof-ddf6-ck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha")), "2024-01-02T00:00:00Z"))             // v2
+    DedupFlow.create(spark, idxLake)
+
+    def snapCount(lake: String, table: String): Int =
+      new java.io.File(lake, table).listFiles
+        .count(_.getName.matches("s\\d+\\.json"))
+
+    (1 to 20).foreach { i =>
+      // every batch adds one more w-family member -> the cluster grows
+      // and BOTH tables commit every ingest
+      AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+        (100L + i) -> fam("w", s"var$i")),
+        f"2024-01-${math.min(2 + i, 28)}%02dT01:00:00Z"),
+        ts("2024-01-01T00:00:00Z"), ts("2024-06-01T00:00:00Z"))
+      DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+        ck, ts(f"2024-06-01T00:${i}%02d:00Z"),
+        retain = 3, retainMinAgeMs = 0L)
+    }
+    assert(snapCount(idxLake, "minhash_sig") <= 3,
+      s"signature history unbounded: ${snapCount(idxLake, "minhash_sig")}")
+    assert(snapCount(idxLake, "components") <= 3,
+      s"components history unbounded: ${snapCount(idxLake, "components")}")
+    // the vacuumed index still serves the exact one-shot result
+    assert(assignment(idxLake) == oneShot(srcLake),
+      "retention changed the computed assignment")
+    val surv = DedupFlow.survivors(spark, srcLake, "docs", idxLake)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L), "one canonical for the whole family")
+  }
+
   test("epoch rebuild reconciles similarity-breaking revisions the monotone merge cannot") {
     val srcLake = Files.createTempDirectory("azof-ddf3-src").toString
     val idxLake = Files.createTempDirectory("azof-ddf3-idx").toString

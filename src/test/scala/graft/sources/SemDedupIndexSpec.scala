@@ -225,7 +225,8 @@ class SemDedupIndexSpec extends AnyFunSuite {
     var stats = List.empty[SemDedupIndex.RefreshStats]
     def sync(): Unit = {
       SemDedupIndex.refresh(spark, lake, "emb", "vec", lake, "sem", ck,
-        onStats = s => stats ::= s).awaitTermination(120000); ()
+        onStats = s => stats ::= s,
+        retain = 2, retainMinAgeMs = 0L).awaitTermination(120000); ()
     }
     sync()
     assert(stats.nonEmpty, "backfill batch must report stats")
@@ -247,5 +248,12 @@ class SemDedupIndexSpec extends AnyFunSuite {
     assert(inc.batchDocs == 1 && inc.touchedClusters == 1)
     assert(inc.maxTouchedCluster == 11, s"mega-cluster grows: $inc")
     assert(inc.pairComparisons == 11, s"cost ∝ cluster, not corpus²: $inc")
+
+    // the retain knob kept the verdict table's history bounded across
+    // the refreshes without changing the verdicts
+    val snaps = new java.io.File(lake, "sem").listFiles
+      .count(_.getName.matches("s\\d+\\.json"))
+    assert(snaps <= 2, s"verdict-table history unbounded: $snaps")
+    assert(persisted(lake).keySet == ((1L to 10L).toSet + 15L))
   }
 }
