@@ -330,10 +330,12 @@ object AzofCli {
         //     [--cc-table components]
         graft.sources.DedupFlow.create(spark, opts("index-path"),
           opts.getOrElse("sig-table", "minhash_sig"),
-          opts.getOrElse("cc-table", "components"))
+          opts.getOrElse("cc-table", "components"),
+          keyMap = opts.get("key-map"))
         println(s"created dedup indexes in ${opts("index-path")}: " +
           s"${opts.getOrElse("sig-table", "minhash_sig")} + " +
-          opts.getOrElse("cc-table", "components"))
+          opts.getOrElse("cc-table", "components") +
+          opts.get("key-map").fold("")(km => s" + $km"))
       case "dedup-ingest" =>
         // one end-to-end incremental ingest of every source commit
         // since the cursor: CDC churn -> signature catch-up ->
@@ -365,7 +367,8 @@ object AzofCli {
           retain = opts.getOrElse("retain", "0").toInt,
           retainMinAgeMs = opts.get("retain-min-age-hours")
             .map(h => (h.toDouble * 3600 * 1000).toLong)
-            .getOrElse(graft.sources.AzofVacuum.DefaultMinAgeMs))
+            .getOrElse(graft.sources.AzofVacuum.DefaultMinAgeMs),
+          keyMap = opts.get("key-map"))
         println(
           if (r.noop) s"no new commits (cursor at v${r.fromVersion})"
           else s"ingested v${r.fromVersion + 1}..v${r.toVersion}: " +
@@ -468,17 +471,29 @@ object AzofCli {
           opts("index-path"), ckpt, at,
           sigTable = opts.getOrElse("sig-table", "minhash_sig"),
           newCcTable = newTable,
-          minJaccard = opts.getOrElse("min-jaccard", "0.5").toDouble)
+          minJaccard = opts.getOrElse("min-jaccard", "0.5").toDouble,
+          keyMap = opts.get("key-map"))
         println(s"rebuilt epoch into $newTable: $n labeled docs; " +
           "serve with dedup-survivors --cc-table " + newTable)
       case "dedup-survivors" =>
-        // the deduplicated corpus served from the persisted indexes:
+        // the deduplicated corpus served from the persisted indexes
+        // (--key-map = the surrogate-keyed variant, min-KEY canonical):
         //   dedup-survivors --path L --table SRC --index-path L2
-        graft.sources.DedupFlow.survivors(spark,
-            opts("path"), opts("table"), opts("index-path"),
-            opts.getOrElse("cc-table", "components"))
-          .orderBy("doc_id")
-          .show(numRows = 10000, truncate = false)
+        //     [--cc-table components] [--key-map key_map]
+        opts.get("key-map") match {
+          case Some(km) =>
+            graft.sources.DedupFlow.survivorsKeyed(spark,
+                opts("path"), opts("table"), opts("index-path"), km,
+                opts.getOrElse("cc-table", "components"))
+              .orderBy("doc_key")
+              .show(numRows = 10000, truncate = false)
+          case None =>
+            graft.sources.DedupFlow.survivors(spark,
+                opts("path"), opts("table"), opts("index-path"),
+                opts.getOrElse("cc-table", "components"))
+              .orderBy("doc_id")
+              .show(numRows = 10000, truncate = false)
+        }
       case "pq-search" =>
         // ADC top-k FROM the persisted codes; query vectors come from
         // the source rows named by --query-keys. --rerank R adds the

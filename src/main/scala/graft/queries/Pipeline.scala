@@ -31,6 +31,7 @@ object Pipeline {
     "d15_cc_incremental" -> d15,
     "d16_dedup_ingest" -> d16,
     "d17_semdedup_incremental" -> d17,
+    "d18_dedup_ingest_strkeys" -> d18,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -278,6 +279,56 @@ object Pipeline {
   private def d16(s: SparkSession, dir: String): DataFrame = {
     val l = dedupFlowLake(s, dir)
     graft.sources.DedupFlow.survivors(s, l, "docs_src", l)
+  }
+
+  /** The STRING-keyed twin of [[dedupFlowLake]]: the same two-crawl
+    * corpus keyed `doc-<id>` (URL-shaped, NOT long-castable), flowing
+    * through the surrogate-id path — blocking and Jaccard on the raw
+    * keys, [[graft.sources.KeyMap]] ids minted for pair-involved keys
+    * only, CC over the surrogates.
+    */
+  private[queries] def dedupFlowStrLake(s: SparkSession, dir: String): String =
+    AzofQueries.cachedLake(dir, "ddflowstr-v1", "components") { l =>
+      import graft.format.{ColumnDef, ColumnType, TableSchema}
+      import graft.sources.{AzofWriter, DedupFlow}
+      import java.time.Instant
+      val srcSchema = graft.format.TableSchema(Seq(
+        ColumnDef("text", ColumnType.AzString, nullable = true)))
+      AzofWriter.createTable(s, l, "docs_src", srcSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      DedupFlow.create(s, l, keyMap = Some("key_map"))
+      def batch(holdout: Boolean, at: String) =
+        docs(s, dir)
+          .where((col("doc_id") % 5 === 0) === holdout)
+          .select(concat(lit("doc-"), col("doc_id").cast("string"))
+              .as(TableSchema.KeyName),
+            lit(java.sql.Timestamp.from(Instant.parse(at)))
+              .as(TableSchema.EventTimeName),
+            col("text"))
+      AzofWriter.commitBase(s, l, "docs_src",
+        batch(holdout = false, "2024-01-15T00:00:00Z"))
+      DedupFlow.ingest(s, l, "docs_src", "text", l,
+        s"$l/_ddf_ck", Instant.parse("2024-02-01T00:00:00Z"),
+        keyMap = Some("key_map"))
+      AzofWriter.commitDelta(s, l, "docs_src",
+        batch(holdout = true, "2024-02-15T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      DedupFlow.ingest(s, l, "docs_src", "text", l,
+        s"$l/_ddf_ck", Instant.parse("2024-03-01T00:00:00Z"),
+        keyMap = Some("key_map"))
+      ()
+    }
+
+  /** The surrogate-keyed survivors: must match the d16 verdict with
+    * every doc addressed by its URL-shaped key and each component's
+    * canonical elected by MIN KEY — id-agnostic, so the oracle needs no
+    * knowledge of minting order (connectivity is key-renaming-
+    * invariant).
+    */
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val l = dedupFlowStrLake(s, dir)
+    graft.sources.DedupFlow.survivorsKeyed(s, l, "docs_src", l)
   }
 
   /** The persisted SemDeDup index ([[graft.sources.SemDedupIndex]])
@@ -877,6 +928,26 @@ object Pipeline {
             c.component_id IS NOT NULL AS is_canonical
           FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
           WHERE c.component_id IS NULL OR c.component_id = d.doc_id""",
+    // d18: the string-keyed flow must serve the SAME verdict as d16
+    // with docs addressed by 'doc-<id>' keys and the canonical elected
+    // by MIN KEY per component (lexicographic — 'doc-10' < 'doc-9', so
+    // the min key is NOT 'doc-' || min(id)); connectivity is invariant
+    // under the key renaming, so the oracle reuses the numeric pair
+    // fixpoint and maps at the end
+    "d18_dedup_ingest_strkeys" ->
+      s"""$componentCtes,
+          comp AS (SELECT src AS doc_id, min(dst) AS component_id
+                   FROM reach GROUP BY src),
+          mk AS (SELECT component_id,
+                   min('doc-' || CAST(doc_id AS VARCHAR)) AS ck
+                 FROM comp GROUP BY 1)
+          SELECT 'doc-' || CAST(d.doc_id AS VARCHAR) AS doc_key,
+            c.component_id IS NOT NULL AS is_canonical
+          FROM documents d
+          LEFT JOIN comp c ON c.doc_id = d.doc_id
+          LEFT JOIN mk ON mk.component_id = c.component_id
+          WHERE c.component_id IS NULL
+             OR 'doc-' || CAST(d.doc_id AS VARCHAR) = mk.ck""",
     // d13: the keep-one verdict over d11's clusters — canonical doc per
     // component + every unclustered doc
     "d13_dedup_survivors" ->

@@ -83,9 +83,11 @@ object DedupFlow {
       spark: SparkSession, idxLake: String,
       sigTable: String = "minhash_sig",
       ccTable: String = "components",
-      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
+      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z"),
+      keyMap: Option[String] = None): Unit = {
     MinHashIndex.create(spark, idxLake, sigTable, segmentStart)
     CcIndex.create(spark, idxLake, ccTable, segmentStart)
+    keyMap.foreach(km => KeyMap.create(spark, idxLake, km, segmentStart))
   }
 
   /** Ingest every source commit since the last ingest into the dedup
@@ -107,7 +109,8 @@ object DedupFlow {
       cap: Int = Dedup.DefaultBucketCap,
       broadcastKeyMax: Long = DefaultBroadcastKeyMax,
       retain: Int = 0,
-      retainMinAgeMs: Long = AzofVacuum.DefaultMinAgeMs): IngestReport = {
+      retainMinAgeMs: Long = AzofVacuum.DefaultMinAgeMs,
+      keyMap: Option[String] = None): IngestReport = {
     val toVersion = AzofTable(spark, srcLake, srcTable).currentVersion.toLong
     // first ingest starts at the source's retained feed floor (the
     // `startVersion=earliest` resolution); afterwards the cursor is the
@@ -126,15 +129,24 @@ object DedupFlow {
     // can only create or retire pairs TOUCHING the key. changesFrom is
     // EXCLUSIVE (commits in (from, to]), so the cursor value itself is
     // the right lower bound.
+    // with a keyMap the whole blocking/verify half runs on the RAW
+    // source keys (the machinery is key-type-agnostic); numeric ids
+    // appear only at the clustering boundary below
+    val keyExpr =
+      if (keyMap.isEmpty)
+        coalesce(col(TableSchema.KeyName).cast("long"),
+          raise_error(concat(
+            lit("DedupFlow.ingest needs long-castable keys (got '"),
+            col(TableSchema.KeyName),
+            lit("') — pass keyMap = Some(table) for string-keyed " +
+              "corpora"))).cast("long"))
+      else col(TableSchema.KeyName)
     val churn = spark.read.format("azof")
       .option("table", srcTable)
       .option("changesFrom", fromVersion)
       .option("changesTo", toVersion)
       .load(srcLake)
-      .select(coalesce(col(TableSchema.KeyName).cast("long"),
-        raise_error(concat(
-          lit("DedupFlow.ingest needs long-castable keys; got '"),
-          col(TableSchema.KeyName), lit("'"))).cast("long")).as("id"))
+      .select(keyExpr.as("id"))
       .distinct()
       // eager localCheckpoint, not persist: every stage below reuses
       // its predecessor SEVERAL times (pair emit × touch filter ×
@@ -149,8 +161,11 @@ object DedupFlow {
     // tombstoned by step 1, so they emit no pairs). Broadcast hints are
     // gated on the MEASURED churn: a bootstrap ingest (churn = the
     // whole corpus) must not force corpus-sized broadcasts.
-    val cands = MinHashIndex.candidatesTouching(
-      spark, idxLake, sigTable, churn, cap,
+    val sigs =
+      if (keyMap.isEmpty) MinHashIndex.signatures(spark, idxLake, sigTable)
+      else MinHashIndex.signaturesRaw(spark, idxLake, sigTable)
+    val cands = MinHashIndex.candidatesTouchingFrom(
+      sigs, churn, cap,
       hintBroadcast = nChurn <= broadcastKeyMax).localCheckpoint(true)
     val nCands = cands.count()
 
@@ -168,8 +183,7 @@ object DedupFlow {
       .option("table", srcTable)
       .option("versionAsOf", toVersion.toString)
       .load(srcLake)
-      .select(col(TableSchema.KeyName).cast("long").as("doc_id"),
-        col(textCol))
+      .select(keyExpr.as("doc_id"), col(textCol))
       // involved ≤ 2·nCands ids — hint only when that bound is measured
       // small (bootstrap candidates can be corpus-scale)
       .join(if (nCands * 2 <= broadcastKeyMax) broadcast(involved)
@@ -188,7 +202,9 @@ object DedupFlow {
     val relabeled =
       if (nVerified == 0) 0L
       else CcIndex.refreshWithPairs(
-        spark, idxLake, ccTable, verified, "doc_a", "doc_b", at,
+        spark, idxLake, ccTable,
+        mapPairsToIds(spark, idxLake, keyMap, verified, at),
+        "doc_a", "doc_b", at,
         hintBroadcast = nVerified * 2 <= broadcastKeyMax)
     writeCursor(spark, idxLake, ccTable, toVersion)
     if (retain >= 1)
@@ -224,7 +240,8 @@ object DedupFlow {
       sigTable: String = "minhash_sig",
       newCcTable: String = "components_next",
       minJaccard: Double = 0.5,
-      cap: Int = Dedup.DefaultBucketCap): Long = {
+      cap: Int = Dedup.DefaultBucketCap,
+      keyMap: Option[String] = None): Long = {
     // a rebuild clusters into a FRESH table: merging into a previous
     // epoch's assignment would re-apply exactly the monotone history the
     // rebuild exists to drop — so an existing target is refused loudly
@@ -238,18 +255,23 @@ object DedupFlow {
     // checkpoint as ingest — the catch-up is exactly-once either way)
     MinHashIndex.refresh(spark, srcLake, srcTable, textCol,
       idxLake, sigTable, checkpoint).awaitTermination()
-    val cands = MinHashIndex.candidates(spark, idxLake, sigTable, cap)
+    val sigs =
+      if (keyMap.isEmpty) MinHashIndex.signatures(spark, idxLake, sigTable)
+      else MinHashIndex.signaturesRaw(spark, idxLake, sigTable)
+    val cands = Dedup.lshCandidates(sigs, MinHashIndex.NBands, cap)
       .localCheckpoint(true)
     val involved = cands.select(col("doc_a").as("doc_id"))
       .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val keyExpr =
+      if (keyMap.isEmpty) col(TableSchema.KeyName).cast("long")
+      else col(TableSchema.KeyName)
     // pinned AS OF the version the new epoch's cursor will claim — a
     // racing writer must not leak post-cursor text into the rebuild
     val docs = spark.read.format("azof")
       .option("table", srcTable)
       .option("versionAsOf", srcVersion.toString)
       .load(srcLake)
-      .select(col(TableSchema.KeyName).cast("long").as("doc_id"),
-        col(textCol))
+      .select(keyExpr.as("doc_id"), col(textCol))
       .join(involved, Seq("doc_id"), "left_semi")
     val pairs = Dedup.ngramJaccard(
         cands, Dedup.shingles(docs, col(textCol), col("doc_id")))
@@ -260,10 +282,37 @@ object DedupFlow {
     // a rebuild's pair batch IS the corpus's full pair graph — never
     // force it to broadcast; AQE broadcasts what it measures small
     val n = CcIndex.refreshWithPairs(
-      spark, idxLake, newCcTable, pairs, "doc_a", "doc_b", at,
+      spark, idxLake, newCcTable,
+      mapPairsToIds(spark, idxLake, keyMap, pairs, at),
+      "doc_a", "doc_b", at,
       hintBroadcast = false)
     writeCursor(spark, idxLake, newCcTable, srcVersion)
     n
+  }
+
+  /** Verified pairs → numeric CC edges. Native mode passes through;
+    * keyed mode first MINTS surrogate ids for the pair-involved keys
+    * ([[KeyMap.mint]] — the mapping grows with the near-dup
+    * neighborhood, not the corpus) and then maps both endpoints. Both
+    * joins are pair-bounded on one side, so AQE broadcasts them when
+    * they measure small.
+    */
+  private def mapPairsToIds(
+      spark: SparkSession, idxLake: String, keyMap: Option[String],
+      verified: DataFrame, at: Instant): DataFrame = keyMap match {
+    case None => verified
+    case Some(km) =>
+      KeyMap.mint(spark, idxLake, km,
+        verified.select(col("doc_a").as("k"))
+          .unionAll(verified.select(col("doc_b").as("k"))).distinct(),
+        at)
+      val m = KeyMap.ids(spark, idxLake, km)
+      verified
+        .join(m.select(col(TableSchema.KeyName).as("doc_a"),
+          col("doc_id").as("_sa")), Seq("doc_a"))
+        .join(m.select(col(TableSchema.KeyName).as("doc_b"),
+          col("doc_id").as("_sb")), Seq("doc_b"))
+        .select(col("_sa").as("doc_a"), col("_sb").as("doc_b"))
   }
 
   /** RETENTION for continuously-refreshed index tables: every ingest
@@ -304,6 +353,37 @@ object DedupFlow {
         .select(col(TableSchema.KeyName).cast("long").as("doc_id")),
       col("doc_id"),
       CcIndex.assignment(spark, idxLake, ccTable))
+
+  /** [[survivors]] for a surrogate-keyed corpus: live keys join the
+    * key map and the persisted assignment, and each component elects
+    * its lexicographically-smallest LIVE key — id-AGNOSTIC, so the
+    * verdict does not depend on minting order (only component
+    * membership does, and that is connectivity, which ids cannot
+    * change). Output: `(doc_key, is_canonical)` where `is_canonical`
+    * marks clustered survivors (matching [[survivors]]' contract).
+    * Deleted canonicals hand off to the next live key exactly like the
+    * numeric path.
+    */
+  def survivorsKeyed(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String,
+      keyMapTable: String = "key_map",
+      ccTable: String = "components"): DataFrame = {
+    val labeled = AzofScan.scan(spark, srcLake, srcTable)
+      .select(col(TableSchema.KeyName).as("doc_key"))
+      .join(KeyMap.ids(spark, idxLake, keyMapTable)
+          .withColumnRenamed(TableSchema.KeyName, "doc_key"),
+        Seq("doc_key"), "left")
+      .join(CcIndex.assignment(spark, idxLake, ccTable),
+        Seq("doc_id"), "left")
+    val canon = labeled.where(col("component_id").isNotNull)
+      .groupBy(col("component_id")).agg(min(col("doc_key")).as("_ck"))
+    labeled.join(canon, Seq("component_id"), "left")
+      .where(col("component_id").isNull || col("doc_key") === col("_ck"))
+      .select(col("doc_key"),
+        col("component_id").isNotNull.as("is_canonical"))
+  }
 
   // ------------------------------------------------------ cursor sidecar
 

@@ -152,6 +152,18 @@ object MinHashIndex {
           col(TableSchema.KeyName), lit("'"))).cast("long")).as("doc_id") +:
         (0 until NBands).map(b => col(s"band_$b")): _*)
 
+  /** The current signatures keyed by the RAW source key
+    * (`doc_id` string, `band_*`) — the frame the surrogate-keyed flow
+    * blocks on: the bucket machinery is key-type-agnostic, so URL/UUID
+    * corpora run candidate generation on their own keys and only map
+    * to numeric ids at the clustering boundary ([[KeyMap]]).
+    */
+  def signaturesRaw(
+      spark: SparkSession, idxLake: String, idxTable: String): DataFrame =
+    graft.operators.AzofScan.scan(spark, idxLake, idxTable)
+      .select(col(TableSchema.KeyName).as("doc_id") +:
+        (0 until NBands).map(b => col(s"band_$b")): _*)
+
   /** d02-shaped LSH candidate pairs for the WHOLE corpus, answered
     * FROM the persisted signatures — one scan of the signature table,
     * no document re-shingling.

@@ -310,6 +310,84 @@ class DedupFlowSpec extends AnyFunSuite {
     assert(a == oneShot(srcLake), "guarded bootstrap diverged from one-shot")
   }
 
+  private def rowsK(docs: Seq[(String, String)], at: String) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (k, t) =>
+        Row(k, Timestamp.from(ts(at)), t) }),
+      srcSchema.toStruct)
+
+  test("string-keyed corpus: ingest→candidates→CC→survivors end-to-end through the key map") {
+    val srcLake = Files.createTempDirectory("azof-ddf7-src").toString
+    val idxLake = Files.createTempDirectory("azof-ddf7-idx").toString
+    val ck = Files.createTempDirectory("azof-ddf7-ck").toString
+    val km = Some("key_map")
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rowsK(Seq(
+      "u/alpha" -> fam("w", "alpha"),
+      "u/beta" -> fam("w", "beta"),
+      "z/one" -> fam("v", "alpha"),
+      "a/solo" -> "completely unrelated filler document text"),
+      "2024-01-02T00:00:00Z"))                                       // v2
+    DedupFlow.create(spark, idxLake, keyMap = km)
+
+    // without the key map the long-keyed path refuses loudly
+    val e = intercept[Exception] {
+      DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+        Files.createTempDirectory("azof-ddf7-ckx").toString,
+        ts("2024-02-01T00:00:00Z"))
+    }
+    assert(e.getMessage != null || e.getCause != null) // raise_error path
+
+    def survivorMap(): Map[String, Boolean] =
+      DedupFlow.survivorsKeyed(spark, srcLake, "docs", idxLake)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+
+    val r1 = DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-02-01T00:00:00Z"), keyMap = km)
+    assert(r1.churned == 4 && r1.verified >= 1)
+    assert(survivorMap() == Map(
+      "u/alpha" -> true,   // canonical of the w-family (min key)
+      "z/one" -> false,    // unclustered so far
+      "a/solo" -> false))
+
+    // only PAIR-INVOLVED keys get surrogate ids — the mapping grows
+    // with the near-dup neighborhood, not the corpus
+    val minted1 = KeyMap.ids(spark, idxLake, "key_map")
+      .collect().map(_.getString(0)).toSet
+    assert(minted1 == Set("u/alpha", "u/beta"), s"minted: $minted1")
+
+    // batch 2: "m/two" bridges into the v-family; canonical is the
+    // lexicographic min KEY ("m/two" < "z/one") — id-agnostic election
+    AzofWriter.commitDelta(spark, srcLake, "docs", rowsK(Seq(
+      "m/two" -> fam("v", "beta")),
+      "2024-02-05T00:00:00Z"),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    val r2 = DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-03-01T00:00:00Z"), keyMap = km)
+    assert(r2.churned == 1 && r2.verified >= 1)
+    assert(survivorMap() == Map(
+      "u/alpha" -> true,
+      "m/two" -> true,
+      "a/solo" -> false))
+
+    // deleted canonical hands off to the next live KEY
+    AzofWriter.commitDelete(spark, srcLake, "docs", Seq("u/alpha"),
+      ts("2024-03-02T00:00:00Z"))                                    // v4
+    DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-04-01T00:00:00Z"), keyMap = km)
+    assert(survivorMap() == Map(
+      "u/beta" -> true,
+      "m/two" -> true,
+      "a/solo" -> false))
+
+    // re-ingest: noop, and the map is stable (no re-minting)
+    val r4 = DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake,
+      ck, ts("2024-05-01T00:00:00Z"), keyMap = km)
+    assert(r4.noop)
+    assert(KeyMap.ids(spark, idxLake, "key_map").count() == 4)
+  }
+
   test("retention: 20 ingests with retain=3 keep both index tables' histories bounded") {
     // without retention a continuously-refreshed flow accretes one
     // snapshot per table per ingest forever (~9k/year/table at hourly
