@@ -54,6 +54,32 @@ object TextAnalysis {
       regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
         .as("n_bpe_tokens"))
 
+  /** The composite score from its counting signals, in the pinned
+    * operation order every caller (and every DuckDB oracle) replays:
+    * `least(avgLen/10, 1)·0.5 + stopRatio·0.3 + (1 − digitRatio)·0.2`.
+    */
+  private def scoreExpr(sumLen: Column, nWords: Column, stop: Column,
+      nDigits: Column, nChars: Column): Column =
+    least(sumLen.cast("double") / nWords / lit(10.0), lit(1.0)) * lit(0.5) +
+      stop.cast("double") / nWords * lit(0.3) +
+      (lit(1.0) - nDigits.cast("double") / nChars) * lit(0.2)
+
+  /** The composite quality score as ONE column expression — the per-row
+    * gate the export funnels filter on without materializing the full
+    * [[quality]] signal frame (same formula, same operation order, so a
+    * funnel's threshold and a t02 audit always agree on a document).
+    */
+  def qualityScore(text: Column): Column = {
+    val w = words(text)
+    scoreExpr(
+      aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("long"),
+      size(w).cast("long"),
+      size(array_intersect(w,
+        typedLit(langMarkers.flatMap(_._2).distinct))).cast("long"),
+      regexp_count(text, lit("[0-9]")).cast("long"),
+      length(text).cast("long"))
+  }
+
   /** Quality signals: word counts, mean word length, stopword ratio,
     * digit ratio, and a composite score. The score formula is plain
     * double arithmetic in a fixed operation order.
@@ -78,9 +104,8 @@ object TextAnalysis {
       .withColumn("digit_ratio",
         col("n_digits").cast("double") / col("n_chars_m"))
       .withColumn("quality_score",
-        least(col("avg_word_len") / lit(10.0), lit(1.0)) * lit(0.5) +
-          col("stopword_ratio") * lit(0.3) +
-          (lit(1.0) - col("digit_ratio")) * lit(0.2))
+        scoreExpr(col("sum_word_len"), col("n_words"), col("n_stopwords"),
+          col("n_digits"), col("n_chars_m")))
   }
 
   /** Stopword-set language scores + deterministic fixed-priority argmax. */
@@ -121,15 +146,31 @@ object TextAnalysis {
     * expressions — no shuffle, no UDF.
     */
   def piiScrub(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val afterUrl = regexp_replace(text, UrlPattern, "<URL>")
-    val afterEmail = regexp_replace(afterUrl, EmailPattern, "<EMAIL>")
+    val afterEmail =
+      regexp_replace(regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>")
     df.select(
       id,
-      regexp_count(afterUrl, lit(EmailPattern)).cast("long").as("n_emails"),
+      piiEmailCount(text).as("n_emails"),
       regexp_count(text, lit(UrlPattern)).cast("long").as("n_urls"),
-      regexp_count(afterEmail, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      piiIpCount(text).as("n_ips"),
       regexp_replace(afterEmail, Ipv4Pattern, "<IP>").as("scrubbed"))
   }
+
+  /** [[piiScrub]]'s email audit count as one column expression (counted
+    * after URL replacement, per the fixed URL → email → IP order) — the
+    * export funnels' PII-free gate without the scrub projection.
+    */
+  def piiEmailCount(text: Column): Column =
+    regexp_count(regexp_replace(text, UrlPattern, "<URL>"),
+      lit(EmailPattern)).cast("long")
+
+  /** [[piiScrub]]'s IPv4 audit count (after URL and email replacement). */
+  def piiIpCount(text: Column): Column =
+    regexp_count(
+      regexp_replace(regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      lit(Ipv4Pattern)).cast("long")
 
   /** Within-document repetition score (the C4/Gopher-style quality
     * signal): fraction of word-3-grams that are repeats of an earlier

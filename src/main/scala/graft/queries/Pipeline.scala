@@ -58,6 +58,7 @@ object Pipeline {
     "t16_rarity_score" -> t16,
     "t17_hash_classifier" -> t17,
     "p01_filter_funnel" -> p01,
+    "p02_index_funnel" -> p02,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
     "m03_resize" -> m03,
@@ -515,6 +516,43 @@ object Pipeline {
       clsBias = -8.5)
   }
 
+  /** The production EXPORT GATE composed over the PERSISTED indexes —
+    * the serving twin of [[p01]]'s from-scratch funnel: live docs that
+    * are (a) their near-dup component's surviving canonical, served
+    * from the persisted [[graft.sources.CcIndex]] assignment the
+    * incremental [[graft.sources.DedupFlow]] maintains (d16's lake);
+    * (b) SemDeDup keeps, served from the persisted
+    * [[graft.sources.SemDedupIndex]] verdicts (d17's lake); and
+    * (c) quality/PII-gated per row. The plan is one narrow corpus scan
+    * + two index scans + two `doc_id` joins — NO re-shingling,
+    * re-clustering, or embedding re-compare at export time: the
+    * expensive stages are amortized in the indexes, which is the whole
+    * point of maintaining them. (This corpus ships PII-free, so the
+    * PII gate drops nothing here; FunnelSpec pins the bite on an
+    * injected corpus.) The oracle recomputes both verdicts from
+    * scratch, so the row also re-proves index ≡ one-shot.
+    */
+  private def p02(s: SparkSession, dir: String): DataFrame = {
+    val ddl = dedupFlowLake(s, dir)
+    val surv = graft.sources.DedupFlow.survivors(s, ddl, "docs_src", ddl)
+      .select(col("doc_id"), col("component_id"))
+    val keeps = graft.sources.SemDedupIndex
+      .verdicts(s, semIndexLake(s, dir), "sem")
+      .where(col("kept"))
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"),
+        TextAnalysis.piiEmailCount(col("text")).as("_ne"),
+        TextAnalysis.piiIpCount(col("text")).as("_ni"))
+      .where(col("quality_score") >= 0.42 &&
+        col("_ne") === 0 && col("_ni") === 0)
+      .join(surv, Seq("doc_id"))
+      .join(keeps, Seq("doc_id"))
+      .select(col("doc_id"), col("component_id"), col("cluster_id"),
+        col("quality_score"))
+  }
+
   /** SemDeDup over the embedding corpus: 16 deterministic seed
     * centroids (k scales with N in production — the paper's 50k on
     * LAION-440M), cosine 0.4 within-cluster pruning, min-id survivor.
@@ -734,6 +772,35 @@ object Pipeline {
                   UNION
                   SELECT r.src, e.dst FROM reach r
                   JOIN edges e ON r.dst = e.src)"""
+
+  /** Shared CTE chain (no `WITH` prefix, composable) replaying the
+    * frozen-model SemDeDup pass bit-for-bit: deterministic md5-ranked
+    * seeds → L2 argmin assignment (ties to the lower centroid index) →
+    * triangular within-cluster cosine verdict. Ends in
+    * `asg(vec_id, c)` + `drp(vec_id)` (kept ⟺ not in `drp`). Used by
+    * the d14/d17 oracles and composed into p02's export gate.
+    */
+  private lazy val semCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+          seed AS (SELECT c, v FROM (
+              SELECT v, ROW_NUMBER() OVER (
+                  ORDER BY md5('sem#' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+              FROM e) WHERE c < 16),
+          asgd AS (SELECT e.vec_id, s.c,
+                     list_sum(list_transform(list_zip(e.v, s.v),
+                       x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+                   FROM e CROSS JOIN seed s),
+          asg AS (SELECT vec_id, c FROM (
+              SELECT vec_id, c, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY d ASC, c) AS rn
+              FROM asgd) WHERE rn = 1),
+          drp AS (SELECT DISTINCT bb.vec_id AS vec_id
+                  FROM asg aa
+                  JOIN asg bb ON aa.c = bb.c AND aa.vec_id < bb.vec_id
+                  JOIN embeddings a ON a.vec_id = aa.vec_id
+                  JOIN embeddings b ON b.vec_id = bb.vec_id
+                  WHERE ${cosSql("a", "b")} >= 0.4)"""
 
   private def cosSql(a: String, b: String): String =
     s"""list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))
@@ -1340,6 +1407,52 @@ object Pipeline {
                  WHEN margin <= 0.0 THEN '5_classifier'
                  ELSE 'kept' END AS verdict
           FROM st2""",
+    // p02: the export gate SERVED from the persisted CC + SemDeDup
+    // indexes; the oracle recomputes both verdicts one-shot —
+    // componentCtes (d16's survivor fixpoint) + semCtes (d17's verdict
+    // replay) + the t02 quality score + the t06 PII audit counts,
+    // intersected — so the row re-proves index ≡ one-shot end to end
+    "p02_index_funnel" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^\\s]+"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""$componentCtes,
+          comp AS (SELECT src AS doc_id, min(dst) AS component_id
+                   FROM reach GROUP BY src),
+          $semCtes,
+          q AS (SELECT doc_id,
+                  LEAST(CAST(sum_word_len AS DOUBLE) / n_words / 10.0, 1.0) * 0.5
+                    + CAST(n_stopwords AS DOUBLE) / n_words * 0.3
+                    + (1.0 - CAST(n_digits AS DOUBLE) / n_chars_m) * 0.2
+                    AS quality_score
+                FROM (SELECT doc_id,
+                        CAST(len(ws) AS BIGINT) AS n_words,
+                        CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_word_len,
+                        CAST(len(list_intersect(ws, $stopListSql)) AS BIGINT) AS n_stopwords,
+                        CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                        CAST(length(text) AS BIGINT) AS n_chars_m
+                      FROM (SELECT doc_id, text, $wordsSql AS ws
+                            FROM documents))),
+          pii AS (SELECT doc_id,
+                    len(regexp_extract_all(t1, '$email')) AS n_emails,
+                    len(regexp_extract_all(
+                      regexp_replace(t1, '$email', '<EMAIL>', 'g'), '$ip'))
+                      AS n_ips
+                  FROM (SELECT doc_id,
+                          regexp_replace(text, '$url', '<URL>', 'g') AS t1
+                        FROM documents))
+          SELECT d.doc_id, c.component_id,
+                 CAST(asg.c AS BIGINT) AS cluster_id, q.quality_score
+          FROM documents d
+          LEFT JOIN comp c ON c.doc_id = d.doc_id
+          JOIN asg ON asg.vec_id = d.doc_id
+          LEFT JOIN drp ON drp.vec_id = d.doc_id
+          JOIN q ON q.doc_id = d.doc_id
+          JOIN pii ON pii.doc_id = d.doc_id
+          WHERE (c.component_id IS NULL OR c.component_id = d.doc_id)
+            AND drp.vec_id IS NULL
+            AND q.quality_score >= 0.42
+            AND pii.n_emails = 0 AND pii.n_ips = 0""" },
     "s04_ann_lsh_topk" ->
       s"""WITH bk AS (SELECT vec_id, ${(0 until 12).map(p =>
             s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN '1' ELSE '0' END)")
