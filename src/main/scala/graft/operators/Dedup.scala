@@ -98,7 +98,7 @@ object Dedup {
     * expression pipelines, which keep the id column type-generic.
     */
   private def kernelId(id: Column): Column =
-    coalesce(id.cast("long"),
+    coalesce(id.try_cast("long"),
       raise_error(concat(lit("signature kernels need long-castable doc " +
         "ids; got '"), id.cast("string"), lit("'"))).cast("long"))
       .as("_id")
@@ -305,8 +305,13 @@ object Dedup {
     *     final(v) = root(label(v)).
     *
     * Per-round storage is bounded to two label copies (the
-    * GraphX-Pregel pattern) and lineage is cut with eager
-    * `localCheckpoint`s, so the plan never nests with round count.
+    * GraphX-Pregel pattern) and lineage is cut with `localCheckpoint`s,
+    * so the plan never nests with round count. Checkpoints are LAZY
+    * wherever the convergence action materializes them anyway (one
+    * driver-visible job instead of two — d11's wall time is dominated
+    * by sequential-action count, not data volume, at bench scale), and
+    * retired frames are released via [[Blocks.free]] (checkpoint
+    * blocks are invisible to `Dataset.unpersist`).
     */
   def connectedComponents(
       pairs: DataFrame, a: String, b: String,
@@ -330,7 +335,8 @@ object Dedup {
           .unionAll(edges.select(col("src").as("id"),
             col("src").as("component_id")))
           .groupBy("id").agg(min("component_id").as("component_id"))
-      ).localCheckpoint(true)
+      // lazy: the labelSum action right below materializes it
+      ).localCheckpoint(false)
     // (vertex count, label sum) — sum as decimal so arbitrary long ids
     // cannot overflow the convergence accumulator
     def labelSum(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -349,10 +355,10 @@ object Dedup {
         .groupBy("id").agg(min("component_id").as("component_id"))
       val next =
         if (i % checkpointInterval == checkpointInterval - 1)
-          agg.localCheckpoint(true)
+          agg.localCheckpoint(false) // labelSum below materializes
         else agg.persist()
       val (_, nextSum) = labelSum(next) // materializes `next`
-      labels.unpersist()
+      Blocks.free(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -377,15 +383,21 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       edges.unpersist()
+      // checkpointResult: roots materialize inside the call and the
+      // contraction's internal frames are released there, so after the
+      // cheap labels⋈roots below, everything but the returned frame
+      // can be freed deterministically
       val roots = connectedComponentsContraction(
-        byLabel, "_ls", "_ld", maxIter)
+        byLabel, "_ls", "_ld", maxIter, checkpointResult = true)
       val out = labels
         .join(roots.select(col("doc_id").as("component_id"),
           col("component_id").as("_root")), Seq("component_id"), "left")
         .select(col("id").as("doc_id"),
           coalesce(col("_root"), col("component_id")).as("component_id"))
         .localCheckpoint(true)
-      labels.unpersist()
+      Blocks.free(labels)
+      Blocks.free(roots)
+      Blocks.free(byLabel)
       out
     }
   }
@@ -414,12 +426,17 @@ object Dedup {
     * hash-of-edge-set comparison): the edge set is a star forest iff no
     * edge's target is another edge's source (no chains) and every
     * source carries exactly one target (no leaf in two stars) — both
-    * operators are no-ops exactly there. Per-round storage is one
-    * checkpointed edge set; the driver never collects vertices.
+    * operators are no-ops exactly there, and both checks ride ONE
+    * driver action. Per-round storage is one checkpointed edge set,
+    * released deterministically as the round retires; the driver never
+    * collects vertices. With `checkpointResult = true` the returned
+    * frame is materialized and self-contained, and every internal
+    * block is released before returning (the long-running-ingest
+    * posture [[connectedComponents]]' degrade path uses).
     */
   def connectedComponentsContraction(
       pairs: DataFrame, a: String, b: String,
-      maxIter: Int = 64): DataFrame = {
+      maxIter: Int = 64, checkpointResult: Boolean = false): DataFrame = {
     val e0 = pairs.select(
       col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
     // EVERY input vertex gets a label — including one whose only pair
@@ -433,12 +450,19 @@ object Dedup {
         least(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      // lazy: the first isStarForest action materializes it
+      .localCheckpoint(false)
+    // ONE driver action per round, not two: chains (an edge target
+    // that is also a source) and double-starred sources checked via a
+    // union — halves the convergence-check job count, and job count is
+    // what sequential iterative queries pay scheduler noise on
     def isStarForest(e: DataFrame): Boolean =
       e.alias("x").join(e.alias("y"),
-          col("x.dst") === col("y.src"), "left_semi").isEmpty &&
-        e.groupBy("src").agg(count(lit(1)).as("n"))
-          .where(col("n") > 1).isEmpty
+          col("x.dst") === col("y.src"), "left_semi")
+        .select(lit(1L).as("_w"))
+        .unionAll(e.groupBy("src").agg(count(lit(1)).as("n"))
+          .where(col("n") > 1).select(lit(1L).as("_w")))
+        .isEmpty
     var converged = isStarForest(edges)
     var i = 0
     while (!converged && i < maxIter) {
@@ -461,10 +485,12 @@ object Dedup {
         .where(col("src") =!= col("dst"))
         .unionAll(minsS.select(col("src"), col("_m").as("dst")))
         .distinct()
-        .localCheckpoint(true)
-      edges.unpersist()
+        // lazy: the isStarForest action right below materializes it
+        .localCheckpoint(false)
+      val prev = edges
       edges = small
-      converged = isStarForest(edges)
+      converged = isStarForest(edges) // materializes `small`
+      Blocks.free(prev)
       i += 1
     }
     require(converged,
@@ -474,9 +500,19 @@ object Dedup {
     // star leaves point at their center (= component min); centers and
     // self-loop-only vertices fall back to themselves via the min over
     // the full vertex set (center ≤ every leaf, so min picks it)
-    edges.select(col("src").as("doc_id"), col("dst").as("component_id"))
+    val result = edges
+      .select(col("src").as("doc_id"), col("dst").as("component_id"))
       .unionAll(vertices.select(col("doc_id"), col("doc_id")))
       .groupBy("doc_id").agg(min("component_id").as("component_id"))
+    // checkpointResult = true hands the caller a self-contained frame
+    // and releases the internal edge/vertex blocks NOW instead of at
+    // some future GC — the long-running-ingest posture
+    if (checkpointResult) {
+      val r = result.localCheckpoint(true)
+      Blocks.free(edges)
+      Blocks.free(vertices)
+      r
+    } else result
   }
 
   /** The KEEP-ONE verdict — the step every dedup pipeline actually ends

@@ -68,7 +68,7 @@ object CcIndex {
       spark: SparkSession, idxLake: String, idxTable: String): DataFrame =
     AzofScan.scan(spark, idxLake, idxTable)
       .select(
-        coalesce(col(TableSchema.KeyName).cast("long"),
+        coalesce(col(TableSchema.KeyName).try_cast("long"),
           raise_error(concat(
             lit("CcIndex.assignment needs long-castable keys; got '"),
             col(TableSchema.KeyName), lit("'"))).cast("long")).as("doc_id"),
@@ -132,6 +132,9 @@ object CcIndex {
     changed.unpersist()
     newEdges.unpersist()
     current.unpersist()
+    // the CC result is checkpoint-backed (invisible to unpersist) —
+    // release it now that `changed` has been computed and committed
+    graft.operators.Blocks.free(merged)
     n
   }
 }

@@ -134,7 +134,7 @@ object DedupFlow {
     // appear only at the clustering boundary below
     val keyExpr =
       if (keyMap.isEmpty)
-        coalesce(col(TableSchema.KeyName).cast("long"),
+        coalesce(col(TableSchema.KeyName).try_cast("long"),
           raise_error(concat(
             lit("DedupFlow.ingest needs long-castable keys (got '"),
             col(TableSchema.KeyName),
@@ -209,11 +209,14 @@ object DedupFlow {
     writeCursor(spark, idxLake, ccTable, toVersion)
     if (retain >= 1)
       vacuumIndexes(spark, idxLake, retain, sigTable, ccTable,
-        retainMinAgeMs)
+        retainMinAgeMs, keyMap)
 
-    churn.unpersist()
-    cands.unpersist()
-    verified.unpersist()
+    // Blocks.free, not Dataset.unpersist: these are localCheckpoint
+    // frames, invisible to the CacheManager — plain unpersist would
+    // silently leak one block set per stage per ingest
+    graft.operators.Blocks.free(churn)
+    graft.operators.Blocks.free(cands)
+    graft.operators.Blocks.free(verified)
     IngestReport(fromVersion, toVersion, nChurn, nCands, nVerified, relabeled)
   }
 
@@ -287,6 +290,8 @@ object DedupFlow {
       "doc_a", "doc_b", at,
       hintBroadcast = false)
     writeCursor(spark, idxLake, newCcTable, srcVersion)
+    graft.operators.Blocks.free(cands)
+    graft.operators.Blocks.free(pairs)
     n
   }
 
@@ -331,11 +336,17 @@ object DedupFlow {
       spark: SparkSession, idxLake: String, keepLast: Int,
       sigTable: String = "minhash_sig",
       ccTable: String = "components",
-      minAgeMs: Long = AzofVacuum.DefaultMinAgeMs): Unit = {
+      minAgeMs: Long = AzofVacuum.DefaultMinAgeMs,
+      keyMap: Option[String] = None): Unit = {
     AzofVacuum.vacuum(spark, idxLake, sigTable, keepLast,
       minAgeMs = minAgeMs)
     AzofVacuum.vacuum(spark, idxLake, ccTable, keepLast,
       minAgeMs = minAgeMs)
+    // the surrogate key map commits a snapshot per minting batch and
+    // is append-only CURRENT state — old versions carry no epoch
+    // semantics, so it vacuums on the same knob
+    keyMap.foreach(km => AzofVacuum.vacuum(spark, idxLake, km, keepLast,
+      minAgeMs = minAgeMs))
     ()
   }
 

@@ -69,8 +69,12 @@ object MinHashIndex {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        AzofSink.commitBatch(idxLake, idxTable,
-          signBatch(spark, batch, textCol, idxLake, idxTable), id, appId)
+        val rows = signBatch(spark, batch, textCol, idxLake, idxTable)
+        AzofSink.commitBatch(idxLake, idxTable, rows, id, appId)
+        // release signBatch's internal checkpoint — one orphaned
+        // block set per micro-batch otherwise (a live follower never
+        // GCs them fast enough to matter)
+        graft.operators.Blocks.freeReferenced(rows)
         ()
       }
       .trigger(trigger)
@@ -146,7 +150,7 @@ object MinHashIndex {
   def signatures(
       spark: SparkSession, idxLake: String, idxTable: String): DataFrame =
     graft.operators.AzofScan.scan(spark, idxLake, idxTable)
-      .select(coalesce(col(TableSchema.KeyName).cast("long"),
+      .select(coalesce(col(TableSchema.KeyName).try_cast("long"),
         raise_error(concat(
           lit("MinHashIndex.signatures needs long-castable keys; got '"),
           col(TableSchema.KeyName), lit("'"))).cast("long")).as("doc_id") +:

@@ -153,7 +153,7 @@ object PqIndex {
       spark: SparkSession, idxLake: String, idxTable: String): DataFrame = {
     import spark.implicits._
     graft.operators.AzofScan.scan(spark, idxLake, idxTable)
-      .select(coalesce(col(TableSchema.KeyName).cast("long"),
+      .select(coalesce(col(TableSchema.KeyName).try_cast("long"),
         raise_error(concat(
           lit("PqIndex search needs long-castable keys; got '"),
           col(TableSchema.KeyName), lit("'"))).cast("long")).as("_id"),
