@@ -381,15 +381,19 @@ object AzofCli {
         // (vectors as JSON double arrays in --vec-col):
         //   sem-create --path L --table SRC --index-table IDX
         //     [--index-path L2] [--vec-col vec] [--k 16]
-        //     [--threshold 0.4] [--salt sem]
+        //     [--threshold 0.4] [--salt sem] [--keyed]
+        // --keyed: string-keyed corpus (URLs/UUIDs) — dominance is
+        // lexicographic on the raw key, frozen into the model
         val m = graft.sources.SemDedupIndex.create(spark,
           opts("path"), opts("table"), opts.getOrElse("vec-col", "vec"),
           opts.getOrElse("index-path", opts("path")), opts("index-table"),
           k = opts.getOrElse("k", "16").toInt,
           threshold = opts.getOrElse("threshold", "0.4").toDouble,
-          salt = opts.getOrElse("salt", "sem"))
+          salt = opts.getOrElse("salt", "sem"),
+          keyed = opts.contains("keyed"))
         println(s"created SemDeDup index ${opts("index-table")} " +
-          s"(k=${m.k}, threshold=${m.threshold}, frozen centroids in " +
+          s"(k=${m.k}, threshold=${m.threshold}" +
+          (if (m.keyed) ", keyed" else "") + ", frozen centroids in " +
           "_sem_model.json); run sem-refresh to backfill")
       case "sem-refresh" =>
         // one AvailableNow catch-up: verdict the source commits since
@@ -434,16 +438,18 @@ object AzofCli {
           onStats = s => println(
             s"rebuild verdicted ${s.batchDocs} docs across " +
               s"${s.touchedClusters} clusters (max ${s.maxTouchedCluster}, " +
-              s"${s.pairComparisons} comparisons)"))
+              s"${s.pairComparisons} comparisons)"),
+          keyed = opts.contains("keyed"))
         println(s"rebuilt epoch into ${opts("new-index-table")} " +
           s"(k=${m.k}, threshold=${m.threshold}); serve with " +
           "sem-verdicts --index-table " + opts("new-index-table"))
       case "sem-verdicts" =>
-        // the persisted verdicts: (vec_id, cluster_id, kept)
-        graft.sources.SemDedupIndex.verdicts(spark,
-            opts.getOrElse("index-path", opts("path")),
-            opts("index-table"))
-          .orderBy("vec_id")
+        // the persisted verdicts: (vec_id, cluster_id, kept) — or
+        // (vec_key, ...) when the index's frozen model is keyed
+        val semIdxLake = opts.getOrElse("index-path", opts("path"))
+        val semV = graft.sources.SemDedupIndex.verdictsAuto(spark,
+          semIdxLake, opts("index-table"))
+        semV.orderBy(semV.columns.head)
           .show(numRows = 10000, truncate = false)
       case "dedup-rebuild" =>
         // epoch rebuild: re-cluster the current corpus from the

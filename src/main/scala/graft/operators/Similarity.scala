@@ -57,6 +57,31 @@ object Similarity {
       .toDF("vec_a", "vec_b")
   }
 
+  /** [[cosineFilterPairs]] with STRING pair ids — the
+    * [[graft.sources.SemDedupIndex]] seam, where ids are azof keys
+    * (long-castable or not) and the dominance order is the caller's
+    * concern. Same kernel, same fixed fold order.
+    */
+  def cosineFilterPairsStr(pairs: DataFrame, threshold: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .select(col("vec_a").cast("string"), col("vec_b").cast("string"),
+        col("_va"), col("_vb"), col("_na"), col("_nb"))
+      .as[(String, String, Array[Double], Array[Double], Double, Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (a, b, va, vb, na, nb) =>
+          var acc = 0.0
+          var j = 0
+          val n = va.length
+          while (j < n) { acc += va(j) * vb(j); j += 1 }
+          if (acc / (na * nb) >= threshold) Iterator.single((a, b))
+          else Iterator.empty
+        }
+      }
+      .toDF("vec_a", "vec_b")
+  }
+
   /** Brute-force cosine top-k of each query vector (small set, broadcast)
     * against all candidates. Output: (query_id, neighbor_id, rank).
     */

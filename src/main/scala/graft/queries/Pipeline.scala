@@ -32,6 +32,7 @@ object Pipeline {
     "d16_dedup_ingest" -> d16,
     "d17_semdedup_incremental" -> d17,
     "d18_dedup_ingest_strkeys" -> d18,
+    "d19_semdedup_keyed" -> d19,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -388,6 +389,66 @@ object Pipeline {
     */
   private def d17(s: SparkSession, dir: String): DataFrame =
     graft.sources.SemDedupIndex.verdicts(s, semIndexLake(s, dir), "sem")
+
+  /** The STRING-keyed twin of [[semIndexLake]] (the d18 move applied to
+    * the embedding modality): the same two-crawl corpus keyed
+    * `doc-<id>` — URL-shaped, NOT long-castable — through
+    * [[graft.sources.SemDedupIndex]]'s keyed mode, where the dominance
+    * order is LEXICOGRAPHIC on the raw key. The batch split keeps every
+    * KEYED seed doc in batch 1 (seeds rank by md5 of the KEY, so the
+    * seed set differs from d17's), and the holdout carries keys like
+    * `doc-10` that sort BELOW batch-1 keys like `doc-9` — the keyed
+    * verdict flip, exercised by construction.
+    */
+  private[queries] def semIndexStrLake(s: SparkSession, dir: String): String =
+    AzofQueries.cachedLake(dir, "semidxstr-v1", "sem") { l =>
+      import graft.format.{ColumnDef, ColumnType, TableSchema}
+      import graft.sources.{AzofWriter, SemDedupIndex}
+      import java.time.Instant
+      val srcSchema = graft.format.TableSchema(Seq(
+        ColumnDef("vec", ColumnType.AzString, nullable = false)))
+      AzofWriter.createTable(s, l, "emb_src", srcSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val e = emb(s, dir).select(
+        concat(lit("doc-"), col("vec_id").cast("string")).as("k"),
+        col("vec_id"),
+        concat(lit("["), concat_ws(",",
+          transform(col("embedding"), x => x.cast("double").cast("string"))),
+          lit("]")).as("vec"))
+      val seedKeys = e
+        .orderBy(md5(concat(lit("sem#"), col("k"))), col("k"))
+        .limit(16).select(col("k"))
+        .collect().map(_.getString(0)).toSet
+      def batch(holdout: Boolean, at: String) = e
+        .where(((col("vec_id") % 5 === 0) &&
+          !col("k").isin(seedKeys.toSeq: _*)) === holdout)
+        .select(col("k").as(TableSchema.KeyName),
+          lit(java.sql.Timestamp.from(Instant.parse(at)))
+            .as(TableSchema.EventTimeName),
+          col("vec"))
+      AzofWriter.commitBase(s, l, "emb_src",
+        batch(holdout = false, "2024-01-15T00:00:00Z"))
+      SemDedupIndex.create(s, l, "emb_src", "vec", l, "sem",
+        k = 16, threshold = 0.4, keyed = true)
+      SemDedupIndex.refresh(s, l, "emb_src", "vec", l, "sem",
+        s"$l/_sem_ck").awaitTermination()
+      AzofWriter.commitDelta(s, l, "emb_src",
+        batch(holdout = true, "2024-02-15T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      SemDedupIndex.refresh(s, l, "emb_src", "vec", l, "sem",
+        s"$l/_sem_ck").awaitTermination()
+      ()
+    }
+
+  /** The keyed-mode persisted verdicts, read back whole: the oracle
+    * replays the full frozen-model pass with `doc-<id>` keys and
+    * LEXICOGRAPHIC dominance (`'doc-10' < 'doc-9'` — numerically
+    * inverted, so a numeric-order bug cannot hash-match).
+    */
+  private def d19(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SemDedupIndex.verdictsKeyed(s, semIndexStrLake(s, dir),
+      "sem")
 
   /** The incrementally-built persisted assignment, read back whole: must
     * hash-match the one-shot d11 clustering (the oracle recomputes the
@@ -1304,50 +1365,43 @@ object Pipeline {
     // verbatim (the split keeps every seed doc in batch 1, so the
     // frozen centroids ARE the full-corpus seeds)
     "d17_semdedup_incremental" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings),
-          seed AS (SELECT c, v FROM (
-              SELECT v, ROW_NUMBER() OVER (
-                  ORDER BY md5('sem#' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
-              FROM e) WHERE c < 16),
-          asgd AS (SELECT e.vec_id, s.c,
-                     list_sum(list_transform(list_zip(e.v, s.v),
-                       x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
-                   FROM e CROSS JOIN seed s),
-          asg AS (SELECT vec_id, c FROM (
-              SELECT vec_id, c, ROW_NUMBER() OVER (
-                  PARTITION BY vec_id ORDER BY d ASC, c) AS rn
-              FROM asgd) WHERE rn = 1),
-          drp AS (SELECT DISTINCT bb.vec_id AS vec_id
-                  FROM asg aa
-                  JOIN asg bb ON aa.c = bb.c AND aa.vec_id < bb.vec_id
-                  JOIN embeddings a ON a.vec_id = aa.vec_id
-                  JOIN embeddings b ON b.vec_id = bb.vec_id
-                  WHERE ${cosSql("a", "b")} >= 0.4)
+      s"""WITH $semCtes
           SELECT asg.vec_id, CAST(asg.c AS BIGINT) AS cluster_id,
                  drp.vec_id IS NULL AS kept
           FROM asg LEFT JOIN drp USING (vec_id)""",
-    "d14_semdedup" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    // d19: the KEYED twin — same frozen-model replay with 'doc-<id>'
+    // keys: seeds rank by md5 of the KEY, dominance is LEXICOGRAPHIC
+    // ('doc-10' < 'doc-9', numerically inverted — a numeric-order bug
+    // cannot hash-match), vectors/assignment identical to d17's
+    "d19_semdedup_keyed" ->
+      s"""WITH e AS (SELECT 'doc-' || CAST(vec_id AS VARCHAR) AS k,
+                    CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),
           seed AS (SELECT c, v FROM (
               SELECT v, ROW_NUMBER() OVER (
-                  ORDER BY md5('sem#' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+                  ORDER BY md5('sem#' || k), k) - 1 AS c
               FROM e) WHERE c < 16),
-          asgd AS (SELECT e.vec_id, s.c,
+          asgd AS (SELECT e.k, s.c,
                      list_sum(list_transform(list_zip(e.v, s.v),
                        x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
                    FROM e CROSS JOIN seed s),
-          asg AS (SELECT vec_id, c FROM (
-              SELECT vec_id, c, ROW_NUMBER() OVER (
-                  PARTITION BY vec_id ORDER BY d ASC, c) AS rn
+          asg AS (SELECT k, c FROM (
+              SELECT k, c, ROW_NUMBER() OVER (
+                  PARTITION BY k ORDER BY d ASC, c) AS rn
               FROM asgd) WHERE rn = 1),
-          drp AS (SELECT DISTINCT bb.vec_id AS vec_id
+          drp AS (SELECT DISTINCT bb.k AS k
                   FROM asg aa
-                  JOIN asg bb ON aa.c = bb.c AND aa.vec_id < bb.vec_id
-                  JOIN embeddings a ON a.vec_id = aa.vec_id
-                  JOIN embeddings b ON b.vec_id = bb.vec_id
-                  WHERE ${cosSql("a", "b")} >= 0.4)
+                  JOIN asg bb ON aa.c = bb.c AND aa.k < bb.k
+                  JOIN e a ON a.k = aa.k
+                  JOIN e b ON b.k = bb.k
+                  WHERE list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.4)
+          SELECT asg.k AS vec_key, CAST(asg.c AS BIGINT) AS cluster_id,
+                 drp.k IS NULL AS kept
+          FROM asg LEFT JOIN drp USING (k)""",
+    "d14_semdedup" ->
+      s"""WITH $semCtes
           SELECT asg.vec_id, CAST(asg.c AS BIGINT) AS cluster_id,
                  drp.vec_id IS NULL AS kept
           FROM asg LEFT JOIN drp USING (vec_id)""",

@@ -57,7 +57,8 @@ object SemDedupIndex {
   val CursorFileName = "_sem_cursor.json"
 
   final case class SemModel(
-      k: Int, threshold: Double, cents: Array[Array[Double]])
+      k: Int, threshold: Double, cents: Array[Array[Double]],
+      keyed: Boolean = false)
 
   /** Per-refresh-batch quadratic-risk signal — the [[graft.operators
     * .Dedup.bucketPairsObserved]] analogue for the within-cluster
@@ -86,17 +87,18 @@ object SemDedupIndex {
       srcLake: String, srcTable: String, vecCol: String,
       idxLake: String, idxTable: String,
       k: Int, threshold: Double, salt: String = "sem",
-      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z"))
+      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z"),
+      keyed: Boolean = false)
       : SemModel = {
     import spark.implicits._
     val cents = embFrame(
         graft.operators.AzofScan.scan(spark, srcLake, srcTable), vecCol)
-      .orderBy(md5(concat(lit(salt + "#"), col("_id").cast("string"))),
-        col("_id"))
+      .orderBy(md5(concat(lit(salt + "#"), col("_id"))),
+        ordered(col("_id"), keyed))
       .limit(k)
       .select(col("_v")).as[Array[Double]].collect()
     require(cents.nonEmpty, "source corpus is empty — nothing to seed from")
-    val model = SemModel(k, threshold, cents)
+    val model = SemModel(k, threshold, cents, keyed)
     AzofWriter.createTable(spark, idxLake, idxTable, VerdictSchema,
       segmentStart)
     writeModel(spark, idxLake, idxTable, model)
@@ -133,9 +135,14 @@ object SemDedupIndex {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val rows = verdictBatch(spark, batch, vecCol, model,
+          srcLake, srcTable, idxLake, idxTable, onStats)
         val committed = AzofSink.commitBatch(idxLake, idxTable,
-          verdictBatch(spark, batch, vecCol, model,
-            srcLake, srcTable, idxLake, idxTable, onStats), id, appId)
+          rows, id, appId)
+        // release verdictBatch's internal checkpoints (assignment,
+        // index state, comparison subtree) — per-batch orphans
+        // otherwise
+        graft.operators.Blocks.freeReferenced(rows)
         // retention: a continuously-refreshed verdict table otherwise
         // accretes one snapshot per batch forever ([[DedupFlow
         // .vacuumIndexes]] is the flow-level twin)
@@ -155,11 +162,31 @@ object SemDedupIndex {
       spark: SparkSession, idxLake: String, idxTable: String): DataFrame =
     graft.operators.AzofScan.scan(spark, idxLake, idxTable)
       .select(
-        coalesce(col(TableSchema.KeyName).cast("long"),
+        coalesce(col(TableSchema.KeyName).try_cast("long"),
           raise_error(concat(
             lit("SemDedupIndex.verdicts needs long-castable keys; got '"),
-            col(TableSchema.KeyName), lit("'"))).cast("long")).as("vec_id"),
+            col(TableSchema.KeyName),
+            lit("' — use verdictsKeyed for a keyed-mode index")))
+            .cast("long")).as("vec_id"),
         col("cluster_id"), col("kept"))
+
+  /** [[verdicts]] for a string-keyed (keyed-mode) index: the raw key is
+    * the identity — `(vec_key, cluster_id, kept)`.
+    */
+  def verdictsKeyed(
+      spark: SparkSession, idxLake: String, idxTable: String): DataFrame =
+    graft.operators.AzofScan.scan(spark, idxLake, idxTable)
+      .select(col(TableSchema.KeyName).as("vec_key"),
+        col("cluster_id"), col("kept"))
+
+  /** Serve by the index's own frozen mode: [[verdictsKeyed]] when the
+    * model sidecar says keyed, [[verdicts]] otherwise — the CLI seam.
+    */
+  def verdictsAuto(
+      spark: SparkSession, idxLake: String, idxTable: String): DataFrame =
+    if (readModel(spark, idxLake, idxTable).keyed)
+      verdictsKeyed(spark, idxLake, idxTable)
+    else verdicts(spark, idxLake, idxTable)
 
   // ------------------------------------------------------------ batch
 
@@ -178,7 +205,7 @@ object SemDedupIndex {
     // committed twice in one range resolves to its newest event_time,
     // matching the source's per-key winner)
     val newest = data
-      .select(col(TableSchema.KeyName).cast("long").as("_id"),
+      .select(col(TableSchema.KeyName).as("_id"),
         col(TableSchema.EventTimeName).as("_ts"),
         from_json(col(vecCol), ArrayType(DoubleType)).as("_v"),
         col("_commit_version"))
@@ -198,7 +225,7 @@ object SemDedupIndex {
     // the index's current rows, read once: comparison state for
     // `existing` below, and the old verdicts the monotone AND consults
     val idxCur = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
-      .select(col(TableSchema.KeyName).cast("long").as("_id"),
+      .select(col(TableSchema.KeyName).as("_id"),
         col(TableSchema.EventTimeName).as("_its"),
         col("cluster_id").as("_cid"), col("kept"))
 
@@ -255,11 +282,12 @@ object SemDedupIndex {
       .join(assigned
         .select(col("_id").as("vec_b"), col("_cid"),
           col("_v").as("_vb"), col("_n").as("_nb")), Seq("_cid"))
-      .where(col("vec_a") < col("vec_b"))
+      .where(ordered(col("vec_a"), model.keyed) <
+        ordered(col("vec_b"), model.keyed))
       // listener-visible exact comparison count (the bucketPairs
       // observe-metric pattern) — rides the commit action, no extra job
       .observe("sem_cmp_new", count(lit(1)).as("comparisons"))
-    val droppedNew = Similarity.cosineFilterPairs(newPairs, model.threshold)
+    val droppedNew = Similarity.cosineFilterPairsStr(newPairs, model.threshold)
       .select(col("vec_b").as("_id")).distinct()
     val verdictRows = assigned
       .join(droppedNew.withColumn("_dropped", lit(true)), Seq("_id"), "left")
@@ -269,7 +297,7 @@ object SemDedupIndex {
       // only rebuildEpoch reconciles
       .join(idxCur.select(col("_id"), col("kept").as("_old_kept")),
         Seq("_id"), "left")
-      .select(col("_id").cast("string").as(TableSchema.KeyName),
+      .select(col("_id").as(TableSchema.KeyName),
         col("_ts").as(TableSchema.EventTimeName),
         col("_cid").as("cluster_id"),
         (coalesce(!col("_dropped"), lit(true)) &&
@@ -287,15 +315,16 @@ object SemDedupIndex {
       .join(existing.where(col("kept"))
         .select(col("_id").as("vec_b"), col("_cid"),
           col("_v").as("_vb"), col("_n").as("_nb")), Seq("_cid"))
-      .where(col("vec_a") < col("vec_b"))
+      .where(ordered(col("vec_a"), model.keyed) <
+        ordered(col("vec_b"), model.keyed))
       .observe("sem_cmp_flip", count(lit(1)).as("comparisons"))
     val flips =
       if (marks.isNullAt(1)) emptyRows(spark)
-      else Similarity.cosineFilterPairs(flipPairs, model.threshold)
+      else Similarity.cosineFilterPairsStr(flipPairs, model.threshold)
         .select(col("vec_b").as("_id")).distinct()
         .join(existing.select(col("_id"), col("_its"), col("_cid")),
           Seq("_id"))
-        .select(col("_id").cast("string").as(TableSchema.KeyName),
+        .select(col("_id").as(TableSchema.KeyName),
           greatest(col("_its"), lit(marks.getTimestamp(1)))
             .as(TableSchema.EventTimeName),
           col("_cid").as("cluster_id"),
@@ -315,10 +344,30 @@ object SemDedupIndex {
     verdictRows.unionByName(flips).unionByName(tombs)
   }
 
+  /** The DOMINANCE order on document ids — the "lower id wins" in
+    * SemDeDup's verdict rule, frozen with the model: NUMERIC for
+    * long-castable keys (the paper's order, d14/d17's oracle-pinned
+    * semantics; a non-castable key fails LOUDLY — a silent null would
+    * vanish from the pair joins and read as "kept"), LEXICOGRAPHIC on
+    * the raw key for keyed corpora (URLs/UUIDs/hashes — the
+    * [[DedupFlow]] `survivorsKeyed` min-key convention). A single
+    * mixed rule ("numeric when castable else string") is NOT a total
+    * order ("2" < "10" numerically but "10" < "1z" < "2" as strings —
+    * a cycle), which is why the mode is explicit and frozen.
+    */
+  private def ordered(c: org.apache.spark.sql.Column, keyed: Boolean)
+      : org.apache.spark.sql.Column =
+    if (keyed) c
+    else coalesce(c.try_cast("long"),
+      raise_error(concat(
+        lit("SemDedupIndex: non-long-castable key '"), c,
+        lit("' in a NUMERIC-dominance index — create the index with " +
+          "keyed = true for string-keyed corpora"))).cast("long"))
+
   /** `(_id, _v double[], _n)` from an azof scan's JSON vector column. */
   private def embFrame(src: DataFrame, vecCol: String): DataFrame =
     src.select(
-        col(TableSchema.KeyName).cast("long").as("_id"),
+        col(TableSchema.KeyName).as("_id"),
         from_json(col(vecCol), ArrayType(DoubleType)).as("_v"))
       .withColumn("_n", sqrt(aggregate(col("_v"), lit(0.0d),
         (acc, x) => acc + x * x)))
@@ -333,7 +382,7 @@ object SemDedupIndex {
     val centB = spark.sparkContext.broadcast(model.cents)
     newest
       .select(col("_id"), col("_ts"), col("_v"))
-      .as[(Long, java.sql.Timestamp, Array[Double])]
+      .as[(String, java.sql.Timestamp, Array[Double])]
       .mapPartitions { it =>
         val cs = centB.value
         it.map { case (vid, ts, v) =>
@@ -369,7 +418,7 @@ object SemDedupIndex {
 
   private def emptyAssigned(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.emptyDataset[(Long, java.sql.Timestamp, Long, Array[Double],
+    spark.emptyDataset[(String, java.sql.Timestamp, Long, Array[Double],
         Double, Boolean)]
       .toDF("_id", "_its", "_cid", "_v", "_n", "kept")
   }
@@ -394,12 +443,13 @@ object SemDedupIndex {
       srcLake: String, srcTable: String, vecCol: String,
       idxLake: String, newIdxTable: String,
       k: Int, threshold: Double, salt: String = "sem",
-      onStats: RefreshStats => Unit = _ => ()): SemModel = {
+      onStats: RefreshStats => Unit = _ => (),
+      keyed: Boolean = false): SemModel = {
     require(!AzofWriter.tableExists(spark, idxLake, newIdxTable),
       s"epoch table '$newIdxTable' already exists in $idxLake — pick an " +
         "unused epoch name (or remove the stale epoch) and re-run")
     val model = create(spark, srcLake, srcTable, vecCol,
-      idxLake, newIdxTable, k, threshold, salt)
+      idxLake, newIdxTable, k, threshold, salt, keyed = keyed)
     // pin AFTER create: the pinned corpus is ≥ what seeding saw (seeds
     // are a model, not a verdict), and everything past the pin belongs
     // to the first post-rebuild refresh
@@ -410,10 +460,11 @@ object SemDedupIndex {
       .load(srcLake)
       .withColumn("_deleted", lit(false))
       .withColumn("_commit_version", lit(srcVersion))
-    AzofSink.commitBatch(idxLake, newIdxTable,
-      verdictBatch(spark, snap, vecCol, model,
-        srcLake, srcTable, idxLake, newIdxTable, onStats),
+    val rows = verdictBatch(spark, snap, vecCol, model,
+      srcLake, srcTable, idxLake, newIdxTable, onStats)
+    AzofSink.commitBatch(idxLake, newIdxTable, rows,
       batchId = 0L, appId = s"sem-rebuild-$newIdxTable")
+    graft.operators.Blocks.freeReferenced(rows)
     writeCursor(spark, idxLake, newIdxTable, srcVersion)
     model
   }
@@ -458,7 +509,8 @@ object SemDedupIndex {
       spark: SparkSession, idxLake: String, idxTable: String,
       model: SemModel): Unit = {
     val sb = new StringBuilder
-    sb.append(s"""{"k":${model.k},"threshold":${model.threshold},"cents":[""")
+    sb.append(s"""{"k":${model.k},"threshold":${model.threshold},""")
+    sb.append(s""""keyed":${model.keyed},"cents":[""")
     model.cents.zipWithIndex.foreach { case (cv, ci) =>
       if (ci > 0) sb.append(',')
       sb.append(cv.map(java.lang.Double.toString).mkString("[", ",", "]"))
@@ -487,6 +539,7 @@ object SemDedupIndex {
       val cn = root.get("cents").get(c)
       Array.tabulate(cn.size)(j => cn.get(j).asDouble)
     }.toArray
-    SemModel(root.get("k").asInt, root.get("threshold").asDouble, cents)
+    SemModel(root.get("k").asInt, root.get("threshold").asDouble, cents,
+      keyed = Option(root.get("keyed")).exists(_.asBoolean))
   }
 }

@@ -256,4 +256,60 @@ class SemDedupIndexSpec extends AnyFunSuite {
     assert(snaps <= 2, s"verdict-table history unbounded: $snaps")
     assert(persisted(lake).keySet == ((1L to 10L).toSet + 15L))
   }
+
+  test("keyed mode: LEXICOGRAPHIC dominance over string keys, flip included") {
+    val lake = Files.createTempDirectory("azof-semkey").toString
+    val ck = Files.createTempDirectory("azof-semkey-ck").toString
+    AzofWriter.createTable(spark, lake, "emb", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    def krows(docs: Seq[(String, Long)], at: String) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (k, i) => Row(
+          k, Timestamp.from(ts(at)), vec(i).mkString("[", ",", "]")) }),
+        srcSchema.toStruct)
+    // x-cluster carries doc-9/doc-11 — numerically 9 < 11 but
+    // LEXICOGRAPHICALLY "doc-11" < "doc-9" ('1' < '9'), so the keyed
+    // verdict must invert what numeric dominance would say. Seed check
+    // (md5 'sem#<key>' order): doc-9 then url-b — one seed per cluster.
+    AzofWriter.commitBase(spark, lake, "emb",
+      krows(Seq(("doc-9", 10L), ("doc-11", 11L), ("url-b", 20L)),
+        "2024-01-02T00:00:00Z"))                                     // v2
+    SemDedupIndex.create(spark, lake, "emb", "vec", lake, "sem",
+      k = 2, threshold = 0.9, keyed = true)
+    assert(SemDedupIndex.readModel(spark, lake, "sem").keyed,
+      "keyed mode must freeze into the model sidecar")
+    def sync(): Unit = {
+      SemDedupIndex.refresh(spark, lake, "emb", "vec", lake, "sem", ck)
+        .awaitTermination(120000); ()
+    }
+    def served: Map[String, (Long, Boolean)] =
+      SemDedupIndex.verdictsKeyed(spark, lake, "sem").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+    sync()
+    val p1 = served
+    assert(p1("doc-9")._1 == p1("doc-11")._1 &&
+      p1("doc-9")._1 != p1("url-b")._1, s"cluster split wrong: $p1")
+    assert(p1("doc-11")._2 && !p1("doc-9")._2 && p1("url-b")._2,
+      s"lexicographic min key keeps — numeric order would say the " +
+        s"opposite: $p1")
+
+    // the keyed FLIP: doc-0 (identical vector to doc-11) arrives late;
+    // "doc-0" < "doc-11", so the reigning keep flips
+    AzofWriter.commitDelta(spark, lake, "emb",
+      krows(Seq(("doc-0", 18L)), "2024-02-05T00:00:00Z"),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    sync()
+    val p2 = served
+    assert(p2("doc-0")._2, "the new lexicographic minimum keeps")
+    assert(!p2("doc-11")._2, "the old canonical must FLIP to dropped")
+    assert(!p2("doc-9")._2 && p2("url-b")._2)
+
+    // the NUMERIC serving surface refuses a keyed table loudly
+    val e = intercept[Exception] {
+      SemDedupIndex.verdicts(spark, lake, "sem").collect()
+    }
+    assert(e.getMessage.contains("long-castable"),
+      s"expected the loud cast guard, got: ${e.getMessage}")
+  }
 }
