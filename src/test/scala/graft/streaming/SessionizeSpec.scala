@@ -30,7 +30,11 @@ class SessionizeSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState sessions equal batch sessions once watermark passes") {
     import spark.implicits._
-    val main = EventsStream.readEventsBatch(spark, "/root/testdata/sf0.001")
+    // the events FILE, not the mixed table dir: the probe reads real
+    // footers now (the old silent NTZ fallback let a mixed-dir read
+    // "work" by filling foreign files' columns with nulls)
+    val main = EventsStream
+      .readEventsBatch(spark, "/root/testdata/sf0.001/events.parquet")
       .where(col("user_id") < 10).select(col("user_id"), col("ts"))
     val maxTs = main.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
 
