@@ -124,8 +124,10 @@ object AzofCli {
           ColumnDef(n, ColumnType.fromJsonName(t), nullable = true))
         println(s"added column $n; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
       case "compact" =>
+        // --by-key: key-clustered merged files (point-lookup layout)
         graft.sources.AzofWriter.compact(spark, opts("path"), opts("table"),
-          Instant.parse(opts("at")), opts.getOrElse("files", "1").toInt)
+          Instant.parse(opts("at")), opts.getOrElse("files", "1").toInt,
+          byKey = opts.get("by-key").exists(_ != "false"))
         println(s"compacted; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
       case "delete" =>
         // tombstone delete: --keys k1,k2,... --at TS (the deletion

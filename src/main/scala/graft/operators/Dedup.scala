@@ -730,6 +730,66 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Asymmetric shingle-containment pairs — the quote/subset detector
+    * symmetric Jaccard (and therefore MinHash LSH, which estimates
+    * Jaccard) structurally misses: a short document fully quoted inside
+    * a long one has containment C(a⊂b) = |A∩B|/|A| = 1.0 but Jaccard
+    * |A∩B|/|A∪B| ≈ |A|/|B| → 0, so it never survives a Jaccard gate.
+    * Training pipelines run this to catch excerpt/quotation duplicates
+    * and partial crawls of the same page.
+    *
+    * Blocking CANNOT come from minhash bands (they approximate the very
+    * measure that is ~0 here), so candidates come from raw shingle
+    * collisions with a document-frequency guard — [[decontaminate]]'s
+    * plan shape on a single corpus: ONE shuffle groups each shingle's
+    * doc list, buckets past `maxDf` docs are dropped whole (common
+    * n-grams are noise and exactly the would-be skew keys), pair emit is
+    * bucket-local (bounded by maxDf² per shingle), and one hash
+    * aggregation keeps pairs sharing >= `minShared` guarded shingles.
+    * Exact intersection and sizes then come from the FULL shingle sets
+    * (two hash joins scaling with |candidates|·avg-shingles, the
+    * [[ngramJaccard]] move), so the emitted containments are exact even
+    * where the df guard blinded the blocker.
+    *
+    * Output: (doc_a, doc_b, n_inter, n_a, n_b, cont_a, cont_b) with
+    * doc_a < doc_b and max(cont_a, cont_b) >= `minContainment`;
+    * cont_a = n_inter/n_a is the "a is contained in b" direction.
+    */
+  def containmentPairs(
+      df: DataFrame, text: Column, id: Column,
+      minShared: Int, maxDf: Int, minContainment: Double): DataFrame = {
+    val sh = shingles(df, text, id)
+    // shingles are distinct per doc, so the bucket list's size IS the
+    // shingle's document frequency; i<j within the sorted list emits
+    // each pair once with doc_a < doc_b
+    val cands = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxDf))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select("doc_a", "doc_b")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .where(col("sh") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"),
+        (col("n_inter").cast("double") / col("n_a")).as("cont_a"),
+        (col("n_inter").cast("double") / col("n_b")).as("cont_b"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+  }
+
   /** Embedding near-duplicate pairs blocked on BANDED sign-LSH buckets —
     * the production-scale variant of [[embeddingNearDups]]. An
     * AND-over-all-planes block is too strict for moderate similarity, so

@@ -33,6 +33,7 @@ object Pipeline {
     "d17_semdedup_incremental" -> d17,
     "d18_dedup_ingest_strkeys" -> d18,
     "d19_semdedup_keyed" -> d19,
+    "d20_containment" -> d20,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -60,6 +61,7 @@ object Pipeline {
     "t17_hash_classifier" -> t17,
     "p01_filter_funnel" -> p01,
     "p02_index_funnel" -> p02,
+    "p03_export_shards" -> p03,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
     "m03_resize" -> m03,
@@ -450,6 +452,29 @@ object Pipeline {
     graft.sources.SemDedupIndex.verdictsKeyed(s, semIndexStrLake(s, dir),
       "sem")
 
+  /** Asymmetric containment (quote/subset) dedup under the oracle gate,
+    * on a derived corpus (the d09/d12 move — the shipped corpus has no
+    * cross-doc quotes): every `doc_id % 10 == 0` doc is REPLACED by the
+    * first 30 words of its successor, so its shingles are a strict
+    * subset of the successor's (containment 1.0) while Jaccard stays
+    * ~30/|successor| — pairs [[Dedup.ngramJaccard]]'s gate would never
+    * pass and MinHash LSH would rarely even surface. The oracle replays
+    * derivation → shingles → df-guarded collision blocking → exact
+    * intersection verbatim.
+    */
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nb = d.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("_ntext"))
+    val derived = d.join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0 && col("_ntext").isNotNull,
+          array_join(slice(split(col("_ntext"), "\\s+"), 1, 30), " "))
+          .otherwise(col("text")).as("text"))
+    Dedup.containmentPairs(derived, col("text"), col("doc_id"),
+      minShared = 3, maxDf = 20, minContainment = 0.9)
+  }
+
   /** The incrementally-built persisted assignment, read back whole: must
     * hash-match the one-shot d11 clustering (the oracle recomputes the
     * full recursive fixpoint), proving the two-batch
@@ -612,6 +637,27 @@ object Pipeline {
       .join(keeps, Seq("doc_id"))
       .select(col("doc_id"), col("component_id"), col("cluster_id"),
         col("quality_score"))
+  }
+
+  /** The pipeline's END PRODUCT: training sequences packed from the
+    * index-served export gate ([[p02]]) and dealt into fixed-size
+    * shards — gate ∘ pack ∘ shard in ONE query, every expensive verdict
+    * served from the persisted indexes. The sequence text rides out as
+    * its md5 (what the gate certifies is the packing, not megabytes of
+    * concatenated text). The oracle recomputes the gate one-shot
+    * (d16's fixpoint + d17's replay) and replays the t15 emit formulas
+    * over the gated set — so this row hash-checks the whole
+    * gate → pack → shard composition end to end.
+    */
+  private def p03(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+      .join(p02(s, dir).select("doc_id"), Seq("doc_id"))
+    Packing.emitSequences(corpus, col("text"), col("doc_id"),
+      budget = 256L, salt = "p3")
+      .select(col("seq_id"), md5(col("seq_text")).as("seq_md5"),
+        col("n_tokens"),
+        expr("seq_id div 16L").as("shard_id"),
+        pmod(col("seq_id"), lit(16L)).as("shard_pos"))
   }
 
   /** SemDeDup over the embedding corpus: 16 deterministic seed
@@ -867,6 +913,55 @@ object Pipeline {
     s"""list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))
         / (sqrt(list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[])))
          * sqrt(list_dot_product(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))))"""
+
+  /** The one-shot recomputation of p02's index-served export gate,
+    * ending in `gate(doc_id, component_id, cluster_id, quality_score)`:
+    * [[componentCtes]] (d16's survivor fixpoint) + [[semCtes]] (d17's
+    * frozen-model replay) + the t02 quality score + the t06 PII audit
+    * counts, intersected. Shared by the p02 and p03 oracles.
+    */
+  private lazy val exportGateCtes: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    s"""$componentCtes,
+        comp AS (SELECT src AS doc_id, min(dst) AS component_id
+                 FROM reach GROUP BY src),
+        $semCtes,
+        q AS (SELECT doc_id,
+                LEAST(CAST(sum_word_len AS DOUBLE) / n_words / 10.0, 1.0) * 0.5
+                  + CAST(n_stopwords AS DOUBLE) / n_words * 0.3
+                  + (1.0 - CAST(n_digits AS DOUBLE) / n_chars_m) * 0.2
+                  AS quality_score
+              FROM (SELECT doc_id,
+                      CAST(len(ws) AS BIGINT) AS n_words,
+                      CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_word_len,
+                      CAST(len(list_intersect(ws, $stopListSql)) AS BIGINT) AS n_stopwords,
+                      CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                      CAST(length(text) AS BIGINT) AS n_chars_m
+                    FROM (SELECT doc_id, text, $wordsSql AS ws
+                          FROM documents))),
+        pii AS (SELECT doc_id,
+                  len(regexp_extract_all(t1, '$email')) AS n_emails,
+                  len(regexp_extract_all(
+                    regexp_replace(t1, '$email', '<EMAIL>', 'g'), '$ip'))
+                    AS n_ips
+                FROM (SELECT doc_id,
+                        regexp_replace(text, '$url', '<URL>', 'g') AS t1
+                      FROM documents)),
+        gate AS (SELECT d.doc_id, c.component_id,
+                 CAST(asg.c AS BIGINT) AS cluster_id, q.quality_score
+          FROM documents d
+          LEFT JOIN comp c ON c.doc_id = d.doc_id
+          JOIN asg ON asg.vec_id = d.doc_id
+          LEFT JOIN drp ON drp.vec_id = d.doc_id
+          JOIN q ON q.doc_id = d.doc_id
+          JOIN pii ON pii.doc_id = d.doc_id
+          WHERE (c.component_id IS NULL OR c.component_id = d.doc_id)
+            AND drp.vec_id IS NULL
+            AND q.quality_score >= 0.42
+            AND pii.n_emails = 0 AND pii.n_ips = 0)"""
+  }
 
   private def simhashTermSql(b: Int): String = Dedup.simhashTermSql(b)
 
@@ -1405,6 +1500,47 @@ object Pipeline {
           SELECT asg.vec_id, CAST(asg.c AS BIGINT) AS cluster_id,
                  drp.vec_id IS NULL AS kept
           FROM asg LEFT JOIN drp USING (vec_id)""",
+    // d20: quote-injected derived corpus (doc_id % 10 == 0 -> first 30
+    // words of its successor), shingles, df-guarded collision blocking,
+    // exact containment from the full shingle sets
+    "d20_containment" ->
+      """WITH nb AS (SELECT doc_id - 1 AS doc_id, text AS ntext
+                     FROM documents),
+          der AS (SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 10 = 0 AND nb.ntext IS NOT NULL
+                     THEN array_to_string(
+                       list_slice(string_split_regex(nb.ntext, '\s+'), 1, 30),
+                       ' ')
+                     ELSE d.text END AS text
+                  FROM documents d LEFT JOIN nb USING (doc_id)),
+          w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+                FROM der),
+          u AS (SELECT DISTINCT doc_id, sh FROM
+                 (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+                    i -> array_to_string(ws[i:i+2], ' '))) AS sh
+                  FROM w WHERE len(ws) >= 3)),
+          g AS (SELECT sh FROM u GROUP BY sh
+                HAVING count(*) BETWEEN 2 AND 20),
+          ug AS (SELECT u.doc_id, u.sh FROM u JOIN g USING (sh)),
+          cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM ug a JOIN ug b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM u GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                    FROM cand c
+                    JOIN u ua ON ua.doc_id = c.doc_a
+                    JOIN u ub ON ub.doc_id = c.doc_b AND ua.sh = ub.sh
+                    GROUP BY 1, 2)
+          SELECT c.doc_a, c.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+            CAST(i.n_inter AS DOUBLE) / sa.n AS cont_a,
+            CAST(i.n_inter AS DOUBLE) / sb.n AS cont_b
+          FROM cand c
+          JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+          JOIN sizes sa ON sa.doc_id = c.doc_a
+          JOIN sizes sb ON sb.doc_id = c.doc_b
+          WHERE greatest(CAST(i.n_inter AS DOUBLE) / sa.n,
+                         CAST(i.n_inter AS DOUBLE) / sb.n) >= 0.9""",
     // p01: the composed funnel on the duplicate-injected derived corpus.
     // Stage formulas are the t03/t02/d01/t11/t17 oracles verbatim; the
     // composition is the same two conditional windows the Spark plan
@@ -1466,47 +1602,36 @@ object Pipeline {
     // componentCtes (d16's survivor fixpoint) + semCtes (d17's verdict
     // replay) + the t02 quality score + the t06 PII audit counts,
     // intersected — so the row re-proves index ≡ one-shot end to end
-    "p02_index_funnel" -> {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val url = "https?://[^\\s]+"
-      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      s"""$componentCtes,
-          comp AS (SELECT src AS doc_id, min(dst) AS component_id
-                   FROM reach GROUP BY src),
-          $semCtes,
-          q AS (SELECT doc_id,
-                  LEAST(CAST(sum_word_len AS DOUBLE) / n_words / 10.0, 1.0) * 0.5
-                    + CAST(n_stopwords AS DOUBLE) / n_words * 0.3
-                    + (1.0 - CAST(n_digits AS DOUBLE) / n_chars_m) * 0.2
-                    AS quality_score
-                FROM (SELECT doc_id,
-                        CAST(len(ws) AS BIGINT) AS n_words,
-                        CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_word_len,
-                        CAST(len(list_intersect(ws, $stopListSql)) AS BIGINT) AS n_stopwords,
-                        CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
-                        CAST(length(text) AS BIGINT) AS n_chars_m
-                      FROM (SELECT doc_id, text, $wordsSql AS ws
-                            FROM documents))),
-          pii AS (SELECT doc_id,
-                    len(regexp_extract_all(t1, '$email')) AS n_emails,
-                    len(regexp_extract_all(
-                      regexp_replace(t1, '$email', '<EMAIL>', 'g'), '$ip'))
-                      AS n_ips
-                  FROM (SELECT doc_id,
-                          regexp_replace(text, '$url', '<URL>', 'g') AS t1
-                        FROM documents))
-          SELECT d.doc_id, c.component_id,
-                 CAST(asg.c AS BIGINT) AS cluster_id, q.quality_score
-          FROM documents d
-          LEFT JOIN comp c ON c.doc_id = d.doc_id
-          JOIN asg ON asg.vec_id = d.doc_id
-          LEFT JOIN drp ON drp.vec_id = d.doc_id
-          JOIN q ON q.doc_id = d.doc_id
-          JOIN pii ON pii.doc_id = d.doc_id
-          WHERE (c.component_id IS NULL OR c.component_id = d.doc_id)
-            AND drp.vec_id IS NULL
-            AND q.quality_score >= 0.42
-            AND pii.n_emails = 0 AND pii.n_ips = 0""" },
+    "p02_index_funnel" ->
+      s"""$exportGateCtes
+          SELECT doc_id, component_id, cluster_id, quality_score
+          FROM gate""",
+    // p03: the gate's CTEs verbatim, then t15's pack/emit formulas over
+    // the gated set only (salt p3), sequences dealt into 16-seq shards
+    "p03_export_shards" ->
+      s"""$exportGateCtes,
+          pd AS (SELECT d.doc_id, $wordsSql AS ws,
+              CAST('0x' || substr(md5('pack#p3#' || CAST(d.doc_id AS VARCHAR)), 1, 14)
+                AS BIGINT) AS h
+            FROM documents d JOIN gate g ON g.doc_id = d.doc_id
+            WHERE d.text IS NOT NULL),
+          po AS (SELECT doc_id, ws,
+              CAST(COALESCE(SUM(CAST(len(ws) AS BIGINT)) OVER (
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS tok_offset
+            FROM pd),
+          ptoks AS (SELECT doc_id,
+              tok_offset + CAST(generate_subscripts(ws, 1) - 1 AS BIGINT)
+                AS tp,
+              unnest(ws) AS tok
+            FROM po)
+          SELECT seq_id, md5(seq_text) AS seq_md5, n_tokens,
+            seq_id // 16 AS shard_id, seq_id % 16 AS shard_pos
+          FROM (SELECT tp // 256 AS seq_id,
+                  string_agg(tok, ' ' ORDER BY tp) AS seq_text,
+                  count(*) AS n_tokens
+                FROM ptoks GROUP BY 1)""",
     "s04_ann_lsh_topk" ->
       s"""WITH bk AS (SELECT vec_id, ${(0 until 12).map(p =>
             s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) > 0 THEN '1' ELSE '0' END)")

@@ -591,13 +591,23 @@ object AzofWriter {
     *                  cluster-scale compaction shape where no single-file
     *                  write sits on the critical path. Same scan results
     *                  either way.
+    * @param byKey with numFiles > 1, range-partition the merged state by
+    *              KEY instead of event_time — compaction then RESTORES
+    *              the point-lookup layout of a [[commitPartitioned]]
+    *              `byKey` table instead of destroying it: each merged
+    *              file covers a disjoint key slice, so a key lookup
+    *              through the per-file key stats reads ~1/numFiles of
+    *              the merged state (see [[commitPartitioned]]'s byKey
+    *              note for the time-window trade-off, which is harmless
+    *              here for the same duplicate-winner reason as above).
     */
   def compact(
       spark: SparkSession,
       lakehousePath: String,
       name: String,
       at: Instant,
-      numFiles: Int = 1): Unit = {
+      numFiles: Int = 1,
+      byKey: Boolean = false): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val table = AzofTable(spark, lakehousePath, name)
     val cur = table.currentVersion
@@ -628,7 +638,9 @@ object AzofWriter {
         // key byte-for-byte, so the per-key dedup picks identical values
         // whichever file wins precedence.
         (None, None, writePartitionedFiles(spark, table.tableDir, merged,
-          numFiles, s"compact_s${nextId}_${uniqueSuffix()}_p"))
+          numFiles, s"compact_s${nextId}_${uniqueSuffix()}_p",
+          rangeCol =
+            if (byKey) TableSchema.KeyName else TableSchema.EventTimeName))
       }
 
     // Rows with event_time > `at` already committed into the open segment

@@ -445,4 +445,45 @@ class DedupSpec extends AnyFunSuite {
     // the dup-collapse invariant holds under any seed
     for (i <- 0L until 20L) assert(salted(i) == salted(i + 20))
   }
+
+  test("containmentPairs finds quotes Jaccard misses; df guard drops boilerplate") {
+    val rnd = new Random(7)
+    def sentence(n: Int): String =
+      (0 until n).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+    val long0 = sentence(200)
+    val long1 = sentence(200)
+    val quote = long0.split(" ").take(30).mkString(" ") // 0's prefix
+    // 25 filler docs all carrying one shared boilerplate 5-gram: its
+    // shingles exceed maxDf=20 and must not produce candidates
+    val boiler = "all rights reserved contact us"
+    val fillers = (10 until 35).map(i => (i.toLong, s"${sentence(40)} $boiler"))
+    val df = (Seq(
+      (0L, long0), (1L, long1), (2L, quote)) ++ fillers)
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, col("text"), col("doc_id"),
+      minShared = 3, maxDf = 20, minContainment = 0.9)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // doc_a=0 is the 200-word source, doc_b=2 its 30-word quote: the
+    // quote's shingles are a strict subset, so cont_b is exactly 1.0
+    // while the source side stays barely covered
+    assert(out.contains((0L, 2L)), s"quote pair missing: ${out.keySet}")
+    val (nInter, _, nB, contA, contB) = out((0L, 2L))
+    assert(nInter == nB && contB == 1.0, s"cont_b $contB != 1.0")
+    assert(contA < 0.2, s"cont_a $contA unexpectedly high")
+    // ...while Jaccard on the same pair would be far below any dedup
+    // gate (28 shared / ~200-word union)
+    val jac = Dedup.ngramJaccard(
+      Seq((0L, 2L)).toDF("doc_a", "doc_b"),
+      Dedup.shingles(df, col("text"), col("doc_id")))
+      .collect().head.getDouble(2)
+    assert(jac < 0.2, s"jaccard $jac unexpectedly high")
+    // no filler pair surfaced: the boilerplate shingles' df (25) is past
+    // the guard, and their random bodies share nothing
+    assert(out.keySet == Set((0L, 2L)),
+      s"unexpected pairs: ${out.keySet - ((0L, 2L))}")
+  }
 }

@@ -173,6 +173,60 @@ class CompactionSpec extends AnyFunSuite {
       Seq("1" -> "a2", "2" -> "b2", "3" -> "c1"))
   }
 
+  test("byKey multi-file compaction restores the point-lookup layout") {
+    // a KV-shaped table: 64 keys landed in event-time order, so every
+    // pre-compaction file mixes the whole key range and a point lookup
+    // must read all of them; compact(byKey) re-clusters the merged
+    // state into disjoint key slices
+    val lake = Files.createTempDirectory("azof-compact-bykey").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    val keys = (0 until 64).map(i => f"$i%02d")
+    // event_time deliberately DE-correlated from the key ((i*17)%60):
+    // time-range clustering then mixes the key space, the worst case a
+    // byKey re-cluster exists to fix
+    def sec(i: Int, month: Int) = f"2024-$month%02d-02T00:00:${(i * 17) % 60}%02dZ"
+    AzofWriter.commitBase(spark, lake, "t", df(
+      keys.zipWithIndex.map { case (k, i) => (k, sec(i, 1), s"v$k-1") }: _*))
+    AzofWriter.commitDelta(spark, lake, "t", df(
+      keys.zipWithIndex.map { case (k, i) => (k, sec(i, 2), s"v$k-2") }: _*),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+
+    val at = ts("2024-03-01T00:00:00Z")
+    val timeProbes = Seq(AsOf.Current,
+      AsOf.EventTime(ts("2024-01-15T00:00:00Z")),
+      AsOf.EventTime(ts("2024-02-15T00:00:00Z")))
+    val before = timeProbes.map(vals(lake, _))
+    AzofWriter.compact(spark, lake, "t", at, numFiles = 4, byKey = true)
+    assert(timeProbes.map(vals(lake, _)) == before)
+
+    val snap = AzofTable(spark, lake, "t").currentSnapshot
+    val all = AzofScan.prunedFiles(snap, AsOf.Current)
+    assert(all.size == 4 && all.forall(_.startsWith("compact_s")))
+    // every point lookup prunes to exactly ONE merged file via the
+    // per-file key stats — the layout commitPartitioned(byKey) promises,
+    // now surviving compaction
+    keys.foreach { k =>
+      val pf = AzofScan.prunedFiles(snap, AsOf.Current,
+        Some(KeyFilter.Keys(Set(k))))
+      assert(pf.size == 1, s"key $k read ${pf.size} files")
+    }
+    // and the filtered scan is exact
+    val row = AzofScan.scan(spark, lake, "t", AsOf.Current,
+      keyFilter = Some(KeyFilter.Keys(Set("07")))).collect()
+    assert(row.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq("07" -> "v07-2"))
+    // the default (time-clustered) shape instead leaves lookups wide:
+    // byKey is a real layout choice, not a no-op
+    val lake2 = Files.createTempDirectory("azof-compact-bytime").toString
+    AzofWriter.createTable(spark, lake2, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake2, "t", df(
+      keys.zipWithIndex.map { case (k, i) => (k, sec(i, 1), s"v$k-1") }: _*))
+    AzofWriter.compact(spark, lake2, "t", at, numFiles = 4)
+    val snap2 = AzofTable(spark, lake2, "t").currentSnapshot
+    assert(AzofScan.prunedFiles(snap2, AsOf.Current,
+      Some(KeyFilter.Keys(Set("32")))).size > 1)
+  }
+
   test("compacted snapshot JSON round-trips and keeps closed deltas off roots") {
     val lake = build()
     AzofWriter.compact(spark, lake, "t", ts("2024-04-01T00:00:00Z"))
