@@ -51,7 +51,7 @@ object AzofCli {
     if (args.isEmpty) {
       System.err.println(
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
-          "commit-partitioned|add-column|compact|delete|purge|changes|vacuum|" +
+          "commit-partitioned|add-column|drop-column|compact|delete|purge|changes|vacuum|" +
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
           "pq-create|pq-refresh|pq-search|export|" +
           "dedup-create|dedup-ingest|dedup-rebuild|dedup-survivors|" +
@@ -123,6 +123,11 @@ object AzofCli {
         graft.sources.AzofWriter.addColumn(spark, opts("path"), opts("table"),
           ColumnDef(n, ColumnType.fromJsonName(t), nullable = true))
         println(s"added column $n; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+      case "drop-column" =>
+        graft.sources.AzofWriter.dropColumn(spark, opts("path"),
+          opts("table"), opts("column"))
+        println(s"dropped column ${opts("column")}; version now " +
+          AzofTable(spark, opts("path"), opts("table")).currentVersion)
       case "compact" =>
         // --by-key: key-clustered merged files (point-lookup layout)
         graft.sources.AzofWriter.compact(spark, opts("path"), opts("table"),

@@ -128,7 +128,13 @@ final case class Segment(
   * committed micro-batch id per stream appId, carried FORWARD by every
   * commit (each snapshot copy preserves it), so replay detection is an
   * O(1) map lookup on the current snapshot — no bounded history scan
-  * that interleaved foreign commits could outrun. Both serialize as
+  * that interleaved foreign commits could outrun.
+  * `retired` is the monotone list of column names ever dropped from
+  * this table's schema: their bytes still live in pre-drop data files,
+  * so `addColumn` refuses to re-use a retired name — the explicit read
+  * schema would otherwise surface the OLD values under the new column
+  * (silent resurrection; formats with per-column physical ids dodge
+  * this, a name-addressed format must refuse). All three serialize as
   * extra JSON fields, which the reference's serde parser ignores (no
   * deny_unknown_fields) — format compatibility holds.
   */
@@ -136,7 +142,8 @@ final case class Snapshot(
     schema: TableSchema,
     segments: Seq[Segment],
     op: Option[String] = None,
-    streamBatches: Map[String, Long] = Map.empty) {
+    streamBatches: Map[String, Long] = Map.empty,
+    retired: Seq[String] = Seq.empty) {
   def dataFiles(asOf: AsOf): Seq[String] = segments.flatMap(_.dataFiles(asOf))
 
   /** [[dataFiles]] with per-file key stats for data skipping. */

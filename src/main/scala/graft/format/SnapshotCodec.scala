@@ -86,7 +86,13 @@ object SnapshotCodec {
         .filter(e => e.getValue.isIntegralNumber && e.getValue.canConvertToLong)
         .map(e => e.getKey -> e.getValue.asLong()).toMap)
       .getOrElse(Map.empty[String, Long])
-    Snapshot(schema, segments, optText(root, "op"), batches)
+    // retired column names: malformed entries degrade away (same
+    // contract as stream_batches), order preserved for render stability
+    val retired = Option(root.get("retired_columns"))
+      .filter(n => !n.isNull && n.isArray)
+      .map(arr(_).filter(_.isTextual).map(_.asText()))
+      .getOrElse(Seq.empty)
+    Snapshot(schema, segments, optText(root, "op"), batches, retired)
   }
 
   private def arr(n: JsonNode): Seq[JsonNode] =
@@ -172,6 +178,10 @@ object SnapshotCodec {
       s.streamBatches.toSeq.sortBy(_._1).foreach { case (k, v) =>
         bn.put(k, v)
       }
+    }
+    if (s.retired.nonEmpty) {
+      val rn = root.putArray("retired_columns")
+      s.retired.foreach(rn.add)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }

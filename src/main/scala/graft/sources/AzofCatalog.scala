@@ -119,10 +119,12 @@ class AzofCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  /** `ALTER TABLE lake.t ADD COLUMN c <type>` — schema evolution through
-    * the commit protocol ([[AzofWriter.addColumn]]): metadata-only
-    * snapshot; added columns must be nullable (old files lack them and
-    * scan as NULL).
+  /** `ALTER TABLE lake.t ADD COLUMN c <type>` / `DROP COLUMN c` —
+    * schema evolution through the commit protocol
+    * ([[AzofWriter.addColumn]]/[[AzofWriter.dropColumn]]): metadata-only
+    * snapshots; added columns must be nullable (old files lack them and
+    * scan as NULL); dropped names are retired and cannot be re-added
+    * (resurrection guard — see [[graft.format.Snapshot]]).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     changes.foreach {
@@ -137,8 +139,13 @@ class AzofCatalog extends TableCatalog {
           ColumnDef(add.fieldNames.head,
             AzofCatalog.toColumnType(add.fieldNames.head, add.dataType()),
             nullable = true))
+      case drop: TableChange.DeleteColumn =>
+        require(drop.fieldNames.length == 1,
+          s"azof columns are flat: cannot drop nested ${drop.fieldNames.mkString(".")}")
+        AzofWriter.dropColumn(spark, tableDir(ident).getParent.toString,
+          ident.name, drop.fieldNames.head)
       case other => throw new UnsupportedOperationException(
-        s"azof supports only ADD COLUMN; got ${other.getClass.getSimpleName}")
+        s"azof supports only ADD COLUMN and DROP COLUMN; got ${other.getClass.getSimpleName}")
     }
     loadTable(ident)
   }

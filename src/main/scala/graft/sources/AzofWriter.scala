@@ -1060,9 +1060,42 @@ object AzofWriter {
       require(!snap.schema.columns.exists(_.name == column.name) &&
         !Seq(TableSchema.KeyName, TableSchema.EventTimeName).contains(column.name),
         s"column '${column.name}' already exists")
+      require(!snap.retired.contains(column.name),
+        s"column '${column.name}' was previously dropped and its values " +
+          "still live in pre-drop data files; re-adding the name would " +
+          "RESURRECT them (this format addresses columns by name, not " +
+          "physical id). Pick a fresh name, or rewrite the table.")
       snap.copy(
         schema = TableSchema(snap.schema.columns :+ column),
         op = Some("add-column"))
+    }
+  }
+
+  /** Drop a value column — the other half of schema evolution, and like
+    * [[addColumn]] a metadata-only commit: no data files are touched.
+    * The column's bytes stay in existing files (time travel to pre-drop
+    * versions still reads them, because each snapshot pins its own
+    * schema); post-drop scans' explicit read schema simply omits the
+    * column. The name is recorded in the snapshot's monotone `retired`
+    * list so [[addColumn]] can refuse to resurrect it — see the
+    * resurrection note on [[graft.format.Snapshot]].
+    */
+  def dropColumn(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      column: String): Unit = {
+    require(!Seq(TableSchema.KeyName, TableSchema.EventTimeName)
+      .contains(column),
+      s"cannot drop system column '$column'")
+    val table = AzofTable(spark, lakehousePath, name)
+    commitMeta(spark, table.tableDir.toString) { snap =>
+      require(snap.schema.columns.exists(_.name == column),
+        s"column '$column' does not exist")
+      snap.copy(
+        schema = TableSchema(snap.schema.columns.filterNot(_.name == column)),
+        op = Some("drop-column"),
+        retired = snap.retired :+ column)
     }
   }
 

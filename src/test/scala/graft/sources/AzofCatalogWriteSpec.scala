@@ -103,6 +103,19 @@ class AzofCatalogWriteSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1),
         if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
     assert(got == Seq(("1", "x", -1L), ("2", "y", 7L)))
+
+    // DROP COLUMN narrows the schema (metadata-only) and retires the
+    // name: re-ADDing it is refused (old files would resurrect values)
+    spark.sql("ALTER TABLE wcat.t_evolve DROP COLUMN score")
+    assert(spark.sql("SELECT * FROM wcat.t_evolve").columns.toSeq ==
+      Seq("key", "event_time", "v"))
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE wcat.t_evolve ADD COLUMN score BIGINT")
+    }
+    assert(err.getMessage.contains("RESURRECT"))
+    spark.sql("ALTER TABLE wcat.t_evolve ADD COLUMN score_v2 BIGINT")
+    assert(AzofTable(spark, lake, "t_evolve").currentSnapshot.retired ==
+      Seq("score"))
   }
 
   test("DELETE FROM: key predicates are metadata-only; value predicates resolve via scan; truncate refuses") {
