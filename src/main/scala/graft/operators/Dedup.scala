@@ -747,9 +747,15 @@ object Dedup {
     * bucket-local (bounded by maxDf² per shingle), and one hash
     * aggregation keeps pairs sharing >= `minShared` guarded shingles.
     * Exact intersection and sizes then come from the FULL shingle sets
-    * (two hash joins scaling with |candidates|·avg-shingles, the
-    * [[ngramJaccard]] move), so the emitted containments are exact even
-    * where the df guard blinded the blocker.
+    * in ONE |candidates|-scaled join: candidates explode to (pair, doc)
+    * rows, one hash join against the shingle frame tags each shingle
+    * with its side, and a two-level aggregate yields |A|, |B|, and
+    * |A∩B| together — so the whole operator re-derives the (narrow,
+    * un-shuffled) shingle frame exactly twice: once for blocking, once
+    * for verification. The naive shape (separate intersection join +
+    * two size joins, the [[ngramJaccard]] layout) re-derives it four
+    * times and measured 2× slower at sf0.1. The emitted containments
+    * are exact even where the df guard blinded the blocker.
     *
     * Output: (doc_a, doc_b, n_inter, n_a, n_b, cont_a, cont_b) with
     * doc_a < doc_b and max(cont_a, cont_b) >= `minContainment`;
@@ -772,19 +778,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .select("doc_a", "doc_b")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        Seq("doc_b"))
-      .where(col("sh") === col("sh_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
-        col("n_b"),
+    // one verify join: each pair contributes its two docs, every
+    // (pair, shingle) group records which sides carry it, and the
+    // per-pair rollup counts |A|, |B|, |A∩B| in the same aggregation
+    val pairDocs = cands
+      .select(struct(col("doc_a"), col("doc_b")).as("_p"))
+      .select(col("_p"), explode(array(col("_p.doc_a"), col("_p.doc_b")))
+        .as("doc_id"))
+      .withColumn("_isA", col("doc_id") === col("_p.doc_a"))
+    pairDocs.join(sh, Seq("doc_id"))
+      .groupBy(col("_p"), col("sh"))
+      .agg(max(when(col("_isA"), 1L).otherwise(0L)).as("_a"),
+        max(when(!col("_isA"), 1L).otherwise(0L)).as("_b"))
+      .groupBy("_p")
+      .agg(sum("_a").as("n_a"), sum("_b").as("n_b"),
+        sum(col("_a") * col("_b")).as("n_inter"))
+      .select(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"),
+        col("n_inter"), col("n_a"), col("n_b"),
         (col("n_inter").cast("double") / col("n_a")).as("cont_a"),
         (col("n_inter").cast("double") / col("n_b")).as("cont_b"))
       .where(greatest(col("cont_a"), col("cont_b")) >= minContainment)
