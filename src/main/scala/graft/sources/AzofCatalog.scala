@@ -229,7 +229,8 @@ final class AzofV2Table(
     lakehousePath: String, tableName: String,
     asOf: AsOf, version: Option[String])
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   // lazy val: a loaded Table represents ONE resolved version — planning
   // may ask for the schema repeatedly and must not re-read (or observe a
@@ -318,6 +319,23 @@ final class AzofV2Table(
               keysDf, java.time.Instant.now())
         } finally { keysDf.unpersist(); () }
     }
+  }
+
+  /** `UPDATE` / `MERGE INTO` / non-translatable `DELETE` — Spark's
+    * row-level rewrite rules fire on this and plan a delta-based
+    * (merge-on-read) write: see [[AzofRowLevelOperation]]. Key-set and
+    * translatable-predicate DELETEs still take the metadata-only
+    * [[deleteWhere]] fast path (Spark's optimizer converts the
+    * row-level plan back when [[canDeleteWhere]] accepts).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (asOf != AsOf.Current || version.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot run row-level DML on a time-travel view of azof table " +
+          tableName)
+    () => new AzofRowLevelOperation(lakehousePath, tableName, info.command)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

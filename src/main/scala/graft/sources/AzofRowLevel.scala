@@ -1,0 +1,323 @@
+package graft.sources
+
+import graft.format.{AsOf, AzofTable, FileStats, TableSchema}
+import graft.util.SerializableHadoopConf
+import java.time.Instant
+import java.util.UUID
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `UPDATE` / `MERGE INTO` / row-level `DELETE` for azof tables —
+  * Spark's native DSv2 row-level machinery (`SupportsRowLevelOperations`
+  * + `SupportsDelta`) mapped onto azof's merge-on-read model, where a
+  * row-level operation never rewrites a data file:
+  *
+  *   - UPDATE / MERGE-update / MERGE-insert rows land as ordinary delta
+  *     rows — the per-key event-time merge (strict precedence: equal
+  *     event_time resolves to the later commit, [[graft.operators.AzofScan]])
+  *     makes them the key's new winner while every pre-DML version keeps
+  *     time-traveling;
+  *   - MERGE-delete / DELETE rows land as tombstones
+  *     (`_azof_deleted = true`, values NULL, event_time = operation
+  *     time), the same rows [[AzofWriter.commitDelete]] writes.
+  *
+  * Delta-based (not group-based copy-on-write) is the load-bearing
+  * choice: Spark hands the writer ONLY changed rows, so a MERGE touching
+  * 0.1% of a 100-TB table writes 0.1% of it — the scan of the target is
+  * one ordinary pruned azof scan (the operation's `newScanBuilder` is
+  * the table's own builder, so stats skipping and column pruning apply),
+  * and the join/condition evaluation is whatever plan Catalyst picks.
+  *
+  * Write path: every task streams its delta rows straight into its own
+  * uniquely-named parquet file in the table directory (no driver
+  * collect, no shuffle beyond the MERGE plan's own), tracking key range
+  * and event-time window as it writes; the driver then registers all
+  * landed files in ONE optimistic-retry snapshot commit
+  * ([[AzofWriter.commitLandedDeltas]]) — the same
+  * files-then-metadata atomicity as every other commit, so a crashed
+  * MERGE leaves only unreferenced bytes for vacuum. Files carrying any
+  * tombstone row are flagged `tombstone: true` in the snapshot (the
+  * mixed data+tombstone delta shape the streaming mirror established).
+  *
+  * Unlike [[AzofWriter.writeDataFile]] the task writer does not sort
+  * rows event_time-descending (it streams); the engine's own scan is
+  * order-independent, and DML commits are beyond-reference surface.
+  */
+final class AzofRowLevelOperation(
+    lakehousePath: String, tableName: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+  with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** The target's own scan builder: row-level reads prune and skip
+    * exactly like any other read of the table.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AzofScanBuilder(new AzofRelation(
+      SparkSession.active.sqlContext, lakehousePath, tableName,
+      AsOf.Current, None))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new AzofDeltaWriteBuilder(lakehousePath, tableName, info)
+
+  /** Row identity = the azof key (merge-on-read resolves versions). */
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(TableSchema.KeyName))
+
+  /** An update is ONE new row for the key, not delete+insert: a
+    * tombstone at the same event_time as the replacement row would race
+    * it in the per-key merge.
+    */
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def description(): String =
+    s"azof row-level ${cmd.toString.toLowerCase} on $tableName"
+}
+
+private final class AzofDeltaWriteBuilder(
+    lakehousePath: String, tableName: String, info: LogicalWriteInfo)
+  extends DeltaWriteBuilder {
+  override def build(): DeltaWrite =
+    new AzofDeltaWrite(lakehousePath, tableName, info.schema())
+}
+
+private final class AzofDeltaWrite(
+    lakehousePath: String, tableName: String, rowSchema: StructType)
+  extends DeltaWrite {
+
+  override def toBatch: DeltaBatchWrite = {
+    val spark = SparkSession.active
+    val table = AzofTable(spark, lakehousePath, tableName)
+    // value columns written nullable regardless of declaration:
+    // tombstone rows carry NULL values (same relaxation commitDelete's
+    // lit(null) frame gets), and parquet-mr silently corrupts a file
+    // handed a null for a `required` field
+    val fileSchema = StructType(
+      table.currentSnapshot.schema.toStruct.fields.map { f =>
+        if (f.name == TableSchema.KeyName ||
+          f.name == TableSchema.EventTimeName) f
+        else f.copy(nullable = true)
+      })
+      .add(StructField(TableSchema.DeletedName, BooleanType, nullable = true))
+    // provisional version in the name is a debug hint, same as
+    // landCommitFile — uniqueness comes from the uuid + task ids
+    val prefix = s"delta_s${table.currentVersion.toLong + 1}_" +
+      UUID.randomUUID().toString.take(8)
+    new AzofDeltaBatchWrite(
+      lakehousePath, tableName, table.tableDir.toString, prefix,
+      rowSchema, fileSchema,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+  }
+}
+
+/** Commit message: one task's landed file with its self-measured stats
+  * (key range for snapshot data skipping, event-time window for the
+  * registered [[graft.format.Delta]], tombstone presence for the
+  * read-schema flag). `file == null` marks a rowless task — nothing
+  * landed, nothing to register.
+  */
+private final case class AzofDeltaFileMessage(
+    file: String, rows: Long,
+    minKey: String, maxKey: String,
+    minTsUs: Long, maxTsUs: Long,
+    hasTombstone: Boolean) extends WriterCommitMessage
+
+private final class AzofDeltaBatchWrite(
+    lakehousePath: String, tableName: String, tableDir: String,
+    filePrefix: String, rowSchema: StructType, fileSchema: StructType,
+    conf: SerializableHadoopConf) extends DeltaBatchWrite {
+
+  // operation time, fixed once on the driver: every tombstone row of
+  // this DML statement carries the same event_time, like deleteWhere
+  private val opTimeUs =
+    java.time.Instant.now().toEpochMilli * 1000L
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    new AzofDeltaWriterFactory(
+      tableDir, filePrefix, rowSchema, fileSchema, opTimeUs, conf)
+
+  /** Register every landed file in one snapshot commit; a DML that
+    * changed no rows commits NO version (SQL no-op semantics, matching
+    * the predicate-delete path).
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case m: AzofDeltaFileMessage if m.file != null => m
+    }
+    if (files.nonEmpty) {
+      val spark = SparkSession.active
+      AzofWriter.commitLandedDeltas(
+        spark, lakehousePath, tableName,
+        files.map(m => graft.format.Delta(
+          m.file,
+          Instant.ofEpochMilli(Math.floorDiv(m.minTsUs, 1000L)),
+          Instant.ofEpochMilli(Math.floorDiv(m.maxTsUs, 1000L)),
+          Some(FileStats(m.minKey, m.maxKey)),
+          tombstone = m.hasTombstone)).toIndexedSeq,
+        op = "sql-dml")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(conf.value)
+    messages.foreach {
+      case m: AzofDeltaFileMessage if m.file != null =>
+        try { fs.delete(new Path(dir, m.file), false); () }
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+  }
+}
+
+private final class AzofDeltaWriterFactory(
+    tableDir: String, filePrefix: String,
+    rowSchema: StructType, fileSchema: StructType,
+    opTimeUs: Long, conf: SerializableHadoopConf)
+  extends DeltaWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new AzofDeltaRowWriter(
+      tableDir, s"${filePrefix}_p${partitionId}_t$taskId.parquet",
+      rowSchema, fileSchema, opTimeUs, conf.value)
+}
+
+/** Task-side delta writer: streams rows into one parquet file via
+  * Spark's own `ParquetWriteSupport` (so encodings, TIMESTAMP_MILLIS
+  * parity with [[AzofWriter.writeDataFile]], and nulls match the
+  * driver-written files byte-for-byte), measuring key/event-time stats
+  * on the fly. The file opens lazily on the first row — a task whose
+  * partition carries no changes lands nothing.
+  */
+private final class AzofDeltaRowWriter(
+    tableDir: String, fileName: String,
+    rowSchema: StructType, fileSchema: StructType,
+    opTimeUs: Long, hadoopConf: Configuration)
+  extends DeltaWriter[InternalRow] {
+
+  private val keyOrd = fileSchema.fieldIndex(TableSchema.KeyName)
+  private val tsOrd = fileSchema.fieldIndex(TableSchema.EventTimeName)
+  private val markerOrd = fileSchema.fieldIndex(TableSchema.DeletedName)
+  // row-projection ordinal for each file column (marker excluded);
+  // resolved lazily so a pure-DELETE write (whose row schema is just
+  // the row id) never asks for value columns it will not receive
+  private lazy val dataMap: Array[Int] =
+    fileSchema.fields.take(markerOrd).map { f =>
+      val i = rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+      if (i < 0) throw new IllegalStateException(
+        s"DML row schema ${rowSchema.simpleString} lacks table column " +
+          s"${f.name}")
+      i
+    }
+  // the row id projection is exactly rowId() = (key)
+  private val idKeyOrd = 0
+
+  private var writer: ParquetWriter[InternalRow] = _
+  private var rows = 0L
+  private var minKey: UTF8String = _
+  private var maxKey: UTF8String = _
+  private var minTs = Long.MaxValue
+  private var maxTs = Long.MinValue
+  private var anyTombstone = false
+
+  private def open(): Unit = if (writer == null) {
+    val conf = new Configuration(hadoopConf)
+    ParquetWriteSupport.setSchema(fileSchema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    writer = new AzofDeltaRowWriter.Builder(
+      new Path(tableDir, fileName), conf)
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  private def track(key: UTF8String, tsUs: Long): Unit = {
+    if (minKey == null || key.compareTo(minKey) < 0) minKey = key.clone()
+    if (maxKey == null || key.compareTo(maxKey) > 0) maxKey = key.clone()
+    if (tsUs < minTs) minTs = tsUs
+    if (tsUs > maxTs) maxTs = tsUs
+    rows += 1
+  }
+
+  private def writeData(row: InternalRow): Unit = {
+    open()
+    val out = new GenericInternalRow(fileSchema.length)
+    var i = 0
+    while (i < markerOrd) {
+      out.update(i,
+        if (row.isNullAt(dataMap(i))) null
+        else row.get(dataMap(i), fileSchema(i).dataType))
+      i += 1
+    }
+    out.update(markerOrd, null)
+    track(out.getUTF8String(keyOrd), out.getLong(tsOrd))
+    writer.write(out)
+  }
+
+  override def insert(row: InternalRow): Unit = writeData(row)
+
+  // DeltaWriter's contract passes (metadata, id, row) / (metadata, id) —
+  // metadata is null here (no requiredMetadataAttributes)
+  override def update(
+      metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    writeData(row)
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    open()
+    val out = new GenericInternalRow(fileSchema.length)
+    out.update(keyOrd, id.getUTF8String(idKeyOrd))
+    out.update(tsOrd, opTimeUs)
+    out.update(markerOrd, true)
+    anyTombstone = true
+    track(out.getUTF8String(keyOrd), opTimeUs)
+    writer.write(out)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    if (rows == 0L)
+      AzofDeltaFileMessage(null, 0L, null, null, 0L, 0L, hasTombstone = false)
+    else
+      AzofDeltaFileMessage(fileName, rows,
+        minKey.toString, maxKey.toString, minTs, maxTs, anyTombstone)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    val p = new Path(tableDir, fileName)
+    try { p.getFileSystem(hadoopConf).delete(p, false); () }
+    catch { case _: java.io.IOException => () }
+  }
+
+  override def close(): Unit = ()
+}
+
+private object AzofDeltaRowWriter {
+  /** parquet-mr builder plumbing for a custom `WriteSupport`. */
+  private final class Builder(path: Path, conf: Configuration)
+    extends ParquetWriter.Builder[InternalRow, Builder](path) {
+    override def self(): Builder = this
+    override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+}

@@ -336,6 +336,29 @@ object AzofWriter {
     }
   }
 
+  /** Metadata-only registration of delta files ALREADY landed in the
+    * table directory under collision-free unique names — the commit half
+    * of the task-parallel SQL DML write path ([[AzofRowLevelOperation]]:
+    * every MERGE/UPDATE/DELETE task streams its changed rows into its
+    * own file, then the driver registers them all here atomically). One
+    * optimistic-retry snapshot commit, same as every other write.
+    */
+  private[sources] def commitLandedDeltas(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      deltas: Seq[Delta],
+      op: String): Unit = {
+    require(deltas.nonEmpty, "commitLandedDeltas with no files")
+    val table = AzofTable(spark, lakehousePath, name)
+    commitMeta(spark, table.tableDir.toString) { snap =>
+      val segs = mapOpenRoot(snap.segments)(s =>
+        s.copy(delta = s.delta ++ deltas))
+      snap.copy(segments = segs, op = Some(op))
+    }
+    ()
+  }
+
   /** Tombstone delete — the takedown primitive neither engine ships
     * (beyond-reference; a training-data lakehouse at scale eventually
     * needs key deletion). Commits one delta file of TOMBSTONE rows
