@@ -23,6 +23,7 @@ object AzofQueries {
     "q32_key_lookup" -> keyLookup,
     "q33_sql_insert" -> sqlInsert,
     "q34_bykey_lookup" -> byKeyLookup,
+    "q40_sql_merge" -> sqlMerge,
     "q35_change_feed" -> changeFeed,
     "q36_strict_precedence" -> strictPrecedence,
     "q37_tombstone_delete" -> tombstoneDelete,
@@ -203,6 +204,59 @@ object AzofQueries {
       classOf[graft.sources.AzofCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.path", lake)
     s.sql(s"SELECT key, event_time, event_type FROM $cat.events_sql")
+  }
+
+  /** SQL `MERGE INTO` through the row-level DML path
+    * ([[graft.sources.AzofRowLevelOperation]]) under the oracle gate:
+    * the table is seeded with every pre-Jan-10 event, then ONE MERGE
+    * applies the [Jan 10, Jan 20) per-key newest event — 'view' events
+    * revoke the key (tombstone delete), other matched keys update
+    * (tagged `_m`), unseen keys insert (tagged `_i`). The DuckDB oracle
+    * recomputes the same final state relationally (outer joins over the
+    * raw events), so merge-on-read DML semantics — updates win by
+    * event-time, tombstones suppress, inserts appear — are hash-checked
+    * end to end.
+    */
+  private def sqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val key = dirKey(dir)
+    val cat = s"azmg_$key"
+    val lake = cachedLake(dir, "sqlmerge-v1", "events_mg", inPlace = true) { l =>
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.AzofCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", l)
+      AzofWriter.createTable(s, l, "events_mg", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.commitBase(s, l, "events_mg",
+        eventsKv(s, dir).where(
+          col("event_time") < expr("TIMESTAMP '2024-01-10 00:00:00'")))
+      Tables(s, dir, "events").createOrReplaceTempView(s"mg_ev_$key")
+      s.sql(
+        s"""MERGE INTO $cat.events_mg t USING (
+              SELECT CAST(user_id AS STRING) AS key, event_time,
+                     event_type, props
+              FROM (SELECT *, date_trunc('millisecond', ts) AS event_time,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY date_trunc('millisecond', ts) DESC,
+                                      event_id DESC) AS rn
+                    FROM mg_ev_$key
+                    WHERE date_trunc('millisecond', ts) >=
+                            TIMESTAMP'2024-01-10 00:00:00'
+                      AND date_trunc('millisecond', ts) <
+                            TIMESTAMP'2024-01-20 00:00:00')
+              WHERE rn = 1) s
+            ON t.key = s.key
+            WHEN MATCHED AND s.event_type = 'view' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET event_time = s.event_time,
+                 event_type = concat(s.event_type, '_m'), props = s.props
+            WHEN NOT MATCHED THEN INSERT (key, event_time, event_type, props)
+                 VALUES (s.key, s.event_time, concat(s.event_type, '_i'),
+                         s.props)""")
+      ()
+    }
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.AzofCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.path", lake)
+    s.sql(s"SELECT key, event_time, event_type FROM $cat.events_mg")
   }
 
   /** The strict-precedence compatibility mode under the oracle gate
@@ -479,6 +533,41 @@ object AzofQueries {
                FROM events
                WHERE date_trunc('milliseconds', ts) < TIMESTAMP '2024-01-10 00:00:00')
          WHERE rn = 1""",
+    // final post-MERGE state, recomputed relationally: pre-Jan-10
+    // winners minus merged-away keys, plus tagged updates and inserts
+    "q40_sql_merge" ->
+      """WITH pre AS (
+           SELECT CAST(user_id AS VARCHAR) AS key,
+                  date_trunc('milliseconds', ts) AS event_time, event_type
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY date_trunc('milliseconds', ts) DESC,
+                            event_id DESC) AS rn
+                 FROM events
+                 WHERE date_trunc('milliseconds', ts) <
+                         TIMESTAMP '2024-01-10 00:00:00')
+           WHERE rn = 1),
+         src AS (
+           SELECT CAST(user_id AS VARCHAR) AS key,
+                  date_trunc('milliseconds', ts) AS event_time, event_type
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY date_trunc('milliseconds', ts) DESC,
+                            event_id DESC) AS rn
+                 FROM events
+                 WHERE date_trunc('milliseconds', ts) >=
+                         TIMESTAMP '2024-01-10 00:00:00'
+                   AND date_trunc('milliseconds', ts) <
+                         TIMESTAMP '2024-01-20 00:00:00')
+           WHERE rn = 1)
+         SELECT p.key, p.event_time, p.event_type FROM pre p
+           WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.key = p.key)
+         UNION ALL
+         SELECT s.key, s.event_time, s.event_type || '_m' AS event_type
+           FROM src s JOIN pre p ON p.key = s.key
+           WHERE s.event_type <> 'view'
+         UNION ALL
+         SELECT s.key, s.event_time, s.event_type || '_i' AS event_type
+           FROM src s
+           WHERE NOT EXISTS (SELECT 1 FROM pre p WHERE p.key = s.key)""",
     // the feed is the raw rows of the two delta commits (no dedup);
     // delta windows partition time, so the committing version is a
     // function of event_time alone
