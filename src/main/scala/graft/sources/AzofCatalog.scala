@@ -383,9 +383,28 @@ private final class AzofScanBuilder(relation: AzofRelation)
 
 private final class AzofV1ScanBridge(
     relation: AzofRelation, required: StructType, filters: Array[Filter])
-  extends V1Scan {
+  extends V1Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Snapshot-derived size estimate (see
+    * [[AzofRelation.estimatedSizeBytes]]), scaled by the pruned-column
+    * fraction — feeds Spark's auto-broadcast decision for catalog-SQL
+    * joins over azof tables.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = {
+        val total = relation.estimatedSizeBytes
+        val all = relation.schema.length.max(1)
+        val frac = required.length.min(all).max(1).toDouble / all
+        java.util.OptionalLong.of(math.max((total * frac).toLong, 1L))
+      }
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

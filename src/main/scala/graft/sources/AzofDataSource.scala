@@ -133,6 +133,30 @@ final class AzofRelation(
 
   override val schema: StructType = snap.schema.toStruct
 
+  /** Size estimate from the snapshot's own file list: ONE directory
+    * listing, summed over the files THIS view's time pruning keeps.
+    * Raw delta/base bytes upper-bound the merge-dedup output (dedup
+    * only drops rows), so the estimate is conservative for Spark's
+    * auto-broadcast decision — without it `BaseRelation` defaults to
+    * "effectively infinite" and an azof dim table never broadcasts,
+    * forcing a shuffle join however small the table is. Listing failure
+    * falls back to that safe default.
+    */
+  private[sources] lazy val estimatedSizeBytes: Long =
+    try {
+      val dir = table.tableDir
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val lens = fs.listStatus(dir)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+      val files = AzofScan.prunedFiles(snap, asOf)
+      val sum = files.map(f => lens.getOrElse(f, 0L)).sum
+      // empty view (or nothing listed) -> 1 byte, not 0: zero reads as
+      // "stats absent" to some consumers and under-bounds are harmless
+      math.max(sum, 1L)
+    } catch { case _: java.io.IOException => super.sizeInBytes }
+
+  override def sizeInBytes: Long = estimatedSizeBytes
+
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val projection =
