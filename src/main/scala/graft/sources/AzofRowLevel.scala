@@ -269,6 +269,16 @@ private final class AzofDeltaRowWriter(
         else row.get(dataMap(i), fileSchema(i).dataType))
       i += 1
     }
+    // the system columns are structurally required: a null here would
+    // land in a parquet `required` field and corrupt the file — fail
+    // the STATEMENT with a clear message instead (the batch aborts,
+    // nothing commits)
+    if (out.isNullAt(keyOrd) || out.isNullAt(tsOrd))
+      throw new IllegalArgumentException(
+        "azof DML row with NULL " +
+          (if (out.isNullAt(keyOrd)) TableSchema.KeyName
+          else TableSchema.EventTimeName) +
+          ": every inserted/updated row needs a key and an event_time")
     out.update(markerOrd, null)
     track(out.getUTF8String(keyOrd), out.getLong(tsOrd))
     writer.write(out)
@@ -279,8 +289,22 @@ private final class AzofDeltaRowWriter(
   // DeltaWriter's contract passes (metadata, id, row) / (metadata, id) —
   // metadata is null here (no requiredMetadataAttributes)
   override def update(
-      metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+      metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    // the key IS row identity in a merge-on-read format: an update that
+    // reassigns it would land the NEW key's row while the OLD key's
+    // current winner stays live — silently duplicating the row. Refuse;
+    // re-keying is a DELETE + INSERT.
+    val newKey = {
+      val ord = dataMap(keyOrd)
+      if (row.isNullAt(ord)) null else row.getUTF8String(ord)
+    }
+    if (newKey == null || !newKey.equals(id.getUTF8String(idKeyOrd)))
+      throw new UnsupportedOperationException(
+        s"azof UPDATE/MERGE may not reassign ${TableSchema.KeyName} " +
+          s"(row identity): got '${id.getUTF8String(idKeyOrd)}' -> " +
+          s"'$newKey'. Use DELETE + INSERT to re-key.")
     writeData(row)
+  }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     open()

@@ -172,6 +172,58 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(state("g1") == Seq("1" -> "a3"))
   }
 
+  test("UPDATE may not reassign the key (row identity)") {
+    mk("k1",
+      ("1", "2024-01-05T00:00:00Z", "a1"),
+      ("2", "2024-01-06T00:00:00Z", "b1"))
+    val v0 = AzofTable(spark, lake, "k1").currentVersion
+    val e = intercept[Exception] {
+      spark.sql("UPDATE dml.k1 SET key = '9' WHERE key = '1'")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("may not reassign"))))
+    // nothing committed, table intact and readable
+    assert(AzofTable(spark, lake, "k1").currentVersion == v0)
+    assert(state("k1") == Seq("1" -> "a1", "2" -> "b1"))
+  }
+
+  test("DML row with NULL event_time fails the statement, commits nothing") {
+    mk("n1", ("1", "2024-01-05T00:00:00Z", "a1"))
+    val v0 = AzofTable(spark, lake, "n1").currentVersion
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml.n1 t USING (
+             SELECT '7' AS key, CAST(NULL AS TIMESTAMP) AS event_time,
+                    'x' AS value) s
+           ON t.key = s.key
+           WHEN NOT MATCHED THEN INSERT (key, event_time, value)
+                VALUES (s.key, s.event_time, s.value)""")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("event_time") || m.toLowerCase.contains("null"))))
+    assert(AzofTable(spark, lake, "n1").currentVersion == v0)
+    assert(state("n1") == Seq("1" -> "a1"))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE (allow-list purge)") {
+    mk("a1",
+      ("1", "2024-01-05T00:00:00Z", "keep"),
+      ("2", "2024-01-06T00:00:00Z", "drop-me"),
+      ("3", "2024-01-07T00:00:00Z", "keep"))
+    mk("allow",
+      ("1", "2024-02-01T00:00:00Z", "x"),
+      ("3", "2024-02-01T00:00:00Z", "x"))
+    spark.sql(
+      """MERGE INTO dml.a1 t USING dml.allow s
+         ON t.key = s.key
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(state("a1") == Seq("1" -> "keep", "3" -> "keep"))
+  }
+
   test("MERGE source can be another azof table (index-driven takedown)") {
     mk("big",
       ("1", "2024-01-05T00:00:00Z", "keep"),
