@@ -94,6 +94,17 @@ final case class Segment(
     * segments first (recursively), then deltas with `start <= asOf`
     * sorted newest-start-first, then this segment's own base file if the
     * segment is in range. Earlier files win the per-key dedup.
+    *
+    * EQUAL window starts break toward the LATER-REGISTERED delta (list
+    * position, which is commit order within a segment): per-key winners
+    * resolve by `(event_time desc, precedence)`, so this tie-break is
+    * what makes "the later commit wins an exact event-time tie" hold
+    * when two commits share a window start — an UPDATE rewriting a row
+    * at its original event_time, or two same-instant upsert batches.
+    * The stable sort's old first-registered-wins order inverted that:
+    * the rewrite landed, then lost the tie to the very row it replaced.
+    * (The reference sorts by start alone, `metadata.rs:56`; its own
+    * test layouts carry distinct starts, so parity is unaffected.)
     */
   def dataFiles(asOf: AsOf): Seq[String] =
     dataFilesWithStats(asOf).map(_.file)
@@ -104,10 +115,11 @@ final case class Segment(
   def dataFilesWithStats(asOf: AsOf): Seq[FileEntry] = {
     val fromChildren =
       segments.filter(_.isInRange(asOf)).flatMap(_.dataFilesWithStats(asOf))
-    val fromDeltas = delta
-      .filter(_.isBefore(asOf))
-      .sortBy(_.start)(Ordering[Instant].reverse)
-      .map(d => FileEntry(d.file, d.stats, d.tombstone))
+    val fromDeltas = delta.zipWithIndex
+      .filter { case (d, _) => d.isBefore(asOf) }
+      .sortBy { case (d, i) => (d.start, i) }(
+        Ordering.Tuple2(Ordering[Instant].reverse, Ordering.Int.reverse))
+      .map { case (d, _) => FileEntry(d.file, d.stats, d.tombstone) }
     val own =
       if (isInRange(asOf)) file.map(f => FileEntry(f, fileStats)).toSeq
       else Seq.empty

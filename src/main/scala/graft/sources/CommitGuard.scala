@@ -76,6 +76,37 @@ object CommitGuard {
         s"rename $tmp -> $target returned false with no existing target (store fault, not a commit race)")
   }
 
+  /** Atomic guard for LOCAL filesystems: publish by HARD-LINKING the
+    * staged file to the target — one `link(2)` syscall that fails with
+    * `FileAlreadyExistsException` when the target exists, so two
+    * same-instant committers can never both pass (the window the
+    * check-then-act [[Rename]] leaves open on local disk; observed as a
+    * lost commit under 5-way racing DML). The link carries the COMPLETE
+    * staged content, satisfying the atomicity requirement. Paths the
+    * local scheme can't map to a real file (or stores without hard
+    * links) fall back to [[Rename]].
+    */
+  object LocalLink extends CommitGuard {
+    override def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+      val tgt = Option(target.toUri.getPath)
+      val src = Option(tmp.toUri.getPath)
+      if (tgt.isEmpty || src.isEmpty) Rename.publish(fs, tmp, target)
+      else
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(tgt.get), java.nio.file.Paths.get(src.get))
+          // tmp (and its checksum sidecar) via the Hadoop FS so nothing
+          // lingers; the published link is independent of it
+          scala.util.Try(fs.delete(tmp, false))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            Rename.publish(fs, tmp, target)
+        }
+    }
+  }
+
   // keyed by (resolving classloader, class name), NOT class name alone:
   // in a long-lived multi-session server a later session can ship a
   // DIFFERENT version of the guard class through its own classloader,
@@ -99,6 +130,10 @@ object CommitGuard {
   def forPath(spark: SparkSession, target: Path): CommitGuard = {
     val scheme = Option(target.toUri.getScheme).getOrElse("file")
     spark.conf.getOption(s"spark.azof.commitGuard.$scheme") match {
+      // local disk defaults to the atomic hard-link guard — the rename
+      // default is exactly as strong as the store's rename, and local
+      // rename is check-then-act
+      case None if scheme == "file" => LocalLink
       case None => Rename
       case Some(cls) =>
         // context classloader first: guards typically ship in user
