@@ -20,8 +20,19 @@ import java.time.Instant
   * keys' rows never changes k's winner. Event-time stats would duplicate
   * the delta window, which already IS the file's data-derived time range.
   */
+/** Per-value-column `[min, max]` over a file's NON-NULL values, in the
+  * column's canonical string encoding ([[ValueStats.encode]]): strings
+  * raw, longs/booleans via `toString`, timestamps as epoch-millis
+  * decimals. Comparison happens TYPED after decoding (never
+  * lexicographically on the encoding), so "10" vs "9" orders
+  * numerically for Int columns. A column absent from the map (all-NULL
+  * file, pre-stats commit, foreign writer) is simply not skippable.
+  */
+final case class ColRange(min: String, max: String)
+
 final case class FileStats(
-    keyMin: String, keyMax: String, bloom: Option[KeyBloom] = None) {
+    keyMin: String, keyMax: String, bloom: Option[KeyBloom] = None,
+    cols: Map[String, ColRange] = Map.empty) {
   /** Could this file contain any of `keys`? Range check first (free),
     * then the optional Bloom filter — which also prunes point lookups
     * on layouts whose every file spans the full key range.

@@ -141,7 +141,25 @@ object SnapshotCodec {
       node <- Option(n) if !node.isNull
       mn <- optText(node, "key_min")
       mx <- optText(node, "key_max")
-    } yield FileStats(mn, mx, parseBloom(node.get("key_bloom")))
+    } yield FileStats(mn, mx, parseBloom(node.get("key_bloom")),
+      parseColStats(node.get("col_stats")))
+
+  /** Value-column ranges sub-object ([[ColRange]]): absent / malformed
+    * entries degrade per column — skipping is optional, never required.
+    */
+  private def parseColStats(n: JsonNode): Map[String, ColRange] =
+    Option(n).filter(v => !v.isNull && v.isObject).map { node =>
+      val it = node.properties().iterator()
+      val b = Map.newBuilder[String, ColRange]
+      while (it.hasNext) {
+        val e = it.next()
+        for {
+          mn <- optText(e.getValue, "min")
+          mx <- optText(e.getValue, "max")
+        } b += e.getKey -> ColRange(mn, mx)
+      }
+      b.result()
+    }.getOrElse(Map.empty)
 
   private def parseBloom(n: JsonNode): Option[KeyBloom] =
     for {
@@ -195,6 +213,15 @@ object SnapshotCodec {
       bn.put("bits", b.bits)
       bn.put("k", b.k)
       bn.put("b64", b.b64)
+    }
+    if (st.cols.nonEmpty) {
+      val cn = sn.putObject("col_stats")
+      st.cols.toSeq.sortBy(_._1).foreach { case (name, r) =>
+        val rn = cn.putObject(name)
+        rn.put("min", r.min)
+        rn.put("max", r.max)
+        ()
+      }
     }
     ()
   }

@@ -134,16 +134,22 @@ object AzofScan {
       snapshot: Snapshot,
       asOf: AsOf,
       projection: Option[Set[String]] = None,
-      keyFilter: Option[KeyFilter] = None): DataFrame = {
+      keyFilter: Option[KeyFilter] = None,
+      valueFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : DataFrame = {
     val schema = snapshot.schema
     val outCols = schema
       .projectedStruct(projection)
       .fields.map(f => col(f.name)).toSeq
 
-    // time pruning (segment tree) then key-range data skipping (per-file
-    // stats); a key point-lookup on a key-partitioned layout reads one
-    // file instead of every time-pruned file
-    val entries = prunedEntries(snapshot, asOf, keyFilter)
+    // time pruning (segment tree), key-range data skipping (per-file
+    // stats), then the dedup-SOUND value-range skip (match + key-range
+    // closure, see [[graft.format.ValueStats]]); a key point-lookup on
+    // a key-partitioned layout reads one file instead of every
+    // time-pruned file, and a value predicate on the same layout reads
+    // only the slices that can satisfy it
+    val entries = graft.format.ValueStats.prune(schema,
+      prunedEntries(snapshot, asOf, keyFilter), valueFilters)
     val files = entries.map(_.file)
     if (files.isEmpty) {
       // As-of before every segment, Current on a fully-closed table

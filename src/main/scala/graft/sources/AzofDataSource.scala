@@ -162,7 +162,7 @@ final class AzofRelation(
     val projection =
       if (requiredColumns.isEmpty) None else Some(requiredColumns.toSet)
     val base = AzofScan.scanSnapshot(spark, table, snap, asOf, projection,
-      AzofRelation.extractKeyFilter(filters))
+      AzofRelation.extractKeyFilter(filters), filters.toSeq)
     val filtered = filters.flatMap(translate)
       .foldLeft(base)((df, c) => df.where(c))
     val ordered: DataFrame =

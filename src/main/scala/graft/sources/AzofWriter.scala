@@ -108,6 +108,43 @@ object AzofWriter {
     * ([[writePartitionedFiles]]) folds its stats into the one read-back
     * pass it already makes.
     */
+  /** The VALUE columns of `df` eligible for per-file range stats
+    * ([[graft.format.ValueStats]]), each with its canonical string
+    * encoder applied AFTER the typed min/max (aggregating the encoding
+    * would order "10" before "9"). Timestamp columns encode as epoch
+    * millis; system columns and the tombstone marker never carry
+    * ranges (key has its own stats, event_time IS the delta window).
+    */
+  private def valueStatCols(
+      df: DataFrame): Seq[(String, org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.toSeq.collect {
+      case f if f.name != TableSchema.KeyName &&
+        f.name != TableSchema.EventTimeName &&
+        f.name != TableSchema.DeletedName &&
+        (f.dataType == StringType || f.dataType == LongType ||
+          f.dataType == BooleanType) =>
+        f.name -> ((c: org.apache.spark.sql.Column) => c.cast("string"))
+      case f if f.name != TableSchema.EventTimeName &&
+        f.dataType == TimestampType =>
+        f.name -> ((c: org.apache.spark.sql.Column) =>
+          unix_millis(c).cast("string"))
+    }
+  }
+
+  /** Read back `2·names.size` min/max strings starting at `off` into
+    * the [[ColRange]] map, skipping all-NULL columns.
+    */
+  private def colRanges(
+      row: org.apache.spark.sql.Row, off: Int,
+      names: Seq[String]): Map[String, graft.format.ColRange] =
+    names.zipWithIndex.flatMap { case (n, i) =>
+      val (a, b) = (off + 2 * i, off + 2 * i + 1)
+      if (row.isNullAt(a) || row.isNullAt(b)) None
+      else Some(n -> graft.format.ColRange(row.getString(a), row.getString(b)))
+    }.toMap
+
   def writeDataFile(
       spark: SparkSession,
       df: DataFrame,
@@ -135,16 +172,20 @@ object AzofWriter {
         throw new IllegalStateException(s"rename $part -> $target failed")
       f.delete(tmp, true)
       val bc = bloomConf(spark)
+      val written = spark.read.parquet(target.toString)
+      val vcols = valueStatCols(written)
       val aggs = Seq(min(col(TableSchema.KeyName)),
-        max(col(TableSchema.KeyName))) ++ bloomColumn(spark, bc)
-      val mm = spark.read.parquet(target.toString)
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()(0)
+        max(col(TableSchema.KeyName))) ++ bloomColumn(spark, bc) ++
+        vcols.flatMap { case (n, enc) =>
+          Seq(enc(min(col(n))), enc(max(col(n)))) }
+      val mm = written.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val vOff = 2 + (if (bc.isDefined) 1 else 0)
       if (mm.isNullAt(0)) None
       else Some(FileStats(mm.getString(0), mm.getString(1),
         bc.map { case (bits, k) =>
           KeyBloom.fromBytes(mm.getAs[Array[Byte]](2), bits, k)
-        }))
+        },
+        colRanges(mm, vOff, vcols.map(_._1))))
     } finally conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
   }
 
@@ -557,12 +598,17 @@ object AzofWriter {
       // file, one stats pass (empty partitions produce row-less part
       // files that never appear here and are dropped)
       val bc = bloomConf(spark)
+      val written = spark.read.parquet(tmp.toString)
+      val vcols = valueStatCols(written)
       val aggs = Seq(min(col(TableSchema.EventTimeName)).as("_mn"),
         max(col(TableSchema.EventTimeName)).as("_mx"),
         min(col(TableSchema.KeyName)).as("_kmn"),
         max(col(TableSchema.KeyName)).as("_kmx")) ++
-        bloomColumn(spark, bc)
-      val stats = spark.read.parquet(tmp.toString)
+        bloomColumn(spark, bc) ++
+        vcols.flatMap { case (n, enc) =>
+          Seq(enc(min(col(n))), enc(max(col(n)))) }
+      val vOff = 5 + (if (bc.isDefined) 1 else 0)
+      val stats = written
         .groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -571,7 +617,8 @@ object AzofWriter {
             FileStats(r.getString(3), r.getString(4),
               bc.map { case (bits, k) =>
                 KeyBloom.fromBytes(r.getAs[Array[Byte]](5), bits, k)
-              }))))
+              },
+              colRanges(r, vOff, vcols.map(_._1))))))
         .toMap
       parts.zipWithIndex.flatMap { case (p, i) =>
         stats.get(p.getName).map { case (mn, mx, ks) =>

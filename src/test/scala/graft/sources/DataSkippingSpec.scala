@@ -58,9 +58,11 @@ class DataSkippingSpec extends AnyFunSuite {
     val lake = buildKeyPartitioned()
     val snap = AzofTable(spark, lake, "t").currentSnapshot
     val seg = snap.segments.head
-    assert(seg.fileStats.contains(FileStats("a", "d")))
-    assert(seg.delta.map(_.stats) ==
-      Seq(Some(FileStats("e", "h")), Some(FileStats("p", "t"))))
+    // key ranges as before; value-column ranges ride along (round 10)
+    assert(seg.fileStats.map(s => (s.keyMin, s.keyMax)).contains(("a", "d")))
+    assert(seg.delta.map(_.stats.map(s => (s.keyMin, s.keyMax))) ==
+      Seq(Some(("e", "h")), Some(("p", "t"))))
+    assert(seg.fileStats.get.cols.contains("value"))
     assert(SnapshotCodec.parse(SnapshotCodec.render(snap)) == snap)
     // the raw JSON carries the ext fields in snake_case
     val json = SnapshotCodec.render(snap)
