@@ -55,6 +55,7 @@ object AzofCli {
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
           "pq-create|pq-refresh|pq-search|export|" +
           "dedup-create|dedup-ingest|dedup-rebuild|dedup-survivors|" +
+          "dedup-apply|" +
           "sem-create|sem-refresh|sem-verdicts|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
@@ -507,6 +508,20 @@ object AzofCli {
               .orderBy("doc_id")
               .show(numRows = 10000, truncate = false)
         }
+      case "dedup-apply" =>
+        // tombstone-delete every live non-canonical doc, per the
+        // persisted indexes — the corpus BECOMES the dedup verdict:
+        //   dedup-apply --path L --table SRC --index-path L2
+        //     [--cc-table components] [--key-map key_map]
+        val n = graft.sources.DedupFlow.applyVerdict(spark,
+          opts("path"), opts("table"), opts("index-path"),
+          opts.getOrElse("cc-table", "components"),
+          opts.get("key-map"))
+        println(
+          if (n == 0) "nothing to delete: corpus already canonical"
+          else s"deleted $n non-canonical doc(s); version now " +
+            graft.format.AzofTable(spark, opts("path"), opts("table"))
+              .currentVersion)
       case "pq-search" =>
         // ADC top-k FROM the persisted codes; query vectors come from
         // the source rows named by --query-keys. --rerank R adds the

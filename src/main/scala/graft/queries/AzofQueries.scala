@@ -24,6 +24,7 @@ object AzofQueries {
     "q33_sql_insert" -> sqlInsert,
     "q34_bykey_lookup" -> byKeyLookup,
     "q40_sql_merge" -> sqlMerge,
+    "q41_value_skip" -> valueSkip,
     "q35_change_feed" -> changeFeed,
     "q36_strict_precedence" -> strictPrecedence,
     "q37_tombstone_delete" -> tombstoneDelete,
@@ -154,6 +155,26 @@ object AzofQueries {
     }
     s.read.format("azof").option("table", "events_bk").load(lake)
       .where(col("key").isin("7", "23", "41", "103"))
+      .select("key", "event_time", "event_type")
+  }
+
+  /** A VALUE-predicate scan over the by-key-clustered lake, under the
+    * oracle gate: exercises the dedup-sound value-range pruning path
+    * ([[graft.format.ValueStats]]) through the production reader — the
+    * match + key-range-closure logic must return exactly the unpruned
+    * answer (winners resolve BEFORE the predicate applies, so a key
+    * whose newest event is not a purchase must stay absent even though
+    * older purchase rows exist in kept files).
+    */
+  private def valueSkip(s: SparkSession, dir: String): DataFrame = {
+    val lake = cachedLake(dir, "bk-v1", "events_bk") { tmp =>
+      AzofWriter.createTable(s, tmp, "events_bk", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.commitPartitioned(s, tmp, "events_bk", eventsKv(s, dir),
+        numFiles = 8, byKey = true)
+    }
+    s.read.format("azof").option("table", "events_bk").load(lake)
+      .where(col("event_type") === "purchase")
       .select("key", "event_time", "event_type")
   }
 
@@ -533,6 +554,17 @@ object AzofQueries {
                FROM events
                WHERE date_trunc('milliseconds', ts) < TIMESTAMP '2024-01-10 00:00:00')
          WHERE rn = 1""",
+    // winners over ALL events whose newest row is a purchase — the
+    // predicate applies to the WINNER, never to older rows
+    "q41_value_skip" ->
+      """SELECT key, event_time, event_type FROM (
+           SELECT CAST(user_id AS VARCHAR) AS key,
+                  date_trunc('milliseconds', ts) AS event_time, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY date_trunc('milliseconds', ts) DESC,
+                             event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 AND event_type = 'purchase'""",
     // final post-MERGE state, recomputed relationally: pre-Jan-10
     // winners minus merged-away keys, plus tagged updates and inserts
     "q40_sql_merge" ->

@@ -396,6 +396,44 @@ object DedupFlow {
         col("component_id").isNotNull.as("is_canonical"))
   }
 
+  /** Apply the dedup verdict TO the corpus: tombstone-delete every live
+    * doc the persisted indexes mark non-canonical — the step that turns
+    * "survivors can be served" into "the table IS the deduplicated
+    * corpus" (downstream consumers, exports, and the change feed then
+    * see deletes as first-class events). One anti-join (live keys minus
+    * served survivors) and one [[AzofWriter.commitDelete]]; history
+    * before the apply still time-travels, and a later re-upload
+    * resurrects a key exactly like any other delete. Idempotent: a
+    * second apply over unchanged indexes deletes nothing and commits no
+    * version. Returns the number of deleted keys.
+    */
+  def applyVerdict(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String,
+      ccTable: String = "components",
+      keyMapTable: Option[String] = None,
+      at: java.time.Instant = java.time.Instant.now()): Long = {
+    val live = AzofScan.scan(spark, srcLake, srcTable)
+      .select(col(TableSchema.KeyName))
+    val keep = keyMapTable match {
+      case Some(km) =>
+        survivorsKeyed(spark, srcLake, srcTable, idxLake, km, ccTable)
+          .select(col("doc_key").as(TableSchema.KeyName))
+      case None =>
+        survivors(spark, srcLake, srcTable, idxLake, ccTable)
+          .select(col("doc_id").cast("string").as(TableSchema.KeyName))
+    }
+    val drop = live.join(keep, Seq(TableSchema.KeyName), "left_anti")
+      .persist()
+    try {
+      val n = drop.count()
+      if (n > 0)
+        AzofWriter.commitDelete(spark, srcLake, srcTable, drop, at)
+      n
+    } finally { drop.unpersist(); () }
+  }
+
   // ------------------------------------------------------ cursor sidecar
 
   private def cursorPath(

@@ -488,4 +488,40 @@ class DedupFlowSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(next2 == Map(1L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("applyVerdict tombstones non-canonical docs; idempotent; resurrectable") {
+    val srcLake = Files.createTempDirectory("azof-ddf-ap-src").toString
+    val idxLake = Files.createTempDirectory("azof-ddf-ap-idx").toString
+    val ck = Files.createTempDirectory("azof-ddf-ap-ck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      2L -> fam("w", "beta"),       // near-dup of 1 -> non-canonical
+      4L -> "completely different text entirely"),   // singleton: kept
+      "2024-01-02T00:00:00Z"))
+    DedupFlow.create(spark, idxLake)
+    DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake, ck,
+      ts("2024-02-01T00:00:00Z"))
+    val vBefore = AzofTable(spark, srcLake, "docs").currentVersion.toLong
+
+    val n = DedupFlow.applyVerdict(spark, srcLake, "docs", idxLake,
+      at = ts("2024-03-01T00:00:00Z"))
+    assert(n == 1)
+    val live = graft.operators.AzofScan.scan(spark, srcLake, "docs")
+      .select(TableSchema.KeyName).collect().map(_.getString(0)).sorted
+    assert(live.toSeq == Seq("1", "4"),
+      "canonical 1 and singleton 4 survive; near-dup 2 tombstoned")
+    // pre-apply state still time-travels
+    assert(graft.operators.AzofScan
+      .scan(spark, srcLake, "docs",
+        graft.format.AsOf.EventTime(ts("2024-02-15T00:00:00Z")))
+      .count() == 3)
+    // idempotent: second apply deletes nothing, commits nothing
+    val vAfter = AzofTable(spark, srcLake, "docs").currentVersion.toLong
+    assert(vAfter == vBefore + 1)
+    assert(DedupFlow.applyVerdict(spark, srcLake, "docs", idxLake,
+      at = ts("2024-03-02T00:00:00Z")) == 0)
+    assert(AzofTable(spark, srcLake, "docs").currentVersion.toLong == vAfter)
+  }
 }
