@@ -134,7 +134,9 @@ private final case class AzofDeltaFileMessage(
     file: String, rows: Long,
     minKey: String, maxKey: String,
     minTsUs: Long, maxTsUs: Long,
-    hasTombstone: Boolean) extends WriterCommitMessage
+    hasTombstone: Boolean,
+    colRanges: Map[String, (String, String)] = Map.empty)
+  extends WriterCommitMessage
 
 private final class AzofDeltaBatchWrite(
     lakehousePath: String, tableName: String, tableDir: String,
@@ -167,7 +169,9 @@ private final class AzofDeltaBatchWrite(
           m.file,
           Instant.ofEpochMilli(Math.floorDiv(m.minTsUs, 1000L)),
           Instant.ofEpochMilli(Math.floorDiv(m.maxTsUs, 1000L)),
-          Some(FileStats(m.minKey, m.maxKey)),
+          Some(FileStats(m.minKey, m.maxKey, None,
+            m.colRanges.map { case (n, (lo, hi)) =>
+              n -> graft.format.ColRange(lo, hi) })),
           tombstone = m.hasTombstone)).toIndexedSeq,
         op = "sql-dml")
     }
@@ -234,6 +238,57 @@ private final class AzofDeltaRowWriter(
   private var minTs = Long.MaxValue
   private var maxTs = Long.MinValue
   private var anyTombstone = false
+  // typed per-value-column min/max, tracked in-flight like the key
+  // range (same canonical encodings as the driver-side stats pass, so
+  // DML-landed files skip exactly like writeDataFile-landed ones)
+  private val vMin = new Array[Any](markerOrd)
+  private val vMax = new Array[Any](markerOrd)
+
+  private def trackValues(out: GenericInternalRow): Unit = {
+    import org.apache.spark.sql.types._
+    var i = 0
+    while (i < markerOrd) {
+      if (i != keyOrd && i != tsOrd && !out.isNullAt(i)) {
+        fileSchema(i).dataType match {
+          case StringType =>
+            val v = out.getUTF8String(i)
+            if (vMin(i) == null ||
+              v.compareTo(vMin(i).asInstanceOf[UTF8String]) < 0)
+              vMin(i) = v.clone()
+            if (vMax(i) == null ||
+              v.compareTo(vMax(i).asInstanceOf[UTF8String]) > 0)
+              vMax(i) = v.clone()
+          case LongType | TimestampType =>
+            val v = out.getLong(i)
+            if (vMin(i) == null || v < vMin(i).asInstanceOf[Long]) vMin(i) = v
+            if (vMax(i) == null || v > vMax(i).asInstanceOf[Long]) vMax(i) = v
+          case BooleanType =>
+            val v = out.getBoolean(i)
+            if (vMin(i) == null || (!v && vMin(i).asInstanceOf[Boolean]))
+              vMin(i) = v
+            if (vMax(i) == null || (v && !vMax(i).asInstanceOf[Boolean]))
+              vMax(i) = v
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+  }
+
+  private def encodedRanges: Map[String, (String, String)] = {
+    import org.apache.spark.sql.types._
+    (0 until markerOrd).flatMap { i =>
+      if (i == keyOrd || i == tsOrd || vMin(i) == null) None
+      else {
+        def enc(v: Any): String = fileSchema(i).dataType match {
+          case TimestampType =>
+            Math.floorDiv(v.asInstanceOf[Long], 1000L).toString
+          case _ => v.toString
+        }
+        Some(fileSchema(i).name -> (enc(vMin(i)), enc(vMax(i))))
+      }
+    }.toMap
+  }
 
   private def open(): Unit = if (writer == null) {
     val conf = new Configuration(hadoopConf)
@@ -281,6 +336,7 @@ private final class AzofDeltaRowWriter(
           ": every inserted/updated row needs a key and an event_time")
     out.update(markerOrd, null)
     track(out.getUTF8String(keyOrd), out.getLong(tsOrd))
+    trackValues(out)
     writer.write(out)
   }
 
@@ -323,7 +379,8 @@ private final class AzofDeltaRowWriter(
       AzofDeltaFileMessage(null, 0L, null, null, 0L, 0L, hasTombstone = false)
     else
       AzofDeltaFileMessage(fileName, rows,
-        minKey.toString, maxKey.toString, minTs, maxTs, anyTombstone)
+        minKey.toString, maxKey.toString, minTs, maxTs, anyTombstone,
+        encodedRanges)
   }
 
   override def abort(): Unit = {

@@ -68,6 +68,11 @@ class SqlDmlSpec extends AnyFunSuite {
     val newDeltas = snap.segments.head.delta.drop(1)
     assert(newDeltas.nonEmpty && newDeltas.forall(d =>
       d.stats.nonEmpty && !d.tombstone))
+    // DML task writers stamp value-column ranges in-flight, like every
+    // other commit path — the landed rows are 'b1!' / 'c1!'
+    val ranges = newDeltas.flatMap(_.stats.get.cols.get("value"))
+    assert(ranges.nonEmpty &&
+      ranges.map(_.min).min == "b1!" && ranges.map(_.max).max == "c1!")
     // commit-level history still travels: VERSION AS OF the pre-update
     // snapshot shows the original rows. EVENT-time as-of reflects the
     // rewrite at any instant >= the row's event_time — the update kept
