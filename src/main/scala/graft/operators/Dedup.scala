@@ -551,31 +551,30 @@ object Dedup {
     * by joining the pairs against the shingle sets (shuffles scale with
     * |candidates|·avg-shingles, not |docs|²).
     *
-    * Plan shape (round 10): ONE verify join instead of three. Each
-    * (distinct) candidate pair explodes to its two (pair, doc) rows,
-    * one hash join tags every shingle with its side, and a two-level
-    * aggregate yields |A|, |B|, |A∩B| together — the shingle frame
-    * (narrow but derived from a corpus scan) is evaluated once here
-    * rather than three times (intersection join per side + sizes).
-    * Pairs with an endpoint absent from `sh` (docs under 3 words) drop,
-    * exactly as the previous inner-size-join shape did; zero-overlap
-    * pairs keep their jaccard = 0 row.
+    * Plan-shape note (measured round 10): this is deliberately the
+    * intersection-join + two size-joins layout, NOT
+    * [[containmentPairs]]' single side-tagged verify join. The one-join
+    * shape re-derives the shingle frame once instead of three times and
+    * measured 2× faster for containment's large capped candidate sets —
+    * but 60% SLOWER here (QueryProbe d03 min-of-8: 0.96 s vs 1.55 s at
+    * sf0.1), where LSH hands over a few dozen pairs and the dominant
+    * cost is the two cheap broadcast joins vs an extra wide two-level
+    * hash aggregation over (pair, shingle) keys. Pick the verify shape
+    * by candidate volume, not uniformity.
     */
   def ngramJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val pairDocs = cands
-      .select(struct(col("doc_a"), col("doc_b")).as("_p"))
-      .select(col("_p"), explode(array(col("_p.doc_a"), col("_p.doc_b")))
-        .as("doc_id"))
-      .withColumn("_isA", col("doc_id") === col("_p.doc_a"))
-    pairDocs.join(sh, Seq("doc_id"))
-      .groupBy(col("_p"), col("sh"))
-      .agg(max(when(col("_isA"), 1L).otherwise(0L)).as("_a"),
-        max(when(!col("_isA"), 1L).otherwise(0L)).as("_b"))
-      .groupBy("_p")
-      .agg(sum("_a").as("n_a"), sum("_b").as("n_b"),
-        sum(col("_a") * col("_b")).as("n_inter"))
-      .where(col("n_a") > 0 && col("n_b") > 0)
-      .select(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"),
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .where(col("sh") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    cands
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
