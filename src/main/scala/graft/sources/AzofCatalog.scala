@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[AzofWriter]]'s commit protocol, which a `createTable(ident, ...)`
   * DDL path would bypass.
   */
-class AzofCatalog extends TableCatalog {
+class AzofCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var lakehousePath: String = _
 
@@ -51,6 +52,18 @@ class AzofCatalog extends TableCatalog {
   }
 
   override def name(): String = catalogName
+
+  /** `CALL <cat>.system.<proc>(...)` — SQL maintenance procedures
+    * ([[AzofProcedures]]: compact, vacuum, purge, dedup_apply).
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    AzofProcedures.load(lakehousePath, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      AzofProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   private def spark: SparkSession = SparkSession.active
 

@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.format.AzofTable
+import java.time.Instant
+import java.util.{Collections, Iterator => JIterator}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL maintenance procedures — Spark 4's native `ProcedureCatalog`
+  * surface over the table-maintenance library calls, so operations a
+  * lakehouse operator runs on a schedule are one `CALL` away from any
+  * SQL client (the Iceberg `CALL cat.system.x(...)` convention):
+  *
+  * {{{
+  * CALL lake.system.compact(`table` => 't', at => '2024-06-01T00:00:00Z',
+  *                          files => 4, by_key => true)
+  * CALL lake.system.vacuum(`table` => 't', keep => 10, dry_run => true)
+  * CALL lake.system.purge(`table` => 't', before => '2024-06-01T00:00:00Z')
+  * CALL lake.system.dedup_apply(`table` => 't', index_path => '/idx')
+  * }}}
+  *
+  * Each procedure delegates to the SAME implementation the CLI and
+  * library callers use ([[AzofWriter.compact]], [[AzofVacuum.vacuum]],
+  * [[AzofWriter.purgeDeleted]], [[DedupFlow.applyVerdict]]) and
+  * returns a one-row summary via `LocalScan` — results are
+  * driver-sized by construction (counts and version stamps, never row
+  * data). `table` needs backquotes in the named-argument form: it is a
+  * SQL keyword.
+  */
+object AzofProcedures {
+
+  val Names: Seq[String] = Seq("compact", "vacuum", "purge", "dedup_apply")
+
+  def load(path: String, ident: Identifier): UnboundProcedure = {
+    val name = ident.name.toLowerCase
+    require(ident.namespace.sameElements(Array("system")) &&
+      Names.contains(name),
+      s"unknown azof procedure ${ident.namespace.mkString(".")}.${ident.name}" +
+        s" (expected system.{${Names.mkString(", ")}})")
+    new Unbound(path, name)
+  }
+
+  private final class Unbound(path: String, name: String)
+    extends UnboundProcedure {
+    override def name(): String = name
+    override def description(): String = s"azof system.$name"
+    override def bind(inputType: StructType): BoundProcedure =
+      new Bound(path, name)
+  }
+
+  private def p(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+  private def pd(n: String, t: DataType, dflt: String) =
+    ProcedureParameter.in(n, t).defaultValue(dflt).build()
+
+  private final class Bound(path: String, name: String)
+    extends BoundProcedure {
+    override def name(): String = name
+    override def description(): String = s"azof system.$name"
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = name match {
+      case "compact" => Array(
+        p("table", StringType), p("at", StringType),
+        pd("files", IntegerType, "1"), pd("by_key", BooleanType, "false"))
+      case "vacuum" => Array(
+        p("table", StringType), p("keep", IntegerType),
+        pd("min_age_hours", IntegerType, "1"),
+        pd("dry_run", BooleanType, "false"))
+      case "purge" => Array(
+        p("table", StringType), p("before", StringType))
+      case "dedup_apply" => Array(
+        p("table", StringType), p("index_path", StringType),
+        pd("cc_table", StringType, "'components'"),
+        pd("key_map", StringType, "CAST(NULL AS STRING)"))
+    }
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      def str(i: Int): String =
+        if (input.isNullAt(i)) null else input.getUTF8String(i).toString
+      val out: (StructType, Seq[Any]) = name match {
+        case "compact" =>
+          AzofWriter.compact(spark, path, str(0), Instant.parse(str(1)),
+            input.getInt(2), byKey = input.getBoolean(3))
+          (StructType(Seq(StructField("version", LongType))),
+            Seq(AzofTable(spark, path, str(0)).currentVersion.toLong))
+        case "vacuum" =>
+          val r = AzofVacuum.vacuum(spark, path, str(0), input.getInt(1),
+            dryRun = input.getBoolean(3),
+            minAgeMs = input.getInt(2) * 3600L * 1000L)
+          // counts go out as Long uniformly: Seq(Long, Int, …) would
+          // silently WIDEN every element to Long while the schema said
+          // IntegerType — a ClassCastException at row projection
+          (StructType(Seq(
+            StructField("deleted_data_files", LongType),
+            StructField("deleted_snapshots", LongType),
+            StructField("retained_snapshots", LongType))),
+            Seq(r.deletedDataFiles.size.toLong, r.deletedSnapshots.size.toLong,
+              r.retainedSnapshots.size.toLong))
+        case "purge" =>
+          val r = AzofWriter.purgeDeleted(spark, path, str(0),
+            Instant.parse(str(1)))
+          (StructType(Seq(
+            StructField("purged_keys", LongType),
+            StructField("rewritten_files", LongType),
+            StructField("dropped_files", LongType))),
+            Seq(r.purgedKeys, r.rewrittenFiles.size.toLong,
+              r.droppedFiles.size.toLong))
+        case "dedup_apply" =>
+          val n = DedupFlow.applyVerdict(spark, path, str(0), str(1),
+            str(2), Option(str(3)))
+          (StructType(Seq(StructField("deleted_docs", LongType))), Seq(n))
+      }
+      val row = new GenericInternalRow(out._2.map {
+        case s: String => UTF8String.fromString(s)
+        case v => v.asInstanceOf[AnyRef]
+      }.toArray[Any])
+      Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = out._1
+      }).iterator()
+    }
+  }
+}

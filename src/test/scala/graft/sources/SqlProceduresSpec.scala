@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format._
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL maintenance procedures ([[AzofProcedures]]) through Spark 4's
+  * native `ProcedureCatalog`: `CALL cat.system.{compact, vacuum, purge,
+  * dedup_apply}` delegate to the same library implementations the CLI
+  * uses and return one summary row each.
+  */
+class SqlProceduresSpec extends AnyFunSuite {
+  private lazy val lake = Files.createTempDirectory("azof-proc").toString
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.proc", classOf[AzofCatalog].getName)
+    s.conf.set("spark.sql.catalog.proc.path", lake)
+    s
+  }
+
+  private def ts(s: String) = Instant.parse(s)
+  private val schema = TableSchema(Seq(
+    ColumnDef("value", ColumnType.AzString, nullable = false)))
+
+  private def df(rows: (String, String, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, t, v) =>
+        Row(k, Timestamp.from(ts(t)), v) }),
+      schema.toStruct)
+
+  private def mk(table: String, rows: (String, String, String)*): Unit = {
+    AzofWriter.createTable(spark, lake, table, schema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitDelta(spark, lake, table, df(rows: _*),
+      ts(rows.map(_._2).min), ts(rows.map(_._2).max))
+  }
+
+  test("CALL system.compact with named args (table needs backquotes)") {
+    mk("c1",
+      ("1", "2024-01-05T00:00:00Z", "a"),
+      ("2", "2024-01-06T00:00:00Z", "b"))
+    AzofWriter.commitDelta(spark, lake, "c1",
+      df(("1", "2024-02-05T00:00:00Z", "a2")),
+      ts("2024-02-05T00:00:00Z"), ts("2024-02-05T00:00:00Z"))
+    val r = spark.sql(
+      "CALL proc.system.compact(`table` => 'c1', " +
+        "at => '2024-06-01T00:00:00Z', by_key => true)").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(4L)) // create+2 deltas+compact
+    // the compacted view is intact
+    val got = spark.sql("SELECT key, value FROM proc.c1").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq("1" -> "a2", "2" -> "b"))
+  }
+
+  test("CALL system.vacuum dry-run reports, wet run deletes") {
+    mk("v1", ("1", "2024-01-05T00:00:00Z", "a"))
+    (1 to 3).foreach { i =>
+      AzofWriter.commitDelta(spark, lake, "v1",
+        df(("1", s"2024-02-0${i}T00:00:00Z", s"a$i")),
+        ts(s"2024-02-0${i}T00:00:00Z"), ts(s"2024-02-0${i}T00:00:00Z"))
+    }
+    val dry = spark.sql(
+      "CALL proc.system.vacuum(`table` => 'v1', keep => 1, " +
+        "min_age_hours => 0, dry_run => true)").collect()(0)
+    assert(dry.getLong(1) > 0, s"dry run should report snapshots: $dry")
+    val before = AzofTable(spark, lake, "v1").currentVersion
+    val wet = spark.sql(
+      "CALL proc.system.vacuum(`table` => 'v1', keep => 1, " +
+        "min_age_hours => 0)").collect()(0)
+    assert(wet.getLong(1) == dry.getLong(1))
+    // table still reads after the vacuum
+    assert(AzofTable(spark, lake, "v1").currentVersion == before)
+    assert(spark.sql("SELECT value FROM proc.v1").collect()
+      .map(_.getString(0)).toSeq == Seq("a3"))
+  }
+
+  test("CALL system.purge erases settled deletes physically") {
+    mk("p1",
+      ("1", "2024-01-05T00:00:00Z", "a"),
+      ("2", "2024-01-06T00:00:00Z", "b"))
+    AzofWriter.commitDelete(spark, lake, "p1", Seq("1"),
+      ts("2024-03-01T00:00:00Z"))
+    val r = spark.sql(
+      "CALL proc.system.purge(`table` => 'p1', " +
+        "before => '2024-06-01T00:00:00Z')").collect()(0)
+    assert(r.getLong(0) == 1L, s"one key purged: $r")
+    // the key is gone from every as-of
+    assert(spark.sql("SELECT key FROM proc.p1 TIMESTAMP AS OF " +
+      "'2024-02-01T00:00:00Z'").collect().map(_.getString(0)).toSeq ==
+      Seq("2"))
+  }
+
+  test("unknown procedures refuse with the catalog's procedure list") {
+    mk("u1", ("1", "2024-01-05T00:00:00Z", "a"))
+    val e = intercept[Exception] {
+      spark.sql("CALL proc.system.frobnicate('u1')").collect()
+    }
+    assert(e.getMessage.contains("frobnicate") ||
+      Option(e.getCause).exists(_.getMessage.contains("frobnicate")))
+  }
+}
