@@ -513,10 +513,14 @@ object AzofCli {
         // persisted indexes — the corpus BECOMES the dedup verdict:
         //   dedup-apply --path L --table SRC --index-path L2
         //     [--cc-table components] [--key-map key_map]
+        //     [--sem-path L3 --sem-table IDX]  (also drop SemDeDup's
+        //     kept=false docs — the p02 composition, applied)
         val n = graft.sources.DedupFlow.applyVerdict(spark,
           opts("path"), opts("table"), opts("index-path"),
           opts.getOrElse("cc-table", "components"),
-          opts.get("key-map"))
+          opts.get("key-map"),
+          opts.get("sem-path").map(p =>
+            (p, opts.getOrElse("sem-table", "sem"))))
         println(
           if (n == 0) "nothing to delete: corpus already canonical"
           else s"deleted $n non-canonical doc(s); version now " +

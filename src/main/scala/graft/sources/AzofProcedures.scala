@@ -77,7 +77,9 @@ object AzofProcedures {
       case "dedup_apply" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("cc_table", StringType, "'components'"),
-        pd("key_map", StringType, "CAST(NULL AS STRING)"))
+        pd("key_map", StringType, "CAST(NULL AS STRING)"),
+        pd("sem_path", StringType, "CAST(NULL AS STRING)"),
+        pd("sem_table", StringType, "'sem'"))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -114,7 +116,8 @@ object AzofProcedures {
               r.droppedFiles.size.toLong))
         case "dedup_apply" =>
           val n = DedupFlow.applyVerdict(spark, path, str(0), str(1),
-            str(2), Option(str(3)))
+            str(2), Option(str(3)),
+            Option(str(4)).map(p => (p, str(5))))
           (StructType(Seq(StructField("deleted_docs", LongType))), Seq(n))
       }
       val row = new GenericInternalRow(out._2.map {

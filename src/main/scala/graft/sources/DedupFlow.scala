@@ -407,12 +407,20 @@ object DedupFlow {
     * second apply over unchanged indexes deletes nothing and commits no
     * version. Returns the number of deleted keys.
     */
+  /** @param semIndex additionally drop docs a persisted SemDeDup index
+    *                  ([[SemDedupIndex]]) marks `kept = false` — the
+    *                  p02 export gate's near-dup ∩ semantic composition
+    *                  applied to the table itself. `(lake, table)` of
+    *                  the verdict index; numeric or keyed mode is
+    *                  auto-detected from its frozen model.
+    */
   def applyVerdict(
       spark: SparkSession,
       srcLake: String, srcTable: String,
       idxLake: String,
       ccTable: String = "components",
       keyMapTable: Option[String] = None,
+      semIndex: Option[(String, String)] = None,
       at: java.time.Instant = java.time.Instant.now()): Long = {
     val live = AzofScan.scan(spark, srcLake, srcTable)
       .select(col(TableSchema.KeyName))
@@ -424,8 +432,19 @@ object DedupFlow {
         survivors(spark, srcLake, srcTable, idxLake, ccTable)
           .select(col("doc_id").cast("string").as(TableSchema.KeyName))
     }
-    val drop = live.join(keep, Seq(TableSchema.KeyName), "left_anti")
-      .persist()
+    val ccDrop = live.join(keep, Seq(TableSchema.KeyName), "left_anti")
+    val drop = (semIndex match {
+      case Some((sl, st)) =>
+        val v = SemDedupIndex.verdictsAuto(spark, sl, st)
+          .where(!col("kept"))
+        val semKeys = v.select(
+          (if (v.columns.contains("vec_key")) col("vec_key")
+          else col("vec_id").cast("string")).as(TableSchema.KeyName))
+        ccDrop.unionByName(
+          live.join(semKeys, Seq(TableSchema.KeyName), "left_semi"))
+          .distinct()
+      case None => ccDrop
+    }).persist()
     try {
       val n = drop.count()
       if (n > 0)

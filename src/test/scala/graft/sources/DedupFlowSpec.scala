@@ -524,4 +524,37 @@ class DedupFlowSpec extends AnyFunSuite {
       at = ts("2024-03-02T00:00:00Z")) == 0)
     assert(AzofTable(spark, srcLake, "docs").currentVersion.toLong == vAfter)
   }
+
+  test("applyVerdict composes a SemDeDup index: near-dup AND semantic drops") {
+    val lake = Files.createTempDirectory("azof-ddf-sem").toString
+    val semCk = Files.createTempDirectory("azof-ddf-sem-ck").toString
+    // source doubles as the sem index's vector corpus: docs 1 and 2 are
+    // the SAME direction (sem near-dups, higher id 2 drops), doc 30 is
+    // orthogonal (kept); no textual near-dups, so the CC index is empty
+    // and every doc survives the near-dup gate
+    val vecSchema = graft.format.TableSchema(Seq(
+      graft.format.ColumnDef("vec", graft.format.ColumnType.AzString,
+        nullable = false)))
+    def vrows(ids: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map { i =>
+        val v = if (i < 10) Array(1.0, 0.0) else Array(0.0, 1.0)
+        Row(i.toString, Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          v.mkString("[", ",", "]"))
+      }), vecSchema.toStruct)
+    AzofWriter.createTable(spark, lake, "emb", vecSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "emb", vrows(Seq(1L, 2L, 30L)))
+    SemDedupIndex.create(spark, lake, "emb", "vec", lake, "sem",
+      k = 2, threshold = 0.9)
+    SemDedupIndex.refresh(spark, lake, "emb", "vec", lake, "sem", semCk)
+      .awaitTermination(120000)
+
+    DedupFlow.create(spark, lake)
+    val n = DedupFlow.applyVerdict(spark, lake, "emb", lake,
+      semIndex = Some((lake, "sem")), at = ts("2024-03-01T00:00:00Z"))
+    assert(n == 1, s"only the semantic dup should drop: $n")
+    val live = graft.operators.AzofScan.scan(spark, lake, "emb")
+      .select(TableSchema.KeyName).collect().map(_.getString(0)).sorted
+    assert(live.toSeq == Seq("1", "30"))
+  }
 }
