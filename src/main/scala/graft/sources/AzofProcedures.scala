@@ -35,7 +35,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AzofProcedures {
 
-  val Names: Seq[String] = Seq("compact", "vacuum", "purge", "dedup_apply")
+  val Names: Seq[String] =
+    Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest")
 
   def load(path: String, ident: Identifier): UnboundProcedure = {
     val name = ident.name.toLowerCase
@@ -80,6 +81,11 @@ object AzofProcedures {
         pd("key_map", StringType, "CAST(NULL AS STRING)"),
         pd("sem_path", StringType, "CAST(NULL AS STRING)"),
         pd("sem_table", StringType, "'sem'"))
+      case "dedup_ingest" => Array(
+        p("table", StringType), p("index_path", StringType),
+        pd("text_col", StringType, "'text'"),
+        pd("min_jaccard", DoubleType, "0.5"),
+        pd("key_map", StringType, "CAST(NULL AS STRING)"))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -119,6 +125,25 @@ object AzofProcedures {
             str(2), Option(str(3)),
             Option(str(4)).map(p => (p, str(5))))
           (StructType(Seq(StructField("deleted_docs", LongType))), Seq(n))
+        case "dedup_ingest" =>
+          // stable checkpoint derived from the signature table — the
+          // same rule as the CLI: a fresh dir per call would be a new
+          // streaming appId replaying the whole commit feed every time
+          val ckpt = new org.apache.hadoop.fs.Path(str(1),
+            "minhash_sig/_refresh_checkpoint").toString
+          val r = DedupFlow.ingest(spark, path, str(0), str(2), str(1),
+            ckpt, Instant.ofEpochMilli(System.currentTimeMillis()),
+            minJaccard = input.getDouble(3),
+            keyMap = Option(str(4)))
+          (StructType(Seq(
+            StructField("from_version", LongType),
+            StructField("to_version", LongType),
+            StructField("churned", LongType),
+            StructField("candidates", LongType),
+            StructField("verified", LongType),
+            StructField("relabeled", LongType))),
+            Seq(r.fromVersion, r.toVersion, r.churned, r.candidates,
+              r.verified, r.relabeled))
       }
       val row = new GenericInternalRow(out._2.map {
         case s: String => UTF8String.fromString(s)

@@ -94,6 +94,36 @@ class SqlProceduresSpec extends AnyFunSuite {
       Seq("2"))
   }
 
+  test("CALL dedup_ingest + dedup_apply run the whole pipeline from SQL") {
+    val textSchema = TableSchema(Seq(
+      ColumnDef("text", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, lake, "corpus", textSchema,
+      ts("2024-01-01T00:00:00Z"))
+    val fam = (1 to 7).map(i => s"w$i")
+    AzofWriter.commitBase(spark, lake, "corpus",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+            (fam :+ "alpha").mkString(" ")),
+          Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+            (fam :+ "beta").mkString(" ")),
+          Row("9", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+            "entirely different text about something else"))),
+        textSchema.toStruct))
+    DedupFlow.create(spark, lake)
+
+    val ing = spark.sql(
+      "CALL proc.system.dedup_ingest(`table` => 'corpus', " +
+        s"index_path => '$lake')").collect()(0)
+    assert(ing.getAs[Long]("verified") >= 1, s"near-dup pair verifies: $ing")
+    val app = spark.sql(
+      "CALL proc.system.dedup_apply(`table` => 'corpus', " +
+        s"index_path => '$lake')").collect()(0)
+    assert(app.getLong(0) == 1L, s"one near-dup drops: $app")
+    assert(spark.sql("SELECT key FROM proc.corpus").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("1", "9"))
+  }
+
   test("unknown procedures refuse with the catalog's procedure list") {
     mk("u1", ("1", "2024-01-05T00:00:00Z", "a"))
     val e = intercept[Exception] {
