@@ -66,6 +66,16 @@ object ValueStats {
         Some(java.lang.Boolean.compare(a.toBoolean, b.toBoolean))
     } catch { case _: IllegalArgumentException => None }
 
+  /** Least string greater than EVERY string with prefix `v` (drop
+    * trailing U+FFFFs, increment the last remaining char); None when v
+    * is all-U+FFFF — no finite upper bound exists.
+    */
+  private def prefixSuccessor(v: String): Option[String] = {
+    val t = v.reverse.dropWhile(_ == '￿').reverse
+    if (t.isEmpty) None
+    else Some(t.init + (t.last + 1).toChar)
+  }
+
   /** Could a file with `stats` hold a row satisfying pushed conjunct
     * `f`? Conservative: anything unrecognized is true.
     */
@@ -104,6 +114,17 @@ object ValueStats {
         case Some((t, r)) => encode(t, v).forall(ev =>
           cmp(t, r.min, ev).forall(_ <= 0))
         case None => true
+      }
+      case StringStartsWith(a, v) if v != null => range(a) match {
+        // strings with prefix v live in [v, prefixSuccessor(v)): the
+        // file may hold one iff its range intersects that interval
+        // (String columns only — range(a) is typed by the declared
+        // schema). The successor increments v's last non-U+FFFF char —
+        // `v + "￿"` as an upper bound would wrongly prune a file
+        // whose min is v + "￿" + …, which itself has prefix v.
+        case Some((ColumnType.AzString, r)) =>
+          r.max >= v && prefixSuccessor(v).forall(s => r.min < s)
+        case _ => true
       }
       case And(l, r) => mayMatch(schema, stats, l) && mayMatch(schema, stats, r)
       case Or(l, r) => mayMatch(schema, stats, l) || mayMatch(schema, stats, r)

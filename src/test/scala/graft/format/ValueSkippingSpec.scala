@@ -66,6 +66,19 @@ class ValueSkippingSpec extends AnyFunSuite {
     assert(m(EqualTo("absent", "x")) && m(IsNull("kind")))
   }
 
+  test("StringStartsWith prunes by prefix interval, U+FFFF-safe") {
+    def st(lo: String, hi: String) = FileStats("a", "z", None,
+      Map("kind" -> ColRange(lo, hi)))
+    def m(s: FileStats, f: Filter) = ValueStats.mayMatch(schema, s, f)
+    assert(m(st("click", "view"), StringStartsWith("kind", "cl")))
+    assert(!m(st("click", "view"), StringStartsWith("kind", "a")))
+    assert(!m(st("click", "view"), StringStartsWith("kind", "z")))
+    // boundary: range starting exactly at the prefix's successor
+    assert(!m(st("cm", "zz"), StringStartsWith("kind", "cl")))
+    // a min of prefix+U+FFFF+… still HAS the prefix — must not prune
+    assert(m(st("cl￿x", "zz"), StringStartsWith("kind", "cl")))
+  }
+
   test("the naive-pruner hazard: a newer non-matching row still wins") {
     val lake = Files.createTempDirectory("azof-vs2").toString
     AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))

@@ -300,4 +300,35 @@ class TombstoneSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(out == Seq("1" -> "a1"))
   }
+
+  test("equal-(event_time, window-start) cross-file tie: the LATER commit wins, both directions") {
+    // round-10 precedence rule: deltas sharing a window start rank by
+    // registration order, later first — so at an exact event-time tie
+    // the later STATEMENT wins, whatever it is. Delete-then-reinsert at
+    // the same instant resurrects; insert-then-delete stays deleted.
+    val lake1 = Files.createTempDirectory("azof-tie1").toString
+    AzofWriter.createTable(spark, lake1, "t", schema,
+      ts("2024-01-01T00:00:00Z"))
+    val T = "2024-03-01T00:00:00Z"
+    AzofWriter.commitDelta(spark, lake1, "t",
+      df(("1", "2024-01-05T00:00:00Z", "a1")),
+      ts("2024-01-05T00:00:00Z"), ts("2024-01-05T00:00:00Z"))
+    AzofWriter.commitDelete(spark, lake1, "t", Seq("1"), ts(T))
+    AzofWriter.commitDelta(spark, lake1, "t",
+      df(("1", T, "a2")), ts(T), ts(T))
+    assert(current(lake1) == Seq("1" -> "a2"),
+      "same-instant re-insert AFTER the delete resurrects")
+
+    val lake2 = Files.createTempDirectory("azof-tie2").toString
+    AzofWriter.createTable(spark, lake2, "t", schema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitDelta(spark, lake2, "t",
+      df(("1", "2024-01-05T00:00:00Z", "a1")),
+      ts("2024-01-05T00:00:00Z"), ts("2024-01-05T00:00:00Z"))
+    AzofWriter.commitDelta(spark, lake2, "t",
+      df(("1", T, "a2")), ts(T), ts(T))
+    AzofWriter.commitDelete(spark, lake2, "t", Seq("1"), ts(T))
+    assert(current(lake2) == Seq.empty,
+      "same-instant delete AFTER the insert suppresses")
+  }
 }
