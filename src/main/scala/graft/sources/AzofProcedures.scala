@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object AzofProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest")
+    Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
+      "sem_refresh")
 
   def load(path: String, ident: Identifier): UnboundProcedure = {
     val name = ident.name.toLowerCase
@@ -86,6 +87,10 @@ object AzofProcedures {
         pd("text_col", StringType, "'text'"),
         pd("min_jaccard", DoubleType, "0.5"),
         pd("key_map", StringType, "CAST(NULL AS STRING)"))
+      case "sem_refresh" => Array(
+        p("table", StringType), p("index_path", StringType),
+        pd("index_table", StringType, "'sem'"),
+        pd("vec_col", StringType, "'vec'"))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -144,6 +149,19 @@ object AzofProcedures {
             StructField("relabeled", LongType))),
             Seq(r.fromVersion, r.toVersion, r.churned, r.candidates,
               r.verified, r.relabeled))
+        case "sem_refresh" =>
+          val ckpt = new org.apache.hadoop.fs.Path(str(1),
+            str(2) + "/_refresh_checkpoint").toString
+          var docs = 0L; var cmp = 0L; var batches = 0L
+          SemDedupIndex.refresh(spark, path, str(0), str(3), str(1),
+            str(2), ckpt, onStats = s => {
+              batches += 1; docs += s.batchDocs; cmp += s.pairComparisons
+            }).awaitTermination()
+          (StructType(Seq(
+            StructField("batches", LongType),
+            StructField("docs", LongType),
+            StructField("comparisons", LongType))),
+            Seq(batches, docs, cmp))
       }
       val row = new GenericInternalRow(out._2.map {
         case s: String => UTF8String.fromString(s)

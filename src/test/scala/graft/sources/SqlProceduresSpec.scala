@@ -124,6 +124,31 @@ class SqlProceduresSpec extends AnyFunSuite {
       .map(_.getString(0)).sorted.toSeq == Seq("1", "9"))
   }
 
+  test("CALL sem_refresh verdicts the commit feed against the frozen model") {
+    val vecSchema = TableSchema(Seq(
+      ColumnDef("vec", ColumnType.AzString, nullable = false)))
+    def vrows(ids: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map { i =>
+        val v = if (i < 10) Array(1.0, 0.0) else Array(0.0, 1.0)
+        Row(i.toString, Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          v.mkString("[", ",", "]"))
+      }), vecSchema.toStruct)
+    AzofWriter.createTable(spark, lake, "emb", vecSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "emb", vrows(Seq(1L, 2L, 30L)))
+    SemDedupIndex.create(spark, lake, "emb", "vec", lake, "sem",
+      k = 2, threshold = 0.9)
+
+    val r = spark.sql(
+      "CALL proc.system.sem_refresh(`table` => 'emb', " +
+        s"index_path => '$lake')").collect()(0)
+    assert(r.getAs[Long]("docs") == 3L, s"three docs verdicted: $r")
+    val verdicts = SemDedupIndex.verdicts(spark, lake, "sem")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(verdicts == Map(1L -> true, 2L -> false, 30L -> true),
+      s"doc 2 drops to its same-direction lower id: $verdicts")
+  }
+
   test("unknown procedures refuse with the catalog's procedure list") {
     mk("u1", ("1", "2024-01-05T00:00:00Z", "a"))
     val e = intercept[Exception] {
