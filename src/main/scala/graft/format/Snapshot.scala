@@ -53,9 +53,12 @@ final case class FileStats(
   * `_azof_deleted` marker column (delete commits and their compaction
   * carry-forwards) — a read-schema hint, not a "rows are all deletes"
   * claim (a carry-forward file can mix tombstone and data rows).
+  * `seq` is the registering commit's sequence number ([[Delta.seq]];
+  * None for base files and pre-seq/foreign commits).
   */
 final case class FileEntry(
-    file: String, stats: Option[FileStats], tombstone: Boolean = false)
+    file: String, stats: Option[FileStats], tombstone: Boolean = false,
+    seq: Option[Long] = None)
 
 /** A delta file: updates/inserts covering an event-time window
   * (reference: crates/azof/src/metadata.rs:89-96). A delta participates in
@@ -65,11 +68,26 @@ final case class FileEntry(
   * `tombstone` marks files carrying the `_azof_deleted` marker column
   * (this engine's delete extension — serialized as an extra JSON field
   * the reference's serde parser ignores, like `stats` and `op`).
+  *
+  * `seq` is the COMMIT SEQUENCE extension: the snapshot version at which
+  * this delta was first registered, stamped by every data-adding commit
+  * path and carried verbatim through rewrites (purge preserves it; a
+  * delta's seq never changes after registration). It gives the scan a
+  * GLOBAL later-commit-wins order for exact event-time ties — the
+  * window-start-derived list position alone cannot express it when one
+  * commit (a multi-key SQL UPDATE) touches rows whose original deltas
+  * have different window starts: the DML file's start is the min over
+  * its rows, so an original delta with a newer start would outrank it
+  * and its stale row would win the tie. None = pre-seq or foreign
+  * commit (ordering falls back to precedence position, the pre-seq
+  * behavior). Serialized as an extra JSON field the reference's serde
+  * parser ignores.
   */
 final case class Delta(
     file: String, start: Instant, end: Instant,
     stats: Option[FileStats] = None,
-    tombstone: Boolean = false) {
+    tombstone: Boolean = false,
+    seq: Option[Long] = None) {
   def isBefore(asOf: AsOf): Boolean = asOf match {
     case AsOf.Current      => true
     case AsOf.EventTime(t) => !start.isAfter(t) // start <= t
@@ -108,14 +126,20 @@ final case class Segment(
     *
     * EQUAL window starts break toward the LATER-REGISTERED delta (list
     * position, which is commit order within a segment): per-key winners
-    * resolve by `(event_time desc, precedence)`, so this tie-break is
-    * what makes "the later commit wins an exact event-time tie" hold
-    * when two commits share a window start — an UPDATE rewriting a row
-    * at its original event_time, or two same-instant upsert batches.
-    * The stable sort's old first-registered-wins order inverted that:
-    * the rewrite landed, then lost the tie to the very row it replaced.
-    * (The reference sorts by start alone, `metadata.rs:56`; its own
-    * test layouts carry distinct starts, so parity is unaffected.)
+    * resolve by `(event_time desc, seq desc, precedence)`, and for
+    * pre-seq commits this tie-break is what makes "the later commit
+    * wins an exact event-time tie" hold when two commits share a window
+    * start — an UPDATE rewriting a row at its original event_time, or
+    * two same-instant upsert batches. (Seq-stamped commits get the same
+    * verdict from the seq ordering regardless of list position.)
+    *
+    * `strictOrder = true` (the `spark.azof.strictPrecedence`
+    * compatibility mode) keeps the reference reader's order instead:
+    * Rust's STABLE `sort_by` on start alone (`metadata.rs:56`) leaves
+    * equal-start deltas first-registered-first, so strict mode must
+    * too — bit-for-bit parity with a reference reader on tables
+    * carrying equal-start deltas trumps the later-commit-wins
+    * convenience there.
     */
   def dataFiles(asOf: AsOf): Seq[String] =
     dataFilesWithStats(asOf).map(_.file)
@@ -123,14 +147,17 @@ final case class Segment(
   /** [[dataFiles]] with each file's optional key stats — same pruning,
     * same precedence order.
     */
-  def dataFilesWithStats(asOf: AsOf): Seq[FileEntry] = {
-    val fromChildren =
-      segments.filter(_.isInRange(asOf)).flatMap(_.dataFilesWithStats(asOf))
+  def dataFilesWithStats(
+      asOf: AsOf, strictOrder: Boolean = false): Seq[FileEntry] = {
+    val fromChildren = segments.filter(_.isInRange(asOf))
+      .flatMap(_.dataFilesWithStats(asOf, strictOrder))
+    val equalStart =
+      if (strictOrder) Ordering.Int else Ordering.Int.reverse
     val fromDeltas = delta.zipWithIndex
       .filter { case (d, _) => d.isBefore(asOf) }
       .sortBy { case (d, i) => (d.start, i) }(
-        Ordering.Tuple2(Ordering[Instant].reverse, Ordering.Int.reverse))
-      .map { case (d, _) => FileEntry(d.file, d.stats, d.tombstone) }
+        Ordering.Tuple2(Ordering[Instant].reverse, equalStart))
+      .map { case (d, _) => FileEntry(d.file, d.stats, d.tombstone, d.seq) }
     val own =
       if (isInRange(asOf)) file.map(f => FileEntry(f, fileStats)).toSeq
       else Seq.empty
@@ -170,8 +197,9 @@ final case class Snapshot(
   def dataFiles(asOf: AsOf): Seq[String] = segments.flatMap(_.dataFiles(asOf))
 
   /** [[dataFiles]] with per-file key stats for data skipping. */
-  def dataFilesWithStats(asOf: AsOf): Seq[FileEntry] =
-    segments.flatMap(_.dataFilesWithStats(asOf))
+  def dataFilesWithStats(
+      asOf: AsOf, strictOrder: Boolean = false): Seq[FileEntry] =
+    segments.flatMap(_.dataFilesWithStats(asOf, strictOrder))
 
   /** Every data file referenced anywhere in the tree. */
   def allFiles: Set[String] = {

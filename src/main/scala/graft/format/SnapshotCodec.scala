@@ -129,7 +129,11 @@ object SnapshotCodec {
     // degrades to false (the file reads as plain data; its marker
     // column, if any, is simply not consulted)
     tombstone = Option(n.get("tombstone")).exists(v =>
-      v.isBoolean && v.asBoolean()))
+      v.isBoolean && v.asBoolean()),
+    // commit-sequence ext field: non-integral foreign values degrade to
+    // None (the delta orders by precedence position, the pre-seq way)
+    seq = Option(n.get("seq"))
+      .filter(v => v.isIntegralNumber).map(_.asLong()))
 
   /** Key-range stats ext field ([[FileStats]]): absent, null, or partial
     * objects (a foreign writer's different stats shape) all degrade to
@@ -251,6 +255,7 @@ object SnapshotCodec {
         dn.put("end", formatTimestamp(d.end))
         d.stats.foreach(st => renderStats(dn, "stats", st))
         if (d.tombstone) { dn.put("tombstone", true); () }
+        d.seq.foreach { v => dn.put("seq", v); () }
       }
     }
   }

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * row-at-a-time loop (reference: crates/azof/src/lakehouse.rs:29-86).
   *
   * Semantics (SURVEY.md §2.1): among rows with `event_time <= asOf`, the
-  * newest `event_time` per `key` wins; ties/overlaps resolve by file
-  * precedence (the pruned-file ordering from the segment tree — children,
-  * then deltas newest-start-first, then base), and remaining full ties
+  * newest `event_time` per `key` wins; exact event-time ties resolve by
+  * COMMIT RECENCY first ([[graft.format.Delta.seq]] — the later commit's
+  * row wins, which is what makes an UPDATE/MERGE that keeps a row's
+  * original event_time stick even when the statement touched rows from
+  * several earlier deltas), then by file precedence (the pruned-file
+  * ordering from the segment tree — children, then deltas
+  * newest-start-first, then base), and remaining full ties
   * (duplicate (key, event_time) within ONE file) by a hash of the value
   * columns, so the scan is deterministic under any partitioning or task
   * retry (the reference keeps the file's FIRST row here — row order
@@ -104,9 +108,27 @@ object AzofScan {
   def prunedEntries(
       snapshot: Snapshot,
       asOf: AsOf,
-      keyFilter: Option[KeyFilter] = None): Seq[FileEntry] =
-    snapshot.dataFilesWithStats(asOf)
+      keyFilter: Option[KeyFilter] = None,
+      strictOrder: Boolean = false): Seq[FileEntry] =
+    snapshot.dataFilesWithStats(asOf, strictOrder)
       .filter(e => keyFilter.forall(kf => e.stats.forall(kf.mayMatch)))
+
+  /** Default-mode per-file ORDER VALUE for the dedup window's tie-break
+    * slot: the file's rank under `(commit seq desc, precedence asc)` —
+    * both per-file constants, so the lexicographic pair collapses into
+    * ONE precomputed int and the window ordering stays a single column.
+    * Seq-less files (base files, pre-seq/foreign commits) rank as the
+    * OLDEST commit (−1), falling back to pure precedence among
+    * themselves — exactly the pre-seq behavior. Strict mode bypasses
+    * this entirely (pure precedence position, reference parity).
+    */
+  def effectiveRanks(entries: Seq[FileEntry]): Seq[Int] = {
+    val order = entries.indices
+      .sortBy(i => (-entries(i).seq.getOrElse(-1L), i))
+    val ranks = new Array[Int](entries.size)
+    order.zipWithIndex.foreach { case (fileIdx, rank) => ranks(fileIdx) = rank }
+    ranks.toSeq
+  }
 
   /** Residual column predicate for a [[KeyFilter]] — ALWAYS applied by
     * the scan (before the dedup window, where it is equivalent to
@@ -142,6 +164,11 @@ object AzofScan {
       .projectedStruct(projection)
       .fields.map(f => col(f.name)).toSeq
 
+    // compatibility mode resolved up front: it changes the equal-start
+    // delta order inside the pruned list (strict = the reference's
+    // stable first-registered-first) AND the dedup ordering below
+    val strict = spark.conf.getOption("spark.azof.strictPrecedence")
+      .exists(_.trim.equalsIgnoreCase("true"))
     // time pruning (segment tree), key-range data skipping (per-file
     // stats), then the dedup-SOUND value-range skip (match + key-range
     // closure, see [[graft.format.ValueStats]]); a key point-lookup on
@@ -149,7 +176,7 @@ object AzofScan {
     // time-pruned file, and a value predicate on the same layout reads
     // only the slices that can satisfy it
     val entries = graft.format.ValueStats.prune(schema,
-      prunedEntries(snapshot, asOf, keyFilter), valueFilters)
+      prunedEntries(snapshot, asOf, keyFilter, strict), valueFilters)
     val files = entries.map(_.file)
     if (files.isEmpty) {
       // As-of before every segment, Current on a fully-closed table
@@ -179,6 +206,14 @@ object AzofScan {
     val paths = files.map(f =>
       new org.apache.hadoop.fs.Path(table.tableDir, f).toString)
     val basenames = files.map(f => new org.apache.hadoop.fs.Path(f).getName)
+    // the per-file order value the dedup window ties on: in default
+    // mode the (seq desc, precedence asc) effective rank — later
+    // commits win exact event-time ties globally, not just within a
+    // window start (a multi-key DML file's start is the min over its
+    // rows, so start-derived position alone would let an untouched
+    // delta with a newer start outrank the DML rewrite); strict mode
+    // keeps the raw precedence position for reference parity
+    val precVals = if (strict) entries.indices else effectiveRanks(entries)
     def uriSafe(n: String): Boolean =
       new java.net.URI(null, null, n, null).getRawPath == n
     val unioned = if (basenames.distinct.size == basenames.size &&
@@ -187,7 +222,7 @@ object AzofScan {
       val baseName = regexp_extract(input_file_name(), "[^/]+$", 0)
       if (files.size <= precJoinThreshold(spark)) {
         // Few files: an inline literal map keeps the plan join-free.
-        val precEntries = basenames.zipWithIndex.flatMap { case (n, i) =>
+        val precEntries = basenames.zip(precVals).flatMap { case (n, i) =>
           Seq(lit(n), lit(i))
         }
         single.withColumn(Prec, element_at(map(precEntries: _*), baseName))
@@ -199,14 +234,14 @@ object AzofScan {
         // O(1) expression size; every row's file is in the map, so the
         // inner join drops nothing.
         val precDf = broadcast(
-          spark.createDataFrame(basenames.zipWithIndex.toSeq)
+          spark.createDataFrame(basenames.zip(precVals).toSeq)
             .toDF(PrecFile, Prec))
         single.withColumn(PrecFile, baseName)
           .join(precDf, PrecFile)
           .drop(PrecFile)
       }
     } else {
-      paths.zipWithIndex
+      paths.zip(precVals)
         .map { case (p, i) =>
           spark.read.schema(readSchema).parquet(p).withColumn(Prec, lit(i))
         }
@@ -233,12 +268,11 @@ object AzofScan {
     // whichever row the shuffle happened to deliver first). Identical
     // rows still tie, but then every choice is the same row.
     val allCols = schema.allColumnNames.map(col)
-    // default: newest event_time wins, precedence breaks exact ties;
+    // default: newest event_time wins, the (seq desc, precedence asc)
+    // effective rank breaks exact ties — later commit wins globally;
     // strict mode (see the divergence note above): precedence wins
     // outright, matching the reference's first-seen-wins row loop on
     // overlapping delta windows
-    val strict = spark.conf.getOption("spark.azof.strictPrecedence")
-      .exists(_.trim.equalsIgnoreCase("true"))
     // In a MIXED data+tombstone file (the mirror/AzofSink shape) a
     // tombstone and a data row can share (key, event_time, precedence);
     // the content hash must not decide that tie or the key would

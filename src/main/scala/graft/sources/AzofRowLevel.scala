@@ -63,16 +63,27 @@ final class AzofRowLevelOperation(
 
   override def command(): RowLevelOperation.Command = cmd
 
-  /** The target's own scan builder: row-level reads prune and skip
-    * exactly like any other read of the table.
+  /** The statement's READ VERSION, resolved once per operation: both the
+    * target scan and the commit-time conflict validation use it, so the
+    * validation window is exactly "what landed after the rows this
+    * statement actually read" — snapshot isolation with write-conflict
+    * detection, not just optimistic metadata retry.
+    */
+  private lazy val readVersion: Long =
+    AzofTable(SparkSession.active, lakehousePath, tableName)
+      .currentVersion.toLong
+
+  /** The target's own scan builder — pinned to [[readVersion]] so the
+    * statement reads one consistent snapshot; pruning and data skipping
+    * apply exactly like any other read of the table.
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AzofScanBuilder(new AzofRelation(
       SparkSession.active.sqlContext, lakehousePath, tableName,
-      AsOf.Current, None))
+      AsOf.Current, Some(readVersion.toString)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new AzofDeltaWriteBuilder(lakehousePath, tableName, info)
+    new AzofDeltaWriteBuilder(lakehousePath, tableName, info, readVersion)
 
   /** Row identity = the azof key (merge-on-read resolves versions). */
   override def rowId(): Array[NamedReference] =
@@ -89,14 +100,16 @@ final class AzofRowLevelOperation(
 }
 
 private final class AzofDeltaWriteBuilder(
-    lakehousePath: String, tableName: String, info: LogicalWriteInfo)
+    lakehousePath: String, tableName: String, info: LogicalWriteInfo,
+    readVersion: Long)
   extends DeltaWriteBuilder {
   override def build(): DeltaWrite =
-    new AzofDeltaWrite(lakehousePath, tableName, info.schema())
+    new AzofDeltaWrite(lakehousePath, tableName, info.schema(), readVersion)
 }
 
 private final class AzofDeltaWrite(
-    lakehousePath: String, tableName: String, rowSchema: StructType)
+    lakehousePath: String, tableName: String, rowSchema: StructType,
+    readVersion: Long)
   extends DeltaWrite {
 
   override def toBatch: DeltaBatchWrite = {
@@ -120,7 +133,8 @@ private final class AzofDeltaWrite(
     new AzofDeltaBatchWrite(
       lakehousePath, tableName, table.tableDir.toString, prefix,
       rowSchema, fileSchema,
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+      readVersion)
   }
 }
 
@@ -141,7 +155,7 @@ private final case class AzofDeltaFileMessage(
 private final class AzofDeltaBatchWrite(
     lakehousePath: String, tableName: String, tableDir: String,
     filePrefix: String, rowSchema: StructType, fileSchema: StructType,
-    conf: SerializableHadoopConf) extends DeltaBatchWrite {
+    conf: SerializableHadoopConf, readVersion: Long) extends DeltaBatchWrite {
 
   // operation time, fixed once on the driver: every tombstone row of
   // this DML statement carries the same event_time, like deleteWhere
@@ -163,6 +177,16 @@ private final class AzofDeltaBatchWrite(
     }
     if (files.nonEmpty) {
       val spark = SparkSession.active
+      // write-conflict validation window: every key this statement
+      // wrote, checked at commit time against commits that landed after
+      // the statement's read snapshot (opt out with
+      // spark.azof.dml.validateConflicts=false for blind-append-style
+      // MERGEs that tolerate last-writer-wins)
+      val validate =
+        if (spark.conf.getOption("spark.azof.dml.validateConflicts")
+          .exists(_.trim.equalsIgnoreCase("false"))) None
+        else Some(AzofWriter.DmlConflictCheck(
+          readVersion, files.map(_.minKey).min, files.map(_.maxKey).max))
       AzofWriter.commitLandedDeltas(
         spark, lakehousePath, tableName,
         files.map(m => graft.format.Delta(
@@ -173,7 +197,8 @@ private final class AzofDeltaBatchWrite(
             m.colRanges.map { case (n, (lo, hi)) =>
               n -> graft.format.ColRange(lo, hi) })),
           tombstone = m.hasTombstone)).toIndexedSeq,
-        op = "sql-dml")
+        op = "sql-dml",
+        validate = validate)
     }
   }
 

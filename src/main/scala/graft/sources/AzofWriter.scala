@@ -328,7 +328,7 @@ object AzofWriter {
         "rows commit through commitDelta/commitDelete, never into a base file")
     val (dir, fileName, stats) =
       landCommitFile(spark, lakehousePath, name, df, "base")
-    commitMeta(spark, dir) { snap =>
+    commitMeta(spark, dir) { (snap, _) =>
       val segs = mapOpenRoot(snap.segments) { s =>
         // file OR deltas: a multi-file compaction leaves file=None with
         // the merged state in deltas — a base committed under those
@@ -368,14 +368,25 @@ object AzofWriter {
     val hasMarker = df.columns.contains(TableSchema.DeletedName)
     val (dir, fileName, stats) =
       landCommitFile(spark, lakehousePath, name, df, "delta")
-    commitMeta(spark, dir) { snap =>
+    commitMeta(spark, dir) { (snap, v) =>
       val segs = mapOpenRoot(snap.segments)(s =>
         s.copy(delta = s.delta :+
-          Delta(fileName, start, end, stats, tombstone = hasMarker)))
+          Delta(fileName, start, end, stats, tombstone = hasMarker,
+            seq = Some(v))))
       snap.copy(segments = segs, op = Some(op.getOrElse("commit-delta")),
         streamBatches = snap.streamBatches ++ streamBatch)
     }
   }
+
+  /** A row-level statement's write-conflict validation request: fail the
+    * commit if any DATA-ADDING commit whose key range may overlap
+    * `[keyMin, keyMax]` (the statement's written keys) landed after
+    * `readVersion` (the snapshot the statement's target scan read).
+    * Rewrites (`compact`, `purge`) are logically content-preserving and
+    * never conflict.
+    */
+  final case class DmlConflictCheck(
+      readVersion: Long, keyMin: String, keyMax: String)
 
   /** Metadata-only registration of delta files ALREADY landed in the
     * table directory under collision-free unique names — the commit half
@@ -383,21 +394,87 @@ object AzofWriter {
     * every MERGE/UPDATE/DELETE task streams its changed rows into its
     * own file, then the driver registers them all here atomically). One
     * optimistic-retry snapshot commit, same as every other write.
+    *
+    * With `validate` set, each commit attempt first walks the snapshot
+    * log from the statement's read version to the attempt's base and
+    * throws `ConcurrentModificationException` if a data-adding commit
+    * whose files may contain any written key landed in between — two
+    * concurrent MERGEs reading/updating the same key then fail the
+    * later one instead of silently clobbering state computed from a
+    * stale read (write skew). The check runs INSIDE the optimistic
+    * retry, against the exact base the commit would build on, so a
+    * conflicting commit can never slip between validation and commit.
+    * Files without key stats are conservatively conflicting. The failed
+    * statement's landed files abort-delete as usual; re-running it
+    * reads the winner's state.
     */
   private[sources] def commitLandedDeltas(
       spark: SparkSession,
       lakehousePath: String,
       name: String,
       deltas: Seq[Delta],
-      op: String): Unit = {
+      op: String,
+      validate: Option[DmlConflictCheck] = None): Unit = {
     require(deltas.nonEmpty, "commitLandedDeltas with no files")
     val table = AzofTable(spark, lakehousePath, name)
-    commitMeta(spark, table.tableDir.toString) { snap =>
+    commitMeta(spark, table.tableDir.toString) { (snap, v) =>
+      validate.foreach(chk => validateNoConflicts(table, chk, v))
       val segs = mapOpenRoot(snap.segments)(s =>
-        s.copy(delta = s.delta ++ deltas))
+        s.copy(delta = s.delta ++ deltas.map(_.copy(seq = Some(v)))))
       snap.copy(segments = segs, op = Some(op))
     }
     ()
+  }
+
+  /** Every (file → key stats) referenced anywhere in a snapshot tree —
+    * base files and deltas alike, so a conflicting concurrent
+    * `commitBase` is caught the same as a delta commit.
+    */
+  private def filesWithKeyStats(s: Snapshot): Map[String, Option[FileStats]] = {
+    def walk(seg: Segment): Seq[(String, Option[FileStats])] =
+      seg.file.map(f => f -> seg.fileStats).toSeq ++
+        seg.delta.map(d => d.file -> d.stats) ++ seg.segments.flatMap(walk)
+    s.segments.flatMap(walk).toMap
+  }
+
+  /** [[DmlConflictCheck]] walk: snapshots `(chk.readVersion, commitV)`
+    * exclusive, consecutive-diffed for ADDED files; an added file in a
+    * non-rewrite commit whose key range may overlap the statement's
+    * throws. Malformed in-window documents are crash debris (never
+    * committed) and are skipped, exactly like [[commitMeta]]'s base
+    * selection.
+    */
+  private def validateNoConflicts(
+      table: AzofTable, chk: DmlConflictCheck, commitV: Long): Unit = {
+    val rewriteOps = Set("compact", "purge")
+    var prev = filesWithKeyStats(table.snapshot(chk.readVersion.toString))
+    var v = chk.readVersion + 1
+    while (v < commitV) {
+      table.classifySnapshot(v.toString) match {
+        case SnapshotCodec.DocClass.Valid(s) =>
+          val cur = filesWithKeyStats(s)
+          if (!s.op.exists(rewriteOps.contains)) {
+            val conflict = cur.collectFirst {
+              case (f, st) if !prev.contains(f) &&
+                st.forall(x => x.keyMin <= chk.keyMax &&
+                  chk.keyMin <= x.keyMax) => f
+            }
+            conflict.foreach { f =>
+              throw new java.util.ConcurrentModificationException(
+                s"concurrent ${s.op.getOrElse("commit")} landed file '$f' " +
+                  s"(snapshot s$v) touching this statement's key range " +
+                  s"[${chk.keyMin}, ${chk.keyMax}] after its read " +
+                  s"snapshot s${chk.readVersion} — the statement's " +
+                  "changes were computed from a stale read; re-run it " +
+                  "(set spark.azof.dml.validateConflicts=false to allow " +
+                  "last-writer-wins)")
+            }
+          }
+          prev = cur
+        case _ => () // malformed = crash debris, never a commit
+      }
+      v += 1
+    }
   }
 
   /** Tombstone delete — the takedown primitive neither engine ships
@@ -467,10 +544,10 @@ object AzofWriter {
       uniqueFileName(s"tombstone_s${table.currentVersion.toLong + 1}")
     val stats = writeDataFile(spark, rows, dir, fileName)
     require(stats.nonEmpty, "commitDelete resolved to an empty key set")
-    commitMeta(spark, dir) { cur =>
+    commitMeta(spark, dir) { (cur, v) =>
       val segs = mapOpenRoot(cur.segments)(s =>
         s.copy(delta = s.delta :+
-          Delta(fileName, at, at, stats, tombstone = true)))
+          Delta(fileName, at, at, stats, tombstone = true, seq = Some(v))))
       cur.copy(segments = segs, op = Some("commit-delete"))
     }
   }
@@ -560,10 +637,10 @@ object AzofWriter {
     // version conflict here retries the (cheap) metadata step against
     // the fresh snapshot instead of orphaning the whole distributed
     // write (files are uniquely named, so only this step needs redoing).
-    commitMeta(spark, dir.toString) { cur =>
+    commitMeta(spark, dir.toString) { (cur, v) =>
       cur.copy(
         segments = mapOpenRoot(cur.segments)(s =>
-          s.copy(delta = s.delta ++ deltas)),
+          s.copy(delta = s.delta ++ deltas.map(_.copy(seq = Some(v))))),
         op = Some("commit-delta"))
     }
   }
@@ -710,7 +787,13 @@ object AzofWriter {
         (None, None, writePartitionedFiles(spark, table.tableDir, merged,
           numFiles, s"compact_s${nextId}_${uniqueSuffix()}_p",
           rangeCol =
-            if (byKey) TableSchema.KeyName else TableSchema.EventTimeName))
+            if (byKey) TableSchema.KeyName else TableSchema.EventTimeName)
+          // merged-state rows are the per-key WINNERS as of `at` — any
+          // (key, event_time) duplicate they share with a closed child's
+          // file is byte-identical (the winner itself), so the commit
+          // seq here can never flip a verdict; it keeps the compacted
+          // state ordered after everything it replaced
+          .map(_.copy(seq = Some(nextId.toLong))))
       }
 
     // Rows with event_time > `at` already committed into the open segment
@@ -736,13 +819,18 @@ object AzofWriter {
       (if (futHasTombstones) Seq(TableSchema.DeletedName) else Seq.empty)
     val atTs = java.sql.Timestamp.from(at)
     val future = if (futFiles.isEmpty) None else {
-      val reads = futFiles.zipWithIndex.map { case (f, i) =>
+      // the per-file order value mirrors the scan's DEFAULT-mode
+      // exact-tie rank: (commit seq desc, precedence asc), so a
+      // carried-forward duplicate crowns the same row a default scan
+      // would — including the commit-recency verdicts seq introduced
+      val futRanks = graft.operators.AzofScan.effectiveRanks(futEntries)
+      val reads = futFiles.zip(futRanks).map { case (f, i) =>
         spark.read.schema(futSchema)
           .parquet(new Path(dir, f).toString)
           .withColumn("_prec", lit(i))
       }
-      // Tiebreak mirrors the scan exactly (precedence, then
-      // deleted-first, then content hash): the carry-forward collapses
+      // Tiebreak mirrors the scan exactly (commit seq, then precedence,
+      // then deleted-first, then content hash): the carry-forward collapses
       // (key, event_time) duplicates to one row, so it must crown the
       // SAME row the merge-dedup scan would — otherwise compaction
       // silently changes which duplicate survives. Deleted-first
@@ -769,7 +857,8 @@ object AzofWriter {
     val futureDelta = future.map { case (fut, maxEt) =>
       val f = uniqueFileName(s"compact_s${nextId}_future")
       val st = writeDataFile(spark, fut, dir, f)
-      Delta(f, at, maxEt, st, tombstone = futHasTombstones)
+      Delta(f, at, maxEt, st, tombstone = futHasTombstones,
+        seq = Some(nextId.toLong))
     }
 
     // The closed child ends AT the compaction point (inclusive): segment
@@ -1035,7 +1124,10 @@ object AzofWriter {
         }),
         segments = s.segments.map(rewrite))
     }
-    val committedV = commitMeta(spark, dir) { cur =>
+    // NB: rewrite preserves each delta's original `seq` (d.copy keeps
+    // it) — a purged file must keep its commit's place in the exact-tie
+    // order, or a rewritten old delta would outrank newer commits
+    val committedV = commitMeta(spark, dir) { (cur, _) =>
       cur.copy(segments = cur.segments.map(rewrite), op = Some("purge"))
     }
     (purgeKeys,
@@ -1126,7 +1218,7 @@ object AzofWriter {
     require(column.nullable,
       s"added column '${column.name}' must be nullable: existing data files do not contain it")
     val table = AzofTable(spark, lakehousePath, name)
-    commitMeta(spark, table.tableDir.toString) { snap =>
+    commitMeta(spark, table.tableDir.toString) { (snap, _) =>
       require(!snap.schema.columns.exists(_.name == column.name) &&
         !Seq(TableSchema.KeyName, TableSchema.EventTimeName).contains(column.name),
         s"column '${column.name}' already exists")
@@ -1159,7 +1251,7 @@ object AzofWriter {
       .contains(column),
       s"cannot drop system column '$column'")
     val table = AzofTable(spark, lakehousePath, name)
-    commitMeta(spark, table.tableDir.toString) { snap =>
+    commitMeta(spark, table.tableDir.toString) { (snap, _) =>
       require(snap.schema.columns.exists(_.name == column),
         s"column '$column' does not exist")
       snap.copy(
@@ -1204,12 +1296,17 @@ object AzofWriter {
     * landed at (callers that need to reason about what happened
     * concurrently — e.g. [[purgeDeleted]]'s compaction-race fixpoint —
     * scan the log between their read version and this one).
+    *
+    * `update` receives `(base snapshot, version being committed)` — the
+    * version is re-derived on every retry, so closures that stamp it
+    * into the snapshot (commit-seq on new deltas) stay correct when a
+    * lost race re-applies them at a later id.
     */
   private def commitMeta(
       spark: SparkSession,
       dir: String,
       maxRetries: Int = 5)(
-      update: Snapshot => Snapshot): Long = {
+      update: (Snapshot, Long) => Snapshot): Long = {
     val tableDir = new Path(dir)
     val f = fs(spark, tableDir)
     // retry budget scales with writer concurrency: every lost race costs
@@ -1260,7 +1357,7 @@ object AzofWriter {
         // document failed to classify Valid — parse it loudly
         found.getOrElse(t.snapshot(floor.toString))
       }
-      val newSnap = update(baseSnap)
+      val newSnap = update(baseSnap, nextId)
       val won =
         try { writeSnapshot(spark, dir, nextId.toString, newSnap); true }
         catch {

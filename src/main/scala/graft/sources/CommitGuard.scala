@@ -100,8 +100,19 @@ object CommitGuard {
           scala.util.Try(fs.delete(tmp, false))
           true
         } catch {
+          // target exists = lost race, NEVER a fallback case: falling
+          // back here would re-attempt publication over a committed
+          // snapshot
           case _: java.nio.file.FileAlreadyExistsException => false
+          // no-hard-link stores surface as UnsupportedOperationException
+          // on some JDK/FS combinations but as a plain FileSystemException
+          // (an IOException) on others — FAT/exFAT, some FUSE mounts —
+          // and this guard is the default for every file:// path, so any
+          // other link failure degrades to the rename guard rather than
+          // failing the commit on a store limitation
           case _: UnsupportedOperationException =>
+            Rename.publish(fs, tmp, target)
+          case _: java.io.IOException =>
             Rename.publish(fs, tmp, target)
         }
     }

@@ -5,7 +5,6 @@ import graft.operators.AzofScan
 import java.time.Instant
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PERSISTED surrogate key↔id mapping — the bridge that lets STRING-
@@ -26,12 +25,22 @@ import org.apache.spark.sql.functions._
   * reuses its old id, which is exactly what keeps the CC merge
   * consistent across delete/re-add cycles.
   *
-  * '''Minting.''' New ids are `high-water + row_number` over the batch
-  * keys in lexicographic order (the one-partition sort is bounded by
-  * the BATCH's unseen-key count, never the corpus). The high-water
-  * mark rides a sidecar (`_keymap_hwm.json`) and is advanced BEFORE
-  * the rows commit: a crash between the two leaves an id-range gap —
-  * harmless — where the reverse order could double-assign an id.
+  * '''Minting.''' New ids are `high-water + dense rank` over the batch
+  * keys in `(order-hash, key)` order, computed by the SAME two-phase
+  * distributed prefix sum the export stage uses
+  * ([[graft.operators.Packing.prefixSum]]) — never a partition-less
+  * `row_number` window, whose plan funnels the whole batch through ONE
+  * sort task. Steady-state batches are small either way, but a
+  * BOOTSTRAP ingest over an existing duplicate-heavy corpus mints the
+  * entire pair-involved neighborhood in one batch (at web scale:
+  * 10⁸–10⁹ keys), and that is exactly the shape a single-task sort
+  * stalls. Hash order (not lexicographic) is fine: ids only need to be
+  * DENSE and DETERMINISTIC — survivor election is MIN KEY on the raw
+  * string keys, and components converge identically under any id
+  * assignment. The high-water mark rides a sidecar
+  * (`_keymap_hwm.json`) and is advanced BEFORE the rows commit: a
+  * crash between the two leaves an id-range gap — harmless — where
+  * the reverse order could double-assign an id.
   */
 object KeyMap {
 
@@ -80,10 +89,7 @@ object KeyMap {
           .collect()(0).getLong(0) + 1L)
       // reserve the range FIRST (see the minting note above)
       writeHwm(spark, idxLake, idxTable, base + n)
-      val rows = fresh
-        .withColumn("sid",
-          (lit(base - 1) + row_number().over(
-            Window.orderBy(col(TableSchema.KeyName)))).cast("string"))
+      val rows = rankedSids(fresh, base)
         .select(col(TableSchema.KeyName),
           lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName),
           col("sid"))
@@ -93,6 +99,23 @@ object KeyMap {
     fresh.unpersist()
     n
   }
+
+  /** `(key, sid)` with sid = `base + dense rank` of the key under the
+    * `(orderHash, key)` global order — the two-phase distributed rank
+    * (see the minting note; [[graft.operators.Packing.prefixSum]] with
+    * unit weights makes the exclusive prefix sum exactly the 0-based
+    * dense rank). Deterministic across runs and partitionings: the hash
+    * is content-derived and the raw key breaks hash ties totally.
+    */
+  private[sources] def rankedSids(fresh: DataFrame, base: Long): DataFrame =
+    graft.operators.Packing.prefixSum(
+      fresh.select(col(TableSchema.KeyName))
+        .withColumn("_h",
+          graft.operators.Packing.orderHash("km1", col(TableSchema.KeyName)))
+        .withColumn("_tid", col(TableSchema.KeyName))
+        .withColumn("_w", lit(1L)))
+      .withColumn("sid", (lit(base) + col("_prefix")).cast("string"))
+      .drop("_h", "_tid", "_w", "_prefix")
 
   // ---------------------------------------------------- high-water mark
 

@@ -95,4 +95,40 @@ class PruningSpec extends AnyFunSuite {
     assert(snap.dataFiles(at("2024-06-01T00:00:00Z")) ==
       Seq("delta_100.parquet", "base10.parquet"))
   }
+
+  test("EQUAL window starts: default order breaks to later-registered, " +
+    "strict order keeps the reference's stable first-registered-first") {
+    val snap = SnapshotCodec.parse(
+      """{"schema":{"columns":[]},"segments":[
+        {"id":"10","start":"2024-01-01T00:00:00.000Z","file":"base10.parquet",
+         "delta":[
+          {"file":"d_first.parquet","start":"2024-02-01T00:00:00.000Z","end":"2024-02-02T00:00:00.0Z"},
+          {"file":"d_second.parquet","start":"2024-02-01T00:00:00.000Z","end":"2024-02-03T00:00:00.0Z"}]}]}""")
+    // default: later-registered first (the pre-seq later-commit-wins
+    // tie-break for same-start commits)
+    assert(snap.dataFiles(AsOf.Current) ==
+      Seq("d_second.parquet", "d_first.parquet", "base10.parquet"))
+    // strict: Rust's stable sort_by on start alone keeps registration
+    // order (metadata.rs:56) — bit-for-bit reference-reader parity
+    assert(snap.dataFilesWithStats(AsOf.Current, strictOrder = true)
+      .map(_.file) ==
+      Seq("d_first.parquet", "d_second.parquet", "base10.parquet"))
+  }
+
+  test("effectiveRanks orders (commit seq desc, precedence asc); " +
+    "seq-less files keep pure precedence among themselves") {
+    val entries = Seq(
+      FileEntry("newest_start.parquet", None, seq = Some(3L)),
+      FileEntry("dml.parquet", None, seq = Some(5L)),
+      FileEntry("legacy.parquet", None, seq = None),
+      FileEntry("base.parquet", None, seq = None))
+    // ranks: dml (seq 5) first, then newest_start (seq 3), then the
+    // seq-less two in list (precedence) order
+    assert(graft.operators.AzofScan.effectiveRanks(entries) ==
+      Seq(1, 0, 2, 3))
+    // all seq-less = identity (pre-seq tables are bit-for-bit unchanged)
+    val legacy = entries.map(_.copy(seq = None))
+    assert(graft.operators.AzofScan.effectiveRanks(legacy) ==
+      Seq(0, 1, 2, 3))
+  }
 }

@@ -41,7 +41,9 @@ class SnapshotCodecPropertySpec extends AnyFunSuite {
     s <- instantGen
     len <- Gen.chooseNum(1L, 90L * 86400000L)
     st <- statsGen
-  } yield Delta(f, s, s.plusMillis(len), st)
+    tomb <- Gen.oneOf(false, true)
+    seq <- Gen.option(Gen.chooseNum(1L, 1000000L))
+  } yield Delta(f, s, s.plusMillis(len), st, tombstone = tomb, seq = seq)
 
   private def segmentGen(depth: Int): Gen[Segment] = for {
     id <- nameGen

@@ -63,6 +63,34 @@ class SnapshotCodecSpec extends AnyFunSuite {
       Instant.parse("2024-01-01T00:00:00Z"))
   }
 
+  test("delta commit-seq ext field round-trips; malformed degrades to None") {
+    val snap = Snapshot(
+      TableSchema(Seq(ColumnDef("value", ColumnType.AzString, nullable = false))),
+      Seq(Segment("10", Instant.parse("2024-01-01T00:00:00Z"), None, None,
+        Seq.empty, Seq(
+          Delta("d1.parquet", Instant.parse("2024-02-01T00:00:00Z"),
+            Instant.parse("2024-02-02T00:00:00Z"), seq = Some(7L)),
+          Delta("d2.parquet", Instant.parse("2024-02-03T00:00:00Z"),
+            Instant.parse("2024-02-04T00:00:00Z"))))))
+    val back = SnapshotCodec.parse(SnapshotCodec.render(snap))
+    assert(back == snap)
+    assert(back.segments.head.delta.map(_.seq) == Seq(Some(7L), None))
+    // seq-less render carries NO seq field (reference-shape parity for
+    // snapshots that never saw a seq-stamping commit)
+    assert(!SnapshotCodec.render(snap).split("\n")
+      .filter(_.contains("d2"))
+      .exists(_.contains("seq")))
+    // a foreign writer's non-integral seq degrades to None, never to 0
+    val json =
+      """{"schema": {"columns": [
+        |  {"name": "value", "data_type": "String", "nullable": false}]},
+        | "segments": [{"id": "1", "start": "2024-01-01T00:00:00.000Z",
+        |   "delta": [{"file": "d.parquet",
+        |     "start": "2024-02-01T00:00:00.000Z",
+        |     "end": "2024-02-02T00:00:00.000Z", "seq": "oops"}]}]}""".stripMargin
+    assert(SnapshotCodec.parse(json).segments.head.delta.head.seq.isEmpty)
+  }
+
   test("stream_batches drops non-integral entries instead of mapping to 0") {
     // asLong() would turn "oops" into 0, and a spurious appId -> 0 entry
     // makes commitBatch treat that stream's batch 0 as a replay — the

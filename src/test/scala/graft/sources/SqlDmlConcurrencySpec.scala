@@ -69,4 +69,74 @@ class SqlDmlConcurrencySpec extends AnyFunSuite {
     }
     assert(got("9") == "v9")
   }
+
+  // -- write-conflict validation (deterministic, via the commit half the
+  // SQL path drives: a statement that read at `readVersion` and wrote
+  // keys [kmin, kmax] must fail iff a data-adding commit whose key range
+  // may overlap landed in between) --
+
+  private def seed(table: String, keys: Seq[String], at: String): Unit =
+    AzofWriter.commitDelta(spark, lake, table,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(keys.map(k =>
+          Row(k, Timestamp.from(ts(at)), s"v$k"))), schema.toStruct),
+      ts(at), ts(at))
+
+  private def landAttempt(
+      table: String, readV: Long, kmin: String, kmax: String): Unit =
+    AzofWriter.commitLandedDeltas(spark, lake, table,
+      Seq(Delta(s"dml_test_${java.util.UUID.randomUUID()}.parquet",
+        ts("2024-01-05T00:00:00Z"), ts("2024-01-05T00:00:00Z"),
+        Some(FileStats(kmin, kmax)))),
+      op = "sql-dml",
+      validate = Some(AzofWriter.DmlConflictCheck(readV, kmin, kmax)))
+
+  test("overlapping concurrent commit fails the statement; disjoint and " +
+    "rewrite commits do not") {
+    AzofWriter.createTable(spark, lake, "c1", schema,
+      ts("2024-01-01T00:00:00Z"))
+    seed("c1", Seq("a", "b", "c"), "2024-01-05T00:00:00Z") // v2
+    val readV = AzofTable(spark, lake, "c1").currentVersion.toLong
+    seed("c1", Seq("b"), "2024-01-06T00:00:00Z") // v3 — the racer
+
+    // overlap with the racer's key range -> concurrent-modification
+    val e = intercept[java.util.ConcurrentModificationException] {
+      landAttempt("c1", readV, "a", "c")
+    }
+    assert(e.getMessage.contains(s"s${readV + 1}") &&
+      e.getMessage.contains("read snapshot"))
+    assert(AzofTable(spark, lake, "c1").currentVersion.toLong == readV + 1)
+
+    // disjoint key range -> lands (the racer's file is ['b','b'])
+    landAttempt("c1", readV, "x", "z")
+    assert(AzofTable(spark, lake, "c1").currentVersion.toLong == readV + 2)
+
+    // a compaction in the window is a content-preserving rewrite, never
+    // a conflict (fresh table: compact scans, so no placeholder files)
+    AzofWriter.createTable(spark, lake, "c1b", schema,
+      ts("2024-01-01T00:00:00Z"))
+    seed("c1b", Seq("a", "b", "c"), "2024-01-05T00:00:00Z")
+    val readV2 = AzofTable(spark, lake, "c1b").currentVersion.toLong
+    AzofWriter.compact(spark, lake, "c1b", ts("2024-01-07T00:00:00Z"))
+    landAttempt("c1b", readV2, "a", "c")
+    assert(AzofTable(spark, lake, "c1b").currentVersion.toLong == readV2 + 2)
+  }
+
+  test("SQL DML validates by default and honors the opt-out") {
+    AzofWriter.createTable(spark, lake, "c2", schema,
+      ts("2024-01-01T00:00:00Z"))
+    seed("c2", Seq("k"), "2024-01-05T00:00:00Z")
+    // same-session sequential statements never conflict (each reads the
+    // previous one's commit) — the default-on path just works
+    spark.sql("UPDATE dmlc.c2 SET value = concat(value, '!')")
+    assert(spark.sql("SELECT value FROM dmlc.c2").collect()
+      .map(_.getString(0)).toSeq == Seq("vk!"))
+    // opt-out: validation skipped entirely (exercises the conf branch)
+    spark.conf.set("spark.azof.dml.validateConflicts", "false")
+    try {
+      spark.sql("UPDATE dmlc.c2 SET value = concat(value, '?')")
+      assert(spark.sql("SELECT value FROM dmlc.c2").collect()
+        .map(_.getString(0)).toSeq == Seq("vk!?"))
+    } finally spark.conf.unset("spark.azof.dml.validateConflicts")
+  }
 }

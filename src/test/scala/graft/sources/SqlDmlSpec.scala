@@ -242,4 +242,35 @@ class SqlDmlSpec extends AnyFunSuite {
          WHEN MATCHED THEN DELETE""")
     assert(state("big") == Seq("1" -> "keep", "3" -> "keep"))
   }
+
+  test("UPDATE keeping event_time sticks across keys from MULTIPLE earlier " +
+    "deltas (commit-seq tie-break, not window-start position)") {
+    // Two separate commits with DIFFERENT window starts: the DML file
+    // that touches keys from both gets window start = min over its rows
+    // (Jan 1), so delta B's newer start (Jan 5) outranks it in pure
+    // precedence order — without the commit-seq tie-break, B's key kept
+    // its STALE value on the exact event-time tie.
+    AzofWriter.createTable(spark, lake, "md1", schema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitDelta(spark, lake, "md1",
+      df(("1", "2024-01-01T00:00:00Z", "a1")),
+      ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitDelta(spark, lake, "md1",
+      df(("2", "2024-01-05T00:00:00Z", "b1")),
+      ts("2024-01-05T00:00:00Z"), ts("2024-01-05T00:00:00Z"))
+
+    spark.sql("UPDATE dml.md1 SET value = concat(value, '!')")
+
+    // BOTH rewrites win their exact event-time ties — key 2's is the
+    // regression case (its original delta has the newer window start)
+    assert(state("md1") == Seq("1" -> "a1!", "2" -> "b1!"))
+    // event-time travel sees the rewrite at each row's own instant
+    assert(state("md1", "TIMESTAMP AS OF '2024-01-05T00:00:00Z'") ==
+      Seq("1" -> "a1!", "2" -> "b1!"))
+    assert(state("md1", "TIMESTAMP AS OF '2024-01-02T00:00:00Z'") ==
+      Seq("1" -> "a1!"))
+    // and a SECOND same-shape UPDATE beats the first (seq strictly grows)
+    spark.sql("UPDATE dml.md1 SET value = concat(value, '?')")
+    assert(state("md1") == Seq("1" -> "a1!?", "2" -> "b1!?"))
+  }
 }
