@@ -37,7 +37,7 @@ object AzofProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
-      "sem_refresh")
+      "sem_refresh", "dedup_rebuild", "sem_rebuild")
 
   def load(path: String, ident: Identifier): UnboundProcedure = {
     val name = ident.name.toLowerCase
@@ -91,6 +91,19 @@ object AzofProcedures {
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'sem'"),
         pd("vec_col", StringType, "'vec'"))
+      case "dedup_rebuild" => Array(
+        p("table", StringType), p("index_path", StringType),
+        pd("new_cc_table", StringType, "'components_next'"),
+        pd("text_col", StringType, "'text'"),
+        pd("min_jaccard", DoubleType, "0.5"),
+        pd("key_map", StringType, "CAST(NULL AS STRING)"))
+      case "sem_rebuild" => Array(
+        p("table", StringType), p("index_path", StringType),
+        p("new_index_table", StringType),
+        pd("k", IntegerType, "16"),
+        pd("threshold", DoubleType, "0.4"),
+        pd("vec_col", StringType, "'vec'"),
+        pd("keyed", BooleanType, "false"))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -162,6 +175,37 @@ object AzofProcedures {
             StructField("docs", LongType),
             StructField("comparisons", LongType))),
             Seq(batches, docs, cmp))
+        case "dedup_rebuild" =>
+          // the epoch reconciliation escape hatch from SQL: re-cluster
+          // the pinned corpus from the persisted signatures into a
+          // FRESH components table (same stable checkpoint rule as
+          // dedup_ingest — the signature catch-up stays exactly-once
+          // across ingest and rebuild runs)
+          val ckpt = new org.apache.hadoop.fs.Path(str(1),
+            "minhash_sig/_refresh_checkpoint").toString
+          val n = DedupFlow.rebuildEpoch(spark, path, str(0), str(3),
+            str(1), ckpt,
+            Instant.ofEpochMilli(System.currentTimeMillis()),
+            newCcTable = str(2),
+            minJaccard = input.getDouble(4),
+            keyMap = Option(str(5)))
+          (StructType(Seq(
+            StructField("epoch_table", StringType),
+            StructField("labeled_docs", LongType))),
+            Seq(str(2), n))
+        case "sem_rebuild" =>
+          var docs = 0L; var cmp = 0L
+          val m = SemDedupIndex.rebuildEpoch(spark, path, str(0), str(5),
+            str(1), str(2),
+            k = input.getInt(3), threshold = input.getDouble(4),
+            onStats = s => { docs += s.batchDocs; cmp += s.pairComparisons },
+            keyed = input.getBoolean(6))
+          (StructType(Seq(
+            StructField("epoch_table", StringType),
+            StructField("k", LongType),
+            StructField("threshold", DoubleType),
+            StructField("docs", LongType))),
+            Seq(str(2), m.k.toLong, m.threshold, docs))
       }
       val row = new GenericInternalRow(out._2.map {
         case s: String => UTF8String.fromString(s)

@@ -149,6 +149,69 @@ class SqlProceduresSpec extends AnyFunSuite {
       s"doc 2 drops to its same-direction lower id: $verdicts")
   }
 
+  test("CALL dedup_rebuild re-clusters into a fresh epoch table from SQL") {
+    val textSchema = TableSchema(Seq(
+      ColumnDef("text", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, lake, "corpus2", textSchema,
+      ts("2024-01-01T00:00:00Z"))
+    val fam = (1 to 7).map(i => s"x$i")
+    AzofWriter.commitBase(spark, lake, "corpus2",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+            (fam :+ "alpha").mkString(" ")),
+          Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+            (fam :+ "beta").mkString(" ")))),
+        textSchema.toStruct))
+    val idx = s"$lake/idx2"
+    DedupFlow.create(spark, idx)
+    spark.sql("CALL proc.system.dedup_ingest(`table` => 'corpus2', " +
+      s"index_path => '$idx')").collect()
+
+    val r = spark.sql(
+      "CALL proc.system.dedup_rebuild(`table` => 'corpus2', " +
+        s"index_path => '$idx')").collect()(0)
+    assert(r.getString(0) == "components_next" &&
+      r.getAs[Long]("labeled_docs") == 2L, s"both docs labeled: $r")
+    // the fresh epoch serves survivors exactly like the original
+    val surv = DedupFlow.survivors(spark, lake, "corpus2", idx,
+      ccTable = "components_next").collect().map(_.getLong(0)).toSeq
+    assert(surv == Seq(1L), s"min-id canonical survives: $surv")
+    // refusing to clobber an existing epoch is loud, from SQL too
+    val e = intercept[Exception] {
+      spark.sql("CALL proc.system.dedup_rebuild(`table` => 'corpus2', " +
+        s"index_path => '$idx')").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("already exists")))
+  }
+
+  test("CALL sem_rebuild freezes a new model into a fresh verdict table") {
+    val vecSchema = TableSchema(Seq(
+      ColumnDef("vec", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, lake, "emb2", vecSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "emb2",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(1L, 2L, 30L).map { i =>
+          val v = if (i < 10) Array(1.0, 0.0) else Array(0.0, 1.0)
+          Row(i.toString, Timestamp.from(ts("2024-01-02T00:00:00Z")),
+            v.mkString("[", ",", "]"))
+        }), vecSchema.toStruct))
+
+    val r = spark.sql(
+      "CALL proc.system.sem_rebuild(`table` => 'emb2', " +
+        s"index_path => '$lake', new_index_table => 'sem2', " +
+        "k => 2, threshold => 0.9)").collect()(0)
+    assert(r.getString(0) == "sem2" && r.getAs[Long]("docs") == 3L, s"$r")
+    val verdicts = SemDedupIndex.verdicts(spark, lake, "sem2")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(verdicts == Map(1L -> true, 2L -> false, 30L -> true),
+      s"doc 2 drops to its same-direction lower id: $verdicts")
+  }
+
   test("unknown procedures refuse with the catalog's procedure list") {
     mk("u1", ("1", "2024-01-05T00:00:00Z", "a"))
     val e = intercept[Exception] {
