@@ -135,6 +135,16 @@ object AzofCli {
           Instant.parse(opts("at")), opts.getOrElse("files", "1").toInt,
           byKey = opts.get("by-key").exists(_ != "false"))
         println(s"compacted; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+      case "analyze" =>
+        // metadata-only stats backfill for stat-less / foreign files:
+        //   analyze --path L --table T
+        val r = graft.sources.AzofWriter.analyzeTable(
+          spark, opts("path"), opts("table"))
+        println(r.version match {
+          case Some(v) => s"analyzed ${r.analyzed.size} file(s) " +
+            s"(skipped ${r.skipped.size}); version now $v"
+          case None => s"nothing to analyze (skipped ${r.skipped.size})"
+        })
       case "delete" =>
         // tombstone delete: --keys k1,k2,... --at TS (the deletion
         // event time; omit for "now" = suppress everything current)

@@ -37,7 +37,7 @@ object AzofProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
-      "sem_refresh", "dedup_rebuild", "sem_rebuild")
+      "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze")
 
   def load(path: String, ident: Identifier): UnboundProcedure = {
     val name = ident.name.toLowerCase
@@ -104,6 +104,7 @@ object AzofProcedures {
         pd("threshold", DoubleType, "0.4"),
         pd("vec_col", StringType, "'vec'"),
         pd("keyed", BooleanType, "false"))
+      case "analyze" => Array(p("table", StringType))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -206,6 +207,14 @@ object AzofProcedures {
             StructField("threshold", DoubleType),
             StructField("docs", LongType))),
             Seq(str(2), m.k.toLong, m.threshold, docs))
+        case "analyze" =>
+          val r = AzofWriter.analyzeTable(spark, path, str(0))
+          (StructType(Seq(
+            StructField("analyzed_files", LongType),
+            StructField("skipped_files", LongType),
+            StructField("version", LongType, nullable = true))),
+            Seq(r.analyzed.size.toLong, r.skipped.size.toLong,
+              r.version.map(java.lang.Long.valueOf).orNull))
       }
       val row = new GenericInternalRow(out._2.map {
         case s: String => UTF8String.fromString(s)

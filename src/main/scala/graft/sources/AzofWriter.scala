@@ -117,9 +117,14 @@ object AzofWriter {
     */
   private def valueStatCols(
       df: DataFrame): Seq[(String, org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column)] = valueStatColsOf(df.schema)
+
+  private def valueStatColsOf(
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, org.apache.spark.sql.Column =>
         org.apache.spark.sql.Column)] = {
     import org.apache.spark.sql.types._
-    df.schema.fields.toSeq.collect {
+    schema.fields.toSeq.collect {
       case f if f.name != TableSchema.KeyName &&
         f.name != TableSchema.EventTimeName &&
         f.name != TableSchema.DeletedName &&
@@ -1259,6 +1264,92 @@ object AzofWriter {
         op = Some("drop-column"),
         retired = snap.retired :+ column)
     }
+  }
+
+  /** What [[analyzeTable]] did: which files got fresh stats, which were
+    * unreadable/empty (left as-is), and the snapshot version the restamp
+    * committed at (None = every referenced file already had full stats —
+    * no commit, the idempotent re-run).
+    */
+  final case class AnalyzeReport(
+      analyzed: Seq[String], skipped: Seq[String], version: Option[Long])
+
+  /** Stats backfill — a METADATA-ONLY restamp for tables whose files
+    * predate the stats generations (key ranges, then value-column
+    * ranges) or were written by a foreign/reference writer: read each
+    * stat-less file once, compute the same key-range (+ optional
+    * bloom) and canonical value-range stats every commit path stamps,
+    * and patch them into a new snapshot by file name. No data file is
+    * rewritten or renamed, so every existing version still reads
+    * byte-identically — only future scans' pruning improves. The
+    * upgrade a compaction would deliver as a side effect, without the
+    * rewrite.
+    *
+    * A file re-analyzes when it has no stats at all, or key-only stats
+    * while the declared schema carries value columns eligible for
+    * ranges (the pre-value-stats generation). Files already fully
+    * stamped are untouched, so a second run is a no-op. Concurrency:
+    * the patch applies name-keyed inside the optimistic commit retry —
+    * files a racing commit added are untouched, files a racing
+    * compaction removed no-op.
+    */
+  def analyzeTable(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String): AnalyzeReport = {
+    val table = AzofTable(spark, lakehousePath, name)
+    val snap = table.currentSnapshot
+    val dir = table.tableDir
+    val declared = snap.schema.columns.map(_.name).toSet
+    val valueEligible =
+      valueStatColsOf(snap.schema.toStruct).exists(c => declared(c._1))
+    def walk(s: Segment): Seq[(String, Option[FileStats])] =
+      s.file.map(f => f -> s.fileStats).toSeq ++
+        s.delta.map(d => d.file -> d.stats) ++ s.segments.flatMap(walk)
+    val candidates = snap.segments.flatMap(walk).distinct.collect {
+      case (f, st) if st.isEmpty || (st.get.cols.isEmpty && valueEligible) => f
+    }
+    if (candidates.isEmpty)
+      return AnalyzeReport(Seq.empty, Seq.empty, None)
+
+    val bc = bloomConf(spark)
+    val computed: Seq[(String, Option[FileStats])] = candidates.map { f =>
+      val p = new Path(dir, f)
+      val st = scala.util.Try {
+        val read = spark.read.parquet(p.toString)
+        // value ranges only for DECLARED columns: a pre-drop file still
+        // carries retired columns' bytes, which must not re-enter the
+        // metadata; the tombstone marker and system columns are
+        // excluded by the eligibility rule itself
+        val vcols = valueStatCols(read).filter(c => declared(c._1))
+        val aggs = Seq(min(col(TableSchema.KeyName)),
+          max(col(TableSchema.KeyName))) ++ bloomColumn(spark, bc) ++
+          vcols.flatMap { case (n, enc) =>
+            Seq(enc(min(col(n))), enc(max(col(n)))) }
+        val mm = read.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val vOff = 2 + (if (bc.isDefined) 1 else 0)
+        if (mm.isNullAt(0)) None
+        else Some(FileStats(mm.getString(0), mm.getString(1),
+          bc.map { case (bits, k) =>
+            KeyBloom.fromBytes(mm.getAs[Array[Byte]](2), bits, k)
+          },
+          colRanges(mm, vOff, vcols.map(_._1))))
+      }.toOption.flatten
+      f -> st
+    }
+    val fresh = computed.collect { case (f, Some(st)) => f -> st }.toMap
+    val skipped = computed.collect { case (f, None) => f }
+    if (fresh.isEmpty)
+      return AnalyzeReport(Seq.empty, skipped, None)
+    def patch(s: Segment): Segment = s.copy(
+      fileStats = s.file.flatMap(fresh.get).orElse(s.fileStats),
+      delta = s.delta.map(d =>
+        fresh.get(d.file).map(st => d.copy(stats = Some(st))).getOrElse(d)),
+      segments = s.segments.map(patch))
+    val v = commitMeta(spark, dir.toString) { (cur, _) =>
+      cur.copy(segments = cur.segments.map(patch), op = Some("analyze"))
+    }
+    AnalyzeReport(fresh.keys.toSeq.sorted, skipped, Some(v))
   }
 
   private def mapOpenRoot(segments: Seq[Segment])(f: Segment => Segment): Seq[Segment] = {

@@ -133,6 +133,78 @@ class DataSkippingSpec extends AnyFunSuite {
         KeyFilter.Keys(Set("p")))))).size == 1)
   }
 
+  test("analyze backfills stats for stat-less files: pruning returns, " +
+    "scan results unchanged, re-run is a no-op") {
+    val lake = buildKeyPartitioned()
+    val t = AzofTable(spark, lake, "t")
+    // simulate a pre-stats / foreign writer: republish the current
+    // snapshot with every stats field stripped (metadata-only, the
+    // data files are untouched)
+    def strip(s: Segment): Segment = s.copy(
+      fileStats = None,
+      delta = s.delta.map(_.copy(stats = None)),
+      segments = s.segments.map(strip))
+    val bare = t.currentSnapshot
+      .copy(segments = t.currentSnapshot.segments.map(strip))
+    val nextV = t.currentVersion.toLong + 1
+    AzofWriter.writeSnapshot(spark, t.tableDir.toString, nextV.toString, bare)
+    AzofWriter.writeVersion(spark, t.tableDir.toString, nextV.toString)
+    val before = AzofScan.scan(spark, lake, "t").collect()
+      .map(r => (r.getString(0), r.getString(2))).sorted.toSeq
+
+    // stat-less: a point lookup prunes NOTHING
+    val snapBare = AzofTable(spark, lake, "t").currentSnapshot
+    assert(AzofScan.prunedFiles(snapBare, AsOf.Current,
+      Some(KeyFilter.Keys(Set("q")))).size == 3)
+
+    val r = AzofWriter.analyzeTable(spark, lake, "t")
+    assert(r.analyzed.size == 3 && r.skipped.isEmpty &&
+      r.version.contains(nextV + 1), s"$r")
+    val snapAfter = AzofTable(spark, lake, "t").currentSnapshot
+    // pruning is back: point lookup reads one file again
+    assert(AzofScan.prunedFiles(snapAfter, AsOf.Current,
+      Some(KeyFilter.Keys(Set("q")))).size == 1)
+    // value ranges restamped too (the round-10 generation)
+    assert(snapAfter.segments.head.fileStats.get.cols.contains("value"))
+    assert(snapAfter.segments.head.delta.forall(_.stats.get.cols.nonEmpty))
+    // results identical, no data file touched
+    val after = AzofScan.scan(spark, lake, "t").collect()
+      .map(r => (r.getString(0), r.getString(2))).sorted.toSeq
+    assert(after == before)
+    assert(snapAfter.allFiles == snapBare.allFiles)
+
+    // idempotent: everything is stamped now, so no commit
+    val again = AzofWriter.analyzeTable(spark, lake, "t")
+    assert(again.version.isEmpty && again.analyzed.isEmpty)
+    assert(AzofTable(spark, lake, "t").currentVersion.toLong == nextV + 1)
+  }
+
+  test("analyze upgrades key-only stats with value ranges (pre-value-" +
+    "stats generation)") {
+    val lake = buildKeyPartitioned()
+    val t = AzofTable(spark, lake, "t")
+    // strip ONLY the value ranges, keeping key ranges — the rt-v2 shape
+    def strip(s: Segment): Segment = s.copy(
+      fileStats = s.fileStats.map(_.copy(cols = Map.empty)),
+      delta = s.delta.map(d =>
+        d.copy(stats = d.stats.map(_.copy(cols = Map.empty)))),
+      segments = s.segments.map(strip))
+    val keyOnly = t.currentSnapshot
+      .copy(segments = t.currentSnapshot.segments.map(strip))
+    val nextV = t.currentVersion.toLong + 1
+    AzofWriter.writeSnapshot(spark, t.tableDir.toString, nextV.toString,
+      keyOnly)
+    AzofWriter.writeVersion(spark, t.tableDir.toString, nextV.toString)
+
+    val r = AzofWriter.analyzeTable(spark, lake, "t")
+    assert(r.analyzed.size == 3, s"$r")
+    val snapAfter = AzofTable(spark, lake, "t").currentSnapshot
+    assert(snapAfter.segments.head.fileStats.get.cols.contains("value"))
+    // key ranges unchanged by the upgrade
+    assert(snapAfter.segments.head.fileStats.map(s => (s.keyMin, s.keyMax))
+      .contains(("a", "d")))
+  }
+
   test("skipped scan ≡ unskipped scan + filter; all-skipped is empty with schema") {
     val lake = buildKeyPartitioned()
     def rows(kf: Option[KeyFilter]) =

@@ -212,6 +212,31 @@ class SqlProceduresSpec extends AnyFunSuite {
       s"doc 2 drops to its same-direction lower id: $verdicts")
   }
 
+  test("CALL system.analyze restamps stat-less files metadata-only") {
+    mk("an1",
+      ("1", "2024-01-05T00:00:00Z", "a"),
+      ("2", "2024-01-06T00:00:00Z", "b"))
+    val t = AzofTable(spark, lake, "an1")
+    def strip(s: Segment): Segment = s.copy(
+      fileStats = None, delta = s.delta.map(_.copy(stats = None)),
+      segments = s.segments.map(strip))
+    val nextV = t.currentVersion.toLong + 1
+    AzofWriter.writeSnapshot(spark, t.tableDir.toString, nextV.toString,
+      t.currentSnapshot.copy(
+        segments = t.currentSnapshot.segments.map(strip)))
+    AzofWriter.writeVersion(spark, t.tableDir.toString, nextV.toString)
+
+    val r = spark.sql("CALL proc.system.analyze(`table` => 'an1')")
+      .collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(2) == nextV + 1, s"$r")
+    assert(AzofTable(spark, lake, "an1").currentSnapshot
+      .segments.head.delta.head.stats.nonEmpty)
+    // idempotent second call returns a NULL version (no commit)
+    val again = spark.sql("CALL proc.system.analyze(`table` => 'an1')")
+      .collect()(0)
+    assert(again.getLong(0) == 0L && again.isNullAt(2), s"$again")
+  }
+
   test("unknown procedures refuse with the catalog's procedure list") {
     mk("u1", ("1", "2024-01-05T00:00:00Z", "a"))
     val e = intercept[Exception] {
