@@ -129,6 +129,14 @@ object AzofCli {
           opts("table"), opts("column"))
         println(s"dropped column ${opts("column")}; version now " +
           AzofTable(spark, opts("path"), opts("table")).currentVersion)
+      case "rename-column" =>
+        // metadata-only: bytes stay under the immutable physical name
+        //   rename-column --path L --table T --column OLD --to NEW
+        graft.sources.AzofWriter.renameColumn(spark, opts("path"),
+          opts("table"), opts("column"), opts("to"))
+        println(s"renamed column ${opts("column")} -> ${opts("to")}; " +
+          "version now " +
+          AzofTable(spark, opts("path"), opts("table")).currentVersion)
       case "compact" =>
         // --by-key: key-clustered merged files (point-lookup layout)
         graft.sources.AzofWriter.compact(spark, opts("path"), opts("table"),
@@ -394,6 +402,75 @@ object AzofCli {
             s"-> ${r.verified} verified pairs -> ${r.relabeled} " +
             "relabeled docs")
         println(s"checkpoint: $ckpt")
+      case "dedup-follow" =>
+        // the self-maintaining form of dedup-ingest: a streaming query
+        // on the commit-exact feed triggers one ingest per micro-batch.
+        //   dedup-follow --path L --table SRC --index-path L2
+        //     [--interval-seconds N]  (omit = AvailableNow catch-up)
+        //     [--text-col text] [--min-jaccard 0.5] [--retain N]
+        //     [--checkpoint DIR] [--key-map key_map]
+        val ckpt = opts.getOrElse("checkpoint",
+          new org.apache.hadoop.fs.Path(opts("index-path"),
+            opts.getOrElse("sig-table", "minhash_sig") +
+              "/_refresh_checkpoint").toString)
+        val trigger = opts.get("interval-seconds") match {
+          case Some(s) => org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(s"$s seconds")
+          case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        }
+        val q = graft.sources.DedupFlow.follow(spark,
+          opts("path"), opts("table"),
+          opts.getOrElse("text-col", "text"),
+          opts("index-path"), ckpt, trigger,
+          sigTable = opts.getOrElse("sig-table", "minhash_sig"),
+          ccTable = opts.getOrElse("cc-table", "components"),
+          minJaccard = opts.getOrElse("min-jaccard", "0.5").toDouble,
+          retain = opts.getOrElse("retain", "0").toInt,
+          keyMap = opts.get("key-map"),
+          onReport = r => println(
+            if (r.noop) s"no new commits (cursor at v${r.fromVersion})"
+            else s"ingested v${r.fromVersion + 1}..v${r.toVersion}: " +
+              s"${r.churned} churned -> ${r.candidates} candidates -> " +
+              s"${r.verified} verified -> ${r.relabeled} relabeled"))
+        q.awaitTermination()
+      case "contain-create" =>
+        // persisted containment-pair index:
+        //   contain-create --index-path L2 [--index-table contain_pairs]
+        graft.sources.ContainIndex.create(spark, opts("index-path"),
+          opts.getOrElse("index-table", "contain_pairs"))
+        println(s"created ${opts.getOrElse("index-table", "contain_pairs")}")
+      case "contain-refresh" =>
+        // churn-confined incremental refresh from the CDC feed:
+        //   contain-refresh --path L --table SRC --index-path L2
+        //     [--index-table contain_pairs] [--text-col text]
+        //     [--min-shared 3] [--max-df 20] [--min-containment 0.9]
+        //     [--at TS]
+        val at = opts.get("at")
+          .map(graft.sources.AzofDataSource.parseInstant)
+          .getOrElse(java.time.Instant.ofEpochMilli(
+            System.currentTimeMillis()))
+        val r = graft.sources.ContainIndex.refresh(spark,
+          opts("path"), opts("table"),
+          opts.getOrElse("text-col", "text"),
+          opts("index-path"),
+          opts.getOrElse("index-table", "contain_pairs"), at,
+          minShared = opts.getOrElse("min-shared", "3").toInt,
+          maxDf = opts.getOrElse("max-df", "20").toInt,
+          minContainment =
+            opts.getOrElse("min-containment", "0.9").toDouble)
+        println(
+          if (r.noop) s"no new commits (cursor at v${r.fromVersion})"
+          else s"refreshed v${r.fromVersion + 1}..v${r.toVersion}: " +
+            s"${r.churned} churned -> ${r.candidates} candidates -> " +
+            s"${r.verified} verified; ${r.upserted} upserted, " +
+            s"${r.retired} retired")
+      case "contain-pairs" =>
+        // the persisted verdicts:
+        //   contain-pairs --index-path L2 [--index-table contain_pairs]
+        graft.sources.ContainIndex.pairs(spark, opts("index-path"),
+            opts.getOrElse("index-table", "contain_pairs"))
+          .orderBy("doc_a", "doc_b")
+          .show(numRows = 10000, truncate = false)
       case "sem-create" =>
         // frozen-model SemDeDup index over an azof embedding table
         // (vectors as JSON double arrays in --vec-col):

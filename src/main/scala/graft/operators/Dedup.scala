@@ -789,9 +789,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .select("doc_a", "doc_b")
-    // one verify join: each pair contributes its two docs, every
-    // (pair, shingle) group records which sides carry it, and the
-    // per-pair rollup counts |A|, |B|, |A∩B| in the same aggregation
+    containmentVerify(cands, sh, minContainment)
+  }
+
+  /** The exact-containment verify stage of [[containmentPairs]], shared
+    * with the incremental index refresh
+    * ([[graft.sources.ContainIndex]]): ONE |candidates|-scaled join —
+    * each pair contributes its two docs, every (pair, shingle) group
+    * records which sides carry it, and the per-pair rollup counts |A|,
+    * |B|, |A∩B| in the same aggregation. Exact regardless of how the
+    * candidates were blocked.
+    */
+  def containmentVerify(
+      cands: DataFrame, sh: DataFrame, minContainment: Double): DataFrame = {
     val pairDocs = cands
       .select(struct(col("doc_a"), col("doc_b")).as("_p"))
       .select(col("_p"), explode(array(col("_p.doc_a"), col("_p.doc_b")))

@@ -34,6 +34,7 @@ object Pipeline {
     "d18_dedup_ingest_strkeys" -> d18,
     "d19_semdedup_keyed" -> d19,
     "d20_containment" -> d20,
+    "d21_containment_index" -> d21,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -462,18 +463,72 @@ object Pipeline {
     * derivation → shingles → df-guarded collision blocking → exact
     * intersection verbatim.
     */
-  private def d20(s: SparkSession, dir: String): DataFrame = {
+  /** The quote-injected derived corpus d20 and d21 share: every
+    * `doc_id % 10 == 0` doc REPLACED by the first 30 words of its
+    * successor (strict shingle subset → containment 1.0, Jaccard ≈ 0).
+    */
+  private[queries] def d20Derived(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val nb = d.select((col("doc_id") - 1).as("doc_id"),
       col("text").as("_ntext"))
-    val derived = d.join(nb, Seq("doc_id"), "left")
+    d.join(nb, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("doc_id") % 10 === 0 && col("_ntext").isNotNull,
           array_join(slice(split(col("_ntext"), "\\s+"), 1, 30), " "))
           .otherwise(col("text")).as("text"))
-    Dedup.containmentPairs(derived, col("text"), col("doc_id"),
-      minShared = 3, maxDf = 20, minContainment = 0.9)
   }
+
+  private def d20(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(d20Derived(s, dir), col("text"), col("doc_id"),
+      minShared = 3, maxDf = 20, minContainment = 0.9)
+
+  /** The d20 derived corpus landed as an azof SOURCE table in two crawl
+    * batches (`doc_id % 3 != 0`, then the `% 3 == 0` holdout — chosen so
+    * containment pairs land both WITHIN batch 1 and ACROSS the batch
+    * boundary), each batch ingested into the persisted
+    * [[graft.sources.ContainIndex]]: CDC churn → churn-confined
+    * df-guarded collision blocking answered from one map-side-pruned
+    * corpus pass → exact containment verify → one mixed
+    * upsert/tombstone commit. Deterministic, so cache ≡ rebuild.
+    */
+  private[queries] def containLake(s: SparkSession, dir: String): String =
+    AzofQueries.cachedLake(dir, "contain-v1", "contain_pairs") { l =>
+      import graft.format.{ColumnDef, ColumnType, TableSchema}
+      import graft.sources.{AzofWriter, ContainIndex}
+      import java.time.Instant
+      val srcSchema = graft.format.TableSchema(Seq(
+        ColumnDef("text", ColumnType.AzString, nullable = true)))
+      AzofWriter.createTable(s, l, "docs_src", srcSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      ContainIndex.create(s, l)
+      val derived = d20Derived(s, dir)
+      def batch(holdout: Boolean, at: String) =
+        derived.where((col("doc_id") % 3 === 0) === holdout)
+          .select(col("doc_id").cast("string").as(TableSchema.KeyName),
+            lit(java.sql.Timestamp.from(Instant.parse(at)))
+              .as(TableSchema.EventTimeName),
+            col("text"))
+      AzofWriter.commitBase(s, l, "docs_src",
+        batch(holdout = false, "2024-01-15T00:00:00Z"))
+      ContainIndex.refresh(s, l, "docs_src", "text", l,
+        at = Instant.parse("2024-02-01T00:00:00Z"))
+      AzofWriter.commitDelta(s, l, "docs_src",
+        batch(holdout = true, "2024-02-15T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      ContainIndex.refresh(s, l, "docs_src", "text", l,
+        at = Instant.parse("2024-03-01T00:00:00Z"))
+      ()
+    }
+
+  /** The persisted containment verdicts, read back whole
+    * ([[containLake]]): must hash-match the d20 one-shot oracle over
+    * the full derived corpus — incremental churn-confined blocking ≡
+    * one-shot, the d15/d16 equivalence for the containment family.
+    */
+  private def d21(s: SparkSession, dir: String): DataFrame =
+    graft.sources.ContainIndex.pairs(s, containLake(s, dir),
+      "contain_pairs")
 
   /** The incrementally-built persisted assignment, read back whole: must
     * hash-match the one-shot d11 clustering (the oracle recomputes the
@@ -1502,8 +1557,14 @@ object Pipeline {
           FROM asg LEFT JOIN drp USING (vec_id)""",
     // d20: quote-injected derived corpus (doc_id % 10 == 0 -> first 30
     // words of its successor), shingles, df-guarded collision blocking,
-    // exact containment from the full shingle sets
-    "d20_containment" ->
+    // exact containment from the full shingle sets. d21 (the persisted
+    // incremental index) must serve the IDENTICAL verdicts, so it
+    // shares the one-shot oracle verbatim — the same oracle-reuse as
+    // d13/d16.
+    "d21_containment_index" -> containmentOracle,
+    "d20_containment" -> containmentOracle) ++ moreOracles
+
+  private val containmentOracle: String =
       """WITH nb AS (SELECT doc_id - 1 AS doc_id, text AS ntext
                      FROM documents),
           der AS (SELECT d.doc_id,
@@ -1540,7 +1601,12 @@ object Pipeline {
           JOIN sizes sa ON sa.doc_id = c.doc_a
           JOIN sizes sb ON sb.doc_id = c.doc_b
           WHERE greatest(CAST(i.n_inter AS DOUBLE) / sa.n,
-                         CAST(i.n_inter AS DOUBLE) / sb.n) >= 0.9""",
+                         CAST(i.n_inter AS DOUBLE) / sb.n) >= 0.9"""
+
+  /** [[oracleSql]] continued (one Map literal strains scalac's
+    * constant-pool appetite less when split).
+    */
+  private def moreOracles: Map[String, String] = Map(
     // p01: the composed funnel on the duplicate-injected derived corpus.
     // Stage formulas are the t03/t02/d01/t11/t17 oracles verbatim; the
     // composition is the same two conditional windows the Spark plan

@@ -220,6 +220,77 @@ object DedupFlow {
     IngestReport(fromVersion, toVersion, nChurn, nCands, nVerified, relabeled)
   }
 
+  /** CONTINUOUS maintenance driver — the self-maintaining form of
+    * [[ingest]], the way [[graft.streaming.AzofMirror]] is for
+    * replication: a Structured Streaming query on the commit-exact
+    * `azof-commits` source whose every micro-batch (a range of source
+    * commits) triggers one full ingest pass. Instead of an external
+    * scheduler invoking [[ingest]] per crawl batch, the indexes FOLLOW
+    * the source table: `Trigger.AvailableNow` catches up and stops
+    * (the cron shape), a processing-time trigger keeps following until
+    * the query is stopped (the daemon shape).
+    *
+    * Exactly-once is LAYERED, which is what makes the wiring safe: the
+    * outer stream's checkpoint only bounds WHEN ingests fire; the
+    * ingest itself remains idempotent through its own cursor (a
+    * replayed batch finds the cursor already advanced and no-ops) and
+    * the signature catch-up through ITS streaming checkpoint — so a
+    * crash anywhere replays harmlessly. The micro-batch's rows are
+    * deliberately unused: [[ingest]] re-reads its CDC range from the
+    * cursor, so the two offset systems can never disagree about what
+    * was processed.
+    *
+    * `checkpoint` is the SIGNATURE catch-up checkpoint (the same one
+    * [[ingest]] takes — share it with any interleaved manual ingests);
+    * the outer stream's own checkpoint lives beside the components
+    * table by default. Each pass stamps its index commits at the wall
+    * clock of its trigger, and `retain` passes through to
+    * [[vacuumIndexes]] so a long-running follow keeps bounded
+    * snapshot history.
+    */
+  def follow(
+      spark: SparkSession,
+      srcLake: String, srcTable: String, textCol: String,
+      idxLake: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      followCheckpoint: Option[String] = None,
+      sigTable: String = "minhash_sig",
+      ccTable: String = "components",
+      minJaccard: Double = 0.5,
+      cap: Int = Dedup.DefaultBucketCap,
+      broadcastKeyMax: Long = DefaultBroadcastKeyMax,
+      retain: Int = 0,
+      retainMinAgeMs: Long = AzofVacuum.DefaultMinAgeMs,
+      keyMap: Option[String] = None,
+      onReport: IngestReport => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val outerCkpt = followCheckpoint.getOrElse(
+      new Path(AzofTable(spark, idxLake, ccTable).tableDir,
+        "_follow_checkpoint").toString)
+    val reader = spark.readStream.format("azof-commits")
+      .option("table", srcTable)
+    // seed at the ingest cursor: commits the indexes already consumed
+    // need not even surface as (ignored) outer batches
+    val seeded = readCursor(spark, idxLake, ccTable)
+      .fold(reader)(v => reader.option("startVersion", v.toString))
+    seeded.load(srcLake)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", outerCkpt)
+      .foreachBatch {
+        (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val r = ingest(spark, srcLake, srcTable, textCol, idxLake,
+            checkpoint, Instant.now(), sigTable, ccTable, minJaccard,
+            cap, broadcastKeyMax, retain, retainMinAgeMs, keyMap)
+          onReport(r)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** EPOCH REBUILD — the escape hatch from the monotone-merge
     * contract: pair evidence only accumulates under [[ingest]], so a
     * revision that BREAKS an old similarity (or a delete that empties
@@ -473,7 +544,7 @@ object DedupFlow {
     }
   }
 
-  private def writeCursor(
+  private[sources] def writeCursor(
       spark: SparkSession, idxLake: String, ccTable: String,
       version: Long): Unit = {
     val p = cursorPath(spark, idxLake, ccTable)

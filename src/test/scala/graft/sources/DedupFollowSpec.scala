@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format.{AzofTable, TableSchema}
+import graft.operators.Dedup
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The continuous maintenance driver ([[DedupFlow.follow]]): the
+  * indexes FOLLOW the source table through the commit-exact stream —
+  * catch-up (AvailableNow) and daemon (processing-time) shapes both
+  * keep the persisted assignment ≡ the one-shot pipeline over the
+  * evolved corpus, ingest replay stays idempotent under the layered
+  * checkpoints, and `retain` bounds index snapshot history across a
+  * soak of commits. Doc families follow DedupFlowSpec's probed LSH
+  * fixtures.
+  */
+class DedupFollowSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Instant.parse(s)
+
+  private val srcSchema = graft.format.TableSchema(Seq(
+    graft.format.ColumnDef("text", graft.format.ColumnType.AzString,
+      nullable = false)))
+
+  private def rows(docs: Seq[(Long, String)], at: String) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (i, t) =>
+        Row(i.toString, Timestamp.from(ts(at)), t) }),
+      srcSchema.toStruct)
+
+  private def fam(prefix: String, last: String) =
+    ((1 to 7).map(w => s"$prefix$w") :+ last).mkString(" ")
+
+  private def oneShot(lake: String): Map[Long, Long] = {
+    val cur = graft.operators.AzofScan.scan(spark, lake, "docs")
+      .select(col(TableSchema.KeyName).cast("long").as("doc_id"),
+        col("text"))
+    val cands = Dedup.lshCandidates(
+      Dedup.minhashBands(cur, col("text"), col("doc_id"),
+        k = MinHashIndex.K, bandSize = MinHashIndex.BandSize),
+      MinHashIndex.NBands)
+    val sh = Dedup.shingles(cur, col("text"), col("doc_id"))
+    val pairs = Dedup.ngramJaccard(cands, sh)
+      .where(col("jaccard") >= 0.5)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def assignment(idxLake: String): Map[Long, Long] =
+    CcIndex.assignment(spark, idxLake, "components")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("AvailableNow follow catches up like a sequence of ingests; " +
+    "a re-run with nothing new is a no-op") {
+    val srcLake = Files.createTempDirectory("azof-follow-src").toString
+    val idxLake = Files.createTempDirectory("azof-follow-idx").toString
+    val ck = Files.createTempDirectory("azof-follow-ck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      2L -> fam("w", "beta"),
+      4L -> "completely different text entirely"),
+      "2024-01-02T00:00:00Z"))
+    AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+      3L -> fam("v", "alpha"),
+      6L -> fam("v", "beta")),
+      "2024-01-05T00:00:00Z"),
+      ts("2024-01-05T00:00:00Z"), ts("2024-01-05T00:00:00Z"))
+    DedupFlow.create(spark, idxLake)
+
+    var reports = Vector.empty[DedupFlow.IngestReport]
+    DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
+      onReport = r => reports :+= r).awaitTermination()
+    assert(reports.exists(!_.noop), s"$reports")
+    val a = assignment(idxLake)
+    assert(a == oneShot(srcLake), s"follow diverged: $a")
+    assert(a(1L) == 1L && a(2L) == 1L && a(3L) == 3L && a(6L) == 3L)
+
+    // replayed follow with nothing new: ingest cursor no-ops, no
+    // index version moves
+    val v = AzofTable(spark, idxLake, "components").currentVersion
+    reports = Vector.empty
+    DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
+      onReport = r => reports :+= r).awaitTermination()
+    assert(reports.forall(_.noop), s"$reports")
+    assert(AzofTable(spark, idxLake, "components").currentVersion == v)
+  }
+
+  test("processing-time follow soaks commits landed WHILE running and " +
+    "retain bounds index history") {
+    val srcLake = Files.createTempDirectory("azof-follow2-src").toString
+    val idxLake = Files.createTempDirectory("azof-follow2-idx").toString
+    val ck = Files.createTempDirectory("azof-follow2-ck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      4L -> "completely different text entirely"),
+      "2024-01-02T00:00:00Z"))
+    DedupFlow.create(spark, idxLake)
+
+    val q = DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
+      trigger = Trigger.ProcessingTime("500 milliseconds"),
+      retain = 2, retainMinAgeMs = 0L)
+    try {
+      // land two MORE commits while the follow is live; each grows the
+      // wfam cluster
+      AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+        2L -> fam("w", "beta")), "2024-02-01T00:00:00Z"),
+        ts("2024-02-01T00:00:00Z"), ts("2024-02-01T00:00:00Z"))
+      AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+        3L -> fam("w", "gamma")), "2024-02-02T00:00:00Z"),
+        ts("2024-02-02T00:00:00Z"), ts("2024-02-02T00:00:00Z"))
+      val deadline = System.currentTimeMillis() + 120000
+      var a = assignment(idxLake)
+      while (a.keySet != Set(1L, 2L, 3L) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000); a = assignment(idxLake)
+      }
+      assert(a == oneShot(srcLake), s"soak diverged: $a")
+      assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally q.stop()
+    // retain=2 keeps the components table's snapshot history bounded
+    // across however many refresh commits the soak produced
+    val dir = AzofTable(spark, idxLake, "components").tableDir
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val snaps = fs.listStatus(dir)
+      .map(_.getPath.getName).count(n => n.matches("s\\d+\\.json"))
+    assert(snaps <= 4, s"retention should bound snapshots, found $snaps")
+  }
+}
