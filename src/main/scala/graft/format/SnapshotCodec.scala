@@ -108,7 +108,11 @@ object SnapshotCodec {
       ColumnDef(
         c.get("name").asText(),
         ColumnType.fromJsonName(c.get("data_type").asText()),
-        c.get("nullable").asBoolean())
+        c.get("nullable").asBoolean(),
+        // rename ext field; a physical equal to the logical name
+        // normalizes away so rename-back round-trips to the plain shape
+        physical = optText(c, "physical_name")
+          .filter(_ != c.get("name").asText()))
     })
 
   private def parseSegment(n: JsonNode): Segment = Segment(
@@ -189,6 +193,9 @@ object SnapshotCodec {
       cn.put("name", c.name)
       cn.put("data_type", c.dataType.jsonName)
       cn.put("nullable", c.nullable)
+      c.physical.filter(_ != c.name).foreach { p =>
+        cn.put("physical_name", p); ()
+      }
     }
     val segs = root.putArray("segments")
     s.segments.foreach(seg => renderSegment(segs.addObject(), seg))

@@ -23,8 +23,26 @@ object ColumnType {
       throw new IllegalArgumentException(s"unknown azof column type: $s"))
 }
 
-/** One declared value column (reference: crates/azof/src/schema.rs:24-28). */
-final case class ColumnDef(name: String, dataType: ColumnType, nullable: Boolean)
+/** One declared value column (reference: crates/azof/src/schema.rs:24-28).
+  *
+  * `physical` is the RENAME extension: the immutable name the column's
+  * bytes live under in every data file, fixed at creation and unchanged
+  * by renames — `name` is the logical name queries see. None = never
+  * renamed (physical == name). Writers always write the physical name
+  * and scans read physical then project to logical, so files from
+  * before and after a rename stay byte-compatible and per-file value
+  * stats (keyed by physical name) survive renames. Serialized as an
+  * extra `physical_name` JSON field the reference's serde parser
+  * ignores — but note a reference reader of a RENAMED table would look
+  * for the logical name in files and surface NULLs; renames are for
+  * tables owned by this engine (same caveat class as tombstones).
+  */
+final case class ColumnDef(
+    name: String, dataType: ColumnType, nullable: Boolean,
+    physical: Option[String] = None) {
+  /** The name in data files: the original creation name, forever. */
+  def physicalName: String = physical.getOrElse(name)
+}
 
 /** Declared schema of the value columns of a table. Two system columns —
   * `key: String` (record identity / dedup key) and `event_time:
@@ -43,6 +61,24 @@ final case class TableSchema(columns: Seq[ColumnDef]) {
   /** Names in physical order, system columns first. */
   def allColumnNames: Seq[String] =
     Seq(TableSchema.KeyName, TableSchema.EventTimeName) ++ columns.map(_.name)
+
+  /** [[toStruct]] with each value column under its PHYSICAL name — the
+    * schema of the bytes in data files ([[ColumnDef.physical]]). Equal
+    * to [[toStruct]] unless a column was renamed. System columns never
+    * rename.
+    */
+  def physicalStruct: StructType = StructType(
+    TableSchema.systemFields ++ columns.map(c =>
+      StructField(c.physicalName, c.dataType.sparkType, c.nullable)))
+
+  /** True iff any column's logical name differs from its physical. */
+  def hasRenames: Boolean = columns.exists(c => c.physicalName != c.name)
+
+  /** The physical (file) name for a logical column name; identity for
+    * unknown/system names.
+    */
+  def physicalOf(logical: String): String =
+    columns.find(_.name == logical).map(_.physicalName).getOrElse(logical)
 
   /** Output schema under a projection: only the requested columns survive,
     * in physical order — system columns included only when requested

@@ -82,8 +82,12 @@ object ValueStats {
   def mayMatch(schema: TableSchema, stats: FileStats, f: Filter): Boolean = {
     def colType(name: String): Option[ColumnType] =
       schema.columns.find(_.name == name).map(_.dataType)
+    // filters carry LOGICAL names; per-file stats are keyed by the
+    // column's immutable PHYSICAL name, so value skipping keeps
+    // working across renames
     def range(name: String): Option[(ColumnType, ColRange)] =
-      for { t <- colType(name); r <- stats.cols.get(name) } yield (t, r)
+      for { t <- colType(name); r <- stats.cols.get(schema.physicalOf(name)) }
+        yield (t, r)
     def inRange(name: String, v: Any): Boolean = range(name) match {
       case None => true
       case Some((t, r)) =>

@@ -190,10 +190,12 @@ object AzofScan {
     // marker too (absent in plain data files -> null -> not deleted);
     // tombstone-free tables pay nothing
     val hasTombstones = entries.exists(_.tombstone)
+    // files store PHYSICAL column names (immutable across renames);
+    // the logical projection happens right after the read
     val readSchema =
       if (hasTombstones)
-        schema.toStruct.add(TableSchema.DeletedName, "boolean")
-      else schema.toStruct
+        schema.physicalStruct.add(TableSchema.DeletedName, "boolean")
+      else schema.physicalStruct
 
     // Basenames are unique within a flat table directory, so the file →
     // precedence map keys on them; input_file_name() yields the full URI.
@@ -248,10 +250,20 @@ object AzofScan {
         .reduce(_ unionAll _)
     }
 
+    // physical → logical: renamed columns surface under their logical
+    // names from here on (a no-op select when nothing was renamed);
+    // sequential renames are collision-free because a retired logical
+    // name can never return as another column's current name
+    val logical =
+      if (schema.hasRenames)
+        schema.columns.filter(c => c.physicalName != c.name)
+          .foldLeft(unioned)((d, c) => d.withColumnRenamed(c.physicalName, c.name))
+      else unioned
+
     val timed = asOf match {
-      case AsOf.Current => unioned
+      case AsOf.Current => logical
       case AsOf.EventTime(ts) =>
-        unioned.where(col(TableSchema.EventTimeName) <=
+        logical.where(col(TableSchema.EventTimeName) <=
           lit(java.sql.Timestamp.from(ts)))
     }
     // residual key predicate: exactness never depends on the stats (a

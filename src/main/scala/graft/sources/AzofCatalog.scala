@@ -157,8 +157,14 @@ class AzofCatalog extends TableCatalog
           s"azof columns are flat: cannot drop nested ${drop.fieldNames.mkString(".")}")
         AzofWriter.dropColumn(spark, tableDir(ident).getParent.toString,
           ident.name, drop.fieldNames.head)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"azof columns are flat: cannot rename nested ${ren.fieldNames.mkString(".")}")
+        AzofWriter.renameColumn(spark, tableDir(ident).getParent.toString,
+          ident.name, ren.fieldNames.head, ren.newName)
       case other => throw new UnsupportedOperationException(
-        s"azof supports only ADD COLUMN and DROP COLUMN; got ${other.getClass.getSimpleName}")
+        "azof supports only ADD COLUMN, DROP COLUMN, and RENAME COLUMN; " +
+          s"got ${other.getClass.getSimpleName}")
     }
     loadTable(ident)
   }

@@ -54,16 +54,24 @@ object AzofChangeFeed {
       .flatMap(_.tombstoneFiles).toSet
     val hasTombstones =
       fileVersions.exists { case (f, _) => tombstoneNames(f) }
+    // files store PHYSICAL column names; the feed surfaces LOGICAL ones
     val readSchema =
       if (hasTombstones)
-        schema.toStruct.add(TableSchema.DeletedName, "boolean")
-      else schema.toStruct
-    def withDeleted(df: DataFrame): DataFrame =
+        schema.physicalStruct.add(TableSchema.DeletedName, "boolean")
+      else schema.physicalStruct
+    def toLogical(df: DataFrame): DataFrame =
+      if (schema.hasRenames)
+        schema.columns.filter(c => c.physicalName != c.name)
+          .foldLeft(df)((d, c) => d.withColumnRenamed(c.physicalName, c.name))
+      else df
+    def withDeleted(df: DataFrame): DataFrame = {
+      val logical = toLogical(df)
       if (hasTombstones)
-        df.withColumn("_deleted",
+        logical.withColumn("_deleted",
             coalesce(col(TableSchema.DeletedName), lit(false)))
           .drop(TableSchema.DeletedName)
-      else df.withColumn("_deleted", lit(false))
+      else logical.withColumn("_deleted", lit(false))
+    }
 
     if (fileVersions.isEmpty)
       spark.createDataFrame(

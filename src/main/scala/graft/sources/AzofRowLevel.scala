@@ -118,21 +118,27 @@ private final class AzofDeltaWrite(
     // value columns written nullable regardless of declaration:
     // tombstone rows carry NULL values (same relaxation commitDelete's
     // lit(null) frame gets), and parquet-mr silently corrupts a file
-    // handed a null for a `required` field
+    // handed a null for a `required` field. Files store PHYSICAL names
+    // (renames are metadata-only); the aligned logical names drive the
+    // row-schema lookup task-side.
+    val tschema = table.currentSnapshot.schema
     val fileSchema = StructType(
-      table.currentSnapshot.schema.toStruct.fields.map { f =>
+      tschema.physicalStruct.fields.map { f =>
         if (f.name == TableSchema.KeyName ||
           f.name == TableSchema.EventTimeName) f
         else f.copy(nullable = true)
       })
       .add(StructField(TableSchema.DeletedName, BooleanType, nullable = true))
+    val logicalNames: Array[String] =
+      (Seq(TableSchema.KeyName, TableSchema.EventTimeName) ++
+        tschema.columns.map(_.name)).toArray
     // provisional version in the name is a debug hint, same as
     // landCommitFile — uniqueness comes from the uuid + task ids
     val prefix = s"delta_s${table.currentVersion.toLong + 1}_" +
       UUID.randomUUID().toString.take(8)
     new AzofDeltaBatchWrite(
       lakehousePath, tableName, table.tableDir.toString, prefix,
-      rowSchema, fileSchema,
+      rowSchema, fileSchema, logicalNames,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
       readVersion)
   }
@@ -155,6 +161,7 @@ private final case class AzofDeltaFileMessage(
 private final class AzofDeltaBatchWrite(
     lakehousePath: String, tableName: String, tableDir: String,
     filePrefix: String, rowSchema: StructType, fileSchema: StructType,
+    logicalNames: Array[String],
     conf: SerializableHadoopConf, readVersion: Long) extends DeltaBatchWrite {
 
   // operation time, fixed once on the driver: every tombstone row of
@@ -165,7 +172,8 @@ private final class AzofDeltaBatchWrite(
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory =
     new AzofDeltaWriterFactory(
-      tableDir, filePrefix, rowSchema, fileSchema, opTimeUs, conf)
+      tableDir, filePrefix, rowSchema, fileSchema, logicalNames,
+      opTimeUs, conf)
 
   /** Register every landed file in one snapshot commit; a DML that
     * changed no rows commits NO version (SQL no-op semantics, matching
@@ -217,13 +225,14 @@ private final class AzofDeltaBatchWrite(
 private final class AzofDeltaWriterFactory(
     tableDir: String, filePrefix: String,
     rowSchema: StructType, fileSchema: StructType,
+    logicalNames: Array[String],
     opTimeUs: Long, conf: SerializableHadoopConf)
   extends DeltaWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new AzofDeltaRowWriter(
       tableDir, s"${filePrefix}_p${partitionId}_t$taskId.parquet",
-      rowSchema, fileSchema, opTimeUs, conf.value)
+      rowSchema, fileSchema, logicalNames, opTimeUs, conf.value)
 }
 
 /** Task-side delta writer: streams rows into one parquet file via
@@ -236,23 +245,27 @@ private final class AzofDeltaWriterFactory(
 private final class AzofDeltaRowWriter(
     tableDir: String, fileName: String,
     rowSchema: StructType, fileSchema: StructType,
+    logicalNames: Array[String],
     opTimeUs: Long, hadoopConf: Configuration)
   extends DeltaWriter[InternalRow] {
 
   private val keyOrd = fileSchema.fieldIndex(TableSchema.KeyName)
   private val tsOrd = fileSchema.fieldIndex(TableSchema.EventTimeName)
   private val markerOrd = fileSchema.fieldIndex(TableSchema.DeletedName)
-  // row-projection ordinal for each file column (marker excluded);
+  // row-projection ordinal for each file column (marker excluded),
+  // looked up by the column's LOGICAL name (the DML plan's row schema
+  // speaks logical; fileSchema holds the aligned physical names);
   // resolved lazily so a pure-DELETE write (whose row schema is just
   // the row id) never asks for value columns it will not receive
   private lazy val dataMap: Array[Int] =
-    fileSchema.fields.take(markerOrd).map { f =>
-      val i = rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+    (0 until markerOrd).map { fi =>
+      val logical = logicalNames(fi)
+      val i = rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(logical))
       if (i < 0) throw new IllegalStateException(
         s"DML row schema ${rowSchema.simpleString} lacks table column " +
-          s"${f.name}")
+          s"$logical")
       i
-    }
+    }.toArray
   // the row id projection is exactly rowId() = (key)
   private val idKeyOrd = 0
 

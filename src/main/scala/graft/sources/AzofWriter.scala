@@ -536,8 +536,10 @@ object AzofWriter {
     val table = AzofTable(spark, lakehousePath, name)
     val dir = table.tableDir.toString
     val snap = table.currentSnapshot
+    // NULL value columns under their PHYSICAL names (tombstone rows go
+    // straight to writeDataFile, which writes columns as named)
     val valueCols = snap.schema.columns.map(c =>
-      lit(null).cast(c.dataType.sparkType).as(c.name))
+      lit(null).cast(c.dataType.sparkType).as(c.physicalName))
     val rows = keysDf
       .select(col(keysDf.columns.head).cast("string").as(TableSchema.KeyName))
       .where(col(TableSchema.KeyName).isNotNull)
@@ -576,14 +578,26 @@ object AzofWriter {
       uniqueFileName(s"${kind}_s${table.currentVersion.toLong + 1}")
     // the tombstone marker column, when present, survives the landing
     // projection (mixed data+tombstone commits); everything else not in
-    // the declared schema is dropped
-    val landCols = table.currentSnapshot.schema.allColumnNames ++
-      (if (df.columns.contains(TableSchema.DeletedName))
-        Seq(TableSchema.DeletedName)
-      else Seq.empty)
-    val ordered = df.select(landCols.map(col): _*)
+    // the declared schema is dropped. Columns land under their PHYSICAL
+    // names ([[graft.format.ColumnDef.physical]]) so files before and
+    // after a rename stay byte-compatible.
+    val ordered = toPhysical(table.currentSnapshot.schema, df)
     val stats = writeDataFile(spark, ordered, dir, fileName)
     (dir, fileName, stats)
+  }
+
+  /** Project `df` (logical column names) to the file layout: `key,
+    * event_time, values...` under PHYSICAL names, the tombstone marker
+    * passing through when present.
+    */
+  private def toPhysical(schema: TableSchema, df: DataFrame): DataFrame = {
+    val cols =
+      Seq(col(TableSchema.KeyName), col(TableSchema.EventTimeName)) ++
+        schema.columns.map(c => col(c.name).as(c.physicalName)) ++
+        (if (df.columns.contains(TableSchema.DeletedName))
+          Seq(col(TableSchema.DeletedName))
+        else Seq.empty)
+    df.select(cols: _*)
   }
 
   /** Commit a LARGE DataFrame as `numFiles` range-partitioned delta
@@ -633,7 +647,7 @@ object AzofWriter {
     val nextId = (table.currentVersion.toLong + 1).toString
     val snap = table.currentSnapshot
     val dir = table.tableDir
-    val ordered = df.select(snap.schema.allColumnNames.map(col): _*)
+    val ordered = toPhysical(snap.schema, df)
     val deltas = writePartitionedFiles(spark, dir, ordered, numFiles,
       s"delta_s${nextId}_${uniqueSuffix()}_p",
       rangeCol = if (byKey) TableSchema.KeyName else TableSchema.EventTimeName)
@@ -770,10 +784,12 @@ object AzofWriter {
     val open = snap.segments(openIdx)
     require(at.isAfter(open.start), s"compaction point $at must be after segment start ${open.start}")
 
-    // merged state as of `at`, via the production scan path
-    val merged = graft.operators.AzofScan.scanSnapshot(
-      spark, table, snap, graft.format.AsOf.EventTime(at))
-      .select(snap.schema.allColumnNames.map(col): _*)
+    // merged state as of `at`, via the production scan path (logical
+    // names out of the scan, projected back to physical for the write)
+    val merged = toPhysical(snap.schema,
+      graft.operators.AzofScan.scanSnapshot(
+        spark, table, snap, graft.format.AsOf.EventTime(at))
+        .select(snap.schema.allColumnNames.map(col): _*))
     // distinct prefix: compaction REWRITES rows; the streaming append
     // feed (AzofStream) tails only base_/delta_ commit files by name
     val dir = table.tableDir.toString
@@ -816,11 +832,16 @@ object AzofWriter {
     // carried file can mix tombstone and data rows, so the marker rides
     // per-row and the new delta entry is flagged
     val futHasTombstones = futEntries.exists(_.tombstone)
+    // raw file round-trip: read PHYSICAL names, write them back as-is —
+    // no logical projection anywhere on the carry-forward path
     val futSchema =
       if (futHasTombstones)
-        snap.schema.toStruct.add(TableSchema.DeletedName, "boolean")
-      else snap.schema.toStruct
-    val futCols = snap.schema.allColumnNames ++
+        snap.schema.physicalStruct.add(TableSchema.DeletedName, "boolean")
+      else snap.schema.physicalStruct
+    val futPhysCols =
+      Seq(TableSchema.KeyName, TableSchema.EventTimeName) ++
+        snap.schema.columns.map(_.physicalName)
+    val futCols = futPhysCols ++
       (if (futHasTombstones) Seq(TableSchema.DeletedName) else Seq.empty)
     val atTs = java.sql.Timestamp.from(at)
     val future = if (futFiles.isEmpty) None else {
@@ -849,7 +870,10 @@ object AzofWriter {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(TableSchema.KeyName, TableSchema.EventTimeName)
         .orderBy(Seq(col("_prec")) ++ deletedFirst :+
-          xxhash64(snap.schema.allColumnNames.map(col): _*): _*)
+          // hash over the PHYSICAL columns in declared order: same
+          // values in the same order as the scan's logical-name hash,
+          // so the same duplicate is crowned
+          xxhash64(futPhysCols.map(col): _*): _*)
       val fut = reads.reduce(_ unionAll _)
         .where(col(TableSchema.EventTimeName) > lit(atTs))
         .withColumn("_rn", row_number().over(w))
@@ -1048,8 +1072,10 @@ object AzofWriter {
         throw new IllegalArgumentException(
           s"spark.azof.purgeMaxKeys must be a positive integer, got '$s'")))
       .getOrElse(1000000)
+    // raw file read: PHYSICAL names (only system columns are consulted,
+    // which never rename — but the schema must match the bytes)
     val readSchema =
-      snap.schema.toStruct.add(TableSchema.DeletedName, "boolean")
+      snap.schema.physicalStruct.add(TableSchema.DeletedName, "boolean")
     val tombRows = spark.read.schema(readSchema)
       .parquet(snap.tombstoneFiles.toSeq.sorted
         .map(f => new Path(dir, f).toString): _*)
@@ -1141,6 +1167,62 @@ object AzofWriter {
         mapping.collect { case (o, Some((n, _))) => o -> n },
         mapping.collect { case (o, None) => o }.toSeq.sorted),
       Some((readVersion, committedV)))
+  }
+
+  /** Rename a value column — metadata-only, like ADD and DROP: the
+    * column's bytes stay in every data file under its immutable
+    * PHYSICAL name ([[graft.format.ColumnDef.physical]], fixed at
+    * creation); only the logical name queries see changes. Writers keep
+    * writing the physical name and scans project physical → logical, so
+    * files from before and after the rename read identically and
+    * per-file value stats survive. Old snapshots pin their own schema,
+    * so time travel sees the old name — rename is not retroactive.
+    *
+    * The OLD logical name joins the `retired` list: its bytes live on
+    * under the physical name, so [[addColumn]] re-using it would
+    * resurrect them (same guard as DROP). Renaming a column BACK to its
+    * own physical name is the one exception — those bytes are its own.
+    * System columns (`key`, `event_time`) never rename.
+    */
+  def renameColumn(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      from: String,
+      to: String): Unit = {
+    require(!Seq(TableSchema.KeyName, TableSchema.EventTimeName)
+      .contains(from), s"cannot rename system column '$from'")
+    require(!Seq(TableSchema.KeyName, TableSchema.EventTimeName)
+      .contains(to) && to != TableSchema.DeletedName,
+      s"cannot rename to reserved name '$to'")
+    require(from != to, s"rename '$from' -> '$to' is a no-op")
+    val table = AzofTable(spark, lakehousePath, name)
+    commitMeta(spark, table.tableDir.toString) { (snap, _) =>
+      val target = snap.schema.columns.find(_.name == from).getOrElse(
+        throw new IllegalArgumentException(s"column '$from' does not exist"))
+      require(!snap.schema.columns.exists(_.name == to),
+        s"column '$to' already exists")
+      require(!snap.retired.contains(to) || target.physicalName == to,
+        s"column name '$to' was previously used and its values still " +
+          "live in old data files; re-using the name would RESURRECT " +
+          "them. Pick a fresh name.")
+      snap.copy(
+        schema = TableSchema(snap.schema.columns.map(c =>
+          if (c.name == from)
+            c.copy(name = to,
+              physical = Some(c.physicalName).filter(_ != to))
+          else c)),
+        op = Some("rename-column"),
+        // retire `from` only when bytes actually live under it (it is
+        // the column's physical name): re-using THAT name would
+        // resurrect old values. A pure logical alias (a second rename's
+        // source) never had bytes and stays re-usable.
+        retired =
+          if (from == target.physicalName && !snap.retired.contains(from))
+            snap.retired :+ from
+          else snap.retired)
+    }
+    ()
   }
 
   /** Hierarchical re-segmentation: how many consecutive same-generation
@@ -1300,9 +1382,10 @@ object AzofWriter {
     val table = AzofTable(spark, lakehousePath, name)
     val snap = table.currentSnapshot
     val dir = table.tableDir
-    val declared = snap.schema.columns.map(_.name).toSet
+    // stats are keyed by PHYSICAL column names (what the files hold)
+    val declared = snap.schema.columns.map(_.physicalName).toSet
     val valueEligible =
-      valueStatColsOf(snap.schema.toStruct).exists(c => declared(c._1))
+      valueStatColsOf(snap.schema.physicalStruct).exists(c => declared(c._1))
     def walk(s: Segment): Seq[(String, Option[FileStats])] =
       s.file.map(f => f -> s.fileStats).toSeq ++
         s.delta.map(d => d.file -> d.stats) ++ s.segments.flatMap(walk)

@@ -37,9 +37,15 @@ object AzofStream {
   def appends(
       spark: SparkSession, lakehousePath: String, table: String): DataFrame = {
     val t = AzofTable(spark, lakehousePath, table)
-    spark.readStream
-      .schema(t.currentSnapshot.schema.toStruct)
+    val schema = t.currentSnapshot.schema
+    // files store PHYSICAL names; surface the logical ones
+    val raw = spark.readStream
+      .schema(schema.physicalStruct)
       .option("pathGlobFilter", "{base,delta}_*.parquet")
       .parquet(t.tableDir.toString)
+    if (schema.hasRenames)
+      schema.columns.filter(c => c.physicalName != c.name)
+        .foldLeft(raw)((d, c) => d.withColumnRenamed(c.physicalName, c.name))
+    else raw
   }
 }
