@@ -35,6 +35,7 @@ object Pipeline {
     "d19_semdedup_keyed" -> d19,
     "d20_containment" -> d20,
     "d21_containment_index" -> d21,
+    "p04_contain_gate" -> p04,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -692,6 +693,34 @@ object Pipeline {
       .join(keeps, Seq("doc_id"))
       .select(col("doc_id"), col("component_id"), col("cluster_id"),
         col("quality_score"))
+  }
+
+  /** Containment-gated export over the quote-injected derived corpus —
+    * what a pipeline DOES with the d21 verdicts: quality-gated live
+    * docs minus the CONTAINED side of every persisted containment pair
+    * (cont_a ≥ 0.9 ⇒ doc_a is the excerpt, drop it and keep the
+    * container; mutual containment ⇒ keep the smaller id, the dedup
+    * convention). Served from the persisted [[graft.sources
+    * .ContainIndex]] (the [[containLake]] fixture) + ONE corpus scan —
+    * no re-shingling at export time. The oracle recomputes the
+    * containment pairs one-shot (the d20/d21 SQL as a CTE) and applies
+    * the same drop rule + the quality formula, re-proving
+    * index-served gating ≡ one-shot end to end.
+    */
+  private def p04(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.9
+    val pairs = graft.sources.ContainIndex.pairs(
+      s, containLake(s, dir), "contain_pairs")
+    val drops = pairs.select(
+      when(col("cont_a") >= t && col("cont_b") >= t, col("doc_b"))
+        .when(col("cont_a") >= t, col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    d20Derived(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      .where(col("quality_score") >= 0.42)
+      .join(drops, Seq("doc_id"), "left_anti")
   }
 
   /** The pipeline's END PRODUCT: training sequences packed from the
@@ -1562,7 +1591,46 @@ object Pipeline {
     // shares the one-shot oracle verbatim — the same oracle-reuse as
     // d13/d16.
     "d21_containment_index" -> containmentOracle,
-    "d20_containment" -> containmentOracle) ++ moreOracles
+    "d20_containment" -> containmentOracle,
+    // p04: the containment pairs recomputed ONE-SHOT (the shared d20/
+    // d21 SQL as a CTE), the asymmetric drop rule (excerpt drops,
+    // container stays; mutual -> keep min id), and the quality gate
+    // over the derived corpus — the Spark row serves the same gate
+    // from the persisted index
+    "p04_contain_gate" ->
+      s"""WITH cpairs AS ($containmentOracle),
+          cdrops AS (SELECT DISTINCT
+                       CASE WHEN cont_a >= 0.9 AND cont_b >= 0.9
+                              THEN doc_b
+                            WHEN cont_a >= 0.9 THEN doc_a
+                            ELSE doc_b END AS doc_id
+                     FROM cpairs),
+          nb2 AS (SELECT doc_id - 1 AS doc_id, text AS ntext
+                  FROM documents),
+          der2 AS (SELECT d.doc_id,
+                    CASE WHEN d.doc_id % 10 = 0 AND nb2.ntext IS NOT NULL
+                      THEN array_to_string(
+                        list_slice(string_split_regex(nb2.ntext, '\\s+'), 1, 30),
+                        ' ')
+                      ELSE d.text END AS text
+                   FROM documents d LEFT JOIN nb2 USING (doc_id)),
+          q2 AS (SELECT doc_id,
+                  LEAST(CAST(sum_word_len AS DOUBLE) / n_words / 10.0, 1.0) * 0.5
+                    + CAST(n_stopwords AS DOUBLE) / n_words * 0.3
+                    + (1.0 - CAST(n_digits AS DOUBLE) / n_chars_m) * 0.2
+                    AS quality_score
+                FROM (SELECT doc_id,
+                        CAST(len(ws) AS BIGINT) AS n_words,
+                        CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_word_len,
+                        CAST(len(list_intersect(ws, $stopListSql)) AS BIGINT) AS n_stopwords,
+                        CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                        CAST(length(text) AS BIGINT) AS n_chars_m
+                      FROM (SELECT doc_id, text, $wordsSql AS ws
+                            FROM der2)))
+          SELECT q2.doc_id, q2.quality_score
+          FROM q2 LEFT JOIN cdrops USING (doc_id)
+          WHERE cdrops.doc_id IS NULL AND q2.quality_score >= 0.42""") ++
+    moreOracles
 
   private val containmentOracle: String =
       """WITH nb AS (SELECT doc_id - 1 AS doc_id, text AS ntext

@@ -37,7 +37,8 @@ object AzofProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
-      "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze")
+      "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
+      "contain_refresh")
 
   def load(path: String, ident: Identifier): UnboundProcedure = {
     val name = ident.name.toLowerCase
@@ -105,6 +106,13 @@ object AzofProcedures {
         pd("vec_col", StringType, "'vec'"),
         pd("keyed", BooleanType, "false"))
       case "analyze" => Array(p("table", StringType))
+      case "contain_refresh" => Array(
+        p("table", StringType), p("index_path", StringType),
+        pd("index_table", StringType, "'contain_pairs'"),
+        pd("text_col", StringType, "'text'"),
+        pd("min_shared", IntegerType, "3"),
+        pd("max_df", IntegerType, "20"),
+        pd("min_containment", DoubleType, "0.9"))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -215,6 +223,22 @@ object AzofProcedures {
             StructField("version", LongType, nullable = true))),
             Seq(r.analyzed.size.toLong, r.skipped.size.toLong,
               r.version.map(java.lang.Long.valueOf).orNull))
+        case "contain_refresh" =>
+          val r = ContainIndex.refresh(spark, path, str(0), str(3),
+            str(1), str(2),
+            Instant.ofEpochMilli(System.currentTimeMillis()),
+            minShared = input.getInt(4), maxDf = input.getInt(5),
+            minContainment = input.getDouble(6))
+          (StructType(Seq(
+            StructField("from_version", LongType),
+            StructField("to_version", LongType),
+            StructField("churned", LongType),
+            StructField("candidates", LongType),
+            StructField("verified", LongType),
+            StructField("upserted", LongType),
+            StructField("retired", LongType))),
+            Seq(r.fromVersion, r.toVersion, r.churned, r.candidates,
+              r.verified, r.upserted, r.retired))
       }
       val row = new GenericInternalRow(out._2.map {
         case s: String => UTF8String.fromString(s)

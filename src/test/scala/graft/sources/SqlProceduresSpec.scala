@@ -237,6 +237,32 @@ class SqlProceduresSpec extends AnyFunSuite {
     assert(again.getLong(0) == 0L && again.isNullAt(2), s"$again")
   }
 
+  test("CALL contain_refresh maintains the containment index from SQL") {
+    val textSchema = TableSchema(Seq(
+      ColumnDef("text", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, lake, "corpus3", textSchema,
+      ts("2024-01-01T00:00:00Z"))
+    val base = (1 to 12).map(w => s"c$w").mkString(" ")
+    AzofWriter.commitBase(spark, lake, "corpus3",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), base),
+          Row("5", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+            base + " extra tail words here now six"))),
+        textSchema.toStruct))
+    val idx = s"$lake/idx3"
+    ContainIndex.create(spark, idx)
+
+    val r = spark.sql(
+      "CALL proc.system.contain_refresh(`table` => 'corpus3', " +
+        s"index_path => '$idx')").collect()(0)
+    assert(r.getAs[Long]("verified") == 1L &&
+      r.getAs[Long]("upserted") == 1L, s"$r")
+    val p = ContainIndex.pairs(spark, idx, "contain_pairs").collect()(0)
+    assert(p.getLong(0) == 1L && p.getLong(1) == 5L &&
+      p.getDouble(5) == 1.0, s"$p")
+  }
+
   test("unknown procedures refuse with the catalog's procedure list") {
     mk("u1", ("1", "2024-01-05T00:00:00Z", "a"))
     val e = intercept[Exception] {
