@@ -444,7 +444,10 @@ object AzofCli {
         //   contain-refresh --path L --table SRC --index-path L2
         //     [--index-table contain_pairs] [--text-col text]
         //     [--min-shared 3] [--max-df 20] [--min-containment 0.9]
-        //     [--at TS]
+        //     [--at TS] [--keyed]
+        // --keyed: string-keyed corpus (URLs/UUIDs) — keys flow through
+        // raw, pairs order lexicographically (serve via
+        // contain-pairs --keyed)
         val at = opts.get("at")
           .map(graft.sources.AzofDataSource.parseInstant)
           .getOrElse(java.time.Instant.ofEpochMilli(
@@ -457,7 +460,8 @@ object AzofCli {
           minShared = opts.getOrElse("min-shared", "3").toInt,
           maxDf = opts.getOrElse("max-df", "20").toInt,
           minContainment =
-            opts.getOrElse("min-containment", "0.9").toDouble)
+            opts.getOrElse("min-containment", "0.9").toDouble,
+          keyed = opts.contains("keyed"))
         println(
           if (r.noop) s"no new commits (cursor at v${r.fromVersion})"
           else s"refreshed v${r.fromVersion + 1}..v${r.toVersion}: " +
@@ -467,8 +471,13 @@ object AzofCli {
       case "contain-pairs" =>
         // the persisted verdicts:
         //   contain-pairs --index-path L2 [--index-table contain_pairs]
-        graft.sources.ContainIndex.pairs(spark, opts("index-path"),
-            opts.getOrElse("index-table", "contain_pairs"))
+        //     [--keyed]   (string-keyed index: raw keys, no numeric cast)
+        val containPairsTable = opts.getOrElse("index-table", "contain_pairs")
+        (if (opts.contains("keyed"))
+           graft.sources.ContainIndex.pairsKeyed(spark,
+             opts("index-path"), containPairsTable)
+         else graft.sources.ContainIndex.pairs(spark,
+             opts("index-path"), containPairsTable))
           .orderBy("doc_a", "doc_b")
           .show(numRows = 10000, truncate = false)
       case "sem-create" =>
@@ -602,12 +611,20 @@ object AzofCli {
         //     [--cc-table components] [--key-map key_map]
         //     [--sem-path L3 --sem-table IDX]  (also drop SemDeDup's
         //     kept=false docs — the p02 composition, applied)
+        //     [--contain-path L4 --contain-table contain_pairs
+        //      --contain-threshold 0.9]  (also drop the contained side
+        //     of persisted containment pairs — all three families in
+        //     one apply)
         val n = graft.sources.DedupFlow.applyVerdict(spark,
           opts("path"), opts("table"), opts("index-path"),
           opts.getOrElse("cc-table", "components"),
           opts.get("key-map"),
           opts.get("sem-path").map(p =>
-            (p, opts.getOrElse("sem-table", "sem"))))
+            (p, opts.getOrElse("sem-table", "sem"))),
+          containIndex = opts.get("contain-path").map(p =>
+            (p, opts.getOrElse("contain-table", "contain_pairs"))),
+          containThreshold =
+            opts.getOrElse("contain-threshold", "0.9").toDouble)
         println(
           if (n == 0) "nothing to delete: corpus already canonical"
           else s"deleted $n non-canonical doc(s); version now " +

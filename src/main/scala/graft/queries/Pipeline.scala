@@ -35,6 +35,7 @@ object Pipeline {
     "d19_semdedup_keyed" -> d19,
     "d20_containment" -> d20,
     "d21_containment_index" -> d21,
+    "d22_contain_keyed" -> d22,
     "p04_contain_gate" -> p04,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
@@ -529,6 +530,51 @@ object Pipeline {
     */
   private def d21(s: SparkSession, dir: String): DataFrame =
     graft.sources.ContainIndex.pairs(s, containLake(s, dir),
+      "contain_pairs")
+
+  /** The STRING-keyed twin of [[containLake]]: the derived corpus keyed
+    * `doc-<id>` (URL-shaped, NOT long-castable), through the keyed
+    * refresh — blocking/verify on raw keys, pairs ordered
+    * LEXICOGRAPHICALLY.
+    */
+  private[queries] def containLakeKeyed(s: SparkSession, dir: String): String =
+    AzofQueries.cachedLake(dir, "containk-v1", "contain_pairs") { l =>
+      import graft.format.{ColumnDef, ColumnType, TableSchema}
+      import graft.sources.{AzofWriter, ContainIndex}
+      import java.time.Instant
+      val srcSchema = graft.format.TableSchema(Seq(
+        ColumnDef("text", ColumnType.AzString, nullable = true)))
+      AzofWriter.createTable(s, l, "docs_src", srcSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      ContainIndex.create(s, l)
+      val derived = d20Derived(s, dir)
+      def batch(holdout: Boolean, at: String) =
+        derived.where((col("doc_id") % 3 === 0) === holdout)
+          .select(concat(lit("doc-"), col("doc_id").cast("string"))
+              .as(TableSchema.KeyName),
+            lit(java.sql.Timestamp.from(Instant.parse(at)))
+              .as(TableSchema.EventTimeName),
+            col("text"))
+      AzofWriter.commitBase(s, l, "docs_src",
+        batch(holdout = false, "2024-01-15T00:00:00Z"))
+      ContainIndex.refresh(s, l, "docs_src", "text", l,
+        at = Instant.parse("2024-02-01T00:00:00Z"), keyed = true)
+      AzofWriter.commitDelta(s, l, "docs_src",
+        batch(holdout = true, "2024-02-15T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      ContainIndex.refresh(s, l, "docs_src", "text", l,
+        at = Instant.parse("2024-03-01T00:00:00Z"), keyed = true)
+      ()
+    }
+
+  /** The keyed containment verdicts: must hash-match the one-shot
+    * oracle re-keyed `doc-<id>` with LEXICOGRAPHIC pair order — the
+    * `'doc-10' < 'doc-9'` inversion (d19's move) makes a
+    * numeric-order bug un-hash-matchable.
+    */
+  private def d22(s: SparkSession, dir: String): DataFrame =
+    graft.sources.ContainIndex.pairsKeyed(s, containLakeKeyed(s, dir),
       "contain_pairs")
 
   /** The incrementally-built persisted assignment, read back whole: must
@@ -1591,6 +1637,8 @@ object Pipeline {
     // shares the one-shot oracle verbatim — the same oracle-reuse as
     // d13/d16.
     "d21_containment_index" -> containmentOracle,
+    "d22_contain_keyed" ->
+      containmentOracleFor("'doc-' || CAST(d.doc_id AS VARCHAR)"),
     "d20_containment" -> containmentOracle,
     // p04: the containment pairs recomputed ONE-SHOT (the shared d20/
     // d21 SQL as a CTE), the asymmetric drop rule (excerpt drops,
@@ -1632,17 +1680,26 @@ object Pipeline {
           WHERE cdrops.doc_id IS NULL AND q2.quality_score >= 0.42""") ++
     moreOracles
 
-  private val containmentOracle: String =
-      """WITH nb AS (SELECT doc_id - 1 AS doc_id, text AS ntext
+  private val containmentOracle: String = containmentOracleFor("d.doc_id")
+
+  /** The d20/d21/d22 one-shot containment SQL, parameterized by the
+    * DOC KEY expression: `d.doc_id` (numeric pair order) or a derived
+    * string key (LEXICOGRAPHIC pair order — `'doc-10' < 'doc-9'`, the
+    * d19 inversion that makes a numeric-order bug un-hash-matchable).
+    * Every downstream CTE compares keys generically, so the type
+    * decides the order.
+    */
+  private def containmentOracleFor(keySel: String): String =
+      s"""WITH nb AS (SELECT doc_id - 1 AS doc_id, text AS ntext
                      FROM documents),
-          der AS (SELECT d.doc_id,
+          der AS (SELECT $keySel AS doc_id,
                    CASE WHEN d.doc_id % 10 = 0 AND nb.ntext IS NOT NULL
                      THEN array_to_string(
-                       list_slice(string_split_regex(nb.ntext, '\s+'), 1, 30),
+                       list_slice(string_split_regex(nb.ntext, '\\s+'), 1, 30),
                        ' ')
                      ELSE d.text END AS text
                   FROM documents d LEFT JOIN nb USING (doc_id)),
-          w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+          w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
                 FROM der),
           u AS (SELECT DISTINCT doc_id, sh FROM
                  (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),

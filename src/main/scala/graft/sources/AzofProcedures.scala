@@ -82,7 +82,10 @@ object AzofProcedures {
         pd("cc_table", StringType, "'components'"),
         pd("key_map", StringType, "CAST(NULL AS STRING)"),
         pd("sem_path", StringType, "CAST(NULL AS STRING)"),
-        pd("sem_table", StringType, "'sem'"))
+        pd("sem_table", StringType, "'sem'"),
+        pd("contain_path", StringType, "CAST(NULL AS STRING)"),
+        pd("contain_table", StringType, "'contain_pairs'"),
+        pd("contain_threshold", DoubleType, "0.9"))
       case "dedup_ingest" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("text_col", StringType, "'text'"),
@@ -112,7 +115,8 @@ object AzofProcedures {
         pd("text_col", StringType, "'text'"),
         pd("min_shared", IntegerType, "3"),
         pd("max_df", IntegerType, "20"),
-        pd("min_containment", DoubleType, "0.9"))
+        pd("min_containment", DoubleType, "0.9"),
+        pd("keyed", BooleanType, "false"))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -150,7 +154,9 @@ object AzofProcedures {
         case "dedup_apply" =>
           val n = DedupFlow.applyVerdict(spark, path, str(0), str(1),
             str(2), Option(str(3)),
-            Option(str(4)).map(p => (p, str(5))))
+            Option(str(4)).map(p => (p, str(5))),
+            containIndex = Option(str(6)).map(p => (p, str(7))),
+            containThreshold = input.getDouble(8))
           (StructType(Seq(StructField("deleted_docs", LongType))), Seq(n))
         case "dedup_ingest" =>
           // stable checkpoint derived from the signature table — the
@@ -228,7 +234,8 @@ object AzofProcedures {
             str(1), str(2),
             Instant.ofEpochMilli(System.currentTimeMillis()),
             minShared = input.getInt(4), maxDf = input.getInt(5),
-            minContainment = input.getDouble(6))
+            minContainment = input.getDouble(6),
+            keyed = input.getBoolean(7))
           (StructType(Seq(
             StructField("from_version", LongType),
             StructField("to_version", LongType),

@@ -78,12 +78,20 @@ object ContainIndex {
     */
   def pairs(
       spark: SparkSession, idxLake: String, idxTable: String): DataFrame =
+    pairsKeyed(spark, idxLake, idxTable)
+      .withColumn("doc_a", col("doc_a").cast("long"))
+      .withColumn("doc_b", col("doc_b").cast("long"))
+
+  /** [[pairs]] for a KEYED index (raw string document keys — URLs,
+    * UUIDs; `doc_a < doc_b` lexicographically): the key is the
+    * identity, no numeric cast.
+    */
+  def pairsKeyed(
+      spark: SparkSession, idxLake: String, idxTable: String): DataFrame =
     AzofScan.scan(spark, idxLake, idxTable)
       .select(
-        split(col(TableSchema.KeyName), "\\|").getItem(0)
-          .cast("long").as("doc_a"),
-        split(col(TableSchema.KeyName), "\\|").getItem(1)
-          .cast("long").as("doc_b"),
+        split(col(TableSchema.KeyName), "\\|").getItem(0).as("doc_a"),
+        split(col(TableSchema.KeyName), "\\|").getItem(1).as("doc_b"),
         col("n_inter"), col("n_a"), col("n_b"),
         (col("n_inter").cast("double") / col("n_a")).as("cont_a"),
         (col("n_inter").cast("double") / col("n_b")).as("cont_b"))
@@ -105,13 +113,22 @@ object ContainIndex {
     * replay commits nothing new). Parameters mirror
     * [[Dedup.containmentPairs]] so index ≡ one-shot holds verbatim.
     */
+  /** @param keyed run on RAW string document keys (URLs, UUIDs — the
+    *              blocking/verify machinery is key-type-agnostic, so
+    *              keys flow through verbatim and pairs order
+    *              LEXICOGRAPHICALLY; keys containing the `|` pair-key
+    *              delimiter are refused loudly). Default: keys must be
+    *              long-castable and pairs order numerically, matching
+    *              [[Dedup.containmentPairs]] on numeric ids.
+    */
   def refresh(
       spark: SparkSession,
       srcLake: String, srcTable: String, textCol: String,
       idxLake: String, idxTable: String = "contain_pairs",
       at: Instant = Instant.now(),
       minShared: Int = 3, maxDf: Int = 20, minContainment: Double = 0.9,
-      broadcastKeyMax: Long = DedupFlow.DefaultBroadcastKeyMax)
+      broadcastKeyMax: Long = DedupFlow.DefaultBroadcastKeyMax,
+      keyed: Boolean = false)
       : RefreshReport = {
     val toVersion = AzofTable(spark, srcLake, srcTable).currentVersion.toLong
     val fromVersion = DedupFlow.readCursor(spark, idxLake, idxTable)
@@ -119,10 +136,20 @@ object ContainIndex {
     if (toVersion <= fromVersion)
       return RefreshReport(fromVersion, fromVersion, 0L, 0L, 0L, 0L, 0L)
 
-    val idExpr = coalesce(col(TableSchema.KeyName).try_cast("long"),
-      raise_error(concat(
-        lit("ContainIndex.refresh needs long-castable keys; got '"),
-        col(TableSchema.KeyName), lit("'"))).cast("long"))
+    val idExpr =
+      if (keyed)
+        when(col(TableSchema.KeyName).contains("|"),
+          raise_error(concat(
+            lit("ContainIndex keyed mode: key contains the '|' " +
+              "pair-key delimiter: '"),
+            col(TableSchema.KeyName), lit("'"))))
+          .otherwise(col(TableSchema.KeyName))
+      else coalesce(col(TableSchema.KeyName).try_cast("long"),
+        raise_error(concat(
+          lit("ContainIndex.refresh needs long-castable keys (got '"),
+          col(TableSchema.KeyName),
+          lit("') — pass keyed = true for string-keyed corpora")))
+          .cast("long"))
 
     // 1. churn: every key the CDC range touched (upserts + deletes)
     val churn = spark.read.format("azof")
@@ -190,7 +217,10 @@ object ContainIndex {
     // 4. delta vs the current index, bounded writes: stale = indexed
     // pairs touching churn that did not re-verify (tombstones); upsert
     // = verified pairs that are new or changed
-    val cur = pairs(spark, idxLake, idxTable)
+    // mode-matched id types: joining the numeric view against keyed
+    // string ids would type-coerce the keys to bigint and fail ANSI
+    val cur = (if (keyed) pairsKeyed(spark, idxLake, idxTable)
+               else pairs(spark, idxLake, idxTable))
       .select(col("doc_a"), col("doc_b"),
         col("n_inter").as("_ci"), col("n_a").as("_ca"), col("n_b").as("_cb"))
     val curTouching = cur

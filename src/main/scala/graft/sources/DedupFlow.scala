@@ -484,6 +484,17 @@ object DedupFlow {
     *                  applied to the table itself. `(lake, table)` of
     *                  the verdict index; numeric or keyed mode is
     *                  auto-detected from its frozen model.
+    * @param containIndex additionally drop the CONTAINED side of every
+    *                  persisted containment pair ([[ContainIndex]]
+    *                  `(lake, table)`): the excerpt drops, the
+    *                  container stays; mutual containment keeps the
+    *                  smaller key (the p04 rule). With this, one apply
+    *                  composes all three dedup families — near-dup
+    *                  clusters, semantic duplicates, and
+    *                  quote/subset containment.
+    * @param containThreshold containment at-or-above which a side
+    *                  drops (pairs below it on BOTH sides are kept
+    *                  pairs, not verdicts).
     */
   def applyVerdict(
       spark: SparkSession,
@@ -492,7 +503,9 @@ object DedupFlow {
       ccTable: String = "components",
       keyMapTable: Option[String] = None,
       semIndex: Option[(String, String)] = None,
-      at: java.time.Instant = java.time.Instant.now()): Long = {
+      at: java.time.Instant = java.time.Instant.now(),
+      containIndex: Option[(String, String)] = None,
+      containThreshold: Double = 0.9): Long = {
     val live = AzofScan.scan(spark, srcLake, srcTable)
       .select(col(TableSchema.KeyName))
     val keep = keyMapTable match {
@@ -504,7 +517,7 @@ object DedupFlow {
           .select(col("doc_id").cast("string").as(TableSchema.KeyName))
     }
     val ccDrop = live.join(keep, Seq(TableSchema.KeyName), "left_anti")
-    val drop = (semIndex match {
+    val withSem = semIndex match {
       case Some((sl, st)) =>
         val v = SemDedupIndex.verdictsAuto(spark, sl, st)
           .where(!col("kept"))
@@ -513,8 +526,21 @@ object DedupFlow {
           else col("vec_id").cast("string")).as(TableSchema.KeyName))
         ccDrop.unionByName(
           live.join(semKeys, Seq(TableSchema.KeyName), "left_semi"))
-          .distinct()
       case None => ccDrop
+    }
+    val drop = (containIndex match {
+      case Some((cl, ct)) =>
+        val t = containThreshold
+        val containKeys = ContainIndex.pairsKeyed(spark, cl, ct)
+          .where(greatest(col("cont_a"), col("cont_b")) >= t)
+          .select(
+            when(col("cont_a") >= t && col("cont_b") >= t, col("doc_b"))
+              .when(col("cont_a") >= t, col("doc_a"))
+              .otherwise(col("doc_b")).as(TableSchema.KeyName))
+        withSem.unionByName(
+          live.join(containKeys, Seq(TableSchema.KeyName), "left_semi"))
+          .distinct()
+      case None => if (semIndex.isEmpty) withSem else withSem.distinct()
     }).persist()
     try {
       val n = drop.count()

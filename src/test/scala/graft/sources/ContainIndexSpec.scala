@@ -139,6 +139,93 @@ class ContainIndexSpec extends AnyFunSuite {
     assert(past.count() == 2)
   }
 
+  test("keyed mode: raw string keys flow through with LEXICOGRAPHIC " +
+    "pair order; '|' keys refuse loudly; numeric mode refuses " +
+    "string keys with the keyed hint") {
+    val l = Files.createTempDirectory("azof-containk").toString
+    AzofWriter.createTable(spark, l, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    ContainIndex.create(spark, l)
+    // keys chosen so lexical and numeric order DISAGREE: 'doc-10'
+    // quotes 'doc-9' — lexically doc-10 < doc-9, so doc_a = 'doc-10'
+    val rows = Seq(
+      ("doc-9", "2024-01-10T00:00:00Z", baseText(9)),
+      ("doc-10", "2024-01-10T00:00:00Z", quoteText(9, 10)))
+    AzofWriter.commitBase(spark, l, "docs",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, at, t) =>
+          org.apache.spark.sql.Row(k, Timestamp.from(ts(at)), t) }),
+        srcSchema.toStruct))
+    val r = ContainIndex.refresh(spark, l, "docs", "text", l,
+      at = ts("2024-02-01T00:00:00Z"), keyed = true)
+    assert(r.verified == 1, s"$r")
+    val p = ContainIndex.pairsKeyed(spark, l, "contain_pairs").collect()(0)
+    assert(p.getString(0) == "doc-10" && p.getString(1) == "doc-9", s"$p")
+    // doc-10 is the QUOTE (contains doc-9's text as a subset): its
+    // side is doc_a here, and doc-9 (the quoted base) is fully
+    // contained -> cont_b = 1.0
+    assert(p.getDouble(6) == 1.0, s"$p")
+
+    // numeric mode on this table fails with the keyed hint (fresh
+    // index lake so the cursor starts over)
+    val l2 = Files.createTempDirectory("azof-containk2").toString
+    ContainIndex.create(spark, l2)
+    val e = intercept[Exception] {
+      ContainIndex.refresh(spark, l, "docs", "text", l2,
+        at = ts("2024-02-01T00:00:00Z"))
+    }
+    // the raise_error surfaces from whichever stage evaluates first
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("keyed = true")), s"$e")
+
+    // a '|' key refuses in keyed mode (the pair-key delimiter)
+    val l3 = Files.createTempDirectory("azof-containk3").toString
+    AzofWriter.createTable(spark, l3, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    ContainIndex.create(spark, l3)
+    AzofWriter.commitBase(spark, l3, "docs",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row("a|b",
+            Timestamp.from(ts("2024-01-10T00:00:00Z")), baseText(1)),
+          org.apache.spark.sql.Row("c",
+            Timestamp.from(ts("2024-01-10T00:00:00Z")),
+            quoteText(1, 3)))),
+        srcSchema.toStruct))
+    val e2 = intercept[Exception] {
+      ContainIndex.refresh(spark, l3, "docs", "text", l3,
+        at = ts("2024-02-01T00:00:00Z"), keyed = true)
+    }
+    assert(msgs(e2).exists(_.contains("delimiter")), s"$e2")
+  }
+
+  test("applyVerdict composes the containment index: the contained " +
+    "side tombstones, the container and unrelated docs survive") {
+    val l = mkLake()
+    // doc 1's shingles are a strict subset of doc 5's (the quote):
+    // cont_a(1⊂5) = 1.0 -> doc 1 is the contained side and drops
+    AzofWriter.commitBase(spark, l, "docs", rowsDf(Seq(
+      (1L, "2024-01-10T00:00:00Z", baseText(1)),
+      (2L, "2024-01-10T00:00:00Z", baseText(2)),
+      (5L, "2024-01-10T00:00:00Z", quoteText(1, 5)))))
+    ContainIndex.refresh(spark, l, "docs", "text", l,
+      at = ts("2024-02-01T00:00:00Z"))
+    DedupFlow.create(spark, l) // empty CC index: no near-dup verdicts
+    val n = DedupFlow.applyVerdict(spark, l, "docs", l,
+      containIndex = Some((l, "contain_pairs")),
+      at = ts("2024-03-01T00:00:00Z"))
+    assert(n == 1L, s"exactly the contained doc drops: $n")
+    val left = graft.operators.AzofScan.scan(spark, l, "docs")
+      .select(TableSchema.KeyName).collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("2", "5"), s"${left.toSeq}")
+    // idempotent: a second apply deletes nothing
+    assert(DedupFlow.applyVerdict(spark, l, "docs", l,
+      containIndex = Some((l, "contain_pairs")),
+      at = ts("2024-03-02T00:00:00Z")) == 0L)
+  }
+
   test("both-old pairs are not re-emitted: refresh work is " +
     "churn-confined") {
     val l = mkLake()
