@@ -409,6 +409,9 @@ object AzofCli {
         //     [--interval-seconds N]  (omit = AvailableNow catch-up)
         //     [--text-col text] [--min-jaccard 0.5] [--retain N]
         //     [--checkpoint DIR] [--key-map key_map]
+        //     [--contain-table contain_pairs [--contain-keyed]]
+        //     (--contain-table: ALSO refresh the persisted containment
+        //     index each pass — one follow maintains both families)
         val ckpt = opts.getOrElse("checkpoint",
           new org.apache.hadoop.fs.Path(opts("index-path"),
             opts.getOrElse("sig-table", "minhash_sig") +
@@ -431,7 +434,16 @@ object AzofCli {
             if (r.noop) s"no new commits (cursor at v${r.fromVersion})"
             else s"ingested v${r.fromVersion + 1}..v${r.toVersion}: " +
               s"${r.churned} churned -> ${r.candidates} candidates -> " +
-              s"${r.verified} verified -> ${r.relabeled} relabeled"))
+              s"${r.verified} verified -> ${r.relabeled} relabeled"),
+          containTable = opts.get("contain-table"),
+          containKeyed = opts.contains("contain-keyed"),
+          onContainReport = cr => println(
+            if (cr.noop) "containment: no new commits " +
+              s"(cursor at v${cr.fromVersion})"
+            else s"containment v${cr.fromVersion + 1}..v${cr.toVersion}: " +
+              s"${cr.churned} churned -> ${cr.candidates} candidates -> " +
+              s"${cr.verified} verified; ${cr.upserted} upserted, " +
+              s"${cr.retired} retired"))
         q.awaitTermination()
       case "contain-create" =>
         // persisted containment-pair index:

@@ -247,6 +247,19 @@ object DedupFlow {
     * clock of its trigger, and `retain` passes through to
     * [[vacuumIndexes]] so a long-running follow keeps bounded
     * snapshot history.
+    *
+    * `containTable` additionally refreshes a [[ContainIndex]] (in
+    * `idxLake`, over the same source table and text column) each pass,
+    * so ONE follow maintains both the near-dup family and the
+    * asymmetric containment family. The same layering keeps it safe:
+    * the containment refresh is idempotent through its own cursor, and
+    * follow() runs one EAGER catch-up refresh before starting the
+    * stream — a containment index enabled on an existing follow closes
+    * its gap immediately, even though the reused outer checkpoint's
+    * committed offsets would fire no batch until the next source
+    * commit. (SemDeDup follows its own
+    * embedding table as a sibling [[SemDedupIndex.refresh]] stream —
+    * different source, same pattern — rather than riding this one.)
     */
   def follow(
       spark: SparkSession,
@@ -264,13 +277,36 @@ object DedupFlow {
       retain: Int = 0,
       retainMinAgeMs: Long = AzofVacuum.DefaultMinAgeMs,
       keyMap: Option[String] = None,
-      onReport: IngestReport => Unit = _ => ())
+      onReport: IngestReport => Unit = _ => (),
+      containTable: Option[String] = None,
+      containMinShared: Int = 3,
+      containMaxDf: Int = 20,
+      containMinContainment: Double = 0.9,
+      containKeyed: Boolean = false,
+      onContainReport: ContainIndex.RefreshReport => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val outerCkpt = followCheckpoint.getOrElse(
       new Path(AzofTable(spark, idxLake, ccTable).tableDir,
         "_follow_checkpoint").toString)
     val reader = spark.readStream.format("azof-commits")
       .option("table", srcTable)
+    def refreshContain(ct: String): ContainIndex.RefreshReport = {
+      val cr = ContainIndex.refresh(spark, srcLake, srcTable,
+        textCol, idxLake, ct, Instant.now(),
+        minShared = containMinShared, maxDf = containMaxDf,
+        minContainment = containMinContainment,
+        broadcastKeyMax = broadcastKeyMax, keyed = containKeyed)
+      if (retain > 0)
+        AzofVacuum.vacuum(spark, idxLake, ct, retain,
+          minAgeMs = retainMinAgeMs)
+      onContainReport(cr)
+      cr
+    }
+    // eager catch-up: a containment index enabled on an existing
+    // follow (outer checkpoint already past the history) would wait
+    // for the next source commit; its own cursor makes this a no-op
+    // whenever it is already current
+    containTable.foreach(refreshContain)
     // seed at the ingest cursor: commits the indexes already consumed
     // need not even surface as (ignored) outer batches
     val seeded = readCursor(spark, idxLake, ccTable)
@@ -286,6 +322,7 @@ object DedupFlow {
             checkpoint, Instant.now(), sigTable, ccTable, minJaccard,
             cap, broadcastKeyMax, retain, retainMinAgeMs, keyMap)
           onReport(r)
+          containTable.foreach(refreshContain)
       }
       .trigger(trigger)
       .start()

@@ -94,6 +94,57 @@ class DedupFollowSpec extends AnyFunSuite {
     assert(AzofTable(spark, idxLake, "components").currentVersion == v)
   }
 
+  test("follow with containTable maintains the containment family " +
+    "too; a later-enabled containment index catches up eagerly " +
+    "without waiting for a new source commit") {
+    val srcLake = Files.createTempDirectory("azof-follow3-src").toString
+    val idxLake = Files.createTempDirectory("azof-follow3-idx").toString
+    val ck = Files.createTempDirectory("azof-follow3-ck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    // doc 5's word shingles are a strict subset of doc 4's (the quote)
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      2L -> fam("w", "beta"),
+      4L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+      5L -> "c1 c2 c3 c4 c5 c6"),
+      "2024-01-02T00:00:00Z"))
+    DedupFlow.create(spark, idxLake)
+
+    // near-dup-only follow first: the outer checkpoint's committed
+    // offsets advance past the base commit
+    DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck)
+      .awaitTermination()
+    assert(assignment(idxLake).nonEmpty)
+
+    // containment enabled LATER, with no new source commits: the
+    // eager catch-up must close the gap even though the reused outer
+    // checkpoint fires no batch
+    ContainIndex.create(spark, idxLake)
+    var creps = Vector.empty[ContainIndex.RefreshReport]
+    DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
+      containTable = Some("contain_pairs"),
+      onContainReport = r => creps :+= r).awaitTermination()
+    assert(creps.exists(!_.noop), s"$creps")
+    def pairSet() = ContainIndex.pairs(spark, idxLake, "contain_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet() == Set((4L, 5L)), s"${pairSet()}")
+
+    // a delta landed later flows through the SAME follow: doc 6 is
+    // another quote of doc 4
+    AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+      6L -> "c2 c3 c4 c5 c6 c7"), "2024-02-01T00:00:00Z"),
+      ts("2024-02-01T00:00:00Z"), ts("2024-02-01T00:00:00Z"))
+    creps = Vector.empty
+    DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
+      containTable = Some("contain_pairs"),
+      onContainReport = r => creps :+= r).awaitTermination()
+    assert(creps.exists(!_.noop), s"$creps")
+    assert(pairSet() == Set((4L, 5L), (4L, 6L)), s"${pairSet()}")
+    // and the near-dup family stayed ≡ one-shot across both passes
+    assert(assignment(idxLake) == oneShot(srcLake))
+  }
+
   test("processing-time follow soaks commits landed WHILE running and " +
     "retain bounds index history") {
     val srcLake = Files.createTempDirectory("azof-follow2-src").toString
