@@ -492,6 +492,46 @@ object AzofCli {
              opts("index-path"), containPairsTable))
           .orderBy("doc_a", "doc_b")
           .show(numRows = 10000, truncate = false)
+      case "shard-create" =>
+        // persisted incremental shard map (frozen shardSize+salt):
+        //   shard-create --index-path L2 [--index-table shard_map]
+        //     [--shard-size 1024] [--salt s1]
+        val m = graft.sources.ShardMap.create(spark, opts("index-path"),
+          opts.getOrElse("index-table", "shard_map"),
+          shardSize = opts.getOrElse("shard-size", "1024").toLong,
+          salt = opts.getOrElse("salt", "s1"))
+        println(s"created ${opts.getOrElse("index-table", "shard_map")} " +
+          s"(shardSize=${m.shardSize}, salt=${m.salt}; frozen in " +
+          "_shard_model.json)")
+      case "shard-refresh" =>
+        // mint slots for the CDC range's new docs (append-only epochs):
+        //   shard-refresh --path L --table SRC --index-path L2
+        //     [--index-table shard_map] [--at TS]
+        val at = opts.get("at")
+          .map(graft.sources.AzofDataSource.parseInstant)
+          .getOrElse(java.time.Instant.ofEpochMilli(
+            System.currentTimeMillis()))
+        val r = graft.sources.ShardMap.refresh(spark,
+          opts("path"), opts("table"), opts("index-path"),
+          opts.getOrElse("index-table", "shard_map"), at)
+        println(
+          if (r.noop) s"no new commits (cursor at v${r.fromVersion})"
+          else s"refreshed v${r.fromVersion + 1}..v${r.toVersion}: " +
+            s"${r.churned} churned -> ${r.assigned} new slot(s); " +
+            s"next rank ${r.nextRank}")
+      case "shard-slots" =>
+        // the persisted assignment:
+        //   shard-slots --index-path L2 [--index-table shard_map]
+        //     [--live --path L --table SRC]  (--live: ∩ the live
+        //     corpus — deleted docs' slots appear as holes)
+        val sl =
+          if (opts.contains("live"))
+            graft.sources.ShardMap.liveAssignment(spark,
+              opts("path"), opts("table"),
+              opts("index-path"), opts.getOrElse("index-table", "shard_map"))
+          else graft.sources.ShardMap.assignment(spark,
+            opts("index-path"), opts.getOrElse("index-table", "shard_map"))
+        sl.orderBy("shuffle_rank").show(numRows = 10000, truncate = false)
       case "sem-create" =>
         // frozen-model SemDeDup index over an azof embedding table
         // (vectors as JSON double arrays in --vec-col):

@@ -37,6 +37,7 @@ object Pipeline {
     "d21_containment_index" -> d21,
     "d22_contain_keyed" -> d22,
     "p04_contain_gate" -> p04,
+    "p05_shard_map" -> p05,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -767,6 +768,61 @@ object Pipeline {
         TextAnalysis.qualityScore(col("text")).as("quality_score"))
       .where(col("quality_score") >= 0.42)
       .join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /** Two-crawl-batch [[graft.sources.ShardMap]] lake over the raw
+    * documents table: epoch 1 = `doc_id % 3 != 0` (Jan 15), epoch 2 =
+    * the holdout (Feb 15) — each refreshed into the persisted shard
+    * map — then doc 7 tombstone-deleted (Mar) with a final refresh
+    * proving deletes mint nothing.
+    */
+  private[queries] def shardLake(s: SparkSession, dir: String): String =
+    AzofQueries.cachedLake(dir, "shardmap-v1", "shard_map") { l =>
+      import graft.format.{ColumnDef, ColumnType, TableSchema}
+      import graft.sources.{AzofWriter, ShardMap}
+      import java.time.Instant
+      val srcSchema = graft.format.TableSchema(Seq(
+        ColumnDef("text", ColumnType.AzString, nullable = true)))
+      AzofWriter.createTable(s, l, "docs_src", srcSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      ShardMap.create(s, l, shardSize = 64L, salt = "p5")
+      val src = docs(s, dir)
+      def batch(holdout: Boolean, at: String) =
+        src.where((col("doc_id") % 3 === 0) === holdout)
+          .select(col("doc_id").cast("string").as(TableSchema.KeyName),
+            lit(java.sql.Timestamp.from(Instant.parse(at)))
+              .as(TableSchema.EventTimeName),
+            col("text"))
+      AzofWriter.commitBase(s, l, "docs_src",
+        batch(holdout = false, "2024-01-15T00:00:00Z"))
+      ShardMap.refresh(s, l, "docs_src", l,
+        at = Instant.parse("2024-02-01T00:00:00Z"))
+      AzofWriter.commitDelta(s, l, "docs_src",
+        batch(holdout = true, "2024-02-15T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      ShardMap.refresh(s, l, "docs_src", l,
+        at = Instant.parse("2024-03-01T00:00:00Z"))
+      AzofWriter.commitDelete(s, l, "docs_src", Seq("7"),
+        Instant.parse("2024-03-15T00:00:00Z"))
+      ShardMap.refresh(s, l, "docs_src", l,
+        at = Instant.parse("2024-04-01T00:00:00Z"))
+      ()
+    }
+
+  /** The INCREMENTAL export membership, served live: the persisted
+    * shard map joined against the live corpus. The oracle replays both
+    * epochs with window ranks — epoch 2 offset by epoch 1's count, the
+    * epoch-1 permutation identical to the one-shot t14 formula — and
+    * drops the deleted doc, so a mint that moved ANY epoch-1 slot (or
+    * wrote anything on delete) cannot hash-match.
+    */
+  private def p05(s: SparkSession, dir: String): DataFrame = {
+    val l = shardLake(s, dir)
+    graft.sources.ShardMap.liveAssignment(s, l, "docs_src", l, "shard_map")
+      .select(
+        col(graft.format.TableSchema.KeyName).cast("long").as("doc_id"),
+        col("shuffle_rank"), col("shard_id"), col("shard_pos"))
   }
 
   /** The pipeline's END PRODUCT: training sequences packed from the
@@ -1677,7 +1733,34 @@ object Pipeline {
                             FROM der2)))
           SELECT q2.doc_id, q2.quality_score
           FROM q2 LEFT JOIN cdrops USING (doc_id)
-          WHERE cdrops.doc_id IS NULL AND q2.quality_score >= 0.42""") ++
+          WHERE cdrops.doc_id IS NULL AND q2.quality_score >= 0.42""",
+    // p05: the persisted shard map replayed epoch by epoch — epoch 1
+    // is EXACTLY the one-shot t14 permutation over its batch (same
+    // salted-hash formula), epoch 2 offsets by epoch 1's count, and
+    // the deleted doc drops from the LIVE serving join while its slot
+    // stays minted (a hole — so any engine write on delete, or any
+    // epoch-1 slot moved by the epoch-2 mint, breaks the hash)
+    "p05_shard_map" ->
+      """WITH b1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+          r1 AS (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY
+                     CAST('0x' || substr(md5('shard#p5#' || CAST(doc_id AS VARCHAR)), 1, 14)
+                       AS BIGINT),
+                     CAST(doc_id AS VARCHAR)) - 1 AS shuffle_rank
+                 FROM b1),
+          b2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+          r2 AS (SELECT doc_id,
+                   (SELECT COUNT(*) FROM b1) +
+                   ROW_NUMBER() OVER (ORDER BY
+                     CAST('0x' || substr(md5('shard#p5#' || CAST(doc_id AS VARCHAR)), 1, 14)
+                       AS BIGINT),
+                     CAST(doc_id AS VARCHAR)) - 1 AS shuffle_rank
+                 FROM b2),
+          m AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+          SELECT doc_id, shuffle_rank,
+                 shuffle_rank // 64 AS shard_id,
+                 shuffle_rank % 64 AS shard_pos
+          FROM m WHERE doc_id <> 7""") ++
     moreOracles
 
   private val containmentOracle: String = containmentOracleFor("d.doc_id")

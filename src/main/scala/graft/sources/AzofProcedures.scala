@@ -38,7 +38,7 @@ object AzofProcedures {
   val Names: Seq[String] =
     Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
       "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
-      "contain_refresh")
+      "contain_refresh", "shard_refresh")
 
   def load(path: String, ident: Identifier): UnboundProcedure = {
     val name = ident.name.toLowerCase
@@ -117,6 +117,9 @@ object AzofProcedures {
         pd("max_df", IntegerType, "20"),
         pd("min_containment", DoubleType, "0.9"),
         pd("keyed", BooleanType, "false"))
+      case "shard_refresh" => Array(
+        p("table", StringType), p("index_path", StringType),
+        pd("index_table", StringType, "'shard_map'"))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -246,6 +249,17 @@ object AzofProcedures {
             StructField("retired", LongType))),
             Seq(r.fromVersion, r.toVersion, r.churned, r.candidates,
               r.verified, r.upserted, r.retired))
+        case "shard_refresh" =>
+          val r = ShardMap.refresh(spark, path, str(0), str(1), str(2),
+            Instant.ofEpochMilli(System.currentTimeMillis()))
+          (StructType(Seq(
+            StructField("from_version", LongType),
+            StructField("to_version", LongType),
+            StructField("churned", LongType),
+            StructField("assigned", LongType),
+            StructField("next_rank", LongType))),
+            Seq(r.fromVersion, r.toVersion, r.churned, r.assigned,
+              r.nextRank))
       }
       val row = new GenericInternalRow(out._2.map {
         case s: String => UTF8String.fromString(s)

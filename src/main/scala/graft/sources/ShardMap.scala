@@ -1,0 +1,235 @@
+package graft.sources
+
+import graft.format.{AzofTable, ColumnDef, ColumnType, TableSchema}
+import graft.operators.{AzofScan, Blocks, Packing}
+import java.time.Instant
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED incremental shard assignment — the amortized twin of the
+  * one-shot export stage ([[Packing.shardAssign]]) for pipelines that
+  * re-export at crawl cadence. One-shot packing is SNAPSHOT-SCOPED by
+  * design: ranks are gapless, so ONE added document shifts every later
+  * rank and a re-export rewrites every shard. Real corpus builds
+  * freeze shards once written; this index makes membership STABLE — a
+  * document's `(shuffle_rank, shard_id, shard_pos)` is minted ONCE, by
+  * the refresh that first sees it, and never changes afterwards.
+  *
+  * '''Epoch packing.''' Each refresh ranks the crawl batch's NEW keys
+  * by the SAME salted-hash order the one-shot uses (the
+  * [[Packing.prefixSum]] two-phase distributed rank — never a
+  * partition-less window) and appends them after the high-water rank.
+  * The first refresh over a corpus therefore reproduces
+  * [[Packing.shardAssign]] exactly; later refreshes fill shards
+  * append-only, so shards already emitted are never touched and the
+  * re-export cost at 100 TB cadence is ∝ the new crawl, not the
+  * corpus. Refresh work is CDC-confined: churned keys from the
+  * change feed anti-join the map — no corpus-wide scan.
+  *
+  * '''Insert-only map''' (the [[KeyMap]] rule: assignments are
+  * permanent). A deleted document leaves a HOLE in its shard —
+  * write-once artifacts cannot reclaim slots — and a re-inserted key
+  * keeps its original slot, so no delete/re-add cycle can move a
+  * document between shards. Deletions therefore write NOTHING here:
+  * live membership is served by joining the map against the live
+  * corpus ([[liveAssignment]], the applyVerdict serving shape).
+  *
+  * `salt` and `shardSize` freeze into a model sidecar at [[create]]
+  * (the SemDedupIndex rule — mixing either across epochs would break
+  * the permutation), and the HWM sidecar reserves each rank range
+  * BEFORE its commit (the KeyMap rule: a crash between the two leaves
+  * a permanently-empty rank gap — holes in one shard — never a
+  * double-assigned slot).
+  */
+object ShardMap {
+
+  val ModelFileName = "_shard_model.json"
+  val HwmFileName = "_shard_hwm.json"
+
+  val MapSchema: TableSchema = TableSchema(Seq(
+    ColumnDef("shuffle_rank", ColumnType.AzInt, nullable = false),
+    ColumnDef("shard_id", ColumnType.AzInt, nullable = false),
+    ColumnDef("shard_pos", ColumnType.AzInt, nullable = false),
+    ColumnDef("epoch", ColumnType.AzInt, nullable = false)))
+
+  final case class Model(shardSize: Long, salt: String)
+
+  final case class RefreshReport(
+      fromVersion: Long, toVersion: Long,
+      churned: Long, assigned: Long, nextRank: Long) {
+    def noop: Boolean = toVersion == fromVersion
+  }
+
+  def create(
+      spark: SparkSession,
+      idxLake: String, idxTable: String = "shard_map",
+      shardSize: Long = 1024L, salt: String = "s1",
+      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Model = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    val created = AzofWriter.createTableIfAbsent(
+      spark, idxLake, idxTable, MapSchema, segmentStart)
+    if (created) writeModel(spark, idxLake, idxTable, Model(shardSize, salt))
+    readModel(spark, idxLake, idxTable)
+  }
+
+  /** The full persisted assignment:
+    * `(<key>, shuffle_rank, shard_id, shard_pos, epoch)` — including
+    * slots whose documents have since been deleted (their shards were
+    * already written).
+    */
+  def assignment(
+      spark: SparkSession, idxLake: String, idxTable: String): DataFrame =
+    AzofScan.scan(spark, idxLake, idxTable)
+      .select(col(TableSchema.KeyName), col("shuffle_rank"),
+        col("shard_id"), col("shard_pos"), col("epoch"))
+
+  /** [[assignment]] ∩ the LIVE corpus — what an artifact reader that
+    * honors deletions consumes. Deleted docs appear as holes (their
+    * `shard_pos` is simply absent); everything else keeps its minted
+    * slot.
+    */
+  def liveAssignment(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String, idxTable: String): DataFrame =
+    assignment(spark, idxLake, idxTable)
+      .join(AzofScan.scan(spark, srcLake, srcTable)
+          .select(col(TableSchema.KeyName)),
+        Seq(TableSchema.KeyName), "left_semi")
+
+  /** Assign slots to every key the CDC range added that has none yet.
+    * Cursor-idempotent (the [[ContainIndex]] rule: the cursor advances
+    * only after the commit, so a crashed refresh replays into fresh =
+    * empty and commits nothing new).
+    */
+  def refresh(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String, idxTable: String = "shard_map",
+      at: Instant = Instant.now()): RefreshReport = {
+    val model = readModel(spark, idxLake, idxTable)
+    val toVersion = AzofTable(spark, srcLake, srcTable).currentVersion.toLong
+    val fromVersion = DedupFlow.readCursor(spark, idxLake, idxTable)
+      .getOrElse(AzofChangeFeed.earliestFeedBase(spark, srcLake, srcTable))
+    if (toVersion <= fromVersion)
+      return RefreshReport(fromVersion, fromVersion, 0L, 0L,
+        readHwm(spark, idxLake, idxTable).getOrElse(0L))
+
+    // churn: keys whose LATEST change in the range is an upsert.
+    // Deletes mint nothing (they write nothing at all here), and a key
+    // upserted-then-deleted WITHIN the range mints nothing either — a
+    // bootstrap catch-up over delete-heavy history must not fill
+    // shards with slots for documents already dead at the cursor.
+    // (Same-version upsert+delete ties break toward delete: the key
+    // just waits for its next upsert — the live join governs serving
+    // either way.) The aggregate shuffles the churn, not the corpus.
+    val churn = spark.read.format("azof")
+      .option("table", srcTable)
+      .option("changesFrom", fromVersion)
+      .option("changesTo", toVersion)
+      .load(srcLake)
+      .groupBy(col(TableSchema.KeyName))
+      .agg(max(struct(col("_commit_version"), col("_deleted")))
+        .as("_last"))
+      .where(!col("_last._deleted"))
+      .select(col(TableSchema.KeyName))
+    val fresh = churn
+      .join(AzofScan.scan(spark, idxLake, idxTable)
+          .select(col(TableSchema.KeyName)),
+        Seq(TableSchema.KeyName), "left_anti")
+      .localCheckpoint(true)
+    val nChurn = churn.count()
+    val nFresh = fresh.count()
+    var next = readHwm(spark, idxLake, idxTable).getOrElse(
+      // sidecar lost: recover from the map itself
+      AzofScan.scan(spark, idxLake, idxTable)
+        .agg(coalesce(max(col("shuffle_rank")), lit(-1L)))
+        .collect()(0).getLong(0) + 1L)
+    if (nFresh > 0) {
+      val base = next
+      next = base + nFresh
+      // reserve the range FIRST (crash ⇒ gap, never a double slot)
+      writeHwm(spark, idxLake, idxTable, next)
+      val sz = model.shardSize
+      val rows = Packing.prefixSum(
+        fresh.select(col(TableSchema.KeyName))
+          .withColumn("_h", Packing.orderHash(s"shard#${model.salt}#",
+            col(TableSchema.KeyName)))
+          .withColumn("_tid", col(TableSchema.KeyName))
+          .withColumn("_w", lit(1L)))
+        .withColumn("shuffle_rank", lit(base) + col("_prefix"))
+        .select(col(TableSchema.KeyName),
+          lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName),
+          col("shuffle_rank"),
+          expr(s"shuffle_rank div ${sz}L").as("shard_id"),
+          pmod(col("shuffle_rank"), lit(sz)).as("shard_pos"),
+          lit(toVersion).as("epoch"))
+      AzofWriter.commitDelta(spark, idxLake, idxTable, rows, at, at,
+        op = Some("shard-assign"))
+    }
+    DedupFlow.writeCursor(spark, idxLake, idxTable, toVersion)
+    Blocks.free(fresh)
+    RefreshReport(fromVersion, toVersion, nChurn, nFresh, next)
+  }
+
+  // ------------------------------------------------------- model sidecar
+
+  private def sidecar(
+      spark: SparkSession, idxLake: String, idxTable: String,
+      name: String): Path =
+    new Path(AzofTable(spark, idxLake, idxTable).tableDir, name)
+
+  def readModel(
+      spark: SparkSession, idxLake: String, idxTable: String): Model = {
+    val p = sidecar(spark, idxLake, idxTable, ModelFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"no $ModelFileName beside $idxTable — create() the shard map first")
+    val in = fs.open(p)
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    Model(root.get("shardSize").asLong, root.get("salt").asText)
+  }
+
+  private def writeModel(
+      spark: SparkSession, idxLake: String, idxTable: String,
+      m: Model): Unit = {
+    val p = sidecar(spark, idxLake, idxTable, ModelFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val salt = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(m.salt)
+    val out = fs.create(p, false) // frozen: never overwritten
+    try out.write(s"""{"shardSize":${m.shardSize},"salt":$salt}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // ---------------------------------------------------- high-water mark
+
+  private def readHwm(
+      spark: SparkSession, idxLake: String, idxTable: String): Option[Long] = {
+    val p = sidecar(spark, idxLake, idxTable, HwmFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      Some(root.get("nextRank").asLong)
+    }
+  }
+
+  private def writeHwm(
+      spark: SparkSession, idxLake: String, idxTable: String,
+      nextRank: Long): Unit = {
+    val p = sidecar(spark, idxLake, idxTable, HwmFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true) // forward-only
+    try out.write(s"""{"nextRank":$nextRank}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -263,6 +263,34 @@ class SqlProceduresSpec extends AnyFunSuite {
       p.getDouble(5) == 1.0, s"$p")
   }
 
+  test("CALL shard_refresh mints incremental export slots from SQL") {
+    val textSchema = TableSchema(Seq(
+      ColumnDef("text", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, lake, "corpus4", textSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "corpus4",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq("a", "b", "c").map(k =>
+          Row(k, Timestamp.from(ts("2024-01-02T00:00:00Z")), s"t $k"))),
+        textSchema.toStruct))
+    val idx = s"$lake/idx4"
+    ShardMap.create(spark, idx, shardSize = 2L)
+
+    val r = spark.sql(
+      "CALL proc.system.shard_refresh(`table` => 'corpus4', " +
+        s"index_path => '$idx')").collect()(0)
+    assert(r.getAs[Long]("assigned") == 3L &&
+      r.getAs[Long]("next_rank") == 3L, s"$r")
+    val ranks = ShardMap.assignment(spark, idx, "shard_map")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(ranks == Seq(0L, 1L, 2L), s"$ranks")
+    // replay: a second CALL mints nothing
+    val r2 = spark.sql(
+      "CALL proc.system.shard_refresh(`table` => 'corpus4', " +
+        s"index_path => '$idx')").collect()(0)
+    assert(r2.getAs[Long]("assigned") == 0L, s"$r2")
+  }
+
   test("unknown procedures refuse with the catalog's procedure list") {
     mk("u1", ("1", "2024-01-05T00:00:00Z", "a"))
     val e = intercept[Exception] {
