@@ -410,8 +410,10 @@ object AzofCli {
         //     [--text-col text] [--min-jaccard 0.5] [--retain N]
         //     [--checkpoint DIR] [--key-map key_map]
         //     [--contain-table contain_pairs [--contain-keyed]]
-        //     (--contain-table: ALSO refresh the persisted containment
-        //     index each pass — one follow maintains both families)
+        //     [--shard-table shard_map]
+        //     (--contain-table / --shard-table: ALSO refresh the
+        //     persisted containment index / export shard map each
+        //     pass — one follow maintains every corpus-following index)
         val ckpt = opts.getOrElse("checkpoint",
           new org.apache.hadoop.fs.Path(opts("index-path"),
             opts.getOrElse("sig-table", "minhash_sig") +
@@ -443,7 +445,14 @@ object AzofCli {
             else s"containment v${cr.fromVersion + 1}..v${cr.toVersion}: " +
               s"${cr.churned} churned -> ${cr.candidates} candidates -> " +
               s"${cr.verified} verified; ${cr.upserted} upserted, " +
-              s"${cr.retired} retired"))
+              s"${cr.retired} retired"),
+          shardTable = opts.get("shard-table"),
+          onShardReport = sr => println(
+            if (sr.noop) "shards: no new commits " +
+              s"(cursor at v${sr.fromVersion})"
+            else s"shards v${sr.fromVersion + 1}..v${sr.toVersion}: " +
+              s"${sr.churned} churned -> ${sr.assigned} new slot(s); " +
+              s"next rank ${sr.nextRank}"))
         q.awaitTermination()
       case "contain-create" =>
         // persisted containment-pair index:

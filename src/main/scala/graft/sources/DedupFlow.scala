@@ -257,7 +257,9 @@ object DedupFlow {
     * stream — a containment index enabled on an existing follow closes
     * its gap immediately, even though the reused outer checkpoint's
     * committed offsets would fire no batch until the next source
-    * commit. (SemDeDup follows its own
+    * commit. `shardTable` rides the driver the same way — the
+    * persisted export membership ([[ShardMap]]) mints slots for each
+    * batch's new docs as they land. (SemDeDup follows its own
     * embedding table as a sibling [[SemDedupIndex.refresh]] stream —
     * different source, same pattern — rather than riding this one.)
     */
@@ -283,7 +285,9 @@ object DedupFlow {
       containMaxDf: Int = 20,
       containMinContainment: Double = 0.9,
       containKeyed: Boolean = false,
-      onContainReport: ContainIndex.RefreshReport => Unit = _ => ())
+      onContainReport: ContainIndex.RefreshReport => Unit = _ => (),
+      shardTable: Option[String] = None,
+      onShardReport: ShardMap.RefreshReport => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val outerCkpt = followCheckpoint.getOrElse(
       new Path(AzofTable(spark, idxLake, ccTable).tableDir,
@@ -302,11 +306,21 @@ object DedupFlow {
       onContainReport(cr)
       cr
     }
-    // eager catch-up: a containment index enabled on an existing
-    // follow (outer checkpoint already past the history) would wait
-    // for the next source commit; its own cursor makes this a no-op
+    def refreshShard(st: String): ShardMap.RefreshReport = {
+      val sr = ShardMap.refresh(spark, srcLake, srcTable, idxLake, st,
+        Instant.now())
+      if (retain > 0)
+        AzofVacuum.vacuum(spark, idxLake, st, retain,
+          minAgeMs = retainMinAgeMs)
+      onShardReport(sr)
+      sr
+    }
+    // eager catch-up: an index enabled on an existing follow (outer
+    // checkpoint already past the history) would wait for the next
+    // source commit; each index's own cursor makes this a no-op
     // whenever it is already current
     containTable.foreach(refreshContain)
+    shardTable.foreach(refreshShard)
     // seed at the ingest cursor: commits the indexes already consumed
     // need not even surface as (ignored) outer batches
     val seeded = readCursor(spark, idxLake, ccTable)
@@ -323,6 +337,7 @@ object DedupFlow {
             cap, broadcastKeyMax, retain, retainMinAgeMs, keyMap)
           onReport(r)
           containTable.foreach(refreshContain)
+          shardTable.foreach(refreshShard)
       }
       .trigger(trigger)
       .start()

@@ -117,18 +117,27 @@ class DedupFollowSpec extends AnyFunSuite {
       .awaitTermination()
     assert(assignment(idxLake).nonEmpty)
 
-    // containment enabled LATER, with no new source commits: the
-    // eager catch-up must close the gap even though the reused outer
-    // checkpoint fires no batch
+    // containment + shard map enabled LATER, with no new source
+    // commits: the eager catch-up must close both gaps even though the
+    // reused outer checkpoint fires no batch
     ContainIndex.create(spark, idxLake)
+    ShardMap.create(spark, idxLake, shardSize = 3L, salt = "f")
     var creps = Vector.empty[ContainIndex.RefreshReport]
+    var sreps = Vector.empty[ShardMap.RefreshReport]
     DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
       containTable = Some("contain_pairs"),
-      onContainReport = r => creps :+= r).awaitTermination()
+      onContainReport = r => creps :+= r,
+      shardTable = Some("shard_map"),
+      onShardReport = r => sreps :+= r).awaitTermination()
     assert(creps.exists(!_.noop), s"$creps")
+    assert(sreps.exists(!_.noop), s"$sreps")
     def pairSet() = ContainIndex.pairs(spark, idxLake, "contain_pairs")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairSet() == Set((4L, 5L)), s"${pairSet()}")
+    def shardSlots() = ShardMap.assignment(spark, idxLake, "shard_map")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val epoch1 = shardSlots()
+    assert(epoch1.keySet == Set("1", "2", "4", "5"), s"$epoch1")
 
     // a delta landed later flows through the SAME follow: doc 6 is
     // another quote of doc 4
@@ -138,9 +147,14 @@ class DedupFollowSpec extends AnyFunSuite {
     creps = Vector.empty
     DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
       containTable = Some("contain_pairs"),
-      onContainReport = r => creps :+= r).awaitTermination()
+      onContainReport = r => creps :+= r,
+      shardTable = Some("shard_map")).awaitTermination()
     assert(creps.exists(!_.noop), s"$creps")
     assert(pairSet() == Set((4L, 5L), (4L, 6L)), s"${pairSet()}")
+    // doc 6 appended after the high-water rank; epoch-1 slots untouched
+    val all = shardSlots()
+    assert(all("6") == 4L && epoch1.forall { case (k, r) => all(k) == r },
+      s"$all")
     // and the near-dup family stayed ≡ one-shot across both passes
     assert(assignment(idxLake) == oneShot(srcLake))
   }
