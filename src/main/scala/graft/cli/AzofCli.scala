@@ -528,6 +528,23 @@ object AzofCli {
           else s"refreshed v${r.fromVersion + 1}..v${r.toVersion}: " +
             s"${r.churned} churned -> ${r.assigned} new slot(s); " +
             s"next rank ${r.nextRank}")
+      case "shard-emit" =>
+        // write the shards that became COMPLETE since the last emit
+        // (write-once artifacts, append-only emission cursor):
+        //   shard-emit --path L --table SRC --index-path L2 --out DIR
+        //     [--index-table shard_map] [--text-col text] [--flush]
+        //   (--flush: also write the trailing partial shard — the
+        //   TERMINAL cut of a frozen corpus; see ShardMap.emitShards)
+        val er = graft.sources.ShardMap.emitShards(spark,
+          opts("path"), opts("table"),
+          opts.getOrElse("text-col", "text"),
+          opts("index-path"), opts.getOrElse("index-table", "shard_map"),
+          opts("out"), flush = opts.contains("flush"))
+        println(
+          if (er.noop) s"nothing to emit (cursor at shard ${er.fromShard})"
+          else s"emitted shards ${er.fromShard}..<${er.untilShard}" +
+            (if (er.flushedPartial) " + trailing partial" else "") +
+            s": ${er.docs} doc(s)")
       case "shard-slots" =>
         // the persisted assignment:
         //   shard-slots --index-path L2 [--index-table shard_map]

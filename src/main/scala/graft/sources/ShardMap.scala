@@ -173,6 +173,59 @@ object ShardMap {
     RefreshReport(fromVersion, toVersion, nChurn, nFresh, next)
   }
 
+  final case class EmitReport(
+      fromShard: Long, untilShard: Long, docs: Long, flushedPartial: Boolean) {
+    def noop: Boolean = untilShard == fromShard && !flushedPartial
+  }
+
+  /** Write the shard artifacts that became COMPLETE since the last
+    * emission — the incremental-export step the map exists for. Shards
+    * are write-once: an emission appends `shard_id=N` directories
+    * under `outDir` for exactly the shards in `[emit-cursor,
+    * nextRank div shardSize)` and advances the cursor, so no emitted
+    * byte is ever rewritten and each crawl batch's export cost is the
+    * batch's own shards. Each row is `(shard_pos, <key>, <textCol>)`
+    * with text joined from the live corpus at emission time — a doc
+    * deleted between minting and emission is a HOLE (its `shard_pos`
+    * is absent from the file); a doc deleted AFTER emission stays in
+    * the immutable artifact (readers honoring deletions re-join
+    * [[liveAssignment]], the p05 serving shape).
+    *
+    * `flush = true` additionally writes the trailing PARTIAL shard —
+    * the final cut of a frozen corpus. The cursor does not advance
+    * past it (a later refresh may still fill it), so flush is for a
+    * TERMINAL export: flushing, refreshing, and emitting again would
+    * write that shard twice.
+    */
+  def emitShards(
+      spark: SparkSession,
+      srcLake: String, srcTable: String, textCol: String,
+      idxLake: String, idxTable: String,
+      outDir: String, flush: Boolean = false): EmitReport = {
+    val model = readModel(spark, idxLake, idxTable)
+    val nextRank = readHwm(spark, idxLake, idxTable).getOrElse(0L)
+    val complete = nextRank / model.shardSize
+    val from = readEmitHwm(spark, idxLake, idxTable).getOrElse(0L)
+    val until = math.max(from, complete)
+    val partial = flush && nextRank % model.shardSize != 0
+    if (until == from && !partial)
+      return EmitReport(from, from, 0L, flushedPartial = false)
+    val upper = if (partial) until + 1 else until
+    val rows = assignment(spark, idxLake, idxTable)
+      .where(col("shard_id") >= from && col("shard_id") < upper)
+      .join(AzofScan.scan(spark, srcLake, srcTable)
+          .select(col(TableSchema.KeyName), col(textCol)),
+        Seq(TableSchema.KeyName))
+      .select(col("shard_id"), col("shard_pos"),
+        col(TableSchema.KeyName), col(textCol))
+      .localCheckpoint(true)
+    val nDocs = rows.count()
+    rows.write.mode("append").partitionBy("shard_id").parquet(outDir)
+    writeEmitHwm(spark, idxLake, idxTable, until)
+    Blocks.free(rows)
+    EmitReport(from, until, nDocs, flushedPartial = partial)
+  }
+
   // ------------------------------------------------------- model sidecar
 
   private def sidecar(
@@ -229,6 +282,35 @@ object ShardMap {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true) // forward-only
     try out.write(s"""{"nextRank":$nextRank}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // -------------------------------------------------- emission cursor
+
+  val EmitHwmFileName = "_shard_emit_hwm.json"
+
+  private def readEmitHwm(
+      spark: SparkSession, idxLake: String, idxTable: String): Option[Long] = {
+    val p = sidecar(spark, idxLake, idxTable, EmitHwmFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      Some(root.get("nextShard").asLong)
+    }
+  }
+
+  private def writeEmitHwm(
+      spark: SparkSession, idxLake: String, idxTable: String,
+      nextShard: Long): Unit = {
+    val p = sidecar(spark, idxLake, idxTable, EmitHwmFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true) // forward-only
+    try out.write(s"""{"nextShard":$nextShard}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }

@@ -137,4 +137,52 @@ class ShardMapSpec extends AnyFunSuite {
     assert(re.assigned == 0 && re.churned == 0, s"$re")
     assert(!slots(l).contains("e") && liveKeys() == Set("a", "b", "c"))
   }
+
+  test("emitShards writes exactly the newly-complete shards, " +
+    "append-only; emitted bytes survive later batches; flush cuts " +
+    "the trailing partial") {
+    val l = Files.createTempDirectory("azof-shardmap3").toString
+    val out = Files.createTempDirectory("azof-shardout").toString
+    AzofWriter.createTable(spark, l, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    // 5 docs, shardSize 2: shards 0,1 complete, shard 2 partial
+    AzofWriter.commitBase(spark, l, "docs",
+      rows(Seq("a", "b", "c", "d", "e"), "2024-01-02T00:00:00Z"))
+    ShardMap.create(spark, l, shardSize = 2L, salt = "t")
+    ShardMap.refresh(spark, l, "docs", l, at = ts("2024-02-01T00:00:00Z"))
+
+    val e1 = ShardMap.emitShards(spark, l, "docs", "text", l,
+      "shard_map", out)
+    assert(e1.fromShard == 0 && e1.untilShard == 2 && e1.docs == 4, s"$e1")
+    def shardDirs() = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("shard_id=")).sorted.toSeq
+    assert(shardDirs() == Seq("shard_id=0", "shard_id=1"))
+    val bytes1 = spark.read.parquet(out).orderBy("shard_id", "shard_pos")
+      .collect().toSeq
+
+    // replay: nothing new to emit
+    assert(ShardMap.emitShards(spark, l, "docs", "text", l,
+      "shard_map", out).noop)
+
+    // next batch fills shard 2 and starts shard 3; only shard 2 emits,
+    // and the first emission's rows are byte-identical
+    AzofWriter.commitDelta(spark, l, "docs",
+      rows(Seq("f", "g"), "2024-02-15T00:00:00Z"),
+      ts("2024-02-15T00:00:00Z"), ts("2024-02-15T00:00:00Z"))
+    ShardMap.refresh(spark, l, "docs", l, at = ts("2024-03-01T00:00:00Z"))
+    val e2 = ShardMap.emitShards(spark, l, "docs", "text", l,
+      "shard_map", out)
+    assert(e2.fromShard == 2 && e2.untilShard == 3 && e2.docs == 2, s"$e2")
+    assert(shardDirs() == Seq("shard_id=0", "shard_id=1", "shard_id=2"))
+    val again = spark.read.parquet(out).orderBy("shard_id", "shard_pos")
+      .collect().toSeq
+    assert(again.take(4) == bytes1, "emitted shards must be immutable")
+
+    // flush: the trailing partial (shard 3, one doc) lands too
+    val e3 = ShardMap.emitShards(spark, l, "docs", "text", l,
+      "shard_map", out, flush = true)
+    assert(e3.flushedPartial && e3.docs == 1, s"$e3")
+    assert(shardDirs().size == 4)
+    assert(spark.read.parquet(out).count() == 7)
+  }
 }
