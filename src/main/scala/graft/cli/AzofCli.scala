@@ -558,6 +558,61 @@ object AzofCli {
           else graft.sources.ShardMap.assignment(spark,
             opts("index-path"), opts.getOrElse("index-table", "shard_map"))
         sl.orderBy("shuffle_rank").show(numRows = 10000, truncate = false)
+      case "seq-create" =>
+        // persisted incremental sequence packing (frozen budget+salt):
+        //   seq-create --index-path L2 [--index-table seq_map]
+        //     [--budget 2048] [--salt s1]
+        val m = graft.sources.SeqMap.create(spark, opts("index-path"),
+          opts.getOrElse("index-table", "seq_map"),
+          budget = opts.getOrElse("budget", "2048").toLong,
+          salt = opts.getOrElse("salt", "s1"))
+        println(s"created ${opts.getOrElse("index-table", "seq_map")} " +
+          s"(budget=${m.budget}, salt=${m.salt}; frozen in " +
+          "_seq_model.json)")
+      case "seq-refresh" =>
+        // mint token spans for the CDC range's new docs:
+        //   seq-refresh --path L --table SRC --index-path L2
+        //     [--index-table seq_map] [--text-col text] [--at TS]
+        val at = opts.get("at")
+          .map(graft.sources.AzofDataSource.parseInstant)
+          .getOrElse(java.time.Instant.ofEpochMilli(
+            System.currentTimeMillis()))
+        val r = graft.sources.SeqMap.refresh(spark,
+          opts("path"), opts("table"),
+          opts.getOrElse("text-col", "text"), opts("index-path"),
+          opts.getOrElse("index-table", "seq_map"), at)
+        println(
+          if (r.noop) s"no new commits (cursor at v${r.fromVersion})"
+          else s"refreshed v${r.fromVersion + 1}..v${r.toVersion}: " +
+            s"${r.churned} churned -> ${r.assigned} new span(s); " +
+            s"next token ${r.nextToken}")
+      case "seq-spans" =>
+        // the persisted assignment:
+        //   seq-spans --index-path L2 [--index-table seq_map]
+        //     [--live --path L --table SRC]
+        val sq =
+          if (opts.contains("live"))
+            graft.sources.SeqMap.liveAssignment(spark,
+              opts("path"), opts("table"),
+              opts("index-path"), opts.getOrElse("index-table", "seq_map"))
+          else graft.sources.SeqMap.assignment(spark,
+            opts("index-path"), opts.getOrElse("index-table", "seq_map"))
+        sq.orderBy("tok_offset").show(numRows = 10000, truncate = false)
+      case "seq-emit" =>
+        // write the sequences that became COMPLETE since the last emit
+        // (the frozen cut: each doc's text reads AS OF its mint epoch):
+        //   seq-emit --path L --table SRC --index-path L2 --out DIR
+        //     [--index-table seq_map] [--text-col text] [--flush]
+        val er = graft.sources.SeqMap.emitSequences(spark,
+          opts("path"), opts("table"),
+          opts.getOrElse("text-col", "text"),
+          opts("index-path"), opts.getOrElse("index-table", "seq_map"),
+          opts("out"), flush = opts.contains("flush"))
+        println(
+          if (er.noop) s"nothing to emit (cursor at seq ${er.fromSeq})"
+          else s"emitted sequences ${er.fromSeq}..<${er.untilSeq}" +
+            (if (er.flushedPartial) " + trailing partial" else "") +
+            s": ${er.sequences} row(s)")
       case "sem-create" =>
         // frozen-model SemDeDup index over an azof embedding table
         // (vectors as JSON double arrays in --vec-col):

@@ -38,6 +38,7 @@ object Pipeline {
     "d22_contain_keyed" -> d22,
     "p04_contain_gate" -> p04,
     "p05_shard_map" -> p05,
+    "p06_seq_map" -> p06,
     "x01_approx_distinct" -> x01,
     "x02_exact_distinct" -> x02,
     "s01_ann_topk" -> s01,
@@ -823,6 +824,61 @@ object Pipeline {
       .select(
         col(graft.format.TableSchema.KeyName).cast("long").as("doc_id"),
         col("shuffle_rank"), col("shard_id"), col("shard_pos"))
+  }
+
+  /** [[shardLake]]'s token-granular twin for [[graft.sources.SeqMap]]:
+    * same two batches + the doc-7 delete, refreshed into the
+    * persisted sequence map (budget 256, salt `p6`).
+    */
+  private[queries] def seqLake(s: SparkSession, dir: String): String =
+    AzofQueries.cachedLake(dir, "seqmap-v1", "seq_map") { l =>
+      import graft.format.{ColumnDef, ColumnType, TableSchema}
+      import graft.sources.{AzofWriter, SeqMap}
+      import java.time.Instant
+      val srcSchema = graft.format.TableSchema(Seq(
+        ColumnDef("text", ColumnType.AzString, nullable = true)))
+      AzofWriter.createTable(s, l, "docs_src", srcSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      SeqMap.create(s, l, budget = 256L, salt = "p6")
+      val src = docs(s, dir)
+      def batch(holdout: Boolean, at: String) =
+        src.where((col("doc_id") % 3 === 0) === holdout)
+          .select(col("doc_id").cast("string").as(TableSchema.KeyName),
+            lit(java.sql.Timestamp.from(Instant.parse(at)))
+              .as(TableSchema.EventTimeName),
+            col("text"))
+      AzofWriter.commitBase(s, l, "docs_src",
+        batch(holdout = false, "2024-01-15T00:00:00Z"))
+      SeqMap.refresh(s, l, "docs_src", "text", l,
+        at = Instant.parse("2024-02-01T00:00:00Z"))
+      AzofWriter.commitDelta(s, l, "docs_src",
+        batch(holdout = true, "2024-02-15T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      SeqMap.refresh(s, l, "docs_src", "text", l,
+        at = Instant.parse("2024-03-01T00:00:00Z"))
+      AzofWriter.commitDelete(s, l, "docs_src", Seq("7"),
+        Instant.parse("2024-03-15T00:00:00Z"))
+      SeqMap.refresh(s, l, "docs_src", "text", l,
+        at = Instant.parse("2024-04-01T00:00:00Z"))
+      ()
+    }
+
+  /** The incremental PACKING assignment, served live: p05's
+    * token-granular twin. The oracle replays both epochs as weighted
+    * exclusive prefix sums (epoch 2 offset by epoch 1's total tokens;
+    * epoch 1 identical to the one-shot t12 formula) minus the deleted
+    * doc — whose tokens still occupy their frozen span, so an engine
+    * that reclaimed them would shift every epoch-2 offset and break
+    * the hash.
+    */
+  private def p06(s: SparkSession, dir: String): DataFrame = {
+    val l = seqLake(s, dir)
+    graft.sources.SeqMap.liveAssignment(s, l, "docs_src", l, "seq_map")
+      .select(
+        col(graft.format.TableSchema.KeyName).cast("long").as("doc_id"),
+        col("n_tokens"), col("tok_offset"),
+        col("start_seq"), col("end_seq"), col("n_seqs"))
   }
 
   /** The pipeline's END PRODUCT: training sequences packed from the
@@ -1760,6 +1816,39 @@ object Pipeline {
           SELECT doc_id, shuffle_rank,
                  shuffle_rank // 64 AS shard_id,
                  shuffle_rank % 64 AS shard_pos
+          FROM m WHERE doc_id <> 7""",
+    // p06: p05's token-granular twin — weighted exclusive prefix sums
+    // per epoch, epoch 2 offset by epoch 1's total tokens, the deleted
+    // doc dropped live while its tokens keep occupying their frozen
+    // span (reclaiming them would shift every epoch-2 offset)
+    "p06_seq_map" ->
+      s"""WITH b1 AS (SELECT doc_id,
+                   CAST(len($wordsSql) AS BIGINT) AS n_tokens,
+                   CAST('0x' || substr(md5('pack#p6#' || CAST(doc_id AS VARCHAR)), 1, 14)
+                     AS BIGINT) AS h
+                 FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+          r1 AS (SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, CAST(doc_id AS VARCHAR)
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS tok_offset
+                 FROM b1),
+          b2 AS (SELECT doc_id,
+                   CAST(len($wordsSql) AS BIGINT) AS n_tokens,
+                   CAST('0x' || substr(md5('pack#p6#' || CAST(doc_id AS VARCHAR)), 1, 14)
+                     AS BIGINT) AS h
+                 FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+          r2 AS (SELECT doc_id, n_tokens,
+                   CAST((SELECT COALESCE(SUM(n_tokens), 0) FROM b1)
+                     + COALESCE(SUM(n_tokens) OVER (ORDER BY h, CAST(doc_id AS VARCHAR)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS tok_offset
+                 FROM b2),
+          m AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+          SELECT doc_id, n_tokens, tok_offset,
+                 tok_offset // 256 AS start_seq,
+                 (tok_offset + n_tokens - 1) // 256 AS end_seq,
+                 (tok_offset + n_tokens - 1) // 256 - tok_offset // 256 + 1
+                   AS n_seqs
           FROM m WHERE doc_id <> 7""") ++
     moreOracles
 

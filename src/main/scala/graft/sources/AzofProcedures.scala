@@ -38,7 +38,7 @@ object AzofProcedures {
   val Names: Seq[String] =
     Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
       "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
-      "contain_refresh", "shard_refresh")
+      "contain_refresh", "shard_refresh", "seq_refresh")
 
   def load(path: String, ident: Identifier): UnboundProcedure = {
     val name = ident.name.toLowerCase
@@ -120,6 +120,10 @@ object AzofProcedures {
       case "shard_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'shard_map'"))
+      case "seq_refresh" => Array(
+        p("table", StringType), p("index_path", StringType),
+        pd("index_table", StringType, "'seq_map'"),
+        pd("text_col", StringType, "'text'"))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -260,6 +264,17 @@ object AzofProcedures {
             StructField("next_rank", LongType))),
             Seq(r.fromVersion, r.toVersion, r.churned, r.assigned,
               r.nextRank))
+        case "seq_refresh" =>
+          val r = SeqMap.refresh(spark, path, str(0), str(3), str(1),
+            str(2), Instant.ofEpochMilli(System.currentTimeMillis()))
+          (StructType(Seq(
+            StructField("from_version", LongType),
+            StructField("to_version", LongType),
+            StructField("churned", LongType),
+            StructField("assigned", LongType),
+            StructField("next_token", LongType))),
+            Seq(r.fromVersion, r.toVersion, r.churned, r.assigned,
+              r.nextToken))
       }
       val row = new GenericInternalRow(out._2.map {
         case s: String => UTF8String.fromString(s)

@@ -291,6 +291,31 @@ class SqlProceduresSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("assigned") == 0L, s"$r2")
   }
 
+  test("CALL seq_refresh mints token spans from SQL") {
+    val textSchema = TableSchema(Seq(
+      ColumnDef("text", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, lake, "corpus5", textSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "corpus5",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("a", Timestamp.from(ts("2024-01-02T00:00:00Z")), "w1 w2 w3"),
+          Row("b", Timestamp.from(ts("2024-01-02T00:00:00Z")), "w4 w5"))),
+        textSchema.toStruct))
+    val idx = s"$lake/idx5"
+    SeqMap.create(spark, idx, budget = 4L)
+
+    val r = spark.sql(
+      "CALL proc.system.seq_refresh(`table` => 'corpus5', " +
+        s"index_path => '$idx')").collect()(0)
+    assert(r.getAs[Long]("assigned") == 2L &&
+      r.getAs[Long]("next_token") == 5L, s"$r")
+    val offs = SeqMap.assignment(spark, idx, "seq_map")
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(offs.values.toSeq.sorted == Seq(0L, 2L) ||
+      offs.values.toSeq.sorted == Seq(0L, 3L), s"$offs")
+  }
+
   test("unknown procedures refuse with the catalog's procedure list") {
     mk("u1", ("1", "2024-01-05T00:00:00Z", "a"))
     val e = intercept[Exception] {
