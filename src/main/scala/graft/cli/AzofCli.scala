@@ -410,10 +410,11 @@ object AzofCli {
         //     [--text-col text] [--min-jaccard 0.5] [--retain N]
         //     [--checkpoint DIR] [--key-map key_map]
         //     [--contain-table contain_pairs [--contain-keyed]]
-        //     [--shard-table shard_map]
-        //     (--contain-table / --shard-table: ALSO refresh the
-        //     persisted containment index / export shard map each
-        //     pass — one follow maintains every corpus-following index)
+        //     [--shard-table shard_map] [--seq-table seq_map]
+        //     (--contain-table / --shard-table / --seq-table: ALSO
+        //     refresh the persisted containment index / export shard
+        //     map / sequence map each pass — one follow maintains
+        //     every corpus-following index)
         val ckpt = opts.getOrElse("checkpoint",
           new org.apache.hadoop.fs.Path(opts("index-path"),
             opts.getOrElse("sig-table", "minhash_sig") +
@@ -452,7 +453,14 @@ object AzofCli {
               s"(cursor at v${sr.fromVersion})"
             else s"shards v${sr.fromVersion + 1}..v${sr.toVersion}: " +
               s"${sr.churned} churned -> ${sr.assigned} new slot(s); " +
-              s"next rank ${sr.nextRank}"))
+              s"next rank ${sr.nextRank}"),
+          seqTable = opts.get("seq-table"),
+          onSeqReport = qr => println(
+            if (qr.noop) "sequences: no new commits " +
+              s"(cursor at v${qr.fromVersion})"
+            else s"sequences v${qr.fromVersion + 1}..v${qr.toVersion}: " +
+              s"${qr.churned} churned -> ${qr.assigned} new span(s); " +
+              s"next token ${qr.nextToken}"))
         q.awaitTermination()
       case "contain-create" =>
         // persisted containment-pair index:

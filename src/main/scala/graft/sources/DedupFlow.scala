@@ -257,9 +257,10 @@ object DedupFlow {
     * stream — a containment index enabled on an existing follow closes
     * its gap immediately, even though the reused outer checkpoint's
     * committed offsets would fire no batch until the next source
-    * commit. `shardTable` rides the driver the same way — the
-    * persisted export membership ([[ShardMap]]) mints slots for each
-    * batch's new docs as they land. (SemDeDup follows its own
+    * commit. `shardTable` and `seqTable` ride the driver the same
+    * way — the persisted export membership ([[ShardMap]]) and packing
+    * ([[SeqMap]]) mint slots/spans for each batch's new docs as they
+    * land. (SemDeDup follows its own
     * embedding table as a sibling [[SemDedupIndex.refresh]] stream —
     * different source, same pattern — rather than riding this one.)
     */
@@ -287,7 +288,9 @@ object DedupFlow {
       containKeyed: Boolean = false,
       onContainReport: ContainIndex.RefreshReport => Unit = _ => (),
       shardTable: Option[String] = None,
-      onShardReport: ShardMap.RefreshReport => Unit = _ => ())
+      onShardReport: ShardMap.RefreshReport => Unit = _ => (),
+      seqTable: Option[String] = None,
+      onSeqReport: SeqMap.RefreshReport => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val outerCkpt = followCheckpoint.getOrElse(
       new Path(AzofTable(spark, idxLake, ccTable).tableDir,
@@ -315,12 +318,22 @@ object DedupFlow {
       onShardReport(sr)
       sr
     }
+    def refreshSeq(st: String): SeqMap.RefreshReport = {
+      val qr = SeqMap.refresh(spark, srcLake, srcTable, textCol,
+        idxLake, st, Instant.now())
+      if (retain > 0)
+        AzofVacuum.vacuum(spark, idxLake, st, retain,
+          minAgeMs = retainMinAgeMs)
+      onSeqReport(qr)
+      qr
+    }
     // eager catch-up: an index enabled on an existing follow (outer
     // checkpoint already past the history) would wait for the next
     // source commit; each index's own cursor makes this a no-op
     // whenever it is already current
     containTable.foreach(refreshContain)
     shardTable.foreach(refreshShard)
+    seqTable.foreach(refreshSeq)
     // seed at the ingest cursor: commits the indexes already consumed
     // need not even surface as (ignored) outer batches
     val seeded = readCursor(spark, idxLake, ccTable)
@@ -338,6 +351,7 @@ object DedupFlow {
           onReport(r)
           containTable.foreach(refreshContain)
           shardTable.foreach(refreshShard)
+          seqTable.foreach(refreshSeq)
       }
       .trigger(trigger)
       .start()

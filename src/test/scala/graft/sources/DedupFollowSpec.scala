@@ -122,15 +122,20 @@ class DedupFollowSpec extends AnyFunSuite {
     // reused outer checkpoint fires no batch
     ContainIndex.create(spark, idxLake)
     ShardMap.create(spark, idxLake, shardSize = 3L, salt = "f")
+    SeqMap.create(spark, idxLake, budget = 8L, salt = "f")
     var creps = Vector.empty[ContainIndex.RefreshReport]
     var sreps = Vector.empty[ShardMap.RefreshReport]
+    var qreps = Vector.empty[SeqMap.RefreshReport]
     DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
       containTable = Some("contain_pairs"),
       onContainReport = r => creps :+= r,
       shardTable = Some("shard_map"),
-      onShardReport = r => sreps :+= r).awaitTermination()
+      onShardReport = r => sreps :+= r,
+      seqTable = Some("seq_map"),
+      onSeqReport = r => qreps :+= r).awaitTermination()
     assert(creps.exists(!_.noop), s"$creps")
     assert(sreps.exists(!_.noop), s"$sreps")
+    assert(qreps.exists(r => !r.noop && r.assigned == 4), s"$qreps")
     def pairSet() = ContainIndex.pairs(spark, idxLake, "contain_pairs")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairSet() == Set((4L, 5L)), s"${pairSet()}")
@@ -145,16 +150,24 @@ class DedupFollowSpec extends AnyFunSuite {
       6L -> "c2 c3 c4 c5 c6 c7"), "2024-02-01T00:00:00Z"),
       ts("2024-02-01T00:00:00Z"), ts("2024-02-01T00:00:00Z"))
     creps = Vector.empty
+    val seqHwm = SeqMap.assignment(spark, idxLake, "seq_map")
+      .collect().map(r => r.getLong(2) + r.getLong(1)).max
     DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
       containTable = Some("contain_pairs"),
       onContainReport = r => creps :+= r,
-      shardTable = Some("shard_map")).awaitTermination()
+      shardTable = Some("shard_map"),
+      seqTable = Some("seq_map")).awaitTermination()
     assert(creps.exists(!_.noop), s"$creps")
     assert(pairSet() == Set((4L, 5L), (4L, 6L)), s"${pairSet()}")
     // doc 6 appended after the high-water rank; epoch-1 slots untouched
     val all = shardSlots()
     assert(all("6") == 4L && epoch1.forall { case (k, r) => all(k) == r },
       s"$all")
+    // and its token span appended after the epoch-1 token HWM
+    val span6 = SeqMap.assignment(spark, idxLake, "seq_map")
+      .where(org.apache.spark.sql.functions.col(TableSchema.KeyName) === "6")
+      .collect()(0)
+    assert(span6.getLong(2) == seqHwm && span6.getLong(1) == 6L, s"$span6")
     // and the near-dup family stayed ≡ one-shot across both passes
     assert(assignment(idxLake) == oneShot(srcLake))
   }
