@@ -51,12 +51,16 @@ object AzofCli {
     if (args.isEmpty) {
       System.err.println(
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
-          "commit-partitioned|add-column|drop-column|compact|delete|purge|changes|vacuum|" +
+          "commit-partitioned|add-column|drop-column|rename-column|analyze|" +
+          "compact|delete|purge|changes|vacuum|" +
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
           "pq-create|pq-refresh|pq-search|export|" +
-          "dedup-create|dedup-ingest|dedup-rebuild|dedup-survivors|" +
-          "dedup-apply|" +
-          "sem-create|sem-refresh|sem-verdicts|" +
+          "dedup-create|dedup-ingest|dedup-follow|dedup-rebuild|" +
+          "dedup-survivors|dedup-apply|" +
+          "contain-create|contain-refresh|contain-pairs|" +
+          "shard-create|shard-refresh|shard-slots|shard-emit|" +
+          "seq-create|seq-refresh|seq-spans|seq-emit|" +
+          "sem-create|sem-refresh|sem-rebuild|sem-verdicts|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
     }

@@ -153,11 +153,32 @@ final case class Segment(
       .flatMap(_.dataFilesWithStats(asOf, strictOrder))
     val equalStart =
       if (strictOrder) Ordering.Int else Ordering.Int.reverse
+    // EFFECTIVE seq (registration-order running max): a seq-less delta
+    // — a foreign or pre-upgrade writer appending to a seq-stamped
+    // table — inherits the newest seq registered BEFORE it, so an
+    // exact event-time tie against engine-stamped files resolves by
+    // precedence (newer window start / later registration wins), the
+    // pre-seq behavior, instead of the foreign commit silently losing
+    // to every stamped file. Pre-seq tables stay all-None (rank ≡
+    // precedence position, unchanged), and engine-stamped deltas carry
+    // their own seq (registration order is commit order, so the
+    // running max IS the own seq).
+    val effSeqs = new Array[Option[Long]](delta.size)
+    var run: Option[Long] = None
+    delta.zipWithIndex.foreach { case (d, i) =>
+      run = (d.seq, run) match {
+        case (Some(s), Some(r)) => Some(math.max(s, r))
+        case (Some(s), None) => Some(s)
+        case (None, r) => r
+      }
+      effSeqs(i) = run
+    }
     val fromDeltas = delta.zipWithIndex
       .filter { case (d, _) => d.isBefore(asOf) }
       .sortBy { case (d, i) => (d.start, i) }(
         Ordering.Tuple2(Ordering[Instant].reverse, equalStart))
-      .map { case (d, _) => FileEntry(d.file, d.stats, d.tombstone, d.seq) }
+      .map { case (d, i) =>
+        FileEntry(d.file, d.stats, d.tombstone, effSeqs(i)) }
     val own =
       if (isInRange(asOf)) file.map(f => FileEntry(f, fileStats)).toSeq
       else Seq.empty

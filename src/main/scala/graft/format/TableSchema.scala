@@ -80,6 +80,19 @@ final case class TableSchema(columns: Seq[ColumnDef]) {
   def physicalOf(logical: String): String =
     columns.find(_.name == logical).map(_.physicalName).getOrElse(logical)
 
+  /** Rename a file-schema frame's physical column names to their
+    * logical ones — the ONE place the physical→logical projection
+    * lives (scan, change feed, and streaming source all read raw
+    * bytes under physical names). Sequential renames are
+    * collision-free because a retired logical name can never return
+    * as another column's current name.
+    */
+  def toLogicalNames(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (!hasRenames) df
+    else columns.filter(c => c.physicalName != c.name)
+      .foldLeft(df)((d, c) => d.withColumnRenamed(c.physicalName, c.name))
+
   /** Output schema under a projection: only the requested columns survive,
     * in physical order — system columns included only when requested
     * (reference: crates/azof/src/schema.rs:148-203).

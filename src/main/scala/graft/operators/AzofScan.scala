@@ -252,13 +252,7 @@ object AzofScan {
 
     // physical → logical: renamed columns surface under their logical
     // names from here on (a no-op select when nothing was renamed);
-    // sequential renames are collision-free because a retired logical
-    // name can never return as another column's current name
-    val logical =
-      if (schema.hasRenames)
-        schema.columns.filter(c => c.physicalName != c.name)
-          .foldLeft(unioned)((d, c) => d.withColumnRenamed(c.physicalName, c.name))
-      else unioned
+    val logical = schema.toLogicalNames(unioned)
 
     val timed = asOf match {
       case AsOf.Current => logical

@@ -59,11 +59,7 @@ object AzofChangeFeed {
       if (hasTombstones)
         schema.physicalStruct.add(TableSchema.DeletedName, "boolean")
       else schema.physicalStruct
-    def toLogical(df: DataFrame): DataFrame =
-      if (schema.hasRenames)
-        schema.columns.filter(c => c.physicalName != c.name)
-          .foldLeft(df)((d, c) => d.withColumnRenamed(c.physicalName, c.name))
-      else df
+    def toLogical(df: DataFrame): DataFrame = schema.toLogicalNames(df)
     def withDeleted(df: DataFrame): DataFrame = {
       val logical = toLogical(df)
       if (hasTombstones)

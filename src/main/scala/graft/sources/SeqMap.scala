@@ -3,7 +3,6 @@ package graft.sources
 import graft.format.{AzofTable, ColumnDef, ColumnType, TableSchema}
 import graft.operators.{AzofScan, Blocks, Packing, TextAnalysis}
 import java.time.Instant
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -122,21 +121,21 @@ object SeqMap {
         readHwm(spark, idxLake, idxTable, HwmFileName, "nextToken")
           .getOrElse(0L))
 
-    // churn: keys whose LAST change in the range is an upsert (the
-    // ShardMap rule — nothing mints for docs already dead at the
-    // cursor), anti-joined against already-minted spans
+    // churn: every key the range touched (checkpointed once — the
+    // report counter must not re-run the CDC read). The inner join
+    // against the PINNED as-of view is both the liveness rule (a key
+    // absent at toVersion — dead per event-time precedence, the
+    // engine's own scan semantics — mints nothing) and the text
+    // source: exactly what the epoch will re-read at emission, so the
+    // counted and emitted tokens cannot drift.
     val churn = spark.read.format("azof")
       .option("table", srcTable)
       .option("changesFrom", fromVersion)
       .option("changesTo", toVersion)
       .load(srcLake)
-      .groupBy(col(TableSchema.KeyName))
-      .agg(max(struct(col("_commit_version"), col("_deleted")))
-        .as("_last"))
-      .where(!col("_last._deleted"))
       .select(col(TableSchema.KeyName))
-    // text pinned at toVersion: exactly what the epoch will re-read at
-    // emission, so the counted and emitted tokens cannot drift
+      .distinct()
+      .localCheckpoint(true)
     val fresh = churn
       .join(AzofScan.scan(spark, idxLake, idxTable)
           .select(col(TableSchema.KeyName)),
@@ -180,7 +179,7 @@ object SeqMap {
         op = Some("seq-assign"))
     }
     DedupFlow.writeCursor(spark, idxLake, idxTable, toVersion)
-    Blocks.free(fresh)
+    Blocks.free(churn); Blocks.free(fresh)
     RefreshReport(fromVersion, toVersion, nChurn, nFresh, next)
   }
 
@@ -200,7 +199,12 @@ object SeqMap {
       outDir: String, flush: Boolean = false): EmitReport = {
     val model = readModel(spark, idxLake, idxTable)
     val nextTok = readHwm(spark, idxLake, idxTable, HwmFileName, "nextToken")
-      .getOrElse(0L)
+      .getOrElse(
+        // token-HWM sidecar lost: recover from the map like refresh
+        // does (emission must not silently stall at seq 0 forever)
+        AzofScan.scan(spark, idxLake, idxTable)
+          .agg(coalesce(max(col("tok_offset") + col("n_tokens")), lit(0L)))
+          .collect()(0).getLong(0))
     val complete = nextTok / model.budget
     val from = readHwm(spark, idxLake, idxTable, EmitHwmFileName, "nextSeq")
       .getOrElse(0L)
@@ -217,95 +221,85 @@ object SeqMap {
       .localCheckpoint(true)
     // one as-of read per touched epoch — an emission typically spans
     // the last crawl batch or two, so this is a handful of scans each
-    // semi-joined down to its own epoch's docs
+    // semi-joined down to its own epoch's docs. A token range with NO
+    // map rows (the crash-gap a reserved-but-uncommitted mint leaves)
+    // emits nothing for those positions but still advances the cursor
+    // — short/empty sequences, never a wedged export.
     val epochs = touching.select("epoch").distinct()
       .collect().map(_.getLong(0)).sorted
-    val perEpoch = epochs.map { e =>
-      spark.read.format("azof")
-        .option("table", srcTable)
-        .option("versionAsOf", e.toString)
-        .load(srcLake)
-        .select(col(TableSchema.KeyName), col(textCol))
-        .join(touching.where(col("epoch") === e)
-            .select(col(TableSchema.KeyName), col("tok_offset")),
-          Seq(TableSchema.KeyName))
-    }
-    val rows = perEpoch.reduce(_ unionAll _)
-      .select(col("tok_offset"),
-        posexplode(TextAnalysis.words(col(textCol))).as(Seq("_p", "_tok")))
-      .withColumn("_tp", col("tok_offset") + col("_p"))
-      .where(col("_tp") >= lo && col("_tp") < hi)
-      .withColumn("seq_id", expr(s"_tp div ${model.budget}L"))
-      .groupBy("seq_id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("_tp"), col("_tok")))),
-          x => x("_tok")), " ").as("seq_text"),
-        count(lit(1)).as("n_tokens"))
-      .localCheckpoint(true)
-    val nSeqs = rows.count()
-    rows.write.mode("append").parquet(outDir)
+    val nSeqs =
+      if (epochs.isEmpty) 0L
+      else {
+        val perEpoch = epochs.map { e =>
+          spark.read.format("azof")
+            .option("table", srcTable)
+            .option("versionAsOf", e.toString)
+            .load(srcLake)
+            .select(col(TableSchema.KeyName), col(textCol))
+            .join(touching.where(col("epoch") === e)
+                .select(col(TableSchema.KeyName), col("tok_offset")),
+              Seq(TableSchema.KeyName))
+        }
+        val rows = perEpoch.reduce(_ unionAll _)
+          .select(col("tok_offset"),
+            posexplode(TextAnalysis.words(col(textCol)))
+              .as(Seq("_p", "_tok")))
+          .withColumn("_tp", col("tok_offset") + col("_p"))
+          .where(col("_tp") >= lo && col("_tp") < hi)
+          .withColumn("seq_id", expr(s"_tp div ${model.budget}L"))
+          .groupBy("seq_id")
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(struct(col("_tp"), col("_tok")))),
+              x => x("_tok")), " ").as("seq_text"),
+            count(lit(1)).as("n_tokens"))
+          .withColumn("emit", lit(from))
+          .localCheckpoint(true)
+        val n = rows.count()
+        // each emission owns its emit=<from> partition exclusively, so
+        // a crash between this write and the cursor replays into a
+        // DYNAMIC overwrite of the same partition — idempotent, never
+        // duplicated rows. (A flushed partial lives in its range's
+        // partition; growing the corpus after a flush re-cuts that
+        // sequence into the NEXT partition, which is why flush stays
+        // documented as the terminal cut.)
+        rows.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("emit").parquet(outDir)
+        Blocks.free(rows)
+        n
+      }
     writeHwm(spark, idxLake, idxTable, EmitHwmFileName, "nextSeq", until)
-    Blocks.free(touching); Blocks.free(rows)
+    Blocks.free(touching)
     EmitReport(from, until, nSeqs, flushedPartial = partial)
   }
 
-  // ------------------------------------------------------------ sidecars
-
-  private def sidecar(
-      spark: SparkSession, idxLake: String, idxTable: String,
-      name: String): Path =
-    new Path(AzofTable(spark, idxLake, idxTable).tableDir, name)
+  // ----------------------------------------- sidecars (via IndexSidecar)
 
   def readModel(
       spark: SparkSession, idxLake: String, idxTable: String): Model = {
-    val p = sidecar(spark, idxLake, idxTable, ModelFileName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p),
-      s"no $ModelFileName beside $idxTable — create() the seq map first")
-    val in = fs.open(p)
-    val root =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-      finally in.close()
+    val root = IndexSidecar.readNode(spark, idxLake, idxTable, ModelFileName)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $ModelFileName beside $idxTable — create() the seq map first"))
     Model(root.get("budget").asLong, root.get("salt").asText)
   }
 
   private def writeModel(
       spark: SparkSession, idxLake: String, idxTable: String,
       m: Model): Unit = {
-    val p = sidecar(spark, idxLake, idxTable, ModelFileName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val salt = new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(m.salt)
-    val out = fs.create(p, false) // frozen: never overwritten
-    try out.write(s"""{"budget":${m.budget},"salt":$salt}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    IndexSidecar.writeOnce(spark, idxLake, idxTable, ModelFileName,
+      s"""{"budget":${m.budget},"salt":$salt}""")
   }
 
   private def readHwm(
       spark: SparkSession, idxLake: String, idxTable: String,
-      file: String, field: String): Option[Long] = {
-    val p = sidecar(spark, idxLake, idxTable, file)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val root =
-        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        finally in.close()
-      Some(root.get(field).asLong)
-    }
-  }
+      file: String, field: String): Option[Long] =
+    IndexSidecar.readLong(spark, idxLake, idxTable, file, field)
 
   private def writeHwm(
       spark: SparkSession, idxLake: String, idxTable: String,
-      file: String, field: String, value: Long): Unit = {
-    val p = sidecar(spark, idxLake, idxTable, file)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true) // forward-only
-    try out.write(s"""{"$field":$value}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      file: String, field: String, value: Long): Unit =
+    IndexSidecar.writeLong(spark, idxLake, idxTable, file, field, value)
 }

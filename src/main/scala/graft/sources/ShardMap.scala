@@ -3,7 +3,6 @@ package graft.sources
 import graft.format.{AzofTable, ColumnDef, ColumnType, TableSchema}
 import graft.operators.{AzofScan, Blocks, Packing}
 import java.time.Instant
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -116,28 +115,32 @@ object ShardMap {
       return RefreshReport(fromVersion, fromVersion, 0L, 0L,
         readHwm(spark, idxLake, idxTable).getOrElse(0L))
 
-    // churn: keys whose LATEST change in the range is an upsert.
-    // Deletes mint nothing (they write nothing at all here), and a key
-    // upserted-then-deleted WITHIN the range mints nothing either — a
-    // bootstrap catch-up over delete-heavy history must not fill
-    // shards with slots for documents already dead at the cursor.
-    // (Same-version upsert+delete ties break toward delete: the key
-    // just waits for its next upsert — the live join governs serving
-    // either way.) The aggregate shuffles the churn, not the corpus.
+    // churn: every key the range touched; a slot mints only for churn
+    // keys LIVE at the pinned version (the as-of semi-join is the
+    // engine's own liveness rule — event-time precedence decides, so a
+    // historical tombstone loses to a newer row exactly as the scan
+    // says, and a key upserted-then-deleted within a catch-up range
+    // mints nothing: no slots for documents already dead at the
+    // cursor). Checkpointed once — the report counter must not re-run
+    // the CDC read.
     val churn = spark.read.format("azof")
       .option("table", srcTable)
       .option("changesFrom", fromVersion)
       .option("changesTo", toVersion)
       .load(srcLake)
-      .groupBy(col(TableSchema.KeyName))
-      .agg(max(struct(col("_commit_version"), col("_deleted")))
-        .as("_last"))
-      .where(!col("_last._deleted"))
       .select(col(TableSchema.KeyName))
+      .distinct()
+      .localCheckpoint(true)
     val fresh = churn
       .join(AzofScan.scan(spark, idxLake, idxTable)
           .select(col(TableSchema.KeyName)),
         Seq(TableSchema.KeyName), "left_anti")
+      .join(spark.read.format("azof")
+          .option("table", srcTable)
+          .option("versionAsOf", toVersion.toString)
+          .load(srcLake)
+          .select(col(TableSchema.KeyName)),
+        Seq(TableSchema.KeyName), "left_semi")
       .localCheckpoint(true)
     val nChurn = churn.count()
     val nFresh = fresh.count()
@@ -169,7 +172,7 @@ object ShardMap {
         op = Some("shard-assign"))
     }
     DedupFlow.writeCursor(spark, idxLake, idxTable, toVersion)
-    Blocks.free(fresh)
+    Blocks.free(churn); Blocks.free(fresh)
     RefreshReport(fromVersion, toVersion, nChurn, nFresh, next)
   }
 
@@ -193,9 +196,10 @@ object ShardMap {
     *
     * `flush = true` additionally writes the trailing PARTIAL shard —
     * the final cut of a frozen corpus. The cursor does not advance
-    * past it (a later refresh may still fill it), so flush is for a
-    * TERMINAL export: flushing, refreshing, and emitting again would
-    * write that shard twice.
+    * past it; if the corpus grows after a flush, the next emission
+    * REPLACES the partial directory with the completed shard (dynamic
+    * partition overwrite — the same mechanism that makes a crashed
+    * emission's replay idempotent instead of row-duplicating).
     */
   def emitShards(
       spark: SparkSession,
@@ -203,7 +207,12 @@ object ShardMap {
       idxLake: String, idxTable: String,
       outDir: String, flush: Boolean = false): EmitReport = {
     val model = readModel(spark, idxLake, idxTable)
-    val nextRank = readHwm(spark, idxLake, idxTable).getOrElse(0L)
+    val nextRank = readHwm(spark, idxLake, idxTable).getOrElse(
+      // rank-HWM sidecar lost: recover from the map like refresh does
+      // (emission must not silently stall at shard 0 forever)
+      AzofScan.scan(spark, idxLake, idxTable)
+        .agg(coalesce(max(col("shuffle_rank")), lit(-1L)))
+        .collect()(0).getLong(0) + 1L)
     val complete = nextRank / model.shardSize
     val from = readEmitHwm(spark, idxLake, idxTable).getOrElse(0L)
     val until = math.max(from, complete)
@@ -220,98 +229,59 @@ object ShardMap {
         col(TableSchema.KeyName), col(textCol))
       .localCheckpoint(true)
     val nDocs = rows.count()
-    rows.write.mode("append").partitionBy("shard_id").parquet(outDir)
+    // DYNAMIC overwrite, not append: emission ranges own their
+    // shard_id partitions exclusively, so a crash between this write
+    // and the cursor replays into an overwrite of the same dirs —
+    // idempotent, never duplicated rows in a "write-once" artifact.
+    // A flushed partial heals the same way: when its shard completes,
+    // the re-emission REPLACES the partial dir with the full one.
+    rows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard_id").parquet(outDir)
     writeEmitHwm(spark, idxLake, idxTable, until)
     Blocks.free(rows)
     EmitReport(from, until, nDocs, flushedPartial = partial)
   }
 
-  // ------------------------------------------------------- model sidecar
+  // ----------------------------------------- sidecars (via IndexSidecar)
 
-  private def sidecar(
-      spark: SparkSession, idxLake: String, idxTable: String,
-      name: String): Path =
-    new Path(AzofTable(spark, idxLake, idxTable).tableDir, name)
+  val EmitHwmFileName = "_shard_emit_hwm.json"
 
   def readModel(
       spark: SparkSession, idxLake: String, idxTable: String): Model = {
-    val p = sidecar(spark, idxLake, idxTable, ModelFileName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p),
-      s"no $ModelFileName beside $idxTable — create() the shard map first")
-    val in = fs.open(p)
-    val root =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-      finally in.close()
+    val root = IndexSidecar.readNode(spark, idxLake, idxTable, ModelFileName)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $ModelFileName beside $idxTable — create() the shard map first"))
     Model(root.get("shardSize").asLong, root.get("salt").asText)
   }
 
   private def writeModel(
       spark: SparkSession, idxLake: String, idxTable: String,
       m: Model): Unit = {
-    val p = sidecar(spark, idxLake, idxTable, ModelFileName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val salt = new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(m.salt)
-    val out = fs.create(p, false) // frozen: never overwritten
-    try out.write(s"""{"shardSize":${m.shardSize},"salt":$salt}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    IndexSidecar.writeOnce(spark, idxLake, idxTable, ModelFileName,
+      s"""{"shardSize":${m.shardSize},"salt":$salt}""")
   }
-
-  // ---------------------------------------------------- high-water mark
 
   private def readHwm(
-      spark: SparkSession, idxLake: String, idxTable: String): Option[Long] = {
-    val p = sidecar(spark, idxLake, idxTable, HwmFileName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val root =
-        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        finally in.close()
-      Some(root.get("nextRank").asLong)
-    }
-  }
+      spark: SparkSession, idxLake: String, idxTable: String): Option[Long] =
+    IndexSidecar.readLong(spark, idxLake, idxTable, HwmFileName, "nextRank")
 
   private def writeHwm(
       spark: SparkSession, idxLake: String, idxTable: String,
-      nextRank: Long): Unit = {
-    val p = sidecar(spark, idxLake, idxTable, HwmFileName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true) // forward-only
-    try out.write(s"""{"nextRank":$nextRank}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  // -------------------------------------------------- emission cursor
-
-  val EmitHwmFileName = "_shard_emit_hwm.json"
+      nextRank: Long): Unit =
+    IndexSidecar.writeLong(spark, idxLake, idxTable, HwmFileName,
+      "nextRank", nextRank)
 
   private def readEmitHwm(
-      spark: SparkSession, idxLake: String, idxTable: String): Option[Long] = {
-    val p = sidecar(spark, idxLake, idxTable, EmitHwmFileName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val root =
-        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        finally in.close()
-      Some(root.get("nextShard").asLong)
-    }
-  }
+      spark: SparkSession, idxLake: String, idxTable: String): Option[Long] =
+    IndexSidecar.readLong(spark, idxLake, idxTable, EmitHwmFileName,
+      "nextShard")
 
   private def writeEmitHwm(
       spark: SparkSession, idxLake: String, idxTable: String,
-      nextShard: Long): Unit = {
-    val p = sidecar(spark, idxLake, idxTable, EmitHwmFileName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true) // forward-only
-    try out.write(s"""{"nextShard":$nextShard}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      nextShard: Long): Unit =
+    IndexSidecar.writeLong(spark, idxLake, idxTable, EmitHwmFileName,
+      "nextShard", nextShard)
 }

@@ -43,9 +43,6 @@ object AzofStream {
       .schema(schema.physicalStruct)
       .option("pathGlobFilter", "{base,delta}_*.parquet")
       .parquet(t.tableDir.toString)
-    if (schema.hasRenames)
-      schema.columns.filter(c => c.physicalName != c.name)
-        .foldLeft(raw)((d, c) => d.withColumnRenamed(c.physicalName, c.name))
-    else raw
+    schema.toLogicalNames(raw)
   }
 }

@@ -131,4 +131,43 @@ class PruningSpec extends AnyFunSuite {
     assert(graft.operators.AzofScan.effectiveRanks(legacy) ==
       Seq(0, 1, 2, 3))
   }
+
+  test("a seq-less delta appended to a seq-stamped table (foreign/" +
+    "pre-upgrade writer) INHERITS the newest prior seq: it wins exact " +
+    "ties by precedence instead of losing to every stamped file") {
+    val snap = SnapshotCodec.parse(
+      """{"schema":{"columns":[]},"segments":[
+        {"id":"10","start":"2024-01-01T00:00:00.000Z","file":"base10.parquet",
+         "delta":[
+          {"file":"s2.parquet","start":"2024-02-01T00:00:00.000Z","end":"2024-02-02T00:00:00.0Z","seq":2},
+          {"file":"s3.parquet","start":"2024-02-05T00:00:00.000Z","end":"2024-02-06T00:00:00.0Z","seq":3},
+          {"file":"foreign.parquet","start":"2024-02-07T00:00:00.000Z","end":"2024-02-08T00:00:00.0Z"}]}]}""")
+    val entries = snap.segments.head.dataFilesWithStats(AsOf.Current)
+    // precedence order: newest start first
+    assert(entries.map(_.file) == Seq("foreign.parquet", "s3.parquet",
+      "s2.parquet", "base10.parquet"))
+    // the foreign delta inherits seq 3 (registered after s3)...
+    assert(entries.map(_.seq) ==
+      Seq(Some(3L), Some(3L), Some(2L), None))
+    // ...so ranks resolve its tie with s3 by precedence: foreign FIRST
+    // — the pre-seq newer-window-start-wins behavior, not a silent
+    // loss to every stamped file
+    assert(graft.operators.AzofScan.effectiveRanks(entries) ==
+      Seq(0, 1, 2, 3))
+    // an UPGRADED pre-seq table (old seq-less deltas registered before
+    // any stamped one) keeps those deltas ranked as the oldest commits
+    val snap2 = SnapshotCodec.parse(
+      """{"schema":{"columns":[]},"segments":[
+        {"id":"10","start":"2024-01-01T00:00:00.000Z","file":"base10.parquet",
+         "delta":[
+          {"file":"old.parquet","start":"2024-02-01T00:00:00.000Z","end":"2024-02-02T00:00:00.0Z"},
+          {"file":"s9.parquet","start":"2024-01-15T00:00:00.000Z","end":"2024-01-16T00:00:00.0Z","seq":9}]}]}""")
+    val e2 = snap2.segments.head.dataFilesWithStats(AsOf.Current)
+    // precedence: old (newer start) then s9; but s9 is the newer
+    // COMMIT, so ranks put it first
+    assert(e2.map(_.file) ==
+      Seq("old.parquet", "s9.parquet", "base10.parquet"))
+    assert(e2.map(_.seq) == Seq(None, Some(9L), None))
+    assert(graft.operators.AzofScan.effectiveRanks(e2) == Seq(1, 0, 2))
+  }
 }

@@ -107,8 +107,8 @@ class ShardMapSpec extends AnyFunSuite {
       ts("2024-02-10T00:00:00Z"))
     val rd = ShardMap.refresh(spark, l, "docs", l,
       at = ts("2024-03-01T00:00:00Z"))
-    // the delete is not even churn: only UPSERTED keys reach the mint
-    assert(rd.assigned == 0 && rd.churned == 0, s"$rd")
+    // the deleted key churns but is dead at the pinned version: no mint
+    assert(rd.assigned == 0 && rd.churned == 1, s"$rd")
     assert(slots(l) == before, "delete must not touch the map")
     def liveKeys() = ShardMap.liveAssignment(spark, l, "docs", l,
       "shard_map").collect().map(_.getString(0)).toSet
@@ -134,8 +134,29 @@ class ShardMapSpec extends AnyFunSuite {
       ts("2024-05-02T00:00:00Z"))
     val re = ShardMap.refresh(spark, l, "docs", l,
       at = ts("2024-06-01T00:00:00Z"))
-    assert(re.assigned == 0 && re.churned == 0, s"$re")
+    assert(re.assigned == 0 && re.churned == 1, s"$re")
     assert(!slots(l).contains("e") && liveKeys() == Set("a", "b", "c"))
+  }
+
+  test("a historical tombstone (older event_time) loses to the newer " +
+    "row — the key is LIVE by the engine's own precedence and mints") {
+    val l = Files.createTempDirectory("azof-shardmap4").toString
+    AzofWriter.createTable(spark, l, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "docs",
+      rows(Seq("x"), "2024-03-01T00:00:00Z"))
+    // tombstone dated BEFORE the row's event time: per event-time
+    // precedence the newer row wins — x stays live, so a commit-order
+    // liveness heuristic would wrongly exclude it from export forever
+    AzofWriter.commitDelete(spark, l, "docs", Seq("x"),
+      ts("2024-01-15T00:00:00Z"))
+    ShardMap.create(spark, l, shardSize = 2L, salt = "t")
+    val r = ShardMap.refresh(spark, l, "docs", l,
+      at = ts("2024-04-01T00:00:00Z"))
+    assert(r.assigned == 1, s"$r")
+    val lv = ShardMap.liveAssignment(spark, l, "docs", l, "shard_map")
+      .collect().map(_.getString(0)).toSet
+    assert(lv == Set("x"), s"$lv")
   }
 
   test("emitShards writes exactly the newly-complete shards, " +
