@@ -52,7 +52,7 @@ object AzofCli {
       System.err.println(
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
           "commit-partitioned|add-column|drop-column|rename-column|analyze|" +
-          "compact|delete|purge|changes|vacuum|" +
+          "compact|delete|purge|changes|vacuum|tag|untag|refs|rollback|" +
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
           "pq-create|pq-refresh|pq-search|export|" +
           "dedup-create|dedup-ingest|dedup-follow|dedup-rebuild|" +
@@ -157,6 +157,30 @@ object AzofCli {
             s"(skipped ${r.skipped.size}); version now $v"
           case None => s"nothing to analyze (skipped ${r.skipped.size})"
         })
+      case "tag" =>
+        // named version ref: tag --path L --table T --name release-1
+        //   [--version N] [--replace]  (default: tag the current version)
+        val target = opts.get("version").map(_.toLong).getOrElse(
+          AzofTable(spark, opts("path"), opts("table")).currentVersion.toLong)
+        val v = graft.sources.AzofWriter.tagVersion(spark, opts("path"),
+          opts("table"), opts("name"), Some(target),
+          replace = opts.get("replace").exists(_ != "false"))
+        println(s"tagged version $target as '${opts("name")}'; version now $v")
+      case "untag" =>
+        val v = graft.sources.AzofWriter.untagVersion(spark, opts("path"),
+          opts("table"), opts("name"))
+        println(s"removed tag '${opts("name")}'; version now $v")
+      case "refs" =>
+        // list named version refs of the current snapshot
+        val t = AzofTable(spark, opts("path"), opts("table"))
+        val refs = t.currentSnapshot.refs.toSeq.sortBy(_._1)
+        if (refs.isEmpty) println("no tags")
+        else refs.foreach { case (n, v) => println(s"$n\t$v") }
+      case "rollback" =>
+        // append-only restore: rollback --path L --table T --to N
+        val v = graft.sources.AzofWriter.rollback(spark, opts("path"),
+          opts("table"), opts("to").toLong)
+        println(s"rolled back to version ${opts("to")}; version now $v")
       case "delete" =>
         // tombstone delete: --keys k1,k2,... --at TS (the deletion
         // event time; omit for "now" = suppress everything current)

@@ -62,6 +62,26 @@ final class AzofTable(val tableDir: Path, conf: Configuration) {
   def snapshot(id: String): Snapshot =
     SnapshotCodec.parse(readUtf8(new Path(tableDir, s"s$id.json")))
 
+  /** A `VERSION AS OF` spec → numeric snapshot id: a numeric spec
+    * passes through; anything else resolves as a NAMED ref (tag)
+    * through the CURRENT snapshot's `refs` index — one O(1) lookup, no
+    * history walk, because every commit carries the ref map forward.
+    * Unknown tags fail loudly, naming the tags that do exist.
+    */
+  def resolveVersion(spec: String): String = {
+    val t = spec.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t
+    else currentSnapshot.refs.get(t) match {
+      case Some(v) => v.toString
+      case None =>
+        val known = currentSnapshot.refs.keys.toSeq.sorted
+        throw new IllegalArgumentException(
+          s"azof table $tableDir has no version tag '$t'" +
+            (if (known.isEmpty) " (no tags exist; create one with tagVersion / CALL system.tag)"
+             else s"; known tags: ${known.mkString(", ")}"))
+    }
+  }
+
   /** Read + classify `s{id}.json` ([[SnapshotCodec.classify]]). Read
     * failures (missing file, transient store errors) propagate as
     * IOExceptions — they are NOT corruption, and conflating them would

@@ -205,7 +205,13 @@ final case class Segment(
   * so `addColumn` refuses to re-use a retired name — the explicit read
   * schema would otherwise surface the OLD values under the new column
   * (silent resurrection; formats with per-column physical ids dodge
-  * this, a name-addressed format must refuse). All three serialize as
+  * this, a name-addressed format must refuse).
+  * `refs` is the named-version index (Iceberg-tag analogue): tag name →
+  * snapshot version, carried FORWARD by every commit like
+  * `streamBatches`, so `VERSION AS OF 'name'` resolves with one lookup
+  * on the current snapshot and vacuum can retain exactly the tagged
+  * documents. Tag names never parse as longs (the tagging API refuses),
+  * so a ref can never shadow a numeric version. All four serialize as
   * extra JSON fields, which the reference's serde parser ignores (no
   * deny_unknown_fields) — format compatibility holds.
   */
@@ -214,7 +220,8 @@ final case class Snapshot(
     segments: Seq[Segment],
     op: Option[String] = None,
     streamBatches: Map[String, Long] = Map.empty,
-    retired: Seq[String] = Seq.empty) {
+    retired: Seq[String] = Seq.empty,
+    refs: Map[String, Long] = Map.empty) {
   def dataFiles(asOf: AsOf): Seq[String] = segments.flatMap(_.dataFiles(asOf))
 
   /** [[dataFiles]] with per-file key stats for data skipping. */

@@ -92,7 +92,16 @@ object SnapshotCodec {
       .filter(n => !n.isNull && n.isArray)
       .map(arr(_).filter(_.isTextual).map(_.asText()))
       .getOrElse(Seq.empty)
-    Snapshot(schema, segments, optText(root, "op"), batches, retired)
+    // named-version refs (tag -> version): non-integral foreign values
+    // degrade away (same contract as stream_batches) — a malformed ref
+    // loses its tag, never the table
+    val refs = Option(root.get("refs"))
+      .filter(n => !n.isNull && n.isObject)
+      .map(_.fields().asScala.toSeq
+        .filter(e => e.getValue.isIntegralNumber && e.getValue.canConvertToLong)
+        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+      .getOrElse(Map.empty[String, Long])
+    Snapshot(schema, segments, optText(root, "op"), batches, retired, refs)
   }
 
   private def arr(n: JsonNode): Seq[JsonNode] =
@@ -211,6 +220,10 @@ object SnapshotCodec {
     if (s.retired.nonEmpty) {
       val rn = root.putArray("retired_columns")
       s.retired.foreach(rn.add)
+    }
+    if (s.refs.nonEmpty) {
+      val fn = root.putObject("refs")
+      s.refs.toSeq.sortBy(_._1).foreach { case (k, v) => fn.put(k, v) }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }

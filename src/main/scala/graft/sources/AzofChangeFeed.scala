@@ -41,9 +41,15 @@ object AzofChangeFeed {
     val fileVersions: Seq[(String, Long)] =
       ((fromVersion + 1) to toVersion).flatMap { v =>
         val snap = snaps(v)
-        // compact REWRITES rows, purge REMOVES them — neither adds data,
-        // so neither's new file names enter the feed
-        if (snap.op.exists(o => o == "compact" || o == "purge")) Seq.empty
+        // compact REWRITES rows, purge REMOVES them, rollback
+        // RE-REGISTERS old files whose rows this feed already delivered
+        // when they first committed — none adds data, so none's file
+        // names enter the feed. (A rollback DOES change the table's
+        // current view without a feed event: downstream mirrors/indexes
+        // of a rolled-back table need an epoch rebuild, the documented
+        // reconciliation contract — see AzofWriter.rollback.)
+        if (snap.op.exists(o =>
+          o == "compact" || o == "purge" || o == "rollback")) Seq.empty
         else (snap.allFiles -- snaps(v - 1).allFiles).toSeq.sorted.map(_ -> v)
       }
 

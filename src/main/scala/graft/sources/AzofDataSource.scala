@@ -58,10 +58,18 @@ final class AzofDataSource extends RelationProvider with DataSourceRegister {
     }
     // CDC read: .option("changesFrom", v)[.option("changesTo", w)] —
     // rows added by commits in (v, w] tagged _commit_version, the
-    // DataFrameReader face of AzofChangeFeed
+    // DataFrameReader face of AzofChangeFeed. Non-numeric values
+    // resolve as named version refs (tags) like versionAsOf does.
     def version(opt: String, v: String): Long =
-      v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
-        s"azof reader option '$opt' must be a snapshot version number, got '$v'"))
+      v.trim.toLongOption.getOrElse {
+        try graft.format.AzofTable(sqlContext.sparkSession, lake, table)
+          .resolveVersion(v).toLong
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"azof reader option '$opt' must be a snapshot version " +
+              s"number or a known tag, got '$v': ${e.getMessage}")
+        }
+      }
     parameters.get("changesFrom") match {
       case Some(fromV) =>
         new AzofChangesRelation(sqlContext, lake, table,
@@ -128,8 +136,11 @@ final class AzofRelation(
 
   private val spark = sqlContext.sparkSession
   private val table = AzofTable(spark, lakehousePath, tableName)
+  // non-numeric versionAsOf specs resolve as named refs (tags) through
+  // the current snapshot's ref index (AzofTable.resolveVersion)
   private val snap: Snapshot =
-    versionAsOf.map(table.snapshot).getOrElse(table.currentSnapshot)
+    versionAsOf.map(v => table.snapshot(table.resolveVersion(v)))
+      .getOrElse(table.currentSnapshot)
 
   override val schema: StructType = snap.schema.toStruct
 

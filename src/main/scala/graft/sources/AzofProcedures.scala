@@ -38,7 +38,8 @@ object AzofProcedures {
   val Names: Seq[String] =
     Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
       "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
-      "contain_refresh", "shard_refresh", "seq_refresh")
+      "contain_refresh", "shard_refresh", "seq_refresh",
+      "tag", "untag", "rollback")
 
   def load(path: String, ident: Identifier): UnboundProcedure = {
     val name = ident.name.toLowerCase
@@ -124,6 +125,14 @@ object AzofProcedures {
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'seq_map'"),
         pd("text_col", StringType, "'text'"))
+      case "tag" => Array(
+        p("table", StringType), p("name", StringType),
+        pd("version", LongType, "CAST(NULL AS BIGINT)"),
+        pd("replace", BooleanType, "false"))
+      case "untag" => Array(
+        p("table", StringType), p("name", StringType))
+      case "rollback" => Array(
+        p("table", StringType), p("to_version", LongType))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -275,6 +284,32 @@ object AzofProcedures {
             StructField("next_token", LongType))),
             Seq(r.fromVersion, r.toVersion, r.churned, r.assigned,
               r.nextToken))
+        case "tag" =>
+          // resolve "current" HERE so the reported tagged_version is
+          // exactly what was tagged even if another commit races the
+          // tag commit itself
+          val resolved = if (input.isNullAt(2))
+            AzofTable(spark, path, str(0)).currentVersion.toLong
+          else input.getLong(2)
+          val v = AzofWriter.tagVersion(spark, path, str(0), str(1),
+            Some(resolved), replace = input.getBoolean(3))
+          (StructType(Seq(
+            StructField("tag", StringType),
+            StructField("tagged_version", LongType),
+            StructField("committed_at", LongType))),
+            Seq(str(1), resolved, v))
+        case "untag" =>
+          val v = AzofWriter.untagVersion(spark, path, str(0), str(1))
+          (StructType(Seq(
+            StructField("tag", StringType),
+            StructField("committed_at", LongType))),
+            Seq(str(1), v))
+        case "rollback" =>
+          val v = AzofWriter.rollback(spark, path, str(0), input.getLong(1))
+          (StructType(Seq(
+            StructField("rolled_back_to", LongType),
+            StructField("committed_at", LongType))),
+            Seq(input.getLong(1), v))
       }
       val row = new GenericInternalRow(out._2.map {
         case s: String => UTF8String.fromString(s)

@@ -121,8 +121,31 @@ object AzofVacuum {
     }.toSet
     require(!corrupt.contains(current),
       s"current snapshot s$current.json is unreadable")
+    // Named version refs (tags) pin their target documents regardless of
+    // keepLast: the CURRENT snapshot's ref index is authoritative (every
+    // commit carries refs forward). A tagged id whose document went
+    // malformed on disk is refused loudly — "retaining" it would keep a
+    // doc that contributes nothing to the referenced-file union, so its
+    // data files would be swept and the tag left dangling. A tag whose
+    // target document is already absent is ignored for retention (it is
+    // already dangling; resolution fails loudly at read time).
+    val tagged: Set[Int] = docs.get(current) match {
+      case Some(SnapshotCodec.DocClass.Valid(s)) =>
+        val t = s.refs.values.map(_.toInt).toSet
+        val taggedCorrupt = (t intersect corrupt).toSeq.sorted
+        require(taggedCorrupt.isEmpty,
+          s"tagged snapshot${if (taggedCorrupt.size > 1) "s" else ""} " +
+            taggedCorrupt.map(i => s"s$i.json").mkString(", ") +
+            " are unreadable on disk — refusing to vacuum: expiring a " +
+            "tagged version would dangle its tag, retaining an " +
+            "unreadable one would sweep its data files. Untag or " +
+            "restore the document, then re-run")
+        t.filter(snapshotIds.contains)
+      case _ => Set.empty
+    }
     val (retained, expiredAll) = snapshotIds.partition(id =>
-      id >= keepFrom && id <= current && !corrupt.contains(id))
+      (id >= keepFrom && id <= current && !corrupt.contains(id)) ||
+        tagged.contains(id))
     val expired = expiredAll.filter(id => oldEnough(s"s$id.json"))
     require(retained.contains(current),
       s"current snapshot s$current.json is missing")

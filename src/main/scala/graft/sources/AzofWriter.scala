@@ -1348,6 +1348,166 @@ object AzofWriter {
     }
   }
 
+  /** Tag-name contract shared by [[tagVersion]]/[[untagVersion]]: a tag
+    * must never be mistakable for a numeric version (resolution order:
+    * digits → version id, else → ref lookup), must render into the
+    * snapshot JSON, and must survive CLI round-trips.
+    */
+  private def validateTagName(tag: String): Unit = {
+    require(tag.nonEmpty && tag == tag.trim,
+      s"tag name '$tag' must be non-empty with no leading/trailing whitespace")
+    require(!tag.forall(_.isDigit),
+      s"tag name '$tag' is all digits — it would shadow snapshot version $tag " +
+        "in VERSION AS OF resolution; pick a name with a non-digit")
+    require(tag.forall(c => !c.isControl),
+      s"tag name contains control characters")
+  }
+
+  /** Tag a snapshot version with a NAME (Iceberg-tag analogue): a
+    * metadata-only commit recording `tag -> version` in the snapshot's
+    * `refs` index, after which `VERSION AS OF '<tag>'` (SQL, reader
+    * option, change-feed bounds) resolves through the current
+    * snapshot's refs and [[graft.sources.AzofVacuum]] retains the
+    * tagged document and its files regardless of `keepLast`. `version
+    * = None` tags the current version. Retargeting an existing tag
+    * requires `replace = true` — a silent move would repoint every
+    * consumer pinned to the name. PURGE deliberately wins over tags
+    * (erase-everywhere compliance contract): a purge that rewrites
+    * history invalidates pre-purge tagged views like any other
+    * pre-purge version.
+    *
+    * Returns the version the tag commit landed at.
+    */
+  def tagVersion(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      tag: String,
+      version: Option[Long] = None,
+      replace: Boolean = false): Long = {
+    validateTagName(tag)
+    val table = AzofTable(spark, lakehousePath, name)
+    val target = version.getOrElse(table.currentVersion.toLong)
+    require(target >= 1, s"cannot tag version $target")
+    // idempotent re-tag: the tag already points where asked — no commit
+    // (re-running a tagging script must not grow the snapshot log)
+    if (table.currentSnapshot.refs.get(tag).contains(target))
+      return table.currentVersion.toLong
+    commitMeta(spark, table.tableDir.toString) { (snap, nextId) =>
+      require(target < nextId,
+        s"cannot tag version $target: the table is at ${nextId - 1}")
+      // the tagged document must exist AND parse — tagging a vacuumed
+      // (or crash-debris) id would mint a dangling name
+      val cls =
+        try table.classifySnapshot(target.toString)
+        catch { case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"cannot tag version $target: s$target.json does not exist " +
+              "(expired by vacuum?)")
+        }
+      require(cls.isInstanceOf[SnapshotCodec.DocClass.Valid],
+        s"cannot tag version $target: s$target.json is not a readable snapshot")
+      snap.refs.get(tag).filter(_ != target).foreach { old =>
+        require(replace,
+          s"tag '$tag' already points at version $old; pass replace=true " +
+            "(SQL: replace => true) to retarget it")
+      }
+      snap.copy(refs = snap.refs + (tag -> target), op = Some("tag"))
+    }
+  }
+
+  /** Remove a named version tag — metadata-only; the formerly-tagged
+    * snapshot becomes an ordinary version again (expirable by the next
+    * vacuum once outside `keepLast`). Unknown tags fail loudly: a typo'd
+    * untag that "succeeds" would leave the real tag pinning files
+    * forever.
+    */
+  def untagVersion(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      tag: String): Long = {
+    val table = AzofTable(spark, lakehousePath, name)
+    commitMeta(spark, table.tableDir.toString) { (snap, _) =>
+      require(snap.refs.contains(tag),
+        s"no such tag '$tag'" + (if (snap.refs.isEmpty) ""
+          else s"; known tags: ${snap.refs.keys.toSeq.sorted.mkString(", ")}"))
+      snap.copy(refs = snap.refs - tag, op = Some("untag"))
+    }
+  }
+
+  /** Roll the table's CURRENT state back to an earlier version — as a
+    * NEW commit (append-only contract: nothing is erased, the rolled-
+    * back-over versions still time-travel). The new snapshot takes the
+    * target version's schema and segment tree verbatim, with three
+    * deliberate carry-forwards from the head being rolled back:
+    *
+    *   - `streamBatches` stays the HEAD's map — replay protection is
+    *     monotone, and resetting it would make every streaming sink
+    *     re-apply batches it already committed (silent duplicates).
+    *   - `retired` is the union — the rolled-back-over columns' bytes
+    *     still live in on-disk files, so their names stay refused.
+    *     (Rolling back over a DROP restores the column itself: the
+    *     target schema still declares it, and declared-in-schema beats
+    *     retired everywhere a scan builds its read schema.)
+    *   - `refs` stays the HEAD's map — tags name versions, not states.
+    *
+    * Refuses when any file the target snapshot references is physically
+    * gone (vacuumed or purged): a rollback that "succeeds" onto missing
+    * bytes would fail at first scan. Commit-seq stays consistent for
+    * free: every re-registered delta keeps its original `seq`, all of
+    * which precede this commit's own, so post-rollback appends still
+    * win exact event-time ties against everything they should.
+    *
+    * CDC note: the rollback commit feeds NO rows ([[AzofChangeFeed]]
+    * skips `op = "rollback"` — its files' rows were fed when first
+    * committed), so downstream incremental mirrors/indexes of a
+    * rolled-back table must reconcile via their epoch-rebuild escape
+    * hatch (`rebuildEpoch` / `CALL system.{dedup,sem}_rebuild`).
+    */
+  def rollback(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      toVersion: Long): Long = {
+    val table = AzofTable(spark, lakehousePath, name)
+    val tableDir = table.tableDir
+    commitMeta(spark, tableDir.toString) { (snap, nextId) =>
+      require(toVersion >= 1 && toVersion < nextId,
+        s"cannot roll back to version $toVersion: the table is at ${nextId - 1}")
+      val old =
+        (try table.classifySnapshot(toVersion.toString)
+         catch { case _: java.io.FileNotFoundException =>
+           throw new IllegalArgumentException(
+             s"cannot roll back to version $toVersion: s$toVersion.json " +
+               "does not exist (expired by vacuum?)")
+         }) match {
+          case SnapshotCodec.DocClass.Valid(s) => s
+          case _ => throw new IllegalArgumentException(
+            s"cannot roll back to version $toVersion: s$toVersion.json " +
+              "is not a readable snapshot")
+        }
+      // ONE directory listing: every file the target references must
+      // still exist — purge physically erases history, and a rollback
+      // onto missing bytes would scan-fail later instead of refusing now
+      val onDisk = fs(spark, tableDir).listStatus(tableDir)
+        .map(_.getPath.getName).toSet
+      val missing = old.allFiles.filterNot(onDisk.contains).toSeq.sorted
+      require(missing.isEmpty,
+        s"cannot roll back to version $toVersion: referenced data " +
+          s"file${if (missing.size > 1) "s" else ""} " +
+          s"${missing.take(5).mkString(", ")}" +
+          (if (missing.size > 5) s" (+${missing.size - 5} more)" else "") +
+          " no longer exist (removed by purge/vacuum)")
+      old.copy(
+        op = Some("rollback"),
+        streamBatches = snap.streamBatches,
+        retired = (snap.retired ++ old.retired.filterNot(
+          snap.retired.contains)).distinct,
+        refs = snap.refs)
+    }
+  }
+
   /** What [[analyzeTable]] did: which files got fresh stats, which were
     * unreadable/empty (left as-is), and the snapshot version the restamp
     * committed at (None = every referenced file already had full stats —
