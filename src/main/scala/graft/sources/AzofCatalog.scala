@@ -94,8 +94,21 @@ class AzofCatalog extends TableCatalog
     new AzofV2Table(tableDir(ident).getParent.toString, ident.name, asOf, version)
   }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // `cat.t.history` / `cat.t.files` / `cat.t.refs` — metadata views
+    // (AzofMetadataTables). A REAL table always wins the name: the
+    // fallback fires only when the ident resolves to no table and its
+    // namespace tail does.
+    if (!tableExists(ident) && ident.namespace.nonEmpty) {
+      val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
+      val parent = Identifier.of(
+        ident.namespace.dropRight(1), ident.namespace.last)
+      if (AzofMetadataTables.Names.contains(kind) && tableExists(parent))
+        return AzofMetadataTables.table(spark,
+          tableDir(parent).getParent.toString, parent.name, kind)
+    }
     load(ident, AsOf.Current, None)
+  }
 
   /** Spark's native `VERSION AS OF n`. */
   override def loadTable(ident: Identifier, version: String): Table =

@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format._
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL metadata tables ([[AzofMetadataTables]]): `cat.t.history`,
+  * `cat.t.files`, `cat.t.refs` — Iceberg-convention introspection
+  * through the same DSv2 catalog that serves the data, driver-sized by
+  * construction (snapshot docs + one directory listing).
+  */
+class MetadataTablesSpec extends AnyFunSuite {
+  private lazy val lake = Files.createTempDirectory("azof-meta").toString
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.meta", classOf[AzofCatalog].getName)
+    s.conf.set("spark.sql.catalog.meta.path", lake)
+    s
+  }
+
+  private def ts(s: String) = Instant.parse(s)
+  private val schema = TableSchema(Seq(
+    ColumnDef("value", ColumnType.AzString, nullable = false)))
+
+  private def df(rows: (String, String, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, t, v) =>
+        Row(k, Timestamp.from(ts(t)), v) }),
+      schema.toStruct)
+
+  private def mk(table: String): Unit = {
+    AzofWriter.createTable(spark, lake, table, schema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitDelta(spark, lake, table,
+      df(("1", "2024-01-05T00:00:00Z", "a")),
+      ts("2024-01-05T00:00:00Z"), ts("2024-01-05T00:00:00Z"))
+    AzofWriter.commitDelete(spark, lake, table, Seq("1"),
+      ts("2024-01-08T00:00:00Z"))
+  }
+
+  test("history: one row per snapshot, ops + file counts + tags + current marker") {
+    mk("h1")
+    AzofWriter.tagVersion(spark, lake, "h1", "pin", Some(2L))
+    val rows = spark.sql(
+      "SELECT version, op, data_files, tagged_as, is_current " +
+        "FROM meta.h1.history ORDER BY version").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("create", "commit-delta", "commit-delete", "tag"))
+    // file counts grow with the data commits, not the tag commit
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L, 2L))
+    assert(rows.map(r => Option(r.getString(3))).toSeq ==
+      Seq(None, Some("pin"), None, None))
+    assert(rows.map(_.getBoolean(4)).toSeq ==
+      Seq(false, false, false, true))
+    // committed_at is populated from the document's mtime
+    val at = spark.sql(
+      "SELECT committed_at FROM meta.h1.history WHERE version = 2")
+      .collect()(0).getTimestamp(0)
+    assert(at != null && math.abs(
+      at.getTime - System.currentTimeMillis()) < 3600L * 1000)
+  }
+
+  test("files: current snapshot's registered files with stats and sizes") {
+    mk("f1")
+    val rows = spark.sql(
+      "SELECT file, kind, tombstone, seq, key_min, key_max, size_bytes " +
+        "FROM meta.f1.files ORDER BY file").collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    assert(rows.forall(_.getString(1) == "delta"))
+    assert(rows.forall(_.getLong(6) > 0), "sizes come from the listing")
+    assert(rows.forall(r => r.getString(4) == "1" && r.getString(5) == "1"))
+    // exactly one tombstone delta, and seq is stamped on both
+    assert(rows.count(_.getBoolean(2)) == 1)
+    assert(rows.map(_.getLong(3)).toSet == Set(2L, 3L))
+  }
+
+  test("refs: the tag map; empty when no tags") {
+    mk("r1")
+    assert(spark.sql("SELECT * FROM meta.r1.refs").collect().isEmpty)
+    AzofWriter.tagVersion(spark, lake, "r1", "b-tag", Some(1L))
+    AzofWriter.tagVersion(spark, lake, "r1", "a-tag", Some(2L))
+    val rows = spark.sql("SELECT tag, version FROM meta.r1.refs").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq("a-tag" -> 2L, "b-tag" -> 1L))
+  }
+
+  test("a real table always wins the metadata name; missing parents still error") {
+    // a genuine azof table literally named 'history' under namespace-less root
+    AzofWriter.createTable(spark, lake, "history", schema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitDelta(spark, lake, "history",
+      df(("9", "2024-01-05T00:00:00Z", "real")),
+      ts("2024-01-05T00:00:00Z"), ts("2024-01-05T00:00:00Z"))
+    val got = spark.sql("SELECT value FROM meta.history").collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("real"))
+    // unknown parent: still the standard missing-table error
+    intercept[Exception] {
+      spark.sql("SELECT * FROM meta.nope.history").collect()
+    }
+  }
+}
