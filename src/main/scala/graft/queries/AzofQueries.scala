@@ -26,6 +26,8 @@ object AzofQueries {
     "q40_sql_merge" -> sqlMerge,
     "q41_value_skip" -> valueSkip,
     "q35_change_feed" -> changeFeed,
+    "q42_version_tag" -> versionTag,
+    "q43_rollback" -> rollbackView,
     "q36_strict_precedence" -> strictPrecedence,
     "q37_tombstone_delete" -> tombstoneDelete,
     "q38_mirror_delete" -> mirrorDelete,
@@ -121,6 +123,82 @@ object AzofQueries {
     AzofScan.scan(s, ensureLake(s, dir), "events_kv",
         AsOf.EventTime(Instant.parse("2024-01-25T00:00:00Z")))
       .select("key", "event_time", "event_type")
+
+  /** The events lake split base / delta / delta at Jan 10 and Jan 20
+    * (version 3 = base + first delta = everything before Jan 20), on a
+    * DEDICATED cached table so tag/rollback commits cannot couple to
+    * the shared q18 lake's version numbering.
+    */
+  private def ensureVtLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "vt-v1", "events_vt") { lake =>
+      val kv = eventsKv(s, dir)
+      AzofWriter.createTable(s, lake, "events_vt", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val d10 = "2024-01-10 00:00:00"
+      val d20 = "2024-01-20 00:00:00"
+      AzofWriter.commitBase(s, lake, "events_vt",
+        kv.where(col("event_time") < expr(s"TIMESTAMP '$d10'")))
+      AzofWriter.commitDelta(s, lake, "events_vt",
+        kv.where(col("event_time") >= expr(s"TIMESTAMP '$d10'") &&
+          col("event_time") < expr(s"TIMESTAMP '$d20'")),
+        Instant.parse("2024-01-10T00:00:00Z"),
+        Instant.parse("2024-01-20T00:00:00Z"))
+      AzofWriter.commitDelta(s, lake, "events_vt",
+        kv.where(col("event_time") >= expr(s"TIMESTAMP '$d20'")),
+        Instant.parse("2024-01-20T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"))
+      // tag the pre-Jan-20 state (part of the cached build: the tag
+      // commit lands exactly once per cache slot)
+      AzofWriter.tagVersion(s, lake, "events_vt", "jan-cut", Some(3L))
+      ()
+    }
+
+  /** NAMED version ref under the oracle gate: `versionAsOf = 'jan-cut'`
+    * through the public reader resolves the tag via the current
+    * snapshot's ref index ([[graft.format.AzofTable.resolveVersion]])
+    * and must read exactly version 3's view — latest-row-per-key over
+    * events before Jan 20 — even though the table has moved on. A
+    * resolution bug (wrong version, refs not carried forward by the
+    * later delta commit) cannot hash-match.
+    */
+  private def versionTag(s: SparkSession, dir: String): DataFrame =
+    s.read.format("azof").option("table", "events_vt")
+      .option("versionAsOf", "jan-cut")
+      .load(ensureVtLake(s, dir))
+      .select("key", "event_time", "event_type")
+
+  /** Append-only ROLLBACK under the oracle gate: a copy of the vt lake
+    * rolls back to version 3, and the CURRENT scan afterwards must read
+    * exactly the pre-Jan-20 view — same oracle as q42 but through a
+    * different mechanism (rollback commit restores the old segment
+    * tree; q42 time-travels to it). A rollback that dropped files,
+    * carried the head's segments, or broke precedence cannot
+    * hash-match.
+    */
+  private def rollbackView(s: SparkSession, dir: String): DataFrame = {
+    val lake = cachedLake(dir, "rb-v1", "events_rb") { tmp =>
+      val kv = eventsKv(s, dir)
+      AzofWriter.createTable(s, tmp, "events_rb", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val d10 = "2024-01-10 00:00:00"
+      val d20 = "2024-01-20 00:00:00"
+      AzofWriter.commitBase(s, tmp, "events_rb",
+        kv.where(col("event_time") < expr(s"TIMESTAMP '$d10'")))
+      AzofWriter.commitDelta(s, tmp, "events_rb",
+        kv.where(col("event_time") >= expr(s"TIMESTAMP '$d10'") &&
+          col("event_time") < expr(s"TIMESTAMP '$d20'")),
+        Instant.parse("2024-01-10T00:00:00Z"),
+        Instant.parse("2024-01-20T00:00:00Z"))
+      AzofWriter.commitDelta(s, tmp, "events_rb",
+        kv.where(col("event_time") >= expr(s"TIMESTAMP '$d20'")),
+        Instant.parse("2024-01-20T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"))
+      AzofWriter.rollback(s, tmp, "events_rb", 3L)
+      ()
+    }
+    s.read.format("azof").option("table", "events_rb").load(lake)
+      .select("key", "event_time", "event_type")
+  }
 
   /** Key point-lookup through the PUBLIC reader surface with a WHERE on
     * `key`: the filter flows through the relation's pushdown into
@@ -532,6 +610,28 @@ object AzofQueries {
                  ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
                FROM events
                WHERE date_trunc('milliseconds', ts) <= TIMESTAMP '2024-01-25 00:00:00')
+         WHERE rn = 1""",
+    // version 3 of the vt lake = everything before Jan 20; the tag
+    // resolves to it, so the oracle is q18's latest-row-per-key shape
+    // with the Jan-20 cut (same tie-break: the two layouts are
+    // identical over this subset)
+    "q42_version_tag" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+         date_trunc('milliseconds', ts) AS event_time, event_type
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+               FROM events
+               WHERE date_trunc('milliseconds', ts) < TIMESTAMP '2024-01-20 00:00:00')
+         WHERE rn = 1""",
+    // the rolled-back CURRENT view ≡ version 3's view — deliberately
+    // the same oracle as q42 through a different engine mechanism
+    "q43_rollback" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+         date_trunc('milliseconds', ts) AS event_time, event_type
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+               FROM events
+               WHERE date_trunc('milliseconds', ts) < TIMESTAMP '2024-01-20 00:00:00')
          WHERE rn = 1""",
     // key predicates commute with the per-key dedup, so the oracle is
     // q18's latest-row-per-key query restricted to the looked-up keys
