@@ -30,9 +30,16 @@ import java.time.Instant
   */
 final case class ColRange(min: String, max: String)
 
+/** `rows` is the file's row count (same stats pass as the ranges):
+  * consumed by the scan's `numRows` estimate — the SUM of a view's
+  * per-file counts upper-bounds its post-dedup output, a conservative
+  * planner input — and surfaced in the `files` metadata table. Absent
+  * on pre-stats/foreign files; never required for correctness.
+  */
 final case class FileStats(
     keyMin: String, keyMax: String, bloom: Option[KeyBloom] = None,
-    cols: Map[String, ColRange] = Map.empty) {
+    cols: Map[String, ColRange] = Map.empty,
+    rows: Option[Long] = None) {
   /** Could this file contain any of `keys`? Range check first (free),
     * then the optional Bloom filter — which also prunes point lookups
     * on layouts whose every file spans the full key range.

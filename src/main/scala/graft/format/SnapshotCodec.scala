@@ -159,7 +159,9 @@ object SnapshotCodec {
       mn <- optText(node, "key_min")
       mx <- optText(node, "key_max")
     } yield FileStats(mn, mx, parseBloom(node.get("key_bloom")),
-      parseColStats(node.get("col_stats")))
+      parseColStats(node.get("col_stats")),
+      // row count ext: non-integral foreign values degrade away
+      Option(node.get("rows")).filter(_.isIntegralNumber).map(_.asLong()))
 
   /** Value-column ranges sub-object ([[ColRange]]): absent / malformed
     * entries degrade per column — skipping is optional, never required.
@@ -232,6 +234,7 @@ object SnapshotCodec {
     val sn = node.putObject(field)
     sn.put("key_min", st.keyMin)
     sn.put("key_max", st.keyMax)
+    st.rows.foreach { r => sn.put("rows", r); () }
     st.bloom.foreach { b =>
       val bn = sn.putObject("key_bloom")
       bn.put("bits", b.bits)

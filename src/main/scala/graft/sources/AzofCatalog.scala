@@ -435,7 +435,12 @@ private final class AzofV1ScanBridge(
         java.util.OptionalLong.of(math.max((total * frac).toLong, 1L))
       }
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        // per-file `rows` stats summed over the view's pruned files —
+        // an upper bound of the deduped output (see
+        // AzofRelation.estimatedRows); absent on pre-stats tables
+        relation.estimatedRows
+          .map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
     }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](

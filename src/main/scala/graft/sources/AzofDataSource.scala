@@ -168,6 +168,20 @@ final class AzofRelation(
 
   override def sizeInBytes: Long = estimatedSizeBytes
 
+  /** Row estimate from the snapshot's per-file `rows` stats, summed
+    * over THIS view's time-pruned files: an upper bound of the
+    * merge-dedup output (dedup only drops rows) — a conservative
+    * planner input, metadata-only. None when any pruned file predates
+    * the row-count stats generation (a partial sum would UNDER-bound,
+    * which for a planner is the dangerous direction; `analyze`
+    * backfills old tables).
+    */
+  private[sources] lazy val estimatedRows: Option[Long] = {
+    val entries = snap.dataFilesWithStats(asOf)
+    val counts = entries.flatMap(_.stats.flatMap(_.rows))
+    if (counts.size == entries.size) Some(counts.sum) else None
+  }
+
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val projection =

@@ -69,6 +69,7 @@ object AzofMetadataTables {
         StructField("seq", LongType, nullable = true),
         StructField("key_min", StringType, nullable = true),
         StructField("key_max", StringType, nullable = true),
+        StructField("rows", LongType, nullable = true),
         StructField("size_bytes", LongType, nullable = true)))
       case "refs" => StructType(Seq(
         StructField("tag", StringType, nullable = false),
@@ -121,6 +122,8 @@ object AzofMetadataTables {
                 false, null,
                 seg.fileStats.map(x => s(x.keyMin)).orNull,
                 seg.fileStats.map(x => s(x.keyMax)).orNull,
+                seg.fileStats.flatMap(_.rows)
+                  .map(java.lang.Long.valueOf).orNull,
                 sizes.get(f).map(java.lang.Long.valueOf).orNull)): InternalRow
             }.toSeq
             val deltas = seg.delta.map { d =>
@@ -131,6 +134,7 @@ object AzofMetadataTables {
                 d.seq.map(java.lang.Long.valueOf).orNull,
                 d.stats.map(x => s(x.keyMin)).orNull,
                 d.stats.map(x => s(x.keyMax)).orNull,
+                d.stats.flatMap(_.rows).map(java.lang.Long.valueOf).orNull,
                 sizes.get(d.file).map(java.lang.Long.valueOf).orNull)): InternalRow
             }
             base ++ deltas ++ seg.segments.flatMap(walk)

@@ -203,7 +203,8 @@ private final class AzofDeltaBatchWrite(
           Instant.ofEpochMilli(Math.floorDiv(m.maxTsUs, 1000L)),
           Some(FileStats(m.minKey, m.maxKey, None,
             m.colRanges.map { case (n, (lo, hi)) =>
-              n -> graft.format.ColRange(lo, hi) })),
+              n -> graft.format.ColRange(lo, hi) },
+            rows = Some(m.rows))),
           tombstone = m.hasTombstone)).toIndexedSeq,
         op = "sql-dml",
         validate = validate)

@@ -182,7 +182,8 @@ object AzofWriter {
       val aggs = Seq(min(col(TableSchema.KeyName)),
         max(col(TableSchema.KeyName))) ++ bloomColumn(spark, bc) ++
         vcols.flatMap { case (n, enc) =>
-          Seq(enc(min(col(n))), enc(max(col(n)))) }
+          Seq(enc(min(col(n))), enc(max(col(n)))) } ++
+        Seq(count(lit(1)))
       val mm = written.agg(aggs.head, aggs.tail: _*).collect()(0)
       val vOff = 2 + (if (bc.isDefined) 1 else 0)
       if (mm.isNullAt(0)) None
@@ -190,7 +191,8 @@ object AzofWriter {
         bc.map { case (bits, k) =>
           KeyBloom.fromBytes(mm.getAs[Array[Byte]](2), bits, k)
         },
-        colRanges(mm, vOff, vcols.map(_._1))))
+        colRanges(mm, vOff, vcols.map(_._1)),
+        rows = Some(mm.getLong(vOff + 2 * vcols.size))))
     } finally conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
   }
 
@@ -702,7 +704,8 @@ object AzofWriter {
         max(col(TableSchema.KeyName)).as("_kmx")) ++
         bloomColumn(spark, bc) ++
         vcols.flatMap { case (n, enc) =>
-          Seq(enc(min(col(n))), enc(max(col(n)))) }
+          Seq(enc(min(col(n))), enc(max(col(n)))) } ++
+        Seq(count(lit(1)))
       val vOff = 5 + (if (bc.isDefined) 1 else 0)
       val stats = written
         .groupBy(input_file_name().as("_f"))
@@ -714,7 +717,8 @@ object AzofWriter {
               bc.map { case (bits, k) =>
                 KeyBloom.fromBytes(r.getAs[Array[Byte]](5), bits, k)
               },
-              colRanges(r, vOff, vcols.map(_._1))))))
+              colRanges(r, vOff, vcols.map(_._1)),
+              rows = Some(r.getLong(vOff + 2 * vcols.size))))))
         .toMap
       parts.zipWithIndex.flatMap { case (p, i) =>
         stats.get(p.getName).map { case (mn, mx, ks) =>
@@ -1549,8 +1553,12 @@ object AzofWriter {
     def walk(s: Segment): Seq[(String, Option[FileStats])] =
       s.file.map(f => f -> s.fileStats).toSeq ++
         s.delta.map(d => d.file -> d.stats) ++ s.segments.flatMap(walk)
+    // a file needs a restamp when it has no stats at all, predates the
+    // value-range generation (when any value column is eligible), or
+    // predates the row-count generation
     val candidates = snap.segments.flatMap(walk).distinct.collect {
-      case (f, st) if st.isEmpty || (st.get.cols.isEmpty && valueEligible) => f
+      case (f, st) if st.isEmpty ||
+        (st.get.cols.isEmpty && valueEligible) || st.get.rows.isEmpty => f
     }
     if (candidates.isEmpty)
       return AnalyzeReport(Seq.empty, Seq.empty, None)
@@ -1568,7 +1576,8 @@ object AzofWriter {
         val aggs = Seq(min(col(TableSchema.KeyName)),
           max(col(TableSchema.KeyName))) ++ bloomColumn(spark, bc) ++
           vcols.flatMap { case (n, enc) =>
-            Seq(enc(min(col(n))), enc(max(col(n)))) }
+            Seq(enc(min(col(n))), enc(max(col(n)))) } ++
+          Seq(count(lit(1)))
         val mm = read.agg(aggs.head, aggs.tail: _*).collect()(0)
         val vOff = 2 + (if (bc.isDefined) 1 else 0)
         if (mm.isNullAt(0)) None
@@ -1576,7 +1585,8 @@ object AzofWriter {
           bc.map { case (bits, k) =>
             KeyBloom.fromBytes(mm.getAs[Array[Byte]](2), bits, k)
           },
-          colRanges(mm, vOff, vcols.map(_._1))))
+          colRanges(mm, vOff, vcols.map(_._1)),
+          rows = Some(mm.getLong(vOff + 2 * vcols.size))))
       }.toOption.flatten
       f -> st
     }

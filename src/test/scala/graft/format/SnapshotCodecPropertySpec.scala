@@ -34,7 +34,9 @@ class SnapshotCodecPropertySpec extends AnyFunSuite {
   private val statsGen: Gen[Option[FileStats]] =
     Gen.option(for {
       a <- nameGen; b <- nameGen; bl <- bloomGen
-    } yield if (a <= b) FileStats(a, b, bl) else FileStats(b, a, bl))
+      rows <- Gen.option(Gen.chooseNum(0L, 1000000L))
+    } yield if (a <= b) FileStats(a, b, bl, rows = rows)
+      else FileStats(b, a, bl, rows = rows))
 
   private val deltaGen: Gen[Delta] = for {
     f <- nameGen.map(_ + ".parquet")

@@ -68,15 +68,17 @@ class MetadataTablesSpec extends AnyFunSuite {
   test("files: current snapshot's registered files with stats and sizes") {
     mk("f1")
     val rows = spark.sql(
-      "SELECT file, kind, tombstone, seq, key_min, key_max, size_bytes " +
-        "FROM meta.f1.files ORDER BY file").collect()
+      "SELECT file, kind, tombstone, seq, key_min, key_max, rows, " +
+        "size_bytes FROM meta.f1.files ORDER BY file").collect()
     assert(rows.length == 2, rows.mkString("; "))
     assert(rows.forall(_.getString(1) == "delta"))
-    assert(rows.forall(_.getLong(6) > 0), "sizes come from the listing")
+    assert(rows.forall(_.getLong(7) > 0), "sizes come from the listing")
     assert(rows.forall(r => r.getString(4) == "1" && r.getString(5) == "1"))
     // exactly one tombstone delta, and seq is stamped on both
     assert(rows.count(_.getBoolean(2)) == 1)
     assert(rows.map(_.getLong(3)).toSet == Set(2L, 3L))
+    // per-file row counts from the commit stats pass (1 row each here)
+    assert(rows.forall(r => !r.isNullAt(6) && r.getLong(6) == 1L))
   }
 
   test("refs: the tag map; empty when no tags") {

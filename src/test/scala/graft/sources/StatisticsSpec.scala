@@ -68,6 +68,22 @@ class StatisticsSpec extends AnyFunSuite {
       fileBytes.collect { case (n, len) if n.contains("_s2") => len }.sum)
   }
 
+  test("estimatedRows = sum of the view's per-file row counts; time pruning applies") {
+    built
+    val cur = new AzofRelation(spark.sqlContext, lake, "dim",
+      AsOf.Current, None)
+    assert(cur.estimatedRows.contains(3L))
+    val early = new AzofRelation(spark.sqlContext, lake, "dim",
+      AsOf.EventTime(ts("2024-01-20T00:00:00Z")), None)
+    assert(early.estimatedRows.contains(2L))
+    // a table whose files predate the stats generations (the
+    // reference's own test-data) reports None — a partial/absent sum
+    // would UNDER-bound, the dangerous direction for a planner
+    val foreign = new AzofRelation(spark.sqlContext,
+      "/root/reference/test-data", "table0", AsOf.Current, None)
+    assert(foreign.estimatedRows.isEmpty)
+  }
+
   test("small azof tables auto-broadcast in joins, no hint needed") {
     built
     import spark.implicits._
