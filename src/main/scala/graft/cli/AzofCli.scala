@@ -222,7 +222,10 @@ object AzofCli {
           startVersion = opts.getOrElse("from", "1") match {
             case "earliest" => graft.sources.AzofChangeFeed
               .earliestFeedBase(spark, opts("path"), opts("table"))
-            case v => v.toLong
+            // non-numeric = named version ref (tag)
+            case v => v.toLongOption.getOrElse(
+              AzofTable(spark, opts("path"), opts("table"))
+                .resolveVersion(v).toLong)
           }) {
           (df, lo, hi) =>
             println(s"commits $lo..$hi:")

@@ -39,7 +39,9 @@ import org.apache.spark.sql.types.StructType
   * `(startVersion, current]`; default 1 = everything after table
   * creation; the sentinel `earliest` auto-seeds from the retained
   * snapshot floor — [[AzofChangeFeed.earliestFeedBase]] — so a fresh
-  * consumer of a VACUUMED table needs no manual probe),
+  * consumer of a VACUUMED table needs no manual probe; any other
+  * non-numeric value resolves as a NAMED version ref / tag through
+  * the current snapshot, like the batch reader's `changesFrom`),
   * `maxVersionsPerBatch` (bound how many commits one
   * micro-batch spans — long catch-ups proceed in bounded checkpointed
   * steps; default unbounded). The schema is pinned at stream start
@@ -66,7 +68,16 @@ class AzofCommitStreamProvider extends StreamSourceProvider with DataSourceRegis
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (lake, table, _, _) = AzofCommitStreamProvider.resolve(parameters)
+    val (lake, table, startVersion, _) =
+      AzofCommitStreamProvider.resolve(parameters)
+    // a tag-shaped startVersion is validated HERE, at load time, where
+    // a session exists — an unknown name must fail before the stream
+    // starts, exactly like a malformed number does
+    if (startVersion == AzofCommitStreamProvider.Tagged) {
+      graft.format.AzofTable(sqlContext.sparkSession, lake, table)
+        .resolveVersion(parameters("startVersion").trim)
+      ()
+    }
     (shortName(),
       AzofCommitStreamProvider.feedSchema(sqlContext.sparkSession, lake, table))
   }
@@ -82,6 +93,11 @@ class AzofCommitStreamProvider extends StreamSourceProvider with DataSourceRegis
     val start =
       if (startVersion == AzofCommitStreamProvider.Earliest)
         AzofChangeFeed.earliestFeedBase(sqlContext.sparkSession, lake, table)
+      else if (startVersion == AzofCommitStreamProvider.Tagged)
+        // named version ref: resolve through the current snapshot's
+        // ref index, like the batch reader's changesFrom bound
+        graft.format.AzofTable(sqlContext.sparkSession, lake, table)
+          .resolveVersion(parameters("startVersion").trim).toLong
       else startVersion
     new AzofCommitSource(
       sqlContext.sparkSession, lake, table, start, maxVersions)
@@ -124,8 +140,13 @@ object AzofCommitStreamProvider {
     // earliest-offset analogue) resolves to the retained snapshot floor
     // at source creation — a fresh mirror of a VACUUMED table needs no
     // manual earliestFeedBase probe.
+    // Non-numeric, non-earliest values resolve as NAMED version refs
+    // (tags) — the same rule as the batch reader's changesFrom — via
+    // the Tagged sentinel, because this static resolver has no session.
     val start = parameters.get("startVersion").map(_.trim) match {
       case Some(s) if s.equalsIgnoreCase("earliest") => Earliest
+      case Some(s) if s.nonEmpty && !s.forall(_.isDigit) &&
+        s.toLongOption.isEmpty => Tagged
       case _ => longOpt("startVersion", 1L, 1L)
     }
     (lake, table, start, longOpt("maxVersionsPerBatch", Long.MaxValue, 1L))
@@ -136,6 +157,12 @@ object AzofCommitStreamProvider {
     * version: real offsets are >= 1).
     */
   private[streaming] val Earliest: Long = -1L
+
+  /** Marker for a named-ref `startVersion` (resolved against the
+    * table's current snapshot when the source is created, where a
+    * session exists — this static resolver has none).
+    */
+  private[streaming] val Tagged: Long = -2L
 
   private[streaming] def feedSchema(
       spark: SparkSession, lake: String, table: String): StructType =

@@ -283,11 +283,40 @@ class AzofCommitStreamSpec extends AnyFunSuite {
       == Seq(4L),
       "earliest must deliver exactly (retained floor, current] = (3, 4]")
 
-    // a malformed startVersion is still rejected (the sentinel does not
-    // widen the accepted grammar)
+    // a non-numeric startVersion that names no tag is still rejected at
+    // LOAD time (it now resolves through the ref index, and 'latest'
+    // names nothing here — the error must not wait for stream start)
     intercept[IllegalArgumentException] {
       spark.readStream.format("azof-commits")
         .option("table", "t").option("startVersion", "latest").load(lake)
     }
+  }
+
+  test("startVersion resolves a named version tag like the batch feed bounds") {
+    val lake = Files.createTempDirectory("azof-cstream-tag").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.tagVersion(spark, lake, "t", "seeded", Some(2L))      // v3
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v4
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val ck = Files.createTempDirectory("azof-cstream-tag-ck").toString
+    val q = spark.readStream.format("azof-commits")
+      .option("table", "t").option("startVersion", "seeded").load(lake)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.select("_commit_version").collect().foreach(r => got.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // (2, current]: the tag commit itself (v3) adds no rows, the delta
+    // (v4) does
+    assert(got.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+      == Seq(4L),
+      "startVersion=<tag> must deliver exactly (tagged version, current]")
   }
 }
