@@ -194,6 +194,49 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Overlapping context windows (the RAG / long-context training
+    * chunker): each document splits into `window`-token chunks every
+    * `stride` tokens, the last chunk clamped to the document tail, so
+    * consecutive chunks share `window - stride` tokens of overlap.
+    * Chunk COUNT uses pure integer arithmetic
+    * (`(max(n - window, 0) + stride - 1) / stride + 1`) — no float
+    * ceil whose rounding an oracle could disagree with — and the chunk
+    * text rides out as an md5 so rows stay fingerprint-sized however
+    * wide the window.
+    *
+    * Scale shape: a per-document NARROW kernel — `transform(sequence)`
+    * over the word array, one `explode`, zero shuffles, fully
+    * codegen-friendly; output size is corpus tokens × (window/stride)
+    * overlap factor, the operator's intrinsic cost. Empty documents
+    * emit no chunks.
+    */
+  def chunkWindows(
+      df: DataFrame, text: Column, id: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val w = words(text)
+    val n = size(w)
+    // Spark's `/` is fractional — floor(exact-double division) here IS
+    // the integer ceil-divide: operands are far below 2^53 and an
+    // integral quotient divides exactly in IEEE, so floor never lands
+    // one short
+    val lastIdx = floor(
+      (greatest(n - window, lit(0)) + (stride - 1)) / stride).cast("int")
+    val chunks = when(n > 0, transform(sequence(lit(0), lastIdx), i =>
+      struct(
+        i.cast("long").as("chunk_id"),
+        (i * stride).cast("long").as("start_tok"),
+        least(lit(window), n - i * stride).cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(w, i * stride + 1, lit(window))))
+          .as("chunk_md5"))))
+      .otherwise(array().cast(
+        "array<struct<chunk_id:bigint,start_tok:bigint,n_tok:bigint,chunk_md5:string>>"))
+    df.select(id, explode(chunks).as("_c"))
+      .select(id, col("_c.chunk_id"), col("_c.start_tok"),
+        col("_c.n_tok"), col("_c.chunk_md5"))
+  }
+
   /** Deterministic train/val/test split assignment: bucket =
     * md5("split#" || id) mod 100, so membership is a pure function of the
     * document id — stable across runs, clusters, and engines, joinable

@@ -64,6 +64,7 @@ object Pipeline {
     "t15_seq_emit" -> t15,
     "t16_rarity_score" -> t16,
     "t17_hash_classifier" -> t17,
+    "t18_chunk_overlap" -> t18,
     "p01_filter_funnel" -> p01,
     "p02_index_funnel" -> p02,
     "p03_export_shards" -> p03,
@@ -1012,6 +1013,14 @@ object Pipeline {
     TextAnalysis.hashClassifier(docs(s, dir), col("text"), col("doc_id"),
       bias = 0.0, salt = "r9")
 
+  /** Overlapping 64-token context windows every 48 tokens (the RAG /
+    * long-context chunker): per-doc narrow kernel, zero shuffles,
+    * chunk text as md5 ([[TextAnalysis.chunkWindows]]).
+    */
+  private def t18(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkWindows(docs(s, dir), col("text"), col("doc_id"),
+      window = 64, stride = 48)
+
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
 
@@ -1565,6 +1574,19 @@ object Pipeline {
               AS avg_mag
           FROM pairs JOIN vocab USING (tok)
           GROUP BY doc_id""",
+    // integer ceil-divide on both sides; DuckDB list slicing is
+    // 1-based-inclusive with tail clamping, matching Spark's
+    // slice(arr, start, length) clamp
+    "t18_chunk_overlap" ->
+      s"""SELECT doc_id, ci AS chunk_id,
+            CAST(ci * 48 AS BIGINT) AS start_tok,
+            CAST(least(64, len(ws) - ci * 48) AS BIGINT) AS n_tok,
+            md5(array_to_string(ws[ci*48+1 : ci*48+64], ' ')) AS chunk_md5
+          FROM (SELECT doc_id, ws,
+                  unnest(generate_series(0,
+                    (greatest(len(ws) - 64, 0) + 47) // 48)) AS ci
+                FROM (SELECT doc_id, $wordsSql AS ws FROM documents)
+                WHERE len(ws) > 0)""",
     "t14_shard_assign" ->
       """SELECT doc_id, shuffle_rank,
             shuffle_rank // 64 AS shard_id,

@@ -208,4 +208,42 @@ class TextAnalysisSpec extends AnyFunSuite {
       salt = "u").collect().map(_.getLong(0)).toSet
     assert(other !== out.map(_._1).toSet)
   }
+
+  test("chunkWindows: overlap, tail clamp, boundary counts, empty docs") {
+    // window 4 / stride 3: chunks overlap by 1 token
+    val df = Seq(
+      (1L, "a b c d e f g"),  // 7 tokens -> chunks at 0,3 (ceil(3/3)=1) -> 2 chunks
+      (2L, "a b c d"),        // exactly one window -> 1 chunk
+      (3L, "a"),              // shorter than a window -> 1 clamped chunk
+      (4L, "a b c d e f g h") // 8 tokens -> (8-4+2)/3: starts 0,3,6 -> 3 chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(df, col("text"), col("doc_id"),
+      window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L),
+      (2L, 0L, 0L, 4L),
+      (3L, 0L, 0L, 1L),
+      (4L, 0L, 0L, 4L), (4L, 1L, 3L, 4L), (4L, 2L, 6L, 2L)))
+    // overlap: doc 1's chunks share token 'd' — verify via md5 equality
+    // of the shared-slice reconstruction
+    val md5s = TextAnalysis.chunkWindows(df, col("text"), col("doc_id"),
+      window = 4, stride = 3)
+      .where(col("doc_id") === 1L).orderBy("chunk_id")
+      .select("chunk_md5").collect().map(_.getString(0))
+    val expect = Seq("a b c d", "d e f g").map(s =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(md5s.toSeq == expect)
+    // empty text emits nothing... but note split(lower("")) yields [""]
+    // (one empty token) — the words() contract everywhere in this file
+    // — so "" still chunks; a doc absent its text column would not.
+    // Validation refuses stride > window.
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkWindows(df, col("text"), col("doc_id"),
+        window = 2, stride = 3)
+    }
+  }
 }
