@@ -143,9 +143,13 @@ object AzofCli {
           AzofTable(spark, opts("path"), opts("table")).currentVersion)
       case "compact" =>
         // --by-key: key-clustered merged files (point-lookup layout)
+        // --zorder c1,c2: z-order on (key, c1, c2) — value skipping
+        //   prunes value predicates under the key-range closure
         graft.sources.AzofWriter.compact(spark, opts("path"), opts("table"),
           Instant.parse(opts("at")), opts.getOrElse("files", "1").toInt,
-          byKey = opts.get("by-key").exists(_ != "false"))
+          byKey = opts.get("by-key").exists(_ != "false"),
+          zorder = opts.get("zorder").toSeq
+            .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
         println(s"compacted; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
       case "analyze" =>
         // metadata-only stats backfill for stat-less / foreign files:

@@ -65,7 +65,7 @@ final case class FileStats(
   */
 final case class FileEntry(
     file: String, stats: Option[FileStats], tombstone: Boolean = false,
-    seq: Option[Long] = None)
+    seq: Option[Long] = None, unique: Boolean = false)
 
 /** A delta file: updates/inserts covering an event-time window
   * (reference: crates/azof/src/metadata.rs:89-96). A delta participates in
@@ -89,12 +89,27 @@ final case class FileEntry(
   * commit (ordering falls back to precedence position, the pre-seq
   * behavior). Serialized as an extra JSON field the reference's serde
   * parser ignores.
+  *
+  * `unique` is the SINGLE-VERSION provenance extension: true iff this
+  * file belongs to a compaction's merged-state output set — each key's
+  * single winner row lands in exactly ONE file of that set, and the
+  * set is tombstone-free. A scan view whose every file is `unique`
+  * from one commit therefore holds AT MOST ONE row per key, which is
+  * exactly the condition under which value-range pruning is sound
+  * WITHOUT the key-range closure ([[ValueStats.prune]]): dropping a
+  * non-matching file only removes keys whose single row fails the
+  * predicate — there is no older predicate-true row anywhere to
+  * resurrect. Never true on ordinary deltas, DML files, or the
+  * compaction carry-forward (whose future rows share keys with the
+  * merged set). Purge rewrites preserve it (removing rows keeps
+  * uniqueness).
   */
 final case class Delta(
     file: String, start: Instant, end: Instant,
     stats: Option[FileStats] = None,
     tombstone: Boolean = false,
-    seq: Option[Long] = None) {
+    seq: Option[Long] = None,
+    unique: Boolean = false) {
   def isBefore(asOf: AsOf): Boolean = asOf match {
     case AsOf.Current      => true
     case AsOf.EventTime(t) => !start.isAfter(t) // start <= t
@@ -185,7 +200,7 @@ final case class Segment(
       .sortBy { case (d, i) => (d.start, i) }(
         Ordering.Tuple2(Ordering[Instant].reverse, equalStart))
       .map { case (d, i) =>
-        FileEntry(d.file, d.stats, d.tombstone, effSeqs(i)) }
+        FileEntry(d.file, d.stats, d.tombstone, effSeqs(i), d.unique) }
     val own =
       if (isInRange(asOf)) file.map(f => FileEntry(f, fileStats)).toSeq
       else Seq.empty

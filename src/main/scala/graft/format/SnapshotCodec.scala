@@ -146,7 +146,11 @@ object SnapshotCodec {
     // commit-sequence ext field: non-integral foreign values degrade to
     // None (the delta orders by precedence position, the pre-seq way)
     seq = Option(n.get("seq"))
-      .filter(v => v.isIntegralNumber).map(_.asLong()))
+      .filter(v => v.isIntegralNumber).map(_.asLong()),
+    // single-version provenance: strictly-boolean true only (a foreign
+    // non-boolean degrades to false = the conservative closure path)
+    unique = Option(n.get("unique")).exists(v =>
+      v.isBoolean && v.asBoolean()))
 
   /** Key-range stats ext field ([[FileStats]]): absent, null, or partial
     * objects (a foreign writer's different stats shape) all degrade to
@@ -279,6 +283,7 @@ object SnapshotCodec {
         d.stats.foreach(st => renderStats(dn, "stats", st))
         if (d.tombstone) { dn.put("tombstone", true); () }
         d.seq.foreach { v => dn.put("seq", v); () }
+        if (d.unique) { dn.put("unique", true); () }
       }
     }
   }

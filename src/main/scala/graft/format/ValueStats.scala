@@ -149,6 +149,20 @@ object ValueStats {
     val matching = entries.map(e =>
       e.stats.forall(st => filters.forall(f => mayMatch(schema, st, f))))
     if (matching.forall(identity)) return entries
+    // SINGLE-VERSION fast path: when every file in the view is a
+    // `unique` compaction output of ONE commit (same seq), the view
+    // holds at most one row per key, so dropping a non-matching file
+    // only drops keys whose single row fails the predicate — there is
+    // no older predicate-true row anywhere to resurrect, and the
+    // key-range closure below is unnecessary. This is the path where
+    // value clustering (compact byKey-with-correlation, or z-order)
+    // actually pays: the closure otherwise re-adds every file sharing
+    // key space with a match, which for an uncorrelated predicate is
+    // the whole view.
+    if (entries.forall(_.unique) &&
+      entries.flatMap(_.seq).distinct.size <= 1 &&
+      entries.forall(_.seq.isDefined))
+      return entries.zip(matching).collect { case (e, true) => e }
     // key ranges of the matching files; a matching file WITHOUT key
     // stats may hold any key — the closure is then everything
     val ranges = entries.zip(matching).collect { case (e, true) =>

@@ -71,7 +71,8 @@ object AzofProcedures {
     override def parameters(): Array[ProcedureParameter] = name match {
       case "compact" => Array(
         p("table", StringType), p("at", StringType),
-        pd("files", IntegerType, "1"), pd("by_key", BooleanType, "false"))
+        pd("files", IntegerType, "1"), pd("by_key", BooleanType, "false"),
+        pd("zorder", StringType, "CAST(NULL AS STRING)"))
       case "vacuum" => Array(
         p("table", StringType), p("keep", IntegerType),
         pd("min_age_hours", IntegerType, "1"),
@@ -142,7 +143,9 @@ object AzofProcedures {
       val out: (StructType, Seq[Any]) = name match {
         case "compact" =>
           AzofWriter.compact(spark, path, str(0), Instant.parse(str(1)),
-            input.getInt(2), byKey = input.getBoolean(3))
+            input.getInt(2), byKey = input.getBoolean(3),
+            zorder = Option(str(4)).toSeq
+              .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
           (StructType(Seq(StructField("version", LongType))),
             Seq(AzofTable(spark, path, str(0)).currentVersion.toLong))
         case "vacuum" =>

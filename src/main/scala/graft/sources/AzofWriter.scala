@@ -677,16 +677,24 @@ object AzofWriter {
       ordered: DataFrame,
       numFiles: Int,
       filePrefix: String,
-      rangeCol: String = TableSchema.EventTimeName): Seq[Delta] = {
+      rangeCol: String = TableSchema.EventTimeName,
+      rangeExpr: Option[org.apache.spark.sql.Column] = None): Seq[Delta] = {
     val tmp = new Path(dir, s"_tmp_part_${UUID.randomUUID().toString}")
     val conf = spark.conf
     val prevTsType = conf.get("spark.sql.parquet.outputTimestampType")
     conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
     try {
-      ordered
-        .repartitionByRange(numFiles, col(rangeCol))
-        .sortWithinPartitions(col(TableSchema.EventTimeName).desc)
-        .write.mode("overwrite").parquet(tmp.toString)
+      // rangeExpr (e.g. a z-value) partitions through a scratch column
+      // dropped before the write — the projection keeps the exchange's
+      // partitioning, the file bytes never carry it
+      (rangeExpr match {
+        case Some(e) => ordered.withColumn("_azof_zr", e)
+          .repartitionByRange(numFiles, col("_azof_zr"))
+          .sortWithinPartitions(col(TableSchema.EventTimeName).desc)
+          .drop("_azof_zr")
+        case None => ordered.repartitionByRange(numFiles, col(rangeCol))
+          .sortWithinPartitions(col(TableSchema.EventTimeName).desc)
+      }).write.mode("overwrite").parquet(tmp.toString)
       val f = fs(spark, dir)
       val parts = f.listStatus(tmp).map(_.getPath)
         .filter(p => p.getName.startsWith("part-") &&
@@ -771,14 +779,33 @@ object AzofWriter {
     *              note for the time-window trade-off, which is harmless
     *              here for the same duplicate-winner reason as above).
     */
+  /** @param zorder value columns (logical names) to Z-ORDER the merged
+    *               files on, with `key` always the implicit leading
+    *               dimension ([[graft.operators.Zorder]]): each merged
+    *               file then bounds BOTH its key range and the named
+    *               columns' value ranges, which is the only layout
+    *               family under which the dedup-sound value skipping
+    *               (`ValueStats` + key-range closure) prunes value
+    *               predicates — key-clustered files match every value
+    *               predicate, value-clustered files make the closure
+    *               re-add everything. Requires `numFiles > 1`; mutually
+    *               exclusive with `byKey` (z-order with no value
+    *               columns IS byKey).
+    */
   def compact(
       spark: SparkSession,
       lakehousePath: String,
       name: String,
       at: Instant,
       numFiles: Int = 1,
-      byKey: Boolean = false): Unit = {
+      byKey: Boolean = false,
+      zorder: Seq[String] = Nil): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
+    require(zorder.isEmpty || !byKey,
+      "byKey and zorder are mutually exclusive (z-order already leads " +
+        "with the key dimension)")
+    require(zorder.isEmpty || numFiles > 1,
+      "zorder needs numFiles > 1: one file has nothing to cluster")
     val table = AzofTable(spark, lakehousePath, name)
     val cur = table.currentVersion
     val nextId = (cur.toLong + 1).toString
@@ -809,16 +836,35 @@ object AzofWriter {
         // merged row duplicates the closed child's winning row for its
         // key byte-for-byte, so the per-key dedup picks identical values
         // whichever file wins precedence.
+        // z-order dims: key leads (physical names — `merged` is
+        // projected to the file schema), then the named value columns
+        val zExpr = if (zorder.isEmpty) None else {
+          val dims = (TableSchema.KeyName,
+              org.apache.spark.sql.types.StringType) +:
+            zorder.map { zc =>
+              val cd = snap.schema.columns.find(_.name == zc).getOrElse(
+                throw new IllegalArgumentException(
+                  s"zorder column '$zc' does not exist; value columns: " +
+                    snap.schema.columns.map(_.name).mkString(", ")))
+              (cd.physicalName, cd.dataType.sparkType)
+            }
+          Some(graft.operators.Zorder.zValue(
+            dims.map { case (n, t) => (col(n), t) }))
+        }
         (None, None, writePartitionedFiles(spark, table.tableDir, merged,
           numFiles, s"compact_s${nextId}_${uniqueSuffix()}_p",
           rangeCol =
-            if (byKey) TableSchema.KeyName else TableSchema.EventTimeName)
+            if (byKey) TableSchema.KeyName else TableSchema.EventTimeName,
+          rangeExpr = zExpr)
           // merged-state rows are the per-key WINNERS as of `at` — any
           // (key, event_time) duplicate they share with a closed child's
           // file is byte-identical (the winner itself), so the commit
           // seq here can never flip a verdict; it keeps the compacted
-          // state ordered after everything it replaced
-          .map(_.copy(seq = Some(nextId.toLong))))
+          // state ordered after everything it replaced. `unique`: each
+          // key's single winner lands in exactly one merged file
+          // (range-partitioned one-row-per-key state) — the
+          // single-version provenance closure-free value pruning keys on
+          .map(_.copy(seq = Some(nextId.toLong), unique = true)))
       }
 
     // Rows with event_time > `at` already committed into the open segment
