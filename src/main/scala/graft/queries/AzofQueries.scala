@@ -28,6 +28,7 @@ object AzofQueries {
     "q35_change_feed" -> changeFeed,
     "q42_version_tag" -> versionTag,
     "q43_rollback" -> rollbackView,
+    "q44_zorder_skip" -> zorderSkip,
     "q36_strict_precedence" -> strictPrecedence,
     "q37_tombstone_delete" -> tombstoneDelete,
     "q38_mirror_delete" -> mirrorDelete,
@@ -152,6 +153,32 @@ object AzofQueries {
       AzofWriter.tagVersion(s, lake, "events_vt", "jan-cut", Some(3L))
       ()
     }
+
+  /** Z-ORDER-compacted lake under the oracle gate: all events land in
+    * one partitioned commit, compaction z-orders the merged state on
+    * `(key, event_type)` into 8 `unique`-flagged files, and the value-
+    * predicate scan then takes the SINGLE-VERSION closure-free pruning
+    * path ([[graft.format.ValueStats.prune]]) through the public
+    * reader — the one layout/provenance combination where an
+    * uncorrelated value predicate prunes files at all. The oracle is
+    * q41's winner-is-purchase recomputation over the full corpus: a
+    * pruning bug that drops a winner, or a z-write that loses a row,
+    * cannot hash-match.
+    */
+  private def zorderSkip(s: SparkSession, dir: String): DataFrame = {
+    val lake = cachedLake(dir, "zc-v1", "events_zc") { tmp =>
+      AzofWriter.createTable(s, tmp, "events_zc", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.commitPartitioned(s, tmp, "events_zc", eventsKv(s, dir),
+        numFiles = 8)
+      AzofWriter.compact(s, tmp, "events_zc",
+        Instant.parse("2024-06-01T00:00:00Z"), numFiles = 8,
+        zorder = Seq("event_type"))
+    }
+    s.read.format("azof").option("table", "events_zc").load(lake)
+      .where(col("event_type") === "purchase")
+      .select("key", "event_time", "event_type")
+  }
 
   /** NAMED version ref under the oracle gate: `versionAsOf = 'jan-cut'`
     * through the public reader resolves the tag via the current
@@ -656,6 +683,17 @@ object AzofQueries {
          WHERE rn = 1""",
     // winners over ALL events whose newest row is a purchase — the
     // predicate applies to the WINNER, never to older rows
+    // the z-order-compacted lake's Current view = every event merged;
+    // winner-is-purchase, exactly q41's rule over the full corpus
+    "q44_zorder_skip" ->
+      """SELECT key, event_time, event_type FROM (
+           SELECT CAST(user_id AS VARCHAR) AS key,
+                  date_trunc('milliseconds', ts) AS event_time, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY date_trunc('milliseconds', ts) DESC,
+                             event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 AND event_type = 'purchase'""",
     "q41_value_skip" ->
       """SELECT key, event_time, event_type FROM (
            SELECT CAST(user_id AS VARCHAR) AS key,
