@@ -181,10 +181,13 @@ object AzofCli {
         if (refs.isEmpty) println("no tags")
         else refs.foreach { case (n, v) => println(s"$n\t$v") }
       case "rollback" =>
-        // append-only restore: rollback --path L --table T --to N
+        // append-only restore: rollback --path L --table T --to <N|tag>
+        val to = opts("to").toLongOption.getOrElse(
+          AzofTable(spark, opts("path"), opts("table"))
+            .resolveVersion(opts("to")).toLong)
         val v = graft.sources.AzofWriter.rollback(spark, opts("path"),
-          opts("table"), opts("to").toLong)
-        println(s"rolled back to version ${opts("to")}; version now $v")
+          opts("table"), to)
+        println(s"rolled back to version $to; version now $v")
       case "delete" =>
         // tombstone delete: --keys k1,k2,... --at TS (the deletion
         // event time; omit for "now" = suppress everything current)

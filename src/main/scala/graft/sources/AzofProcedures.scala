@@ -19,10 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * {{{
   * CALL lake.system.compact(`table` => 't', at => '2024-06-01T00:00:00Z',
-  *                          files => 4, by_key => true)
+  *                          files => 4, by_key => true)        -- or zorder => 'c1,c2'
   * CALL lake.system.vacuum(`table` => 't', keep => 10, dry_run => true)
   * CALL lake.system.purge(`table` => 't', before => '2024-06-01T00:00:00Z')
   * CALL lake.system.dedup_apply(`table` => 't', index_path => '/idx')
+  * CALL lake.system.tag(`table` => 't', name => 'release-1')
+  * CALL lake.system.rollback(`table` => 't', tag => 'release-1')
   * }}}
   *
   * Each procedure delegates to the SAME implementation the CLI and
@@ -133,7 +135,9 @@ object AzofProcedures {
       case "untag" => Array(
         p("table", StringType), p("name", StringType))
       case "rollback" => Array(
-        p("table", StringType), p("to_version", LongType))
+        p("table", StringType),
+        pd("to_version", LongType, "CAST(NULL AS BIGINT)"),
+        pd("tag", StringType, "CAST(NULL AS STRING)"))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -308,11 +312,21 @@ object AzofProcedures {
             StructField("committed_at", LongType))),
             Seq(str(1), v))
         case "rollback" =>
-          val v = AzofWriter.rollback(spark, path, str(0), input.getLong(1))
+          // exactly one of to_version / tag names the target; a tag
+          // resolves through the current snapshot's ref index
+          val target = (input.isNullAt(1), Option(str(2))) match {
+            case (false, None) => input.getLong(1)
+            case (true, Some(t)) =>
+              AzofTable(spark, path, str(0)).resolveVersion(t).toLong
+            case _ => throw new IllegalArgumentException(
+              "rollback takes exactly one of to_version => N or " +
+                "tag => 'name'")
+          }
+          val v = AzofWriter.rollback(spark, path, str(0), target)
           (StructType(Seq(
             StructField("rolled_back_to", LongType),
             StructField("committed_at", LongType))),
-            Seq(input.getLong(1), v))
+            Seq(target, v))
       }
       val row = new GenericInternalRow(out._2.map {
         case s: String => UTF8String.fromString(s)

@@ -278,4 +278,25 @@ class VersionRefsSpec extends AnyFunSuite {
       spark.sql("SELECT value FROM refs.t9 VERSION AS OF 'v-good'").collect()
     }
   }
+
+  test("CALL system.rollback accepts a tag; exactly one target required") {
+    mk("t10", Seq(
+      Seq(("1", "2024-01-05T00:00:00Z", "good")),
+      Seq(("1", "2024-01-06T00:00:00Z", "bad"))))
+    AzofWriter.tagVersion(spark, lake, "t10", "known-good", Some(2L))
+    val r = spark.sql(
+      "CALL refs.system.rollback(`table` => 't10', tag => 'known-good')")
+      .collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(spark.sql("SELECT value FROM refs.t10").collect()
+      .map(_.getString(0)).toSeq == Seq("good"))
+    // both targets, or neither, refuse
+    intercept[Exception] {
+      spark.sql("CALL refs.system.rollback(`table` => 't10', " +
+        "to_version => 2, tag => 'known-good')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("CALL refs.system.rollback(`table` => 't10')").collect()
+    }
+  }
 }
