@@ -94,25 +94,31 @@ class AzofCatalog extends TableCatalog
     new AzofV2Table(tableDir(ident).getParent.toString, ident.name, asOf, version)
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    // `cat.t.history` / `cat.t.files` / `cat.t.refs` — metadata views
-    // (AzofMetadataTables). A REAL table always wins the name: the
-    // fallback fires only when the ident resolves to no table and its
-    // namespace tail does.
+  /** `cat.t.history` / `cat.t.files` / `cat.t.refs` — metadata views
+    * (AzofMetadataTables). A REAL table always wins the name: the
+    * fallback fires only when the ident resolves to no table and its
+    * namespace tail does. `version` pins files/refs (`VERSION AS OF`
+    * on a metadata table); history refuses it.
+    */
+  private def metadataTable(
+      ident: Identifier, version: Option[String]): Option[Table] =
     if (!tableExists(ident) && ident.namespace.nonEmpty) {
       val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
       val parent = Identifier.of(
         ident.namespace.dropRight(1), ident.namespace.last)
       if (AzofMetadataTables.Names.contains(kind) && tableExists(parent))
-        return AzofMetadataTables.table(spark,
-          tableDir(parent).getParent.toString, parent.name, kind)
-    }
-    load(ident, AsOf.Current, None)
-  }
+        Some(AzofMetadataTables.table(spark,
+          tableDir(parent).getParent.toString, parent.name, kind, version))
+      else None
+    } else None
 
-  /** Spark's native `VERSION AS OF n`. */
+  override def loadTable(ident: Identifier): Table =
+    metadataTable(ident, None).getOrElse(load(ident, AsOf.Current, None))
+
+  /** Spark's native `VERSION AS OF n` (or a named tag). */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, AsOf.Current, Some(version))
+    metadataTable(ident, Some(version)).getOrElse(
+      load(ident, AsOf.Current, Some(version)))
 
   /** Spark's native `TIMESTAMP AS OF ts` — micros since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =

@@ -35,9 +35,20 @@ object AzofMetadataTables {
 
   val Names: Set[String] = Set("history", "files", "refs")
 
+  /** `version` pins `files`/`refs` to that snapshot (`VERSION AS OF`
+    * on a metadata table — inspect an old version's file set or tag
+    * map); `history` refuses a version pin, because it already IS the
+    * cross-version view.
+    */
   def table(spark: SparkSession, lakehousePath: String,
-      tableName: String, kind: String): Table =
-    new MetaTable(spark, lakehousePath, tableName, kind)
+      tableName: String, kind: String,
+      version: Option[String] = None): Table = {
+    if (version.nonEmpty && kind == "history")
+      throw new UnsupportedOperationException(
+        s"$tableName.history already spans all versions; query it " +
+          "unpinned (VERSION AS OF applies to .files and .refs)")
+    new MetaTable(spark, lakehousePath, tableName, kind, version)
+  }
 
   private def s(v: String): AnyRef = UTF8String.fromString(v)
   private def tsMicros(i: java.time.Instant): AnyRef =
@@ -45,7 +56,8 @@ object AzofMetadataTables {
       Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
 
   private final class MetaTable(spark: SparkSession,
-      lakehousePath: String, tableName: String, kind: String)
+      lakehousePath: String, tableName: String, kind: String,
+      version: Option[String] = None)
     extends Table with SupportsRead {
 
     override def name(): String = s"$tableName.$kind"
@@ -86,6 +98,12 @@ object AzofMetadataTables {
       val t = AzofTable(spark, lakehousePath, tableName)
       val conf = spark.sessionState.newHadoopConf()
       val fs = t.tableDir.getFileSystem(conf)
+      // the pinned snapshot for files/refs (tags resolve through the
+      // CURRENT ref index, like every other versionAsOf surface)
+      def pinned = version match {
+        case Some(v) => t.snapshot(t.resolveVersion(v))
+        case None => t.currentSnapshot
+      }
       kind match {
         case "history" =>
           val current = t.currentVersion.toLong
@@ -111,7 +129,7 @@ object AzofMetadataTables {
             }
           }.toArray
         case "files" =>
-          val snap = t.currentSnapshot
+          val snap = pinned
           val sizes = fs.listStatus(t.tableDir)
             .map(st => st.getPath.getName -> st.getLen).toMap
           def walk(seg: graft.format.Segment): Seq[InternalRow] = {
@@ -141,7 +159,7 @@ object AzofMetadataTables {
           }
           snap.segments.flatMap(walk).toArray
         case "refs" =>
-          t.currentSnapshot.refs.toSeq.sortBy(_._1).map { case (n, v) =>
+          pinned.refs.toSeq.sortBy(_._1).map { case (n, v) =>
             new GenericInternalRow(Array[Any](s(n), v)): InternalRow
           }.toArray
       }

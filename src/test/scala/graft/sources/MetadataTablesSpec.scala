@@ -91,6 +91,32 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(rows == Seq("a-tag" -> 2L, "b-tag" -> 1L))
   }
 
+  test("VERSION AS OF pins files/refs to the snapshot; history refuses the pin") {
+    mk("v1")   // v1 create, v2 delta, v3 delete
+    AzofWriter.tagVersion(spark, lake, "v1", "t2", Some(2L))  // v4
+    // files at version 2: just the data delta, no tombstone yet
+    val at2 = spark.sql(
+      "SELECT file, tombstone FROM meta.v1.files VERSION AS OF 2").collect()
+    assert(at2.length == 1 && !at2(0).getBoolean(1))
+    // ... and a TAG resolves as the version spec
+    assert(spark.sql(
+      "SELECT file FROM meta.v1.files VERSION AS OF 't2'").collect()
+      .length == 1)
+    // refs at version 3 (before the tag commit): empty
+    assert(spark.sql(
+      "SELECT * FROM meta.v1.refs VERSION AS OF 3").collect().isEmpty)
+    // current refs show the tag
+    assert(spark.sql("SELECT tag FROM meta.v1.refs").collect()
+      .map(_.getString(0)).toSeq == Seq("t2"))
+    // history already spans versions: the pin refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM meta.v1.history VERSION AS OF 2").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("spans all versions")), msgs(e))
+  }
+
   test("a real table always wins the metadata name; missing parents still error") {
     // a genuine azof table literally named 'history' under namespace-less root
     AzofWriter.createTable(spark, lake, "history", schema,
