@@ -70,6 +70,13 @@ final class AzofDataSource extends RelationProvider with DataSourceRegister {
               s"number or a known tag, got '$v': ${e.getMessage}")
         }
       }
+    // metadata views through the reader, for non-catalog users:
+    //   .option("meta", "history"|"files"|"refs")[.option("versionAsOf", v)]
+    parameters.get("meta").foreach { kind =>
+      return new AzofMetaRelation(sqlContext, lake, table,
+        kind.trim.toLowerCase(java.util.Locale.ROOT),
+        parameters.get("versionAsOf"))
+    }
     parameters.get("changesFrom") match {
       case Some(fromV) =>
         new AzofChangesRelation(sqlContext, lake, table,
@@ -82,6 +89,28 @@ final class AzofDataSource extends RelationProvider with DataSourceRegister {
         new AzofRelation(sqlContext, lake, table, asOf,
           parameters.get("versionAsOf"))
     }
+  }
+}
+
+/** Metadata-view relation ([[AzofMetadataTables]] through the
+  * DataFrameReader): driver-sized rows materialized into a local
+  * DataFrame — bounded by commit count / the driver-held snapshot
+  * tree, never row data.
+  */
+final class AzofMetaRelation(
+    override val sqlContext: SQLContext,
+    lakehousePath: String, tableName: String,
+    kind: String, version: Option[String])
+  extends BaseRelation with TableScan {
+
+  private val spark = sqlContext.sparkSession
+  override val schema: StructType = AzofMetadataTables.schemaFor(kind)
+  override def buildScan(): RDD[Row] = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      AzofMetadataTables.rowsFor(
+        spark, lakehousePath, tableName, kind, version).asJava,
+      schema).rdd
   }
 }
 

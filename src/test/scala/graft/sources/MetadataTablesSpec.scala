@@ -117,6 +117,28 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("spans all versions")), msgs(e))
   }
 
+  test("reader surface: .option(\"meta\", ...) serves the same views") {
+    mk("m1")
+    AzofWriter.tagVersion(spark, lake, "m1", "pin", Some(2L))
+    def rd(kind: String, v: Option[String] = None) = {
+      val b = spark.read.format("azof").option("table", "m1")
+        .option("meta", kind)
+      v.fold(b)(b.option("versionAsOf", _)).load(lake)
+    }
+    // same rows as the catalog surface, column for column
+    val viaCat = spark.sql(
+      "SELECT * FROM meta.m1.history ORDER BY version").collect().toSeq
+    val viaRdr = rd("history").orderBy("version").collect().toSeq
+    assert(viaRdr == viaCat)
+    assert(rd("refs").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq == Seq("pin" -> 2L))
+    // version pin (by tag) on files
+    assert(rd("files", Some("pin")).collect().length == 1)
+    // unknown view name refuses; history refuses the pin
+    intercept[Exception] { rd("nope").collect() }
+    intercept[Exception] { rd("history", Some("2")).collect() }
+  }
+
   test("a real table always wins the metadata name; missing parents still error") {
     // a genuine azof table literally named 'history' under namespace-less root
     AzofWriter.createTable(spark, lake, "history", schema,
