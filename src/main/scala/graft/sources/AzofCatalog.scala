@@ -121,10 +121,18 @@ class AzofCatalog extends TableCatalog
       load(ident, AsOf.Current, Some(version)))
 
   /** Spark's native `TIMESTAMP AS OF ts` — micros since epoch. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    // metadata views pin by snapshot VERSION; event-time travel does
+    // not select a snapshot, so refuse with the remedy instead of the
+    // generic missing-table error
+    if (metadataTable(ident, None).isDefined)
+      throw new UnsupportedOperationException(
+        s"metadata view ${ident.name} pins by VERSION AS OF <n|'tag'>, " +
+          "not TIMESTAMP AS OF (event time does not select a snapshot)")
     load(ident, AsOf.EventTime(Instant.ofEpochSecond(
       Math.floorDiv(timestamp, 1000000L),
       Math.floorMod(timestamp, 1000000L) * 1000L)), None)
+  }
 
   override def invalidateTable(ident: Identifier): Unit = ()
 
@@ -281,6 +289,31 @@ final class AzofV2Table(
   override def schema(): StructType = relation.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  /** `DESCRIBE TABLE EXTENDED` observability: the loaded view's pinned
+    * version, its op, registered-file count, and tag count — all from
+    * the snapshot the relation already holds (no extra I/O beyond one
+    * version read on the Current path).
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    try {
+      val t = graft.format.AzofTable(
+        SparkSession.active, lakehousePath, tableName)
+      val v = version.map(t.resolveVersion).getOrElse(t.currentVersion)
+      val snap = t.snapshot(v)
+      m.put("format", "azof")
+      m.put("version", v)
+      snap.op.foreach(m.put("op", _))
+      m.put("data_files", snap.allFiles.size.toString)
+      m.put("tags", snap.refs.size.toString)
+      asOf match {
+        case AsOf.EventTime(ts) => m.put("as_of", ts.toString); ()
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+    m
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AzofScanBuilder(relation)

@@ -139,6 +139,32 @@ class MetadataTablesSpec extends AnyFunSuite {
     intercept[Exception] { rd("history", Some("2")).collect() }
   }
 
+  test("DESCRIBE EXTENDED surfaces version/op/file/tag properties; TIMESTAMP AS OF on a view refuses") {
+    mk("d1")
+    AzofWriter.tagVersion(spark, lake, "d1", "p", Some(2L))  // v4
+    val props = spark.sql("DESCRIBE TABLE EXTENDED meta.d1").collect()
+      .find(_.getString(0) == "Table Properties").map(_.getString(1))
+      .getOrElse("")
+    assert(props.contains("format=azof") && props.contains("version=4") &&
+      props.contains("op=tag") && props.contains("tags=1"), props)
+    // a version-pinned load reports ITS version (DESCRIBE has no
+    // VERSION AS OF grammar — assert through the catalog API)
+    val cat = spark.sessionState.catalogManager.catalog("meta")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val pinnedProps = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "d1"), "p").properties()
+    assert(pinnedProps.get("version") == "2", pinnedProps.toString)
+    // TIMESTAMP AS OF on a metadata view refuses with the remedy
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM meta.d1.files TIMESTAMP AS OF " +
+        "'2024-06-01 00:00:00'").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("VERSION AS OF")), msgs(e))
+  }
+
   test("a real table always wins the metadata name; missing parents still error") {
     // a genuine azof table literally named 'history' under namespace-less root
     AzofWriter.createTable(spark, lake, "history", schema,
