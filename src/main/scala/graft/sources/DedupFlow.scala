@@ -597,12 +597,24 @@ object DedupFlow {
     val drop = (containIndex match {
       case Some((cl, ct)) =>
         val t = containThreshold
-        val containKeys = ContainIndex.pairsKeyed(spark, cl, ct)
+        val sides = ContainIndex.pairsKeyed(spark, cl, ct)
           .where(greatest(col("cont_a"), col("cont_b")) >= t)
           .select(
             when(col("cont_a") >= t && col("cont_b") >= t, col("doc_b"))
               .when(col("cont_a") >= t, col("doc_a"))
-              .otherwise(col("doc_b")).as(TableSchema.KeyName))
+              .otherwise(col("doc_b")).as(TableSchema.KeyName),
+            when(col("cont_a") >= t && col("cont_b") >= t, col("doc_a"))
+              .when(col("cont_a") >= t, col("doc_b"))
+              .otherwise(col("doc_a")).as("_container"))
+        // the CONTAINER must be LIVE for its excerpt to drop: a stale
+        // pair whose container was deleted or rolled back (the feed
+        // skips rollback, so the index cannot have retired it yet)
+        // would otherwise tombstone the corpus's ONLY remaining copy
+        // of that content
+        val containKeys = sides
+          .join(live.select(col(TableSchema.KeyName).as("_container")),
+            Seq("_container"), "left_semi")
+          .select(col(TableSchema.KeyName))
         withSem.unionByName(
           live.join(containKeys, Seq(TableSchema.KeyName), "left_semi"))
           .distinct()

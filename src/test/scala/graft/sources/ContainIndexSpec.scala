@@ -226,6 +226,38 @@ class ContainIndexSpec extends AnyFunSuite {
       at = ts("2024-03-02T00:00:00Z")) == 0L)
   }
 
+  test("a STALE pair whose container is gone must not delete the excerpt " +
+    "(the live-container guard)") {
+    val l = mkLake()
+    AzofWriter.commitBase(spark, l, "docs", rowsDf(Seq(
+      (1L, "2024-01-10T00:00:00Z", baseText(1)),
+      (5L, "2024-01-10T00:00:00Z", quoteText(1, 5)))))
+    ContainIndex.refresh(spark, l, "docs", "text", l,
+      at = ts("2024-02-01T00:00:00Z"))
+    DedupFlow.create(spark, l)
+    // the CONTAINER (5) is deleted — e.g. a takedown, or a rollback the
+    // feed never shows the index — while the pair (1 ⊂ 5) is still in
+    // the index. Applying the stale pair would tombstone doc 1, the
+    // corpus's ONLY remaining copy of that content.
+    AzofWriter.commitDelete(spark, l, "docs", Seq("5"),
+      ts("2024-02-15T00:00:00Z"))
+    val n = DedupFlow.applyVerdict(spark, l, "docs", l,
+      containIndex = Some((l, "contain_pairs")),
+      at = ts("2024-03-01T00:00:00Z"))
+    assert(n == 0L, s"the excerpt must survive its container's deletion: $n")
+    val left = graft.operators.AzofScan.scan(spark, l, "docs")
+      .select(TableSchema.KeyName).collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("1"), s"${left.toSeq}")
+    // once the refresh RETIRES the stale pair (the delete is churn),
+    // apply stays a no-op — the guard and the retirement agree
+    val r = ContainIndex.refresh(spark, l, "docs", "text", l,
+      at = ts("2024-03-02T00:00:00Z"))
+    assert(r.retired == 1, s"the delete must retire the pair: $r")
+    assert(DedupFlow.applyVerdict(spark, l, "docs", l,
+      containIndex = Some((l, "contain_pairs")),
+      at = ts("2024-03-03T00:00:00Z")) == 0L)
+  }
+
   test("both-old pairs are not re-emitted: refresh work is " +
     "churn-confined") {
     val l = mkLake()
