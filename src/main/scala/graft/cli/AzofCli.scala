@@ -268,12 +268,25 @@ object AzofCli {
         // --seed: fresh mirror of a source whose early history was
         // vacuumed (Current-scan base commit, then follow from the seed
         // version pinned in the checkpoint sidecar)
+        // --native: replicate through the DSv2 streaming sink
+        // (writeStream.toTable) instead of the foreachBatch helper —
+        // same feed, same semantics, the sink's own (query id, epoch)
+        // exactly-once
         val ckpt = opts.getOrElse("checkpoint",
           java.nio.file.Files.createTempDirectory("azof-mirror").toString)
         val seed = opts.get("seed").exists(_ != "false")
+        val native = opts.get("native").exists(_ != "false")
+        require(!(seed && native),
+          "--seed is the foreachBatch path's sidecar protocol; " +
+            "run the native sink without --seed")
         val q =
           if (seed)
             graft.streaming.AzofMirror.seedAndReplicate(spark,
+              opts("path"), opts("table"),
+              opts("target-path"), opts("target-table"), ckpt,
+              maxVersionsPerBatch = opts.get("max-versions").map(_.toLong))
+          else if (native)
+            graft.streaming.AzofMirror.replicateNative(spark,
               opts("path"), opts("table"),
               opts("target-path"), opts("target-table"), ckpt,
               maxVersionsPerBatch = opts.get("max-versions").map(_.toLong))

@@ -32,6 +32,7 @@ object AzofQueries {
     "q36_strict_precedence" -> strictPrecedence,
     "q37_tombstone_delete" -> tombstoneDelete,
     "q38_mirror_delete" -> mirrorDelete,
+    "q45_native_mirror" -> nativeMirror,
     "q39_predicate_delete" -> predicateDelete,
     "s07_pq_codes_index" -> pqCodesIndex,
     "s08_minhash_sig_index" -> minhashSigIndex)
@@ -493,6 +494,36 @@ object AzofQueries {
       .select("key", "event_time", "event_type")
   }
 
+  /** q38's replication pipeline through the NATIVE DSv2 streaming sink
+    * ([[graft.streaming.AzofMirror.replicateNative]] →
+    * `writeStream.toTable` → [[graft.sources.AzofStreamingWrite]])
+    * instead of the foreachBatch helper: same commit-exact feed, same
+    * mixed upsert+tombstone micro-batches, but the landing path is the
+    * sink's task-parallel writers with the (query id, epoch) replay
+    * guard. The mirror's Current scan must hash-match the identical
+    * latest-row-per-key-minus-deletes oracle — proving the two sink
+    * paths are interchangeable end to end.
+    */
+  private def nativeMirror(s: SparkSession, dir: String): DataFrame = {
+    val src = ensureDelLake(s, dir)
+    val lake = cachedLake(dir, "nmir-v1", "events_nmirror") { l =>
+      AzofWriter.createTable(s, l, "events_nmirror", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val q = graft.streaming.AzofMirror.replicateNative(s,
+        src, "events_del", l, "events_nmirror",
+        new java.io.File(l, "_nmirror_ck").toString)
+      // same timeout contract as q38: caching a half-replicated mirror
+      // would fail the oracle forever with no hint why
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "native-sink replication did not terminate within 300s — " +
+            "refusing to cache an incomplete mirror lake")
+      ()
+    }
+    AzofScan.scan(s, lake, "events_nmirror")
+      .select("key", "event_time", "event_type")
+  }
+
   /** The SQL predicate-delete (takedown) shape under the oracle gate:
     * the full events history lands in one base commit, then
     * `DELETE FROM cat.events_pd WHERE event_type = 'error'` through the
@@ -786,6 +817,21 @@ object AzofQueries {
     // the mirror must surface exactly the source's Current state: same
     // winners, same tombstone suppression — q37's oracle verbatim
     "q38_mirror_delete" ->
+      """SELECT key, event_time, event_type FROM
+           (SELECT CAST(user_id AS VARCHAR) AS key,
+              date_trunc('milliseconds', ts) AS event_time, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+            FROM events)
+         WHERE rn = 1
+           AND NOT (key IN ('7', '23')
+                    AND event_time <= TIMESTAMP '2024-01-25 00:00:00')
+           AND NOT (key IN ('41', '103')
+                    AND event_time <= TIMESTAMP '2024-02-01 00:00:00')""",
+    // the native-sink mirror states the same contract as q38: the
+    // target's Current state IS the source's — winners, tombstones,
+    // event-time delete semantics all preserved through the DSv2 sink
+    "q45_native_mirror" ->
       """SELECT key, event_time, event_type FROM
            (SELECT CAST(user_id AS VARCHAR) AS key,
               date_trunc('milliseconds', ts) AS event_time, event_type,

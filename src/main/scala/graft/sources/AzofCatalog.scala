@@ -288,7 +288,8 @@ final class AzofV2Table(
   override def name(): String = tableName
   override def schema(): StructType = relation.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   /** `DESCRIBE TABLE EXTENDED` observability: the loaded view's pinned
     * version, its op, registered-file count, and tag count — all from
@@ -415,7 +416,13 @@ final class AzofV2Table(
     if (asOf != AsOf.Current || version.nonEmpty)
       throw new UnsupportedOperationException(
         s"cannot write to a time-travel view of azof table $tableName")
-    new WriteBuilder {
+    // SupportsStreamingUpdateAsAppend: exact for a merge-on-read format
+    // (an updated row is the key's new version, the per-key merge serves
+    // it) — streaming aggregations sink in outputMode("update"); see
+    // [[AzofStreamingWrite]]
+    new WriteBuilder
+      with org.apache.spark.sql.internal.connector
+        .SupportsStreamingUpdateAsAppend {
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -426,6 +433,10 @@ final class AzofV2Table(
               AzofCatalog.append(lakehousePath, tableName, data)
             }
           }
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new AzofStreamingWrite(
+            lakehousePath, tableName, info.queryId(), info.schema())
       }
     }
   }

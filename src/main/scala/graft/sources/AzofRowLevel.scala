@@ -115,23 +115,8 @@ private final class AzofDeltaWrite(
   override def toBatch: DeltaBatchWrite = {
     val spark = SparkSession.active
     val table = AzofTable(spark, lakehousePath, tableName)
-    // value columns written nullable regardless of declaration:
-    // tombstone rows carry NULL values (same relaxation commitDelete's
-    // lit(null) frame gets), and parquet-mr silently corrupts a file
-    // handed a null for a `required` field. Files store PHYSICAL names
-    // (renames are metadata-only); the aligned logical names drive the
-    // row-schema lookup task-side.
-    val tschema = table.currentSnapshot.schema
-    val fileSchema = StructType(
-      tschema.physicalStruct.fields.map { f =>
-        if (f.name == TableSchema.KeyName ||
-          f.name == TableSchema.EventTimeName) f
-        else f.copy(nullable = true)
-      })
-      .add(StructField(TableSchema.DeletedName, BooleanType, nullable = true))
-    val logicalNames: Array[String] =
-      (Seq(TableSchema.KeyName, TableSchema.EventTimeName) ++
-        tschema.columns.map(_.name)).toArray
+    val (fileSchema, logicalNames) =
+      AzofDeltaFiles.aligned(table.currentSnapshot.schema)
     // provisional version in the name is a debug hint, same as
     // landCommitFile — uniqueness comes from the uuid + task ids
     val prefix = s"delta_s${table.currentVersion.toLong + 1}_" +
@@ -150,7 +135,7 @@ private final class AzofDeltaWrite(
   * read-schema flag). `file == null` marks a rowless task — nothing
   * landed, nothing to register.
   */
-private final case class AzofDeltaFileMessage(
+private[sources] final case class AzofDeltaFileMessage(
     file: String, rows: Long,
     minKey: String, maxKey: String,
     minTsUs: Long, maxTsUs: Long,
@@ -197,30 +182,15 @@ private final class AzofDeltaBatchWrite(
           readVersion, files.map(_.minKey).min, files.map(_.maxKey).max))
       AzofWriter.commitLandedDeltas(
         spark, lakehousePath, tableName,
-        files.map(m => graft.format.Delta(
-          m.file,
-          Instant.ofEpochMilli(Math.floorDiv(m.minTsUs, 1000L)),
-          Instant.ofEpochMilli(Math.floorDiv(m.maxTsUs, 1000L)),
-          Some(FileStats(m.minKey, m.maxKey, None,
-            m.colRanges.map { case (n, (lo, hi)) =>
-              n -> graft.format.ColRange(lo, hi) },
-            rows = Some(m.rows))),
-          tombstone = m.hasTombstone)).toIndexedSeq,
+        files.map(AzofDeltaFiles.asDelta).toIndexedSeq,
         op = "sql-dml",
         validate = validate)
+      ()
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new Path(tableDir)
-    val fs = dir.getFileSystem(conf.value)
-    messages.foreach {
-      case m: AzofDeltaFileMessage if m.file != null =>
-        try { fs.delete(new Path(dir, m.file), false); () }
-        catch { case _: java.io.IOException => () }
-      case _ => ()
-    }
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    AzofDeltaFiles.deleteLanded(tableDir, conf.value, messages)
 }
 
 private final class AzofDeltaWriterFactory(
@@ -242,12 +212,19 @@ private final class AzofDeltaWriterFactory(
   * driver-written files byte-for-byte), measuring key/event-time stats
   * on the fly. The file opens lazily on the first row — a task whose
   * partition carries no changes lands nothing.
+  *
+  * With `markerFromRow = true` (the native streaming sink,
+  * [[AzofStreamingWrite]]) the `_azof_deleted` marker is copied from the
+  * incoming row when its schema carries it — the replication shape,
+  * where one micro-batch holds upserts AND tombstones — instead of the
+  * DML contract's null-for-data / delete()-for-tombstones split.
   */
-private final class AzofDeltaRowWriter(
+private[sources] final class AzofDeltaRowWriter(
     tableDir: String, fileName: String,
     rowSchema: StructType, fileSchema: StructType,
     logicalNames: Array[String],
-    opTimeUs: Long, hadoopConf: Configuration)
+    opTimeUs: Long, hadoopConf: Configuration,
+    markerFromRow: Boolean = false)
   extends DeltaWriter[InternalRow] {
 
   private val keyOrd = fileSchema.fieldIndex(TableSchema.KeyName)
@@ -269,6 +246,13 @@ private final class AzofDeltaRowWriter(
     }.toArray
   // the row id projection is exactly rowId() = (key)
   private val idKeyOrd = 0
+
+  // incoming-row marker ordinal (streaming-sink mode only; -1 = the
+  // stream carries no marker column and every row is a data row)
+  private val rowMarkerOrd: Int =
+    if (!markerFromRow) -1
+    else rowSchema.fieldNames.indexWhere(
+      _.equalsIgnoreCase(TableSchema.DeletedName))
 
   private var writer: ParquetWriter[InternalRow] = _
   private var rows = 0L
@@ -369,11 +353,16 @@ private final class AzofDeltaRowWriter(
     // nothing commits)
     if (out.isNullAt(keyOrd) || out.isNullAt(tsOrd))
       throw new IllegalArgumentException(
-        "azof DML row with NULL " +
+        "azof delta row with NULL " +
           (if (out.isNullAt(keyOrd)) TableSchema.KeyName
           else TableSchema.EventTimeName) +
-          ": every inserted/updated row needs a key and an event_time")
-    out.update(markerOrd, null)
+          ": every written row needs a key and an event_time")
+    val marker: Any =
+      if (rowMarkerOrd >= 0 && !row.isNullAt(rowMarkerOrd) &&
+        row.getBoolean(rowMarkerOrd)) true
+      else null
+    out.update(markerOrd, marker)
+    if (marker != null) anyTombstone = true
     track(out.getUTF8String(keyOrd), out.getLong(tsOrd))
     trackValues(out)
     writer.write(out)
@@ -439,5 +428,66 @@ private object AzofDeltaRowWriter {
     override def self(): Builder = this
     override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
       new ParquetWriteSupport
+  }
+}
+
+/** Shared plumbing for task-landed delta files — one aligned physical
+  * file schema, one message→Delta mapping, one abort cleanup. Used by
+  * the SQL DML write path above and the native streaming sink
+  * ([[AzofStreamingWrite]]).
+  */
+private[sources] object AzofDeltaFiles {
+
+  /** Aligned (file schema, logical column names) for a task-landed
+    * delta file. Value columns are written nullable regardless of
+    * declaration: tombstone rows carry NULL values (same relaxation
+    * commitDelete's lit(null) frame gets), and parquet-mr silently
+    * corrupts a file handed a null for a `required` field. Files store
+    * PHYSICAL names (renames are metadata-only); the aligned logical
+    * names drive the row-schema lookup task-side.
+    */
+  def aligned(tschema: TableSchema): (StructType, Array[String]) = {
+    val fileSchema = StructType(
+      tschema.physicalStruct.fields.map { f =>
+        if (f.name == TableSchema.KeyName ||
+          f.name == TableSchema.EventTimeName) f
+        else f.copy(nullable = true)
+      })
+      .add(StructField(TableSchema.DeletedName, BooleanType, nullable = true))
+    val logicalNames: Array[String] =
+      (Seq(TableSchema.KeyName, TableSchema.EventTimeName) ++
+        tschema.columns.map(_.name)).toArray
+    (fileSchema, logicalNames)
+  }
+
+  /** One landed file's commit message as the [[graft.format.Delta]] the
+    * snapshot registers — self-measured key range, value ranges, row
+    * count, event-time window, tombstone flag.
+    */
+  def asDelta(m: AzofDeltaFileMessage): graft.format.Delta =
+    graft.format.Delta(
+      m.file,
+      Instant.ofEpochMilli(Math.floorDiv(m.minTsUs, 1000L)),
+      Instant.ofEpochMilli(Math.floorDiv(m.maxTsUs, 1000L)),
+      Some(FileStats(m.minKey, m.maxKey, None,
+        m.colRanges.map { case (n, (lo, hi)) =>
+          n -> graft.format.ColRange(lo, hi) },
+        rows = Some(m.rows))),
+      tombstone = m.hasTombstone)
+
+  /** Best-effort delete of landed-but-unregistered files (an aborted or
+    * replayed write); anything left over is vacuum's ordinary
+    * unreferenced-bytes case.
+    */
+  def deleteLanded(tableDir: String, conf: Configuration,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(conf)
+    messages.foreach {
+      case m: AzofDeltaFileMessage if m.file != null =>
+        try { fs.delete(new Path(dir, m.file), false); () }
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
   }
 }

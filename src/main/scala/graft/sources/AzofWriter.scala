@@ -421,17 +421,37 @@ object AzofWriter {
       name: String,
       deltas: Seq[Delta],
       op: String,
-      validate: Option[DmlConflictCheck] = None): Unit = {
+      validate: Option[DmlConflictCheck] = None,
+      streamBatch: Option[(String, Long)] = None): Boolean = {
     require(deltas.nonEmpty, "commitLandedDeltas with no files")
     val table = AzofTable(spark, lakehousePath, name)
-    commitMeta(spark, table.tableDir.toString) { (snap, v) =>
-      validate.foreach(chk => validateNoConflicts(table, chk, v))
-      val segs = mapOpenRoot(snap.segments)(s =>
-        s.copy(delta = s.delta ++ deltas.map(_.copy(seq = Some(v)))))
-      snap.copy(segments = segs, op = Some(op))
-    }
-    ()
+    try {
+      commitMeta(spark, table.tableDir.toString) { (snap, v) =>
+        // streaming replay guard, checked INSIDE the optimistic retry
+        // against the exact commit base: a replayed micro-batch (crash
+        // between sink commit and checkpoint advance — or a zombie
+        // duplicate of the same query) can never double-register, even
+        // racing its own successor
+        streamBatch.foreach { case (app, b) =>
+          if (snap.streamBatches.get(app).exists(_ >= b))
+            throw new ReplayedStreamBatch
+        }
+        validate.foreach(chk => validateNoConflicts(table, chk, v))
+        val segs = mapOpenRoot(snap.segments)(s =>
+          s.copy(delta = s.delta ++ deltas.map(_.copy(seq = Some(v)))))
+        snap.copy(segments = segs, op = Some(op),
+          streamBatches = snap.streamBatches ++ streamBatch)
+      }
+      true
+    } catch { case _: ReplayedStreamBatch => false }
   }
+
+  /** Control flow only: signals [[commitLandedDeltas]] that the batch it
+    * is committing already landed (its id is at or below the appId's
+    * stamp in the commit-base snapshot).
+    */
+  private final class ReplayedStreamBatch
+    extends Exception(null, null, false, false)
 
   /** Every (file → key stats) referenced anywhere in a snapshot tree —
     * base files and deltas alike, so a conflicting concurrent

@@ -73,6 +73,50 @@ object AzofMirror {
       .start()
   }
 
+  /** Replication through the NATIVE DSv2 streaming sink
+    * (`writeStream.toTable`, [[graft.sources.AzofStreamingWrite]])
+    * instead of [[replicate]]'s `foreachBatch` wiring: the commit-exact
+    * feed's upserts and tombstones land via the task-parallel
+    * landed-file path, exactly once on the sink's own
+    * (query id, epoch) replay index — no checkpoint-derived appId
+    * plumbing. Functionally ≡ [[replicate]] (same feed, same
+    * mixed-delta semantics); the sink validates the stream's schema
+    * against the target, so a target carrying columns the source lacks
+    * refuses loudly instead of inventing nulls.
+    */
+  def replicateNative(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      dstLake: String, dstTable: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxVersionsPerBatch: Option[Long] = None): StreamingQuery = {
+    reconcileSchema(spark, srcLake, srcTable, dstLake, dstTable)
+    // toTable needs a catalog identifier: register one per target lake
+    // (deterministic name, idempotent re-registration)
+    val cat = "azsink_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dstLake.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.AzofCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dstLake)
+    val reader = spark.readStream.format("azof-commits")
+      .option("table", srcTable)
+    val bounded = maxVersionsPerBatch
+      .fold(reader)(n => reader.option("maxVersionsPerBatch", n.toString))
+    bounded.load(srcLake)
+      // feed `_deleted` (always present, false for upserts) becomes the
+      // sink's per-row tombstone marker; the sink maps columns by NAME
+      .withColumn(TableSchema.DeletedName,
+        when(col("_deleted"), lit(true)))
+      .drop("_commit_version", "_deleted")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .toTable(s"$cat.$dstTable")
+  }
+
   /** Start-time schema reconciliation: commit an `add-column` on the
     * target for every source column it lacks. Column ORDER may differ
     * between source and mirror after evolution (each table appends in

@@ -95,6 +95,57 @@ class AzofMirrorSpec extends AnyFunSuite {
     assert(all.count(_._3) == 2)
   }
 
+  test("native-sink mirror (writeStream.toTable) ≡ foreachBatch mirror " +
+    "across upserts, deletes, restarts") {
+    val src = Files.createTempDirectory("azof-nmir-src").toString
+    val dst = Files.createTempDirectory("azof-nmir-dst").toString
+    val ck = Files.createTempDirectory("azof-nmir-ck").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, src, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+    AzofWriter.commitDelta(spark, src, "t",
+      df(("1", "2024-02-05T00:00:00Z", "a2")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    AzofWriter.commitDelete(spark, src, "t", Seq("2"),
+      ts("2024-03-01T00:00:00Z"))                                    // v4
+
+    def sync(): Unit = {
+      val q = AzofMirror.replicateNative(spark, src, "t", dst, "m", ck)
+      q.awaitTermination(120000)
+      ()
+    }
+    sync()
+    assert(scanSorted(dst, "m") == Seq("1" -> "a2"),
+      "native mirror Current: upsert applied, deleted key suppressed")
+    assert(scanSorted(dst, "m") == scanSorted(src, "t"))
+    assert(scanSorted(dst, "m", AsOf.EventTime(ts("2024-02-10T00:00:00Z"))) ==
+      scanSorted(src, "t", AsOf.EventTime(ts("2024-02-10T00:00:00Z"))))
+
+    // idle re-sync commits nothing (the sink's replay guard + an
+    // exhausted feed)
+    val vBefore = AzofTable(spark, dst, "m").currentVersion
+    sync()
+    assert(AzofTable(spark, dst, "m").currentVersion == vBefore)
+
+    // restart from the same checkpoint picks up new commits only —
+    // including a re-insert of the tombstoned key
+    AzofWriter.commitDelta(spark, src, "t",
+      df(("2", "2024-03-10T00:00:00Z", "b-back")),
+      ts("2024-03-05T00:00:00Z"), ts("2024-03-15T00:00:00Z"))        // v5
+    sync()
+    assert(scanSorted(dst, "m") == Seq("1" -> "a2", "2" -> "b-back"))
+    assert(scanSorted(dst, "m") == scanSorted(src, "t"))
+    // exactly-once: no duplicate rows in the mirror's own change feed
+    val all = AzofChangeFeed.since(spark, dst, "m", 1L)
+      .select("key", "value", "_deleted").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(2)))
+      .toSeq
+    assert(all.size == all.distinct.size, s"duplicate mirrored rows: $all")
+    assert(all.count(_._3) == 1, "the delete arrived as a tombstone")
+  }
+
   test("source compaction mid-mirror delivers nothing; post-compaction commits still flow") {
     val src = Files.createTempDirectory("azof-mirror3-src").toString
     val dst = Files.createTempDirectory("azof-mirror3-dst").toString
