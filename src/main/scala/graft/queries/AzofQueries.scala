@@ -22,6 +22,7 @@ object AzofQueries {
     "q18_azof_roundtrip" -> roundtrip,
     "q32_key_lookup" -> keyLookup,
     "q33_sql_insert" -> sqlInsert,
+    "q46_sql_ctas" -> sqlCtas,
     "q34_bykey_lookup" -> byKeyLookup,
     "q40_sql_merge" -> sqlMerge,
     "q41_value_skip" -> valueSkip,
@@ -331,6 +332,40 @@ object AzofQueries {
       classOf[graft.sources.AzofCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.path", lake)
     s.sql(s"SELECT key, event_time, event_type FROM $cat.events_sql")
+  }
+
+  /** Atomic CTAS under the oracle gate
+    * ([[graft.sources.AzofCatalog.stageCreate]]): the whole events
+    * corpus lands through `CREATE TABLE ... USING azof AS SELECT` — the
+    * table materializes in a staging directory and publishes by one
+    * rename, so no reader can observe a half-written CTAS — and the
+    * published table's Current scan must be the latest-row-per-key view
+    * over exactly the selected rows.
+    */
+  private def sqlCtas(s: SparkSession, dir: String): DataFrame = {
+    val key = dirKey(dir)
+    val cat = s"azctas_$key"
+    // inPlace: the registered catalog must point at the FINAL path
+    // before the CTAS statement runs against it
+    val lake = cachedLake(dir, "ctas-v1", "events_ctas", inPlace = true) { l =>
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.AzofCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", l)
+      Tables(s, dir, "events").createOrReplaceTempView(s"ev_ctas_src_$key")
+      s.sql(
+        s"""CREATE TABLE $cat.events_ctas
+            USING azof TBLPROPERTIES ('start'='2024-01-01T00:00:00Z')
+            AS SELECT CAST(user_id AS STRING) AS key,
+                      date_trunc('millisecond', ts) AS event_time,
+                      event_type
+               FROM ev_ctas_src_$key""")
+      ()
+    }
+    // idempotent re-registration covers the cache-hit path
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.AzofCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.path", lake)
+    s.sql(s"SELECT key, event_time, event_type FROM $cat.events_ctas")
   }
 
   /** SQL `MERGE INTO` through the row-level DML path
@@ -711,6 +746,15 @@ object AzofQueries {
                  ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
                FROM events
                WHERE date_trunc('milliseconds', ts) < TIMESTAMP '2024-01-10 00:00:00')
+         WHERE rn = 1""",
+    // the atomically-CTAS'd table holds the whole ms-truncated corpus;
+    // its Current scan is latest-row-per-key over all of it
+    "q46_sql_ctas" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+         date_trunc('milliseconds', ts) AS event_time, event_type
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+               FROM events)
          WHERE rn = 1""",
     // winners over ALL events whose newest row is a purchase — the
     // predicate applies to the WINNER, never to older rows

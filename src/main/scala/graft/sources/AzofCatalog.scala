@@ -40,6 +40,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DDL path would bypass.
   */
 class AzofCatalog extends TableCatalog
+  with StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var lakehousePath: String = _
@@ -84,6 +85,7 @@ class AzofCatalog extends TableCatalog
     if (!fs.exists(root)) Array.empty
     else fs.listStatus(root)
       .filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith(".") && // in-flight CTAS staging dirs
         fs.exists(new Path(s.getPath, "version.txt")))
       .map(s => Identifier.of(namespace, s.getPath.getName))
   }
@@ -158,6 +160,58 @@ class AzofCatalog extends TableCatalog
       ident.name, AzofCatalog.toAzofSchema(schema), start)
     loadTable(ident)
   }
+
+  /** ATOMIC `CREATE TABLE ... USING azof AS SELECT ...`: the table is
+    * created under a dot-prefixed staging directory (invisible to
+    * `listTables`/`tableExists`, so no reader observes a half-written
+    * CTAS), the SELECT lands through the ordinary partitioned insert
+    * path, and publish is ONE directory rename — snapshot documents
+    * reference data files by name relative to the table directory, so
+    * the rename moves the whole consistent table or nothing. A failed
+    * query aborts by deleting the staging directory; the final name is
+    * never created, instead of the non-atomic empty-table-then-
+    * undroppable residue (azof's `dropTable` refuses by design).
+    *
+    * REPLACE TABLE (and CREATE OR REPLACE) stay refused: replace
+    * semantically erases a table's version history, which an
+    * append-only format must not do — the supported spellings are
+    * rollback (append-only restore) or a new CTAS name.
+    */
+  override def stageCreate(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable = {
+    require(partitions.isEmpty,
+      "azof tables have no partition transforms: files partition by " +
+        "event-time segments/deltas (and carry key stats for skipping)")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val start = Option(properties.get("start"))
+      .map(AzofDataSource.parseInstant).getOrElse(Instant.EPOCH)
+    val stageName =
+      s".stage-${java.util.UUID.randomUUID().toString.take(8)}-${ident.name}"
+    val parent = tableDir(ident).getParent.toString
+    AzofWriter.createTable(spark, parent, stageName,
+      AzofCatalog.toAzofSchema(schema), start)
+    new AzofStagedCreateTable(parent, stageName, ident)
+  }
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable =
+    throw new UnsupportedOperationException(
+      "azof tables are append-only with full version history: REPLACE " +
+        "TABLE would erase it — roll back to a version, or CTAS a new name")
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable =
+    if (tableExists(ident))
+      stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
 
   /** `ALTER TABLE lake.t ADD COLUMN c <type>` / `DROP COLUMN c` —
     * schema evolution through the commit protocol
@@ -271,7 +325,7 @@ object AzofCatalog {
   * writes (`INSERT INTO` / `df.writeTo(...).append()`) bridge through
   * `V1Write` into the partitioned commit protocol.
   */
-final class AzofV2Table(
+class AzofV2Table(
     lakehousePath: String, tableName: String,
     asOf: AsOf, version: Option[String])
   extends Table with SupportsRead with SupportsWrite
@@ -439,6 +493,70 @@ final class AzofV2Table(
             lakehousePath, tableName, info.queryId(), info.schema())
       }
     }
+  }
+}
+
+/** The in-flight table of an atomic CTAS ([[AzofCatalog.stageCreate]]):
+  * a full azof table under the dot-prefixed staging directory — the
+  * SELECT's rows land through the ordinary partitioned insert path —
+  * published by ONE directory rename (data files are snapshot-relative,
+  * so the table moves consistent-or-not-at-all) and aborted by deleting
+  * the staging directory. A concurrent CREATE that wins the name makes
+  * publish clean up and fail with the standard already-exists error.
+  */
+private final class AzofStagedCreateTable(
+    parentLake: String, stageName: String, finalIdent: Identifier)
+  extends AzofV2Table(parentLake, stageName, AsOf.Current, None)
+  with StagedTable {
+
+  override def name(): String = finalIdent.name
+
+  // CREATE OR REPLACE on a missing name plans as truncate-then-append on
+  // the staged table; truncating a brand-new EMPTY staging table is the
+  // identity, so the staged view (and only it) accepts truncate
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.copyOf(super.capabilities())
+    caps.add(TableCapability.TRUNCATE)
+    caps
+  }
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this // staging dir is empty
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              AzofCatalog.append(parentLake, stageName, data)
+          }
+      }
+    }
+
+  private def fsAndPaths = {
+    val stage = new Path(parentLake, stageName)
+    val dest = new Path(parentLake, finalIdent.name)
+    (stage.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf()), stage, dest)
+  }
+
+  override def commitStagedChanges(): Unit = {
+    val (fs, stage, dest) = fsAndPaths
+    // exists-check first: Hadoop rename onto an existing directory is
+    // move-INTO on some filesystems — never silently nest the table
+    if (fs.exists(dest) || !fs.rename(stage, dest)) {
+      fs.delete(stage, true)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (finalIdent.namespace() :+ finalIdent.name()).toSeq)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val (fs, stage, _) = fsAndPaths
+    fs.delete(stage, true)
+    ()
   }
 }
 
