@@ -53,6 +53,7 @@ object AzofCli {
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
           "commit-partitioned|add-column|drop-column|rename-column|analyze|" +
           "compact|delete|purge|changes|vacuum|tag|untag|refs|rollback|" +
+          "branch|drop-branch|fast-forward|" +
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
           "pq-create|pq-refresh|pq-search|export|" +
           "dedup-create|dedup-ingest|dedup-follow|dedup-rebuild|" +
@@ -111,11 +112,22 @@ object AzofCli {
         graft.sources.AzofWriter.commitBase(spark, opts("path"), opts("table"), df)
         println(s"committed base; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
       case "commit-delta" =>
+        // --branch B lands the delta on a branch lineage (version.txt
+        // and main readers unaffected until fast-forward)
         val table = AzofTable(spark, opts("path"), opts("table"))
         val df = CsvGen.readCsv(spark, table.currentSnapshot.schema, opts("source"))
+        val br = opts.get("branch")
         graft.sources.AzofWriter.commitDelta(spark, opts("path"), opts("table"),
-          df, Instant.parse(opts("start")), Instant.parse(opts("end")))
-        println(s"committed delta; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+          df, Instant.parse(opts("start")), Instant.parse(opts("end")),
+          branch = br)
+        println(br match {
+          case Some(b) =>
+            s"committed delta on branch '$b'; head now " +
+              AzofTable(spark, opts("path"), opts("table"))
+                .branchHead(b).getOrElse(-1L)
+          case None =>
+            s"committed delta; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}"
+        })
       case "commit-partitioned" =>
         val table = AzofTable(spark, opts("path"), opts("table"))
         val df = CsvGen.readCsv(spark, table.currentSnapshot.schema, opts("source"))
@@ -175,11 +187,32 @@ object AzofCli {
           opts("table"), opts("name"))
         println(s"removed tag '${opts("name")}'; version now $v")
       case "refs" =>
-        // list named version refs of the current snapshot
+        // list named version refs (tags + branches) of the table
         val t = AzofTable(spark, opts("path"), opts("table"))
         val refs = t.currentSnapshot.refs.toSeq.sortBy(_._1)
-        if (refs.isEmpty) println("no tags")
-        else refs.foreach { case (n, v) => println(s"$n\t$v") }
+        val branches = t.listBranches.sorted
+          .map(b => b -> t.branchHead(b).getOrElse(-1L))
+        if (refs.isEmpty && branches.isEmpty) println("no tags or branches")
+        else {
+          refs.foreach { case (n, v) => println(s"tag\t$n\t$v") }
+          branches.foreach { case (n, v) => println(s"branch\t$n\t$v") }
+        }
+      case "branch" =>
+        // fork a write lineage: branch --path L --table T --name audit
+        //   [--version N]  (default: fork at the current main head)
+        val at = graft.sources.AzofWriter.createBranch(spark, opts("path"),
+          opts("table"), opts("name"), opts.get("version").map(_.toLong))
+        println(s"created branch '${opts("name")}' at version $at")
+      case "drop-branch" =>
+        graft.sources.AzofWriter.dropBranch(spark, opts("path"),
+          opts("table"), opts("name"))
+        println(s"dropped branch '${opts("name")}'")
+      case "fast-forward" =>
+        // publish a branch: fast-forward --path L --table T --branch audit
+        val v = graft.sources.AzofWriter.fastForward(spark, opts("path"),
+          opts("table"), opts("branch"))
+        println(s"fast-forwarded main to branch '${opts("branch")}'; " +
+          s"version now $v")
       case "rollback" =>
         // append-only restore: rollback --path L --table T --to <N|tag>
         val to = opts("to").toLongOption.getOrElse(

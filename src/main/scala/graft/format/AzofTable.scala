@@ -73,14 +73,67 @@ final class AzofTable(val tableDir: Path, conf: Configuration) {
     if (t.nonEmpty && t.forall(_.isDigit)) t
     else currentSnapshot.refs.get(t) match {
       case Some(v) => v.toString
-      case None =>
-        val known = currentSnapshot.refs.keys.toSeq.sorted
-        throw new IllegalArgumentException(
-          s"azof table $tableDir has no version tag '$t'" +
-            (if (known.isEmpty) " (no tags exist; create one with tagVersion / CALL system.tag)"
-             else s"; known tags: ${known.mkString(", ")}"))
+      case None => branchHead(t) match {
+        case Some(v) => v.toString
+        case None =>
+          val known = currentSnapshot.refs.keys.toSeq.sorted
+          val branches = listBranches
+          throw new IllegalArgumentException(
+            s"azof table $tableDir has no version tag or branch '$t'" +
+              (if (known.isEmpty && branches.isEmpty)
+                 " (none exist; create one with tagVersion / " +
+                   "createBranch / CALL system.{tag,create_branch})"
+               else (if (known.nonEmpty)
+                       s"; known tags: ${known.mkString(", ")}" else "") +
+                 (if (branches.nonEmpty)
+                    s"; known branches: ${branches.sorted.mkString(", ")}"
+                  else "")))
+      }
     }
   }
+
+  /** Head version of branch `name`, or None if no such branch. The
+    * pointer file (`branch-<name>.txt`) is a lag-tolerant cache exactly
+    * like `version.txt`: a branch commit lands its snapshot document
+    * FIRST and bumps the pointer second, so a crash between the two
+    * leaves the head behind by one (or more). Recovery walks FORWARD
+    * from the pointer adopting only documents that chain onto the
+    * candidate head via `parent` with the same `branch` tag — a foreign
+    * doc, a same-named doc from a dropped-and-recreated branch, or an
+    * unrelated main commit never advances the head.
+    */
+  def branchHead(name: String): Option[Long] = {
+    val p = new Path(tableDir, AzofTable.branchFile(name))
+    if (!fs.exists(p)) None
+    else {
+      var head = readUtf8(p).trim.toLong
+      val ids = AzofTable.snapshotIdsOnDisk(fs, tableDir).filter(_ > head)
+      var advanced = true
+      while (advanced) {
+        advanced = false
+        ids.find { id =>
+          id > head && (classifySnapshot(id.toString) match {
+            case SnapshotCodec.DocClass.Valid(s) =>
+              s.branch.contains(name) && s.parent.contains(head)
+            case _ => false
+          })
+        } match {
+          case Some(id) => head = id; advanced = true
+          case None => ()
+        }
+      }
+      Some(head)
+    }
+  }
+
+  /** Names of every branch with a live pointer file. */
+  def listBranches: Seq[String] =
+    if (!fs.exists(tableDir)) Seq.empty
+    else fs.listStatus(tableDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("branch-") && n.endsWith(".txt") =>
+        n.stripPrefix("branch-").stripSuffix(".txt")
+      }
 
   /** Read + classify `s{id}.json` ([[SnapshotCodec.classify]]). Read
     * failures (missing file, transient store errors) propagate as
@@ -111,6 +164,9 @@ object AzofTable {
     * (parseability of the documents is NOT checked here; callers that
     * care classify via [[SnapshotCodec.classify]]).
     */
+  /** Pointer-file name for branch `name` (sibling of `version.txt`). */
+  def branchFile(name: String): String = s"branch-$name.txt"
+
   def snapshotIdsOnDisk(fs: FileSystem, tableDir: Path): Seq[Long] =
     fs.listStatus(tableDir).toSeq
       .map(_.getPath.getName)

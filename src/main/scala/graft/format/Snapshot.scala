@@ -233,7 +233,16 @@ final case class Segment(
   * `streamBatches`, so `VERSION AS OF 'name'` resolves with one lookup
   * on the current snapshot and vacuum can retain exactly the tagged
   * documents. Tag names never parse as longs (the tagging API refuses),
-  * so a ref can never shadow a numeric version. All four serialize as
+  * so a ref can never shadow a numeric version.
+  * `branch` names the write lineage this commit belongs to (None =
+  * main): branch commits share the table's global snapshot numbering
+  * but never advance `version.txt`, so main readers — including a
+  * reference reader — are blind to them until a fast-forward publishes
+  * the branch head as a main commit (the write-audit-publish flow).
+  * `parent` is the snapshot version this commit's TREE was built on
+  * (its lineage predecessor): fast-forward walks it to prove the main
+  * head never advanced past the fork, and vacuum walks it to retain
+  * live branch lineages. All six serialize as
   * extra JSON fields, which the reference's serde parser ignores (no
   * deny_unknown_fields) — format compatibility holds.
   */
@@ -243,7 +252,9 @@ final case class Snapshot(
     op: Option[String] = None,
     streamBatches: Map[String, Long] = Map.empty,
     retired: Seq[String] = Seq.empty,
-    refs: Map[String, Long] = Map.empty) {
+    refs: Map[String, Long] = Map.empty,
+    branch: Option[String] = None,
+    parent: Option[Long] = None) {
   def dataFiles(asOf: AsOf): Seq[String] = segments.flatMap(_.dataFiles(asOf))
 
   /** [[dataFiles]] with per-file key stats for data skipping. */

@@ -101,7 +101,14 @@ object SnapshotCodec {
         .filter(e => e.getValue.isIntegralNumber && e.getValue.canConvertToLong)
         .map(e => e.getKey -> e.getValue.asLong()).toMap)
       .getOrElse(Map.empty[String, Long])
-    Snapshot(schema, segments, optText(root, "op"), batches, retired, refs)
+    // branch lineage tag + tree-parent version: a non-integral parent
+    // degrades away (same contract as refs) — the doc stays readable,
+    // only lineage walks lose the link and fail loudly where they need it
+    val parent = Option(root.get("parent"))
+      .filter(n => n.isIntegralNumber && n.canConvertToLong)
+      .map(_.asLong())
+    Snapshot(schema, segments, optText(root, "op"), batches, retired, refs,
+      optText(root, "branch"), parent)
   }
 
   private def arr(n: JsonNode): Seq[JsonNode] =
@@ -231,6 +238,8 @@ object SnapshotCodec {
       val fn = root.putObject("refs")
       s.refs.toSeq.sortBy(_._1).foreach { case (k, v) => fn.put(k, v) }
     }
+    s.branch.foreach(b => root.put("branch", b))
+    s.parent.foreach(p => root.put("parent", p))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 

@@ -114,13 +114,42 @@ class AzofCatalog extends TableCatalog
       else None
     } else None
 
-  override def loadTable(ident: Identifier): Table =
-    metadataTable(ident, None).getOrElse(load(ident, AsOf.Current, None))
+  /** `cat.t.branch_<name>` — a BRANCH view: reads pin the branch's head
+    * snapshot (resolved at load), `INSERT INTO` appends to the branch
+    * lineage. A REAL table always wins the name, same contract as the
+    * metadata views. Row-level DML and streaming writes on branch views
+    * are refused (branch writes are appends; publish via fast_forward).
+    */
+  private def branchTable(ident: Identifier): Option[Table] =
+    if (!tableExists(ident) && ident.namespace.nonEmpty &&
+      ident.name.startsWith("branch_")) {
+      val bname = ident.name.stripPrefix("branch_")
+      val parent = Identifier.of(
+        ident.namespace.dropRight(1), ident.namespace.last)
+      if (bname.nonEmpty && tableExists(parent)) {
+        val parentLake = tableDir(parent).getParent.toString
+        val t = graft.format.AzofTable(spark, parentLake, parent.name)
+        t.branchHead(bname).map(head =>
+          new AzofV2Table(parentLake, parent.name, AsOf.Current,
+            Some(head.toString), branchLineage = Some(bname)))
+      } else None
+    } else None
 
-  /** Spark's native `VERSION AS OF n` (or a named tag). */
-  override def loadTable(ident: Identifier, version: String): Table =
+  override def loadTable(ident: Identifier): Table =
+    metadataTable(ident, None)
+      .orElse(branchTable(ident))
+      .getOrElse(load(ident, AsOf.Current, None))
+
+  /** Spark's native `VERSION AS OF n` (or a named tag / branch). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (branchTable(ident).isDefined)
+      throw new UnsupportedOperationException(
+        s"branch view ${ident.name} is already a pinned lineage head — " +
+          "pin versions on the table itself (VERSION AS OF resolves " +
+          "branch names too)")
     metadataTable(ident, Some(version)).getOrElse(
       load(ident, AsOf.Current, Some(version)))
+  }
 
   /** Spark's native `TIMESTAMP AS OF ts` — micros since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
@@ -131,6 +160,10 @@ class AzofCatalog extends TableCatalog
       throw new UnsupportedOperationException(
         s"metadata view ${ident.name} pins by VERSION AS OF <n|'tag'>, " +
           "not TIMESTAMP AS OF (event time does not select a snapshot)")
+    if (branchTable(ident).isDefined)
+      throw new UnsupportedOperationException(
+        s"branch view ${ident.name} reads its lineage head — event-time " +
+          "travel runs on the table itself")
     load(ident, AsOf.EventTime(Instant.ofEpochSecond(
       Math.floorDiv(timestamp, 1000000L),
       Math.floorMod(timestamp, 1000000L) * 1000L)), None)
@@ -295,7 +328,8 @@ object AzofCatalog {
     * semantics.
     */
   private[sources] def append(
-      lakehousePath: String, tableName: String, data: DataFrame): Unit = {
+      lakehousePath: String, tableName: String, data: DataFrame,
+      branch: Option[String] = None): Unit = {
     val spark = data.sparkSession
     val rows = data.persist()
     try {
@@ -315,7 +349,8 @@ object AzofCatalog {
       AzofWriter.commitPartitioned(spark, lakehousePath, tableName, rows,
         numFiles,
         byKey = spark.conf.getOption("spark.azof.insert.byKey")
-          .exists(_.toBoolean))
+          .exists(_.toBoolean),
+        branch = branch)
     } finally { rows.unpersist(); () }
   }
 }
@@ -327,7 +362,8 @@ object AzofCatalog {
   */
 class AzofV2Table(
     lakehousePath: String, tableName: String,
-    asOf: AsOf, version: Option[String])
+    asOf: AsOf, version: Option[String],
+    branchLineage: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -362,6 +398,7 @@ class AzofV2Table(
       snap.op.foreach(m.put("op", _))
       m.put("data_files", snap.allFiles.size.toString)
       m.put("tags", snap.refs.size.toString)
+      branchLineage.foreach(m.put("branch", _))
       asOf match {
         case AsOf.EventTime(ts) => m.put("as_of", ts.toString); ()
         case _ => ()
@@ -404,12 +441,18 @@ class AzofV2Table(
     */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    asOf == AsOf.Current && version.isEmpty && filters.nonEmpty &&
+    asOf == AsOf.Current && version.isEmpty && branchLineage.isEmpty &&
+      filters.nonEmpty &&
       (AzofV2Table.deletableKeys(filters).isDefined ||
         filters.forall(f => AzofV2Table.filterToColumn(f).isDefined))
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (branchLineage.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"DELETE on branch view $tableName.branch_${branchLineage.get} " +
+          "is not supported — branch writes are appends; publish via " +
+          "CALL system.fast_forward, then delete on the table")
     if (asOf != AsOf.Current || version.nonEmpty)
       throw new UnsupportedOperationException(
         s"cannot DELETE from a time-travel view of azof table $tableName")
@@ -457,6 +500,12 @@ class AzofV2Table(
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (branchLineage.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"row-level DML on branch view $tableName.branch_" +
+          s"${branchLineage.get} is not supported — branch writes are " +
+          "appends; publish via CALL system.fast_forward, then run DML " +
+          "on the table")
     if (asOf != AsOf.Current || version.nonEmpty)
       throw new UnsupportedOperationException(
         s"cannot run row-level DML on a time-travel view of azof table " +
@@ -466,10 +515,17 @@ class AzofV2Table(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // a loaded time-travel view is a historical read surface, never a
-    // write target — appends go to the table's current head
-    if (asOf != AsOf.Current || version.nonEmpty)
+    // write target — appends go to the table's current head. A BRANCH
+    // view carries a version pin for its reads but IS writable: appends
+    // land on the branch lineage.
+    if (asOf != AsOf.Current || (version.nonEmpty && branchLineage.isEmpty))
       throw new UnsupportedOperationException(
         s"cannot write to a time-travel view of azof table $tableName")
+    if (branchLineage.nonEmpty && info.schema() != null &&
+      info.schema().fieldNames.contains(TableSchema.DeletedName))
+      throw new UnsupportedOperationException(
+        s"tombstone-marker writes to branch view $tableName." +
+          s"branch_${branchLineage.get} are not supported")
     // SupportsStreamingUpdateAsAppend: exact for a merge-on-read format
     // (an updated row is the key's new version, the per-key merge serves
     // it) — streaming aggregations sink in outputMode("update"); see
@@ -484,13 +540,19 @@ class AzofV2Table(
               if (overwrite) throw new UnsupportedOperationException(
                 "azof is append-only: INSERT OVERWRITE is not supported " +
                   "(rewrite via compaction, expire via vacuum)")
-              AzofCatalog.append(lakehousePath, tableName, data)
+              AzofCatalog.append(lakehousePath, tableName, data, branchLineage)
             }
           }
         override def toStreaming
-            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          if (branchLineage.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"streaming writes to branch view $tableName." +
+                s"branch_${branchLineage.get} are not supported — sink to " +
+                "the table, or batch-INSERT INTO the branch")
           new AzofStreamingWrite(
             lakehousePath, tableName, info.queryId(), info.schema())
+        }
       }
     }
   }

@@ -34,12 +34,24 @@ object AzofChangeFeed {
     // fix removed, AzofVacuum.scala).
     val snaps: Map[Long, Snapshot] =
       (fromVersion to toVersion).map(v => v -> t.snapshot(v.toString)).toMap
-    val schema = snaps(toVersion).schema
+    // BRANCH commits share the version sequence but belong to another
+    // lineage: they are not main feed events (their rows surface at
+    // fast-forward publish time, when the FF commit's diff picks up the
+    // branch's files), so the walk below runs over MAIN documents only
+    // and diffs each against its main PREDECESSOR. Feed bounds are main
+    // versions by construction (offsets come from version.txt), pinned
+    // by the require below rather than silently mis-diffed.
+    val mains: Seq[Long] =
+      (fromVersion to toVersion).filter(v => snaps(v).branch.isEmpty)
+    require(mains.headOption.contains(fromVersion),
+      s"change feed base $fromVersion is a branch commit, not a main " +
+        "version — feed bounds must be main versions")
+    val schema = snaps(mains.last).schema
 
     // (file, committing version) for every data-adding commit in range;
     // the ROWS come from ONE parquet scan below.
     val fileVersions: Seq[(String, Long)] =
-      ((fromVersion + 1) to toVersion).flatMap { v =>
+      mains.zip(mains.tail).flatMap { case (prev, v) =>
         val snap = snaps(v)
         // compact REWRITES rows, purge REMOVES them, rollback
         // RE-REGISTERS old files whose rows this feed already delivered
@@ -47,10 +59,11 @@ object AzofChangeFeed {
         // names enter the feed. (A rollback DOES change the table's
         // current view without a feed event: downstream mirrors/indexes
         // of a rolled-back table need an epoch rebuild, the documented
-        // reconciliation contract — see AzofWriter.rollback.)
+        // reconciliation contract — see AzofWriter.rollback. Fast-
+        // forward DOES feed: the branch's files go live at publish.)
         if (snap.op.exists(o =>
           o == "compact" || o == "purge" || o == "rollback")) Seq.empty
-        else (snap.allFiles -- snaps(v - 1).allFiles).toSeq.sorted.map(_ -> v)
+        else (snap.allFiles -- snaps(prev).allFiles).toSeq.sorted.map(_ -> v)
       }
 
     // delete commits surface as rows tagged `_deleted = true` (values

@@ -41,7 +41,8 @@ object AzofProcedures {
     Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
       "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
       "contain_refresh", "shard_refresh", "seq_refresh",
-      "tag", "untag", "rollback")
+      "tag", "untag", "rollback",
+      "create_branch", "drop_branch", "fast_forward")
 
   def load(path: String, ident: Identifier): UnboundProcedure = {
     val name = ident.name.toLowerCase
@@ -138,6 +139,13 @@ object AzofProcedures {
         p("table", StringType),
         pd("to_version", LongType, "CAST(NULL AS BIGINT)"),
         pd("tag", StringType, "CAST(NULL AS STRING)"))
+      case "create_branch" => Array(
+        p("table", StringType), p("name", StringType),
+        pd("version", LongType, "CAST(NULL AS BIGINT)"))
+      case "drop_branch" => Array(
+        p("table", StringType), p("name", StringType))
+      case "fast_forward" => Array(
+        p("table", StringType), p("branch", StringType))
     }
 
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -327,6 +335,23 @@ object AzofProcedures {
             StructField("rolled_back_to", LongType),
             StructField("committed_at", LongType))),
             Seq(target, v))
+        case "create_branch" =>
+          val at = AzofWriter.createBranch(spark, path, str(0), str(1),
+            if (input.isNullAt(2)) None else Some(input.getLong(2)))
+          (StructType(Seq(
+            StructField("branch", StringType),
+            StructField("forked_at", LongType))),
+            Seq(str(1), at))
+        case "drop_branch" =>
+          AzofWriter.dropBranch(spark, path, str(0), str(1))
+          (StructType(Seq(StructField("dropped", StringType))),
+            Seq(str(1)))
+        case "fast_forward" =>
+          val v = AzofWriter.fastForward(spark, path, str(0), str(1))
+          (StructType(Seq(
+            StructField("branch", StringType),
+            StructField("published_at", LongType))),
+            Seq(str(1), v))
       }
       val row = new GenericInternalRow(out._2.map {
         case s: String => UTF8String.fromString(s)

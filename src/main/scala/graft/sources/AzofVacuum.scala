@@ -143,9 +143,42 @@ object AzofVacuum {
         t.filter(snapshotIds.contains)
       case _ => Set.empty
     }
+    // Live BRANCH lineages pin their documents the way tags do: for
+    // every branch pointer file, walk the head's parent chain down to
+    // its main fork — those ids (typically beyond version.txt, where
+    // the debris rule would otherwise expire them) stay. A dropped
+    // branch's documents fall out of this set and expire normally. A
+    // live head that is malformed or missing is refused loudly, the
+    // tag contract: expiring it would dangle the branch, retaining an
+    // unreadable doc would sweep the data files only it references.
+    val branchPinned: Set[Int] = t.listBranches.flatMap { b =>
+      val head = t.branchHead(b).getOrElse(
+        throw new IllegalStateException(
+          s"branch '$b' pointer names no resolvable head — refusing to " +
+            "vacuum; drop the branch or restore its documents, then re-run"))
+      require(!corrupt.contains(head.toInt) &&
+        snapshotIds.contains(head.toInt),
+        s"branch '$b' head s$head.json is unreadable or missing on disk " +
+          "— refusing to vacuum: expiring it would dangle the branch. " +
+          "Drop the branch or restore the document, then re-run")
+      var ids = List(head.toInt)
+      var cur = docs(head.toInt) match {
+        case SnapshotCodec.DocClass.Valid(s) => s
+        case _ => throw new IllegalStateException(
+          s"branch '$b' head s$head.json unreadable") // guarded above
+      }
+      while (cur.branch.nonEmpty && cur.parent.nonEmpty &&
+        docs.get(cur.parent.get.toInt)
+          .exists(_.isInstanceOf[SnapshotCodec.DocClass.Valid])) {
+        val p = cur.parent.get.toInt
+        ids ::= p
+        cur = docs(p).asInstanceOf[SnapshotCodec.DocClass.Valid].snapshot
+      }
+      ids
+    }.toSet
     val (retained, expiredAll) = snapshotIds.partition(id =>
       (id >= keepFrom && id <= current && !corrupt.contains(id)) ||
-        tagged.contains(id))
+        tagged.contains(id) || branchPinned.contains(id))
     val expired = expiredAll.filter(id => oldEnough(s"s$id.json"))
     require(retained.contains(current),
       s"current snapshot s$current.json is missing")

@@ -371,11 +371,12 @@ object AzofWriter {
       start: Instant,
       end: Instant,
       op: Option[String] = None,
-      streamBatch: Option[(String, Long)] = None): Unit = {
+      streamBatch: Option[(String, Long)] = None,
+      branch: Option[String] = None): Unit = {
     val hasMarker = df.columns.contains(TableSchema.DeletedName)
     val (dir, fileName, stats) =
       landCommitFile(spark, lakehousePath, name, df, "delta")
-    commitMeta(spark, dir) { (snap, v) =>
+    commitMeta(spark, dir, branch = branch) { (snap, v) =>
       val segs = mapOpenRoot(snap.segments)(s =>
         s.copy(delta = s.delta :+
           Delta(fileName, start, end, stats, tombstone = hasMarker,
@@ -478,7 +479,9 @@ object AzofWriter {
     var v = chk.readVersion + 1
     while (v < commitV) {
       table.classifySnapshot(v.toString) match {
-        case SnapshotCodec.DocClass.Valid(s) =>
+        // branch commits share the id sequence but never touch main's
+        // tree: they neither conflict nor participate in the file diff
+        case SnapshotCodec.DocClass.Valid(s) if s.branch.isEmpty =>
           val cur = filesWithKeyStats(s)
           if (!s.op.exists(rewriteOps.contains)) {
             val conflict = cur.collectFirst {
@@ -659,7 +662,8 @@ object AzofWriter {
       name: String,
       df: DataFrame,
       numFiles: Int,
-      byKey: Boolean = false): Unit = {
+      byKey: Boolean = false,
+      branch: Option[String] = None): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
     require(!df.columns.contains(TableSchema.DeletedName),
       s"commitPartitioned drops columns outside the declared schema — " +
@@ -667,7 +671,11 @@ object AzofWriter {
         "commitDelta (mixed) or commitDelete (pure tombstones) instead")
     val table = AzofTable(spark, lakehousePath, name)
     val nextId = (table.currentVersion.toLong + 1).toString
-    val snap = table.currentSnapshot
+    // schema from the target LINEAGE's head (branch schema evolution is
+    // refused, so this equals main's — resolved here for the day it isn't)
+    val snap = branch.flatMap(b => table.branchHead(b))
+      .map(h => table.snapshot(h.toString))
+      .getOrElse(table.currentSnapshot)
     val dir = table.tableDir
     val ordered = toPhysical(snap.schema, df)
     val deltas = writePartitionedFiles(spark, dir, ordered, numFiles,
@@ -678,7 +686,7 @@ object AzofWriter {
     // version conflict here retries the (cheap) metadata step against
     // the fresh snapshot instead of orphaning the whole distributed
     // write (files are uniquely named, so only this step needs redoing).
-    commitMeta(spark, dir.toString) { (cur, v) =>
+    commitMeta(spark, dir.toString, branch = branch) { (cur, v) =>
       cur.copy(
         segments = mapOpenRoot(cur.segments)(s =>
           s.copy(delta = s.delta ++ deltas.map(_.copy(seq = Some(v))))),
@@ -1506,6 +1514,154 @@ object AzofWriter {
     }
   }
 
+  /** Create a BRANCH — a named write lineage forked at `version`
+    * (default: the current main head). Unlike a tag (immutable pin), a
+    * branch ADVANCES: `commitBase`/`commitDelta`/`commitPartitioned`
+    * with `branch = Some(name)` land snapshots in the shared id
+    * sequence that never touch `version.txt`, so main readers
+    * (including a reference reader) are blind to the branch until
+    * [[fastForward]] publishes its head — the write-audit-publish flow.
+    * The branch head lives in `branch-<name>.txt` beside `version.txt`,
+    * created atomically (create-if-absent through the commit guard, so
+    * two racing creates serialize and the loser fails loudly).
+    *
+    * Branch names share `VERSION AS OF` resolution with tags (tags win),
+    * so creating a branch under an existing tag's name is refused.
+    */
+  def createBranch(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      branchName: String,
+      version: Option[Long] = None): Long = {
+    validateTagName(branchName)
+    require(branchName != "main", "'main' is the default lineage itself")
+    require(!branchName.exists(c => c == '/' || c == '\\'),
+      s"branch name '$branchName' must not contain path separators")
+    val table = AzofTable(spark, lakehousePath, name)
+    require(!table.currentSnapshot.refs.contains(branchName),
+      s"a tag named '$branchName' exists — tags win VERSION AS OF " +
+        "resolution, so the branch would be unreachable; pick another name")
+    val target = version.getOrElse(table.currentVersion.toLong)
+    val cls =
+      try table.classifySnapshot(target.toString)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"cannot branch at version $target: s$target.json does not " +
+            "exist (expired by vacuum?)")
+      }
+    require(cls.isInstanceOf[SnapshotCodec.DocClass.Valid],
+      s"cannot branch at version $target: s$target.json is not a " +
+        "readable snapshot")
+    val dir = table.tableDir
+    val bp = new Path(dir, AzofTable.branchFile(branchName))
+    val f = fs(spark, dir)
+    val tmp = new Path(dir, s"_tmp_branch_${UUID.randomUUID().toString}.txt")
+    writeUtf8(spark, tmp, target.toString)
+    val won =
+      try CommitGuard.forPath(spark, bp).publish(f, tmp, bp)
+      catch { case e: Throwable => f.delete(tmp, false); throw e }
+    if (!won) {
+      f.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"branch '$branchName' already exists on $name")
+    }
+    target
+  }
+
+  /** Drop a branch: delete its pointer file. The lineage's snapshot
+    * documents become unreachable debris the next vacuum expires (their
+    * data files with them, once unreferenced). Refuses unknown names —
+    * a typo'd drop that "succeeds" would leave the real branch pinning
+    * files forever.
+    */
+  def dropBranch(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      branchName: String): Unit = {
+    val table = AzofTable(spark, lakehousePath, name)
+    val bp = new Path(table.tableDir, AzofTable.branchFile(branchName))
+    val f = fs(spark, bp)
+    if (!f.delete(bp, false)) {
+      val known = table.listBranches.sorted
+      throw new IllegalArgumentException(
+        s"no such branch '$branchName'" + (if (known.isEmpty) ""
+          else s"; known branches: ${known.mkString(", ")}"))
+    }
+  }
+
+  /** FAST-FORWARD main to a branch's head — the PUBLISH step of
+    * write-audit-publish: one new main commit re-registering the branch
+    * head's schema + segment tree verbatim, so everything audited on
+    * the branch becomes the table's current state atomically and the
+    * change feed delivers the branch's files at publish time (op is NOT
+    * in the feed's skip set — downstream mirrors see the data exactly
+    * when it goes live, never while it was on the branch).
+    *
+    * Iceberg's fast_forward contract: refuses if main advanced past the
+    * branch's fork point (the publish would silently discard those main
+    * commits) — re-checked inside the optimistic retry against the
+    * exact commit base, so a racing main commit cannot slip in.
+    * Metadata merges lineage-correctly: `refs` union (main's newer tags
+    * win), `streamBatches` per-key max (replay guards stay monotone for
+    * sinks on either lineage), `retired` union. The branch pointer
+    * itself does not move; a published branch is typically dropped and
+    * a fresh one forked for the next cycle.
+    *
+    * Returns the version the publish commit landed at.
+    */
+  def fastForward(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      branchName: String): Long = {
+    val table = AzofTable(spark, lakehousePath, name)
+    commitMeta(spark, table.tableDir.toString) { (base, nextId) =>
+      val head = table.branchHead(branchName).getOrElse(
+        throw new IllegalArgumentException(
+          s"no such branch '$branchName'" +
+            (if (table.listBranches.isEmpty) ""
+             else s"; known branches: ${table.listBranches.sorted.mkString(", ")}")))
+      val headSnap = table.snapshot(head.toString)
+      require(headSnap.branch.contains(branchName),
+        s"branch '$branchName' has no commits (head s$head.json is the " +
+          "fork itself) — nothing to publish")
+      // fork point: walk the branch lineage's parents to its main base
+      var fork = head
+      var cur = headSnap
+      while (cur.branch.nonEmpty) {
+        fork = cur.parent.getOrElse(throw new IllegalStateException(
+          s"branch '$branchName' lineage broken at s$fork.json: no " +
+            "parent link — cannot prove ancestry for fast-forward"))
+        cur = table.snapshot(fork.toString)
+      }
+      // main must still be AT the fork: any main commit past it means
+      // the publish would discard state (merge by hand instead)
+      val advanced = AzofTable.snapshotIdsOnDisk(
+        fs(spark, table.tableDir), table.tableDir)
+        .filter(id => id > fork && id < nextId)
+        .filter(id => table.classifySnapshot(id.toString) match {
+          case SnapshotCodec.DocClass.Valid(s) => s.branch.isEmpty
+          case _ => false
+        })
+      require(advanced.isEmpty,
+        s"cannot fast-forward '$branchName' (forked at s$fork.json): " +
+          s"main advanced past the fork (s${advanced.mkString(".json, s")}" +
+          ".json) — publishing would discard those commits. Merge the " +
+          "branch manually (read it, commit to main) or re-fork")
+      val merged = (base.streamBatches.keySet ++ headSnap.streamBatches.keySet)
+        .map(k => k -> math.max(
+          base.streamBatches.getOrElse(k, Long.MinValue),
+          headSnap.streamBatches.getOrElse(k, Long.MinValue))).toMap
+      headSnap.copy(
+        op = Some(s"fast-forward#$branchName"),
+        refs = headSnap.refs ++ base.refs,
+        streamBatches = merged,
+        retired = (base.retired ++ headSnap.retired).distinct)
+    }
+  }
+
   /** Roll the table's CURRENT state back to an earlier version — as a
     * NEW commit (append-only contract: nothing is erased, the rolled-
     * back-over versions still time-travel). The new snapshot takes the
@@ -1715,7 +1871,8 @@ object AzofWriter {
   private def commitMeta(
       spark: SparkSession,
       dir: String,
-      maxRetries: Int = 5)(
+      maxRetries: Int = 5,
+      branch: Option[String] = None)(
       update: (Snapshot, Long) => Snapshot): Long = {
     val tableDir = new Path(dir)
     val f = fs(spark, tableDir)
@@ -1749,25 +1906,44 @@ object AzofWriter {
       // snapshot must abort this commit, not base it on stale state.
       // nextId stays past any skipped name so the retry never collides
       // with it; malformed debris is dead weight vacuum expires.
-      val baseSnap = {
-        var id = nextId - 1
-        var found: Option[Snapshot] = None
-        while (found.isEmpty && id >= floor) {
-          t.classifySnapshot(id.toString) match {
-            case SnapshotCodec.DocClass.Valid(s) => found = Some(s)
-            case SnapshotCodec.DocClass.WellFormedUnknown(e) =>
-              throw new IllegalStateException(
-                s"snapshot s$id.json is well-formed JSON but not a " +
-                  "snapshot this engine can read (possibly committed by " +
-                  "a newer engine version) — refusing to commit past it", e)
-            case SnapshotCodec.DocClass.Malformed(_) => id -= 1
+      // Valid docs carrying a BRANCH tag are also skipped on the main
+      // walk: they share the id sequence but belong to another lineage —
+      // basing main on one would silently graft the branch's tree onto
+      // main. (version.txt only ever names main documents, so the floor
+      // fallback stays a main base.)
+      val (baseId, baseSnap) = branch match {
+        case Some(b) =>
+          val headId = t.branchHead(b).getOrElse(
+            throw new IllegalArgumentException(
+              s"azof table $tableDir has no branch '$b'" +
+                (if (t.listBranches.isEmpty)
+                   " (none exist; create one with createBranch / " +
+                     "CALL system.create_branch)"
+                 else s"; known branches: ${t.listBranches.sorted.mkString(", ")}")))
+          (headId, t.snapshot(headId.toString))
+        case None =>
+          var id = nextId - 1
+          var found: Option[Snapshot] = None
+          var foundId = floor
+          while (found.isEmpty && id >= floor) {
+            t.classifySnapshot(id.toString) match {
+              case SnapshotCodec.DocClass.Valid(s) if s.branch.isEmpty =>
+                found = Some(s); foundId = id
+              case SnapshotCodec.DocClass.Valid(_) => id -= 1 // branch doc
+              case SnapshotCodec.DocClass.WellFormedUnknown(e) =>
+                throw new IllegalStateException(
+                  s"snapshot s$id.json is well-formed JSON but not a " +
+                    "snapshot this engine can read (possibly committed by " +
+                    "a newer engine version) — refusing to commit past it", e)
+              case SnapshotCodec.DocClass.Malformed(_) => id -= 1
+            }
           }
-        }
-        // reaching here with nothing found means even the pointer's own
-        // document failed to classify Valid — parse it loudly
-        found.getOrElse(t.snapshot(floor.toString))
+          // reaching here with nothing found means even the pointer's own
+          // document failed to classify Valid — parse it loudly
+          (foundId, found.getOrElse(t.snapshot(floor.toString)))
       }
       val newSnap = update(baseSnap, nextId)
+        .copy(branch = branch, parent = Some(baseId))
       val won =
         try { writeSnapshot(spark, dir, nextId.toString, newSnap); true }
         catch {
@@ -1777,17 +1953,67 @@ object AzofWriter {
             attempt += 1 // lost the race at nextId: re-read, re-apply
             false
         }
-      if (won) {
-        // outside the conflict guard: a failure HERE must propagate, not
-        // re-enter the retry (the snapshot is already durably placed —
-        // retrying would commit the same change twice at a new id). The
-        // pointer check re-reads version.txt as late as possible; see
-        // the doc note on the residual check-then-act window.
-        val fresh = new AzofTable(tableDir, spark.sessionState.newHadoopConf())
-        if (scala.util.Try(fresh.currentVersion.toLong).getOrElse(0L) < nextId)
-          writeVersion(spark, dir, nextId.toString)
-        committed = true
-        committedAt = nextId
+      if (won) branch match {
+        case None =>
+          // outside the conflict guard: a failure HERE must propagate, not
+          // re-enter the retry (the snapshot is already durably placed —
+          // retrying would commit the same change twice at a new id). The
+          // pointer check re-reads version.txt as late as possible; see
+          // the doc note on the residual check-then-act window.
+          val fresh = new AzofTable(tableDir, spark.sessionState.newHadoopConf())
+          if (scala.util.Try(fresh.currentVersion.toLong).getOrElse(0L) < nextId)
+            writeVersion(spark, dir, nextId.toString)
+          committed = true
+          committedAt = nextId
+        case Some(b) =>
+          // Branch commits have no conditional-put adjacency guarantee
+          // against SIBLING branch writers: two writers can base on the
+          // same head and land at DIFFERENT ids (both puts succeed). The
+          // head-recovery walk adopts exactly one child per parent
+          // (lowest id), so verify OUR doc ended up on the adopted
+          // chain; a forked doc is abandoned as debris (its data files
+          // are re-registered by the retry, vacuum sweeps the orphan) and
+          // the commit retries against the winner's head.
+          val headNow = t.branchHead(b).getOrElse(
+            throw new IllegalStateException(
+              s"branch '$b' pointer disappeared mid-commit (concurrent " +
+                "drop_branch?) — s$nextId.json is committed but " +
+                "unreachable; recreate the branch at that version to " +
+                "recover it"))
+          val onChain = {
+            var at = headNow
+            var hit = at == nextId
+            while (!hit && at > baseId) {
+              t.classifySnapshot(at.toString) match {
+                case SnapshotCodec.DocClass.Valid(s)
+                    if s.parent.nonEmpty && s.branch.contains(b) =>
+                  at = s.parent.get
+                  hit = at == nextId
+                case _ => at = baseId // broken link: not our chain
+              }
+            }
+            hit
+          }
+          if (onChain) {
+            // forward-only pointer advance, version.txt's protocol
+            val bp = new Path(tableDir, AzofTable.branchFile(b))
+            val raw = scala.util.Try {
+              val in = f.open(bp)
+              try new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+              finally in.close()
+            }.getOrElse(0L)
+            if (raw < headNow) {
+              AtomicReplace.replace(f, tableDir, bp, headNow.toString)
+              ()
+            }
+            committed = true
+            committedAt = nextId
+          } else if (attempt < retryLimit) {
+            attempt += 1 // forked behind a sibling: re-base, re-apply
+          } else throw new java.io.IOException(
+            s"branch '$b' commit lost ${attempt + 1} races and the " +
+              "retry budget (spark.azof.commitRetries) is exhausted")
       }
     }
     committedAt

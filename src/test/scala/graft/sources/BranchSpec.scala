@@ -1,0 +1,262 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format._
+import graft.operators.AzofScan
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Branches + write-audit-publish: a branch is a named write lineage in
+  * the shared snapshot numbering that never advances `version.txt` —
+  * main readers (and a reference reader) are blind to it until
+  * fast-forward publishes its head as one main commit.
+  */
+class BranchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = TableSchema(Seq(
+    ColumnDef("value", ColumnType.AzString, nullable = false)))
+
+  private def df(rows: (String, String, String)*) = {
+    val data = rows.map { case (k, t, v) =>
+      Row(k, Timestamp.from(Instant.parse(t)), v)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toSeq), schema.toStruct)
+  }
+
+  private def ts(s: String) = Instant.parse(s)
+
+  private def scanSorted(lake: String, table: String,
+      version: Option[Long] = None): Seq[(String, String)] = {
+    val t = AzofTable(spark, lake, table)
+    val snap = version.map(v => t.snapshot(v.toString))
+      .getOrElse(t.currentSnapshot)
+    AzofScan.scanSnapshot(spark, t, snap, AsOf.Current)
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+  }
+
+  private def freshTable(): String = {
+    val lake = Files.createTempDirectory("azof-branch").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+    lake
+  }
+
+  private def versionTxt(lake: String): String = {
+    val p = new Path(lake, "t/version.txt")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    finally in.close()
+  }
+
+  test("branch writes are invisible to main (version.txt untouched); " +
+    "the branch reads its own lineage via VERSION AS OF") {
+    val lake = freshTable()
+    val t = AzofTable(spark, lake, "t")
+    assert(AzofWriter.createBranch(spark, lake, "t", "audit") == 2L)
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b2"),
+         ("3", "2024-02-06T00:00:00Z", "c1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("audit"))                                        // s3
+    // main: unchanged view, unchanged pointer — a reference reader
+    // following version.txt never sees the branch document
+    assert(versionTxt(lake) == "2")
+    assert(scanSorted(lake, "t") == Seq("1" -> "a1", "2" -> "b1"))
+    // branch: the delta is live on its lineage
+    assert(t.branchHead("audit").contains(3L))
+    assert(t.resolveVersion("audit") == "3")
+    assert(scanSorted(lake, "t", Some(3L)) ==
+      Seq("1" -> "a1", "2" -> "b2", "3" -> "c1"))
+    val s3 = t.snapshot("3")
+    assert(s3.branch.contains("audit") && s3.parent.contains(2L))
+  }
+
+  test("main commits skip branch documents when selecting their base") {
+    val lake = freshTable()
+    AzofWriter.createBranch(spark, lake, "t", "audit")
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("9", "2024-02-05T00:00:00Z", "branch-only")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("audit"))                                        // s3
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("4", "2024-02-07T00:00:00Z", "d1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // s4, main
+    assert(versionTxt(lake) == "4")
+    // main carries its own delta and never the branch's
+    assert(scanSorted(lake, "t") ==
+      Seq("1" -> "a1", "2" -> "b1", "4" -> "d1"))
+    val s4 = AzofTable(spark, lake, "t").snapshot("4")
+    assert(s4.branch.isEmpty && s4.parent.contains(2L),
+      s"main commit must chain 2 -> 4 past the branch doc: ${s4.parent}")
+  }
+
+  test("fast-forward publishes the branch head as ONE main commit; the " +
+    "change feed delivers the branch's rows at publish time") {
+    val lake = freshTable()
+    AzofWriter.createBranch(spark, lake, "t", "wap")
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b2")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("wap"))                                          // s3
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("3", "2024-03-05T00:00:00Z", "c1")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"),
+      branch = Some("wap"))                                          // s4
+    // audit reads the branch; main still pre-publish
+    assert(scanSorted(lake, "t") == Seq("1" -> "a1", "2" -> "b1"))
+    // feed BEFORE publish: the branch rows are absent
+    val pre = AzofChangeFeed.since(spark, lake, "t", 1L)
+      .select("key").collect().map(_.getString(0)).toSeq.sorted
+    assert(pre == Seq("1", "2"), s"pre-publish feed leaked branch rows: $pre")
+
+    val pubV = AzofWriter.fastForward(spark, lake, "t", "wap")
+    assert(pubV == 5L)
+    assert(versionTxt(lake) == "5")
+    assert(scanSorted(lake, "t") ==
+      Seq("1" -> "a1", "2" -> "b2", "3" -> "c1"))
+    val s5 = AzofTable(spark, lake, "t").snapshot("5")
+    assert(s5.op.contains("fast-forward#wap") && s5.branch.isEmpty)
+    // the feed delivers the branch's files AT the publish version
+    val post = AzofChangeFeed.since(spark, lake, "t", 2L)
+      .select("key", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(post == Seq(("2", 5L), ("3", 5L)),
+      s"publish must feed exactly the branch rows at v5: $post")
+  }
+
+  test("fast-forward refuses when main advanced past the fork; " +
+    "a no-commit branch refuses as nothing-to-publish") {
+    val lake = freshTable()
+    AzofWriter.createBranch(spark, lake, "t", "stale")
+    val e0 = intercept[IllegalArgumentException](
+      AzofWriter.fastForward(spark, lake, "t", "stale"))
+    assert(e0.getMessage.contains("nothing to publish"), e0.getMessage)
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("9", "2024-02-05T00:00:00Z", "on-branch")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("stale"))                                        // s3
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("4", "2024-02-07T00:00:00Z", "on-main")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // s4 main
+    val e = intercept[IllegalArgumentException](
+      AzofWriter.fastForward(spark, lake, "t", "stale"))
+    assert(e.getMessage.contains("main advanced past the fork") &&
+      e.getMessage.contains("s4"), e.getMessage)
+    // main unchanged by the refusal
+    assert(versionTxt(lake) == "4")
+  }
+
+  test("branch head pointer lag recovers through the parent chain") {
+    val lake = freshTable()
+    AzofWriter.createBranch(spark, lake, "t", "lag")
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("5", "2024-02-05T00:00:00Z", "x1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("lag"))                                          // s3
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("6", "2024-02-06T00:00:00Z", "x2")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("lag"))                                          // s4
+    val t = AzofTable(spark, lake, "t")
+    assert(t.branchHead("lag").contains(4L))
+    // simulate a crash between snapshot write and pointer bump: pointer
+    // back at the fork — recovery walks parent-chained branch docs
+    val bp = new Path(lake, "t/" + AzofTable.branchFile("lag"))
+    val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(bp, true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    assert(t.branchHead("lag").contains(4L),
+      "pointer at fork must recover to the true head via parent links")
+  }
+
+  test("vacuum retains live branch lineages; a dropped branch's " +
+    "documents and files expire") {
+    val lake = freshTable()
+    AzofWriter.createBranch(spark, lake, "t", "keep")
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("7", "2024-02-05T00:00:00Z", "kept")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("keep"))                                         // s3
+    val r1 = AzofVacuum.vacuum(spark, lake, "t", keepLast = 10,
+      minAgeMs = 0L)
+    assert(r1.retainedSnapshots.contains(3) && r1.deletedSnapshots.isEmpty,
+      s"live branch doc expired: $r1")
+    assert(scanSorted(lake, "t", Some(3L)).contains("7" -> "kept"))
+
+    AzofWriter.dropBranch(spark, lake, "t", "keep")
+    val r2 = AzofVacuum.vacuum(spark, lake, "t", keepLast = 10,
+      minAgeMs = 0L)
+    assert(r2.deletedSnapshots == Seq(3),
+      s"dropped branch doc must expire: $r2")
+    assert(r2.deletedDataFiles.nonEmpty,
+      "the branch-only delta file must be swept with its lineage")
+    // main unaffected throughout
+    assert(scanSorted(lake, "t") == Seq("1" -> "a1", "2" -> "b1"))
+  }
+
+  test("SQL surface: INSERT INTO cat.t.branch_<b> + branch view reads + " +
+    "CALL create_branch/fast_forward; DML on a branch view refuses") {
+    val lake = freshTable()
+    val cat = "azbr"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[AzofCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake)
+    spark.sql(s"CALL $cat.system.create_branch('t', 'stage')").collect()
+    spark.sql(
+      s"""INSERT INTO $cat.t.branch_stage VALUES
+          ('3', TIMESTAMP'2024-02-06 00:00:00', 'staged')""")
+    // branch view reads its lineage; the table reads main
+    assert(spark.sql(s"SELECT key, value FROM $cat.t.branch_stage")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      .toSeq == Seq("1" -> "a1", "2" -> "b1", "3" -> "staged"))
+    assert(spark.sql(s"SELECT key FROM $cat.t").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("1", "2"))
+    // VERSION AS OF resolves the branch name on the table itself
+    assert(spark.sql(
+      s"SELECT key FROM $cat.t VERSION AS OF 'stage'").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("1", "2", "3"))
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE $cat.t.branch_stage SET value = 'x' WHERE key = '1'"))
+    assert(e.getMessage.contains("fast_forward"), e.getMessage)
+    val pub = spark.sql(s"CALL $cat.system.fast_forward('t', 'stage')")
+      .collect()(0)
+    assert(pub.getString(0) == "stage" && pub.getLong(1) == 4L)
+    assert(spark.sql(s"SELECT key FROM $cat.t").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("1", "2", "3"))
+  }
+
+  test("name hygiene: digits-only, 'main', tag collisions, and unknown " +
+    "branches refuse loudly; duplicate create refuses") {
+    val lake = freshTable()
+    intercept[IllegalArgumentException](
+      AzofWriter.createBranch(spark, lake, "t", "123"))
+    intercept[IllegalArgumentException](
+      AzofWriter.createBranch(spark, lake, "t", "main"))
+    AzofWriter.tagVersion(spark, lake, "t", "pinned")
+    val e = intercept[IllegalArgumentException](
+      AzofWriter.createBranch(spark, lake, "t", "pinned"))
+    assert(e.getMessage.contains("tag"), e.getMessage)
+    AzofWriter.createBranch(spark, lake, "t", "dup")
+    val e2 = intercept[IllegalArgumentException](
+      AzofWriter.createBranch(spark, lake, "t", "dup"))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      AzofWriter.commitDelta(spark, lake, "t",
+        df(("1", "2024-02-05T00:00:00Z", "x")),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+        branch = Some("ghost")))
+    assert(e3.getMessage.contains("no branch 'ghost'"), e3.getMessage)
+    intercept[IllegalArgumentException](
+      AzofWriter.dropBranch(spark, lake, "t", "ghost"))
+  }
+}
