@@ -17,7 +17,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   * SELECT * FROM cat.t.history   -- one row per snapshot on disk
   * SELECT * FROM cat.t.files     -- a snapshot's registered files
-  * SELECT * FROM cat.t.refs      -- named version tags
+  * SELECT * FROM cat.t.refs      -- named refs: tags + branch heads
   * SELECT * FROM cat.t.files VERSION AS OF 'release-1'
   * spark.read.format("azof").option("table", "t")
   *   .option("meta", "files").load(lake)
@@ -32,7 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * CONSTRUCTION — history is one row per snapshot document (bounded by
   * commit count, which vacuum bounds), `files` walks ONE snapshot's
   * driver-held segment tree plus one directory listing for byte sizes,
-  * `refs` is a snapshot's ref map — so a driver-local batch
+  * `refs` is a snapshot's ref map plus one head lookup per live branch
+  * pointer — so a driver-local batch
   * (`LocalScan` / local DataFrame) is the honest physical shape, not a
   * compromise: there is nothing to distribute.
   */
@@ -67,7 +68,9 @@ object AzofMetadataTables {
       StructField("op", StringType, nullable = true),
       StructField("data_files", LongType, nullable = false),
       StructField("tagged_as", StringType, nullable = true),
-      StructField("is_current", BooleanType, nullable = false)))
+      StructField("is_current", BooleanType, nullable = false),
+      StructField("branch", StringType, nullable = true),
+      StructField("parent", LongType, nullable = true)))
     case "files" => StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("kind", StringType, nullable = false),
@@ -80,7 +83,8 @@ object AzofMetadataTables {
       StructField("rows", LongType, nullable = true),
       StructField("size_bytes", LongType, nullable = true)))
     case "refs" => StructType(Seq(
-      StructField("tag", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
   }
 
@@ -123,7 +127,9 @@ object AzofMetadataTables {
                 snap.op.orNull,
                 snap.allFiles.size.toLong,
                 if (tags.isEmpty) null else tags.mkString(","),
-                id == current))
+                id == current,
+                snap.branch.orNull,
+                snap.parent.map(java.lang.Long.valueOf).orNull))
             case _ => None // crash debris / foreign docs: not history
           }
         }
@@ -155,7 +161,16 @@ object AzofMetadataTables {
         }
         snap.segments.flatMap(walk)
       case "refs" =>
-        pinned.refs.toSeq.sortBy(_._1).map { case (n, v) => Row(n, v) }
+        // tags are snapshot state (the pinned snapshot's ref map);
+        // branch pointers are table-level files OUTSIDE any snapshot, so
+        // they appear only on the UNPINNED view — a pinned refs view is
+        // a historical inspection, and branches have no history to pin
+        val tags = pinned.refs.toSeq.map { case (n, v) => Row(n, "tag", v) }
+        val branches =
+          if (version.nonEmpty) Seq.empty
+          else t.listBranches.flatMap(b =>
+            t.branchHead(b).map(h => Row(b, "branch", h)))
+        (tags ++ branches).sortBy(_.getString(0))
     }
   }
 

@@ -81,14 +81,34 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(rows.forall(r => !r.isNullAt(6) && r.getLong(6) == 1L))
   }
 
-  test("refs: the tag map; empty when no tags") {
+  test("refs: tags AND branch heads, typed; empty when neither exists") {
     mk("r1")
     assert(spark.sql("SELECT * FROM meta.r1.refs").collect().isEmpty)
     AzofWriter.tagVersion(spark, lake, "r1", "b-tag", Some(1L))
     AzofWriter.tagVersion(spark, lake, "r1", "a-tag", Some(2L))
-    val rows = spark.sql("SELECT tag, version FROM meta.r1.refs").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(rows == Seq("a-tag" -> 2L, "b-tag" -> 1L))
+    AzofWriter.createBranch(spark, lake, "r1", "audit")   // forks at v5
+    AzofWriter.commitDelta(spark, lake, "r1",
+      df(("2", "2024-02-05T00:00:00Z", "b")),
+      ts("2024-02-05T00:00:00Z"), ts("2024-02-05T00:00:00Z"),
+      branch = Some("audit"))                             // s6, on-branch
+    val rows = spark.sql(
+      "SELECT name, type, version FROM meta.r1.refs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a-tag", "tag", 2L), ("audit", "branch", 6L),
+      ("b-tag", "tag", 1L)))
+    // history carries the lineage columns: the branch doc names its
+    // branch and parent; main docs chain parents on the main walk
+    val hist = spark.sql(
+      "SELECT version, branch, parent FROM meta.r1.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(hist.last == ((6L, Some("audit"), Some(5L))))
+    assert(hist.filter(_._2.isEmpty).map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    // a PINNED refs view is historical snapshot state: tags only
+    val pinned = spark.sql(
+      "SELECT name, type FROM meta.r1.refs VERSION AS OF 5").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pinned == Seq(("a-tag", "tag"), ("b-tag", "tag")))
   }
 
   test("VERSION AS OF pins files/refs to the snapshot; history refuses the pin") {
@@ -106,7 +126,7 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT * FROM meta.v1.refs VERSION AS OF 3").collect().isEmpty)
     // current refs show the tag
-    assert(spark.sql("SELECT tag FROM meta.v1.refs").collect()
+    assert(spark.sql("SELECT name FROM meta.v1.refs").collect()
       .map(_.getString(0)).toSeq == Seq("t2"))
     // history already spans versions: the pin refuses loudly
     val e = intercept[Exception] {
@@ -131,7 +151,8 @@ class MetadataTablesSpec extends AnyFunSuite {
     val viaRdr = rd("history").orderBy("version").collect().toSeq
     assert(viaRdr == viaCat)
     assert(rd("refs").collect().map(r =>
-      (r.getString(0), r.getLong(1))).toSeq == Seq("pin" -> 2L))
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("pin", "tag", 2L)))
     // version pin (by tag) on files
     assert(rd("files", Some("pin")).collect().length == 1)
     // unknown view name refuses; history refuses the pin
