@@ -53,7 +53,7 @@ object AzofCli {
         "usage: AzofCli <scan|read|gen|create|commit-base|commit-delta|" +
           "commit-partitioned|add-column|drop-column|rename-column|analyze|" +
           "compact|delete|purge|changes|vacuum|tag|untag|refs|rollback|" +
-          "branch|drop-branch|fast-forward|" +
+          "branch|drop-branch|fast-forward|merge-branch|" +
           "tail|tail-commits|stream-commits|mirror|follow|follow-commits|" +
           "pq-create|pq-refresh|pq-search|export|" +
           "dedup-create|dedup-ingest|dedup-follow|dedup-rebuild|" +
@@ -212,6 +212,13 @@ object AzofCli {
         val v = graft.sources.AzofWriter.fastForward(spark, opts("path"),
           opts("table"), opts("branch"))
         println(s"fast-forwarded main to branch '${opts("branch")}'; " +
+          s"version now $v")
+      case "merge-branch" =>
+        // publish a DIVERGED branch (main advanced past the fork):
+        // merge-branch --path L --table T --branch audit
+        val v = graft.sources.AzofWriter.mergeBranch(spark, opts("path"),
+          opts("table"), opts("branch"))
+        println(s"merged branch '${opts("branch")}' into main; " +
           s"version now $v")
       case "rollback" =>
         // append-only restore: rollback --path L --table T --to <N|tag>
@@ -890,6 +897,11 @@ object AzofCli {
             classOf[graft.sources.AzofCatalog].getName)
           spark.conf.set(s"spark.sql.catalog.$c.path", opts("path"))
         }
+        // --wap-branch B: route every unpinned table load (reads AND
+        // INSERTs) through branch B for this statement — the
+        // write-audit-publish session conf
+        opts.get("wap-branch").foreach(b =>
+          spark.conf.set(graft.sources.AzofCatalog.WapBranchConf, b))
         spark.sql(opts("query")).show(numRows = 1000, truncate = false)
       case "read" =>
         // the DataFrameReader surface (works in vanilla sessions too):

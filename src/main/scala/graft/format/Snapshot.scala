@@ -175,25 +175,27 @@ final case class Segment(
       .flatMap(_.dataFilesWithStats(asOf, strictOrder))
     val equalStart =
       if (strictOrder) Ordering.Int else Ordering.Int.reverse
-    // EFFECTIVE seq (registration-order running max): a seq-less delta
-    // — a foreign or pre-upgrade writer appending to a seq-stamped
-    // table — inherits the newest seq registered BEFORE it, so an
-    // exact event-time tie against engine-stamped files resolves by
+    // EFFECTIVE seq: a delta with its OWN seq always keeps it — it is
+    // the file's true landing version, and registration position must
+    // not raise it (a branch MERGE re-registers an older-seq file
+    // AFTER newer main files; inflating its seq to the running max
+    // would hand it exact event-time ties it genuinely lost). A
+    // seq-LESS delta — a foreign or pre-upgrade writer appending to a
+    // seq-stamped table — INHERITS the newest seq registered BEFORE
+    // it, so an exact tie against engine-stamped files resolves by
     // precedence (newer window start / later registration wins), the
     // pre-seq behavior, instead of the foreign commit silently losing
     // to every stamped file. Pre-seq tables stay all-None (rank ≡
-    // precedence position, unchanged), and engine-stamped deltas carry
-    // their own seq (registration order is commit order, so the
-    // running max IS the own seq).
+    // precedence position, unchanged).
     val effSeqs = new Array[Option[Long]](delta.size)
     var run: Option[Long] = None
     delta.zipWithIndex.foreach { case (d, i) =>
+      effSeqs(i) = d.seq.orElse(run)
       run = (d.seq, run) match {
         case (Some(s), Some(r)) => Some(math.max(s, r))
         case (Some(s), None) => Some(s)
         case (None, r) => r
       }
-      effSeqs(i) = run
     }
     val fromDeltas = delta.zipWithIndex
       .filter { case (d, _) => d.isBefore(asOf) }

@@ -135,10 +135,36 @@ class AzofCatalog extends TableCatalog
       } else None
     } else None
 
+  /** Write-audit-publish SESSION ROUTING (Iceberg's `spark.wap.branch`
+    * analog): with `spark.azof.wap.branch = <b>` set, every UNPINNED
+    * load of a real table serves the branch view instead — the whole
+    * ETL job reads and appends through `<b>` with its SQL unchanged,
+    * and main readers see nothing until `CALL system.fast_forward` /
+    * `merge_branch`. Explicit pins (`VERSION AS OF`, `TIMESTAMP AS
+    * OF`) and the metadata/branch views stay un-routed — an explicit
+    * spelling always wins a session default. An unknown branch refuses
+    * loudly: silently writing main would defeat the audit gate. Note
+    * row-level DML refuses on branch views, so an UPDATE/MERGE under
+    * WAP routing fails loudly rather than mutating main.
+    */
   override def loadTable(ident: Identifier): Table =
-    metadataTable(ident, None)
-      .orElse(branchTable(ident))
-      .getOrElse(load(ident, AsOf.Current, None))
+    spark.conf.getOption(AzofCatalog.WapBranchConf).filter(_.nonEmpty) match {
+      case Some(b) if tableExists(ident) =>
+        val lake = tableDir(ident).getParent.toString
+        val t = graft.format.AzofTable(spark, lake, ident.name)
+        val head = t.branchHead(b).getOrElse(
+          throw new IllegalArgumentException(
+            s"${AzofCatalog.WapBranchConf}='$b' names no branch of " +
+              s"${ident.name} — create it first (CALL " +
+              "system.create_branch) or unset the conf; refusing to " +
+              "route the write to main"))
+        new AzofV2Table(lake, ident.name, AsOf.Current,
+          Some(head.toString), branchLineage = Some(b))
+      case _ =>
+        metadataTable(ident, None)
+          .orElse(branchTable(ident))
+          .getOrElse(load(ident, AsOf.Current, None))
+    }
 
   /** Spark's native `VERSION AS OF n` (or a named tag / branch). */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -294,6 +320,9 @@ class AzofCatalog extends TableCatalog
 }
 
 object AzofCatalog {
+  /** Session conf routing unpinned table loads through a branch (WAP). */
+  val WapBranchConf = "spark.azof.wap.branch"
+
   private[sources] def toColumnType(
       name: String, dt: org.apache.spark.sql.types.DataType): ColumnType =
     ColumnType.all.find(_.sparkType == dt).getOrElse(

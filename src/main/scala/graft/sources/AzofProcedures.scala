@@ -42,7 +42,7 @@ object AzofProcedures {
       "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
       "contain_refresh", "shard_refresh", "seq_refresh",
       "tag", "untag", "rollback",
-      "create_branch", "drop_branch", "fast_forward")
+      "create_branch", "drop_branch", "fast_forward", "merge_branch")
 
   def load(path: String, ident: Identifier): UnboundProcedure = {
     val name = ident.name.toLowerCase
@@ -145,6 +145,8 @@ object AzofProcedures {
       case "drop_branch" => Array(
         p("table", StringType), p("name", StringType))
       case "fast_forward" => Array(
+        p("table", StringType), p("branch", StringType))
+      case "merge_branch" => Array(
         p("table", StringType), p("branch", StringType))
     }
 
@@ -351,6 +353,12 @@ object AzofProcedures {
           (StructType(Seq(
             StructField("branch", StringType),
             StructField("published_at", LongType))),
+            Seq(str(1), v))
+        case "merge_branch" =>
+          val v = AzofWriter.mergeBranch(spark, path, str(0), str(1))
+          (StructType(Seq(
+            StructField("branch", StringType),
+            StructField("merged_at", LongType))),
             Seq(str(1), v))
       }
       val row = new GenericInternalRow(out._2.map {

@@ -1618,26 +1618,9 @@ object AzofWriter {
       branchName: String): Long = {
     val table = AzofTable(spark, lakehousePath, name)
     commitMeta(spark, table.tableDir.toString) { (base, nextId) =>
-      val head = table.branchHead(branchName).getOrElse(
-        throw new IllegalArgumentException(
-          s"no such branch '$branchName'" +
-            (if (table.listBranches.isEmpty) ""
-             else s"; known branches: ${table.listBranches.sorted.mkString(", ")}")))
-      val headSnap = table.snapshot(head.toString)
-      require(headSnap.branch.contains(branchName),
-        s"branch '$branchName' has no commits (head s$head.json is the " +
-          "fork itself) — nothing to publish")
-      // fork point: walk the branch lineage's parents to its main base
-      var fork = head
-      var cur = headSnap
-      while (cur.branch.nonEmpty) {
-        fork = cur.parent.getOrElse(throw new IllegalStateException(
-          s"branch '$branchName' lineage broken at s$fork.json: no " +
-            "parent link — cannot prove ancestry for fast-forward"))
-        cur = table.snapshot(fork.toString)
-      }
+      val (head, headSnap, fork) = branchLineage(table, branchName)
       // main must still be AT the fork: any main commit past it means
-      // the publish would discard state (merge by hand instead)
+      // the publish would discard state (mergeBranch instead)
       val advanced = AzofTable.snapshotIdsOnDisk(
         fs(spark, table.tableDir), table.tableDir)
         .filter(id => id > fork && id < nextId)
@@ -1648,14 +1631,117 @@ object AzofWriter {
       require(advanced.isEmpty,
         s"cannot fast-forward '$branchName' (forked at s$fork.json): " +
           s"main advanced past the fork (s${advanced.mkString(".json, s")}" +
-          ".json) — publishing would discard those commits. Merge the " +
-          "branch manually (read it, commit to main) or re-fork")
+          ".json) — publishing this tree verbatim would discard those " +
+          "commits. Use mergeBranch / CALL system.merge_branch to " +
+          "publish onto the advanced head, or re-fork")
       val merged = (base.streamBatches.keySet ++ headSnap.streamBatches.keySet)
         .map(k => k -> math.max(
           base.streamBatches.getOrElse(k, Long.MinValue),
           headSnap.streamBatches.getOrElse(k, Long.MinValue))).toMap
       headSnap.copy(
         op = Some(s"fast-forward#$branchName"),
+        refs = headSnap.refs ++ base.refs,
+        streamBatches = merged,
+        retired = (base.retired ++ headSnap.retired).distinct)
+    }
+  }
+
+  /** (head version, head snapshot, fork version) of `branchName` —
+    * refuses an unknown branch, an empty branch (head = the fork
+    * itself), and a broken parent chain.
+    */
+  private def branchLineage(
+      table: AzofTable, branchName: String): (Long, Snapshot, Long) = {
+    val head = table.branchHead(branchName).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such branch '$branchName'" +
+          (if (table.listBranches.isEmpty) ""
+           else s"; known branches: ${table.listBranches.sorted.mkString(", ")}")))
+    val headSnap = table.snapshot(head.toString)
+    require(headSnap.branch.contains(branchName),
+      s"branch '$branchName' has no commits (head s$head.json is the " +
+        "fork itself) — nothing to publish")
+    // fork point: walk the branch lineage's parents to its main base
+    var fork = head
+    var cur = headSnap
+    while (cur.branch.nonEmpty) {
+      fork = cur.parent.getOrElse(throw new IllegalStateException(
+        s"branch '$branchName' lineage broken at s$fork.json: no " +
+          "parent link — cannot prove ancestry for publish"))
+      cur = table.snapshot(fork.toString)
+    }
+    (head, headSnap, fork)
+  }
+
+  /** MERGE a branch into main — the publish path for a branch whose
+    * fork point main has ADVANCED past (where [[fastForward]] refuses):
+    * one new main commit registering the branch lineage's delta files
+    * onto main's CURRENT head tree, verbatim entries (window, stats,
+    * tombstone flag, and — decisively — their original commit `seq`).
+    *
+    * Seq is why this merge needs no conflict resolution policy: the
+    * table's id sequence is SHARED across lineages, so every file on
+    * either side already carries a globally-ordered landing version,
+    * and the scan's exact event-time tie-break (seq desc) resolves
+    * cross-lineage collisions by TRUE landing order — a branch delta
+    * that landed at s5 yields to a main delta that landed at s6,
+    * exactly as two main commits would. Non-tie collisions were never
+    * ambiguous: merge-on-read serves the per-key latest event time
+    * regardless of which lineage wrote it.
+    *
+    * Main schema changes since the fork are safe by the format's own
+    * old-file machinery: branch files missing a column main ADDed read
+    * as absent rows for that column (the pre-ADD contract), bytes under
+    * a name main DROPped ride the retired machinery, renames never
+    * touch file bytes (physical names are immutable). Files already on
+    * main (a re-merge, or a merge after fast-forward) are skipped, so
+    * merge is idempotent — a fully-published branch refuses with
+    * "nothing to merge". The change feed delivers the merged files at
+    * THIS commit (op `merge#<branch>` is not in the feed's skip set).
+    *
+    * Note the purge interplay: like rollback, a merge can re-register
+    * rows for keys main purged after the fork — re-run purge if the
+    * branch predates an erasure (the merge commit's files list names
+    * exactly what came in).
+    *
+    * Returns the version the merge commit landed at.
+    */
+  def mergeBranch(
+      spark: SparkSession,
+      lakehousePath: String,
+      name: String,
+      branchName: String): Long = {
+    val table = AzofTable(spark, lakehousePath, name)
+    commitMeta(spark, table.tableDir.toString) { (base, nextId) =>
+      val (_, headSnap, fork) = branchLineage(table, branchName)
+      val forkFiles = table.snapshot(fork.toString).allFiles
+      val baseFiles = base.allFiles
+      def collect(seg: Segment): Seq[Delta] =
+        seg.delta.filterNot(d =>
+          forkFiles.contains(d.file) || baseFiles.contains(d.file)) ++
+          seg.segments.flatMap(collect)
+      val newDeltas = headSnap.segments.flatMap(collect)
+      // every branch-added file must be a DELTA entry — branch commits
+      // are appends by construction, so a base-file difference means a
+      // foreign writer rewrote the branch tree; refuse rather than
+      // silently drop it
+      val unaccounted = (headSnap.allFiles -- forkFiles -- baseFiles) --
+        newDeltas.map(_.file).toSet
+      require(unaccounted.isEmpty,
+        s"branch '$branchName' carries non-delta tree changes " +
+          s"(${unaccounted.toSeq.sorted.mkString(", ")}) — only " +
+          "append-only delta lineages can merge")
+      require(newDeltas.nonEmpty,
+        s"nothing to merge from branch '$branchName': every file is " +
+          "already on main (published by an earlier merge/fast-forward?)")
+      val merged = (base.streamBatches.keySet ++ headSnap.streamBatches.keySet)
+        .map(k => k -> math.max(
+          base.streamBatches.getOrElse(k, Long.MinValue),
+          headSnap.streamBatches.getOrElse(k, Long.MinValue))).toMap
+      base.copy(
+        segments = mapOpenRoot(base.segments)(s =>
+          s.copy(delta = s.delta ++ newDeltas)),
+        op = Some(s"merge#$branchName"),
         refs = headSnap.refs ++ base.refs,
         streamBatches = merged,
         retired = (base.retired ++ headSnap.retired).distinct)

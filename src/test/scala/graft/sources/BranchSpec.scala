@@ -259,4 +259,124 @@ class BranchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       AzofWriter.dropBranch(spark, lake, "t", "ghost"))
   }
+
+  test("merge-branch publishes a DIVERGED branch onto the advanced main " +
+    "head; the feed delivers the branch's rows at merge time") {
+    val lake = freshTable()
+    AzofWriter.createBranch(spark, lake, "t", "feat")               // fork 2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b2"),
+         ("9", "2024-02-06T00:00:00Z", "n1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("feat"))                                        // s3
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("4", "2024-02-07T00:00:00Z", "d1"),
+         ("2", "2024-03-05T00:00:00Z", "b-main")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))       // s4 main
+    // diverged: fast-forward refuses, merge publishes
+    intercept[IllegalArgumentException](
+      AzofWriter.fastForward(spark, lake, "t", "feat"))
+    val v = AzofWriter.mergeBranch(spark, lake, "t", "feat")
+    assert(v == 5L && versionTxt(lake) == "5")
+    // per-key latest event time across BOTH lineages: key 2's main row
+    // (Mar 5) beats the branch's (Feb 5) on event time alone
+    assert(scanSorted(lake, "t") == Seq("1" -> "a1", "2" -> "b-main",
+      "4" -> "d1", "9" -> "n1"))
+    val s5 = AzofTable(spark, lake, "t").snapshot("5")
+    assert(s5.op.contains("merge#feat") && s5.branch.isEmpty &&
+      s5.parent.contains(4L))
+    // the feed delivers exactly the branch's file at the merge version
+    val fed = AzofChangeFeed.since(spark, lake, "t", 4L)
+      .select("key", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(fed == Seq(("2", 5L), ("9", 5L)),
+      s"merge must feed exactly the branch rows at v5: $fed")
+    // the branch lineage still time-travels pre-merge
+    assert(scanSorted(lake, "t", Some(3L)) ==
+      Seq("1" -> "a1", "2" -> "b2", "9" -> "n1"))
+    // a re-merge has nothing left to publish
+    val e = intercept[IllegalArgumentException](
+      AzofWriter.mergeBranch(spark, lake, "t", "feat"))
+    assert(e.getMessage.contains("nothing to merge"), e.getMessage)
+  }
+
+  test("merge-branch exact event-time ties resolve by TRUE landing " +
+    "order in the shared numbering, whichever lineage wrote later") {
+    val lake = freshTable()
+    val T = "2024-02-05T00:00:00Z"
+    // phase A: main writes key 5 first (s3), the branch later (s4)
+    AzofWriter.createBranch(spark, lake, "t", "tie")                // fork 2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("5", T, "main-s3")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))       // s3 main
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("5", T, "branch-s4")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("tie"))                                         // s4
+    assert(AzofWriter.mergeBranch(spark, lake, "t", "tie") == 5L)
+    assert(scanSorted(lake, "t").toMap.apply("5") == "branch-s4",
+      "the branch delta landed later (s4 > s3): it wins the exact tie")
+    // phase B: the branch writes key 7 first (s6), main later (s7)
+    AzofWriter.createBranch(spark, lake, "t", "tie2")               // fork 5
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("7", T, "branch-s6")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("tie2"))                                        // s6
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("7", T, "main-s7")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))       // s7 main
+    assert(AzofWriter.mergeBranch(spark, lake, "t", "tie2") == 8L)
+    assert(scanSorted(lake, "t").toMap.apply("7") == "main-s7",
+      "the main delta landed later (s7 > s6): it wins the exact tie")
+  }
+
+  test("WAP session conf routes unpinned loads through the branch: " +
+    "unchanged SQL reads and writes the branch; pins and main stay put") {
+    val lake = freshTable()
+    val cat = "azwap"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[AzofCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake)
+    AzofWriter.createBranch(spark, lake, "t", "wap")
+    try {
+      spark.conf.set(AzofCatalog.WapBranchConf, "wap")
+      // the ETL job's SQL is UNCHANGED — the conf routes it
+      spark.sql(s"""INSERT INTO $cat.t VALUES
+          ('3', TIMESTAMP'2024-02-06 00:00:00', 'staged')""")
+      assert(versionTxt(lake) == "2", "WAP write must not advance main")
+      // unpinned read under the conf serves the branch (sees the write)
+      assert(spark.sql(s"SELECT key FROM $cat.t").collect()
+        .map(_.getString(0)).sorted.toSeq == Seq("1", "2", "3"))
+      // an explicit pin always wins the session default
+      assert(spark.sql(s"SELECT key FROM $cat.t VERSION AS OF 2")
+        .collect().map(_.getString(0)).sorted.toSeq == Seq("1", "2"))
+      // unknown branch refuses rather than silently writing main
+      spark.conf.set(AzofCatalog.WapBranchConf, "ghost")
+      val e = intercept[Exception](
+        spark.sql(s"SELECT * FROM $cat.t").collect())
+      assert(e.getMessage.contains("ghost"), e.getMessage)
+    } finally spark.conf.unset(AzofCatalog.WapBranchConf)
+    // conf unset: main view, untouched
+    assert(spark.sql(s"SELECT key FROM $cat.t").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("1", "2"))
+    assert(AzofWriter.fastForward(spark, lake, "t", "wap") == 4L)
+    assert(spark.sql(s"SELECT key, value FROM $cat.t WHERE key = '3'")
+      .collect().map(_.getString(1)).toSeq == Seq("staged"))
+  }
+
+  test("SQL CALL merge_branch publishes a diverged INSERT INTO branch") {
+    val lake = freshTable()
+    val cat = "azmg"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[AzofCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake)
+    spark.sql(s"CALL $cat.system.create_branch('t', 'mg')").collect()
+    spark.sql(s"""INSERT INTO $cat.t.branch_mg VALUES
+        ('3', TIMESTAMP'2024-02-06 00:00:00', 'staged')""")         // s3
+    spark.sql(s"""INSERT INTO $cat.t VALUES
+        ('4', TIMESTAMP'2024-02-07 00:00:00', 'mainline')""")       // s4
+    val r = spark.sql(s"CALL $cat.system.merge_branch('t', 'mg')")
+      .collect()(0)
+    assert(r.getString(0) == "mg" && r.getLong(1) == 5L)
+    assert(spark.sql(s"SELECT key FROM $cat.t").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("1", "2", "3", "4"))
+  }
 }
