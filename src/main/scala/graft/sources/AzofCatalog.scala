@@ -143,9 +143,10 @@ class AzofCatalog extends TableCatalog
     * `merge_branch`. Explicit pins (`VERSION AS OF`, `TIMESTAMP AS
     * OF`) and the metadata/branch views stay un-routed — an explicit
     * spelling always wins a session default. An unknown branch refuses
-    * loudly: silently writing main would defeat the audit gate. Note
-    * row-level DML refuses on branch views, so an UPDATE/MERGE under
-    * WAP routing fails loudly rather than mutating main.
+    * loudly: silently writing main would defeat the audit gate.
+    * Row-level DML (UPDATE / MERGE / DELETE) on a branch view lands on
+    * the branch lineage, so the whole ETL — appends and DML alike —
+    * stages invisibly.
     */
   override def loadTable(ident: Identifier): Table =
     spark.conf.getOption(AzofCatalog.WapBranchConf).filter(_.nonEmpty) match {
@@ -525,21 +526,24 @@ class AzofV2Table(
     * translatable-predicate DELETEs still take the metadata-only
     * [[deleteWhere]] fast path (Spark's optimizer converts the
     * row-level plan back when [[canDeleteWhere]] accepts).
+    *
+    * A BRANCH view is a writable lineage, so row-level DML works on it
+    * too: the statement reads the branch head, its delta files (updates
+    * as new key rows, MERGE deletes as tombstones) commit onto the
+    * branch, and main is untouched until publish — which makes a full
+    * audit ETL with UPDATE/MERGE statements runnable under WAP routing
+    * (`spark.azof.wap.branch`) with its SQL unchanged. Conflict
+    * validation is scoped to the branch's own lineage.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    if (branchLineage.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"row-level DML on branch view $tableName.branch_" +
-          s"${branchLineage.get} is not supported — branch writes are " +
-          "appends; publish via CALL system.fast_forward, then run DML " +
-          "on the table")
-    if (asOf != AsOf.Current || version.nonEmpty)
+    if (asOf != AsOf.Current || (version.nonEmpty && branchLineage.isEmpty))
       throw new UnsupportedOperationException(
         s"cannot run row-level DML on a time-travel view of azof table " +
           tableName)
-    () => new AzofRowLevelOperation(lakehousePath, tableName, info.command)
+    () => new AzofRowLevelOperation(lakehousePath, tableName, info.command,
+      branchLineage)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

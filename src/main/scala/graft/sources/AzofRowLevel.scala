@@ -58,7 +58,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class AzofRowLevelOperation(
     lakehousePath: String, tableName: String,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    cmd: RowLevelOperation.Command,
+    branch: Option[String] = None) extends RowLevelOperation
   with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -68,10 +69,25 @@ final class AzofRowLevelOperation(
     * validation window is exactly "what landed after the rows this
     * statement actually read" — snapshot isolation with write-conflict
     * detection, not just optimistic metadata retry.
+    *
+    * On a BRANCH view the read version is the branch HEAD (which may be
+    * the fork itself — a main document — for a branch with no commits
+    * yet): the statement reads the branch's state, its deltas land on
+    * the branch lineage, and conflict validation is scoped to commits
+    * of that same lineage — main advancing past the fork never
+    * conflicts a branch statement, exactly as branch commits never
+    * conflict a main one.
     */
-  private lazy val readVersion: Long =
-    AzofTable(SparkSession.active, lakehousePath, tableName)
-      .currentVersion.toLong
+  private lazy val readVersion: Long = {
+    val t = AzofTable(SparkSession.active, lakehousePath, tableName)
+    branch match {
+      case Some(b) => t.branchHead(b).getOrElse(
+        throw new IllegalArgumentException(
+          s"branch '$b' of $tableName disappeared between load and " +
+            "planning (concurrent drop_branch?) — re-run the statement"))
+      case None => t.currentVersion.toLong
+    }
+  }
 
   /** The target's own scan builder — pinned to [[readVersion]] so the
     * statement reads one consistent snapshot; pruning and data skipping
@@ -83,7 +99,8 @@ final class AzofRowLevelOperation(
       AsOf.Current, Some(readVersion.toString)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new AzofDeltaWriteBuilder(lakehousePath, tableName, info, readVersion)
+    new AzofDeltaWriteBuilder(lakehousePath, tableName, info, readVersion,
+      branch)
 
   /** Row identity = the azof key (merge-on-read resolves versions). */
   override def rowId(): Array[NamedReference] =
@@ -101,22 +118,28 @@ final class AzofRowLevelOperation(
 
 private final class AzofDeltaWriteBuilder(
     lakehousePath: String, tableName: String, info: LogicalWriteInfo,
-    readVersion: Long)
+    readVersion: Long, branch: Option[String])
   extends DeltaWriteBuilder {
   override def build(): DeltaWrite =
-    new AzofDeltaWrite(lakehousePath, tableName, info.schema(), readVersion)
+    new AzofDeltaWrite(lakehousePath, tableName, info.schema(), readVersion,
+      branch)
 }
 
 private final class AzofDeltaWrite(
     lakehousePath: String, tableName: String, rowSchema: StructType,
-    readVersion: Long)
+    readVersion: Long, branch: Option[String])
   extends DeltaWrite {
 
   override def toBatch: DeltaBatchWrite = {
     val spark = SparkSession.active
     val table = AzofTable(spark, lakehousePath, tableName)
+    // the file schema follows the TARGET LINEAGE's head (branch schema
+    // evolution is per-lineage, same rule as commitDelta's branch path)
+    val headSnap = branch.flatMap(b => table.branchHead(b))
+      .map(h => table.snapshot(h.toString))
+      .getOrElse(table.currentSnapshot)
     val (fileSchema, logicalNames) =
-      AzofDeltaFiles.aligned(table.currentSnapshot.schema)
+      AzofDeltaFiles.aligned(headSnap.schema)
     // provisional version in the name is a debug hint, same as
     // landCommitFile — uniqueness comes from the uuid + task ids
     val prefix = s"delta_s${table.currentVersion.toLong + 1}_" +
@@ -125,7 +148,7 @@ private final class AzofDeltaWrite(
       lakehousePath, tableName, table.tableDir.toString, prefix,
       rowSchema, fileSchema, logicalNames,
       new SerializableHadoopConf(spark.sessionState.newHadoopConf()),
-      readVersion)
+      readVersion, branch)
   }
 }
 
@@ -147,7 +170,8 @@ private final class AzofDeltaBatchWrite(
     lakehousePath: String, tableName: String, tableDir: String,
     filePrefix: String, rowSchema: StructType, fileSchema: StructType,
     logicalNames: Array[String],
-    conf: SerializableHadoopConf, readVersion: Long) extends DeltaBatchWrite {
+    conf: SerializableHadoopConf, readVersion: Long,
+    branch: Option[String] = None) extends DeltaBatchWrite {
 
   // operation time, fixed once on the driver: every tombstone row of
   // this DML statement carries the same event_time, like deleteWhere
@@ -179,12 +203,14 @@ private final class AzofDeltaBatchWrite(
         if (spark.conf.getOption("spark.azof.dml.validateConflicts")
           .exists(_.trim.equalsIgnoreCase("false"))) None
         else Some(AzofWriter.DmlConflictCheck(
-          readVersion, files.map(_.minKey).min, files.map(_.maxKey).max))
+          readVersion, files.map(_.minKey).min, files.map(_.maxKey).max,
+          lineage = branch))
       AzofWriter.commitLandedDeltas(
         spark, lakehousePath, tableName,
         files.map(AzofDeltaFiles.asDelta).toIndexedSeq,
         op = "sql-dml",
-        validate = validate)
+        validate = validate,
+        branch = branch)
       ()
     }
   }

@@ -392,9 +392,19 @@ object AzofWriter {
     * `readVersion` (the snapshot the statement's target scan read).
     * Rewrites (`compact`, `purge`) are logically content-preserving and
     * never conflict.
+    *
+    * `lineage` scopes the check to ONE lineage's commits: `None` (a main
+    * statement) diffs only main documents — branch commits share the id
+    * sequence but never touch main's tree — and `Some(b)` (a statement
+    * on branch `b`'s view) diffs only that branch's documents, so main
+    * advancing past the fork never fails a branch statement. An
+    * abandoned sibling fork of the same branch (the pointer-race debris
+    * commitMeta's adopted-chain walk leaves behind) can conservatively
+    * count as a conflict — a spurious retry, never a missed one.
     */
   final case class DmlConflictCheck(
-      readVersion: Long, keyMin: String, keyMax: String)
+      readVersion: Long, keyMin: String, keyMax: String,
+      lineage: Option[String] = None)
 
   /** Metadata-only registration of delta files ALREADY landed in the
     * table directory under collision-free unique names — the commit half
@@ -423,11 +433,12 @@ object AzofWriter {
       deltas: Seq[Delta],
       op: String,
       validate: Option[DmlConflictCheck] = None,
-      streamBatch: Option[(String, Long)] = None): Boolean = {
+      streamBatch: Option[(String, Long)] = None,
+      branch: Option[String] = None): Boolean = {
     require(deltas.nonEmpty, "commitLandedDeltas with no files")
     val table = AzofTable(spark, lakehousePath, name)
     try {
-      commitMeta(spark, table.tableDir.toString) { (snap, v) =>
+      commitMeta(spark, table.tableDir.toString, branch = branch) { (snap, v) =>
         // streaming replay guard, checked INSIDE the optimistic retry
         // against the exact commit base: a replayed micro-batch (crash
         // between sink commit and checkpoint advance — or a zombie
@@ -479,9 +490,10 @@ object AzofWriter {
     var v = chk.readVersion + 1
     while (v < commitV) {
       table.classifySnapshot(v.toString) match {
-        // branch commits share the id sequence but never touch main's
-        // tree: they neither conflict nor participate in the file diff
-        case SnapshotCodec.DocClass.Valid(s) if s.branch.isEmpty =>
+        // only the statement's own lineage participates in the diff:
+        // commits of any OTHER lineage share the id sequence but never
+        // touch this lineage's tree (see DmlConflictCheck)
+        case SnapshotCodec.DocClass.Valid(s) if s.branch == chk.lineage =>
           val cur = filesWithKeyStats(s)
           if (!s.op.exists(rewriteOps.contains)) {
             val conflict = cur.collectFirst {

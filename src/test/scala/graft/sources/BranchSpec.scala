@@ -206,7 +206,7 @@ class BranchSpec extends AnyFunSuite {
   }
 
   test("SQL surface: INSERT INTO cat.t.branch_<b> + branch view reads + " +
-    "CALL create_branch/fast_forward; DML on a branch view refuses") {
+    "UPDATE on the branch view + CALL create_branch/fast_forward") {
     val lake = freshTable()
     val cat = "azbr"
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[AzofCatalog].getName)
@@ -214,7 +214,7 @@ class BranchSpec extends AnyFunSuite {
     spark.sql(s"CALL $cat.system.create_branch('t', 'stage')").collect()
     spark.sql(
       s"""INSERT INTO $cat.t.branch_stage VALUES
-          ('3', TIMESTAMP'2024-02-06 00:00:00', 'staged')""")
+          ('3', TIMESTAMP'2024-02-06 00:00:00', 'staged')""")         // s3
     // branch view reads its lineage; the table reads main
     assert(spark.sql(s"SELECT key, value FROM $cat.t.branch_stage")
       .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
@@ -225,14 +225,126 @@ class BranchSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT key FROM $cat.t VERSION AS OF 'stage'").collect()
       .map(_.getString(0)).sorted.toSeq == Seq("1", "2", "3"))
-    val e = intercept[Exception](spark.sql(
-      s"UPDATE $cat.t.branch_stage SET value = 'x' WHERE key = '1'"))
-    assert(e.getMessage.contains("fast_forward"), e.getMessage)
+    // row-level DML on the branch view lands on the branch: the audit
+    // step can patch what it finds before publish. The UPDATE keeps the
+    // row's original event_time, so the branch winner is decided by the
+    // exact-tie commit-seq rule (the DML file landed later).
+    spark.sql(
+      s"UPDATE $cat.t.branch_stage SET value = 'patched' WHERE key = '1'")
+    assert(versionTxt(lake) == "2", "branch UPDATE must not advance main")
+    assert(spark.sql(s"SELECT value FROM $cat.t.branch_stage " +
+      "WHERE key = '1'").collect().map(_.getString(0)).toSeq ==
+      Seq("patched"))
+    assert(spark.sql(s"SELECT value FROM $cat.t WHERE key = '1'")
+      .collect().map(_.getString(0)).toSeq == Seq("a1"),
+      "main must not see the branch UPDATE before publish")
     val pub = spark.sql(s"CALL $cat.system.fast_forward('t', 'stage')")
       .collect()(0)
-    assert(pub.getString(0) == "stage" && pub.getLong(1) == 4L)
-    assert(spark.sql(s"SELECT key FROM $cat.t").collect()
-      .map(_.getString(0)).sorted.toSeq == Seq("1", "2", "3"))
+    assert(pub.getString(0) == "stage" && pub.getLong(1) == 5L)
+    assert(spark.sql(s"SELECT key, value FROM $cat.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq("1" -> "patched", "2" -> "b1", "3" -> "staged"))
+  }
+
+  test("MERGE with a DELETE clause on a branch view lands tombstones on " +
+    "the branch; merge-branch publishes the audited state onto the " +
+    "advanced main; main-lineage commits never conflict a branch DML") {
+    val lake = freshTable()
+    val cat = "azbmg"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[AzofCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake)
+    AzofWriter.createBranch(spark, lake, "t", "stage")                // fork 2
+    // main advances PAST the fork before the branch statement commits:
+    // with lineage-scoped conflict validation this must not conflict
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("4", "2024-02-07T00:00:00Z", "d1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))         // s3 main
+    spark.sql(
+      s"""MERGE INTO $cat.t.branch_stage t
+          USING (SELECT '1' AS key, 'drop' AS act
+                 UNION ALL SELECT '5', 'add') s
+          ON t.key = s.key
+          WHEN MATCHED AND s.act = 'drop' THEN DELETE
+          WHEN NOT MATCHED THEN INSERT (key, event_time, value)
+               VALUES (s.key, TIMESTAMP'2024-02-08 00:00:00', 'e1')""") // s4
+    // branch view: key 1 tombstoned, key 5 inserted; main blind to both
+    assert(spark.sql(s"SELECT key FROM $cat.t.branch_stage").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("2", "5"))
+    assert(scanSorted(lake, "t") ==
+      Seq("1" -> "a1", "2" -> "b1", "4" -> "d1"))
+    // diverged -> merge-branch; the tombstone suppresses key 1 on main
+    val v = AzofWriter.mergeBranch(spark, lake, "t", "stage")
+    assert(v == 5L)
+    assert(scanSorted(lake, "t") ==
+      Seq("2" -> "b1", "4" -> "d1", "5" -> "e1"))
+  }
+
+  test("DELETE with a value predicate on a branch view routes through " +
+    "the row-level path and tombstones on the branch only") {
+    val lake = freshTable()
+    val cat = "azbdel"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[AzofCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake)
+    AzofWriter.createBranch(spark, lake, "t", "scrub")
+    spark.sql(s"DELETE FROM $cat.t.branch_scrub WHERE value = 'a1'")
+    assert(spark.sql(s"SELECT key FROM $cat.t.branch_scrub").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("2"))
+    assert(scanSorted(lake, "t") == Seq("1" -> "a1", "2" -> "b1"),
+      "main must not see the branch DELETE")
+    assert(versionTxt(lake) == "2")
+  }
+
+  test("branch DML conflict validation is scoped to the branch lineage: " +
+    "a branch commit after the statement's read conflicts; main's don't") {
+    val lake = freshTable()
+    AzofWriter.createBranch(spark, lake, "t", "busy")                 // fork 2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b2")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("busy"))                                          // s3
+    // a statement that READ the fork (v2) and wrote key 2 must fail:
+    // the branch advanced past its read snapshot with an overlapping key
+    intercept[java.util.ConcurrentModificationException](
+      AzofWriter.commitLandedDeltas(spark, lake, "t",
+        Seq(Delta("never-lands.parquet",
+          ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+          Some(FileStats("2", "2", None)))),
+        op = "sql-dml",
+        validate = Some(AzofWriter.DmlConflictCheck(
+          2L, "2", "2", lineage = Some("busy"))),
+        branch = Some("busy")))
+    // same stale read, but the in-window commit is on ANOTHER lineage
+    // (main): no conflict — the statement's view never included main
+    val lake2 = freshTable()
+    AzofWriter.createBranch(spark, lake2, "t", "calm")                // fork 2
+    AzofWriter.commitDelta(spark, lake2, "t",
+      df(("2", "2024-02-05T00:00:00Z", "b-main")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))         // s3 main
+    val kv = df(("2", "2024-02-06T00:00:00Z", "b-branch"))
+    AzofWriter.commitDelta(spark, lake2, "t", kv,
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("calm"))                                          // s4
+    assert(AzofTable(spark, lake2, "t").branchHead("calm").contains(4L))
+  }
+
+  test("UPDATE under WAP session routing mutates the branch, not main") {
+    val lake = freshTable()
+    val cat = "azwdml"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[AzofCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake)
+    AzofWriter.createBranch(spark, lake, "t", "wap")
+    try {
+      spark.conf.set(AzofCatalog.WapBranchConf, "wap")
+      // the ETL's DML statement is UNCHANGED — the conf routes it
+      spark.sql(s"UPDATE $cat.t SET value = 'audited' WHERE key = '2'")
+      assert(versionTxt(lake) == "2", "WAP UPDATE must not advance main")
+      assert(spark.sql(s"SELECT value FROM $cat.t WHERE key = '2'")
+        .collect().map(_.getString(0)).toSeq == Seq("audited"),
+        "under the conf, the unpinned read serves the branch's UPDATE")
+    } finally spark.conf.unset(AzofCatalog.WapBranchConf)
+    assert(spark.sql(s"SELECT value FROM $cat.t WHERE key = '2'")
+      .collect().map(_.getString(0)).toSeq == Seq("b1"),
+      "conf unset: main untouched")
   }
 
   test("name hygiene: digits-only, 'main', tag collisions, and unknown " +
