@@ -25,6 +25,7 @@ object AzofQueries {
     "q46_sql_ctas" -> sqlCtas,
     "q34_bykey_lookup" -> byKeyLookup,
     "q40_sql_merge" -> sqlMerge,
+    "q47_branch_merge" -> branchMerge,
     "q41_value_skip" -> valueSkip,
     "q35_change_feed" -> changeFeed,
     "q42_version_tag" -> versionTag,
@@ -421,6 +422,69 @@ object AzofQueries {
     s.sql(s"SELECT key, event_time, event_type FROM $cat.events_mg")
   }
 
+  /** The whole branch lifecycle under the oracle gate: fork, row-level
+    * DML staged ON the branch ([[graft.sources.AzofRowLevelOperation]]
+    * with a lineage), main diverging past the fork, and
+    * [[AzofWriter.mergeBranch]] publishing the audited state onto the
+    * advanced head. The table is seeded with every pre-Jan-10 event;
+    * main then commits the [Jan 20, ∞) events (divergence); a MERGE on
+    * the BRANCH VIEW applies the [Jan 10, Jan 20) per-key newest event
+    * as `_m` updates / `_i` inserts — matched-ness is decided against
+    * the branch's fork state, NOT main's advanced state, so a lineage
+    * -isolation bug (branch statement reading main's delta) flips tags
+    * and cannot hash-match. After merge-branch, Current is the per-key
+    * newest row across all three sources; the DuckDB oracle recomputes
+    * that relationally.
+    */
+  private def branchMerge(s: SparkSession, dir: String): DataFrame = {
+    val key = dirKey(dir)
+    val cat = s"azbm_$key"
+    val lake = cachedLake(dir, "brmerge-v1", "events_br", inPlace = true) { l =>
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.AzofCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.path", l)
+      AzofWriter.createTable(s, l, "events_br", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.commitBase(s, l, "events_br",
+        eventsKv(s, dir).where(
+          col("event_time") < expr("TIMESTAMP '2024-01-10 00:00:00'")))
+      AzofWriter.createBranch(s, l, "events_br", "enrich")       // fork 2
+      // main diverges first: the [Jan 20, ∞) events land on main
+      AzofWriter.commitDelta(s, l, "events_br",
+        eventsKv(s, dir).where(
+          col("event_time") >= expr("TIMESTAMP '2024-01-20 00:00:00'")),
+        Instant.parse("2024-01-20T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"))                   // s3 main
+      Tables(s, dir, "events").createOrReplaceTempView(s"br_ev_$key")
+      s.sql(
+        s"""MERGE INTO $cat.events_br.branch_enrich t USING (
+              SELECT CAST(user_id AS STRING) AS key, event_time,
+                     event_type, props
+              FROM (SELECT *, date_trunc('millisecond', ts) AS event_time,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY date_trunc('millisecond', ts) DESC,
+                                      event_id DESC) AS rn
+                    FROM br_ev_$key
+                    WHERE date_trunc('millisecond', ts) >=
+                            TIMESTAMP'2024-01-10 00:00:00'
+                      AND date_trunc('millisecond', ts) <
+                            TIMESTAMP'2024-01-20 00:00:00')
+              WHERE rn = 1) s
+            ON t.key = s.key
+            WHEN MATCHED THEN UPDATE SET event_time = s.event_time,
+                 event_type = concat(s.event_type, '_m'), props = s.props
+            WHEN NOT MATCHED THEN INSERT (key, event_time, event_type, props)
+                 VALUES (s.key, s.event_time, concat(s.event_type, '_i'),
+                         s.props)""")                            // s4 branch
+      AzofWriter.mergeBranch(s, l, "events_br", "enrich")        // s5
+      ()
+    }
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.AzofCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.path", lake)
+    s.sql(s"SELECT key, event_time, event_type FROM $cat.events_br")
+  }
+
   /** The strict-precedence compatibility mode under the oracle gate
     * (reference semantics: lakehouse.rs:57-79 — per-key winners resolve
     * by file PRECEDENCE first, the row loop's first-seen-wins). The lake
@@ -813,6 +877,38 @@ object AzofQueries {
          SELECT s.key, s.event_time, s.event_type || '_i' AS event_type
            FROM src s
            WHERE NOT EXISTS (SELECT 1 FROM pre p WHERE p.key = s.key)""",
+    // post-merge Current, recomputed relationally: per-key newest row
+    // across the pre-Jan-10 base, the branch MERGE's tagged rows
+    // (matched against the FORK state = pre rows only — main's later
+    // delta must not influence tags), and main's [Jan 20, ∞) delta
+    "q47_branch_merge" ->
+      """WITH kv AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                date_trunc('milliseconds', ts) AS event_time,
+                event_type, event_id
+              FROM events),
+         pre AS (SELECT * FROM kv
+                 WHERE event_time < TIMESTAMP '2024-01-10 00:00:00'),
+         src AS (SELECT key, event_time, event_type, event_id FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                     ORDER BY event_time DESC, event_id DESC) AS rn
+                   FROM kv
+                   WHERE event_time >= TIMESTAMP '2024-01-10 00:00:00'
+                     AND event_time <  TIMESTAMP '2024-01-20 00:00:00')
+                 WHERE rn = 1),
+         dml AS (SELECT s.key, s.event_time,
+                   CASE WHEN EXISTS (SELECT 1 FROM pre p WHERE p.key = s.key)
+                        THEN s.event_type || '_m'
+                        ELSE s.event_type || '_i' END AS event_type,
+                   s.event_id
+                 FROM src s),
+         late AS (SELECT * FROM kv
+                  WHERE event_time >= TIMESTAMP '2024-01-20 00:00:00'),
+         allr AS (SELECT * FROM pre UNION ALL SELECT * FROM dml
+                  UNION ALL SELECT * FROM late)
+         SELECT key, event_time, event_type FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+             ORDER BY event_time DESC, event_id DESC) AS rn FROM allr)
+         WHERE rn = 1""",
     // the feed is the raw rows of the two delta commits (no dedup);
     // delta windows partition time, so the committing version is a
     // function of event_time alone
