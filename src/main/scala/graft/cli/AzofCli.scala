@@ -47,6 +47,26 @@ object AzofCli {
     out.result()
   }
 
+  /** Split a `--query` script into statements on ';' OUTSIDE
+    * single-quoted SQL literals (a quote escapes as '' per ANSI, which
+    * this walk handles for free: each quote just flips the flag twice).
+    * Empty trailing fragments (a closing ';') are dropped.
+    */
+  private[cli] def splitSql(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    script.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
@@ -902,7 +922,10 @@ object AzofCli {
         // write-audit-publish session conf
         opts.get("wap-branch").foreach(b =>
           spark.conf.set(graft.sources.AzofCatalog.WapBranchConf, b))
-        spark.sql(opts("query")).show(numRows = 1000, truncate = false)
+        // --query takes a script: statements split on ';' outside
+        // single-quoted literals, each run in order, each result shown
+        AzofCli.splitSql(opts("query")).foreach(stmt =>
+          spark.sql(stmt).show(numRows = 1000, truncate = false))
       case "read" =>
         // the DataFrameReader surface (works in vanilla sessions too):
         //   read --path L --table T [--as-of TS | --version N] [--key K[,K...]]

@@ -74,10 +74,19 @@ class AzofCatalog extends TableCatalog
   private def tableDir(ident: Identifier) =
     new Path(subPath(ident.namespace), ident.name)
 
-  override def tableExists(ident: Identifier): Boolean = {
+  /** A REAL azof table lives at the ident's directory. The public
+    * [[tableExists]] adds live BRANCH views on top, so `writeStream
+    * .toTable(cat.t.branch_b)` resolves the branch instead of having
+    * Spark CREATE a fresh table named `branch_b` inside `t`'s
+    * directory; the fallback chains below stay keyed on the real test.
+    */
+  private def realTableExists(ident: Identifier): Boolean = {
     val marker = new Path(tableDir(ident), "version.txt")
     marker.getFileSystem(spark.sessionState.newHadoopConf()).exists(marker)
   }
+
+  override def tableExists(ident: Identifier): Boolean =
+    realTableExists(ident) || branchTable(ident).isDefined
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val root = subPath(namespace)
@@ -91,7 +100,7 @@ class AzofCatalog extends TableCatalog
   }
 
   private def load(ident: Identifier, asOf: AsOf, version: Option[String]): Table = {
-    if (!tableExists(ident))
+    if (!realTableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     new AzofV2Table(tableDir(ident).getParent.toString, ident.name, asOf, version)
   }
@@ -104,11 +113,11 @@ class AzofCatalog extends TableCatalog
     */
   private def metadataTable(
       ident: Identifier, version: Option[String]): Option[Table] =
-    if (!tableExists(ident) && ident.namespace.nonEmpty) {
+    if (!realTableExists(ident) && ident.namespace.nonEmpty) {
       val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
       val parent = Identifier.of(
         ident.namespace.dropRight(1), ident.namespace.last)
-      if (AzofMetadataTables.Names.contains(kind) && tableExists(parent))
+      if (AzofMetadataTables.Names.contains(kind) && realTableExists(parent))
         Some(AzofMetadataTables.table(spark,
           tableDir(parent).getParent.toString, parent.name, kind, version))
       else None
@@ -117,16 +126,16 @@ class AzofCatalog extends TableCatalog
   /** `cat.t.branch_<name>` — a BRANCH view: reads pin the branch's head
     * snapshot (resolved at load), `INSERT INTO` appends to the branch
     * lineage. A REAL table always wins the name, same contract as the
-    * metadata views. Row-level DML and streaming writes on branch views
-    * are refused (branch writes are appends; publish via fast_forward).
+    * metadata views. Row-level DML and streaming sinks on branch views
+    * land on the branch lineage; publish via fast_forward/merge_branch.
     */
   private def branchTable(ident: Identifier): Option[Table] =
-    if (!tableExists(ident) && ident.namespace.nonEmpty &&
+    if (!realTableExists(ident) && ident.namespace.nonEmpty &&
       ident.name.startsWith("branch_")) {
       val bname = ident.name.stripPrefix("branch_")
       val parent = Identifier.of(
         ident.namespace.dropRight(1), ident.namespace.last)
-      if (bname.nonEmpty && tableExists(parent)) {
+      if (bname.nonEmpty && realTableExists(parent)) {
         val parentLake = tableDir(parent).getParent.toString
         val t = graft.format.AzofTable(spark, parentLake, parent.name)
         t.branchHead(bname).map(head =>
@@ -150,7 +159,7 @@ class AzofCatalog extends TableCatalog
     */
   override def loadTable(ident: Identifier): Table =
     spark.conf.getOption(AzofCatalog.WapBranchConf).filter(_.nonEmpty) match {
-      case Some(b) if tableExists(ident) =>
+      case Some(b) if realTableExists(ident) =>
         val lake = tableDir(ident).getParent.toString
         val t = graft.format.AzofTable(spark, lake, ident.name)
         val head = t.branchHead(b).getOrElse(
@@ -311,7 +320,11 @@ class AzofCatalog extends TableCatalog
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
+    if (!realTableExists(ident) && branchTable(ident).isDefined)
+      throw new UnsupportedOperationException(
+        s"${ident.name} is a branch view — drop the branch via CALL " +
+          "system.drop_branch (expired by the next vacuum)")
+    else throw new UnsupportedOperationException(
       "azof tables are append-only with full version history: " +
         "expire data via AzofVacuum")
 
@@ -577,15 +590,14 @@ class AzofV2Table(
             }
           }
         override def toStreaming
-            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-          if (branchLineage.nonEmpty)
-            throw new UnsupportedOperationException(
-              s"streaming writes to branch view $tableName." +
-                s"branch_${branchLineage.get} are not supported — sink to " +
-                "the table, or batch-INSERT INTO the branch")
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          // a branch lineage is a first-class streaming target: the
+          // stream's delta commits stage on the branch (replay guard
+          // per-lineage), invisible to main until publish — streaming
+          // write-audit-publish, incl. under WAP session routing
           new AzofStreamingWrite(
-            lakehousePath, tableName, info.queryId(), info.schema())
-        }
+            lakehousePath, tableName, info.queryId(), info.schema(),
+            branchLineage)
       }
     }
   }

@@ -51,10 +51,22 @@ import org.apache.spark.sql.types.StructType
   */
 private[sources] final class AzofStreamingWrite(
     lakehousePath: String, tableName: String,
-    queryId: String, rowSchema: StructType)
+    queryId: String, rowSchema: StructType,
+    branch: Option[String] = None)
   extends StreamingWrite {
 
   private val appId = s"q:$queryId"
+
+  /** The target LINEAGE's head snapshot — schema gate and file schema
+    * follow it, and the replay guard reads its `stream_batches` (the
+    * commit bases on the branch head, so the guard is per-lineage). A
+    * stream sunk into a BRANCH stages invisibly until publish: the
+    * streaming face of write-audit-publish.
+    */
+  private def headSnapshot(table: AzofTable) =
+    branch.flatMap(b => table.branchHead(b))
+      .map(h => table.snapshot(h.toString))
+      .getOrElse(table.currentSnapshot)
 
   // driver-side schema gate at query start: clear refusal instead of a
   // task-side failure N stages in. The stream must carry the FULL table
@@ -63,7 +75,7 @@ private[sources] final class AzofStreamingWrite(
   locally {
     val table = AzofTable(SparkSession.active, lakehousePath, tableName)
     val expected = Seq(TableSchema.KeyName, TableSchema.EventTimeName) ++
-      table.currentSnapshot.schema.columns.map(_.name)
+      headSnapshot(table).schema.columns.map(_.name)
     val got = rowSchema.fieldNames.toSeq
     val missing = expected.filterNot(c => got.exists(_.equalsIgnoreCase(c)))
     val extra = got.filterNot(c =>
@@ -88,7 +100,7 @@ private[sources] final class AzofStreamingWrite(
     // an ADD COLUMN between batches lands in the next batch's files
     val table = AzofTable(spark, lakehousePath, tableName)
     val (fileSchema, logicalNames) =
-      AzofDeltaFiles.aligned(table.currentSnapshot.schema)
+      AzofDeltaFiles.aligned(headSnapshot(table).schema)
     val prefix = s"delta_str_${UUID.randomUUID().toString.take(8)}"
     new AzofStreamingWriterFactory(
       table.tableDir.toString, prefix, rowSchema, fileSchema, logicalNames,
@@ -108,7 +120,8 @@ private[sources] final class AzofStreamingWrite(
       spark, lakehousePath, tableName,
       files.map(AzofDeltaFiles.asDelta).toIndexedSeq,
       op = s"stream-delta#$appId#$epochId",
-      streamBatch = Some(appId -> epochId))
+      streamBatch = Some(appId -> epochId),
+      branch = branch)
     if (!committed) {
       val table = AzofTable(spark, lakehousePath, tableName)
       AzofDeltaFiles.deleteLanded(table.tableDir.toString,

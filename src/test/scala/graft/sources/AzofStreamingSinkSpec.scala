@@ -181,6 +181,67 @@ class AzofStreamingSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a stream sunk under WAP session routing stages on the branch — " +
+    "invisible to main, exactly-once stamps on the branch lineage, " +
+    "published by fast-forward") {
+    val (lake, cat) = mkCat()
+    AzofWriter.createBranch(spark, lake, "t", "wapstr")
+    val ck = Files.createTempDirectory("azof-stsink-ck").toString
+    val mem = MemoryStream[(String, Timestamp, String)]
+    try {
+      spark.conf.set(AzofCatalog.WapBranchConf, "wapstr")
+      // the streaming job's sink spec is UNCHANGED — the conf routes it
+      val q = mem.toDF().toDF("key", "event_time", "value")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .toTable(s"$cat.t")
+      try {
+        mem.addData(("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a1"))
+        q.processAllAvailable()
+        mem.addData(("2", Timestamp.from(ts("2024-01-03T00:00:00Z")), "b1"))
+        q.processAllAvailable()
+        val t = AzofTable(spark, lake, "t")
+        // main: untouched pointer, empty view
+        assert(t.currentVersion == "1", s"v=${t.currentVersion}")
+        assert(currentKv(lake).isEmpty, "main must not see the stream")
+        // branch: both batches live, replay stamp on the branch head
+        val head = t.branchHead("wapstr").get
+        assert(head == 3L, s"head=$head")
+        val bs = t.snapshot(head.toString)
+        assert(bs.branch.contains("wapstr") &&
+          bs.streamBatches.get(s"q:${q.id}").contains(1L),
+          s"branch replay stamp: ${bs.streamBatches}")
+      } finally q.stop()
+    } finally spark.conf.unset(AzofCatalog.WapBranchConf)
+    assert(AzofWriter.fastForward(spark, lake, "t", "wapstr") == 4L)
+    assert(currentKv(lake) == Seq("1" -> "a1", "2" -> "b1"))
+  }
+
+  test("writeStream.toTable onto cat.t.branch_<b> targets the branch " +
+    "lineage directly") {
+    val (lake, cat) = mkCat()
+    AzofWriter.createBranch(spark, lake, "t", "direct")
+    val ck = Files.createTempDirectory("azof-stsink-ck").toString
+    val mem = MemoryStream[(String, Timestamp, String)]
+    val q = mem.toDF().toDF("key", "event_time", "value")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .toTable(s"$cat.t.branch_direct")
+    try {
+      mem.addData(("7", Timestamp.from(ts("2024-01-05T00:00:00Z")), "x1"))
+      q.processAllAvailable()
+      val t = AzofTable(spark, lake, "t")
+      assert(t.currentVersion == "1" && currentKv(lake).isEmpty)
+      assert(t.branchHead("direct").contains(2L))
+      assert(AzofScan.scanSnapshot(spark, t, t.snapshot("2"), AsOf.Current)
+        .select("key", "value").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq("7" -> "x1"))
+    } finally q.stop()
+  }
+
   test("a stream whose schema does not match the table refuses loudly") {
     val (_, cat) = mkCat()
     val ck = Files.createTempDirectory("azof-stsink-ck").toString
