@@ -339,6 +339,11 @@ object AzofCli {
         require(!(seed && native),
           "--seed is the foreachBatch path's sidecar protocol; " +
             "run the native sink without --seed")
+        // --target-branch B (native only): stage the replica on a
+        // branch of the target — audit, then fast-forward to publish
+        val tgtBranch = opts.get("target-branch")
+        require(tgtBranch.isEmpty || native,
+          "--target-branch stages through the native DSv2 sink: add --native")
         val q =
           if (seed)
             graft.streaming.AzofMirror.seedAndReplicate(spark,
@@ -349,7 +354,8 @@ object AzofCli {
             graft.streaming.AzofMirror.replicateNative(spark,
               opts("path"), opts("table"),
               opts("target-path"), opts("target-table"), ckpt,
-              maxVersionsPerBatch = opts.get("max-versions").map(_.toLong))
+              maxVersionsPerBatch = opts.get("max-versions").map(_.toLong),
+              targetBranch = tgtBranch)
           else
             graft.streaming.AzofMirror.replicate(spark,
               opts("path"), opts("table"),

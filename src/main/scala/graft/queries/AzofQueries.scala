@@ -35,6 +35,7 @@ object AzofQueries {
     "q37_tombstone_delete" -> tombstoneDelete,
     "q38_mirror_delete" -> mirrorDelete,
     "q45_native_mirror" -> nativeMirror,
+    "q48_wap_mirror" -> wapMirror,
     "q39_predicate_delete" -> predicateDelete,
     "s07_pq_codes_index" -> pqCodesIndex,
     "s08_minhash_sig_index" -> minhashSigIndex)
@@ -623,6 +624,44 @@ object AzofQueries {
       .select("key", "event_time", "event_type")
   }
 
+  /** STREAMING write-audit-publish under the oracle gate: q45's native
+    * replication, but the replica STAGES on a branch lineage of the
+    * target (`replicateNative(targetBranch = ...)` →
+    * `writeStream.toTable(cat.m.branch_stage)`) — every upsert and
+    * tombstone invisible to the target's main readers — and goes live
+    * only when `fastForward` publishes the branch head as one main
+    * commit. The published Current scan must hash-match the same
+    * latest-row-per-key-minus-deletes oracle as q45: a lineage-routing
+    * bug (epochs leaking to main, tombstones dropped on the branch, a
+    * publish that loses files) cannot hash-match. The guard inside
+    * `cachedLake` additionally pins main's BLINDNESS before publish —
+    * version.txt still at 1 with the full replica staged.
+    */
+  private def wapMirror(s: SparkSession, dir: String): DataFrame = {
+    val src = ensureDelLake(s, dir)
+    val lake = cachedLake(dir, "wapmir-v1", "events_wapm") { l =>
+      AzofWriter.createTable(s, l, "events_wapm", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createBranch(s, l, "events_wapm", "stage")
+      val q = graft.streaming.AzofMirror.replicateNative(s,
+        src, "events_del", l, "events_wapm",
+        new java.io.File(l, "_wapm_ck").toString,
+        targetBranch = Some("stage"))
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "staged replication did not terminate within 300s — " +
+            "refusing to cache an incomplete mirror lake")
+      val t = graft.format.AzofTable(s, l, "events_wapm")
+      if (t.currentVersion != "1")
+        throw new IllegalStateException(
+          s"staged replica leaked to main (version ${t.currentVersion})")
+      AzofWriter.fastForward(s, l, "events_wapm", "stage")
+      ()
+    }
+    AzofScan.scan(s, lake, "events_wapm")
+      .select("key", "event_time", "event_type")
+  }
+
   /** The SQL predicate-delete (takedown) shape under the oracle gate:
     * the full events history lands in one base commit, then
     * `DELETE FROM cat.events_pd WHERE event_type = 'error'` through the
@@ -972,6 +1011,21 @@ object AzofQueries {
     // target's Current state IS the source's — winners, tombstones,
     // event-time delete semantics all preserved through the DSv2 sink
     "q45_native_mirror" ->
+      """SELECT key, event_time, event_type FROM
+           (SELECT CAST(user_id AS VARCHAR) AS key,
+              date_trunc('milliseconds', ts) AS event_time, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+            FROM events)
+         WHERE rn = 1
+           AND NOT (key IN ('7', '23')
+                    AND event_time <= TIMESTAMP '2024-01-25 00:00:00')
+           AND NOT (key IN ('41', '103')
+                    AND event_time <= TIMESTAMP '2024-02-01 00:00:00')""",
+    // the staged-on-a-branch mirror PUBLISHES the identical contract:
+    // after fast-forward, the target's main Current is the source's
+    // state — the oracle is blind to the staging detour by design
+    "q48_wap_mirror" ->
       """SELECT key, event_time, event_type FROM
            (SELECT CAST(user_id AS VARCHAR) AS key,
               date_trunc('milliseconds', ts) AS event_time, event_type,

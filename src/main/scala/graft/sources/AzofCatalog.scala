@@ -567,11 +567,10 @@ class AzofV2Table(
     if (asOf != AsOf.Current || (version.nonEmpty && branchLineage.isEmpty))
       throw new UnsupportedOperationException(
         s"cannot write to a time-travel view of azof table $tableName")
-    if (branchLineage.nonEmpty && info.schema() != null &&
-      info.schema().fieldNames.contains(TableSchema.DeletedName))
-      throw new UnsupportedOperationException(
-        s"tombstone-marker writes to branch view $tableName." +
-          s"branch_${branchLineage.get} are not supported")
+    // a `_azof_deleted`-carrying STREAM works on any lineage (the CDC
+    // replication shape — deltas flag per-row tombstones, branch or
+    // main); a marker-carrying BATCH insert is refused downstream by
+    // commitPartitioned with the commitDelta/commitDelete remedy
     // SupportsStreamingUpdateAsAppend: exact for a merge-on-read format
     // (an updated row is the key's new version, the per-key merge serves
     // it) — streaming aggregations sink in outputMode("update"); see

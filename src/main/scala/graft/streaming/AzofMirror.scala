@@ -90,7 +90,16 @@ object AzofMirror {
       dstLake: String, dstTable: String,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxVersionsPerBatch: Option[Long] = None): StreamingQuery = {
+      maxVersionsPerBatch: Option[Long] = None,
+      targetBranch: Option[String] = None): StreamingQuery = {
+    // `targetBranch` STAGES the replica on a branch lineage of the
+    // target — upserts and tombstones alike invisible to the target's
+    // main readers until fast_forward/merge_branch publishes them: the
+    // write-audit-publish shape for replication (audit the mirrored
+    // state, then flip it live in one commit). Schema reconciliation
+    // still runs on main (branch schema evolution is refused; a branch
+    // forked BEFORE a source evolution refuses at the sink's schema
+    // gate rather than inventing bytes — re-branch from the head).
     reconcileSchema(spark, srcLake, srcTable, dstLake, dstTable)
     // toTable needs a catalog identifier: register one per target lake
     // (deterministic name, idempotent re-registration)
@@ -114,7 +123,8 @@ object AzofMirror {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .toTable(s"$cat.$dstTable")
+      .toTable(targetBranch.fold(s"$cat.$dstTable")(b =>
+        s"$cat.$dstTable.branch_$b"))
   }
 
   /** Start-time schema reconciliation: commit an `add-column` on the

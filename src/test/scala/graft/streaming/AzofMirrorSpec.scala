@@ -146,6 +146,41 @@ class AzofMirrorSpec extends AnyFunSuite {
     assert(all.count(_._3) == 1, "the delete arrived as a tombstone")
   }
 
+  test("native mirror staged on a target BRANCH: upserts AND tombstones " +
+    "invisible to main until fast-forward publishes the audited replica") {
+    val src = Files.createTempDirectory("azof-bmir-src").toString
+    val dst = Files.createTempDirectory("azof-bmir-dst").toString
+    val ck = Files.createTempDirectory("azof-bmir-ck").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createBranch(spark, dst, "m", "stage")
+    AzofWriter.commitBase(spark, src, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1"),
+      ("2", "2024-01-03T00:00:00Z", "b1")))                          // v2
+    AzofWriter.commitDelete(spark, src, "t", Seq("2"),
+      ts("2024-03-01T00:00:00Z"))                                    // v3
+
+    val q = AzofMirror.replicateNative(spark, src, "t", dst, "m", ck,
+      targetBranch = Some("stage"))
+    q.awaitTermination(120000)
+
+    val t = AzofTable(spark, dst, "m")
+    assert(t.currentVersion == "1", "main pointer untouched by the stage")
+    assert(scanSorted(dst, "m").isEmpty, "main blind to the staged replica")
+    // the branch head carries the full replica, tombstone included
+    val head = t.branchHead("stage").get
+    assert(AzofScan.scanSnapshot(spark, t, t.snapshot(head.toString),
+        AsOf.Current)
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted ==
+      Seq("1" -> "a1"))
+
+    AzofWriter.fastForward(spark, dst, "m", "stage")
+    assert(scanSorted(dst, "m") == scanSorted(src, "t"),
+      "published replica ≡ source, delete semantics preserved")
+    assert(scanSorted(dst, "m") == Seq("1" -> "a1"))
+  }
+
   test("source compaction mid-mirror delivers nothing; post-compaction commits still flow") {
     val src = Files.createTempDirectory("azof-mirror3-src").toString
     val dst = Files.createTempDirectory("azof-mirror3-dst").toString
