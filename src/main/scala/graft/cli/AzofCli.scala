@@ -271,11 +271,24 @@ object AzofCli {
           s"${rep.droppedFiles.size} emptied file(s); version now " +
           AzofTable(spark, opts("path"), opts("table")).currentVersion)
       case "changes" =>
-        graft.sources.AzofChangeFeed.between(spark, opts("path"), opts("table"),
-          opts("from").toLong,
-          opts.get("to").map(_.toLong).getOrElse(
-            AzofTable(spark, opts("path"), opts("table")).currentVersion.toLong))
-          .show(numRows = 1000, truncate = false)
+        // --branch B: publish preview — the rows publishing branch B
+        // would make live on main (no --from/--to; the branch lineage
+        // since its fork IS the range)
+        opts.get("branch") match {
+          case Some(b) =>
+            require(!opts.contains("from") && !opts.contains("to"),
+              "--branch previews the branch's whole unpublished lineage; " +
+                "it does not take --from/--to")
+            graft.sources.AzofChangeFeed
+              .branchDiff(spark, opts("path"), opts("table"), b)
+              .show(numRows = 1000, truncate = false)
+          case None =>
+            graft.sources.AzofChangeFeed.between(spark, opts("path"), opts("table"),
+              opts("from").toLong,
+              opts.get("to").map(_.toLong).getOrElse(
+                AzofTable(spark, opts("path"), opts("table")).currentVersion.toLong))
+              .show(numRows = 1000, truncate = false)
+        }
       case "tail-commits" =>
         // one COMMIT-EXACT poll of the change feed: processes versions
         // committed since this checkpoint's offset, prints them,

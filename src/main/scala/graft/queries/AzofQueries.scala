@@ -28,6 +28,7 @@ object AzofQueries {
     "q47_branch_merge" -> branchMerge,
     "q41_value_skip" -> valueSkip,
     "q35_change_feed" -> changeFeed,
+    "q49_publish_preview" -> publishPreview,
     "q42_version_tag" -> versionTag,
     "q43_rollback" -> rollbackView,
     "q44_zorder_skip" -> zorderSkip,
@@ -299,6 +300,50 @@ object AzofQueries {
       .between(s, ensureLake(s, dir), "events_kv", 2L, 4L)
       .select(col("key"), col("event_time"), col("event_type"),
         col("_commit_version"))
+
+  /** The write-audit-publish AUDIT primitive under the oracle gate
+    * ([[graft.sources.AzofChangeFeed.branchDiff]]): a branch stages one
+    * upsert delta ([Jan 10, Jan 20) events, s3) and one tombstone delta
+    * (keys 7 and 23 at Mar 1, s4) over a main base of the earlier
+    * events — the publish preview must surface EXACTLY those staged
+    * rows, upserts flagged `_deleted = false` and tombstones
+    * `_deleted = true` with NULL values, each tagged with the branch
+    * commit that staged it. Nothing from main's base may leak in
+    * (the preview is files-since-fork, not a state diff), and a
+    * dropped tombstone or missed staged file cannot hash-match.
+    */
+  private def publishPreview(s: SparkSession, dir: String): DataFrame = {
+    val lake = cachedLake(dir, "pubprev-v1", "events_pp") { l =>
+      val kv = eventsKv(s, dir)
+      AzofWriter.createTable(s, l, "events_pp", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val d10 = "2024-01-10 00:00:00"
+      val d20 = "2024-01-20 00:00:00"
+      AzofWriter.commitBase(s, l, "events_pp",
+        kv.where(col("event_time") < expr(s"TIMESTAMP '$d10'")))   // s2
+      AzofWriter.createBranch(s, l, "events_pp", "stage")          // fork 2
+      AzofWriter.commitDelta(s, l, "events_pp",
+        kv.where(col("event_time") >= expr(s"TIMESTAMP '$d10'") &&
+          col("event_time") < expr(s"TIMESTAMP '$d20'")),
+        Instant.parse("2024-01-10T00:00:00Z"),
+        Instant.parse("2024-01-20T00:00:00Z"),
+        branch = Some("stage"))                                    // s3
+      val at = java.sql.Timestamp.from(Instant.parse("2024-03-01T00:00:00Z"))
+      val marks = s.createDataFrame(Seq(Tuple1("7"), Tuple1("23")))
+        .select(col("_1").as("key"), lit(at).as("event_time"),
+          lit(null).cast("string").as("event_type"),
+          lit(null).cast("string").as("props"),
+          lit(true).as(TableSchema.DeletedName))
+      AzofWriter.commitDelta(s, l, "events_pp", marks,
+        Instant.parse("2024-03-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"),
+        branch = Some("stage"))                                    // s4
+      ()
+    }
+    graft.sources.AzofChangeFeed.branchDiff(s, lake, "events_pp", "stage")
+      .select(col("key"), col("event_time"), col("event_type"),
+        col("_deleted"), col("_commit_version"))
+  }
 
   /** The SQL WRITE surface under the oracle gate: CREATE TABLE + INSERT
     * INTO through the DSv2 catalog (→ partitioned delta commit), read
@@ -958,6 +1003,21 @@ object AzofQueries {
               THEN CAST(3 AS BIGINT) ELSE CAST(4 AS BIGINT) END AS _commit_version
          FROM events
          WHERE date_trunc('milliseconds', ts) >= TIMESTAMP '2024-01-10 00:00:00'""",
+    // the publish preview is exactly the staged rows: the [Jan 10,
+    // Jan 20) upserts (branch commit 3) plus the two Mar-1 tombstones
+    // (branch commit 4, NULL values, _deleted = true)
+    "q49_publish_preview" ->
+      """SELECT key, event_time, event_type, _deleted, _commit_version FROM (
+           SELECT CAST(user_id AS VARCHAR) AS key,
+                  date_trunc('milliseconds', ts) AS event_time, event_type,
+                  false AS _deleted, CAST(3 AS BIGINT) AS _commit_version
+           FROM events
+           WHERE date_trunc('milliseconds', ts) >= TIMESTAMP '2024-01-10 00:00:00'
+             AND date_trunc('milliseconds', ts) < TIMESTAMP '2024-01-20 00:00:00'
+           UNION ALL
+           SELECT d.key, TIMESTAMP '2024-03-01 00:00:00',
+                  CAST(NULL AS VARCHAR), true, CAST(4 AS BIGINT)
+           FROM (VALUES ('7'), ('23')) AS d(key))""",
     // strict mode ranks by (file precedence, event_time DESC): the
     // tagged inner-window delta (later start) outranks the full delta,
     // so any key with an inner-window event surfaces its newest TAGGED

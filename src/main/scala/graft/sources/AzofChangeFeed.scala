@@ -66,11 +66,86 @@ object AzofChangeFeed {
         else (snap.allFiles -- snaps(prev).allFiles).toSeq.sorted.map(_ -> v)
       }
 
+    assemble(spark, t, table, schema, fileVersions,
+      snaps.valuesIterator.flatMap(_.tombstoneFiles).toSet)
+  }
+
+  /** Publish preview — the audit primitive of the write-audit-publish
+    * flow: every row that publishing `branchName` (via
+    * [[AzofWriter.fastForward]] or [[AzofWriter.mergeBranch]]) would
+    * make live on main, commit-exactly, BEFORE the publish happens.
+    * Rows carry `_commit_version` = the BRANCH commit that staged them
+    * (provenance — the eventual main feed tags them with the publish
+    * commit instead, which does not exist yet) and the same `_deleted`
+    * tombstone flag as the main feed, so an auditor sees exactly which
+    * keys the publish adds, updates, or deletes without scanning either
+    * lineage's full state.
+    *
+    * The change set is exactly what the publish registers: the branch
+    * lineage's delta files since the fork, minus anything already on
+    * main's current snapshot (mergeBranch skips those — re-previewing
+    * after a partial publish shows only the remainder). Like the main
+    * feed this is metadata-pruned — one scan over only the staged
+    * files, never a branch-vs-main state diff.
+    */
+  def branchDiff(
+      spark: SparkSession,
+      lakehousePath: String,
+      table: String,
+      branchName: String): DataFrame = {
+    val t = AzofTable(spark, lakehousePath, table)
+    val head = t.branchHead(branchName).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such branch '$branchName' on $table" +
+          (if (t.listBranches.isEmpty) ""
+           else s"; known branches: ${t.listBranches.sorted.mkString(", ")}")))
+    val headSnap = t.snapshot(head.toString)
+    require(headSnap.branch.contains(branchName),
+      s"branch '$branchName' has no commits (head s$head.json is the " +
+        "fork itself) — nothing to preview")
+    // branch commits oldest-first, walking the parent chain to the fork
+    var chain = List.empty[(Long, Snapshot)]
+    var cur = head
+    var snap = headSnap
+    while (snap.branch.nonEmpty) {
+      chain ::= (cur, snap)
+      cur = snap.parent.getOrElse(throw new IllegalStateException(
+        s"branch '$branchName' lineage broken at s$cur.json: no parent " +
+          "link — cannot prove ancestry for a publish preview"))
+      snap = t.snapshot(cur.toString)
+    }
+    // files main already serves never re-publish (fork tree + anything
+    // an earlier merge carried over) — same exclusion mergeBranch applies
+    val published = snap.allFiles ++ t.currentSnapshot.allFiles
+    var prevFiles = snap.allFiles
+    val fileVersions: Seq[(String, Long)] = chain.flatMap { case (v, s) =>
+      val fresh = s.allFiles -- prevFiles
+      prevFiles = s.allFiles
+      // same data-adding guard as the main walk: maintenance ops on a
+      // lineage rewrite/remove rows, they do not add any
+      if (s.op.exists(o =>
+        o == "compact" || o == "purge" || o == "rollback")) Seq.empty
+      else (fresh -- published).toSeq.sorted.map(_ -> v)
+    }
+    assemble(spark, t, table, headSnap.schema, fileVersions,
+      chain.iterator.map(_._2).flatMap(_.tombstoneFiles).toSet)
+  }
+
+  /** One-scan row assembly shared by the main feed and the branch
+    * publish preview: read every (file, tagging version) pair, recover
+    * the version per row from the file basename, surface tombstone rows
+    * as `_deleted = true`.
+    */
+  private def assemble(
+      spark: SparkSession,
+      t: AzofTable,
+      table: String,
+      schema: TableSchema,
+      fileVersions: Seq[(String, Long)],
+      tombstoneNames: Set[String]): DataFrame = {
     // delete commits surface as rows tagged `_deleted = true` (values
     // NULL) — the Delta-CDF-style change-type column, always present so
     // the feed's schema is stable whether or not the range has deletes
-    val tombstoneNames = snaps.valuesIterator
-      .flatMap(_.tombstoneFiles).toSet
     val hasTombstones =
       fileVersions.exists { case (f, _) => tombstoneNames(f) }
     // files store PHYSICAL column names; the feed surfaces LOGICAL ones

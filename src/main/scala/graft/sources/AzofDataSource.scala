@@ -77,6 +77,12 @@ final class AzofDataSource extends RelationProvider with DataSourceRegister {
         kind.trim.toLowerCase(java.util.Locale.ROOT),
         parameters.get("versionAsOf"))
     }
+    // publish preview: .option("publishDiff", <branch>) — the rows
+    // publishing that branch would make live on main (AzofChangeFeed
+    // .branchDiff), the audit face of write-audit-publish
+    parameters.get("publishDiff").foreach { b =>
+      return new AzofBranchDiffRelation(sqlContext, lake, table, b.trim)
+    }
     parameters.get("changesFrom") match {
       case Some(fromV) =>
         new AzofChangesRelation(sqlContext, lake, table,
@@ -132,6 +138,20 @@ final class AzofChangesRelation(
     case None =>
       AzofChangeFeed.since(spark, lakehousePath, tableName, fromVersion)
   }
+  override val schema: StructType = df.schema
+  override def buildScan(): RDD[Row] = df.rdd
+}
+
+/** Publish-preview relation: [[AzofChangeFeed.branchDiff]] as a plain
+  * table scan — what publishing the branch would change on main.
+  */
+final class AzofBranchDiffRelation(
+    override val sqlContext: SQLContext,
+    lakehousePath: String, tableName: String, branch: String)
+  extends BaseRelation with TableScan {
+
+  private val df = AzofChangeFeed.branchDiff(
+    sqlContext.sparkSession, lakehousePath, tableName, branch)
   override val schema: StructType = df.schema
   override def buildScan(): RDD[Row] = df.rdd
 }

@@ -298,4 +298,74 @@ class ChangeFeedSpec extends AnyFunSuite {
       s"documents parsed more than once at construction: $constructionOpens")
     assert(feed.count() == 11)
   }
+
+  test("branchDiff previews exactly the staged rows — upserts and " +
+    "tombstones — and matches what the publish then feeds to main") {
+    val lake = Files.createTempDirectory("azof-bdiff").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1"),
+        ("2", "2024-01-03T00:00:00Z", "b1")))                        // v2
+    AzofWriter.createBranch(spark, lake, "t", "stage")               // fork 2
+    // main diverges AFTER the fork: its rows must not enter the preview
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("9", "2024-01-04T00:00:00Z", "m1")),
+      ts("2024-01-04T00:00:00Z"), ts("2024-01-05T00:00:00Z"))        // v3 main
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("1", "2024-02-05T00:00:00Z", "a2")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("stage"))                                        // v4 branch
+    val marks = df(("2", "2024-03-01T00:00:00Z", "ignored"))
+      .withColumn("value",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn(TableSchema.DeletedName,
+        org.apache.spark.sql.functions.lit(true))
+    AzofWriter.commitDelta(spark, lake, "t", marks,
+      ts("2024-03-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("stage"))                                        // v5 branch
+
+    val prev = AzofChangeFeed.branchDiff(spark, lake, "t", "stage")
+      .select("key", "value", "_deleted", "_commit_version")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(2),
+        r.getLong(3))).sortBy(_._4).toSeq
+    assert(prev == Seq(
+      ("1", Some("a2"), false, 4L),
+      ("2", None, true, 5L)),
+      "preview = the staged files only: no base rows, no diverged-main " +
+        "rows, tombstone flagged")
+
+    // the reader-option face sees the same rows
+    val viaReader = spark.read.format("azof")
+      .option("table", "t").option("publishDiff", "stage")
+      .load(lake)
+      .select("key", "_deleted").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    assert(viaReader == Seq(("1", false), ("2", true)))
+
+    // publish (diverged → merge) and check the MAIN feed delivers the
+    // previewed rows at the publish commit — preview ≡ publish feed
+    // modulo the version tag (provenance vs landing)
+    val pubV = AzofWriter.mergeBranch(spark, lake, "t", "stage")
+    // feed base 3 = main's last pre-publish version (feed bounds must
+    // be main versions; 4 and 5 are branch commits)
+    val fed = AzofChangeFeed.between(spark, lake, "t", 3L, pubV)
+      .select("key", "value", "_deleted").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(fed == prev.map(p => (p._1, p._2, p._3)).sortBy(_._1),
+      "post-publish main feed ≡ the preview")
+
+    // after the publish every staged file is on main: re-preview is empty
+    assert(AzofChangeFeed.branchDiff(spark, lake, "t", "stage").count() == 0)
+
+    // refusals: unknown branch, and a branch with no commits
+    intercept[IllegalArgumentException] {
+      AzofChangeFeed.branchDiff(spark, lake, "t", "nope")
+    }
+    AzofWriter.createBranch(spark, lake, "t", "empty")
+    intercept[IllegalArgumentException] {
+      AzofChangeFeed.branchDiff(spark, lake, "t", "empty")
+    }
+  }
 }
