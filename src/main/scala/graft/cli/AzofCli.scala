@@ -177,12 +177,19 @@ object AzofCli {
         // --by-key: key-clustered merged files (point-lookup layout)
         // --zorder c1,c2: z-order on (key, c1, c2) — value skipping
         //   prunes value predicates under the key-range closure
+        // --branch B: fold a STAGED lineage in place (main untouched);
+        //   fast-forward then publishes the folded tree
+        val cBranch = opts.get("branch")
         graft.sources.AzofWriter.compact(spark, opts("path"), opts("table"),
           Instant.parse(opts("at")), opts.getOrElse("files", "1").toInt,
           byKey = opts.get("by-key").exists(_ != "false"),
           zorder = opts.get("zorder").toSeq
-            .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
-        println(s"compacted; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+            .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
+          branch = cBranch)
+        val cT = AzofTable(spark, opts("path"), opts("table"))
+        println(cBranch.fold(
+          s"compacted; version now ${cT.currentVersion}")(b =>
+          s"compacted branch '$b'; head now ${cT.branchHead(b).getOrElse(-1L)}"))
       case "analyze" =>
         // metadata-only stats backfill for stat-less / foreign files:
         //   analyze --path L --table T

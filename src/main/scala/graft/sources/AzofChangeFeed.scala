@@ -115,17 +115,24 @@ object AzofChangeFeed {
       snap = t.snapshot(cur.toString)
     }
     // files main already serves never re-publish (fork tree + anything
-    // an earlier merge carried over) — same exclusion mergeBranch applies
+    // an earlier merge carried over) — same exclusion mergeBranch
+    // applies. The preview is HEAD-TREE-scoped: each file tags the
+    // chain commit that introduced it, and only files the head tree
+    // still references publish. A branch COMPACT (fold-before-publish)
+    // closes the staged deltas into history and adds their merged
+    // state, so a folded branch previews BOTH — the staged rows at
+    // their staging commits plus the fold's re-asserted state at the
+    // fold commit — which is exactly what the post-publish main feed
+    // delivers (fast-forward registers the whole head tree, closed
+    // children included). Content duplication across the two is the
+    // same idempotent-upsert story as main compaction's merged rows.
+    val headFiles = headSnap.allFiles
     val published = snap.allFiles ++ t.currentSnapshot.allFiles
     var prevFiles = snap.allFiles
     val fileVersions: Seq[(String, Long)] = chain.flatMap { case (v, s) =>
       val fresh = s.allFiles -- prevFiles
       prevFiles = s.allFiles
-      // same data-adding guard as the main walk: maintenance ops on a
-      // lineage rewrite/remove rows, they do not add any
-      if (s.op.exists(o =>
-        o == "compact" || o == "purge" || o == "rollback")) Seq.empty
-      else (fresh -- published).toSeq.sorted.map(_ -> v)
+      (fresh & headFiles &~ published).toSeq.sorted.map(_ -> v)
     }
     assemble(spark, t, table, headSnap.schema, fileVersions,
       chain.iterator.map(_._2).flatMap(_.tombstoneFiles).toSet)

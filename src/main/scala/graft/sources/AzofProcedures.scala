@@ -75,7 +75,8 @@ object AzofProcedures {
       case "compact" => Array(
         p("table", StringType), p("at", StringType),
         pd("files", IntegerType, "1"), pd("by_key", BooleanType, "false"),
-        pd("zorder", StringType, "CAST(NULL AS STRING)"))
+        pd("zorder", StringType, "CAST(NULL AS STRING)"),
+        pd("branch", StringType, "CAST(NULL AS STRING)"))
       case "vacuum" => Array(
         p("table", StringType), p("keep", IntegerType),
         pd("min_age_hours", IntegerType, "1"),
@@ -156,12 +157,18 @@ object AzofProcedures {
         if (input.isNullAt(i)) null else input.getUTF8String(i).toString
       val out: (StructType, Seq[Any]) = name match {
         case "compact" =>
+          val br = Option(str(5))
           AzofWriter.compact(spark, path, str(0), Instant.parse(str(1)),
             input.getInt(2), byKey = input.getBoolean(3),
             zorder = Option(str(4)).toSeq
-              .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)))
+              .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
+            branch = br)
+          // branch folds report the BRANCH head (main's pointer is
+          // untouched by design)
+          val t = AzofTable(spark, path, str(0))
           (StructType(Seq(StructField("version", LongType))),
-            Seq(AzofTable(spark, path, str(0)).currentVersion.toLong))
+            Seq(br.flatMap(t.branchHead).getOrElse(
+              t.currentVersion.toLong)))
         case "vacuum" =>
           val r = AzofVacuum.vacuum(spark, path, str(0), input.getInt(1),
             dryRun = input.getBoolean(3),

@@ -839,7 +839,8 @@ object AzofWriter {
       at: Instant,
       numFiles: Int = 1,
       byKey: Boolean = false,
-      zorder: Seq[String] = Nil): Unit = {
+      zorder: Seq[String] = Nil,
+      branch: Option[String] = None): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
     require(zorder.isEmpty || !byKey,
       "byKey and zorder are mutually exclusive (z-order already leads " +
@@ -847,9 +848,30 @@ object AzofWriter {
     require(zorder.isEmpty || numFiles > 1,
       "zorder needs numFiles > 1: one file has nothing to cluster")
     val table = AzofTable(spark, lakehousePath, name)
-    val cur = table.currentVersion
-    val nextId = (cur.toLong + 1).toString
-    val snap = table.currentSnapshot
+    // `branch` folds a STAGED lineage in place — the long-staged-replica
+    // shape (a mirrored branch accumulates one small delta per
+    // micro-batch; publishing thousands of tiny files onto main and
+    // compacting after defeats the audit: the audited tree should BE
+    // the published tree). The compact commits on the branch (main
+    // untouched), the branch pointer advances, and fast-forward then
+    // publishes the folded tree verbatim. A compacted branch can no
+    // longer merge-publish (mergeBranch's append-only check refuses the
+    // rewritten tree, by design) — fold only in the fast-forward flow.
+    val (baseId, snap) = branch match {
+      case Some(b) =>
+        val (head, headSnap, _) = branchLineage(table, b)
+        (head, headSnap)
+      case None =>
+        val cur = table.currentVersion.toLong
+        (cur, table.currentSnapshot)
+    }
+    // ids are shared across lineages: walk past EVERY existing document
+    // (branch commits included), not just version.txt + 1 — a branch doc
+    // at the next main id would otherwise collide the publish forever
+    val tfs = fs(spark, table.tableDir)
+    var freeId = math.max(baseId, table.currentVersion.toLong) + 1
+    while (tfs.exists(new Path(table.tableDir, s"s$freeId.json"))) freeId += 1
+    val nextId = freeId.toString
     val openIdx = snap.segments.indexWhere(_.end.isEmpty)
     require(openIdx >= 0, "table has no open segment to compact")
     val open = snap.segments(openIdx)
@@ -1005,9 +1027,27 @@ object AzofWriter {
     val newSnap = snap.copy(
       segments =
         refoldClosed(snap.segments.updated(openIdx, closedRoot)) :+ newOpen,
-      op = Some("compact"))
+      op = Some("compact"),
+      branch = branch,
+      parent = Some(baseId))
     writeSnapshot(spark, dir, nextId, newSnap)
-    writeVersion(spark, dir, nextId)
+    branch match {
+      case None => writeVersion(spark, dir, nextId)
+      case Some(b) =>
+        // forward-only pointer advance (branchHead's parent-chain walk
+        // self-heals a lost advance, exactly as for data commits)
+        val bp = new Path(table.tableDir, AzofTable.branchFile(b))
+        val raw = scala.util.Try {
+          val in = tfs.open(bp)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }.getOrElse(0L)
+        if (raw < nextId.toLong) {
+          AtomicReplace.replace(tfs, table.tableDir, bp, nextId)
+          ()
+        }
+    }
   }
 
   /** What [[purgeDeleted]] did: how many keys it erased, which files it

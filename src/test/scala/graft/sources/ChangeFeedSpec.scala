@@ -368,4 +368,61 @@ class ChangeFeedSpec extends AnyFunSuite {
       AzofChangeFeed.branchDiff(spark, lake, "t", "empty")
     }
   }
+
+  test("branchDiff of a FOLDED branch previews the folded tree — and " +
+    "still matches what fast-forward then feeds to main") {
+    val lake = Files.createTempDirectory("azof-bdiff-fold").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.createBranch(spark, lake, "t", "stage")               // fork 2
+    (1 to 3).foreach { i =>
+      AzofWriter.commitDelta(spark, lake, "t",
+        df((s"k$i", f"2024-02-0${i}T00:00:00Z", s"v$i")),
+        ts(f"2024-02-0${i}T00:00:00Z"), ts(f"2024-02-0${i + 1}T00:00:00Z"),
+        branch = Some("stage"))                                      // v3..v5
+    }
+    // a staged tombstone AFTER the fold point: the fold must carry it
+    // forward with its marker, and the preview must still flag it
+    val marks = df(("k2", "2024-06-01T00:00:00Z", "x"))
+      .withColumn("value",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn(TableSchema.DeletedName,
+        org.apache.spark.sql.functions.lit(true))
+    AzofWriter.commitDelta(spark, lake, "t", marks,
+      ts("2024-06-01T00:00:00Z"), ts("2024-06-01T00:00:00Z"),
+      branch = Some("stage"))                                        // v6
+    AzofWriter.compact(spark, lake, "t", ts("2024-03-01T00:00:00Z"),
+      branch = Some("stage"))                                        // v7
+
+    val foldV = AzofTable(spark, lake, "t").branchHead("stage").get
+    val prev = AzofChangeFeed.branchDiff(spark, lake, "t", "stage")
+      .select("key", "value", "_deleted", "_commit_version").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(2),
+        r.getLong(3))).sortBy(p => (p._4, p._1, p._3)).toSeq
+    // the fold CLOSES the staged deltas into history and re-asserts the
+    // merged state: the preview carries both — the staged rows at their
+    // staging commits (v3..v6, fork-row '1' excluded: its file is on
+    // main) plus the fold's rows at foldV (fork-inherited '1' included,
+    // the Mar-1 state, and the carried-forward future tombstone with
+    // its marker)
+    assert(prev == Seq(
+      ("k1", Some("v1"), false, 3L),
+      ("k2", Some("v2"), false, 4L),
+      ("k3", Some("v3"), false, 5L),
+      ("k2", None, true, 6L),
+      ("1", Some("a1"), false, foldV),
+      ("k1", Some("v1"), false, foldV),
+      ("k2", Some("v2"), false, foldV),
+      ("k3", Some("v3"), false, foldV),
+      ("k2", None, true, foldV)).sortBy(p => (p._4, p._1, p._3)))
+
+    val pubV = AzofWriter.fastForward(spark, lake, "t", "stage")
+    val fed = AzofChangeFeed.between(spark, lake, "t", 2L, pubV)
+      .select("key", "value", "_deleted").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(2)))
+      .sortBy(p => (p._1, p._3)).toSeq
+    assert(fed == prev.map(p => (p._1, p._2, p._3)).sortBy(p => (p._1, p._3)),
+      "post-publish main feed ≡ the folded preview")
+  }
 }

@@ -227,6 +227,89 @@ class CompactionSpec extends AnyFunSuite {
       Some(KeyFilter.Keys(Set("32")))).size > 1)
   }
 
+  test("main compaction lands past branch commits sharing the id space") {
+    val lake = build()                                     // main at v4
+    AzofWriter.createBranch(spark, lake, "t", "side")
+    AzofWriter.commitDelta(spark, lake, "t", df(
+      ("9", "2024-03-15T00:00:00Z", "z1")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"),
+      branch = Some("side"))                               // s5 = branch doc
+    val before = AzofScan.scan(spark, lake, "t")
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    // v5 is occupied by the branch commit: compaction must walk past it
+    AzofWriter.compact(spark, lake, "t", ts("2024-04-01T00:00:00Z"))
+    val t = AzofTable(spark, lake, "t")
+    assert(t.currentVersion.toLong == 6L,
+      "compact landed past the branch doc at s5")
+    val after = AzofScan.scan(spark, lake, "t")
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(after == before, "compaction preserved main's view")
+    // the branch is untouched and still publishable
+    assert(t.branchHead("side").contains(5L))
+  }
+
+  test("branch compaction folds a staged lineage; fast-forward publishes " +
+    "the folded tree; main blind until then") {
+    val lake = Files.createTempDirectory("azof-bcompact").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t", df(
+      ("1", "2024-01-02T00:00:00Z", "a1")))                // v2
+    AzofWriter.createBranch(spark, lake, "t", "stage")     // fork 2
+    // a long-staged lineage: many small deltas (the mirrored-replica
+    // shape) plus a staged tombstone
+    (1 to 4).foreach { i =>
+      AzofWriter.commitDelta(spark, lake, "t", df(
+        (s"k$i", f"2024-02-0${i}T00:00:00Z", s"v$i")),
+        ts(f"2024-02-0${i}T00:00:00Z"), ts(f"2024-02-0${i + 1}T00:00:00Z"),
+        branch = Some("stage"))                            // s3..s6
+    }
+    val marks = df(("k2", "2024-03-01T00:00:00Z", "x"))
+      .withColumn("value",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn(TableSchema.DeletedName,
+        org.apache.spark.sql.functions.lit(true))
+    AzofWriter.commitDelta(spark, lake, "t", marks,
+      ts("2024-03-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("stage"))                              // s7
+
+    val t0 = AzofTable(spark, lake, "t")
+    val headBefore = t0.branchHead("stage").get
+    val filesBefore = t0.snapshot(headBefore.toString)
+      .dataFiles(graft.format.AsOf.Current).size
+    AzofWriter.compact(spark, lake, "t", ts("2024-04-01T00:00:00Z"),
+      branch = Some("stage"))
+    val t = AzofTable(spark, lake, "t")
+    assert(t.currentVersion.toLong == 2L, "main pointer untouched")
+    val head = t.branchHead("stage").get
+    assert(head > headBefore, "branch pointer advanced to the compact")
+    val headSnap = t.snapshot(head.toString)
+    assert(headSnap.branch.contains("stage") &&
+      headSnap.parent.contains(headBefore),
+      "compact doc carries the branch lineage tags")
+    val filesAfter = headSnap.dataFiles(graft.format.AsOf.Current).size
+    assert(filesAfter < filesBefore,
+      s"folded: $filesBefore files -> $filesAfter")
+    // the branch view is unchanged by the fold (k2 stays deleted)
+    val staged = AzofScan.scanSnapshot(spark, t, headSnap,
+        graft.format.AsOf.Current)
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(staged == Seq("1" -> "a1", "k1" -> "v1", "k3" -> "v3",
+      "k4" -> "v4"))
+    // main is still blind; publish lands the folded tree in one commit
+    assert(AzofScan.scan(spark, lake, "t")
+      .select("key").collect().map(_.getString(0)).toSeq == Seq("1"))
+    AzofWriter.fastForward(spark, lake, "t", "stage")
+    val published = AzofScan.scan(spark, lake, "t")
+      .select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(published == staged, "published ≡ audited folded tree")
+    assert(AzofTable(spark, lake, "t").currentSnapshot
+      .dataFiles(graft.format.AsOf.Current).size == filesAfter)
+  }
+
   test("compacted snapshot JSON round-trips and keeps closed deltas off roots") {
     val lake = build()
     AzofWriter.compact(spark, lake, "t", ts("2024-04-01T00:00:00Z"))

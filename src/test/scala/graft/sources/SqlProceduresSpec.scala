@@ -56,6 +56,36 @@ class SqlProceduresSpec extends AnyFunSuite {
     assert(got == Seq("1" -> "a2", "2" -> "b"))
   }
 
+  test("CALL system.compact(branch => ...) folds a staged lineage; " +
+    "main untouched until CALL fast_forward publishes it") {
+    mk("cb1", ("1", "2024-01-05T00:00:00Z", "a"))             // v1+v2
+    spark.sql("CALL proc.system.create_branch(`table` => 'cb1', " +
+      "name => 'stage')")
+    (1 to 3).foreach { i =>
+      AzofWriter.commitDelta(spark, lake, "cb1",
+        df((s"k$i", f"2024-02-0${i}T00:00:00Z", s"v$i")),
+        ts(f"2024-02-0${i}T00:00:00Z"), ts(f"2024-02-0${i}T00:00:00Z"),
+        branch = Some("stage"))                               // s3..s5
+    }
+    val r = spark.sql(
+      "CALL proc.system.compact(`table` => 'cb1', " +
+        "at => '2024-06-01T00:00:00Z', branch => 'stage')").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(6L),
+      "summary reports the branch head, not main")
+    assert(AzofTable(spark, lake, "cb1").currentVersion == "2",
+      "main pointer untouched by the branch fold")
+    assert(spark.sql("SELECT key FROM proc.cb1").collect().length == 1)
+    spark.sql("CALL proc.system.fast_forward(`table` => 'cb1', " +
+      "branch => 'stage')")
+    val got = spark.sql("SELECT key, value FROM proc.cb1").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq("1" -> "a", "k1" -> "v1", "k2" -> "v2", "k3" -> "v3"))
+    // the published Current resolves to the folded file set: one merged
+    // base, not the three staged deltas
+    assert(AzofTable(spark, lake, "cb1").currentSnapshot
+      .dataFiles(graft.format.AsOf.Current).size == 1)
+  }
+
   test("CALL system.vacuum dry-run reports, wet run deletes") {
     mk("v1", ("1", "2024-01-05T00:00:00Z", "a"))
     (1 to 3).foreach { i =>
