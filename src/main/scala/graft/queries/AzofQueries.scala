@@ -37,6 +37,7 @@ object AzofQueries {
     "q38_mirror_delete" -> mirrorDelete,
     "q45_native_mirror" -> nativeMirror,
     "q48_wap_mirror" -> wapMirror,
+    "q50_wap_fold_publish" -> wapFoldPublish,
     "q39_predicate_delete" -> predicateDelete,
     "s07_pq_codes_index" -> pqCodesIndex,
     "s08_minhash_sig_index" -> minhashSigIndex)
@@ -707,6 +708,59 @@ object AzofQueries {
       .select("key", "event_time", "event_type")
   }
 
+  /** q48's staged replication with a BRANCH FOLD before publish, under
+    * the same oracle contract: the native mirror stages one small delta
+    * per micro-batch on the branch (the long-staged-replica shape), a
+    * branch compaction folds the staged lineage into one merged tree
+    * (main still blind, pointer untouched), and fast-forward publishes
+    * the FOLDED tree. The published Current must hash-match the exact
+    * q48/q45 latest-per-key-minus-deletes contract — so a fold that
+    * loses rows, resurrects a tombstoned key, or leaks to main before
+    * publish cannot hash-match. The fold point sits after every staged
+    * event time, so staged tombstones fold into the tree as key absence
+    * (the Current contract is unchanged; the guard inside pins both
+    * main's blindness and the fold actually shrinking the file set).
+    */
+  private def wapFoldPublish(s: SparkSession, dir: String): DataFrame = {
+    val src = ensureDelLake(s, dir)
+    val lake = cachedLake(dir, "wapfold-v1", "events_wapf") { l =>
+      AzofWriter.createTable(s, l, "events_wapf", eventsSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createBranch(s, l, "events_wapf", "stage")
+      val q = graft.streaming.AzofMirror.replicateNative(s,
+        src, "events_del", l, "events_wapf",
+        new java.io.File(l, "_wapf_ck").toString,
+        maxVersionsPerBatch = Some(1L),       // one delta per source commit
+        targetBranch = Some("stage"))
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "staged replication did not terminate within 300s — " +
+            "refusing to cache an incomplete mirror lake")
+      val t = graft.format.AzofTable(s, l, "events_wapf")
+      val headBefore = t.branchHead("stage").getOrElse(
+        throw new IllegalStateException("no staged commits"))
+      val filesBefore = t.snapshot(headBefore.toString)
+        .dataFiles(graft.format.AsOf.Current).size
+      // fold point after every staged event (source tombstones land at
+      // 'now' during the lake build; one year ahead is safely past)
+      AzofWriter.compact(s, l, "events_wapf",
+        Instant.now().plusSeconds(365L * 24 * 3600),
+        branch = Some("stage"))
+      if (t.currentVersion != "1")
+        throw new IllegalStateException(
+          s"staged replica or fold leaked to main (version ${t.currentVersion})")
+      val filesAfter = t.snapshot(t.branchHead("stage").get.toString)
+        .dataFiles(graft.format.AsOf.Current).size
+      if (filesAfter >= filesBefore)
+        throw new IllegalStateException(
+          s"fold did not shrink the staged tree ($filesBefore -> $filesAfter)")
+      AzofWriter.fastForward(s, l, "events_wapf", "stage")
+      ()
+    }
+    AzofScan.scan(s, lake, "events_wapf")
+      .select("key", "event_time", "event_type")
+  }
+
   /** The SQL predicate-delete (takedown) shape under the oracle gate:
     * the full events history lands in one base commit, then
     * `DELETE FROM cat.events_pd WHERE event_type = 'error'` through the
@@ -1086,6 +1140,21 @@ object AzofQueries {
     // after fast-forward, the target's main Current is the source's
     // state — the oracle is blind to the staging detour by design
     "q48_wap_mirror" ->
+      """SELECT key, event_time, event_type FROM
+           (SELECT CAST(user_id AS VARCHAR) AS key,
+              date_trunc('milliseconds', ts) AS event_time, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+            FROM events)
+         WHERE rn = 1
+           AND NOT (key IN ('7', '23')
+                    AND event_time <= TIMESTAMP '2024-01-25 00:00:00')
+           AND NOT (key IN ('41', '103')
+                    AND event_time <= TIMESTAMP '2024-02-01 00:00:00')""",
+    // the FOLDED staged publish keeps the identical contract: branch
+    // compaction before fast-forward must not change the published
+    // Current — same oracle as q48/q45, blind to the fold by design
+    "q50_wap_fold_publish" ->
       """SELECT key, event_time, event_type FROM
            (SELECT CAST(user_id AS VARCHAR) AS key,
               date_trunc('milliseconds', ts) AS event_time, event_type,

@@ -42,7 +42,8 @@ object AzofProcedures {
       "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
       "contain_refresh", "shard_refresh", "seq_refresh",
       "tag", "untag", "rollback",
-      "create_branch", "drop_branch", "fast_forward", "merge_branch")
+      "create_branch", "drop_branch", "fast_forward", "merge_branch",
+      "publish_preview")
 
   def load(path: String, ident: Identifier): UnboundProcedure = {
     val name = ident.name.toLowerCase
@@ -148,6 +149,8 @@ object AzofProcedures {
       case "fast_forward" => Array(
         p("table", StringType), p("branch", StringType))
       case "merge_branch" => Array(
+        p("table", StringType), p("branch", StringType))
+      case "publish_preview" => Array(
         p("table", StringType), p("branch", StringType))
     }
 
@@ -361,6 +364,30 @@ object AzofProcedures {
             StructField("branch", StringType),
             StructField("published_at", LongType))),
             Seq(str(1), v))
+        case "publish_preview" =>
+          // the WAP audit gate from pure SQL: size the staged change
+          // set before deciding to fast_forward/merge_branch (row-level
+          // inspection is the reader/CLI face — `changes --branch B` /
+          // .option("publishDiff", b); this summary is driver-sized)
+          val prev = AzofChangeFeed.branchDiff(spark, path, str(0), str(1))
+          val agg = prev.groupBy().agg(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.when(
+                org.apache.spark.sql.functions.col("_deleted"), 1L)
+                .otherwise(0L)),
+            org.apache.spark.sql.functions.countDistinct(
+              org.apache.spark.sql.functions.col("_commit_version")))
+            .collect()(0)
+          val total = agg.getLong(0)
+          val dels = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+          (StructType(Seq(
+            StructField("branch", StringType),
+            StructField("upserts", LongType),
+            StructField("deletes", LongType),
+            StructField("staged_commits", LongType))),
+            Seq(str(1), total - dels, dels, agg.getLong(2)))
         case "merge_branch" =>
           val v = AzofWriter.mergeBranch(spark, path, str(0), str(1))
           (StructType(Seq(

@@ -86,6 +86,30 @@ class SqlProceduresSpec extends AnyFunSuite {
       .dataFiles(graft.format.AsOf.Current).size == 1)
   }
 
+  test("CALL system.publish_preview sizes the staged change set from SQL") {
+    mk("pp1", ("1", "2024-01-05T00:00:00Z", "a"))             // v1+v2
+    spark.sql("CALL proc.system.create_branch(`table` => 'pp1', " +
+      "name => 'stage')")
+    AzofWriter.commitDelta(spark, lake, "pp1",
+      df(("k1", "2024-02-01T00:00:00Z", "v1"),
+        ("k2", "2024-02-02T00:00:00Z", "v2")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-02-02T00:00:00Z"),
+      branch = Some("stage"))                                 // s3
+    val marks = df(("1", "2024-03-01T00:00:00Z", "x"))
+      .withColumn("value",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn(TableSchema.DeletedName,
+        org.apache.spark.sql.functions.lit(true))
+    AzofWriter.commitDelta(spark, lake, "pp1", marks,
+      ts("2024-03-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("stage"))                                 // s4
+    val r = spark.sql("CALL proc.system.publish_preview(" +
+      "`table` => 'pp1', branch => 'stage')").collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ("stage", 2L, 1L, 2L),
+      "2 staged upserts, 1 staged delete, across 2 staged commits")
+  }
+
   test("CALL system.vacuum dry-run reports, wet run deletes") {
     mk("v1", ("1", "2024-01-05T00:00:00Z", "a"))
     (1 to 3).foreach { i =>
