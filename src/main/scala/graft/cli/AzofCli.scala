@@ -327,8 +327,12 @@ object AzofCli {
         // --checkpoint resumes at the committed version.
         val ckpt = opts.getOrElse("checkpoint",
           java.nio.file.Files.createTempDirectory("azof-scommits").toString)
-        val reader = spark.readStream.format("azof-commits")
+        // --branch B tails a STAGED lineage's commits (live audit of a
+        // staging branch, before publish)
+        val reader0 = spark.readStream.format("azof-commits")
           .option("table", opts("table"))
+        val reader = opts.get("branch").fold(reader0)(
+          reader0.option("branch", _))
         val q = opts.get("from").fold(reader)(reader.option("startVersion", _))
           .load(opts("path"))
           .writeStream.outputMode("append")
@@ -902,12 +906,19 @@ object AzofCli {
           containIndex = opts.get("contain-path").map(p =>
             (p, opts.getOrElse("contain-table", "contain_pairs"))),
           containThreshold =
-            opts.getOrElse("contain-threshold", "0.9").toDouble)
+            opts.getOrElse("contain-threshold", "0.9").toDouble,
+          // --branch B: STAGE the takedown on a branch — audit the
+          // delete set (changes --branch / publish_preview), then
+          // fast-forward to make it live
+          branch = opts.get("branch"))
         println(
           if (n == 0) "nothing to delete: corpus already canonical"
-          else s"deleted $n non-canonical doc(s); version now " +
-            graft.format.AzofTable(spark, opts("path"), opts("table"))
-              .currentVersion)
+          else opts.get("branch").fold(
+            s"deleted $n non-canonical doc(s); version now " +
+              graft.format.AzofTable(spark, opts("path"), opts("table"))
+                .currentVersion)(b =>
+            s"staged $n non-canonical doc deletion(s) on branch '$b' — " +
+              "audit with changes --branch, publish with fast-forward"))
       case "pq-search" =>
         // ADC top-k FROM the persisted codes; query vectors come from
         // the source rows named by --query-keys. --rerank R adds the

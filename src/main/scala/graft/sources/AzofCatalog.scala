@@ -528,7 +528,7 @@ class AzofV2Table(
           // no current winner is a legal 0-row no-op
           if (keysDf.take(1).nonEmpty)
             AzofWriter.commitDelete(spark, lakehousePath, tableName,
-              keysDf, java.time.Instant.now())
+              keysDf, java.time.Instant.now(), branch = None)
         } finally { keysDf.unpersist(); () }
     }
   }

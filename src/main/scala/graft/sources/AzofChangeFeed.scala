@@ -138,6 +138,59 @@ object AzofChangeFeed {
       chain.iterator.map(_._2).flatMap(_.tombstoneFiles).toSet)
   }
 
+  /** Commit-exact change feed over a BRANCH lineage — the branch twin
+    * of [[between]], serving the streaming tail of a STAGED lineage
+    * (audit pipelines that follow a staging branch live, before
+    * publish). Delivers every row added by the branch's data-adding
+    * commits with id in `(fromVersion, toVersion]`, tagged
+    * `_commit_version` = the landing snapshot id and the `_deleted`
+    * tombstone flag. Ids are the table's shared snapshot numbering:
+    * main commits interleave but never enter this walk (the chain is
+    * the head's parent links), and the same maintenance-op skip as the
+    * main feed applies — a branch FOLD ([[AzofWriter.compact]] with a
+    * branch) rewrites rows and delivers nothing, exactly like main
+    * compaction. (Contrast [[branchDiff]], which previews the PUBLISH
+    * and therefore serves the folded tree.)
+    */
+  def branchBetween(
+      spark: SparkSession,
+      lakehousePath: String,
+      table: String,
+      branchName: String,
+      fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
+    val t = AzofTable(spark, lakehousePath, table)
+    val head = t.branchHead(branchName).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such branch '$branchName' on $table" +
+          (if (t.listBranches.isEmpty) ""
+           else s"; known branches: ${t.listBranches.sorted.mkString(", ")}")))
+    // chain head -> fork, oldest-first; parse each document once
+    var chain = List.empty[(Long, Snapshot)]
+    var cur = head
+    var snap = t.snapshot(cur.toString)
+    while (snap.branch.contains(branchName)) {
+      chain ::= (cur, snap)
+      cur = snap.parent.getOrElse(throw new IllegalStateException(
+        s"branch '$branchName' lineage broken at s$cur.json: no parent " +
+          "link — cannot walk the commit chain"))
+      snap = t.snapshot(cur.toString)
+    }
+    val schema = chain.lastOption.map(_._2).getOrElse(snap).schema
+    var prevFiles = snap.allFiles // the fork tree
+    val fileVersions: Seq[(String, Long)] = chain.flatMap { case (v, s) =>
+      val fresh = (s.allFiles -- prevFiles).toSeq.sorted
+      prevFiles = s.allFiles
+      if (v <= fromVersion || v > toVersion ||
+        s.op.exists(o => o == "compact" || o == "purge" || o == "rollback"))
+        Seq.empty
+      else fresh.map(_ -> v)
+    }
+    assemble(spark, t, table, schema, fileVersions,
+      chain.iterator.map(_._2).flatMap(_.tombstoneFiles).toSet)
+  }
+
   /** One-scan row assembly shared by the main feed and the branch
     * publish preview: read every (file, tagging version) pair, recover
     * the version per row from the file basename, surface tombstone rows

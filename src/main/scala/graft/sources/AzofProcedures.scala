@@ -92,7 +92,8 @@ object AzofProcedures {
         pd("sem_table", StringType, "'sem'"),
         pd("contain_path", StringType, "CAST(NULL AS STRING)"),
         pd("contain_table", StringType, "'contain_pairs'"),
-        pd("contain_threshold", DoubleType, "0.9"))
+        pd("contain_threshold", DoubleType, "0.9"),
+        pd("branch", StringType, "CAST(NULL AS STRING)"))
       case "dedup_ingest" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("text_col", StringType, "'text'"),
@@ -199,7 +200,8 @@ object AzofProcedures {
             str(2), Option(str(3)),
             Option(str(4)).map(p => (p, str(5))),
             containIndex = Option(str(6)).map(p => (p, str(7))),
-            containThreshold = input.getDouble(8))
+            containThreshold = input.getDouble(8),
+            branch = Option(str(9)))
           (StructType(Seq(StructField("deleted_docs", LongType))), Seq(n))
         case "dedup_ingest" =>
           // stable checkpoint derived from the signature table — the

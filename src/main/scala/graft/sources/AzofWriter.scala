@@ -547,7 +547,8 @@ object AzofWriter {
       lakehousePath: String,
       name: String,
       keys: Seq[String],
-      at: Instant): Unit = {
+      at: Instant,
+      branch: Option[String] = None): Unit = {
     require(keys.nonEmpty, "commitDelete with no keys")
     commitDelete(spark, lakehousePath, name,
       spark.createDataFrame(
@@ -557,7 +558,7 @@ object AzofWriter {
           org.apache.spark.sql.types.StructField(
             TableSchema.KeyName,
             org.apache.spark.sql.types.StringType)))),
-      at)
+      at, branch)
   }
 
   /** DataFrame variant of [[commitDelete]] for large key sets (e.g. "all
@@ -569,9 +570,17 @@ object AzofWriter {
       lakehousePath: String,
       name: String,
       keysDf: DataFrame,
-      at: Instant): Unit = {
+      at: Instant,
+      // no default here: Scala forbids defaults on two overloads — the
+      // Seq face carries them and delegates
+      branch: Option[String]): Unit = {
     val table = AzofTable(spark, lakehousePath, name)
     val dir = table.tableDir.toString
+    // `branch` STAGES the tombstones on that lineage (the takedown-audit
+    // shape: size the delete set with publish_preview / changes --branch,
+    // then fast-forward to make it live). Tombstone rows are schema-wide
+    // NULLs, so main's current schema is the right projection either way
+    // (branch schema evolution is refused).
     val snap = table.currentSnapshot
     // NULL value columns under their PHYSICAL names (tombstone rows go
     // straight to writeDataFile, which writes columns as named)
@@ -588,12 +597,13 @@ object AzofWriter {
       uniqueFileName(s"tombstone_s${table.currentVersion.toLong + 1}")
     val stats = writeDataFile(spark, rows, dir, fileName)
     require(stats.nonEmpty, "commitDelete resolved to an empty key set")
-    commitMeta(spark, dir) { (cur, v) =>
+    commitMeta(spark, dir, branch = branch) { (cur, v) =>
       val segs = mapOpenRoot(cur.segments)(s =>
         s.copy(delta = s.delta :+
           Delta(fileName, at, at, stats, tombstone = true, seq = Some(v))))
       cur.copy(segments = segs, op = Some("commit-delete"))
     }
+    ()
   }
 
   /** Phase 1 of a single-file commit: land the data file (uniquely

@@ -571,7 +571,8 @@ object DedupFlow {
       semIndex: Option[(String, String)] = None,
       at: java.time.Instant = java.time.Instant.now(),
       containIndex: Option[(String, String)] = None,
-      containThreshold: Double = 0.9): Long = {
+      containThreshold: Double = 0.9,
+      branch: Option[String] = None): Long = {
     val live = AzofScan.scan(spark, srcLake, srcTable)
       .select(col(TableSchema.KeyName))
     val keep = keyMapTable match {
@@ -622,8 +623,12 @@ object DedupFlow {
     }).persist()
     try {
       val n = drop.count()
+      // `branch` stages the takedown for audit-then-publish: the drop
+      // set is still computed against MAIN's live corpus (the branch
+      // forks at main's head), but the tombstones land on the branch —
+      // size them with publish_preview, then fast-forward
       if (n > 0)
-        AzofWriter.commitDelete(spark, srcLake, srcTable, drop, at)
+        AzofWriter.commitDelete(spark, srcLake, srcTable, drop, at, branch)
       n
     } finally { drop.unpersist(); () }
   }

@@ -44,9 +44,13 @@ import org.apache.spark.sql.types.StructType
   * the current snapshot, like the batch reader's `changesFrom`),
   * `maxVersionsPerBatch` (bound how many commits one
   * micro-batch spans — long catch-ups proceed in bounded checkpointed
-  * steps; default unbounded). The schema is pinned at stream start
-  * from the current snapshot (same rule as [[AzofStream]] after
-  * schema evolution).
+  * steps; default unbounded), `branch` (tail a STAGED lineage's
+  * commits instead of main's — the audit pipeline that follows a
+  * staging branch live before publish; offsets are the branch's
+  * landing snapshot ids, folds/maintenance ops deliver nothing, and
+  * the schema pins from the branch head). The schema is otherwise
+  * pinned at stream start from the current snapshot (same rule as
+  * [[AzofStream]] after schema evolution).
   *
   * A consumer lagging past vacuum retention fails loudly at planning
   * with the retained floor (the Kafka earliest-offset analogue), never
@@ -79,7 +83,8 @@ class AzofCommitStreamProvider extends StreamSourceProvider with DataSourceRegis
       ()
     }
     (shortName(),
-      AzofCommitStreamProvider.feedSchema(sqlContext.sparkSession, lake, table))
+      AzofCommitStreamProvider.feedSchema(sqlContext.sparkSession, lake,
+        table, parameters.get("branch").map(_.trim)))
   }
 
   override def createSource(
@@ -100,7 +105,8 @@ class AzofCommitStreamProvider extends StreamSourceProvider with DataSourceRegis
           .resolveVersion(parameters("startVersion").trim).toLong
       else startVersion
     new AzofCommitSource(
-      sqlContext.sparkSession, lake, table, start, maxVersions)
+      sqlContext.sparkSession, lake, table, start, maxVersions,
+      branch = parameters.get("branch").map(_.trim).filter(_.nonEmpty))
   }
 }
 
@@ -165,10 +171,24 @@ object AzofCommitStreamProvider {
   private[streaming] val Tagged: Long = -2L
 
   private[streaming] def feedSchema(
-      spark: SparkSession, lake: String, table: String): StructType =
-    AzofTable(spark, lake, table).currentSnapshot.schema.toStruct
+      spark: SparkSession, lake: String, table: String,
+      branch: Option[String] = None): StructType = {
+    val t = AzofTable(spark, lake, table)
+    // a branch stream's schema is the BRANCH HEAD's (a branch forked
+    // before a main evolution keeps its narrower fork schema)
+    val snap = branch.filter(_.nonEmpty) match {
+      case Some(b) => t.snapshot(t.branchHead(b).getOrElse(
+        throw new IllegalArgumentException(
+          s"no such branch '$b' on $table" +
+            (if (t.listBranches.isEmpty) ""
+             else s"; known branches: ${t.listBranches.sorted.mkString(", ")}")))
+        .toString)
+      case None => t.currentSnapshot
+    }
+    snap.schema.toStruct
       .add("_commit_version", "long")
       .add("_deleted", "boolean", nullable = false)
+  }
 }
 
 /** One streaming query's version cursor over a table — see
@@ -186,7 +206,8 @@ class AzofCommitSource(
     lakehousePath: String,
     table: String,
     startVersion: Long,
-    maxVersionsPerBatch: Long = Long.MaxValue)
+    maxVersionsPerBatch: Long = Long.MaxValue,
+    branch: Option[String] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -194,13 +215,28 @@ class AzofCommitSource(
 
   private val t = AzofTable(spark, lakehousePath, table)
 
+  /** The lineage's high watermark: main's version pointer, or the
+    * branch head — a `branch` stream tails a STAGED lineage (the audit
+    * pipeline following a staging branch live, before publish; commit-
+    * exact, folds/maintenance ops skipped like main compaction). A
+    * dropped branch fails the next planning cycle loudly.
+    */
+  private def lineageVersion(): Long = branch match {
+    case None => t.currentVersion.toLong
+    case Some(b) => t.branchHead(b).getOrElse(
+      throw new IllegalStateException(
+        s"branch '$b' on $table disappeared mid-stream " +
+          "(concurrent drop_branch?) — the staged lineage this stream " +
+          "tails no longer resolves"))
+  }
+
   /** Schema pin: version and BASE schema (without the feed's meta
     * columns) captured together at source creation. A source commit
     * that changes the table schema mid-stream fails [[getBatch]]
     * LOUDLY (see there) instead of letting the range's files read
     * under a stale struct and silently drop the new column.
     */
-  private val pinnedVersion: Long = t.currentVersion.toLong
+  private val pinnedVersion: Long = lineageVersion()
   private val pinnedStruct: StructType =
     t.snapshot(pinnedVersion.toString).schema.toStruct
 
@@ -213,7 +249,7 @@ class AzofCommitSource(
   @volatile private var staleStrikes = 0
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(t.currentVersion.toLong)
+    availableNowCap = Some(lineageVersion())
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -228,7 +264,7 @@ class AzofCommitSource(
     * several batches.
     */
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
-    val cur0 = t.currentVersion.toLong
+    val cur0 = lineageVersion()
     val base = math.max(Option(start).map(asAnyVersion)
       .getOrElse(startVersion), startVersion)
     // a committed offset AHEAD of the table is never a caught-up
@@ -248,7 +284,7 @@ class AzofCommitSource(
     // skip this guard exists to prevent; the operator retries a
     // spuriously-failed sync, but nobody retries a sync that "worked".
     // No sleep ever runs on this micro-batch planning thread.
-    if (base > cur0 && base > t.currentVersion.toLong) {
+    if (base > cur0 && base > lineageVersion()) {
       val oneShot = availableNowCap.isDefined
       staleStrikes += 1
       if (!oneShot && staleStrikes <= StaleGrace) return null
@@ -267,7 +303,7 @@ class AzofCommitSource(
   }
 
   override def reportLatestOffset(): ConnOffset =
-    LongOffset(t.currentVersion.toLong)
+    LongOffset(lineageVersion())
 
   override val schema: StructType = pinnedStruct
     .add("_commit_version", "long")
@@ -277,7 +313,7 @@ class AzofCommitSource(
     * (None until it moves past the stream's base — nothing to deliver).
     */
   override def getOffset: Option[V1Offset] = {
-    val cur = t.currentVersion.toLong
+    val cur = lineageVersion()
     if (cur <= startVersion) None else Some(LongOffset(cur))
   }
 
@@ -330,7 +366,12 @@ class AzofCommitSource(
           "in added columns); AzofMirror.replicate additionally widens " +
           "its target table's schema at start.")
     val feed =
-      try AzofChangeFeed.between(spark, lakehousePath, table, from, to)
+      try branch match {
+        case Some(b) => AzofChangeFeed.branchBetween(
+          spark, lakehousePath, table, b, from, to)
+        case None =>
+          AzofChangeFeed.between(spark, lakehousePath, table, from, to)
+      }
       catch {
         case e: java.io.FileNotFoundException =>
           throw new IllegalStateException(
@@ -358,7 +399,8 @@ class AzofCommitSource(
   override def stop(): Unit = ()
 
   override def toString: String =
-    s"AzofCommitSource[$lakehousePath/$table, start=$startVersion]"
+    s"AzofCommitSource[$lakehousePath/$table" +
+      branch.fold("")(b => s".branch_$b") + s", start=$startVersion]"
 
   /** Offsets come back from the checkpoint WAL as [[SerializedOffset]]
     * (raw JSON), live from [[getOffset]]/[[latestOffset]] as

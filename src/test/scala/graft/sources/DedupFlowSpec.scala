@@ -525,6 +525,46 @@ class DedupFlowSpec extends AnyFunSuite {
     assert(AzofTable(spark, srcLake, "docs").currentVersion.toLong == vAfter)
   }
 
+  test("applyVerdict stages the takedown on a branch: main live until " +
+    "publish_preview-sized tombstones fast-forward") {
+    val srcLake = Files.createTempDirectory("azof-ddf-apbr-src").toString
+    val idxLake = Files.createTempDirectory("azof-ddf-apbr-idx").toString
+    val ck = Files.createTempDirectory("azof-ddf-apbr-ck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      2L -> fam("w", "beta"),
+      4L -> "completely different text entirely"),
+      "2024-01-02T00:00:00Z"))
+    DedupFlow.create(spark, idxLake)
+    DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake, ck,
+      ts("2024-02-01T00:00:00Z"))
+    AzofWriter.createBranch(spark, srcLake, "docs", "takedown")
+    val vBefore = AzofTable(spark, srcLake, "docs").currentVersion.toLong
+
+    val n = DedupFlow.applyVerdict(spark, srcLake, "docs", idxLake,
+      at = ts("2024-03-01T00:00:00Z"), branch = Some("takedown"))
+    assert(n == 1)
+    // main untouched: pointer AND view
+    assert(AzofTable(spark, srcLake, "docs").currentVersion.toLong == vBefore)
+    assert(graft.operators.AzofScan.scan(spark, srcLake, "docs")
+      .count() == 3, "main still serves all 3 docs while staged")
+    // the preview sizes the staged takedown: 1 delete, 0 upserts
+    val prev = AzofChangeFeed.branchDiff(spark, srcLake, "docs", "takedown")
+      .select(TableSchema.KeyName, "_deleted").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(prev == Seq("2" -> true))
+    // publish: the takedown goes live in one commit
+    AzofWriter.fastForward(spark, srcLake, "docs", "takedown")
+    val live = graft.operators.AzofScan.scan(spark, srcLake, "docs")
+      .select(TableSchema.KeyName).collect().map(_.getString(0)).sorted
+    assert(live.toSeq == Seq("1", "4"))
+    // post-publish, a fresh apply (no branch) has nothing left to do
+    assert(DedupFlow.applyVerdict(spark, srcLake, "docs", idxLake,
+      at = ts("2024-03-02T00:00:00Z")) == 0)
+  }
+
   test("applyVerdict composes a SemDeDup index: near-dup AND semantic drops") {
     val lake = Files.createTempDirectory("azof-ddf-sem").toString
     val semCk = Files.createTempDirectory("azof-ddf-sem-ck").toString

@@ -75,7 +75,7 @@ class ShardMapPropertySpec extends AnyFunSuite {
 
         val dels = rnd.shuffle(live.toSeq).take(rnd.nextInt(3))
         if (dels.nonEmpty) {
-          AzofWriter.commitDelete(spark, lake, "docs", dels, ts(c))
+          AzofWriter.commitDelete(spark, lake, "docs", dels, ts(c), branch = None)
           live --= dels
           pending ++= dels.map(_ -> false)
         }

@@ -319,4 +319,64 @@ class AzofCommitStreamSpec extends AnyFunSuite {
       == Seq(4L),
       "startVersion=<tag> must deliver exactly (tagged version, current]")
   }
+
+  test("branch option tails the STAGED lineage: main commits invisible, " +
+    "branch folds skipped, resume picks up new staged commits") {
+    val lake = Files.createTempDirectory("azof-cstream-br").toString
+    val ck = Files.createTempDirectory("azof-cstream-br-ck").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.createBranch(spark, lake, "t", "stage")               // fork 2
+    // main diverges: must NOT enter the branch tail
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("9", "2024-01-04T00:00:00Z", "m1")),
+      ts("2024-01-04T00:00:00Z"), ts("2024-01-05T00:00:00Z"))        // v3 main
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("k1", "2024-02-01T00:00:00Z", "v1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-02-02T00:00:00Z"),
+      branch = Some("stage"))                                        // v4 br
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("k2", "2024-02-02T00:00:00Z", "v2")),
+      ts("2024-02-02T00:00:00Z"), ts("2024-02-03T00:00:00Z"),
+      branch = Some("stage"))                                        // v5 br
+    AzofWriter.compact(spark, lake, "t", ts("2024-03-01T00:00:00Z"),
+      branch = Some("stage"))                                        // v6 fold
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("azof-commits")
+        .option("table", "t").option("branch", "stage").load(lake)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          b.select("key", "_commit_version").collect()
+            .foreach(r => got.add((r.getString(0), r.getLong(1))))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000)) finally q.stop()
+    }
+    drain()
+    assert(got.toArray(Array.empty[(String, Long)]).toSeq.sortBy(_._2) ==
+      Seq("k1" -> 4L, "k2" -> 5L),
+      "staged commits only: no main rows, the fold delivers nothing")
+
+    // a new staged commit resumes from the checkpointed branch offset
+    got.clear()
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("k3", "2024-04-01T00:00:00Z", "v3")),
+      ts("2024-04-01T00:00:00Z"), ts("2024-04-02T00:00:00Z"),
+      branch = Some("stage"))                                        // v7 br
+    drain()
+    assert(got.toArray(Array.empty[(String, Long)]).toSeq ==
+      Seq("k3" -> 7L), "resume delivers only the new staged commit")
+
+    // the branch stream ≡ the batch branch feed over the same range
+    val batch = AzofChangeFeed.branchBetween(spark, lake, "t", "stage", 1L, 7L)
+      .select("key", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    assert(batch == Seq("k1" -> 4L, "k2" -> 5L, "k3" -> 7L))
+  }
 }
