@@ -386,6 +386,70 @@ object TextAnalysis {
         col("sum_mag").cast("double") / col("n_tokens"))
   }
 
+  /** Corpus BIGRAM-LM surprise — the CCNet-perplexity-filter shape (a
+    * doc whose token TRANSITIONS are improbable under the corpus's own
+    * bigram statistics is OCR junk, shuffled boilerplate, or wrong-
+    * language text that unigram rarity misses: every word common, the
+    * sequence nonsense). Per bigram `w1 w2`, the surprise is the
+    * integer-magnitude analogue of `-log2 P(w2|w1)` under add-one
+    * smoothing:
+    *
+    *   surprise(w1 w2) = mag(c(w1·) + V) − mag(c(w1 w2) + 1)
+    *
+    * with `mag(x) = length(bin(x))` = floor(log2)+1, `c(w1 w2)` the
+    * corpus bigram count, `c(w1·)` the context total, and `V` the
+    * CONTEXT vocabulary size (distinct leading tokens — derivable from
+    * the already-aggregated context table, where full-vocab V would
+    * re-scan the corpus a fourth time; any fixed corpus constant works
+    * as the smoothing mass, the SHAPE is the contract) — all INTEGER
+    * arithmetic, so per-doc sums are exact and order-independent in
+    * both engines (the [[rarityScore]] reasoning; a float `ln` + AVG
+    * would hash-differ on summation order alone). The doc scores the
+    * occurrence-weighted mean surprise; `< 2` tokens → no bigrams →
+    * the doc is absent (nothing to score). A production pipeline swaps
+    * a trained KenLM into the identical shape — per-transition
+    * statistic, corpus aggregate, join back, weighted per-doc mean.
+    *
+    * Scale shape: pre-aggregation to distinct `(doc, bigram, n_occ)`
+    * bounds the join at distinct pairs; the global bigram and context
+    * tables are vocabulary-bounded aggregates over the SAME pair
+    * lineage (Spark re-derives it per branch — three narrow corpus
+    * scans; kept over a persist by the d03 rule: this box measured
+    * re-derivation faster than materializing, and the scans prune to
+    * `(doc_id, text)`); V rides in as a broadcast one-row cross join
+    * (never a driver action); stop-word-grade hot contexts pre-shrunk
+    * by the pair aggregation, AQE skew-join for the rest. Output:
+    * `(doc_id, n_bigrams, sum_surprise, avg_surprise)`.
+    */
+  def lmScore(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), words(text).as("_w"))
+    val pairs = toks
+      .where(size(col("_w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_w) - 1), " +
+          "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n_occ"))
+    val global = pairs.groupBy("bg").agg(sum(col("n_occ")).as("_c_bg"))
+    val ctx = global
+      .select(substring_index(col("bg"), " ", 1).as("_w1"), col("_c_bg"))
+      .groupBy("_w1").agg(sum(col("_c_bg")).as("_c_ctx"))
+    val vocabSize = ctx.agg(count(lit(1)).as("_v"))
+    pairs
+      .join(global, Seq("bg"))
+      .withColumn("_w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, Seq("_w1"))
+      .crossJoin(broadcast(vocabSize))
+      .withColumn("_surprise",
+        length(bin(col("_c_ctx") + col("_v"))).cast("long") -
+          length(bin(col("_c_bg") + lit(1L))).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ")).as("n_bigrams"),
+        sum(col("n_occ") * col("_surprise")).as("sum_surprise"))
+      .withColumn("avg_surprise",
+        col("sum_surprise").cast("double") / col("n_bigrams"))
+  }
+
   /** Hash-feature LINEAR classifier margin — the fasttext-shaped
     * model-based quality filter (the DCLM/FineWeb-Edu curation step):
     * every token hashes into a weight in [-1, 1] and the document's

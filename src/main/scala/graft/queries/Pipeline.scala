@@ -65,6 +65,7 @@ object Pipeline {
     "t16_rarity_score" -> t16,
     "t17_hash_classifier" -> t17,
     "t18_chunk_overlap" -> t18,
+    "t19_lm_score" -> t19,
     "p01_filter_funnel" -> p01,
     "p02_index_funnel" -> p02,
     "p03_export_shards" -> p03,
@@ -1013,6 +1014,9 @@ object Pipeline {
     TextAnalysis.hashClassifier(docs(s, dir), col("text"), col("doc_id"),
       bias = 0.0, salt = "r9")
 
+  private def t19(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(docs(s, dir), col("text"), col("doc_id"))
+
   /** Overlapping 64-token context windows every 48 tokens (the RAG /
     * long-context chunker): per-doc narrow kernel, zero shuffles,
     * chunk text as md5 ([[TextAnalysis.chunkWindows]]).
@@ -1573,6 +1577,35 @@ object Pipeline {
             CAST(sum(n_occ * mag) AS DOUBLE) / CAST(sum(n_occ) AS BIGINT)
               AS avg_mag
           FROM pairs JOIN vocab USING (tok)
+          GROUP BY doc_id""",
+    // bigram-LM surprise in INTEGER bit-magnitude space (the t16
+    // reasoning: bin() is exact in both engines, a float ln + AVG would
+    // hash-differ on summation order alone); docs with < 2 tokens have
+    // no bigrams and are absent on both sides
+    "t19_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $wordsSql AS w FROM documents),
+          bgl AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+            FROM (SELECT doc_id, w,
+                    unnest(generate_series(1, len(w) - 1)) AS i
+                  FROM toks WHERE len(w) >= 2)),
+          pairs AS (SELECT doc_id, bg, count(*) AS n_occ
+            FROM bgl GROUP BY doc_id, bg),
+          gbl AS (SELECT bg, sum(n_occ) AS c_bg FROM pairs GROUP BY bg),
+          ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx
+            FROM gbl GROUP BY w1),
+          v AS (SELECT count(*) AS vsz FROM ctx)
+          SELECT doc_id,
+            CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+            CAST(sum(n_occ * (length(bin(c_ctx + vsz))
+                              - length(bin(c_bg + 1)))) AS BIGINT)
+              AS sum_surprise,
+            CAST(sum(n_occ * (length(bin(c_ctx + vsz))
+                              - length(bin(c_bg + 1)))) AS DOUBLE)
+              / CAST(sum(n_occ) AS BIGINT) AS avg_surprise
+          FROM pairs
+          JOIN gbl USING (bg)
+          JOIN ctx ON split_part(bg, ' ', 1) = w1
+          CROSS JOIN v
           GROUP BY doc_id""",
     // integer ceil-divide on both sides; DuckDB list slicing is
     // 1-based-inclusive with tail clamping, matching Spark's

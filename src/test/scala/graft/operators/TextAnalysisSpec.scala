@@ -146,6 +146,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 3 + 2 + 1L, (3 + 2 + 1) / 3.0)))
   }
 
+  test("lmScore: bigram surprise = mag(ctx + V) - mag(bigram + 1), " +
+    "occurrence-weighted; docs without bigrams are absent") {
+    // corpus: "a b" x3, "b a" x1, "b c" x1; contexts a·=3, b·=2;
+    // V = distinct CONTEXTS = 2
+    // surprise("a b") = mag(3+2) - mag(3+1) = mag(5)=3 - mag(4)=3 = 0
+    // surprise("b a") = mag(2+2) - mag(1+1) = mag(4)=3 - mag(2)=2 = 1
+    // surprise("b c") = mag(2+2) - mag(1+1) = 3 - 2 = 1
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L), "single-token doc 3 has no bigrams")
+    assert(out(1L) === ((3L, 1L, 1 / 3.0)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+  }
+
   test("hashClassifier: margin = ordered fold of per-token weights, bias shifts it") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha")).toDF("doc_id", "text")
     // recompute the expected margins with the same md5 stub, folding in
