@@ -829,6 +829,45 @@ object AzofCli {
         println(s"rebuilt epoch into ${opts("new-index-table")} " +
           s"(k=${m.k}, threshold=${m.threshold}); serve with " +
           "sem-verdicts --index-table " + opts("new-index-table"))
+      case "lm-create" =>
+        // persisted corpus bigram-LM stats (the t19 quality filter's
+        // amortized twin): lm-create --index-path L2 [--index-table lm_stats]
+        graft.sources.LmIndex.create(spark,
+          opts("index-path"), opts.getOrElse("index-table", "lm_stats"))
+        println(s"created lm stats table")
+      case "lm-refresh" =>
+        // one AvailableNow catch-up: count the source commits since this
+        // checkpoint and upsert old+new for the touched bigrams
+        val lmIdx = opts.getOrElse("index-path", opts("path"))
+        val lmTbl = opts.getOrElse("index-table", "lm_stats")
+        val ckpt = opts.getOrElse("checkpoint",
+          new org.apache.hadoop.fs.Path(lmIdx,
+            lmTbl + "/_refresh_checkpoint").toString)
+        val q = graft.sources.LmIndex.refresh(spark,
+          opts("path"), opts("table"), opts.getOrElse("text-col", "text"),
+          lmIdx, lmTbl, ckpt)
+        q.awaitTermination()
+        println(s"lm stats refreshed; version now " +
+          AzofTable(spark, lmIdx, lmTbl).currentVersion)
+      case "lm-score" =>
+        // bigram-LM surprise for the source's live docs, served from
+        // the persisted stats
+        graft.sources.LmIndex.score(spark,
+            opts("path"), opts("table"), opts.getOrElse("text-col", "text"),
+            opts.getOrElse("index-path", opts("path")),
+            opts.getOrElse("index-table", "lm_stats"))
+          .orderBy("doc_id")
+          .show(numRows = 10000, truncate = false)
+      case "lm-rebuild" =>
+        // epoch rebuild: retrain from the LIVE corpus into a fresh
+        // stats table (the reconciliation for revisions/deletes the
+        // additive refresh cannot subtract)
+        val n = graft.sources.LmIndex.rebuildEpoch(spark,
+          opts("path"), opts("table"), opts.getOrElse("text-col", "text"),
+          opts.getOrElse("index-path", opts("path")),
+          opts.getOrElse("new-table", "lm_stats_next"),
+          opts.get("at").map(Instant.parse).getOrElse(Instant.now()))
+        println(s"rebuilt lm stats epoch: $n bigrams")
       case "sem-verdicts" =>
         // the persisted verdicts: (vec_id, cluster_id, kept) — or
         // (vec_key, ...) when the index's frozen model is keyed

@@ -40,7 +40,8 @@ object AzofQueries {
     "q50_wap_fold_publish" -> wapFoldPublish,
     "q39_predicate_delete" -> predicateDelete,
     "s07_pq_codes_index" -> pqCodesIndex,
-    "s08_minhash_sig_index" -> minhashSigIndex)
+    "s08_minhash_sig_index" -> minhashSigIndex,
+    "t20_lm_index" -> lmStatsIndex)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -893,11 +894,62 @@ object AzofQueries {
     graft.sources.MinHashIndex.candidates(s, lake, "doc_sigs")
   }
 
+  /** The PERSISTED bigram-LM stats index under the oracle gate
+    * ([[graft.sources.LmIndex]]): the documents corpus lands in an azof
+    * lake across TWO commits, the stats table refreshes incrementally
+    * after each (the second refresh counts ONLY the second commit's
+    * docs and upserts `old + new` for the touched bigrams), and the
+    * scores are served from the index. The DuckDB oracle retrains the
+    * whole bigram LM from scratch (t19's SQL verbatim) — so a refresh
+    * that drops an increment, double-counts a replay, or mis-merges a
+    * touched bigram's total cannot hash-match: index-served ≡ one-shot
+    * retrain on an append-only corpus, the family's d15 equivalence.
+    */
+  private def lmStatsIndex(s: SparkSession, dir: String): DataFrame = {
+    val lake = cachedLake(dir, "lmidx-v1", "lm_stats") { l =>
+      val docSchema = TableSchema(Seq(
+        ColumnDef("text", ColumnType.AzString, nullable = false)))
+      val docs = Tables(s, dir, "documents")
+      def rows(filter: org.apache.spark.sql.Column, at: String) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          col("text"))
+      AzofWriter.createTable(s, l, "docs_lm", docSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.commitBase(s, l, "docs_lm",
+        rows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))       // v2
+      graft.sources.LmIndex.create(s, l)
+      val ck = new java.io.File(l, "_lm_ck").toString
+      def refresh(): Unit = {
+        val q = graft.sources.LmIndex.refresh(
+          s, l, "docs_lm", "text", l, "lm_stats", ck)
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(
+            "lm-stats refresh did not terminate within 300s — refusing " +
+              "to cache a half-refreshed index lake")
+      }
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_lm",
+        rows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))                       // v3
+      refresh()
+    }
+    graft.sources.LmIndex.score(s, lake, "docs_lm", "text", lake, "lm_stats")
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_bigrams"),
+        col("sum_surprise"), col("avg_surprise"))
+  }
+
   def oracleSql: Map[String, String] = Map(
     // s08: candidates from the persisted signatures ≡ d02's own oracle
     // over the raw documents (final source state = the full table)
     "s08_minhash_sig_index" ->
       graft.queries.Pipeline.oracleSql("d02_minhash_lsh"),
+    // index-served ≡ one-shot retrain on an append-only corpus: the
+    // oracle IS t19's from-scratch bigram LM over the same documents
+    "t20_lm_index" ->
+      graft.queries.Pipeline.oracleSql("t19_lm_score"),
     "q18_azof_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
          date_trunc('milliseconds', ts) AS event_time, event_type

@@ -40,7 +40,7 @@ object AzofProcedures {
   val Names: Seq[String] =
     Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
       "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
-      "contain_refresh", "shard_refresh", "seq_refresh",
+      "contain_refresh", "shard_refresh", "seq_refresh", "lm_refresh",
       "tag", "untag", "rollback",
       "create_branch", "drop_branch", "fast_forward", "merge_branch",
       "publish_preview")
@@ -128,6 +128,10 @@ object AzofProcedures {
       case "shard_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'shard_map'"))
+      case "lm_refresh" => Array(
+        p("table", StringType), p("index_path", StringType),
+        pd("index_table", StringType, "'lm_stats'"),
+        pd("text_col", StringType, "'text'"))
       case "seq_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'seq_map'"),
@@ -291,6 +295,17 @@ object AzofProcedures {
             StructField("retired", LongType))),
             Seq(r.fromVersion, r.toVersion, r.churned, r.candidates,
               r.verified, r.upserted, r.retired))
+        case "lm_refresh" =>
+          // the stable-checkpoint rule from dedup_ingest: a fresh dir
+          // per call would be a new streaming appId replaying the whole
+          // commit feed every time
+          val lmCk = new org.apache.hadoop.fs.Path(str(1),
+            str(2) + "/_refresh_checkpoint").toString
+          val q = LmIndex.refresh(spark, path, str(0), str(3),
+            str(1), str(2), lmCk)
+          q.awaitTermination()
+          (StructType(Seq(StructField("stats_version", LongType))),
+            Seq(AzofTable(spark, str(1), str(2)).currentVersion.toLong))
         case "shard_refresh" =>
           val r = ShardMap.refresh(spark, path, str(0), str(1), str(2),
             Instant.ofEpochMilli(System.currentTimeMillis()))

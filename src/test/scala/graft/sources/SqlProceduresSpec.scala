@@ -110,6 +110,27 @@ class SqlProceduresSpec extends AnyFunSuite {
       "2 staged upserts, 1 staged delete, across 2 staged commits")
   }
 
+  test("CALL system.lm_refresh maintains the bigram stats from SQL") {
+    val txtSchema = TableSchema(Seq(
+      ColumnDef("text", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, lake, "lmsrc", txtSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "lmsrc",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a b a b"),
+          Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a b c"))),
+        txtSchema.toStruct))
+    val r = spark.sql("CALL proc.system.lm_refresh(`table` => 'lmsrc', " +
+      s"index_path => '$lake', index_table => 'lm_proc')").collect()
+    assert(r.length == 1 && r(0).getLong(0) >= 2L,
+      "stats table committed at least its first delta")
+    val ab = graft.operators.AzofScan.scan(spark, lake, "lm_proc")
+      .where(org.apache.spark.sql.functions.col("key") === "a b")
+      .select("cnt").collect().map(_.getLong(0)).toSeq
+    assert(ab == Seq(3L), "'a b' counted across both docs")
+  }
+
   test("CALL system.vacuum dry-run reports, wet run deletes") {
     mk("v1", ("1", "2024-01-05T00:00:00Z", "a"))
     (1 to 3).foreach { i =>
