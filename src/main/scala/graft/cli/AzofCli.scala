@@ -552,10 +552,11 @@ object AzofCli {
         //     [--checkpoint DIR] [--key-map key_map]
         //     [--contain-table contain_pairs [--contain-keyed]]
         //     [--shard-table shard_map] [--seq-table seq_map]
-        //     (--contain-table / --shard-table / --seq-table: ALSO
-        //     refresh the persisted containment index / export shard
-        //     map / sequence map each pass — one follow maintains
-        //     every corpus-following index)
+        //     [--lm-table lm_stats]
+        //     (--contain-table / --shard-table / --seq-table /
+        //     --lm-table: ALSO refresh the persisted containment index
+        //     / export shard map / sequence map / bigram-LM stats each
+        //     pass — one follow maintains every corpus-following index)
         val ckpt = opts.getOrElse("checkpoint",
           new org.apache.hadoop.fs.Path(opts("index-path"),
             opts.getOrElse("sig-table", "minhash_sig") +
@@ -601,7 +602,8 @@ object AzofCli {
               s"(cursor at v${qr.fromVersion})"
             else s"sequences v${qr.fromVersion + 1}..v${qr.toVersion}: " +
               s"${qr.churned} churned -> ${qr.assigned} new span(s); " +
-              s"next token ${qr.nextToken}"))
+              s"next token ${qr.nextToken}"),
+          lmTable = opts.get("lm-table"))
         q.awaitTermination()
       case "contain-create" =>
         // persisted containment-pair index:

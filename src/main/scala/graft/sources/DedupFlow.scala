@@ -260,7 +260,10 @@ object DedupFlow {
     * commit. `shardTable` and `seqTable` ride the driver the same
     * way — the persisted export membership ([[ShardMap]]) and packing
     * ([[SeqMap]]) mint slots/spans for each batch's new docs as they
-    * land. (SemDeDup follows its own
+    * land — and so does `lmTable` ([[LmIndex]]: the bigram stats
+    * upsert their touched keys per pass; its streaming checkpoint IS
+    * its cursor, so the layering stays replay-safe). (SemDeDup follows
+    * its own
     * embedding table as a sibling [[SemDedupIndex.refresh]] stream —
     * different source, same pattern — rather than riding this one.)
     */
@@ -290,7 +293,8 @@ object DedupFlow {
       shardTable: Option[String] = None,
       onShardReport: ShardMap.RefreshReport => Unit = _ => (),
       seqTable: Option[String] = None,
-      onSeqReport: SeqMap.RefreshReport => Unit = _ => ())
+      onSeqReport: SeqMap.RefreshReport => Unit = _ => (),
+      lmTable: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val outerCkpt = followCheckpoint.getOrElse(
       new Path(AzofTable(spark, idxLake, ccTable).tableDir,
@@ -327,13 +331,28 @@ object DedupFlow {
       onSeqReport(qr)
       qr
     }
+    // the LM stats ride the same driver through their OWN streaming
+    // refresh (its checkpoint doubles as its cursor — the layering rule
+    // from the scaladoc applies: a replayed pass no-ops)
+    def refreshLm(lt: String): Unit = {
+      val q = LmIndex.refresh(spark, srcLake, srcTable, textCol,
+        idxLake, lt,
+        new Path(AzofTable(spark, idxLake, lt).tableDir,
+          "_refresh_checkpoint").toString)
+      q.awaitTermination()
+      if (retain > 0)
+        AzofVacuum.vacuum(spark, idxLake, lt, retain,
+          minAgeMs = retainMinAgeMs)
+    }
     // eager catch-up: an index enabled on an existing follow (outer
     // checkpoint already past the history) would wait for the next
     // source commit; each index's own cursor makes this a no-op
     // whenever it is already current
+    lmTable.foreach(lt => LmIndex.create(spark, idxLake, lt))
     containTable.foreach(refreshContain)
     shardTable.foreach(refreshShard)
     seqTable.foreach(refreshSeq)
+    lmTable.foreach(refreshLm)
     // seed at the ingest cursor: commits the indexes already consumed
     // need not even surface as (ignored) outer batches
     val seeded = readCursor(spark, idxLake, ccTable)
@@ -352,6 +371,7 @@ object DedupFlow {
           containTable.foreach(refreshContain)
           shardTable.foreach(refreshShard)
           seqTable.foreach(refreshSeq)
+          lmTable.foreach(refreshLm)
       }
       .trigger(trigger)
       .start()

@@ -132,7 +132,8 @@ class DedupFollowSpec extends AnyFunSuite {
       shardTable = Some("shard_map"),
       onShardReport = r => sreps :+= r,
       seqTable = Some("seq_map"),
-      onSeqReport = r => qreps :+= r).awaitTermination()
+      onSeqReport = r => qreps :+= r,
+      lmTable = Some("lm_stats")).awaitTermination()
     assert(creps.exists(!_.noop), s"$creps")
     assert(sreps.exists(!_.noop), s"$sreps")
     assert(qreps.exists(r => !r.noop && r.assigned == 4), s"$qreps")
@@ -156,7 +157,8 @@ class DedupFollowSpec extends AnyFunSuite {
       containTable = Some("contain_pairs"),
       onContainReport = r => creps :+= r,
       shardTable = Some("shard_map"),
-      seqTable = Some("seq_map")).awaitTermination()
+      seqTable = Some("seq_map"),
+      lmTable = Some("lm_stats")).awaitTermination()
     assert(creps.exists(!_.noop), s"$creps")
     assert(pairSet() == Set((4L, 5L), (4L, 6L)), s"${pairSet()}")
     // doc 6 appended after the high-water rank; epoch-1 slots untouched
@@ -170,6 +172,22 @@ class DedupFollowSpec extends AnyFunSuite {
     assert(span6.getLong(2) == seqHwm && span6.getLong(1) == 6L, s"$span6")
     // and the near-dup family stayed ≡ one-shot across both passes
     assert(assignment(idxLake) == oneShot(srcLake))
+    // the LM stats rode the same follow: incremental ≡ retrain over the
+    // (append-only) corpus
+    val servedLm = LmIndex.score(spark, srcLake, "docs", "text",
+        idxLake, "lm_stats")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val retrain = graft.operators.TextAnalysis.lmScore(
+        graft.operators.AzofScan.scan(spark, srcLake, "docs")
+          .select(org.apache.spark.sql.functions
+            .col(TableSchema.KeyName).as("doc_id"),
+            org.apache.spark.sql.functions.col("text")),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(servedLm == retrain, "follow-maintained LM stats ≡ retrain")
   }
 
   test("processing-time follow soaks commits landed WHILE running and " +
