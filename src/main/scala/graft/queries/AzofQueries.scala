@@ -906,7 +906,18 @@ object AzofQueries {
     * retrain on an append-only corpus, the family's d15 equivalence.
     */
   private def lmStatsIndex(s: SparkSession, dir: String): DataFrame = {
-    val lake = cachedLake(dir, "lmidx-v1", "lm_stats") { l =>
+    val lake = lmLake(s, dir)
+    graft.sources.LmIndex.score(s, lake, "docs_lm", "text", lake, "lm_stats")
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_bigrams"),
+        col("sum_surprise"), col("avg_surprise"))
+  }
+
+  /** The two-commit, twice-refreshed [[graft.sources.LmIndex]] lake
+    * over the documents corpus (see [[lmStatsIndex]]) — shared with
+    * Pipeline's p07 composition.
+    */
+  private[queries] def lmLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "lmidx-v1", "lm_stats") { l =>
       val docSchema = TableSchema(Seq(
         ColumnDef("text", ColumnType.AzString, nullable = false)))
       val docs = Tables(s, dir, "documents")
@@ -936,10 +947,6 @@ object AzofQueries {
         Instant.parse("2024-03-01T00:00:00Z"))                       // v3
       refresh()
     }
-    graft.sources.LmIndex.score(s, lake, "docs_lm", "text", lake, "lm_stats")
-      .select(col("doc_id").cast("long").as("doc_id"), col("n_bigrams"),
-        col("sum_surprise"), col("avg_surprise"))
-  }
 
   def oracleSql: Map[String, String] = Map(
     // s08: candidates from the persisted signatures ≡ d02's own oracle

@@ -69,6 +69,7 @@ object Pipeline {
     "p01_filter_funnel" -> p01,
     "p02_index_funnel" -> p02,
     "p03_export_shards" -> p03,
+    "p07_lm_gated_export" -> p07,
     "m01_multimodal_meta" -> m01,
     "m02_frame_sample" -> m02,
     "m03_resize" -> m03,
@@ -745,6 +746,33 @@ object Pipeline {
         col("quality_score"))
   }
 
+  /** LM-GATED export — the t20 composition: quality/PII-gated docs
+    * intersected with the bigram-LM surprise gate, the surprise SERVED
+    * from the persisted [[graft.sources.LmIndex]]
+    * ([[AzofQueries.lmLake]]'s twice-refreshed stats — never a
+    * retrain at export time). The oracle retrains the LM from scratch
+    * and applies the identical cutoffs, so the composition re-proves
+    * index-served ≡ retrain inside a multi-signal gate. One corpus
+    * scan for the doc-side signals + one for the LM pairs + the
+    * vocabulary-bounded stats read.
+    */
+  private def p07(s: SparkSession, dir: String): DataFrame = {
+    val lake = AzofQueries.lmLake(s, dir)
+    val scores = graft.sources.LmIndex
+      .score(s, lake, "docs_lm", "text", lake, "lm_stats")
+      .select(col("doc_id").cast("long").as("doc_id"), col("avg_surprise"))
+      .where(col("avg_surprise") <= 4.5)
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"),
+        TextAnalysis.piiEmailCount(col("text")).as("_ne"),
+        TextAnalysis.piiIpCount(col("text")).as("_ni"))
+      .where(col("quality_score") >= 0.42 &&
+        col("_ne") === 0 && col("_ni") === 0)
+      .join(scores, Seq("doc_id"))
+      .select(col("doc_id"), col("quality_score"), col("avg_surprise"))
+  }
+
   /** Containment-gated export over the quote-injected derived corpus —
     * what a pipeline DOES with the d21 verdicts: quality-gated live
     * docs minus the CONTAINED side of every persisted containment pair
@@ -1175,15 +1203,47 @@ object Pipeline {
     * frozen-model replay) + the t02 quality score + the t06 PII audit
     * counts, intersected. Shared by the p02 and p03 oracles.
     */
-  private lazy val exportGateCtes: String = {
+  /** The from-scratch bigram-LM retrain ending in
+    * `lmsc(doc_id, n_bigrams, sum_surprise, avg_surprise)` — the t19
+    * oracle's body, reused by p07's composed gate (the index-served ≡
+    * retrain equivalence is the t20/LmIndexSpec job; an oracle may
+    * always retrain).
+    */
+  private lazy val lmScoreCtes: String =
+    s"""lmtoks AS (SELECT doc_id, $wordsSql AS w FROM documents),
+        lmbgl AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+          FROM (SELECT doc_id, w,
+                  unnest(generate_series(1, len(w) - 1)) AS i
+                FROM lmtoks WHERE len(w) >= 2)),
+        lmpairs AS (SELECT doc_id, bg, count(*) AS n_occ
+          FROM lmbgl GROUP BY doc_id, bg),
+        lmgbl AS (SELECT bg, sum(n_occ) AS c_bg FROM lmpairs GROUP BY bg),
+        lmctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx
+          FROM lmgbl GROUP BY w1),
+        lmv AS (SELECT count(*) AS vsz FROM lmctx),
+        lmsc AS (SELECT doc_id,
+            CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+            CAST(sum(n_occ * (length(bin(c_ctx + vsz))
+                              - length(bin(c_bg + 1)))) AS BIGINT)
+              AS sum_surprise,
+            CAST(sum(n_occ * (length(bin(c_ctx + vsz))
+                              - length(bin(c_bg + 1)))) AS DOUBLE)
+              / CAST(sum(n_occ) AS BIGINT) AS avg_surprise
+          FROM lmpairs
+          JOIN lmgbl USING (bg)
+          JOIN lmctx ON split_part(bg, ' ', 1) = w1
+          CROSS JOIN lmv
+          GROUP BY doc_id)"""
+
+  /** `q(doc_id, quality_score)` + `pii(doc_id, n_emails, n_ips)` — the
+    * doc-side gate fragments shared by the export gates (p02/p03) and
+    * the LM-gated export (p07).
+    */
+  private lazy val qualityPiiCtes: String = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val url = "https?://[^\\s]+"
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    s"""$componentCtes,
-        comp AS (SELECT src AS doc_id, min(dst) AS component_id
-                 FROM reach GROUP BY src),
-        $semCtes,
-        q AS (SELECT doc_id,
+    s"""q AS (SELECT doc_id,
                 LEAST(CAST(sum_word_len AS DOUBLE) / n_words / 10.0, 1.0) * 0.5
                   + CAST(n_stopwords AS DOUBLE) / n_words * 0.3
                   + (1.0 - CAST(n_digits AS DOUBLE) / n_chars_m) * 0.2
@@ -1203,7 +1263,15 @@ object Pipeline {
                     AS n_ips
                 FROM (SELECT doc_id,
                         regexp_replace(text, '$url', '<URL>', 'g') AS t1
-                      FROM documents)),
+                      FROM documents))"""
+  }
+
+  private lazy val exportGateCtes: String = {
+    s"""$componentCtes,
+        comp AS (SELECT src AS doc_id, min(dst) AS component_id
+                 FROM reach GROUP BY src),
+        $semCtes,
+        $qualityPiiCtes,
         gate AS (SELECT d.doc_id, c.component_id,
                  CAST(asg.c AS BIGINT) AS cluster_id, q.quality_score
           FROM documents d
@@ -1583,30 +1651,22 @@ object Pipeline {
     // hash-differ on summation order alone); docs with < 2 tokens have
     // no bigrams and are absent on both sides
     "t19_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, $wordsSql AS w FROM documents),
-          bgl AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
-            FROM (SELECT doc_id, w,
-                    unnest(generate_series(1, len(w) - 1)) AS i
-                  FROM toks WHERE len(w) >= 2)),
-          pairs AS (SELECT doc_id, bg, count(*) AS n_occ
-            FROM bgl GROUP BY doc_id, bg),
-          gbl AS (SELECT bg, sum(n_occ) AS c_bg FROM pairs GROUP BY bg),
-          ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx
-            FROM gbl GROUP BY w1),
-          v AS (SELECT count(*) AS vsz FROM ctx)
-          SELECT doc_id,
-            CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
-            CAST(sum(n_occ * (length(bin(c_ctx + vsz))
-                              - length(bin(c_bg + 1)))) AS BIGINT)
-              AS sum_surprise,
-            CAST(sum(n_occ * (length(bin(c_ctx + vsz))
-                              - length(bin(c_bg + 1)))) AS DOUBLE)
-              / CAST(sum(n_occ) AS BIGINT) AS avg_surprise
-          FROM pairs
-          JOIN gbl USING (bg)
-          JOIN ctx ON split_part(bg, ' ', 1) = w1
-          CROSS JOIN v
-          GROUP BY doc_id""",
+      s"""WITH $lmScoreCtes
+          SELECT doc_id, n_bigrams, sum_surprise, avg_surprise
+          FROM lmsc""",
+    // p07: the from-scratch LM retrain composed with the q/pii gate —
+    // the Spark side serves the surprise from the persisted stats
+    "p07_lm_gated_export" ->
+      s"""WITH $lmScoreCtes,
+          $qualityPiiCtes
+          SELECT d.doc_id, q.quality_score, lmsc.avg_surprise
+          FROM documents d
+          JOIN q USING (doc_id)
+          JOIN pii USING (doc_id)
+          JOIN lmsc USING (doc_id)
+          WHERE q.quality_score >= 0.42
+            AND pii.n_emails = 0 AND pii.n_ips = 0
+            AND lmsc.avg_surprise <= 4.5""",
     // integer ceil-divide on both sides; DuckDB list slicing is
     // 1-based-inclusive with tail clamping, matching Spark's
     // slice(arr, start, length) clamp
