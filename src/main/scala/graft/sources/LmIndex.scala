@@ -33,12 +33,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * LOW, never inventing improbability for text the corpus really
   * held).
   *
-  * Scale shape: a refresh shuffles batch-sized bigram counts, joins
-  * them against the index's Current scan (vocabulary-bounded — the
-  * stats table is the distinct-bigram set, orders of magnitude smaller
-  * than the corpus) with the batch side broadcast-eligible, and
-  * commits one exactly-once delta through the `stream_batches` replay
-  * guard. [[score]] is two scans (live docs + stats) and the t19 join
+  * Scale shape: a refresh shuffles batch-sized bigram counts and
+  * merges them against the index's Current scan (vocabulary-bounded —
+  * the stats table is the distinct-bigram set, orders of magnitude
+  * smaller than the corpus); the merge is MEASUREMENT-GUARDED
+  * (`broadcastKeyMax`): a steady-state batch broadcast-semi-filters
+  * the stats scan in one pass with no stats shuffle, a bootstrap
+  * catch-up falls back to the plain shuffle join. One exactly-once
+  * delta commits through the `stream_batches` replay guard. [[score]] is two scans (live docs + stats) and the t19 join
   * shape with the corpus-wide aggregation replaced by the index read.
   */
 object LmIndex {
@@ -64,7 +66,9 @@ object LmIndex {
       srcLake: String, srcTable: String, textCol: String,
       idxLake: String, idxTable: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      broadcastKeyMax: Long = DedupFlow.DefaultBroadcastKeyMax)
+      : StreamingQuery = {
     create(spark, idxLake, idxTable) // idempotent
     val appId = AzofSink.appIdFor(checkpoint)
     spark.readStream.format("azof-commits")
@@ -73,8 +77,11 @@ object LmIndex {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val rows = countBatch(spark, batch, textCol, idxLake, idxTable)
+        val rows = countBatch(spark, batch, textCol, idxLake, idxTable,
+          broadcastKeyMax)
         AzofSink.commitBatch(idxLake, idxTable, rows, id, appId)
+        // release countBatch's eager checkpoint of the batch counts
+        graft.operators.Blocks.freeReferenced(rows)
         ()
       }
       .trigger(trigger)
@@ -92,7 +99,8 @@ object LmIndex {
     */
   private def countBatch(
       spark: SparkSession, batch: Dataset[Row], textCol: String,
-      idxLake: String, idxTable: String): DataFrame = {
+      idxLake: String, idxTable: String,
+      broadcastKeyMax: Long): DataFrame = {
     val w = split(lower(col(textCol)), "\\s+")
     val fresh = batch.where(!col("_deleted"))
       .select(w.as("_w"))
@@ -105,12 +113,29 @@ object LmIndex {
       .agg(count(lit(1)).as("_add"))
     val existing = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
       .select(col(TableSchema.KeyName), col("cnt").as("_old"))
+    // The merge must not shuffle the WHOLE stats table for a small
+    // batch (steady-state crawl cadence): when the batch's distinct
+    // bigrams fit the broadcast budget, ONE streaming pass over the
+    // stats scan (broadcast left-semi) extracts the touched old counts
+    // and the final merge is small↔small. Past the budget (a bootstrap
+    // catch-up whose bigrams approach vocabulary size anyway) fall back
+    // to the plain shuffle join — the measured-guard rule from
+    // DedupFlow's bootstrap fix, never an unconditional hint. The
+    // eager checkpoint keeps the batch aggregation to one computation
+    // across the count, the join, and the commit (freed by refresh).
+    val counted = fresh.localCheckpoint(true)
+    val nFresh = counted.count()
+    val touchedOld =
+      if (nFresh <= broadcastKeyMax)
+        existing.join(broadcast(counted.select(col(TableSchema.KeyName))),
+          Seq(TableSchema.KeyName), "left_semi")
+      else existing
     // a FIXED event_time for every stats row: successive upserts of one
     // bigram tie on (key, event_time) and the engine's pinned default-
     // mode tie-break (commit seq desc — the later refresh's count wins)
     // serves the newest total; a wall clock here would be the only
     // nondeterminism in an otherwise replayable index
-    fresh.join(existing, Seq(TableSchema.KeyName), "left")
+    counted.join(touchedOld, Seq(TableSchema.KeyName), "left")
       .select(
         col(TableSchema.KeyName),
         lit(java.sql.Timestamp.from(StatsStamp))
