@@ -310,6 +310,53 @@ class CompactionSpec extends AnyFunSuite {
       .dataFiles(graft.format.AsOf.Current).size == filesAfter)
   }
 
+  test("branch fold racing branch data commits: deltas always land " +
+    "(retry adopts the fold); the fold either lands or fails loudly") {
+    for (round <- 1 to 3) {
+      val lake = Files.createTempDirectory(s"azof-bfold-race$round").toString
+      AzofWriter.createTable(spark, lake, "t", schema,
+        ts("2024-01-01T00:00:00Z"))
+      AzofWriter.commitBase(spark, lake, "t",
+        df(("1", "2024-01-02T00:00:00Z", "a1")))                     // v2
+      AzofWriter.createBranch(spark, lake, "t", "stage")
+      (1 to 3).foreach { i =>
+        AzofWriter.commitDelta(spark, lake, "t",
+          df((s"k$i", f"2024-02-0${i}T00:00:00Z", s"v$i")),
+          ts(f"2024-02-0${i}T00:00:00Z"), ts(f"2024-02-0${i}T00:00:00Z"),
+          branch = Some("stage"))
+      }
+      @volatile var foldErr: Option[Throwable] = None
+      val folder = new Thread(() =>
+        try AzofWriter.compact(spark, lake, "t",
+          ts("2024-03-01T00:00:00Z"), branch = Some("stage"))
+        catch { case e: Throwable => foldErr = Some(e) })
+      val writer = new Thread(() =>
+        // commitMeta's branch path: loses the id race -> retries onto
+        // the fold head (the adopted-chain walk), never silently lost
+        AzofWriter.commitDelta(spark, lake, "t",
+          df(("k9", "2024-04-01T00:00:00Z", "v9")),
+          ts("2024-04-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"),
+          branch = Some("stage")))
+      folder.start(); writer.start(); folder.join(); writer.join()
+
+      // the delta ALWAYS lands; the fold may lose its one-shot id claim
+      // (maintenance ops do not retry — rerunnable by contract), but a
+      // "successful" fold that dropped the racing delta is the bug this
+      // spec exists to catch
+      val t = AzofTable(spark, lake, "t")
+      val head = t.branchHead("stage").get
+      val staged = graft.operators.AzofScan
+        .scanSnapshot(spark, t, t.snapshot(head.toString),
+          graft.format.AsOf.Current)
+        .select("key").collect().map(_.getString(0)).toSet
+      assert(staged == Set("1", "k1", "k2", "k3", "k9"),
+        s"round $round (fold ${if (foldErr.isEmpty) "landed" else
+          s"failed: ${foldErr.get.getMessage.take(60)}"}): $staged")
+      assert(AzofTable(spark, lake, "t").currentVersion == "2",
+        "main untouched throughout the race")
+    }
+  }
+
   test("compacted snapshot JSON round-trips and keeps closed deltas off roots") {
     val lake = build()
     AzofWriter.compact(spark, lake, "t", ts("2024-04-01T00:00:00Z"))
