@@ -368,6 +368,9 @@ object AzofCli {
         val tgtBranch = opts.get("target-branch")
         require(tgtBranch.isEmpty || native,
           "--target-branch stages through the native DSv2 sink: add --native")
+        require(opts.get("source-branch").isEmpty || (!native && !seed),
+          "--source-branch mirrors a staged lineage via the foreachBatch " +
+            "path: drop --native/--seed")
         val q =
           if (seed)
             graft.streaming.AzofMirror.seedAndReplicate(spark,
@@ -381,10 +384,13 @@ object AzofCli {
               maxVersionsPerBatch = opts.get("max-versions").map(_.toLong),
               targetBranch = tgtBranch)
           else
+            // --source-branch B: mirror a STAGED lineage's state (the
+            // audit-tooling mirror; foreachBatch path)
             graft.streaming.AzofMirror.replicate(spark,
               opts("path"), opts("table"),
               opts("target-path"), opts("target-table"), ckpt,
-              maxVersionsPerBatch = opts.get("max-versions").map(_.toLong))
+              maxVersionsPerBatch = opts.get("max-versions").map(_.toLong),
+              sourceBranch = opts.get("source-branch"))
         q.awaitTermination()
         println(s"mirrored ${opts("table")} -> ${opts("target-table")}; " +
           s"target version now ${AzofTable(spark,

@@ -37,7 +37,12 @@ object AzofMirror {
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxVersionsPerBatch: Option[Long] = None,
-      startVersion: Option[Long] = None): StreamingQuery = {
+      startVersion: Option[Long] = None,
+      sourceBranch: Option[String] = None): StreamingQuery = {
+    // `sourceBranch` mirrors a STAGED lineage — materialize a staging
+    // branch's accumulating state elsewhere (the audit-tooling mirror)
+    // without publishing it; the commit-exact `branch` source option
+    // delivers only the staged commits, folds skipped
     // Source schema evolution, pinned behavior (round-8 contract):
     // mid-stream evolution fails the query LOUDLY inside the
     // azof-commits source (schema is pinned at stream start — see
@@ -46,10 +51,12 @@ object AzofMirror {
     // target lacks (added columns are nullable by the addColumn
     // contract), so the re-pinned feed's new columns land in the
     // mirror instead of silently vanishing one layer down.
-    reconcileSchema(spark, srcLake, srcTable, dstLake, dstTable)
+    reconcileSchema(spark, srcLake, srcTable, dstLake, dstTable,
+      srcBranch = sourceBranch)
     val appId = AzofSink.appIdFor(checkpoint)
-    val reader = spark.readStream.format("azof-commits")
+    val reader0 = spark.readStream.format("azof-commits")
       .option("table", srcTable)
+    val reader = sourceBranch.fold(reader0)(b => reader0.option("branch", b))
     val bounded = maxVersionsPerBatch
       .fold(reader)(n => reader.option("maxVersionsPerBatch", n.toString))
     val seeded = startVersion
@@ -139,9 +146,17 @@ object AzofMirror {
   private def reconcileSchema(
       spark: SparkSession,
       srcLake: String, srcTable: String,
-      dstLake: String, dstTable: String): Unit = {
-    val srcCols = graft.format.AzofTable(spark, srcLake, srcTable)
-      .currentSnapshot.schema.columns
+      dstLake: String, dstTable: String,
+      srcBranch: Option[String] = None): Unit = {
+    // a BRANCH source reconciles against the branch head's schema (the
+    // fork schema — branch evolution is refused), so the target is
+    // exactly as wide as the rows the branch feed will deliver
+    val srcT = graft.format.AzofTable(spark, srcLake, srcTable)
+    val srcSnap = srcBranch.flatMap(srcT.branchHead) match {
+      case Some(h) => srcT.snapshot(h.toString)
+      case None => srcT.currentSnapshot
+    }
+    val srcCols = srcSnap.schema.columns
     val dstByName = graft.format.AzofTable(spark, dstLake, dstTable)
       .currentSnapshot.schema.columns.map(c => c.name -> c).toMap
     // shared names must agree on TYPE: a same-named column of a

@@ -181,6 +181,40 @@ class AzofMirrorSpec extends AnyFunSuite {
     assert(scanSorted(dst, "m") == Seq("1" -> "a1"))
   }
 
+  test("mirror FROM a staged branch: the audit mirror tracks the " +
+    "staging lineage, blind to diverged main, resumable") {
+    val src = Files.createTempDirectory("azof-smir-src").toString
+    val dst = Files.createTempDirectory("azof-smir-dst").toString
+    val ck = Files.createTempDirectory("azof-smir-ck").toString
+    AzofWriter.createTable(spark, src, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, dst, "m", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createBranch(spark, src, "t", "stage")
+    // main diverges: its rows must NOT reach the audit mirror
+    AzofWriter.commitBase(spark, src, "t",
+      df(("9", "2024-01-02T00:00:00Z", "m1")))                       // v2 main
+    AzofWriter.commitDelta(spark, src, "t",
+      df(("1", "2024-02-01T00:00:00Z", "a1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-02-02T00:00:00Z"),
+      branch = Some("stage"))                                        // v3 br
+
+    def mirrorOnce(): Unit = {
+      val q = AzofMirror.replicate(spark, src, "t", dst, "m", ck,
+        sourceBranch = Some("stage"))
+      assert(q.awaitTermination(120000))
+    }
+    mirrorOnce()
+    assert(scanSorted(dst, "m") == Seq("1" -> "a1"),
+      "staged rows only — diverged main invisible to the audit mirror")
+
+    AzofWriter.commitDelta(spark, src, "t",
+      df(("2", "2024-03-01T00:00:00Z", "b1")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-03-02T00:00:00Z"),
+      branch = Some("stage"))                                        // v4 br
+    mirrorOnce()
+    assert(scanSorted(dst, "m") == Seq("1" -> "a1", "2" -> "b1"),
+      "resume delivers only the new staged commit")
+  }
+
   test("source compaction mid-mirror delivers nothing; post-compaction commits still flow") {
     val src = Files.createTempDirectory("azof-mirror3-src").toString
     val dst = Files.createTempDirectory("azof-mirror3-dst").toString
