@@ -47,6 +47,40 @@ class LmIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).sortBy(_._1).toSeq
 
+  test("the merge guard's SHUFFLE fallback (bootstrap-sized batch) " +
+    "produces the identical stats as the broadcast-semi path") {
+    def build(ckTag: String, bMax: Long): Seq[(String, Long)] = {
+      val l = Files.createTempDirectory(s"azof-lmidx-$ckTag").toString
+      val ck = Files.createTempDirectory(s"azof-lmidx-$ckTag-ck").toString
+      AzofWriter.createTable(spark, l, "docs", docSchema,
+        ts("2024-01-01T00:00:00Z"))
+      AzofWriter.commitBase(spark, l, "docs", df(
+        ("1", "2024-01-02T00:00:00Z", "a b a b"),
+        ("2", "2024-01-02T00:00:00Z", "a b c d")))                   // v2
+      LmIndex.create(spark, l)
+      val q1 = LmIndex.refresh(spark, l, "docs", "text", l, "lm_stats",
+        ck, broadcastKeyMax = bMax)
+      assert(q1.awaitTermination(120000))
+      // second batch touches "a b" so the guarded merge path runs with
+      // a non-empty existing side on both shapes
+      AzofWriter.commitDelta(spark, l, "docs", df(
+        ("3", "2024-02-05T00:00:00Z", "a b e")),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))      // v3
+      val q2 = LmIndex.refresh(spark, l, "docs", "text", l, "lm_stats",
+        ck, broadcastKeyMax = bMax)
+      assert(q2.awaitTermination(120000))
+      AzofScan.scan(spark, l, "lm_stats")
+        .select(TableSchema.KeyName, "cnt").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    val viaBroadcast = build("bc", Long.MaxValue)
+    val viaShuffle = build("sh", 0L) // every batch exceeds the budget
+    assert(viaBroadcast == viaShuffle,
+      "guard shapes must agree on every bigram total")
+    assert(viaBroadcast.toMap.get("a b").contains(4L),
+      "'a b': 3 from the base + 1 from the delta, both shapes")
+  }
+
   test("incremental refreshes ≡ one-shot retrain; replay adds nothing; " +
     "epoch rebuild reconciles deletes") {
     val l = Files.createTempDirectory("azof-lmidx").toString
