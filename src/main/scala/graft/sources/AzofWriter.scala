@@ -375,7 +375,7 @@ object AzofWriter {
       branch: Option[String] = None): Unit = {
     val hasMarker = df.columns.contains(TableSchema.DeletedName)
     val (dir, fileName, stats) =
-      landCommitFile(spark, lakehousePath, name, df, "delta")
+      landCommitFile(spark, lakehousePath, name, df, "delta", branch)
     commitMeta(spark, dir, branch = branch) { (snap, v) =>
       val segs = mapOpenRoot(snap.segments)(s =>
         s.copy(delta = s.delta :+
@@ -615,7 +615,8 @@ object AzofWriter {
       lakehousePath: String,
       name: String,
       df: DataFrame,
-      kind: String): (String, String, Option[FileStats]) = {
+      kind: String,
+      branch: Option[String] = None): (String, String, Option[FileStats]) = {
     val table = AzofTable(spark, lakehousePath, name)
     val dir = table.tableDir.toString
     // the version in the name is provisional (a retried metadata commit
@@ -628,7 +629,15 @@ object AzofWriter {
     // the declared schema is dropped. Columns land under their PHYSICAL
     // names ([[graft.format.ColumnDef.physical]]) so files before and
     // after a rename stay byte-compatible.
-    val ordered = toPhysical(table.currentSnapshot.schema, df)
+    // A BRANCH commit projects to its LINEAGE's schema (the fork
+    // schema — branch evolution is refused): projecting to main's
+    // would demand columns a post-fork main evolution added, which the
+    // branch's rows legitimately lack.
+    val landSnap = branch.flatMap(table.branchHead) match {
+      case Some(h) => table.snapshot(h.toString)
+      case None => table.currentSnapshot
+    }
+    val ordered = toPhysical(landSnap.schema, df)
     val stats = writeDataFile(spark, ordered, dir, fileName)
     (dir, fileName, stats)
   }

@@ -348,9 +348,17 @@ class AzofCommitSource(
     // An unreadable end snapshot is NOT this guard's case — fall
     // through to the established loud paths (stale checkpoint in
     // latestOffset, vacuumed-range retention error below).
+    // A BRANCH stream's end schema is ALWAYS the pin: branch schema
+    // evolution is refused by the engine, and a capped offset (ids are
+    // shared across lineages) can name a MAIN document — reading a
+    // post-fork main evolution's wider schema there would throw the
+    // mid-stream-evolution error on every restart, wedging the
+    // checkpoint on a stream whose own lineage never changed.
     val endStruct =
-      try t.snapshot(to.toString).schema.toStruct
-      catch { case _: java.io.FileNotFoundException => pinnedStruct }
+      if (branch.isDefined) pinnedStruct
+      else
+        try t.snapshot(to.toString).schema.toStruct
+        catch { case _: java.io.FileNotFoundException => pinnedStruct }
     val pinExtendsEnd = to <= pinnedVersion &&
       endStruct.fields.length <= pinnedStruct.fields.length &&
       pinnedStruct.fields.take(endStruct.fields.length).sameElements(endStruct.fields)

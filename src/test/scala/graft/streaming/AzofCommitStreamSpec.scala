@@ -379,4 +379,42 @@ class AzofCommitStreamSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
     assert(batch == Seq("k1" -> 4L, "k2" -> 5L, "k3" -> 7L))
   }
+
+  test("branch stream with a capped batch spanning a post-fork MAIN " +
+    "schema evolution drains cleanly (ids are shared; the cap can name " +
+    "a main doc, whose wider schema must not wedge the branch stream)") {
+    val lake = Files.createTempDirectory("azof-cstream-brse").toString
+    val ck = Files.createTempDirectory("azof-cstream-brse-ck").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.createBranch(spark, lake, "t", "stage")               // fork 2
+    // main evolves AFTER the fork: v3 is a main doc with a WIDER schema
+    AzofWriter.addColumn(spark, lake, "t",
+      ColumnDef("extra", ColumnType.AzString, nullable = true))      // v3 main
+    (1 to 3).foreach { i =>
+      AzofWriter.commitDelta(spark, lake, "t",
+        df((s"k$i", f"2024-02-0${i}T00:00:00Z", s"v$i")),
+        ts(f"2024-02-0${i}T00:00:00Z"), ts(f"2024-02-0${i}T00:00:00Z"),
+        branch = Some("stage"))                                      // v4..v6
+    }
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // maxVersionsPerBatch=1 makes the first capped offset land ON v3
+    // (the main evolution doc) — the wedge case this spec pins away
+    val q = spark.readStream.format("azof-commits")
+      .option("table", "t").option("branch", "stage")
+      .option("maxVersionsPerBatch", "1").load(lake)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.select("key").collect().foreach(r => got.add(r.getString(0)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    assert(got.toArray(Array.empty[String]).sorted.toSeq ==
+      Seq("k1", "k2", "k3"),
+      "every staged commit drains; the main evolution never wedges")
+  }
 }
