@@ -38,20 +38,32 @@ object AzofChangeFeed {
     // lineage: they are not main feed events (their rows surface at
     // fast-forward publish time, when the FF commit's diff picks up the
     // branch's files), so the walk below runs over MAIN documents only
-    // and diffs each against its main PREDECESSOR. Feed bounds are main
-    // versions by construction (offsets come from version.txt), pinned
-    // by the require below rather than silently mis-diffed.
-    val mains: Seq[Long] =
-      (fromVersion to toVersion).filter(v => snaps(v).branch.isEmpty)
-    require(mains.headOption.contains(fromVersion),
-      s"change feed base $fromVersion is a branch commit, not a main " +
-        "version — feed bounds must be main versions")
-    val schema = snaps(mains.last).schema
+    // and diffs each against its main PREDECESSOR. Feed bounds normally
+    // arrive as main versions (offsets come from version.txt), but a
+    // CAPPED stream offset lives in the SHARED id space and can name a
+    // branch document (AzofCommitSource.latestOffset caps to
+    // base + maxVersionsPerBatch): branch commits deliver nothing to
+    // the main feed, so a batch ending at such an offset delivered
+    // exactly the main commits <= it — REBASE the diff to the greatest
+    // main document <= fromVersion (every id between is a branch doc by
+    // maximality, so nothing is skipped or re-delivered). This is the
+    // main-side mirror of branchBetween's tolerance for main ids inside
+    // ITS bounds; the old loud require here wedged a checkpointed
+    // capped offset permanently.
+    val (base, baseSnap) =
+      if (snaps(fromVersion).branch.isEmpty) (fromVersion, snaps(fromVersion))
+      else mainAtOrBefore(spark, t, fromVersion)
+    val delivered: Seq[Long] =
+      ((fromVersion + 1) to toVersion).filter(v => snaps(v).branch.isEmpty)
+    def snapOf(v: Long): Snapshot =
+      if (v == base && !snaps.contains(v)) baseSnap else snaps(v)
+    val schema =
+      delivered.lastOption.map(v => snaps(v).schema).getOrElse(baseSnap.schema)
 
     // (file, committing version) for every data-adding commit in range;
     // the ROWS come from ONE parquet scan below.
     val fileVersions: Seq[(String, Long)] =
-      mains.zip(mains.tail).flatMap { case (prev, v) =>
+      (base +: delivered).zip(delivered).flatMap { case (prev, v) =>
         val snap = snaps(v)
         // compact REWRITES rows, purge REMOVES them, rollback
         // RE-REGISTERS old files whose rows this feed already delivered
@@ -63,11 +75,39 @@ object AzofChangeFeed {
         // forward DOES feed: the branch's files go live at publish.)
         if (snap.op.exists(o =>
           o == "compact" || o == "purge" || o == "rollback")) Seq.empty
-        else (snap.allFiles -- snaps(prev).allFiles).toSeq.sorted.map(_ -> v)
+        else (snap.allFiles -- snapOf(prev).allFiles).toSeq.sorted.map(_ -> v)
       }
 
     assemble(spark, t, table, schema, fileVersions,
-      snaps.valuesIterator.flatMap(_.tombstoneFiles).toSet)
+      snaps.valuesIterator.flatMap(_.tombstoneFiles).toSet ++
+        baseSnap.tombstoneFiles)
+  }
+
+  /** Greatest MAIN-lineage snapshot with id <= `v` — the rebase target
+    * for feed bounds that name a BRANCH document. Stream offsets live in
+    * the table's SHARED id space, so a capped offset
+    * ([[graft.streaming.AzofCommitSource]]'s `maxVersionsPerBatch`) can
+    * land on a branch commit's id; the main feed's semantics for such an
+    * offset are "every main commit <= it delivered", whose diff base is
+    * exactly this document. The downward walk parses only the branch
+    * documents between `v` and its nearest main predecessor — bounded by
+    * one branch run, not history.
+    */
+  private[graft] def mainAtOrBefore(
+      spark: SparkSession, t: AzofTable, v: Long): (Long, Snapshot) = {
+    val first = t.snapshot(v.toString)
+    if (first.branch.isEmpty) (v, first)
+    else {
+      val fs = t.tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+      AzofTable.snapshotIdsOnDisk(fs, t.tableDir)
+        .filter(_ < v).sorted(Ordering[Long].reverse).iterator
+        .map(id => id -> t.snapshot(id.toString))
+        .collectFirst { case (id, s) if s.branch.isEmpty => (id, s) }
+        .getOrElse(throw new IllegalStateException(
+          s"no main-lineage snapshot at or before $v in ${t.tableDir} — " +
+            "every earlier document is a branch commit or was expired " +
+            "by vacuum; re-seed the consumer from a full scan"))
+    }
   }
 
   /** Publish preview — the audit primitive of the write-audit-publish

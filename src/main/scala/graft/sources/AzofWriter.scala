@@ -874,11 +874,12 @@ object AzofWriter {
     // the published tree). The compact commits on the branch (main
     // untouched), the branch pointer advances, and fast-forward then
     // publishes the folded tree verbatim. A compacted branch can no
-    // longer merge-publish (mergeBranch's append-only check refuses the
-    // rewritten tree, by design) — fold only in the fast-forward flow.
+    // longer merge-publish (mergeBranch refuses a chain carrying a fold
+    // op, by design — the fold re-stamps rows at a later seq) — fold
+    // only in the fast-forward flow.
     val (baseId, snap) = branch match {
       case Some(b) =>
-        val (head, headSnap, _) = branchLineage(table, b)
+        val (head, headSnap, _, _) = branchLineage(table, b)
         (head, headSnap)
       case None =>
         val cur = table.currentVersion.toLong
@@ -1053,6 +1054,37 @@ object AzofWriter {
     branch match {
       case None => writeVersion(spark, dir, nextId)
       case Some(b) =>
+        // Adopted-chain verification BEFORE the pointer advances (the
+        // check commitMeta's branch path runs for data commits): a
+        // sibling branch delta that fully committed (doc + pointer +
+        // ack) between this fold's branchLineage read and its snapshot
+        // write chains onto the head the fold read — blindly advancing
+        // the pointer to the fold would strand that acknowledged delta
+        // BELOW the pointer, unreachable to branchHead's forward-only
+        // walk: a lost committed write. The fold is safe iff its
+        // document is ON the chain the self-healing walk adopts (the
+        // head itself, or an ancestor of it — a fast sibling may have
+        // already chained onto the fold); otherwise the fold is the
+        // orphan — remove its document and fail loudly (compact does
+        // not retry; the delta always wins this race). Parent ids
+        // strictly decrease along a chain, so the downward walk from
+        // the adopted head terminates at the fold id or below it.
+        val foldId = nextId.toLong
+        val adopted = table.branchHead(b)
+        val onChain = adopted.exists { h =>
+          var cur = h
+          while (cur > foldId)
+            cur = table.snapshot(cur.toString).parent.getOrElse(-1L)
+          cur == foldId
+        }
+        if (!onChain) {
+          tfs.delete(new Path(table.tableDir, s"s$nextId.json"), false)
+          throw new IllegalStateException(
+            s"branch '$b' advanced while the fold was running (head now " +
+              s"s${adopted.getOrElse("?")}.json; the fold staged " +
+              s"s$nextId.json onto s$baseId.json) — fold aborted, its " +
+              "snapshot removed; re-run compact against the new head")
+        }
         // forward-only pointer advance (branchHead's parent-chain walk
         // self-heals a lost advance, exactly as for data commits)
         val bp = new Path(table.tableDir, AzofTable.branchFile(b))
@@ -1689,7 +1721,7 @@ object AzofWriter {
       branchName: String): Long = {
     val table = AzofTable(spark, lakehousePath, name)
     commitMeta(spark, table.tableDir.toString) { (base, nextId) =>
-      val (head, headSnap, fork) = branchLineage(table, branchName)
+      val (head, headSnap, fork, _) = branchLineage(table, branchName)
       // main must still be AT the fork: any main commit past it means
       // the publish would discard state (mergeBranch instead)
       val advanced = AzofTable.snapshotIdsOnDisk(
@@ -1717,12 +1749,14 @@ object AzofWriter {
     }
   }
 
-  /** (head version, head snapshot, fork version) of `branchName` —
-    * refuses an unknown branch, an empty branch (head = the fork
-    * itself), and a broken parent chain.
+  /** (head version, head snapshot, fork version, chain) of `branchName`
+    * — the chain is the branch-tagged snapshots head → fork-exclusive,
+    * newest first. Refuses an unknown branch, an empty branch (head =
+    * the fork itself), and a broken parent chain.
     */
   private def branchLineage(
-      table: AzofTable, branchName: String): (Long, Snapshot, Long) = {
+      table: AzofTable,
+      branchName: String): (Long, Snapshot, Long, List[Snapshot]) = {
     val head = table.branchHead(branchName).getOrElse(
       throw new IllegalArgumentException(
         s"no such branch '$branchName'" +
@@ -1735,13 +1769,15 @@ object AzofWriter {
     // fork point: walk the branch lineage's parents to its main base
     var fork = head
     var cur = headSnap
+    var chain = List.empty[Snapshot]
     while (cur.branch.nonEmpty) {
+      chain = chain :+ cur
       fork = cur.parent.getOrElse(throw new IllegalStateException(
         s"branch '$branchName' lineage broken at s$fork.json: no " +
           "parent link — cannot prove ancestry for publish"))
       cur = table.snapshot(fork.toString)
     }
-    (head, headSnap, fork)
+    (head, headSnap, fork, chain)
   }
 
   /** MERGE a branch into main — the publish path for a branch whose
@@ -1784,7 +1820,23 @@ object AzofWriter {
       branchName: String): Long = {
     val table = AzofTable(spark, lakehousePath, name)
     commitMeta(spark, table.tableDir.toString) { (base, nextId) =>
-      val (_, headSnap, fork) = branchLineage(table, branchName)
+      val (_, headSnap, fork, chain) = branchLineage(table, branchName)
+      // A FOLDED branch (compact on the branch lineage) must not merge:
+      // the fold re-stamps fork-era rows at its own LATER commit seq, so
+      // registering the fold's outputs as deltas would let pre-fold
+      // values win exact event-time ties against main commits that
+      // landed BEFORE the fold — silent stale-row resurrection. The
+      // append-only base-file check below cannot catch a multi-file fold
+      // (its outputs are Delta entries), so the fold-only-before-
+      // fast-forward contract is enforced on the chain's op markers.
+      val folds = chain.filter(_.op.contains("compact"))
+      require(folds.isEmpty,
+        s"branch '$branchName' was folded (compact on the branch " +
+          "lineage) — the fold re-stamped its rows at a later commit " +
+          "seq, so merging would resurrect pre-fold values over main " +
+          "commits that landed before the fold. Publish a folded branch " +
+          "with fastForward / CALL system.fast_forward (the fold-before-" +
+          "publish flow), or re-fork and merge unfolded deltas")
       val forkFiles = table.snapshot(fork.toString).allFiles
       val baseFiles = base.allFiles
       def collect(seg: Segment): Seq[Delta] =

@@ -353,11 +353,15 @@ class AzofCommitSource(
     // shared across lineages) can name a MAIN document — reading a
     // post-fork main evolution's wider schema there would throw the
     // mid-stream-evolution error on every restart, wedging the
-    // checkpoint on a stream whose own lineage never changed.
+    // checkpoint on a stream whose own lineage never changed. The MAIN
+    // stream has the mirror hazard: a capped offset can name a BRANCH
+    // document (whose fork-era schema may be narrower than main's),
+    // so the end schema resolves through the greatest MAIN document
+    // <= `to` — the same rebase the feed itself applies.
     val endStruct =
       if (branch.isDefined) pinnedStruct
       else
-        try t.snapshot(to.toString).schema.toStruct
+        try AzofChangeFeed.mainAtOrBefore(spark, t, to)._2.schema.toStruct
         catch { case _: java.io.FileNotFoundException => pinnedStruct }
     val pinExtendsEnd = to <= pinnedVersion &&
       endStruct.fields.length <= pinnedStruct.fields.length &&

@@ -442,6 +442,50 @@ class BranchSpec extends AnyFunSuite {
       "the main delta landed later (s7 > s6): it wins the exact tie")
   }
 
+  test("merge-branch refuses a FOLDED branch: the fold re-stamps rows " +
+    "at its own later seq, which would resurrect pre-fold values over " +
+    "main commits that landed before the fold") {
+    val lake = freshTable()
+    val T = "2024-02-05T00:00:00Z"
+    AzofWriter.createBranch(spark, lake, "t", "stage")               // fork 2
+    // branch stages a value for key 5 at event time T (s3) ...
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("5", T, "stale-branch")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("stage"))                                        // s3
+    // ... then MAIN updates the same key at the SAME event time (s4):
+    // landing order says main wins the exact tie (s4 > s3)
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("5", T, "fresh-main")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // s4 main
+    // the branch folds (multi-file, so every fold output is a Delta
+    // entry — the shape the append-only base-file check cannot see);
+    // the fold re-stamps "stale-branch" at ITS commit seq (s5 > s4)
+    AzofWriter.compact(spark, lake, "t", ts("2024-03-01T00:00:00Z"),
+      numFiles = 2, branch = Some("stage"))                          // s5 fold
+    // a merge would register the fold's rows with seq 5, silently
+    // beating main's s4 on the exact event-time tie — refused
+    val e = intercept[IllegalArgumentException](
+      AzofWriter.mergeBranch(spark, lake, "t", "stage"))
+    assert(e.getMessage.contains("folded"), e.getMessage)
+    // main is untouched: the s4 update still wins
+    assert(scanSorted(lake, "t").toMap.apply("5") == "fresh-main")
+    // the documented escape hatches still work: a folded branch
+    // publishes via fast-forward (after a re-fork here, since main
+    // advanced past the fork), and an UNFOLDED branch still merges
+    AzofWriter.createBranch(spark, lake, "t", "stage2")              // fork 4
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("9", "2024-03-05T00:00:00Z", "n1")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"),
+      branch = Some("stage2"))
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("8", "2024-03-06T00:00:00Z", "m1")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // main
+    assert(AzofWriter.mergeBranch(spark, lake, "t", "stage2") > 0L)
+    val m = scanSorted(lake, "t").toMap
+    assert(m("9") == "n1" && m("8") == "m1" && m("5") == "fresh-main")
+  }
+
   test("WAP session conf routes unpinned loads through the branch: " +
     "unchanged SQL reads and writes the branch; pins and main stay put") {
     val lake = freshTable()

@@ -365,4 +365,108 @@ class CompactionSpec extends AnyFunSuite {
     // no closed root carries direct deltas (Current-scan leak guard)
     snap.segments.filter(_.end.isDefined).foreach(s => assert(s.delta.isEmpty))
   }
+
+  test("branch fold racing a sibling delta in the branchLineage->freeId " +
+    "window ABORTS instead of orphaning the acknowledged delta " +
+    "(deterministic injection on the fold's free-id probe)") {
+    // The one interleaving the threaded race test cannot pin: a sibling
+    // branch delta fully commits (doc + pointer + ack) AFTER the fold
+    // read its head but BEFORE the fold scans for a free id — the fold
+    // then lands at a HIGHER id with a stale parent, and a blind
+    // pointer advance (`raw < nextId`) would strand the sibling BELOW
+    // the pointer, unreachable to branchHead's forward-only walk: a
+    // lost committed write. The injected FS commits the sibling exactly
+    // at the fold's first free-id exists() probe.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.foldfs.impl", classOf[FoldRaceFs].getName)
+    spark.conf.set("spark.hadoop.fs.foldfs.impl",
+      classOf[FoldRaceFs].getName)
+    val local = Files.createTempDirectory("azof-fold-inject").toString
+    val lake = s"foldfs:$local"
+    AzofWriter.createTable(spark, lake, "t", schema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.createBranch(spark, lake, "t", "stage")               // fork 2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("k1", "2024-02-01T00:00:00Z", "v1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-02-01T00:00:00Z"),
+      branch = Some("stage"))                                        // s3
+    FoldRaceFs.arm(lake, "t")
+    try {
+      val e = intercept[IllegalStateException](
+        AzofWriter.compact(spark, lake, "t", ts("2024-03-01T00:00:00Z"),
+          branch = Some("stage")))
+      assert(FoldRaceFs.fired, "the race hook never fired — test is vacuous")
+      assert(e.getMessage.contains("fold aborted"), e.getMessage)
+      val t = AzofTable(spark, lake, "t")
+      // the sibling's acknowledged commit (s4) is the head — NOT lost
+      assert(t.branchHead("stage").contains(4L),
+        s"sibling delta must stay reachable; head=${t.branchHead("stage")}")
+      val staged = AzofScan.scanSnapshot(spark, t, t.snapshot("4"),
+          AsOf.Current)
+        .select("key").collect().map(_.getString(0)).toSet
+      assert(staged == Set("1", "k1", "k9"),
+        s"every committed row survives the aborted fold: $staged")
+      // the orphan fold document was removed, not left as an ambiguous
+      // same-parent sibling for future forward walks
+      val fs = new org.apache.hadoop.fs.Path(lake, "t")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(lake, "t/s5.json")),
+        "aborted fold's snapshot document must be deleted")
+      assert(t.currentVersion == "2", "main untouched")
+      // the documented runbook: re-running the fold against the new
+      // head succeeds and folds BOTH deltas
+      AzofWriter.compact(spark, lake, "t", ts("2024-03-01T00:00:00Z"),
+        branch = Some("stage"))
+      val head2 = t.branchHead("stage").get
+      val snap2 = t.snapshot(head2.toString)
+      assert(snap2.op.contains("compact") && snap2.parent.contains(4L))
+      val folded = AzofScan.scanSnapshot(spark, t, snap2, AsOf.Current)
+        .select("key").collect().map(_.getString(0)).toSet
+      assert(folded == Set("1", "k1", "k9"))
+    } finally FoldRaceFs.disarm()
+  }
+}
+
+/** RawLocalFileSystem whose first `exists()` probe on a snapshot
+  * document under the armed table commits a SIBLING branch delta — the
+  * deterministic injection for the fold's branchLineage→freeId race
+  * window (the fold has read its head, has not yet picked its id).
+  */
+class FoldRaceFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "foldfs"
+  override def getUri: java.net.URI = java.net.URI.create("foldfs:///")
+  override def exists(f: org.apache.hadoop.fs.Path): Boolean = {
+    FoldRaceFs.maybeFire(f)
+    super.exists(f)
+  }
+}
+
+object FoldRaceFs {
+  @volatile var lake: String = _
+  @volatile var table: String = _
+  @volatile var fired: Boolean = false
+  def arm(l: String, t: String): Unit = { lake = l; table = t; fired = false }
+  def disarm(): Unit = { lake = null; table = null }
+  def maybeFire(f: org.apache.hadoop.fs.Path): Unit = {
+    val n = f.getName
+    val armed = lake != null && !fired &&
+      n.matches("s\\d+\\.json") && f.toString.contains(s"/$table/")
+    if (armed) {
+      fired = true
+      val sp = org.apache.spark.sql.SparkSession.active
+      val st = TableSchema(Seq(
+        ColumnDef("value", ColumnType.AzString, nullable = false))).toStruct
+      val sibling = sp.createDataFrame(
+        sp.sparkContext.parallelize(Seq(Row("k9",
+          Timestamp.from(Instant.parse("2024-02-02T00:00:00Z")), "v9"))),
+        st)
+      AzofWriter.commitDelta(sp, lake, table, sibling,
+        Instant.parse("2024-02-02T00:00:00Z"),
+        Instant.parse("2024-02-02T00:00:00Z"),
+        branch = Some("stage"))
+      ()
+    }
+  }
 }

@@ -380,6 +380,74 @@ class AzofCommitStreamSpec extends AnyFunSuite {
     assert(batch == Seq("k1" -> 4L, "k2" -> 5L, "k3" -> 7L))
   }
 
+  test("MAIN stream with capped batches on a table with branch activity " +
+    "drains without wedging (a capped offset in the shared id space can " +
+    "name a BRANCH document; the feed rebases it to its main predecessor)") {
+    val lake = Files.createTempDirectory("azof-cstream-mcap").toString
+    val ck = Files.createTempDirectory("azof-cstream-mcap-ck").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("azof-commits")
+        .option("table", "t").option("maxVersionsPerBatch", "1").load(lake)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          b.select("key", "_commit_version").collect()
+            .foreach(r => got.add((r.getString(0), r.getLong(1))))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000)) finally q.stop()
+    }
+    drain()                                        // checkpoint offset = 2
+    assert(got.toArray(Array.empty[(String, Long)]).toSeq ==
+      Seq("1" -> 2L))
+
+    // branch commits interleave in the SHARED id space; the resumed
+    // capped stream's offsets land ON the branch documents (3, 4, 6) —
+    // the wedge case this spec pins away. Main evolves post-fork too,
+    // so the capped end-schema read must also resolve through the main
+    // predecessor (a branch doc's fork-era schema is narrower).
+    AzofWriter.createBranch(spark, lake, "t", "stage")               // fork 2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("b1", "2024-02-01T00:00:00Z", "s1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-02-01T00:00:00Z"),
+      branch = Some("stage"))                                        // v3 br
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("b2", "2024-02-02T00:00:00Z", "s2")),
+      ts("2024-02-02T00:00:00Z"), ts("2024-02-02T00:00:00Z"),
+      branch = Some("stage"))                                        // v4 br
+    AzofWriter.addColumn(spark, lake, "t",
+      ColumnDef("extra", ColumnType.AzString, nullable = true))      // v5 main
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("b3", "2024-02-03T00:00:00Z", "s3")),
+      ts("2024-02-03T00:00:00Z"), ts("2024-02-03T00:00:00Z"),
+      branch = Some("stage"))                                        // v6 br
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("m2", "2024-02-04T00:00:00Z", "x2"))
+        .withColumn("extra", org.apache.spark.sql.functions.lit("e2")),
+      ts("2024-02-04T00:00:00Z"), ts("2024-02-04T00:00:00Z"))        // v7 main
+    got.clear()
+    drain()
+    // only the MAIN commit's rows deliver, tagged with its version;
+    // branch rows never enter the main feed
+    assert(got.toArray(Array.empty[(String, Long)]).toSeq ==
+      Seq("m2" -> 7L),
+      "capped resume over interleaved branch commits delivers exactly " +
+        "the main rows, once — no wedge, no branch leakage")
+
+    // the batch feed tolerates a branch-document base the same way
+    // (the shape an already-checkpointed capped offset replays)
+    val rebased = AzofChangeFeed.between(spark, lake, "t", 4L, 7L)
+      .select("key", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(rebased == Seq("m2" -> 7L))
+  }
+
   test("branch stream with a capped batch spanning a post-fork MAIN " +
     "schema evolution drains cleanly (ids are shared; the cap can name " +
     "a main doc, whose wider schema must not wedge the branch stream)") {
