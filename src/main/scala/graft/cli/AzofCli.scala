@@ -868,8 +868,9 @@ object AzofCli {
           .show(numRows = 10000, truncate = false)
       case "lm-rebuild" =>
         // epoch rebuild: retrain from the LIVE corpus into a fresh
-        // stats table (the reconciliation for revisions/deletes the
-        // additive refresh cannot subtract)
+        // stats table (the reconciliation for ROLLBACKS — the one
+        // state change with no feed event; the refresh itself is
+        // exact under deletes/revisions via pre-image subtraction)
         val n = graft.sources.LmIndex.rebuildEpoch(spark,
           opts("path"), opts("table"), opts.getOrElse("text-col", "text"),
           opts.getOrElse("index-path", opts("path")),

@@ -20,18 +20,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * table instead of re-tokenizing the corpus.
   *
   * Consistency contract (the [[CcIndex]] family rule, stated for an
-  * aggregate index): the additive refresh counts every INSERTED
-  * document exactly once — on an append-only corpus the index equals
-  * the one-shot retrain at every refresh point (the oracle row's
-  * pinned equivalence). A re-UPSERTED document's older version and a
-  * DELETED document's counts are NOT subtracted (the feed's tombstone
-  * carries no text to subtract with); after revisions or takedowns the
-  * stats drift stale-high and the documented reconciliation hatch is
-  * [[rebuildEpoch]] — retrain from the live corpus into a fresh table,
-  * one atomic swap, exactly the SemDedupIndex epoch shape. Stale-HIGH
-  * counts degrade gracefully for a quality filter (surprise drifts
-  * LOW, never inventing improbability for text the corpus really
-  * held).
+  * aggregate index): after every refresh the stats equal the one-shot
+  * retrain over the source's LIVE corpus at the batch's end version —
+  * under inserts, RE-UPSERTS, and DELETES alike. The feed's tombstone
+  * carries no text to subtract with, but the feed is COMMIT-EXACT, so
+  * the refresh reads each churned key's PRE-IMAGE (its live text at
+  * the batch's predecessor version — one time-travel scan, key-stats
+  * pruned to the churned keys) and upserts `old − pre + new` for
+  * exactly the touched bigrams. The engine's own staged-takedown flow
+  * (`DedupFlow.applyVerdict` → tombstones) therefore keeps the LM
+  * stats exact with no epoch rebuild. The one remaining
+  * reconciliation case is [[AzofWriter.rollback]] (which changes live
+  * state with NO feed event, the feed's documented epoch-rebuild
+  * contract) — [[rebuildEpoch]] stays as that hatch.
   *
   * Scale shape: a refresh shuffles batch-sized bigram counts and
   * merges them against the index's Current scan (vocabulary-bounded —
@@ -39,8 +40,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * smaller than the corpus); the merge is MEASUREMENT-GUARDED
   * (`broadcastKeyMax`): a steady-state batch broadcast-semi-filters
   * the stats scan in one pass with no stats shuffle, a bootstrap
-  * catch-up falls back to the plain shuffle join. One exactly-once
-  * delta commits through the `stream_batches` replay guard. [[score]] is two scans (live docs + stats) and the t19 join
+  * catch-up falls back to the plain shuffle join. The pre-image read
+  * is guarded the same way: a steady-state batch's churned keys pass
+  * to the time-travel scan as a `KeyFilter` (key-range/bloom file
+  * skipping confines the read to the churn neighborhood), a bootstrap
+  * catch-up falls back to one full scan semi-joined map-side. One
+  * exactly-once delta commits through the `stream_batches` replay
+  * guard. [[score]] is two scans (live docs + stats) and the t19 join
   * shape with the corpus-wide aggregation replaced by the index read.
   */
 object LmIndex {
@@ -77,8 +83,8 @@ object LmIndex {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val rows = countBatch(spark, batch, textCol, idxLake, idxTable,
-          broadcastKeyMax)
+        val rows = countBatch(spark, batch, textCol, srcLake, srcTable,
+          idxLake, idxTable, broadcastKeyMax)
         AzofSink.commitBatch(idxLake, idxTable, rows, id, appId)
         // release countBatch's eager checkpoint of the batch counts
         graft.operators.Blocks.freeReferenced(rows)
@@ -88,21 +94,13 @@ object LmIndex {
       .start()
   }
 
-  /** One feed micro-batch → `(bigram, old + batch)` upserts for exactly
-    * the touched bigrams. Tombstoned feed rows carry no text and add
-    * nothing (see the consistency contract above). The batch's rows can
-    * span several versions of one key; EVERY inserted version's bigrams
-    * count, matching what a one-shot retrain over the same append-only
-    * history would see at each point (azof serves the newest version,
-    * but an append-only corpus has one version per key — the exact-
-    * equality case the oracle pins).
+  /** `(bigram, n)` multiset counts over `rows`' `textCol`, keyed as the
+    * index's key column.
     */
-  private def countBatch(
-      spark: SparkSession, batch: Dataset[Row], textCol: String,
-      idxLake: String, idxTable: String,
-      broadcastKeyMax: Long): DataFrame = {
+  private def bigramCounts(
+      rows: DataFrame, textCol: String, as: String): DataFrame = {
     val w = split(lower(col(textCol)), "\\s+")
-    val fresh = batch.where(!col("_deleted"))
+    rows
       .select(w.as("_w"))
       .where(size(col("_w")) >= 2)
       .select(explode(expr(
@@ -110,9 +108,78 @@ object LmIndex {
           "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"))
         .as(TableSchema.KeyName))
       .groupBy(TableSchema.KeyName)
-      .agg(count(lit(1)).as("_add"))
+      .agg(count(lit(1)).as(as))
+  }
+
+  /** One feed micro-batch → `(bigram, old − pre + new)` upserts for
+    * exactly the touched bigrams. Per churned key, `new` counts the
+    * batch's NEWEST version's bigrams (nothing for a tombstone) and
+    * `pre` the key's live text at the batch's PREDECESSOR version (one
+    * time-travel scan, churn-confined; nothing for a key that did not
+    * exist, or was already deleted, before the batch) — so after the
+    * upsert the stats equal a retrain over the live corpus at the
+    * batch's end version. Intermediate versions inside one catch-up
+    * batch never count: only the end-state does, exactly like the
+    * retrain. A net-zero bigram (revision that keeps a phrase) upserts
+    * nothing.
+    */
+  private def countBatch(
+      spark: SparkSession, batch: Dataset[Row], textCol: String,
+      srcLake: String, srcTable: String,
+      idxLake: String, idxTable: String,
+      broadcastKeyMax: Long): DataFrame = {
+    val K = TableSchema.KeyName
+    // one eager materialization of the slim batch: every derivation
+    // below (newest-per-key, churned keys, min version) reads it
+    val slim = batch
+      .select(col(K), col(textCol), col("_commit_version"), col("_deleted"))
+      .localCheckpoint(true)
+    // the key's POST-batch state: its newest row in the batch
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(K)).orderBy(col("_commit_version").desc)
+    val newest = slim
+      .withColumn("_rn", row_number().over(wKey))
+      .where(col("_rn") === 1)
+    val adds = bigramCounts(
+      newest.where(!col("_deleted")).select(col(textCol)), textCol, "_add")
+    // the churned keys' PRE-image: live text at the batch's predecessor
+    // version (the greatest MAIN document below the batch's first
+    // commit — feed versions are main by construction, and every
+    // feed-visible state change lands as a feed commit, so this names
+    // exactly the state the previous refresh saw). Guarded like the
+    // merge below: a steady-state batch's keys ride a KeyFilter into
+    // the scan (key-stats file skipping → churn-confined read), a
+    // bootstrap catch-up falls back to one full scan semi-joined.
+    val churned = slim.select(col(K)).distinct()
+    val nChurned = churned.count()
+    val subs =
+      if (nChurned == 0)
+        adds.select(col(K), col("_add").as("_sub")).limit(0)
+      else {
+        val minV = slim.agg(min(col("_commit_version"))).collect()(0).getLong(0)
+        val src = graft.format.AzofTable(spark, srcLake, srcTable)
+        val (_, preSnap) = AzofChangeFeed.mainAtOrBefore(spark, src, minV - 1)
+        val pre =
+          if (nChurned <= broadcastKeyMax) {
+            val keys = churned.collect().map(_.getString(0)).toSet
+            graft.operators.AzofScan.scanSnapshot(spark, src, preSnap,
+              graft.format.AsOf.Current,
+              projection = Some(Set(K, textCol)),
+              keyFilter = Some(graft.format.KeyFilter.Keys(keys)))
+          } else
+            graft.operators.AzofScan.scanSnapshot(spark, src, preSnap,
+              graft.format.AsOf.Current,
+              projection = Some(Set(K, textCol)))
+              .join(churned, Seq(K), "left_semi")
+        bigramCounts(pre.select(col(textCol)), textCol, "_sub")
+      }
+    val delta = adds.join(subs, Seq(K), "full_outer")
+      .select(col(K),
+        (coalesce(col("_add"), lit(0L)) - coalesce(col("_sub"), lit(0L)))
+          .as("_delta"))
+      .where(col("_delta") =!= 0L)
     val existing = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
-      .select(col(TableSchema.KeyName), col("cnt").as("_old"))
+      .select(col(K), col("cnt").as("_old"))
     // The merge must not shuffle the WHOLE stats table for a small
     // batch (steady-state crawl cadence): when the batch's distinct
     // bigrams fit the broadcast budget, ONE streaming pass over the
@@ -123,24 +190,32 @@ object LmIndex {
     // DedupFlow's bootstrap fix, never an unconditional hint. The
     // eager checkpoint keeps the batch aggregation to one computation
     // across the count, the join, and the commit (freed by refresh).
-    val counted = fresh.localCheckpoint(true)
+    val counted = delta.localCheckpoint(true)
     val nFresh = counted.count()
+    // slim is fully consumed into `counted` now — release its blocks
+    // (refresh's freeReferenced(rows) only reaches `counted`)
+    graft.operators.Blocks.freeReferenced(slim.toDF())
     val touchedOld =
       if (nFresh <= broadcastKeyMax)
-        existing.join(broadcast(counted.select(col(TableSchema.KeyName))),
-          Seq(TableSchema.KeyName), "left_semi")
+        existing.join(broadcast(counted.select(col(K))),
+          Seq(K), "left_semi")
       else existing
     // a FIXED event_time for every stats row: successive upserts of one
     // bigram tie on (key, event_time) and the engine's pinned default-
     // mode tie-break (commit seq desc — the later refresh's count wins)
     // serves the newest total; a wall clock here would be the only
-    // nondeterminism in an otherwise replayable index
-    counted.join(touchedOld, Seq(TableSchema.KeyName), "left")
+    // nondeterminism in an otherwise replayable index. `greatest(0)`
+    // never fires under the exactness contract (pre counts are always
+    // backed by earlier adds); it bounds the damage of OUT-OF-CONTRACT
+    // histories (a rollback, whose documented hatch is rebuildEpoch)
+    // to the same stale-stats class instead of negative counts.
+    counted.join(touchedOld, Seq(K), "left")
       .select(
-        col(TableSchema.KeyName),
+        col(K),
         lit(java.sql.Timestamp.from(StatsStamp))
           .as(TableSchema.EventTimeName),
-        (coalesce(col("_old"), lit(0L)) + col("_add")).as("cnt"))
+        greatest(lit(0L), coalesce(col("_old"), lit(0L)) + col("_delta"))
+          .as("cnt"))
   }
 
   /** The one event_time every stats row carries (see [[countBatch]]). */
@@ -158,7 +233,12 @@ object LmIndex {
       spark: SparkSession,
       srcLake: String, srcTable: String, textCol: String,
       idxLake: String, idxTable: String): DataFrame = {
+    // cnt = 0 rows are fully-subtracted bigrams (every occurrence
+    // deleted/revised away): a retrain has NO row for them, and serving
+    // them would inflate the vocabulary count — filter to positives so
+    // the served scores stay retrain-exact
     val stats = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
+      .where(col("cnt") > 0L)
       .select(col(TableSchema.KeyName).as("bg"), col("cnt").as("_c_bg"))
     val ctx = stats
       .select(substring_index(col("bg"), " ", 1).as("_w1"), col("_c_bg"))
@@ -191,11 +271,13 @@ object LmIndex {
         col("sum_surprise").cast("double") / col("n_bigrams"))
   }
 
-  /** Reconciliation hatch after source revisions / deletes (whose
-    * counts the additive refresh cannot subtract): retrain the stats
-    * from the CURRENT live corpus into `newTable`, then serve from it —
-    * the SemDedupIndex epoch shape, one atomic table swap for the
-    * operator.
+  /** Reconciliation hatch after a source ROLLBACK — the one state
+    * change that lands with NO feed event ([[AzofChangeFeed]] skips
+    * `op = "rollback"`), so the pre-image-subtracting refresh cannot
+    * see it: retrain the stats from the CURRENT live corpus into
+    * `newTable`, then serve from it — the SemDedupIndex epoch shape,
+    * one atomic table swap for the operator. (Deletes and revisions no
+    * longer need this: the refresh subtracts their pre-images exactly.)
     */
   def rebuildEpoch(
       spark: SparkSession,

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The persisted bigram-LM stats index: incremental refresh ≡ one-shot
-  * retrain on an append-only corpus, replay-guarded, with the epoch
-  * rebuild as the delete/upsert reconciliation hatch.
+  * retrain over the LIVE corpus — under inserts, revisions, AND deletes
+  * (pre-image subtraction via the commit-exact time-travel read) —
+  * replay-guarded, with the epoch rebuild as the ROLLBACK
+  * reconciliation hatch.
   */
 class LmIndexSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -81,8 +83,9 @@ class LmIndexSpec extends AnyFunSuite {
       "'a b': 3 from the base + 1 from the delta, both shapes")
   }
 
-  test("incremental refreshes ≡ one-shot retrain; replay adds nothing; " +
-    "epoch rebuild reconciles deletes") {
+  test("incremental refreshes ≡ one-shot retrain under inserts, deletes, " +
+    "revisions, and catch-up batches; replay adds nothing; the epoch " +
+    "rebuild hatch remains for rollbacks") {
     val l = Files.createTempDirectory("azof-lmidx").toString
     val ck = Files.createTempDirectory("azof-lmidx-ck").toString
     AzofWriter.createTable(spark, l, "docs", docSchema,
@@ -122,16 +125,84 @@ class LmIndexSpec extends AnyFunSuite {
     refresh(l, ck)
     assert(served(l) == oneShot(l))
 
-    // deletes are NOT subtracted (documented stale-high drift)…
+    // DELETE: the refresh subtracts the tombstoned doc's pre-image
+    // bigrams via the commit-exact time-travel read — refresh ≡ live
+    // retrain with NO epoch rebuild
     AzofWriter.commitDelete(spark, l, "docs", Seq("1"),
       ts("2024-05-01T00:00:00Z"))                                    // v5
     refresh(l, ck)
-    assert(served(l) != oneShot(l),
-      "post-delete the additive stats drift from the live retrain")
+    assert(served(l) == oneShot(l),
+      "post-delete the pre-image-subtracting refresh ≡ live retrain")
     assert(served(l).forall(_._1 != "1"), "the deleted doc itself is gone")
-    // …the epoch rebuild is the reconciliation hatch
+    val abAfterDelete = AzofScan.scan(spark, l, "lm_stats")
+      .where(col(TableSchema.KeyName) === "a b")
+      .select("cnt").collect().map(_.getLong(0)).toSeq
+    assert(abAfterDelete == Seq(2L),
+      "'a b': doc 1's two occurrences subtracted; docs 2 and 4 remain")
+
+    // REVISION: re-upserting a doc with different text subtracts the
+    // old version's bigrams and adds the new version's — still ≡
+    // retrain, still no rebuild
+    AzofWriter.commitDelta(spark, l, "docs", df(
+      ("4", "2024-06-05T00:00:00Z", "c d c d")),
+      ts("2024-06-01T00:00:00Z"), ts("2024-07-01T00:00:00Z"))        // v6
+    refresh(l, ck)
+    assert(served(l) == oneShot(l),
+      "post-revision the refresh ≡ live retrain (old text subtracted)")
+
+    // DELETE + re-INSERT in separate batches: the re-insert's pre-image
+    // is the tombstone (nothing to subtract), only the new text adds
+    AzofWriter.commitDelta(spark, l, "docs", df(
+      ("1", "2024-07-05T00:00:00Z", "z q z")),
+      ts("2024-07-01T00:00:00Z"), ts("2024-08-01T00:00:00Z"))        // v7
+    refresh(l, ck)
+    assert(served(l) == oneShot(l), "delete → re-insert ≡ retrain")
+
+    // ZEROED bigram: deleting doc 2 removes the corpus' last "a b" —
+    // the stats row upserts to cnt 0, and serving must treat it as
+    // ABSENT (a retrain has no such row; a zero row would inflate the
+    // vocabulary count) — the cnt > 0 serving filter under test
+    AzofWriter.commitDelete(spark, l, "docs", Seq("2"),
+      ts("2024-08-02T00:00:00Z"))                                    // v8
+    refresh(l, ck)
+    val abZeroed = AzofScan.scan(spark, l, "lm_stats")
+      .where(col(TableSchema.KeyName) === "a b")
+      .select("cnt").collect().map(_.getLong(0)).toSeq
+    assert(abZeroed == Seq(0L), s"'a b' fully subtracted: $abZeroed")
+    assert(served(l) == oneShot(l),
+      "zeroed stats rows serve as absent — scores stay retrain-exact")
+
+    // one CATCH-UP batch spanning delete+revision+insert of one key:
+    // only the end-state counts, exactly like the retrain
+    val ck2 = Files.createTempDirectory("azof-lmidx-ck2").toString
+    val l2 = Files.createTempDirectory("azof-lmidx-multi").toString
+    AzofWriter.createTable(spark, l2, "docs", docSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l2, "docs", df(
+      ("1", "2024-01-02T00:00:00Z", "a b a"),
+      ("2", "2024-01-02T00:00:00Z", "c d")))                         // v2
+    LmIndex.create(spark, l2)
+    val q0 = LmIndex.refresh(spark, l2, "docs", "text", l2, "lm_stats", ck2)
+    assert(q0.awaitTermination(120000))
+    AzofWriter.commitDelta(spark, l2, "docs", df(
+      ("1", "2024-02-05T00:00:00Z", "e f")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    AzofWriter.commitDelete(spark, l2, "docs", Seq("2"),
+      ts("2024-03-02T00:00:00Z"))                                    // v4
+    AzofWriter.commitDelta(spark, l2, "docs", df(
+      ("1", "2024-04-05T00:00:00Z", "g h g")),
+      ts("2024-04-01T00:00:00Z"), ts("2024-05-01T00:00:00Z"))        // v5
+    val q1 = LmIndex.refresh(spark, l2, "docs", "text", l2, "lm_stats", ck2)
+    assert(q1.awaitTermination(120000))
+    assert(
+      LmIndex.score(spark, l2, "docs", "text", l2, "lm_stats")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1).toSeq == oneShot(l2),
+      "one batch spanning revise+delete+revise ≡ retrain at the end state")
+
+    // the epoch rebuild hatch still works (the ROLLBACK reconciliation)
     val n = LmIndex.rebuildEpoch(spark, l, "docs", "text", l,
-      "lm_stats_v2", ts("2024-06-01T00:00:00Z"))
+      "lm_stats_v2", ts("2024-09-01T00:00:00Z"))
     assert(n > 0)
     assert(served(l, "lm_stats_v2") == oneShot(l),
       "rebuilt epoch ≡ retrain over the live corpus")
