@@ -612,20 +612,29 @@ object AzofCli {
           lmTable = opts.get("lm-table"))
         q.awaitTermination()
       case "contain-create" =>
-        // persisted containment-pair index:
+        // persisted containment-pair index (+ optional posting table):
         //   contain-create --index-path L2 [--index-table contain_pairs]
+        //     [--postings contain_postings]
         graft.sources.ContainIndex.create(spark, opts("index-path"),
           opts.getOrElse("index-table", "contain_pairs"))
-        println(s"created ${opts.getOrElse("index-table", "contain_pairs")}")
+        opts.get("postings").foreach(pt =>
+          graft.sources.ContainIndex.createPostings(spark,
+            opts("index-path"), pt))
+        println(s"created ${opts.getOrElse("index-table", "contain_pairs")}" +
+          opts.get("postings").fold("")(pt => s" + postings $pt"))
       case "contain-refresh" =>
         // churn-confined incremental refresh from the CDC feed:
         //   contain-refresh --path L --table SRC --index-path L2
         //     [--index-table contain_pairs] [--text-col text]
         //     [--min-shared 3] [--max-df 20] [--min-containment 0.9]
         //     [--at TS] [--keyed]
+        //     [--postings contain_postings [--ids-cap 64]]
         // --keyed: string-keyed corpus (URLs/UUIDs) — keys flow through
         // raw, pairs order lexicographically (serve via
         // contain-pairs --keyed)
+        // --postings: maintain + serve blocking from the persisted
+        // posting-list table — NO corpus pass per refresh (create it
+        // with contain-create --postings)
         val at = opts.get("at")
           .map(graft.sources.AzofDataSource.parseInstant)
           .getOrElse(java.time.Instant.ofEpochMilli(
@@ -639,7 +648,9 @@ object AzofCli {
           maxDf = opts.getOrElse("max-df", "20").toInt,
           minContainment =
             opts.getOrElse("min-containment", "0.9").toDouble,
-          keyed = opts.contains("keyed"))
+          keyed = opts.contains("keyed"),
+          postings = opts.get("postings"),
+          idsCap = opts.getOrElse("ids-cap", "64").toInt)
         println(
           if (r.noop) s"no new commits (cursor at v${r.fromVersion})"
           else s"refreshed v${r.fromVersion + 1}..v${r.toVersion}: " +

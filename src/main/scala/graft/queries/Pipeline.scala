@@ -36,6 +36,7 @@ object Pipeline {
     "d20_containment" -> d20,
     "d21_containment_index" -> d21,
     "d22_contain_keyed" -> d22,
+    "d23_contain_postings" -> d23,
     "p04_contain_gate" -> p04,
     "p05_shard_map" -> p05,
     "p06_seq_map" -> p06,
@@ -580,6 +581,56 @@ object Pipeline {
     */
   private def d22(s: SparkSession, dir: String): DataFrame =
     graft.sources.ContainIndex.pairsKeyed(s, containLakeKeyed(s, dir),
+      "contain_pairs")
+
+  /** [[containLake]] rebuilt through the POSTING-LIST path: the same
+    * two-batch ingest, but each refresh maintains the persisted
+    * shingle→members posting table and serves blocking from it — NO
+    * corpus pass per refresh (the [[graft.sources.ContainIndex]]
+    * `postings` option). Verdicts must still hash-match the one-shot
+    * oracle verbatim.
+    */
+  private[queries] def containLakePostings(
+      s: SparkSession, dir: String): String =
+    AzofQueries.cachedLake(dir, "containp-v1", "contain_pairs") { l =>
+      import graft.format.{ColumnDef, ColumnType, TableSchema}
+      import graft.sources.{AzofWriter, ContainIndex}
+      import java.time.Instant
+      val srcSchema = graft.format.TableSchema(Seq(
+        ColumnDef("text", ColumnType.AzString, nullable = true)))
+      AzofWriter.createTable(s, l, "docs_src", srcSchema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      ContainIndex.create(s, l)
+      ContainIndex.createPostings(s, l)
+      val derived = d20Derived(s, dir)
+      def batch(holdout: Boolean, at: String) =
+        derived.where((col("doc_id") % 3 === 0) === holdout)
+          .select(col("doc_id").cast("string").as(TableSchema.KeyName),
+            lit(java.sql.Timestamp.from(Instant.parse(at)))
+              .as(TableSchema.EventTimeName),
+            col("text"))
+      AzofWriter.commitBase(s, l, "docs_src",
+        batch(holdout = false, "2024-01-15T00:00:00Z"))
+      ContainIndex.refresh(s, l, "docs_src", "text", l,
+        at = Instant.parse("2024-02-01T00:00:00Z"),
+        postings = Some("contain_postings"))
+      AzofWriter.commitDelta(s, l, "docs_src",
+        batch(holdout = true, "2024-02-15T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      ContainIndex.refresh(s, l, "docs_src", "text", l,
+        at = Instant.parse("2024-03-01T00:00:00Z"),
+        postings = Some("contain_postings"))
+      ()
+    }
+
+  /** The posting-list-served containment verdicts: index built with NO
+    * per-refresh corpus pass, yet pair-for-pair identical to the d20
+    * one-shot — the amortization twin under the same hash gate as
+    * every other index family.
+    */
+  private def d23(s: SparkSession, dir: String): DataFrame =
+    graft.sources.ContainIndex.pairs(s, containLakePostings(s, dir),
       "contain_pairs")
 
   /** The incrementally-built persisted assignment, read back whole: must
@@ -1866,6 +1917,9 @@ object Pipeline {
     "d21_containment_index" -> containmentOracle,
     "d22_contain_keyed" ->
       containmentOracleFor("'doc-' || CAST(d.doc_id AS VARCHAR)"),
+    // d23: the POSTING-LIST-served index build (no corpus pass per
+    // refresh) must serve the identical verdicts — same oracle again
+    "d23_contain_postings" -> containmentOracle,
     "d20_containment" -> containmentOracle,
     // p04: the containment pairs recomputed ONE-SHOT (the shared d20/
     // d21 SQL as a CTE), the asymmetric drop rule (excerpt drops,

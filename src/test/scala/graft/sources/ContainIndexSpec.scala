@@ -258,6 +258,187 @@ class ContainIndexSpec extends AnyFunSuite {
       at = ts("2024-03-03T00:00:00Z")) == 0L)
   }
 
+  test("postings-backed refresh ≡ one-shot across inserts, cross-batch " +
+    "quotes, revisions, and deletes; no-op commits nothing") {
+    val l = mkLake()
+    ContainIndex.createPostings(spark, l)
+    def rf(at: String) = ContainIndex.refresh(spark, l, "docs", "text", l,
+      at = ts(at), postings = Some("contain_postings"))
+    AzofWriter.commitBase(spark, l, "docs", rowsDf(
+      (1L to 4L).map(i => (i, "2024-01-10T00:00:00Z", baseText(i.toInt))) :+
+        ((5L, "2024-01-10T00:00:00Z", quoteText(1, 5)))))
+    val r1 = rf("2024-02-01T00:00:00Z")
+    assert(r1.churned == 5 && r1.verified >= 1, s"$r1")
+    assert(served(l) == oneShot(l))
+    assert(served(l).map(r => (r.getLong(0), r.getLong(1))) == Seq(1L -> 5L))
+    // posting internals: doc 1's first trigram is held by docs 1 and 5
+    val p0 = graft.operators.AzofScan.scan(spark, l, "contain_postings")
+      .where(col(TableSchema.KeyName) === "w1_1 w1_2 w1_3")
+      .select("df", "ids").collect()(0)
+    assert(p0.getLong(0) == 2L && p0.getString(1) == """["1","5"]""", s"$p0")
+
+    // cross-batch quote of an OLD doc: the posting buckets reach it
+    // with NO corpus pass
+    AzofWriter.commitDelta(spark, l, "docs", rowsDf(Seq(
+      (6L, "2024-02-10T00:00:00Z", baseText(6)),
+      (7L, "2024-02-10T00:00:00Z", quoteText(3, 7)))),
+      ts("2024-02-10T00:00:00Z"), ts("2024-02-10T00:00:00Z"))
+    val r2 = rf("2024-03-01T00:00:00Z")
+    assert(r2.churned == 2 && r2.upserted == 1, s"$r2")
+    assert(served(l) == oneShot(l))
+    assert(served(l).map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq(1L -> 5L, 3L -> 7L))
+
+    // revision breaks (1,5); delete retires (3,7)
+    AzofWriter.commitDelta(spark, l, "docs", rowsDf(Seq(
+      (5L, "2024-03-10T00:00:00Z", baseText(9)))),
+      ts("2024-03-10T00:00:00Z"), ts("2024-03-10T00:00:00Z"))
+    val r3 = rf("2024-04-01T00:00:00Z")
+    assert(r3.retired == 1, s"$r3")
+    assert(served(l) == oneShot(l))
+    AzofWriter.commitDelete(spark, l, "docs", Seq("3"),
+      ts("2024-04-10T00:00:00Z"))
+    val r4 = rf("2024-05-01T00:00:00Z")
+    assert(r4.retired == 1, s"$r4")
+    assert(served(l) == oneShot(l))
+    assert(served(l).map(r => (r.getLong(0), r.getLong(1))) == Seq.empty)
+    // the deleted doc's postings are gone (tombstoned or df-decremented)
+    assert(graft.operators.AzofScan.scan(spark, l, "contain_postings")
+      .where(col("ids").contains("\"3\"")).count() == 0L,
+      "doc 3 must leave every posting it was a member of")
+
+    // no-op refresh commits nothing to either table
+    val vP = AzofTable(spark, l, "contain_pairs").currentVersion
+    val vT = AzofTable(spark, l, "contain_postings").currentVersion
+    assert(rf("2024-05-02T00:00:00Z").noop)
+    assert(AzofTable(spark, l, "contain_pairs").currentVersion == vP)
+    assert(AzofTable(spark, l, "contain_postings").currentVersion == vT)
+  }
+
+  test("guard-transition exactness on BOTH paths: a delete that drops a " +
+    "bucket under maxDf surfaces a pair among UNCHURNED docs; an insert " +
+    "that pushes it back over retires the pair — and on the postings " +
+    "path the stop-shingle rides overflow (exact df, no ids) and " +
+    "recovers its members when it drops back under the cap") {
+    // C = 12 shared words; each doc = C + one unique tail word, so a
+    // pair of C-docs shares the 10 pure-C trigrams out of 11 each:
+    // containment 10/11 ≈ 0.909 >= 0.9, n_shared 10 >= 3
+    val C = (1 to 12).map(w => s"c_$w").mkString(" ")
+    def cdoc(i: Int): String = s"$C t$i"
+    def oneShotP(l: String): Seq[Row] =
+      Dedup.containmentPairs(
+        graft.operators.AzofScan.scan(spark, l, "docs")
+          .select(col(TableSchema.KeyName).cast("long").as("doc_id"),
+            col("text")),
+        col("text"), col("doc_id"),
+        minShared = 3, maxDf = 2, minContainment = 0.9)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+    for (postings <- Seq(None, Some("contain_postings"))) {
+      val l = mkLake()
+      postings.foreach(_ => ContainIndex.createPostings(spark, l))
+      def rf(at: String) = ContainIndex.refresh(spark, l, "docs", "text", l,
+        at = ts(at), maxDf = 2, postings = postings, idsCap = 2)
+      // bootstrap: 3 docs share every C-bucket -> df 3 > maxDf 2 ->
+      // no pairs anywhere (one-shot agrees)
+      AzofWriter.commitBase(spark, l, "docs", rowsDf(Seq(
+        (1L, "2024-01-10T00:00:00Z", cdoc(1)),
+        (2L, "2024-01-10T00:00:00Z", cdoc(2)),
+        (3L, "2024-01-10T00:00:00Z", cdoc(3)))))
+      rf("2024-02-01T00:00:00Z")
+      assert(served(l) == oneShotP(l) && served(l).isEmpty,
+        s"postings=$postings: guard-skipped bootstrap must index nothing")
+      postings.foreach { pt =>
+        val row = graft.operators.AzofScan.scan(spark, l, pt)
+          .where(col(TableSchema.KeyName) === "c_1 c_2 c_3")
+          .select("df", "ids").collect()(0)
+        assert(row.getLong(0) == 3L && row.isNullAt(1),
+          s"stop-shingle must keep exact df with no stored ids: $row")
+      }
+      // doc 3 deleted: every C-bucket drops to df 2 — pair (1,2) must
+      // SURFACE although neither 1 nor 2 churned (and on the postings
+      // path the buckets must first RECOVER their members)
+      AzofWriter.commitDelete(spark, l, "docs", Seq("3"),
+        ts("2024-02-10T00:00:00Z"))
+      val r2 = rf("2024-03-01T00:00:00Z")
+      assert(served(l) == oneShotP(l), s"postings=$postings: $r2")
+      assert(served(l).map(r => (r.getLong(0), r.getLong(1))) ==
+        Seq(1L -> 2L),
+        s"postings=$postings: the shrink transition must surface (1,2)")
+      postings.foreach { pt =>
+        val row = graft.operators.AzofScan.scan(spark, l, pt)
+          .where(col(TableSchema.KeyName) === "c_1 c_2 c_3")
+          .select("df", "ids").collect()(0)
+        assert(row.getLong(0) == 2L && row.getString(1) == """["1","2"]""",
+          s"under-cap transition must recover the members: $row")
+      }
+      // doc 4 inserted with the same C: buckets grow back to df 3 —
+      // the indexed (1,2) must RETIRE although neither endpoint churned
+      AzofWriter.commitDelta(spark, l, "docs", rowsDf(Seq(
+        (4L, "2024-03-10T00:00:00Z", cdoc(4)))),
+        ts("2024-03-10T00:00:00Z"), ts("2024-03-10T00:00:00Z"))
+      val r3 = rf("2024-04-01T00:00:00Z")
+      assert(r3.retired == 1, s"postings=$postings: $r3")
+      assert(served(l) == oneShotP(l) && served(l).isEmpty,
+        s"postings=$postings: the growth transition must retire (1,2)")
+    }
+  }
+
+  test("postings refresh on a grown corpus is corpus-scan-free: the " +
+    "counting FS sees only churn/endpoint data files opened") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.contfs.impl", classOf[ContainCountingFs].getName)
+    spark.conf.set("spark.hadoop.fs.contfs.impl",
+      classOf[ContainCountingFs].getName)
+    val local = Files.createTempDirectory("azof-contain-count").toString
+    val l = s"contfs:$local"
+    AzofWriter.createTable(spark, l, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    ContainIndex.create(spark, l)
+    ContainIndex.createPostings(spark, l)
+    def batch(prefix: String, at: String) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize((1 to 8).map(i =>
+          Row(s"$prefix$i", Timestamp.from(ts(at)),
+            (1 to 12).map(w => s"${prefix}w${i}_$w").mkString(" ")))),
+        srcSchema.toStruct)
+    AzofWriter.commitBase(spark, l, "docs", batch("a", "2024-01-10T00:00:00Z"))
+    Seq("b", "c", "d", "e", "f").zipWithIndex.foreach { case (p, i) =>
+      AzofWriter.commitDelta(spark, l, "docs",
+        batch(p, f"2024-01-${11 + i}%02dT00:00:00Z"),
+        ts(f"2024-01-${11 + i}%02dT00:00:00Z"),
+        ts(f"2024-01-${11 + i}%02dT00:00:00Z"))
+    }
+    // bootstrap builds the postings (reads everything, uncounted)
+    ContainIndex.refresh(spark, l, "docs", "text", l,
+      at = ts("2024-02-01T00:00:00Z"), keyed = true,
+      postings = Some("contain_postings"))
+    val dataFiles = AzofTable(spark, l, "docs").currentSnapshot
+      .dataFiles(graft.format.AsOf.Current).size
+    assert(dataFiles >= 6, s"grown corpus expected, got $dataFiles files")
+
+    // ONE small churn: a new doc quoting OLD doc a1
+    val quote = "zq1"
+    AzofWriter.commitDelta(spark, l, "docs",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(quote,
+          Timestamp.from(ts("2024-02-10T00:00:00Z")),
+          (1 to 12).map(w => s"aw1_$w").mkString(" ") + " zq_x zq_y"))),
+        srcSchema.toStruct),
+      ts("2024-02-10T00:00:00Z"), ts("2024-02-10T00:00:00Z"))
+    ContainCountingFs.reset()
+    val r = ContainIndex.refresh(spark, l, "docs", "text", l,
+      at = ts("2024-03-01T00:00:00Z"), keyed = true,
+      postings = Some("contain_postings"))
+    assert(r.verified == 1, s"$r")
+    val opened = ContainCountingFs.docsDataFiles
+    assert(opened.nonEmpty, "counting FS saw no reads — vacuous")
+    assert(opened.size <= 3 && opened.size < dataFiles,
+      s"corpus-scan-free refresh must open only churn/endpoint files: " +
+        s"opened ${opened.size} of ${dataFiles + 1}: $opened")
+    val pk = ContainIndex.pairsKeyed(spark, l, "contain_pairs").collect()(0)
+    assert(Set(pk.getString(0), pk.getString(1)) == Set("a1", "zq1"), s"$pk")
+  }
+
   test("both-old pairs are not re-emitted: refresh work is " +
     "churn-confined") {
     val l = mkLake()
@@ -276,5 +457,32 @@ class ContainIndexSpec extends AnyFunSuite {
     assert(r.churned == 1 && r.candidates == 0 &&
       r.upserted == 0 && r.retired == 0, s"$r")
     assert(served(l) == oneShot(l))
+  }
+}
+
+/** RawLocalFileSystem counting distinct parquet data files opened under
+  * the `docs` table — the corpus-scan-free pin for the postings-backed
+  * containment refresh.
+  */
+class ContainCountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "contfs"
+  override def getUri: java.net.URI = java.net.URI.create("contfs:///")
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    ContainCountingFs.record(f)
+    super.open(f, bufferSize)
+  }
+}
+
+object ContainCountingFs {
+  val opened = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def record(f: org.apache.hadoop.fs.Path): Unit = {
+    val s = f.toString
+    if (s.contains("/docs/") && s.endsWith(".parquet")) { opened.add(s); () }
+  }
+  def reset(): Unit = opened.clear()
+  def docsDataFiles: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    opened.asScala.toSet
   }
 }
