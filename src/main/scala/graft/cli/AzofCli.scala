@@ -563,6 +563,10 @@ object AzofCli {
         //     --lm-table: ALSO refresh the persisted containment index
         //     / export shard map / sequence map / bigram-LM stats each
         //     pass — one follow maintains every corpus-following index)
+        //     [--compact-source-every N] [--compact-source-max-files M]
+        //     [--compact-source-files K]  (fold the SOURCE table every
+        //     N data batches / past M live files, into K files — the
+        //     driver maintains the corpus table itself too)
         val ckpt = opts.getOrElse("checkpoint",
           new org.apache.hadoop.fs.Path(opts("index-path"),
             opts.getOrElse("sig-table", "minhash_sig") +
@@ -609,7 +613,13 @@ object AzofCli {
             else s"sequences v${qr.fromVersion + 1}..v${qr.toVersion}: " +
               s"${qr.churned} churned -> ${qr.assigned} new span(s); " +
               s"next token ${qr.nextToken}"),
-          lmTable = opts.get("lm-table"))
+          lmTable = opts.get("lm-table"),
+          compactSourceEvery =
+            opts.getOrElse("compact-source-every", "0").toInt,
+          compactSourceMaxFiles =
+            opts.getOrElse("compact-source-max-files", "0").toInt,
+          compactSourceFiles =
+            opts.getOrElse("compact-source-files", "1").toInt)
         q.awaitTermination()
       case "contain-create" =>
         // persisted containment-pair index (+ optional posting table):

@@ -266,6 +266,12 @@ object DedupFlow {
     * its own
     * embedding table as a sibling [[SemDedupIndex.refresh]] stream —
     * different source, same pattern — rather than riding this one.)
+    *
+    * `compactSourceEvery` / `compactSourceMaxFiles` extend the
+    * self-maintenance to the SOURCE table itself: the driver folds it
+    * (into `compactSourceFiles` files) after every N data-carrying
+    * batches, or whenever its live file count exceeds the threshold —
+    * see the layering note at the implementation.
     */
   def follow(
       spark: SparkSession,
@@ -294,11 +300,50 @@ object DedupFlow {
       onShardReport: ShardMap.RefreshReport => Unit = _ => (),
       seqTable: Option[String] = None,
       onSeqReport: SeqMap.RefreshReport => Unit = _ => (),
-      lmTable: Option[String] = None)
+      lmTable: Option[String] = None,
+      compactSourceEvery: Int = 0,
+      compactSourceMaxFiles: Int = 0,
+      compactSourceFiles: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val outerCkpt = followCheckpoint.getOrElse(
       new Path(AzofTable(spark, idxLake, ccTable).tableDir,
         "_follow_checkpoint").toString)
+    // SOURCE-table maintenance: under crawl cadence the source's live
+    // file count grows one delta per micro-batch forever unless an
+    // operator schedules CALL system.compact externally — the one
+    // manual task the self-maintaining story used to leave. With
+    // `compactSourceEvery = N` the driver folds the source after every
+    // N data-carrying batches (and/or whenever the live file count
+    // exceeds `compactSourceMaxFiles`), into `compactSourceFiles`
+    // range-partitioned files (1 = single base). Safe by layering: the
+    // fold is a `compact` commit, which the commit-exact feed SKIPS, so
+    // every index cursor is unaffected; the fold's own commit surfaces
+    // as one empty outer batch (churn 0), which never re-triggers a
+    // fold — folds cannot self-oscillate. A fold losing its one-shot id
+    // claim to a racing writer fails loudly per contract; here that is
+    // routine maintenance, so it is logged and retried next batch.
+    var batchesSinceFold = 0
+    def maybeCompactSource(churned: Long): Unit = {
+      if (churned > 0 && (compactSourceEvery > 0 || compactSourceMaxFiles > 0)) {
+        batchesSinceFold += 1
+        val live = AzofTable(spark, srcLake, srcTable)
+          .currentSnapshot.dataFiles(graft.format.AsOf.Current).size
+        val due =
+          (compactSourceEvery > 0 && batchesSinceFold >= compactSourceEvery) ||
+          (compactSourceMaxFiles > 0 && live > compactSourceMaxFiles)
+        if (due && live > math.max(1, compactSourceFiles))
+          try {
+            AzofWriter.compact(spark, srcLake, srcTable, Instant.now(),
+              numFiles = compactSourceFiles)
+            batchesSinceFold = 0
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"source compaction of $srcTable lost its commit slot " +
+                  s"(retrying next batch): ${e.getMessage}")
+          }
+      }
+    }
     val reader = spark.readStream.format("azof-commits")
       .option("table", srcTable)
     def refreshContain(ct: String): ContainIndex.RefreshReport = {
@@ -372,6 +417,7 @@ object DedupFlow {
           shardTable.foreach(refreshShard)
           seqTable.foreach(refreshSeq)
           lmTable.foreach(refreshLm)
+          maybeCompactSource(r.churned)
       }
       .trigger(trigger)
       .start()

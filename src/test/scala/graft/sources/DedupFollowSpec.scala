@@ -190,6 +190,64 @@ class DedupFollowSpec extends AnyFunSuite {
     assert(servedLm == retrain, "follow-maintained LM stats ≡ retrain")
   }
 
+  test("source compaction in the follow driver keeps the source's live-" +
+    "file count bounded across a soak while ingest stays ≡ one-shot") {
+    val srcLake = Files.createTempDirectory("azof-follow4-src").toString
+    val idxLake = Files.createTempDirectory("azof-follow4-idx").toString
+    val ck = Files.createTempDirectory("azof-follow4-ck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      4L -> "completely different text entirely"),
+      "2024-01-02T00:00:00Z"))
+    DedupFlow.create(spark, idxLake)
+
+    val q = DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
+      trigger = Trigger.ProcessingTime("500 milliseconds"),
+      compactSourceEvery = 1)
+    val expect = Set(1L, 5L, 6L, 7L, 8L, 9L)
+    try {
+      // five more commits while the follow is live: without source
+      // compaction the table ends at 6 live data files
+      (0 until 5).foreach { i =>
+        AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+          (5L + i) -> fam("w", s"g$i")), f"2024-02-0${i + 1}T00:00:00Z"),
+          ts(f"2024-02-0${i + 1}T00:00:00Z"),
+          ts(f"2024-02-0${i + 1}T00:00:00Z"))
+        Thread.sleep(400)
+      }
+      val deadline = System.currentTimeMillis() + 120000
+      var a = assignment(idxLake)
+      while (a.keySet != expect && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000); a = assignment(idxLake)
+      }
+      assert(a == oneShot(srcLake), s"soak diverged: $a")
+      assert(a.keySet == expect, s"$a")
+      // let the driver run one more cycle so the LAST data batch's
+      // fold also lands before the bound is asserted
+      Thread.sleep(2500)
+    } finally q.stop()
+    val src = AzofTable(spark, srcLake, "docs")
+    val live = src.currentSnapshot
+      .dataFiles(graft.format.AsOf.Current).size
+    assert(live <= 3,
+      s"follow-driven compaction should bound live files, found $live")
+    // at least one fold actually committed (the bound is not vacuous)
+    val dir = src.tableDir
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val folded = AzofTable.snapshotIdsOnDisk(fs, dir).exists(id =>
+      src.classifySnapshot(id.toString) match {
+        case graft.format.SnapshotCodec.DocClass.Valid(s) =>
+          s.op.contains("compact")
+        case _ => false
+      })
+    assert(folded, "no compact commit found — the soak never folded")
+    // the folded source still serves the complete corpus
+    assert(graft.operators.AzofScan.scan(spark, srcLake, "docs")
+      .count() == 7L)
+  }
+
   test("processing-time follow soaks commits landed WHILE running and " +
     "retain bounds index history") {
     val srcLake = Files.createTempDirectory("azof-follow2-src").toString
