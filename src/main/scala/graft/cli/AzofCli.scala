@@ -781,11 +781,14 @@ object AzofCli {
         // (the frozen cut: each doc's text reads AS OF its mint epoch):
         //   seq-emit --path L --table SRC --index-path L2 --out DIR
         //     [--index-table seq_map] [--text-col text] [--flush]
+        //     [--max-epochs 32]  (backlog flushes proceed in slices of
+        //     at most this many epochs, each epoch read key-confined)
         val er = graft.sources.SeqMap.emitSequences(spark,
           opts("path"), opts("table"),
           opts.getOrElse("text-col", "text"),
           opts("index-path"), opts.getOrElse("index-table", "seq_map"),
-          opts("out"), flush = opts.contains("flush"))
+          opts("out"), flush = opts.contains("flush"),
+          maxEpochsPerEmit = opts.getOrElse("max-epochs", "32").toInt)
         println(
           if (er.noop) s"nothing to emit (cursor at seq ${er.fromSeq})"
           else s"emitted sequences ${er.fromSeq}..<${er.untilSeq}" +

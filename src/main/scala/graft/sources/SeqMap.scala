@@ -191,12 +191,27 @@ object SeqMap {
     * as `(seq_id, seq_text, n_tokens)` appended under `outDir`.
     * `flush = true` also cuts the trailing partial sequence (terminal
     * export; the cursor does not advance past it).
+    *
+    * Backlog-bounded by construction: a long-idle flush spanning many
+    * epochs proceeds in SLICES of at most `maxEpochsPerEmit` epochs —
+    * token offsets are epoch-monotone (each refresh mints from the
+    * running HWM), so capping the epoch span is capping a token
+    * prefix, and each slice advances the cursor before the next (a
+    * crash resumes at the next slice; each slice owns its own
+    * `emit=<from>` partition, so the idempotence story is per-slice).
+    * Within a slice, each epoch's as-of read is KEY-CONFINED to that
+    * epoch's touching docs (key-stats point reads) when the touching
+    * set is measured small — emission I/O is touching-doc-bounded,
+    * never corpus × epochs.
     */
   def emitSequences(
       spark: SparkSession,
       srcLake: String, srcTable: String, textCol: String,
       idxLake: String, idxTable: String,
-      outDir: String, flush: Boolean = false): EmitReport = {
+      outDir: String, flush: Boolean = false,
+      maxEpochsPerEmit: Int = 32,
+      broadcastKeyMax: Long = DedupFlow.DefaultBroadcastKeyMax): EmitReport = {
+    require(maxEpochsPerEmit >= 1, "maxEpochsPerEmit must be >= 1")
     val model = readModel(spark, idxLake, idxTable)
     val nextTok = readHwm(spark, idxLake, idxTable, HwmFileName, "nextToken")
       .getOrElse(
@@ -206,72 +221,128 @@ object SeqMap {
           .agg(coalesce(max(col("tok_offset") + col("n_tokens")), lit(0L)))
           .collect()(0).getLong(0))
     val complete = nextTok / model.budget
-    val from = readHwm(spark, idxLake, idxTable, EmitHwmFileName, "nextSeq")
+    val first = readHwm(spark, idxLake, idxTable, EmitHwmFileName, "nextSeq")
       .getOrElse(0L)
-    val until = math.max(from, complete)
-    val partial = flush && nextTok % model.budget != 0
-    if (until == from && !partial)
-      return EmitReport(from, from, 0L, flushedPartial = false)
-    val lo = from * model.budget
-    val hi = if (partial) nextTok else until * model.budget
-    val touching = AzofScan.scan(spark, idxLake, idxTable)
-      .where(col("tok_offset") < hi &&
-        col("tok_offset") + col("n_tokens") > lo)
-      .select(col(TableSchema.KeyName), col("tok_offset"), col("epoch"))
-      .localCheckpoint(true)
-    // one as-of read per touched epoch — an emission typically spans
-    // the last crawl batch or two, so this is a handful of scans each
-    // semi-joined down to its own epoch's docs. A token range with NO
-    // map rows (the crash-gap a reserved-but-uncommitted mint leaves)
-    // emits nothing for those positions but still advances the cursor
-    // — short/empty sequences, never a wedged export.
-    val epochs = touching.select("epoch").distinct()
-      .collect().map(_.getLong(0)).sorted
-    val nSeqs =
-      if (epochs.isEmpty) 0L
+    var from = first
+    var total = 0L
+    var lastPartial = false
+    var done = false
+    while (!done) {
+      val untilAll = math.max(from, complete)
+      val partialWanted = flush && nextTok % model.budget != 0
+      if (untilAll == from && !partialWanted) done = true
       else {
-        val perEpoch = epochs.map { e =>
-          spark.read.format("azof")
-            .option("table", srcTable)
-            .option("versionAsOf", e.toString)
-            .load(srcLake)
-            .select(col(TableSchema.KeyName), col(textCol))
-            .join(touching.where(col("epoch") === e)
-                .select(col(TableSchema.KeyName), col("tok_offset")),
-              Seq(TableSchema.KeyName))
-        }
-        val rows = perEpoch.reduce(_ unionAll _)
-          .select(col("tok_offset"),
-            posexplode(TextAnalysis.words(col(textCol)))
-              .as(Seq("_p", "_tok")))
-          .withColumn("_tp", col("tok_offset") + col("_p"))
-          .where(col("_tp") >= lo && col("_tp") < hi)
-          .withColumn("seq_id", expr(s"_tp div ${model.budget}L"))
-          .groupBy("seq_id")
-          .agg(
-            array_join(transform(
-              array_sort(collect_list(struct(col("_tp"), col("_tok")))),
-              x => x("_tok")), " ").as("seq_text"),
-            count(lit(1)).as("n_tokens"))
-          .withColumn("emit", lit(from))
+        val lo = from * model.budget
+        val hiAll = if (partialWanted) nextTok else untilAll * model.budget
+        val touchingAll = AzofScan.scan(spark, idxLake, idxTable)
+          .where(col("tok_offset") < hiAll &&
+            col("tok_offset") + col("n_tokens") > lo)
+          .select(col(TableSchema.KeyName), col("tok_offset"),
+            col("n_tokens"), col("epoch"))
           .localCheckpoint(true)
-        val n = rows.count()
-        // each emission owns its emit=<from> partition exclusively, so
-        // a crash between this write and the cursor replays into a
-        // DYNAMIC overwrite of the same partition — idempotent, never
-        // duplicated rows. (A flushed partial lives in its range's
-        // partition; growing the corpus after a flush re-cuts that
-        // sequence into the NEXT partition, which is why flush stays
-        // documented as the terminal cut.)
-        rows.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("emit").parquet(outDir)
-        Blocks.free(rows)
-        n
+        val epochsAll = touchingAll.select("epoch").distinct()
+          .collect().map(_.getLong(0)).sorted
+        // slice cut: keep at most maxEpochsPerEmit epochs; offsets are
+        // epoch-monotone, so the excluded epochs' minimum offset bounds
+        // the slice's token prefix. A single sequence spanning more
+        // epochs than the cap forces one over-cap slice (progress wins)
+        val (hi, until, partial, capped) =
+          if (epochsAll.length <= maxEpochsPerEmit)
+            (hiAll, untilAll, partialWanted, false)
+          else {
+            val cutEpoch = epochsAll(maxEpochsPerEmit)
+            val cutTok = touchingAll.where(col("epoch") >= cutEpoch)
+              .agg(min(col("tok_offset"))).collect()(0).getLong(0)
+            val u = math.max(from + 1, cutTok / model.budget)
+            // the cut landing past the last COMPLETE sequence means the
+            // remainder is the partial tail — final (uncapped) pass
+            if (u > untilAll) (hiAll, untilAll, partialWanted, false)
+            else (u * model.budget, u, false, true)
+          }
+        val touching = touchingAll
+          .where(col("tok_offset") < hi &&
+            col("tok_offset") + col("n_tokens") > lo)
+          .select(col(TableSchema.KeyName), col("tok_offset"), col("epoch"))
+          .localCheckpoint(true)
+        // one as-of read per touched epoch in THIS slice, each confined
+        // to its own docs via key-stats point reads when the touching
+        // set fits the driver budget (bootstrap catch-ups fall back to
+        // the join shape). A token range with NO map rows (the
+        // crash-gap a reserved-but-uncommitted mint leaves) emits
+        // nothing for those positions but still advances the cursor —
+        // short/empty sequences, never a wedged export.
+        val nTouch = touching.count()
+        val keysByEpoch: Map[Long, Set[String]] =
+          if (nTouch <= broadcastKeyMax)
+            touching.select(col("epoch"), col(TableSchema.KeyName))
+              .collect()
+              .groupBy(_.getLong(0))
+              .map { case (e, rs) => e -> rs.map(_.getString(1)).toSet }
+          else Map.empty
+        val epochs = touching.select("epoch").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val srcT = graft.format.AzofTable(spark, srcLake, srcTable)
+        val nSeqs =
+          if (epochs.isEmpty) 0L
+          else {
+            val perEpoch = epochs.map { e =>
+              val docsE = keysByEpoch.get(e) match {
+                case Some(ks) =>
+                  AzofScan.scanSnapshot(spark, srcT,
+                    srcT.snapshot(e.toString), graft.format.AsOf.Current,
+                    projection = Some(Set(TableSchema.KeyName, textCol)),
+                    keyFilter = Some(graft.format.KeyFilter.Keys(ks)))
+                case None =>
+                  spark.read.format("azof")
+                    .option("table", srcTable)
+                    .option("versionAsOf", e.toString)
+                    .load(srcLake)
+                    .select(col(TableSchema.KeyName), col(textCol))
+              }
+              docsE
+                .select(col(TableSchema.KeyName), col(textCol))
+                .join(touching.where(col("epoch") === e)
+                    .select(col(TableSchema.KeyName), col("tok_offset")),
+                  Seq(TableSchema.KeyName))
+            }
+            val rows = perEpoch.reduce(_ unionAll _)
+              .select(col("tok_offset"),
+                posexplode(TextAnalysis.words(col(textCol)))
+                  .as(Seq("_p", "_tok")))
+              .withColumn("_tp", col("tok_offset") + col("_p"))
+              .where(col("_tp") >= lo && col("_tp") < hi)
+              .withColumn("seq_id", expr(s"_tp div ${model.budget}L"))
+              .groupBy("seq_id")
+              .agg(
+                array_join(transform(
+                  array_sort(collect_list(struct(col("_tp"), col("_tok")))),
+                  x => x("_tok")), " ").as("seq_text"),
+                count(lit(1)).as("n_tokens"))
+              .withColumn("emit", lit(from))
+              .localCheckpoint(true)
+            val n = rows.count()
+            // each slice owns its emit=<from> partition exclusively, so
+            // a crash between this write and the cursor replays into a
+            // DYNAMIC overwrite of the same partition — idempotent,
+            // never duplicated rows. (A flushed partial lives in its
+            // range's partition; growing the corpus after a flush
+            // re-cuts that sequence into the NEXT partition, which is
+            // why flush stays documented as the terminal cut.)
+            rows.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("emit").parquet(outDir)
+            Blocks.free(rows)
+            n
+          }
+        writeHwm(spark, idxLake, idxTable, EmitHwmFileName, "nextSeq", until)
+        Blocks.free(touching); Blocks.free(touchingAll)
+        total += nSeqs
+        from = until
+        lastPartial = partial
+        if (!capped) done = true
       }
-    writeHwm(spark, idxLake, idxTable, EmitHwmFileName, "nextSeq", until)
-    Blocks.free(touching)
-    EmitReport(from, until, nSeqs, flushedPartial = partial)
+    }
+    EmitReport(first, from, total, flushedPartial = lastPartial)
   }
 
   // ----------------------------------------- sidecars (via IndexSidecar)
