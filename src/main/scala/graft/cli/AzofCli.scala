@@ -156,10 +156,17 @@ object AzofCli {
           byKey = opts.get("by-key").exists(_.toBoolean))
         println(s"committed partitioned; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
       case "add-column" =>
+        // [--branch B] stages the evolution on that lineage (WAP
+        // migration: add + backfill on the branch, audit, publish)
         val Array(n, t) = opts("column").split(":")
         graft.sources.AzofWriter.addColumn(spark, opts("path"), opts("table"),
-          ColumnDef(n, ColumnType.fromJsonName(t), nullable = true))
-        println(s"added column $n; version now ${AzofTable(spark, opts("path"), opts("table")).currentVersion}")
+          ColumnDef(n, ColumnType.fromJsonName(t), nullable = true),
+          branch = opts.get("branch"))
+        println(opts.get("branch") match {
+          case Some(b) => s"added column $n on branch '$b' (main untouched)"
+          case None => s"added column $n; version now " +
+            AzofTable(spark, opts("path"), opts("table")).currentVersion
+        })
       case "drop-column" =>
         graft.sources.AzofWriter.dropColumn(spark, opts("path"),
           opts("table"), opts("column"))

@@ -290,6 +290,17 @@ class AzofCatalog extends TableCatalog
     * (resurrection guard — see [[graft.format.Snapshot]]).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    // `ALTER TABLE cat.t.branch_<b> ADD COLUMN` stages the evolution on
+    // the branch lineage (the WAP migration shape); drop/rename stay
+    // main-only — a staged narrow would need publish-time column
+    // un-retirement, a resurrection hazard by construction
+    val (tgt, branch): (Identifier, Option[String]) =
+      if (!realTableExists(ident) && ident.namespace.nonEmpty &&
+        ident.name.startsWith("branch_") &&
+        ident.name.stripPrefix("branch_").nonEmpty)
+        (Identifier.of(ident.namespace.dropRight(1), ident.namespace.last),
+          Some(ident.name.stripPrefix("branch_")))
+      else (ident, None)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -297,21 +308,26 @@ class AzofCatalog extends TableCatalog
         require(add.isNullable,
           s"added column '${add.fieldNames.head}' must be nullable: " +
             "existing data files do not contain it")
-        AzofWriter.addColumn(spark, tableDir(ident).getParent.toString,
-          ident.name,
+        AzofWriter.addColumn(spark, tableDir(tgt).getParent.toString,
+          tgt.name,
           ColumnDef(add.fieldNames.head,
             AzofCatalog.toColumnType(add.fieldNames.head, add.dataType()),
-            nullable = true))
+            nullable = true),
+          branch = branch)
       case drop: TableChange.DeleteColumn =>
+        require(branch.isEmpty,
+          "branch schema evolution is ADD-only: DROP COLUMN runs on main")
         require(drop.fieldNames.length == 1,
           s"azof columns are flat: cannot drop nested ${drop.fieldNames.mkString(".")}")
-        AzofWriter.dropColumn(spark, tableDir(ident).getParent.toString,
-          ident.name, drop.fieldNames.head)
+        AzofWriter.dropColumn(spark, tableDir(tgt).getParent.toString,
+          tgt.name, drop.fieldNames.head)
       case ren: TableChange.RenameColumn =>
+        require(branch.isEmpty,
+          "branch schema evolution is ADD-only: RENAME COLUMN runs on main")
         require(ren.fieldNames.length == 1,
           s"azof columns are flat: cannot rename nested ${ren.fieldNames.mkString(".")}")
-        AzofWriter.renameColumn(spark, tableDir(ident).getParent.toString,
-          ident.name, ren.fieldNames.head, ren.newName)
+        AzofWriter.renameColumn(spark, tableDir(tgt).getParent.toString,
+          tgt.name, ren.fieldNames.head, ren.newName)
       case other => throw new UnsupportedOperationException(
         "azof supports only ADD COLUMN, DROP COLUMN, and RENAME COLUMN; " +
           s"got ${other.getClass.getSimpleName}")

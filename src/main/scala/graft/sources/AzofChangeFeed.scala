@@ -110,6 +110,28 @@ object AzofChangeFeed {
     }
   }
 
+  /** Greatest snapshot on `branchName`'s chain with id <= `v` — or the
+    * FORK snapshot when the whole chain is past `v`. The branch twin of
+    * [[mainAtOrBefore]]: a capped branch-stream offset can name a MAIN
+    * document in the shared id space, and (now that branch lineages can
+    * additively evolve) the stream's end-schema guard needs the BRANCH
+    * schema in force at that point, not main's.
+    */
+  private[graft] def branchAtOrBefore(
+      t: AzofTable, branchName: String, v: Long): Snapshot = {
+    var cur = t.branchHead(branchName).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such branch '$branchName' on ${t.tableDir}"))
+    var snap = t.snapshot(cur.toString)
+    while (snap.branch.contains(branchName) && cur > v) {
+      cur = snap.parent.getOrElse(throw new IllegalStateException(
+        s"branch '$branchName' lineage broken at s$cur.json: no parent " +
+          "link"))
+      snap = t.snapshot(cur.toString)
+    }
+    snap
+  }
+
   /** Publish preview — the audit primitive of the write-audit-publish
     * flow: every row that publishing `branchName` (via
     * [[AzofWriter.fastForward]] or [[AzofWriter.mergeBranch]]) would
@@ -217,7 +239,11 @@ object AzofChangeFeed {
           "link — cannot walk the commit chain"))
       snap = t.snapshot(cur.toString)
     }
-    val schema = chain.lastOption.map(_._2).getOrElse(snap).schema
+    // the lineage schema IN FORCE at the range's end (branch lineages
+    // can additively evolve): the greatest chain doc <= toVersion, or
+    // the fork when the whole range precedes the chain
+    val schema = chain.filter(_._1 <= toVersion).lastOption
+      .map(_._2).getOrElse(snap).schema
     var prevFiles = snap.allFiles // the fork tree
     val fileVersions: Seq[(String, Long)] = chain.flatMap { case (v, s) =>
       val fresh = (s.allFiles -- prevFiles).toSeq.sorted

@@ -579,9 +579,12 @@ object AzofWriter {
     // `branch` STAGES the tombstones on that lineage (the takedown-audit
     // shape: size the delete set with publish_preview / changes --branch,
     // then fast-forward to make it live). Tombstone rows are schema-wide
-    // NULLs, so main's current schema is the right projection either way
-    // (branch schema evolution is refused).
-    val snap = table.currentSnapshot
+    // NULLs under the TARGET LINEAGE's schema — a branch may have
+    // additively evolved past the fork (or lag main's own evolution).
+    val snap = branch.flatMap(table.branchHead) match {
+      case Some(h) => table.snapshot(h.toString)
+      case None => table.currentSnapshot
+    }
     // NULL value columns under their PHYSICAL names (tombstone rows go
     // straight to writeDataFile, which writes columns as named)
     val valueCols = snap.schema.columns.map(c =>
@@ -629,10 +632,10 @@ object AzofWriter {
     // the declared schema is dropped. Columns land under their PHYSICAL
     // names ([[graft.format.ColumnDef.physical]]) so files before and
     // after a rename stay byte-compatible.
-    // A BRANCH commit projects to its LINEAGE's schema (the fork
-    // schema — branch evolution is refused): projecting to main's
-    // would demand columns a post-fork main evolution added, which the
-    // branch's rows legitimately lack.
+    // A BRANCH commit projects to its LINEAGE's schema (the fork schema
+    // plus any additive branch evolution): projecting to main's would
+    // demand columns a post-fork main evolution added, which the
+    // branch's rows legitimately lack — and vice versa.
     val landSnap = branch.flatMap(table.branchHead) match {
       case Some(h) => table.snapshot(h.toString)
       case None => table.currentSnapshot
@@ -702,8 +705,8 @@ object AzofWriter {
         "commitDelta (mixed) or commitDelete (pure tombstones) instead")
     val table = AzofTable(spark, lakehousePath, name)
     val nextId = (table.currentVersion.toLong + 1).toString
-    // schema from the target LINEAGE's head (branch schema evolution is
-    // refused, so this equals main's — resolved here for the day it isn't)
+    // schema from the target LINEAGE's head (a branch may have
+    // additively evolved past the fork, or lag main's own evolution)
     val snap = branch.flatMap(b => table.branchHead(b))
       .map(h => table.snapshot(h.toString))
       .getOrElse(table.currentSnapshot)
@@ -1477,16 +1480,28 @@ object AzofWriter {
     * and the scan's explicit read schema makes Spark's parquet reader
     * surface NULL for the missing column — exactly the
     * columns-absent-are-null convention other lakehouse formats use.
+    *
+    * `branch` stages the evolution on that lineage — the WAP migration
+    * shape (add a column + backfill on the branch, audit, publish):
+    * main stays blind until publish, branch writes project to the
+    * evolved branch schema, [[fastForward]] carries the evolution to
+    * main verbatim, and [[mergeBranch]] reconciles additively (refusing
+    * a name main independently added or retired post-fork — physical
+    * names differ, so "same name" would be two different columns).
+    * Branch evolution is ADD-only: drop/rename stay main-only
+    * operations (a staged narrow would need publish-time column
+    * un-retirement, a resurrection hazard by construction).
     */
   def addColumn(
       spark: SparkSession,
       lakehousePath: String,
       name: String,
-      column: ColumnDef): Unit = {
+      column: ColumnDef,
+      branch: Option[String] = None): Unit = {
     require(column.nullable,
       s"added column '${column.name}' must be nullable: existing data files do not contain it")
     val table = AzofTable(spark, lakehousePath, name)
-    commitMeta(spark, table.tableDir.toString) { (snap, _) =>
+    commitMeta(spark, table.tableDir.toString, branch = branch) { (snap, _) =>
       require(!snap.schema.columns.exists(_.name == column.name) &&
         !Seq(TableSchema.KeyName, TableSchema.EventTimeName).contains(column.name),
         s"column '${column.name}' already exists")
@@ -1499,6 +1514,7 @@ object AzofWriter {
         schema = TableSchema(snap.schema.columns :+ column),
         op = Some("add-column"))
     }
+    ()
   }
 
   /** Drop a value column — the other half of schema evolution, and like
@@ -1800,7 +1816,12 @@ object AzofWriter {
     * old-file machinery: branch files missing a column main ADDed read
     * as absent rows for that column (the pre-ADD contract), bytes under
     * a name main DROPped ride the retired machinery, renames never
-    * touch file bytes (physical names are immutable). Files already on
+    * touch file bytes (physical names are immutable). BRANCH schema
+    * changes (additive only — [[addColumn]] with `branch`) reconcile at
+    * merge: the branch's added columns append onto main's current
+    * schema; a name main independently added unifies when the
+    * definitions agree and refuses when they cannot share bytes, and a
+    * main-retired name refuses (see the inline contract). Files already on
     * main (a re-merge, or a merge after fast-forward) are skipped, so
     * merge is idempotent — a fully-published branch refuses with
     * "nothing to merge". The change feed delivers the merged files at
@@ -1861,7 +1882,40 @@ object AzofWriter {
         .map(k => k -> math.max(
           base.streamBatches.getOrElse(k, Long.MinValue),
           headSnap.streamBatches.getOrElse(k, Long.MinValue))).toMap
+      // ADDITIVE schema reconciliation: columns the branch added since
+      // the fork append onto main's current schema. This format
+      // addresses columns by NAME (physical names exist only for
+      // renames), so a name main independently added post-fork UNIFIES
+      // when the definitions agree (same type, un-renamed — the branch
+      // files' bytes serve under it directly) and refuses when they
+      // cannot share bytes: a type mismatch, or a main column RENAMED
+      // to that name (its bytes live under a different physical name,
+      // so the branch's would silently not be read). A name main
+      // retired post-fork refuses too (resurrection guard).
+      val forkSchema = table.snapshot(fork.toString).schema
+      val branchAdds = headSnap.schema.columns.filterNot(c =>
+        forkSchema.columns.exists(_.name == c.name))
+      val (sharedAdds, newCols) = branchAdds.partition(c =>
+        base.schema.columns.exists(_.name == c.name))
+      sharedAdds.foreach { c =>
+        val b = base.schema.columns.find(_.name == c.name).get
+        require(b.dataType == c.dataType && b.physicalName == c.physicalName,
+          s"cannot merge branch '$branchName': its added column " +
+            s"'${c.name}' collides with main's post-fork definition " +
+            s"(main: ${b.dataType} under physical '${b.physicalName}'; " +
+            s"branch: ${c.dataType} under physical '${c.physicalName}') " +
+            "— two incompatible definitions under one name. Rename one " +
+            "side, or re-fork")
+      }
+      newCols.foreach { c =>
+        require(!base.retired.contains(c.name),
+          s"cannot merge branch '$branchName': it added column " +
+            s"'${c.name}', a name main retired (dropped) — merging " +
+            "would resurrect the dropped name. Pick a fresh name on " +
+            "the branch, or re-fork")
+      }
       base.copy(
+        schema = TableSchema(base.schema.columns ++ newCols),
         segments = mapOpenRoot(base.segments)(s =>
           s.copy(delta = s.delta ++ newDeltas)),
         op = Some(s"merge#$branchName"),

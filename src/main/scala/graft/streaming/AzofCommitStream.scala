@@ -348,21 +348,26 @@ class AzofCommitSource(
     // An unreadable end snapshot is NOT this guard's case — fall
     // through to the established loud paths (stale checkpoint in
     // latestOffset, vacuumed-range retention error below).
-    // A BRANCH stream's end schema is ALWAYS the pin: branch schema
-    // evolution is refused by the engine, and a capped offset (ids are
-    // shared across lineages) can name a MAIN document — reading a
-    // post-fork main evolution's wider schema there would throw the
-    // mid-stream-evolution error on every restart, wedging the
-    // checkpoint on a stream whose own lineage never changed. The MAIN
-    // stream has the mirror hazard: a capped offset can name a BRANCH
-    // document (whose fork-era schema may be narrower than main's),
-    // so the end schema resolves through the greatest MAIN document
-    // <= `to` — the same rebase the feed itself applies.
+    // The end schema resolves through the stream's OWN lineage at `to`:
+    // offsets live in the SHARED id space, so a capped offset can name
+    // the OTHER lineage's document — a main stream's cap landing on a
+    // branch doc (possibly narrower fork-era schema) or a branch
+    // stream's cap landing on a main doc (possibly wider post-fork main
+    // evolution). Reading the foreign lineage's schema there would
+    // throw the mid-stream-evolution error on every restart, wedging a
+    // checkpoint whose own lineage never changed — so each side rebases
+    // to ITS lineage's greatest document <= `to`, exactly as the feed
+    // itself diffs. Branch lineages can additively evolve, so the
+    // branch side gets the same real guard as main (loud mid-stream,
+    // widen-on-replay).
     val endStruct =
-      if (branch.isDefined) pinnedStruct
-      else
-        try AzofChangeFeed.mainAtOrBefore(spark, t, to)._2.schema.toStruct
-        catch { case _: java.io.FileNotFoundException => pinnedStruct }
+      try (branch match {
+        case Some(b) =>
+          AzofChangeFeed.branchAtOrBefore(t, b, to).schema.toStruct
+        case None =>
+          AzofChangeFeed.mainAtOrBefore(spark, t, to)._2.schema.toStruct
+      })
+      catch { case _: java.io.FileNotFoundException => pinnedStruct }
     val pinExtendsEnd = to <= pinnedVersion &&
       endStruct.fields.length <= pinnedStruct.fields.length &&
       pinnedStruct.fields.take(endStruct.fields.length).sameElements(endStruct.fields)

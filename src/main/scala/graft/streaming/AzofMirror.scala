@@ -104,10 +104,12 @@ object AzofMirror {
     // main readers until fast_forward/merge_branch publishes them: the
     // write-audit-publish shape for replication (audit the mirrored
     // state, then flip it live in one commit). Schema reconciliation
-    // still runs on main (branch schema evolution is refused; a branch
-    // forked BEFORE a source evolution refuses at the sink's schema
-    // gate rather than inventing bytes — re-branch from the head).
-    reconcileSchema(spark, srcLake, srcTable, dstLake, dstTable)
+    // runs on the TARGET LINEAGE the sink writes: a staged replica of
+    // an evolving source additively evolves its branch (the WAP
+    // migration shape), and the publish carries the evolution to the
+    // target's main.
+    reconcileSchema(spark, srcLake, srcTable, dstLake, dstTable,
+      dstBranch = targetBranch)
     // toTable needs a catalog identifier: register one per target lake
     // (deterministic name, idempotent re-registration)
     val cat = "azsink_" + java.security.MessageDigest.getInstance("MD5")
@@ -147,18 +149,24 @@ object AzofMirror {
       spark: SparkSession,
       srcLake: String, srcTable: String,
       dstLake: String, dstTable: String,
-      srcBranch: Option[String] = None): Unit = {
+      srcBranch: Option[String] = None,
+      dstBranch: Option[String] = None): Unit = {
     // a BRANCH source reconciles against the branch head's schema (the
-    // fork schema — branch evolution is refused), so the target is
-    // exactly as wide as the rows the branch feed will deliver
+    // fork schema plus any additive branch evolution), so the target is
+    // exactly as wide as the rows the branch feed will deliver; a
+    // BRANCH target evolves ITS lineage (addColumn on the branch)
     val srcT = graft.format.AzofTable(spark, srcLake, srcTable)
     val srcSnap = srcBranch.flatMap(srcT.branchHead) match {
       case Some(h) => srcT.snapshot(h.toString)
       case None => srcT.currentSnapshot
     }
     val srcCols = srcSnap.schema.columns
-    val dstByName = graft.format.AzofTable(spark, dstLake, dstTable)
-      .currentSnapshot.schema.columns.map(c => c.name -> c).toMap
+    val dstT = graft.format.AzofTable(spark, dstLake, dstTable)
+    val dstSnap = dstBranch.flatMap(dstT.branchHead) match {
+      case Some(h) => dstT.snapshot(h.toString)
+      case None => dstT.currentSnapshot
+    }
+    val dstByName = dstSnap.schema.columns.map(c => c.name -> c).toMap
     // shared names must agree on TYPE: a same-named column of a
     // different azof type is a differently-created target, and
     // replicating into it would commit mismatched-typed data — the
@@ -177,7 +185,8 @@ object AzofMirror {
       }
     }
     srcCols.filterNot(c => dstByName.contains(c.name)).foreach { c =>
-      graft.sources.AzofWriter.addColumn(spark, dstLake, dstTable, c)
+      graft.sources.AzofWriter.addColumn(spark, dstLake, dstTable, c,
+        branch = dstBranch)
     }
   }
 

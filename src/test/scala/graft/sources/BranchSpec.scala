@@ -486,6 +486,163 @@ class BranchSpec extends AnyFunSuite {
     assert(m("9") == "n1" && m("8") == "m1" && m("5") == "fresh-main")
   }
 
+  test("branch ADDITIVE schema evolution: the staged migration shape — " +
+    "add + backfill on the branch (main blind), fast-forward publishes " +
+    "the evolution; merge reconciles additively or refuses conflicts") {
+    val lake = freshTable()
+    AzofWriter.createBranch(spark, lake, "t", "mig")                 // fork 2
+    AzofWriter.addColumn(spark, lake, "t",
+      ColumnDef("extra", ColumnType.AzString, nullable = true),
+      branch = Some("mig"))                                          // s3 br
+    val t = AzofTable(spark, lake, "t")
+    assert(t.currentVersion == "2", "main pointer untouched by branch ALTER")
+    assert(!t.currentSnapshot.schema.columns.exists(_.name == "extra"),
+      "main schema blind to the staged evolution")
+    val head = t.branchHead("mig").get
+    assert(t.snapshot(head.toString).schema.columns.exists(_.name == "extra"))
+    // backfill on the branch with the evolved schema
+    val wide = df(("3", "2024-02-05T00:00:00Z", "c1"))
+      .withColumn("extra", org.apache.spark.sql.functions.lit("e3"))
+    AzofWriter.commitDelta(spark, lake, "t", wide,
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"),
+      branch = Some("mig"))                                          // s4 br
+    val h2 = t.branchHead("mig").get
+    val staged = AzofScan.scanSnapshot(spark, t, t.snapshot(h2.toString),
+        AsOf.Current)
+      .select("key", "value", "extra").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(staged == Seq(("1", "a1", None), ("2", "b1", None),
+      ("3", "c1", Some("e3"))),
+      s"pre-evolution rows read null in the added column: $staged")
+    // fast-forward publishes the evolution + the backfill in one commit
+    AzofWriter.fastForward(spark, lake, "t", "mig")
+    assert(AzofTable(spark, lake, "t").currentSnapshot.schema.columns
+      .exists(_.name == "extra"))
+    val live = AzofScan.scan(spark, lake, "t")
+      .select("key", "extra").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(live == Seq("1" -> None, "2" -> None, "3" -> Some("e3")))
+
+    // writer contract: a commit carries every LINEAGE column (nullable
+    // ones as nulls) — pad each staged frame to its branch's schema
+    def padded(base: org.apache.spark.sql.DataFrame,
+        branch: String): org.apache.spark.sql.DataFrame = {
+      val tt = AzofTable(spark, lake, "t")
+      val snap = tt.snapshot(tt.branchHead(branch).get.toString)
+      snap.schema.columns.foldLeft(base)((d, c) =>
+        if (d.columns.contains(c.name)) d
+        else d.withColumn(c.name, org.apache.spark.sql.functions
+          .lit(null).cast(c.dataType.sparkType)))
+    }
+
+    // MERGE path: a diverged branch's added column reconciles onto the
+    // advanced main
+    AzofWriter.createBranch(spark, lake, "t", "mig2")                // fork
+    AzofWriter.addColumn(spark, lake, "t",
+      ColumnDef("score", ColumnType.AzInt, nullable = true),
+      branch = Some("mig2"))
+    AzofWriter.commitDelta(spark, lake, "t",
+      padded(df(("7", "2024-03-05T00:00:00Z", "g1"))
+        .withColumn("score", org.apache.spark.sql.functions.lit(9L)),
+        "mig2"),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"),
+      branch = Some("mig2"))
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("8", "2024-03-06T00:00:00Z", "h1"))
+        .withColumn("extra",
+          org.apache.spark.sql.functions.lit(null).cast("string")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // main
+    assert(AzofWriter.mergeBranch(spark, lake, "t", "mig2") > 0L)
+    val merged = AzofTable(spark, lake, "t").currentSnapshot
+    assert(merged.schema.columns.exists(_.name == "score"))
+    val m = AzofScan.scan(spark, lake, "t")
+      .select("key", "score").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(m("7") == Some(9L) && m("8") == None, s"$m")
+
+    // name-addressed unification: main independently adds the SAME
+    // definition post-fork — the merge unifies (branch bytes serve
+    // under the one column); an INCOMPATIBLE definition (type clash)
+    // refuses
+    AzofWriter.createBranch(spark, lake, "t", "mig3")
+    AzofWriter.addColumn(spark, lake, "t",
+      ColumnDef("dup", ColumnType.AzString, nullable = true),
+      branch = Some("mig3"))
+    AzofWriter.commitDelta(spark, lake, "t",
+      padded(df(("9", "2024-04-05T00:00:00Z", "i1"))
+        .withColumn("dup", org.apache.spark.sql.functions.lit("d9")),
+        "mig3"),
+      ts("2024-04-01T00:00:00Z"), ts("2024-05-01T00:00:00Z"),
+      branch = Some("mig3"))
+    AzofWriter.addColumn(spark, lake, "t",
+      ColumnDef("dup", ColumnType.AzString, nullable = true))        // main
+    assert(AzofWriter.mergeBranch(spark, lake, "t", "mig3") > 0L)
+    val dups = AzofScan.scan(spark, lake, "t")
+      .where(org.apache.spark.sql.functions.col("dup").isNotNull)
+      .select("key", "dup").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(dups == Seq("9" -> "d9"),
+      s"identical definitions unify; branch bytes serve: $dups")
+    AzofWriter.createBranch(spark, lake, "t", "mig3b")
+    AzofWriter.addColumn(spark, lake, "t",
+      ColumnDef("clash", ColumnType.AzString, nullable = true),
+      branch = Some("mig3b"))
+    AzofWriter.commitDelta(spark, lake, "t",
+      padded(df(("11", "2024-04-06T00:00:00Z", "k1")), "mig3b"),
+      ts("2024-04-01T00:00:00Z"), ts("2024-05-01T00:00:00Z"),
+      branch = Some("mig3b"))
+    AzofWriter.addColumn(spark, lake, "t",
+      ColumnDef("clash", ColumnType.AzInt, nullable = true))         // main
+    val e1 = intercept[IllegalArgumentException](
+      AzofWriter.mergeBranch(spark, lake, "t", "mig3b"))
+    assert(e1.getMessage.contains("one name"), e1.getMessage)
+
+    // resurrection: main RETIRED the name the branch added post-fork
+    AzofWriter.createBranch(spark, lake, "t", "mig4")
+    AzofWriter.addColumn(spark, lake, "t",
+      ColumnDef("temp", ColumnType.AzString, nullable = true),
+      branch = Some("mig4"))
+    AzofWriter.commitDelta(spark, lake, "t",
+      padded(df(("10", "2024-05-05T00:00:00Z", "j1")), "mig4"),
+      ts("2024-05-01T00:00:00Z"), ts("2024-06-01T00:00:00Z"),
+      branch = Some("mig4"))
+    AzofWriter.addColumn(spark, lake, "t",
+      ColumnDef("temp", ColumnType.AzString, nullable = true))       // main
+    AzofWriter.dropColumn(spark, lake, "t", "temp")                  // retired
+    val e2 = intercept[IllegalArgumentException](
+      AzofWriter.mergeBranch(spark, lake, "t", "mig4"))
+    assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+  }
+
+  test("SQL surface: ALTER TABLE cat.t.branch_<b> ADD COLUMN stages the " +
+    "evolution; INSERT INTO the evolved branch view carries the column; " +
+    "DROP/RENAME on a branch view refuse") {
+    val lake = freshTable()
+    val cat = "azbev"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[AzofCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", lake)
+    AzofWriter.createBranch(spark, lake, "t", "mig")                 // fork 2
+    spark.sql(s"ALTER TABLE $cat.t.branch_mig ADD COLUMN extra STRING")
+    val t = AzofTable(spark, lake, "t")
+    assert(t.currentVersion == "2" &&
+      !t.currentSnapshot.schema.columns.exists(_.name == "extra"))
+    spark.sql(s"INSERT INTO $cat.t.branch_mig VALUES " +
+      "('5', TIMESTAMP '2024-02-05 00:00:00', 'e1', 'x5')")
+    val staged = spark.sql(
+        s"SELECT key, extra FROM $cat.t VERSION AS OF 'mig'")
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+      .sortBy(_._1).toSeq
+    assert(staged == Seq("1" -> None, "2" -> None, "5" -> Some("x5")),
+      s"$staged")
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t.branch_mig DROP COLUMN value"))
+    assert(e.getMessage.contains("ADD-only"), e.getMessage)
+    AzofWriter.fastForward(spark, lake, "t", "mig")
+    assert(AzofScan.scan(spark, lake, "t").columns.contains("extra"))
+  }
+
   test("WAP session conf routes unpinned loads through the branch: " +
     "unchanged SQL reads and writes the branch; pins and main stay put") {
     val lake = freshTable()

@@ -448,6 +448,51 @@ class AzofCommitStreamSpec extends AnyFunSuite {
     assert(rebased == Seq("m2" -> 7L))
   }
 
+  test("capped branch stream over an EVOLVING branch drains cleanly: " +
+    "pre-evolution commits read null in the added column, post-" +
+    "evolution rows carry it, interleaved main commits never wedge") {
+    val lake = Files.createTempDirectory("azof-cstream-brev").toString
+    val ck = Files.createTempDirectory("azof-cstream-brev-ck").toString
+    AzofWriter.createTable(spark, lake, "t", schema, ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "t",
+      df(("1", "2024-01-02T00:00:00Z", "a1")))                       // v2
+    AzofWriter.createBranch(spark, lake, "t", "stage")               // fork 2
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("k1", "2024-02-01T00:00:00Z", "v1")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-02-01T00:00:00Z"),
+      branch = Some("stage"))                                        // v3 br
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("m1", "2024-02-02T00:00:00Z", "x1")),
+      ts("2024-02-02T00:00:00Z"), ts("2024-02-02T00:00:00Z"))        // v4 main
+    // the BRANCH evolves additively mid-history
+    AzofWriter.addColumn(spark, lake, "t",
+      ColumnDef("extra", ColumnType.AzString, nullable = true),
+      branch = Some("stage"))                                        // v5 br
+    AzofWriter.commitDelta(spark, lake, "t",
+      df(("k2", "2024-02-03T00:00:00Z", "v2"))
+        .withColumn("extra", org.apache.spark.sql.functions.lit("e2")),
+      ts("2024-02-03T00:00:00Z"), ts("2024-02-03T00:00:00Z"),
+      branch = Some("stage"))                                        // v6 br
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Option[String])]()
+    val q = spark.readStream.format("azof-commits")
+      .option("table", "t").option("branch", "stage")
+      .option("maxVersionsPerBatch", "1").load(lake)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.select("key", "extra").collect()
+          .foreach(r => got.add((r.getString(0), Option(r.getString(1)))))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    assert(got.toArray(Array.empty[(String, Option[String])]).sortBy(_._1)
+      .toSeq == Seq("k1" -> None, "k2" -> Some("e2")),
+      "pre-evolution staged rows widen with nulls; evolved rows carry " +
+        "the column; capped offsets on the main/evolution docs never wedge")
+  }
+
   test("branch stream with a capped batch spanning a post-fork MAIN " +
     "schema evolution drains cleanly (ids are shared; the cap can name " +
     "a main doc, whose wider schema must not wedge the branch stream)") {
