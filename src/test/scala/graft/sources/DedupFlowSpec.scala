@@ -525,6 +525,51 @@ class DedupFlowSpec extends AnyFunSuite {
     assert(AzofTable(spark, srcLake, "docs").currentVersion.toLong == vAfter)
   }
 
+  test("applyVerdict composes with the LM stats index: the takedown's " +
+    "tombstones subtract exactly — served scores ≡ live retrain with " +
+    "NO epoch rebuild") {
+    val srcLake = Files.createTempDirectory("azof-ddf-aplm-src").toString
+    val idxLake = Files.createTempDirectory("azof-ddf-aplm-idx").toString
+    val ck = Files.createTempDirectory("azof-ddf-aplm-ck").toString
+    val lmCk = Files.createTempDirectory("azof-ddf-aplm-lmck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      1L -> fam("w", "alpha"),
+      2L -> fam("w", "beta"),       // near-dup of 1 -> non-canonical
+      4L -> "completely different text entirely"),
+      "2024-01-02T00:00:00Z"))
+    DedupFlow.create(spark, idxLake)
+    DedupFlow.ingest(spark, srcLake, "docs", "text", idxLake, ck,
+      ts("2024-02-01T00:00:00Z"))
+    LmIndex.create(spark, idxLake)
+    def lmRefresh(): Unit = {
+      val q = LmIndex.refresh(spark, srcLake, "docs", "text",
+        idxLake, "lm_stats", lmCk)
+      assert(q.awaitTermination(120000))
+    }
+    def served() = LmIndex.score(spark, srcLake, "docs", "text",
+        idxLake, "lm_stats")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    def retrain() = graft.operators.TextAnalysis.lmScore(
+      graft.operators.AzofScan.scan(spark, srcLake, "docs")
+        .select(col(TableSchema.KeyName).as("doc_id"), col("text")),
+      col("text"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    lmRefresh()
+    assert(served() == retrain(), "pre-takedown: index-served ≡ retrain")
+    // the engine's OWN takedown: near-dup 2 tombstones on main
+    assert(DedupFlow.applyVerdict(spark, srcLake, "docs", idxLake,
+      at = ts("2024-03-01T00:00:00Z")) == 1L)
+    lmRefresh()
+    assert(served() == retrain(),
+      "post-takedown: the tombstone's pre-image subtracts — index-served " +
+        "≡ retrain over the shrunken corpus, no rebuildEpoch")
+    assert(served().forall(_._1 != "2"), "the dropped doc no longer scores")
+  }
+
   test("applyVerdict stages the takedown on a branch: main live until " +
     "publish_preview-sized tombstones fast-forward") {
     val srcLake = Files.createTempDirectory("azof-ddf-apbr-src").toString
