@@ -563,7 +563,8 @@ object AzofCli {
         //     [--interval-seconds N]  (omit = AvailableNow catch-up)
         //     [--text-col text] [--min-jaccard 0.5] [--retain N]
         //     [--checkpoint DIR] [--key-map key_map]
-        //     [--contain-table contain_pairs [--contain-keyed]]
+        //     [--contain-table contain_pairs [--contain-keyed]
+        //      [--contain-postings contain_postings]]
         //     [--shard-table shard_map] [--seq-table seq_map]
         //     [--lm-table lm_stats]
         //     (--contain-table / --shard-table / --seq-table /
@@ -599,6 +600,7 @@ object AzofCli {
               s"${r.verified} verified -> ${r.relabeled} relabeled"),
           containTable = opts.get("contain-table"),
           containKeyed = opts.contains("contain-keyed"),
+          containPostings = opts.get("contain-postings"),
           onContainReport = cr => println(
             if (cr.noop) "containment: no new commits " +
               s"(cursor at v${cr.fromVersion})"

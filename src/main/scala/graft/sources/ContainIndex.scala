@@ -466,6 +466,20 @@ object ContainIndex {
     require(maxDf <= idsCap,
       s"maxDf ($maxDf) must be <= the posting table's idsCap ($idsCap): " +
         "blocking needs member ids for every bucket it may keep")
+    // postings are a CREATE-TIME choice per index: enabling them on an
+    // index whose cursor already advanced (scan-path refreshes consumed
+    // ranges the posting table never saw) would leave the postings
+    // permanently blind to the pre-cursor corpus — silent missed pairs
+    require(
+      DedupFlow.readCursor(spark, idxLake, idxTable).isEmpty ||
+        AzofTable(spark, idxLake, postTable).currentVersion.toLong > 1L ||
+        fromVersion <= AzofChangeFeed.earliestFeedBase(
+          spark, srcLake, srcTable),
+      s"posting table '$postTable' is empty but the index cursor is " +
+        s"already at v$fromVersion — earlier refreshes ran WITHOUT " +
+        "postings, so the posting table would miss the pre-cursor " +
+        "corpus. Rebuild the index from a fresh cursor with postings " +
+        "enabled from the start (or keep the scan-based refresh)")
     val K = TableSchema.KeyName
     val src = AzofTable(spark, srcLake, srcTable)
     import org.apache.spark.sql.types.{ArrayType, StringType}

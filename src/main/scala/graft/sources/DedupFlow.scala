@@ -295,6 +295,7 @@ object DedupFlow {
       containMaxDf: Int = 20,
       containMinContainment: Double = 0.9,
       containKeyed: Boolean = false,
+      containPostings: Option[String] = None,
       onContainReport: ContainIndex.RefreshReport => Unit = _ => (),
       shardTable: Option[String] = None,
       onShardReport: ShardMap.RefreshReport => Unit = _ => (),
@@ -351,7 +352,8 @@ object DedupFlow {
         textCol, idxLake, ct, Instant.now(),
         minShared = containMinShared, maxDf = containMaxDf,
         minContainment = containMinContainment,
-        broadcastKeyMax = broadcastKeyMax, keyed = containKeyed)
+        broadcastKeyMax = broadcastKeyMax, keyed = containKeyed,
+        postings = containPostings)
       if (retain > 0)
         AzofVacuum.vacuum(spark, idxLake, ct, retain,
           minAgeMs = retainMinAgeMs)

@@ -190,6 +190,55 @@ class DedupFollowSpec extends AnyFunSuite {
     assert(servedLm == retrain, "follow-maintained LM stats ≡ retrain")
   }
 
+  test("follow with containPostings serves the containment family from " +
+    "the posting table — no corpus pass per pass; mixing a postings-" +
+    "less history refuses") {
+    val srcLake = Files.createTempDirectory("azof-follow5-src").toString
+    val idxLake = Files.createTempDirectory("azof-follow5-idx").toString
+    val ck = Files.createTempDirectory("azof-follow5-ck").toString
+    AzofWriter.createTable(spark, srcLake, "docs", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, srcLake, "docs", rows(Seq(
+      4L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+      5L -> "c1 c2 c3 c4 c5 c6"),
+      "2024-01-02T00:00:00Z"))
+    DedupFlow.create(spark, idxLake)
+    ContainIndex.create(spark, idxLake)
+    ContainIndex.createPostings(spark, idxLake)
+    def pairs() = ContainIndex.pairs(spark, idxLake, "contain_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
+      containTable = Some("contain_pairs"),
+      containPostings = Some("contain_postings")).awaitTermination()
+    assert(pairs() == Set((4L, 5L)), s"${pairs()}")
+    // another quote lands; the SAME follow maintains pairs via postings
+    AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+      6L -> "c2 c3 c4 c5 c6 c7"), "2024-02-01T00:00:00Z"),
+      ts("2024-02-01T00:00:00Z"), ts("2024-02-01T00:00:00Z"))
+    DedupFlow.follow(spark, srcLake, "docs", "text", idxLake, ck,
+      containTable = Some("contain_pairs"),
+      containPostings = Some("contain_postings")).awaitTermination()
+    assert(pairs() == Set((4L, 5L), (4L, 6L)), s"${pairs()}")
+    assert(graft.operators.AzofScan
+      .scan(spark, idxLake, "contain_postings").count() > 0)
+
+    // the footgun guard: a SECOND index whose cursor advanced through
+    // scan-path refreshes refuses a late postings enable
+    val idx2 = Files.createTempDirectory("azof-follow5-idx2").toString
+    ContainIndex.create(spark, idx2)
+    ContainIndex.refresh(spark, srcLake, "docs", "text", idx2,
+      at = ts("2024-03-01T00:00:00Z"))                  // scan path
+    ContainIndex.createPostings(spark, idx2)
+    AzofWriter.commitDelta(spark, srcLake, "docs", rows(Seq(
+      7L -> fam("w", "late")), "2024-03-02T00:00:00Z"),
+      ts("2024-03-02T00:00:00Z"), ts("2024-03-02T00:00:00Z"))
+    val e = intercept[IllegalArgumentException](
+      ContainIndex.refresh(spark, srcLake, "docs", "text", idx2,
+        at = ts("2024-03-03T00:00:00Z"),
+        postings = Some("contain_postings")))
+    assert(e.getMessage.contains("fresh cursor"), e.getMessage)
+  }
+
   test("source compaction in the follow driver keeps the source's live-" +
     "file count bounded across a soak while ingest stays ≡ one-shot") {
     val srcLake = Files.createTempDirectory("azof-follow4-src").toString
