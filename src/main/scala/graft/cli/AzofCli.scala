@@ -47,6 +47,18 @@ object AzofCli {
     out.result()
   }
 
+  /** `--group-cols g1,g2 [--sum-cols a,b] [--minmax-cols c]` →
+    * the mv-* verbs' [[graft.sources.ViewDef]].
+    */
+  private def cliViewDef(
+      opts: Map[String, String]): graft.sources.ViewDef = {
+    def csv(k: String): Seq[String] = opts.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    graft.sources.ViewDef(csv("group-cols"), csv("sum-cols"),
+      csv("minmax-cols"))
+  }
+
   /** Split a `--query` script into statements on ';' OUTSIDE
     * single-quoted SQL literals (a quote escapes as '' per ANSI, which
     * this walk handles for free: each quote just flips the flag twice).
@@ -82,6 +94,7 @@ object AzofCli {
           "shard-create|shard-refresh|shard-slots|shard-emit|" +
           "seq-create|seq-refresh|seq-spans|seq-emit|" +
           "sem-create|sem-refresh|sem-rebuild|sem-verdicts|" +
+          "mv-create|mv-refresh|mv-serve|mv-rebuild|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
     }
@@ -910,6 +923,46 @@ object AzofCli {
           opts.getOrElse("new-table", "lm_stats_next"),
           opts.get("at").map(Instant.parse).getOrElse(Instant.now()))
         println(s"rebuilt lm stats epoch: $n bigrams")
+      case "mv-create" =>
+        // persisted incremental materialized aggregate view:
+        // mv-create --path L --table T --group-cols g1,g2
+        //   [--sum-cols a,b] [--minmax-cols c]
+        //   [--index-path L2] [--index-table mv]
+        graft.sources.MatView.create(spark,
+          opts("path"), opts("table"),
+          opts.getOrElse("index-path", opts("path")),
+          opts.getOrElse("index-table", "mv"), cliViewDef(opts))
+        println("created materialized view table")
+      case "mv-refresh" =>
+        // one AvailableNow catch-up: upsert old−pre+new per touched
+        // group; min/max rescan confined to groups that lost rows
+        val mvIdx = opts.getOrElse("index-path", opts("path"))
+        val mvTbl = opts.getOrElse("index-table", "mv")
+        val ckpt = opts.getOrElse("checkpoint",
+          new org.apache.hadoop.fs.Path(mvIdx,
+            mvTbl + "/_refresh_checkpoint").toString)
+        val q = graft.sources.MatView.refresh(spark,
+          opts("path"), opts("table"), mvIdx, mvTbl, cliViewDef(opts), ckpt)
+        q.awaitTermination()
+        println(s"materialized view refreshed; version now " +
+          AzofTable(spark, mvIdx, mvTbl).currentVersion)
+      case "mv-serve" =>
+        // the served view: live groups' counts/sums/extrema
+        val vd = cliViewDef(opts)
+        graft.sources.MatView.serve(spark,
+            opts.getOrElse("index-path", opts("path")),
+            opts.getOrElse("index-table", "mv"), vd)
+          .orderBy(vd.groupCols.map(org.apache.spark.sql.functions.col): _*)
+          .show(numRows = 10000, truncate = false)
+      case "mv-rebuild" =>
+        // epoch rebuild: retrain the view one-shot from the LIVE corpus
+        // into a fresh table (the ROLLBACK reconciliation hatch)
+        val n = graft.sources.MatView.rebuildEpoch(spark,
+          opts("path"), opts("table"),
+          opts.getOrElse("index-path", opts("path")),
+          opts.getOrElse("new-table", "mv_next"), cliViewDef(opts),
+          opts.get("at").map(Instant.parse).getOrElse(Instant.now()))
+        println(s"rebuilt materialized view epoch: $n groups")
       case "sem-verdicts" =>
         // the persisted verdicts: (vec_id, cluster_id, kept) — or
         // (vec_key, ...) when the index's frozen model is keyed

@@ -41,7 +41,9 @@ object AzofQueries {
     "q39_predicate_delete" -> predicateDelete,
     "s07_pq_codes_index" -> pqCodesIndex,
     "s08_minhash_sig_index" -> minhashSigIndex,
-    "t20_lm_index" -> lmStatsIndex)
+    "t20_lm_index" -> lmStatsIndex,
+    "q51_matview" -> matViewServe,
+    "q52_matview_rebuild" -> matViewRebuild)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -948,7 +950,116 @@ object AzofQueries {
       refresh()
     }
 
+  /** The [[graft.sources.ViewDef]] q51/q52 maintain: per-source document
+    * counts, char sums, and char extrema.
+    */
+  private val mvDef = graft.sources.ViewDef(Seq("source"),
+    sumCols = Seq("n_chars"), minMaxCols = Seq("n_chars"))
+
+  /** Four-commit, four-times-refreshed [[graft.sources.MatView]] lake
+    * over the documents corpus: base (⅔ of the docs, Jan), delta (the
+    * rest, Feb — the insert-only monoid refresh), a REVISION batch that
+    * moves every `doc_id % 5 = 0` doc to source `rev12` with `n_chars
+    * + 4` (Apr — pre-image subtraction + min/max rescan of every group
+    * that lost rows), and a tombstone delete of docs 6 and 7 (May).
+    * The epoch-rebuild twin (`doc_mv_e2`, q52's table) retrains the
+    * same view one-shot from the final live corpus.
+    */
+  private[queries] def mvLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "mv-v1", "doc_mv") { l =>
+      import graft.sources.MatView
+      val schema = TableSchema(Seq(
+        ColumnDef("source", ColumnType.AzString, nullable = false),
+        ColumnDef("n_chars", ColumnType.AzInt, nullable = false)))
+      val docs = Tables(s, dir, "documents")
+      def rows(filter: org.apache.spark.sql.Column, at: String,
+          src: org.apache.spark.sql.Column = col("source"),
+          nc: org.apache.spark.sql.Column = col("n_chars")) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          src.as("source"), nc.as("n_chars"))
+      AzofWriter.createTable(s, l, "docs_mv", schema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val ck = new java.io.File(l, "_mv_ck").toString
+      def refresh(): Unit = {
+        val q = MatView.refresh(s, l, "docs_mv", l, "doc_mv", mvDef, ck)
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(
+            "matview refresh did not terminate within 300s — refusing " +
+              "to cache a half-refreshed view lake")
+      }
+      AzofWriter.commitBase(s, l, "docs_mv",
+        rows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))       // v2
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_mv",
+        rows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))                       // v3
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_mv",
+        rows(col("doc_id") % 5 === 0, "2024-04-05T00:00:00Z",
+          src = lit("rev12"), nc = col("n_chars") + 4),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))                       // v4
+      refresh()
+      AzofWriter.commitDelete(s, l, "docs_mv", Seq("6", "7"),
+        Instant.parse("2024-05-05T00:00:00Z"))                       // v5
+      refresh()
+      MatView.rebuildEpoch(s, l, "docs_mv", l, "doc_mv_e2", mvDef,
+        Instant.parse("2024-06-01T00:00:00Z"))
+      ()
+    }
+
+  /** The INCREMENTALLY-maintained materialized view, served: per-source
+    * live-doc counts/sums/extrema plus the derived mean. The oracle
+    * recomputes the GROUP BY one-shot over the final live corpus — a
+    * refresh that dropped an increment, double-counted a replay,
+    * monoid-merged past a delete, or missed a group-move rescan cannot
+    * hash-match (incremental ≡ retrain, the d15/t20 equivalence for
+    * arbitrary declared aggregates).
+    */
+  private def matViewServe(s: SparkSession, dir: String): DataFrame = {
+    val lake = mvLake(s, dir)
+    graft.sources.MatView.serve(s, lake, "doc_mv", mvDef)
+      .withColumn("avg_chars",
+        col("sum_n_chars").cast("double") / col("n_rows"))
+  }
+
+  /** The epoch-rebuild hatch under the same oracle: `doc_mv_e2` was
+    * retrained ONE-SHOT from the final live corpus (the rollback
+    * reconciliation path), so it must serve byte-identically to the
+    * incrementally-maintained q51 — deliberately the same oracle
+    * through a different engine mechanism, the q42/q43 pairing.
+    */
+  private def matViewRebuild(s: SparkSession, dir: String): DataFrame = {
+    val lake = mvLake(s, dir)
+    graft.sources.MatView.serve(s, lake, "doc_mv_e2", mvDef)
+      .withColumn("avg_chars",
+        col("sum_n_chars").cast("double") / col("n_rows"))
+  }
+
+  /** q51/q52's shared oracle: the one-shot GROUP BY over the mv lake's
+    * final LIVE corpus, reconstructed relationally from the raw
+    * documents (docs 6/7 deleted; every `doc_id % 5 = 0` doc moved to
+    * source `rev12` with `n_chars + 4` by the Apr revision batch).
+    */
+  private val matViewOracle: String =
+    """WITH live AS (
+         SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                  AS source,
+                CASE WHEN doc_id % 5 = 0 THEN n_chars + 4 ELSE n_chars END
+                  AS n_chars
+         FROM documents WHERE doc_id NOT IN (6, 7))
+       SELECT source, COUNT(*) AS n_rows,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+              MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars,
+              CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+       FROM live GROUP BY source"""
+
   def oracleSql: Map[String, String] = Map(
+    "q51_matview" -> matViewOracle,
+    "q52_matview_rebuild" -> matViewOracle,
     // s08: candidates from the persisted signatures ≡ d02's own oracle
     // over the raw documents (final source state = the full table)
     "s08_minhash_sig_index" ->

@@ -41,6 +41,7 @@ object AzofProcedures {
     Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
       "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
       "contain_refresh", "shard_refresh", "seq_refresh", "lm_refresh",
+      "mv_refresh",
       "tag", "untag", "rollback",
       "create_branch", "drop_branch", "fast_forward", "merge_branch",
       "publish_preview")
@@ -132,6 +133,12 @@ object AzofProcedures {
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'lm_stats'"),
         pd("text_col", StringType, "'text'"))
+      case "mv_refresh" => Array(
+        p("table", StringType), p("index_path", StringType),
+        p("group_cols", StringType),
+        pd("index_table", StringType, "'mv'"),
+        pd("sum_cols", StringType, "''"),
+        pd("minmax_cols", StringType, "''"))
       case "seq_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'seq_map'"),
@@ -306,6 +313,19 @@ object AzofProcedures {
           q.awaitTermination()
           (StructType(Seq(StructField("stats_version", LongType))),
             Seq(AzofTable(spark, str(1), str(2)).currentVersion.toLong))
+        case "mv_refresh" =>
+          // same stable-checkpoint rule as lm_refresh
+          def csv(v: String): Seq[String] =
+            Option(v).toSeq.flatMap(
+              _.split(',').map(_.trim).filter(_.nonEmpty))
+          val vd = ViewDef(csv(str(2)), csv(str(4)), csv(str(5)))
+          val mvCk = new org.apache.hadoop.fs.Path(str(1),
+            str(3) + "/_refresh_checkpoint").toString
+          val q = MatView.refresh(spark, path, str(0), str(1), str(3),
+            vd, mvCk)
+          q.awaitTermination()
+          (StructType(Seq(StructField("view_version", LongType))),
+            Seq(AzofTable(spark, str(1), str(3)).currentVersion.toLong))
         case "shard_refresh" =>
           val r = ShardMap.refresh(spark, path, str(0), str(1), str(2),
             Instant.ofEpochMilli(System.currentTimeMillis()))

@@ -1,0 +1,377 @@
+package graft.sources
+
+import graft.format.{AsOf, ColumnDef, ColumnType, KeyFilter, TableSchema}
+import graft.format.AzofTable
+import graft.streaming.AzofSink
+import java.time.Instant
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** What a materialized view maintains: `GROUP BY groupCols` with
+  * `COUNT(*)`, `SUM(c)` per `sumCols` entry, and `MIN(c)`/`MAX(c)` per
+  * `minMaxCols` entry, over the LIVE rows of one azof table. Aggregated
+  * columns must be declared `Int` (i64) and NON-NULLABLE in the source
+  * schema — exact incremental maintenance of SQL's null-skipping
+  * aggregates would additionally need a non-null count per column, a
+  * complication the engine refuses at [[MatView.create]] instead of
+  * silently approximating. Group columns must be non-null in the data
+  * (they join as equi-keys and concatenate into the view's record key).
+  */
+final case class ViewDef(
+    groupCols: Seq[String],
+    sumCols: Seq[String] = Nil,
+    minMaxCols: Seq[String] = Nil) {
+  require(groupCols.nonEmpty, "a materialized view needs group columns")
+  /** Source columns the view reads. */
+  def needed: Seq[String] = (groupCols ++ sumCols ++ minMaxCols).distinct
+}
+
+/** PERSISTED incremental materialized aggregate view — the engine's
+  * "dynamic table": a `GROUP BY` aggregate over an azof table's live
+  * rows, stored as its own azof table and refreshed INCREMENTALLY from
+  * the source's commit-exact change feed, so a 100-TB corpus pays
+  * per-refresh cost proportional to the BATCH, not the corpus.
+  *
+  * Consistency contract (the [[CcIndex]] family rule): after every
+  * refresh, [[MatView.serve]] equals the one-shot `GROUP BY` over the
+  * source's LIVE corpus at the batch's end version — under inserts,
+  * re-upserts, revisions (including group-moving revisions), and
+  * deletes alike. The machinery is [[LmIndex]]'s pre-image subtraction
+  * generalized from one hard-coded aggregate to a declared [[ViewDef]]:
+  *
+  *   - Each batch resolves every churned key's POST-state (its newest
+  *     batch row; nothing for a tombstone) and PRE-state (its live row
+  *     at the batch's predecessor version — ONE time-travel scan,
+  *     key-stats pruned to the churned keys under the broadcast guard).
+  *   - `COUNT`/`SUM` are group homomorphisms with inverses, so the
+  *     refresh upserts `old − pre + new` for exactly the touched
+  *     groups — no corpus read at all on this path.
+  *   - `MIN`/`MAX` have no inverse: a group is monoid-merged
+  *     (`least`/`greatest` of old and batch values) while its batch
+  *     history is insert-only, and RECOMPUTED — from one live scan at
+  *     the batch's end version, semi-joined (and, for single-column
+  *     groups under the guard, value-stats file-skipped via an `In`
+  *     pushdown) to exactly the groups that lost rows — only when a
+  *     pre-image landed in it. A crawl-shaped workload (append-heavy,
+  *     rare takedowns) therefore almost never rescans, and a takedown
+  *     rescan is confined to the affected groups' files wherever the
+  *     layout clusters by the group column ([[AzofWriter.compact]]'s
+  *     by-key / Z-order modes); on an unclustered layout it degrades
+  *     to one parallel corpus read, never a corpus-wide shuffle.
+  *
+  * Scale shape of the merge: batch-side aggregates are churn-sized; the
+  * view's Current scan is group-cardinality-bounded; a steady-state
+  * batch broadcast-semi-filters the view scan in ONE pass with no view
+  * shuffle, and a bootstrap catch-up falls back to the plain shuffle
+  * join (`broadcastKeyMax`, the measured-guard rule — never an
+  * unconditional hint). One exactly-once delta per micro-batch commits
+  * through the `stream_batches` replay guard. Fully-emptied groups
+  * persist with `n_rows = 0` (and null min/max); [[serve]] filters them
+  * so the served view is retrain-exact. [[AzofWriter.rollback]] on the
+  * source — the one state change with NO feed event — keeps the
+  * documented [[rebuildEpoch]] hatch, exactly like every other
+  * persisted index in the family.
+  */
+object MatView {
+
+  /** The one event_time every view row carries: successive upserts of a
+    * group tie on (key, event_time) and the pinned default-mode
+    * tie-break (commit seq desc) serves the newest totals — a wall
+    * clock here would be the only nondeterminism in a replayable index.
+    */
+  val ViewStamp: Instant = Instant.parse("2024-01-02T00:00:00Z")
+
+  /** Group-tuple record-key separator: group values must not contain
+    * U+0001 (documented contract, same class as non-null group values).
+    */
+  private val Sep = "\u0001"
+
+  /** The view table's value schema for `view` over `srcSchema`: the
+    * group columns under their source types, then `n_rows`, `sum_<c>`,
+    * `min_<c>`/`max_<c>` — all i64. Validates the [[ViewDef]] contract.
+    */
+  def viewSchema(srcSchema: TableSchema, view: ViewDef): TableSchema = {
+    val byName = srcSchema.columns.map(c => c.name -> c).toMap
+    def defOf(n: String): ColumnDef = byName.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"view column '$n' is not in the source schema " +
+          s"(${srcSchema.columns.map(_.name).mkString(", ")})"))
+    (view.sumCols ++ view.minMaxCols).foreach { c =>
+      val d = defOf(c)
+      if (d.dataType != ColumnType.AzInt || d.nullable)
+        throw new IllegalArgumentException(
+          s"aggregated column '$c' must be a non-nullable Int — " +
+            "exact incremental SUM/MIN/MAX over nullable columns would " +
+            "need per-column non-null counts (see ViewDef's scaladoc)")
+    }
+    TableSchema(
+      view.groupCols.map(g =>
+        ColumnDef(g, defOf(g).dataType, nullable = false)) ++
+        Seq(ColumnDef("n_rows", ColumnType.AzInt, nullable = false)) ++
+        view.sumCols.map(c =>
+          ColumnDef(s"sum_$c", ColumnType.AzInt, nullable = false)) ++
+        view.minMaxCols.flatMap(c => Seq(
+          ColumnDef(s"min_$c", ColumnType.AzInt, nullable = true),
+          ColumnDef(s"max_$c", ColumnType.AzInt, nullable = true))))
+  }
+
+  /** Create the view table (idempotent). The source table must already
+    * exist — the view's schema derives from it.
+    */
+  def create(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String, idxTable: String,
+      view: ViewDef,
+      segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
+    val srcSchema =
+      AzofTable(spark, srcLake, srcTable).currentSnapshot.schema
+    AzofWriter.createTableIfAbsent(
+      spark, idxLake, idxTable, viewSchema(srcSchema, view), segmentStart)
+    ()
+  }
+
+  /** Incrementally refresh the view from the source's commit feed
+    * (AvailableNow by default).
+    */
+  def refresh(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String, idxTable: String,
+      view: ViewDef,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      broadcastKeyMax: Long = DedupFlow.DefaultBroadcastKeyMax)
+      : StreamingQuery = {
+    create(spark, srcLake, srcTable, idxLake, idxTable, view) // idempotent
+    val appId = AzofSink.appIdFor(checkpoint)
+    spark.readStream.format("azof-commits")
+      .option("table", srcTable).load(srcLake)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val rows = deltaBatch(spark, batch, srcLake, srcTable,
+          idxLake, idxTable, view, broadcastKeyMax)
+        AzofSink.commitBatch(idxLake, idxTable, rows, id, appId)
+        graft.operators.Blocks.freeReferenced(rows)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Group-wise aggregates of `rows` (one row per live key) under
+    * `pfx`-prefixed names.
+    */
+  private def groupAgg(
+      rows: DataFrame, view: ViewDef, pfx: String): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as(s"${pfx}n")) ++
+        view.sumCols.map(c => sum(col(c)).as(s"${pfx}s_$c")) ++
+        view.minMaxCols.flatMap(c => Seq(
+          min(col(c)).as(s"${pfx}mn_$c"),
+          max(col(c)).as(s"${pfx}mx_$c")))
+    rows.groupBy(view.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One feed micro-batch → one upsert row per TOUCHED group, equal to
+    * the group's one-shot aggregate over the live corpus at the batch's
+    * end version. See the object scaladoc for the three paths
+    * (additive delta / monoid merge / confined rescan).
+    */
+  private def deltaBatch(
+      spark: SparkSession, batch: Dataset[Row],
+      srcLake: String, srcTable: String,
+      idxLake: String, idxTable: String,
+      view: ViewDef, broadcastKeyMax: Long): DataFrame = {
+    val K = TableSchema.KeyName
+    val outSchema = viewSchema(
+      AzofTable(spark, srcLake, srcTable).currentSnapshot.schema, view)
+    def empty: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], outSchema.toStruct)
+    // one eager materialization of the slim batch: the version bounds,
+    // the churned-key pull, and both batch-side aggregates read it
+    val slim = batch
+      .select((Seq(col(K)) ++ view.needed.map(col) ++
+        Seq(col("_commit_version"), col("_deleted"))): _*)
+      .localCheckpoint(true)
+    val bounds = slim.agg(
+      min(col("_commit_version")), max(col("_commit_version")),
+      count_distinct(col(K))).collect()(0)
+    if (bounds.isNullAt(2) || bounds.getLong(2) == 0L) {
+      graft.operators.Blocks.freeReferenced(slim.toDF())
+      return empty
+    }
+    val (minV, maxV, nChurned) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    // the key's POST-batch state: its newest row in the batch
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(K)).orderBy(col("_commit_version").desc)
+    val newRows = slim
+      .withColumn("_rn", row_number().over(wKey))
+      .where(col("_rn") === 1 && !col("_deleted"))
+      .select(view.needed.map(col): _*)
+    // the churned keys' PRE-image: live rows at the batch's predecessor
+    // version, guarded exactly like LmIndex's (KeyFilter file skipping
+    // for a steady-state batch, full scan semi-joined for a bootstrap)
+    val src = AzofTable(spark, srcLake, srcTable)
+    val (_, preSnap) = AzofChangeFeed.mainAtOrBefore(spark, src, minV - 1)
+    val churned = slim.select(col(K)).distinct()
+    val proj = Some((Set(K) ++ view.needed).toSet)
+    val preRows =
+      (if (nChurned <= broadcastKeyMax) {
+        val keys = churned.collect().map(_.getString(0)).toSet
+        graft.operators.AzofScan.scanSnapshot(spark, src, preSnap,
+          AsOf.Current, projection = proj,
+          keyFilter = Some(KeyFilter.Keys(keys)))
+      } else
+        graft.operators.AzofScan.scanSnapshot(spark, src, preSnap,
+          AsOf.Current, projection = proj)
+          .join(churned, Seq(K), "left_semi"))
+        .select(view.needed.map(col): _*)
+    // every group either side touched carries a row in the full outer
+    // join; one eager materialization serves the rescan decision, the
+    // old-value guard, and the final merge
+    val touched = groupAgg(newRows, view, "_a_")
+      .join(groupAgg(preRows, view, "_p_"), view.groupCols, "full_outer")
+      .localCheckpoint(true)
+    graft.operators.Blocks.freeReferenced(slim.toDF())
+    val nTouched = touched.count()
+    if (nTouched == 0L) return empty
+    // MIN/MAX rescan: only groups that LOST rows (a pre-image landed in
+    // them); insert-only groups monoid-merge below with no source read
+    val rescan =
+      if (view.minMaxCols.isEmpty) touched.limit(0)
+      else touched.where(col("_p_n").isNotNull)
+        .select(view.groupCols.map(col): _*)
+    val nRescan = if (view.minMaxCols.isEmpty) 0L else rescan.count()
+    val rescanAgg: Option[DataFrame] =
+      if (nRescan == 0L) None
+      else {
+        val (_, endSnap) = AzofChangeFeed.mainAtOrBefore(spark, src, maxV)
+        // single-column groups under the guard additionally push an In
+        // filter so value-stats file skipping confines the read to the
+        // affected groups' files on a clustered layout
+        val valueFilters =
+          if (view.groupCols.size == 1 && nRescan <= broadcastKeyMax) {
+            val g = view.groupCols.head
+            val vals = rescan.collect().map(_.get(0))
+            Seq(org.apache.spark.sql.sources.In(g, vals))
+          } else Nil
+        val live = graft.operators.AzofScan.scanSnapshot(spark, src,
+          endSnap, AsOf.Current,
+          projection =
+            Some((view.groupCols ++ view.minMaxCols).toSet),
+          valueFilters = valueFilters)
+        val confined =
+          if (nRescan <= broadcastKeyMax)
+            live.join(broadcast(rescan), view.groupCols, "left_semi")
+          else live.join(rescan, view.groupCols, "left_semi")
+        val aggs: Seq[Column] = view.minMaxCols.flatMap(c => Seq(
+          min(col(c)).as(s"_r_mn_$c"), max(col(c)).as(s"_r_mx_$c")))
+        Some(confined.groupBy(view.groupCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*))
+      }
+    // the view's old totals for exactly the touched groups: one
+    // streaming pass over the group-cardinality-bounded view scan
+    // (broadcast left-semi) in steady state, plain shuffle past the
+    // guard — the measured-guard rule, never an unconditional hint
+    val oldCols =
+      view.groupCols.map(col) ++
+        Seq(col("n_rows").as("_o_n")) ++
+        view.sumCols.map(c => col(s"sum_$c").as(s"_o_s_$c")) ++
+        view.minMaxCols.flatMap(c => Seq(
+          col(s"min_$c").as(s"_o_mn_$c"),
+          col(s"max_$c").as(s"_o_mx_$c")))
+    val existing = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
+      .select(oldCols: _*)
+    val touchedOld =
+      if (nTouched <= broadcastKeyMax)
+        existing.join(
+          broadcast(touched.select(view.groupCols.map(col): _*)),
+          view.groupCols, "left_semi")
+      else existing
+    val merged = touched.join(touchedOld, view.groupCols, "left")
+    val withRescan = rescanAgg match {
+      case Some(r) => merged.join(r, view.groupCols, "left")
+      case None =>
+        view.minMaxCols.foldLeft(merged)((d, c) => d
+          .withColumn(s"_r_mn_$c", lit(null).cast("long"))
+          .withColumn(s"_r_mx_$c", lit(null).cast("long")))
+    }
+    def z(c: Column): Column = coalesce(c, lit(0L))
+    val outCols: Seq[Column] =
+      Seq(
+        concat_ws(Sep, view.groupCols.map(g => col(g).cast("string")): _*)
+          .as(K),
+        lit(java.sql.Timestamp.from(ViewStamp))
+          .as(TableSchema.EventTimeName)) ++
+        view.groupCols.map(col) ++
+        Seq((z(col("_o_n")) + z(col("_a_n")) - z(col("_p_n")))
+          .as("n_rows")) ++
+        view.sumCols.map(c =>
+          (z(col(s"_o_s_$c")) + z(col(s"_a_s_$c")) - z(col(s"_p_s_$c")))
+            .as(s"sum_$c")) ++
+        view.minMaxCols.flatMap(c => Seq(
+          when(col("_p_n").isNotNull, col(s"_r_mn_$c"))
+            .otherwise(least(col(s"_o_mn_$c"), col(s"_a_mn_$c")))
+            .as(s"min_$c"),
+          when(col("_p_n").isNotNull, col(s"_r_mx_$c"))
+            .otherwise(greatest(col(s"_o_mx_$c"), col(s"_a_mx_$c")))
+            .as(s"max_$c")))
+    withRescan.select(outCols: _*)
+  }
+
+  /** The served view: every live group's totals — [[refresh]]'s
+    * contract makes this equal the one-shot `GROUP BY` over the
+    * source's live corpus. Fully-emptied groups (persisted with
+    * `n_rows = 0`) are filtered, exactly like [[LmIndex.score]]'s
+    * zero-count bigrams.
+    */
+  def serve(
+      spark: SparkSession,
+      idxLake: String, idxTable: String, view: ViewDef): DataFrame = {
+    val cols = view.groupCols ++ Seq("n_rows") ++
+      view.sumCols.map(c => s"sum_$c") ++
+      view.minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    graft.operators.AzofScan.scan(spark, idxLake, idxTable)
+      .where(col("n_rows") > 0L)
+      .select(cols.map(col): _*)
+  }
+
+  /** Reconciliation hatch after a source ROLLBACK (the one state change
+    * that lands with NO feed event): retrain the view from the CURRENT
+    * live corpus into `newTable`, then serve from it — the
+    * SemDedupIndex epoch shape, one atomic table swap for the operator.
+    */
+  def rebuildEpoch(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String, newTable: String,
+      view: ViewDef, at: Instant): Long = {
+    val srcSchema =
+      AzofTable(spark, srcLake, srcTable).currentSnapshot.schema
+    AzofWriter.createTableIfAbsent(
+      spark, idxLake, newTable, viewSchema(srcSchema, view), at)
+    val live = graft.operators.AzofScan.scan(spark, srcLake, srcTable)
+      .select(view.needed.map(col): _*)
+    val agg = groupAgg(live, view, "_a_")
+    val outCols: Seq[Column] =
+      Seq(
+        concat_ws(Sep, view.groupCols.map(g => col(g).cast("string")): _*)
+          .as(TableSchema.KeyName),
+        lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName)) ++
+        view.groupCols.map(col) ++
+        Seq(col("_a_n").as("n_rows")) ++
+        view.sumCols.map(c => col(s"_a_s_$c").as(s"sum_$c")) ++
+        view.minMaxCols.flatMap(c => Seq(
+          col(s"_a_mn_$c").as(s"min_$c"),
+          col(s"_a_mx_$c").as(s"max_$c")))
+    val rows = agg.select(outCols: _*)
+    val n = rows.count()
+    if (n > 0) AzofWriter.commitDelta(spark, idxLake, newTable, rows, at, at)
+    n
+  }
+}

@@ -131,6 +131,32 @@ class SqlProceduresSpec extends AnyFunSuite {
     assert(ab == Seq(3L), "'a b' counted across both docs")
   }
 
+  test("CALL system.mv_refresh maintains a materialized view from SQL") {
+    val mvSchema = TableSchema(Seq(
+      ColumnDef("grp", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    AzofWriter.createTable(spark, lake, "mvsrc", mvSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "mvsrc",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a", 10L),
+          Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a", 4L),
+          Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")), "b", 7L))),
+        mvSchema.toStruct))
+    val r = spark.sql("CALL proc.system.mv_refresh(`table` => 'mvsrc', " +
+      s"index_path => '$lake', index_table => 'mv_proc', " +
+      "group_cols => 'grp', sum_cols => 'v', minmax_cols => 'v')")
+      .collect()
+    assert(r.length == 1 && r(0).getLong(0) >= 2L,
+      "view table committed at least its first delta")
+    val vd = ViewDef(Seq("grp"), sumCols = Seq("v"), minMaxCols = Seq("v"))
+    val got = MatView.serve(spark, lake, "mv_proc", vd)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 14L, 4L, 10L), ("b", 1L, 7L, 7L, 7L)))
+  }
+
   test("CALL system.vacuum dry-run reports, wet run deletes") {
     mk("v1", ("1", "2024-01-05T00:00:00Z", "a"))
     (1 to 3).foreach { i =>
