@@ -580,10 +580,13 @@ object AzofCli {
         //      [--contain-postings contain_postings]]
         //     [--shard-table shard_map] [--seq-table seq_map]
         //     [--lm-table lm_stats]
+        //     [--mv-table mv --group-cols g[,..] [--sum-cols ..]
+        //      [--minmax-cols ..]]
         //     (--contain-table / --shard-table / --seq-table /
-        //     --lm-table: ALSO refresh the persisted containment index
-        //     / export shard map / sequence map / bigram-LM stats each
-        //     pass — one follow maintains every corpus-following index)
+        //     --lm-table / --mv-table: ALSO refresh the persisted
+        //     containment index / export shard map / sequence map /
+        //     bigram-LM stats / materialized view each pass — one
+        //     follow maintains every corpus-following index)
         //     [--compact-source-every N] [--compact-source-max-files M]
         //     [--compact-source-files K]  (fold the SOURCE table every
         //     N data batches / past M live files, into K files — the
@@ -636,6 +639,8 @@ object AzofCli {
               s"${qr.churned} churned -> ${qr.assigned} new span(s); " +
               s"next token ${qr.nextToken}"),
           lmTable = opts.get("lm-table"),
+          mvTable = opts.get("mv-table"),
+          mvView = opts.get("mv-table").map(_ => cliViewDef(opts)),
           compactSourceEvery =
             opts.getOrElse("compact-source-every", "0").toInt,
           compactSourceMaxFiles =

@@ -262,7 +262,9 @@ object DedupFlow {
     * ([[SeqMap]]) mint slots/spans for each batch's new docs as they
     * land — and so does `lmTable` ([[LmIndex]]: the bigram stats
     * upsert their touched keys per pass; its streaming checkpoint IS
-    * its cursor, so the layering stays replay-safe). (SemDeDup follows
+    * its cursor, so the layering stays replay-safe) and `mvTable` +
+    * `mvView` (a [[MatView]] maintained per pass, the same
+    * checkpoint-as-cursor rule). (SemDeDup follows
     * its own
     * embedding table as a sibling [[SemDedupIndex.refresh]] stream —
     * different source, same pattern — rather than riding this one.)
@@ -302,6 +304,8 @@ object DedupFlow {
       seqTable: Option[String] = None,
       onSeqReport: SeqMap.RefreshReport => Unit = _ => (),
       lmTable: Option[String] = None,
+      mvTable: Option[String] = None,
+      mvView: Option[ViewDef] = None,
       compactSourceEvery: Int = 0,
       compactSourceMaxFiles: Int = 0,
       compactSourceFiles: Int = 1)
@@ -391,6 +395,20 @@ object DedupFlow {
         AzofVacuum.vacuum(spark, idxLake, lt, retain,
           minAgeMs = retainMinAgeMs)
     }
+    // materialized views ride the same way as the LM stats: their
+    // streaming checkpoint doubles as their cursor, a replayed pass
+    // no-ops through the stream_batches guard
+    def refreshMv(mt: String): Unit = {
+      val vd = mvView.getOrElse(throw new IllegalArgumentException(
+        "follow(mvTable = ...) needs mvView (the ViewDef to maintain)"))
+      val q = MatView.refresh(spark, srcLake, srcTable, idxLake, mt, vd,
+        new Path(AzofTable(spark, idxLake, mt).tableDir,
+          "_refresh_checkpoint").toString)
+      q.awaitTermination()
+      if (retain > 0)
+        AzofVacuum.vacuum(spark, idxLake, mt, retain,
+          minAgeMs = retainMinAgeMs)
+    }
     // eager catch-up: an index enabled on an existing follow (outer
     // checkpoint already past the history) would wait for the next
     // source commit; each index's own cursor makes this a no-op
@@ -400,6 +418,7 @@ object DedupFlow {
     shardTable.foreach(refreshShard)
     seqTable.foreach(refreshSeq)
     lmTable.foreach(refreshLm)
+    mvTable.foreach(refreshMv)
     // seed at the ingest cursor: commits the indexes already consumed
     // need not even surface as (ignored) outer batches
     val seeded = readCursor(spark, idxLake, ccTable)
@@ -419,6 +438,7 @@ object DedupFlow {
           shardTable.foreach(refreshShard)
           seqTable.foreach(refreshSeq)
           lmTable.foreach(refreshLm)
+          mvTable.foreach(refreshMv)
           maybeCompactSource(r.churned)
       }
       .trigger(trigger)

@@ -133,7 +133,9 @@ class DedupFollowSpec extends AnyFunSuite {
       onShardReport = r => sreps :+= r,
       seqTable = Some("seq_map"),
       onSeqReport = r => qreps :+= r,
-      lmTable = Some("lm_stats")).awaitTermination()
+      lmTable = Some("lm_stats"),
+      mvTable = Some("mv"),
+      mvView = Some(ViewDef(Seq("text")))).awaitTermination()
     assert(creps.exists(!_.noop), s"$creps")
     assert(sreps.exists(!_.noop), s"$sreps")
     assert(qreps.exists(r => !r.noop && r.assigned == 4), s"$qreps")
@@ -158,7 +160,9 @@ class DedupFollowSpec extends AnyFunSuite {
       onContainReport = r => creps :+= r,
       shardTable = Some("shard_map"),
       seqTable = Some("seq_map"),
-      lmTable = Some("lm_stats")).awaitTermination()
+      lmTable = Some("lm_stats"),
+      mvTable = Some("mv"),
+      mvView = Some(ViewDef(Seq("text")))).awaitTermination()
     assert(creps.exists(!_.noop), s"$creps")
     assert(pairSet() == Set((4L, 5L), (4L, 6L)), s"${pairSet()}")
     // doc 6 appended after the high-water rank; epoch-1 slots untouched
@@ -188,6 +192,13 @@ class DedupFollowSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1).toSeq
     assert(servedLm == retrain, "follow-maintained LM stats ≡ retrain")
+    // and so did the materialized view (per-text live counts)
+    val servedMv = MatView.serve(spark, idxLake, "mv", ViewDef(Seq("text")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val mvRetrain = graft.operators.AzofScan.scan(spark, srcLake, "docs")
+      .groupBy("text").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(servedMv == mvRetrain, "follow-maintained view ≡ retrain")
   }
 
   test("follow with containPostings serves the containment family from " +
