@@ -8,7 +8,8 @@ object TimeQ {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).toSeq
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.AzofExtensions).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -1098,6 +1098,10 @@ object AzofCli {
         // write-audit-publish session conf
         opts.get("wap-branch").foreach(b =>
           spark.conf.set(graft.sources.AzofCatalog.WapBranchConf, b))
+        // --mv-rewrite mv1,mv2: answer covered aggregates from the
+        // named materialized views when fresh (MvRewriteRule)
+        opts.get("mv-rewrite").foreach(v =>
+          spark.conf.set("spark.azof.mv.rewrite", v))
         // --query takes a script: statements split on ';' outside
         // single-quoted literals, each run in order, each result shown
         AzofCli.splitSql(opts("query")).foreach(stmt =>

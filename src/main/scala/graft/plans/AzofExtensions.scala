@@ -40,6 +40,11 @@ class AzofExtensions extends (SparkSessionExtensions => Unit) {
     // (e.g. plans assembled programmatically) — inert when the parser
     // already rewrote the relation.
     e.injectResolutionRule(session => AzofSqlRule(session))
+    // Automatic materialized-view rewrite (opt-in via
+    // spark.azof.mv.rewrite; see MvRewriteRule) — an optimizer rule so
+    // it sees analyzed aggregates on BOTH scan surfaces before DSv2
+    // pushdown planning.
+    e.injectOptimizerRule(session => MvRewriteRule(session))
     ()
   }
 }

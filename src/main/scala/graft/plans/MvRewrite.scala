@@ -1,0 +1,234 @@
+package graft.plans
+
+import graft.sources.{AzofRelation, AzofV2Table, MatView, ViewDef}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+
+/** AUTOMATIC MATERIALIZED-VIEW REWRITE — the classic warehouse move,
+  * Catalyst-native: an `Aggregate` over an azof table's CURRENT view
+  * whose shape a registered [[MatView]] covers is answered FROM the
+  * view table (group-cardinality-sized) instead of the corpus — the
+  * query that costs a 100-TB scan+shuffle becomes a metadata-bounded
+  * index read, with zero query change.
+  *
+  * Opt-in and exact by construction:
+  *
+  *   - `spark.azof.mv.rewrite` names the candidate view tables
+  *     (`mv1,mv2` under `spark.azof.path`, or `lake::mv`). Unset = the
+  *     rule is inert.
+  *   - Each candidate's definition sidecar ([[MatView.DefFileName]])
+  *     names its source table and declared aggregates; definitions are
+  *     immutable per view table, cached per session.
+  *   - The rewrite fires ONLY when [[MatView.isFresh]] proves the view
+  *     equals the one-shot aggregate over the source's current live
+  *     corpus (cursor sidecar + a view-preserving walk of post-cursor
+  *     commits — zero I/O in steady state, stale/rolled-back views
+  *     fall back to the scan, never to wrong answers).
+  *   - Matched shapes: `GROUP BY` on a SUBSET of the view's group
+  *     columns (the monoid rollup property: COUNT re-sums `n_rows`,
+  *     SUM re-sums, MIN/MAX re-minimize — all exact), aggregates
+  *     drawn from COUNT(*) / COUNT(non-nullable col) / SUM / MIN /
+  *     MAX over the declared columns, no DISTINCT, no FILTER clause,
+  *     no predicate below the aggregate. An exact group match skips
+  *     the re-aggregation entirely (pure projection of the view).
+  *
+  * Both scan surfaces rewrite: the V1 reader relation (`azof.t` SQL,
+  * `spark.read.format("azof")`) and the DSv2 catalog relation
+  * (`cat.t`), each only in its Current un-pinned form
+  * (`mvMatchKey`) — time travel, branches, and WAP-routed reads never
+  * rewrite. Output attribute ids are preserved through a positional
+  * alias projection, so parent operators are untouched.
+  */
+final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import MvRewriteRule._
+
+  private def rewriteConf: Seq[String] =
+    spark.conf.getOption("spark.azof.mv.rewrite").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** `(lake, mvTable)` candidates from the conf. */
+  private def candidates: Seq[(String, String)] = rewriteConf.flatMap { entry =>
+    entry.split("::") match {
+      case Array(lake, mv) => Some((lake, mv))
+      case Array(mv) =>
+        spark.conf.getOption("spark.azof.path").map(root => (root, mv))
+      case _ => None
+    }
+  }
+
+  private def norm(lake: String, table: String): String =
+    new Path(new Path(lake), table).toString
+
+  /** The relation a covered aggregate may stand on: the azof CURRENT
+    * view (either surface), possibly under a pure column-pruning
+    * Project. Returns the normalized source key.
+    */
+  private def srcOf(plan: LogicalPlan): Option[String] = plan match {
+    case l: LogicalRelation => l.relation match {
+      case r: AzofRelation => r.mvMatchKey.map((norm _).tupled)
+      case _ => None
+    }
+    case r: DataSourceV2Relation => r.table match {
+      case t: AzofV2Table => t.mvMatchKey.map((norm _).tupled)
+      case _ => None
+    }
+    case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
+      srcOf(p.child)
+    case _ => None
+  }
+
+  private sealed trait Out
+  private case class GroupOut(c: String) extends Out
+  private case object CountOut extends Out
+  private case class SumOut(c: String) extends Out
+  private case class MinOut(c: String) extends Out
+  private case class MaxOut(c: String) extends Out
+
+  /** Map one output expression of the aggregate onto the view, or None
+    * when the view cannot answer it exactly.
+    */
+  private def outOf(ne: NamedExpression, vd: ViewDef): Option[Out] = {
+    def agg(ae: AggregateExpression): Option[Out] =
+      if (ae.isDistinct || ae.filter.nonEmpty) None
+      else ae.aggregateFunction match {
+        case Count(Seq(_: Literal)) => Some(CountOut)
+        case Count(Seq(a: AttributeReference)) if !a.nullable =>
+          Some(CountOut)
+        case s: Sum => s.child match {
+          case a: AttributeReference if vd.sumCols.contains(a.name) =>
+            Some(SumOut(a.name))
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference if vd.minMaxCols.contains(a.name) =>
+            Some(MinOut(a.name))
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference if vd.minMaxCols.contains(a.name) =>
+            Some(MaxOut(a.name))
+          case _ => None
+        }
+        case _ => None
+      }
+    ne match {
+      case a: AttributeReference if vd.groupCols.contains(a.name) =>
+        Some(GroupOut(a.name))
+      case al: Alias => al.child match {
+        case a: AttributeReference if vd.groupCols.contains(a.name) =>
+          Some(GroupOut(a.name))
+        case ae: AggregateExpression => agg(ae)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Build the replacement: the served view, re-aggregated when the
+    * query groups by a proper subset of the view's group columns, then
+    * positionally aliased back onto the original output ids.
+    */
+  private def rewrite(
+      agg: Aggregate, lake: String, mv: String, vd: ViewDef,
+      groups: Seq[String], outs: Seq[Out]): LogicalPlan = {
+    val serve = MatView.serve(spark, lake, mv, vd)
+    val slim =
+      if (groups.toSet == vd.groupCols.toSet)
+        // exact match: one row per group already — pure projection
+        serve.select(outs.zipWithIndex.map {
+          case (GroupOut(c), i) => col(c).as(s"_mv_$i")
+          case (CountOut, i)    => col("n_rows").as(s"_mv_$i")
+          case (SumOut(c), i)   => col(s"sum_$c").as(s"_mv_$i")
+          case (MinOut(c), i)   => col(s"min_$c").as(s"_mv_$i")
+          case (MaxOut(c), i)   => col(s"max_$c").as(s"_mv_$i")
+        }: _*)
+      else {
+        // subset rollup: COUNT re-sums n_rows (coalesced — the original
+        // count is non-nullable), SUM re-sums, MIN/MAX re-minimize
+        val aggCols = outs.zipWithIndex.collect {
+          case (CountOut, i) =>
+            coalesce(sum(col("n_rows")), lit(0L)).as(s"_mv_$i")
+          case (SumOut(c), i)  => sum(col(s"sum_$c")).as(s"_mv_$i")
+          case (MinOut(c), i)  => min(col(s"min_$c")).as(s"_mv_$i")
+          case (MaxOut(c), i)  => max(col(s"max_$c")).as(s"_mv_$i")
+        }
+        val grouped = serve.groupBy(groups.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+        grouped.select(outs.zipWithIndex.map {
+          case (GroupOut(c), i) => col(c).as(s"_mv_$i")
+          case (_, i)           => col(s"_mv_$i")
+        }: _*)
+      }
+    val child = slim.queryExecution.analyzed
+    Project(
+      agg.aggregateExpressions.zip(child.output).map { case (orig, na) =>
+        Alias(na, orig.name)(exprId = orig.exprId)
+      }, child)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val cands = candidates
+    if (cands.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate if srcOf(agg.child).isDefined &&
+          agg.groupingExpressions.nonEmpty =>
+        val srcKey = srcOf(agg.child).get
+        val groupsOpt = traverse(agg.groupingExpressions.map {
+          case a: AttributeReference => Some(a.name)
+          case _ => None
+        })
+        val hit = groupsOpt.flatMap { groups =>
+          cands.iterator.flatMap { case (lake, mv) =>
+            defOf(spark, lake, mv).flatMap { case (sLake, sTable, vd) =>
+              val covered =
+                norm(sLake, sTable) == srcKey &&
+                  groups.forall(vd.groupCols.contains) &&
+                  groups.nonEmpty
+              if (!covered) None
+              else traverse(agg.aggregateExpressions.map(outOf(_, vd)))
+                .filter { outs =>
+                  // every plain group output must be a queried group
+                  outs.forall {
+                    case GroupOut(c) => groups.contains(c); case _ => true }
+                }
+                .filter(_ => MatView.isFresh(spark, sLake, sTable, lake, mv))
+                .map(outs => (lake, mv, vd, groups, outs))
+            }
+          }.nextOption()
+        }
+        hit match {
+          case Some((lake, mv, vd, groups, outs)) =>
+            logInfo(s"rewriting aggregate over $srcKey to " +
+              s"materialized view $mv")
+            rewrite(agg, lake, mv, vd, groups, outs)
+          case None => agg
+        }
+    }
+  }
+
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+}
+
+object MvRewriteRule {
+  /** View definitions are immutable per table — cache them. A missing
+    * sidecar caches as None (mis-configured candidate stays cheap).
+    */
+  private val defCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String), Option[(String, String, ViewDef)]]()
+
+  private def defOf(spark: SparkSession, lake: String, mv: String)
+      : Option[(String, String, ViewDef)] =
+    defCache.computeIfAbsent((lake, mv), _ =>
+      try MatView.readDef(spark, lake, mv)
+      catch { case scala.util.control.NonFatal(_) => None })
+}

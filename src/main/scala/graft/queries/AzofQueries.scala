@@ -43,7 +43,8 @@ object AzofQueries {
     "s08_minhash_sig_index" -> minhashSigIndex,
     "t20_lm_index" -> lmStatsIndex,
     "q51_matview" -> matViewServe,
-    "q52_matview_rebuild" -> matViewRebuild)
+    "q52_matview_rebuild" -> matViewRebuild,
+    "q53_mv_rewrite" -> matViewRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -966,7 +967,7 @@ object AzofQueries {
     * same view one-shot from the final live corpus.
     */
   private[queries] def mvLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "mv-v1", "doc_mv") { l =>
+    cachedLake(dir, "mv-v3", "doc_mv") { l =>
       import graft.sources.MatView
       val schema = TableSchema(Seq(
         ColumnDef("source", ColumnType.AzString, nullable = false),
@@ -1039,6 +1040,37 @@ object AzofQueries {
         col("sum_n_chars").cast("double") / col("n_rows"))
   }
 
+  /** The AUTOMATIC REWRITE under the oracle gate: a plain SQL GROUP BY
+    * over the source table — no mention of the view — is answered FROM
+    * the fresh view by [[graft.plans.MvRewriteRule]]. The function
+    * REFUSES to return a plan that still aggregates the corpus (an
+    * optimized-plan pin), so this row certifies rewrite-fired AND
+    * rewrite-exact in one hash check against the same one-shot
+    * recompute oracle as q51.
+    */
+  private def matViewRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = mvLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_mv")
+    try {
+      val q = s.sql(
+        "SELECT source, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, min(n_chars) AS min_n_chars, " +
+          "max(n_chars) AS max_n_chars FROM azof.docs_mv GROUP BY source")
+      val aggs = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      if (aggs.nonEmpty) throw new IllegalStateException(
+        "materialized-view rewrite did not fire — refusing to pass the " +
+          "row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** q51/q52's shared oracle: the one-shot GROUP BY over the mv lake's
     * final LIVE corpus, reconstructed relationally from the raw
     * documents (docs 6/7 deleted; every `doc_id % 5 = 0` doc moved to
@@ -1060,6 +1092,19 @@ object AzofQueries {
   def oracleSql: Map[String, String] = Map(
     "q51_matview" -> matViewOracle,
     "q52_matview_rebuild" -> matViewOracle,
+    // the rewritten aggregate serves the SAME truth as q51 minus the
+    // derived mean (the rewrite covers count/sum/min/max)
+    "q53_mv_rewrite" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                    AS source,
+                  CASE WHEN doc_id % 5 = 0 THEN n_chars + 4 ELSE n_chars
+                    END AS n_chars
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+         FROM live GROUP BY source""",
     // s08: candidates from the persisted signatures ≡ d02's own oracle
     // over the raw documents (final source state = the full table)
     "s08_minhash_sig_index" ->

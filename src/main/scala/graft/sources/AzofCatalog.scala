@@ -436,6 +436,12 @@ class AzofV2Table(
 
   override def name(): String = tableName
   override def schema(): StructType = relation.schema
+
+  /** See [[AzofRelation.mvMatchKey]] — Current main-lineage view only. */
+  private[graft] def mvMatchKey: Option[(String, String)] =
+    if (asOf == AsOf.Current && version.isEmpty && branchLineage.isEmpty)
+      Some((lakehousePath, tableName))
+    else None
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE)

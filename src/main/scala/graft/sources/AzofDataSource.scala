@@ -185,6 +185,16 @@ final class AzofRelation(
 
   private val spark = sqlContext.sparkSession
   private val table = AzofTable(spark, lakehousePath, tableName)
+
+  /** `(lakehousePath, tableName)` iff this relation is the CURRENT live
+    * view (no as-of, no version pin) — the only view an incrementally
+    * maintained aggregate can stand in for. Consumed by
+    * [[graft.plans.MvRewriteRule]].
+    */
+  private[graft] def mvMatchKey: Option[(String, String)] =
+    if (asOf == AsOf.Current && versionAsOf.isEmpty)
+      Some((lakehousePath, tableName))
+    else None
   // non-numeric versionAsOf specs resolve as named refs (tags) through
   // the current snapshot's ref index (AzofTable.resolveVersion)
   private val snap: Snapshot =

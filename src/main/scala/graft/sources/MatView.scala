@@ -116,6 +116,21 @@ object MatView {
           ColumnDef(s"max_$c", ColumnType.AzInt, nullable = true))))
   }
 
+  /** View-definition sidecar in the view table's dir: what the view
+    * maintains and over which source — read back by the automatic
+    * query-rewrite rule ([[graft.plans.MvRewriteRule]]). Written once
+    * at create (the definition is immutable for a view table's life).
+    */
+  val DefFileName = "_mv_def.json"
+
+  /** Refresh cursor sidecar: the greatest SOURCE feed version the view
+    * has consumed — the rewrite rule's freshness evidence. Written
+    * after every data-carrying micro-batch commit (crash between
+    * commit and cursor write self-heals: the replayed batch no-ops
+    * through the `stream_batches` guard and re-writes the cursor).
+    */
+  val CursorFileName = "_mv_cursor.json"
+
   /** Create the view table (idempotent). The source table must already
     * exist — the view's schema derives from it.
     */
@@ -127,10 +142,132 @@ object MatView {
       segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
     val srcSchema =
       AzofTable(spark, srcLake, srcTable).currentSnapshot.schema
-    AzofWriter.createTableIfAbsent(
+    val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, viewSchema(srcSchema, view), segmentStart)
+    if (created) writeDef(spark, srcLake, srcTable, idxLake, idxTable, view)
     ()
   }
+
+  private def sidecar(
+      spark: SparkSession, idxLake: String, idxTable: String,
+      name: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val dir = AzofTable(spark, idxLake, idxTable).tableDir
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def writeDef(
+      spark: SparkSession, srcLake: String, srcTable: String,
+      idxLake: String, idxTable: String, view: ViewDef): Unit = {
+    def arr(xs: Seq[String]) =
+      xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    // a same-lake source records NO path and resolves against the
+    // view's OWN lake at read time, so the sidecar survives the lake
+    // directory moving (build-in-temp-then-rename, mounts); only a
+    // cross-lake source pins an absolute path
+    val srcPath =
+      if (new org.apache.hadoop.fs.Path(srcLake) ==
+          new org.apache.hadoop.fs.Path(idxLake)) ""
+      else srcLake
+    val (fs, p) = sidecar(spark, idxLake, idxTable, DefFileName)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"source_path":"$srcPath","source_table":"$srcTable",""" +
+        s""""group_cols":${arr(view.groupCols)},""" +
+        s""""sum_cols":${arr(view.sumCols)},""" +
+        s""""minmax_cols":${arr(view.minMaxCols)}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The view's definition sidecar: `(sourceLake, sourceTable, def)` —
+    * None when the table has no sidecar (not a [[MatView]] table). A
+    * same-lake source (recorded relative) resolves to `idxLake`.
+    */
+  def readDef(
+      spark: SparkSession, idxLake: String, idxTable: String)
+      : Option[(String, String, ViewDef)] = {
+    val (fs, p) = sidecar(spark, idxLake, idxTable, DefFileName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      def seq(f: String): Seq[String] = {
+        val n = root.get(f)
+        (0 until n.size()).map(i => n.get(i).asText())
+      }
+      val rec = root.get("source_path").asText
+      Some((if (rec.isEmpty) idxLake else rec,
+        root.get("source_table").asText,
+        ViewDef(seq("group_cols"), seq("sum_cols"), seq("minmax_cols"))))
+    }
+  }
+
+  /** The greatest source feed version the view has consumed. */
+  def readCursor(
+      spark: SparkSession, idxLake: String, idxTable: String): Option[Long] = {
+    val (fs, p) = sidecar(spark, idxLake, idxTable, CursorFileName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      Some(root.get("sourceVersion").asLong)
+    }
+  }
+
+  private def writeCursor(
+      spark: SparkSession, idxLake: String, idxTable: String,
+      version: Long): Unit = {
+    val dir = AzofTable(spark, idxLake, idxTable).tableDir
+    val (fs, p) = sidecar(spark, idxLake, idxTable, CursorFileName)
+    AtomicReplace.replace(fs, dir, p, s"""{"sourceVersion":$version}""")
+    ()
+  }
+
+  /** Whether the view's state equals the one-shot aggregate over the
+    * source's CURRENT live corpus — the rewrite rule's gate. Fresh iff
+    * a cursor exists and every main-lineage commit after it is
+    * view-preserving: compacts and purges rewrite/remove bytes of rows
+    * whose live state the feed already delivered, analyze restamps
+    * metadata; a ROLLBACK (live state changed with no feed event) or
+    * any commit registering NEW files (data, tombstones, a published
+    * branch) is staleness. Cost: one snapshot-dir listing plus one
+    * metadata parse per post-cursor commit — zero in steady state.
+    */
+  def isFresh(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String, idxTable: String): Boolean =
+    readCursor(spark, idxLake, idxTable).exists { cur =>
+      val t = AzofTable(spark, srcLake, srcTable)
+      val current = t.currentVersion.toLong
+      if (current < cur) false // rolled back below the cursor
+      else if (current == cur) true
+      else try {
+        val fs = t.tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+        val ids = AzofTable.snapshotIdsOnDisk(fs, t.tableDir)
+          .filter(v => v > cur && v <= current).sorted
+        var prevFiles = t.snapshot(cur.toString).allFiles
+        ids.forall { v =>
+          val s = t.snapshot(v.toString)
+          if (s.branch.nonEmpty) true // staged lineage: main view unchanged
+          else if (s.op.contains("rollback")) false
+          else if (s.op.exists(o => o == "compact" || o == "purge")) {
+            prevFiles = s.allFiles; true
+          } else if ((s.allFiles -- prevFiles).nonEmpty) false
+          else { prevFiles = s.allFiles; true }
+        }
+      } catch {
+        // a vacuumed cursor snapshot (or any unreadable metadata) is
+        // conservatively stale — the rewrite falls back to the scan
+        case scala.util.control.NonFatal(_) => false
+      }
+    }
 
   /** Incrementally refresh the view from the source's commit feed
     * (AvailableNow by default).
@@ -152,9 +289,12 @@ object MatView {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val rows = deltaBatch(spark, batch, srcLake, srcTable,
+        val (rows, maxV) = deltaBatch(spark, batch, srcLake, srcTable,
           idxLake, idxTable, view, broadcastKeyMax)
         AzofSink.commitBatch(idxLake, idxTable, rows, id, appId)
+        // cursor AFTER the commit: the rewrite rule's freshness
+        // evidence (a crash in between self-heals on replay)
+        if (maxV >= 0) writeCursor(spark, idxLake, idxTable, maxV)
         graft.operators.Blocks.freeReferenced(rows)
         ()
       }
@@ -185,7 +325,7 @@ object MatView {
       spark: SparkSession, batch: Dataset[Row],
       srcLake: String, srcTable: String,
       idxLake: String, idxTable: String,
-      view: ViewDef, broadcastKeyMax: Long): DataFrame = {
+      view: ViewDef, broadcastKeyMax: Long): (DataFrame, Long) = {
     val K = TableSchema.KeyName
     val outSchema = viewSchema(
       AzofTable(spark, srcLake, srcTable).currentSnapshot.schema, view)
@@ -202,7 +342,7 @@ object MatView {
       count_distinct(col(K))).collect()(0)
     if (bounds.isNullAt(2) || bounds.getLong(2) == 0L) {
       graft.operators.Blocks.freeReferenced(slim.toDF())
-      return empty
+      return (empty, -1L)
     }
     val (minV, maxV, nChurned) =
       (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
@@ -239,7 +379,7 @@ object MatView {
       .localCheckpoint(true)
     graft.operators.Blocks.freeReferenced(slim.toDF())
     val nTouched = touched.count()
-    if (nTouched == 0L) return empty
+    if (nTouched == 0L) return (empty, maxV)
     // MIN/MAX rescan: only groups that LOST rows (a pre-image landed in
     // them); insert-only groups monoid-merge below with no source read
     val rescan =
@@ -321,7 +461,7 @@ object MatView {
           when(col("_p_n").isNotNull, col(s"_r_mx_$c"))
             .otherwise(greatest(col(s"_o_mx_$c"), col(s"_a_mx_$c")))
             .as(s"max_$c")))
-    withRescan.select(outCols: _*)
+    (withRescan.select(outCols: _*), maxV)
   }
 
   /** The served view: every live group's totals — [[refresh]]'s
@@ -351,10 +491,14 @@ object MatView {
       srcLake: String, srcTable: String,
       idxLake: String, newTable: String,
       view: ViewDef, at: Instant): Long = {
-    val srcSchema =
-      AzofTable(spark, srcLake, srcTable).currentSnapshot.schema
-    AzofWriter.createTableIfAbsent(
-      spark, idxLake, newTable, viewSchema(srcSchema, view), at)
+    val src = AzofTable(spark, srcLake, srcTable)
+    // pin the version BEFORE reading: a commit racing the rebuild makes
+    // the cursor claim less than the retrain saw, never more
+    val atVersion = src.currentVersion.toLong
+    val created = AzofWriter.createTableIfAbsent(
+      spark, idxLake, newTable, viewSchema(src.currentSnapshot.schema, view),
+      at)
+    if (created) writeDef(spark, srcLake, srcTable, idxLake, newTable, view)
     val live = graft.operators.AzofScan.scan(spark, srcLake, srcTable)
       .select(view.needed.map(col): _*)
     val agg = groupAgg(live, view, "_a_")
@@ -372,6 +516,9 @@ object MatView {
     val rows = agg.select(outCols: _*)
     val n = rows.count()
     if (n > 0) AzofWriter.commitDelta(spark, idxLake, newTable, rows, at, at)
+    // the retrain saw the live state at (at least) the pinned version —
+    // the rebuilt table serves rewrites immediately
+    writeCursor(spark, idxLake, newTable, atVersion)
     n
   }
 }

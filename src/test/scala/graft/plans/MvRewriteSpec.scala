@@ -1,0 +1,197 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.format._
+import graft.sources.{AzofWriter, MatView, ViewDef}
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The automatic materialized-view rewrite: covered aggregates over an
+  * azof table's Current view are answered from the registered
+  * [[MatView]] (plan-pinned: the corpus scan disappears), exact-match
+  * groups become a pure projection, subset groups a rollup over the
+  * view, and ANY staleness evidence — an unrefreshed commit, a
+  * rollback — falls back to the corpus scan, never to a wrong answer.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val srcSchema = TableSchema(Seq(
+    ColumnDef("g1", ColumnType.AzString, nullable = false),
+    ColumnDef("g2", ColumnType.AzString, nullable = false),
+    ColumnDef("v", ColumnType.AzInt, nullable = false)))
+
+  private val vd =
+    ViewDef(Seq("g1", "g2"), sumCols = Seq("v"), minMaxCols = Seq("v"))
+
+  private def ts(s: String) = Instant.parse(s)
+
+  private def df(rows: (String, String, String, String, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, t, g1, g2, v) =>
+        Row(k, Timestamp.from(ts(t)), g1, g2, v) }),
+      srcSchema.toStruct)
+
+  /** A lake with src committed and the view refreshed. */
+  private def mkLake(tag: String): (String, String) = {
+    val l = Files.createTempDirectory(s"azof-mvrw-$tag").toString
+    val ck = Files.createTempDirectory(s"azof-mvrw-$tag-ck").toString
+    AzofWriter.createTable(spark, l, "src", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src", df(
+      ("1", "2024-01-02T00:00:00Z", "a", "x", 10L),
+      ("2", "2024-01-02T00:00:00Z", "a", "y", 4L),
+      ("3", "2024-01-02T00:00:00Z", "b", "x", 7L),
+      ("4", "2024-01-02T00:00:00Z", "a", "x", 2L)))                  // v2
+    val q = MatView.refresh(spark, l, "src", l, "mv", vd, ck)
+    assert(q.awaitTermination(120000))
+    (l, ck)
+  }
+
+  private def withConfs[A](l: String)(body: => A): A = {
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "mv")
+    try body
+    finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  private def aggregates(q: DataFrame): Seq[Aggregate] =
+    q.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+
+  /** Whether the optimized plan still scans the SOURCE through an azof
+    * relation node (either surface) — a rewritten plan reads the view's
+    * parquet files directly and carries none.
+    */
+  private def scansSrc(q: DataFrame): Boolean =
+    q.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if s.relation.table.isInstanceOf[graft.sources.AzofV2Table] => s
+    }.nonEmpty
+
+  test("exact-group aggregate rewrites to a pure projection of the " +
+    "view — no Aggregate node, no corpus scan — with identical results") {
+    val (l, _) = mkLake("exact")
+    withConfs(l) {
+      val q = spark.sql(
+        "SELECT g1, g2, count(*) AS n, sum(v) AS sv, min(v) AS mn, " +
+          "max(v) AS mx FROM azof.src GROUP BY g1, g2")
+      assert(aggregates(q).isEmpty, "aggregate must be served, not run:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(!scansSrc(q), "corpus scan must disappear")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(x => (x._1, x._2))
+      assert(got.toSeq == Seq(
+        ("a", "x", 2L, 12L, 2L, 10L),
+        ("a", "y", 1L, 4L, 4L, 4L),
+        ("b", "x", 1L, 7L, 7L, 7L)))
+    }
+  }
+
+  test("subset-group aggregate rolls the view up (COUNT re-sums " +
+    "n_rows, MIN/MAX re-minimize) instead of scanning the corpus") {
+    val (l, _) = mkLake("subset")
+    withConfs(l) {
+      val q = spark.sql(
+        "SELECT g1, count(*) AS n, sum(v) AS sv, min(v) AS mn, " +
+          "max(v) AS mx FROM azof.src GROUP BY g1")
+      assert(aggregates(q).nonEmpty, "rollup keeps one aggregate")
+      assert(!scansSrc(q), "but it aggregates the VIEW, not the corpus")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1)
+      assert(got.toSeq == Seq(
+        ("a", 3L, 16L, 2L, 10L), ("b", 1L, 7L, 7L, 7L)))
+    }
+  }
+
+  test("an unrefreshed source commit makes the view stale: the query " +
+    "falls back to the corpus scan and sees the new rows; the next " +
+    "refresh restores the rewrite") {
+    val (l, ck) = mkLake("stale")
+    withConfs(l) {
+      AzofWriter.commitDelta(spark, l, "src", df(
+        ("5", "2024-02-05T00:00:00Z", "b", "y", 100L)),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))      // v3
+      def q = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src GROUP BY g1")
+      assert(scansSrc(q), "stale view must NOT serve")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("a", 3L), ("b", 2L)),
+        "fallback sees the unrefreshed commit")
+      val s = MatView.refresh(spark, l, "src", l, "mv", vd, ck)
+      assert(s.awaitTermination(120000))
+      assert(!scansSrc(q), "refresh restores the rewrite")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("a", 3L), ("b", 2L)))
+    }
+  }
+
+  test("a source ROLLBACK (no feed event) reads as stale; compaction " +
+    "(view-preserving) does not") {
+    val (l, _) = mkLake("rb")
+    assert(MatView.isFresh(spark, l, "src", l, "mv"))
+    AzofWriter.compact(spark, l, "src", ts("2024-06-01T00:00:00Z"))  // v3
+    assert(MatView.isFresh(spark, l, "src", l, "mv"),
+      "a compact rewrites bytes, not the live view")
+    withConfs(l) {
+      val q = spark.sql(
+        "SELECT g1, g2, count(*) AS n FROM azof.src GROUP BY g1, g2")
+      assert(!scansSrc(q), "rewrite still fires over the compacted table")
+    }
+    AzofWriter.rollback(spark, l, "src", 2L)                         // v4
+    assert(!MatView.isFresh(spark, l, "src", l, "mv"),
+      "rollback changes live state with no feed event — stale")
+  }
+
+  test("shapes the view cannot answer exactly are left untouched: " +
+    "DISTINCT, avg, undeclared columns, filters below the aggregate") {
+    val (l, _) = mkLake("shapes")
+    withConfs(l) {
+      for (sql <- Seq(
+        "SELECT g1, count(DISTINCT v) AS n FROM azof.src GROUP BY g1",
+        "SELECT g1, avg(v) AS a FROM azof.src GROUP BY g1",
+        "SELECT g1, sum(length(g2)) AS s FROM azof.src GROUP BY g1",
+        "SELECT g1, count(*) AS n FROM azof.src WHERE v > 3 GROUP BY g1",
+        "SELECT count(*) AS n FROM azof.src")) {
+        val q = spark.sql(sql)
+        assert(scansSrc(q), s"must not rewrite: $sql")
+        assert(q.collect().nonEmpty)
+      }
+    }
+  }
+
+  test("the DSv2 catalog surface rewrites too; unset conf is inert") {
+    val (l, _) = mkLake("dsv2")
+    spark.conf.set("spark.sql.catalog.mvr", classOf[graft.sources.AzofCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mvr.path", l)
+    try {
+      def q = spark.sql(
+        "SELECT g1, g2, sum(v) AS sv FROM mvr.src GROUP BY g1, g2")
+      assert(scansSrc(q), "no conf, no rewrite")
+      spark.conf.set("spark.azof.mv.rewrite", s"$l::mv")
+      try {
+        assert(aggregates(q).isEmpty && !scansSrc(q),
+          "catalog-relation aggregate served from the view:\n" +
+            q.queryExecution.optimizedPlan)
+        assert(q.collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq ==
+          Seq(("a", "x", 12L), ("a", "y", 4L), ("b", "x", 7L)))
+      } finally spark.conf.unset("spark.azof.mv.rewrite")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mvr")
+      spark.conf.unset("spark.sql.catalog.mvr.path")
+    }
+  }
+}
