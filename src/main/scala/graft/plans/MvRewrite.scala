@@ -3,9 +3,9 @@ package graft.plans
 import graft.sources.{AzofRelation, AzofV2Table, MatView, ViewDef}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Expression, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -35,9 +35,13 @@ import org.apache.spark.sql.functions._
   *     columns (the monoid rollup property: COUNT re-sums `n_rows`,
   *     SUM re-sums, MIN/MAX re-minimize — all exact), aggregates
   *     drawn from COUNT(*) / COUNT(non-nullable col) / SUM / MIN /
-  *     MAX over the declared columns, no DISTINCT, no FILTER clause,
-  *     no predicate below the aggregate. An exact group match skips
-  *     the re-aggregation entirely (pure projection of the view).
+  *     MAX over the declared columns, plus `COUNT(DISTINCT g)` for a
+  *     view GROUP column (view rows are distinct group tuples, so the
+  *     distinct count reads off the view). WHERE predicates touching
+  *     only group columns commute with the aggregation and move onto
+  *     the (group-cardinality) view scan; any other predicate, FILTER
+  *     clause, or aggregate refuses. An exact group match with no
+  *     distinct skips the re-aggregation entirely (pure projection).
   *
   * Both scan surfaces rewrite: the V1 reader relation (`azof.t` SQL,
   * `spark.read.format("azof")`) and the DSv2 catalog relation
@@ -68,22 +72,46 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     new Path(new Path(lake), table).toString
 
   /** The relation a covered aggregate may stand on: the azof CURRENT
-    * view (either surface), possibly under a pure column-pruning
-    * Project. Returns the normalized source key.
+    * view (either surface), possibly under pure column-pruning Projects
+    * and Filters. Returns the normalized source key plus the collected
+    * filter conjuncts (validated against the view's group columns by
+    * the caller).
     */
-  private def srcOf(plan: LogicalPlan): Option[String] = plan match {
-    case l: LogicalRelation => l.relation match {
-      case r: AzofRelation => r.mvMatchKey.map((norm _).tupled)
+  private def srcOf(plan: LogicalPlan): Option[(String, Seq[Expression])] =
+    plan match {
+      case l: LogicalRelation => l.relation match {
+        case r: AzofRelation =>
+          r.mvMatchKey.map(k => (norm(k._1, k._2), Nil))
+        case _ => None
+      }
+      case r: DataSourceV2Relation => r.table match {
+        case t: AzofV2Table =>
+          t.mvMatchKey.map(k => (norm(k._1, k._2), Nil))
+        case _ => None
+      }
+      case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
+        srcOf(p.child)
+      case f: Filter => srcOf(f.child).map { case (k, cs) =>
+        (k, splitAnd(f.condition) ++ cs)
+      }
       case _ => None
     }
-    case r: DataSourceV2Relation => r.table match {
-      case t: AzofV2Table => t.mvMatchKey.map((norm _).tupled)
-      case _ => None
-    }
-    case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
-      srcOf(p.child)
-    case _ => None
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
   }
+
+  /** A filter conjunct the view can answer: deterministic, no
+    * subqueries, and touching ONLY group columns — group values are
+    * identical in the view, so the predicate commutes with the
+    * aggregation and applies to the view scan verbatim.
+    */
+  private def filterCovered(c: Expression, vd: ViewDef): Boolean =
+    c.deterministic &&
+      !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
+      c.references.nonEmpty &&
+      c.references.forall(a => vd.groupCols.contains(a.name))
 
   private sealed trait Out
   private case class GroupOut(c: String) extends Out
@@ -91,13 +119,24 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class SumOut(c: String) extends Out
   private case class MinOut(c: String) extends Out
   private case class MaxOut(c: String) extends Out
+  /** `COUNT(DISTINCT c)` where `c` is one of the view's GROUP columns:
+    * view rows are distinct (group tuples), so the count of live view
+    * rows per query group — `count_distinct` when the view carries
+    * extra group columns — is the exact distinct count.
+    */
+  private case class DistinctOut(c: String) extends Out
 
   /** Map one output expression of the aggregate onto the view, or None
     * when the view cannot answer it exactly.
     */
   private def outOf(ne: NamedExpression, vd: ViewDef): Option[Out] = {
     def agg(ae: AggregateExpression): Option[Out] =
-      if (ae.isDistinct || ae.filter.nonEmpty) None
+      if (ae.filter.nonEmpty) None
+      else if (ae.isDistinct) ae.aggregateFunction match {
+        case Count(Seq(a: AttributeReference))
+          if vd.groupCols.contains(a.name) => Some(DistinctOut(a.name))
+        case _ => None
+      }
       else ae.aggregateFunction match {
         case Count(Seq(_: Literal)) => Some(CountOut)
         case Count(Seq(a: AttributeReference)) if !a.nullable =>
@@ -138,17 +177,35 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def rewrite(
       agg: Aggregate, lake: String, mv: String, vd: ViewDef,
-      groups: Seq[String], outs: Seq[Out]): LogicalPlan = {
-    val serve = MatView.serve(spark, lake, mv, vd)
+      groups: Seq[String], outs: Seq[Out],
+      conds: Seq[Expression]): LogicalPlan = {
+    val served = MatView.serve(spark, lake, mv, vd)
+    // group-column predicates commute with the aggregation: remap them
+    // onto the view's attributes and filter the (group-cardinality)
+    // view scan before any re-aggregation
+    val serve =
+      if (conds.isEmpty) served
+      else {
+        val p = served.queryExecution.analyzed
+        val byName = p.output.map(a => a.name -> a).toMap
+        val remapped = conds.map(_.transform {
+          case a: AttributeReference => byName(a.name)
+        }).reduce(And)
+        org.apache.spark.sql.graft.StreamingBridge.ofRows(
+          spark, Filter(remapped, p))
+      }
     val slim =
-      if (groups.toSet == vd.groupCols.toSet)
+      if (groups.toSet == vd.groupCols.toSet &&
+          !outs.exists(_.isInstanceOf[DistinctOut]))
         // exact match: one row per group already — pure projection
         serve.select(outs.zipWithIndex.map {
-          case (GroupOut(c), i) => col(c).as(s"_mv_$i")
-          case (CountOut, i)    => col("n_rows").as(s"_mv_$i")
-          case (SumOut(c), i)   => col(s"sum_$c").as(s"_mv_$i")
-          case (MinOut(c), i)   => col(s"min_$c").as(s"_mv_$i")
-          case (MaxOut(c), i)   => col(s"max_$c").as(s"_mv_$i")
+          case (GroupOut(c), i)    => col(c).as(s"_mv_$i")
+          case (CountOut, i)       => col("n_rows").as(s"_mv_$i")
+          case (SumOut(c), i)      => col(s"sum_$c").as(s"_mv_$i")
+          case (MinOut(c), i)      => col(s"min_$c").as(s"_mv_$i")
+          case (MaxOut(c), i)      => col(s"max_$c").as(s"_mv_$i")
+          case (DistinctOut(_), _) => throw new IllegalStateException(
+            "distinct outputs always take the rollup path")
         }: _*)
       else {
         // subset rollup: COUNT re-sums n_rows (coalesced — the original
@@ -156,9 +213,10 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val aggCols = outs.zipWithIndex.collect {
           case (CountOut, i) =>
             coalesce(sum(col("n_rows")), lit(0L)).as(s"_mv_$i")
-          case (SumOut(c), i)  => sum(col(s"sum_$c")).as(s"_mv_$i")
-          case (MinOut(c), i)  => min(col(s"min_$c")).as(s"_mv_$i")
-          case (MaxOut(c), i)  => max(col(s"max_$c")).as(s"_mv_$i")
+          case (SumOut(c), i)      => sum(col(s"sum_$c")).as(s"_mv_$i")
+          case (MinOut(c), i)      => min(col(s"min_$c")).as(s"_mv_$i")
+          case (MaxOut(c), i)      => max(col(s"max_$c")).as(s"_mv_$i")
+          case (DistinctOut(c), i) => count_distinct(col(c)).as(s"_mv_$i")
         }
         val grouped = serve.groupBy(groups.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
@@ -180,7 +238,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg: Aggregate if srcOf(agg.child).isDefined &&
           agg.groupingExpressions.nonEmpty =>
-        val srcKey = srcOf(agg.child).get
+        val (srcKey, conds) = srcOf(agg.child).get
         val groupsOpt = traverse(agg.groupingExpressions.map {
           case a: AttributeReference => Some(a.name)
           case _ => None
@@ -191,7 +249,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               val covered =
                 norm(sLake, sTable) == srcKey &&
                   groups.forall(vd.groupCols.contains) &&
-                  groups.nonEmpty
+                  groups.nonEmpty &&
+                  conds.forall(filterCovered(_, vd))
               if (!covered) None
               else traverse(agg.aggregateExpressions.map(outOf(_, vd)))
                 .filter { outs =>
@@ -208,7 +267,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case Some((lake, mv, vd, groups, outs)) =>
             logInfo(s"rewriting aggregate over $srcKey to " +
               s"materialized view $mv")
-            rewrite(agg, lake, mv, vd, groups, outs)
+            rewrite(agg, lake, mv, vd, groups, outs, conds)
           case None => agg
         }
     }

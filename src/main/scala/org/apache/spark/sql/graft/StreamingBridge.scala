@@ -24,4 +24,15 @@ object StreamingBridge {
     spark.internalCreateDataFrame(
       classic.queryExecution.toRdd, classic.schema, isStreaming = true)
   }
+
+  /** Wrap a logical plan back into a DataFrame — `Dataset.ofRows` is
+    * `private[sql]`. Used by the MV rewrite rule to apply a remapped
+    * group-column filter onto the served view's analyzed plan.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -172,6 +172,38 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("WHERE on group columns commutes onto the view scan; " +
+    "COUNT(DISTINCT <view group col>) reads off the view's rows") {
+    val (l, _) = mkLake("fd")
+    withConfs(l) {
+      // group-col predicate: filter moves onto the view, aggregate gone
+      val qf = spark.sql(
+        "SELECT g1, g2, count(*) AS n, sum(v) AS sv FROM azof.src " +
+          "WHERE g1 = 'a' AND length(g2) = 1 GROUP BY g1, g2")
+      assert(aggregates(qf).isEmpty && !scansSrc(qf),
+        "filtered exact-match must still be a pure view projection:\n" +
+          qf.queryExecution.optimizedPlan)
+      assert(qf.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq ==
+        Seq(("a", "x", 2L, 12L), ("a", "y", 1L, 4L)))
+      // distinct count of a view group column: the subset rollup
+      val qd = spark.sql(
+        "SELECT g1, count(DISTINCT g2) AS d, sum(v) AS sv " +
+          "FROM azof.src GROUP BY g1")
+      assert(!scansSrc(qd), "distinct over a view group col must serve")
+      assert(qd.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq ==
+        Seq(("a", 2L, 16L), ("b", 1L, 7L)))
+      // mixed filter + distinct
+      val qm = spark.sql(
+        "SELECT g1, count(DISTINCT g2) AS d FROM azof.src " +
+          "WHERE g2 = 'x' GROUP BY g1")
+      assert(!scansSrc(qm))
+      assert(qm.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("a", 1L), ("b", 1L)))
+    }
+  }
+
   test("the DSv2 catalog surface rewrites too; unset conf is inert") {
     val (l, _) = mkLake("dsv2")
     spark.conf.set("spark.sql.catalog.mvr", classOf[graft.sources.AzofCatalog].getName)
