@@ -95,6 +95,7 @@ object AzofCli {
           "seq-create|seq-refresh|seq-spans|seq-emit|" +
           "sem-create|sem-refresh|sem-rebuild|sem-verdicts|" +
           "mv-create|mv-refresh|mv-serve|mv-rebuild|" +
+          "term-create|term-refresh|term-search|term-rebuild|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
     }
@@ -641,6 +642,7 @@ object AzofCli {
           lmTable = opts.get("lm-table"),
           mvTable = opts.get("mv-table"),
           mvView = opts.get("mv-table").map(_ => cliViewDef(opts)),
+          termTable = opts.get("term-table"),
           compactSourceEvery =
             opts.getOrElse("compact-source-every", "0").toInt,
           compactSourceMaxFiles =
@@ -928,6 +930,46 @@ object AzofCli {
           opts.getOrElse("new-table", "lm_stats_next"),
           opts.get("at").map(Instant.parse).getOrElse(Instant.now()))
         println(s"rebuilt lm stats epoch: $n bigrams")
+      case "term-create" =>
+        // persisted inverted index (one row per posting):
+        // term-create --index-path L2 [--index-table term_postings]
+        graft.sources.TermIndex.create(spark,
+          opts("index-path"), opts.getOrElse("index-table", "term_postings"))
+        println("created term posting table")
+      case "term-refresh" =>
+        // one AvailableNow catch-up: tombstone vanished postings,
+        // upsert changed tf, write nothing for unchanged
+        val tIdx = opts.getOrElse("index-path", opts("path"))
+        val tTbl = opts.getOrElse("index-table", "term_postings")
+        val ckpt = opts.getOrElse("checkpoint",
+          new org.apache.hadoop.fs.Path(tIdx,
+            tTbl + "/_refresh_checkpoint").toString)
+        val q = graft.sources.TermIndex.refresh(spark,
+          opts("path"), opts("table"), opts.getOrElse("text-col", "text"),
+          tIdx, tTbl, ckpt)
+        q.awaitTermination()
+        println(s"term postings refreshed; version now " +
+          AzofTable(spark, tIdx, tTbl).currentVersion)
+      case "term-search" =>
+        // boolean search served from the postings: --terms a,b
+        // [--any] (default: require ALL terms)
+        val terms = opts("terms").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        graft.sources.TermIndex.search(spark,
+            opts.getOrElse("index-path", opts("path")),
+            opts.getOrElse("index-table", "term_postings"),
+            terms, requireAll = !opts.contains("any"))
+          .orderBy(org.apache.spark.sql.functions.col("sum_tf").desc,
+            org.apache.spark.sql.functions.col("doc"))
+          .show(numRows = 10000, truncate = false)
+      case "term-rebuild" =>
+        // epoch rebuild (the ROLLBACK reconciliation hatch)
+        val n = graft.sources.TermIndex.rebuildEpoch(spark,
+          opts("path"), opts("table"), opts.getOrElse("text-col", "text"),
+          opts.getOrElse("index-path", opts("path")),
+          opts.getOrElse("new-table", "term_postings_next"),
+          opts.get("at").map(Instant.parse).getOrElse(Instant.now()))
+        println(s"rebuilt term postings epoch: $n postings")
       case "mv-create" =>
         // persisted incremental materialized aggregate view:
         // mv-create --path L --table T --group-cols g1,g2

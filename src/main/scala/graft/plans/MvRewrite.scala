@@ -236,8 +236,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val cands = candidates
     if (cands.isEmpty) plan
     else plan.transformUp {
-      case agg: Aggregate if srcOf(agg.child).isDefined &&
-          agg.groupingExpressions.nonEmpty =>
+      case agg: Aggregate if srcOf(agg.child).isDefined =>
         val (srcKey, conds) = srcOf(agg.child).get
         val groupsOpt = traverse(agg.groupingExpressions.map {
           case a: AttributeReference => Some(a.name)
@@ -246,10 +245,13 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val hit = groupsOpt.flatMap { groups =>
           cands.iterator.flatMap { case (lake, mv) =>
             defOf(spark, lake, mv).flatMap { case (sLake, sTable, vd) =>
+              // groups may be EMPTY: a global aggregate rolls the whole
+              // view up (one row out, exactly like SQL's global agg —
+              // even over an empty corpus, where groupBy().agg matches
+              // the one-row null/zero semantics)
               val covered =
                 norm(sLake, sTable) == srcKey &&
                   groups.forall(vd.groupCols.contains) &&
-                  groups.nonEmpty &&
                   conds.forall(filterCovered(_, vd))
               if (!covered) None
               else traverse(agg.aggregateExpressions.map(outOf(_, vd)))

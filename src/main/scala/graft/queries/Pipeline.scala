@@ -66,6 +66,8 @@ object Pipeline {
     "t16_rarity_score" -> t16,
     "t17_hash_classifier" -> t17,
     "t18_chunk_overlap" -> t18,
+    "t21_term_search" -> t21,
+    "t22_term_rank" -> t22,
     "t19_lm_score" -> t19,
     "p01_filter_funnel" -> p01,
     "p02_index_funnel" -> p02,
@@ -1104,6 +1106,79 @@ object Pipeline {
     TextAnalysis.chunkWindows(docs(s, dir), col("text"), col("doc_id"),
       window = 64, stride = 48)
 
+  /** Four-commit, four-times-refreshed [[graft.sources.TermIndex]] lake
+    * over the documents corpus: base (⅔, Jan), delta (the rest, Feb),
+    * a REVISION appending the marker term `zzrevterm` to every
+    * `doc_id % 5 = 0` doc (Apr — tf upserts + vanished-term handling),
+    * and a tombstone delete of docs 6 and 7 (May — full posting
+    * retirement).
+    */
+  private[queries] def termLake(s: SparkSession, dir: String): String =
+    AzofQueries.cachedLake(dir, "term-v1", "term_postings") { l =>
+      import graft.format.{ColumnDef, ColumnType}
+      import graft.sources.{AzofWriter, TermIndex}
+      import java.time.Instant
+      val schema = graft.format.TableSchema(Seq(
+        ColumnDef("text", ColumnType.AzString, nullable = false)))
+      val src = docs(s, dir)
+      def rows(filter: org.apache.spark.sql.Column, at: String,
+          txt: org.apache.spark.sql.Column = col("text")) =
+        src.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          txt.as("text"))
+      AzofWriter.createTable(s, l, "docs_term", schema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val ck = new java.io.File(l, "_term_ck").toString
+      def refresh(): Unit = {
+        val q = TermIndex.refresh(s, l, "docs_term", "text", l,
+          "term_postings", ck)
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(
+            "term-postings refresh did not terminate within 300s")
+      }
+      AzofWriter.commitBase(s, l, "docs_term",
+        rows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))       // v2
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_term",
+        rows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))                       // v3
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_term",
+        rows(col("doc_id") % 5 === 0, "2024-04-05T00:00:00Z",
+          txt = concat(col("text"), lit(" zzrevterm"))),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))                       // v4
+      refresh()
+      AzofWriter.commitDelete(s, l, "docs_term", Seq("6", "7"),
+        Instant.parse("2024-05-05T00:00:00Z"))                       // v5
+      refresh()
+      ()
+    }
+
+  /** AND search served from the persisted inverted index: documents
+    * containing BOTH terms, with exact summed term frequencies. The
+    * oracle re-tokenizes the reconstructed live corpus — a posting the
+    * refresh dropped, double-counted, or failed to retire on the
+    * delete/revision churn cannot hash-match.
+    */
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    val l = termLake(s, dir)
+    graft.sources.TermIndex.search(s, l, "term_postings",
+      Seq("window", "dup"), requireAll = true)
+  }
+
+  /** OR search over the REVISION-minted marker term plus a corpus
+    * term — proves the revision's postings landed and the deleted
+    * docs' postings retired, with tf as the ranking evidence.
+    */
+  private def t22(s: SparkSession, dir: String): DataFrame = {
+    val l = termLake(s, dir)
+    graft.sources.TermIndex.search(s, l, "term_postings",
+      Seq("zzrevterm", "dup"), requireAll = false)
+  }
+
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
 
@@ -1719,6 +1794,41 @@ object Pipeline {
             AND pii.n_emails = 0 AND pii.n_ips = 0
             AND lmsc.avg_surprise <= 4.5""",
     // integer ceil-divide on both sides; DuckDB list slicing is
+    // the term-index oracles re-tokenize the reconstructed live corpus
+    // (docs 6/7 deleted; every doc_id % 5 = 0 doc carries the appended
+    // marker term) with the engine's whitespace/lowercase contract
+    "t21_term_search" ->
+      """WITH live AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' zzrevterm'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         toks AS (
+           SELECT CAST(doc_id AS VARCHAR) AS doc,
+                  unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM live),
+         tfs AS (
+           SELECT doc, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('window', 'dup') GROUP BY 1, 2)
+         SELECT doc, COUNT(DISTINCT term) AS n_terms,
+                CAST(SUM(tf) AS BIGINT) AS sum_tf
+         FROM tfs GROUP BY doc HAVING COUNT(DISTINCT term) = 2""",
+    "t22_term_rank" ->
+      """WITH live AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' zzrevterm'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         toks AS (
+           SELECT CAST(doc_id AS VARCHAR) AS doc,
+                  unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM live),
+         tfs AS (
+           SELECT doc, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('zzrevterm', 'dup') GROUP BY 1, 2)
+         SELECT doc, COUNT(DISTINCT term) AS n_terms,
+                CAST(SUM(tf) AS BIGINT) AS sum_tf
+         FROM tfs GROUP BY doc""",
     // 1-based-inclusive with tail clamping, matching Spark's
     // slice(arr, start, length) clamp
     "t18_chunk_overlap" ->

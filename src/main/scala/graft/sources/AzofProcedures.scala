@@ -41,7 +41,7 @@ object AzofProcedures {
     Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
       "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
       "contain_refresh", "shard_refresh", "seq_refresh", "lm_refresh",
-      "mv_refresh",
+      "mv_refresh", "term_refresh",
       "tag", "untag", "rollback",
       "create_branch", "drop_branch", "fast_forward", "merge_branch",
       "publish_preview")
@@ -139,6 +139,10 @@ object AzofProcedures {
         pd("index_table", StringType, "'mv'"),
         pd("sum_cols", StringType, "''"),
         pd("minmax_cols", StringType, "''"))
+      case "term_refresh" => Array(
+        p("table", StringType), p("index_path", StringType),
+        pd("index_table", StringType, "'term_postings'"),
+        pd("text_col", StringType, "'text'"))
       case "seq_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'seq_map'"),
@@ -326,6 +330,15 @@ object AzofProcedures {
           q.awaitTermination()
           (StructType(Seq(StructField("view_version", LongType))),
             Seq(AzofTable(spark, str(1), str(3)).currentVersion.toLong))
+        case "term_refresh" =>
+          // same stable-checkpoint rule as lm_refresh
+          val tCk = new org.apache.hadoop.fs.Path(str(1),
+            str(2) + "/_refresh_checkpoint").toString
+          val tq = TermIndex.refresh(spark, path, str(0), str(3),
+            str(1), str(2), tCk)
+          tq.awaitTermination()
+          (StructType(Seq(StructField("postings_version", LongType))),
+            Seq(AzofTable(spark, str(1), str(2)).currentVersion.toLong))
         case "shard_refresh" =>
           val r = ShardMap.refresh(spark, path, str(0), str(1), str(2),
             Instant.ofEpochMilli(System.currentTimeMillis()))

@@ -306,6 +306,7 @@ object DedupFlow {
       lmTable: Option[String] = None,
       mvTable: Option[String] = None,
       mvView: Option[ViewDef] = None,
+      termTable: Option[String] = None,
       compactSourceEvery: Int = 0,
       compactSourceMaxFiles: Int = 0,
       compactSourceFiles: Int = 1)
@@ -409,6 +410,17 @@ object DedupFlow {
         AzofVacuum.vacuum(spark, idxLake, mt, retain,
           minAgeMs = retainMinAgeMs)
     }
+    // the inverted index rides like the LM stats and the views
+    def refreshTerm(tt: String): Unit = {
+      val q = TermIndex.refresh(spark, srcLake, srcTable, textCol,
+        idxLake, tt,
+        new Path(AzofTable(spark, idxLake, tt).tableDir,
+          "_refresh_checkpoint").toString)
+      q.awaitTermination()
+      if (retain > 0)
+        AzofVacuum.vacuum(spark, idxLake, tt, retain,
+          minAgeMs = retainMinAgeMs)
+    }
     // eager catch-up: an index enabled on an existing follow (outer
     // checkpoint already past the history) would wait for the next
     // source commit; each index's own cursor makes this a no-op
@@ -419,6 +431,7 @@ object DedupFlow {
     seqTable.foreach(refreshSeq)
     lmTable.foreach(refreshLm)
     mvTable.foreach(refreshMv)
+    termTable.foreach(refreshTerm)
     // seed at the ingest cursor: commits the indexes already consumed
     // need not even surface as (ignored) outer batches
     val seeded = readCursor(spark, idxLake, ccTable)
@@ -439,6 +452,7 @@ object DedupFlow {
           seqTable.foreach(refreshSeq)
           lmTable.foreach(refreshLm)
           mvTable.foreach(refreshMv)
+          termTable.foreach(refreshTerm)
           maybeCompactSource(r.churned)
       }
       .trigger(trigger)

@@ -164,11 +164,30 @@ class MvRewriteSpec extends AnyFunSuite {
         "SELECT g1, avg(v) AS a FROM azof.src GROUP BY g1",
         "SELECT g1, sum(length(g2)) AS s FROM azof.src GROUP BY g1",
         "SELECT g1, count(*) AS n FROM azof.src WHERE v > 3 GROUP BY g1",
-        "SELECT count(*) AS n FROM azof.src")) {
+        "SELECT sum(v + 1) AS s FROM azof.src")) {
         val q = spark.sql(sql)
         assert(scansSrc(q), s"must not rewrite: $sql")
         assert(q.collect().nonEmpty)
       }
+    }
+  }
+
+  test("GLOBAL aggregates (no GROUP BY) roll the whole view up — one " +
+    "row, never a corpus scan — including the filtered form") {
+    val (l, _) = mkLake("glob")
+    withConfs(l) {
+      val q = spark.sql(
+        "SELECT count(*) AS n, sum(v) AS sv, min(v) AS mn, " +
+          "max(v) AS mx, count(DISTINCT g1) AS d FROM azof.src")
+      assert(!scansSrc(q), "global aggregate must serve from the view:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+        Seq((4L, 23L, 2L, 10L, 2L)))
+      val qf = spark.sql(
+        "SELECT count(*) AS n FROM azof.src WHERE g1 = 'a'")
+      assert(!scansSrc(qf))
+      assert(qf.collect()(0).getLong(0) == 3L)
     }
   }
 

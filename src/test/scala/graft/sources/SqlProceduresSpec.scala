@@ -157,6 +157,25 @@ class SqlProceduresSpec extends AnyFunSuite {
     assert(got == Seq(("a", 2L, 14L, 4L, 10L), ("b", 1L, 7L, 7L, 7L)))
   }
 
+  test("CALL system.term_refresh maintains the inverted index from SQL") {
+    val txtSchema = TableSchema(Seq(
+      ColumnDef("text", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, lake, "tsrc", txtSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "tsrc",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a b a"),
+          Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "b c"))),
+        txtSchema.toStruct))
+    val r = spark.sql("CALL proc.system.term_refresh(`table` => 'tsrc', " +
+      s"index_path => '$lake', index_table => 'tp_proc')").collect()
+    assert(r.length == 1 && r(0).getLong(0) >= 2L)
+    val hits = TermIndex.search(spark, lake, "tp_proc", Seq("a"))
+      .collect().map(x => (x.getString(0), x.getLong(2))).toSeq
+    assert(hits == Seq(("1", 2L)), "'a' found in doc 1 with tf 2")
+  }
+
   test("CALL system.vacuum dry-run reports, wet run deletes") {
     mk("v1", ("1", "2024-01-05T00:00:00Z", "a"))
     (1 to 3).foreach { i =>

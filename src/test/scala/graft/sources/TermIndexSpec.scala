@@ -1,0 +1,166 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format._
+import graft.operators.AzofScan
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted inverted index: search served from postings ≡ a
+  * brute-force live-corpus recompute — under inserts, revisions (tf
+  * changes upsert, vanished terms tombstone, unchanged postings write
+  * NOTHING), deletes, and re-inserts, on both merge-guard shapes, with
+  * the epoch rebuild as the rollback hatch.
+  */
+class TermIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val docSchema = TableSchema(Seq(
+    ColumnDef("text", ColumnType.AzString, nullable = false)))
+
+  private def df(rows: (String, String, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, t, v) =>
+        Row(k, Timestamp.from(Instant.parse(t)), v) }),
+      docSchema.toStruct)
+
+  private def ts(s: String) = Instant.parse(s)
+
+  private def mkLake(tag: String): (String, String) = {
+    val l = Files.createTempDirectory(s"azof-term-$tag").toString
+    val ck = Files.createTempDirectory(s"azof-term-$tag-ck").toString
+    AzofWriter.createTable(spark, l, "docs", docSchema,
+      ts("2024-01-01T00:00:00Z"))
+    (l, ck)
+  }
+
+  private def refresh(
+      l: String, ck: String, bMax: Long = Long.MaxValue): Unit = {
+    val q = TermIndex.refresh(spark, l, "docs", "text", l,
+      "term_postings", ck, broadcastKeyMax = bMax)
+    assert(q.awaitTermination(120000))
+  }
+
+  private def served(
+      l: String, terms: Seq[String], all: Boolean = true,
+      tbl: String = "term_postings") =
+    TermIndex.search(spark, l, tbl, terms, requireAll = all)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  /** Brute force over the live corpus: tokenize everything, same
+    * grouping as the served search.
+    */
+  private def brute(l: String, terms: Seq[String], all: Boolean = true) = {
+    val normed = terms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    val toks = AzofScan.scan(spark, l, "docs")
+      .select(col(TableSchema.KeyName).as("doc"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(col("term").isin(normed: _*))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc")
+      .agg(count_distinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("sum_tf"))
+    val out = if (all) toks.where(col("n_terms") === normed.size.toLong)
+    else toks
+    out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("bootstrap + delta: AND and OR search served from postings ≡ " +
+    "brute force; tf sums exact") {
+    val (l, ck) = mkLake("ins")
+    AzofWriter.commitBase(spark, l, "docs", df(
+      ("1", "2024-01-02T00:00:00Z", "the cat sat on the mat"),
+      ("2", "2024-01-02T00:00:00Z", "the dog sat"),
+      ("3", "2024-01-02T00:00:00Z", "a cat and a dog")))             // v2
+    refresh(l, ck)
+    for (all <- Seq(true, false); q <- Seq(Seq("cat", "dog"),
+      Seq("the"), Seq("sat", "the"), Seq("absent", "cat")))
+      assert(served(l, q, all) == brute(l, q, all), s"terms=$q all=$all")
+    AzofWriter.commitDelta(spark, l, "docs", df(
+      ("4", "2024-02-05T00:00:00Z", "dog dog dog")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    refresh(l, ck)
+    assert(served(l, Seq("dog"), all = false) ==
+      brute(l, Seq("dog"), all = false))
+    assert(served(l, Seq("dog"), all = false)
+      .find(_._1 == "4").map(_._3) == Some(3L), "tf counts occurrences")
+  }
+
+  test("a revision tombstones vanished terms, upserts changed tf, and " +
+    "writes NOTHING for unchanged postings (index change feed pinned)") {
+    val (l, ck) = mkLake("rev")
+    AzofWriter.commitBase(spark, l, "docs", df(
+      ("1", "2024-01-02T00:00:00Z", "alpha beta beta gamma")))       // v2
+    refresh(l, ck)
+    val vBefore = AzofTable(spark, l, "term_postings").currentVersion.toLong
+    // alpha unchanged (tf 1), beta 2→1, gamma vanishes, delta appears
+    AzofWriter.commitDelta(spark, l, "docs", df(
+      ("1", "2024-02-05T00:00:00Z", "alpha beta delta")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    refresh(l, ck)
+    assert(served(l, Seq("gamma"), all = false).isEmpty)
+    assert(served(l, Seq("beta"), all = false) == Seq(("1", 1L, 1L)))
+    assert(served(l, Seq("delta"), all = false) == Seq(("1", 1L, 1L)))
+    assert(served(l, Seq("alpha"), all = false) == Seq(("1", 1L, 1L)))
+    // the refresh's delta: exactly beta (tf change), delta (new), and
+    // the gamma tombstone — alpha wrote nothing
+    val vAfter = AzofTable(spark, l, "term_postings").currentVersion.toLong
+    val changed = AzofChangeFeed.between(spark, l, "term_postings",
+      vBefore, vAfter)
+      .select("term", "_deleted")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).sortBy(_._1)
+    assert(changed.toSeq ==
+      Seq(("beta", false), ("delta", false), ("gamma", true)),
+      s"unchanged postings must not rewrite: ${changed.toSeq}")
+  }
+
+  test("doc delete tombstones all its postings; re-insert resurrects; " +
+    "guard shapes agree") {
+    def build(tag: String, bMax: Long) = {
+      val (l, ck) = mkLake(tag)
+      AzofWriter.commitBase(spark, l, "docs", df(
+        ("1", "2024-01-02T00:00:00Z", "x y"),
+        ("2", "2024-01-02T00:00:00Z", "x z")))                       // v2
+      refresh(l, ck, bMax)
+      AzofWriter.commitDelete(spark, l, "docs", Seq("1"),
+        ts("2024-02-05T00:00:00Z"))                                  // v3
+      refresh(l, ck, bMax)
+      val afterDel = served(l, Seq("x"), all = false)
+      AzofWriter.commitDelta(spark, l, "docs", df(
+        ("1", "2024-03-05T00:00:00Z", "x x")),
+        ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))      // v4
+      refresh(l, ck, bMax)
+      (afterDel, served(l, Seq("x"), all = false), brute(l, Seq("x"), all = false))
+    }
+    val (delBc, resBc, bruteBc) = build("del-bc", Long.MaxValue)
+    assert(delBc == Seq(("2", 1L, 1L)), "deleted doc's postings gone")
+    assert(resBc == bruteBc && resBc.toSet ==
+      Set(("1", 1L, 2L), ("2", 1L, 1L)), "re-insert resurrects with new tf")
+    val (delSh, resSh, _) = build("del-sh", 0L)
+    assert(delSh == delBc && resSh == resBc, "guard shapes must agree")
+  }
+
+  test("rebuildEpoch after a source rollback serves the rolled-back " +
+    "corpus") {
+    val (l, ck) = mkLake("rb")
+    AzofWriter.commitBase(spark, l, "docs", df(
+      ("1", "2024-01-02T00:00:00Z", "p q")))                         // v2
+    refresh(l, ck)
+    AzofWriter.commitDelta(spark, l, "docs", df(
+      ("2", "2024-02-05T00:00:00Z", "p r")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    refresh(l, ck)
+    AzofWriter.rollback(spark, l, "docs", 2L)                        // v4
+    TermIndex.rebuildEpoch(spark, l, "docs", "text", l, "tp_e2",
+      ts("2024-06-01T00:00:00Z"))
+    assert(served(l, Seq("p"), all = false, tbl = "tp_e2") ==
+      Seq(("1", 1L, 1L)))
+    assert(served(l, Seq("r"), all = false, tbl = "tp_e2").isEmpty)
+  }
+}
