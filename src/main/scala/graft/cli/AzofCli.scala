@@ -953,15 +953,24 @@ object AzofCli {
       case "term-search" =>
         // boolean search served from the postings: --terms a,b
         // [--any] (default: require ALL terms)
+        // [--ranked --n-docs N] (tf·idf bit-magnitude ranking; N = live
+        // doc count, e.g. from a count materialized view)
         val terms = opts("terms").split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
-        graft.sources.TermIndex.search(spark,
-            opts.getOrElse("index-path", opts("path")),
-            opts.getOrElse("index-table", "term_postings"),
-            terms, requireAll = !opts.contains("any"))
-          .orderBy(org.apache.spark.sql.functions.col("sum_tf").desc,
-            org.apache.spark.sql.functions.col("doc"))
-          .show(numRows = 10000, truncate = false)
+        val tiIdx = opts.getOrElse("index-path", opts("path"))
+        val tiTbl = opts.getOrElse("index-table", "term_postings")
+        val out =
+          if (opts.contains("ranked"))
+            graft.sources.TermIndex.searchRanked(spark, tiIdx, tiTbl,
+                terms, opts("n-docs").toLong)
+              .orderBy(org.apache.spark.sql.functions.col("score").desc,
+                org.apache.spark.sql.functions.col("doc"))
+          else
+            graft.sources.TermIndex.search(spark, tiIdx, tiTbl,
+                terms, requireAll = !opts.contains("any"))
+              .orderBy(org.apache.spark.sql.functions.col("sum_tf").desc,
+                org.apache.spark.sql.functions.col("doc"))
+        out.show(numRows = 10000, truncate = false)
       case "term-rebuild" =>
         // epoch rebuild (the ROLLBACK reconciliation hatch)
         val n = graft.sources.TermIndex.rebuildEpoch(spark,

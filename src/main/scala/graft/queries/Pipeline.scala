@@ -68,6 +68,7 @@ object Pipeline {
     "t18_chunk_overlap" -> t18,
     "t21_term_search" -> t21,
     "t22_term_rank" -> t22,
+    "t23_tfidf_rank" -> t23,
     "t19_lm_score" -> t19,
     "p01_filter_funnel" -> p01,
     "p02_index_funnel" -> p02,
@@ -1179,6 +1180,21 @@ object Pipeline {
       Seq("zzrevterm", "dup"), requireAll = false)
   }
 
+  /** Relevance-RANKED search: tf·idf in exact integer bit-magnitude
+    * space (the t19 reasoning — floats hash-differ on summation order,
+    * `length(bin(x))` is engine-exact), idf weights counted FROM the
+    * postings. The live doc count comes from one source count here; a
+    * production deployment serves it from a count [[graft.sources
+    * .MatView]] so ranking stays corpus-scan-free end to end.
+    */
+  private def t23(s: SparkSession, dir: String): DataFrame = {
+    val l = termLake(s, dir)
+    val n = graft.operators.AzofScan.scan(s, l, "docs_term",
+      projection = Some(Set(graft.format.TableSchema.KeyName))).count()
+    graft.sources.TermIndex.searchRanked(s, l, "term_postings",
+      Seq("window", "dup", "zzrevterm"), n)
+  }
+
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
 
@@ -1829,6 +1845,27 @@ object Pipeline {
          SELECT doc, COUNT(DISTINCT term) AS n_terms,
                 CAST(SUM(tf) AS BIGINT) AS sum_tf
          FROM tfs GROUP BY doc""",
+    // tf·idf in integer bit-magnitude space: df per term ≡ the posting
+    // count (each live (term, doc) is one posting), N = live doc count
+    "t23_tfidf_rank" ->
+      """WITH live AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' zzrevterm'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         toks AS (
+           SELECT CAST(doc_id AS VARCHAR) AS doc,
+                  unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM live),
+         tfs AS (
+           SELECT doc, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ('window', 'dup', 'zzrevterm') GROUP BY 1, 2),
+         dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+         nn AS (SELECT COUNT(*) AS n FROM live)
+         SELECT doc, COUNT(DISTINCT t.term) AS n_terms,
+                CAST(SUM(tf * (length(bin((SELECT n FROM nn)))
+                               - length(bin(df)))) AS BIGINT) AS score
+         FROM tfs t JOIN dfs USING (term) GROUP BY doc""",
     // 1-based-inclusive with tail clamping, matching Spark's
     // slice(arr, start, length) clamp
     "t18_chunk_overlap" ->

@@ -201,6 +201,43 @@ object TermIndex {
     else agg
   }
 
+  /** Relevance-RANKED search: tf·idf in the exact INTEGER bit-magnitude
+    * space ([[graft.operators.TextAnalysis.lmScore]]'s reasoning — a
+    * float `ln` hash-differs on evaluation order alone, `length(bin(x))`
+    * is exact in every engine): per query term its idf weight is
+    * `mag(nDocs) − mag(df)` with `df` COUNTED FROM THE POSTINGS (one
+    * key-range read per term — never a corpus scan), and a document
+    * scores `Σ tf · idf` over the terms it matches. `nDocs` is the live
+    * corpus size — pass it from a registered count [[MatView]] (the
+    * composition that keeps ranking corpus-scan-free end to end) or any
+    * cheaper-than-scan source of truth.
+    */
+  def searchRanked(
+      spark: SparkSession,
+      idxLake: String, idxTable: String,
+      terms: Seq[String], nDocs: Long): DataFrame = {
+    val normed = terms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    require(normed.nonEmpty, "searchRanked needs at least one term")
+    val rows = normed.map { t =>
+      graft.operators.AzofScan.scan(spark, idxLake, idxTable,
+        projection = Some(Set("term", "doc", "tf")),
+        keyFilter = Some(KeyFilter.Range(
+          Some(t + Sep), Some(t + Sep + "\uffff"))))
+        .where(col("term") === t)
+    }.reduce(_.unionByName(_))
+    // df per term from the SAME posting rows (each live posting is one
+    // distinct (term, doc)), idf = mag(N) − mag(df), score = Σ tf·idf
+    val withDf = rows.join(
+      rows.groupBy("term").agg(count(lit(1)).as("_df")), Seq("term"))
+    def mag(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      length(bin(c)).cast("long")
+    withDf
+      .withColumn("_w", mag(lit(nDocs)) - mag(col("_df")))
+      .groupBy("doc")
+      .agg(count_distinct(col("term")).as("n_terms"),
+        sum(col("tf") * col("_w")).as("score"))
+  }
+
   /** Reconciliation hatch after a source ROLLBACK: re-tokenize the
     * CURRENT live corpus into `newTable` (the SemDedupIndex epoch
     * shape). Returns the posting count.

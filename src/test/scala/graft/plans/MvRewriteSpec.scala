@@ -223,6 +223,20 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("HAVING / ORDER BY / LIMIT compose above the rewrite untouched " +
+    "(preserved output ids)") {
+    val (l, _) = mkLake("hav")
+    withConfs(l) {
+      val q = spark.sql(
+        "SELECT g1, sum(v) AS sv FROM azof.src GROUP BY g1 " +
+          "HAVING sum(v) > 10 ORDER BY sv DESC LIMIT 1")
+      assert(!scansSrc(q), "rewrite fires under HAVING/ORDER BY/LIMIT:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 16L)))
+    }
+  }
+
   test("the DSv2 catalog surface rewrites too; unset conf is inert") {
     val (l, _) = mkLake("dsv2")
     spark.conf.set("spark.sql.catalog.mvr", classOf[graft.sources.AzofCatalog].getName)

@@ -146,6 +146,29 @@ class TermIndexSpec extends AnyFunSuite {
     assert(delSh == delBc && resSh == resBc, "guard shapes must agree")
   }
 
+  test("searchRanked: tf·idf in integer bit-magnitude space, df from " +
+    "the postings — rarer terms outrank stop terms exactly") {
+    val (l, ck) = mkLake("rank")
+    AzofWriter.commitBase(spark, l, "docs", df(
+      ("1", "2024-01-02T00:00:00Z", "common rare common"),
+      ("2", "2024-01-02T00:00:00Z", "common common"),
+      ("3", "2024-01-02T00:00:00Z", "common other")))                // v2
+    refresh(l, ck)
+    def mag(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val n = 3L
+    val wCommon = mag(n) - mag(3L) // df(common) = 3
+    val wRare = mag(n) - mag(1L)   // df(rare) = 1
+    val got = TermIndex.searchRanked(spark, l, "term_postings",
+        Seq("common", "rare"), n)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("1", 2L, 2 * wCommon + 1 * wRare),
+      ("2", 1L, 2 * wCommon),
+      ("3", 1L, 1 * wCommon)), s"got $got")
+    assert(wRare > wCommon, "rarity must weigh more")
+  }
+
   test("rebuildEpoch after a source rollback serves the rolled-back " +
     "corpus") {
     val (l, ck) = mkLake("rb")
