@@ -59,6 +59,19 @@ object AzofCli {
       csv("minmax-cols"))
   }
 
+  /** The jv-* verbs' [[graft.sources.JoinViewDef]] (adds `--fk-col` +
+    * `--dim-cols` to [[cliViewDef]]'s flags).
+    */
+  private def cliJoinViewDef(
+      opts: Map[String, String]): graft.sources.JoinViewDef = {
+    def csv(k: String): Seq[String] = opts.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    graft.sources.JoinViewDef(csv("group-cols"), csv("sum-cols"),
+      csv("minmax-cols"), opts.getOrElse("fk-col", "fk"),
+      csv("dim-cols"))
+  }
+
   /** Split a `--query` script into statements on ';' OUTSIDE
     * single-quoted SQL literals (a quote escapes as '' per ANSI, which
     * this walk handles for free: each quote just flips the flag twice).
@@ -96,6 +109,7 @@ object AzofCli {
           "sem-create|sem-refresh|sem-rebuild|sem-verdicts|" +
           "mv-create|mv-refresh|mv-serve|mv-rebuild|" +
           "term-create|term-refresh|term-search|term-rebuild|" +
+          "jv-refresh|jv-serve|jv-rebuild|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
     }
@@ -930,6 +944,40 @@ object AzofCli {
           opts.getOrElse("new-table", "lm_stats_next"),
           opts.get("at").map(Instant.parse).getOrElse(Instant.now()))
         println(s"rebuilt lm stats epoch: $n bigrams")
+      case "jv-refresh" =>
+        // incremental JOIN view (fact ⋈ dim → group-by), one synchronous
+        // catch-up of both feeds:
+        //   jv-refresh --path L --table FACT --dim-table DIM
+        //     --fk-col fk --group-cols tier[,..] [--dim-cols tier[,..]]
+        //     [--sum-cols a,b] [--minmax-cols c]
+        //     [--dim-path L2] [--index-path L3] [--index-table jv]
+        val jd = cliJoinViewDef(opts)
+        val r = graft.sources.JoinView.refresh(spark,
+          opts("path"), opts("table"),
+          opts.getOrElse("dim-path", opts("path")), opts("dim-table"),
+          opts.getOrElse("index-path", opts("path")),
+          opts.getOrElse("index-table", "jv"), jd)
+        println(
+          if (r.noop) s"no new commits (fact v${r.fromFact}, " +
+            s"dim v${r.fromDim})"
+          else s"join view refreshed: fact v${r.fromFact}->v${r.toFact}, " +
+            s"dim v${r.fromDim}->v${r.toDim}, ${r.touched} group(s) touched")
+      case "jv-serve" =>
+        val jd = cliJoinViewDef(opts)
+        graft.sources.JoinView.serve(spark,
+            opts.getOrElse("index-path", opts("path")),
+            opts.getOrElse("index-table", "jv"), jd)
+          .orderBy(jd.groupCols.map(org.apache.spark.sql.functions.col): _*)
+          .show(numRows = 10000, truncate = false)
+      case "jv-rebuild" =>
+        val jd = cliJoinViewDef(opts)
+        val n = graft.sources.JoinView.rebuildEpoch(spark,
+          opts("path"), opts("table"),
+          opts.getOrElse("dim-path", opts("path")), opts("dim-table"),
+          opts.getOrElse("index-path", opts("path")),
+          opts.getOrElse("new-table", "jv_next"), jd,
+          opts.get("at").map(Instant.parse).getOrElse(Instant.now()))
+        println(s"rebuilt join view epoch: $n groups")
       case "term-create" =>
         // persisted inverted index (one row per posting):
         // term-create --index-path L2 [--index-table term_postings]

@@ -44,7 +44,8 @@ object AzofQueries {
     "t20_lm_index" -> lmStatsIndex,
     "q51_matview" -> matViewServe,
     "q52_matview_rebuild" -> matViewRebuild,
-    "q53_mv_rewrite" -> matViewRewrite)
+    "q53_mv_rewrite" -> matViewRewrite,
+    "q54_join_view" -> joinViewServe)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1071,6 +1072,98 @@ object AzofQueries {
     }
   }
 
+  /** The q54 [[graft.sources.JoinViewDef]]: per-TIER (a dim attribute)
+    * document counts, char sums, and char extrema over
+    * `docs ⋈ sources`.
+    */
+  private val jvDef = graft.sources.JoinViewDef(Seq("tier"),
+    sumCols = Seq("n_chars"), minMaxCols = Seq("n_chars"),
+    fkCol = "src", dimCols = Seq("tier"))
+
+  /** Six-commit, six-times-refreshed [[graft.sources.JoinView]] lake:
+    * dim `sources_jv` (key = the source name, attr `tier` = number
+    * parity) + fact `docs_jv` (fk = source, `n_chars`). Churn on BOTH
+    * sides: fact base (⅔, Jan) + delta (rest, Feb); a DIM revision
+    * moving every fifth source to tier `vip` (Apr — unchanged facts
+    * must move groups); a DIM delete of `src7` (its facts leave the
+    * join); a FACT revision pointing every `doc_id % 7 = 0` doc at
+    * `src1` with `n_chars + 3` (May); a fact delete of docs 6/7 (Jun).
+    */
+  private[queries] def jvLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "jv-v1", "doc_jv") { l =>
+      import graft.sources.{AzofWriter, JoinView}
+      val docs = Tables(s, dir, "documents")
+      val srcs = docs.select("source").distinct()
+      val num = expr("CAST(substring(source, 4, 10) AS INT)")
+      AzofWriter.createTable(s, l, "sources_jv",
+        TableSchema(Seq(
+          ColumnDef("tier", ColumnType.AzString, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(s, l, "docs_jv",
+        TableSchema(Seq(
+          ColumnDef("src", ColumnType.AzString, nullable = false),
+          ColumnDef("n_chars", ColumnType.AzInt, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      def refresh(): Unit = {
+        JoinView.refresh(s, l, "docs_jv", l, "sources_jv", l, "doc_jv",
+          jvDef)
+        ()
+      }
+      def factRows(filter: org.apache.spark.sql.Column, at: String,
+          src: org.apache.spark.sql.Column = col("source"),
+          nc: org.apache.spark.sql.Column = col("n_chars")) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          src.as("src"), nc.as("n_chars"))
+      AzofWriter.commitBase(s, l, "sources_jv",
+        srcs.select(col("source").as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-01-02T00:00:00Z"))).as("event_time"),
+          when(num % 2 === 0, "even").otherwise("odd").as("tier")))
+      AzofWriter.commitBase(s, l, "docs_jv",
+        factRows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_jv",
+        factRows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "sources_jv",
+        srcs.where(num % 5 === 0).select(col("source").as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-04-05T00:00:00Z"))).as("event_time"),
+          lit("vip").as("tier")),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelete(s, l, "sources_jv", Seq("src7"),
+        Instant.parse("2024-05-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_jv",
+        factRows(col("doc_id") % 7 === 0, "2024-05-05T00:00:00Z",
+          src = lit("src1"), nc = col("n_chars") + 3),
+        Instant.parse("2024-05-01T00:00:00Z"),
+        Instant.parse("2024-06-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelete(s, l, "docs_jv", Seq("6", "7"),
+        Instant.parse("2024-06-05T00:00:00Z"))
+      refresh()
+      ()
+    }
+
+  /** The incrementally-maintained JOIN view, served. The oracle
+    * recomputes the fact⋈dim GROUP BY one-shot over both tables'
+    * reconstructed final states — a refresh that failed to move
+    * unchanged facts on a dim re-tier, kept a deleted dim's facts,
+    * adopted a dangling fk late, or mis-merged any total cannot
+    * hash-match.
+    */
+  private def joinViewServe(s: SparkSession, dir: String): DataFrame = {
+    val lake = jvLake(s, dir)
+    graft.sources.JoinView.serve(s, lake, "doc_jv", jvDef)
+  }
+
   /** q51/q52's shared oracle: the one-shot GROUP BY over the mv lake's
     * final LIVE corpus, reconstructed relationally from the raw
     * documents (docs 6/7 deleted; every `doc_id % 5 = 0` doc moved to
@@ -1092,6 +1185,28 @@ object AzofQueries {
   def oracleSql: Map[String, String] = Map(
     "q51_matview" -> matViewOracle,
     "q52_matview_rebuild" -> matViewOracle,
+    // the one-shot fact⋈dim aggregate over both reconstructed final
+    // states (see jvLake's churn script)
+    "q54_join_view" ->
+      """WITH fact AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
+                    AS src,
+                  CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars
+                    END AS n_chars
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         dim AS (
+           SELECT source AS src,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 'vip'
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even'
+                       ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents)
+           WHERE source <> 'src7')
+         SELECT tier, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+         FROM fact JOIN dim USING (src) GROUP BY tier""",
     // the rewritten aggregate serves the SAME truth as q51 minus the
     // derived mean (the rewrite covers count/sum/min/max)
     "q53_mv_rewrite" ->

@@ -41,7 +41,7 @@ object AzofProcedures {
     Seq("compact", "vacuum", "purge", "dedup_apply", "dedup_ingest",
       "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
       "contain_refresh", "shard_refresh", "seq_refresh", "lm_refresh",
-      "mv_refresh", "term_refresh",
+      "mv_refresh", "term_refresh", "jv_refresh",
       "tag", "untag", "rollback",
       "create_branch", "drop_branch", "fast_forward", "merge_branch",
       "publish_preview")
@@ -143,6 +143,15 @@ object AzofProcedures {
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'term_postings'"),
         pd("text_col", StringType, "'text'"))
+      case "jv_refresh" => Array(
+        p("table", StringType), p("dim_table", StringType),
+        p("index_path", StringType), p("group_cols", StringType),
+        p("fk_col", StringType),
+        pd("dim_cols", StringType, "''"),
+        pd("sum_cols", StringType, "''"),
+        pd("minmax_cols", StringType, "''"),
+        pd("index_table", StringType, "'jv'"),
+        pd("dim_path", StringType, "CAST(NULL AS STRING)"))
       case "seq_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'seq_map'"),
@@ -330,6 +339,19 @@ object AzofProcedures {
           q.awaitTermination()
           (StructType(Seq(StructField("view_version", LongType))),
             Seq(AzofTable(spark, str(1), str(3)).currentVersion.toLong))
+        case "jv_refresh" =>
+          def jcsv(v: String): Seq[String] =
+            Option(v).toSeq.flatMap(
+              _.split(',').map(_.trim).filter(_.nonEmpty))
+          val jd = JoinViewDef(jcsv(str(3)), jcsv(str(6)), jcsv(str(7)),
+            str(4), jcsv(str(5)))
+          val jr = JoinView.refresh(spark, path, str(0),
+            Option(str(9)).getOrElse(path), str(1), str(2), str(8), jd)
+          (StructType(Seq(
+            StructField("fact_version", LongType),
+            StructField("dim_version", LongType),
+            StructField("touched", LongType))),
+            Seq(jr.toFact, jr.toDim, jr.touched))
         case "term_refresh" =>
           // same stable-checkpoint rule as lm_refresh
           val tCk = new org.apache.hadoop.fs.Path(str(1),

@@ -102,6 +102,17 @@ object AzofSink {
     * under older appId derivations — checked for replay, never written.
     * Returns true iff a commit happened (false: empty batch or replay).
     */
+  /** The last batch id `appId` stamped on the table, if any — the
+    * public face of the replay guard for BATCH-style refreshers
+    * ([[graft.sources.JoinView]]) that heal their cursor sidecar from
+    * what was actually applied after a crash between commit and
+    * cursor write.
+    */
+  def lastCommitted(
+      spark: org.apache.spark.sql.SparkSession,
+      lakehousePath: String, table: String, appId: String): Option[Long] =
+    lastBatchId(AzofTable(spark, lakehousePath, table), appId)
+
   def commitBatch(
       lakehousePath: String, table: String,
       batch: DataFrame, batchId: Long, appId: String,

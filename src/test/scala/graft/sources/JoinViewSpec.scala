@@ -1,0 +1,239 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.format._
+import graft.operators.AzofScan
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental JOIN view: after every refresh, serve ≡ the one-shot
+  * fact⋈dim GROUP BY over both tables' live states — under fact churn,
+  * dim attribute churn (facts move groups without changing), dim
+  * deletes/inserts (inner-join membership), dangling foreign keys,
+  * interleaved catch-ups on both guard shapes, and a crash between
+  * commit and cursor write (the replay-guard heal).
+  */
+class JoinViewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val factSchema = TableSchema(Seq(
+    ColumnDef("fk", ColumnType.AzString, nullable = false),
+    ColumnDef("v", ColumnType.AzInt, nullable = false)))
+  private val dimSchema = TableSchema(Seq(
+    ColumnDef("tier", ColumnType.AzString, nullable = false)))
+
+  private val jdef = JoinViewDef(Seq("tier"), sumCols = Seq("v"),
+    minMaxCols = Seq("v"), fkCol = "fk", dimCols = Seq("tier"))
+
+  private def ts(s: String) = Instant.parse(s)
+
+  private def facts(rows: (String, String, String, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, t, fk, v) =>
+        Row(k, Timestamp.from(ts(t)), fk, v) }),
+      factSchema.toStruct)
+
+  private def dims(rows: (String, String, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, t, tier) =>
+        Row(k, Timestamp.from(ts(t)), tier) }),
+      dimSchema.toStruct)
+
+  private def mkLake(tag: String): String = {
+    val l = Files.createTempDirectory(s"azof-jv-$tag").toString
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    l
+  }
+
+  private def refresh(l: String, bMax: Long = Long.MaxValue) =
+    JoinView.refresh(spark, l, "fact", l, "dim", l, "jv", jdef,
+      broadcastKeyMax = bMax)
+
+  private def served(l: String, tbl: String = "jv") =
+    JoinView.serve(spark, l, tbl, jdef)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+
+  private def oneShot(l: String) = {
+    val f = AzofScan.scan(spark, l, "fact").select("fk", "v")
+    val d = AzofScan.scan(spark, l, "dim")
+      .select(col(TableSchema.KeyName).as("_dk"), col("tier"))
+    f.join(d, f("fk") === d("_dk"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+  }
+
+  test("bootstrap + fact deltas stay join-exact; a dangling fk " +
+    "contributes nothing until its dim row appears") {
+    val l = mkLake("boot")
+    AzofWriter.commitBase(spark, l, "dim", dims(
+      ("d1", "2024-01-02T00:00:00Z", "t1"),
+      ("d2", "2024-01-02T00:00:00Z", "t2")))                         // dim v2
+    AzofWriter.commitBase(spark, l, "fact", facts(
+      ("1", "2024-01-02T00:00:00Z", "d1", 10L),
+      ("2", "2024-01-02T00:00:00Z", "d1", 4L),
+      ("3", "2024-01-02T00:00:00Z", "d2", 7L),
+      ("4", "2024-01-02T00:00:00Z", "dX", 99L)))  // dangling  fact v2
+    val r1 = refresh(l)
+    assert(!r1.noop && served(l) == oneShot(l))
+    assert(served(l) == Seq(("t1", 2L, 14L, 4L, 10L),
+      ("t2", 1L, 7L, 7L, 7L)), "dangling d4 contributes nothing")
+    // dim insert ADOPTS the dangling fact
+    AzofWriter.commitDelta(spark, l, "dim", dims(
+      ("dX", "2024-02-05T00:00:00Z", "t2")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // dim v3
+    refresh(l)
+    assert(served(l) == oneShot(l))
+    assert(served(l).find(_._1 == "t2").get == ("t2", 2L, 106L, 7L, 99L))
+    // plain fact delta
+    AzofWriter.commitDelta(spark, l, "fact", facts(
+      ("5", "2024-03-05T00:00:00Z", "d1", 1L)),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // fact v3
+    refresh(l)
+    assert(served(l) == oneShot(l))
+    // idle refresh is a noop
+    assert(refresh(l).noop)
+  }
+
+  test("dim attribute churn moves UN-CHANGED facts across groups " +
+    "exactly (subtract pre-attrs, add new; min/max rescan)") {
+    val l = mkLake("dimrev")
+    AzofWriter.commitBase(spark, l, "dim", dims(
+      ("d1", "2024-01-02T00:00:00Z", "t1"),
+      ("d2", "2024-01-02T00:00:00Z", "t1")))                         // dim v2
+    AzofWriter.commitBase(spark, l, "fact", facts(
+      ("1", "2024-01-02T00:00:00Z", "d1", 100L),
+      ("2", "2024-01-02T00:00:00Z", "d1", 5L),
+      ("3", "2024-01-02T00:00:00Z", "d2", 50L)))                     // fact v2
+    refresh(l)
+    assert(served(l) == Seq(("t1", 3L, 155L, 5L, 100L)))
+    // d1 moves to t9 — facts 1 and 2 follow it; t1's max falls to 50
+    AzofWriter.commitDelta(spark, l, "dim", dims(
+      ("d1", "2024-02-05T00:00:00Z", "t9")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // dim v3
+    refresh(l)
+    assert(served(l) == oneShot(l))
+    assert(served(l) == Seq(
+      ("t1", 1L, 50L, 50L, 50L), ("t9", 2L, 105L, 5L, 100L)))
+    // dim DELETE drops the whole group's membership
+    AzofWriter.commitDelete(spark, l, "dim", Seq("d1"),
+      ts("2024-03-05T00:00:00Z"))                                    // dim v4
+    refresh(l)
+    assert(served(l) == oneShot(l))
+    assert(served(l) == Seq(("t1", 1L, 50L, 50L, 50L)),
+      "t9 emptied by the dim delete")
+  }
+
+  test("one catch-up refresh spanning churn on BOTH tables counts only " +
+    "end states — on both merge-guard shapes") {
+    def build(tag: String, bMax: Long) = {
+      val l = mkLake(tag)
+      AzofWriter.commitBase(spark, l, "dim", dims(
+        ("d1", "2024-01-02T00:00:00Z", "t1"),
+        ("d2", "2024-01-02T00:00:00Z", "t2")))                       // dim v2
+      AzofWriter.commitBase(spark, l, "fact", facts(
+        ("1", "2024-01-02T00:00:00Z", "d1", 10L),
+        ("2", "2024-01-02T00:00:00Z", "d2", 4L)))                    // fact v2
+      refresh(l, bMax)
+      // THEN, unrefreshed: fact 1 revised twice (fk move), fact 3
+      // inserted, fact 2 deleted; dim d2 re-tiered, d3 inserted
+      AzofWriter.commitDelta(spark, l, "fact", facts(
+        ("1", "2024-02-05T00:00:00Z", "d2", 20L),
+        ("3", "2024-02-05T00:00:00Z", "d3", 6L)),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))      // fact v3
+      AzofWriter.commitDelta(spark, l, "fact", facts(
+        ("1", "2024-03-05T00:00:00Z", "d1", 30L)),
+        ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))      // fact v4
+      AzofWriter.commitDelete(spark, l, "fact", Seq("2"),
+        ts("2024-04-05T00:00:00Z"))                                  // fact v5
+      AzofWriter.commitDelta(spark, l, "dim", dims(
+        ("d2", "2024-02-05T00:00:00Z", "t7"),
+        ("d3", "2024-02-05T00:00:00Z", "t1")),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))      // dim v3
+      refresh(l, bMax)
+      (served(l), oneShot(l))
+    }
+    val (sBc, oBc) = build("cu-bc", Long.MaxValue)
+    assert(sBc == oBc, s"broadcast: $sBc vs $oBc")
+    val (sSh, oSh) = build("cu-sh", 0L)
+    assert(sSh == oSh, s"shuffle: $sSh vs $oSh")
+    assert(sBc == sSh)
+  }
+
+  test("a crash between commit and cursor write HEALS from the replay " +
+    "guard — the addition arithmetic never double-applies") {
+    val l = mkLake("heal")
+    AzofWriter.commitBase(spark, l, "dim", dims(
+      ("d1", "2024-01-02T00:00:00Z", "t1")))                         // dim v2
+    AzofWriter.commitBase(spark, l, "fact", facts(
+      ("1", "2024-01-02T00:00:00Z", "d1", 10L)))                     // fact v2
+    refresh(l)
+    val before = served(l)
+    // simulate the crash: reset the cursor sidecar to pre-refresh while
+    // the committed delta (and its replay-guard stamp) stay in place
+    val dir = AzofTable(spark, l, "jv").tableDir
+    val p = new org.apache.hadoop.fs.Path(dir, JoinView.CursorFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    out.write("""{"factVersion":1,"dimVersion":1}""".getBytes("UTF-8"))
+    out.close()
+    val r = refresh(l)
+    assert(r.noop, "healed cursor sees nothing new")
+    assert(served(l) == before, "no double-apply")
+    assert(JoinView.readCursor(spark, l, "jv") == (2L, 2L),
+      "cursor healed from the guard")
+  }
+
+  test("viewSchema refuses non-string fks, dim-side aggregates, and " +
+    "unknown columns") {
+    intercept[IllegalArgumentException] {
+      JoinView.viewSchema(
+        TableSchema(Seq(ColumnDef("fk", ColumnType.AzInt, false),
+          ColumnDef("v", ColumnType.AzInt, false))),
+        dimSchema, jdef)
+    }
+    intercept[IllegalArgumentException] {
+      JoinView.viewSchema(factSchema, dimSchema,
+        JoinViewDef(Seq("tier"), sumCols = Seq("tier"),
+          fkCol = "fk", dimCols = Seq("tier")))
+    }
+    intercept[IllegalArgumentException] {
+      JoinView.viewSchema(factSchema, dimSchema,
+        JoinViewDef(Seq("absent"), fkCol = "fk"))
+    }
+  }
+
+  test("rebuildEpoch after a rollback on either source serves the " +
+    "rolled-back join") {
+    val l = mkLake("rb")
+    AzofWriter.commitBase(spark, l, "dim", dims(
+      ("d1", "2024-01-02T00:00:00Z", "t1")))                         // dim v2
+    AzofWriter.commitBase(spark, l, "fact", facts(
+      ("1", "2024-01-02T00:00:00Z", "d1", 10L)))                     // fact v2
+    refresh(l)
+    AzofWriter.commitDelta(spark, l, "fact", facts(
+      ("2", "2024-02-05T00:00:00Z", "d1", 5L)),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // fact v3
+    refresh(l)
+    AzofWriter.rollback(spark, l, "fact", 2L)                        // fact v4
+    // the feed is blind to rollbacks (documented): the refresh no-ops
+    // and the view stays stale until the epoch rebuild
+    refresh(l)
+    assert(served(l) == Seq(("t1", 2L, 15L, 5L, 10L)),
+      "stale until rebuilt — the documented rollback contract")
+    JoinView.rebuildEpoch(spark, l, "fact", l, "dim", l, "jv_e2",
+      jdef, ts("2024-06-01T00:00:00Z"))
+    assert(served(l, "jv_e2") == oneShot(l))
+    assert(served(l, "jv_e2") == Seq(("t1", 1L, 10L, 10L, 10L)))
+  }
+}

@@ -176,6 +176,43 @@ class SqlProceduresSpec extends AnyFunSuite {
     assert(hits == Seq(("1", 2L)), "'a' found in doc 1 with tf 2")
   }
 
+  test("CALL system.jv_refresh maintains a join view from SQL") {
+    AzofWriter.createTable(spark, lake, "jvd",
+      TableSchema(Seq(
+        ColumnDef("tier", ColumnType.AzString, nullable = false))),
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, lake, "jvf",
+      TableSchema(Seq(
+        ColumnDef("fk", ColumnType.AzString, nullable = false),
+        ColumnDef("v", ColumnType.AzInt, nullable = false))),
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "jvd",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("d1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t1"))),
+        TableSchema(Seq(ColumnDef("tier", ColumnType.AzString,
+          nullable = false))).toStruct))
+    AzofWriter.commitBase(spark, lake, "jvf",
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 10L),
+          Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 4L))),
+        TableSchema(Seq(
+          ColumnDef("fk", ColumnType.AzString, nullable = false),
+          ColumnDef("v", ColumnType.AzInt, nullable = false))).toStruct))
+    val r = spark.sql("CALL proc.system.jv_refresh(`table` => 'jvf', " +
+      s"dim_table => 'jvd', index_path => '$lake', " +
+      "group_cols => 'tier', fk_col => 'fk', dim_cols => 'tier', " +
+      "sum_cols => 'v', index_table => 'jv_proc')").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (2L, 2L, 1L))
+    val jd = JoinViewDef(Seq("tier"), sumCols = Seq("v"),
+      fkCol = "fk", dimCols = Seq("tier"))
+    val got = JoinView.serve(spark, lake, "jv_proc", jd)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .toSeq
+    assert(got == Seq(("t1", 2L, 14L)))
+  }
+
   test("CALL system.vacuum dry-run reports, wet run deletes") {
     mk("v1", ("1", "2024-01-05T00:00:00Z", "a"))
     (1 to 3).foreach { i =>
