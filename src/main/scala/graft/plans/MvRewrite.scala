@@ -43,6 +43,15 @@ import org.apache.spark.sql.functions._
   *     clause, or aggregate refuses. An exact group match with no
   *     distinct skips the re-aggregation entirely (pure projection).
   *
+  * JOIN shapes rewrite too: an aggregate over
+  * `fact INNER JOIN dim ON fact.fk = dim.key` (either operand order)
+  * matches a registered [[graft.sources.JoinView]] whose definition
+  * names that fact/dim/fk triple — with an attribute-PROVENANCE check
+  * (each referenced column must live on the side its name claims in
+  * the view definition, so name shadowing across the join refuses)
+  * and the pair-cursor freshness gate
+  * ([[graft.sources.JoinView.isFresh]]).
+  *
   * Both scan surfaces rewrite: the V1 reader relation (`azof.t` SQL,
   * `spark.read.format("azof")`) and the DSv2 catalog relation
   * (`cat.t`), each only in its Current un-pinned form
@@ -100,6 +109,77 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def splitAnd(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitAnd(l) ++ splitAnd(r)
     case other => Seq(other)
+  }
+
+  /** Strip pure column-pruning Projects and Filters off a plan,
+    * collecting the filter conjuncts.
+    */
+  private def strip(plan: LogicalPlan): (LogicalPlan, Seq[Expression]) =
+    plan match {
+      case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
+        strip(p.child)
+      case f: Filter =>
+        val (c, cs) = strip(f.child)
+        (c, splitAnd(f.condition) ++ cs)
+      case other => (other, Nil)
+    }
+
+  /** The bare azof Current relation under `plan` (no Projects/Filters
+    * stripped here), as its normalized source key.
+    */
+  private def relKey(plan: LogicalPlan): Option[String] = plan match {
+    case l: LogicalRelation => l.relation match {
+      case r: AzofRelation => r.mvMatchKey.map(k => norm(k._1, k._2))
+      case _ => None
+    }
+    case r: DataSourceV2Relation => r.table match {
+      case t: AzofV2Table => t.mvMatchKey.map(k => norm(k._1, k._2))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** A covered JOIN shape: `fact INNER JOIN dim ON fact.<fk> = dim.key`
+    * (either operand order), both sides azof Current relations under
+    * pure Projects/Filters. Returns the two source keys, the fk column
+    * name, all collected filter conjuncts, and each side's relation
+    * output (for attribute provenance checks).
+    */
+  private def joinSrcOf(plan: LogicalPlan): Option[(
+      String, String, String, Seq[Expression],
+      Seq[Attribute], Seq[Attribute])] = {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    val (core, topConds) = strip(plan)
+    core match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+        val (lCore, lConds) = strip(j.left)
+        val (rCore, rConds) = strip(j.right)
+        val conds = topConds ++ lConds ++ rConds
+        (relKey(lCore), relKey(rCore), j.condition) match {
+          case (Some(lk), Some(rk), Some(EqualTo(
+              a: AttributeReference, b: AttributeReference))) =>
+            val lOut = lCore.outputSet
+            val rOut = rCore.outputSet
+            def resolve(x: AttributeReference, y: AttributeReference)
+                : Option[(String, String, String,
+                Seq[Attribute], Seq[Attribute])] =
+              // x on the left, y on the right
+              if (lOut.contains(x) && rOut.contains(y)) {
+                if (y.name == graft.format.TableSchema.KeyName)
+                  Some((lk, rk, x.name, lCore.output, rCore.output))
+                else if (x.name == graft.format.TableSchema.KeyName)
+                  Some((rk, lk, y.name, rCore.output, lCore.output))
+                else None
+              } else None
+            resolve(a, b).orElse(resolve(b, a))
+              .map { case (fk, dk, fkName, fOut, dOut) =>
+                (fk, dk, fkName, conds, fOut, dOut)
+              }
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** A filter conjunct the view can answer: deterministic, no
@@ -176,10 +256,9 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * positionally aliased back onto the original output ids.
     */
   private def rewrite(
-      agg: Aggregate, lake: String, mv: String, vd: ViewDef,
+      agg: Aggregate, served: org.apache.spark.sql.DataFrame, vd: ViewDef,
       groups: Seq[String], outs: Seq[Out],
       conds: Seq[Expression]): LogicalPlan = {
-    val served = MatView.serve(spark, lake, mv, vd)
     // group-column predicates commute with the aggregation: remap them
     // onto the view's attributes and filter the (group-cardinality)
     // view scan before any re-aggregation
@@ -232,46 +311,114 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }, child)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val cands = candidates
-    if (cands.isEmpty) plan
-    else plan.transformUp {
-      case agg: Aggregate if srcOf(agg.child).isDefined =>
-        val (srcKey, conds) = srcOf(agg.child).get
+  /** Try the single-table candidates against `agg`. */
+  private def singleHit(
+      agg: Aggregate, cands: Seq[(String, String)])
+      : Option[LogicalPlan] =
+    srcOf(agg.child).flatMap { case (srcKey, conds) =>
+      val groupsOpt = traverse(agg.groupingExpressions.map {
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      })
+      groupsOpt.flatMap { groups =>
+        cands.iterator.flatMap { case (lake, mv) =>
+          defOf(spark, lake, mv).collect {
+            case MvRewriteRule.SingleDef(sLake, sTable, vd) =>
+              (sLake, sTable, vd)
+          }.flatMap { case (sLake, sTable, vd) =>
+            // groups may be EMPTY: a global aggregate rolls the whole
+            // view up (one row out, exactly like SQL's global agg —
+            // even over an empty corpus, where groupBy().agg matches
+            // the one-row null/zero semantics)
+            val covered =
+              norm(sLake, sTable) == srcKey &&
+                groups.forall(vd.groupCols.contains) &&
+                conds.forall(filterCovered(_, vd))
+            if (!covered) None
+            else traverse(agg.aggregateExpressions.map(outOf(_, vd)))
+              .filter { outs =>
+                // every plain group output must be a queried group
+                outs.forall {
+                  case GroupOut(c) => groups.contains(c); case _ => true }
+              }
+              .filter(_ => MatView.isFresh(spark, sLake, sTable, lake, mv))
+              .map { outs =>
+                logInfo(s"rewriting aggregate over $srcKey to " +
+                  s"materialized view $mv")
+                rewrite(agg, MatView.serve(spark, lake, mv, vd),
+                  vd, groups, outs, conds)
+              }
+          }
+        }.nextOption()
+      }
+    }
+
+  /** Try the join-view candidates against `agg`. */
+  private def joinHit(
+      agg: Aggregate, cands: Seq[(String, String)])
+      : Option[LogicalPlan] =
+    joinSrcOf(agg.child).flatMap {
+      case (factKey, dimKey, fkName, conds, factOut, dimOut) =>
         val groupsOpt = traverse(agg.groupingExpressions.map {
           case a: AttributeReference => Some(a.name)
           case _ => None
         })
-        val hit = groupsOpt.flatMap { groups =>
+        groupsOpt.flatMap { groups =>
           cands.iterator.flatMap { case (lake, mv) =>
-            defOf(spark, lake, mv).flatMap { case (sLake, sTable, vd) =>
-              // groups may be EMPTY: a global aggregate rolls the whole
-              // view up (one row out, exactly like SQL's global agg —
-              // even over an empty corpus, where groupBy().agg matches
-              // the one-row null/zero semantics)
+            defOf(spark, lake, mv).collect {
+              case d: MvRewriteRule.JoinDef => d
+            }.flatMap { d =>
+              val jdef = d.jdef
+              val vd = ViewDef(jdef.groupCols, jdef.sumCols,
+                jdef.minMaxCols)
+              // attribute PROVENANCE: every referenced column must live
+              // on the side its name claims — a fact column shadowing a
+              // dim group column's name (or vice versa) refuses
+              def provenanced: Boolean = {
+                val refs = (agg.groupingExpressions ++
+                  agg.aggregateExpressions ++ conds).flatMap(_.references)
+                refs.forall(a =>
+                  if (jdef.dimCols.contains(a.name))
+                    dimOut.exists(_.exprId == a.exprId)
+                  else factOut.exists(_.exprId == a.exprId))
+              }
               val covered =
-                norm(sLake, sTable) == srcKey &&
+                norm(d.factLake, d.factTable) == factKey &&
+                  norm(d.dimLake, d.dimTable) == dimKey &&
+                  fkName == jdef.fkCol &&
                   groups.forall(vd.groupCols.contains) &&
-                  conds.forall(filterCovered(_, vd))
+                  conds.forall(filterCovered(_, vd)) &&
+                  provenanced
               if (!covered) None
               else traverse(agg.aggregateExpressions.map(outOf(_, vd)))
                 .filter { outs =>
-                  // every plain group output must be a queried group
                   outs.forall {
                     case GroupOut(c) => groups.contains(c); case _ => true }
                 }
-                .filter(_ => MatView.isFresh(spark, sLake, sTable, lake, mv))
-                .map(outs => (lake, mv, vd, groups, outs))
+                .filter(_ => graft.sources.JoinView.isFresh(spark,
+                  d.factLake, d.factTable, d.dimLake, d.dimTable,
+                  lake, mv))
+                .map { outs =>
+                  logInfo(s"rewriting join aggregate over $factKey ⋈ " +
+                    s"$dimKey to join view $mv")
+                  rewrite(agg,
+                    graft.sources.JoinView.serve(spark, lake, mv, jdef),
+                    vd, groups, outs, conds)
+                }
             }
           }.nextOption()
         }
-        hit match {
-          case Some((lake, mv, vd, groups, outs)) =>
-            logInfo(s"rewriting aggregate over $srcKey to " +
-              s"materialized view $mv")
-            rewrite(agg, lake, mv, vd, groups, outs, conds)
-          case None => agg
-        }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val cands = candidates
+    if (cands.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate
+        if srcOf(agg.child).isDefined || joinSrcOf(agg.child).isDefined =>
+        singleHit(agg, cands)
+          .orElse(joinHit(agg, cands))
+          .getOrElse(agg)
     }
   }
 
@@ -280,16 +427,29 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object MvRewriteRule {
+
+  /** A registered candidate's definition — single-table or join. */
+  private sealed trait CandDef
+  private final case class SingleDef(
+      srcLake: String, srcTable: String, vd: ViewDef) extends CandDef
+  private final case class JoinDef(
+      factLake: String, factTable: String,
+      dimLake: String, dimTable: String,
+      jdef: graft.sources.JoinViewDef) extends CandDef
+
   /** View definitions are immutable per table — cache them. A missing
     * sidecar caches as None (mis-configured candidate stays cheap).
     */
   private val defCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, String), Option[(String, String, ViewDef)]]()
+      (String, String), Option[CandDef]]()
 
   private def defOf(spark: SparkSession, lake: String, mv: String)
-      : Option[(String, String, ViewDef)] =
+      : Option[CandDef] =
     defCache.computeIfAbsent((lake, mv), _ =>
       try MatView.readDef(spark, lake, mv)
+        .map { case (sl, st, vd) => SingleDef(sl, st, vd) }
+        .orElse(graft.sources.JoinView.readDef(spark, lake, mv)
+          .map { case (fl, ft, dl, dt, jd) => JoinDef(fl, ft, dl, dt, jd) })
       catch { case scala.util.control.NonFatal(_) => None })
 }

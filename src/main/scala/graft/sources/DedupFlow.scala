@@ -307,6 +307,10 @@ object DedupFlow {
       mvTable: Option[String] = None,
       mvView: Option[ViewDef] = None,
       termTable: Option[String] = None,
+      jvTable: Option[String] = None,
+      jvDef: Option[JoinViewDef] = None,
+      jvDimTable: Option[String] = None,
+      jvDimLake: Option[String] = None,
       compactSourceEvery: Int = 0,
       compactSourceMaxFiles: Int = 0,
       compactSourceFiles: Int = 1)
@@ -421,6 +425,21 @@ object DedupFlow {
         AzofVacuum.vacuum(spark, idxLake, tt, retain,
           minAgeMs = retainMinAgeMs)
     }
+    // join views ride as synchronous refreshes (their cursor pair is
+    // their replay guard); the followed source is the FACT side
+    def refreshJv(jt: String): Unit = {
+      val jd = jvDef.getOrElse(throw new IllegalArgumentException(
+        "follow(jvTable = ...) needs jvDef"))
+      val dt = jvDimTable.getOrElse(throw new IllegalArgumentException(
+        "follow(jvTable = ...) needs jvDimTable"))
+      JoinView.refresh(spark, srcLake, srcTable,
+        jvDimLake.getOrElse(srcLake), dt, idxLake, jt, jd,
+        broadcastKeyMax = broadcastKeyMax)
+      if (retain > 0)
+        AzofVacuum.vacuum(spark, idxLake, jt, retain,
+          minAgeMs = retainMinAgeMs)
+      ()
+    }
     // eager catch-up: an index enabled on an existing follow (outer
     // checkpoint already past the history) would wait for the next
     // source commit; each index's own cursor makes this a no-op
@@ -432,6 +451,7 @@ object DedupFlow {
     lmTable.foreach(refreshLm)
     mvTable.foreach(refreshMv)
     termTable.foreach(refreshTerm)
+    jvTable.foreach(refreshJv)
     // seed at the ingest cursor: commits the indexes already consumed
     // need not even surface as (ignored) outer batches
     val seeded = readCursor(spark, idxLake, ccTable)
@@ -453,6 +473,7 @@ object DedupFlow {
           lmTable.foreach(refreshLm)
           mvTable.foreach(refreshMv)
           termTable.foreach(refreshTerm)
+          jvTable.foreach(refreshJv)
           maybeCompactSource(r.churned)
       }
       .trigger(trigger)

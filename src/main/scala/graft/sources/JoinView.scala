@@ -129,6 +129,13 @@ object JoinView {
           ColumnDef(s"max_$c", ColumnType.AzInt, nullable = true))))
   }
 
+  /** Definition sidecar ([[MatView.DefFileName]]'s join twin): what the
+    * view maintains and over which fact/dim pair — read back by the
+    * automatic rewrite rule. Same-lake sources record relative so the
+    * sidecar survives the lake directory moving.
+    */
+  val DefFileName = "_jv_def.json"
+
   def create(
       spark: SparkSession,
       factLake: String, factTable: String,
@@ -138,9 +145,89 @@ object JoinView {
       segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
     val fs = AzofTable(spark, factLake, factTable).currentSnapshot.schema
     val ds = AzofTable(spark, dimLake, dimTable).currentSnapshot.schema
-    AzofWriter.createTableIfAbsent(
+    val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, viewSchema(fs, ds, jdef), segmentStart)
+    if (created)
+      writeDef(spark, factLake, factTable, dimLake, dimTable,
+        idxLake, idxTable, jdef)
     ()
+  }
+
+  private def writeDef(
+      spark: SparkSession,
+      factLake: String, factTable: String,
+      dimLake: String, dimTable: String,
+      idxLake: String, idxTable: String, jdef: JoinViewDef): Unit = {
+    def arr(xs: Seq[String]) =
+      xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    def rel(lake: String): String =
+      if (new org.apache.hadoop.fs.Path(lake) ==
+        new org.apache.hadoop.fs.Path(idxLake)) "" else lake
+    val dir = AzofTable(spark, idxLake, idxTable).tableDir
+    val p = new org.apache.hadoop.fs.Path(dir, DefFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"fact_path":"${rel(factLake)}","fact_table":"$factTable",""" +
+        s""""dim_path":"${rel(dimLake)}","dim_table":"$dimTable",""" +
+        s""""fk_col":"${jdef.fkCol}",""" +
+        s""""group_cols":${arr(jdef.groupCols)},""" +
+        s""""sum_cols":${arr(jdef.sumCols)},""" +
+        s""""minmax_cols":${arr(jdef.minMaxCols)},""" +
+        s""""dim_cols":${arr(jdef.dimCols)}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The view's definition sidecar:
+    * `(factLake, factTable, dimLake, dimTable, def)` — None when the
+    * table has no sidecar.
+    */
+  def readDef(
+      spark: SparkSession, idxLake: String, idxTable: String)
+      : Option[(String, String, String, String, JoinViewDef)] = {
+    val dir = AzofTable(spark, idxLake, idxTable).tableDir
+    val p = new org.apache.hadoop.fs.Path(dir, DefFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      def seq(f: String): Seq[String] = {
+        val n = root.get(f)
+        (0 until n.size()).map(i => n.get(i).asText())
+      }
+      def lake(f: String): String = {
+        val v = root.get(f).asText
+        if (v.isEmpty) idxLake else v
+      }
+      Some((lake("fact_path"), root.get("fact_table").asText,
+        lake("dim_path"), root.get("dim_table").asText,
+        JoinViewDef(seq("group_cols"), seq("sum_cols"), seq("minmax_cols"),
+          root.get("fk_col").asText, seq("dim_cols"))))
+    }
+  }
+
+  /** The rewrite rule's gate: the view equals the one-shot join
+    * aggregate over both tables' CURRENT live states — cursor pair
+    * consumed, and every later commit on EACH source view-preserving
+    * ([[MatView.unchangedSince]]).
+    */
+  def isFresh(
+      spark: SparkSession,
+      factLake: String, factTable: String,
+      dimLake: String, dimTable: String,
+      idxLake: String, idxTable: String): Boolean = {
+    val (dir, fs, p) = sidecarPath(spark, idxLake, idxTable)
+    val _ = dir
+    if (!fs.exists(p)) false
+    else {
+      val (f, d) = readCursor(spark, idxLake, idxTable)
+      MatView.unchangedSince(spark, factLake, factTable, f) &&
+        MatView.unchangedSince(spark, dimLake, dimTable, d)
+    }
   }
 
   private def sidecarPath(spark: SparkSession, idxLake: String,

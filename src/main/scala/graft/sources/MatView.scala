@@ -243,31 +243,41 @@ object MatView {
       spark: SparkSession,
       srcLake: String, srcTable: String,
       idxLake: String, idxTable: String): Boolean =
-    readCursor(spark, idxLake, idxTable).exists { cur =>
-      val t = AzofTable(spark, srcLake, srcTable)
-      val current = t.currentVersion.toLong
-      if (current < cur) false // rolled back below the cursor
-      else if (current == cur) true
-      else try {
-        val fs = t.tableDir.getFileSystem(spark.sessionState.newHadoopConf())
-        val ids = AzofTable.snapshotIdsOnDisk(fs, t.tableDir)
-          .filter(v => v > cur && v <= current).sorted
-        var prevFiles = t.snapshot(cur.toString).allFiles
-        ids.forall { v =>
-          val s = t.snapshot(v.toString)
-          if (s.branch.nonEmpty) true // staged lineage: main view unchanged
-          else if (s.op.contains("rollback")) false
-          else if (s.op.exists(o => o == "compact" || o == "purge")) {
-            prevFiles = s.allFiles; true
-          } else if ((s.allFiles -- prevFiles).nonEmpty) false
-          else { prevFiles = s.allFiles; true }
-        }
-      } catch {
-        // a vacuumed cursor snapshot (or any unreadable metadata) is
-        // conservatively stale — the rewrite falls back to the scan
-        case scala.util.control.NonFatal(_) => false
+    readCursor(spark, idxLake, idxTable).exists(cur =>
+      unchangedSince(spark, srcLake, srcTable, cur))
+
+  /** Whether `table`'s LIVE view still equals its state at version
+    * `cur`: every later main-lineage commit is view-preserving (see
+    * [[isFresh]]'s scaladoc). Shared by the single-table and join-view
+    * freshness gates.
+    */
+  private[graft] def unchangedSince(
+      spark: SparkSession, srcLake: String, srcTable: String,
+      cur: Long): Boolean = {
+    val t = AzofTable(spark, srcLake, srcTable)
+    val current = t.currentVersion.toLong
+    if (current < cur) false // rolled back below the cursor
+    else if (current == cur) true
+    else try {
+      val fs = t.tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+      val ids = AzofTable.snapshotIdsOnDisk(fs, t.tableDir)
+        .filter(v => v > cur && v <= current).sorted
+      var prevFiles = t.snapshot(cur.toString).allFiles
+      ids.forall { v =>
+        val s = t.snapshot(v.toString)
+        if (s.branch.nonEmpty) true // staged lineage: main view unchanged
+        else if (s.op.contains("rollback")) false
+        else if (s.op.exists(o => o == "compact" || o == "purge")) {
+          prevFiles = s.allFiles; true
+        } else if ((s.allFiles -- prevFiles).nonEmpty) false
+        else { prevFiles = s.allFiles; true }
       }
+    } catch {
+      // a vacuumed cursor snapshot (or any unreadable metadata) is
+      // conservatively stale — the rewrite falls back to the scan
+      case scala.util.control.NonFatal(_) => false
     }
+  }
 
   /** Incrementally refresh the view from the source's commit feed
     * (AvailableNow by default).

@@ -237,6 +237,91 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("JOIN aggregates rewrite to a registered join view: exact group " +
+    "match, global rollup, staleness fallback, non-key joins untouched") {
+    import graft.sources.{JoinView, JoinViewDef}
+    val jdef = JoinViewDef(Seq("tier"), sumCols = Seq("v"),
+      minMaxCols = Seq("v"), fkCol = "fk", dimCols = Seq("tier"))
+    val l = Files.createTempDirectory("azof-mvrw-join").toString
+    val factSchema = TableSchema(Seq(
+      ColumnDef("fk", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val dimSchema = TableSchema(Seq(
+      ColumnDef("tier", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "dim",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("d1",
+          java.sql.Timestamp.from(ts("2024-01-02T00:00:00Z")), "t1"),
+        org.apache.spark.sql.Row("d2",
+          java.sql.Timestamp.from(ts("2024-01-02T00:00:00Z")), "t2"))),
+        dimSchema.toStruct))
+    AzofWriter.commitBase(spark, l, "fact",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("1",
+          java.sql.Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 10L),
+        org.apache.spark.sql.Row("2",
+          java.sql.Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 4L),
+        org.apache.spark.sql.Row("3",
+          java.sql.Timestamp.from(ts("2024-01-02T00:00:00Z")), "d2", 7L))),
+        factSchema.toStruct))
+    JoinView.refresh(spark, l, "fact", l, "dim", l, "jvr", jdef)
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "jvr")
+    try {
+      def q = spark.sql(
+        "SELECT tier, count(*) AS n, sum(v) AS sv, min(v) AS mn " +
+          "FROM azof.fact f JOIN azof.dim d ON f.fk = d.key GROUP BY tier")
+      assert(!scansSrc(q) && aggregates(q).isEmpty,
+        "join aggregate must serve from the join view:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq ==
+        Seq(("t1", 2L, 14L, 4L), ("t2", 1L, 7L, 7L)))
+      // global rollup over the join
+      val qg = spark.sql(
+        "SELECT count(*) AS n, max(v) AS mx FROM azof.fact f " +
+          "JOIN azof.dim d ON d.key = f.fk")
+      assert(!scansSrc(qg))
+      assert(qg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((3L, 10L)))
+      // filter on the dim group column commutes onto the view
+      val qf = spark.sql(
+        "SELECT tier, count(*) AS n FROM azof.fact f " +
+          "JOIN azof.dim d ON f.fk = d.key WHERE tier = 't1' GROUP BY tier")
+      assert(!scansSrc(qf))
+      assert(qf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("t1", 2L)))
+      // a non-key join condition never matches
+      val qn = spark.sql(
+        "SELECT tier, count(*) AS n FROM azof.fact f " +
+          "JOIN azof.dim d ON f.fk = d.tier GROUP BY tier")
+      assert(scansSrc(qn), "non-key join must not rewrite")
+      // an unrefreshed dim commit is staleness — fall back, see new data
+      AzofWriter.commitDelta(spark, l, "dim",
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row("d1",
+            java.sql.Timestamp.from(ts("2024-02-05T00:00:00Z")), "t2"))),
+          dimSchema.toStruct),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      assert(scansSrc(q), "stale pair must not serve")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq ==
+        Seq(("t2", 3L, 21L, 4L)), "fallback sees the re-tiered dim")
+      JoinView.refresh(spark, l, "fact", l, "dim", l, "jvr", jdef)
+      assert(!scansSrc(q), "refresh restores the join rewrite")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq ==
+        Seq(("t2", 3L, 21L, 4L)))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   test("the DSv2 catalog surface rewrites too; unset conf is inert") {
     val (l, _) = mkLake("dsv2")
     spark.conf.set("spark.sql.catalog.mvr", classOf[graft.sources.AzofCatalog].getName)
