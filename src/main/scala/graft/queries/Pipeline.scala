@@ -1115,7 +1115,7 @@ object Pipeline {
     * retirement).
     */
   private[queries] def termLake(s: SparkSession, dir: String): String =
-    AzofQueries.cachedLake(dir, "term-v1", "term_postings") { l =>
+    AzofQueries.cachedLake(dir, "term-v2", "term_postings") { l =>
       import graft.format.{ColumnDef, ColumnType}
       import graft.sources.{AzofWriter, TermIndex}
       import java.time.Instant
@@ -1155,6 +1155,13 @@ object Pipeline {
       AzofWriter.commitDelete(s, l, "docs_term", Seq("6", "7"),
         Instant.parse("2024-05-05T00:00:00Z"))                       // v5
       refresh()
+      // production posting maintenance: a BY-KEY fold re-clusters the
+      // postings into disjoint key slices, so each query term's
+      // key-range read FILE-SKIPS to its slice instead of scanning
+      // every delta (view-preserving — the oracles are unchanged)
+      AzofWriter.compact(s, l, "term_postings",
+        Instant.parse("2024-06-01T00:00:00Z"), numFiles = 8,
+        byKey = true)
       ()
     }
 
