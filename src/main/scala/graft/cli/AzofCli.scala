@@ -597,6 +597,9 @@ object AzofCli {
         //     [--lm-table lm_stats]
         //     [--mv-table mv --group-cols g[,..] [--sum-cols ..]
         //      [--minmax-cols ..]]
+        //     [--jv-table jv --jv-dim-table DIM [--jv-dim-path L]
+        //      --fk-col fk --group-cols .. [--dim-cols ..]]
+        //     [--term-table term_postings]
         //     (--contain-table / --shard-table / --seq-table /
         //     --lm-table / --mv-table: ALSO refresh the persisted
         //     containment index / export shard map / sequence map /
@@ -657,6 +660,10 @@ object AzofCli {
           mvTable = opts.get("mv-table"),
           mvView = opts.get("mv-table").map(_ => cliViewDef(opts)),
           termTable = opts.get("term-table"),
+          jvTable = opts.get("jv-table"),
+          jvDef = opts.get("jv-table").map(_ => cliJoinViewDef(opts)),
+          jvDimTable = opts.get("jv-dim-table"),
+          jvDimLake = opts.get("jv-dim-path"),
           compactSourceEvery =
             opts.getOrElse("compact-source-every", "0").toInt,
           compactSourceMaxFiles =
