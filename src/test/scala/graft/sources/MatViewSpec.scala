@@ -215,6 +215,48 @@ class MatViewSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ViewDef(Nil) }
   }
 
+  test("the min/max rescan is FILE-CONFINED on a value-clustered " +
+    "layout: the counting FS opens only the churned group's files") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mvfs.impl", classOf[MvCountingFs].getName)
+    spark.conf.set("spark.hadoop.fs.mvfs.impl",
+      classOf[MvCountingFs].getName)
+    val local = Files.createTempDirectory("azof-mv-count").toString
+    val l = s"mvfs:$local"
+    val ck = Files.createTempDirectory("azof-mv-count-ck").toString
+    AzofWriter.createTable(spark, l, "src", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    // one file per GROUP (disjoint key ranges too): per-file value
+    // stats then separate the groups, so the rescan's In pushdown can
+    // file-skip
+    def batch(g: String, at: String) = df(
+      (1 to 6).map(i => (s"$g$i", at, g, (i * 10).toLong)): _*)
+    AzofWriter.commitBase(spark, l, "src",
+      batch("a", "2024-01-10T00:00:00Z"))
+    Seq("b", "c", "d", "e", "f").zipWithIndex.foreach { case (g, i) =>
+      AzofWriter.commitDelta(spark, l, "src",
+        batch(g, f"2024-01-${11 + i}%02dT00:00:00Z"),
+        ts(f"2024-01-${11 + i}%02dT00:00:00Z"),
+        ts(f"2024-01-${11 + i}%02dT00:00:00Z"))
+    }
+    refresh(l, ck) // bootstrap: reads everything, uncounted
+    val dataFiles = AzofTable(spark, l, "src").currentSnapshot
+      .dataFiles(graft.format.AsOf.Current).size
+    assert(dataFiles >= 6, s"clustered corpus expected, got $dataFiles")
+    // delete group a's MAX holder — a must rescan, nothing else
+    AzofWriter.commitDelete(spark, l, "src", Seq("a6"),
+      ts("2024-02-05T00:00:00Z"))
+    MvCountingFs.reset()
+    refresh(l, ck)
+    val opened = MvCountingFs.srcDataFiles
+    assert(opened.nonEmpty, "counting FS saw no reads — vacuous")
+    assert(opened.size <= 3 && opened.size < dataFiles,
+      s"rescan must be confined to the churned group's files: opened " +
+        s"${opened.size} of $dataFiles: $opened")
+    assert(served(l) == oneShot(l))
+    assert(served(l).find(_._1 == "a").get == ("a", 5L, 150L, 10L, 50L))
+  }
+
   test("rebuildEpoch after a source rollback serves the rolled-back " +
     "live state (the no-feed-event reconciliation hatch)") {
     val (l, ck) = mkLake("rb")
@@ -231,5 +273,32 @@ class MatViewSpec extends AnyFunSuite {
       ts("2024-06-01T00:00:00Z"))
     assert(served(l, "mv_e2") == oneShot(l))
     assert(served(l, "mv_e2").map(_._1) == Seq("a", "b"))
+  }
+}
+
+/** RawLocalFileSystem counting distinct parquet data files opened under
+  * the `src` table — the file-confinement pin for the MatView min/max
+  * rescan on a value-clustered layout.
+  */
+class MvCountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mvfs"
+  override def getUri: java.net.URI = java.net.URI.create("mvfs:///")
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    MvCountingFs.record(f)
+    super.open(f, bufferSize)
+  }
+}
+
+object MvCountingFs {
+  val opened = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def record(f: org.apache.hadoop.fs.Path): Unit = {
+    val s = f.toString
+    if (s.contains("/src/") && s.endsWith(".parquet")) { opened.add(s); () }
+  }
+  def reset(): Unit = opened.clear()
+  def srcDataFiles: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    opened.asScala.toSet
   }
 }
