@@ -45,7 +45,8 @@ object AzofQueries {
     "q51_matview" -> matViewServe,
     "q52_matview_rebuild" -> matViewRebuild,
     "q53_mv_rewrite" -> matViewRewrite,
-    "q54_join_view" -> joinViewServe)
+    "q54_join_view" -> joinViewServe,
+    "q55_join_rewrite" -> joinViewRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1090,7 +1091,7 @@ object AzofQueries {
     * `src1` with `n_chars + 3` (May); a fact delete of docs 6/7 (Jun).
     */
   private[queries] def jvLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "jv-v1", "doc_jv") { l =>
+    cachedLake(dir, "jv-v2", "doc_jv") { l =>
       import graft.sources.{AzofWriter, JoinView}
       val docs = Tables(s, dir, "documents")
       val srcs = docs.select("source").distinct()
@@ -1164,6 +1165,65 @@ object AzofQueries {
     graft.sources.JoinView.serve(s, lake, "doc_jv", jvDef)
   }
 
+  /** The JOIN-shape rewrite under the oracle gate (q53's two-table
+    * twin): a plain SQL `fact JOIN dim GROUP BY` — no view mentioned —
+    * is answered FROM the fresh [[graft.sources.JoinView]] by the
+    * optimizer rule. Refuses to return a plan that still joins or
+    * aggregates (both nodes must be gone), so the row certifies
+    * rewrite-fired AND rewrite-exact under q54's recompute oracle.
+    */
+  private def joinViewRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = jvLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_jv")
+    try {
+      val q = s.sql(
+        "SELECT tier, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, min(n_chars) AS min_n_chars, " +
+          "max(n_chars) AS max_n_chars " +
+          "FROM azof.docs_jv f JOIN azof.sources_jv d " +
+          "ON f.src = d.key GROUP BY tier")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "join-view rewrite did not fire — refusing to pass the row " +
+          "off the scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** q54/q55's shared oracle: the one-shot fact⋈dim aggregate over
+    * both tables' reconstructed final states (see [[jvLake]]'s churn
+    * script) — served directly by q54, re-proved through the
+    * plan-pinned optimizer REWRITE by q55.
+    */
+  private val joinViewOracle: String =
+    """WITH fact AS (
+         SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
+                  AS src,
+                CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars
+                  END AS n_chars
+         FROM documents WHERE doc_id NOT IN (6, 7)),
+       dim AS (
+         SELECT source AS src,
+                CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                       THEN 'vip'
+                     WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                       THEN 'even'
+                     ELSE 'odd' END AS tier
+         FROM (SELECT DISTINCT source FROM documents)
+         WHERE source <> 'src7')
+       SELECT tier, COUNT(*) AS n_rows,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+              MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+       FROM fact JOIN dim USING (src) GROUP BY tier"""
+
   /** q51/q52's shared oracle: the one-shot GROUP BY over the mv lake's
     * final LIVE corpus, reconstructed relationally from the raw
     * documents (docs 6/7 deleted; every `doc_id % 5 = 0` doc moved to
@@ -1186,27 +1246,10 @@ object AzofQueries {
     "q51_matview" -> matViewOracle,
     "q52_matview_rebuild" -> matViewOracle,
     // the one-shot fact⋈dim aggregate over both reconstructed final
-    // states (see jvLake's churn script)
-    "q54_join_view" ->
-      """WITH fact AS (
-           SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
-                    AS src,
-                  CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars
-                    END AS n_chars
-           FROM documents WHERE doc_id NOT IN (6, 7)),
-         dim AS (
-           SELECT source AS src,
-                  CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
-                         THEN 'vip'
-                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
-                         THEN 'even'
-                       ELSE 'odd' END AS tier
-           FROM (SELECT DISTINCT source FROM documents)
-           WHERE source <> 'src7')
-         SELECT tier, COUNT(*) AS n_rows,
-                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
-                MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
-         FROM fact JOIN dim USING (src) GROUP BY tier""",
+    // states (see jvLake's churn script); q55 re-proves it through the
+    // optimizer REWRITE of the plain SQL join (same truth, plan-pinned)
+    "q54_join_view" -> joinViewOracle,
+    "q55_join_rewrite" -> joinViewOracle,
     // the rewritten aggregate serves the SAME truth as q51 minus the
     // derived mean (the rewrite covers count/sum/min/max)
     "q53_mv_rewrite" ->
