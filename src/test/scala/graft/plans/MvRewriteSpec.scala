@@ -322,6 +322,20 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("TIME-TRAVEL reads never rewrite: the view stands in only for " +
+    "the Current un-pinned relation") {
+    val (l, _) = mkLake("tt")
+    withConfs(l) {
+      val q = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src VERSION AS OF 2 " +
+          "GROUP BY g1")
+      assert(scansSrc(q),
+        "a pinned-version read must aggregate the scan, not the view:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(q.collect().nonEmpty)
+    }
+  }
+
   test("the DSv2 catalog surface rewrites too; unset conf is inert") {
     val (l, _) = mkLake("dsv2")
     spark.conf.set("spark.sql.catalog.mvr", classOf[graft.sources.AzofCatalog].getName)

@@ -169,6 +169,37 @@ class TermIndexSpec extends AnyFunSuite {
     assert(wRare > wCommon, "rarity must weigh more")
   }
 
+  test("search on a by-key-folded posting layout FILE-SKIPS to the " +
+    "query terms' key ranges (counting FS pin)") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.termfs.impl", classOf[TermCountingFs].getName)
+    spark.conf.set("spark.hadoop.fs.termfs.impl",
+      classOf[TermCountingFs].getName)
+    val local = Files.createTempDirectory("azof-term-count").toString
+    val l = s"termfs:$local"
+    val ck = Files.createTempDirectory("azof-term-count-ck").toString
+    AzofWriter.createTable(spark, l, "docs", docSchema,
+      ts("2024-01-01T00:00:00Z"))
+    // a spread-out vocabulary so the fold's key slices separate terms
+    AzofWriter.commitBase(spark, l, "docs", df(
+      (1 to 40).map(i => (i.toString, "2024-01-02T00:00:00Z",
+        s"w${"%02d".format(i)} w${"%02d".format((i + 20) % 40)}")): _*))
+    refresh(l, ck)
+    AzofWriter.compact(spark, l, "term_postings",
+      ts("2024-02-01T00:00:00Z"), numFiles = 8, byKey = true)
+    val postFiles = AzofTable(spark, l, "term_postings").currentSnapshot
+      .dataFiles(graft.format.AsOf.Current).size
+    assert(postFiles >= 8, s"folded layout expected, got $postFiles")
+    TermCountingFs.reset()
+    val hits = served(l, Seq("w05"), all = false)
+    assert(hits.nonEmpty)
+    val opened = TermCountingFs.postingFiles
+    assert(opened.nonEmpty, "counting FS saw no reads — vacuous")
+    assert(opened.size <= 2 && opened.size < postFiles,
+      s"one term must read its key slice(s), not the table: opened " +
+        s"${opened.size} of $postFiles: $opened")
+  }
+
   test("rebuildEpoch after a source rollback serves the rolled-back " +
     "corpus") {
     val (l, ck) = mkLake("rb")
@@ -185,5 +216,33 @@ class TermIndexSpec extends AnyFunSuite {
     assert(served(l, Seq("p"), all = false, tbl = "tp_e2") ==
       Seq(("1", 1L, 1L)))
     assert(served(l, Seq("r"), all = false, tbl = "tp_e2").isEmpty)
+  }
+}
+
+/** RawLocalFileSystem counting distinct parquet data files opened under
+  * the posting table — the term-range file-skip pin.
+  */
+class TermCountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "termfs"
+  override def getUri: java.net.URI = java.net.URI.create("termfs:///")
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    TermCountingFs.record(f)
+    super.open(f, bufferSize)
+  }
+}
+
+object TermCountingFs {
+  val opened = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def record(f: org.apache.hadoop.fs.Path): Unit = {
+    val s = f.toString
+    if (s.contains("/term_postings/") && s.endsWith(".parquet")) {
+      opened.add(s); ()
+    }
+  }
+  def reset(): Unit = opened.clear()
+  def postingFiles: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    opened.asScala.toSet
   }
 }
