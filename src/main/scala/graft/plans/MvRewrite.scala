@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.sources.{AzofRelation, AzofV2Table, MatView, ViewDef}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Expression, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
@@ -33,15 +33,22 @@ import org.apache.spark.sql.functions._
   *     fall back to the scan, never to wrong answers).
   *   - Matched shapes: `GROUP BY` on a SUBSET of the view's group
   *     columns (the monoid rollup property: COUNT re-sums `n_rows`,
-  *     SUM re-sums, MIN/MAX re-minimize — all exact), aggregates
-  *     drawn from COUNT(*) / COUNT(non-nullable col) / SUM / MIN /
-  *     MAX over the declared columns, plus `COUNT(DISTINCT g)` for a
-  *     view GROUP column (view rows are distinct group tuples, so the
-  *     distinct count reads off the view). WHERE predicates touching
-  *     only group columns commute with the aggregation and move onto
-  *     the (group-cardinality) view scan; any other predicate, FILTER
-  *     clause, or aggregate refuses. An exact group match with no
-  *     distinct skips the re-aggregation entirely (pure projection).
+  *     SUM re-sums, MIN/MAX re-minimize — all exact). Each output is
+  *     decomposed into a TREE over view-servable aggregate leaves —
+  *     COUNT(*) / COUNT(c) (the view's non-null count `nn_<c>`, exact
+  *     for nullable measures) / SUM / MIN / MAX over declared columns,
+  *     `COUNT(DISTINCT g)` for a view GROUP column (view rows are
+  *     distinct group tuples), and `AVG(c)` for a declared sum column
+  *     as `SUM(c)/COUNT(c)` from the stored totals — with casts,
+  *     `+ − × ÷`, and literals as interior nodes, so expressions like
+  *     `avg(v)`, `sum(a) - sum(b)`, or `100 * sum(v) / count(*)`
+  *     rewrite component-wise; a subset rollup re-derives them from
+  *     re-summed totals, never by averaging averages. WHERE predicates
+  *     touching only group columns commute with the aggregation and
+  *     move onto the (group-cardinality) view scan; any other
+  *     predicate, FILTER clause, or aggregate refuses. An exact group
+  *     match with no distinct skips the re-aggregation entirely (pure
+  *     projection).
   *
   * JOIN shapes rewrite too: an aggregate over
   * `fact INNER JOIN dim ON fact.fk = dim.key` (either operand order)
@@ -193,63 +200,142 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       c.references.nonEmpty &&
       c.references.forall(a => vd.groupCols.contains(a.name))
 
-  private sealed trait Out
-  private case class GroupOut(c: String) extends Out
-  private case object CountOut extends Out
-  private case class SumOut(c: String) extends Out
-  private case class MinOut(c: String) extends Out
-  private case class MaxOut(c: String) extends Out
+  /** One view-servable aggregate ATOM: the unit the view stores (or can
+    * roll up with a monoid re-aggregation). Output expressions decompose
+    * into trees over these leaves, so derived aggregates — `AVG(c)` as
+    * `SUM(c)/COUNT(c)`, `sum(a) - sum(b)`, `max(c) * 100 / sum(n)` —
+    * rewrite COMPONENT-WISE from totals (a subset rollup re-derives
+    * `AVG` from re-summed sums and counts, never by averaging averages).
+    */
+  private sealed trait AggLeaf
+  private case object CountL extends AggLeaf
+  /** `COUNT(c)` for a declared sum column: the view's per-column
+    * non-null count `nn_<c>` — exact under SQL's null-skipping
+    * semantics even for nullable measures.
+    */
+  private case class CountColL(c: String) extends AggLeaf
+  private case class SumL(c: String) extends AggLeaf
+  private case class MinL(c: String) extends AggLeaf
+  private case class MaxL(c: String) extends AggLeaf
   /** `COUNT(DISTINCT c)` where `c` is one of the view's GROUP columns:
     * view rows are distinct (group tuples), so the count of live view
     * rows per query group — `count_distinct` when the view carries
     * extra group columns — is the exact distinct count.
     */
-  private case class DistinctOut(c: String) extends Out
+  private case class DistinctL(c: String) extends AggLeaf
+
+  private sealed trait Out
+  private case class GroupOut(c: String) extends Out
+  /** An output computed from leaf totals: `build` re-assembles the
+    * original expression tree over the served leaf columns (aligned
+    * positionally with `leaves`).
+    */
+  private case class CalcOut(
+      leaves: Seq[AggLeaf], build: Seq[Column] => Column) extends Out
+
+  private type Calc = (Seq[AggLeaf], Seq[Column] => Column)
+
+  /** Decompose one AGGREGATE FUNCTION call into view leaves, or None
+    * when the view cannot answer it exactly.
+    */
+  private def leafOf(ae: AggregateExpression, vd: ViewDef): Option[Calc] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Average
+    def one(l: AggLeaf): Option[Calc] = Some((Seq(l), _.head))
+    if (ae.filter.nonEmpty) None
+    else if (ae.isDistinct) ae.aggregateFunction match {
+      case Count(Seq(a: AttributeReference))
+        if vd.groupCols.contains(a.name) => one(DistinctL(a.name))
+      case _ => None
+    }
+    else ae.aggregateFunction match {
+      case Count(Seq(_: Literal)) => one(CountL)
+      case Count(Seq(a: AttributeReference)) =>
+        if (!a.nullable) one(CountL)
+        else if (vd.sumCols.contains(a.name)) one(CountColL(a.name))
+        else None
+      case s: Sum => s.child match {
+        case a: AttributeReference if vd.sumCols.contains(a.name) =>
+          one(SumL(a.name))
+        case _ => None
+      }
+      case avg: Average => avg.child match {
+        case a: AttributeReference if vd.sumCols.contains(a.name) =>
+          // SUM(c)/COUNT(c) over the view's totals — the same i64 sum
+          // and non-null count Spark's own Average produces, divided
+          // once in double (Average's own evaluateExpression shape)
+          Some((Seq(SumL(a.name), CountColL(a.name)),
+            cs => cs(0).cast("double") / cs(1).cast("double")))
+        case _ => None
+      }
+      case m: Min => m.child match {
+        case a: AttributeReference if vd.minMaxCols.contains(a.name) =>
+          one(MinL(a.name))
+        case _ => None
+      }
+      case m: Max => m.child match {
+        case a: AttributeReference if vd.minMaxCols.contains(a.name) =>
+          one(MaxL(a.name))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Arithmetic node shapes the rewrite reproduces faithfully over
+    * served operands (same Column operators → same Catalyst nodes →
+    * same type promotion and null semantics).
+    */
+  private def arithOf(b: org.apache.spark.sql.catalyst.expressions
+      .BinaryArithmetic): Option[(Column, Column) => Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Multiply, Subtract}
+    b match {
+      case _: Add => Some(_ + _)
+      case _: Subtract => Some(_ - _)
+      case _: Multiply => Some(_ * _)
+      case _: Divide => Some(_ / _)
+      case _ => None
+    }
+  }
+
+  /** Decompose a scalar expression OVER aggregate calls into view
+    * leaves plus a rebuild function: aggregates at the leaves,
+    * casts / + − × ÷ / literals as interior nodes.
+    */
+  private def calcOf(e: Expression, vd: ViewDef): Option[Calc] = e match {
+    case ae: AggregateExpression => leafOf(ae, vd)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      calcOf(c.child, vd).map { case (ls, b) =>
+        (ls, (cols: Seq[Column]) => b(cols).cast(c.dataType))
+      }
+    case b: org.apache.spark.sql.catalyst.expressions.BinaryArithmetic =>
+      arithOf(b).flatMap { op =>
+        for {
+          (ll, lb) <- calcOf(b.left, vd)
+          (rl, rb) <- calcOf(b.right, vd)
+        } yield ((ll ++ rl, { cols: Seq[Column] =>
+          val (lc, rc) = cols.splitAt(ll.size)
+          op(lb(lc), rb(rc))
+        }): Calc)
+      }
+    case l: Literal =>
+      Some((Nil, _ => org.apache.spark.sql.graft.StreamingBridge.column(l)))
+    case _ => None
+  }
 
   /** Map one output expression of the aggregate onto the view, or None
     * when the view cannot answer it exactly.
     */
-  private def outOf(ne: NamedExpression, vd: ViewDef): Option[Out] = {
-    def agg(ae: AggregateExpression): Option[Out] =
-      if (ae.filter.nonEmpty) None
-      else if (ae.isDistinct) ae.aggregateFunction match {
-        case Count(Seq(a: AttributeReference))
-          if vd.groupCols.contains(a.name) => Some(DistinctOut(a.name))
-        case _ => None
-      }
-      else ae.aggregateFunction match {
-        case Count(Seq(_: Literal)) => Some(CountOut)
-        case Count(Seq(a: AttributeReference)) if !a.nullable =>
-          Some(CountOut)
-        case s: Sum => s.child match {
-          case a: AttributeReference if vd.sumCols.contains(a.name) =>
-            Some(SumOut(a.name))
-          case _ => None
-        }
-        case m: Min => m.child match {
-          case a: AttributeReference if vd.minMaxCols.contains(a.name) =>
-            Some(MinOut(a.name))
-          case _ => None
-        }
-        case m: Max => m.child match {
-          case a: AttributeReference if vd.minMaxCols.contains(a.name) =>
-            Some(MaxOut(a.name))
-          case _ => None
-        }
-        case _ => None
-      }
+  private def outOf(ne: NamedExpression, vd: ViewDef): Option[Out] =
     ne match {
       case a: AttributeReference if vd.groupCols.contains(a.name) =>
         Some(GroupOut(a.name))
       case al: Alias => al.child match {
         case a: AttributeReference if vd.groupCols.contains(a.name) =>
           Some(GroupOut(a.name))
-        case ae: AggregateExpression => agg(ae)
-        case _ => None
+        case e => calcOf(e, vd).map { case (ls, b) => CalcOut(ls, b) }
       }
       case _ => None
     }
-  }
 
   /** Build the replacement: the served view, re-aggregated when the
     * query groups by a proper subset of the view's group columns, then
@@ -273,35 +359,58 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         org.apache.spark.sql.graft.StreamingBridge.ofRows(
           spark, Filter(remapped, p))
       }
+    val hasDistinct = outs.exists {
+      case CalcOut(ls, _) => ls.exists(_.isInstanceOf[DistinctL])
+      case _ => false
+    }
     val slim =
-      if (groups.toSet == vd.groupCols.toSet &&
-          !outs.exists(_.isInstanceOf[DistinctOut]))
-        // exact match: one row per group already — pure projection
-        serve.select(outs.zipWithIndex.map {
-          case (GroupOut(c), i)    => col(c).as(s"_mv_$i")
-          case (CountOut, i)       => col("n_rows").as(s"_mv_$i")
-          case (SumOut(c), i)      => col(s"sum_$c").as(s"_mv_$i")
-          case (MinOut(c), i)      => col(s"min_$c").as(s"_mv_$i")
-          case (MaxOut(c), i)      => col(s"max_$c").as(s"_mv_$i")
-          case (DistinctOut(_), _) => throw new IllegalStateException(
+      if (groups.toSet == vd.groupCols.toSet && !hasDistinct) {
+        // exact match: one row per group already — leaves ARE view
+        // columns, outputs a pure projection of rebuilt trees
+        def leafCol(l: AggLeaf): Column = l match {
+          case CountL       => col("n_rows")
+          case CountColL(c) => col(s"nn_$c")
+          case SumL(c)      => col(s"sum_$c")
+          case MinL(c)      => col(s"min_$c")
+          case MaxL(c)      => col(s"max_$c")
+          case DistinctL(_) => throw new IllegalStateException(
             "distinct outputs always take the rollup path")
-        }: _*)
-      else {
-        // subset rollup: COUNT re-sums n_rows (coalesced — the original
-        // count is non-nullable), SUM re-sums, MIN/MAX re-minimize
-        val aggCols = outs.zipWithIndex.collect {
-          case (CountOut, i) =>
-            coalesce(sum(col("n_rows")), lit(0L)).as(s"_mv_$i")
-          case (SumOut(c), i)      => sum(col(s"sum_$c")).as(s"_mv_$i")
-          case (MinOut(c), i)      => min(col(s"min_$c")).as(s"_mv_$i")
-          case (MaxOut(c), i)      => max(col(s"max_$c")).as(s"_mv_$i")
-          case (DistinctOut(c), i) => count_distinct(col(c)).as(s"_mv_$i")
         }
-        val grouped = serve.groupBy(groups.map(col): _*)
-          .agg(aggCols.head, aggCols.tail: _*)
+        serve.select(outs.zipWithIndex.map {
+          case (GroupOut(c), i)     => col(c).as(s"_mv_$i")
+          case (CalcOut(ls, b), i)  => b(ls.map(leafCol)).as(s"_mv_$i")
+        }: _*)
+      } else {
+        // subset rollup: each DISTINCT leaf re-aggregates ONCE (COUNT
+        // re-sums n_rows / nn, SUM re-sums, MIN/MAX re-minimize), then
+        // every output tree rebuilds over the rolled-up totals —
+        // derived aggregates re-derive from sums, never from averages
+        val leaves = outs.collect { case CalcOut(ls, _) => ls }
+          .flatten.distinct
+        def leafAgg(l: AggLeaf): Column = l match {
+          case CountL       => coalesce(sum(col("n_rows")), lit(0L))
+          case CountColL(c) => coalesce(sum(col(s"nn_$c")), lit(0L))
+          case SumL(c)      => sum(col(s"sum_$c"))
+          case MinL(c)      => min(col(s"min_$c"))
+          case MaxL(c)      => max(col(s"max_$c"))
+          case DistinctL(c) => count_distinct(col(c))
+        }
+        val li = leaves.zipWithIndex.toMap
+        val grouped =
+          if (leaves.isEmpty)
+            // aggregate-free GROUP BY (`SELECT g FROM t GROUP BY g`):
+            // the distinct group tuples, straight off the view
+            serve.select(groups.map(col): _*).distinct()
+          else {
+            val aggCols = leaves.zipWithIndex.map { case (l, i) =>
+              leafAgg(l).as(s"_lf_$i") }
+            serve.groupBy(groups.map(col): _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+          }
         grouped.select(outs.zipWithIndex.map {
-          case (GroupOut(c), i) => col(c).as(s"_mv_$i")
-          case (_, i)           => col(s"_mv_$i")
+          case (GroupOut(c), i)    => col(c).as(s"_mv_$i")
+          case (CalcOut(ls, b), i) =>
+            b(ls.map(l => col(s"_lf_${li(l)}"))).as(s"_mv_$i")
         }: _*)
       }
     val child = slim.queryExecution.analyzed
@@ -341,12 +450,19 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 outs.forall {
                   case GroupOut(c) => groups.contains(c); case _ => true }
               }
-              .filter(_ => MatView.isFresh(spark, sLake, sTable, lake, mv))
-              .map { outs =>
-                logInfo(s"rewriting aggregate over $srcKey to " +
-                  s"materialized view $mv")
-                rewrite(agg, MatView.serve(spark, lake, mv, vd),
-                  vd, groups, outs, conds)
+              .flatMap { outs =>
+                // version-PINNED serve: execution reads exactly the
+                // snapshot this freshness check validated, so a source
+                // commit racing between optimization and execution can
+                // never swap a stale view under the rewritten plan
+                MatView.freshViewVersion(spark, sLake, sTable, lake, mv)
+                  .map { viewV =>
+                    logInfo(s"rewriting aggregate over $srcKey to " +
+                      s"materialized view $mv@$viewV")
+                    rewrite(agg,
+                      MatView.serve(spark, lake, mv, vd, Some(viewV)),
+                      vd, groups, outs, conds)
+                  }
               }
           }
         }.nextOption()
@@ -395,15 +511,18 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   outs.forall {
                     case GroupOut(c) => groups.contains(c); case _ => true }
                 }
-                .filter(_ => graft.sources.JoinView.isFresh(spark,
-                  d.factLake, d.factTable, d.dimLake, d.dimTable,
-                  lake, mv))
-                .map { outs =>
-                  logInfo(s"rewriting join aggregate over $factKey ⋈ " +
-                    s"$dimKey to join view $mv")
-                  rewrite(agg,
-                    graft.sources.JoinView.serve(spark, lake, mv, jdef),
-                    vd, groups, outs, conds)
+                .flatMap { outs =>
+                  graft.sources.JoinView.freshViewVersion(spark,
+                    d.factLake, d.factTable, d.dimLake, d.dimTable,
+                    lake, mv)
+                    .map { viewV =>
+                      logInfo(s"rewriting join aggregate over $factKey ⋈ " +
+                        s"$dimKey to join view $mv@$viewV")
+                      rewrite(agg,
+                        graft.sources.JoinView.serve(spark, lake, mv, jdef,
+                          Some(viewV)),
+                        vd, groups, outs, conds)
+                    }
                 }
             }
           }.nextOption()
@@ -437,19 +556,25 @@ object MvRewriteRule {
       dimLake: String, dimTable: String,
       jdef: graft.sources.JoinViewDef) extends CandDef
 
-  /** View definitions are immutable per table — cache them. A missing
-    * sidecar caches as None (mis-configured candidate stays cheap).
+  /** View definitions are immutable per table — cache them once READ.
+    * A miss is NEVER cached: the sidecar may simply not exist YET (the
+    * user sets the conf, queries once, then creates the view — the
+    * interactive flow this feature targets), and re-probing a missing
+    * candidate is one cheap `fs.exists` per query on an opt-in path.
     */
   private val defCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (String, String), Option[CandDef]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), CandDef]()
 
   private def defOf(spark: SparkSession, lake: String, mv: String)
       : Option[CandDef] =
-    defCache.computeIfAbsent((lake, mv), _ =>
-      try MatView.readDef(spark, lake, mv)
-        .map { case (sl, st, vd) => SingleDef(sl, st, vd) }
-        .orElse(graft.sources.JoinView.readDef(spark, lake, mv)
-          .map { case (fl, ft, dl, dt, jd) => JoinDef(fl, ft, dl, dt, jd) })
-      catch { case scala.util.control.NonFatal(_) => None })
+    Option(defCache.get((lake, mv))).orElse {
+      val read =
+        try MatView.readDef(spark, lake, mv)
+          .map { case (sl, st, vd) => SingleDef(sl, st, vd) }
+          .orElse(graft.sources.JoinView.readDef(spark, lake, mv)
+            .map { case (fl, ft, dl, dt, jd) => JoinDef(fl, ft, dl, dt, jd) })
+        catch { case scala.util.control.NonFatal(_) => None }
+      read.foreach(defCache.put((lake, mv), _))
+      read
+    }
 }

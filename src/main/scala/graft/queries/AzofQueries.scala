@@ -46,7 +46,9 @@ object AzofQueries {
     "q52_matview_rebuild" -> matViewRebuild,
     "q53_mv_rewrite" -> matViewRewrite,
     "q54_join_view" -> joinViewServe,
-    "q55_join_rewrite" -> joinViewRewrite)
+    "q55_join_rewrite" -> joinViewRewrite,
+    "q56_mv_avg_rewrite" -> matViewAvgRewrite,
+    "q58_mv_nullable" -> matViewNullable)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -969,7 +971,7 @@ object AzofQueries {
     * same view one-shot from the final live corpus.
     */
   private[queries] def mvLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "mv-v3", "doc_mv") { l =>
+    cachedLake(dir, "mv-v4", "doc_mv") { l =>
       import graft.sources.MatView
       val schema = TableSchema(Seq(
         ColumnDef("source", ColumnType.AzString, nullable = false),
@@ -1071,6 +1073,115 @@ object AzofQueries {
       s.conf.unset("spark.azof.path")
       s.conf.unset("spark.azof.mv.rewrite")
     }
+  }
+
+  /** The DERIVED-aggregate rewrite under the oracle gate: `AVG`,
+    * `COUNT(*)`, `SUM`, and an arithmetic combination over aggregates
+    * in ONE plain SQL statement — no view mentioned — all served from
+    * the stored totals by [[graft.plans.MvRewriteRule]]'s
+    * expression-tree decomposition (`AVG(c)` = `sum_c / nn_c`, the
+    * same i64 totals Spark's own Average produces, divided once in
+    * double). Refuses a corpus-scan plan exactly like q53, so the row
+    * certifies rewrite-fired AND avg-exact in one hash.
+    */
+  private def matViewAvgRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = mvLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_mv")
+    try {
+      val q = s.sql(
+        "SELECT source, avg(n_chars) AS avg_chars, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, " +
+          "100 * sum(n_chars) / count(*) AS pct_chars " +
+          "FROM azof.docs_mv GROUP BY source")
+      val aggs = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      if (aggs.nonEmpty) throw new IllegalStateException(
+        "avg rewrite did not fire — refusing to pass the row off the " +
+          "corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** The q58 [[graft.sources.ViewDef]]: per-source counts + the
+    * null-skipping sum/count pair over a NULLABLE measure.
+    */
+  private val mvnDef = graft.sources.ViewDef(Seq("source"),
+    sumCols = Seq("score"))
+
+  /** Four-commit [[graft.sources.MatView]] lake over a NULLABLE
+    * measure: `score` is NULL for every `doc_id % 4 = 0` doc; the Apr
+    * revision batch flips every `doc_id % 5 = 0` doc's nullness
+    * (null → `n_chars + 7`, non-null → NULL — both directions of the
+    * null transition must subtract/add exactly); docs 6/7 deleted.
+    */
+  private[queries] def mvnLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "mvn-v1", "doc_mvn") { l =>
+      import graft.sources.MatView
+      val schema = TableSchema(Seq(
+        ColumnDef("source", ColumnType.AzString, nullable = false),
+        ColumnDef("score", ColumnType.AzInt, nullable = true)))
+      val docs = Tables(s, dir, "documents")
+      val baseScore =
+        when(col("doc_id") % 4 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars"))
+      val revScore =
+        when(col("doc_id") % 4 === 0, col("n_chars") + 7)
+          .otherwise(lit(null).cast("long"))
+      def rows(filter: org.apache.spark.sql.Column, at: String,
+          score: org.apache.spark.sql.Column) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          col("source"), score.as("score"))
+      AzofWriter.createTable(s, l, "docs_mvn", schema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val ck = new java.io.File(l, "_mvn_ck").toString
+      def refresh(): Unit = {
+        val q = MatView.refresh(s, l, "docs_mvn", l, "doc_mvn", mvnDef, ck)
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(
+            "nullable matview refresh did not terminate within 300s")
+      }
+      AzofWriter.commitBase(s, l, "docs_mvn",
+        rows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z",
+          baseScore))                                                // v2
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_mvn",
+        rows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z",
+          baseScore),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))                       // v3
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_mvn",
+        rows(col("doc_id") % 5 === 0, "2024-04-05T00:00:00Z",
+          revScore),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))                       // v4
+      refresh()
+      AzofWriter.commitDelete(s, l, "docs_mvn", Seq("6", "7"),
+        Instant.parse("2024-05-05T00:00:00Z"))                       // v5
+      refresh()
+      ()
+    }
+
+  /** NULLABLE-measure view, served: SQL's null-skipping SUM/COUNT are
+    * maintained exactly through both directions of the null transition
+    * (the `nn_score` non-null count is what makes the subtraction
+    * arithmetic exact), and the derived mean divides by `COUNT(score)`,
+    * not `COUNT(*)`. The oracle recomputes one-shot over the
+    * reconstructed final live state.
+    */
+  private def matViewNullable(s: SparkSession, dir: String): DataFrame = {
+    val lake = mvnLake(s, dir)
+    graft.sources.MatView.serve(s, lake, "doc_mvn", mvnDef)
+      .withColumn("avg_score",
+        col("sum_score").cast("double") / col("nn_score"))
   }
 
   /** The q54 [[graft.sources.JoinViewDef]]: per-TIER (a dim attribute)
@@ -1238,13 +1349,54 @@ object AzofQueries {
          FROM documents WHERE doc_id NOT IN (6, 7))
        SELECT source, COUNT(*) AS n_rows,
               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+              COUNT(n_chars) AS nn_n_chars,
               MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars,
               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+       FROM live GROUP BY source"""
+
+  /** q56's oracle: the derived aggregates over the same reconstructed
+    * live state — AVG and the arithmetic combo re-derived from totals.
+    */
+  private val matViewAvgOracle: String =
+    """WITH live AS (
+         SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                  AS source,
+                CASE WHEN doc_id % 5 = 0 THEN n_chars + 4 ELSE n_chars END
+                  AS n_chars
+         FROM documents WHERE doc_id NOT IN (6, 7))
+       SELECT source,
+              CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+              COUNT(*) AS n_rows,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+              100 * CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS pct_chars
+       FROM live GROUP BY source"""
+
+  /** q58's oracle: null-skipping SUM/COUNT/AVG over the reconstructed
+    * nullable-measure state (see [[mvnLake]]'s churn script — the Apr
+    * batch flips nullness both ways for every fifth doc).
+    */
+  private val matViewNullableOracle: String =
+    """WITH live AS (
+         SELECT source,
+                CASE WHEN doc_id % 5 = 0 THEN
+                       CASE WHEN doc_id % 4 = 0 THEN n_chars + 7
+                            ELSE NULL END
+                     ELSE
+                       CASE WHEN doc_id % 4 = 0 THEN NULL
+                            ELSE n_chars END
+                END AS score
+         FROM documents WHERE doc_id NOT IN (6, 7))
+       SELECT source, COUNT(*) AS n_rows,
+              CAST(SUM(score) AS BIGINT) AS sum_score,
+              COUNT(score) AS nn_score,
+              CAST(SUM(score) AS DOUBLE) / COUNT(score) AS avg_score
        FROM live GROUP BY source"""
 
   def oracleSql: Map[String, String] = Map(
     "q51_matview" -> matViewOracle,
     "q52_matview_rebuild" -> matViewOracle,
+    "q56_mv_avg_rewrite" -> matViewAvgOracle,
+    "q58_mv_nullable" -> matViewNullableOracle,
     // the one-shot fact⋈dim aggregate over both reconstructed final
     // states (see jvLake's churn script); q55 re-proves it through the
     // optimizer REWRITE of the plain SQL join (same truth, plan-pinned)

@@ -219,14 +219,29 @@ object JoinView {
       spark: SparkSession,
       factLake: String, factTable: String,
       dimLake: String, dimTable: String,
-      idxLake: String, idxTable: String): Boolean = {
+      idxLake: String, idxTable: String): Boolean =
+    freshViewVersion(spark, factLake, factTable, dimLake, dimTable,
+      idxLake, idxTable).isDefined
+
+  /** [[isFresh]] that PINS the validated view version for the rewrite
+    * rule's executed scan ([[MatView.freshViewVersion]]'s reasoning:
+    * cursor before pin, refresh commits before cursor — the pinned
+    * snapshot always carries at least the validated state).
+    */
+  def freshViewVersion(
+      spark: SparkSession,
+      factLake: String, factTable: String,
+      dimLake: String, dimTable: String,
+      idxLake: String, idxTable: String): Option[Long] = {
     val (dir, fs, p) = sidecarPath(spark, idxLake, idxTable)
     val _ = dir
-    if (!fs.exists(p)) false
+    if (!fs.exists(p)) None
     else {
       val (f, d) = readCursor(spark, idxLake, idxTable)
-      MatView.unchangedSince(spark, factLake, factTable, f) &&
-        MatView.unchangedSince(spark, dimLake, dimTable, d)
+      val v = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
+      if (MatView.unchangedSince(spark, factLake, factTable, f) &&
+        MatView.unchangedSince(spark, dimLake, dimTable, d)) Some(v)
+      else None
     }
   }
 
@@ -489,11 +504,15 @@ object JoinView {
     */
   def serve(
       spark: SparkSession,
-      idxLake: String, idxTable: String, jdef: JoinViewDef): DataFrame = {
+      idxLake: String, idxTable: String, jdef: JoinViewDef,
+      version: Option[Long] = None): DataFrame = {
     val cols = jdef.groupCols ++ Seq("n_rows") ++
       jdef.sumCols.map(c => s"sum_$c") ++
       jdef.minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
-    graft.operators.AzofScan.scan(spark, idxLake, idxTable)
+    val t = AzofTable(spark, idxLake, idxTable)
+    val snap = version.map(v => t.snapshot(v.toString))
+      .getOrElse(t.currentSnapshot)
+    graft.operators.AzofScan.scanSnapshot(spark, t, snap, AsOf.Current)
       .where(col("n_rows") > 0L)
       .select(cols.map(col): _*)
   }

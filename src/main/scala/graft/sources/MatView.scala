@@ -9,14 +9,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** What a materialized view maintains: `GROUP BY groupCols` with
-  * `COUNT(*)`, `SUM(c)` per `sumCols` entry, and `MIN(c)`/`MAX(c)` per
-  * `minMaxCols` entry, over the LIVE rows of one azof table. Aggregated
-  * columns must be declared `Int` (i64) and NON-NULLABLE in the source
-  * schema — exact incremental maintenance of SQL's null-skipping
-  * aggregates would additionally need a non-null count per column, a
-  * complication the engine refuses at [[MatView.create]] instead of
-  * silently approximating. Group columns must be non-null in the data
-  * (they join as equi-keys and concatenate into the view's record key).
+  * `COUNT(*)`, `SUM(c)` + `COUNT(c)` per `sumCols` entry, and
+  * `MIN(c)`/`MAX(c)` per `minMaxCols` entry, over the LIVE rows of one
+  * azof table. Sum columns must be `Int` (i64) but MAY be nullable:
+  * the view carries a per-column non-null count (`nn_<c>`) alongside
+  * each running sum, which is exactly what makes SQL's null-skipping
+  * `SUM`/`COUNT(c)`/`AVG` incrementally maintainable — `sum_<c>` adds
+  * `old − pre + new` over non-null values only, `COUNT(c)` serves from
+  * `nn_<c>`, and a group whose live values are all NULL serves
+  * `SUM = NULL` (`nn = 0`) instead of a silent 0. Min/max columns may
+  * be `Int`, `String`, or `DateTime`, nullable or not — the
+  * monoid-merge/loss-rescan machinery is type-agnostic (`Boolean`
+  * min/max stays refused: use `MAX(CAST(b AS INT))` semantics
+  * upstream). Group columns must be non-null in the data (they join as
+  * equi-keys and concatenate into the view's record key) and must not
+  * contain U+0001 — asserted per refresh, not assumed.
   */
 final case class ViewDef(
     groupCols: Seq[String],
@@ -88,8 +95,10 @@ object MatView {
   private val Sep = "\u0001"
 
   /** The view table's value schema for `view` over `srcSchema`: the
-    * group columns under their source types, then `n_rows`, `sum_<c>`,
-    * `min_<c>`/`max_<c>` — all i64. Validates the [[ViewDef]] contract.
+    * group columns under their source types, then `n_rows`, per sum
+    * column `sum_<c>` + its non-null count `nn_<c>` (both i64), and
+    * `min_<c>`/`max_<c>` under the SOURCE column's type. Validates the
+    * [[ViewDef]] contract.
     */
   def viewSchema(srcSchema: TableSchema, view: ViewDef): TableSchema = {
     val byName = srcSchema.columns.map(c => c.name -> c).toMap
@@ -97,23 +106,28 @@ object MatView {
       throw new IllegalArgumentException(
         s"view column '$n' is not in the source schema " +
           s"(${srcSchema.columns.map(_.name).mkString(", ")})"))
-    (view.sumCols ++ view.minMaxCols).foreach { c =>
-      val d = defOf(c)
-      if (d.dataType != ColumnType.AzInt || d.nullable)
+    view.sumCols.foreach { c =>
+      if (defOf(c).dataType != ColumnType.AzInt)
         throw new IllegalArgumentException(
-          s"aggregated column '$c' must be a non-nullable Int — " +
-            "exact incremental SUM/MIN/MAX over nullable columns would " +
-            "need per-column non-null counts (see ViewDef's scaladoc)")
+          s"sum column '$c' must be an Int (nullable is fine — the " +
+            "view tracks a per-column non-null count)")
+    }
+    view.minMaxCols.foreach { c =>
+      if (defOf(c).dataType == ColumnType.AzBoolean)
+        throw new IllegalArgumentException(
+          s"min/max column '$c' is a Boolean — aggregate a cast " +
+            "upstream instead")
     }
     TableSchema(
       view.groupCols.map(g =>
         ColumnDef(g, defOf(g).dataType, nullable = false)) ++
         Seq(ColumnDef("n_rows", ColumnType.AzInt, nullable = false)) ++
-        view.sumCols.map(c =>
-          ColumnDef(s"sum_$c", ColumnType.AzInt, nullable = false)) ++
+        view.sumCols.flatMap(c => Seq(
+          ColumnDef(s"sum_$c", ColumnType.AzInt, nullable = false),
+          ColumnDef(s"nn_$c", ColumnType.AzInt, nullable = false))) ++
         view.minMaxCols.flatMap(c => Seq(
-          ColumnDef(s"min_$c", ColumnType.AzInt, nullable = true),
-          ColumnDef(s"max_$c", ColumnType.AzInt, nullable = true))))
+          ColumnDef(s"min_$c", defOf(c).dataType, nullable = true),
+          ColumnDef(s"max_$c", defOf(c).dataType, nullable = true))))
   }
 
   /** View-definition sidecar in the view table's dir: what the view
@@ -243,8 +257,29 @@ object MatView {
       spark: SparkSession,
       srcLake: String, srcTable: String,
       idxLake: String, idxTable: String): Boolean =
-    readCursor(spark, idxLake, idxTable).exists(cur =>
-      unchangedSince(spark, srcLake, srcTable, cur))
+    freshViewVersion(spark, srcLake, srcTable, idxLake, idxTable).isDefined
+
+  /** [[isFresh]] that also PINS the view version the validation covers:
+    * the rewrite rule scans exactly this snapshot, so a source commit
+    * (and refresh) landing between optimization and execution cannot
+    * swap the executed read away from the state the gate validated.
+    * Order matters: the cursor is read BEFORE the view version, and the
+    * refresh writes its view commit BEFORE its cursor — so the pinned
+    * version always carries at least the cursor's state (a later
+    * refresh that raced in is provably a no-op, because the source
+    * walk from the cursor validated as view-preserving). The one
+    * untracked hazard is a ROLLBACK of the view table itself racing
+    * this call — operator intervention outside the refresh protocol,
+    * same class as the documented source-rollback hatch.
+    */
+  def freshViewVersion(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String, idxTable: String): Option[Long] =
+    readCursor(spark, idxLake, idxTable).flatMap { cur =>
+      val v = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
+      if (unchangedSince(spark, srcLake, srcTable, cur)) Some(v) else None
+    }
 
   /** Whether `table`'s LIVE view still equals its state at version
     * `cur`: every later main-lineage commit is view-preserving (see
@@ -319,12 +354,30 @@ object MatView {
       rows: DataFrame, view: ViewDef, pfx: String): DataFrame = {
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as(s"${pfx}n")) ++
-        view.sumCols.map(c => sum(col(c)).as(s"${pfx}s_$c")) ++
+        view.sumCols.flatMap(c => Seq(
+          sum(col(c)).as(s"${pfx}s_$c"),
+          count(col(c)).as(s"${pfx}nn_$c"))) ++
         view.minMaxCols.flatMap(c => Seq(
           min(col(c)).as(s"${pfx}mn_$c"),
           max(col(c)).as(s"${pfx}mx_$c")))
     rows.groupBy(view.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Fail LOUD when a group value carries the reserved record-key
+    * separator: a silent pass would collide distinct group tuples into
+    * one view key and corrupt the upsert merge. `frame` is churn- or
+    * group-cardinality-sized at every call site, so the check is one
+    * cheap conditional sum folded into a pass the refresh already pays.
+    */
+  private def sepViolations(frame: DataFrame, groupCols: Seq[String]): Column =
+    sum(when(groupCols.map(g => col(g).cast("string").contains(Sep))
+      .reduce(_ || _), 1L).otherwise(0L))
+
+  private[sources] def requireNoSep(violations: Long, what: String): Unit =
+    if (violations > 0) throw new IllegalArgumentException(
+      s"$violations $what group tuple(s) contain the reserved U+0001 " +
+        "record-key separator — group values must not; refusing to " +
+        "corrupt the view's key space")
 
   /** One feed micro-batch → one upsert row per TOUCHED group, equal to
     * the group's one-shot aggregate over the live corpus at the batch's
@@ -388,7 +441,13 @@ object MatView {
       .join(groupAgg(preRows, view, "_p_"), view.groupCols, "full_outer")
       .localCheckpoint(true)
     graft.operators.Blocks.freeReferenced(slim.toDF())
-    val nTouched = touched.count()
+    // one pass serves both the size decision and the reserved-separator
+    // contract check (group values must not contain U+0001)
+    val tStats = touched
+      .agg(count(lit(1)), sepViolations(touched, view.groupCols)).collect()(0)
+    val nTouched = tStats.getLong(0)
+    requireNoSep(if (tStats.isNullAt(1)) 0L else tStats.getLong(1),
+      "churned")
     if (nTouched == 0L) return (empty, maxV)
     // MIN/MAX rescan: only groups that LOST rows (a pre-image landed in
     // them); insert-only groups monoid-merge below with no source read
@@ -431,7 +490,9 @@ object MatView {
     val oldCols =
       view.groupCols.map(col) ++
         Seq(col("n_rows").as("_o_n")) ++
-        view.sumCols.map(c => col(s"sum_$c").as(s"_o_s_$c")) ++
+        view.sumCols.flatMap(c => Seq(
+          col(s"sum_$c").as(s"_o_s_$c"),
+          col(s"nn_$c").as(s"_o_nn_$c"))) ++
         view.minMaxCols.flatMap(c => Seq(
           col(s"min_$c").as(s"_o_mn_$c"),
           col(s"max_$c").as(s"_o_mx_$c")))
@@ -444,12 +505,15 @@ object MatView {
           view.groupCols, "left_semi")
       else existing
     val merged = touched.join(touchedOld, view.groupCols, "left")
+    val mmStruct = outSchema.toStruct
     val withRescan = rescanAgg match {
       case Some(r) => merged.join(r, view.groupCols, "left")
       case None =>
         view.minMaxCols.foldLeft(merged)((d, c) => d
-          .withColumn(s"_r_mn_$c", lit(null).cast("long"))
-          .withColumn(s"_r_mx_$c", lit(null).cast("long")))
+          .withColumn(s"_r_mn_$c",
+            lit(null).cast(mmStruct(s"min_$c").dataType))
+          .withColumn(s"_r_mx_$c",
+            lit(null).cast(mmStruct(s"max_$c").dataType)))
     }
     def z(c: Column): Column = coalesce(c, lit(0L))
     val outCols: Seq[Column] =
@@ -461,9 +525,11 @@ object MatView {
         view.groupCols.map(col) ++
         Seq((z(col("_o_n")) + z(col("_a_n")) - z(col("_p_n")))
           .as("n_rows")) ++
-        view.sumCols.map(c =>
+        view.sumCols.flatMap(c => Seq(
           (z(col(s"_o_s_$c")) + z(col(s"_a_s_$c")) - z(col(s"_p_s_$c")))
-            .as(s"sum_$c")) ++
+            .as(s"sum_$c"),
+          (z(col(s"_o_nn_$c")) + z(col(s"_a_nn_$c")) - z(col(s"_p_nn_$c")))
+            .as(s"nn_$c"))) ++
         view.minMaxCols.flatMap(c => Seq(
           when(col("_p_n").isNotNull, col(s"_r_mn_$c"))
             .otherwise(least(col(s"_o_mn_$c"), col(s"_a_mn_$c")))
@@ -478,17 +544,26 @@ object MatView {
     * contract makes this equal the one-shot `GROUP BY` over the
     * source's live corpus. Fully-emptied groups (persisted with
     * `n_rows = 0`) are filtered, exactly like [[LmIndex.score]]'s
-    * zero-count bigrams.
+    * zero-count bigrams. SQL's null-skipping semantics hold exactly:
+    * `sum_<c>` serves NULL for a group whose live values are all null
+    * (`nn_<c> = 0`), and `nn_<c>` IS `COUNT(c)`.
     */
   def serve(
       spark: SparkSession,
-      idxLake: String, idxTable: String, view: ViewDef): DataFrame = {
-    val cols = view.groupCols ++ Seq("n_rows") ++
-      view.sumCols.map(c => s"sum_$c") ++
-      view.minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
-    graft.operators.AzofScan.scan(spark, idxLake, idxTable)
+      idxLake: String, idxTable: String, view: ViewDef,
+      version: Option[Long] = None): DataFrame = {
+    val cols: Seq[Column] =
+      view.groupCols.map(col) ++ Seq(col("n_rows")) ++
+        view.sumCols.flatMap(c => Seq(
+          when(col(s"nn_$c") > 0L, col(s"sum_$c")).as(s"sum_$c"),
+          col(s"nn_$c"))) ++
+        view.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))
+    val t = AzofTable(spark, idxLake, idxTable)
+    val snap = version.map(v => t.snapshot(v.toString))
+      .getOrElse(t.currentSnapshot)
+    graft.operators.AzofScan.scanSnapshot(spark, t, snap, AsOf.Current)
       .where(col("n_rows") > 0L)
-      .select(cols.map(col): _*)
+      .select(cols: _*)
   }
 
   /** Reconciliation hatch after a source ROLLBACK (the one state change
@@ -519,12 +594,18 @@ object MatView {
         lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName)) ++
         view.groupCols.map(col) ++
         Seq(col("_a_n").as("n_rows")) ++
-        view.sumCols.map(c => col(s"_a_s_$c").as(s"sum_$c")) ++
+        view.sumCols.flatMap(c => Seq(
+          coalesce(col(s"_a_s_$c"), lit(0L)).as(s"sum_$c"),
+          col(s"_a_nn_$c").as(s"nn_$c"))) ++
         view.minMaxCols.flatMap(c => Seq(
           col(s"_a_mn_$c").as(s"min_$c"),
           col(s"_a_mx_$c").as(s"max_$c")))
     val rows = agg.select(outCols: _*)
-    val n = rows.count()
+    // one pass: count + the reserved-separator contract check
+    val stats = rows.agg(count(lit(1)),
+      sepViolations(rows, view.groupCols)).collect()(0)
+    val n = stats.getLong(0)
+    requireNoSep(if (stats.isNullAt(1)) 0L else stats.getLong(1), "retrained")
     if (n > 0) AzofWriter.commitDelta(spark, idxLake, newTable, rows, at, at)
     // the retrain saw the live state at (at least) the pinned version —
     // the rebuilt table serves rewrites immediately

@@ -93,15 +93,6 @@ object AzofSink {
     }
   }
 
-  /** Commit one micro-batch as a delta; idempotent on (appId, batchId).
-    * `appId` is REQUIRED — every independent caller (each its own
-    * batch-id sequence) must use a distinct id, or a second job's
-    * batches would be mistaken for replays of the first's and silently
-    * dropped; streams get it from [[appIdFor]] on their checkpoint.
-    * `legacyAppIds` are additional ids the same stream may have stamped
-    * under older appId derivations — checked for replay, never written.
-    * Returns true iff a commit happened (false: empty batch or replay).
-    */
   /** The last batch id `appId` stamped on the table, if any — the
     * public face of the replay guard for BATCH-style refreshers
     * ([[graft.sources.JoinView]]) that heal their cursor sidecar from
@@ -113,6 +104,15 @@ object AzofSink {
       lakehousePath: String, table: String, appId: String): Option[Long] =
     lastBatchId(AzofTable(spark, lakehousePath, table), appId)
 
+  /** Commit one micro-batch as a delta; idempotent on (appId, batchId).
+    * `appId` is REQUIRED — every independent caller (each its own
+    * batch-id sequence) must use a distinct id, or a second job's
+    * batches would be mistaken for replays of the first's and silently
+    * dropped; streams get it from [[appIdFor]] on their checkpoint.
+    * `legacyAppIds` are additional ids the same stream may have stamped
+    * under older appId derivations — checked for replay, never written.
+    * Returns true iff a commit happened (false: empty batch or replay).
+    */
   def commitBatch(
       lakehousePath: String, table: String,
       batch: DataFrame, batchId: Long, appId: String,

@@ -35,4 +35,13 @@ object StreamingBridge {
       : DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Wrap a Catalyst expression as a Column — `ExpressionUtils.column`
+    * is `private[sql]`. Used by the MV rewrite rule to carry literal
+    * operands of a rewritten aggregate expression onto the served view
+    * byte-exactly (no external/internal value conversion round-trip).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -156,12 +156,12 @@ class MvRewriteSpec extends AnyFunSuite {
   }
 
   test("shapes the view cannot answer exactly are left untouched: " +
-    "DISTINCT, avg, undeclared columns, filters below the aggregate") {
+    "DISTINCT on a measure, expression-valued aggregates, filters on " +
+    "measure columns") {
     val (l, _) = mkLake("shapes")
     withConfs(l) {
       for (sql <- Seq(
         "SELECT g1, count(DISTINCT v) AS n FROM azof.src GROUP BY g1",
-        "SELECT g1, avg(v) AS a FROM azof.src GROUP BY g1",
         "SELECT g1, sum(length(g2)) AS s FROM azof.src GROUP BY g1",
         "SELECT g1, count(*) AS n FROM azof.src WHERE v > 3 GROUP BY g1",
         "SELECT sum(v + 1) AS s FROM azof.src")) {
@@ -169,6 +169,111 @@ class MvRewriteSpec extends AnyFunSuite {
         assert(scansSrc(q), s"must not rewrite: $sql")
         assert(q.collect().nonEmpty)
       }
+    }
+  }
+
+  test("AVG rewrites from the stored totals: exact-match serves " +
+    "sum/nn per view row, and a SUBSET rollup re-derives from " +
+    "re-summed totals — never by averaging averages") {
+    val (l, _) = mkLake("avg")
+    withConfs(l) {
+      // exact group match: avg alongside count+sum in one statement
+      val q = spark.sql(
+        "SELECT g1, g2, avg(v) AS a, count(*) AS n, sum(v) AS sv " +
+          "FROM azof.src GROUP BY g1, g2")
+      assert(aggregates(q).isEmpty && !scansSrc(q),
+        "avg must serve from the view totals:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(q.collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .sortBy(x => (x._1, x._2)).toSeq == Seq(
+        ("a", "x", 6.0, 2L, 12L), ("a", "y", 4.0, 1L, 4L),
+        ("b", "x", 7.0, 1L, 7L)))
+      // SUBSET rollup: group a holds rows (10, 4, 2) across two view
+      // rows with per-row means 6.0 and 4.0 — averaging averages says
+      // 5.0; re-deriving from totals says 16/3. Demand the latter.
+      val qr = spark.sql(
+        "SELECT g1, avg(v) AS a FROM azof.src GROUP BY g1")
+      assert(!scansSrc(qr))
+      val got = qr.collect().map(r => (r.getString(0), r.getDouble(1)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(("a", 16.0 / 3.0), ("b", 7.0)),
+        s"rollup avg must re-derive from sums: $got")
+      // global avg + arithmetic over aggregates in one statement
+      // (bit-for-bit identity with Spark's own avg over the corpus is
+      // additionally pinned by q56's DuckDB hash gate)
+      val qg = spark.sql(
+        "SELECT avg(v) AS a, 100 * sum(v) / count(*) AS pct, " +
+          "max(v) - min(v) AS spread FROM azof.src")
+      assert(!scansSrc(qg))
+      assert(qg.collect().map(r => (r.getDouble(0), r.getDouble(1),
+        r.getLong(2))).toSeq == Seq((23.0 / 4.0, 2300.0 / 4.0, 8L)))
+    }
+  }
+
+  test("COUNT(c) over a NULLABLE declared sum column serves from the " +
+    "view's non-null count; SUM over an all-null group serves NULL") {
+    import graft.sources.MatView
+    val schemaN = TableSchema(Seq(
+      ColumnDef("g1", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = true)))
+    val vdN = ViewDef(Seq("g1"), sumCols = Seq("v"))
+    val l = Files.createTempDirectory("azof-mvrw-null").toString
+    val ck = Files.createTempDirectory("azof-mvrw-null-ck").toString
+    AzofWriter.createTable(spark, l, "src", schemaN,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a", 10L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a", null),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")), "b", null))),
+        schemaN.toStruct))
+    val q0 = MatView.refresh(spark, l, "src", l, "mvn", vdN, ck)
+    assert(q0.awaitTermination(120000))
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "mvn")
+    try {
+      val q = spark.sql(
+        "SELECT g1, count(v) AS nn, sum(v) AS sv, avg(v) AS a " +
+          "FROM azof.src GROUP BY g1")
+      assert(aggregates(q).isEmpty && !scansSrc(q),
+        "nullable-measure aggregates must serve from nn/sum totals:\n" +
+          q.queryExecution.optimizedPlan)
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(
+        ("a", 1L, Some(10L), Some(10.0)), ("b", 0L, None, None)),
+        s"SQL null-skipping semantics must hold: $got")
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  test("a candidate whose sidecar does not exist YET is re-probed: " +
+    "conf set → query (no rewrite) → create+refresh → SAME session " +
+    "rewrites (no permanent miss-caching)") {
+    val l = Files.createTempDirectory("azof-mvrw-late").toString
+    val ck = Files.createTempDirectory("azof-mvrw-late-ck").toString
+    AzofWriter.createTable(spark, l, "src", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src", df(
+      ("1", "2024-01-02T00:00:00Z", "a", "x", 10L),
+      ("2", "2024-01-02T00:00:00Z", "b", "y", 4L)))
+    withConfs(l) {
+      def q = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src GROUP BY g1")
+      assert(scansSrc(q), "no view yet — scan")
+      assert(q.collect().length == 2)
+      // NOW the view appears — the same session must pick it up
+      val s = MatView.refresh(spark, l, "src", l, "mv", vd, ck)
+      assert(s.awaitTermination(120000))
+      assert(!scansSrc(q),
+        "the rule must re-probe a missing sidecar, not cache the miss")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("a", 1L), ("b", 1L)))
     }
   }
 

@@ -53,16 +53,17 @@ class MatViewSpec extends AnyFunSuite {
   private def served(l: String, tbl: String = "mv") =
     MatView.serve(spark, l, tbl, view)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
 
   /** One-shot GROUP BY over the lake's LIVE rows. */
   private def oneShot(l: String) =
     AzofScan.scan(spark, l, "src")
       .groupBy("grp")
       .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        count(col("v")).as("nn_v"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
 
   test("bootstrap + insert-only refreshes stay retrain-exact (the " +
     "monoid path: new groups appear, extrema merge without a rescan)") {
@@ -101,7 +102,7 @@ class MatViewSpec extends AnyFunSuite {
     refresh(l, ck)
     assert(served(l) == oneShot(l))
     assert(served(l) == Seq(
-      ("a", 1L, 4L, 4L, 4L), ("b", 2L, 9L, 2L, 7L)))
+      ("a", 1L, 4L, 1L, 4L, 4L), ("b", 2L, 9L, 2L, 2L, 7L)))
   }
 
   test("deletes: tombstoning a group's extremum rescans it, and a " +
@@ -116,7 +117,8 @@ class MatViewSpec extends AnyFunSuite {
       ts("2024-02-05T00:00:00Z"))                                    // v3
     refresh(l, ck)
     assert(served(l) == oneShot(l))
-    assert(served(l) == Seq(("a", 1L, 4L, 4L, 4L), ("b", 1L, 7L, 7L, 7L)))
+    assert(served(l) == Seq(
+      ("a", 1L, 4L, 1L, 4L, 4L), ("b", 1L, 7L, 1L, 7L, 7L)))
     AzofWriter.commitDelete(spark, l, "src", Seq("3"),
       ts("2024-03-05T00:00:00Z"))                                    // v4
     refresh(l, ck)
@@ -190,29 +192,167 @@ class MatViewSpec extends AnyFunSuite {
       .orderBy("g1", "g2").collect().map(_.toSeq).toSeq
     val want = AzofScan.scan(spark, l, "src")
       .groupBy("g1", "g2")
-      .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sum_x"),
-        sum(col("y")).as("sum_y"), min(col("y")).as("min_y"),
-        max(col("y")).as("max_y"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).as("sum_x"), count(col("x")).as("nn_x"),
+        sum(col("y")).as("sum_y"), count(col("y")).as("nn_y"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
       .orderBy("g1", "g2").collect().map(_.toSeq).toSeq
     assert(got == want)
   }
 
-  test("viewSchema refuses nullable or non-Int aggregate columns and " +
-    "unknown names") {
+  test("viewSchema refuses non-Int sum columns, Boolean min/max, and " +
+    "unknown names — nullable Ints and typed min/max are legal") {
     val s = TableSchema(Seq(
       ColumnDef("g", ColumnType.AzString, nullable = false),
       ColumnDef("nv", ColumnType.AzInt, nullable = true),
-      ColumnDef("sv", ColumnType.AzString, nullable = false)))
+      ColumnDef("sv", ColumnType.AzString, nullable = false),
+      ColumnDef("bv", ColumnType.AzBoolean, nullable = false),
+      ColumnDef("tv", ColumnType.AzDateTime, nullable = true)))
     intercept[IllegalArgumentException] {
-      MatView.viewSchema(s, ViewDef(Seq("g"), sumCols = Seq("nv")))
+      MatView.viewSchema(s, ViewDef(Seq("g"), sumCols = Seq("sv")))
     }
     intercept[IllegalArgumentException] {
-      MatView.viewSchema(s, ViewDef(Seq("g"), minMaxCols = Seq("sv")))
+      MatView.viewSchema(s, ViewDef(Seq("g"), minMaxCols = Seq("bv")))
     }
     intercept[IllegalArgumentException] {
       MatView.viewSchema(s, ViewDef(Seq("g"), sumCols = Seq("absent")))
     }
     intercept[IllegalArgumentException] { ViewDef(Nil) }
+    // nullable sum → sum_/nn_ pair; String/DateTime min/max keep type
+    val sch = MatView.viewSchema(s, ViewDef(Seq("g"),
+      sumCols = Seq("nv"), minMaxCols = Seq("sv", "tv")))
+    val byName = sch.columns.map(c => c.name -> c).toMap
+    assert(byName("sum_nv").dataType == ColumnType.AzInt)
+    assert(byName("nn_nv").dataType == ColumnType.AzInt)
+    assert(byName("min_sv").dataType == ColumnType.AzString)
+    assert(byName("max_tv").dataType == ColumnType.AzDateTime)
+  }
+
+  test("NULLABLE measures: SUM/COUNT skip nulls exactly — a group " +
+    "whose live values are all null serves SUM = NULL, nn = 0 — under " +
+    "inserts, revisions to/from null, and deletes") {
+    val schemaN = TableSchema(Seq(
+      ColumnDef("grp", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = true)))
+    val vN = ViewDef(Seq("grp"), sumCols = Seq("v"))
+    val l = Files.createTempDirectory("azof-mv-null").toString
+    val ck = Files.createTempDirectory("azof-mv-null-ck").toString
+    AzofWriter.createTable(spark, l, "src", schemaN,
+      ts("2024-01-01T00:00:00Z"))
+    def rows(rs: (String, String, Any)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rs.map { case (k, g, v) =>
+          Row(k, Timestamp.from(ts("2024-01-02T00:00:00Z")), g, v) }),
+        schemaN.toStruct)
+    def rf(): Unit = {
+      val q = MatView.refresh(spark, l, "src", l, "mvn", vN, ck)
+      assert(q.awaitTermination(120000))
+    }
+    def snap() = MatView.serve(spark, l, "mvn", vN)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    def want() = AzofScan.scan(spark, l, "src")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        count(col("v")).as("nn_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // group a mixes null and non-null; group b is ALL null
+    AzofWriter.commitBase(spark, l, "src", rows(
+      ("1", "a", 10L), ("2", "a", null), ("3", "b", null),
+      ("4", "b", null)))                                             // v2
+    rf()
+    assert(snap() == want())
+    assert(snap() == Seq(("a", 2L, Some(10L), 1L), ("b", 2L, None, 0L)),
+      "all-null group must serve SUM NULL, not 0")
+    // revise: a's non-null becomes null (sum drains to NULL), one of
+    // b's nulls becomes 5 (sum materializes)
+    AzofWriter.commitDelta(spark, l, "src", rows(
+      ("1", "a", null), ("3", "b", 5L)),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    rf()
+    assert(snap() == want())
+    assert(snap() == Seq(("a", 2L, None, 0L), ("b", 2L, Some(5L), 1L)))
+    // delete b's non-null holder: back to all-null
+    AzofWriter.commitDelete(spark, l, "src", Seq("3"),
+      ts("2024-03-05T00:00:00Z"))                                    // v4
+    rf()
+    assert(snap() == want())
+    assert(snap().find(_._1 == "b").get == ("b", 1L, None, 0L))
+  }
+
+  test("typed min/max: String and DateTime extrema stay retrain-exact " +
+    "through monoid merges AND a loss-confined rescan") {
+    val schemaT = TableSchema(Seq(
+      ColumnDef("grp", ColumnType.AzString, nullable = false),
+      ColumnDef("name", ColumnType.AzString, nullable = false),
+      ColumnDef("at", ColumnType.AzDateTime, nullable = true)))
+    val vT = ViewDef(Seq("grp"), minMaxCols = Seq("name", "at"))
+    val l = Files.createTempDirectory("azof-mv-typed").toString
+    val ck = Files.createTempDirectory("azof-mv-typed-ck").toString
+    AzofWriter.createTable(spark, l, "src", schemaT,
+      ts("2024-01-01T00:00:00Z"))
+    def rows(rs: (String, String, String, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rs.map { case (k, g, n, at) =>
+          Row(k, Timestamp.from(ts("2024-01-02T00:00:00Z")), g, n,
+            if (at == null) null else Timestamp.from(ts(at))) }),
+        schemaT.toStruct)
+    def rf(): Unit = {
+      val q = MatView.refresh(spark, l, "src", l, "mvt", vT, ck)
+      assert(q.awaitTermination(120000))
+    }
+    def snap() = MatView.serve(spark, l, "mvt", vT)
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    def want() = AzofScan.scan(spark, l, "src")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("name")).as("min_name"), max(col("name")).as("max_name"),
+        min(col("at")).as("min_at"), max(col("at")).as("max_at"))
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    AzofWriter.commitBase(spark, l, "src", rows(
+      ("1", "a", "zulu", "2024-03-01T00:00:00Z"),
+      ("2", "a", "alpha", null),
+      ("3", "b", "mike", "2024-01-15T00:00:00Z")))                   // v2
+    rf()
+    assert(snap() == want())
+    // monoid growth: later timestamp, lexically-later name
+    AzofWriter.commitDelta(spark, l, "src", rows(
+      ("4", "b", "zz-top", "2024-06-01T00:00:00Z")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    rf()
+    assert(snap() == want())
+    // loss rescan: delete group a's lexical MAX holder (also the only
+    // non-null timestamp) — min_name survives, max falls, at drains
+    AzofWriter.commitDelete(spark, l, "src", Seq("1"),
+      ts("2024-03-05T00:00:00Z"))                                    // v4
+    rf()
+    assert(snap() == want())
+    val a = MatView.serve(spark, l, "mvt", vT)
+      .where(col("grp") === "a").collect()(0)
+    assert(a.getString(2) == "alpha" && a.getString(3) == "alpha")
+    assert(a.isNullAt(4) && a.isNullAt(5),
+      "group a's only timestamp left with its deleted row")
+  }
+
+  test("a group value carrying U+0001 fails LOUD at refresh, never a " +
+    "silent key collision") {
+    val (l, ck) = mkLake("sep")
+    AzofWriter.commitBase(spark, l, "src", df(
+      ("1", "2024-01-02T00:00:00Z", "ok", 1L),
+      ("2", "2024-01-02T00:00:00Z", "bad\u0001group", 2L)))          // v2
+    val q = MatView.refresh(spark, l, "src", l, "mv", view, ck)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("U+0001")),
+      s"expected the separator-contract refusal, got: $ex")
   }
 
   test("the min/max rescan is FILE-CONFINED on a value-clustered " +
@@ -254,7 +394,7 @@ class MatViewSpec extends AnyFunSuite {
       s"rescan must be confined to the churned group's files: opened " +
         s"${opened.size} of $dataFiles: $opened")
     assert(served(l) == oneShot(l))
-    assert(served(l).find(_._1 == "a").get == ("a", 5L, 150L, 10L, 50L))
+    assert(served(l).find(_._1 == "a").get == ("a", 5L, 150L, 5L, 10L, 50L))
   }
 
   test("rebuildEpoch after a source rollback serves the rolled-back " +
