@@ -151,7 +151,10 @@ class SqlProceduresSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getLong(0) >= 2L,
       "view table committed at least its first delta")
     val vd = ViewDef(Seq("grp"), sumCols = Seq("v"), minMaxCols = Seq("v"))
+    // Select columns BY NAME: serve's layout gained nn_<c> columns in
+    // round 13 and positional reads silently misalign on layout changes.
     val got = MatView.serve(spark, lake, "mv_proc", vd)
+      .select("grp", "n_rows", "sum_v", "min_v", "max_v")
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
         x.getLong(3), x.getLong(4))).sortBy(_._1).toSeq
     assert(got == Seq(("a", 2L, 14L, 4L, 10L), ("b", 1L, 7L, 7L, 7L)))
