@@ -60,16 +60,41 @@ object AzofCli {
   }
 
   /** The jv-* verbs' [[graft.sources.JoinViewDef]] (adds `--fk-col` +
-    * `--dim-cols` to [[cliViewDef]]'s flags).
+    * `--dim-cols` to [[cliViewDef]]'s flags). Multi-dim STAR views:
+    * `--fk-col fk1,fk2` with `--dim-cols` groups separated by ';'
+    * aligned per dim (`--dim-cols "tier;region,country"`).
     */
   private def cliJoinViewDef(
       opts: Map[String, String]): graft.sources.JoinViewDef = {
     def csv(k: String): Seq[String] = opts.get(k)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    val fks = opts.getOrElse("fk-col", "fk")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val dimColGroups = opts.get("dim-cols")
+      .map(_.split(";", -1).toSeq.map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      .getOrElse(Nil)
+    val padded = dimColGroups.padTo(fks.size, Seq.empty[String])
     graft.sources.JoinViewDef(csv("group-cols"), csv("sum-cols"),
-      csv("minmax-cols"), opts.getOrElse("fk-col", "fk"),
-      csv("dim-cols"))
+      csv("minmax-cols"),
+      fks.zip(padded).map { case (fk, dc) =>
+        graft.sources.DimJoin(fk, dc) })
+  }
+
+  /** The jv-* verbs' dim table locations: `--dim-table d1[,d2…]` with
+    * `--dim-path` per-dim (padded with the default lake).
+    */
+  private def cliJvDims(
+      opts: Map[String, String], defaultLake: String)
+      : Seq[(String, String)] = {
+    val tables = opts.getOrElse("dim-table", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val paths = opts.get("dim-path")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      .padTo(tables.size, "")
+    tables.zip(paths).map { case (t, p) =>
+      (if (p.isEmpty) defaultLake else p, t) }
   }
 
   /** Split a `--query` script into statements on ';' OUTSIDE
@@ -952,23 +977,25 @@ object AzofCli {
           opts.get("at").map(Instant.parse).getOrElse(Instant.now()))
         println(s"rebuilt lm stats epoch: $n bigrams")
       case "jv-refresh" =>
-        // incremental JOIN view (fact ⋈ dim → group-by), one synchronous
-        // catch-up of both feeds:
-        //   jv-refresh --path L --table FACT --dim-table DIM
-        //     --fk-col fk --group-cols tier[,..] [--dim-cols tier[,..]]
+        // incremental STAR join view (fact ⋈ dim1 [⋈ dim2…] → group-by),
+        // one synchronous catch-up of every feed:
+        //   jv-refresh --path L --table FACT --dim-table DIM1[,DIM2]
+        //     --fk-col fk1[,fk2] --group-cols tier[,..]
+        //     [--dim-cols "tier[;region,..]"]
         //     [--sum-cols a,b] [--minmax-cols c]
-        //     [--dim-path L2] [--index-path L3] [--index-table jv]
+        //     [--dim-path L2[,L3]] [--index-path L4] [--index-table jv]
         val jd = cliJoinViewDef(opts)
         val r = graft.sources.JoinView.refresh(spark,
           opts("path"), opts("table"),
-          opts.getOrElse("dim-path", opts("path")), opts("dim-table"),
+          cliJvDims(opts, opts("path")),
           opts.getOrElse("index-path", opts("path")),
           opts.getOrElse("index-table", "jv"), jd)
         println(
           if (r.noop) s"no new commits (fact v${r.fromFact}, " +
-            s"dim v${r.fromDim})"
+            s"dims v${r.fromDims.mkString(",")})"
           else s"join view refreshed: fact v${r.fromFact}->v${r.toFact}, " +
-            s"dim v${r.fromDim}->v${r.toDim}, ${r.touched} group(s) touched")
+            s"dims v${r.fromDims.mkString(",")}->" +
+            s"v${r.toDims.mkString(",")}, ${r.touched} group(s) touched")
       case "jv-serve" =>
         val jd = cliJoinViewDef(opts)
         graft.sources.JoinView.serve(spark,
@@ -980,7 +1007,7 @@ object AzofCli {
         val jd = cliJoinViewDef(opts)
         val n = graft.sources.JoinView.rebuildEpoch(spark,
           opts("path"), opts("table"),
-          opts.getOrElse("dim-path", opts("path")), opts("dim-table"),
+          cliJvDims(opts, opts("path")),
           opts.getOrElse("index-path", opts("path")),
           opts.getOrElse("new-table", "jv_next"), jd,
           opts.get("at").map(Instant.parse).getOrElse(Instant.now()))

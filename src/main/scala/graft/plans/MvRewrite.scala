@@ -146,48 +146,67 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** A covered JOIN shape: `fact INNER JOIN dim ON fact.<fk> = dim.key`
-    * (either operand order), both sides azof Current relations under
-    * pure Projects/Filters. Returns the two source keys, the fk column
-    * name, all collected filter conjuncts, and each side's relation
-    * output (for attribute provenance checks).
+  /** One matched dimension of a covered STAR shape: the dim relation's
+    * source key, the fact fk column joining to its record key, and the
+    * dim relation's output (for attribute provenance checks).
     */
-  private def joinSrcOf(plan: LogicalPlan): Option[(
-      String, String, String, Seq[Expression],
-      Seq[Attribute], Seq[Attribute])] = {
+  private case class DimSide(
+      dimKey: String, fkName: String, dimOut: Seq[Attribute])
+
+  /** A covered STAR shape: a left-deep tree of INNER joins
+    * `fact ⋈ dim1 ⋈ dim2 ⋈ …` where every join condition equates a
+    * FACT column with a dim relation's record key (either operand
+    * order at every level), all relations azof Current under pure
+    * Projects/Filters. Returns the fact's source key, the matched dim
+    * sides, all collected filter conjuncts, and the fact relation's
+    * output. A single join is the one-dim special case.
+    */
+  private def starSrcOf(plan: LogicalPlan): Option[(
+      String, Seq[DimSide], Seq[Expression], Seq[Attribute])] = {
     import org.apache.spark.sql.catalyst.expressions.EqualTo
-    val (core, topConds) = strip(plan)
+    val (core, conds) = strip(plan)
     core match {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
         if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
-        val (lCore, lConds) = strip(j.left)
-        val (rCore, rConds) = strip(j.right)
-        val conds = topConds ++ lConds ++ rConds
-        (relKey(lCore), relKey(rCore), j.condition) match {
-          case (Some(lk), Some(rk), Some(EqualTo(
-              a: AttributeReference, b: AttributeReference))) =>
-            val lOut = lCore.outputSet
-            val rOut = rCore.outputSet
-            def resolve(x: AttributeReference, y: AttributeReference)
-                : Option[(String, String, String,
-                Seq[Attribute], Seq[Attribute])] =
-              // x on the left, y on the right
-              if (lOut.contains(x) && rOut.contains(y)) {
-                if (y.name == graft.format.TableSchema.KeyName)
-                  Some((lk, rk, x.name, lCore.output, rCore.output))
-                else if (x.name == graft.format.TableSchema.KeyName)
-                  Some((rk, lk, y.name, rCore.output, lCore.output))
-                else None
-              } else None
-            resolve(a, b).orElse(resolve(b, a))
-              .map { case (fk, dk, fkName, fOut, dOut) =>
-                (fk, dk, fkName, conds, fOut, dOut)
-              }
-          case _ => None
+        def asDim(side: LogicalPlan)
+            : Option[(String, Seq[Attribute], Seq[Expression])] = {
+          val (c, cs) = strip(side)
+          relKey(c).map(k => (k, c.output, cs))
         }
-      case _ => None
+        def combine(subSide: LogicalPlan, dimSide: LogicalPlan)
+            : Option[(String, Seq[DimSide], Seq[Expression],
+              Seq[Attribute])] =
+          for {
+            (fKey, dims, subConds, fOut) <- starSrcOf(subSide)
+            (dKey, dOut, dConds) <- asDim(dimSide)
+            // the join key: one side a FACT column, the other the dim's
+            // record key (the fkCol-is-a-fact-column contract)
+            fkName <- j.condition match {
+              case Some(EqualTo(a: AttributeReference,
+                  b: AttributeReference)) =>
+                val fSet = fOut.map(_.exprId).toSet
+                val dSet = dOut.map(_.exprId).toSet
+                if (fSet.contains(a.exprId) && dSet.contains(b.exprId) &&
+                  b.name == graft.format.TableSchema.KeyName) Some(a.name)
+                else if (fSet.contains(b.exprId) &&
+                  dSet.contains(a.exprId) &&
+                  a.name == graft.format.TableSchema.KeyName) Some(b.name)
+                else None
+              case _ => None
+            }
+          } yield (fKey, dims :+ DimSide(dKey, fkName, dOut),
+            subConds ++ dConds, fOut)
+        combine(j.left, j.right).orElse(combine(j.right, j.left))
+          .map { case (fk, ds, cs, fOut) => (fk, ds, conds ++ cs, fOut) }
+      case rel =>
+        relKey(rel).map(k => (k, Nil, conds, rel.output))
     }
   }
+
+  /** [[starSrcOf]] with at least one dim — the join-view entry gate. */
+  private def joinSrcOf(plan: LogicalPlan): Option[(
+      String, Seq[DimSide], Seq[Expression], Seq[Attribute])] =
+    starSrcOf(plan).filter(_._2.nonEmpty)
 
   /** A filter conjunct the view can answer: deterministic, no
     * subqueries, and touching ONLY group columns — group values are
@@ -260,9 +279,12 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case avg: Average => avg.child match {
         case a: AttributeReference if vd.sumCols.contains(a.name) =>
-          // SUM(c)/COUNT(c) over the view's totals — the same i64 sum
-          // and non-null count Spark's own Average produces, divided
-          // once in double (Average's own evaluateExpression shape)
+          // the exact CAST(SUM AS DOUBLE)/COUNT form over the view's
+          // i64 totals. NOTE: Spark's own Average accumulates non-
+          // decimal input in a Double buffer, so past 2^53 the
+          // unrewritten plan can differ from this (and from the SQL
+          // oracle) in the last ulp — the rewrite matches the exact-
+          // sum-divided-once form, which is the better-conditioned one
           Some((Seq(SumL(a.name), CountColL(a.name)),
             cs => cs(0).cast("double") / cs(1).cast("double")))
         case _ => None
@@ -474,7 +496,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       agg: Aggregate, cands: Seq[(String, String)])
       : Option[LogicalPlan] =
     joinSrcOf(agg.child).flatMap {
-      case (factKey, dimKey, fkName, conds, factOut, dimOut) =>
+      case (factKey, dimSides, conds, factOut) =>
         val groupsOpt = traverse(agg.groupingExpressions.map {
           case a: AttributeReference => Some(a.name)
           case _ => None
@@ -487,21 +509,36 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               val jdef = d.jdef
               val vd = ViewDef(jdef.groupCols, jdef.sumCols,
                 jdef.minMaxCols)
+              // each declared dim matches exactly one joined dim side:
+              // same fk column, same dim table (order-insensitive —
+              // the query may join the dims in any order)
+              val sideByFk = dimSides.map(s => s.fkName -> s).toMap
+              val dimsMatch =
+                dimSides.size == jdef.dims.size &&
+                  sideByFk.size == dimSides.size &&
+                  jdef.dims.zip(d.dims).forall { case (dj, (dl, dt)) =>
+                    sideByFk.get(dj.fkCol)
+                      .exists(_.dimKey == norm(dl, dt)) }
               // attribute PROVENANCE: every referenced column must live
               // on the side its name claims — a fact column shadowing a
               // dim group column's name (or vice versa) refuses
               def provenanced: Boolean = {
+                val outOfDim: Map[String, Seq[Attribute]] =
+                  jdef.dims.flatMap { dj =>
+                    val out = sideByFk(dj.fkCol).dimOut
+                    dj.dimCols.map(c => c -> out)
+                  }.toMap
                 val refs = (agg.groupingExpressions ++
                   agg.aggregateExpressions ++ conds).flatMap(_.references)
                 refs.forall(a =>
-                  if (jdef.dimCols.contains(a.name))
-                    dimOut.exists(_.exprId == a.exprId)
-                  else factOut.exists(_.exprId == a.exprId))
+                  outOfDim.get(a.name) match {
+                    case Some(dOut) => dOut.exists(_.exprId == a.exprId)
+                    case None => factOut.exists(_.exprId == a.exprId)
+                  })
               }
               val covered =
                 norm(d.factLake, d.factTable) == factKey &&
-                  norm(d.dimLake, d.dimTable) == dimKey &&
-                  fkName == jdef.fkCol &&
+                  dimsMatch &&
                   groups.forall(vd.groupCols.contains) &&
                   conds.forall(filterCovered(_, vd)) &&
                   provenanced
@@ -513,11 +550,11 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 }
                 .flatMap { outs =>
                   graft.sources.JoinView.freshViewVersion(spark,
-                    d.factLake, d.factTable, d.dimLake, d.dimTable,
-                    lake, mv)
+                    d.factLake, d.factTable, d.dims, lake, mv)
                     .map { viewV =>
-                      logInfo(s"rewriting join aggregate over $factKey ⋈ " +
-                        s"$dimKey to join view $mv@$viewV")
+                      logInfo(s"rewriting star aggregate over $factKey ⋈ " +
+                        s"${d.dims.map(x => norm(x._1, x._2)).mkString(" ⋈ ")} " +
+                        s"to join view $mv@$viewV")
                       rewrite(agg,
                         graft.sources.JoinView.serve(spark, lake, mv, jdef,
                           Some(viewV)),
@@ -553,7 +590,7 @@ object MvRewriteRule {
       srcLake: String, srcTable: String, vd: ViewDef) extends CandDef
   private final case class JoinDef(
       factLake: String, factTable: String,
-      dimLake: String, dimTable: String,
+      dims: Seq[(String, String)],
       jdef: graft.sources.JoinViewDef) extends CandDef
 
   /** View definitions are immutable per table — cache them once READ.
@@ -561,6 +598,12 @@ object MvRewriteRule {
     * user sets the conf, queries once, then creates the view — the
     * interactive flow this feature targets), and re-probing a missing
     * candidate is one cheap `fs.exists` per query on an opt-in path.
+    * A view TABLE whose layout predates its declared measures (a
+    * pre-nn_ binary's table offered to this binary) is never a
+    * candidate: the rewrite silently falls back to the scan instead of
+    * throwing an unresolved-column error inside the optimizer — the
+    * loud "rebuild required" message lives on the direct serve/refresh
+    * path ([[MatView.requireNnLayout]]).
     */
   private val defCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), CandDef]()
@@ -571,8 +614,16 @@ object MvRewriteRule {
       val read =
         try MatView.readDef(spark, lake, mv)
           .map { case (sl, st, vd) => SingleDef(sl, st, vd) }
+          .filter { case SingleDef(_, _, vd) =>
+            MatView.nnLayoutOk(
+              graft.format.AzofTable(spark, lake, mv)
+                .currentSnapshot.schema, vd.sumCols)
+          }
+          // an old-format join sidecar THROWS in readDef (the loud
+          // upgrade message) — caught here, so the query falls back to
+          // the scan rather than crashing in the optimizer
           .orElse(graft.sources.JoinView.readDef(spark, lake, mv)
-            .map { case (fl, ft, dl, dt, jd) => JoinDef(fl, ft, dl, dt, jd) })
+            .map { case (fl, ft, ds, jd) => JoinDef(fl, ft, ds, jd) })
         catch { case scala.util.control.NonFatal(_) => None }
       read.foreach(defCache.put((lake, mv), _))
       read

@@ -1190,7 +1190,7 @@ object AzofQueries {
     */
   private val jvDef = graft.sources.JoinViewDef(Seq("tier"),
     sumCols = Seq("n_chars"), minMaxCols = Seq("n_chars"),
-    fkCol = "src", dimCols = Seq("tier"))
+    dims = Seq(graft.sources.DimJoin("src", Seq("tier"))))
 
   /** Six-commit, six-times-refreshed [[graft.sources.JoinView]] lake:
     * dim `sources_jv` (key = the source name, attr `tier` = number
@@ -1202,7 +1202,7 @@ object AzofQueries {
     * `src1` with `n_chars + 3` (May); a fact delete of docs 6/7 (Jun).
     */
   private[queries] def jvLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "jv-v2", "doc_jv") { l =>
+    cachedLake(dir, "jv-v3", "doc_jv") { l =>
       import graft.sources.{AzofWriter, JoinView}
       val docs = Tables(s, dir, "documents")
       val srcs = docs.select("source").distinct()
@@ -1217,8 +1217,8 @@ object AzofQueries {
           ColumnDef("n_chars", ColumnType.AzInt, nullable = false))),
         Instant.parse("2024-01-01T00:00:00Z"))
       def refresh(): Unit = {
-        JoinView.refresh(s, l, "docs_jv", l, "sources_jv", l, "doc_jv",
-          jvDef)
+        JoinView.refresh(s, l, "docs_jv", Seq((l, "sources_jv")),
+          l, "doc_jv", jvDef)
         ()
       }
       def factRows(filter: org.apache.spark.sql.Column, at: String,
@@ -1288,9 +1288,13 @@ object AzofQueries {
     s.conf.set("spark.azof.path", lake)
     s.conf.set("spark.azof.mv.rewrite", "doc_jv")
     try {
+      // avg + count(c) pin the nn_-backed derived path over a JOIN view
+      // (round 13's crash shape: AVG decomposed to a nn_ leaf join
+      // views didn't carry — this row keeps it oracle-gated)
       val q = s.sql(
         "SELECT tier, count(*) AS n_rows, " +
-          "sum(n_chars) AS sum_n_chars, min(n_chars) AS min_n_chars, " +
+          "sum(n_chars) AS sum_n_chars, count(n_chars) AS nn_n_chars, " +
+          "avg(n_chars) AS avg_n_chars, min(n_chars) AS min_n_chars, " +
           "max(n_chars) AS max_n_chars " +
           "FROM azof.docs_jv f JOIN azof.sources_jv d " +
           "ON f.src = d.key GROUP BY tier")
@@ -1309,12 +1313,10 @@ object AzofQueries {
     }
   }
 
-  /** q54/q55's shared oracle: the one-shot fact⋈dim aggregate over
-    * both tables' reconstructed final states (see [[jvLake]]'s churn
-    * script) — served directly by q54, re-proved through the
-    * plan-pinned optimizer REWRITE by q55.
+  /** q54/q55's shared CTE prelude: both tables' reconstructed final
+    * states (see [[jvLake]]'s churn script).
     */
-  private val joinViewOracle: String =
+  private val joinViewWith: String =
     """WITH fact AS (
          SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
                   AS src,
@@ -1329,9 +1331,31 @@ object AzofQueries {
                        THEN 'even'
                      ELSE 'odd' END AS tier
          FROM (SELECT DISTINCT source FROM documents)
-         WHERE source <> 'src7')
+         WHERE source <> 'src7')"""
+
+  /** q54's oracle: the one-shot fact⋈dim aggregate over the
+    * reconstructed final states — exactly [[JoinView.serve]]'s layout
+    * (incl. the `nn_<c>` non-null count).
+    */
+  private val joinViewOracle: String = joinViewWith +
+    """
        SELECT tier, COUNT(*) AS n_rows,
               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+              COUNT(n_chars) AS nn_n_chars,
+              MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+       FROM fact JOIN dim USING (src) GROUP BY tier"""
+
+  /** q55's oracle: the same truth through the plan-pinned optimizer
+    * REWRITE of the plain SQL join — plus `AVG` (the nn_-backed
+    * derived-aggregate path over a JOIN view).
+    */
+  private val joinViewAvgOracle: String = joinViewWith +
+    """
+       SELECT tier, COUNT(*) AS n_rows,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+              COUNT(n_chars) AS nn_n_chars,
+              CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars)
+                AS avg_n_chars,
               MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
        FROM fact JOIN dim USING (src) GROUP BY tier"""
 
@@ -1401,7 +1425,7 @@ object AzofQueries {
     // states (see jvLake's churn script); q55 re-proves it through the
     // optimizer REWRITE of the plain SQL join (same truth, plan-pinned)
     "q54_join_view" -> joinViewOracle,
-    "q55_join_rewrite" -> joinViewOracle,
+    "q55_join_rewrite" -> joinViewAvgOracle,
     // the rewritten aggregate serves the SAME truth as q51 minus the
     // derived mean (the rewrite covers count/sum/min/max)
     "q53_mv_rewrite" ->

@@ -344,9 +344,10 @@ object AzofProcedures {
             Option(v).toSeq.flatMap(
               _.split(',').map(_.trim).filter(_.nonEmpty))
           val jd = JoinViewDef(jcsv(str(3)), jcsv(str(6)), jcsv(str(7)),
-            str(4), jcsv(str(5)))
+            Seq(DimJoin(str(4), jcsv(str(5)))))
           val jr = JoinView.refresh(spark, path, str(0),
-            Option(str(9)).getOrElse(path), str(1), str(2), str(8), jd)
+            Seq((Option(str(9)).getOrElse(path), str(1))), str(2), str(8),
+            jd)
           (StructType(Seq(
             StructField("fact_version", LongType),
             StructField("dim_version", LongType),

@@ -433,7 +433,7 @@ object DedupFlow {
       val dt = jvDimTable.getOrElse(throw new IllegalArgumentException(
         "follow(jvTable = ...) needs jvDimTable"))
       JoinView.refresh(spark, srcLake, srcTable,
-        jvDimLake.getOrElse(srcLake), dt, idxLake, jt, jd,
+        Seq((jvDimLake.getOrElse(srcLake), dt)), idxLake, jt, jd,
         broadcastKeyMax = broadcastKeyMax)
       if (retain > 0)
         AzofVacuum.vacuum(spark, idxLake, jt, retain,

@@ -3,160 +3,221 @@ package graft.sources
 import graft.format.{AsOf, ColumnDef, ColumnType, KeyFilter, Snapshot, TableSchema}
 import graft.format.AzofTable
 import java.time.Instant
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** What a JOIN view maintains: `fact JOIN dim ON fact.fkCol = dim.key`
-  * then `GROUP BY groupCols` with `COUNT(*)` / `SUM` / `MIN`/`MAX` —
-  * group columns drawn from EITHER side (`dimCols` names the dim-side
-  * ones; they are the dim table's value columns), aggregated columns
-  * from the fact side, `Int` non-nullable (the [[ViewDef]] contract).
-  * Join semantics are INNER on the dim's RECORD KEY: a fact whose
-  * `fkCol` names no live dim row contributes nothing.
+/** One dimension of a star join: `fact.fkCol = dim.key`, contributing
+  * `dimCols` (that dim table's value columns) to the view's group
+  * columns. Foreign-key columns are distinct across a view's dims and
+  * dim attribute names are disjoint (each group column resolves to
+  * exactly one side).
+  */
+final case class DimJoin(fkCol: String, dimCols: Seq[String] = Nil) {
+  require(fkCol.nonEmpty, "a dim join needs a foreign-key column")
+  require(!dimCols.contains(fkCol), "fkCol is a fact column")
+}
+
+/** What a STAR join view maintains:
+  * `fact JOIN dim1 ON fact.fk1 = dim1.key JOIN dim2 ON ... ` then
+  * `GROUP BY groupCols` with `COUNT(*)` / `SUM` + non-null counts /
+  * `MIN`/`MAX` — group columns drawn from the fact or ANY dim (each
+  * dim's `dimCols` names its side), aggregated columns from the fact
+  * side: sums are `Int` (nullable is fine — the view carries `nn_<c>`
+  * non-null counts, [[ViewDef]]'s contract), min/max may be `Int`,
+  * `String`, or `DateTime`. Join semantics are INNER on each dim's
+  * RECORD KEY: a fact whose `fkCol` names no live dim row in ANY dim
+  * contributes nothing.
   */
 final case class JoinViewDef(
     groupCols: Seq[String],
     sumCols: Seq[String] = Nil,
     minMaxCols: Seq[String] = Nil,
-    fkCol: String = "fk",
-    dimCols: Seq[String] = Nil) {
+    dims: Seq[DimJoin] = Seq(DimJoin("fk"))) {
   require(groupCols.nonEmpty, "a join view needs group columns")
-  require(dimCols.forall(groupCols.contains),
+  require(dims.nonEmpty, "a join view needs at least one dim")
+  require(dims.map(_.fkCol).distinct.size == dims.size,
+    "foreign-key columns must be distinct across dims")
+  /** All dim-side group columns, across dims. */
+  val dimColsAll: Seq[String] = dims.flatMap(_.dimCols)
+  require(dimColsAll.distinct.size == dimColsAll.size,
+    "dim attribute names must be disjoint across dims (each group " +
+      "column resolves to exactly one side)")
+  require(dimColsAll.forall(groupCols.contains),
     "dimCols must be a subset of groupCols (dim attributes only group)")
-  require(!dimCols.contains(fkCol), "fkCol is a fact column")
+  require(dims.forall(d => !dimColsAll.contains(d.fkCol)),
+    "fk columns are fact columns")
   /** Group columns that live on the fact side. */
-  def factGroupCols: Seq[String] = groupCols.filterNot(dimCols.contains)
+  def factGroupCols: Seq[String] = groupCols.filterNot(dimColsAll.contains)
   /** Fact columns the refresh reads. */
   def factNeeded: Seq[String] =
-    (Seq(fkCol) ++ factGroupCols ++ sumCols ++ minMaxCols).distinct
+    (dims.map(_.fkCol) ++ factGroupCols ++ sumCols ++ minMaxCols).distinct
 }
 
-/** PERSISTED incremental JOIN-aggregate view — [[MatView]]'s two-table
-  * sibling, the classic warehouse denormalized rollup
-  * (`SELECT d.attr, count(*), sum(f.v) FROM fact f JOIN dim d ON
-  * f.fk = d.key GROUP BY d.attr`) maintained incrementally under churn
-  * on BOTH tables:
+/** PERSISTED incremental STAR-JOIN aggregate view — [[MatView]]'s
+  * multi-table sibling, the classic warehouse denormalized rollup
+  * (`SELECT d1.attr, d2.attr, count(*), sum(f.v) FROM fact f JOIN dim1
+  * d1 ON f.fk1 = d1.key JOIN dim2 d2 ON f.fk2 = d2.key GROUP BY ...`)
+  * maintained incrementally under churn on EVERY table:
   *
   *   - FACT churn (the [[MatView]] path, join-enriched): each batch's
   *     churned fact keys resolve their POST-state (newest batch row,
-  *     enriched against the dim at the batch's END dim version) and
-  *     PRE-state (live row at the fact cursor, enriched against the
-  *     dim at the DIM CURSOR — exactly what the previous refresh
-  *     counted), and additive aggregates upsert `old − pre + new`.
-  *   - DIM churn moves every live fact referencing a churned dim key
-  *     across groups WITHOUT those facts having changed: the refresh
-  *     reads exactly those facts (one fact scan filtered to the
-  *     churned foreign keys — an `In` value filter under the broadcast
-  *     guard, so value-stats file skipping confines the read on an
-  *     fk-clustered layout), subtracts their contribution under the
-  *     dim's PRE-attributes (a churn-confined time-travel dim read —
-  *     the dim key IS the record key, so key-stats skipping applies
-  *     natively) and re-adds under the new attributes. A dim DELETE
-  *     drops them (inner join); a dim INSERT adopts previously
-  *     dangling facts.
+  *     enriched against every dim at its refreshed version) and
+  *     PRE-state (live row at the fact cursor, enriched against every
+  *     dim at ITS cursor — exactly what the previous refresh counted),
+  *     and additive aggregates upsert `old − pre + new`.
+  *   - DIM churn on dim `i` moves every live fact referencing a
+  *     churned dim-`i` key across groups WITHOUT those facts having
+  *     changed: the refresh reads exactly those facts (one fact scan
+  *     filtered to the churned foreign keys — an `In` value filter
+  *     under the broadcast guard, so value-stats file skipping
+  *     confines the read on an fk-clustered layout), subtracts their
+  *     contribution under ALL dims' PRE-attributes and re-adds under
+  *     the new ones. A dim DELETE drops them (inner join); a dim
+  *     INSERT adopts previously dangling facts. Churn on several dims
+  *     in one catch-up composes: the affected-fact sets union (each
+  *     fact subtracted/re-added ONCE).
   *   - `MIN`/`MAX` monoid-merge on groups that only gained rows and
-  *     RESCAN groups that lost any — from one live fact⋈dim read at
-  *     the refreshed version pair, semi-confined to those groups.
+  *     RESCAN groups that lost any — from one live star join at the
+  *     refreshed version vector, semi-confined to those groups.
   *
   * Consistency contract: after every refresh, [[serve]] equals the
-  * one-shot join-aggregate over BOTH tables' live states at the
-  * consumed `(factVersion, dimVersion)` pair. The refresh is a
+  * one-shot star aggregate over ALL tables' live states at the
+  * consumed `(factVersion, dimVersions…)` vector. The refresh is a
   * SYNCHRONOUS batch call (the [[ShardMap]] face): one mixed upsert
   * delta per consumed range, EXACTLY-ONCE via the `stream_batches`
-  * guard keyed by the encoded version pair — and a crash between the
-  * commit and the cursor write HEALS on the next call by reading the
-  * guard's last applied pair back ([[graft.streaming.AzofSink
-  * .lastCommitted]]) before deciding the range, so the addition
-  * arithmetic can never double-apply. Source ROLLBACK on either table
-  * keeps the family's epoch hatch ([[rebuildEpoch]]).
+  * guard keyed by a strictly-increasing encoding of the version
+  * vector — and a crash between the commit and the cursor write HEALS
+  * on the next call: the refresh stages the intended cursor vector in
+  * a PENDING sidecar before committing, so the next call promotes it
+  * when the guard proves the commit landed (single-dim views keep the
+  * legacy decode heal too), and the addition arithmetic can never
+  * double-apply. Source ROLLBACK on any table keeps the family's
+  * epoch hatch ([[rebuildEpoch]]).
   */
 object JoinView {
 
-  /** Cursor sidecar: the consumed (fact, dim) version pair. */
+  /** Cursor sidecar: the consumed (fact, dims…) version vector. */
   val CursorFileName = "_jv_cursor.json"
+
+  /** Staged cursor vector for the commit in flight: written BEFORE the
+    * guarded commit, promoted to [[CursorFileName]] by the next refresh
+    * when the guard proves that commit landed (the crash-heal protocol
+    * for version vectors the scalar guard id cannot encode reversibly).
+    */
+  val PendingFileName = "_jv_pending.json"
 
   private val Sep = "\u0001"
 
-  /** Pack the version pair into one replay-guard batch id. Monotone in
-    * refresh order (both components only grow), unique while a dim
-    * history stays under 10^9 commits.
+  /** Pack the version vector into one replay-guard batch id: strictly
+    * increasing across state-changing refreshes (every component only
+    * grows and at least one strictly grows), and for single-dim views
+    * identical to the historical `fact * 10^9 + dim` encoding (so
+    * pre-existing guard stamps stay comparable). Unique-in-order while
+    * the dims' combined history stays under 10^9 commits.
     */
-  private def encode(f: Long, d: Long): Long = f * 1000000000L + d
-  private def decode(b: Long): (Long, Long) =
-    (b / 1000000000L, b % 1000000000L)
+  private def encode(f: Long, ds: Seq[Long]): Long =
+    f * 1000000000L + ds.sum
 
   final case class RefreshReport(
-      fromFact: Long, toFact: Long, fromDim: Long, toDim: Long,
-      touched: Long, noop: Boolean)
+      fromFact: Long, toFact: Long,
+      fromDims: Seq[Long], toDims: Seq[Long],
+      touched: Long, noop: Boolean) {
+    /** Single-dim conveniences (the CLI/procedure print surface). */
+    def fromDim: Long = fromDims.head
+    def toDim: Long = toDims.head
+  }
 
   /** The view table's value schema: dim-side group columns typed from
-    * the dim schema, fact-side from the fact schema, aggregates i64.
+    * their dim schema, fact-side from the fact schema; `n_rows`, per
+    * sum column `sum_<c>` + its non-null count `nn_<c>` (both i64),
+    * and `min_<c>`/`max_<c>` under the fact column's own type.
     */
   def viewSchema(
-      factSchema: TableSchema, dimSchema: TableSchema,
+      factSchema: TableSchema, dimSchemas: Seq[TableSchema],
       jdef: JoinViewDef): TableSchema = {
+    require(dimSchemas.size == jdef.dims.size,
+      s"${jdef.dims.size} dims declared, ${dimSchemas.size} schemas given")
     val factBy = factSchema.columns.map(c => c.name -> c).toMap
-    val dimBy = dimSchema.columns.map(c => c.name -> c).toMap
+    val dimBy: Map[String, ColumnDef] =
+      jdef.dims.zip(dimSchemas).flatMap { case (d, ds) =>
+        val by = ds.columns.map(c => c.name -> c).toMap
+        d.dimCols.map(n => n -> by.getOrElse(n,
+          throw new IllegalArgumentException(
+            s"dim group column '$n' is not in its dim schema")))
+      }.toMap
     def defOf(n: String): ColumnDef =
-      if (jdef.dimCols.contains(n))
-        dimBy.getOrElse(n, throw new IllegalArgumentException(
-          s"dim group column '$n' is not in the dim schema"))
-      else factBy.getOrElse(n, throw new IllegalArgumentException(
-        s"fact column '$n' is not in the fact schema"))
-    val fk = factBy.getOrElse(jdef.fkCol,
-      throw new IllegalArgumentException(
-        s"fk column '${jdef.fkCol}' is not in the fact schema"))
-    if (fk.dataType != ColumnType.AzString)
-      throw new IllegalArgumentException(
-        s"fk column '${jdef.fkCol}' must be a String (it joins to the " +
-          "dim table's record key, which is a string — a numeric fk " +
-          "would silently miss non-canonical renderings)")
-    (jdef.sumCols ++ jdef.minMaxCols).foreach { c =>
-      val d = defOf(c)
-      if (jdef.dimCols.contains(c) || d.dataType != ColumnType.AzInt ||
-          d.nullable)
+      dimBy.getOrElse(n, factBy.getOrElse(n,
         throw new IllegalArgumentException(
-          s"aggregated column '$c' must be a non-nullable Int FACT column")
+          s"fact column '$n' is not in the fact schema")))
+    jdef.dims.foreach { d =>
+      val fk = factBy.getOrElse(d.fkCol,
+        throw new IllegalArgumentException(
+          s"fk column '${d.fkCol}' is not in the fact schema"))
+      if (fk.dataType != ColumnType.AzString)
+        throw new IllegalArgumentException(
+          s"fk column '${d.fkCol}' must be a String (it joins to the " +
+            "dim table's record key, which is a string — a numeric fk " +
+            "would silently miss non-canonical renderings)")
+    }
+    jdef.sumCols.foreach { c =>
+      val d = defOf(c)
+      if (jdef.dimColsAll.contains(c) || d.dataType != ColumnType.AzInt)
+        throw new IllegalArgumentException(
+          s"sum column '$c' must be an Int FACT column (nullable is " +
+            "fine — the view tracks a per-column non-null count)")
+    }
+    jdef.minMaxCols.foreach { c =>
+      val d = defOf(c)
+      if (jdef.dimColsAll.contains(c) || d.dataType == ColumnType.AzBoolean)
+        throw new IllegalArgumentException(
+          s"min/max column '$c' must be a non-Boolean FACT column — " +
+            "aggregate a cast upstream instead")
     }
     TableSchema(
       jdef.groupCols.map(g =>
         ColumnDef(g, defOf(g).dataType, nullable = false)) ++
         Seq(ColumnDef("n_rows", ColumnType.AzInt, nullable = false)) ++
-        jdef.sumCols.map(c =>
-          ColumnDef(s"sum_$c", ColumnType.AzInt, nullable = false)) ++
+        jdef.sumCols.flatMap(c => Seq(
+          ColumnDef(s"sum_$c", ColumnType.AzInt, nullable = false),
+          ColumnDef(s"nn_$c", ColumnType.AzInt, nullable = false))) ++
         jdef.minMaxCols.flatMap(c => Seq(
-          ColumnDef(s"min_$c", ColumnType.AzInt, nullable = true),
-          ColumnDef(s"max_$c", ColumnType.AzInt, nullable = true))))
+          ColumnDef(s"min_$c", defOf(c).dataType, nullable = true),
+          ColumnDef(s"max_$c", defOf(c).dataType, nullable = true))))
   }
 
   /** Definition sidecar ([[MatView.DefFileName]]'s join twin): what the
-    * view maintains and over which fact/dim pair — read back by the
+    * view maintains and over which fact/dims — read back by the
     * automatic rewrite rule. Same-lake sources record relative so the
-    * sidecar survives the lake directory moving.
+    * sidecar survives the lake directory moving. Carries a `format`
+    * stamp: 2 = the nn_/star layout; a sidecar WITHOUT the stamp was
+    * written by a pre-nn_ binary and [[readDef]] refuses it loudly.
     */
   val DefFileName = "_jv_def.json"
+
+  /** The current sidecar/table layout generation. */
+  val FormatVersion = 2
 
   def create(
       spark: SparkSession,
       factLake: String, factTable: String,
-      dimLake: String, dimTable: String,
+      dims: Seq[(String, String)],
       idxLake: String, idxTable: String,
       jdef: JoinViewDef,
       segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
     val fs = AzofTable(spark, factLake, factTable).currentSnapshot.schema
-    val ds = AzofTable(spark, dimLake, dimTable).currentSnapshot.schema
+    val dss = dims.map { case (dl, dt) =>
+      AzofTable(spark, dl, dt).currentSnapshot.schema }
     val created = AzofWriter.createTableIfAbsent(
-      spark, idxLake, idxTable, viewSchema(fs, ds, jdef), segmentStart)
+      spark, idxLake, idxTable, viewSchema(fs, dss, jdef), segmentStart)
     if (created)
-      writeDef(spark, factLake, factTable, dimLake, dimTable,
-        idxLake, idxTable, jdef)
+      writeDef(spark, factLake, factTable, dims, idxLake, idxTable, jdef)
     ()
   }
 
   private def writeDef(
       spark: SparkSession,
       factLake: String, factTable: String,
-      dimLake: String, dimTable: String,
+      dims: Seq[(String, String)],
       idxLake: String, idxTable: String, jdef: JoinViewDef): Unit = {
     def arr(xs: Seq[String]) =
       xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
@@ -166,26 +227,32 @@ object JoinView {
     val dir = AzofTable(spark, idxLake, idxTable).tableDir
     val p = new org.apache.hadoop.fs.Path(dir, DefFileName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val dimArr = jdef.dims.zip(dims).map { case (dj, (dl, dt)) =>
+      s"""{"path":"${rel(dl)}","table":"$dt",""" +
+        s""""fk_col":"${dj.fkCol}","dim_cols":${arr(dj.dimCols)}}"""
+    }.mkString("[", ",", "]")
     val out = fs.create(p, true)
     try out.write(
-      (s"""{"fact_path":"${rel(factLake)}","fact_table":"$factTable",""" +
-        s""""dim_path":"${rel(dimLake)}","dim_table":"$dimTable",""" +
-        s""""fk_col":"${jdef.fkCol}",""" +
+      (s"""{"format":$FormatVersion,""" +
+        s""""fact_path":"${rel(factLake)}","fact_table":"$factTable",""" +
         s""""group_cols":${arr(jdef.groupCols)},""" +
         s""""sum_cols":${arr(jdef.sumCols)},""" +
         s""""minmax_cols":${arr(jdef.minMaxCols)},""" +
-        s""""dim_cols":${arr(jdef.dimCols)}}""")
+        s""""dims":$dimArr}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
   /** The view's definition sidecar:
-    * `(factLake, factTable, dimLake, dimTable, def)` — None when the
-    * table has no sidecar.
+    * `(factLake, factTable, dims as (lake, table), def)` — None when
+    * the table has no sidecar; a LOUD refusal (naming the rebuild
+    * remedy) when the sidecar predates the nn_/star layout, so a
+    * binary upgrade surfaces "rebuild required" instead of an opaque
+    * unresolved-column error downstream.
     */
   def readDef(
       spark: SparkSession, idxLake: String, idxTable: String)
-      : Option[(String, String, String, String, JoinViewDef)] = {
+      : Option[(String, String, Seq[(String, String)], JoinViewDef)] = {
     val dir = AzofTable(spark, idxLake, idxTable).tableDir
     val p = new org.apache.hadoop.fs.Path(dir, DefFileName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -195,32 +262,40 @@ object JoinView {
       val root =
         try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
         finally in.close()
-      def seq(f: String): Seq[String] = {
-        val n = root.get(f)
+      val fmt = Option(root.get("format")).map(_.asInt).getOrElse(1)
+      if (fmt < FormatVersion) throw new IllegalStateException(
+        s"join view '$idxTable' was built by a pre-nn_ binary " +
+          s"(sidecar format $fmt < $FormatVersion) — its table lacks " +
+          "the per-column non-null counts this binary maintains; " +
+          "rebuild it via JoinView.rebuildEpoch (CLI: jv-rebuild)")
+      def seq(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
         (0 until n.size()).map(i => n.get(i).asText())
+      def lake(v: String): String = if (v.isEmpty) idxLake else v
+      val dimsNode = root.get("dims")
+      val dims = (0 until dimsNode.size()).map { i =>
+        val d = dimsNode.get(i)
+        ((lake(d.get("path").asText), d.get("table").asText),
+          DimJoin(d.get("fk_col").asText, seq(d.get("dim_cols"))))
       }
-      def lake(f: String): String = {
-        val v = root.get(f).asText
-        if (v.isEmpty) idxLake else v
-      }
-      Some((lake("fact_path"), root.get("fact_table").asText,
-        lake("dim_path"), root.get("dim_table").asText,
-        JoinViewDef(seq("group_cols"), seq("sum_cols"), seq("minmax_cols"),
-          root.get("fk_col").asText, seq("dim_cols"))))
+      Some((lake(root.get("fact_path").asText),
+        root.get("fact_table").asText,
+        dims.map(_._1),
+        JoinViewDef(seq(root.get("group_cols")), seq(root.get("sum_cols")),
+          seq(root.get("minmax_cols")), dims.map(_._2))))
     }
   }
 
-  /** The rewrite rule's gate: the view equals the one-shot join
-    * aggregate over both tables' CURRENT live states — cursor pair
+  /** The rewrite rule's gate: the view equals the one-shot star
+    * aggregate over all tables' CURRENT live states — cursor vector
     * consumed, and every later commit on EACH source view-preserving
     * ([[MatView.unchangedSince]]).
     */
   def isFresh(
       spark: SparkSession,
       factLake: String, factTable: String,
-      dimLake: String, dimTable: String,
+      dims: Seq[(String, String)],
       idxLake: String, idxTable: String): Boolean =
-    freshViewVersion(spark, factLake, factTable, dimLake, dimTable,
+    freshViewVersion(spark, factLake, factTable, dims,
       idxLake, idxTable).isDefined
 
   /** [[isFresh]] that PINS the validated view version for the rewrite
@@ -231,124 +306,185 @@ object JoinView {
   def freshViewVersion(
       spark: SparkSession,
       factLake: String, factTable: String,
-      dimLake: String, dimTable: String,
+      dims: Seq[(String, String)],
       idxLake: String, idxTable: String): Option[Long] = {
-    val (dir, fs, p) = sidecarPath(spark, idxLake, idxTable)
+    val (dir, fs, p) = sidecarPath(spark, idxLake, idxTable, CursorFileName)
     val _ = dir
     if (!fs.exists(p)) None
     else {
-      val (f, d) = readCursor(spark, idxLake, idxTable)
-      val v = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
-      if (MatView.unchangedSince(spark, factLake, factTable, f) &&
-        MatView.unchangedSince(spark, dimLake, dimTable, d)) Some(v)
-      else None
+      val (f, ds) = readCursor(spark, idxLake, idxTable, dims.size)
+      if (ds.size != dims.size) None
+      else {
+        val v = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
+        val ok = MatView.unchangedSince(spark, factLake, factTable, f) &&
+          dims.zip(ds).forall { case ((dl, dt), dv) =>
+            MatView.unchangedSince(spark, dl, dt, dv) }
+        if (ok) Some(v) else None
+      }
     }
   }
 
   private def sidecarPath(spark: SparkSession, idxLake: String,
-      idxTable: String) = {
+      idxTable: String, name: String) = {
     val dir = AzofTable(spark, idxLake, idxTable).tableDir
-    val p = new org.apache.hadoop.fs.Path(dir, CursorFileName)
+    val p = new org.apache.hadoop.fs.Path(dir, name)
     (dir, p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** The consumed (fact, dim) version pair, (1, 1) before the first
-    * refresh (version 1 = the empty create snapshot of each source).
+  /** The consumed (fact, dims…) version vector, (1, [1…]) before the
+    * first refresh (version 1 = the empty create snapshot of each
+    * source). Reads the legacy single-dim `dimVersion` field too.
     */
   def readCursor(
-      spark: SparkSession, idxLake: String, idxTable: String)
-      : (Long, Long) = {
-    val (_, fs, p) = sidecarPath(spark, idxLake, idxTable)
-    if (!fs.exists(p)) (1L, 1L)
+      spark: SparkSession, idxLake: String, idxTable: String,
+      nDims: Int = 1)
+      : (Long, Seq[Long]) = {
+    val (_, fs, p) = sidecarPath(spark, idxLake, idxTable, CursorFileName)
+    if (!fs.exists(p)) (1L, Seq.fill(nDims)(1L))
     else {
       val in = fs.open(p)
       val root =
         try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
         finally in.close()
-      (root.get("factVersion").asLong, root.get("dimVersion").asLong)
+      val ds = Option(root.get("dimVersions")) match {
+        case Some(arr) => (0 until arr.size()).map(i => arr.get(i).asLong)
+        case None => Seq(root.get("dimVersion").asLong)
+      }
+      (root.get("factVersion").asLong, ds)
     }
   }
 
   private def writeCursor(
       spark: SparkSession, idxLake: String, idxTable: String,
-      f: Long, d: Long): Unit = {
-    val (dir, fs, p) = sidecarPath(spark, idxLake, idxTable)
+      f: Long, ds: Seq[Long]): Unit = {
+    val (dir, fs, p) = sidecarPath(spark, idxLake, idxTable, CursorFileName)
     AtomicReplace.replace(fs, dir, p,
-      s"""{"factVersion":$f,"dimVersion":$d}""")
+      s"""{"factVersion":$f,"dimVersions":[${ds.mkString(",")}]}""")
     ()
   }
 
-  /** One synchronous catch-up of the view to both sources' current
-    * main versions. See the object scaladoc for the three paths.
+  private def readPending(
+      spark: SparkSession, idxLake: String, idxTable: String)
+      : Option[(Long, Long, Seq[Long])] = {
+    val (_, fs, p) = sidecarPath(spark, idxLake, idxTable, PendingFileName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      val arr = root.get("dimVersions")
+      Some((root.get("batch").asLong, root.get("factVersion").asLong,
+        (0 until arr.size()).map(i => arr.get(i).asLong)))
+    }
+  }
+
+  private def writePending(
+      spark: SparkSession, idxLake: String, idxTable: String,
+      batch: Long, f: Long, ds: Seq[Long]): Unit = {
+    val (dir, fs, p) = sidecarPath(spark, idxLake, idxTable, PendingFileName)
+    AtomicReplace.replace(fs, dir, p,
+      s"""{"batch":$batch,"factVersion":$f,""" +
+        s""""dimVersions":[${ds.mkString(",")}]}""")
+    ()
+  }
+
+  /** One synchronous catch-up of the view to all sources' current main
+    * versions. See the object scaladoc for the three paths. `dims` are
+    * the dim tables' locations, aligned with `jdef.dims`.
     */
   def refresh(
       spark: SparkSession,
       factLake: String, factTable: String,
-      dimLake: String, dimTable: String,
+      dims: Seq[(String, String)],
       idxLake: String, idxTable: String,
       jdef: JoinViewDef,
       broadcastKeyMax: Long = DedupFlow.DefaultBroadcastKeyMax)
       : RefreshReport = {
-    create(spark, factLake, factTable, dimLake, dimTable,
-      idxLake, idxTable, jdef)
+    require(dims.size == jdef.dims.size,
+      s"${jdef.dims.size} dims declared, ${dims.size} locations given")
+    create(spark, factLake, factTable, dims, idxLake, idxTable, jdef)
     val K = TableSchema.KeyName
     val appId = s"join-view#$idxTable"
     val fact = AzofTable(spark, factLake, factTable)
-    val dim = AzofTable(spark, dimLake, dimTable)
-    // heal the cursor from the replay guard: a crash between commit
-    // and cursor write left the guard ahead of the sidecar
-    var (fPrev, dPrev) = readCursor(spark, idxLake, idxTable)
-    graft.streaming.AzofSink
-      .lastCommitted(spark, idxLake, idxTable, appId)
-      .filter(_ > encode(fPrev, dPrev))
-      .foreach { applied =>
-        val (hf, hd) = decode(applied)
-        writeCursor(spark, idxLake, idxTable, hf, hd)
-        fPrev = hf; dPrev = hd
-      }
-    val fNow = fact.currentVersion.toLong
-    val dNow = dim.currentVersion.toLong
-    if (fNow < fPrev || dNow < dPrev)
+    MatView.requireNnLayout(
+      AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
+      jdef.sumCols, idxTable, "JoinView.rebuildEpoch (CLI: jv-rebuild)")
+    val dimTabs = dims.map { case (dl, dt) => AzofTable(spark, dl, dt) }
+    // heal the cursor: a crash between commit and cursor write left the
+    // replay guard ahead of the sidecar — the PENDING vector (staged
+    // before that commit) is promoted once the guard proves it landed;
+    // single-dim views keep the legacy scalar-decode heal as fallback
+    var (fPrev, dPrevs) = readCursor(spark, idxLake, idxTable, dims.size)
+    val lastApplied =
+      graft.streaming.AzofSink.lastCommitted(spark, idxLake, idxTable, appId)
+    readPending(spark, idxLake, idxTable) match {
+      case Some((b, pf, pds)) if pds.size == dims.size &&
+          lastApplied.exists(_ >= b) && b > encode(fPrev, dPrevs) =>
+        writeCursor(spark, idxLake, idxTable, pf, pds)
+        fPrev = pf; dPrevs = pds
+      case _ if dims.size == 1 =>
+        lastApplied.filter(_ > encode(fPrev, dPrevs)).foreach { applied =>
+          val (hf, hd) = (applied / 1000000000L, applied % 1000000000L)
+          writeCursor(spark, idxLake, idxTable, hf, Seq(hd))
+          fPrev = hf; dPrevs = Seq(hd)
+        }
+      case _ => ()
+    }
+    if (dPrevs.size != dims.size)
       throw new IllegalStateException(
-        s"source went backwards (fact $fPrev→$fNow, dim $dPrev→$dNow) — " +
-          "a rollback needs rebuildEpoch, the feed's documented contract")
-    if (fNow == fPrev && dNow == dPrev)
-      return RefreshReport(fPrev, fNow, dPrev, dNow, 0L, noop = true)
+        s"cursor carries ${dPrevs.size} dim version(s) for a " +
+          s"${dims.size}-dim view — the definition cannot change for a " +
+          "view table's life; rebuild via JoinView.rebuildEpoch")
+    val fNow = fact.currentVersion.toLong
+    val dNows = dimTabs.map(_.currentVersion.toLong)
+    if (fNow < fPrev || dNows.zip(dPrevs).exists { case (n, p) => n < p })
+      throw new IllegalStateException(
+        s"source went backwards (fact $fPrev→$fNow, dims " +
+          s"${dPrevs.mkString(",")}→${dNows.mkString(",")}) — a rollback " +
+          "needs rebuildEpoch, the feed's documented contract")
+    if (fNow == fPrev && dNows == dPrevs)
+      return RefreshReport(fPrev, fNow, dPrevs, dNows, 0L, noop = true)
 
     val factSnapNow = fact.snapshot(fNow.toString)
     val factSnapPrev = fact.snapshot(fPrev.toString)
-    val dimSnapNow = dim.snapshot(dNow.toString)
-    val dimSnapPrev = dim.snapshot(dPrev.toString)
+    val dimSnapNow = dimTabs.zip(dNows).map { case (t, v) =>
+      t.snapshot(v.toString) }
+    val dimSnapPrev = dimTabs.zip(dPrevs).map { case (t, v) =>
+      t.snapshot(v.toString) }
 
     def newestOf(churn: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(K)).orderBy(col("_commit_version").desc)
       churn.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
     }
-    // ---- dim transition (empty frames when the dim didn't move)
-    val dimChurn = newestOf(
-      AzofChangeFeed.between(spark, dimLake, dimTable, dPrev, dNow))
-      .localCheckpoint(true)
-    val nDimChurn = dimChurn.count()
-    val dimKeysSmall = nDimChurn <= broadcastKeyMax
-    val dimChurnKeySet: Set[String] =
-      if (dimKeysSmall) dimChurn.select(col(K)).collect()
-        .map(_.getString(0)).toSet
-      else Set.empty
-    def dimScan(snap: Snapshot, confineTo: Option[Set[String]]): DataFrame =
-      graft.operators.AzofScan.scanSnapshot(spark, dim, snap, AsOf.Current,
-        projection = Some((Set(K) ++ jdef.dimCols).toSet),
-        keyFilter = confineTo.map(KeyFilter.Keys(_)))
-    // churned dim keys' PRE-attributes (live at the dim cursor)
-    val dimPre =
-      (if (nDimChurn == 0)
-        dimScan(dimSnapPrev, None).limit(0)
-      else if (dimKeysSmall) dimScan(dimSnapPrev, Some(dimChurnKeySet))
-      else dimScan(dimSnapPrev, None)
-        .join(dimChurn.select(col(K)), Seq(K), "left_semi"))
-        .withColumnRenamed(K, "_dk")
-    val dimNew = dimChurn.where(!col("_deleted"))
-      .select((Seq(col(K).as("_dk")) ++ jdef.dimCols.map(col)): _*)
+    // ---- per-dim churn (empty frames when a dim didn't move)
+    val dimChurn = dims.indices.map { i =>
+      val (dl, dt) = dims(i)
+      newestOf(AzofChangeFeed.between(spark, dl, dt, dPrevs(i), dNows(i)))
+        .localCheckpoint(true)
+    }
+    val nDimChurn = dimChurn.map(_.count())
+    val dimKeySets: Seq[Option[Set[String]]] = dims.indices.map { i =>
+      if (nDimChurn(i) == 0L) Some(Set.empty[String])
+      else if (nDimChurn(i) <= broadcastKeyMax)
+        Some(dimChurn(i).select(col(K)).collect().map(_.getString(0)).toSet)
+      else None
+    }
+    // a full dim scan at a pinned version, keyed `_dk_<i>` for the
+    // star enrichment (dims are group-cardinality-class tables; the
+    // joins against them are the same reads the one-shot query pays)
+    def dimScan(i: Int, snap: Snapshot): DataFrame =
+      graft.operators.AzofScan.scanSnapshot(spark, dimTabs(i), snap,
+        AsOf.Current,
+        projection = Some((Set(K) ++ jdef.dims(i).dimCols).toSet))
+        .withColumnRenamed(K, s"_dk_$i")
+    val outCols = (jdef.groupCols ++ jdef.sumCols ++ jdef.minMaxCols).distinct
+    def enrich(facts: DataFrame, dimFrames: Seq[DataFrame]): DataFrame =
+      dims.indices.foldLeft(facts) { (acc, i) =>
+        acc.join(dimFrames(i),
+          acc(jdef.dims(i).fkCol) === dimFrames(i)(s"_dk_$i"))
+      }.select(outCols.map(col): _*)
 
     // ---- fact churn
     val factChurn = newestOf(
@@ -356,16 +492,18 @@ object JoinView {
       .localCheckpoint(true)
     val nFactChurn = factChurn.count()
     val factKeysSmall = nFactChurn <= broadcastKeyMax
+    val factProjected = Seq(col(K)) ++ jdef.factNeeded.map(col)
     def factScan(snap: Snapshot, keys: Option[Set[String]],
-        fkIn: Option[Seq[Any]]): DataFrame =
+        fkIn: Option[(String, Seq[Any])]): DataFrame =
       graft.operators.AzofScan.scanSnapshot(spark, fact, snap,
         AsOf.Current,
         projection = Some((Set(K) ++ jdef.factNeeded).toSet),
         keyFilter = keys.map(KeyFilter.Keys(_)),
-        valueFilters = fkIn.toSeq.map(vs =>
-          org.apache.spark.sql.sources.In(jdef.fkCol, vs.toArray)))
+        valueFilters = fkIn.toSeq.map { case (c, vs) =>
+          org.apache.spark.sql.sources.In(c, vs.toArray) })
+        .select(factProjected: _*)
     val factNewRows = factChurn.where(!col("_deleted"))
-      .select((Seq(col(K)) ++ jdef.factNeeded.map(col)): _*)
+      .select(factProjected: _*)
     val factPreRows =
       if (nFactChurn == 0) factNewRows.limit(0)
       else if (factKeysSmall) {
@@ -375,40 +513,42 @@ object JoinView {
       } else factScan(factSnapPrev, None, None)
         .join(factChurn.select(col(K)), Seq(K), "left_semi")
 
-    // ---- A: live, un-churned facts whose dim attribute moved
+    // ---- A: live, un-churned facts ANY of whose dim attributes moved
+    // (unioned across dims, then deduped by key — a fact affected via
+    // two dims is subtracted/re-added exactly once)
+    val affectedPerDim = dims.indices.flatMap { i =>
+      if (nDimChurn(i) == 0L) None
+      else Some(dimKeySets(i) match {
+        case Some(ks) =>
+          factScan(factSnapNow, None, Some((jdef.dims(i).fkCol, ks.toSeq)))
+            .where(col(jdef.dims(i).fkCol).isin(ks.toSeq: _*))
+        case None =>
+          factScan(factSnapNow, None, None)
+            .join(dimChurn(i).select(col(K).as(jdef.dims(i).fkCol)),
+              Seq(jdef.dims(i).fkCol), "left_semi")
+      })
+    }
     val affFacts =
-      if (nDimChurn == 0) factNewRows.limit(0)
-      else {
-        val base =
-          if (dimKeysSmall)
-            factScan(factSnapNow, None,
-              Some(dimChurnKeySet.toSeq))
-              .where(col(jdef.fkCol).isin(dimChurnKeySet.toSeq: _*))
-          else factScan(factSnapNow, None, None)
-            .join(dimChurn.select(col(K).as(jdef.fkCol)),
-              Seq(jdef.fkCol), "left_semi")
-        base.join(factChurn.select(col(K)), Seq(K), "left_anti")
-      }
+      if (affectedPerDim.isEmpty) factNewRows.limit(0)
+      else affectedPerDim.reduce(_.unionByName(_))
+        .dropDuplicates(Seq(K))
+        .join(factChurn.select(col(K)), Seq(K), "left_anti")
     val affCk = affFacts.localCheckpoint(true)
 
-    val outCols = jdef.groupCols ++ jdef.sumCols ++ jdef.minMaxCols
-    def enriched(facts: DataFrame, dimSide: DataFrame): DataFrame =
-      facts.join(dimSide, facts(jdef.fkCol) === dimSide("_dk"))
-        .select(outCols.distinct.map(col): _*)
-
-    val adds = enriched(affCk, dimNew)
-      .unionByName(enriched(factNewRows,
-        if (nFactChurn == 0) dimNew.limit(0)
-        else dimScan(dimSnapNow, None).withColumnRenamed(K, "_dk")))
-    val subs = enriched(affCk, dimPre)
-      .unionByName(enriched(factPreRows,
-        if (nFactChurn == 0) dimNew.limit(0)
-        else dimScan(dimSnapPrev, None).withColumnRenamed(K, "_dk")))
+    // adds count every touched fact under ALL dims' refreshed states,
+    // subs under ALL dims' cursor states — the two one-shot aggregates
+    // the previous and this refresh respectively stand for
+    val adds = enrich(affCk.unionByName(factNewRows),
+      dims.indices.map(i => dimScan(i, dimSnapNow(i))))
+    val subs = enrich(affCk.unionByName(factPreRows),
+      dims.indices.map(i => dimScan(i, dimSnapPrev(i))))
 
     def groupAgg(rows: DataFrame, pfx: String): DataFrame = {
       val aggs: Seq[Column] =
         Seq(count(lit(1)).as(s"${pfx}n")) ++
-          jdef.sumCols.map(c => sum(col(c)).as(s"${pfx}s_$c")) ++
+          jdef.sumCols.flatMap(c => Seq(
+            sum(col(c)).as(s"${pfx}s_$c"),
+            count(col(c)).as(s"${pfx}nn_$c"))) ++
           jdef.minMaxCols.flatMap(c => Seq(
             min(col(c)).as(s"${pfx}mn_$c"),
             max(col(c)).as(s"${pfx}mx_$c")))
@@ -418,15 +558,21 @@ object JoinView {
       .join(groupAgg(subs, "_p_"), jdef.groupCols, "full_outer")
       .localCheckpoint(true)
     graft.operators.Blocks.freeReferenced(affCk)
-    graft.operators.Blocks.freeReferenced(dimChurn.toDF())
+    dimChurn.foreach(d => graft.operators.Blocks.freeReferenced(d.toDF()))
     graft.operators.Blocks.freeReferenced(factChurn.toDF())
-    val nTouched = touched.count()
+    // one pass: the size decision + the reserved-separator contract
+    // check (group values must not contain U+0001 — MatView's guard)
+    val tStats = touched.agg(count(lit(1)),
+      MatView.sepViolations(touched, jdef.groupCols)).collect()(0)
+    val nTouched = tStats.getLong(0)
+    MatView.requireNoSep(
+      if (tStats.isNullAt(1)) 0L else tStats.getLong(1), "churned")
     if (nTouched == 0L) {
-      writeCursor(spark, idxLake, idxTable, fNow, dNow)
-      return RefreshReport(fPrev, fNow, dPrev, dNow, 0L, noop = false)
+      writeCursor(spark, idxLake, idxTable, fNow, dNows)
+      return RefreshReport(fPrev, fNow, dPrevs, dNows, 0L, noop = false)
     }
     // ---- min/max rescan: groups that LOST rows recompute from the
-    // live fact⋈dim at the refreshed version pair
+    // live star join at the refreshed version vector
     val rescan =
       if (jdef.minMaxCols.isEmpty) touched.limit(0)
       else touched.where(col("_p_n").isNotNull)
@@ -435,9 +581,9 @@ object JoinView {
     val rescanAgg: Option[DataFrame] =
       if (nRescan == 0L) None
       else {
-        val liveJoin = enriched(
+        val liveJoin = enrich(
           factScan(factSnapNow, None, None),
-          dimScan(dimSnapNow, None).withColumnRenamed(K, "_dk"))
+          dims.indices.map(i => dimScan(i, dimSnapNow(i))))
         val confined =
           if (nRescan <= broadcastKeyMax)
             liveJoin.join(broadcast(rescan), jdef.groupCols, "left_semi")
@@ -451,7 +597,9 @@ object JoinView {
     val oldCols =
       jdef.groupCols.map(col) ++
         Seq(col("n_rows").as("_o_n")) ++
-        jdef.sumCols.map(c => col(s"sum_$c").as(s"_o_s_$c")) ++
+        jdef.sumCols.flatMap(c => Seq(
+          col(s"sum_$c").as(s"_o_s_$c"),
+          col(s"nn_$c").as(s"_o_nn_$c"))) ++
         jdef.minMaxCols.flatMap(c => Seq(
           col(s"min_$c").as(s"_o_mn_$c"),
           col(s"max_$c").as(s"_o_mx_$c")))
@@ -464,12 +612,16 @@ object JoinView {
           jdef.groupCols, "left_semi")
       else existing
     val merged = touched.join(touchedOld, jdef.groupCols, "left")
+    val mmStruct = viewSchema(factSnapNow.schema,
+      dimSnapNow.map(_.schema), jdef).toStruct
     val withRescan = rescanAgg match {
       case Some(r) => merged.join(r, jdef.groupCols, "left")
       case None =>
         jdef.minMaxCols.foldLeft(merged)((d, c) => d
-          .withColumn(s"_r_mn_$c", lit(null).cast("long"))
-          .withColumn(s"_r_mx_$c", lit(null).cast("long")))
+          .withColumn(s"_r_mn_$c",
+            lit(null).cast(mmStruct(s"min_$c").dataType))
+          .withColumn(s"_r_mx_$c",
+            lit(null).cast(mmStruct(s"max_$c").dataType)))
     }
     def z(c: Column): Column = coalesce(c, lit(0L))
     val finalCols: Seq[Column] =
@@ -481,9 +633,11 @@ object JoinView {
         jdef.groupCols.map(col) ++
         Seq((z(col("_o_n")) + z(col("_a_n")) - z(col("_p_n")))
           .as("n_rows")) ++
-        jdef.sumCols.map(c =>
+        jdef.sumCols.flatMap(c => Seq(
           (z(col(s"_o_s_$c")) + z(col(s"_a_s_$c")) - z(col(s"_p_s_$c")))
-            .as(s"sum_$c")) ++
+            .as(s"sum_$c"),
+          (z(col(s"_o_nn_$c")) + z(col(s"_a_nn_$c")) - z(col(s"_p_nn_$c")))
+            .as(s"nn_$c"))) ++
         jdef.minMaxCols.flatMap(c => Seq(
           when(col("_p_n").isNotNull, col(s"_r_mn_$c"))
             .otherwise(least(col(s"_o_mn_$c"), col(s"_a_mn_$c")))
@@ -492,57 +646,74 @@ object JoinView {
             .otherwise(greatest(col(s"_o_mx_$c"), col(s"_a_mx_$c")))
             .as(s"max_$c")))
     val rows = withRescan.select(finalCols: _*)
+    val batchId = encode(fNow, dNows)
+    // stage the intended cursor BEFORE the guarded commit: if we crash
+    // between the two, the next refresh promotes it instead of
+    // recomputing a delta from a stale cursor over an applied commit
+    writePending(spark, idxLake, idxTable, batchId, fNow, dNows)
     graft.streaming.AzofSink.commitBatch(idxLake, idxTable, rows,
-      encode(fNow, dNow), appId)
-    writeCursor(spark, idxLake, idxTable, fNow, dNow)
+      batchId, appId)
+    writeCursor(spark, idxLake, idxTable, fNow, dNows)
     graft.operators.Blocks.freeReferenced(touched.toDF())
-    RefreshReport(fPrev, fNow, dPrev, dNow, nTouched, noop = false)
+    RefreshReport(fPrev, fNow, dPrevs, dNows, nTouched, noop = false)
   }
 
   /** The served view — every live group's totals ([[MatView.serve]]'s
-    * shape).
+    * shape): `n_rows`, per sum column the null-skipping `sum_<c>`
+    * (NULL when its `nn_<c>` is 0) + `nn_<c>`, typed min/max. Refuses
+    * loudly on a pre-nn_ view table, naming the rebuild remedy.
     */
   def serve(
       spark: SparkSession,
       idxLake: String, idxTable: String, jdef: JoinViewDef,
       version: Option[Long] = None): DataFrame = {
-    val cols = jdef.groupCols ++ Seq("n_rows") ++
-      jdef.sumCols.map(c => s"sum_$c") ++
-      jdef.minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val cols: Seq[Column] =
+      jdef.groupCols.map(col) ++ Seq(col("n_rows")) ++
+        jdef.sumCols.flatMap(c => Seq(
+          when(col(s"nn_$c") > 0L, col(s"sum_$c")).as(s"sum_$c"),
+          col(s"nn_$c"))) ++
+        jdef.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))
     val t = AzofTable(spark, idxLake, idxTable)
     val snap = version.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
+    MatView.requireNnLayout(snap.schema, jdef.sumCols, idxTable,
+      "JoinView.rebuildEpoch (CLI: jv-rebuild)")
     graft.operators.AzofScan.scanSnapshot(spark, t, snap, AsOf.Current)
       .where(col("n_rows") > 0L)
-      .select(cols.map(col): _*)
+      .select(cols: _*)
   }
 
-  /** Epoch hatch after a ROLLBACK on either source: retrain the view
-    * one-shot from both tables' CURRENT live states into `newTable`.
+  /** Epoch hatch after a ROLLBACK on any source: retrain the view
+    * one-shot from all tables' CURRENT live states into `newTable`.
     */
   def rebuildEpoch(
       spark: SparkSession,
       factLake: String, factTable: String,
-      dimLake: String, dimTable: String,
+      dims: Seq[(String, String)],
       idxLake: String, newTable: String,
       jdef: JoinViewDef, at: Instant): Long = {
+    require(dims.size == jdef.dims.size,
+      s"${jdef.dims.size} dims declared, ${dims.size} locations given")
     val fact = AzofTable(spark, factLake, factTable)
-    val dim = AzofTable(spark, dimLake, dimTable)
-    val (fNow, dNow) =
-      (fact.currentVersion.toLong, dim.currentVersion.toLong)
-    create(spark, factLake, factTable, dimLake, dimTable,
-      idxLake, newTable, jdef, at)
+    val dimTabs = dims.map { case (dl, dt) => AzofTable(spark, dl, dt) }
+    val fNow = fact.currentVersion.toLong
+    val dNows = dimTabs.map(_.currentVersion.toLong)
+    create(spark, factLake, factTable, dims, idxLake, newTable, jdef, at)
     val facts = graft.operators.AzofScan.scan(spark, factLake, factTable)
       .select(jdef.factNeeded.map(col): _*)
-    val dims = graft.operators.AzofScan.scan(spark, dimLake, dimTable)
-      .select((Seq(col(TableSchema.KeyName).as("_dk")) ++
-        jdef.dimCols.map(col)): _*)
-    val outCols = jdef.groupCols ++ jdef.sumCols ++ jdef.minMaxCols
-    val joined = facts.join(dims, facts(jdef.fkCol) === dims("_dk"))
-      .select(outCols.distinct.map(col): _*)
+    val outCols = (jdef.groupCols ++ jdef.sumCols ++ jdef.minMaxCols).distinct
+    val joined = dims.indices.foldLeft(facts) { (acc, i) =>
+      val (dl, dt) = dims(i)
+      val d = graft.operators.AzofScan.scan(spark, dl, dt)
+        .select((Seq(col(TableSchema.KeyName).as(s"_dk_$i")) ++
+          jdef.dims(i).dimCols.map(col)): _*)
+      acc.join(d, acc(jdef.dims(i).fkCol) === d(s"_dk_$i"))
+    }.select(outCols.map(col): _*)
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_rows")) ++
-        jdef.sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+        jdef.sumCols.flatMap(c => Seq(
+          coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"),
+          count(col(c)).as(s"nn_$c"))) ++
         jdef.minMaxCols.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val agg = joined.groupBy(jdef.groupCols.map(col): _*)
@@ -554,12 +725,17 @@ object JoinView {
         lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName)) ++
         jdef.groupCols.map(col) ++
         Seq(col("n_rows")) ++
-        jdef.sumCols.map(c => col(s"sum_$c")) ++
+        jdef.sumCols.flatMap(c => Seq(col(s"sum_$c"), col(s"nn_$c"))) ++
         jdef.minMaxCols.flatMap(c =>
           Seq(col(s"min_$c"), col(s"max_$c")))): _*)
-    val n = rows.count()
+    // one pass: count + the reserved-separator contract check
+    val stats = rows.agg(count(lit(1)),
+      MatView.sepViolations(rows, jdef.groupCols)).collect()(0)
+    val n = stats.getLong(0)
+    MatView.requireNoSep(
+      if (stats.isNullAt(1)) 0L else stats.getLong(1), "retrained")
     if (n > 0) AzofWriter.commitDelta(spark, idxLake, newTable, rows, at, at)
-    writeCursor(spark, idxLake, newTable, fNow, dNow)
+    writeCursor(spark, idxLake, newTable, fNow, dNows)
     n
   }
 }

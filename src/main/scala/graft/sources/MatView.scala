@@ -137,6 +137,37 @@ object MatView {
     */
   val DefFileName = "_mv_def.json"
 
+  /** The current sidecar/table layout generation (2 = `nn_<c>` non-null
+    * counts + typed min/max). Stamped into the def sidecar for audit;
+    * the operative upgrade gate is [[requireNnLayout]] on the view
+    * TABLE's schema, because round-13 tables gained `nn_` without a
+    * stamp — the schema, not the sidecar, is the ground truth.
+    */
+  val FormatVersion = 2
+
+  /** Whether the view table's schema carries the `nn_<c>` non-null
+    * count for every declared sum column — false for a table built by
+    * a pre-nn_ binary, which this binary can neither refresh nor serve
+    * without corrupting `COUNT(c)`/`AVG` semantics.
+    */
+  def nnLayoutOk(schema: TableSchema, sumCols: Seq[String]): Boolean = {
+    val names = schema.columns.map(_.name).toSet
+    sumCols.forall(c => names.contains(s"nn_$c"))
+  }
+
+  /** [[nnLayoutOk]] that refuses LOUDLY, naming the rebuild remedy —
+    * instead of the opaque unresolved-`nn_<c>`-column error a binary
+    * upgrade over an old view table would otherwise surface.
+    */
+  private[sources] def requireNnLayout(
+      schema: TableSchema, sumCols: Seq[String], table: String,
+      remedy: String): Unit =
+    if (!nnLayoutOk(schema, sumCols))
+      throw new IllegalStateException(
+        s"view table '$table' predates the nn_ layout (no per-column " +
+          "non-null counts) — it was built by an older binary and must " +
+          s"be rebuilt before this one can refresh or serve it: $remedy")
+
   /** Refresh cursor sidecar: the greatest SOURCE feed version the view
     * has consumed — the rewrite rule's freshness evidence. Written
     * after every data-carrying micro-batch commit (crash between
@@ -187,7 +218,8 @@ object MatView {
     val (fs, p) = sidecar(spark, idxLake, idxTable, DefFileName)
     val out = fs.create(p, true)
     try out.write(
-      (s"""{"source_path":"$srcPath","source_table":"$srcTable",""" +
+      (s"""{"format":$FormatVersion,""" +
+        s""""source_path":"$srcPath","source_table":"$srcTable",""" +
         s""""group_cols":${arr(view.groupCols)},""" +
         s""""sum_cols":${arr(view.sumCols)},""" +
         s""""minmax_cols":${arr(view.minMaxCols)}}""")
@@ -327,6 +359,10 @@ object MatView {
       broadcastKeyMax: Long = DedupFlow.DefaultBroadcastKeyMax)
       : StreamingQuery = {
     create(spark, srcLake, srcTable, idxLake, idxTable, view) // idempotent
+    requireNnLayout(
+      AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
+      view.sumCols, idxTable,
+      "MatView.rebuildEpoch (CLI: mv-rebuild)")
     val appId = AzofSink.appIdFor(checkpoint)
     spark.readStream.format("azof-commits")
       .option("table", srcTable).load(srcLake)
@@ -369,7 +405,8 @@ object MatView {
     * group-cardinality-sized at every call site, so the check is one
     * cheap conditional sum folded into a pass the refresh already pays.
     */
-  private def sepViolations(frame: DataFrame, groupCols: Seq[String]): Column =
+  private[sources] def sepViolations(
+      frame: DataFrame, groupCols: Seq[String]): Column =
     sum(when(groupCols.map(g => col(g).cast("string").contains(Sep))
       .reduce(_ || _), 1L).otherwise(0L))
 
@@ -561,6 +598,8 @@ object MatView {
     val t = AzofTable(spark, idxLake, idxTable)
     val snap = version.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
+    requireNnLayout(snap.schema, view.sumCols, idxTable,
+      "MatView.rebuildEpoch (CLI: mv-rebuild)")
     graft.operators.AzofScan.scanSnapshot(spark, t, snap, AsOf.Current)
       .where(col("n_rows") > 0L)
       .select(cols: _*)

@@ -344,9 +344,9 @@ class MvRewriteSpec extends AnyFunSuite {
 
   test("JOIN aggregates rewrite to a registered join view: exact group " +
     "match, global rollup, staleness fallback, non-key joins untouched") {
-    import graft.sources.{JoinView, JoinViewDef}
+    import graft.sources.{DimJoin, JoinView, JoinViewDef}
     val jdef = JoinViewDef(Seq("tier"), sumCols = Seq("v"),
-      minMaxCols = Seq("v"), fkCol = "fk", dimCols = Seq("tier"))
+      minMaxCols = Seq("v"), dims = Seq(DimJoin("fk", Seq("tier"))))
     val l = Files.createTempDirectory("azof-mvrw-join").toString
     val factSchema = TableSchema(Seq(
       ColumnDef("fk", ColumnType.AzString, nullable = false),
@@ -373,7 +373,7 @@ class MvRewriteSpec extends AnyFunSuite {
         org.apache.spark.sql.Row("3",
           java.sql.Timestamp.from(ts("2024-01-02T00:00:00Z")), "d2", 7L))),
         factSchema.toStruct))
-    JoinView.refresh(spark, l, "fact", l, "dim", l, "jvr", jdef)
+    JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "jvr", jdef)
     spark.conf.set("spark.azof.path", l)
     spark.conf.set("spark.azof.mv.rewrite", "jvr")
     try {
@@ -416,11 +416,142 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(q.collect().map(r => (r.getString(0), r.getLong(1),
         r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq ==
         Seq(("t2", 3L, 21L, 4L)), "fallback sees the re-tiered dim")
-      JoinView.refresh(spark, l, "fact", l, "dim", l, "jvr", jdef)
+      JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "jvr", jdef)
       assert(!scansSrc(q), "refresh restores the join rewrite")
       assert(q.collect().map(r => (r.getString(0), r.getLong(1),
         r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq ==
         Seq(("t2", 3L, 21L, 4L)))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  test("AVG/COUNT(c) over a JOIN view serve from its nn_ totals — " +
+    "round 13's crash shape: the decomposed nn_ leaf must resolve") {
+    import graft.sources.{DimJoin, JoinView, JoinViewDef}
+    val jdef = JoinViewDef(Seq("tier"), sumCols = Seq("v"),
+      dims = Seq(DimJoin("fk", Seq("tier"))))
+    val l = Files.createTempDirectory("azof-mvrw-javg").toString
+    val factSchema = TableSchema(Seq(
+      ColumnDef("fk", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = true))) // NULLABLE
+    val dimSchema = TableSchema(Seq(
+      ColumnDef("tier", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "dim",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("d1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t1"),
+        Row("d2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t2"))),
+        dimSchema.toStruct))
+    AzofWriter.commitBase(spark, l, "fact",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 10L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 4L),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", null),
+        Row("4", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d2", null))),
+        factSchema.toStruct))
+    JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "jva", jdef)
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "jva")
+    try {
+      // before round 14 this THREW an unresolvable-column
+      // AnalysisException inside the optimizer (nn_v missing from the
+      // join-view layout) — now it serves, null-skipping exactly
+      val q = spark.sql(
+        "SELECT tier, avg(v) AS av, count(v) AS nn, sum(v) AS sv " +
+          "FROM azof.fact f JOIN azof.dim d ON f.fk = d.key GROUP BY tier")
+      assert(!scansSrc(q) && aggregates(q).isEmpty,
+        "avg over the join must serve from the view:\n" +
+          q.queryExecution.optimizedPlan)
+      val got = q.collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).sortBy(_._1).toSeq
+      assert(got == Seq(("t1", 7.0, 2L, 14L), ("t2", null, 0L, null)),
+        "null-skipping avg/count/sum over the nullable measure")
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  test("multi-dim STAR aggregates rewrite: fact ⋈ dim1 ⋈ dim2 in " +
+    "either join order serves from the registered star view") {
+    import graft.sources.{DimJoin, JoinView, JoinViewDef}
+    val jdef = JoinViewDef(Seq("tier", "region"), sumCols = Seq("v"),
+      dims = Seq(DimJoin("fk1", Seq("tier")), DimJoin("fk2", Seq("region"))))
+    val l = Files.createTempDirectory("azof-mvrw-star").toString
+    val factSchema = TableSchema(Seq(
+      ColumnDef("fk1", ColumnType.AzString, nullable = false),
+      ColumnDef("fk2", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val d1Schema = TableSchema(Seq(
+      ColumnDef("tier", ColumnType.AzString, nullable = false)))
+    val d2Schema = TableSchema(Seq(
+      ColumnDef("region", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim1", d1Schema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim2", d2Schema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "dim1",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("a1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t1"),
+        Row("a2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t2"))),
+        d1Schema.toStruct))
+    AzofWriter.commitBase(spark, l, "dim2",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("b1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "eu"),
+        Row("b2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "us"))),
+        d2Schema.toStruct))
+    AzofWriter.commitBase(spark, l, "fact",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a1", "b1", 10L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a1", "b2", 4L),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a2", "b1", 7L))),
+        factSchema.toStruct))
+    JoinView.refresh(spark, l, "fact",
+      Seq((l, "dim1"), (l, "dim2")), l, "jvs", jdef)
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "jvs")
+    try {
+      // both dim orders — the matcher is order-insensitive
+      for (joins <- Seq(
+        "JOIN azof.dim1 d1 ON f.fk1 = d1.key " +
+          "JOIN azof.dim2 d2 ON f.fk2 = d2.key",
+        "JOIN azof.dim2 d2 ON f.fk2 = d2.key " +
+          "JOIN azof.dim1 d1 ON f.fk1 = d1.key")) {
+        val q = spark.sql(
+          "SELECT tier, region, count(*) AS n, sum(v) AS sv " +
+            s"FROM azof.fact f $joins GROUP BY tier, region")
+        assert(!scansSrc(q) && aggregates(q).isEmpty,
+          "star aggregate must serve from the star view:\n" +
+            q.queryExecution.optimizedPlan)
+        assert(q.collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq ==
+          Seq(("t1", "eu", 1L, 10L), ("t1", "us", 1L, 4L),
+            ("t2", "eu", 1L, 7L)))
+      }
+      // a subset rollup over ONE dim's attribute
+      val qr = spark.sql(
+        "SELECT region, sum(v) AS sv FROM azof.fact f " +
+          "JOIN azof.dim1 d1 ON f.fk1 = d1.key " +
+          "JOIN azof.dim2 d2 ON f.fk2 = d2.key GROUP BY region")
+      assert(!scansSrc(qr), "rollup aggregates the VIEW, not the corpus")
+      assert(qr.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("eu", 17L), ("us", 4L)))
+      // joining only ONE of the two dims must NOT match the 2-dim view
+      val q1 = spark.sql(
+        "SELECT tier, count(*) AS n FROM azof.fact f " +
+          "JOIN azof.dim1 d1 ON f.fk1 = d1.key GROUP BY tier")
+      assert(scansSrc(q1), "a partial star must not serve from the view")
     } finally {
       spark.conf.unset("spark.azof.path")
       spark.conf.unset("spark.azof.mv.rewrite")

@@ -27,7 +27,7 @@ class JoinViewSpec extends AnyFunSuite {
     ColumnDef("tier", ColumnType.AzString, nullable = false)))
 
   private val jdef = JoinViewDef(Seq("tier"), sumCols = Seq("v"),
-    minMaxCols = Seq("v"), fkCol = "fk", dimCols = Seq("tier"))
+    minMaxCols = Seq("v"), dims = Seq(DimJoin("fk", Seq("tier"))))
 
   private def ts(s: String) = Instant.parse(s)
 
@@ -53,11 +53,12 @@ class JoinViewSpec extends AnyFunSuite {
   }
 
   private def refresh(l: String, bMax: Long = Long.MaxValue) =
-    JoinView.refresh(spark, l, "fact", l, "dim", l, "jv", jdef,
+    JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "jv", jdef,
       broadcastKeyMax = bMax)
 
   private def served(l: String, tbl: String = "jv") =
     JoinView.serve(spark, l, tbl, jdef)
+      .select("tier", "n_rows", "sum_v", "min_v", "max_v") // BY NAME
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
 
@@ -190,7 +191,7 @@ class JoinViewSpec extends AnyFunSuite {
     val r = refresh(l)
     assert(r.noop, "healed cursor sees nothing new")
     assert(served(l) == before, "no double-apply")
-    assert(JoinView.readCursor(spark, l, "jv") == (2L, 2L),
+    assert(JoinView.readCursor(spark, l, "jv") == ((2L, Seq(2L))),
       "cursor healed from the guard")
   }
 
@@ -200,17 +201,206 @@ class JoinViewSpec extends AnyFunSuite {
       JoinView.viewSchema(
         TableSchema(Seq(ColumnDef("fk", ColumnType.AzInt, false),
           ColumnDef("v", ColumnType.AzInt, false))),
-        dimSchema, jdef)
+        Seq(dimSchema), jdef)
     }
     intercept[IllegalArgumentException] {
-      JoinView.viewSchema(factSchema, dimSchema,
+      JoinView.viewSchema(factSchema, Seq(dimSchema),
         JoinViewDef(Seq("tier"), sumCols = Seq("tier"),
-          fkCol = "fk", dimCols = Seq("tier")))
+          dims = Seq(DimJoin("fk", Seq("tier")))))
     }
     intercept[IllegalArgumentException] {
-      JoinView.viewSchema(factSchema, dimSchema,
-        JoinViewDef(Seq("absent"), fkCol = "fk"))
+      JoinView.viewSchema(factSchema, Seq(dimSchema),
+        JoinViewDef(Seq("absent"), dims = Seq(DimJoin("fk"))))
     }
+  }
+
+  test("multi-dim STAR view: churn on the fact and BOTH dims in one " +
+    "catch-up (re-tier on each dim, a dim delete, fact revisions) " +
+    "stays join-exact — on both merge-guard shapes") {
+    val star = JoinViewDef(Seq("tier", "region"), sumCols = Seq("v"),
+      minMaxCols = Seq("v"),
+      dims = Seq(DimJoin("fk1", Seq("tier")), DimJoin("fk2", Seq("region"))))
+    val fSchema = TableSchema(Seq(
+      ColumnDef("fk1", ColumnType.AzString, nullable = false),
+      ColumnDef("fk2", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val d2Schema = TableSchema(Seq(
+      ColumnDef("region", ColumnType.AzString, nullable = false)))
+    def sFacts(rows: (String, String, String, String, Long)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map {
+          case (k, t, f1, f2, v) =>
+            Row(k, Timestamp.from(ts(t)), f1, f2, v) }),
+        fSchema.toStruct)
+    def d2s(rows: (String, String, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, t, r) =>
+          Row(k, Timestamp.from(ts(t)), r) }),
+        d2Schema.toStruct)
+    def oneShotStar(l: String) = {
+      val f = AzofScan.scan(spark, l, "fact").select("fk1", "fk2", "v")
+      val d1 = AzofScan.scan(spark, l, "dim")
+        .select(col(TableSchema.KeyName).as("_d1"), col("tier"))
+      val d2 = AzofScan.scan(spark, l, "dim2")
+        .select(col(TableSchema.KeyName).as("_d2"), col("region"))
+      f.join(d1, f("fk1") === d1("_d1")).join(d2, col("fk2") === d2("_d2"))
+        .groupBy("tier", "region")
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    }
+    def servedStar(l: String) =
+      JoinView.serve(spark, l, "jvs", star)
+        .select("tier", "region", "n_rows", "sum_v", "min_v", "max_v")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    def build(tag: String, bMax: Long) = {
+      val l = Files.createTempDirectory(s"azof-jv-star-$tag").toString
+      AzofWriter.createTable(spark, l, "fact", fSchema,
+        ts("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(spark, l, "dim", dimSchema,
+        ts("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(spark, l, "dim2", d2Schema,
+        ts("2024-01-01T00:00:00Z"))
+      def go() = JoinView.refresh(spark, l, "fact",
+        Seq((l, "dim"), (l, "dim2")), l, "jvs", star,
+        broadcastKeyMax = bMax)
+      AzofWriter.commitBase(spark, l, "dim", dims(
+        ("a1", "2024-01-02T00:00:00Z", "t1"),
+        ("a2", "2024-01-02T00:00:00Z", "t2")))
+      AzofWriter.commitBase(spark, l, "dim2", d2s(
+        ("b1", "2024-01-02T00:00:00Z", "eu"),
+        ("b2", "2024-01-02T00:00:00Z", "us")))
+      AzofWriter.commitBase(spark, l, "fact", sFacts(
+        ("1", "2024-01-02T00:00:00Z", "a1", "b1", 10L),
+        ("2", "2024-01-02T00:00:00Z", "a1", "b2", 4L),
+        ("3", "2024-01-02T00:00:00Z", "a2", "b1", 7L),
+        ("4", "2024-01-02T00:00:00Z", "a2", "b2", 50L)))
+      go()
+      assert(servedStar(l) == oneShotStar(l), "bootstrap exact")
+      // THEN, in ONE un-refreshed window: both dims re-attribute, one
+      // dim key deleted, a fact revised across BOTH fks, one inserted
+      AzofWriter.commitDelta(spark, l, "dim", dims(
+        ("a1", "2024-02-05T00:00:00Z", "t9")),  // re-tier a1
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      AzofWriter.commitDelta(spark, l, "dim2", d2s(
+        ("b2", "2024-02-05T00:00:00Z", "apac")), // re-region b2
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      AzofWriter.commitDelete(spark, l, "dim2", Seq("b1"),
+        ts("2024-03-05T00:00:00Z"))              // b1 facts leave
+      AzofWriter.commitDelta(spark, l, "fact", sFacts(
+        ("1", "2024-03-05T00:00:00Z", "a2", "b2", 20L),  // moves both fks
+        ("5", "2024-03-05T00:00:00Z", "a1", "b2", 1L)),
+        ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
+      go()
+      (servedStar(l), oneShotStar(l))
+    }
+    val (sBc, oBc) = build("bc", Long.MaxValue)
+    assert(sBc == oBc, s"broadcast: $sBc vs $oBc")
+    val (sSh, oSh) = build("sh", 0L)
+    assert(sSh == oSh, s"shuffle: $sSh vs $oSh")
+    assert(sBc == sSh)
+  }
+
+  test("nullable sum + String min/max: nn_ counts make SUM null-skip " +
+    "exactly (an all-null group serves NULL), typed extrema merge " +
+    "and rescan") {
+    val ndef = JoinViewDef(Seq("tier"), sumCols = Seq("v"),
+      minMaxCols = Seq("s"), dims = Seq(DimJoin("fk", Seq("tier"))))
+    val nSchema = TableSchema(Seq(
+      ColumnDef("fk", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = true),
+      ColumnDef("s", ColumnType.AzString, nullable = true)))
+    def nFacts(rows: (String, String, String, Any, Any)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, t, fk, v, s) =>
+          Row(k, Timestamp.from(ts(t)), fk, v, s) }),
+        nSchema.toStruct)
+    val l = Files.createTempDirectory("azof-jv-null").toString
+    AzofWriter.createTable(spark, l, "fact", nSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "dim", dims(
+      ("d1", "2024-01-02T00:00:00Z", "t1"),
+      ("d2", "2024-01-02T00:00:00Z", "t2")))
+    AzofWriter.commitBase(spark, l, "fact", nFacts(
+      ("1", "2024-01-02T00:00:00Z", "d1", 10L, "mango"),
+      ("2", "2024-01-02T00:00:00Z", "d1", null, "apple"),
+      ("3", "2024-01-02T00:00:00Z", "d2", null, null)))
+    def go() = JoinView.refresh(spark, l, "fact", Seq((l, "dim")),
+      l, "jvn", ndef)
+    go()
+    def snap() = JoinView.serve(spark, l, "jvn", ndef)
+      .select("tier", "n_rows", "sum_v", "nn_v", "min_s", "max_s")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).sortBy(_._1).toSeq
+    assert(snap() == Seq(
+      ("t1", 2L, 10L, 1L, "apple", "mango"),
+      ("t2", 1L, null, 0L, null, null)),
+      "null-skipping sum; all-null group serves NULL; string extrema")
+    // a revision flips nullness BOTH ways and shrinks the string max —
+    // the loss-rescan path must recompute, not monoid-keep "mango"
+    AzofWriter.commitDelta(spark, l, "fact", nFacts(
+      ("1", "2024-02-05T00:00:00Z", "d1", null, "kiwi"),
+      ("3", "2024-02-05T00:00:00Z", "d2", 5L, "pear")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+    go()
+    assert(snap() == Seq(
+      ("t1", 2L, null, 0L, "apple", "kiwi"),
+      ("t2", 1L, 5L, 1L, "pear", "pear")),
+      "null transitions exact in both directions; max rescanned down")
+  }
+
+  test("a pre-nn_ view table (old layout) refuses LOUDLY on serve and " +
+    "refresh, naming the rebuild remedy; an old-format def sidecar " +
+    "refuses in readDef") {
+    val l = mkLake("old")
+    AzofWriter.commitBase(spark, l, "dim", dims(
+      ("d1", "2024-01-02T00:00:00Z", "t1")))
+    AzofWriter.commitBase(spark, l, "fact", facts(
+      ("1", "2024-01-02T00:00:00Z", "d1", 10L)))
+    // hand-build the OLD layout: no nn_v column (what a round-13
+    // binary's jv table looks like on disk)
+    AzofWriter.createTable(spark, l, "jv_old",
+      TableSchema(Seq(
+        ColumnDef("tier", ColumnType.AzString, nullable = false),
+        ColumnDef("n_rows", ColumnType.AzInt, nullable = false),
+        ColumnDef("sum_v", ColumnType.AzInt, nullable = false),
+        ColumnDef("min_v", ColumnType.AzInt, nullable = true),
+        ColumnDef("max_v", ColumnType.AzInt, nullable = true))),
+      ts("2024-01-01T00:00:00Z"))
+    val eServe = intercept[IllegalStateException] {
+      JoinView.serve(spark, l, "jv_old", jdef)
+    }
+    assert(eServe.getMessage.contains("rebuil") &&
+      eServe.getMessage.contains("jv_old"),
+      s"serve names the remedy: ${eServe.getMessage}")
+    val eRefresh = intercept[IllegalStateException] {
+      JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "jv_old",
+        jdef)
+    }
+    assert(eRefresh.getMessage.contains("rebuil"),
+      s"refresh names the remedy: ${eRefresh.getMessage}")
+    // an OLD-FORMAT def sidecar (pre-format-stamp JSON shape)
+    val dir = AzofTable(spark, l, "jv_old").tableDir
+    val p = new org.apache.hadoop.fs.Path(dir, JoinView.DefFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    out.write(("""{"fact_path":"","fact_table":"fact","dim_path":"",""" +
+      """"dim_table":"dim","fk_col":"fk","group_cols":["tier"],""" +
+      """"sum_cols":["v"],"minmax_cols":[],"dim_cols":["tier"]}""")
+      .getBytes("UTF-8"))
+    out.close()
+    val eDef = intercept[IllegalStateException] {
+      JoinView.readDef(spark, l, "jv_old")
+    }
+    assert(eDef.getMessage.contains("rebuil"),
+      s"readDef names the remedy: ${eDef.getMessage}")
   }
 
   test("rebuildEpoch after a rollback on either source serves the " +
@@ -231,7 +421,7 @@ class JoinViewSpec extends AnyFunSuite {
     refresh(l)
     assert(served(l) == Seq(("t1", 2L, 15L, 5L, 10L)),
       "stale until rebuilt — the documented rollback contract")
-    JoinView.rebuildEpoch(spark, l, "fact", l, "dim", l, "jv_e2",
+    JoinView.rebuildEpoch(spark, l, "fact", Seq((l, "dim")), l, "jv_e2",
       jdef, ts("2024-06-01T00:00:00Z"))
     assert(served(l, "jv_e2") == oneShot(l))
     assert(served(l, "jv_e2") == Seq(("t1", 1L, 10L, 10L, 10L)))

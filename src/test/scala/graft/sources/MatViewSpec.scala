@@ -397,6 +397,55 @@ class MatViewSpec extends AnyFunSuite {
     assert(served(l).find(_._1 == "a").get == ("a", 5L, 150L, 5L, 10L, 50L))
   }
 
+  test("a pre-nn_ view table (round-12 layout) refuses LOUDLY on " +
+    "serve and refresh, naming the rebuild remedy — never an opaque " +
+    "unresolved-column error") {
+    val (l, ck) = mkLake("oldfmt")
+    AzofWriter.commitBase(spark, l, "src", df(
+      ("1", "2024-01-02T00:00:00Z", "a", 10L)))
+    // hand-build the OLD layout: sum_v with NO nn_v (what a pre-nn_
+    // binary's mv table looks like on disk after an upgrade)
+    AzofWriter.createTable(spark, l, "mv_old",
+      TableSchema(Seq(
+        ColumnDef("grp", ColumnType.AzString, nullable = false),
+        ColumnDef("n_rows", ColumnType.AzInt, nullable = false),
+        ColumnDef("sum_v", ColumnType.AzInt, nullable = false),
+        ColumnDef("min_v", ColumnType.AzInt, nullable = true),
+        ColumnDef("max_v", ColumnType.AzInt, nullable = true))),
+      ts("2024-01-01T00:00:00Z"))
+    val eServe = intercept[IllegalStateException] {
+      MatView.serve(spark, l, "mv_old", view)
+    }
+    assert(eServe.getMessage.contains("rebuil") &&
+      eServe.getMessage.contains("mv_old"),
+      s"serve names the remedy: ${eServe.getMessage}")
+    val eRefresh = intercept[IllegalStateException] {
+      MatView.refresh(spark, l, "src", l, "mv_old", view, ck)
+    }
+    assert(eRefresh.getMessage.contains("rebuil"),
+      s"refresh names the remedy: ${eRefresh.getMessage}")
+    // and the REWRITE rule must silently skip such a candidate (scan
+    // fallback), not crash the user's query in the optimizer
+    val dir = AzofTable(spark, l, "mv_old").tableDir
+    val p = new org.apache.hadoop.fs.Path(dir, MatView.DefFileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    out.write(("""{"source_path":"","source_table":"src",""" +
+      """"group_cols":["grp"],"sum_cols":["v"],"minmax_cols":["v"]}""")
+      .getBytes("UTF-8"))
+    out.close()
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "mv_old")
+    try {
+      val q = spark.sql("SELECT grp, sum(v) AS sv FROM azof.src GROUP BY grp")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 10L)), "query answers from the scan, not a crash")
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   test("rebuildEpoch after a source rollback serves the rolled-back " +
     "live state (the no-feed-event reconciliation hatch)") {
     val (l, ck) = mkLake("rb")

@@ -209,8 +209,9 @@ class SqlProceduresSpec extends AnyFunSuite {
       "sum_cols => 'v', index_table => 'jv_proc')").collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (2L, 2L, 1L))
     val jd = JoinViewDef(Seq("tier"), sumCols = Seq("v"),
-      fkCol = "fk", dimCols = Seq("tier"))
+      dims = Seq(DimJoin("fk", Seq("tier"))))
     val got = JoinView.serve(spark, lake, "jv_proc", jd)
+      .select("tier", "n_rows", "sum_v") // BY NAME — layouts change
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
       .toSeq
     assert(got == Seq(("t1", 2L, 14L)))
