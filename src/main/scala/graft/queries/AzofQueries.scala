@@ -48,6 +48,7 @@ object AzofQueries {
     "q54_join_view" -> joinViewServe,
     "q55_join_rewrite" -> joinViewRewrite,
     "q56_mv_avg_rewrite" -> matViewAvgRewrite,
+    "q57_star_view" -> starViewRewrite,
     "q58_mv_nullable" -> matViewNullable)
 
   /** Cache-key hash of a scale-factor dir. */
@@ -1313,6 +1314,180 @@ object AzofQueries {
     }
   }
 
+  /** The q57 STAR [[graft.sources.JoinViewDef]]: per-(tier, bucket
+    * label) counts, char sums, and extrema over
+    * `docs ⋈ sources ⋈ buckets` — two dims, each with its own fk.
+    */
+  private val starDef = graft.sources.JoinViewDef(Seq("tier", "label"),
+    sumCols = Seq("n_chars"), minMaxCols = Seq("n_chars"),
+    dims = Seq(graft.sources.DimJoin("src", Seq("tier")),
+      graft.sources.DimJoin("bk", Seq("label"))))
+
+  /** Seven-commit, per-commit-refreshed STAR lake: dim1 `src_star`
+    * (key = source name, `tier` = number parity), dim2 `bkt_star`
+    * (key = `b<doc_id % 4>`, `label` = bucket parity), fact
+    * `facts_star` (fk1 = source, fk2 = bucket, `n_chars`). Churn on
+    * ALL THREE tables: fact base (⅔, Jan) + delta (rest, Feb); a DIM1
+    * re-tier of every fifth source to `vip` (Apr); a DIM2 re-label of
+    * `b1` to `xl` (Apr); a DIM2 delete of `b3` (May — its facts leave
+    * the star); a FACT revision pointing `doc_id % 7 = 0` docs at
+    * `src1` with `n_chars + 3` (May); a fact delete of docs 6/7 (Jun).
+    */
+  private[queries] def starLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "star-v1", "doc_star") { l =>
+      import graft.sources.{AzofWriter, JoinView}
+      val docs = Tables(s, dir, "documents")
+      val srcs = docs.select("source").distinct()
+      val num = expr("CAST(substring(source, 4, 10) AS INT)")
+      AzofWriter.createTable(s, l, "src_star",
+        TableSchema(Seq(
+          ColumnDef("tier", ColumnType.AzString, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(s, l, "bkt_star",
+        TableSchema(Seq(
+          ColumnDef("label", ColumnType.AzString, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(s, l, "facts_star",
+        TableSchema(Seq(
+          ColumnDef("src", ColumnType.AzString, nullable = false),
+          ColumnDef("bk", ColumnType.AzString, nullable = false),
+          ColumnDef("n_chars", ColumnType.AzInt, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      def refresh(): Unit = {
+        JoinView.refresh(s, l, "facts_star",
+          Seq((l, "src_star"), (l, "bkt_star")), l, "doc_star", starDef)
+        ()
+      }
+      def factRows(filter: org.apache.spark.sql.Column, at: String,
+          src: org.apache.spark.sql.Column = col("source"),
+          nc: org.apache.spark.sql.Column = col("n_chars")) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          src.as("src"),
+          concat(lit("b"), (col("doc_id") % 4).cast("string")).as("bk"),
+          nc.as("n_chars"))
+      AzofWriter.commitBase(s, l, "src_star",
+        srcs.select(col("source").as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-01-02T00:00:00Z"))).as("event_time"),
+          when(num % 2 === 0, "even").otherwise("odd").as("tier")))
+      AzofWriter.commitBase(s, l, "bkt_star",
+        s.range(4).select(
+          concat(lit("b"), col("id").cast("string")).as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-01-02T00:00:00Z"))).as("event_time"),
+          when(col("id") % 2 === 0, "low").otherwise("high").as("label")))
+      AzofWriter.commitBase(s, l, "facts_star",
+        factRows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "facts_star",
+        factRows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "src_star",
+        srcs.where(num % 5 === 0).select(col("source").as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-04-05T00:00:00Z"))).as("event_time"),
+          lit("vip").as("tier")),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "bkt_star",
+        s.range(1).select(lit("b1").as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-04-05T00:00:00Z"))).as("event_time"),
+          lit("xl").as("label")),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelete(s, l, "bkt_star", Seq("b3"),
+        Instant.parse("2024-05-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "facts_star",
+        factRows(col("doc_id") % 7 === 0, "2024-05-05T00:00:00Z",
+          src = lit("src1"), nc = col("n_chars") + 3),
+        Instant.parse("2024-05-01T00:00:00Z"),
+        Instant.parse("2024-06-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelete(s, l, "facts_star", Seq("6", "7"),
+        Instant.parse("2024-06-05T00:00:00Z"))
+      refresh()
+      ()
+    }
+
+  /** The STAR-shape rewrite under the oracle gate (q55's two-dim
+    * sibling, round-12 directive #2): a plain SQL
+    * `fact JOIN dim1 JOIN dim2 GROUP BY` — no view mentioned — is
+    * answered FROM the fresh two-dim [[graft.sources.JoinView]] by the
+    * optimizer rule. Refuses to return a plan that still joins or
+    * aggregates, so the row certifies rewrite-fired AND rewrite-exact
+    * under the one-shot three-table recompute oracle.
+    */
+  private def starViewRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = starLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_star")
+    try {
+      val q = s.sql(
+        "SELECT tier, label, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, count(n_chars) AS nn_n_chars, " +
+          "avg(n_chars) AS avg_n_chars, min(n_chars) AS min_n_chars, " +
+          "max(n_chars) AS max_n_chars " +
+          "FROM azof.facts_star f " +
+          "JOIN azof.src_star d1 ON f.src = d1.key " +
+          "JOIN azof.bkt_star d2 ON f.bk = d2.key " +
+          "GROUP BY tier, label")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "star-view rewrite did not fire — refusing to pass the row " +
+          "off the scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** q57's oracle: the one-shot THREE-table star aggregate over all
+    * reconstructed final states (see [[starLake]]'s churn script).
+    */
+  private val starViewOracle: String =
+    """WITH fact AS (
+         SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
+                  AS src,
+                'b' || CAST(doc_id % 4 AS VARCHAR) AS bk,
+                CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars
+                  END AS n_chars
+         FROM documents WHERE doc_id NOT IN (6, 7)),
+       dim1 AS (
+         SELECT source AS k,
+                CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                       THEN 'vip'
+                     WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                       THEN 'even'
+                     ELSE 'odd' END AS tier
+         FROM (SELECT DISTINCT source FROM documents)),
+       dim2 AS (
+         SELECT 'b' || CAST(b AS VARCHAR) AS k,
+                CASE WHEN b = 1 THEN 'xl'
+                     WHEN b % 2 = 0 THEN 'low' ELSE 'high' END AS label
+         FROM (VALUES (0),(1),(2),(3)) AS t(b) WHERE b <> 3)
+       SELECT tier, label, COUNT(*) AS n_rows,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+              COUNT(n_chars) AS nn_n_chars,
+              CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars)
+                AS avg_n_chars,
+              MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+       FROM fact JOIN dim1 ON fact.src = dim1.k
+                 JOIN dim2 ON fact.bk = dim2.k
+       GROUP BY tier, label"""
+
   /** q54/q55's shared CTE prelude: both tables' reconstructed final
     * states (see [[jvLake]]'s churn script).
     */
@@ -1426,6 +1601,9 @@ object AzofQueries {
     // optimizer REWRITE of the plain SQL join (same truth, plan-pinned)
     "q54_join_view" -> joinViewOracle,
     "q55_join_rewrite" -> joinViewAvgOracle,
+    // the one-shot THREE-table star aggregate (fact ⋈ 2 dims, churn on
+    // all three) re-proved through the plan-pinned optimizer rewrite
+    "q57_star_view" -> starViewOracle,
     // the rewritten aggregate serves the SAME truth as q51 minus the
     // derived mean (the rewrite covers count/sum/min/max)
     "q53_mv_rewrite" ->
