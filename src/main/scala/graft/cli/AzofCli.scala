@@ -133,7 +133,8 @@ object AzofCli {
           "seq-create|seq-refresh|seq-spans|seq-emit|" +
           "sem-create|sem-refresh|sem-rebuild|sem-verdicts|" +
           "mv-create|mv-refresh|mv-serve|mv-rebuild|" +
-          "term-create|term-refresh|term-search|term-rebuild|" +
+          "term-create|term-refresh|term-search|term-phrase|" +
+          "term-prefix|term-rebuild|" +
           "jv-refresh|jv-serve|jv-rebuild|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
@@ -1053,6 +1054,26 @@ object AzofCli {
               .orderBy(org.apache.spark.sql.functions.col("sum_tf").desc,
                 org.apache.spark.sql.functions.col("doc"))
         out.show(numRows = 10000, truncate = false)
+      case "term-phrase" =>
+        // phrase search from the POSITIONAL postings: --terms big,order
+        // → docs where the terms appear consecutively + occurrence count
+        val pTerms = opts("terms").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        graft.sources.TermIndex.searchPhrase(spark,
+            opts.getOrElse("index-path", opts("path")),
+            opts.getOrElse("index-table", "term_postings"), pTerms)
+          .orderBy(org.apache.spark.sql.functions.col("n_hits").desc,
+            org.apache.spark.sql.functions.col("doc"))
+          .show(numRows = 10000, truncate = false)
+      case "term-prefix" =>
+        // prefix search: --prefix sc → docs containing any term starting
+        // with the prefix (ONE key-range posting read)
+        graft.sources.TermIndex.searchPrefix(spark,
+            opts.getOrElse("index-path", opts("path")),
+            opts.getOrElse("index-table", "term_postings"), opts("prefix"))
+          .orderBy(org.apache.spark.sql.functions.col("sum_tf").desc,
+            org.apache.spark.sql.functions.col("doc"))
+          .show(numRows = 10000, truncate = false)
       case "term-rebuild" =>
         // epoch rebuild (the ROLLBACK reconciliation hatch)
         val n = graft.sources.TermIndex.rebuildEpoch(spark,

@@ -69,6 +69,8 @@ object Pipeline {
     "t21_term_search" -> t21,
     "t22_term_rank" -> t22,
     "t23_tfidf_rank" -> t23,
+    "t24_phrase_search" -> t24,
+    "t25_prefix_search" -> t25,
     "t19_lm_score" -> t19,
     "p01_filter_funnel" -> p01,
     "p02_index_funnel" -> p02,
@@ -1115,7 +1117,7 @@ object Pipeline {
     * retirement).
     */
   private[queries] def termLake(s: SparkSession, dir: String): String =
-    AzofQueries.cachedLake(dir, "term-v2", "term_postings") { l =>
+    AzofQueries.cachedLake(dir, "term-v3", "term_postings") { l =>
       import graft.format.{ColumnDef, ColumnType}
       import graft.sources.{AzofWriter, TermIndex}
       import java.time.Instant
@@ -1200,6 +1202,28 @@ object Pipeline {
       projection = Some(Set(graft.format.TableSchema.KeyName))).count()
     graft.sources.TermIndex.searchRanked(s, l, "term_postings",
       Seq("window", "dup", "zzrevterm"), n)
+  }
+
+  /** PHRASE search served from the POSITIONAL postings: documents
+    * where the three terms appear consecutively, with the exact
+    * occurrence count — the oracle re-tokenizes the reconstructed live
+    * corpus with positions and self-joins adjacency, so a position the
+    * refresh dropped, shifted, or failed to retire on the
+    * delete/revision churn cannot hash-match.
+    */
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    val l = termLake(s, dir)
+    graft.sources.TermIndex.searchPhrase(s, l, "term_postings",
+      Seq("big", "order", "scan"))
+  }
+
+  /** PREFIX term search: one contiguous `KeyFilter.Range` posting read
+    * (the `term ⊕ doc` key layout makes every prefix one key range) —
+    * never a term enumeration or corpus scan.
+    */
+  private def t25(s: SparkSession, dir: String): DataFrame = {
+    val l = termLake(s, dir)
+    graft.sources.TermIndex.searchPrefix(s, l, "term_postings", "s")
   }
 
   private def m01(s: SparkSession, dir: String): DataFrame =
@@ -1849,6 +1873,43 @@ object Pipeline {
          tfs AS (
            SELECT doc, term, COUNT(*) AS tf FROM toks
            WHERE term IN ('zzrevterm', 'dup') GROUP BY 1, 2)
+         SELECT doc, COUNT(DISTINCT term) AS n_terms,
+                CAST(SUM(tf) AS BIGINT) AS sum_tf
+         FROM tfs GROUP BY doc""",
+    // phrase adjacency over token positions: DuckDB zips parallel
+    // unnests for (term, pos) — 1-based there, 0-based in the index,
+    // but adjacency is offset-invariant
+    "t24_phrase_search" ->
+      """WITH live AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' zzrevterm'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         toks AS (
+           SELECT doc, unnest(ws) AS term,
+                  unnest(generate_series(1, len(ws))) AS pos
+           FROM (SELECT CAST(doc_id AS VARCHAR) AS doc,
+                        string_split_regex(lower(text), '\s+') AS ws
+                 FROM live))
+         SELECT a.doc, CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM toks a
+         JOIN toks b ON a.doc = b.doc AND b.pos = a.pos + 1
+         JOIN toks c ON a.doc = c.doc AND c.pos = a.pos + 2
+         WHERE a.term = 'big' AND b.term = 'order' AND c.term = 'scan'
+         GROUP BY a.doc""",
+    "t25_prefix_search" ->
+      """WITH live AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' zzrevterm'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         toks AS (
+           SELECT CAST(doc_id AS VARCHAR) AS doc,
+                  unnest(string_split_regex(lower(text), '\s+')) AS term
+           FROM live),
+         tfs AS (
+           SELECT doc, term, COUNT(*) AS tf FROM toks
+           WHERE term LIKE 's%' GROUP BY 1, 2)
          SELECT doc, COUNT(DISTINCT term) AS n_terms,
                 CAST(SUM(tf) AS BIGINT) AS sum_tf
          FROM tfs GROUP BY doc""",

@@ -45,13 +45,21 @@ object TermIndex {
     */
   val Sep = "\u0001"
 
-  /** One posting: the term, its document, and its in-document
-    * frequency (`tf` — ranking evidence, maintained exactly).
+  /** One posting: the term, its document, its in-document frequency
+    * (`tf` — ranking evidence, maintained exactly), and its token
+    * POSITIONS as a delta-encoded comma-joined string (`"3,10,4"` =
+    * positions 3, 13, 17 in the whitespace token sequence) — the
+    * classic positional-postings layout that makes phrase and
+    * proximity queries index-servable. A string cell, not an array:
+    * positions per (term, doc) are tf-bounded (a cell, not a posting
+    * list — the distribution stays one ROW per posting), and deltas
+    * keep the bytes small on dense terms.
     */
   val PostingSchema: TableSchema = TableSchema(Seq(
     ColumnDef("term", ColumnType.AzString, nullable = true),
     ColumnDef("doc", ColumnType.AzString, nullable = true),
-    ColumnDef("tf", ColumnType.AzInt, nullable = true)))
+    ColumnDef("tf", ColumnType.AzInt, nullable = true),
+    ColumnDef("pos", ColumnType.AzString, nullable = true)))
 
   /** The one event_time every posting carries ([[LmIndex.StatsStamp]]'s
     * reasoning: replayable index, ties resolved by commit seq).
@@ -67,16 +75,28 @@ object TermIndex {
     ()
   }
 
-  /** `(doc, term, tf)` for every token of `rows`' `textCol`. */
+  /** `(doc, term, tf, pos)` for every token of `rows`' `textCol` —
+    * positions are the token's index in the whitespace split (a
+    * leading-whitespace empty token is filtered AFTER position
+    * assignment, so offsets between real tokens are stable), sorted
+    * and delta-encoded. The `IF(i = 0, …)` keeps `element_at` away
+    * from index 0 (ANSI-safe); for `i ≥ 1`, 1-based `element_at(ps, i)`
+    * is exactly the previous (0-based `i−1`) element.
+    */
   private def postings(
       rows: DataFrame, docCol: String, textCol: String): DataFrame =
     rows
       .select(col(docCol).as("doc"),
         split(lower(col(textCol)), "\\s+").as("_w"))
-      .select(col("doc"), explode(col("_w")).as("term"))
+      .select(col("doc"), posexplode(col("_w")).as(Seq("_p", "term")))
       .where(col("term") =!= "")
       .groupBy("doc", "term")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("_p").cast("long"))).as("_ps"))
+      .withColumn("pos", array_join(
+        expr("transform(_ps, (x, i) -> " +
+          "IF(i = 0, x, x - element_at(_ps, i)))"), ","))
+      .drop("_ps")
 
   /** Incrementally refresh the postings from the source's commit feed
     * (AvailableNow by default).
@@ -129,7 +149,7 @@ object TermIndex {
         concat(col("term"), lit(Sep), col("doc")).as(K),
         lit(java.sql.Timestamp.from(PostingStamp))
           .as(TableSchema.EventTimeName),
-        col("term"), col("doc"), col("tf"),
+        col("term"), col("doc"), col("tf"), col("pos"),
         lit(deleted).as(TableSchema.DeletedName))
     if (bounds.isNullAt(1) || bounds.getLong(1) == 0L) {
       graft.operators.Blocks.freeReferenced(slim.toDF())
@@ -159,16 +179,21 @@ object TermIndex {
     val newP = postings(newRows, K, textCol)
     val preP = postings(preRows, K, textCol)
       .withColumnRenamed("tf", "_tf_pre")
+      .withColumnRenamed("pos", "_pos_pre")
     val joined = newP.join(preP, Seq("doc", "term"), "full_outer")
       .localCheckpoint(true)
     graft.operators.Blocks.freeReferenced(slim.toDF())
+    // a posting rewrites when its tf OR its position list moved (a
+    // token relocation with equal tf still changes phrase truth);
+    // unchanged postings — same tf, same positions — write NOTHING
     val upserts = joined
       .where(col("tf").isNotNull &&
-        !(col("tf") <=> col("_tf_pre")))
-      .select(col("term"), col("doc"), col("tf"))
+        !(col("tf") <=> col("_tf_pre") && col("pos") <=> col("_pos_pre")))
+      .select(col("term"), col("doc"), col("tf"), col("pos"))
     val removals = joined
       .where(col("tf").isNull)
-      .select(col("term"), col("doc"), lit(null).cast("long").as("tf"))
+      .select(col("term"), col("doc"), lit(null).cast("long").as("tf"),
+        lit(null).cast("string").as("pos"))
     outRow(upserts, deleted = false)
       .unionByName(outRow(removals, deleted = true))
   }
@@ -199,6 +224,67 @@ object TermIndex {
         sum(col("tf")).as("sum_tf"))
     if (requireAll) agg.where(col("n_terms") === normed.size.toLong)
     else agg
+  }
+
+  /** PHRASE search: documents containing the query terms CONSECUTIVELY,
+    * with the exact occurrence count — served from the positional
+    * postings alone (one key-range read per term, file-skipped on a
+    * by-key-compacted layout), never a corpus scan. Per document, the
+    * per-term delta-encoded positions rebuild to absolutes (an
+    * `aggregate` prefix-sum — tf-bounded cells, codegen'd), and the
+    * match set folds left: start positions `S₀ = pos(t₀)`,
+    * `Sᵢ = Sᵢ₋₁ ∩ (pos(tᵢ) − i)` — a document survives with
+    * `n_hits = |S_{k−1}|` phrase occurrences. Output `(doc, n_hits)`.
+    */
+  def searchPhrase(
+      spark: SparkSession,
+      idxLake: String, idxTable: String,
+      terms: Seq[String]): DataFrame = {
+    val normed = terms.map(_.toLowerCase.trim).filter(_.nonEmpty)
+    require(normed.nonEmpty, "searchPhrase needs at least one term")
+    // decode "d0,d1,d2" deltas to absolute positions: running prefix sum
+    val decode = "aggregate(transform(split(pos, ','), " +
+      "x -> CAST(x AS BIGINT)), " +
+      "struct(CAST(0 AS BIGINT) AS s, CAST(array() AS ARRAY<BIGINT>) AS a), " +
+      "(acc, x) -> struct(acc.s + x AS s, " +
+      "concat(acc.a, array(acc.s + x)) AS a), acc -> acc.a)"
+    def scanTerm(t: String, i: Int): DataFrame =
+      graft.operators.AzofScan.scan(spark, idxLake, idxTable,
+        projection = Some(Set("term", "doc", "pos")),
+        keyFilter = Some(KeyFilter.Range(
+          Some(t + Sep), Some(t + Sep + "\uffff"))))
+        .where(col("term") === t)
+        .select(col("doc"), expr(decode).as(s"_pos_$i"))
+    val joined = normed.zipWithIndex
+      .map { case (t, i) => scanTerm(t, i) }
+      .reduce((a, b) => a.join(b, "doc")) // inner: every term present
+    val matches = normed.indices.tail.foldLeft(col("_pos_0"))((s, i) =>
+      array_intersect(s, expr(s"transform(_pos_$i, x -> x - $i)")))
+    joined.select(col("doc"), size(matches).cast("long").as("n_hits"))
+      .where(col("n_hits") > 0L)
+  }
+
+  /** PREFIX term search: documents containing ANY term starting with
+    * `prefix`, with the matched-term count and summed tf — ONE
+    * `KeyFilter.Range(prefix, prefix ⊕ U+FFFF)` posting read (the
+    * `term ⊕ doc` key layout makes every prefix a contiguous key
+    * range; on a by-key-compacted layout the scan file-skips to it),
+    * never a term enumeration or a corpus scan. Output
+    * `(doc, n_terms, sum_tf)`.
+    */
+  def searchPrefix(
+      spark: SparkSession,
+      idxLake: String, idxTable: String,
+      prefix: String): DataFrame = {
+    val p = prefix.toLowerCase.trim
+    require(p.nonEmpty, "searchPrefix needs a non-empty prefix")
+    graft.operators.AzofScan.scan(spark, idxLake, idxTable,
+      projection = Some(Set("term", "doc", "tf")),
+      keyFilter = Some(KeyFilter.Range(Some(p), Some(p + "\uffff"))))
+      .where(col("term").startsWith(p))
+      .groupBy("doc")
+      .agg(count_distinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("sum_tf"))
   }
 
   /** Relevance-RANKED search: tf·idf in the exact INTEGER bit-magnitude
@@ -254,7 +340,7 @@ object TermIndex {
       .select(
         concat(col("term"), lit(Sep), col("doc")).as(TableSchema.KeyName),
         lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName),
-        col("term"), col("doc"), col("tf"))
+        col("term"), col("doc"), col("tf"), col("pos"))
     val n = rows.count()
     if (n > 0) AzofWriter.commitDelta(spark, idxLake, newTable, rows, at, at)
     n

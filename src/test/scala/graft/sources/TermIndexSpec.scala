@@ -120,6 +120,64 @@ class TermIndexSpec extends AnyFunSuite {
       s"unchanged postings must not rewrite: ${changed.toSeq}")
   }
 
+  test("phrase + prefix search served from positional postings; a " +
+    "tf-equal POSITION move rewrites its posting (and only it); " +
+    "phrase truth follows revisions and deletes") {
+    val (l, ck) = mkLake("pos")
+    AzofWriter.commitBase(spark, l, "docs", df(
+      ("1", "2024-01-02T00:00:00Z", "big order scan now"),
+      ("2", "2024-01-02T00:00:00Z", "order big order scan"),
+      ("3", "2024-01-02T00:00:00Z", "scan order big order")))        // v2
+    refresh(l, ck)
+    def phrase(terms: String*) =
+      TermIndex.searchPhrase(spark, l, "term_postings", terms)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    // consecutive in docs 1 ("big order scan …") and 2 ("… big order
+    // scan"); doc 3 has all three terms but never adjacent — the AND
+    // search would match it, the phrase must NOT
+    assert(served(l, Seq("big", "order", "scan")).map(_._1) ==
+      Seq("1", "2", "3"), "AND matches all three docs")
+    assert(phrase("big", "order", "scan") == Seq(("1", 1L), ("2", 1L)),
+      "phrase excludes the non-adjacent doc")
+    // repeated occurrences count: doc 3 has 'order' twice around 'big'
+    assert(phrase("order", "big") == Seq(("2", 1L), ("3", 1L)))
+    assert(phrase("order") == Seq(("1", 1L), ("2", 2L), ("3", 2L)),
+      "single-term phrase count = tf")
+    // prefix: one key-range read, every term starting 'or'/'sc'
+    def prefix(p: String) =
+      TermIndex.searchPrefix(spark, l, "term_postings", p)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    assert(prefix("or") == Seq(("1", 1L, 1L), ("2", 1L, 2L),
+      ("3", 1L, 2L)))
+    assert(prefix("s") == Seq(("1", 1L, 1L), ("2", 1L, 1L),
+      ("3", 1L, 1L)), "'scan' only")
+    // a REVISION that permutes tokens with EQUAL tf: every moved term's
+    // posting rewrites (its positions changed), an unmoved term's does
+    // not — the nothing-written-for-unchanged pin extended to positions
+    val vBefore = AzofTable(spark, l, "term_postings").currentVersion.toLong
+    AzofWriter.commitDelta(spark, l, "docs", df(
+      ("1", "2024-02-05T00:00:00Z", "order big scan now")),          // v3
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+    refresh(l, ck)
+    val vAfter = AzofTable(spark, l, "term_postings").currentVersion.toLong
+    val changed = AzofChangeFeed.between(spark, l, "term_postings",
+      vBefore, vAfter)
+      .select("term").collect().map(_.getString(0)).sorted.toSeq
+    assert(changed == Seq("big", "order"),
+      s"tf-equal position moves rewrite exactly the moved terms: $changed")
+    assert(phrase("big", "order", "scan") == Seq(("2", 1L)),
+      "doc 1's phrase broke with the permutation")
+    assert(phrase("order", "big", "scan") == Seq(("1", 1L)),
+      "…and the permuted phrase now matches")
+    // a doc delete retires its positions from phrase truth
+    AzofWriter.commitDelete(spark, l, "docs", Seq("2"),
+      ts("2024-03-05T00:00:00Z"))                                    // v4
+    refresh(l, ck)
+    assert(phrase("big", "order", "scan").isEmpty)
+  }
+
   test("doc delete tombstones all its postings; re-insert resurrects; " +
     "guard shapes agree") {
     def build(tag: String, bMax: Long) = {
