@@ -61,10 +61,15 @@ import org.apache.spark.sql.functions._
   *
   * Both scan surfaces rewrite: the V1 reader relation (`azof.t` SQL,
   * `spark.read.format("azof")`) and the DSv2 catalog relation
-  * (`cat.t`), each only in its Current un-pinned form
-  * (`mvMatchKey`) — time travel, branches, and WAP-routed reads never
-  * rewrite. Output attribute ids are preserved through a positional
-  * alias projection, so parent operators are untouched.
+  * (`cat.t`), in the Current un-pinned form (`mvMatchKey`) and —
+  * single-table views only — the `VERSION AS OF <n|tag>` pinned form
+  * (`mvMatchKeyPinned`), which serves from the view exactly when the
+  * pinned version's live state provably equals the view's consumed
+  * state ([[MatView.freshViewVersionAt]]'s walk — the reproducible
+  * `AS OF <tag>` dashboard stops re-paying the corpus aggregate).
+  * Event-time as-of, branches, and WAP-routed reads never rewrite.
+  * Output attribute ids are preserved through a positional alias
+  * projection, so parent operators are untouched.
   */
 final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -93,22 +98,29 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * filter conjuncts (validated against the view's group columns by
     * the caller).
     */
-  private def srcOf(plan: LogicalPlan): Option[(String, Seq[Expression])] =
+  private def srcOf(plan: LogicalPlan)
+      : Option[(String, Seq[Expression], Option[Long])] =
     plan match {
       case l: LogicalRelation => l.relation match {
         case r: AzofRelation =>
-          r.mvMatchKey.map(k => (norm(k._1, k._2), Nil))
+          r.mvMatchKey.map(k => (norm(k._1, k._2), Seq.empty[Expression],
+              Option.empty[Long]))
+            .orElse(r.mvMatchKeyPinned.map { case (lk, t, v) =>
+              (norm(lk, t), Seq.empty[Expression], Some(v)) })
         case _ => None
       }
       case r: DataSourceV2Relation => r.table match {
         case t: AzofV2Table =>
-          t.mvMatchKey.map(k => (norm(k._1, k._2), Nil))
+          t.mvMatchKey.map(k => (norm(k._1, k._2), Seq.empty[Expression],
+              Option.empty[Long]))
+            .orElse(t.mvMatchKeyPinned.map { case (lk, tb, v) =>
+              (norm(lk, tb), Seq.empty[Expression], Some(v)) })
         case _ => None
       }
       case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
         srcOf(p.child)
-      case f: Filter => srcOf(f.child).map { case (k, cs) =>
-        (k, splitAnd(f.condition) ++ cs)
+      case f: Filter => srcOf(f.child).map { case (k, cs, pin) =>
+        (k, splitAnd(f.condition) ++ cs, pin)
       }
       case _ => None
     }
@@ -446,7 +458,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def singleHit(
       agg: Aggregate, cands: Seq[(String, String)])
       : Option[LogicalPlan] =
-    srcOf(agg.child).flatMap { case (srcKey, conds) =>
+    srcOf(agg.child).flatMap { case (srcKey, conds, pinned) =>
       val groupsOpt = traverse(agg.groupingExpressions.map {
         case a: AttributeReference => Some(a.name)
         case _ => None
@@ -476,15 +488,24 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 // version-PINNED serve: execution reads exactly the
                 // snapshot this freshness check validated, so a source
                 // commit racing between optimization and execution can
-                // never swap a stale view under the rewritten plan
-                MatView.freshViewVersion(spark, sLake, sTable, lake, mv)
-                  .map { viewV =>
-                    logInfo(s"rewriting aggregate over $srcKey to " +
-                      s"materialized view $mv@$viewV")
-                    rewrite(agg,
-                      MatView.serve(spark, lake, mv, vd, Some(viewV)),
-                      vd, groups, outs, conds)
-                  }
+                // never swap a stale view under the rewritten plan.
+                // A `VERSION AS OF` read gates through the pinned walk
+                // instead — the view serves the pin only when live(pin)
+                // provably equals the view's consumed state.
+                val fresh = pinned match {
+                  case Some(p) => MatView.freshViewVersionAt(
+                    spark, sLake, sTable, lake, mv, p)
+                  case None => MatView.freshViewVersion(
+                    spark, sLake, sTable, lake, mv)
+                }
+                fresh.map { viewV =>
+                  logInfo(s"rewriting aggregate over $srcKey" +
+                    pinned.fold("")(p => s" AS OF $p") +
+                    s" to materialized view $mv@$viewV")
+                  rewrite(agg,
+                    MatView.serve(spark, lake, mv, vd, Some(viewV)),
+                    vd, groups, outs, conds)
+                }
               }
           }
         }.nextOption()

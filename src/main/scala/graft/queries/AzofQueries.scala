@@ -49,7 +49,8 @@ object AzofQueries {
     "q55_join_rewrite" -> joinViewRewrite,
     "q56_mv_avg_rewrite" -> matViewAvgRewrite,
     "q57_star_view" -> starViewRewrite,
-    "q58_mv_nullable" -> matViewNullable)
+    "q58_mv_nullable" -> matViewNullable,
+    "q59_mv_pinned_rewrite" -> matViewPinnedRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1076,6 +1077,40 @@ object AzofQueries {
     }
   }
 
+  /** The VERSION-PINNED rewrite under the oracle gate (the
+    * reproducible-report shape): `… VERSION AS OF <current>` — a pin
+    * provably view-identical ([[graft.sources.MatView
+    * .freshViewVersionAt]]'s walk) — is answered FROM the view; the
+    * plan gate refuses a corpus scan exactly like q53, so the row
+    * certifies pinned-rewrite-fired AND pinned-rewrite-exact. (A pin
+    * below a state-changing commit refuses and time-travels — the
+    * MvRewriteSpec pinned cases cover that half.)
+    */
+  private def matViewPinnedRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = mvLake(s, dir)
+    val v = graft.format.AzofTable(s, lake, "docs_mv").currentVersion
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_mv")
+    try {
+      val q = s.sql(
+        "SELECT source, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, min(n_chars) AS min_n_chars, " +
+          "max(n_chars) AS max_n_chars " +
+          s"FROM azof.docs_mv VERSION AS OF $v GROUP BY source")
+      val aggs = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      if (aggs.nonEmpty) throw new IllegalStateException(
+        "version-pinned rewrite did not fire — refusing to pass the " +
+          "row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The DERIVED-aggregate rewrite under the oracle gate: `AVG`,
     * `COUNT(*)`, `SUM`, and an arithmetic combination over aggregates
     * in ONE plain SQL statement — no view mentioned — all served from
@@ -1604,6 +1639,19 @@ object AzofQueries {
     // the one-shot THREE-table star aggregate (fact ⋈ 2 dims, churn on
     // all three) re-proved through the plan-pinned optimizer rewrite
     "q57_star_view" -> starViewOracle,
+    // a provably view-identical VERSION pin serves the same truth as
+    // q53 (the pin IS the current version; refusal cases are spec-side)
+    "q59_mv_pinned_rewrite" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                    AS source,
+                  CASE WHEN doc_id % 5 = 0 THEN n_chars + 4 ELSE n_chars
+                    END AS n_chars
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+         FROM live GROUP BY source""",
     // the rewritten aggregate serves the SAME truth as q51 minus the
     // derived mean (the rewrite covers count/sum/min/max)
     "q53_mv_rewrite" ->

@@ -442,6 +442,17 @@ class AzofV2Table(
     if (asOf == AsOf.Current && version.isEmpty && branchLineage.isEmpty)
       Some((lakehousePath, tableName))
     else None
+
+  /** See [[AzofRelation.mvMatchKeyPinned]] — a `VERSION AS OF` pin on
+    * the main lineage (tags resolve; branch heads never rewrite).
+    */
+  private[graft] def mvMatchKeyPinned: Option[(String, String, Long)] =
+    if (asOf == AsOf.Current && version.nonEmpty && branchLineage.isEmpty)
+      scala.util.Try(graft.format.AzofTable(SparkSession.active,
+        lakehousePath, tableName).resolveVersion(version.get).toLong)
+        .toOption
+        .map(v => (lakehousePath, tableName, v))
+    else None
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE)

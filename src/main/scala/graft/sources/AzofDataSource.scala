@@ -195,6 +195,19 @@ final class AzofRelation(
     if (asOf == AsOf.Current && versionAsOf.isEmpty)
       Some((lakehousePath, tableName))
     else None
+
+  /** `(lakehousePath, tableName, resolvedVersion)` iff this relation is
+    * a VERSION-pinned main-lineage view (`VERSION AS OF <n|tag>`, no
+    * event-time as-of): the rewrite rule may serve it from a view whose
+    * state provably equals the live view AT that version
+    * ([[MatView.freshViewVersionAt]] — the reproducible-report shape).
+    */
+  private[graft] def mvMatchKeyPinned: Option[(String, String, Long)] =
+    if (asOf == AsOf.Current && versionAsOf.nonEmpty)
+      scala.util.Try(
+        table.resolveVersion(versionAsOf.get).toLong).toOption
+        .map(v => (lakehousePath, tableName, v))
+    else None
   // non-numeric versionAsOf specs resolve as named refs (tags) through
   // the current snapshot's ref index (AzofTable.resolveVersion)
   private val snap: Snapshot =

@@ -313,6 +313,36 @@ object MatView {
       if (unchangedSince(spark, srcLake, srcTable, cur)) Some(v) else None
     }
 
+  /** [[freshViewVersion]] for a VERSION-PINNED read (`VERSION AS OF
+    * <pinned>`): the view serves the pin exactly when the source's live
+    * view at `pinned` provably equals its live view at the cursor —
+    * every main-lineage commit after `min(pinned, cursor)` is
+    * view-preserving, ONE [[unchangedSince]] walk covering both spans
+    * (pinned ≤ cursor: `(pinned, current]` ⊇ `(pinned, cursor]` ∪
+    * `(cursor, current]`; pinned > cursor: `(cursor, current]` ⊇
+    * `(cursor, pinned]`). A pin that resolves to a BRANCH head refuses:
+    * the shared numbering makes it a different lineage's state, not
+    * main's at that version. This is the reproducible-report shape —
+    * an `AS OF <tag>` dashboard re-served from the view instead of
+    * re-paying the corpus aggregate, still never wrong: any
+    * state-changing commit in either span falls back to the scan.
+    */
+  def freshViewVersionAt(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String, idxTable: String, pinned: Long): Option[Long] =
+    readCursor(spark, idxLake, idxTable).flatMap { cur =>
+      val onMain =
+        try AzofTable(spark, srcLake, srcTable)
+          .snapshot(pinned.toString).branch.isEmpty
+        catch { case scala.util.control.NonFatal(_) => false }
+      val v = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
+      if (onMain &&
+        unchangedSince(spark, srcLake, srcTable, math.min(pinned, cur)))
+        Some(v)
+      else None
+    }
+
   /** Whether `table`'s LIVE view still equals its state at version
     * `cur`: every later main-lineage commit is view-preserving (see
     * [[isFresh]]'s scaladoc). Shared by the single-table and join-view

@@ -558,17 +558,58 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("TIME-TRAVEL reads never rewrite: the view stands in only for " +
-    "the Current un-pinned relation") {
-    val (l, _) = mkLake("tt")
+  test("VERSION-pinned reads rewrite exactly when the pin is provably " +
+    "view-identical: fresh pin + tag serve from the view, a pin below " +
+    "a state-changing commit falls back, event-time as-of never " +
+    "rewrites") {
+    val (l, ck) = mkLake("tt")
+    AzofWriter.tagVersion(spark, l, "src", "report", Some(2L))
     withConfs(l) {
-      val q = spark.sql(
+      def counts(q: org.apache.spark.sql.DataFrame) =
+        q.collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+      // the pin equals the view's consumed state — serves from the view
+      val q2 = spark.sql(
         "SELECT g1, count(*) AS n FROM azof.src VERSION AS OF 2 " +
           "GROUP BY g1")
-      assert(scansSrc(q),
-        "a pinned-version read must aggregate the scan, not the view:\n" +
-          q.queryExecution.optimizedPlan)
-      assert(q.collect().nonEmpty)
+      assert(!scansSrc(q2),
+        "a view-identical pin serves from the view:\n" +
+          q2.queryExecution.optimizedPlan)
+      assert(counts(q2) == Seq(("a", 3L), ("b", 1L)))
+      // …and through a TAG (the reproducible-report shape)
+      val qt = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src VERSION AS OF 'report' " +
+          "GROUP BY g1")
+      assert(!scansSrc(qt), "tag pin serves from the view")
+      assert(counts(qt) == counts(q2))
+      // event-time as-of NEVER rewrites (a different view semantics)
+      val qts = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src " +
+          "TIMESTAMP AS OF '2024-06-01T00:00:00Z' GROUP BY g1")
+      assert(scansSrc(qts), "event-time as-of must aggregate the scan")
+      // post-pin churn: the view moves past the pin — the pinned read
+      // must fall back to time travel, the Current read keeps rewriting
+      AzofWriter.commitDelta(spark, l, "src", df(
+        ("9", "2024-02-05T00:00:00Z", "b", "y", 50L)),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))      // v3
+      val s = MatView.refresh(spark, l, "src", l, "mv", vd, ck)
+      assert(s.awaitTermination(120000))
+      val q2stale = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src VERSION AS OF 2 " +
+          "GROUP BY g1")
+      assert(scansSrc(q2stale),
+        "a pin below a state-changing commit must NOT serve:\n" +
+          q2stale.queryExecution.optimizedPlan)
+      assert(counts(q2stale) == Seq(("a", 3L), ("b", 1L)),
+        "fallback time-travels to the pinned truth")
+      // pin the POST-delta version dynamically (the tag commit above
+      // also took a snapshot number)
+      val vNow = graft.format.AzofTable(spark, l, "src").currentVersion
+      val q3 = spark.sql(
+        s"SELECT g1, count(*) AS n FROM azof.src VERSION AS OF $vNow " +
+          "GROUP BY g1")
+      assert(!scansSrc(q3), "the refreshed pin serves again")
+      assert(counts(q3) == Seq(("a", 3L), ("b", 2L)))
     }
   }
 
