@@ -134,7 +134,7 @@ object AzofCli {
           "sem-create|sem-refresh|sem-rebuild|sem-verdicts|" +
           "mv-create|mv-refresh|mv-serve|mv-rebuild|" +
           "term-create|term-refresh|term-search|term-phrase|" +
-          "term-prefix|term-rebuild|" +
+          "term-prefix|term-near|term-rebuild|" +
           "jv-refresh|jv-serve|jv-rebuild|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
@@ -1063,6 +1063,19 @@ object AzofCli {
             opts.getOrElse("index-path", opts("path")),
             opts.getOrElse("index-table", "term_postings"), pTerms)
           .orderBy(org.apache.spark.sql.functions.col("n_hits").desc,
+            org.apache.spark.sql.functions.col("doc"))
+          .show(numRows = 10000, truncate = false)
+      case "term-near" =>
+        // proximity search: --terms a,b --max-dist 5 → docs where the
+        // two terms occur within the window, pair count + min distance
+        val nTerms = opts("terms").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(nTerms.size == 2, "term-near takes exactly two terms")
+        graft.sources.TermIndex.searchNear(spark,
+            opts.getOrElse("index-path", opts("path")),
+            opts.getOrElse("index-table", "term_postings"),
+            nTerms(0), nTerms(1), opts.getOrElse("max-dist", "5").toInt)
+          .orderBy(org.apache.spark.sql.functions.col("min_dist"),
             org.apache.spark.sql.functions.col("doc"))
           .show(numRows = 10000, truncate = false)
       case "term-prefix" =>

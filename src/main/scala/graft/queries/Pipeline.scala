@@ -71,6 +71,7 @@ object Pipeline {
     "t23_tfidf_rank" -> t23,
     "t24_phrase_search" -> t24,
     "t25_prefix_search" -> t25,
+    "t26_near_search" -> t26,
     "t19_lm_score" -> t19,
     "p01_filter_funnel" -> p01,
     "p02_index_funnel" -> p02,
@@ -1226,6 +1227,17 @@ object Pipeline {
     graft.sources.TermIndex.searchPrefix(s, l, "term_postings", "s")
   }
 
+  /** PROXIMITY (NEAR) search: documents where the two terms occur
+    * within 5 token positions, with pair count + min distance as
+    * ranking evidence — two key-range posting reads, pair arithmetic
+    * over tf-bounded decoded position arrays.
+    */
+  private def t26(s: SparkSession, dir: String): DataFrame = {
+    val l = termLake(s, dir)
+    graft.sources.TermIndex.searchNear(s, l, "term_postings",
+      "window", "dup", maxDist = 5)
+  }
+
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
 
@@ -1896,6 +1908,24 @@ object Pipeline {
          JOIN toks b ON a.doc = b.doc AND b.pos = a.pos + 1
          JOIN toks c ON a.doc = c.doc AND c.pos = a.pos + 2
          WHERE a.term = 'big' AND b.term = 'order' AND c.term = 'scan'
+         GROUP BY a.doc""",
+    "t26_near_search" ->
+      """WITH live AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' zzrevterm'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         toks AS (
+           SELECT doc, unnest(ws) AS term,
+                  unnest(generate_series(1, len(ws))) AS pos
+           FROM (SELECT CAST(doc_id AS VARCHAR) AS doc,
+                        string_split_regex(lower(text), '\s+') AS ws
+                 FROM live)),
+         a AS (SELECT doc, pos FROM toks WHERE term = 'window'),
+         b AS (SELECT doc, pos FROM toks WHERE term = 'dup')
+         SELECT a.doc, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(MIN(ABS(a.pos - b.pos)) AS BIGINT) AS min_dist
+         FROM a JOIN b ON a.doc = b.doc AND ABS(a.pos - b.pos) <= 5
          GROUP BY a.doc""",
     "t25_prefix_search" ->
       """WITH live AS (

@@ -264,6 +264,44 @@ object TermIndex {
       .where(col("n_hits") > 0L)
   }
 
+  /** PROXIMITY (NEAR) search: documents where `a` and `b` occur within
+    * `maxDist` token positions, with the pair count and the MINIMUM
+    * distance as ranking evidence — two key-range posting reads, the
+    * pair arithmetic over tf-bounded decoded position arrays (nested
+    * `transform`/`filter`, codegen'd; no explode, no corpus scan).
+    * Output `(doc, n_pairs, min_dist)`.
+    */
+  def searchNear(
+      spark: SparkSession,
+      idxLake: String, idxTable: String,
+      a: String, b: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "searchNear needs maxDist >= 1")
+    val (na, nb) = (a.toLowerCase.trim, b.toLowerCase.trim)
+    require(na.nonEmpty && nb.nonEmpty && na != nb,
+      "searchNear needs two distinct non-empty terms")
+    val decode = "aggregate(transform(split(pos, ','), " +
+      "x -> CAST(x AS BIGINT)), " +
+      "struct(CAST(0 AS BIGINT) AS s, CAST(array() AS ARRAY<BIGINT>) AS a), " +
+      "(acc, x) -> struct(acc.s + x AS s, " +
+      "concat(acc.a, array(acc.s + x)) AS a), acc -> acc.a)"
+    def scanTerm(t: String, out: String): DataFrame =
+      graft.operators.AzofScan.scan(spark, idxLake, idxTable,
+        projection = Some(Set("term", "doc", "pos")),
+        keyFilter = Some(KeyFilter.Range(
+          Some(t + Sep), Some(t + Sep + "\uffff"))))
+        .where(col("term") === t)
+        .select(col("doc"), expr(decode).as(out))
+    scanTerm(na, "_pa").join(scanTerm(nb, "_pb"), "doc")
+      .select(col("doc"),
+        expr(s"aggregate(transform(_pa, x -> size(filter(_pb, " +
+          s"y -> abs(y - x) <= ${maxDist}L))), 0, (s, n) -> s + n)")
+          .cast("long").as("n_pairs"),
+        expr("array_min(transform(_pa, x -> " +
+          "array_min(transform(_pb, y -> abs(y - x)))))")
+          .cast("long").as("min_dist"))
+      .where(col("n_pairs") > 0L)
+  }
+
   /** PREFIX term search: documents containing ANY term starting with
     * `prefix`, with the matched-term count and summed tf — ONE
     * `KeyFilter.Range(prefix, prefix ⊕ U+FFFF)` posting read (the

@@ -153,6 +153,18 @@ class TermIndexSpec extends AnyFunSuite {
       ("3", 1L, 2L)))
     assert(prefix("s") == Seq(("1", 1L, 1L), ("2", 1L, 1L),
       ("3", 1L, 1L)), "'scan' only")
+    // proximity: pair counts + min distance from the same positions
+    def near(a: String, b: String, w: Int) =
+      TermIndex.searchNear(spark, l, "term_postings", a, b, w)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    // doc1 big@0 now@3; doc2 big@1 — no 'now'; doc3 big@2 — no 'now'
+    assert(near("big", "now", 3) == Seq(("1", 1L, 3L)))
+    assert(near("big", "now", 2).isEmpty, "window excludes the pair")
+    // doc3 "scan order big order": order@{1,3} × scan@{0} within 2 →
+    // pair (1,0) dist 1 only; min dist 1
+    assert(near("order", "scan", 2).map(x => (x._1, x._3)) ==
+      Seq(("1", 1L), ("2", 1L), ("3", 1L)))
     // a REVISION that permutes tokens with EQUAL tf: every moved term's
     // posting rewrites (its positions changed), an unmoved term's does
     // not — the nothing-written-for-unchanged pin extended to positions
