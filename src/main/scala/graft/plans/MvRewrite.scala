@@ -254,6 +254,14 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * extra group columns — is the exact distinct count.
     */
   private case class DistinctL(c: String) extends AggLeaf
+  /** `COUNT(DISTINCT c)` for a DECLARED distinct column: served from
+    * the view's refcounted support table ([[MatView.dvTableName]]) —
+    * its live rows ARE the distinct `(group tuple, value)` pairs, so a
+    * `count_distinct` over them is exact at the view's grain, at any
+    * SUBSET rollup, and globally, with WHERE-on-group-columns applied
+    * to the (index-sized) support scan directly.
+    */
+  private case class DistinctValL(c: String) extends AggLeaf
 
   private sealed trait Out
   private case class GroupOut(c: String) extends Out
@@ -276,6 +284,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else if (ae.isDistinct) ae.aggregateFunction match {
       case Count(Seq(a: AttributeReference))
         if vd.groupCols.contains(a.name) => one(DistinctL(a.name))
+      case Count(Seq(a: AttributeReference))
+        if vd.distinctCols.contains(a.name) => one(DistinctValL(a.name))
       case _ => None
     }
     else ae.aggregateFunction match {
@@ -378,14 +388,18 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(
       agg: Aggregate, served: org.apache.spark.sql.DataFrame, vd: ViewDef,
       groups: Seq[String], outs: Seq[Out],
-      conds: Seq[Expression]): LogicalPlan = {
+      conds: Seq[Expression],
+      dvPairs: String => org.apache.spark.sql.DataFrame): LogicalPlan = {
     // group-column predicates commute with the aggregation: remap them
-    // onto the view's attributes and filter the (group-cardinality)
-    // view scan before any re-aggregation
-    val serve =
-      if (conds.isEmpty) served
+    // onto the frame's attributes and filter BEFORE any re-aggregation
+    // — applied to the (group-cardinality) view scan AND to each
+    // (index-sized) distinct-support scan, which carries the same
+    // group columns
+    def filtered(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (conds.isEmpty) df
       else {
-        val p = served.queryExecution.analyzed
+        val p = df.queryExecution.analyzed
         val byName = p.output.map(a => a.name -> a).toMap
         val remapped = conds.map(_.transform {
           case a: AttributeReference => byName(a.name)
@@ -393,6 +407,26 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         org.apache.spark.sql.graft.StreamingBridge.ofRows(
           spark, Filter(remapped, p))
       }
+    val serve = filtered(served)
+    val allLeaves = outs.collect { case CalcOut(ls, _) => ls }
+      .flatten.distinct
+    val dvLeaves = allLeaves.collect { case d: DistinctValL => d }
+    // one support aggregate per distinct leaf, at the QUERY's groups —
+    // the support rows are distinct pairs, so this is exact at every
+    // grain (incl. the global one-row aggregate)
+    def dvFrame(c: String): org.apache.spark.sql.DataFrame = {
+      val pairs = filtered(dvPairs(c))
+      if (groups.isEmpty)
+        pairs.agg(count_distinct(col("value")).as(s"dv_$c"))
+      else pairs.groupBy(groups.map(col): _*)
+        .agg(count_distinct(col("value")).as(s"dv_$c"))
+    }
+    def joinDv(base: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      dvLeaves.foldLeft(base)((b, d) =>
+        if (groups.isEmpty) b.crossJoin(dvFrame(d.c)) // both one-row
+        else b.join(dvFrame(d.c), groups, "left"))
+    def dvCol(c: String): Column = coalesce(col(s"dv_$c"), lit(0L))
     val hasDistinct = outs.exists {
       case CalcOut(ls, _) => ls.exists(_.isInstanceOf[DistinctL])
       case _ => false
@@ -400,27 +434,29 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val slim =
       if (groups.toSet == vd.groupCols.toSet && !hasDistinct) {
         // exact match: one row per group already — leaves ARE view
-        // columns, outputs a pure projection of rebuilt trees
+        // columns (support columns joined in at the same grain),
+        // outputs a pure projection of rebuilt trees
         def leafCol(l: AggLeaf): Column = l match {
-          case CountL       => col("n_rows")
-          case CountColL(c) => col(s"nn_$c")
-          case SumL(c)      => col(s"sum_$c")
-          case MinL(c)      => col(s"min_$c")
-          case MaxL(c)      => col(s"max_$c")
+          case CountL           => col("n_rows")
+          case CountColL(c)     => col(s"nn_$c")
+          case SumL(c)          => col(s"sum_$c")
+          case MinL(c)          => col(s"min_$c")
+          case MaxL(c)          => col(s"max_$c")
+          case DistinctValL(c)  => dvCol(c)
           case DistinctL(_) => throw new IllegalStateException(
-            "distinct outputs always take the rollup path")
+            "group-column distinct outputs always take the rollup path")
         }
-        serve.select(outs.zipWithIndex.map {
+        joinDv(serve).select(outs.zipWithIndex.map {
           case (GroupOut(c), i)     => col(c).as(s"_mv_$i")
           case (CalcOut(ls, b), i)  => b(ls.map(leafCol)).as(s"_mv_$i")
         }: _*)
       } else {
-        // subset rollup: each DISTINCT leaf re-aggregates ONCE (COUNT
-        // re-sums n_rows / nn, SUM re-sums, MIN/MAX re-minimize), then
-        // every output tree rebuilds over the rolled-up totals —
+        // subset rollup: each VIEW leaf re-aggregates ONCE (COUNT
+        // re-sums n_rows / nn, SUM re-sums, MIN/MAX re-minimize) and
+        // each SUPPORT leaf re-counts its distinct pairs at the query
+        // grain, then every output tree rebuilds over the totals —
         // derived aggregates re-derive from sums, never from averages
-        val leaves = outs.collect { case CalcOut(ls, _) => ls }
-          .flatten.distinct
+        val viewLeaves = allLeaves.filterNot(_.isInstanceOf[DistinctValL])
         def leafAgg(l: AggLeaf): Column = l match {
           case CountL       => coalesce(sum(col("n_rows")), lit(0L))
           case CountColL(c) => coalesce(sum(col(s"nn_$c")), lit(0L))
@@ -428,23 +464,32 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case MinL(c)      => min(col(s"min_$c"))
           case MaxL(c)      => max(col(s"max_$c"))
           case DistinctL(c) => count_distinct(col(c))
+          case DistinctValL(_) => throw new IllegalStateException(
+            "support-table distinct leaves never aggregate the view")
         }
-        val li = leaves.zipWithIndex.toMap
+        val li = viewLeaves.zipWithIndex.toMap
         val grouped =
-          if (leaves.isEmpty)
-            // aggregate-free GROUP BY (`SELECT g FROM t GROUP BY g`):
-            // the distinct group tuples, straight off the view
+          if (viewLeaves.isEmpty && groups.nonEmpty)
+            // aggregate-free GROUP BY (`SELECT g FROM t GROUP BY g`) or
+            // distinct-only outputs: the live group tuples off the view
             serve.select(groups.map(col): _*).distinct()
+          else if (viewLeaves.isEmpty)
+            // global distinct-only aggregate: the support frames below
+            // are each one row — seed with a one-row zero-column frame
+            spark.range(1).drop("id")
           else {
-            val aggCols = leaves.zipWithIndex.map { case (l, i) =>
+            val aggCols = viewLeaves.zipWithIndex.map { case (l, i) =>
               leafAgg(l).as(s"_lf_$i") }
             serve.groupBy(groups.map(col): _*)
               .agg(aggCols.head, aggCols.tail: _*)
           }
-        grouped.select(outs.zipWithIndex.map {
+        joinDv(grouped).select(outs.zipWithIndex.map {
           case (GroupOut(c), i)    => col(c).as(s"_mv_$i")
           case (CalcOut(ls, b), i) =>
-            b(ls.map(l => col(s"_lf_${li(l)}"))).as(s"_mv_$i")
+            b(ls.map {
+              case DistinctValL(c) => dvCol(c)
+              case l => col(s"_lf_${li(l)}")
+            }).as(s"_mv_$i")
         }: _*)
       }
     val child = slim.queryExecution.analyzed
@@ -502,9 +547,17 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   logInfo(s"rewriting aggregate over $srcKey" +
                     pinned.fold("")(p => s" AS OF $p") +
                     s" to materialized view $mv@$viewV")
+                  // the support table commits BEFORE the cursor the
+                  // gate just validated, so its pinned-at-now snapshot
+                  // carries exactly the validated state (the same
+                  // reasoning as freshViewVersion's view pin)
+                  val dvPairs: String => org.apache.spark.sql.DataFrame =
+                    c => MatView.serveDistinctPairs(spark, lake, mv, vd, c,
+                      Some(graft.format.AzofTable(spark, lake,
+                        MatView.dvTableName(mv)).currentVersion.toLong))
                   rewrite(agg,
                     MatView.serve(spark, lake, mv, vd, Some(viewV)),
-                    vd, groups, outs, conds)
+                    vd, groups, outs, conds, dvPairs)
                 }
               }
           }
@@ -579,7 +632,9 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                       rewrite(agg,
                         graft.sources.JoinView.serve(spark, lake, mv, jdef,
                           Some(viewV)),
-                        vd, groups, outs, conds)
+                        vd, groups, outs, conds,
+                        c => throw new IllegalStateException(
+                          s"join views declare no distinct columns ($c)"))
                     }
                 }
             }
@@ -638,7 +693,10 @@ object MvRewriteRule {
           .filter { case SingleDef(_, _, vd) =>
             MatView.nnLayoutOk(
               graft.format.AzofTable(spark, lake, mv)
-                .currentSnapshot.schema, vd.sumCols)
+                .currentSnapshot.schema, vd.sumCols) &&
+              (vd.distinctCols.isEmpty ||
+                scala.util.Try(graft.format.AzofTable(spark, lake,
+                  MatView.dvTableName(mv)).currentVersion).isSuccess)
           }
           // an old-format join sidecar THROWS in readDef (the loud
           // upgrade message) — caught here, so the query falls back to

@@ -50,7 +50,8 @@ object AzofQueries {
     "q56_mv_avg_rewrite" -> matViewAvgRewrite,
     "q57_star_view" -> starViewRewrite,
     "q58_mv_nullable" -> matViewNullable,
-    "q59_mv_pinned_rewrite" -> matViewPinnedRewrite)
+    "q59_mv_pinned_rewrite" -> matViewPinnedRewrite,
+    "q60_mv_distinct" -> matViewDistinctRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1077,6 +1078,99 @@ object AzofQueries {
     }
   }
 
+  /** The q60 [[graft.sources.ViewDef]]: per-source counts + an EXACT
+    * `COUNT(DISTINCT b)` backed by the refcounted support table.
+    */
+  private val dvvDef = graft.sources.ViewDef(Seq("source"),
+    distinctCols = Seq("b"))
+
+  /** Four-commit, per-commit-refreshed DISTINCT-support lake: source
+    * docs with a nullable bucket `b = doc_id % 7` (NULL for every 4th
+    * doc); a revision moving every 5th doc to source `rev12` with
+    * `b + 1` (value moves change refcounts without count changes);
+    * docs 6/7 deleted (zero-crossing retirement).
+    */
+  private[queries] def dvLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "dvv-v1", "doc_dvv") { l =>
+      import graft.sources.{AzofWriter, MatView}
+      val docs = Tables(s, dir, "documents")
+      AzofWriter.createTable(s, l, "docs_dv",
+        TableSchema(Seq(
+          ColumnDef("source", ColumnType.AzString, nullable = false),
+          ColumnDef("b", ColumnType.AzInt, nullable = true))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val ck = new java.io.File(l, "_dvv_ck").toString
+      def refresh(): Unit = {
+        val q = MatView.refresh(s, l, "docs_dv", l, "doc_dvv", dvvDef, ck)
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(
+            "distinct-view refresh did not terminate within 300s")
+      }
+      def rows(filter: org.apache.spark.sql.Column, at: String,
+          src: org.apache.spark.sql.Column = col("source"),
+          b: org.apache.spark.sql.Column =
+            when(col("doc_id") % 4 === 0, lit(null))
+              .otherwise(col("doc_id") % 7)) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          src.as("source"), b.cast("long").as("b"))
+      AzofWriter.commitBase(s, l, "docs_dv",
+        rows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_dv",
+        rows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_dv",
+        rows(col("doc_id") % 5 === 0, "2024-04-05T00:00:00Z",
+          src = lit("rev12"),
+          b = when(col("doc_id") % 4 === 0, lit(null))
+            .otherwise((col("doc_id") % 7) + 1)),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelete(s, l, "docs_dv", Seq("6", "7"),
+        Instant.parse("2024-05-05T00:00:00Z"))
+      refresh()
+      ()
+    }
+
+  /** The COUNT(DISTINCT) rewrite under the oracle gate: a plain SQL
+    * `count(distinct b)` — no view mentioned — served from the
+    * refcounted support table by the optimizer rule. The plan gate
+    * refuses any surviving azof RELATION (the corpus scan); Aggregate
+    * nodes remain by design — they aggregate the index-sized support
+    * table, not the corpus.
+    */
+  private def matViewDistinctRewrite(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = dvLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_dvv")
+    try {
+      val q = s.sql(
+        "SELECT source, count(*) AS n_rows, count(DISTINCT b) AS dv_b " +
+          "FROM azof.docs_dv GROUP BY source")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "distinct rewrite did not fire — refusing to pass the row " +
+          "off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The VERSION-PINNED rewrite under the oracle gate (the
     * reproducible-report shape): `… VERSION AS OF <current>` — a pin
     * provably view-identical ([[graft.sources.MatView
@@ -1639,6 +1733,19 @@ object AzofQueries {
     // the one-shot THREE-table star aggregate (fact ⋈ 2 dims, churn on
     // all three) re-proved through the plan-pinned optimizer rewrite
     "q57_star_view" -> starViewOracle,
+    // exact COUNT(DISTINCT) from the refcounted support table, under
+    // value-moving revisions, nulls, and zero-crossing deletes
+    "q60_mv_distinct" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                    AS source,
+                  CASE WHEN doc_id % 4 = 0 THEN NULL
+                       WHEN doc_id % 5 = 0 THEN (doc_id % 7) + 1
+                       ELSE doc_id % 7 END AS b
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, COUNT(*) AS n_rows,
+                COUNT(DISTINCT b) AS dv_b
+         FROM live GROUP BY source""",
     // a provably view-identical VERSION pin serves the same truth as
     // q53 (the pin IS the current version; refusal cases are spec-side)
     "q59_mv_pinned_rewrite" ->

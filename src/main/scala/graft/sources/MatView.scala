@@ -28,10 +28,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 final case class ViewDef(
     groupCols: Seq[String],
     sumCols: Seq[String] = Nil,
-    minMaxCols: Seq[String] = Nil) {
+    minMaxCols: Seq[String] = Nil,
+    distinctCols: Seq[String] = Nil) {
   require(groupCols.nonEmpty, "a materialized view needs group columns")
+  require(distinctCols.forall(c => !groupCols.contains(c)),
+    "COUNT(DISTINCT <group col>) needs no support table — view rows " +
+      "are distinct group tuples; declare only non-group distinct cols")
   /** Source columns the view reads. */
-  def needed: Seq[String] = (groupCols ++ sumCols ++ minMaxCols).distinct
+  def needed: Seq[String] =
+    (groupCols ++ sumCols ++ minMaxCols ++ distinctCols).distinct
 }
 
 /** PERSISTED incremental materialized aggregate view — the engine's
@@ -176,6 +181,35 @@ object MatView {
     */
   val CursorFileName = "_mv_cursor.json"
 
+  /** The DISTINCT support table's name for a view table: one row per
+    * live `(distinct col, group tuple, value)` with a reference count —
+    * the classic incremental-view-maintenance structure that makes
+    * `COUNT(DISTINCT c)` EXACT under inserts, revisions, and deletes
+    * (a count crosses the serve threshold only when its refcount
+    * crosses zero), and EXACT under subset rollups too (the support
+    * rows ARE the distinct pairs — re-aggregating them at a coarser
+    * grain is a `count_distinct` over an index-sized table, never a
+    * corpus read).
+    */
+  def dvTableName(idxTable: String): String = s"${idxTable}__dv"
+
+  /** The support table's value schema: the distinct column's NAME, the
+    * group columns (typed), the value under its canonical STRING
+    * encoding (injective for every azof type), and the refcount.
+    */
+  def dvSchema(srcSchema: TableSchema, view: ViewDef): TableSchema = {
+    val byName = srcSchema.columns.map(c => c.name -> c).toMap
+    view.distinctCols.foreach(c => if (!byName.contains(c))
+      throw new IllegalArgumentException(
+        s"distinct column '$c' is not in the source schema"))
+    TableSchema(
+      Seq(ColumnDef("dcol", ColumnType.AzString, nullable = false)) ++
+        view.groupCols.map(g =>
+          ColumnDef(g, byName(g).dataType, nullable = false)) ++
+        Seq(ColumnDef("value", ColumnType.AzString, nullable = false),
+          ColumnDef("ref", ColumnType.AzInt, nullable = false)))
+  }
+
   /** Create the view table (idempotent). The source table must already
     * exist — the view's schema derives from it.
     */
@@ -189,6 +223,9 @@ object MatView {
       AzofTable(spark, srcLake, srcTable).currentSnapshot.schema
     val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, viewSchema(srcSchema, view), segmentStart)
+    if (view.distinctCols.nonEmpty)
+      AzofWriter.createTableIfAbsent(spark, idxLake, dvTableName(idxTable),
+        dvSchema(srcSchema, view), segmentStart)
     if (created) writeDef(spark, srcLake, srcTable, idxLake, idxTable, view)
     ()
   }
@@ -222,7 +259,8 @@ object MatView {
         s""""source_path":"$srcPath","source_table":"$srcTable",""" +
         s""""group_cols":${arr(view.groupCols)},""" +
         s""""sum_cols":${arr(view.sumCols)},""" +
-        s""""minmax_cols":${arr(view.minMaxCols)}}""")
+        s""""minmax_cols":${arr(view.minMaxCols)},""" +
+        s""""distinct_cols":${arr(view.distinctCols)}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -241,14 +279,15 @@ object MatView {
       val root =
         try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
         finally in.close()
-      def seq(f: String): Seq[String] = {
-        val n = root.get(f)
-        (0 until n.size()).map(i => n.get(i).asText())
+      def seq(f: String): Seq[String] = Option(root.get(f)) match {
+        case Some(n) => (0 until n.size()).map(i => n.get(i).asText())
+        case None => Nil // field absent in older sidecars
       }
       val rec = root.get("source_path").asText
       Some((if (rec.isEmpty) idxLake else rec,
         root.get("source_table").asText,
-        ViewDef(seq("group_cols"), seq("sum_cols"), seq("minmax_cols"))))
+        ViewDef(seq("group_cols"), seq("sum_cols"), seq("minmax_cols"),
+          seq("distinct_cols"))))
     }
   }
 
@@ -400,13 +439,20 @@ object MatView {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val (rows, maxV) = deltaBatch(spark, batch, srcLake, srcTable,
-          idxLake, idxTable, view, broadcastKeyMax)
+        val (rows, dvRows, maxV) = deltaBatch(spark, batch, srcLake,
+          srcTable, idxLake, idxTable, view, broadcastKeyMax)
         AzofSink.commitBatch(idxLake, idxTable, rows, id, appId)
-        // cursor AFTER the commit: the rewrite rule's freshness
+        // the DISTINCT support table commits under its own replay
+        // guard id — each table's delta depends only on ITS OWN old
+        // state plus the batch, so a crash between the two commits
+        // replays exactly-once on both
+        dvRows.foreach(dv => AzofSink.commitBatch(idxLake,
+          dvTableName(idxTable), dv, id, s"$appId#dv"))
+        // cursor AFTER both commits: the rewrite rule's freshness
         // evidence (a crash in between self-heals on replay)
         if (maxV >= 0) writeCursor(spark, idxLake, idxTable, maxV)
         graft.operators.Blocks.freeReferenced(rows)
+        dvRows.foreach(graft.operators.Blocks.freeReferenced)
         ()
       }
       .trigger(trigger)
@@ -455,7 +501,8 @@ object MatView {
       spark: SparkSession, batch: Dataset[Row],
       srcLake: String, srcTable: String,
       idxLake: String, idxTable: String,
-      view: ViewDef, broadcastKeyMax: Long): (DataFrame, Long) = {
+      view: ViewDef, broadcastKeyMax: Long)
+      : (DataFrame, Option[DataFrame], Long) = {
     val K = TableSchema.KeyName
     val outSchema = viewSchema(
       AzofTable(spark, srcLake, srcTable).currentSnapshot.schema, view)
@@ -472,7 +519,7 @@ object MatView {
       count_distinct(col(K))).collect()(0)
     if (bounds.isNullAt(2) || bounds.getLong(2) == 0L) {
       graft.operators.Blocks.freeReferenced(slim.toDF())
-      return (empty, -1L)
+      return (empty, None, -1L)
     }
     val (minV, maxV, nChurned) =
       (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
@@ -507,6 +554,23 @@ object MatView {
     val touched = groupAgg(newRows, view, "_a_")
       .join(groupAgg(preRows, view, "_p_"), view.groupCols, "full_outer")
       .localCheckpoint(true)
+    // DISTINCT support: per-(dcol, group tuple, value) refcount deltas
+    // from the same post/pre frames — checkpointed before slim is freed
+    val dvKeys = Seq("dcol") ++ view.groupCols ++ Seq("value")
+    def pairCounts(rows: DataFrame, pfx: String): DataFrame =
+      view.distinctCols.map { c =>
+        rows.where(col(c).isNotNull)
+          .select((view.groupCols.map(col) ++ Seq(
+            col(c).cast("string").as("value"),
+            lit(c).as("dcol"))): _*)
+      }.reduce(_.unionByName(_))
+        .groupBy(dvKeys.map(col): _*)
+        .agg(count(lit(1)).as(s"${pfx}r"))
+    val dvTouched: Option[DataFrame] =
+      if (view.distinctCols.isEmpty) None
+      else Some(pairCounts(newRows, "_a_")
+        .join(pairCounts(preRows, "_p_"), dvKeys, "full_outer")
+        .localCheckpoint(true))
     graft.operators.Blocks.freeReferenced(slim.toDF())
     // one pass serves both the size decision and the reserved-separator
     // contract check (group values must not contain U+0001)
@@ -515,7 +579,42 @@ object MatView {
     val nTouched = tStats.getLong(0)
     requireNoSep(if (tStats.isNullAt(1)) 0L else tStats.getLong(1),
       "churned")
-    if (nTouched == 0L) return (empty, maxV)
+    // refcount upserts: old + new − pre per touched pair, old refs from
+    // a pair-confined support read (broadcast semi under the guard)
+    val dvRows: Option[DataFrame] = dvTouched.flatMap { dvt =>
+      val dvStats = dvt.agg(count(lit(1)),
+        sepViolations(dvt, view.groupCols ++ Seq("value"))).collect()(0)
+      val nDv = dvStats.getLong(0)
+      requireNoSep(
+        if (dvStats.isNullAt(1)) 0L else dvStats.getLong(1),
+        "churned distinct-pair")
+      if (nDv == 0L) { graft.operators.Blocks.freeReferenced(dvt); None }
+      else {
+        val existing = graft.operators.AzofScan
+          .scan(spark, idxLake, dvTableName(idxTable))
+          .select((dvKeys.map(col) :+ col("ref").as("_o_r")): _*)
+        val confined =
+          if (nDv <= broadcastKeyMax)
+            existing.join(broadcast(dvt.select(dvKeys.map(col): _*)),
+              dvKeys, "left_semi")
+          else existing
+        val merged = dvt.join(confined, dvKeys, "left")
+        def z(c: Column): Column = coalesce(c, lit(0L))
+        Some(merged.select(
+          (Seq(
+            concat_ws(Sep, (Seq(col("dcol")) ++
+              view.groupCols.map(c => col(c).cast("string")) ++
+              Seq(col("value"))): _*).as(K),
+            lit(java.sql.Timestamp.from(ViewStamp))
+              .as(TableSchema.EventTimeName),
+            col("dcol")) ++
+            view.groupCols.map(col) ++
+            Seq(col("value"),
+              (z(col("_o_r")) + z(col("_a_r")) - z(col("_p_r")))
+                .as("ref"))): _*))
+      }
+    }
+    if (nTouched == 0L) return (empty, dvRows, maxV)
     // MIN/MAX rescan: only groups that LOST rows (a pre-image landed in
     // them); insert-only groups monoid-merge below with no source read
     val rescan =
@@ -604,7 +703,7 @@ object MatView {
           when(col("_p_n").isNotNull, col(s"_r_mx_$c"))
             .otherwise(greatest(col(s"_o_mx_$c"), col(s"_a_mx_$c")))
             .as(s"max_$c")))
-    (withRescan.select(outCols: _*), maxV)
+    (withRescan.select(outCols: _*), dvRows, maxV)
   }
 
   /** The served view: every live group's totals — [[refresh]]'s
@@ -635,6 +734,48 @@ object MatView {
       .select(cols: _*)
   }
 
+  /** The live distinct PAIRS for one declared distinct column: every
+    * `(group tuple, value)` with a positive refcount — the exact
+    * support relation behind `COUNT(DISTINCT c)`. Aggregate it at ANY
+    * group granularity (the view's, a subset's, or globally): the rows
+    * are distinct pairs, so `count_distinct(value)` over them is exact
+    * at every grain — an index-sized read, never a corpus scan.
+    */
+  def serveDistinctPairs(
+      spark: SparkSession,
+      idxLake: String, idxTable: String, view: ViewDef, dcol: String,
+      version: Option[Long] = None): DataFrame = {
+    require(view.distinctCols.contains(dcol),
+      s"'$dcol' is not a declared distinct column")
+    val t = AzofTable(spark, idxLake, dvTableName(idxTable))
+    val snap = version.map(v => t.snapshot(v.toString))
+      .getOrElse(t.currentSnapshot)
+    graft.operators.AzofScan.scanSnapshot(spark, t, snap, AsOf.Current,
+      keyFilter = Some(graft.format.KeyFilter.Range(
+        Some(dcol + Sep), Some(dcol + Sep + "\uffff"))))
+      .where(col("dcol") === dcol && col("ref") > 0L)
+      .select((view.groupCols.map(col) :+ col("value")): _*)
+  }
+
+  /** `COUNT(DISTINCT dcol)` per `queryGroups` (a subset of the view's
+    * group columns; empty = global), exact, from the support table
+    * alone.
+    */
+  def countDistinct(
+      spark: SparkSession,
+      idxLake: String, idxTable: String, view: ViewDef, dcol: String,
+      queryGroups: Seq[String],
+      version: Option[Long] = None): DataFrame = {
+    require(queryGroups.forall(view.groupCols.contains),
+      "query groups must be view group columns")
+    val pairs = serveDistinctPairs(spark, idxLake, idxTable, view, dcol,
+      version)
+    if (queryGroups.isEmpty)
+      pairs.agg(count_distinct(col("value")).as(s"dv_$dcol"))
+    else pairs.groupBy(queryGroups.map(col): _*)
+      .agg(count_distinct(col("value")).as(s"dv_$dcol"))
+  }
+
   /** Reconciliation hatch after a source ROLLBACK (the one state change
     * that lands with NO feed event): retrain the view from the CURRENT
     * live corpus into `newTable`, then serve from it — the
@@ -652,6 +793,9 @@ object MatView {
     val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, newTable, viewSchema(src.currentSnapshot.schema, view),
       at)
+    if (view.distinctCols.nonEmpty)
+      AzofWriter.createTableIfAbsent(spark, idxLake, dvTableName(newTable),
+        dvSchema(src.currentSnapshot.schema, view), at)
     if (created) writeDef(spark, srcLake, srcTable, idxLake, newTable, view)
     val live = graft.operators.AzofScan.scan(spark, srcLake, srcTable)
       .select(view.needed.map(col): _*)
@@ -676,6 +820,30 @@ object MatView {
     val n = stats.getLong(0)
     requireNoSep(if (stats.isNullAt(1)) 0L else stats.getLong(1), "retrained")
     if (n > 0) AzofWriter.commitDelta(spark, idxLake, newTable, rows, at, at)
+    // DISTINCT support retrain: one-shot refcounts per (dcol, groups,
+    // value) pair — committed BEFORE the cursor, like the refresh
+    if (view.distinctCols.nonEmpty) {
+      val dvKeys = Seq("dcol") ++ view.groupCols ++ Seq("value")
+      val pairs = view.distinctCols.map { c =>
+        live.where(col(c).isNotNull)
+          .select((view.groupCols.map(col) ++ Seq(
+            col(c).cast("string").as("value"), lit(c).as("dcol"))): _*)
+      }.reduce(_.unionByName(_))
+        .groupBy(dvKeys.map(col): _*)
+        .agg(count(lit(1)).as("ref"))
+      val dvRows = pairs.select(
+        (Seq(
+          concat_ws(Sep, (Seq(col("dcol")) ++
+            view.groupCols.map(c => col(c).cast("string")) ++
+            Seq(col("value"))): _*).as(TableSchema.KeyName),
+          lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName),
+          col("dcol")) ++
+          view.groupCols.map(col) ++
+          Seq(col("value"), col("ref"))): _*)
+      if (dvRows.limit(1).count() > 0)
+        AzofWriter.commitDelta(spark, idxLake, dvTableName(newTable),
+          dvRows, at, at)
+    }
     // the retrain saw the live state at (at least) the pinned version —
     // the rebuilt table serves rewrites immediately
     writeCursor(spark, idxLake, newTable, atVersion)

@@ -427,6 +427,75 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("COUNT(DISTINCT <declared col>) serves from the refcounted " +
+    "support table: exact grain, subset rollup (overlaps counted " +
+    "once), global with WHERE — corpus-scan-free and exact; an " +
+    "undeclared column still refuses") {
+    val dSchema = TableSchema(Seq(
+      ColumnDef("g1", ColumnType.AzString, nullable = false),
+      ColumnDef("g2", ColumnType.AzString, nullable = false),
+      ColumnDef("b", ColumnType.AzString, nullable = true),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val vD = ViewDef(Seq("g1", "g2"), sumCols = Seq("v"),
+      distinctCols = Seq("b"))
+    val l = Files.createTempDirectory("azof-mvrw-dv").toString
+    val ck = Files.createTempDirectory("azof-mvrw-dv-ck").toString
+    AzofWriter.createTable(spark, l, "src", dSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a", "x", "u", 10L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a", "x", "w", 4L),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a", "y", "u", 2L), // 'u' overlaps g2 slices of g1 = a
+        Row("4", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "b", "x", null, 7L))), // all-null group
+        dSchema.toStruct))
+    val q0 = MatView.refresh(spark, l, "src", l, "mv", vD, ck)
+    assert(q0.awaitTermination(120000))
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "mv")
+    try {
+      // exact grain: dv joined at the view's own groups
+      val qe = spark.sql(
+        "SELECT g1, g2, count(*) AS n, count(DISTINCT b) AS dv " +
+          "FROM azof.src GROUP BY g1, g2")
+      assert(!scansSrc(qe), "exact-grain distinct must not scan:\n" +
+        qe.queryExecution.optimizedPlan)
+      assert(qe.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq ==
+        Seq(("a", "x", 2L, 2L), ("a", "y", 1L, 1L), ("b", "x", 1L, 0L)),
+        "all-null group serves 0")
+      // SUBSET rollup: 'u' lives in both of a's g2 slices — summing
+      // per-slice counts would say 3; the support pairs say 2
+      val qr = spark.sql(
+        "SELECT g1, count(DISTINCT b) AS dv, sum(v) AS sv " +
+          "FROM azof.src GROUP BY g1")
+      assert(!scansSrc(qr), "rollup distinct must not scan")
+      assert(qr.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq ==
+        Seq(("a", 2L, 16L), ("b", 0L, 7L)),
+        "overlapping values counted once; all-null group 0")
+      // GLOBAL + WHERE on a group column: the predicate confines the
+      // support scan too
+      val qg = spark.sql(
+        "SELECT count(DISTINCT b) AS dv FROM azof.src WHERE g2 = 'x'")
+      assert(!scansSrc(qg), "filtered global distinct must not scan")
+      assert(qg.collect().map(_.getLong(0)).toSeq == Seq(2L),
+        "{x-slice values} = {u, w}")
+      // an UNDECLARED distinct column refuses — falls back to the scan
+      val qu = spark.sql(
+        "SELECT g1, count(DISTINCT v) AS dv FROM azof.src GROUP BY g1")
+      assert(scansSrc(qu), "undeclared distinct col must not rewrite")
+      assert(qu.collect().nonEmpty)
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   test("AVG/COUNT(c) over a JOIN view serve from its nn_ totals — " +
     "round 13's crash shape: the decomposed nn_ leaf must resolve") {
     import graft.sources.{DimJoin, JoinView, JoinViewDef}

@@ -397,6 +397,72 @@ class MatViewSpec extends AnyFunSuite {
     assert(served(l).find(_._1 == "a").get == ("a", 5L, 150L, 5L, 10L, 50L))
   }
 
+  test("COUNT(DISTINCT) support table: refcounts exact under inserts, " +
+    "value moves, group moves, deletes, and null values — serve ≡ " +
+    "one-shot at the view grain, any rollup, and globally; both " +
+    "guard shapes") {
+    val dSchema = TableSchema(Seq(
+      ColumnDef("grp", ColumnType.AzString, nullable = false),
+      ColumnDef("b", ColumnType.AzString, nullable = true)))
+    val vD = ViewDef(Seq("grp"), distinctCols = Seq("b"))
+    def dRows(rows: (String, String, String, Any)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, t, g, b) =>
+          Row(k, Timestamp.from(Instant.parse(t)), g, b) }),
+        dSchema.toStruct)
+    def build(tag: String, bMax: Long) = {
+      val l = Files.createTempDirectory(s"azof-mv-dv-$tag").toString
+      val ck = Files.createTempDirectory(s"azof-mv-dv-$tag-ck").toString
+      AzofWriter.createTable(spark, l, "src", dSchema,
+        ts("2024-01-01T00:00:00Z"))
+      def go(): Unit = {
+        val q = MatView.refresh(spark, l, "src", l, "mv", vD, ck,
+          broadcastKeyMax = bMax)
+        assert(q.awaitTermination(120000))
+      }
+      def dv(groups: Seq[String]) =
+        MatView.countDistinct(spark, l, "mv", vD, "b", groups)
+          .collect().map(r =>
+            (if (groups.isEmpty) "" else r.getString(0), r.getLong(groups.size)))
+          .sortBy(_._1).toSeq
+      def oneShotDv() = AzofScan.scan(spark, l, "src")
+        .groupBy("grp").agg(count_distinct(col("b")).as("dv"))
+        .where(col("dv") > 0)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+      AzofWriter.commitBase(spark, l, "src", dRows(
+        ("1", "2024-01-02T00:00:00Z", "a", "x"),
+        ("2", "2024-01-02T00:00:00Z", "a", "x"),
+        ("3", "2024-01-02T00:00:00Z", "a", "y"),
+        ("4", "2024-01-02T00:00:00Z", "b", null)))                   // v2
+      go()
+      assert(dv(Seq("grp")) == Seq(("a", 2L)), "x refcount 2, y 1; " +
+        "all-null group serves no pair row")
+      assert(dv(Seq("grp")) == oneShotDv())
+      // key 2 moves x→y (x ref 2→1), key 3 moves GROUP a→b carrying y
+      AzofWriter.commitDelta(spark, l, "src", dRows(
+        ("2", "2024-02-05T00:00:00Z", "a", "y"),
+        ("3", "2024-02-05T00:00:00Z", "b", "y")),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))      // v3
+      go()
+      assert(dv(Seq("grp")) == Seq(("a", 2L), ("b", 1L)))
+      assert(dv(Seq("grp")) == oneShotDv())
+      // delete key 1: a's x refcount 1→0 — the pair leaves the serve
+      AzofWriter.commitDelete(spark, l, "src", Seq("1"),
+        ts("2024-03-05T00:00:00Z"))                                  // v4
+      go()
+      assert(dv(Seq("grp")) == Seq(("a", 1L), ("b", 1L)),
+        "zero-crossing retires the pair exactly")
+      assert(dv(Seq("grp")) == oneShotDv())
+      // global rollup: y in both groups counts ONCE (distinct pairs,
+      // not summed per-group counts)
+      assert(dv(Nil) == Seq(("", 1L)), "global distinct = {y}")
+      dv(Seq("grp"))
+    }
+    assert(build("bc", Long.MaxValue) == build("sh", 0L),
+      "guard shapes agree")
+  }
+
   test("a pre-nn_ view table (round-12 layout) refuses LOUDLY on " +
     "serve and refresh, naming the rebuild remedy — never an opaque " +
     "unresolved-column error") {
