@@ -56,7 +56,7 @@ object AzofCli {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     graft.sources.ViewDef(csv("group-cols"), csv("sum-cols"),
-      csv("minmax-cols"))
+      csv("minmax-cols"), csv("distinct-cols"))
   }
 
   /** The jv-* verbs' [[graft.sources.JoinViewDef]] (adds `--fk-col` +
@@ -132,7 +132,7 @@ object AzofCli {
           "shard-create|shard-refresh|shard-slots|shard-emit|" +
           "seq-create|seq-refresh|seq-spans|seq-emit|" +
           "sem-create|sem-refresh|sem-rebuild|sem-verdicts|" +
-          "mv-create|mv-refresh|mv-serve|mv-rebuild|" +
+          "mv-create|mv-refresh|mv-serve|mv-distinct|mv-rebuild|" +
           "term-create|term-refresh|term-search|term-phrase|" +
           "term-prefix|term-near|term-rebuild|" +
           "jv-refresh|jv-serve|jv-rebuild|" +
@@ -1125,6 +1125,22 @@ object AzofCli {
             opts.getOrElse("index-path", opts("path")),
             opts.getOrElse("index-table", "mv"), vd)
           .orderBy(vd.groupCols.map(org.apache.spark.sql.functions.col): _*)
+          .show(numRows = 10000, truncate = false)
+      case "mv-distinct" =>
+        // exact COUNT(DISTINCT) from the refcounted support table:
+        //   mv-distinct --path L --index-table mv --group-cols g
+        //     --distinct-cols b --col b [--by g2[,g3]]  (--by empty =
+        //     global; defaults to the view's group columns)
+        val vd = cliViewDef(opts)
+        val dcol = opts.getOrElse("col", vd.distinctCols.head)
+        val by = opts.get("by")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(vd.groupCols)
+        val out = graft.sources.MatView.countDistinct(spark,
+          opts.getOrElse("index-path", opts("path")),
+          opts.getOrElse("index-table", "mv"), vd, dcol, by)
+        (if (by.isEmpty) out
+         else out.orderBy(by.map(org.apache.spark.sql.functions.col): _*))
           .show(numRows = 10000, truncate = false)
       case "mv-rebuild" =>
         // epoch rebuild: retrain the view one-shot from the LIVE corpus
