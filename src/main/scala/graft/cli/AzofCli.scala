@@ -79,7 +79,8 @@ object AzofCli {
     graft.sources.JoinViewDef(csv("group-cols"), csv("sum-cols"),
       csv("minmax-cols"),
       fks.zip(padded).map { case (fk, dc) =>
-        graft.sources.DimJoin(fk, dc) })
+        graft.sources.DimJoin(fk, dc) },
+      csv("distinct-cols"))
   }
 
   /** The jv-* verbs' dim table locations: `--dim-table d1[,d2…]` with
@@ -135,7 +136,7 @@ object AzofCli {
           "mv-create|mv-refresh|mv-serve|mv-distinct|mv-rebuild|" +
           "term-create|term-refresh|term-search|term-phrase|" +
           "term-prefix|term-near|term-rebuild|" +
-          "jv-refresh|jv-serve|jv-rebuild|" +
+          "jv-refresh|jv-serve|jv-distinct|jv-rebuild|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
     }
@@ -1003,6 +1004,24 @@ object AzofCli {
             opts.getOrElse("index-path", opts("path")),
             opts.getOrElse("index-table", "jv"), jd)
           .orderBy(jd.groupCols.map(org.apache.spark.sql.functions.col): _*)
+          .show(numRows = 10000, truncate = false)
+      case "jv-distinct" =>
+        // exact star COUNT(DISTINCT) from the join view's refcounted
+        // support table:
+        //   jv-distinct --path L --index-table jv --group-cols g
+        //     --fk-col fk --dim-cols g --distinct-cols a --col a
+        //     [--by g2[,g3]]  (--by empty = global; defaults to the
+        //     view's group columns)
+        val jvd = cliJoinViewDef(opts)
+        val jdcol = opts.getOrElse("col", jvd.distinctCols.head)
+        val jby = opts.get("by")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(jvd.groupCols)
+        val jout = graft.sources.JoinView.countDistinct(spark,
+          opts.getOrElse("index-path", opts("path")),
+          opts.getOrElse("index-table", "jv"), jvd, jdcol, jby)
+        (if (jby.isEmpty) jout
+         else jout.orderBy(jby.map(org.apache.spark.sql.functions.col): _*))
           .show(numRows = 10000, truncate = false)
       case "jv-rebuild" =>
         val jd = cliJoinViewDef(opts)

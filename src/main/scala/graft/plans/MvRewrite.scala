@@ -61,12 +61,14 @@ import org.apache.spark.sql.functions._
   *
   * Both scan surfaces rewrite: the V1 reader relation (`azof.t` SQL,
   * `spark.read.format("azof")`) and the DSv2 catalog relation
-  * (`cat.t`), in the Current un-pinned form (`mvMatchKey`) and —
-  * single-table views only — the `VERSION AS OF <n|tag>` pinned form
-  * (`mvMatchKeyPinned`), which serves from the view exactly when the
-  * pinned version's live state provably equals the view's consumed
-  * state ([[MatView.freshViewVersionAt]]'s walk — the reproducible
-  * `AS OF <tag>` dashboard stops re-paying the corpus aggregate).
+  * (`cat.t`), in the Current un-pinned form (`mvMatchKey`) and the
+  * `VERSION AS OF <n|tag>` pinned form (`mvMatchKeyPinned`) — the
+  * latter serves from the view exactly when every pinned version's
+  * live state provably equals the view's consumed state
+  * ([[MatView.freshViewVersionAt]] /
+  * [[graft.sources.JoinView.freshViewVersionAt]]'s walks — the
+  * reproducible `AS OF <tag>` dashboard, single-table or star with
+  * per-table pins, stops re-paying the corpus aggregate).
   * Event-time as-of, branches, and WAP-routed reads never rewrite.
   * Output attribute ids are preserved through a positional alias
   * projection, so parent operators are untouched.
@@ -143,54 +145,67 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => (other, Nil)
     }
 
-  /** The bare azof Current relation under `plan` (no Projects/Filters
-    * stripped here), as its normalized source key.
+  /** The bare azof relation under `plan` (no Projects/Filters stripped
+    * here), as its normalized source key plus its `VERSION AS OF` pin
+    * (None = the un-pinned Current read).
     */
-  private def relKey(plan: LogicalPlan): Option[String] = plan match {
-    case l: LogicalRelation => l.relation match {
-      case r: AzofRelation => r.mvMatchKey.map(k => norm(k._1, k._2))
+  private def relKey(plan: LogicalPlan): Option[(String, Option[Long])] =
+    plan match {
+      case l: LogicalRelation => l.relation match {
+        case r: AzofRelation =>
+          r.mvMatchKey.map(k => (norm(k._1, k._2), Option.empty[Long]))
+            .orElse(r.mvMatchKeyPinned.map { case (lk, t, v) =>
+              (norm(lk, t), Some(v)) })
+        case _ => None
+      }
+      case r: DataSourceV2Relation => r.table match {
+        case t: AzofV2Table =>
+          t.mvMatchKey.map(k => (norm(k._1, k._2), Option.empty[Long]))
+            .orElse(t.mvMatchKeyPinned.map { case (lk, tb, v) =>
+              (norm(lk, tb), Some(v)) })
+        case _ => None
+      }
       case _ => None
     }
-    case r: DataSourceV2Relation => r.table match {
-      case t: AzofV2Table => t.mvMatchKey.map(k => norm(k._1, k._2))
-      case _ => None
-    }
-    case _ => None
-  }
 
   /** One matched dimension of a covered STAR shape: the dim relation's
-    * source key, the fact fk column joining to its record key, and the
-    * dim relation's output (for attribute provenance checks).
+    * source key, its version pin (if the read is `VERSION AS OF`), the
+    * fact fk column joining to its record key, and the dim relation's
+    * output (for attribute provenance checks).
     */
   private case class DimSide(
-      dimKey: String, fkName: String, dimOut: Seq[Attribute])
+      dimKey: String, pin: Option[Long], fkName: String,
+      dimOut: Seq[Attribute])
 
   /** A covered STAR shape: a left-deep tree of INNER joins
     * `fact ⋈ dim1 ⋈ dim2 ⋈ …` where every join condition equates a
     * FACT column with a dim relation's record key (either operand
-    * order at every level), all relations azof Current under pure
-    * Projects/Filters. Returns the fact's source key, the matched dim
-    * sides, all collected filter conjuncts, and the fact relation's
-    * output. A single join is the one-dim special case.
+    * order at every level), all relations azof Current or
+    * version-pinned reads under pure Projects/Filters. Returns the
+    * fact's source key + pin, the matched dim sides, all collected
+    * filter conjuncts, and the fact relation's output. A single join
+    * is the one-dim special case.
     */
   private def starSrcOf(plan: LogicalPlan): Option[(
-      String, Seq[DimSide], Seq[Expression], Seq[Attribute])] = {
+      String, Option[Long], Seq[DimSide], Seq[Expression],
+      Seq[Attribute])] = {
     import org.apache.spark.sql.catalyst.expressions.EqualTo
     val (core, conds) = strip(plan)
     core match {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
         if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
         def asDim(side: LogicalPlan)
-            : Option[(String, Seq[Attribute], Seq[Expression])] = {
+            : Option[(String, Option[Long], Seq[Attribute],
+              Seq[Expression])] = {
           val (c, cs) = strip(side)
-          relKey(c).map(k => (k, c.output, cs))
+          relKey(c).map { case (k, pin) => (k, pin, c.output, cs) }
         }
         def combine(subSide: LogicalPlan, dimSide: LogicalPlan)
-            : Option[(String, Seq[DimSide], Seq[Expression],
+            : Option[(String, Option[Long], Seq[DimSide], Seq[Expression],
               Seq[Attribute])] =
           for {
-            (fKey, dims, subConds, fOut) <- starSrcOf(subSide)
-            (dKey, dOut, dConds) <- asDim(dimSide)
+            (fKey, fPin, dims, subConds, fOut) <- starSrcOf(subSide)
+            (dKey, dPin, dOut, dConds) <- asDim(dimSide)
             // the join key: one side a FACT column, the other the dim's
             // record key (the fkCol-is-a-fact-column contract)
             fkName <- j.condition match {
@@ -206,19 +221,22 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 else None
               case _ => None
             }
-          } yield (fKey, dims :+ DimSide(dKey, fkName, dOut),
+          } yield (fKey, fPin, dims :+ DimSide(dKey, dPin, fkName, dOut),
             subConds ++ dConds, fOut)
         combine(j.left, j.right).orElse(combine(j.right, j.left))
-          .map { case (fk, ds, cs, fOut) => (fk, ds, conds ++ cs, fOut) }
+          .map { case (fk, fPin, ds, cs, fOut) =>
+            (fk, fPin, ds, conds ++ cs, fOut) }
       case rel =>
-        relKey(rel).map(k => (k, Nil, conds, rel.output))
+        relKey(rel).map { case (k, pin) =>
+          (k, pin, Nil, conds, rel.output) }
     }
   }
 
   /** [[starSrcOf]] with at least one dim — the join-view entry gate. */
   private def joinSrcOf(plan: LogicalPlan): Option[(
-      String, Seq[DimSide], Seq[Expression], Seq[Attribute])] =
-    starSrcOf(plan).filter(_._2.nonEmpty)
+      String, Option[Long], Seq[DimSide], Seq[Expression],
+      Seq[Attribute])] =
+    starSrcOf(plan).filter(_._3.nonEmpty)
 
   /** A filter conjunct the view can answer: deterministic, no
     * subqueries, and touching ONLY group columns — group values are
@@ -570,7 +588,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       agg: Aggregate, cands: Seq[(String, String)])
       : Option[LogicalPlan] =
     joinSrcOf(agg.child).flatMap {
-      case (factKey, dimSides, conds, factOut) =>
+      case (factKey, factPin, dimSides, conds, factOut) =>
         val groupsOpt = traverse(agg.groupingExpressions.map {
           case a: AttributeReference => Some(a.name)
           case _ => None
@@ -582,7 +600,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }.flatMap { d =>
               val jdef = d.jdef
               val vd = ViewDef(jdef.groupCols, jdef.sumCols,
-                jdef.minMaxCols)
+                jdef.minMaxCols, jdef.distinctCols)
               // each declared dim matches exactly one joined dim side:
               // same fk column, same dim table (order-insensitive —
               // the query may join the dims in any order)
@@ -623,18 +641,29 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     case GroupOut(c) => groups.contains(c); case _ => true }
                 }
                 .flatMap { outs =>
-                  graft.sources.JoinView.freshViewVersion(spark,
-                    d.factLake, d.factTable, d.dims, lake, mv)
+                  // per-table pins (query join order ↛ jdef dim order:
+                  // align by fk); a pinned table gates through the
+                  // pinned walk, an un-pinned one through the cursor
+                  val dimPins = jdef.dims.map(dj => sideByFk(dj.fkCol).pin)
+                  graft.sources.JoinView.freshViewVersionAt(spark,
+                    d.factLake, d.factTable, d.dims, lake, mv,
+                    factPin, dimPins)
                     .map { viewV =>
                       logInfo(s"rewriting star aggregate over $factKey ⋈ " +
                         s"${d.dims.map(x => norm(x._1, x._2)).mkString(" ⋈ ")} " +
                         s"to join view $mv@$viewV")
+                      // the support table commits BEFORE the cursor the
+                      // gate just validated (same reasoning as the
+                      // single-table path's dv pin)
+                      val dvPairs: String => org.apache.spark.sql.DataFrame =
+                        c => graft.sources.JoinView.serveDistinctPairs(
+                          spark, lake, mv, jdef, c,
+                          Some(graft.format.AzofTable(spark, lake,
+                            MatView.dvTableName(mv)).currentVersion.toLong))
                       rewrite(agg,
                         graft.sources.JoinView.serve(spark, lake, mv, jdef,
                           Some(viewV)),
-                        vd, groups, outs, conds,
-                        c => throw new IllegalStateException(
-                          s"join views declare no distinct columns ($c)"))
+                        vd, groups, outs, conds, dvPairs)
                     }
                 }
             }
@@ -700,9 +729,14 @@ object MvRewriteRule {
           }
           // an old-format join sidecar THROWS in readDef (the loud
           // upgrade message) — caught here, so the query falls back to
-          // the scan rather than crashing in the optimizer
+          // the scan rather than crashing in the optimizer; a declared
+          // distinct column without its support table likewise refuses
+          // candidacy instead of failing inside the rule
           .orElse(graft.sources.JoinView.readDef(spark, lake, mv)
-            .map { case (fl, ft, ds, jd) => JoinDef(fl, ft, ds, jd) })
+            .map { case (fl, ft, ds, jd) => JoinDef(fl, ft, ds, jd) }
+            .filter(jd => jd.jdef.distinctCols.isEmpty ||
+              scala.util.Try(graft.format.AzofTable(spark, lake,
+                MatView.dvTableName(mv)).currentVersion).isSuccess))
         catch { case scala.util.control.NonFatal(_) => None }
       read.foreach(defCache.put((lake, mv), _))
       read

@@ -51,7 +51,9 @@ object AzofQueries {
     "q57_star_view" -> starViewRewrite,
     "q58_mv_nullable" -> matViewNullable,
     "q59_mv_pinned_rewrite" -> matViewPinnedRewrite,
-    "q60_mv_distinct" -> matViewDistinctRewrite)
+    "q60_mv_distinct" -> matViewDistinctRewrite,
+    "q61_star_distinct" -> starDistinctRewrite,
+    "q62_star_pinned_rewrite" -> starPinnedRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1444,13 +1446,16 @@ object AzofQueries {
   }
 
   /** The q57 STAR [[graft.sources.JoinViewDef]]: per-(tier, bucket
-    * label) counts, char sums, and extrema over
-    * `docs ⋈ sources ⋈ buckets` — two dims, each with its own fk.
+    * label) counts, char sums, extrema, and exact author distinct
+    * counts over `docs ⋈ sources ⋈ buckets` — two dims, each with its
+    * own fk; `author` is a NULLABLE fact column backed by the
+    * refcounted distinct support table (q61).
     */
   private val starDef = graft.sources.JoinViewDef(Seq("tier", "label"),
     sumCols = Seq("n_chars"), minMaxCols = Seq("n_chars"),
     dims = Seq(graft.sources.DimJoin("src", Seq("tier")),
-      graft.sources.DimJoin("bk", Seq("label"))))
+      graft.sources.DimJoin("bk", Seq("label"))),
+    distinctCols = Seq("author"))
 
   /** Seven-commit, per-commit-refreshed STAR lake: dim1 `src_star`
     * (key = source name, `tier` = number parity), dim2 `bkt_star`
@@ -1458,12 +1463,16 @@ object AzofQueries {
     * `facts_star` (fk1 = source, fk2 = bucket, `n_chars`). Churn on
     * ALL THREE tables: fact base (⅔, Jan) + delta (rest, Feb); a DIM1
     * re-tier of every fifth source to `vip` (Apr); a DIM2 re-label of
-    * `b1` to `xl` (Apr); a DIM2 delete of `b3` (May — its facts leave
-    * the star); a FACT revision pointing `doc_id % 7 = 0` docs at
-    * `src1` with `n_chars + 3` (May); a fact delete of docs 6/7 (Jun).
+    * `b1` to `xl` (Apr); a FACT revision pointing `doc_id % 7 = 0` docs
+    * at `src1` with `n_chars + 3` and author `a9` (May); a DIM2 delete
+    * of `b3` (May — its facts leave the star); a fact delete of docs
+    * 6/7 (Jun). The fact's nullable `author` (`a<doc_id % 10>`, NULL
+    * for `doc_id % 6 = 0`) feeds the distinct support table: the dim
+    * re-tiers move its pairs across groups, the revision collapses
+    * distinct mass onto `a9`, the deletes decrement refcounts.
     */
   private[queries] def starLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "star-v1", "doc_star") { l =>
+    cachedLake(dir, "star-v2", "doc_star") { l =>
       import graft.sources.{AzofWriter, JoinView}
       val docs = Tables(s, dir, "documents")
       val srcs = docs.select("source").distinct()
@@ -1480,7 +1489,8 @@ object AzofQueries {
         TableSchema(Seq(
           ColumnDef("src", ColumnType.AzString, nullable = false),
           ColumnDef("bk", ColumnType.AzString, nullable = false),
-          ColumnDef("n_chars", ColumnType.AzInt, nullable = false))),
+          ColumnDef("n_chars", ColumnType.AzInt, nullable = false),
+          ColumnDef("author", ColumnType.AzString, nullable = true))),
         Instant.parse("2024-01-01T00:00:00Z"))
       def refresh(): Unit = {
         JoinView.refresh(s, l, "facts_star",
@@ -1489,13 +1499,18 @@ object AzofQueries {
       }
       def factRows(filter: org.apache.spark.sql.Column, at: String,
           src: org.apache.spark.sql.Column = col("source"),
-          nc: org.apache.spark.sql.Column = col("n_chars")) =
+          nc: org.apache.spark.sql.Column = col("n_chars"),
+          au: org.apache.spark.sql.Column =
+            when(col("doc_id") % 6 === 0, lit(null))
+              .otherwise(concat(lit("a"),
+                (col("doc_id") % 10).cast("string")))) =
         docs.where(filter).select(
           col("doc_id").cast("string").as("key"),
           lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
           src.as("src"),
           concat(lit("b"), (col("doc_id") % 4).cast("string")).as("bk"),
-          nc.as("n_chars"))
+          nc.as("n_chars"),
+          au.cast("string").as("author"))
       AzofWriter.commitBase(s, l, "src_star",
         srcs.select(col("source").as("key"),
           lit(java.sql.Timestamp.from(
@@ -1536,7 +1551,7 @@ object AzofQueries {
       refresh()
       AzofWriter.commitDelta(s, l, "facts_star",
         factRows(col("doc_id") % 7 === 0, "2024-05-05T00:00:00Z",
-          src = lit("src1"), nc = col("n_chars") + 3),
+          src = lit("src1"), nc = col("n_chars") + 3, au = lit("a9")),
         Instant.parse("2024-05-01T00:00:00Z"),
         Instant.parse("2024-06-01T00:00:00Z"))
       refresh()
@@ -1616,6 +1631,130 @@ object AzofQueries {
        FROM fact JOIN dim1 ON fact.src = dim1.k
                  JOIN dim2 ON fact.bk = dim2.k
        GROUP BY tier, label"""
+
+  /** The STAR `COUNT(DISTINCT)` rewrite under the oracle gate (q60's
+    * join twin, at a ROLLUP grain): plain SQL over
+    * `fact ⋈ dim1 ⋈ dim2` grouping by `tier` — a proper SUBSET of the
+    * view's `(tier, label)` grain — with `count(distinct author)` over
+    * a NULLABLE fact column. The optimizer re-sums the additive totals
+    * from the star view and re-counts the refcounted support pairs at
+    * the query grain; exactness rides the support table's maintenance
+    * through fact churn, BOTH dims' re-tiers (pairs move groups), the
+    * dim delete, and the fact revision/delete. The plan gate refuses
+    * any surviving azof relation or Join between azof tables
+    * (Aggregates remain by design — they aggregate the index-sized
+    * view/support reads, never the corpus).
+    */
+  private def starDistinctRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = starLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_star")
+    try {
+      val q = s.sql(
+        "SELECT tier, count(*) AS n_rows, sum(n_chars) AS sum_n_chars, " +
+          "count(DISTINCT author) AS dv_author " +
+          "FROM azof.facts_star f " +
+          "JOIN azof.src_star d1 ON f.src = d1.key " +
+          "JOIN azof.bkt_star d2 ON f.bk = d2.key " +
+          "GROUP BY tier")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "star distinct rewrite did not fire — refusing to pass the " +
+          "row off the corpus scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** q61's oracle: the one-shot three-table star distinct/rollup over
+    * the reconstructed final states ([[starLake]]'s churn script, incl.
+    * the author column's null/revision history).
+    */
+  private val starDistinctOracle: String =
+    """WITH fact AS (
+         SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
+                  AS src,
+                'b' || CAST(doc_id % 4 AS VARCHAR) AS bk,
+                CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars
+                  END AS n_chars,
+                CASE WHEN doc_id % 7 = 0 THEN 'a9'
+                     WHEN doc_id % 6 = 0 THEN NULL
+                     ELSE 'a' || CAST(doc_id % 10 AS VARCHAR)
+                  END AS author
+         FROM documents WHERE doc_id NOT IN (6, 7)),
+       dim1 AS (
+         SELECT source AS k,
+                CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                       THEN 'vip'
+                     WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                       THEN 'even'
+                     ELSE 'odd' END AS tier
+         FROM (SELECT DISTINCT source FROM documents)),
+       dim2 AS (
+         SELECT 'b' || CAST(b AS VARCHAR) AS k,
+                CASE WHEN b = 1 THEN 'xl'
+                     WHEN b % 2 = 0 THEN 'low' ELSE 'high' END AS label
+         FROM (VALUES (0),(1),(2),(3)) AS t(b) WHERE b <> 3)
+       SELECT tier, COUNT(*) AS n_rows,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+              COUNT(DISTINCT author) AS dv_author
+       FROM fact JOIN dim1 ON fact.src = dim1.k
+                 JOIN dim2 ON fact.bk = dim2.k
+       GROUP BY tier"""
+
+  /** The VERSION-PINNED STAR rewrite under the oracle gate (q59's join
+    * twin, the reproducible three-table dashboard): every table read
+    * `VERSION AS OF` its current version — pins provably
+    * view-identical under
+    * [[graft.sources.JoinView.freshViewVersionAt]]'s per-table walks —
+    * is answered FROM the star view; the plan gate refuses a plan that
+    * still joins or aggregates, so the row certifies
+    * pinned-star-rewrite-fired AND exact under the one-shot
+    * reconstruction oracle. (Pins below a state-changing commit refuse
+    * and time-travel — MvRewriteSpec's pinned star cases.)
+    */
+  private def starPinnedRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = starLake(s, dir)
+    val vf = graft.format.AzofTable(s, lake, "facts_star").currentVersion
+    val v1 = graft.format.AzofTable(s, lake, "src_star").currentVersion
+    val v2 = graft.format.AzofTable(s, lake, "bkt_star").currentVersion
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_star")
+    try {
+      val q = s.sql(
+        "SELECT tier, label, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, count(n_chars) AS nn_n_chars, " +
+          "avg(n_chars) AS avg_n_chars, min(n_chars) AS min_n_chars, " +
+          "max(n_chars) AS max_n_chars " +
+          s"FROM azof.facts_star VERSION AS OF $vf AS f " +
+          s"JOIN azof.src_star VERSION AS OF $v1 AS d1 " +
+          "ON f.src = d1.key " +
+          s"JOIN azof.bkt_star VERSION AS OF $v2 AS d2 " +
+          "ON f.bk = d2.key " +
+          "GROUP BY tier, label")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "pinned star rewrite did not fire — refusing to pass the row " +
+          "off the scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
 
   /** q54/q55's shared CTE prelude: both tables' reconstructed final
     * states (see [[jvLake]]'s churn script).
@@ -1733,6 +1872,14 @@ object AzofQueries {
     // the one-shot THREE-table star aggregate (fact ⋈ 2 dims, churn on
     // all three) re-proved through the plan-pinned optimizer rewrite
     "q57_star_view" -> starViewOracle,
+    // exact star COUNT(DISTINCT) at a rollup grain: the refcounted
+    // support pairs re-counted at the query grain, under dim re-tiers
+    // that move pairs across groups
+    "q61_star_distinct" -> starDistinctOracle,
+    // per-table VERSION pins provably view-identical serve the same
+    // star truth (pins ARE the current versions; refusals are
+    // spec-side)
+    "q62_star_pinned_rewrite" -> starViewOracle,
     // exact COUNT(DISTINCT) from the refcounted support table, under
     // value-moving revisions, nulls, and zero-crossing deletes
     "q60_mv_distinct" ->

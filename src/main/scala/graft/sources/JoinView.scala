@@ -32,7 +32,8 @@ final case class JoinViewDef(
     groupCols: Seq[String],
     sumCols: Seq[String] = Nil,
     minMaxCols: Seq[String] = Nil,
-    dims: Seq[DimJoin] = Seq(DimJoin("fk"))) {
+    dims: Seq[DimJoin] = Seq(DimJoin("fk")),
+    distinctCols: Seq[String] = Nil) {
   require(groupCols.nonEmpty, "a join view needs group columns")
   require(dims.nonEmpty, "a join view needs at least one dim")
   require(dims.map(_.fkCol).distinct.size == dims.size,
@@ -46,11 +47,18 @@ final case class JoinViewDef(
     "dimCols must be a subset of groupCols (dim attributes only group)")
   require(dims.forall(d => !dimColsAll.contains(d.fkCol)),
     "fk columns are fact columns")
+  require(distinctCols.forall(c => !groupCols.contains(c)),
+    "COUNT(DISTINCT <group col>) needs no support table — view rows " +
+      "are distinct group tuples; declare only non-group distinct cols")
+  require(distinctCols.forall(c => !dimColsAll.contains(c)),
+    "distinct columns must be FACT columns (a dim attribute that " +
+      "should be distinct-counted belongs in groupCols)")
   /** Group columns that live on the fact side. */
   def factGroupCols: Seq[String] = groupCols.filterNot(dimColsAll.contains)
   /** Fact columns the refresh reads. */
   def factNeeded: Seq[String] =
-    (dims.map(_.fkCol) ++ factGroupCols ++ sumCols ++ minMaxCols).distinct
+    (dims.map(_.fkCol) ++ factGroupCols ++ sumCols ++ minMaxCols ++
+      distinctCols).distinct
 }
 
 /** PERSISTED incremental STAR-JOIN aggregate view — [[MatView]]'s
@@ -173,6 +181,12 @@ object JoinView {
           s"min/max column '$c' must be a non-Boolean FACT column — " +
             "aggregate a cast upstream instead")
     }
+    jdef.distinctCols.foreach { c =>
+      if (!factBy.contains(c))
+        throw new IllegalArgumentException(
+          s"distinct column '$c' is not in the fact schema (distinct " +
+            "columns are FACT columns)")
+    }
     TableSchema(
       jdef.groupCols.map(g =>
         ColumnDef(g, defOf(g).dataType, nullable = false)) ++
@@ -183,6 +197,28 @@ object JoinView {
         jdef.minMaxCols.flatMap(c => Seq(
           ColumnDef(s"min_$c", defOf(c).dataType, nullable = true),
           ColumnDef(s"max_$c", defOf(c).dataType, nullable = true))))
+  }
+
+  /** The DISTINCT support table's value schema ([[MatView.dvSchema]]'s
+    * star twin): the distinct column's NAME, the view's group columns
+    * (typed from their fact/dim side), the value under its canonical
+    * STRING encoding, and the reference count. One row per live
+    * `(distinct col, group tuple, value)` — the structure that makes
+    * `COUNT(DISTINCT c)` exact under fact churn AND under dim re-tiers
+    * (the pair's group tuple moves with the dim attribute, subtracted
+    * under the old attributes and re-added under the new ones by the
+    * same pre/post enrichment the sums ride).
+    */
+  def dvSchema(
+      factSchema: TableSchema, dimSchemas: Seq[TableSchema],
+      jdef: JoinViewDef): TableSchema = {
+    val full = viewSchema(factSchema, dimSchemas, jdef)
+    val groupDefs = full.columns.take(jdef.groupCols.size)
+    TableSchema(
+      Seq(ColumnDef("dcol", ColumnType.AzString, nullable = false)) ++
+        groupDefs ++
+        Seq(ColumnDef("value", ColumnType.AzString, nullable = false),
+          ColumnDef("ref", ColumnType.AzInt, nullable = false)))
   }
 
   /** Definition sidecar ([[MatView.DefFileName]]'s join twin): what the
@@ -209,6 +245,9 @@ object JoinView {
       AzofTable(spark, dl, dt).currentSnapshot.schema }
     val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, viewSchema(fs, dss, jdef), segmentStart)
+    if (jdef.distinctCols.nonEmpty)
+      AzofWriter.createTableIfAbsent(spark, idxLake,
+        MatView.dvTableName(idxTable), dvSchema(fs, dss, jdef), segmentStart)
     if (created)
       writeDef(spark, factLake, factTable, dims, idxLake, idxTable, jdef)
     ()
@@ -238,6 +277,7 @@ object JoinView {
         s""""group_cols":${arr(jdef.groupCols)},""" +
         s""""sum_cols":${arr(jdef.sumCols)},""" +
         s""""minmax_cols":${arr(jdef.minMaxCols)},""" +
+        s""""distinct_cols":${arr(jdef.distinctCols)},""" +
         s""""dims":$dimArr}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -277,11 +317,14 @@ object JoinView {
         ((lake(d.get("path").asText), d.get("table").asText),
           DimJoin(d.get("fk_col").asText, seq(d.get("dim_cols"))))
       }
+      // absent in pre-distinct sidecars (still format 2) → no distinct
+      val dcols = Option(root.get("distinct_cols"))
+        .map(seq).getOrElse(Nil)
       Some((lake(root.get("fact_path").asText),
         root.get("fact_table").asText,
         dims.map(_._1),
         JoinViewDef(seq(root.get("group_cols")), seq(root.get("sum_cols")),
-          seq(root.get("minmax_cols")), dims.map(_._2))))
+          seq(root.get("minmax_cols")), dims.map(_._2), dcols)))
     }
   }
 
@@ -307,7 +350,32 @@ object JoinView {
       spark: SparkSession,
       factLake: String, factTable: String,
       dims: Seq[(String, String)],
-      idxLake: String, idxTable: String): Option[Long] = {
+      idxLake: String, idxTable: String): Option[Long] =
+    freshViewVersionAt(spark, factLake, factTable, dims, idxLake, idxTable,
+      None, Seq.fill(dims.size)(None))
+
+  /** [[freshViewVersion]] for a VERSION-PINNED star read
+    * ([[MatView.freshViewVersionAt]]'s join twin): each table may carry
+    * its own `VERSION AS OF` pin (None = the un-pinned Current read).
+    * The view serves exactly when EVERY table's requested state
+    * provably equals its consumed-cursor state — a pinned table walks
+    * every main-lineage commit after `min(pin, cursor)` (covering both
+    * the pin↔cursor and cursor↔current spans, the single-table
+    * reasoning verbatim), an un-pinned table walks from the cursor. A
+    * pin resolving to a BRANCH head refuses (a different lineage's
+    * state under shared numbering). This is the reproducible-report
+    * star: an `AS OF` dashboard over `fact ⋈ dims` re-served from the
+    * view, never wrong — any state-changing commit in any span falls
+    * back to the scan+join.
+    */
+  def freshViewVersionAt(
+      spark: SparkSession,
+      factLake: String, factTable: String,
+      dims: Seq[(String, String)],
+      idxLake: String, idxTable: String,
+      factPin: Option[Long], dimPins: Seq[Option[Long]]): Option[Long] = {
+    require(dimPins.size == dims.size,
+      s"${dims.size} dims, ${dimPins.size} pins")
     val (dir, fs, p) = sidecarPath(spark, idxLake, idxTable, CursorFileName)
     val _ = dir
     if (!fs.exists(p)) None
@@ -315,11 +383,23 @@ object JoinView {
       val (f, ds) = readCursor(spark, idxLake, idxTable, dims.size)
       if (ds.size != dims.size) None
       else {
-        val v = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
-        val ok = MatView.unchangedSince(spark, factLake, factTable, f) &&
-          dims.zip(ds).forall { case ((dl, dt), dv) =>
-            MatView.unchangedSince(spark, dl, dt, dv) }
-        if (ok) Some(v) else None
+        def tableOk(lake: String, table: String, cur: Long,
+            pin: Option[Long]): Boolean = pin match {
+          case None => MatView.unchangedSince(spark, lake, table, cur)
+          case Some(v) =>
+            val onMain =
+              try AzofTable(spark, lake, table)
+                .snapshot(v.toString).branch.isEmpty
+              catch { case scala.util.control.NonFatal(_) => false }
+            onMain &&
+              MatView.unchangedSince(spark, lake, table, math.min(v, cur))
+        }
+        val vv = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
+        val ok = tableOk(factLake, factTable, f, factPin) &&
+          dims.indices.forall { i =>
+            val (dl, dt) = dims(i)
+            tableOk(dl, dt, ds(i), dimPins(i)) }
+        if (ok) Some(vv) else None
       }
     }
   }
@@ -418,16 +498,31 @@ object JoinView {
     var (fPrev, dPrevs) = readCursor(spark, idxLake, idxTable, dims.size)
     val lastApplied =
       graft.streaming.AzofSink.lastCommitted(spark, idxLake, idxTable, appId)
+    val hasDv = jdef.distinctCols.nonEmpty
+    def dvApplied(b: Long): Boolean = !hasDv ||
+      graft.streaming.AzofSink.lastCommitted(spark, idxLake,
+        MatView.dvTableName(idxTable), s"$appId#dv").exists(_ >= b)
+    // a crash AFTER the view commit but BEFORE the support commit must
+    // NOT promote the cursor (the distinct-pair delta would be lost
+    // forever): promotion requires BOTH replay guards at the staged
+    // batch; a half-landed batch instead re-runs as a CATCH-UP leg
+    // pinned to the staged vector — the view commit replays as a guard
+    // no-op, the support commit applies, then the cursor promotes
+    var catchUp: Option[(Long, Seq[Long])] = None
     readPending(spark, idxLake, idxTable) match {
       case Some((b, pf, pds)) if pds.size == dims.size &&
           lastApplied.exists(_ >= b) && b > encode(fPrev, dPrevs) =>
-        writeCursor(spark, idxLake, idxTable, pf, pds)
-        fPrev = pf; dPrevs = pds
+        if (dvApplied(b)) {
+          writeCursor(spark, idxLake, idxTable, pf, pds)
+          fPrev = pf; dPrevs = pds
+        } else catchUp = Some((pf, pds))
       case _ if dims.size == 1 =>
         lastApplied.filter(_ > encode(fPrev, dPrevs)).foreach { applied =>
           val (hf, hd) = (applied / 1000000000L, applied % 1000000000L)
-          writeCursor(spark, idxLake, idxTable, hf, Seq(hd))
-          fPrev = hf; dPrevs = Seq(hd)
+          if (dvApplied(applied)) {
+            writeCursor(spark, idxLake, idxTable, hf, Seq(hd))
+            fPrev = hf; dPrevs = Seq(hd)
+          } else catchUp = Some((hf, Seq(hd)))
         }
       case _ => ()
     }
@@ -436,6 +531,11 @@ object JoinView {
         s"cursor carries ${dPrevs.size} dim version(s) for a " +
           s"${dims.size}-dim view — the definition cannot change for a " +
           "view table's life; rebuild via JoinView.rebuildEpoch")
+    catchUp.foreach { case (pf, pds) =>
+      refreshLeg(spark, factLake, factTable, dims, idxLake, idxTable,
+        jdef, broadcastKeyMax, fPrev, dPrevs, pf, pds)
+      fPrev = pf; dPrevs = pds
+    }
     val fNow = fact.currentVersion.toLong
     val dNows = dimTabs.map(_.currentVersion.toLong)
     if (fNow < fPrev || dNows.zip(dPrevs).exists { case (n, p) => n < p })
@@ -445,7 +545,30 @@ object JoinView {
           "needs rebuildEpoch, the feed's documented contract")
     if (fNow == fPrev && dNows == dPrevs)
       return RefreshReport(fPrev, fNow, dPrevs, dNows, 0L, noop = true)
+    refreshLeg(spark, factLake, factTable, dims, idxLake, idxTable,
+      jdef, broadcastKeyMax, fPrev, dPrevs, fNow, dNows)
+  }
 
+  /** One delta leg `(fPrev, dPrevs) → (fNow, dNows)`: compute, commit
+    * (view then distinct support, each under its own replay guard at
+    * the vector's batch id), promote the cursor. Pinned target versions
+    * so the crash-heal can re-run a half-landed batch exactly.
+    */
+  private def refreshLeg(
+      spark: SparkSession,
+      factLake: String, factTable: String,
+      dims: Seq[(String, String)],
+      idxLake: String, idxTable: String,
+      jdef: JoinViewDef,
+      broadcastKeyMax: Long,
+      fPrev: Long, dPrevs: Seq[Long],
+      fNow: Long, dNows: Seq[Long]): RefreshReport = {
+    val K = TableSchema.KeyName
+    val appId = s"join-view#$idxTable"
+    val fact = AzofTable(spark, factLake, factTable)
+    val dimTabs = dims.map { case (dl, dt) => AzofTable(spark, dl, dt) }
+    val hasDv = jdef.distinctCols.nonEmpty
+    val dvName = MatView.dvTableName(idxTable)
     val factSnapNow = fact.snapshot(fNow.toString)
     val factSnapPrev = fact.snapshot(fPrev.toString)
     val dimSnapNow = dimTabs.zip(dNows).map { case (t, v) =>
@@ -479,7 +602,8 @@ object JoinView {
         AsOf.Current,
         projection = Some((Set(K) ++ jdef.dims(i).dimCols).toSet))
         .withColumnRenamed(K, s"_dk_$i")
-    val outCols = (jdef.groupCols ++ jdef.sumCols ++ jdef.minMaxCols).distinct
+    val outCols = (jdef.groupCols ++ jdef.sumCols ++ jdef.minMaxCols ++
+      jdef.distinctCols).distinct
     def enrich(facts: DataFrame, dimFrames: Seq[DataFrame]): DataFrame =
       dims.indices.foldLeft(facts) { (acc, i) =>
         acc.join(dimFrames(i),
@@ -557,6 +681,25 @@ object JoinView {
     val touched = groupAgg(adds, "_a_")
       .join(groupAgg(subs, "_p_"), jdef.groupCols, "full_outer")
       .localCheckpoint(true)
+    // DISTINCT support: per-(dcol, group tuple, value) refcount deltas
+    // from the SAME enriched post/pre frames the sums ride — a dim
+    // re-tier moves a pair's group tuple exactly like it moves the
+    // sums; checkpointed before the churn frames are freed
+    val dvKeys = Seq("dcol") ++ jdef.groupCols ++ Seq("value")
+    def pairCounts(rows: DataFrame, pfx: String): DataFrame =
+      jdef.distinctCols.map { c =>
+        rows.where(col(c).isNotNull)
+          .select((jdef.groupCols.map(col) ++ Seq(
+            col(c).cast("string").as("value"),
+            lit(c).as("dcol"))): _*)
+      }.reduce(_.unionByName(_))
+        .groupBy(dvKeys.map(col): _*)
+        .agg(count(lit(1)).as(s"${pfx}r"))
+    val dvTouched: Option[DataFrame] =
+      if (!hasDv) None
+      else Some(pairCounts(adds, "_a_")
+        .join(pairCounts(subs, "_p_"), dvKeys, "full_outer")
+        .localCheckpoint(true))
     graft.operators.Blocks.freeReferenced(affCk)
     dimChurn.foreach(d => graft.operators.Blocks.freeReferenced(d.toDF()))
     graft.operators.Blocks.freeReferenced(factChurn.toDF())
@@ -568,8 +711,48 @@ object JoinView {
     MatView.requireNoSep(
       if (tStats.isNullAt(1)) 0L else tStats.getLong(1), "churned")
     if (nTouched == 0L) {
+      // no group touched ⇒ the post/pre frames were empty ⇒ no
+      // distinct pair moved either — the cursor advance alone is safe
+      dvTouched.foreach(d => graft.operators.Blocks.freeReferenced(d))
       writeCursor(spark, idxLake, idxTable, fNow, dNows)
       return RefreshReport(fPrev, fNow, dPrevs, dNows, 0L, noop = false)
+    }
+    // refcount upserts: old + new − pre per touched pair, old refs from
+    // a pair-confined support read (broadcast semi under the guard) —
+    // [[MatView.deltaBatch]]'s shape verbatim
+    val dvRows: Option[DataFrame] = dvTouched.flatMap { dvt =>
+      val dvStats = dvt.agg(count(lit(1)),
+        MatView.sepViolations(dvt, jdef.groupCols ++ Seq("value")))
+        .collect()(0)
+      val nDv = dvStats.getLong(0)
+      MatView.requireNoSep(
+        if (dvStats.isNullAt(1)) 0L else dvStats.getLong(1),
+        "churned distinct-pair")
+      if (nDv == 0L) { graft.operators.Blocks.freeReferenced(dvt); None }
+      else {
+        val existing = graft.operators.AzofScan
+          .scan(spark, idxLake, dvName)
+          .select((dvKeys.map(col) :+ col("ref").as("_o_r")): _*)
+        val confined =
+          if (nDv <= broadcastKeyMax)
+            existing.join(broadcast(dvt.select(dvKeys.map(col): _*)),
+              dvKeys, "left_semi")
+          else existing
+        val merged = dvt.join(confined, dvKeys, "left")
+        def zr(c: Column): Column = coalesce(c, lit(0L))
+        Some(merged.select(
+          (Seq(
+            concat_ws(Sep, (Seq(col("dcol")) ++
+              jdef.groupCols.map(c => col(c).cast("string")) ++
+              Seq(col("value"))): _*).as(K),
+            lit(java.sql.Timestamp.from(MatView.ViewStamp))
+              .as(TableSchema.EventTimeName),
+            col("dcol")) ++
+            jdef.groupCols.map(col) ++
+            Seq(col("value"),
+              (zr(col("_o_r")) + zr(col("_a_r")) - zr(col("_p_r")))
+                .as("ref"))): _*))
+      }
     }
     // ---- min/max rescan: groups that LOST rows recompute from the
     // live star join at the refreshed version vector
@@ -653,8 +836,15 @@ object JoinView {
     writePending(spark, idxLake, idxTable, batchId, fNow, dNows)
     graft.streaming.AzofSink.commitBatch(idxLake, idxTable, rows,
       batchId, appId)
+    // the support table commits under its own guard id, AFTER the view
+    // and BEFORE the cursor — each table's delta depends only on ITS
+    // OWN old state plus the batch, so a crash between the commits
+    // replays exactly-once on both (the catch-up heal above)
+    dvRows.foreach(dv => graft.streaming.AzofSink.commitBatch(
+      idxLake, dvName, dv, batchId, s"$appId#dv"))
     writeCursor(spark, idxLake, idxTable, fNow, dNows)
     graft.operators.Blocks.freeReferenced(touched.toDF())
+    dvTouched.foreach(d => graft.operators.Blocks.freeReferenced(d))
     RefreshReport(fPrev, fNow, dPrevs, dNows, nTouched, noop = false)
   }
 
@@ -683,6 +873,47 @@ object JoinView {
       .select(cols: _*)
   }
 
+  /** The live distinct PAIRS for one declared distinct column
+    * ([[MatView.serveDistinctPairs]]'s star twin): every
+    * `(group tuple, value)` with a positive refcount — exact at the
+    * view's grain, at any subset rollup, and globally, an index-sized
+    * read that never touches fact or dims.
+    */
+  def serveDistinctPairs(
+      spark: SparkSession,
+      idxLake: String, idxTable: String, jdef: JoinViewDef, dcol: String,
+      version: Option[Long] = None): DataFrame = {
+    require(jdef.distinctCols.contains(dcol),
+      s"'$dcol' is not a declared distinct column")
+    val t = AzofTable(spark, idxLake, MatView.dvTableName(idxTable))
+    val snap = version.map(v => t.snapshot(v.toString))
+      .getOrElse(t.currentSnapshot)
+    graft.operators.AzofScan.scanSnapshot(spark, t, snap, AsOf.Current,
+      keyFilter = Some(KeyFilter.Range(
+        Some(dcol + Sep), Some(dcol + Sep + "\uffff"))))
+      .where(col("dcol") === dcol && col("ref") > 0L)
+      .select((jdef.groupCols.map(col) :+ col("value")): _*)
+  }
+
+  /** `COUNT(DISTINCT dcol)` per `queryGroups` (a subset of the view's
+    * group columns; empty = global), exact, from the support table
+    * alone.
+    */
+  def countDistinct(
+      spark: SparkSession,
+      idxLake: String, idxTable: String, jdef: JoinViewDef, dcol: String,
+      queryGroups: Seq[String],
+      version: Option[Long] = None): DataFrame = {
+    require(queryGroups.forall(jdef.groupCols.contains),
+      "query groups must be view group columns")
+    val pairs = serveDistinctPairs(spark, idxLake, idxTable, jdef, dcol,
+      version)
+    if (queryGroups.isEmpty)
+      pairs.agg(count_distinct(col("value")).as(s"dv_$dcol"))
+    else pairs.groupBy(queryGroups.map(col): _*)
+      .agg(count_distinct(col("value")).as(s"dv_$dcol"))
+  }
+
   /** Epoch hatch after a ROLLBACK on any source: retrain the view
     * one-shot from all tables' CURRENT live states into `newTable`.
     */
@@ -701,7 +932,8 @@ object JoinView {
     create(spark, factLake, factTable, dims, idxLake, newTable, jdef, at)
     val facts = graft.operators.AzofScan.scan(spark, factLake, factTable)
       .select(jdef.factNeeded.map(col): _*)
-    val outCols = (jdef.groupCols ++ jdef.sumCols ++ jdef.minMaxCols).distinct
+    val outCols = (jdef.groupCols ++ jdef.sumCols ++ jdef.minMaxCols ++
+      jdef.distinctCols).distinct
     val joined = dims.indices.foldLeft(facts) { (acc, i) =>
       val (dl, dt) = dims(i)
       val d = graft.operators.AzofScan.scan(spark, dl, dt)
@@ -735,6 +967,31 @@ object JoinView {
     MatView.requireNoSep(
       if (stats.isNullAt(1)) 0L else stats.getLong(1), "retrained")
     if (n > 0) AzofWriter.commitDelta(spark, idxLake, newTable, rows, at, at)
+    // DISTINCT support retrain: one-shot refcounts per (dcol, groups,
+    // value) pair off the SAME enriched star join — committed BEFORE
+    // the cursor, like the refresh
+    if (jdef.distinctCols.nonEmpty) {
+      val dvKeys = Seq("dcol") ++ jdef.groupCols ++ Seq("value")
+      val pairs = jdef.distinctCols.map { c =>
+        joined.where(col(c).isNotNull)
+          .select((jdef.groupCols.map(col) ++ Seq(
+            col(c).cast("string").as("value"), lit(c).as("dcol"))): _*)
+      }.reduce(_.unionByName(_))
+        .groupBy(dvKeys.map(col): _*)
+        .agg(count(lit(1)).as("ref"))
+      val dvRows = pairs.select(
+        (Seq(
+          concat_ws(Sep, (Seq(col("dcol")) ++
+            jdef.groupCols.map(c => col(c).cast("string")) ++
+            Seq(col("value"))): _*).as(TableSchema.KeyName),
+          lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName),
+          col("dcol")) ++
+          jdef.groupCols.map(col) ++
+          Seq(col("value"), col("ref"))): _*)
+      if (dvRows.limit(1).count() > 0)
+        AzofWriter.commitDelta(spark, idxLake,
+          MatView.dvTableName(newTable), dvRows, at, at)
+    }
     writeCursor(spark, idxLake, newTable, fNow, dNows)
     n
   }

@@ -704,4 +704,146 @@ class MvRewriteSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.mvr.path")
     }
   }
+
+  /** A one-dim join lake with a NULLABLE distinct fact column and its
+    * view refreshed: facts (a:x, a:x, b:y, a:null) under dim
+    * d1→t1, d2→t2.
+    */
+  private def mkJoinDvLake(tag: String)
+      : (String, graft.sources.JoinViewDef) = {
+    import graft.sources.{DimJoin, JoinView, JoinViewDef}
+    val jdef = JoinViewDef(Seq("tier"), sumCols = Seq("v"),
+      dims = Seq(DimJoin("fk", Seq("tier"))), distinctCols = Seq("a"))
+    val l = Files.createTempDirectory(s"azof-mvrw-jdv-$tag").toString
+    val factSchema = TableSchema(Seq(
+      ColumnDef("fk", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false),
+      ColumnDef("a", ColumnType.AzString, nullable = true)))
+    val dimSchema = TableSchema(Seq(
+      ColumnDef("tier", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "dim",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("d1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t1"),
+        Row("d2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t2"))),
+        dimSchema.toStruct))
+    AzofWriter.commitBase(spark, l, "fact",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "d1", 10L, "x"),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "d1", 4L, "x"),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "d2", 7L, "y"),
+        Row("4", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "d1", 2L, null))),
+        factSchema.toStruct))
+    JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "jdv", jdef)
+    (l, jdef)
+  }
+
+  test("COUNT(DISTINCT <declared fact col>) over a JOIN serves from " +
+    "the star support table at exact, rollup, and global grains; an " +
+    "undeclared column refuses to the scan+join") {
+    val (l, _) = mkJoinDvLake("main")
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "jdv")
+    try {
+      val q = spark.sql(
+        "SELECT tier, count(*) AS n, count(DISTINCT a) AS dv " +
+          "FROM azof.fact f JOIN azof.dim d ON f.fk = d.key " +
+          "GROUP BY tier")
+      assert(!scansSrc(q),
+        "declared distinct over the join must serve from the view:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq ==
+        Seq(("t1", 3L, 1L), ("t2", 1L, 1L)),
+        "duplicate 'x' once, the null skipped")
+      // global rollup: pairs re-counted with no group
+      val qg = spark.sql(
+        "SELECT count(DISTINCT a) AS dv, sum(v) AS sv " +
+          "FROM azof.fact f JOIN azof.dim d ON d.key = f.fk")
+      assert(!scansSrc(qg))
+      assert(qg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((2L, 23L)))
+      // an UNDECLARED distinct column refuses — correct off the scan
+      val qu = spark.sql(
+        "SELECT tier, count(DISTINCT v) AS dv " +
+          "FROM azof.fact f JOIN azof.dim d ON f.fk = d.key " +
+          "GROUP BY tier")
+      assert(scansSrc(qu), "undeclared distinct must not rewrite")
+      assert(qu.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("t1", 3L), ("t2", 1L)))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  test("VERSION-pinned JOIN reads rewrite exactly when EVERY table's " +
+    "pin is provably view-identical; a pin below a state-changing dim " +
+    "commit falls back to the time-traveled join") {
+    import graft.sources.JoinView
+    val (l, jdef) = mkJoinDvLake("pin")
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "jdv")
+    try {
+      def joins(q: org.apache.spark.sql.DataFrame) =
+        q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      // both pins equal the consumed cursor state — serves from the view
+      val q2 = spark.sql(
+        "SELECT tier, count(*) AS n, sum(v) AS sv " +
+          "FROM azof.fact VERSION AS OF 2 AS f " +
+          "JOIN azof.dim VERSION AS OF 2 AS d ON f.fk = d.key " +
+          "GROUP BY tier")
+      assert(!scansSrc(q2) && joins(q2).isEmpty,
+        "view-identical per-table pins serve from the view:\n" +
+          q2.queryExecution.optimizedPlan)
+      assert(q2.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq ==
+        Seq(("t1", 3L, 16L), ("t2", 1L, 7L)))
+      // MIXED pin: fact pinned, dim Current — still provably identical
+      val qm = spark.sql(
+        "SELECT tier, count(*) AS n FROM azof.fact VERSION AS OF 2 AS f " +
+          "JOIN azof.dim d ON f.fk = d.key GROUP BY tier")
+      assert(!scansSrc(qm) && joins(qm).isEmpty, "mixed pins serve")
+      // dim state changes + refresh: the OLD dim pin must fall back
+      // and time-travel (d1 re-tiered to t9 only in the LIVE state)
+      AzofWriter.commitDelta(spark, l, "dim",
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          Row("d1", Timestamp.from(ts("2024-02-05T00:00:00Z")), "t9"))),
+          TableSchema(Seq(ColumnDef("tier", ColumnType.AzString,
+            nullable = false))).toStruct),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))  // dim v3
+      JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "jdv", jdef)
+      val qStale = spark.sql(
+        "SELECT tier, count(*) AS n FROM azof.fact AS f " +
+          "JOIN azof.dim VERSION AS OF 2 AS d ON f.fk = d.key " +
+          "GROUP BY tier")
+      assert(scansSrc(qStale),
+        "a dim pin below its re-tier must NOT serve:\n" +
+          qStale.queryExecution.optimizedPlan)
+      assert(qStale.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("t1", 3L), ("t2", 1L)),
+        "fallback time-travels the dim")
+      // pinning the POST-churn dim version serves again
+      val vd2 = graft.format.AzofTable(spark, l, "dim").currentVersion
+      val qNew = spark.sql(
+        "SELECT tier, count(*) AS n FROM azof.fact AS f " +
+          s"JOIN azof.dim VERSION AS OF $vd2 AS d ON f.fk = d.key " +
+          "GROUP BY tier")
+      assert(!scansSrc(qNew) && joins(qNew).isEmpty,
+        "the refreshed dim pin serves again")
+      assert(qNew.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("t2", 1L), ("t9", 3L)))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
 }

@@ -426,4 +426,169 @@ class JoinViewSpec extends AnyFunSuite {
     assert(served(l, "jv_e2") == oneShot(l))
     assert(served(l, "jv_e2") == Seq(("t1", 1L, 10L, 10L, 10L)))
   }
+
+  // ---- distinct support (COUNT(DISTINCT <fact col>) refcounts) ----
+
+  private val ddef = JoinViewDef(Seq("tier"), sumCols = Seq("v"),
+    dims = Seq(DimJoin("fk", Seq("tier"))), distinctCols = Seq("a"))
+  private val dFactSchema = TableSchema(Seq(
+    ColumnDef("fk", ColumnType.AzString, nullable = false),
+    ColumnDef("v", ColumnType.AzInt, nullable = false),
+    ColumnDef("a", ColumnType.AzString, nullable = true)))
+
+  private def dFacts(rows: (String, String, String, Long, Any)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, t, fk, v, a) =>
+        Row(k, Timestamp.from(ts(t)), fk, v, a) }),
+      dFactSchema.toStruct)
+
+  private def dvServed(l: String, tbl: String = "jvd") =
+    JoinView.countDistinct(spark, l, tbl, ddef, "a", Seq("tier"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+
+  private def dvOneShot(l: String) = {
+    val f = AzofScan.scan(spark, l, "fact").select("fk", "a")
+    val d = AzofScan.scan(spark, l, "dim")
+      .select(col(TableSchema.KeyName).as("_dk"), col("tier"))
+    f.join(d, f("fk") === d("_dk"))
+      .groupBy("tier").agg(count_distinct(col("a")).as("dv"))
+      .where(col("dv") > 0L) // the support serve has no all-null groups
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("distinct support: COUNT(DISTINCT fact col) stays exact under " +
+    "fact churn, null transitions, a dim re-tier that MOVES pairs " +
+    "across groups, deletes on both sides, and the epoch rebuild — " +
+    "on both guard shapes") {
+    def build(tag: String, bMax: Long): (Seq[(String, Long)], String) = {
+      val l = Files.createTempDirectory(s"azof-jv-dv-$tag").toString
+      AzofWriter.createTable(spark, l, "fact", dFactSchema,
+        ts("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(spark, l, "dim", dimSchema,
+        ts("2024-01-01T00:00:00Z"))
+      def go() = JoinView.refresh(spark, l, "fact", Seq((l, "dim")),
+        l, "jvd", ddef, broadcastKeyMax = bMax)
+      AzofWriter.commitBase(spark, l, "dim", dims(
+        ("d1", "2024-01-02T00:00:00Z", "t1"),
+        ("d2", "2024-01-02T00:00:00Z", "t2")))
+      AzofWriter.commitBase(spark, l, "fact", dFacts(
+        ("1", "2024-01-02T00:00:00Z", "d1", 10L, "x"),
+        ("2", "2024-01-02T00:00:00Z", "d1", 4L, "x"),
+        ("3", "2024-01-02T00:00:00Z", "d2", 7L, "y"),
+        ("4", "2024-01-02T00:00:00Z", "d1", 5L, null)))
+      go()
+      assert(dvServed(l) == dvOneShot(l), s"$tag bootstrap")
+      assert(dvServed(l) == Seq(("t1", 1L), ("t2", 1L)),
+        "duplicate 'x' counts once; the null contributes nothing")
+      // value move + null→value in one batch
+      AzofWriter.commitDelta(spark, l, "fact", dFacts(
+        ("2", "2024-02-05T00:00:00Z", "d1", 4L, "z"),
+        ("4", "2024-02-05T00:00:00Z", "d1", 5L, "x")),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      go()
+      assert(dvServed(l) == dvOneShot(l), s"$tag value moves")
+      assert(dvServed(l) == Seq(("t1", 2L), ("t2", 1L)))
+      // a dim re-tier moves every d1 pair to a NEW group tuple
+      AzofWriter.commitDelta(spark, l, "dim", dims(
+        ("d1", "2024-03-05T00:00:00Z", "t9")),
+        ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
+      go()
+      assert(dvServed(l) == dvOneShot(l), s"$tag dim re-tier")
+      assert(dvServed(l) == Seq(("t2", 1L), ("t9", 2L)),
+        "pairs moved groups with their facts")
+      // fact delete decrements 'x' (ref 2→1 stays); dim delete drops t2
+      AzofWriter.commitDelete(spark, l, "fact", Seq("1"),
+        ts("2024-04-05T00:00:00Z"))
+      AzofWriter.commitDelete(spark, l, "dim", Seq("d2"),
+        ts("2024-04-05T00:00:00Z"))
+      go()
+      assert(dvServed(l) == dvOneShot(l), s"$tag deletes")
+      assert(dvServed(l) == Seq(("t9", 2L)),
+        "'x' survives via fact 4; d2's pair left with its dim")
+      // global grain off the same pairs
+      val g = JoinView.countDistinct(spark, l, "jvd", ddef, "a", Nil)
+        .collect()(0).getLong(0)
+      assert(g == 2L, "global distinct over live pairs")
+      (dvServed(l), l)
+    }
+    val (bc, lbc) = build("bc", Long.MaxValue)
+    val (sh, _) = build("sh", 0L)
+    assert(bc == sh, "broadcast and shuffle paths agree")
+    // epoch rebuild re-seeds the support table one-shot
+    JoinView.rebuildEpoch(spark, lbc, "fact", Seq((lbc, "dim")), lbc,
+      "jvd_e2", ddef, ts("2024-06-01T00:00:00Z"))
+    assert(dvServed(lbc, "jvd_e2") == dvServed(lbc))
+  }
+
+  test("a crash between the view commit and the support commit heals " +
+    "as a CATCH-UP leg: the distinct delta lands, the view never " +
+    "double-applies, the cursor promotes only after both") {
+    val l = Files.createTempDirectory("azof-jv-dv-heal").toString
+    AzofWriter.createTable(spark, l, "fact", dFactSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "dim", dims(
+      ("d1", "2024-01-02T00:00:00Z", "t1")))                         // dim v2
+    AzofWriter.commitBase(spark, l, "fact", dFacts(
+      ("1", "2024-01-02T00:00:00Z", "d1", 10L, "x"),
+      ("2", "2024-01-02T00:00:00Z", "d1", 4L, "x")))                 // fact v2
+    JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "jvd", ddef)
+    // new fact churn the crashed refresh consumed
+    AzofWriter.commitDelta(spark, l, "fact", dFacts(
+      ("5", "2024-02-05T00:00:00Z", "d1", 2L, "w")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // fact v3
+    // manufacture the half-landed state the heal must fix: the VIEW
+    // delta committed under the vector's replay guard, the SUPPORT
+    // commit missing, the cursor still at the old vector
+    val b = 3L * 1000000000L + 2L // encode(fact=3, dims=[2])
+    val dir = AzofTable(spark, l, "jvd").tableDir
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val pend = fs.create(
+      new org.apache.hadoop.fs.Path(dir, JoinView.PendingFileName), true)
+    pend.write(s"""{"batch":$b,"factVersion":3,"dimVersions":[2]}"""
+      .getBytes("UTF-8"))
+    pend.close()
+    val viewStruct = JoinView.viewSchema(dFactSchema,
+      Seq(dimSchema), ddef).toStruct
+    val crashedRow = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(
+        "t1", Timestamp.from(ts("2024-02-06T00:00:00Z")),
+        "t1", 3L, 16L, 3L))), // merged t1 totals at fact v3
+      viewStruct)
+    graft.streaming.AzofSink.commitBatch(l, "jvd", crashedRow, b,
+      "join-view#jvd")
+    // the next refresh must CATCH UP (support delta for exactly the
+    // staged vector), not promote-and-lose, not double-apply
+    val r = JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l,
+      "jvd", ddef)
+    assert(r.noop, "nothing beyond the healed vector")
+    assert(JoinView.readCursor(spark, l, "jvd") == ((3L, Seq(2L))))
+    val got = JoinView.serve(spark, l, "jvd", ddef)
+      .select("tier", "n_rows", "sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("t1", 3L, 16L)), "view not double-applied")
+    assert(dvServed(l) == Seq(("t1", 2L)),
+      "the support delta ('w') landed through the catch-up leg")
+  }
+
+  test("distinct declarations refuse dim attributes, group columns, " +
+    "and unknown fact columns") {
+    intercept[IllegalArgumentException] {
+      JoinViewDef(Seq("tier"), dims = Seq(DimJoin("fk", Seq("tier"))),
+        distinctCols = Seq("tier"))
+    }
+    intercept[IllegalArgumentException] {
+      JoinViewDef(Seq("tier", "region"), dims = Seq(
+        DimJoin("fk", Seq("tier", "region"))),
+        distinctCols = Seq("region"))
+    }
+    intercept[IllegalArgumentException] {
+      JoinView.viewSchema(dFactSchema, Seq(dimSchema),
+        JoinViewDef(Seq("tier"), dims = Seq(DimJoin("fk", Seq("tier"))),
+          distinctCols = Seq("absent")))
+    }
+  }
 }
