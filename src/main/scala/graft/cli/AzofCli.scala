@@ -47,16 +47,28 @@ object AzofCli {
     out.result()
   }
 
-  /** `--group-cols g1,g2 [--sum-cols a,b] [--minmax-cols c]` →
-    * the mv-* verbs' [[graft.sources.ViewDef]].
+  /** `--group-cols g1,g2 [--sum-cols a,b] [--minmax-cols c]
+    * [--derived "name:Type=sql expr[;name2:Type2=sql2]"]` →
+    * the mv-* verbs' [[graft.sources.ViewDef]]. A derived group's name
+    * must also appear in `--group-cols`; the sql may contain commas
+    * (entries split on ';').
     */
   private def cliViewDef(
       opts: Map[String, String]): graft.sources.ViewDef = {
     def csv(k: String): Seq[String] = opts.get(k)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    val derived = opts.get("derived").toSeq
+      .flatMap(_.split(";").map(_.trim).filter(_.nonEmpty))
+      .map { entry =>
+        val (head, sql) = entry.span(_ != '=')
+        require(sql.startsWith("="), s"--derived entry needs '=': $entry")
+        val Array(name, tpe) = head.split(":", 2).map(_.trim)
+        graft.sources.DerivedGroup(name, sql.drop(1).trim,
+          graft.format.ColumnType.fromJsonName(tpe))
+      }
     graft.sources.ViewDef(csv("group-cols"), csv("sum-cols"),
-      csv("minmax-cols"), csv("distinct-cols"))
+      csv("minmax-cols"), csv("distinct-cols"), derived)
   }
 
   /** The jv-* verbs' [[graft.sources.JoinViewDef]] (adds `--fk-col` +

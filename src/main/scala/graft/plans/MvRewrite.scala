@@ -384,17 +384,47 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Map one output expression of the aggregate onto the view, or None
-    * when the view cannot answer it exactly.
+  /** Resolve every DERIVED group's SQL against `child`'s output:
+    * canonicalized expression (cast to the declared stored type when
+    * the raw result differs) → derived name. A query grouping by the
+    * SAME expression — any alias, any operand spelling that
+    * canonicalizes equal — matches the stored bucket column. Parse or
+    * analysis failure against this relation just yields no match (the
+    * rewrite falls back to the scan).
     */
-  private def outOf(ne: NamedExpression, vd: ViewDef): Option[Out] =
+  private def derivedCanon(vd: ViewDef, child: LogicalPlan)
+      : Map[Expression, String] =
+    if (vd.derivedGroups.isEmpty) Map.empty
+    else vd.derivedGroups.flatMap { dg =>
+      try {
+        val parsed = spark.sessionState.sqlParser.parseExpression(dg.sql)
+        val analyzed = spark.sessionState.analyzer.execute(
+          Project(Seq(Alias(parsed, s"_dg_${dg.name}")()), child))
+        val e = analyzed.asInstanceOf[Project].projectList.head
+          .asInstanceOf[Alias].child
+        val target = dg.dataType.sparkType
+        val stored =
+          if (e.dataType == target) e
+          else org.apache.spark.sql.catalyst.expressions.Cast(e, target)
+        if (stored.deterministic) Some(stored.canonicalized -> dg.name)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
+
+  /** Map one output expression of the aggregate onto the view, or None
+    * when the view cannot answer it exactly. `dm` matches derived
+    * group expressions to their stored column names.
+    */
+  private def outOf(ne: NamedExpression, vd: ViewDef,
+      dm: Expression => Option[String]): Option[Out] =
     ne match {
       case a: AttributeReference if vd.groupCols.contains(a.name) =>
         Some(GroupOut(a.name))
       case al: Alias => al.child match {
         case a: AttributeReference if vd.groupCols.contains(a.name) =>
           Some(GroupOut(a.name))
-        case e => calcOf(e, vd).map { case (ls, b) => CalcOut(ls, b) }
+        case e => dm(e).map(GroupOut(_): Out)
+          .orElse(calcOf(e, vd).map { case (ls, b) => CalcOut(ls, b) })
       }
       case _ => None
     }
@@ -522,16 +552,29 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       agg: Aggregate, cands: Seq[(String, String)])
       : Option[LogicalPlan] =
     srcOf(agg.child).flatMap { case (srcKey, conds, pinned) =>
-      val groupsOpt = traverse(agg.groupingExpressions.map {
-        case a: AttributeReference => Some(a.name)
-        case _ => None
-      })
-      groupsOpt.flatMap { groups =>
+      {
         cands.iterator.flatMap { case (lake, mv) =>
           defOf(spark, lake, mv).collect {
             case MvRewriteRule.SingleDef(sLake, sTable, vd) =>
               (sLake, sTable, vd)
           }.flatMap { case (sLake, sTable, vd) =>
+            // derived buckets are UTC-defined: off a UTC session the
+            // stored values and a re-evaluation can disagree — refuse
+            if (vd.derivedGroups.nonEmpty &&
+              spark.sessionState.conf.sessionLocalTimeZone != "UTC")
+              None
+            else {
+            val dmMap = derivedCanon(vd, agg.child)
+            val dm: Expression => Option[String] =
+              e => dmMap.get(e.canonicalized)
+            // a grouping expression is a plain view group column or a
+            // derived bucket expression matched canonically
+            val groupsOpt = traverse(agg.groupingExpressions.map {
+              case a: AttributeReference
+                if vd.groupCols.contains(a.name) => Some(a.name)
+              case e => dm(e)
+            })
+            groupsOpt.flatMap { groups =>
             // groups may be EMPTY: a global aggregate rolls the whole
             // view up (one row out, exactly like SQL's global agg —
             // even over an empty corpus, where groupBy().agg matches
@@ -541,7 +584,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 groups.forall(vd.groupCols.contains) &&
                 conds.forall(filterCovered(_, vd))
             if (!covered) None
-            else traverse(agg.aggregateExpressions.map(outOf(_, vd)))
+            else traverse(agg.aggregateExpressions.map(outOf(_, vd, dm)))
               .filter { outs =>
                 // every plain group output must be a queried group
                 outs.forall {
@@ -578,6 +621,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     vd, groups, outs, conds, dvPairs)
                 }
               }
+            }
+            }
           }
         }.nextOption()
       }
@@ -635,7 +680,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   conds.forall(filterCovered(_, vd)) &&
                   provenanced
               if (!covered) None
-              else traverse(agg.aggregateExpressions.map(outOf(_, vd)))
+              else traverse(
+                agg.aggregateExpressions.map(outOf(_, vd, _ => None)))
                 .filter { outs =>
                   outs.forall {
                     case GroupOut(c) => groups.contains(c); case _ => true }
@@ -671,15 +717,46 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }
 
+  /** The optimizer extracts non-trivial grouping expressions into a
+    * child Project (`_groupingexpression#N`) before this rule sees the
+    * Aggregate — inline those aliases back into the grouping/output
+    * trees so a derived-bucket query matches the view's expression.
+    * Output Alias exprIds survive the transform, so the replacement
+    * plan still lines up with parents. Returns `agg` unchanged when
+    * the child isn't that shape (or inlining would unname an output).
+    */
+  private def inlineChildProject(agg: Aggregate): Aggregate =
+    agg.child match {
+      case p: Project
+        if p.projectList.exists(!_.isInstanceOf[Attribute]) &&
+          p.projectList.forall(ne =>
+            ne.isInstanceOf[Attribute] ||
+              (ne.isInstanceOf[Alias] && ne.deterministic)) =>
+        val subst: Map[Long, Expression] = p.projectList.collect {
+          case a: Alias => a.exprId.id -> a.child }.toMap
+        def inline(e: Expression): Expression = e.transformUp {
+          case ar: AttributeReference if subst.contains(ar.exprId.id) =>
+            subst(ar.exprId.id)
+        }
+        val g2 = agg.groupingExpressions.map(inline)
+        val o2 = agg.aggregateExpressions.map(inline)
+        if (o2.forall(_.isInstanceOf[NamedExpression]))
+          Aggregate(g2, o2.map(_.asInstanceOf[NamedExpression]), p.child)
+        else agg
+      case _ => agg
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val cands = candidates
     if (cands.isEmpty) plan
     else plan.transformUp {
-      case agg: Aggregate
-        if srcOf(agg.child).isDefined || joinSrcOf(agg.child).isDefined =>
-        singleHit(agg, cands)
-          .orElse(joinHit(agg, cands))
-          .getOrElse(agg)
+      case agg0: Aggregate =>
+        val agg = inlineChildProject(agg0)
+        if (srcOf(agg.child).isDefined || joinSrcOf(agg.child).isDefined)
+          singleHit(agg, cands)
+            .orElse(joinHit(agg, cands))
+            .getOrElse(agg0)
+        else agg0
     }
   }
 

@@ -53,7 +53,8 @@ object AzofQueries {
     "q59_mv_pinned_rewrite" -> matViewPinnedRewrite,
     "q60_mv_distinct" -> matViewDistinctRewrite,
     "q61_star_distinct" -> starDistinctRewrite,
-    "q62_star_pinned_rewrite" -> starPinnedRewrite)
+    "q62_star_pinned_rewrite" -> starPinnedRewrite,
+    "q63_mv_timebucket" -> matViewTimeBucket)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1316,6 +1317,105 @@ object AzofQueries {
         col("sum_score").cast("double") / col("nn_score"))
   }
 
+  /** The q63 [[graft.sources.ViewDef]]: the TIME-BUCKETED rollup — a
+    * DERIVED `date_trunc('day', t)` group key stored in the view, plus
+    * the physical `source` group; sums and extrema over `v`.
+    */
+  private val mvtDef = graft.sources.ViewDef(Seq("day", "source"),
+    sumCols = Seq("v"), minMaxCols = Seq("v"),
+    derivedGroups = Seq(graft.sources.DerivedGroup("day",
+      "date_trunc('day', t)", ColumnType.AzDateTime)))
+
+  /** Four-commit time-series lake: every doc carries an event timestamp
+    * `t` spread over ~2 days (`2024-03-01 + (doc_id % 40) hours`); the
+    * Apr revision shifts every fifth doc by +36 h — MOVING it across
+    * day buckets — and bumps `v`; docs 6/7 deleted. The view maintains
+    * the day-bucketed rollup incrementally.
+    */
+  private[queries] def mvtLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "mvt-v1", "doc_mvt") { l =>
+      import graft.sources.MatView
+      val schema = TableSchema(Seq(
+        ColumnDef("source", ColumnType.AzString, nullable = false),
+        ColumnDef("t", ColumnType.AzDateTime, nullable = false),
+        ColumnDef("v", ColumnType.AzInt, nullable = false)))
+      val docs = Tables(s, dir, "documents")
+      val baseT = expr("timestamp'2024-03-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, CAST(doc_id % 40 AS INT), 0, 0)")
+      val revT = expr("timestamp'2024-03-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, CAST(doc_id % 40 AS INT) + 36, 0, 0)")
+      def rows(filter: org.apache.spark.sql.Column, at: String,
+          t: org.apache.spark.sql.Column,
+          v: org.apache.spark.sql.Column) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          col("source"), t.as("t"), v.cast("long").as("v"))
+      AzofWriter.createTable(s, l, "docs_mvt", schema,
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val ck = new java.io.File(l, "_mvt_ck").toString
+      def refresh(): Unit = {
+        val q = MatView.refresh(s, l, "docs_mvt", l, "doc_mvt", mvtDef, ck)
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(
+            "time-bucket view refresh did not terminate within 300s")
+      }
+      AzofWriter.commitBase(s, l, "docs_mvt",
+        rows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z",
+          baseT, col("n_chars")))                                    // v2
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_mvt",
+        rows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z",
+          baseT, col("n_chars")),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))                       // v3
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_mvt",
+        rows(col("doc_id") % 5 === 0, "2024-04-05T00:00:00Z",
+          revT, col("n_chars") + 7),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))                       // v4
+      refresh()
+      AzofWriter.commitDelete(s, l, "docs_mvt", Seq("6", "7"),
+        Instant.parse("2024-05-05T00:00:00Z"))                       // v5
+      refresh()
+      ()
+    }
+
+  /** The TIME-BUCKET rewrite under the oracle gate: a plain SQL
+    * `GROUP BY date_trunc('day', t), source` — no view mentioned, no
+    * stored bucket column on the table — is matched CANONICALLY against
+    * the view's derived group expression and served as a pure
+    * projection of the bucketed view. Exactness rides the maintenance
+    * through revisions that MOVE rows across buckets (the pre-image
+    * subtraction evaluates the expression on both sides) and deletes
+    * (the min/max rescan runs at the bucketed grain). Refuses a
+    * corpus-scan plan exactly like q53.
+    */
+  private def matViewTimeBucket(s: SparkSession, dir: String): DataFrame = {
+    val lake = mvtLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_mvt")
+    try {
+      val q = s.sql(
+        "SELECT date_trunc('day', t) AS day, source, " +
+          "count(*) AS n_rows, sum(v) AS sum_v, " +
+          "min(v) AS min_v, max(v) AS max_v " +
+          "FROM azof.docs_mvt GROUP BY date_trunc('day', t), source")
+      val aggs = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      if (aggs.nonEmpty) throw new IllegalStateException(
+        "time-bucket rewrite did not fire — refusing to pass the row " +
+          "off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The q54 [[graft.sources.JoinViewDef]]: per-TIER (a dim attribute)
     * document counts, char sums, and char extrema over
     * `docs ⋈ sources`.
@@ -1880,6 +1980,22 @@ object AzofQueries {
     // star truth (pins ARE the current versions; refusals are
     // spec-side)
     "q62_star_pinned_rewrite" -> starViewOracle,
+    // the day-bucketed rollup reconstructed one-shot: the Apr revision
+    // moved every fifth doc +36h across buckets and bumped v
+    "q63_mv_timebucket" ->
+      """WITH live AS (
+           SELECT source,
+                  TIMESTAMP '2024-03-01 00:00:00'
+                    + to_hours(CAST(doc_id % 40 AS BIGINT))
+                    + CASE WHEN doc_id % 5 = 0 THEN to_hours(36)
+                           ELSE to_hours(0) END AS t,
+                  CASE WHEN doc_id % 5 = 0 THEN n_chars + 7
+                       ELSE n_chars END AS v
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT date_trunc('day', t) AS day, source,
+                COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+                MIN(v) AS min_v, MAX(v) AS max_v
+         FROM live GROUP BY 1, 2""",
     // exact COUNT(DISTINCT) from the refcounted support table, under
     // value-moving revisions, nulls, and zero-crossing deletes
     "q60_mv_distinct" ->

@@ -25,18 +25,62 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * equi-keys and concatenate into the view's record key) and must not
   * contain U+0001 — asserted per refresh, not assumed.
   */
+/** A DERIVED group key: a deterministic scalar SQL expression over
+  * source columns, stored in the view under `name` with the declared
+  * azof type (the refresh CASTs the expression's result to it) — the
+  * time-bucketed rollup shape (`date_trunc('day', ts)`), the classic
+  * reason a warehouse view groups by something the table doesn't
+  * store. The automatic rewrite matches a query grouping by the SAME
+  * expression (canonicalized Catalyst comparison, so aliases and
+  * column order don't matter). Sessions must run under UTC (the
+  * engine-wide azof DateTime contract): a timezone-sensitive bucket
+  * evaluated under one zone at refresh and another at query time
+  * would silently disagree, so create/refresh assert UTC and the
+  * rewrite refuses candidacy off it.
+  */
+final case class DerivedGroup(
+    name: String, sql: String, dataType: ColumnType) {
+  require(name.nonEmpty, "a derived group needs a name")
+  require(sql.nonEmpty, "a derived group needs an expression")
+  /** Source columns the expression reads (unresolved parse — existence
+    * is validated against the source schema in [[MatView.viewSchema]]).
+    */
+  lazy val srcRefs: Seq[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql)
+      .collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.name
+      }.distinct
+}
+
 final case class ViewDef(
     groupCols: Seq[String],
     sumCols: Seq[String] = Nil,
     minMaxCols: Seq[String] = Nil,
-    distinctCols: Seq[String] = Nil) {
+    distinctCols: Seq[String] = Nil,
+    derivedGroups: Seq[DerivedGroup] = Nil) {
   require(groupCols.nonEmpty, "a materialized view needs group columns")
   require(distinctCols.forall(c => !groupCols.contains(c)),
     "COUNT(DISTINCT <group col>) needs no support table — view rows " +
       "are distinct group tuples; declare only non-group distinct cols")
+  require(derivedGroups.map(_.name).distinct.size == derivedGroups.size,
+    "derived group names must be distinct")
+  require(derivedGroups.forall(dg => groupCols.contains(dg.name)),
+    "every derived group must be listed in groupCols (it IS a group " +
+      "column, just computed)")
+  require(derivedGroups.forall(dg =>
+    !(sumCols ++ minMaxCols ++ distinctCols).contains(dg.name)),
+    "derived groups are group columns — they cannot be aggregated")
+  /** Derived group names. */
+  def derivedNames: Seq[String] = derivedGroups.map(_.name)
+  /** Group columns stored verbatim from the source (not derived). */
+  def physGroupCols: Seq[String] =
+    groupCols.filterNot(derivedNames.contains)
   /** Source columns the view reads. */
   def needed: Seq[String] =
-    (groupCols ++ sumCols ++ minMaxCols ++ distinctCols).distinct
+    (physGroupCols ++ sumCols ++ minMaxCols ++ distinctCols ++
+      derivedGroups.flatMap(_.srcRefs)).distinct
 }
 
 /** PERSISTED incremental materialized aggregate view — the engine's
@@ -107,10 +151,23 @@ object MatView {
     */
   def viewSchema(srcSchema: TableSchema, view: ViewDef): TableSchema = {
     val byName = srcSchema.columns.map(c => c.name -> c).toMap
+    val derivedBy = view.derivedGroups.map(dg => dg.name -> dg).toMap
     def defOf(n: String): ColumnDef = byName.getOrElse(n,
       throw new IllegalArgumentException(
         s"view column '$n' is not in the source schema " +
           s"(${srcSchema.columns.map(_.name).mkString(", ")})"))
+    def groupDefOf(n: String): ColumnDef = derivedBy.get(n) match {
+      case Some(dg) => ColumnDef(n, dg.dataType, nullable = false)
+      case None => defOf(n)
+    }
+    view.derivedGroups.foreach { dg =>
+      if (byName.contains(dg.name))
+        throw new IllegalArgumentException(
+          s"derived group '${dg.name}' shadows a source column — " +
+            "pick a fresh name (the stored column is the expression's " +
+            "value, not the source's)")
+      dg.srcRefs.foreach(defOf) // every referenced column must exist
+    }
     view.sumCols.foreach { c =>
       if (defOf(c).dataType != ColumnType.AzInt)
         throw new IllegalArgumentException(
@@ -125,7 +182,7 @@ object MatView {
     }
     TableSchema(
       view.groupCols.map(g =>
-        ColumnDef(g, defOf(g).dataType, nullable = false)) ++
+        ColumnDef(g, groupDefOf(g).dataType, nullable = false)) ++
         Seq(ColumnDef("n_rows", ColumnType.AzInt, nullable = false)) ++
         view.sumCols.flatMap(c => Seq(
           ColumnDef(s"sum_$c", ColumnType.AzInt, nullable = false),
@@ -202,13 +259,49 @@ object MatView {
     view.distinctCols.foreach(c => if (!byName.contains(c))
       throw new IllegalArgumentException(
         s"distinct column '$c' is not in the source schema"))
+    val full = viewSchema(srcSchema, view) // group cols typed (incl. derived)
     TableSchema(
       Seq(ColumnDef("dcol", ColumnType.AzString, nullable = false)) ++
-        view.groupCols.map(g =>
-          ColumnDef(g, byName(g).dataType, nullable = false)) ++
+        full.columns.take(view.groupCols.size) ++
         Seq(ColumnDef("value", ColumnType.AzString, nullable = false),
           ColumnDef("ref", ColumnType.AzInt, nullable = false)))
   }
+
+  /** Add every derived group column to `df` (expression cast to its
+    * declared type) — applied to each frame the refresh aggregates.
+    */
+  private def withDerived(df: DataFrame, view: ViewDef): DataFrame =
+    view.derivedGroups.foldLeft(df)((d, dg) =>
+      d.withColumn(dg.name, expr(dg.sql).cast(dg.dataType.sparkType)))
+
+  /** Refresh/create-time contract checks for derived groups: the
+    * session runs UTC (azof DateTime's definition — a tz-sensitive
+    * bucket evaluated under different zones at refresh vs query time
+    * would silently disagree) and every expression is deterministic
+    * once resolved (a nondeterministic group key could never be
+    * subtracted exactly).
+    */
+  private def requireDerivedOk(
+      spark: SparkSession, srcSchema: TableSchema, view: ViewDef): Unit =
+    if (view.derivedGroups.nonEmpty) {
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      if (tz != "UTC") throw new IllegalArgumentException(
+        s"derived group keys require spark.sql.session.timeZone=UTC " +
+          s"(session runs '$tz') — azof DateTime is ms-UTC and a " +
+          "zone-dependent bucket must evaluate identically at refresh " +
+          "and query time")
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], srcSchema.toStruct)
+      view.derivedGroups.foreach { dg =>
+        val e = probe.select(expr(dg.sql).cast(dg.dataType.sparkType))
+          .queryExecution.analyzed.expressions
+        if (!e.forall(_.deterministic))
+          throw new IllegalArgumentException(
+            s"derived group '${dg.name}' is nondeterministic " +
+              s"(${dg.sql}) — an unrepeatable group key cannot be " +
+              "incrementally subtracted")
+      }
+    }
 
   /** Create the view table (idempotent). The source table must already
     * exist — the view's schema derives from it.
@@ -221,6 +314,7 @@ object MatView {
       segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
     val srcSchema =
       AzofTable(spark, srcLake, srcTable).currentSnapshot.schema
+    requireDerivedOk(spark, srcSchema, view)
     val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, viewSchema(srcSchema, view), segmentStart)
     if (view.distinctCols.nonEmpty)
@@ -252,6 +346,18 @@ object MatView {
       if (new org.apache.hadoop.fs.Path(srcLake) ==
           new org.apache.hadoop.fs.Path(idxLake)) ""
       else srcLake
+    // expression SQL is builder-authored free text: escape it
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val derived = view.derivedGroups.map(dg =>
+      s"""{"name":"${dg.name}","sql":"${esc(dg.sql)}",""" +
+        s""""type":"${dg.dataType.jsonName}"}""")
+      .mkString("[", ",", "]")
     val (fs, p) = sidecar(spark, idxLake, idxTable, DefFileName)
     val out = fs.create(p, true)
     try out.write(
@@ -260,7 +366,8 @@ object MatView {
         s""""group_cols":${arr(view.groupCols)},""" +
         s""""sum_cols":${arr(view.sumCols)},""" +
         s""""minmax_cols":${arr(view.minMaxCols)},""" +
-        s""""distinct_cols":${arr(view.distinctCols)}}""")
+        s""""distinct_cols":${arr(view.distinctCols)},""" +
+        s""""derived_groups":$derived}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -284,10 +391,18 @@ object MatView {
         case None => Nil // field absent in older sidecars
       }
       val rec = root.get("source_path").asText
+      val derived = Option(root.get("derived_groups")) match {
+        case Some(n) => (0 until n.size()).map { i =>
+          val d = n.get(i)
+          DerivedGroup(d.get("name").asText, d.get("sql").asText,
+            graft.format.ColumnType.fromJsonName(d.get("type").asText))
+        }
+        case None => Nil // absent in pre-derived sidecars
+      }
       Some((if (rec.isEmpty) idxLake else rec,
         root.get("source_table").asText,
         ViewDef(seq("group_cols"), seq("sum_cols"), seq("minmax_cols"),
-          seq("distinct_cols"))))
+          seq("distinct_cols"), derived)))
     }
   }
 
@@ -526,10 +641,10 @@ object MatView {
     // the key's POST-batch state: its newest row in the batch
     val wKey = org.apache.spark.sql.expressions.Window
       .partitionBy(col(K)).orderBy(col("_commit_version").desc)
-    val newRows = slim
+    val newRows = withDerived(slim
       .withColumn("_rn", row_number().over(wKey))
       .where(col("_rn") === 1 && !col("_deleted"))
-      .select(view.needed.map(col): _*)
+      .select(view.needed.map(col): _*), view)
     // the churned keys' PRE-image: live rows at the batch's predecessor
     // version, guarded exactly like LmIndex's (KeyFilter file skipping
     // for a steady-state batch, full scan semi-joined for a bootstrap)
@@ -537,7 +652,7 @@ object MatView {
     val (_, preSnap) = AzofChangeFeed.mainAtOrBefore(spark, src, minV - 1)
     val churned = slim.select(col(K)).distinct()
     val proj = Some((Set(K) ++ view.needed).toSet)
-    val preRows =
+    val preRows = withDerived(
       (if (nChurned <= broadcastKeyMax) {
         val keys = churned.collect().map(_.getString(0)).toSet
         graft.operators.AzofScan.scanSnapshot(spark, src, preSnap,
@@ -547,7 +662,7 @@ object MatView {
         graft.operators.AzofScan.scanSnapshot(spark, src, preSnap,
           AsOf.Current, projection = proj)
           .join(churned, Seq(K), "left_semi"))
-        .select(view.needed.map(col): _*)
+        .select(view.needed.map(col): _*), view)
     // every group either side touched carries a row in the full outer
     // join; one eager materialization serves the rescan decision, the
     // old-value guard, and the final merge
@@ -630,16 +745,21 @@ object MatView {
         // filter so value-stats file skipping confines the read to the
         // affected groups' files on a clustered layout
         val valueFilters =
-          if (view.groupCols.size == 1 && nRescan <= broadcastKeyMax) {
+          if (view.groupCols.size == 1 && view.derivedGroups.isEmpty &&
+            nRescan <= broadcastKeyMax) {
+            // physical single-column groups only: a derived bucket has
+            // no stored source column to push an In filter against
             val g = view.groupCols.head
             val vals = rescan.collect().map(_.get(0))
             Seq(org.apache.spark.sql.sources.In(g, vals))
           } else Nil
-        val live = graft.operators.AzofScan.scanSnapshot(spark, src,
-          endSnap, AsOf.Current,
-          projection =
-            Some((view.groupCols ++ view.minMaxCols).toSet),
-          valueFilters = valueFilters)
+        val live = withDerived(
+          graft.operators.AzofScan.scanSnapshot(spark, src,
+            endSnap, AsOf.Current,
+            projection =
+              Some((view.physGroupCols ++ view.minMaxCols ++
+                view.derivedGroups.flatMap(_.srcRefs)).toSet),
+            valueFilters = valueFilters), view)
         val confined =
           if (nRescan <= broadcastKeyMax)
             live.join(broadcast(rescan), view.groupCols, "left_semi")
@@ -797,8 +917,10 @@ object MatView {
       AzofWriter.createTableIfAbsent(spark, idxLake, dvTableName(newTable),
         dvSchema(src.currentSnapshot.schema, view), at)
     if (created) writeDef(spark, srcLake, srcTable, idxLake, newTable, view)
-    val live = graft.operators.AzofScan.scan(spark, srcLake, srcTable)
-      .select(view.needed.map(col): _*)
+    requireDerivedOk(spark, src.currentSnapshot.schema, view)
+    val live = withDerived(
+      graft.operators.AzofScan.scan(spark, srcLake, srcTable)
+        .select(view.needed.map(col): _*), view)
     val agg = groupAgg(live, view, "_a_")
     val outCols: Seq[Column] =
       Seq(

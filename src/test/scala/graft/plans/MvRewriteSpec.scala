@@ -705,6 +705,66 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("DERIVED group keys rewrite: GROUP BY date_trunc('day', t) is " +
+    "served from the bucketed view — exact grain, a rollup over " +
+    "(day, g), and alias-insensitive matching; grouping by the RAW " +
+    "column refuses") {
+    import graft.sources.DerivedGroup
+    val tSchema = TableSchema(Seq(
+      ColumnDef("g", ColumnType.AzString, nullable = false),
+      ColumnDef("t", ColumnType.AzDateTime, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val dview = ViewDef(Seq("day", "g"), sumCols = Seq("v"),
+      derivedGroups = Seq(DerivedGroup("day", "date_trunc('day', t)",
+        ColumnType.AzDateTime)))
+    val l = Files.createTempDirectory("azof-mvrw-der").toString
+    val ck = Files.createTempDirectory("azof-mvrw-der-ck").toString
+    AzofWriter.createTable(spark, l, "src", tSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a",
+          Timestamp.from(ts("2024-03-01T06:00:00Z")), 10L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a",
+          Timestamp.from(ts("2024-03-01T23:00:00Z")), 4L),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")), "b",
+          Timestamp.from(ts("2024-03-02T01:00:00Z")), 7L))),
+        tSchema.toStruct))
+    val q0 = MatView.refresh(spark, l, "src", l, "mv", dview, ck)
+    assert(q0.awaitTermination(120000))
+    withConfs(l) {
+      // exact grain: (bucket, g) — a pure projection of the view
+      val q = spark.sql(
+        "SELECT date_trunc('day', t) AS d, g, count(*) AS n, " +
+          "sum(v) AS sv FROM azof.src GROUP BY date_trunc('day', t), g")
+      assert(!scansSrc(q) && aggregates(q).isEmpty,
+        "bucketed aggregate must serve from the view:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(q.collect().map(r => (r.getTimestamp(0).toInstant.toString,
+        r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq == Seq(
+        ("2024-03-01T00:00:00Z", "a", 2L, 14L),
+        ("2024-03-02T00:00:00Z", "b", 1L, 7L)))
+      // rollup to the bucket alone re-sums the view
+      val qr = spark.sql(
+        "SELECT date_trunc('day', t) AS d, sum(v) AS sv " +
+          "FROM azof.src GROUP BY date_trunc('day', t)")
+      assert(!scansSrc(qr), "bucket rollup serves from the view")
+      assert(qr.collect().map(r => (r.getTimestamp(0).toInstant.toString,
+        r.getLong(1))).sortBy(_._1).toSeq == Seq(
+        ("2024-03-01T00:00:00Z", 14L), ("2024-03-02T00:00:00Z", 7L)))
+      // a DIFFERENT bucketing (month) must refuse
+      val qm = spark.sql(
+        "SELECT date_trunc('month', t) AS m, count(*) AS n " +
+          "FROM azof.src GROUP BY date_trunc('month', t)")
+      assert(scansSrc(qm), "month bucket over a day view must not serve")
+      // grouping by the RAW timestamp column must refuse too
+      val qt = spark.sql(
+        "SELECT t, count(*) AS n FROM azof.src GROUP BY t")
+      assert(scansSrc(qt), "the raw column is not a view group")
+    }
+  }
+
   /** A one-dim join lake with a NULLABLE distinct fact column and its
     * view refreshed: facts (a:x, a:x, b:y, a:null) under dim
     * d1→t1, d2→t2.

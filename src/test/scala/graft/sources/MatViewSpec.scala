@@ -529,6 +529,78 @@ class MatViewSpec extends AnyFunSuite {
     assert(served(l, "mv_e2") == oneShot(l))
     assert(served(l, "mv_e2").map(_._1) == Seq("a", "b"))
   }
+
+  test("DERIVED group keys: a date_trunc day bucket stays retrain-exact " +
+    "under revisions that MOVE a row across buckets, deletes (the " +
+    "rescan runs at the bucketed grain), and the epoch rebuild") {
+    val tSchema = TableSchema(Seq(
+      ColumnDef("t", ColumnType.AzDateTime, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val dview = ViewDef(Seq("day"), sumCols = Seq("v"),
+      minMaxCols = Seq("v"),
+      derivedGroups = Seq(DerivedGroup("day", "date_trunc('day', t)",
+        ColumnType.AzDateTime)))
+    val l = Files.createTempDirectory("azof-mv-der").toString
+    val ck = Files.createTempDirectory("azof-mv-der-ck").toString
+    AzofWriter.createTable(spark, l, "src", tSchema,
+      ts("2024-01-01T00:00:00Z"))
+    def tdf(rows: (String, String, String, Long)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, et, t, v) =>
+          Row(k, Timestamp.from(ts(et)), Timestamp.from(ts(t)), v) }),
+        tSchema.toStruct)
+    def go(): Unit = {
+      val q = MatView.refresh(spark, l, "src", l, "mvd", dview, ck)
+      assert(q.awaitTermination(120000))
+    }
+    def snap(tbl: String = "mvd") =
+      MatView.serve(spark, l, tbl, dview)
+        .collect().map(r => (r.getTimestamp(0).toInstant.toString,
+          r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+        .sortBy(_._1).toSeq
+    def shot() = AzofScan.scan(spark, l, "src")
+      .select(date_trunc("day", col("t")).as("day"), col("v"))
+      .groupBy("day")
+      .agg(count(lit(1)), sum(col("v")), min(col("v")), max(col("v")))
+      .collect().map(r => (r.getTimestamp(0).toInstant.toString,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    AzofWriter.commitBase(spark, l, "src", tdf(
+      ("1", "2024-01-02T00:00:00Z", "2024-03-01T06:00:00Z", 10L),
+      ("2", "2024-01-02T00:00:00Z", "2024-03-01T23:00:00Z", 4L),
+      ("3", "2024-01-02T00:00:00Z", "2024-03-02T01:00:00Z", 7L)))
+    go()
+    assert(snap() == shot(), "bootstrap buckets")
+    assert(snap().map(_._1) ==
+      Seq("2024-03-01T00:00:00Z", "2024-03-02T00:00:00Z"))
+    // a revision MOVES key 1 across day buckets and changes its value;
+    // key 2's delete empties nothing but forces the Mar-1 rescan
+    AzofWriter.commitDelta(spark, l, "src", tdf(
+      ("1", "2024-02-05T00:00:00Z", "2024-03-02T05:00:00Z", 11L)),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+    AzofWriter.commitDelete(spark, l, "src", Seq("2"),
+      ts("2024-02-06T00:00:00Z"))
+    go()
+    assert(snap() == shot(), "bucket move + delete")
+    assert(snap() == Seq(
+      ("2024-03-02T00:00:00Z", 2L, 18L, 7L, 11L)),
+      "Mar-1 fully emptied, Mar-2 absorbed the moved row")
+    // the rebuild hatch agrees
+    MatView.rebuildEpoch(spark, l, "src", l, "mvd_e2", dview,
+      ts("2024-06-01T00:00:00Z"))
+    assert(snap("mvd_e2") == shot())
+    // contract refusals: shadowing a source column, unknown reference
+    intercept[IllegalArgumentException] {
+      MatView.viewSchema(tSchema, ViewDef(Seq("t"),
+        derivedGroups = Seq(DerivedGroup("t", "date_trunc('day', t)",
+          ColumnType.AzDateTime))))
+    }
+    intercept[IllegalArgumentException] {
+      MatView.viewSchema(tSchema, ViewDef(Seq("day"),
+        derivedGroups = Seq(DerivedGroup("day",
+          "date_trunc('day', absent)", ColumnType.AzDateTime))))
+    }
+  }
 }
 
 /** RawLocalFileSystem counting distinct parquet data files opened under
