@@ -1096,6 +1096,18 @@ object AzofCli {
           .orderBy(org.apache.spark.sql.functions.col("n_hits").desc,
             org.apache.spark.sql.functions.col("doc"))
           .show(numRows = 10000, truncate = false)
+      case "term-bm25" =>
+        // BM25-ranked AND search: --terms a,b → docs containing every
+        // term, tf-saturated + length-normalized score from the
+        // postings, the __dl doc lengths, and the one-row __st stats
+        val bmTerms = opts("terms").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        graft.sources.TermIndex.searchBm25(spark,
+            opts.getOrElse("index-path", opts("path")),
+            opts.getOrElse("index-table", "term_postings"), bmTerms)
+          .orderBy(org.apache.spark.sql.functions.col("score").desc,
+            org.apache.spark.sql.functions.col("doc"))
+          .show(numRows = 100, truncate = false)
       case "term-near" =>
         // proximity search: --terms a,b --max-dist 5 → docs where the
         // two terms occur within the window, pair count + min distance

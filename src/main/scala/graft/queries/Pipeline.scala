@@ -72,6 +72,7 @@ object Pipeline {
     "t24_phrase_search" -> t24,
     "t25_prefix_search" -> t25,
     "t26_near_search" -> t26,
+    "t27_bm25_rank" -> t27,
     "t19_lm_score" -> t19,
     "p01_filter_funnel" -> p01,
     "p02_index_funnel" -> p02,
@@ -1118,7 +1119,7 @@ object Pipeline {
     * retirement).
     */
   private[queries] def termLake(s: SparkSession, dir: String): String =
-    AzofQueries.cachedLake(dir, "term-v3", "term_postings") { l =>
+    AzofQueries.cachedLake(dir, "term-v4", "term_postings") { l =>
       import graft.format.{ColumnDef, ColumnType}
       import graft.sources.{AzofWriter, TermIndex}
       import java.time.Instant
@@ -1236,6 +1237,20 @@ object Pipeline {
     val l = termLake(s, dir)
     graft.sources.TermIndex.searchNear(s, l, "term_postings",
       "window", "dup", maxDist = 5)
+  }
+
+  /** BM25-ranked search (AND): tf-saturated, length-normalized scoring
+    * with integer bit-magnitude idf, served index-only — posting reads
+    * per term, doc lengths from the incrementally-maintained `__dl`
+    * table, corpus stats from the ONE-ROW `__st` table (N and total
+    * length exact under the fixture's revision/delete churn). The
+    * score's rational form evaluates in a fixed operand order so the
+    * double hash-matches the DuckDB reconstruction bit-for-bit.
+    */
+  private def t27(s: SparkSession, dir: String): DataFrame = {
+    val l = termLake(s, dir)
+    graft.sources.TermIndex.searchBm25(s, l, "term_postings",
+      Seq("window", "dup"))
   }
 
   private def m01(s: SparkSession, dir: String): DataFrame =
@@ -1964,6 +1979,58 @@ object Pipeline {
                 CAST(SUM(tf * (length(bin((SELECT n FROM nn)))
                                - length(bin(df)))) AS BIGINT) AS score
          FROM tfs t JOIN dfs USING (term) GROUP BY doc""",
+    // BM25 (k1 = 6/5, b = 3/4, shifted bit-magnitude idf) in its reduced
+    // rational form, every double op in the SAME operand order as the
+    // engine — IEEE correctly-rounded ops on exact-integer inputs are
+    // bit-identical cross-engine (only ln and unordered SUMs are not)
+    "t27_bm25_rank" ->
+      """WITH live AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' zzrevterm'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         toks AS (
+           SELECT doc, term FROM (
+             SELECT CAST(doc_id AS VARCHAR) AS doc,
+                    unnest(string_split_regex(lower(text), '\s+')) AS term
+             FROM live)
+           WHERE term <> ''),
+         dl AS (SELECT doc, COUNT(*) AS len FROM toks GROUP BY doc),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(len) AS BIGINT) AS l FROM dl),
+         tfs AS (
+           SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN ('window', 'dup') GROUP BY 1, 2),
+         dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM tfs GROUP BY term),
+         cand AS (
+           SELECT t0.doc, t0.tf AS tf0, t1.tf AS tf1
+           FROM (SELECT doc, tf FROM tfs WHERE term = 'window') t0
+           JOIN (SELECT doc, tf FROM tfs WHERE term = 'dup') t1
+             USING (doc))
+         SELECT c.doc, dl.len AS dl,
+           CAST(1 + length(bin((SELECT n FROM st)))
+                - length(bin((SELECT df FROM dfs WHERE term = 'window')))
+                AS DOUBLE)
+             * (44.0 * CAST(tf0 AS DOUBLE)
+                     * CAST((SELECT l FROM st) AS DOUBLE))
+             / (20.0 * CAST((SELECT l FROM st) AS DOUBLE)
+                     * CAST(tf0 AS DOUBLE)
+                + 6.0 * CAST((SELECT l FROM st) AS DOUBLE)
+                + 18.0 * CAST(dl.len AS DOUBLE)
+                       * CAST((SELECT n FROM st) AS DOUBLE))
+           + CAST(1 + length(bin((SELECT n FROM st)))
+                  - length(bin((SELECT df FROM dfs WHERE term = 'dup')))
+                  AS DOUBLE)
+             * (44.0 * CAST(tf1 AS DOUBLE)
+                     * CAST((SELECT l FROM st) AS DOUBLE))
+             / (20.0 * CAST((SELECT l FROM st) AS DOUBLE)
+                     * CAST(tf1 AS DOUBLE)
+                + 6.0 * CAST((SELECT l FROM st) AS DOUBLE)
+                + 18.0 * CAST(dl.len AS DOUBLE)
+                       * CAST((SELECT n FROM st) AS DOUBLE))
+             AS score
+         FROM cand c JOIN dl USING (doc)""",
     // 1-based-inclusive with tail clamping, matching Spark's
     // slice(arr, start, length) clamp
     "t18_chunk_overlap" ->

@@ -66,12 +66,56 @@ object TermIndex {
     */
   val PostingStamp: Instant = Instant.parse("2024-01-02T00:00:00Z")
 
+  /** DOC-LENGTH side table (`key = docKey`): one slim row per live
+    * NON-EMPTY document with its total token count — the `|d|` a
+    * length-normalized ranking (BM25) needs, derived per batch from
+    * the SAME checkpointed posting join the refresh already pays
+    * (`Σ tf` new vs pre — zero extra source reads). An emptied or
+    * deleted document's row tombstones.
+    */
+  def dlTableName(idxTable: String): String = s"${idxTable}__dl"
+
+  val DlSchema: TableSchema = TableSchema(Seq(
+    ColumnDef("doc", ColumnType.AzString, nullable = true),
+    ColumnDef("len", ColumnType.AzInt, nullable = true)))
+
+  /** CORPUS-STATS side table: ONE row (`key = "corpus"`) carrying the
+    * live non-empty document count and total token count — `N` and
+    * `avgdl`'s ingredients, served by one single-row read instead of
+    * an O(n_docs) aggregate per query. Updated per batch as
+    * `old + delta` under its own replay guard (exactly-once: the
+    * value depends only on its OWN old state plus the batch).
+    */
+  def stTableName(idxTable: String): String = s"${idxTable}__st"
+
+  val StSchema: TableSchema = TableSchema(Seq(
+    ColumnDef("n_docs", ColumnType.AzInt, nullable = true),
+    ColumnDef("total_len", ColumnType.AzInt, nullable = true)))
+
   def create(
       spark: SparkSession,
       idxLake: String, idxTable: String = "term_postings",
       segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
+    // an index whose postings PREDATE the length/stats side tables has
+    // history those tables never saw — refreshing forward would serve
+    // silently wrong lengths to ranked search; the epoch rebuild is
+    // the documented upgrade. Checked BEFORE creating, so the throw
+    // repeats until the operator actually rebuilds.
+    val pExists = scala.util.Try(
+      AzofTable(spark, idxLake, idxTable).currentVersion).isSuccess
+    val sExists = scala.util.Try(
+      AzofTable(spark, idxLake, stTableName(idxTable)).currentVersion)
+      .isSuccess
+    if (pExists && !sExists) throw new IllegalStateException(
+      s"term index '$idxTable' predates doc-length maintenance — " +
+        "rebuild it via TermIndex.rebuildEpoch (CLI: term-rebuild) " +
+        "before refreshing")
     AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, PostingSchema, segmentStart)
+    AzofWriter.createTableIfAbsent(
+      spark, idxLake, stTableName(idxTable), StSchema, segmentStart)
+    AzofWriter.createTableIfAbsent(
+      spark, idxLake, dlTableName(idxTable), DlSchema, segmentStart)
     ()
   }
 
@@ -117,9 +161,16 @@ object TermIndex {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val rows = deltaBatch(spark, batch, textCol, srcLake, srcTable,
-          broadcastKeyMax)
+        val (rows, dlRows, stRows) = deltaBatch(spark, batch, textCol,
+          srcLake, srcTable, idxLake, idxTable, broadcastKeyMax)
         AzofSink.commitBatch(idxLake, idxTable, rows, id, appId)
+        // each side table's delta depends only on ITS OWN old state
+        // plus the batch, so a crash between the three commits replays
+        // exactly-once on all of them (the MatView dv reasoning)
+        dlRows.foreach(dl => AzofSink.commitBatch(idxLake,
+          dlTableName(idxTable), dl, id, s"$appId#dl"))
+        stRows.foreach(st => AzofSink.commitBatch(idxLake,
+          stTableName(idxTable), st, id, s"$appId#st"))
         graft.operators.Blocks.freeReferenced(rows)
         ()
       }
@@ -137,7 +188,9 @@ object TermIndex {
   private def deltaBatch(
       spark: SparkSession, batch: Dataset[Row], textCol: String,
       srcLake: String, srcTable: String,
-      broadcastKeyMax: Long): DataFrame = {
+      idxLake: String, idxTable: String,
+      broadcastKeyMax: Long)
+      : (DataFrame, Option[DataFrame], Option[DataFrame]) = {
     val K = TableSchema.KeyName
     val slim = batch
       .select(col(K), col(textCol), col("_commit_version"), col("_deleted"))
@@ -153,7 +206,8 @@ object TermIndex {
         lit(deleted).as(TableSchema.DeletedName))
     if (bounds.isNullAt(1) || bounds.getLong(1) == 0L) {
       graft.operators.Blocks.freeReferenced(slim.toDF())
-      return outRow(postings(slim.limit(0), K, textCol), deleted = false)
+      return (outRow(postings(slim.limit(0), K, textCol), deleted = false),
+        None, None)
     }
     val (minV, nChurned) = (bounds.getLong(0), bounds.getLong(1))
     val wKey = org.apache.spark.sql.expressions.Window
@@ -194,8 +248,41 @@ object TermIndex {
       .where(col("tf").isNull)
       .select(col("term"), col("doc"), lit(null).cast("long").as("tf"),
         lit(null).cast("string").as("pos"))
-    outRow(upserts, deleted = false)
-      .unionByName(outRow(removals, deleted = true))
+    // DOC LENGTHS + CORPUS STATS off the SAME checkpointed join: a
+    // doc's new/pre length is Σ tf over its new/pre postings (null =
+    // absent/emptied on that side) — zero extra source reads
+    val lens = joined.groupBy("doc").agg(
+      sum(col("tf")).as("_ln"), sum(col("_tf_pre")).as("_lp"))
+    val dlStamp = lit(java.sql.Timestamp.from(PostingStamp))
+      .as(TableSchema.EventTimeName)
+    val dlRows = lens
+      .where(!(col("_ln") <=> col("_lp"))) // unchanged lengths write NOTHING
+      .select(col("doc").as(TableSchema.KeyName), dlStamp,
+        col("doc"), col("_ln").as("len"),
+        col("_ln").isNull.as(TableSchema.DeletedName))
+    // stats delta from the churned docs alone; new row = old + delta
+    // (exactly-once under its own replay guard)
+    val d = lens.agg(
+      sum(coalesce(col("_ln"), lit(0L)) - coalesce(col("_lp"), lit(0L))),
+      sum(when(col("_ln").isNotNull && col("_lp").isNull, 1L)
+        .when(col("_ln").isNull && col("_lp").isNotNull, -1L)
+        .otherwise(0L))).collect()(0)
+    val (dLen, dDocs) =
+      (if (d.isNullAt(0)) 0L else d.getLong(0),
+        if (d.isNullAt(1)) 0L else d.getLong(1))
+    val old = graft.operators.AzofScan
+      .scan(spark, idxLake, stTableName(idxTable))
+      .select(col("n_docs"), col("total_len")).collect()
+    val (oDocs, oLen) =
+      if (old.isEmpty) (0L, 0L) else (old(0).getLong(0), old(0).getLong(1))
+    val stRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("corpus",
+        java.sql.Timestamp.from(PostingStamp),
+        oDocs + dDocs, oLen + dLen))),
+      StSchema.toStruct)
+    (outRow(upserts, deleted = false)
+      .unionByName(outRow(removals, deleted = true)),
+      Some(dlRows), Some(stRows))
   }
 
   /** The documents matching EVERY query term (`AND`) or ANY (`OR`),
@@ -374,13 +461,101 @@ object TermIndex {
     create(spark, idxLake, newTable, at)
     val live = graft.operators.AzofScan.scan(spark, srcLake, srcTable)
       .select(col(TableSchema.KeyName), col(textCol))
-    val rows = postings(live, TableSchema.KeyName, textCol)
-      .select(
-        concat(col("term"), lit(Sep), col("doc")).as(TableSchema.KeyName),
-        lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName),
-        col("term"), col("doc"), col("tf"), col("pos"))
+    val p = postings(live, TableSchema.KeyName, textCol)
+      .localCheckpoint(true)
+    val rows = p.select(
+      concat(col("term"), lit(Sep), col("doc")).as(TableSchema.KeyName),
+      lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName),
+      col("term"), col("doc"), col("tf"), col("pos"))
     val n = rows.count()
     if (n > 0) AzofWriter.commitDelta(spark, idxLake, newTable, rows, at, at)
+    // doc lengths + corpus stats off the same retrained postings
+    val lens = p.groupBy("doc").agg(sum(col("tf")).as("len"))
+    val dlRows = lens.select(
+      col("doc").as(TableSchema.KeyName),
+      lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName),
+      col("doc"), col("len"))
+    if (n > 0) AzofWriter.commitDelta(spark, idxLake,
+      dlTableName(newTable), dlRows, at, at)
+    val tot = lens.agg(count(lit(1)), sum(col("len"))).collect()(0)
+    val stRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("corpus",
+        java.sql.Timestamp.from(at),
+        if (tot.isNullAt(0)) 0L else tot.getLong(0),
+        if (tot.isNullAt(1)) 0L else tot.getLong(1)))),
+      StSchema.toStruct)
+    AzofWriter.commitDelta(spark, idxLake, stTableName(newTable),
+      stRows, at, at)
+    graft.operators.Blocks.freeReferenced(p)
     n
+  }
+
+  /** BM25-RANKED search over documents containing EVERY query term
+    * (`AND`), exactly length-normalized and exactly reproducible
+    * cross-engine: the classic BM25 shape with `k1 = 6/5`, `b = 3/4`,
+    * and the family's integer bit-magnitude idf, shifted positive
+    * (`1 + mag(N) − mag(df)` — [[searchRanked]]'s reasoning: a float
+    * `ln` hash-differs across engines, `length(bin(x))` is exact; the
+    * +1 keeps a same-bit-length `df ≈ N` term contributing instead of
+    * zeroing out). With
+    * integer constants the per-term factor reduces to one rational,
+    *
+    *   `tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/L))
+    *      = 44·tf·L / (20·L·tf + 6·L + 18·dl·N)`,
+    *
+    * evaluated in double with a FIXED operand order and summed over
+    * the (fixed, small) query term list left-to-right — every step an
+    * IEEE correctly-rounded op on exact-integer inputs, so Spark and
+    * any IEEE SQL engine produce the identical bits (only
+    * transcendentals and unordered SUMs diverge; this uses neither).
+    *
+    * Served index-only: one key-range posting read per term (df
+    * counted from the same rows), the doc-length join against the
+    * slim one-row-per-live-doc `__dl` table, and `N`/`L` from the
+    * ONE-ROW `__st` stats table — never a corpus scan, no O(n_docs)
+    * aggregate at query time. Output `(doc, dl, score)`.
+    */
+  def searchBm25(
+      spark: SparkSession,
+      idxLake: String, idxTable: String,
+      terms: Seq[String]): DataFrame = {
+    val normed = terms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    require(normed.nonEmpty, "searchBm25 needs at least one term")
+    val st = graft.operators.AzofScan
+      .scan(spark, idxLake, stTableName(idxTable))
+      .select(col("n_docs"), col("total_len")).collect()
+    if (st.isEmpty || st(0).getLong(0) == 0L) throw new IllegalStateException(
+      s"term index '$idxTable' has no corpus stats — refresh it (or " +
+        "rebuild a pre-doc-length index via term-rebuild) before " +
+        "ranked search")
+    val (nDocs, totLen) = (st(0).getLong(0), st(0).getLong(1))
+    def mag(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    def scanTerm(t: String, i: Int): DataFrame =
+      graft.operators.AzofScan.scan(spark, idxLake, idxTable,
+        projection = Some(Set("term", "doc", "tf")),
+        keyFilter = Some(KeyFilter.Range(
+          Some(t + Sep), Some(t + Sep + "\uffff"))))
+        .where(col("term") === t)
+        .select(col("doc"), col("tf").as(s"_tf_$i"))
+    val frames = normed.zipWithIndex.map { case (t, i) => scanTerm(t, i) }
+    // df per term from its own pruned posting read (each live posting
+    // is one distinct (term, doc)) — a handful of term-range counts
+    val dfs = frames.map(_.count())
+    val cand = frames.reduce((a, b) => a.join(b, "doc")) // AND semantics
+    val dl = graft.operators.AzofScan
+      .scan(spark, idxLake, dlTableName(idxTable))
+      .select(col("doc"), col("len"))
+    val scored = cand.join(dl, "doc")
+    val L = lit(totLen.toDouble)
+    val N = lit(nDocs.toDouble)
+    def termScore(i: Int): org.apache.spark.sql.Column = {
+      val w = lit((1L + mag(nDocs) - mag(dfs(i))).toDouble)
+      val tf = col(s"_tf_$i").cast("double")
+      w * (lit(44.0) * tf * L) /
+        (lit(20.0) * L * tf + lit(6.0) * L +
+          lit(18.0) * col("len").cast("double") * N)
+    }
+    scored.select(col("doc"), col("len").as("dl"),
+      normed.indices.map(termScore).reduce(_ + _).as("score"))
   }
 }

@@ -287,6 +287,86 @@ class TermIndexSpec extends AnyFunSuite {
       Seq(("1", 1L, 1L)))
     assert(served(l, Seq("r"), all = false, tbl = "tp_e2").isEmpty)
   }
+
+  /** Brute-force BM25 over the live corpus with the engine's exact
+    * rational form and operand order.
+    */
+  private def bruteBm25(l: String, terms: Seq[String]) = {
+    val toks = AzofScan.scan(spark, l, "docs")
+      .select(col(TableSchema.KeyName).as("doc"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .localCheckpoint(true)
+    val dl = toks.groupBy("doc").agg(count(lit(1)).as("len"))
+    val st = dl.agg(count(lit(1)), sum(col("len"))).collect()(0)
+    val (n, lTot) = (st.getLong(0), st.getLong(1))
+    def mag(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val tfs = toks.where(col("term").isin(terms: _*))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tfs.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cand = terms.zipWithIndex.map { case (t, i) =>
+      tfs.where(col("term") === t)
+        .select(col("doc"), col("tf").as(s"_tf_$i"))
+    }.reduce((a, b) => a.join(b, "doc")).join(dl, "doc")
+    def sc(i: Int) = {
+      val w = lit((1L + mag(n) - mag(dfs(terms(i)))).toDouble)
+      val tf = col(s"_tf_$i").cast("double")
+      w * (lit(44.0) * tf * lit(lTot.toDouble)) /
+        (lit(20.0) * lit(lTot.toDouble) * tf + lit(6.0) * lit(lTot.toDouble) +
+          lit(18.0) * col("len").cast("double") * lit(n.toDouble))
+    }
+    cand.select(col("doc"), col("len").as("dl"),
+      terms.indices.map(sc).reduce(_ + _).as("score"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("BM25 ranked search: doc lengths and corpus stats maintained " +
+    "incrementally through revisions that change lengths, deletes, " +
+    "and re-inserts — ≡ a live-corpus brute force, bit-exact scores") {
+    val (l, ck) = mkLake("bm")
+    def bm(terms: Seq[String]) =
+      TermIndex.searchBm25(spark, l, "term_postings", terms)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    AzofWriter.commitBase(spark, l, "docs", df(
+      ("1", "2024-01-02T00:00:00Z", "big window scan dup window"),
+      ("2", "2024-01-02T00:00:00Z", "dup window"),
+      ("3", "2024-01-02T00:00:00Z", "other words entirely here")))   // v2
+    refresh(l, ck)
+    assert(bm(Seq("window", "dup")) == bruteBm25(l, Seq("window", "dup")))
+    // a revision that CHANGES doc 1's length (and tf) + a new doc
+    AzofWriter.commitDelta(spark, l, "docs", df(
+      ("1", "2024-02-05T00:00:00Z", "window dup"),
+      ("4", "2024-02-05T00:00:00Z", "dup dup window and much more " +
+        "text to stretch the length out")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    refresh(l, ck)
+    assert(bm(Seq("window", "dup")) == bruteBm25(l, Seq("window", "dup")),
+      "lengths and stats track the revision")
+    // delete one matching doc: its dl row retires, stats shrink
+    AzofWriter.commitDelete(spark, l, "docs", Seq("2"),
+      ts("2024-03-05T00:00:00Z"))                                    // v4
+    refresh(l, ck)
+    assert(bm(Seq("window", "dup")) == bruteBm25(l, Seq("window", "dup")),
+      "the deleted doc left N, L, df, and the candidates")
+    // the stats row is ONE row and matches the live corpus exactly
+    val st = AzofScan.scan(spark, l,
+      TermIndex.stTableName("term_postings"))
+      .select(col("n_docs"), col("total_len")).collect()
+    assert(st.length == 1 && st(0).getLong(0) == 3L)
+    // an index PREDATING the side tables refuses refresh loudly
+    val (l2, ck2) = mkLake("bmold")
+    AzofWriter.commitBase(spark, l2, "docs", df(
+      ("1", "2024-01-02T00:00:00Z", "a b")))
+    AzofWriter.createTable(spark, l2, "term_postings",
+      TermIndex.PostingSchema, ts("2024-01-01T00:00:00Z"))
+    // create() refuses synchronously, before any stream starts
+    val e = intercept[IllegalStateException] { refresh(l2, ck2) }
+    assert(e.getMessage.contains("term-rebuild"),
+      s"upgrade refusal names the remedy: ${e.getMessage}")
+  }
 }
 
 /** RawLocalFileSystem counting distinct parquet data files opened under
