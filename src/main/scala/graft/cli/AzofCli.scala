@@ -88,11 +88,20 @@ object AzofCli {
         _.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       .getOrElse(Nil)
     val padded = dimColGroups.padTo(fks.size, Seq.empty[String])
+    val derived = opts.get("derived").toSeq
+      .flatMap(_.split(";").map(_.trim).filter(_.nonEmpty))
+      .map { entry =>
+        val (head, sql) = entry.span(_ != '=')
+        require(sql.startsWith("="), s"--derived entry needs '=': $entry")
+        val Array(name, tpe) = head.split(":", 2).map(_.trim)
+        graft.sources.DerivedGroup(name, sql.drop(1).trim,
+          graft.format.ColumnType.fromJsonName(tpe))
+      }
     graft.sources.JoinViewDef(csv("group-cols"), csv("sum-cols"),
       csv("minmax-cols"),
       fks.zip(padded).map { case (fk, dc) =>
         graft.sources.DimJoin(fk, dc) },
-      csv("distinct-cols"))
+      csv("distinct-cols"), derived)
   }
 
   /** The jv-* verbs' dim table locations: `--dim-table d1[,d2…]` with

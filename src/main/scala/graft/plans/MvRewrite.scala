@@ -634,18 +634,27 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : Option[LogicalPlan] =
     joinSrcOf(agg.child).flatMap {
       case (factKey, factPin, dimSides, conds, factOut) =>
-        val groupsOpt = traverse(agg.groupingExpressions.map {
-          case a: AttributeReference => Some(a.name)
-          case _ => None
-        })
-        groupsOpt.flatMap { groups =>
+        {
           cands.iterator.flatMap { case (lake, mv) =>
             defOf(spark, lake, mv).collect {
               case d: MvRewriteRule.JoinDef => d
             }.flatMap { d =>
               val jdef = d.jdef
+              if (jdef.derivedGroups.nonEmpty &&
+                spark.sessionState.conf.sessionLocalTimeZone != "UTC")
+                None
+              else {
               val vd = ViewDef(jdef.groupCols, jdef.sumCols,
-                jdef.minMaxCols, jdef.distinctCols)
+                jdef.minMaxCols, jdef.distinctCols, jdef.derivedGroups)
+              val dmMap = derivedCanon(vd, agg.child)
+              val dm: Expression => Option[String] =
+                e => dmMap.get(e.canonicalized)
+              val groupsOpt = traverse(agg.groupingExpressions.map {
+                case a: AttributeReference
+                  if vd.groupCols.contains(a.name) => Some(a.name)
+                case e => dm(e)
+              })
+              groupsOpt.flatMap { groups =>
               // each declared dim matches exactly one joined dim side:
               // same fk column, same dim table (order-insensitive —
               // the query may join the dims in any order)
@@ -681,7 +690,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   provenanced
               if (!covered) None
               else traverse(
-                agg.aggregateExpressions.map(outOf(_, vd, _ => None)))
+                agg.aggregateExpressions.map(outOf(_, vd, dm)))
                 .filter { outs =>
                   outs.forall {
                     case GroupOut(c) => groups.contains(c); case _ => true }
@@ -712,6 +721,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                         vd, groups, outs, conds, dvPairs)
                     }
                 }
+              }
+              }
             }
           }.nextOption()
         }

@@ -54,7 +54,8 @@ object AzofQueries {
     "q60_mv_distinct" -> matViewDistinctRewrite,
     "q61_star_distinct" -> starDistinctRewrite,
     "q62_star_pinned_rewrite" -> starPinnedRewrite,
-    "q63_mv_timebucket" -> matViewTimeBucket)
+    "q63_mv_timebucket" -> matViewTimeBucket,
+    "q64_star_timebucket" -> starDayRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1317,6 +1318,40 @@ object AzofQueries {
         col("sum_score").cast("double") / col("nn_score"))
   }
 
+  /** The DAY-BUCKETED STAR rewrite under the oracle gate (q63's join
+    * sibling): plain SQL grouping `fact ⋈ dim` by a dim attribute AND
+    * a `date_trunc` bucket of a FACT timestamp — no stored bucket
+    * column anywhere — served as a pure projection of the derived-key
+    * join view, whose single catch-up leg absorbed the whole
+    * seven-commit history (bucket-moving fact revisions + the dim
+    * re-tier in one delta). Refuses a plan that still joins or
+    * aggregates.
+    */
+  private def starDayRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = starLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_star_day")
+    try {
+      val q = s.sql(
+        "SELECT tier, date_trunc('day', ts) AS day, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars " +
+          "FROM azof.facts_star f JOIN azof.src_star d1 " +
+          "ON f.src = d1.key GROUP BY tier, date_trunc('day', ts)")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "day-bucketed star rewrite did not fire — refusing to pass " +
+          "the row off the scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The q63 [[graft.sources.ViewDef]]: the TIME-BUCKETED rollup — a
     * DERIVED `date_trunc('day', t)` group key stored in the view, plus
     * the physical `source` group; sums and extrema over `v`.
@@ -1557,6 +1592,16 @@ object AzofQueries {
       graft.sources.DimJoin("bk", Seq("label"))),
     distinctCols = Seq("author"))
 
+  /** The q64 day-bucketed STAR [[graft.sources.JoinViewDef]] over the
+    * SAME tables: per-(tier, day) counts and char sums, `day` a DERIVED
+    * fact-side `date_trunc` bucket — the time-series star rollup.
+    */
+  private val starDayDef = graft.sources.JoinViewDef(Seq("tier", "day"),
+    sumCols = Seq("n_chars"),
+    dims = Seq(graft.sources.DimJoin("src", Seq("tier"))),
+    derivedGroups = Seq(graft.sources.DerivedGroup("day",
+      "date_trunc('day', ts)", ColumnType.AzDateTime)))
+
   /** Seven-commit, per-commit-refreshed STAR lake: dim1 `src_star`
     * (key = source name, `tier` = number parity), dim2 `bkt_star`
     * (key = `b<doc_id % 4>`, `label` = bucket parity), fact
@@ -1572,7 +1617,7 @@ object AzofQueries {
     * distinct mass onto `a9`, the deletes decrement refcounts.
     */
   private[queries] def starLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "star-v2", "doc_star") { l =>
+    cachedLake(dir, "star-v3", "doc_star") { l =>
       import graft.sources.{AzofWriter, JoinView}
       val docs = Tables(s, dir, "documents")
       val srcs = docs.select("source").distinct()
@@ -1590,11 +1635,17 @@ object AzofQueries {
           ColumnDef("src", ColumnType.AzString, nullable = false),
           ColumnDef("bk", ColumnType.AzString, nullable = false),
           ColumnDef("n_chars", ColumnType.AzInt, nullable = false),
-          ColumnDef("author", ColumnType.AzString, nullable = true))),
+          ColumnDef("author", ColumnType.AzString, nullable = true),
+          ColumnDef("ts", ColumnType.AzDateTime, nullable = false))),
         Instant.parse("2024-01-01T00:00:00Z"))
       def refresh(): Unit = {
         JoinView.refresh(s, l, "facts_star",
           Seq((l, "src_star"), (l, "bkt_star")), l, "doc_star", starDef)
+        ()
+      }
+      def refreshDay(): Unit = {
+        JoinView.refresh(s, l, "facts_star",
+          Seq((l, "src_star")), l, "doc_star_day", starDayDef)
         ()
       }
       def factRows(filter: org.apache.spark.sql.Column, at: String,
@@ -1603,14 +1654,18 @@ object AzofQueries {
           au: org.apache.spark.sql.Column =
             when(col("doc_id") % 6 === 0, lit(null))
               .otherwise(concat(lit("a"),
-                (col("doc_id") % 10).cast("string")))) =
+                (col("doc_id") % 10).cast("string"))),
+          tsc: org.apache.spark.sql.Column =
+            expr("timestamp'2024-03-01 00:00:00' + " +
+              "make_interval(0, 0, 0, 0, CAST(doc_id % 40 AS INT), 0, 0)")) =
         docs.where(filter).select(
           col("doc_id").cast("string").as("key"),
           lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
           src.as("src"),
           concat(lit("b"), (col("doc_id") % 4).cast("string")).as("bk"),
           nc.as("n_chars"),
-          au.cast("string").as("author"))
+          au.cast("string").as("author"),
+          tsc.as("ts"))
       AzofWriter.commitBase(s, l, "src_star",
         srcs.select(col("source").as("key"),
           lit(java.sql.Timestamp.from(
@@ -1651,13 +1706,21 @@ object AzofQueries {
       refresh()
       AzofWriter.commitDelta(s, l, "facts_star",
         factRows(col("doc_id") % 7 === 0, "2024-05-05T00:00:00Z",
-          src = lit("src1"), nc = col("n_chars") + 3, au = lit("a9")),
+          src = lit("src1"), nc = col("n_chars") + 3, au = lit("a9"),
+          tsc = expr("timestamp'2024-03-01 00:00:00' + " +
+            "make_interval(0, 0, 0, 0, CAST(doc_id % 40 AS INT) + 36, " +
+            "0, 0)")),
         Instant.parse("2024-05-01T00:00:00Z"),
         Instant.parse("2024-06-01T00:00:00Z"))
       refresh()
       AzofWriter.commitDelete(s, l, "facts_star", Seq("6", "7"),
         Instant.parse("2024-06-05T00:00:00Z"))
       refresh()
+      // the DAY view catches up the WHOLE seven-commit history in one
+      // mixed leg (fact churn + the dim re-tier together) — the other
+      // maintenance cadence, deliberately different from doc_star's
+      // per-commit refreshes
+      refreshDay()
       ()
     }
 
@@ -1996,6 +2059,33 @@ object AzofQueries {
                 COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
                 MIN(v) AS min_v, MAX(v) AS max_v
          FROM live GROUP BY 1, 2""",
+    // the day-bucketed STAR rollup reconstructed one-shot: the May
+    // revision re-pointed %7 docs at src1, bumped n_chars, AND shifted
+    // ts +36h across buckets; the dim re-tier moved sources to vip
+    "q64_star_timebucket" ->
+      """WITH fact AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
+                    AS src,
+                  CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars
+                    END AS n_chars,
+                  TIMESTAMP '2024-03-01 00:00:00'
+                    + to_hours(CAST(doc_id % 40 AS BIGINT))
+                    + CASE WHEN doc_id % 7 = 0 THEN to_hours(36)
+                           ELSE to_hours(0) END AS ts
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         dim1 AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 'vip'
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even'
+                       ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents))
+         SELECT tier, date_trunc('day', ts) AS day,
+                COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+         FROM fact JOIN dim1 ON fact.src = dim1.k
+         GROUP BY tier, date_trunc('day', ts)""",
     // exact COUNT(DISTINCT) from the refcounted support table, under
     // value-moving revisions, nulls, and zero-crossing deletes
     "q60_mv_distinct" ->

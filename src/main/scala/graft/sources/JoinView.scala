@@ -33,7 +33,8 @@ final case class JoinViewDef(
     sumCols: Seq[String] = Nil,
     minMaxCols: Seq[String] = Nil,
     dims: Seq[DimJoin] = Seq(DimJoin("fk")),
-    distinctCols: Seq[String] = Nil) {
+    distinctCols: Seq[String] = Nil,
+    derivedGroups: Seq[DerivedGroup] = Nil) {
   require(groupCols.nonEmpty, "a join view needs group columns")
   require(dims.nonEmpty, "a join view needs at least one dim")
   require(dims.map(_.fkCol).distinct.size == dims.size,
@@ -53,12 +54,26 @@ final case class JoinViewDef(
   require(distinctCols.forall(c => !dimColsAll.contains(c)),
     "distinct columns must be FACT columns (a dim attribute that " +
       "should be distinct-counted belongs in groupCols)")
-  /** Group columns that live on the fact side. */
-  def factGroupCols: Seq[String] = groupCols.filterNot(dimColsAll.contains)
+  require(derivedGroups.map(_.name).distinct.size == derivedGroups.size,
+    "derived group names must be distinct")
+  require(derivedGroups.forall(dg => groupCols.contains(dg.name)),
+    "every derived group must be listed in groupCols")
+  require(derivedGroups.forall(dg => !dimColsAll.contains(dg.name)),
+    "derived groups are FACT-side expressions (a dim attribute is " +
+      "already a group column)")
+  require(derivedGroups.forall(dg =>
+    !(sumCols ++ minMaxCols ++ distinctCols).contains(dg.name)),
+    "derived groups are group columns — they cannot be aggregated")
+  /** Derived group names. */
+  def derivedNames: Seq[String] = derivedGroups.map(_.name)
+  /** Group columns that live on the fact side (verbatim, not derived). */
+  def factGroupCols: Seq[String] =
+    groupCols.filterNot(c =>
+      dimColsAll.contains(c) || derivedNames.contains(c))
   /** Fact columns the refresh reads. */
   def factNeeded: Seq[String] =
     (dims.map(_.fkCol) ++ factGroupCols ++ sumCols ++ minMaxCols ++
-      distinctCols).distinct
+      distinctCols ++ derivedGroups.flatMap(_.srcRefs)).distinct
 }
 
 /** PERSISTED incremental STAR-JOIN aggregate view — [[MatView]]'s
@@ -116,6 +131,13 @@ object JoinView {
 
   private val Sep = "\u0001"
 
+  /** Add every derived (fact-side) group column to `df` — applied to
+    * each enriched frame the refresh aggregates.
+    */
+  private def withDerived(df: DataFrame, jdef: JoinViewDef): DataFrame =
+    jdef.derivedGroups.foldLeft(df)((d, dg) =>
+      d.withColumn(dg.name, expr(dg.sql).cast(dg.dataType.sparkType)))
+
   /** Pack the version vector into one replay-guard batch id: strictly
     * increasing across state-changing refreshes (every component only
     * grows and at least one strictly grows), and for single-dim views
@@ -153,10 +175,26 @@ object JoinView {
           throw new IllegalArgumentException(
             s"dim group column '$n' is not in its dim schema")))
       }.toMap
+    val derivedBy = jdef.derivedGroups.map(dg => dg.name -> dg).toMap
     def defOf(n: String): ColumnDef =
-      dimBy.getOrElse(n, factBy.getOrElse(n,
+      derivedBy.get(n) match {
+        case Some(dg) => ColumnDef(n, dg.dataType, nullable = false)
+        case None => dimBy.getOrElse(n, factBy.getOrElse(n,
+          throw new IllegalArgumentException(
+            s"fact column '$n' is not in the fact schema")))
+      }
+    jdef.derivedGroups.foreach { dg =>
+      if (factBy.contains(dg.name) || dimBy.contains(dg.name))
         throw new IllegalArgumentException(
-          s"fact column '$n' is not in the fact schema")))
+          s"derived group '${dg.name}' shadows a source column — " +
+            "pick a fresh name")
+      dg.srcRefs.foreach { r =>
+        if (!factBy.contains(r)) throw new IllegalArgumentException(
+          s"derived group '${dg.name}' references '$r', which is not " +
+            "a FACT column (derived star buckets are fact-side " +
+            "expressions)")
+      }
+    }
     jdef.dims.foreach { d =>
       val fk = factBy.getOrElse(d.fkCol,
         throw new IllegalArgumentException(
@@ -243,6 +281,7 @@ object JoinView {
     val fs = AzofTable(spark, factLake, factTable).currentSnapshot.schema
     val dss = dims.map { case (dl, dt) =>
       AzofTable(spark, dl, dt).currentSnapshot.schema }
+    MatView.requireDerivedOk(spark, fs, jdef.derivedGroups)
     val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, viewSchema(fs, dss, jdef), segmentStart)
     if (jdef.distinctCols.nonEmpty)
@@ -270,6 +309,17 @@ object JoinView {
       s"""{"path":"${rel(dl)}","table":"$dt",""" +
         s""""fk_col":"${dj.fkCol}","dim_cols":${arr(dj.dimCols)}}"""
     }.mkString("[", ",", "]")
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val derived = jdef.derivedGroups.map(dg =>
+      s"""{"name":"${dg.name}","sql":"${esc(dg.sql)}",""" +
+        s""""type":"${dg.dataType.jsonName}"}""")
+      .mkString("[", ",", "]")
     val out = fs.create(p, true)
     try out.write(
       (s"""{"format":$FormatVersion,""" +
@@ -278,6 +328,7 @@ object JoinView {
         s""""sum_cols":${arr(jdef.sumCols)},""" +
         s""""minmax_cols":${arr(jdef.minMaxCols)},""" +
         s""""distinct_cols":${arr(jdef.distinctCols)},""" +
+        s""""derived_groups":$derived,""" +
         s""""dims":$dimArr}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -317,14 +368,22 @@ object JoinView {
         ((lake(d.get("path").asText), d.get("table").asText),
           DimJoin(d.get("fk_col").asText, seq(d.get("dim_cols"))))
       }
-      // absent in pre-distinct sidecars (still format 2) → no distinct
+      // absent in pre-distinct/pre-derived sidecars (still format 2)
       val dcols = Option(root.get("distinct_cols"))
         .map(seq).getOrElse(Nil)
+      val derived = Option(root.get("derived_groups")) match {
+        case Some(n) => (0 until n.size()).map { i =>
+          val d = n.get(i)
+          DerivedGroup(d.get("name").asText, d.get("sql").asText,
+            ColumnType.fromJsonName(d.get("type").asText))
+        }
+        case None => Nil
+      }
       Some((lake(root.get("fact_path").asText),
         root.get("fact_table").asText,
         dims.map(_._1),
         JoinViewDef(seq(root.get("group_cols")), seq(root.get("sum_cols")),
-          seq(root.get("minmax_cols")), dims.map(_._2), dcols)))
+          seq(root.get("minmax_cols")), dims.map(_._2), dcols, derived)))
     }
   }
 
@@ -602,13 +661,15 @@ object JoinView {
         AsOf.Current,
         projection = Some((Set(K) ++ jdef.dims(i).dimCols).toSet))
         .withColumnRenamed(K, s"_dk_$i")
-    val outCols = (jdef.groupCols ++ jdef.sumCols ++ jdef.minMaxCols ++
-      jdef.distinctCols).distinct
+    // derived names materialize AFTER the join (fact-side expressions)
+    val rawCols = (jdef.groupCols.filterNot(jdef.derivedNames.contains) ++
+      jdef.sumCols ++ jdef.minMaxCols ++ jdef.distinctCols ++
+      jdef.derivedGroups.flatMap(_.srcRefs)).distinct
     def enrich(facts: DataFrame, dimFrames: Seq[DataFrame]): DataFrame =
-      dims.indices.foldLeft(facts) { (acc, i) =>
+      withDerived(dims.indices.foldLeft(facts) { (acc, i) =>
         acc.join(dimFrames(i),
           acc(jdef.dims(i).fkCol) === dimFrames(i)(s"_dk_$i"))
-      }.select(outCols.map(col): _*)
+      }.select(rawCols.map(col): _*), jdef)
 
     // ---- fact churn
     val factChurn = newestOf(
@@ -930,17 +991,20 @@ object JoinView {
     val fNow = fact.currentVersion.toLong
     val dNows = dimTabs.map(_.currentVersion.toLong)
     create(spark, factLake, factTable, dims, idxLake, newTable, jdef, at)
+    MatView.requireDerivedOk(spark,
+      fact.currentSnapshot.schema, jdef.derivedGroups)
     val facts = graft.operators.AzofScan.scan(spark, factLake, factTable)
       .select(jdef.factNeeded.map(col): _*)
-    val outCols = (jdef.groupCols ++ jdef.sumCols ++ jdef.minMaxCols ++
-      jdef.distinctCols).distinct
-    val joined = dims.indices.foldLeft(facts) { (acc, i) =>
+    val rawCols = (jdef.groupCols.filterNot(jdef.derivedNames.contains) ++
+      jdef.sumCols ++ jdef.minMaxCols ++ jdef.distinctCols ++
+      jdef.derivedGroups.flatMap(_.srcRefs)).distinct
+    val joined = withDerived(dims.indices.foldLeft(facts) { (acc, i) =>
       val (dl, dt) = dims(i)
       val d = graft.operators.AzofScan.scan(spark, dl, dt)
         .select((Seq(col(TableSchema.KeyName).as(s"_dk_$i")) ++
           jdef.dims(i).dimCols.map(col)): _*)
       acc.join(d, acc(jdef.dims(i).fkCol) === d(s"_dk_$i"))
-    }.select(outCols.map(col): _*)
+    }.select(rawCols.map(col): _*), jdef)
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_rows")) ++
         jdef.sumCols.flatMap(c => Seq(

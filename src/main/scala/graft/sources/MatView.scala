@@ -281,9 +281,10 @@ object MatView {
     * once resolved (a nondeterministic group key could never be
     * subtracted exactly).
     */
-  private def requireDerivedOk(
-      spark: SparkSession, srcSchema: TableSchema, view: ViewDef): Unit =
-    if (view.derivedGroups.nonEmpty) {
+  private[sources] def requireDerivedOk(
+      spark: SparkSession, srcSchema: TableSchema,
+      derivedGroups: Seq[DerivedGroup]): Unit =
+    if (derivedGroups.nonEmpty) {
       val tz = spark.sessionState.conf.sessionLocalTimeZone
       if (tz != "UTC") throw new IllegalArgumentException(
         s"derived group keys require spark.sql.session.timeZone=UTC " +
@@ -292,7 +293,7 @@ object MatView {
           "and query time")
       val probe = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], srcSchema.toStruct)
-      view.derivedGroups.foreach { dg =>
+      derivedGroups.foreach { dg =>
         val e = probe.select(expr(dg.sql).cast(dg.dataType.sparkType))
           .queryExecution.analyzed.expressions
         if (!e.forall(_.deterministic))
@@ -314,7 +315,7 @@ object MatView {
       segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
     val srcSchema =
       AzofTable(spark, srcLake, srcTable).currentSnapshot.schema
-    requireDerivedOk(spark, srcSchema, view)
+    requireDerivedOk(spark, srcSchema, view.derivedGroups)
     val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, viewSchema(srcSchema, view), segmentStart)
     if (view.distinctCols.nonEmpty)
@@ -917,7 +918,7 @@ object MatView {
       AzofWriter.createTableIfAbsent(spark, idxLake, dvTableName(newTable),
         dvSchema(src.currentSnapshot.schema, view), at)
     if (created) writeDef(spark, srcLake, srcTable, idxLake, newTable, view)
-    requireDerivedOk(spark, src.currentSnapshot.schema, view)
+    requireDerivedOk(spark, src.currentSnapshot.schema, view.derivedGroups)
     val live = withDerived(
       graft.operators.AzofScan.scan(spark, srcLake, srcTable)
         .select(view.needed.map(col): _*), view)

@@ -765,6 +765,92 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("STAR derived group keys: GROUP BY (dim attr, date_trunc bucket) " +
+    "over fact ⋈ dim serves from the join view through fact bucket " +
+    "moves and a dim re-tier; a different bucketing refuses") {
+    import graft.sources.{DerivedGroup, DimJoin, JoinView, JoinViewDef}
+    val jdef = JoinViewDef(Seq("tier", "day"), sumCols = Seq("v"),
+      dims = Seq(DimJoin("fk", Seq("tier"))),
+      derivedGroups = Seq(DerivedGroup("day", "date_trunc('day', t)",
+        ColumnType.AzDateTime)))
+    val factSchema = TableSchema(Seq(
+      ColumnDef("fk", ColumnType.AzString, nullable = false),
+      ColumnDef("t", ColumnType.AzDateTime, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val dimSchema = TableSchema(Seq(
+      ColumnDef("tier", ColumnType.AzString, nullable = false)))
+    val l = Files.createTempDirectory("azof-mvrw-starder").toString
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    def fRow(k: String, fk: String, t: String, v: Long) =
+      Row(k, Timestamp.from(ts("2024-01-02T00:00:00Z")), fk,
+        Timestamp.from(ts(t)), v)
+    AzofWriter.commitBase(spark, l, "dim",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("d1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t1"),
+        Row("d2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t2"))),
+        dimSchema.toStruct))
+    AzofWriter.commitBase(spark, l, "fact",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        fRow("1", "d1", "2024-03-01T06:00:00Z", 10L),
+        fRow("2", "d1", "2024-03-01T23:00:00Z", 4L),
+        fRow("3", "d2", "2024-03-02T01:00:00Z", 7L))),
+        factSchema.toStruct))
+    def go() =
+      JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "jvt", jdef)
+    go()
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "jvt")
+    try {
+      def joins(q: org.apache.spark.sql.DataFrame) =
+        q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      def q = spark.sql(
+        "SELECT tier, date_trunc('day', t) AS d, count(*) AS n, " +
+          "sum(v) AS sv FROM azof.fact f JOIN azof.dim x " +
+          "ON f.fk = x.key GROUP BY tier, date_trunc('day', t)")
+      def rows = q.collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toInstant.toString, r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(!scansSrc(q) && joins(q).isEmpty,
+        "star bucket aggregate must serve from the view:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(rows == Seq(
+        ("t1", "2024-03-01T00:00:00Z", 2L, 14L),
+        ("t2", "2024-03-02T00:00:00Z", 1L, 7L)))
+      // a fact revision MOVES key 1 across buckets; a dim re-tier moves
+      // every d1 fact's tier — both in one catch-up
+      AzofWriter.commitDelta(spark, l, "fact",
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          fRow("1", "d1", "2024-03-02T05:00:00Z", 11L))),
+          factSchema.toStruct),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      AzofWriter.commitDelta(spark, l, "dim",
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          Row("d1", Timestamp.from(ts("2024-02-05T00:00:00Z")), "t9"))),
+          dimSchema.toStruct),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      go()
+      assert(!scansSrc(q) && joins(q).isEmpty)
+      assert(rows == Seq(
+        ("t2", "2024-03-02T00:00:00Z", 1L, 7L),
+        ("t9", "2024-03-01T00:00:00Z", 1L, 4L),
+        ("t9", "2024-03-02T00:00:00Z", 1L, 11L)),
+        "bucket move + re-tier both exact")
+      // month bucketing over a day view refuses to the scan+join
+      val qm = spark.sql(
+        "SELECT tier, date_trunc('month', t) AS m, count(*) AS n " +
+          "FROM azof.fact f JOIN azof.dim x ON f.fk = x.key " +
+          "GROUP BY tier, date_trunc('month', t)")
+      assert(scansSrc(qm), "month bucket over a day star view refuses")
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** A one-dim join lake with a NULLABLE distinct fact column and its
     * view refreshed: facts (a:x, a:x, b:y, a:null) under dim
     * d1→t1, d2→t2.
