@@ -138,12 +138,17 @@ object AzofProcedures {
         p("group_cols", StringType),
         pd("index_table", StringType, "'mv'"),
         pd("sum_cols", StringType, "''"),
-        pd("minmax_cols", StringType, "''"))
+        pd("minmax_cols", StringType, "''"),
+        pd("distinct_cols", StringType, "''"),
+        // derived group entries "name:Type=sql[;name2:Type2=sql2]"
+        pd("derived", StringType, "''"))
       case "term_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'term_postings'"),
         pd("text_col", StringType, "'text'"))
       case "jv_refresh" => Array(
+        // dim_table/fk_col take comma lists for STAR views; dim_cols
+        // takes ';'-separated per-dim groups ("tier;region,country")
         p("table", StringType), p("dim_table", StringType),
         p("index_path", StringType), p("group_cols", StringType),
         p("fk_col", StringType),
@@ -151,7 +156,10 @@ object AzofProcedures {
         pd("sum_cols", StringType, "''"),
         pd("minmax_cols", StringType, "''"),
         pd("index_table", StringType, "'jv'"),
-        pd("dim_path", StringType, "CAST(NULL AS STRING)"))
+        pd("dim_path", StringType, "CAST(NULL AS STRING)"),
+        pd("distinct_cols", StringType, "''"),
+        // derived FACT-side group entries "name:Type=sql[;...]"
+        pd("derived", StringType, "''"))
       case "seq_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'seq_map'"),
@@ -183,6 +191,18 @@ object AzofProcedures {
       val spark = SparkSession.active
       def str(i: Int): String =
         if (input.isNullAt(i)) null else input.getUTF8String(i).toString
+      // "name:Type=sql[;name2:Type2=sql2]" → derived group defs (the
+      // CLI --derived contract; sql may contain commas)
+      def parseDerived(v: String): Seq[DerivedGroup] =
+        Option(v).toSeq.flatMap(_.split(";").map(_.trim).filter(_.nonEmpty))
+          .map { entry =>
+            val (head, sql) = entry.span(_ != '=')
+            require(sql.startsWith("="),
+              s"derived entry needs '=': $entry")
+            val Array(nm, tpe) = head.split(":", 2).map(_.trim)
+            DerivedGroup(nm, sql.drop(1).trim,
+              graft.format.ColumnType.fromJsonName(tpe))
+          }
       val out: (StructType, Seq[Any]) = name match {
         case "compact" =>
           val br = Option(str(5))
@@ -331,7 +351,8 @@ object AzofProcedures {
           def csv(v: String): Seq[String] =
             Option(v).toSeq.flatMap(
               _.split(',').map(_.trim).filter(_.nonEmpty))
-          val vd = ViewDef(csv(str(2)), csv(str(4)), csv(str(5)))
+          val vd = ViewDef(csv(str(2)), csv(str(4)), csv(str(5)),
+            csv(str(6)), parseDerived(str(7)))
           val mvCk = new org.apache.hadoop.fs.Path(str(1),
             str(3) + "/_refresh_checkpoint").toString
           val q = MatView.refresh(spark, path, str(0), str(1), str(3),
@@ -343,11 +364,26 @@ object AzofProcedures {
           def jcsv(v: String): Seq[String] =
             Option(v).toSeq.flatMap(
               _.split(',').map(_.trim).filter(_.nonEmpty))
+          val fks = jcsv(str(4))
+          val dimTables = jcsv(str(1))
+          require(fks.size == dimTables.size,
+            s"${dimTables.size} dim table(s), ${fks.size} fk column(s)")
+          val dimColGroups = Option(str(5)).filter(_.nonEmpty)
+            .map(_.split(";", -1).toSeq.map(
+              _.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+            .getOrElse(Nil)
+          val padded = dimColGroups.padTo(fks.size, Seq.empty[String])
           val jd = JoinViewDef(jcsv(str(3)), jcsv(str(6)), jcsv(str(7)),
-            Seq(DimJoin(str(4), jcsv(str(5)))))
+            fks.zip(padded).map { case (fk, dc) => DimJoin(fk, dc) },
+            jcsv(str(10)), parseDerived(str(11)))
+          val dimPaths = Option(str(9))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil).padTo(dimTables.size, path)
+            .map(pth => if (pth.isEmpty) path else pth)
           val jr = JoinView.refresh(spark, path, str(0),
-            Seq((Option(str(9)).getOrElse(path), str(1))), str(2), str(8),
-            jd)
+            dimTables.zipWithIndex.map { case (dt, i) =>
+              (dimPaths(i), dt) },
+            str(2), str(8), jd)
           (StructType(Seq(
             StructField("fact_version", LongType),
             StructField("dim_version", LongType),

@@ -217,6 +217,71 @@ class SqlProceduresSpec extends AnyFunSuite {
     assert(got == Seq(("t1", 2L, 14L)))
   }
 
+  test("CALL system.jv_refresh builds a STAR view with distinct + " +
+    "derived groups from SQL (comma-list dims, ';' dim-col groups)") {
+    AzofWriter.createTable(spark, lake, "sfd1",
+      TableSchema(Seq(ColumnDef("tier", ColumnType.AzString,
+        nullable = false))), ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, lake, "sfd2",
+      TableSchema(Seq(ColumnDef("region", ColumnType.AzString,
+        nullable = false))), ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, lake, "sff",
+      TableSchema(Seq(
+        ColumnDef("f1", ColumnType.AzString, nullable = false),
+        ColumnDef("f2", ColumnType.AzString, nullable = false),
+        ColumnDef("t", ColumnType.AzDateTime, nullable = false),
+        ColumnDef("v", ColumnType.AzInt, nullable = false),
+        ColumnDef("a", ColumnType.AzString, nullable = true))),
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, lake, "sfd1",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("d1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t1"))),
+        TableSchema(Seq(ColumnDef("tier", ColumnType.AzString,
+          nullable = false))).toStruct))
+    AzofWriter.commitBase(spark, lake, "sfd2",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("e1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "eu"))),
+        TableSchema(Seq(ColumnDef("region", ColumnType.AzString,
+          nullable = false))).toStruct))
+    AzofWriter.commitBase(spark, lake, "sff",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", "e1",
+          Timestamp.from(ts("2024-03-01T06:00:00Z")), 10L, "x"),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", "e1",
+          Timestamp.from(ts("2024-03-02T01:00:00Z")), 4L, "x"))),
+        TableSchema(Seq(
+          ColumnDef("f1", ColumnType.AzString, nullable = false),
+          ColumnDef("f2", ColumnType.AzString, nullable = false),
+          ColumnDef("t", ColumnType.AzDateTime, nullable = false),
+          ColumnDef("v", ColumnType.AzInt, nullable = false),
+          ColumnDef("a", ColumnType.AzString, nullable = true))).toStruct))
+    val r = spark.sql("CALL proc.system.jv_refresh(`table` => 'sff', " +
+      s"dim_table => 'sfd1,sfd2', index_path => '$lake', " +
+      "group_cols => 'tier,region,day', fk_col => 'f1,f2', " +
+      "dim_cols => 'tier;region', sum_cols => 'v', " +
+      "distinct_cols => 'a', " +
+      "derived => 'day:DateTime=date_trunc(''day'', t)', " +
+      "index_table => 'jv_star_proc')").collect()(0)
+    assert(r.getLong(2) == 2L, s"two (tier, region, day) groups: $r")
+    val jd = JoinViewDef(Seq("tier", "region", "day"), sumCols = Seq("v"),
+      dims = Seq(DimJoin("f1", Seq("tier")), DimJoin("f2", Seq("region"))),
+      distinctCols = Seq("a"),
+      derivedGroups = Seq(DerivedGroup("day", "date_trunc('day', t)",
+        ColumnType.AzDateTime)))
+    val got = JoinView.serve(spark, lake, "jv_star_proc", jd)
+      .select("tier", "region", "day", "n_rows", "sum_v")
+      .collect().map(x => (x.getString(0), x.getString(1),
+        x.getTimestamp(2).toInstant.toString, x.getLong(3), x.getLong(4)))
+      .sortBy(_._3).toSeq
+    assert(got == Seq(
+      ("t1", "eu", "2024-03-01T00:00:00Z", 1L, 10L),
+      ("t1", "eu", "2024-03-02T00:00:00Z", 1L, 4L)))
+    val dv = JoinView.countDistinct(spark, lake, "jv_star_proc", jd,
+      "a", Seq("tier")).collect()(0)
+    assert((dv.getString(0), dv.getLong(1)) == ("t1", 1L),
+      "duplicate 'x' counts once through the SQL-built support table")
+  }
+
   test("CALL system.vacuum dry-run reports, wet run deletes") {
     mk("v1", ("1", "2024-01-05T00:00:00Z", "a"))
     (1 to 3).foreach { i =>
