@@ -249,6 +249,38 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       c.references.nonEmpty &&
       c.references.forall(a => vd.groupCols.contains(a.name))
 
+  /** A binding surface for [[derivedCanon]]: every azof leaf
+    * relation's FULL output under `plan`, as one LocalRelation — the
+    * grouping and (pushed-down) filter expressions reference these
+    * attribute ids even when pruning Projects hide them from
+    * intermediate outputs. Same-named columns across a star's tables
+    * make resolution ambiguous and the match conservatively refuses.
+    */
+  private def leafRelation(plan: LogicalPlan): LogicalPlan =
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      plan.collectLeaves().flatMap {
+        case l: LogicalRelation
+          if l.relation.isInstanceOf[AzofRelation] => l.output
+        case r: DataSourceV2Relation
+          if r.table.isInstanceOf[AzofV2Table] => r.output
+        case _ => Nil
+      })
+
+  /** Substitute every DERIVED-group subexpression in a filter conjunct
+    * with a reference to the view's stored bucket column, so
+    * `WHERE date_trunc('day', t) = X` (the dashboard shape) commutes
+    * onto the (group-cardinality) view scan like any group-column
+    * predicate — [[filterCovered]] then validates the residue.
+    */
+  private def substDerived(
+      c: Expression, vd: ViewDef,
+      dm: Expression => Option[String]): Expression =
+    if (vd.derivedGroups.isEmpty) c
+    else c.transformUp {
+      case e if dm(e).isDefined =>
+        AttributeReference(dm(e).get, e.dataType, nullable = true)()
+    }
+
   /** One view-servable aggregate ATOM: the unit the view stores (or can
     * roll up with a monoid re-aggregation). Output expressions decompose
     * into trees over these leaves, so derived aggregates — `AVG(c)` as
@@ -564,7 +596,12 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               spark.sessionState.conf.sessionLocalTimeZone != "UTC")
               None
             else {
-            val dmMap = derivedCanon(vd, agg.child)
+            // bind against the LEAF relations' full outputs: a pruning
+            // Project above the relation may have dropped the
+            // expression's source columns from agg.child's output, but
+            // pushed-down filter conjuncts still reference the
+            // relation's attribute ids
+            val dmMap = derivedCanon(vd, leafRelation(agg.child))
             val dm: Expression => Option[String] =
               e => dmMap.get(e.canonicalized)
             // a grouping expression is a plain view group column or a
@@ -579,10 +616,11 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // view up (one row out, exactly like SQL's global agg —
             // even over an empty corpus, where groupBy().agg matches
             // the one-row null/zero semantics)
+            val conds2 = conds.map(substDerived(_, vd, dm))
             val covered =
               norm(sLake, sTable) == srcKey &&
                 groups.forall(vd.groupCols.contains) &&
-                conds.forall(filterCovered(_, vd))
+                conds2.forall(filterCovered(_, vd))
             if (!covered) None
             else traverse(agg.aggregateExpressions.map(outOf(_, vd, dm)))
               .filter { outs =>
@@ -618,7 +656,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                         MatView.dvTableName(mv)).currentVersion.toLong))
                   rewrite(agg,
                     MatView.serve(spark, lake, mv, vd, Some(viewV)),
-                    vd, groups, outs, conds, dvPairs)
+                    vd, groups, outs, conds2, dvPairs)
                 }
               }
             }
@@ -646,7 +684,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               else {
               val vd = ViewDef(jdef.groupCols, jdef.sumCols,
                 jdef.minMaxCols, jdef.distinctCols, jdef.derivedGroups)
-              val dmMap = derivedCanon(vd, agg.child)
+              val dmMap = derivedCanon(vd, leafRelation(agg.child))
               val dm: Expression => Option[String] =
                 e => dmMap.get(e.canonicalized)
               val groupsOpt = traverse(agg.groupingExpressions.map {
@@ -682,11 +720,12 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     case None => factOut.exists(_.exprId == a.exprId)
                   })
               }
+              val conds2 = conds.map(substDerived(_, vd, dm))
               val covered =
                 norm(d.factLake, d.factTable) == factKey &&
                   dimsMatch &&
                   groups.forall(vd.groupCols.contains) &&
-                  conds.forall(filterCovered(_, vd)) &&
+                  conds2.forall(filterCovered(_, vd)) &&
                   provenanced
               if (!covered) None
               else traverse(
@@ -718,7 +757,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                       rewrite(agg,
                         graft.sources.JoinView.serve(spark, lake, mv, jdef,
                           Some(viewV)),
-                        vd, groups, outs, conds, dvPairs)
+                        vd, groups, outs, conds2, dvPairs)
                     }
                 }
               }

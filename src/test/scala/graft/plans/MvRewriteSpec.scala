@@ -762,6 +762,24 @@ class MvRewriteSpec extends AnyFunSuite {
       val qt = spark.sql(
         "SELECT t, count(*) AS n FROM azof.src GROUP BY t")
       assert(scansSrc(qt), "the raw column is not a view group")
+      // WHERE on the bucket (the dashboard shape) commutes onto the
+      // view's STORED bucket column
+      val qw = spark.sql(
+        "SELECT g, count(*) AS n, sum(v) AS sv FROM azof.src " +
+          "WHERE date_trunc('day', t) = TIMESTAMP '2024-03-01 00:00:00' " +
+          "GROUP BY g")
+      assert(!scansSrc(qw),
+        "a bucket predicate must filter the view scan:\n" +
+          qw.queryExecution.optimizedPlan)
+      assert(qw.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSeq == Seq(("a", 2L, 14L)))
+      // WHERE on the RAW column refuses (not derivable from the view)
+      val qwr = spark.sql(
+        "SELECT g, count(*) AS n FROM azof.src " +
+          "WHERE t > TIMESTAMP '2024-03-01 12:00:00' GROUP BY g")
+      assert(scansSrc(qwr), "a raw-column predicate must not serve")
+      assert(qwr.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("a", 1L), ("b", 1L)))
     }
   }
 
@@ -845,6 +863,17 @@ class MvRewriteSpec extends AnyFunSuite {
           "FROM azof.fact f JOIN azof.dim x ON f.fk = x.key " +
           "GROUP BY tier, date_trunc('month', t)")
       assert(scansSrc(qm), "month bucket over a day star view refuses")
+      // WHERE on the bucket commutes onto the star view's stored column
+      val qw = spark.sql(
+        "SELECT tier, count(*) AS n FROM azof.fact f " +
+          "JOIN azof.dim x ON f.fk = x.key " +
+          "WHERE date_trunc('day', t) = TIMESTAMP '2024-03-02 00:00:00' " +
+          "GROUP BY tier")
+      assert(!scansSrc(qw) && joins(qw).isEmpty,
+        "a star bucket predicate must filter the view scan:\n" +
+          qw.queryExecution.optimizedPlan)
+      assert(qw.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("t2", 1L), ("t9", 1L)))
     } finally {
       spark.conf.unset("spark.azof.path")
       spark.conf.unset("spark.azof.mv.rewrite")
