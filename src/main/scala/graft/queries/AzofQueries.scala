@@ -55,7 +55,8 @@ object AzofQueries {
     "q61_star_distinct" -> starDistinctRewrite,
     "q62_star_pinned_rewrite" -> starPinnedRewrite,
     "q63_mv_timebucket" -> matViewTimeBucket,
-    "q64_star_timebucket" -> starDayRewrite)
+    "q64_star_timebucket" -> starDayRewrite,
+    "q65_mv_histogram" -> matViewHistogram)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1175,6 +1176,21 @@ object AzofQueries {
     }
   }
 
+  /** Exact VALUE HISTOGRAM served from the refcounted support table:
+    * `COUNT(*)` per live `b` value per source — INCLUDING the NULL
+    * bucket, derived as the view's `Σ n_rows` minus the non-null refs —
+    * equal to the one-shot `GROUP BY source, b` over the live corpus,
+    * with zero corpus access (the query function never touches the
+    * source table: pairs + view reads only). Composing
+    * `ORDER BY n_rows DESC LIMIT k` above gives exact per-group heavy
+    * hitters.
+    */
+  private def matViewHistogram(s: SparkSession, dir: String): DataFrame = {
+    val lake = dvLake(s, dir)
+    graft.sources.MatView.valueHistogram(s, lake, "doc_dvv", dvvDef,
+      "b", Seq("source"))
+  }
+
   /** The VERSION-PINNED rewrite under the oracle gate (the
     * reproducible-report shape): `… VERSION AS OF <current>` — a pin
     * provably view-identical ([[graft.sources.MatView
@@ -2099,6 +2115,20 @@ object AzofQueries {
          SELECT source, COUNT(*) AS n_rows,
                 COUNT(DISTINCT b) AS dv_b
          FROM live GROUP BY source""",
+    // exact per-source value histogram incl. the NULL bucket, served
+    // from refcounts + view totals — values under their canonical
+    // string encoding
+    "q65_mv_histogram" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                    AS source,
+                  CASE WHEN doc_id % 4 = 0 THEN NULL
+                       WHEN doc_id % 5 = 0 THEN (doc_id % 7) + 1
+                       ELSE doc_id % 7 END AS b
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, CAST(b AS VARCHAR) AS value,
+                COUNT(*) AS n_rows
+         FROM live GROUP BY 1, 2""",
     // a provably view-identical VERSION pin serves the same truth as
     // q53 (the pin IS the current version; refusal cases are spec-side)
     "q59_mv_pinned_rewrite" ->

@@ -975,6 +975,52 @@ object JoinView {
       .agg(count_distinct(col("value")).as(s"dv_$dcol"))
   }
 
+  /** Exact VALUE HISTOGRAM for one declared distinct FACT column at any
+    * group slice over the star ([[MatView.valueHistogram]]'s join
+    * twin): `Σ ref` per value from the support pairs plus the derived
+    * NULL bucket (`Σ n_rows − Σ ref`) — equals the one-shot
+    * `fact ⋈ dims GROUP BY <groups>, c COUNT(*)` including NULLs,
+    * served index-only.
+    */
+  def valueHistogram(
+      spark: SparkSession,
+      idxLake: String, idxTable: String, jdef: JoinViewDef, dcol: String,
+      queryGroups: Seq[String]): DataFrame = {
+    require(jdef.distinctCols.contains(dcol),
+      s"'$dcol' is not a declared distinct column")
+    require(queryGroups.forall(jdef.groupCols.contains),
+      "query groups must be view group columns")
+    val t = AzofTable(spark, idxLake, MatView.dvTableName(idxTable))
+    val pairs = graft.operators.AzofScan.scanSnapshot(spark, t,
+      t.currentSnapshot, AsOf.Current,
+      keyFilter = Some(KeyFilter.Range(
+        Some(dcol + Sep), Some(dcol + Sep + "\uffff"))))
+      .where(col("dcol") === dcol && col("ref") > 0L)
+    def grouped(df: DataFrame, aggs: Seq[Column]): DataFrame =
+      if (queryGroups.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(queryGroups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val hist =
+      if (queryGroups.isEmpty)
+        pairs.groupBy(col("value")).agg(sum(col("ref")).as("n_rows"))
+      else pairs.groupBy((queryGroups :+ "value").map(col): _*)
+        .agg(sum(col("ref")).as("n_rows"))
+    val totals = grouped(
+      serve(spark, idxLake, idxTable, jdef).select(
+        (queryGroups.map(col) :+ col("n_rows")): _*),
+      Seq(sum(col("n_rows")).as("_tot")))
+    val refSums = grouped(pairs.select(
+      (queryGroups.map(col) :+ col("ref")): _*),
+      Seq(sum(col("ref")).as("_nn")))
+    val nulls =
+      (if (queryGroups.isEmpty) totals.crossJoin(refSums) // both one-row
+       else totals.join(refSums, queryGroups, "left"))
+        .select((queryGroups.map(col) ++ Seq(
+          lit(null).cast("string").as("value"),
+          (col("_tot") - coalesce(col("_nn"), lit(0L))).as("n_rows"))): _*)
+        .where(col("n_rows") > 0L)
+    hist.unionByName(nulls)
+  }
+
   /** Epoch hatch after a ROLLBACK on any source: retrain the view
     * one-shot from all tables' CURRENT live states into `newTable`.
     */

@@ -897,6 +897,56 @@ object MatView {
       .agg(count_distinct(col("value")).as(s"dv_$dcol"))
   }
 
+  /** Exact VALUE HISTOGRAM (heavy hitters) for one declared distinct
+    * column at any group slice: `COUNT(*)` per live value — equals
+    * `SELECT <groups>, c, COUNT(*) … GROUP BY <groups>, c` over the
+    * live corpus INCLUDING the NULL bucket, served corpus-free: the
+    * non-null buckets are `Σ ref` over the refcounted support pairs at
+    * the query grain, and the NULL bucket is the view's `Σ n_rows`
+    * minus the non-null refs (emitted only when positive). Both reads
+    * are index-sized; compose `ORDER BY n_rows DESC LIMIT k` above for
+    * exact top-k values. Values come back under their canonical STRING
+    * encoding (the support table's storage form).
+    */
+  def valueHistogram(
+      spark: SparkSession,
+      idxLake: String, idxTable: String, view: ViewDef, dcol: String,
+      queryGroups: Seq[String]): DataFrame = {
+    require(view.distinctCols.contains(dcol),
+      s"'$dcol' is not a declared distinct column")
+    require(queryGroups.forall(view.groupCols.contains),
+      "query groups must be view group columns")
+    val t = AzofTable(spark, idxLake, dvTableName(idxTable))
+    val pairs = graft.operators.AzofScan.scanSnapshot(spark, t,
+      t.currentSnapshot, AsOf.Current,
+      keyFilter = Some(graft.format.KeyFilter.Range(
+        Some(dcol + Sep), Some(dcol + Sep + "\uffff"))))
+      .where(col("dcol") === dcol && col("ref") > 0L)
+    def grouped(df: DataFrame, aggs: Seq[Column]): DataFrame =
+      if (queryGroups.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(queryGroups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val hist =
+      if (queryGroups.isEmpty)
+        pairs.groupBy(col("value")).agg(sum(col("ref")).as("n_rows"))
+      else pairs.groupBy((queryGroups :+ "value").map(col): _*)
+        .agg(sum(col("ref")).as("n_rows"))
+    val totals = grouped(
+      serve(spark, idxLake, idxTable, view).select(
+        (queryGroups.map(col) :+ col("n_rows")): _*),
+      Seq(sum(col("n_rows")).as("_tot")))
+    val refSums = grouped(pairs.select(
+      (queryGroups.map(col) :+ col("ref")): _*),
+      Seq(sum(col("ref")).as("_nn")))
+    val nulls =
+      (if (queryGroups.isEmpty) totals.crossJoin(refSums) // both one-row
+       else totals.join(refSums, queryGroups, "left"))
+        .select((queryGroups.map(col) ++ Seq(
+          lit(null).cast("string").as("value"),
+          (col("_tot") - coalesce(col("_nn"), lit(0L))).as("n_rows"))): _*)
+        .where(col("n_rows") > 0L)
+    hist.unionByName(nulls)
+  }
+
   /** Reconciliation hatch after a source ROLLBACK (the one state change
     * that lands with NO feed event): retrain the view from the CURRENT
     * live corpus into `newTable`, then serve from it — the

@@ -511,6 +511,21 @@ class JoinViewSpec extends AnyFunSuite {
       val g = JoinView.countDistinct(spark, l, "jvd", ddef, "a", Nil)
         .collect()(0).getLong(0)
       assert(g == 2L, "global distinct over live pairs")
+      // exact star value histogram incl. the NULL bucket ≡ one-shot
+      val hist = JoinView.valueHistogram(spark, l, "jvd", ddef, "a",
+        Seq("tier"))
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, String.valueOf(x._2))).toSeq
+      val f = AzofScan.scan(spark, l, "fact").select("fk", "a")
+      val d = AzofScan.scan(spark, l, "dim")
+        .select(col(TableSchema.KeyName).as("_dk"), col("tier"))
+      val shot = f.join(d, f("fk") === d("_dk"))
+        .groupBy("tier", "a").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2)))
+        .sortBy(x => (x._1, String.valueOf(x._2))).toSeq
+      assert(hist == shot, s"star histogram incl. NULLs: $hist vs $shot")
       (dvServed(l), l)
     }
     val (bc, lbc) = build("bc", Long.MaxValue)

@@ -457,6 +457,30 @@ class MatViewSpec extends AnyFunSuite {
       // global rollup: y in both groups counts ONCE (distinct pairs,
       // not summed per-group counts)
       assert(dv(Nil) == Seq(("", 1L)), "global distinct = {y}")
+      // exact value HISTOGRAM incl. the NULL bucket ≡ the one-shot
+      // GROUP BY (grp, b) over the live corpus
+      def hist(groups: Seq[String]) =
+        MatView.valueHistogram(spark, l, "mv", vD, "b", groups)
+          .collect().map(r =>
+            (if (groups.isEmpty) "" else r.getString(0),
+              if (r.isNullAt(groups.size)) null
+              else r.getString(groups.size),
+              r.getLong(groups.size + 1)))
+          .sortBy(x => (x._1, String.valueOf(x._2))).toSeq
+      def oneShotHist() = AzofScan.scan(spark, l, "src")
+        .groupBy("grp", "b").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2)))
+        .sortBy(x => (x._1, String.valueOf(x._2))).toSeq
+      assert(hist(Seq("grp")) == oneShotHist(),
+        s"per-group histogram incl. NULL: ${hist(Seq("grp"))}")
+      assert(hist(Seq("grp")).exists(_._2 == null),
+        "the all-null group's NULL bucket is present")
+      assert(hist(Nil).sortBy(x => String.valueOf(x._2)) ==
+        oneShotHist().groupBy(_._2).map { case (v, xs) =>
+          ("", v, xs.map(_._3).sum) }.toSeq
+          .sortBy(x => String.valueOf(x._2)),
+        "global histogram sums refcounts across groups")
       dv(Seq("grp"))
     }
     assert(build("bc", Long.MaxValue) == build("sh", 0L),
