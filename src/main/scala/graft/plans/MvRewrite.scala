@@ -767,6 +767,104 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }
 
+  /** Try the HISTOGRAM shape against the single-table candidates:
+    * `GROUP BY [group cols…,] <ONE declared distinct column>` with
+    * `COUNT(*)`-only aggregates — the high-cardinality value histogram
+    * (`SELECT b, count(*) FROM t GROUP BY b`) — served from the
+    * refcounted support pairs plus the view's row totals
+    * ([[MatView.valueHistogram]]), INCLUDING the NULL value bucket
+    * (`Σ n_rows − Σ ref`), with the stored canonical-string value cast
+    * back to the query column's type. WHERE predicates may touch only
+    * view GROUP columns (a predicate on the distinct column itself
+    * refuses). Version-pinned reads gate through the pinned walk and
+    * pin both index snapshots, like every other rewrite path.
+    */
+  private def histHit(
+      agg: Aggregate, cands: Seq[(String, String)])
+      : Option[LogicalPlan] =
+    srcOf(agg.child).flatMap { case (srcKey, conds, pinned) =>
+      cands.iterator.flatMap { case (lake, mv) =>
+        defOf(spark, lake, mv).collect {
+          case MvRewriteRule.SingleDef(sLake, sTable, vd) =>
+            (sLake, sTable, vd)
+        }.flatMap { case (sLake, sTable, vd) =>
+          val namesOpt = traverse(agg.groupingExpressions.map {
+            case a: AttributeReference
+              if vd.groupCols.contains(a.name) ||
+                vd.distinctCols.contains(a.name) => Some(a)
+            case _ => None
+          })
+          namesOpt.flatMap { attrs =>
+            val dAttrs = attrs.filter(a => vd.distinctCols.contains(a.name))
+            if (dAttrs.size != 1) None // exactly one distinct grouping col
+            else {
+              val dAttr = dAttrs.head
+              val groups = attrs.map(_.name).filterNot(_ == dAttr.name)
+              sealed trait HOut
+              case class HGroup(c: String) extends HOut
+              case class HCalc(
+                  leaves: Seq[AggLeaf], b: Seq[Column] => Column)
+                extends HOut
+              val outsOpt = traverse(agg.aggregateExpressions.map {
+                case a: AttributeReference
+                  if attrs.exists(_.name == a.name) =>
+                  Some(HGroup(a.name): HOut)
+                case al: Alias => al.child match {
+                  case a: AttributeReference
+                    if attrs.exists(_.name == a.name) =>
+                    Some(HGroup(a.name): HOut)
+                  case e => calcOf(e, vd)
+                    // only COUNT(*) totals exist at the (groups, value)
+                    // grain — any other aggregate refuses
+                    .filter { case (ls, _) => ls.forall(_ == CountL) }
+                    .map { case (ls, b) => HCalc(ls, b): HOut }
+                }
+                case _ => None
+              })
+              val covered =
+                norm(sLake, sTable) == srcKey &&
+                  conds.forall(c => filterCovered(c, vd) &&
+                    !c.references.exists(_.name == dAttr.name))
+              if (!covered) None
+              else outsOpt.flatMap { outs =>
+                val fresh = pinned match {
+                  case Some(p) => MatView.freshViewVersionAt(
+                    spark, sLake, sTable, lake, mv, p)
+                  case None => MatView.freshViewVersion(
+                    spark, sLake, sTable, lake, mv)
+                }
+                fresh.map { viewV =>
+                  logInfo(s"rewriting histogram aggregate over $srcKey " +
+                    s"to support pairs of $mv@$viewV")
+                  val dvV = graft.format.AzofTable(spark, lake,
+                    MatView.dvTableName(mv)).currentVersion.toLong
+                  // group-col predicates slice the pair/total frames
+                  // INSIDE the histogram (they may reference view group
+                  // columns outside the queried grain)
+                  val hist = MatView.valueHistogram(spark, lake, mv, vd,
+                    dAttr.name, groups, Some(viewV), Some(dvV),
+                    slice = conds)
+                  val slim = hist.select(outs.zipWithIndex.map {
+                    case (HGroup(c), i) if c == dAttr.name =>
+                      col("value").cast(dAttr.dataType).as(s"_mv_$i")
+                    case (HGroup(c), i) => col(c).as(s"_mv_$i")
+                    case (HCalc(ls, b), i) =>
+                      b(ls.map(_ => col("n_rows"))).as(s"_mv_$i")
+                  }: _*)
+                  val child = slim.queryExecution.analyzed
+                  Project(
+                    agg.aggregateExpressions.zip(child.output).map {
+                      case (orig, na) =>
+                        Alias(na, orig.name)(exprId = orig.exprId)
+                    }, child)
+                }
+              }
+            }
+          }
+        }
+      }.nextOption()
+    }
+
   /** The optimizer extracts non-trivial grouping expressions into a
     * child Project (`_groupingexpression#N`) before this rule sees the
     * Aggregate — inline those aliases back into the grouping/output
@@ -805,6 +903,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (srcOf(agg.child).isDefined || joinSrcOf(agg.child).isDefined)
           singleHit(agg, cands)
             .orElse(joinHit(agg, cands))
+            .orElse(histHit(agg, cands))
             .getOrElse(agg0)
         else agg0
     }

@@ -56,7 +56,8 @@ object AzofQueries {
     "q62_star_pinned_rewrite" -> starPinnedRewrite,
     "q63_mv_timebucket" -> matViewTimeBucket,
     "q64_star_timebucket" -> starDayRewrite,
-    "q65_mv_histogram" -> matViewHistogram)
+    "q65_mv_histogram" -> matViewHistogram,
+    "q66_mv_histogram_rewrite" -> matViewHistogramRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1191,6 +1192,42 @@ object AzofQueries {
       "b", Seq("source"))
   }
 
+  /** The HISTOGRAM rewrite under the oracle gate: plain SQL grouping
+    * by the DECLARED DISTINCT COLUMN itself
+    * (`GROUP BY source, b … count(*)`) — the high-cardinality value
+    * count — served from the refcounted support pairs plus the view's
+    * row totals (NULL bucket included, value cast back to the query
+    * column's Int type) by the optimizer rule. The plan gate refuses
+    * any surviving azof relation (the corpus scan); Aggregates remain
+    * by design — they aggregate the index-sized pair/total frames.
+    */
+  private def matViewHistogramRewrite(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = dvLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_dvv")
+    try {
+      val q = s.sql(
+        "SELECT source, b, count(*) AS n_rows " +
+          "FROM azof.docs_dv GROUP BY source, b")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "histogram rewrite did not fire — refusing to pass the row " +
+          "off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The VERSION-PINNED rewrite under the oracle gate (the
     * reproducible-report shape): `… VERSION AS OF <current>` — a pin
     * provably view-identical ([[graft.sources.MatView
@@ -2128,6 +2165,18 @@ object AzofQueries {
            FROM documents WHERE doc_id NOT IN (6, 7))
          SELECT source, CAST(b AS VARCHAR) AS value,
                 COUNT(*) AS n_rows
+         FROM live GROUP BY 1, 2""",
+    // the same histogram truth through PLAIN SQL and the optimizer
+    // rule: b comes back under its own BIGINT type, NULL bucket incl.
+    "q66_mv_histogram_rewrite" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                    AS source,
+                  CASE WHEN doc_id % 4 = 0 THEN NULL
+                       WHEN doc_id % 5 = 0 THEN (doc_id % 7) + 1
+                       ELSE doc_id % 7 END AS b
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, b, COUNT(*) AS n_rows
          FROM live GROUP BY 1, 2""",
     // a provably view-identical VERSION pin serves the same truth as
     // q53 (the pin IS the current version; refusal cases are spec-side)

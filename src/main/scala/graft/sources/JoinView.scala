@@ -985,30 +985,53 @@ object JoinView {
   def valueHistogram(
       spark: SparkSession,
       idxLake: String, idxTable: String, jdef: JoinViewDef, dcol: String,
-      queryGroups: Seq[String]): DataFrame = {
+      queryGroups: Seq[String],
+      version: Option[Long] = None,
+      dvVersion: Option[Long] = None,
+      slice: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        Nil): DataFrame = {
     require(jdef.distinctCols.contains(dcol),
       s"'$dcol' is not a declared distinct column")
     require(queryGroups.forall(jdef.groupCols.contains),
       "query groups must be view group columns")
     val t = AzofTable(spark, idxLake, MatView.dvTableName(idxTable))
+    val dvSnap = dvVersion.map(v => t.snapshot(v.toString))
+      .getOrElse(t.currentSnapshot)
     val pairs = graft.operators.AzofScan.scanSnapshot(spark, t,
-      t.currentSnapshot, AsOf.Current,
+      dvSnap, AsOf.Current,
       keyFilter = Some(KeyFilter.Range(
         Some(dcol + Sep), Some(dcol + Sep + "\uffff"))))
       .where(col("dcol") === dcol && col("ref") > 0L)
+    // slice predicates reference view GROUP columns (by name): both
+    // internal frames carry them all, so the filter applies BEFORE the
+    // roll-up to the query grain — a `WHERE g = x` histogram is exact
+    // even when g is not among the queried groups
+    def applySlice(df: DataFrame): DataFrame =
+      if (slice.isEmpty) df
+      else {
+        val p = df.queryExecution.analyzed
+        val byName = p.output.map(a => a.name -> a).toMap
+        val remapped = slice.map(_.transform {
+          case a: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference => byName(a.name)
+        }).reduce(org.apache.spark.sql.catalyst.expressions.And)
+        org.apache.spark.sql.graft.StreamingBridge.ofRows(spark,
+          org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, p))
+      }
     def grouped(df: DataFrame, aggs: Seq[Column]): DataFrame =
       if (queryGroups.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(queryGroups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val slicedPairs = applySlice(pairs)
     val hist =
       if (queryGroups.isEmpty)
-        pairs.groupBy(col("value")).agg(sum(col("ref")).as("n_rows"))
-      else pairs.groupBy((queryGroups :+ "value").map(col): _*)
+        slicedPairs.groupBy(col("value")).agg(sum(col("ref")).as("n_rows"))
+      else slicedPairs.groupBy((queryGroups :+ "value").map(col): _*)
         .agg(sum(col("ref")).as("n_rows"))
     val totals = grouped(
-      serve(spark, idxLake, idxTable, jdef).select(
+      applySlice(serve(spark, idxLake, idxTable, jdef, version)).select(
         (queryGroups.map(col) :+ col("n_rows")): _*),
       Seq(sum(col("n_rows")).as("_tot")))
-    val refSums = grouped(pairs.select(
+    val refSums = grouped(slicedPairs.select(
       (queryGroups.map(col) :+ col("ref")): _*),
       Seq(sum(col("ref")).as("_nn")))
     val nulls =

@@ -490,6 +490,41 @@ class MvRewriteSpec extends AnyFunSuite {
         "SELECT g1, count(DISTINCT v) AS dv FROM azof.src GROUP BY g1")
       assert(scansSrc(qu), "undeclared distinct col must not rewrite")
       assert(qu.collect().nonEmpty)
+      // HISTOGRAM shape: GROUP BY the DISTINCT column itself — served
+      // from the support pairs incl. the NULL bucket, value cast back
+      // to the query column's type
+      val qh = spark.sql(
+        "SELECT g1, b, count(*) AS n FROM azof.src GROUP BY g1, b")
+      assert(!scansSrc(qh), "value histogram must serve from pairs:\n" +
+        qh.queryExecution.optimizedPlan)
+      assert(qh.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).sortBy(x => (x._1, String.valueOf(x._2))).toSeq ==
+        Seq(("a", "u", 2L), ("a", "w", 1L), ("b", null, 1L)),
+        "per-group histogram with the NULL bucket")
+      // bare GROUP BY b — the classic high-cardinality value count
+      val qhg = spark.sql(
+        "SELECT b, count(*) AS n FROM azof.src GROUP BY b")
+      assert(!scansSrc(qhg), "global histogram must serve from pairs")
+      assert(qhg.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(x => String.valueOf(x._1)).toSeq ==
+        Seq((null, 1L), ("u", 2L), ("w", 1L)))
+      // WHERE on a group column confines both index frames
+      val qhw = spark.sql(
+        "SELECT b, count(*) AS n FROM azof.src WHERE g2 = 'y' GROUP BY b")
+      assert(!scansSrc(qhw), "filtered histogram must serve from pairs")
+      assert(qhw.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("u", 1L)))
+      // any non-COUNT(*) aggregate at this grain refuses
+      val qhs = spark.sql(
+        "SELECT b, sum(v) AS sv FROM azof.src GROUP BY b")
+      assert(scansSrc(qhs), "sum per value is not index-servable")
+      assert(qhs.collect().length == 3)
+      // a predicate on the distinct column itself refuses
+      val qhp = spark.sql(
+        "SELECT b, count(*) AS n FROM azof.src WHERE b = 'u' GROUP BY b")
+      assert(scansSrc(qhp), "a predicate on the value column refuses")
+      assert(qhp.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("u", 2L)))
     } finally {
       spark.conf.unset("spark.azof.path")
       spark.conf.unset("spark.azof.mv.rewrite")
