@@ -779,6 +779,73 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * refuses). Version-pinned reads gate through the pinned walk and
     * pin both index snapshots, like every other rewrite path.
     */
+  private sealed trait HOut
+  private case class HGroup(c: String) extends HOut
+  private case class HCalc(
+      leaves: Seq[AggLeaf], b: Seq[Column] => Column) extends HOut
+
+  /** Match the histogram SHAPE against one candidate: grouping columns
+    * are view group columns plus exactly ONE declared distinct column,
+    * outputs are those columns or COUNT(*)-only expression trees, and
+    * filter conjuncts touch only group columns (never the value
+    * column). Returns `(value attr, other groups, outputs)`.
+    */
+  private def histShape(
+      agg: Aggregate, vd: ViewDef, conds: Seq[Expression])
+      : Option[(AttributeReference, Seq[String], Seq[HOut])] =
+    traverse(agg.groupingExpressions.map {
+      case a: AttributeReference
+        if vd.groupCols.contains(a.name) ||
+          vd.distinctCols.contains(a.name) => Some(a)
+      case _ => None
+    }).flatMap { attrs =>
+      val dAttrs = attrs.filter(a => vd.distinctCols.contains(a.name))
+      if (dAttrs.size != 1) None // exactly one distinct grouping col
+      else {
+        val dAttr = dAttrs.head
+        val groups = attrs.map(_.name).filterNot(_ == dAttr.name)
+        val condsOk = conds.forall(c => filterCovered(c, vd) &&
+          !c.references.exists(_.name == dAttr.name))
+        if (!condsOk) None
+        else traverse(agg.aggregateExpressions.map {
+          case a: AttributeReference
+            if attrs.exists(_.name == a.name) =>
+            Some(HGroup(a.name): HOut)
+          case al: Alias => al.child match {
+            case a: AttributeReference
+              if attrs.exists(_.name == a.name) =>
+              Some(HGroup(a.name): HOut)
+            case e => calcOf(e, vd)
+              // only COUNT(*) totals exist at the (groups, value)
+              // grain — any other aggregate refuses
+              .filter { case (ls, _) => ls.forall(_ == CountL) }
+              .map { case (ls, b) => HCalc(ls, b): HOut }
+          }
+          case _ => None
+        }).map(outs => (dAttr, groups, outs))
+      }
+    }
+
+  /** Project the served histogram frame back onto the aggregate's
+    * output ids (value cast to the query column's type).
+    */
+  private def histProject(
+      agg: Aggregate, hist: org.apache.spark.sql.DataFrame,
+      dAttr: AttributeReference, outs: Seq[HOut]): LogicalPlan = {
+    val slim = hist.select(outs.zipWithIndex.map {
+      case (HGroup(c), i) if c == dAttr.name =>
+        col("value").cast(dAttr.dataType).as(s"_mv_$i")
+      case (HGroup(c), i) => col(c).as(s"_mv_$i")
+      case (HCalc(ls, b), i) =>
+        b(ls.map(_ => col("n_rows"))).as(s"_mv_$i")
+    }: _*)
+    val child = slim.queryExecution.analyzed
+    Project(
+      agg.aggregateExpressions.zip(child.output).map { case (orig, na) =>
+        Alias(na, orig.name)(exprId = orig.exprId)
+      }, child)
+  }
+
   private def histHit(
       agg: Aggregate, cands: Seq[(String, String)])
       : Option[LogicalPlan] =
@@ -788,81 +855,94 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case MvRewriteRule.SingleDef(sLake, sTable, vd) =>
             (sLake, sTable, vd)
         }.flatMap { case (sLake, sTable, vd) =>
-          val namesOpt = traverse(agg.groupingExpressions.map {
-            case a: AttributeReference
-              if vd.groupCols.contains(a.name) ||
-                vd.distinctCols.contains(a.name) => Some(a)
-            case _ => None
-          })
-          namesOpt.flatMap { attrs =>
-            val dAttrs = attrs.filter(a => vd.distinctCols.contains(a.name))
-            if (dAttrs.size != 1) None // exactly one distinct grouping col
-            else {
-              val dAttr = dAttrs.head
-              val groups = attrs.map(_.name).filterNot(_ == dAttr.name)
-              sealed trait HOut
-              case class HGroup(c: String) extends HOut
-              case class HCalc(
-                  leaves: Seq[AggLeaf], b: Seq[Column] => Column)
-                extends HOut
-              val outsOpt = traverse(agg.aggregateExpressions.map {
-                case a: AttributeReference
-                  if attrs.exists(_.name == a.name) =>
-                  Some(HGroup(a.name): HOut)
-                case al: Alias => al.child match {
-                  case a: AttributeReference
-                    if attrs.exists(_.name == a.name) =>
-                    Some(HGroup(a.name): HOut)
-                  case e => calcOf(e, vd)
-                    // only COUNT(*) totals exist at the (groups, value)
-                    // grain — any other aggregate refuses
-                    .filter { case (ls, _) => ls.forall(_ == CountL) }
-                    .map { case (ls, b) => HCalc(ls, b): HOut }
-                }
-                case _ => None
-              })
-              val covered =
-                norm(sLake, sTable) == srcKey &&
-                  conds.forall(c => filterCovered(c, vd) &&
-                    !c.references.exists(_.name == dAttr.name))
-              if (!covered) None
-              else outsOpt.flatMap { outs =>
-                val fresh = pinned match {
-                  case Some(p) => MatView.freshViewVersionAt(
-                    spark, sLake, sTable, lake, mv, p)
-                  case None => MatView.freshViewVersion(
-                    spark, sLake, sTable, lake, mv)
-                }
-                fresh.map { viewV =>
-                  logInfo(s"rewriting histogram aggregate over $srcKey " +
-                    s"to support pairs of $mv@$viewV")
-                  val dvV = graft.format.AzofTable(spark, lake,
-                    MatView.dvTableName(mv)).currentVersion.toLong
-                  // group-col predicates slice the pair/total frames
-                  // INSIDE the histogram (they may reference view group
-                  // columns outside the queried grain)
-                  val hist = MatView.valueHistogram(spark, lake, mv, vd,
-                    dAttr.name, groups, Some(viewV), Some(dvV),
-                    slice = conds)
-                  val slim = hist.select(outs.zipWithIndex.map {
-                    case (HGroup(c), i) if c == dAttr.name =>
-                      col("value").cast(dAttr.dataType).as(s"_mv_$i")
-                    case (HGroup(c), i) => col(c).as(s"_mv_$i")
-                    case (HCalc(ls, b), i) =>
-                      b(ls.map(_ => col("n_rows"))).as(s"_mv_$i")
-                  }: _*)
-                  val child = slim.queryExecution.analyzed
-                  Project(
-                    agg.aggregateExpressions.zip(child.output).map {
-                      case (orig, na) =>
-                        Alias(na, orig.name)(exprId = orig.exprId)
-                    }, child)
-                }
+          if (norm(sLake, sTable) != srcKey) None
+          else histShape(agg, vd, conds).flatMap {
+            case (dAttr, groups, outs) =>
+              val fresh = pinned match {
+                case Some(p) => MatView.freshViewVersionAt(
+                  spark, sLake, sTable, lake, mv, p)
+                case None => MatView.freshViewVersion(
+                  spark, sLake, sTable, lake, mv)
               }
-            }
+              fresh.map { viewV =>
+                logInfo(s"rewriting histogram aggregate over $srcKey " +
+                  s"to support pairs of $mv@$viewV")
+                val dvV = graft.format.AzofTable(spark, lake,
+                  MatView.dvTableName(mv)).currentVersion.toLong
+                // group-col predicates slice the pair/total frames
+                // INSIDE the histogram (they may reference view group
+                // columns outside the queried grain)
+                histProject(agg,
+                  MatView.valueHistogram(spark, lake, mv, vd,
+                    dAttr.name, groups, Some(viewV), Some(dvV),
+                    slice = conds),
+                  dAttr, outs)
+              }
           }
         }
       }.nextOption()
+    }
+
+  /** [[histHit]]'s STAR twin: the histogram shape over a covered
+    * `fact ⋈ dims` tree serves from the join view's support pairs +
+    * row totals — with the same dim-matching, attribute-provenance,
+    * and per-table pin gates as [[joinHit]].
+    */
+  private def joinHistHit(
+      agg: Aggregate, cands: Seq[(String, String)])
+      : Option[LogicalPlan] =
+    joinSrcOf(agg.child).flatMap {
+      case (factKey, factPin, dimSides, conds, factOut) =>
+        cands.iterator.flatMap { case (lake, mv) =>
+          defOf(spark, lake, mv).collect {
+            case d: MvRewriteRule.JoinDef => d
+          }.flatMap { d =>
+            val jdef = d.jdef
+            val vd = ViewDef(jdef.groupCols, jdef.sumCols,
+              jdef.minMaxCols, jdef.distinctCols, jdef.derivedGroups)
+            val sideByFk = dimSides.map(s => s.fkName -> s).toMap
+            val dimsMatch =
+              dimSides.size == jdef.dims.size &&
+                sideByFk.size == dimSides.size &&
+                jdef.dims.zip(d.dims).forall { case (dj, (dl, dt)) =>
+                  sideByFk.get(dj.fkCol)
+                    .exists(_.dimKey == norm(dl, dt)) }
+            def provenanced: Boolean = {
+              val outOfDim: Map[String, Seq[Attribute]] =
+                jdef.dims.flatMap { dj =>
+                  val out = sideByFk(dj.fkCol).dimOut
+                  dj.dimCols.map(c => c -> out)
+                }.toMap
+              val refs = (agg.groupingExpressions ++
+                agg.aggregateExpressions ++ conds).flatMap(_.references)
+              refs.forall(a =>
+                outOfDim.get(a.name) match {
+                  case Some(dOut) => dOut.exists(_.exprId == a.exprId)
+                  case None => factOut.exists(_.exprId == a.exprId)
+                })
+            }
+            if (norm(d.factLake, d.factTable) != factKey || !dimsMatch ||
+              !provenanced) None
+            else histShape(agg, vd, conds).flatMap {
+              case (dAttr, groups, outs) =>
+                val dimPins = jdef.dims.map(dj => sideByFk(dj.fkCol).pin)
+                graft.sources.JoinView.freshViewVersionAt(spark,
+                  d.factLake, d.factTable, d.dims, lake, mv,
+                  factPin, dimPins)
+                  .map { viewV =>
+                    logInfo(s"rewriting star histogram over $factKey " +
+                      s"to support pairs of $mv@$viewV")
+                    val dvV = graft.format.AzofTable(spark, lake,
+                      MatView.dvTableName(mv)).currentVersion.toLong
+                    histProject(agg,
+                      graft.sources.JoinView.valueHistogram(spark, lake,
+                        mv, jdef, dAttr.name, groups, Some(viewV),
+                        Some(dvV), slice = conds),
+                      dAttr, outs)
+                  }
+            }
+          }
+        }.nextOption()
     }
 
   /** The optimizer extracts non-trivial grouping expressions into a
@@ -904,6 +984,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           singleHit(agg, cands)
             .orElse(joinHit(agg, cands))
             .orElse(histHit(agg, cands))
+            .orElse(joinHistHit(agg, cands))
             .getOrElse(agg0)
         else agg0
     }

@@ -988,6 +988,18 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(scansSrc(qu), "undeclared distinct must not rewrite")
       assert(qu.collect().map(r => (r.getString(0), r.getLong(1)))
         .sortBy(_._1).toSeq == Seq(("t1", 3L), ("t2", 1L)))
+      // STAR histogram: GROUP BY the distinct fact column itself over
+      // the join serves from the pairs + totals (NULL bucket incl.)
+      val qh = spark.sql(
+        "SELECT tier, a, count(*) AS n FROM azof.fact f " +
+          "JOIN azof.dim d ON f.fk = d.key GROUP BY tier, a")
+      assert(!scansSrc(qh),
+        "star value histogram must serve from pairs:\n" +
+          qh.queryExecution.optimizedPlan)
+      assert(qh.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).sortBy(x => (x._1, String.valueOf(x._2))).toSeq ==
+        Seq(("t1", null, 1L), ("t1", "x", 2L), ("t2", "y", 1L)),
+        "per-tier star histogram with the NULL bucket")
     } finally {
       spark.conf.unset("spark.azof.path")
       spark.conf.unset("spark.azof.mv.rewrite")
