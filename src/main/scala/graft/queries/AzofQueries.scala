@@ -57,7 +57,9 @@ object AzofQueries {
     "q63_mv_timebucket" -> matViewTimeBucket,
     "q64_star_timebucket" -> starDayRewrite,
     "q65_mv_histogram" -> matViewHistogram,
-    "q66_mv_histogram_rewrite" -> matViewHistogramRewrite)
+    "q66_mv_histogram_rewrite" -> matViewHistogramRewrite,
+    "q67_mv_pinned_histogram" -> matViewPinnedHistogram,
+    "q68_mv_bucket_slice" -> matViewBucketSlice)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1228,6 +1230,75 @@ object AzofQueries {
     }
   }
 
+  /** The PINNED HISTOGRAM rewrite under the oracle gate: the
+    * reproducible-report histogram — `VERSION AS OF <current>` grouped
+    * by the distinct column — gates through the pinned walk and serves
+    * from the support pairs with BOTH index snapshots pinned. Refuses
+    * any surviving azof relation.
+    */
+  private def matViewPinnedHistogram(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = dvLake(s, dir)
+    val v = graft.format.AzofTable(s, lake, "docs_dv").currentVersion
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_dvv")
+    try {
+      val q = s.sql(
+        "SELECT source, b, count(*) AS n_rows " +
+          s"FROM azof.docs_dv VERSION AS OF $v GROUP BY source, b")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "pinned histogram rewrite did not fire — refusing to pass the " +
+          "row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** The BUCKET-SLICE rewrite under the oracle gate (the dashboard
+    * day-slice): `WHERE date_trunc('day', t) = X GROUP BY source` —
+    * the filter's derived subtree substitutes to the view's STORED
+    * bucket column and confines the (group-cardinality) view scan;
+    * the grain is a subset rollup, so the plan keeps an Aggregate over
+    * the view but must carry no corpus relation.
+    */
+  private def matViewBucketSlice(s: SparkSession, dir: String): DataFrame = {
+    val lake = mvtLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_mvt")
+    try {
+      val q = s.sql(
+        "SELECT source, count(*) AS n_rows, sum(v) AS sum_v " +
+          "FROM azof.docs_mvt " +
+          "WHERE date_trunc('day', t) = TIMESTAMP '2024-03-01 00:00:00' " +
+          "GROUP BY source")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "bucket-slice rewrite did not fire — refusing to pass the row " +
+          "off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The VERSION-PINNED rewrite under the oracle gate (the
     * reproducible-report shape): `… VERSION AS OF <current>` — a pin
     * provably view-identical ([[graft.sources.MatView
@@ -2178,6 +2249,35 @@ object AzofQueries {
            FROM documents WHERE doc_id NOT IN (6, 7))
          SELECT source, b, COUNT(*) AS n_rows
          FROM live GROUP BY 1, 2""",
+    // the pin IS the current version — same histogram truth through
+    // the pinned walk (refusals are spec-side)
+    "q67_mv_pinned_histogram" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                    AS source,
+                  CASE WHEN doc_id % 4 = 0 THEN NULL
+                       WHEN doc_id % 5 = 0 THEN (doc_id % 7) + 1
+                       ELSE doc_id % 7 END AS b
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, b, COUNT(*) AS n_rows
+         FROM live GROUP BY 1, 2""",
+    // the Mar-1 day slice of the bucketed rollup: rows whose (possibly
+    // +36h-shifted) timestamp truncates to Mar 1
+    "q68_mv_bucket_slice" ->
+      """WITH live AS (
+           SELECT source,
+                  TIMESTAMP '2024-03-01 00:00:00'
+                    + to_hours(CAST(doc_id % 40 AS BIGINT))
+                    + CASE WHEN doc_id % 5 = 0 THEN to_hours(36)
+                           ELSE to_hours(0) END AS t,
+                  CASE WHEN doc_id % 5 = 0 THEN n_chars + 7
+                       ELSE n_chars END AS v
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, COUNT(*) AS n_rows,
+                CAST(SUM(v) AS BIGINT) AS sum_v
+         FROM live
+         WHERE date_trunc('day', t) = TIMESTAMP '2024-03-01 00:00:00'
+         GROUP BY source""",
     // a provably view-identical VERSION pin serves the same truth as
     // q53 (the pin IS the current version; refusal cases are spec-side)
     "q59_mv_pinned_rewrite" ->
