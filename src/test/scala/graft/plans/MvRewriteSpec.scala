@@ -525,6 +525,16 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(scansSrc(qhp), "a predicate on the value column refuses")
       assert(qhp.collect().map(r => (r.getString(0), r.getLong(1)))
         .toSeq == Seq(("u", 2L)))
+      // exact HEAVY HITTERS in plain SQL: HAVING/ORDER BY/LIMIT compose
+      // above the served histogram (preserved output ids)
+      val qtop = spark.sql(
+        "SELECT b, count(*) AS n FROM azof.src GROUP BY b " +
+          "HAVING count(*) > 1 ORDER BY n DESC LIMIT 3")
+      assert(!scansSrc(qtop),
+        "top-k values must serve from the pairs:\n" +
+          qtop.queryExecution.optimizedPlan)
+      assert(qtop.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("u", 2L)), "exact heavy hitters off the index")
     } finally {
       spark.conf.unset("spark.azof.path")
       spark.conf.unset("spark.azof.mv.rewrite")
