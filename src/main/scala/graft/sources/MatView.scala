@@ -8,23 +8,6 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-/** What a materialized view maintains: `GROUP BY groupCols` with
-  * `COUNT(*)`, `SUM(c)` + `COUNT(c)` per `sumCols` entry, and
-  * `MIN(c)`/`MAX(c)` per `minMaxCols` entry, over the LIVE rows of one
-  * azof table. Sum columns must be `Int` (i64) but MAY be nullable:
-  * the view carries a per-column non-null count (`nn_<c>`) alongside
-  * each running sum, which is exactly what makes SQL's null-skipping
-  * `SUM`/`COUNT(c)`/`AVG` incrementally maintainable — `sum_<c>` adds
-  * `old − pre + new` over non-null values only, `COUNT(c)` serves from
-  * `nn_<c>`, and a group whose live values are all NULL serves
-  * `SUM = NULL` (`nn = 0`) instead of a silent 0. Min/max columns may
-  * be `Int`, `String`, or `DateTime`, nullable or not — the
-  * monoid-merge/loss-rescan machinery is type-agnostic (`Boolean`
-  * min/max stays refused: use `MAX(CAST(b AS INT))` semantics
-  * upstream). Group columns must be non-null in the data (they join as
-  * equi-keys and concatenate into the view's record key) and must not
-  * contain U+0001 — asserted per refresh, not assumed.
-  */
 /** A DERIVED group key: a deterministic scalar SQL expression over
   * source columns, stored in the view under `name` with the declared
   * azof type (the refresh CASTs the expression's result to it) — the
@@ -54,6 +37,25 @@ final case class DerivedGroup(
       }.distinct
 }
 
+/** What a materialized view maintains: `GROUP BY groupCols` with
+  * `COUNT(*)`, `SUM(c)` + `COUNT(c)` per `sumCols` entry,
+  * `MIN(c)`/`MAX(c)` per `minMaxCols` entry, exact `COUNT(DISTINCT c)`
+  * per `distinctCols` entry (refcounted support table), and
+  * `derivedGroups` expression buckets — over the LIVE rows of one azof
+  * table. Sum columns must be `Int` (i64) but MAY be nullable: the
+  * view carries a per-column non-null count (`nn_<c>`) alongside each
+  * running sum, which is exactly what makes SQL's null-skipping
+  * `SUM`/`COUNT(c)`/`AVG` incrementally maintainable — `sum_<c>` adds
+  * `old − pre + new` over non-null values only, `COUNT(c)` serves from
+  * `nn_<c>`, and a group whose live values are all NULL serves
+  * `SUM = NULL` (`nn = 0`) instead of a silent 0. Min/max columns may
+  * be `Int`, `String`, or `DateTime`, nullable or not — the
+  * monoid-merge/loss-rescan machinery is type-agnostic (`Boolean`
+  * min/max stays refused: use `MAX(CAST(b AS INT))` semantics
+  * upstream). Group columns must be non-null in the data (they join as
+  * equi-keys and concatenate into the view's record key) and must not
+  * contain U+0001 — asserted per refresh, not assumed.
+  */
 final case class ViewDef(
     groupCols: Seq[String],
     sumCols: Seq[String] = Nil,
