@@ -59,7 +59,8 @@ object AzofQueries {
     "q65_mv_histogram" -> matViewHistogram,
     "q66_mv_histogram_rewrite" -> matViewHistogramRewrite,
     "q67_mv_pinned_histogram" -> matViewPinnedHistogram,
-    "q68_mv_bucket_slice" -> matViewBucketSlice)
+    "q68_mv_bucket_slice" -> matViewBucketSlice,
+    "q69_star_pinned_histogram" -> starPinnedHistogram)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1476,6 +1477,51 @@ object AzofQueries {
     }
   }
 
+  /** The PINNED STAR HISTOGRAM under the oracle gate (the last cell of
+    * the rewrite matrix: histogram × star × pins): every table read
+    * `VERSION AS OF` its current version, grouped by a dim attribute
+    * AND the declared distinct FACT column — served from the star
+    * view's support pairs + row totals (NULL author bucket included)
+    * through [[graft.sources.JoinView.freshViewVersionAt]]'s per-table
+    * walks. Refuses any surviving azof relation or Join.
+    */
+  private def starPinnedHistogram(s: SparkSession, dir: String): DataFrame = {
+    val lake = starLake(s, dir)
+    val vf = graft.format.AzofTable(s, lake, "facts_star").currentVersion
+    val v1 = graft.format.AzofTable(s, lake, "src_star").currentVersion
+    val v2 = graft.format.AzofTable(s, lake, "bkt_star").currentVersion
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_star")
+    try {
+      val q = s.sql(
+        "SELECT tier, author, count(*) AS n_rows " +
+          s"FROM azof.facts_star VERSION AS OF $vf AS f " +
+          s"JOIN azof.src_star VERSION AS OF $v1 AS d1 " +
+          "ON f.src = d1.key " +
+          s"JOIN azof.bkt_star VERSION AS OF $v2 AS d2 " +
+          "ON f.bk = d2.key " +
+          "GROUP BY tier, author")
+      // the gate refuses CORPUS relations only: the served plan
+      // legitimately joins index-sized frames (the NULL bucket is
+      // totals − refs), so a Join check would false-positive
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "pinned star histogram did not fire — refusing to pass the " +
+          "row off the corpus scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The q63 [[graft.sources.ViewDef]]: the TIME-BUCKETED rollup — a
     * DERIVED `date_trunc('day', t)` group key stored in the view, plus
     * the physical `source` group; sums and extrema over `v`.
@@ -2278,6 +2324,33 @@ object AzofQueries {
          FROM live
          WHERE date_trunc('day', t) = TIMESTAMP '2024-03-01 00:00:00'
          GROUP BY source""",
+    // histogram × star × per-table pins: per-(tier, author) counts
+    // incl. the NULL author bucket, reconstructed one-shot
+    "q69_star_pinned_histogram" ->
+      """WITH fact AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
+                    AS src,
+                  'b' || CAST(doc_id % 4 AS VARCHAR) AS bk,
+                  CASE WHEN doc_id % 7 = 0 THEN 'a9'
+                       WHEN doc_id % 6 = 0 THEN NULL
+                       ELSE 'a' || CAST(doc_id % 10 AS VARCHAR)
+                    END AS author
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         dim1 AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 'vip'
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even'
+                       ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents)),
+         dim2 AS (
+           SELECT 'b' || CAST(b AS VARCHAR) AS k
+           FROM (VALUES (0),(1),(2),(3)) AS t(b) WHERE b <> 3)
+         SELECT tier, author, COUNT(*) AS n_rows
+         FROM fact JOIN dim1 ON fact.src = dim1.k
+                   JOIN dim2 ON fact.bk = dim2.k
+         GROUP BY 1, 2""",
     // a provably view-identical VERSION pin serves the same truth as
     // q53 (the pin IS the current version; refusal cases are spec-side)
     "q59_mv_pinned_rewrite" ->
