@@ -154,10 +154,12 @@ object AzofCli {
           "shard-create|shard-refresh|shard-slots|shard-emit|" +
           "seq-create|seq-refresh|seq-spans|seq-emit|" +
           "sem-create|sem-refresh|sem-rebuild|sem-verdicts|" +
-          "mv-create|mv-refresh|mv-serve|mv-distinct|mv-rebuild|" +
+          "mv-create|mv-refresh|mv-serve|mv-distinct|mv-histogram|" +
+          "mv-rebuild|" +
           "term-create|term-refresh|term-search|term-phrase|" +
+          "term-bm25|" +
           "term-prefix|term-near|term-rebuild|" +
-          "jv-refresh|jv-serve|jv-distinct|jv-rebuild|" +
+          "jv-refresh|jv-serve|jv-distinct|jv-histogram|jv-rebuild|" +
           "sql> --path P --table T [...]")
       sys.exit(2)
     }
