@@ -58,15 +58,8 @@ object AzofCli {
     def csv(k: String): Seq[String] = opts.get(k)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    val derived = opts.get("derived").toSeq
-      .flatMap(_.split(";").map(_.trim).filter(_.nonEmpty))
-      .map { entry =>
-        val (head, sql) = entry.span(_ != '=')
-        require(sql.startsWith("="), s"--derived entry needs '=': $entry")
-        val Array(name, tpe) = head.split(":", 2).map(_.trim)
-        graft.sources.DerivedGroup(name, sql.drop(1).trim,
-          graft.format.ColumnType.fromJsonName(tpe))
-      }
+    val derived =
+      graft.sources.DerivedGroup.parseList(opts.getOrElse("derived", ""))
     graft.sources.ViewDef(csv("group-cols"), csv("sum-cols"),
       csv("minmax-cols"), csv("distinct-cols"), derived)
   }
@@ -88,15 +81,8 @@ object AzofCli {
         _.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       .getOrElse(Nil)
     val padded = dimColGroups.padTo(fks.size, Seq.empty[String])
-    val derived = opts.get("derived").toSeq
-      .flatMap(_.split(";").map(_.trim).filter(_.nonEmpty))
-      .map { entry =>
-        val (head, sql) = entry.span(_ != '=')
-        require(sql.startsWith("="), s"--derived entry needs '=': $entry")
-        val Array(name, tpe) = head.split(":", 2).map(_.trim)
-        graft.sources.DerivedGroup(name, sql.drop(1).trim,
-          graft.format.ColumnType.fromJsonName(tpe))
-      }
+    val derived =
+      graft.sources.DerivedGroup.parseList(opts.getOrElse("derived", ""))
     graft.sources.JoinViewDef(csv("group-cols"), csv("sum-cols"),
       csv("minmax-cols"),
       fks.zip(padded).map { case (fk, dc) =>

@@ -630,34 +630,35 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               }
               .flatMap { outs =>
                 // version-PINNED serve: execution reads exactly the
-                // snapshot this freshness check validated, so a source
-                // commit racing between optimization and execution can
-                // never swap a stale view under the rewritten plan.
-                // A `VERSION AS OF` read gates through the pinned walk
-                // instead — the view serves the pin only when live(pin)
-                // provably equals the view's consumed state.
-                val fresh = pinned match {
-                  case Some(p) => MatView.freshViewVersionAt(
-                    spark, sLake, sTable, lake, mv, p)
-                  case None => MatView.freshViewVersion(
-                    spark, sLake, sTable, lake, mv)
+                // snapshots this freshness check validated — the VIEW's
+                // and (when a distinct leaf reads it) the SUPPORT
+                // table's, BOTH pinned inside the gate before its
+                // view-preserving walk ([[MatView.freshViewVersions]]'s
+                // ordering argument), so a refresh racing between
+                // optimization and execution can neither swap a stale
+                // view under the plan nor mix view totals with support
+                // pairs from a later batch. A `VERSION AS OF` read
+                // gates through the pinned walk — the view serves the
+                // pin only when live(pin) provably equals the view's
+                // consumed state.
+                val needDv = outs.exists {
+                  case CalcOut(ls, _) =>
+                    ls.exists(_.isInstanceOf[DistinctValL])
+                  case _ => false
                 }
-                fresh.map { viewV =>
-                  logInfo(s"rewriting aggregate over $srcKey" +
-                    pinned.fold("")(p => s" AS OF $p") +
-                    s" to materialized view $mv@$viewV")
-                  // the support table commits BEFORE the cursor the
-                  // gate just validated, so its pinned-at-now snapshot
-                  // carries exactly the validated state (the same
-                  // reasoning as freshViewVersion's view pin)
-                  val dvPairs: String => org.apache.spark.sql.DataFrame =
-                    c => MatView.serveDistinctPairs(spark, lake, mv, vd, c,
-                      Some(graft.format.AzofTable(spark, lake,
-                        MatView.dvTableName(mv)).currentVersion.toLong))
-                  rewrite(agg,
-                    MatView.serve(spark, lake, mv, vd, Some(viewV)),
-                    vd, groups, outs, conds2, dvPairs)
-                }
+                MatView.freshViewVersions(
+                  spark, sLake, sTable, lake, mv, pinned, needDv)
+                  .map { case (viewV, dvV) =>
+                    logInfo(s"rewriting aggregate over $srcKey" +
+                      pinned.fold("")(p => s" AS OF $p") +
+                      s" to materialized view $mv@$viewV")
+                    val dvPairs: String => org.apache.spark.sql.DataFrame =
+                      c => MatView.serveDistinctPairs(spark, lake, mv, vd,
+                        c, dvV)
+                    rewrite(agg,
+                      MatView.serve(spark, lake, mv, vd, Some(viewV)),
+                      vd, groups, outs, conds2, dvPairs)
+                  }
               }
             }
             }
@@ -737,23 +738,25 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 .flatMap { outs =>
                   // per-table pins (query join order ↛ jdef dim order:
                   // align by fk); a pinned table gates through the
-                  // pinned walk, an un-pinned one through the cursor
+                  // pinned walk, an un-pinned one through the cursor —
+                  // and the gate pins view + support snapshots BEFORE
+                  // its walks (the TOCTOU close, single-table reasoning)
                   val dimPins = jdef.dims.map(dj => sideByFk(dj.fkCol).pin)
-                  graft.sources.JoinView.freshViewVersionAt(spark,
+                  val needDv = outs.exists {
+                    case CalcOut(ls, _) =>
+                      ls.exists(_.isInstanceOf[DistinctValL])
+                    case _ => false
+                  }
+                  graft.sources.JoinView.freshViewVersions(spark,
                     d.factLake, d.factTable, d.dims, lake, mv,
-                    factPin, dimPins)
-                    .map { viewV =>
+                    factPin, dimPins, needDv)
+                    .map { case (viewV, dvV) =>
                       logInfo(s"rewriting star aggregate over $factKey ⋈ " +
                         s"${d.dims.map(x => norm(x._1, x._2)).mkString(" ⋈ ")} " +
                         s"to join view $mv@$viewV")
-                      // the support table commits BEFORE the cursor the
-                      // gate just validated (same reasoning as the
-                      // single-table path's dv pin)
                       val dvPairs: String => org.apache.spark.sql.DataFrame =
                         c => graft.sources.JoinView.serveDistinctPairs(
-                          spark, lake, mv, jdef, c,
-                          Some(graft.format.AzofTable(spark, lake,
-                            MatView.dvTableName(mv)).currentVersion.toLong))
+                          spark, lake, mv, jdef, c, dvV)
                       rewrite(agg,
                         graft.sources.JoinView.serve(spark, lake, mv, jdef,
                           Some(viewV)),
@@ -858,26 +861,22 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (norm(sLake, sTable) != srcKey) None
           else histShape(agg, vd, conds).flatMap {
             case (dAttr, groups, outs) =>
-              val fresh = pinned match {
-                case Some(p) => MatView.freshViewVersionAt(
-                  spark, sLake, sTable, lake, mv, p)
-                case None => MatView.freshViewVersion(
-                  spark, sLake, sTable, lake, mv)
-              }
-              fresh.map { viewV =>
-                logInfo(s"rewriting histogram aggregate over $srcKey " +
-                  s"to support pairs of $mv@$viewV")
-                val dvV = graft.format.AzofTable(spark, lake,
-                  MatView.dvTableName(mv)).currentVersion.toLong
-                // group-col predicates slice the pair/total frames
-                // INSIDE the histogram (they may reference view group
-                // columns outside the queried grain)
-                histProject(agg,
-                  MatView.valueHistogram(spark, lake, mv, vd,
-                    dAttr.name, groups, Some(viewV), Some(dvV),
-                    slice = conds),
-                  dAttr, outs)
-              }
+              // the gate pins view AND support snapshots before its
+              // walk (the TOCTOU close — a histogram always reads both)
+              MatView.freshViewVersions(
+                spark, sLake, sTable, lake, mv, pinned, needDv = true)
+                .map { case (viewV, dvV) =>
+                  logInfo(s"rewriting histogram aggregate over $srcKey " +
+                    s"to support pairs of $mv@$viewV")
+                  // group-col predicates slice the pair/total frames
+                  // INSIDE the histogram (they may reference view group
+                  // columns outside the queried grain)
+                  histProject(agg,
+                    MatView.valueHistogram(spark, lake, mv, vd,
+                      dAttr.name, groups, Some(viewV), dvV,
+                      slice = conds),
+                    dAttr, outs)
+                }
           }
         }
       }.nextOption()
@@ -926,18 +925,18 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             else histShape(agg, vd, conds).flatMap {
               case (dAttr, groups, outs) =>
                 val dimPins = jdef.dims.map(dj => sideByFk(dj.fkCol).pin)
-                graft.sources.JoinView.freshViewVersionAt(spark,
+                // both index snapshots pinned inside the gate, before
+                // its per-table walks (the TOCTOU close)
+                graft.sources.JoinView.freshViewVersions(spark,
                   d.factLake, d.factTable, d.dims, lake, mv,
-                  factPin, dimPins)
-                  .map { viewV =>
+                  factPin, dimPins, needDv = true)
+                  .map { case (viewV, dvV) =>
                     logInfo(s"rewriting star histogram over $factKey " +
                       s"to support pairs of $mv@$viewV")
-                    val dvV = graft.format.AzofTable(spark, lake,
-                      MatView.dvTableName(mv)).currentVersion.toLong
                     histProject(agg,
                       graft.sources.JoinView.valueHistogram(spark, lake,
                         mv, jdef, dAttr.name, groups, Some(viewV),
-                        Some(dvV), slice = conds),
+                        dvV, slice = conds),
                       dAttr, outs)
                   }
             }

@@ -192,17 +192,9 @@ object AzofProcedures {
       def str(i: Int): String =
         if (input.isNullAt(i)) null else input.getUTF8String(i).toString
       // "name:Type=sql[;name2:Type2=sql2]" → derived group defs (the
-      // CLI --derived contract; sql may contain commas)
+      // CLI --derived contract, one shared parser)
       def parseDerived(v: String): Seq[DerivedGroup] =
-        Option(v).toSeq.flatMap(_.split(";").map(_.trim).filter(_.nonEmpty))
-          .map { entry =>
-            val (head, sql) = entry.span(_ != '=')
-            require(sql.startsWith("="),
-              s"derived entry needs '=': $entry")
-            val Array(nm, tpe) = head.split(":", 2).map(_.trim)
-            DerivedGroup(nm, sql.drop(1).trim,
-              graft.format.ColumnType.fromJsonName(tpe))
-          }
+        DerivedGroup.parseList(v)
       val out: (StructType, Seq[Any]) = name match {
         case "compact" =>
           val br = Option(str(5))
@@ -376,9 +368,13 @@ object AzofProcedures {
           val jd = JoinViewDef(jcsv(str(3)), jcsv(str(6)), jcsv(str(7)),
             fks.zip(padded).map { case (fk, dc) => DimJoin(fk, dc) },
             jcsv(str(10)), parseDerived(str(11)))
+          // split with -1 keeps EMPTY slots (",lake2" = default lake
+          // for dim1, lake2 for dim2) — a nonEmpty filter here would
+          // silently shift later lakes onto earlier dims (cliJvDims'
+          // contract, mirrored)
           val dimPaths = Option(str(9))
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .getOrElse(Nil).padTo(dimTables.size, path)
+            .map(_.split(",", -1).map(_.trim).toSeq)
+            .getOrElse(Nil).padTo(dimTables.size, "")
             .map(pth => if (pth.isEmpty) path else pth)
           val jr = JoinView.refresh(spark, path, str(0),
             dimTables.zipWithIndex.map { case (dt, i) =>

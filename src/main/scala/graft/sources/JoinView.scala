@@ -432,7 +432,27 @@ object JoinView {
       factLake: String, factTable: String,
       dims: Seq[(String, String)],
       idxLake: String, idxTable: String,
-      factPin: Option[Long], dimPins: Seq[Option[Long]]): Option[Long] = {
+      factPin: Option[Long], dimPins: Seq[Option[Long]]): Option[Long] =
+    freshViewVersions(spark, factLake, factTable, dims, idxLake, idxTable,
+      factPin, dimPins, needDv = false).map(_._1)
+
+  /** [[freshViewVersionAt]] that ALSO pins the DISTINCT-support
+    * table's snapshot — [[MatView.freshViewVersions]]'s star twin, the
+    * TOCTOU-closed gate: cursor first, BOTH pins next, every table's
+    * view-preserving walk LAST. A refresh only runs after a source
+    * data commit on some table, so any view/support state newer than
+    * the cursor vector implies a commit the walks (reading every
+    * source's snapshot list after the pins) see and refuse; a
+    * validated walk therefore proves both pinned snapshots carry
+    * exactly the cursor vector's state.
+    */
+  def freshViewVersions(
+      spark: SparkSession,
+      factLake: String, factTable: String,
+      dims: Seq[(String, String)],
+      idxLake: String, idxTable: String,
+      factPin: Option[Long], dimPins: Seq[Option[Long]],
+      needDv: Boolean): Option[(Long, Option[Long])] = {
     require(dimPins.size == dims.size,
       s"${dims.size} dims, ${dimPins.size} pins")
     val (dir, fs, p) = sidecarPath(spark, idxLake, idxTable, CursorFileName)
@@ -453,12 +473,20 @@ object JoinView {
             onMain &&
               MatView.unchangedSince(spark, lake, table, math.min(v, cur))
         }
+        // PIN BEFORE the walks — see the scaladoc's ordering argument
         val vv = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
-        val ok = tableOk(factLake, factTable, f, factPin) &&
-          dims.indices.forall { i =>
-            val (dl, dt) = dims(i)
-            tableOk(dl, dt, ds(i), dimPins(i)) }
-        if (ok) Some(vv) else None
+        val dvV: Option[Option[Long]] =
+          if (!needDv) Some(None)
+          else scala.util.Try(
+            AzofTable(spark, idxLake, MatView.dvTableName(idxTable))
+              .currentVersion.toLong).toOption.map(Some(_))
+        dvV.flatMap { dv =>
+          val ok = tableOk(factLake, factTable, f, factPin) &&
+            dims.indices.forall { i =>
+              val (dl, dt) = dims(i)
+              tableOk(dl, dt, ds(i), dimPins(i)) }
+          if (ok) Some((vv, dv)) else None
+        }
       }
     }
   }

@@ -37,6 +37,29 @@ final case class DerivedGroup(
       }.distinct
 }
 
+object DerivedGroup {
+
+  /** Parse the `"name:Type=sql[;name2:Type2=sql2]"` derived-group spec
+    * shared by the CLI `--derived` flag and the SQL procedures'
+    * `derived` parameter (entries split on ';' so the sql may contain
+    * commas). Malformed entries fail with the offending text, never a
+    * bare MatchError.
+    */
+  def parseList(v: String): Seq[DerivedGroup] =
+    Option(v).toSeq.flatMap(_.split(";").map(_.trim).filter(_.nonEmpty))
+      .map { entry =>
+        val (head, sql) = entry.span(_ != '=')
+        require(sql.startsWith("="),
+          s"derived entry needs 'name:Type=sql': $entry")
+        require(head.contains(":"),
+          s"derived entry needs 'name:Type=sql' (no ':' before '='): " +
+            entry)
+        val Array(nm, tpe) = head.split(":", 2).map(_.trim)
+        DerivedGroup(nm, sql.drop(1).trim,
+          graft.format.ColumnType.fromJsonName(tpe))
+      }
+}
+
 /** What a materialized view maintains: `GROUP BY groupCols` with
   * `COUNT(*)`, `SUM(c)` + `COUNT(c)` per `sumCols` entry,
   * `MIN(c)`/`MAX(c)` per `minMaxCols` entry, exact `COUNT(DISTINCT c)`
@@ -465,9 +488,59 @@ object MatView {
       spark: SparkSession,
       srcLake: String, srcTable: String,
       idxLake: String, idxTable: String): Option[Long] =
+    freshViewVersions(spark, srcLake, srcTable, idxLake, idxTable,
+      pinned = None, needDv = false).map(_._1)
+
+  /** The TOCTOU-closed gate behind every rewrite serve: validates
+    * freshness and PINS the snapshots the rewritten plan will read —
+    * the view's, and (when `needDv`) the DISTINCT-support table's.
+    * Returns `(viewVersion, dvVersion)`.
+    *
+    * ORDER IS THE MECHANISM: cursor first, then BOTH pins, then the
+    * view-preserving walk LAST. A refresh only ever runs after a
+    * source data commit, and a data commit is never view-preserving —
+    * so if any racing refresh managed to land view or support state
+    * newer than the cursor BEFORE we pinned, the source commit that
+    * triggered it landed even earlier and the walk (which reads the
+    * source's snapshot list after both pins) sees it and refuses.
+    * Conversely, if the walk validates, both pinned snapshots carry
+    * exactly the cursor's state. Reading the support version AFTER the
+    * walk — the round-14 defect — reopened the race on the support
+    * leg: a refresh landing between walk and read served view totals
+    * @C with support pairs @C+1, an answer matching NO instant (the
+    * histogram NULL bucket went provably wrong). The one untracked
+    * hazard remains a ROLLBACK of the view/support tables themselves —
+    * operator intervention outside the refresh protocol, the
+    * documented hatch class.
+    *
+    * `pinned` is the query's `VERSION AS OF` pin (None = the un-pinned
+    * Current read): a pin gates through the [[freshViewVersionAt]]
+    * walk (branch heads refuse, span = `min(pin, cursor)`).
+    */
+  def freshViewVersions(
+      spark: SparkSession,
+      srcLake: String, srcTable: String,
+      idxLake: String, idxTable: String,
+      pinned: Option[Long], needDv: Boolean)
+      : Option[(Long, Option[Long])] =
     readCursor(spark, idxLake, idxTable).flatMap { cur =>
       val v = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
-      if (unchangedSince(spark, srcLake, srcTable, cur)) Some(v) else None
+      val dvV: Option[Option[Long]] =
+        if (!needDv) Some(None)
+        else scala.util.Try(
+          AzofTable(spark, idxLake, dvTableName(idxTable))
+            .currentVersion.toLong).toOption.map(Some(_))
+      dvV.flatMap { dv =>
+        val onMain = pinned.forall { p =>
+          try AzofTable(spark, srcLake, srcTable)
+            .snapshot(p.toString).branch.isEmpty
+          catch { case scala.util.control.NonFatal(_) => false }
+        }
+        val walkFrom = pinned.fold(cur)(p => math.min(p, cur))
+        if (onMain && unchangedSince(spark, srcLake, srcTable, walkFrom))
+          Some((v, dv))
+        else None
+      }
     }
 
   /** [[freshViewVersion]] for a VERSION-PINNED read (`VERSION AS OF
@@ -488,17 +561,8 @@ object MatView {
       spark: SparkSession,
       srcLake: String, srcTable: String,
       idxLake: String, idxTable: String, pinned: Long): Option[Long] =
-    readCursor(spark, idxLake, idxTable).flatMap { cur =>
-      val onMain =
-        try AzofTable(spark, srcLake, srcTable)
-          .snapshot(pinned.toString).branch.isEmpty
-        catch { case scala.util.control.NonFatal(_) => false }
-      val v = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
-      if (onMain &&
-        unchangedSince(spark, srcLake, srcTable, math.min(pinned, cur)))
-        Some(v)
-      else None
-    }
+    freshViewVersions(spark, srcLake, srcTable, idxLake, idxTable,
+      Some(pinned), needDv = false).map(_._1)
 
   /** Whether `table`'s LIVE view still equals its state at version
     * `cur`: every later main-lineage commit is view-preserving (see
@@ -593,22 +657,30 @@ object MatView {
     rows.groupBy(view.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Fail LOUD when a group value carries the reserved record-key
-    * separator: a silent pass would collide distinct group tuples into
-    * one view key and corrupt the upsert merge. `frame` is churn- or
-    * group-cardinality-sized at every call site, so the check is one
-    * cheap conditional sum folded into a pass the refresh already pays.
+  /** Fail LOUD when a group value is NULL or carries the reserved
+    * record-key separator: a silent pass would collide distinct group
+    * tuples into one view key (`concat_ws` SKIPS null operands, so two
+    * different tuples with a null in different slots render the same
+    * key) and corrupt the upsert merge. This enforces the [[ViewDef]]
+    * contract — group columns non-null, no U+0001 — for PHYSICAL and
+    * DERIVED group columns alike (a derived expression over a nullable
+    * source column can yield a null bucket even when the declared type
+    * claims non-null). `frame` is churn- or group-cardinality-sized at
+    * every call site, so the check is one cheap conditional sum folded
+    * into a pass the refresh already pays.
     */
   private[sources] def sepViolations(
       frame: DataFrame, groupCols: Seq[String]): Column =
-    sum(when(groupCols.map(g => col(g).cast("string").contains(Sep))
+    sum(when(groupCols.map(g =>
+      col(g).isNull || col(g).cast("string").contains(Sep))
       .reduce(_ || _), 1L).otherwise(0L))
 
   private[sources] def requireNoSep(violations: Long, what: String): Unit =
     if (violations > 0) throw new IllegalArgumentException(
-      s"$violations $what group tuple(s) contain the reserved U+0001 " +
-        "record-key separator — group values must not; refusing to " +
-        "corrupt the view's key space")
+      s"$violations $what group tuple(s) carry a NULL group value or " +
+        "the reserved U+0001 record-key separator — group values must " +
+        "be non-null and separator-free (concat_ws would silently " +
+        "collide the keys); refusing to corrupt the view's key space")
 
   /** One feed micro-batch → one upsert row per TOUCHED group, equal to
     * the group's one-shot aggregate over the live corpus at the batch's

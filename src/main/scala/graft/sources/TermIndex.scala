@@ -524,10 +524,24 @@ object TermIndex {
     val st = graft.operators.AzofScan
       .scan(spark, idxLake, stTableName(idxTable))
       .select(col("n_docs"), col("total_len")).collect()
-    if (st.isEmpty || st(0).getLong(0) == 0L) throw new IllegalStateException(
+    // a MISSING stats row is an index that was never refreshed (or a
+    // pre-doc-length build) — loud, naming the remedy; n_docs == 0 is a
+    // legitimately empty / fully-deleted corpus — SQL semantics, an
+    // empty result, not an error
+    if (st.isEmpty) throw new IllegalStateException(
       s"term index '$idxTable' has no corpus stats — refresh it (or " +
         "rebuild a pre-doc-length index via term-rebuild) before " +
         "ranked search")
+    if (st(0).getLong(0) == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("dl",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType))))
     val (nDocs, totLen) = (st(0).getLong(0), st(0).getLong(1))
     def mag(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
     def scanTerm(t: String, i: Int): DataFrame =

@@ -537,6 +537,56 @@ class JoinViewSpec extends AnyFunSuite {
     assert(dvServed(lbc, "jvd_e2") == dvServed(lbc))
   }
 
+  test("dv-pin TOCTOU closed (star): the gate pins view AND support " +
+    "snapshots before its per-table walks — a refresh racing between " +
+    "gate and serve still serves the validated instant exactly") {
+    val l = Files.createTempDirectory("azof-jv-toctou").toString
+    AzofWriter.createTable(spark, l, "fact", dFactSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    def go() = JoinView.refresh(spark, l, "fact", Seq((l, "dim")),
+      l, "jvd", ddef)
+    def histAt(vv: Option[Long], dvv: Option[Long]) =
+      JoinView.valueHistogram(spark, l, "jvd", ddef, "a", Seq("tier"),
+        vv, dvv)
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, String.valueOf(x._2))).toSeq
+    AzofWriter.commitBase(spark, l, "dim", dims(
+      ("d1", "2024-01-02T00:00:00Z", "t1")))
+    AzofWriter.commitBase(spark, l, "fact", dFacts(
+      ("1", "2024-01-02T00:00:00Z", "d1", 10L, "x"),
+      ("2", "2024-01-02T00:00:00Z", "d1", 4L, "y"),
+      ("3", "2024-01-02T00:00:00Z", "d1", 7L, null)))                // C
+    go()
+    val pins = JoinView.freshViewVersions(spark, l, "fact",
+      Seq((l, "dim")), l, "jvd", None, Seq(None), needDv = true)
+    assert(pins.isDefined && pins.get._2.isDefined, "fresh + dv pinned")
+    val (vv, dvv) = pins.get
+    val histC = histAt(Some(vv), dvv)
+    assert(histC ==
+      Seq(("t1", null, 1L), ("t1", "x", 1L), ("t1", "y", 1L)))
+    // the race: fact churn + refresh land after the gate returned
+    AzofWriter.commitDelta(spark, l, "fact", dFacts(
+      ("2", "2024-02-05T00:00:00Z", "d1", 4L, null),
+      ("4", "2024-02-05T00:00:00Z", "d1", 5L, "x")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // C+1
+    go()
+    assert(histAt(Some(vv), dvv) == histC,
+      "pinned star serve is immune to the racing refresh")
+    val histC1 = histAt(None, None)
+    assert(histC1 == Seq(("t1", null, 2L), ("t1", "x", 2L)))
+    val dvNow = graft.format.AzofTable(spark, l,
+      MatView.dvTableName("jvd")).currentVersion.toLong
+    val mixed = histAt(Some(vv), Some(dvNow))
+    assert(mixed != histC && mixed != histC1,
+      s"the mixed-state star serve ($mixed) matches no instant")
+    val pins2 = JoinView.freshViewVersions(spark, l, "fact",
+      Seq((l, "dim")), l, "jvd", None, Seq(None), needDv = true).get
+    assert(histAt(Some(pins2._1), pins2._2) == histC1)
+  }
+
   test("a crash between the view commit and the support commit heals " +
     "as a CATCH-UP leg: the distinct delta lands, the view never " +
     "double-applies, the cursor promotes only after both") {

@@ -487,6 +487,75 @@ class MatViewSpec extends AnyFunSuite {
       "guard shapes agree")
   }
 
+  test("dv-pin TOCTOU closed: the gate pins view AND support snapshots " +
+    "BEFORE validating, so a refresh landing between gate and serve " +
+    "still serves ONE consistent instant — never view totals @C mixed " +
+    "with support pairs @C+1 (the round-14 defect's histogram shape)") {
+    val dSchema = TableSchema(Seq(
+      ColumnDef("grp", ColumnType.AzString, nullable = false),
+      ColumnDef("b", ColumnType.AzString, nullable = true)))
+    val vD = ViewDef(Seq("grp"), distinctCols = Seq("b"))
+    def dRows(rows: (String, String, String, Any)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, t, g, b) =>
+          Row(k, Timestamp.from(Instant.parse(t)), g, b) }),
+        dSchema.toStruct)
+    val l = Files.createTempDirectory("azof-mv-toctou").toString
+    val ck = Files.createTempDirectory("azof-mv-toctou-ck").toString
+    AzofWriter.createTable(spark, l, "src", dSchema,
+      ts("2024-01-01T00:00:00Z"))
+    def go(): Unit = {
+      val q = MatView.refresh(spark, l, "src", l, "mv", vD, ck)
+      assert(q.awaitTermination(120000))
+    }
+    def histAt(vv: Option[Long], dvv: Option[Long]) =
+      MatView.valueHistogram(spark, l, "mv", vD, "b", Seq("grp"), vv, dvv)
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, String.valueOf(x._2))).toSeq
+    AzofWriter.commitBase(spark, l, "src", dRows(
+      ("1", "2024-01-02T00:00:00Z", "a", "x"),
+      ("2", "2024-01-02T00:00:00Z", "a", "y"),
+      ("3", "2024-01-02T00:00:00Z", "a", null)))                     // C
+    go()
+    // THE GATE — exactly what the rewrite rule calls before building
+    // the served plan: freshness validated, BOTH snapshots pinned
+    val pins = MatView.freshViewVersions(spark, l, "src", l, "mv",
+      pinned = None, needDv = true)
+    assert(pins.isDefined && pins.get._2.isDefined, "fresh + dv pinned")
+    val (vv, dvv) = pins.get
+    val histC = histAt(Some(vv), dvv)
+    assert(histC == Seq(("a", null, 1L), ("a", "x", 1L), ("a", "y", 1L)))
+    // THE RACE: a source commit + refresh land AFTER the gate returned
+    // but BEFORE the rewritten plan executes (the follow driver's
+    // steady state) — key 2's value nulls out, key 4 inserts another x
+    AzofWriter.commitDelta(spark, l, "src", dRows(
+      ("2", "2024-02-05T00:00:00Z", "a", null),
+      ("4", "2024-02-05T00:00:00Z", "a", "x")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // C+1
+    go()
+    // consistent instant: the serve built from the gate's pins still
+    // reads exactly state C
+    assert(histAt(Some(vv), dvv) == histC,
+      "pinned serve is immune to the racing refresh")
+    // the round-14 read-after-gate shape is PROVABLY wrong: view @C
+    // with the support table's CURRENT (C+1) snapshot mixes states —
+    // its NULL bucket (Σ n_rows@C − Σ ref@C+1 = 3 − 2 = 1) and its
+    // missing y bucket match NO instant of the table
+    val dvNow = AzofTable(spark, l, MatView.dvTableName("mv"))
+      .currentVersion.toLong
+    val mixed = histAt(Some(vv), Some(dvNow))
+    val histC1 = histAt(None, None)
+    assert(histC1 == Seq(("a", null, 2L), ("a", "x", 2L)))
+    assert(mixed != histC && mixed != histC1,
+      s"the mixed-state serve ($mixed) matches no instant — the gate " +
+        "must never produce these pins")
+    // a RE-RUN gate validates and pins the post-race state
+    val pins2 = MatView.freshViewVersions(spark, l, "src", l, "mv",
+      pinned = None, needDv = true).get
+    assert(histAt(Some(pins2._1), pins2._2) == histC1)
+  }
+
   test("a pre-nn_ view table (round-12 layout) refuses LOUDLY on " +
     "serve and refresh, naming the rebuild remedy — never an opaque " +
     "unresolved-column error") {
