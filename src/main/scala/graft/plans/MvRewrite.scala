@@ -789,13 +789,20 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Match the histogram SHAPE against one candidate: grouping columns
     * are view group columns plus exactly ONE declared distinct column,
-    * outputs are those columns or COUNT(*)-only expression trees, and
-    * filter conjuncts touch only group columns (never the value
-    * column). Returns `(value attr, other groups, outputs)`.
+    * outputs are those columns or expression trees over the PAIR-GRAIN
+    * leaves — `COUNT(*)` (Σ ref), and `SUM(c)` / `COUNT(c)` / `AVG(c)`
+    * for declared sum columns (the support rows carry per-pair
+    * `sum_<c>`/`nn_<c>` totals — the measure-per-value dashboard,
+    * `SELECT b, sum(revenue) … GROUP BY b`, served corpus-free).
+    * MIN/MAX and distinct leaves refuse (no pair-grain totals exist
+    * for them). Filter conjuncts touch only group columns (never the
+    * value column). Returns
+    * `(value attr, other groups, outputs, measure columns read)`.
     */
   private def histShape(
       agg: Aggregate, vd: ViewDef, conds: Seq[Expression])
-      : Option[(AttributeReference, Seq[String], Seq[HOut])] =
+      : Option[(AttributeReference, Seq[String], Seq[HOut],
+        Seq[String])] =
     traverse(agg.groupingExpressions.map {
       case a: AttributeReference
         if vd.groupCols.contains(a.name) ||
@@ -809,6 +816,12 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val groups = attrs.map(_.name).filterNot(_ == dAttr.name)
         val condsOk = conds.forall(c => filterCovered(c, vd) &&
           !c.references.exists(_.name == dAttr.name))
+        def pairServable(l: AggLeaf): Boolean = l match {
+          case CountL => true
+          case SumL(c) => vd.sumCols.contains(c)
+          case CountColL(c) => vd.sumCols.contains(c)
+          case _ => false // min/max/distinct: no pair-grain totals
+        }
         if (!condsOk) None
         else traverse(agg.aggregateExpressions.map {
           case a: AttributeReference
@@ -819,13 +832,20 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               if attrs.exists(_.name == a.name) =>
               Some(HGroup(a.name): HOut)
             case e => calcOf(e, vd)
-              // only COUNT(*) totals exist at the (groups, value)
-              // grain — any other aggregate refuses
-              .filter { case (ls, _) => ls.forall(_ == CountL) }
+              .filter { case (ls, _) => ls.forall(pairServable) }
               .map { case (ls, b) => HCalc(ls, b): HOut }
           }
           case _ => None
-        }).map(outs => (dAttr, groups, outs))
+        }).map { outs =>
+          val measures = outs.flatMap {
+            case HCalc(ls, _) => ls.collect {
+              case SumL(c) => c
+              case CountColL(c) => c
+            }
+            case _ => Nil
+          }.distinct
+          (dAttr, groups, outs, measures)
+        }
       }
     }
 
@@ -835,12 +855,19 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def histProject(
       agg: Aggregate, hist: org.apache.spark.sql.DataFrame,
       dAttr: AttributeReference, outs: Seq[HOut]): LogicalPlan = {
+    def leafCol(l: AggLeaf): Column = l match {
+      case CountL       => col("n_rows")
+      case SumL(c)      => col(s"sum_$c")
+      case CountColL(c) => col(s"nn_$c")
+      case other => throw new IllegalStateException(
+        s"histogram shape admitted a non-pair-servable leaf $other")
+    }
     val slim = hist.select(outs.zipWithIndex.map {
       case (HGroup(c), i) if c == dAttr.name =>
         col("value").cast(dAttr.dataType).as(s"_mv_$i")
       case (HGroup(c), i) => col(c).as(s"_mv_$i")
       case (HCalc(ls, b), i) =>
-        b(ls.map(_ => col("n_rows"))).as(s"_mv_$i")
+        b(ls.map(leafCol)).as(s"_mv_$i")
     }: _*)
     val child = slim.queryExecution.analyzed
     Project(
@@ -860,11 +887,23 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }.flatMap { case (sLake, sTable, vd) =>
           if (norm(sLake, sTable) != srcKey) None
           else histShape(agg, vd, conds).flatMap {
-            case (dAttr, groups, outs) =>
+            case (dAttr, groups, outs, measures) =>
               // the gate pins view AND support snapshots before its
               // walk (the TOCTOU close — a histogram always reads both)
               MatView.freshViewVersions(
                 spark, sLake, sTable, lake, mv, pinned, needDv = true)
+                .filter { case (_, dvV) =>
+                  // a measure histogram over a support table built by
+                  // a pre-measure binary SILENTLY falls back to the
+                  // scan (the loud rebuild message lives on the
+                  // refresh path) — never an unresolved-column crash
+                  // inside the optimizer
+                  measures.isEmpty || dvV.exists(v =>
+                    MatView.dvLayoutOk(
+                      graft.format.AzofTable(spark, lake,
+                        MatView.dvTableName(mv)).snapshot(v.toString)
+                        .schema, measures))
+                }
                 .map { case (viewV, dvV) =>
                   logInfo(s"rewriting histogram aggregate over $srcKey " +
                     s"to support pairs of $mv@$viewV")
@@ -874,7 +913,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   histProject(agg,
                     MatView.valueHistogram(spark, lake, mv, vd,
                       dAttr.name, groups, Some(viewV), dvV,
-                      slice = conds),
+                      measures = measures, slice = conds),
                     dAttr, outs)
                 }
           }
@@ -923,20 +962,28 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if (norm(d.factLake, d.factTable) != factKey || !dimsMatch ||
               !provenanced) None
             else histShape(agg, vd, conds).flatMap {
-              case (dAttr, groups, outs) =>
+              case (dAttr, groups, outs, measures) =>
                 val dimPins = jdef.dims.map(dj => sideByFk(dj.fkCol).pin)
                 // both index snapshots pinned inside the gate, before
                 // its per-table walks (the TOCTOU close)
                 graft.sources.JoinView.freshViewVersions(spark,
                   d.factLake, d.factTable, d.dims, lake, mv,
                   factPin, dimPins, needDv = true)
+                  .filter { case (_, dvV) =>
+                    // pre-measure support layout → silent scan fallback
+                    measures.isEmpty || dvV.exists(v =>
+                      MatView.dvLayoutOk(
+                        graft.format.AzofTable(spark, lake,
+                          MatView.dvTableName(mv)).snapshot(v.toString)
+                          .schema, measures))
+                  }
                   .map { case (viewV, dvV) =>
                     logInfo(s"rewriting star histogram over $factKey " +
                       s"to support pairs of $mv@$viewV")
                     histProject(agg,
                       graft.sources.JoinView.valueHistogram(spark, lake,
                         mv, jdef, dAttr.name, groups, Some(viewV),
-                        dvV, slice = conds),
+                        dvV, measures = measures, slice = conds),
                       dAttr, outs)
                   }
             }

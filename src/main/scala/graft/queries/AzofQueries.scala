@@ -60,7 +60,9 @@ object AzofQueries {
     "q66_mv_histogram_rewrite" -> matViewHistogramRewrite,
     "q67_mv_pinned_histogram" -> matViewPinnedHistogram,
     "q68_mv_bucket_slice" -> matViewBucketSlice,
-    "q69_star_pinned_histogram" -> starPinnedHistogram)
+    "q69_star_pinned_histogram" -> starPinnedHistogram,
+    "q70_mv_sum_histogram" -> matViewSumHistogram,
+    "q71_star_sum_histogram" -> starSumHistogram)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1087,26 +1089,30 @@ object AzofQueries {
     }
   }
 
-  /** The q60 [[graft.sources.ViewDef]]: per-source counts + an EXACT
-    * `COUNT(DISTINCT b)` backed by the refcounted support table.
+  /** The q60 [[graft.sources.ViewDef]]: per-source counts, an EXACT
+    * `COUNT(DISTINCT b)` backed by the refcounted support table, and a
+    * declared measure `v` whose pair-grain sum/nn totals ride the same
+    * support rows (q70's sum-weighted histograms).
     */
   private val dvvDef = graft.sources.ViewDef(Seq("source"),
-    distinctCols = Seq("b"))
+    sumCols = Seq("v"), distinctCols = Seq("b"))
 
   /** Four-commit, per-commit-refreshed DISTINCT-support lake: source
     * docs with a nullable bucket `b = doc_id % 7` (NULL for every 4th
+    * doc) and a nullable measure `v = n_chars` (NULL for every 9th
     * doc); a revision moving every 5th doc to source `rev12` with
-    * `b + 1` (value moves change refcounts without count changes);
+    * `b + 1` and `v + 2` (value moves change refcounts AND pair sums);
     * docs 6/7 deleted (zero-crossing retirement).
     */
   private[queries] def dvLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "dvv-v1", "doc_dvv") { l =>
+    cachedLake(dir, "dvv-v2", "doc_dvv") { l =>
       import graft.sources.{AzofWriter, MatView}
       val docs = Tables(s, dir, "documents")
       AzofWriter.createTable(s, l, "docs_dv",
         TableSchema(Seq(
           ColumnDef("source", ColumnType.AzString, nullable = false),
-          ColumnDef("b", ColumnType.AzInt, nullable = true))),
+          ColumnDef("b", ColumnType.AzInt, nullable = true),
+          ColumnDef("v", ColumnType.AzInt, nullable = true))),
         Instant.parse("2024-01-01T00:00:00Z"))
       val ck = new java.io.File(l, "_dvv_ck").toString
       def refresh(): Unit = {
@@ -1115,15 +1121,19 @@ object AzofQueries {
           throw new IllegalStateException(
             "distinct-view refresh did not terminate within 300s")
       }
+      val baseV =
+        when(col("doc_id") % 9 === 0, lit(null)).otherwise(col("n_chars"))
       def rows(filter: org.apache.spark.sql.Column, at: String,
           src: org.apache.spark.sql.Column = col("source"),
           b: org.apache.spark.sql.Column =
             when(col("doc_id") % 4 === 0, lit(null))
-              .otherwise(col("doc_id") % 7)) =
+              .otherwise(col("doc_id") % 7),
+          v: org.apache.spark.sql.Column = null) =
         docs.where(filter).select(
           col("doc_id").cast("string").as("key"),
           lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
-          src.as("source"), b.cast("long").as("b"))
+          src.as("source"), b.cast("long").as("b"),
+          Option(v).getOrElse(baseV).cast("long").as("v"))
       AzofWriter.commitBase(s, l, "docs_dv",
         rows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))
       refresh()
@@ -1136,7 +1146,9 @@ object AzofQueries {
         rows(col("doc_id") % 5 === 0, "2024-04-05T00:00:00Z",
           src = lit("rev12"),
           b = when(col("doc_id") % 4 === 0, lit(null))
-            .otherwise((col("doc_id") % 7) + 1)),
+            .otherwise((col("doc_id") % 7) + 1),
+          v = when(col("doc_id") % 9 === 0, lit(null))
+            .otherwise(col("n_chars") + 2)),
         Instant.parse("2024-04-01T00:00:00Z"),
         Instant.parse("2024-05-01T00:00:00Z"))
       refresh()
@@ -1257,6 +1269,80 @@ object AzofQueries {
       if (residual.nonEmpty) throw new IllegalStateException(
         "pinned histogram rewrite did not fire — refusing to pass the " +
           "row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** The SUM-WEIGHTED histogram rewrite under the oracle gate (round
+    * 14's Missing #1, closed): plain SQL grouping by the declared
+    * distinct column with `count(*)`, `sum(v)`, AND `avg(v)` — the
+    * measure-per-category-value dashboard — served from the support
+    * pairs' per-pair `sum_v`/`nn_v` totals plus the view's row/sum
+    * totals for the NULL bucket, all maintained by the same
+    * `old + new − pre` arithmetic under the same replay guard.
+    * Exactness rides value-moving revisions (`v + 2` on every fifth
+    * doc), measure nulls (every ninth doc), distinct-column nulls, and
+    * deletes. Refuses any surviving azof relation.
+    */
+  private def matViewSumHistogram(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = dvLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_dvv")
+    try {
+      val q = s.sql(
+        "SELECT source, b, count(*) AS n_rows, sum(v) AS sum_v, " +
+          "avg(v) AS avg_v FROM azof.docs_dv GROUP BY source, b")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "sum-weighted histogram rewrite did not fire — refusing to " +
+          "pass the row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** [[matViewSumHistogram]]'s STAR twin (single + star in the same
+    * round — the symmetry contract): per-(tier, author) counts, char
+    * sums, and the derived mean over `fact ⋈ dim1 ⋈ dim2`, served from
+    * the star view's pair-grain measure totals incl. the NULL author
+    * bucket's sums. Refuses any surviving azof relation.
+    */
+  private def starSumHistogram(s: SparkSession, dir: String): DataFrame = {
+    val lake = starLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_star")
+    try {
+      val q = s.sql(
+        "SELECT tier, author, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, avg(n_chars) AS avg_n_chars " +
+          "FROM azof.facts_star f " +
+          "JOIN azof.src_star d1 ON f.src = d1.key " +
+          "JOIN azof.bkt_star d2 ON f.bk = d2.key " +
+          "GROUP BY tier, author")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "star sum-weighted histogram rewrite did not fire — refusing " +
+          "to pass the row off the corpus scan+join plan")
       q.queryExecution.executedPlan // pin execution while the confs hold
       q
     } finally {
@@ -1787,7 +1873,7 @@ object AzofQueries {
     * distinct mass onto `a9`, the deletes decrement refcounts.
     */
   private[queries] def starLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "star-v3", "doc_star") { l =>
+    cachedLake(dir, "star-v4", "doc_star") { l =>
       import graft.sources.{AzofWriter, JoinView}
       val docs = Tables(s, dir, "documents")
       val srcs = docs.select("source").distinct()
@@ -2307,6 +2393,58 @@ object AzofQueries {
            FROM documents WHERE doc_id NOT IN (6, 7))
          SELECT source, b, COUNT(*) AS n_rows
          FROM live GROUP BY 1, 2""",
+    // SUM-WEIGHTED histogram: count + sum(v) + avg(v) per (source, b)
+    // incl. the NULL b bucket's sums, under value-moving revisions
+    // (v + 2 on every fifth doc), measure nulls (every ninth doc), and
+    // deletes — avg is ONE division of exact integer totals (bit-exact
+    // cross-engine, the family float rule)
+    "q70_mv_sum_histogram" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                    AS source,
+                  CASE WHEN doc_id % 4 = 0 THEN NULL
+                       WHEN doc_id % 5 = 0 THEN (doc_id % 7) + 1
+                       ELSE doc_id % 7 END AS b,
+                  CASE WHEN doc_id % 9 = 0 THEN NULL
+                       WHEN doc_id % 5 = 0 THEN n_chars + 2
+                       ELSE n_chars END AS v
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, b, COUNT(*) AS n_rows,
+                CAST(SUM(v) AS BIGINT) AS sum_v,
+                CAST(SUM(v) AS DOUBLE) / COUNT(v) AS avg_v
+         FROM live GROUP BY 1, 2""",
+    // the STAR twin: per-(tier, author) counts + char sums + mean over
+    // the three reconstructed final states, NULL author bucket incl.
+    "q71_star_sum_histogram" ->
+      """WITH fact AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
+                    AS src,
+                  'b' || CAST(doc_id % 4 AS VARCHAR) AS bk,
+                  CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars
+                    END AS n_chars,
+                  CASE WHEN doc_id % 7 = 0 THEN 'a9'
+                       WHEN doc_id % 6 = 0 THEN NULL
+                       ELSE 'a' || CAST(doc_id % 10 AS VARCHAR)
+                    END AS author
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         dim1 AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 'vip'
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even'
+                       ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents)),
+         dim2 AS (
+           SELECT 'b' || CAST(b AS VARCHAR) AS k
+           FROM (VALUES (0),(1),(2),(3)) AS t(b) WHERE b <> 3)
+         SELECT tier, author, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars)
+                  AS avg_n_chars
+         FROM fact JOIN dim1 ON fact.src = dim1.k
+                   JOIN dim2 ON fact.bk = dim2.k
+         GROUP BY 1, 2""",
     // the Mar-1 day slice of the bucketed rollup: rows whose (possibly
     // +36h-shifted) timestamp truncates to Mar 1
     "q68_mv_bucket_slice" ->

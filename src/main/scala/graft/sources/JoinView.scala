@@ -256,7 +256,10 @@ object JoinView {
       Seq(ColumnDef("dcol", ColumnType.AzString, nullable = false)) ++
         groupDefs ++
         Seq(ColumnDef("value", ColumnType.AzString, nullable = false),
-          ColumnDef("ref", ColumnType.AzInt, nullable = false)))
+          ColumnDef("ref", ColumnType.AzInt, nullable = false)) ++
+        jdef.sumCols.flatMap(c => Seq(
+          ColumnDef(s"sum_$c", ColumnType.AzInt, nullable = false),
+          ColumnDef(s"nn_$c", ColumnType.AzInt, nullable = false))))
   }
 
   /** Definition sidecar ([[MatView.DefFileName]]'s join twin): what the
@@ -577,6 +580,12 @@ object JoinView {
     MatView.requireNnLayout(
       AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
       jdef.sumCols, idxTable, "JoinView.rebuildEpoch (CLI: jv-rebuild)")
+    if (jdef.distinctCols.nonEmpty && jdef.sumCols.nonEmpty)
+      MatView.requireDvLayout(
+        AzofTable(spark, idxLake, MatView.dvTableName(idxTable))
+          .currentSnapshot.schema,
+        jdef.sumCols, MatView.dvTableName(idxTable),
+        "JoinView.rebuildEpoch (CLI: jv-rebuild)")
     val dimTabs = dims.map { case (dl, dt) => AzofTable(spark, dl, dt) }
     // heal the cursor: a crash between commit and cursor write left the
     // replay guard ahead of the sidecar — the PENDING vector (staged
@@ -775,15 +784,21 @@ object JoinView {
     // re-tier moves a pair's group tuple exactly like it moves the
     // sums; checkpointed before the churn frames are freed
     val dvKeys = Seq("dcol") ++ jdef.groupCols ++ Seq("value")
-    def pairCounts(rows: DataFrame, pfx: String): DataFrame =
+    def pairCounts(rows: DataFrame, pfx: String): DataFrame = {
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)).as(s"${pfx}r")) ++
+          jdef.sumCols.flatMap(c => Seq(
+            sum(col(c)).as(s"${pfx}s_$c"),
+            count(col(c)).as(s"${pfx}nn_$c")))
       jdef.distinctCols.map { c =>
         rows.where(col(c).isNotNull)
-          .select((jdef.groupCols.map(col) ++ Seq(
-            col(c).cast("string").as("value"),
-            lit(c).as("dcol"))): _*)
+          .select(((jdef.groupCols ++ jdef.sumCols).distinct.map(col) ++
+            Seq(col(c).cast("string").as("value"),
+              lit(c).as("dcol"))): _*)
       }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
-        .agg(count(lit(1)).as(s"${pfx}r"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
     val dvTouched: Option[DataFrame] =
       if (!hasDv) None
       else Some(pairCounts(adds, "_a_")
@@ -821,7 +836,10 @@ object JoinView {
       else {
         val existing = graft.operators.AzofScan
           .scan(spark, idxLake, dvName)
-          .select((dvKeys.map(col) :+ col("ref").as("_o_r")): _*)
+          .select((dvKeys.map(col) ++ Seq(col("ref").as("_o_r")) ++
+            jdef.sumCols.flatMap(c => Seq(
+              col(s"sum_$c").as(s"_o_s_$c"),
+              col(s"nn_$c").as(s"_o_nn_$c")))): _*)
         val confined =
           if (nDv <= broadcastKeyMax)
             existing.join(broadcast(dvt.select(dvKeys.map(col): _*)),
@@ -840,7 +858,12 @@ object JoinView {
             jdef.groupCols.map(col) ++
             Seq(col("value"),
               (zr(col("_o_r")) + zr(col("_a_r")) - zr(col("_p_r")))
-                .as("ref"))): _*))
+                .as("ref")) ++
+            jdef.sumCols.flatMap(c => Seq(
+              (zr(col(s"_o_s_$c")) + zr(col(s"_a_s_$c")) -
+                zr(col(s"_p_s_$c"))).as(s"sum_$c"),
+              (zr(col(s"_o_nn_$c")) + zr(col(s"_a_nn_$c")) -
+                zr(col(s"_p_nn_$c"))).as(s"nn_$c")))): _*))
       }
     }
     // ---- min/max rescan: groups that LOST rows recompute from the
@@ -1016,15 +1039,22 @@ object JoinView {
       queryGroups: Seq[String],
       version: Option[Long] = None,
       dvVersion: Option[Long] = None,
+      measures: Seq[String] = Nil,
       slice: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
         Nil): DataFrame = {
     require(jdef.distinctCols.contains(dcol),
       s"'$dcol' is not a declared distinct column")
     require(queryGroups.forall(jdef.groupCols.contains),
       "query groups must be view group columns")
+    require(measures.forall(jdef.sumCols.contains),
+      "histogram measures must be declared sum columns")
     val t = AzofTable(spark, idxLake, MatView.dvTableName(idxTable))
     val dvSnap = dvVersion.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
+    if (measures.nonEmpty)
+      MatView.requireDvLayout(dvSnap.schema, measures,
+        MatView.dvTableName(idxTable),
+        "JoinView.rebuildEpoch (CLI: jv-rebuild)")
     val pairs = graft.operators.AzofScan.scanSnapshot(spark, t,
       dvSnap, AsOf.Current,
       keyFilter = Some(KeyFilter.Range(
@@ -1050,24 +1080,56 @@ object JoinView {
       if (queryGroups.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(queryGroups.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val slicedPairs = applySlice(pairs)
-    val hist =
+    // non-null value buckets ([[MatView.valueHistogram]]'s shape): Σ
+    // ref (+ Σ pair-grain measure totals) per live value at the query
+    // grain, null-skipping measure semantics via the nn twin
+    val histAggs: Seq[Column] =
+      Seq(sum(col("ref")).as("n_rows")) ++
+        measures.flatMap(c => Seq(
+          sum(col(s"sum_$c")).as(s"_hs_$c"),
+          sum(col(s"nn_$c")).as(s"_hnn_$c")))
+    val histRaw =
       if (queryGroups.isEmpty)
-        slicedPairs.groupBy(col("value")).agg(sum(col("ref")).as("n_rows"))
+        slicedPairs.groupBy(col("value")).agg(histAggs.head,
+          histAggs.tail: _*)
       else slicedPairs.groupBy((queryGroups :+ "value").map(col): _*)
-        .agg(sum(col("ref")).as("n_rows"))
+        .agg(histAggs.head, histAggs.tail: _*)
+    val hist = histRaw.select(
+      (queryGroups.map(col) ++ Seq(col("value"), col("n_rows")) ++
+        measures.flatMap(c => Seq(
+          when(col(s"_hnn_$c") > 0L, col(s"_hs_$c")).as(s"sum_$c"),
+          col(s"_hnn_$c").as(s"nn_$c")))): _*)
     val totals = grouped(
       applySlice(serve(spark, idxLake, idxTable, jdef, version)).select(
-        (queryGroups.map(col) :+ col("n_rows")): _*),
-      Seq(sum(col("n_rows")).as("_tot")))
+        (queryGroups.map(col) ++ Seq(col("n_rows")) ++
+          measures.flatMap(c =>
+            Seq(col(s"sum_$c"), col(s"nn_$c")))): _*),
+      Seq(sum(col("n_rows")).as("_tot")) ++
+        measures.flatMap(c => Seq(
+          sum(col(s"sum_$c")).as(s"_ts_$c"),
+          sum(col(s"nn_$c")).as(s"_tnn_$c"))))
     val refSums = grouped(slicedPairs.select(
-      (queryGroups.map(col) :+ col("ref")): _*),
-      Seq(sum(col("ref")).as("_nn")))
+      (queryGroups.map(col) ++ Seq(col("ref")) ++
+        measures.flatMap(c =>
+          Seq(col(s"sum_$c"), col(s"nn_$c")))): _*),
+      Seq(sum(col("ref")).as("_nn")) ++
+        measures.flatMap(c => Seq(
+          sum(col(s"sum_$c")).as(s"_rs_$c"),
+          sum(col(s"nn_$c")).as(s"_rnn_$c"))))
+    def z(c: Column): Column = coalesce(c, lit(0L))
     val nulls =
       (if (queryGroups.isEmpty) totals.crossJoin(refSums) // both one-row
        else totals.join(refSums, queryGroups, "left"))
         .select((queryGroups.map(col) ++ Seq(
           lit(null).cast("string").as("value"),
-          (col("_tot") - coalesce(col("_nn"), lit(0L))).as("n_rows"))): _*)
+          (col("_tot") - z(col("_nn"))).as("n_rows")) ++
+          measures.flatMap { c =>
+            val nnN = z(col(s"_tnn_$c")) - z(col(s"_rnn_$c"))
+            Seq(
+              when(nnN > 0L, z(col(s"_ts_$c")) - z(col(s"_rs_$c")))
+                .as(s"sum_$c"),
+              nnN.as(s"nn_$c"))
+          }): _*)
         .where(col("n_rows") > 0L)
     hist.unionByName(nulls)
   }
@@ -1133,13 +1195,19 @@ object JoinView {
     // the cursor, like the refresh
     if (jdef.distinctCols.nonEmpty) {
       val dvKeys = Seq("dcol") ++ jdef.groupCols ++ Seq("value")
+      val dvAggs: Seq[Column] =
+        Seq(count(lit(1)).as("ref")) ++
+          jdef.sumCols.flatMap(c => Seq(
+            coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"),
+            count(col(c)).as(s"nn_$c")))
       val pairs = jdef.distinctCols.map { c =>
         joined.where(col(c).isNotNull)
-          .select((jdef.groupCols.map(col) ++ Seq(
-            col(c).cast("string").as("value"), lit(c).as("dcol"))): _*)
+          .select(((jdef.groupCols ++ jdef.sumCols).distinct.map(col) ++
+            Seq(col(c).cast("string").as("value"),
+              lit(c).as("dcol"))): _*)
       }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
-        .agg(count(lit(1)).as("ref"))
+        .agg(dvAggs.head, dvAggs.tail: _*)
       val dvRows = pairs.select(
         (Seq(
           concat_ws(Sep, (Seq(col("dcol")) ++
@@ -1148,7 +1216,9 @@ object JoinView {
           lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName),
           col("dcol")) ++
           jdef.groupCols.map(col) ++
-          Seq(col("value"), col("ref"))): _*)
+          Seq(col("value"), col("ref")) ++
+          jdef.sumCols.flatMap(c =>
+            Seq(col(s"sum_$c"), col(s"nn_$c")))): _*)
       if (dvRows.limit(1).count() > 0)
         AzofWriter.commitDelta(spark, idxLake,
           MatView.dvTableName(newTable), dvRows, at, at)

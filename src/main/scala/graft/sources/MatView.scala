@@ -277,7 +277,12 @@ object MatView {
 
   /** The support table's value schema: the distinct column's NAME, the
     * group columns (typed), the value under its canonical STRING
-    * encoding (injective for every azof type), and the refcount.
+    * encoding (injective for every azof type), the refcount — and, per
+    * declared sum column, the pair-grain measure totals `sum_<c>` +
+    * `nn_<c>` (what serves `SELECT b, sum(v) … GROUP BY b`, the
+    * measure-per-value histogram, corpus-free: the pairs already key
+    * every live `(group tuple, value)`, so carrying the measures costs
+    * two i64s per row and rides the same `old + new − pre` arithmetic).
     */
   def dvSchema(srcSchema: TableSchema, view: ViewDef): TableSchema = {
     val byName = srcSchema.columns.map(c => c.name -> c).toMap
@@ -289,8 +294,33 @@ object MatView {
       Seq(ColumnDef("dcol", ColumnType.AzString, nullable = false)) ++
         full.columns.take(view.groupCols.size) ++
         Seq(ColumnDef("value", ColumnType.AzString, nullable = false),
-          ColumnDef("ref", ColumnType.AzInt, nullable = false)))
+          ColumnDef("ref", ColumnType.AzInt, nullable = false)) ++
+        view.sumCols.flatMap(c => Seq(
+          ColumnDef(s"sum_$c", ColumnType.AzInt, nullable = false),
+          ColumnDef(s"nn_$c", ColumnType.AzInt, nullable = false))))
   }
+
+  /** Whether a support table's schema carries the pair-grain measure
+    * totals for every declared sum column — false for a table built by
+    * a pre-measure binary, which this binary can neither refresh nor
+    * serve measure histograms from.
+    */
+  def dvLayoutOk(schema: TableSchema, sumCols: Seq[String]): Boolean = {
+    val names = schema.columns.map(_.name).toSet
+    sumCols.forall(c =>
+      names.contains(s"sum_$c") && names.contains(s"nn_$c"))
+  }
+
+  /** [[dvLayoutOk]] that refuses LOUDLY, naming the rebuild remedy. */
+  private[sources] def requireDvLayout(
+      schema: TableSchema, sumCols: Seq[String], table: String,
+      remedy: String): Unit =
+    if (!dvLayoutOk(schema, sumCols))
+      throw new IllegalStateException(
+        s"support table '$table' predates the pair-grain measure " +
+          "layout (no per-pair sum/nn totals) — it was built by an " +
+          "older binary and must be rebuilt before this one can " +
+          s"refresh or serve it: $remedy")
 
   /** Add every derived group column to `df` (expression cast to its
     * declared type) — applied to each frame the refresh aggregates.
@@ -614,6 +644,12 @@ object MatView {
       AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
       view.sumCols, idxTable,
       "MatView.rebuildEpoch (CLI: mv-rebuild)")
+    if (view.distinctCols.nonEmpty && view.sumCols.nonEmpty)
+      requireDvLayout(
+        AzofTable(spark, idxLake, dvTableName(idxTable))
+          .currentSnapshot.schema,
+        view.sumCols, dvTableName(idxTable),
+        "MatView.rebuildEpoch (CLI: mv-rebuild)")
     val appId = AzofSink.appIdFor(checkpoint)
     spark.readStream.format("azof-commits")
       .option("table", srcTable).load(srcLake)
@@ -744,18 +780,25 @@ object MatView {
     val touched = groupAgg(newRows, view, "_a_")
       .join(groupAgg(preRows, view, "_p_"), view.groupCols, "full_outer")
       .localCheckpoint(true)
-    // DISTINCT support: per-(dcol, group tuple, value) refcount deltas
-    // from the same post/pre frames — checkpointed before slim is freed
+    // DISTINCT support: per-(dcol, group tuple, value) refcount AND
+    // pair-grain measure deltas from the same post/pre frames —
+    // checkpointed before slim is freed
     val dvKeys = Seq("dcol") ++ view.groupCols ++ Seq("value")
-    def pairCounts(rows: DataFrame, pfx: String): DataFrame =
+    def pairCounts(rows: DataFrame, pfx: String): DataFrame = {
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)).as(s"${pfx}r")) ++
+          view.sumCols.flatMap(c => Seq(
+            sum(col(c)).as(s"${pfx}s_$c"),
+            count(col(c)).as(s"${pfx}nn_$c")))
       view.distinctCols.map { c =>
         rows.where(col(c).isNotNull)
-          .select((view.groupCols.map(col) ++ Seq(
-            col(c).cast("string").as("value"),
-            lit(c).as("dcol"))): _*)
+          .select(((view.groupCols ++ view.sumCols).distinct.map(col) ++
+            Seq(col(c).cast("string").as("value"),
+              lit(c).as("dcol"))): _*)
       }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
-        .agg(count(lit(1)).as(s"${pfx}r"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
     val dvTouched: Option[DataFrame] =
       if (view.distinctCols.isEmpty) None
       else Some(pairCounts(newRows, "_a_")
@@ -782,7 +825,10 @@ object MatView {
       else {
         val existing = graft.operators.AzofScan
           .scan(spark, idxLake, dvTableName(idxTable))
-          .select((dvKeys.map(col) :+ col("ref").as("_o_r")): _*)
+          .select((dvKeys.map(col) ++ Seq(col("ref").as("_o_r")) ++
+            view.sumCols.flatMap(c => Seq(
+              col(s"sum_$c").as(s"_o_s_$c"),
+              col(s"nn_$c").as(s"_o_nn_$c")))): _*)
         val confined =
           if (nDv <= broadcastKeyMax)
             existing.join(broadcast(dvt.select(dvKeys.map(col): _*)),
@@ -801,7 +847,12 @@ object MatView {
             view.groupCols.map(col) ++
             Seq(col("value"),
               (z(col("_o_r")) + z(col("_a_r")) - z(col("_p_r")))
-                .as("ref"))): _*))
+                .as("ref")) ++
+            view.sumCols.flatMap(c => Seq(
+              (z(col(s"_o_s_$c")) + z(col(s"_a_s_$c")) -
+                z(col(s"_p_s_$c"))).as(s"sum_$c"),
+              (z(col(s"_o_nn_$c")) + z(col(s"_a_nn_$c")) -
+                z(col(s"_p_nn_$c"))).as(s"nn_$c")))): _*))
       }
     }
     if (nTouched == 0L) return (empty, dvRows, maxV)
@@ -988,15 +1039,21 @@ object MatView {
       queryGroups: Seq[String],
       version: Option[Long] = None,
       dvVersion: Option[Long] = None,
+      measures: Seq[String] = Nil,
       slice: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
         Nil): DataFrame = {
     require(view.distinctCols.contains(dcol),
       s"'$dcol' is not a declared distinct column")
     require(queryGroups.forall(view.groupCols.contains),
       "query groups must be view group columns")
+    require(measures.forall(view.sumCols.contains),
+      "histogram measures must be declared sum columns")
     val t = AzofTable(spark, idxLake, dvTableName(idxTable))
     val dvSnap = dvVersion.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
+    if (measures.nonEmpty)
+      requireDvLayout(dvSnap.schema, measures, dvTableName(idxTable),
+        "MatView.rebuildEpoch (CLI: mv-rebuild)")
     val pairs = graft.operators.AzofScan.scanSnapshot(spark, t,
       dvSnap, AsOf.Current,
       keyFilter = Some(graft.format.KeyFilter.Range(
@@ -1022,24 +1079,60 @@ object MatView {
       if (queryGroups.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(queryGroups.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val slicedPairs = applySlice(pairs)
-    val hist =
+    // non-null value buckets: Σ ref (+ Σ pair-grain measure totals) per
+    // live value at the query grain; a bucket whose measure values are
+    // all NULL carries stored sum = 0 with nn = 0 and SERVES NULL —
+    // SQL's null-skipping SUM, exactly like the view's own totals
+    val histAggs: Seq[Column] =
+      Seq(sum(col("ref")).as("n_rows")) ++
+        measures.flatMap(c => Seq(
+          sum(col(s"sum_$c")).as(s"_hs_$c"),
+          sum(col(s"nn_$c")).as(s"_hnn_$c")))
+    val histRaw =
       if (queryGroups.isEmpty)
-        slicedPairs.groupBy(col("value")).agg(sum(col("ref")).as("n_rows"))
+        slicedPairs.groupBy(col("value")).agg(histAggs.head,
+          histAggs.tail: _*)
       else slicedPairs.groupBy((queryGroups :+ "value").map(col): _*)
-        .agg(sum(col("ref")).as("n_rows"))
+        .agg(histAggs.head, histAggs.tail: _*)
+    val hist = histRaw.select(
+      (queryGroups.map(col) ++ Seq(col("value"), col("n_rows")) ++
+        measures.flatMap(c => Seq(
+          when(col(s"_hnn_$c") > 0L, col(s"_hs_$c")).as(s"sum_$c"),
+          col(s"_hnn_$c").as(s"nn_$c")))): _*)
+    // the NULL bucket: view totals minus the non-null refs/measures
+    // (the served view's sums are NULL when nn = 0, which the SUM here
+    // skips — the totals stay exact)
     val totals = grouped(
       applySlice(serve(spark, idxLake, idxTable, view, version)).select(
-        (queryGroups.map(col) :+ col("n_rows")): _*),
-      Seq(sum(col("n_rows")).as("_tot")))
+        (queryGroups.map(col) ++ Seq(col("n_rows")) ++
+          measures.flatMap(c =>
+            Seq(col(s"sum_$c"), col(s"nn_$c")))): _*),
+      Seq(sum(col("n_rows")).as("_tot")) ++
+        measures.flatMap(c => Seq(
+          sum(col(s"sum_$c")).as(s"_ts_$c"),
+          sum(col(s"nn_$c")).as(s"_tnn_$c"))))
     val refSums = grouped(slicedPairs.select(
-      (queryGroups.map(col) :+ col("ref")): _*),
-      Seq(sum(col("ref")).as("_nn")))
+      (queryGroups.map(col) ++ Seq(col("ref")) ++
+        measures.flatMap(c =>
+          Seq(col(s"sum_$c"), col(s"nn_$c")))): _*),
+      Seq(sum(col("ref")).as("_nn")) ++
+        measures.flatMap(c => Seq(
+          sum(col(s"sum_$c")).as(s"_rs_$c"),
+          sum(col(s"nn_$c")).as(s"_rnn_$c"))))
+    def z(c: Column): Column = coalesce(c, lit(0L))
     val nulls =
       (if (queryGroups.isEmpty) totals.crossJoin(refSums) // both one-row
        else totals.join(refSums, queryGroups, "left"))
         .select((queryGroups.map(col) ++ Seq(
           lit(null).cast("string").as("value"),
-          (col("_tot") - coalesce(col("_nn"), lit(0L))).as("n_rows"))): _*)
+          (col("_tot") - z(col("_nn"))).as("n_rows")) ++
+          measures.flatMap { c =>
+            val nnN = z(col(s"_tnn_$c")) - z(col(s"_rnn_$c"))
+            Seq(
+              when(nnN > 0L, z(col(s"_ts_$c")) - z(col(s"_rs_$c")))
+                .as(s"sum_$c"),
+              nnN.as(s"nn_$c"))
+          }): _*)
         .where(col("n_rows") > 0L)
     hist.unionByName(nulls)
   }
@@ -1094,13 +1187,19 @@ object MatView {
     // value) pair — committed BEFORE the cursor, like the refresh
     if (view.distinctCols.nonEmpty) {
       val dvKeys = Seq("dcol") ++ view.groupCols ++ Seq("value")
+      val dvAggs: Seq[Column] =
+        Seq(count(lit(1)).as("ref")) ++
+          view.sumCols.flatMap(c => Seq(
+            coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"),
+            count(col(c)).as(s"nn_$c")))
       val pairs = view.distinctCols.map { c =>
         live.where(col(c).isNotNull)
-          .select((view.groupCols.map(col) ++ Seq(
-            col(c).cast("string").as("value"), lit(c).as("dcol"))): _*)
+          .select(((view.groupCols ++ view.sumCols).distinct.map(col) ++
+            Seq(col(c).cast("string").as("value"),
+              lit(c).as("dcol"))): _*)
       }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
-        .agg(count(lit(1)).as("ref"))
+        .agg(dvAggs.head, dvAggs.tail: _*)
       val dvRows = pairs.select(
         (Seq(
           concat_ws(Sep, (Seq(col("dcol")) ++
@@ -1109,7 +1208,9 @@ object MatView {
           lit(java.sql.Timestamp.from(at)).as(TableSchema.EventTimeName),
           col("dcol")) ++
           view.groupCols.map(col) ++
-          Seq(col("value"), col("ref"))): _*)
+          Seq(col("value"), col("ref")) ++
+          view.sumCols.flatMap(c =>
+            Seq(col(s"sum_$c"), col(s"nn_$c")))): _*)
       if (dvRows.limit(1).count() > 0)
         AzofWriter.commitDelta(spark, idxLake, dvTableName(newTable),
           dvRows, at, at)

@@ -514,11 +514,33 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(!scansSrc(qhw), "filtered histogram must serve from pairs")
       assert(qhw.collect().map(r => (r.getString(0), r.getLong(1)))
         .toSeq == Seq(("u", 1L)))
-      // any non-COUNT(*) aggregate at this grain refuses
+      // SUM-WEIGHTED histogram: measure-per-value serves from the
+      // pair-grain sum/nn totals — the `SELECT b, sum(v) … GROUP BY b`
+      // dashboard, corpus-free (round 14's Missing #1, closed)
       val qhs = spark.sql(
         "SELECT b, sum(v) AS sv FROM azof.src GROUP BY b")
-      assert(scansSrc(qhs), "sum per value is not index-servable")
-      assert(qhs.collect().length == 3)
+      assert(!scansSrc(qhs),
+        "sum per value must serve from the pair measures:\n" +
+          qhs.queryExecution.optimizedPlan)
+      assert(qhs.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(x => String.valueOf(x._1)).toSeq ==
+        Seq((null, 7L), ("u", 12L), ("w", 4L)),
+        "incl. the NULL bucket's sum")
+      // count/sum/avg compose at the (groups, value) grain
+      val qha = spark.sql(
+        "SELECT g1, b, count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+          "FROM azof.src GROUP BY g1, b")
+      assert(!scansSrc(qha), "measure histogram with avg must serve")
+      assert(qha.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(x => (x._1, String.valueOf(x._2))).toSeq ==
+        Seq(("a", "u", 2L, 12L, 6.0), ("a", "w", 1L, 4L, 4.0),
+          ("b", null, 1L, 7L, 7.0)))
+      // MIN/MAX at the value grain refuses — no pair-grain extrema
+      val qhm = spark.sql(
+        "SELECT b, min(v) AS mv FROM azof.src GROUP BY b")
+      assert(scansSrc(qhm), "min per value is not index-servable")
+      assert(qhm.collect().length == 3)
       // a predicate on the distinct column itself refuses
       val qhp = spark.sql(
         "SELECT b, count(*) AS n FROM azof.src WHERE b = 'u' GROUP BY b")

@@ -526,6 +526,29 @@ class JoinViewSpec extends AnyFunSuite {
           r.getLong(2)))
         .sortBy(x => (x._1, String.valueOf(x._2))).toSeq
       assert(hist == shot, s"star histogram incl. NULLs: $hist vs $shot")
+      // SUM-WEIGHTED star histogram: pair-grain measure totals ≡ the
+      // one-shot `GROUP BY tier, a → sum(v), count(v)` incl. the NULL
+      // bucket's sums (maintained through the same dim re-tiers and
+      // deletes the refcounts rode)
+      val mHist = JoinView.valueHistogram(spark, l, "jvd", ddef, "a",
+        Seq("tier"), measures = Seq("v"))
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) null else r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3), r.getLong(4)))
+        .sortBy(x => (x._1, String.valueOf(x._2))).toSeq
+      val fm = AzofScan.scan(spark, l, "fact").select("fk", "a", "v")
+      val dm = AzofScan.scan(spark, l, "dim")
+        .select(col(TableSchema.KeyName).as("_dk"), col("tier"))
+      val mShot = fm.join(dm, fm("fk") === dm("_dk"))
+        .groupBy("tier", "a")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          count(col("v")).as("nn"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3), r.getLong(4)))
+        .sortBy(x => (x._1, String.valueOf(x._2))).toSeq
+      assert(mHist == mShot,
+        s"star measure histogram: $mHist vs $mShot")
       (dvServed(l), l)
     }
     val (bc, lbc) = build("bc", Long.MaxValue)

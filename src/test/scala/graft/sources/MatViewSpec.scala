@@ -487,6 +487,141 @@ class MatViewSpec extends AnyFunSuite {
       "guard shapes agree")
   }
 
+  test("SUM-WEIGHTED histograms: pair-grain measure totals stay exact " +
+    "under value moves, null flips on BOTH the distinct and measure " +
+    "columns, and deletes — measure histogram ≡ one-shot incl. the " +
+    "NULL bucket's sums; both guard shapes; epoch rebuild identical") {
+    val schema = TableSchema(Seq(
+      ColumnDef("grp", ColumnType.AzString, nullable = false),
+      ColumnDef("b", ColumnType.AzString, nullable = true),
+      ColumnDef("v", ColumnType.AzInt, nullable = true)))
+    val vD = ViewDef(Seq("grp"), sumCols = Seq("v"),
+      distinctCols = Seq("b"))
+    def rows(xs: (String, String, String, Any, Any)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(xs.map { case (k, t, g, b, v) =>
+          Row(k, Timestamp.from(Instant.parse(t)), g, b, v) }),
+        schema.toStruct)
+    def build(tag: String, bMax: Long) = {
+      val l = Files.createTempDirectory(s"azof-mv-sumh-$tag").toString
+      val ck = Files.createTempDirectory(s"azof-mv-sumh-$tag-ck").toString
+      AzofWriter.createTable(spark, l, "src", schema,
+        ts("2024-01-01T00:00:00Z"))
+      def go(): Unit = {
+        val q = MatView.refresh(spark, l, "src", l, "mv", vD, ck,
+          broadcastKeyMax = bMax)
+        assert(q.awaitTermination(120000))
+      }
+      def hist(groups: Seq[String], tbl: String = "mv") =
+        MatView.valueHistogram(spark, l, tbl, vD, "b", groups,
+          measures = Seq("v"))
+          .collect().map { r =>
+            val o = groups.size
+            (if (groups.isEmpty) "" else r.getString(0),
+              if (r.isNullAt(o)) null else r.getString(o),
+              r.getLong(o + 1),
+              if (r.isNullAt(o + 2)) null else r.getLong(o + 2),
+              r.getLong(o + 3))
+          }.sortBy(x => (x._1, String.valueOf(x._2))).toSeq
+      def oneShot(groups: Seq[String]) = {
+        val gb = (groups :+ "b").map(col)
+        AzofScan.scan(spark, l, "src")
+          .groupBy(gb: _*)
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+            count(col("v")).as("nn"))
+          .collect().map { r =>
+            val o = groups.size
+            (if (groups.isEmpty) "" else r.getString(0),
+              r.getString(o),
+              r.getLong(o + 1),
+              if (r.isNullAt(o + 2)) null else r.getLong(o + 2),
+              r.getLong(o + 3))
+          }.sortBy(x => (x._1, String.valueOf(x._2))).toSeq
+      }
+      AzofWriter.commitBase(spark, l, "src", rows(
+        ("1", "2024-01-02T00:00:00Z", "a", "x", 10L),
+        ("2", "2024-01-02T00:00:00Z", "a", "x", null),
+        ("3", "2024-01-02T00:00:00Z", "a", "y", 4L),
+        ("4", "2024-01-02T00:00:00Z", "a", null, 7L),
+        ("5", "2024-01-02T00:00:00Z", "b", "x", 1L)))
+      go()
+      assert(hist(Seq("grp")) == oneShot(Seq("grp")), s"$tag bootstrap")
+      // value move (1: x→y, v 10→11), measure null-flip (3: v→null),
+      // distinct null-flip (4: null→z) in ONE batch
+      AzofWriter.commitDelta(spark, l, "src", rows(
+        ("1", "2024-02-05T00:00:00Z", "a", "y", 11L),
+        ("3", "2024-02-05T00:00:00Z", "a", "y", null),
+        ("4", "2024-02-05T00:00:00Z", "a", "z", 7L)),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      go()
+      assert(hist(Seq("grp")) == oneShot(Seq("grp")), s"$tag churn")
+      // delete: the (a, x) pair's only remaining row (all-null v) goes;
+      // group b empties entirely
+      AzofWriter.commitDelete(spark, l, "src", Seq("2", "5"),
+        ts("2024-03-05T00:00:00Z"))
+      go()
+      assert(hist(Seq("grp")) == oneShot(Seq("grp")), s"$tag deletes")
+      // global grain rolls pair measures across groups
+      assert(hist(Nil) == oneShot(Nil), s"$tag global")
+      // the all-null-measure bucket serves sum NULL with nn 0 (SQL's
+      // null-skipping SUM), never a silent 0
+      val yRow = hist(Seq("grp")).find(x => x._1 == "a" && x._2 == "y")
+      assert(yRow.exists(r => r._4 == 11L && r._5 == 1L),
+        s"y bucket carries 11 from key 1 only (3's v is null): $yRow")
+      (hist(Seq("grp")), l)
+    }
+    val (bc, lbc) = build("bc", Long.MaxValue)
+    val (sh, _) = build("sh", 0L)
+    assert(bc == sh, "guard shapes agree")
+    MatView.rebuildEpoch(spark, lbc, "src", lbc, "mv_e2", vD,
+      ts("2024-06-01T00:00:00Z"))
+    val e2 = MatView.valueHistogram(spark, lbc, "mv_e2", vD, "b",
+      Seq("grp"), measures = Seq("v"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, String.valueOf(x._2))).toSeq
+    assert(e2 == bc, "epoch rebuild serves the same measure histogram")
+  }
+
+  test("a pre-measure support table refuses LOUDLY on refresh and on " +
+    "a measure histogram, naming the rebuild remedy") {
+    val schema = TableSchema(Seq(
+      ColumnDef("grp", ColumnType.AzString, nullable = false),
+      ColumnDef("b", ColumnType.AzString, nullable = true),
+      ColumnDef("v", ColumnType.AzInt, nullable = true)))
+    val vD = ViewDef(Seq("grp"), sumCols = Seq("v"),
+      distinctCols = Seq("b"))
+    val l = Files.createTempDirectory("azof-mv-olddv").toString
+    val ck = Files.createTempDirectory("azof-mv-olddv-ck").toString
+    // the OLD support layout (no per-pair measures), created FIRST so
+    // MatView.create's idempotent createTableIfAbsent keeps it
+    AzofWriter.createTable(spark, l, "mv__dv",
+      TableSchema(Seq(
+        ColumnDef("dcol", ColumnType.AzString, nullable = false),
+        ColumnDef("grp", ColumnType.AzString, nullable = false),
+        ColumnDef("value", ColumnType.AzString, nullable = false),
+        ColumnDef("ref", ColumnType.AzInt, nullable = false))),
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "src", schema,
+      ts("2024-01-01T00:00:00Z"))
+    // the gate fires BEFORE the stream starts — a synchronous, loud
+    // refusal, never a buried streaming failure
+    val ex = intercept[IllegalStateException] {
+      MatView.refresh(spark, l, "src", l, "mv", vD, ck)
+    }
+    assert(ex.getMessage.contains("mv-rebuild"),
+      s"refresh names the remedy: ${ex.getMessage}")
+    assert(MatView.dvLayoutOk(
+      graft.format.AzofTable(spark, l, "mv__dv").currentSnapshot.schema,
+      Seq("v")) == false)
+    val hx = intercept[IllegalStateException] {
+      MatView.valueHistogram(spark, l, "mv", vD, "b", Seq("grp"),
+        measures = Seq("v"))
+    }
+    assert(hx.getMessage.contains("mv-rebuild"))
+  }
+
   test("dv-pin TOCTOU closed: the gate pins view AND support snapshots " +
     "BEFORE validating, so a refresh landing between gate and serve " +
     "still serves ONE consistent instant — never view totals @C mixed " +
