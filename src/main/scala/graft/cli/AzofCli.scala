@@ -1094,14 +1094,16 @@ object AzofCli {
             org.apache.spark.sql.functions.col("doc"))
           .show(numRows = 10000, truncate = false)
       case "term-bm25" =>
-        // BM25-ranked AND search: --terms a,b → docs containing every
-        // term, tf-saturated + length-normalized score from the
-        // postings, the __dl doc lengths, and the one-row __st stats
+        // BM25-ranked search: --terms a,b → docs containing every term
+        // (or ANY with --any — missing terms contribute 0),
+        // tf-saturated + length-normalized score from the postings,
+        // the __dl doc lengths, and the one-row __st stats
         val bmTerms = opts("terms").split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
         graft.sources.TermIndex.searchBm25(spark,
             opts.getOrElse("index-path", opts("path")),
-            opts.getOrElse("index-table", "term_postings"), bmTerms)
+            opts.getOrElse("index-table", "term_postings"), bmTerms,
+            requireAll = !opts.contains("any"))
           .orderBy(org.apache.spark.sql.functions.col("score").desc,
             org.apache.spark.sql.functions.col("doc"))
           .show(numRows = 100, truncate = false)

@@ -73,6 +73,7 @@ object Pipeline {
     "t25_prefix_search" -> t25,
     "t26_near_search" -> t26,
     "t27_bm25_rank" -> t27,
+    "t28_bm25_any" -> t28,
     "t19_lm_score" -> t19,
     "p01_filter_funnel" -> p01,
     "p02_index_funnel" -> p02,
@@ -1253,6 +1254,20 @@ object Pipeline {
       Seq("window", "dup"))
   }
 
+  /** BM25-ranked search (OR) — the standard IR disjunctive top-k
+    * shape: documents matching ANY query term, a missing term
+    * contributing exactly 0.0 (tf coalesces to 0 inside the same
+    * fixed-operand-order rational, so the double still hash-matches
+    * the DuckDB reconstruction bit-for-bit). One of the terms is the
+    * revision-minted marker, so most matches carry only one term —
+    * the asymmetric case that exercises the zero leg.
+    */
+  private def t28(s: SparkSession, dir: String): DataFrame = {
+    val l = termLake(s, dir)
+    graft.sources.TermIndex.searchBm25(s, l, "term_postings",
+      Seq("zzrevterm", "dup"), requireAll = false)
+  }
+
   private def m01(s: SparkSession, dir: String): DataFrame =
     Multimodal.documentMedia(s, docs(s, dir))
 
@@ -2011,6 +2026,61 @@ object Pipeline {
          SELECT c.doc, dl.len AS dl,
            CAST(1 + length(bin((SELECT n FROM st)))
                 - length(bin((SELECT df FROM dfs WHERE term = 'window')))
+                AS DOUBLE)
+             * (44.0 * CAST(tf0 AS DOUBLE)
+                     * CAST((SELECT l FROM st) AS DOUBLE))
+             / (20.0 * CAST((SELECT l FROM st) AS DOUBLE)
+                     * CAST(tf0 AS DOUBLE)
+                + 6.0 * CAST((SELECT l FROM st) AS DOUBLE)
+                + 18.0 * CAST(dl.len AS DOUBLE)
+                       * CAST((SELECT n FROM st) AS DOUBLE))
+           + CAST(1 + length(bin((SELECT n FROM st)))
+                  - length(bin((SELECT df FROM dfs WHERE term = 'dup')))
+                  AS DOUBLE)
+             * (44.0 * CAST(tf1 AS DOUBLE)
+                     * CAST((SELECT l FROM st) AS DOUBLE))
+             / (20.0 * CAST((SELECT l FROM st) AS DOUBLE)
+                     * CAST(tf1 AS DOUBLE)
+                + 6.0 * CAST((SELECT l FROM st) AS DOUBLE)
+                + 18.0 * CAST(dl.len AS DOUBLE)
+                       * CAST((SELECT n FROM st) AS DOUBLE))
+             AS score
+         FROM cand c JOIN dl USING (doc)""",
+    // disjunctive BM25: FULL OUTER over the per-term tf frames, a
+    // missing term's tf COALESCEs to 0 so its rational is a true IEEE
+    // zero — the left-to-right sum keeps t27's fixed operand order and
+    // the double stays bit-identical cross-engine
+    "t28_bm25_any" ->
+      """WITH live AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' zzrevterm'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         toks AS (
+           SELECT doc, term FROM (
+             SELECT CAST(doc_id AS VARCHAR) AS doc,
+                    unnest(string_split_regex(lower(text), '\s+')) AS term
+             FROM live)
+           WHERE term <> ''),
+         dl AS (SELECT doc, COUNT(*) AS len FROM toks GROUP BY doc),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(len) AS BIGINT) AS l FROM dl),
+         tfs AS (
+           SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN ('zzrevterm', 'dup') GROUP BY 1, 2),
+         dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM tfs GROUP BY term),
+         cand AS (
+           SELECT doc, COALESCE(t0.tf, 0) AS tf0,
+                  COALESCE(t1.tf, 0) AS tf1
+           FROM (SELECT doc, tf FROM tfs WHERE term = 'zzrevterm') t0
+           FULL OUTER JOIN
+                (SELECT doc, tf FROM tfs WHERE term = 'dup') t1
+             USING (doc))
+         SELECT c.doc, dl.len AS dl,
+           CAST(1 + length(bin((SELECT n FROM st)))
+                - length(bin((SELECT df FROM dfs
+                              WHERE term = 'zzrevterm')))
                 AS DOUBLE)
              * (44.0 * CAST(tf0 AS DOUBLE)
                      * CAST((SELECT l FROM st) AS DOUBLE))

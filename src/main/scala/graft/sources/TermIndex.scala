@@ -490,15 +490,15 @@ object TermIndex {
     n
   }
 
-  /** BM25-RANKED search over documents containing EVERY query term
-    * (`AND`), exactly length-normalized and exactly reproducible
-    * cross-engine: the classic BM25 shape with `k1 = 6/5`, `b = 3/4`,
-    * and the family's integer bit-magnitude idf, shifted positive
-    * (`1 + mag(N) − mag(df)` — [[searchRanked]]'s reasoning: a float
-    * `ln` hash-differs across engines, `length(bin(x))` is exact; the
-    * +1 keeps a same-bit-length `df ≈ N` term contributing instead of
-    * zeroing out). With
-    * integer constants the per-term factor reduces to one rational,
+  /** BM25-RANKED search, exactly length-normalized and exactly
+    * reproducible cross-engine: the classic BM25 shape with
+    * `k1 = 6/5`, `b = 3/4`, and the family's integer bit-magnitude
+    * idf, shifted positive (`1 + mag(N) − mag(df)` —
+    * [[searchRanked]]'s reasoning: a float `ln` hash-differs across
+    * engines, `length(bin(x))` is exact; the +1 keeps a
+    * same-bit-length `df ≈ N` term contributing instead of zeroing
+    * out). With integer constants the per-term factor reduces to one
+    * rational,
     *
     *   `tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/L))
     *      = 44·tf·L / (20·L·tf + 6·L + 18·dl·N)`,
@@ -509,16 +509,25 @@ object TermIndex {
     * any IEEE SQL engine produce the identical bits (only
     * transcendentals and unordered SUMs diverge; this uses neither).
     *
-    * Served index-only: one key-range posting read per term (df
-    * counted from the same rows), the doc-length join against the
-    * slim one-row-per-live-doc `__dl` table, and `N`/`L` from the
-    * ONE-ROW `__st` stats table — never a corpus scan, no O(n_docs)
-    * aggregate at query time. Output `(doc, dl, score)`.
+    * `requireAll = true` is conjunctive (documents matching EVERY
+    * term); `false` is the standard IR disjunctive top-k shape —
+    * documents matching ANY term, a missing term contributing exactly
+    * `0.0` (tf coalesces to 0, so the per-term rational is a true
+    * IEEE zero and the left-to-right sum keeps its fixed operand
+    * order — bit-exactness survives the OR).
+    *
+    * Served index-only: one key-range posting read per term, EVERY
+    * term's document frequency from ONE unioned aggregate job over
+    * the same pruned ranges (not one count() barrier per term), the
+    * doc-length join against the slim one-row-per-live-doc `__dl`
+    * table, and `N`/`L` from the ONE-ROW `__st` stats table — never a
+    * corpus scan, no O(n_docs) aggregate at query time. Output
+    * `(doc, dl, score)`.
     */
   def searchBm25(
       spark: SparkSession,
       idxLake: String, idxTable: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String], requireAll: Boolean = true): DataFrame = {
     val normed = terms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
     require(normed.nonEmpty, "searchBm25 needs at least one term")
     val st = graft.operators.AzofScan
@@ -552,10 +561,23 @@ object TermIndex {
         .where(col("term") === t)
         .select(col("doc"), col("tf").as(s"_tf_$i"))
     val frames = normed.zipWithIndex.map { case (t, i) => scanTerm(t, i) }
-    // df per term from its own pruned posting read (each live posting
-    // is one distinct (term, doc)) — a handful of term-range counts
-    val dfs = frames.map(_.count())
-    val cand = frames.reduce((a, b) => a.join(b, "doc")) // AND semantics
+    // EVERY term's df in ONE job (each live posting is one distinct
+    // (term, doc)): a unioned aggregate over the same pruned ranges —
+    // one count() action per term would pay one scheduler barrier per
+    // term, 20 sequential job launches for a 20-term query
+    val dfRows = normed.indices.map(i =>
+      frames(i).select(lit(i).as("_ti")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("_ti")).agg(count(lit(1)).as("_df"))
+      .collect()
+    val dfByTerm = dfRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dfs = normed.indices.map(i => dfByTerm.getOrElse(i, 0L))
+    // AND: inner joins — every term present. OR: full-outer joins — a
+    // document matching ANY term survives, its missing terms' tf
+    // coalescing to 0 below
+    val cand =
+      if (requireAll) frames.reduce((a, b) => a.join(b, "doc"))
+      else frames.reduce((a, b) => a.join(b, Seq("doc"), "full_outer"))
     val dl = graft.operators.AzofScan
       .scan(spark, idxLake, dlTableName(idxTable))
       .select(col("doc"), col("len"))
@@ -563,8 +585,8 @@ object TermIndex {
     val L = lit(totLen.toDouble)
     val N = lit(nDocs.toDouble)
     def termScore(i: Int): org.apache.spark.sql.Column = {
-      val w = lit((1L + mag(nDocs) - mag(dfs(i))).toDouble)
-      val tf = col(s"_tf_$i").cast("double")
+      val w = lit((1L + mag(nDocs) - mag(math.max(dfs(i), 1L))).toDouble)
+      val tf = coalesce(col(s"_tf_$i"), lit(0L)).cast("double")
       w * (lit(44.0) * tf * L) /
         (lit(20.0) * L * tf + lit(6.0) * L +
           lit(18.0) * col("len").cast("double") * N)

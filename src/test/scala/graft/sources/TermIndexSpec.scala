@@ -289,9 +289,11 @@ class TermIndexSpec extends AnyFunSuite {
   }
 
   /** Brute-force BM25 over the live corpus with the engine's exact
-    * rational form and operand order.
+    * rational form and operand order (AND = inner joins; OR = full
+    * outer with tf coalesced to 0, the engine's disjunctive shape).
     */
-  private def bruteBm25(l: String, terms: Seq[String]) = {
+  private def bruteBm25(
+      l: String, terms: Seq[String], all: Boolean = true) = {
     val toks = AzofScan.scan(spark, l, "docs")
       .select(col(TableSchema.KeyName).as("doc"),
         explode(split(lower(col("text")), "\\s+")).as("term"))
@@ -308,10 +310,14 @@ class TermIndexSpec extends AnyFunSuite {
     val cand = terms.zipWithIndex.map { case (t, i) =>
       tfs.where(col("term") === t)
         .select(col("doc"), col("tf").as(s"_tf_$i"))
-    }.reduce((a, b) => a.join(b, "doc")).join(dl, "doc")
+    }.reduce((a, b) =>
+      if (all) a.join(b, "doc") else a.join(b, Seq("doc"), "full_outer"))
+      .join(dl, "doc")
     def sc(i: Int) = {
-      val w = lit((1L + mag(n) - mag(dfs(terms(i)))).toDouble)
-      val tf = col(s"_tf_$i").cast("double")
+      val w = lit(
+        (1L + mag(n) - mag(math.max(dfs.getOrElse(terms(i), 0L), 1L)))
+          .toDouble)
+      val tf = coalesce(col(s"_tf_$i"), lit(0L)).cast("double")
       w * (lit(44.0) * tf * lit(lTot.toDouble)) /
         (lit(20.0) * lit(lTot.toDouble) * tf + lit(6.0) * lit(lTot.toDouble) +
           lit(18.0) * col("len").cast("double") * lit(n.toDouble))
@@ -356,6 +362,27 @@ class TermIndexSpec extends AnyFunSuite {
       TermIndex.stTableName("term_postings"))
       .select(col("n_docs"), col("total_len")).collect()
     assert(st.length == 1 && st(0).getLong(0) == 3L)
+    // DISJUNCTIVE (OR) top-k: docs matching ANY term, a missing term
+    // contributing exactly 0.0 — ≡ the full-outer brute force with
+    // the same fixed operand order, incl. docs matching only one side
+    def bmAny(terms: Seq[String]) =
+      TermIndex.searchBm25(spark, l, "term_postings", terms,
+        requireAll = false)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    assert(bmAny(Seq("window", "other")) ==
+      bruteBm25(l, Seq("window", "other"), all = false),
+      "OR-mode ≡ brute force")
+    assert(bmAny(Seq("window", "other")).map(_._1).toSet
+      .contains("3"), "doc 3 matches only 'other' and still ranks")
+    // OR is a superset of AND on the shared docs with IDENTICAL scores
+    val orScores = bmAny(Seq("window", "dup"))
+    assert(bm(Seq("window", "dup")).forall(orScores.contains),
+      "AND rows appear in OR with bit-identical scores")
+    // a term matching NOTHING contributes zero, not a crash or a null
+    val ghost = bmAny(Seq("window", "qqqqnosuchterm"))
+    assert(ghost == bruteBm25(l, Seq("window", "qqqqnosuchterm"),
+      all = false), "df = 0 term contributes 0.0")
     // an index PREDATING the side tables refuses refresh loudly
     val (l2, ck2) = mkLake("bmold")
     AzofWriter.commitBase(spark, l2, "docs", df(
