@@ -61,8 +61,17 @@ object AzofCli {
     val derived =
       graft.sources.DerivedGroup.parseList(opts.getOrElse("derived", ""))
     graft.sources.ViewDef(csv("group-cols"), csv("sum-cols"),
-      csv("minmax-cols"), csv("distinct-cols"), derived)
+      csv("minmax-cols"), csv("distinct-cols"), derived,
+      cliTuples(opts))
   }
+
+  /** `--distinct-tuples "a+b;c+d"` → declared multi-column distinct
+    * tuples (components joined by '+', tuples split on ';').
+    */
+  private def cliTuples(opts: Map[String, String]): Seq[Seq[String]] =
+    opts.get("distinct-tuples").toSeq
+      .flatMap(_.split(";").map(_.trim).filter(_.nonEmpty))
+      .map(_.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq)
 
   /** The jv-* verbs' [[graft.sources.JoinViewDef]] (adds `--fk-col` +
     * `--dim-cols` to [[cliViewDef]]'s flags). Multi-dim STAR views:
@@ -87,7 +96,7 @@ object AzofCli {
       csv("minmax-cols"),
       fks.zip(padded).map { case (fk, dc) =>
         graft.sources.DimJoin(fk, dc) },
-      csv("distinct-cols"), derived)
+      csv("distinct-cols"), derived, cliTuples(opts))
   }
 
   /** The jv-* verbs' dim table locations: `--dim-table d1[,d2…]` with

@@ -336,6 +336,16 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if vd.groupCols.contains(a.name) => one(DistinctL(a.name))
       case Count(Seq(a: AttributeReference))
         if vd.distinctCols.contains(a.name) => one(DistinctValL(a.name))
+      case Count(as)
+        if as.size >= 2 && as.forall(_.isInstanceOf[AttributeReference]) =>
+        // COUNT(DISTINCT a, b): served from a declared TUPLE's support
+        // pairs. Column ORDER doesn't change the distinct count, so
+        // any permutation of a declared tuple matches (the dcol keeps
+        // the DECLARED order); repeated columns refuse
+        val names = as.map(_.asInstanceOf[AttributeReference].name)
+        if (names.distinct.size != names.size) None
+        else vd.distinctTuples.find(_.sorted == names.sorted)
+          .flatMap(t => one(DistinctValL(t.mkString(","))))
       case _ => None
     }
     else ae.aggregateFunction match {
@@ -684,7 +694,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 None
               else {
               val vd = ViewDef(jdef.groupCols, jdef.sumCols,
-                jdef.minMaxCols, jdef.distinctCols, jdef.derivedGroups)
+                jdef.minMaxCols, jdef.distinctCols, jdef.derivedGroups,
+                jdef.distinctTuples)
               val dmMap = derivedCanon(vd, leafRelation(agg.child))
               val dm: Expression => Option[String] =
                 e => dmMap.get(e.canonicalized)
@@ -937,7 +948,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }.flatMap { d =>
             val jdef = d.jdef
             val vd = ViewDef(jdef.groupCols, jdef.sumCols,
-              jdef.minMaxCols, jdef.distinctCols, jdef.derivedGroups)
+              jdef.minMaxCols, jdef.distinctCols, jdef.derivedGroups,
+              jdef.distinctTuples)
             val sideByFk = dimSides.map(s => s.fkName -> s).toMap
             val dimsMatch =
               dimSides.size == jdef.dims.size &&
@@ -1076,7 +1088,7 @@ object MvRewriteRule {
             MatView.nnLayoutOk(
               graft.format.AzofTable(spark, lake, mv)
                 .currentSnapshot.schema, vd.sumCols) &&
-              (vd.distinctCols.isEmpty ||
+              (!vd.hasDistinct ||
                 scala.util.Try(graft.format.AzofTable(spark, lake,
                   MatView.dvTableName(mv)).currentVersion).isSuccess)
           }
@@ -1087,7 +1099,7 @@ object MvRewriteRule {
           // candidacy instead of failing inside the rule
           .orElse(graft.sources.JoinView.readDef(spark, lake, mv)
             .map { case (fl, ft, ds, jd) => JoinDef(fl, ft, ds, jd) }
-            .filter(jd => jd.jdef.distinctCols.isEmpty ||
+            .filter(jd => !jd.jdef.hasDistinct ||
               scala.util.Try(graft.format.AzofTable(spark, lake,
                 MatView.dvTableName(mv)).currentVersion).isSuccess))
         catch { case scala.util.control.NonFatal(_) => None }

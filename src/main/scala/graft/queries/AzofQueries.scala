@@ -62,7 +62,9 @@ object AzofQueries {
     "q68_mv_bucket_slice" -> matViewBucketSlice,
     "q69_star_pinned_histogram" -> starPinnedHistogram,
     "q70_mv_sum_histogram" -> matViewSumHistogram,
-    "q71_star_sum_histogram" -> starSumHistogram)
+    "q71_star_sum_histogram" -> starSumHistogram,
+    "q72_mv_tuple_distinct" -> matViewTupleDistinct,
+    "q73_star_tuple_distinct" -> starTupleDistinct)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1095,7 +1097,8 @@ object AzofQueries {
     * support rows (q70's sum-weighted histograms).
     */
   private val dvvDef = graft.sources.ViewDef(Seq("source"),
-    sumCols = Seq("v"), distinctCols = Seq("b"))
+    sumCols = Seq("v"), distinctCols = Seq("b"),
+    distinctTuples = Seq(Seq("b", "v")))
 
   /** Four-commit, per-commit-refreshed DISTINCT-support lake: source
     * docs with a nullable bucket `b = doc_id % 7` (NULL for every 4th
@@ -1105,7 +1108,7 @@ object AzofQueries {
     * docs 6/7 deleted (zero-crossing retirement).
     */
   private[queries] def dvLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "dvv-v2", "doc_dvv") { l =>
+    cachedLake(dir, "dvv-v3", "doc_dvv") { l =>
       import graft.sources.{AzofWriter, MatView}
       val docs = Tables(s, dir, "documents")
       AzofWriter.createTable(s, l, "docs_dv",
@@ -1343,6 +1346,79 @@ object AzofQueries {
       if (residual.nonEmpty) throw new IllegalStateException(
         "star sum-weighted histogram rewrite did not fire — refusing " +
           "to pass the row off the corpus scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** The DISTINCT-TUPLE rewrite under the oracle gate:
+    * `COUNT(DISTINCT b, v)` — SQL's multi-argument distinct (any-null
+    * rows skipped) — served from the declared tuple's refcounted
+    * support pairs (value = the components' canonical strings joined
+    * by the reserved separator, injective under the loud separator
+    * guard), exact under the same value-moving/null-flipping/delete
+    * churn as q70. Refuses any surviving azof relation.
+    */
+  private def matViewTupleDistinct(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = dvLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_dvv")
+    try {
+      val q = s.sql(
+        "SELECT source, count(*) AS n_rows, " +
+          "count(DISTINCT b, v) AS dv_b_v " +
+          "FROM azof.docs_dv GROUP BY source")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "distinct-tuple rewrite did not fire — refusing to pass the " +
+          "row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** [[matViewTupleDistinct]]'s STAR twin (single + star in one
+    * round): `COUNT(DISTINCT author, n_chars)` over
+    * `fact ⋈ dim1 ⋈ dim2` at the tier rollup grain, served from the
+    * star view's tuple support pairs — exact under the dim re-tiers
+    * that move pairs across groups. Refuses any surviving azof
+    * relation.
+    */
+  private def starTupleDistinct(s: SparkSession, dir: String): DataFrame = {
+    val lake = starLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_star")
+    try {
+      val q = s.sql(
+        "SELECT tier, count(*) AS n_rows, " +
+          "count(DISTINCT author, n_chars) AS dv_an " +
+          "FROM azof.facts_star f " +
+          "JOIN azof.src_star d1 ON f.src = d1.key " +
+          "JOIN azof.bkt_star d2 ON f.bk = d2.key " +
+          "GROUP BY tier")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "star distinct-tuple rewrite did not fire — refusing to pass " +
+          "the row off the corpus scan+join plan")
       q.queryExecution.executedPlan // pin execution while the confs hold
       q
     } finally {
@@ -1846,7 +1922,8 @@ object AzofQueries {
     sumCols = Seq("n_chars"), minMaxCols = Seq("n_chars"),
     dims = Seq(graft.sources.DimJoin("src", Seq("tier")),
       graft.sources.DimJoin("bk", Seq("label"))),
-    distinctCols = Seq("author"))
+    distinctCols = Seq("author"),
+    distinctTuples = Seq(Seq("author", "n_chars")))
 
   /** The q64 day-bucketed STAR [[graft.sources.JoinViewDef]] over the
     * SAME tables: per-(tier, day) counts and char sums, `day` a DERIVED
@@ -1873,7 +1950,7 @@ object AzofQueries {
     * distinct mass onto `a9`, the deletes decrement refcounts.
     */
   private[queries] def starLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "star-v4", "doc_star") { l =>
+    cachedLake(dir, "star-v5", "doc_star") { l =>
       import graft.sources.{AzofWriter, JoinView}
       val docs = Tables(s, dir, "documents")
       val srcs = docs.select("source").distinct()
@@ -2445,6 +2522,58 @@ object AzofQueries {
          FROM fact JOIN dim1 ON fact.src = dim1.k
                    JOIN dim2 ON fact.bk = dim2.k
          GROUP BY 1, 2""",
+    // multi-column distinct: COUNT(DISTINCT b, v) — any-null rows
+    // skipped (Spark's multi-arg COUNT) — from the tuple support pairs;
+    // the oracle mirrors the injective separator encoding
+    "q72_mv_tuple_distinct" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                    AS source,
+                  CASE WHEN doc_id % 4 = 0 THEN NULL
+                       WHEN doc_id % 5 = 0 THEN (doc_id % 7) + 1
+                       ELSE doc_id % 7 END AS b,
+                  CASE WHEN doc_id % 9 = 0 THEN NULL
+                       WHEN doc_id % 5 = 0 THEN n_chars + 2
+                       ELSE n_chars END AS v
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, COUNT(*) AS n_rows,
+                COUNT(DISTINCT CASE
+                  WHEN b IS NOT NULL AND v IS NOT NULL
+                  THEN CAST(b AS VARCHAR) || chr(1) || CAST(v AS VARCHAR)
+                END) AS dv_b_v
+         FROM live GROUP BY source""",
+    // the STAR twin at the tier rollup grain — tuples moved across
+    // groups by both dim re-tiers, collapsed by the fact revision
+    "q73_star_tuple_distinct" ->
+      """WITH fact AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
+                    AS src,
+                  'b' || CAST(doc_id % 4 AS VARCHAR) AS bk,
+                  CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars
+                    END AS n_chars,
+                  CASE WHEN doc_id % 7 = 0 THEN 'a9'
+                       WHEN doc_id % 6 = 0 THEN NULL
+                       ELSE 'a' || CAST(doc_id % 10 AS VARCHAR)
+                    END AS author
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         dim1 AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 'vip'
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even'
+                       ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents)),
+         dim2 AS (
+           SELECT 'b' || CAST(b AS VARCHAR) AS k
+           FROM (VALUES (0),(1),(2),(3)) AS t(b) WHERE b <> 3)
+         SELECT tier, COUNT(*) AS n_rows,
+                COUNT(DISTINCT CASE WHEN author IS NOT NULL
+                  THEN author || chr(1) || CAST(n_chars AS VARCHAR)
+                END) AS dv_an
+         FROM fact JOIN dim1 ON fact.src = dim1.k
+                   JOIN dim2 ON fact.bk = dim2.k
+         GROUP BY tier""",
     // the Mar-1 day slice of the bucketed rollup: rows whose (possibly
     // +36h-shifted) timestamp truncates to Mar 1
     "q68_mv_bucket_slice" ->

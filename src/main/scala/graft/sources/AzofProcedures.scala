@@ -141,7 +141,9 @@ object AzofProcedures {
         pd("minmax_cols", StringType, "''"),
         pd("distinct_cols", StringType, "''"),
         // derived group entries "name:Type=sql[;name2:Type2=sql2]"
-        pd("derived", StringType, "''"))
+        pd("derived", StringType, "''"),
+        // multi-column distinct tuples "a+b;c+d"
+        pd("distinct_tuples", StringType, "''"))
       case "term_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'term_postings'"),
@@ -159,7 +161,9 @@ object AzofProcedures {
         pd("dim_path", StringType, "CAST(NULL AS STRING)"),
         pd("distinct_cols", StringType, "''"),
         // derived FACT-side group entries "name:Type=sql[;...]"
-        pd("derived", StringType, "''"))
+        pd("derived", StringType, "''"),
+        // multi-column distinct tuples "a+b;c+d"
+        pd("distinct_tuples", StringType, "''"))
       case "seq_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'seq_map'"),
@@ -195,6 +199,11 @@ object AzofProcedures {
       // CLI --derived contract, one shared parser)
       def parseDerived(v: String): Seq[DerivedGroup] =
         DerivedGroup.parseList(v)
+      // "a+b;c+d" -> multi-column distinct tuple declarations
+      def parseTuples(v: String): Seq[Seq[String]] =
+        Option(v).toSeq
+          .flatMap(_.split(";").map(_.trim).filter(_.nonEmpty))
+          .map(_.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq)
       val out: (StructType, Seq[Any]) = name match {
         case "compact" =>
           val br = Option(str(5))
@@ -344,7 +353,7 @@ object AzofProcedures {
             Option(v).toSeq.flatMap(
               _.split(',').map(_.trim).filter(_.nonEmpty))
           val vd = ViewDef(csv(str(2)), csv(str(4)), csv(str(5)),
-            csv(str(6)), parseDerived(str(7)))
+            csv(str(6)), parseDerived(str(7)), parseTuples(str(8)))
           val mvCk = new org.apache.hadoop.fs.Path(str(1),
             str(3) + "/_refresh_checkpoint").toString
           val q = MatView.refresh(spark, path, str(0), str(1), str(3),
@@ -367,7 +376,7 @@ object AzofProcedures {
           val padded = dimColGroups.padTo(fks.size, Seq.empty[String])
           val jd = JoinViewDef(jcsv(str(3)), jcsv(str(6)), jcsv(str(7)),
             fks.zip(padded).map { case (fk, dc) => DimJoin(fk, dc) },
-            jcsv(str(10)), parseDerived(str(11)))
+            jcsv(str(10)), parseDerived(str(11)), parseTuples(str(12)))
           // split with -1 keeps EMPTY slots (",lake2" = default lake
           // for dim1, lake2 for dim2) — a nonEmpty filter here would
           // silently shift later lakes onto earlier dims (cliJvDims'

@@ -34,7 +34,8 @@ final case class JoinViewDef(
     minMaxCols: Seq[String] = Nil,
     dims: Seq[DimJoin] = Seq(DimJoin("fk")),
     distinctCols: Seq[String] = Nil,
-    derivedGroups: Seq[DerivedGroup] = Nil) {
+    derivedGroups: Seq[DerivedGroup] = Nil,
+    distinctTuples: Seq[Seq[String]] = Nil) {
   require(groupCols.nonEmpty, "a join view needs group columns")
   require(dims.nonEmpty, "a join view needs at least one dim")
   require(dims.map(_.fkCol).distinct.size == dims.size,
@@ -54,6 +55,19 @@ final case class JoinViewDef(
   require(distinctCols.forall(c => !dimColsAll.contains(c)),
     "distinct columns must be FACT columns (a dim attribute that " +
       "should be distinct-counted belongs in groupCols)")
+  require(distinctTuples.forall(_.size >= 2),
+    "a distinct TUPLE needs at least two columns — declare single " +
+      "columns in distinctCols")
+  require(distinctTuples.forall(t => t.distinct.size == t.size),
+    "a distinct tuple's columns must be distinct")
+  require(distinctTuples.map(_.mkString(",")).distinct.size ==
+    distinctTuples.size, "distinct tuples must be distinct")
+  require((distinctCols ++ distinctTuples.flatten).forall(!_.contains(",")),
+    "distinct column names must not contain ',' (the tuple dcol " +
+      "encoding joins component names with it)")
+  require(distinctTuples.flatten.forall(c =>
+    !groupCols.contains(c) && !dimColsAll.contains(c)),
+    "distinct tuple components must be non-group FACT columns")
   require(derivedGroups.map(_.name).distinct.size == derivedGroups.size,
     "derived group names must be distinct")
   require(derivedGroups.forall(dg => groupCols.contains(dg.name)),
@@ -62,8 +76,14 @@ final case class JoinViewDef(
     "derived groups are FACT-side expressions (a dim attribute is " +
       "already a group column)")
   require(derivedGroups.forall(dg =>
-    !(sumCols ++ minMaxCols ++ distinctCols).contains(dg.name)),
+    !(sumCols ++ minMaxCols ++ distinctCols ++
+      distinctTuples.flatten).contains(dg.name)),
     "derived groups are group columns — they cannot be aggregated")
+  /** Whether the view maintains a distinct support table. */
+  def hasDistinct: Boolean =
+    distinctCols.nonEmpty || distinctTuples.nonEmpty
+  /** The support-table `dcol` name of a declared tuple. */
+  def tupleNames: Seq[String] = distinctTuples.map(_.mkString(","))
   /** Derived group names. */
   def derivedNames: Seq[String] = derivedGroups.map(_.name)
   /** Group columns that live on the fact side (verbatim, not derived). */
@@ -73,7 +93,8 @@ final case class JoinViewDef(
   /** Fact columns the refresh reads. */
   def factNeeded: Seq[String] =
     (dims.map(_.fkCol) ++ factGroupCols ++ sumCols ++ minMaxCols ++
-      distinctCols ++ derivedGroups.flatMap(_.srcRefs)).distinct
+      distinctCols ++ distinctTuples.flatten ++
+      derivedGroups.flatMap(_.srcRefs)).distinct
 }
 
 /** PERSISTED incremental STAR-JOIN aggregate view — [[MatView]]'s
@@ -219,7 +240,7 @@ object JoinView {
           s"min/max column '$c' must be a non-Boolean FACT column — " +
             "aggregate a cast upstream instead")
     }
-    jdef.distinctCols.foreach { c =>
+    (jdef.distinctCols ++ jdef.distinctTuples.flatten).foreach { c =>
       if (!factBy.contains(c))
         throw new IllegalArgumentException(
           s"distinct column '$c' is not in the fact schema (distinct " +
@@ -287,7 +308,7 @@ object JoinView {
     MatView.requireDerivedOk(spark, fs, jdef.derivedGroups)
     val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, viewSchema(fs, dss, jdef), segmentStart)
-    if (jdef.distinctCols.nonEmpty)
+    if (jdef.hasDistinct)
       AzofWriter.createTableIfAbsent(spark, idxLake,
         MatView.dvTableName(idxTable), dvSchema(fs, dss, jdef), segmentStart)
     if (created)
@@ -331,6 +352,8 @@ object JoinView {
         s""""sum_cols":${arr(jdef.sumCols)},""" +
         s""""minmax_cols":${arr(jdef.minMaxCols)},""" +
         s""""distinct_cols":${arr(jdef.distinctCols)},""" +
+        s""""distinct_tuples":${jdef.distinctTuples
+          .map(arr).mkString("[", ",", "]")},""" +
         s""""derived_groups":$derived,""" +
         s""""dims":$dimArr}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -382,11 +405,19 @@ object JoinView {
         }
         case None => Nil
       }
+      val tuples = Option(root.get("distinct_tuples")) match {
+        case Some(n) => (0 until n.size()).map { i =>
+          val t = n.get(i)
+          (0 until t.size()).map(j => t.get(j).asText())
+        }
+        case None => Nil // absent in pre-tuple sidecars
+      }
       Some((lake(root.get("fact_path").asText),
         root.get("fact_table").asText,
         dims.map(_._1),
         JoinViewDef(seq(root.get("group_cols")), seq(root.get("sum_cols")),
-          seq(root.get("minmax_cols")), dims.map(_._2), dcols, derived)))
+          seq(root.get("minmax_cols")), dims.map(_._2), dcols, derived,
+          tuples)))
     }
   }
 
@@ -580,7 +611,7 @@ object JoinView {
     MatView.requireNnLayout(
       AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
       jdef.sumCols, idxTable, "JoinView.rebuildEpoch (CLI: jv-rebuild)")
-    if (jdef.distinctCols.nonEmpty && jdef.sumCols.nonEmpty)
+    if (jdef.hasDistinct && jdef.sumCols.nonEmpty)
       MatView.requireDvLayout(
         AzofTable(spark, idxLake, MatView.dvTableName(idxTable))
           .currentSnapshot.schema,
@@ -594,7 +625,7 @@ object JoinView {
     var (fPrev, dPrevs) = readCursor(spark, idxLake, idxTable, dims.size)
     val lastApplied =
       graft.streaming.AzofSink.lastCommitted(spark, idxLake, idxTable, appId)
-    val hasDv = jdef.distinctCols.nonEmpty
+    val hasDv = jdef.hasDistinct
     def dvApplied(b: Long): Boolean = !hasDv ||
       graft.streaming.AzofSink.lastCommitted(spark, idxLake,
         MatView.dvTableName(idxTable), s"$appId#dv").exists(_ >= b)
@@ -663,7 +694,7 @@ object JoinView {
     val appId = s"join-view#$idxTable"
     val fact = AzofTable(spark, factLake, factTable)
     val dimTabs = dims.map { case (dl, dt) => AzofTable(spark, dl, dt) }
-    val hasDv = jdef.distinctCols.nonEmpty
+    val hasDv = jdef.hasDistinct
     val dvName = MatView.dvTableName(idxTable)
     val factSnapNow = fact.snapshot(fNow.toString)
     val factSnapPrev = fact.snapshot(fPrev.toString)
@@ -790,12 +821,12 @@ object JoinView {
           jdef.sumCols.flatMap(c => Seq(
             sum(col(c)).as(s"${pfx}s_$c"),
             count(col(c)).as(s"${pfx}nn_$c")))
-      jdef.distinctCols.map { c =>
-        rows.where(col(c).isNotNull)
-          .select(((jdef.groupCols ++ jdef.sumCols).distinct.map(col) ++
-            Seq(col(c).cast("string").as("value"),
-              lit(c).as("dcol"))): _*)
-      }.reduce(_.unionByName(_))
+      MatView.distinctUnits(jdef.distinctCols, jdef.distinctTuples)
+        .map { case (d, nn, v) =>
+          rows.where(nn)
+            .select(((jdef.groupCols ++ jdef.sumCols).distinct.map(col) ++
+              Seq(v.as("value"), lit(d).as("dcol"))): _*)
+        }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
     }
@@ -826,12 +857,12 @@ object JoinView {
     // [[MatView.deltaBatch]]'s shape verbatim
     val dvRows: Option[DataFrame] = dvTouched.flatMap { dvt =>
       val dvStats = dvt.agg(count(lit(1)),
-        MatView.sepViolations(dvt, jdef.groupCols ++ Seq("value")))
+        MatView.sepViolations(dvt, jdef.groupCols),
+        sum(when(MatView.valueSepViolation, 1L).otherwise(0L)))
         .collect()(0)
       val nDv = dvStats.getLong(0)
-      MatView.requireNoSep(
-        if (dvStats.isNullAt(1)) 0L else dvStats.getLong(1),
-        "churned distinct-pair")
+      def dvz(i: Int) = if (dvStats.isNullAt(i)) 0L else dvStats.getLong(i)
+      MatView.requireNoSep(dvz(1) + dvz(2), "churned distinct-pair")
       if (nDv == 0L) { graft.operators.Blocks.freeReferenced(dvt); None }
       else {
         val existing = graft.operators.AzofScan
@@ -995,8 +1026,9 @@ object JoinView {
       spark: SparkSession,
       idxLake: String, idxTable: String, jdef: JoinViewDef, dcol: String,
       version: Option[Long] = None): DataFrame = {
-    require(jdef.distinctCols.contains(dcol),
-      s"'$dcol' is not a declared distinct column")
+    require(jdef.distinctCols.contains(dcol) ||
+      jdef.tupleNames.contains(dcol),
+      s"'$dcol' is not a declared distinct column or tuple")
     val t = AzofTable(spark, idxLake, MatView.dvTableName(idxTable))
     val snap = version.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
@@ -1042,8 +1074,9 @@ object JoinView {
       measures: Seq[String] = Nil,
       slice: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
         Nil): DataFrame = {
-    require(jdef.distinctCols.contains(dcol),
-      s"'$dcol' is not a declared distinct column")
+    require(jdef.distinctCols.contains(dcol) ||
+      jdef.tupleNames.contains(dcol),
+      s"'$dcol' is not a declared distinct column or tuple")
     require(queryGroups.forall(jdef.groupCols.contains),
       "query groups must be view group columns")
     require(measures.forall(jdef.sumCols.contains),
@@ -1193,19 +1226,20 @@ object JoinView {
     // DISTINCT support retrain: one-shot refcounts per (dcol, groups,
     // value) pair off the SAME enriched star join — committed BEFORE
     // the cursor, like the refresh
-    if (jdef.distinctCols.nonEmpty) {
+    if (jdef.hasDistinct) {
       val dvKeys = Seq("dcol") ++ jdef.groupCols ++ Seq("value")
       val dvAggs: Seq[Column] =
         Seq(count(lit(1)).as("ref")) ++
           jdef.sumCols.flatMap(c => Seq(
             coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"),
             count(col(c)).as(s"nn_$c")))
-      val pairs = jdef.distinctCols.map { c =>
-        joined.where(col(c).isNotNull)
-          .select(((jdef.groupCols ++ jdef.sumCols).distinct.map(col) ++
-            Seq(col(c).cast("string").as("value"),
-              lit(c).as("dcol"))): _*)
-      }.reduce(_.unionByName(_))
+      val pairs = MatView.distinctUnits(jdef.distinctCols,
+          jdef.distinctTuples)
+        .map { case (d, nn, v) =>
+          joined.where(nn)
+            .select(((jdef.groupCols ++ jdef.sumCols).distinct.map(col) ++
+              Seq(v.as("value"), lit(d).as("dcol"))): _*)
+        }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
         .agg(dvAggs.head, dvAggs.tail: _*)
       val dvRows = pairs.select(

@@ -84,19 +84,36 @@ final case class ViewDef(
     sumCols: Seq[String] = Nil,
     minMaxCols: Seq[String] = Nil,
     distinctCols: Seq[String] = Nil,
-    derivedGroups: Seq[DerivedGroup] = Nil) {
+    derivedGroups: Seq[DerivedGroup] = Nil,
+    distinctTuples: Seq[Seq[String]] = Nil) {
   require(groupCols.nonEmpty, "a materialized view needs group columns")
   require(distinctCols.forall(c => !groupCols.contains(c)),
     "COUNT(DISTINCT <group col>) needs no support table — view rows " +
       "are distinct group tuples; declare only non-group distinct cols")
+  require(distinctTuples.forall(_.size >= 2),
+    "a distinct TUPLE needs at least two columns — declare single " +
+      "columns in distinctCols")
+  require(distinctTuples.forall(t => t.distinct.size == t.size),
+    "a distinct tuple's columns must be distinct")
+  require(distinctTuples.map(_.mkString(",")).distinct.size ==
+    distinctTuples.size, "distinct tuples must be distinct")
+  require((distinctCols ++ distinctTuples.flatten).forall(!_.contains(",")),
+    "distinct column names must not contain ',' (the tuple dcol " +
+      "encoding joins component names with it)")
   require(derivedGroups.map(_.name).distinct.size == derivedGroups.size,
     "derived group names must be distinct")
   require(derivedGroups.forall(dg => groupCols.contains(dg.name)),
     "every derived group must be listed in groupCols (it IS a group " +
       "column, just computed)")
   require(derivedGroups.forall(dg =>
-    !(sumCols ++ minMaxCols ++ distinctCols).contains(dg.name)),
+    !(sumCols ++ minMaxCols ++ distinctCols ++
+      distinctTuples.flatten).contains(dg.name)),
     "derived groups are group columns — they cannot be aggregated")
+  /** Whether the view maintains a distinct support table. */
+  def hasDistinct: Boolean =
+    distinctCols.nonEmpty || distinctTuples.nonEmpty
+  /** The support-table `dcol` name of a declared tuple. */
+  def tupleNames: Seq[String] = distinctTuples.map(_.mkString(","))
   /** Derived group names. */
   def derivedNames: Seq[String] = derivedGroups.map(_.name)
   /** Group columns stored verbatim from the source (not derived). */
@@ -105,6 +122,7 @@ final case class ViewDef(
   /** Source columns the view reads. */
   def needed: Seq[String] =
     (physGroupCols ++ sumCols ++ minMaxCols ++ distinctCols ++
+      distinctTuples.flatten ++
       derivedGroups.flatMap(_.srcRefs)).distinct
 }
 
@@ -286,9 +304,10 @@ object MatView {
     */
   def dvSchema(srcSchema: TableSchema, view: ViewDef): TableSchema = {
     val byName = srcSchema.columns.map(c => c.name -> c).toMap
-    view.distinctCols.foreach(c => if (!byName.contains(c))
-      throw new IllegalArgumentException(
-        s"distinct column '$c' is not in the source schema"))
+    (view.distinctCols ++ view.distinctTuples.flatten).foreach(c =>
+      if (!byName.contains(c))
+        throw new IllegalArgumentException(
+          s"distinct column '$c' is not in the source schema"))
     val full = viewSchema(srcSchema, view) // group cols typed (incl. derived)
     TableSchema(
       Seq(ColumnDef("dcol", ColumnType.AzString, nullable = false)) ++
@@ -373,7 +392,7 @@ object MatView {
     requireDerivedOk(spark, srcSchema, view.derivedGroups)
     val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, viewSchema(srcSchema, view), segmentStart)
-    if (view.distinctCols.nonEmpty)
+    if (view.hasDistinct)
       AzofWriter.createTableIfAbsent(spark, idxLake, dvTableName(idxTable),
         dvSchema(srcSchema, view), segmentStart)
     if (created) writeDef(spark, srcLake, srcTable, idxLake, idxTable, view)
@@ -423,6 +442,8 @@ object MatView {
         s""""sum_cols":${arr(view.sumCols)},""" +
         s""""minmax_cols":${arr(view.minMaxCols)},""" +
         s""""distinct_cols":${arr(view.distinctCols)},""" +
+        s""""distinct_tuples":${view.distinctTuples
+          .map(arr).mkString("[", ",", "]")},""" +
         s""""derived_groups":$derived}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -455,10 +476,17 @@ object MatView {
         }
         case None => Nil // absent in pre-derived sidecars
       }
+      val tuples = Option(root.get("distinct_tuples")) match {
+        case Some(n) => (0 until n.size()).map { i =>
+          val t = n.get(i)
+          (0 until t.size()).map(j => t.get(j).asText())
+        }
+        case None => Nil // absent in pre-tuple sidecars
+      }
       Some((if (rec.isEmpty) idxLake else rec,
         root.get("source_table").asText,
         ViewDef(seq("group_cols"), seq("sum_cols"), seq("minmax_cols"),
-          seq("distinct_cols"), derived)))
+          seq("distinct_cols"), derived, tuples)))
     }
   }
 
@@ -644,7 +672,7 @@ object MatView {
       AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
       view.sumCols, idxTable,
       "MatView.rebuildEpoch (CLI: mv-rebuild)")
-    if (view.distinctCols.nonEmpty && view.sumCols.nonEmpty)
+    if (view.hasDistinct && view.sumCols.nonEmpty)
       requireDvLayout(
         AzofTable(spark, idxLake, dvTableName(idxTable))
           .currentSnapshot.schema,
@@ -718,6 +746,37 @@ object MatView {
         "be non-null and separator-free (concat_ws would silently " +
         "collide the keys); refusing to corrupt the view's key space")
 
+  /** Every distinct UNIT the support table maintains — the single
+    * declared columns plus the declared TUPLES — as
+    * `(dcol name, all-non-null filter, canonical string value)`. A
+    * tuple's dcol is its component names joined by ',' and its value
+    * the components' canonical strings joined by the reserved
+    * separator (injective while components are separator-free —
+    * [[valueSepViolation]] guards that); the conjunctive non-null
+    * filter IS SQL's `COUNT(DISTINCT a, b)` semantics (a row with any
+    * NULL component is skipped).
+    */
+  private[sources] def distinctUnits(
+      distinctCols: Seq[String], distinctTuples: Seq[Seq[String]])
+      : Seq[(String, Column, Column)] =
+    distinctCols.map(c =>
+      (c, col(c).isNotNull, col(c).cast("string"))) ++
+      distinctTuples.map { t =>
+        (t.mkString(","), t.map(col(_).isNotNull).reduce(_ && _),
+          concat_ws(Sep, t.map(c => col(c).cast("string")): _*))
+      }
+
+  /** Violation flag over a support frame's `(dcol, value)`: a single
+    * column's value must not contain the reserved separator; a TUPLE's
+    * encoded value must contain EXACTLY its joining separators — a
+    * component carrying one would alias a different tuple.
+    */
+  private[sources] def valueSepViolation: Column =
+    when(col("dcol").contains(","),
+      size(split(col("value"), Sep, -1)) =!=
+        size(split(col("dcol"), ",", -1)))
+      .otherwise(col("value").contains(Sep))
+
   /** One feed micro-batch → one upsert row per TOUCHED group, equal to
     * the group's one-shot aggregate over the live corpus at the batch's
     * end version. See the object scaladoc for the three paths
@@ -790,17 +849,17 @@ object MatView {
           view.sumCols.flatMap(c => Seq(
             sum(col(c)).as(s"${pfx}s_$c"),
             count(col(c)).as(s"${pfx}nn_$c")))
-      view.distinctCols.map { c =>
-        rows.where(col(c).isNotNull)
-          .select(((view.groupCols ++ view.sumCols).distinct.map(col) ++
-            Seq(col(c).cast("string").as("value"),
-              lit(c).as("dcol"))): _*)
-      }.reduce(_.unionByName(_))
+      distinctUnits(view.distinctCols, view.distinctTuples)
+        .map { case (d, nn, v) =>
+          rows.where(nn)
+            .select(((view.groupCols ++ view.sumCols).distinct.map(col) ++
+              Seq(v.as("value"), lit(d).as("dcol"))): _*)
+        }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
     }
     val dvTouched: Option[DataFrame] =
-      if (view.distinctCols.isEmpty) None
+      if (!view.hasDistinct) None
       else Some(pairCounts(newRows, "_a_")
         .join(pairCounts(preRows, "_p_"), dvKeys, "full_outer")
         .localCheckpoint(true))
@@ -816,11 +875,11 @@ object MatView {
     // a pair-confined support read (broadcast semi under the guard)
     val dvRows: Option[DataFrame] = dvTouched.flatMap { dvt =>
       val dvStats = dvt.agg(count(lit(1)),
-        sepViolations(dvt, view.groupCols ++ Seq("value"))).collect()(0)
+        sepViolations(dvt, view.groupCols),
+        sum(when(valueSepViolation, 1L).otherwise(0L))).collect()(0)
       val nDv = dvStats.getLong(0)
-      requireNoSep(
-        if (dvStats.isNullAt(1)) 0L else dvStats.getLong(1),
-        "churned distinct-pair")
+      def dvz(i: Int) = if (dvStats.isNullAt(i)) 0L else dvStats.getLong(i)
+      requireNoSep(dvz(1) + dvz(2), "churned distinct-pair")
       if (nDv == 0L) { graft.operators.Blocks.freeReferenced(dvt); None }
       else {
         val existing = graft.operators.AzofScan
@@ -991,8 +1050,9 @@ object MatView {
       spark: SparkSession,
       idxLake: String, idxTable: String, view: ViewDef, dcol: String,
       version: Option[Long] = None): DataFrame = {
-    require(view.distinctCols.contains(dcol),
-      s"'$dcol' is not a declared distinct column")
+    require(view.distinctCols.contains(dcol) ||
+      view.tupleNames.contains(dcol),
+      s"'$dcol' is not a declared distinct column or tuple")
     val t = AzofTable(spark, idxLake, dvTableName(idxTable))
     val snap = version.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
@@ -1042,8 +1102,9 @@ object MatView {
       measures: Seq[String] = Nil,
       slice: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
         Nil): DataFrame = {
-    require(view.distinctCols.contains(dcol),
-      s"'$dcol' is not a declared distinct column")
+    require(view.distinctCols.contains(dcol) ||
+      view.tupleNames.contains(dcol),
+      s"'$dcol' is not a declared distinct column or tuple")
     require(queryGroups.forall(view.groupCols.contains),
       "query groups must be view group columns")
     require(measures.forall(view.sumCols.contains),
@@ -1154,7 +1215,7 @@ object MatView {
     val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, newTable, viewSchema(src.currentSnapshot.schema, view),
       at)
-    if (view.distinctCols.nonEmpty)
+    if (view.hasDistinct)
       AzofWriter.createTableIfAbsent(spark, idxLake, dvTableName(newTable),
         dvSchema(src.currentSnapshot.schema, view), at)
     if (created) writeDef(spark, srcLake, srcTable, idxLake, newTable, view)
@@ -1185,19 +1246,19 @@ object MatView {
     if (n > 0) AzofWriter.commitDelta(spark, idxLake, newTable, rows, at, at)
     // DISTINCT support retrain: one-shot refcounts per (dcol, groups,
     // value) pair — committed BEFORE the cursor, like the refresh
-    if (view.distinctCols.nonEmpty) {
+    if (view.hasDistinct) {
       val dvKeys = Seq("dcol") ++ view.groupCols ++ Seq("value")
       val dvAggs: Seq[Column] =
         Seq(count(lit(1)).as("ref")) ++
           view.sumCols.flatMap(c => Seq(
             coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"),
             count(col(c)).as(s"nn_$c")))
-      val pairs = view.distinctCols.map { c =>
-        live.where(col(c).isNotNull)
-          .select(((view.groupCols ++ view.sumCols).distinct.map(col) ++
-            Seq(col(c).cast("string").as("value"),
-              lit(c).as("dcol"))): _*)
-      }.reduce(_.unionByName(_))
+      val pairs = distinctUnits(view.distinctCols, view.distinctTuples)
+        .map { case (d, nn, v) =>
+          live.where(nn)
+            .select(((view.groupCols ++ view.sumCols).distinct.map(col) ++
+              Seq(v.as("value"), lit(d).as("dcol"))): _*)
+        }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
         .agg(dvAggs.head, dvAggs.tail: _*)
       val dvRows = pairs.select(

@@ -563,6 +563,63 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("COUNT(DISTINCT a, b) serves from a declared TUPLE's support " +
+    "pairs — any column permutation, exact grain and global; an " +
+    "undeclared combination refuses to the scan") {
+    val dSchema = TableSchema(Seq(
+      ColumnDef("g1", ColumnType.AzString, nullable = false),
+      ColumnDef("b", ColumnType.AzString, nullable = true),
+      ColumnDef("v", ColumnType.AzInt, nullable = true)))
+    val vD = ViewDef(Seq("g1"), distinctCols = Seq("b"),
+      distinctTuples = Seq(Seq("b", "v")))
+    val l = Files.createTempDirectory("azof-mvrw-tup").toString
+    val ck = Files.createTempDirectory("azof-mvrw-tup-ck").toString
+    AzofWriter.createTable(spark, l, "src", dSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a", "x", 1L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a", "x", 1L),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a", "x", 2L),
+        Row("4", Timestamp.from(ts("2024-01-02T00:00:00Z")), "a", null, 5L),
+        Row("5", Timestamp.from(ts("2024-01-02T00:00:00Z")), "c", "y",
+          null))), dSchema.toStruct))
+    val q0 = MatView.refresh(spark, l, "src", l, "mv", vD, ck)
+    assert(q0.awaitTermination(120000))
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "mv")
+    try {
+      val qe = spark.sql(
+        "SELECT g1, count(DISTINCT b, v) AS dv FROM azof.src GROUP BY g1")
+      assert(!scansSrc(qe), "tuple distinct must serve from pairs:\n" +
+        qe.queryExecution.optimizedPlan)
+      assert(qe.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("a", 2L), ("c", 0L)),
+        "any-null rows skipped (SQL multi-arg COUNT); all-skipped " +
+          "group serves 0")
+      // column ORDER doesn't change a distinct count — a permutation
+      // of the declared tuple serves from the same pairs
+      val qp = spark.sql(
+        "SELECT g1, count(DISTINCT v, b) AS dv FROM azof.src GROUP BY g1")
+      assert(!scansSrc(qp), "permuted tuple must serve from pairs")
+      assert(qp.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("a", 2L), ("c", 0L)))
+      // global grain off the same pairs
+      val qg = spark.sql(
+        "SELECT count(DISTINCT b, v) AS dv FROM azof.src")
+      assert(!scansSrc(qg), "global tuple distinct must serve")
+      assert(qg.collect().map(_.getLong(0)).toSeq == Seq(2L))
+      // an UNDECLARED combination refuses — falls back to the scan
+      val qu = spark.sql(
+        "SELECT g1, count(DISTINCT g1, v) AS dv FROM azof.src GROUP BY g1")
+      assert(scansSrc(qu), "undeclared tuple must not rewrite")
+      assert(qu.collect().nonEmpty)
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   test("AVG/COUNT(c) over a JOIN view serve from its nn_ totals — " +
     "round 13's crash shape: the decomposed nn_ leaf must resolve") {
     import graft.sources.{DimJoin, JoinView, JoinViewDef}

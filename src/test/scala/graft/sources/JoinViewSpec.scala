@@ -560,6 +560,69 @@ class JoinViewSpec extends AnyFunSuite {
     assert(dvServed(lbc, "jvd_e2") == dvServed(lbc))
   }
 
+  test("DISTINCT TUPLES over a star: COUNT(DISTINCT a, v) refcounts " +
+    "stay exact under fact churn and a dim re-tier that moves pairs " +
+    "across groups — exact grain and rollup ≡ one-shot") {
+    val tdef = JoinViewDef(Seq("tier"), sumCols = Seq("v"),
+      dims = Seq(DimJoin("fk", Seq("tier"))),
+      distinctCols = Seq("a"), distinctTuples = Seq(Seq("a", "v")))
+    val l = Files.createTempDirectory("azof-jv-tup").toString
+    AzofWriter.createTable(spark, l, "fact", dFactSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    def go() = JoinView.refresh(spark, l, "fact", Seq((l, "dim")),
+      l, "jvt", tdef)
+    def dv(groups: Seq[String]) =
+      JoinView.countDistinct(spark, l, "jvt", tdef, "a,v", groups)
+        .collect().map(r =>
+          (if (groups.isEmpty) "" else r.getString(0),
+            r.getLong(groups.size)))
+        .sortBy(_._1).toSeq
+    def oneShot(groups: Seq[String]) = {
+      val f = AzofScan.scan(spark, l, "fact").select("fk", "a", "v")
+      val d = AzofScan.scan(spark, l, "dim")
+        .select(col(TableSchema.KeyName).as("_dk"), col("tier"))
+      val j = f.join(d, f("fk") === d("_dk"))
+      val agg = count_distinct(col("a"), col("v")).as("dv")
+      (if (groups.isEmpty) j.agg(agg)
+       else j.groupBy(groups.map(col): _*).agg(agg))
+        .where(col("dv") > 0L)
+        .collect().map(r =>
+          (if (groups.isEmpty) "" else r.getString(0),
+            r.getLong(groups.size)))
+        .sortBy(_._1).toSeq
+    }
+    AzofWriter.commitBase(spark, l, "dim", dims(
+      ("d1", "2024-01-02T00:00:00Z", "t1"),
+      ("d2", "2024-01-02T00:00:00Z", "t2")))
+    AzofWriter.commitBase(spark, l, "fact", dFacts(
+      ("1", "2024-01-02T00:00:00Z", "d1", 10L, "x"),
+      ("2", "2024-01-02T00:00:00Z", "d1", 10L, "x"), // duplicate tuple
+      ("3", "2024-01-02T00:00:00Z", "d1", 4L, "x"),  // same a, new v
+      ("4", "2024-01-02T00:00:00Z", "d2", 7L, null))) // null a → skipped
+    go()
+    assert(dv(Seq("tier")) == oneShot(Seq("tier")))
+    assert(dv(Seq("tier")) == Seq(("t1", 2L)))
+    // a dim re-tier MOVES the tuples' group with their facts
+    AzofWriter.commitDelta(spark, l, "dim", dims(
+      ("d1", "2024-02-05T00:00:00Z", "t9")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+    go()
+    assert(dv(Seq("tier")) == oneShot(Seq("tier")))
+    assert(dv(Seq("tier")) == Seq(("t9", 2L)))
+    // fact churn: key 3's v moves (4→10 collapses onto (x,10));
+    // key 4 gains an author
+    AzofWriter.commitDelta(spark, l, "fact", dFacts(
+      ("3", "2024-03-05T00:00:00Z", "d1", 10L, "x"),
+      ("4", "2024-03-05T00:00:00Z", "d2", 7L, "z")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
+    go()
+    assert(dv(Seq("tier")) == oneShot(Seq("tier")))
+    assert(dv(Seq("tier")) == Seq(("t2", 1L), ("t9", 1L)))
+    assert(dv(Nil) == oneShot(Nil), "global tuple distinct")
+  }
+
   test("dv-pin TOCTOU closed (star): the gate pins view AND support " +
     "snapshots before its per-table walks — a refresh racing between " +
     "gate and serve still serves the validated instant exactly") {

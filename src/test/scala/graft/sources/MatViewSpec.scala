@@ -584,6 +584,89 @@ class MatViewSpec extends AnyFunSuite {
     assert(e2 == bc, "epoch rebuild serves the same measure histogram")
   }
 
+  test("DISTINCT TUPLES: COUNT(DISTINCT a, b) refcounts stay exact " +
+    "under value moves, null components (any-null rows skipped — " +
+    "SQL's multi-arg COUNT), and deletes — exact grain, rollup, and " +
+    "global ≡ one-shot; a separator in a component refuses loudly") {
+    val schema = TableSchema(Seq(
+      ColumnDef("grp", ColumnType.AzString, nullable = false),
+      ColumnDef("b", ColumnType.AzString, nullable = true),
+      ColumnDef("v", ColumnType.AzInt, nullable = true)))
+    val vD = ViewDef(Seq("grp"), distinctCols = Seq("b"),
+      distinctTuples = Seq(Seq("b", "v")))
+    def rows(xs: (String, String, String, Any, Any)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(xs.map { case (k, t, g, b, v) =>
+          Row(k, Timestamp.from(Instant.parse(t)), g, b, v) }),
+        schema.toStruct)
+    val l = Files.createTempDirectory("azof-mv-tup").toString
+    val ck = Files.createTempDirectory("azof-mv-tup-ck").toString
+    AzofWriter.createTable(spark, l, "src", schema,
+      ts("2024-01-01T00:00:00Z"))
+    def go(): Unit = {
+      val q = MatView.refresh(spark, l, "src", l, "mv", vD, ck)
+      assert(q.awaitTermination(120000))
+    }
+    def dv(groups: Seq[String]) =
+      MatView.countDistinct(spark, l, "mv", vD, "b,v", groups)
+        .collect().map(r =>
+          (if (groups.isEmpty) "" else r.getString(0),
+            r.getLong(groups.size)))
+        .sortBy(_._1).toSeq
+    def oneShot(groups: Seq[String]) = {
+      val base = AzofScan.scan(spark, l, "src")
+      val agg = count_distinct(col("b"), col("v")).as("dv")
+      (if (groups.isEmpty) base.agg(agg)
+       else base.groupBy(groups.map(col): _*).agg(agg))
+        .where(col("dv") > 0L)
+        .collect().map(r =>
+          (if (groups.isEmpty) "" else r.getString(0),
+            r.getLong(groups.size)))
+        .sortBy(_._1).toSeq
+    }
+    AzofWriter.commitBase(spark, l, "src", rows(
+      ("1", "2024-01-02T00:00:00Z", "a", "x", 1L),
+      ("2", "2024-01-02T00:00:00Z", "a", "x", 1L), // duplicate pair
+      ("3", "2024-01-02T00:00:00Z", "a", "x", 2L), // same b, new v
+      ("4", "2024-01-02T00:00:00Z", "a", null, 3L), // null b → skipped
+      ("5", "2024-01-02T00:00:00Z", "b", "y", null))) // null v → skipped
+    go()
+    assert(dv(Seq("grp")) == Seq(("a", 2L)),
+      "(x,1) and (x,2); any-null rows contribute nothing")
+    assert(dv(Seq("grp")) == oneShot(Seq("grp")))
+    // value move: key 3 (x,2)→(x,1) retires (x,2); key 5 gains a v
+    AzofWriter.commitDelta(spark, l, "src", rows(
+      ("3", "2024-02-05T00:00:00Z", "a", "x", 1L),
+      ("5", "2024-02-05T00:00:00Z", "b", "y", 9L)),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+    go()
+    assert(dv(Seq("grp")) == oneShot(Seq("grp")))
+    assert(dv(Seq("grp")) == Seq(("a", 1L), ("b", 1L)))
+    // delete key 1: (a, x, 1) ref 2→1 stays; rollup + global exact
+    AzofWriter.commitDelete(spark, l, "src", Seq("1"),
+      ts("2024-03-05T00:00:00Z"))
+    go()
+    assert(dv(Seq("grp")) == oneShot(Seq("grp")))
+    assert(dv(Nil) == oneShot(Nil), "global tuple distinct")
+    // the SINGLE declared column still serves off the same table
+    assert(MatView.countDistinct(spark, l, "mv", vD, "b", Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .toSeq == Seq(("a", 1L), ("b", 1L)))
+    // a component carrying the reserved separator refuses LOUDLY —
+    // its encoded value would alias a different tuple
+    AzofWriter.commitDelta(spark, l, "src", rows(
+      ("9", "2024-04-05T00:00:00Z", "a", "badsep", 1L)),
+      ts("2024-04-01T00:00:00Z"), ts("2024-05-01T00:00:00Z"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = MatView.refresh(spark, l, "src", l, "mv", vD, ck)
+      q.awaitTermination(120000); q.stop()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage))
+      .mkString(" | ")
+    assert(msgs.contains("U+0001"), s"separator refusal is loud: $msgs")
+  }
+
   test("a pre-measure support table refuses LOUDLY on refresh and on " +
     "a measure histogram, naming the rebuild remedy") {
     val schema = TableSchema(Seq(
