@@ -115,6 +115,16 @@ object TableSchema {
     */
   val DeletedName = "_azof_deleted"
 
+  /** Reserved [[FileStats]] `cols` key holding a file's EVENT-TIME
+    * range (epoch-millis decimals, [[ValueStats.encode]]'s timestamp
+    * scheme). Deltas already carry a window; BASE files don't, and the
+    * event-time `AS OF` rewrite gate needs a provable upper bound on a
+    * base file's rows ([[graft.sources.MatView.unchangedSinceAsOf]]).
+    * The `_azof` prefix keeps it out of every value-column lookup (no
+    * user column can be named this).
+    */
+  val EventTimeStatName = "_azof_et"
+
   val systemFields: Seq[StructField] = Seq(
     StructField(KeyName, StringType, nullable = false),
     StructField(EventTimeName, TimestampType, nullable = false))

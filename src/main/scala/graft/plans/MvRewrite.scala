@@ -101,22 +101,18 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * the caller).
     */
   private def srcOf(plan: LogicalPlan)
-      : Option[(String, Seq[Expression], Option[Long])] =
+      : Option[(String, Seq[Expression], Option[graft.sources.ReadPin])] =
     plan match {
       case l: LogicalRelation => l.relation match {
-        case r: AzofRelation =>
-          r.mvMatchKey.map(k => (norm(k._1, k._2), Seq.empty[Expression],
-              Option.empty[Long]))
-            .orElse(r.mvMatchKeyPinned.map { case (lk, t, v) =>
-              (norm(lk, t), Seq.empty[Expression], Some(v)) })
+        case r: AzofRelation => relPin(
+          r.mvMatchKey, r.mvMatchKeyPinned, r.mvMatchKeyAsOf)
+          .map { case (k, pin) => (k, Seq.empty[Expression], pin) }
         case _ => None
       }
       case r: DataSourceV2Relation => r.table match {
-        case t: AzofV2Table =>
-          t.mvMatchKey.map(k => (norm(k._1, k._2), Seq.empty[Expression],
-              Option.empty[Long]))
-            .orElse(t.mvMatchKeyPinned.map { case (lk, tb, v) =>
-              (norm(lk, tb), Seq.empty[Expression], Some(v)) })
+        case t: AzofV2Table => relPin(
+          t.mvMatchKey, t.mvMatchKeyPinned, t.mvMatchKeyAsOf)
+          .map { case (k, pin) => (k, Seq.empty[Expression], pin) }
         case _ => None
       }
       case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
@@ -126,6 +122,27 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => None
     }
+
+  /** Fold one relation's three match surfaces into
+    * `(normalized key, pin)`: the Current read (no pin), the
+    * `VERSION AS OF` pin, or the `TIMESTAMP AS OF` event-time
+    * coordinate.
+    */
+  private def relPin(
+      cur: Option[(String, String)],
+      ver: Option[(String, String, Long)],
+      asOf: Option[(String, String, java.time.Instant)])
+      : Option[(String, Option[graft.sources.ReadPin])] =
+    cur.map(k =>
+        (norm(k._1, k._2), Option.empty[graft.sources.ReadPin]))
+      .orElse(ver.map { case (lk, tb, v) =>
+        (norm(lk, tb),
+          Some(graft.sources.ReadPin.Version(v))
+            : Option[graft.sources.ReadPin]) })
+      .orElse(asOf.map { case (lk, tb, t) =>
+        (norm(lk, tb),
+          Some(graft.sources.ReadPin.EventTime(t))
+            : Option[graft.sources.ReadPin]) })
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitAnd(l) ++ splitAnd(r)
@@ -149,20 +166,17 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * here), as its normalized source key plus its `VERSION AS OF` pin
     * (None = the un-pinned Current read).
     */
-  private def relKey(plan: LogicalPlan): Option[(String, Option[Long])] =
+  private def relKey(plan: LogicalPlan)
+      : Option[(String, Option[graft.sources.ReadPin])] =
     plan match {
       case l: LogicalRelation => l.relation match {
-        case r: AzofRelation =>
-          r.mvMatchKey.map(k => (norm(k._1, k._2), Option.empty[Long]))
-            .orElse(r.mvMatchKeyPinned.map { case (lk, t, v) =>
-              (norm(lk, t), Some(v)) })
+        case r: AzofRelation => relPin(
+          r.mvMatchKey, r.mvMatchKeyPinned, r.mvMatchKeyAsOf)
         case _ => None
       }
       case r: DataSourceV2Relation => r.table match {
-        case t: AzofV2Table =>
-          t.mvMatchKey.map(k => (norm(k._1, k._2), Option.empty[Long]))
-            .orElse(t.mvMatchKeyPinned.map { case (lk, tb, v) =>
-              (norm(lk, tb), Some(v)) })
+        case t: AzofV2Table => relPin(
+          t.mvMatchKey, t.mvMatchKeyPinned, t.mvMatchKeyAsOf)
         case _ => None
       }
       case _ => None
@@ -174,7 +188,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * output (for attribute provenance checks).
     */
   private case class DimSide(
-      dimKey: String, pin: Option[Long], fkName: String,
+      dimKey: String, pin: Option[graft.sources.ReadPin], fkName: String,
       dimOut: Seq[Attribute])
 
   /** A covered STAR shape: a left-deep tree of INNER joins
@@ -187,22 +201,22 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * is the one-dim special case.
     */
   private def starSrcOf(plan: LogicalPlan): Option[(
-      String, Option[Long], Seq[DimSide], Seq[Expression],
-      Seq[Attribute])] = {
+      String, Option[graft.sources.ReadPin], Seq[DimSide],
+      Seq[Expression], Seq[Attribute])] = {
     import org.apache.spark.sql.catalyst.expressions.EqualTo
     val (core, conds) = strip(plan)
     core match {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
         if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
         def asDim(side: LogicalPlan)
-            : Option[(String, Option[Long], Seq[Attribute],
-              Seq[Expression])] = {
+            : Option[(String, Option[graft.sources.ReadPin],
+              Seq[Attribute], Seq[Expression])] = {
           val (c, cs) = strip(side)
           relKey(c).map { case (k, pin) => (k, pin, c.output, cs) }
         }
         def combine(subSide: LogicalPlan, dimSide: LogicalPlan)
-            : Option[(String, Option[Long], Seq[DimSide], Seq[Expression],
-              Seq[Attribute])] =
+            : Option[(String, Option[graft.sources.ReadPin], Seq[DimSide],
+              Seq[Expression], Seq[Attribute])] =
           for {
             (fKey, fPin, dims, subConds, fOut) <- starSrcOf(subSide)
             (dKey, dPin, dOut, dConds) <- asDim(dimSide)
@@ -234,8 +248,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** [[starSrcOf]] with at least one dim — the join-view entry gate. */
   private def joinSrcOf(plan: LogicalPlan): Option[(
-      String, Option[Long], Seq[DimSide], Seq[Expression],
-      Seq[Attribute])] =
+      String, Option[graft.sources.ReadPin], Seq[DimSide],
+      Seq[Expression], Seq[Attribute])] =
     starSrcOf(plan).filter(_._3.nonEmpty)
 
   /** A filter conjunct the view can answer: deterministic, no

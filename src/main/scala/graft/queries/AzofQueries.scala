@@ -64,7 +64,8 @@ object AzofQueries {
     "q70_mv_sum_histogram" -> matViewSumHistogram,
     "q71_star_sum_histogram" -> starSumHistogram,
     "q72_mv_tuple_distinct" -> matViewTupleDistinct,
-    "q73_star_tuple_distinct" -> starTupleDistinct)
+    "q73_star_tuple_distinct" -> starTupleDistinct,
+    "q74_mv_asof_rewrite" -> matViewAsOfRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -987,7 +988,7 @@ object AzofQueries {
     * same view one-shot from the final live corpus.
     */
   private[queries] def mvLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "mv-v4", "doc_mv") { l =>
+    cachedLake(dir, "mv-v5", "doc_mv") { l =>
       import graft.sources.MatView
       val schema = TableSchema(Seq(
         ColumnDef("source", ColumnType.AzString, nullable = false),
@@ -1487,6 +1488,42 @@ object AzofQueries {
       }
       if (aggs.nonEmpty) throw new IllegalStateException(
         "version-pinned rewrite did not fire — refusing to pass the " +
+          "row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** The EVENT-TIME `TIMESTAMP AS OF` rewrite under the oracle gate
+    * (the reference's flagship coordinate, round 14's Missing #2): an
+    * as-of aggregate at a coordinate at-or-above the whole consumed
+    * corpus — every delta window and the base file's recorded
+    * event-time range end at-or-below it — is answered FROM the view
+    * through [[graft.sources.MatView.unchangedSinceAsOf]]'s
+    * metadata-only walk. Refusal cases (a backdated delete, data above
+    * the coordinate consumed by the view) are spec-side
+    * (MvRewriteSpec); this row certifies asof-rewrite-fired AND exact
+    * under the same reconstruction oracle as q59.
+    */
+  private def matViewAsOfRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = mvLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_mv")
+    try {
+      val q = s.sql(
+        "SELECT source, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, min(n_chars) AS min_n_chars, " +
+          "max(n_chars) AS max_n_chars " +
+          "FROM azof.docs_mv TIMESTAMP AS OF '2024-06-01T00:00:00Z' " +
+          "GROUP BY source")
+      val aggs = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      if (aggs.nonEmpty) throw new IllegalStateException(
+        "event-time as-of rewrite did not fire — refusing to pass the " +
           "row off the corpus-scan plan")
       q.queryExecution.executedPlan // pin execution while the confs hold
       q
@@ -2618,6 +2655,20 @@ object AzofQueries {
          FROM fact JOIN dim1 ON fact.src = dim1.k
                    JOIN dim2 ON fact.bk = dim2.k
          GROUP BY 1, 2""",
+    // an event-time coordinate at-or-above the whole consumed corpus
+    // serves the same truth as q59 through the as-of walk (refusals —
+    // backdated deletes, consumed above-t data — are spec-side)
+    "q74_mv_asof_rewrite" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                    AS source,
+                  CASE WHEN doc_id % 5 = 0 THEN n_chars + 4 ELSE n_chars
+                    END AS n_chars
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+         FROM live GROUP BY source""",
     // a provably view-identical VERSION pin serves the same truth as
     // q53 (the pin IS the current version; refusal cases are spec-side)
     "q59_mv_pinned_rewrite" ->

@@ -453,6 +453,18 @@ class AzofV2Table(
         .toOption
         .map(v => (lakehousePath, tableName, v))
     else None
+
+  /** See [[AzofRelation.mvMatchKeyAsOf]] — an event-time as-of view on
+    * the main lineage (WAP/branch routing never rewrites).
+    */
+  private[graft] def mvMatchKeyAsOf
+      : Option[(String, String, java.time.Instant)] =
+    asOf match {
+      case graft.format.AsOf.EventTime(t)
+        if version.isEmpty && branchLineage.isEmpty =>
+        Some((lakehousePath, tableName, t))
+      case _ => None
+    }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE)

@@ -208,6 +208,20 @@ final class AzofRelation(
         table.resolveVersion(versionAsOf.get).toLong).toOption
         .map(v => (lakehousePath, tableName, v))
     else None
+
+  /** `(lakehousePath, tableName, t)` iff this relation is an
+    * EVENT-TIME as-of view (`TIMESTAMP AS OF t`, no version pin): the
+    * rewrite rule may serve it from a view whose consumed state
+    * provably equals the as-of view at `t`
+    * ([[MatView.unchangedSinceAsOf]] — the frozen-dashboard shape).
+    */
+  private[graft] def mvMatchKeyAsOf
+      : Option[(String, String, java.time.Instant)] =
+    asOf match {
+      case AsOf.EventTime(t) if versionAsOf.isEmpty =>
+        Some((lakehousePath, tableName, t))
+      case _ => None
+    }
   // non-numeric versionAsOf specs resolve as named refs (tags) through
   // the current snapshot's ref index (AzofTable.resolveVersion)
   private val snap: Snapshot =

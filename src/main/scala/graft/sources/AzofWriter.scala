@@ -150,6 +150,22 @@ object AzofWriter {
       else Some(n -> graft.format.ColRange(row.getString(a), row.getString(b)))
     }.toMap
 
+  /** The reserved per-file EVENT-TIME range stat
+    * ([[TableSchema.EventTimeStatName]], epoch-millis decimals) — what
+    * bounds a BASE file's rows for the event-time `AS OF` rewrite gate
+    * (deltas carry a window; base files carry only this).
+    */
+  private def etStatAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    unix_millis(min(col(TableSchema.EventTimeName))).cast("string"),
+    unix_millis(max(col(TableSchema.EventTimeName))).cast("string"))
+
+  private def etRange(
+      row: org.apache.spark.sql.Row, off: Int)
+      : Map[String, graft.format.ColRange] =
+    if (row.isNullAt(off) || row.isNullAt(off + 1)) Map.empty
+    else Map(TableSchema.EventTimeStatName ->
+      graft.format.ColRange(row.getString(off), row.getString(off + 1)))
+
   def writeDataFile(
       spark: SparkSession,
       df: DataFrame,
@@ -183,6 +199,7 @@ object AzofWriter {
         max(col(TableSchema.KeyName))) ++ bloomColumn(spark, bc) ++
         vcols.flatMap { case (n, enc) =>
           Seq(enc(min(col(n))), enc(max(col(n)))) } ++
+        etStatAggs ++
         Seq(count(lit(1)))
       val mm = written.agg(aggs.head, aggs.tail: _*).collect()(0)
       val vOff = 2 + (if (bc.isDefined) 1 else 0)
@@ -191,8 +208,9 @@ object AzofWriter {
         bc.map { case (bits, k) =>
           KeyBloom.fromBytes(mm.getAs[Array[Byte]](2), bits, k)
         },
-        colRanges(mm, vOff, vcols.map(_._1)),
-        rows = Some(mm.getLong(vOff + 2 * vcols.size))))
+        colRanges(mm, vOff, vcols.map(_._1)) ++
+          etRange(mm, vOff + 2 * vcols.size),
+        rows = Some(mm.getLong(vOff + 2 * vcols.size + 2))))
     } finally conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
   }
 
@@ -775,6 +793,7 @@ object AzofWriter {
         bloomColumn(spark, bc) ++
         vcols.flatMap { case (n, enc) =>
           Seq(enc(min(col(n))), enc(max(col(n)))) } ++
+        etStatAggs ++
         Seq(count(lit(1)))
       val vOff = 5 + (if (bc.isDefined) 1 else 0)
       val stats = written
@@ -787,8 +806,9 @@ object AzofWriter {
               bc.map { case (bits, k) =>
                 KeyBloom.fromBytes(r.getAs[Array[Byte]](5), bits, k)
               },
-              colRanges(r, vOff, vcols.map(_._1)),
-              rows = Some(r.getLong(vOff + 2 * vcols.size))))))
+              colRanges(r, vOff, vcols.map(_._1)) ++
+                etRange(r, vOff + 2 * vcols.size),
+              rows = Some(r.getLong(vOff + 2 * vcols.size + 2))))))
         .toMap
       parts.zipWithIndex.flatMap { case (p, i) =>
         stats.get(p.getName).map { case (mn, mx, ks) =>
@@ -2043,7 +2063,10 @@ object AzofWriter {
     // predates the row-count generation
     val candidates = snap.segments.flatMap(walk).distinct.collect {
       case (f, st) if st.isEmpty ||
-        (st.get.cols.isEmpty && valueEligible) || st.get.rows.isEmpty => f
+        (st.get.cols.isEmpty && valueEligible) || st.get.rows.isEmpty ||
+        // pre-event-time-stat generation: backfill the base-file
+        // event-time range the AS OF rewrite gate consumes
+        !st.get.cols.contains(TableSchema.EventTimeStatName) => f
     }
     if (candidates.isEmpty)
       return AnalyzeReport(Seq.empty, Seq.empty, None)
@@ -2062,6 +2085,7 @@ object AzofWriter {
           max(col(TableSchema.KeyName))) ++ bloomColumn(spark, bc) ++
           vcols.flatMap { case (n, enc) =>
             Seq(enc(min(col(n))), enc(max(col(n)))) } ++
+          etStatAggs ++
           Seq(count(lit(1)))
         val mm = read.agg(aggs.head, aggs.tail: _*).collect()(0)
         val vOff = 2 + (if (bc.isDefined) 1 else 0)
@@ -2070,8 +2094,9 @@ object AzofWriter {
           bc.map { case (bits, k) =>
             KeyBloom.fromBytes(mm.getAs[Array[Byte]](2), bits, k)
           },
-          colRanges(mm, vOff, vcols.map(_._1)),
-          rows = Some(mm.getLong(vOff + 2 * vcols.size))))
+          colRanges(mm, vOff, vcols.map(_._1)) ++
+            etRange(mm, vOff + 2 * vcols.size),
+          rows = Some(mm.getLong(vOff + 2 * vcols.size + 2))))
       }.toOption.flatten
       f -> st
     }

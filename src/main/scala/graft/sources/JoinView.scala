@@ -468,7 +468,8 @@ object JoinView {
       idxLake: String, idxTable: String,
       factPin: Option[Long], dimPins: Seq[Option[Long]]): Option[Long] =
     freshViewVersions(spark, factLake, factTable, dims, idxLake, idxTable,
-      factPin, dimPins, needDv = false).map(_._1)
+      factPin.map(ReadPin.Version(_)),
+      dimPins.map(_.map(ReadPin.Version(_))), needDv = false).map(_._1)
 
   /** [[freshViewVersionAt]] that ALSO pins the DISTINCT-support
     * table's snapshot — [[MatView.freshViewVersions]]'s star twin, the
@@ -485,7 +486,7 @@ object JoinView {
       factLake: String, factTable: String,
       dims: Seq[(String, String)],
       idxLake: String, idxTable: String,
-      factPin: Option[Long], dimPins: Seq[Option[Long]],
+      factPin: Option[ReadPin], dimPins: Seq[Option[ReadPin]],
       needDv: Boolean): Option[(Long, Option[Long])] = {
     require(dimPins.size == dims.size,
       s"${dims.size} dims, ${dimPins.size} pins")
@@ -496,17 +497,6 @@ object JoinView {
       val (f, ds) = readCursor(spark, idxLake, idxTable, dims.size)
       if (ds.size != dims.size) None
       else {
-        def tableOk(lake: String, table: String, cur: Long,
-            pin: Option[Long]): Boolean = pin match {
-          case None => MatView.unchangedSince(spark, lake, table, cur)
-          case Some(v) =>
-            val onMain =
-              try AzofTable(spark, lake, table)
-                .snapshot(v.toString).branch.isEmpty
-              catch { case scala.util.control.NonFatal(_) => false }
-            onMain &&
-              MatView.unchangedSince(spark, lake, table, math.min(v, cur))
-        }
         // PIN BEFORE the walks — see the scaladoc's ordering argument
         val vv = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
         val dvV: Option[Option[Long]] =
@@ -515,10 +505,13 @@ object JoinView {
             AzofTable(spark, idxLake, MatView.dvTableName(idxTable))
               .currentVersion.toLong).toOption.map(Some(_))
         dvV.flatMap { dv =>
-          val ok = tableOk(factLake, factTable, f, factPin) &&
+          // per-table 3-way pin walk (Current / VERSION AS OF /
+          // TIMESTAMP AS OF) — [[MatView.pinOk]], the single-table
+          // gate's logic verbatim
+          val ok = MatView.pinOk(spark, factLake, factTable, f, factPin) &&
             dims.indices.forall { i =>
               val (dl, dt) = dims(i)
-              tableOk(dl, dt, ds(i), dimPins(i)) }
+              MatView.pinOk(spark, dl, dt, ds(i), dimPins(i)) }
           if (ok) Some((vv, dv)) else None
         }
       }

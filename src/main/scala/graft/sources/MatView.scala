@@ -37,6 +37,16 @@ final case class DerivedGroup(
       }.distinct
 }
 
+/** A query's read PIN on one table, as the rewrite rule's freshness
+  * gates consume it: a `VERSION AS OF` version, or a `TIMESTAMP AS OF`
+  * event-time coordinate (None = the un-pinned Current read).
+  */
+sealed trait ReadPin
+object ReadPin {
+  final case class Version(v: Long) extends ReadPin
+  final case class EventTime(t: Instant) extends ReadPin
+}
+
 object DerivedGroup {
 
   /** Parse the `"name:Type=sql[;name2:Type2=sql2]"` derived-group spec
@@ -571,15 +581,17 @@ object MatView {
     * operator intervention outside the refresh protocol, the
     * documented hatch class.
     *
-    * `pinned` is the query's `VERSION AS OF` pin (None = the un-pinned
-    * Current read): a pin gates through the [[freshViewVersionAt]]
-    * walk (branch heads refuse, span = `min(pin, cursor)`).
+    * `pinned` is the query's [[ReadPin]] (None = the un-pinned Current
+    * read): a `VERSION AS OF` pin gates through the
+    * [[freshViewVersionAt]] walk (branch heads refuse, span =
+    * `min(pin, cursor)`); a `TIMESTAMP AS OF` coordinate gates through
+    * [[unchangedSinceAsOf]] — the event-time generalization.
     */
   def freshViewVersions(
       spark: SparkSession,
       srcLake: String, srcTable: String,
       idxLake: String, idxTable: String,
-      pinned: Option[Long], needDv: Boolean)
+      pinned: Option[ReadPin], needDv: Boolean)
       : Option[(Long, Option[Long])] =
     readCursor(spark, idxLake, idxTable).flatMap { cur =>
       val v = AzofTable(spark, idxLake, idxTable).currentVersion.toLong
@@ -589,17 +601,136 @@ object MatView {
           AzofTable(spark, idxLake, dvTableName(idxTable))
             .currentVersion.toLong).toOption.map(Some(_))
       dvV.flatMap { dv =>
-        val onMain = pinned.forall { p =>
-          try AzofTable(spark, srcLake, srcTable)
-            .snapshot(p.toString).branch.isEmpty
-          catch { case scala.util.control.NonFatal(_) => false }
-        }
-        val walkFrom = pinned.fold(cur)(p => math.min(p, cur))
-        if (onMain && unchangedSince(spark, srcLake, srcTable, walkFrom))
-          Some((v, dv))
+        if (pinOk(spark, srcLake, srcTable, cur, pinned)) Some((v, dv))
         else None
       }
     }
+
+  /** One table's freshness walk for one [[ReadPin]] — shared by the
+    * single-table gate and [[JoinView.freshViewVersions]]'s per-table
+    * checks.
+    */
+  private[sources] def pinOk(
+      spark: SparkSession, lake: String, table: String, cur: Long,
+      pin: Option[ReadPin]): Boolean = pin match {
+    case None => unchangedSince(spark, lake, table, cur)
+    case Some(ReadPin.Version(p)) =>
+      val onMain =
+        try AzofTable(spark, lake, table).snapshot(p.toString)
+          .branch.isEmpty
+        catch { case scala.util.control.NonFatal(_) => false }
+      onMain && unchangedSince(spark, lake, table, math.min(p, cur))
+    case Some(ReadPin.EventTime(t)) =>
+      unchangedSinceAsOf(spark, lake, table, cur, t)
+  }
+
+  /** Whether `table`'s EVENT-TIME as-of view at `t` (at the CURRENT
+    * version) provably equals its live view at version `cur` — the
+    * `TIMESTAMP AS OF` rewrite gate, [[unchangedSince]] generalized to
+    * the event-time coordinate. Two metadata-only legs:
+    *
+    *   1. At snapshot `cur`, the as-of read resolves IDENTICALLY to
+    *      the Current read ([[asOfEqualsCurrent]]): every open segment
+    *      starts at-or-below `t` with every delta window ENDING
+    *      at-or-below it (all rows' event times ≤ t, so each key's
+    *      as-of winner is its Current winner), and no closed segment
+    *      matches `t` (both reads route through the open tree alone).
+    *   2. Every later main-lineage commit is view-preserving FOR THE
+    *      COORDINATE: either it registers no files and restamps
+    *      metadata, or every file it registers is a delta whose window
+    *      STARTS strictly above `t` — the as-of scan excludes such a
+    *      file wholesale (the format's own `start ≤ t` participation
+    *      rule), so inserts, revisions, and tombstones landing above
+    *      the coordinate never change the answer. A delete or revision
+    *      reaching at-or-below `t` lands in a delta with
+    *      `start ≤ t` and refuses. Folds (compact/purge) rewrite the
+    *      historic tree and conservatively refuse (Current-freshness
+    *      treats them as view-preserving; a historic coordinate may
+    *      degrade across a fold) — rollbacks refuse as ever.
+    *
+    * This is the "stale view serving a frozen dashboard" shape: data
+    * keeps arriving ABOVE the coordinate and the un-refreshed view
+    * keeps serving `TIMESTAMP AS OF t` exactly; once the view consumes
+    * a commit above `t`, leg 1 fails at the new cursor and the query
+    * falls back to the time-traveled scan — never a wrong answer.
+    */
+  private[graft] def unchangedSinceAsOf(
+      spark: SparkSession, srcLake: String, srcTable: String,
+      cur: Long, t: Instant): Boolean = {
+    val tbl = AzofTable(spark, srcLake, srcTable)
+    val current = tbl.currentVersion.toLong
+    if (current < cur) false // rolled back below the cursor
+    else try {
+      val curSnap = tbl.snapshot(cur.toString)
+      if (!asOfEqualsCurrent(curSnap, t)) false
+      else if (current == cur) true
+      else {
+        val fs =
+          tbl.tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+        val ids = AzofTable.snapshotIdsOnDisk(fs, tbl.tableDir)
+          .filter(v => v > cur && v <= current).sorted
+        var prevFiles = curSnap.allFiles
+        ids.forall { v =>
+          val s = tbl.snapshot(v.toString)
+          if (s.branch.nonEmpty) true // staged lineage: main unchanged
+          else if (s.op.contains("rollback")) false
+          else {
+            val newFiles = s.allFiles -- prevFiles
+            val ok =
+              if (newFiles.isEmpty) true // metadata restamp / no-op
+              else if (s.op.exists(o => o == "compact" || o == "purge"))
+                false // fold: the historic tree was rewritten
+              else {
+                val deltaStarts = collectDeltaStarts(s)
+                newFiles.forall(f =>
+                  deltaStarts.get(f).exists(_.isAfter(t)))
+              }
+            prevFiles = s.allFiles
+            ok
+          }
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => false
+    }
+  }
+
+  /** Every delta file in `snap`'s tree → its window start. */
+  private def collectDeltaStarts(
+      snap: graft.format.Snapshot): Map[String, Instant] = {
+    def walk(s: graft.format.Segment): Seq[(String, Instant)] =
+      s.delta.map(d => d.file -> d.start) ++ s.segments.flatMap(walk)
+    snap.segments.flatMap(walk).toMap
+  }
+
+  /** Whether the event-time as-of read at `t` of `snap` provably
+    * resolves to the SAME rows as its Current read — see
+    * [[unchangedSinceAsOf]] leg 1.
+    */
+  private def asOfEqualsCurrent(
+      snap: graft.format.Snapshot, t: Instant): Boolean = {
+    // a BASE file has no delta window — its rows' event-time bound is
+    // the recorded per-file range stat (absent on pre-stat files:
+    // refuse conservatively; `analyze` backfills it)
+    def baseOk(s: graft.format.Segment): Boolean =
+      s.file.isEmpty || s.fileStats.exists(
+        _.cols.get(TableSchema.EventTimeStatName).exists(r =>
+          scala.util.Try(r.max.toLong).toOption
+            .exists(_ <= t.toEpochMilli)))
+    def walk(s: graft.format.Segment): Boolean = {
+      val selfOk = s.end match {
+        case None => // open: both reads route here, content all ≤ t
+          !s.start.isAfter(t) &&
+            s.delta.forall(d =>
+              !d.start.isAfter(t) && !d.end.isAfter(t)) &&
+            baseOk(s)
+        case Some(e) => // closed: must be invisible to the as-of read
+          !(!s.start.isAfter(t) && !t.isAfter(e))
+      }
+      selfOk && s.segments.forall(walk)
+    }
+    snap.segments.forall(walk)
+  }
 
   /** [[freshViewVersion]] for a VERSION-PINNED read (`VERSION AS OF
     * <pinned>`): the view serves the pin exactly when the source's live
@@ -620,7 +751,7 @@ object MatView {
       srcLake: String, srcTable: String,
       idxLake: String, idxTable: String, pinned: Long): Option[Long] =
     freshViewVersions(spark, srcLake, srcTable, idxLake, idxTable,
-      Some(pinned), needDv = false).map(_._1)
+      Some(ReadPin.Version(pinned)), needDv = false).map(_._1)
 
   /** Whether `table`'s LIVE view still equals its state at version
     * `cur`: every later main-lineage commit is view-preserving (see

@@ -806,6 +806,69 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("EVENT-TIME AS OF aggregates rewrite when the coordinate " +
+    "provably equals the consumed state: table entirely at-or-below " +
+    "t, post-cursor commits only above it (the frozen dashboard); a " +
+    "backdated delete or a consumed above-t commit refuses to the " +
+    "time-traveled scan") {
+    val (l, ck) = mkLake("asof")
+    AzofWriter.commitDelta(spark, l, "src", df(
+      ("5", "2024-02-05T00:00:00Z", "b", "y", 3L)),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    val q1 = MatView.refresh(spark, l, "src", l, "mv", vd, ck)
+    assert(q1.awaitTermination(120000))
+    val t1 = "2024-03-01T00:00:00Z"
+    def asOfSql = s"SELECT g1, count(*) AS n, sum(v) AS sv " +
+      s"FROM azof.src TIMESTAMP AS OF '$t1' GROUP BY g1"
+    withConfs(l) {
+      // SERVE: every file ≤ t1 (base et stat + delta windows), cursor
+      // consumed everything — the as-of aggregate is the view rollup
+      val qs = spark.sql(asOfSql)
+      assert(!scansSrc(qs), "as-of at-or-above the whole corpus must " +
+        "serve from the view:\n" + qs.queryExecution.optimizedPlan)
+      val truth = Seq(("a", 3L, 16L), ("b", 2L, 10L))
+      assert(qs.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq == truth)
+      // FROZEN DASHBOARD: data keeps arriving ABOVE the coordinate and
+      // the view does NOT refresh — the un-pinned Current query goes
+      // stale (falls back) while TIMESTAMP AS OF t1 keeps serving
+      AzofWriter.commitDelta(spark, l, "src", df(
+        ("6", "2024-04-05T00:00:00Z", "a", "x", 100L)),
+        ts("2024-04-01T00:00:00Z"), ts("2024-05-01T00:00:00Z"))      // v4
+      val qCur = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src GROUP BY g1")
+      assert(scansSrc(qCur), "stale Current falls back to the scan")
+      val qf = spark.sql(asOfSql)
+      assert(!scansSrc(qf),
+        "an above-coordinate commit is view-preserving FOR t1:\n" +
+          qf.queryExecution.optimizedPlan)
+      assert(qf.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq == truth)
+      // BACKDATED DELETE: a tombstone landing at-or-below t1 refuses —
+      // and the time-traveled scan it falls back to is CORRECT
+      AzofWriter.commitDelete(spark, l, "src", Seq("2"),
+        ts("2024-02-20T00:00:00Z"))                                  // v5
+      val qb = spark.sql(asOfSql)
+      assert(scansSrc(qb), "a delete reaching below the coordinate " +
+        "must refuse:\n" + qb.queryExecution.optimizedPlan)
+      assert(qb.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq ==
+        Seq(("a", 2L, 12L), ("b", 2L, 10L)),
+        "fallback time-travels exactly (key 2 deleted below t1)")
+      // CONSUMED above-t state: after the refresh absorbs the deletes
+      // and the above-t1 rows, the view itself carries rows above the
+      // coordinate — leg 1 fails at the new cursor, still a fallback
+      val q2 = MatView.refresh(spark, l, "src", l, "mv", vd, ck)
+      assert(q2.awaitTermination(120000))
+      val qa = spark.sql(asOfSql)
+      assert(scansSrc(qa),
+        "a view that consumed above-coordinate rows must refuse")
+      assert(qa.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq ==
+        Seq(("a", 2L, 12L), ("b", 2L, 10L)))
+    }
+  }
+
   test("the DSv2 catalog surface rewrites too; unset conf is inert") {
     val (l, _) = mkLake("dsv2")
     spark.conf.set("spark.sql.catalog.mvr", classOf[graft.sources.AzofCatalog].getName)
