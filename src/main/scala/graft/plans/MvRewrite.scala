@@ -81,13 +81,24 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.getOption("spark.azof.mv.rewrite").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
-  /** `(lake, mvTable)` candidates from the conf. */
+  /** `(lake, mvTable)` candidates from the conf. The sentinel `auto`
+    * (or `lake::auto`) DISCOVERS candidates by listing the lake for
+    * definition sidecars — one listing, session-cached
+    * ([[MvRewriteRule.discover]]) — so a production lake with dozens
+    * of views rewrites without per-session list curation.
+    */
   private def candidates: Seq[(String, String)] = rewriteConf.flatMap { entry =>
     entry.split("::") match {
-      case Array(lake, mv) => Some((lake, mv))
+      case Array("auto") =>
+        spark.conf.getOption("spark.azof.path").toSeq.flatMap(root =>
+          discover(spark, root).map(mv => (root, mv)))
+      case Array(lake, "auto") =>
+        discover(spark, lake).map(mv => (lake, mv))
+      case Array(lake, mv) => Seq((lake, mv))
       case Array(mv) =>
         spark.conf.getOption("spark.azof.path").map(root => (root, mv))
-      case _ => None
+          .toSeq
+      case _ => Nil
     }
   }
 
@@ -1091,6 +1102,53 @@ object MvRewriteRule {
     */
   private val defCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), CandDef]()
+
+  /** AUTO-DISCOVERED candidate view tables per lake: child directories
+    * carrying a definition sidecar (one `listStatus` + two `exists`
+    * probes per child), cached per session with the defCache's
+    * re-probe semantics — an EMPTY result is never cached (the user
+    * sets `auto`, queries once, THEN creates the view — the
+    * interactive flow), and [[invalidateAuto]] drops the entry when
+    * this session creates another view in the lake. A view created by
+    * a DIFFERENT process after this session cached a non-empty listing
+    * is picked up after a conf re-set or session restart (documented —
+    * the definition files themselves stay immutable).
+    */
+  private val autoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Drop `lake`'s cached auto-discovery listing — called by
+    * [[graft.sources.MatView.create]] / [[graft.sources.JoinView
+    * .create]] so a view created in this session rewrites immediately
+    * under `spark.azof.mv.rewrite=auto`.
+    */
+  private[graft] def invalidateAuto(lake: String): Unit = {
+    autoCache.remove(new Path(lake).toString); ()
+  }
+
+  private def discover(
+      spark: SparkSession, lake: String): Seq[String] = {
+    val key = new Path(lake).toString
+    Option(autoCache.get(key)).getOrElse {
+      val found =
+        try {
+          val root = new Path(lake)
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!fs.exists(root)) Seq.empty[String]
+          else fs.listStatus(root).toSeq.filter(_.isDirectory)
+            .map(_.getPath)
+            .filter(d =>
+              fs.exists(new Path(d, MatView.DefFileName)) ||
+                fs.exists(new Path(d,
+                  graft.sources.JoinView.DefFileName)))
+            .map(_.getName).sorted
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq.empty[String]
+        }
+      if (found.nonEmpty) autoCache.put(key, found)
+      found
+    }
+  }
 
   private def defOf(spark: SparkSession, lake: String, mv: String)
       : Option[CandDef] =

@@ -65,7 +65,8 @@ object AzofQueries {
     "q71_star_sum_histogram" -> starSumHistogram,
     "q72_mv_tuple_distinct" -> matViewTupleDistinct,
     "q73_star_tuple_distinct" -> starTupleDistinct,
-    "q74_mv_asof_rewrite" -> matViewAsOfRewrite)
+    "q74_mv_asof_rewrite" -> matViewAsOfRewrite,
+    "q75_mv_auto_rewrite" -> matViewAutoRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1533,6 +1534,35 @@ object AzofQueries {
     }
   }
 
+  /** AUTO-DISCOVERY under the oracle gate: the same plain SQL as q53
+    * with `spark.azof.mv.rewrite=auto` — NO view named anywhere; the
+    * rule lists the lake's definition sidecars once (session-cached)
+    * and serves from the discovered view. Refuses a corpus-scan plan
+    * like q53, so the row certifies discovery-fired AND exact.
+    */
+  private def matViewAutoRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = mvLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "auto")
+    try {
+      val q = s.sql(
+        "SELECT source, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, min(n_chars) AS min_n_chars, " +
+          "max(n_chars) AS max_n_chars FROM azof.docs_mv GROUP BY source")
+      val aggs = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      if (aggs.nonEmpty) throw new IllegalStateException(
+        "auto-discovered rewrite did not fire — refusing to pass the " +
+          "row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The DERIVED-aggregate rewrite under the oracle gate: `AVG`,
     * `COUNT(*)`, `SUM`, and an arithmetic combination over aggregates
     * in ONE plain SQL statement — no view mentioned — all served from
@@ -2659,6 +2689,19 @@ object AzofQueries {
     // serves the same truth as q59 through the as-of walk (refusals —
     // backdated deletes, consumed above-t data — are spec-side)
     "q74_mv_asof_rewrite" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                    AS source,
+                  CASE WHEN doc_id % 5 = 0 THEN n_chars + 4 ELSE n_chars
+                    END AS n_chars
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+         FROM live GROUP BY source""",
+    // auto-discovery serves q53's truth with NO view named in the
+    // session conf (the sidecar listing is the candidate source)
+    "q75_mv_auto_rewrite" ->
       """WITH live AS (
            SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
                     AS source,

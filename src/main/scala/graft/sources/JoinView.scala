@@ -311,8 +311,12 @@ object JoinView {
     if (jdef.hasDistinct)
       AzofWriter.createTableIfAbsent(spark, idxLake,
         MatView.dvTableName(idxTable), dvSchema(fs, dss, jdef), segmentStart)
-    if (created)
+    if (created) {
       writeDef(spark, factLake, factTable, dims, idxLake, idxTable, jdef)
+      // a view created this session rewrites immediately under
+      // spark.azof.mv.rewrite=auto
+      graft.plans.MvRewriteRule.invalidateAuto(idxLake)
+    }
     ()
   }
 

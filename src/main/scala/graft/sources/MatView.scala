@@ -405,7 +405,12 @@ object MatView {
     if (view.hasDistinct)
       AzofWriter.createTableIfAbsent(spark, idxLake, dvTableName(idxTable),
         dvSchema(srcSchema, view), segmentStart)
-    if (created) writeDef(spark, srcLake, srcTable, idxLake, idxTable, view)
+    if (created) {
+      writeDef(spark, srcLake, srcTable, idxLake, idxTable, view)
+      // a view created this session rewrites immediately under
+      // spark.azof.mv.rewrite=auto
+      graft.plans.MvRewriteRule.invalidateAuto(idxLake)
+    }
     ()
   }
 
@@ -1349,7 +1354,10 @@ object MatView {
     if (view.hasDistinct)
       AzofWriter.createTableIfAbsent(spark, idxLake, dvTableName(newTable),
         dvSchema(src.currentSnapshot.schema, view), at)
-    if (created) writeDef(spark, srcLake, srcTable, idxLake, newTable, view)
+    if (created) {
+      writeDef(spark, srcLake, srcTable, idxLake, newTable, view)
+      graft.plans.MvRewriteRule.invalidateAuto(idxLake)
+    }
     requireDerivedOk(spark, src.currentSnapshot.schema, view.derivedGroups)
     val live = withDerived(
       graft.operators.AzofScan.scan(spark, srcLake, srcTable)

@@ -869,6 +869,64 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.azof.mv.rewrite=auto DISCOVERS candidates from the " +
+    "lake's definition sidecars: views rewrite with no per-session " +
+    "list, non-view tables are skipped cheaply, an empty lake is " +
+    "inert, and a view created AFTER the first query is picked up " +
+    "(create invalidates the session cache)") {
+    val (l, _) = mkLake("auto")
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "auto")
+    try {
+      val q = spark.sql(
+        "SELECT g1, g2, count(*) AS n, sum(v) AS sv " +
+          "FROM azof.src GROUP BY g1, g2")
+      assert(!scansSrc(q), "auto-discovered view must serve:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(q.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq ==
+        Seq(("a", "x", 2L, 12L), ("a", "y", 1L, 4L), ("b", "x", 1L, 7L)))
+      // a SECOND source + view created in the same lake AFTER the
+      // session cached the listing: create invalidates, the next
+      // query over src2 discovers mv2 without any conf change
+      AzofWriter.createTable(spark, l, "src2", srcSchema,
+        ts("2024-01-01T00:00:00Z"))
+      AzofWriter.commitBase(spark, l, "src2", df(
+        ("1", "2024-01-02T00:00:00Z", "a", "x", 5L)))
+      val ck2 = Files.createTempDirectory("azof-mvrw-auto-ck2").toString
+      val q2r = MatView.refresh(spark, l, "src2", l, "mv2", vd, ck2)
+      assert(q2r.awaitTermination(120000))
+      val q2 = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src2 GROUP BY g1")
+      assert(!scansSrc(q2),
+        "the view created after the cache filled must serve:\n" +
+          q2.queryExecution.optimizedPlan)
+      assert(q2.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("a", 1L)))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+    // an empty lake under auto is inert (no crash, no rewrite)
+    val l2 = Files.createTempDirectory("azof-mvrw-auto-empty").toString
+    AzofWriter.createTable(spark, l2, "plain", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l2, "plain", df(
+      ("1", "2024-01-02T00:00:00Z", "a", "x", 1L)))
+    spark.conf.set("spark.azof.path", l2)
+    spark.conf.set("spark.azof.mv.rewrite", "auto")
+    try {
+      val q3 = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.plain GROUP BY g1")
+      assert(scansSrc(q3), "no sidecar anywhere: the scan stands")
+      assert(q3.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("a", 1L)))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   test("the DSv2 catalog surface rewrites too; unset conf is inert") {
     val (l, _) = mkLake("dsv2")
     spark.conf.set("spark.sql.catalog.mvr", classOf[graft.sources.AzofCatalog].getName)
