@@ -1196,30 +1196,40 @@ object AzofCli {
       case "mv-histogram" =>
         // exact value histogram / heavy hitters from the support table
         // (incl. the NULL bucket): mv-histogram --path L --index-table
-        // mv --group-cols g --distinct-cols b --col b [--by g2] [--top K]
+        // mv --group-cols g --distinct-cols b --col b [--by g2]
+        // [--measures v1,v2 (declared sum cols: per-value sum/nn
+        // totals)] [--top K]
         val hvd = cliViewDef(opts)
         val hcol = opts.getOrElse("col", hvd.distinctCols.head)
         val hby = opts.get("by")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(hvd.groupCols)
+        val hms = opts.get("measures")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
         val h = graft.sources.MatView.valueHistogram(spark,
           opts.getOrElse("index-path", opts("path")),
-          opts.getOrElse("index-table", "mv"), hvd, hcol, hby)
+          opts.getOrElse("index-table", "mv"), hvd, hcol, hby,
+          measures = hms)
           .orderBy(org.apache.spark.sql.functions.col("n_rows").desc)
         opts.get("top").map(k => h.limit(k.toInt)).getOrElse(h)
           .show(numRows = 10000, truncate = false)
       case "jv-histogram" =>
         // the star twin: jv-histogram --path L --index-table jv
         //   --group-cols g --fk-col fk --dim-cols g --distinct-cols a
-        //   --col a [--by g2] [--top K]
+        //   --col a [--by g2] [--measures v1,v2] [--top K]
         val hjd = cliJoinViewDef(opts)
         val hjcol = opts.getOrElse("col", hjd.distinctCols.head)
         val hjby = opts.get("by")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(hjd.groupCols)
+        val hjms = opts.get("measures")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
         val hj = graft.sources.JoinView.valueHistogram(spark,
           opts.getOrElse("index-path", opts("path")),
-          opts.getOrElse("index-table", "jv"), hjd, hjcol, hjby)
+          opts.getOrElse("index-table", "jv"), hjd, hjcol, hjby,
+          measures = hjms)
           .orderBy(org.apache.spark.sql.functions.col("n_rows").desc)
         opts.get("top").map(k => hj.limit(k.toInt)).getOrElse(hj)
           .show(numRows = 10000, truncate = false)
