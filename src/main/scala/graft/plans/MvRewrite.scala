@@ -68,8 +68,11 @@ import org.apache.spark.sql.functions._
   * ([[MatView.freshViewVersionAt]] /
   * [[graft.sources.JoinView.freshViewVersionAt]]'s walks — the
   * reproducible `AS OF <tag>` dashboard, single-table or star with
-  * per-table pins, stops re-paying the corpus aggregate).
-  * Event-time as-of, branches, and WAP-routed reads never rewrite.
+  * per-table pins, stops re-paying the corpus aggregate) — and the
+  * `TIMESTAMP AS OF` event-time form (`mvMatchKeyAsOf`), served
+  * exactly when the coordinate provably equals the consumed state
+  * ([[MatView.unchangedSinceAsOf]]'s walk — the frozen-dashboard
+  * shape). Branches and WAP-routed reads never rewrite.
   * Output attribute ids are preserved through a positional alias
   * projection, so parent operators are untouched.
   */

@@ -66,7 +66,8 @@ object AzofQueries {
     "q72_mv_tuple_distinct" -> matViewTupleDistinct,
     "q73_star_tuple_distinct" -> starTupleDistinct,
     "q74_mv_asof_rewrite" -> matViewAsOfRewrite,
-    "q75_mv_auto_rewrite" -> matViewAutoRewrite)
+    "q75_mv_auto_rewrite" -> matViewAutoRewrite,
+    "q76_star_asof_rewrite" -> starAsOfRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1429,6 +1430,45 @@ object AzofQueries {
     }
   }
 
+  /** The EVENT-TIME STAR rewrite under the oracle gate (q74's join
+    * twin — single + star in one round): every table read
+    * `TIMESTAMP AS OF` a coordinate at-or-above its whole consumed
+    * corpus; each table gates through
+    * [[graft.sources.MatView.unchangedSinceAsOf]]'s per-table walk
+    * inside [[graft.sources.JoinView.freshViewVersions]]. Refuses a
+    * plan that still joins or aggregates.
+    */
+  private def starAsOfRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = starLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_star")
+    try {
+      val t = "2024-07-01T00:00:00Z"
+      val q = s.sql(
+        "SELECT tier, label, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, min(n_chars) AS min_n_chars, " +
+          "max(n_chars) AS max_n_chars " +
+          s"FROM azof.facts_star TIMESTAMP AS OF '$t' AS f " +
+          s"JOIN azof.src_star TIMESTAMP AS OF '$t' AS d1 " +
+          "ON f.src = d1.key " +
+          s"JOIN azof.bkt_star TIMESTAMP AS OF '$t' AS d2 " +
+          "ON f.bk = d2.key " +
+          "GROUP BY tier, label")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "event-time star rewrite did not fire — refusing to pass the " +
+          "row off the scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The BUCKET-SLICE rewrite under the oracle gate (the dashboard
     * day-slice): `WHERE date_trunc('day', t) = X GROUP BY source` —
     * the filter's derived subtree substitutes to the view's STORED
@@ -2017,7 +2057,7 @@ object AzofQueries {
     * distinct mass onto `a9`, the deletes decrement refcounts.
     */
   private[queries] def starLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "star-v5", "doc_star") { l =>
+    cachedLake(dir, "star-v6", "doc_star") { l =>
       import graft.sources.{AzofWriter, JoinView}
       val docs = Tables(s, dir, "documents")
       val srcs = docs.select("source").distinct()
@@ -2443,6 +2483,36 @@ object AzofQueries {
     // star truth (pins ARE the current versions; refusals are
     // spec-side)
     "q62_star_pinned_rewrite" -> starViewOracle,
+    // an event-time coordinate at-or-above every table's consumed
+    // corpus serves the same star truth through the per-table as-of
+    // walks (q74's join twin; refusals are spec-side)
+    "q76_star_asof_rewrite" ->
+      """WITH fact AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
+                    AS src,
+                  'b' || CAST(doc_id % 4 AS VARCHAR) AS bk,
+                  CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars
+                    END AS n_chars
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         dim1 AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 'vip'
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even'
+                       ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents)),
+         dim2 AS (
+           SELECT 'b' || CAST(b AS VARCHAR) AS k,
+                  CASE WHEN b = 1 THEN 'xl'
+                       WHEN b % 2 = 0 THEN 'low' ELSE 'high' END AS label
+           FROM (VALUES (0),(1),(2),(3)) AS t(b) WHERE b <> 3)
+         SELECT tier, label, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+         FROM fact JOIN dim1 ON fact.src = dim1.k
+                   JOIN dim2 ON fact.bk = dim2.k
+         GROUP BY tier, label""",
     // the day-bucketed rollup reconstructed one-shot: the Apr revision
     // moved every fifth doc +36h across buckets and bumped v
     "q63_mv_timebucket" ->

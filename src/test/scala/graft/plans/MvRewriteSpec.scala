@@ -753,8 +753,9 @@ class MvRewriteSpec extends AnyFunSuite {
 
   test("VERSION-pinned reads rewrite exactly when the pin is provably " +
     "view-identical: fresh pin + tag serve from the view, a pin below " +
-    "a state-changing commit falls back, event-time as-of never " +
-    "rewrites") {
+    "a state-changing commit falls back, an event-time coordinate " +
+    "BELOW existing rows refuses (the covered coordinate serves — " +
+    "the round-15 EVENT-TIME test)") {
     val (l, ck) = mkLake("tt")
     AzofWriter.tagVersion(spark, l, "src", "report", Some(2L))
     withConfs(l) {
@@ -775,11 +776,16 @@ class MvRewriteSpec extends AnyFunSuite {
           "GROUP BY g1")
       assert(!scansSrc(qt), "tag pin serves from the view")
       assert(counts(qt) == counts(q2))
-      // event-time as-of NEVER rewrites (a different view semantics)
+      // an event-time coordinate BELOW existing rows refuses — the
+      // as-of view at t differs from the consumed Current state (rows
+      // at 2024-01-02 sit above it), so the gate's leg 1 fails and the
+      // query time-travels the scan instead (a coordinate covering the
+      // whole corpus SERVES — the round-15 EVENT-TIME test's half)
       val qts = spark.sql(
         "SELECT g1, count(*) AS n FROM azof.src " +
-          "TIMESTAMP AS OF '2024-06-01T00:00:00Z' GROUP BY g1")
-      assert(scansSrc(qts), "event-time as-of must aggregate the scan")
+          "TIMESTAMP AS OF '2024-01-01T12:00:00Z' GROUP BY g1")
+      assert(scansSrc(qts),
+        "a below-corpus coordinate must aggregate the scan")
       // post-pin churn: the view moves past the pin — the pinned read
       // must fall back to time travel, the Current read keeps rewriting
       AzofWriter.commitDelta(spark, l, "src", df(
@@ -1210,6 +1216,76 @@ class MvRewriteSpec extends AnyFunSuite {
         r.getLong(2))).sortBy(x => (x._1, String.valueOf(x._2))).toSeq ==
         Seq(("t1", null, 1L), ("t1", "x", 2L), ("t2", "y", 1L)),
         "per-tier star histogram with the NULL bucket")
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  test("EVENT-TIME AS OF star reads rewrite through the per-table " +
+    "as-of walks: a coordinate at-or-above every table's consumed " +
+    "corpus serves; above-coordinate fact churn (un-refreshed) keeps " +
+    "serving; a dim change at-or-below the coordinate refuses to the " +
+    "time-traveled join") {
+    import graft.sources.JoinView
+    val (l, jdef) = mkJoinDvLake("asof")
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "jdv")
+    try {
+      def joins(q: org.apache.spark.sql.DataFrame) =
+        q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      val t = "2024-02-01T00:00:00Z" // above every committed stamp
+      def starSql = "SELECT tier, count(*) AS n, sum(v) AS sv " +
+        s"FROM azof.fact TIMESTAMP AS OF '$t' AS f " +
+        s"JOIN azof.dim TIMESTAMP AS OF '$t' AS d ON f.fk = d.key " +
+        "GROUP BY tier"
+      val truth = Seq(("t1", 3L, 16L), ("t2", 1L, 7L))
+      val q1 = spark.sql(starSql)
+      assert(!scansSrc(q1) && joins(q1).isEmpty,
+        "per-table as-of coordinates at-or-above the corpus serve:\n" +
+          q1.queryExecution.optimizedPlan)
+      assert(q1.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq == truth)
+      // MIXED: fact as-of, dim Current — both walks pass
+      val qm = spark.sql(
+        s"SELECT tier, count(*) AS n FROM azof.fact TIMESTAMP AS OF " +
+          s"'$t' AS f JOIN azof.dim d ON f.fk = d.key GROUP BY tier")
+      assert(!scansSrc(qm) && joins(qm).isEmpty, "mixed as-of serves")
+      // FROZEN STAR DASHBOARD: fact churn lands ABOVE the coordinate
+      // and the view does NOT refresh — the as-of star keeps serving
+      AzofWriter.commitDelta(spark, l, "fact",
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          Row("9", Timestamp.from(ts("2024-03-05T00:00:00Z")),
+            "d1", 99L, "z"))),
+          TableSchema(Seq(
+            ColumnDef("fk", ColumnType.AzString, nullable = false),
+            ColumnDef("v", ColumnType.AzInt, nullable = false),
+            ColumnDef("a", ColumnType.AzString, nullable = true)))
+            .toStruct),
+        ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))
+      val qf = spark.sql(starSql)
+      assert(!scansSrc(qf) && joins(qf).isEmpty,
+        "above-coordinate fact churn is view-preserving for t:\n" +
+          qf.queryExecution.optimizedPlan)
+      assert(qf.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq == truth)
+      // a DIM change at-or-below the coordinate refuses — the
+      // time-traveled join fallback is exact (re-tier et ≤ t)
+      AzofWriter.commitDelta(spark, l, "dim",
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          Row("d1", Timestamp.from(ts("2024-01-20T00:00:00Z")), "t9"))),
+          TableSchema(Seq(ColumnDef("tier", ColumnType.AzString,
+            nullable = false))).toStruct),
+        ts("2024-01-15T00:00:00Z"), ts("2024-02-01T00:00:00Z"))
+      val qb = spark.sql(starSql)
+      assert(scansSrc(qb),
+        "a dim change at-or-below the coordinate must refuse:\n" +
+          qb.queryExecution.optimizedPlan)
+      assert(qb.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq ==
+        Seq(("t2", 1L, 7L), ("t9", 3L, 16L)),
+        "fallback time-travels the re-tier exactly")
     } finally {
       spark.conf.unset("spark.azof.path")
       spark.conf.unset("spark.azof.mv.rewrite")
