@@ -589,8 +589,15 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val grouped =
           if (viewLeaves.isEmpty && groups.nonEmpty)
             // aggregate-free GROUP BY (`SELECT g FROM t GROUP BY g`) or
-            // distinct-only outputs: the live group tuples off the view
-            serve.select(groups.map(col): _*).distinct()
+            // distinct-only outputs: the live group tuples off the
+            // view — via an EXPLICIT groupBy Aggregate, never
+            // `.distinct()`: that lowers to a Deduplicate node, and the
+            // optimizer batch that replaces Deduplicate with Aggregate
+            // has ALREADY run by the time this rule fires, so embedding
+            // one crashes planning with INTERNAL_ERROR
+            serve.groupBy(groups.map(col): _*)
+              .agg(count(lit(1)).as("_dd"))
+              .select(groups.map(col): _*)
           else if (viewLeaves.isEmpty)
             // global distinct-only aggregate: the support frames below
             // are each one row — seed with a one-row zero-column frame

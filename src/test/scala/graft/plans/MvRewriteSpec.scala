@@ -620,6 +620,113 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("the rewrite MATRIX composes: sum-weighted histograms under " +
+    "VERSION pins and WHERE slices, and EVENT-TIME coordinates over " +
+    "distinct counts, tuples, and histograms — every cell serves " +
+    "corpus-free from the gate-pinned snapshots") {
+    val dSchema = TableSchema(Seq(
+      ColumnDef("g1", ColumnType.AzString, nullable = false),
+      ColumnDef("g2", ColumnType.AzString, nullable = false),
+      ColumnDef("b", ColumnType.AzString, nullable = true),
+      ColumnDef("v", ColumnType.AzInt, nullable = true)))
+    val vD = ViewDef(Seq("g1", "g2"), sumCols = Seq("v"),
+      distinctCols = Seq("b"), distinctTuples = Seq(Seq("b", "v")))
+    val l = Files.createTempDirectory("azof-mvrw-matrix").toString
+    val ck = Files.createTempDirectory("azof-mvrw-matrix-ck").toString
+    AzofWriter.createTable(spark, l, "src", dSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a", "x", "u", 10L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a", "x", "u", 4L),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a", "y", "w", null),
+        Row("4", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "b", "x", null, 7L))), dSchema.toStruct))
+    val q0 = MatView.refresh(spark, l, "src", l, "mv", vD, ck)
+    assert(q0.awaitTermination(120000))
+    val vPin = graft.format.AzofTable(spark, l, "src").currentVersion
+    val tPin = "2024-02-01T00:00:00Z" // above the whole corpus
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "mv")
+    try {
+      // VERSION-pinned sum histogram
+      val qp = spark.sql(
+        "SELECT b, count(*) AS n, sum(v) AS sv " +
+          s"FROM azof.src VERSION AS OF $vPin GROUP BY b")
+      assert(!scansSrc(qp), "pinned sum histogram must serve:\n" +
+        qp.queryExecution.optimizedPlan)
+      assert(qp.collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+        .sortBy(x => String.valueOf(x._1)).toSeq ==
+        Seq((null, 1L, 7L), ("u", 2L, 14L), ("w", 1L, null)),
+        "NULL bucket sum + all-null-measure bucket serves NULL")
+      // WHERE-sliced sum histogram (slice col outside the grain)
+      val qw = spark.sql(
+        "SELECT b, sum(v) AS sv FROM azof.src WHERE g2 = 'x' GROUP BY b")
+      assert(!scansSrc(qw), "sliced sum histogram must serve")
+      assert(qw.collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getLong(1)))
+        .sortBy(x => String.valueOf(x._1)).toSeq ==
+        Seq((null, 7L), ("u", 14L)))
+      // EVENT-TIME coordinate over a sum histogram
+      val qth = spark.sql(
+        "SELECT b, count(*) AS n, sum(v) AS sv " +
+          s"FROM azof.src TIMESTAMP AS OF '$tPin' GROUP BY b")
+      assert(!scansSrc(qth), "as-of sum histogram must serve:\n" +
+        qth.queryExecution.optimizedPlan)
+      assert(qth.collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+        .sortBy(x => String.valueOf(x._1)).toSeq ==
+        Seq((null, 1L, 7L), ("u", 2L, 14L), ("w", 1L, null)))
+      // EVENT-TIME coordinate over distinct counts + TUPLES
+      val qtd = spark.sql(
+        "SELECT g1, count(DISTINCT b) AS dv, " +
+          "count(DISTINCT b, v) AS dvt " +
+          s"FROM azof.src TIMESTAMP AS OF '$tPin' GROUP BY g1")
+      assert(!scansSrc(qtd), "as-of distinct + tuple must serve:\n" +
+        qtd.queryExecution.optimizedPlan)
+      assert(qtd.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq ==
+        Seq(("a", 2L, 2L), ("b", 0L, 0L)),
+        "tuple skips any-null rows; all-null group serves 0")
+      // the aggregate-free GROUP BY shape (same distinct-only plan
+      // path): the embedded dedup must be an Aggregate, never a
+      // Deduplicate node — a Deduplicate lands AFTER the optimizer's
+      // replace batch and crashes planning (the latent INTERNAL_ERROR
+      // this spec first exposed)
+      val qg = spark.sql("SELECT g1 FROM azof.src GROUP BY g1")
+      assert(!scansSrc(qg), "aggregate-free GROUP BY serves")
+      assert(qg.collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("a", "b"))
+      // a BELOW-corpus coordinate refuses every shape
+      val qlow = spark.sql(
+        "SELECT b, count(*) AS n FROM azof.src " +
+          "TIMESTAMP AS OF '2024-01-01T12:00:00Z' GROUP BY b")
+      assert(scansSrc(qlow), "below-corpus coordinate refuses")
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+    // the lake::auto conf form names the discovery lake EXPLICITLY
+    // (production sessions pointing several lakes at one conf)
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", s"$l::auto")
+    try {
+      val qa2 = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src GROUP BY g1")
+      assert(!scansSrc(qa2), "lake::auto discovers candidates:\n" +
+        qa2.queryExecution.optimizedPlan)
+      assert(qa2.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("a", 3L), ("b", 1L)))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   test("AVG/COUNT(c) over a JOIN view serve from its nn_ totals — " +
     "round 13's crash shape: the decomposed nn_ leaf must resolve") {
     import graft.sources.{DimJoin, JoinView, JoinViewDef}
