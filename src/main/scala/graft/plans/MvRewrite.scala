@@ -833,6 +833,18 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class HCalc(
       leaves: Seq[AggLeaf], b: Seq[Column] => Column) extends HOut
 
+  /** The histogram's VALUE key: one declared distinct column, or a
+    * declared TUPLE (the multi-column histogram `GROUP BY cat, sub` —
+    * components in DECLARED order, the pairs' encoding order, each
+    * with its query attribute for the split-back cast).
+    */
+  private sealed trait HKey { def dcol: String }
+  private case class HSingle(a: AttributeReference) extends HKey {
+    def dcol: String = a.name
+  }
+  private case class HTuple(
+      dcol: String, comps: Seq[AttributeReference]) extends HKey
+
   /** Match the histogram SHAPE against one candidate: grouping columns
     * are view group columns plus exactly ONE declared distinct column,
     * outputs are those columns or expression trees over the PAIR-GRAIN
@@ -847,21 +859,38 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def histShape(
       agg: Aggregate, vd: ViewDef, conds: Seq[Expression])
-      : Option[(AttributeReference, Seq[String], Seq[HOut],
+      : Option[(HKey, Seq[String], Seq[HOut],
         Seq[String])] =
     traverse(agg.groupingExpressions.map {
       case a: AttributeReference
         if vd.groupCols.contains(a.name) ||
-          vd.distinctCols.contains(a.name) => Some(a)
+          vd.distinctCols.contains(a.name) ||
+          vd.distinctTuples.exists(_.contains(a.name)) => Some(a)
       case _ => None
     }).flatMap { attrs =>
-      val dAttrs = attrs.filter(a => vd.distinctCols.contains(a.name))
-      if (dAttrs.size != 1) None // exactly one distinct grouping col
-      else {
-        val dAttr = dAttrs.head
-        val groups = attrs.map(_.name).filterNot(_ == dAttr.name)
+      val nonGroup = attrs.filterNot(a => vd.groupCols.contains(a.name))
+      val keyOpt: Option[HKey] =
+        if (nonGroup.size == 1 &&
+          vd.distinctCols.contains(nonGroup.head.name))
+          Some(HSingle(nonGroup.head))
+        else if (nonGroup.size >= 2 &&
+          nonGroup.map(_.name).distinct.size == nonGroup.size)
+          // the MULTI-COLUMN histogram: the non-group keys form
+          // exactly a declared tuple (any order) — servable only when
+          // every component is NON-NULLABLE: SQL's GROUP BY splits
+          // partial-null rows into groups the all-non-null pairs
+          // cannot reconstruct, so a nullable component refuses
+          vd.distinctTuples
+            .find(_.sorted == nonGroup.map(_.name).sorted)
+            .filter(_ => nonGroup.forall(!_.nullable))
+            .map(t => HTuple(t.mkString(","),
+              t.map(n => nonGroup.find(_.name == n).get)))
+        else None
+      keyOpt.flatMap { key =>
+        val groups = attrs.map(_.name)
+          .filterNot(n => nonGroup.exists(_.name == n))
         val condsOk = conds.forall(c => filterCovered(c, vd) &&
-          !c.references.exists(_.name == dAttr.name))
+          !c.references.exists(a => nonGroup.exists(_.name == a.name)))
         def pairServable(l: AggLeaf): Boolean = l match {
           case CountL => true
           case SumL(c) => vd.sumCols.contains(c)
@@ -890,7 +919,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             case _ => Nil
           }.distinct
-          (dAttr, groups, outs, measures)
+          (key, groups, outs, measures)
         }
       }
     }
@@ -900,7 +929,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def histProject(
       agg: Aggregate, hist: org.apache.spark.sql.DataFrame,
-      dAttr: AttributeReference, outs: Seq[HOut]): LogicalPlan = {
+      key: HKey, outs: Seq[HOut]): LogicalPlan = {
     def leafCol(l: AggLeaf): Column = l match {
       case CountL       => col("n_rows")
       case SumL(c)      => col(s"sum_$c")
@@ -908,10 +937,23 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => throw new IllegalStateException(
         s"histogram shape admitted a non-pair-servable leaf $other")
     }
+    // a key-component output splits the encoded value back into its
+    // typed component (declared tuple order = the encoding order;
+    // limit -1 keeps empty-string components; element_at is 1-based)
+    def keyCol(c: String): Option[Column] = key match {
+      case HSingle(a) if a.name == c =>
+        Some(col("value").cast(a.dataType))
+      case HTuple(_, comps) =>
+        comps.zipWithIndex.collectFirst {
+          case (a, i) if a.name == c =>
+            element_at(split(col("value"), "\\u0001", -1), i + 1)
+              .cast(a.dataType)
+        }
+      case _ => None
+    }
     val slim = hist.select(outs.zipWithIndex.map {
-      case (HGroup(c), i) if c == dAttr.name =>
-        col("value").cast(dAttr.dataType).as(s"_mv_$i")
-      case (HGroup(c), i) => col(c).as(s"_mv_$i")
+      case (HGroup(c), i) =>
+        keyCol(c).getOrElse(col(c)).as(s"_mv_$i")
       case (HCalc(ls, b), i) =>
         b(ls.map(leafCol)).as(s"_mv_$i")
     }: _*)
@@ -933,7 +975,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }.flatMap { case (sLake, sTable, vd) =>
           if (norm(sLake, sTable) != srcKey) None
           else histShape(agg, vd, conds).flatMap {
-            case (dAttr, groups, outs, measures) =>
+            case (key, groups, outs, measures) =>
               // the gate pins view AND support snapshots before its
               // walk (the TOCTOU close — a histogram always reads both)
               MatView.freshViewVersions(
@@ -958,9 +1000,9 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   // columns outside the queried grain)
                   histProject(agg,
                     MatView.valueHistogram(spark, lake, mv, vd,
-                      dAttr.name, groups, Some(viewV), dvV,
+                      key.dcol, groups, Some(viewV), dvV,
                       measures = measures, slice = conds),
-                    dAttr, outs)
+                    key, outs)
                 }
           }
         }
@@ -1009,7 +1051,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if (norm(d.factLake, d.factTable) != factKey || !dimsMatch ||
               !provenanced) None
             else histShape(agg, vd, conds).flatMap {
-              case (dAttr, groups, outs, measures) =>
+              case (key, groups, outs, measures) =>
                 val dimPins = jdef.dims.map(dj => sideByFk(dj.fkCol).pin)
                 // both index snapshots pinned inside the gate, before
                 // its per-table walks (the TOCTOU close)
@@ -1029,9 +1071,9 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                       s"to support pairs of $mv@$viewV")
                     histProject(agg,
                       graft.sources.JoinView.valueHistogram(spark, lake,
-                        mv, jdef, dAttr.name, groups, Some(viewV),
+                        mv, jdef, key.dcol, groups, Some(viewV),
                         dvV, measures = measures, slice = conds),
-                      dAttr, outs)
+                      key, outs)
                   }
             }
           }

@@ -67,7 +67,9 @@ object AzofQueries {
     "q73_star_tuple_distinct" -> starTupleDistinct,
     "q74_mv_asof_rewrite" -> matViewAsOfRewrite,
     "q75_mv_auto_rewrite" -> matViewAutoRewrite,
-    "q76_star_asof_rewrite" -> starAsOfRewrite)
+    "q76_star_asof_rewrite" -> starAsOfRewrite,
+    "q77_mv_tuple_histogram" -> matViewTupleHistogram,
+    "q78_star_tuple_histogram" -> starTupleHistogram)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -1469,6 +1471,137 @@ object AzofQueries {
     }
   }
 
+  /** The q77 [[graft.sources.ViewDef]]: per-source sums over `w` plus
+    * a declared NON-NULLABLE tuple `(cat, sub)` — the two-dimension
+    * histogram's support.
+    */
+  private val tupDef = graft.sources.ViewDef(Seq("source"),
+    sumCols = Seq("w"), distinctTuples = Seq(Seq("cat", "sub")))
+
+  /** Three-commit tuple-histogram lake: non-nullable dimensions
+    * `cat = 'c' || doc_id % 3` / `sub = doc_id % 2` with measure
+    * `w = n_chars`; the revision moves every fifth doc to `cat = 'c9'`
+    * with `w + 1` (tuples move across values AND groups); docs 6/7
+    * deleted.
+    */
+  private[queries] def tupLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "tup-v1", "doc_tup") { l =>
+      import graft.sources.MatView
+      val docs = Tables(s, dir, "documents")
+      AzofWriter.createTable(s, l, "docs_tup",
+        TableSchema(Seq(
+          ColumnDef("source", ColumnType.AzString, nullable = false),
+          ColumnDef("cat", ColumnType.AzString, nullable = false),
+          ColumnDef("sub", ColumnType.AzInt, nullable = false),
+          ColumnDef("w", ColumnType.AzInt, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val ck = new java.io.File(l, "_tup_ck").toString
+      def refresh(): Unit = {
+        val q = MatView.refresh(s, l, "docs_tup", l, "doc_tup", tupDef, ck)
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(
+            "tuple-view refresh did not terminate within 300s")
+      }
+      def rows(filter: org.apache.spark.sql.Column, at: String,
+          cat: org.apache.spark.sql.Column =
+            concat(lit("c"), (col("doc_id") % 3).cast("string")),
+          w: org.apache.spark.sql.Column = col("n_chars")) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          col("source"), cat.as("cat"),
+          (col("doc_id") % 2).cast("long").as("sub"),
+          w.cast("long").as("w"))
+      AzofWriter.commitBase(s, l, "docs_tup",
+        rows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_tup",
+        rows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_tup",
+        rows(col("doc_id") % 5 === 0, "2024-04-05T00:00:00Z",
+          cat = lit("c9"), w = col("n_chars") + 1),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelete(s, l, "docs_tup", Seq("6", "7"),
+        Instant.parse("2024-05-05T00:00:00Z"))
+      refresh()
+      ()
+    }
+
+  /** The MULTI-COLUMN histogram rewrite under the oracle gate: plain
+    * SQL `GROUP BY cat, sub` — a declared tuple's NON-NULLABLE
+    * components — with counts, sums, and the derived mean, served from
+    * the tuple's support pairs with the encoded value split back into
+    * typed components. Exactness rides tuple-moving revisions and
+    * deletes. Refuses any surviving azof relation (nullable components
+    * refuse shape-side — spec-pinned).
+    */
+  private def matViewTupleHistogram(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = tupLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_tup")
+    try {
+      val q = s.sql(
+        "SELECT cat, sub, count(*) AS n_rows, sum(w) AS sum_w, " +
+          "avg(w) AS avg_w FROM azof.docs_tup GROUP BY cat, sub")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "tuple-histogram rewrite did not fire — refusing to pass the " +
+          "row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** [[matViewTupleHistogram]]'s STAR twin: `GROUP BY tier, bk,
+    * n_chars` over `fact ⋈ dims` — the declared `(bk, n_chars)` tuple
+    * (both components non-nullable fact columns) plus a dim attribute —
+    * served from the star view's tuple pairs. Refuses any surviving
+    * azof relation.
+    */
+  private def starTupleHistogram(s: SparkSession, dir: String): DataFrame = {
+    val lake = starLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_star")
+    try {
+      val q = s.sql(
+        "SELECT tier, bk, n_chars, count(*) AS n_rows " +
+          "FROM azof.facts_star f " +
+          "JOIN azof.src_star d1 ON f.src = d1.key " +
+          "JOIN azof.bkt_star d2 ON f.bk = d2.key " +
+          "GROUP BY tier, bk, n_chars")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "star tuple-histogram rewrite did not fire — refusing to pass " +
+          "the row off the corpus scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The BUCKET-SLICE rewrite under the oracle gate (the dashboard
     * day-slice): `WHERE date_trunc('day', t) = X GROUP BY source` —
     * the filter's derived subtree substitutes to the view's STORED
@@ -2030,7 +2163,8 @@ object AzofQueries {
     dims = Seq(graft.sources.DimJoin("src", Seq("tier")),
       graft.sources.DimJoin("bk", Seq("label"))),
     distinctCols = Seq("author"),
-    distinctTuples = Seq(Seq("author", "n_chars")))
+    distinctTuples = Seq(Seq("author", "n_chars"),
+      Seq("bk", "n_chars")))
 
   /** The q64 day-bucketed STAR [[graft.sources.JoinViewDef]] over the
     * SAME tables: per-(tier, day) counts and char sums, `day` a DERIVED
@@ -2057,7 +2191,7 @@ object AzofQueries {
     * distinct mass onto `a9`, the deletes decrement refcounts.
     */
   private[queries] def starLake(s: SparkSession, dir: String): String =
-    cachedLake(dir, "star-v6", "doc_star") { l =>
+    cachedLake(dir, "star-v7", "doc_star") { l =>
       import graft.sources.{AzofWriter, JoinView}
       val docs = Tables(s, dir, "documents")
       val srcs = docs.select("source").distinct()
@@ -2711,6 +2845,45 @@ object AzofQueries {
          FROM fact JOIN dim1 ON fact.src = dim1.k
                    JOIN dim2 ON fact.bk = dim2.k
          GROUP BY tier""",
+    // the two-dimension histogram from the tuple pairs: counts, sums,
+    // and the mean per (cat, sub), split back into typed components
+    "q77_mv_tuple_histogram" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'c9'
+                       ELSE 'c' || CAST(doc_id % 3 AS VARCHAR) END AS cat,
+                  doc_id % 2 AS sub,
+                  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1
+                       ELSE n_chars END AS w
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT cat, sub, COUNT(*) AS n_rows,
+                CAST(SUM(w) AS BIGINT) AS sum_w,
+                CAST(SUM(w) AS DOUBLE) / COUNT(w) AS avg_w
+         FROM live GROUP BY 1, 2""",
+    // the STAR twin: (dim attr, fact tuple) histogram over the three
+    // reconstructed final states
+    "q78_star_tuple_histogram" ->
+      """WITH fact AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
+                    AS src,
+                  'b' || CAST(doc_id % 4 AS VARCHAR) AS bk,
+                  CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars
+                    END AS n_chars
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         dim1 AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 'vip'
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even'
+                       ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents)),
+         dim2 AS (
+           SELECT 'b' || CAST(b AS VARCHAR) AS k
+           FROM (VALUES (0),(1),(2),(3)) AS t(b) WHERE b <> 3)
+         SELECT tier, bk, n_chars, COUNT(*) AS n_rows
+         FROM fact JOIN dim1 ON fact.src = dim1.k
+                   JOIN dim2 ON fact.bk = dim2.k
+         GROUP BY 1, 2, 3""",
     // the Mar-1 day slice of the bucketed rollup: rows whose (possibly
     // +36h-shifted) timestamp truncates to Mar 1
     "q68_mv_bucket_slice" ->

@@ -729,6 +729,7 @@ object JoinView {
     // derived names materialize AFTER the join (fact-side expressions)
     val rawCols = (jdef.groupCols.filterNot(jdef.derivedNames.contains) ++
       jdef.sumCols ++ jdef.minMaxCols ++ jdef.distinctCols ++
+      jdef.distinctTuples.flatten ++
       jdef.derivedGroups.flatMap(_.srcRefs)).distinct
     def enrich(facts: DataFrame, dimFrames: Seq[DataFrame]): DataFrame =
       withDerived(dims.indices.foldLeft(facts) { (acc, i) =>
@@ -1186,6 +1187,7 @@ object JoinView {
       .select(jdef.factNeeded.map(col): _*)
     val rawCols = (jdef.groupCols.filterNot(jdef.derivedNames.contains) ++
       jdef.sumCols ++ jdef.minMaxCols ++ jdef.distinctCols ++
+      jdef.distinctTuples.flatten ++
       jdef.derivedGroups.flatMap(_.srcRefs)).distinct
     val joined = withDerived(dims.indices.foldLeft(facts) { (acc, i) =>
       val (dl, dt) = dims(i)

@@ -706,6 +706,14 @@ class MvRewriteSpec extends AnyFunSuite {
         "SELECT b, count(*) AS n FROM azof.src " +
           "TIMESTAMP AS OF '2024-01-01T12:00:00Z' GROUP BY b")
       assert(scansSrc(qlow), "below-corpus coordinate refuses")
+      // a MULTI-COLUMN histogram over NULLABLE tuple components
+      // refuses: SQL's GROUP BY b, v splits partial-null rows into
+      // groups the all-non-null pairs cannot reconstruct
+      val qtn = spark.sql(
+        "SELECT b, v, count(*) AS n FROM azof.src GROUP BY b, v")
+      assert(scansSrc(qtn),
+        "nullable tuple components must refuse the histogram")
+      assert(qtn.collect().length == 4)
     } finally {
       spark.conf.unset("spark.azof.path")
       spark.conf.unset("spark.azof.mv.rewrite")
@@ -721,6 +729,78 @@ class MvRewriteSpec extends AnyFunSuite {
         qa2.queryExecution.optimizedPlan)
       assert(qa2.collect().map(r => (r.getString(0), r.getLong(1)))
         .sortBy(_._1).toSeq == Seq(("a", 3L), ("b", 1L)))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  test("MULTI-COLUMN histograms: GROUP BY over a declared tuple's " +
+    "NON-NULLABLE components serves from the tuple pairs with the " +
+    "encoded value split back into typed components — counts and " +
+    "measures, any component order, WHERE-sliced") {
+    val tSchema = TableSchema(Seq(
+      ColumnDef("g", ColumnType.AzString, nullable = false),
+      ColumnDef("cat", ColumnType.AzString, nullable = false),
+      ColumnDef("sub", ColumnType.AzInt, nullable = false),
+      ColumnDef("w", ColumnType.AzInt, nullable = false)))
+    val vD = ViewDef(Seq("g"), sumCols = Seq("w"),
+      distinctTuples = Seq(Seq("cat", "sub")))
+    val l = Files.createTempDirectory("azof-mvrw-tuph").toString
+    val ck = Files.createTempDirectory("azof-mvrw-tuph-ck").toString
+    AzofWriter.createTable(spark, l, "src", tSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a", "c1", 0L, 10L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a", "c1", 0L, 4L),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a", "c1", 1L, 2L),
+        Row("4", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "b", "c2", 0L, 7L))), tSchema.toStruct))
+    val q0 = MatView.refresh(spark, l, "src", l, "mv", vD, ck)
+    assert(q0.awaitTermination(120000))
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "mv")
+    try {
+      // the classic two-dimension histogram with measures, global grain
+      val qt = spark.sql(
+        "SELECT cat, sub, count(*) AS n, sum(w) AS sw, avg(w) AS aw " +
+          "FROM azof.src GROUP BY cat, sub")
+      assert(!scansSrc(qt),
+        "tuple histogram must serve from the pairs:\n" +
+          qt.queryExecution.optimizedPlan)
+      assert(qt.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(x => (x._1, x._2)).toSeq ==
+        Seq(("c1", 0L, 2L, 14L, 7.0), ("c1", 1L, 1L, 2L, 2.0),
+          ("c2", 0L, 1L, 7L, 7.0)),
+        "typed components split back from the encoded pair value")
+      // any component order + the view group alongside
+      val qo = spark.sql(
+        "SELECT g, sub, cat, count(*) AS n FROM azof.src " +
+          "GROUP BY g, sub, cat")
+      assert(!scansSrc(qo), "permuted components + group serve")
+      assert(qo.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getLong(3))).sortBy(x => (x._1, x._3, x._2))
+        .toSeq ==
+        Seq(("a", 0L, "c1", 2L), ("a", 1L, "c1", 1L),
+          ("b", 0L, "c2", 1L)))
+      // WHERE on a view group column slices the pair frame
+      val qw = spark.sql(
+        "SELECT cat, sub, count(*) AS n FROM azof.src " +
+          "WHERE g = 'a' GROUP BY cat, sub")
+      assert(!scansSrc(qw), "sliced tuple histogram serves")
+      assert(qw.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq ==
+        Seq(("c1", 0L, 2L), ("c1", 1L, 1L)))
+      // an UNDECLARED column pair refuses
+      val qu = spark.sql(
+        "SELECT cat, w, count(*) AS n FROM azof.src GROUP BY cat, w")
+      assert(scansSrc(qu), "undeclared pair must refuse")
+      assert(qu.collect().length == 4)
     } finally {
       spark.conf.unset("spark.azof.path")
       spark.conf.unset("spark.azof.mv.rewrite")
