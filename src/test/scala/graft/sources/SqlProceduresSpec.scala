@@ -259,13 +259,13 @@ class SqlProceduresSpec extends AnyFunSuite {
       s"dim_table => 'sfd1,sfd2', index_path => '$lake', " +
       "group_cols => 'tier,region,day', fk_col => 'f1,f2', " +
       "dim_cols => 'tier;region', sum_cols => 'v', " +
-      "distinct_cols => 'a', " +
+      "distinct_cols => 'a', distinct_tuples => 'a+v', " +
       "derived => 'day:DateTime=date_trunc(''day'', t)', " +
       "index_table => 'jv_star_proc')").collect()(0)
     assert(r.getLong(2) == 2L, s"two (tier, region, day) groups: $r")
     val jd = JoinViewDef(Seq("tier", "region", "day"), sumCols = Seq("v"),
       dims = Seq(DimJoin("f1", Seq("tier")), DimJoin("f2", Seq("region"))),
-      distinctCols = Seq("a"),
+      distinctCols = Seq("a"), distinctTuples = Seq(Seq("a", "v")),
       derivedGroups = Seq(DerivedGroup("day", "date_trunc('day', t)",
         ColumnType.AzDateTime)))
     val got = JoinView.serve(spark, lake, "jv_star_proc", jd)
@@ -280,6 +280,12 @@ class SqlProceduresSpec extends AnyFunSuite {
       "a", Seq("tier")).collect()(0)
     assert((dv.getString(0), dv.getLong(1)) == ("t1", 1L),
       "duplicate 'x' counts once through the SQL-built support table")
+    // the distinct_tuples parameter declared (a, v) pairs too: the
+    // two rows carry (x, 10) and (x, 4) — two distinct tuples
+    val dvt = JoinView.countDistinct(spark, lake, "jv_star_proc", jd,
+      "a,v", Seq("tier")).collect()(0)
+    assert((dvt.getString(0), dvt.getLong(1)) == ("t1", 2L),
+      "tuple support built through the SQL procedure parameter")
   }
 
   test("CALL system.vacuum dry-run reports, wet run deletes") {
