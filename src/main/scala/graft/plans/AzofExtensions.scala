@@ -58,8 +58,16 @@ final class AzofSqlParser(
     delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
   extends org.apache.spark.sql.catalyst.parser.ParserInterface {
 
+  /** MATERIALIZED VIEW DDL (CREATE/REFRESH/DROP — [[ViewDdl]]) is
+    * intercepted before the delegate: Spark's grammar has no such
+    * statements, and the reference's precedent is exactly this kind of
+    * pre-parse SQL dialect extension (its `AT(...)` rewrite mutates
+    * the sqlparser AST before DataFusion plans —
+    * crates/azof-datafusion/src/parse.rs:17-118).
+    */
   override def parsePlan(sqlText: String): LogicalPlan =
-    AzofSqlRule(spark)(delegate.parsePlan(sqlText))
+    ViewDdl.parse(sqlText).getOrElse(
+      AzofSqlRule(spark)(delegate.parsePlan(sqlText)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     AzofSqlRule(spark)(delegate.parseQuery(sqlText))

@@ -114,7 +114,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * filter conjuncts (validated against the view's group columns by
     * the caller).
     */
-  private def srcOf(plan: LogicalPlan)
+  private[plans] def srcOf(plan: LogicalPlan)
       : Option[(String, Seq[Expression], Option[graft.sources.ReadPin])] =
     plan match {
       case l: LogicalRelation => l.relation match {
@@ -158,7 +158,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Some(graft.sources.ReadPin.EventTime(t))
             : Option[graft.sources.ReadPin]) })
 
-  private def splitAnd(e: Expression): Seq[Expression] = e match {
+  private[plans] def splitAnd(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitAnd(l) ++ splitAnd(r)
     case other => Seq(other)
   }
@@ -166,7 +166,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Strip pure column-pruning Projects and Filters off a plan,
     * collecting the filter conjuncts.
     */
-  private def strip(plan: LogicalPlan): (LogicalPlan, Seq[Expression]) =
+  private[plans] def strip(plan: LogicalPlan): (LogicalPlan, Seq[Expression]) =
     plan match {
       case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
         strip(p.child)
@@ -180,7 +180,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * here), as its normalized source key plus its `VERSION AS OF` pin
     * (None = the un-pinned Current read).
     */
-  private def relKey(plan: LogicalPlan)
+  private[plans] def relKey(plan: LogicalPlan)
       : Option[(String, Option[graft.sources.ReadPin])] =
     plan match {
       case l: LogicalRelation => l.relation match {
@@ -201,7 +201,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * fact fk column joining to its record key, and the dim relation's
     * output (for attribute provenance checks).
     */
-  private case class DimSide(
+  private[plans] case class DimSide(
       dimKey: String, pin: Option[graft.sources.ReadPin], fkName: String,
       dimOut: Seq[Attribute])
 
@@ -214,7 +214,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * filter conjuncts, and the fact relation's output. A single join
     * is the one-dim special case.
     */
-  private def starSrcOf(plan: LogicalPlan): Option[(
+  private[plans] def starSrcOf(plan: LogicalPlan): Option[(
       String, Option[graft.sources.ReadPin], Seq[DimSide],
       Seq[Expression], Seq[Attribute])] = {
     import org.apache.spark.sql.catalyst.expressions.EqualTo
@@ -1155,19 +1155,36 @@ object MvRewriteRule {
   private val defCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), CandDef]()
 
+  /** Drop one view's cached definition — called by the SQL
+    * `DROP MATERIALIZED VIEW` path so a dropped view stops being a
+    * candidate immediately (the freshness gate would refuse it anyway
+    * once its files are gone, but re-probing a deleted sidecar every
+    * query is wasted I/O).
+    */
+  private[graft] def invalidateDef(lake: String, mv: String): Unit = {
+    defCache.remove((lake, mv)); ()
+  }
+
   /** AUTO-DISCOVERED candidate view tables per lake: child directories
     * carrying a definition sidecar (one `listStatus` + two `exists`
     * probes per child), cached per session with the defCache's
     * re-probe semantics — an EMPTY result is never cached (the user
     * sets `auto`, queries once, THEN creates the view — the
     * interactive flow), and [[invalidateAuto]] drops the entry when
-    * this session creates another view in the lake. A view created by
-    * a DIFFERENT process after this session cached a non-empty listing
-    * is picked up after a conf re-set or session restart (documented —
-    * the definition files themselves stay immutable).
+    * this session creates another view in the lake. A cached listing
+    * carries the lake DIRECTORY's modification time as a staleness
+    * hint: creating (or dropping) a view table adds/removes a child of
+    * the lake root, which bumps the directory mtime on every Hadoop
+    * filesystem with real directories — so a view created by a
+    * DIFFERENT process is picked up on the next query at the cost of
+    * one `getFileStatus` per query (no re-list while the mtime holds).
+    * A filesystem that doesn't surface directory mtimes (object-store
+    * shims) degrades to the old session-cached behavior, never to a
+    * wrong answer — discovery feeds candidacy only; freshness is
+    * gated downstream per view.
     */
   private val autoCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()
 
   /** Drop `lake`'s cached auto-discovery listing — called by
     * [[graft.sources.MatView.create]] / [[graft.sources.JoinView
@@ -1178,13 +1195,32 @@ object MvRewriteRule {
     autoCache.remove(new Path(lake).toString); ()
   }
 
+  /** TEST HOOK: plant a cached listing with an arbitrary mtime stamp,
+    * simulating the cross-process create the staleness hint exists for
+    * (in-process creates invalidate the cache directly, so the stale
+    * state is otherwise unreachable from a single-JVM spec).
+    */
+  private[graft] def primeAutoCacheForTest(
+      lake: String, mtime: Long, names: Seq[String]): Unit = {
+    autoCache.put(new Path(lake).toString, (mtime, names)); ()
+  }
+
   private def discover(
       spark: SparkSession, lake: String): Seq[String] = {
     val key = new Path(lake).toString
-    Option(autoCache.get(key)).getOrElse {
+    val root = new Path(lake)
+    // the staleness hint: the lake dir's mtime moves when a child
+    // table dir is created/removed; unreadable → 0 (both at cache and
+    // probe time, so the comparison still short-circuits the re-list)
+    def rootMtime: Long =
+      try root.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(root).getModificationTime
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    val cached = Option(autoCache.get(key))
+    val mt = rootMtime
+    cached.filter(_._1 == mt).map(_._2).getOrElse {
       val found =
         try {
-          val root = new Path(lake)
           val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
           if (!fs.exists(root)) Seq.empty[String]
           else fs.listStatus(root).toSeq.filter(_.isDirectory)
@@ -1197,7 +1233,7 @@ object MvRewriteRule {
         } catch {
           case scala.util.control.NonFatal(_) => Seq.empty[String]
         }
-      if (found.nonEmpty) autoCache.put(key, found)
+      if (found.nonEmpty) autoCache.put(key, (mt, found))
       found
     }
   }

@@ -69,7 +69,10 @@ object AzofQueries {
     "q75_mv_auto_rewrite" -> matViewAutoRewrite,
     "q76_star_asof_rewrite" -> starAsOfRewrite,
     "q77_mv_tuple_histogram" -> matViewTupleHistogram,
-    "q78_star_tuple_histogram" -> starTupleHistogram)
+    "q78_star_tuple_histogram" -> starTupleHistogram,
+    "q79_mv_ddl_rewrite" -> matViewDdlRewrite,
+    "q80_star_ddl_rewrite" -> starDdlRewrite,
+    "q81_star_mixed_asof" -> starMixedAsOfRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -2493,6 +2496,244 @@ object AzofQueries {
     }
   }
 
+  /** The MIXED per-table EVENT-TIME pin (q62's matrix cell for event
+    * time): every table read `TIMESTAMP AS OF` its OWN coordinate —
+    * the fact at one instant, each dim at a different one, each
+    * at-or-above that table's whole consumed corpus — serves from the
+    * star view exactly when EVERY per-table
+    * [[graft.sources.MatView.unchangedSinceAsOf]] walk passes inside
+    * [[graft.sources.JoinView.freshViewVersions]] (the refusal cells —
+    * one coordinate below a consumed commit — are spec-side,
+    * JoinViewSpec's mixed event-time matrix). Refuses a plan that
+    * still joins or aggregates.
+    */
+  private def starMixedAsOfRewrite(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = starLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_star")
+    try {
+      val q = s.sql(
+        "SELECT tier, label, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, min(n_chars) AS min_n_chars, " +
+          "max(n_chars) AS max_n_chars " +
+          "FROM azof.facts_star TIMESTAMP AS OF " +
+          "'2024-06-20T00:00:00Z' AS f " +
+          "JOIN azof.src_star TIMESTAMP AS OF " +
+          "'2024-05-15T00:00:00Z' AS d1 ON f.src = d1.key " +
+          "JOIN azof.bkt_star TIMESTAMP AS OF " +
+          "'2024-05-10T00:00:00Z' AS d2 ON f.bk = d2.key " +
+          "GROUP BY tier, label")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "mixed event-time star rewrite did not fire — refusing to " +
+          "pass the row off the scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** Four-commit lake whose VIEW LIFECYCLE is driven entirely through
+    * the SQL DDL face ([[graft.plans.ViewDdl]]): `CREATE MATERIALIZED
+    * VIEW … AS SELECT` infers the definition (sums, extrema, a
+    * distinct column) from the defining query and populates; every
+    * churn commit is followed by SQL `REFRESH MATERIALIZED VIEW`.
+    * Same churn script as [[mvLake]] plus a nullable author column.
+    */
+  private[queries] def ddlLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "ddl-v1", "docs_ddl") { l =>
+      val docs = Tables(s, dir, "documents")
+      AzofWriter.createTable(s, l, "docs_ddl",
+        TableSchema(Seq(
+          ColumnDef("source", ColumnType.AzString, nullable = false),
+          ColumnDef("n_chars", ColumnType.AzInt, nullable = false),
+          ColumnDef("author", ColumnType.AzString, nullable = true))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      def rows(filter: org.apache.spark.sql.Column, at: String,
+          src: org.apache.spark.sql.Column = col("source"),
+          nc: org.apache.spark.sql.Column = col("n_chars"),
+          au: org.apache.spark.sql.Column =
+            when(col("doc_id") % 6 === 0, lit(null))
+              .otherwise(concat(lit("a"),
+                (col("doc_id") % 10).cast("string")))) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          src.as("source"), nc.cast("long").as("n_chars"),
+          au.cast("string").as("author"))
+      s.conf.set("spark.azof.path", l)
+      try {
+        AzofWriter.commitBase(s, l, "docs_ddl",
+          rows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))     // v2
+        s.sql(
+          "CREATE MATERIALIZED VIEW doc_ddl AS " +
+            "SELECT source, count(*) AS n_rows, " +
+            "sum(n_chars) AS sum_n_chars, min(n_chars) AS min_n_chars, " +
+            "max(n_chars) AS max_n_chars, " +
+            "count(DISTINCT author) AS dv_author " +
+            "FROM azof.docs_ddl GROUP BY source").collect()
+        def refresh(): Unit = {
+          s.sql("REFRESH MATERIALIZED VIEW doc_ddl").collect(); ()
+        }
+        AzofWriter.commitDelta(s, l, "docs_ddl",
+          rows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+          Instant.parse("2024-02-01T00:00:00Z"),
+          Instant.parse("2024-03-01T00:00:00Z"))                     // v3
+        refresh()
+        AzofWriter.commitDelta(s, l, "docs_ddl",
+          rows(col("doc_id") % 5 === 0, "2024-04-05T00:00:00Z",
+            src = lit("rev12"), nc = col("n_chars") + 4,
+            au = lit("a9")),
+          Instant.parse("2024-04-01T00:00:00Z"),
+          Instant.parse("2024-05-01T00:00:00Z"))                     // v4
+        refresh()
+        AzofWriter.commitDelete(s, l, "docs_ddl", Seq("6", "7"),
+          Instant.parse("2024-05-05T00:00:00Z"))                     // v5
+        refresh()
+      } finally s.conf.unset("spark.azof.path")
+      ()
+    }
+
+  /** The SQL-DDL-created view under the oracle gate: the defining
+    * query's own shape — counts, sums, extrema, and the exact
+    * `COUNT(DISTINCT author)` off the DDL-inferred support table — is
+    * answered FROM the view the DDL minted, hash-checked against the
+    * one-shot recompute over the final live corpus. Refuses any
+    * surviving azof relation.
+    */
+  private def matViewDdlRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = ddlLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_ddl")
+    try {
+      val q = s.sql(
+        "SELECT source, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars, min(n_chars) AS min_n_chars, " +
+          "max(n_chars) AS max_n_chars, " +
+          "count(DISTINCT author) AS dv_author " +
+          "FROM azof.docs_ddl GROUP BY source")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "DDL-created view rewrite did not fire — refusing to pass the " +
+          "row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** [[ddlLake]]'s STAR twin (single + star in one round): the
+    * `fact ⋈ dim GROUP BY tier` join view created and maintained via
+    * SQL DDL alone — fact churn, a dim RE-TIER (facts move groups
+    * without changing), and fact deletes, each refreshed with SQL.
+    */
+  private[queries] def ddlStarLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "ddlstar-v1", "facts_ddl") { l =>
+      val docs = Tables(s, dir, "documents")
+      val srcs = docs.select("source").distinct()
+      val num = expr("CAST(substring(source, 4, 10) AS INT)")
+      AzofWriter.createTable(s, l, "src_ddl",
+        TableSchema(Seq(
+          ColumnDef("tier", ColumnType.AzString, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(s, l, "facts_ddl",
+        TableSchema(Seq(
+          ColumnDef("src", ColumnType.AzString, nullable = false),
+          ColumnDef("n_chars", ColumnType.AzInt, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      def factRows(filter: org.apache.spark.sql.Column, at: String) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          col("source").as("src"),
+          col("n_chars").cast("long").as("n_chars"))
+      AzofWriter.commitBase(s, l, "src_ddl",
+        srcs.select(col("source").as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-01-02T00:00:00Z"))).as("event_time"),
+          when(num % 5 === 0, "vip").when(num % 2 === 0, "even")
+            .otherwise("odd").as("tier")))
+      AzofWriter.commitBase(s, l, "facts_ddl",
+        factRows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))
+      s.conf.set("spark.azof.path", l)
+      try {
+        s.sql(
+          "CREATE MATERIALIZED VIEW star_ddl AS " +
+            "SELECT tier, count(*) AS n_rows, " +
+            "sum(n_chars) AS sum_n_chars " +
+            "FROM azof.facts_ddl f JOIN azof.src_ddl d " +
+            "ON f.src = d.key GROUP BY tier").collect()
+        def refresh(): Unit = {
+          s.sql("REFRESH MATERIALIZED VIEW star_ddl").collect(); ()
+        }
+        AzofWriter.commitDelta(s, l, "facts_ddl",
+          factRows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+          Instant.parse("2024-02-01T00:00:00Z"),
+          Instant.parse("2024-03-01T00:00:00Z"))
+        refresh()
+        AzofWriter.commitDelta(s, l, "src_ddl",
+          s.range(1).select(lit("src3").as("key"),
+            lit(java.sql.Timestamp.from(
+              Instant.parse("2024-04-05T00:00:00Z"))).as("event_time"),
+            lit("gold").as("tier")),
+          Instant.parse("2024-04-01T00:00:00Z"),
+          Instant.parse("2024-05-01T00:00:00Z"))
+        refresh()
+        AzofWriter.commitDelete(s, l, "facts_ddl", Seq("6", "7"),
+          Instant.parse("2024-05-05T00:00:00Z"))
+        refresh()
+      } finally s.conf.unset("spark.azof.path")
+      ()
+    }
+
+  /** The SQL-DDL-created STAR view under the oracle gate: the defining
+    * join query is answered FROM the DDL-minted join view (exactness
+    * rides the dim re-tier + deletes), hash-checked against the
+    * one-shot two-table recompute. Refuses a plan that still joins or
+    * carries any azof relation.
+    */
+  private def starDdlRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = ddlStarLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "star_ddl")
+    try {
+      val q = s.sql(
+        "SELECT tier, count(*) AS n_rows, sum(n_chars) AS sum_n_chars " +
+          "FROM azof.facts_ddl f JOIN azof.src_ddl d ON f.src = d.key " +
+          "GROUP BY tier")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "DDL-created star rewrite did not fire — refusing to pass the " +
+          "row off the corpus scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** q54/q55's shared CTE prelude: both tables' reconstructed final
     * states (see [[jvLake]]'s churn script).
     */
@@ -2617,10 +2858,78 @@ object AzofQueries {
     // star truth (pins ARE the current versions; refusals are
     // spec-side)
     "q62_star_pinned_rewrite" -> starViewOracle,
+    // the SQL-DDL-created view serves its own defining query: counts,
+    // sums, extrema, and the exact distinct off the inferred support
+    // table, reconstructed one-shot over the final live corpus
+    "q79_mv_ddl_rewrite" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN 'rev12' ELSE source END
+                    AS source,
+                  CASE WHEN doc_id % 5 = 0 THEN n_chars + 4 ELSE n_chars
+                    END AS n_chars,
+                  CASE WHEN doc_id % 5 = 0 THEN 'a9'
+                       WHEN doc_id % 6 = 0 THEN NULL
+                       ELSE 'a' || CAST(doc_id % 10 AS VARCHAR)
+                    END AS author
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT source, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars,
+                COUNT(DISTINCT author) AS dv_author
+         FROM live GROUP BY source""",
+    // the SQL-DDL-created STAR view serves its defining join query,
+    // exact across the dim re-tier (src3 → gold) and fact deletes
+    "q80_star_ddl_rewrite" ->
+      """WITH fact AS (
+           SELECT source AS src, n_chars FROM documents
+           WHERE doc_id NOT IN (6, 7)),
+         dim AS (
+           SELECT source AS k,
+                  CASE WHEN source = 'src3' THEN 'gold'
+                       WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 'vip'
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even'
+                       ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents))
+         SELECT tier, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+         FROM fact JOIN dim ON fact.src = dim.k GROUP BY tier""",
     // an event-time coordinate at-or-above every table's consumed
     // corpus serves the same star truth through the per-table as-of
     // walks (q74's join twin; refusals are spec-side)
     "q76_star_asof_rewrite" ->
+      """WITH fact AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
+                    AS src,
+                  'b' || CAST(doc_id % 4 AS VARCHAR) AS bk,
+                  CASE WHEN doc_id % 7 = 0 THEN n_chars + 3 ELSE n_chars
+                    END AS n_chars
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         dim1 AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 'vip'
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even'
+                       ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents)),
+         dim2 AS (
+           SELECT 'b' || CAST(b AS VARCHAR) AS k,
+                  CASE WHEN b = 1 THEN 'xl'
+                       WHEN b % 2 = 0 THEN 'low' ELSE 'high' END AS label
+           FROM (VALUES (0),(1),(2),(3)) AS t(b) WHERE b <> 3)
+         SELECT tier, label, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+         FROM fact JOIN dim1 ON fact.src = dim1.k
+                   JOIN dim2 ON fact.bk = dim2.k
+         GROUP BY tier, label""",
+    // MIXED per-table event-time coordinates — fact @06-20, src @05-15,
+    // bkt @05-10, each above its own consumed corpus — serve the same
+    // final-state truth as q76's shared coordinate (the q62 matrix
+    // cell for event time; refusal cells are spec-side)
+    "q81_star_mixed_asof" ->
       """WITH fact AS (
            SELECT CASE WHEN doc_id % 7 = 0 THEN 'src1' ELSE source END
                     AS src,

@@ -42,6 +42,7 @@ object AzofProcedures {
       "sem_refresh", "dedup_rebuild", "sem_rebuild", "analyze",
       "contain_refresh", "shard_refresh", "seq_refresh", "lm_refresh",
       "mv_refresh", "term_refresh", "jv_refresh",
+      "create_view", "create_join_view",
       "tag", "untag", "rollback",
       "create_branch", "drop_branch", "fast_forward", "merge_branch",
       "publish_preview")
@@ -133,7 +134,11 @@ object AzofProcedures {
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'lm_stats'"),
         pd("text_col", StringType, "'text'"))
-      case "mv_refresh" => Array(
+      // create_view IS mv_refresh (create-if-absent + initial refresh)
+      // under the name the DDL's refusal messages point at — the
+      // explicit-definition face for shapes CREATE MATERIALIZED VIEW
+      // cannot infer from a query
+      case "mv_refresh" | "create_view" => Array(
         p("table", StringType), p("index_path", StringType),
         p("group_cols", StringType),
         pd("index_table", StringType, "'mv'"),
@@ -148,7 +153,7 @@ object AzofProcedures {
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'term_postings'"),
         pd("text_col", StringType, "'text'"))
-      case "jv_refresh" => Array(
+      case "jv_refresh" | "create_join_view" => Array(
         // dim_table/fk_col take comma lists for STAR views; dim_cols
         // takes ';'-separated per-dim groups ("tier;region,country")
         p("table", StringType), p("dim_table", StringType),
@@ -347,7 +352,7 @@ object AzofProcedures {
           q.awaitTermination()
           (StructType(Seq(StructField("stats_version", LongType))),
             Seq(AzofTable(spark, str(1), str(2)).currentVersion.toLong))
-        case "mv_refresh" =>
+        case "mv_refresh" | "create_view" =>
           // same stable-checkpoint rule as lm_refresh
           def csv(v: String): Seq[String] =
             Option(v).toSeq.flatMap(
@@ -361,7 +366,7 @@ object AzofProcedures {
           q.awaitTermination()
           (StructType(Seq(StructField("view_version", LongType))),
             Seq(AzofTable(spark, str(1), str(3)).currentVersion.toLong))
-        case "jv_refresh" =>
+        case "jv_refresh" | "create_join_view" =>
           def jcsv(v: String): Seq[String] =
             Option(v).toSeq.flatMap(
               _.split(',').map(_.trim).filter(_.nonEmpty))

@@ -302,6 +302,7 @@ object JoinView {
       idxLake: String, idxTable: String,
       jdef: JoinViewDef,
       segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
+    MatView.requireNotAuto(idxTable)
     val fs = AzofTable(spark, factLake, factTable).currentSnapshot.schema
     val dss = dims.map { case (dl, dt) =>
       AzofTable(spark, dl, dt).currentSnapshot.schema }

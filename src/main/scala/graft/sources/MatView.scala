@@ -105,6 +105,11 @@ final case class ViewDef(
       "columns in distinctCols")
   require(distinctTuples.forall(t => t.distinct.size == t.size),
     "a distinct tuple's columns must be distinct")
+  require(distinctTuples.flatten.forall(c => !groupCols.contains(c)),
+    "distinct tuple components must not be group columns (the pairs " +
+      "already key every group tuple — a group component only " +
+      "re-encodes it redundantly); declare non-group columns only, " +
+      "matching JoinViewDef's contract")
   require(distinctTuples.map(_.mkString(",")).distinct.size ==
     distinctTuples.size, "distinct tuples must be distinct")
   require((distinctCols ++ distinctTuples.flatten).forall(!_.contains(",")),
@@ -397,6 +402,7 @@ object MatView {
       idxLake: String, idxTable: String,
       view: ViewDef,
       segmentStart: Instant = Instant.parse("2024-01-01T00:00:00Z")): Unit = {
+    requireNotAuto(idxTable)
     val srcSchema =
       AzofTable(spark, srcLake, srcTable).currentSnapshot.schema
     requireDerivedOk(spark, srcSchema, view.derivedGroups)
@@ -413,6 +419,19 @@ object MatView {
     }
     ()
   }
+
+  /** `auto` (the rewrite conf's discovery sentinel,
+    * `spark.azof.mv.rewrite=auto` / `lake::auto`) is a RESERVED view
+    * name: a view table literally named 'auto' could never be targeted
+    * as a rewrite candidate by name, so creation fails loudly at
+    * definition time instead of silently shadowing the sentinel.
+    */
+  private[sources] def requireNotAuto(idxTable: String): Unit =
+    if (idxTable.equalsIgnoreCase("auto"))
+      throw new IllegalArgumentException(
+        "'auto' is a reserved view name (the spark.azof.mv.rewrite " +
+          "discovery sentinel) — a view named 'auto' could never be " +
+          "named as a rewrite candidate; pick another table name")
 
   private def sidecar(
       spark: SparkSession, idxLake: String, idxTable: String,
@@ -729,8 +748,18 @@ object MatView {
             s.delta.forall(d =>
               !d.start.isAfter(t) && !d.end.isAfter(t)) &&
             baseOk(s)
-        case Some(e) => // closed: must be invisible to the as-of read
-          !(!s.start.isAfter(t) && !t.isAfter(e))
+        case Some(e) => // closed: must be invisible to the as-of read —
+          // AND its deltas (which the Current read walks regardless of
+          // the segment's range) must carry only rows both reads agree
+          // on: every delta window at-or-below t, exactly the open
+          // branch's condition. A fully-closed tree (no open segment —
+          // unreachable via this engine's own writers, but admitted by
+          // the format) could otherwise carry a closed ROOT segment
+          // with deltas above t that Current includes and the as-of
+          // read excludes, and the gate would validate a wrong serve.
+          !(!s.start.isAfter(t) && !t.isAfter(e)) &&
+            s.delta.forall(d =>
+              !d.start.isAfter(t) && !d.end.isAfter(t))
       }
       selfOk && s.segments.forall(walk)
     }
@@ -1344,6 +1373,7 @@ object MatView {
       srcLake: String, srcTable: String,
       idxLake: String, newTable: String,
       view: ViewDef, at: Instant): Long = {
+    requireNotAuto(newTable)
     val src = AzofTable(spark, srcLake, srcTable)
     // pin the version BEFORE reading: a commit racing the rebuild makes
     // the cursor claim less than the retrain saw, never more

@@ -1120,6 +1120,53 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-discovery STALENESS hint: a view created by another " +
+    "process (cached listing + old lake mtime) is re-listed on the " +
+    "next query; while the mtime holds, the cached listing stands " +
+    "without a re-list") {
+    val (l, _) = mkLake("auto-stale")
+    // a second source + view, as if created by a DIFFERENT process:
+    // create normally, then re-plant the PRE-CREATE cache state (the
+    // one-process invalidation hook cannot fire across JVMs)
+    AzofWriter.createTable(spark, l, "src2", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src2", df(
+      ("1", "2024-01-02T00:00:00Z", "a", "x", 5L)))
+    val ck2 = Files.createTempDirectory("azof-mvrw-stale-ck2").toString
+    val q2r = MatView.refresh(spark, l, "src2", l, "mv2", vd, ck2)
+    assert(q2r.awaitTermination(120000))
+    val root = new org.apache.hadoop.fs.Path(l)
+    val mtime = root.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(root).getModificationTime
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "auto")
+    try {
+      // cached listing NAMES ONLY mv, stamped with the CURRENT mtime:
+      // the hint says nothing changed, so the stale listing is honored
+      // (one getFileStatus, no re-list) and src2 stays un-rewritten
+      MvRewriteRule.primeAutoCacheForTest(l, mtime, Seq("mv"))
+      val qHeld = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src2 GROUP BY g1")
+      assert(scansSrc(qHeld),
+        "an unchanged mtime must honor the cached listing:\n" +
+          qHeld.queryExecution.optimizedPlan)
+      // same stale listing under an OLD mtime stamp: the hint fires,
+      // the lake re-lists, and mv2 serves with no conf change or
+      // session restart
+      MvRewriteRule.primeAutoCacheForTest(l, mtime - 1000L, Seq("mv"))
+      val qStale = spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src2 GROUP BY g1")
+      assert(!scansSrc(qStale),
+        "a moved lake mtime must re-list and discover mv2:\n" +
+          qStale.queryExecution.optimizedPlan)
+      assert(qStale.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("a", 1L)))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   test("the DSv2 catalog surface rewrites too; unset conf is inert") {
     val (l, _) = mkLake("dsv2")
     spark.conf.set("spark.sql.catalog.mvr", classOf[graft.sources.AzofCatalog].getName)
@@ -1473,6 +1520,82 @@ class MvRewriteSpec extends AnyFunSuite {
         r.getLong(2))).sortBy(_._1).toSeq ==
         Seq(("t2", 1L, 7L), ("t9", 3L, 16L)),
         "fallback time-travels the re-tier exactly")
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  test("MIXED per-table EVENT-TIME coordinates: fact AS OF t1 ⋈ dim " +
+    "AS OF t2 (t1 ≠ t2) serves when BOTH per-table walks pass, " +
+    "refuses when EITHER fails, and a LOWER fact coordinate keeps " +
+    "serving past un-consumed fact churn the higher one cannot") {
+    val (l, _) = mkJoinDvLake("mixed")
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "jdv")
+    try {
+      def joins(q: org.apache.spark.sql.DataFrame) =
+        q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      def starSql(tf: String, td: String) =
+        "SELECT tier, count(*) AS n, sum(v) AS sv " +
+          s"FROM azof.fact TIMESTAMP AS OF '$tf' AS f " +
+          s"JOIN azof.dim TIMESTAMP AS OF '$td' AS d ON f.fk = d.key " +
+          "GROUP BY tier"
+      def got(q: org.apache.spark.sql.DataFrame) =
+        q.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2))).sortBy(_._1).toSeq
+      val truth = Seq(("t1", 3L, 16L), ("t2", 1L, 7L))
+      val q1 = spark.sql(
+        starSql("2024-03-01T00:00:00Z", "2024-02-01T00:00:00Z"))
+      assert(!scansSrc(q1) && joins(q1).isEmpty,
+        "distinct per-table coordinates above each consumed corpus " +
+          "serve:\n" + q1.queryExecution.optimizedPlan)
+      assert(got(q1) == truth)
+      // un-consumed fact churn lands BETWEEN the two candidate fact
+      // coordinates (delta window starts 2024-02-10)
+      AzofWriter.commitDelta(spark, l, "fact",
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          Row("9", Timestamp.from(ts("2024-02-15T00:00:00Z")),
+            "d1", 99L, "z"))),
+          TableSchema(Seq(
+            ColumnDef("fk", ColumnType.AzString, nullable = false),
+            ColumnDef("v", ColumnType.AzInt, nullable = false),
+            ColumnDef("a", ColumnType.AzString, nullable = true)))
+            .toStruct),
+        ts("2024-02-10T00:00:00Z"), ts("2024-02-20T00:00:00Z"))
+      // the HIGH fact coordinate sees the new delta (start ≤ t1): that
+      // walk alone fails → refuse; the fallback time-travels exactly
+      val qHigh = spark.sql(
+        starSql("2024-03-01T00:00:00Z", "2024-02-01T00:00:00Z"))
+      assert(scansSrc(qHigh),
+        "a fact coordinate at-or-above un-consumed churn must refuse:\n" +
+          qHigh.queryExecution.optimizedPlan)
+      assert(got(qHigh) == Seq(("t1", 4L, 115L), ("t2", 1L, 7L)))
+      // the LOW fact coordinate excludes that delta wholesale (start
+      // strictly above t1') — the mixed pair serves again, same truth
+      val qLow = spark.sql(
+        starSql("2024-02-05T00:00:00Z", "2024-02-01T00:00:00Z"))
+      assert(!scansSrc(qLow) && joins(qLow).isEmpty,
+        "a fact coordinate below the un-consumed delta serves:\n" +
+          qLow.queryExecution.optimizedPlan)
+      assert(got(qLow) == truth)
+      // DIM-side failure alone refuses the pair: a dim change
+      // at-or-below t2 while the fact walk still passes
+      AzofWriter.commitDelta(spark, l, "dim",
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          Row("d2", Timestamp.from(ts("2024-01-20T00:00:00Z")), "t9"))),
+          TableSchema(Seq(ColumnDef("tier", ColumnType.AzString,
+            nullable = false))).toStruct),
+        ts("2024-01-15T00:00:00Z"), ts("2024-02-01T00:00:00Z"))
+      val qDim = spark.sql(
+        starSql("2024-02-05T00:00:00Z", "2024-02-01T00:00:00Z"))
+      assert(scansSrc(qDim),
+        "a dim change at-or-below its coordinate must refuse even " +
+          "when the fact walk passes:\n" +
+          qDim.queryExecution.optimizedPlan)
+      assert(got(qDim) == Seq(("t1", 3L, 16L), ("t9", 1L, 7L)),
+        "fallback time-travels the dim re-tier exactly")
     } finally {
       spark.conf.unset("spark.azof.path")
       spark.conf.unset("spark.azof.mv.rewrite")

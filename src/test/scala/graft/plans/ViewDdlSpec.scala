@@ -1,0 +1,282 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.format._
+import graft.sources.{AzofWriter, JoinView, MatView}
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL view-lifecycle DDL: `CREATE MATERIALIZED VIEW … AS SELECT`
+  * infers the definition from the query (single-table and star),
+  * populates the view, and the SAME query then rewrites onto it;
+  * `REFRESH` catches up; `DROP` removes the tables and the rewrite
+  * candidacy. Unsupported shapes refuse LOUDLY at create time, each
+  * message naming the explicit-definition remedy.
+  */
+class ViewDdlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val srcSchema = TableSchema(Seq(
+    ColumnDef("g", ColumnType.AzString, nullable = false),
+    ColumnDef("b", ColumnType.AzString, nullable = true),
+    ColumnDef("v", ColumnType.AzInt, nullable = true),
+    ColumnDef("t", ColumnType.AzDateTime, nullable = false)))
+
+  private def ts(s: String) = Instant.parse(s)
+
+  private def df(rows: (String, String, String, String, Any, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map {
+        case (k, et, g, b, v, t) => Row(k, Timestamp.from(ts(et)), g, b,
+          v match { case null => null; case x: Long => x },
+          Timestamp.from(ts(t)))
+      }),
+      srcSchema.toStruct)
+
+  private def mkLake(tag: String): String = {
+    val l = Files.createTempDirectory(s"azof-ddl-$tag").toString
+    AzofWriter.createTable(spark, l, "src", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src", df(
+      ("1", "2024-01-02T00:00:00Z", "a", "x", 10L, "2024-03-01T01:00:00Z"),
+      ("2", "2024-01-02T00:00:00Z", "a", "y", 4L, "2024-03-01T02:00:00Z"),
+      ("3", "2024-01-02T00:00:00Z", "b", "x", 7L, "2024-03-02T01:00:00Z"),
+      ("4", "2024-01-02T00:00:00Z", "a", null, null,
+        "2024-03-02T02:00:00Z")))                                    // v2
+    l
+  }
+
+  private def withLake[A](l: String, mvs: String = "auto")(body: => A): A = {
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", mvs)
+    try body
+    finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  private def scansSrc(q: DataFrame): Boolean =
+    q.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation
+        if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+    }.nonEmpty
+
+  private def rows(q: DataFrame): Seq[Seq[Any]] =
+    q.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  test("CREATE single-table: infers count/sum/avg/min/max/distinct/" +
+    "tuple, populates, and the defining query rewrites onto the view " +
+    "with identical results") {
+    val l = mkLake("single")
+    withLake(l) {
+      val q = "SELECT g, count(*) AS n_rows, sum(v) AS sum_v, " +
+        "avg(v) AS avg_v, min(v) AS min_v, max(v) AS max_v, " +
+        "count(DISTINCT b) AS dv_b, count(DISTINCT b, v) AS dv_bv " +
+        "FROM azof.src GROUP BY g"
+      val scanTruth = rows(spark.sql(q)) // pre-create: the corpus plan
+      val r = spark.sql(s"CREATE MATERIALIZED VIEW mv1 AS $q").collect()
+      assert(r.length == 1 && r(0).getString(0) == "mv1" &&
+        r(0).getString(1) == "single" && r(0).getBoolean(2),
+        r.mkString(","))
+      // the def sidecar carries exactly the inferred shape
+      val (_, srcT, vd) = MatView.readDef(spark, l, "mv1").get
+      assert(srcT == "src" && vd.groupCols == Seq("g") &&
+        vd.sumCols == Seq("v") && vd.minMaxCols == Seq("v") &&
+        vd.distinctCols == Seq("b") &&
+        vd.distinctTuples == Seq(Seq("b", "v")), vd.toString)
+      val served = spark.sql(q)
+      assert(!scansSrc(served), "the defining query must rewrite")
+      assert(rows(served) == scanTruth)
+      // rollups over the same view serve too
+      val global = spark.sql(
+        "SELECT count(*) AS n, sum(v) AS s FROM azof.src")
+      assert(!scansSrc(global) && rows(global) == Seq(Seq(4L, 21L)))
+    }
+  }
+
+  test("churn staleness falls back; REFRESH MATERIALIZED VIEW " +
+    "re-serves the new truth") {
+    val l = mkLake("refresh")
+    withLake(l) {
+      val q = "SELECT g, count(*) AS n, sum(v) AS s FROM azof.src " +
+        "GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mv1 AS $q").collect()
+      assert(!scansSrc(spark.sql(q)))
+      AzofWriter.commitDelta(spark, l, "src", df(
+        ("5", "2024-02-05T00:00:00Z", "b", "z", 100L,
+          "2024-03-03T01:00:00Z")),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))      // v3
+      val stale = spark.sql(q)
+      assert(scansSrc(stale), "stale view must fall back to the scan")
+      assert(rows(stale).contains(Seq("b", 2L, 107L)), rows(stale))
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mv1").collect()
+      assert(r(0).getString(1) == "single")
+      val fresh = spark.sql(q)
+      assert(!scansSrc(fresh) && rows(fresh) == rows(stale))
+    }
+  }
+
+  test("CREATE with an aliased derived bucket stores it; the same " +
+    "expression rewrites") {
+    val l = mkLake("derived")
+    withLake(l) {
+      val q = "SELECT date_trunc('day', t) AS day, count(*) AS n " +
+        "FROM azof.src GROUP BY date_trunc('day', t)"
+      spark.sql(s"CREATE MATERIALIZED VIEW mvd AS $q").collect()
+      val (_, _, vd) = MatView.readDef(spark, l, "mvd").get
+      assert(vd.derivedGroups.size == 1 &&
+        vd.derivedGroups.head.name == "day", vd.toString)
+      val served = spark.sql(q)
+      assert(!scansSrc(served))
+      assert(rows(served).map(_(1)) == Seq(2L, 2L))
+    }
+  }
+
+  test("CREATE star: dims split by provenance, fact aggregates " +
+    "declared, and the defining join query rewrites") {
+    val l = Files.createTempDirectory("azof-ddl-star").toString
+    val factSchema = TableSchema(Seq(
+      ColumnDef("fk", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val dimSchema = TableSchema(Seq(
+      ColumnDef("tier", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "dim", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("d1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t1"),
+        Row("d2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t2"))),
+      dimSchema.toStruct))
+    AzofWriter.commitBase(spark, l, "fact", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 10L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 4L),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d2", 7L))),
+      factSchema.toStruct))
+    withLake(l) {
+      val q = "SELECT tier, count(*) AS n, sum(v) AS s " +
+        "FROM azof.fact f JOIN azof.dim d ON f.fk = d.key GROUP BY tier"
+      val truth = rows(spark.sql(q))
+      val r = spark.sql(s"CREATE MATERIALIZED VIEW jv1 AS $q").collect()
+      assert(r(0).getString(1) == "star", r.mkString(","))
+      val (_, factT, dims, jdef) = JoinView.readDef(spark, l, "jv1").get
+      assert(factT == "fact" && dims.map(_._2) == Seq("dim") &&
+        jdef.dims.map(_.fkCol) == Seq("fk") &&
+        jdef.dims.head.dimCols == Seq("tier") &&
+        jdef.sumCols == Seq("v"), jdef.toString)
+      val served = spark.sql(q)
+      assert(!scansSrc(served) && rows(served) == truth)
+    }
+  }
+
+  test("IF NOT EXISTS no-ops; duplicate CREATE and non-view targets " +
+    "refuse; reserved name 'auto' refuses") {
+    val l = mkLake("exists")
+    withLake(l) {
+      val q = "SELECT g, count(*) AS n FROM azof.src GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mv1 AS $q").collect()
+      val again = spark.sql(
+        s"CREATE MATERIALIZED VIEW IF NOT EXISTS mv1 AS $q").collect()
+      assert(!again(0).getBoolean(2))
+      val dup = intercept[IllegalArgumentException] {
+        spark.sql(s"CREATE MATERIALIZED VIEW mv1 AS $q").collect() }
+      assert(dup.getMessage.contains("already exists"))
+      val plain = intercept[IllegalArgumentException] {
+        spark.sql(s"CREATE MATERIALIZED VIEW src AS $q").collect() }
+      assert(plain.getMessage.contains("NOT a materialized view"))
+      val auto = intercept[IllegalArgumentException] {
+        spark.sql(s"CREATE MATERIALIZED VIEW auto AS $q").collect() }
+      assert(auto.getMessage.contains("reserved"))
+    }
+  }
+
+  test("DROP removes both tables and the rewrite candidacy; refuses " +
+    "a non-view table; IF EXISTS no-ops") {
+    val l = mkLake("drop")
+    withLake(l) {
+      val q = "SELECT g, count(DISTINCT b) AS dv FROM azof.src GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mv1 AS $q").collect()
+      assert(!scansSrc(spark.sql(q)))
+      val r = spark.sql("DROP MATERIALIZED VIEW mv1").collect()
+      assert(r(0).getBoolean(1))
+      val dir = new java.io.File(l)
+      assert(!new java.io.File(dir, "mv1").exists &&
+        !new java.io.File(dir, "mv1__dv").exists)
+      assert(scansSrc(spark.sql(q)), "dropped view must stop serving")
+      val none = intercept[IllegalArgumentException] {
+        spark.sql("DROP MATERIALIZED VIEW mv1").collect() }
+      assert(none.getMessage.contains("no materialized view"))
+      assert(!spark.sql("DROP MATERIALIZED VIEW IF EXISTS mv1")
+        .collect()(0).getBoolean(1))
+      val plain = intercept[IllegalArgumentException] {
+        spark.sql("DROP MATERIALIZED VIEW src").collect() }
+      assert(plain.getMessage.contains("refusing to delete"))
+      assert(new java.io.File(dir, "src").exists)
+    }
+  }
+
+  test("refusal matrix: every unsupported shape refuses loudly, " +
+    "naming the explicit-definition remedy") {
+    val l = mkLake("refuse")
+    withLake(l) {
+      def refusal(ddl: String): String = {
+        val e = intercept[IllegalArgumentException] {
+          spark.sql(ddl).collect() }
+        assert(e.getMessage.contains("CALL system.create_view"),
+          s"remedy missing: ${e.getMessage}")
+        e.getMessage
+      }
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +
+        "count(*) AS n FROM azof.src WHERE g = 'a' GROUP BY g")
+        .contains("WHERE"))
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, v " +
+        "FROM azof.src").contains("aggregate"))
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +
+        "stddev(v) AS sd FROM azof.src GROUP BY g")
+        .contains("unsupported"))
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +
+        "count(*) FILTER (WHERE v > 5) AS n FROM azof.src GROUP BY g")
+        .contains("FILTER"))
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT count(*) " +
+        "AS n FROM azof.src GROUP BY date_trunc('day', t)")
+        .contains("alias"))
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +
+        "count(*) AS n FROM azof.src GROUP BY g ORDER BY g")
+        .contains("aggregate"))
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT b, " +
+        "sum(v) AS s FROM azof.src TIMESTAMP AS OF " +
+        "'2024-06-01T00:00:00Z' GROUP BY b").contains("AS OF"))
+      // star-side refusals
+      val l2 = Files.createTempDirectory("azof-ddl-refuse2").toString
+      AzofWriter.createTable(spark, l2, "fact", TableSchema(Seq(
+        ColumnDef("fk", ColumnType.AzString, nullable = false),
+        ColumnDef("v", ColumnType.AzInt, nullable = false))),
+        ts("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(spark, l2, "dim", TableSchema(Seq(
+        ColumnDef("w", ColumnType.AzInt, nullable = false))),
+        ts("2024-01-01T00:00:00Z"))
+      spark.conf.set("spark.azof.path", l2)
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT f.fk, " +
+        "sum(d.w) AS s FROM azof.fact f JOIN azof.dim d " +
+        "ON f.fk = d.key GROUP BY f.fk").contains("FACT side"))
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT f.fk AS g," +
+        " count(*) AS n FROM azof.fact f LEFT JOIN azof.dim d " +
+        "ON f.fk = d.key GROUP BY f.fk").contains("INNER"))
+      // no such statement without a lake conf
+      spark.conf.unset("spark.azof.path")
+      val noLake = intercept[IllegalArgumentException] {
+        spark.sql("CREATE MATERIALIZED VIEW m AS SELECT g, count(*) " +
+          "AS n FROM azof.src GROUP BY g").collect() }
+      assert(noLake.getMessage.contains("spark.azof.path"))
+    }
+  }
+}

@@ -912,6 +912,52 @@ class MatViewSpec extends AnyFunSuite {
           "date_trunc('day', absent)", ColumnType.AzDateTime))))
     }
   }
+
+  test("definition contracts: a distinct tuple containing a group " +
+    "column refuses (JoinViewDef parity), and 'auto' is a reserved " +
+    "view name on create AND rebuildEpoch") {
+    intercept[IllegalArgumentException] {
+      ViewDef(Seq("grp"), distinctTuples = Seq(Seq("grp", "v")))
+    }
+    val (l, _) = mkLake("auto-name")
+    intercept[IllegalArgumentException] {
+      MatView.create(spark, l, "src", l, "auto", view)
+    }
+    intercept[IllegalArgumentException] {
+      MatView.rebuildEpoch(spark, l, "src", l, "auto", view,
+        ts("2024-06-01T00:00:00Z"))
+    }
+  }
+
+  test("as-of gate on a FULLY-CLOSED tree: a closed root segment's " +
+    "deltas participate in the Current read regardless of the " +
+    "segment's range, so a delta window above the coordinate refuses " +
+    "the event-time gate; windows at-or-below it validate") {
+    // hand-written metadata — this engine's own writers always leave
+    // an open segment, but the format admits fully-closed tables (the
+    // reference's metadata tests); the gate must stay conservative
+    val l = Files.createTempDirectory("azof-mv-closed").toString
+    val dir = new java.io.File(l, "t"); dir.mkdirs()
+    def snap(deltaStart: String, deltaEnd: String): String =
+      SnapshotCodec.render(Snapshot(srcSchema, Seq(
+        Segment("10", ts("2024-01-01T00:00:00Z"),
+          Some(ts("2024-02-01T00:00:00Z")), None, Nil,
+          Seq(Delta("dx.parquet", ts(deltaStart), ts(deltaEnd)))))))
+    val t = ts("2024-02-15T00:00:00Z") // outside the closed range
+    def gate(json: String): Boolean = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir.toString, "s2.json"), json)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir.toString, "version.txt"), "2")
+      MatView.unchangedSinceAsOf(spark, l, "t", 2L, t)
+    }
+    assert(!gate(snap("2024-03-01T00:00:00Z", "2024-03-02T00:00:00Z")),
+      "a closed root's delta ABOVE the coordinate differs between " +
+        "Current and as-of — must refuse")
+    assert(gate(snap("2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")),
+      "a closed root's delta at-or-below the coordinate reads the " +
+        "same both ways — validates")
+  }
 }
 
 /** RawLocalFileSystem counting distinct parquet data files opened under
