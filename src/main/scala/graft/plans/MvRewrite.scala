@@ -632,7 +632,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       {
         cands.iterator.flatMap { case (lake, mv) =>
           defOf(spark, lake, mv).collect {
-            case MvRewriteRule.SingleDef(sLake, sTable, vd) =>
+            case MvRewriteRule.SingleDef(sLake, sTable, vd, _) =>
               (sLake, sTable, vd)
           }.flatMap { case (sLake, sTable, vd) =>
             // derived buckets are UTC-defined: off a UTC session the
@@ -858,7 +858,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * `(value attr, other groups, outputs, measure columns read)`.
     */
   private def histShape(
-      agg: Aggregate, vd: ViewDef, conds: Seq[Expression])
+      agg: Aggregate, vd: ViewDef, conds: Seq[Expression],
+      tupleNullOk: Boolean)
       : Option[(HKey, Seq[String], Seq[HOut],
         Seq[String])] =
     traverse(agg.groupingExpressions.map {
@@ -876,13 +877,16 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         else if (nonGroup.size >= 2 &&
           nonGroup.map(_.name).distinct.size == nonGroup.size)
           // the MULTI-COLUMN histogram: the non-group keys form
-          // exactly a declared tuple (any order) — servable only when
-          // every component is NON-NULLABLE: SQL's GROUP BY splits
-          // partial-null rows into groups the all-non-null pairs
-          // cannot reconstruct, so a nullable component refuses
+          // exactly a declared tuple (any order). A NULLABLE component
+          // serves only from a format-3 support table (tupleNullOk):
+          // SQL's GROUP BY keeps partial-null rows, which format-3
+          // pairs carry NULL-token-marked and older pairs omit — the
+          // pre-upgrade encoding silently falls back to the scan here
+          // (the loud rebuild message lives on the refresh/direct
+          // serve paths, MatView.requireTupleLayout)
           vd.distinctTuples
             .find(_.sorted == nonGroup.map(_.name).sorted)
-            .filter(_ => nonGroup.forall(!_.nullable))
+            .filter(_ => tupleNullOk || nonGroup.forall(!_.nullable))
             .map(t => HTuple(t.mkString(","),
               t.map(n => nonGroup.find(_.name == n).get)))
         else None
@@ -946,8 +950,13 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case HTuple(_, comps) =>
         comps.zipWithIndex.collectFirst {
           case (a, i) if a.name == c =>
-            element_at(split(col("value"), "\\u0001", -1), i + 1)
-              .cast(a.dataType)
+            // the reserved NULL token decodes back to a typed NULL —
+            // partial-null GROUP BY rows round-trip through the pairs
+            val raw =
+              element_at(split(col("value"), "\\u0001", -1), i + 1)
+            when(raw === MatView.TupleNullTok,
+              lit(null).cast(a.dataType))
+              .otherwise(raw.cast(a.dataType))
         }
       case _ => None
     }
@@ -970,11 +979,12 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     srcOf(agg.child).flatMap { case (srcKey, conds, pinned) =>
       cands.iterator.flatMap { case (lake, mv) =>
         defOf(spark, lake, mv).collect {
-          case MvRewriteRule.SingleDef(sLake, sTable, vd) =>
-            (sLake, sTable, vd)
-        }.flatMap { case (sLake, sTable, vd) =>
+          case MvRewriteRule.SingleDef(sLake, sTable, vd, fmt) =>
+            (sLake, sTable, vd, fmt)
+        }.flatMap { case (sLake, sTable, vd, fmt) =>
           if (norm(sLake, sTable) != srcKey) None
-          else histShape(agg, vd, conds).flatMap {
+          else histShape(agg, vd, conds,
+            tupleNullOk = fmt >= MatView.TupleNullFormat).flatMap {
             case (key, groups, outs, measures) =>
               // the gate pins view AND support snapshots before its
               // walk (the TOCTOU close — a histogram always reads both)
@@ -1050,7 +1060,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             if (norm(d.factLake, d.factTable) != factKey || !dimsMatch ||
               !provenanced) None
-            else histShape(agg, vd, conds).flatMap {
+            else histShape(agg, vd, conds,
+              tupleNullOk = d.fmt >= MatView.TupleNullFormat).flatMap {
               case (key, groups, outs, measures) =>
                 val dimPins = jdef.dims.map(dj => sideByFk(dj.fkCol).pin)
                 // both index snapshots pinned inside the gate, before
@@ -1132,13 +1143,14 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 object MvRewriteRule {
 
   /** A registered candidate's definition — single-table or join. */
-  private sealed trait CandDef
+  private sealed trait CandDef { def fmt: Int }
   private final case class SingleDef(
-      srcLake: String, srcTable: String, vd: ViewDef) extends CandDef
+      srcLake: String, srcTable: String, vd: ViewDef, fmt: Int)
+    extends CandDef
   private final case class JoinDef(
       factLake: String, factTable: String,
       dims: Seq[(String, String)],
-      jdef: graft.sources.JoinViewDef) extends CandDef
+      jdef: graft.sources.JoinViewDef, fmt: Int) extends CandDef
 
   /** View definitions are immutable per table — cache them once READ.
     * A miss is NEVER cached: the sidecar may simply not exist YET (the
@@ -1241,10 +1253,11 @@ object MvRewriteRule {
   private def defOf(spark: SparkSession, lake: String, mv: String)
       : Option[CandDef] =
     Option(defCache.get((lake, mv))).orElse {
+      def fmtOf: Int = MatView.defFormat(spark, lake, mv)
       val read =
         try MatView.readDef(spark, lake, mv)
-          .map { case (sl, st, vd) => SingleDef(sl, st, vd) }
-          .filter { case SingleDef(_, _, vd) =>
+          .map { case (sl, st, vd) => SingleDef(sl, st, vd, fmtOf) }
+          .filter { case SingleDef(_, _, vd, _) =>
             MatView.nnLayoutOk(
               graft.format.AzofTable(spark, lake, mv)
                 .currentSnapshot.schema, vd.sumCols) &&
@@ -1258,7 +1271,7 @@ object MvRewriteRule {
           // distinct column without its support table likewise refuses
           // candidacy instead of failing inside the rule
           .orElse(graft.sources.JoinView.readDef(spark, lake, mv)
-            .map { case (fl, ft, ds, jd) => JoinDef(fl, ft, ds, jd) }
+            .map { case (fl, ft, ds, jd) => JoinDef(fl, ft, ds, jd, fmtOf) }
             .filter(jd => !jd.jdef.hasDistinct ||
               scala.util.Try(graft.format.AzofTable(spark, lake,
                 MatView.dvTableName(mv)).currentVersion).isSuccess))

@@ -72,7 +72,9 @@ object AzofQueries {
     "q78_star_tuple_histogram" -> starTupleHistogram,
     "q79_mv_ddl_rewrite" -> matViewDdlRewrite,
     "q80_star_ddl_rewrite" -> starDdlRewrite,
-    "q81_star_mixed_asof" -> starMixedAsOfRewrite)
+    "q81_star_mixed_asof" -> starMixedAsOfRewrite,
+    "q82_mv_nullable_tuple" -> matViewNullableTupleHistogram,
+    "q83_star_nullable_tuple" -> starNullableTupleHistogram)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -2734,6 +2736,217 @@ object AzofQueries {
     }
   }
 
+  /** The q82 [[graft.sources.ViewDef]]: per-source sums over `w` plus
+    * a declared tuple `(cat, sub)` whose components are NULLABLE —
+    * the partial-null two-dimension histogram's support.
+    */
+  private val ntupDef = graft.sources.ViewDef(Seq("source"),
+    sumCols = Seq("w"), distinctTuples = Seq(Seq("cat", "sub")))
+
+  /** Four-commit NULLABLE-tuple lake: `cat` NULL for every 4th doc,
+    * `sub` NULL for every 9th; the revision NULL-FLIPS both ways
+    * (every 5th doc: even ids lose their cat, odd ids gain 'c9'; sub
+    * becomes non-null) and bumps `w`; docs 6/7 deleted.
+    */
+  private[queries] def ntupLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "ntup-v1", "docs_ntup") { l =>
+      import graft.sources.MatView
+      val docs = Tables(s, dir, "documents")
+      AzofWriter.createTable(s, l, "docs_ntup",
+        TableSchema(Seq(
+          ColumnDef("source", ColumnType.AzString, nullable = false),
+          ColumnDef("cat", ColumnType.AzString, nullable = true),
+          ColumnDef("sub", ColumnType.AzInt, nullable = true),
+          ColumnDef("w", ColumnType.AzInt, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val ck = new java.io.File(l, "_ntup_ck").toString
+      def refresh(): Unit = {
+        val q = MatView.refresh(s, l, "docs_ntup", l, "doc_ntup",
+          ntupDef, ck)
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(
+            "nullable-tuple-view refresh did not terminate within 300s")
+      }
+      val baseCat = when(col("doc_id") % 4 === 0, lit(null))
+        .otherwise(concat(lit("c"), (col("doc_id") % 3).cast("string")))
+      val baseSub = when(col("doc_id") % 9 === 0, lit(null))
+        .otherwise((col("doc_id") % 2).cast("long"))
+      def rows(filter: org.apache.spark.sql.Column, at: String,
+          cat: org.apache.spark.sql.Column = baseCat,
+          sub: org.apache.spark.sql.Column = baseSub,
+          w: org.apache.spark.sql.Column = col("n_chars")) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          col("source"), cat.cast("string").as("cat"),
+          sub.cast("long").as("sub"), w.cast("long").as("w"))
+      AzofWriter.commitBase(s, l, "docs_ntup",
+        rows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_ntup",
+        rows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_ntup",
+        rows(col("doc_id") % 5 === 0, "2024-04-05T00:00:00Z",
+          cat = when(col("doc_id") % 2 === 0, lit(null))
+            .otherwise(lit("c9")),
+          sub = (col("doc_id") % 2).cast("long"),
+          w = col("n_chars") + 1),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelete(s, l, "docs_ntup", Seq("6", "7"),
+        Instant.parse("2024-05-05T00:00:00Z"))
+      refresh()
+      ()
+    }
+
+  /** The NULLABLE-component multi-column histogram rewrite under the
+    * oracle gate (q77's round-16 lift): `GROUP BY cat, sub` where BOTH
+    * tuple components are nullable — SQL keeps the partial-null
+    * groups, which the format-3 pairs carry NULL-token-marked and the
+    * split-back decodes to typed NULLs. Exactness rides null-flipping
+    * revisions and deletes. Refuses any surviving azof relation.
+    */
+  private def matViewNullableTupleHistogram(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = ntupLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_ntup")
+    try {
+      val q = s.sql(
+        "SELECT cat, sub, count(*) AS n_rows, sum(w) AS sum_w " +
+          "FROM azof.docs_ntup GROUP BY cat, sub")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "nullable-tuple histogram rewrite did not fire — refusing to " +
+          "pass the row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** The q83 star twin's definition: tier rollup with a NULLABLE fact
+    * tuple `(cat, sub)`.
+    */
+  private val ntupStarDef = graft.sources.JoinViewDef(Seq("tier"),
+    sumCols = Seq("n_chars"),
+    dims = Seq(graft.sources.DimJoin("src", Seq("tier"))),
+    distinctTuples = Seq(Seq("cat", "sub")))
+
+  /** [[ntupLake]]'s STAR twin: nullable fact tuple components under a
+    * dim RE-TIER (pairs move across groups without the facts
+    * changing) plus fact deletes.
+    */
+  private[queries] def ntupStarLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "ntupstar-v1", "facts_ntup") { l =>
+      import graft.sources.JoinView
+      val docs = Tables(s, dir, "documents")
+      val srcs = docs.select("source").distinct()
+      val num = expr("CAST(substring(source, 4, 10) AS INT)")
+      AzofWriter.createTable(s, l, "src_nt",
+        TableSchema(Seq(
+          ColumnDef("tier", ColumnType.AzString, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(s, l, "facts_ntup",
+        TableSchema(Seq(
+          ColumnDef("src", ColumnType.AzString, nullable = false),
+          ColumnDef("cat", ColumnType.AzString, nullable = true),
+          ColumnDef("sub", ColumnType.AzInt, nullable = true),
+          ColumnDef("n_chars", ColumnType.AzInt, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      def refresh(): Unit = {
+        JoinView.refresh(s, l, "facts_ntup", Seq((l, "src_nt")), l,
+          "doc_ntup_star", ntupStarDef)
+        ()
+      }
+      def factRows(filter: org.apache.spark.sql.Column, at: String) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          col("source").as("src"),
+          when(col("doc_id") % 4 === 0, lit(null))
+            .otherwise(concat(lit("c"), (col("doc_id") % 3)
+              .cast("string"))).cast("string").as("cat"),
+          when(col("doc_id") % 9 === 0, lit(null))
+            .otherwise((col("doc_id") % 2)).cast("long").as("sub"),
+          col("n_chars").cast("long").as("n_chars"))
+      AzofWriter.commitBase(s, l, "src_nt",
+        srcs.select(col("source").as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-01-02T00:00:00Z"))).as("event_time"),
+          when(num % 5 === 0, "vip").when(num % 2 === 0, "even")
+            .otherwise("odd").as("tier")))
+      AzofWriter.commitBase(s, l, "facts_ntup",
+        factRows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "facts_ntup",
+        factRows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "src_nt",
+        s.range(1).select(lit("src3").as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-04-05T00:00:00Z"))).as("event_time"),
+          lit("gold").as("tier")),
+        Instant.parse("2024-04-01T00:00:00Z"),
+        Instant.parse("2024-05-01T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelete(s, l, "facts_ntup", Seq("6", "7"),
+        Instant.parse("2024-05-05T00:00:00Z"))
+      refresh()
+      ()
+    }
+
+  /** [[matViewNullableTupleHistogram]]'s STAR twin: `GROUP BY tier,
+    * cat, sub` over `fact ⋈ dim` with BOTH tuple components nullable,
+    * served from the star view's NULL-token-marked pairs — exact
+    * across the dim re-tier that moves partial-null pairs between
+    * tiers. Refuses any surviving azof relation.
+    */
+  private def starNullableTupleHistogram(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = ntupStarLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_ntup_star")
+    try {
+      val q = s.sql(
+        "SELECT tier, cat, sub, count(*) AS n_rows " +
+          "FROM azof.facts_ntup f JOIN azof.src_nt d ON f.src = d.key " +
+          "GROUP BY tier, cat, sub")
+      // azof relations only: the served plan legitimately joins the
+      // two INDEX frames (value buckets + the derived NULL bucket) —
+      // what must be gone is every corpus relation
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "star nullable-tuple histogram rewrite did not fire — " +
+          "refusing to pass the row off the corpus scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** q54/q55's shared CTE prelude: both tables' reconstructed final
     * states (see [[jvLake]]'s churn script).
     */
@@ -2858,6 +3071,49 @@ object AzofQueries {
     // star truth (pins ARE the current versions; refusals are
     // spec-side)
     "q62_star_pinned_rewrite" -> starViewOracle,
+    // the NULLABLE-component multi-column histogram: SQL's GROUP BY
+    // keeps partial-null rows, reconstructed one-shot — the rewrite
+    // serves them from NULL-token-marked tuple pairs
+    "q82_mv_nullable_tuple" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 5 = 0 THEN
+                         CASE WHEN doc_id % 2 = 0 THEN NULL
+                              ELSE 'c9' END
+                       WHEN doc_id % 4 = 0 THEN NULL
+                       ELSE 'c' || CAST(doc_id % 3 AS VARCHAR)
+                    END AS cat,
+                  CASE WHEN doc_id % 5 = 0 THEN doc_id % 2
+                       WHEN doc_id % 9 = 0 THEN NULL
+                       ELSE doc_id % 2 END AS sub,
+                  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1
+                       ELSE n_chars END AS w
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT cat, sub, COUNT(*) AS n_rows,
+                CAST(SUM(w) AS BIGINT) AS sum_w
+         FROM live GROUP BY 1, 2""",
+    // the star twin: partial-null tuple pairs move across tiers with
+    // the dim re-tier (src3 -> gold) and stay exact
+    "q83_star_nullable_tuple" ->
+      """WITH fact AS (
+           SELECT source AS src,
+                  CASE WHEN doc_id % 4 = 0 THEN NULL
+                       ELSE 'c' || CAST(doc_id % 3 AS VARCHAR)
+                    END AS cat,
+                  CASE WHEN doc_id % 9 = 0 THEN NULL
+                       ELSE doc_id % 2 END AS sub
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         dim AS (
+           SELECT source AS k,
+                  CASE WHEN source = 'src3' THEN 'gold'
+                       WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 'vip'
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even'
+                       ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents))
+         SELECT tier, cat, sub, COUNT(*) AS n_rows
+         FROM fact JOIN dim ON fact.src = dim.k
+         GROUP BY 1, 2, 3""",
     // the SQL-DDL-created view serves its own defining query: counts,
     // sums, extrema, and the exact distinct off the inferred support
     // table, reconstructed one-shot over the final live corpus

@@ -292,8 +292,18 @@ object JoinView {
     */
   val DefFileName = "_jv_def.json"
 
-  /** The current sidecar/table layout generation. */
-  val FormatVersion = 2
+  /** The current sidecar/table layout generation (3 = tuple support
+    * pairs cover partial-null rows, [[MatView.TupleNullFormat]]). The
+    * nn_ gate in [[readDef]] stays at generation 2: a format-2 sidecar
+    * reads fine — only tuples with NULLABLE components need the
+    * format-3 encoding ([[MatView.requireTupleLayout]]).
+    */
+  val FormatVersion = 3
+
+  /** The oldest sidecar generation this binary can read (the nn_/star
+    * layout); below it [[readDef]] refuses loudly.
+    */
+  val MinFormat = 2
 
   def create(
       spark: SparkSession,
@@ -385,9 +395,9 @@ object JoinView {
         try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
         finally in.close()
       val fmt = Option(root.get("format")).map(_.asInt).getOrElse(1)
-      if (fmt < FormatVersion) throw new IllegalStateException(
+      if (fmt < MinFormat) throw new IllegalStateException(
         s"join view '$idxTable' was built by a pre-nn_ binary " +
-          s"(sidecar format $fmt < $FormatVersion) — its table lacks " +
+          s"(sidecar format $fmt < $MinFormat) — its table lacks " +
           "the per-column non-null counts this binary maintains; " +
           "rebuild it via JoinView.rebuildEpoch (CLI: jv-rebuild)")
       def seq(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
@@ -615,6 +625,11 @@ object JoinView {
           .currentSnapshot.schema,
         jdef.sumCols, MatView.dvTableName(idxTable),
         "JoinView.rebuildEpoch (CLI: jv-rebuild)")
+    if (jdef.distinctTuples.nonEmpty)
+      MatView.requireTupleLayout(
+        MatView.defFormat(spark, idxLake, idxTable),
+        fact.currentSnapshot.schema, jdef.distinctTuples, idxTable,
+        "JoinView.rebuildEpoch (CLI: jv-rebuild)")
     val dimTabs = dims.map { case (dl, dt) => AzofTable(spark, dl, dt) }
     // heal the cursor: a crash between commit and cursor write left the
     // replay guard ahead of the sidecar — the PENDING vector (staged
@@ -816,15 +831,17 @@ object JoinView {
     val dvKeys = Seq("dcol") ++ jdef.groupCols ++ Seq("value")
     def pairCounts(rows: DataFrame, pfx: String): DataFrame = {
       val aggs: Seq[Column] =
-        Seq(count(lit(1)).as(s"${pfx}r")) ++
+        Seq(count(lit(1)).as(s"${pfx}r"),
+          sum(col("_viol")).as(s"${pfx}viol")) ++
           jdef.sumCols.flatMap(c => Seq(
             sum(col(c)).as(s"${pfx}s_$c"),
             count(col(c)).as(s"${pfx}nn_$c")))
       MatView.distinctUnits(jdef.distinctCols, jdef.distinctTuples)
-        .map { case (d, nn, v) =>
+        .map { case (d, nn, v, viol) =>
           rows.where(nn)
             .select(((jdef.groupCols ++ jdef.sumCols).distinct.map(col) ++
-              Seq(v.as("value"), lit(d).as("dcol"))): _*)
+              Seq(v.as("value"), lit(d).as("dcol"),
+                viol.as("_viol"))): _*)
         }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
@@ -857,11 +874,14 @@ object JoinView {
     val dvRows: Option[DataFrame] = dvTouched.flatMap { dvt =>
       val dvStats = dvt.agg(count(lit(1)),
         MatView.sepViolations(dvt, jdef.groupCols),
-        sum(when(MatView.valueSepViolation, 1L).otherwise(0L)))
+        sum(when(MatView.valueSepViolation, 1L).otherwise(0L)),
+        sum(coalesce(col("_a_viol"), lit(0L)) +
+          coalesce(col("_p_viol"), lit(0L))))
         .collect()(0)
       val nDv = dvStats.getLong(0)
       def dvz(i: Int) = if (dvStats.isNullAt(i)) 0L else dvStats.getLong(i)
-      MatView.requireNoSep(dvz(1) + dvz(2), "churned distinct-pair")
+      MatView.requireNoSep(dvz(1) + dvz(2) + dvz(3),
+        "churned distinct-pair")
       if (nDv == 0L) { graft.operators.Blocks.freeReferenced(dvt); None }
       else {
         val existing = graft.operators.AzofScan
@@ -1035,6 +1055,12 @@ object JoinView {
       keyFilter = Some(KeyFilter.Range(
         Some(dcol + Sep), Some(dcol + Sep + "\uffff"))))
       .where(col("dcol") === dcol && col("ref") > 0L)
+      // partial-null tuple pairs exist for the multi-column histogram;
+      // COUNT(DISTINCT a, b) skips any-null rows — exclude the marked
+      // pairs (no-op on pre-token pairs; MatView.serveDistinctPairs'
+      // reasoning verbatim)
+      .where(if (dcol.contains(","))
+        !col("value").contains(MatView.TupleNullTok) else lit(true))
       .select((jdef.groupCols.map(col) :+ col("value")): _*)
   }
 
@@ -1080,6 +1106,18 @@ object JoinView {
       "query groups must be view group columns")
     require(measures.forall(jdef.sumCols.contains),
       "histogram measures must be declared sum columns")
+    // tuple histogram over pre-token pairs with a nullable component:
+    // the direct-path loud gate (MatView.valueHistogram's reasoning)
+    if (dcol.contains(",")) {
+      val fmt = MatView.defFormat(spark, idxLake, idxTable)
+      if (fmt < MatView.TupleNullFormat)
+        readDef(spark, idxLake, idxTable).foreach { case (fl, ft, _, _) =>
+          MatView.requireTupleLayout(fmt,
+            AzofTable(spark, fl, ft).currentSnapshot.schema,
+            Seq(dcol.split(",").toSeq), idxTable,
+            "JoinView.rebuildEpoch (CLI: jv-rebuild)")
+        }
+    }
     val t = AzofTable(spark, idxLake, MatView.dvTableName(idxTable))
     val dvSnap = dvVersion.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
@@ -1229,19 +1267,22 @@ object JoinView {
     if (jdef.hasDistinct) {
       val dvKeys = Seq("dcol") ++ jdef.groupCols ++ Seq("value")
       val dvAggs: Seq[Column] =
-        Seq(count(lit(1)).as("ref")) ++
+        Seq(count(lit(1)).as("ref"),
+          sum(col("_viol")).as("_viol")) ++
           jdef.sumCols.flatMap(c => Seq(
             coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"),
             count(col(c)).as(s"nn_$c")))
       val pairs = MatView.distinctUnits(jdef.distinctCols,
           jdef.distinctTuples)
-        .map { case (d, nn, v) =>
+        .map { case (d, nn, v, viol) =>
           joined.where(nn)
             .select(((jdef.groupCols ++ jdef.sumCols).distinct.map(col) ++
-              Seq(v.as("value"), lit(d).as("dcol"))): _*)
+              Seq(v.as("value"), lit(d).as("dcol"),
+                viol.as("_viol"))): _*)
         }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
         .agg(dvAggs.head, dvAggs.tail: _*)
+        .localCheckpoint(true)
       val dvRows = pairs.select(
         (Seq(
           concat_ws(Sep, (Seq(col("dcol")) ++
@@ -1253,9 +1294,19 @@ object JoinView {
           Seq(col("value"), col("ref")) ++
           jdef.sumCols.flatMap(c =>
             Seq(col(s"sum_$c"), col(s"nn_$c")))): _*)
-      if (dvRows.limit(1).count() > 0)
+      // one pass: size + the reserved separator/NULL-token contract
+      // (the refresh path's check, mirrored)
+      val pStats = pairs.agg(count(lit(1)),
+        MatView.sepViolations(pairs, jdef.groupCols),
+        sum(when(MatView.valueSepViolation, 1L).otherwise(0L)),
+        sum(col("_viol"))).collect()(0)
+      def pz(i: Int) = if (pStats.isNullAt(i)) 0L else pStats.getLong(i)
+      MatView.requireNoSep(pz(1) + pz(2) + pz(3),
+        "retrained distinct-pair")
+      if (pStats.getLong(0) > 0)
         AzofWriter.commitDelta(spark, idxLake,
           MatView.dvTableName(newTable), dvRows, at, at)
+      graft.operators.Blocks.freeReferenced(pairs)
     }
     writeCursor(spark, idxLake, newTable, fNow, dNows)
     n

@@ -258,12 +258,100 @@ object MatView {
   val DefFileName = "_mv_def.json"
 
   /** The current sidecar/table layout generation (2 = `nn_<c>` non-null
-    * counts + typed min/max). Stamped into the def sidecar for audit;
-    * the operative upgrade gate is [[requireNnLayout]] on the view
-    * TABLE's schema, because round-13 tables gained `nn_` without a
-    * stamp — the schema, not the sidecar, is the ground truth.
+    * counts + typed min/max; 3 = tuple support pairs cover PARTIAL-NULL
+    * rows with the reserved NULL token — [[TupleNullTok]]). Stamped
+    * into the def sidecar; the nn_ upgrade gate stays on the view
+    * TABLE's schema ([[requireNnLayout]] — round-13 tables gained
+    * `nn_` without a stamp), while the tuple-encoding gate reads the
+    * stamp ([[requireTupleLayout]] — the pair rows themselves cannot
+    * reveal which generation wrote them: a no-null corpus writes
+    * identical rows either way).
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
+
+  /** The first sidecar generation whose TUPLE support pairs include
+    * partial-null rows (NULL components encoded as [[TupleNullTok]]) —
+    * what makes the multi-column histogram (`GROUP BY cat, sub` with a
+    * nullable component) reconstructible from the pairs: SQL's GROUP
+    * BY keeps partial-null rows, and pre-3 pairs (all-non-null rows
+    * only) cannot rebuild those groups.
+    */
+  val TupleNullFormat = 3
+
+  /** Reserved NULL-component token inside an encoded tuple value. A
+    * REAL component value containing it would alias NULL, so the
+    * refresh guards it like the U+0001 separator (loud refusal, the
+    * same contract class).
+    */
+  private[graft] val TupleNullTok = "\u0002"
+
+  /** [[defFormat]]'s session cache — definitions (and their format
+    * stamp) are immutable per view table, the same assumption the
+    * rewrite rule's definition cache rests on; a positive stamp never
+    * re-reads.
+    */
+  private val fmtCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
+
+  /** The `format` stamp of a view table's definition sidecar (either
+    * kind), 0 when absent or unreadable — the tuple-encoding
+    * generation gate's evidence.
+    */
+  def defFormat(
+      spark: SparkSession, idxLake: String, idxTable: String): Int = {
+    val key = (new org.apache.hadoop.fs.Path(idxLake).toString, idxTable)
+    Option(fmtCache.get(key)).map(_.intValue).getOrElse {
+      val f = readDefFormat(spark, idxLake, idxTable)
+      if (f > 0) fmtCache.put(key, Integer.valueOf(f))
+      f
+    }
+  }
+
+  private def readDefFormat(
+      spark: SparkSession, idxLake: String, idxTable: String): Int =
+    try {
+      val dir = AzofTable(spark, idxLake, idxTable).tableDir
+      val conf = spark.sessionState.newHadoopConf()
+      Seq(DefFileName, JoinView.DefFileName).iterator.flatMap { n =>
+        val p = new org.apache.hadoop.fs.Path(dir, n)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val root =
+            try new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(in)
+            finally in.close()
+          Some(Option(root.get("format")).map(_.asInt).getOrElse(1))
+        }
+      }.nextOption().getOrElse(0)
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+
+  /** LOUD tuple-encoding gate for paths that would MIX generations or
+    * serve a shape the old pairs cannot answer: refuses when the view
+    * declares a tuple with a NULLABLE component but its sidecar
+    * predates [[TupleNullFormat]] (the pairs omit partial-null rows —
+    * refreshing would mix encodings; a multi-column histogram would
+    * silently drop SQL's partial-null groups). All-non-null-component
+    * tuples are generation-independent (both encodings write the same
+    * rows) and pass.
+    */
+  private[sources] def requireTupleLayout(
+      fmt: Int, srcSchema: TableSchema, tuples: Seq[Seq[String]],
+      table: String, remedy: String): Unit =
+    if (fmt < TupleNullFormat) {
+      val nullableBy =
+        srcSchema.columns.map(c => c.name -> c.nullable).toMap
+      val bad = tuples.filter(_.exists(c => nullableBy.getOrElse(c, false)))
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"view table '$table' declares distinct tuple(s) " +
+          bad.map(_.mkString("(", ",", ")")).mkString(", ") +
+          " with NULLABLE component(s), but its definition sidecar " +
+          s"(format $fmt) predates the null-marked tuple encoding — " +
+          "its support pairs omit partial-null rows, so refreshing " +
+          "or serving multi-column histograms from it would be " +
+          s"silently wrong; rebuild it: $remedy")
+    }
 
   /** Whether the view table's schema carries the `nn_<c>` non-null
     * count for every declared sum column — false for a table built by
@@ -843,6 +931,11 @@ object MatView {
           .currentSnapshot.schema,
         view.sumCols, dvTableName(idxTable),
         "MatView.rebuildEpoch (CLI: mv-rebuild)")
+    if (view.distinctTuples.nonEmpty)
+      requireTupleLayout(defFormat(spark, idxLake, idxTable),
+        AzofTable(spark, srcLake, srcTable).currentSnapshot.schema,
+        view.distinctTuples, idxTable,
+        "MatView.rebuildEpoch (CLI: mv-rebuild)")
     val appId = AzofSink.appIdFor(checkpoint)
     spark.readStream.format("azof-commits")
       .option("table", srcTable).load(srcLake)
@@ -913,22 +1006,38 @@ object MatView {
 
   /** Every distinct UNIT the support table maintains — the single
     * declared columns plus the declared TUPLES — as
-    * `(dcol name, all-non-null filter, canonical string value)`. A
-    * tuple's dcol is its component names joined by ',' and its value
-    * the components' canonical strings joined by the reserved
-    * separator (injective while components are separator-free —
-    * [[valueSepViolation]] guards that); the conjunctive non-null
-    * filter IS SQL's `COUNT(DISTINCT a, b)` semantics (a row with any
-    * NULL component is skipped).
+    * `(dcol name, row filter, canonical string value, violation)`.
+    *
+    * A single column pairs its NON-NULL rows (`COUNT(DISTINCT c)`
+    * skips nulls and the value histogram's NULL bucket derives from
+    * the view totals). A tuple pairs EVERY row: a NULL component
+    * encodes as the reserved [[TupleNullTok]], which is what lets the
+    * multi-column histogram (`GROUP BY a, b` — SQL keeps partial-null
+    * rows) reconstruct exactly from the pairs, while
+    * `COUNT(DISTINCT a, b)` (SQL skips any-null rows) serves by
+    * filtering marked pairs out ([[serveDistinctPairs]]). The tuple's
+    * dcol is its component names joined by ',' and its value the
+    * components' canonical strings joined by the reserved separator —
+    * injective while components carry neither U+0001 nor U+0002: the
+    * `violation` column flags a REAL component value containing
+    * either (post-encoding, NULL and a real U+0002 are
+    * indistinguishable, so this check must ride the raw rows), and
+    * the refresh refuses loudly on any flagged row.
     */
   private[sources] def distinctUnits(
       distinctCols: Seq[String], distinctTuples: Seq[Seq[String]])
-      : Seq[(String, Column, Column)] =
+      : Seq[(String, Column, Column, Column)] =
     distinctCols.map(c =>
-      (c, col(c).isNotNull, col(c).cast("string"))) ++
+      (c, col(c).isNotNull, col(c).cast("string"), lit(0L))) ++
       distinctTuples.map { t =>
-        (t.mkString(","), t.map(col(_).isNotNull).reduce(_ && _),
-          concat_ws(Sep, t.map(c => col(c).cast("string")): _*))
+        val comps = t.map(c =>
+          coalesce(col(c).cast("string"), lit(TupleNullTok)))
+        val viol = t.map(c => col(c).isNotNull &&
+            (col(c).cast("string").contains(Sep) ||
+              col(c).cast("string").contains(TupleNullTok)))
+          .reduce(_ || _)
+        (t.mkString(","), lit(true), concat_ws(Sep, comps: _*),
+          when(viol, 1L).otherwise(0L))
       }
 
   /** Violation flag over a support frame's `(dcol, value)`: a single
@@ -1010,15 +1119,17 @@ object MatView {
     val dvKeys = Seq("dcol") ++ view.groupCols ++ Seq("value")
     def pairCounts(rows: DataFrame, pfx: String): DataFrame = {
       val aggs: Seq[Column] =
-        Seq(count(lit(1)).as(s"${pfx}r")) ++
+        Seq(count(lit(1)).as(s"${pfx}r"),
+          sum(col("_viol")).as(s"${pfx}viol")) ++
           view.sumCols.flatMap(c => Seq(
             sum(col(c)).as(s"${pfx}s_$c"),
             count(col(c)).as(s"${pfx}nn_$c")))
       distinctUnits(view.distinctCols, view.distinctTuples)
-        .map { case (d, nn, v) =>
+        .map { case (d, nn, v, viol) =>
           rows.where(nn)
             .select(((view.groupCols ++ view.sumCols).distinct.map(col) ++
-              Seq(v.as("value"), lit(d).as("dcol"))): _*)
+              Seq(v.as("value"), lit(d).as("dcol"),
+                viol.as("_viol"))): _*)
         }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
@@ -1041,10 +1152,12 @@ object MatView {
     val dvRows: Option[DataFrame] = dvTouched.flatMap { dvt =>
       val dvStats = dvt.agg(count(lit(1)),
         sepViolations(dvt, view.groupCols),
-        sum(when(valueSepViolation, 1L).otherwise(0L))).collect()(0)
+        sum(when(valueSepViolation, 1L).otherwise(0L)),
+        sum(coalesce(col("_a_viol"), lit(0L)) +
+          coalesce(col("_p_viol"), lit(0L)))).collect()(0)
       val nDv = dvStats.getLong(0)
       def dvz(i: Int) = if (dvStats.isNullAt(i)) 0L else dvStats.getLong(i)
-      requireNoSep(dvz(1) + dvz(2), "churned distinct-pair")
+      requireNoSep(dvz(1) + dvz(2) + dvz(3), "churned distinct-pair")
       if (nDv == 0L) { graft.operators.Blocks.freeReferenced(dvt); None }
       else {
         val existing = graft.operators.AzofScan
@@ -1221,11 +1334,21 @@ object MatView {
     val t = AzofTable(spark, idxLake, dvTableName(idxTable))
     val snap = version.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
-    graft.operators.AzofScan.scanSnapshot(spark, t, snap, AsOf.Current,
+    val live = graft.operators.AzofScan.scanSnapshot(spark, t, snap,
+      AsOf.Current,
       keyFilter = Some(graft.format.KeyFilter.Range(
         Some(dcol + Sep), Some(dcol + Sep + "\uffff"))))
       .where(col("dcol") === dcol && col("ref") > 0L)
-      .select((view.groupCols.map(col) :+ col("value")): _*)
+    // a TUPLE's partial-null pairs (NULL components marked with the
+    // reserved token) exist for the multi-column histogram; SQL's
+    // COUNT(DISTINCT a, b) SKIPS any-null rows, so the distinct
+    // support relation excludes them (a no-op on pre-token pairs,
+    // which never wrote partial-null rows)
+    val distinctOnly =
+      if (dcol.contains(","))
+        live.where(!col("value").contains(TupleNullTok))
+      else live
+    distinctOnly.select((view.groupCols.map(col) :+ col("value")): _*)
   }
 
   /** `COUNT(DISTINCT dcol)` per `queryGroups` (a subset of the view's
@@ -1274,6 +1397,21 @@ object MatView {
       "query groups must be view group columns")
     require(measures.forall(view.sumCols.contains),
       "histogram measures must be declared sum columns")
+    // a TUPLE histogram over pre-token pairs with a nullable component
+    // would silently drop SQL's partial-null groups — the direct-path
+    // loud twin of the rewrite's silent candidacy gate (zero extra I/O
+    // for format-3 tables; the source-schema read happens only on an
+    // old stamp)
+    if (dcol.contains(",")) {
+      val fmt = defFormat(spark, idxLake, idxTable)
+      if (fmt < TupleNullFormat)
+        readDef(spark, idxLake, idxTable).foreach { case (sl, st, _) =>
+          requireTupleLayout(fmt,
+            AzofTable(spark, sl, st).currentSnapshot.schema,
+            Seq(dcol.split(",").toSeq), idxTable,
+            "MatView.rebuildEpoch (CLI: mv-rebuild)")
+        }
+    }
     val t = AzofTable(spark, idxLake, dvTableName(idxTable))
     val dvSnap = dvVersion.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
@@ -1418,18 +1556,21 @@ object MatView {
     if (view.hasDistinct) {
       val dvKeys = Seq("dcol") ++ view.groupCols ++ Seq("value")
       val dvAggs: Seq[Column] =
-        Seq(count(lit(1)).as("ref")) ++
+        Seq(count(lit(1)).as("ref"),
+          sum(col("_viol")).as("_viol")) ++
           view.sumCols.flatMap(c => Seq(
             coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"),
             count(col(c)).as(s"nn_$c")))
       val pairs = distinctUnits(view.distinctCols, view.distinctTuples)
-        .map { case (d, nn, v) =>
+        .map { case (d, nn, v, viol) =>
           live.where(nn)
             .select(((view.groupCols ++ view.sumCols).distinct.map(col) ++
-              Seq(v.as("value"), lit(d).as("dcol"))): _*)
+              Seq(v.as("value"), lit(d).as("dcol"),
+                viol.as("_viol"))): _*)
         }.reduce(_.unionByName(_))
         .groupBy(dvKeys.map(col): _*)
         .agg(dvAggs.head, dvAggs.tail: _*)
+        .localCheckpoint(true)
       val dvRows = pairs.select(
         (Seq(
           concat_ws(Sep, (Seq(col("dcol")) ++
@@ -1441,9 +1582,19 @@ object MatView {
           Seq(col("value"), col("ref")) ++
           view.sumCols.flatMap(c =>
             Seq(col(s"sum_$c"), col(s"nn_$c")))): _*)
-      if (dvRows.limit(1).count() > 0)
+      // one pass: size + the reserved separator/NULL-token contract
+      // (the refresh path's check, mirrored — a retrain must not be
+      // the door ambiguous encodings sneak in through)
+      val pStats = pairs.agg(count(lit(1)),
+        sepViolations(pairs, view.groupCols),
+        sum(when(valueSepViolation, 1L).otherwise(0L)),
+        sum(col("_viol"))).collect()(0)
+      def pz(i: Int) = if (pStats.isNullAt(i)) 0L else pStats.getLong(i)
+      requireNoSep(pz(1) + pz(2) + pz(3), "retrained distinct-pair")
+      if (pStats.getLong(0) > 0)
         AzofWriter.commitDelta(spark, idxLake, dvTableName(newTable),
           dvRows, at, at)
+      graft.operators.Blocks.freeReferenced(pairs)
     }
     // the retrain saw the live state at (at least) the pinned version —
     // the rebuilt table serves rewrites immediately

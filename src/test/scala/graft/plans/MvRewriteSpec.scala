@@ -707,13 +707,24 @@ class MvRewriteSpec extends AnyFunSuite {
           "TIMESTAMP AS OF '2024-01-01T12:00:00Z' GROUP BY b")
       assert(scansSrc(qlow), "below-corpus coordinate refuses")
       // a MULTI-COLUMN histogram over NULLABLE tuple components
-      // refuses: SQL's GROUP BY b, v splits partial-null rows into
-      // groups the all-non-null pairs cannot reconstruct
-      val qtn = spark.sql(
-        "SELECT b, v, count(*) AS n FROM azof.src GROUP BY b, v")
-      assert(scansSrc(qtn),
-        "nullable tuple components must refuse the histogram")
-      assert(qtn.collect().length == 4)
+      // SERVES from format-3 pairs (round 16): SQL's GROUP BY b, v
+      // keeps partial-null rows, which the pairs carry NULL-token-
+      // marked and the split-back decodes to typed NULLs — the served
+      // rows must equal the corpus scan's exactly
+      val tnSql = "SELECT b, v, count(*) AS n FROM azof.src GROUP BY b, v"
+      spark.conf.unset("spark.azof.mv.rewrite")
+      val tnTruth = spark.sql(tnSql).collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2)))
+        .sortBy(_.toString).toSeq
+      spark.conf.set("spark.azof.mv.rewrite", "mv")
+      val qtn = spark.sql(tnSql)
+      assert(!scansSrc(qtn),
+        "nullable tuple components serve from format-3 pairs:\n" +
+          qtn.queryExecution.optimizedPlan)
+      assert(qtn.collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2)))
+        .sortBy(_.toString).toSeq == tnTruth,
+        "partial-null GROUP BY rows must round-trip through the pairs")
     } finally {
       spark.conf.unset("spark.azof.path")
       spark.conf.unset("spark.azof.mv.rewrite")

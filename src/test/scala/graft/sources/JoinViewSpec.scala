@@ -742,4 +742,72 @@ class JoinViewSpec extends AnyFunSuite {
           distinctCols = Seq("absent")))
     }
   }
+
+  test("NULLABLE star tuple components: partial-null fact rows pair " +
+    "NULL-token-marked and the star histogram reconstructs them; a " +
+    "pre-token sidecar refuses refresh AND the direct histogram " +
+    "loudly naming jv-rebuild") {
+    val nFactSchema = TableSchema(Seq(
+      ColumnDef("fk", ColumnType.AzString, nullable = false),
+      ColumnDef("cat", ColumnType.AzString, nullable = true),
+      ColumnDef("w", ColumnType.AzInt, nullable = true)))
+    val njdef = JoinViewDef(Seq("tier"),
+      dims = Seq(DimJoin("fk", Seq("tier"))),
+      distinctTuples = Seq(Seq("cat", "w")))
+    def nFacts(rows: (String, String, Any, Any)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, fk, c, w) =>
+          Row(k, Timestamp.from(ts("2024-01-02T00:00:00Z")), fk,
+            c match { case null => null; case x => x },
+            w match { case null => null; case x: Long => x }) }),
+        nFactSchema.toStruct)
+    val l = Files.createTempDirectory("azof-jv-ntup").toString
+    AzofWriter.createTable(spark, l, "fact", nFactSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "dim", dims(
+      ("d1", "2024-01-02T00:00:00Z", "t1")))
+    AzofWriter.commitBase(spark, l, "fact", nFacts(
+      ("1", "d1", "x", 1L), ("2", "d1", null, 1L),
+      ("3", "d1", "x", null)))
+    JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "njv", njdef)
+    val S = "\u0001"; val N = "\u0002"
+    val hist = JoinView.valueHistogram(spark, l, "njv", njdef,
+      "cat,w", Nil).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(hist == Seq(
+      (s"x${S}1", 1L), (s"$N${S}1", 1L), (s"x$S$N", 1L)).sortBy(_._1),
+      hist.toString)
+    assert(JoinView.countDistinct(spark, l, "njv", njdef, "cat,w", Nil)
+      .collect()(0).getLong(0) == 1L, "any-null rows skipped")
+    // pre-token sidecar: refresh + direct histogram refuse loudly —
+    // on a SECOND view tampered before any refresh reads its stamp
+    // (defFormat caches positive stamps, the defs-immutable contract)
+    JoinView.create(spark, l, "fact", Seq((l, "dim")), l, "njv2", njdef)
+    val defHP = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(l, "njv2"), JoinView.DefFileName)
+    val dfs = defHP.getFileSystem(spark.sessionState.newHadoopConf())
+    val oldJson = {
+      val in = dfs.open(defHP)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val out = dfs.create(defHP, true)
+    try out.write(oldJson.replace("\"format\":3", "\"format\":2")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "njv2",
+        njdef); ()
+    }
+    assert(e.getMessage.contains("jv-rebuild") &&
+      e.getMessage.contains("NULLABLE"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      JoinView.valueHistogram(spark, l, "njv2", njdef, "cat,w", Nil)
+        .collect()
+    }
+    assert(e2.getMessage.contains("jv-rebuild"), e2.getMessage)
+  }
 }

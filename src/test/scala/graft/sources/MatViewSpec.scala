@@ -929,6 +929,103 @@ class MatViewSpec extends AnyFunSuite {
     }
   }
 
+  test("NULLABLE tuple components: pairs carry partial-null rows " +
+    "NULL-token-marked and stay exact under null-flipping churn; a " +
+    "pre-token sidecar refuses the refresh AND the direct histogram " +
+    "loudly; a real U+0002 component refuses like the separator") {
+    val nSchema = TableSchema(Seq(
+      ColumnDef("g", ColumnType.AzString, nullable = false),
+      ColumnDef("cat", ColumnType.AzString, nullable = true),
+      ColumnDef("sub", ColumnType.AzInt, nullable = true)))
+    def nRows(rows: (String, String, Any, Any)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, g, c, v) =>
+          Row(k, Timestamp.from(ts("2024-01-02T00:00:00Z")), g,
+            c match { case null => null; case x => x },
+            v match { case null => null; case x: Long => x }) }),
+        nSchema.toStruct)
+    val vD = ViewDef(Seq("g"), distinctTuples = Seq(Seq("cat", "sub")))
+    val l = Files.createTempDirectory("azof-mv-ntup").toString
+    val ck = Files.createTempDirectory("azof-mv-ntup-ck").toString
+    AzofWriter.createTable(spark, l, "src", nSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src", nRows(
+      ("1", "a", "x", 1L), ("2", "a", null, 1L),
+      ("3", "a", "x", null), ("4", "b", null, null)))
+    def refresh(): Unit = {
+      val q = MatView.refresh(spark, l, "src", l, "ntup", vD, ck)
+      assert(q.awaitTermination(120000))
+    }
+    refresh()
+    val S = "\u0001"; val N = "\u0002"
+    def hist() = MatView.valueHistogram(spark, l, "ntup", vD,
+      "cat,sub", Nil).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    // every row pairs; partial-null tuples encode with the NULL token
+    assert(hist() == Seq(
+      (s"x${S}1", 1L), (s"$N${S}1", 1L),
+      (s"x$S$N", 1L), (s"$N$S$N", 1L)).sortBy(_._1), hist().toString)
+    // COUNT(DISTINCT cat, sub) skips any-null rows: exactly one pair
+    val dv = MatView.countDistinct(spark, l, "ntup", vD, "cat,sub", Nil)
+      .collect()(0).getLong(0)
+    assert(dv == 1L, s"any-null rows skipped: $dv")
+    // NULL-FLIPPING churn: key 2 gains its cat, key 3 loses its cat,
+    // key 1 deleted — pairs move between marked and unmarked forms
+    AzofWriter.commitDelta(spark, l, "src", nRows(
+      ("2", "a", "y", 1L), ("3", "a", null, null)),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+    refresh()
+    AzofWriter.commitDelete(spark, l, "src", Seq("1"),
+      ts("2024-03-05T00:00:00Z"))
+    refresh()
+    // live rows: 2=(a,y,1), 3=(a,NULL,NULL), 4=(b,NULL,NULL)
+    assert(hist() == Seq(
+      (s"$N$S$N", 2L), (s"y${S}1", 1L)).sortBy(_._1),
+      hist().toString)
+    assert(MatView.countDistinct(spark, l, "ntup", vD, "cat,sub", Nil)
+      .collect()(0).getLong(0) == 1L)
+    // a REAL U+0002 inside a component would alias NULL: loud refusal
+    AzofWriter.commitDelta(spark, l, "src", nRows(
+      ("9", "a", "bad" + N + "val", 1L)),
+      ts("2024-04-01T00:00:00Z"), ts("2024-05-01T00:00:00Z"))
+    val e2 = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { refresh() }
+    assert(e2.getMessage.contains("separator") ||
+      e2.getCause.getMessage.contains("separator"))
+    // PRE-TOKEN sidecar (format 2) + nullable components: the refresh
+    // refuses loudly naming the rebuild, and the direct histogram too
+    val l2 = Files.createTempDirectory("azof-mv-ntup-old").toString
+    val ck2 = Files.createTempDirectory("azof-mv-ntup-old-ck").toString
+    AzofWriter.createTable(spark, l2, "src", nSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l2, "src", nRows(("1", "a", "x", 1L)))
+    MatView.create(spark, l2, "src", l2, "ntup2", vD)
+    val defHP = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(l2, "ntup2"), MatView.DefFileName)
+    val dfs = defHP.getFileSystem(spark.sessionState.newHadoopConf())
+    val oldJson = {
+      val in = dfs.open(defHP)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val out = dfs.create(defHP, true)
+    try out.write(oldJson.replace("\"format\":3", "\"format\":2")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e3 = intercept[IllegalStateException] {
+      val q = MatView.refresh(spark, l2, "src", l2, "ntup2", vD, ck2)
+      q.awaitTermination(120000); ()
+    }
+    assert(e3.getMessage.contains("mv-rebuild") &&
+      e3.getMessage.contains("NULLABLE"), e3.getMessage)
+    val e4 = intercept[IllegalStateException] {
+      MatView.valueHistogram(spark, l2, "ntup2", vD, "cat,sub", Nil)
+        .collect()
+    }
+    assert(e4.getMessage.contains("mv-rebuild"), e4.getMessage)
+  }
+
   test("as-of gate on a FULLY-CLOSED tree: a closed root segment's " +
     "deltas participate in the Current read regardless of the " +
     "segment's range, so a delta window above the coordinate refuses " +
