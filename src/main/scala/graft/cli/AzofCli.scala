@@ -62,7 +62,7 @@ object AzofCli {
       graft.sources.DerivedGroup.parseList(opts.getOrElse("derived", ""))
     graft.sources.ViewDef(csv("group-cols"), csv("sum-cols"),
       csv("minmax-cols"), csv("distinct-cols"), derived,
-      cliTuples(opts))
+      cliTuples(opts), csv("approx-cols"))
   }
 
   /** `--distinct-tuples "a+b;c+d"` → declared multi-column distinct
@@ -96,7 +96,8 @@ object AzofCli {
       csv("minmax-cols"),
       fks.zip(padded).map { case (fk, dc) =>
         graft.sources.DimJoin(fk, dc) },
-      csv("distinct-cols"), derived, cliTuples(opts))
+      csv("distinct-cols"), derived, cliTuples(opts),
+      csv("approx-cols"))
   }
 
   /** The jv-* verbs' dim table locations: `--dim-table d1[,d2…]` with
@@ -150,6 +151,7 @@ object AzofCli {
           "seq-create|seq-refresh|seq-spans|seq-emit|" +
           "sem-create|sem-refresh|sem-rebuild|sem-verdicts|" +
           "mv-create|mv-refresh|mv-serve|mv-distinct|mv-histogram|" +
+          "mv-approx|jv-approx|" +
           "mv-rebuild|" +
           "term-create|term-refresh|term-search|term-phrase|" +
           "term-bm25|" +
@@ -1192,6 +1194,37 @@ object AzofCli {
           opts.getOrElse("index-table", "mv"), vd, dcol, by)
         (if (by.isEmpty) out
          else out.orderBy(by.map(org.apache.spark.sql.functions.col): _*))
+          .show(numRows = 10000, truncate = false)
+      case "mv-approx" =>
+        // APPROX_COUNT_DISTINCT from the view's HLL sketch column:
+        //   mv-approx --path L --index-table mv --group-cols g
+        //     --approx-cols a --col a [--by g2]  (--by empty = global)
+        val avd = cliViewDef(opts)
+        val acol = opts.getOrElse("col", avd.approxCols.head)
+        val aby = opts.get("by")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(avd.groupCols)
+        val aout = graft.sources.MatView.approxDistinct(spark,
+          opts.getOrElse("index-path", opts("path")),
+          opts.getOrElse("index-table", "mv"), avd, acol, aby)
+        (if (aby.isEmpty) aout
+         else aout.orderBy(aby.map(org.apache.spark.sql.functions.col): _*))
+          .show(numRows = 10000, truncate = false)
+      case "jv-approx" =>
+        // the star twin: jv-approx --path L --index-table jv
+        //   --group-cols g --fk-col fk --dim-cols g --approx-cols a
+        //   --col a [--by g2]
+        val ajd = cliJoinViewDef(opts)
+        val ajcol = opts.getOrElse("col", ajd.approxCols.head)
+        val ajby = opts.get("by")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(ajd.groupCols)
+        val ajout = graft.sources.JoinView.approxDistinct(spark,
+          opts.getOrElse("index-path", opts("path")),
+          opts.getOrElse("index-table", "jv"), ajd, ajcol, ajby)
+        (if (ajby.isEmpty) ajout
+         else ajout
+           .orderBy(ajby.map(org.apache.spark.sql.functions.col): _*))
           .show(numRows = 10000, truncate = false)
       case "mv-histogram" =>
         // exact value histogram / heavy hitters from the support table

@@ -74,7 +74,9 @@ object AzofQueries {
     "q80_star_ddl_rewrite" -> starDdlRewrite,
     "q81_star_mixed_asof" -> starMixedAsOfRewrite,
     "q82_mv_nullable_tuple" -> matViewNullableTupleHistogram,
-    "q83_star_nullable_tuple" -> starNullableTupleHistogram)
+    "q83_star_nullable_tuple" -> starNullableTupleHistogram,
+    "x03_hll_mv" -> matViewHllApprox,
+    "x04_hll_star" -> starHllApprox)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -2947,6 +2949,138 @@ object AzofQueries {
     }
   }
 
+  /** The x03 [[graft.sources.ViewDef]]: `author` declared BOTH exact
+    * (refcounted support) and approx (HLL sketch) — the sketch's
+    * in-engine accuracy contract is checked against the exact twin.
+    */
+  private val hllDef = graft.sources.ViewDef(Seq("source"),
+    distinctCols = Seq("author"), approxCols = Seq("author"))
+
+  /** APPEND-ONLY lake for the sketch rows (HLL merges have no inverse
+    * — the refusal/rebuild cells are spec-side, HllSpec): base + one
+    * insert delta, refreshed per commit.
+    */
+  private[queries] def hllLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "hll-v1", "docs_hll") { l =>
+      import graft.sources.MatView
+      val docs = Tables(s, dir, "documents")
+      AzofWriter.createTable(s, l, "docs_hll",
+        TableSchema(Seq(
+          ColumnDef("source", ColumnType.AzString, nullable = false),
+          ColumnDef("author", ColumnType.AzString, nullable = true))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val ck = new java.io.File(l, "_hll_ck").toString
+      def refresh(): Unit = {
+        val q = MatView.refresh(s, l, "docs_hll", l, "doc_hll", hllDef, ck)
+        if (!q.awaitTermination(300000))
+          throw new IllegalStateException(
+            "hll-view refresh did not terminate within 300s")
+      }
+      def rows(filter: org.apache.spark.sql.Column, at: String) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          col("source"),
+          when(col("doc_id") % 6 === 0, lit(null))
+            .otherwise(concat(lit("a"),
+              (col("doc_id") % 50).cast("string")))
+            .cast("string").as("author"))
+      AzofWriter.commitBase(s, l, "docs_hll",
+        rows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "docs_hll",
+        rows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      refresh()
+      ()
+    }
+
+  /** APPROX_COUNT_DISTINCT from the view's HLL sketch, against its own
+    * exact twin: per-source sketch estimates joined with the
+    * refcounted support table's exact counts; `hll_ok` asserts the
+    * estimate lands within 5% of truth (exactness is out of scope by
+    * design — the sketch is O(groups) storage at ANY cardinality; the
+    * oracle gates the exact counts AND the bound verdicts).
+    */
+  private def matViewHllApprox(s: SparkSession, dir: String): DataFrame = {
+    val lake = hllLake(s, dir)
+    val exact = graft.sources.MatView.countDistinct(s, lake, "doc_hll",
+      hllDef, "author", Seq("source"))
+    val est = graft.sources.MatView.approxDistinct(s, lake, "doc_hll",
+      hllDef, "author", Seq("source"))
+    exact.join(est, Seq("source"))
+      .select(col("source"), col("dv_author"),
+        (abs(col("adv_author").cast("double") /
+          col("dv_author").cast("double") - 1.0) <= 0.05).as("hll_ok"))
+  }
+
+  /** The x04 star twin's definition. */
+  private val hllStarDef = graft.sources.JoinViewDef(Seq("tier"),
+    dims = Seq(graft.sources.DimJoin("src", Seq("tier"))),
+    distinctCols = Seq("author"), approxCols = Seq("author"))
+
+  /** [[hllLake]]'s STAR twin: append-only facts under a static dim. */
+  private[queries] def hllStarLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "hllstar-v1", "facts_hll") { l =>
+      import graft.sources.JoinView
+      val docs = Tables(s, dir, "documents")
+      val srcs = docs.select("source").distinct()
+      val num = expr("CAST(substring(source, 4, 10) AS INT)")
+      AzofWriter.createTable(s, l, "src_hll",
+        TableSchema(Seq(
+          ColumnDef("tier", ColumnType.AzString, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(s, l, "facts_hll",
+        TableSchema(Seq(
+          ColumnDef("src", ColumnType.AzString, nullable = false),
+          ColumnDef("author", ColumnType.AzString, nullable = true))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      def refresh(): Unit = {
+        JoinView.refresh(s, l, "facts_hll", Seq((l, "src_hll")), l,
+          "doc_hll_star", hllStarDef)
+        ()
+      }
+      def factRows(filter: org.apache.spark.sql.Column, at: String) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          col("source").as("src"),
+          when(col("doc_id") % 6 === 0, lit(null))
+            .otherwise(concat(lit("a"),
+              (col("doc_id") % 50).cast("string")))
+            .cast("string").as("author"))
+      AzofWriter.commitBase(s, l, "src_hll",
+        srcs.select(col("source").as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-01-02T00:00:00Z"))).as("event_time"),
+          when(num % 2 === 0, "even").otherwise("odd").as("tier")))
+      AzofWriter.commitBase(s, l, "facts_hll",
+        factRows(col("doc_id") % 3 =!= 0, "2024-01-02T00:00:00Z"))
+      refresh()
+      AzofWriter.commitDelta(s, l, "facts_hll",
+        factRows(col("doc_id") % 3 === 0, "2024-02-05T00:00:00Z"),
+        Instant.parse("2024-02-01T00:00:00Z"),
+        Instant.parse("2024-03-01T00:00:00Z"))
+      refresh()
+      ()
+    }
+
+  /** [[matViewHllApprox]]'s STAR twin: per-tier sketch estimates off
+    * the join view vs the star support table's exact counts.
+    */
+  private def starHllApprox(s: SparkSession, dir: String): DataFrame = {
+    val lake = hllStarLake(s, dir)
+    val exact = graft.sources.JoinView.countDistinct(s, lake,
+      "doc_hll_star", hllStarDef, "author", Seq("tier"))
+    val est = graft.sources.JoinView.approxDistinct(s, lake,
+      "doc_hll_star", hllStarDef, "author", Seq("tier"))
+    exact.join(est, Seq("tier"))
+      .select(col("tier"), col("dv_author"),
+        (abs(col("adv_author").cast("double") /
+          col("dv_author").cast("double") - 1.0) <= 0.05).as("hll_ok"))
+  }
+
   /** q54/q55's shared CTE prelude: both tables' reconstructed final
     * states (see [[jvLake]]'s churn script).
     */
@@ -3071,6 +3205,36 @@ object AzofQueries {
     // star truth (pins ARE the current versions; refusals are
     // spec-side)
     "q62_star_pinned_rewrite" -> starViewOracle,
+    // the HLL sketch's in-engine accuracy contract: exact counts from
+    // the support table hash-gate normally; the sketch estimate is
+    // asserted within 5% of truth (TRUE verdicts hash-gate — the
+    // estimate itself is engine-specific by design, O(groups) storage)
+    "x03_hll_mv" ->
+      """WITH live AS (
+           SELECT source,
+                  CASE WHEN doc_id % 6 = 0 THEN NULL
+                       ELSE 'a' || CAST(doc_id % 50 AS VARCHAR)
+                    END AS author
+           FROM documents)
+         SELECT source, COUNT(DISTINCT author) AS dv_author,
+                TRUE AS hll_ok
+         FROM live GROUP BY source""",
+    // the star twin at the tier grain
+    "x04_hll_star" ->
+      """WITH fact AS (
+           SELECT source AS src,
+                  CASE WHEN doc_id % 6 = 0 THEN NULL
+                       ELSE 'a' || CAST(doc_id % 50 AS VARCHAR)
+                    END AS author
+           FROM documents),
+         dim AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even' ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents))
+         SELECT tier, COUNT(DISTINCT author) AS dv_author,
+                TRUE AS hll_ok
+         FROM fact JOIN dim ON fact.src = dim.k GROUP BY tier""",
     // the NULLABLE-component multi-column histogram: SQL's GROUP BY
     // keeps partial-null rows, reconstructed one-shot — the rewrite
     // serves them from NULL-token-marked tuple pairs

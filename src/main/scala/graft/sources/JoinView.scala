@@ -35,7 +35,8 @@ final case class JoinViewDef(
     dims: Seq[DimJoin] = Seq(DimJoin("fk")),
     distinctCols: Seq[String] = Nil,
     derivedGroups: Seq[DerivedGroup] = Nil,
-    distinctTuples: Seq[Seq[String]] = Nil) {
+    distinctTuples: Seq[Seq[String]] = Nil,
+    approxCols: Seq[String] = Nil) {
   require(groupCols.nonEmpty, "a join view needs group columns")
   require(dims.nonEmpty, "a join view needs at least one dim")
   require(dims.map(_.fkCol).distinct.size == dims.size,
@@ -77,8 +78,11 @@ final case class JoinViewDef(
       "already a group column)")
   require(derivedGroups.forall(dg =>
     !(sumCols ++ minMaxCols ++ distinctCols ++
-      distinctTuples.flatten).contains(dg.name)),
+      distinctTuples.flatten ++ approxCols).contains(dg.name)),
     "derived groups are group columns — they cannot be aggregated")
+  require(approxCols.forall(c =>
+    !groupCols.contains(c) && !dimColsAll.contains(c)),
+    "approx-distinct columns must be non-group FACT columns")
   /** Whether the view maintains a distinct support table. */
   def hasDistinct: Boolean =
     distinctCols.nonEmpty || distinctTuples.nonEmpty
@@ -93,7 +97,7 @@ final case class JoinViewDef(
   /** Fact columns the refresh reads. */
   def factNeeded: Seq[String] =
     (dims.map(_.fkCol) ++ factGroupCols ++ sumCols ++ minMaxCols ++
-      distinctCols ++ distinctTuples.flatten ++
+      distinctCols ++ distinctTuples.flatten ++ approxCols ++
       derivedGroups.flatMap(_.srcRefs)).distinct
 }
 
@@ -240,11 +244,12 @@ object JoinView {
           s"min/max column '$c' must be a non-Boolean FACT column — " +
             "aggregate a cast upstream instead")
     }
-    (jdef.distinctCols ++ jdef.distinctTuples.flatten).foreach { c =>
+    (jdef.distinctCols ++ jdef.distinctTuples.flatten ++
+      jdef.approxCols).foreach { c =>
       if (!factBy.contains(c))
         throw new IllegalArgumentException(
-          s"distinct column '$c' is not in the fact schema (distinct " +
-            "columns are FACT columns)")
+          s"distinct/approx column '$c' is not in the fact schema " +
+            "(distinct and approx columns are FACT columns)")
     }
     TableSchema(
       jdef.groupCols.map(g =>
@@ -255,7 +260,10 @@ object JoinView {
           ColumnDef(s"nn_$c", ColumnType.AzInt, nullable = false))) ++
         jdef.minMaxCols.flatMap(c => Seq(
           ColumnDef(s"min_$c", defOf(c).dataType, nullable = true),
-          ColumnDef(s"max_$c", defOf(c).dataType, nullable = true))))
+          ColumnDef(s"max_$c", defOf(c).dataType, nullable = true))) ++
+        jdef.approxCols.map(c =>
+          ColumnDef(Hll.colName(c), ColumnType.AzString,
+            nullable = false)))
   }
 
   /** The DISTINCT support table's value schema ([[MatView.dvSchema]]'s
@@ -369,6 +377,7 @@ object JoinView {
         s""""distinct_cols":${arr(jdef.distinctCols)},""" +
         s""""distinct_tuples":${jdef.distinctTuples
           .map(arr).mkString("[", ",", "]")},""" +
+        s""""approx_cols":${arr(jdef.approxCols)},""" +
         s""""derived_groups":$derived,""" +
         s""""dims":$dimArr}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -427,12 +436,14 @@ object JoinView {
         }
         case None => Nil // absent in pre-tuple sidecars
       }
+      val acols = Option(root.get("approx_cols"))
+        .map(seq).getOrElse(Nil)
       Some((lake(root.get("fact_path").asText),
         root.get("fact_table").asText,
         dims.map(_._1),
         JoinViewDef(seq(root.get("group_cols")), seq(root.get("sum_cols")),
           seq(root.get("minmax_cols")), dims.map(_._2), dcols, derived,
-          tuples)))
+          tuples, acols)))
     }
   }
 
@@ -630,6 +641,11 @@ object JoinView {
         MatView.defFormat(spark, idxLake, idxTable),
         fact.currentSnapshot.schema, jdef.distinctTuples, idxTable,
         "JoinView.rebuildEpoch (CLI: jv-rebuild)")
+    if (jdef.approxCols.nonEmpty)
+      MatView.requireHllLayout(
+        AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
+        jdef.approxCols, idxTable,
+        "JoinView.rebuildEpoch (CLI: jv-rebuild)")
     val dimTabs = dims.map { case (dl, dt) => AzofTable(spark, dl, dt) }
     // heal the cursor: a crash between commit and cursor write left the
     // replay guard ahead of the sidecar — the PENDING vector (staged
@@ -745,7 +761,7 @@ object JoinView {
     // derived names materialize AFTER the join (fact-side expressions)
     val rawCols = (jdef.groupCols.filterNot(jdef.derivedNames.contains) ++
       jdef.sumCols ++ jdef.minMaxCols ++ jdef.distinctCols ++
-      jdef.distinctTuples.flatten ++
+      jdef.distinctTuples.flatten ++ jdef.approxCols ++
       jdef.derivedGroups.flatMap(_.srcRefs)).distinct
     def enrich(facts: DataFrame, dimFrames: Seq[DataFrame]): DataFrame =
       withDerived(dims.indices.foldLeft(facts) { (acc, i) =>
@@ -851,16 +867,38 @@ object JoinView {
       else Some(pairCounts(adds, "_a_")
         .join(pairCounts(subs, "_p_"), dvKeys, "full_outer")
         .localCheckpoint(true))
+    // APPROX sketches from the enriched adds (append-only contract —
+    // any subtraction refuses below, so adds IS the whole batch
+    // contribution); checkpointed before the churn frames are freed
+    val batchSk: Option[DataFrame] =
+      if (jdef.approxCols.isEmpty) None
+      else Some(jdef.approxCols
+        .map(c => Hll.sketch(adds, jdef.groupCols, c, s"_b_h_$c"))
+        .reduce(_.join(_, jdef.groupCols, "full_outer"))
+        .localCheckpoint(true))
     graft.operators.Blocks.freeReferenced(affCk)
     dimChurn.foreach(d => graft.operators.Blocks.freeReferenced(d.toDF()))
     graft.operators.Blocks.freeReferenced(factChurn.toDF())
     // one pass: the size decision + the reserved-separator contract
     // check (group values must not contain U+0001 — MatView's guard)
     val tStats = touched.agg(count(lit(1)),
-      MatView.sepViolations(touched, jdef.groupCols)).collect()(0)
+      MatView.sepViolations(touched, jdef.groupCols),
+      sum(when(col("_p_n").isNotNull, 1L).otherwise(0L))).collect()(0)
     val nTouched = tStats.getLong(0)
     MatView.requireNoSep(
       if (tStats.isNullAt(1)) 0L else tStats.getLong(1), "churned")
+    // the HLL register array has no inverse: ANY subtraction — a fact
+    // revision/re-upsert/delete, or a dim change moving live facts
+    // across groups — cannot maintain the sketch; refuse loudly with
+    // the epoch remedy (the append-only contract, MatView's reasoning)
+    if (jdef.approxCols.nonEmpty &&
+      !(tStats.isNullAt(2) || tStats.getLong(2) == 0L))
+      throw new IllegalStateException(
+        s"approx-distinct star refresh saw ${tStats.getLong(2)} " +
+          "subtracted group(s) (fact churn with pre-images, or dim " +
+          "churn moving facts) — HLL sketches merge append-only and " +
+          "have no inverse; rebuild via JoinView.rebuildEpoch " +
+          "(CLI: jv-rebuild)")
     if (nTouched == 0L) {
       // no group touched ⇒ the post/pre frames were empty ⇒ no
       // distinct pair moved either — the cursor advance alone is safe
@@ -947,7 +985,8 @@ object JoinView {
           col(s"nn_$c").as(s"_o_nn_$c"))) ++
         jdef.minMaxCols.flatMap(c => Seq(
           col(s"min_$c").as(s"_o_mn_$c"),
-          col(s"max_$c").as(s"_o_mx_$c")))
+          col(s"max_$c").as(s"_o_mx_$c"))) ++
+        jdef.approxCols.map(c => col(Hll.colName(c)).as(s"_o_h_$c"))
     val existing = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
       .select(oldCols: _*)
     val touchedOld =
@@ -956,7 +995,9 @@ object JoinView {
           broadcast(touched.select(jdef.groupCols.map(col): _*)),
           jdef.groupCols, "left_semi")
       else existing
-    val merged = touched.join(touchedOld, jdef.groupCols, "left")
+    val merged0 = touched.join(touchedOld, jdef.groupCols, "left")
+    val merged = batchSk.fold(merged0)(sk =>
+      merged0.join(sk, jdef.groupCols, "left"))
     val mmStruct = viewSchema(factSnapNow.schema,
       dimSnapNow.map(_.schema), jdef).toStruct
     val withRescan = rescanAgg match {
@@ -989,7 +1030,9 @@ object JoinView {
             .as(s"min_$c"),
           when(col("_p_n").isNotNull, col(s"_r_mx_$c"))
             .otherwise(greatest(col(s"_o_mx_$c"), col(s"_a_mx_$c")))
-            .as(s"max_$c")))
+            .as(s"max_$c"))) ++
+        jdef.approxCols.map(c =>
+          Hll.mergeExpr(s"_o_h_$c", s"_b_h_$c").as(Hll.colName(c)))
     val rows = withRescan.select(finalCols: _*)
     val batchId = encode(fNow, dNows)
     // stage the intended cursor BEFORE the guarded commit: if we crash
@@ -1081,6 +1124,22 @@ object JoinView {
       pairs.agg(count_distinct(col("value")).as(s"dv_$dcol"))
     else pairs.groupBy(queryGroups.map(col): _*)
       .agg(count_distinct(col("value")).as(s"dv_$dcol"))
+  }
+
+  /** `APPROX_COUNT_DISTINCT(acol)` per `queryGroups` from the star
+    * view's HLL sketch column ([[MatView.approxDistinct]]'s join twin
+    * — the shared serve body merges sketches at the query grain and
+    * estimates).
+    */
+  def approxDistinct(
+      spark: SparkSession,
+      idxLake: String, idxTable: String, jdef: JoinViewDef, acol: String,
+      queryGroups: Seq[String],
+      version: Option[Long] = None): DataFrame = {
+    require(jdef.approxCols.contains(acol),
+      s"'$acol' is not a declared approx-distinct column")
+    MatView.approxServe(spark, idxLake, idxTable, jdef.groupCols, acol,
+      queryGroups, version)
   }
 
   /** Exact VALUE HISTOGRAM for one declared distinct FACT column at any
@@ -1226,7 +1285,7 @@ object JoinView {
       .select(jdef.factNeeded.map(col): _*)
     val rawCols = (jdef.groupCols.filterNot(jdef.derivedNames.contains) ++
       jdef.sumCols ++ jdef.minMaxCols ++ jdef.distinctCols ++
-      jdef.distinctTuples.flatten ++
+      jdef.distinctTuples.flatten ++ jdef.approxCols ++
       jdef.derivedGroups.flatMap(_.srcRefs)).distinct
     val joined = withDerived(dims.indices.foldLeft(facts) { (acc, i) =>
       val (dl, dt) = dims(i)
@@ -1242,8 +1301,11 @@ object JoinView {
           count(col(c)).as(s"nn_$c"))) ++
         jdef.minMaxCols.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val agg = joined.groupBy(jdef.groupCols.map(col): _*)
+    val agg0 = joined.groupBy(jdef.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+    val agg = jdef.approxCols.foldLeft(agg0)((d, c) =>
+      d.join(Hll.sketch(joined, jdef.groupCols, c, s"_b_h_$c"),
+        jdef.groupCols, "left"))
     val rows = agg.select(
       (Seq(
         concat_ws(Sep, jdef.groupCols.map(g => col(g).cast("string")): _*)
@@ -1253,7 +1315,10 @@ object JoinView {
         Seq(col("n_rows")) ++
         jdef.sumCols.flatMap(c => Seq(col(s"sum_$c"), col(s"nn_$c"))) ++
         jdef.minMaxCols.flatMap(c =>
-          Seq(col(s"min_$c"), col(s"max_$c")))): _*)
+          Seq(col(s"min_$c"), col(s"max_$c"))) ++
+        jdef.approxCols.map(c =>
+          coalesce(col(s"_b_h_$c"), lit(Hll.Empty))
+            .as(Hll.colName(c)))): _*)
     // one pass: count + the reserved-separator contract check
     val stats = rows.agg(count(lit(1)),
       MatView.sepViolations(rows, jdef.groupCols)).collect()(0)

@@ -95,8 +95,12 @@ final case class ViewDef(
     minMaxCols: Seq[String] = Nil,
     distinctCols: Seq[String] = Nil,
     derivedGroups: Seq[DerivedGroup] = Nil,
-    distinctTuples: Seq[Seq[String]] = Nil) {
+    distinctTuples: Seq[Seq[String]] = Nil,
+    approxCols: Seq[String] = Nil) {
   require(groupCols.nonEmpty, "a materialized view needs group columns")
+  require(approxCols.forall(c => !groupCols.contains(c)),
+    "APPROX_COUNT_DISTINCT over a group column needs no sketch — view " +
+      "rows are distinct group tuples; declare non-group columns only")
   require(distinctCols.forall(c => !groupCols.contains(c)),
     "COUNT(DISTINCT <group col>) needs no support table — view rows " +
       "are distinct group tuples; declare only non-group distinct cols")
@@ -122,7 +126,7 @@ final case class ViewDef(
       "column, just computed)")
   require(derivedGroups.forall(dg =>
     !(sumCols ++ minMaxCols ++ distinctCols ++
-      distinctTuples.flatten).contains(dg.name)),
+      distinctTuples.flatten ++ approxCols).contains(dg.name)),
     "derived groups are group columns — they cannot be aggregated")
   /** Whether the view maintains a distinct support table. */
   def hasDistinct: Boolean =
@@ -137,7 +141,7 @@ final case class ViewDef(
   /** Source columns the view reads. */
   def needed: Seq[String] =
     (physGroupCols ++ sumCols ++ minMaxCols ++ distinctCols ++
-      distinctTuples.flatten ++
+      distinctTuples.flatten ++ approxCols ++
       derivedGroups.flatMap(_.srcRefs)).distinct
 }
 
@@ -238,6 +242,7 @@ object MatView {
           s"min/max column '$c' is a Boolean — aggregate a cast " +
             "upstream instead")
     }
+    view.approxCols.foreach(defOf) // any azof type hashes canonically
     TableSchema(
       view.groupCols.map(g =>
         ColumnDef(g, groupDefOf(g).dataType, nullable = false)) ++
@@ -247,7 +252,10 @@ object MatView {
           ColumnDef(s"nn_$c", ColumnType.AzInt, nullable = false))) ++
         view.minMaxCols.flatMap(c => Seq(
           ColumnDef(s"min_$c", defOf(c).dataType, nullable = true),
-          ColumnDef(s"max_$c", defOf(c).dataType, nullable = true))))
+          ColumnDef(s"max_$c", defOf(c).dataType, nullable = true))) ++
+        view.approxCols.map(c =>
+          ColumnDef(Hll.colName(c), ColumnType.AzString,
+            nullable = false)))
   }
 
   /** View-definition sidecar in the view table's dir: what the view
@@ -433,6 +441,25 @@ object MatView {
       names.contains(s"sum_$c") && names.contains(s"nn_$c"))
   }
 
+  /** Whether the view table's schema carries the `hll_<c>` sketch for
+    * every declared approx column — false for a table built before the
+    * column was declared.
+    */
+  def hllLayoutOk(schema: TableSchema, approxCols: Seq[String]): Boolean = {
+    val names = schema.columns.map(_.name).toSet
+    approxCols.forall(c => names.contains(Hll.colName(c)))
+  }
+
+  /** [[hllLayoutOk]] that refuses LOUDLY, naming the rebuild remedy. */
+  private[sources] def requireHllLayout(
+      schema: TableSchema, approxCols: Seq[String], table: String,
+      remedy: String): Unit =
+    if (!hllLayoutOk(schema, approxCols))
+      throw new IllegalStateException(
+        s"view table '$table' lacks the hll_ sketch column(s) for its " +
+          "declared approx-distinct column(s) — it predates the " +
+          s"declaration and must be rebuilt: $remedy")
+
   /** [[dvLayoutOk]] that refuses LOUDLY, naming the rebuild remedy. */
   private[sources] def requireDvLayout(
       schema: TableSchema, sumCols: Seq[String], table: String,
@@ -566,6 +593,7 @@ object MatView {
         s""""distinct_cols":${arr(view.distinctCols)},""" +
         s""""distinct_tuples":${view.distinctTuples
           .map(arr).mkString("[", ",", "]")},""" +
+        s""""approx_cols":${arr(view.approxCols)},""" +
         s""""derived_groups":$derived}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -608,7 +636,8 @@ object MatView {
       Some((if (rec.isEmpty) idxLake else rec,
         root.get("source_table").asText,
         ViewDef(seq("group_cols"), seq("sum_cols"), seq("minmax_cols"),
-          seq("distinct_cols"), derived, tuples)))
+          seq("distinct_cols"), derived, tuples,
+          seq("approx_cols"))))
     }
   }
 
@@ -936,6 +965,11 @@ object MatView {
         AzofTable(spark, srcLake, srcTable).currentSnapshot.schema,
         view.distinctTuples, idxTable,
         "MatView.rebuildEpoch (CLI: mv-rebuild)")
+    if (view.approxCols.nonEmpty)
+      requireHllLayout(
+        AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
+        view.approxCols, idxTable,
+        "MatView.rebuildEpoch (CLI: mv-rebuild)")
     val appId = AzofSink.appIdFor(checkpoint)
     spark.readStream.format("azof-commits")
       .option("table", srcTable).load(srcLake)
@@ -1139,14 +1173,35 @@ object MatView {
       else Some(pairCounts(newRows, "_a_")
         .join(pairCounts(preRows, "_p_"), dvKeys, "full_outer")
         .localCheckpoint(true))
+    // APPROX sketches from the batch's post-state rows (append-only
+    // contract — any pre-image refuses below, so post-state IS the
+    // whole contribution); checkpointed before slim is freed
+    val batchSk: Option[DataFrame] =
+      if (view.approxCols.isEmpty) None
+      else Some(view.approxCols
+        .map(c => Hll.sketch(newRows, view.groupCols, c, s"_b_h_$c"))
+        .reduce(_.join(_, view.groupCols, "full_outer"))
+        .localCheckpoint(true))
     graft.operators.Blocks.freeReferenced(slim.toDF())
     // one pass serves both the size decision and the reserved-separator
     // contract check (group values must not contain U+0001)
     val tStats = touched
-      .agg(count(lit(1)), sepViolations(touched, view.groupCols)).collect()(0)
+      .agg(count(lit(1)), sepViolations(touched, view.groupCols),
+        sum(when(col("_p_n").isNotNull, 1L).otherwise(0L))).collect()(0)
     val nTouched = tStats.getLong(0)
     requireNoSep(if (tStats.isNullAt(1)) 0L else tStats.getLong(1),
       "churned")
+    // an HLL register array has no inverse: a batch carrying ANY
+    // pre-image (revision, re-upsert, delete) cannot maintain the
+    // sketch exactly — refuse loudly, naming the epoch remedy (the
+    // documented append-only contract for approx-distinct views)
+    if (view.approxCols.nonEmpty &&
+      !(tStats.isNullAt(2) || tStats.getLong(2) == 0L))
+      throw new IllegalStateException(
+        s"approx-distinct view refresh saw ${tStats.getLong(2)} " +
+          "pre-imaged group(s) (a revision, re-upsert, or delete) — " +
+          "HLL sketches merge append-only and have no inverse; " +
+          "rebuild via MatView.rebuildEpoch (CLI: mv-rebuild)")
     // refcount upserts: old + new − pre per touched pair, old refs from
     // a pair-confined support read (broadcast semi under the guard)
     val dvRows: Option[DataFrame] = dvTouched.flatMap { dvt =>
@@ -1244,7 +1299,8 @@ object MatView {
           col(s"nn_$c").as(s"_o_nn_$c"))) ++
         view.minMaxCols.flatMap(c => Seq(
           col(s"min_$c").as(s"_o_mn_$c"),
-          col(s"max_$c").as(s"_o_mx_$c")))
+          col(s"max_$c").as(s"_o_mx_$c"))) ++
+        view.approxCols.map(c => col(Hll.colName(c)).as(s"_o_h_$c"))
     val existing = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
       .select(oldCols: _*)
     val touchedOld =
@@ -1253,7 +1309,9 @@ object MatView {
           broadcast(touched.select(view.groupCols.map(col): _*)),
           view.groupCols, "left_semi")
       else existing
-    val merged = touched.join(touchedOld, view.groupCols, "left")
+    val merged0 = touched.join(touchedOld, view.groupCols, "left")
+    val merged = batchSk.fold(merged0)(sk =>
+      merged0.join(sk, view.groupCols, "left"))
     val mmStruct = outSchema.toStruct
     val withRescan = rescanAgg match {
       case Some(r) => merged.join(r, view.groupCols, "left")
@@ -1285,7 +1343,9 @@ object MatView {
             .as(s"min_$c"),
           when(col("_p_n").isNotNull, col(s"_r_mx_$c"))
             .otherwise(greatest(col(s"_o_mx_$c"), col(s"_a_mx_$c")))
-            .as(s"max_$c")))
+            .as(s"max_$c"))) ++
+        view.approxCols.map(c =>
+          Hll.mergeExpr(s"_o_h_$c", s"_b_h_$c").as(Hll.colName(c)))
     (withRescan.select(outCols: _*), dvRows, maxV)
   }
 
@@ -1368,6 +1428,59 @@ object MatView {
       pairs.agg(count_distinct(col("value")).as(s"dv_$dcol"))
     else pairs.groupBy(queryGroups.map(col): _*)
       .agg(count_distinct(col("value")).as(s"dv_$dcol"))
+  }
+
+  /** `APPROX_COUNT_DISTINCT(acol)` per `queryGroups` from the view's
+    * HLL sketch column — O(groups) storage at ANY value cardinality
+    * (the exact support table's bounded-size sibling; see [[Hll]]).
+    * Subset rollups (and the global grain) MERGE the group sketches
+    * per position before estimating — never sum estimates. An explicit
+    * serve face, deliberately NOT an automatic rewrite: the rewrite
+    * contract is exactness.
+    */
+  def approxDistinct(
+      spark: SparkSession,
+      idxLake: String, idxTable: String, view: ViewDef, acol: String,
+      queryGroups: Seq[String],
+      version: Option[Long] = None): DataFrame = {
+    require(view.approxCols.contains(acol),
+      s"'$acol' is not a declared approx-distinct column")
+    approxServe(spark, idxLake, idxTable, view.groupCols, acol,
+      queryGroups, version)
+  }
+
+  /** The shared sketch-serve body ([[approxDistinct]] and
+    * [[JoinView.approxDistinct]]): scan the view's live rows, merge
+    * sketches at the query grain, estimate.
+    */
+  private[sources] def approxServe(
+      spark: SparkSession,
+      idxLake: String, idxTable: String, groupCols: Seq[String],
+      acol: String, queryGroups: Seq[String],
+      version: Option[Long]): DataFrame = {
+    require(queryGroups.forall(groupCols.contains),
+      "query groups must be view group columns")
+    val t = AzofTable(spark, idxLake, idxTable)
+    val snap = version.map(v => t.snapshot(v.toString))
+      .getOrElse(t.currentSnapshot)
+    requireHllLayout(snap.schema, Seq(acol), idxTable,
+      "MatView.rebuildEpoch (CLI: mv-rebuild / jv-rebuild)")
+    val hc = Hll.colName(acol)
+    val base = graft.operators.AzofScan
+      .scanSnapshot(spark, t, snap, AsOf.Current,
+        projection = Some((groupCols :+ hc).toSet ++ Set("n_rows")))
+      .where(col("n_rows") > 0L)
+    val skFrame =
+      if (queryGroups.toSet == groupCols.toSet)
+        base.select((queryGroups.map(col) :+ col(hc)): _*)
+      else if (queryGroups.isEmpty)
+        base.agg(collect_list(col(hc)).as("_sks"))
+          .withColumn(hc, Hll.mergeAllExpr("_sks")).drop("_sks")
+      else
+        base.groupBy(queryGroups.map(col): _*)
+          .agg(collect_list(col(hc)).as("_sks"))
+          .withColumn(hc, Hll.mergeAllExpr("_sks")).drop("_sks")
+    Hll.estimate(skFrame, hc, s"adv_$acol").drop(hc)
   }
 
   /** Exact VALUE HISTOGRAM (heavy hitters) for one declared distinct
@@ -1530,7 +1643,12 @@ object MatView {
     val live = withDerived(
       graft.operators.AzofScan.scan(spark, srcLake, srcTable)
         .select(view.needed.map(col): _*), view)
-    val agg = groupAgg(live, view, "_a_")
+    val agg0 = groupAgg(live, view, "_a_")
+    // one-shot sketches per approx column, joined onto the totals (a
+    // group whose values are all NULL keeps the empty sketch)
+    val agg = view.approxCols.foldLeft(agg0)((d, c) =>
+      d.join(Hll.sketch(live, view.groupCols, c, s"_b_h_$c"),
+        view.groupCols, "left"))
     val outCols: Seq[Column] =
       Seq(
         concat_ws(Sep, view.groupCols.map(g => col(g).cast("string")): _*)
@@ -1543,7 +1661,9 @@ object MatView {
           col(s"_a_nn_$c").as(s"nn_$c"))) ++
         view.minMaxCols.flatMap(c => Seq(
           col(s"_a_mn_$c").as(s"min_$c"),
-          col(s"_a_mx_$c").as(s"max_$c")))
+          col(s"_a_mx_$c").as(s"max_$c"))) ++
+        view.approxCols.map(c =>
+          coalesce(col(s"_b_h_$c"), lit(Hll.Empty)).as(Hll.colName(c)))
     val rows = agg.select(outCols: _*)
     // one pass: count + the reserved-separator contract check
     val stats = rows.agg(count(lit(1)),
