@@ -407,6 +407,13 @@ object ViewDdl {
           if (attr.dataType == BooleanType) refuse(
             s"$what min/maxes a BOOLEAN — aggregate a cast upstream")
           if (!minMaxCols.contains(attr.name)) minMaxCols :+= attr.name
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate
+            .HyperLogLogPlusPlus => refuse(
+          s"$what is approximate — the rewrite contract is exactness, " +
+            "so sketches never serve automatically; declare the " +
+            "column via approx_cols (CALL system.create_view / CLI " +
+            "--approx-cols) and serve with mv-approx / " +
+            "MatView.approxDistinct")
         case f => refuse(s"unsupported aggregate ${f.prettyName}")
       }
     }

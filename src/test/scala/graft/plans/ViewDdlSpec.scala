@@ -246,6 +246,9 @@ class ViewDdlSpec extends AnyFunSuite {
       assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +
         "count(*) FILTER (WHERE v > 5) AS n FROM azof.src GROUP BY g")
         .contains("FILTER"))
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +
+        "approx_count_distinct(b) AS adv FROM azof.src GROUP BY g")
+        .contains("approx_cols"))
       assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT count(*) " +
         "AS n FROM azof.src GROUP BY date_trunc('day', t)")
         .contains("alias"))
