@@ -62,6 +62,10 @@ object ViewDdl {
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?(\S+)\s*""".r
   private val RefreshRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+)\s*""".r
+  private val ShowRe =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*""".r
+  private val DescribeRe =
+    """(?is)\s*DESC(?:RIBE)?\s+MATERIALIZED\s+VIEW\s+(\S+)\s*""".r
 
   /** Intercept a MATERIALIZED VIEW statement, or None for everything
     * else (the delegate parser's business). Pure text-level dispatch —
@@ -78,6 +82,9 @@ object ViewDdl {
         Some(DropMatViewCommand(viewName(ident), ife != null))
       case RefreshRe(ident) =>
         Some(RefreshMatViewCommand(viewName(ident)))
+      case ShowRe() => Some(ShowMatViewsCommand())
+      case DescribeRe(ident) =>
+        Some(DescribeMatViewCommand(viewName(ident)))
       case _ => None
     }
   }
@@ -555,6 +562,117 @@ final case class RefreshMatViewCommand(view: String)
             spark, factLake, factTable, dims, lake, view, jdef)
           Seq(Row(view, "star",
             AzofTable(spark, lake, view).currentVersion.toLong))
+        case None => throw new IllegalArgumentException(
+          s"no materialized view '$view' in $lake (no definition " +
+            "sidecar)")
+      }
+    }
+  }
+}
+
+/** `SHOW MATERIALIZED VIEWS`: every view table in the session lake
+  * (definition sidecars, the auto-discovery rule's evidence), one
+  * driver-sized row each — name, kind, source table(s), sidecar
+  * format, consumed cursor, current view version.
+  */
+final case class ShowMatViewsCommand()
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("format", LongType, nullable = false)(),
+    AttributeReference("cursor", StringType, nullable = true)(),
+    AttributeReference("view_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lake = ViewDdl.lakeOf(spark)
+    val root = new Path(lake)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .sortBy(_.getName)
+      .flatMap { d =>
+        val name = d.getName
+        ViewDdl.kindOf(spark, lake, name).map { kind =>
+          val fmt = MatView.defFormat(spark, lake, name).toLong
+          val (src, cursor) =
+            if (kind == "single")
+              (MatView.readDef(spark, lake, name)
+                .map(_._2).getOrElse(""),
+                MatView.readCursor(spark, lake, name).map(_.toString))
+            else {
+              val dOpt = try JoinView.readDef(spark, lake, name)
+                catch { case scala.util.control.NonFatal(_) => None }
+              (dOpt.map { case (_, ft, ds, _) =>
+                (ft +: ds.map(_._2)).mkString(" ⋈ ") }.getOrElse(""),
+                JoinView.readCursorString(spark, lake, name))
+            }
+          Row(name, kind, src, fmt, cursor.orNull,
+            AzofTable(spark, lake, name).currentVersion.toLong)
+        }
+      }
+  }
+}
+
+/** `DESCRIBE MATERIALIZED VIEW <mv>`: the full declared definition as
+  * one property row per element — what an operator inspects before
+  * deciding a query's rewrite eligibility.
+  */
+final case class DescribeMatViewCommand(view: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("property", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lake = ViewDdl.lakeOf(spark)
+    def row(k: String, v: String): Option[Row] =
+      if (v.isEmpty) None else Some(Row(k, v))
+    def common(groupCols: Seq[String], sumCols: Seq[String],
+        minMaxCols: Seq[String], distinctCols: Seq[String],
+        tuples: Seq[Seq[String]], approx: Seq[String],
+        derived: Seq[graft.sources.DerivedGroup]): Seq[Row] =
+      row("group_cols", groupCols.mkString(", ")).toSeq ++
+        row("sum_cols", sumCols.mkString(", ")) ++
+        row("minmax_cols", minMaxCols.mkString(", ")) ++
+        row("distinct_cols", distinctCols.mkString(", ")) ++
+        row("distinct_tuples",
+          tuples.map(_.mkString("(", ", ", ")")).mkString("; ")) ++
+        row("approx_cols", approx.mkString(", ")) ++
+        derived.map(dg =>
+          Row(s"derived ${dg.name}",
+            s"${dg.sql} :: ${dg.dataType.jsonName}"))
+    val fmt = MatView.defFormat(spark, lake, view)
+    MatView.readDef(spark, lake, view) match {
+      case Some((srcLake, srcTable, vd)) =>
+        Seq(Row("kind", "single"),
+          Row("source", new Path(new Path(srcLake), srcTable).toString),
+          Row("format", fmt.toString)) ++
+          MatView.readCursor(spark, lake, view)
+            .map(c => Row("cursor", c.toString)) ++
+          common(vd.groupCols, vd.sumCols, vd.minMaxCols,
+            vd.distinctCols, vd.distinctTuples, vd.approxCols,
+            vd.derivedGroups)
+      case None => JoinView.readDef(spark, lake, view) match {
+        case Some((factLake, factTable, dims, jdef)) =>
+          Seq(Row("kind", "star"),
+            Row("fact",
+              new Path(new Path(factLake), factTable).toString),
+            Row("format", fmt.toString)) ++
+            JoinView.readCursorString(spark, lake, view)
+              .map(c => Row("cursor", c)) ++
+            jdef.dims.zip(dims).map { case (dj, (dl, dt)) =>
+              Row(s"dim ${dj.fkCol}",
+                new Path(new Path(dl), dt).toString +
+                  (if (dj.dimCols.isEmpty) ""
+                   else dj.dimCols.mkString(" (", ", ", ")")))
+            } ++
+            common(jdef.groupCols, jdef.sumCols, jdef.minMaxCols,
+              jdef.distinctCols, jdef.distinctTuples, jdef.approxCols,
+              jdef.derivedGroups)
         case None => throw new IllegalArgumentException(
           s"no materialized view '$view' in $lake (no definition " +
             "sidecar)")

@@ -574,6 +574,21 @@ object JoinView {
     }
   }
 
+  /** The consumed cursor vector rendered for operator surfaces
+    * (`SHOW`/`DESCRIBE MATERIALIZED VIEW`) — None before the first
+    * refresh.
+    */
+  def readCursorString(
+      spark: SparkSession, idxLake: String, idxTable: String)
+      : Option[String] = {
+    val (_, fs, p) = sidecarPath(spark, idxLake, idxTable, CursorFileName)
+    if (!fs.exists(p)) None
+    else {
+      val (f, ds) = readCursor(spark, idxLake, idxTable)
+      Some(s"fact=$f; dims=${ds.mkString(",")}")
+    }
+  }
+
   private def writeCursor(
       spark: SparkSession, idxLake: String, idxTable: String,
       f: Long, ds: Seq[Long]): Unit = {

@@ -1563,6 +1563,29 @@ class MvRewriteSpec extends AnyFunSuite {
         "distinct per-table coordinates above each consumed corpus " +
           "serve:\n" + q1.queryExecution.optimizedPlan)
       assert(got(q1) == truth)
+      // MIXED PIN KINDS in one query: a VERSION pin on one table and
+      // an EVENT-TIME coordinate on the other — each gates through its
+      // own walk (freshViewVersionAt vs unchangedSinceAsOf), both pass
+      val fv = graft.format.AzofTable(spark, l, "fact").currentVersion
+      val dv = graft.format.AzofTable(spark, l, "dim").currentVersion
+      val qkv = spark.sql(
+        "SELECT tier, count(*) AS n, sum(v) AS sv " +
+          s"FROM azof.fact VERSION AS OF $fv AS f " +
+          "JOIN azof.dim TIMESTAMP AS OF '2024-02-01T00:00:00Z' AS d " +
+          "ON f.fk = d.key GROUP BY tier")
+      assert(!scansSrc(qkv) && joins(qkv).isEmpty,
+        "version ⋈ event-time pin kinds serve together:\n" +
+          qkv.queryExecution.optimizedPlan)
+      assert(got(qkv) == truth)
+      val qvk = spark.sql(
+        "SELECT tier, count(*) AS n, sum(v) AS sv " +
+          "FROM azof.fact TIMESTAMP AS OF '2024-03-01T00:00:00Z' AS f " +
+          s"JOIN azof.dim VERSION AS OF $dv AS d " +
+          "ON f.fk = d.key GROUP BY tier")
+      assert(!scansSrc(qvk) && joins(qvk).isEmpty,
+        "event-time ⋈ version pin kinds serve together:\n" +
+          qvk.queryExecution.optimizedPlan)
+      assert(got(qvk) == truth)
       // un-consumed fact churn lands BETWEEN the two candidate fact
       // coordinates (delta window starts 2024-02-10)
       AzofWriter.commitDelta(spark, l, "fact",
@@ -1583,6 +1606,17 @@ class MvRewriteSpec extends AnyFunSuite {
         "a fact coordinate at-or-above un-consumed churn must refuse:\n" +
           qHigh.queryExecution.optimizedPlan)
       assert(got(qHigh) == Seq(("t1", 4L, 115L), ("t2", 1L, 7L)))
+      // and the VERSION-pin kind refuses over the same un-consumed
+      // span (the pinned walk demands (cursor, current] view-preserving
+      // — no event-time exclusion can save it)
+      val qvRef = spark.sql(
+        "SELECT tier, count(*) AS n, sum(v) AS sv " +
+          s"FROM azof.fact VERSION AS OF $fv AS f " +
+          "JOIN azof.dim TIMESTAMP AS OF '2024-02-01T00:00:00Z' AS d " +
+          "ON f.fk = d.key GROUP BY tier")
+      assert(scansSrc(qvRef),
+        "a version pin under un-consumed churn must refuse:\n" +
+          qvRef.queryExecution.optimizedPlan)
       // the LOW fact coordinate excludes that delta wholesale (start
       // strictly above t1') — the mixed pair serves again, same truth
       val qLow = spark.sql(

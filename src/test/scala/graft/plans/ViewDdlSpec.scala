@@ -224,6 +224,29 @@ class ViewDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW MATERIALIZED VIEWS lists both kinds with cursor/format; " +
+    "DESCRIBE dumps the declared definition; unknown view refuses") {
+    val l = mkLake("show")
+    withLake(l) {
+      spark.sql("CREATE MATERIALIZED VIEW mv1 AS SELECT g, " +
+        "count(*) AS n, sum(v) AS s, count(DISTINCT b) AS dv " +
+        "FROM azof.src GROUP BY g").collect()
+      val shown = spark.sql("SHOW MATERIALIZED VIEWS").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(shown.toSeq == Seq(("mv1", "single", "src")),
+        shown.mkString(","))
+      val props = spark.sql("DESCRIBE MATERIALIZED VIEW mv1").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props("kind") == "single" &&
+        props("group_cols") == "g" && props("sum_cols") == "v" &&
+        props("distinct_cols") == "b" && props("format") == "3" &&
+        props.contains("cursor"), props.toString)
+      val none = intercept[IllegalArgumentException] {
+        spark.sql("DESCRIBE MATERIALIZED VIEW nope").collect() }
+      assert(none.getMessage.contains("no materialized view"))
+    }
+  }
+
   test("refusal matrix: every unsupported shape refuses loudly, " +
     "naming the explicit-definition remedy") {
     val l = mkLake("refuse")
