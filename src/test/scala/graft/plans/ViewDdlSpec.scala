@@ -224,6 +224,63 @@ class ViewDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE star with TWO dims: per-dim group columns split by " +
+    "provenance in declaration order, distinct fks, and the defining " +
+    "three-table query rewrites") {
+    val l = Files.createTempDirectory("azof-ddl-star2").toString
+    val factSchema = TableSchema(Seq(
+      ColumnDef("f1", ColumnType.AzString, nullable = false),
+      ColumnDef("f2", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val d1Schema = TableSchema(Seq(
+      ColumnDef("tier", ColumnType.AzString, nullable = false)))
+    val d2Schema = TableSchema(Seq(
+      ColumnDef("region", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim1", d1Schema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim2", d2Schema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "dim1", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t1"),
+        Row("a2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t2"))),
+      d1Schema.toStruct))
+    AzofWriter.commitBase(spark, l, "dim2", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("b1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "eu"),
+        Row("b2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "us"))),
+      d2Schema.toStruct))
+    AzofWriter.commitBase(spark, l, "fact", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a1", "b1", 10L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a1", "b2", 4L),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")),
+          "a2", "b1", 7L))),
+      factSchema.toStruct))
+    withLake(l) {
+      val q = "SELECT tier, region, count(*) AS n, sum(v) AS s " +
+        "FROM azof.fact f JOIN azof.dim1 d1 ON f.f1 = d1.key " +
+        "JOIN azof.dim2 d2 ON f.f2 = d2.key GROUP BY tier, region"
+      val truth = rows(spark.sql(q))
+      spark.sql(s"CREATE MATERIALIZED VIEW jv2 AS $q").collect()
+      val (_, _, dims, jdef) =
+        graft.sources.JoinView.readDef(spark, l, "jv2").get
+      assert(dims.map(_._2) == Seq("dim1", "dim2") &&
+        jdef.dims.map(_.fkCol) == Seq("f1", "f2") &&
+        jdef.dims.map(_.dimCols) == Seq(Seq("tier"), Seq("region")) &&
+        jdef.sumCols == Seq("v"), jdef.toString)
+      val served = spark.sql(q)
+      assert(!scansSrc(served) && rows(served) == truth)
+      assert(truth == Seq(Seq("t1", "eu", 1L, 10L),
+        Seq("t1", "us", 1L, 4L), Seq("t2", "eu", 1L, 7L))
+        .sortBy(_.mkString("|")), truth.toString)
+    }
+  }
+
   test("SHOW MATERIALIZED VIEWS lists both kinds with cursor/format; " +
     "DESCRIBE dumps the declared definition; unknown view refuses") {
     val l = mkLake("show")

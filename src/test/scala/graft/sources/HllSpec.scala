@@ -179,6 +179,33 @@ class HllSpec extends AnyFunSuite {
     assert(got2 == Seq(("t2", 1L), ("t9", 2L)), got2.toString)
   }
 
+  test("merge is a commutative, associative, idempotent monoid with " +
+    "Empty as identity (property over random register strings)") {
+    val rnd = new scala.util.Random(42)
+    def randomSketch(): String =
+      (0 until Hll.M).map(_ => ('A' + rnd.nextInt(54)).toChar).mkString
+    def merge2(a: String, b: String): String = {
+      // programmatic frame: a random sketch may contain '\' (char 92
+      // sits inside the register range), which a SQL string literal
+      // would treat as an escape
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(a, b))),
+        StructType(Seq(StructField("a", StringType),
+          StructField("b", StringType))))
+      df.select(Hll.mergeExpr("a", "b").as("m")).collect()(0).getString(0)
+    }
+    (1 to 5).foreach { _ =>
+      val (a, b, c) = (randomSketch(), randomSketch(), randomSketch())
+      val ab = merge2(a, b)
+      assert(ab == merge2(b, a), "commutative")
+      assert(merge2(ab, c) == merge2(a, merge2(b, c)), "associative")
+      assert(merge2(a, a) == a, "idempotent")
+      assert(merge2(a, Hll.Empty) == a, "Empty is the identity")
+      assert(ab.length == Hll.M)
+    }
+  }
+
   test("accuracy: at 5k distinct values the estimate lands within 5% " +
     "of truth (m = 4096 registers), and a view table predating the " +
     "declaration refuses loudly") {
