@@ -1200,6 +1200,9 @@ object AzofCli {
         //   mv-approx --path L --index-table mv --group-cols g
         //     --approx-cols a --col a [--by g2]  (--by empty = global)
         val avd = cliViewDef(opts)
+        require(opts.contains("col") || avd.approxCols.nonEmpty,
+          "mv-approx needs the sketch column: pass --col <c> or " +
+            "declare it via --approx-cols <c>")
         val acol = opts.getOrElse("col", avd.approxCols.head)
         val aby = opts.get("by")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -1215,6 +1218,9 @@ object AzofCli {
         //   --group-cols g --fk-col fk --dim-cols g --approx-cols a
         //   --col a [--by g2]
         val ajd = cliJoinViewDef(opts)
+        require(opts.contains("col") || ajd.approxCols.nonEmpty,
+          "jv-approx needs the sketch column: pass --col <c> or " +
+            "declare it via --approx-cols <c>")
         val ajcol = opts.getOrElse("col", ajd.approxCols.head)
         val ajby = opts.get("by")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

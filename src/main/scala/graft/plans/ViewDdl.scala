@@ -66,15 +66,51 @@ object ViewDdl {
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*""".r
   private val DescribeRe =
     """(?is)\s*DESC(?:RIBE)?\s+MATERIALIZED\s+VIEW\s+(\S+)\s*""".r
+  private val ExplainRe =
+    """(?is)\s*EXPLAIN(?:\s+(?:EXTENDED|FORMATTED|CODEGEN|COST))?\s+(.*\S)\s*""".r
+
+  /** Drop LEADING SQL comments (`-- …` lines and `/* … */` blocks)
+    * only — a commented MATERIALIZED VIEW statement must still
+    * dispatch here, not die in the delegate parser with an unhelpful
+    * syntax error. Comments past the first token stay (they belong to
+    * the defining query, which Spark's parser handles).
+    */
+  private def stripLeadingComments(sql: String): String = {
+    var s = sql
+    var go = true
+    while (go) {
+      val t = s.dropWhile(_.isWhitespace)
+      if (t.startsWith("--")) {
+        val nl = t.indexOf('\n')
+        s = if (nl < 0) "" else t.substring(nl + 1)
+      } else if (t.startsWith("/*")) {
+        val end = t.indexOf("*/", 2)
+        s = if (end < 0) "" else t.substring(end + 2)
+      } else { s = t; go = false }
+    }
+    s
+  }
 
   /** Intercept a MATERIALIZED VIEW statement, or None for everything
     * else (the delegate parser's business). Pure text-level dispatch —
     * analysis and inference happen at EXECUTION time inside the
     * command (`spark.sql(...)` parses eagerly but runs lazily, and a
-    * create must see the lake as of its run, not its parse).
+    * create must see the lake as of its run, not its parse). Leading
+    * comments strip first, and `EXPLAIN <mv statement>` routes to a
+    * DESCRIPTION of the statement (for CREATE, the def the DDL would
+    * infer — nothing is created).
     */
   def parse(sqlText: String): Option[LogicalPlan] = {
-    val t = sqlText.replaceAll(";\\s*$", "")
+    val t = stripLeadingComments(sqlText).replaceAll(";\\s*$", "")
+    parseCore(t).orElse(t match {
+      case ExplainRe(inner) =>
+        parseCore(stripLeadingComments(inner))
+          .map(ExplainMatViewDdlCommand(_))
+      case _ => None
+    })
+  }
+
+  private def parseCore(t: String): Option[LogicalPlan] =
     t match {
       case CreateRe(ifne, ident, query) =>
         Some(CreateMatViewCommand(viewName(ident), ifne != null, query))
@@ -87,21 +123,31 @@ object ViewDdl {
         Some(DescribeMatViewCommand(viewName(ident)))
       case _ => None
     }
-  }
 
   /** The view identifier: `mv`, `azof.mv`, or either backquoted — all
-    * resolving into the session lake.
+    * resolving into the session lake. Backquotes strip BEFORE the dot
+    * split for a fully-quoted token: a single backquoted identifier
+    * containing a dot (`` `azof.mv` ``) is one literal name, never a
+    * two-part reference — splitting first would silently reinterpret
+    * it (or refuse other dotted quoted names with a misleading
+    * message).
     */
   private def viewName(ident: String): String = {
-    val parts = ident.split("\\.").map(_.stripPrefix("`").stripSuffix("`"))
-    parts match {
-      case Array(n) => n
-      case Array(q, n) if q.equalsIgnoreCase("azof") => n
-      case _ => throw new IllegalArgumentException(
-        s"cannot resolve materialized-view identifier '$ident' — use " +
-          "azof.<name> or a bare name (views live in spark.azof.path; " +
-          "cross-lake placement is the CALL system.create_view / CLI " +
-          "mv-create face)")
+    def unquote(s: String): Option[String] =
+      if (s.length >= 2 && s.startsWith("`") && s.endsWith("`") &&
+        !s.substring(1, s.length - 1).contains("`"))
+        Some(s.substring(1, s.length - 1))
+      else None
+    unquote(ident).getOrElse {
+      ident.split("\\.").map(p => unquote(p).getOrElse(p)) match {
+        case Array(n) => n
+        case Array(q, n) if q.equalsIgnoreCase("azof") => n
+        case _ => throw new IllegalArgumentException(
+          s"cannot resolve materialized-view identifier '$ident' — use " +
+            "azof.<name> or a bare name (views live in spark.azof.path; " +
+            "cross-lake placement is the CALL system.create_view / CLI " +
+            "mv-create face)")
+      }
     }
   }
 
@@ -710,7 +756,81 @@ final case class DropMatViewCommand(view: String, ifExists: Boolean)
         if (fs.exists(dv)) fs.delete(dv, true)
         MvRewriteRule.invalidateDef(lake, view)
         MvRewriteRule.invalidateAuto(lake)
+        // the format-stamp cache assumes definitions are immutable per
+        // view TABLE — DROP (+ a later CREATE of the same name) breaks
+        // that, and a stale stamp would misjudge the recreate's tuple
+        // encoding in both directions
+        MatView.invalidateDefFormat(lake, view)
         Seq(Row(view, true))
     }
+  }
+}
+
+/** `EXPLAIN <materialized-view statement>`: a DESCRIPTION of what the
+  * statement would do, one line per row — for CREATE, the query is
+  * analyzed and definition INFERENCE runs (so unsupported shapes
+  * surface their named refusal here, before anything exists), but
+  * nothing is created. Without this route, EXPLAIN on MV DDL fell
+  * through to the delegate parser and died with an unrelated syntax
+  * error.
+  */
+final case class ExplainMatViewDdlCommand(stmt: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("plan", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def field(k: String, v: String): Seq[String] =
+      if (v.isEmpty) Nil else Seq(s"  $k: $v")
+    val lines: Seq[String] = stmt match {
+      case c: CreateMatViewCommand =>
+        val analyzed = org.apache.spark.sql.graft.StreamingBridge
+          .ofRows(spark,
+            spark.sessionState.sqlParser.parsePlan(c.queryText))
+          .queryExecution.analyzed
+        val head = s"CreateMatViewCommand view=${c.view}" +
+          (if (c.ifNotExists) " ifNotExists" else "")
+        def common(groupCols: Seq[String], sumCols: Seq[String],
+            minMaxCols: Seq[String], distinctCols: Seq[String],
+            tuples: Seq[Seq[String]],
+            derived: Seq[DerivedGroup]): Seq[String] =
+          field("group_cols", groupCols.mkString(", ")) ++
+            field("sum_cols", sumCols.mkString(", ")) ++
+            field("minmax_cols", minMaxCols.mkString(", ")) ++
+            field("distinct_cols", distinctCols.mkString(", ")) ++
+            field("distinct_tuples",
+              tuples.map(_.mkString("(", ", ", ")")).mkString("; ")) ++
+            derived.map(dg =>
+              s"  derived ${dg.name}: ${dg.sql} :: ${dg.dataType.jsonName}")
+        ViewDdl.infer(spark, analyzed) match {
+          case ViewDdl.SingleInf(sl, st, vd) =>
+            Seq(head, "  kind: single",
+              s"  source: ${new Path(new Path(sl), st)}") ++
+              common(vd.groupCols, vd.sumCols, vd.minMaxCols,
+                vd.distinctCols, vd.distinctTuples, vd.derivedGroups)
+          case ViewDdl.StarInf(fl, ft, dims, jdef) =>
+            Seq(head, "  kind: star",
+              s"  fact: ${new Path(new Path(fl), ft)}") ++
+              jdef.dims.zip(dims).map { case (dj, (dl, dt)) =>
+                s"  dim ${dj.fkCol}: ${new Path(new Path(dl), dt)}" +
+                  (if (dj.dimCols.isEmpty) ""
+                   else dj.dimCols.mkString(" (", ", ", ")"))
+              } ++
+              common(jdef.groupCols, jdef.sumCols, jdef.minMaxCols,
+                jdef.distinctCols, jdef.distinctTuples,
+                jdef.derivedGroups)
+        }
+      case d: DropMatViewCommand =>
+        Seq(s"DropMatViewCommand view=${d.view}" +
+          (if (d.ifExists) " ifExists" else ""))
+      case r: RefreshMatViewCommand =>
+        Seq(s"RefreshMatViewCommand view=${r.view}")
+      case _: ShowMatViewsCommand => Seq("ShowMatViewsCommand")
+      case d: DescribeMatViewCommand =>
+        Seq(s"DescribeMatViewCommand view=${d.view}")
+      case other => Seq(other.nodeName)
+    }
+    Seq(Row(lines.mkString("\n")))
   }
 }

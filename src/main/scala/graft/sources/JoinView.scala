@@ -352,6 +352,9 @@ object JoinView {
     val dir = AzofTable(spark, idxLake, idxTable).tableDir
     val p = new org.apache.hadoop.fs.Path(dir, DefFileName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a recreate under a previously-dropped name must not serve the
+    // old table's cached format stamp
+    MatView.invalidateDefFormat(idxLake, idxTable)
     val dimArr = jdef.dims.zip(dims).map { case (dj, (dl, dt)) =>
       s"""{"path":"${rel(dl)}","table":"$dt",""" +
         s""""fk_col":"${dj.fkCol}","dim_cols":${arr(dj.dimCols)}}"""

@@ -301,6 +301,23 @@ object MatView {
   private val fmtCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
 
+  /** Drop one view's cached format stamp — called by the SQL
+    * `DROP MATERIALIZED VIEW` path (next to the rewrite rule's
+    * definition/discovery invalidations) and by [[writeDef]] /
+    * [[JoinView]]'s writeDef on create. The cache's doc assumes
+    * definitions are immutable per view TABLE; DROP + CREATE of the
+    * same name breaks that assumption, and a stale stamp would make
+    * refresh/histogram spuriously refuse a healthy recreate (or, the
+    * dangerous direction, let the rewrite serve a nullable-component
+    * tuple histogram from a cross-process old-format recreate's
+    * pre-token pairs, silently dropping partial-null groups).
+    */
+  private[graft] def invalidateDefFormat(
+      idxLake: String, idxTable: String): Unit = {
+    fmtCache.remove(
+      (new org.apache.hadoop.fs.Path(idxLake).toString, idxTable)); ()
+  }
+
   /** The `format` stamp of a view table's definition sidecar (either
     * kind), 0 when absent or unreadable — the tuple-encoding
     * generation gate's evidence.
@@ -582,6 +599,9 @@ object MatView {
       s"""{"name":"${dg.name}","sql":"${esc(dg.sql)}",""" +
         s""""type":"${dg.dataType.jsonName}"}""")
       .mkString("[", ",", "]")
+    // a recreate under a previously-dropped name must not serve the
+    // old table's cached format stamp
+    invalidateDefFormat(idxLake, idxTable)
     val (fs, p) = sidecar(spark, idxLake, idxTable, DefFileName)
     val out = fs.create(p, true)
     try out.write(

@@ -304,6 +304,76 @@ class ViewDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("DDL UX: leading comments dispatch, EXPLAIN describes without " +
+    "creating, backquoted dotted identifiers are literal, near-miss " +
+    "statements fall through to the delegate parser") {
+    val l = mkLake("ux")
+    withLake(l) {
+      val q = "SELECT g, count(*) AS n, sum(v) AS s FROM azof.src " +
+        "GROUP BY g"
+      // leading line + block comments still dispatch to the MV DDL
+      spark.sql(s"-- dashboard rollup\n/* owner: data-eng */\n" +
+        s"CREATE MATERIALIZED VIEW mv1 AS $q").collect()
+      assert(!scansSrc(spark.sql(q)))
+      // EXPLAIN CREATE runs inference and describes; nothing created
+      val plan = spark.sql(
+        s"EXPLAIN CREATE MATERIALIZED VIEW mv2 AS $q")
+        .collect()(0).getString(0)
+      assert(plan.contains("kind: single") &&
+        plan.contains("group_cols: g") && plan.contains("sum_cols: v"),
+        plan)
+      assert(!new java.io.File(new java.io.File(l), "mv2").exists,
+        "EXPLAIN CREATE must not create")
+      // inference refusals surface through EXPLAIN too
+      val bad = intercept[IllegalArgumentException] {
+        spark.sql("EXPLAIN CREATE MATERIALIZED VIEW mv3 AS " +
+          "SELECT g, v FROM azof.src").collect() }
+      assert(bad.getMessage.contains("aggregate"))
+      // EXPLAIN DROP describes and does not drop
+      val dr = spark.sql("EXPLAIN DROP MATERIALIZED VIEW IF EXISTS mv1")
+        .collect()(0).getString(0)
+      assert(dr.contains("DropMatViewCommand") && dr.contains("ifExists"),
+        dr)
+      assert(new java.io.File(new java.io.File(l), "mv1").exists)
+      // a fully-backquoted dotted identifier is ONE literal name
+      spark.sql(s"CREATE MATERIALIZED VIEW `my.view` AS $q").collect()
+      assert(new java.io.File(new java.io.File(l), "my.view").exists)
+      spark.sql("DROP MATERIALIZED VIEW `my.view`").collect()
+      assert(!new java.io.File(new java.io.File(l), "my.view").exists)
+      // per-part backquotes still resolve the two-part reference
+      assert(spark.sql("DESCRIBE MATERIALIZED VIEW `azof`.`mv1`")
+        .collect().nonEmpty)
+      // a near-miss statement is NOT ours: delegate parser's error
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        spark.sql("CREATE MATERIALIZED VIEWX m AS SELECT 1").collect() }
+    }
+  }
+
+  test("DROP invalidates the cached definition-format stamp — a " +
+    "recreate under a dropped name serves its own format, never the " +
+    "old table's") {
+    val l = mkLake("fmt")
+    withLake(l) {
+      // plant an old-format sidecar and warm the format cache
+      val dir = new java.io.File(new java.io.File(l), "oldmv")
+      dir.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(dir, MatView.DefFileName).toPath,
+        ("""{"format":2,"source_path":"","source_table":"src",""" +
+          """"group_cols":["g"],"sum_cols":[],"minmax_cols":[],""" +
+          """"distinct_cols":[],"distinct_tuples":[],"approx_cols":[],""" +
+          """"derived_groups":[]}""").getBytes("UTF-8"))
+      assert(MatView.defFormat(spark, l, "oldmv") == 2)
+      spark.sql("DROP MATERIALIZED VIEW oldmv").collect()
+      // the stale stamp must not survive the drop
+      assert(MatView.defFormat(spark, l, "oldmv") == 0)
+      spark.sql("CREATE MATERIALIZED VIEW oldmv AS SELECT g, " +
+        "count(*) AS n FROM azof.src GROUP BY g").collect()
+      assert(MatView.defFormat(spark, l, "oldmv") ==
+        MatView.FormatVersion)
+    }
+  }
+
   test("refusal matrix: every unsupported shape refuses loudly, " +
     "naming the explicit-definition remedy") {
     val l = mkLake("refuse")
