@@ -80,8 +80,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   import MvRewriteRule._
 
-  private def rewriteConf: Seq[String] =
-    spark.conf.getOption("spark.azof.mv.rewrite").toSeq
+  private def confList(key: String): Seq[String] =
+    spark.conf.getOption(key).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
   /** `(lake, mvTable)` candidates from the conf. The sentinel `auto`
@@ -90,7 +90,24 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * ([[MvRewriteRule.discover]]) — so a production lake with dozens
     * of views rewrites without per-session list curation.
     */
-  private def candidates: Seq[(String, String)] = rewriteConf.flatMap { entry =>
+  private def candidates: Seq[(String, String)] =
+    candidatesOf("spark.azof.mv.rewrite")
+
+  /** `spark.azof.mv.rewrite.approx`'s candidates — the views whose HLL
+    * sketch columns MAY answer `approx_count_distinct(c)` (same
+    * `mv1,mv2` / `lake::mv` / `auto` syntax, DEFAULT OFF, a separate
+    * list by design: the served value is the AZOF HLL ESTIMATE, which
+    * legitimately differs from Spark's own HLL++ sketch — an exact-conf
+    * view must never change an approx aggregate's result, so opting a
+    * view into estimate serving is an explicit, separate act). A view
+    * listed here also serves the exact shapes (exact serves are exact
+    * regardless of which conf named the view).
+    */
+  private def approxCandidates: Seq[(String, String)] =
+    candidatesOf("spark.azof.mv.rewrite.approx")
+
+  private def candidatesOf(key: String): Seq[(String, String)] =
+    confList(key).flatMap { entry =>
     entry.split("::") match {
       case Array("auto") =>
         spark.conf.getOption("spark.azof.path").toSeq.flatMap(root =>
@@ -340,6 +357,15 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * to the (index-sized) support scan directly.
     */
   private case class DistinctValL(c: String) extends AggLeaf
+  /** `approx_count_distinct(c)` for a DECLARED approx column, admitted
+    * ONLY for `spark.azof.mv.rewrite.approx` candidates: served from
+    * the view's `hll_<c>` register sketch — estimated per row at the
+    * exact grain, per-position-MERGED (never summed) before estimating
+    * at any subset rollup or the global grain. The served value is the
+    * azof HLL estimate (4096 registers, rsd ≈ 1.6%), not Spark's own
+    * HLL++ — which is why the conf is separate and default-off.
+    */
+  private case class ApproxL(c: String) extends AggLeaf
 
   private sealed trait Out
   private case class GroupOut(c: String) extends Out
@@ -355,8 +381,9 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Decompose one AGGREGATE FUNCTION call into view leaves, or None
     * when the view cannot answer it exactly.
     */
-  private def leafOf(ae: AggregateExpression, vd: ViewDef): Option[Calc] = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.Average
+  private def leafOf(ae: AggregateExpression, vd: ViewDef,
+      approxOk: Boolean): Option[Calc] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, HyperLogLogPlusPlus}
     def one(l: AggLeaf): Option[Calc] = Some((Seq(l), _.head))
     if (ae.filter.nonEmpty) None
     else if (ae.isDistinct) ae.aggregateFunction match {
@@ -409,6 +436,16 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           one(MaxL(a.name))
         case _ => None
       }
+      case h: HyperLogLogPlusPlus => h.child match {
+        // admitted only for approx-conf candidates, and only when the
+        // requested rsd is NO STRICTER than the stored sketch's — the
+        // served estimate is then at least as precise as asked for
+        case a: AttributeReference
+          if approxOk && vd.approxCols.contains(a.name) &&
+            h.relativeSD >= graft.sources.Hll.RelativeSD =>
+          one(ApproxL(a.name))
+        case _ => None
+      }
       case _ => None
     }
   }
@@ -433,17 +470,18 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * leaves plus a rebuild function: aggregates at the leaves,
     * casts / + − × ÷ / literals as interior nodes.
     */
-  private def calcOf(e: Expression, vd: ViewDef): Option[Calc] = e match {
-    case ae: AggregateExpression => leafOf(ae, vd)
+  private def calcOf(e: Expression, vd: ViewDef,
+      approxOk: Boolean = false): Option[Calc] = e match {
+    case ae: AggregateExpression => leafOf(ae, vd, approxOk)
     case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-      calcOf(c.child, vd).map { case (ls, b) =>
+      calcOf(c.child, vd, approxOk).map { case (ls, b) =>
         (ls, (cols: Seq[Column]) => b(cols).cast(c.dataType))
       }
     case b: org.apache.spark.sql.catalyst.expressions.BinaryArithmetic =>
       arithOf(b).flatMap { op =>
         for {
-          (ll, lb) <- calcOf(b.left, vd)
-          (rl, rb) <- calcOf(b.right, vd)
+          (ll, lb) <- calcOf(b.left, vd, approxOk)
+          (rl, rb) <- calcOf(b.right, vd, approxOk)
         } yield ((ll ++ rl, { cols: Seq[Column] =>
           val (lc, rc) = cols.splitAt(ll.size)
           op(lb(lc), rb(rc))
@@ -486,7 +524,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * group expressions to their stored column names.
     */
   private def outOf(ne: NamedExpression, vd: ViewDef,
-      dm: Expression => Option[String]): Option[Out] =
+      dm: Expression => Option[String],
+      approxOk: Boolean): Option[Out] =
     ne match {
       case a: AttributeReference if vd.groupCols.contains(a.name) =>
         Some(GroupOut(a.name))
@@ -494,7 +533,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference if vd.groupCols.contains(a.name) =>
           Some(GroupOut(a.name))
         case e => dm(e).map(GroupOut(_): Out)
-          .orElse(calcOf(e, vd).map { case (ls, b) => CalcOut(ls, b) })
+          .orElse(calcOf(e, vd, approxOk)
+            .map { case (ls, b) => CalcOut(ls, b) })
       }
       case _ => None
     }
@@ -561,6 +601,9 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case MinL(c)          => col(s"min_$c")
           case MaxL(c)          => col(s"max_$c")
           case DistinctValL(c)  => dvCol(c)
+          // exact grain: one stored sketch per row — estimate directly
+          case ApproxL(c) => graft.sources.Hll.estimateCol(
+            col(graft.sources.Hll.colName(c)))
           case DistinctL(_) => throw new IllegalStateException(
             "group-column distinct outputs always take the rollup path")
         }
@@ -582,6 +625,11 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case MinL(c)      => min(col(s"min_$c"))
           case MaxL(c)      => max(col(s"max_$c"))
           case DistinctL(c) => count_distinct(col(c))
+          // subset rollup: sketches MERGE per position (the register
+          // max monoid) before ONE estimate — never summed estimates
+          case ApproxL(c) => graft.sources.Hll.estimateCol(
+            graft.sources.Hll.mergeAllCol(
+              collect_list(col(graft.sources.Hll.colName(c)))))
           case DistinctValL(_) => throw new IllegalStateException(
             "support-table distinct leaves never aggregate the view")
         }
@@ -624,9 +672,12 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }, child)
   }
 
-  /** Try the single-table candidates against `agg`. */
+  /** Try the single-table candidates against `agg`. `approxOk` admits
+    * `approx_count_distinct` leaves — true only for
+    * `spark.azof.mv.rewrite.approx` candidates.
+    */
   private def singleHit(
-      agg: Aggregate, cands: Seq[(String, String)])
+      agg: Aggregate, cands: Seq[(String, String)], approxOk: Boolean)
       : Option[LogicalPlan] =
     srcOf(agg.child).flatMap { case (srcKey, conds, pinned) =>
       {
@@ -667,7 +718,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 groups.forall(vd.groupCols.contains) &&
                 conds2.forall(filterCovered(_, vd))
             if (!covered) None
-            else traverse(agg.aggregateExpressions.map(outOf(_, vd, dm)))
+            else traverse(agg.aggregateExpressions.map(
+              outOf(_, vd, dm, approxOk)))
               .filter { outs =>
                 // every plain group output must be a queried group
                 outs.forall {
@@ -691,6 +743,10 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     ls.exists(_.isInstanceOf[DistinctValL])
                   case _ => false
                 }
+                val needSk = outs.exists {
+                  case CalcOut(ls, _) => ls.exists(_.isInstanceOf[ApproxL])
+                  case _ => false
+                }
                 MatView.freshViewVersions(
                   spark, sLake, sTable, lake, mv, pinned, needDv)
                   .map { case (viewV, dvV) =>
@@ -701,7 +757,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                       c => MatView.serveDistinctPairs(spark, lake, mv, vd,
                         c, dvV)
                     rewrite(agg,
-                      MatView.serve(spark, lake, mv, vd, Some(viewV)),
+                      MatView.serve(spark, lake, mv, vd, Some(viewV),
+                        withSketches = needSk),
                       vd, groups, outs, conds2, dvPairs)
                   }
               }
@@ -712,9 +769,12 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-  /** Try the join-view candidates against `agg`. */
+  /** Try the join-view candidates against `agg` ([[singleHit]]'s star
+    * twin — `approxOk` admits `approx_count_distinct` leaves for
+    * approx-conf candidates).
+    */
   private def joinHit(
-      agg: Aggregate, cands: Seq[(String, String)])
+      agg: Aggregate, cands: Seq[(String, String)], approxOk: Boolean)
       : Option[LogicalPlan] =
     joinSrcOf(agg.child).flatMap {
       case (factKey, factPin, dimSides, conds, factOut) =>
@@ -730,7 +790,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               else {
               val vd = ViewDef(jdef.groupCols, jdef.sumCols,
                 jdef.minMaxCols, jdef.distinctCols, jdef.derivedGroups,
-                jdef.distinctTuples)
+                jdef.distinctTuples, jdef.approxCols)
               val dmMap = derivedCanon(vd, leafRelation(agg.child))
               val dm: Expression => Option[String] =
                 e => dmMap.get(e.canonicalized)
@@ -776,7 +836,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   provenanced
               if (!covered) None
               else traverse(
-                agg.aggregateExpressions.map(outOf(_, vd, dm)))
+                agg.aggregateExpressions.map(outOf(_, vd, dm, approxOk)))
                 .filter { outs =>
                   outs.forall {
                     case GroupOut(c) => groups.contains(c); case _ => true }
@@ -793,6 +853,11 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                       ls.exists(_.isInstanceOf[DistinctValL])
                     case _ => false
                   }
+                  val needSk = outs.exists {
+                    case CalcOut(ls, _) =>
+                      ls.exists(_.isInstanceOf[ApproxL])
+                    case _ => false
+                  }
                   graft.sources.JoinView.freshViewVersions(spark,
                     d.factLake, d.factTable, d.dims, lake, mv,
                     factPin, dimPins, needDv)
@@ -805,7 +870,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                           spark, lake, mv, jdef, c, dvV)
                       rewrite(agg,
                         graft.sources.JoinView.serve(spark, lake, mv, jdef,
-                          Some(viewV)),
+                          Some(viewV), withSketches = needSk),
                         vd, groups, outs, conds2, dvPairs)
                     }
                 }
@@ -1036,7 +1101,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val jdef = d.jdef
             val vd = ViewDef(jdef.groupCols, jdef.sumCols,
               jdef.minMaxCols, jdef.distinctCols, jdef.derivedGroups,
-              jdef.distinctTuples)
+              jdef.distinctTuples, jdef.approxCols)
             val sideByFk = dimSides.map(s => s.fkName -> s).toMap
             val dimsMatch =
               dimSides.size == jdef.dims.size &&
@@ -1122,17 +1187,25 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val cands = candidates
-    if (cands.isEmpty) plan
+    val aCands = approxCandidates
+    if (cands.isEmpty && aCands.isEmpty) plan
     else plan.transformUp {
       case agg0: Aggregate =>
         val agg = inlineChildProject(agg0)
-        if (srcOf(agg.child).isDefined || joinSrcOf(agg.child).isDefined)
-          singleHit(agg, cands)
-            .orElse(joinHit(agg, cands))
-            .orElse(histHit(agg, cands))
-            .orElse(joinHistHit(agg, cands))
+        if (srcOf(agg.child).isDefined || joinSrcOf(agg.child).isDefined) {
+          // exact-conf candidates first (never with approx leaves: an
+          // exact-conf view must never change an approx aggregate's
+          // result), then the opt-in approx-conf candidates — which
+          // also serve pure-exact shapes (exact serves are exact
+          // regardless of which conf named the view)
+          singleHit(agg, cands, approxOk = false)
+            .orElse(joinHit(agg, cands, approxOk = false))
+            .orElse(singleHit(agg, aCands, approxOk = true))
+            .orElse(joinHit(agg, aCands, approxOk = true))
+            .orElse(histHit(agg, (cands ++ aCands).distinct))
+            .orElse(joinHistHit(agg, (cands ++ aCands).distinct))
             .getOrElse(agg0)
-        else agg0
+        } else agg0
     }
   }
 
@@ -1258,9 +1331,14 @@ object MvRewriteRule {
         try MatView.readDef(spark, lake, mv)
           .map { case (sl, st, vd) => SingleDef(sl, st, vd, fmtOf) }
           .filter { case SingleDef(_, _, vd, _) =>
-            MatView.nnLayoutOk(
-              graft.format.AzofTable(spark, lake, mv)
-                .currentSnapshot.schema, vd.sumCols) &&
+            val schema = graft.format.AzofTable(spark, lake, mv)
+              .currentSnapshot.schema
+            MatView.nnLayoutOk(schema, vd.sumCols) &&
+              // a view declaring approx columns whose TABLE predates
+              // the hll_ sketch layout refuses candidacy (silent scan
+              // fallback — the loud rebuild message lives on the
+              // direct serve/refresh path, requireHllLayout)
+              MatView.hllLayoutOk(schema, vd.approxCols) &&
               (!vd.hasDistinct ||
                 scala.util.Try(graft.format.AzofTable(spark, lake,
                   MatView.dvTableName(mv)).currentVersion).isSuccess)
@@ -1272,9 +1350,13 @@ object MvRewriteRule {
           // candidacy instead of failing inside the rule
           .orElse(graft.sources.JoinView.readDef(spark, lake, mv)
             .map { case (fl, ft, ds, jd) => JoinDef(fl, ft, ds, jd, fmtOf) }
-            .filter(jd => !jd.jdef.hasDistinct ||
-              scala.util.Try(graft.format.AzofTable(spark, lake,
-                MatView.dvTableName(mv)).currentVersion).isSuccess))
+            .filter(jd =>
+              MatView.hllLayoutOk(
+                graft.format.AzofTable(spark, lake, mv)
+                  .currentSnapshot.schema, jd.jdef.approxCols) &&
+                (!jd.jdef.hasDistinct ||
+                  scala.util.Try(graft.format.AzofTable(spark, lake,
+                    MatView.dvTableName(mv)).currentVersion).isSuccess)))
         catch { case scala.util.control.NonFatal(_) => None }
       read.foreach(defCache.put((lake, mv), _))
       read

@@ -76,7 +76,9 @@ object AzofQueries {
     "q82_mv_nullable_tuple" -> matViewNullableTupleHistogram,
     "q83_star_nullable_tuple" -> starNullableTupleHistogram,
     "x03_hll_mv" -> matViewHllApprox,
-    "x04_hll_star" -> starHllApprox)
+    "x04_hll_star" -> starHllApprox,
+    "x05_approx_rewrite" -> matViewApproxRewrite,
+    "x06_star_approx_rewrite" -> starApproxRewrite)
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -3081,6 +3083,93 @@ object AzofQueries {
           col("dv_author").cast("double") - 1.0) <= 0.05).as("hll_ok"))
   }
 
+  /** The OPT-IN approx rewrite (`spark.azof.mv.rewrite.approx`): plain
+    * SQL `approx_count_distinct(author)` over the corpus table is
+    * served from the view's `hll_author` register sketch — here at the
+    * GLOBAL grain, so the per-source sketches MERGE per position
+    * ([[graft.sources.Hll.mergeAllCol]]'s max monoid) before ONE
+    * estimate, never summed estimates. The conf is separate from the
+    * exact `spark.azof.mv.rewrite` by design (the served value is the
+    * azof HLL estimate, not Spark's own HLL++ sketch) and default OFF;
+    * the conf-off / exact-conf-never-serves-approx cells are spec-side
+    * (MvRewriteSpec). The exact `COUNT(DISTINCT author)` twin in the
+    * same query hash-gates (served from the refcounted support pairs),
+    * and the estimate is asserted within 5% of it — x03's bound
+    * contract, now through the zero-query-change SQL face. Refuses a
+    * plan that still carries any azof SOURCE relation.
+    */
+  private def matViewApproxRewrite(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = hllLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite.approx", "doc_hll")
+    try {
+      val q = s.sql(
+        "SELECT dv_author, " +
+          "(abs(CAST(adv AS DOUBLE) / CAST(dv_author AS DOUBLE) - 1.0)" +
+          " <= 0.05) AS hll_ok FROM (" +
+          "SELECT count(DISTINCT author) AS dv_author, " +
+          "approx_count_distinct(author) AS adv FROM azof.docs_hll)")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "opt-in approx rewrite did not fire — refusing to pass the " +
+          "row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite.approx")
+    }
+  }
+
+  /** [[matViewApproxRewrite]]'s STAR twin at the view's own grain:
+    * `approx_count_distinct` over the plain `fact ⋈ dim GROUP BY tier`
+    * join serves per-row from the join view's sketches (exact-grain
+    * path — one stored sketch per group, estimated directly), with the
+    * exact distinct twin hash-gating from the star support pairs.
+    * Refuses a plan that still joins or carries any azof relation.
+    */
+  private def starApproxRewrite(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = hllStarLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite.approx", "doc_hll_star")
+    try {
+      val q = s.sql(
+        "SELECT tier, dv_author, " +
+          "(abs(CAST(adv AS DOUBLE) / CAST(dv_author AS DOUBLE) - 1.0)" +
+          " <= 0.05) AS hll_ok FROM (" +
+          "SELECT tier, count(DISTINCT author) AS dv_author, " +
+          "approx_count_distinct(author) AS adv " +
+          "FROM azof.facts_hll f JOIN azof.src_hll d ON f.src = d.key " +
+          "GROUP BY tier)")
+      // the exact-distinct twin serves from index-grain support scans
+      // (their own re-count Aggregate/Join survive by design — q61's
+      // precedent); the gate is on CORPUS relations
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "star opt-in approx rewrite did not fire — refusing to pass " +
+          "the row off the corpus scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite.approx")
+    }
+  }
+
   /** q54/q55's shared CTE prelude: both tables' reconstructed final
     * states (see [[jvLake]]'s churn script).
     */
@@ -3221,6 +3310,36 @@ object AzofQueries {
          FROM live GROUP BY source""",
     // the star twin at the tier grain
     "x04_hll_star" ->
+      """WITH fact AS (
+           SELECT source AS src,
+                  CASE WHEN doc_id % 6 = 0 THEN NULL
+                       ELSE 'a' || CAST(doc_id % 50 AS VARCHAR)
+                    END AS author
+           FROM documents),
+         dim AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even' ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents))
+         SELECT tier, COUNT(DISTINCT author) AS dv_author,
+                TRUE AS hll_ok
+         FROM fact JOIN dim ON fact.src = dim.k GROUP BY tier""",
+    // the OPT-IN approx rewrite at the GLOBAL grain: the exact
+    // COUNT(DISTINCT) twin hash-gates (served from the support pairs
+    // through the same rewritten plan), and the TRUE verdict pins the
+    // sketch estimate within 5% of it — the estimate itself is
+    // engine-specific by design (azof HLL, not Spark's HLL++)
+    "x05_approx_rewrite" ->
+      """WITH live AS (
+           SELECT source,
+                  CASE WHEN doc_id % 6 = 0 THEN NULL
+                       ELSE 'a' || CAST(doc_id % 50 AS VARCHAR)
+                    END AS author
+           FROM documents)
+         SELECT COUNT(DISTINCT author) AS dv_author, TRUE AS hll_ok
+         FROM live""",
+    // the star twin at the view's own grain (per tier)
+    "x06_star_approx_rewrite" ->
       """WITH fact AS (
            SELECT source AS src,
                   CASE WHEN doc_id % 6 = 0 THEN NULL

@@ -43,6 +43,13 @@ object Hll {
   /** Bias-corrected α for m = 4096. */
   val Alpha: Double = 0.7213 / (1.0 + 1.079 / M)
 
+  /** The sketch's standard-error bound (`1.04/√m` ≈ 1.6%): the
+    * opt-in approx rewrite serves `approx_count_distinct(c[, rsd])`
+    * only when the REQUESTED rsd is no stricter than this — the served
+    * estimate is then at least as precise as the query asked for.
+    */
+  val RelativeSD: Double = 1.04 / math.sqrt(M.toDouble)
+
   private val Base = 'A'.toInt
 
   /** The all-zero sketch (every register 'A'). */
@@ -103,6 +110,40 @@ object Hll {
     expr(s"concat_ws('', aggregate(`$arrCol`, split('$Empty', ''), " +
       "(acc, x) -> zip_with(acc, split(x, ''), " +
       "(p, q) -> if(p >= q, p, q))))")
+
+  /** [[mergeAllExpr]] over a COLUMN (not a name) — what the automatic
+    * rewrite composes around `collect_list(hll_<c>)` inside an
+    * aggregation, where no stable column name exists to splice into an
+    * `expr` string. Same per-position-max monoid on split char arrays.
+    */
+  def mergeAllCol(arr: Column): Column =
+    concat_ws("", aggregate(arr, split(lit(Empty), ""),
+      (acc, x) => zip_with(acc, split(x, ""),
+        (p, q) => when(p >= q, p).otherwise(q))))
+
+  /** The cardinality estimate of ONE sketch Column as a single BIGINT
+    * expression — [[estimate]]'s composable form (the rewrite path
+    * needs the estimate INSIDE a select/agg list, not as a
+    * DataFrame transform). One register pass via `aggregate` with a
+    * finish lambda computing linear counting vs the harmonic mean.
+    */
+  def estimateCol(sk: Column): Column = {
+    val regs = transform(split(sk, ""), ch => ascii(ch) - lit(Base))
+    aggregate(regs,
+      struct(lit(0.0).cast("double").as("d"), lit(0L).as("z")),
+      (acc, r) => struct(
+        (acc.getField("d") +
+          pow(lit(2.0), -r.cast("double"))).as("d"),
+        (acc.getField("z") +
+          when(r === 0, 1L).otherwise(0L)).as("z")),
+      acc => {
+        val raw = lit(Alpha * M * M) / acc.getField("d")
+        round(when(raw <= lit(2.5 * M) && acc.getField("z") > 0L,
+          lit(M.toDouble) *
+            log(lit(M.toDouble) / acc.getField("z").cast("double")))
+          .otherwise(raw)).cast("long")
+      })
+  }
 
   /** The cardinality estimate of a NAMED sketch column, as BIGINT:
     * linear counting (`m·ln(m/V)`) when the raw estimate sits below

@@ -1079,18 +1079,26 @@ object JoinView {
   def serve(
       spark: SparkSession,
       idxLake: String, idxTable: String, jdef: JoinViewDef,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      withSketches: Boolean = false): DataFrame = {
     val cols: Seq[Column] =
       jdef.groupCols.map(col) ++ Seq(col("n_rows")) ++
         jdef.sumCols.flatMap(c => Seq(
           when(col(s"nn_$c") > 0L, col(s"sum_$c")).as(s"sum_$c"),
           col(s"nn_$c"))) ++
-        jdef.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))
+        jdef.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) ++
+        // the opt-in approx rewrite reads the HLL sketch columns
+        // alongside the exact totals (MatView.serve's reasoning)
+        (if (withSketches) jdef.approxCols.map(c => col(Hll.colName(c)))
+         else Nil)
     val t = AzofTable(spark, idxLake, idxTable)
     val snap = version.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
     MatView.requireNnLayout(snap.schema, jdef.sumCols, idxTable,
       "JoinView.rebuildEpoch (CLI: jv-rebuild)")
+    if (withSketches)
+      MatView.requireHllLayout(snap.schema, jdef.approxCols, idxTable,
+        "JoinView.rebuildEpoch (CLI: jv-rebuild)")
     graft.operators.AzofScan.scanSnapshot(spark, t, snap, AsOf.Current)
       .where(col("n_rows") > 0L)
       .select(cols: _*)

@@ -1380,18 +1380,27 @@ object MatView {
   def serve(
       spark: SparkSession,
       idxLake: String, idxTable: String, view: ViewDef,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      withSketches: Boolean = false): DataFrame = {
     val cols: Seq[Column] =
       view.groupCols.map(col) ++ Seq(col("n_rows")) ++
         view.sumCols.flatMap(c => Seq(
           when(col(s"nn_$c") > 0L, col(s"sum_$c")).as(s"sum_$c"),
           col(s"nn_$c"))) ++
-        view.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))
+        view.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) ++
+        // the opt-in approx rewrite reads the HLL sketch columns
+        // alongside the exact totals (the served estimate merges them
+        // at the query's grain)
+        (if (withSketches) view.approxCols.map(c => col(Hll.colName(c)))
+         else Nil)
     val t = AzofTable(spark, idxLake, idxTable)
     val snap = version.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
     requireNnLayout(snap.schema, view.sumCols, idxTable,
       "MatView.rebuildEpoch (CLI: mv-rebuild)")
+    if (withSketches)
+      requireHllLayout(snap.schema, view.approxCols, idxTable,
+        "MatView.rebuildEpoch (CLI: mv-rebuild)")
     graft.operators.AzofScan.scanSnapshot(spark, t, snap, AsOf.Current)
       .where(col("n_rows") > 0L)
       .select(cols: _*)

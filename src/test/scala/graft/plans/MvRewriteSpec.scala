@@ -1709,4 +1709,176 @@ class MvRewriteSpec extends AnyFunSuite {
       spark.conf.unset("spark.azof.mv.rewrite")
     }
   }
+
+  test("opt-in approx rewrite: spark.azof.mv.rewrite.approx serves " +
+    "approx_count_distinct from the hll_ sketch at exact/rollup/" +
+    "global grains within 5% of truth; DEFAULT OFF; the exact conf " +
+    "never serves it; a stricter rsd and staleness fall back") {
+    val l = Files.createTempDirectory("azof-mvrw-hllrw").toString
+    val ck = Files.createTempDirectory("azof-mvrw-hllrw-ck").toString
+    val schema = TableSchema(Seq(
+      ColumnDef("g1", ColumnType.AzString, nullable = false),
+      ColumnDef("g2", ColumnType.AzString, nullable = false),
+      ColumnDef("a", ColumnType.AzString, nullable = true)))
+    AzofWriter.createTable(spark, l, "src", schema,
+      ts("2024-01-01T00:00:00Z"))
+    val raw = (1 to 600).map { i =>
+      Row(i.toString, Timestamp.from(ts("2024-01-02T00:00:00Z")),
+        if (i % 2 == 0) "a" else "b", if (i % 3 == 0) "x" else "y",
+        if (i % 11 == 0) null else s"v${i % 200}")
+    }
+    val rawDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(raw), schema.toStruct)
+    AzofWriter.commitBase(spark, l, "src", rawDf)                    // v2
+    val avd = ViewDef(Seq("g1", "g2"), distinctCols = Seq("a"),
+      approxCols = Seq("a"))
+    val q0 = MatView.refresh(spark, l, "src", l, "amv", avd, ck)
+    assert(q0.awaitTermination(120000))
+    // truth from the raw frame (null-skipping distinct per grain)
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    def truth(groups: String*): Map[Seq[String], Long] =
+      (if (groups.isEmpty)
+        rawDf.agg(countDistinct(col("a")).as("dv"))
+      else rawDf.groupBy(groups.map(col): _*)
+        .agg(countDistinct(col("a")).as("dv")))
+        .collect().map(r => (groups.indices.map(r.getString),
+          r.getLong(groups.size))).toMap
+    def within5(got: Map[Seq[String], Long],
+        want: Map[Seq[String], Long]): Unit = {
+      assert(got.keySet == want.keySet, s"$got vs $want")
+      got.foreach { case (k, est) =>
+        assert(math.abs(est.toDouble / want(k) - 1.0) <= 0.05,
+          s"group $k: estimate $est vs exact ${want(k)}") }
+    }
+    spark.conf.set("spark.azof.path", l)
+    try {
+      def adv(sql: String, nGroups: Int): Map[Seq[String], Long] =
+        spark.sql(sql).collect()
+          .map(r => ((0 until nGroups).map(r.getString),
+            r.getLong(nGroups))).toMap
+      val qExact = "SELECT g1, g2, approx_count_distinct(a) AS adv " +
+        "FROM azof.src GROUP BY g1, g2"
+      val qRoll = "SELECT g1, approx_count_distinct(a) AS adv " +
+        "FROM azof.src GROUP BY g1"
+      val qGlob = "SELECT approx_count_distinct(a) AS adv FROM azof.src"
+      // DEFAULT OFF: no conf, no serve
+      assert(scansSrc(spark.sql(qExact)), "approx rewrite defaults OFF")
+      // the EXACT conf must never serve an approx aggregate (the
+      // estimate would silently change query results)
+      spark.conf.set("spark.azof.mv.rewrite", "amv")
+      assert(scansSrc(spark.sql(qExact)),
+        "the exact conf must never serve approx_count_distinct")
+      // …while exact shapes over the same view do serve through it
+      assert(!scansSrc(spark.sql(
+        "SELECT g1, count(DISTINCT a) AS dv FROM azof.src GROUP BY g1")))
+      spark.conf.unset("spark.azof.mv.rewrite")
+      // opt in: exact grain (per-row estimate), subset rollup and the
+      // global grain (per-position MERGE, then one estimate)
+      spark.conf.set("spark.azof.mv.rewrite.approx", "amv")
+      val qe = spark.sql(qExact)
+      assert(!scansSrc(qe), "exact-grain approx must serve:\n" +
+        qe.queryExecution.optimizedPlan)
+      within5(adv(qExact, 2), truth("g1", "g2"))
+      val qr = spark.sql(qRoll)
+      assert(!scansSrc(qr), "rollup-grain approx must serve")
+      within5(adv(qRoll, 1), truth("g1"))
+      val qg = spark.sql(qGlob)
+      assert(!scansSrc(qg), "global-grain approx must serve")
+      within5(adv(qGlob, 0), truth())
+      // a MIXED aggregate list serves: exact leaves stay exact
+      val qMix = spark.sql("SELECT g1, count(*) AS n, " +
+        "count(DISTINCT a) AS dv, approx_count_distinct(a) AS adv " +
+        "FROM azof.src GROUP BY g1")
+      assert(!scansSrc(qMix))
+      val mixed = qMix.collect()
+        .map(r => Seq(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(mixed(Seq("a"))._1 == 300L && mixed(Seq("b"))._1 == 300L)
+      assert(mixed.view.mapValues(_._2).toMap ==
+        truth("g1"), "the exact distinct twin is EXACT, not estimated")
+      // an rsd STRICTER than the stored sketch's (~1.6%) refuses —
+      // the view cannot deliver the requested precision
+      assert(scansSrc(spark.sql(
+        "SELECT approx_count_distinct(a, 0.005) AS adv FROM azof.src")),
+        "a stricter rsd than the sketch's must fall back")
+      assert(!scansSrc(spark.sql(
+        "SELECT approx_count_distinct(a, 0.03) AS adv FROM azof.src")),
+        "a looser rsd serves")
+      // staleness falls back; refresh restores
+      AzofWriter.commitDelta(spark, l, "src",
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+          Row("601", Timestamp.from(ts("2024-02-05T00:00:00Z")),
+            "a", "x", "fresh1"))), schema.toStruct),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))      // v3
+      assert(scansSrc(spark.sql(qExact)), "stale view must NOT serve")
+      val q1 = MatView.refresh(spark, l, "src", l, "amv", avd, ck)
+      assert(q1.awaitTermination(120000))
+      assert(!scansSrc(spark.sql(qExact)), "refresh restores the serve")
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+      spark.conf.unset("spark.azof.mv.rewrite.approx")
+    }
+  }
+
+  test("opt-in approx rewrite, star twin: the join query's " +
+    "approx_count_distinct serves from the join view's sketches under " +
+    "the approx conf only (single/star symmetry)") {
+    import graft.sources.{DimJoin, JoinView, JoinViewDef}
+    val l = Files.createTempDirectory("azof-mvrw-hllrwj").toString
+    val factSchema = TableSchema(Seq(
+      ColumnDef("fk", ColumnType.AzString, nullable = false),
+      ColumnDef("a", ColumnType.AzString, nullable = true)))
+    val dimSchema = TableSchema(Seq(
+      ColumnDef("tier", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "dim", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("d1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t1"),
+        Row("d2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t2"))),
+      dimSchema.toStruct))
+    val factRaw = (1 to 400).map { i =>
+      Row(i.toString, Timestamp.from(ts("2024-01-02T00:00:00Z")),
+        if (i % 3 == 0) "d1" else "d2",
+        if (i % 13 == 0) null else s"w${i % 150}")
+    }
+    val factDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(factRaw), factSchema.toStruct)
+    AzofWriter.commitBase(spark, l, "fact", factDf)
+    val jdef = JoinViewDef(Seq("tier"),
+      dims = Seq(DimJoin("fk", Seq("tier"))),
+      distinctCols = Seq("a"), approxCols = Seq("a"))
+    JoinView.refresh(spark, l, "fact", Seq((l, "dim")), l, "ajv", jdef)
+    spark.conf.set("spark.azof.path", l)
+    try {
+      val q = "SELECT tier, approx_count_distinct(a) AS adv " +
+        "FROM azof.fact f JOIN azof.dim d ON f.fk = d.key GROUP BY tier"
+      assert(scansSrc(spark.sql(q)), "defaults OFF (star)")
+      spark.conf.set("spark.azof.mv.rewrite", "ajv")
+      assert(scansSrc(spark.sql(q)),
+        "the exact conf must never serve approx (star)")
+      spark.conf.unset("spark.azof.mv.rewrite")
+      spark.conf.set("spark.azof.mv.rewrite.approx", "ajv")
+      val served = spark.sql(q)
+      assert(!scansSrc(served), "approx conf serves the star shape:\n" +
+        served.queryExecution.optimizedPlan)
+      import org.apache.spark.sql.functions.{col, countDistinct, when}
+      val want = factDf
+        .withColumn("tier", when(col("fk") === "d1", "t1").otherwise("t2"))
+        .groupBy("tier").agg(countDistinct(col("a")).as("dv"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      served.collect().foreach { r =>
+        val (tier, est) = (r.getString(0), r.getLong(1))
+        assert(math.abs(est.toDouble / want(tier) - 1.0) <= 0.05,
+          s"tier $tier: estimate $est vs exact ${want(tier)}")
+      }
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+      spark.conf.unset("spark.azof.mv.rewrite.approx")
+    }
+  }
 }
