@@ -62,7 +62,8 @@ object AzofCli {
       graft.sources.DerivedGroup.parseList(opts.getOrElse("derived", ""))
     graft.sources.ViewDef(csv("group-cols"), csv("sum-cols"),
       csv("minmax-cols"), csv("distinct-cols"), derived,
-      cliTuples(opts), csv("approx-cols"))
+      cliTuples(opts), csv("approx-cols"),
+      opts.get("filter").map(_.trim).filter(_.nonEmpty))
   }
 
   /** `--distinct-tuples "a+b;c+d"` → declared multi-column distinct
@@ -97,7 +98,8 @@ object AzofCli {
       fks.zip(padded).map { case (fk, dc) =>
         graft.sources.DimJoin(fk, dc) },
       csv("distinct-cols"), derived, cliTuples(opts),
-      csv("approx-cols"))
+      csv("approx-cols"),
+      opts.get("filter").map(_.trim).filter(_.nonEmpty))
   }
 
   /** The jv-* verbs' dim table locations: `--dim-table d1[,d2…]` with
@@ -1152,6 +1154,7 @@ object AzofCli {
         // persisted incremental materialized aggregate view:
         // mv-create --path L --table T --group-cols g1,g2
         //   [--sum-cols a,b] [--minmax-cols c]
+        //   [--filter "<sql predicate>"]  (a FILTERED/partial view)
         //   [--index-path L2] [--index-table mv]
         graft.sources.MatView.create(spark,
           opts("path"), opts("table"),

@@ -294,6 +294,77 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       c.references.nonEmpty &&
       c.references.forall(a => vd.groupCols.contains(a.name))
 
+  /** A FILTERED view's declared predicate, analyzed against the same
+    * leaf-relation binding surface the query's own conjuncts reference
+    * — so the canonical comparison in [[matchViewFilter]] happens in
+    * one attribute space. Analysis failure (ambiguous names, missing
+    * columns) just refuses the match.
+    */
+  private def viewFilterConjs(f: String, lr: LogicalPlan)
+      : Option[Seq[Expression]] =
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(f)
+      val analyzed = spark.sessionState.analyzer.execute(
+        Filter(parsed, lr))
+      // the QUERY's conjuncts arrive optimizer-folded (`v > 5` is
+      // already `v > 5L`), while this side is only analyzed (`v >
+      // CAST(5 AS BIGINT)`) — fold before canonical comparison
+      val folded =
+        org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzed)
+      folded.collectFirst { case fl: Filter => fl.condition }
+        .filter(_.resolved).map(splitAnd)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Whether query conjunct `qc` IMPLIES view conjunct `vc` by
+    * equality/IN subset on the same attribute (`g = 'a'` implies
+    * `g IN ('a','b')`). NULL literals refuse (three-valued logic makes
+    * subset reasoning unsound there).
+    */
+  private def impliesSubset(qc: Expression, vc: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, In}
+    def parts(e: Expression): Option[(Expression, Set[Any])] = e match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        Some((a.canonicalized, Set(l.value)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        Some((a.canonicalized, Set(l.value)))
+      case In(a: AttributeReference, vs)
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        Some((a.canonicalized,
+          vs.map(_.asInstanceOf[Literal].value).toSet))
+      case _ => None
+    }
+    (parts(qc), parts(vc)) match {
+      case (Some((qa, qs)), Some((va, vs))) =>
+        qa == va && !qs.contains(null) && !vs.contains(null) &&
+          qs.subsetOf(vs)
+      case _ => false
+    }
+  }
+
+  /** Match a FILTERED view's conjuncts against the query's WHERE: every
+    * view conjunct must be either exactly present (canonical equality —
+    * removed from the residue: every view row already satisfies it,
+    * and it may reference non-group columns the view does not store) or
+    * IMPLIED by a query conjunct ([[impliesSubset]] — kept in the
+    * residue, where [[filterCovered]] later demands it be
+    * group-servable). Returns the query conjuncts still to apply to
+    * the view scan, or None when the view's membership predicate is
+    * not provably implied — the query then reads the corpus (a
+    * filtered view can never answer an unfiltered question).
+    */
+  private def matchViewFilter(
+      conds: Seq[Expression], vcs: Seq[Expression])
+      : Option[Seq[Expression]] = {
+    var remaining = conds
+    val ok = vcs.forall { vc =>
+      remaining.find(_.canonicalized == vc.canonicalized) match {
+        case Some(qc) => remaining = remaining.filterNot(_ eq qc); true
+        case None => conds.exists(impliesSubset(_, vc))
+      }
+    }
+    if (ok) Some(remaining) else None
+  }
+
   /** A binding surface for [[derivedCanon]]: every azof leaf
     * relation's FULL output under `plan`, as one LocalRelation — the
     * grouping and (pushed-down) filter expressions reference these
@@ -712,7 +783,17 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // view up (one row out, exactly like SQL's global agg —
             // even over an empty corpus, where groupBy().agg matches
             // the one-row null/zero semantics)
-            val conds2 = conds.map(substDerived(_, vd, dm))
+            //
+            // a FILTERED view additionally demands the query's WHERE
+            // imply its membership predicate — matched conjuncts leave
+            // the residue, which must then be group-servable as usual
+            val residueOpt: Option[Seq[Expression]] = vd.filter match {
+              case None => Some(conds)
+              case Some(f) => viewFilterConjs(f, leafRelation(agg.child))
+                .flatMap(matchViewFilter(conds, _))
+            }
+            residueOpt.flatMap { residue =>
+            val conds2 = residue.map(substDerived(_, vd, dm))
             val covered =
               norm(sLake, sTable) == srcKey &&
                 groups.forall(vd.groupCols.contains) &&
@@ -762,6 +843,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                       vd, groups, outs, conds2, dvPairs)
                   }
               }
+            }
             }
             }
           }
@@ -827,7 +909,19 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     case None => factOut.exists(_.exprId == a.exprId)
                   })
               }
-              val conds2 = conds.map(substDerived(_, vd, dm))
+              // the filtered-view gate, singleHit's reasoning — the
+              // PROVENANCE check below still runs over the ORIGINAL
+              // conjunct list (matched conjuncts reference real
+              // columns too)
+              val residueOpt: Option[Seq[Expression]] =
+                jdef.filter match {
+                  case None => Some(conds)
+                  case Some(f) =>
+                    viewFilterConjs(f, leafRelation(agg.child))
+                      .flatMap(matchViewFilter(conds, _))
+                }
+              residueOpt.flatMap { residue =>
+              val conds2 = residue.map(substDerived(_, vd, dm))
               val covered =
                 norm(d.factLake, d.factTable) == factKey &&
                   dimsMatch &&
@@ -874,6 +968,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                         vd, groups, outs, conds2, dvPairs)
                     }
                 }
+              }
               }
               }
             }
@@ -1047,7 +1142,10 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case MvRewriteRule.SingleDef(sLake, sTable, vd, fmt) =>
             (sLake, sTable, vd, fmt)
         }.flatMap { case (sLake, sTable, vd, fmt) =>
-          if (norm(sLake, sTable) != srcKey) None
+          // a FILTERED view's support pairs cover member rows only —
+          // the histogram paths don't reason about predicate
+          // implication (yet), so filtered candidates refuse here
+          if (norm(sLake, sTable) != srcKey || vd.filter.nonEmpty) None
           else histShape(agg, vd, conds,
             tupleNullOk = fmt >= MatView.TupleNullFormat).flatMap {
             case (key, groups, outs, measures) =>
@@ -1124,7 +1222,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 })
             }
             if (norm(d.factLake, d.factTable) != factKey || !dimsMatch ||
-              !provenanced) None
+              !provenanced || jdef.filter.nonEmpty) None
             else histShape(agg, vd, conds,
               tupleNullOk = d.fmt >= MatView.TupleNullFormat).flatMap {
               case (key, groups, outs, measures) =>
@@ -1330,9 +1428,12 @@ object MvRewriteRule {
       val read =
         try MatView.readDef(spark, lake, mv)
           .map { case (sl, st, vd) => SingleDef(sl, st, vd, fmtOf) }
-          .filter { case SingleDef(_, _, vd, _) =>
+          .filter { case SingleDef(_, _, vd, fmt) =>
             val schema = graft.format.AzofTable(spark, lake, mv)
               .currentSnapshot.schema
+            // a filter-bearing def under a pre-filter stamp was
+            // maintained ignoring the predicate — silent scan fallback
+            (vd.filter.isEmpty || fmt >= MatView.FilterFormat) &&
             MatView.nnLayoutOk(schema, vd.sumCols) &&
               // a view declaring approx columns whose TABLE predates
               // the hll_ sketch layout refuses candidacy (silent scan
@@ -1351,9 +1452,11 @@ object MvRewriteRule {
           .orElse(graft.sources.JoinView.readDef(spark, lake, mv)
             .map { case (fl, ft, ds, jd) => JoinDef(fl, ft, ds, jd, fmtOf) }
             .filter(jd =>
-              MatView.hllLayoutOk(
-                graft.format.AzofTable(spark, lake, mv)
-                  .currentSnapshot.schema, jd.jdef.approxCols) &&
+              (jd.jdef.filter.isEmpty ||
+                jd.fmt >= MatView.FilterFormat) &&
+                MatView.hllLayoutOk(
+                  graft.format.AzofTable(spark, lake, mv)
+                    .currentSnapshot.schema, jd.jdef.approxCols) &&
                 (!jd.jdef.hasDistinct ||
                   scala.util.Try(graft.format.AzofTable(spark, lake,
                     MatView.dvTableName(mv)).currentVersion).isSuccess)))

@@ -206,43 +206,59 @@ object ViewDdl {
     case _ => None
   }
 
-  /** Strip pure-attribute Projects; a Filter refuses (a materialized
-    * view maintains the UNFILTERED live corpus — the rewrite pushes
-    * group-column predicates onto the view at query time instead).
-    */
-  private def strip(plan: LogicalPlan): LogicalPlan = plan match {
-    case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
-      strip(p.child)
-    case _: Filter => refuse(
-      "the defining query has a WHERE clause — a materialized view " +
-        "maintains the unfiltered live corpus; drop the predicate " +
-        "from the definition and put it on the query (the rewrite " +
-        "pushes group-column predicates onto the view)")
-    case other => other
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
   }
+
+  /** Strip pure-attribute Projects and COLLECT Filter conjuncts — a
+    * WHERE in the defining query becomes the view's membership
+    * predicate (a FILTERED materialized view: the refresh decides
+    * membership per row on post and pre states alike, so the
+    * incremental subtraction stays exact across the boundary).
+    * Validation of the collected conjuncts happens in [[infer]].
+    */
+  private def strip(plan: LogicalPlan): (LogicalPlan, Seq[Expression]) =
+    plan match {
+      case p: Project if p.projectList.forall(_.isInstanceOf[Attribute]) =>
+        strip(p.child)
+      case f: Filter =>
+        val (c, cs) = strip(f.child)
+        (c, splitConj(f.condition) ++ cs)
+      case other => (other, Nil)
+    }
 
   /** The star source under an Aggregate: fact leaf + per-dim
     * `(lake, table, fkName, dimOut)` where every join is INNER on the
     * dim's record key — [[MvRewriteRule.starSrcOf]]'s contract, here
     * over raw (lake, table) pairs because the create needs locations,
-    * not normalized match keys.
+    * not normalized match keys — plus every collected WHERE conjunct
+    * (any level: above the join, on the fact side, on a dim side —
+    * inner joins commute with filters).
     */
   private def starOf(plan: LogicalPlan): Option[(
       (String, String, Seq[Attribute], Boolean),
-      Seq[(String, String, String, Seq[Attribute])])] = {
+      Seq[(String, String, String, Seq[Attribute])],
+      Seq[Expression])] = {
     import org.apache.spark.sql.catalyst.expressions.EqualTo
-    strip(plan) match {
+    val (core, conds) = strip(plan)
+    core match {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
         if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
           refuse(s"only INNER joins on a dim's record key are " +
             s"maintainable (got ${j.joinType})")
         def asDim(side: LogicalPlan)
-            : Option[(String, String, Seq[Attribute], Boolean)] =
-          leaf(strip(side))
+            : Option[(String, String, Seq[Attribute], Boolean,
+              Seq[Expression])] = {
+          val (c, cs) = strip(side)
+          leaf(c).map { case (dl, dt, out, pinned) =>
+            (dl, dt, out, pinned, cs) }
+        }
         def combine(subSide: LogicalPlan, dimSide: LogicalPlan) =
           for {
-            (fact, dims) <- starOf(subSide)
-            (dl, dt, dOut, dPinned) <- asDim(dimSide)
+            (fact, dims, subConds) <- starOf(subSide)
+            (dl, dt, dOut, dPinned, dConds) <- asDim(dimSide)
             fOut = fact._3
             fkName <- j.condition match {
               case Some(EqualTo(a: AttributeReference,
@@ -261,14 +277,16 @@ object ViewDdl {
             if (dPinned) refuse(
               s"dim table '$dt' is read AS OF a pin — a view " +
                 "maintains the LIVE corpus; drop the time travel")
-            (fact, dims :+ ((dl, dt, fkName, dOut)))
+            (fact, dims :+ ((dl, dt, fkName, dOut)),
+              subConds ++ dConds)
           }
         combine(j.left, j.right).orElse(combine(j.right, j.left))
           .orElse(refuse(
             "every join must be INNER with a single equality " +
               s"fact.fk = dim.${graft.format.TableSchema.KeyName} " +
               "(the dim's record key)"))
-      case rel => leaf(rel).map(f => (f, Nil))
+          .map { case (f, ds, cs) => (f, ds, conds ++ cs) }
+      case rel => leaf(rel).map(f => (f, Nil, conds))
     }
   }
 
@@ -304,9 +322,10 @@ object ViewDdl {
         "SELECT ... FROM <azof table(s)> GROUP BY ... aggregate " +
         "(no ORDER BY, LIMIT, set ops, subqueries, or CTEs)")
     }
-    val (fact, dimSides) = starOf(agg.child).getOrElse(refuse(
-      "FROM must read azof tables only (azof.<table>, joined INNER " +
-        "on dim record keys for the star form)"))
+    val (fact, dimSides, filterConds) = starOf(agg.child).getOrElse(
+      refuse(
+        "FROM must read azof tables only (azof.<table>, joined INNER " +
+          "on dim record keys for the star form)"))
     val (factLake, factTable, factOut, factPinned) = fact
     if (factPinned) refuse(
       s"the source table is read AS OF a pin — a view maintains the " +
@@ -382,6 +401,34 @@ object ViewDdl {
         "up at QUERY time from any grouped view over the same table")
     if (groupCols.distinct.size != groupCols.size) refuse(
       "duplicate group columns in GROUP BY")
+
+    // --- WHERE → the view's membership predicate (a FILTERED view) ---
+    val filterSql: Option[String] =
+      if (filterConds.isEmpty) None
+      else {
+        filterConds.foreach { c =>
+          if (!c.deterministic) refuse(
+            s"WHERE conjunct ${c.sql} is nondeterministic — " +
+              "membership must be a repeatable function of the row")
+          if (c.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+            refuse(s"WHERE conjunct ${c.sql} contains a subquery — " +
+              "not incrementally maintainable")
+          c.references.foreach { a =>
+            unambiguous(a)
+            if (sideOf(a) >= 0 && !groupCols.contains(a.name)) refuse(
+              s"WHERE conjunct ${c.sql} reads dim column '${a.name}' " +
+                "which is not a group column — a star filter may read " +
+                "fact columns and GROUPED dim attributes only (other " +
+                "dim attributes never reach the refresh frames)")
+          }
+        }
+        // stored text re-analyzes against the bare refresh frames —
+        // drop SQL alias qualifiers, like derived-group expressions
+        Some(filterConds.map(_.transform {
+          case a: AttributeReference => a.withQualifier(Nil)
+        }.sql).mkString(" AND "))
+      }
 
     // --- outputs: group columns + aggregate trees over the leaves ---
     val derivedCanon: Set[Expression] = agg.groupingExpressions.collect {
@@ -506,7 +553,8 @@ object ViewDdl {
       }
     if (dimSides.isEmpty)
       SingleInf(factLake, factTable, contract(ViewDef(
-        groupCols, sumCols, minMaxCols, distinctCols, derived, tuples)))
+        groupCols, sumCols, minMaxCols, distinctCols, derived, tuples,
+        filter = filterSql)))
     else {
       val fks = dimSides.map(_._3)
       if (fks.distinct.size != fks.size) refuse(
@@ -518,7 +566,7 @@ object ViewDdl {
       StarInf(factLake, factTable,
         dimSides.map { case (dl, dt, _, _) => (dl, dt) },
         contract(JoinViewDef(groupCols, sumCols, minMaxCols, dims,
-          distinctCols, derived, tuples)))
+          distinctCols, derived, tuples, filter = filterSql)))
     }
   }
 }
@@ -680,7 +728,8 @@ final case class DescribeMatViewCommand(view: String)
     def common(groupCols: Seq[String], sumCols: Seq[String],
         minMaxCols: Seq[String], distinctCols: Seq[String],
         tuples: Seq[Seq[String]], approx: Seq[String],
-        derived: Seq[graft.sources.DerivedGroup]): Seq[Row] =
+        derived: Seq[graft.sources.DerivedGroup],
+        filter: Option[String]): Seq[Row] =
       row("group_cols", groupCols.mkString(", ")).toSeq ++
         row("sum_cols", sumCols.mkString(", ")) ++
         row("minmax_cols", minMaxCols.mkString(", ")) ++
@@ -688,6 +737,7 @@ final case class DescribeMatViewCommand(view: String)
         row("distinct_tuples",
           tuples.map(_.mkString("(", ", ", ")")).mkString("; ")) ++
         row("approx_cols", approx.mkString(", ")) ++
+        row("filter", filter.getOrElse("")) ++
         derived.map(dg =>
           Row(s"derived ${dg.name}",
             s"${dg.sql} :: ${dg.dataType.jsonName}"))
@@ -701,7 +751,7 @@ final case class DescribeMatViewCommand(view: String)
             .map(c => Row("cursor", c.toString)) ++
           common(vd.groupCols, vd.sumCols, vd.minMaxCols,
             vd.distinctCols, vd.distinctTuples, vd.approxCols,
-            vd.derivedGroups)
+            vd.derivedGroups, vd.filter)
       case None => JoinView.readDef(spark, lake, view) match {
         case Some((factLake, factTable, dims, jdef)) =>
           Seq(Row("kind", "star"),
@@ -718,7 +768,7 @@ final case class DescribeMatViewCommand(view: String)
             } ++
             common(jdef.groupCols, jdef.sumCols, jdef.minMaxCols,
               jdef.distinctCols, jdef.distinctTuples, jdef.approxCols,
-              jdef.derivedGroups)
+              jdef.derivedGroups, jdef.filter)
         case None => throw new IllegalArgumentException(
           s"no materialized view '$view' in $lake (no definition " +
             "sidecar)")
@@ -794,13 +844,15 @@ final case class ExplainMatViewDdlCommand(stmt: LogicalPlan)
         def common(groupCols: Seq[String], sumCols: Seq[String],
             minMaxCols: Seq[String], distinctCols: Seq[String],
             tuples: Seq[Seq[String]],
-            derived: Seq[DerivedGroup]): Seq[String] =
+            derived: Seq[DerivedGroup],
+            filter: Option[String]): Seq[String] =
           field("group_cols", groupCols.mkString(", ")) ++
             field("sum_cols", sumCols.mkString(", ")) ++
             field("minmax_cols", minMaxCols.mkString(", ")) ++
             field("distinct_cols", distinctCols.mkString(", ")) ++
             field("distinct_tuples",
               tuples.map(_.mkString("(", ", ", ")")).mkString("; ")) ++
+            field("filter", filter.getOrElse("")) ++
             derived.map(dg =>
               s"  derived ${dg.name}: ${dg.sql} :: ${dg.dataType.jsonName}")
         ViewDdl.infer(spark, analyzed) match {
@@ -808,7 +860,8 @@ final case class ExplainMatViewDdlCommand(stmt: LogicalPlan)
             Seq(head, "  kind: single",
               s"  source: ${new Path(new Path(sl), st)}") ++
               common(vd.groupCols, vd.sumCols, vd.minMaxCols,
-                vd.distinctCols, vd.distinctTuples, vd.derivedGroups)
+                vd.distinctCols, vd.distinctTuples, vd.derivedGroups,
+                vd.filter)
           case ViewDdl.StarInf(fl, ft, dims, jdef) =>
             Seq(head, "  kind: star",
               s"  fact: ${new Path(new Path(fl), ft)}") ++
@@ -819,7 +872,7 @@ final case class ExplainMatViewDdlCommand(stmt: LogicalPlan)
               } ++
               common(jdef.groupCols, jdef.sumCols, jdef.minMaxCols,
                 jdef.distinctCols, jdef.distinctTuples,
-                jdef.derivedGroups)
+                jdef.derivedGroups, jdef.filter)
         }
       case d: DropMatViewCommand =>
         Seq(s"DropMatViewCommand view=${d.view}" +

@@ -75,6 +75,8 @@ object AzofQueries {
     "q81_star_mixed_asof" -> starMixedAsOfRewrite,
     "q82_mv_nullable_tuple" -> matViewNullableTupleHistogram,
     "q83_star_nullable_tuple" -> starNullableTupleHistogram,
+    "q84_mv_filtered_rewrite" -> matViewFilteredRewrite,
+    "q85_star_filtered_rewrite" -> starFilteredRewrite,
     "x03_hll_mv" -> matViewHllApprox,
     "x04_hll_star" -> starHllApprox,
     "x05_approx_rewrite" -> matViewApproxRewrite,
@@ -2740,6 +2742,189 @@ object AzofQueries {
     }
   }
 
+  /** The q84 FILTERED-view lakehouse: a single-table materialized view
+    * whose defining query carries a WHERE — the view's MEMBERSHIP
+    * predicate (`cat IN ('c0','c1','c2')` over c0..c4). The Feb
+    * revision moves every seventh doc's category ACROSS the predicate
+    * boundary in both directions (even doc_ids → 'c9', out; odd →
+    * 'c1', in) and bumps its weight, so the incremental
+    * `old − pre + new` subtraction is exercised exactly where a
+    * filtered view can go wrong; deletes follow.
+    */
+  private[queries] def fltLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "flt-v1", "docs_flt") { l =>
+      val docs = Tables(s, dir, "documents")
+      AzofWriter.createTable(s, l, "docs_flt",
+        TableSchema(Seq(
+          ColumnDef("cat", ColumnType.AzString, nullable = false),
+          ColumnDef("n_chars", ColumnType.AzInt, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      def rows(filter: org.apache.spark.sql.Column, at: String,
+          cat: org.apache.spark.sql.Column =
+            concat(lit("c"), (col("doc_id") % 5).cast("string")),
+          nc: org.apache.spark.sql.Column = col("n_chars")) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          cat.as("cat"), nc.cast("long").as("n_chars"))
+      s.conf.set("spark.azof.path", l)
+      try {
+        AzofWriter.commitBase(s, l, "docs_flt",
+          rows(lit(true), "2024-01-02T00:00:00Z"))                   // v2
+        s.sql(
+          "CREATE MATERIALIZED VIEW doc_flt AS " +
+            "SELECT cat, count(*) AS n_rows, " +
+            "sum(n_chars) AS sum_n_chars, min(n_chars) AS min_n_chars, " +
+            "max(n_chars) AS max_n_chars FROM azof.docs_flt " +
+            "WHERE cat IN ('c0', 'c1', 'c2') GROUP BY cat").collect()
+        def refresh(): Unit = {
+          s.sql("REFRESH MATERIALIZED VIEW doc_flt").collect(); ()
+        }
+        AzofWriter.commitDelta(s, l, "docs_flt",
+          rows(col("doc_id") % 7 === 0, "2024-02-05T00:00:00Z",
+            cat = when(col("doc_id") % 2 === 0, "c9").otherwise("c1"),
+            nc = col("n_chars") + 5),
+          Instant.parse("2024-02-01T00:00:00Z"),
+          Instant.parse("2024-03-01T00:00:00Z"))                     // v3
+        refresh()
+        AzofWriter.commitDelete(s, l, "docs_flt", Seq("6", "7"),
+          Instant.parse("2024-03-05T00:00:00Z"))                     // v4
+        refresh()
+      } finally s.conf.unset("spark.azof.path")
+      ()
+    }
+
+  /** The FILTERED view under the oracle gate: the defining query — WHERE
+    * and all — answers FROM the view across boundary-crossing churn,
+    * hash-checked against the one-shot filtered recompute over the
+    * final live corpus. Refuses any surviving azof relation.
+    */
+  private def matViewFilteredRewrite(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = fltLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_flt")
+    try {
+      val q = s.sql(
+        "SELECT cat, count(*) AS n_rows, sum(n_chars) AS sum_n_chars, " +
+          "min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars " +
+          "FROM azof.docs_flt WHERE cat IN ('c0', 'c1', 'c2') " +
+          "GROUP BY cat")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "filtered-view rewrite did not fire — refusing to pass the " +
+          "row off the corpus-scan plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** [[fltLake]]'s STAR twin: the membership predicate reads the
+    * GROUPED dim attribute (`tier IN ('vip','gold')`), and the Feb dim
+    * RE-TIER moves whole sources across the boundary in both
+    * directions without any fact churn — `num%3 = 0` sources go 'out'
+    * (vip leaves membership) or 'gold' (even/odd enters) — the exact
+    * case where per-(fact,dim-state) membership must be re-decided
+    * from the affected-fact walk. Fact deletes follow.
+    */
+  private[queries] def fltStarLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "fltstar-v1", "facts_flt") { l =>
+      val docs = Tables(s, dir, "documents")
+      val srcs = docs.select("source").distinct()
+      val num = expr("CAST(substring(source, 4, 10) AS INT)")
+      AzofWriter.createTable(s, l, "src_flt",
+        TableSchema(Seq(
+          ColumnDef("tier", ColumnType.AzString, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(s, l, "facts_flt",
+        TableSchema(Seq(
+          ColumnDef("src", ColumnType.AzString, nullable = false),
+          ColumnDef("n_chars", ColumnType.AzInt, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.commitBase(s, l, "src_flt",
+        srcs.select(col("source").as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-01-02T00:00:00Z"))).as("event_time"),
+          when(num % 5 === 0, "vip").when(num % 2 === 0, "even")
+            .otherwise("odd").as("tier")))
+      AzofWriter.commitBase(s, l, "facts_flt",
+        docs.select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(
+            Instant.parse("2024-01-02T00:00:00Z"))).as("event_time"),
+          col("source").as("src"),
+          col("n_chars").cast("long").as("n_chars")))
+      s.conf.set("spark.azof.path", l)
+      try {
+        s.sql(
+          "CREATE MATERIALIZED VIEW star_flt AS " +
+            "SELECT tier, count(*) AS n_rows, " +
+            "sum(n_chars) AS sum_n_chars " +
+            "FROM azof.facts_flt f JOIN azof.src_flt d " +
+            "ON f.src = d.key WHERE tier IN ('vip', 'gold') " +
+            "GROUP BY tier").collect()
+        def refresh(): Unit = {
+          s.sql("REFRESH MATERIALIZED VIEW star_flt").collect(); ()
+        }
+        AzofWriter.commitDelta(s, l, "src_flt",
+          srcs.where(num % 3 === 0).select(col("source").as("key"),
+            lit(java.sql.Timestamp.from(
+              Instant.parse("2024-02-05T00:00:00Z"))).as("event_time"),
+            when(num % 5 === 0, "out").otherwise("gold").as("tier")),
+          Instant.parse("2024-02-01T00:00:00Z"),
+          Instant.parse("2024-03-01T00:00:00Z"))                     // re-tier
+        refresh()
+        AzofWriter.commitDelete(s, l, "facts_flt", Seq("6", "7"),
+          Instant.parse("2024-03-05T00:00:00Z"))
+        refresh()
+      } finally s.conf.unset("spark.azof.path")
+      ()
+    }
+
+  /** The FILTERED star view under the oracle gate: the defining join
+    * query with its dim-attribute WHERE answers FROM the join view
+    * across the boundary-crossing re-tier, hash-checked against the
+    * one-shot two-table filtered recompute. Refuses a plan that still
+    * joins or carries any azof relation.
+    */
+  private def starFilteredRewrite(
+      s: SparkSession, dir: String): DataFrame = {
+    val lake = fltStarLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "star_flt")
+    try {
+      val q = s.sql(
+        "SELECT tier, count(*) AS n_rows, sum(n_chars) AS sum_n_chars " +
+          "FROM azof.facts_flt f JOIN azof.src_flt d ON f.src = d.key " +
+          "WHERE tier IN ('vip', 'gold') GROUP BY tier")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "filtered-star rewrite did not fire — refusing to pass the " +
+          "row off the corpus scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The q82 [[graft.sources.ViewDef]]: per-source sums over `w` plus
     * a declared tuple `(cat, sub)` whose components are NULLABLE —
     * the partial-null two-dimension histogram's support.
@@ -3434,6 +3619,45 @@ object AzofQueries {
          SELECT tier, COUNT(*) AS n_rows,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
          FROM fact JOIN dim ON fact.src = dim.k GROUP BY tier""",
+    // the FILTERED view's defining query reconstructed one-shot: the
+    // Feb revision moved every seventh doc across the membership
+    // boundary in both directions (even → 'c9' out, odd → 'c1' in)
+    "q84_mv_filtered_rewrite" ->
+      """WITH live AS (
+           SELECT CASE WHEN doc_id % 7 = 0 THEN
+                         CASE WHEN doc_id % 2 = 0 THEN 'c9'
+                              ELSE 'c1' END
+                       ELSE 'c' || CAST(doc_id % 5 AS VARCHAR)
+                    END AS cat,
+                  CASE WHEN doc_id % 7 = 0 THEN n_chars + 5
+                       ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id NOT IN (6, 7))
+         SELECT cat, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+         FROM live WHERE cat IN ('c0', 'c1', 'c2') GROUP BY cat""",
+    // the FILTERED star: the dim re-tier moved num%3=0 sources across
+    // the membership boundary (vip → 'out', even/odd → 'gold') with
+    // no fact churn at all
+    "q85_star_filtered_rewrite" ->
+      """WITH fact AS (
+           SELECT source AS src, n_chars FROM documents
+           WHERE doc_id NOT IN (6, 7)),
+         dim AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN
+                         CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                              THEN 'out' ELSE 'gold' END
+                       WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 'vip'
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 'even'
+                       ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents))
+         SELECT tier, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+         FROM fact JOIN dim ON fact.src = dim.k
+         WHERE tier IN ('vip', 'gold') GROUP BY tier""",
     // an event-time coordinate at-or-above every table's consumed
     // corpus serves the same star truth through the per-table as-of
     // walks (q74's join twin; refusals are spec-side)

@@ -150,7 +150,9 @@ object AzofProcedures {
         // multi-column distinct tuples "a+b;c+d"
         pd("distinct_tuples", StringType, "''"),
         // APPROX_COUNT_DISTINCT sketch columns
-        pd("approx_cols", StringType, "''"))
+        pd("approx_cols", StringType, "''"),
+        // membership predicate (filtered/partial view), SQL text
+        pd("filter", StringType, "''"))
       case "term_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'term_postings'"),
@@ -172,7 +174,9 @@ object AzofProcedures {
         // multi-column distinct tuples "a+b;c+d"
         pd("distinct_tuples", StringType, "''"),
         // APPROX_COUNT_DISTINCT sketch columns
-        pd("approx_cols", StringType, "''"))
+        pd("approx_cols", StringType, "''"),
+        // membership predicate (filtered/partial view), SQL text
+        pd("filter", StringType, "''"))
       case "seq_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'seq_map'"),
@@ -363,7 +367,8 @@ object AzofProcedures {
               _.split(',').map(_.trim).filter(_.nonEmpty))
           val vd = ViewDef(csv(str(2)), csv(str(4)), csv(str(5)),
             csv(str(6)), parseDerived(str(7)), parseTuples(str(8)),
-            csv(str(9)))
+            csv(str(9)),
+            Option(str(10)).map(_.trim).filter(_.nonEmpty))
           val mvCk = new org.apache.hadoop.fs.Path(str(1),
             str(3) + "/_refresh_checkpoint").toString
           val q = MatView.refresh(spark, path, str(0), str(1), str(3),
@@ -387,7 +392,8 @@ object AzofProcedures {
           val jd = JoinViewDef(jcsv(str(3)), jcsv(str(6)), jcsv(str(7)),
             fks.zip(padded).map { case (fk, dc) => DimJoin(fk, dc) },
             jcsv(str(10)), parseDerived(str(11)), parseTuples(str(12)),
-            jcsv(str(13)))
+            jcsv(str(13)),
+            Option(str(14)).map(_.trim).filter(_.nonEmpty))
           // split with -1 keeps EMPTY slots (",lake2" = default lake
           // for dim1, lake2 for dim2) — a nonEmpty filter here would
           // silently shift later lakes onto earlier dims (cliJvDims'

@@ -11,10 +11,26 @@ import org.apache.spark.sql.functions._
   * columns. Foreign-key columns are distinct across a view's dims and
   * dim attribute names are disjoint (each group column resolves to
   * exactly one side).
+  *
+  * A dim may itself carry SNOWFLAKE sub-dimensions (`subs`): for a sub,
+  * `fkCol` is a column ON THE PARENT DIM joining the sub table's record
+  * key (`dim.subFk = subdim.key`, INNER like every star join), and
+  * `dimCols` are the SUB table's attributes — group columns two hops
+  * from the fact. One hop only for now: a sub cannot have its own subs.
   */
-final case class DimJoin(fkCol: String, dimCols: Seq[String] = Nil) {
+final case class DimJoin(fkCol: String, dimCols: Seq[String] = Nil,
+    subs: Seq[DimJoin] = Nil) {
   require(fkCol.nonEmpty, "a dim join needs a foreign-key column")
   require(!dimCols.contains(fkCol), "fkCol is a fact column")
+  require(subs.forall(_.subs.isEmpty),
+    "snowflake chains are one hop (fact ⋈ dim ⋈ subdim) — a subdim " +
+      "cannot declare its own subs")
+  require(subs.map(_.fkCol).distinct.size == subs.size,
+    "sub-dim foreign-key columns must be distinct within their dim")
+  /** This dim's attributes plus its subs' (the group columns this
+    * top-level dim side resolves).
+    */
+  def allCols: Seq[String] = dimCols ++ subs.flatMap(_.dimCols)
 }
 
 /** What a STAR join view maintains:
@@ -36,13 +52,28 @@ final case class JoinViewDef(
     distinctCols: Seq[String] = Nil,
     derivedGroups: Seq[DerivedGroup] = Nil,
     distinctTuples: Seq[Seq[String]] = Nil,
-    approxCols: Seq[String] = Nil) {
+    approxCols: Seq[String] = Nil,
+    filter: Option[String] = None) {
   require(groupCols.nonEmpty, "a join view needs group columns")
+  require(filter.forall(_.trim.nonEmpty),
+    "a view filter must be a non-empty SQL predicate (omit it for the " +
+      "unfiltered view)")
   require(dims.nonEmpty, "a join view needs at least one dim")
   require(dims.map(_.fkCol).distinct.size == dims.size,
     "foreign-key columns must be distinct across dims")
-  /** All dim-side group columns, across dims. */
-  val dimColsAll: Seq[String] = dims.flatMap(_.dimCols)
+  /** All dim-side group columns, across dims AND their snowflake subs. */
+  val dimColsAll: Seq[String] = dims.flatMap(_.allCols)
+  /** Number of dim TABLES incl. snowflake subs — the length of every
+    * flattened per-table list (locations, schemas, version vectors,
+    * pins): pre-order, each top dim followed by its subs.
+    */
+  def flatDimCount: Int = dims.map(1 + _.subs.size).sum
+  /** Top dim `i`'s position in the flattened per-table order (its subs
+    * follow at `flatOffset(i) + 1 + j`).
+    */
+  def flatOffset(i: Int): Int = dims.take(i).map(1 + _.subs.size).sum
+  /** Whether any dim carries snowflake subs. */
+  def hasSubs: Boolean = dims.exists(_.subs.nonEmpty)
   require(dimColsAll.distinct.size == dimColsAll.size,
     "dim attribute names must be disjoint across dims (each group " +
       "column resolves to exactly one side)")
@@ -94,11 +125,25 @@ final case class JoinViewDef(
   def factGroupCols: Seq[String] =
     groupCols.filterNot(c =>
       dimColsAll.contains(c) || derivedNames.contains(c))
+  /** Columns the FILTER predicate reads (unresolved parse; validated
+    * at create — a dim-side ref must be a DECLARED dim group column,
+    * the only dim attributes the enriched frames carry).
+    */
+  lazy val filterRefs: Seq[String] = filter.toSeq.flatMap(f =>
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(f)
+      .collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.name
+      }).distinct
+  /** The filter's FACT-side refs (everything not a declared dim col). */
+  def factFilterRefs: Seq[String] =
+    filterRefs.filterNot(dimColsAll.contains)
   /** Fact columns the refresh reads. */
   def factNeeded: Seq[String] =
     (dims.map(_.fkCol) ++ factGroupCols ++ sumCols ++ minMaxCols ++
       distinctCols ++ distinctTuples.flatten ++ approxCols ++
-      derivedGroups.flatMap(_.srcRefs)).distinct
+      derivedGroups.flatMap(_.srcRefs) ++ factFilterRefs).distinct
 }
 
 /** PERSISTED incremental STAR-JOIN aggregate view — [[MatView]]'s
@@ -190,15 +235,34 @@ object JoinView {
   def viewSchema(
       factSchema: TableSchema, dimSchemas: Seq[TableSchema],
       jdef: JoinViewDef): TableSchema = {
-    require(dimSchemas.size == jdef.dims.size,
-      s"${jdef.dims.size} dims declared, ${dimSchemas.size} schemas given")
+    require(dimSchemas.size == jdef.flatDimCount,
+      s"${jdef.flatDimCount} dim tables declared (incl. snowflake " +
+        s"subs), ${dimSchemas.size} schemas given")
     val factBy = factSchema.columns.map(c => c.name -> c).toMap
     val dimBy: Map[String, ColumnDef] =
-      jdef.dims.zip(dimSchemas).flatMap { case (d, ds) =>
+      jdef.dims.zipWithIndex.flatMap { case (d, i) =>
+        val ds = dimSchemas(jdef.flatOffset(i))
         val by = ds.columns.map(c => c.name -> c).toMap
         d.dimCols.map(n => n -> by.getOrElse(n,
           throw new IllegalArgumentException(
-            s"dim group column '$n' is not in its dim schema")))
+            s"dim group column '$n' is not in its dim schema"))) ++
+          d.subs.zipWithIndex.flatMap { case (s, j) =>
+            // the sub's fk lives on the PARENT DIM and joins the sub
+            // table's string record key
+            val fk = by.getOrElse(s.fkCol,
+              throw new IllegalArgumentException(
+                s"sub-dim fk column '${s.fkCol}' is not in its parent " +
+                  "dim's schema"))
+            if (fk.dataType != ColumnType.AzString)
+              throw new IllegalArgumentException(
+                s"sub-dim fk column '${s.fkCol}' must be a String (it " +
+                  "joins the sub table's record key)")
+            val ss = dimSchemas(jdef.flatOffset(i) + 1 + j)
+            val sby = ss.columns.map(c => c.name -> c).toMap
+            s.dimCols.map(n => n -> sby.getOrElse(n,
+              throw new IllegalArgumentException(
+                s"sub-dim group column '$n' is not in its sub schema")))
+          }
       }.toMap
     val derivedBy = jdef.derivedGroups.map(dg => dg.name -> dg).toMap
     def defOf(n: String): ColumnDef =
@@ -301,12 +365,36 @@ object JoinView {
   val DefFileName = "_jv_def.json"
 
   /** The current sidecar/table layout generation (3 = tuple support
-    * pairs cover partial-null rows, [[MatView.TupleNullFormat]]). The
-    * nn_ gate in [[readDef]] stays at generation 2: a format-2 sidecar
-    * reads fine — only tuples with NULLABLE components need the
-    * format-3 encoding ([[MatView.requireTupleLayout]]).
+    * pairs cover partial-null rows, [[MatView.TupleNullFormat]]; 4 =
+    * the sidecar may carry a FILTER predicate,
+    * [[MatView.FilterFormat]]; 5 = dims may carry SNOWFLAKE subs,
+    * [[SubDimFormat]]). The nn_ gate in [[readDef]] stays at
+    * generation 2: a format-2 sidecar reads fine — only tuples with
+    * NULLABLE components need the format-3 encoding
+    * ([[MatView.requireTupleLayout]]), only filter-bearing sidecars
+    * need format 4 ([[MatView.requireFilterFormat]]), and only
+    * sub-bearing sidecars need format 5 ([[requireSubFormat]]).
     */
-  val FormatVersion = 3
+  val FormatVersion = 5
+
+  /** The first sidecar generation that may declare snowflake sub-dims.
+    * A subs-bearing sidecar with an OLDER stamp can only be a hand
+    * edit — its table was maintained by a binary that ignored (or
+    * crashed on) the subs; refresh/serve refuse loudly and rewrite
+    * candidacy falls back silently ([[MatView.FilterFormat]]'s
+    * reasoning).
+    */
+  val SubDimFormat = 5
+
+  /** LOUD snowflake-generation gate ([[SubDimFormat]]'s reasoning). */
+  private[sources] def requireSubFormat(
+      fmt: Int, jdef: JoinViewDef, table: String, remedy: String): Unit =
+    if (jdef.hasSubs && fmt < SubDimFormat)
+      throw new IllegalStateException(
+        s"join view table '$table' declares snowflake sub-dims but its " +
+          s"definition sidecar (format $fmt) predates them — its " +
+          "contents were maintained by a binary that ignored the " +
+          s"subs; rebuild it: $remedy")
 
   /** The oldest sidecar generation this binary can read (the nn_/star
     * layout); below it [[readDef]] refuses loudly.
@@ -325,6 +413,31 @@ object JoinView {
     val dss = dims.map { case (dl, dt) =>
       AzofTable(spark, dl, dt).currentSnapshot.schema }
     MatView.requireDerivedOk(spark, fs, jdef.derivedGroups)
+    // the filter analyzes against the ENRICHED shape: fact columns
+    // plus the declared dim group columns (the only dim attributes
+    // the refresh frames carry — any other dim ref must refuse here)
+    jdef.filter.foreach { _ =>
+      val dimDefs = jdef.dims.zipWithIndex.flatMap { case (dj, i) =>
+        def pick(ds: TableSchema, cols: Seq[String]) = {
+          val byName = ds.columns.map(c => c.name -> c).toMap
+          cols.map(c => byName.getOrElse(c,
+            throw new IllegalArgumentException(
+              s"dim column '$c' is not in its dim's schema")))
+        }
+        pick(dss(jdef.flatOffset(i)), dj.dimCols) ++
+          dj.subs.zipWithIndex.flatMap { case (s, j) =>
+            pick(dss(jdef.flatOffset(i) + 1 + j), s.dimCols) }
+      }
+      val badRefs = jdef.filterRefs.filterNot(r =>
+        fs.columns.exists(_.name == r) || jdef.dimColsAll.contains(r))
+      require(badRefs.isEmpty,
+        s"view filter references ${badRefs.mkString(", ")} — a star " +
+          "filter may read fact columns and DECLARED dim group " +
+          "columns only (other dim attributes never reach the " +
+          "enriched refresh frames)")
+      MatView.requireFilterOk(spark,
+        TableSchema(fs.columns ++ dimDefs), jdef.filter)
+    }
     val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, viewSchema(fs, dss, jdef), segmentStart)
     if (jdef.hasDistinct)
@@ -355,9 +468,19 @@ object JoinView {
     // a recreate under a previously-dropped name must not serve the
     // old table's cached format stamp
     MatView.invalidateDefFormat(idxLake, idxTable)
-    val dimArr = jdef.dims.zip(dims).map { case (dj, (dl, dt)) =>
+    val dimArr = jdef.dims.zipWithIndex.map { case (dj, i) =>
+      val (dl, dt) = dims(jdef.flatOffset(i))
+      val subArr =
+        if (dj.subs.isEmpty) ""
+        else "," + s""""subs":""" + dj.subs.zipWithIndex.map {
+          case (s, j) =>
+            val (sl, st) = dims(jdef.flatOffset(i) + 1 + j)
+            s"""{"path":"${rel(sl)}","table":"$st",""" +
+              s""""fk_col":"${s.fkCol}","dim_cols":${arr(s.dimCols)}}"""
+        }.mkString("[", ",", "]")
       s"""{"path":"${rel(dl)}","table":"$dt",""" +
-        s""""fk_col":"${dj.fkCol}","dim_cols":${arr(dj.dimCols)}}"""
+        s""""fk_col":"${dj.fkCol}","dim_cols":${arr(dj.dimCols)}""" +
+        subArr + "}"
     }.mkString("[", ",", "]")
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -381,6 +504,7 @@ object JoinView {
         s""""distinct_tuples":${jdef.distinctTuples
           .map(arr).mkString("[", ",", "]")},""" +
         s""""approx_cols":${arr(jdef.approxCols)},""" +
+        s""""filter":"${esc(jdef.filter.getOrElse(""))}",""" +
         s""""derived_groups":$derived,""" +
         s""""dims":$dimArr}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -416,10 +540,22 @@ object JoinView {
         (0 until n.size()).map(i => n.get(i).asText())
       def lake(v: String): String = if (v.isEmpty) idxLake else v
       val dimsNode = root.get("dims")
+      // flattened pre-order: each top dim's location followed by its
+      // snowflake subs' — [[JoinViewDef.flatOffset]]'s contract
+      val locs = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String)]
       val dims = (0 until dimsNode.size()).map { i =>
         val d = dimsNode.get(i)
-        ((lake(d.get("path").asText), d.get("table").asText),
-          DimJoin(d.get("fk_col").asText, seq(d.get("dim_cols"))))
+        locs += ((lake(d.get("path").asText), d.get("table").asText))
+        val subs = Option(d.get("subs")) match {
+          case Some(sn) => (0 until sn.size()).map { j =>
+            val s = sn.get(j)
+            locs += ((lake(s.get("path").asText), s.get("table").asText))
+            DimJoin(s.get("fk_col").asText, seq(s.get("dim_cols")))
+          }
+          case None => Nil
+        }
+        DimJoin(d.get("fk_col").asText, seq(d.get("dim_cols")), subs)
       }
       // absent in pre-distinct/pre-derived sidecars (still format 2)
       val dcols = Option(root.get("distinct_cols"))
@@ -441,12 +577,14 @@ object JoinView {
       }
       val acols = Option(root.get("approx_cols"))
         .map(seq).getOrElse(Nil)
+      val filt = Option(root.get("filter")).map(_.asText)
+        .filter(_.nonEmpty)
       Some((lake(root.get("fact_path").asText),
         root.get("fact_table").asText,
-        dims.map(_._1),
+        locs.toSeq,
         JoinViewDef(seq(root.get("group_cols")), seq(root.get("sum_cols")),
-          seq(root.get("minmax_cols")), dims.map(_._2), dcols, derived,
-          tuples, acols)))
+          seq(root.get("minmax_cols")), dims, dcols, derived,
+          tuples, acols, filt)))
     }
   }
 
@@ -639,12 +777,15 @@ object JoinView {
       jdef: JoinViewDef,
       broadcastKeyMax: Long = DedupFlow.DefaultBroadcastKeyMax)
       : RefreshReport = {
-    require(dims.size == jdef.dims.size,
-      s"${jdef.dims.size} dims declared, ${dims.size} locations given")
+    require(dims.size == jdef.flatDimCount,
+      s"${jdef.flatDimCount} dim tables declared (incl. snowflake " +
+        s"subs, pre-order), ${dims.size} locations given")
     create(spark, factLake, factTable, dims, idxLake, idxTable, jdef)
     val K = TableSchema.KeyName
     val appId = s"join-view#$idxTable"
     val fact = AzofTable(spark, factLake, factTable)
+    requireSubFormat(MatView.defFormat(spark, idxLake, idxTable), jdef,
+      idxTable, "JoinView.rebuildEpoch (CLI: jv-rebuild)")
     MatView.requireNnLayout(
       AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
       jdef.sumCols, idxTable, "JoinView.rebuildEpoch (CLI: jv-rebuild)")
@@ -664,6 +805,9 @@ object JoinView {
         AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
         jdef.approxCols, idxTable,
         "JoinView.rebuildEpoch (CLI: jv-rebuild)")
+    MatView.requireFilterFormat(
+      MatView.defFormat(spark, idxLake, idxTable), jdef.filter,
+      idxTable, "JoinView.rebuildEpoch (CLI: jv-rebuild)")
     val dimTabs = dims.map { case (dl, dt) => AzofTable(spark, dl, dt) }
     // heal the cursor: a crash between commit and cursor write left the
     // replay guard ahead of the sidecar — the PENDING vector (staged
@@ -768,24 +912,49 @@ object JoinView {
         Some(dimChurn(i).select(col(K)).collect().map(_.getString(0)).toSet)
       else None
     }
-    // a full dim scan at a pinned version, keyed `_dk_<i>` for the
-    // star enrichment (dims are group-cardinality-class tables; the
-    // joins against them are the same reads the one-shot query pays)
-    def dimScan(i: Int, snap: Snapshot): DataFrame =
-      graft.operators.AzofScan.scanSnapshot(spark, dimTabs(i), snap,
-        AsOf.Current,
-        projection = Some((Set(K) ++ jdef.dims(i).dimCols).toSet))
+    // a full top-dim scan at the given version VECTOR, keyed `_dk_<i>`
+    // for the star enrichment: snowflake subs join INNER on the dim's
+    // sub fk at THEIR vector positions, so the frame carries the dim's
+    // own attributes plus its subs' — two-hop group columns resolve
+    // against exactly the states the vector names (dims are
+    // group-cardinality-class tables; these joins are the same reads
+    // the one-shot query pays)
+    def dimScan(i: Int, snaps: Seq[Snapshot]): DataFrame = {
+      val dj = jdef.dims(i)
+      val off = jdef.flatOffset(i)
+      val base = graft.operators.AzofScan.scanSnapshot(spark,
+        dimTabs(off), snaps(off), AsOf.Current,
+        projection = Some((Set(K) ++ dj.dimCols ++
+          dj.subs.map(_.fkCol)).toSet))
         .withColumnRenamed(K, s"_dk_$i")
+      if (dj.subs.isEmpty) base
+      else dj.subs.zipWithIndex.foldLeft(base) { case (acc, (s, j)) =>
+        val sub = graft.operators.AzofScan.scanSnapshot(spark,
+          dimTabs(off + 1 + j), snaps(off + 1 + j), AsOf.Current,
+          projection = Some((Set(K) ++ s.dimCols).toSet))
+          .withColumnRenamed(K, s"_sk_${i}_$j")
+        acc.join(sub, acc(s.fkCol) === sub(s"_sk_${i}_$j"))
+      // sub fk columns are DIM-side names (possibly shared across
+      // dims) — project them away so the enrichment fold stays
+      // unambiguous
+      }.select((Seq(col(s"_dk_$i")) ++ dj.allCols.map(col)): _*)
+    }
     // derived names materialize AFTER the join (fact-side expressions)
     val rawCols = (jdef.groupCols.filterNot(jdef.derivedNames.contains) ++
       jdef.sumCols ++ jdef.minMaxCols ++ jdef.distinctCols ++
       jdef.distinctTuples.flatten ++ jdef.approxCols ++
-      jdef.derivedGroups.flatMap(_.srcRefs)).distinct
+      jdef.derivedGroups.flatMap(_.srcRefs) ++
+      jdef.factFilterRefs).distinct
+    // the FILTER applies to every enriched frame identically — adds,
+    // subs, AND the min/max rescan — so membership is decided per
+    // (fact row, dim state) pair and the subtraction stays exact when
+    // a dim re-tier moves facts across the predicate boundary
     def enrich(facts: DataFrame, dimFrames: Seq[DataFrame]): DataFrame =
-      withDerived(dims.indices.foldLeft(facts) { (acc, i) =>
-        acc.join(dimFrames(i),
-          acc(jdef.dims(i).fkCol) === dimFrames(i)(s"_dk_$i"))
-      }.select(rawCols.map(col): _*), jdef)
+      MatView.applyFilter(
+        withDerived(jdef.dims.indices.foldLeft(facts) { (acc, i) =>
+          acc.join(dimFrames(i),
+            acc(jdef.dims(i).fkCol) === dimFrames(i)(s"_dk_$i"))
+        }.select(rawCols.map(col): _*), jdef), jdef.filter)
 
     // ---- fact churn
     val factChurn = newestOf(
@@ -814,18 +983,77 @@ object JoinView {
       } else factScan(factSnapPrev, None, None)
         .join(factChurn.select(col(K)), Seq(K), "left_semi")
 
+    // ---- per TOP dim: the dim KEYS whose group-resolving state moved
+    // — the dim's own churned keys plus (snowflake) dim rows whose sub
+    // fk references a churned SUB key: those dim rows are unchanged,
+    // but their two-hop attributes are not, and every fact referencing
+    // them moves groups. Each lookup file-skips (an `In` value filter
+    // on the sub fk under the broadcast guard, a semi join above it);
+    // churned dim rows themselves need no sub lookup (own covers any
+    // sub-fk change, insert, or delete).
+    val movedCk = scala.collection.mutable.Buffer.empty[DataFrame]
+    val movedDim: Seq[(Long, Option[Set[String]], DataFrame)] =
+      jdef.dims.indices.map { i =>
+        val dj = jdef.dims(i)
+        val off = jdef.flatOffset(i)
+        if (dj.subs.isEmpty)
+          (nDimChurn(off), dimKeySets(off), dimChurn(off).select(col(K)))
+        else {
+          val subMoved: Seq[DataFrame] = dj.subs.zipWithIndex.flatMap {
+            case (s, j) =>
+              val so = off + 1 + j
+              if (nDimChurn(so) == 0L) None
+              else Some(dimKeySets(so) match {
+                case Some(ks) =>
+                  graft.operators.AzofScan.scanSnapshot(spark,
+                    dimTabs(off), dimSnapNow(off), AsOf.Current,
+                    projection = Some(Set(K, s.fkCol)),
+                    valueFilters = Seq(org.apache.spark.sql.sources
+                      .In(s.fkCol, ks.toSeq.toArray)))
+                    .where(col(s.fkCol).isin(ks.toSeq: _*))
+                    .select(col(K))
+                case None =>
+                  graft.operators.AzofScan.scanSnapshot(spark,
+                    dimTabs(off), dimSnapNow(off), AsOf.Current,
+                    projection = Some(Set(K, s.fkCol)))
+                    .join(dimChurn(so).select(col(K).as(s.fkCol)),
+                      Seq(s.fkCol), "left_semi")
+                    .select(col(K))
+              })
+          }
+          val own: Option[DataFrame] =
+            if (nDimChurn(off) == 0L) None
+            else Some(dimChurn(off).select(col(K)))
+          val frames = own.toSeq ++ subMoved
+          if (frames.isEmpty)
+            (0L, Some(Set.empty[String]),
+              dimChurn(off).select(col(K)).limit(0))
+          else {
+            val u = frames.reduce(_.unionByName(_))
+              .dropDuplicates(Seq(K)).localCheckpoint(true)
+            movedCk += u
+            val n = u.count()
+            val ks =
+              if (n <= broadcastKeyMax)
+                Some(u.collect().map(_.getString(0)).toSet)
+              else None
+            (n, ks, u)
+          }
+        }
+      }
     // ---- A: live, un-churned facts ANY of whose dim attributes moved
     // (unioned across dims, then deduped by key — a fact affected via
     // two dims is subtracted/re-added exactly once)
-    val affectedPerDim = dims.indices.flatMap { i =>
-      if (nDimChurn(i) == 0L) None
-      else Some(dimKeySets(i) match {
+    val affectedPerDim = jdef.dims.indices.flatMap { i =>
+      val (nMoved, movedKs, movedDf) = movedDim(i)
+      if (nMoved == 0L) None
+      else Some(movedKs match {
         case Some(ks) =>
           factScan(factSnapNow, None, Some((jdef.dims(i).fkCol, ks.toSeq)))
             .where(col(jdef.dims(i).fkCol).isin(ks.toSeq: _*))
         case None =>
           factScan(factSnapNow, None, None)
-            .join(dimChurn(i).select(col(K).as(jdef.dims(i).fkCol)),
+            .join(movedDf.select(col(K).as(jdef.dims(i).fkCol)),
               Seq(jdef.dims(i).fkCol), "left_semi")
       })
     }
@@ -840,9 +1068,9 @@ object JoinView {
     // subs under ALL dims' cursor states — the two one-shot aggregates
     // the previous and this refresh respectively stand for
     val adds = enrich(affCk.unionByName(factNewRows),
-      dims.indices.map(i => dimScan(i, dimSnapNow(i))))
+      jdef.dims.indices.map(i => dimScan(i, dimSnapNow)))
     val subs = enrich(affCk.unionByName(factPreRows),
-      dims.indices.map(i => dimScan(i, dimSnapPrev(i))))
+      jdef.dims.indices.map(i => dimScan(i, dimSnapPrev)))
 
     def groupAgg(rows: DataFrame, pfx: String): DataFrame = {
       val aggs: Seq[Column] =
@@ -896,6 +1124,7 @@ object JoinView {
         .localCheckpoint(true))
     graft.operators.Blocks.freeReferenced(affCk)
     dimChurn.foreach(d => graft.operators.Blocks.freeReferenced(d.toDF()))
+    movedCk.foreach(d => graft.operators.Blocks.freeReferenced(d))
     graft.operators.Blocks.freeReferenced(factChurn.toDF())
     // one pass: the size decision + the reserved-separator contract
     // check (group values must not contain U+0001 — MatView's guard)
@@ -984,7 +1213,7 @@ object JoinView {
       else {
         val liveJoin = enrich(
           factScan(factSnapNow, None, None),
-          dims.indices.map(i => dimScan(i, dimSnapNow(i))))
+          jdef.dims.indices.map(i => dimScan(i, dimSnapNow)))
         val confined =
           if (nRescan <= broadcastKeyMax)
             liveJoin.join(broadcast(rescan), jdef.groupCols, "left_semi")
@@ -1298,8 +1527,9 @@ object JoinView {
       dims: Seq[(String, String)],
       idxLake: String, newTable: String,
       jdef: JoinViewDef, at: Instant): Long = {
-    require(dims.size == jdef.dims.size,
-      s"${jdef.dims.size} dims declared, ${dims.size} locations given")
+    require(dims.size == jdef.flatDimCount,
+      s"${jdef.flatDimCount} dim tables declared (incl. snowflake " +
+        s"subs, pre-order), ${dims.size} locations given")
     val fact = AzofTable(spark, factLake, factTable)
     val dimTabs = dims.map { case (dl, dt) => AzofTable(spark, dl, dt) }
     val fNow = fact.currentVersion.toLong
@@ -1312,14 +1542,29 @@ object JoinView {
     val rawCols = (jdef.groupCols.filterNot(jdef.derivedNames.contains) ++
       jdef.sumCols ++ jdef.minMaxCols ++ jdef.distinctCols ++
       jdef.distinctTuples.flatten ++ jdef.approxCols ++
-      jdef.derivedGroups.flatMap(_.srcRefs)).distinct
-    val joined = withDerived(dims.indices.foldLeft(facts) { (acc, i) =>
-      val (dl, dt) = dims(i)
-      val d = graft.operators.AzofScan.scan(spark, dl, dt)
-        .select((Seq(col(TableSchema.KeyName).as(s"_dk_$i")) ++
-          jdef.dims(i).dimCols.map(col)): _*)
-      acc.join(d, acc(jdef.dims(i).fkCol) === d(s"_dk_$i"))
-    }.select(rawCols.map(col): _*), jdef)
+      jdef.derivedGroups.flatMap(_.srcRefs) ++
+      jdef.factFilterRefs).distinct
+    val joined = MatView.applyFilter(
+      withDerived(jdef.dims.indices.foldLeft(facts) { (acc, i) =>
+        val dj = jdef.dims(i)
+        val off = jdef.flatOffset(i)
+        val (dl, dt) = dims(off)
+        val base = graft.operators.AzofScan.scan(spark, dl, dt)
+          .select((Seq(col(TableSchema.KeyName).as(s"_dk_$i")) ++
+            (dj.dimCols ++ dj.subs.map(_.fkCol)).distinct.map(col)): _*)
+        // snowflake subs join INNER on the dim's sub fk, then project
+        // away the dim-side fk names (possibly shared across dims)
+        val d =
+          if (dj.subs.isEmpty) base
+          else dj.subs.zipWithIndex.foldLeft(base) { case (a2, (s, j)) =>
+            val (sl, st) = dims(off + 1 + j)
+            val sub = graft.operators.AzofScan.scan(spark, sl, st)
+              .select((Seq(col(TableSchema.KeyName).as(s"_sk_${i}_$j")) ++
+                s.dimCols.map(col)): _*)
+            a2.join(sub, a2(s.fkCol) === sub(s"_sk_${i}_$j"))
+          }.select((Seq(col(s"_dk_$i")) ++ dj.allCols.map(col)): _*)
+        acc.join(d, acc(dj.fkCol) === d(s"_dk_$i"))
+      }.select(rawCols.map(col): _*), jdef), jdef.filter)
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_rows")) ++
         jdef.sumCols.flatMap(c => Seq(

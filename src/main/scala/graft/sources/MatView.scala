@@ -96,8 +96,12 @@ final case class ViewDef(
     distinctCols: Seq[String] = Nil,
     derivedGroups: Seq[DerivedGroup] = Nil,
     distinctTuples: Seq[Seq[String]] = Nil,
-    approxCols: Seq[String] = Nil) {
+    approxCols: Seq[String] = Nil,
+    filter: Option[String] = None) {
   require(groupCols.nonEmpty, "a materialized view needs group columns")
+  require(filter.forall(_.trim.nonEmpty),
+    "a view filter must be a non-empty SQL predicate (omit it for the " +
+      "unfiltered view)")
   require(approxCols.forall(c => !groupCols.contains(c)),
     "APPROX_COUNT_DISTINCT over a group column needs no sketch — view " +
       "rows are distinct group tuples; declare non-group columns only")
@@ -138,11 +142,21 @@ final case class ViewDef(
   /** Group columns stored verbatim from the source (not derived). */
   def physGroupCols: Seq[String] =
     groupCols.filterNot(derivedNames.contains)
+  /** Source columns the FILTER predicate reads (unresolved parse —
+    * existence is validated against the source schema at create).
+    */
+  lazy val filterRefs: Seq[String] = filter.toSeq.flatMap(f =>
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(f)
+      .collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.name
+      }).distinct
   /** Source columns the view reads. */
   def needed: Seq[String] =
     (physGroupCols ++ sumCols ++ minMaxCols ++ distinctCols ++
       distinctTuples.flatten ++ approxCols ++
-      derivedGroups.flatMap(_.srcRefs)).distinct
+      derivedGroups.flatMap(_.srcRefs) ++ filterRefs).distinct
 }
 
 /** PERSISTED incremental materialized aggregate view — the engine's
@@ -267,7 +281,8 @@ object MatView {
 
   /** The current sidecar/table layout generation (2 = `nn_<c>` non-null
     * counts + typed min/max; 3 = tuple support pairs cover PARTIAL-NULL
-    * rows with the reserved NULL token — [[TupleNullTok]]). Stamped
+    * rows with the reserved NULL token — [[TupleNullTok]]; 4 = the
+    * sidecar may carry a FILTER predicate — [[FilterFormat]]). Stamped
     * into the def sidecar; the nn_ upgrade gate stays on the view
     * TABLE's schema ([[requireNnLayout]] — round-13 tables gained
     * `nn_` without a stamp), while the tuple-encoding gate reads the
@@ -275,7 +290,16 @@ object MatView {
     * reveal which generation wrote them: a no-null corpus writes
     * identical rows either way).
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
+
+  /** The first sidecar generation that may declare a FILTER predicate
+    * (partial / filtered materialized views). A filter-bearing sidecar
+    * with an OLDER stamp can only be a hand edit or a downgrade-mix —
+    * its table's contents were maintained by a binary that ignored the
+    * predicate, so refresh/serve refuse loudly ([[requireFilterFormat]])
+    * and rewrite candidacy falls back silently.
+    */
+  val FilterFormat = 4
 
   /** The first sidecar generation whose TUPLE support pairs include
     * partial-null rows (NULL components encoded as [[TupleNullTok]]) —
@@ -376,6 +400,61 @@ object MatView {
           "its support pairs omit partial-null rows, so refreshing " +
           "or serving multi-column histograms from it would be " +
           s"silently wrong; rebuild it: $remedy")
+    }
+
+  /** LOUD filter-generation gate ([[FilterFormat]]'s reasoning). */
+  private[sources] def requireFilterFormat(
+      fmt: Int, filter: Option[String], table: String,
+      remedy: String): Unit =
+    if (filter.nonEmpty && fmt < FilterFormat)
+      throw new IllegalStateException(
+        s"view table '$table' declares a FILTER predicate but its " +
+          s"definition sidecar (format $fmt) predates filtered views — " +
+          "its contents were maintained by a binary that ignored the " +
+          s"predicate; rebuild it: $remedy")
+
+  /** Restrict a frame to the view's declared FILTER predicate — the
+    * membership decision is PER ROW, made identically on the post and
+    * pre frames (and the rescan/retrain scans), which is exactly why
+    * the `old − pre + new` subtraction stays exact under rows moving
+    * across the predicate boundary in either direction.
+    */
+  private[sources] def applyFilter(df: DataFrame, filter: Option[String])
+      : DataFrame =
+    filter.fold(df)(f => df.where(expr(f)))
+
+  /** Validate a declared FILTER at create/rebuild time: it must
+    * analyze against the source schema to a deterministic BOOLEAN
+    * with no subquery — a nondeterministic predicate would decide
+    * membership differently at refresh and rescan time, silently
+    * corrupting the view.
+    */
+  private[sources] def requireFilterOk(
+      spark: SparkSession, srcSchema: TableSchema,
+      filter: Option[String]): Unit =
+    filter.foreach { f =>
+      val probe =
+        try spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], srcSchema.toStruct)
+          .where(expr(f)).queryExecution.analyzed
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"view filter '$f' does not analyze against the source " +
+                s"schema: ${e.getMessage}")
+        }
+      val cond = probe.collectFirst {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          fl.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        s"view filter '$f' did not produce a predicate"))
+      require(cond.deterministic,
+        s"view filter '$f' is nondeterministic — membership must be " +
+          "a repeatable function of the row")
+      require(!cond.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .PlanExpression[_]]),
+        s"view filter '$f' contains a subquery — not maintainable")
     }
 
   /** Whether the view table's schema carries the `nn_<c>` non-null
@@ -538,6 +617,7 @@ object MatView {
     val srcSchema =
       AzofTable(spark, srcLake, srcTable).currentSnapshot.schema
     requireDerivedOk(spark, srcSchema, view.derivedGroups)
+    requireFilterOk(spark, srcSchema, view.filter)
     val created = AzofWriter.createTableIfAbsent(
       spark, idxLake, idxTable, viewSchema(srcSchema, view), segmentStart)
     if (view.hasDistinct)
@@ -614,6 +694,7 @@ object MatView {
         s""""distinct_tuples":${view.distinctTuples
           .map(arr).mkString("[", ",", "]")},""" +
         s""""approx_cols":${arr(view.approxCols)},""" +
+        s""""filter":"${esc(view.filter.getOrElse(""))}",""" +
         s""""derived_groups":$derived}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -653,11 +734,13 @@ object MatView {
         }
         case None => Nil // absent in pre-tuple sidecars
       }
+      val filt = Option(root.get("filter")).map(_.asText)
+        .filter(_.nonEmpty)
       Some((if (rec.isEmpty) idxLake else rec,
         root.get("source_table").asText,
         ViewDef(seq("group_cols"), seq("sum_cols"), seq("minmax_cols"),
           seq("distinct_cols"), derived, tuples,
-          seq("approx_cols"))))
+          seq("approx_cols"), filt)))
     }
   }
 
@@ -990,6 +1073,8 @@ object MatView {
         AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
         view.approxCols, idxTable,
         "MatView.rebuildEpoch (CLI: mv-rebuild)")
+    requireFilterFormat(defFormat(spark, idxLake, idxTable), view.filter,
+      idxTable, "MatView.rebuildEpoch (CLI: mv-rebuild)")
     val appId = AzofSink.appIdFor(checkpoint)
     spark.readStream.format("azof-commits")
       .option("table", srcTable).load(srcLake)
@@ -1139,10 +1224,14 @@ object MatView {
     // the key's POST-batch state: its newest row in the batch
     val wKey = org.apache.spark.sql.expressions.Window
       .partitionBy(col(K)).orderBy(col("_commit_version").desc)
-    val newRows = withDerived(slim
+    // the FILTER applies per row to post and pre states alike — a
+    // churned row out of the predicate on one side simply contributes
+    // nothing there, which is what keeps old − pre + new exact under
+    // boundary-crossing revisions
+    val newRows = applyFilter(withDerived(slim
       .withColumn("_rn", row_number().over(wKey))
       .where(col("_rn") === 1 && !col("_deleted"))
-      .select(view.needed.map(col): _*), view)
+      .select(view.needed.map(col): _*), view), view.filter)
     // the churned keys' PRE-image: live rows at the batch's predecessor
     // version, guarded exactly like LmIndex's (KeyFilter file skipping
     // for a steady-state batch, full scan semi-joined for a bootstrap)
@@ -1150,7 +1239,7 @@ object MatView {
     val (_, preSnap) = AzofChangeFeed.mainAtOrBefore(spark, src, minV - 1)
     val churned = slim.select(col(K)).distinct()
     val proj = Some((Set(K) ++ view.needed).toSet)
-    val preRows = withDerived(
+    val preRows = applyFilter(withDerived(
       (if (nChurned <= broadcastKeyMax) {
         val keys = churned.collect().map(_.getString(0)).toSet
         graft.operators.AzofScan.scanSnapshot(spark, src, preSnap,
@@ -1160,7 +1249,7 @@ object MatView {
         graft.operators.AzofScan.scanSnapshot(spark, src, preSnap,
           AsOf.Current, projection = proj)
           .join(churned, Seq(K), "left_semi"))
-        .select(view.needed.map(col): _*), view)
+        .select(view.needed.map(col): _*), view), view.filter)
     // every group either side touched carries a row in the full outer
     // join; one eager materialization serves the rescan decision, the
     // old-value guard, and the final merge
@@ -1291,13 +1380,16 @@ object MatView {
             val vals = rescan.collect().map(_.get(0))
             Seq(org.apache.spark.sql.sources.In(g, vals))
           } else Nil
-        val live = withDerived(
+        // the FILTER applies before min/max: with a predicate over
+        // non-group columns, in-group rows can still be out-members
+        val live = applyFilter(withDerived(
           graft.operators.AzofScan.scanSnapshot(spark, src,
             endSnap, AsOf.Current,
             projection =
               Some((view.physGroupCols ++ view.minMaxCols ++
-                view.derivedGroups.flatMap(_.srcRefs)).toSet),
-            valueFilters = valueFilters), view)
+                view.derivedGroups.flatMap(_.srcRefs) ++
+                view.filterRefs).toSet),
+            valueFilters = valueFilters), view), view.filter)
         val confined =
           if (nRescan <= broadcastKeyMax)
             live.join(broadcast(rescan), view.groupCols, "left_semi")
@@ -1669,9 +1761,10 @@ object MatView {
       graft.plans.MvRewriteRule.invalidateAuto(idxLake)
     }
     requireDerivedOk(spark, src.currentSnapshot.schema, view.derivedGroups)
-    val live = withDerived(
+    requireFilterOk(spark, src.currentSnapshot.schema, view.filter)
+    val live = applyFilter(withDerived(
       graft.operators.AzofScan.scan(spark, srcLake, srcTable)
-        .select(view.needed.map(col): _*), view)
+        .select(view.needed.map(col): _*), view), view.filter)
     val agg0 = groupAgg(live, view, "_a_")
     // one-shot sketches per approx column, joined onto the totals (a
     // group whose values are all NULL keeps the empty sketch)

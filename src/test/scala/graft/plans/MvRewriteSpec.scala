@@ -1710,6 +1710,74 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered-view rewrite matrix: the exact WHERE serves; an " +
+    "IMPLYING subset (g1 = 'a' under g1 IN ('a','b')) serves with the " +
+    "residue applied; a superset or missing WHERE falls back; a " +
+    "MEASURE predicate serves only its exact spelling") {
+    val l = Files.createTempDirectory("azof-mvrw-filt").toString
+    val ck1 = Files.createTempDirectory("azof-mvrw-filt-ck1").toString
+    val ck2 = Files.createTempDirectory("azof-mvrw-filt-ck2").toString
+    AzofWriter.createTable(spark, l, "src", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src", df(
+      ("1", "2024-01-02T00:00:00Z", "a", "x", 10L),
+      ("2", "2024-01-02T00:00:00Z", "a", "y", 4L),
+      ("3", "2024-01-02T00:00:00Z", "b", "x", 7L),
+      ("4", "2024-01-02T00:00:00Z", "c", "x", 2L)))                  // v2
+    val fvd = ViewDef(Seq("g1", "g2"), sumCols = Seq("v"),
+      filter = Some("g1 IN ('a', 'b')"))
+    assert(MatView.refresh(spark, l, "src", l, "mvflt", fvd, ck1)
+      .awaitTermination(120000))
+    // a second view filtered on a MEASURE column (v is not a group
+    // col — membership is still per-row-exact; serving demands the
+    // exact spelling because the residue could never apply to the
+    // view scan)
+    val mvd = ViewDef(Seq("g1"), sumCols = Seq("v"),
+      filter = Some("v > 5"))
+    assert(MatView.refresh(spark, l, "src", l, "mvmeas", mvd, ck2)
+      .awaitTermination(120000))
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "mvflt,mvmeas")
+    try {
+      def got(q: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        q.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+      // exact spelling serves from the filtered view
+      val q1 = spark.sql("SELECT g1, count(*) AS n, sum(v) AS s " +
+        "FROM azof.src WHERE g1 IN ('a', 'b') GROUP BY g1")
+      assert(!scansSrc(q1), "exact filter spelling must serve:\n" +
+        q1.queryExecution.optimizedPlan)
+      assert(got(q1) == Seq(Seq("a", 2L, 14L), Seq("b", 1L, 7L)))
+      // implication: g1 = 'a' ⊆ g1 IN ('a','b') — serves, residue
+      // applied to the (group-cardinality) view scan
+      val q2 = spark.sql("SELECT g1, count(*) AS n FROM azof.src " +
+        "WHERE g1 = 'a' GROUP BY g1")
+      assert(!scansSrc(q2), "an implying subset must serve:\n" +
+        q2.queryExecution.optimizedPlan)
+      assert(got(q2) == Seq(Seq("a", 2L)))
+      // a SUPERSET cannot be answered from the filtered view
+      assert(scansSrc(spark.sql("SELECT g1, count(*) AS n " +
+        "FROM azof.src WHERE g1 IN ('a','b','c') GROUP BY g1")),
+        "a superset predicate must fall back")
+      // neither can the unfiltered question — and the MEASURE view's
+      // grain (g1 alone) must not hijack it either
+      assert(scansSrc(spark.sql(
+        "SELECT g1, count(*) AS n FROM azof.src GROUP BY g1")))
+      // the measure filter serves its exact spelling only
+      val q3 = spark.sql("SELECT g1, count(*) AS n, sum(v) AS s " +
+        "FROM azof.src WHERE v > 5 GROUP BY g1")
+      assert(!scansSrc(q3), "the exact measure spelling must serve:\n" +
+        q3.queryExecution.optimizedPlan)
+      assert(got(q3) == Seq(Seq("a", 1L, 10L), Seq("b", 1L, 7L)))
+      assert(scansSrc(spark.sql("SELECT g1, count(*) AS n " +
+        "FROM azof.src WHERE v > 6 GROUP BY g1")),
+        "a different measure bound must fall back (no range " +
+          "implication)")
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   test("opt-in approx rewrite: spark.azof.mv.rewrite.approx serves " +
     "approx_count_distinct from the hll_ sketch at exact/rollup/" +
     "global grains within 5% of truth; DEFAULT OFF; the exact conf " +

@@ -296,11 +296,107 @@ class ViewDdlSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(props("kind") == "single" &&
         props("group_cols") == "g" && props("sum_cols") == "v" &&
-        props("distinct_cols") == "b" && props("format") == "3" &&
+        props("distinct_cols") == "b" &&
+        props("format") == MatView.FormatVersion.toString &&
         props.contains("cursor"), props.toString)
       val none = intercept[IllegalArgumentException] {
         spark.sql("DESCRIBE MATERIALIZED VIEW nope").collect() }
       assert(none.getMessage.contains("no materialized view"))
+    }
+  }
+
+  test("FILTERED view: the defining query's WHERE becomes the " +
+    "membership predicate; churn moves rows across the boundary in " +
+    "BOTH directions and the defining query keeps rewriting exactly; " +
+    "the unfiltered question never serves") {
+    val l = mkLake("filter")
+    withLake(l) {
+      val q = "SELECT g, count(*) AS n, sum(v) AS s, min(v) AS mn, " +
+        "max(v) AS mx FROM azof.src WHERE g IN ('a', 'c') GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mvf AS $q").collect()
+      val (_, _, vd) = MatView.readDef(spark, l, "mvf").get
+      assert(vd.filter.exists(_.contains("IN")), vd.toString)
+      val served0 = spark.sql(q)
+      assert(!scansSrc(served0), "the defining filtered query must " +
+        "rewrite:\n" + served0.queryExecution.optimizedPlan)
+      assert(rows(served0) == Seq(Seq("a", 3L, 14L, 4L, 10L)),
+        rows(served0).toString)
+      // churn across the boundary: key 3 moves b→c (INTO the
+      // predicate), key 1 moves a→z (OUT), key 5 inserts inside
+      AzofWriter.commitDelta(spark, l, "src", df(
+        ("3", "2024-02-05T00:00:00Z", "c", "x", 7L,
+          "2024-03-02T01:00:00Z"),
+        ("1", "2024-02-05T00:00:00Z", "z", "x", 10L,
+          "2024-03-01T01:00:00Z"),
+        ("5", "2024-02-05T00:00:00Z", "c", "y", 100L,
+          "2024-03-03T01:00:00Z")),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))      // v3
+      val stale = spark.sql(q)
+      assert(scansSrc(stale), "stale filtered view must fall back")
+      spark.sql("REFRESH MATERIALIZED VIEW mvf").collect()
+      val fresh = spark.sql(q)
+      assert(!scansSrc(fresh))
+      assert(rows(fresh) == rows(stale) &&
+        rows(fresh) == Seq(
+          Seq("a", 2L, 4L, 4L, 4L), Seq("c", 2L, 107L, 7L, 100L)),
+        rows(fresh).toString)
+      // the UNFILTERED question can never be answered from a filtered
+      // view — corpus scan survives
+      assert(scansSrc(spark.sql(
+        "SELECT g, count(*) AS n FROM azof.src GROUP BY g")))
+      // a rollup carrying the same WHERE serves
+      val glob = spark.sql("SELECT count(*) AS n, sum(v) AS s " +
+        "FROM azof.src WHERE g IN ('a', 'c')")
+      assert(!scansSrc(glob) && rows(glob) == Seq(Seq(4L, 111L)))
+    }
+  }
+
+  test("FILTERED star view: a grouped-dim-attribute predicate; a dim " +
+    "re-tier moves facts across the boundary and the serve stays " +
+    "exact after REFRESH") {
+    val l = Files.createTempDirectory("azof-ddl-fstar").toString
+    val factSchema = TableSchema(Seq(
+      ColumnDef("fk", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val dimSchema = TableSchema(Seq(
+      ColumnDef("tier", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "dim", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("d1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t1"),
+        Row("d2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "t2"))),
+      dimSchema.toStruct))
+    AzofWriter.commitBase(spark, l, "fact", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 10L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 4L),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d2", 7L))),
+      factSchema.toStruct))
+    withLake(l) {
+      val q = "SELECT tier, count(*) AS n, sum(v) AS s " +
+        "FROM azof.fact f JOIN azof.dim d ON f.fk = d.key " +
+        "WHERE tier IN ('t1', 't9') GROUP BY tier"
+      spark.sql(s"CREATE MATERIALIZED VIEW jvf AS $q").collect()
+      val (_, _, _, jdef) = JoinView.readDef(spark, l, "jvf").get
+      assert(jdef.filter.exists(_.contains("IN")), jdef.toString)
+      val served0 = spark.sql(q)
+      assert(!scansSrc(served0))
+      assert(rows(served0) == Seq(Seq("t1", 2L, 14L)))
+      // dim re-tier moves facts across the boundary WITHOUT fact
+      // churn: d1 t1→t0 (its facts leave), d2 t2→t9 (its fact enters)
+      AzofWriter.commitDelta(spark, l, "dim", spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("d1", Timestamp.from(ts("2024-02-05T00:00:00Z")), "t0"),
+          Row("d2", Timestamp.from(ts("2024-02-05T00:00:00Z")), "t9"))),
+        dimSchema.toStruct),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      spark.sql("REFRESH MATERIALIZED VIEW jvf").collect()
+      val fresh = spark.sql(q)
+      assert(!scansSrc(fresh))
+      assert(rows(fresh) == Seq(Seq("t9", 1L, 7L)), rows(fresh).toString)
     }
   }
 
@@ -385,9 +481,16 @@ class ViewDdlSpec extends AnyFunSuite {
           s"remedy missing: ${e.getMessage}")
         e.getMessage
       }
+      // WHERE itself is supported (filtered views) — but a
+      // NONDETERMINISTIC membership predicate refuses, and so does a
+      // subquery
       assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +
-        "count(*) AS n FROM azof.src WHERE g = 'a' GROUP BY g")
-        .contains("WHERE"))
+        "count(*) AS n FROM azof.src WHERE rand() < 0.5 GROUP BY g")
+        .contains("nondeterministic"))
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +
+        "count(*) AS n FROM azof.src WHERE v IN " +
+        "(SELECT id FROM range(5)) GROUP BY g")
+        .contains("subquery"))
       assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, v " +
         "FROM azof.src").contains("aggregate"))
       assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +

@@ -795,7 +795,8 @@ class JoinViewSpec extends AnyFunSuite {
       finally in.close()
     }
     val out = dfs.create(defHP, true)
-    try out.write(oldJson.replace("\"format\":3", "\"format\":2")
+    try out.write(oldJson.replace(
+      "\"format\":" + JoinView.FormatVersion, "\"format\":2")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val e = intercept[IllegalStateException] {
