@@ -63,7 +63,8 @@ object AzofCli {
     graft.sources.ViewDef(csv("group-cols"), csv("sum-cols"),
       csv("minmax-cols"), csv("distinct-cols"), derived,
       cliTuples(opts), csv("approx-cols"),
-      opts.get("filter").map(_.trim).filter(_.nonEmpty))
+      opts.get("filter").map(_.trim).filter(_.nonEmpty),
+      csv("var-cols"))
   }
 
   /** `--distinct-tuples "a+b;c+d"` → declared multi-column distinct
@@ -99,7 +100,8 @@ object AzofCli {
         graft.sources.DimJoin(fk, dc) },
       csv("distinct-cols"), derived, cliTuples(opts),
       csv("approx-cols"),
-      opts.get("filter").map(_.trim).filter(_.nonEmpty))
+      opts.get("filter").map(_.trim).filter(_.nonEmpty),
+      csv("var-cols"))
   }
 
   /** The jv-* verbs' dim table locations: `--dim-table d1[,d2…]` with

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** AUTOMATIC MATERIALIZED-VIEW REWRITE — the classic warehouse move,
   * Catalyst-native: an `Aggregate` over an azof table's CURRENT view
@@ -215,12 +216,14 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** One matched dimension of a covered STAR shape: the dim relation's
     * source key, its version pin (if the read is `VERSION AS OF`), the
-    * fact fk column joining to its record key, and the dim relation's
-    * output (for attribute provenance checks).
+    * fk column joining to its record key (a FACT column for a top dim,
+    * a PARENT-DIM column for a snowflake sub), the dim relation's
+    * output (for attribute provenance checks), and — top dims only —
+    * its matched one-hop SUB sides.
     */
   private[plans] case class DimSide(
       dimKey: String, pin: Option[graft.sources.ReadPin], fkName: String,
-      dimOut: Seq[Attribute])
+      dimOut: Seq[Attribute], subs: Seq[DimSide] = Nil)
 
   /** A covered STAR shape: a left-deep tree of INNER joins
     * `fact ⋈ dim1 ⋈ dim2 ⋈ …` where every join condition equates a
@@ -251,23 +254,34 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           for {
             (fKey, fPin, dims, subConds, fOut) <- starSrcOf(subSide)
             (dKey, dPin, dOut, dConds) <- asDim(dimSide)
-            // the join key: one side a FACT column, the other the dim's
-            // record key (the fkCol-is-a-fact-column contract)
-            fkName <- j.condition match {
+            // the join key: the NEW relation's record key equated with
+            // either a FACT column (top dim) or a matched TOP DIM's
+            // column (one-hop snowflake sub — sub outputs are not
+            // searched, which is what keeps chains one hop)
+            newDims <- j.condition match {
               case Some(EqualTo(a: AttributeReference,
                   b: AttributeReference)) =>
                 val fSet = fOut.map(_.exprId).toSet
                 val dSet = dOut.map(_.exprId).toSet
-                if (fSet.contains(a.exprId) && dSet.contains(b.exprId) &&
-                  b.name == graft.format.TableSchema.KeyName) Some(a.name)
-                else if (fSet.contains(b.exprId) &&
-                  dSet.contains(a.exprId) &&
-                  a.name == graft.format.TableSchema.KeyName) Some(b.name)
-                else None
+                val K = graft.format.TableSchema.KeyName
+                val attrOpt =
+                  if (dSet.contains(b.exprId) && b.name == K) Some(a)
+                  else if (dSet.contains(a.exprId) && a.name == K) Some(b)
+                  else None
+                attrOpt.flatMap { attr =>
+                  if (fSet.contains(attr.exprId))
+                    Some(dims :+ DimSide(dKey, dPin, attr.name, dOut))
+                  else dims.indexWhere(
+                    _.dimOut.exists(_.exprId == attr.exprId)) match {
+                    case -1 => None
+                    case i => Some(dims.updated(i, dims(i).copy(
+                      subs = dims(i).subs :+
+                        DimSide(dKey, dPin, attr.name, dOut))))
+                  }
+                }
               case _ => None
             }
-          } yield (fKey, fPin, dims :+ DimSide(dKey, dPin, fkName, dOut),
-            subConds ++ dConds, fOut)
+          } yield (fKey, fPin, newDims, subConds ++ dConds, fOut)
         combine(j.left, j.right).orElse(combine(j.right, j.left))
           .map { case (fk, fPin, ds, cs, fOut) =>
             (fk, fPin, ds, conds ++ cs, fOut) }
@@ -412,6 +426,13 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private case class CountColL(c: String) extends AggLeaf
   private case class SumL(c: String) extends AggLeaf
+  /** The raw sum of squares `ss_<c>` for a declared VARIANCE column —
+    * additive at every rollup grain; VAR/STDDEV rebuild over
+    * (ss, sum, nn) in a FIXED operand order (exact-integer moments,
+    * the t27 BM25 reasoning: correctly-rounded IEEE ops on identical
+    * integer-valued operands are bit-identical cross-engine).
+    */
+  private case class SumSqL(c: String) extends AggLeaf
   private case class MinL(c: String) extends AggLeaf
   private case class MaxL(c: String) extends AggLeaf
   /** `COUNT(DISTINCT c)` where `c` is one of the view's GROUP columns:
@@ -507,6 +528,14 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           one(MaxL(a.name))
         case _ => None
       }
+      case v: org.apache.spark.sql.catalyst.expressions.aggregate
+          .VarianceSamp => varLeaf(v.child, vd, pop = false, sq = false)
+      case v: org.apache.spark.sql.catalyst.expressions.aggregate
+          .VariancePop => varLeaf(v.child, vd, pop = true, sq = false)
+      case v: org.apache.spark.sql.catalyst.expressions.aggregate
+          .StddevSamp => varLeaf(v.child, vd, pop = false, sq = true)
+      case v: org.apache.spark.sql.catalyst.expressions.aggregate
+          .StddevPop => varLeaf(v.child, vd, pop = true, sq = true)
       case h: HyperLogLogPlusPlus => h.child match {
         // admitted only for approx-conf candidates, and only when the
         // requested rsd is NO STRICTER than the stored sketch's — the
@@ -518,6 +547,49 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
       case _ => None
+    }
+  }
+
+  /** Decompose `var_samp/var_pop/stddev_samp/stddev_pop(c)` for a
+    * DECLARED variance column into the (ss, sum, nn) leaves with the
+    * FIXED-operand-order rational rebuild:
+    * `(ss − s·s/n) / (n − [0|1])` in doubles, `sqrt` for stddev, NULL
+    * below the count floor (SQL's semantics: var_samp needs n ≥ 2,
+    * var_pop n ≥ 1). The analyzer wraps the aggregated column in a
+    * cast to double (central moments are double-typed), so the match
+    * unwraps one cast. NOTE: the served value is the exact-integer-
+    * moments evaluation — deterministic and cross-engine bit-stable —
+    * while Spark's own scan plan accumulates CENTRAL moments in
+    * partition order; the two agree to fp rounding (same quantity,
+    * different summation order), exactly like the AVG leaf's
+    * divided-once form.
+    */
+  private def varLeaf(child: Expression, vd: ViewDef,
+      pop: Boolean, sq: Boolean): Option[Calc] = {
+    val attr = child match {
+      case a: AttributeReference => Some(a)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        c.child match {
+          case a: AttributeReference if c.dataType == DoubleType =>
+            Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
+    attr.filter(a => vd.varCols.contains(a.name)).map { a =>
+      (Seq(SumSqL(a.name), SumL(a.name), CountColL(a.name)), {
+        cs: Seq[Column] =>
+          val q = cs(0).cast("double")
+          val s = cs(1).cast("double")
+          val nL = cs(2)
+          val n = nL.cast("double")
+          val base =
+            if (pop) (q - s * s / n) / n
+            else (q - s * s / n) / (nL - lit(1L)).cast("double")
+          val guarded =
+            if (pop) when(nL > 0L, base) else when(nL > 1L, base)
+          if (sq) sqrt(guarded) else guarded
+      })
     }
   }
 
@@ -669,6 +741,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case CountL           => col("n_rows")
           case CountColL(c)     => col(s"nn_$c")
           case SumL(c)          => col(s"sum_$c")
+          case SumSqL(c)        => col(s"ss_$c")
           case MinL(c)          => col(s"min_$c")
           case MaxL(c)          => col(s"max_$c")
           case DistinctValL(c)  => dvCol(c)
@@ -693,6 +766,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case CountL       => coalesce(sum(col("n_rows")), lit(0L))
           case CountColL(c) => coalesce(sum(col(s"nn_$c")), lit(0L))
           case SumL(c)      => sum(col(s"sum_$c"))
+          case SumSqL(c)    => sum(col(s"ss_$c"))
           case MinL(c)      => min(col(s"min_$c"))
           case MaxL(c)      => max(col(s"max_$c"))
           case DistinctL(c) => count_distinct(col(c))
@@ -743,6 +817,25 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }, child)
   }
 
+  /** A candidate view's stored ROW estimate at its pinned snapshot —
+    * the per-file `rows` stats summed over the Current-pruned files
+    * (metadata-only, [[graft.sources.AzofRelation]]'s `estimatedRows`
+    * reasoning). None when any file predates the stats generation
+    * (`analyze` backfills) — estimate-less candidates rank LAST, so
+    * the choice degrades to declaration order, never to a wrong pick.
+    */
+  private def viewRowsAt(
+      lake: String, mv: String, viewV: Long): Option[Long] =
+    try {
+      val snap = graft.format.AzofTable(spark, lake, mv)
+        .snapshot(viewV.toString)
+      val entries = snap.dataFilesWithStats(graft.format.AsOf.Current)
+      val counts = entries.flatMap(_.stats.flatMap(_.rows))
+      if (counts.nonEmpty && counts.size == entries.size)
+        Some(counts.sum)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Try the single-table candidates against `agg`. `approxOk` admits
     * `approx_count_distinct` leaves — true only for
     * `spark.azof.mv.rewrite.approx` candidates.
@@ -752,7 +845,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : Option[LogicalPlan] =
     srcOf(agg.child).flatMap { case (srcKey, conds, pinned) =>
       {
-        cands.iterator.flatMap { case (lake, mv) =>
+        cands.iterator.zipWithIndex.flatMap { case ((lake, mv), ci) =>
           defOf(spark, lake, mv).collect {
             case MvRewriteRule.SingleDef(sLake, sTable, vd, _) =>
               (sLake, sTable, vd)
@@ -837,17 +930,24 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     val dvPairs: String => org.apache.spark.sql.DataFrame =
                       c => MatView.serveDistinctPairs(spark, lake, mv, vd,
                         c, dvV)
-                    rewrite(agg,
-                      MatView.serve(spark, lake, mv, vd, Some(viewV),
-                        withSketches = needSk),
-                      vd, groups, outs, conds2, dvPairs)
+                    (viewRowsAt(lake, mv, viewV), ci,
+                      rewrite(agg,
+                        MatView.serve(spark, lake, mv, vd, Some(viewV),
+                          withSketches = needSk),
+                        vd, groups, outs, conds2, dvPairs))
                   }
               }
             }
             }
             }
           }
-        }.nextOption()
+          // COST-BASED choice among covering candidates: serve from
+          // the SMALLEST stored grain (row-stats estimate at the
+          // pinned snapshot) — a coarse view answers a coarse query
+          // with fewer rows than a rollup from a finer one; ties and
+          // estimate-less candidates keep declaration order
+        }.toSeq.minByOption { case (est, ci, _) =>
+          (est.getOrElse(Long.MaxValue), ci.toLong) }.map(_._3)
       }
     }
 
@@ -855,13 +955,69 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * twin — `approxOk` admits `approx_count_distinct` leaves for
     * approx-conf candidates).
     */
+  /** Match the query's joined dim sides (incl. snowflake subs) against
+    * a candidate join view's declared dim tree and FLATTENED location
+    * list. Every declared dim must match exactly one joined side by fk
+    * column + table, and — one hop down — every declared SUB one of
+    * that side's sub-joins by dim-side fk + table, with NO extra
+    * joined subs (an un-declared inner sub-join changes the row set,
+    * so the view's totals would not answer the query). Returns the
+    * dim-attribute PROVENANCE map (column name → owning relation
+    * output) and the flattened per-table pin vector
+    * ([[graft.sources.JoinView.freshViewVersions]]'s order).
+    */
+  private def matchDims(
+      dimSides: Seq[DimSide], d: MvRewriteRule.JoinDef)
+      : Option[(Map[String, Seq[Attribute]],
+        Seq[Option[graft.sources.ReadPin]])] = {
+    val jdef = d.jdef
+    val sideByFk = dimSides.map(s => s.fkName -> s).toMap
+    if (dimSides.size != jdef.dims.size ||
+      sideByFk.size != dimSides.size) None
+    else {
+      val per = jdef.dims.zipWithIndex.map { case (dj, i) =>
+        val off = jdef.flatOffset(i)
+        val (dl, dt) = d.dims(off)
+        sideByFk.get(dj.fkCol)
+          .filter(_.dimKey == norm(dl, dt))
+          .flatMap { side =>
+            val subByFk = side.subs.map(s => s.fkName -> s).toMap
+            if (side.subs.size != dj.subs.size ||
+              subByFk.size != side.subs.size) None
+            else {
+              val subM = dj.subs.zipWithIndex.map { case (s, j) =>
+                val (sl, st) = d.dims(off + 1 + j)
+                subByFk.get(s.fkCol).filter(_.dimKey == norm(sl, st))
+                  .map(sub => (s, sub))
+              }
+              if (subM.exists(_.isEmpty)) None
+              else Some((dj, side, subM.flatten))
+            }
+          }
+      }
+      if (per.exists(_.isEmpty)) None
+      else {
+        val matched = per.flatten
+        val outOfDim: Map[String, Seq[Attribute]] =
+          matched.flatMap { case (dj, side, subM) =>
+            dj.dimCols.map(c => c -> side.dimOut) ++
+              subM.flatMap { case (s, sub) =>
+                s.dimCols.map(c => c -> sub.dimOut) }
+          }.toMap
+        val pins = matched.flatMap { case (_, side, subM) =>
+          Seq(side.pin) ++ subM.map(_._2.pin) }
+        Some((outOfDim, pins))
+      }
+    }
+  }
+
   private def joinHit(
       agg: Aggregate, cands: Seq[(String, String)], approxOk: Boolean)
       : Option[LogicalPlan] =
     joinSrcOf(agg.child).flatMap {
       case (factKey, factPin, dimSides, conds, factOut) =>
         {
-          cands.iterator.flatMap { case (lake, mv) =>
+          cands.iterator.zipWithIndex.flatMap { case ((lake, mv), ci) =>
             defOf(spark, lake, mv).collect {
               case d: MvRewriteRule.JoinDef => d
             }.flatMap { d =>
@@ -872,7 +1028,8 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               else {
               val vd = ViewDef(jdef.groupCols, jdef.sumCols,
                 jdef.minMaxCols, jdef.distinctCols, jdef.derivedGroups,
-                jdef.distinctTuples, jdef.approxCols)
+                jdef.distinctTuples, jdef.approxCols,
+                varCols = jdef.varCols)
               val dmMap = derivedCanon(vd, leafRelation(agg.child))
               val dm: Expression => Option[String] =
                 e => dmMap.get(e.canonicalized)
@@ -882,32 +1039,24 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 case e => dm(e)
               })
               groupsOpt.flatMap { groups =>
-              // each declared dim matches exactly one joined dim side:
-              // same fk column, same dim table (order-insensitive —
-              // the query may join the dims in any order)
-              val sideByFk = dimSides.map(s => s.fkName -> s).toMap
-              val dimsMatch =
-                dimSides.size == jdef.dims.size &&
-                  sideByFk.size == dimSides.size &&
-                  jdef.dims.zip(d.dims).forall { case (dj, (dl, dt)) =>
-                    sideByFk.get(dj.fkCol)
-                      .exists(_.dimKey == norm(dl, dt)) }
+              // each declared dim (and, one hop down, each declared
+              // snowflake sub) matches exactly one joined side: same
+              // fk column, same table (order-insensitive — the query
+              // may join in any order)
+              val matched = matchDims(dimSides, d)
               // attribute PROVENANCE: every referenced column must live
               // on the side its name claims — a fact column shadowing a
               // dim group column's name (or vice versa) refuses
-              def provenanced: Boolean = {
-                val outOfDim: Map[String, Seq[Attribute]] =
-                  jdef.dims.flatMap { dj =>
-                    val out = sideByFk(dj.fkCol).dimOut
-                    dj.dimCols.map(c => c -> out)
-                  }.toMap
-                val refs = (agg.groupingExpressions ++
-                  agg.aggregateExpressions ++ conds).flatMap(_.references)
-                refs.forall(a =>
-                  outOfDim.get(a.name) match {
-                    case Some(dOut) => dOut.exists(_.exprId == a.exprId)
-                    case None => factOut.exists(_.exprId == a.exprId)
-                  })
+              def provenanced: Boolean = matched.exists {
+                case (outOfDim, _) =>
+                  val refs = (agg.groupingExpressions ++
+                    agg.aggregateExpressions ++ conds)
+                    .flatMap(_.references)
+                  refs.forall(a =>
+                    outOfDim.get(a.name) match {
+                      case Some(dOut) => dOut.exists(_.exprId == a.exprId)
+                      case None => factOut.exists(_.exprId == a.exprId)
+                    })
               }
               // the filtered-view gate, singleHit's reasoning — the
               // PROVENANCE check below still runs over the ORIGINAL
@@ -924,7 +1073,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               val conds2 = residue.map(substDerived(_, vd, dm))
               val covered =
                 norm(d.factLake, d.factTable) == factKey &&
-                  dimsMatch &&
+                  matched.isDefined &&
                   groups.forall(vd.groupCols.contains) &&
                   conds2.forall(filterCovered(_, vd)) &&
                   provenanced
@@ -936,12 +1085,13 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     case GroupOut(c) => groups.contains(c); case _ => true }
                 }
                 .flatMap { outs =>
-                  // per-table pins (query join order ↛ jdef dim order:
-                  // align by fk); a pinned table gates through the
+                  // per-table pins, FLATTENED in the declared pre-order
+                  // (query join order ↛ jdef dim order: aligned by fk
+                  // inside matchDims); a pinned table gates through the
                   // pinned walk, an un-pinned one through the cursor —
                   // and the gate pins view + support snapshots BEFORE
                   // its walks (the TOCTOU close, single-table reasoning)
-                  val dimPins = jdef.dims.map(dj => sideByFk(dj.fkCol).pin)
+                  val dimPins = matched.get._2
                   val needDv = outs.exists {
                     case CalcOut(ls, _) =>
                       ls.exists(_.isInstanceOf[DistinctValL])
@@ -962,17 +1112,20 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                       val dvPairs: String => org.apache.spark.sql.DataFrame =
                         c => graft.sources.JoinView.serveDistinctPairs(
                           spark, lake, mv, jdef, c, dvV)
-                      rewrite(agg,
-                        graft.sources.JoinView.serve(spark, lake, mv, jdef,
-                          Some(viewV), withSketches = needSk),
-                        vd, groups, outs, conds2, dvPairs)
+                      (viewRowsAt(lake, mv, viewV), ci,
+                        rewrite(agg,
+                          graft.sources.JoinView.serve(spark, lake, mv,
+                            jdef, Some(viewV), withSketches = needSk),
+                          vd, groups, outs, conds2, dvPairs))
                     }
                 }
               }
               }
               }
             }
-          }.nextOption()
+            // the cost-based choice, singleHit's reasoning
+          }.toSeq.minByOption { case (est, ci, _) =>
+            (est.getOrElse(Long.MaxValue), ci.toLong) }.map(_._3)
         }
     }
 
@@ -1199,34 +1352,26 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val jdef = d.jdef
             val vd = ViewDef(jdef.groupCols, jdef.sumCols,
               jdef.minMaxCols, jdef.distinctCols, jdef.derivedGroups,
-              jdef.distinctTuples, jdef.approxCols)
-            val sideByFk = dimSides.map(s => s.fkName -> s).toMap
-            val dimsMatch =
-              dimSides.size == jdef.dims.size &&
-                sideByFk.size == dimSides.size &&
-                jdef.dims.zip(d.dims).forall { case (dj, (dl, dt)) =>
-                  sideByFk.get(dj.fkCol)
-                    .exists(_.dimKey == norm(dl, dt)) }
-            def provenanced: Boolean = {
-              val outOfDim: Map[String, Seq[Attribute]] =
-                jdef.dims.flatMap { dj =>
-                  val out = sideByFk(dj.fkCol).dimOut
-                  dj.dimCols.map(c => c -> out)
-                }.toMap
-              val refs = (agg.groupingExpressions ++
-                agg.aggregateExpressions ++ conds).flatMap(_.references)
-              refs.forall(a =>
-                outOfDim.get(a.name) match {
-                  case Some(dOut) => dOut.exists(_.exprId == a.exprId)
-                  case None => factOut.exists(_.exprId == a.exprId)
-                })
+              jdef.distinctTuples, jdef.approxCols,
+              varCols = jdef.varCols)
+            val matched = matchDims(dimSides, d)
+            def provenanced: Boolean = matched.exists {
+              case (outOfDim, _) =>
+                val refs = (agg.groupingExpressions ++
+                  agg.aggregateExpressions ++ conds).flatMap(_.references)
+                refs.forall(a =>
+                  outOfDim.get(a.name) match {
+                    case Some(dOut) => dOut.exists(_.exprId == a.exprId)
+                    case None => factOut.exists(_.exprId == a.exprId)
+                  })
             }
-            if (norm(d.factLake, d.factTable) != factKey || !dimsMatch ||
-              !provenanced || jdef.filter.nonEmpty) None
+            if (norm(d.factLake, d.factTable) != factKey ||
+              matched.isEmpty || !provenanced || jdef.filter.nonEmpty)
+              None
             else histShape(agg, vd, conds,
               tupleNullOk = d.fmt >= MatView.TupleNullFormat).flatMap {
               case (key, groups, outs, measures) =>
-                val dimPins = jdef.dims.map(dj => sideByFk(dj.fkCol).pin)
+                val dimPins = matched.get._2
                 // both index snapshots pinned inside the gate, before
                 // its per-table walks (the TOCTOU close)
                 graft.sources.JoinView.freshViewVersions(spark,
@@ -1438,8 +1583,10 @@ object MvRewriteRule {
               // a view declaring approx columns whose TABLE predates
               // the hll_ sketch layout refuses candidacy (silent scan
               // fallback — the loud rebuild message lives on the
-              // direct serve/refresh path, requireHllLayout)
+              // direct serve/refresh path, requireHllLayout); variance
+              // columns gate on the ss_ layout identically
               MatView.hllLayoutOk(schema, vd.approxCols) &&
+              MatView.ssLayoutOk(schema, vd.varCols) &&
               (!vd.hasDistinct ||
                 scala.util.Try(graft.format.AzofTable(spark, lake,
                   MatView.dvTableName(mv)).currentVersion).isSuccess)
@@ -1454,9 +1601,15 @@ object MvRewriteRule {
             .filter(jd =>
               (jd.jdef.filter.isEmpty ||
                 jd.fmt >= MatView.FilterFormat) &&
-                MatView.hllLayoutOk(
-                  graft.format.AzofTable(spark, lake, mv)
-                    .currentSnapshot.schema, jd.jdef.approxCols) &&
+                // a subs-bearing def under a pre-snowflake stamp was
+                // maintained ignoring the subs — silent scan fallback
+                (!jd.jdef.hasSubs ||
+                  jd.fmt >= graft.sources.JoinView.SubDimFormat) && {
+                  val schema = graft.format.AzofTable(spark, lake, mv)
+                    .currentSnapshot.schema
+                  MatView.hllLayoutOk(schema, jd.jdef.approxCols) &&
+                    MatView.ssLayoutOk(schema, jd.jdef.varCols)
+                } &&
                 (!jd.jdef.hasDistinct ||
                   scala.util.Try(graft.format.AzofTable(spark, lake,
                     MatView.dvTableName(mv)).currentVersion).isSuccess)))

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPl
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType, StringType}
 
 /** SQL DDL for the materialized-view lifecycle — the reference exposes
   * its whole capability through one SQL front door
@@ -229,17 +229,28 @@ object ViewDdl {
       case other => (other, Nil)
     }
 
-  /** The star source under an Aggregate: fact leaf + per-dim
-    * `(lake, table, fkName, dimOut)` where every join is INNER on the
-    * dim's record key — [[MvRewriteRule.starSrcOf]]'s contract, here
-    * over raw (lake, table) pairs because the create needs locations,
-    * not normalized match keys — plus every collected WHERE conjunct
-    * (any level: above the join, on the fact side, on a dim side —
-    * inner joins commute with filters).
+  /** One inferred star side: location, fk name (a FACT column for a
+    * top dim, a PARENT-DIM column for a one-hop snowflake sub), the
+    * relation's output, and the index of its parent side in the flat
+    * list (-1 = joins the fact directly).
+    */
+  private final case class InfSide(
+      lake: String, table: String, fkName: String, out: Seq[Attribute],
+      parent: Int)
+
+  /** The star source under an Aggregate: fact leaf + a flat list of
+    * joined sides where every join is INNER on the joined relation's
+    * record key — [[MvRewriteRule.starSrcOf]]'s contract, here over
+    * raw (lake, table) pairs because the create needs locations, not
+    * normalized match keys — plus every collected WHERE conjunct (any
+    * level: above the join, on the fact side, on a dim side — inner
+    * joins commute with filters). A join keyed on a TOP DIM's column
+    * infers a SNOWFLAKE sub of that dim (`fact ⋈ dim ⋈ subdim`); sub
+    * outputs are not searched, keeping chains one hop.
     */
   private def starOf(plan: LogicalPlan): Option[(
       (String, String, Seq[Attribute], Boolean),
-      Seq[(String, String, String, Seq[Attribute])],
+      Seq[InfSide],
       Seq[Expression])] = {
     import org.apache.spark.sql.catalyst.expressions.EqualTo
     val (core, conds) = strip(plan)
@@ -260,31 +271,41 @@ object ViewDdl {
             (fact, dims, subConds) <- starOf(subSide)
             (dl, dt, dOut, dPinned, dConds) <- asDim(dimSide)
             fOut = fact._3
-            fkName <- j.condition match {
+            newDims <- j.condition match {
               case Some(EqualTo(a: AttributeReference,
                   b: AttributeReference)) =>
                 val fSet = fOut.map(_.exprId).toSet
                 val dSet = dOut.map(_.exprId).toSet
-                if (fSet.contains(a.exprId) && dSet.contains(b.exprId) &&
-                  b.name == graft.format.TableSchema.KeyName) Some(a.name)
-                else if (fSet.contains(b.exprId) &&
-                  dSet.contains(a.exprId) &&
-                  a.name == graft.format.TableSchema.KeyName) Some(b.name)
-                else None
+                val K = graft.format.TableSchema.KeyName
+                val attrOpt =
+                  if (dSet.contains(b.exprId) && b.name == K) Some(a)
+                  else if (dSet.contains(a.exprId) && a.name == K) Some(b)
+                  else None
+                attrOpt.flatMap { attr =>
+                  if (fSet.contains(attr.exprId))
+                    Some(dims :+ InfSide(dl, dt, attr.name, dOut, -1))
+                  else dims.indexWhere(d => d.parent == -1 &&
+                    d.out.exists(_.exprId == attr.exprId)) match {
+                    case -1 => None
+                    case p =>
+                      Some(dims :+ InfSide(dl, dt, attr.name, dOut, p))
+                  }
+                }
               case _ => None
             }
           } yield {
             if (dPinned) refuse(
               s"dim table '$dt' is read AS OF a pin — a view " +
                 "maintains the LIVE corpus; drop the time travel")
-            (fact, dims :+ ((dl, dt, fkName, dOut)),
-              subConds ++ dConds)
+            (fact, newDims, subConds ++ dConds)
           }
         combine(j.left, j.right).orElse(combine(j.right, j.left))
           .orElse(refuse(
             "every join must be INNER with a single equality " +
-              s"fact.fk = dim.${graft.format.TableSchema.KeyName} " +
-              "(the dim's record key)"))
+              s"<fact fk or TOP-DIM sub fk> = " +
+              s"<dim>.${graft.format.TableSchema.KeyName} " +
+              "(the joined table's record key; snowflake chains are " +
+              "one hop)"))
           .map { case (f, ds, cs) => (f, ds, conds ++ cs) }
       case rel => leaf(rel).map(f => (f, Nil, conds))
     }
@@ -331,10 +352,10 @@ object ViewDdl {
       s"the source table is read AS OF a pin — a view maintains the " +
         "LIVE corpus; drop the time travel")
     val factIds = factOut.map(_.exprId).toSet
-    val dimIdSets = dimSides.map(_._4.map(_.exprId).toSet)
+    val dimIdSets = dimSides.map(_.out.map(_.exprId).toSet)
     // a name visible on more than one side makes the stored definition
     // ambiguous (defs speak names; queries speak exprIds) — refuse
-    val allOuts = factOut ++ dimSides.flatMap(_._4)
+    val allOuts = factOut ++ dimSides.flatMap(_.out)
     def sideOf(a: Attribute): Int = // -1 fact, else dim index
       dimIdSets.indexWhere(_.contains(a.exprId)) match {
         case -1 if factIds.contains(a.exprId) => -1
@@ -438,6 +459,7 @@ object ViewDdl {
     var minMaxCols = Seq.empty[String]
     var distinctCols = Seq.empty[String]
     var tuples = Seq.empty[Seq[String]]
+    var varCols = Seq.empty[String]
     def factAttr(e: Expression, what: String): AttributeReference =
       e match {
         case a: AttributeReference =>
@@ -454,6 +476,23 @@ object ViewDdl {
       }
     def classify(ae: AggregateExpression): Unit = {
       val what = ae.sql
+      // VAR/STDDEV decompose over (count, sum, sum-of-squares): the
+      // column declares as BOTH a sum column and a variance column
+      // (the analyzer wraps the child in a cast to double — central
+      // moments are double-typed — so unwrap one cast first)
+      def varDecl(child: Expression, what: String): Unit = {
+        val raw = child match {
+          case c: Cast if c.dataType == DoubleType => c.child
+          case e => e
+        }
+        val attr = factAttr(raw, what)
+        if (attr.dataType != LongType) refuse(
+          s"$what takes the variance of a ${attr.dataType.sql} " +
+            "column — variance columns must be BIGINT (azof Int), " +
+            "whose integer moments make the decomposition exact")
+        if (!sumCols.contains(attr.name)) sumCols :+= attr.name
+        if (!varCols.contains(attr.name)) varCols :+= attr.name
+      }
       if (ae.filter.nonEmpty) refuse(
         s"$what carries a FILTER clause — not maintainable")
       if (ae.isDistinct) ae.aggregateFunction match {
@@ -507,6 +546,14 @@ object ViewDdl {
           if (attr.dataType == BooleanType) refuse(
             s"$what min/maxes a BOOLEAN — aggregate a cast upstream")
           if (!minMaxCols.contains(attr.name)) minMaxCols :+= attr.name
+        case v: org.apache.spark.sql.catalyst.expressions.aggregate
+            .VarianceSamp => varDecl(v.child, what)
+        case v: org.apache.spark.sql.catalyst.expressions.aggregate
+            .VariancePop => varDecl(v.child, what)
+        case v: org.apache.spark.sql.catalyst.expressions.aggregate
+            .StddevSamp => varDecl(v.child, what)
+        case v: org.apache.spark.sql.catalyst.expressions.aggregate
+            .StddevPop => varDecl(v.child, what)
         case _: org.apache.spark.sql.catalyst.expressions.aggregate
             .HyperLogLogPlusPlus => refuse(
           s"$what is approximate — the rewrite contract is exactness, " +
@@ -532,7 +579,7 @@ object ViewDdl {
       case other => refuse(s"unsupported output expression " +
         s"${other.sql} — outputs are group columns or expression " +
         "trees (+ − × ÷, casts, literals) over COUNT/SUM/AVG/MIN/MAX/" +
-        "COUNT(DISTINCT …)")
+        "VAR_SAMP/VAR_POP/STDDEV_SAMP/STDDEV_POP/COUNT(DISTINCT …)")
     }
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if groupCols.contains(a.name) => ()
@@ -554,19 +601,31 @@ object ViewDdl {
     if (dimSides.isEmpty)
       SingleInf(factLake, factTable, contract(ViewDef(
         groupCols, sumCols, minMaxCols, distinctCols, derived, tuples,
-        filter = filterSql)))
+        filter = filterSql, varCols = varCols)))
     else {
-      val fks = dimSides.map(_._3)
-      if (fks.distinct.size != fks.size) refuse(
+      val topIdx = dimSides.indices.filter(dimSides(_).parent == -1)
+      val topFks = topIdx.map(dimSides(_).fkName)
+      if (topFks.distinct.size != topFks.size) refuse(
         "two joins share a foreign-key column — each dim joins on " +
           "its own fact column")
-      val dims = dimSides.zipWithIndex.map { case ((_, _, fk, _), i) =>
-        DimJoin(fk, physByDim.getOrElse(i, Nil))
+      // assemble the dim TREE (one-hop snowflake subs under their
+      // parent) and the FLATTENED pre-order location list the create/
+      // refresh contract takes
+      val dims = topIdx.map { ti =>
+        val subIdx = dimSides.indices.filter(dimSides(_).parent == ti)
+        DimJoin(dimSides(ti).fkName, physByDim.getOrElse(ti, Nil),
+          subIdx.map(si => DimJoin(dimSides(si).fkName,
+            physByDim.getOrElse(si, Nil))))
       }
-      StarInf(factLake, factTable,
-        dimSides.map { case (dl, dt, _, _) => (dl, dt) },
+      val locs = topIdx.flatMap { ti =>
+        Seq((dimSides(ti).lake, dimSides(ti).table)) ++
+          dimSides.indices.filter(dimSides(_).parent == ti)
+            .map(si => (dimSides(si).lake, dimSides(si).table))
+      }
+      StarInf(factLake, factTable, locs,
         contract(JoinViewDef(groupCols, sumCols, minMaxCols, dims,
-          distinctCols, derived, tuples, filter = filterSql)))
+          distinctCols, derived, tuples, filter = filterSql,
+          varCols = varCols)))
     }
   }
 }
@@ -729,7 +788,7 @@ final case class DescribeMatViewCommand(view: String)
         minMaxCols: Seq[String], distinctCols: Seq[String],
         tuples: Seq[Seq[String]], approx: Seq[String],
         derived: Seq[graft.sources.DerivedGroup],
-        filter: Option[String]): Seq[Row] =
+        filter: Option[String], varCols: Seq[String]): Seq[Row] =
       row("group_cols", groupCols.mkString(", ")).toSeq ++
         row("sum_cols", sumCols.mkString(", ")) ++
         row("minmax_cols", minMaxCols.mkString(", ")) ++
@@ -737,6 +796,7 @@ final case class DescribeMatViewCommand(view: String)
         row("distinct_tuples",
           tuples.map(_.mkString("(", ", ", ")")).mkString("; ")) ++
         row("approx_cols", approx.mkString(", ")) ++
+        row("var_cols", varCols.mkString(", ")) ++
         row("filter", filter.getOrElse("")) ++
         derived.map(dg =>
           Row(s"derived ${dg.name}",
@@ -751,7 +811,7 @@ final case class DescribeMatViewCommand(view: String)
             .map(c => Row("cursor", c.toString)) ++
           common(vd.groupCols, vd.sumCols, vd.minMaxCols,
             vd.distinctCols, vd.distinctTuples, vd.approxCols,
-            vd.derivedGroups, vd.filter)
+            vd.derivedGroups, vd.filter, vd.varCols)
       case None => JoinView.readDef(spark, lake, view) match {
         case Some((factLake, factTable, dims, jdef)) =>
           Seq(Row("kind", "star"),
@@ -760,15 +820,21 @@ final case class DescribeMatViewCommand(view: String)
             Row("format", fmt.toString)) ++
             JoinView.readCursorString(spark, lake, view)
               .map(c => Row("cursor", c)) ++
-            jdef.dims.zip(dims).map { case (dj, (dl, dt)) =>
-              Row(s"dim ${dj.fkCol}",
-                new Path(new Path(dl), dt).toString +
-                  (if (dj.dimCols.isEmpty) ""
-                   else dj.dimCols.mkString(" (", ", ", ")")))
+            jdef.dims.zipWithIndex.flatMap { case (dj, i) =>
+              val off = jdef.flatOffset(i)
+              def row(label: String, loc: (String, String),
+                  cols: Seq[String]) =
+                Row(label, new Path(new Path(loc._1), loc._2).toString +
+                  (if (cols.isEmpty) ""
+                   else cols.mkString(" (", ", ", ")")))
+              Seq(row(s"dim ${dj.fkCol}", dims(off), dj.dimCols)) ++
+                dj.subs.zipWithIndex.map { case (s, j) =>
+                  row(s"dim ${dj.fkCol} ⋈ ${s.fkCol}",
+                    dims(off + 1 + j), s.dimCols) }
             } ++
             common(jdef.groupCols, jdef.sumCols, jdef.minMaxCols,
               jdef.distinctCols, jdef.distinctTuples, jdef.approxCols,
-              jdef.derivedGroups, jdef.filter)
+              jdef.derivedGroups, jdef.filter, jdef.varCols)
         case None => throw new IllegalArgumentException(
           s"no materialized view '$view' in $lake (no definition " +
             "sidecar)")
@@ -845,13 +911,14 @@ final case class ExplainMatViewDdlCommand(stmt: LogicalPlan)
             minMaxCols: Seq[String], distinctCols: Seq[String],
             tuples: Seq[Seq[String]],
             derived: Seq[DerivedGroup],
-            filter: Option[String]): Seq[String] =
+            filter: Option[String], varCols: Seq[String]): Seq[String] =
           field("group_cols", groupCols.mkString(", ")) ++
             field("sum_cols", sumCols.mkString(", ")) ++
             field("minmax_cols", minMaxCols.mkString(", ")) ++
             field("distinct_cols", distinctCols.mkString(", ")) ++
             field("distinct_tuples",
               tuples.map(_.mkString("(", ", ", ")")).mkString("; ")) ++
+            field("var_cols", varCols.mkString(", ")) ++
             field("filter", filter.getOrElse("")) ++
             derived.map(dg =>
               s"  derived ${dg.name}: ${dg.sql} :: ${dg.dataType.jsonName}")
@@ -861,18 +928,25 @@ final case class ExplainMatViewDdlCommand(stmt: LogicalPlan)
               s"  source: ${new Path(new Path(sl), st)}") ++
               common(vd.groupCols, vd.sumCols, vd.minMaxCols,
                 vd.distinctCols, vd.distinctTuples, vd.derivedGroups,
-                vd.filter)
+                vd.filter, vd.varCols)
           case ViewDdl.StarInf(fl, ft, dims, jdef) =>
             Seq(head, "  kind: star",
               s"  fact: ${new Path(new Path(fl), ft)}") ++
-              jdef.dims.zip(dims).map { case (dj, (dl, dt)) =>
-                s"  dim ${dj.fkCol}: ${new Path(new Path(dl), dt)}" +
-                  (if (dj.dimCols.isEmpty) ""
-                   else dj.dimCols.mkString(" (", ", ", ")"))
+              jdef.dims.zipWithIndex.flatMap { case (dj, i) =>
+                val off = jdef.flatOffset(i)
+                def line(label: String, loc: (String, String),
+                    cols: Seq[String]) =
+                  s"  $label: ${new Path(new Path(loc._1), loc._2)}" +
+                    (if (cols.isEmpty) ""
+                     else cols.mkString(" (", ", ", ")"))
+                Seq(line(s"dim ${dj.fkCol}", dims(off), dj.dimCols)) ++
+                  dj.subs.zipWithIndex.map { case (s, j) =>
+                    line(s"dim ${dj.fkCol} ⋈ ${s.fkCol}",
+                      dims(off + 1 + j), s.dimCols) }
               } ++
               common(jdef.groupCols, jdef.sumCols, jdef.minMaxCols,
                 jdef.distinctCols, jdef.distinctTuples,
-                jdef.derivedGroups, jdef.filter)
+                jdef.derivedGroups, jdef.filter, jdef.varCols)
         }
       case d: DropMatViewCommand =>
         Seq(s"DropMatViewCommand view=${d.view}" +

@@ -77,10 +77,30 @@ object AzofQueries {
     "q83_star_nullable_tuple" -> starNullableTupleHistogram,
     "q84_mv_filtered_rewrite" -> matViewFilteredRewrite,
     "q85_star_filtered_rewrite" -> starFilteredRewrite,
+    "q86_snowflake_rewrite" -> snowflakeRewrite,
+    "q87_mv_variance" -> matViewVariance,
+    "q88_star_variance" -> starVariance,
     "x03_hll_mv" -> matViewHllApprox,
     "x04_hll_star" -> starHllApprox,
     "x05_approx_rewrite" -> matViewApproxRewrite,
     "x06_star_approx_rewrite" -> starApproxRewrite)
+
+  /** Materialize a CONF-SCOPED query's rows while its confs still
+    * hold. The driver's Verify writes a returned frame through a FRESH
+    * QueryExecution (`.write` re-plans the logical tree), by which
+    * time the session confs are unset and the optimizer falls back to
+    * the corpus plan. For value-identical queries that is invisible
+    * (the rewrite's exactness contract), but estimator- or
+    * rounding-order-sensitive outputs — HLL estimates, the
+    * fixed-operand-order variance rational — must ship the GATED
+    * plan's own rows. The collect is driver-sized by construction:
+    * bounded by the query's group cardinality (a handful of rows),
+    * never corpus rows.
+    */
+  private def pinned(s: SparkSession, q: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(q.collect().toSeq.asJava, q.schema)
+  }
 
   /** Cache-key hash of a scale-factor dir. */
   private def dirKey(dir: String): String =
@@ -2925,6 +2945,298 @@ object AzofQueries {
     }
   }
 
+  /** The q86 SNOWFLAKE lakehouse: `fact ⋈ dim ⋈ sub` one-hop chain
+    * (`facts_sn.src = src_sn.key`, `src_sn.rfk = reg_sn.key`) created
+    * via SQL DDL and churned at EVERY level — a sub re-region moves
+    * facts TWO hops away with no dim/fact churn, a dim re-points its
+    * sub fk, facts delete — each absorbed by a SQL REFRESH.
+    */
+  private[queries] def snowLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "snow-v1", "facts_sn") { l =>
+      val docs = Tables(s, dir, "documents")
+      val srcs = docs.select("source").distinct()
+      val num = expr("CAST(substring(source, 4, 10) AS INT)")
+      AzofWriter.createTable(s, l, "reg_sn",
+        TableSchema(Seq(
+          ColumnDef("region", ColumnType.AzString, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(s, l, "src_sn",
+        TableSchema(Seq(
+          ColumnDef("rfk", ColumnType.AzString, nullable = false),
+          ColumnDef("tier", ColumnType.AzString, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(s, l, "facts_sn",
+        TableSchema(Seq(
+          ColumnDef("src", ColumnType.AzString, nullable = false),
+          ColumnDef("n_chars", ColumnType.AzInt, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val at0 = java.sql.Timestamp.from(
+        Instant.parse("2024-01-02T00:00:00Z"))
+      AzofWriter.commitBase(s, l, "reg_sn",
+        s.createDataFrame(s.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row("R0", at0, "east"),
+          org.apache.spark.sql.Row("R1", at0, "west"),
+          org.apache.spark.sql.Row("R2", at0, "west"),
+          org.apache.spark.sql.Row("R3", at0, "south"))),
+          graft.format.TableSchema(Seq(
+            ColumnDef("region", ColumnType.AzString,
+              nullable = false))).toStruct))
+      AzofWriter.commitBase(s, l, "src_sn",
+        srcs.select(col("source").as("key"), lit(at0).as("event_time"),
+          concat(lit("R"), (num % 4).cast("string")).as("rfk"),
+          when(num % 2 === 0, "even").otherwise("odd").as("tier")))
+      AzofWriter.commitBase(s, l, "facts_sn",
+        docs.select(col("doc_id").cast("string").as("key"),
+          lit(at0).as("event_time"), col("source").as("src"),
+          col("n_chars").cast("long").as("n_chars")))
+      s.conf.set("spark.azof.path", l)
+      try {
+        s.sql(
+          "CREATE MATERIALIZED VIEW snow_sn AS " +
+            "SELECT tier, region, count(*) AS n_rows, " +
+            "sum(n_chars) AS sum_n_chars " +
+            "FROM azof.facts_sn f JOIN azof.src_sn d ON f.src = d.key " +
+            "JOIN azof.reg_sn r ON d.rfk = r.key " +
+            "GROUP BY tier, region").collect()
+        def refresh(): Unit = {
+          s.sql("REFRESH MATERIALIZED VIEW snow_sn").collect(); ()
+        }
+        // SUB-only churn: R1 re-regions west → apac (facts move TWO
+        // hops away, no dim/fact churn at all)
+        AzofWriter.commitDelta(s, l, "reg_sn",
+          s.createDataFrame(s.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row("R1", java.sql.Timestamp.from(
+              Instant.parse("2024-02-05T00:00:00Z")), "apac"))),
+            graft.format.TableSchema(Seq(
+              ColumnDef("region", ColumnType.AzString,
+                nullable = false))).toStruct),
+          Instant.parse("2024-02-01T00:00:00Z"),
+          Instant.parse("2024-03-01T00:00:00Z"))
+        refresh()
+        // DIM churn: num%5 = 0 sources re-point their sub fk to R0
+        AzofWriter.commitDelta(s, l, "src_sn",
+          srcs.where(num % 5 === 0).select(col("source").as("key"),
+            lit(java.sql.Timestamp.from(
+              Instant.parse("2024-03-05T00:00:00Z"))).as("event_time"),
+            lit("R0").as("rfk"),
+            when(num % 2 === 0, "even").otherwise("odd").as("tier")),
+          Instant.parse("2024-03-01T00:00:00Z"),
+          Instant.parse("2024-04-01T00:00:00Z"))
+        refresh()
+        AzofWriter.commitDelete(s, l, "facts_sn", Seq("6", "7"),
+          Instant.parse("2024-04-05T00:00:00Z"))
+        refresh()
+      } finally s.conf.unset("spark.azof.path")
+      ()
+    }
+
+  /** The SNOWFLAKE chain under the oracle gate: the defining
+    * three-table query answers FROM the chain view across churn at
+    * every level, hash-checked against the one-shot three-table
+    * recompute. Refuses a plan that still joins or carries any azof
+    * relation.
+    */
+  private def snowflakeRewrite(s: SparkSession, dir: String): DataFrame = {
+    val lake = snowLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "snow_sn")
+    try {
+      val q = s.sql(
+        "SELECT tier, region, count(*) AS n_rows, " +
+          "sum(n_chars) AS sum_n_chars " +
+          "FROM azof.facts_sn f JOIN azof.src_sn d ON f.src = d.key " +
+          "JOIN azof.reg_sn r ON d.rfk = r.key GROUP BY tier, region")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "snowflake chain rewrite did not fire — refusing to pass the " +
+          "row off the corpus scan+join plan")
+      q.queryExecution.executedPlan // pin execution while the confs hold
+      q
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** The q87 VARIANCE lakehouse: a DDL-created view declaring
+    * `var_samp`/`stddev_samp`/`var_pop` over a NULLABLE measure — the
+    * `ss_<c>` sum-of-squares column rides the same `old − pre + new`
+    * arithmetic as the sums through value churn, null flips, and
+    * deletes.
+    */
+  private[queries] def varLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "var-v1", "docs_var") { l =>
+      val docs = Tables(s, dir, "documents")
+      AzofWriter.createTable(s, l, "docs_var",
+        TableSchema(Seq(
+          ColumnDef("cat", ColumnType.AzString, nullable = false),
+          ColumnDef("n_chars", ColumnType.AzInt, nullable = true))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      def rows(filter: org.apache.spark.sql.Column, at: String,
+          nc: org.apache.spark.sql.Column) =
+        docs.where(filter).select(
+          col("doc_id").cast("string").as("key"),
+          lit(java.sql.Timestamp.from(Instant.parse(at))).as("event_time"),
+          concat(lit("c"), (col("doc_id") % 4).cast("string")).as("cat"),
+          nc.cast("long").as("n_chars"))
+      s.conf.set("spark.azof.path", l)
+      try {
+        AzofWriter.commitBase(s, l, "docs_var",
+          rows(lit(true), "2024-01-02T00:00:00Z",
+            when(col("doc_id") % 6 === 0, lit(null))
+              .otherwise(col("n_chars"))))                           // v2
+        s.sql(
+          "CREATE MATERIALIZED VIEW doc_var AS " +
+            "SELECT cat, count(*) AS n_rows, sum(n_chars) AS sum_nc, " +
+            "var_samp(n_chars) AS var_nc, stddev_samp(n_chars) AS sd_nc, " +
+            "var_pop(n_chars) AS vp_nc " +
+            "FROM azof.docs_var GROUP BY cat").collect()
+        def refresh(): Unit = {
+          s.sql("REFRESH MATERIALIZED VIEW doc_var").collect(); ()
+        }
+        // every seventh doc revises (+5, overriding the null rule —
+        // null→value flips ride along; ss subtracts the old square)
+        AzofWriter.commitDelta(s, l, "docs_var",
+          rows(col("doc_id") % 7 === 0, "2024-02-05T00:00:00Z",
+            col("n_chars") + 5),
+          Instant.parse("2024-02-01T00:00:00Z"),
+          Instant.parse("2024-03-01T00:00:00Z"))                     // v3
+        refresh()
+        AzofWriter.commitDelete(s, l, "docs_var", Seq("6", "7"),
+          Instant.parse("2024-03-05T00:00:00Z"))                     // v4
+        refresh()
+      } finally s.conf.unset("spark.azof.path")
+      ()
+    }
+
+  /** The VARIANCE view under the oracle gate: var/stddev answer FROM
+    * the (nn, sum, ss) totals in the FIXED operand order the DuckDB
+    * twin mirrors (the t27 move — correctly-rounded IEEE ops on
+    * exact-integer inputs are bit-identical cross-engine). Refuses any
+    * surviving azof relation.
+    */
+  private def matViewVariance(s: SparkSession, dir: String): DataFrame = {
+    val lake = varLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "doc_var")
+    try {
+      val q = s.sql(
+        "SELECT cat, count(*) AS n_rows, sum(n_chars) AS sum_nc, " +
+          "var_samp(n_chars) AS var_nc, stddev_samp(n_chars) AS sd_nc, " +
+          "var_pop(n_chars) AS vp_nc " +
+          "FROM azof.docs_var GROUP BY cat")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "variance rewrite did not fire — refusing to pass the row " +
+          "off the corpus-scan plan")
+      pinned(s, q) // the gated plan's own rows (rounding-order pin)
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  /** [[varLake]]'s STAR twin: variance over the join, where the dim
+    * RE-TIER moves whole sources' squares across groups through the
+    * affected-fact walk (single + star in one round).
+    */
+  private[queries] def varStarLake(s: SparkSession, dir: String): String =
+    cachedLake(dir, "varstar-v1", "facts_var") { l =>
+      val docs = Tables(s, dir, "documents")
+      val srcs = docs.select("source").distinct()
+      val num = expr("CAST(substring(source, 4, 10) AS INT)")
+      AzofWriter.createTable(s, l, "src_var",
+        TableSchema(Seq(
+          ColumnDef("tier", ColumnType.AzString, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      AzofWriter.createTable(s, l, "facts_var",
+        TableSchema(Seq(
+          ColumnDef("src", ColumnType.AzString, nullable = false),
+          ColumnDef("n_chars", ColumnType.AzInt, nullable = false))),
+        Instant.parse("2024-01-01T00:00:00Z"))
+      val at0 = java.sql.Timestamp.from(
+        Instant.parse("2024-01-02T00:00:00Z"))
+      AzofWriter.commitBase(s, l, "src_var",
+        srcs.select(col("source").as("key"), lit(at0).as("event_time"),
+          when(num % 3 === 0, "t0").when(num % 3 === 1, "t1")
+            .otherwise("t2").as("tier")))
+      AzofWriter.commitBase(s, l, "facts_var",
+        docs.select(col("doc_id").cast("string").as("key"),
+          lit(at0).as("event_time"), col("source").as("src"),
+          col("n_chars").cast("long").as("n_chars")))
+      s.conf.set("spark.azof.path", l)
+      try {
+        s.sql(
+          "CREATE MATERIALIZED VIEW star_var AS " +
+            "SELECT tier, count(*) AS n_rows, " +
+            "sum(n_chars) AS sum_n_chars, var_samp(n_chars) AS var_nc " +
+            "FROM azof.facts_var f JOIN azof.src_var d " +
+            "ON f.src = d.key GROUP BY tier").collect()
+        def refresh(): Unit = {
+          s.sql("REFRESH MATERIALIZED VIEW star_var").collect(); ()
+        }
+        // dim re-tier: num%5 = 0 sources move to tier t9 — their
+        // facts' squares subtract from the old tier and add to t9
+        AzofWriter.commitDelta(s, l, "src_var",
+          srcs.where(num % 5 === 0).select(col("source").as("key"),
+            lit(java.sql.Timestamp.from(
+              Instant.parse("2024-02-05T00:00:00Z"))).as("event_time"),
+            lit("t9").as("tier")),
+          Instant.parse("2024-02-01T00:00:00Z"),
+          Instant.parse("2024-03-01T00:00:00Z"))
+        refresh()
+        AzofWriter.commitDelete(s, l, "facts_var", Seq("6", "7"),
+          Instant.parse("2024-03-05T00:00:00Z"))
+        refresh()
+      } finally s.conf.unset("spark.azof.path")
+      ()
+    }
+
+  /** The star VARIANCE view under the oracle gate ([[matViewVariance]]'s
+    * join twin). Refuses a plan that still joins or carries any azof
+    * relation.
+    */
+  private def starVariance(s: SparkSession, dir: String): DataFrame = {
+    val lake = varStarLake(s, dir)
+    s.conf.set("spark.azof.path", lake)
+    s.conf.set("spark.azof.mv.rewrite", "star_var")
+    try {
+      val q = s.sql(
+        "SELECT tier, count(*) AS n_rows, sum(n_chars) AS sum_n_chars, " +
+          "var_samp(n_chars) AS var_nc " +
+          "FROM azof.facts_var f JOIN azof.src_var d ON f.src = d.key " +
+          "GROUP BY tier")
+      val residual = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.sources.AzofRelation] => l
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.AzofV2Table] => r
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      if (residual.nonEmpty) throw new IllegalStateException(
+        "star variance rewrite did not fire — refusing to pass the " +
+          "row off the corpus scan+join plan")
+      pinned(s, q) // the gated plan's own rows (rounding-order pin)
+    } finally {
+      s.conf.unset("spark.azof.path")
+      s.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   /** The q82 [[graft.sources.ViewDef]]: per-source sums over `w` plus
     * a declared tuple `(cat, sub)` whose components are NULLABLE —
     * the partial-null two-dimension histogram's support.
@@ -3305,8 +3617,7 @@ object AzofQueries {
       if (residual.nonEmpty) throw new IllegalStateException(
         "opt-in approx rewrite did not fire — refusing to pass the " +
           "row off the corpus-scan plan")
-      q.queryExecution.executedPlan // pin execution while the confs hold
-      q
+      pinned(s, q) // the gated plan's own rows (sketch-estimator pin)
     } finally {
       s.conf.unset("spark.azof.path")
       s.conf.unset("spark.azof.mv.rewrite.approx")
@@ -3347,8 +3658,7 @@ object AzofQueries {
       if (residual.nonEmpty) throw new IllegalStateException(
         "star opt-in approx rewrite did not fire — refusing to pass " +
           "the row off the corpus scan+join plan")
-      q.queryExecution.executedPlan // pin execution while the confs hold
-      q
+      pinned(s, q) // the gated plan's own rows (sketch-estimator pin)
     } finally {
       s.conf.unset("spark.azof.path")
       s.conf.unset("spark.azof.mv.rewrite.approx")
@@ -3658,6 +3968,93 @@ object AzofQueries {
                 CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
          FROM fact JOIN dim ON fact.src = dim.k
          WHERE tier IN ('vip', 'gold') GROUP BY tier""",
+    // the SNOWFLAKE chain reconstructed one-shot: R1 re-regioned
+    // west → apac (two-hop move), num%5=0 sources re-pointed to R0,
+    // facts 6/7 deleted
+    "q86_snowflake_rewrite" ->
+      """WITH fact AS (
+           SELECT source AS src, n_chars FROM documents
+           WHERE doc_id NOT IN (6, 7)),
+         dim AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                       THEN 'R0'
+                       ELSE 'R' || CAST(
+                         CAST(substr(source, 4) AS INT) % 4 AS VARCHAR)
+                    END AS rfk,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                       THEN 'even' ELSE 'odd' END AS tier
+           FROM (SELECT DISTINCT source FROM documents)),
+         sub AS (
+           SELECT 'R' || CAST(r AS VARCHAR) AS k,
+                  CASE WHEN r = 0 THEN 'east'
+                       WHEN r = 1 THEN 'apac'
+                       WHEN r = 2 THEN 'west'
+                       ELSE 'south' END AS region
+           FROM (VALUES (0),(1),(2),(3)) AS t(r))
+         SELECT tier, region, COUNT(*) AS n_rows,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+         FROM fact JOIN dim ON fact.src = dim.k
+                   JOIN sub ON dim.rfk = sub.k
+         GROUP BY tier, region""",
+    // VARIANCE reconstructed one-shot, the rational MIRRORING the
+    // rewrite's fixed operand order over exact-integer (nn, s, ss) —
+    // correctly-rounded IEEE ops on identical operands are
+    // bit-identical cross-engine (the t27 move)
+    "q87_mv_variance" ->
+      """WITH live AS (
+           SELECT 'c' || CAST(doc_id % 4 AS VARCHAR) AS cat,
+                  CASE WHEN doc_id % 7 = 0 THEN n_chars + 5
+                       WHEN doc_id % 6 = 0 THEN NULL
+                       ELSE n_chars END AS nc
+           FROM documents WHERE doc_id NOT IN (6, 7)),
+         agg AS (
+           SELECT cat, COUNT(*) AS n_rows, COUNT(nc) AS nn,
+                  CAST(SUM(nc) AS BIGINT) AS s,
+                  CAST(SUM(nc * nc) AS BIGINT) AS ss
+           FROM live GROUP BY cat)
+         SELECT cat, n_rows, s AS sum_nc,
+                CASE WHEN nn > 1 THEN
+                  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+                    CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+                    / CAST(nn - 1 AS DOUBLE) END AS var_nc,
+                CASE WHEN nn > 1 THEN SQRT(
+                  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+                    CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+                    / CAST(nn - 1 AS DOUBLE)) END AS sd_nc,
+                CASE WHEN nn > 0 THEN
+                  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+                    CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+                    / CAST(nn AS DOUBLE) END AS vp_nc
+         FROM agg""",
+    // the star twin: the dim re-tier moved num%5=0 sources' squares
+    // to t9 through the affected-fact walk
+    "q88_star_variance" ->
+      """WITH fact AS (
+           SELECT source AS src, n_chars FROM documents
+           WHERE doc_id NOT IN (6, 7)),
+         dim AS (
+           SELECT source AS k,
+                  CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                         THEN 't9'
+                       WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+                         THEN 't0'
+                       WHEN CAST(substr(source, 4) AS INT) % 3 = 1
+                         THEN 't1'
+                       ELSE 't2' END AS tier
+           FROM (SELECT DISTINCT source FROM documents)),
+         agg AS (
+           SELECT tier, COUNT(*) AS n_rows,
+                  COUNT(n_chars) AS nn,
+                  CAST(SUM(n_chars) AS BIGINT) AS s,
+                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+           FROM fact JOIN dim ON fact.src = dim.k GROUP BY tier)
+         SELECT tier, n_rows, s AS sum_n_chars,
+                CASE WHEN nn > 1 THEN
+                  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+                    CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+                    / CAST(nn - 1 AS DOUBLE) END AS var_nc
+         FROM agg""",
     // an event-time coordinate at-or-above every table's consumed
     // corpus serves the same star truth through the per-table as-of
     // walks (q74's join twin; refusals are spec-side)

@@ -152,7 +152,9 @@ object AzofProcedures {
         // APPROX_COUNT_DISTINCT sketch columns
         pd("approx_cols", StringType, "''"),
         // membership predicate (filtered/partial view), SQL text
-        pd("filter", StringType, "''"))
+        pd("filter", StringType, "''"),
+        // VAR/STDDEV sum-of-squares columns (must also be sum_cols)
+        pd("var_cols", StringType, "''"))
       case "term_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'term_postings'"),
@@ -176,7 +178,9 @@ object AzofProcedures {
         // APPROX_COUNT_DISTINCT sketch columns
         pd("approx_cols", StringType, "''"),
         // membership predicate (filtered/partial view), SQL text
-        pd("filter", StringType, "''"))
+        pd("filter", StringType, "''"),
+        // VAR/STDDEV sum-of-squares columns (must also be sum_cols)
+        pd("var_cols", StringType, "''"))
       case "seq_refresh" => Array(
         p("table", StringType), p("index_path", StringType),
         pd("index_table", StringType, "'seq_map'"),
@@ -368,7 +372,8 @@ object AzofProcedures {
           val vd = ViewDef(csv(str(2)), csv(str(4)), csv(str(5)),
             csv(str(6)), parseDerived(str(7)), parseTuples(str(8)),
             csv(str(9)),
-            Option(str(10)).map(_.trim).filter(_.nonEmpty))
+            Option(str(10)).map(_.trim).filter(_.nonEmpty),
+            csv(str(11)))
           val mvCk = new org.apache.hadoop.fs.Path(str(1),
             str(3) + "/_refresh_checkpoint").toString
           val q = MatView.refresh(spark, path, str(0), str(1), str(3),
@@ -393,7 +398,8 @@ object AzofProcedures {
             fks.zip(padded).map { case (fk, dc) => DimJoin(fk, dc) },
             jcsv(str(10)), parseDerived(str(11)), parseTuples(str(12)),
             jcsv(str(13)),
-            Option(str(14)).map(_.trim).filter(_.nonEmpty))
+            Option(str(14)).map(_.trim).filter(_.nonEmpty),
+            jcsv(str(15)))
           // split with -1 keeps EMPTY slots (",lake2" = default lake
           // for dim1, lake2 for dim2) — a nonEmpty filter here would
           // silently shift later lakes onto earlier dims (cliJvDims'

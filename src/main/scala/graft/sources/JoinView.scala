@@ -53,8 +53,15 @@ final case class JoinViewDef(
     derivedGroups: Seq[DerivedGroup] = Nil,
     distinctTuples: Seq[Seq[String]] = Nil,
     approxCols: Seq[String] = Nil,
-    filter: Option[String] = None) {
+    filter: Option[String] = None,
+    varCols: Seq[String] = Nil) {
   require(groupCols.nonEmpty, "a join view needs group columns")
+  require(varCols.forall(sumCols.contains),
+    "variance columns must also be declared sum columns — VAR/STDDEV " +
+      "decompose over (count, sum, sum-of-squares), and the view " +
+      "stores the first two as sum_<c>/nn_<c>")
+  require(varCols.distinct.size == varCols.size,
+    "variance columns must be distinct")
   require(filter.forall(_.trim.nonEmpty),
     "a view filter must be a non-empty SQL predicate (omit it for the " +
       "unfiltered view)")
@@ -325,6 +332,8 @@ object JoinView {
         jdef.minMaxCols.flatMap(c => Seq(
           ColumnDef(s"min_$c", defOf(c).dataType, nullable = true),
           ColumnDef(s"max_$c", defOf(c).dataType, nullable = true))) ++
+        jdef.varCols.map(c =>
+          ColumnDef(s"ss_$c", ColumnType.AzInt, nullable = false)) ++
         jdef.approxCols.map(c =>
           ColumnDef(Hll.colName(c), ColumnType.AzString,
             nullable = false)))
@@ -504,6 +513,7 @@ object JoinView {
         s""""distinct_tuples":${jdef.distinctTuples
           .map(arr).mkString("[", ",", "]")},""" +
         s""""approx_cols":${arr(jdef.approxCols)},""" +
+        s""""var_cols":${arr(jdef.varCols)},""" +
         s""""filter":"${esc(jdef.filter.getOrElse(""))}",""" +
         s""""derived_groups":$derived,""" +
         s""""dims":$dimArr}""")
@@ -584,7 +594,8 @@ object JoinView {
         locs.toSeq,
         JoinViewDef(seq(root.get("group_cols")), seq(root.get("sum_cols")),
           seq(root.get("minmax_cols")), dims, dcols, derived,
-          tuples, acols, filt)))
+          tuples, acols, filt,
+          Option(root.get("var_cols")).map(seq).getOrElse(Nil))))
     }
   }
 
@@ -804,6 +815,11 @@ object JoinView {
       MatView.requireHllLayout(
         AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
         jdef.approxCols, idxTable,
+        "JoinView.rebuildEpoch (CLI: jv-rebuild)")
+    if (jdef.varCols.nonEmpty)
+      MatView.requireSsLayout(
+        AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
+        jdef.varCols, idxTable,
         "JoinView.rebuildEpoch (CLI: jv-rebuild)")
     MatView.requireFilterFormat(
       MatView.defFormat(spark, idxLake, idxTable), jdef.filter,
@@ -1080,7 +1096,11 @@ object JoinView {
             count(col(c)).as(s"${pfx}nn_$c"))) ++
           jdef.minMaxCols.flatMap(c => Seq(
             min(col(c)).as(s"${pfx}mn_$c"),
-            max(col(c)).as(s"${pfx}mx_$c")))
+            max(col(c)).as(s"${pfx}mx_$c"))) ++
+          // sum of squares: a group homomorphism with an inverse like
+          // sum — the same old − pre + new arithmetic downstream
+          jdef.varCols.map(c =>
+            sum(col(c) * col(c)).as(s"${pfx}q_$c"))
       rows.groupBy(jdef.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
     val touched = groupAgg(adds, "_a_")
@@ -1233,6 +1253,7 @@ object JoinView {
         jdef.minMaxCols.flatMap(c => Seq(
           col(s"min_$c").as(s"_o_mn_$c"),
           col(s"max_$c").as(s"_o_mx_$c"))) ++
+        jdef.varCols.map(c => col(s"ss_$c").as(s"_o_q_$c")) ++
         jdef.approxCols.map(c => col(Hll.colName(c)).as(s"_o_h_$c"))
     val existing = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
       .select(oldCols: _*)
@@ -1278,6 +1299,9 @@ object JoinView {
           when(col("_p_n").isNotNull, col(s"_r_mx_$c"))
             .otherwise(greatest(col(s"_o_mx_$c"), col(s"_a_mx_$c")))
             .as(s"max_$c"))) ++
+        jdef.varCols.map(c =>
+          (z(col(s"_o_q_$c")) + z(col(s"_a_q_$c")) - z(col(s"_p_q_$c")))
+            .as(s"ss_$c")) ++
         jdef.approxCols.map(c =>
           Hll.mergeExpr(s"_o_h_$c", s"_b_h_$c").as(Hll.colName(c)))
     val rows = withRescan.select(finalCols: _*)
@@ -1316,6 +1340,8 @@ object JoinView {
           when(col(s"nn_$c") > 0L, col(s"sum_$c")).as(s"sum_$c"),
           col(s"nn_$c"))) ++
         jdef.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) ++
+        // raw sum-of-squares totals (MatView.serve's reasoning)
+        jdef.varCols.map(c => col(s"ss_$c")) ++
         // the opt-in approx rewrite reads the HLL sketch columns
         // alongside the exact totals (MatView.serve's reasoning)
         (if (withSketches) jdef.approxCols.map(c => col(Hll.colName(c)))
@@ -1324,6 +1350,8 @@ object JoinView {
     val snap = version.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
     MatView.requireNnLayout(snap.schema, jdef.sumCols, idxTable,
+      "JoinView.rebuildEpoch (CLI: jv-rebuild)")
+    MatView.requireSsLayout(snap.schema, jdef.varCols, idxTable,
       "JoinView.rebuildEpoch (CLI: jv-rebuild)")
     if (withSketches)
       MatView.requireHllLayout(snap.schema, jdef.approxCols, idxTable,
@@ -1571,7 +1599,9 @@ object JoinView {
           coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"),
           count(col(c)).as(s"nn_$c"))) ++
         jdef.minMaxCols.flatMap(c => Seq(
-          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        jdef.varCols.map(c =>
+          coalesce(sum(col(c) * col(c)), lit(0L)).as(s"ss_$c"))
     val agg0 = joined.groupBy(jdef.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     val agg = jdef.approxCols.foldLeft(agg0)((d, c) =>
@@ -1587,6 +1617,7 @@ object JoinView {
         jdef.sumCols.flatMap(c => Seq(col(s"sum_$c"), col(s"nn_$c"))) ++
         jdef.minMaxCols.flatMap(c =>
           Seq(col(s"min_$c"), col(s"max_$c"))) ++
+        jdef.varCols.map(c => col(s"ss_$c")) ++
         jdef.approxCols.map(c =>
           coalesce(col(s"_b_h_$c"), lit(Hll.Empty))
             .as(Hll.colName(c)))): _*)

@@ -97,11 +97,18 @@ final case class ViewDef(
     derivedGroups: Seq[DerivedGroup] = Nil,
     distinctTuples: Seq[Seq[String]] = Nil,
     approxCols: Seq[String] = Nil,
-    filter: Option[String] = None) {
+    filter: Option[String] = None,
+    varCols: Seq[String] = Nil) {
   require(groupCols.nonEmpty, "a materialized view needs group columns")
   require(filter.forall(_.trim.nonEmpty),
     "a view filter must be a non-empty SQL predicate (omit it for the " +
       "unfiltered view)")
+  require(varCols.forall(sumCols.contains),
+    "variance columns must also be declared sum columns — VAR/STDDEV " +
+      "decompose over (count, sum, sum-of-squares), and the view " +
+      "stores the first two as sum_<c>/nn_<c>")
+  require(varCols.distinct.size == varCols.size,
+    "variance columns must be distinct")
   require(approxCols.forall(c => !groupCols.contains(c)),
     "APPROX_COUNT_DISTINCT over a group column needs no sketch — view " +
       "rows are distinct group tuples; declare non-group columns only")
@@ -267,6 +274,8 @@ object MatView {
         view.minMaxCols.flatMap(c => Seq(
           ColumnDef(s"min_$c", defOf(c).dataType, nullable = true),
           ColumnDef(s"max_$c", defOf(c).dataType, nullable = true))) ++
+        view.varCols.map(c =>
+          ColumnDef(s"ss_$c", ColumnType.AzInt, nullable = false)) ++
         view.approxCols.map(c =>
           ColumnDef(Hll.colName(c), ColumnType.AzString,
             nullable = false)))
@@ -546,6 +555,25 @@ object MatView {
     approxCols.forall(c => names.contains(Hll.colName(c)))
   }
 
+  /** Whether the view table's schema carries the `ss_<c>` sum-of-
+    * squares column for every declared variance column — false for a
+    * table built before the declaration existed.
+    */
+  def ssLayoutOk(schema: TableSchema, varCols: Seq[String]): Boolean = {
+    val names = schema.columns.map(_.name).toSet
+    varCols.forall(c => names.contains(s"ss_$c"))
+  }
+
+  /** [[ssLayoutOk]] that refuses LOUDLY, naming the rebuild remedy. */
+  private[sources] def requireSsLayout(
+      schema: TableSchema, varCols: Seq[String], table: String,
+      remedy: String): Unit =
+    if (!ssLayoutOk(schema, varCols))
+      throw new IllegalStateException(
+        s"view table '$table' lacks the ss_ sum-of-squares column(s) " +
+          "for its declared variance column(s) — it predates the " +
+          s"declaration and must be rebuilt: $remedy")
+
   /** [[hllLayoutOk]] that refuses LOUDLY, naming the rebuild remedy. */
   private[sources] def requireHllLayout(
       schema: TableSchema, approxCols: Seq[String], table: String,
@@ -694,6 +722,7 @@ object MatView {
         s""""distinct_tuples":${view.distinctTuples
           .map(arr).mkString("[", ",", "]")},""" +
         s""""approx_cols":${arr(view.approxCols)},""" +
+        s""""var_cols":${arr(view.varCols)},""" +
         s""""filter":"${esc(view.filter.getOrElse(""))}",""" +
         s""""derived_groups":$derived}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -740,7 +769,7 @@ object MatView {
         root.get("source_table").asText,
         ViewDef(seq("group_cols"), seq("sum_cols"), seq("minmax_cols"),
           seq("distinct_cols"), derived, tuples,
-          seq("approx_cols"), filt)))
+          seq("approx_cols"), filt, seq("var_cols"))))
     }
   }
 
@@ -1073,6 +1102,11 @@ object MatView {
         AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
         view.approxCols, idxTable,
         "MatView.rebuildEpoch (CLI: mv-rebuild)")
+    if (view.varCols.nonEmpty)
+      requireSsLayout(
+        AzofTable(spark, idxLake, idxTable).currentSnapshot.schema,
+        view.varCols, idxTable,
+        "MatView.rebuildEpoch (CLI: mv-rebuild)")
     requireFilterFormat(defFormat(spark, idxLake, idxTable), view.filter,
       idxTable, "MatView.rebuildEpoch (CLI: mv-rebuild)")
     val appId = AzofSink.appIdFor(checkpoint)
@@ -1114,7 +1148,11 @@ object MatView {
           count(col(c)).as(s"${pfx}nn_$c"))) ++
         view.minMaxCols.flatMap(c => Seq(
           min(col(c)).as(s"${pfx}mn_$c"),
-          max(col(c)).as(s"${pfx}mx_$c")))
+          max(col(c)).as(s"${pfx}mx_$c"))) ++
+        // sum of squares: a group homomorphism with an inverse exactly
+        // like sum — same old − pre + new arithmetic downstream
+        view.varCols.map(c =>
+          sum(col(c) * col(c)).as(s"${pfx}q_$c"))
     rows.groupBy(view.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -1412,6 +1450,7 @@ object MatView {
         view.minMaxCols.flatMap(c => Seq(
           col(s"min_$c").as(s"_o_mn_$c"),
           col(s"max_$c").as(s"_o_mx_$c"))) ++
+        view.varCols.map(c => col(s"ss_$c").as(s"_o_q_$c")) ++
         view.approxCols.map(c => col(Hll.colName(c)).as(s"_o_h_$c"))
     val existing = graft.operators.AzofScan.scan(spark, idxLake, idxTable)
       .select(oldCols: _*)
@@ -1456,6 +1495,9 @@ object MatView {
           when(col("_p_n").isNotNull, col(s"_r_mx_$c"))
             .otherwise(greatest(col(s"_o_mx_$c"), col(s"_a_mx_$c")))
             .as(s"max_$c"))) ++
+        view.varCols.map(c =>
+          (z(col(s"_o_q_$c")) + z(col(s"_a_q_$c")) - z(col(s"_p_q_$c")))
+            .as(s"ss_$c")) ++
         view.approxCols.map(c =>
           Hll.mergeExpr(s"_o_h_$c", s"_b_h_$c").as(Hll.colName(c)))
     (withRescan.select(outCols: _*), dvRows, maxV)
@@ -1480,6 +1522,10 @@ object MatView {
           when(col(s"nn_$c") > 0L, col(s"sum_$c")).as(s"sum_$c"),
           col(s"nn_$c"))) ++
         view.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) ++
+        // raw sum-of-squares totals: additive at every rollup grain,
+        // guarded by nn at the point of use (a leaf expression, like
+        // sum's nn gate, decides NULL semantics)
+        view.varCols.map(c => col(s"ss_$c")) ++
         // the opt-in approx rewrite reads the HLL sketch columns
         // alongside the exact totals (the served estimate merges them
         // at the query's grain)
@@ -1489,6 +1535,8 @@ object MatView {
     val snap = version.map(v => t.snapshot(v.toString))
       .getOrElse(t.currentSnapshot)
     requireNnLayout(snap.schema, view.sumCols, idxTable,
+      "MatView.rebuildEpoch (CLI: mv-rebuild)")
+    requireSsLayout(snap.schema, view.varCols, idxTable,
       "MatView.rebuildEpoch (CLI: mv-rebuild)")
     if (withSketches)
       requireHllLayout(snap.schema, view.approxCols, idxTable,
@@ -1784,6 +1832,8 @@ object MatView {
         view.minMaxCols.flatMap(c => Seq(
           col(s"_a_mn_$c").as(s"min_$c"),
           col(s"_a_mx_$c").as(s"max_$c"))) ++
+        view.varCols.map(c =>
+          coalesce(col(s"_a_q_$c"), lit(0L)).as(s"ss_$c")) ++
         view.approxCols.map(c =>
           coalesce(col(s"_b_h_$c"), lit(Hll.Empty)).as(Hll.colName(c)))
     val rows = agg.select(outCols: _*)

@@ -1710,6 +1710,236 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("COST-BASED candidate choice: when two fresh views cover one " +
+    "query, the SMALLEST stored grain serves (row-stats estimate), " +
+    "not the first-declared; staleness of the winner falls back to " +
+    "the other covering candidate") {
+    val l = Files.createTempDirectory("azof-mvrw-cost").toString
+    AzofWriter.createTable(spark, l, "src", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src", df(
+      ("1", "2024-01-02T00:00:00Z", "a", "x", 10L),
+      ("2", "2024-01-02T00:00:00Z", "a", "y", 4L),
+      ("3", "2024-01-02T00:00:00Z", "b", "x", 7L),
+      ("4", "2024-01-02T00:00:00Z", "b", "y", 2L)))                  // v2
+    val fine = ViewDef(Seq("g1", "g2"), sumCols = Seq("v"))
+    val coarse = ViewDef(Seq("g1"), sumCols = Seq("v"))
+    val ck1 = Files.createTempDirectory("azof-mvrw-cost-ck1").toString
+    val ck2 = Files.createTempDirectory("azof-mvrw-cost-ck2").toString
+    assert(MatView.refresh(spark, l, "src", l, "mvfine", fine, ck1)
+      .awaitTermination(120000))
+    assert(MatView.refresh(spark, l, "src", l, "mvcoarse", coarse, ck2)
+      .awaitTermination(120000))
+    spark.conf.set("spark.azof.path", l)
+    // the FINE view is declared FIRST — only the cost choice can pick
+    // the coarse one
+    spark.conf.set("spark.azof.mv.rewrite", "mvfine,mvcoarse")
+    try {
+      def servedFrom(q: org.apache.spark.sql.DataFrame): Seq[String] =
+        q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        }.flatten
+      val q1 = spark.sql(
+        "SELECT g1, sum(v) AS s FROM azof.src GROUP BY g1")
+      assert(!scansSrc(q1))
+      val paths1 = servedFrom(q1)
+      assert(paths1.exists(_.contains("mvcoarse")) &&
+        !paths1.exists(_.contains("mvfine")),
+        s"the 2-row coarse view must beat the 4-row fine one: $paths1")
+      assert(q1.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("a", 14L), ("b", 9L)))
+      // a (g1, g2)-grain query only the FINE view covers still serves
+      val q2 = spark.sql(
+        "SELECT g1, g2, sum(v) AS s FROM azof.src GROUP BY g1, g2")
+      assert(!scansSrc(q2) &&
+        servedFrom(q2).exists(_.contains("mvfine")))
+      // churn + refresh ONLY the fine view: the stale coarse winner
+      // drops out and the fresh fine rollup serves
+      AzofWriter.commitDelta(spark, l, "src", df(
+        ("5", "2024-02-05T00:00:00Z", "b", "x", 100L)),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))      // v3
+      // the SAME checkpoint continues the fine view's feed (a fresh
+      // checkpoint would replay the whole source as a bootstrap batch)
+      assert(MatView.refresh(spark, l, "src", l, "mvfine", fine, ck1)
+        .awaitTermination(120000))
+      val q3 = spark.sql(
+        "SELECT g1, sum(v) AS s FROM azof.src GROUP BY g1")
+      assert(!scansSrc(q3) &&
+        servedFrom(q3).exists(_.contains("mvfine")) &&
+        !servedFrom(q3).exists(_.contains("mvcoarse")),
+        "the only FRESH covering candidate serves: " +
+          servedFrom(q3) + "\n" + q3.queryExecution.optimizedPlan)
+      assert(q3.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("a", 14L), ("b", 109L)),
+        "q3 values off; plan:\n" + q3.queryExecution.optimizedPlan +
+          "\nexecuted:\n" + q3.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  test("VAR/STDDEV serve from ss_ sum-of-squares: the DDL infers " +
+    "var_samp/stddev_samp/var_pop declarations, the rewrite serves " +
+    "the fixed-operand-order rational at the exact grain AND a " +
+    "rollup, values equal the decomposition exactly, a one-row group " +
+    "serves NULL var_samp, and an UNDECLARED column falls back") {
+    val l = Files.createTempDirectory("azof-mvrw-var").toString
+    val s2 = TableSchema(Seq(
+      ColumnDef("g1", ColumnType.AzString, nullable = false),
+      ColumnDef("g2", ColumnType.AzString, nullable = false),
+      ColumnDef("w", ColumnType.AzInt, nullable = true),
+      ColumnDef("u", ColumnType.AzInt, nullable = false)))
+    AzofWriter.createTable(spark, l, "src", s2,
+      ts("2024-01-01T00:00:00Z"))
+    def rows(xs: (String, String, String, Any, Long)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(xs.map { case (k, a, b, w, u) =>
+          Row(k, Timestamp.from(ts("2024-01-02T00:00:00Z")), a, b,
+            w match { case null => null; case x: Long => x }, u) }),
+        s2.toStruct)
+    AzofWriter.commitBase(spark, l, "src", rows(
+      ("1", "a", "x", 10L, 1L), ("2", "a", "x", 4L, 2L),
+      ("3", "a", "y", 7L, 3L), ("4", "b", "x", 9L, 4L),
+      ("5", "a", "y", null, 5L)))                                    // v2
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "vmv")
+    try {
+      spark.sql("CREATE MATERIALIZED VIEW vmv AS SELECT g1, g2, " +
+        "count(*) AS n, sum(w) AS s, var_samp(w) AS vs, " +
+        "stddev_samp(w) AS sd, var_pop(w) AS vp " +
+        "FROM azof.src GROUP BY g1, g2").collect()
+      val (_, _, vd) = MatView.readDef(spark, l, "vmv").get
+      assert(vd.varCols == Seq("w") && vd.sumCols == Seq("w"),
+        vd.toString)
+      // exact grain: (a,x) has w ∈ {10,4} → var_samp 18, stddev
+      // sqrt(18), var_pop 9; (a,y) has ONE non-null w → var_samp NULL
+      // but var_pop 0.0; (b,x) one value likewise
+      val q1 = spark.sql("SELECT g1, g2, var_samp(w) AS vs, " +
+        "stddev_samp(w) AS sd, var_pop(w) AS vp FROM azof.src " +
+        "GROUP BY g1, g2")
+      assert(!scansSrc(q1), "declared var must serve:\n" +
+        q1.queryExecution.optimizedPlan)
+      val got1 = q1.collect().map(r => ((r.getString(0), r.getString(1)),
+        (if (r.isNullAt(2)) null else r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+      assert(got1(("a", "x")) == ((18.0, math.sqrt(18.0), 9.0)) &&
+        got1(("a", "y")) == ((null, null, 0.0)) &&
+        got1(("b", "x")) == ((null, null, 0.0)), got1.toString)
+      // ROLLUP grain: g1 = a has w ∈ {10,4,7}, n=3, s=21, ss=165 →
+      // var_samp = (165 − 441/3)/2 = 9, var_pop = 6
+      val q2 = spark.sql("SELECT g1, var_samp(w) AS vs, " +
+        "var_pop(w) AS vp FROM azof.src GROUP BY g1")
+      assert(!scansSrc(q2), "rollup var must serve:\n" +
+        q2.queryExecution.optimizedPlan)
+      val got2 = q2.collect().map(r => (r.getString(0),
+        (if (r.isNullAt(1)) null else r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+      assert(got2("a") == (((165.0 - 441.0 / 3.0) / 2.0, 6.0)) &&
+        got2("b") == ((null, 0.0)), got2.toString)
+      // the UNDECLARED column u falls back to the corpus
+      assert(scansSrc(spark.sql(
+        "SELECT g1, var_samp(u) AS vu FROM azof.src GROUP BY g1")))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
+  test("SNOWFLAKE chain pins: VERSION AS OF on all three tables " +
+    "serves when every pin is view-identical (the FLATTENED pin " +
+    "vector walks the sub too); a SUB pin below its re-region " +
+    "refuses and time-travels; the refreshed sub pin serves again") {
+    import graft.sources.{DimJoin, JoinView, JoinViewDef}
+    val l = Files.createTempDirectory("azof-mvrw-snowpin").toString
+    val factSchema = TableSchema(Seq(
+      ColumnDef("fk", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val dimSchema = TableSchema(Seq(
+      ColumnDef("sfk", ColumnType.AzString, nullable = false),
+      ColumnDef("tier", ColumnType.AzString, nullable = false)))
+    val subSchema = TableSchema(Seq(
+      ColumnDef("region", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "sub", subSchema,
+      ts("2024-01-01T00:00:00Z"))
+    val at0 = Timestamp.from(ts("2024-01-02T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "sub", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("s1", at0, "r1"), Row("s2", at0, "r2"))),
+      subSchema.toStruct))                                           // v2
+    AzofWriter.commitBase(spark, l, "dim", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("d1", at0, "s1", "t1"), Row("d2", at0, "s2", "t2"))),
+      dimSchema.toStruct))                                           // v2
+    AzofWriter.commitBase(spark, l, "fact", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("1", at0, "d1", 10L), Row("2", at0, "d1", 4L),
+        Row("3", at0, "d2", 7L))),
+      factSchema.toStruct))                                          // v2
+    val sdef = JoinViewDef(Seq("tier", "region"), sumCols = Seq("v"),
+      dims = Seq(DimJoin("fk", Seq("tier"),
+        subs = Seq(DimJoin("sfk", Seq("region"))))))
+    JoinView.refresh(spark, l, "fact", Seq((l, "dim"), (l, "sub")),
+      l, "sjv", sdef)
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "sjv")
+    try {
+      def joins(q: org.apache.spark.sql.DataFrame) =
+        q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      def chain(subPin: String) =
+        "SELECT tier, region, count(*) AS n, sum(v) AS sv " +
+          "FROM azof.fact VERSION AS OF 2 AS f " +
+          "JOIN azof.dim VERSION AS OF 2 AS d ON f.fk = d.key " +
+          s"JOIN azof.sub $subPin r ON d.sfk = r.key " +
+          "GROUP BY tier, region"
+      val q2 = spark.sql(chain("VERSION AS OF 2"))
+      assert(!scansSrc(q2) && joins(q2).isEmpty,
+        "view-identical pins through the chain serve:\n" +
+          q2.queryExecution.optimizedPlan)
+      assert(q2.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq ==
+        Seq(("t1", "r1", 2L, 14L), ("t2", "r2", 1L, 7L)))
+      // SUB churn + refresh: the OLD sub pin refuses and time-travels
+      AzofWriter.commitDelta(spark, l, "sub", spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("s1", Timestamp.from(ts("2024-02-05T00:00:00Z")), "r9"))),
+        subSchema.toStruct),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))  // sub v3
+      JoinView.refresh(spark, l, "fact", Seq((l, "dim"), (l, "sub")),
+        l, "sjv", sdef)
+      val qStale = spark.sql(chain("VERSION AS OF 2"))
+      assert(scansSrc(qStale),
+        "a sub pin below its re-region must NOT serve:\n" +
+          qStale.queryExecution.optimizedPlan)
+      assert(qStale.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).sortBy(_._1).toSeq ==
+        Seq(("t1", "r1", 2L), ("t2", "r2", 1L)),
+        "fallback time-travels the sub")
+      val vs = graft.format.AzofTable(spark, l, "sub").currentVersion
+      val qNew = spark.sql(chain(s"VERSION AS OF $vs"))
+      assert(!scansSrc(qNew) && joins(qNew).isEmpty,
+        "the refreshed sub pin serves again")
+      assert(qNew.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).sortBy(_._1).toSeq ==
+        Seq(("t1", "r9", 2L), ("t2", "r2", 1L)))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   test("filtered-view rewrite matrix: the exact WHERE serves; an " +
     "IMPLYING subset (g1 = 'a' under g1 IN ('a','b')) serves with the " +
     "residue applied; a superset or missing WHERE falls back; a " +

@@ -400,6 +400,101 @@ class ViewDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("SNOWFLAKE star view via DDL (fact ⋈ dim ⋈ sub): CREATE infers " +
+    "the one-hop chain, the defining query serves plan-gated, churn " +
+    "at EVERY level refreshes exactly, a chain-less query falls back, " +
+    "and DESCRIBE renders the chain") {
+    val l = Files.createTempDirectory("azof-ddl-snow").toString
+    val factSchema = TableSchema(Seq(
+      ColumnDef("fk", ColumnType.AzString, nullable = false),
+      ColumnDef("v", ColumnType.AzInt, nullable = false)))
+    val dimSchema = TableSchema(Seq(
+      ColumnDef("sfk", ColumnType.AzString, nullable = false),
+      ColumnDef("tier", ColumnType.AzString, nullable = false)))
+    val subSchema = TableSchema(Seq(
+      ColumnDef("region", ColumnType.AzString, nullable = false)))
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "sub", subSchema,
+      ts("2024-01-01T00:00:00Z"))
+    def dimRows(rows: (String, String, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, s, t) =>
+          Row(k, Timestamp.from(ts("2024-01-02T00:00:00Z")), s, t) }),
+        dimSchema.toStruct)
+    AzofWriter.commitBase(spark, l, "sub", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("s1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "r1"),
+        Row("s2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "r2"))),
+      subSchema.toStruct))
+    AzofWriter.commitBase(spark, l, "dim", dimRows(
+      ("d1", "s1", "t1"), ("d2", "s2", "t2")))
+    AzofWriter.commitBase(spark, l, "fact", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("1", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 10L),
+        Row("2", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d1", 4L),
+        Row("3", Timestamp.from(ts("2024-01-02T00:00:00Z")), "d2", 7L))),
+      factSchema.toStruct))
+    withLake(l) {
+      val q = "SELECT tier, region, count(*) AS n, sum(v) AS s " +
+        "FROM azof.fact f JOIN azof.dim d ON f.fk = d.key " +
+        "JOIN azof.sub r ON d.sfk = r.key GROUP BY tier, region"
+      spark.sql(s"CREATE MATERIALIZED VIEW sjv AS $q").collect()
+      val (_, _, locs, jdef) = JoinView.readDef(spark, l, "sjv").get
+      assert(jdef.dims == Seq(graft.sources.DimJoin("fk", Seq("tier"),
+        subs = Seq(graft.sources.DimJoin("sfk", Seq("region"))))) &&
+        locs == Seq((l, "dim"), (l, "sub")), (jdef, locs).toString)
+      val served0 = spark.sql(q)
+      assert(!scansSrc(served0), "the defining chain query must " +
+        "rewrite:\n" + served0.queryExecution.optimizedPlan)
+      assert(rows(served0) == Seq(Seq("t1", "r1", 2L, 14L),
+        Seq("t2", "r2", 1L, 7L)), rows(served0).toString)
+      // a region-grain ROLLUP serves from the same chain view
+      val roll = spark.sql("SELECT region, sum(v) AS s " +
+        "FROM azof.fact f JOIN azof.dim d ON f.fk = d.key " +
+        "JOIN azof.sub r ON d.sfk = r.key GROUP BY region")
+      assert(!scansSrc(roll) &&
+        rows(roll) == Seq(Seq("r1", 14L), Seq("r2", 7L)))
+      // a CHAIN-LESS query (no sub join) must fall back — the view's
+      // inner sub join could have dropped rows this query keeps
+      assert(scansSrc(spark.sql("SELECT tier, count(*) AS n " +
+        "FROM azof.fact f JOIN azof.dim d ON f.fk = d.key " +
+        "GROUP BY tier")))
+      // churn at EVERY level: sub re-region, dim sub-fk re-point,
+      // fact revision — one SQL REFRESH absorbs all three
+      AzofWriter.commitDelta(spark, l, "sub", spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("s1", Timestamp.from(ts("2024-02-05T00:00:00Z")), "r9"))),
+        subSchema.toStruct),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      AzofWriter.commitDelta(spark, l, "dim", spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("d2", Timestamp.from(ts("2024-02-05T00:00:00Z")),
+            "s1", "t2"))),
+        dimSchema.toStruct),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      AzofWriter.commitDelta(spark, l, "fact", spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("2", Timestamp.from(ts("2024-02-05T00:00:00Z")),
+            "d2", 5L))),
+        factSchema.toStruct),
+        ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))
+      assert(scansSrc(spark.sql(q)), "stale chain view must fall back")
+      spark.sql("REFRESH MATERIALIZED VIEW sjv").collect()
+      val fresh = spark.sql(q)
+      assert(!scansSrc(fresh))
+      assert(rows(fresh) == Seq(Seq("t1", "r9", 1L, 10L),
+        Seq("t2", "r9", 2L, 12L)), rows(fresh).toString)
+      // DESCRIBE renders the chain hop
+      val props = spark.sql("DESCRIBE MATERIALIZED VIEW sjv").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.contains("dim fk ⋈ sfk") &&
+        props("dim fk ⋈ sfk").contains("sub"), props.toString)
+    }
+  }
+
   test("DDL UX: leading comments dispatch, EXPLAIN describes without " +
     "creating, backquoted dotted identifiers are literal, near-miss " +
     "statements fall through to the delegate parser") {
@@ -491,10 +586,17 @@ class ViewDdlSpec extends AnyFunSuite {
         "count(*) AS n FROM azof.src WHERE v IN " +
         "(SELECT id FROM range(5)) GROUP BY g")
         .contains("subquery"))
+      // variance of a non-BIGINT column refuses (integer moments are
+      // what make the (n, s, ss) decomposition exact)
+      assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +
+        "var_samp(b) AS vb FROM azof.src GROUP BY g")
+        .contains("BIGINT"))
       assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, v " +
         "FROM azof.src").contains("aggregate"))
+      // stddev/var_samp are now SUPPORTED (ss_ decomposition) — a
+      // genuinely non-decomposable aggregate still refuses
       assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +
-        "stddev(v) AS sd FROM azof.src GROUP BY g")
+        "skewness(v) AS sk FROM azof.src GROUP BY g")
         .contains("unsupported"))
       assert(refusal("CREATE MATERIALIZED VIEW m AS SELECT g, " +
         "count(*) FILTER (WHERE v > 5) AS n FROM azof.src GROUP BY g")

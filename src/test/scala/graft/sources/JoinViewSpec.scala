@@ -811,4 +811,164 @@ class JoinViewSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("jv-rebuild"), e2.getMessage)
   }
+
+  // ---- SNOWFLAKE (one-hop dim-of-dim) chains ----
+
+  private val dimSnowSchema = TableSchema(Seq(
+    ColumnDef("sfk", ColumnType.AzString, nullable = false),
+    ColumnDef("tier", ColumnType.AzString, nullable = false)))
+  private val subSchema = TableSchema(Seq(
+    ColumnDef("region", ColumnType.AzString, nullable = false)))
+  private val snowDef = JoinViewDef(Seq("tier", "region"),
+    sumCols = Seq("v"), minMaxCols = Seq("v"),
+    dims = Seq(DimJoin("fk", Seq("tier"),
+      subs = Seq(DimJoin("sfk", Seq("region"))))))
+
+  private def snowDims(rows: (String, String, String, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, t, sfk, tier) =>
+        Row(k, Timestamp.from(ts(t)), sfk, tier) }),
+      dimSnowSchema.toStruct)
+
+  private def subs(rows: (String, String, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, t, r) =>
+        Row(k, Timestamp.from(ts(t)), r) }),
+      subSchema.toStruct)
+
+  private def snowServed(l: String) =
+    JoinView.serve(spark, l, "sjv", snowDef)
+      .select("tier", "region", "n_rows", "sum_v", "min_v", "max_v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+  private def snowOneShot(l: String) = {
+    val f = AzofScan.scan(spark, l, "fact").select("fk", "v")
+    val d = AzofScan.scan(spark, l, "dim")
+      .select(col(TableSchema.KeyName).as("_dk"), col("sfk"), col("tier"))
+    val s = AzofScan.scan(spark, l, "sub")
+      .select(col(TableSchema.KeyName).as("_sk"), col("region"))
+    f.join(d, f("fk") === d("_dk")).join(s, col("sfk") === s("_sk"))
+      .groupBy("tier", "region")
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(x => (x._1, x._2)).toSeq
+  }
+
+  private def snowScript(bMax: Long): Unit = {
+    val l = Files.createTempDirectory("azof-jv-snow").toString
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSnowSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "sub", subSchema,
+      ts("2024-01-01T00:00:00Z"))
+    def rf() = JoinView.refresh(spark, l, "fact",
+      Seq((l, "dim"), (l, "sub")), l, "sjv", snowDef,
+      broadcastKeyMax = bMax)
+    AzofWriter.commitBase(spark, l, "sub", subs(
+      ("s1", "2024-01-02T00:00:00Z", "r1"),
+      ("s2", "2024-01-02T00:00:00Z", "r2")))                         // sub v2
+    AzofWriter.commitBase(spark, l, "dim", snowDims(
+      ("d1", "2024-01-02T00:00:00Z", "s1", "t1"),
+      ("d2", "2024-01-02T00:00:00Z", "s2", "t2"),
+      ("d3", "2024-01-02T00:00:00Z", "sX", "t1")))   // dangling sub fk
+    AzofWriter.commitBase(spark, l, "fact", facts(
+      ("1", "2024-01-02T00:00:00Z", "d1", 10L),
+      ("2", "2024-01-02T00:00:00Z", "d1", 4L),
+      ("3", "2024-01-02T00:00:00Z", "d2", 7L),
+      ("4", "2024-01-02T00:00:00Z", "d3", 99L)))                     // fact v2
+    val r1 = rf()
+    assert(!r1.noop && snowServed(l) == snowOneShot(l))
+    assert(snowServed(l) == Seq(("t1", "r1", 2L, 14L, 4L, 10L),
+      ("t2", "r2", 1L, 7L, 7L, 7L)),
+      "a dim with a dangling sub fk contributes nothing: " +
+        snowServed(l))
+    // SUB-ONLY churn: s1 re-regions r1→r9 (facts move groups TWO hops
+    // away with no dim/fact churn) and sX appears (adopting d3's fact)
+    AzofWriter.commitDelta(spark, l, "sub", subs(
+      ("s1", "2024-02-05T00:00:00Z", "r9"),
+      ("sX", "2024-02-05T00:00:00Z", "r2")),
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // sub v3
+    rf()
+    assert(snowServed(l) == snowOneShot(l))
+    assert(snowServed(l) == Seq(("t1", "r2", 1L, 99L, 99L, 99L),
+      ("t1", "r9", 2L, 14L, 4L, 10L), ("t2", "r2", 1L, 7L, 7L, 7L)),
+      snowServed(l).toString)
+    // DIM churn: d1 re-points its sub fk s1→s2 (region moves via the
+    // dim edit) and d2 re-tiers t2→t9
+    AzofWriter.commitDelta(spark, l, "dim", snowDims(
+      ("d1", "2024-03-05T00:00:00Z", "s2", "t1"),
+      ("d2", "2024-03-05T00:00:00Z", "s2", "t9")),
+      ts("2024-03-01T00:00:00Z"), ts("2024-04-01T00:00:00Z"))        // dim v3
+    rf()
+    assert(snowServed(l) == snowOneShot(l))
+    // FACT churn composes: a revision moves d1→d2 and a delete
+    AzofWriter.commitDelta(spark, l, "fact", facts(
+      ("1", "2024-04-05T00:00:00Z", "d2", 11L)),
+      ts("2024-04-01T00:00:00Z"), ts("2024-05-01T00:00:00Z"))        // fact v3
+    AzofWriter.commitDelete(spark, l, "fact", Seq("3"),
+      ts("2024-05-05T00:00:00Z"))                                    // fact v4
+    rf()
+    assert(snowServed(l) == snowOneShot(l))
+    // SUB delete drops every fact two hops above it (inner chain)
+    AzofWriter.commitDelete(spark, l, "sub", Seq("sX"),
+      ts("2024-06-05T00:00:00Z"))                                    // sub v4
+    rf()
+    assert(snowServed(l) == snowOneShot(l))
+    assert(rf().noop, "idle snowflake refresh must be a noop")
+  }
+
+  test("SNOWFLAKE chain (fact ⋈ dim ⋈ sub): serve ≡ one-shot under " +
+    "sub-only re-region/insert, dim sub-fk re-point + re-tier, fact " +
+    "churn, and a sub delete — broadcast-guard shape") {
+    snowScript(bMax = Long.MaxValue)
+  }
+
+  test("SNOWFLAKE chain: the same script on the LARGE-churn guard " +
+    "shape (semi-join lookups, no key collects)") {
+    snowScript(bMax = 0L)
+  }
+
+  test("SNOWFLAKE def round-trips through the sidecar; a subs-bearing " +
+    "sidecar hand-downgraded below the snowflake stamp refuses the " +
+    "refresh loudly naming jv-rebuild") {
+    val l = Files.createTempDirectory("azof-jv-snowfmt").toString
+    AzofWriter.createTable(spark, l, "fact", factSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "dim", dimSnowSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.createTable(spark, l, "sub", subSchema,
+      ts("2024-01-01T00:00:00Z"))
+    JoinView.create(spark, l, "fact", Seq((l, "dim"), (l, "sub")),
+      l, "sjv", snowDef)
+    val read = JoinView.readDef(spark, l, "sjv")
+    assert(read.exists { case (_, _, locs, jd) =>
+      locs == Seq((l, "dim"), (l, "sub")) && jd == snowDef },
+      read.toString)
+    val defHP = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(l, "sjv"), JoinView.DefFileName)
+    val dfs = defHP.getFileSystem(spark.sessionState.newHadoopConf())
+    val oldJson = {
+      val in = dfs.open(defHP)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val out = dfs.create(defHP, true)
+    try out.write(oldJson.replace(
+      "\"format\":" + JoinView.FormatVersion, "\"format\":4")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    MatView.invalidateDefFormat(l, "sjv")
+    val e = intercept[IllegalStateException] {
+      JoinView.refresh(spark, l, "fact", Seq((l, "dim"), (l, "sub")),
+        l, "sjv", snowDef); ()
+    }
+    assert(e.getMessage.contains("jv-rebuild") &&
+      e.getMessage.contains("snowflake"), e.getMessage)
+  }
 }

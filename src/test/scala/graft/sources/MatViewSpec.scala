@@ -1056,6 +1056,79 @@ class MatViewSpec extends AnyFunSuite {
       "a closed root's delta at-or-below the coordinate reads the " +
         "same both ways — validates")
   }
+
+  test("VARIANCE columns: ss_<c> sum-of-squares maintained by the " +
+    "same old − pre + new arithmetic through value churn, null flips " +
+    "in both directions, and deletes; a varCols def over an ss-less " +
+    "table refuses loudly naming mv-rebuild") {
+    val nSchema = TableSchema(Seq(
+      ColumnDef("grp", ColumnType.AzString, nullable = false),
+      ColumnDef("w", ColumnType.AzInt, nullable = true)))
+    def nRows(rows: (String, String, Any)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, g, w) =>
+          Row(k, Timestamp.from(ts("2024-01-02T00:00:00Z")), g,
+            w match { case null => null; case x: Long => x }) }),
+        nSchema.toStruct)
+    val vd = ViewDef(Seq("grp"), sumCols = Seq("w"),
+      varCols = Seq("w"))
+    val l = Files.createTempDirectory("azof-mv-var").toString
+    val ck = Files.createTempDirectory("azof-mv-var-ck").toString
+    AzofWriter.createTable(spark, l, "src", nSchema,
+      ts("2024-01-01T00:00:00Z"))
+    def rf(): Unit = {
+      val q = MatView.refresh(spark, l, "src", l, "vmv", vd, ck)
+      assert(q.awaitTermination(120000))
+    }
+    def check(): Unit = {
+      val got = MatView.serve(spark, l, "vmv", vd)
+        .select("grp", "n_rows", "sum_w", "nn_w", "ss_w")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3),
+          r.getLong(4))).sortBy(_._1).toSeq
+      val want = AzofScan.scan(spark, l, "src").groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("s"),
+          count(col("w")).as("nn"),
+          coalesce(sum(col("w") * col("w")), lit(0L)).as("ss"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3),
+          r.getLong(4))).sortBy(_._1).toSeq
+      assert(got == want, s"served $got != one-shot $want")
+    }
+    AzofWriter.commitBase(spark, l, "src", nRows(
+      ("1", "a", 10L), ("2", "a", 4L), ("3", "b", 7L),
+      ("4", "a", null), ("5", "b", null)))                           // v2
+    rf(); check()
+    // value churn + null flips BOTH directions + a group move
+    AzofWriter.commitDelta(spark, l, "src", nRows(
+      ("1", "a", 13L),      // value churn: ss subtracts 100, adds 169
+      ("4", "a", 6L),       // null → value
+      ("3", "b", null),     // value → null
+      ("2", "b", 4L)),      // group move a → b
+      ts("2024-02-01T00:00:00Z"), ts("2024-03-01T00:00:00Z"))        // v3
+    rf(); check()
+    AzofWriter.commitDelete(spark, l, "src", Seq("1", "5"),
+      ts("2024-03-05T00:00:00Z"))                                    // v4
+    rf(); check()
+    // an ALL-NULL group serves ss = 0 with nn = 0
+    AzofWriter.commitDelta(spark, l, "src", nRows(("9", "z", null)),
+      ts("2024-04-01T00:00:00Z"), ts("2024-05-01T00:00:00Z"))        // v5
+    rf(); check()
+    // a varCols def against a table built WITHOUT ss refuses loudly
+    val l2 = Files.createTempDirectory("azof-mv-var-old").toString
+    val ck2 = Files.createTempDirectory("azof-mv-var-old-ck").toString
+    AzofWriter.createTable(spark, l2, "src", nSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l2, "src", nRows(("1", "a", 1L)))
+    MatView.create(spark, l2, "src", l2, "vmv2",
+      ViewDef(Seq("grp"), sumCols = Seq("w")))
+    val e = intercept[IllegalStateException] {
+      val q = MatView.refresh(spark, l2, "src", l2, "vmv2", vd, ck2)
+      q.awaitTermination(120000); ()
+    }
+    assert(e.getMessage.contains("mv-rebuild") &&
+      e.getMessage.contains("ss_"), e.getMessage)
+  }
 }
 
 /** RawLocalFileSystem counting distinct parquet data files opened under
