@@ -1710,6 +1710,44 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("HAVING composes above the rewrite: the Filter over the " +
+    "aggregate's output survives on the served frame (exprIds " +
+    "preserved by the replacement Project) — grain serve, rollup, " +
+    "and a HAVING over an avg tree all plan-gated") {
+    val l = Files.createTempDirectory("azof-mvrw-having").toString
+    AzofWriter.createTable(spark, l, "src", srcSchema,
+      ts("2024-01-01T00:00:00Z"))
+    AzofWriter.commitBase(spark, l, "src", df(
+      ("1", "2024-01-02T00:00:00Z", "a", "x", 10L),
+      ("2", "2024-01-02T00:00:00Z", "a", "y", 4L),
+      ("3", "2024-01-02T00:00:00Z", "b", "x", 7L),
+      ("4", "2024-01-02T00:00:00Z", "c", "x", 2L)))                  // v2
+    val vd = ViewDef(Seq("g1", "g2"), sumCols = Seq("v"))
+    val ck = Files.createTempDirectory("azof-mvrw-having-ck").toString
+    assert(MatView.refresh(spark, l, "src", l, "hmv", vd, ck)
+      .awaitTermination(120000))
+    spark.conf.set("spark.azof.path", l)
+    spark.conf.set("spark.azof.mv.rewrite", "hmv")
+    try {
+      val q1 = spark.sql("SELECT g1, g2, sum(v) AS s FROM azof.src " +
+        "GROUP BY g1, g2 HAVING sum(v) > 5")
+      assert(!scansSrc(q1), "HAVING at the exact grain must serve:\n" +
+        q1.queryExecution.optimizedPlan)
+      assert(q1.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq ==
+        Seq(("a", "x", 10L), ("b", "x", 7L)))
+      val q2 = spark.sql("SELECT g1, sum(v) AS s FROM azof.src " +
+        "GROUP BY g1 HAVING avg(v) >= 7")
+      assert(!scansSrc(q2), "a HAVING over an avg tree at a rollup " +
+        "grain must serve:\n" + q2.queryExecution.optimizedPlan)
+      assert(q2.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq(("a", 14L), ("b", 7L)))
+    } finally {
+      spark.conf.unset("spark.azof.path")
+      spark.conf.unset("spark.azof.mv.rewrite")
+    }
+  }
+
   test("COST-BASED candidate choice: when two fresh views cover one " +
     "query, the SMALLEST stored grain serves (row-stats estimate), " +
     "not the first-declared; staleness of the winner falls back to " +
