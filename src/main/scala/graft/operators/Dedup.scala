@@ -55,8 +55,13 @@ object Dedup {
     * dropped — they have no 3-gram).
     */
   def shingles(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val w = TextAnalysis.words(text)
-    df.select(id.as("doc_id"), w.as("_w"))
+    // fan the raw (id, text) rows out BEFORE tokenizing: the split +
+    // 3-gram expression work is the expensive part, and a single-file
+    // corpus would otherwise run it on one task (guide §2.5)
+    val base = Fanout.spread(
+      df.select(id.as("doc_id"), text.as("_t")), col("doc_id"))
+    val w = TextAnalysis.words(col("_t"))
+    base.select(col("doc_id"), w.as("_w"))
       .where(size(col("_w")) >= 3)
       .select(col("doc_id"), explode(
         array_distinct(transform(sequence(lit(0), size(col("_w")) - 3),
@@ -145,6 +150,10 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val nBands = k / bandSize
+    // measured (AbProbe d03/d11, min-of-5 interleaved): a Fanout.spread
+    // here LOSES ~0.2-0.4 s — the one-MD5-per-shingle kernel is cheap
+    // next to the exchange it would add, unlike the shingle-explode
+    // pipelines where spread wins (see [[shingles]])
     df.select(kernelId(id), text.as("_t"))
       .where(col("_t").isNotNull) // expression paths drop null-text docs
       .as[(Long, String)]
@@ -219,7 +228,7 @@ object Dedup {
     bucketPairsCore(unpivoted, cap, grouped =>
       if (observeName.isEmpty) grouped
       else grouped.observe(observeName,
-        capMetrics(cap).head, capMetrics(cap).tail: _*))
+        capMetrics(cap).head, capMetrics(cap).tail: _*))(spreadEmit = false)
 
   /** [[bucketPairs]] with a blocking-readable [[Observation]]: after the
     * first action on the result, `observation.get` yields
@@ -231,7 +240,8 @@ object Dedup {
       unpivoted: DataFrame, cap: Int,
       observation: org.apache.spark.sql.Observation): DataFrame =
     bucketPairsCore(unpivoted, cap,
-      _.observe(observation, capMetrics(cap).head, capMetrics(cap).tail: _*))
+      _.observe(observation, capMetrics(cap).head, capMetrics(cap).tail: _*))(
+      spreadEmit = false)
 
   private def capMetrics(cap: Int): Seq[Column] = Seq(
     sum(greatest(size(col("ids")) - cap, lit(0))).as("dropped_ids"),
@@ -239,18 +249,39 @@ object Dedup {
 
   private def bucketPairsCore(
       unpivoted: DataFrame, cap: Int,
-      attach: DataFrame => DataFrame): DataFrame =
-    rawBucketPairs(unpivoted, cap, attach).distinct()
+      attach: DataFrame => DataFrame)(spreadEmit: Boolean): DataFrame =
+    rawBucketPairs(unpivoted, cap, attach, spreadEmit).distinct()
 
   /** Pair emit WITHOUT the final distinct — for callers that shrink the
     * rows first (verify + project) so the dedup shuffle moves less.
+    *
+    * `spreadEmit` is a CALLER-KNOWN structural property, not a tuning
+    * knob: the pair emit amplifies each bucket row ×|bucket|²/2 AFTER
+    * the groupBy exchange — whose shuffle bytes are tiny (one row per
+    * bucket), so AQE's coalescing collapses it to ONE partition and the
+    * whole quadratic emit runs serially (measured: d06's 2.0 s
+    * single-task stage at sf0.1). Pass true when the band-value domain
+    * is SMALL relative to the corpus (simhash's 16-bit substrings →
+    * occupancy scales with N/2^bandBits → big lists), so the grouped
+    * frame must fan back out before exploding. Pass false when band
+    * values are full-width hashes (minhash, 8-bit-scaled sign-LSH):
+    * buckets only form on genuine near-collisions, the emit is cheap,
+    * and the extra exchange is pure latency (measured: d02 0.73 → 1.20 s
+    * min-of-5 interleaved with the spread forced on). At scale the
+    * guard no-ops either way.
     */
   private def rawBucketPairs(
       unpivoted: DataFrame, cap: Int,
-      attach: DataFrame => DataFrame): DataFrame = {
-    val grouped = unpivoted.groupBy("bidx", "bval")
+      attach: DataFrame => DataFrame, spreadEmit: Boolean): DataFrame = {
+    val bucketed = unpivoted.groupBy("bidx", "bval")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
+    // NOTE the xxhash64 spread key: a repartition on (bidx, bval)
+    // itself would satisfy the groupBy's existing hash partitioning and
+    // be ELIDED as redundant, handing the stage back to AQE coalescing
+    val grouped =
+      if (spreadEmit) Fanout.spread(bucketed, xxhash64(col("bidx"), col("bval")))
+      else bucketed
     attach(grouped)
       .withColumn("ids", slice(col("ids"), 1, cap))
       .select(explode(flatten(
@@ -617,6 +648,7 @@ object Dedup {
     require(bits > 0 && bits <= 128 && bits % 4 == 0, s"bad simhash width $bits")
     val spark = df.sparkSession
     import spark.implicits._
+    // no Fanout.spread: measured a net loss here, same as minhashBands
     df.select(kernelId(id), text.as("_t"))
       .where(col("_t").isNotNull) // expression paths drop null-text docs
       .as[(Long, String)]
@@ -693,7 +725,8 @@ object Dedup {
     // (id, id, dist) rows instead of ~2·bits of signature per row.
     rawBucketPairs(unpivoted, cap, grouped =>
         grouped.observe("d06_band_cap",
-          capMetrics(cap).head, capMetrics(cap).tail: _*))
+          capMetrics(cap).head, capMetrics(cap).tail: _*),
+        spreadEmit = true) // 16-bit band domain → big buckets, heavy emit
       .select(col("id_a.doc_id").as("doc_a"), col("id_b.doc_id").as("doc_b"),
         expr("hamming(id_a.simhash, id_b.simhash)").cast("long").as("dist"))
       .where(col("dist") <= maxDist)
@@ -720,17 +753,26 @@ object Dedup {
   def decontaminate(
       df: DataFrame, text: Column, id: Column, isEval: Column,
       minShared: Int, maxDf: Int): DataFrame = {
-    val w = TextAnalysis.words(text)
-    val sh = df
-      .select(id.as("doc_id"), isEval.as("is_eval"), w.as("_w"))
+    val base = Fanout.spread(
+      df.select(id.as("doc_id"), isEval.as("is_eval"), text.as("_t")),
+      col("doc_id"))
+    val w = TextAnalysis.words(col("_t"))
+    val sh = base
+      .select(col("doc_id"), col("is_eval"), w.as("_w"))
       .where(size(col("_w")) >= 3)
       .select(col("doc_id"), col("is_eval"), explode(
         array_distinct(transform(sequence(lit(0), size(col("_w")) - 3),
           i => concat_ws(" ", slice(col("_w"), i + 1, lit(3)))))).as("sh"))
+    // no emit-spread here (cf. [[rawBucketPairs]]): the df guard caps
+    // every bucket at maxDf ids, so the tr×ev emit is bounded and an
+    // extra exchange is pure latency (measured neutral-min, worse-median
+    // with the spread forced on, AbProbe d08 min-of-5 interleaved)
     sh.groupBy("sh")
       .agg(
-        sort_array(collect_list(when(col("is_eval"), col("doc_id")))).as("ev"),
-        sort_array(collect_list(when(!col("is_eval"), col("doc_id")))).as("tr"))
+        sort_array(collect_list(when(col("is_eval"), col("doc_id"))))
+          .as("ev"),
+        sort_array(collect_list(when(!col("is_eval"), col("doc_id"))))
+          .as("tr"))
       .where(size(col("ev")) > 0 && size(col("tr")) > 0 &&
         size(col("ev")) + size(col("tr")) <= maxDf)
       .select(explode(flatten(transform(col("tr"), t =>
@@ -788,9 +830,14 @@ object Dedup {
     // shingles are distinct per doc, so the bucket list's size IS the
     // shingle's document frequency; i<j within the sorted list emits
     // each pair once with doc_a < doc_b
-    val cands = sh.groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")).between(2, maxDf))
+    // fan the grouped buckets back out before the quadratic emit —
+    // the AQE-coalescing hazard of [[rawBucketPairs]]; guarded no-op
+    // at scale
+    val cands = Fanout.spread(
+      sh.groupBy("sh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")).between(2, maxDf)),
+      xxhash64(col("sh"))) // not `sh` — see rawBucketPairs' elision note
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
           struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))

@@ -42,6 +42,29 @@ object QueryProbe {
             slowJobs.add(s"job ${e.jobId}: ${ms}ms")
           }
         })
+    // per-stage wall + task time: find WHICH OPERATOR a slow job is in
+    if (sys.env.contains("SPARK_GRAFT_PROBE_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val s = e.stageInfo
+            val wall = (for {
+              a <- s.submissionTime; b <- s.completionTime
+            } yield b - a).getOrElse(-1L)
+            val run = s.taskMetrics.executorRunTime
+            val gc = s.taskMetrics.jvmGCTime
+            val m = s.taskMetrics
+            if (wall >= 100) slowJobs.add(
+              f"stage ${s.stageId}%d wall=${wall}ms run=${run}ms " +
+                f"gc=${gc}ms tasks=${s.numTasks}%d " +
+                f"in=${m.inputMetrics.recordsRead}%d " +
+                f"sr=${m.shuffleReadMetrics.recordsRead}%d " +
+                f"sw=${m.shuffleWriteMetrics.recordsWritten}%d " +
+                f"out=${m.outputMetrics.recordsWritten}%d")
+          }
+        })
     if (name == "_cc_leak") {
       import spark.implicits._
       def mk(): Unit = {
