@@ -268,6 +268,20 @@ final class AzofRelation(
     if (counts.size == entries.size) Some(counts.sum) else None
   }
 
+  /** The scan RDD is handed over in Spark's INTERNAL row format: the
+    * inner as-of plan already produces UnsafeRows, and the default
+    * `needConversion = true` contract would deserialize every row to an
+    * external [[Row]] in [[buildScan]] only for `DataSourceStrategy` to
+    * re-encode it above the relation boundary — two full per-row
+    * conversions the real query never needs (optimization guide §1.4's
+    * `df.rdd` warning, measured on the SQL-surface scans this relation
+    * serves).
+    */
+  private def internalHandoff: Boolean =
+    spark.conf.get("spark.azof.scan.internalRows", "true").toBoolean
+
+  override def needConversion: Boolean = !internalHandoff
+
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val projection =
@@ -279,7 +293,23 @@ final class AzofRelation(
     val ordered: DataFrame =
       if (requiredColumns.isEmpty) filtered.select()
       else filtered.select(requiredColumns.map(col).toSeq: _*)
-    ordered.rdd
+    // Plan the INNER query with AQE off: under AQE, forcing the RDD
+    // eagerly materializes every inner exchange — the driver BLOCKS in
+    // AdaptiveSparkPlanExec.withFinalPlanUpdate once per azof relation,
+    // serially, before the outer query runs a single task (measured via
+    // thread-dump sampling: the dominant driver frame on the MV-family
+    // fallback plans). Without AQE the dedup shuffle joins the outer
+    // job lazily and pipelines with everything else. AQE loses only
+    // partition coalescing here — its skew handling never applied to
+    // the window dedup anyway — and the OUTER query keeps full AQE.
+    // The thread-local conf override scopes the change to this
+    // planning, never the session.
+    if (!internalHandoff) return ordered.rdd // kill switch / A-B probe arm
+    val innerConf = spark.sessionState.conf.clone()
+    innerConf.setConfString("spark.sql.adaptive.enabled", "false")
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(innerConf) {
+      ordered.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    }
   }
 
   /** Best-effort Filter → Column translation for pushdown INTO the inner

@@ -32,9 +32,18 @@ object PlanDump {
       }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // SPARK_GRAFT_PLAN_ACTION=1: dump the plan of a FRESH action over
+    // the returned frame (df.select(all).count-shape re-planning) — the
+    // plan the bench's count() / Verify's write actually executes,
+    // which for conf-scoped queries can differ from the frame's own
+    // QueryExecution (see AzofQueries.servedFrame)
+    val actionMode = sys.env.contains("SPARK_GRAFT_PLAN_ACTION")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
+      val qe =
+        if (actionMode) df.groupBy().count().queryExecution
+        else df.queryExecution
+      val plan = qe.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val path = java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt")
       java.nio.file.Files.write(path, plan.getBytes("UTF-8"))

@@ -19,6 +19,7 @@ object QueryProbe {
         val Array(k, v) = kv.split("=", 2); (k, v)
       }
     val spark = extra.foldLeft(SparkSession.builder()
+        .withExtensions(new graft.plans.AzofExtensions)
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
@@ -103,8 +104,20 @@ object QueryProbe {
     val times = (1 to runs).map { i =>
       System.gc(); Thread.sleep(150)
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      df.count()
       val t = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("SPARK_GRAFT_PROBE_RULES") && i == runs) {
+        println(org.apache.spark.sql.catalyst.rules.RuleExecutor
+          .dumpTimeSpent().linesIterator.take(25).mkString("\n"))
+      }
+      if (sys.env.contains("SPARK_GRAFT_PROBE_PHASES")) {
+        val ph = df.queryExecution.tracker.phases.map { case (k, v) =>
+          f"$k=${(v.endTimeMs - v.startTimeMs)}%dms"
+        }.mkString(" ")
+        println(f"  build=${tBuild}%.2f exec=${t - tBuild}%.2f  $ph")
+      }
       val nRdds = spark.sparkContext.getPersistentRDDs.size
       val mem = java.lang.management.ManagementFactory.getMemoryMXBean
         .getHeapMemoryUsage.getUsed / (1 << 20)
