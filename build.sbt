@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one lazily-built SparkSession (graft.TestSpark) and some
+// suites flip session-global confs under try/finally; keep forked-JVM
+// test execution sequential (the sbt default, pinned here) so a conf
+// flip can never leak into a concurrently planning suite.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

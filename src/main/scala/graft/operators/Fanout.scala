@@ -43,8 +43,21 @@ object Fanout {
     if (target <= 1) return df
     val splitBytes =
       BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
-    val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
+    // Leaf stats come from the ANALYZED plan: leaves are identical to
+    // the optimized plan's for this guard's purpose (raw input
+    // relations), and reading them here avoids running the whole
+    // optimizer once per spread() call at composition time — the real
+    // action re-optimizes the composed plan anyway, so optimizing here
+    // was pure duplicated driver work (ADVICE r17).
+    val leafBytes = df.queryExecution.analyzed.collectLeaves()
       .map(_.stats.sizeInBytes).sum
+    // Known limitation (documented, deliberate): the guard reasons in
+    // BYTES at the configured split size. An oversized single
+    // ROW-GROUP file (e.g. 2 GB, one row group) still scans as one
+    // task yet passes the byte test; counting actual row groups would
+    // need a footer read per file at composition time. Azof's own
+    // writer sizes row groups well below that, so the case cannot
+    // arise on engine-written tables.
     if (leafBytes * 4 < splitBytes * target)
       df.repartition(target, (key +: moreKeys): _*)
     else df

@@ -767,6 +767,11 @@ private final class AzofV1ScanBridge(
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = required
+      // the delegate hands rows over in whatever format ITS
+      // needConversion declares (internal UnsafeRows by default) — the
+      // bridge must forward that declaration or Spark wraps the scan in
+      // a Row→InternalRow encoder that ClassCastExceptions on UnsafeRow
+      override def needConversion: Boolean = relation.needConversion
       override def buildScan(): RDD[Row] =
         relation.buildScan(required.fieldNames, filters)
     }.asInstanceOf[T]

@@ -277,9 +277,20 @@ final class AzofRelation(
     * `df.rdd` warning, measured on the SQL-surface scans this relation
     * serves).
     */
-  private def internalHandoff: Boolean =
+  private[sources] val internalHandoff: Boolean =
     spark.conf.get("spark.azof.scan.internalRows", "true").toBoolean
 
+  /** Inner-plan AQE is disabled by default (see [[buildScan]]'s planning
+    * note) behind its OWN kill switch so the A/B probe can attribute a
+    * regression to the handoff and the AQE change independently.
+    */
+  private[sources] val innerAqe: Boolean =
+    spark.conf.get("spark.azof.scan.innerAqe", "false").toBoolean
+
+  // Both flags are snapshotted ONCE at relation construction: a def
+  // re-reading the session conf could disagree between the planner's
+  // needConversion check and buildScan (conf flipped mid-query) and
+  // crash with a row-format ClassCastException.
   override def needConversion: Boolean = !internalHandoff
 
   override def buildScan(
@@ -304,11 +315,16 @@ final class AzofRelation(
     // the window dedup anyway — and the OUTER query keeps full AQE.
     // The thread-local conf override scopes the change to this
     // planning, never the session.
-    if (!internalHandoff) return ordered.rdd // kill switch / A-B probe arm
-    val innerConf = spark.sessionState.conf.clone()
-    innerConf.setConfString("spark.sql.adaptive.enabled", "false")
-    org.apache.spark.sql.internal.SQLConf.withExistingConf(innerConf) {
-      ordered.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    def handoff(): RDD[Row] =
+      if (internalHandoff) ordered.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      else ordered.rdd // kill switch / A-B probe arm (external Rows)
+    if (innerAqe) handoff()
+    else {
+      val innerConf = spark.sessionState.conf.clone()
+      innerConf.setConfString("spark.sql.adaptive.enabled", "false")
+      org.apache.spark.sql.internal.SQLConf.withExistingConf(innerConf) {
+        handoff()
+      }
     }
   }
 

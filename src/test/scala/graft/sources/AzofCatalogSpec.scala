@@ -65,4 +65,19 @@ class AzofCatalogSpec extends AnyFunSuite {
       spark.sql("DROP TABLE lakecat.table0")
     }
   }
+
+  /** r17 regression (broke q33/q40/q46/q47 on the driver): the V1Scan
+    * bridge's anonymous relation must FORWARD the delegate's
+    * needConversion — with the internal-row handoff on (the default)
+    * and the bridge left at needConversion=true, Spark wraps the scan
+    * in a Row→InternalRow encoder that ClassCastExceptions on
+    * UnsafeRow. Both kill-switch arms must collect through catalog SQL.
+    */
+  test("internal-row handoff reaches catalog SQL in both kill-switch arms") {
+    Seq("true", "false").foreach { v =>
+      spark.conf.set("spark.azof.scan.internalRows", v)
+      try assert(kv("SELECT key, value FROM lakecat.table0").size == 3)
+      finally spark.conf.unset("spark.azof.scan.internalRows")
+    }
+  }
 }

@@ -103,6 +103,21 @@ class AzofDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("azof").load(s"$lake/table0").count() == 3)
   }
 
+  /** ADVICE r17 (medium): the handoff flag must be snapshotted ONCE at
+    * relation construction — a conf flip between the planner's
+    * needConversion check and buildScan would otherwise hand rows over
+    * in the wrong format and crash mid-query.
+    */
+  test("internalRows flag is pinned at relation construction, conf flips later are inert") {
+    spark.conf.set("spark.azof.scan.internalRows", "true")
+    val df = spark.read.format("azof").load(s"$lake/table0")
+    // flip BEFORE the action: the relation keeps its construction-time
+    // decision, so the action must still collect correctly
+    spark.conf.set("spark.azof.scan.internalRows", "false")
+    try assert(df.select("key").count() == 3)
+    finally spark.conf.unset("spark.azof.scan.internalRows")
+  }
+
   test("reader joins two as-of views of the same table") {
     val a = spark.read.format("azof").load(s"$lake/table0")
       .select(col("key"), col("value").as("v_now"))
