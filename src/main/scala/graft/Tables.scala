@@ -12,7 +12,30 @@ import org.apache.spark.sql.functions._
   * NTZ→LTZ cast is wall-clock-identical and matches DuckDB's read).
   */
 object Tables {
+
+  /** Lazy-frame cache: `spark.read.parquet` pays a directory listing +
+    * footer read for SCHEMA INFERENCE on every call, and the query set
+    * re-loads the same handful of immutable corpus tables hundreds of
+    * times per session (measured ~0.10-0.15 s of the ~0.25 s wall of a
+    * typical sf0.1 query was frame CONSTRUCTION, not execution —
+    * optimization guide §1). Caching the unresolved frame per
+    * (session, dir, table) removes the re-inference exactly like a
+    * metastore schema would. This caches a LAZY plan, never data or
+    * results: every action on the returned frame still scans the
+    * parquet bytes. Kill switch for the A/B probe:
+    * spark.azof.tables.cache=false.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (!spark.conf.get("spark.azof.tables.cache", "true").toBoolean)
+      load(spark, sfDir, name)
+    else cache.computeIfAbsent((spark, sfDir, name),
+      _ => load(spark, sfDir, name))
+
+  private def load(spark: SparkSession, sfDir: String, name: String)
+      : DataFrame =
     name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
