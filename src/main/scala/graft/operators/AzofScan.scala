@@ -56,13 +56,17 @@ import org.apache.spark.sql.functions._
   * suppresses its keys outright, even past newer data rows
   * (TombstoneSpec pins the divergence from default mode).
   *
-  * Spark plan shape: ONE parquet scan over the pruned file list — not a
-  * union of per-file scans, whose plan size would grow with the file
-  * count (a delta-heavy table can resolve to thousands of files) — with
-  * the merge precedence recovered per row by looking the file's basename
-  * up in a literal map over `input_file_name()`; then one hash shuffle
-  * on `key` for the window dedup, then projection. Filters/projections
-  * above this compose in Catalyst and push into the single scan node.
+  * Spark plan shape: up to `spark.azof.precedenceJoinThreshold` (64)
+  * pruned files, a union of per-file scans each stamped with a LITERAL
+  * merge precedence — constant-folded, no per-row file-name work, and
+  * one scan partition per file so many-small-file layouts (streaming
+  * mirrors) decode in parallel; above the threshold (a delta-heavy
+  * table can resolve to thousands of files, where a union would bloat
+  * the plan) ONE parquet scan over the whole pruned list with the
+  * precedence recovered per row by a broadcast join on the file's
+  * basename over `input_file_name()`. Then one hash shuffle on `key`
+  * for the window dedup, then projection. Filters/projections above
+  * compose in Catalyst and push into every scan node.
   */
 object AzofScan {
   private val Prec = "_azof_prec"
@@ -218,20 +222,41 @@ object AzofScan {
     val precVals = if (strict) entries.indices else effectiveRanks(entries)
     def uriSafe(n: String): Boolean =
       new java.net.URI(null, null, n, null).getRawPath == n
-    val unioned = if (basenames.distinct.size == basenames.size &&
+    // Few files: per-file scans unioned, each stamped with a LITERAL
+    // precedence. Two measured wins over the previous single-scan +
+    // element_at(literal map, regexp_extract(input_file_name())) shape
+    // (r18, guide §2.5/§4): (1) no per-row regexp + linear map probe —
+    // the precedence is a constant column per scan; (2) the union
+    // contributes one partition PER FILE, so a delta-heavy small table
+    // (the mirror/streaming shape: dozens of micro-batch files that
+    // pack into one split byte-wise) decodes in parallel instead of
+    // serially in one task (q38 scan stage: 1 task, 100k rows, ~600 ms
+    // run — the whole query's cost). At 100 TB each per-file scan still
+    // splits internally by row group, and the file count is capped by
+    // the same threshold that bounds plan size. Kill switch for the
+    // A/B probe: spark.azof.scan.perFileUnion=false.
+    val perFileUnion = files.size <= precJoinThreshold(spark) &&
+      spark.conf.get("spark.azof.scan.perFileUnion", "true").toBoolean
+    val unioned = if (perFileUnion) {
+      paths.zip(precVals)
+        .map { case (p, i) =>
+          spark.read.schema(readSchema).parquet(p).withColumn(Prec, lit(i))
+        }
+        .reduce(_ unionAll _)
+    } else if (basenames.distinct.size == basenames.size &&
         basenames.forall(uriSafe)) {
       val single = spark.read.schema(readSchema).parquet(paths: _*)
       val baseName = regexp_extract(input_file_name(), "[^/]+$", 0)
       if (files.size <= precJoinThreshold(spark)) {
-        // Few files: an inline literal map keeps the plan join-free.
+        // kill-switch arm (r17 shape): single scan, inline literal map
         val precEntries = basenames.zip(precVals).flatMap { case (n, i) =>
           Seq(lit(n), lit(i))
         }
         single.withColumn(Prec, element_at(map(precEntries: _*), baseName))
       } else {
-        // Delta-heavy tables (thousands of pruned files): a literal map
-        // would bloat the expression tree and codegen linearly with the
-        // file count. A broadcast hash join against the tiny
+        // Delta-heavy tables (thousands of pruned files): a per-file
+        // union or a literal map would bloat the plan/codegen linearly
+        // with the file count. A broadcast hash join against the tiny
         // (basename → precedence) table keeps the SINGLE scan node and
         // O(1) expression size; every row's file is in the map, so the
         // inner join drops nothing.

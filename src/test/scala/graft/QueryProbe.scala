@@ -57,7 +57,9 @@ object QueryProbe {
             val run = s.taskMetrics.executorRunTime
             val gc = s.taskMetrics.jvmGCTime
             val m = s.taskMetrics
-            if (wall >= 100) slowJobs.add(
+            val floor = sys.env.getOrElse("SPARK_GRAFT_PROBE_STAGES", "100")
+              .trim match { case "" | "1" => 100L; case v => v.toLong }
+            if (wall >= floor) slowJobs.add(
               f"stage ${s.stageId}%d wall=${wall}ms run=${run}ms " +
                 f"gc=${gc}ms tasks=${s.numTasks}%d " +
                 f"in=${m.inputMetrics.recordsRead}%d " +

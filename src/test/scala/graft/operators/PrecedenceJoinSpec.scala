@@ -87,4 +87,45 @@ class PrecedenceJoinSpec extends AnyFunSuite {
         ("k1", "new1"), ("k2", "new2"), ("k3", "new3")))
     } finally spark.conf.unset("spark.azof.precedenceJoinThreshold")
   }
+
+  /** r18: below the threshold the scan is a UNION of per-file scans
+    * (one partition per file — parallel decode for many-small-file
+    * layouts, no per-row file-name work); the kill switch
+    * (spark.azof.scan.perFileUnion=false) restores the r17 single-scan
+    * + literal-map shape. Both must agree row-for-row, and the plan
+    * shapes must actually differ as claimed.
+    */
+  test("per-file union (default) vs literal-map kill switch: same rows, claimed plans") {
+    val n = 10
+    val lake = buildManyDeltas(n)
+    val expected = (("1", s"v$n") +: ("2", "base2") +:
+      (1 to n).map(i => (s"k$i", s"new$i"))).sortBy(_._1)
+
+    def fileScans(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan
+      val unwrapped = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      unwrapped.collect { case s: FileSourceScanExec => s }.size
+    }
+
+    // default: one scan node per pruned file (base + n deltas)
+    val viaUnion = AzofScan.scan(spark, lake, "t", AsOf.Current)
+    assert(viaUnion.select("key", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+      == expected)
+    assert(fileScans(viaUnion) == n + 1,
+      s"expected ${n + 1} per-file scans")
+
+    // kill switch: single scan + literal map
+    spark.conf.set("spark.azof.scan.perFileUnion", "false")
+    try {
+      val viaMap = AzofScan.scan(spark, lake, "t", AsOf.Current)
+      assert(viaMap.select("key", "value").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+        == expected)
+      assert(fileScans(viaMap) == 1, "kill switch must keep ONE scan node")
+    } finally spark.conf.unset("spark.azof.scan.perFileUnion")
+  }
 }
